@@ -1,0 +1,43 @@
+"""dask_geopandas_spark: a PySpark-native geospatial analytics engine.
+
+Re-expresses the capabilities of geopandas/dask-geopandas (reference at
+/root/reference) Spark-first: WKB BinaryType geometry columns + bbox
+struct siblings, vectorized pandas-UDF geometry kernels (pure numpy — no
+GEOS in this environment), and native Catalyst plans for the distributed
+machinery (bbox pruning, range shuffles, grid-bucketed spatial joins,
+partial aggregation).
+"""
+
+from .core import (
+    GeoDataFrame,
+    from_dask_dataframe,
+    from_wkb,
+    from_wkt,
+    points_from_xy,
+)
+from .functions import core as functions
+from .functions.core import register_sql_functions
+from .operators.sjoin import sjoin
+from .operators.clip import clip
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "GeoDataFrame",
+    "points_from_xy",
+    "from_wkt",
+    "from_wkb",
+    "from_dask_dataframe",
+    "functions",
+    "register_sql_functions",
+    "sjoin",
+    "clip",
+    "read_parquet",
+    "__version__",
+]
+
+
+def read_parquet(spark, path, **kw):
+    from .sources.geoparquet import read_parquet as _rp
+
+    return _rp(spark, path, **kw)

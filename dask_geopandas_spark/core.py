@@ -1,0 +1,484 @@
+"""GeoDataFrame: thin wrapper over pyspark.sql.DataFrame with geometry.
+
+Mirrors the reference's `_Frame`/`GeoDataFrame` surface (reference:
+expr.py:80-853) re-expressed Spark-first:
+
+- geometry columns are WKB ``BinaryType``; the "active" geometry column
+  name is carried on the wrapper (reference `_geometry_column_name`,
+  expr.py:584-598),
+- CRS is a per-column string registry on the wrapper (reference carries a
+  pyproj.CRS on meta, expr.py:222-241; pyproj is unavailable here so CRS
+  is bookkeeping + built-in EPSG:4326↔3857 math),
+- every geometry column can get a ``<name>_bbox`` struct sibling
+  (minx,miny,maxx,maxy).  Datasets written sorted by Hilbert key make
+  Parquet min/max stats prune bbox predicates natively — this one layout
+  convention replaces all three of the reference's custom pruning paths
+  (SURVEY §4 #3).
+- type degradation: selecting away the geometry column returns a plain
+  pyspark DataFrame (reference expr.py:622-631, tests/test_core.py:1011-1023).
+
+Accessor convention: scalar accessors (`area`, `length`, …) return pyspark
+Column expressions to compose into select/filter; geometry-transforming
+methods (`buffer`, `simplify`, `rotate`, …) return a new GeoDataFrame with
+the active geometry replaced.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
+
+from .functions import core as FX
+
+
+class GeoDataFrame:
+    def __init__(self, df: DataFrame, geometry: str = "geometry",
+                 crs: str | None = None, crs_map: dict | None = None):
+        if geometry not in df.columns:
+            raise ValueError(f"geometry column {geometry!r} not in {df.columns}")
+        self._df = df
+        self._geometry = geometry
+        self._crs = dict(crs_map or {})
+        if crs is not None:
+            self._crs[geometry] = crs
+
+    # ------------------------------------------------------------------
+    # plumbing
+    # ------------------------------------------------------------------
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    @property
+    def columns(self):
+        return self._df.columns
+
+    @property
+    def geometry_column(self) -> str:
+        return self._geometry
+
+    @property
+    def crs(self) -> str | None:
+        return self._crs.get(self._geometry)
+
+    def _wrap(self, df: DataFrame, geometry: str | None = None) -> "GeoDataFrame":
+        return GeoDataFrame(df, geometry or self._geometry, crs_map=self._crs)
+
+    def _geom(self) -> Column:
+        return F.col(self._geometry)
+
+    def __getitem__(self, key):
+        if isinstance(key, list):
+            out = self._df.select(*key)
+            if self._geometry in key:
+                return self._wrap(out)
+            return out  # type degradation, reference tests/test_core.py:1011-1023
+        if isinstance(key, Column):
+            return self._wrap(self._df.filter(key))
+        return self._df[key]
+
+    def select(self, *cols):
+        out = self._df.select(*cols)
+        if self._geometry in out.columns:
+            return self._wrap(out)
+        return out
+
+    def filter(self, cond) -> "GeoDataFrame":
+        return self._wrap(self._df.filter(cond))
+
+    where = filter
+
+    def withColumn(self, name: str, col: Column) -> "GeoDataFrame":
+        return self._wrap(self._df.withColumn(name, col))
+
+    def drop(self, *cols):
+        out = self._df.drop(*cols)
+        if self._geometry in out.columns:
+            return self._wrap(out)
+        return out  # degraded to plain DataFrame (reference expr.py:832-849)
+
+    def limit(self, n: int) -> "GeoDataFrame":
+        return self._wrap(self._df.limit(n))
+
+    def cache(self) -> "GeoDataFrame":
+        return self._wrap(self._df.cache())
+
+    def count(self) -> int:
+        return self._df.count()
+
+    def collect(self):
+        return self._df.collect()
+
+    # ------------------------------------------------------------------
+    # geometry column management (reference expr.py:584-620)
+    # ------------------------------------------------------------------
+    def set_geometry(self, col: str) -> "GeoDataFrame":
+        return GeoDataFrame(self._df, col, crs_map=self._crs)
+
+    def rename_geometry(self, new_name: str) -> "GeoDataFrame":
+        df = self._df.withColumnRenamed(self._geometry, new_name)
+        crs = dict(self._crs)
+        if self._geometry in crs:
+            crs[new_name] = crs.pop(self._geometry)
+        return GeoDataFrame(df, new_name, crs_map=crs)
+
+    def set_crs(self, crs: str, allow_override: bool = False) -> "GeoDataFrame":
+        if self.crs is not None and not allow_override and crs != self.crs:
+            raise ValueError(
+                f"geometry already has CRS {self.crs!r}; pass allow_override=True"
+            )
+        m = dict(self._crs)
+        m[self._geometry] = crs
+        return GeoDataFrame(self._df, self._geometry, crs_map=m)
+
+    def to_crs(self, crs: str) -> "GeoDataFrame":
+        """Reprojection.  pyproj is not available in this environment, so
+        only the web-mercator pair EPSG:4326 ↔ EPSG:3857 is implemented
+        (standard spherical formulas); other CRS pairs raise."""
+        src = (self.crs or "").upper().replace("EPSG:", "")
+        dst = crs.upper().replace("EPSG:", "")
+        if src == dst:
+            return self
+        if (src, dst) == ("4326", "3857"):
+            udf = _reproject_udf(_lonlat_to_mercator)
+        elif (src, dst) == ("3857", "4326"):
+            udf = _reproject_udf(_mercator_to_lonlat)
+        else:
+            raise NotImplementedError(
+                f"to_crs {self.crs} → {crs}: pyproj unavailable; only "
+                "EPSG:4326↔EPSG:3857 supported"
+            )
+        out = self._df.withColumn(self._geometry, udf(self._geom()))
+        m = dict(self._crs)
+        m[self._geometry] = f"EPSG:{dst}"
+        return GeoDataFrame(out, self._geometry, crs_map=m)
+
+    # ------------------------------------------------------------------
+    # scalar accessors → Column expressions
+    # ------------------------------------------------------------------
+    @property
+    def area(self) -> Column:
+        return FX.st_area(self._geom())
+
+    @property
+    def length(self) -> Column:
+        return FX.st_length(self._geom())
+
+    @property
+    def geom_type(self) -> Column:
+        return FX.st_geometrytype(self._geom())
+
+    @property
+    def x(self) -> Column:
+        return FX.st_x(self._geom())
+
+    @property
+    def y(self) -> Column:
+        return FX.st_y(self._geom())
+
+    @property
+    def z(self) -> Column:
+        return FX.st_z(self._geom())
+
+    @property
+    def is_valid(self) -> Column:
+        return FX.st_isvalid(self._geom())
+
+    @property
+    def is_empty(self) -> Column:
+        return FX.st_isempty(self._geom())
+
+    @property
+    def is_simple(self) -> Column:
+        return FX.st_issimple(self._geom())
+
+    @property
+    def is_ring(self) -> Column:
+        return FX.st_isring(self._geom())
+
+    @property
+    def has_z(self) -> Column:
+        return FX.st_hasz(self._geom())
+
+    def isna(self) -> Column:
+        return self._geom().isNull()
+
+    def fillna(self, value: bytes) -> "GeoDataFrame":
+        return self._replace_geom(F.coalesce(self._geom(), F.lit(value)))
+
+    # ------------------------------------------------------------------
+    # geometry-transforming methods → new GeoDataFrame
+    # ------------------------------------------------------------------
+    def _replace_geom(self, col: Column) -> "GeoDataFrame":
+        return self._wrap(self._df.withColumn(self._geometry, col))
+
+    def buffer(self, distance: float, resolution: int = 16) -> "GeoDataFrame":
+        return self._replace_geom(FX.buffer(distance, resolution)(self._geom()))
+
+    def simplify(self, tolerance: float) -> "GeoDataFrame":
+        return self._replace_geom(FX.simplify(tolerance)(self._geom()))
+
+    def centroid(self) -> "GeoDataFrame":
+        return self._replace_geom(FX.st_centroid(self._geom()))
+
+    def envelope(self) -> "GeoDataFrame":
+        return self._replace_geom(FX.st_envelope(self._geom()))
+
+    def convex_hull(self) -> "GeoDataFrame":
+        return self._replace_geom(FX.st_convexhull(self._geom()))
+
+    def boundary(self) -> "GeoDataFrame":
+        return self._replace_geom(FX.st_boundary(self._geom()))
+
+    def exterior(self) -> "GeoDataFrame":
+        return self._replace_geom(FX.st_exterior(self._geom()))
+
+    def representative_point(self) -> "GeoDataFrame":
+        return self._replace_geom(FX.st_representative_point(self._geom()))
+
+    def affine_transform(self, matrix) -> "GeoDataFrame":
+        a, b, d, e, xoff, yoff = matrix
+        return self._replace_geom(FX.affine_transform(a, b, d, e, xoff, yoff)(self._geom()))
+
+    def translate(self, xoff=0.0, yoff=0.0) -> "GeoDataFrame":
+        return self._replace_geom(FX.translate(xoff, yoff)(self._geom()))
+
+    def rotate(self, angle, origin=(0.0, 0.0), use_radians=False) -> "GeoDataFrame":
+        return self._replace_geom(FX.rotate(angle, origin, use_radians)(self._geom()))
+
+    def scale(self, xfact=1.0, yfact=1.0, origin=(0.0, 0.0)) -> "GeoDataFrame":
+        return self._replace_geom(FX.scale(xfact, yfact, origin)(self._geom()))
+
+    def skew(self, xs=0.0, ys=0.0, origin=(0.0, 0.0), use_radians=False) -> "GeoDataFrame":
+        return self._replace_geom(FX.skew(xs, ys, origin, use_radians)(self._geom()))
+
+    def interpolate(self, distance, normalized=False) -> "GeoDataFrame":
+        return self._replace_geom(FX.interpolate(distance, normalized)(self._geom()))
+
+    def to_wkt(self) -> DataFrame:
+        return self._df.withColumn(self._geometry, FX.st_astext(self._geom()))
+
+    def to_wkb(self) -> DataFrame:
+        return self._df  # already WKB at rest
+
+    # ------------------------------------------------------------------
+    # bbox infrastructure (SURVEY §7 design invariant)
+    # ------------------------------------------------------------------
+    @property
+    def bbox_column(self) -> str:
+        return f"{self._geometry}_bbox"
+
+    def with_bbox(self) -> "GeoDataFrame":
+        """Materialize the bbox struct sibling.  Downstream bbox predicates
+        (.cx, sjoin prefilter) then run natively and push to Parquet
+        row-group stats when persisted."""
+        if self.bbox_column in self._df.columns:
+            return self
+        return self._wrap(
+            self._df.withColumn(self.bbox_column, FX.st_bounds(self._geom()))
+        )
+
+    def total_bounds(self) -> tuple:
+        """Global bbox via native min/max aggregation — no UDF in the agg
+        (reference computes per-partition then nan-safe combine,
+        expr.py:44-72; Spark's partial aggregation is the same shape)."""
+        g = self.with_bbox()
+        b = g.bbox_column
+        row = g.df.agg(
+            F.min(F.col(f"{b}.minx")).alias("minx"),
+            F.min(F.col(f"{b}.miny")).alias("miny"),
+            F.max(F.col(f"{b}.maxx")).alias("maxx"),
+            F.max(F.col(f"{b}.maxy")).alias("maxy"),
+        ).collect()[0]
+        return (row["minx"], row["miny"], row["maxx"], row["maxy"])
+
+    def cx(self, xmin=None, ymin=None, xmax=None, ymax=None) -> "GeoDataFrame":
+        """Coordinate-box indexer (reference `.cx`, expr.py:1022-1077):
+        a *native* bbox overlap filter (prunes partitions/row-groups via
+        Parquet stats when bbox is materialized) followed by the exact
+        intersects refinement only when the geometry could straddle the box."""
+        g = self.with_bbox()
+        b = g.bbox_column
+        conds = []
+        if xmax is not None:
+            conds.append(F.col(f"{b}.minx") <= float(xmax))
+        if xmin is not None:
+            conds.append(F.col(f"{b}.maxx") >= float(xmin))
+        if ymax is not None:
+            conds.append(F.col(f"{b}.miny") <= float(ymax))
+        if ymin is not None:
+            conds.append(F.col(f"{b}.maxy") >= float(ymin))
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond & c
+        return g.filter(cond)
+
+    # ------------------------------------------------------------------
+    # curve encoders + spatial shuffle (reference expr.py:404-539, 738-820)
+    # ------------------------------------------------------------------
+    def hilbert_distance(self, total_bounds=None, level: int = 16) -> Column:
+        tb = total_bounds or self.total_bounds()
+        return FX.hilbert_distance(tb, level)(self._geom())
+
+    def morton_distance(self, total_bounds=None, level: int = 16) -> Column:
+        tb = total_bounds or self.total_bounds()
+        return FX.morton_distance(tb, level)(self._geom())
+
+    def geohash(self, as_string: bool = True, precision: int = 12) -> Column:
+        crs = (self.crs or "EPSG:4326").upper()
+        if crs not in ("EPSG:4326", "OGC:CRS84", ""):
+            # geohash is only defined for geographic coords (reference
+            # expr.py:505-506)
+            raise ValueError(f"geohash requires lon/lat coordinates, got CRS {crs}")
+        return FX.geohash(as_string, precision)(self._geom())
+
+    def spatial_shuffle(self, by: str = "hilbert", level: int = 16,
+                        npartitions: int | None = None,
+                        total_bounds=None) -> "GeoDataFrame":
+        """Spatially sort/repartition: curve key + repartitionByRange +
+        sortWithinPartitions — the native Spark expression of the
+        reference's set_index range shuffle (expr.py:738-820)."""
+        tb = total_bounds or self.total_bounds()
+        if by == "hilbert":
+            key = FX.hilbert_distance(tb, level)(self._geom())
+        elif by == "morton":
+            key = FX.morton_distance(tb, level)(self._geom())
+        elif by == "geohash":
+            key = FX.geohash(False, min(level, 12))(self._geom())
+        else:
+            raise ValueError(f"unknown curve {by!r}")
+        df = self._df.withColumn("_curve_key", key)
+        n = npartitions or df.rdd.getNumPartitions()
+        out = (
+            df.repartitionByRange(n, "_curve_key")
+            .sortWithinPartitions("_curve_key")
+            .drop("_curve_key")
+        )
+        return self._wrap(out)
+
+    def calculate_spatial_partitions(self):
+        """Per-partition bounds summary collected to the driver (reference
+        expr.py:199-211 computes convex hulls; bbox is the Spark-native
+        equivalent since it feeds Parquet stats pruning)."""
+        from pyspark.sql.functions import spark_partition_id
+
+        g = self.with_bbox()
+        b = g.bbox_column
+        rows = (
+            g.df.withColumn("_pid", spark_partition_id())
+            .groupBy("_pid")
+            .agg(
+                F.min(F.col(f"{b}.minx")).alias("minx"),
+                F.min(F.col(f"{b}.miny")).alias("miny"),
+                F.max(F.col(f"{b}.maxx")).alias("maxx"),
+                F.max(F.col(f"{b}.maxy")).alias("maxy"),
+            )
+            .collect()
+        )
+        return {r["_pid"]: (r["minx"], r["miny"], r["maxx"], r["maxy"]) for r in rows}
+
+    # ------------------------------------------------------------------
+    # multi-row ops
+    # ------------------------------------------------------------------
+    def explode(self) -> "GeoDataFrame":
+        from .operators.explode import explode_geometry
+
+        return self._wrap(explode_geometry(self._df, self._geometry))
+
+    def dissolve(self, by=None, aggfunc="first") -> "GeoDataFrame":
+        from .operators.dissolve import dissolve
+
+        return self._wrap(dissolve(self._df, self._geometry, by, aggfunc))
+
+    def union_all(self) -> bytes:
+        from .operators.dissolve import union_all
+
+        return union_all(self._df, self._geometry)
+
+    def sjoin(self, other: "GeoDataFrame", how: str = "inner",
+              predicate: str = "intersects", **kw) -> "GeoDataFrame":
+        from .operators.sjoin import sjoin
+
+        return sjoin(self, other, how=how, predicate=predicate, **kw)
+
+    def clip(self, mask, keep_geom_type: bool = False) -> "GeoDataFrame":
+        from .operators.clip import clip
+
+        return clip(self, mask, keep_geom_type=keep_geom_type)
+
+    # ------------------------------------------------------------------
+    # I/O
+    # ------------------------------------------------------------------
+    def to_parquet(self, path: str, **kw) -> None:
+        from .sources.geoparquet import to_parquet
+
+        to_parquet(self, path, **kw)
+
+
+# ----------------------------------------------------------------------
+# constructors (reference expr.py:852-944)
+# ----------------------------------------------------------------------
+
+def points_from_xy(df: DataFrame, x: str = "x", y: str = "y", z: str | None = None,
+                   crs: str | None = None, geometry: str = "geometry") -> GeoDataFrame:
+    if z is not None and z in df.columns:
+        col = FX.st_point_z(F.col(x), F.col(y), F.col(z))
+    else:
+        col = FX.st_point(F.col(x), F.col(y))
+    return GeoDataFrame(df.withColumn(geometry, col), geometry, crs=crs)
+
+
+def from_wkt(df: DataFrame, wkt_col: str, geometry: str = "geometry",
+             crs: str | None = None) -> GeoDataFrame:
+    return GeoDataFrame(
+        df.withColumn(geometry, FX.st_geomfromtext(F.col(wkt_col))), geometry, crs=crs
+    )
+
+
+def from_wkb(df: DataFrame, wkb_col: str, geometry: str = "geometry",
+             crs: str | None = None) -> GeoDataFrame:
+    col = F.col(wkb_col)
+    if wkb_col != geometry:
+        df = df.withColumn(geometry, col)
+    return GeoDataFrame(df, geometry, crs=crs)
+
+
+def from_dask_dataframe(df: DataFrame, geometry: str = "geometry") -> GeoDataFrame:
+    """Promote a plain DataFrame with a WKB column (reference expr.py:855-877)."""
+    return GeoDataFrame(df, geometry)
+
+
+# ----------------------------------------------------------------------
+# built-in reprojection (EPSG:4326 ↔ EPSG:3857)
+# ----------------------------------------------------------------------
+
+_R = 6378137.0
+
+
+def _lonlat_to_mercator(x, y):
+    mx = np.deg2rad(x) * _R
+    my = np.log(np.tan(np.pi / 4.0 + np.deg2rad(np.clip(y, -89.9999, 89.9999)) / 2.0)) * _R
+    return mx, my
+
+
+def _mercator_to_lonlat(x, y):
+    lon = np.rad2deg(x / _R)
+    lat = np.rad2deg(2.0 * np.arctan(np.exp(y / _R)) - np.pi / 2.0)
+    return lon, lat
+
+
+def _reproject_udf(fn):
+    from pyspark.sql.functions import pandas_udf
+
+    from .geometry import wkb as W
+
+    @pandas_udf(BinaryType())
+    def _reproject(g: pd.Series) -> pd.Series:
+        batch = W.parse_wkb(list(g))
+        nx, ny = fn(batch.xs, batch.ys)
+        return pd.Series(W.rewrite_coords(batch, nx, ny), dtype=object)
+
+    return _reproject

@@ -1,0 +1,115 @@
+"""clip: intersect a collection with a constant mask (reference
+clip.py:12-47 — partitions pruned against the mask bounds, then
+per-partition geopandas.clip).
+
+Spark-first shape: a *native* bbox prefilter (prunes row-groups via
+Parquet stats when bbox is materialized) + a vectorized pandas UDF doing
+the exact geometric clip.  The mask must be convex (box/envelope — the
+reference's own tests clip by boxes); GEOS-grade concave clipping is
+unavailable in this environment.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
+from pyspark.sql.functions import pandas_udf
+
+from ..geometry import algorithms as A
+from ..geometry import clipping as CL
+from ..geometry import wkb as W
+from ..geometry import wkt as T
+
+
+def _mask_ring(mask) -> tuple[np.ndarray, np.ndarray]:
+    if isinstance(mask, str):
+        mask = T.wkt_to_wkb(mask)
+    if isinstance(mask, (tuple, list)) and len(mask) == 4:
+        x0, y0, x1, y1 = mask
+        return (np.array([x0, x1, x1, x0], float), np.array([y0, y0, y1, y1], float))
+    batch = W.parse_wkb([bytes(mask)])
+    rings = A._poly_rings(batch, 0, outer_only=True)
+    if not rings:
+        raise ValueError("clip mask must be a polygon or (minx,miny,maxx,maxy)")
+    x, y = rings[0]
+    if not CL.is_convex_ring(x, y):
+        raise NotImplementedError(
+            "clip mask must be convex (GEOS unavailable; reference uses "
+            "geopandas.clip for concave masks)"
+        )
+    return x, y
+
+
+def clip(gdf, mask, keep_geom_type: bool = False):
+    from ..core import GeoDataFrame
+
+    mx, my = _mask_ring(mask)
+    bounds = (float(mx.min()), float(my.min()), float(mx.max()), float(my.max()))
+
+    g = gdf.with_bbox()
+    b = g.bbox_column
+    pre = g.df.filter(
+        (F.col(f"{b}.minx") <= bounds[2]) & (F.col(f"{b}.maxx") >= bounds[0])
+        & (F.col(f"{b}.miny") <= bounds[3]) & (F.col(f"{b}.maxy") >= bounds[1])
+    )
+
+    geom = g.geometry_column
+
+    @pandas_udf(BinaryType())
+    def _clip(col: pd.Series) -> pd.Series:
+        batch = W.parse_wkb(list(col))
+        out = []
+        for i in range(batch.n):
+            t = int(batch.types[i])
+            if t == 0:
+                out.append(None)
+                continue
+            out.append(_clip_one(batch, i, t, mx, my))
+        return pd.Series(out, dtype=object)
+
+    clipped = pre.withColumn(geom, _clip(F.col(geom)))
+    # drop rows clipped to nothing, then refresh bbox
+    clipped = clipped.filter(F.col(geom).isNotNull()).drop(b)
+    out = GeoDataFrame(clipped, geom, crs_map=getattr(gdf, "_crs", {}))
+    return out.with_bbox()
+
+
+def _clip_one(batch: W.GeometryBatch, i: int, t: int, mx, my):
+    if t in (W.POINT, W.MULTIPOINT):
+        x, y = A._points(batch, i)
+        keep = A.point_in_rings(x, y, [(mx, my)])
+        if not keep.any():
+            return None
+        pts = np.column_stack([x[keep], y[keep]])
+        if len(pts) == 1:
+            return W.serialize_geometry(W.POINT, pts[0])
+        return W.serialize_geometry(W.MULTIPOINT, pts)
+    if t in (W.LINESTRING, W.MULTILINESTRING):
+        pieces = []
+        for kind, x, y in A._geom_paths(batch, i):
+            pieces.extend(CL.clip_line_to_convex(x, y, mx, my))
+        pieces = [p for p in pieces if len(p[0]) >= 2]
+        if not pieces:
+            return None
+        if len(pieces) == 1:
+            return W.serialize_geometry(W.LINESTRING, np.column_stack(pieces[0]))
+        return W.serialize_geometry(
+            W.MULTILINESTRING, [np.column_stack(p) for p in pieces]
+        )
+    if t in (W.POLYGON, W.MULTIPOLYGON):
+        polys = []
+        for kind, x, y in A._geom_paths(batch, i):
+            if kind != W.PK_RING_OUTER:
+                continue  # holes of clipped polygons need boolean ops; outer-only
+            rx, ry = CL.sutherland_hodgman(x, y, mx, my)
+            if len(rx) >= 3:
+                ring = np.column_stack([np.append(rx, rx[0]), np.append(ry, ry[0])])
+                polys.append([ring])
+        if not polys:
+            return None
+        if len(polys) == 1:
+            return W.serialize_geometry(W.POLYGON, polys[0])
+        return W.serialize_geometry(W.MULTIPOLYGON, polys)
+    return batch.raw[i]

@@ -1,0 +1,129 @@
+"""dissolve / union_all: grouped geometry union (reference expr.py:652-703,
+33-41; two-phase dd.Aggregation("merge_geometries") → here a grouped-agg
+pandas UDF inside a native groupBy, so Spark's hash aggregation handles
+distribution and the scalar aggs stay JVM-native).
+
+Union semantics without GEOS: parts are *collected* into a MULTI-geometry
+(or GEOMETRYCOLLECTION for mixed types).  For disjoint inputs this equals
+the GEOS union as a point set; overlapping polygon interiors are NOT
+merged (boolean polygon ops require GEOS — documented engine divergence).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
+from pyspark.sql.functions import pandas_udf
+
+from ..geometry import wkb as W
+
+
+def merge_geometries(blobs) -> bytes | None:
+    """Combine WKB blobs into one multi-geometry (associative, so valid as
+    both the partial and final combine step)."""
+    blobs = [b for b in blobs if b is not None]
+    if not blobs:
+        return None
+    batch = W.parse_wkb(blobs)
+    kinds = set(int(t) for t in batch.types if t != 0)
+    base = {W.MULTIPOINT: W.POINT, W.MULTILINESTRING: W.LINESTRING,
+            W.MULTIPOLYGON: W.POLYGON}
+    flat = {base.get(k, k) for k in kinds}
+    hz = bool(batch.has_z.any()) and batch.zs is not None
+
+    def seg(p):
+        s, e = batch.path_offsets[p], batch.path_offsets[p + 1]
+        cols = [batch.xs[s:e], batch.ys[s:e]] + ([batch.zs[s:e]] if hz else [])
+        return np.column_stack(cols)
+
+    if flat == {W.POINT}:
+        pts = np.column_stack([batch.xs, batch.ys] + ([batch.zs] if hz else []))
+        if len(pts) == 1:
+            return W.serialize_geometry(W.POINT, pts[0], hz)
+        # drop exact duplicates: union is a set
+        pts = np.unique(pts, axis=0)
+        return W.serialize_geometry(W.MULTIPOINT, pts, hz)
+    if flat == {W.LINESTRING}:
+        lines = [seg(p) for p in range(batch.n_paths)]
+        if len(lines) == 1:
+            return W.serialize_geometry(W.LINESTRING, lines[0], hz)
+        return W.serialize_geometry(W.MULTILINESTRING, lines, hz)
+    if flat == {W.POLYGON}:
+        polys: list[list] = []
+        key = None
+        for p in range(batch.n_paths):
+            k = (int(batch.path_geom[p]), int(batch.path_part[p]))
+            if batch.path_kind[p] == W.PK_RING_OUTER or key != k:
+                if batch.path_kind[p] == W.PK_RING_OUTER:
+                    polys.append([])
+                    key = k
+            polys[-1].append(seg(p))
+        if len(polys) == 1:
+            return W.serialize_geometry(W.POLYGON, polys[0], hz)
+        return W.serialize_geometry(W.MULTIPOLYGON, polys, hz)
+    # mixed types → collection of flattened members
+    members = []
+    for p in range(batch.n_paths):
+        k = batch.path_kind[p]
+        if k == W.PK_POINT:
+            members.append((W.POINT, seg(p)))
+        elif k == W.PK_LINE:
+            members.append((W.LINESTRING, seg(p)))
+        elif k == W.PK_RING_OUTER:
+            members.append((W.POLYGON, [seg(p)]))
+        else:
+            members[-1] = (W.POLYGON, members[-1][1] + [seg(p)])
+    return W.serialize_geometry(W.GEOMETRYCOLLECTION, members, hz)
+
+
+@pandas_udf(BinaryType())
+def geom_union_agg(g: pd.Series) -> bytes:
+    return merge_geometries(list(g))
+
+
+_AGG_MAP = {
+    "first": F.first,
+    "last": F.last,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "mean": F.mean,
+    "count": F.count,
+}
+
+
+def dissolve(df: DataFrame, geometry: str, by=None, aggfunc="first") -> DataFrame:
+    """GROUP BY ``by``; geometry united, other columns via ``aggfunc``
+    (str applied to all, or dict col→func — reference expr.py:652-703).
+    ``by=None`` → single global group (reference behavior)."""
+    others = [c for c in df.columns if c != geometry and c != by and
+              (not isinstance(by, list) or c not in by)]
+    if isinstance(aggfunc, dict):
+        aggs = [_AGG_MAP[fn](c).alias(c) for c, fn in aggfunc.items() if c in others]
+    else:
+        f = _AGG_MAP[aggfunc]
+        aggs = [f(c).alias(c) for c in others]
+    aggs = [geom_union_agg(F.col(geometry)).alias(geometry)] + aggs
+    if by is None:
+        return df.agg(*aggs)
+    keys = by if isinstance(by, list) else [by]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def union_all(df: DataFrame, geometry: str) -> bytes | None:
+    """Full-column union.  Two-phase tree shape (reference expr.py:33-41):
+    per-partition partial union via applyInPandas on the partition id, then
+    a final driver-side merge of the (tiny) partials."""
+    from pyspark.sql.functions import spark_partition_id
+
+    partials = (
+        df.select(geometry)
+        .withColumn("_pid", spark_partition_id())
+        .groupBy("_pid")
+        .agg(geom_union_agg(F.col(geometry)).alias("g"))
+        .collect()
+    )
+    return merge_geometries([r["g"] for r in partials])

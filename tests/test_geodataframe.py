@@ -1,0 +1,200 @@
+"""GeoDataFrame API integration tests (dual-run parity strategy per
+SURVEY §5: engine result vs a pure-pandas/numpy recomputation)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import dask_geopandas_spark as dgs
+from dask_geopandas_spark.geometry import wkt as T
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    pdf = pd.DataFrame({
+        "id": range(100),
+        "x": np.linspace(-170, 170, 100),
+        "y": np.sin(np.linspace(0, 8, 100)) * 80,
+        "v": np.arange(100, dtype="float64"),
+    })
+    return dgs.points_from_xy(spark.createDataFrame(pdf), "x", "y", crs="EPSG:4326"), pdf
+
+
+@pytest.fixture(scope="module")
+def polys(spark):
+    rows = []
+    for i in range(40):
+        cx, cy = (i % 8) * 10.0, (i // 8) * 10.0
+        w = 3.0 + (i % 3)
+        rows.append((i, f"POLYGON (({cx} {cy}, {cx + w} {cy}, {cx + w} {cy + w}, {cx} {cy + w}, {cx} {cy}))",
+                     "g" + str(i % 4)))
+    pdf = pd.DataFrame(rows, columns=["pid", "wkt", "grp"])
+    return dgs.from_wkt(spark.createDataFrame(pdf), "wkt", crs="EPSG:4326"), pdf
+
+
+class TestBasics:
+    def test_points_xy_roundtrip(self, pts):
+        gdf, pdf = pts
+        rows = gdf.select("id", gdf.x.alias("gx"), gdf.y.alias("gy")).orderBy("id").collect()
+        np.testing.assert_allclose([r["gx"] for r in rows], pdf.x)
+        np.testing.assert_allclose([r["gy"] for r in rows], pdf.y)
+
+    def test_geom_type(self, pts, polys):
+        gdf, _ = pts
+        assert gdf.select(gdf.geom_type).distinct().collect()[0][0] == "Point"
+        pgdf, _ = polys
+        assert pgdf.select(pgdf.geom_type).distinct().collect()[0][0] == "Polygon"
+
+    def test_area_and_length(self, polys):
+        gdf, pdf = polys
+        rows = gdf.select("pid", gdf.area.alias("a"), gdf.length.alias("l")).orderBy("pid").collect()
+        w = 3.0 + (pdf.pid % 3)
+        np.testing.assert_allclose([r["a"] for r in rows], w * w)
+        np.testing.assert_allclose([r["l"] for r in rows], 4 * w)
+
+    def test_total_bounds(self, pts):
+        gdf, pdf = pts
+        tb = gdf.total_bounds()
+        np.testing.assert_allclose(tb, (pdf.x.min(), pdf.y.min(), pdf.x.max(), pdf.y.max()))
+
+    def test_cx_filter(self, pts):
+        gdf, pdf = pts
+        got = gdf.cx(xmin=0, xmax=100, ymin=-50, ymax=50).count()
+        want = ((pdf.x >= 0) & (pdf.x <= 100) & (pdf.y >= -50) & (pdf.y <= 50)).sum()
+        assert got == want
+
+    def test_type_degradation(self, pts):
+        gdf, _ = pts
+        plain = gdf[["id", "v"]]
+        assert not isinstance(plain, dgs.GeoDataFrame)
+        still = gdf[["id", "geometry"]]
+        assert isinstance(still, dgs.GeoDataFrame)
+
+    def test_buffer_area(self, pts):
+        gdf, _ = pts
+        res = gdf.limit(5).buffer(2.0, resolution=16)
+        rows = res.select(res.area.alias("a")).collect()
+        # circle approximation area < pi*r^2, within 1%
+        for r in rows:
+            assert abs(r["a"] - np.pi * 4) / (np.pi * 4) < 0.01
+
+    def test_translate_centroid(self, polys):
+        gdf, pdf = polys
+        moved = gdf.translate(100.0, -5.0)
+        a = gdf.centroid().select("pid", gdf.x.alias("cx"), gdf.y.alias("cy")).orderBy("pid").collect()
+        b = moved.centroid().select("pid", moved.x.alias("cx"), moved.y.alias("cy")).orderBy("pid").collect()
+        np.testing.assert_allclose([r["cx"] + 100 for r in a], [r["cx"] for r in b])
+        np.testing.assert_allclose([r["cy"] - 5 for r in a], [r["cy"] for r in b])
+
+    def test_to_crs_roundtrip(self, pts):
+        gdf, pdf = pts
+        rt = gdf.to_crs("EPSG:3857").to_crs("EPSG:4326")
+        rows = rt.select("id", rt.x.alias("gx"), rt.y.alias("gy")).orderBy("id").collect()
+        np.testing.assert_allclose([r["gx"] for r in rows], pdf.x, atol=1e-9)
+        np.testing.assert_allclose([r["gy"] for r in rows], pdf.y, atol=1e-9)
+
+
+class TestShuffleAndCurves:
+    def test_hilbert_range(self, pts):
+        gdf, _ = pts
+        col = gdf.hilbert_distance(level=10)
+        vals = [r[0] for r in gdf.select(col).collect()]
+        assert len(set(vals)) > 50
+        assert all(0 <= v < 4**10 for v in vals)
+
+    def test_spatial_shuffle_preserves_rows(self, pts):
+        gdf, pdf = pts
+        out = gdf.spatial_shuffle(by="hilbert", level=10, npartitions=4)
+        assert sorted(r["id"] for r in out.select("id").collect()) == list(pdf.id)
+
+    def test_geohash_string(self, pts):
+        gdf, _ = pts
+        vals = [r[0] for r in gdf.select(gdf.geohash(precision=6)).collect()]
+        assert all(len(v) == 6 for v in vals)
+
+
+class TestOperators:
+    def test_dissolve_sum(self, polys):
+        gdf, pdf = polys
+        out = gdf.dissolve(by="grp", aggfunc={"pid": "sum"})
+        rows = {r["grp"]: r["pid"] for r in out.df.select("grp", "pid").collect()}
+        want = pdf.groupby("grp").pid.sum().to_dict()
+        assert rows == want
+
+    def test_dissolve_geometry_is_multi(self, polys):
+        gdf, _ = polys
+        out = gdf.dissolve(by="grp")
+        t = out.select(out.geom_type).distinct().collect()
+        assert {r[0] for r in t} == {"MultiPolygon"}
+
+    def test_union_all_area(self, polys):
+        gdf, pdf = polys
+        blob = gdf.union_all()
+        from dask_geopandas_spark.geometry import algorithms as A
+        from dask_geopandas_spark.geometry import wkb as W
+
+        batch = W.parse_wkb([blob])
+        w = 3.0 + (pdf.pid % 3)
+        assert A.area(batch)[0] == pytest.approx(float((w * w).sum()))
+
+    def test_explode(self, spark):
+        pdf = pd.DataFrame({
+            "id": [0, 1],
+            "wkt": ["MULTIPOINT ((0 0), (1 1), (2 2))", "POINT (5 5)"],
+        })
+        gdf = dgs.from_wkt(spark.createDataFrame(pdf), "wkt")
+        out = gdf.explode()
+        assert out.count() == 4
+        assert {r[0] for r in out.select(out.geom_type).distinct().collect()} == {"Point"}
+
+    def test_sjoin_points_in_polys_broadcast(self, spark, pts, polys):
+        gdf, pdf = pts
+        pgdf, ppdf = polys
+        out = gdf.sjoin(pgdf, predicate="within", strategy="broadcast")
+        got = sorted((r["id"], r["pid"]) for r in out.df.select("id", "pid").collect())
+        want = _expected_pairs(pdf, ppdf)
+        assert got == want
+
+    def test_sjoin_grid_matches_broadcast(self, spark, pts, polys):
+        gdf, pdf = pts
+        pgdf, ppdf = polys
+        out = gdf.sjoin(pgdf, predicate="within", strategy="grid", grid_level=4)
+        got = sorted((r["id"], r["pid"]) for r in out.df.select("id", "pid").collect())
+        assert got == _expected_pairs(pdf, ppdf)
+
+    def test_clip_box(self, pts):
+        gdf, pdf = pts
+        out = gdf.clip((0.0, -90.0, 90.0, 90.0))
+        want = ((pdf.x >= 0) & (pdf.x <= 90)).sum()
+        assert out.count() == want
+
+
+def _expected_pairs(pdf, ppdf):
+    pairs = []
+    for _, p in pdf.iterrows():
+        for _, q in ppdf.iterrows():
+            # polygons are axis-aligned squares at (cx,cy) with width w
+            import re
+
+            nums = [float(v) for v in re.findall(r"-?\d+\.?\d*", q.wkt)]
+            xs = nums[0::2]
+            ys = nums[1::2]
+            if min(xs) <= p.x <= max(xs) and min(ys) <= p.y <= max(ys):
+                pairs.append((int(p.id), int(q.pid)))
+    return sorted(pairs)
+
+
+class TestGeoParquet:
+    def test_roundtrip(self, spark, polys, tmp_path):
+        gdf, pdf = polys
+        path = str(tmp_path / "geo.parquet")
+        gdf.to_parquet(path)
+        back = dgs.read_parquet(spark, path)
+        assert isinstance(back, dgs.GeoDataFrame)
+        assert back.crs == "EPSG:4326"
+        assert back.count() == len(pdf)
+        a1 = {r["pid"]: r["a"] for r in back.select("pid", back.area.alias("a")).collect()}
+        w = 3.0 + (pdf.pid % 3)
+        for pid, aa in a1.items():
+            assert aa == pytest.approx(float(w[pid] * w[pid]))
