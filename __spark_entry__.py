@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Queries cover SURVEY.md §2's operator inventory (geo core: constructors,
+predicates, cx, sjoin broadcast+grid, clip, dissolve, curves, transforms,
+buffer) plus the beyond-reference LLM-pipeline operators (dedup, MinHash
+LSH, SimHash, Jaccard, ANN, text stats, multimodal plumbing, windowed
+events).
+
+The driver's tables carry no geometry, so geo queries derive
+deterministic coordinates from integer columns.  The arithmetic lives in
+shared SQL expression strings evaluated by BOTH Spark (`F.expr`) and the
+DuckDB oracle, so engine and oracle agree bit-for-bit; aggregated doubles
+are rounded on both sides to absorb summation-order differences.
 """
 
 from __future__ import annotations
@@ -12,27 +18,607 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+import dask_geopandas_spark as dgs
+from dask_geopandas_spark.operators import dedup as DD
+from dask_geopandas_spark.operators import multimodal as MM
+from dask_geopandas_spark.operators import similarity as SIM
+from dask_geopandas_spark.operators import textstats as TX
+from dask_geopandas_spark.streaming.geo import windowed_event_counts
+
+# ----------------------------------------------------------------------
+# shared deterministic coordinate recipes (plain SQL, valid in Spark+DuckDB)
+# ----------------------------------------------------------------------
+CUST_X = "(c_custkey % 347 - 173) + 0.25"
+CUST_Y = "(c_custkey % 163 - 81) + 0.5"
+LI_X = "((l_orderkey * 7 + l_linenumber) % 340 - 170) + 0.125"
+LI_Y = "((l_partkey * 13 + l_suppkey) % 160 - 80) + 0.375"
+# axis-aligned boxes per dimension table
+OB = {"minx": "(o_orderkey % 331 - 168)", "w": "(o_orderkey % 7 + 1)",
+      "miny": "(o_custkey % 151 - 78)", "h": "(o_custkey % 5 + 1)"}
+NB = {"minx": "(n_nationkey * 13 % 300 - 150)", "w": "(n_nationkey % 11 + 8)",
+      "miny": "(n_nationkey * 7 % 140 - 70)", "h": "(n_nationkey % 7 + 6)"}
+SB = {"minx": "(s_suppkey * 17 % 320 - 160)", "w": "(s_suppkey % 9 + 4)",
+      "miny": "(s_suppkey * 11 % 150 - 75)", "h": "(s_suppkey % 6 + 3)"}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _box_wkt(b: dict) -> str:
+    """Spark SQL expression building the WKT of an integer-cornered box."""
+    x0, y0 = b["minx"], b["miny"]
+    x1 = f"({b['minx']} + {b['w']})"
+    y1 = f"({b['miny']} + {b['h']})"
+    c = lambda e: f"CAST({e} AS STRING)"
+    return (
+        f"CONCAT('POLYGON ((', {c(x0)}, ' ', {c(y0)}, ', ', {c(x1)}, ' ', {c(y0)}, "
+        f"', ', {c(x1)}, ' ', {c(y1)}, ', ', {c(x0)}, ' ', {c(y1)}, ', ', "
+        f"{c(x0)}, ' ', {c(y0)}, '))')"
+    )
+
+
+def _cust_points(spark, sf_dir) -> dgs.GeoDataFrame:
+    df = _t(spark, sf_dir, "customer").withColumn("px", F.expr(CUST_X)).withColumn(
+        "py", F.expr(CUST_Y))
+    return dgs.points_from_xy(df, "px", "py", crs="EPSG:4326")
+
+
+def _li_points(spark, sf_dir) -> dgs.GeoDataFrame:
+    df = _t(spark, sf_dir, "lineitem").withColumn("px", F.expr(LI_X)).withColumn(
+        "py", F.expr(LI_Y))
+    return dgs.points_from_xy(df, "px", "py", crs="EPSG:4326")
+
+
+def _boxes(spark, sf_dir, table, spec) -> dgs.GeoDataFrame:
+    df = _t(spark, sf_dir, table).withColumn("_wkt", F.expr(_box_wkt(spec)))
+    return dgs.from_wkt(df, "_wkt", crs="EPSG:4326").drop("_wkt")
+
+
+# ----------------------------------------------------------------------
+# geo queries
+# ----------------------------------------------------------------------
+
+def q_cx_bbox_filter(spark, sf_dir):
+    g = _cust_points(spark, sf_dir)
+    out = g.cx(xmin=-50, ymin=-40, xmax=60, ymax=55)
+    return out.select(
+        F.col("c_custkey").alias("custkey"),
+        out.x.alias("px"), out.y.alias("py"),
+    )
+
+
+def q_total_bounds(spark, sf_dir):
+    g = _li_points(spark, sf_dir).with_bbox()
+    b = g.bbox_column
+    return g.df.agg(
+        F.min(F.col(f"{b}.minx")).alias("minx"),
+        F.min(F.col(f"{b}.miny")).alias("miny"),
+        F.max(F.col(f"{b}.maxx")).alias("maxx"),
+        F.max(F.col(f"{b}.maxy")).alias("maxy"),
+    )
+
+
+def q_point_distance(spark, sf_dir):
+    from dask_geopandas_spark.functions.core import st_distance, st_point
+
+    g = _cust_points(spark, sf_dir)
+    target = st_point(F.lit(7.25), F.lit(11.5))
+    return g.df.select(
+        F.col("c_custkey").alias("custkey"),
+        F.round(st_distance(F.col("geometry"), target), 6).alias("dist"),
+    )
+
+
+def q_box_area_by_priority(spark, sf_dir):
+    g = _boxes(spark, sf_dir, "orders", OB)
+    return (
+        g.df.withColumn("a", g.area)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.sum("a").alias("total_area"))
+    )
+
+
+def q_sjoin_points_in_boxes(spark, sf_dir):
+    pts = _cust_points(spark, sf_dir)
+    boxes = _boxes(spark, sf_dir, "nation", NB)
+    out = pts.sjoin(boxes, predicate="within", strategy="broadcast")
+    return out.df.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("n_nationkey").alias("box_nationkey"),
+    )
+
+
+def q_sjoin_grid(spark, sf_dir):
+    pts = _li_points(spark, sf_dir)
+    boxes = _boxes(spark, sf_dir, "supplier", SB)
+    out = pts.sjoin(boxes, predicate="within", strategy="grid", grid_level=6)
+    return (
+        out.df.groupBy(F.col("s_suppkey").alias("suppkey"))
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
+def q_dissolve_centroid(spark, sf_dir):
+    g = _cust_points(spark, sf_dir)[["c_mktsegment", "c_custkey", "geometry"]]
+    d = g.dissolve(by="c_mktsegment", aggfunc={"c_custkey": "count"})
+    c = d.centroid()
+    return c.df.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_custkey").alias("n_customers"),
+        F.round(c.x, 6).alias("cx"),
+        F.round(c.y, 6).alias("cy"),
+    )
+
+
+def q_clip_count(spark, sf_dir):
+    g = _li_points(spark, sf_dir)
+    out = g.clip((-100.0, -60.0, 100.0, 60.0))
+    return (
+        out.df.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_translate_avg(spark, sf_dir):
+    g = _cust_points(spark, sf_dir).translate(10.5, -4.25)
+    return (
+        g.df.withColumn("tx", g.x).withColumn("ty", g.y)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.round(F.avg("tx"), 6).alias("avg_x"),
+             F.round(F.avg("ty"), 6).alias("avg_y"))
+    )
+
+
+def q_buffer_envelope_area(spark, sf_dir):
+    g = _li_points(spark, sf_dir)
+    buffered = g.buffer(F.lit(1.0) + F.col("l_discount"))
+    env = buffered.envelope()
+    return (
+        env.df.withColumn("a", env.area)
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(F.round(F.sum("a"), 3).alias("total_env_area"))
+    )
+
+
+def q_hilbert_buckets(spark, sf_dir):
+    """Hilbert curve bucketing (no SQL oracle — curve math not expressible
+    in portable SQL; golden-value pinned in tests instead)."""
+    g = _cust_points(spark, sf_dir)
+    h = g.hilbert_distance(total_bounds=(-180.0, -90.0, 180.0, 90.0), level=12)
+    return (
+        g.df.withColumn("bucket", (h / (4 ** 6)).cast("long"))
+        .groupBy("bucket").agg(F.count("*").alias("n"))
+    )
+
+
+def q_geohash_cells(spark, sf_dir):
+    """Geohash rollup (no SQL oracle — base32 interleave not portable)."""
+    g = _cust_points(spark, sf_dir)
+    return (
+        g.df.withColumn("cell", g.geohash(precision=3))
+        .groupBy("cell").agg(F.count("*").alias("n"))
+    )
+
+
+# ----------------------------------------------------------------------
+# LLM-pipeline queries
+# ----------------------------------------------------------------------
+
+def q_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.char_count(F.col("text")).alias("n_chars"),
+    )
+
+
+def q_exact_dedup(spark, sf_dir):
+    return DD.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(TX.lang_id(F.col("text")).alias("lang_guess"),
+                 TX.quality_score(F.col("text")).alias("q"))
+        .groupBy("lang_guess")
+        .agg(F.count("*").alias("n_docs"), F.round(F.avg("q"), 4).alias("avg_quality"))
+    )
+
+
+def q_fingerprint_dups(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(TX.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp").agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def q_minhash_sigs(spark, sf_dir):
+    return DD.minhash_signatures(
+        _t(spark, sf_dir, "documents"), num_hashes=4, k=3
+    )
+
+
+def q_lsh_pairs(spark, sf_dir):
+    return DD.lsh_candidate_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=4, bands=2, k=3
+    )
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.lsh_candidate_pairs(d, num_hashes=4, bands=2, k=3)
+    out = DD.ngram_jaccard_pairs(d, pairs, k=3)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", DD.simhash(F.col("text"), bits=16).alias("simhash16"))
+
+
+def q_ann_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 20)
+    return SIM.brute_force_topk(e, queries, k=5)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = DD.embedding_neardup_pairs(e, threshold=0.9, bucket_dims=4)
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+def q_events_hourly(spark, sf_dir):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # events.ts is TIMESTAMP(NANOS); Spark 4 only reads it as long
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return windowed_event_counts(ev, window="1 hour")
+
+
+def q_image_meta(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    media = MM_fake_media(d)
+    out = MM.with_image_meta(media)
+    return out.select(
+        "doc_id",
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("media_meta.size_bytes").alias("size_bytes"),
+    )
+
+
+def q_frame_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    media = MM_fake_media(d, id_col="media_id")
+    frames = MM.sample_video_frames(media, every_n=10, id_col="media_id")
+    return frames.groupBy("media_id").agg(F.count("*").alias("n_frames"))
+
+
+def MM_fake_media(df, id_col: str = "doc_id"):
+    """Deterministic fake media payloads: width/height derived from the id
+    (oracle-reproducible arithmetic)."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    schema = StructType(df.schema.fields + [StructField("media", BinaryType())])
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = [
+                MM.make_fake_image(int(i) % 48 + 16, int(i) % 32 + 16, 3, seed=int(i) % 97)
+                for i in pdf[id_col]
+            ]
+            pdf = pdf.copy()
+            pdf["media"] = pd.Series(payloads, dtype=object)
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+# ----------------------------------------------------------------------
+# driver API
+# ----------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: spatial join (points within boxes) + aggregation on
+    sf0.001, exercising scan → geometry construction → bbox join →
+    exact refinement → groupBy."""
+    sf_dir = "/root/testdata/sf0.001"
+    pts = _cust_points(spark, sf_dir)
+    boxes = _boxes(spark, sf_dir, "nation", NB)
+    joined = pts.sjoin(boxes, predicate="within", strategy="broadcast")
+    return (
+        joined.df.groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_customers"),
+             F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cx_bbox_filter": q_cx_bbox_filter,
+        "total_bounds": q_total_bounds,
+        "point_distance": q_point_distance,
+        "box_area_by_priority": q_box_area_by_priority,
+        "sjoin_points_in_boxes": q_sjoin_points_in_boxes,
+        "sjoin_grid": q_sjoin_grid,
+        "dissolve_centroid": q_dissolve_centroid,
+        "clip_count": q_clip_count,
+        "translate_avg": q_translate_avg,
+        "buffer_envelope_area": q_buffer_envelope_area,
+        "hilbert_buckets": q_hilbert_buckets,
+        "geohash_cells": q_geohash_cells,
+        "token_stats": q_token_stats,
+        "exact_dedup": q_exact_dedup,
+        "lang_quality": q_lang_quality,
+        "fingerprint_dups": q_fingerprint_dups,
+        "minhash_sigs": q_minhash_sigs,
+        "lsh_pairs": q_lsh_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash": q_simhash,
+        "ann_topk": q_ann_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "events_hourly": q_events_hourly,
+        "image_meta": q_image_meta,
+        "frame_counts": q_frame_counts,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ----------------------------------------------------------------------
+# DuckDB oracles (plain ANSI SQL over the pre-registered table views)
+# ----------------------------------------------------------------------
+
+_PHASH = lambda e: f"('0x' || substr(md5({e}), 1, 15))::BIGINT"
+_TOKENS = "regexp_split_to_array(lower(trim(text)), '[^a-z0-9'']+')"
+_SHINGLES3 = (
+    "CASE WHEN len(toks) >= 3 THEN "
+    "[array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)] "
+    "ELSE [array_to_string(toks, ' ')] END"
+)
+
+
+def _mh_expr(seed: int) -> str:
+    return (f"list_min(list_transform(sh, s -> "
+            f"{_PHASH(f'''s || '#{seed}' ''')}))")
+
+
+def _stop_hits(lang_words: list[str]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in lang_words)
+    return f"len(list_filter(toks, t -> t IN ({inlist})))"
+
+
+def _lang_quality_inner() -> str:
+    from dask_geopandas_spark.operators.textstats import STOPWORDS
+
+    hits = {lang: _stop_hits(ws) for lang, ws in STOPWORDS.items()}
+    best = "greatest(" + ", ".join(f"h_{l}" for l in STOPWORDS) + ")"
+    lang_case = "'und'"
+    for lang in reversed(list(STOPWORDS)):
+        lang_case = (f"CASE WHEN h_{lang} > 0 AND h_{lang} = {best} "
+                     f"THEN '{lang}' ELSE {lang_case} END")
+    hit_cols = ", ".join(f"{expr} AS h_{l}" for l, expr in hits.items())
+    return f"""
+        SELECT {lang_case} AS lang_guess,
+               round(0.4 * least(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0)
+                   + 0.4 * (length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                            / greatest(length(text), 1))
+                   + 0.2 * least((h_en * 1.0 / greatest(len(toks), 1)) * 5.0, 1.0), 6) AS q
+        FROM (SELECT text, toks, {hit_cols}
+              FROM (SELECT text, {_TOKENS} AS toks FROM documents))
     """
-    return {}
+
+
+def _simhash16_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(toks, t -> "
+        f"CASE WHEN ({_PHASH('t')} >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << b}::BIGINT ELSE 0 END)"
+        for b in range(16)
+    )
+    return (f"SELECT doc_id, ({terms}) AS simhash16 FROM "
+            f"(SELECT doc_id, list_distinct({_TOKENS}) AS toks FROM documents)")
+
+
+_COS = ("round(list_sum(list_transform(range(1, len(qa.v) + 1), "
+        "i -> CAST(qa.v[i] AS DOUBLE) * CAST(qb.v[i] AS DOUBLE))) / "
+        "(sqrt(list_sum(list_transform(qa.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(qb.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 9)")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sigs = f"""
+        SELECT doc_id,
+               {_mh_expr(0)} AS mh0, {_mh_expr(1)} AS mh1,
+               {_mh_expr(2)} AS mh2, {_mh_expr(3)} AS mh3
+        FROM (SELECT doc_id, {_SHINGLES3} AS sh
+              FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents))
     """
-    return {}
+    banded = f"""
+        WITH sigs AS ({sigs}),
+        banded AS (
+            SELECT doc_id, 0 AS band,
+                   md5(CAST(mh0 AS VARCHAR) || '|' || CAST(mh1 AS VARCHAR)) AS bh
+            FROM sigs
+            UNION ALL
+            SELECT doc_id, 1 AS band,
+                   md5(CAST(mh2 AS VARCHAR) || '|' || CAST(mh3 AS VARCHAR)) AS bh
+            FROM sigs
+        )
+    """
+    lsh_pairs = banded + """
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+        WHERE a.doc_id < b.doc_id
+    """
+    jaccard = banded + f"""
+        , pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+            WHERE a.doc_id < b.doc_id
+        ),
+        shs AS (
+            SELECT doc_id, list_distinct({_SHINGLES3}) AS sh
+            FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents)
+        )
+        SELECT p.id_a, p.id_b,
+               round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+                     (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6)
+                   AS jaccard
+        FROM pairs p
+        JOIN shs x ON p.id_a = x.doc_id
+        JOIN shs y ON p.id_b = y.doc_id
+    """
+    ann = f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS v FROM embeddings
+                   WHERE vec_id < 20),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS v FROM embeddings),
+        scored AS (
+            SELECT qa.query_id, qb.neighbor_id, {_COS} AS cos
+            FROM q qa, c qb WHERE qa.query_id != qb.neighbor_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5
+    """
+    neardup = f"""
+        WITH v AS (
+            SELECT vec_id, embedding,
+                   (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+                    CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+                    CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+                    CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT qa.vec_id AS id_a, qb.vec_id AS id_b,
+                   {_COS.replace('qa.v', 'qa.embedding').replace('qb.v', 'qb.embedding').replace(', 9)', ', 9)')} AS cos
+            FROM v qa JOIN v qb ON qa.bucket = qb.bucket AND qa.vec_id < qb.vec_id
+        )
+        SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs WHERE cos >= 0.9
+    """
+    meta_arith = "(doc_id % 48 + 16)"
+    meta_h = "(doc_id % 32 + 16)"
+    body = f"least({meta_arith} * {meta_h} * 3, 4096)"
+    return {
+        "cx_bbox_filter": f"""
+            SELECT c_custkey AS custkey, {CUST_X} AS px, {CUST_Y} AS py
+            FROM customer
+            WHERE {CUST_X} >= -50 AND {CUST_X} <= 60
+              AND {CUST_Y} >= -40 AND {CUST_Y} <= 55
+        """,
+        "total_bounds": f"""
+            SELECT min({LI_X}) AS minx, min({LI_Y}) AS miny,
+                   max({LI_X}) AS maxx, max({LI_Y}) AS maxy
+            FROM lineitem
+        """,
+        "point_distance": f"""
+            SELECT c_custkey AS custkey,
+                   round(sqrt(power({CUST_X} - 7.25, 2) + power({CUST_Y} - 11.5, 2)), 6)
+                       AS dist
+            FROM customer
+        """,
+        "box_area_by_priority": f"""
+            SELECT o_orderpriority, count(*) AS n,
+                   CAST(sum({OB['w']} * {OB['h']}) AS DOUBLE) AS total_area
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "sjoin_points_in_boxes": f"""
+            SELECT c.c_custkey AS custkey, n.n_nationkey AS box_nationkey
+            FROM customer c JOIN nation n
+            ON {CUST_X} >= {NB['minx']} AND {CUST_X} <= {NB['minx']} + {NB['w']}
+           AND {CUST_Y} >= {NB['miny']} AND {CUST_Y} <= {NB['miny']} + {NB['h']}
+        """,
+        "sjoin_grid": f"""
+            SELECT s.s_suppkey AS suppkey, count(*) AS n_points
+            FROM lineitem l JOIN supplier s
+            ON {LI_X} >= {SB['minx']} AND {LI_X} <= {SB['minx']} + {SB['w']}
+           AND {LI_Y} >= {SB['miny']} AND {LI_Y} <= {SB['miny']} + {SB['h']}
+            GROUP BY s.s_suppkey
+        """,
+        "dissolve_centroid": f"""
+            SELECT c_mktsegment AS segment, count(*) AS n_customers,
+                   round(avg({CUST_X}), 6) AS cx, round(avg({CUST_Y}), 6) AS cy
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "clip_count": f"""
+            SELECT l_returnflag AS returnflag, count(*) AS n
+            FROM lineitem
+            WHERE {LI_X} >= -100 AND {LI_X} <= 100
+              AND {LI_Y} >= -60 AND {LI_Y} <= 60
+            GROUP BY l_returnflag
+        """,
+        "translate_avg": f"""
+            SELECT c_mktsegment AS segment,
+                   round(avg({CUST_X} + 10.5), 6) AS avg_x,
+                   round(avg({CUST_Y} - 4.25), 6) AS avg_y
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "buffer_envelope_area": """
+            SELECT l_returnflag AS returnflag,
+                   round(sum(4.0 * (1.0 + l_discount) * (1.0 + l_discount)), 3)
+                       AS total_env_area
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER)
+                       AS n_tokens,
+                   CAST(length(text) AS INTEGER) AS n_chars
+            FROM documents
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY md5(text)
+        """,
+        "lang_quality": f"""
+            SELECT lang_guess, count(*) AS n_docs, round(avg(q), 4) AS avg_quality
+            FROM ({_lang_quality_inner()}) GROUP BY lang_guess
+        """,
+        "fingerprint_dups": """
+            SELECT fp, count(*) AS n FROM (
+                SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+                FROM documents
+            ) GROUP BY fp HAVING count(*) > 1
+        """,
+        "minhash_sigs": sigs,
+        "lsh_pairs": lsh_pairs,
+        "jaccard_pairs": jaccard,
+        "simhash": _simhash16_sql(),
+        "ann_topk": ann,
+        "embedding_neardup": neardup,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "image_meta": f"""
+            SELECT doc_id,
+                   CAST({meta_arith} AS INTEGER) AS width,
+                   CAST({meta_h} AS INTEGER) AS height,
+                   CAST(8 + 12 + {body} AS BIGINT) AS size_bytes
+            FROM documents
+        """,
+        "frame_counts": f"""
+            SELECT doc_id AS media_id,
+                   CAST((greatest({body} // 256, 1) + 9) // 10 AS BIGINT) AS n_frames
+            FROM documents
+        """,
+    }

@@ -1,0 +1,86 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced with a cheap count()/collect() action; timings are
+wall-clock per query after a shared warm-up of the JVM + Python workers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+BENCH_QUERIES = [
+    # name in __spark_entry__.queries()
+    "cx_bbox_filter",
+    "point_distance",
+    "buffer_envelope_area",
+    "sjoin_points_in_boxes",
+    "sjoin_grid",
+    "dissolve_centroid",
+    "clip_count",
+    "hilbert_buckets",
+    "token_stats",
+    "exact_dedup",
+    "minhash_sigs",
+    "lsh_pairs",
+    "simhash",
+    "ann_topk",
+    "embedding_neardup",
+    "events_hourly",
+]
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as E
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("spark-graft-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(CPUS), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+
+    # warm up JVM + Python worker pool once (not counted)
+    spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
+    qs["point_distance"](spark, SF_DIR).limit(10).collect()
+
+    timings = {}
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "bench_total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

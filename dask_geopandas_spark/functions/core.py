@@ -436,7 +436,10 @@ def buffer(distance, resolution: int = 16):
                 out.append(W.serialize_geometry(W.POLYGON, [ring]))
         return pd.Series(out, dtype=object)
 
-    return lambda col: _buffer(col, F.lit(float(distance)) if not hasattr(distance, "_jc") else distance)
+    from pyspark.sql import Column
+
+    dist_col = distance if isinstance(distance, Column) else F.lit(float(distance))
+    return lambda col: _buffer(col, dist_col)
 
 
 def simplify(tolerance: float):

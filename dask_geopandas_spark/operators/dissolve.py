@@ -98,19 +98,32 @@ _AGG_MAP = {
 def dissolve(df: DataFrame, geometry: str, by=None, aggfunc="first") -> DataFrame:
     """GROUP BY ``by``; geometry united, other columns via ``aggfunc``
     (str applied to all, or dict col→func — reference expr.py:652-703).
-    ``by=None`` → single global group (reference behavior)."""
+    ``by=None`` → single global group (reference behavior).
+
+    Spark forbids mixing grouped-agg pandas UDFs with JVM aggregates in
+    one agg(), so the geometry union and the scalar aggregates run as two
+    hash aggregations over the same shuffle key, joined back on the key —
+    both sides co-partitioned, so the join adds no extra shuffle of the
+    big data."""
     others = [c for c in df.columns if c != geometry and c != by and
               (not isinstance(by, list) or c not in by)]
     if isinstance(aggfunc, dict):
-        aggs = [_AGG_MAP[fn](c).alias(c) for c, fn in aggfunc.items() if c in others]
+        scalar_aggs = [_AGG_MAP[fn](c).alias(c) for c, fn in aggfunc.items() if c in others]
     else:
         f = _AGG_MAP[aggfunc]
-        aggs = [f(c).alias(c) for c in others]
-    aggs = [geom_union_agg(F.col(geometry)).alias(geometry)] + aggs
+        scalar_aggs = [f(c).alias(c) for c in others]
+    geom_agg = geom_union_agg(F.col(geometry)).alias(geometry)
     if by is None:
-        return df.agg(*aggs)
+        gdf = df.agg(geom_agg)
+        if not scalar_aggs:
+            return gdf
+        return gdf.crossJoin(df.agg(*scalar_aggs))
     keys = by if isinstance(by, list) else [by]
-    return df.groupBy(*keys).agg(*aggs)
+    gdf = df.groupBy(*keys).agg(geom_agg)
+    if not scalar_aggs:
+        return gdf
+    sdf = df.groupBy(*keys).agg(*scalar_aggs)
+    return gdf.join(sdf, on=keys)
 
 
 def union_all(df: DataFrame, geometry: str) -> bytes | None:

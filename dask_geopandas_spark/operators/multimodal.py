@@ -1,0 +1,141 @@
+"""Multimodal (image/audio/video) column plumbing for training-data
+pipelines (BASELINE.json north star).
+
+Media payloads are opaque ``binary`` columns with a typed metadata struct.
+The Spark-side machinery — schemas, Arrow batch shapes, mapInPandas
+partitioned decode, frame sampling fan-out — is real and tested; the
+*codec* step is a deterministic stub because no image/audio libraries
+exist in this container (decode_image raises unless the payload uses the
+engine's own FAKE header, which tests and synthetic pipelines generate).
+
+At scale: decode runs inside mapInPandas so each task holds only its
+Arrow batch; fan-out operators (frame sampling) emit rows instead of
+arrays to keep row sizes bounded for shuffle.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FAKE_MAGIC = b"FAKEIMG1"
+
+IMAGE_META_SCHEMA = StructType([
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("format", StringType()),
+    StructField("size_bytes", LongType()),
+])
+
+
+def make_fake_image(width: int, height: int, channels: int = 3, seed: int = 0) -> bytes:
+    """Deterministic synthetic payload: header + seeded byte pattern."""
+    head = FAKE_MAGIC + struct.pack("<III", width, height, channels)
+    n = min(width * height * channels, 4096)
+    rng = np.random.RandomState(seed)
+    return head + rng.randint(0, 256, n, dtype=np.uint8).tobytes()
+
+
+def decode_image_meta(payload: bytes | None):
+    """Parse metadata from a payload.  Real codecs (PIL/libjpeg) are not
+    available in this container; only the FAKE header is supported —
+    plug a real decoder here when the environment provides one."""
+    if payload is None:
+        return None
+    if not payload.startswith(FAKE_MAGIC):
+        raise NotImplementedError(
+            "real image decoding requires an image library not present in "
+            "this environment; payload is not a FAKEIMG1 blob"
+        )
+    w, h, c = struct.unpack_from("<III", payload, len(FAKE_MAGIC))
+    return (w, h, c, "fake", len(payload))
+
+
+def with_image_meta(df: DataFrame, media_col: str = "media",
+                    out_col: str = "media_meta") -> DataFrame:
+    """Attach the metadata struct via mapInPandas (Arrow batches)."""
+    out_fields = df.schema.fields + [StructField(out_col, IMAGE_META_SCHEMA)]
+    schema = StructType(out_fields)
+
+    def gen(batches):
+        for pdf in batches:
+            metas = []
+            for b in pdf[media_col]:
+                m = decode_image_meta(bytes(b) if b is not None else None)
+                metas.append(
+                    None if m is None else
+                    {"width": m[0], "height": m[1], "channels": m[2],
+                     "format": m[3], "size_bytes": m[4]}
+                )
+            pdf = pdf.copy()
+            pdf[out_col] = metas
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+def image_mean_brightness(df: DataFrame, media_col: str = "media",
+                          out_col: str = "brightness") -> DataFrame:
+    """Feature extraction demo over the fake payload bytes: mean of the
+    body bytes / 255.  Shape of a real feature extractor (vectorized
+    numpy over Arrow batches)."""
+    schema = StructType(df.schema.fields + [StructField(out_col, DoubleType())])
+
+    def gen(batches):
+        for pdf in batches:
+            vals = []
+            for b in pdf[media_col]:
+                if b is None:
+                    vals.append(None)
+                    continue
+                body = np.frombuffer(bytes(b), dtype=np.uint8, offset=len(FAKE_MAGIC) + 12)
+                vals.append(float(body.mean()) / 255.0 if len(body) else 0.0)
+            pdf = pdf.copy()
+            pdf[out_col] = vals
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+def sample_video_frames(df: DataFrame, media_col: str = "media",
+                        every_n: int = 10, id_col: str = "media_id") -> DataFrame:
+    """Frame-sampling fan-out: one output row per sampled frame index.
+    The decode itself is stubbed (frame payload = slice of the body);
+    the row-explosion plumbing is the real part."""
+    schema = StructType([
+        StructField(id_col, LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame", BinaryType()),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, b in zip(pdf[id_col], pdf[media_col]):
+                if b is None:
+                    continue
+                body = bytes(b)[len(FAKE_MAGIC) + 12:]
+                n_frames = max(len(body) // 256, 1)
+                for fi in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    frames.append(body[fi * 256:(fi + 1) * 256])
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                                "frame_index": pd.Series(idxs, dtype="int32"),
+                                "frame": pd.Series(frames, dtype=object)})
+
+    return df.mapInPandas(gen, schema=schema)

@@ -1,0 +1,62 @@
+"""Structured Streaming variants of the engine's operators.
+
+The reference is batch-only (SURVEY §2.9); this is the beyond-reference
+extension.  All geometry pandas UDFs are stateless, so they apply to
+streaming DataFrames unchanged; this module packages the common stream
+shapes:
+
+- `attach_geometry`: points_from_xy / bbox on a stream (stateless).
+- `windowed_event_counts`: watermarked tumbling-window aggregation over
+  an event stream (late data dropped past the watermark).
+- `windowed_spatial_counts`: per-window, per-geohash-cell counts — the
+  streaming rollup of the spatial_shuffle bucketing.
+
+These run with any streaming source (rate, kafka, file); tests drive them
+with the file source over the driver's events table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import core as FX
+
+
+def attach_geometry(stream_df: DataFrame, x: str, y: str,
+                    geometry: str = "geometry") -> DataFrame:
+    out = stream_df.withColumn(geometry, FX.st_point(F.col(x), F.col(y)))
+    return out.withColumn(f"{geometry}_bbox", FX.st_bounds(F.col(geometry)))
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours",
+                          ts_col: str = "ts") -> DataFrame:
+    """Tumbling-window count+sum per event_type with a watermark for late
+    data.  Works identically on batch DataFrames (window() is the same
+    expression) — the driver's batch oracle uses date_trunc."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "sum_value")
+    )
+
+
+def windowed_spatial_counts(events_with_geom: DataFrame, precision: int = 4,
+                            window: str = "1 hour", watermark: str = "2 hours",
+                            ts_col: str = "ts",
+                            geometry: str = "geometry") -> DataFrame:
+    df = events_with_geom
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    cell = FX.geohash(True, precision)(F.col(geometry))
+    return (
+        df.withColumn("cell", cell)
+        .groupBy(F.window(ts_col, window).alias("w"), F.col("cell"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "cell", "n_events")
+    )

@@ -1,0 +1,105 @@
+"""Local replica of the driver's t2 correctness gate: run each
+__spark_entry__ query on Spark and its DuckDB oracle at sf0.01, compare
+row count, column names, and order-insensitive values.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> str:
+    if sorted(spark_df.columns) != sorted(oracle_df.columns):
+        return f"SCHEMA MISMATCH spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}"
+    if len(spark_df) != len(oracle_df):
+        return f"ROWCOUNT MISMATCH spark={len(spark_df)} oracle={len(oracle_df)}"
+    a, b = canon(spark_df), canon(oracle_df)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            av = pd.to_numeric(av, errors="coerce")
+            bv = pd.to_numeric(bv, errors="coerce")
+            bad = ~((av - bv).abs() < 1e-9) & ~(av.isna() & bv.isna())
+            if bad.any():
+                i = bad.idxmax()
+                return f"VALUE MISMATCH col={c} row={i}: spark={av[i]!r} oracle={bv[i]!r}"
+        else:
+            if not av.astype(str).equals(bv.astype(str)):
+                bad = av.astype(str) != bv.astype(str)
+                i = bad.idxmax()
+                return f"VALUE MISMATCH col={c} row={i}: spark={av[i]!r} oracle={bv[i]!r}"
+    return "OK"
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
+    only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
+
+    import __spark_entry__ as E
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .appName("oracle-check").getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    results = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            results[name] = f"SPARK ERROR: {type(ex).__name__}: {str(ex)[:300]}"
+            continue
+        if name not in oracles:
+            results[name] = f"NO-ORACLE rows={len(sdf)}"
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as ex:
+            results[name] = f"ORACLE ERROR: {str(ex)[:300]}"
+            continue
+        results[name] = compare(name, sdf, odf)
+
+    width = max(len(k) for k in results)
+    n_ok = 0
+    for k, v in results.items():
+        print(f"{k:<{width}}  {v}")
+        n_ok += v == "OK" or v.startswith("NO-ORACLE")
+    print(f"\n{n_ok}/{len(results)} pass")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
