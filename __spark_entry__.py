@@ -390,8 +390,9 @@ _SHINGLES3 = (
 
 
 def _mh_expr(seed: int) -> str:
-    return (f"list_min(list_transform(sh, s -> "
-            f"{_PHASH(f'''s || '#{seed}' ''')}))")
+    from dask_geopandas_spark.operators.dedup import _seed_const
+
+    return f"list_min(list_transform(shh, h -> xor(h, {_seed_const(seed)})))"
 
 
 def _stop_hits(lang_words: list[str]) -> str:
@@ -442,8 +443,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                {_mh_expr(0)} AS mh0, {_mh_expr(1)} AS mh1,
                {_mh_expr(2)} AS mh2, {_mh_expr(3)} AS mh3
-        FROM (SELECT doc_id, {_SHINGLES3} AS sh
-              FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents))
+        FROM (SELECT doc_id, list_transform(sh, s -> {_PHASH('s')}) AS shh
+              FROM (SELECT doc_id, {_SHINGLES3} AS sh
+                    FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents)))
     """
     banded = f"""
         WITH sigs AS ({sigs}),

@@ -307,6 +307,35 @@ def _point_seg_dist(px, py, x1, y1, x2, y2) -> np.ndarray:
     return np.hypot(px - cx, py - cy)
 
 
+def _single_point_mask(batch: W.GeometryBatch) -> np.ndarray:
+    return (batch.types == W.POINT) & (batch.geom_coord_counts() == 1)
+
+
+def _grouped_point_in_poly(pts: W.GeometryBatch, polys: W.GeometryBatch,
+                           rows: np.ndarray) -> np.ndarray:
+    """Vectorized point-in-polygon for row-aligned (point_i, poly_i) pairs.
+
+    Spatial-join refinement batches repeat the same container polygon for
+    many candidate points, so group rows by the container's WKB bytes and
+    ray-cast all of a group's points against its rings in one vectorized
+    call — O(unique polygons) ring setups instead of O(rows)."""
+    out = np.zeros(pts.n, dtype=bool)
+    if len(rows) == 0:
+        return out
+    px_all = pts.xs[pts.geom_coord_starts[:-1]]
+    py_all = pts.ys[pts.geom_coord_starts[:-1]]
+    groups: dict[bytes, list] = {}
+    for i in rows:
+        groups.setdefault(polys.raw[i], []).append(i)
+    for blob, idxs in groups.items():
+        idxs = np.asarray(idxs)
+        rings = _poly_rings(polys, idxs[0])
+        if not rings:
+            continue
+        out[idxs] = point_in_rings(px_all[idxs], py_all[idxs], rings)
+    return out
+
+
 def pairwise_intersects(batch_a: W.GeometryBatch, batch_b: W.GeometryBatch) -> np.ndarray:
     """Row-aligned intersects(a_i, b_i).  Exact for point/line/polygon
     combinations via: vertex-in-polygon, segment crossing, bbox shortcut."""
@@ -316,7 +345,16 @@ def pairwise_intersects(batch_a: W.GeometryBatch, batch_b: W.GeometryBatch) -> n
     maybe = ~((ba[:, 2] < bb[:, 0]) | (ba[:, 0] > bb[:, 2]) |
               (ba[:, 3] < bb[:, 1]) | (ba[:, 1] > bb[:, 3]))
     maybe &= ~batch_a.is_null() & ~batch_b.is_null()
-    for i in np.flatnonzero(maybe):
+    # vectorized fast path: point vs polygon (either orientation)
+    poly = (W.POLYGON, W.MULTIPOLYGON)
+    fast_ab = maybe & _single_point_mask(batch_a) & np.isin(batch_b.types, poly)
+    fast_ba = maybe & _single_point_mask(batch_b) & np.isin(batch_a.types, poly)
+    if fast_ab.any():
+        out |= _grouped_point_in_poly(batch_a, batch_b, np.flatnonzero(fast_ab))
+    if fast_ba.any():
+        out |= _grouped_point_in_poly(batch_b, batch_a, np.flatnonzero(fast_ba))
+    rest = maybe & ~fast_ab & ~fast_ba
+    for i in np.flatnonzero(rest):
         out[i] = _geom_geom_intersects(batch_a, i, batch_b, i)
     return out
 
@@ -360,6 +398,11 @@ def pairwise_contains(A: W.GeometryBatch, B: W.GeometryBatch) -> np.ndarray:
     maybe = ((bb[:, 0] >= ba[:, 0]) & (bb[:, 1] >= ba[:, 1]) &
              (bb[:, 2] <= ba[:, 2]) & (bb[:, 3] <= ba[:, 3]))
     maybe &= ~A.is_null() & ~B.is_null()
+    # vectorized fast path: polygon contains single point
+    fast = maybe & _single_point_mask(B) & np.isin(A.types, (W.POLYGON, W.MULTIPOLYGON))
+    if fast.any():
+        out |= _grouped_point_in_poly(B, A, np.flatnonzero(fast))
+    maybe &= ~fast
     for i in np.flatnonzero(maybe):
         ra = _poly_rings(A, i)
         bx, by = _points(B, i)

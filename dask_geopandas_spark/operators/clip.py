@@ -60,13 +60,17 @@ def clip(gdf, mask, keep_geom_type: bool = False):
     @pandas_udf(BinaryType())
     def _clip(col: pd.Series) -> pd.Series:
         batch = W.parse_wkb(list(col))
-        out = []
-        for i in range(batch.n):
-            t = int(batch.types[i])
-            if t == 0:
-                out.append(None)
-                continue
-            out.append(_clip_one(batch, i, t, mx, my))
+        out: list = [None] * batch.n
+        # vectorized fast path: single points keep/drop in one ray-cast
+        single = (batch.types == W.POINT) & (batch.geom_coord_counts() == 1)
+        if single.any():
+            idx = np.flatnonzero(single)
+            starts = batch.geom_coord_starts[:-1][idx]
+            keep = A.point_in_rings(batch.xs[starts], batch.ys[starts], [(mx, my)])
+            for i, k in zip(idx, keep):
+                out[i] = batch.raw[i] if k else None
+        for i in np.flatnonzero(~single & (batch.types != 0)):
+            out[i] = _clip_one(batch, int(i), int(batch.types[i]), mx, my)
         return pd.Series(out, dtype=object)
 
     clipped = pre.withColumn(geom, _clip(F.col(geom)))

@@ -36,9 +36,8 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """Word k-shingles as an array of strings (native higher-order fns)."""
-    toks = tokens(text)
+def shingles_of_tokens(toks: Column, k: int = 3) -> Column:
+    """Word k-shingles from a token-array column (native higher-order fns)."""
     n = F.size(toks)
     return F.when(
         n >= k,
@@ -49,21 +48,59 @@ def shingles(text: Column, k: int = 3) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
-def minhash_signature(text: Column, num_hashes: int = 8, k: int = 3) -> list[Column]:
-    """MinHash signature: for seed s, min over shingles of
-    portable_hash(shingle || '#' || s).  Returns one Column per hash."""
-    sh = shingles(text, k)
-    out = []
-    for s in range(num_hashes):
-        hashed = F.transform(sh, lambda t: portable_hash(F.concat(t, F.lit(f"#{s}"))))
-        out.append(F.array_min(hashed).alias(f"mh{s}"))
-    return out
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingles as an array of strings.
+
+    NOTE for pipelines: Catalyst's projection collapse inlines ``text``'s
+    tokenization into every element access, turning this O(n) expression
+    O(n^2) when composed further.  Pipelines should stage tokens first
+    (see `hashed_shingle_table`)."""
+    return shingles_of_tokens(tokens(text), k)
+
+
+def _seed_const(s: int) -> int:
+    """Fixed 60-bit per-seed constant (md5 of 'seed<s>'), reproducible in
+    the DuckDB oracle."""
+    import hashlib
+
+    return int(hashlib.md5(f"seed{s}".encode()).hexdigest()[:15], 16)
+
+
+def hashed_shingle_table(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(id, _shh: array<long>) — portable hash of each k-shingle.
+
+    The TOKEN stage is persisted, not just projected: chained selects are
+    merged by Catalyst's CollapseProject *before* caching, which would
+    inline the regex split into every per-element lambda access (quadratic
+    blowup, measured ~50x at sf0.01).  With the token array materialized,
+    downstream plans substitute the InMemoryRelation and every
+    element_at() is O(1).  The hashed output is persisted too so the
+    md5-per-shingle pass runs once, not once per MinHash seed.  At 100 TB
+    both stages are parquet checkpoints instead of caches."""
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")).persist()
+    hashed = toks.select(
+        F.col(id_col),
+        F.transform(shingles_of_tokens(F.col("_toks"), k),
+                    lambda s: portable_hash(s)).alias("_shh"),
+    )
+    return hashed.persist()
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 8,
                        k: int = 3) -> DataFrame:
-    return df.select(F.col(id_col), *minhash_signature(F.col(text_col), num_hashes, k))
+    """MinHash signature: shingles hashed once (md5-based portable hash),
+    then seed variants derived by XOR with fixed constants — one md5 pass
+    total instead of one per seed."""
+    hashed = hashed_shingle_table(df, text_col, id_col, k)
+    cols = [
+        F.array_min(
+            F.transform(F.col("_shh"), lambda h: h.bitwiseXOR(F.lit(_seed_const(s))))
+        ).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
+    return hashed.select(F.col(id_col), *cols)
 
 
 def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
@@ -77,7 +114,7 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     shuffled hash join on a high-cardinality key."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k).persist()
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh{i}").cast("string")
@@ -102,8 +139,9 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                         threshold: float = 0.0) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs: broadcast-join
     shingle sets onto the (small) candidate pair list."""
-    sh = df.select(
-        F.col(id_col), F.array_distinct(shingles(F.col(text_col), k)).alias("sh")
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")).persist()
+    sh = toks.select(
+        F.col(id_col), F.array_distinct(shingles_of_tokens(F.col("_toks"), k)).alias("sh")
     )
     out = (
         pairs.join(sh.withColumnRenamed("sh", "sh_a"),

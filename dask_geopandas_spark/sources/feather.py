@@ -1,0 +1,107 @@
+"""Feather/Arrow-IPC source & sink (reference io/arrow.py:246-430).
+
+Spark has no native Feather reader, so the scan follows the reference's
+fragment model Spark-first: the driver lists fragment files (cheap
+metadata op), builds a DataFrame of fragment paths, and `mapInPandas`
+reads each fragment with pyarrow inside the executors — one task per
+fragment, so reads parallelize across the cluster exactly like the
+reference's one-partition-per-fragment plan.  Column pruning is pushed
+into the fragment read (``columns=``).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from pyspark.sql.types import StructType
+
+
+def _pa_schema_to_spark(schema) -> StructType:
+    import pyarrow as pa
+    from pyspark.sql.types import (
+        BinaryType, BooleanType, DoubleType, FloatType, IntegerType,
+        LongType, StringType, StructField, TimestampType,
+    )
+
+    def conv(t):
+        if pa.types.is_int64(t):
+            return LongType()
+        if pa.types.is_int32(t) or pa.types.is_int16(t) or pa.types.is_int8(t):
+            return IntegerType()
+        if pa.types.is_float64(t):
+            return DoubleType()
+        if pa.types.is_float32(t):
+            return FloatType()
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return StringType()
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return BinaryType()
+        if pa.types.is_boolean(t):
+            return BooleanType()
+        if pa.types.is_timestamp(t):
+            return TimestampType()
+        raise NotImplementedError(f"feather type {t}")
+
+    return StructType([StructField(f.name, conv(f.type)) for f in schema])
+
+
+def read_feather(spark: SparkSession, path: str, columns=None,
+                 geometry: str | None = None, crs: str | None = None):
+    """Read feather file(s) → (Geo)DataFrame.  ``path`` may be a file,
+    directory, or glob."""
+    import pyarrow.feather as feather
+
+    from ..core import GeoDataFrame
+
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.feather"))) or \
+            sorted(glob.glob(os.path.join(path, "*.arrow")))
+    else:
+        files = sorted(glob.glob(path)) if any(c in path for c in "*?[") else [path]
+    if not files:
+        raise FileNotFoundError(path)
+
+    schema = _pa_schema_to_spark(feather.read_table(files[0], memory_map=True).schema)
+    frag_df = spark.createDataFrame([(f,) for f in files], "frag_path: string")
+    frag_df = frag_df.repartition(len(files))
+
+    def read_frag(batches):
+        for pdf in batches:
+            for p in pdf["frag_path"]:
+                tbl = feather.read_table(p, columns=list(columns) if columns else None)
+                yield tbl.to_pandas()
+
+    out_schema = schema if not columns else StructType(
+        [f for f in schema.fields if f.name in set(columns)]
+    )
+    df = frag_df.mapInPandas(read_frag, schema=out_schema)
+    if geometry and geometry in df.columns:
+        return GeoDataFrame(df, geometry, crs=crs)
+    return df
+
+
+def to_feather(gdf_or_df, path: str) -> None:
+    """Write one feather file per Spark partition (reference
+    io/arrow.py:347-430 writes one per dask partition)."""
+    import pyarrow as pa
+    import pyarrow.feather as feather
+
+    df = gdf_or_df.df if hasattr(gdf_or_df, "df") else gdf_or_df
+    os.makedirs(path, exist_ok=True)
+
+    def write_part(batches):
+        import uuid
+
+        tables = [pa.Table.from_pandas(b, preserve_index=False) for b in batches]
+        if tables:
+            feather.write_feather(
+                pa.concat_tables(tables),
+                os.path.join(path, f"part-{uuid.uuid4().hex}.feather"),
+            )
+        yield pd.DataFrame({"files": pd.Series([1], dtype="int64")})
+
+    df.mapInPandas(write_part, schema="files long").collect()

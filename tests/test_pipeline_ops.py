@@ -1,0 +1,221 @@
+"""Tests for LLM-pipeline operators: dedup, similarity, textstats,
+multimodal plumbing, streaming shapes."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (2, "the quick brown fox jumps over a lazy dog"),     # near dup
+        (3, "le chat est sur la table et il dort"),
+        (4, "completely different content about spark engines"),
+        (5, "der hund ist ein gutes tier und das ist schön"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+class TestDedup:
+    def test_exact_dedup(self, docs):
+        from dask_geopandas_spark.operators.dedup import exact_dedup
+
+        out = exact_dedup(docs).collect()
+        assert len(out) == 5  # 6 docs, one exact dup
+        by_hash = {r["text_hash"]: r for r in out}
+        dup = [r for r in out if r["dup_count"] == 2]
+        assert len(dup) == 1 and dup[0]["keeper_id"] == 0
+
+    def test_minhash_identical_docs_equal_sigs(self, docs):
+        from dask_geopandas_spark.operators.dedup import minhash_signatures
+
+        sigs = {r["doc_id"]: (r["mh0"], r["mh1"]) for r in
+                minhash_signatures(docs, num_hashes=2).collect()}
+        assert sigs[0] == sigs[1]
+        assert sigs[0] != sigs[4]
+
+    def test_lsh_finds_dup_pair(self, docs):
+        from dask_geopandas_spark.operators.dedup import lsh_candidate_pairs
+
+        pairs = {(r["id_a"], r["id_b"]) for r in
+                 lsh_candidate_pairs(docs, num_hashes=4, bands=2).collect()}
+        assert (0, 1) in pairs
+
+    def test_jaccard(self, docs):
+        from dask_geopandas_spark.operators.dedup import (
+            lsh_candidate_pairs, ngram_jaccard_pairs)
+
+        pairs = lsh_candidate_pairs(docs, num_hashes=4, bands=2)
+        j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, pairs).collect()}
+        assert j[(0, 1)] == 1.0
+
+    def test_simhash_close_for_neardups(self, docs):
+        from dask_geopandas_spark.operators.dedup import simhash
+
+        out = {r["doc_id"]: r["sh"] for r in
+               docs.select("doc_id", simhash(F.col("text"), bits=16).alias("sh")).collect()}
+        assert out[0] == out[1]
+        # near-dup hamming distance small
+        ham = bin(out[0] ^ out[2]).count("1")
+        assert ham <= 6
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def embeddings(self, spark):
+        rng = np.random.RandomState(7)
+        vecs = rng.randn(50, 8).astype("float32")
+        vecs[1] = vecs[0] * 1.5        # same direction as 0 → cos = 1
+        pdf = pd.DataFrame({
+            "vec_id": range(50),
+            "embedding": [v.tolist() for v in vecs],
+        })
+        return spark.createDataFrame(pdf)
+
+    def test_brute_force_topk(self, embeddings):
+        from dask_geopandas_spark.operators.similarity import brute_force_topk
+
+        out = brute_force_topk(embeddings, embeddings.filter(F.col("vec_id") == 0), k=3)
+        rows = out.orderBy("rank").collect()
+        assert rows[0]["neighbor_id"] == 1
+        assert rows[0]["cos"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_ivf_matches_brute_force_mostly(self, embeddings):
+        from dask_geopandas_spark.operators.similarity import (
+            assign_ivf_cells, brute_force_topk, ivf_topk, train_centroids)
+
+        cents = train_centroids(embeddings, n_cells=4, iters=2)
+        exact = {(r["query_id"], r["neighbor_id"]) for r in
+                 brute_force_topk(embeddings, embeddings.filter(F.col("vec_id") < 5), k=3).collect()}
+        approx = {(r["query_id"], r["neighbor_id"]) for r in
+                  ivf_topk(embeddings, embeddings.filter(F.col("vec_id") < 5),
+                           cents, k=3, nprobe=4).collect()}
+        # probing all 4 cells == exhaustive → should match exactly
+        assert approx == exact
+
+    def test_neardup_pairs(self, embeddings):
+        from dask_geopandas_spark.operators.dedup import embedding_neardup_pairs
+
+        pairs = {(r["id_a"], r["id_b"]) for r in
+                 embedding_neardup_pairs(embeddings, threshold=0.99).collect()}
+        assert (0, 1) in pairs
+
+
+class TestTextStats:
+    def test_lang_id(self, docs):
+        from dask_geopandas_spark.operators.textstats import lang_id
+
+        out = {r["doc_id"]: r["lang"] for r in
+               docs.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()}
+        assert out[0] == "en"
+        assert out[3] == "fr"
+        assert out[5] == "de"
+
+    def test_quality_monotonic(self, spark):
+        from dask_geopandas_spark.operators.textstats import quality_score
+
+        df = spark.createDataFrame(pd.DataFrame({
+            "t": ["the cat is on the mat and it is nice to see it there",
+                  "!!! ??? ### $$$ %%%"],
+        }))
+        rows = df.select(quality_score(F.col("t")).alias("q")).collect()
+        assert rows[0]["q"] > rows[1]["q"]
+
+    def test_fingerprint_normalizes_whitespace(self, spark):
+        from dask_geopandas_spark.operators.textstats import fingerprint
+
+        df = spark.createDataFrame(pd.DataFrame({
+            "t": ["Hello   World", "hello world", "other"],
+        }))
+        fps = [r[0] for r in df.select(fingerprint(F.col("t"))).collect()]
+        assert fps[0] == fps[1] != fps[2]
+
+
+class TestMultimodal:
+    def test_image_meta_roundtrip(self, spark):
+        from dask_geopandas_spark.operators.multimodal import (
+            make_fake_image, with_image_meta)
+
+        pdf = pd.DataFrame({
+            "media_id": pd.Series([0, 1], dtype="int64"),
+            "media": [make_fake_image(32, 16, 3, seed=1), None],
+        })
+        df = spark.createDataFrame(pdf)
+        rows = with_image_meta(df).orderBy("media_id").collect()
+        assert rows[0]["media_meta"]["width"] == 32
+        assert rows[0]["media_meta"]["height"] == 16
+        assert rows[1]["media_meta"] is None
+
+    def test_real_decode_raises(self):
+        from dask_geopandas_spark.operators.multimodal import decode_image_meta
+
+        with pytest.raises(NotImplementedError):
+            decode_image_meta(b"\x89PNG\r\n...")
+
+    def test_frame_sampling(self, spark):
+        from dask_geopandas_spark.operators.multimodal import (
+            make_fake_image, sample_video_frames)
+
+        pdf = pd.DataFrame({
+            "media_id": pd.Series([7], dtype="int64"),
+            "media": [make_fake_image(64, 64, 3, seed=2)],  # body 4096 → 16 frames
+        })
+        out = sample_video_frames(spark.createDataFrame(pdf), every_n=10)
+        rows = out.collect()
+        assert len(rows) == 2  # frames 0 and 10
+        assert {r["frame_index"] for r in rows} == {0, 10}
+
+
+class TestStreaming:
+    def test_windowed_counts_batch_parity(self, spark):
+        from dask_geopandas_spark.streaming.geo import windowed_event_counts
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        pdf = pd.DataFrame({
+            "ts": pd.to_datetime([
+                "2024-01-01 00:10", "2024-01-01 00:50", "2024-01-01 01:10",
+            ]),
+            "event_type": ["a", "a", "b"],
+            "value": [1.0, 2.0, 3.0],
+        })
+        out = windowed_event_counts(spark.createDataFrame(pdf), window="1 hour")
+        rows = {(str(r["window_start"]), r["event_type"]): r["n_events"]
+                for r in out.collect()}
+        assert rows[("2024-01-01 00:00:00", "a")] == 2
+        assert rows[("2024-01-01 01:00:00", "b")] == 1
+
+    def test_streaming_geo_pipeline(self, spark, tmp_path):
+        """True readStream → stateless geo UDF → windowed agg → memory sink."""
+        import time
+
+        pdf = pd.DataFrame({
+            "ts": pd.to_datetime(["2024-01-01 00:10", "2024-01-01 00:20"]),
+            "x": [10.0, 20.0],
+            "y": [5.0, -5.0],
+        })
+        src = str(tmp_path / "stream_src")
+        spark.createDataFrame(pdf).write.parquet(src)
+
+        from dask_geopandas_spark.streaming.geo import attach_geometry
+
+        stream = (
+            spark.readStream.schema("ts timestamp, x double, y double").parquet(src)
+        )
+        enriched = attach_geometry(stream, "x", "y")
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName("geo_stream_test").outputMode("append").start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql("select * from geo_stream_test").collect()
+            assert len(rows) == 2
+            assert all(r["geometry"] is not None for r in rows)
+            assert rows[0]["geometry_bbox"]["minx"] == rows[0]["x"]
+        finally:
+            q.stop()

@@ -1,0 +1,98 @@
+"""I/O source tests: feather roundtrip, OGR part-list plumbing (fake
+reader injection — GDAL absent), GeoParquet partition_on."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import dask_geopandas_spark as dgs
+
+
+class TestFeather:
+    def test_roundtrip(self, spark, tmp_path):
+        from dask_geopandas_spark.sources.feather import read_feather, to_feather
+
+        pdf = pd.DataFrame({"id": np.arange(20, dtype="int64"),
+                            "v": np.linspace(0, 1, 20)})
+        df = spark.createDataFrame(pdf).repartition(3)
+        path = str(tmp_path / "fthr")
+        to_feather(df, path)
+        back = read_feather(spark, path)
+        assert back.count() == 20
+        assert sorted(r["id"] for r in back.select("id").collect()) == list(range(20))
+
+    def test_column_pruning(self, spark, tmp_path):
+        from dask_geopandas_spark.sources.feather import read_feather, to_feather
+
+        pdf = pd.DataFrame({"id": np.arange(5, dtype="int64"), "v": np.zeros(5)})
+        path = str(tmp_path / "fthr2")
+        to_feather(spark.createDataFrame(pdf), path)
+        back = read_feather(spark, path, columns=["id"])
+        assert back.columns == ["id"]
+
+    def test_geometry_restore(self, spark, tmp_path):
+        from dask_geopandas_spark.sources.feather import read_feather, to_feather
+
+        pdf = pd.DataFrame({"id": np.arange(4, dtype="int64"),
+                            "x": [0.0, 1, 2, 3], "y": [0.0, 0, 0, 0]})
+        g = dgs.points_from_xy(spark.createDataFrame(pdf), "x", "y")
+        path = str(tmp_path / "fthr3")
+        to_feather(g, path)
+        back = read_feather(spark, path, geometry="geometry", crs="EPSG:4326")
+        assert isinstance(back, dgs.GeoDataFrame)
+        assert back.crs == "EPSG:4326"
+
+
+class TestReadFile:
+    def test_part_list(self):
+        from dask_geopandas_spark.sources.file import build_part_list
+
+        assert build_part_list(10, npartitions=3) == [(0, 4), (4, 4), (8, 2)]
+        assert build_part_list(10, chunksize=5) == [(0, 5), (5, 5)]
+        assert build_part_list(0, npartitions=2) == []
+
+    def test_fake_reader_injection(self, spark):
+        from dask_geopandas_spark.geometry import wkb as W
+        from dask_geopandas_spark.sources.file import read_file
+
+        N = 10
+
+        def fake_info(path, layer=None):
+            return {"features": N, "crs": "EPSG:4326"}
+
+        def fake_chunk(path, layer, columns, skip, count):
+            ids = np.arange(skip, skip + count)
+            return pd.DataFrame({
+                "fid": ids,
+                "geometry": W.points_to_wkb(ids.astype(float), ids.astype(float)),
+            })
+
+        gdf = read_file(spark, "/fake/path.gpkg", npartitions=3,
+                        read_info=fake_info, read_chunk=fake_chunk)
+        assert isinstance(gdf, dgs.GeoDataFrame)
+        assert gdf.crs == "EPSG:4326"
+        assert sorted(r["fid"] for r in gdf.df.select("fid").collect()) == list(range(N))
+
+    def test_missing_gdal_raises(self, spark):
+        from dask_geopandas_spark.sources.file import read_file
+
+        with pytest.raises(ImportError, match="pyogrio"):
+            read_file(spark, "/nonexistent.shp")
+
+
+class TestGeoParquetPartitionOn:
+    def test_partition_on(self, spark, tmp_path):
+        pdf = pd.DataFrame({
+            "id": np.arange(8, dtype="int64"),
+            "grp": ["a", "b"] * 4,
+            "x": np.arange(8, dtype="float64"),
+            "y": np.zeros(8),
+        })
+        g = dgs.points_from_xy(spark.createDataFrame(pdf), "x", "y", crs="EPSG:4326")
+        path = str(tmp_path / "hive")
+        g.to_parquet(path, partition_on="grp")
+        import os
+
+        assert sorted(os.listdir(path)) == ["grp=a", "grp=b"]
+        back = dgs.read_parquet(spark, path)
+        assert back.count() == 8
