@@ -183,6 +183,104 @@ def q_buffer_envelope_area(spark, sf_dir):
     )
 
 
+_PAIR_SHIFT = f"(({OB['w']}) * (o_orderkey % 4) / 2.0)"
+_OB_B = {"minx": f"({OB['minx']} + {_PAIR_SHIFT})", "w": OB["w"],
+         "miny": OB["miny"], "h": OB["h"]}
+
+
+def _box_pairs(spark, sf_dir):
+    """Per-row box pair from orders: b = a shifted right by s·w/2 where
+    s = o_orderkey % 4 → s=0 equal, 1 half-overlap, 2 edge-touch,
+    3 disjoint.  Exercises the elementwise binary surface (reference:
+    expr.py:983-1013 'zip by position' contract)."""
+    from dask_geopandas_spark.functions.core import st_geomfromtext
+
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("ga", st_geomfromtext(F.expr(_box_wkt(OB))))
+        .withColumn("gb", st_geomfromtext(F.expr(_box_wkt(_OB_B))))
+    )
+
+
+def q_box_relations(spark, sf_dir):
+    """Binary predicates touches/overlaps/intersects + DE-9IM relate."""
+    from dask_geopandas_spark.functions import core as FX
+
+    d = _box_pairs(spark, sf_dir)
+    return d.select(
+        F.col("o_orderkey").alias("orderkey"),
+        FX.st_intersects(F.col("ga"), F.col("gb")).alias("intersects"),
+        FX.st_touches(F.col("ga"), F.col("gb")).alias("touches"),
+        FX.st_overlaps(F.col("ga"), F.col("gb")).alias("overlaps"),
+        FX.st_relate(F.col("ga"), F.col("gb")).alias("de9im"),
+    )
+
+
+def q_box_setops_area(spark, sf_dir):
+    """Elementwise set-theoretic operators (intersection/union/difference/
+    symmetric_difference) measured by area.  Union is collect-parts
+    (documented divergence): overlapping interiors count twice."""
+    from dask_geopandas_spark.functions import core as FX
+
+    d = _box_pairs(spark, sf_dir)
+    ga, gb = F.col("ga"), F.col("gb")
+    return d.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(FX.st_area(FX.st_intersection(ga, gb)), 6).alias("inter_area"),
+        F.round(FX.st_area(FX.st_union_pair(ga, gb)), 6).alias("union_area"),
+        F.round(FX.st_area(FX.st_difference(ga, gb)), 6).alias("diff_area"),
+        F.round(FX.st_area(FX.st_symdifference(ga, gb)), 6).alias("sym_area"),
+    )
+
+
+def _seg_wkt(x1, y1, x2, y2) -> str:
+    c = lambda e: f"CAST({e} AS STRING)"
+    return (f"CONCAT('LINESTRING (', {c(x1)}, ' ', {c(y1)}, ', ', "
+            f"{c(x2)}, ' ', {c(y2)}, ')')")
+
+
+def q_line_cross(spark, sf_dir):
+    """crosses/touches on line pairs: horizontal segment [x0, x0+4]
+    against a vertical segment at x0+s (s = o_orderkey % 6): crossing for
+    s ∈ {1,2,3}, endpoint touch for s ∈ {0,4}, disjoint for s = 5."""
+    from dask_geopandas_spark.functions import core as FX
+
+    x0, y0 = OB["minx"], OB["miny"]
+    sx = f"({x0} + (o_orderkey % 6))"
+    d = (
+        _t(spark, sf_dir, "orders")
+        .withColumn("la", FX.st_geomfromtext(
+            F.expr(_seg_wkt(x0, y0, f"({x0} + 4)", y0))))
+        .withColumn("lb", FX.st_geomfromtext(
+            F.expr(_seg_wkt(sx, f"({y0} - 1)", sx, f"({y0} + 1)"))))
+    )
+    return d.select(
+        F.col("o_orderkey").alias("orderkey"),
+        FX.st_crosses(F.col("la"), F.col("lb")).alias("crosses"),
+        FX.st_touches(F.col("la"), F.col("lb")).alias("touches"),
+    )
+
+
+def q_equals_exact(spark, sf_dir):
+    """geom_equals_exact with tolerance (reference: expr.py:307-312):
+    b = a shifted by (o_orderkey % 5)·0.001; equal within 0.0025 iff
+    the shift is ≤ 2 steps."""
+    from dask_geopandas_spark.functions import core as FX
+
+    eps = "((o_orderkey % 5) * 0.001)"
+    ob_eps = {"minx": f"({OB['minx']} + {eps})", "w": OB["w"],
+              "miny": OB["miny"], "h": OB["h"]}
+    d = (
+        _t(spark, sf_dir, "orders")
+        .withColumn("ga", FX.st_geomfromtext(F.expr(_box_wkt(OB))))
+        .withColumn("gb", FX.st_geomfromtext(F.expr(_box_wkt(ob_eps))))
+    )
+    return d.select(
+        F.col("o_orderkey").alias("orderkey"),
+        FX.st_equals_exact(0.0025)(F.col("ga"), F.col("gb")).alias("eq"),
+    )
+
+
 def q_hilbert_buckets(spark, sf_dir):
     """Hilbert curve bucketing (no SQL oracle — curve math not expressible
     in portable SQL; golden-value pinned in tests instead)."""
@@ -358,6 +456,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_count": q_clip_count,
         "translate_avg": q_translate_avg,
         "buffer_envelope_area": q_buffer_envelope_area,
+        "box_relations": q_box_relations,
+        "box_setops_area": q_box_setops_area,
+        "line_cross": q_line_cross,
+        "equals_exact": q_equals_exact,
         "hilbert_buckets": q_hilbert_buckets,
         "geohash_cells": q_geohash_cells,
         "token_stats": q_token_stats,
@@ -577,6 +679,45 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(4.0 * (1.0 + l_discount) * (1.0 + l_discount)), 3)
                        AS total_env_area
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "box_relations": """
+            SELECT o_orderkey AS orderkey,
+                   (o_orderkey % 4) <= 2 AS intersects,
+                   (o_orderkey % 4) = 2 AS touches,
+                   (o_orderkey % 4) = 1 AS overlaps,
+                   CASE o_orderkey % 4
+                        WHEN 0 THEN '2FFF1FFF2'
+                        WHEN 1 THEN '212111212'
+                        WHEN 2 THEN 'FF2F11212'
+                        ELSE 'FF2FF1212' END AS de9im
+            FROM orders
+        """,
+        "box_setops_area": f"""
+            SELECT o_orderkey AS orderkey,
+                   round(CASE o_orderkey % 4
+                         WHEN 0 THEN ba WHEN 1 THEN ba / 2.0
+                         ELSE 0.0 END, 6) AS inter_area,
+                   round(CASE o_orderkey % 4
+                         WHEN 0 THEN ba ELSE 2.0 * ba END, 6) AS union_area,
+                   round(CASE o_orderkey % 4
+                         WHEN 0 THEN 0.0 WHEN 1 THEN ba / 2.0
+                         ELSE ba END, 6) AS diff_area,
+                   round(CASE o_orderkey % 4
+                         WHEN 0 THEN 0.0 WHEN 1 THEN ba
+                         ELSE 2.0 * ba END, 6) AS sym_area
+            FROM (SELECT o_orderkey,
+                         CAST({OB['w']} * {OB['h']} AS DOUBLE) AS ba
+                  FROM orders)
+        """,
+        "line_cross": """
+            SELECT o_orderkey AS orderkey,
+                   (o_orderkey % 6) IN (1, 2, 3) AS crosses,
+                   (o_orderkey % 6) IN (0, 4) AS touches
+            FROM orders
+        """,
+        "equals_exact": """
+            SELECT o_orderkey AS orderkey, (o_orderkey % 5) <= 2 AS eq
+            FROM orders
         """,
         "token_stats": """
             SELECT doc_id,

@@ -265,6 +265,78 @@ class GeoDataFrame:
         return self._df  # already WKB at rest
 
     # ------------------------------------------------------------------
+    # elementwise binary predicates / operators against another geometry
+    # column of the SAME frame ("zip by position" contract, SURVEY §7;
+    # reference binds these at expr.py:983-1013)
+    # ------------------------------------------------------------------
+    def _other_col(self, other) -> Column:
+        if isinstance(other, Column):
+            return other
+        if isinstance(other, str):
+            return F.col(other)
+        if isinstance(other, (bytes, bytearray)):
+            return F.lit(bytes(other))
+        raise TypeError("other must be a Column, column name, or WKB bytes")
+
+    def intersects(self, other) -> Column:
+        return FX.st_intersects(self._geom(), self._other_col(other))
+
+    def contains(self, other) -> Column:
+        return FX.st_contains(self._geom(), self._other_col(other))
+
+    def within(self, other) -> Column:
+        return FX.st_within(self._geom(), self._other_col(other))
+
+    def covers(self, other) -> Column:
+        return FX.st_covers(self._geom(), self._other_col(other))
+
+    def covered_by(self, other) -> Column:
+        return FX.st_coveredby(self._geom(), self._other_col(other))
+
+    def disjoint(self, other) -> Column:
+        return FX.st_disjoint(self._geom(), self._other_col(other))
+
+    def touches(self, other) -> Column:
+        return FX.st_touches(self._geom(), self._other_col(other))
+
+    def crosses(self, other) -> Column:
+        return FX.st_crosses(self._geom(), self._other_col(other))
+
+    def overlaps(self, other) -> Column:
+        return FX.st_overlaps(self._geom(), self._other_col(other))
+
+    def geom_equals(self, other) -> Column:
+        return FX.st_equals(self._geom(), self._other_col(other))
+
+    def geom_equals_exact(self, other, tolerance: float) -> Column:
+        return FX.st_equals_exact(tolerance)(self._geom(), self._other_col(other))
+
+    def relate(self, other) -> Column:
+        return FX.st_relate(self._geom(), self._other_col(other))
+
+    def distance(self, other) -> Column:
+        return FX.st_distance(self._geom(), self._other_col(other))
+
+    def intersection(self, other) -> "GeoDataFrame":
+        return self._replace_geom(
+            FX.st_intersection(self._geom(), self._other_col(other)))
+
+    def union(self, other) -> "GeoDataFrame":
+        return self._replace_geom(
+            FX.st_union_pair(self._geom(), self._other_col(other)))
+
+    def difference(self, other) -> "GeoDataFrame":
+        return self._replace_geom(
+            FX.st_difference(self._geom(), self._other_col(other)))
+
+    def symmetric_difference(self, other) -> "GeoDataFrame":
+        return self._replace_geom(
+            FX.st_symdifference(self._geom(), self._other_col(other)))
+
+    def project(self, other, normalized: bool = False) -> Column:
+        return FX.project(normalized)(self._geom(), self._other_col(other))
+
+    # ------------------------------------------------------------------
     # bbox infrastructure (SURVEY §7 design invariant)
     # ------------------------------------------------------------------
     @property

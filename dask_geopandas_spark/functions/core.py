@@ -33,6 +33,7 @@ from pyspark.sql.types import (
 
 from ..geometry import algorithms as A
 from ..geometry import curves as C
+from ..geometry import setops as SO
 from ..geometry import wkb as W
 from ..geometry import wkt as T
 
@@ -585,6 +586,36 @@ st_contains = _pairwise_bool(A.pairwise_contains)
 st_within = _pairwise_bool(lambda a, b: A.pairwise_contains(b, a))
 st_covers = _pairwise_bool(A.pairwise_contains)       # touch-tolerant variant
 st_coveredby = _pairwise_bool(lambda a, b: A.pairwise_contains(b, a))
+st_touches = _pairwise_bool(SO.pairwise_touches)
+st_crosses = _pairwise_bool(SO.pairwise_crosses)
+st_overlaps = _pairwise_bool(SO.pairwise_overlaps)
+
+
+def st_equals_exact(tolerance: float):
+    """Factory: approximate structural equality within tolerance
+    (reference: expr.py:307-312)."""
+    return _pairwise_bool(
+        lambda a, b: SO.pairwise_equals_exact(a, b, tolerance))
+
+
+@pandas_udf(StringType())
+def st_relate(a: pd.Series, b: pd.Series) -> pd.Series:
+    """DE-9IM matrix string (reference: expr.py:1001-1013 'relate')."""
+    return pd.Series(SO.pairwise_relate(_b(a), _b(b)), dtype=object)
+
+
+def _pairwise_geom_udf(fn):
+    @pandas_udf(BinaryType())
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(fn(_b(a), _b(b)), dtype=object)
+
+    return _udf
+
+
+st_intersection = _pairwise_geom_udf(SO.pairwise_intersection)
+st_union_pair = _pairwise_geom_udf(SO.pairwise_union)
+st_difference = _pairwise_geom_udf(SO.pairwise_difference)
+st_symdifference = _pairwise_geom_udf(SO.pairwise_symmetric_difference)
 
 
 @pandas_udf(BooleanType())
@@ -720,6 +751,14 @@ _SQL_FUNCS = {
     "st_disjoint": st_disjoint,
     "st_equals": st_equals,
     "st_distance": st_distance,
+    "st_touches": st_touches,
+    "st_crosses": st_crosses,
+    "st_overlaps": st_overlaps,
+    "st_relate": st_relate,
+    "st_intersection": st_intersection,
+    "st_union": st_union_pair,
+    "st_difference": st_difference,
+    "st_symdifference": st_symdifference,
 }
 
 

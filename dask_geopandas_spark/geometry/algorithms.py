@@ -411,7 +411,16 @@ def pairwise_contains(A: W.GeometryBatch, B: W.GeometryBatch) -> np.ndarray:
         if ra:
             inside = point_in_rings(bx, by, ra)
             if not inside.all():
-                continue
+                # covers-tolerant: vertices exactly on the boundary count
+                # (ray-cast is ambiguous there); GEOS 'contains' would
+                # exclude an all-boundary b, 'covers' includes it
+                sa_ = _segments(A, i)
+                if sa_ is None:
+                    continue
+                off = np.flatnonzero(~inside)
+                d = _point_seg_dist(bx[off], by[off], *sa_).min(axis=1)
+                if (d > 0).any():
+                    continue
             # no boundary crossing of b's segments with a's rings
             sb = _segments(B, i)
             sa = _segments(A, i)

@@ -1,0 +1,822 @@
+"""Row-aligned set-theoretic ops and the remaining DE-9IM predicates.
+
+The reference binds these as elementwise binary operators through
+``_bind_elemwise_operator_method`` / ``_bind_elemwise_comparison_method``
+(reference: expr.py:173-197, 983-1013) and delegates each pair to
+shapely/GEOS.  GEOS is unavailable here, so this module implements the
+semantics directly on the columnar :class:`GeometryBatch` decomposition.
+
+Exactness contract (documented divergence, see README):
+
+* ``intersection`` — exact for point×any, line×convex-polygon, and
+  polygon×convex-polygon (Sutherland–Hodgman / Cyrus–Beck).  When the
+  second operand is concave the clip runs against its convex hull.
+* ``union`` — collects parts into a Multi*/GeometryCollection (does not
+  merge overlapping polygon interiors); identical operands deduplicate.
+* ``difference`` — exact for point×polygon, line×convex-polygon, and the
+  polygon cases disjoint / b⊇a / b-strictly-inside-a (hole insertion);
+  partial polygon overlap subtracts the clipped overlap as a hole
+  (approximate when the overlap touches a's boundary).
+* ``symmetric_difference`` — ``collect(a−b, b−a)``.
+* predicates ``touches``/``crosses``/``overlaps`` and ``relate`` are
+  exact for the point/line/convex-polygon combinations exercised by the
+  test suite; grazing line-line contacts are approximated.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import wkb as W
+from . import algorithms as A
+from . import clipping as CL
+
+_EMPTY_GC = W.serialize_geometry(W.GEOMETRYCOLLECTION, [])
+
+
+# ----------------------------------------------------------------------
+# shared probes
+# ----------------------------------------------------------------------
+
+def _dim(t: int) -> int:
+    if t in (W.POINT, W.MULTIPOINT):
+        return 0
+    if t in (W.LINESTRING, W.MULTILINESTRING):
+        return 1
+    if t in (W.POLYGON, W.MULTIPOLYGON):
+        return 2
+    return 2  # collections: treat as areal for dimension bookkeeping
+
+
+def _boundary_dist(px, py, segs) -> np.ndarray:
+    """Min distance from points to a segment soup (inf when no segments)."""
+    if segs is None or len(px) == 0:
+        return np.full(len(px), np.inf)
+    return A._point_seg_dist(np.asarray(px, float), np.asarray(py, float),
+                             *segs).min(axis=1)
+
+
+def _strictly_inside(px, py, rings, segs) -> np.ndarray:
+    """Point strictly interior to a polygon (inside by ray-cast AND off
+    the boundary)."""
+    if not rings or len(px) == 0:
+        return np.zeros(len(px), dtype=bool)
+    inside = A.point_in_rings(px, py, rings)
+    return inside & (_boundary_dist(px, py, segs) > 0)
+
+
+def _on_boundary(px, py, segs) -> np.ndarray:
+    return _boundary_dist(px, py, segs) == 0
+
+
+def _proper_crossing(sa, sb) -> bool:
+    """True if any a-segment properly crosses any b-segment (strict sign
+    change on both orientations — excludes endpoint touches)."""
+    if sa is None or sb is None:
+        return False
+    ax1, ay1, ax2, ay2 = (s[:, None] for s in sa)
+    bx1, by1, bx2, by2 = (s[None, :] for s in sb)
+
+    def orient(ox, oy, px_, py_, qx, qy):
+        return (px_ - ox) * (qy - oy) - (py_ - oy) * (qx - ox)
+
+    d1 = orient(bx1, by1, bx2, by2, ax1, ay1)
+    d2 = orient(bx1, by1, bx2, by2, ax2, ay2)
+    d3 = orient(ax1, ay1, ax2, ay2, bx1, by1)
+    d4 = orient(ax1, ay1, ax2, ay2, bx2, by2)
+    return bool((((d1 > 0) != (d2 > 0)) & (d1 != 0) & (d2 != 0) &
+                 ((d3 > 0) != (d4 > 0)) & (d3 != 0) & (d4 != 0)).any())
+
+
+def _collinear_overlap(sa, sb) -> bool:
+    """True if some a-segment shares a positive-length run with some
+    b-segment (both endpoints of one segment on the other's line within
+    its span, overlapping extents)."""
+    if sa is None or sb is None:
+        return False
+    ax1, ay1, ax2, ay2 = sa
+    bx1, by1, bx2, by2 = sb
+    AX1 = ax1[:, None]; AY1 = ay1[:, None]; AX2 = ax2[:, None]; AY2 = ay2[:, None]
+    BX1 = bx1[None, :]; BY1 = by1[None, :]; BX2 = bx2[None, :]; BY2 = by2[None, :]
+    dax = AX2 - AX1; day = AY2 - AY1
+    cr1 = dax * (BY1 - AY1) - day * (BX1 - AX1)
+    cr2 = dax * (BY2 - AY1) - day * (BX2 - AX1)
+    collinear = (cr1 == 0) & (cr2 == 0)
+    # overlap of parameter intervals along a's direction
+    ll = dax * dax + day * day
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t1 = ((BX1 - AX1) * dax + (BY1 - AY1) * day) / np.where(ll == 0, 1, ll)
+        t2 = ((BX2 - AX1) * dax + (BY2 - AY1) * day) / np.where(ll == 0, 1, ll)
+    lo = np.minimum(t1, t2); hi = np.maximum(t1, t2)
+    return bool((collinear & (np.minimum(hi, 1.0) - np.maximum(lo, 0.0) > 0)).any())
+
+
+def _line_endpoints(batch: W.GeometryBatch, i: int):
+    """Boundary points of a (multi)linestring: first/last coord of every
+    open path."""
+    ex, ey = [], []
+    for kind, x, y in A._geom_paths(batch, i):
+        if kind == W.PK_LINE and len(x) >= 2:
+            ex += [x[0], x[-1]]; ey += [y[0], y[-1]]
+    return np.asarray(ex), np.asarray(ey)
+
+
+def _interiors_intersect(Ab: W.GeometryBatch, i: int,
+                         Bb: W.GeometryBatch, j: int) -> bool:
+    """Do the interiors of a_i and b_j share a point?  (The quantity that
+    separates ``touches`` from ``intersects``.)"""
+    ta, tb = int(Ab.types[i]), int(Bb.types[j])
+    da, db = _dim(ta), _dim(tb)
+    if da > db:  # normalize: a is the lower-dimension operand
+        return _interiors_intersect(Bb, j, Ab, i)
+    pa = A._points(Ab, i); pb = A._points(Bb, j)
+    sa = A._segments(Ab, i); sb = A._segments(Bb, j)
+    ra = A._poly_rings(Ab, i); rb = A._poly_rings(Bb, j)
+
+    if da == 0:
+        if db == 0:   # point vs point: interiors are the points themselves
+            return bool(((pa[0][:, None] == pb[0][None, :]) &
+                         (pa[1][:, None] == pb[1][None, :])).any())
+        if db == 1:   # point vs line: on the line but not at an endpoint
+            on = _on_boundary(pa[0], pa[1], sb)
+            if not on.any():
+                return False
+            ex, ey = _line_endpoints(Bb, j)
+            for x, y in zip(pa[0][on], pa[1][on]):
+                if not len(ex) or not ((ex == x) & (ey == y)).any():
+                    return True
+            return False
+        # point vs polygon: strictly inside
+        return bool(_strictly_inside(pa[0], pa[1], rb, sb).any())
+
+    if da == 1:
+        if db == 1:   # line vs line
+            if _proper_crossing(sa, sb) or _collinear_overlap(sa, sb):
+                return True
+            # T-junction of an interior (non-endpoint) vertex on the other
+            for (P, S, other_b, other_i) in ((pa, sb, Bb, j), (pb, sa, Ab, i)):
+                on = _on_boundary(P[0], P[1], S)
+                if on.any():
+                    ex, ey = _line_endpoints(Ab if other_b is Bb else Bb,
+                                             i if other_b is Bb else j)
+                    # contact point must be an endpoint of the touching line
+                    for x, y in zip(P[0][on], P[1][on]):
+                        if not len(ex) or not ((ex == x) & (ey == y)).any():
+                            return True
+            return False
+        # line vs polygon: any vertex or edge midpoint strictly inside, or a
+        # proper crossing of the boundary (entering ⇒ interior run exists)
+        if _proper_crossing(sa, sb):
+            return True
+        if _strictly_inside(pa[0], pa[1], rb, sb).any():
+            return True
+        if sa is not None:
+            mx = (sa[0] + sa[2]) / 2.0
+            my = (sa[1] + sa[3]) / 2.0
+            if _strictly_inside(mx, my, rb, sb).any():
+                return True
+        return False
+
+    # polygon vs polygon
+    if _proper_crossing(sa, sb):
+        return True
+    if _strictly_inside(pa[0], pa[1], rb, sb).any():
+        return True
+    if _strictly_inside(pb[0], pb[1], ra, sa).any():
+        return True
+    # equal / shared-boundary containment: probe an interior point of each
+    for (probe_b, probe_i, rings, segs) in ((Ab, i, rb, sb), (Bb, j, ra, sa)):
+        cx, cy = _rep_point(probe_b, probe_i)
+        if cx is not None and _strictly_inside(
+                np.array([cx]), np.array([cy]), rings, segs).any():
+            return True
+    return False
+
+
+def _rep_point(batch: W.GeometryBatch, i: int):
+    """A point in the interior of polygon i (centroid if inside, else a
+    scanline midpoint)."""
+    rings = A._poly_rings(batch, i)
+    if not rings:
+        return None, None
+    segs = A._segments(batch, i)
+    x, y = A._points(batch, i)
+    cx, cy = float(np.mean(x)), float(np.mean(y))
+    if _strictly_inside(np.array([cx]), np.array([cy]), rings, segs).any():
+        return cx, cy
+    # scanline through the bbox mid-height: midpoints of crossing intervals
+    ys = (np.min(y) + np.max(y)) / 2.0
+    xs_cross = []
+    for rx, ry in rings:
+        if rx[0] != rx[-1] or ry[0] != ry[-1]:
+            rx = np.append(rx, rx[0]); ry = np.append(ry, ry[0])
+        x1, y1, x2, y2 = rx[:-1], ry[:-1], rx[1:], ry[1:]
+        hit = (y1 > ys) != (y2 > ys)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xi = x1 + (ys - y1) / (y2 - y1) * (x2 - x1)
+        xs_cross += list(xi[hit])
+    xs_cross = np.sort(np.asarray(xs_cross))
+    if len(xs_cross) >= 2:
+        return float((xs_cross[0] + xs_cross[1]) / 2.0), float(ys)
+    return cx, cy
+
+
+# ----------------------------------------------------------------------
+# predicates
+# ----------------------------------------------------------------------
+
+def _pair_loop(Ab, Bb, fn) -> np.ndarray:
+    out = np.zeros(Ab.n, dtype=bool)
+    ba, bb = A.bounds(Ab), A.bounds(Bb)
+    maybe = ~((ba[:, 2] < bb[:, 0]) | (ba[:, 0] > bb[:, 2]) |
+              (ba[:, 3] < bb[:, 1]) | (ba[:, 1] > bb[:, 3]))
+    maybe &= ~Ab.is_null() & ~Bb.is_null() & ~Ab.is_empty() & ~Bb.is_empty()
+    for i in np.flatnonzero(maybe):
+        out[i] = fn(i)
+    return out
+
+
+def pairwise_touches(Ab: W.GeometryBatch, Bb: W.GeometryBatch) -> np.ndarray:
+    """touches(a,b): geometries intersect but their interiors do not."""
+    def one(i):
+        if not A._geom_geom_intersects(Ab, i, Bb, i):
+            return False
+        return not _interiors_intersect(Ab, i, Bb, i)
+    return _pair_loop(Ab, Bb, one)
+
+
+def pairwise_crosses(Ab: W.GeometryBatch, Bb: W.GeometryBatch) -> np.ndarray:
+    """crosses(a,b): interiors intersect, intersection has lower dimension
+    than the max operand, and neither contains the other."""
+    def one(i):
+        ta, tb = int(Ab.types[i]), int(Bb.types[i])
+        da, db = _dim(ta), _dim(tb)
+        if da == db == 2 or da == db == 0:
+            return False  # polygon/polygon and point/point never cross
+        if not _interiors_intersect(Ab, i, Bb, i):
+            return False
+        # "some but not all": the lower-dim operand must stick outside
+        lo_b, lo_i, hi_b = (Ab, i, Bb) if da <= db else (Bb, i, Ab)
+        if da == db == 1:
+            # line/line: point intersection only (collinear overlap ⇒ overlaps)
+            sa = A._segments(Ab, i); sb = A._segments(Bb, i)
+            return not _collinear_overlap(sa, sb)
+        px, py = A._points(lo_b, lo_i)
+        rings = A._poly_rings(hi_b, i)
+        segs = A._segments(hi_b, i)
+        if rings:
+            cover = A.point_in_rings(px, py, rings)
+        else:
+            cover = _on_boundary(px, py, segs)
+        if min(da, db) == 1 and segs is not None:
+            # a line sticks out if any edge midpoint is outside too
+            s_lo = A._segments(lo_b, lo_i)
+            if s_lo is not None:
+                mx = (s_lo[0] + s_lo[2]) / 2.0
+                my = (s_lo[1] + s_lo[3]) / 2.0
+                if rings:
+                    m_cover = A.point_in_rings(mx, my, rings)
+                else:
+                    m_cover = _on_boundary(mx, my, segs)
+                return bool(~np.concatenate([cover, m_cover]).all())
+        return bool(~cover.all())
+    return _pair_loop(Ab, Bb, one)
+
+
+def pairwise_overlaps(Ab: W.GeometryBatch, Bb: W.GeometryBatch) -> np.ndarray:
+    """overlaps(a,b): same dimension, interiors intersect, neither contains
+    the other."""
+    def one(i):
+        ta, tb = int(Ab.types[i]), int(Bb.types[i])
+        if _dim(ta) != _dim(tb):
+            return False
+        d = _dim(ta)
+        if d == 0:
+            pa = A._points(Ab, i); pb = A._points(Bb, i)
+            shared = ((pa[0][:, None] == pb[0][None, :]) &
+                      (pa[1][:, None] == pb[1][None, :]))
+            return bool(shared.any() and not shared.any(axis=1).all()
+                        and not shared.any(axis=0).all())
+        if d == 1:
+            sa = A._segments(Ab, i); sb = A._segments(Bb, i)
+            if not _collinear_overlap(sa, sb):
+                return False
+        elif not _interiors_intersect(Ab, i, Bb, i):
+            return False
+        if pairwise_equals_exact(_single(Ab, i), _single(Bb, i), 0.0)[0]:
+            return False
+        ca = A.pairwise_contains(_single(Ab, i), _single(Bb, i))[0]
+        cb = A.pairwise_contains(_single(Bb, i), _single(Ab, i))[0]
+        return not ca and not cb
+    return _pair_loop(Ab, Bb, one)
+
+
+def _single(batch: W.GeometryBatch, i: int) -> W.GeometryBatch:
+    """One-row view rebuilt through WKB (cheap; used on slow paths only)."""
+    return W.parse_wkb([batch.raw[i] if batch.raw else None])
+
+
+def pairwise_equals_exact(Ab: W.GeometryBatch, Bb: W.GeometryBatch,
+                          tolerance: float) -> np.ndarray:
+    """Structural equality within tolerance: same type, same coordinate
+    counts, coordinates pairwise within ``tolerance`` (reference:
+    expr.py:307-312 → shapely equals_exact)."""
+    out = np.zeros(Ab.n, dtype=bool)
+    same = (Ab.types == Bb.types) & (Ab.types != 0)
+    ca = Ab.geom_coord_counts(); cb = Bb.geom_coord_counts()
+    same &= ca == cb
+    for i in np.flatnonzero(same):
+        sa0, sa1 = Ab.geom_coord_starts[i], Ab.geom_coord_starts[i + 1]
+        sb0, sb1 = Bb.geom_coord_starts[i], Bb.geom_coord_starts[i + 1]
+        out[i] = bool(
+            np.allclose(Ab.xs[sa0:sa1], Bb.xs[sb0:sb1], rtol=0, atol=tolerance)
+            and np.allclose(Ab.ys[sa0:sa1], Bb.ys[sb0:sb1], rtol=0, atol=tolerance)
+        )
+    return out
+
+
+# ----------------------------------------------------------------------
+# DE-9IM relate
+# ----------------------------------------------------------------------
+
+def _relate_one(Ab: W.GeometryBatch, i: int, Bb: W.GeometryBatch, j: int) -> str:
+    """Best-effort DE-9IM matrix for point/line/polygon combinations.
+
+    Exact for the canonical cases (point-in-polygon '0FFFFF212',
+    disjoint 'FF0FFF212' / 'FF2FF1212', equal polygons '2FFF1FFF2',
+    edge-touching boxes 'FF2F11212', overlapping boxes '212111212')."""
+    ta, tb = int(Ab.types[i]), int(Bb.types[j])
+    da, db = _dim(ta), _dim(tb)
+    pa = A._points(Ab, i); pb = A._points(Bb, j)
+    sa = A._segments(Ab, i); sb = A._segments(Bb, j)
+    ra = A._poly_rings(Ab, i); rb = A._poly_rings(Bb, j)
+    inter = A._geom_geom_intersects(Ab, i, Bb, j)
+    ii = _interiors_intersect(Ab, i, Bb, j) if inter else False
+    c_ab = bool(A.pairwise_contains(_single(Ab, i), _single(Bb, j))[0])
+    c_ba = bool(A.pairwise_contains(_single(Bb, j), _single(Ab, i))[0])
+
+    def d(v):  # dimension char
+        return str(v)
+
+    # boundary dimension: polygons→1, lines→0 (endpoints), points→empty
+    bda = 1 if da == 2 else (0 if da == 1 else -1)
+    bdb = 1 if db == 2 else (0 if db == 1 else -1)
+
+    # --- interior row
+    if ii:
+        if da == db == 1:
+            II = "1" if _collinear_overlap(sa, sb) else "0"
+        else:
+            II = d(min(da, db))
+    else:
+        II = "F"
+    # interior(a) ∩ boundary(b)
+    if bdb < 0:
+        IB = "F"
+    elif inter and db == 2:
+        # a's interior meets b's ring?
+        if da == 0:
+            IB = "0" if (_on_boundary(pa[0], pa[1], sb).any() and not ii) else \
+                 ("F" if not _on_boundary(pa[0], pa[1], sb).any() else "0")
+        elif da == 1:
+            IB = "1" if _collinear_overlap(sa, sb) else \
+                 ("0" if (_proper_crossing(sa, sb) or
+                          _on_boundary(pa[0], pa[1], sb).any()) else "F")
+        else:
+            # polygon interior covers part of b's boundary unless b's ring
+            # stays on/outside a's boundary; probe b's vertices AND edge
+            # midpoints (a ring can cross the interior between vertices)
+            if ii and not c_ab and not c_ba and _proper_crossing(sa, sb):
+                IB = "1"
+            elif _ring_probe_inside(pb, sb, ra, sa):
+                IB = "1"
+            else:
+                IB = "F"
+    elif inter and db == 1:
+        IB = "0" if (da == 0 and ii is False and inter) else "F"
+    else:
+        IB = "F"
+    # interior(a) ∩ exterior(b)
+    if da == 0:
+        # point coverage computed directly (ray-cast contains is ambiguous
+        # exactly on the boundary)
+        inx, iny = _points_in_b(Ab, i, Bb, j)
+        IE = "F" if len(inx) == len(pa[0]) else "0"
+    else:
+        IE = "F" if c_ba else d(da)
+
+    # --- boundary row
+    if bda < 0:
+        BI = BB = BE = "F"
+    else:
+        # boundary(a) ∩ interior(b)
+        if db == 2:
+            if da == 2:
+                BI = d(bda) if _ring_probe_inside(pa, sa, rb, sb) else "F"
+            else:
+                bx, by = _line_endpoints(Ab, i)
+                BI = d(bda) if len(bx) and _strictly_inside(bx, by, rb, sb).any() \
+                    else "F"
+        elif db == 1:
+            BI = "0" if inter and ii else "F"
+        else:
+            BI = "F"
+        # boundary ∩ boundary
+        if bdb < 0:
+            BB = "F"
+        else:
+            contact = False
+            dim_bb = 0
+            if sa is not None and sb is not None:
+                if _collinear_overlap(sa, sb):
+                    contact = True; dim_bb = 1
+                elif A.seg_seg_intersect(*sa, *sb).any():
+                    contact = True
+            BB = d(dim_bb) if contact else "F"
+        # boundary(a) ∩ exterior(b)
+        if c_ba and db == 2:
+            # a fully covered: boundary outside only if it pokes out (it can't)
+            BE = "F" if not _boundary_pokes_out(Ab, i, rb, sb) else d(bda)
+        else:
+            BE = d(bda)
+
+    # --- exterior row (symmetric of IE/BE)
+    EI = "F" if c_ab else d(db)
+    if c_ab and bdb >= 0:
+        EB = "F" if not _boundary_pokes_out(Bb, j, ra, sa) else d(bdb)
+    elif bdb >= 0:
+        EB = d(bdb)
+    else:
+        EB = "F"
+    EE = "2"
+    return II + IB + IE + BI + BB + BE + EI + EB + EE
+
+
+def _ring_probe_inside(pts, segs, rings, ring_segs) -> bool:
+    """Any vertex or edge midpoint of a ring soup strictly inside a
+    polygon (rings+segs of the other operand)."""
+    px, py = pts
+    if segs is not None:
+        px = np.concatenate([px, (segs[0] + segs[2]) / 2.0])
+        py = np.concatenate([py, (segs[1] + segs[3]) / 2.0])
+    return bool(len(px) and _strictly_inside(px, py, rings, ring_segs).any())
+
+
+def _boundary_pokes_out(batch, i, other_rings, other_segs) -> bool:
+    """Any vertex of geometry i strictly outside the other polygon
+    (outside by ray-cast AND off the boundary — boundary-coincident
+    vertices are ambiguous under ray casting)."""
+    if not other_rings:
+        return True
+    x, y = A._points(batch, i)
+    if not len(x):
+        return False
+    outside = ~A.point_in_rings(x, y, other_rings)
+    return bool((outside & (_boundary_dist(x, y, other_segs) > 0)).any())
+
+
+def pairwise_touches_pair(Ab, i, Bb, j) -> bool:
+    return (A._geom_geom_intersects(Ab, i, Bb, j)
+            and not _interiors_intersect(Ab, i, Bb, j))
+
+
+def pairwise_relate(Ab: W.GeometryBatch, Bb: W.GeometryBatch) -> list:
+    out: list = [None] * Ab.n
+    nn = ~Ab.is_null() & ~Bb.is_null()
+    for i in np.flatnonzero(nn):
+        out[i] = _relate_one(Ab, i, Bb, i)
+    return out
+
+
+# ----------------------------------------------------------------------
+# set-theoretic constructors
+# ----------------------------------------------------------------------
+
+def _convex_outer(batch: W.GeometryBatch, i: int):
+    """The single outer ring of polygon i if it is convex and hole-free,
+    else its convex hull ring (divergence documented in the module docstring)."""
+    outers = [r for k, *r in
+              [(k, x, y) for k, x, y in A._geom_paths(batch, i)
+               if k == W.PK_RING_OUTER]]
+    holes = any(k == W.PK_RING_HOLE for k, _, _ in A._geom_paths(batch, i))
+    if len(outers) == 1 and not holes:
+        x, y = outers[0]
+        if CL.is_convex_ring(x, y):
+            return x, y
+    x, y = A._points(batch, i)
+    hx, hy = A.convex_hull_single(x, y)
+    return np.append(hx, hx[0]), np.append(hy, hy[0])
+
+
+def _points_in_b(Ab, i, Bb, j):
+    """Coordinates of point-geometry a_i that lie on/in b_j."""
+    px, py = A._points(Ab, i)
+    rb = A._poly_rings(Bb, j)
+    sb = A._segments(Bb, j)
+    if rb:
+        keep = A.point_in_rings(px, py, rb) | _on_boundary(px, py, sb)
+    elif sb is not None:
+        keep = _on_boundary(px, py, sb)
+    else:
+        bx, by = A._points(Bb, j)
+        keep = ((px[:, None] == bx[None, :]) & (py[:, None] == by[None, :])).any(axis=1)
+    return px[keep], py[keep]
+
+
+def _points_geom(px, py) -> bytes:
+    if len(px) == 0:
+        return _EMPTY_GC
+    if len(px) == 1:
+        return W.serialize_geometry(W.POINT, np.array([px[0], py[0]]))
+    return W.serialize_geometry(W.MULTIPOINT, np.column_stack([px, py]))
+
+
+def _lines_geom(pieces) -> bytes:
+    pieces = [np.column_stack(p) for p in pieces if len(p[0]) >= 2]
+    if not pieces:
+        return _EMPTY_GC
+    if len(pieces) == 1:
+        return W.serialize_geometry(W.LINESTRING, pieces[0])
+    return W.serialize_geometry(W.MULTILINESTRING, pieces)
+
+
+def _polys_geom(rings_list) -> bytes:
+    """rings_list: list of list-of-(n,2)-ring-arrays (outer first)."""
+    rings_list = [r for r in rings_list if r and len(r[0]) >= 3]
+    if not rings_list:
+        return _EMPTY_GC
+    if len(rings_list) == 1:
+        return W.serialize_geometry(W.POLYGON, rings_list[0])
+    return W.serialize_geometry(W.MULTIPOLYGON, rings_list)
+
+
+def _close_ring(x, y):
+    if len(x) == 0:
+        return None
+    if x[0] != x[-1] or y[0] != y[-1]:
+        x = np.append(x, x[0]); y = np.append(y, y[0])
+    return np.column_stack([x, y])
+
+
+def intersection_one(Ab: W.GeometryBatch, i: int, Bb: W.GeometryBatch, j: int) -> bytes:
+    ta, tb = int(Ab.types[i]), int(Bb.types[j])
+    if ta == 0 or tb == 0:
+        return None
+    da, db = _dim(ta), _dim(tb)
+    if da > db:
+        return intersection_one(Bb, j, Ab, i)
+    ba = A.bounds(_single(Ab, i))[0]; bb = A.bounds(_single(Bb, j))[0]
+    if (ba[2] < bb[0] or ba[0] > bb[2] or ba[3] < bb[1] or ba[1] > bb[3]):
+        return _EMPTY_GC
+    if da == 0:
+        return _points_geom(*_points_in_b(Ab, i, Bb, j))
+    if da == 1 and db == 2:
+        cx, cy = _convex_outer(Bb, j)
+        pieces = []
+        for kind, x, y in A._geom_paths(Ab, i):
+            if kind == W.PK_LINE and len(x) >= 2:
+                pieces += CL.clip_line_to_convex(x, y, cx, cy)
+        return _lines_geom(pieces)
+    if da == 1 and db == 1:
+        # collinear overlap runs not reconstructed — return crossing points
+        sa = A._segments(Ab, i); sb = A._segments(Bb, j)
+        pts = _seg_crossings(sa, sb)
+        return _points_geom(*pts)
+    # polygon × polygon: Sutherland–Hodgman each outer ring of a against
+    # b's convex outer
+    cx, cy = _convex_outer(Bb, j)
+    out_rings = []
+    for kind, x, y in A._geom_paths(Ab, i):
+        if kind == W.PK_RING_OUTER:
+            rx, ry = CL.sutherland_hodgman(x, y, cx, cy)
+            ring = _close_ring(rx, ry)
+            if ring is not None and len(ring) >= 4:
+                out_rings.append([ring])
+    return _polys_geom(out_rings)
+
+
+def _seg_crossings(sa, sb):
+    if sa is None or sb is None:
+        return np.array([]), np.array([])
+    ax1, ay1, ax2, ay2 = sa
+    xs, ys = [], []
+    for k in range(len(ax1)):
+        x1, y1, x2, y2 = ax1[k], ay1[k], ax2[k], ay2[k]
+        bx1, by1, bx2, by2 = sb
+        d = (x2 - x1) * (by2 - by1) - (y2 - y1) * (bx2 - bx1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = ((bx1 - x1) * (by2 - by1) - (by1 - y1) * (bx2 - bx1)) / d
+            u = ((bx1 - x1) * (y2 - y1) - (by1 - y1) * (x2 - x1)) / d
+        ok = (d != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+        xs += list(x1 + t[ok] * (x2 - x1))
+        ys += list(y1 + t[ok] * (y2 - y1))
+    if not xs:
+        return np.array([]), np.array([])
+    pts = np.unique(np.column_stack([xs, ys]), axis=0)
+    return pts[:, 0], pts[:, 1]
+
+
+def union_one(Ab: W.GeometryBatch, i: int, Bb: W.GeometryBatch, j: int) -> bytes:
+    """Collect-parts union (documented divergence: overlapping polygon
+    interiors are not merged)."""
+    ra = Ab.raw[i] if Ab.raw else None
+    rb = Bb.raw[j] if Bb.raw else None
+    ta, tb = int(Ab.types[i]), int(Bb.types[j])
+    if ta == 0:
+        return rb
+    if tb == 0:
+        return ra
+    if bytes(ra) == bytes(rb):
+        return bytes(ra)
+    da, db = _dim(ta), _dim(tb)
+    if da == db == 2:
+        polys = []
+        for b_, k in ((Ab, i), (Bb, j)):
+            cur: list = []
+            for kind, x, y in A._geom_paths(b_, k):
+                ring = _close_ring(x, y)
+                if ring is None:
+                    continue
+                if kind == W.PK_RING_OUTER:
+                    if cur:
+                        polys.append(cur)
+                    cur = [ring]
+                elif kind == W.PK_RING_HOLE and cur:
+                    cur.append(ring)
+            if cur:
+                polys.append(cur)
+        return _polys_geom(polys)
+    if da == db == 1:
+        pieces = []
+        for b_, k in ((Ab, i), (Bb, j)):
+            for kind, x, y in A._geom_paths(b_, k):
+                if kind == W.PK_LINE:
+                    pieces.append((x, y))
+        return _lines_geom(pieces)
+    if da == db == 0:
+        ax, ay = A._points(Ab, i); bx, by = A._points(Bb, j)
+        pts = np.unique(np.column_stack([np.concatenate([ax, bx]),
+                                         np.concatenate([ay, by])]), axis=0)
+        return _points_geom(pts[:, 0], pts[:, 1])
+    # mixed dimensions → collection of both
+    def parts_of(b_, k):
+        t = int(b_.types[k])
+        return (t, _reassemble(b_, k, t))
+    return W.serialize_geometry(W.GEOMETRYCOLLECTION,
+                                [parts_of(Ab, i), parts_of(Bb, j)])
+
+
+def _reassemble(batch: W.GeometryBatch, i: int, t: int):
+    """Parts argument for serialize_geometry reconstructing geometry i."""
+    if t == W.POINT:
+        x, y = A._points(batch, i)
+        return np.array([x[0], y[0]]) if len(x) else np.array([])
+    if t == W.MULTIPOINT:
+        x, y = A._points(batch, i)
+        return np.column_stack([x, y])
+    if t in (W.LINESTRING,):
+        for kind, x, y in A._geom_paths(batch, i):
+            return np.column_stack([x, y])
+    if t == W.MULTILINESTRING:
+        return [np.column_stack([x, y]) for _, x, y in A._geom_paths(batch, i)]
+    # polygon kinds
+    polys = []
+    cur: list = []
+    for kind, x, y in A._geom_paths(batch, i):
+        ring = _close_ring(x, y)
+        if kind == W.PK_RING_OUTER:
+            if cur:
+                polys.append(cur)
+            cur = [ring]
+        elif kind == W.PK_RING_HOLE and cur:
+            cur.append(ring)
+    if cur:
+        polys.append(cur)
+    if t == W.POLYGON:
+        return polys[0] if polys else []
+    return polys
+
+
+def difference_one(Ab: W.GeometryBatch, i: int, Bb: W.GeometryBatch, j: int) -> bytes:
+    ta, tb = int(Ab.types[i]), int(Bb.types[j])
+    if ta == 0:
+        return None
+    ra_raw = bytes(Ab.raw[i]) if Ab.raw else None
+    if tb == 0:
+        return ra_raw
+    da, db = _dim(ta), _dim(tb)
+    ba = A.bounds(_single(Ab, i))[0]; bb = A.bounds(_single(Bb, j))[0]
+    if (ba[2] < bb[0] or ba[0] > bb[2] or ba[3] < bb[1] or ba[1] > bb[3]):
+        return ra_raw  # disjoint
+    if da == 0:
+        px, py = A._points(Ab, i)
+        inx, iny = _points_in_b(Ab, i, Bb, j)
+        if len(inx) == 0:
+            return ra_raw
+        keep = ~(((px[:, None] == inx[None, :]) &
+                  (py[:, None] == iny[None, :])).any(axis=1))
+        return _points_geom(px[keep], py[keep])
+    if da == 1 and db == 2:
+        cx, cy = _convex_outer(Bb, j)
+        pieces = []
+        for kind, x, y in A._geom_paths(Ab, i):
+            if kind != W.PK_LINE or len(x) < 2:
+                continue
+            pieces += _line_minus_convex(x, y, cx, cy)
+        return _lines_geom(pieces)
+    if da == 2 and db == 2:
+        one_a = _single(Ab, i); one_b = _single(Bb, j)
+        if A.pairwise_contains(one_b, one_a)[0]:
+            return _EMPTY_GC
+        if not A.pairwise_intersects(one_a, one_b)[0]:
+            return ra_raw
+        # clip the overlap to a and insert it as a hole
+        cxa, cya = _convex_outer(Ab, i)
+        bx_, by_ = _convex_outer(Bb, j)
+        hx, hy = CL.sutherland_hodgman(bx_, by_, cxa, cya)
+        hole = _close_ring(hx, hy)
+        rings = _reassemble(Ab, i, W.POLYGON if ta == W.POLYGON else ta)
+        if ta == W.POLYGON:
+            if hole is not None and len(hole) >= 4:
+                rings = list(rings) + [hole]
+            return W.serialize_geometry(W.POLYGON, rings)
+        # multipolygon: attach hole to the part whose bbox contains it
+        out = []
+        for part in rings:
+            if (hole is not None and len(hole) >= 4 and
+                    part[0][:, 0].min() <= hole[:, 0].min() and
+                    part[0][:, 0].max() >= hole[:, 0].max()):
+                out.append(list(part) + [hole])
+            else:
+                out.append(part)
+        return _polys_geom(out)
+    # line − line / anything else: subtract nothing measurable
+    return ra_raw
+
+
+def _line_minus_convex(x, y, cx, cy):
+    """Pieces of polyline outside a convex ring (complement of the
+    Cyrus–Beck intervals)."""
+    pieces = []
+    cur_x: list = []; cur_y: list = []
+    for k in range(len(x) - 1):
+        res = CL.clip_segment_convex(x[k], y[k], x[k + 1], y[k + 1], cx, cy)
+        segs_out = []
+        if res is None:
+            segs_out.append((0.0, 1.0))
+        else:
+            t0, t1 = res
+            if t0 > 0:
+                segs_out.append((0.0, t0))
+            if t1 < 1:
+                segs_out.append((t1, 1.0))
+        dx = x[k + 1] - x[k]; dy = y[k + 1] - y[k]
+        for (t0, t1) in segs_out:
+            ax, ay = x[k] + t0 * dx, y[k] + t0 * dy
+            bx_, by_ = x[k] + t1 * dx, y[k] + t1 * dy
+            if cur_x and cur_x[-1] == ax and cur_y[-1] == ay:
+                cur_x.append(bx_); cur_y.append(by_)
+            else:
+                if cur_x:
+                    pieces.append((np.asarray(cur_x), np.asarray(cur_y)))
+                cur_x = [ax, bx_]; cur_y = [ay, by_]
+        if res is not None and res[1] >= 1.0 and not segs_out:
+            # fully inside: break the current run
+            if cur_x:
+                pieces.append((np.asarray(cur_x), np.asarray(cur_y)))
+                cur_x, cur_y = [], []
+    if cur_x:
+        pieces.append((np.asarray(cur_x), np.asarray(cur_y)))
+    return pieces
+
+
+def symmetric_difference_one(Ab, i, Bb, j) -> bytes:
+    d_ab = difference_one(Ab, i, Bb, j)
+    d_ba = difference_one(Bb, j, Ab, i)
+    if d_ab is None:
+        return d_ba
+    if d_ba is None:
+        return d_ab
+    A2 = W.parse_wkb([d_ab]); B2 = W.parse_wkb([d_ba])
+    if A2.types[0] == 0 or A2.is_empty()[0]:
+        return d_ba
+    if B2.types[0] == 0 or B2.is_empty()[0]:
+        return d_ab
+    return union_one(A2, 0, B2, 0)
+
+
+def _pairwise_geom(fn):
+    def run(Ab: W.GeometryBatch, Bb: W.GeometryBatch) -> list:
+        out: list = [None] * Ab.n
+        for i in range(Ab.n):
+            if Ab.types[i] == 0 and Bb.types[i] == 0:
+                continue
+            out[i] = fn(Ab, i, Bb, i)
+        return out
+    return run
+
+
+pairwise_intersection = _pairwise_geom(intersection_one)
+pairwise_union = _pairwise_geom(union_one)
+pairwise_difference = _pairwise_geom(difference_one)
+pairwise_symmetric_difference = _pairwise_geom(symmetric_difference_one)
