@@ -222,15 +222,135 @@ def _rep_point(batch: W.GeometryBatch, i: int):
 
 
 # ----------------------------------------------------------------------
+# axis-aligned-box vectorized fast path
+#
+# TPC-H-derived test geometries, tile grids, and bbox columns are all
+# axis-aligned rectangles; every predicate/set-op on a rect pair reduces
+# to interval arithmetic.  Detect rect rows once per batch and answer
+# them without touching the per-row Python path.
+# ----------------------------------------------------------------------
+
+def _axis_box_mask(batch: W.GeometryBatch) -> np.ndarray:
+    """Rows that are single-ring 5-coordinate axis-aligned rectangles."""
+    mask = (batch.types == W.POLYGON) & (batch.geom_coord_counts() == 5)
+    if not mask.any():
+        return mask
+    b = A.bounds(batch)
+    gi = batch.coord_geom_index()
+    bb = b[gi]
+    on_corner = (((batch.xs == bb[:, 0]) | (batch.xs == bb[:, 2])) &
+                 ((batch.ys == bb[:, 1]) | (batch.ys == bb[:, 3])))
+    # all coords of the geometry on bbox corners
+    ok = np.ones(batch.n, dtype=bool)
+    np.logical_and.at(ok, gi, on_corner)
+    # positive extent and full-perimeter ring (|area| == bbox area)
+    w = b[:, 2] - b[:, 0]; h = b[:, 3] - b[:, 1]
+    area = np.abs(A.area(batch))
+    with np.errstate(invalid="ignore"):
+        ok &= (w > 0) & (h > 0) & (area == w * h)
+    return mask & ok
+
+
+class _BoxPair:
+    """Interval arithmetic over row-aligned rect pairs (valid on rows
+    where ``mask`` is True)."""
+
+    def __init__(self, Ab, Bb):
+        self.mask = _axis_box_mask(Ab) & _axis_box_mask(Bb)
+        self.a = A.bounds(Ab); self.b = A.bounds(Bb)
+        with np.errstate(invalid="ignore"):
+            self.ox = (np.minimum(self.a[:, 2], self.b[:, 2]) -
+                       np.maximum(self.a[:, 0], self.b[:, 0]))
+            self.oy = (np.minimum(self.a[:, 3], self.b[:, 3]) -
+                       np.maximum(self.a[:, 1], self.b[:, 1]))
+            self.equal = (self.a == self.b).all(axis=1)
+            self.cov_ab = ((self.b[:, 0] >= self.a[:, 0]) & (self.b[:, 1] >= self.a[:, 1]) &
+                           (self.b[:, 2] <= self.a[:, 2]) & (self.b[:, 3] <= self.a[:, 3]))
+            self.cov_ba = ((self.a[:, 0] >= self.b[:, 0]) & (self.a[:, 1] >= self.b[:, 1]) &
+                           (self.a[:, 2] <= self.b[:, 2]) & (self.a[:, 3] <= self.b[:, 3]))
+            self.strict_ab = ((self.b[:, 0] > self.a[:, 0]) & (self.b[:, 1] > self.a[:, 1]) &
+                              (self.b[:, 2] < self.a[:, 2]) & (self.b[:, 3] < self.a[:, 3]))
+            self.strict_ba = ((self.a[:, 0] > self.b[:, 0]) & (self.a[:, 1] > self.b[:, 1]) &
+                              (self.a[:, 2] < self.b[:, 2]) & (self.a[:, 3] < self.b[:, 3]))
+
+    @property
+    def intersects(self):
+        return (self.ox >= 0) & (self.oy >= 0)
+
+    @property
+    def touches(self):
+        return self.intersects & ((self.ox == 0) | (self.oy == 0))
+
+    @property
+    def overlaps(self):
+        return ((self.ox > 0) & (self.oy > 0) &
+                ~self.cov_ab & ~self.cov_ba)
+
+    def relate(self):
+        """DE-9IM strings; rows needing the generic path get None."""
+        n = len(self.ox)
+        out = np.full(n, None, dtype=object)
+        m = self.mask
+        dis = m & ~self.intersects
+        out[dis] = "FF2FF1212"
+        corner = m & self.intersects & (self.ox == 0) & (self.oy == 0)
+        out[corner] = "FF2F01212"
+        edge = m & self.intersects & ((self.ox == 0) != (self.oy == 0))
+        out[edge] = "FF2F11212"
+        out[m & self.equal] = "2FFF1FFF2"
+        out[m & self.strict_ab & ~self.equal] = "212FF1FF2"
+        out[m & self.strict_ba & ~self.equal] = "2FF1FF212"
+        part = (m & (self.ox > 0) & (self.oy > 0) &
+                ~self.cov_ab & ~self.cov_ba)
+        shared = ((self.a[:, 0] == self.b[:, 0]) | (self.a[:, 2] == self.b[:, 2]) |
+                  (self.a[:, 1] == self.b[:, 1]) | (self.a[:, 3] == self.b[:, 3]))
+        out[part & shared] = "212111212"
+        out[part & ~shared] = "212101212"
+        # non-strict containment (touching from inside) → generic path
+        inexact = (m & (self.cov_ab | self.cov_ba) & ~self.equal &
+                   ~self.strict_ab & ~self.strict_ba)
+        out[inexact] = None
+        return out
+
+    def _rect(self, x0, y0, x1, y1) -> bytes:
+        ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+        return W.serialize_geometry(W.POLYGON, [ring])
+
+    def intersection(self, i: int) -> bytes:
+        if self.ox[i] <= 0 or self.oy[i] <= 0:
+            return _EMPTY_GC
+        x0 = max(self.a[i, 0], self.b[i, 0]); y0 = max(self.a[i, 1], self.b[i, 1])
+        return self._rect(x0, y0, x0 + self.ox[i], y0 + self.oy[i])
+
+    def difference(self, i: int, raw_a) -> bytes:
+        if self.cov_ba[i]:
+            return _EMPTY_GC
+        if self.ox[i] < 0 or self.oy[i] < 0 or self.ox[i] == 0 or self.oy[i] == 0:
+            return bytes(raw_a) if raw_a is not None else None
+        # overlap rect inserted as a hole (same construction as the
+        # generic convex-clip path)
+        x0 = max(self.a[i, 0], self.b[i, 0]); y0 = max(self.a[i, 1], self.b[i, 1])
+        outer = np.array([[self.a[i, 0], self.a[i, 1]], [self.a[i, 2], self.a[i, 1]],
+                          [self.a[i, 2], self.a[i, 3]], [self.a[i, 0], self.a[i, 3]],
+                          [self.a[i, 0], self.a[i, 1]]])
+        hole = np.array([[x0, y0], [x0 + self.ox[i], y0],
+                         [x0 + self.ox[i], y0 + self.oy[i]], [x0, y0 + self.oy[i]],
+                         [x0, y0]])
+        return W.serialize_geometry(W.POLYGON, [outer, hole])
+
+
+# ----------------------------------------------------------------------
 # predicates
 # ----------------------------------------------------------------------
 
-def _pair_loop(Ab, Bb, fn) -> np.ndarray:
+def _pair_loop(Ab, Bb, fn, skip=None) -> np.ndarray:
     out = np.zeros(Ab.n, dtype=bool)
     ba, bb = A.bounds(Ab), A.bounds(Bb)
     maybe = ~((ba[:, 2] < bb[:, 0]) | (ba[:, 0] > bb[:, 2]) |
               (ba[:, 3] < bb[:, 1]) | (ba[:, 1] > bb[:, 3]))
     maybe &= ~Ab.is_null() & ~Bb.is_null() & ~Ab.is_empty() & ~Bb.is_empty()
+    if skip is not None:
+        maybe &= ~skip
     for i in np.flatnonzero(maybe):
         out[i] = fn(i)
     return out
@@ -238,11 +358,16 @@ def _pair_loop(Ab, Bb, fn) -> np.ndarray:
 
 def pairwise_touches(Ab: W.GeometryBatch, Bb: W.GeometryBatch) -> np.ndarray:
     """touches(a,b): geometries intersect but their interiors do not."""
+    bp = _BoxPair(Ab, Bb)
+
     def one(i):
         if not A._geom_geom_intersects(Ab, i, Bb, i):
             return False
         return not _interiors_intersect(Ab, i, Bb, i)
-    return _pair_loop(Ab, Bb, one)
+
+    out = _pair_loop(Ab, Bb, one, skip=bp.mask)
+    out[bp.mask] = bp.touches[bp.mask]
+    return out
 
 
 def pairwise_crosses(Ab: W.GeometryBatch, Bb: W.GeometryBatch) -> np.ndarray:
@@ -286,6 +411,8 @@ def pairwise_crosses(Ab: W.GeometryBatch, Bb: W.GeometryBatch) -> np.ndarray:
 def pairwise_overlaps(Ab: W.GeometryBatch, Bb: W.GeometryBatch) -> np.ndarray:
     """overlaps(a,b): same dimension, interiors intersect, neither contains
     the other."""
+    bp = _BoxPair(Ab, Bb)
+
     def one(i):
         ta, tb = int(Ab.types[i]), int(Bb.types[i])
         if _dim(ta) != _dim(tb):
@@ -303,12 +430,20 @@ def pairwise_overlaps(Ab: W.GeometryBatch, Bb: W.GeometryBatch) -> np.ndarray:
                 return False
         elif not _interiors_intersect(Ab, i, Bb, i):
             return False
-        if pairwise_equals_exact(_single(Ab, i), _single(Bb, i), 0.0)[0]:
+        if eq[i]:
             return False
-        ca = A.pairwise_contains(_single(Ab, i), _single(Bb, i))[0]
-        cb = A.pairwise_contains(_single(Bb, i), _single(Ab, i))[0]
-        return not ca and not cb
-    return _pair_loop(Ab, Bb, one)
+        return not c_ab[i] and not c_ba[i]
+
+    eq = pairwise_equals_exact(Ab, Bb, 0.0)
+    nm = ~bp.mask
+    c_ab = np.zeros(Ab.n, dtype=bool)
+    c_ba = np.zeros(Ab.n, dtype=bool)
+    if nm.any():
+        c_ab = A.pairwise_contains(Ab, Bb)
+        c_ba = A.pairwise_contains(Bb, Ab)
+    out = _pair_loop(Ab, Bb, one, skip=bp.mask)
+    out[bp.mask] = bp.overlaps[bp.mask]
+    return out
 
 
 def _single(batch: W.GeometryBatch, i: int) -> W.GeometryBatch:
@@ -339,7 +474,8 @@ def pairwise_equals_exact(Ab: W.GeometryBatch, Bb: W.GeometryBatch,
 # DE-9IM relate
 # ----------------------------------------------------------------------
 
-def _relate_one(Ab: W.GeometryBatch, i: int, Bb: W.GeometryBatch, j: int) -> str:
+def _relate_one(Ab: W.GeometryBatch, i: int, Bb: W.GeometryBatch, j: int,
+                c_ab: bool | None = None, c_ba: bool | None = None) -> str:
     """Best-effort DE-9IM matrix for point/line/polygon combinations.
 
     Exact for the canonical cases (point-in-polygon '0FFFFF212',
@@ -352,8 +488,10 @@ def _relate_one(Ab: W.GeometryBatch, i: int, Bb: W.GeometryBatch, j: int) -> str
     ra = A._poly_rings(Ab, i); rb = A._poly_rings(Bb, j)
     inter = A._geom_geom_intersects(Ab, i, Bb, j)
     ii = _interiors_intersect(Ab, i, Bb, j) if inter else False
-    c_ab = bool(A.pairwise_contains(_single(Ab, i), _single(Bb, j))[0])
-    c_ba = bool(A.pairwise_contains(_single(Bb, j), _single(Ab, i))[0])
+    if c_ab is None:
+        c_ab = bool(A.pairwise_contains(_single(Ab, i), _single(Bb, j))[0])
+    if c_ba is None:
+        c_ba = bool(A.pairwise_contains(_single(Bb, j), _single(Ab, i))[0])
 
     def d(v):  # dimension char
         return str(v)
@@ -483,8 +621,18 @@ def pairwise_touches_pair(Ab, i, Bb, j) -> bool:
 def pairwise_relate(Ab: W.GeometryBatch, Bb: W.GeometryBatch) -> list:
     out: list = [None] * Ab.n
     nn = ~Ab.is_null() & ~Bb.is_null()
-    for i in np.flatnonzero(nn):
-        out[i] = _relate_one(Ab, i, Bb, i)
+    bp = _BoxPair(Ab, Bb)
+    fast = bp.relate()
+    rest = nn & np.array([f is None for f in fast])
+    if rest.any():
+        # batch-level contains (vectorized fast paths) instead of per-row
+        # _single() reparses inside _relate_one
+        c_ab = A.pairwise_contains(Ab, Bb)
+        c_ba = A.pairwise_contains(Bb, Ab)
+        for i in np.flatnonzero(rest):
+            out[i] = _relate_one(Ab, i, Bb, i, bool(c_ab[i]), bool(c_ba[i]))
+    for i in np.flatnonzero(nn & ~rest):
+        out[i] = fast[i]
     return out
 
 
@@ -558,6 +706,16 @@ def _close_ring(x, y):
     return np.column_stack([x, y])
 
 
+def _geom_bounds(batch: W.GeometryBatch, i: int) -> np.ndarray:
+    """Bounds of one geometry from the batch's coordinate slices (no
+    reparse)."""
+    s, e = batch.geom_coord_starts[i], batch.geom_coord_starts[i + 1]
+    if e <= s:
+        return np.array([np.nan] * 4)
+    xs = batch.xs[s:e]; ys = batch.ys[s:e]
+    return np.array([np.nanmin(xs), np.nanmin(ys), np.nanmax(xs), np.nanmax(ys)])
+
+
 def intersection_one(Ab: W.GeometryBatch, i: int, Bb: W.GeometryBatch, j: int) -> bytes:
     ta, tb = int(Ab.types[i]), int(Bb.types[j])
     if ta == 0 or tb == 0:
@@ -565,7 +723,7 @@ def intersection_one(Ab: W.GeometryBatch, i: int, Bb: W.GeometryBatch, j: int) -
     da, db = _dim(ta), _dim(tb)
     if da > db:
         return intersection_one(Bb, j, Ab, i)
-    ba = A.bounds(_single(Ab, i))[0]; bb = A.bounds(_single(Bb, j))[0]
+    ba = _geom_bounds(Ab, i); bb = _geom_bounds(Bb, j)
     if (ba[2] < bb[0] or ba[0] > bb[2] or ba[3] < bb[1] or ba[1] > bb[3]):
         return _EMPTY_GC
     if da == 0:
@@ -705,7 +863,7 @@ def difference_one(Ab: W.GeometryBatch, i: int, Bb: W.GeometryBatch, j: int) -> 
     if tb == 0:
         return ra_raw
     da, db = _dim(ta), _dim(tb)
-    ba = A.bounds(_single(Ab, i))[0]; bb = A.bounds(_single(Bb, j))[0]
+    ba = _geom_bounds(Ab, i); bb = _geom_bounds(Bb, j)
     if (ba[2] < bb[0] or ba[0] > bb[2] or ba[3] < bb[1] or ba[1] > bb[3]):
         return ra_raw  # disjoint
     if da == 0:
@@ -805,18 +963,26 @@ def symmetric_difference_one(Ab, i, Bb, j) -> bytes:
     return union_one(A2, 0, B2, 0)
 
 
-def _pairwise_geom(fn):
+def _pairwise_geom(fn, box_fast=None):
     def run(Ab: W.GeometryBatch, Bb: W.GeometryBatch) -> list:
         out: list = [None] * Ab.n
+        bp = _BoxPair(Ab, Bb) if box_fast else None
         for i in range(Ab.n):
             if Ab.types[i] == 0 and Bb.types[i] == 0:
                 continue
-            out[i] = fn(Ab, i, Bb, i)
+            if bp is not None and bp.mask[i]:
+                out[i] = box_fast(bp, Ab, i, Bb, i)
+            else:
+                out[i] = fn(Ab, i, Bb, i)
         return out
     return run
 
 
-pairwise_intersection = _pairwise_geom(intersection_one)
+pairwise_intersection = _pairwise_geom(
+    intersection_one, box_fast=lambda bp, Ab, i, Bb, j: bp.intersection(i))
 pairwise_union = _pairwise_geom(union_one)
-pairwise_difference = _pairwise_geom(difference_one)
+pairwise_difference = _pairwise_geom(
+    difference_one,
+    box_fast=lambda bp, Ab, i, Bb, j: bp.difference(
+        i, Ab.raw[i] if Ab.raw else None))
 pairwise_symmetric_difference = _pairwise_geom(symmetric_difference_one)
