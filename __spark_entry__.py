@@ -281,6 +281,141 @@ def q_equals_exact(spark, sf_dir):
     )
 
 
+def q_union_all_bounds(spark, sf_dir):
+    """union_all tree-reduction aggregate (reference expr.py:33-41,
+    287-299): full-column geometric union of all customer points, reported
+    as envelope bounds + member count (points dedup exactly: union is a
+    set)."""
+    from dask_geopandas_spark.geometry import algorithms as GA
+    from dask_geopandas_spark.geometry import wkb as GW
+
+    g = _cust_points(spark, sf_dir)
+    blob = g.union_all()
+    batch = GW.parse_wkb([blob])
+    b = GA.bounds(batch)[0]
+    n = int(batch.geom_coord_counts()[0])
+    return spark.createDataFrame(
+        [(float(b[0]), float(b[1]), float(b[2]), float(b[3]), n)],
+        "minx double, miny double, maxx double, maxy double, n_points int",
+    )
+
+
+def q_explode_parts(spark, sf_dir):
+    """explode: multi-part → one row per part (reference expr.py:387-389,
+    566-572).  Each customer gets a 2-point MULTIPOINT; exploding doubles
+    the rows."""
+    from dask_geopandas_spark.functions import core as FX
+
+    c = lambda e: f"CAST({e} AS STRING)"
+    wkt = (f"CONCAT('MULTIPOINT ((', {c(CUST_X)}, ' ', {c(CUST_Y)}, '), (', "
+           f"{c(f'({CUST_X} + 5)')}, ' ', {c(f'({CUST_Y} + 3)')}, '))')")
+    df = (_t(spark, sf_dir, "customer")
+          .withColumn("geometry", FX.st_geomfromtext(F.expr(wkt))))
+    g = dgs.GeoDataFrame(df, "geometry").explode()
+    return g.df.select(
+        F.col("c_custkey").alias("custkey"),
+        F.round(g.x, 6).alias("px"),
+        F.round(g.y, 6).alias("py"),
+    )
+
+
+def q_to_mercator(spark, sf_dir):
+    """to_crs reprojection EPSG:4326 → EPSG:3857 (reference expr.py:255-257;
+    spherical-mercator formulas are shared with the oracle)."""
+    g = _cust_points(spark, sf_dir).to_crs("EPSG:3857")
+    return (
+        g.df.withColumn("mx", g.x).withColumn("my", g.y)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.round(F.avg("mx"), 3).alias("avg_mx"),
+             F.round(F.avg("my"), 3).alias("avg_my"))
+    )
+
+
+def q_convex_hull_area(spark, sf_dir):
+    """convex_hull of a 3-point MULTIPOINT per row → right triangle with
+    legs w,h → area w·h/2 (reference expr.py:963-972)."""
+    from dask_geopandas_spark.functions import core as FX
+
+    x0, y0, w, h = OB["minx"], OB["miny"], OB["w"], OB["h"]
+    c = lambda e: f"CAST({e} AS STRING)"
+    wkt = (f"CONCAT('MULTIPOINT ((', {c(x0)}, ' ', {c(y0)}, '), (', "
+           f"{c(f'({x0} + {w})')}, ' ', {c(y0)}, '), (', "
+           f"{c(x0)}, ' ', {c(f'({y0} + {h})')}, '))')")
+    df = (_t(spark, sf_dir, "orders")
+          .withColumn("geometry", FX.st_geomfromtext(F.expr(wkt))))
+    g = dgs.GeoDataFrame(df, "geometry").convex_hull()
+    return g.df.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(g.area, 6).alias("hull_area"),
+        g.geom_type.alias("gtype"),
+    )
+
+
+def q_line_interpolate(spark, sf_dir):
+    """interpolate(0.5, normalized) = midpoint of a segment + length +
+    geom_type (reference expr.py:330-337)."""
+    from dask_geopandas_spark.functions import core as FX
+
+    x0, y0, w, h = OB["minx"], OB["miny"], OB["w"], OB["h"]
+    df = (_t(spark, sf_dir, "orders")
+          .withColumn("geometry", FX.st_geomfromtext(
+              F.expr(_seg_wkt(x0, y0, f"({x0} + {w})", f"({y0} + {h})")))))
+    g = dgs.GeoDataFrame(df, "geometry")
+    staged = dgs.GeoDataFrame(
+        g.df.withColumn("seg_len", g.length), "geometry")
+    mid = staged.interpolate(0.5, normalized=True)
+    return mid.df.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.col("seg_len"), 6).alias("seg_len"),
+        F.round(mid.x, 6).alias("mid_x"),
+        F.round(mid.y, 6).alias("mid_y"),
+    )
+
+
+def q_rotate_scale(spark, sf_dir):
+    """Affine chain: rotate 90° about origin then scale(2, 0.5) →
+    (x,y) ↦ (−2y, x/2) (reference expr.py:345-385)."""
+    g = _cust_points(spark, sf_dir).rotate(90.0).scale(2.0, 0.5)
+    return (
+        g.df.withColumn("tx", g.x).withColumn("ty", g.y)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.round(F.avg("tx"), 6).alias("avg_x"),
+             F.round(F.avg("ty"), 6).alias("avg_y"))
+    )
+
+
+def q_simplify_lines(spark, sf_dir):
+    """Douglas–Peucker simplify (reference expr.py:324-328): 3-point line
+    with mid-point deviation d = (o_orderkey % 3)·0.5 and tolerance 0.6 —
+    the midpoint survives only at d = 1.0."""
+    from dask_geopandas_spark.functions import core as FX
+
+    x0, y0, w = OB["minx"], OB["miny"], OB["w"]
+    dev = "((o_orderkey % 3) * 0.5)"
+    c = lambda e: f"CAST({e} AS STRING)"
+    wkt = (f"CONCAT('LINESTRING (', {c(x0)}, ' ', {c(y0)}, ', ', "
+           f"{c(f'({x0} + {w})')}, ' ', {c(f'({y0} + {dev})')}, ', ', "
+           f"{c(f'({x0} + 2 * {w})')}, ' ', {c(y0)}, ')')")
+    df = (_t(spark, sf_dir, "orders")
+          .withColumn("geometry", FX.st_geomfromtext(F.expr(wkt))))
+    g = dgs.GeoDataFrame(df, "geometry").simplify(0.6)
+    return g.df.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(g.length, 6).alias("simp_len"),
+    )
+
+
+def q_morton_buckets(spark, sf_dir):
+    """Morton (Z-order) curve bucketing (reference expr.py:450-500; no SQL
+    oracle — bit interleave not portable; golden-pinned in tests)."""
+    g = _cust_points(spark, sf_dir)
+    m = g.morton_distance(total_bounds=(-180.0, -90.0, 180.0, 90.0), level=12)
+    return (
+        g.df.withColumn("bucket", (m / (4 ** 6)).cast("long"))
+        .groupBy("bucket").agg(F.count("*").alias("n"))
+    )
+
+
 def q_hilbert_buckets(spark, sf_dir):
     """Hilbert curve bucketing (no SQL oracle — curve math not expressible
     in portable SQL; golden-value pinned in tests instead)."""
@@ -460,6 +595,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "box_setops_area": q_box_setops_area,
         "line_cross": q_line_cross,
         "equals_exact": q_equals_exact,
+        "union_all_bounds": q_union_all_bounds,
+        "explode_parts": q_explode_parts,
+        "to_mercator": q_to_mercator,
+        "convex_hull_area": q_convex_hull_area,
+        "line_interpolate": q_line_interpolate,
+        "rotate_scale": q_rotate_scale,
+        "simplify_lines": q_simplify_lines,
+        "morton_buckets": q_morton_buckets,
         "hilbert_buckets": q_hilbert_buckets,
         "geohash_cells": q_geohash_cells,
         "token_stats": q_token_stats,
@@ -713,6 +856,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey AS orderkey,
                    (o_orderkey % 6) IN (1, 2, 3) AS crosses,
                    (o_orderkey % 6) IN (0, 4) AS touches
+            FROM orders
+        """,
+        "union_all_bounds": f"""
+            SELECT min({CUST_X}) AS minx, min({CUST_Y}) AS miny,
+                   max({CUST_X}) AS maxx, max({CUST_Y}) AS maxy,
+                   CAST(count(DISTINCT ({CUST_X}, {CUST_Y}))
+                        AS INTEGER) AS n_points
+            FROM customer
+        """,
+        "explode_parts": f"""
+            SELECT c_custkey AS custkey,
+                   round({CUST_X}, 6) AS px, round({CUST_Y}, 6) AS py
+            FROM customer
+            UNION ALL
+            SELECT c_custkey AS custkey,
+                   round({CUST_X} + 5, 6) AS px, round({CUST_Y} + 3, 6) AS py
+            FROM customer
+        """,
+        "to_mercator": f"""
+            SELECT c_mktsegment AS segment,
+                   round(avg(radians({CUST_X}) * 6378137.0), 3) AS avg_mx,
+                   round(avg(ln(tan(pi() / 4.0 + radians({CUST_Y}) / 2.0))
+                             * 6378137.0), 3) AS avg_my
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "convex_hull_area": f"""
+            SELECT o_orderkey AS orderkey,
+                   round({OB['w']} * {OB['h']} / 2.0, 6) AS hull_area,
+                   'Polygon' AS gtype
+            FROM orders
+        """,
+        "line_interpolate": f"""
+            SELECT o_orderkey AS orderkey,
+                   round(sqrt(power({OB['w']}, 2) + power({OB['h']}, 2)), 6)
+                       AS seg_len,
+                   round({OB['minx']} + {OB['w']} / 2.0, 6) AS mid_x,
+                   round({OB['miny']} + {OB['h']} / 2.0, 6) AS mid_y
+            FROM orders
+        """,
+        "rotate_scale": f"""
+            SELECT c_mktsegment AS segment,
+                   round(avg(-2.0 * ({CUST_Y})), 6) AS avg_x,
+                   round(avg(0.5 * ({CUST_X})), 6) AS avg_y
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "simplify_lines": f"""
+            SELECT o_orderkey AS orderkey,
+                   round(CASE WHEN (o_orderkey % 3) = 2
+                         THEN 2 * sqrt(power({OB['w']}, 2) + 1.0)
+                         ELSE 2.0 * {OB['w']} END, 6) AS simp_len
             FROM orders
         """,
         "equals_exact": """
