@@ -43,8 +43,22 @@ SB = {"minx": "(s_suppkey * 17 % 320 - 160)", "w": "(s_suppkey % 9 + 4)",
       "miny": "(s_suppkey * 11 % 150 - 75)", "h": "(s_suppkey % 6 + 3)"}
 
 
+_REBALANCE = {"lineitem", "orders", "customer", "documents", "embeddings"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # The driver's big files are single-row-group parquet, which Spark
+    # cannot split — every downstream UDF stage would run on one task.
+    # Rebalance the narrow base rows up-front (cheap: a few MB shuffle) so
+    # geometry pipelines use the full core count.  Small tables skip it
+    # (per-partition overhead beats the gain); a real multi-file or
+    # multi-row-group dataset splits natively and also skips it.
+    if name in _REBALANCE:
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < min(par, 16):
+            df = df.repartition(min(par, 32))
+    return df
 
 
 def _box_wkt(b: dict) -> str:

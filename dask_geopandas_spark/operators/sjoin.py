@@ -21,11 +21,8 @@ intersects / contains / contains_properly / within / covers / covered_by.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
 
 from ..functions import core as FX
 
@@ -59,31 +56,30 @@ def _suffix_collisions(ldf: DataFrame, rdf: DataFrame,
     return ldf, rdf
 
 
-def _grid_cells_udf(total_bounds, level: int):
-    """Emit the cell ids a bbox covers on a 2^level × 2^level grid."""
+def _cell_expr(coord: Column, t0: float, w: float, n: int) -> Column:
+    """Native grid-cell index of one coordinate: floor((c-t0)/w*n) clipped
+    to [0, n-1].  Pure JVM arithmetic — stays inside whole-stage codegen."""
+    raw = F.floor((coord - F.lit(t0)) / F.lit(w) * F.lit(n)).cast("long")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n - 1))
+
+
+def _with_cells(df: DataFrame, bbox: str, total_bounds, level: int) -> DataFrame:
+    """Explode each row into the grid cells its bbox covers — natively:
+    sequence() + two explodes (x range × y range), no Python."""
     tminx, tminy, tmaxx, tmaxy = total_bounds
     n = 1 << level
     wx = (tmaxx - tminx) or 1.0
     wy = (tmaxy - tminy) or 1.0
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf(ArrayType(LongType()))
-    def _cells(minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series) -> pd.Series:
-        x0 = np.clip(((minx.to_numpy() - tminx) / wx * n).astype(np.int64), 0, n - 1)
-        x1 = np.clip(((maxx.to_numpy() - tminx) / wx * n).astype(np.int64), 0, n - 1)
-        y0 = np.clip(((miny.to_numpy() - tminy) / wy * n).astype(np.int64), 0, n - 1)
-        y1 = np.clip(((maxy.to_numpy() - tminy) / wy * n).astype(np.int64), 0, n - 1)
-        out = []
-        for a, b, c, d in zip(x0, x1, y0, y1):
-            if a < 0:
-                out.append(None)
-                continue
-            xs = np.arange(a, b + 1)
-            ys = np.arange(c, d + 1)
-            out.append((xs[:, None] * n + ys[None, :]).ravel().tolist())
-        return pd.Series(out, dtype=object)
-
-    return _cells
+    return (
+        df.withColumn("_cellx", F.explode(F.sequence(
+            _cell_expr(F.col(f"{bbox}.minx"), tminx, wx, n),
+            _cell_expr(F.col(f"{bbox}.maxx"), tminx, wx, n))))
+        .withColumn("_celly", F.explode(F.sequence(
+            _cell_expr(F.col(f"{bbox}.miny"), tminy, wy, n),
+            _cell_expr(F.col(f"{bbox}.maxy"), tminy, wy, n))))
+        .withColumn("_cell", F.col("_cellx") * n + F.col("_celly"))
+        .drop("_cellx", "_celly")
+    )
 
 
 def sjoin(left, right, how: str = "inner", predicate: str = "intersects",
@@ -130,22 +126,26 @@ def sjoin(left, right, how: str = "inner", predicate: str = "intersects",
             min(tb_l[0], tb_r[0]), min(tb_l[1], tb_r[1]),
             max(tb_l[2], tb_r[2]), max(tb_l[3], tb_r[3]),
         )
-        cells = _grid_cells_udf(tb, grid_level)
-        lc = ldf.withColumn("_lrow", F.monotonically_increasing_id()).withColumn(
-            "_cell",
-            F.explode(cells(F.col(f"{lbbox_j}.minx"), F.col(f"{lbbox_j}.miny"),
-                            F.col(f"{lbbox_j}.maxx"), F.col(f"{lbbox_j}.maxy"))),
-        )
-        rc = rdf.withColumn("_rrow", F.monotonically_increasing_id()).withColumn(
-            "_cell",
-            F.explode(cells(F.col(f"{rbbox_j}.minx"), F.col(f"{rbbox_j}.miny"),
-                            F.col(f"{rbbox_j}.maxx"), F.col(f"{rbbox_j}.maxy"))),
+        lc = _with_cells(ldf, lbbox_j, tb, grid_level)
+        rc = _with_cells(rdf, rbbox_j, tb, grid_level)
+        # Reference-point dedup (PBSM): a candidate pair appears once per
+        # shared cell; keep it only in the cell containing the top-left
+        # corner of the bbox intersection — a native filter, replacing a
+        # dropDuplicates shuffle over the full candidate set.
+        n = 1 << grid_level
+        wx = (tb[2] - tb[0]) or 1.0
+        wy = (tb[3] - tb[1]) or 1.0
+        ref_cell = (
+            _cell_expr(F.greatest(F.col(f"{lbbox_j}.minx"),
+                                  F.col(f"{rbbox_j}.minx")), tb[0], wx, n) * n
+            + _cell_expr(F.greatest(F.col(f"{lbbox_j}.miny"),
+                                    F.col(f"{rbbox_j}.miny")), tb[1], wy, n)
         )
         joined = (
             lc.join(rc, on="_cell", how="inner")
             .filter(_bbox_overlap(lbbox_j, rbbox_j))
-            .dropDuplicates(["_lrow", "_rrow"])
-            .drop("_cell", "_lrow", "_rrow")
+            .filter(F.col("_cell") == ref_cell)
+            .drop("_cell")
         )
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
