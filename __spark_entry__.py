@@ -295,6 +295,109 @@ def q_equals_exact(spark, sf_dir):
     )
 
 
+def q_geoparquet_roundtrip(spark, sf_dir):
+    """GeoParquet write → read round-trip (reference io/parquet.py):
+    customer points written Hilbert-sorted with bbox sibling + `geo`
+    metadata, re-read, then count + total_bounds — values must survive
+    the storage layer bit-exactly."""
+    import shutil
+
+    from dask_geopandas_spark.sources.geoparquet import read_parquet, to_parquet
+
+    path = "/root/repo/.bench_tmp/geopq_roundtrip"
+    shutil.rmtree(path, ignore_errors=True)
+    g = _cust_points(spark, sf_dir).with_bbox()
+    to_parquet(g, path)
+    back = read_parquet(spark, path)
+    b = back.bbox_column
+    return back.df.agg(
+        F.count("*").alias("n"),
+        F.min(F.col(f"{b}.minx")).alias("minx"),
+        F.min(F.col(f"{b}.miny")).alias("miny"),
+        F.max(F.col(f"{b}.maxx")).alias("maxx"),
+        F.max(F.col(f"{b}.maxy")).alias("maxy"),
+    )
+
+
+def q_stream_hourly(spark, sf_dir):
+    """Structured Streaming variant of events_hourly: readStream over the
+    events parquet → watermarked tumbling window → memory sink
+    (trigger=availableNow), returning the finished batch result.  Same
+    oracle as the batch path — streaming and batch must agree."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the file-stream source monitors a DIRECTORY; narrow it to the events
+    # file with a glob filter
+    stream = (spark.readStream.schema(static.schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    qname = "stream_hourly_sink"
+    q = (agg.writeStream.format("memory").queryName(qname)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(qname)
+
+
+def q_spatial_shuffle(spark, sf_dir):
+    """spatial_shuffle (reference expr.py:738-820): Hilbert
+    repartitionByRange + sortWithinPartitions.  Emits per-partition
+    (rows, min_key, max_key); the driver's rows-only check pins row
+    preservation, tests pin the range-disjointness invariant."""
+    from pyspark.sql.functions import spark_partition_id
+
+    g = _cust_points(spark, sf_dir)
+    tb = (-180.0, -90.0, 180.0, 90.0)
+    shuffled = g.spatial_shuffle(by="hilbert", level=12, npartitions=8,
+                                 total_bounds=tb)
+    h = shuffled.hilbert_distance(total_bounds=tb, level=12)
+    return (
+        shuffled.df.withColumn("_h", h)
+        .withColumn("_pid", spark_partition_id())
+        .groupBy("_pid")
+        .agg(F.count("*").alias("n_rows"),
+             F.min("_h").alias("min_key"), F.max("_h").alias("max_key"))
+    )
+
+
+def q_interiors(spark, sf_dir):
+    """interiors accessor (reference expr.py: 'interiors' property):
+    difference inserts a hole when b sits strictly inside a
+    (even orderkeys), none when disjoint (odd)."""
+    from dask_geopandas_spark.functions import core as FX
+
+    inner = {"minx": f"({OB['minx']} + 0.25 * {OB['w']} + "
+                     f"(o_orderkey % 2) * 100)",
+             "w": f"(0.5 * {OB['w']})",
+             "miny": f"({OB['miny']} + 0.25 * {OB['h']})",
+             "h": f"(0.5 * {OB['h']})"}
+    d = (
+        _t(spark, sf_dir, "orders")
+        .withColumn("ga", FX.st_geomfromtext(F.expr(_box_wkt(OB))))
+        .withColumn("gb", FX.st_geomfromtext(F.expr(_box_wkt(inner))))
+    )
+    diffed = d.withColumn("gd", FX.st_difference(F.col("ga"), F.col("gb")))
+    return diffed.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.size(FX.st_interiors(F.col("gd"))).alias("n_holes"),
+    )
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF approximate nearest neighbor — the 100 TB scale path (cell
+    equi-join probing nprobe cells instead of a full corpus scan).  No
+    SQL oracle: k-means training is iterative; tests pin recall vs
+    brute force instead."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = SIM.train_centroids(e, n_cells=8, iters=2)
+    queries = e.filter(F.col("vec_id") < 20)
+    out = SIM.ivf_topk(e, queries, cents, k=5, nprobe=3)
+    return out.select("query_id", "neighbor_id", "cos", "rank")
+
+
 def q_union_all_bounds(spark, sf_dir):
     """union_all tree-reduction aggregate (reference expr.py:33-41,
     287-299): full-column geometric union of all customer points, reported
@@ -609,6 +712,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "box_setops_area": q_box_setops_area,
         "line_cross": q_line_cross,
         "equals_exact": q_equals_exact,
+        "geoparquet_roundtrip": q_geoparquet_roundtrip,
+        "stream_hourly": q_stream_hourly,
+        "spatial_shuffle": q_spatial_shuffle,
+        "interiors": q_interiors,
+        "ann_ivf": q_ann_ivf,
         "union_all_bounds": q_union_all_bounds,
         "explode_parts": q_explode_parts,
         "to_mercator": q_to_mercator,
@@ -870,6 +978,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey AS orderkey,
                    (o_orderkey % 6) IN (1, 2, 3) AS crosses,
                    (o_orderkey % 6) IN (0, 4) AS touches
+            FROM orders
+        """,
+        "geoparquet_roundtrip": f"""
+            SELECT count(*) AS n,
+                   min({CUST_X}) AS minx, min({CUST_Y}) AS miny,
+                   max({CUST_X}) AS maxx, max({CUST_Y}) AS maxy
+            FROM customer
+        """,
+        "stream_hourly": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "interiors": """
+            SELECT o_orderkey AS orderkey,
+                   CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END
+                        AS INTEGER) AS n_holes
             FROM orders
         """,
         "union_all_bounds": f"""

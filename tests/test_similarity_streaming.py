@@ -1,0 +1,71 @@
+"""IVF ANN recall vs brute force, and streaming/batch agreement for the
+windowed event rollup (beyond-reference ops, SURVEY §2.9 note)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_geopandas_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_ivf_recall_vs_brute_force(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.brute_force_topk(embeddings, queries, k=5).collect()
+    }
+    cents = SIM.train_centroids(embeddings, n_cells=8, iters=2)
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.ivf_topk(embeddings, queries, cents, k=5, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # nprobe=4 of 8 cells must recover well over half of the true top-5
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ivf_scores_match_brute_force_when_found(spark, embeddings):
+    """Scores for neighbors the IVF path does return must equal the exact
+    cosine (the approximation drops candidates, never rescores them)."""
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    cents = SIM.train_centroids(embeddings, n_cells=8, iters=1)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in SIM.brute_force_topk(embeddings, queries, k=50).collect()
+    }
+    for r in SIM.ivf_topk(embeddings, queries, cents, k=5, nprobe=4).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert r["cos"] == pytest.approx(exact[key], abs=1e-9)
+
+
+def test_stream_batch_agreement(spark, sf_dir):
+    """The watermarked streaming rollup must produce exactly the batch
+    windowed aggregation (beyond-reference Structured Streaming path)."""
+    from dask_geopandas_spark.streaming.geo import windowed_event_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fix = lambda df: df.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    ) if dict(df.dtypes).get("ts") == "bigint" else df
+
+    batch = windowed_event_counts(fix(static), window="1 hour")
+
+    stream = (spark.readStream.schema(static.schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    agg = windowed_event_counts(fix(stream), window="1 hour")
+    q = (agg.writeStream.format("memory").queryName("t_stream_sink")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("t_stream_sink")
+
+    key = lambda r: (r["window_start"], r["event_type"])
+    b = {key(r): (r["n_events"], r["sum_value"]) for r in batch.collect()}
+    s = {key(r): (r["n_events"], r["sum_value"]) for r in got.collect()}
+    assert b == s and len(b) > 0
