@@ -10,7 +10,9 @@ partial aggregation).
 
 from .core import (
     GeoDataFrame,
+    concat,
     from_dask_dataframe,
+    from_geopandas,
     from_wkb,
     from_wkt,
     points_from_xy,
@@ -28,6 +30,8 @@ __all__ = [
     "from_wkt",
     "from_wkb",
     "from_dask_dataframe",
+    "from_geopandas",
+    "concat",
     "functions",
     "register_sql_functions",
     "sjoin",

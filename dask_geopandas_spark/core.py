@@ -482,6 +482,40 @@ class GeoDataFrame:
         return clip(self, mask, keep_geom_type=keep_geom_type)
 
     # ------------------------------------------------------------------
+    # extension points (reference §2.10: map_partitions / .apply are the
+    # universal user hooks, expr.py:103-105, tests/test_core.py:666-691)
+    # ------------------------------------------------------------------
+    def map_partitions(self, func, schema=None):
+        """Run ``func(pandas.DataFrame) -> pandas.DataFrame`` over every
+        Arrow batch (the Spark analog of per-partition delegation).
+        Returns a GeoDataFrame when the active geometry column survives
+        in ``schema``, else a plain DataFrame (type degradation,
+        reference expr.py:622-631)."""
+        schema = schema or self._df.schema
+
+        def gen(batches):
+            for pdf in batches:
+                yield func(pdf)
+
+        out = self._df.mapInPandas(gen, schema=schema)
+        if self._geometry in out.columns:
+            return self._wrap(out)
+        return out
+
+    def apply_geometry(self, func, return_type=None):
+        """Elementwise ``func`` over the active geometry column via a
+        vectorized pandas UDF (reference ``.apply``); returns a Column."""
+        from pyspark.sql.functions import pandas_udf
+
+        rt = return_type or BinaryType()
+
+        @pandas_udf(rt)
+        def _apply(g: pd.Series) -> pd.Series:
+            return g.map(lambda b: func(b) if b is not None else None)
+
+        return _apply(self._geom())
+
+    # ------------------------------------------------------------------
     # I/O
     # ------------------------------------------------------------------
     def to_parquet(self, path: str, **kw) -> None:
@@ -521,6 +555,44 @@ def from_wkb(df: DataFrame, wkb_col: str, geometry: str = "geometry",
 def from_dask_dataframe(df: DataFrame, geometry: str = "geometry") -> GeoDataFrame:
     """Promote a plain DataFrame with a WKB column (reference expr.py:855-877)."""
     return GeoDataFrame(df, geometry)
+
+
+def from_geopandas(spark, gdf, geometry: str | None = None,
+                   npartitions: int | None = None) -> GeoDataFrame:
+    """Partition an in-memory geopandas GeoDataFrame (reference
+    expr.py:852 — alias of ``dd.from_pandas``).  Gated: geopandas is not
+    installed in this environment; when available, geometries cross the
+    boundary as WKB — the reference's own wire format (backends.py:71-78)."""
+    try:
+        import geopandas  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "from_geopandas requires the optional geopandas package"
+        ) from e
+    geometry = geometry or gdf.geometry.name
+    pdf = gdf.copy()
+    crs = None
+    if getattr(pdf[geometry], "crs", None) is not None:
+        crs = str(pdf[geometry].crs)
+    pdf[geometry] = pdf[geometry].to_wkb()
+    sdf = spark.createDataFrame(pdf)
+    if npartitions:
+        sdf = sdf.repartition(npartitions)
+    return GeoDataFrame(sdf, geometry, crs=crs)
+
+
+def concat(frames: list) -> GeoDataFrame:
+    """Row-wise concatenation (reference: ``dd.concat`` over
+    GeoDataFrames, tests/test_core.py:995-1008) — native unionByName;
+    empty frames are fine (zero-row unions are no-ops)."""
+    if not frames:
+        raise ValueError("concat needs at least one frame")
+    first = frames[0]
+    out = first.df
+    for g in frames[1:]:
+        out = out.unionByName(g.df, allowMissingColumns=True)
+    return GeoDataFrame(out, first.geometry_column,
+                        crs_map=dict(getattr(first, "_crs", {})))
 
 
 # ----------------------------------------------------------------------

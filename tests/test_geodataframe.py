@@ -198,3 +198,42 @@ class TestGeoParquet:
         w = 3.0 + (pdf.pid % 3)
         for pid, aa in a1.items():
             assert aa == pytest.approx(float(w[pid] * w[pid]))
+
+
+def test_concat(spark):
+    import dask_geopandas_spark as dgs
+    from pyspark.sql import functions as F
+
+    a = dgs.points_from_xy(
+        spark.createDataFrame([(1.0, 2.0)], "x double, y double"), "x", "y")
+    b = dgs.points_from_xy(
+        spark.createDataFrame([(3.0, 4.0)], "x double, y double"), "x", "y")
+    empty = dgs.GeoDataFrame(a.df.filter(F.lit(False)), "geometry")
+    out = dgs.concat([a, b, empty])
+    assert out.count() == 2
+    assert out.geometry_column == "geometry"
+
+
+def test_map_partitions_and_apply(spark):
+    import dask_geopandas_spark as dgs
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType
+
+    g = dgs.points_from_xy(
+        spark.createDataFrame([(1.0, 2.0), (3.0, 4.0)], "x double, y double"),
+        "x", "y")
+    # map_partitions keeping geometry -> GeoDataFrame
+    out = g.map_partitions(lambda pdf: pdf.assign(x=pdf.x + 1))
+    assert isinstance(out, dgs.GeoDataFrame)
+    assert sorted(r.x for r in out.df.collect()) == [2.0, 4.0]
+    # elementwise apply: WKB byte length
+    n = g.df.select(g.apply_geometry(len, IntegerType()).alias("n")).collect()
+    assert all(r.n == 21 for r in n)
+
+
+def test_from_geopandas_gated(spark):
+    import pytest
+    import dask_geopandas_spark as dgs
+
+    with pytest.raises(ImportError, match="geopandas"):
+        dgs.from_geopandas(spark, None)
