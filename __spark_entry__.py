@@ -637,6 +637,25 @@ def q_events_hourly(spark, sf_dir):
     return windowed_event_counts(ev, window="1 hour")
 
 
+def q_session_windows(spark, sf_dir):
+    """Sessionization via native session_window (gap 30 min): events of a
+    type closer than the gap merge into one session.  Batch/streaming
+    share the operator; oracle = lag + gap-flag + running sum."""
+    from dask_geopandas_spark.streaming.geo import sessionized_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    out = sessionized_counts(ev, gap="30 minutes")
+    return out.select(
+        F.date_trunc("minute", F.col("session_start")).alias("session_start"),
+        "event_type", "n_events",
+    )
+
+
 def q_image_meta(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id")
     media = MM_fake_media(d)
@@ -738,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "events_hourly": q_events_hourly,
+        "session_windows": q_session_windows,
         "image_meta": q_image_meta,
         "frame_counts": q_frame_counts,
     }
@@ -1083,6 +1103,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events, round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "session_windows": """
+            WITH flagged AS (
+                SELECT event_type, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+            ),
+            sessions AS (
+                SELECT event_type, ts,
+                       sum(new_s) OVER (PARTITION BY event_type ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            )
+            SELECT date_trunc('minute', min(ts)) AS session_start,
+                   event_type, count(*) AS n_events
+            FROM sessions GROUP BY event_type, sid
         """,
         "image_meta": f"""
             SELECT doc_id,

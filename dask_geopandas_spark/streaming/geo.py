@@ -46,6 +46,22 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
+def sessionized_counts(events: DataFrame, gap: str = "30 minutes",
+                       watermark: str = "2 hours",
+                       ts_col: str = "ts", key_col: str = "event_type") -> DataFrame:
+    """Session windows per key: events closer than ``gap`` merge into one
+    session (native ``session_window`` — works identically on batch and
+    streaming inputs; the batch oracle is lag + gap-flag + running sum)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("session_start"), key_col, "n_events")
+    )
+
+
 def windowed_spatial_counts(events_with_geom: DataFrame, precision: int = 4,
                             window: str = "1 hour", watermark: str = "2 hours",
                             ts_col: str = "ts",

@@ -1,0 +1,94 @@
+"""Property-based round-trip tests for the WKB codec (hypothesis).
+
+The reference trusts shapely/GEOS for codec correctness; this engine owns
+its codec, so pin it with generative tests: serialize → parse → compare
+coordinates and derived quantities for arbitrary geometries."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from dask_geopandas_spark.geometry import algorithms as A
+from dask_geopandas_spark.geometry import wkb as W
+
+coord = st.floats(min_value=-1e6, max_value=1e6,
+                  allow_nan=False, allow_infinity=False)
+
+
+def pts(n_min, n_max):
+    return st.lists(st.tuples(coord, coord), min_size=n_min, max_size=n_max)
+
+
+@given(pts(1, 1))
+@settings(max_examples=200, deadline=None)
+def test_point_roundtrip(p):
+    blob = W.serialize_geometry(W.POINT, np.array(p[0]))
+    b = W.parse_wkb([blob])
+    assert b.types[0] == W.POINT
+    assert b.xs[0] == p[0][0] and b.ys[0] == p[0][1]
+
+
+@given(pts(2, 30))
+@settings(max_examples=100, deadline=None)
+def test_linestring_roundtrip(p):
+    arr = np.array(p)
+    blob = W.serialize_geometry(W.LINESTRING, arr)
+    b = W.parse_wkb([blob])
+    assert b.types[0] == W.LINESTRING
+    np.testing.assert_array_equal(b.xs, arr[:, 0])
+    np.testing.assert_array_equal(b.ys, arr[:, 1])
+    # length consistent with direct computation
+    seg = np.hypot(np.diff(arr[:, 0]), np.diff(arr[:, 1])).sum()
+    assert np.isclose(A.length(b)[0], seg)
+
+
+@given(pts(3, 12))
+@settings(max_examples=100, deadline=None)
+def test_polygon_roundtrip_and_area(p):
+    arr = np.array(p + [p[0]])  # close the ring
+    blob = W.serialize_geometry(W.POLYGON, [arr])
+    b = W.parse_wkb([blob])
+    assert b.types[0] == W.POLYGON
+    x, y = arr[:, 0], arr[:, 1]
+    shoelace = 0.5 * abs(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+    assert np.isclose(A.area(b)[0], shoelace, rtol=1e-9, atol=1e-6)
+
+
+@given(st.lists(pts(1, 1), min_size=1, max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_multipoint_roundtrip(groups)  :
+    arr = np.array([g[0] for g in groups])
+    blob = W.serialize_geometry(W.MULTIPOINT, arr)
+    b = W.parse_wkb([blob])
+    assert b.types[0] == W.MULTIPOINT
+    np.testing.assert_array_equal(np.sort(b.xs), np.sort(arr[:, 0]))
+
+
+@given(st.lists(st.one_of(
+    st.just(None),
+    pts(1, 1).map(lambda p: W.serialize_geometry(W.POINT, np.array(p[0]))),
+    pts(2, 6).map(lambda p: W.serialize_geometry(W.LINESTRING, np.array(p))),
+), min_size=1, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_mixed_batch_null_handling(blobs):
+    b = W.parse_wkb(blobs)
+    assert b.n == len(blobs)
+    nulls = [v is None for v in blobs]
+    np.testing.assert_array_equal(b.is_null(), nulls)
+    # derived ops never raise on mixed/null batches
+    A.bounds(b); A.area(b); A.length(b)
+
+
+@given(pts(4, 4), pts(4, 4))
+@settings(max_examples=50, deadline=None)
+def test_predicate_symmetry(p, q):
+    """intersects is symmetric; touches implies intersects; disjoint is
+    the negation of intersects."""
+    from dask_geopandas_spark.geometry import setops as S
+
+    a = W.parse_wkb([W.serialize_geometry(W.LINESTRING, np.array(p))])
+    b_ = W.parse_wkb([W.serialize_geometry(W.LINESTRING, np.array(q))])
+    i_ab = A.pairwise_intersects(a, b_)[0]
+    i_ba = A.pairwise_intersects(b_, a)[0]
+    assert i_ab == i_ba
+    if S.pairwise_touches(a, b_)[0]:
+        assert i_ab
