@@ -656,6 +656,21 @@ def q_session_windows(spark, sf_dir):
     )
 
 
+def q_running_totals(spark, sf_dir):
+    """Stateful per-key running totals (applyInPandasWithState on a
+    stream — test_similarity_streaming pins stream/batch agreement); the
+    batch contract checked here is the equivalent aggregation."""
+    from dask_geopandas_spark.streaming.geo import stateful_running_totals
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return stateful_running_totals(ev)
+
+
 def q_image_meta(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id")
     media = MM_fake_media(d)
@@ -758,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "events_hourly": q_events_hourly,
         "session_windows": q_session_windows,
+        "running_totals": q_running_totals,
         "image_meta": q_image_meta,
         "frame_counts": q_frame_counts,
     }
@@ -1103,6 +1119,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events, round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "running_totals": """
+            SELECT event_type AS key, count(*) AS running_n,
+                   round(sum(value), 6) AS running_sum
+            FROM events GROUP BY event_type
         """,
         "session_windows": """
             WITH flagged AS (

@@ -62,6 +62,58 @@ def sessionized_counts(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def stateful_running_totals(events: DataFrame, key_col: str = "event_type",
+                            val_col: str = "value",
+                            ts_col: str = "ts",
+                            watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-key running (count, sum) maintained across micro-batches.  The
+    reference has no streaming surface at all (SURVEY §2.9); this is the
+    beyond-reference stateful path.  On a batch DataFrame it falls back
+    to the equivalent groupBy aggregation (same output contract)."""
+    import pandas as pd
+
+    if not events.isStreaming:
+        return (
+            events.groupBy(key_col)
+            .agg(F.count("*").alias("running_n"),
+                 F.round(F.sum(val_col), 6).alias("running_sum"))
+            .withColumnRenamed(key_col, "key")
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    out_schema = StructType([
+        StructField("key", StringType()),
+        StructField("running_n", LongType()),
+        StructField("running_sum", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("n", LongType()),
+        StructField("s", DoubleType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[val_col].sum())
+        state.update((n, s))
+        yield pd.DataFrame({"key": [key[0]], "running_n": [n],
+                            "running_sum": [round(s, 6)]})
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def windowed_spatial_counts(events_with_geom: DataFrame, precision: int = 4,
                             window: str = "1 hour", watermark: str = "2 hours",
                             ts_col: str = "ts",

@@ -69,3 +69,37 @@ def test_stream_batch_agreement(spark, sf_dir):
     b = {key(r): (r["n_events"], r["sum_value"]) for r in batch.collect()}
     s = {key(r): (r["n_events"], r["sum_value"]) for r in got.collect()}
     assert b == s and len(b) > 0
+
+
+def test_stateful_running_totals_stream(spark, sf_dir):
+    """applyInPandasWithState keeps per-key (count, sum) across
+    micro-batches; final state equals the batch aggregation."""
+    from pyspark.sql import functions as F
+
+    from dask_geopandas_spark.streaming.geo import stateful_running_totals
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fix = lambda df: df.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    ) if dict(df.dtypes).get("ts") == "bigint" else df
+
+    expected = {
+        r["key"]: (r["running_n"], r["running_sum"])
+        for r in stateful_running_totals(fix(static)).collect()
+    }
+
+    stream = (spark.readStream.schema(static.schema)
+              .option("pathGlobFilter", "events.parquet")
+              .option("maxFilesPerTrigger", "1").parquet(sf_dir))
+    out = stateful_running_totals(fix(stream))
+    q = (out.writeStream.format("memory").queryName("t_state_sink")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # last emitted row per key == final running totals
+    import collections
+    got = {}
+    for r in spark.table("t_state_sink").collect():
+        got[r["key"]] = (r["running_n"], r["running_sum"])
+    assert got == expected and len(got) == 5
