@@ -213,7 +213,15 @@ class GeoDataFrame:
     # geometry-transforming methods → new GeoDataFrame
     # ------------------------------------------------------------------
     def _replace_geom(self, col: Column) -> "GeoDataFrame":
-        return self._wrap(self._df.withColumn(self._geometry, col))
+        """Swap the active geometry.  Any materialized bbox sibling is
+        dropped: transformed geometry invalidates it (buffer grows
+        bounds, centroid shrinks them — the reference tracks the same
+        distinction via preserve_spatial_partitions, expr.py:963-972);
+        with_bbox() recomputes on demand."""
+        out = self._df.withColumn(self._geometry, col)
+        if self.bbox_column in out.columns:
+            out = out.drop(self.bbox_column)
+        return self._wrap(out)
 
     def buffer(self, distance: float, resolution: int = 16) -> "GeoDataFrame":
         return self._replace_geom(FX.buffer(distance, resolution)(self._geom()))

@@ -237,3 +237,24 @@ def test_from_geopandas_gated(spark):
 
     with pytest.raises(ImportError, match="geopandas"):
         dgs.from_geopandas(spark, None)
+
+
+def test_bbox_invalidated_by_transform(spark):
+    """A stale bbox sibling must not survive a geometry transform: cx
+    after buffer/centroid would otherwise filter on wrong bounds
+    (reference preserve_spatial_partitions, expr.py:963-972)."""
+    import dask_geopandas_spark as dgs
+
+    g = dgs.points_from_xy(
+        spark.createDataFrame([(0.0, 0.0), (10.0, 10.0)], "x double, y double"),
+        "x", "y").with_bbox()
+    assert g.bbox_column in g.df.columns
+    buffered = g.buffer(3.0)
+    assert buffered.bbox_column not in buffered.df.columns
+    # cx window around (10,10) grown by the buffer: the point at origin's
+    # buffered disc does NOT reach it, the (10,10) disc does
+    out = buffered.cx(xmin=8.0, ymin=8.0, xmax=12.0, ymax=12.0)
+    assert out.count() == 1
+    # translate also invalidates (bounds move)
+    moved = g.translate(100.0, 0.0).cx(xmin=95.0, ymin=-1.0, xmax=115.0, ymax=11.0)
+    assert moved.count() == 2
