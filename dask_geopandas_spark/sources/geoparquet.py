@@ -26,23 +26,32 @@ from pyspark.sql import functions as F
 GEO_VERSION = "1.0.0"
 
 
-def _geo_meta(geometry: str, crs_map: dict, bbox=None) -> bytes:
-    cols = {
-        geometry: {
+def _geo_meta(geometry: str, crs_map: dict, geometry_columns=None,
+              bboxes: dict | None = None) -> bytes:
+    """`geo` schema-metadata blob covering EVERY geometry column (the
+    reference supports multiple geometry columns each with its own CRS,
+    io/arrow.py:41-43; tests/io/test_parquet.py:84-103)."""
+    cols = {}
+    for g in (geometry_columns or [geometry]):
+        cols[g] = {
             "encoding": "WKB",
             "geometry_types": [],
-            **({"crs": crs_map[geometry]} if geometry in crs_map else {}),
-            **({"bbox": list(bbox)} if bbox is not None else {}),
+            **({"crs": crs_map[g]} if g in crs_map else {}),
+            **({"bbox": list(bboxes[g])} if bboxes and g in bboxes else {}),
         }
-    }
     return json.dumps(
         {"version": GEO_VERSION, "primary_column": geometry, "columns": cols}
     ).encode()
 
 
 def to_parquet(gdf, path: str, partition_on: str | None = None,
-               write_bbox: bool = True) -> None:
-    """Write a GeoDataFrame as GeoParquet.
+               write_bbox: bool = True,
+               geometry_columns: list[str] | None = None) -> None:
+    """Write a GeoDataFrame as GeoParquet: one file per Spark partition,
+    each footer carrying the ``geo`` metadata for every geometry column
+    and (``write_bbox``) the file-level bbox of the primary column so a
+    later ``read_parquet(gather_spatial_partitions=True)`` rebuilds the
+    driver-side spatial summary (reference io/parquet.py:22-42).
 
     ``partition_on`` → hive-style subdirectories (reference
     tests/io/test_parquet.py:188-213 via ``partitionBy``)."""
@@ -53,23 +62,42 @@ def to_parquet(gdf, path: str, partition_on: str | None = None,
     crs_map = dict(getattr(gdf, "_crs", {}))
     df = gdf.df
     os.makedirs(path, exist_ok=True)
-    meta = _geo_meta(geometry, crs_map)
-    schema = df.schema
+    if geometry_columns is None:
+        geometry_columns = [geometry] + [
+            c for c in crs_map if c != geometry and c in df.columns
+        ]
 
     if partition_on is not None:
         keys = [r[0] for r in df.select(partition_on).distinct().collect()]
         for k in keys:
             sub = df.filter(F.col(partition_on) == k).drop(partition_on)
             sub_gdf = type(gdf)(sub, geometry, crs_map=crs_map)
-            to_parquet(sub_gdf, os.path.join(path, f"{partition_on}={k}"))
+            to_parquet(sub_gdf, os.path.join(path, f"{partition_on}={k}"),
+                       write_bbox=write_bbox,
+                       geometry_columns=geometry_columns)
         return
 
     def write_part(batches):
         import uuid
 
+        import numpy as np
+
+        from ..geometry import algorithms as A
+        from ..geometry import wkb as W
+
         tables = [pa.Table.from_pandas(b, preserve_index=False) for b in batches]
         if tables:
             table = pa.concat_tables(tables)
+            bboxes = None
+            if write_bbox and geometry in table.column_names:
+                batch = W.parse_wkb(table.column(geometry).to_pylist())
+                bb = A.bounds(batch)
+                with np.errstate(invalid="ignore"):
+                    fb = (np.nanmin(bb[:, 0]), np.nanmin(bb[:, 1]),
+                          np.nanmax(bb[:, 2]), np.nanmax(bb[:, 3]))
+                if np.isfinite(fb).all():
+                    bboxes = {geometry: [float(v) for v in fb]}
+            meta = _geo_meta(geometry, crs_map, geometry_columns, bboxes)
             existing = table.schema.metadata or {}
             table = table.replace_schema_metadata({**existing, b"geo": meta})
             fname = os.path.join(path, f"part-{uuid.uuid4().hex}.parquet")
@@ -110,14 +138,14 @@ def read_parquet(spark: SparkSession, path: str, columns=None,
         for col, info in geo.get("columns", {}).items():
             if "crs" in info and col not in crs_map:
                 crs_map[col] = info["crs"]
-            if gather_spatial_partitions and spatial_partitions is not None:
-                bb = info.get("bbox")
-                if bb is not None and col == primary:
-                    spatial_partitions.append(tuple(bb))
-                else:
-                    # one file without bbox drops the whole summary
-                    # (reference io/arrow.py:321-322)
-                    spatial_partitions = None
+        if gather_spatial_partitions and spatial_partitions is not None:
+            bb = geo.get("columns", {}).get(primary, {}).get("bbox")
+            if bb is not None:
+                spatial_partitions.append(tuple(bb))
+            else:
+                # one file without a primary-column bbox drops the whole
+                # summary (reference io/arrow.py:321-322)
+                spatial_partitions = None
         if i == 0 and not gather_spatial_partitions:
             break
 

@@ -96,3 +96,33 @@ class TestGeoParquetPartitionOn:
         assert sorted(os.listdir(path)) == ["grp=a", "grp=b"]
         back = dgs.read_parquet(spark, path)
         assert back.count() == 8
+
+
+def test_geoparquet_multi_geometry_and_bbox(spark, tmp_path):
+    """Multiple geometry columns round-trip with per-column CRS, and
+    per-file bboxes rebuild the driver-side spatial summary (reference
+    io/arrow.py:41-43, io/parquet.py:22-42)."""
+    import dask_geopandas_spark as dgs
+    from dask_geopandas_spark.sources.geoparquet import read_parquet, to_parquet
+    from pyspark.sql import functions as F
+    from dask_geopandas_spark.functions import core as FX
+
+    base = spark.createDataFrame([(1.0, 2.0), (3.0, 4.0)], "x double, y double")
+    g = dgs.points_from_xy(base, "x", "y", crs="EPSG:4326")
+    # second geometry column with its own CRS
+    df2 = g.df.withColumn("center", FX.st_point(F.lit(0.0), F.lit(0.0)))
+    g2 = dgs.GeoDataFrame(df2, "geometry",
+                          crs_map={"geometry": "EPSG:4326",
+                                   "center": "EPSG:3857"})
+    path = str(tmp_path / "multigeo")
+    to_parquet(g2, path)
+    back = read_parquet(spark, path)
+    assert back.geometry_column == "geometry"
+    assert back._crs["geometry"] == "EPSG:4326"
+    assert back._crs["center"] == "EPSG:3857"
+    # file-level bbox summary gathered
+    assert back.spatial_partitions is not None
+    minx = min(b[0] for b in back.spatial_partitions)
+    maxx = max(b[2] for b in back.spatial_partitions)
+    assert minx == 1.0 and maxx == 3.0
+    assert back.count() == 2
