@@ -86,9 +86,21 @@ def _li_points(spark, sf_dir) -> dgs.GeoDataFrame:
     return dgs.points_from_xy(df, "px", "py", crs="EPSG:4326")
 
 
+def _box_geom(spec) -> "F.Column":
+    """Vectorized box construction straight from native corner
+    arithmetic — no WKT string round-trip."""
+    from dask_geopandas_spark.functions.core import st_make_box
+
+    x0 = F.expr(spec["minx"]).cast("double")
+    y0 = F.expr(spec["miny"]).cast("double")
+    x1 = F.expr(f"{spec['minx']} + {spec['w']}").cast("double")
+    y1 = F.expr(f"{spec['miny']} + {spec['h']}").cast("double")
+    return st_make_box(x0, y0, x1, y1)
+
+
 def _boxes(spark, sf_dir, table, spec) -> dgs.GeoDataFrame:
-    df = _t(spark, sf_dir, table).withColumn("_wkt", F.expr(_box_wkt(spec)))
-    return dgs.from_wkt(df, "_wkt", crs="EPSG:4326").drop("_wkt")
+    df = _t(spark, sf_dir, table).withColumn("geometry", _box_geom(spec))
+    return dgs.GeoDataFrame(df, "geometry", crs="EPSG:4326")
 
 
 # ----------------------------------------------------------------------
@@ -207,12 +219,10 @@ def _box_pairs(spark, sf_dir):
     s = o_orderkey % 4 → s=0 equal, 1 half-overlap, 2 edge-touch,
     3 disjoint.  Exercises the elementwise binary surface (reference:
     expr.py:983-1013 'zip by position' contract)."""
-    from dask_geopandas_spark.functions.core import st_geomfromtext
-
     return (
         _t(spark, sf_dir, "orders")
-        .withColumn("ga", st_geomfromtext(F.expr(_box_wkt(OB))))
-        .withColumn("gb", st_geomfromtext(F.expr(_box_wkt(_OB_B))))
+        .withColumn("ga", _box_geom(OB))
+        .withColumn("gb", _box_geom(_OB_B))
     )
 
 
@@ -286,8 +296,8 @@ def q_equals_exact(spark, sf_dir):
               "miny": OB["miny"], "h": OB["h"]}
     d = (
         _t(spark, sf_dir, "orders")
-        .withColumn("ga", FX.st_geomfromtext(F.expr(_box_wkt(OB))))
-        .withColumn("gb", FX.st_geomfromtext(F.expr(_box_wkt(ob_eps))))
+        .withColumn("ga", _box_geom(OB))
+        .withColumn("gb", _box_geom(ob_eps))
     )
     return d.select(
         F.col("o_orderkey").alias("orderkey"),
@@ -376,8 +386,8 @@ def q_interiors(spark, sf_dir):
              "h": f"(0.5 * {OB['h']})"}
     d = (
         _t(spark, sf_dir, "orders")
-        .withColumn("ga", FX.st_geomfromtext(F.expr(_box_wkt(OB))))
-        .withColumn("gb", FX.st_geomfromtext(F.expr(_box_wkt(inner))))
+        .withColumn("ga", _box_geom(OB))
+        .withColumn("gb", _box_geom(inner))
     )
     diffed = d.withColumn("gd", FX.st_difference(F.col("ga"), F.col("gb")))
     return diffed.select(

@@ -27,7 +27,11 @@ BENCH_QUERIES = [
     "sjoin_grid",
     "dissolve_centroid",
     "clip_count",
+    "box_relations",
+    "box_setops_area",
+    "to_mercator",
     "hilbert_buckets",
+    "session_windows",
     "token_stats",
     "exact_dedup",
     "minhash_sigs",

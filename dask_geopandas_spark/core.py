@@ -364,7 +364,13 @@ class GeoDataFrame:
     def total_bounds(self) -> tuple:
         """Global bbox via native min/max aggregation — no UDF in the agg
         (reference computes per-partition then nan-safe combine,
-        expr.py:44-72; Spark's partial aggregation is the same shape)."""
+        expr.py:44-72; Spark's partial aggregation is the same shape).
+        When a driver-side spatial summary exists (GeoParquet per-file
+        bboxes), it answers without any scan at all."""
+        sp = getattr(self, "spatial_partitions", None)
+        if sp:
+            return (min(b[0] for b in sp), min(b[1] for b in sp),
+                    max(b[2] for b in sp), max(b[3] for b in sp))
         g = self.with_bbox()
         b = g.bbox_column
         row = g.df.agg(

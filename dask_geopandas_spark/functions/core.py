@@ -88,6 +88,22 @@ def st_geomfromtext(wkt_col: pd.Series) -> pd.Series:
     return pd.Series([T.wkt_to_wkb(v) for v in wkt_col], dtype=object)
 
 
+@pandas_udf(BinaryType())
+def st_make_box(minx: pd.Series, miny: pd.Series,
+                maxx: pd.Series, maxy: pd.Series) -> pd.Series:
+    """Axis-aligned box polygon from corner columns — fully vectorized
+    construction (no WKT round-trip)."""
+    mnx = minx.to_numpy(dtype=np.float64, na_value=np.nan)
+    mny = miny.to_numpy(dtype=np.float64, na_value=np.nan)
+    mxx = maxx.to_numpy(dtype=np.float64, na_value=np.nan)
+    mxy = maxy.to_numpy(dtype=np.float64, na_value=np.nan)
+    blobs = W.boxes_to_wkb(mnx, mny, mxx, mxy)
+    bad = np.isnan(mnx) | np.isnan(mny) | np.isnan(mxx) | np.isnan(mxy)
+    if bad.any():
+        blobs = [None if m else b for b, m in zip(blobs, bad)]
+    return pd.Series(blobs, dtype=object)
+
+
 @pandas_udf(StringType())
 def st_astext(g: pd.Series) -> pd.Series:
     batch = _b(g)
@@ -732,6 +748,7 @@ def geohash(as_string: bool = True, precision: int = 12):
 
 _SQL_FUNCS = {
     "st_point": st_point,
+    "st_make_box": st_make_box,
     "st_geomfromtext": st_geomfromtext,
     "st_astext": st_astext,
     "st_area": st_area,

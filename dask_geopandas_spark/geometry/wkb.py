@@ -354,6 +354,32 @@ def parse_wkb(values: Iterable, keep_raw: bool = True) -> GeometryBatch:
 # Serialization
 # ======================================================================
 
+def boxes_to_wkb(minx, miny, maxx, maxy) -> list:
+    """Vectorized construction of axis-aligned-box POLYGON WKB (93-byte
+    rows, CCW ring closed on the first corner) — one numpy allocation for
+    the whole batch, mirroring :func:`points_to_wkb`."""
+    minx = np.asarray(minx, dtype=np.float64)
+    miny = np.asarray(miny, dtype=np.float64)
+    maxx = np.asarray(maxx, dtype=np.float64)
+    maxy = np.asarray(maxy, dtype=np.float64)
+    n = len(minx)
+    buf = np.empty((n, 93), dtype=np.uint8)
+    buf[:, 0:13] = np.frombuffer(
+        b"\x01" + struct.pack("<I", POLYGON) + struct.pack("<I", 1)
+        + struct.pack("<I", 5),
+        dtype=np.uint8,
+    )
+    ring = np.empty((n, 5, 2), dtype=np.float64)
+    ring[:, 0, 0] = minx; ring[:, 0, 1] = miny
+    ring[:, 1, 0] = maxx; ring[:, 1, 1] = miny
+    ring[:, 2, 0] = maxx; ring[:, 2, 1] = maxy
+    ring[:, 3, 0] = minx; ring[:, 3, 1] = maxy
+    ring[:, 4, 0] = minx; ring[:, 4, 1] = miny
+    buf[:, 13:93] = ring.reshape(n, 10).view(np.uint8)
+    data = buf.tobytes()
+    return [data[i * 93:(i + 1) * 93] for i in range(n)]
+
+
 def points_to_wkb(x: np.ndarray, y: np.ndarray, z: np.ndarray | None = None) -> list:
     """Vectorized construction of POINT WKB for whole arrays at once.
 

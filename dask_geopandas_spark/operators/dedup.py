@@ -190,23 +190,43 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
 
     Note sign-LSH can miss pairs straddling a sign boundary — standard
     recall/cost tradeoff; raise bucket_dims for cost, lower for recall."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
     sign_key = F.concat_ws(
         "",
         *[F.when(F.element_at(F.col(vec_col), i + 1) >= 0, "1").otherwise("0")
           for i in range(bucket_dims)],
     )
     v = df.select(F.col(id_col), F.col(vec_col), sign_key.alias("bucket"))
-    a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
-    b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(F.aggregate(
-        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    return (
-        a.join(b, on="bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", (dot / (norm(F.col("va")) * norm(F.col("vb")))).alias("cos"))
-        .filter(F.col("cos") >= threshold)
-    )
+    id_type = dict(df.dtypes).get(id_col, "bigint")
+    out_schema = StructType([
+        StructField("id_a", LongType() if "int" in id_type else df.schema[id_col].dataType),
+        StructField("id_b", LongType() if "int" in id_type else df.schema[id_col].dataType),
+        StructField("cos", DoubleType()),
+    ])
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        # all-pairs cosine inside one bucket as a single BLAS matmul —
+        # the quadratic inner loop stays vectorized instead of running
+        # per pair through interpreted array expressions
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = np.asarray([np.asarray(v_, dtype=np.float64)
+                        for v_ in pdf[vec_col].to_numpy()[order]])
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0
+        Mn = M / norms[:, None]
+        sim = Mn @ Mn.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sim[iu, ju] >= threshold
+        return pd.DataFrame({
+            "id_a": ids[iu[keep]],
+            "id_b": ids[ju[keep]],
+            "cos": sim[iu[keep], ju[keep]],
+        })
+
+    return v.groupBy("bucket").applyInPandas(bucket_pairs, out_schema)
