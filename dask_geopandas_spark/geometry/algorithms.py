@@ -311,6 +311,26 @@ def _single_point_mask(batch: W.GeometryBatch) -> np.ndarray:
     return (batch.types == W.POINT) & (batch.geom_coord_counts() == 1)
 
 
+def _axis_box_mask(batch: W.GeometryBatch) -> np.ndarray:
+    """Rows that are single-ring 5-coordinate axis-aligned rectangles
+    (every coordinate on a bbox corner, full-perimeter ring)."""
+    mask = (batch.types == W.POLYGON) & (batch.geom_coord_counts() == 5)
+    if not mask.any():
+        return mask
+    b = bounds(batch)
+    gi = batch.coord_geom_index()
+    bb = b[gi]
+    on_corner = (((batch.xs == bb[:, 0]) | (batch.xs == bb[:, 2])) &
+                 ((batch.ys == bb[:, 1]) | (batch.ys == bb[:, 3])))
+    ok = np.ones(batch.n, dtype=bool)
+    np.logical_and.at(ok, gi, on_corner)
+    w = b[:, 2] - b[:, 0]; h = b[:, 3] - b[:, 1]
+    ar = np.abs(area(batch))
+    with np.errstate(invalid="ignore"):
+        ok &= (w > 0) & (h > 0) & (ar == w * h)
+    return mask & ok
+
+
 def _grouped_point_in_poly(pts: W.GeometryBatch, polys: W.GeometryBatch,
                            rows: np.ndarray) -> np.ndarray:
     """Vectorized point-in-polygon for row-aligned (point_i, poly_i) pairs.
@@ -398,7 +418,13 @@ def pairwise_contains(A: W.GeometryBatch, B: W.GeometryBatch) -> np.ndarray:
     maybe = ((bb[:, 0] >= ba[:, 0]) & (bb[:, 1] >= ba[:, 1]) &
              (bb[:, 2] <= ba[:, 2]) & (bb[:, 3] <= ba[:, 3]))
     maybe &= ~A.is_null() & ~B.is_null()
-    # vectorized fast path: polygon contains single point
+    # vectorized fast path 1: axis-aligned rectangle contains point —
+    # pure bounds comparison, no ray cast (the bbox prefilter `maybe`
+    # already IS the containment test for this shape pair)
+    rect = maybe & _axis_box_mask(A) & _single_point_mask(B)
+    out |= rect
+    maybe &= ~rect
+    # vectorized fast path 2: general polygon contains single point
     fast = maybe & _single_point_mask(B) & np.isin(A.types, (W.POLYGON, W.MULTIPOLYGON))
     if fast.any():
         out |= _grouped_point_in_poly(B, A, np.flatnonzero(fast))

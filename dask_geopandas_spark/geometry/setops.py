@@ -230,25 +230,7 @@ def _rep_point(batch: W.GeometryBatch, i: int):
 # them without touching the per-row Python path.
 # ----------------------------------------------------------------------
 
-def _axis_box_mask(batch: W.GeometryBatch) -> np.ndarray:
-    """Rows that are single-ring 5-coordinate axis-aligned rectangles."""
-    mask = (batch.types == W.POLYGON) & (batch.geom_coord_counts() == 5)
-    if not mask.any():
-        return mask
-    b = A.bounds(batch)
-    gi = batch.coord_geom_index()
-    bb = b[gi]
-    on_corner = (((batch.xs == bb[:, 0]) | (batch.xs == bb[:, 2])) &
-                 ((batch.ys == bb[:, 1]) | (batch.ys == bb[:, 3])))
-    # all coords of the geometry on bbox corners
-    ok = np.ones(batch.n, dtype=bool)
-    np.logical_and.at(ok, gi, on_corner)
-    # positive extent and full-perimeter ring (|area| == bbox area)
-    w = b[:, 2] - b[:, 0]; h = b[:, 3] - b[:, 1]
-    area = np.abs(A.area(batch))
-    with np.errstate(invalid="ignore"):
-        ok &= (w > 0) & (h > 0) & (area == w * h)
-    return mask & ok
+_axis_box_mask = A._axis_box_mask  # shared with the contains fast path
 
 
 class _BoxPair:
