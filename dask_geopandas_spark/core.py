@@ -384,8 +384,11 @@ class GeoDataFrame:
     def cx(self, xmin=None, ymin=None, xmax=None, ymax=None) -> "GeoDataFrame":
         """Coordinate-box indexer (reference `.cx`, expr.py:1022-1077):
         a *native* bbox overlap filter (prunes partitions/row-groups via
-        Parquet stats when bbox is materialized) followed by the exact
-        intersects refinement only when the geometry could straddle the box."""
+        Parquet stats when bbox is materialized), then the exact
+        intersects refinement on the survivors.  A single constrained
+        side is a half-plane, where the bbox test IS exact and the
+        refinement is skipped; with two or more sides a geometry's bbox
+        can clip the window corner the geometry itself misses."""
         g = self.with_bbox()
         b = g.bbox_column
         conds = []
@@ -400,7 +403,19 @@ class GeoDataFrame:
         cond = conds[0]
         for c in conds[1:]:
             cond = cond & c
-        return g.filter(cond)
+        out = g.filter(cond)
+        if len(conds) <= 1:
+            return out
+        from .geometry import wkb as GW
+
+        big = 1e15  # sentinel for unconstrained sides
+        box_wkb = GW.boxes_to_wkb(
+            [xmin if xmin is not None else -big],
+            [ymin if ymin is not None else -big],
+            [xmax if xmax is not None else big],
+            [ymax if ymax is not None else big],
+        )[0]
+        return out.filter(FX.st_intersects(out._geom(), F.lit(box_wkb)))
 
     # ------------------------------------------------------------------
     # curve encoders + spatial shuffle (reference expr.py:404-539, 738-820)

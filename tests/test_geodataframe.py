@@ -258,3 +258,28 @@ def test_bbox_invalidated_by_transform(spark):
     # translate also invalidates (bounds move)
     moved = g.translate(100.0, 0.0).cx(xmin=95.0, ymin=-1.0, xmax=115.0, ymax=11.0)
     assert moved.count() == 2
+
+
+def test_cx_exact_refinement_for_lines(spark):
+    """A diagonal line whose bbox clips the window corner but whose
+    geometry misses it must be excluded (reference .cx does exact
+    intersects after partition pruning, expr.py:1042-1077)."""
+    import numpy as np
+    import dask_geopandas_spark as dgs
+    from dask_geopandas_spark.geometry import wkb as W
+
+    # anti-diagonal x+y=4: bbox [0,0,4,4] overlaps the window corner
+    # [3,4]x[3,4], but every segment point with x in [3,4] has y in [0,1]
+    near_miss = W.serialize_geometry(
+        W.LINESTRING, np.array([[0.0, 4.0], [4.0, 0.0]]))
+    crossing = W.serialize_geometry(
+        W.LINESTRING, np.array([[0.0, 0.0], [10.0, 10.0]]))
+    df = spark.createDataFrame([(1, near_miss), (2, crossing)],
+                               "id int, geometry binary")
+    g = dgs.GeoDataFrame(df, "geometry")
+    out = g.cx(xmin=3.0, ymin=3.0, xmax=4.0, ymax=4.0)
+    ids = sorted(r.id for r in out.df.select("id").collect())
+    assert ids == [2]
+    # half-plane (single bound) stays bbox-only and keeps both
+    out2 = g.cx(xmax=7.0)
+    assert out2.count() == 2
