@@ -167,6 +167,21 @@ def q_sjoin_grid(spark, sf_dir):
     )
 
 
+def q_sjoin_nearest(spark, sf_dir):
+    """k-nearest spatial join (beyond-reference; the reference's API has
+    only inner sjoin).  Emits each customer's distance to the nearest
+    nation box (distance only — argmin box ids can tie)."""
+    from dask_geopandas_spark.operators.sjoin import sjoin_nearest
+
+    pts = _cust_points(spark, sf_dir)
+    boxes = _boxes(spark, sf_dir, "nation", NB)
+    out = sjoin_nearest(pts, boxes, k=1)
+    return out.df.select(
+        F.col("c_custkey").alias("custkey"),
+        F.round(F.col("dist"), 6).alias("nearest_dist"),
+    )
+
+
 def q_dissolve_centroid(spark, sf_dir):
     g = _cust_points(spark, sf_dir)[["c_mktsegment", "c_custkey", "geometry"]]
     d = g.dissolve(by="c_mktsegment", aggfunc={"c_custkey": "count"})
@@ -748,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "box_area_by_priority": q_box_area_by_priority,
         "sjoin_points_in_boxes": q_sjoin_points_in_boxes,
         "sjoin_grid": q_sjoin_grid,
+        "sjoin_nearest": q_sjoin_nearest,
         "dissolve_centroid": q_dissolve_centroid,
         "clip_count": q_clip_count,
         "translate_avg": q_translate_avg,
@@ -966,6 +982,18 @@ def oracle_sql() -> dict[str, str]:
             ON {LI_X} >= {SB['minx']} AND {LI_X} <= {SB['minx']} + {SB['w']}
            AND {LI_Y} >= {SB['miny']} AND {LI_Y} <= {SB['miny']} + {SB['h']}
             GROUP BY s.s_suppkey
+        """,
+        "sjoin_nearest": f"""
+            SELECT c.c_custkey AS custkey,
+                   round(min(sqrt(
+                       power(greatest({NB['minx']} - ({CUST_X}),
+                                     ({CUST_X}) - ({NB['minx']} + {NB['w']}),
+                                     0), 2) +
+                       power(greatest({NB['miny']} - ({CUST_Y}),
+                                     ({CUST_Y}) - ({NB['miny']} + {NB['h']}),
+                                     0), 2))), 6) AS nearest_dist
+            FROM customer c CROSS JOIN nation n
+            GROUP BY c.c_custkey
         """,
         "dissolve_centroid": f"""
             SELECT c_mktsegment AS segment, count(*) AS n_customers,

@@ -466,11 +466,23 @@ def pairwise_contains(A: W.GeometryBatch, B: W.GeometryBatch) -> np.ndarray:
     return out
 
 
+def _rect_point_distance(rects: W.GeometryBatch, pts: W.GeometryBatch,
+                         rows: np.ndarray) -> np.ndarray:
+    """Vectorized distance from single points to axis-aligned rectangles
+    (0 inside): clamp the point into the rect and measure."""
+    b = bounds(rects)[rows]
+    ps = pts.geom_coord_starts[:-1][rows]
+    px = pts.xs[ps]; py = pts.ys[ps]
+    dx = np.maximum(np.maximum(b[:, 0] - px, px - b[:, 2]), 0.0)
+    dy = np.maximum(np.maximum(b[:, 1] - py, py - b[:, 3]), 0.0)
+    return np.hypot(dx, dy)
+
+
 def pairwise_distance(A: W.GeometryBatch, B: W.GeometryBatch) -> np.ndarray:
     """Row-aligned min distance; 0 when intersecting."""
     n = A.n
     out = np.full(n, np.nan)
-    # fast path: both pure 2D points
+    # fast path 1: both pure 2D points
     a_pt = (A.types == W.POINT) & ~A.is_empty()
     b_pt = (B.types == W.POINT) & ~B.is_empty()
     both = a_pt & b_pt
@@ -478,7 +490,17 @@ def pairwise_distance(A: W.GeometryBatch, B: W.GeometryBatch) -> np.ndarray:
         sa = A.geom_coord_starts[:-1][both]
         sb = B.geom_coord_starts[:-1][both]
         out[both] = np.hypot(A.xs[sa] - B.xs[sb], A.ys[sa] - B.ys[sb])
-    rest = ~both & ~A.is_null() & ~B.is_null() & ~A.is_empty() & ~B.is_empty()
+    # fast path 2: point vs axis-aligned rectangle (either orientation) —
+    # clamp-and-measure, no segment soup
+    a_rect = _axis_box_mask(A); b_rect = _axis_box_mask(B)
+    pr = ~both & a_pt & _single_point_mask(A) & b_rect
+    if pr.any():
+        out[pr] = _rect_point_distance(B, A, np.flatnonzero(pr))
+    rp = ~both & ~pr & b_pt & _single_point_mask(B) & a_rect
+    if rp.any():
+        out[rp] = _rect_point_distance(A, B, np.flatnonzero(rp))
+    rest = (~both & ~pr & ~rp
+            & ~A.is_null() & ~B.is_null() & ~A.is_empty() & ~B.is_empty())
     for i in np.flatnonzero(rest):
         out[i] = _geom_geom_distance(A, i, B, i)
     return out

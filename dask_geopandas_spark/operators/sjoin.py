@@ -157,6 +157,57 @@ def sjoin(left, right, how: str = "inner", predicate: str = "intersects",
     return GeoDataFrame(refined, lgeom_j, crs_map=getattr(left, "_crs", {}))
 
 
+def sjoin_nearest(left, right, k: int = 1, max_distance: float | None = None,
+                  distance_col: str = "dist",
+                  lsuffix: str = "_left", rsuffix: str = "_right"):
+    """k-nearest spatial join (beyond-reference: dask-geopandas exposes
+    only `sjoin`, SURVEY §2.3 'Not implemented').
+
+    Broadcast shape: score every (left, right) pair with the vectorized
+    distance kernel against the broadcast right side, then reduce per
+    left row — `min_by` for k=1 (partial-aggregatable, no window
+    shuffle), `row_number` over a window for k>1.  For a non-broadcast
+    right side, pre-bucket both sides on a coarse grid and run this per
+    ring of neighboring cells (not needed at the driver's dim sizes)."""
+    from ..core import GeoDataFrame
+
+    lg, rg = left, right
+    lgeom, rgeom = lg.geometry_column, rg.geometry_column
+    ldf, rdf = _suffix_collisions(lg.df, rg.df, lsuffix, rsuffix)
+    lgeom_j = lgeom if lgeom in ldf.columns else f"{lgeom}{lsuffix}"
+    rgeom_j = rgeom if rgeom in rdf.columns and rgeom != lgeom_j \
+        else f"{rgeom}{rsuffix}"
+
+    lid = "_nn_left_row"
+    ldf = ldf.withColumn(lid, F.monotonically_increasing_id())
+    scored = (
+        ldf.join(F.broadcast(rdf))
+        .withColumn(distance_col,
+                    FX.st_distance(F.col(lgeom_j), F.col(rgeom_j)))
+    )
+    if max_distance is not None:
+        scored = scored.filter(F.col(distance_col) <= float(max_distance))
+
+    if k == 1:
+        keep = [c for c in scored.columns if c not in (lid,)]
+        best = (
+            scored.groupBy(lid)
+            .agg(F.min_by(F.struct(*keep), F.col(distance_col)).alias("_s"))
+            .select("_s.*")
+        )
+        out = best.drop(rgeom_j)
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(lid).orderBy(F.asc(distance_col))
+        out = (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk", lid, rgeom_j)
+        )
+    return GeoDataFrame(out, lgeom_j, crs_map=getattr(left, "_crs", {}))
+
+
 def _is_small(df: DataFrame, threshold: int = BROADCAST_ROW_THRESHOLD) -> bool:
     # cheap plan-based guess; fall back to a limited count
     try:

@@ -283,3 +283,23 @@ def test_cx_exact_refinement_for_lines(spark):
     # half-plane (single bound) stays bbox-only and keeps both
     out2 = g.cx(xmax=7.0)
     assert out2.count() == 2
+
+
+def test_sjoin_nearest_k2(spark):
+    """k>1 nearest join returns the k closest right rows per left row in
+    distance order."""
+    import dask_geopandas_spark as dgs
+    from dask_geopandas_spark.operators.sjoin import sjoin_nearest
+
+    pts = dgs.points_from_xy(
+        spark.createDataFrame([(0.0, 0.0)], "x double, y double"), "x", "y")
+    targets = dgs.points_from_xy(
+        spark.createDataFrame(
+            [(1, 1.0, 0.0), (2, 3.0, 0.0), (3, 10.0, 0.0)],
+            "tid int, x double, y double"), "x", "y")
+    out = sjoin_nearest(pts, targets, k=2)
+    rows = sorted((r.tid, r.dist) for r in out.df.select("tid", "dist").collect())
+    assert rows == [(1, 1.0), (2, 3.0)]
+    # max_distance prunes
+    out1 = sjoin_nearest(pts, targets, k=3, max_distance=5.0)
+    assert out1.count() == 2
