@@ -182,6 +182,19 @@ def q_sjoin_nearest(spark, sf_dir):
     )
 
 
+def q_sjoin_anti(spark, sf_dir):
+    """Anti spatial join (beyond-reference): customers inside NO nation
+    box, counted per market segment."""
+    pts = _cust_points(spark, sf_dir)
+    boxes = _boxes(spark, sf_dir, "nation", NB)
+    out = pts.sjoin(boxes, how="anti", predicate="within",
+                    strategy="broadcast")
+    return (
+        out.df.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n_outside"))
+    )
+
+
 def q_dissolve_centroid(spark, sf_dir):
     g = _cust_points(spark, sf_dir)[["c_mktsegment", "c_custkey", "geometry"]]
     d = g.dissolve(by="c_mktsegment", aggfunc={"c_custkey": "count"})
@@ -764,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sjoin_points_in_boxes": q_sjoin_points_in_boxes,
         "sjoin_grid": q_sjoin_grid,
         "sjoin_nearest": q_sjoin_nearest,
+        "sjoin_anti": q_sjoin_anti,
         "dissolve_centroid": q_dissolve_centroid,
         "clip_count": q_clip_count,
         "translate_avg": q_translate_avg,
@@ -982,6 +996,18 @@ def oracle_sql() -> dict[str, str]:
             ON {LI_X} >= {SB['minx']} AND {LI_X} <= {SB['minx']} + {SB['w']}
            AND {LI_Y} >= {SB['miny']} AND {LI_Y} <= {SB['miny']} + {SB['h']}
             GROUP BY s.s_suppkey
+        """,
+        "sjoin_anti": f"""
+            SELECT c_mktsegment AS segment, count(*) AS n_outside
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM nation n
+                WHERE ({CUST_X}) >= {NB['minx']}
+                  AND ({CUST_X}) <= {NB['minx']} + {NB['w']}
+                  AND ({CUST_Y}) >= {NB['miny']}
+                  AND ({CUST_Y}) <= {NB['miny']} + {NB['h']}
+            )
+            GROUP BY c_mktsegment
         """,
         "sjoin_nearest": f"""
             SELECT c.c_custkey AS custkey,

@@ -86,12 +86,17 @@ def sjoin(left, right, how: str = "inner", predicate: str = "intersects",
           strategy: str = "auto", grid_level: int = 7,
           lsuffix: str = "_left", rsuffix: str = "_right"):
     """Spatial join of two GeoDataFrames; returns a GeoDataFrame keeping
-    the left geometry (reference keeps left geometry too, sjoin.py:92-101)."""
+    the left geometry (reference keeps left geometry too, sjoin.py:92-101).
+
+    ``how``: 'inner' (reference contract, sjoin.py:53-54) plus the
+    beyond-reference 'left' (unmatched left rows kept with NULL right
+    columns) and 'anti' (left rows with NO spatial match) — both are one
+    extra native join on a left-row id against the inner result
+    (SURVEY §2.3 'can add left/anti spatial joins cheaply')."""
     from ..core import GeoDataFrame
 
-    if how != "inner":
-        # reference contract, sjoin.py:53-54
-        raise ValueError("only how='inner' is supported (matches reference)")
+    if how not in ("inner", "left", "anti"):
+        raise ValueError("how must be 'inner', 'left', or 'anti'")
     if predicate not in _PREDICATES:
         raise ValueError(
             f"unsupported predicate {predicate!r}; supported: {sorted(_PREDICATES)}"
@@ -103,6 +108,16 @@ def sjoin(left, right, how: str = "inner", predicate: str = "intersects",
     lbbox, rbbox = lg.bbox_column, rg.bbox_column
 
     ldf, rdf = _suffix_collisions(lg.df, rg.df, lsuffix, rsuffix)
+    lrow = "_sj_left_row"
+    if how in ("left", "anti"):
+        # content hash, NOT monotonically_increasing_id: the left subtree
+        # appears twice in the final plan (inner result + outer probe) and
+        # mono-ids are assigned per evaluation — nondeterministic row
+        # order (e.g. after a round-robin repartition) would mis-align
+        # them.  Exact-duplicate left rows collapse together, which is
+        # semantically interchangeable for left/anti membership.
+        ldf = ldf.withColumn(
+            lrow, F.xxhash64(*[F.col(c) for c in ldf.columns]))
     if lgeom in set(lg.df.columns) & set(rg.df.columns):
         lgeom_j, rgeom_j = f"{lgeom}{lsuffix}", f"{rgeom}{rsuffix}"
         lbbox_j, rbbox_j = f"{lbbox}{lsuffix}", f"{rbbox}{rsuffix}"
@@ -153,6 +168,16 @@ def sjoin(left, right, how: str = "inner", predicate: str = "intersects",
     refined = joined.filter(
         _PREDICATES[predicate](F.col(lgeom_j), F.col(rgeom_j))
     ).drop(rgeom_j, rbbox_j)
+
+    if how == "left":
+        right_cols = [c for c in refined.columns if c not in ldf.columns]
+        # distinct: duplicate left rows share a content hash and would
+        # otherwise re-multiply each other's match list
+        matches = refined.select(lrow, *right_cols).distinct()
+        refined = ldf.join(matches, on=lrow, how="left").drop(lrow)
+    elif how == "anti":
+        matched_ids = refined.select(lrow)
+        refined = ldf.join(matched_ids, on=lrow, how="left_anti").drop(lrow)
 
     return GeoDataFrame(refined, lgeom_j, crs_map=getattr(left, "_crs", {}))
 

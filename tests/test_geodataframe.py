@@ -303,3 +303,25 @@ def test_sjoin_nearest_k2(spark):
     # max_distance prunes
     out1 = sjoin_nearest(pts, targets, k=3, max_distance=5.0)
     assert out1.count() == 2
+
+
+def test_sjoin_left_and_anti(spark):
+    """Left join keeps unmatched lefts with NULL right columns; anti
+    returns only unmatched lefts; inner + anti partition the left rows."""
+    import dask_geopandas_spark as dgs
+
+    pts = dgs.points_from_xy(
+        spark.createDataFrame(
+            [(1, 0.5, 0.5), (2, 5.0, 5.0), (3, 0.6, 0.4)],
+            "id int, x double, y double"), "x", "y")
+    boxes = dgs.from_wkt(
+        spark.createDataFrame(
+            [(10, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")], "bid int, wkt string"),
+        "wkt")
+    inner = pts.sjoin(boxes, predicate="within", strategy="broadcast")
+    assert sorted(r.id for r in inner.df.select("id").collect()) == [1, 3]
+    left = pts.sjoin(boxes, how="left", predicate="within", strategy="broadcast")
+    rows = {r.id: r.bid for r in left.df.select("id", "bid").collect()}
+    assert rows == {1: 10, 2: None, 3: 10}
+    anti = pts.sjoin(boxes, how="anti", predicate="within", strategy="broadcast")
+    assert [r.id for r in anti.df.select("id").collect()] == [2]
