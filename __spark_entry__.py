@@ -560,6 +560,60 @@ def q_simplify_lines(spark, sf_dir):
     )
 
 
+def q_geom_properties(spark, sf_dir):
+    """Property sweep over one frame (reference parametrizes 18 attrs,
+    tests/test_core.py:73-104): representative_point ∈ geometry,
+    boundary/exterior lengths, validity predicates, WKT round-trip."""
+    from dask_geopandas_spark.functions import core as FX
+
+    d = _t(spark, sf_dir, "orders").withColumn("ga", _box_geom(OB))
+    ga = F.col("ga")
+    bnd = FX.st_boundary(ga)
+    rt = FX.st_geomfromtext(FX.st_astext(ga))
+    return d.select(
+        F.col("o_orderkey").alias("orderkey"),
+        FX.st_within(FX.st_representative_point(ga), ga).alias("repr_inside"),
+        F.round(FX.st_length(bnd), 6).alias("boundary_len"),
+        FX.st_isring(FX.st_exterior(ga)).alias("exterior_is_ring"),
+        FX.st_isvalid(ga).alias("valid"),
+        FX.st_issimple(ga).alias("simple"),
+        FX.st_isempty(ga).alias("empty"),
+        F.round(FX.st_area(rt), 6).alias("wkt_rt_area"),
+    )
+
+
+def q_skew_avg(spark, sf_dir):
+    """skew transform (reference expr.py:345-385): xs=45° shear maps
+    (x, y) ↦ (x + y·tan45°, y)."""
+    skewed = _cust_points(spark, sf_dir).skew(xs=45.0)
+    return (
+        skewed.df.withColumn("sx", skewed.x).withColumn("sy", skewed.y)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.round(F.avg("sx"), 6).alias("avg_sx"),
+             F.round(F.avg("sy"), 6).alias("avg_sy"))
+    )
+
+
+def q_line_project(spark, sf_dir):
+    """Linear referencing (reference 'project', expr.py:1001-1013,
+    tests/test_core.py:253-269): each box's top-mid point projected onto
+    its bottom edge lands at fraction 0.5."""
+    from dask_geopandas_spark.functions import core as FX
+
+    x0, y0, w, h = OB["minx"], OB["miny"], OB["w"], OB["h"]
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("line", FX.st_geomfromtext(
+            F.expr(_seg_wkt(x0, y0, f"({x0} + {w})", y0))))
+        .withColumn("pt", FX.st_point(
+            F.expr(f"CAST({x0} + {w} / 2.0 AS DOUBLE)"),
+            F.expr(f"CAST({y0} + {h} AS DOUBLE)")))
+        .select(F.col("o_orderkey").alias("orderkey"),
+                F.round(FX.project(normalized=True)(F.col("line"), F.col("pt")),
+                        6).alias("proj_frac"))
+    )
+
+
 def q_morton_buckets(spark, sf_dir):
     """Morton (Z-order) curve bucketing (reference expr.py:450-500; no SQL
     oracle — bit interleave not portable; golden-pinned in tests)."""
@@ -798,6 +852,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_interpolate": q_line_interpolate,
         "rotate_scale": q_rotate_scale,
         "simplify_lines": q_simplify_lines,
+        "geom_properties": q_geom_properties,
+        "skew_avg": q_skew_avg,
+        "line_project": q_line_project,
         "morton_buckets": q_morton_buckets,
         "hilbert_buckets": q_hilbert_buckets,
         "geohash_cells": q_geohash_cells,
@@ -1146,6 +1203,26 @@ def oracle_sql() -> dict[str, str]:
                          THEN 2 * sqrt(power({OB['w']}, 2) + 1.0)
                          ELSE 2.0 * {OB['w']} END, 6) AS simp_len
             FROM orders
+        """,
+        "geom_properties": f"""
+            SELECT o_orderkey AS orderkey,
+                   TRUE AS repr_inside,
+                   round(2.0 * ({OB['w']} + {OB['h']}), 6) AS boundary_len,
+                   TRUE AS exterior_is_ring,
+                   TRUE AS valid, TRUE AS simple, FALSE AS empty,
+                   round(CAST({OB['w']} * {OB['h']} AS DOUBLE), 6)
+                       AS wkt_rt_area
+            FROM orders
+        """,
+        "skew_avg": f"""
+            SELECT c_mktsegment AS segment,
+                   round(avg(({CUST_X}) + ({CUST_Y}) * tan(pi() / 4.0)), 6)
+                       AS avg_sx,
+                   round(avg({CUST_Y}), 6) AS avg_sy
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "line_project": """
+            SELECT o_orderkey AS orderkey, 0.5 AS proj_frac FROM orders
         """,
         "equals_exact": """
             SELECT o_orderkey AS orderkey, (o_orderkey % 5) <= 2 AS eq
