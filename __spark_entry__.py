@@ -614,6 +614,24 @@ def q_line_project(spark, sf_dir):
     )
 
 
+def q_sql_surface(spark, sf_dir):
+    """The registered ST_* SQL surface (register_sql_functions): the same
+    box-area rollup expressed in pure spark.sql over a temp view."""
+    dgs.register_sql_functions(spark)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_orders_v")
+    x0, y0 = OB["minx"], OB["miny"]
+    x1, y1 = f"({OB['minx']} + {OB['w']})", f"({OB['miny']} + {OB['h']})"
+    return spark.sql(f"""
+        SELECT o_orderpriority,
+               count(*) AS n,
+               round(sum(st_area(st_make_box(
+                   CAST({x0} AS DOUBLE), CAST({y0} AS DOUBLE),
+                   CAST({x1} AS DOUBLE), CAST({y1} AS DOUBLE)))), 6)
+                   AS total_area
+        FROM _orders_v GROUP BY o_orderpriority
+    """)
+
+
 def q_morton_buckets(spark, sf_dir):
     """Morton (Z-order) curve bucketing (reference expr.py:450-500; no SQL
     oracle — bit interleave not portable; golden-pinned in tests)."""
@@ -855,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geom_properties": q_geom_properties,
         "skew_avg": q_skew_avg,
         "line_project": q_line_project,
+        "sql_surface": q_sql_surface,
         "morton_buckets": q_morton_buckets,
         "hilbert_buckets": q_hilbert_buckets,
         "geohash_cells": q_geohash_cells,
@@ -1223,6 +1242,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "line_project": """
             SELECT o_orderkey AS orderkey, 0.5 AS proj_frac FROM orders
+        """,
+        "sql_surface": f"""
+            SELECT o_orderpriority, count(*) AS n,
+                   round(sum(CAST({OB['w']} * {OB['h']} AS DOUBLE)), 6)
+                       AS total_area
+            FROM orders GROUP BY o_orderpriority
         """,
         "equals_exact": """
             SELECT o_orderkey AS orderkey, (o_orderkey % 5) <= 2 AS eq
