@@ -484,15 +484,23 @@ class GeoDataFrame:
     # ------------------------------------------------------------------
     # multi-row ops
     # ------------------------------------------------------------------
-    def explode(self) -> "GeoDataFrame":
+    def explode(self, index_parts: bool = False) -> "GeoDataFrame":
         from .operators.explode import explode_geometry
 
-        return self._wrap(explode_geometry(self._df, self._geometry))
+        return self._wrap(
+            explode_geometry(self._df, self._geometry, index_parts))
 
-    def dissolve(self, by=None, aggfunc="first") -> "GeoDataFrame":
+    def dissolve(self, by=None, aggfunc="first",
+                 split_out: int | None = None) -> "GeoDataFrame":
+        """``split_out`` repartitions the aggregated result (reference
+        dissolve's split_out controls output partition count,
+        expr.py:652-703); group computation is always distributed."""
         from .operators.dissolve import dissolve
 
-        return self._wrap(dissolve(self._df, self._geometry, by, aggfunc))
+        out = dissolve(self._df, self._geometry, by, aggfunc)
+        if split_out:
+            out = out.repartition(split_out)
+        return self._wrap(out)
 
     def union_all(self) -> bytes:
         from .operators.dissolve import union_all

@@ -55,8 +55,16 @@ def _split_parts(blob: bytes | None) -> list:
     return [blob]
 
 
-def explode_geometry(df: DataFrame, geometry: str) -> DataFrame:
+def explode_geometry(df: DataFrame, geometry: str,
+                     index_parts: bool = False) -> DataFrame:
+    """``index_parts=True`` adds a ``part_index`` long column numbering
+    each part within its source row (the reference's multi-index second
+    level, expr.py:822-830 — Spark has no index, so it is a column)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
     schema = df.schema
+    if index_parts:
+        schema = StructType(schema.fields + [StructField("part_index", LongType())])
 
     def gen(batches):
         for pdf in batches:
@@ -65,6 +73,10 @@ def explode_geometry(df: DataFrame, geometry: str) -> DataFrame:
             idx = np.repeat(np.arange(len(pdf)), counts)
             out = pdf.iloc[idx].reset_index(drop=True)
             out[geometry] = [p for parts in reps for p in parts]
+            if index_parts:
+                out["part_index"] = np.concatenate(
+                    [np.arange(c) for c in counts]) if len(pdf) else \
+                    np.array([], dtype=np.int64)
             yield out
 
     return df.mapInPandas(gen, schema=schema)

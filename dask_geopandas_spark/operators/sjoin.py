@@ -84,6 +84,7 @@ def _with_cells(df: DataFrame, bbox: str, total_bounds, level: int) -> DataFrame
 
 def sjoin(left, right, how: str = "inner", predicate: str = "intersects",
           strategy: str = "auto", grid_level: int = 7,
+          total_bounds=None,
           lsuffix: str = "_left", rsuffix: str = "_right"):
     """Spatial join of two GeoDataFrames; returns a GeoDataFrame keeping
     the left geometry (reference keeps left geometry too, sjoin.py:92-101).
@@ -135,12 +136,19 @@ def sjoin(left, right, how: str = "inner", predicate: str = "intersects",
     if strategy == "broadcast":
         joined = ldf.join(F.broadcast(rdf), on=_bbox_overlap(lbbox_j, rbbox_j), how="inner")
     elif strategy == "grid":
-        tb_l = lg.total_bounds()
-        tb_r = rg.total_bounds()
-        tb = (
-            min(tb_l[0], tb_r[0]), min(tb_l[1], tb_r[1]),
-            max(tb_l[2], tb_r[2]), max(tb_l[3], tb_r[3]),
-        )
+        if total_bounds is not None:
+            # caller-supplied bounds (dataset stats, CRS extent) skip the
+            # two bounds jobs — same contract as the reference's curve
+            # encoders accepting total_bounds (expr.py:404-448); any
+            # bounds work, out-of-range bboxes clamp into edge cells
+            tb = tuple(float(v) for v in total_bounds)
+        else:
+            tb_l = lg.total_bounds()
+            tb_r = rg.total_bounds()
+            tb = (
+                min(tb_l[0], tb_r[0]), min(tb_l[1], tb_r[1]),
+                max(tb_l[2], tb_r[2]), max(tb_l[3], tb_r[3]),
+            )
         lc = _with_cells(ldf, lbbox_j, tb, grid_level)
         rc = _with_cells(rdf, rbbox_j, tb, grid_level)
         # Reference-point dedup (PBSM): a candidate pair appears once per

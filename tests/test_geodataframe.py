@@ -325,3 +325,22 @@ def test_sjoin_left_and_anti(spark):
     assert rows == {1: 10, 2: None, 3: 10}
     anti = pts.sjoin(boxes, how="anti", predicate="within", strategy="broadcast")
     assert [r.id for r in anti.df.select("id").collect()] == [2]
+
+
+def test_explode_index_parts_and_dissolve_split_out(spark):
+    import dask_geopandas_spark as dgs
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "id": [0, 1],
+        "wkt": ["MULTIPOINT ((0 0), (1 1), (2 2))", "POINT (5 5)"],
+    })
+    gdf = dgs.from_wkt(spark.createDataFrame(pdf), "wkt")
+    out = gdf.explode(index_parts=True)
+    rows = sorted((r.id, r.part_index) for r in
+                  out.df.select("id", "part_index").collect())
+    assert rows == [(0, 0), (0, 1), (0, 2), (1, 0)]
+    # dissolve split_out controls output partitioning only
+    d = gdf.dissolve(by="id", split_out=2)
+    assert d.df.rdd.getNumPartitions() == 2
+    assert d.count() == 2
