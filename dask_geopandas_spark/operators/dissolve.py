@@ -119,11 +119,34 @@ def dissolve(df: DataFrame, geometry: str, by=None, aggfunc="first") -> DataFram
             return gdf
         return gdf.crossJoin(df.agg(*scalar_aggs))
     keys = by if isinstance(by, list) else [by]
-    gdf = df.groupBy(*keys).agg(geom_agg)
+    gdf = _partial_union(df, geometry, keys).groupBy(*keys).agg(geom_agg)
     if not scalar_aggs:
         return gdf
     sdf = df.groupBy(*keys).agg(*scalar_aggs)
     return gdf.join(sdf, on=keys)
+
+
+def _partial_union(df: DataFrame, geometry: str, keys: list) -> DataFrame:
+    """Map-side combine for the geometry union: pandas grouped-agg UDFs
+    get no partial aggregation from Spark, so without this every geometry
+    row shuffles to its key's reducer.  Unioning per (Arrow batch × key)
+    first shuffles one partial per batch-key instead — the tree shape the
+    reference builds with ApplyConcatApply (expr.py:33-41, 692-694).
+    merge_geometries is associative, so partial-of-partials is exact."""
+    import pandas as pd
+
+    slim = df.select(*keys, geometry)
+    schema = slim.schema
+
+    def combine(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            grouped = pdf.groupby(keys, sort=False, dropna=False)[geometry] \
+                .apply(lambda s: merge_geometries(list(s))).reset_index()
+            yield grouped[[*keys, geometry]]
+
+    return slim.mapInPandas(combine, schema=schema)
 
 
 def union_all(df: DataFrame, geometry: str) -> bytes | None:
