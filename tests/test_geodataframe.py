@@ -344,3 +344,25 @@ def test_explode_index_parts_and_dissolve_split_out(spark):
     d = gdf.dissolve(by="id", split_out=2)
     assert d.df.rdd.getNumPartitions() == 2
     assert d.count() == 2
+
+
+def test_spatial_shuffle_range_disjoint(spark, pts):
+    """repartitionByRange on the curve key yields per-partition key
+    ranges that do not overlap (the invariant q_spatial_shuffle's
+    rows-only driver check cannot pin)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import spark_partition_id
+
+    gdf, _ = pts
+    tb = (-180.0, -90.0, 180.0, 90.0)
+    out = gdf.spatial_shuffle(by="hilbert", level=10, npartitions=4,
+                              total_bounds=tb)
+    h = out.hilbert_distance(total_bounds=tb, level=10)
+    rows = (out.df.withColumn("_h", h)
+            .withColumn("_pid", spark_partition_id())
+            .groupBy("_pid")
+            .agg(F.min("_h").alias("lo"), F.max("_h").alias("hi"))
+            .collect())
+    ranges = sorted((r.lo, r.hi) for r in rows)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping partition ranges {ranges}"
