@@ -357,6 +357,26 @@ def q_geoparquet_roundtrip(spark, sf_dir):
     )
 
 
+def q_feather_roundtrip(spark, sf_dir):
+    """Feather write → read round-trip (reference io/arrow.py:246-430):
+    customer points written one file per partition via pyarrow, re-read
+    through the fragment-list mapInPandas scan."""
+    import shutil
+
+    from dask_geopandas_spark.sources.feather import read_feather, to_feather
+
+    path = "/root/repo/.bench_tmp/feather_roundtrip"
+    shutil.rmtree(path, ignore_errors=True)
+    g = _cust_points(spark, sf_dir)
+    to_feather(g, path)
+    back = read_feather(spark, path, geometry="geometry", crs="EPSG:4326")
+    return back.df.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(back.x), 6).alias("sum_x"),
+        F.round(F.sum(back.y), 6).alias("sum_y"),
+    )
+
+
 def q_stream_hourly(spark, sf_dir):
     """Structured Streaming variant of events_hourly: readStream over the
     events parquet → watermarked tumbling window → memory sink
@@ -859,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_cross": q_line_cross,
         "equals_exact": q_equals_exact,
         "geoparquet_roundtrip": q_geoparquet_roundtrip,
+        "feather_roundtrip": q_feather_roundtrip,
         "stream_hourly": q_stream_hourly,
         "spatial_shuffle": q_spatial_shuffle,
         "interiors": q_interiors,
@@ -1160,6 +1181,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n,
                    min({CUST_X}) AS minx, min({CUST_Y}) AS miny,
                    max({CUST_X}) AS maxx, max({CUST_Y}) AS maxy
+            FROM customer
+        """,
+        "feather_roundtrip": f"""
+            SELECT count(*) AS n,
+                   round(sum({CUST_X}), 6) AS sum_x,
+                   round(sum({CUST_Y}), 6) AS sum_y
             FROM customer
         """,
         "stream_hourly": """

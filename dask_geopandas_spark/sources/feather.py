@@ -23,11 +23,18 @@ from pyspark.sql.types import StructType
 def _pa_schema_to_spark(schema) -> StructType:
     import pyarrow as pa
     from pyspark.sql.types import (
-        BinaryType, BooleanType, DoubleType, FloatType, IntegerType,
-        LongType, StringType, StructField, TimestampType,
+        ArrayType, BinaryType, BooleanType, DateType, DecimalType,
+        DoubleType, FloatType, IntegerType, LongType, StringType,
+        StructField, TimestampType,
     )
 
     def conv(t):
+        if pa.types.is_decimal(t):
+            return DecimalType(t.precision, t.scale)
+        if pa.types.is_date(t):
+            return DateType()
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            return ArrayType(conv(t.value_type))
         if pa.types.is_int64(t):
             return LongType()
         if pa.types.is_int32(t) or pa.types.is_int16(t) or pa.types.is_int8(t):
