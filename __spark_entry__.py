@@ -580,6 +580,25 @@ def q_simplify_lines(spark, sf_dir):
     )
 
 
+def q_points_z(spark, sf_dir):
+    """3D points (reference z accessor, tests/test_core.py:966-976):
+    points_from_xy with z, read back via st_z / has_z."""
+    from dask_geopandas_spark.functions import core as FX
+
+    df = (_t(spark, sf_dir, "customer")
+          .withColumn("px", F.expr(CUST_X))
+          .withColumn("py", F.expr(CUST_Y))
+          .withColumn("pz", F.expr("CAST(c_custkey % 97 AS DOUBLE)")))
+    g = dgs.points_from_xy(df, "px", "py", z="pz", crs="EPSG:4326")
+    return (
+        g.df.withColumn("z", FX.st_z(F.col("geometry")))
+        .withColumn("hz", FX.st_hasz(F.col("geometry")))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.round(F.avg("z"), 6).alias("avg_z"),
+             F.count(F.when(F.col("hz"), 1)).alias("n_3d"))
+    )
+
+
 def q_geom_properties(spark, sf_dir):
     """Property sweep over one frame (reference parametrizes 18 attrs,
     tests/test_core.py:73-104): representative_point ∈ geometry,
@@ -891,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_interpolate": q_line_interpolate,
         "rotate_scale": q_rotate_scale,
         "simplify_lines": q_simplify_lines,
+        "points_z": q_points_z,
         "geom_properties": q_geom_properties,
         "skew_avg": q_skew_avg,
         "line_project": q_line_project,
@@ -1249,6 +1269,12 @@ def oracle_sql() -> dict[str, str]:
                          THEN 2 * sqrt(power({OB['w']}, 2) + 1.0)
                          ELSE 2.0 * {OB['w']} END, 6) AS simp_len
             FROM orders
+        """,
+        "points_z": """
+            SELECT c_mktsegment AS segment,
+                   round(avg(c_custkey % 97), 6) AS avg_z,
+                   count(*) AS n_3d
+            FROM customer GROUP BY c_mktsegment
         """,
         "geom_properties": f"""
             SELECT o_orderkey AS orderkey,

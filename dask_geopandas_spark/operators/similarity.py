@@ -37,17 +37,55 @@ def cosine(a: Column, b: Column) -> Column:
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k: (query_id, neighbor_id, cos, rank), excluding self.
-    Broadcast the query side; rank per query with a window."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id",
-                F.round(cosine(F.col("qv"), F.col("cv")), 9).alias("cos"))
-    )
+
+    The query matrix (small) ships to every task; each corpus Arrow batch
+    scores against it with ONE BLAS matmul and emits only its local top-k
+    per query (a map-side combine for top-k), so the final window ranks
+    n_batches·k candidates per query instead of the whole corpus."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[id_col] for r in qrows])
+    QM = np.asarray([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(QM, axis=1)
+    qn[qn == 0] = 1.0
+    QM = QM / qn[:, None]
+
+    out_schema = StructType([
+        StructField("query_id", LongType()),
+        StructField("neighbor_id", LongType()),
+        StructField("cos", DoubleType()),
+    ])
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            M = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col].to_numpy()])
+            norms = np.linalg.norm(M, axis=1)
+            norms[norms == 0] = 1.0
+            S = (M / norms[:, None]) @ QM.T          # (batch, queries)
+            S[ids[:, None] == qids[None, :]] = -np.inf   # exclude self
+            kk = min(k, S.shape[0])
+            top = np.argpartition(-S, kk - 1, axis=0)[:kk]  # per query
+            qcol = np.broadcast_to(np.arange(S.shape[1]), top.shape)
+            sims = S[top, qcol]
+            keep = np.isfinite(sims.ravel())
+            yield pd.DataFrame({
+                "query_id": qids[qcol.ravel()[keep]],
+                "neighbor_id": ids[top.ravel()[keep]],
+                "cos": np.round(sims.ravel()[keep], 9),
+            })
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 
