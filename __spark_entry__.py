@@ -832,6 +832,55 @@ def q_image_meta(spark, sf_dir):
     )
 
 
+def q_image_resize(spark, sf_dir):
+    """Resize plumbing: payloads rewritten to 32×24, metadata re-decoded
+    from the new headers."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    media = MM_fake_media(d)
+    resized = MM.resize_images(media, 32, 24)
+    out = MM.with_image_meta(resized)
+    return out.select(
+        "doc_id",
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("media_meta.size_bytes").alias("size_bytes"),
+    )
+
+
+def q_audio_meta(spark, sf_dir):
+    """Audio column plumbing: fake payloads with (sample_rate, n_samples)
+    derived from doc_id, metadata decoded distributed."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    schema = StructType(d.schema.fields + [StructField("audio", BinaryType())])
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = [
+                MM.make_fake_audio(8000 * (int(i) % 3 + 1),
+                                   int(i) % 50000 + 1000, seed=int(i) % 97)
+                for i in pdf["doc_id"]
+            ]
+            pdf = pdf.copy()
+            pdf["audio"] = pd.Series(payloads, dtype=object)
+            yield pdf
+
+    media = d.mapInPandas(gen, schema=schema)
+    out = MM.with_audio_meta(media)
+    return out.select(
+        "doc_id",
+        F.col("audio_meta.sample_rate").alias("sample_rate"),
+        F.col("audio_meta.n_samples").alias("n_samples"),
+        # integer-domain microseconds (single correctly-rounded division;
+        # the duration_s float would accumulate a second rounding step)
+        F.floor(F.col("audio_meta.n_samples") * F.lit(1000000)
+                / F.col("audio_meta.sample_rate")).cast("long")
+            .alias("duration_us"),
+    )
+
+
 def q_frame_counts(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
     media = MM_fake_media(d, id_col="media_id")
@@ -932,6 +981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": q_session_windows,
         "running_totals": q_running_totals,
         "image_meta": q_image_meta,
+        "image_resize": q_image_resize,
+        "audio_meta": q_audio_meta,
         "frame_counts": q_frame_counts,
     }
 
@@ -1368,6 +1419,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST({meta_arith} AS INTEGER) AS width,
                    CAST({meta_h} AS INTEGER) AS height,
                    CAST(8 + 12 + {body} AS BIGINT) AS size_bytes
+            FROM documents
+        """,
+        "image_resize": f"""
+            SELECT doc_id,
+                   CAST(32 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height,
+                   CAST(8 + 12 + least(32 * 24 * 3, 4096) AS BIGINT)
+                       AS size_bytes
+            FROM documents
+        """,
+        "audio_meta": """
+            SELECT doc_id,
+                   CAST(8000 * (doc_id % 3 + 1) AS INTEGER) AS sample_rate,
+                   CAST(doc_id % 50000 + 1000 AS BIGINT) AS n_samples,
+                   CAST(floor((doc_id % 50000 + 1000) * 1000000.0 /
+                              (8000 * (doc_id % 3 + 1))) AS BIGINT)
+                       AS duration_us
             FROM documents
         """,
         "frame_counts": f"""

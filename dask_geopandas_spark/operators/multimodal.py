@@ -111,6 +111,86 @@ def image_mean_brightness(df: DataFrame, media_col: str = "media",
     return df.mapInPandas(gen, schema=schema)
 
 
+def resize_images(df: DataFrame, target_w: int, target_h: int,
+                  media_col: str = "media") -> DataFrame:
+    """Resize step: rewrites each payload to the target dimensions.  The
+    pixel resample is stubbed (body bytes truncated/tiled to the new
+    size budget — a real library would interpolate); header metadata,
+    batch shape, and payload-size discipline are the real parts."""
+    schema = df.schema
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for b in pdf[media_col]:
+                if b is None:
+                    out.append(None)
+                    continue
+                raw = bytes(b)
+                if not raw.startswith(FAKE_MAGIC):
+                    raise NotImplementedError(
+                        "real image resizing requires an image library not "
+                        "present in this environment"
+                    )
+                _, _, c = struct.unpack_from("<III", raw, len(FAKE_MAGIC))
+                body = raw[len(FAKE_MAGIC) + 12:]
+                n = min(target_w * target_h * c, 4096)
+                reps = -(-n // max(len(body), 1))
+                new_body = (body * reps)[:n] if body else b"\x00" * n
+                out.append(FAKE_MAGIC + struct.pack("<III", target_w, target_h, c)
+                           + new_body)
+            pdf = pdf.copy()
+            pdf[media_col] = out
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+AUDIO_META_SCHEMA = StructType([
+    StructField("sample_rate", IntegerType()),
+    StructField("n_samples", LongType()),
+    StructField("duration_s", DoubleType()),
+])
+
+FAKE_AUDIO_MAGIC = b"FAKEAUD1"
+
+
+def make_fake_audio(sample_rate: int, n_samples: int, seed: int = 0) -> bytes:
+    head = FAKE_AUDIO_MAGIC + struct.pack("<IQ", sample_rate, n_samples)
+    rng = np.random.RandomState(seed)
+    return head + rng.randint(-128, 128, min(n_samples, 4096),
+                              dtype=np.int8).tobytes()
+
+
+def with_audio_meta(df: DataFrame, media_col: str = "audio",
+                    out_col: str = "audio_meta") -> DataFrame:
+    """Audio metadata decode (same contract as with_image_meta; only the
+    engine's FAKE header is decodable in this container)."""
+    schema = StructType(df.schema.fields + [StructField(out_col, AUDIO_META_SCHEMA)])
+
+    def gen(batches):
+        for pdf in batches:
+            metas = []
+            for b in pdf[media_col]:
+                if b is None:
+                    metas.append(None)
+                    continue
+                raw = bytes(b)
+                if not raw.startswith(FAKE_AUDIO_MAGIC):
+                    raise NotImplementedError(
+                        "real audio decoding requires an audio library not "
+                        "present in this environment"
+                    )
+                sr, n = struct.unpack_from("<IQ", raw, len(FAKE_AUDIO_MAGIC))
+                metas.append({"sample_rate": sr, "n_samples": n,
+                              "duration_s": n / sr if sr else None})
+            pdf = pdf.copy()
+            pdf[out_col] = metas
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema)
+
+
 def sample_video_frames(df: DataFrame, media_col: str = "media",
                         every_n: int = 10, id_col: str = "media_id") -> DataFrame:
     """Frame-sampling fan-out: one output row per sampled frame index.

@@ -219,3 +219,43 @@ class TestStreaming:
             assert rows[0]["geometry_bbox"]["minx"] == rows[0]["x"]
         finally:
             q.stop()
+
+
+def test_resize_and_audio_plumbing(spark):
+    """Multimodal resize + audio metadata round-trips through mapInPandas;
+    non-FAKE payloads raise (decode is stubbed in this container)."""
+    import pandas as pd
+    import pytest
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from dask_geopandas_spark.operators import multimodal as MM
+
+    base = spark.createDataFrame([(i,) for i in range(8)], "media_id long")
+    schema = StructType(base.schema.fields + [StructField("media", BinaryType())])
+
+    def gen(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["media"] = pd.Series(
+                [MM.make_fake_image(40, 30, 3, seed=int(i)) for i in pdf.media_id],
+                dtype=object)
+            yield pdf
+
+    media = base.mapInPandas(gen, schema=schema)
+    resized = MM.with_image_meta(MM.resize_images(media, 16, 8))
+    rows = resized.select("media_meta.width", "media_meta.height").distinct().collect()
+    assert [(r[0], r[1]) for r in rows] == [(16, 8)]
+
+    audio = base.mapInPandas(
+        lambda bs: (pdf.assign(media=pd.Series(
+            [MM.make_fake_audio(16000, 32000, seed=int(i)) for i in pdf.media_id],
+            dtype=object)) for pdf in bs), schema=schema)
+    out = MM.with_audio_meta(audio, media_col="media")
+    r = out.select("audio_meta.duration_s").distinct().collect()
+    assert r[0][0] == pytest.approx(2.0)
+
+    bad = base.mapInPandas(
+        lambda bs: (pdf.assign(media=pd.Series([b"JPEGnope"] * len(pdf), dtype=object))
+                    for pdf in bs), schema=schema)
+    with pytest.raises(Exception, match="NotImplementedError|image library"):
+        MM.with_image_meta(bad).collect()
