@@ -712,6 +712,7 @@ def q_token_stats(spark, sf_dir):
         "doc_id",
         TX.token_count(F.col("text")).alias("n_tokens"),
         TX.char_count(F.col("text")).alias("n_chars"),
+        TX.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
     )
 
 
@@ -1361,7 +1362,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER)
                        AS n_tokens,
-                   CAST(length(text) AS INTEGER) AS n_chars
+                   CAST(length(text) AS INTEGER) AS n_chars,
+                   CAST(len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s'']+'))
+                       AS INTEGER) AS n_bpe_tokens
             FROM documents
         """,
         "exact_dedup": """

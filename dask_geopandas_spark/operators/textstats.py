@@ -37,6 +37,19 @@ def char_count(text: Column) -> Column:
     return F.length(text)
 
 
+# GPT-2-style pre-tokenizer classes (no lookarounds — portable between
+# Java regex and RE2): contraction suffixes, letter runs, digit runs,
+# other-symbol runs
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s']+"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count via the BPE pre-tokenizer regex — a far
+    better LLM-token estimate than whitespace splitting (splits
+    punctuation and digit runs off words)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
 def alpha_ratio(text: Column) -> Column:
     """Fraction of alphanumeric characters — quality-score component."""
     return (
