@@ -46,7 +46,9 @@ def _geo_meta(geometry: str, crs_map: dict, geometry_columns=None,
 
 def to_parquet(gdf, path: str, partition_on: str | None = None,
                write_bbox: bool = True,
-               geometry_columns: list[str] | None = None) -> None:
+               geometry_columns: list[str] | None = None,
+               spatial_sort: bool = False,
+               spatial_sort_level: int = 16) -> None:
     """Write a GeoDataFrame as GeoParquet: one file per Spark partition,
     each footer carrying the ``geo`` metadata for every geometry column
     and (``write_bbox``) the file-level bbox of the primary column so a
@@ -58,6 +60,12 @@ def to_parquet(gdf, path: str, partition_on: str | None = None,
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if spatial_sort:
+        # Hilbert-ordered layout (SURVEY §7 design invariant): each file
+        # covers a compact spatial region, so the per-file bboxes written
+        # below — and parquet row-group stats on a materialized bbox
+        # column — prune tightly for any spatial predicate
+        gdf = gdf.spatial_shuffle(by="hilbert", level=spatial_sort_level)
     geometry = gdf.geometry_column
     crs_map = dict(getattr(gdf, "_crs", {}))
     df = gdf.df

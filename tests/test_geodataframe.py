@@ -366,3 +366,39 @@ def test_spatial_shuffle_range_disjoint(spark, pts):
     ranges = sorted((r.lo, r.hi) for r in rows)
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping partition ranges {ranges}"
+
+
+def test_calculate_spatial_partitions_and_fillna(spark, pts):
+    import dask_geopandas_spark as dgs
+    from dask_geopandas_spark.geometry import wkb as W
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    gdf, pdf = pts
+    parts = list(gdf.calculate_spatial_partitions().values())
+    assert parts and all(len(b) == 4 for b in parts)
+    minx = min(b[0] for b in parts)
+    maxx = max(b[2] for b in parts)
+    assert minx == pytest.approx(pdf.x.min())
+    assert maxx == pytest.approx(pdf.x.max())
+
+    # fillna replaces NULL geometry with the given WKB
+    filler = W.serialize_geometry(W.POINT, np.array([0.0, 0.0]))
+    df = spark.createDataFrame([(1, None), (2, filler)], "id int, geometry binary")
+    g = dgs.GeoDataFrame(df, "geometry")
+    assert g.df.filter(g.isna()).count() == 1
+    filled = g.fillna(filler)
+    assert filled.df.filter(filled.isna()).count() == 0
+
+
+def test_to_parquet_spatial_sort(spark, pts, tmp_path):
+    import dask_geopandas_spark as dgs
+
+    gdf, pdf = pts
+    path = str(tmp_path / "sorted_geo")
+    gdf.to_parquet(path, spatial_sort=True)
+    back = dgs.read_parquet(spark, path)
+    assert back.count() == len(pdf)
+    # per-file bboxes gathered and cover the data
+    assert back.spatial_partitions
+    assert min(b[0] for b in back.spatial_partitions) == pytest.approx(pdf.x.min())
