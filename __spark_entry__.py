@@ -57,7 +57,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name in _REBALANCE:
         par = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < min(par, 16):
-            df = df.repartition(min(par, 32))
+            import os as _os
+
+            # scale partitions to data volume: tiny tables over many
+            # partitions pay more in per-task python round-trips than
+            # they gain in parallelism (~0.75 MB per partition)
+            try:
+                mb = _os.path.getsize(f"{sf_dir}/{name}.parquet") / 1e6
+            except OSError:
+                mb = 8.0
+            n = max(4, min(min(par, 32), int(mb / 0.4) + 1))
+            df = df.repartition(n)
     return df
 
 

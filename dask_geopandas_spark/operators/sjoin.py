@@ -138,17 +138,27 @@ def sjoin(left, right, how: str = "inner", predicate: str = "intersects",
     elif strategy == "grid":
         if total_bounds is not None:
             # caller-supplied bounds (dataset stats, CRS extent) skip the
-            # two bounds jobs — same contract as the reference's curve
+            # bounds job — same contract as the reference's curve
             # encoders accepting total_bounds (expr.py:404-448); any
             # bounds work, out-of-range bboxes clamp into edge cells
             tb = tuple(float(v) for v in total_bounds)
         else:
-            tb_l = lg.total_bounds()
-            tb_r = rg.total_bounds()
-            tb = (
-                min(tb_l[0], tb_r[0]), min(tb_l[1], tb_r[1]),
-                max(tb_l[2], tb_r[2]), max(tb_l[3], tb_r[3]),
-            )
+            # one job over the union of both sides' bbox projections
+            # instead of two separate scans
+            def _bb(g):
+                b = g.bbox_column
+                return g.df.select(
+                    F.col(f"{b}.minx").alias("minx"),
+                    F.col(f"{b}.miny").alias("miny"),
+                    F.col(f"{b}.maxx").alias("maxx"),
+                    F.col(f"{b}.maxy").alias("maxy"),
+                )
+
+            row = _bb(lg).unionByName(_bb(rg)).agg(
+                F.min("minx").alias("minx"), F.min("miny").alias("miny"),
+                F.max("maxx").alias("maxx"), F.max("maxy").alias("maxy"),
+            ).collect()[0]
+            tb = (row["minx"], row["miny"], row["maxx"], row["maxy"])
         lc = _with_cells(ldf, lbbox_j, tb, grid_level)
         rc = _with_cells(rdf, rbbox_j, tb, grid_level)
         # Reference-point dedup (PBSM): a candidate pair appears once per
