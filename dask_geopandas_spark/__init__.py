@@ -37,6 +37,8 @@ __all__ = [
     "sjoin",
     "clip",
     "read_parquet",
+    "read_feather",
+    "read_file",
     "__version__",
 ]
 
@@ -45,3 +47,15 @@ def read_parquet(spark, path, **kw):
     from .sources.geoparquet import read_parquet as _rp
 
     return _rp(spark, path, **kw)
+
+
+def read_feather(spark, path, **kw):
+    from .sources.feather import read_feather as _rf
+
+    return _rf(spark, path, **kw)
+
+
+def read_file(spark, path, **kw):
+    from .sources.file import read_file as _rf
+
+    return _rf(spark, path, **kw)

@@ -244,6 +244,19 @@ class GeoDataFrame:
     def exterior(self) -> "GeoDataFrame":
         return self._replace_geom(FX.st_exterior(self._geom()))
 
+    @property
+    def bounds(self) -> Column:
+        """Per-row bbox struct (minx,miny,maxx,maxy) — reference `bounds`
+        returns a 4-column frame (expr.py:947-960); here a struct Column
+        usable natively downstream (Parquet min/max stats, .cx filters)."""
+        return FX.st_bounds(self._geom())
+
+    @property
+    def interiors(self) -> Column:
+        """Array of interior rings as WKB LineStrings (reference expr.py
+        binds `interiors` per partition; tests/test_core.py:73-104)."""
+        return FX.st_interiors(self._geom())
+
     def representative_point(self) -> "GeoDataFrame":
         return self._replace_geom(FX.st_representative_point(self._geom()))
 
@@ -559,6 +572,13 @@ class GeoDataFrame:
         from .sources.geoparquet import to_parquet
 
         to_parquet(self, path, **kw)
+
+    def to_feather(self, path: str) -> None:
+        """One Feather file per partition via pyarrow on the executors
+        (reference io/arrow.py:347-430)."""
+        from .sources.feather import to_feather
+
+        to_feather(self, path)
 
 
 # ----------------------------------------------------------------------

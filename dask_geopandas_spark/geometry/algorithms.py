@@ -65,9 +65,21 @@ def bounds(batch: W.GeometryBatch) -> np.ndarray:
 
 
 def _ring_cross_terms(batch: W.GeometryBatch) -> np.ndarray:
-    """Shoelace cross product per coordinate, next-wrapped within path."""
+    """Shoelace cross product per coordinate, next-wrapped within path.
+
+    Coordinates are translated to each path's first vertex first: shoelace
+    area is translation-invariant, and the small relative offsets keep the
+    cross products well-conditioned for large absolute coordinates
+    (web-mercator meters put raw x*y terms near 1e14, where float64
+    cancellation costs ~1e-2 m² per term)."""
     nxt = _next_index(batch.path_offsets)
-    x, y = batch.xs, batch.ys
+    if len(batch.xs) == 0:
+        return np.zeros(0)
+    starts = np.minimum(batch.path_offsets[:-1], len(batch.xs) - 1)
+    lens = batch.path_lengths()
+    x0 = np.repeat(batch.xs[starts], lens)
+    y0 = np.repeat(batch.ys[starts], lens)
+    x, y = batch.xs - x0, batch.ys - y0
     return x * y[nxt] - x[nxt] * y
 
 
@@ -126,12 +138,20 @@ def centroid(batch: W.GeometryBatch) -> tuple[np.ndarray, np.ndarray]:
     """
     cx = np.full(batch.n, np.nan)
     cy = np.full(batch.n, np.nan)
-    if batch.n_paths == 0:
+    if batch.n_paths == 0 or len(batch.xs) == 0:
         return cx, cy
-    x, y = batch.xs, batch.ys
     nxt = _next_index(batch.path_offsets)
     lens = batch.path_lengths()
     pk = batch.path_kind
+    # Translate to each geometry's first vertex: every centroid integral
+    # below is translation-equivariant, and small relative coordinates
+    # avoid the float64 cancellation that raw web-mercator-scale x*y
+    # cross terms suffer.  The offset is added back at the end.
+    g0 = np.clip(batch.geom_coord_starts[:-1], 0, len(batch.xs) - 1)
+    gx0, gy0 = batch.xs[g0], batch.ys[g0]
+    cg = np.repeat(batch.path_geom, lens)
+    x = batch.xs - gx0[cg]
+    y = batch.ys - gy0[cg]
 
     # --- polygon contribution
     cross = x * y[nxt] - x[nxt] * y
@@ -188,7 +208,7 @@ def centroid(batch: W.GeometryBatch) -> tuple[np.ndarray, np.ndarray]:
         ok = rest & (counts > 0)
         cx[ok] = sx[ok] / counts[ok]
         cy[ok] = sy[ok] / counts[ok]
-    return cx, cy
+    return cx + gx0, cy + gy0
 
 
 # ----------------------------------------------------------------------

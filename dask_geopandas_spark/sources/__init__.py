@@ -1,1 +1,19 @@
+"""I/O connectors (reference io/: parquet.py, arrow.py, file.py).
 
+GeoParquet is the primary format (native Spark parquet scan + `geo`
+metadata + per-file bbox summaries); Feather rides pyarrow inside
+mapInPandas; `read_file` builds a (path, offset, count) part list on
+the driver and reads fragments on executors.
+"""
+
+from .feather import read_feather, to_feather
+from .file import read_file
+from .geoparquet import read_parquet, to_parquet
+
+__all__ = [
+    "read_parquet",
+    "to_parquet",
+    "read_feather",
+    "to_feather",
+    "read_file",
+]

@@ -72,7 +72,18 @@ def read_feather(spark: SparkSession, path: str, columns=None,
     if not files:
         raise FileNotFoundError(path)
 
-    schema = _pa_schema_to_spark(feather.read_table(files[0], memory_map=True).schema)
+    pa_schema = feather.read_table(files[0], memory_map=True).schema
+    # restore geometry column + CRS from `geo` schema metadata (reference
+    # io/arrow.py:22-45 round-trips geo metadata through the Arrow schema)
+    meta = pa_schema.metadata or {}
+    if geometry is None and b"geo" in meta:
+        import json
+
+        geo = json.loads(meta[b"geo"])
+        geometry = geo.get("primary_column")
+        if crs is None:
+            crs = (geo.get("columns", {}).get(geometry, {}) or {}).get("crs")
+    schema = _pa_schema_to_spark(pa_schema)
     frag_df = spark.createDataFrame([(f,) for f in files], "frag_path: string")
     frag_df = frag_df.repartition(len(files))
 
@@ -98,6 +109,16 @@ def to_feather(gdf_or_df, path: str) -> None:
     import pyarrow.feather as feather
 
     df = gdf_or_df.df if hasattr(gdf_or_df, "df") else gdf_or_df
+    geo_meta = None
+    if hasattr(gdf_or_df, "geometry_column"):
+        import json
+
+        gcol = gdf_or_df.geometry_column
+        geo_meta = json.dumps({
+            "primary_column": gcol,
+            "columns": {gcol: {"encoding": "WKB",
+                               "crs": getattr(gdf_or_df, "crs", None)}},
+        }).encode()
     os.makedirs(path, exist_ok=True)
 
     def write_part(batches):
@@ -105,8 +126,13 @@ def to_feather(gdf_or_df, path: str) -> None:
 
         tables = [pa.Table.from_pandas(b, preserve_index=False) for b in batches]
         if tables:
+            tbl = pa.concat_tables(tables)
+            if geo_meta is not None:
+                md = dict(tbl.schema.metadata or {})
+                md[b"geo"] = geo_meta
+                tbl = tbl.replace_schema_metadata(md)
             feather.write_feather(
-                pa.concat_tables(tables),
+                tbl,
                 os.path.join(path, f"part-{uuid.uuid4().hex}.feather"),
             )
         yield pd.DataFrame({"files": pd.Series([1], dtype="int64")})

@@ -402,3 +402,30 @@ def test_to_parquet_spatial_sort(spark, pts, tmp_path):
     # per-file bboxes gathered and cover the data
     assert back.spatial_partitions
     assert min(b[0] for b in back.spatial_partitions) == pytest.approx(pdf.x.min())
+
+
+class TestAccessorSurface:
+    def test_bounds_struct(self, polys):
+        gdf, pdf = polys
+        rows = (gdf.select("pid", gdf.bounds.alias("b"))
+                .orderBy("pid").collect())
+        # square at (cx,cy) with side w
+        for r in rows:
+            i = r["pid"]
+            cx, cy = (i % 8) * 10.0, (i // 8) * 10.0
+            w = 3.0 + (i % 3)
+            assert r["b"]["minx"] == cx and r["b"]["maxx"] == cx + w
+            assert r["b"]["miny"] == cy and r["b"]["maxy"] == cy + w
+
+    def test_interiors_empty_for_solid_polys(self, polys):
+        gdf, _ = polys
+        rows = gdf.select(gdf.interiors.alias("rings")).collect()
+        assert all(len(r["rings"]) == 0 for r in rows)
+
+    def test_to_feather_roundtrip(self, spark, polys, tmp_path):
+        gdf, pdf = polys
+        out = str(tmp_path / "polys_feather")
+        gdf.to_feather(out)
+        back = dgs.read_feather(spark, out)
+        assert back.df.count() == len(pdf)
+        assert back.geometry_column == gdf.geometry_column
