@@ -34,7 +34,28 @@ from pyspark.sql.types import BinaryType
 from .functions import core as FX
 
 
+def no_pushdown(cond: Column) -> Column:
+    """Optimizer barrier for a filter condition: wrapping it in a
+    nondeterministic no-op stops PushDownPredicates from pushing it (and
+    the Python UDFs it references) through exchanges.  Needed when the
+    scan side is unsplittable (single-row-group parquet): a UDF filter
+    pushed below the engine's rebalance repartition would run the whole
+    Python stage on one task.  The guard must be one the optimizer can't
+    fold away: Spark 4 proves ``rand() < 2`` always-true via range
+    analysis, but ``monotonically_increasing_id() >= -1`` survives (and
+    the whole CASE stays nondeterministic, so conjunct-splitting can't
+    peel the real condition off for pushdown)."""
+    return F.when(
+        F.monotonically_increasing_id() >= -1, cond
+    ).otherwise(F.lit(False))
+
+
 class GeoDataFrame:
+    # when the active geometry was built by points_from_xy, the (x, y)
+    # source column names — lets with_bbox()/cx() run fully natively
+    # (point bbox == the point itself, no UDF)
+    _xy_cols: tuple | None = None
+
     def __init__(self, df: DataFrame, geometry: str = "geometry",
                  crs: str | None = None, crs_map: dict | None = None):
         if geometry not in df.columns:
@@ -65,7 +86,16 @@ class GeoDataFrame:
         return self._crs.get(self._geometry)
 
     def _wrap(self, df: DataFrame, geometry: str | None = None) -> "GeoDataFrame":
-        return GeoDataFrame(df, geometry or self._geometry, crs_map=self._crs)
+        out = GeoDataFrame(df, geometry or self._geometry, crs_map=self._crs)
+        # propagate the points-from-xy hint while the source columns and
+        # the active geometry survive unchanged
+        if (
+            self._xy_cols
+            and (geometry is None or geometry == self._geometry)
+            and all(c in df.columns for c in self._xy_cols)
+        ):
+            out._xy_cols = self._xy_cols
+        return out
 
     def _geom(self) -> Column:
         return F.col(self._geometry)
@@ -92,7 +122,10 @@ class GeoDataFrame:
     where = filter
 
     def withColumn(self, name: str, col: Column) -> "GeoDataFrame":
-        return self._wrap(self._df.withColumn(name, col))
+        out = self._wrap(self._df.withColumn(name, col))
+        if self._xy_cols and name in self._xy_cols:
+            out._xy_cols = None  # source column overwritten; hint invalid
+        return out
 
     def drop(self, *cols):
         out = self._df.drop(*cols)
@@ -221,7 +254,9 @@ class GeoDataFrame:
         out = self._df.withColumn(self._geometry, col)
         if self.bbox_column in out.columns:
             out = out.drop(self.bbox_column)
-        return self._wrap(out)
+        wrapped = self._wrap(out)
+        wrapped._xy_cols = None  # geometry content changed; xy hint invalid
+        return wrapped
 
     def buffer(self, distance: float, resolution: int = 16) -> "GeoDataFrame":
         return self._replace_geom(FX.buffer(distance, resolution)(self._geom()))
@@ -367,12 +402,34 @@ class GeoDataFrame:
     def with_bbox(self) -> "GeoDataFrame":
         """Materialize the bbox struct sibling.  Downstream bbox predicates
         (.cx, sjoin prefilter) then run natively and push to Parquet
-        row-group stats when persisted."""
+        row-group stats when persisted.
+
+        Fast path: geometry built by points_from_xy → the bbox IS the
+        point, emitted as a pure-JVM struct from the source x/y columns
+        (no Python stage at all; total_bounds/cx/sjoin prefilters over
+        point layers become fully native)."""
         if self.bbox_column in self._df.columns:
             return self
-        return self._wrap(
-            self._df.withColumn(self.bbox_column, FX.st_bounds(self._geom()))
-        )
+        if self._xy_cols:
+            xc, yc = (F.col(c).cast("double") for c in self._xy_cols)
+            # null-guard on the SOURCE columns, not the geometry: a guard
+            # referencing the st_point UDF would make every downstream
+            # bbox predicate UDF-referencing and pushdown would drag the
+            # Python stage below rebalance exchanges
+            bbox = F.when(
+                xc.isNotNull() & yc.isNotNull(),
+                F.struct(xc.alias("minx"), yc.alias("miny"),
+                         xc.alias("maxx"), yc.alias("maxy")),
+            )
+        else:
+            bbox = FX.st_bounds(self._geom())
+        return self._wrap(self._df.withColumn(self.bbox_column, bbox))
+
+    @property
+    def has_native_bbox(self) -> bool:
+        """True when bbox predicates need no Python: the struct is already
+        materialized (stored dataset) or derivable from x/y columns."""
+        return self.bbox_column in self._df.columns or bool(self._xy_cols)
 
     def total_bounds(self) -> tuple:
         """Global bbox via native min/max aggregation — no UDF in the agg
@@ -419,6 +476,10 @@ class GeoDataFrame:
         out = g.filter(cond)
         if len(conds) <= 1:
             return out
+        if self._xy_cols:
+            # point bbox == the point: the native bbox test is exact,
+            # no UDF refinement needed
+            return out
         from .geometry import wkb as GW
 
         big = 1e15  # sentinel for unconstrained sides
@@ -428,7 +489,12 @@ class GeoDataFrame:
             [xmax if xmax is not None else big],
             [ymax if ymax is not None else big],
         )[0]
-        return out.filter(FX.st_intersects(out._geom(), F.lit(box_wkb)))
+        # no_pushdown: the refinement references a Python UDF; pushing it
+        # below the rebalance exchange would serialize the Python stage on
+        # an unsplittable scan (the native bbox prefilter above it still
+        # pushes to the parquet stats)
+        return out.filter(
+            no_pushdown(FX.st_intersects(out._geom(), F.lit(box_wkb))))
 
     # ------------------------------------------------------------------
     # curve encoders + spatial shuffle (reference expr.py:404-539, 738-820)
@@ -591,7 +657,9 @@ def points_from_xy(df: DataFrame, x: str = "x", y: str = "y", z: str | None = No
         col = FX.st_point_z(F.col(x), F.col(y), F.col(z))
     else:
         col = FX.st_point(F.col(x), F.col(y))
-    return GeoDataFrame(df.withColumn(geometry, col), geometry, crs=crs)
+    out = GeoDataFrame(df.withColumn(geometry, col), geometry, crs=crs)
+    out._xy_cols = (x, y)  # bbox/cx/total_bounds run natively from x/y
+    return out
 
 
 def from_wkt(df: DataFrame, wkt_col: str, geometry: str = "geometry",

@@ -48,12 +48,21 @@ def clip(gdf, mask, keep_geom_type: bool = False):
     mx, my = _mask_ring(mask)
     bounds = (float(mx.min()), float(my.min()), float(mx.max()), float(my.max()))
 
-    g = gdf.with_bbox()
-    b = g.bbox_column
-    pre = g.df.filter(
-        (F.col(f"{b}.minx") <= bounds[2]) & (F.col(f"{b}.maxx") >= bounds[0])
-        & (F.col(f"{b}.miny") <= bounds[3]) & (F.col(f"{b}.maxy") >= bounds[1])
-    )
+    if gdf.has_native_bbox:
+        # native prefilter (pure JVM; pushes toward the scan / parquet
+        # stats) — cuts rows before any Python runs
+        g = gdf.with_bbox()
+        b = g.bbox_column
+        pre = g.df.filter(
+            (F.col(f"{b}.minx") <= bounds[2]) & (F.col(f"{b}.maxx") >= bounds[0])
+            & (F.col(f"{b}.miny") <= bounds[3]) & (F.col(f"{b}.maxy") >= bounds[1])
+        )
+    else:
+        # bbox would come from a UDF evaluated in the same Python stage as
+        # the exact clip — a prefilter there is dead weight, skip it
+        g = gdf
+        b = None
+        pre = g.df
 
     geom = g.geometry_column
 
@@ -73,9 +82,15 @@ def clip(gdf, mask, keep_geom_type: bool = False):
             out[i] = _clip_one(batch, int(i), int(batch.types[i]), mx, my)
         return pd.Series(out, dtype=object)
 
+    from ..core import no_pushdown
+
     clipped = pre.withColumn(geom, _clip(F.col(geom)))
-    # drop rows clipped to nothing, then refresh bbox
-    clipped = clipped.filter(F.col(geom).isNotNull()).drop(b)
+    # drop rows clipped to nothing, then refresh bbox.  no_pushdown: this
+    # filter references the clip UDF — pushed below a rebalance exchange
+    # it would drag the whole Python stage onto an unsplittable scan
+    clipped = clipped.filter(no_pushdown(F.col(geom).isNotNull()))
+    if b is not None:
+        clipped = clipped.drop(b)
     out = GeoDataFrame(clipped, geom, crs_map=getattr(gdf, "_crs", {}))
     return out.with_bbox()
 
