@@ -109,8 +109,18 @@ def _box_geom(spec) -> "F.Column":
 
 
 def _boxes(spark, sf_dir, table, spec) -> dgs.GeoDataFrame:
-    df = _t(spark, sf_dir, table).withColumn("geometry", _box_geom(spec))
-    return dgs.GeoDataFrame(df, "geometry", crs="EPSG:4326")
+    # boxes_from_bounds carries the corner columns as a shape hint, so
+    # bbox structs and sjoin refinement against these rectangles are
+    # pure-JVM closed-bounds arithmetic (no Python stage in the join)
+    df = (
+        _t(spark, sf_dir, table)
+        .withColumn("_bx0", F.expr(spec["minx"]).cast("double"))
+        .withColumn("_by0", F.expr(spec["miny"]).cast("double"))
+        .withColumn("_bx1", F.expr(f"{spec['minx']} + {spec['w']}").cast("double"))
+        .withColumn("_by1", F.expr(f"{spec['miny']} + {spec['h']}").cast("double"))
+    )
+    return dgs.boxes_from_bounds(
+        df, "_bx0", "_by0", "_bx1", "_by1", crs="EPSG:4326")
 
 
 # ----------------------------------------------------------------------

@@ -10,6 +10,7 @@ partial aggregation).
 
 from .core import (
     GeoDataFrame,
+    boxes_from_bounds,
     concat,
     from_dask_dataframe,
     from_geopandas,
@@ -27,6 +28,7 @@ __version__ = "0.1.0"
 __all__ = [
     "GeoDataFrame",
     "points_from_xy",
+    "boxes_from_bounds",
     "from_wkt",
     "from_wkb",
     "from_dask_dataframe",

@@ -55,6 +55,13 @@ class GeoDataFrame:
     # source column names — lets with_bbox()/cx() run fully natively
     # (point bbox == the point itself, no UDF)
     _xy_cols: tuple | None = None
+    # when the active geometry was built by boxes_from_bounds, the
+    # (minx, miny, maxx, maxy) source column names
+    _corner_cols: tuple | None = None
+    # True when the active geometry is known to equal its own envelope
+    # (axis-aligned rectangle via boxes_from_bounds/envelope()); spatial
+    # predicates against such geometry reduce to native bbox arithmetic
+    _rect: bool = False
 
     def __init__(self, df: DataFrame, geometry: str = "geometry",
                  crs: str | None = None, crs_map: dict | None = None):
@@ -87,14 +94,16 @@ class GeoDataFrame:
 
     def _wrap(self, df: DataFrame, geometry: str | None = None) -> "GeoDataFrame":
         out = GeoDataFrame(df, geometry or self._geometry, crs_map=self._crs)
-        # propagate the points-from-xy hint while the source columns and
-        # the active geometry survive unchanged
-        if (
-            self._xy_cols
-            and (geometry is None or geometry == self._geometry)
-            and all(c in df.columns for c in self._xy_cols)
-        ):
-            out._xy_cols = self._xy_cols
+        # propagate geometry-shape hints while the source columns and the
+        # active geometry survive unchanged
+        if geometry is None or geometry == self._geometry:
+            if self._xy_cols and all(c in df.columns for c in self._xy_cols):
+                out._xy_cols = self._xy_cols
+            if self._corner_cols and all(
+                c in df.columns for c in self._corner_cols
+            ):
+                out._corner_cols = self._corner_cols
+            out._rect = self._rect
         return out
 
     def _geom(self) -> Column:
@@ -125,6 +134,8 @@ class GeoDataFrame:
         out = self._wrap(self._df.withColumn(name, col))
         if self._xy_cols and name in self._xy_cols:
             out._xy_cols = None  # source column overwritten; hint invalid
+        if self._corner_cols and name in self._corner_cols:
+            out._corner_cols = None
         return out
 
     def drop(self, *cols):
@@ -255,7 +266,10 @@ class GeoDataFrame:
         if self.bbox_column in out.columns:
             out = out.drop(self.bbox_column)
         wrapped = self._wrap(out)
-        wrapped._xy_cols = None  # geometry content changed; xy hint invalid
+        # geometry content changed; shape hints invalid
+        wrapped._xy_cols = None
+        wrapped._corner_cols = None
+        wrapped._rect = False
         return wrapped
 
     def buffer(self, distance: float, resolution: int = 16) -> "GeoDataFrame":
@@ -268,7 +282,9 @@ class GeoDataFrame:
         return self._replace_geom(FX.st_centroid(self._geom()))
 
     def envelope(self) -> "GeoDataFrame":
-        return self._replace_geom(FX.st_envelope(self._geom()))
+        out = self._replace_geom(FX.st_envelope(self._geom()))
+        out._rect = True  # an envelope equals its own envelope
+        return out
 
     def convex_hull(self) -> "GeoDataFrame":
         return self._replace_geom(FX.st_convexhull(self._geom()))
@@ -421,6 +437,13 @@ class GeoDataFrame:
                 F.struct(xc.alias("minx"), yc.alias("miny"),
                          xc.alias("maxx"), yc.alias("maxy")),
             )
+        elif self._corner_cols:
+            x0, y0, x1, y1 = (F.col(c).cast("double") for c in self._corner_cols)
+            bbox = F.when(
+                x0.isNotNull() & y0.isNotNull() & x1.isNotNull() & y1.isNotNull(),
+                F.struct(x0.alias("minx"), y0.alias("miny"),
+                         x1.alias("maxx"), y1.alias("maxy")),
+            )
         else:
             bbox = FX.st_bounds(self._geom())
         return self._wrap(self._df.withColumn(self.bbox_column, bbox))
@@ -428,8 +451,20 @@ class GeoDataFrame:
     @property
     def has_native_bbox(self) -> bool:
         """True when bbox predicates need no Python: the struct is already
-        materialized (stored dataset) or derivable from x/y columns."""
-        return self.bbox_column in self._df.columns or bool(self._xy_cols)
+        materialized (stored dataset) or derivable from source columns."""
+        return (self.bbox_column in self._df.columns
+                or bool(self._xy_cols) or bool(self._corner_cols))
+
+    @property
+    def envelope_exact(self) -> bool:
+        """True when the active geometry is known to equal its own
+        envelope (points from points_from_xy, axis-aligned rectangles
+        from boxes_from_bounds / envelope()).  Spatial predicates against
+        such geometry are answered exactly by closed-bounds bbox
+        arithmetic — sjoin then refines natively with no Python stage
+        (mirrors the kernel's rect fast path, geometry/algorithms.py
+        `_axis_box_mask` + closed-bounds `pairwise_contains`)."""
+        return self._rect or bool(self._xy_cols) or bool(self._corner_cols)
 
     def total_bounds(self) -> tuple:
         """Global bbox via native min/max aggregation — no UDF in the agg
@@ -659,6 +694,22 @@ def points_from_xy(df: DataFrame, x: str = "x", y: str = "y", z: str | None = No
         col = FX.st_point(F.col(x), F.col(y))
     out = GeoDataFrame(df.withColumn(geometry, col), geometry, crs=crs)
     out._xy_cols = (x, y)  # bbox/cx/total_bounds run natively from x/y
+    return out
+
+
+def boxes_from_bounds(df: DataFrame, minx: str = "minx", miny: str = "miny",
+                      maxx: str = "maxx", maxy: str = "maxy",
+                      crs: str | None = None,
+                      geometry: str = "geometry") -> GeoDataFrame:
+    """Build axis-aligned rectangle geometries from four bound columns
+    (minx <= maxx, miny <= maxy assumed).  The frame carries the corner
+    columns as a shape hint: bbox materialization and sjoin predicate
+    refinement against these rectangles run natively (closed-bounds
+    arithmetic, no Python stage)."""
+    col = FX.st_make_box(F.col(minx).cast("double"), F.col(miny).cast("double"),
+                         F.col(maxx).cast("double"), F.col(maxy).cast("double"))
+    out = GeoDataFrame(df.withColumn(geometry, col), geometry, crs=crs)
+    out._corner_cols = (minx, miny, maxx, maxy)
     return out
 
 

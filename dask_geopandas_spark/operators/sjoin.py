@@ -184,7 +184,7 @@ def sjoin(left, right, how: str = "inner", predicate: str = "intersects",
         raise ValueError(f"unknown strategy {strategy!r}")
 
     refined = joined.filter(
-        _PREDICATES[predicate](F.col(lgeom_j), F.col(rgeom_j))
+        _refinement(left, right, predicate, lgeom_j, rgeom_j, lbbox_j, rbbox_j)
     ).drop(rgeom_j, rbbox_j)
 
     if how == "left":
@@ -249,6 +249,46 @@ def sjoin_nearest(left, right, k: int = 1, max_distance: float | None = None,
             .drop("_rk", lid, rgeom_j)
         )
     return GeoDataFrame(out, lgeom_j, crs_map=getattr(left, "_crs", {}))
+
+
+def _bbox_within(ib: str, ob: str) -> Column:
+    """bbox ``ib`` inside bbox ``ob`` — closed bounds, mirroring the
+    kernel's rect fast path (geometry/algorithms.py pairwise_contains:
+    `bb >= ba.min & bb <= ba.max`)."""
+    return (
+        (F.col(f"{ib}.minx") >= F.col(f"{ob}.minx"))
+        & (F.col(f"{ib}.maxx") <= F.col(f"{ob}.maxx"))
+        & (F.col(f"{ib}.miny") >= F.col(f"{ob}.miny"))
+        & (F.col(f"{ib}.maxy") <= F.col(f"{ob}.maxy"))
+    )
+
+
+def _refinement(left, right, predicate: str, lgeom_j: str, rgeom_j: str,
+                lbbox_j: str, rbbox_j: str) -> Column:
+    """Exact-predicate refinement condition for candidate pairs.
+
+    When a side's geometry is known to equal its own envelope (points
+    from points_from_xy, rectangles from boxes_from_bounds/envelope —
+    `GeoDataFrame.envelope_exact`), the predicate is answered by native
+    bbox arithmetic — the whole join plan then has no Python stage:
+
+    - within / covered_by of ANY geometry in a rectangle ⟺ its bbox is
+      inside the rectangle (geometry ⊆ bbox ⊆ rect, and a bbox of a set
+      inside a rect is inside the rect);
+    - contains / covers of ANY geometry by a rectangle: symmetric;
+    - intersects needs BOTH sides envelope-exact (a diagonal line's bbox
+      can overlap a rect the line itself misses) — then the bbox-overlap
+      candidate condition is already the exact answer."""
+    l_env = getattr(left, "envelope_exact", False)
+    r_env = getattr(right, "envelope_exact", False)
+    if predicate == "intersects" and l_env and r_env:
+        # candidate bbox-overlap condition was already exact
+        return F.lit(True)
+    if predicate in ("within", "covered_by") and r_env:
+        return _bbox_within(lbbox_j, rbbox_j)
+    if predicate in ("contains", "contains_properly", "covers") and l_env:
+        return _bbox_within(rbbox_j, lbbox_j)
+    return _PREDICATES[predicate](F.col(lgeom_j), F.col(rgeom_j))
 
 
 def _is_small(df: DataFrame, threshold: int = BROADCAST_ROW_THRESHOLD) -> bool:

@@ -429,3 +429,70 @@ class TestAccessorSurface:
         back = dgs.read_feather(spark, out)
         assert back.df.count() == len(pdf)
         assert back.geometry_column == gdf.geometry_column
+
+
+class TestEnvelopeExactHints:
+    """boxes_from_bounds / points_from_xy carry envelope-equality hints;
+    sjoin then refines with native closed-bounds arithmetic.  These tests
+    pin that fast path to the generic WKB-UDF refinement."""
+
+    def _frames(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        pts_pdf = pd.DataFrame({
+            "id": range(200),
+            "x": rng.uniform(0, 100, 200).round(3),
+            "y": rng.uniform(0, 100, 200).round(3),
+        })
+        box_pdf = pd.DataFrame({
+            "bid": range(12),
+            "minx": [10.0 * (i % 4) for i in range(12)],
+            "miny": [15.0 * (i // 4) for i in range(12)],
+        })
+        box_pdf["maxx"] = box_pdf.minx + 18.0
+        box_pdf["maxy"] = box_pdf.miny + 22.0
+        pts = dgs.points_from_xy(spark.createDataFrame(pts_pdf), "x", "y")
+        boxes = dgs.boxes_from_bounds(spark.createDataFrame(box_pdf))
+        return pts, boxes
+
+    def _strip_hints(self, g):
+        # a bare wrapper loses the shape hints -> generic UDF refinement
+        return dgs.GeoDataFrame(g.df, g.geometry_column)
+
+    @pytest.mark.parametrize("predicate", ["within", "intersects"])
+    def test_native_matches_udf_refinement(self, spark, predicate):
+        pts, boxes = self._frames(spark)
+        assert pts.envelope_exact and boxes.envelope_exact
+        fast = pts.sjoin(boxes, predicate=predicate, strategy="broadcast")
+        slow = self._strip_hints(pts).sjoin(
+            self._strip_hints(boxes), predicate=predicate, strategy="broadcast")
+        key = lambda out: sorted(
+            (r["id"], r["bid"]) for r in out.df.select("id", "bid").collect())
+        assert key(fast) == key(slow)
+        assert len(key(fast)) > 0
+
+    def test_rect_contains_box(self, spark):
+        pts, boxes = self._frames(spark)
+        # rectangle CONTAINS point: left side rect-hinted
+        fast = boxes.sjoin(pts, predicate="contains", strategy="broadcast")
+        slow = self._strip_hints(boxes).sjoin(
+            self._strip_hints(pts), predicate="contains", strategy="broadcast")
+        key = lambda out: sorted(
+            (r["bid"], r["id"]) for r in out.df.select("bid", "id").collect())
+        assert key(fast) == key(slow)
+
+    def test_no_python_stage_in_native_plan(self, spark):
+        pts, boxes = self._frames(spark)
+        out = pts.sjoin(boxes, predicate="within", strategy="broadcast")
+        # the geometry output column itself still comes from st_point; a
+        # consumer that doesn't read it (count/groupBy) prunes every
+        # Python stage out of the plan
+        plan = (out.df.select("id", "bid")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    def test_hint_dropped_after_transform(self, spark):
+        pts, _ = self._frames(spark)
+        assert not pts.buffer(1.0).envelope_exact
+        assert pts.envelope().envelope_exact
