@@ -53,9 +53,9 @@ def shingles(text: Column, k: int = 3) -> Column:
 
     NOTE for pipelines: Catalyst's projection collapse inlines ``text``'s
     tokenization into every element access, turning this O(n) expression
-    O(n^2) when composed further.  Pipelines should stage tokens first
-    (see `hashed_shingle_table`)."""
-    return shingles_of_tokens(tokens(text), k)
+    O(n^2) when composed further.  Compose via ``let`` (see
+    `hashed_shingles`) to keep it one tokenizer pass."""
+    return let(tokens(text), lambda t: shingles_of_tokens(t, k))
 
 
 def _seed_const(s: int) -> int:
@@ -66,41 +66,71 @@ def _seed_const(s: int) -> int:
     return int(hashlib.md5(f"seed{s}".encode()).hexdigest()[:15], 16)
 
 
+def let(value: Column, body) -> Column:
+    """Let-binding for SQL expressions: evaluate ``value`` ONCE and bind
+    it as the lambda variable of ``body`` via a single-element
+    ``transform``.  Higher-order functions evaluate their input array
+    once and hand the lambda the bound element, so ``body`` may
+    reference it any number of times without re-evaluating ``value`` —
+    the Catalyst-safe alternative to staging intermediates through
+    persist/checkpoint barriers (CollapseProject would otherwise inline
+    ``value``'s tree into every reference, e.g. re-running the regex
+    tokenizer per element access: measured ~50x at sf0.01)."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def hashed_shingles(text: Column, k: int = 3) -> Column:
+    """array<long> of portable k-shingle hashes, as ONE streaming
+    expression: the token array is let-bound so the regex tokenizer runs
+    once per row, not once per element access."""
+    return let(
+        tokens(text),
+        lambda t: F.transform(shingles_of_tokens(t, k),
+                              lambda s: portable_hash(s)),
+    )
+
+
 def hashed_shingle_table(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """(id, _shh: array<long>) — portable hash of each k-shingle.
 
-    The TOKEN stage is persisted, not just projected: chained selects are
-    merged by Catalyst's CollapseProject *before* caching, which would
-    inline the regex split into every per-element lambda access (quadratic
-    blowup, measured ~50x at sf0.01).  With the token array materialized,
-    downstream plans substitute the InMemoryRelation and every
-    element_at() is O(1).  The hashed output is persisted too so the
-    md5-per-shingle pass runs once, not once per MinHash seed.  At 100 TB
-    both stages are parquet checkpoints instead of caches."""
-    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")).persist()
-    hashed = toks.select(
-        F.col(id_col),
-        F.transform(shingles_of_tokens(F.col("_toks"), k),
-                    lambda s: portable_hash(s)).alias("_shh"),
+    Pure streaming projection (no persist barrier needed): `let`
+    bindings stop CollapseProject from inlining the tokenizer into
+    every element access, so tokenization and the md5-per-shingle pass
+    each run exactly once per row."""
+    return df.select(
+        F.col(id_col), hashed_shingles(F.col(text_col), k).alias("_shh"))
+
+
+def minhash_signature_struct(text: Column, num_hashes: int = 8,
+                             k: int = 3) -> Column:
+    """struct<mh0..mhN> MinHash signature as one streaming expression:
+    tokens and shingle hashes are each let-bound (computed once), seed
+    variants derived by XOR with fixed constants — one regex pass + one
+    md5 pass per row total, no staging/persist at any scale."""
+    return let(
+        hashed_shingles(text, k),
+        lambda shh: F.struct(*[
+            F.array_min(
+                F.transform(shh, lambda h: h.bitwiseXOR(F.lit(_seed_const(s))))
+            ).alias(f"mh{s}")
+            for s in range(num_hashes)
+        ]),
     )
-    return hashed.persist()
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 8,
                        k: int = 3) -> DataFrame:
-    """MinHash signature: shingles hashed once (md5-based portable hash),
-    then seed variants derived by XOR with fixed constants — one md5 pass
-    total instead of one per seed."""
-    hashed = hashed_shingle_table(df, text_col, id_col, k)
-    cols = [
-        F.array_min(
-            F.transform(F.col("_shh"), lambda h: h.bitwiseXOR(F.lit(_seed_const(s))))
-        ).alias(f"mh{s}")
-        for s in range(num_hashes)
-    ]
-    return hashed.select(F.col(id_col), *cols)
+    """MinHash signature columns (id, mh0..mhN).  The signature struct is
+    routed through ``explode(array(...))``: the Generate node evaluates
+    it once per row, and the field-expansion projection above it cannot
+    be collapsed into 8 copies of the expression tree."""
+    sig = minhash_signature_struct(F.col(text_col), num_hashes, k)
+    return (
+        df.select(F.col(id_col), F.explode(F.array(sig)).alias("_sig"))
+        .select(F.col(id_col), F.col("_sig.*"))
+    )
 
 
 def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
@@ -139,10 +169,14 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                         threshold: float = 0.0) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs: broadcast-join
     shingle sets onto the (small) candidate pair list."""
-    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")).persist()
-    sh = toks.select(
-        F.col(id_col), F.array_distinct(shingles_of_tokens(F.col("_toks"), k)).alias("sh")
-    )
+    # let-bound tokens (one regex pass); persisted because the shingle
+    # sets are probed twice (id_a side and id_b side of the pair join)
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            let(tokens(F.col(text_col)),
+                lambda t: shingles_of_tokens(t, k))).alias("sh"),
+    ).persist()
     out = (
         pairs.join(sh.withColumnRenamed("sh", "sh_a"),
                    pairs.id_a == F.col(id_col)).drop(id_col)
@@ -161,22 +195,30 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
 
 def simhash(text: Column, bits: int = 32, k: int = 1) -> Column:
     """SimHash: per-token portable hashes vote per bit; the sign vector is
-    packed into a ``bits``-wide integer.  Pure SQL (aggregate over the
-    token array with a packed running sum per bit)."""
-    toks = F.array_distinct(tokens(text))
-    hashed = F.transform(toks, lambda t: portable_hash(t))
-    parts = []
-    for b in range(bits):
-        votes = F.aggregate(
-            hashed,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1),
-        )
-        parts.append(F.when(votes > 0, F.lit(1 << b)).otherwise(0).cast("long"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out + p
-    return out
+    packed into a ``bits``-wide integer.  Pure SQL: the hashed token
+    array is let-bound so tokenization + md5 run once per row (not once
+    per bit); each bit's vote is then a cheap aggregate over the bound
+    array of longs."""
+
+    def _pack(hashed: Column) -> Column:
+        parts = []
+        for b in range(bits):
+            votes = F.aggregate(
+                hashed,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1),
+            )
+            parts.append(F.when(votes > 0, F.lit(1 << b)).otherwise(0).cast("long"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out + p
+        return out
+
+    return let(
+        F.transform(F.array_distinct(tokens(text)), lambda t: portable_hash(t)),
+        _pack,
+    )
 
 
 def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",

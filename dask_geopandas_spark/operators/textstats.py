@@ -65,14 +65,28 @@ def punct_ratio(text: Column) -> Column:
     )
 
 
+def _let(value: Column, body) -> Column:
+    """Bind ``value`` once as a lambda variable (single-element
+    transform) so ``body`` can reference it repeatedly without Catalyst
+    inlining — and re-evaluating — the expression per reference."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def _hits(toks: Column, lang: str) -> Column:
+    arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
 def stopword_hits(text: Column, lang: str) -> Column:
-    words = STOPWORDS[lang]
-    arr = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(tokens(text), lambda t: F.array_contains(arr, t)))
+    return _hits(tokens(text), lang)
 
 
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
-    return stopword_hits(text, lang) / F.greatest(F.size(tokens(text)), F.lit(1))
+    # let-bound tokens: one regex pass for both the hit count and the size
+    return _let(
+        tokens(text),
+        lambda t: _hits(t, lang) / F.greatest(F.size(t), F.lit(1)),
+    )
 
 
 def quality_score(text: Column) -> Column:
@@ -90,14 +104,20 @@ def quality_score(text: Column) -> Column:
 
 def lang_id(text: Column) -> Column:
     """Heuristic language ID: argmax of per-language stopword hits with
-    deterministic tie-break order en > fr > de > es > und."""
-    hits = {lang: stopword_hits(text, lang) for lang in STOPWORDS}
-    best = F.greatest(*hits.values())
-    out = F.lit("und")
-    # build reversed so earlier langs win ties via later when() override
-    for lang in reversed(list(STOPWORDS)):
-        out = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(out)
-    return out
+    deterministic tie-break order en > fr > de > es > und.  Tokens are
+    let-bound: one regex pass feeds all four languages' hit counts."""
+
+    def _argmax(toks: Column) -> Column:
+        hits = {lang: _hits(toks, lang) for lang in STOPWORDS}
+        best = F.greatest(*hits.values())
+        out = F.lit("und")
+        # build reversed so earlier langs win ties via later when() override
+        for lang in reversed(list(STOPWORDS)):
+            out = F.when((hits[lang] > 0) & (hits[lang] == best),
+                         F.lit(lang)).otherwise(out)
+        return out
+
+    return _let(tokens(text), _argmax)
 
 
 def fingerprint(text: Column) -> Column:
