@@ -577,7 +577,10 @@ class GeoDataFrame:
     def calculate_spatial_partitions(self):
         """Per-partition bounds summary collected to the driver (reference
         expr.py:199-211 computes convex hulls; bbox is the Spark-native
-        equivalent since it feeds Parquet stats pruning)."""
+        equivalent since it feeds Parquet stats pruning).  Like the
+        reference, the result is also stored on the frame as
+        ``spatial_partitions`` so driver-side planners (total_bounds,
+        future sjoin pair pruning) answer without a scan."""
         from pyspark.sql.functions import spark_partition_id
 
         g = self.with_bbox()
@@ -593,7 +596,9 @@ class GeoDataFrame:
             )
             .collect()
         )
-        return {r["_pid"]: (r["minx"], r["miny"], r["maxx"], r["maxy"]) for r in rows}
+        out = {r["_pid"]: (r["minx"], r["miny"], r["maxx"], r["maxy"]) for r in rows}
+        self.spatial_partitions = [out[k] for k in sorted(out)] or None
+        return out
 
     # ------------------------------------------------------------------
     # multi-row ops

@@ -15,8 +15,10 @@ hand pruning with join strategies Catalyst already knows how to execute:
   reference's partition-pair pruning (sjoin.py:71-82) re-expressed as a
   co-partitioned equi-join.
 
-Only inner join, like the reference (sjoin.py:53-54); predicate coverage:
-intersects / contains / contains_properly / within / covers / covered_by.
+Inner join like the reference (sjoin.py:53-54) plus beyond-reference
+left/anti; all 9 reference predicates (sjoin.py:26-30): intersects /
+contains / contains_properly / within / covers / covered_by / touches /
+crosses / overlaps.
 """
 
 from __future__ import annotations
@@ -27,12 +29,16 @@ from pyspark.sql import functions as F
 from ..functions import core as FX
 
 _PREDICATES = {
+    # all 9 predicates of the reference (sjoin.py:26-30)
     "intersects": lambda l, r: FX.st_intersects(l, r),
     "contains": lambda l, r: FX.st_contains(l, r),
     "contains_properly": lambda l, r: FX.st_contains(l, r),
     "within": lambda l, r: FX.st_within(l, r),
     "covers": lambda l, r: FX.st_covers(l, r),
     "covered_by": lambda l, r: FX.st_coveredby(l, r),
+    "touches": lambda l, r: FX.st_touches(l, r),
+    "crosses": lambda l, r: FX.st_crosses(l, r),
+    "overlaps": lambda l, r: FX.st_overlaps(l, r),
 }
 
 BROADCAST_ROW_THRESHOLD = 100_000

@@ -496,3 +496,29 @@ class TestEnvelopeExactHints:
         pts, _ = self._frames(spark)
         assert not pts.buffer(1.0).envelope_exact
         assert pts.envelope().envelope_exact
+
+
+def test_sjoin_touches_crosses_overlaps(spark):
+    """The 3 remaining reference predicates (sjoin.py:26-30) flow through
+    the sjoin refinement: touching boxes, a crossing line, overlapping
+    boxes — each against a unit-ish box at the origin."""
+    left = dgs.from_wkt(
+        spark.createDataFrame(
+            [(1, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+             (2, "LINESTRING (-1 0.5, 5 0.5)")],
+            "lid int, wkt string"), "wkt")
+    right = dgs.from_wkt(
+        spark.createDataFrame(
+            [(10, "POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))"),   # touches box 1
+             (20, "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"),   # overlaps box 1
+             (30, "POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))")],
+            "rid int, wkt string"), "wkt")
+
+    def pairs(predicate):
+        out = left.sjoin(right, predicate=predicate, strategy="broadcast")
+        return sorted((r.lid, r.rid) for r in out.df.select("lid", "rid").collect())
+
+    assert pairs("touches") == [(1, 10)]
+    # the line passes through box 10's interior and exits the far side
+    assert pairs("crosses") == [(2, 10)]
+    assert pairs("overlaps") == [(1, 20)]
