@@ -187,6 +187,29 @@ def q_sjoin_grid(spark, sf_dir):
     )
 
 
+def q_sjoin_box_overlaps(spark, sf_dir):
+    """Box-vs-box spatial join with the 'overlaps' predicate: partial
+    overlap only (interiors intersect, neither box contains the other) —
+    rect pairs are answered by the kernel's interval-arithmetic fast
+    path (geometry/setops.py _BoxPair)."""
+    nb = _boxes(spark, sf_dir, "nation", NB)
+    sb = _boxes(spark, sf_dir, "supplier", SB)
+    out = nb.sjoin(sb, predicate="overlaps", strategy="broadcast")
+    return (
+        out.df.groupBy(F.col("n_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_overlapping"))
+    )
+
+
+def q_sjoin_box_touches(spark, sf_dir):
+    """Box-vs-box 'touches': boundaries meet but interiors don't
+    (integer-cornered boxes share edges exactly)."""
+    nb = _boxes(spark, sf_dir, "nation", NB)
+    sb = _boxes(spark, sf_dir, "supplier", SB)
+    out = nb.sjoin(sb, predicate="touches", strategy="broadcast")
+    return out.df.agg(F.count("*").alias("n_touching"))
+
+
 def q_sjoin_nearest(spark, sf_dir):
     """k-nearest spatial join (beyond-reference; the reference's API has
     only inner sjoin).  Emits each customer's distance to the nearest
@@ -957,6 +980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "box_area_by_priority": q_box_area_by_priority,
         "sjoin_points_in_boxes": q_sjoin_points_in_boxes,
         "sjoin_grid": q_sjoin_grid,
+        "sjoin_box_overlaps": q_sjoin_box_overlaps,
+        "sjoin_box_touches": q_sjoin_box_touches,
         "sjoin_nearest": q_sjoin_nearest,
         "sjoin_anti": q_sjoin_anti,
         "dissolve_centroid": q_dissolve_centroid,
@@ -1197,6 +1222,35 @@ def oracle_sql() -> dict[str, str]:
                   AND ({CUST_Y}) <= {NB['miny']} + {NB['h']}
             )
             GROUP BY c_mktsegment
+        """,
+        "sjoin_box_overlaps": f"""
+            SELECT n.n_nationkey AS nationkey, count(*) AS n_overlapping
+            FROM nation n CROSS JOIN supplier s
+            WHERE least({NB['minx']} + {NB['w']}, {SB['minx']} + {SB['w']})
+                    - greatest({NB['minx']}, {SB['minx']}) > 0
+              AND least({NB['miny']} + {NB['h']}, {SB['miny']} + {SB['h']})
+                    - greatest({NB['miny']}, {SB['miny']}) > 0
+              AND NOT ({SB['minx']} >= {NB['minx']}
+                   AND {SB['miny']} >= {NB['miny']}
+                   AND {SB['minx']} + {SB['w']} <= {NB['minx']} + {NB['w']}
+                   AND {SB['miny']} + {SB['h']} <= {NB['miny']} + {NB['h']})
+              AND NOT ({NB['minx']} >= {SB['minx']}
+                   AND {NB['miny']} >= {SB['miny']}
+                   AND {NB['minx']} + {NB['w']} <= {SB['minx']} + {SB['w']}
+                   AND {NB['miny']} + {NB['h']} <= {SB['miny']} + {SB['h']})
+            GROUP BY n.n_nationkey
+        """,
+        "sjoin_box_touches": f"""
+            SELECT count(*) AS n_touching
+            FROM nation n CROSS JOIN supplier s
+            WHERE least({NB['minx']} + {NB['w']}, {SB['minx']} + {SB['w']})
+                    - greatest({NB['minx']}, {SB['minx']}) >= 0
+              AND least({NB['miny']} + {NB['h']}, {SB['miny']} + {SB['h']})
+                    - greatest({NB['miny']}, {SB['miny']}) >= 0
+              AND (least({NB['minx']} + {NB['w']}, {SB['minx']} + {SB['w']})
+                     - greatest({NB['minx']}, {SB['minx']}) = 0
+                OR least({NB['miny']} + {NB['h']}, {SB['miny']} + {SB['h']})
+                     - greatest({NB['miny']}, {SB['miny']}) = 0)
         """,
         "sjoin_nearest": f"""
             SELECT c.c_custkey AS custkey,
