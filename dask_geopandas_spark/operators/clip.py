@@ -48,6 +48,34 @@ def clip(gdf, mask, keep_geom_type: bool = False):
     mx, my = _mask_ring(mask)
     bounds = (float(mx.min()), float(my.min()), float(mx.max()), float(my.max()))
 
+    if getattr(gdf, "_xy_cols", None):
+        # Point layer built from x/y columns: clipping never cuts a
+        # point, so clip == row filter.  A constant convex mask is the
+        # intersection of its edge half-planes — a pure-JVM conjunction
+        # of inequalities on the source columns (closed boundary,
+        # matching the kernel's closed rect semantics).  No Python stage
+        # at any scale.
+        xc, yc = (F.col(c).cast("double") for c in gdf._xy_cols)
+        cond = None
+        n = len(mx)
+        # ring orientation: signed area > 0 ⇒ CCW ⇒ inside is left of
+        # each edge (cross product >= 0)
+        area2 = float(np.sum(mx * np.roll(my, -1) - np.roll(mx, -1) * my))
+        sign = 1.0 if area2 >= 0 else -1.0
+        for i in range(n):
+            x1, y1 = float(mx[i]), float(my[i])
+            x2, y2 = float(mx[(i + 1) % n]), float(my[(i + 1) % n])
+            if x1 == x2 and y1 == y2:
+                continue  # closing vertex repeated
+            cross = (F.lit(x2 - x1) * (yc - F.lit(y1))
+                     - F.lit(y2 - y1) * (xc - F.lit(x1))) * F.lit(sign)
+            c = cross >= 0
+            cond = c if cond is None else (cond & c)
+        out = GeoDataFrame(gdf.df.filter(cond), gdf.geometry_column,
+                           crs_map=getattr(gdf, "_crs", {}))
+        out._xy_cols = gdf._xy_cols
+        return out.with_bbox()
+
     if gdf.has_native_bbox:
         # native prefilter (pure JVM; pushes toward the scan / parquet
         # stats) — cuts rows before any Python runs

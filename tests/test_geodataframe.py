@@ -522,3 +522,28 @@ def test_sjoin_touches_crosses_overlaps(spark):
     # the line passes through box 10's interior and exits the far side
     assert pairs("crosses") == [(2, 10)]
     assert pairs("overlaps") == [(1, 20)]
+
+
+def test_clip_native_point_path_matches_kernel(spark):
+    """Point layers clip via native half-plane filters; stripping the xy
+    hint forces the kernel UDF path — results must agree, including a
+    non-box convex mask (triangle)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({
+        "id": range(300),
+        "x": rng.uniform(-10, 10, 300).round(4),
+        "y": rng.uniform(-10, 10, 300).round(4),
+    })
+    pts = dgs.points_from_xy(spark.createDataFrame(pdf), "x", "y")
+    bare = dgs.GeoDataFrame(pts.df, "geometry")  # no hints -> UDF path
+    tri = "POLYGON ((-8 -8, 8 -8, 0 9, -8 -8))"
+    for mask in [(-5.0, -5.0, 5.0, 5.0), tri]:
+        fast = sorted(r.id for r in pts.clip(mask).df.select("id").collect())
+        slow = sorted(r.id for r in bare.clip(mask).df.select("id").collect())
+        assert fast == slow and len(fast) > 0
+    # native path emits no Python stage
+    plan = (pts.clip(tri).df.select("id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "ArrowEvalPython" not in plan
