@@ -715,8 +715,10 @@ def q_sql_surface(spark, sf_dir):
 
 
 def q_morton_buckets(spark, sf_dir):
-    """Morton (Z-order) curve bucketing (reference expr.py:450-500; no SQL
-    oracle — bit interleave not portable; golden-pinned in tests)."""
+    """Morton (Z-order) curve bucketing (reference expr.py:450-500).  The
+    bit interleave IS portable SQL (shift/or/and with the magic spread
+    masks), so this query has an exact DuckDB oracle replicating
+    discretize_mid + _spread_bits_u32 (geometry/curves.py:24-83)."""
     g = _cust_points(spark, sf_dir)
     m = g.morton_distance(total_bounds=(-180.0, -90.0, 180.0, 90.0), level=12)
     return (
@@ -726,8 +728,10 @@ def q_morton_buckets(spark, sf_dir):
 
 
 def q_hilbert_buckets(spark, sf_dir):
-    """Hilbert curve bucketing (no SQL oracle — curve math not expressible
-    in portable SQL; golden-value pinned in tests instead)."""
+    """Hilbert curve bucketing.  The curve walk is a fixed 12-iteration
+    state machine, unrolled into 12 chained CTEs of CASE arithmetic for
+    an exact DuckDB oracle (replicates geometry/curves.py hilbert_d,
+    itself golden-pinned against the reference's test vectors)."""
     g = _cust_points(spark, sf_dir)
     h = g.hilbert_distance(total_bounds=(-180.0, -90.0, 180.0, 90.0), level=12)
     return (
@@ -736,13 +740,56 @@ def q_hilbert_buckets(spark, sf_dir):
     )
 
 
+def _hilbert12_cte_sql(base_select: str) -> str:
+    """CTE chain replicating curves.hilbert_d at level 12: per iteration
+    (s = 2^11 .. 1):  d += s*s*(3*rx XOR ry); quadrant rotate/flip where
+    ry == 0.  ``base_select`` must yield columns (x, y) of discretized
+    cells; the final CTE exposes d."""
+    level = 12
+    n = 1 << level
+    ctes = [f"h0 AS (SELECT x, y, CAST(0 AS BIGINT) AS d FROM ({base_select}))"]
+    for k in range(level):
+        s = 1 << (level - 1 - k)
+        prev, cur = f"h{k}", f"h{k + 1}"
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        # (3*rx) XOR ry ∈ {{0,1,3,2}} for (rx,ry) = (0,0),(0,1),(1,0),(1,1)
+        step = (f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0 "
+                f"WHEN {rx} = 0 AND {ry} = 1 THEN 1 "
+                f"WHEN {rx} = 1 AND {ry} = 0 THEN 3 ELSE 2 END)")
+        newx = (f"(CASE WHEN {ry} = 1 THEN x "
+                f"WHEN {rx} = 0 THEN y ELSE {n - 1} - y END)")
+        newy = (f"(CASE WHEN {ry} = 1 THEN y "
+                f"WHEN {rx} = 0 THEN x ELSE {n - 1} - x END)")
+        ctes.append(
+            f"{cur} AS (SELECT {newx} AS x, {newy} AS y, "
+            f"d + {s * s} * {step} AS d FROM {prev})")
+    return "WITH " + ",\n".join(ctes)
+
+
 def q_geohash_cells(spark, sf_dir):
-    """Geohash rollup (no SQL oracle — base32 interleave not portable)."""
+    """Geohash rollup.  The 15-bit lon/lat interleave and base32 alphabet
+    are portable SQL (shift/mask terms + substr into the alphabet), so
+    this has an exact DuckDB oracle replicating geometry/curves.py
+    geohash_uint64/geohash_strings at precision 3."""
     g = _cust_points(spark, sf_dir)
     return (
         g.df.withColumn("cell", g.geohash(precision=3))
         .groupBy("cell").agg(F.count("*").alias("n"))
     )
+
+
+def _geohash3_interleave_sql() -> str:
+    """SQL expression interleaving qlon (8 bits) / qlat (7 bits) MSB-first
+    into a 15-bit value — the exact loop of curves.geohash_uint64."""
+    terms = []
+    for i in range(15):  # nbits = precision(3) * 5
+        if i % 2 == 0:
+            src, bit = "qlon", 7 - i // 2
+        else:
+            src, bit = "qlat", 6 - i // 2
+        terms.append(f"((({src} >> {bit}) & 1) << {14 - i})")
+    return " | ".join(terms)
 
 
 # ----------------------------------------------------------------------
@@ -1222,6 +1269,60 @@ def oracle_sql() -> dict[str, str]:
                   AND ({CUST_Y}) <= {NB['miny']} + {NB['h']}
             )
             GROUP BY c_mktsegment
+        """,
+        "hilbert_buckets": (
+            _hilbert12_cte_sql(
+                f"""SELECT CAST(floor(least(greatest((({CUST_X}) + 180.0) / 360.0, 0.0), 1.0) * 4095) AS BIGINT) AS x,
+                           CAST(floor(least(greatest((({CUST_Y}) + 90.0) / 180.0, 0.0), 1.0) * 4095) AS BIGINT) AS y
+                    FROM customer"""
+            )
+            + """
+            SELECT CAST(floor(d / 4096.0) AS BIGINT) AS bucket, count(*) AS n
+            FROM h12 GROUP BY 1
+        """
+        ),
+        "geohash_cells": f"""
+            WITH q AS (
+                SELECT CAST(least(floor((({CUST_X}) + 180.0) / 360.0 * 256), 255) AS BIGINT) AS qlon,
+                       CAST(least(floor((({CUST_Y}) + 90.0) / 180.0 * 128), 127) AS BIGINT) AS qlat
+                FROM customer
+            ), g AS (
+                SELECT ({_geohash3_interleave_sql()}) AS v FROM q
+            )
+            SELECT substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((v >> 10) & 31) AS INTEGER) + 1, 1)
+                || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((v >> 5) & 31) AS INTEGER) + 1, 1)
+                || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((v & 31) AS INTEGER) + 1, 1) AS cell,
+                   count(*) AS n
+            FROM g GROUP BY 1
+        """,
+        # Morton: replicate discretize_mid (floor(clip((v-lo)/w)*4095))
+        # and the 5-step bit spread (geometry/curves.py:70-83) in SQL.
+        # Masks: 0x0000FFFF0000FFFF, 0x00FF00FF00FF00FF, 0x0F0F0F0F0F0F0F0F,
+        # 0x3333333333333333, 0x5555555555555555 as decimal bigints.
+        "morton_buckets": f"""
+            WITH base AS (
+                SELECT CAST(floor(least(greatest((({CUST_X}) + 180.0) / 360.0, 0.0), 1.0) * 4095) AS BIGINT) AS cx,
+                       CAST(floor(least(greatest((({CUST_Y}) + 90.0) / 180.0, 0.0), 1.0) * 4095) AS BIGINT) AS cy
+                FROM customer
+            ), s1 AS (
+                SELECT (cx | (cx << 16)) & 281470681808895 AS cx,
+                       (cy | (cy << 16)) & 281470681808895 AS cy FROM base
+            ), s2 AS (
+                SELECT (cx | (cx << 8)) & 71777214294589695 AS cx,
+                       (cy | (cy << 8)) & 71777214294589695 AS cy FROM s1
+            ), s3 AS (
+                SELECT (cx | (cx << 4)) & 1085102592571150095 AS cx,
+                       (cy | (cy << 4)) & 1085102592571150095 AS cy FROM s2
+            ), s4 AS (
+                SELECT (cx | (cx << 2)) & 3689348814741910323 AS cx,
+                       (cy | (cy << 2)) & 3689348814741910323 AS cy FROM s3
+            ), s5 AS (
+                SELECT (cx | (cx << 1)) & 6148914691236517205 AS cx,
+                       (cy | (cy << 1)) & 6148914691236517205 AS cy FROM s4
+            )
+            SELECT CAST(floor((cx | (cy << 1)) / 4096.0) AS BIGINT) AS bucket,
+                   count(*) AS n
+            FROM s5 GROUP BY 1
         """,
         "sjoin_box_overlaps": f"""
             SELECT n.n_nationkey AS nationkey, count(*) AS n_overlapping
