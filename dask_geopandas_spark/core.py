@@ -626,6 +626,14 @@ class GeoDataFrame:
 
         return union_all(self._df, self._geometry)
 
+    def unary_union(self) -> bytes:
+        """Deprecated reference alias of union_all (expr.py:287-299)."""
+        import warnings
+
+        warnings.warn("unary_union is deprecated; use union_all",
+                      FutureWarning, stacklevel=2)
+        return self.union_all()
+
     def sjoin(self, other: "GeoDataFrame", how: str = "inner",
               predicate: str = "intersects", **kw) -> "GeoDataFrame":
         from .operators.sjoin import sjoin
