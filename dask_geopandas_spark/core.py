@@ -51,10 +51,15 @@ def no_pushdown(cond: Column) -> Column:
 
 
 class GeoDataFrame:
-    # when the active geometry was built by points_from_xy, the (x, y)
-    # source column names — lets with_bbox()/cx() run fully natively
-    # (point bbox == the point itself, no UDF)
-    _xy_cols: tuple | None = None
+    # Symbolic coordinate tracking for point layers: when the active
+    # geometry is a point built from native columns (points_from_xy) or
+    # a native transform of one (translate/rotate/scale/skew/to_crs),
+    # ``_xy`` holds (x_expr: Column, y_expr: Column, deps: tuple[str],
+    # has_z: bool).  Every bbox predicate, x/y accessor, clip filter,
+    # and affine composition then runs pure-JVM; WKB geometry is still
+    # materialized (from the SAME JVM-computed doubles via st_point) but
+    # pruned away whenever the consumer doesn't read it.
+    _xy: tuple | None = None
     # when the active geometry was built by boxes_from_bounds, the
     # (minx, miny, maxx, maxy) source column names
     _corner_cols: tuple | None = None
@@ -97,8 +102,8 @@ class GeoDataFrame:
         # propagate geometry-shape hints while the source columns and the
         # active geometry survive unchanged
         if geometry is None or geometry == self._geometry:
-            if self._xy_cols and all(c in df.columns for c in self._xy_cols):
-                out._xy_cols = self._xy_cols
+            if self._xy and all(c in df.columns for c in self._xy[2]):
+                out._xy = self._xy
             if self._corner_cols and all(
                 c in df.columns for c in self._corner_cols
             ):
@@ -132,8 +137,8 @@ class GeoDataFrame:
 
     def withColumn(self, name: str, col: Column) -> "GeoDataFrame":
         out = self._wrap(self._df.withColumn(name, col))
-        if self._xy_cols and name in self._xy_cols:
-            out._xy_cols = None  # source column overwritten; hint invalid
+        if self._xy and name in self._xy[2]:
+            out._xy = None  # source column overwritten; hint invalid
         if self._corner_cols and name in self._corner_cols:
             out._corner_cols = None
         return out
@@ -186,15 +191,35 @@ class GeoDataFrame:
         dst = crs.upper().replace("EPSG:", "")
         if src == dst:
             return self
-        if (src, dst) == ("4326", "3857"):
-            udf = _reproject_udf(_lonlat_to_mercator)
-        elif (src, dst) == ("3857", "4326"):
-            udf = _reproject_udf(_mercator_to_lonlat)
-        else:
+        if (src, dst) not in (("4326", "3857"), ("3857", "4326")):
             raise NotImplementedError(
                 f"to_crs {self.crs} → {crs}: pyproj unavailable; only "
                 "EPSG:4326↔EPSG:3857 supported"
             )
+        if self._xy and not self._xy[3]:
+            # point layer with symbolic coordinates: the spherical
+            # mercator formulas are native SQL math — the reprojection
+            # stays in codegen and the hint survives for downstream
+            # bbox/x/y/clip consumers
+            xe, ye, deps, _ = self._xy
+            if (src, dst) == ("4326", "3857"):
+                nx = F.radians(xe) * F.lit(_R)
+                yc = F.least(F.greatest(ye, F.lit(-89.9999)), F.lit(89.9999))
+                ny = F.log(F.tan(F.lit(np.pi / 4.0) + F.radians(yc) / 2)) * F.lit(_R)
+            else:
+                nx = F.degrees(xe / F.lit(_R))
+                ny = F.degrees(
+                    F.atan(F.exp(ye / F.lit(_R))) * 2 - F.lit(np.pi / 2.0))
+            geo = self._replace_geom(FX.st_point(nx, ny))
+            geo._xy = (nx, ny, deps, False)
+            m = dict(geo._crs)
+            m[self._geometry] = f"EPSG:{dst}"
+            geo._crs = m
+            return geo
+        if (src, dst) == ("4326", "3857"):
+            udf = _reproject_udf(_lonlat_to_mercator)
+        else:
+            udf = _reproject_udf(_mercator_to_lonlat)
         out = self._df.withColumn(self._geometry, udf(self._geom()))
         m = dict(self._crs)
         m[self._geometry] = f"EPSG:{dst}"
@@ -217,10 +242,20 @@ class GeoDataFrame:
 
     @property
     def x(self) -> Column:
+        # native only for 2-D hints: a z-point's geometry (and so st_x)
+        # is NULL when z is NULL, which the x/y expressions can't see
+        if self._xy and not self._xy[3]:
+            xe, ye = self._xy[0], self._xy[1]
+            # null-guard: st_x(geom) is NULL when EITHER coordinate is
+            # NULL (the point itself is NULL), so mirror that
+            return F.when(xe.isNotNull() & ye.isNotNull(), xe)
         return FX.st_x(self._geom())
 
     @property
     def y(self) -> Column:
+        if self._xy and not self._xy[3]:
+            xe, ye = self._xy[0], self._xy[1]
+            return F.when(xe.isNotNull() & ye.isNotNull(), ye)
         return FX.st_y(self._geom())
 
     @property
@@ -267,7 +302,7 @@ class GeoDataFrame:
             out = out.drop(self.bbox_column)
         wrapped = self._wrap(out)
         # geometry content changed; shape hints invalid
-        wrapped._xy_cols = None
+        wrapped._xy = None
         wrapped._corner_cols = None
         wrapped._rect = False
         return wrapped
@@ -311,21 +346,38 @@ class GeoDataFrame:
     def representative_point(self) -> "GeoDataFrame":
         return self._replace_geom(FX.st_representative_point(self._geom()))
 
+    def _affine(self, a, b, d, e, xoff, yoff) -> "GeoDataFrame":
+        """Shared 6-parameter affine.  Point layers with symbolic
+        coordinates compose natively: new coordinate expressions
+        ``a*x + b*y + xoff`` (same op order as the kernel,
+        geometry/algorithms.py:218-223, so results are bit-identical),
+        geometry rebuilt from those JVM doubles via st_point, and the
+        hint survives — chains of transforms never leave codegen."""
+        if self._xy and not self._xy[3]:
+            xe, ye, deps, _ = self._xy
+            nx = F.lit(float(a)) * xe + F.lit(float(b)) * ye + F.lit(float(xoff))
+            ny = F.lit(float(d)) * xe + F.lit(float(e)) * ye + F.lit(float(yoff))
+            out = self._replace_geom(FX.st_point(nx, ny))
+            out._xy = (nx, ny, deps, False)
+            return out
+        return self._replace_geom(
+            FX.affine_transform(a, b, d, e, xoff, yoff)(self._geom()))
+
     def affine_transform(self, matrix) -> "GeoDataFrame":
         a, b, d, e, xoff, yoff = matrix
-        return self._replace_geom(FX.affine_transform(a, b, d, e, xoff, yoff)(self._geom()))
+        return self._affine(a, b, d, e, xoff, yoff)
 
     def translate(self, xoff=0.0, yoff=0.0) -> "GeoDataFrame":
-        return self._replace_geom(FX.translate(xoff, yoff)(self._geom()))
+        return self._affine(*FX.translate_params(xoff, yoff))
 
     def rotate(self, angle, origin=(0.0, 0.0), use_radians=False) -> "GeoDataFrame":
-        return self._replace_geom(FX.rotate(angle, origin, use_radians)(self._geom()))
+        return self._affine(*FX.rotate_params(angle, origin, use_radians))
 
     def scale(self, xfact=1.0, yfact=1.0, origin=(0.0, 0.0)) -> "GeoDataFrame":
-        return self._replace_geom(FX.scale(xfact, yfact, origin)(self._geom()))
+        return self._affine(*FX.scale_params(xfact, yfact, origin))
 
     def skew(self, xs=0.0, ys=0.0, origin=(0.0, 0.0), use_radians=False) -> "GeoDataFrame":
-        return self._replace_geom(FX.skew(xs, ys, origin, use_radians)(self._geom()))
+        return self._affine(*FX.skew_params(xs, ys, origin, use_radians))
 
     def interpolate(self, distance, normalized=False) -> "GeoDataFrame":
         return self._replace_geom(FX.interpolate(distance, normalized)(self._geom()))
@@ -426,12 +478,14 @@ class GeoDataFrame:
         point layers become fully native)."""
         if self.bbox_column in self._df.columns:
             return self
-        if self._xy_cols:
-            xc, yc = (F.col(c).cast("double") for c in self._xy_cols)
-            # null-guard on the SOURCE columns, not the geometry: a guard
-            # referencing the st_point UDF would make every downstream
-            # bbox predicate UDF-referencing and pushdown would drag the
-            # Python stage below rebalance exchanges
+        if self._xy and not self._xy[3]:
+            # (2-D hints only: a z-point's geometry is NULL when z is
+            # NULL, which x/y expressions can't see)
+            xc, yc = self._xy[0], self._xy[1]
+            # null-guard on the SOURCE expressions, not the geometry: a
+            # guard referencing the st_point UDF would make every
+            # downstream bbox predicate UDF-referencing and pushdown
+            # would drag the Python stage below rebalance exchanges
             bbox = F.when(
                 xc.isNotNull() & yc.isNotNull(),
                 F.struct(xc.alias("minx"), yc.alias("miny"),
@@ -453,7 +507,7 @@ class GeoDataFrame:
         """True when bbox predicates need no Python: the struct is already
         materialized (stored dataset) or derivable from source columns."""
         return (self.bbox_column in self._df.columns
-                or bool(self._xy_cols) or bool(self._corner_cols))
+                or bool(self._xy) or bool(self._corner_cols))
 
     @property
     def envelope_exact(self) -> bool:
@@ -464,7 +518,7 @@ class GeoDataFrame:
         arithmetic — sjoin then refines natively with no Python stage
         (mirrors the kernel's rect fast path, geometry/algorithms.py
         `_axis_box_mask` + closed-bounds `pairwise_contains`)."""
-        return self._rect or bool(self._xy_cols) or bool(self._corner_cols)
+        return self._rect or bool(self._xy) or bool(self._corner_cols)
 
     def total_bounds(self) -> tuple:
         """Global bbox via native min/max aggregation — no UDF in the agg
@@ -511,7 +565,7 @@ class GeoDataFrame:
         out = g.filter(cond)
         if len(conds) <= 1:
             return out
-        if self._xy_cols:
+        if self._xy:
             # point bbox == the point: the native bbox test is exact,
             # no UDF refinement needed
             return out
@@ -706,7 +760,9 @@ def points_from_xy(df: DataFrame, x: str = "x", y: str = "y", z: str | None = No
     else:
         col = FX.st_point(F.col(x), F.col(y))
     out = GeoDataFrame(df.withColumn(geometry, col), geometry, crs=crs)
-    out._xy_cols = (x, y)  # bbox/cx/total_bounds run natively from x/y
+    # symbolic coordinates: bbox/cx/x/y/clip/affine run natively
+    has_z = z is not None and z in df.columns
+    out._xy = (F.col(x).cast("double"), F.col(y).cast("double"), (x, y), has_z)
     return out
 
 

@@ -521,29 +521,47 @@ def affine_transform(a, b, d, e, xoff, yoff):
     return _affine
 
 
-def translate(xoff=0.0, yoff=0.0):
-    return affine_transform(1, 0, 0, 1, xoff, yoff)
+# the 6-parameter (a, b, d, e, xoff, yoff) composition for each named
+# transform, shared by the WKB UDF path and the native point fast path
+# (core._affine) so both compute bit-identical coordinates
+def translate_params(xoff=0.0, yoff=0.0):
+    return (1, 0, 0, 1, xoff, yoff)
 
 
-def scale(xfact=1.0, yfact=1.0, origin=(0.0, 0.0)):
+def scale_params(xfact=1.0, yfact=1.0, origin=(0.0, 0.0)):
     ox, oy = origin
-    return affine_transform(xfact, 0, 0, yfact, ox - xfact * ox, oy - yfact * oy)
+    return (xfact, 0, 0, yfact, ox - xfact * ox, oy - yfact * oy)
 
 
-def rotate(angle_deg: float, origin=(0.0, 0.0), use_radians=False):
+def rotate_params(angle_deg: float, origin=(0.0, 0.0), use_radians=False):
     t = angle_deg if use_radians else np.deg2rad(angle_deg)
     ca, sa = np.cos(t), np.sin(t)
     ox, oy = origin
-    return affine_transform(ca, -sa, sa, ca,
-                            ox - ca * ox + sa * oy, oy - sa * ox - ca * oy)
+    return (ca, -sa, sa, ca, ox - ca * ox + sa * oy, oy - sa * ox - ca * oy)
 
 
-def skew(xs_deg=0.0, ys_deg=0.0, origin=(0.0, 0.0), use_radians=False):
+def skew_params(xs_deg=0.0, ys_deg=0.0, origin=(0.0, 0.0), use_radians=False):
     tx = xs_deg if use_radians else np.deg2rad(xs_deg)
     ty = ys_deg if use_radians else np.deg2rad(ys_deg)
     ox, oy = origin
-    a, b_, d, e = 1.0, np.tan(tx), np.tan(ty), 1.0
-    return affine_transform(a, b_, d, e, -b_ * oy, -d * ox)
+    b_, d = np.tan(tx), np.tan(ty)
+    return (1.0, b_, d, 1.0, -b_ * oy, -d * ox)
+
+
+def translate(xoff=0.0, yoff=0.0):
+    return affine_transform(*translate_params(xoff, yoff))
+
+
+def scale(xfact=1.0, yfact=1.0, origin=(0.0, 0.0)):
+    return affine_transform(*scale_params(xfact, yfact, origin))
+
+
+def rotate(angle_deg: float, origin=(0.0, 0.0), use_radians=False):
+    return affine_transform(*rotate_params(angle_deg, origin, use_radians))
+
+
+def skew(xs_deg=0.0, ys_deg=0.0, origin=(0.0, 0.0), use_radians=False):
+    return affine_transform(*skew_params(xs_deg, ys_deg, origin, use_radians))
 
 
 def interpolate(distance: float, normalized: bool = False):

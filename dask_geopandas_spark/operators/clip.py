@@ -48,14 +48,14 @@ def clip(gdf, mask, keep_geom_type: bool = False):
     mx, my = _mask_ring(mask)
     bounds = (float(mx.min()), float(my.min()), float(mx.max()), float(my.max()))
 
-    if getattr(gdf, "_xy_cols", None):
+    if getattr(gdf, "_xy", None) and not gdf._xy[3]:
         # Point layer built from x/y columns: clipping never cuts a
         # point, so clip == row filter.  A constant convex mask is the
         # intersection of its edge half-planes — a pure-JVM conjunction
         # of inequalities on the source columns (closed boundary,
         # matching the kernel's closed rect semantics).  No Python stage
         # at any scale.
-        xc, yc = (F.col(c).cast("double") for c in gdf._xy_cols)
+        xc, yc = gdf._xy[0], gdf._xy[1]
         cond = None
         n = len(mx)
         # ring orientation: signed area > 0 ⇒ CCW ⇒ inside is left of
@@ -73,7 +73,7 @@ def clip(gdf, mask, keep_geom_type: bool = False):
             cond = c if cond is None else (cond & c)
         out = GeoDataFrame(gdf.df.filter(cond), gdf.geometry_column,
                            crs_map=getattr(gdf, "_crs", {}))
-        out._xy_cols = gdf._xy_cols
+        out._xy = gdf._xy
         return out.with_bbox()
 
     if gdf.has_native_bbox:
