@@ -55,11 +55,16 @@ class GeoDataFrame:
     # geometry is a point built from native columns (points_from_xy) or
     # a native transform of one (translate/rotate/scale/skew/to_crs),
     # ``_xy`` holds (x_expr: Column, y_expr: Column, deps: tuple[str],
-    # has_z: bool).  Every bbox predicate, x/y accessor, clip filter,
-    # and affine composition then runs pure-JVM; WKB geometry is still
-    # materialized (from the SAME JVM-computed doubles via st_point) but
-    # pruned away whenever the consumer doesn't read it.
+    # has_z: bool, depth: int).  Every bbox predicate, x/y accessor,
+    # clip filter, and affine composition then runs pure-JVM; WKB
+    # geometry is still materialized (from the SAME JVM-computed doubles
+    # via st_point) but pruned away whenever the consumer doesn't read
+    # it.  ``depth`` counts symbolic compositions: each step embeds the
+    # previous (x, y) trees twice, so unbounded chaining would grow the
+    # expression tree exponentially — past _XY_MAX_DEPTH the next
+    # transform falls back to the WKB UDF path.
     _xy: tuple | None = None
+    _XY_MAX_DEPTH = 8
     # when the active geometry was built by boxes_from_bounds, the
     # (minx, miny, maxx, maxy) source column names
     _corner_cols: tuple | None = None
@@ -127,7 +132,17 @@ class GeoDataFrame:
     def select(self, *cols):
         out = self._df.select(*cols)
         if self._geometry in out.columns:
-            return self._wrap(out)
+            wrapped = self._wrap(out)
+            # Column expressions may alias arbitrary values onto the
+            # geometry or a hint source column name (e.g.
+            # select(lit(0).alias('x'), ...)) — presence checks in _wrap
+            # can't see that, so keep hints only for plain-string
+            # projections
+            if not all(isinstance(c, str) for c in cols):
+                wrapped._xy = None
+                wrapped._corner_cols = None
+                wrapped._rect = False
+            return wrapped
         return out
 
     def filter(self, cond) -> "GeoDataFrame":
@@ -137,6 +152,12 @@ class GeoDataFrame:
 
     def withColumn(self, name: str, col: Column) -> "GeoDataFrame":
         out = self._wrap(self._df.withColumn(name, col))
+        if name == self._geometry:
+            # geometry column overwritten with arbitrary content: every
+            # shape hint is invalid
+            out._xy = None
+            out._corner_cols = None
+            out._rect = False
         if self._xy and name in self._xy[2]:
             out._xy = None  # source column overwritten; hint invalid
         if self._corner_cols and name in self._corner_cols:
@@ -196,12 +217,12 @@ class GeoDataFrame:
                 f"to_crs {self.crs} → {crs}: pyproj unavailable; only "
                 "EPSG:4326↔EPSG:3857 supported"
             )
-        if self._xy and not self._xy[3]:
+        if self._xy and not self._xy[3] and self._xy[4] < self._XY_MAX_DEPTH:
             # point layer with symbolic coordinates: the spherical
             # mercator formulas are native SQL math — the reprojection
             # stays in codegen and the hint survives for downstream
             # bbox/x/y/clip consumers
-            xe, ye, deps, _ = self._xy
+            xe, ye, deps, _, depth = self._xy
             if (src, dst) == ("4326", "3857"):
                 nx = F.radians(xe) * F.lit(_R)
                 yc = F.least(F.greatest(ye, F.lit(-89.9999)), F.lit(89.9999))
@@ -211,7 +232,7 @@ class GeoDataFrame:
                 ny = F.degrees(
                     F.atan(F.exp(ye / F.lit(_R))) * 2 - F.lit(np.pi / 2.0))
             geo = self._replace_geom(FX.st_point(nx, ny))
-            geo._xy = (nx, ny, deps, False)
+            geo._xy = (nx, ny, deps, False, depth + 1)
             m = dict(geo._crs)
             m[self._geometry] = f"EPSG:{dst}"
             geo._crs = m
@@ -353,12 +374,12 @@ class GeoDataFrame:
         geometry/algorithms.py:218-223, so results are bit-identical),
         geometry rebuilt from those JVM doubles via st_point, and the
         hint survives — chains of transforms never leave codegen."""
-        if self._xy and not self._xy[3]:
-            xe, ye, deps, _ = self._xy
+        if self._xy and not self._xy[3] and self._xy[4] < self._XY_MAX_DEPTH:
+            xe, ye, deps, _, depth = self._xy
             nx = F.lit(float(a)) * xe + F.lit(float(b)) * ye + F.lit(float(xoff))
             ny = F.lit(float(d)) * xe + F.lit(float(e)) * ye + F.lit(float(yoff))
             out = self._replace_geom(FX.st_point(nx, ny))
-            out._xy = (nx, ny, deps, False)
+            out._xy = (nx, ny, deps, False, depth + 1)
             return out
         return self._replace_geom(
             FX.affine_transform(a, b, d, e, xoff, yoff)(self._geom()))
@@ -506,8 +527,12 @@ class GeoDataFrame:
     def has_native_bbox(self) -> bool:
         """True when bbox predicates need no Python: the struct is already
         materialized (stored dataset) or derivable from source columns."""
+        # a z-hinted _xy does NOT count: its with_bbox falls back to the
+        # st_bounds UDF (z nullability is invisible to x/y expressions),
+        # so a "native" prefilter built from it would be UDF-referencing
         return (self.bbox_column in self._df.columns
-                or bool(self._xy) or bool(self._corner_cols))
+                or bool(self._xy and not self._xy[3])
+                or bool(self._corner_cols))
 
     @property
     def envelope_exact(self) -> bool:
@@ -528,8 +553,12 @@ class GeoDataFrame:
         bboxes), it answers without any scan at all."""
         sp = getattr(self, "spatial_partitions", None)
         if sp:
-            return (min(b[0] for b in sp), min(b[1] for b in sp),
-                    max(b[2] for b in sp), max(b[3] for b in sp))
+            # a partition of all-NULL geometries reports NULL bounds —
+            # skip it (nan-safe combine, reference expr.py:44-72)
+            known = [b for b in sp if b is not None and None not in b]
+            if known:
+                return (min(b[0] for b in known), min(b[1] for b in known),
+                        max(b[2] for b in known), max(b[3] for b in known))
         g = self.with_bbox()
         b = g.bbox_column
         row = g.df.agg(
@@ -651,7 +680,9 @@ class GeoDataFrame:
             .collect()
         )
         out = {r["_pid"]: (r["minx"], r["miny"], r["maxx"], r["maxy"]) for r in rows}
-        self.spatial_partitions = [out[k] for k in sorted(out)] or None
+        # drop all-NULL partitions (NULL bounds) from the stored summary
+        sp = [out[k] for k in sorted(out) if None not in out[k]]
+        self.spatial_partitions = sp or None
         return out
 
     # ------------------------------------------------------------------
@@ -762,7 +793,7 @@ def points_from_xy(df: DataFrame, x: str = "x", y: str = "y", z: str | None = No
     out = GeoDataFrame(df.withColumn(geometry, col), geometry, crs=crs)
     # symbolic coordinates: bbox/cx/x/y/clip/affine run natively
     has_z = z is not None and z in df.columns
-    out._xy = (F.col(x).cast("double"), F.col(y).cast("double"), (x, y), has_z)
+    out._xy = (F.col(x).cast("double"), F.col(y).cast("double"), (x, y), has_z, 0)
     return out
 
 

@@ -23,6 +23,27 @@ from ..geometry import wkb as W
 from ..geometry import wkt as T
 
 
+def _point_in_convex_closed(px: np.ndarray, py: np.ndarray,
+                            mx: np.ndarray, my: np.ndarray) -> np.ndarray:
+    """Closed-boundary point-in-convex-ring: inside or ON any edge.
+    Same cross-product arithmetic as the native half-plane path in
+    ``clip`` (and as GEOS clip, which keeps boundary points) — the two
+    paths must agree on boundary points, which ray-casting does not
+    guarantee."""
+    area2 = float(np.sum(mx * np.roll(my, -1) - np.roll(mx, -1) * my))
+    sign = 1.0 if area2 >= 0 else -1.0
+    keep = np.ones(len(px), dtype=bool)
+    n = len(mx)
+    for i in range(n):
+        x1, y1 = float(mx[i]), float(my[i])
+        x2, y2 = float(mx[(i + 1) % n]), float(my[(i + 1) % n])
+        if x1 == x2 and y1 == y2:
+            continue
+        cross = ((x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)) * sign
+        keep &= cross >= 0
+    return keep
+
+
 def _mask_ring(mask) -> tuple[np.ndarray, np.ndarray]:
     if isinstance(mask, str):
         mask = T.wkt_to_wkb(mask)
@@ -103,7 +124,8 @@ def clip(gdf, mask, keep_geom_type: bool = False):
         if single.any():
             idx = np.flatnonzero(single)
             starts = batch.geom_coord_starts[:-1][idx]
-            keep = A.point_in_rings(batch.xs[starts], batch.ys[starts], [(mx, my)])
+            keep = _point_in_convex_closed(
+                batch.xs[starts], batch.ys[starts], mx, my)
             for i, k in zip(idx, keep):
                 out[i] = batch.raw[i] if k else None
         for i in np.flatnonzero(~single & (batch.types != 0)):
@@ -126,7 +148,7 @@ def clip(gdf, mask, keep_geom_type: bool = False):
 def _clip_one(batch: W.GeometryBatch, i: int, t: int, mx, my):
     if t in (W.POINT, W.MULTIPOINT):
         x, y = A._points(batch, i)
-        keep = A.point_in_rings(x, y, [(mx, my)])
+        keep = _point_in_convex_closed(x, y, mx, my)
         if not keep.any():
             return None
         pts = np.column_stack([x[keep], y[keep]])

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import tokens
+from .textstats import let, tokens
 
 
 def portable_hash(col: Column) -> Column:
@@ -66,17 +66,10 @@ def _seed_const(s: int) -> int:
     return int(hashlib.md5(f"seed{s}".encode()).hexdigest()[:15], 16)
 
 
-def let(value: Column, body) -> Column:
-    """Let-binding for SQL expressions: evaluate ``value`` ONCE and bind
-    it as the lambda variable of ``body`` via a single-element
-    ``transform``.  Higher-order functions evaluate their input array
-    once and hand the lambda the bound element, so ``body`` may
-    reference it any number of times without re-evaluating ``value`` —
-    the Catalyst-safe alternative to staging intermediates through
-    persist/checkpoint barriers (CollapseProject would otherwise inline
-    ``value``'s tree into every reference, e.g. re-running the regex
-    tokenizer per element access: measured ~50x at sf0.01)."""
-    return F.element_at(F.transform(F.array(value), body), 1)
+# let-binding helper shared with textstats (single definition there);
+# re-exported here because the dedup pipelines are its heaviest users
+# (one regex + one md5 pass per row instead of one per reference --
+# measured ~50x at sf0.01)
 
 
 def hashed_shingles(text: Column, k: int = 3) -> Column:

@@ -65,11 +65,20 @@ def punct_ratio(text: Column) -> Column:
     )
 
 
-def _let(value: Column, body) -> Column:
-    """Bind ``value`` once as a lambda variable (single-element
-    transform) so ``body`` can reference it repeatedly without Catalyst
-    inlining — and re-evaluating — the expression per reference."""
+def let(value: Column, body) -> Column:
+    """Let-binding for SQL expressions: evaluate ``value`` ONCE and bind
+    it as the lambda variable of ``body`` via a single-element
+    ``transform``.  Higher-order functions evaluate their input array
+    once and hand the lambda the bound element, so ``body`` may
+    reference it any number of times without re-evaluating ``value`` —
+    the Catalyst-safe alternative to staging intermediates through
+    persist/checkpoint barriers (CollapseProject would otherwise inline
+    ``value``'s tree into every reference).  Shared by textstats and
+    dedup (single definition)."""
     return F.element_at(F.transform(F.array(value), body), 1)
+
+
+_let = let  # internal alias
 
 
 def _hits(toks: Column, lang: str) -> Column:
