@@ -860,8 +860,13 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
+    # threshold 0.4, not the 0.9 a production near-dup pass would use:
+    # the synthetic embeddings' max pairwise cosine is ~0.55, so any
+    # higher threshold returns zero rows and the oracle match is
+    # vacuous.  The oracle replicates the sign-bucket join exactly, so
+    # the comparison stays exact at any threshold.
     e = _t(spark, sf_dir, "embeddings")
-    out = DD.embedding_neardup_pairs(e, threshold=0.9, bucket_dims=4)
+    out = DD.embedding_neardup_pairs(e, threshold=0.4, bucket_dims=4)
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
@@ -1217,7 +1222,7 @@ def oracle_sql() -> dict[str, str]:
                    {_COS.replace('qa.v', 'qa.embedding').replace('qb.v', 'qb.embedding').replace(', 9)', ', 9)')} AS cos
             FROM v qa JOIN v qb ON qa.bucket = qb.bucket AND qa.vec_id < qb.vec_id
         )
-        SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs WHERE cos >= 0.9
+        SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs WHERE cos >= 0.4
     """
     meta_arith = "(doc_id % 48 + 16)"
     meta_h = "(doc_id % 32 + 16)"

@@ -547,3 +547,96 @@ def test_clip_native_point_path_matches_kernel(spark):
     plan = (pts.clip(tri).df.select("id")
             ._jdf.queryExecution().executedPlan().toString())
     assert "ArrowEvalPython" not in plan
+
+
+class TestShapeHintInvalidation:
+    """Shape hints (_xy / _corner_cols) are a performance fast path; they
+    must be DROPPED whenever a projection could desynchronize them from
+    the geometry, and results must stay correct via the WKB-UDF path."""
+
+    def _pts(self, spark):
+        pdf = pd.DataFrame({
+            "id": range(20),
+            "x": [float(i) for i in range(20)],
+            "y": [float(2 * i) for i in range(20)],
+        })
+        return dgs.points_from_xy(spark.createDataFrame(pdf), "x", "y"), pdf
+
+    def test_plain_string_select_keeps_hints(self, spark):
+        g, _ = self._pts(spark)
+        sel = g.select("id", "x", "y", g.geometry_column)
+        assert sel.has_native_bbox and sel.envelope_exact
+
+    def test_select_with_expr_clears_hints(self, spark):
+        import pyspark.sql.functions as F
+
+        g, pdf = self._pts(spark)
+        # lit aliased onto the hint source column: the stale hint would
+        # report minx=999 for every row
+        sel = g.select(F.lit(999.0).alias("x"), "y", g.geometry_column)
+        assert not sel.has_native_bbox
+        got = sorted(
+            r["mx"] for r in sel.with_bbox().df.select(
+                F.col(sel.with_bbox().bbox_column + ".minx").alias("mx")
+            ).collect())
+        assert got == pytest.approx(sorted(pdf.x))
+
+    def test_withcolumn_on_geometry_clears_hints(self, spark):
+        import pyspark.sql.functions as F
+
+        from dask_geopandas_spark.functions import core as FX
+
+        g, _ = self._pts(spark)
+        g2 = g.withColumn(g.geometry_column, FX.st_point(F.lit(1.0), F.lit(2.0)))
+        assert not g2.has_native_bbox and not g2.envelope_exact
+        assert g2.total_bounds() == pytest.approx((1.0, 2.0, 1.0, 2.0))
+
+    def test_withcolumn_on_source_clears_xy(self, spark):
+        import pyspark.sql.functions as F
+
+        g, pdf = self._pts(spark)
+        # geometry was built from the ORIGINAL x in an earlier projection;
+        # overwriting x afterwards must not re-point the bbox at it
+        g2 = g.withColumn("x", F.lit(0.0))
+        assert not g2.has_native_bbox
+        b = g2.with_bbox()
+        got = sorted(r["mx"] for r in b.df.select(
+            F.col(b.bbox_column + ".minx").alias("mx")).collect())
+        assert got == pytest.approx(sorted(pdf.x))
+
+    def test_withcolumn_on_corner_col_clears_hint(self, spark):
+        import pyspark.sql.functions as F
+
+        pdf = pd.DataFrame({
+            "bid": range(5),
+            "minx": [0.0, 1, 2, 3, 4], "miny": [0.0] * 5,
+            "maxx": [10.0, 11, 12, 13, 14], "maxy": [5.0] * 5,
+        })
+        g = dgs.boxes_from_bounds(spark.createDataFrame(pdf))
+        assert g.has_native_bbox
+        g2 = g.withColumn("minx", F.lit(-99.0))
+        assert not g2.has_native_bbox
+        b = g2.with_bbox()
+        got = sorted(r["mx"] for r in b.df.select(
+            F.col(b.bbox_column + ".minx").alias("mx")).collect())
+        assert got == pytest.approx(sorted(pdf.minx))
+
+    def test_affine_chain_past_depth_cap_stays_correct(self, spark):
+        g, pdf = self._pts(spark)
+        n = dgs.GeoDataFrame._XY_MAX_DEPTH + 4
+        for _ in range(n):
+            g = g.translate(1.0, 1.0)
+        xs = sorted(r["xv"] for r in g.df.select(g.x.alias("xv")).collect())
+        assert xs == pytest.approx(sorted(pdf.x + float(n)))
+
+    def test_z_hint_is_not_native_bbox(self, spark):
+        pdf = pd.DataFrame({
+            "x": [1.0, 2.0], "y": [3.0, 4.0], "z": [5.0, None]})
+        g = dgs.points_from_xy(spark.createDataFrame(pdf), "x", "y", z="z")
+        assert not g.has_native_bbox
+
+    def test_total_bounds_skips_null_partitions(self, spark):
+        g, pdf = self._pts(spark)
+        g.spatial_partitions = [(0.0, 0.0, 19.0, 38.0),
+                                (None, None, None, None)]
+        assert g.total_bounds() == pytest.approx((0.0, 0.0, 19.0, 38.0))
