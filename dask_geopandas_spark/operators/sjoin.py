@@ -69,13 +69,24 @@ def _cell_expr(coord: Column, t0: float, w: float, n: int) -> Column:
     return F.least(F.greatest(raw, F.lit(0)), F.lit(n - 1))
 
 
-def _with_cells(df: DataFrame, bbox: str, total_bounds, level: int) -> DataFrame:
+def _with_cells(df: DataFrame, bbox: str, total_bounds, level: int,
+                single: bool = False) -> DataFrame:
     """Explode each row into the grid cells its bbox covers — natively:
-    sequence() + two explodes (x range × y range), no Python."""
+    sequence() + two explodes (x range × y range), no Python.
+
+    ``single``: the caller knows every bbox is degenerate (a point
+    layer via its shape hint) — emit the one cell id directly instead
+    of exploding two 1-element sequences per row (drops two Generate
+    nodes from the hot 600k-row side)."""
     tminx, tminy, tmaxx, tmaxy = total_bounds
     n = 1 << level
     wx = (tmaxx - tminx) or 1.0
     wy = (tmaxy - tminy) or 1.0
+    if single:
+        return df.withColumn(
+            "_cell",
+            _cell_expr(F.col(f"{bbox}.minx"), tminx, wx, n) * n
+            + _cell_expr(F.col(f"{bbox}.miny"), tminy, wy, n))
     return (
         df.withColumn("_cellx", F.explode(F.sequence(
             _cell_expr(F.col(f"{bbox}.minx"), tminx, wx, n),
@@ -86,6 +97,35 @@ def _with_cells(df: DataFrame, bbox: str, total_bounds, level: int) -> DataFrame
         .withColumn("_cell", F.col("_cellx") * n + F.col("_celly"))
         .drop("_cellx", "_celly")
     )
+
+
+_GEOGRAPHIC_CRS = {"EPSG:4326", "OGC:CRS84", "CRS84", "WGS84", "WGS 84"}
+
+
+def _scan_free_bounds(lg, rg) -> tuple | None:
+    """Union grid bounds without scanning: per-side stored spatial
+    partitions (GeoParquet footer summaries / calculate_spatial_partitions)
+    or, for geographic CRS, the CRS extent.  Returns None when either
+    side has no scan-free answer (caller falls back to the union bounds
+    job).  Any bounds are CORRECT — out-of-range bboxes clamp into edge
+    cells — so stale or loose summaries only affect cell granularity."""
+
+    def one(g):
+        sp = getattr(g, "spatial_partitions", None)
+        if sp:
+            known = [b for b in sp if b is not None and None not in b]
+            if known:
+                return (min(b[0] for b in known), min(b[1] for b in known),
+                        max(b[2] for b in known), max(b[3] for b in known))
+        if (getattr(g, "crs", None) or "").upper() in _GEOGRAPHIC_CRS:
+            return (-180.0, -90.0, 180.0, 90.0)
+        return None
+
+    a, b = one(lg), one(rg)
+    if a is None or b is None:
+        return None
+    return (min(a[0], b[0]), min(a[1], b[1]),
+            max(a[2], b[2]), max(a[3], b[3]))
 
 
 def sjoin(left, right, how: str = "inner", predicate: str = "intersects",
@@ -148,6 +188,13 @@ def sjoin(left, right, how: str = "inner", predicate: str = "intersects",
             # encoders accepting total_bounds (expr.py:404-448); any
             # bounds work, out-of-range bboxes clamp into edge cells
             tb = tuple(float(v) for v in total_bounds)
+        elif (tb := _scan_free_bounds(lg, rg)) is not None:
+            # stored spatial-partition summaries / geographic CRS extent:
+            # no pre-scan.  At cluster scale the bounds job is a full
+            # read of BOTH inputs before the join even starts — dataset
+            # statistics must replace it whenever they exist.  Clamping
+            # keeps any bounds correct; only cell granularity varies.
+            pass
         else:
             # one job over the union of both sides' bbox projections
             # instead of two separate scans
@@ -165,27 +212,32 @@ def sjoin(left, right, how: str = "inner", predicate: str = "intersects",
                 F.max("maxx").alias("maxx"), F.max("maxy").alias("maxy"),
             ).collect()[0]
             tb = (row["minx"], row["miny"], row["maxx"], row["maxy"])
-        lc = _with_cells(ldf, lbbox_j, tb, grid_level)
-        rc = _with_cells(rdf, rbbox_j, tb, grid_level)
-        # Reference-point dedup (PBSM): a candidate pair appears once per
-        # shared cell; keep it only in the cell containing the top-left
-        # corner of the bbox intersection — a native filter, replacing a
-        # dropDuplicates shuffle over the full candidate set.
-        n = 1 << grid_level
-        wx = (tb[2] - tb[0]) or 1.0
-        wy = (tb[3] - tb[1]) or 1.0
-        ref_cell = (
-            _cell_expr(F.greatest(F.col(f"{lbbox_j}.minx"),
-                                  F.col(f"{rbbox_j}.minx")), tb[0], wx, n) * n
-            + _cell_expr(F.greatest(F.col(f"{lbbox_j}.miny"),
-                                    F.col(f"{rbbox_j}.miny")), tb[1], wy, n)
-        )
+        l_single = bool(lg._xy and not lg._xy[3])
+        r_single = bool(rg._xy and not rg._xy[3])
+        lc = _with_cells(ldf, lbbox_j, tb, grid_level, single=l_single)
+        rc = _with_cells(rdf, rbbox_j, tb, grid_level, single=r_single)
         joined = (
             lc.join(rc, on="_cell", how="inner")
             .filter(_bbox_overlap(lbbox_j, rbbox_j))
-            .filter(F.col("_cell") == ref_cell)
-            .drop("_cell")
         )
+        if not (l_single or r_single):
+            # Reference-point dedup (PBSM): a candidate pair appears once
+            # per shared cell; keep it only in the cell containing the
+            # top-left corner of the bbox intersection — a native filter,
+            # replacing a dropDuplicates shuffle over the full candidate
+            # set.  When either side is single-cell, a pair has at most
+            # one shared cell, so no duplicates can exist.
+            n = 1 << grid_level
+            wx = (tb[2] - tb[0]) or 1.0
+            wy = (tb[3] - tb[1]) or 1.0
+            ref_cell = (
+                _cell_expr(F.greatest(F.col(f"{lbbox_j}.minx"),
+                                      F.col(f"{rbbox_j}.minx")), tb[0], wx, n) * n
+                + _cell_expr(F.greatest(F.col(f"{lbbox_j}.miny"),
+                                        F.col(f"{rbbox_j}.miny")), tb[1], wy, n)
+            )
+            joined = joined.filter(F.col("_cell") == ref_cell)
+        joined = joined.drop("_cell")
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
 
