@@ -841,6 +841,15 @@ def q_lsh_pairs(spark, sf_dir):
     )
 
 
+def q_lsh_dedup(spark, sf_dir):
+    """Linear LSH dedup (bucket-min representative propagation) — the
+    scale-safe form of near-dup removal: O(docs x bands), never
+    quadratic in bucket size."""
+    return DD.lsh_dedup(
+        _t(spark, sf_dir, "documents"), num_hashes=4, bands=2, k=3
+    )
+
+
 def q_jaccard_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     pairs = DD.lsh_candidate_pairs(d, num_hashes=4, bands=2, k=3)
@@ -1071,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dups": q_fingerprint_dups,
         "minhash_sigs": q_minhash_sigs,
         "lsh_pairs": q_lsh_pairs,
+        "lsh_dedup": q_lsh_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
@@ -1172,6 +1182,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
         WHERE a.doc_id < b.doc_id
+    """
+    lsh_dedup = banded + """
+        , bmin AS (
+            SELECT band, bh, min(doc_id) AS bmin
+            FROM banded GROUP BY band, bh
+        )
+        SELECT b.doc_id, min(m.bmin) AS rep_id
+        FROM banded b JOIN bmin m ON b.band = m.band AND b.bh = m.bh
+        GROUP BY b.doc_id
     """
     jaccard = banded + f"""
         , pairs AS (
@@ -1565,6 +1584,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_sigs": sigs,
         "lsh_pairs": lsh_pairs,
+        "lsh_dedup": lsh_dedup,
         "jaccard_pairs": jaccard,
         "simhash": _simhash16_sql(),
         "ann_topk": ann,

@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "exact_dedup",
     "minhash_sigs",
     "lsh_pairs",
+    "lsh_dedup",
     "simhash",
     "ann_topk",
     "embedding_neardup",

@@ -126,15 +126,9 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     )
 
 
-def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id", num_hashes: int = 8,
-                        bands: int = 4, k: int = 3) -> DataFrame:
-    """LSH banding: docs sharing any band of the MinHash signature become
-    candidate near-dup pairs.  Output: (id_a, id_b) with id_a < id_b.
-
-    Plan shape at scale: signatures (narrow) → explode to (band_key, id)
-    → self equi-join on band_key → distinct pairs.  The join is a plain
-    shuffled hash join on a high-cardinality key."""
+def _banded(df: DataFrame, text_col: str, id_col: str, num_hashes: int,
+            bands: int, k: int) -> DataFrame:
+    """(id, bk=struct<band,bh>) — one row per doc per LSH band."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k).persist()
@@ -146,7 +140,22 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
             F.struct(F.lit(b).alias("band"),
                      F.md5(F.concat_ws("|", *parts)).alias("bh"))
         )
-    banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk"))
+    return sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk"))
+
+
+def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", num_hashes: int = 8,
+                        bands: int = 4, k: int = 3) -> DataFrame:
+    """LSH banding: docs sharing any band of the MinHash signature become
+    candidate near-dup pairs.  Output: (id_a, id_b) with id_a < id_b.
+
+    Plan shape at scale: signatures (narrow) → explode to (band_key, id)
+    → self equi-join on band_key → distinct pairs.  The join is a plain
+    shuffled hash join on a high-cardinality key; AQE skew-join splits
+    moderately hot buckets.  NOTE the pair list is inherently quadratic
+    in bucket size — when the goal is dedup rather than candidate
+    scoring, use ``lsh_dedup`` (linear) instead."""
+    banded = _banded(df, text_col, id_col, num_hashes, bands, k)
     a = banded.select(F.col(id_col).alias("id_a"), F.col("bk"))
     b_ = banded.select(F.col(id_col).alias("id_b"), F.col("bk"))
     return (
@@ -154,6 +163,29 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def lsh_dedup(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", num_hashes: int = 8,
+              bands: int = 4, k: int = 3) -> DataFrame:
+    """Linear-cost LSH dedup: (doc_id, rep_id) where rep_id is the min
+    doc id over every band bucket the doc belongs to; keep rows with
+    rep_id == doc_id to dedup.  This is the 100 TB-safe form: a bucket
+    of n near-identical docs costs n rows through two hash aggregations
+    (bucket min, then per-doc min) instead of the n² candidate pairs
+    ``lsh_candidate_pairs`` would emit — both aggregations are
+    partial+final, so hot buckets combine map-side.
+
+    One propagation step, not full connected components: chained
+    near-dup clusters (A~B~C with A,C not sharing a band) may keep two
+    representatives — the standard single-pass tradeoff."""
+    banded = _banded(df, text_col, id_col, num_hashes, bands, k)
+    bucket_min = banded.groupBy("bk").agg(F.min(id_col).alias("_bmin"))
+    return (
+        banded.join(bucket_min, on="bk")
+        .groupBy(id_col)
+        .agg(F.min("_bmin").alias("rep_id"))
     )
 
 

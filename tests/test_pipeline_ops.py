@@ -45,6 +45,23 @@ class TestDedup:
                  lsh_candidate_pairs(docs, num_hashes=4, bands=2).collect()}
         assert (0, 1) in pairs
 
+    def test_lsh_dedup_linear_form(self, docs):
+        from dask_geopandas_spark.operators.dedup import (lsh_candidate_pairs,
+                                                          lsh_dedup)
+
+        rep = {r["doc_id"]: r["rep_id"] for r in
+               lsh_dedup(docs, num_hashes=4, bands=2).collect()}
+        # every doc appears, reps never exceed the doc id
+        assert set(rep) == {r["doc_id"] for r in docs.collect()}
+        assert all(rep[d] <= d for d in rep)
+        # exact dup docs 0/1 collapse onto representative 0
+        assert rep[0] == 0 and rep[1] == 0
+        # agreement with the quadratic form: any doc paired with a
+        # smaller doc in lsh_candidate_pairs must not be its own rep
+        pairs = lsh_candidate_pairs(docs, num_hashes=4, bands=2).collect()
+        has_smaller = {r["id_b"] for r in pairs}
+        assert all(rep[d] < d for d in has_smaller)
+
     def test_jaccard(self, docs):
         from dask_geopandas_spark.operators.dedup import (
             lsh_candidate_pairs, ngram_jaccard_pairs)
