@@ -841,6 +841,30 @@ def q_lsh_pairs(spark, sf_dir):
     )
 
 
+def q_fillna_isna(spark, sf_dir):
+    """Missing-geometry semantics (reference 'Missing values' rows of
+    geoseries.rst; SURVEY §1.3): NULL every 7th customer's geometry,
+    observe isna, fill with POINT(0 0), read back coordinates."""
+    from dask_geopandas_spark.geometry import wkt as T
+
+    pts = _cust_points(spark, sf_dir)
+    holed = pts.withColumn(
+        pts.geometry_column,
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None).cast("binary"))
+        .otherwise(F.col(pts.geometry_column)),
+    )
+    # materialize the flag BEFORE filling: isna() is a name-resolved
+    # column expression and would see the filled geometry otherwise
+    holed = holed.withColumn("was_na", holed.isna())
+    filled = holed.fillna(bytes(T.wkt_to_wkb("POINT (0 0)")))
+    return filled.df.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("was_na"),
+        filled.x.alias("x_after"),
+        filled.y.alias("y_after"),
+    )
+
+
 def q_lsh_dedup(spark, sf_dir):
     """Linear LSH dedup (bucket-min representative propagation) — the
     scale-safe form of near-dup removal: O(docs x bands), never
@@ -1081,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sigs": q_minhash_sigs,
         "lsh_pairs": q_lsh_pairs,
         "lsh_dedup": q_lsh_dedup,
+        "fillna_isna": q_fillna_isna,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
@@ -1585,6 +1610,15 @@ def oracle_sql() -> dict[str, str]:
         "minhash_sigs": sigs,
         "lsh_pairs": lsh_pairs,
         "lsh_dedup": lsh_dedup,
+        "fillna_isna": f"""
+            SELECT c_custkey AS custkey,
+                   (c_custkey % 7 = 0) AS was_na,
+                   CASE WHEN c_custkey % 7 = 0 THEN 0.0
+                        ELSE CAST({CUST_X} AS DOUBLE) END AS x_after,
+                   CASE WHEN c_custkey % 7 = 0 THEN 0.0
+                        ELSE CAST({CUST_Y} AS DOUBLE) END AS y_after
+            FROM customer
+        """,
         "jaccard_pairs": jaccard,
         "simhash": _simhash16_sql(),
         "ann_topk": ann,
