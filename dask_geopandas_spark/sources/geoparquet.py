@@ -75,17 +75,7 @@ def to_parquet(gdf, path: str, partition_on: str | None = None,
             c for c in crs_map if c != geometry and c in df.columns
         ]
 
-    if partition_on is not None:
-        keys = [r[0] for r in df.select(partition_on).distinct().collect()]
-        for k in keys:
-            sub = df.filter(F.col(partition_on) == k).drop(partition_on)
-            sub_gdf = type(gdf)(sub, geometry, crs_map=crs_map)
-            to_parquet(sub_gdf, os.path.join(path, f"{partition_on}={k}"),
-                       write_bbox=write_bbox,
-                       geometry_columns=geometry_columns)
-        return
-
-    def write_part(batches):
+    def _write_geo_file(table: "pa.Table", dirpath: str) -> None:
         import uuid
 
         import numpy as np
@@ -93,23 +83,47 @@ def to_parquet(gdf, path: str, partition_on: str | None = None,
         from ..geometry import algorithms as A
         from ..geometry import wkb as W
 
+        bboxes = None
+        if write_bbox and geometry in table.column_names:
+            batch = W.parse_wkb(table.column(geometry).to_pylist())
+            bb = A.bounds(batch)
+            with np.errstate(invalid="ignore"):
+                fb = (np.nanmin(bb[:, 0]), np.nanmin(bb[:, 1]),
+                      np.nanmax(bb[:, 2]), np.nanmax(bb[:, 3]))
+            if np.isfinite(fb).all():
+                bboxes = {geometry: [float(v) for v in fb]}
+        meta = _geo_meta(geometry, crs_map, geometry_columns, bboxes)
+        existing = table.schema.metadata or {}
+        table = table.replace_schema_metadata({**existing, b"geo": meta})
+        os.makedirs(dirpath, exist_ok=True)
+        pq.write_table(
+            table, os.path.join(dirpath, f"part-{uuid.uuid4().hex}.parquet"))
+
+    if partition_on is not None:
+        # single pass: repartition on the key so each executor partition
+        # holds whole key-groups, then write one file per key inside the
+        # partition — NOT a driver loop of one filtered job per distinct
+        # key, which rescans the input K times
+        def write_hive(batches):
+            pdfs = list(batches)
+            if pdfs:
+                pdf = pd.concat(pdfs, ignore_index=True)
+                for k, sub in pdf.groupby(partition_on, dropna=True,
+                                          observed=True):
+                    table = pa.Table.from_pandas(
+                        sub.drop(columns=[partition_on]), preserve_index=False)
+                    _write_geo_file(
+                        table, os.path.join(path, f"{partition_on}={k}"))
+            yield pd.DataFrame({"files": pd.Series([1], dtype="int64")})
+
+        (df.repartition(F.col(partition_on))
+         .mapInPandas(write_hive, schema="files long").collect())
+        return
+
+    def write_part(batches):
         tables = [pa.Table.from_pandas(b, preserve_index=False) for b in batches]
         if tables:
-            table = pa.concat_tables(tables)
-            bboxes = None
-            if write_bbox and geometry in table.column_names:
-                batch = W.parse_wkb(table.column(geometry).to_pylist())
-                bb = A.bounds(batch)
-                with np.errstate(invalid="ignore"):
-                    fb = (np.nanmin(bb[:, 0]), np.nanmin(bb[:, 1]),
-                          np.nanmax(bb[:, 2]), np.nanmax(bb[:, 3]))
-                if np.isfinite(fb).all():
-                    bboxes = {geometry: [float(v) for v in fb]}
-            meta = _geo_meta(geometry, crs_map, geometry_columns, bboxes)
-            existing = table.schema.metadata or {}
-            table = table.replace_schema_metadata({**existing, b"geo": meta})
-            fname = os.path.join(path, f"part-{uuid.uuid4().hex}.parquet")
-            pq.write_table(table, fname)
+            _write_geo_file(pa.concat_tables(tables), path)
         yield pd.DataFrame({"files": pd.Series([1], dtype="int64")})
 
     df.mapInPandas(write_part, schema="files long").collect()
