@@ -109,8 +109,7 @@ def train_centroids(df: DataFrame, n_cells: int = 16,
     """k-means-lite: deterministic sample seeds + a few Lloyd iterations
     computed with native aggregations (posexplode + avg per dimension)."""
     seeds = [r[vec_col] for r in
-             df.orderBy(F.crc32(F.col(vec_col).cast("string")) if False else F.col("vec_id"))
-               .limit(n_cells).collect()]
+             df.orderBy(F.col("vec_id")).limit(n_cells).collect()]
     cents = [list(map(float, s)) for s in seeds]
     for _ in range(iters):
         assigned = assign_ivf_cells(df, cents, vec_col)

@@ -25,6 +25,10 @@ from pyspark.sql import functions as F
 
 GEO_VERSION = "1.0.0"
 
+# above this many files, footer gathering runs as a Spark job instead of
+# a serial driver loop (overridable for tests)
+_FOOTER_JOB_THRESHOLD = 64
+
 
 def _geo_meta(geometry: str, crs_map: dict, geometry_columns=None,
               bboxes: dict | None = None) -> bytes:
@@ -145,17 +149,50 @@ def read_parquet(spark: SparkSession, path: str, columns=None,
     primary, crs_map = geometry, {}
     files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)) \
         if os.path.isdir(path) else [path]
-    spatial_partitions = []
-    for i, f in enumerate(files):
+
+    def _read_meta(f):
+        """(geo_meta_dict | None) for one footer; None = unreadable."""
         try:
             md = pq.read_schema(f).metadata or {}
         except Exception:
-            continue
+            return None
         if b"geo" not in md:
+            return {}
+        return json.loads(md[b"geo"])
+
+    # footer gathering is metadata-only but at cluster scale a dataset is
+    # tens of thousands of files — distribute the reads instead of a
+    # serial driver loop (each result is ~a hundred bytes, so the collect
+    # stays tiny); small listings stay on the driver (no job overhead)
+    if len(files) > _FOOTER_JOB_THRESHOLD and gather_spatial_partitions:
+        metas_df = spark.createDataFrame(
+            [(f,) for f in files], "f string").repartition(32)
+
+        def read_footers(batches):
+            import pandas as _pd
+            for b in batches:
+                yield _pd.DataFrame({
+                    "f": b["f"],
+                    "geo": [json.dumps(m) if (m := _read_meta(f)) is not None
+                            else None
+                            for f in b["f"]],
+                })
+
+        got = {r["f"]: r["geo"]
+               for r in metas_df.mapInPandas(
+                   read_footers, "f string, geo string").collect()}
+        metas = [json.loads(got[f]) if got.get(f) else None for f in files]
+    else:
+        metas = [_read_meta(f) for f in files]
+
+    spatial_partitions = []
+    for i, geo in enumerate(metas):
+        if geo is None:
+            continue
+        if not geo:
             if gather_spatial_partitions:
                 spatial_partitions = None
             continue
-        geo = json.loads(md[b"geo"])
         primary = primary or geo.get("primary_column")
         for col, info in geo.get("columns", {}).items():
             if "crs" in info and col not in crs_map:

@@ -81,6 +81,31 @@ class TestReadFile:
 
 
 class TestGeoParquetPartitionOn:
+    def test_distributed_footer_gathering(self, spark, tmp_path, monkeypatch):
+        """Past the file-count threshold, per-file geo footers are read by
+        a Spark job, and the rebuilt spatial summary matches the
+        driver-loop path."""
+        from dask_geopandas_spark.sources import geoparquet as GP
+
+        pdf = pd.DataFrame({
+            "id": np.arange(40, dtype="int64"),
+            "x": np.arange(40, dtype="float64"),
+            "y": np.arange(40, dtype="float64") * 2,
+        })
+        g = dgs.points_from_xy(
+            spark.createDataFrame(pdf).repartition(8), "x", "y",
+            crs="EPSG:4326")
+        path = str(tmp_path / "many")
+        g.to_parquet(path)
+
+        slow = dgs.read_parquet(spark, path)
+        monkeypatch.setattr(GP, "_FOOTER_JOB_THRESHOLD", 2)
+        fast = dgs.read_parquet(spark, path)
+        assert fast.crs == slow.crs == "EPSG:4326"
+        assert fast.spatial_partitions == slow.spatial_partitions
+        assert fast.spatial_partitions and len(fast.spatial_partitions) == 8
+        assert fast.count() == 40
+
     def test_partition_on(self, spark, tmp_path):
         pdf = pd.DataFrame({
             "id": np.arange(8, dtype="int64"),
