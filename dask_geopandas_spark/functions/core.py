@@ -179,16 +179,16 @@ def st_z(g: pd.Series) -> pd.Series:
 @pandas_udf(BooleanType())
 def st_isempty(g: pd.Series) -> pd.Series:
     batch = _b(g)
-    out = pd.Series(batch.is_empty())
-    out[batch.is_null()] = None
+    out = pd.Series(batch.is_empty(), dtype="boolean")
+    out[batch.is_null()] = pd.NA
     return out
 
 
 @pandas_udf(BooleanType())
 def st_hasz(g: pd.Series) -> pd.Series:
     batch = _b(g)
-    out = pd.Series(batch.has_z)
-    out[batch.is_null()] = None
+    out = pd.Series(batch.has_z, dtype="boolean")
+    out[batch.is_null()] = pd.NA
     return out
 
 
@@ -204,8 +204,8 @@ def st_isring(g: pd.Series) -> pd.Series:
         s, e = batch.path_offsets[p], batch.path_offsets[p + 1]
         if e - s >= 4 and batch.xs[s] == batch.xs[e - 1] and batch.ys[s] == batch.ys[e - 1]:
             out[gidx] = True
-    res = pd.Series(out)
-    res[batch.is_null()] = None
+    res = pd.Series(out, dtype="boolean")
+    res[batch.is_null()] = pd.NA
     return res
 
 
@@ -233,8 +233,8 @@ def st_isvalid(g: pd.Series) -> pd.Series:
             if (hits & ~adj).any():
                 out[i] = False
                 break
-    res = pd.Series(out)
-    res[batch.is_null()] = None
+    res = pd.Series(out, dtype="boolean")
+    res[batch.is_null()] = pd.NA
     return res
 
 
@@ -258,8 +258,8 @@ def st_issimple(g: pd.Series) -> pd.Series:
             adj[0, n - 1] = adj[n - 1, 0] = True
         if (hits & ~adj).any():
             out[i] = False
-    res = pd.Series(out)
-    res[batch.is_null()] = None
+    res = pd.Series(out, dtype="boolean")
+    res[batch.is_null()] = pd.NA
     return res
 
 
@@ -607,8 +607,11 @@ def _pairwise_bool(fn):
     @pandas_udf(BooleanType())
     def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
         ba, bb = _b(a), _b(b)
-        out = pd.Series(fn(ba, bb))
-        out[ba.is_null() | bb.is_null()] = None
+        # nullable-boolean dtype: plain bool Series can't hold the NULL
+        # results for NULL inputs (pandas 2.x deprecates the implicit
+        # object upcast)
+        out = pd.Series(fn(ba, bb), dtype="boolean")
+        out[ba.is_null() | bb.is_null()] = pd.NA
         return out
 
     return _udf
@@ -666,8 +669,8 @@ def st_equals(a: pd.Series, b: pd.Series) -> pd.Series:
         pa = np.unique(np.column_stack([ax, ay]), axis=0)
         pb = np.unique(np.column_stack([bx, by]), axis=0)
         out[i] = pa.shape == pb.shape and bool(np.allclose(pa, pb))
-    res = pd.Series(out)
-    res[ba.is_null() | bb.is_null()] = None
+    res = pd.Series(out, dtype="boolean")
+    res[ba.is_null() | bb.is_null()] = pd.NA
     return res
 
 

@@ -640,3 +640,49 @@ class TestShapeHintInvalidation:
         g.spatial_partitions = [(0.0, 0.0, 19.0, 38.0),
                                 (None, None, None, None)]
         assert g.total_bounds() == pytest.approx((0.0, 0.0, 19.0, 38.0))
+
+
+class TestEmptyInputs:
+    """Zero-row and all-NULL-geometry inputs flow through the distributed
+    operators without errors (reference handles empty partitions,
+    tests/test_core.py:995-1008)."""
+
+    def _empty(self, spark):
+        edf = spark.createDataFrame([], "id long, x double, y double")
+        return dgs.points_from_xy(edf, "x", "y", crs="EPSG:4326")
+
+    def _full(self, spark):
+        pdf = pd.DataFrame({"id": [0, 1, 2],
+                            "x": [0.0, 1.0, 2.0], "y": [0.0, 1.0, 2.0]})
+        return dgs.points_from_xy(spark.createDataFrame(pdf), "x", "y",
+                                  crs="EPSG:4326")
+
+    def test_empty_through_operators(self, spark):
+        empty, full = self._empty(spark), self._full(spark)
+        assert empty.sjoin(full, strategy="broadcast").df.count() == 0
+        assert empty.sjoin(full, strategy="grid").df.count() == 0
+        assert full.sjoin(empty, strategy="grid").df.count() == 0
+        assert empty.clip((-1.0, -1.0, 1.0, 1.0)).df.count() == 0
+        assert empty.cx(xmin=0, xmax=1, ymin=0, ymax=1).df.count() == 0
+        assert empty.spatial_shuffle(by="hilbert").df.count() == 0
+        assert empty.total_bounds() == (None, None, None, None)
+
+    def test_all_null_geometry(self, spark):
+        import pyspark.sql.functions as F
+
+        from dask_geopandas_spark.operators.dissolve import union_all
+
+        nullg = self._full(spark).withColumn(
+            "geometry", F.lit(None).cast("binary"))
+        assert nullg.sjoin(self._full(spark), strategy="grid").df.count() == 0
+        assert union_all(nullg.df, "geometry") is None
+        assert nullg.total_bounds() == (None, None, None, None)
+
+    def test_empty_dedup_pipelines(self, spark):
+        from dask_geopandas_spark.operators import dedup as DD
+
+        docs = spark.createDataFrame([], "doc_id long, text string")
+        assert DD.minhash_signatures(docs).count() == 0
+        assert DD.lsh_candidate_pairs(docs).count() == 0
+        assert DD.lsh_dedup(docs).count() == 0
+        assert DD.exact_dedup(docs).count() == 0
