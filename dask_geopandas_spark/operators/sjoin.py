@@ -350,7 +350,19 @@ def _refinement(left, right, predicate: str, lgeom_j: str, rgeom_j: str,
 
 
 def _is_small(df: DataFrame, threshold: int = BROADCAST_ROW_THRESHOLD) -> bool:
-    # cheap plan-based guess; fall back to a limited count
+    """Broadcast-side size guess.  Prefer Catalyst's optimized-plan
+    statistics (scan file sizes propagated through the plan — zero jobs,
+    the same signal AQE/auto-broadcast uses); fall back to a limited
+    count only when stats are unusable (~100 bytes/row heuristic)."""
+    try:
+        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        size = int(size.toString()) if hasattr(size, "toString") else int(size)
+        # sizeInBytes defaults to a huge sentinel when unknown; any
+        # plausible value decides without running a job
+        if 0 <= size < (1 << 50):
+            return size <= threshold * 100
+    except Exception:
+        pass
     try:
         cnt = df.limit(threshold + 1).count()
         return cnt <= threshold
