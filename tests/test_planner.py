@@ -70,3 +70,43 @@ def test_no_pushdown_preserves_filter_semantics(spark, udf_frame):
     want = base.filter(F.col("d") > 1000.0).count()
     got = base.filter(no_pushdown(F.col("d") > 1000.0)).count()
     assert got == want and want > 0
+
+
+def test_grid_sjoin_hinted_is_fully_native(spark):
+    """Grid sjoin of a hinted point layer against a hinted box layer:
+    zero Python stages, and the point side emits its cell id directly
+    (no Generate nodes on the left — only the box side's two explodes)."""
+    import numpy as np
+
+    import dask_geopandas_spark as dgs
+
+    rng = np.random.default_rng(11)
+    pts_pdf = pd.DataFrame({
+        "id": range(500),
+        "x": rng.uniform(-170, 170, 500),
+        "y": rng.uniform(-80, 80, 500),
+    })
+    box_pdf = pd.DataFrame({
+        "bid": range(20),
+        "minx": [-170.0 + 17 * i for i in range(20)],
+        "miny": [-80.0 + 8 * i for i in range(20)],
+    })
+    box_pdf["maxx"] = box_pdf.minx + 30.0
+    box_pdf["maxy"] = box_pdf.miny + 16.0
+    pts = dgs.points_from_xy(
+        spark.createDataFrame(pts_pdf), "x", "y", crs="EPSG:4326")
+    boxes = dgs.boxes_from_bounds(
+        spark.createDataFrame(box_pdf), crs="EPSG:4326")
+    out = pts.sjoin(boxes, predicate="within", strategy="grid", grid_level=5)
+    # project away the geometry column (as any aggregate/count consumer
+    # does): the join/refinement itself must add no Python stage — the
+    # only ArrowEvalPython in the full plan is materializing the output
+    # WKB geometry, which Catalyst prunes when unused
+    plan = _plan(out.df.select("id", "bid"))
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("Generate") == 2  # box side only; point side direct
+    # correctness of the native path against the broadcast path
+    key = lambda g: sorted((r["id"], r["bid"]) for r in
+                           g.df.select("id", "bid").collect())
+    bcast = pts.sjoin(boxes, predicate="within", strategy="broadcast")
+    assert key(out) == key(bcast) and len(key(out)) > 0
