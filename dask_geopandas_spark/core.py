@@ -594,9 +594,10 @@ class GeoDataFrame:
         out = g.filter(cond)
         if len(conds) <= 1:
             return out
-        if self._xy:
-            # point bbox == the point: the native bbox test is exact,
-            # no UDF refinement needed
+        if self.envelope_exact:
+            # geometry equals its own envelope (points, axis-aligned
+            # rectangles, stored all-Point GeoParquet datasets): the
+            # native bbox test IS the intersects test, no UDF refinement
             return out
         from .geometry import wkb as GW
 

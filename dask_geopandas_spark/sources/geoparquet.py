@@ -31,7 +31,8 @@ _FOOTER_JOB_THRESHOLD = 64
 
 
 def _geo_meta(geometry: str, crs_map: dict, geometry_columns=None,
-              bboxes: dict | None = None) -> bytes:
+              bboxes: dict | None = None,
+              geometry_types: dict | None = None) -> bytes:
     """`geo` schema-metadata blob covering EVERY geometry column (the
     reference supports multiple geometry columns each with its own CRS,
     io/arrow.py:41-43; tests/io/test_parquet.py:84-103)."""
@@ -39,7 +40,7 @@ def _geo_meta(geometry: str, crs_map: dict, geometry_columns=None,
     for g in (geometry_columns or [geometry]):
         cols[g] = {
             "encoding": "WKB",
-            "geometry_types": [],
+            "geometry_types": (geometry_types or {}).get(g, []),
             **({"crs": crs_map[g]} if g in crs_map else {}),
             **({"bbox": list(bboxes[g])} if bboxes and g in bboxes else {}),
         }
@@ -88,6 +89,7 @@ def to_parquet(gdf, path: str, partition_on: str | None = None,
         from ..geometry import wkb as W
 
         bboxes = None
+        gtypes = None
         if write_bbox and geometry in table.column_names:
             batch = W.parse_wkb(table.column(geometry).to_pylist())
             bb = A.bounds(batch)
@@ -96,7 +98,13 @@ def to_parquet(gdf, path: str, partition_on: str | None = None,
                       np.nanmax(bb[:, 2]), np.nanmax(bb[:, 3]))
             if np.isfinite(fb).all():
                 bboxes = {geometry: [float(v) for v in fb]}
-        meta = _geo_meta(geometry, crs_map, geometry_columns, bboxes)
+            # GeoParquet spec field: distinct geometry types in the file
+            # (NULL rows excluded).  A reader seeing only "Point" knows
+            # the bbox test is exact and skips UDF refinement entirely.
+            seen = sorted({W.TYPE_NAMES[int(t)] for t in batch.types
+                           if int(t) in W.TYPE_NAMES and int(t) != 0})
+            gtypes = {geometry: seen}
+        meta = _geo_meta(geometry, crs_map, geometry_columns, bboxes, gtypes)
         existing = table.schema.metadata or {}
         table = table.replace_schema_metadata({**existing, b"geo": meta})
         os.makedirs(dirpath, exist_ok=True)
@@ -186,14 +194,20 @@ def read_parquet(spark: SparkSession, path: str, columns=None,
         metas = [_read_meta(f) for f in files]
 
     spatial_partitions = []
+    all_point = True  # every file declares only "Point" geometry
     for i, geo in enumerate(metas):
         if geo is None:
+            all_point = False
             continue
         if not geo:
+            all_point = False
             if gather_spatial_partitions:
                 spatial_partitions = None
             continue
         primary = primary or geo.get("primary_column")
+        gt = geo.get("columns", {}).get(primary, {}).get("geometry_types")
+        if gt != ["Point"]:
+            all_point = False
         for col, info in geo.get("columns", {}).items():
             if "crs" in info and col not in crs_map:
                 crs_map[col] = info["crs"]
@@ -212,4 +226,9 @@ def read_parquet(spark: SparkSession, path: str, columns=None,
         return df
     out = GeoDataFrame(df, primary, crs_map=crs_map)
     out.spatial_partitions = spatial_partitions or None
+    if files and all_point:
+        # GeoParquet geometry_types says every row is a Point: points
+        # equal their own envelopes, so bbox predicates are exact —
+        # cx/sjoin/clip refinement stays native on the stored dataset
+        out._rect = True
     return out

@@ -110,3 +110,37 @@ def test_grid_sjoin_hinted_is_fully_native(spark):
                            g.df.select("id", "bid").collect())
     bcast = pts.sjoin(boxes, predicate="within", strategy="broadcast")
     assert key(out) == key(bcast) and len(key(out)) > 0
+
+
+def test_cx_pushes_bbox_predicate_to_parquet_scan(spark, tmp_path):
+    """README's core storage claim: on a stored dataset with a
+    materialized bbox struct, .cx becomes native comparisons that reach
+    the parquet scan as PushedFilters (row-group stats pruning at
+    scale), and the WKB geometry column is pruned from the read."""
+    import numpy as np
+
+    import dask_geopandas_spark as dgs
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame({
+        "id": np.arange(2000, dtype="int64"),
+        "x": rng.uniform(-170, 170, 2000),
+        "y": rng.uniform(-80, 80, 2000),
+    })
+    g = dgs.points_from_xy(
+        spark.createDataFrame(pdf).repartition(4), "x", "y",
+        crs="EPSG:4326").with_bbox()
+    path = str(tmp_path / "sorted")
+    g.to_parquet(path, spatial_sort=True, spatial_sort_level=8)
+
+    back = dgs.read_parquet(spark, path)
+    assert back.bbox_column in back.df.columns
+    sel = back.cx(xmin=-50, ymin=-40, xmax=60, ymax=55).df.select("id")
+    plan = _plan(sel)
+    scan = [ln for ln in plan.splitlines() if "Scan parquet" in ln or
+            "PushedFilters" in ln or "FileScan" in ln]
+    text = "\n".join(scan) or plan
+    assert "geometry_bbox.minx" in text or "minx" in text
+    assert "PushedFilters: []" not in text and "PushedFilters" in text
+    # the 21-byte WKB column is not read at all
+    assert "ReadSchema" not in text or "geometry:" not in text
