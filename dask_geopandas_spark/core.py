@@ -72,6 +72,10 @@ class GeoDataFrame:
     # (axis-aligned rectangle via boxes_from_bounds/envelope()); spatial
     # predicates against such geometry reduce to native bbox arithmetic
     _rect: bool = False
+    # the active geometry is known to be all-Point (stored GeoParquet
+    # whose geometry_types say so): clip degenerates to a row filter and
+    # the bbox minx/miny ARE the coordinates
+    _point: bool = False
 
     def __init__(self, df: DataFrame, geometry: str = "geometry",
                  crs: str | None = None, crs_map: dict | None = None):
@@ -114,6 +118,7 @@ class GeoDataFrame:
             ):
                 out._corner_cols = self._corner_cols
             out._rect = self._rect
+            out._point = self._point
         return out
 
     def _geom(self) -> Column:
@@ -142,6 +147,7 @@ class GeoDataFrame:
                 wrapped._xy = None
                 wrapped._corner_cols = None
                 wrapped._rect = False
+                wrapped._point = False
             return wrapped
         return out
 
@@ -158,6 +164,7 @@ class GeoDataFrame:
             out._xy = None
             out._corner_cols = None
             out._rect = False
+            out._point = False
         if self._xy and name in self._xy[2]:
             out._xy = None  # source column overwritten; hint invalid
         if self._corner_cols and name in self._corner_cols:
@@ -326,6 +333,7 @@ class GeoDataFrame:
         wrapped._xy = None
         wrapped._corner_cols = None
         wrapped._rect = False
+        wrapped._point = False
         return wrapped
 
     def buffer(self, distance: float, resolution: int = 16) -> "GeoDataFrame":
@@ -543,7 +551,8 @@ class GeoDataFrame:
         arithmetic — sjoin then refines natively with no Python stage
         (mirrors the kernel's rect fast path, geometry/algorithms.py
         `_axis_box_mask` + closed-bounds `pairwise_contains`)."""
-        return self._rect or bool(self._xy) or bool(self._corner_cols)
+        return (self._rect or self._point or bool(self._xy)
+                or bool(self._corner_cols))
 
     def total_bounds(self) -> tuple:
         """Global bbox via native min/max aggregation — no UDF in the agg

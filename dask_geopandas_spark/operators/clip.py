@@ -69,14 +69,26 @@ def clip(gdf, mask, keep_geom_type: bool = False):
     mx, my = _mask_ring(mask)
     bounds = (float(mx.min()), float(my.min()), float(mx.max()), float(my.max()))
 
-    if getattr(gdf, "_xy", None) and not gdf._xy[3]:
-        # Point layer built from x/y columns: clipping never cuts a
-        # point, so clip == row filter.  A constant convex mask is the
-        # intersection of its edge half-planes — a pure-JVM conjunction
-        # of inequalities on the source columns (closed boundary,
-        # matching the kernel's closed rect semantics).  No Python stage
-        # at any scale.
-        xc, yc = gdf._xy[0], gdf._xy[1]
+    is_xy = getattr(gdf, "_xy", None) and not gdf._xy[3]
+    # stored all-Point datasets qualify only with the materialized bbox
+    # struct (the storage convention) — without it the coords would need
+    # a UDF anyway, so the generic prefilter+kernel path is no worse
+    is_stored_point = (getattr(gdf, "_point", False)
+                       and gdf.bbox_column in gdf.columns)
+    if is_xy or is_stored_point:
+        # Point layer (x/y source columns, or a stored all-Point
+        # GeoParquet dataset whose bbox minx/miny ARE the coordinates):
+        # clipping never cuts a point, so clip == row filter.  A
+        # constant convex mask is the intersection of its edge
+        # half-planes — a pure-JVM conjunction of inequalities (closed
+        # boundary, matching the kernel's closed rect semantics).  No
+        # Python stage at any scale.
+        if is_xy:
+            xc, yc = gdf._xy[0], gdf._xy[1]
+        else:
+            gdf = gdf.with_bbox()
+            xc = F.col(f"{gdf.bbox_column}.minx")
+            yc = F.col(f"{gdf.bbox_column}.miny")
         cond = None
         n = len(mx)
         # ring orientation: signed area > 0 ⇒ CCW ⇒ inside is left of
@@ -95,6 +107,7 @@ def clip(gdf, mask, keep_geom_type: bool = False):
         out = GeoDataFrame(gdf.df.filter(cond), gdf.geometry_column,
                            crs_map=getattr(gdf, "_crs", {}))
         out._xy = gdf._xy
+        out._point = getattr(gdf, "_point", False)
         return out.with_bbox()
 
     if gdf.has_native_bbox:

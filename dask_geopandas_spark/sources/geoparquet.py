@@ -229,6 +229,7 @@ def read_parquet(spark: SparkSession, path: str, columns=None,
     if files and all_point:
         # GeoParquet geometry_types says every row is a Point: points
         # equal their own envelopes, so bbox predicates are exact —
-        # cx/sjoin/clip refinement stays native on the stored dataset
-        out._rect = True
+        # cx/sjoin refinement stays native on the stored dataset, and
+        # clip degenerates to a native row filter on the bbox coords
+        out._point = True
     return out

@@ -144,3 +144,35 @@ def test_cx_pushes_bbox_predicate_to_parquet_scan(spark, tmp_path):
     assert "PushedFilters: []" not in text and "PushedFilters" in text
     # the 21-byte WKB column is not read at all
     assert "ReadSchema" not in text or "geometry:" not in text
+
+
+def test_stored_point_dataset_clips_and_cx_natively(spark, tmp_path):
+    """A GeoParquet dataset whose geometry_types say all-Point reads
+    back with the point hint: clip and two-sided .cx run with no
+    Python stage and match the generic UDF path."""
+    import numpy as np
+
+    import dask_geopandas_spark as dgs
+
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame({
+        "id": np.arange(400, dtype="int64"),
+        "x": rng.uniform(-10, 10, 400).round(4),
+        "y": rng.uniform(-10, 10, 400).round(4),
+    })
+    g = dgs.points_from_xy(spark.createDataFrame(pdf), "x", "y",
+                           crs="EPSG:4326").with_bbox()
+    path = str(tmp_path / "pts")
+    g.to_parquet(path)
+    back = dgs.read_parquet(spark, path)
+    assert back._point and back.envelope_exact
+
+    bare = dgs.GeoDataFrame(back.df, back.geometry_column)  # no hints
+    tri = "POLYGON ((-8 -8, 8 -8, 0 9, -8 -8))"
+    for sel in [lambda d: d.clip(tri), lambda d: d.clip((-5.0, -5.0, 5.0, 5.0)),
+                lambda d: d.cx(xmin=-5, ymin=-5, xmax=5, ymax=5)]:
+        fast = sorted(r.id for r in sel(back).df.select("id").collect())
+        slow = sorted(r.id for r in sel(bare).df.select("id").collect())
+        assert fast == slow and len(fast) > 0
+        plan = _plan(sel(back).df.select("id"))
+        assert "ArrowEvalPython" not in plan
