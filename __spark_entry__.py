@@ -250,6 +250,30 @@ def q_dissolve_centroid(spark, sf_dir):
     )
 
 
+def q_region_dissolve(spark, sf_dir):
+    """Inherited relational join (SURVEY §2.3 'Inherited dask joins …
+    native'): nation boxes broadcast-equi-joined to region, then
+    dissolve by region name with a dict aggfunc and the union
+    geometry's area (collect-parts union: area = sum of part areas,
+    the documented divergence)."""
+    nb = _boxes(spark, sf_dir, "nation", NB)
+    region = _t(spark, sf_dir, "region")
+    joined = nb.df.join(
+        F.broadcast(region),
+        nb.df["n_regionkey"] == region["r_regionkey"])
+    g = dgs.GeoDataFrame(joined, nb.geometry_column,
+                         crs_map=getattr(nb, "_crs", {}))
+    d = g[["r_name", "n_nationkey", "geometry"]].dissolve(
+        by="r_name", aggfunc={"n_nationkey": "count"})
+    from dask_geopandas_spark.functions import core as FX
+
+    return d.df.select(
+        F.col("r_name").alias("region"),
+        F.col("n_nationkey").alias("n_nations"),
+        F.round(FX.st_area(F.col("geometry")), 6).alias("area"),
+    )
+
+
 def q_clip_count(spark, sf_dir):
     g = _li_points(spark, sf_dir)
     out = g.clip((-100.0, -60.0, 100.0, 60.0))
@@ -1106,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": q_lsh_pairs,
         "lsh_dedup": q_lsh_dedup,
         "fillna_isna": q_fillna_isna,
+        "region_dissolve": q_region_dissolve,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
@@ -1610,6 +1635,13 @@ def oracle_sql() -> dict[str, str]:
         "minhash_sigs": sigs,
         "lsh_pairs": lsh_pairs,
         "lsh_dedup": lsh_dedup,
+        "region_dissolve": f"""
+            SELECT r_name AS region, count(*) AS n_nations,
+                   round(sum(CAST(({NB['w']}) * ({NB['h']}) AS DOUBLE)), 6)
+                       AS area
+            FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r_name
+        """,
         "fillna_isna": f"""
             SELECT c_custkey AS custkey,
                    (c_custkey % 7 = 0) AS was_na,
