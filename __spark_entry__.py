@@ -250,6 +250,25 @@ def q_dissolve_centroid(spark, sf_dir):
     )
 
 
+def q_topk_parts(spark, sf_dir):
+    """Native window top-k (SURVEY §2.5/§2.6: no window machinery in the
+    reference; Spark's Window covers it): 3 most expensive parts per
+    brand, deterministic tiebreak on partkey."""
+    from pyspark.sql import Window
+
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(F.col("p_brand").alias("brand"),
+                F.col("p_partkey").alias("partkey"),
+                F.col("p_retailprice").alias("price"),
+                F.col("rk").cast("int").alias("rk"))
+    )
+
+
 def q_region_dissolve(spark, sf_dir):
     """Inherited relational join (SURVEY §2.3 'Inherited dask joins …
     native'): nation boxes broadcast-equi-joined to region, then
@@ -1131,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_dedup": q_lsh_dedup,
         "fillna_isna": q_fillna_isna,
         "region_dissolve": q_region_dissolve,
+        "topk_parts": q_topk_parts,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
@@ -1635,6 +1655,16 @@ def oracle_sql() -> dict[str, str]:
         "minhash_sigs": sigs,
         "lsh_pairs": lsh_pairs,
         "lsh_dedup": lsh_dedup,
+        "topk_parts": """
+            SELECT p_brand AS brand, p_partkey AS partkey,
+                   p_retailprice AS price, CAST(rk AS INTEGER) AS rk
+            FROM (
+                SELECT p_brand, p_partkey, p_retailprice,
+                       row_number() OVER (PARTITION BY p_brand
+                           ORDER BY p_retailprice DESC, p_partkey ASC) AS rk
+                FROM part
+            ) WHERE rk <= 3
+        """,
         "region_dissolve": f"""
             SELECT r_name AS region, count(*) AS n_nations,
                    round(sum(CAST(({NB['w']}) * ({NB['h']}) AS DOUBLE)), 6)
