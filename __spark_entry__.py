@@ -958,6 +958,31 @@ def q_events_hourly(spark, sf_dir):
     return windowed_event_counts(ev, window="1 hour")
 
 
+EV_X = "(event_id % 340 - 170) + 0.5"
+EV_Y = "(user_id % 160 - 80) + 0.25"
+
+
+def q_spatial_hourly(spark, sf_dir):
+    """Spatial streaming rollup (windowed_spatial_counts): events with
+    derived point coords → geohash cell (precision 3) × hourly tumbling
+    window → counts.  Batch path of the streaming operator (same
+    code runs under readStream with the watermark applied)."""
+    from dask_geopandas_spark.streaming.geo import windowed_spatial_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    ev = ev.withColumn("px", F.expr(EV_X)).withColumn("py", F.expr(EV_Y))
+    g = dgs.points_from_xy(ev, "px", "py", crs="EPSG:4326")
+    out = windowed_spatial_counts(g.df, precision=3, window="1 hour",
+                                  geometry=g.geometry_column)
+    return out.select(
+        F.col("window_start"), F.col("cell"), F.col("n_events"))
+
+
 def q_session_windows(spark, sf_dir):
     """Sessionization via native session_window (gap 30 min): events of a
     type closer than the gap merge into one session.  Batch/streaming
@@ -1151,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fillna_isna": q_fillna_isna,
         "region_dissolve": q_region_dissolve,
         "topk_parts": q_topk_parts,
+        "spatial_hourly": q_spatial_hourly,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
@@ -1655,6 +1681,22 @@ def oracle_sql() -> dict[str, str]:
         "minhash_sigs": sigs,
         "lsh_pairs": lsh_pairs,
         "lsh_dedup": lsh_dedup,
+        "spatial_hourly": f"""
+            WITH q AS (
+                SELECT date_trunc('hour', ts) AS window_start,
+                       CAST(least(floor((({EV_X}) + 180.0) / 360.0 * 256), 255) AS BIGINT) AS qlon,
+                       CAST(least(floor((({EV_Y}) + 90.0) / 180.0 * 128), 127) AS BIGINT) AS qlat
+                FROM events
+            ), g AS (
+                SELECT window_start, ({_geohash3_interleave_sql()}) AS v FROM q
+            )
+            SELECT window_start,
+                   substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((v >> 10) & 31) AS INTEGER) + 1, 1)
+                || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((v >> 5) & 31) AS INTEGER) + 1, 1)
+                || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((v & 31) AS INTEGER) + 1, 1) AS cell,
+                   count(*) AS n_events
+            FROM g GROUP BY 1, 2
+        """,
         "topk_parts": """
             SELECT p_brand AS brand, p_partkey AS partkey,
                    p_retailprice AS price, CAST(rk AS INTEGER) AS rk
