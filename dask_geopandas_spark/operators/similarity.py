@@ -158,3 +158,54 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: list[list[float]]
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def write_ivf_index(df: DataFrame, path: str, centroids: list[list[float]],
+                    vec_col: str = "embedding") -> None:
+    """Persist the corpus hive-partitioned by IVF cell — the vector-DB
+    layout on plain parquet.  A stored search probing ``nprobe`` cells
+    then lists/reads ONLY those subdirectories (static partition
+    pruning: the skipped cells never appear in the file index), which
+    is the difference between scanning 100 TB and scanning
+    nprobe/n_cells of it."""
+    assign_ivf_cells(df, centroids, vec_col) \
+        .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+
+
+def ivf_topk_stored(spark, path: str, queries: DataFrame,
+                    centroids: list[list[float]], k: int = 5,
+                    nprobe: int = 4, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k over a ``write_ivf_index`` dataset.  Probe cells
+    are computed from the (small, driver-local) query set, so the corpus
+    scan carries a static ``ivf_cell IN (...)`` partition filter; scoring
+    then reuses the in-memory probe join.  Result contract matches
+    ``ivf_topk`` on the same centroids/nprobe."""
+    import numpy as np
+
+    corpus = spark.read.parquet(path)
+
+    qrows = queries.select(id_col, vec_col).collect()
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def probes(vec) -> list[int]:
+        v = np.asarray(vec, dtype=np.float64)
+        d = ((C - v[None, :]) ** 2).sum(axis=1)
+        return [int(i) for i in np.argsort(d, kind="stable")[:nprobe]]
+
+    pairs = [(r[id_col], list(map(float, r[vec_col])), c)
+             for r in qrows for c in probes(r[vec_col])]
+    cells = sorted({c for _, _, c in pairs})
+    q = spark.createDataFrame(
+        pairs, f"query_id long, qv array<double>, ivf_cell int")
+
+    scored = (
+        corpus.filter(F.col("ivf_cell").isin(cells))  # partition pruning
+        .withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(q), on="ivf_cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("qv"), F.col(vec_col)), 9).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

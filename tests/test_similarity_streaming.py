@@ -103,3 +103,24 @@ def test_stateful_running_totals_stream(spark, sf_dir):
     for r in spark.table("t_state_sink").collect():
         got[r["key"]] = (r["running_n"], r["running_sum"])
     assert got == expected and len(got) == 5
+
+
+def test_stored_ivf_index_prunes_partitions(spark, embeddings, tmp_path):
+    """write_ivf_index + ivf_topk_stored: results match the in-memory
+    ivf_topk on the same centroids/nprobe, and the corpus scan carries
+    a static ivf_cell partition filter (pruned file listing)."""
+    path = str(tmp_path / "ivf")
+    cents = SIM.train_centroids(embeddings, n_cells=8, iters=2)
+    SIM.write_ivf_index(embeddings, path, cents)
+
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    stored = SIM.ivf_topk_stored(spark, path, queries, cents, k=5, nprobe=3)
+    mem = SIM.ivf_topk(embeddings, queries, cents, k=5, nprobe=3)
+    key = lambda df: sorted((r["query_id"], r["neighbor_id"], r["rank"])
+                            for r in df.collect())
+    assert key(stored) == key(mem) and len(key(stored)) > 0
+
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    scan = "\n".join(ln for ln in plan.splitlines() if "FileScan" in ln
+                     or "PartitionFilters" in ln)
+    assert "ivf_cell" in scan and "PartitionFilters: []" not in scan
