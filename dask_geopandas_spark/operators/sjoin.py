@@ -128,6 +128,56 @@ def _scan_free_bounds(lg, rg) -> tuple | None:
             max(a[2], b[2]), max(a[3], b[3]))
 
 
+def _union_bounds_job(lg, rg) -> tuple:
+    """One job over the union of both sides' bbox projections instead of
+    two separate scans."""
+    def _bb(g):
+        b = g.bbox_column
+        return g.df.select(
+            F.col(f"{b}.minx").alias("minx"),
+            F.col(f"{b}.miny").alias("miny"),
+            F.col(f"{b}.maxx").alias("maxx"),
+            F.col(f"{b}.maxy").alias("maxy"),
+        )
+
+    row = _bb(lg).unionByName(_bb(rg)).agg(
+        F.min("minx").alias("minx"), F.min("miny").alias("miny"),
+        F.max("maxx").alias("maxx"), F.max("maxy").alias("maxy"),
+    ).collect()[0]
+    return (row["minx"], row["miny"], row["maxx"], row["maxy"])
+
+
+def _grid_join(ldf: DataFrame, rdf: DataFrame, lbbox: str, rbbox: str,
+               tb: tuple, level: int,
+               l_single: bool = False, r_single: bool = False) -> DataFrame:
+    """PBSM grid candidate join: cell-explode both sides, equi-join on
+    cell id, native bbox-overlap filter, reference-point dedup."""
+    lc = _with_cells(ldf, lbbox, tb, level, single=l_single)
+    rc = _with_cells(rdf, rbbox, tb, level, single=r_single)
+    joined = (
+        lc.join(rc, on="_cell", how="inner")
+        .filter(_bbox_overlap(lbbox, rbbox))
+    )
+    if not (l_single or r_single):
+        # Reference-point dedup (PBSM): a candidate pair appears once
+        # per shared cell; keep it only in the cell containing the
+        # top-left corner of the bbox intersection — a native filter,
+        # replacing a dropDuplicates shuffle over the full candidate
+        # set.  When either side is single-cell, a pair has at most
+        # one shared cell, so no duplicates can exist.
+        n = 1 << level
+        wx = (tb[2] - tb[0]) or 1.0
+        wy = (tb[3] - tb[1]) or 1.0
+        ref_cell = (
+            _cell_expr(F.greatest(F.col(f"{lbbox}.minx"),
+                                  F.col(f"{rbbox}.minx")), tb[0], wx, n) * n
+            + _cell_expr(F.greatest(F.col(f"{lbbox}.miny"),
+                                    F.col(f"{rbbox}.miny")), tb[1], wy, n)
+        )
+        joined = joined.filter(F.col("_cell") == ref_cell)
+    return joined.drop("_cell")
+
+
 def sjoin(left, right, how: str = "inner", predicate: str = "intersects",
           strategy: str = "auto", grid_level: int = 7,
           total_bounds=None,
@@ -196,48 +246,11 @@ def sjoin(left, right, how: str = "inner", predicate: str = "intersects",
             # keeps any bounds correct; only cell granularity varies.
             pass
         else:
-            # one job over the union of both sides' bbox projections
-            # instead of two separate scans
-            def _bb(g):
-                b = g.bbox_column
-                return g.df.select(
-                    F.col(f"{b}.minx").alias("minx"),
-                    F.col(f"{b}.miny").alias("miny"),
-                    F.col(f"{b}.maxx").alias("maxx"),
-                    F.col(f"{b}.maxy").alias("maxy"),
-                )
-
-            row = _bb(lg).unionByName(_bb(rg)).agg(
-                F.min("minx").alias("minx"), F.min("miny").alias("miny"),
-                F.max("maxx").alias("maxx"), F.max("maxy").alias("maxy"),
-            ).collect()[0]
-            tb = (row["minx"], row["miny"], row["maxx"], row["maxy"])
-        l_single = bool(lg._xy and not lg._xy[3])
-        r_single = bool(rg._xy and not rg._xy[3])
-        lc = _with_cells(ldf, lbbox_j, tb, grid_level, single=l_single)
-        rc = _with_cells(rdf, rbbox_j, tb, grid_level, single=r_single)
-        joined = (
-            lc.join(rc, on="_cell", how="inner")
-            .filter(_bbox_overlap(lbbox_j, rbbox_j))
-        )
-        if not (l_single or r_single):
-            # Reference-point dedup (PBSM): a candidate pair appears once
-            # per shared cell; keep it only in the cell containing the
-            # top-left corner of the bbox intersection — a native filter,
-            # replacing a dropDuplicates shuffle over the full candidate
-            # set.  When either side is single-cell, a pair has at most
-            # one shared cell, so no duplicates can exist.
-            n = 1 << grid_level
-            wx = (tb[2] - tb[0]) or 1.0
-            wy = (tb[3] - tb[1]) or 1.0
-            ref_cell = (
-                _cell_expr(F.greatest(F.col(f"{lbbox_j}.minx"),
-                                      F.col(f"{rbbox_j}.minx")), tb[0], wx, n) * n
-                + _cell_expr(F.greatest(F.col(f"{lbbox_j}.miny"),
-                                        F.col(f"{rbbox_j}.miny")), tb[1], wy, n)
-            )
-            joined = joined.filter(F.col("_cell") == ref_cell)
-        joined = joined.drop("_cell")
+            tb = _union_bounds_job(lg, rg)
+        joined = _grid_join(
+            ldf, rdf, lbbox_j, rbbox_j, tb, grid_level,
+            l_single=bool(lg._xy and not lg._xy[3]),
+            r_single=bool(rg._xy and not rg._xy[3]))
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
 
@@ -259,27 +272,77 @@ def sjoin(left, right, how: str = "inner", predicate: str = "intersects",
 
 
 def sjoin_nearest(left, right, k: int = 1, max_distance: float | None = None,
-                  distance_col: str = "dist",
+                  distance_col: str = "dist", strategy: str = "broadcast",
+                  grid_level: int = 7, total_bounds=None,
                   lsuffix: str = "_left", rsuffix: str = "_right"):
     """k-nearest spatial join (beyond-reference: dask-geopandas exposes
     only `sjoin`, SURVEY §2.3 'Not implemented').
 
-    Broadcast shape: score every (left, right) pair with the vectorized
-    distance kernel against the broadcast right side, then reduce per
-    left row — `min_by` for k=1 (partial-aggregatable, no window
-    shuffle), `row_number` over a window for k>1.  For a non-broadcast
-    right side, pre-bucket both sides on a coarse grid and run this per
-    ring of neighboring cells (not needed at the driver's dim sizes)."""
+    **broadcast** (right side small): score every (left, right) pair
+    with the vectorized distance kernel against the broadcast right
+    side, then reduce per left row — `min_by` for k=1
+    (partial-aggregatable, no window shuffle), `row_number` over a
+    window for k>1.
+
+    **grid** (both sides big; requires ``max_distance``): dilate each
+    left bbox by the search radius and run the same PBSM grid candidate
+    join as ``sjoin`` — dist(a,b) <= d implies the dilated bbox of a
+    overlaps the bbox of b, so the cell join yields a candidate
+    superset, scored and reduced exactly as the broadcast path.  Scales
+    as a shuffled hash join on cell id; the unbounded-radius case has
+    no distributed plan (an empty neighborhood would need ring
+    expansion) — pass a radius or use broadcast."""
     from ..core import GeoDataFrame
 
     lg, rg = left, right
     lgeom, rgeom = lg.geometry_column, rg.geometry_column
+
+    lid = "_nn_left_row"
+    if strategy == "grid":
+        if max_distance is None:
+            raise ValueError(
+                "sjoin_nearest(strategy='grid') requires max_distance — "
+                "the bounded search radius that makes the candidate join "
+                "local; use strategy='broadcast' for unbounded search")
+        lg2, rg2 = lg.with_bbox(), rg.with_bbox()
+        lbbox, rbbox = lg2.bbox_column, rg2.bbox_column
+        ldf, rdf = _suffix_collisions(lg2.df, rg2.df, lsuffix, rsuffix)
+        lgeom_j = lgeom if lgeom in ldf.columns else f"{lgeom}{lsuffix}"
+        rgeom_j = rgeom if rgeom in rdf.columns and rgeom != lgeom_j \
+            else f"{rgeom}{rsuffix}"
+        lbbox_j = lbbox if lbbox in ldf.columns else f"{lbbox}{lsuffix}"
+        rbbox_j = rbbox if rbbox in rdf.columns and rbbox != lbbox_j \
+            else f"{rbbox}{rsuffix}"
+        ldf = ldf.withColumn(lid, F.monotonically_increasing_id())
+        d = float(max_distance)
+        dil = "_nn_dilated_bbox"
+        ldf = ldf.withColumn(dil, F.struct(
+            (F.col(f"{lbbox_j}.minx") - d).alias("minx"),
+            (F.col(f"{lbbox_j}.miny") - d).alias("miny"),
+            (F.col(f"{lbbox_j}.maxx") + d).alias("maxx"),
+            (F.col(f"{lbbox_j}.maxy") + d).alias("maxy")))
+        if total_bounds is not None:
+            tb = tuple(float(v) for v in total_bounds)
+        else:
+            tb = _scan_free_bounds(lg2, rg2) or _union_bounds_job(lg2, rg2)
+        cands = _grid_join(
+            ldf, rdf, dil, rbbox_j, tb, grid_level,
+            r_single=bool(rg2._xy and not rg2._xy[3]))
+        scored = (
+            cands.withColumn(
+                distance_col,
+                FX.st_distance(F.col(lgeom_j), F.col(rgeom_j)))
+            .filter(F.col(distance_col) <= d)
+            .drop(dil)
+        )
+        return _nearest_reduce(GeoDataFrame, scored, left, lid, lgeom_j,
+                               rgeom_j, distance_col, k)
+
     ldf, rdf = _suffix_collisions(lg.df, rg.df, lsuffix, rsuffix)
     lgeom_j = lgeom if lgeom in ldf.columns else f"{lgeom}{lsuffix}"
     rgeom_j = rgeom if rgeom in rdf.columns and rgeom != lgeom_j \
         else f"{rgeom}{rsuffix}"
 
-    lid = "_nn_left_row"
     ldf = ldf.withColumn(lid, F.monotonically_increasing_id())
     scored = (
         ldf.join(F.broadcast(rdf))
@@ -289,6 +352,13 @@ def sjoin_nearest(left, right, k: int = 1, max_distance: float | None = None,
     if max_distance is not None:
         scored = scored.filter(F.col(distance_col) <= float(max_distance))
 
+    return _nearest_reduce(GeoDataFrame, scored, left, lid, lgeom_j,
+                           rgeom_j, distance_col, k)
+
+
+def _nearest_reduce(GeoDataFrame, scored: DataFrame, left, lid: str,
+                    lgeom_j: str, rgeom_j: str, distance_col: str, k: int):
+    """Per-left-row k-nearest reduction shared by both strategies."""
     if k == 1:
         keep = [c for c in scored.columns if c not in (lid,)]
         best = (

@@ -305,6 +305,38 @@ def test_sjoin_nearest_k2(spark):
     assert out1.count() == 2
 
 
+def test_sjoin_nearest_grid_matches_broadcast(spark):
+    """The distributed bounded-radius path (dilated-bbox grid join) must
+    agree with the broadcast path for k=1 and k=2."""
+    import numpy as np
+
+    import dask_geopandas_spark as dgs
+    from dask_geopandas_spark.operators.sjoin import sjoin_nearest
+
+    rng = np.random.default_rng(13)
+    pts = dgs.points_from_xy(spark.createDataFrame(pd.DataFrame({
+        "id": range(120),
+        "x": rng.uniform(0, 50, 120).round(3),
+        "y": rng.uniform(0, 50, 120).round(3)})), "x", "y")
+    targets = dgs.points_from_xy(spark.createDataFrame(pd.DataFrame({
+        "tid": range(30),
+        "x": rng.uniform(0, 50, 30).round(3),
+        "y": rng.uniform(0, 50, 30).round(3)})), "x", "y")
+
+    for k in (1, 2):
+        grid = sjoin_nearest(pts, targets, k=k, max_distance=8.0,
+                             strategy="grid", grid_level=4,
+                             total_bounds=(0, 0, 50, 50))
+        bcast = sjoin_nearest(pts, targets, k=k, max_distance=8.0)
+        key = lambda g: sorted(
+            (r["id"], r["tid"], round(r["dist"], 9))
+            for r in g.df.select("id", "tid", "dist").collect())
+        assert key(grid) == key(bcast) and len(key(grid)) > 0
+
+    with pytest.raises(ValueError, match="max_distance"):
+        sjoin_nearest(pts, targets, strategy="grid")
+
+
 def test_sjoin_left_and_anti(spark):
     """Left join keeps unmatched lefts with NULL right columns; anti
     returns only unmatched lefts; inner + anti partition the left rows."""
