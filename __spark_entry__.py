@@ -238,6 +238,22 @@ def q_sjoin_anti(spark, sf_dir):
     )
 
 
+def q_sjoin_nearest_grid(spark, sf_dir):
+    """Distributed bounded-radius nearest join: dilated-bbox grid
+    candidates (no broadcast), radius 60.  Customers with no nation box
+    within the radius drop out (the oracle mirrors the HAVING)."""
+    from dask_geopandas_spark.operators.sjoin import sjoin_nearest
+
+    pts = _cust_points(spark, sf_dir)
+    boxes = _boxes(spark, sf_dir, "nation", NB)
+    out = sjoin_nearest(pts, boxes, k=1, max_distance=60.0,
+                        strategy="grid", grid_level=5)
+    return out.df.select(
+        F.col("c_custkey").alias("custkey"),
+        F.round(F.col("dist"), 6).alias("nearest_dist"),
+    )
+
+
 def q_dissolve_centroid(spark, sf_dir):
     g = _cust_points(spark, sf_dir)[["c_mktsegment", "c_custkey", "geometry"]]
     d = g.dissolve(by="c_mktsegment", aggfunc={"c_custkey": "count"})
@@ -1177,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_dissolve": q_region_dissolve,
         "topk_parts": q_topk_parts,
         "spatial_hourly": q_spatial_hourly,
+        "sjoin_nearest_grid": q_sjoin_nearest_grid,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
@@ -1484,6 +1501,20 @@ def oracle_sql() -> dict[str, str]:
                                      0), 2))), 6) AS nearest_dist
             FROM customer c CROSS JOIN nation n
             GROUP BY c.c_custkey
+        """,
+        "sjoin_nearest_grid": f"""
+            SELECT custkey, nearest_dist FROM (
+                SELECT c.c_custkey AS custkey,
+                       round(min(sqrt(
+                           power(greatest({NB['minx']} - ({CUST_X}),
+                                         ({CUST_X}) - ({NB['minx']} + {NB['w']}),
+                                         0), 2) +
+                           power(greatest({NB['miny']} - ({CUST_Y}),
+                                         ({CUST_Y}) - ({NB['miny']} + {NB['h']}),
+                                         0), 2))), 6) AS nearest_dist
+                FROM customer c CROSS JOIN nation n
+                GROUP BY c.c_custkey
+            ) WHERE nearest_dist <= 60.0
         """,
         "dissolve_centroid": f"""
             SELECT c_mktsegment AS segment, count(*) AS n_customers,
