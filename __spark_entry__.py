@@ -41,6 +41,8 @@ NB = {"minx": "(n_nationkey * 13 % 300 - 150)", "w": "(n_nationkey % 11 + 8)",
       "miny": "(n_nationkey * 7 % 140 - 70)", "h": "(n_nationkey % 7 + 6)"}
 SB = {"minx": "(s_suppkey * 17 % 320 - 160)", "w": "(s_suppkey % 9 + 4)",
       "miny": "(s_suppkey * 11 % 150 - 75)", "h": "(s_suppkey % 6 + 3)"}
+SUP_X = "(s_suppkey * 29 % 310 - 155) + 0.75"
+SUP_Y = "(s_suppkey * 19 % 170 - 85) + 0.25"
 
 
 _REBALANCE = {"lineitem", "orders", "customer", "documents", "embeddings"}
@@ -306,6 +308,55 @@ def q_region_dissolve(spark, sf_dir):
         F.col("r_name").alias("region"),
         F.col("n_nationkey").alias("n_nations"),
         F.round(FX.st_area(F.col("geometry")), 6).alias("area"),
+    )
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """Native grouping-set aggregation (SURVEY §2.4: grouping sets /
+    rollup / cube are absent from the reference and 'in Spark they're
+    native and come for free'): lineitem revenue rolled up over
+    (returnflag, linestatus) including subtotals and the grand total.
+    One hash aggregation with map-side partial combine — the rollup
+    expands grouping sets without extra scans or shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"),
+             F.sum("l_quantity").alias("sum_qty"),
+             F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+    )
+    return out.select(
+        F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+        F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+        "n", "sum_qty", "revenue")
+
+
+def q_concat_bounds(spark, sf_dir):
+    """Collection-level concat (SURVEY §2.7: the reference only inherits
+    ``dd.concat`` over GeoDataFrames, tests/test_core.py:995-1008 —
+    here a native unionByName, no shuffle): stack the customer and
+    supplier point layers, then per-source row counts and bounds.  The
+    bbox struct materializes from the x/y shape hints, so the whole
+    query is pure JVM (no WKB decode)."""
+    cust = _cust_points(spark, sf_dir).with_bbox()
+    sup_df = (_t(spark, sf_dir, "supplier")
+              .withColumn("px", F.expr(SUP_X)).withColumn("py", F.expr(SUP_Y)))
+    sup = dgs.points_from_xy(sup_df, "px", "py", crs="EPSG:4326").with_bbox()
+    frames = []
+    for tag, g in (("customer", cust), ("supplier", sup)):
+        frames.append(dgs.GeoDataFrame(
+            g.df.select(F.lit(tag).alias("src"),
+                        g.geometry_column, g.bbox_column),
+            g.geometry_column, crs_map=dict(getattr(g, "_crs", {}))))
+    merged = dgs.concat(frames)
+    b = merged.bbox_column
+    return (
+        merged.df.groupBy("src")
+        .agg(F.count("*").alias("n"),
+             F.round(F.min(f"{b}.minx"), 6).alias("minx"),
+             F.round(F.min(f"{b}.miny"), 6).alias("miny"),
+             F.round(F.max(f"{b}.maxx"), 6).alias("maxx"),
+             F.round(F.max(f"{b}.maxy"), 6).alias("maxy"))
     )
 
 
@@ -1191,6 +1242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_dedup": q_lsh_dedup,
         "fillna_isna": q_fillna_isna,
         "region_dissolve": q_region_dissolve,
+        "rollup_revenue": q_rollup_revenue,
+        "concat_bounds": q_concat_bounds,
         "topk_parts": q_topk_parts,
         "spatial_hourly": q_spatial_hourly,
         "sjoin_nearest_grid": q_sjoin_nearest_grid,
@@ -1744,6 +1797,28 @@ def oracle_sql() -> dict[str, str]:
                        AS area
             FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY r_name
+        """,
+        "rollup_revenue": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   count(*) AS n,
+                   sum(l_quantity) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS revenue
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "concat_bounds": f"""
+            WITH pts AS (
+                SELECT 'customer' AS src, CAST({CUST_X} AS DOUBLE) AS x,
+                       CAST({CUST_Y} AS DOUBLE) AS y FROM customer
+                UNION ALL
+                SELECT 'supplier', CAST({SUP_X} AS DOUBLE),
+                       CAST({SUP_Y} AS DOUBLE) FROM supplier
+            )
+            SELECT src, count(*) AS n,
+                   round(min(x), 6) AS minx, round(min(y), 6) AS miny,
+                   round(max(x), 6) AS maxx, round(max(y), 6) AS maxy
+            FROM pts GROUP BY src
         """,
         "fillna_isna": f"""
             SELECT c_custkey AS custkey,
