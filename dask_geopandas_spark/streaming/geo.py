@@ -23,6 +23,15 @@ from pyspark.sql import functions as F
 from ..functions import core as FX
 
 
+def _watermarkable_ts(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (LTZ); parquet event times often read
+    as TIMESTAMP_NTZ.  Cast NTZ wall-clock to LTZ (session timezone) so the
+    same code path serves batch and streaming inputs."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def attach_geometry(stream_df: DataFrame, x: str, y: str,
                     geometry: str = "geometry") -> DataFrame:
     out = stream_df.withColumn(geometry, FX.st_point(F.col(x), F.col(y)))
@@ -35,7 +44,7 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
     """Tumbling-window count+sum per event_type with a watermark for late
     data.  Works identically on batch DataFrames (window() is the same
     expression) — the driver's batch oracle uses date_trunc."""
-    df = events
+    df = _watermarkable_ts(events, ts_col)
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     return (
@@ -52,7 +61,7 @@ def sessionized_counts(events: DataFrame, gap: str = "30 minutes",
     """Session windows per key: events closer than ``gap`` merge into one
     session (native ``session_window`` — works identically on batch and
     streaming inputs; the batch oracle is lag + gap-flag + running sum)."""
-    df = events
+    df = _watermarkable_ts(events, ts_col)
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     return (
@@ -105,7 +114,7 @@ def stateful_running_totals(events: DataFrame, key_col: str = "event_type",
                             "running_sum": [round(s, 6)]})
 
     return (
-        events.withWatermark(ts_col, watermark)
+        _watermarkable_ts(events, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.col(key_col))
         .applyInPandasWithState(
             update, out_schema, state_schema, "update",
@@ -118,7 +127,7 @@ def windowed_spatial_counts(events_with_geom: DataFrame, precision: int = 4,
                             window: str = "1 hour", watermark: str = "2 hours",
                             ts_col: str = "ts",
                             geometry: str = "geometry") -> DataFrame:
-    df = events_with_geom
+    df = _watermarkable_ts(events_with_geom, ts_col)
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     cell = FX.geohash(True, precision)(F.col(geometry))
