@@ -1002,14 +1002,29 @@ def q_ann_topk(spark, sf_dir):
     return SIM.brute_force_topk(e, queries, k=5)
 
 
-def q_embedding_neardup(spark, sf_dir):
-    # threshold 0.4, not the 0.9 a production near-dup pass would use:
-    # the synthetic embeddings' max pairwise cosine is ~0.55, so any
-    # higher threshold returns zero rows and the oracle match is
-    # vacuous.  The oracle replicates the sign-bucket join exactly, so
-    # the comparison stays exact at any threshold.
+def _neardup_input(spark, sf_dir):
+    """embeddings ∪ perturbed copies of vec_id<200 (id+1_000_000, first
+    component +0.05) — plants true near-dups (cos≈0.9988) so the LSH
+    query is non-vacuous at a production threshold (0.95); the synthetic
+    embeddings' own max pairwise cosine is only ~0.55.  All arithmetic
+    is double-exact and replicated verbatim in the DuckDB oracle."""
     e = _t(spark, sf_dir, "embeddings")
-    out = DD.embedding_neardup_pairs(e, threshold=0.4, bucket_dims=4)
+    base = e.select("vec_id",
+                    F.col("embedding").cast("array<double>").alias("embedding"))
+    pert = e.filter(F.col("vec_id") < 200).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x + F.when(i == F.lit(0), F.lit(0.05)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    return base.unionByName(pert)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    out = DD.embedding_neardup_pairs(
+        _neardup_input(spark, sf_dir), threshold=0.95,
+        n_bits=32, bands=4, nnz=8, seed=42, dim=64)
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
@@ -1393,21 +1408,45 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= 5
     """
+    # sign-LSH neardup: identical seeded sparse hyperplanes on both sides
+    # (DD.signlsh_planes is deterministic), bit sums left-to-right from a
+    # 0.0 accumulator in both dialects → bucketing matches bit-for-bit.
+    _nd_planes = DD.signlsh_planes(64, n_bits=32, nnz=8, seed=42)
+    _nd_bits = [DD.signlsh_bit_sql(p, lambda i: f"v[{i}]") for p in _nd_planes]
+    _nd_bsigs = [" || ".join(_nd_bits[b * 8:(b + 1) * 8]) for b in range(4)]
+    _nd_banded = "\n            UNION ALL\n".join(
+        f"            SELECT vec_id, {b} AS band, ({s}) AS bsig FROM base"
+        for b, s in enumerate(_nd_bsigs)
+    )
+    _nd_cos = ("list_sum(list_transform(range(1, len(qa.v) + 1), "
+               "i -> qa.v[i] * qb.v[i])) / "
+               "(sqrt(list_sum(list_transform(qa.v, x -> x * x))) * "
+               "sqrt(list_sum(list_transform(qb.v, x -> x * x))))")
     neardup = f"""
-        WITH v AS (
-            SELECT vec_id, embedding,
-                   (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
-                    CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
-                    CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
-                    CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+        WITH base AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   list_transform(range(1, len(embedding) + 1),
+                                  i -> CAST(embedding[i] AS DOUBLE)
+                                       + CASE WHEN i = 1 THEN 0.05 ELSE 0.0 END)
+            FROM embeddings WHERE vec_id < 200
         ),
-        pairs AS (
-            SELECT qa.vec_id AS id_a, qb.vec_id AS id_b,
-                   {_COS.replace('qa.v', 'qa.embedding').replace('qb.v', 'qb.embedding').replace(', 9)', ', 9)')} AS cos
-            FROM v qa JOIN v qb ON qa.bucket = qb.bucket AND qa.vec_id < qb.vec_id
+        banded AS (
+{_nd_banded}
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bsig = b.bsig AND a.vec_id < b.vec_id
+        ),
+        scored AS (
+            SELECT id_a, id_b, {_nd_cos} AS cos
+            FROM cand JOIN base qa ON cand.id_a = qa.vec_id
+                      JOIN base qb ON cand.id_b = qb.vec_id
         )
-        SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs WHERE cos >= 0.4
+        SELECT id_a, id_b, round(cos, 6) AS cos FROM scored WHERE cos >= 0.95
     """
     meta_arith = "(doc_id % 48 + 16)"
     meta_h = "(doc_id % 32 + 16)"

@@ -246,54 +246,111 @@ def simhash(text: Column, bits: int = 32, k: int = 1) -> Column:
     )
 
 
+def signlsh_planes(dim: int, n_bits: int = 32, nnz: int = 8,
+                   seed: int = 42) -> list:
+    """Seeded sparse random hyperplanes for sign-LSH: ``n_bits`` planes,
+    each a list of ``(zero_based_index, ±1.0)`` pairs (Achlioptas-style
+    sparse projection).  Deterministic for a given (dim, n_bits, nnz,
+    seed), so the DuckDB oracle can embed the identical planes."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = []
+    for _ in range(n_bits):
+        nz = min(nnz, dim)
+        idx = np.sort(rng.choice(dim, size=nz, replace=False))
+        signs = rng.choice([1.0, -1.0], size=nz)
+        planes.append([(int(i), float(s)) for i, s in zip(idx, signs)])
+    return planes
+
+
+def signlsh_bit_sql(plane: list, elem) -> str:
+    """SQL text for one sign bit ('1'/'0').  ``elem(i)`` renders 1-based
+    element access for the target dialect (Spark ``element_at(v, i)``,
+    DuckDB ``v[i]``).  Terms are added strictly left-to-right from a
+    0.0 accumulator so Spark and DuckDB produce bit-identical IEEE
+    sums — the sign decision is exact, not tolerance-based."""
+    expr = "0.0"
+    for i, s in plane:
+        op = "+" if s > 0 else "-"
+        expr += f" {op} CAST({elem(i + 1)} AS DOUBLE)"
+    return f"CASE WHEN ({expr}) >= 0.0 THEN '1' ELSE '0' END"
+
+
 def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
                             vec_col: str = "embedding",
-                            threshold: float = 0.95,
-                            bucket_dims: int = 4) -> DataFrame:
-    """Embedding cosine near-dup via sign-LSH bucketing: vectors agreeing
-    on the signs of their first ``bucket_dims`` dimensions land in one
-    bucket; pairs are compared only within buckets (equi-join, shuffle-
-    partitionable), then filtered on exact cosine similarity.
+                            threshold: float = 0.95, n_bits: int = 32,
+                            bands: int = 4, nnz: int = 8, seed: int = 42,
+                            dim: int | None = None) -> DataFrame:
+    """Embedding cosine near-dup via seeded sparse random-hyperplane
+    sign-LSH with banded OR-amplification (the MinHash-LSH shape applied
+    to vectors).  Returns (id_a, id_b, cos) with id_a < id_b and
+    cos >= threshold.
 
-    Note sign-LSH can miss pairs straddling a sign boundary — standard
-    recall/cost tradeoff; raise bucket_dims for cost, lower for recall."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import (DoubleType, LongType, StructField,
-                                   StructType)
+    100 TB plan shape — no stage materializes a whole bucket:
+    signature bits are native SQL expressions (sparse ±1 dot products,
+    no UDF, no Python); each vector explodes to one row per band; the
+    candidate set is a self equi-join on (band, band_signature) — a
+    shuffled hash join on a high-cardinality key (2^(n_bits/bands)
+    signatures per band), never a cross join and never a whole-bucket
+    ``applyInPandas`` matmul; exact cosine runs per candidate pair with
+    native array expressions after re-joining the narrow (id_a, id_b)
+    pair list to the vectors.  Peak per-task memory is one shuffle
+    partition of id pairs — bounded regardless of bucket skew (AQE
+    skew-join splits hot band keys).
 
-    sign_key = F.concat_ws(
-        "",
-        *[F.when(F.element_at(F.col(vec_col), i + 1) >= 0, "1").otherwise("0")
-          for i in range(bucket_dims)],
+    Recall: vectors at cosine c agree on one random-hyperplane bit with
+    probability ≈ 1 - arccos(c)/π; a pair is a candidate if it matches
+    *all* bits of *any* band.  Misses are the standard LSH tradeoff —
+    more/narrower bands raise recall, fewer/wider bands cut cost.
+
+    Narrow-vs-fused tradeoff (measured): carrying vectors through the
+    band join and aggregating instead of distinct+rejoin saves ~3 AQE
+    query-stages (≈1 s at sf0.1 toy scale) but shuffles bands×|vec|
+    bytes per row on BOTH join sides (~4500 B/vec for 64-dim×4 bands)
+    vs this plan's ~1240 B/vec (banded keys are ~50 B/row; the two
+    vector rejoins each move the vector table once).  At cluster scale
+    shuffle volume dominates stage latency, so narrow wins ~3.6×.
+
+    ``dim`` avoids a schema-probe job when known; planes are
+    deterministic from (dim, n_bits, nnz, seed) so an oracle can
+    replicate bucketing bit-for-bit via `signlsh_bit_sql`.
+
+    Reference contract: near-duplicate pair detection over embedding
+    columns (no direct reference analog; BASELINE.json north-star op)."""
+    assert n_bits % bands == 0, "n_bits must divide evenly into bands"
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col))).first()[0]
+
+    planes = signlsh_planes(dim, n_bits, nnz, seed)
+    bit_exprs = [
+        F.expr(signlsh_bit_sql(p, lambda i: f"element_at({vec_col}, {i})"))
+        for p in planes
+    ]
+    width = n_bits // bands
+    band_keys = [
+        F.struct(F.lit(b).alias("band"),
+                 F.concat(*bit_exprs[b * width:(b + 1) * width]).alias("bsig"))
+        for b in range(bands)
+    ]
+    banded = df.select(F.col(id_col),
+                       F.explode(F.array(*band_keys)).alias("bk"))
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("bk"))
+    b_ = banded.select(F.col(id_col).alias("id_b"), F.col("bk"))
+    cand = (
+        a.join(b_, on="bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    v = df.select(F.col(id_col), F.col(vec_col), sign_key.alias("bucket"))
-    id_type = dict(df.dtypes).get(id_col, "bigint")
-    out_schema = StructType([
-        StructField("id_a", LongType() if "int" in id_type else df.schema[id_col].dataType),
-        StructField("id_b", LongType() if "int" in id_type else df.schema[id_col].dataType),
-        StructField("cos", DoubleType()),
-    ])
 
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        # all-pairs cosine inside one bucket as a single BLAS matmul —
-        # the quadratic inner loop stays vectorized instead of running
-        # per pair through interpreted array expressions
-        ids = pdf[id_col].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        M = np.asarray([np.asarray(v_, dtype=np.float64)
-                        for v_ in pdf[vec_col].to_numpy()[order]])
-        norms = np.linalg.norm(M, axis=1)
-        norms[norms == 0] = 1.0
-        Mn = M / norms[:, None]
-        sim = Mn @ Mn.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = sim[iu, ju] >= threshold
-        return pd.DataFrame({
-            "id_a": ids[iu[keep]],
-            "id_b": ids[ju[keep]],
-            "cos": sim[iu[keep], ju[keep]],
-        })
+    from .similarity import cosine
 
-    return v.groupBy("bucket").applyInPandas(bucket_pairs, out_schema)
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, on="id_a").join(vb, on="id_b")
+        .select("id_a", "id_b",
+                cosine(F.col("_va"), F.col("_vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -118,9 +118,25 @@ class TestSimilarity:
     def test_neardup_pairs(self, embeddings):
         from dask_geopandas_spark.operators.dedup import embedding_neardup_pairs
 
+        # vec 1 = vec 0 * 1.5 — same direction, so identical sign bits in
+        # every plane → always co-bucketed, exact cos = 1.0
         pairs = {(r["id_a"], r["id_b"]) for r in
                  embedding_neardup_pairs(embeddings, threshold=0.99).collect()}
         assert (0, 1) in pairs
+
+    def test_neardup_plan_bounded_per_task(self, embeddings):
+        """Scale guard: the near-dup plan must never materialize a whole
+        LSH bucket in one pandas frame (the round-1 OOM/quadratic shape)
+        nor fall back to a cross join — candidates come from a shuffled
+        equi-join on the band key, so per-task memory is one shuffle
+        partition of narrow id pairs."""
+        from dask_geopandas_spark.operators.dedup import embedding_neardup_pairs
+
+        out = embedding_neardup_pairs(embeddings, threshold=0.99)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapGroupsInPandas" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
 
 
 class TestTextStats:
