@@ -19,6 +19,8 @@ from pyspark.sql import SparkSession
 
 from pyspark.sql.types import StructType
 
+from . import fs as FS
+
 
 def _pa_schema_to_spark(schema) -> StructType:
     import pyarrow as pa
@@ -57,14 +59,21 @@ def _pa_schema_to_spark(schema) -> StructType:
 
 
 def read_feather(spark: SparkSession, path: str, columns=None,
-                 geometry: str | None = None, crs: str | None = None):
+                 geometry: str | None = None, crs: str | None = None,
+                 filesystem=None):
     """Read feather file(s) → (Geo)DataFrame.  ``path`` may be a file,
-    directory, or glob."""
-    import pyarrow.feather as feather
-
+    directory, or glob (globs on local paths only).  ``filesystem``: an
+    explicit ``pyarrow.fs.FileSystem`` (the Spark-era storage_options,
+    reference io/arrow.py:300-301) captured into the fragment tasks."""
     from ..core import GeoDataFrame
 
-    if os.path.isdir(path):
+    if filesystem is not None or FS.has_scheme(path):
+        # URI / explicit fs: route listing through the fs layer (globs
+        # unsupported here — pass a file or a directory)
+        files = FS.list_files(path, suffixes=(".feather", ".arrow"),
+                              filesystem=filesystem) \
+            if FS.is_dir(path, filesystem) else [path]
+    elif os.path.isdir(path):
         files = sorted(glob.glob(os.path.join(path, "*.feather"))) or \
             sorted(glob.glob(os.path.join(path, "*.arrow")))
     else:
@@ -72,7 +81,7 @@ def read_feather(spark: SparkSession, path: str, columns=None,
     if not files:
         raise FileNotFoundError(path)
 
-    pa_schema = feather.read_table(files[0], memory_map=True).schema
+    pa_schema = FS.read_feather_schema(files[0], filesystem)
     # restore geometry column + CRS from `geo` schema metadata (reference
     # io/arrow.py:22-45 round-trips geo metadata through the Arrow schema)
     meta = pa_schema.metadata or {}
@@ -88,9 +97,18 @@ def read_feather(spark: SparkSession, path: str, columns=None,
     frag_df = frag_df.repartition(len(files))
 
     def read_frag(batches):
+        import pyarrow.feather as feather
+
+        from dask_geopandas_spark.sources import fs as _FS
+
         for pdf in batches:
             for p in pdf["frag_path"]:
-                tbl = feather.read_table(p, columns=list(columns) if columns else None)
+                # an explicit filesystem rides in via the closure;
+                # otherwise the fs is re-resolved from the URI inside
+                # the task, so s3a://... fragments read on any executor
+                with _FS.open_input(p, filesystem) as f:
+                    tbl = feather.read_table(
+                        f, columns=list(columns) if columns else None)
                 yield tbl.to_pandas()
 
     out_schema = schema if not columns else StructType(
@@ -102,7 +120,7 @@ def read_feather(spark: SparkSession, path: str, columns=None,
     return df
 
 
-def to_feather(gdf_or_df, path: str) -> None:
+def to_feather(gdf_or_df, path: str, filesystem=None) -> None:
     """Write one feather file per Spark partition (reference
     io/arrow.py:347-430 writes one per dask partition)."""
     import pyarrow as pa
@@ -119,10 +137,12 @@ def to_feather(gdf_or_df, path: str) -> None:
             "columns": {gcol: {"encoding": "WKB",
                                "crs": getattr(gdf_or_df, "crs", None)}},
         }).encode()
-    os.makedirs(path, exist_ok=True)
+    FS.makedirs(path, filesystem)
 
     def write_part(batches):
         import uuid
+
+        from dask_geopandas_spark.sources import fs as _FS
 
         tables = [pa.Table.from_pandas(b, preserve_index=False) for b in batches]
         if tables:
@@ -131,10 +151,9 @@ def to_feather(gdf_or_df, path: str) -> None:
                 md = dict(tbl.schema.metadata or {})
                 md[b"geo"] = geo_meta
                 tbl = tbl.replace_schema_metadata(md)
-            feather.write_feather(
-                tbl,
-                os.path.join(path, f"part-{uuid.uuid4().hex}.feather"),
-            )
+            dest = _FS.join(path, f"part-{uuid.uuid4().hex}.feather")
+            with _FS.open_output(dest, filesystem) as f:
+                feather.write_feather(tbl, f)
         yield pd.DataFrame({"files": pd.Series([1], dtype="int64")})
 
     df.mapInPandas(write_part, schema="files long").collect()

@@ -15,13 +15,15 @@ io/parquet.py:72-82).
 
 from __future__ import annotations
 
-import glob
 import json
 import os
+import warnings
 
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+
+from . import fs as FS
 
 GEO_VERSION = "1.0.0"
 
@@ -53,7 +55,8 @@ def to_parquet(gdf, path: str, partition_on: str | None = None,
                write_bbox: bool = True,
                geometry_columns: list[str] | None = None,
                spatial_sort: bool = False,
-               spatial_sort_level: int = 16) -> None:
+               spatial_sort_level: int = 16,
+               filesystem=None) -> None:
     """Write a GeoDataFrame as GeoParquet: one file per Spark partition,
     each footer carrying the ``geo`` metadata for every geometry column
     and (``write_bbox``) the file-level bbox of the primary column so a
@@ -63,7 +66,6 @@ def to_parquet(gdf, path: str, partition_on: str | None = None,
     ``partition_on`` → hive-style subdirectories (reference
     tests/io/test_parquet.py:188-213 via ``partitionBy``)."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     if spatial_sort:
         # Hilbert-ordered layout (SURVEY §7 design invariant): each file
@@ -74,13 +76,17 @@ def to_parquet(gdf, path: str, partition_on: str | None = None,
     geometry = gdf.geometry_column
     crs_map = dict(getattr(gdf, "_crs", {}))
     df = gdf.df
-    os.makedirs(path, exist_ok=True)
+    FS.makedirs(path, filesystem)
     if geometry_columns is None:
         geometry_columns = [geometry] + [
             c for c in crs_map if c != geometry and c in df.columns
         ]
 
     def _write_geo_file(table: "pa.Table", dirpath: str) -> None:
+        # runs inside executor tasks: an explicit `filesystem` rides in
+        # via the closure (pyarrow filesystems pickle); otherwise the fs
+        # is re-resolved from the URI string per call (pyarrow C++
+        # filesystems are cheap to construct, no cross-process state)
         import uuid
 
         import numpy as np
@@ -107,9 +113,10 @@ def to_parquet(gdf, path: str, partition_on: str | None = None,
         meta = _geo_meta(geometry, crs_map, geometry_columns, bboxes, gtypes)
         existing = table.schema.metadata or {}
         table = table.replace_schema_metadata({**existing, b"geo": meta})
-        os.makedirs(dirpath, exist_ok=True)
-        pq.write_table(
-            table, os.path.join(dirpath, f"part-{uuid.uuid4().hex}.parquet"))
+        FS.makedirs(dirpath, filesystem)
+        FS.write_parquet_table(
+            table, FS.join(dirpath, f"part-{uuid.uuid4().hex}.parquet"),
+            filesystem)
 
     if partition_on is not None:
         # single pass: repartition on the key so each executor partition
@@ -125,7 +132,7 @@ def to_parquet(gdf, path: str, partition_on: str | None = None,
                     table = pa.Table.from_pandas(
                         sub.drop(columns=[partition_on]), preserve_index=False)
                     _write_geo_file(
-                        table, os.path.join(path, f"{partition_on}={k}"))
+                        table, FS.join(path, f"{partition_on}={k}"))
             yield pd.DataFrame({"files": pd.Series([1], dtype="int64")})
 
         (df.repartition(F.col(partition_on))
@@ -141,38 +148,45 @@ def to_parquet(gdf, path: str, partition_on: str | None = None,
     df.mapInPandas(write_part, schema="files long").collect()
 
 
-def read_parquet(spark: SparkSession, path: str, columns=None,
-                 gather_spatial_partitions: bool = True, geometry: str | None = None):
-    """Read GeoParquet → GeoDataFrame.  Falls back to a plain DataFrame
-    when no ``geo`` metadata and no ``geometry`` arg (reference raises in
-    that case; returning plain is the graceful Spark behavior)."""
-    import pyarrow.parquet as pq
+def _read_meta(f: str, filesystem=None):
+    """(geo_meta_dict | None) for one footer; None = unreadable.  Footer
+    reads route through the fs layer so URIs (s3a://...) work."""
+    try:
+        md = FS.read_parquet_footer_schema(f, filesystem).metadata or {}
+    except Exception:
+        return None
+    if b"geo" not in md:
+        return {}
+    return json.loads(md[b"geo"])
 
-    from ..core import GeoDataFrame
 
-    df = spark.read.parquet(path)
-    if columns:
-        df = df.select(*columns)
+def gather_geo_metadata(path: str, spark: SparkSession | None = None,
+                        gather_spatial_partitions: bool = True,
+                        geometry: str | None = None, filesystem=None):
+    """Scan the dataset's parquet footers for GeoParquet ``geo``
+    metadata.  Returns (primary_column, crs_map, spatial_partitions,
+    all_point); every field is None/empty when the dataset carries no
+    geo metadata.  Listing and footer reads go through ``sources.fs``
+    so remote URIs (s3a://, gs://, any fsspec scheme) keep their CRS
+    and per-file bbox instead of silently degrading (reference readers
+    accept fsspec storage_options, io/arrow.py:300-301)."""
+    try:
+        files = FS.list_files(path, suffixes=(".parquet",),
+                              filesystem=filesystem)
+    except Exception as e:
+        warnings.warn(
+            f"GeoParquet metadata unavailable for {path!r} ({e}); "
+            "returning a frame with no CRS/spatial summary")
+        return geometry, {}, None, False
 
     primary, crs_map = geometry, {}
-    files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)) \
-        if os.path.isdir(path) else [path]
-
-    def _read_meta(f):
-        """(geo_meta_dict | None) for one footer; None = unreadable."""
-        try:
-            md = pq.read_schema(f).metadata or {}
-        except Exception:
-            return None
-        if b"geo" not in md:
-            return {}
-        return json.loads(md[b"geo"])
 
     # footer gathering is metadata-only but at cluster scale a dataset is
     # tens of thousands of files — distribute the reads instead of a
     # serial driver loop (each result is ~a hundred bytes, so the collect
     # stays tiny); small listings stay on the driver (no job overhead)
-    if len(files) > _FOOTER_JOB_THRESHOLD and gather_spatial_partitions:
+    if (spark is not None and gather_spatial_partitions
+            and len(files) > _FOOTER_JOB_THRESHOLD):
         metas_df = spark.createDataFrame(
             [(f,) for f in files], "f string").repartition(32)
 
@@ -181,7 +195,8 @@ def read_parquet(spark: SparkSession, path: str, columns=None,
             for b in batches:
                 yield _pd.DataFrame({
                     "f": b["f"],
-                    "geo": [json.dumps(m) if (m := _read_meta(f)) is not None
+                    "geo": [json.dumps(m)
+                            if (m := _read_meta(f, filesystem)) is not None
                             else None
                             for f in b["f"]],
                 })
@@ -191,7 +206,12 @@ def read_parquet(spark: SparkSession, path: str, columns=None,
                    read_footers, "f string, geo string").collect()}
         metas = [json.loads(got[f]) if got.get(f) else None for f in files]
     else:
-        metas = [_read_meta(f) for f in files]
+        metas = [_read_meta(f, filesystem) for f in files]
+
+    if files and all(m is None for m in metas):
+        warnings.warn(
+            f"could not read any parquet footer under {path!r}; "
+            "CRS/bbox metadata lost — check filesystem credentials/scheme")
 
     spatial_partitions = []
     all_point = True  # every file declares only "Point" geometry
@@ -222,11 +242,73 @@ def read_parquet(spark: SparkSession, path: str, columns=None,
         if i == 0 and not gather_spatial_partitions:
             break
 
+    return primary, crs_map, spatial_partitions or None, bool(files) and all_point
+
+
+def _fragment_scan(spark: SparkSession, files: list, filesystem, columns):
+    """Distributed pyarrow scan for filesystems Spark's Hadoop layer
+    cannot reach: one task per parquet file, reading through the
+    explicit pyarrow filesystem captured in the closure.  Column pruning
+    pushes into the fragment read; fragments parallelize per file like
+    the reference's one-partition-per-fragment plan (io/parquet.py)."""
+    from .feather import _pa_schema_to_spark
+
+    pa_schema = FS.read_parquet_footer_schema(files[0], filesystem)
+    schema = _pa_schema_to_spark(pa_schema)
+    frag_df = spark.createDataFrame([(f,) for f in files], "frag_path: string")
+    frag_df = frag_df.repartition(min(len(files), 256))
+
+    def read_frag(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for p in pdf["frag_path"]:
+                with FS.open_input(p, filesystem) as f:
+                    tbl = pq.read_table(
+                        f, columns=list(columns) if columns else None)
+                yield tbl.to_pandas()
+
+    from pyspark.sql.types import StructType
+    out_schema = schema if not columns else StructType(
+        [f for f in schema.fields if f.name in set(columns)])
+    return frag_df.mapInPandas(read_frag, schema=out_schema)
+
+
+def read_parquet(spark: SparkSession, path: str, columns=None,
+                 gather_spatial_partitions: bool = True,
+                 geometry: str | None = None, filesystem=None):
+    """Read GeoParquet → GeoDataFrame.  Falls back to a plain DataFrame
+    (with a warning) when no ``geo`` metadata and no ``geometry`` arg
+    (reference raises in that case; returning plain is the graceful
+    Spark behavior).  The data scan is Spark-native (column pruning,
+    predicate pushdown, s3a/gs/hdfs support via Hadoop); footer metadata
+    goes through ``sources.fs`` so remote URIs keep CRS/bbox too.
+
+    ``filesystem``: an explicit ``pyarrow.fs.FileSystem`` (the Spark-era
+    ``storage_options``, reference io/arrow.py:300-301) — both metadata
+    and data then read through it via a distributed pyarrow fragment
+    scan, covering stores Spark's Hadoop layer cannot reach."""
+    from ..core import GeoDataFrame
+
+    if filesystem is None:
+        df = spark.read.parquet(path)
+        if columns:
+            df = df.select(*columns)
+    else:
+        files = FS.list_files(path, suffixes=(".parquet",),
+                              filesystem=filesystem)
+        if not files:
+            raise FileNotFoundError(path)
+        df = _fragment_scan(spark, files, filesystem, columns)
+
+    primary, crs_map, spatial_partitions, all_point = gather_geo_metadata(
+        path, spark, gather_spatial_partitions, geometry, filesystem)
+
     if primary is None or primary not in df.columns:
         return df
     out = GeoDataFrame(df, primary, crs_map=crs_map)
-    out.spatial_partitions = spatial_partitions or None
-    if files and all_point:
+    out.spatial_partitions = spatial_partitions
+    if all_point:
         # GeoParquet geometry_types says every row is a Point: points
         # equal their own envelopes, so bbox predicates are exact —
         # cx/sjoin refinement stays native on the stored dataset, and

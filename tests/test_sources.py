@@ -151,3 +151,99 @@ def test_geoparquet_multi_geometry_and_bbox(spark, tmp_path):
     maxx = max(b[2] for b in back.spatial_partitions)
     assert minx == 1.0 and maxx == 3.0
     assert back.count() == 2
+
+
+class TestRemoteFilesystem:
+    """Non-local filesystem support (reference accepts fsspec
+    storage_options, io/arrow.py:300-301, tests/io/test_parquet.py:127-144).
+    A SubTreeFileSystem under a URI scheme Spark's Hadoop layer does NOT
+    know stands in for an object store: every byte must flow through the
+    explicit pyarrow filesystem (driver metadata AND executor tasks — the
+    fs object rides into closures), or the test fails with
+    FileNotFoundError on the fake scheme."""
+
+    @pytest.fixture()
+    def subfs(self, tmp_path):
+        from pyarrow import fs as pafs
+
+        return pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+
+    def test_geoparquet_roundtrip_explicit_fs(self, spark, tmp_path, subfs):
+        from dask_geopandas_spark.sources.geoparquet import read_parquet, to_parquet
+
+        pdf = pd.DataFrame({"id": np.arange(12, dtype="int64"),
+                            "x": np.arange(12, dtype="float64"),
+                            "y": np.arange(12, dtype="float64") * 3})
+        g = dgs.points_from_xy(
+            spark.createDataFrame(pdf).repartition(3), "x", "y",
+            crs="EPSG:4326")
+        to_parquet(g, "mockstore://geo_out", filesystem=subfs)
+        # executor writes really went through the filesystem object
+        files = list((tmp_path / "geo_out").glob("*.parquet"))
+        assert len(files) == 3
+
+        back = read_parquet(spark, "mockstore://geo_out", filesystem=subfs)
+        assert isinstance(back, dgs.GeoDataFrame)
+        assert back.crs == "EPSG:4326"
+        assert back.spatial_partitions and len(back.spatial_partitions) == 3
+        assert sorted(r["id"] for r in back.df.select("id").collect()) == list(range(12))
+
+    def test_geoparquet_column_pruning_explicit_fs(self, spark, subfs):
+        from dask_geopandas_spark.sources.geoparquet import read_parquet, to_parquet
+
+        pdf = pd.DataFrame({"id": np.arange(4, dtype="int64"),
+                            "x": [0.0, 1, 2, 3], "y": [0.0, 0, 0, 0]})
+        g = dgs.points_from_xy(spark.createDataFrame(pdf), "x", "y")
+        to_parquet(g, "mockstore://pruned", filesystem=subfs)
+        back = read_parquet(spark, "mockstore://pruned", columns=["id"],
+                            filesystem=subfs)
+        assert back.columns == ["id"]
+        assert back.count() == 4
+
+    def test_feather_roundtrip_explicit_fs(self, spark, tmp_path, subfs):
+        from dask_geopandas_spark.sources.feather import read_feather, to_feather
+
+        pdf = pd.DataFrame({"id": np.arange(10, dtype="int64"),
+                            "x": np.arange(10, dtype="float64"),
+                            "y": np.zeros(10)})
+        g = dgs.points_from_xy(spark.createDataFrame(pdf).repartition(2),
+                               "x", "y", crs="EPSG:3857")
+        to_feather(g, "mockstore://fthr_out", filesystem=subfs)
+        assert list((tmp_path / "fthr_out").glob("*.feather"))
+
+        back = read_feather(spark, "mockstore://fthr_out", filesystem=subfs)
+        assert isinstance(back, dgs.GeoDataFrame)
+        assert back.crs == "EPSG:3857"
+        assert back.count() == 10
+
+    def test_unreachable_scheme_warns_not_silent(self):
+        from dask_geopandas_spark.sources.geoparquet import gather_geo_metadata
+
+        with pytest.warns(UserWarning, match="metadata unavailable"):
+            primary, crs_map, parts, all_point = gather_geo_metadata(
+                "no-such-scheme-xyz://bucket/data")
+        assert primary is None and parts is None
+
+    def test_registered_scheme_resolves(self, tmp_path):
+        from pyarrow import fs as pafs
+
+        from dask_geopandas_spark.sources import fs as FS
+
+        FS.register_filesystem(
+            "regtest", lambda: pafs.SubTreeFileSystem(
+                str(tmp_path), pafs.LocalFileSystem()))
+        try:
+            FS.makedirs("regtest://made/dir")
+            assert (tmp_path / "made" / "dir").is_dir()
+            assert FS.is_dir("regtest://made")
+        finally:
+            FS._REGISTRY.pop("regtest", None)
+
+    def test_uri_join_and_scheme_helpers(self):
+        from dask_geopandas_spark.sources import fs as FS
+
+        assert FS.join("s3a://b/p", "k=1", "f.parquet") == "s3a://b/p/k=1/f.parquet"
+        assert FS.join("/a/b", "c") == "/a/b/c"
+        assert FS.scheme_of("gs://x/y") == "gs"
+        assert FS.scheme_of("/x/y") is None
+        assert FS.strip_scheme("hdfs://nn/x") == "nn/x"
