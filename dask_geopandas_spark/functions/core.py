@@ -194,45 +194,97 @@ def st_hasz(g: pd.Series) -> pd.Series:
 
 @pandas_udf(BooleanType())
 def st_isring(g: pd.Series) -> pd.Series:
-    """Closed LineString test (reference is_ring, expr.py:947-960)."""
+    """Closed LineString test (reference is_ring, expr.py:947-960).
+    Segmented numpy over the whole Arrow batch: one gather per side of
+    the closure comparison, no per-path Python loop."""
     batch = _b(g)
     out = np.zeros(batch.n, dtype=bool)
-    for p in range(batch.n_paths):
-        gidx = batch.path_geom[p]
-        if batch.types[gidx] != W.LINESTRING:
-            continue
-        s, e = batch.path_offsets[p], batch.path_offsets[p + 1]
-        if e - s >= 4 and batch.xs[s] == batch.xs[e - 1] and batch.ys[s] == batch.ys[e - 1]:
-            out[gidx] = True
+    if batch.n_paths:
+        po = batch.path_offsets
+        s, e = po[:-1], po[1:]
+        cand = np.flatnonzero(
+            (batch.types[batch.path_geom] == W.LINESTRING) & (e - s >= 4))
+        if len(cand):
+            closed = (batch.xs[s[cand]] == batch.xs[e[cand] - 1]) & \
+                     (batch.ys[s[cand]] == batch.ys[e[cand] - 1])
+            out[batch.path_geom[cand[closed]]] = True
     res = pd.Series(out, dtype="boolean")
     res[batch.is_null()] = pd.NA
     return res
 
 
+# rings with more segments than this take the per-ring fallback so the
+# flat all-pairs buffer stays bounded (cap² pairs per ring)
+_VALID_RING_CAP = 512
+
+
+def _flat_self_pairs(nseg: np.ndarray):
+    """(i, j, group) index arrays enumerating every within-group segment
+    pair for groups of ``nseg`` consecutive segments — the segmented
+    replacement for a per-group n×n broadcast."""
+    npairs = nseg * nseg
+    tot = int(npairs.sum())
+    group = np.repeat(np.arange(len(nseg)), npairs)
+    starts = np.concatenate([[0], np.cumsum(npairs)[:-1]])
+    k = np.arange(tot) - starts[group]
+    n_of = nseg[group]
+    return k // n_of, k % n_of, group
+
+
 @pandas_udf(BooleanType())
 def st_isvalid(g: pd.Series) -> pd.Series:
     """Ring self-intersection check (bowtie detection).  Points/lines are
-    always valid, matching GEOS for the common cases."""
+    always valid, matching GEOS for the common cases.
+
+    Vectorized over the whole Arrow batch: ring closure is a segmented
+    gather-compare; the bowtie test enumerates all within-ring segment
+    pairs of every (small) ring at once through one flat
+    ``seg_seg_intersect_flat`` call.  Rings above ``_VALID_RING_CAP``
+    segments fall back to a per-ring broadcast test so the pair buffer
+    stays bounded."""
     batch = _b(g)
     out = np.ones(batch.n, dtype=bool)
-    for i in range(batch.n):
-        if batch.types[i] not in (W.POLYGON, W.MULTIPOLYGON):
-            continue
-        for kind, x, y in A._geom_paths(batch, i):
-            if kind not in (W.PK_RING_OUTER, W.PK_RING_HOLE) or len(x) < 4:
-                continue
-            if x[0] != x[-1] or y[0] != y[-1]:
-                out[i] = False
-                break
-            x1, y1, x2, y2 = x[:-1], y[:-1], x[1:], y[1:]
-            hits = A.seg_seg_intersect(x1, y1, x2, y2, x1, y1, x2, y2)
-            n = len(x1)
+    po = batch.path_offsets
+    ring = np.flatnonzero(
+        np.isin(batch.types[batch.path_geom], (W.POLYGON, W.MULTIPOLYGON))
+        & np.isin(batch.path_kind, (W.PK_RING_OUTER, W.PK_RING_HOLE))
+        & (po[1:] - po[:-1] >= 4))
+    if len(ring):
+        s, e = po[ring], po[ring + 1]
+        owner = batch.path_geom[ring]
+        closed = (batch.xs[s] == batch.xs[e - 1]) & \
+                 (batch.ys[s] == batch.ys[e - 1])
+        out[owner[~closed]] = False  # unclosed ring → invalid
+
+        nseg = (e - s - 1)[closed]
+        rs, owner_c = s[closed], owner[closed]
+        small = nseg <= _VALID_RING_CAP
+        if small.any():
+            ns, st_, ow = nseg[small], rs[small], owner_c[small]
+            seg0 = np.concatenate([[0], np.cumsum(ns)[:-1]])
+            ci = np.repeat(st_, ns) + (np.arange(int(ns.sum()))
+                                       - np.repeat(seg0, ns))
+            x1, y1 = batch.xs[ci], batch.ys[ci]
+            x2, y2 = batch.xs[ci + 1], batch.ys[ci + 1]
+            i, j, grp = _flat_self_pairs(ns)
+            gi, gj = i + seg0[grp], j + seg0[grp]
+            hits = A.seg_seg_intersect_flat(
+                x1[gi], y1[gi], x2[gi], y2[gi],
+                x1[gj], y1[gj], x2[gj], y2[gj])
+            n_of = ns[grp]
             # adjacent segments legitimately touch at shared vertices
+            adj = (np.abs(i - j) <= 1) | \
+                  ((i == 0) & (j == n_of - 1)) | ((j == 0) & (i == n_of - 1))
+            out[ow[grp[hits & ~adj]]] = False
+        for k in np.flatnonzero(~small):  # oversized rings, bounded memory
+            s0, n = int(rs[k]), int(nseg[k])
+            x1 = batch.xs[s0:s0 + n]; y1 = batch.ys[s0:s0 + n]
+            x2 = batch.xs[s0 + 1:s0 + n + 1]; y2 = batch.ys[s0 + 1:s0 + n + 1]
+            hits = A.seg_seg_intersect(x1, y1, x2, y2, x1, y1, x2, y2)
             adj = np.abs(np.arange(n)[:, None] - np.arange(n)[None, :]) <= 1
             adj[0, n - 1] = adj[n - 1, 0] = True
             if (hits & ~adj).any():
-                out[i] = False
-                break
+                out[owner_c[k]] = False
     res = pd.Series(out, dtype="boolean")
     res[batch.is_null()] = pd.NA
     return res

@@ -292,6 +292,29 @@ def _poly_rings(batch: W.GeometryBatch, i: int, outer_only=False):
     return rings
 
 
+def seg_seg_intersect_flat(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2) -> np.ndarray:
+    """Elementwise proper-or-touching segment intersection test over
+    aligned 1-D arrays — the flat-pairs counterpart of
+    `seg_seg_intersect` for segmented (ragged-batch) kernels."""
+    def orient(ox, oy, px_, py_, qx, qy):
+        return (px_ - ox) * (qy - oy) - (py_ - oy) * (qx - ox)
+
+    d1 = orient(bx1, by1, bx2, by2, ax1, ay1)
+    d2 = orient(bx1, by1, bx2, by2, ax2, ay2)
+    d3 = orient(ax1, ay1, ax2, ay2, bx1, by1)
+    d4 = orient(ax1, ay1, ax2, ay2, bx2, by2)
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+
+    def on_seg(ox, oy, px_, py_, qx, qy, d):
+        return (d == 0) & (np.minimum(ox, px_) <= qx) & (qx <= np.maximum(ox, px_)) & \
+               (np.minimum(oy, py_) <= qy) & (qy <= np.maximum(oy, py_))
+    touch = (on_seg(bx1, by1, bx2, by2, ax1, ay1, d1) |
+             on_seg(bx1, by1, bx2, by2, ax2, ay2, d2) |
+             on_seg(ax1, ay1, ax2, ay2, bx1, by1, d3) |
+             on_seg(ax1, ay1, ax2, ay2, bx2, by2, d4))
+    return proper | touch
+
+
 def seg_seg_intersect(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2) -> np.ndarray:
     """Pairwise (broadcast) proper-or-touching segment intersection test.
     a segments along axis 0, b segments along axis 1."""

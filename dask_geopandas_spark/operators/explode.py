@@ -15,44 +15,63 @@ from pyspark.sql import DataFrame
 from ..geometry import wkb as W
 
 
-def _split_parts(blob: bytes | None) -> list:
-    if blob is None:
-        return [None]
-    batch = W.parse_wkb([blob])
-    t = int(batch.types[0])
-    if t in (W.POINT, W.LINESTRING, W.POLYGON) or t == 0:
-        return [blob]
+def _split_parts_batch(batch: "W.GeometryBatch", blobs: list):
+    """One ``parse_wkb`` per Arrow batch (not per row): returns
+    (parts_per_row int64 array, per-row part payloads).  Single-part and
+    null rows pass their original WKB bytes through untouched; multi
+    rows emit one part per path run straight from the columnar
+    ``path_offsets`` decomposition.  Paths are emitted in geometry
+    order, so each geometry's paths are one contiguous slice found with
+    two searchsorted calls — no per-row re-parsing anywhere."""
+    counts = np.ones(batch.n, dtype=np.int64)
+    per_geom: list = list(blobs)
+    if batch.n == 0:
+        return counts, per_geom
 
-    def seg(p):
-        s, e = batch.path_offsets[p], batch.path_offsets[p + 1]
+    multi = np.flatnonzero(np.isin(
+        batch.types, (W.MULTIPOINT, W.MULTILINESTRING, W.MULTIPOLYGON,
+                      W.GEOMETRYCOLLECTION)))
+    if not len(multi):
+        return counts, per_geom
+
+    po = batch.path_offsets
+    first = np.searchsorted(batch.path_geom, multi, side="left")
+    last = np.searchsorted(batch.path_geom, multi, side="right")
+
+    def seg(p, hz):
+        s, e = int(po[p]), int(po[p + 1])
         cols = [batch.xs[s:e], batch.ys[s:e]]
-        if batch.zs is not None and batch.has_z[0]:
+        if hz:
             cols.append(batch.zs[s:e])
         return np.column_stack(cols)
 
-    hz = bool(batch.has_z[0]) and batch.zs is not None
-    sel = np.flatnonzero(batch.path_geom == 0)
-    if t == W.MULTIPOINT:
-        return [W.serialize_geometry(W.POINT, seg(p), hz) for p in sel]
-    if t == W.MULTILINESTRING:
-        return [W.serialize_geometry(W.LINESTRING, seg(p), hz) for p in sel]
-    if t == W.MULTIPOLYGON:
-        by_part: dict[int, list] = {}
-        for p in sel:
-            by_part.setdefault(int(batch.path_part[p]), []).append(seg(p))
-        return [W.serialize_geometry(W.POLYGON, rings, hz) for rings in by_part.values()]
-    if t == W.GEOMETRYCOLLECTION:
-        out = []
-        for p in sel:
-            k = batch.path_kind[p]
-            if k == W.PK_POINT:
-                out.append(W.serialize_geometry(W.POINT, seg(p), hz))
-            elif k == W.PK_LINE:
-                out.append(W.serialize_geometry(W.LINESTRING, seg(p), hz))
-            else:
-                out.append(W.serialize_geometry(W.POLYGON, [seg(p)], hz))
-        return out
-    return [blob]
+    for i, lo, hi in zip(multi, first, last):
+        t = int(batch.types[i])
+        hz = bool(batch.has_z[i]) and batch.zs is not None
+        ps = range(lo, hi)
+        if t == W.MULTIPOINT:
+            lst = [W.serialize_geometry(W.POINT, seg(p, hz), hz) for p in ps]
+        elif t == W.MULTILINESTRING:
+            lst = [W.serialize_geometry(W.LINESTRING, seg(p, hz), hz) for p in ps]
+        elif t == W.MULTIPOLYGON:
+            by_part: dict[int, list] = {}
+            for p in ps:
+                by_part.setdefault(int(batch.path_part[p]), []).append(seg(p, hz))
+            lst = [W.serialize_geometry(W.POLYGON, rings, hz)
+                   for rings in by_part.values()]
+        else:  # GEOMETRYCOLLECTION
+            lst = []
+            for p in ps:
+                k = batch.path_kind[p]
+                if k == W.PK_POINT:
+                    lst.append(W.serialize_geometry(W.POINT, seg(p, hz), hz))
+                elif k == W.PK_LINE:
+                    lst.append(W.serialize_geometry(W.LINESTRING, seg(p, hz), hz))
+                else:
+                    lst.append(W.serialize_geometry(W.POLYGON, [seg(p, hz)], hz))
+        per_geom[i] = lst
+        counts[i] = len(lst)
+    return counts, per_geom
 
 
 def explode_geometry(df: DataFrame, geometry: str,
@@ -68,11 +87,12 @@ def explode_geometry(df: DataFrame, geometry: str,
 
     def gen(batches):
         for pdf in batches:
-            reps = pdf[geometry].map(lambda b: _split_parts(b))
-            counts = reps.map(len)
+            blobs = list(pdf[geometry])
+            counts, per_geom = _split_parts_batch(W.parse_wkb(blobs), blobs)
             idx = np.repeat(np.arange(len(pdf)), counts)
             out = pdf.iloc[idx].reset_index(drop=True)
-            out[geometry] = [p for parts in reps for p in parts]
+            out[geometry] = [p for v in per_geom
+                             for p in (v if isinstance(v, list) else [v])]
             if index_parts:
                 out["part_index"] = np.concatenate(
                     [np.arange(c) for c in counts]) if len(pdf) else \
