@@ -659,6 +659,22 @@ def q_to_mercator(spark, sf_dir):
     )
 
 
+def q_to_utm(spark, sf_dir):
+    """to_crs reprojection EPSG:4326 → EPSG:32633, UTM zone 33N
+    (reference expr.py:255-257 accepts any pyproj CRS; the engine
+    implements the UTM family closed-form via the Krüger series).
+    Points filtered to ±12° of the zone's central meridian (15°E) —
+    the series' accurate domain; the oracle evaluates the identical
+    series with exp/ln-expanded hyperbolics."""
+    g = _cust_points(spark, sf_dir)
+    g = g[(g.x >= 3.0) & (g.x <= 27.0)]
+    u = g.to_crs("EPSG:32633")
+    return u.df.select(
+        F.col("c_custkey").alias("custkey"),
+        F.round(u.x, 4).alias("easting"),
+        F.round(u.y, 4).alias("northing"))
+
+
 def q_convex_hull_area(spark, sf_dir):
     """convex_hull of a 3-point MULTIPOINT per row → right triangle with
     legs w,h → area w·h/2 (reference expr.py:963-972)."""
@@ -1236,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_all_bounds": q_union_all_bounds,
         "explode_parts": q_explode_parts,
         "to_mercator": q_to_mercator,
+        "to_utm": q_to_utm,
         "convex_hull_area": q_convex_hull_area,
         "line_interpolate": q_line_interpolate,
         "rotate_scale": q_rotate_scale,
@@ -1330,6 +1347,59 @@ def _simhash16_sql() -> str:
     )
     return (f"SELECT doc_id, ({terms}) AS simhash16 FROM "
             f"(SELECT doc_id, list_distinct({_TOKENS}) AS toks FROM documents)")
+
+
+def _utm_oracle_sql() -> str:
+    """DuckDB replica of the engine's Krüger-series UTM forward
+    projection (zone 33N): identical constants imported from the
+    engine, hyperbolics expanded to exp/ln (DuckDB lacks them), staged
+    CTEs mirroring the column pipeline.  Trig/exp differ from the JVM
+    by ~1 ulp at most — absorbed by round(..., 4) (0.1 mm)."""
+    from dask_geopandas_spark.core import _tm_series, _UTM_E0, _UTM_K0
+
+    e, A1, al, _, _ = _tm_series()
+    kA = _UTM_K0 * A1
+
+    def sinh(z):
+        return f"((exp({z}) - exp(-({z}))) / 2.0)"
+
+    def cosh(z):
+        return f"((exp({z}) + exp(-({z}))) / 2.0)"
+
+    def atanh(z):
+        return f"(0.5 * ln((1.0 + {z}) / (1.0 - {z})))"
+
+    def asinh(z):
+        return f"ln({z} + sqrt({z} * {z} + 1.0))"
+
+    psi = f"({atanh('s')} - {e!r} * {atanh(f'({e!r} * s)')})"
+    xi_series = " + ".join(
+        f"{al[j - 1]!r} * sin(xi_p * {2.0 * j!r}) * {cosh(f'eta_p * {2.0 * j!r}')}"
+        for j in range(1, 7))
+    eta_series = " + ".join(
+        f"{al[j - 1]!r} * cos(xi_p * {2.0 * j!r}) * {sinh(f'eta_p * {2.0 * j!r}')}"
+        for j in range(1, 7))
+    return f"""
+        WITH pts AS (
+            SELECT c_custkey AS custkey,
+                   CAST({CUST_X} AS DOUBLE) AS lon,
+                   CAST({CUST_Y} AS DOUBLE) AS lat
+            FROM customer
+            WHERE ({CUST_X}) >= 3.0 AND ({CUST_X}) <= 27.0
+        ),
+        s1 AS (SELECT custkey, radians(lon - 15.0) AS lam,
+                      sin(radians(lat)) AS s FROM pts),
+        s2 AS (SELECT custkey, lam, {sinh(psi)} AS t FROM s1),
+        s3 AS (SELECT custkey, atan2(t, cos(lam)) AS xi_p,
+                      {asinh('(sin(lam) / sqrt(t * t + cos(lam) * cos(lam)))')} AS eta_p
+               FROM s2),
+        s4 AS (SELECT custkey, (xi_p + {xi_series}) AS xi,
+                      (eta_p + {eta_series}) AS eta FROM s3)
+        SELECT custkey,
+               round({_UTM_E0!r} + {kA!r} * eta, 4) AS easting,
+               round({kA!r} * xi, 4) AS northing
+        FROM s4
+    """
 
 
 _COS = ("round(list_sum(list_transform(range(1, len(qa.v) + 1), "
@@ -1713,6 +1783,7 @@ def oracle_sql() -> dict[str, str]:
                              * 6378137.0), 3) AS avg_my
             FROM customer GROUP BY c_mktsegment
         """,
+        "to_utm": _utm_oracle_sql(),
         "convex_hull_area": f"""
             SELECT o_orderkey AS orderkey,
                    round({OB['w']} * {OB['h']} / 2.0, 6) AS hull_area,

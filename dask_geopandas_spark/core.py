@@ -213,16 +213,26 @@ class GeoDataFrame:
 
     def to_crs(self, crs: str) -> "GeoDataFrame":
         """Reprojection.  pyproj is not available in this environment, so
-        only the web-mercator pair EPSG:4326 ↔ EPSG:3857 is implemented
-        (standard spherical formulas); other CRS pairs raise."""
+        the supported families are implemented closed-form: the
+        web-mercator pair EPSG:4326 ↔ EPSG:3857 (spherical formulas) and
+        the full UTM grid EPSG:4326 ↔ EPSG:326xx/327xx (Krüger-series
+        transverse mercator, sub-mm vs pyproj); other pairs raise.
+        Point layers with symbolic coordinates reproject as native SQL
+        math inside codegen; everything else goes through one
+        Arrow-batched WKB rewrite UDF."""
         src = (self.crs or "").upper().replace("EPSG:", "")
         dst = crs.upper().replace("EPSG:", "")
         if src == dst:
             return self
+        utm = _parse_utm_epsg(dst) if src == "4326" else None
+        utm_inv = _parse_utm_epsg(src) if dst == "4326" else None
+        if utm is not None or utm_inv is not None:
+            return self._to_crs_utm(dst, utm, utm_inv)
         if (src, dst) not in (("4326", "3857"), ("3857", "4326")):
             raise NotImplementedError(
-                f"to_crs {self.crs} → {crs}: pyproj unavailable; only "
-                "EPSG:4326↔EPSG:3857 supported"
+                f"to_crs {self.crs} → {crs}: pyproj unavailable; supported "
+                "pairs are EPSG:4326↔EPSG:3857 and EPSG:4326↔UTM "
+                "(EPSG:326xx/327xx)"
             )
         if self._xy and not self._xy[3] and self._xy[4] < self._XY_MAX_DEPTH:
             # point layer with symbolic coordinates: the spherical
@@ -252,6 +262,45 @@ class GeoDataFrame:
         m = dict(self._crs)
         m[self._geometry] = f"EPSG:{dst}"
         return GeoDataFrame(out, self._geometry, crs_map=m)
+
+    def _to_crs_utm(self, dst: str, utm, utm_inv) -> "GeoDataFrame":
+        """UTM leg of to_crs: native column math for symbolic point
+        layers, Arrow-batched WKB rewrite otherwise."""
+        if self._xy and not self._xy[3] and self._xy[4] < self._XY_MAX_DEPTH:
+            xe, ye, deps, _, depth = self._xy
+            if utm is not None:
+                nx, ny = _tm_forward_cols(xe, ye, *utm)
+            else:
+                nx, ny = _tm_inverse_cols(xe, ye, *utm_inv)
+            geo = self._replace_geom(FX.st_point(nx, ny))
+            geo._xy = (nx, ny, deps, False, depth + 1)
+            m = dict(geo._crs)
+            m[self._geometry] = f"EPSG:{dst}"
+            geo._crs = m
+            return geo
+        if utm is not None:
+            zone, south = utm
+            fn = lambda x, y: _tm_forward_np(x, y, zone, south)  # noqa: E731
+        else:
+            zone, south = utm_inv
+            fn = lambda x, y: _tm_inverse_np(x, y, zone, south)  # noqa: E731
+        out = self._df.withColumn(self._geometry, _reproject_udf(fn)(self._geom()))
+        m = dict(self._crs)
+        m[self._geometry] = f"EPSG:{dst}"
+        return GeoDataFrame(out, self._geometry, crs_map=m)
+
+    def estimate_utm_crs(self) -> str:
+        """EPSG code of the UTM zone containing the layer's bounds
+        center (reference GeoDataFrame.estimate_utm_crs → pyproj
+        aoi query; same zone-pick semantics for WGS84 layers).  Runs one
+        ``total_bounds`` job (scan-free when spatial summaries exist)."""
+        if (self.crs or "").upper() not in ("EPSG:4326", "OGC:CRS84"):
+            raise NotImplementedError(
+                f"estimate_utm_crs needs a EPSG:4326 layer, got {self.crs!r}")
+        minx, miny, maxx, maxy = self.total_bounds()
+        cx, cy = (minx + maxx) / 2.0, (miny + maxy) / 2.0
+        zone = min(60, max(1, int((cx + 180.0) // 6) + 1))
+        return f"EPSG:{(32600 if cy >= 0 else 32700) + zone}"
 
     # ------------------------------------------------------------------
     # scalar accessors → Column expressions
@@ -898,6 +947,137 @@ def _mercator_to_lonlat(x, y):
     lon = np.rad2deg(x / _R)
     lat = np.rad2deg(2.0 * np.arctan(np.exp(y / _R)) - np.pi / 2.0)
     return lon, lat
+
+
+# ----------------------------------------------------------------------
+# built-in reprojection (UTM / transverse mercator, EPSG:326xx/327xx)
+# ----------------------------------------------------------------------
+
+_WGS84_F = 1.0 / 298.257223563
+_UTM_K0 = 0.9996
+_UTM_E0 = 500000.0
+_UTM_N0_SOUTH = 10000000.0
+
+
+def _tm_series():
+    """Krüger-series constants for WGS84 transverse mercator (Karney
+    2011 "Transverse Mercator with an accuracy of a few nanometers",
+    public formulas; reference delegates the same projection to pyproj,
+    expr.py:255-257): eccentricity, rectifying radius A, forward α,
+    inverse β, and conformal→geodetic latitude δ coefficients."""
+    n = _WGS84_F / (2.0 - _WGS84_F)
+    A1 = _R / (1 + n) * (1 + n**2 / 4 + n**4 / 64 + n**6 / 256)
+    al = [
+        n/2 - 2*n**2/3 + 5*n**3/16 + 41*n**4/180 - 127*n**5/288 + 7891*n**6/37800,
+        13*n**2/48 - 3*n**3/5 + 557*n**4/1440 + 281*n**5/630 - 1983433*n**6/1935360,
+        61*n**3/240 - 103*n**4/140 + 15061*n**5/26880 + 167603*n**6/181440,
+        49561*n**4/161280 - 179*n**5/168 + 6601661*n**6/7257600,
+        34729*n**5/80640 - 3418889*n**6/1995840,
+        212378941*n**6/149504000,
+    ]
+    be = [
+        n/2 - 2*n**2/3 + 37*n**3/96 - n**4/360 - 81*n**5/512 + 96199*n**6/604800,
+        n**2/48 + n**3/15 - 437*n**4/1440 + 46*n**5/105 - 1118711*n**6/3870720,
+        17*n**3/480 - 37*n**4/840 - 209*n**5/4480 + 5569*n**6/90720,
+        4397*n**4/161280 - 11*n**5/504 - 830251*n**6/7257600,
+        4583*n**5/161280 - 108847*n**6/3991680,
+        20648693*n**6/638668800,
+    ]
+    de = [
+        2*n - 2*n**2/3 - 2*n**3 + 116*n**4/45,
+        7*n**2/3 - 8*n**3/5 - 227*n**4/45,
+        56*n**3/15 - 136*n**4/35,
+        4279*n**4/315,
+    ]
+    e = (_WGS84_F * (2.0 - _WGS84_F)) ** 0.5
+    return e, A1, al, be, de
+
+
+def _utm_lon0(zone: int) -> float:
+    return zone * 6.0 - 183.0
+
+
+def _parse_utm_epsg(code: str):
+    """'326XX'/'327XX' → (zone, south) or None."""
+    if len(code) == 5 and code[:3] in ("326", "327") and code[3:].isdigit():
+        zone = int(code[3:])
+        if 1 <= zone <= 60:
+            return zone, code[:3] == "327"
+    return None
+
+
+def _tm_forward_np(x, y, zone: int, south: bool):
+    """lon/lat degrees → UTM easting/northing (numpy, mirrors the native
+    column formulas term-for-term)."""
+    e, A1, al, _, _ = _tm_series()
+    lam = np.deg2rad(x - _utm_lon0(zone))
+    phi = np.deg2rad(y)
+    s = np.sin(phi)
+    t = np.sinh(np.arctanh(s) - e * np.arctanh(e * s))
+    cl, sl = np.cos(lam), np.sin(lam)
+    xi_p = np.arctan2(t, cl)
+    eta_p = np.arcsinh(sl / np.sqrt(t * t + cl * cl))
+    xi, eta = xi_p.copy(), eta_p.copy()
+    for j, a in enumerate(al, start=1):
+        xi = xi + a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+        eta = eta + a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+    E = _UTM_E0 + _UTM_K0 * A1 * eta
+    N = (_UTM_N0_SOUTH if south else 0.0) + _UTM_K0 * A1 * xi
+    return E, N
+
+
+def _tm_inverse_np(E, N, zone: int, south: bool):
+    """UTM easting/northing → lon/lat degrees (numpy)."""
+    _, A1, _, be, de = _tm_series()
+    xi = (N - (_UTM_N0_SOUTH if south else 0.0)) / (_UTM_K0 * A1)
+    eta = (E - _UTM_E0) / (_UTM_K0 * A1)
+    xi_p, eta_p = xi.copy(), eta.copy()
+    for j, b in enumerate(be, start=1):
+        xi_p = xi_p - b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta_p = eta_p - b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
+    phi = chi.copy()
+    for j, d in enumerate(de, start=1):
+        phi = phi + d * np.sin(2 * j * chi)
+    lon = _utm_lon0(zone) + np.rad2deg(np.arctan2(np.sinh(eta_p), np.cos(xi_p)))
+    return lon, np.rad2deg(phi)
+
+
+def _tm_forward_cols(xe: Column, ye: Column, zone: int, south: bool):
+    """Native-SQL forward transverse mercator: the same Krüger series as
+    `_tm_forward_np`, expressed with pyspark.sql.functions so symbolic
+    point layers reproject inside whole-stage codegen (no Python)."""
+    e, A1, al, _, _ = _tm_series()
+    lam = F.radians(xe - F.lit(_utm_lon0(zone)))
+    phi = F.radians(ye)
+    s = F.sin(phi)
+    t = F.sinh(F.atanh(s) - F.lit(e) * F.atanh(F.lit(e) * s))
+    cl, sl = F.cos(lam), F.sin(lam)
+    xi_p = F.atan2(t, cl)
+    eta_p = F.asinh(sl / F.sqrt(t * t + cl * cl))
+    xi, eta = xi_p, eta_p
+    for j, a in enumerate(al, start=1):
+        xi = xi + F.lit(a) * F.sin(xi_p * F.lit(2.0 * j)) * F.cosh(eta_p * F.lit(2.0 * j))
+        eta = eta + F.lit(a) * F.cos(xi_p * F.lit(2.0 * j)) * F.sinh(eta_p * F.lit(2.0 * j))
+    E = F.lit(_UTM_E0) + F.lit(_UTM_K0 * A1) * eta
+    N = F.lit(_UTM_N0_SOUTH if south else 0.0) + F.lit(_UTM_K0 * A1) * xi
+    return E, N
+
+
+def _tm_inverse_cols(Ee: Column, Ne: Column, zone: int, south: bool):
+    _, A1, _, be, de = _tm_series()
+    xi = (Ne - F.lit(_UTM_N0_SOUTH if south else 0.0)) / F.lit(_UTM_K0 * A1)
+    eta = (Ee - F.lit(_UTM_E0)) / F.lit(_UTM_K0 * A1)
+    xi_p, eta_p = xi, eta
+    for j, b in enumerate(be, start=1):
+        xi_p = xi_p - F.lit(b) * F.sin(xi * F.lit(2.0 * j)) * F.cosh(eta * F.lit(2.0 * j))
+        eta_p = eta_p - F.lit(b) * F.cos(xi * F.lit(2.0 * j)) * F.sinh(eta * F.lit(2.0 * j))
+    chi = F.asin(F.sin(xi_p) / F.cosh(eta_p))
+    phi = chi
+    for j, d in enumerate(de, start=1):
+        phi = phi + F.lit(d) * F.sin(chi * F.lit(2.0 * j))
+    lon = F.lit(_utm_lon0(zone)) + F.degrees(F.atan2(F.sinh(eta_p), F.cos(xi_p)))
+    return lon, F.degrees(phi)
 
 
 def _reproject_udf(fn):
