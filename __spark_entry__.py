@@ -1000,6 +1000,31 @@ def q_lsh_dedup(spark, sf_dir):
     )
 
 
+# A 3-doc chain under the (4 hashes, 2 bands, k=3) pipeline, found by
+# search over the portable-hash space: A~B share band 0, B~C share
+# band 1, A and C share nothing.  Single-pass propagation leaves C
+# represented by B; the fixpoint collapses the whole chain onto A.
+_CHAIN_DOCS = [
+    (1000001, "chain base alpha bravo delta echo"),
+    (1000002, "chain base alpha bravo delta echo k0004"),
+    (1000003, "chain base alpha bravo delta echo k0004 k0001"),
+]
+
+
+def q_lsh_dedup_fixpoint(spark, sf_dir):
+    """Fixpoint LSH dedup (lsh_dedup max_iter>1): documents plus the
+    planted `_CHAIN_DOCS` chain, whose representative collapses to the
+    chain head only under iterated propagation — this query returns a
+    different answer than single-pass lsh_dedup by construction.  The
+    oracle unrolls the identical propagation 5 extra times (iterations
+    past convergence are no-ops, and the engine's early-stop fires only
+    on a no-op iteration, so both sides compute the same labels)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(_CHAIN_DOCS, "doc_id long, text string")
+    return DD.lsh_dedup(d.unionByName(planted), num_hashes=4, bands=2,
+                        k=3, max_iter=6)
+
+
 def q_jaccard_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     pairs = DD.lsh_candidate_pairs(d, num_hashes=4, bands=2, k=3)
@@ -1272,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sigs": q_minhash_sigs,
         "lsh_pairs": q_lsh_pairs,
         "lsh_dedup": q_lsh_dedup,
+        "lsh_dedup_fixpoint": q_lsh_dedup_fixpoint,
         "fillna_isna": q_fillna_isna,
         "region_dissolve": q_region_dissolve,
         "rollup_revenue": q_rollup_revenue,
@@ -1443,6 +1469,38 @@ def oracle_sql() -> dict[str, str]:
         FROM banded b JOIN bmin m ON b.band = m.band AND b.bh = m.bh
         GROUP BY b.doc_id
     """
+    # fixpoint variant: same banded pipeline over documents ∪ the planted
+    # chain, bucket-min propagation unrolled 5 extra iterations (exactly
+    # the engine's max_iter=6; post-convergence iterations are no-ops)
+    _chain_vals = ", ".join(f"({i}, '{t}')" for i, t in _CHAIN_DOCS)
+    _fx_base = (f"(SELECT doc_id, text FROM documents UNION ALL "
+                f"SELECT * FROM (VALUES {_chain_vals}) AS v(doc_id, text))"
+                " AS basedocs")
+    lsh_fx = banded.replace("FROM documents", f"FROM {_fx_base}") + """
+        , bmin0 AS (
+            SELECT band, bh, min(doc_id) AS bmin
+            FROM banded GROUP BY band, bh
+        ),
+        rep0 AS (
+            SELECT b.doc_id, min(m.bmin) AS rep_id
+            FROM banded b JOIN bmin0 m ON b.band = m.band AND b.bh = m.bh
+            GROUP BY b.doc_id
+        )
+    """
+    for _t_ in range(1, 6):
+        lsh_fx += f"""
+        , bmin{_t_} AS (
+            SELECT b.band, b.bh, min(r.rep_id) AS bmin
+            FROM banded b JOIN rep{_t_ - 1} r ON b.doc_id = r.doc_id
+            GROUP BY b.band, b.bh
+        ),
+        rep{_t_} AS (
+            SELECT b.doc_id, min(m.bmin) AS rep_id
+            FROM banded b JOIN bmin{_t_} m ON b.band = m.band AND b.bh = m.bh
+            GROUP BY b.doc_id
+        )
+        """
+    lsh_fx += "SELECT doc_id, rep_id FROM rep5"
     jaccard = banded + f"""
         , pairs AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1875,6 +1933,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_sigs": sigs,
         "lsh_pairs": lsh_pairs,
         "lsh_dedup": lsh_dedup,
+        "lsh_dedup_fixpoint": lsh_fx,
         "spatial_hourly": f"""
             WITH q AS (
                 SELECT date_trunc('hour', ts) AS window_start,

@@ -168,7 +168,7 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
 
 def lsh_dedup(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id", num_hashes: int = 8,
-              bands: int = 4, k: int = 3) -> DataFrame:
+              bands: int = 4, k: int = 3, max_iter: int = 1) -> DataFrame:
     """Linear-cost LSH dedup: (doc_id, rep_id) where rep_id is the min
     doc id over every band bucket the doc belongs to; keep rows with
     rep_id == doc_id to dedup.  This is the 100 TB-safe form: a bucket
@@ -177,16 +177,43 @@ def lsh_dedup(df: DataFrame, text_col: str = "text",
     ``lsh_candidate_pairs`` would emit — both aggregations are
     partial+final, so hot buckets combine map-side.
 
-    One propagation step, not full connected components: chained
-    near-dup clusters (A~B~C with A,C not sharing a band) may keep two
-    representatives — the standard single-pass tradeoff."""
+    ``max_iter=1`` (default) is one propagation step: chained near-dup
+    clusters (A~B~C with A,C not sharing a band) may keep two
+    representatives — the standard single-pass tradeoff.
+
+    ``max_iter>1`` iterates bucket-min label propagation to a fixpoint
+    (min-label connected components over the doc↔bucket bipartite
+    graph), collapsing chains to one representative.  Each iteration is
+    the same two partial+final aggregations over the (persisted) banded
+    table; labels shrink monotonically, convergence needs at most the
+    cluster-graph diameter (near-dup clusters are band-wise cliques, so
+    a handful of iterations covers real chains), and an early-stop
+    check (one cheap any-row-changed job per iteration) exits as soon
+    as an iteration changes nothing."""
     banded = _banded(df, text_col, id_col, num_hashes, bands, k)
     bucket_min = banded.groupBy("bk").agg(F.min(id_col).alias("_bmin"))
-    return (
+    cur = (
         banded.join(bucket_min, on="bk")
         .groupBy(id_col)
         .agg(F.min("_bmin").alias("rep_id"))
     )
+    for _ in range(max_iter - 1):
+        cur = cur.persist()
+        bmin = (banded.join(cur, on=id_col)
+                .groupBy("bk").agg(F.min("rep_id").alias("_bmin")))
+        nxt = (banded.join(bmin, on="bk")
+               .groupBy(id_col).agg(F.min("_bmin").alias("rep_id")).persist())
+        converged = (
+            nxt.withColumnRenamed("rep_id", "_new")
+            .join(cur, on=id_col)
+            .filter(F.col("_new") != F.col("rep_id"))
+            .limit(1).count() == 0
+        )
+        cur.unpersist()
+        cur = nxt
+        if converged:
+            break
+    return cur
 
 
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",

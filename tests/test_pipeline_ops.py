@@ -45,6 +45,24 @@ class TestDedup:
                  lsh_candidate_pairs(docs, num_hashes=4, bands=2).collect()}
         assert (0, 1) in pairs
 
+    def test_lsh_dedup_fixpoint_collapses_chains(self, spark):
+        """A~B share band 0, B~C share band 1, A!~C (searched texts, see
+        __spark_entry__._CHAIN_DOCS): single-pass leaves C under B;
+        the fixpoint collapses the chain onto A."""
+        from dask_geopandas_spark.operators.dedup import lsh_dedup
+
+        docs = spark.createDataFrame(
+            [(1, "chain base alpha bravo delta echo"),
+             (2, "chain base alpha bravo delta echo k0004"),
+             (3, "chain base alpha bravo delta echo k0004 k0001")],
+            "doc_id long, text string")
+        single = {r["doc_id"]: r["rep_id"] for r in
+                  lsh_dedup(docs, num_hashes=4, bands=2, max_iter=1).collect()}
+        fx = {r["doc_id"]: r["rep_id"] for r in
+              lsh_dedup(docs, num_hashes=4, bands=2, max_iter=6).collect()}
+        assert single == {1: 1, 2: 1, 3: 2}
+        assert fx == {1: 1, 2: 1, 3: 1}
+
     def test_lsh_dedup_linear_form(self, docs):
         from dask_geopandas_spark.operators.dedup import (lsh_candidate_pairs,
                                                           lsh_dedup)
