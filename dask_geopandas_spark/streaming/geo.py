@@ -26,8 +26,20 @@ from ..functions import core as FX
 def _watermarkable_ts(df: DataFrame, ts_col: str) -> DataFrame:
     """Watermarks require TIMESTAMP (LTZ); parquet event times often read
     as TIMESTAMP_NTZ.  Cast NTZ wall-clock to LTZ (session timezone) so the
-    same code path serves batch and streaming inputs."""
+    same code path serves batch and streaming inputs.
+
+    The cast interprets wall-clock values in the SESSION timezone, so
+    window/session boundaries only match a wall-clock (date_trunc-style)
+    oracle under UTC — any zone with DST gaps/overlaps or a fractional
+    offset silently shifts them.  A non-UTC session therefore fails
+    loudly here instead."""
     if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+            raise ValueError(
+                f"casting TIMESTAMP_NTZ {ts_col!r} for watermarking requires "
+                f"spark.sql.session.timeZone=UTC, got {tz!r}: wall-clock "
+                "windows would shift across DST transitions")
         df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 
