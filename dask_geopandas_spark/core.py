@@ -708,7 +708,11 @@ class GeoDataFrame:
         else:
             raise ValueError(f"unknown curve {by!r}")
         df = self._df.withColumn("_curve_key", key)
-        n = npartitions or df.rdd.getNumPartitions()
+        # default partition count without df.rdd (which forces a
+        # DataFrame→RDD conversion plan just to read a number): the
+        # shuffle lands on spark.sql.shuffle.partitions anyway
+        n = npartitions or int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
         out = (
             df.repartitionByRange(n, "_curve_key")
             .sortWithinPartitions("_curve_key")

@@ -127,11 +127,26 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 
 def _banded(df: DataFrame, text_col: str, id_col: str, num_hashes: int,
-            bands: int, k: int) -> DataFrame:
-    """(id, bk=struct<band,bh>) — one row per doc per LSH band."""
+            bands: int, k: int, materialize: str = "memory") -> DataFrame:
+    """(id, bk=struct<band,bh>) — one row per doc per LSH band.
+
+    The signature table is consumed twice by every caller (both sides
+    of the band self-join), so ``materialize`` picks the re-use
+    strategy: ``"memory"`` persists it (right at interactive scale, but
+    an unbounded cache barrier at 100 TB); ``"none"`` recomputes the
+    single-pass native expressions per consumer (zero cache, one extra
+    scan — often the cheapest at cluster scale); any other string is a
+    directory path the signatures are checkpointed to as parquet and
+    re-read from (bounded memory AND single computation — the 100 TB
+    default when a scratch location exists)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, k).persist()
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    if materialize == "memory":
+        sig = sig.persist()
+    elif materialize not in (None, "none"):
+        sig.write.mode("overwrite").parquet(materialize)
+        sig = sig.sparkSession.read.parquet(materialize)
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh{i}").cast("string")
@@ -145,7 +160,8 @@ def _banded(df: DataFrame, text_col: str, id_col: str, num_hashes: int,
 
 def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", num_hashes: int = 8,
-                        bands: int = 4, k: int = 3) -> DataFrame:
+                        bands: int = 4, k: int = 3,
+                        materialize: str = "memory") -> DataFrame:
     """LSH banding: docs sharing any band of the MinHash signature become
     candidate near-dup pairs.  Output: (id_a, id_b) with id_a < id_b.
 
@@ -154,8 +170,9 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     shuffled hash join on a high-cardinality key; AQE skew-join splits
     moderately hot buckets.  NOTE the pair list is inherently quadratic
     in bucket size — when the goal is dedup rather than candidate
-    scoring, use ``lsh_dedup`` (linear) instead."""
-    banded = _banded(df, text_col, id_col, num_hashes, bands, k)
+    scoring, use ``lsh_dedup`` (linear) instead.  ``materialize``: see
+    `_banded` (memory / none / parquet-checkpoint path)."""
+    banded = _banded(df, text_col, id_col, num_hashes, bands, k, materialize)
     a = banded.select(F.col(id_col).alias("id_a"), F.col("bk"))
     b_ = banded.select(F.col(id_col).alias("id_b"), F.col("bk"))
     return (
@@ -168,7 +185,8 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
 
 def lsh_dedup(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id", num_hashes: int = 8,
-              bands: int = 4, k: int = 3, max_iter: int = 1) -> DataFrame:
+              bands: int = 4, k: int = 3, max_iter: int = 1,
+              materialize: str = "memory") -> DataFrame:
     """Linear-cost LSH dedup: (doc_id, rep_id) where rep_id is the min
     doc id over every band bucket the doc belongs to; keep rows with
     rep_id == doc_id to dedup.  This is the 100 TB-safe form: a bucket
@@ -189,8 +207,11 @@ def lsh_dedup(df: DataFrame, text_col: str = "text",
     cluster-graph diameter (near-dup clusters are band-wise cliques, so
     a handful of iterations covers real chains), and an early-stop
     check (one cheap any-row-changed job per iteration) exits as soon
-    as an iteration changes nothing."""
-    banded = _banded(df, text_col, id_col, num_hashes, bands, k)
+    as an iteration changes nothing.
+
+    ``materialize``: signature re-use strategy, see `_banded`
+    (memory / none / parquet-checkpoint path)."""
+    banded = _banded(df, text_col, id_col, num_hashes, bands, k, materialize)
     bucket_min = banded.groupBy("bk").agg(F.min(id_col).alias("_bmin"))
     cur = (
         banded.join(bucket_min, on="bk")

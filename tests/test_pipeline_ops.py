@@ -63,6 +63,21 @@ class TestDedup:
         assert single == {1: 1, 2: 1, 3: 2}
         assert fx == {1: 1, 2: 1, 3: 1}
 
+    def test_banded_materialize_modes_agree(self, docs, tmp_path):
+        """persist / recompute / parquet-checkpoint signature staging all
+        produce identical dedup labels (the 100 TB knob is purely a
+        memory-vs-IO tradeoff, never a semantics change)."""
+        from dask_geopandas_spark.operators.dedup import lsh_dedup
+
+        def labels(**kw):
+            return {r["doc_id"]: r["rep_id"] for r in
+                    lsh_dedup(docs, num_hashes=4, bands=2, **kw).collect()}
+
+        mem = labels(materialize="memory")
+        assert labels(materialize="none") == mem
+        assert labels(materialize=str(tmp_path / "sig_ckpt")) == mem
+        assert (tmp_path / "sig_ckpt").exists()
+
     def test_lsh_dedup_linear_form(self, docs):
         from dask_geopandas_spark.operators.dedup import (lsh_candidate_pairs,
                                                           lsh_dedup)
