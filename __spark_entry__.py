@@ -991,6 +991,32 @@ def q_fillna_isna(spark, sf_dir):
     )
 
 
+def q_quality_signals(spark, sf_dir):
+    """Gopher-style repetition/boilerplate quality rules
+    (repetition_signals): one native projection per doc.  The synthetic
+    docs are single-line, so the query first rewrites ' a '/' the '
+    separators into bulleted newlines (deterministically, mirrored in
+    the oracle) to exercise the line-level rules."""
+    d = _t(spark, sf_dir, "documents")
+    text2 = F.regexp_replace(F.col("text"), " (a|the) ", "\n- ")
+    sig = TX.repetition_signals(text2)
+    return (
+        d.select("doc_id", F.explode(F.array(sig)).alias("_s"))
+        .select("doc_id", F.col("_s.n_lines").cast("long").alias("n_lines"),
+                "_s.dup_line_frac", "_s.bullet_line_frac",
+                "_s.dup_word_frac", "_s.mean_word_len",
+                "_s.alpha_word_frac", "_s.symbol_word_ratio")
+    )
+
+
+def q_top_bigram(spark, sf_dir):
+    """Most-frequent word bigram per document and the fraction of
+    non-space characters it covers (the Gopher top-n-gram repetition
+    filter): explode → partial+final count → per-doc top-1 window with
+    lexicographic tie-break."""
+    return TX.top_ngram_fraction(_t(spark, sf_dir, "documents"), n=2)
+
+
 def q_lsh_dedup(spark, sf_dir):
     """Linear LSH dedup (bucket-min representative propagation) — the
     scale-safe form of near-dup removal: O(docs x bands), never
@@ -1298,6 +1324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": q_lsh_pairs,
         "lsh_dedup": q_lsh_dedup,
         "lsh_dedup_fixpoint": q_lsh_dedup_fixpoint,
+        "quality_signals": q_quality_signals,
+        "top_bigram": q_top_bigram,
         "fillna_isna": q_fillna_isna,
         "region_dissolve": q_region_dissolve,
         "rollup_revenue": q_rollup_revenue,
@@ -1501,6 +1529,68 @@ def oracle_sql() -> dict[str, str]:
         )
         """
     lsh_fx += "SELECT doc_id, rep_id FROM rep5"
+
+    quality_signals = f"""
+        WITH base AS (
+            SELECT doc_id,
+                   regexp_replace(text, ' (a|the) ', chr(10) || '- ', 'g') AS text
+            FROM documents
+        ),
+        lt AS (SELECT doc_id, string_split(text, chr(10)) AS lines,
+                      {_TOKENS} AS toks, text
+               FROM base)
+        SELECT doc_id,
+               len(lines) AS n_lines,
+               round(CASE WHEN len(lines) > 0
+                     THEN 1.0 - len(list_distinct(lines)) * 1.0 / len(lines)
+                     ELSE 0.0 END, 6) AS dup_line_frac,
+               round(CASE WHEN len(lines) > 0
+                     THEN len(list_filter(lines,
+                              l -> regexp_matches(l, '^\\s*[-*•]'))) * 1.0
+                          / len(lines)
+                     ELSE 0.0 END, 6) AS bullet_line_frac,
+               round(CASE WHEN len(toks) > 0
+                     THEN 1.0 - len(list_distinct(toks)) * 1.0 / len(toks)
+                     ELSE 0.0 END, 6) AS dup_word_frac,
+               round(CASE WHEN len(toks) > 0
+                     THEN list_sum(list_transform(toks, t -> length(t))) * 1.0
+                          / len(toks)
+                     ELSE 0.0 END, 6) AS mean_word_len,
+               round(CASE WHEN len(toks) > 0
+                     THEN len(list_filter(toks,
+                              t -> regexp_matches(t, '[a-z]'))) * 1.0
+                          / len(toks)
+                     ELSE 0.0 END, 6) AS alpha_word_frac,
+               round(((length(text) - length(replace(text, '#', '')))
+                      + (length(text) - length(replace(text, '...', ''))) / 3)
+                     * 1.0 / greatest(len(toks), 1), 6) AS symbol_word_ratio
+        FROM lt
+    """
+    top_bigram = f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS} AS toks,
+                   length(regexp_replace(text, '\\s', '', 'g')) AS chars
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, chars,
+                   unnest(CASE WHEN len(toks) >= 2 THEN
+                            [array_to_string(toks[i:i+1], ' ')
+                             for i in range(1, len(toks))]
+                          ELSE [array_to_string(toks, ' ')] END) AS gram
+            FROM toks
+        ),
+        cnts AS (SELECT doc_id, chars, gram, count(*) AS cnt
+                 FROM grams GROUP BY doc_id, chars, gram),
+        ranked AS (SELECT doc_id, chars, gram, cnt,
+                          row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY cnt DESC, gram ASC) AS rn
+                   FROM cnts)
+        SELECT doc_id, gram AS top_gram,
+               round(cnt * length(replace(gram, ' ', '')) * 1.0
+                     / greatest(chars, 1), 6) AS top_frac
+        FROM ranked WHERE rn = 1
+    """
     jaccard = banded + f"""
         , pairs AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1934,6 +2024,8 @@ def oracle_sql() -> dict[str, str]:
         "lsh_pairs": lsh_pairs,
         "lsh_dedup": lsh_dedup,
         "lsh_dedup_fixpoint": lsh_fx,
+        "quality_signals": quality_signals,
+        "top_bigram": top_bigram,
         "spatial_hourly": f"""
             WITH q AS (
                 SELECT date_trunc('hour', ts) AS window_start,

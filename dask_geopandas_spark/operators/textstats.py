@@ -135,3 +135,102 @@ def fingerprint(text: Column) -> Column:
     exact dup detection)."""
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.md5(norm)
+
+
+def repetition_signals(text: Column) -> Column:
+    """Gopher-style repetition/boilerplate quality rules (Rae et al.
+    2021 "Scaling Language Models", public) as ONE native expression:
+    struct<n_lines, dup_line_frac, bullet_line_frac, dup_word_frac,
+    mean_word_len, alpha_word_frac, symbol_word_ratio>.
+
+    Lines and tokens are each let-bound so one split pass per row feeds
+    every signal (the CollapseProject countermeasure used throughout
+    this module); everything stays in whole-stage codegen — the rules
+    run as a straight projection over the corpus scan at any scale."""
+
+    def _build(lines: Column, toks: Column) -> Column:
+        n_lines = F.size(lines)
+        n_words = F.size(toks)
+        dup_line = F.when(
+            n_lines > 0,
+            1.0 - F.size(F.array_distinct(lines)) / n_lines.cast("double"),
+        ).otherwise(F.lit(0.0))
+        bullet = F.when(
+            n_lines > 0,
+            F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+            / n_lines.cast("double"),
+        ).otherwise(F.lit(0.0))
+        dup_word = F.when(
+            n_words > 0,
+            1.0 - F.size(F.array_distinct(toks)) / n_words.cast("double"),
+        ).otherwise(F.lit(0.0))
+        mean_len = F.when(
+            n_words > 0,
+            F.aggregate(toks, F.lit(0).cast("long"),
+                        lambda acc, t: acc + F.length(t))
+            / n_words.cast("double"),
+        ).otherwise(F.lit(0.0))
+        alpha_word = F.when(
+            n_words > 0,
+            F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+            / n_words.cast("double"),
+        ).otherwise(F.lit(0.0))
+        # '#' and '...' occurrences per word (replace-based counting is
+        # engine-portable, unlike regex count functions)
+        hashes = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+        dots = (F.length(text)
+                - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
+        symbol = (hashes + dots) / F.greatest(n_words, F.lit(1)).cast("double")
+        return F.struct(
+            n_lines.alias("n_lines"),
+            F.round(dup_line, 6).alias("dup_line_frac"),
+            F.round(bullet, 6).alias("bullet_line_frac"),
+            F.round(dup_word, 6).alias("dup_word_frac"),
+            F.round(mean_len, 6).alias("mean_word_len"),
+            F.round(alpha_word, 6).alias("alpha_word_frac"),
+            F.round(symbol, 6).alias("symbol_word_ratio"),
+        )
+
+    return let(
+        F.split(text, "\n"),
+        lambda lines: let(tokens(text), lambda toks: _build(lines, toks)),
+    )
+
+
+def top_ngram_fraction(df, text_col: str = "text", id_col: str = "doc_id",
+                       n: int = 2):
+    """(id, top_gram, top_frac): fraction of the document's non-space
+    characters covered by its most frequent word n-gram — the Gopher
+    repetition filter for boilerplate detection.
+
+    Distributed shape: explode n-grams → per-(doc, gram) count (hash
+    aggregation with map-side partials) → per-doc top-1 window
+    (tie-break: lexicographically smallest gram, so results are
+    deterministic and oracle-reproducible).  Both shuffles key on the
+    doc id (high cardinality), so the plan is skew-safe and linear in
+    corpus size — never a cross join or per-doc collect."""
+    from pyspark.sql import Window
+
+    from .dedup import shingles_of_tokens
+
+    chars = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    grams = df.select(
+        F.col(id_col), chars.alias("_chars"),
+        F.explode(let(tokens(F.col(text_col)),
+                      lambda t: shingles_of_tokens(t, n))).alias("gram"),
+    )
+    cnts = grams.groupBy(id_col, "_chars", "gram").count()
+    w = Window.partitionBy(id_col).orderBy(F.desc("count"), F.asc("gram"))
+    return (
+        cnts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("gram").alias("top_gram"),
+            F.round(
+                F.col("count") * F.length(F.replace(F.col("gram"), F.lit(" "),
+                                                    F.lit("")))
+                / F.greatest(F.col("_chars"), F.lit(1)).cast("double"),
+                6).alias("top_frac"),
+        )
+    )

@@ -173,6 +173,36 @@ class TestSimilarity:
 
 
 class TestTextStats:
+    def test_repetition_signals(self, spark):
+        from dask_geopandas_spark.operators.textstats import repetition_signals
+
+        df = spark.createDataFrame(pd.DataFrame({"t": [
+            "- one\n- one\n- two",          # dup line, all bullets
+            "alpha beta alpha beta alpha",  # word repetition, no lines
+        ]}))
+        out = df.select(repetition_signals(F.col("t")).alias("s")).collect()
+        s0, s1 = out[0]["s"], out[1]["s"]
+        assert s0["n_lines"] == 3
+        assert s0["dup_line_frac"] == pytest.approx(1 / 3, abs=1e-6)
+        assert s0["bullet_line_frac"] == pytest.approx(1.0)
+        assert s1["n_lines"] == 1
+        assert s1["dup_word_frac"] == pytest.approx(0.6)  # 2 distinct / 5
+        assert s1["mean_word_len"] == pytest.approx((5 * 3 + 4 * 2) / 5, abs=1e-6)
+
+    def test_top_ngram_fraction(self, spark):
+        from dask_geopandas_spark.operators.textstats import top_ngram_fraction
+
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": ["go go go go stop",       # top bigram 'go go' ×3
+                     "one two"],               # single bigram
+        }))
+        out = {r["doc_id"]: r for r in top_ngram_fraction(df, n=2).collect()}
+        assert out[1]["top_gram"] == "go go"
+        # 3 occurrences × 4 chars / 12 non-space chars
+        assert out[1]["top_frac"] == pytest.approx(3 * 4 / 12, abs=1e-6)
+        assert out[2]["top_gram"] == "one two"
+
     def test_lang_id(self, docs):
         from dask_geopandas_spark.operators.textstats import lang_id
 
