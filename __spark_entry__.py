@@ -553,6 +553,32 @@ def q_stream_hourly(spark, sf_dir):
     return spark.table(qname)
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup: readStream over documents → stateful
+    dropDuplicates on the normalized-text fingerprint → memory sink
+    (availableNow).  Which doc survives is arrival-order dependent, but
+    the surviving fingerprint SET is exact, so the query returns
+    per-hex-bucket counts of distinct fingerprints — deterministic and
+    hash-checked against a batch DISTINCT oracle (streaming and batch
+    dedup must agree on the survivor set)."""
+    from dask_geopandas_spark.streaming.dedup import streaming_exact_dedup
+
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (spark.readStream.schema(static.schema)
+              .option("pathGlobFilter", "documents.parquet").parquet(sf_dir))
+    dd = streaming_exact_dedup(stream, "text")
+    qname = "stream_dedup_sink"
+    q = (dd.writeStream.format("memory").queryName(qname)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    survivors = spark.table(qname)
+    return (
+        survivors.select(TX.fingerprint(F.col("text")).alias("fp"))
+        .groupBy(F.substring("fp", 1, 1).alias("bucket"))
+        .agg(F.count("*").alias("n_unique"))
+    )
+
+
 def q_spatial_shuffle(spark, sf_dir):
     """spatial_shuffle (reference expr.py:738-820): Hilbert
     repartitionByRange + sortWithinPartitions.  Emits per-partition
@@ -607,6 +633,19 @@ def q_ann_ivf(spark, sf_dir):
     queries = e.filter(F.col("vec_id") < 20)
     out = SIM.ivf_topk(e, queries, cents, k=5, nprobe=3)
     return out.select("query_id", "neighbor_id", "cos", "rank")
+
+
+def q_ann_ivf_exact(spark, sf_dir):
+    """IVF probing ALL cells (nprobe = n_cells): exhaustive search
+    through the IVF machinery — cell assignment, per-query probe list,
+    cell equi-join — whose result must equal brute-force top-k exactly,
+    regardless of how the centroids trained.  Hash-verified against the
+    same SQL oracle as ann_topk; q_ann_ivf keeps the approximate
+    nprobe<n_cells path (recall pinned in pytest)."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = SIM.train_centroids(e, n_cells=8, iters=1)
+    queries = e.filter(F.col("vec_id") < 20)
+    return SIM.ivf_topk(e, queries, cents, k=5, nprobe=8)
 
 
 def q_union_all_bounds(spark, sf_dir):
@@ -1326,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_dedup_fixpoint": q_lsh_dedup_fixpoint,
         "quality_signals": q_quality_signals,
         "top_bigram": q_top_bigram,
+        "stream_dedup": q_stream_dedup,
         "fillna_isna": q_fillna_isna,
         "region_dissolve": q_region_dissolve,
         "rollup_revenue": q_rollup_revenue,
@@ -1336,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
+        "ann_ivf_exact": q_ann_ivf_exact,
         "embedding_neardup": q_embedding_neardup,
         "events_hourly": q_events_hourly,
         "session_windows": q_session_windows,
@@ -2026,6 +2067,13 @@ def oracle_sql() -> dict[str, str]:
         "lsh_dedup_fixpoint": lsh_fx,
         "quality_signals": quality_signals,
         "top_bigram": top_bigram,
+        "stream_dedup": """
+            SELECT substr(fp, 1, 1) AS bucket, count(*) AS n_unique FROM (
+                SELECT DISTINCT
+                       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+                FROM documents
+            ) GROUP BY substr(fp, 1, 1)
+        """,
         "spatial_hourly": f"""
             WITH q AS (
                 SELECT date_trunc('hour', ts) AS window_start,
@@ -2093,6 +2141,8 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": jaccard,
         "simhash": _simhash16_sql(),
         "ann_topk": ann,
+        # exhaustive IVF == brute force: same oracle, by design
+        "ann_ivf_exact": ann,
         "embedding_neardup": neardup,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

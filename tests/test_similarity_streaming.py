@@ -124,3 +124,57 @@ def test_stored_ivf_index_prunes_partitions(spark, embeddings, tmp_path):
     scan = "\n".join(ln for ln in plan.splitlines() if "FileScan" in ln
                      or "PartitionFilters" in ln)
     assert "ivf_cell" in scan and "PartitionFilters: []" not in scan
+
+
+def test_streaming_exact_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming dedup survivor fingerprint SET equals the batch
+    DISTINCT set (keeper ids may differ; the set may not)."""
+    from pyspark.sql import functions as F
+
+    from dask_geopandas_spark.operators.textstats import fingerprint
+    from dask_geopandas_spark.streaming.dedup import streaming_exact_dedup
+
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (spark.readStream.schema(static.schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir))
+    q = (streaming_exact_dedup(stream, "text")
+         .writeStream.format("memory").queryName("dedup_test_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["fp"] for r in spark.table("dedup_test_sink")
+           .select(fingerprint(F.col("text")).alias("fp")).collect()}
+    want = {r["fp"] for r in
+            static.select(fingerprint(F.col("text")).alias("fp"))
+            .distinct().collect()}
+    assert got == want
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Watermarked variant: duplicates arriving inside the watermark
+    window dedup; state is bounded by the window (plumbing check — the
+    semantics knob is dropDuplicatesWithinWatermark)."""
+    import pandas as pd
+
+    from dask_geopandas_spark.streaming.dedup import streaming_exact_dedup
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["same doc", "same  doc", "other doc"],  # 1,2 normalize equal
+        "ts": pd.to_datetime(["2024-01-01 00:00:00",
+                              "2024-01-01 00:10:00",
+                              "2024-01-01 00:20:00"]).astype("datetime64[us]"),
+    }).to_parquet(src / "p.parquet")
+    static = spark.read.parquet(str(src))
+    stream = spark.readStream.schema(static.schema).parquet(str(src))
+    out = streaming_exact_dedup(stream, "text", watermark="1 hour",
+                                ts_col="ts")
+    q = (out.writeStream.format("memory").queryName("dedup_wm_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.table("dedup_wm_sink").collect()
+    assert len(rows) == 2  # the normalized dup collapsed
+    assert {r["text"] for r in rows} == {"same doc", "other doc"} or \
+        {r["text"] for r in rows} == {"same  doc", "other doc"}
