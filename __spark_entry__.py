@@ -369,6 +369,24 @@ def q_clip_count(spark, sf_dir):
     )
 
 
+# concave L-shaped clip mask (notch at (5,10)) — exercises the even-odd
+# ray-cast path; the oracle embeds the identical edge arithmetic via
+# dask_geopandas_spark.operators.clip.point_in_ring_sql
+_L_MASK = "POLYGON ((0 0, 20 0, 20 10, 5 10, 5 25, 0 25, 0 0))"
+
+
+def q_clip_concave(spark, sf_dir):
+    """Concave-mask clip of a point layer (reference clip.py:12-47
+    accepts any mask polygon via geopandas.clip): point-in-polygon as a
+    native even-odd ray cast over the constant edges — zero Python
+    stages, same plan family as the convex half-plane path."""
+    g = _cust_points(spark, sf_dir)
+    out = g.clip(_L_MASK)
+    return out.df.select(F.col("c_custkey").alias("custkey"),
+                         F.round(out.x, 6).alias("px"),
+                         F.round(out.y, 6).alias("py"))
+
+
 def q_translate_avg(spark, sf_dir):
     g = _cust_points(spark, sf_dir).translate(10.5, -4.25)
     return (
@@ -1327,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sjoin_anti": q_sjoin_anti,
         "dissolve_centroid": q_dissolve_centroid,
         "clip_count": q_clip_count,
+        "clip_concave": q_clip_concave,
         "translate_avg": q_translate_avg,
         "buffer_envelope_area": q_buffer_envelope_area,
         "box_relations": q_box_relations,
@@ -1707,6 +1726,16 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id_a, id_b, round(cos, 6) AS cos FROM scored WHERE cos >= 0.95
     """
+    from dask_geopandas_spark.operators.clip import _mask_ring, point_in_ring_sql
+
+    _lx, _ly, _ = _mask_ring(_L_MASK)
+    clip_concave = f"""
+        SELECT c_custkey AS custkey,
+               round(CAST({CUST_X} AS DOUBLE), 6) AS px,
+               round(CAST({CUST_Y} AS DOUBLE), 6) AS py
+        FROM customer
+        WHERE {point_in_ring_sql(f'({CUST_X})', f'({CUST_Y})', _lx, _ly)}
+    """
     meta_arith = "(doc_id % 48 + 16)"
     meta_h = "(doc_id % 32 + 16)"
     body = f"least({meta_arith} * {meta_h} * 3, 4096)"
@@ -1879,6 +1908,7 @@ def oracle_sql() -> dict[str, str]:
               AND {LI_Y} >= -60 AND {LI_Y} <= 60
             GROUP BY l_returnflag
         """,
+        "clip_concave": clip_concave,
         "translate_avg": f"""
             SELECT c_mktsegment AS segment,
                    round(avg({CUST_X} + 10.5), 6) AS avg_x,

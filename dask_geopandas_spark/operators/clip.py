@@ -44,29 +44,111 @@ def _point_in_convex_closed(px: np.ndarray, py: np.ndarray,
     return keep
 
 
-def _mask_ring(mask) -> tuple[np.ndarray, np.ndarray]:
+def _point_in_ring_closed(px: np.ndarray, py: np.ndarray,
+                          mx: np.ndarray, my: np.ndarray) -> np.ndarray:
+    """Closed-boundary point-in-(possibly concave)-ring: even-odd ray
+    cast plus an explicit on-edge pass (ray casting alone is unreliable
+    exactly on the boundary)."""
+    inside = A.point_in_rings(px, py, [(mx, my)])
+    onedge = np.zeros(len(px), dtype=bool)
+    for x1, y1, x2, y2 in _ring_edges(mx, my):
+        cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+        onedge |= ((cross == 0)
+                   & (px >= min(x1, x2)) & (px <= max(x1, x2))
+                   & (py >= min(y1, y2)) & (py <= max(y1, y2)))
+    return inside | onedge
+
+
+def _mask_ring(mask) -> tuple[np.ndarray, np.ndarray, bool]:
+    """(ring_x, ring_y, is_convex).  Concave masks are supported for
+    point layers (clip == point-in-polygon row filter); line/polygon
+    layers still require a convex mask (their clipping algorithms —
+    Sutherland-Hodgman, convex line clipping — are convex-only without
+    GEOS boolean ops; the failure is loud, at plan time for the native
+    path and per-row for the kernel path)."""
     if isinstance(mask, str):
         mask = T.wkt_to_wkb(mask)
     if isinstance(mask, (tuple, list)) and len(mask) == 4:
         x0, y0, x1, y1 = mask
-        return (np.array([x0, x1, x1, x0], float), np.array([y0, y0, y1, y1], float))
+        return (np.array([x0, x1, x1, x0], float),
+                np.array([y0, y0, y1, y1], float), True)
     batch = W.parse_wkb([bytes(mask)])
     rings = A._poly_rings(batch, 0, outer_only=True)
     if not rings:
         raise ValueError("clip mask must be a polygon or (minx,miny,maxx,maxy)")
     x, y = rings[0]
-    if not CL.is_convex_ring(x, y):
-        raise NotImplementedError(
-            "clip mask must be convex (GEOS unavailable; reference uses "
-            "geopandas.clip for concave masks)"
-        )
-    return x, y
+    return x, y, bool(CL.is_convex_ring(x, y))
+
+
+def _ring_edges(mx, my):
+    """Non-degenerate (x1, y1, x2, y2) edge tuples of a closed ring."""
+    n = len(mx)
+    out = []
+    for i in range(n):
+        x1, y1 = float(mx[i]), float(my[i])
+        x2, y2 = float(mx[(i + 1) % n]), float(my[(i + 1) % n])
+        if x1 != x2 or y1 != y2:
+            out.append((x1, y1, x2, y2))
+    return out
+
+
+def point_in_ring_cond(xc, yc, mx, my):
+    """Native Column predicate: point (xc, yc) inside-or-on a constant
+    (possibly concave) ring — even-odd ray cast to +x, OR on-edge.
+    Pure JVM arithmetic over the constant edges: a concave clip of a
+    point layer runs with zero Python stages at any scale.
+
+    KEEP IN LOCKSTEP with `point_in_ring_sql` below: the DuckDB oracle
+    evaluates that text, and both must perform the identical IEEE
+    operations in the identical order (edge deltas are pre-computed
+    Python floats embedded as literals in both)."""
+    parity = None
+    onedge = None
+    for x1, y1, x2, y2 in _ring_edges(mx, my):
+        cross = (F.lit(x2 - x1) * (yc - F.lit(y1))
+                 - F.lit(y2 - y1) * (xc - F.lit(x1)))
+        oe = ((cross == F.lit(0.0))
+              & (xc >= F.lit(min(x1, x2))) & (xc <= F.lit(max(x1, x2)))
+              & (yc >= F.lit(min(y1, y2))) & (yc <= F.lit(max(y1, y2))))
+        onedge = oe if onedge is None else (onedge | oe)
+        if y1 != y2:
+            crosses = (
+                ((F.lit(y1) > yc) != (F.lit(y2) > yc))
+                & (xc < F.lit(x1) + (yc - F.lit(y1)) * F.lit(x2 - x1)
+                   / F.lit(y2 - y1)))
+            term = F.when(crosses, F.lit(1)).otherwise(F.lit(0))
+            parity = term if parity is None else (parity + term)
+    inside = (parity % F.lit(2)) == F.lit(1) if parity is not None else F.lit(False)
+    return inside | onedge if onedge is not None else inside
+
+
+def point_in_ring_sql(px: str, py: str, mx, my) -> str:
+    """SQL text equivalent of `point_in_ring_cond` (valid in Spark SQL
+    and DuckDB), for oracle replication.  Same formulas, same operation
+    order, same pre-computed literals — agreement is pinned by
+    tests/test_geodataframe.py::test_point_in_ring_cond_matches_sql."""
+    crossing, onedge = [], []
+    for x1, y1, x2, y2 in _ring_edges(mx, my):
+        cross = (f"({(x2 - x1)!r} * ({py} - {y1!r}) - "
+                 f"{(y2 - y1)!r} * ({px} - {x1!r}))")
+        onedge.append(
+            f"({cross} = 0.0 AND {px} >= {min(x1, x2)!r} AND "
+            f"{px} <= {max(x1, x2)!r} AND {py} >= {min(y1, y2)!r} AND "
+            f"{py} <= {max(y1, y2)!r})")
+        if y1 != y2:
+            crossing.append(
+                f"(CASE WHEN (({y1!r} > {py}) != ({y2!r} > {py})) AND "
+                f"({px} < {x1!r} + ({py} - {y1!r}) * {(x2 - x1)!r} / "
+                f"{(y2 - y1)!r}) THEN 1 ELSE 0 END)")
+    parity = " + ".join(crossing) if crossing else "0"
+    oe = " OR ".join(onedge) if onedge else "FALSE"
+    return f"(((({parity}) % 2) = 1) OR {oe})"
 
 
 def clip(gdf, mask, keep_geom_type: bool = False):
     from ..core import GeoDataFrame
 
-    mx, my = _mask_ring(mask)
+    mx, my, convex = _mask_ring(mask)
     bounds = (float(mx.min()), float(my.min()), float(mx.max()), float(my.max()))
 
     is_xy = getattr(gdf, "_xy", None) and not gdf._xy[3]
@@ -89,21 +171,27 @@ def clip(gdf, mask, keep_geom_type: bool = False):
             gdf = gdf.with_bbox()
             xc = F.col(f"{gdf.bbox_column}.minx")
             yc = F.col(f"{gdf.bbox_column}.miny")
-        cond = None
-        n = len(mx)
-        # ring orientation: signed area > 0 ⇒ CCW ⇒ inside is left of
-        # each edge (cross product >= 0)
-        area2 = float(np.sum(mx * np.roll(my, -1) - np.roll(mx, -1) * my))
-        sign = 1.0 if area2 >= 0 else -1.0
-        for i in range(n):
-            x1, y1 = float(mx[i]), float(my[i])
-            x2, y2 = float(mx[(i + 1) % n]), float(my[(i + 1) % n])
-            if x1 == x2 and y1 == y2:
-                continue  # closing vertex repeated
-            cross = (F.lit(x2 - x1) * (yc - F.lit(y1))
-                     - F.lit(y2 - y1) * (xc - F.lit(x1))) * F.lit(sign)
-            c = cross >= 0
-            cond = c if cond is None else (cond & c)
+        if not convex:
+            # concave mask, point layer: clip == point-in-polygon row
+            # filter — even-odd ray cast over the constant edges, still
+            # pure JVM (see point_in_ring_cond)
+            cond = point_in_ring_cond(xc, yc, mx, my)
+        else:
+            cond = None
+            n = len(mx)
+            # ring orientation: signed area > 0 ⇒ CCW ⇒ inside is left
+            # of each edge (cross product >= 0)
+            area2 = float(np.sum(mx * np.roll(my, -1) - np.roll(mx, -1) * my))
+            sign = 1.0 if area2 >= 0 else -1.0
+            for i in range(n):
+                x1, y1 = float(mx[i]), float(my[i])
+                x2, y2 = float(mx[(i + 1) % n]), float(my[(i + 1) % n])
+                if x1 == x2 and y1 == y2:
+                    continue  # closing vertex repeated
+                cross = (F.lit(x2 - x1) * (yc - F.lit(y1))
+                         - F.lit(y2 - y1) * (xc - F.lit(x1))) * F.lit(sign)
+                c = cross >= 0
+                cond = c if cond is None else (cond & c)
         out = GeoDataFrame(gdf.df.filter(cond), gdf.geometry_column,
                            crs_map=getattr(gdf, "_crs", {}))
         out._xy = gdf._xy
@@ -128,6 +216,8 @@ def clip(gdf, mask, keep_geom_type: bool = False):
 
     geom = g.geometry_column
 
+    _point_test = _point_in_convex_closed if convex else _point_in_ring_closed
+
     @pandas_udf(BinaryType())
     def _clip(col: pd.Series) -> pd.Series:
         batch = W.parse_wkb(list(col))
@@ -137,12 +227,12 @@ def clip(gdf, mask, keep_geom_type: bool = False):
         if single.any():
             idx = np.flatnonzero(single)
             starts = batch.geom_coord_starts[:-1][idx]
-            keep = _point_in_convex_closed(
-                batch.xs[starts], batch.ys[starts], mx, my)
+            keep = _point_test(batch.xs[starts], batch.ys[starts], mx, my)
             for i, k in zip(idx, keep):
                 out[i] = batch.raw[i] if k else None
         for i in np.flatnonzero(~single & (batch.types != 0)):
-            out[i] = _clip_one(batch, int(i), int(batch.types[i]), mx, my)
+            out[i] = _clip_one(batch, int(i), int(batch.types[i]), mx, my,
+                               convex)
         return pd.Series(out, dtype=object)
 
     from ..core import no_pushdown
@@ -158,16 +248,23 @@ def clip(gdf, mask, keep_geom_type: bool = False):
     return out.with_bbox()
 
 
-def _clip_one(batch: W.GeometryBatch, i: int, t: int, mx, my):
+def _clip_one(batch: W.GeometryBatch, i: int, t: int, mx, my,
+              convex: bool = True):
     if t in (W.POINT, W.MULTIPOINT):
         x, y = A._points(batch, i)
-        keep = _point_in_convex_closed(x, y, mx, my)
+        test = _point_in_convex_closed if convex else _point_in_ring_closed
+        keep = test(x, y, mx, my)
         if not keep.any():
             return None
         pts = np.column_stack([x[keep], y[keep]])
         if len(pts) == 1:
             return W.serialize_geometry(W.POINT, pts[0])
         return W.serialize_geometry(W.MULTIPOINT, pts)
+    if not convex:
+        raise NotImplementedError(
+            "concave clip masks are supported for point geometries only "
+            "(line/polygon clipping needs GEOS boolean ops; reference "
+            "delegates to geopandas.clip)")
     if t in (W.LINESTRING, W.MULTILINESTRING):
         pieces = []
         for kind, x, y in A._geom_paths(batch, i):

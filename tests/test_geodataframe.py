@@ -581,6 +581,78 @@ def test_clip_native_point_path_matches_kernel(spark):
     assert "ArrowEvalPython" not in plan
 
 
+def test_clip_concave_mask_points(spark):
+    """Concave masks are supported for point layers (even-odd ray cast):
+    native symbolic path and kernel UDF path agree, the notch is
+    excluded, and line layers fail loudly."""
+    import numpy as np
+
+    L = "POLYGON ((0 0, 20 0, 20 10, 5 10, 5 25, 0 25, 0 0))"
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({
+        "id": range(400),
+        "x": rng.uniform(-2, 22, 400).round(3),
+        "y": rng.uniform(-2, 27, 400).round(3),
+    })
+    pts = dgs.points_from_xy(spark.createDataFrame(pdf), "x", "y")
+    bare = dgs.GeoDataFrame(pts.df, "geometry")  # no hints -> UDF path
+    fast = sorted(r.id for r in pts.clip(L).df.select("id").collect())
+    slow = sorted(r.id for r in bare.clip(L).df.select("id").collect())
+    assert fast == slow and len(fast) > 0
+    # ground truth: inside the L = left column or bottom bar
+    inside = pdf[((pdf.x >= 0) & (pdf.x <= 5) & (pdf.y >= 0) & (pdf.y <= 25)) |
+                 ((pdf.x >= 0) & (pdf.x <= 20) & (pdf.y >= 0) & (pdf.y <= 10))]
+    assert fast == sorted(inside.id)
+    # native path emits no Python stage
+    plan = (pts.clip(L).df.select("id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "ArrowEvalPython" not in plan
+    # lines + concave mask: loud failure (kernel path, per row)
+    from dask_geopandas_spark.functions import core as FX
+    from pyspark.sql import functions as F
+    import pytest as _pytest
+
+    line_df = spark.createDataFrame(
+        pd.DataFrame({"wkt": ["LINESTRING (1 1, 9 9)"]}))
+    lines = dgs.from_wkt(line_df, "wkt")
+    with _pytest.raises(Exception, match="concave"):
+        lines.clip(L).df.collect()
+
+
+def test_point_in_ring_cond_matches_sql(spark):
+    """point_in_ring_cond (Column algebra) and point_in_ring_sql (text
+    for the DuckDB oracle) must decide identically — including points
+    exactly on edges and vertices."""
+    import duckdb
+    import numpy as np
+
+    from dask_geopandas_spark.operators.clip import (_mask_ring,
+                                                     point_in_ring_cond,
+                                                     point_in_ring_sql)
+    from pyspark.sql import functions as F
+
+    mx, my, convex = _mask_ring(
+        "POLYGON ((0 0, 20 0, 20 10, 5 10, 5 25, 0 25, 0 0))")
+    assert not convex
+    xs = np.concatenate([np.linspace(-1, 21, 45),
+                         [0.0, 5.0, 20.0, 2.5, 5.0]])
+    ys = np.concatenate([np.linspace(-1, 26, 45),
+                         [0.0, 10.0, 10.0, 0.0, 17.0]])
+    pdf = pd.DataFrame({"px": np.repeat(xs, len(ys)),
+                        "py": np.tile(ys, len(xs))})
+    got_spark = (
+        spark.createDataFrame(pdf)
+        .withColumn("inside", point_in_ring_cond(F.col("px"), F.col("py"),
+                                                 mx, my))
+        .toPandas().sort_values(["px", "py"]).inside.tolist())
+    con = duckdb.connect()
+    con.register("pts", pdf)
+    got_duck = con.sql(
+        f"SELECT {point_in_ring_sql('px', 'py', mx, my)} AS inside "
+        "FROM pts ORDER BY px, py").df().inside.tolist()
+    assert got_spark == got_duck
+
+
 class TestShapeHintInvalidation:
     """Shape hints (_xy / _corner_cols) are a performance fast path; they
     must be DROPPED whenever a projection could desynchronize them from
