@@ -1074,6 +1074,41 @@ def q_top_bigram(spark, sf_dir):
     return TX.top_ngram_fraction(_t(spark, sf_dir, "documents"), n=2)
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII audit + redaction (training-data hygiene): plant
+    deterministic PII (email, phone, IPv4, SSN) per document, count
+    matches per kind (native regexp_count on the original text), and
+    hash the redacted text (chained regexp_replace).  The oracle
+    replicates the same regex chain — match/replace semantics must
+    agree between Java regex and RE2 on these lookaround-free
+    patterns."""
+    d = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" reach user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 (555) 010-4242 from 192.168.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(" ssn 123-45-6789"))
+    c = TX.pii_counts(planted)
+    return d.select(
+        "doc_id",
+        F.explode(F.array(F.struct(
+            c.alias("_c"),
+            F.md5(TX.redact_pii(planted)).alias("redacted_md5")))).alias("_s"),
+    ).select("doc_id", F.col("_s._c.email").alias("email_n"),
+             F.col("_s._c.phone").alias("phone_n"),
+             F.col("_s._c.ipv4").alias("ipv4_n"),
+             F.col("_s._c.ssn").alias("ssn_n"),
+             F.col("_s.redacted_md5").alias("redacted_md5"))
+
+
+def q_vocab_top(spark, sf_dir):
+    """Corpus-wide top-50 vocabulary (explode → partial+final count →
+    top-k window over the distinct-token table, lexicographic
+    tie-break)."""
+    return TX.vocab_topk(_t(spark, sf_dir, "documents"), top_k=50)
+
+
 def q_lsh_dedup(spark, sf_dir):
     """Linear LSH dedup (bucket-min representative propagation) — the
     scale-safe form of near-dup removal: O(docs x bands), never
@@ -1385,6 +1420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_signals": q_quality_signals,
         "top_bigram": q_top_bigram,
         "stream_dedup": q_stream_dedup,
+        "pii_redact": q_pii_redact,
+        "vocab_top": q_vocab_top,
         "fillna_isna": q_fillna_isna,
         "region_dissolve": q_region_dissolve,
         "rollup_revenue": q_rollup_revenue,
@@ -1461,6 +1498,28 @@ def _simhash16_sql() -> str:
     )
     return (f"SELECT doc_id, ({terms}) AS simhash16 FROM "
             f"(SELECT doc_id, list_distinct({_TOKENS}) AS toks FROM documents)")
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB replica of q_pii_redact: same planted text, same regex
+    chain (patterns imported from the engine), counts via
+    regexp_extract_all, redaction via chained global regexp_replace."""
+    from dask_geopandas_spark.operators.textstats import PII_PATTERNS
+
+    planted = ("text || ' reach user' || CAST(doc_id AS VARCHAR) || "
+               "'@example.com or +1 (555) 010-4242 from 192.168.0.' || "
+               "CAST(doc_id % 256 AS VARCHAR) || ' ssn 123-45-6789'")
+    redacted = "t"
+    for kind in ("email", "phone", "ipv4", "ssn"):
+        pat = PII_PATTERNS[kind].replace("'", "''")
+        redacted = f"regexp_replace({redacted}, '{pat}', '[PII]', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all(t, '{PII_PATTERNS[k]}')) AS {k}_n"
+        for k in ("email", "phone", "ipv4", "ssn"))
+    return f"""
+        SELECT doc_id, {counts}, md5({redacted}) AS redacted_md5
+        FROM (SELECT doc_id, {planted} AS t FROM documents)
+    """
 
 
 def _utm_oracle_sql() -> str:
@@ -2103,6 +2162,17 @@ def oracle_sql() -> dict[str, str]:
                        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
                 FROM documents
             ) GROUP BY substr(fp, 1, 1)
+        """,
+        "pii_redact": _pii_oracle_sql(),
+        "vocab_top": f"""
+            WITH t AS (SELECT unnest({_TOKENS}) AS token FROM documents),
+            c AS (SELECT token, count(*) AS n FROM t
+                  WHERE token != '' GROUP BY token),
+            r AS (SELECT token, n,
+                         row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+                  FROM c)
+            SELECT CAST(rank AS INTEGER) AS rank, token, n
+            FROM r WHERE rank <= 50
         """,
         "spatial_hourly": f"""
             WITH q AS (

@@ -239,17 +239,23 @@ def lsh_dedup(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
-                        threshold: float = 0.0) -> DataFrame:
+                        threshold: float = 0.0,
+                        materialize: str = "memory") -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs: broadcast-join
-    shingle sets onto the (small) candidate pair list."""
-    # let-bound tokens (one regex pass); persisted because the shingle
-    # sets are probed twice (id_a side and id_b side of the pair join)
+    shingle sets onto the (small) candidate pair list.  ``materialize``
+    stages the shingle-set table, probed twice (id_a and id_b sides):
+    memory / none / parquet-checkpoint path, as in `_banded`."""
     sh = df.select(
         F.col(id_col),
         F.array_distinct(
             let(tokens(F.col(text_col)),
                 lambda t: shingles_of_tokens(t, k))).alias("sh"),
-    ).persist()
+    )
+    if materialize == "memory":
+        sh = sh.persist()
+    elif materialize not in (None, "none"):
+        sh.write.mode("overwrite").parquet(materialize)
+        sh = sh.sparkSession.read.parquet(materialize)
     out = (
         pairs.join(sh.withColumnRenamed("sh", "sh_a"),
                    pairs.id_a == F.col(id_col)).drop(id_col)

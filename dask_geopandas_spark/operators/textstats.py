@@ -234,3 +234,63 @@ def top_ngram_fraction(df, text_col: str = "text", id_col: str = "doc_id",
                 6).alias("top_frac"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# PII scrubbing (training-data hygiene)
+# ----------------------------------------------------------------------
+
+# deterministic, engine-portable regexes (no lookaround: RE2/DuckDB and
+# Java regex must agree) — the standard first-pass scrub set
+PII_PATTERNS = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def redact_pii(text: Column, kinds: tuple = ("email", "phone", "ipv4", "ssn"),
+               token: str = "[PII]") -> Column:
+    """Replace every PII match with ``token`` — chained native
+    regexp_replace calls, whole-stage codegen, no UDF.  First-pass
+    hygiene only (regex recall has limits); kinds apply in the given
+    order, so earlier replacements can mask later patterns by design."""
+    out = text
+    for kind in kinds:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], token)
+    return out
+
+
+def pii_counts(text: Column) -> Column:
+    """struct<email,phone,ipv4,ssn> match counts per document (native
+    regexp_count) — audit signal driving filter/redact decisions."""
+    return F.struct(*[
+        F.regexp_count(text, F.lit(pat)).alias(kind)
+        for kind, pat in PII_PATTERNS.items()
+    ])
+
+
+def vocab_topk(df, text_col: str = "text", top_k: int = 100):
+    """Corpus-wide vocabulary: the ``top_k`` most frequent tokens with
+    counts and corpus rank (tokenizer-vocab seeding, stopword mining).
+
+    Distributed shape: explode tokens → hash aggregation on the token
+    (map-side partial combine absorbs the Zipf skew: hot tokens
+    pre-reduce per task before the shuffle) → global top-k through a
+    single-partition window over the pre-aggregated (distinct-token)
+    rows — small by construction, never the raw token stream.
+    Tie-break: lexicographic, so results are deterministic."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token").agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("rank", "token", "n")
+    )

@@ -203,6 +203,33 @@ class TestTextStats:
         assert out[1]["top_frac"] == pytest.approx(3 * 4 / 12, abs=1e-6)
         assert out[2]["top_gram"] == "one two"
 
+    def test_pii_redact_and_counts(self, spark):
+        from dask_geopandas_spark.operators.textstats import (pii_counts,
+                                                              redact_pii)
+
+        df = spark.createDataFrame(pd.DataFrame({"t": [
+            "mail a@b.co and c.d@e.org, call +1 (555) 010-4242, "
+            "host 10.0.0.1, ssn 123-45-6789",
+            "clean text with no identifiers at all",
+        ]}))
+        out = df.select(pii_counts(F.col("t")).alias("c"),
+                        redact_pii(F.col("t")).alias("r")).collect()
+        c0 = out[0]["c"]
+        assert c0["email"] == 2 and c0["ipv4"] == 1 and c0["ssn"] == 1
+        assert c0["phone"] >= 1  # ssn also matches the phone pattern
+        assert "a@b.co" not in out[0]["r"] and "10.0.0.1" not in out[0]["r"]
+        assert "[PII]" in out[0]["r"]
+        assert out[1]["c"]["email"] == 0 and "[PII]" not in out[1]["r"]
+
+    def test_vocab_topk(self, spark):
+        from dask_geopandas_spark.operators.textstats import vocab_topk
+
+        df = spark.createDataFrame(pd.DataFrame({
+            "text": ["x y x", "x z", "z x y"]}))
+        rows = vocab_topk(df, top_k=2).collect()
+        assert [(r["rank"], r["token"], r["n"]) for r in rows] == \
+            [(1, "x", 4), (2, "y", 2)]  # y beats z lexicographically on tie
+
     def test_lang_id(self, docs):
         from dask_geopandas_spark.operators.textstats import lang_id
 
