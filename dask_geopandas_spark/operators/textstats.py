@@ -277,9 +277,11 @@ def vocab_topk(df, text_col: str = "text", top_k: int = 100):
 
     Distributed shape: explode tokens → hash aggregation on the token
     (map-side partial combine absorbs the Zipf skew: hot tokens
-    pre-reduce per task before the shuffle) → global top-k through a
-    single-partition window over the pre-aggregated (distinct-token)
-    rows — small by construction, never the raw token stream.
+    pre-reduce per task before the shuffle) → global top-k via
+    orderBy+limit, which Spark executes as TakeOrderedAndProject
+    (per-partition partial top-k, then a k-row merge on one task —
+    never a single-partition window over the full vocabulary).  The
+    rank column is a window over the k surviving rows only.
     Tie-break: lexicographic, so results are deterministic."""
     from pyspark.sql import Window
 
@@ -288,9 +290,9 @@ def vocab_topk(df, text_col: str = "text", top_k: int = 100):
         .filter(F.col("token") != "")
         .groupBy("token").agg(F.count("*").alias("n"))
     )
-    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    topk = counts.orderBy(F.desc("n"), F.asc("token")).limit(top_k)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))  # k rows only
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
+        topk.withColumn("rank", F.row_number().over(w))
         .select("rank", "token", "n")
     )
