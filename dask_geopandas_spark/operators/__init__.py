@@ -1,1 +1,48 @@
+"""Operator namespace: spatial operators (sjoin/clip/dissolve/explode)
+plus the LLM-training-data pipeline suite (dedup, similarity, text
+quality, multimodal plumbing).  Everything re-exported here is covered
+by a driver query in __spark_entry__.py and the pytest suite."""
 
+from .clip import clip
+from .dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    lsh_candidate_pairs,
+    lsh_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .dissolve import dissolve
+from .explode import explode_geometry
+from .similarity import (
+    brute_force_topk,
+    ivf_topk,
+    ivf_topk_stored,
+    train_centroids,
+    write_ivf_index,
+)
+from .sjoin import sjoin
+from .textstats import (
+    fingerprint,
+    lang_id,
+    pii_counts,
+    quality_score,
+    redact_pii,
+    repetition_signals,
+    token_count,
+    top_ngram_fraction,
+    vocab_topk,
+)
+
+__all__ = [
+    "clip", "dissolve", "explode_geometry", "sjoin",
+    "exact_dedup", "minhash_signatures", "lsh_candidate_pairs",
+    "lsh_dedup", "ngram_jaccard_pairs", "simhash",
+    "embedding_neardup_pairs",
+    "brute_force_topk", "train_centroids", "ivf_topk",
+    "write_ivf_index", "ivf_topk_stored",
+    "fingerprint", "lang_id", "quality_score", "token_count",
+    "repetition_signals", "top_ngram_fraction", "redact_pii",
+    "pii_counts", "vocab_topk",
+]
