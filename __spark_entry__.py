@@ -597,6 +597,32 @@ def q_stream_dedup(spark, sf_dir):
     )
 
 
+def q_geojson_roundtrip(spark, sf_dir):
+    """GeoJSON write → read round-trip (reference reads GeoJSON via
+    read_file/pyogrio; this path is pure Python — GeoJSONSeq, one file
+    per partition, stdlib json + kernel WKB codecs).  Counts and exact
+    coordinate extrema must survive: json.dumps(repr) round-trips
+    doubles losslessly."""
+    import shutil
+
+    from dask_geopandas_spark.sources.geojson import read_geojson, to_geojson
+
+    path = "/root/repo/.bench_tmp/geojson_roundtrip"
+    shutil.rmtree(path, ignore_errors=True)
+    g = _cust_points(spark, sf_dir)
+    slim = dgs.GeoDataFrame(g.df.select("c_custkey", g.geometry_column),
+                            g.geometry_column, crs="EPSG:4326")
+    to_geojson(slim, path)
+    back = read_geojson(spark, path)
+    return back.df.agg(
+        F.count("*").alias("n"),
+        F.round(F.min(back.x), 6).alias("minx"),
+        F.round(F.min(back.y), 6).alias("miny"),
+        F.round(F.max(back.x), 6).alias("maxx"),
+        F.round(F.max(back.y), 6).alias("maxy"),
+    )
+
+
 def q_spatial_shuffle(spark, sf_dir):
     """spatial_shuffle (reference expr.py:738-820): Hilbert
     repartitionByRange + sortWithinPartitions.  Emits per-partition
@@ -1422,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "pii_redact": q_pii_redact,
         "vocab_top": q_vocab_top,
+        "geojson_roundtrip": q_geojson_roundtrip,
         "fillna_isna": q_fillna_isna,
         "region_dissolve": q_region_dissolve,
         "rollup_revenue": q_rollup_revenue,
@@ -2025,6 +2052,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n,
                    round(sum({CUST_X}), 6) AS sum_x,
                    round(sum({CUST_Y}), 6) AS sum_y
+            FROM customer
+        """,
+        "geojson_roundtrip": f"""
+            SELECT count(*) AS n,
+                   round(min({CUST_X}), 6) AS minx, round(min({CUST_Y}), 6) AS miny,
+                   round(max({CUST_X}), 6) AS maxx, round(max({CUST_Y}), 6) AS maxy
             FROM customer
         """,
         "stream_hourly": """

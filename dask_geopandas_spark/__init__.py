@@ -41,6 +41,8 @@ __all__ = [
     "read_parquet",
     "read_feather",
     "read_file",
+    "read_geojson",
+    "to_geojson",
     "__version__",
 ]
 
@@ -61,3 +63,15 @@ def read_file(spark, path, **kw):
     from .sources.file import read_file as _rf
 
     return _rf(spark, path, **kw)
+
+
+def read_geojson(spark, path, **kw):
+    from .sources.geojson import read_geojson as _rg
+
+    return _rg(spark, path, **kw)
+
+
+def to_geojson(gdf_or_df, path, **kw):
+    from .sources.geojson import to_geojson as _tg
+
+    return _tg(gdf_or_df, path, **kw)

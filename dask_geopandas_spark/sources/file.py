@@ -57,8 +57,21 @@ def read_file(spark: SparkSession, path: str, npartitions: int | None = None,
               chunksize: int | None = None, layer=None, columns=None,
               read_info=_default_read_info, read_chunk=_default_read_chunk):
     """OGR scan → GeoDataFrame with WKB geometry.  ``read_info`` /
-    ``read_chunk`` are injectable for testing without GDAL."""
+    ``read_chunk`` are injectable for testing without GDAL.
+
+    GeoJSON paths need no GDAL at all — they route to the pure-Python
+    ``read_geojson`` (sources/geojson.py) when pyogrio is absent, so the
+    most common ``read_file`` format works in this environment."""
     from ..core import GeoDataFrame
+
+    if (read_info is _default_read_info
+            and path.lower().endswith((".geojson", ".geojsonl", ".ndjson"))):
+        try:
+            import pyogrio  # noqa: F401
+        except ImportError:
+            from .geojson import read_geojson
+
+            return read_geojson(spark, path, columns=columns)
 
     info = read_info(path, layer=layer)
     total = int(info["features"])

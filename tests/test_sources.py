@@ -247,3 +247,90 @@ class TestRemoteFilesystem:
         assert FS.scheme_of("gs://x/y") == "gs"
         assert FS.scheme_of("/x/y") is None
         assert FS.strip_scheme("hdfs://nn/x") == "nn/x"
+
+
+class TestGeoJSON:
+    """Pure-Python GeoJSON path (reference reads GeoJSON via
+    read_file/pyogrio, io/file.py:49-149 — GDAL-free here)."""
+
+    def test_roundtrip_all_types(self, spark, tmp_path):
+        from dask_geopandas_spark.geometry import wkt as T
+        from dask_geopandas_spark.sources.geojson import (read_geojson,
+                                                          to_geojson)
+
+        wkts = [
+            "POINT (1 2)",
+            "LINESTRING (0 0, 1 1, 2 0)",
+            "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+            "MULTIPOINT (0 0, 1 1)",
+            "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+            "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))",
+        ]
+        pdf = pd.DataFrame({"id": np.arange(len(wkts), dtype="int64"),
+                            "name": [f"g{i}" for i in range(len(wkts))],
+                            "wkt": wkts})
+        g = dgs.from_wkt(spark.createDataFrame(pdf).repartition(2), "wkt")
+        g = dgs.GeoDataFrame(g.df.drop("wkt"), "geometry", crs="EPSG:4326")
+        path = str(tmp_path / "gj")
+        to_geojson(g, path)
+        assert list(tmp_path.glob("gj/*.geojsonl"))
+
+        back = read_geojson(spark, path)
+        assert isinstance(back, dgs.GeoDataFrame)
+        assert back.crs == "EPSG:4326"
+        rows = {r["id"]: r for r in back.df.collect()}
+        assert len(rows) == len(wkts)
+        # geometry survives: same canonical WKT as a direct WKB round-trip
+        for i, w in enumerate(wkts):
+            assert T.wkb_to_wkt(rows[i]["geometry"]) == \
+                T.wkb_to_wkt(T.wkt_to_wkb(w))
+            assert rows[i]["name"] == f"g{i}"
+
+    def test_feature_collection_document(self, spark, tmp_path):
+        from dask_geopandas_spark.sources.geojson import read_geojson
+
+        doc = {"type": "FeatureCollection", "features": [
+            {"type": "Feature", "properties": {"id": 1, "tag": "a"},
+             "geometry": {"type": "Point", "coordinates": [3.0, 4.0]}},
+            {"type": "Feature", "properties": {"id": 2, "tag": None},
+             "geometry": {"type": "GeometryCollection", "geometries": [
+                 {"type": "Point", "coordinates": [0.0, 0.0]},
+                 {"type": "LineString",
+                  "coordinates": [[0.0, 0.0], [1.0, 1.0]]}]}},
+        ]}
+        import json as _json
+
+        (tmp_path / "fc.geojson").write_text(_json.dumps(doc))
+        back = read_geojson(spark, str(tmp_path / "fc.geojson"))
+        rows = {r["id"]: r for r in back.df.collect()}
+        assert len(rows) == 2
+        from dask_geopandas_spark.geometry import wkt as T
+
+        assert T.wkb_to_wkt(rows[1]["geometry"]) == "POINT (3 4)"
+        assert rows[1]["tag"] == "a" and rows[2]["tag"] is None
+        assert rows[2]["geometry"] is not None  # collection parsed
+
+    def test_read_file_routes_geojson_without_gdal(self, spark, tmp_path):
+        import json as _json
+
+        lines = [_json.dumps({"type": "Feature", "properties": {"k": i},
+                              "geometry": {"type": "Point",
+                                           "coordinates": [float(i), 0.0]}})
+                 for i in range(5)]
+        p = tmp_path / "pts.geojsonl"
+        p.write_text("\n".join(lines))
+        out = dgs.read_file(spark, str(p))
+        assert isinstance(out, dgs.GeoDataFrame)
+        assert sorted(r["k"] for r in out.df.select("k").collect()) == list(range(5))
+
+    def test_column_pruning(self, spark, tmp_path):
+        import json as _json
+
+        from dask_geopandas_spark.sources.geojson import read_geojson
+
+        p = tmp_path / "cols.geojsonl"
+        p.write_text(_json.dumps({
+            "type": "Feature", "properties": {"a": 1, "b": "x"},
+            "geometry": {"type": "Point", "coordinates": [1.0, 2.0]}}))
+        back = read_geojson(spark, str(p), columns=["a"])
+        assert back.columns == ["a"]
