@@ -597,6 +597,33 @@ def q_stream_dedup(spark, sf_dir):
     )
 
 
+def q_pipeline_clean_join(spark, sf_dir):
+    """End-to-end training-data pipeline in one plan: language ID +
+    quality scoring (native projections) → filter → exact-dedup keeper
+    semi-join → join the surviving docs to their embeddings → per-label
+    stats.  Demonstrates the operators composing into a single Catalyst
+    plan (one scan of each table, partial aggregation everywhere); the
+    oracle replays the identical SQL pieces."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        TX.lang_id(F.col("text")).alias("lang"),
+        TX.quality_score(F.col("text")).alias("q"))
+    clean = scored.filter((F.col("lang") == "en") & (F.col("q") >= 0.5))
+    keepers = DD.exact_dedup(d).select(F.col("keeper_id").alias("doc_id"))
+    clean = clean.join(keepers, on="doc_id")
+    e = _t(spark, sf_dir, "embeddings")
+    j = clean.join(e, clean.doc_id == e.vec_id)
+    return (
+        j.groupBy("label")
+        .agg(F.count("*").alias("n_docs"),
+             F.round(F.avg("q"), 4).alias("avg_quality"),
+             F.round(F.sum(F.element_at(
+                 F.col("embedding").cast("array<double>"), 1)), 6)
+             .alias("sum_e1"))
+    )
+
+
 def q_geojson_roundtrip(spark, sf_dir):
     """GeoJSON write → read round-trip (reference reads GeoJSON via
     read_file/pyogrio; this path is pure Python — GeoJSONSeq, one file
@@ -1449,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "vocab_top": q_vocab_top,
         "geojson_roundtrip": q_geojson_roundtrip,
+        "pipeline_clean_join": q_pipeline_clean_join,
         "fillna_isna": q_fillna_isna,
         "region_dissolve": q_region_dissolve,
         "rollup_revenue": q_rollup_revenue,
@@ -1495,7 +1523,7 @@ def _stop_hits(lang_words: list[str]) -> str:
     return f"len(list_filter(toks, t -> t IN ({inlist})))"
 
 
-def _lang_quality_inner() -> str:
+def _lang_quality_inner(extra_cols: str = "") -> str:
     from dask_geopandas_spark.operators.textstats import STOPWORDS
 
     hits = {lang: _stop_hits(ws) for lang, ws in STOPWORDS.items()}
@@ -1506,13 +1534,13 @@ def _lang_quality_inner() -> str:
                      f"THEN '{lang}' ELSE {lang_case} END")
     hit_cols = ", ".join(f"{expr} AS h_{l}" for l, expr in hits.items())
     return f"""
-        SELECT {lang_case} AS lang_guess,
+        SELECT {extra_cols}{lang_case} AS lang_guess,
                round(0.4 * least(len(regexp_split_to_array(trim(text), '\\s+')) / 100.0, 1.0)
                    + 0.4 * (length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
                             / greatest(length(text), 1))
                    + 0.2 * least((h_en * 1.0 / greatest(len(toks), 1)) * 5.0, 1.0), 6) AS q
-        FROM (SELECT text, toks, {hit_cols}
-              FROM (SELECT text, {_TOKENS} AS toks FROM documents))
+        FROM (SELECT {extra_cols}text, toks, {hit_cols}
+              FROM (SELECT {extra_cols}text, {_TOKENS} AS toks FROM documents))
     """
 
 
@@ -2197,6 +2225,22 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY substr(fp, 1, 1)
         """,
         "pii_redact": _pii_oracle_sql(),
+        "pipeline_clean_join": f"""
+            WITH lq AS ({_lang_quality_inner("doc_id, ")}),
+            keepers AS (
+                SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+            ),
+            clean AS (
+                SELECT lq.doc_id, lq.q
+                FROM lq JOIN keepers k ON lq.doc_id = k.doc_id
+                WHERE lq.lang_guess = 'en' AND lq.q >= 0.5
+            )
+            SELECT e.label, count(*) AS n_docs,
+                   round(avg(c.q), 4) AS avg_quality,
+                   round(sum(CAST(e.embedding[1] AS DOUBLE)), 6) AS sum_e1
+            FROM clean c JOIN embeddings e ON c.doc_id = e.vec_id
+            GROUP BY e.label
+        """,
         "vocab_top": f"""
             WITH t AS (SELECT unnest({_TOKENS}) AS token FROM documents),
             c AS (SELECT token, count(*) AS n FROM t
