@@ -58,18 +58,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # multi-row-group dataset splits natively and also skips it.
     if name in _REBALANCE:
         par = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < min(par, 16):
-            import os as _os
+        # Decide from parquet metadata alone (one footer read, driver-side)
+        # — never df.rdd, which materializes the RDD lineage just to count
+        # partitions.  Row groups are Spark's split unit, so a local
+        # single file with few row groups cannot fan out past that count;
+        # multi-file or many-row-group datasets split natively and skip.
+        import os as _os
 
-            # scale partitions to data volume: tiny tables over many
-            # partitions pay more in per-task python round-trips than
-            # they gain in parallelism (~0.75 MB per partition)
+        path = f"{sf_dir}/{name}.parquet"
+        if _os.path.isfile(path):
             try:
-                mb = _os.path.getsize(f"{sf_dir}/{name}.parquet") / 1e6
+                import pyarrow.parquet as _pq
+
+                groups = _pq.ParquetFile(path).metadata.num_row_groups
+                mb = _os.path.getsize(path) / 1e6
             except OSError:
-                mb = 8.0
-            n = max(4, min(min(par, 32), int(mb / 0.4) + 1))
-            df = df.repartition(n)
+                groups, mb = 1, 8.0
+            if groups < min(par, 16):
+                # scale partitions to data volume: tiny tables over many
+                # partitions pay more in per-task python round-trips than
+                # they gain in parallelism (~0.75 MB per partition)
+                n = max(4, min(min(par, 32), int(mb / 0.4) + 1))
+                df = df.repartition(n)
     return df
 
 
@@ -1420,7 +1430,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order matters: the driver's correctness check emits at most
+    50 rows, in registry order.  Round 3 therefore front-loads (a) queries
+    NEW this round, then (b) the 25 entries that had no driver row in
+    CORRECTNESS_r02 (registry positions 51-75 last round), then (c) the
+    r02-green remainder — rotating coverage so every entry gets a driver
+    attestation across consecutive rounds."""
     return {
+        # -- (b) no driver row in r02: never checked in any round first --
+        "top_bigram": q_top_bigram,
+        "stream_dedup": q_stream_dedup,
+        "pii_redact": q_pii_redact,
+        "vocab_top": q_vocab_top,
+        "geojson_roundtrip": q_geojson_roundtrip,
+        "pipeline_clean_join": q_pipeline_clean_join,
+        "topk_parts": q_topk_parts,
+        "spatial_hourly": q_spatial_hourly,
+        "sjoin_nearest_grid": q_sjoin_nearest_grid,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash": q_simhash,
+        "ann_topk": q_ann_topk,
+        "ann_ivf_exact": q_ann_ivf_exact,
+        "embedding_neardup": q_embedding_neardup,
+        "events_hourly": q_events_hourly,
+        "session_windows": q_session_windows,
+        "running_totals": q_running_totals,
+        "image_meta": q_image_meta,
+        "image_resize": q_image_resize,
+        "audio_meta": q_audio_meta,
+        "frame_counts": q_frame_counts,
+        # -- (b cont.) no r02 row, but driver-green in r01 --
+        "fillna_isna": q_fillna_isna,
+        "region_dissolve": q_region_dissolve,
+        "rollup_revenue": q_rollup_revenue,
+        "concat_bounds": q_concat_bounds,
+        # -- (c) driver-green in r02 --
         "cx_bbox_filter": q_cx_bbox_filter,
         "total_bounds": q_total_bounds,
         "point_distance": q_point_distance,
@@ -1471,31 +1515,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_dedup": q_lsh_dedup,
         "lsh_dedup_fixpoint": q_lsh_dedup_fixpoint,
         "quality_signals": q_quality_signals,
-        "top_bigram": q_top_bigram,
-        "stream_dedup": q_stream_dedup,
-        "pii_redact": q_pii_redact,
-        "vocab_top": q_vocab_top,
-        "geojson_roundtrip": q_geojson_roundtrip,
-        "pipeline_clean_join": q_pipeline_clean_join,
-        "fillna_isna": q_fillna_isna,
-        "region_dissolve": q_region_dissolve,
-        "rollup_revenue": q_rollup_revenue,
-        "concat_bounds": q_concat_bounds,
-        "topk_parts": q_topk_parts,
-        "spatial_hourly": q_spatial_hourly,
-        "sjoin_nearest_grid": q_sjoin_nearest_grid,
-        "jaccard_pairs": q_jaccard_pairs,
-        "simhash": q_simhash,
-        "ann_topk": q_ann_topk,
-        "ann_ivf_exact": q_ann_ivf_exact,
-        "embedding_neardup": q_embedding_neardup,
-        "events_hourly": q_events_hourly,
-        "session_windows": q_session_windows,
-        "running_totals": q_running_totals,
-        "image_meta": q_image_meta,
-        "image_resize": q_image_resize,
-        "audio_meta": q_audio_meta,
-        "frame_counts": q_frame_counts,
     }
 
 

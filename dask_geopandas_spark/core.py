@@ -299,7 +299,12 @@ class GeoDataFrame:
                 f"estimate_utm_crs needs a EPSG:4326 layer, got {self.crs!r}")
         minx, miny, maxx, maxy = self.total_bounds()
         cx, cy = (minx + maxx) / 2.0, (miny + maxy) / 2.0
-        zone = min(60, max(1, int((cx + 180.0) // 6) + 1))
+        # Wrap longitude first so lon >= 180 lands in zone 1, not a
+        # clamped zone 60.  Caveat (vs the reference's pyproj aoi
+        # query): an antimeridian-straddling layer has a naive bounds
+        # center near 0 — the zone pick is only meaningful when the
+        # layer does not straddle ±180.
+        zone = int(((cx + 180.0) % 360.0) // 6) + 1
         return f"EPSG:{(32600 if cy >= 0 else 32700) + zone}"
 
     # ------------------------------------------------------------------

@@ -216,6 +216,10 @@ def st_isring(g: pd.Series) -> pd.Series:
 # rings with more segments than this take the per-ring fallback so the
 # flat all-pairs buffer stays bounded (cap² pairs per ring)
 _VALID_RING_CAP = 512
+# ... and the flat pass over small rings is chunked so ONE allocation
+# never exceeds this many pairs (~4M pairs ≈ 100-200 MB of transient
+# index/coord/hit arrays), regardless of how many rings a batch holds
+_VALID_PAIR_BUDGET = 4_000_000
 
 
 def _flat_self_pairs(nseg: np.ndarray):
@@ -260,22 +264,37 @@ def st_isvalid(g: pd.Series) -> pd.Series:
         rs, owner_c = s[closed], owner[closed]
         small = nseg <= _VALID_RING_CAP
         if small.any():
-            ns, st_, ow = nseg[small], rs[small], owner_c[small]
-            seg0 = np.concatenate([[0], np.cumsum(ns)[:-1]])
-            ci = np.repeat(st_, ns) + (np.arange(int(ns.sum()))
-                                       - np.repeat(seg0, ns))
-            x1, y1 = batch.xs[ci], batch.ys[ci]
-            x2, y2 = batch.xs[ci + 1], batch.ys[ci + 1]
-            i, j, grp = _flat_self_pairs(ns)
-            gi, gj = i + seg0[grp], j + seg0[grp]
-            hits = A.seg_seg_intersect_flat(
-                x1[gi], y1[gi], x2[gi], y2[gi],
-                x1[gj], y1[gj], x2[gj], y2[gj])
-            n_of = ns[grp]
-            # adjacent segments legitimately touch at shared vertices
-            adj = (np.abs(i - j) <= 1) | \
-                  ((i == 0) & (j == n_of - 1)) | ((j == 0) & (i == n_of - 1))
-            out[ow[grp[hits & ~adj]]] = False
+            # Chunk the flat pass so TOTAL pairs per allocation is
+            # bounded (not just per ring): a batch of thousands of
+            # mid-size rings would otherwise concatenate Σ nseg² pairs
+            # into one multi-GB index/coord/hit allocation.
+            sm = np.flatnonzero(small)
+            ccum = np.cumsum(nseg[sm].astype(np.int64) ** 2)
+            start = 0
+            while start < len(sm):
+                base = int(ccum[start - 1]) if start else 0
+                end = int(np.searchsorted(
+                    ccum, base + _VALID_PAIR_BUDGET, side="right"))
+                end = max(end, start + 1)
+                idx = sm[start:end]
+                start = end
+                ns, st_, ow = nseg[idx], rs[idx], owner_c[idx]
+                seg0 = np.concatenate([[0], np.cumsum(ns)[:-1]])
+                ci = np.repeat(st_, ns) + (np.arange(int(ns.sum()))
+                                           - np.repeat(seg0, ns))
+                x1, y1 = batch.xs[ci], batch.ys[ci]
+                x2, y2 = batch.xs[ci + 1], batch.ys[ci + 1]
+                i, j, grp = _flat_self_pairs(ns)
+                gi, gj = i + seg0[grp], j + seg0[grp]
+                hits = A.seg_seg_intersect_flat(
+                    x1[gi], y1[gi], x2[gi], y2[gi],
+                    x1[gj], y1[gj], x2[gj], y2[gj])
+                n_of = ns[grp]
+                # adjacent segments legitimately touch at shared vertices
+                adj = (np.abs(i - j) <= 1) | \
+                      ((i == 0) & (j == n_of - 1)) | \
+                      ((j == 0) & (i == n_of - 1))
+                out[ow[grp[hits & ~adj]]] = False
         for k in np.flatnonzero(~small):  # oversized rings, bounded memory
             s0, n = int(rs[k]), int(nseg[k])
             x1 = batch.xs[s0:s0 + n]; y1 = batch.ys[s0:s0 + n]

@@ -127,18 +127,20 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 
 def _banded(df: DataFrame, text_col: str, id_col: str, num_hashes: int,
-            bands: int, k: int, materialize: str = "memory") -> DataFrame:
+            bands: int, k: int, materialize: str = "none") -> DataFrame:
     """(id, bk=struct<band,bh>) — one row per doc per LSH band.
 
     The signature table is consumed twice by every caller (both sides
     of the band self-join), so ``materialize`` picks the re-use
-    strategy: ``"memory"`` persists it (right at interactive scale, but
-    an unbounded cache barrier at 100 TB); ``"none"`` recomputes the
+    strategy: ``"none"`` (the default — scale-safe) recomputes the
     single-pass native expressions per consumer (zero cache, one extra
-    scan — often the cheapest at cluster scale); any other string is a
-    directory path the signatures are checkpointed to as parquet and
-    re-read from (bounded memory AND single computation — the 100 TB
-    default when a scratch location exists)."""
+    scan — usually the cheapest at cluster scale); ``"memory"`` opts in
+    to persisting it (right at interactive scale, but an unbounded cache
+    barrier at 100 TB — the caller owns the handle and must
+    ``unpersist`` the returned frame's lineage when done); any other
+    string is a directory path the signatures are checkpointed to as
+    parquet and re-read from (bounded memory AND single computation —
+    the right choice at 100 TB when a scratch location exists)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
@@ -161,7 +163,7 @@ def _banded(df: DataFrame, text_col: str, id_col: str, num_hashes: int,
 def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", num_hashes: int = 8,
                         bands: int = 4, k: int = 3,
-                        materialize: str = "memory") -> DataFrame:
+                        materialize: str = "none") -> DataFrame:
     """LSH banding: docs sharing any band of the MinHash signature become
     candidate near-dup pairs.  Output: (id_a, id_b) with id_a < id_b.
 
@@ -186,7 +188,7 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
 def lsh_dedup(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id", num_hashes: int = 8,
               bands: int = 4, k: int = 3, max_iter: int = 1,
-              materialize: str = "memory") -> DataFrame:
+              materialize: str = "none") -> DataFrame:
     """Linear-cost LSH dedup: (doc_id, rep_id) where rep_id is the min
     doc id over every band bucket the doc belongs to; keep rows with
     rep_id == doc_id to dedup.  This is the 100 TB-safe form: a bucket
@@ -234,13 +236,20 @@ def lsh_dedup(df: DataFrame, text_col: str = "text",
         cur = nxt
         if converged:
             break
+    if max_iter > 1:
+        # The convergence check above already materialized the final
+        # iterate; release the cache before handing it back so repeated
+        # calls don't accumulate persisted RDDs in executor memory.  The
+        # caller's consumption recomputes two hash aggregations — the
+        # bounded-memory tradeoff.
+        cur.unpersist()
     return cur
 
 
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         threshold: float = 0.0,
-                        materialize: str = "memory") -> DataFrame:
+                        materialize: str = "none") -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs: broadcast-join
     shingle sets onto the (small) candidate pair list.  ``materialize``
     stages the shingle-set table, probed twice (id_a and id_b sides):

@@ -464,7 +464,13 @@ def _is_small(df: DataFrame, threshold: int = BROADCAST_ROW_THRESHOLD) -> bool:
     the old private ``_jdf.queryExecution`` stats read): compare the
     scan's input file bytes against ``spark.sql.autoBroadcastJoinThreshold``
     (honoring -1 = never broadcast); fall back to a limited count
-    (~100 bytes/row heuristic) when the frame has no file lineage."""
+    (~100 bytes/row heuristic) when the frame has no file lineage.
+
+    The conf is honored EXACTLY (size <= thr) — a user who lowered it
+    (e.g. to 1 MB to protect the driver) must not be overridden by a
+    library floor.  (The old ``max(thr, threshold * 100)`` floor was
+    10 MB — below Spark's 10485760 default, so honoring the conf
+    changes nothing at default settings.)"""
     size = _input_file_bytes(df)
     if size is not None:
         try:
@@ -474,7 +480,7 @@ def _is_small(df: DataFrame, threshold: int = BROADCAST_ROW_THRESHOLD) -> bool:
             thr = 10 << 20
         if thr <= 0:
             return False
-        return size <= max(thr, threshold * 100)
+        return size <= thr
     try:
         cnt = df.limit(threshold + 1).count()
         return cnt <= threshold

@@ -127,7 +127,12 @@ def read_geojson(spark: SparkSession, path: str, columns=None,
                  filesystem=None, sample_features: int = 200):
     """Read GeoJSON file(s) → GeoDataFrame.  ``path`` may be a file,
     directory, or (local) glob; suffixes .geojson/.json/.geojsonl/
-    .ndjson list from directories.  One read task per file."""
+    .ndjson list from directories.  One read task per file.
+
+    Property schema is inferred from the first ``sample_features``
+    features of each of the first 8 files (int/float conflicts widen to
+    double; unseen-by-the-sample properties are dropped — raise
+    ``sample_features`` for sparse schemas)."""
     from ..core import GeoDataFrame
 
     sfx = (".geojson", ".json", ".geojsonl", ".ndjson")
@@ -142,10 +147,19 @@ def read_geojson(spark: SparkSession, path: str, columns=None,
     if not files:
         raise FileNotFoundError(path)
 
-    # schema from a driver-side sample of the first file (cheap: one
-    # fragment; mirrors the reference's meta-from-first-rows contract)
-    with FS.open_input(files[0], filesystem) as f:
-        sample = _features_of(f.read().decode("utf-8"))[:sample_features]
+    # Schema from a driver-side sample: the first `sample_features`
+    # features of each of the first 8 files (not just file 0 — a
+    # property appearing only in a later file would otherwise be
+    # silently dropped, and an int-in-file-1 / float-in-file-2 conflict
+    # would surface as an executor cast error; `_prop_field` widens
+    # mixed int/float to double).  Properties first seen past the
+    # sampled files/features are still not discovered — that is the
+    # documented `sample_features` contract (mirrors the reference's
+    # meta-from-first-rows behavior).
+    sample: list = []
+    for fp in files[:8]:
+        with FS.open_input(fp, filesystem) as f:
+            sample.extend(_features_of(f.read().decode("utf-8"))[:sample_features])
     names: list = []
     for ft in sample:
         for k in (ft.get("properties") or {}):

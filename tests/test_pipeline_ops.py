@@ -78,6 +78,22 @@ class TestDedup:
         assert labels(materialize=str(tmp_path / "sig_ckpt")) == mem
         assert (tmp_path / "sig_ckpt").exists()
 
+    def test_default_plan_has_no_cache_barrier(self, docs):
+        """The DEFAULT staging is scale-safe: no InMemoryRelation in the
+        plan (an unbounded .persist() at 100 TB); ``memory`` is opt-in
+        (r2 VERDICT item #5)."""
+        from dask_geopandas_spark.operators.dedup import (lsh_candidate_pairs,
+                                                          lsh_dedup)
+
+        # Spark's CacheManager substitutes cached plans by subtree match,
+        # so a persist left by an earlier memory-mode test would show up
+        # here even though this call never persists — clear it first.
+        docs.sparkSession.catalog.clearCache()
+        for frame in (lsh_dedup(docs, num_hashes=4, bands=2),
+                      lsh_candidate_pairs(docs, num_hashes=4, bands=2)):
+            plan = frame._jdf.queryExecution().optimizedPlan().toString()
+            assert "InMemoryRelation" not in plan
+
     def test_lsh_dedup_linear_form(self, docs):
         from dask_geopandas_spark.operators.dedup import (lsh_candidate_pairs,
                                                           lsh_dedup)
@@ -311,6 +327,27 @@ class TestStreaming:
                 for r in out.collect()}
         assert rows[("2024-01-01 00:00:00", "a")] == 2
         assert rows[("2024-01-01 01:00:00", "b")] == 1
+
+    def test_ntz_cast_requires_utc_session(self, spark):
+        """The NTZ→LTZ cast interprets wall clocks in the session zone;
+        a non-UTC session must fail loudly instead of silently shifting
+        window boundaries (r2 ADVICE item)."""
+        import pytest as _pytest
+
+        from dask_geopandas_spark.streaming.geo import _watermarkable_ts
+
+        pdf = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 00:10"])})
+        df = spark.createDataFrame(pdf).withColumn(
+            "ts", F.col("ts").cast("timestamp_ntz"))
+        old = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        try:
+            with _pytest.raises(ValueError, match="timeZone=UTC"):
+                _watermarkable_ts(df, "ts")
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        assert dict(_watermarkable_ts(df, "ts").dtypes)["ts"] == "timestamp"
 
     def test_streaming_geo_pipeline(self, spark, tmp_path):
         """True readStream → stateless geo UDF → windowed agg → memory sink."""
