@@ -451,8 +451,9 @@ def q_box_relations(spark, sf_dir):
 
 def q_box_setops_area(spark, sf_dir):
     """Elementwise set-theoretic operators (intersection/union/difference/
-    symmetric_difference) measured by area.  Union is collect-parts
-    (documented divergence): overlapping interiors count twice."""
+    symmetric_difference) measured by area — exact GEOS semantics via the
+    boolean kernel: union merges overlapping interiors (half-overlap pair
+    unions to 1.5x the box area, not 2x)."""
     from dask_geopandas_spark.functions import core as FX
 
     d = _box_pairs(spark, sf_dir)
@@ -745,6 +746,43 @@ def q_union_all_bounds(spark, sf_dir):
     return spark.createDataFrame(
         [(float(b[0]), float(b[1]), float(b[2]), float(b[3]), n)],
         "minx double, miny double, maxx double, maxy double, n_points int",
+    )
+
+
+def q_dissolve_union_area(spark, sf_dir):
+    """True interior-merging dissolve (reference expr.py:652-703 via
+    geopandas/GEOS union): supplier boxes OVERLAP within nations, so the
+    union geometry's area is strictly less than the sum of part areas.
+    The kernel (geometry/booleans.py) merges interiors; the oracle
+    computes the exact union area by coordinate compression (grid cells
+    from the distinct box corners, cell covered iff inside any box) —
+    pure SQL, no geometry extension."""
+    sb = _boxes(spark, sf_dir, "supplier", SB)
+    d = sb[["s_nationkey", "s_suppkey", "geometry"]].dissolve(
+        by="s_nationkey", aggfunc={"s_suppkey": "count"})
+    from dask_geopandas_spark.functions import core as FX
+
+    return d.df.select(
+        F.col("s_nationkey").cast("int").alias("nationkey"),
+        F.col("s_suppkey").alias("n_suppliers"),
+        F.round(FX.st_area(F.col("geometry")), 6).alias("union_area"),
+    )
+
+
+def q_union_all_area(spark, sf_dir):
+    """Global union_all over overlapping supplier boxes (reference
+    expr.py:33-41 tree reduction): per-partition partial kernel unions,
+    final merge of partials; reported as total merged area + part
+    count vs the same coordinate-compression oracle."""
+    from dask_geopandas_spark.geometry import algorithms as GA
+    from dask_geopandas_spark.geometry import wkb as GW
+
+    g = _boxes(spark, sf_dir, "supplier", SB)
+    blob = g.union_all()
+    batch = GW.parse_wkb([blob])
+    area = float(GA.area(batch)[0])
+    return spark.createDataFrame(
+        [(round(area, 6),)], "union_area double",
     )
 
 
@@ -1437,6 +1475,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r02-green remainder — rotating coverage so every entry gets a driver
     attestation across consecutive rounds."""
     return {
+        # -- (a) NEW in round 3 (never driver-checked) --
+        "dissolve_union_area": q_dissolve_union_area,
+        "union_all_area": q_union_all_area,
         # -- (b) no driver row in r02: never checked in any round first --
         "top_bigram": q_top_bigram,
         "stream_dedup": q_stream_dedup,
@@ -1872,7 +1913,55 @@ def oracle_sql() -> dict[str, str]:
     meta_arith = "(doc_id % 48 + 16)"
     meta_h = "(doc_id % 32 + 16)"
     body = f"least({meta_arith} * {meta_h} * 3, 4096)"
+
+    # exact union area of axis-aligned boxes by coordinate compression:
+    # grid cells from the distinct box corners per group; a cell is
+    # covered iff it lies inside any box; union area = Σ covered cells.
+    # Pure SQL — the oracle for the kernel's interior-merging union.
+    sup_boxes = f"""
+        SELECT s_nationkey AS k,
+               CAST({SB['minx']} AS DOUBLE) AS x0,
+               CAST({SB['miny']} AS DOUBLE) AS y0,
+               CAST(({SB['minx']}) + ({SB['w']}) AS DOUBLE) AS x1,
+               CAST(({SB['miny']}) + ({SB['h']}) AS DOUBLE) AS y1
+        FROM supplier
+    """
+
+    def _compression_union(select_boxes: str) -> str:
+        return f"""
+        WITH nb AS ({select_boxes}),
+        xs AS (SELECT DISTINCT k, x FROM (SELECT k, x0 AS x FROM nb
+                                          UNION ALL SELECT k, x1 FROM nb)),
+        xi AS (SELECT k, x AS a,
+                      LEAD(x) OVER (PARTITION BY k ORDER BY x) AS b FROM xs),
+        ys AS (SELECT DISTINCT k, y FROM (SELECT k, y0 AS y FROM nb
+                                          UNION ALL SELECT k, y1 FROM nb)),
+        yi AS (SELECT k, y AS c,
+                      LEAD(y) OVER (PARTITION BY k ORDER BY y) AS d FROM ys),
+        cells AS (SELECT xi.k, a, b, c, d
+                  FROM xi JOIN yi ON xi.k = yi.k
+                  WHERE b IS NOT NULL AND d IS NOT NULL),
+        cov AS (SELECT DISTINCT c.k, c.a, c.b, c.c, c.d
+                FROM cells c JOIN nb ON nb.k = c.k
+                 AND nb.x0 <= c.a AND nb.x1 >= c.b
+                 AND nb.y0 <= c.c AND nb.y1 >= c.d),
+        ua AS (SELECT k, sum((b - a) * (d - c)) AS area FROM cov GROUP BY k)
+        """
+
+    dissolve_union_area = _compression_union(sup_boxes) + """
+        SELECT CAST(cnt.k AS INTEGER) AS nationkey,
+               cnt.n AS n_suppliers,
+               round(ua.area, 6) AS union_area
+        FROM (SELECT k, count(*) AS n FROM nb GROUP BY k) cnt
+        JOIN ua ON ua.k = cnt.k
+    """
+    union_all_area = _compression_union(
+        sup_boxes.replace("s_nationkey AS k", "0 AS k")) + """
+        SELECT round(sum(area), 6) AS union_area FROM ua
+    """
     return {
+        "dissolve_union_area": dissolve_union_area,
+        "union_all_area": union_all_area,
         "cx_bbox_filter": f"""
             SELECT c_custkey AS custkey, {CUST_X} AS px, {CUST_Y} AS py
             FROM customer
@@ -2072,7 +2161,8 @@ def oracle_sql() -> dict[str, str]:
                          WHEN 0 THEN ba WHEN 1 THEN ba / 2.0
                          ELSE 0.0 END, 6) AS inter_area,
                    round(CASE o_orderkey % 4
-                         WHEN 0 THEN ba ELSE 2.0 * ba END, 6) AS union_area,
+                         WHEN 0 THEN ba WHEN 1 THEN 1.5 * ba
+                         ELSE 2.0 * ba END, 6) AS union_area,
                    round(CASE o_orderkey % 4
                          WHEN 0 THEN 0.0 WHEN 1 THEN ba / 2.0
                          ELSE ba END, 6) AS diff_area,

@@ -6,18 +6,23 @@ The reference binds these as elementwise binary operators through
 shapely/GEOS.  GEOS is unavailable here, so this module implements the
 semantics directly on the columnar :class:`GeometryBatch` decomposition.
 
-Exactness contract (documented divergence, see README):
+Exactness contract:
 
-* ``intersection`` — exact for point×any, line×convex-polygon, and
-  polygon×convex-polygon (Sutherland–Hodgman / Cyrus–Beck).  When the
-  second operand is concave the clip runs against its convex hull.
-* ``union`` — collects parts into a Multi*/GeometryCollection (does not
-  merge overlapping polygon interiors); identical operands deduplicate.
-* ``difference`` — exact for point×polygon, line×convex-polygon, and the
-  polygon cases disjoint / b⊇a / b-strictly-inside-a (hole insertion);
-  partial polygon overlap subtracts the clipped overlap as a hole
-  (approximate when the overlap touches a's boundary).
-* ``symmetric_difference`` — ``collect(a−b, b−a)``.
+* ``intersection`` / ``difference`` / ``union`` /
+  ``symmetric_difference`` on polygon×polygon — EXACT for arbitrary
+  (concave, holed, multi-part) operands via the pure-numpy boolean
+  kernel (`geometry/booleans.py` overlay: split-snap-classify-stitch
+  arrangement); axis-aligned rect pairs take a vectorized interval
+  fast path (`_BoxPair`).
+* line×polygon intersection/difference — exact: Cyrus–Beck when the
+  polygon is convex and hole-free, else the kernel's
+  ``clip_lines_to_rings`` split-and-classify path.
+* point×any — exact.
+* ``union`` on polygon×polygon merges overlapping interiors (GEOS
+  semantics, reference expr.py:1001-1013); mixed-dimension unions
+  collect into a GeometryCollection.
+* line×line intersection returns crossing points (collinear overlap
+  runs not reconstructed — remaining divergence).
 * predicates ``touches``/``crosses``/``overlaps`` and ``relate`` are
   exact for the point/line/convex-polygon combinations exercised by the
   test suite; grazing line-line contacts are approximated.
@@ -29,6 +34,7 @@ import numpy as np
 
 from . import wkb as W
 from . import algorithms as A
+from . import booleans as B
 from . import clipping as CL
 
 _EMPTY_GC = W.serialize_geometry(W.GEOMETRYCOLLECTION, [])
@@ -304,20 +310,23 @@ class _BoxPair:
         x0 = max(self.a[i, 0], self.b[i, 0]); y0 = max(self.a[i, 1], self.b[i, 1])
         return self._rect(x0, y0, x0 + self.ox[i], y0 + self.oy[i])
 
-    def difference(self, i: int, raw_a) -> bytes:
+    def difference(self, i: int, raw_a):
         if self.cov_ba[i]:
             return _EMPTY_GC
         if self.ox[i] < 0 or self.oy[i] < 0 or self.ox[i] == 0 or self.oy[i] == 0:
             return bytes(raw_a) if raw_a is not None else None
-        # overlap rect inserted as a hole (same construction as the
-        # generic convex-clip path)
         x0 = max(self.a[i, 0], self.b[i, 0]); y0 = max(self.a[i, 1], self.b[i, 1])
+        x1, y1 = x0 + self.ox[i], y0 + self.oy[i]
+        if (x0 == self.a[i, 0] or x1 == self.a[i, 2]
+                or y0 == self.a[i, 1] or y1 == self.a[i, 3]):
+            # overlap touches a's boundary: result is concave (or split) —
+            # fall through to the exact kernel path
+            return NotImplemented
+        # overlap strictly interior: insert it as a hole
         outer = np.array([[self.a[i, 0], self.a[i, 1]], [self.a[i, 2], self.a[i, 1]],
                           [self.a[i, 2], self.a[i, 3]], [self.a[i, 0], self.a[i, 3]],
                           [self.a[i, 0], self.a[i, 1]]])
-        hole = np.array([[x0, y0], [x0 + self.ox[i], y0],
-                         [x0 + self.ox[i], y0 + self.oy[i]], [x0, y0 + self.oy[i]],
-                         [x0, y0]])
+        hole = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
         return W.serialize_geometry(W.POLYGON, [outer, hole])
 
 
@@ -622,20 +631,47 @@ def pairwise_relate(Ab: W.GeometryBatch, Bb: W.GeometryBatch) -> list:
 # set-theoretic constructors
 # ----------------------------------------------------------------------
 
-def _convex_outer(batch: W.GeometryBatch, i: int):
-    """The single outer ring of polygon i if it is convex and hole-free,
-    else its convex hull ring (divergence documented in the module docstring)."""
-    outers = [r for k, *r in
-              [(k, x, y) for k, x, y in A._geom_paths(batch, i)
-               if k == W.PK_RING_OUTER]]
-    holes = any(k == W.PK_RING_HOLE for k, _, _ in A._geom_paths(batch, i))
-    if len(outers) == 1 and not holes:
-        x, y = outers[0]
-        if CL.is_convex_ring(x, y):
-            return x, y
-    x, y = A._points(batch, i)
-    hx, hy = A.convex_hull_single(x, y)
-    return np.append(hx, hx[0]), np.append(hy, hy[0])
+def _convex_hole_free(batch: W.GeometryBatch, i: int):
+    """(ring_x, ring_y) of polygon i's single outer ring if it is convex
+    and hole-free (the fast Cyrus–Beck/Sutherland–Hodgman precondition),
+    else None — the caller falls through to the exact boolean kernel."""
+    outers = []
+    for k, x, y in A._geom_paths(batch, i):
+        if k == W.PK_RING_HOLE:
+            return None
+        if k == W.PK_RING_OUTER:
+            outers.append((x, y))
+    if len(outers) != 1:
+        return None
+    x, y = outers[0]
+    if not CL.is_convex_ring(x, y):
+        return None
+    return x, y
+
+
+def geom_rings(batch: W.GeometryBatch, i: int) -> list:
+    """All polygon rings of geometry i as closed (n,2) arrays — the
+    even-odd operand format of the boolean kernel."""
+    out = []
+    for k, x, y in A._geom_paths(batch, i):
+        if k in (W.PK_RING_OUTER, W.PK_RING_HOLE):
+            r = _close_ring(x, y)
+            if r is not None and len(r) >= 4:
+                out.append(r)
+    return out
+
+
+def geom_lines(batch: W.GeometryBatch, i: int) -> list:
+    """All open paths of geometry i as (n,2) arrays."""
+    return [np.column_stack([x, y])
+            for k, x, y in A._geom_paths(batch, i)
+            if k == W.PK_LINE and len(x) >= 2]
+
+
+def kernel_polys_wkb(polys: list) -> bytes:
+    """Serialize kernel overlay output (list of [shell, hole, ...] closed
+    rings) to WKB (POLYGON / MULTIPOLYGON / empty GEOMETRYCOLLECTION)."""
+    return _polys_geom(polys)
 
 
 def _points_in_b(Ab, i, Bb, j):
@@ -711,28 +747,26 @@ def intersection_one(Ab: W.GeometryBatch, i: int, Bb: W.GeometryBatch, j: int) -
     if da == 0:
         return _points_geom(*_points_in_b(Ab, i, Bb, j))
     if da == 1 and db == 2:
-        cx, cy = _convex_outer(Bb, j)
-        pieces = []
-        for kind, x, y in A._geom_paths(Ab, i):
-            if kind == W.PK_LINE and len(x) >= 2:
-                pieces += CL.clip_line_to_convex(x, y, cx, cy)
-        return _lines_geom(pieces)
+        conv = _convex_hole_free(Bb, j)
+        if conv is not None:
+            cx, cy = conv
+            pieces = []
+            for kind, x, y in A._geom_paths(Ab, i):
+                if kind == W.PK_LINE and len(x) >= 2:
+                    pieces += CL.clip_line_to_convex(x, y, cx, cy)
+            return _lines_geom(pieces)
+        # concave / holed / multi-part polygon: exact split-and-classify
+        kept = B.clip_lines_to_rings(geom_lines(Ab, i), geom_rings(Bb, j))
+        return _lines_geom([(p[:, 0], p[:, 1]) for p in kept])
     if da == 1 and db == 1:
         # collinear overlap runs not reconstructed — return crossing points
         sa = A._segments(Ab, i); sb = A._segments(Bb, j)
         pts = _seg_crossings(sa, sb)
         return _points_geom(*pts)
-    # polygon × polygon: Sutherland–Hodgman each outer ring of a against
-    # b's convex outer
-    cx, cy = _convex_outer(Bb, j)
-    out_rings = []
-    for kind, x, y in A._geom_paths(Ab, i):
-        if kind == W.PK_RING_OUTER:
-            rx, ry = CL.sutherland_hodgman(x, y, cx, cy)
-            ring = _close_ring(rx, ry)
-            if ring is not None and len(ring) >= 4:
-                out_rings.append([ring])
-    return _polys_geom(out_rings)
+    # polygon × polygon: exact boolean kernel overlay (arbitrary concave /
+    # holed / multi-part operands)
+    return _polys_geom(B.overlay(geom_rings(Ab, i), geom_rings(Bb, j),
+                                 "intersection"))
 
 
 def _seg_crossings(sa, sb):
@@ -757,8 +791,10 @@ def _seg_crossings(sa, sb):
 
 
 def union_one(Ab: W.GeometryBatch, i: int, Bb: W.GeometryBatch, j: int) -> bytes:
-    """Collect-parts union (documented divergence: overlapping polygon
-    interiors are not merged)."""
+    """Geometric union.  Polygon×polygon merges overlapping interiors via
+    the boolean kernel (GEOS semantics, reference expr.py:1001-1013);
+    bbox-disjoint polygon pairs collect parts directly (identical result,
+    no arrangement pass)."""
     ra = Ab.raw[i] if Ab.raw else None
     rb = Bb.raw[j] if Bb.raw else None
     ta, tb = int(Ab.types[i]), int(Bb.types[j])
@@ -770,6 +806,12 @@ def union_one(Ab: W.GeometryBatch, i: int, Bb: W.GeometryBatch, j: int) -> bytes
         return bytes(ra)
     da, db = _dim(ta), _dim(tb)
     if da == db == 2:
+        ba = _geom_bounds(Ab, i); bb = _geom_bounds(Bb, j)
+        disjoint = (ba[2] < bb[0] or ba[0] > bb[2]
+                    or ba[3] < bb[1] or ba[1] > bb[3])
+        if not disjoint:
+            return _polys_geom(B.overlay(geom_rings(Ab, i),
+                                         geom_rings(Bb, j), "union"))
         polys = []
         for b_, k in ((Ab, i), (Bb, j)):
             cur: list = []
@@ -857,39 +899,22 @@ def difference_one(Ab: W.GeometryBatch, i: int, Bb: W.GeometryBatch, j: int) -> 
                   (py[:, None] == iny[None, :])).any(axis=1))
         return _points_geom(px[keep], py[keep])
     if da == 1 and db == 2:
-        cx, cy = _convex_outer(Bb, j)
-        pieces = []
-        for kind, x, y in A._geom_paths(Ab, i):
-            if kind != W.PK_LINE or len(x) < 2:
-                continue
-            pieces += _line_minus_convex(x, y, cx, cy)
-        return _lines_geom(pieces)
+        conv = _convex_hole_free(Bb, j)
+        if conv is not None:
+            cx, cy = conv
+            pieces = []
+            for kind, x, y in A._geom_paths(Ab, i):
+                if kind != W.PK_LINE or len(x) < 2:
+                    continue
+                pieces += _line_minus_convex(x, y, cx, cy)
+            return _lines_geom(pieces)
+        kept = B.clip_lines_to_rings(geom_lines(Ab, i), geom_rings(Bb, j),
+                                     keep_inside=False)
+        return _lines_geom([(p[:, 0], p[:, 1]) for p in kept])
     if da == 2 and db == 2:
-        one_a = _single(Ab, i); one_b = _single(Bb, j)
-        if A.pairwise_contains(one_b, one_a)[0]:
-            return _EMPTY_GC
-        if not A.pairwise_intersects(one_a, one_b)[0]:
-            return ra_raw
-        # clip the overlap to a and insert it as a hole
-        cxa, cya = _convex_outer(Ab, i)
-        bx_, by_ = _convex_outer(Bb, j)
-        hx, hy = CL.sutherland_hodgman(bx_, by_, cxa, cya)
-        hole = _close_ring(hx, hy)
-        rings = _reassemble(Ab, i, W.POLYGON if ta == W.POLYGON else ta)
-        if ta == W.POLYGON:
-            if hole is not None and len(hole) >= 4:
-                rings = list(rings) + [hole]
-            return W.serialize_geometry(W.POLYGON, rings)
-        # multipolygon: attach hole to the part whose bbox contains it
-        out = []
-        for part in rings:
-            if (hole is not None and len(hole) >= 4 and
-                    part[0][:, 0].min() <= hole[:, 0].min() and
-                    part[0][:, 0].max() >= hole[:, 0].max()):
-                out.append(list(part) + [hole])
-            else:
-                out.append(part)
-        return _polys_geom(out)
+        # exact boolean kernel difference (concave results, splits, holes)
+        return _polys_geom(B.overlay(geom_rings(Ab, i), geom_rings(Bb, j),
+                                     "difference"))
     # line − line / anything else: subtract nothing measurable
     return ra_raw
 
@@ -931,6 +956,11 @@ def _line_minus_convex(x, y, cx, cy):
 
 
 def symmetric_difference_one(Ab, i, Bb, j) -> bytes:
+    ta, tb = int(Ab.types[i]), int(Bb.types[j])
+    if ta != 0 and tb != 0 and _dim(ta) == _dim(tb) == 2:
+        # one arrangement pass instead of two differences + a union
+        return _polys_geom(B.overlay(geom_rings(Ab, i), geom_rings(Bb, j),
+                                     "xor"))
     d_ab = difference_one(Ab, i, Bb, j)
     d_ba = difference_one(Bb, j, Ab, i)
     if d_ab is None:
@@ -953,7 +983,8 @@ def _pairwise_geom(fn, box_fast=None):
             if Ab.types[i] == 0 and Bb.types[i] == 0:
                 continue
             if bp is not None and bp.mask[i]:
-                out[i] = box_fast(bp, Ab, i, Bb, i)
+                r = box_fast(bp, Ab, i, Bb, i)
+                out[i] = fn(Ab, i, Bb, i) if r is NotImplemented else r
             else:
                 out[i] = fn(Ab, i, Bb, i)
         return out

@@ -3,10 +3,13 @@
 pandas UDF inside a native groupBy, so Spark's hash aggregation handles
 distribution and the scalar aggs stay JVM-native).
 
-Union semantics without GEOS: parts are *collected* into a MULTI-geometry
-(or GEOMETRYCOLLECTION for mixed types).  For disjoint inputs this equals
-the GEOS union as a point set; overlapping polygon interiors are NOT
-merged (boolean polygon ops require GEOS — documented engine divergence).
+Union semantics (GEOS parity via the pure-numpy boolean kernel): point
+sets deduplicate, line parts collect, and POLYGON parts whose bounding
+boxes overlap are merged through ``geometry.booleans.union_polygons``
+(true interior-merging union — overlapping areas counted once, shared
+edges dissolved, holes preserved).  Bbox-disjoint polygon clusters skip
+the arrangement pass and collect directly (identical result).  Mixed
+geometry types collect into a GEOMETRYCOLLECTION.
 """
 
 from __future__ import annotations
@@ -18,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType
 from pyspark.sql.functions import pandas_udf
 
+from ..geometry import booleans as B
 from ..geometry import wkb as W
 
 
@@ -61,6 +65,7 @@ def merge_geometries(blobs) -> bytes | None:
                     polys.append([])
                     key = k
             polys[-1].append(seg(p))
+        polys = _merge_polygon_parts(polys, hz)
         if len(polys) == 1:
             return W.serialize_geometry(W.POLYGON, polys[0], hz)
         return W.serialize_geometry(W.MULTIPOLYGON, polys, hz)
@@ -77,6 +82,54 @@ def merge_geometries(blobs) -> bytes | None:
         else:
             members[-1] = (W.POLYGON, members[-1][1] + [seg(p)])
     return W.serialize_geometry(W.GEOMETRYCOLLECTION, members, hz)
+
+
+def _merge_polygon_parts(polys: list, hz: bool) -> list:
+    """True interior-merging union of polygon parts.  Parts are clustered
+    by bbox overlap/touch (union-find over a chunked pairwise check); the
+    boolean kernel runs only on clusters with >1 member, so the common
+    spatially-disjoint dissolve pays nothing beyond the bbox sweep.
+    Z inputs collect without merging (the kernel is 2D)."""
+    n = len(polys)
+    if hz or n <= 1:
+        return polys
+    bounds = np.empty((n, 4))
+    for i, p in enumerate(polys):
+        xs = np.concatenate([np.asarray(r)[:, 0] for r in p])
+        ys = np.concatenate([np.asarray(r)[:, 1] for r in p])
+        bounds[i] = (xs.min(), ys.min(), xs.max(), ys.max())
+
+    parent = list(range(n))
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    rows = max(1, 4_000_000 // n)
+    for s in range(0, n, rows):
+        e = min(s + rows, n)
+        ov = ((bounds[s:e, None, 0] <= bounds[None, :, 2])
+              & (bounds[s:e, None, 2] >= bounds[None, :, 0])
+              & (bounds[s:e, None, 1] <= bounds[None, :, 3])
+              & (bounds[s:e, None, 3] >= bounds[None, :, 1]))
+        ii, jj = np.nonzero(ov)
+        for a, b in zip(ii + s, jj):
+            if a < b:
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    parent[ra] = rb
+    clusters: dict[int, list] = {}
+    for i in range(n):
+        clusters.setdefault(find(i), []).append(i)
+    out: list = []
+    for members in clusters.values():
+        if len(members) == 1:
+            out.append(polys[members[0]])
+        else:
+            out.extend(B.union_polygons([polys[m] for m in members]))
+    return out
 
 
 @pandas_udf(BinaryType())
