@@ -301,8 +301,9 @@ def q_region_dissolve(spark, sf_dir):
     """Inherited relational join (SURVEY §2.3 'Inherited dask joins …
     native'): nation boxes broadcast-equi-joined to region, then
     dissolve by region name with a dict aggfunc and the union
-    geometry's area (collect-parts union: area = sum of part areas,
-    the documented divergence)."""
+    geometry's area (nation boxes are disjoint within each region, so
+    the interior-merging union area equals the sum of part areas —
+    overlapping groups are exercised by ``dissolve_union_area``)."""
     nb = _boxes(spark, sf_dir, "nation", NB)
     region = _t(spark, sf_dir, "region")
     joined = nb.df.join(
@@ -746,6 +747,46 @@ def q_union_all_bounds(spark, sf_dir):
     return spark.createDataFrame(
         [(float(b[0]), float(b[1]), float(b[2]), float(b[3]), n)],
         "minx double, miny double, maxx double, maxy double, n_points int",
+    )
+
+
+def q_setops_concave_area(spark, sf_dir):
+    """Row-aligned set ops with a CONCAVE operand (reference
+    expr.py:1001-1013 delegates to GEOS; here the boolean kernel): per
+    orders row, an L-shaped polygon (8x8 outer minus its 4x4 upper-right
+    quarter) against a 6x6 box sliding diagonally by o_orderkey % 5.
+    Oracle decomposes the L as outer-minus-notch, so every area is
+    closed-form rectangle-overlap arithmetic."""
+    from dask_geopandas_spark.functions import core as FX
+
+    c = lambda e: f"CAST(CAST({e} AS DOUBLE) AS STRING)"
+    x0, y0 = OB["minx"], OB["miny"]
+    ring = (f"CONCAT('POLYGON ((', "
+            f"{c(x0)}, ' ', {c(y0)}, ', ', "
+            f"{c(f'{x0} + 8')}, ' ', {c(y0)}, ', ', "
+            f"{c(f'{x0} + 8')}, ' ', {c(f'{y0} + 4')}, ', ', "
+            f"{c(f'{x0} + 4')}, ' ', {c(f'{y0} + 4')}, ', ', "
+            f"{c(f'{x0} + 4')}, ' ', {c(f'{y0} + 8')}, ', ', "
+            f"{c(x0)}, ' ', {c(f'{y0} + 8')}, ', ', "
+            f"{c(x0)}, ' ', {c(y0)}, '))')")
+    t = "(o_orderkey % 5)"
+    d = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("gl", FX.st_geomfromtext(F.expr(ring)))
+        .withColumn("gb", FX.st_make_box(
+            F.expr(f"{x0} + {t}").cast("double"),
+            F.expr(f"{y0} + {t}").cast("double"),
+            F.expr(f"{x0} + {t} + 6").cast("double"),
+            F.expr(f"{y0} + {t} + 6").cast("double")))
+    )
+    gl, gb = F.col("gl"), F.col("gb")
+    return d.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(FX.st_area(FX.st_intersection(gl, gb)), 6).alias("inter_area"),
+        F.round(FX.st_area(FX.st_union_pair(gl, gb)), 6).alias("union_area"),
+        F.round(FX.st_area(FX.st_difference(gl, gb)), 6).alias("diff_area"),
+        F.round(FX.st_area(FX.st_symdifference(gl, gb)), 6).alias("sym_area"),
     )
 
 
@@ -1478,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (a) NEW in round 3 (never driver-checked) --
         "dissolve_union_area": q_dissolve_union_area,
         "union_all_area": q_union_all_area,
+        "setops_concave_area": q_setops_concave_area,
         # -- (b) no driver row in r02: never checked in any round first --
         "top_bigram": q_top_bigram,
         "stream_dedup": q_stream_dedup,
@@ -1959,9 +2001,41 @@ def oracle_sql() -> dict[str, str]:
         sup_boxes.replace("s_nationkey AS k", "0 AS k")) + """
         SELECT round(sum(area), 6) AS union_area FROM ua
     """
+    # L = 8x8 outer minus its 4x4 upper-right quarter (area 48); box =
+    # 6x6 at diagonal offset t = o_orderkey % 5.  inter(L, B) =
+    # ov(B, outer) - ov(B, notch); everything else by area algebra.
+    _ov = (lambda ax0, ay0, ax1, ay1: (
+        f"greatest(0.0, least({ax1}, bx1) - greatest({ax0}, bx0)) * "
+        f"greatest(0.0, least({ay1}, by1) - greatest({ay0}, by0))"))
+    _cx0, _cy0 = OB["minx"], OB["miny"]
+    setops_concave_area = f"""
+        WITH rows_ AS (
+            SELECT o_orderkey,
+                   CAST({_cx0} AS DOUBLE) AS ox0,
+                   CAST({_cy0} AS DOUBLE) AS oy0,
+                   CAST({_cx0} + (o_orderkey % 5) AS DOUBLE) AS bx0,
+                   CAST({_cy0} + (o_orderkey % 5) AS DOUBLE) AS by0,
+                   CAST({_cx0} + (o_orderkey % 5) + 6 AS DOUBLE) AS bx1,
+                   CAST({_cy0} + (o_orderkey % 5) + 6 AS DOUBLE) AS by1
+            FROM orders WHERE o_orderkey % 13 = 0
+        ),
+        ar AS (
+            SELECT o_orderkey,
+                   {_ov('ox0', 'oy0', 'ox0 + 8', 'oy0 + 8')}
+                   - {_ov('ox0 + 4', 'oy0 + 4', 'ox0 + 8', 'oy0 + 8')} AS inter
+            FROM rows_
+        )
+        SELECT o_orderkey AS orderkey,
+               round(inter, 6) AS inter_area,
+               round(48.0 + 36.0 - inter, 6) AS union_area,
+               round(48.0 - inter, 6) AS diff_area,
+               round(48.0 + 36.0 - 2.0 * inter, 6) AS sym_area
+        FROM ar
+    """
     return {
         "dissolve_union_area": dissolve_union_area,
         "union_all_area": union_all_area,
+        "setops_concave_area": setops_concave_area,
         "cx_bbox_filter": f"""
             SELECT c_custkey AS custkey, {CUST_X} AS px, {CUST_Y} AS py
             FROM customer
