@@ -750,6 +750,47 @@ def q_union_all_bounds(spark, sf_dir):
     )
 
 
+# constant concave clip mask shared by the line/polygon concave-clip
+# queries: 100x80 rectangle minus its upper-right quarter
+_L_CLIP = ("POLYGON ((-50 -40, 50 -40, 50 0, 0 0, 0 40, -50 40, "
+           "-50 -40))")
+
+
+def q_clip_concave_lines(spark, sf_dir):
+    """Concave-mask clip of a LINE layer (reference clip.py:12-47 via
+    geopandas.clip/GEOS; here the kernel's split-and-classify line
+    clipping): horizontal 10-unit segments against the L mask.  At the
+    segment's y the L's x-extent is a single interval, so the clipped
+    length is closed-form interval overlap in SQL."""
+    from dask_geopandas_spark.functions import core as FX
+
+    c = lambda e: f"CAST(CAST({e} AS DOUBLE) AS STRING)"
+    wkt = (f"CONCAT('LINESTRING (', {c(LI_X)}, ' ', {c(LI_Y)}, ', ', "
+           f"{c(f'({LI_X}) + 10')}, ' ', {c(LI_Y)}, ')')")
+    df = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") % 7 == 0)
+          .withColumn("geometry", FX.st_geomfromtext(F.expr(wkt))))
+    g = dgs.GeoDataFrame(df, "geometry").clip(_L_CLIP)
+    return g.df.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.round(g.length, 6).alias("clip_len"),
+    )
+
+
+def q_clip_concave_polys(spark, sf_dir):
+    """Concave-mask clip of a POLYGON layer (boolean-kernel overlay per
+    row behind the native bbox prefilter): order boxes against the L
+    mask; oracle area = overlap-with-outer minus overlap-with-notch."""
+    from dask_geopandas_spark.functions import core as FX
+
+    g = _boxes(spark, sf_dir, "orders", OB).clip(_L_CLIP)
+    return g.df.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(FX.st_area(F.col(g.geometry_column)), 6).alias("clip_area"),
+    )
+
+
 def q_setops_concave_area(spark, sf_dir):
     """Row-aligned set ops with a CONCAVE operand (reference
     expr.py:1001-1013 delegates to GEOS; here the boolean kernel): per
@@ -1520,6 +1561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_union_area": q_dissolve_union_area,
         "union_all_area": q_union_all_area,
         "setops_concave_area": q_setops_concave_area,
+        "clip_concave_lines": q_clip_concave_lines,
+        "clip_concave_polys": q_clip_concave_polys,
         # -- (b) no driver row in r02: never checked in any round first --
         "top_bigram": q_top_bigram,
         "stream_dedup": q_stream_dedup,
@@ -2032,10 +2075,53 @@ def oracle_sql() -> dict[str, str]:
                round(48.0 + 36.0 - 2.0 * inter, 6) AS sym_area
         FROM ar
     """
+    # the L clip mask = [-50,50]x[-40,40] minus its [0,50]x[0,40]
+    # quarter; at any fixed y inside, the x-extent is one interval
+    clip_concave_lines = f"""
+        WITH segs AS (
+            SELECT l_orderkey, l_linenumber,
+                   CAST({LI_X} AS DOUBLE) AS x0, CAST({LI_Y} AS DOUBLE) AS y
+            FROM lineitem WHERE l_orderkey % 7 = 0
+        ),
+        k AS (
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN y > -40 AND y < 0 THEN
+                            greatest(0.0, least(50.0, x0 + 10) - greatest(-50.0, x0))
+                        WHEN y > 0 AND y < 40 THEN
+                            greatest(0.0, least(0.0, x0 + 10) - greatest(-50.0, x0))
+                        ELSE 0.0 END AS len
+            FROM segs
+        )
+        SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+               round(len, 6) AS clip_len
+        FROM k WHERE len > 0
+    """
+    clip_concave_polys = f"""
+        WITH b AS (
+            SELECT o_orderkey,
+                   CAST({OB['minx']} AS DOUBLE) AS bx0,
+                   CAST({OB['miny']} AS DOUBLE) AS by0,
+                   CAST({OB['minx']} + {OB['w']} AS DOUBLE) AS bx1,
+                   CAST({OB['miny']} + {OB['h']} AS DOUBLE) AS by1
+            FROM orders
+        ),
+        a AS (
+            SELECT o_orderkey,
+                   greatest(0.0, least(50.0, bx1) - greatest(-50.0, bx0))
+                   * greatest(0.0, least(40.0, by1) - greatest(-40.0, by0))
+                   - greatest(0.0, least(50.0, bx1) - greatest(0.0, bx0))
+                   * greatest(0.0, least(40.0, by1) - greatest(0.0, by0)) AS ar
+            FROM b
+        )
+        SELECT o_orderkey AS orderkey, round(ar, 6) AS clip_area
+        FROM a WHERE ar > 0
+    """
     return {
         "dissolve_union_area": dissolve_union_area,
         "union_all_area": union_all_area,
         "setops_concave_area": setops_concave_area,
+        "clip_concave_lines": clip_concave_lines,
+        "clip_concave_polys": clip_concave_polys,
         "cx_bbox_filter": f"""
             SELECT c_custkey AS custkey, {CUST_X} AS px, {CUST_Y} AS py
             FROM customer

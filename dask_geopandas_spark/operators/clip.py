@@ -4,9 +4,10 @@ per-partition geopandas.clip).
 
 Spark-first shape: a *native* bbox prefilter (prunes row-groups via
 Parquet stats when bbox is materialized) + a vectorized pandas UDF doing
-the exact geometric clip.  The mask must be convex (box/envelope — the
-reference's own tests clip by boxes); GEOS-grade concave clipping is
-unavailable in this environment.
+the exact geometric clip.  Convex masks use half-plane kernels
+(Sutherland–Hodgman / Cyrus–Beck); concave masks and holed subjects go
+through the exact boolean kernel (geometry/booleans.py) — point layers
+additionally get a pure-JVM even-odd ray-cast path with no Python stage.
 """
 
 from __future__ import annotations
@@ -60,12 +61,12 @@ def _point_in_ring_closed(px: np.ndarray, py: np.ndarray,
 
 
 def _mask_ring(mask) -> tuple[np.ndarray, np.ndarray, bool]:
-    """(ring_x, ring_y, is_convex).  Concave masks are supported for
-    point layers (clip == point-in-polygon row filter); line/polygon
-    layers still require a convex mask (their clipping algorithms —
-    Sutherland-Hodgman, convex line clipping — are convex-only without
-    GEOS boolean ops; the failure is loud, at plan time for the native
-    path and per-row for the kernel path)."""
+    """(ring_x, ring_y, is_convex).  Any simple polygon ring works as a
+    mask for every layer type: point layers get a pure-JVM even-odd ray
+    cast, line/polygon layers route concave masks through the boolean
+    kernel and keep the cheaper half-plane kernels when the ring is
+    convex.  Holes in the mask polygon are not supported (outer ring
+    only — matching the single-ring native SQL path)."""
     if isinstance(mask, str):
         mask = T.wkt_to_wkb(mask)
     if isinstance(mask, (tuple, list)) and len(mask) == 4:
@@ -260,32 +261,47 @@ def _clip_one(batch: W.GeometryBatch, i: int, t: int, mx, my,
         if len(pts) == 1:
             return W.serialize_geometry(W.POINT, pts[0])
         return W.serialize_geometry(W.MULTIPOINT, pts)
-    if not convex:
-        raise NotImplementedError(
-            "concave clip masks are supported for point geometries only "
-            "(line/polygon clipping needs GEOS boolean ops; reference "
-            "delegates to geopandas.clip)")
     if t in (W.LINESTRING, W.MULTILINESTRING):
-        pieces = []
-        for kind, x, y in A._geom_paths(batch, i):
-            pieces.extend(CL.clip_line_to_convex(x, y, mx, my))
-        pieces = [p for p in pieces if len(p[0]) >= 2]
+        if convex:
+            pieces = []
+            for kind, x, y in A._geom_paths(batch, i):
+                pieces.extend(CL.clip_line_to_convex(x, y, mx, my))
+            pieces = [np.column_stack(p) for p in pieces if len(p[0]) >= 2]
+        else:
+            # concave mask: exact split-and-classify line clipping
+            # (geometry/booleans.py, reference clip.py:12-47 via GEOS)
+            from ..geometry import booleans as B
+
+            lines = [np.column_stack([x, y])
+                     for kind, x, y in A._geom_paths(batch, i)
+                     if kind == W.PK_LINE and len(x) >= 2]
+            pieces = [p for p in B.clip_lines_to_rings(
+                lines, [np.column_stack([mx, my])]) if len(p) >= 2]
         if not pieces:
             return None
         if len(pieces) == 1:
-            return W.serialize_geometry(W.LINESTRING, np.column_stack(pieces[0]))
-        return W.serialize_geometry(
-            W.MULTILINESTRING, [np.column_stack(p) for p in pieces]
-        )
+            return W.serialize_geometry(W.LINESTRING, pieces[0])
+        return W.serialize_geometry(W.MULTILINESTRING, pieces)
     if t in (W.POLYGON, W.MULTIPOLYGON):
-        polys = []
-        for kind, x, y in A._geom_paths(batch, i):
-            if kind != W.PK_RING_OUTER:
-                continue  # holes of clipped polygons need boolean ops; outer-only
-            rx, ry = CL.sutherland_hodgman(x, y, mx, my)
-            if len(rx) >= 3:
-                ring = np.column_stack([np.append(rx, rx[0]), np.append(ry, ry[0])])
-                polys.append([ring])
+        has_holes = any(batch.path_kind[p] == W.PK_RING_HOLE
+                        for p in np.flatnonzero(batch.path_geom == i))
+        if convex and not has_holes:
+            polys = []
+            for kind, x, y in A._geom_paths(batch, i):
+                if kind != W.PK_RING_OUTER:
+                    continue
+                rx, ry = CL.sutherland_hodgman(x, y, mx, my)
+                if len(rx) >= 3:
+                    ring = np.column_stack([np.append(rx, rx[0]),
+                                            np.append(ry, ry[0])])
+                    polys.append([ring])
+        else:
+            # concave mask or holed subject: exact boolean kernel overlay
+            from ..geometry import booleans as B
+            from ..geometry import setops as S
+
+            polys = B.overlay(S.geom_rings(batch, i),
+                              [np.column_stack([mx, my])], "intersection")
         if not polys:
             return None
         if len(polys) == 1:

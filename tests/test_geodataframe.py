@@ -607,16 +607,36 @@ def test_clip_concave_mask_points(spark):
     plan = (pts.clip(L).df.select("id")
             ._jdf.queryExecution().executedPlan().toString())
     assert "ArrowEvalPython" not in plan
-    # lines + concave mask: loud failure (kernel path, per row)
+    # lines + concave mask: exact kernel clipping.  The first line is
+    # fully inside the bottom arm; the second runs along y=15 where the
+    # mask's x-extent is [0, 5] only; the third is fully outside.
+    line_df = spark.createDataFrame(
+        pd.DataFrame({"id": [0, 1, 2],
+                      "wkt": ["LINESTRING (1 1, 9 9)",
+                              "LINESTRING (-3 15, 30 15)",
+                              "LINESTRING (30 30, 40 30)"]}))
+    lines = dgs.from_wkt(line_df, "wkt")
+    out = lines.clip(L)
+    rows = {r["id"]: r["ln"] for r in
+            out.df.select("id", out.length.alias("ln")).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0] == pytest.approx(8 * np.sqrt(2))
+    assert rows[1] == pytest.approx(5.0)
+    # polygons + concave mask: kernel overlay.  Box [2,8]x[8,12] overlaps
+    # the bottom arm (y<=10 for x>5) and the left arm (x<=5): area
+    # = 6x2 + 3x2 = 18 ... decompose: whole box in x[2,8],y[8,12];
+    # mask covers y<10 for x in [2,8] (12) plus x<5 for y in [10,12] (6).
+    poly_df = spark.createDataFrame(
+        pd.DataFrame({"id": [0], "wkt":
+                      ["POLYGON ((2 8, 8 8, 8 12, 2 12, 2 8))"]}))
+    polys = dgs.from_wkt(poly_df, "wkt")
+    pout = polys.clip(L)
     from dask_geopandas_spark.functions import core as FX
     from pyspark.sql import functions as F
-    import pytest as _pytest
 
-    line_df = spark.createDataFrame(
-        pd.DataFrame({"wkt": ["LINESTRING (1 1, 9 9)"]}))
-    lines = dgs.from_wkt(line_df, "wkt")
-    with _pytest.raises(Exception, match="concave"):
-        lines.clip(L).df.collect()
+    a = pout.df.select(
+        FX.st_area(F.col(pout.geometry_column)).alias("a")).collect()
+    assert len(a) == 1 and a[0]["a"] == pytest.approx(18.0)
 
 
 def test_point_in_ring_cond_matches_sql(spark):
