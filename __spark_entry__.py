@@ -756,6 +756,32 @@ _L_CLIP = ("POLYGON ((-50 -40, 50 -40, 50 0, 0 0, 0 40, -50 40, "
            "-50 -40))")
 
 
+def q_buffer_l_area(spark, sf_dir):
+    """True line buffer (reference expr.py:314-322 via GEOS; here
+    per-segment Minkowski rectangles + per-vertex discs unioned by the
+    boolean kernel): an axis-aligned L-shaped polyline with legs a, b
+    >= 3 and d = 1 buffers to the closed-form area
+    2d(a+b) - d^2 + 2.5*q*d^2*sin(pi/(2q)) (q = resolution: two
+    semicircle end caps + one outer-corner quarter fan; the inner
+    corner's rectangle overlap is the d^2 term)."""
+    from dask_geopandas_spark.functions import core as FX
+
+    c = lambda e: f"CAST(CAST({e} AS DOUBLE) AS STRING)"
+    x0, y0 = OB["minx"], OB["miny"]
+    a, b = "(o_orderkey % 5 + 3)", "(o_orderkey % 7 + 3)"
+    wkt = (f"CONCAT('LINESTRING (', {c(x0)}, ' ', {c(y0)}, ', ', "
+           f"{c(f'({x0}) + {a}')}, ' ', {c(y0)}, ', ', "
+           f"{c(f'({x0}) + {a}')}, ' ', {c(f'({y0}) + {b}')}, ')')")
+    df = (_t(spark, sf_dir, "orders")
+          .filter(F.col("o_orderkey") % 11 == 0)
+          .withColumn("geometry", FX.st_geomfromtext(F.expr(wkt))))
+    g = dgs.GeoDataFrame(df, "geometry").buffer(1.0, resolution=8)
+    return g.df.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(g.area, 4).alias("buf_area"),
+    )
+
+
 def q_clip_concave_lines(spark, sf_dir):
     """Concave-mask clip of a LINE layer (reference clip.py:12-47 via
     geopandas.clip/GEOS; here the kernel's split-and-classify line
@@ -1563,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setops_concave_area": q_setops_concave_area,
         "clip_concave_lines": q_clip_concave_lines,
         "clip_concave_polys": q_clip_concave_polys,
+        "buffer_l_area": q_buffer_l_area,
         # -- (b) no driver row in r02: never checked in any round first --
         "top_bigram": q_top_bigram,
         "stream_dedup": q_stream_dedup,
@@ -2122,6 +2149,12 @@ def oracle_sql() -> dict[str, str]:
         "setops_concave_area": setops_concave_area,
         "clip_concave_lines": clip_concave_lines,
         "clip_concave_polys": clip_concave_polys,
+        "buffer_l_area": """
+            SELECT o_orderkey AS orderkey,
+                   round(2.0 * ((o_orderkey % 5 + 3) + (o_orderkey % 7 + 3))
+                         - 1.0 + 20.0 * sin(pi() / 16.0), 4) AS buf_area
+            FROM orders WHERE o_orderkey % 11 = 0
+        """,
         "cx_bbox_filter": f"""
             SELECT c_custkey AS custkey, {CUST_X} AS px, {CUST_Y} AS py
             FROM customer

@@ -481,15 +481,84 @@ def st_representative_point(g: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+def _disc_poly(vx: float, vy: float, r: float, resolution: int) -> list:
+    cx_, cy_ = A.buffer_point(vx, vy, r, resolution)
+    return [np.column_stack([np.append(cx_, cx_[0]), np.append(cy_, cy_[0])])]
+
+
+def _boundary_dilation(batch, i: int, r: float, resolution: int) -> list:
+    """Minkowski dilation components of geometry i's boundary: one
+    rectangle per segment + one disc per vertex (round joins/caps, GEOS
+    quad_segs convention).  Returns a list of kernel operand polygons."""
+    comps: list = []
+    for kind, x, y in A._geom_paths(batch, i):
+        if len(x) == 0:
+            continue
+        closed = kind in (W.PK_RING_OUTER, W.PK_RING_HOLE)
+        if closed and len(x) > 1 and x[0] == x[-1] and y[0] == y[-1]:
+            x, y = x[:-1], y[:-1]
+        for vx, vy in zip(x, y):
+            comps.append(_disc_poly(float(vx), float(vy), r, resolution))
+        x2 = np.roll(x, -1) if closed else x[1:]
+        y2 = np.roll(y, -1) if closed else y[1:]
+        x1 = x if closed else x[:-1]
+        y1 = y if closed else y[:-1]
+        for k in range(len(x1)):
+            dx, dy = x2[k] - x1[k], y2[k] - y1[k]
+            ln = float(np.hypot(dx, dy))
+            if ln == 0:
+                continue
+            nx, ny = -dy / ln * r, dx / ln * r
+            rect = np.array([
+                [x1[k] + nx, y1[k] + ny], [x2[k] + nx, y2[k] + ny],
+                [x2[k] - nx, y2[k] - ny], [x1[k] - nx, y1[k] - ny],
+                [x1[k] + nx, y1[k] + ny]])
+            comps.append([rect])
+    return comps
+
+
+def _geom_poly_parts(batch, i: int) -> list:
+    """Polygon parts of geometry i as kernel operands ([outer, holes...]
+    closed rings per part)."""
+    parts: list = []
+    cur: list = []
+    for kind, x, y in A._geom_paths(batch, i):
+        if kind == W.PK_RING_OUTER:
+            if cur:
+                parts.append(cur)
+            cur = []
+        if kind in (W.PK_RING_OUTER, W.PK_RING_HOLE) and len(x) >= 3:
+            if x[0] != x[-1] or y[0] != y[-1]:
+                x = np.append(x, x[0]); y = np.append(y, y[0])
+            cur.append(np.column_stack([x, y]))
+    if cur:
+        parts.append(cur)
+    return parts
+
+
+def _polys_wkb(polys: list) -> bytes:
+    polys = [p for p in polys if p and len(p[0]) >= 4]
+    if not polys:
+        return W.serialize_geometry(W.POLYGON, [])
+    if len(polys) == 1:
+        return W.serialize_geometry(W.POLYGON, polys[0])
+    return W.serialize_geometry(W.MULTIPOLYGON, polys)
+
+
 def buffer(distance, resolution: int = 16):
-    """Factory: buffer UDF.  Exact for points (circle approximation with
-    4*resolution vertices, GEOS quad_segs convention); for lines/polygons
-    returns the *convex* dilation (Minkowski sum of the convex hull with a
-    circle) — exact for convex inputs, hull-approximate otherwise.
-    GEOS is unavailable in this environment (see module docstring)."""
+    """Factory: buffer UDF (reference expr.py:314-322 via GEOS).  Exact
+    per-segment Minkowski rounds for every geometry type: points buffer
+    to a 4*resolution-vertex circle (GEOS quad_segs convention);
+    lines/polygons union per-segment rectangles with per-vertex discs
+    through the boolean kernel (round joins and caps — concave inputs
+    buffer correctly, unlike a convex-hull dilation).  Negative distance
+    erodes polygons (subtracts the boundary dilation); lines/points
+    collapse to empty."""
 
     @pandas_udf(BinaryType())
     def _buffer(g: pd.Series, d: pd.Series) -> pd.Series:
+        from ..geometry import booleans as B
+
         batch = _b(g)
         dist = d.to_numpy(dtype=np.float64, na_value=np.nan)
         out = []
@@ -502,26 +571,35 @@ def buffer(distance, resolution: int = 16):
                 out.append(W.serialize_geometry(W.POLYGON, []))
                 continue
             r = float(dist[i])
-            if r <= 0:
+            t = int(batch.types[i])
+            poly_t = t in (W.POLYGON, W.MULTIPOLYGON)
+            if r == 0 and poly_t:
+                out.append(batch.raw[i])
+                continue
+            if r <= 0 and not poly_t:
                 out.append(W.serialize_geometry(W.POLYGON, []))
                 continue
-            if batch.types[i] == W.POINT:
-                cx_, cy_ = A.buffer_point(x[0], y[0], r, resolution)
-                ring = np.column_stack([np.append(cx_, cx_[0]), np.append(cy_, cy_[0])])
-                out.append(W.serialize_geometry(W.POLYGON, [ring]))
+            if t == W.POINT:
+                out.append(_polys_wkb([_disc_poly(x[0], y[0], r, resolution)]))
+                continue
+            if t == W.MULTIPOINT:
+                comps = [_disc_poly(float(vx), float(vy), r, resolution)
+                         for vx, vy in zip(x, y)]
+                out.append(_polys_wkb(B.union_polygons(comps)))
+                continue
+            comps = _boundary_dilation(batch, i, abs(r), resolution)
+            if poly_t:
+                parts = _geom_poly_parts(batch, i)
+                if r > 0:
+                    out.append(_polys_wkb(B.union_polygons(parts + comps)))
+                else:
+                    # erosion: polygon minus its boundary dilation
+                    dil = B.union_polygons(comps)
+                    out.append(_polys_wkb(B.overlay(
+                        [ring for p in parts for ring in p],
+                        [ring for p in dil for ring in p], "difference")))
             else:
-                # convex dilation: hull of circles around hull vertices
-                hx, hy = A.convex_hull_single(x, y)
-                px, py = [], []
-                for vx, vy in zip(hx, hy):
-                    ax, ay = A.buffer_point(vx, vy, r, resolution)
-                    px.append(ax)
-                    py.append(ay)
-                allx = np.concatenate(px)
-                ally = np.concatenate(py)
-                rx, ry = A.convex_hull_single(allx, ally)
-                ring = np.column_stack([np.append(rx, rx[0]), np.append(ry, ry[0])])
-                out.append(W.serialize_geometry(W.POLYGON, [ring]))
+                out.append(_polys_wkb(B.union_polygons(comps)))
         return pd.Series(out, dtype=object)
 
     from pyspark.sql import Column

@@ -79,6 +79,41 @@ class TestBasics:
         for r in rows:
             assert abs(r["a"] - np.pi * 4) / (np.pi * 4) < 0.01
 
+    def test_buffer_line_and_polygon_exact(self, spark):
+        """True Minkowski buffer (not convex dilation): the L-shaped
+        line's buffer area follows the closed form
+        2d(a+b) - d^2 + 2.5*q*d^2*sin(pi/(2q)); a concave polygon erodes
+        exactly under a negative distance."""
+        import math
+
+        df = spark.createDataFrame(pd.DataFrame({
+            "id": [0, 1],
+            "wkt": ["LINESTRING (0 0, 4 0, 4 5)",
+                    "POLYGON ((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))"],
+        }))
+        g = dgs.from_wkt(df, "wkt")
+        buf = g.buffer(1.0, resolution=8)
+        rows = {r["id"]: r["a"] for r in
+                buf.select("id", buf.area.alias("a")).collect()}
+        s = math.sin(math.pi / 16)
+        assert rows[0] == pytest.approx(2 * 9 - 1 + 20 * s, abs=1e-9)
+        # concave polygon (area 20, perimeter 24): dilation adds P*d, a
+        # quarter fan at each of the 5 convex corners (q wedges of
+        # (d^2/2)sin(pi/2q) each), minus the d^2 rect overlap at the
+        # single reflex corner (whose disc is fully covered).
+        assert rows[1] == pytest.approx(20 + 24 + 5 * 8 * 0.5 * s - 1,
+                                        abs=1e-9)
+        ero = g.buffer(-0.5, resolution=8)
+        er = {r["id"]: r["a"] for r in
+              ero.select("id", ero.area.alias("a")).collect()}
+        assert er[0] == 0.0  # line collapses
+        # L eroded by 0.5: the two offset arms (5x1 each, overlapping in
+        # 1x1) plus the reflex-corner pocket — the 0.5x0.5 square at the
+        # inner corner minus the quarter round (polygonal fan, q wedges
+        # of (d^2/2)sin(pi/2q))
+        assert er[1] == pytest.approx(
+            5 + 5 - 1 + 0.25 - 8 * (0.25 / 2) * s, abs=1e-9)
+
     def test_translate_centroid(self, polys):
         gdf, pdf = polys
         moved = gdf.translate(100.0, -5.0)
