@@ -1390,9 +1390,14 @@ def _neardup_input(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
+    """Banded sign-LSH near-dup at threshold 0.95.  Band width is tuned
+    to the threshold: 2 bands x 16 bits keeps planted-pair recall ~1
+    (the perturbed copies flip almost no signature bits) while cutting
+    random-pair candidates ~30x vs 4x8 — candidate precision, not just
+    stage shape, is what survives a 100x scale-up."""
     out = DD.embedding_neardup_pairs(
         _neardup_input(spark, sf_dir), threshold=0.95,
-        n_bits=32, bands=4, nnz=8, seed=42, dim=64)
+        n_bits=32, bands=2, nnz=8, seed=42, dim=64)
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
@@ -1977,7 +1982,7 @@ def oracle_sql() -> dict[str, str]:
     # 0.0 accumulator in both dialects → bucketing matches bit-for-bit.
     _nd_planes = DD.signlsh_planes(64, n_bits=32, nnz=8, seed=42)
     _nd_bits = [DD.signlsh_bit_sql(p, lambda i: f"v[{i}]") for p in _nd_planes]
-    _nd_bsigs = [" || ".join(_nd_bits[b * 8:(b + 1) * 8]) for b in range(4)]
+    _nd_bsigs = [" || ".join(_nd_bits[b * 16:(b + 1) * 16]) for b in range(2)]
     _nd_banded = "\n            UNION ALL\n".join(
         f"            SELECT vec_id, {b} AS band, ({s}) AS bsig FROM base"
         for b, s in enumerate(_nd_bsigs)

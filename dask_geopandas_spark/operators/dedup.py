@@ -350,30 +350,32 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
     to vectors).  Returns (id_a, id_b, cos) with id_a < id_b and
     cos >= threshold.
 
-    100 TB plan shape — no stage materializes a whole bucket:
+    100 TB plan shape — no stage materializes a whole bucket's VECTORS:
     signature bits are native SQL expressions (sparse ±1 dot products,
     no UDF, no Python); each vector explodes to one row per band; the
-    candidate set is a self equi-join on (band, band_signature) — a
-    shuffled hash join on a high-cardinality key (2^(n_bits/bands)
-    signatures per band), never a cross join and never a whole-bucket
-    ``applyInPandas`` matmul; exact cosine runs per candidate pair with
-    native array expressions after re-joining the narrow (id_a, id_b)
-    pair list to the vectors.  Peak per-task memory is one shuffle
-    partition of id pairs — bounded regardless of bucket skew (AQE
-    skew-join splits hot band keys).
+    candidate set comes from ONE shuffle — group ids (ids only, 8
+    bytes/row) per (band, band_signature) bucket and emit the i<j pairs
+    with a nested-transform explode.  This computes the 32-expression
+    signature projection once (a self-join would run it on both sides)
+    and keeps the quadratic object the candidate PAIR LIST, same as any
+    LSH (callers wanting the linear alternative: `lsh_dedup`).  Exact
+    cosine runs per candidate pair after ONE vector rejoin: the pair
+    list unpivots to (pair, id) rows, joins the vector table once, and
+    regroups — shuffling |V| + 2|pairs| vectors instead of 2|V|.
 
     Recall: vectors at cosine c agree on one random-hyperplane bit with
     probability ≈ 1 - arccos(c)/π; a pair is a candidate if it matches
     *all* bits of *any* band.  Misses are the standard LSH tradeoff —
     more/narrower bands raise recall, fewer/wider bands cut cost.
 
-    Narrow-vs-fused tradeoff (measured): carrying vectors through the
-    band join and aggregating instead of distinct+rejoin saves ~3 AQE
-    query-stages (≈1 s at sf0.1 toy scale) but shuffles bands×|vec|
-    bytes per row on BOTH join sides (~4500 B/vec for 64-dim×4 bands)
-    vs this plan's ~1240 B/vec (banded keys are ~50 B/row; the two
-    vector rejoins each move the vector table once).  At cluster scale
-    shuffle volume dominates stage latency, so narrow wins ~3.6×.
+    Narrow-vs-fused tradeoff: carrying vectors through the band shuffle
+    would shuffle bands×|vec| bytes per row (~4500 B/vec for 64-dim×4
+    bands) and re-materialize whole buckets of vectors; this plan's
+    band shuffle is ~50 B/row of ids and the single rejoin moves each
+    vector once.  At cluster scale shuffle volume dominates stage
+    latency, so narrow wins; at toy scale the id-only bucket groupBy
+    also beats the former self-join by one exchange and one projection
+    pass.
 
     ``dim`` avoids a schema-probe job when known; planes are
     deterministic from (dim, n_bits, nnz, seed) so an oracle can
@@ -398,22 +400,39 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
     ]
     banded = df.select(F.col(id_col),
                        F.explode(F.array(*band_keys)).alias("bk"))
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("bk"))
-    b_ = banded.select(F.col(id_col).alias("id_b"), F.col("bk"))
-    cand = (
-        a.join(b_, on="bk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    # one shuffle: ids-only buckets, then i<j pairs from a sorted array
+    # (nested slice/transform — pure native, no join)
+    buckets = (
+        banded.groupBy("bk")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
     )
+    cand = (
+        buckets
+        .select(F.explode(F.expr(
+            "flatten(transform(_ids, (x, i) -> "
+            "transform(slice(_ids, i + 2, size(_ids) - i - 1), "
+            "y -> struct(x AS id_a, y AS id_b))))")).alias("_p"))
+        .select("_p.id_a", "_p.id_b")
+    )
+    if bands > 1:
+        cand = cand.distinct()
 
     from .similarity import cosine
 
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    v = df.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    unp = cand.select("id_a", "id_b",
+                      F.explode(F.array("id_a", "id_b")).alias(id_col))
+    paired = (
+        unp.join(v, on=id_col)
+        .groupBy("id_a", "id_b")
+        .agg(F.first(F.when(F.col(id_col) == F.col("id_a"), F.col("_v")),
+                     ignorenulls=True).alias("_va"),
+             F.first(F.when(F.col(id_col) == F.col("id_b"), F.col("_v")),
+                     ignorenulls=True).alias("_vb"))
+    )
     return (
-        cand.join(va, on="id_a").join(vb, on="id_b")
-        .select("id_a", "id_b",
-                cosine(F.col("_va"), F.col("_vb")).alias("cos"))
+        paired.select("id_a", "id_b",
+                      cosine(F.col("_va"), F.col("_vb")).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
