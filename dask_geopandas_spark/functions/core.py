@@ -237,28 +237,44 @@ def _flat_self_pairs(nseg: np.ndarray):
 
 @pandas_udf(BooleanType())
 def st_isvalid(g: pd.Series) -> pd.Series:
-    """Ring self-intersection check (bowtie detection).  Points/lines are
-    always valid, matching GEOS for the common cases.
+    """OGC polygon validity (reference: shapely/GEOS ``is_valid``).
+    Points/lines are always valid (matching GEOS).  Checks, in order:
 
-    Vectorized over the whole Arrow batch: ring closure is a segmented
-    gather-compare; the bowtie test enumerates all within-ring segment
-    pairs of every (small) ring at once through one flat
-    ``seg_seg_intersect_flat`` call.  Rings above ``_VALID_RING_CAP``
-    segments fall back to a per-ring broadcast test so the pair buffer
-    stays bounded."""
+    1. every ring closed and with >= 4 points (incl. the closing one);
+    2. no ring self-intersects (bowtie / spike detection) — vectorized
+       over the whole Arrow batch: all within-ring segment pairs of
+       every (small) ring through one flat ``seg_seg_intersect_flat``
+       call, pair buffer chunk-bounded; rings above ``_VALID_RING_CAP``
+       fall back to a per-ring broadcast test;
+    3. multi-ring taxonomy (only rows with >= 2 rings pay for it):
+       rings must not cross or share edge runs; holes must lie inside
+       their shell and not nest inside each other; multipolygon shells
+       must not nest/overlap (a part inside another part's HOLE is
+       valid); and the interior must be connected — ring touch points
+       form a multigraph whose cycles (e.g. a hole chaining shell-touch
+       to shell-touch) disconnect the interior (union-find)."""
     batch = _b(g)
     out = np.ones(batch.n, dtype=bool)
     po = batch.path_offsets
-    ring = np.flatnonzero(
+    is_poly_path = (
         np.isin(batch.types[batch.path_geom], (W.POLYGON, W.MULTIPOLYGON))
-        & np.isin(batch.path_kind, (W.PK_RING_OUTER, W.PK_RING_HOLE))
-        & (po[1:] - po[:-1] >= 4))
+        & np.isin(batch.path_kind, (W.PK_RING_OUTER, W.PK_RING_HOLE)))
+    # degenerate rings (fewer than 4 points incl. closing) → invalid
+    out[batch.path_geom[is_poly_path & (po[1:] - po[:-1] < 4)]] = False
+    ring = np.flatnonzero(is_poly_path & (po[1:] - po[:-1] >= 4))
     if len(ring):
         s, e = po[ring], po[ring + 1]
         owner = batch.path_geom[ring]
         closed = (batch.xs[s] == batch.xs[e - 1]) & \
                  (batch.ys[s] == batch.ys[e - 1])
         out[owner[~closed]] = False  # unclosed ring → invalid
+
+        # a ring needs >= 3 distinct vertices: segmented count of
+        # non-degenerate edges (vectorized over all rings at once)
+        live = ((batch.xs[:-1] != batch.xs[1:])
+                | (batch.ys[:-1] != batch.ys[1:])).astype(np.int64)
+        cliv = np.concatenate([[0], np.cumsum(live)])
+        out[owner[(cliv[e - 1] - cliv[s]) < 3]] = False
 
         nseg = (e - s - 1)[closed]
         rs, owner_c = s[closed], owner[closed]
@@ -304,9 +320,158 @@ def st_isvalid(g: pd.Series) -> pd.Series:
             adj[0, n - 1] = adj[n - 1, 0] = True
             if (hits & ~adj).any():
                 out[owner_c[k]] = False
+    # multi-ring taxonomy for rows still valid with >= 2 rings
+    ring_counts = np.bincount(batch.path_geom[is_poly_path],
+                              minlength=batch.n)
+    for gi in np.flatnonzero(out & (ring_counts >= 2)):
+        if not _multi_ring_valid(batch, int(gi)):
+            out[gi] = False
     res = pd.Series(out, dtype="boolean")
     res[batch.is_null()] = pd.NA
     return res
+
+
+def _ring_segs(x: np.ndarray, y: np.ndarray):
+    """(x1, y1, x2, y2) of a closed ring's non-degenerate edges."""
+    x1, y1, x2, y2 = x[:-1], y[:-1], x[1:], y[1:]
+    nz = (x1 != x2) | (y1 != y2)
+    return x1[nz], y1[nz], x2[nz], y2[nz]
+
+
+def _touch_points(xa, ya, sa, xb, yb, sb) -> set:
+    """Distinct contact points between two non-crossing rings: vertices
+    of one lying on the other's boundary (tangency between straight
+    edges without crossing is always at a vertex or is a collinear
+    overlap, which the caller rejects first)."""
+    pts: set = set()
+    for (px, py), segs in (((xa, ya), sb), ((xb, yb), sa)):
+        if len(segs[0]) == 0 or len(px) <= 1:
+            continue
+        d = A._point_seg_dist(px[:-1], py[:-1],
+                              *segs).min(axis=1)
+        for k in np.flatnonzero(d == 0):
+            pts.add((float(px[k]), float(py[k])))
+    return pts
+
+
+def _multi_ring_valid(batch: W.GeometryBatch, i: int) -> bool:
+    """Pairwise ring taxonomy for one (multi)polygon — see st_isvalid."""
+    # parts: [(shell_ring, [hole_rings...]), ...] with coordinate arrays
+    parts: list = []
+    for p in np.flatnonzero(batch.path_geom == i):
+        if batch.path_kind[p] not in (W.PK_RING_OUTER, W.PK_RING_HOLE):
+            continue
+        s, e = batch.path_offsets[p], batch.path_offsets[p + 1]
+        x, y = batch.xs[s:e], batch.ys[s:e]
+        if batch.path_kind[p] == W.PK_RING_OUTER:
+            parts.append((x, y, []))
+        elif parts:
+            parts[-1][2].append((x, y))
+
+    # flatten with (part_idx, ring_idx) labels; ring 0 = shell
+    rings = []
+    for pi, (sx, sy, holes) in enumerate(parts):
+        rings.append((pi, 0, sx, sy, _ring_segs(sx, sy)))
+        for ri, (hx, hy) in enumerate(holes, start=1):
+            rings.append((pi, ri, hx, hy, _ring_segs(hx, hy)))
+
+    def strictly_inside(px, py, ring):
+        _, _, x, y, segs = ring
+        inside = A.point_in_rings(np.asarray([px]), np.asarray([py]),
+                                  [(x, y)])[0]
+        if not inside or len(segs[0]) == 0:
+            return bool(inside)
+        d = A._point_seg_dist(np.asarray([px]), np.asarray([py]),
+                              *segs).min()
+        return d > 0
+
+    def some_strict_vertex(ra, rb):
+        """A vertex of ring a strictly inside ring b (None if every
+        vertex is on b's boundary)."""
+        _, _, ax, ay, _ = ra
+        for k in range(len(ax) - 1):
+            if strictly_inside(ax[k], ay[k], rb):
+                return True
+        return False
+
+    # pairwise: no crossings, no shared edge runs; collect touch points
+    from collections import defaultdict
+
+    touch: dict = defaultdict(set)
+    for a in range(len(rings)):
+        for b in range(a + 1, len(rings)):
+            ra, rb = rings[a], rings[b]
+            if SO._proper_crossing(ra[4], rb[4]):
+                return False
+            if SO._collinear_overlap(ra[4], rb[4]):
+                return False
+            pts = _touch_points(ra[2], ra[3], ra[4], rb[2], rb[3], rb[4])
+            if pts:
+                touch[(a, b)] = pts
+
+    for a, (pa, ria, ax, ay, sega) in enumerate(rings):
+        for b, (pb, rib, bx, by, segb) in enumerate(rings):
+            if a == b:
+                continue
+            if pa == pb:
+                if ria == 0 and rib > 0:
+                    # hole must sit inside-or-on its shell
+                    for k in range(len(bx) - 1):
+                        inside = A.point_in_rings(
+                            np.asarray([bx[k]]), np.asarray([by[k]]),
+                            [(ax, ay)])[0]
+                        on = A._point_seg_dist(
+                            np.asarray([bx[k]]), np.asarray([by[k]]),
+                            *sega).min() == 0
+                        if not inside and not on:
+                            return False
+                elif 0 < ria < rib:
+                    # sibling holes: interiors disjoint (touching ok)
+                    if some_strict_vertex(rings[b], rings[a]) or \
+                            some_strict_vertex(rings[a], rings[b]):
+                        return False
+            elif ria == 0 and rib == 0 and a < b:
+                # different parts: shell strictly inside the other
+                # part's FILLED region (even-odd over all its rings)
+                # → nested/overlapping parts
+                for (src, dst) in ((a, b), (b, a)):
+                    _, _, sxx, syy, _ = rings[src]
+                    dpi = rings[dst][0]
+                    dst_rings = [(r[2], r[3]) for r in rings
+                                 if r[0] == dpi]
+                    for k in range(len(sxx) - 1):
+                        inside = A.point_in_rings(
+                            np.asarray([sxx[k]]), np.asarray([syy[k]]),
+                            dst_rings)[0]
+                        if inside and not any(
+                                len(r[4][0]) and A._point_seg_dist(
+                                    np.asarray([sxx[k]]),
+                                    np.asarray([syy[k]]), *r[4]).min() == 0
+                                for r in rings if r[0] == dpi):
+                            return False
+
+    # connected-interior: touch points form a multigraph over the rings
+    # of each part; any cycle (incl. two distinct touches between the
+    # same ring pair) pinches the interior apart
+    for pi in range(len(parts)):
+        idx = [k for k, r in enumerate(rings) if r[0] == pi]
+        parent = {k: k for k in idx}
+
+        def find(v):
+            while parent[v] != v:
+                parent[v] = parent[parent[v]]
+                v = parent[v]
+            return v
+
+        for (a, b), pts in touch.items():
+            if rings[a][0] != pi or rings[b][0] != pi:
+                continue
+            for _ in pts:
+                ra, rb = find(a), find(b)
+                if ra == rb:
+                    return False  # cycle → disconnected interior
+                parent[ra] = rb
+    return True
 
 
 @pandas_udf(BooleanType())
