@@ -662,6 +662,39 @@ def q_geojson_roundtrip(spark, sf_dir):
     )
 
 
+def q_shapefile_roundtrip(spark, sf_dir):
+    """Shapefile write → read round-trip (reference reads shapefiles via
+    read_file/pyogrio, io/file.py:49-149; this path is pure Python — one
+    .shp/.shx/.dbf triple per partition, .shx-indexed O(1) range reads on
+    the way back).  Counts, exact doubles (repr-encoded F fields), string
+    lengths, and coordinate extrema must all survive the trip."""
+    import shutil
+
+    from dask_geopandas_spark.sources.shapefile import (read_shapefile,
+                                                        to_shapefile)
+
+    path = "/root/repo/.bench_tmp/shapefile_roundtrip"
+    shutil.rmtree(path, ignore_errors=True)
+    g = _cust_points(spark, sf_dir)
+    slim = dgs.GeoDataFrame(
+        g.df.select("c_custkey", "c_acctbal",
+                    # dbf field names cap at 11 bytes (spec): pre-alias
+                    F.col("c_mktsegment").alias("c_mktseg"),
+                    g.geometry_column),
+        g.geometry_column, crs="EPSG:4326")
+    to_shapefile(slim, path)
+    back = read_shapefile(spark, path)
+    return back.df.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("c_acctbal"), 4).alias("sum_bal"),
+        F.sum(F.length("c_mktseg")).alias("seg_chars"),
+        F.round(F.min(back.x), 6).alias("minx"),
+        F.round(F.min(back.y), 6).alias("miny"),
+        F.round(F.max(back.x), 6).alias("maxx"),
+        F.round(F.max(back.y), 6).alias("maxy"),
+    )
+
+
 def q_spatial_shuffle(spark, sf_dir):
     """spatial_shuffle (reference expr.py:738-820): Hilbert
     repartitionByRange + sortWithinPartitions.  Emits per-partition
@@ -1589,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     attestation across consecutive rounds."""
     return {
         # -- (a) NEW in round 3 (never driver-checked) --
+        "shapefile_roundtrip": q_shapefile_roundtrip,
         "dissolve_union_area": q_dissolve_union_area,
         "union_all_area": q_union_all_area,
         "setops_concave_area": q_setops_concave_area,
@@ -2391,6 +2425,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "geojson_roundtrip": f"""
             SELECT count(*) AS n,
+                   round(min({CUST_X}), 6) AS minx, round(min({CUST_Y}), 6) AS miny,
+                   round(max({CUST_X}), 6) AS maxx, round(max({CUST_Y}), 6) AS maxy
+            FROM customer
+        """,
+        "shapefile_roundtrip": f"""
+            SELECT count(*) AS n,
+                   round(sum(c_acctbal), 4) AS sum_bal,
+                   sum(length(c_mktsegment)) AS seg_chars,
                    round(min({CUST_X}), 6) AS minx, round(min({CUST_Y}), 6) AS miny,
                    round(max({CUST_X}), 6) AS maxx, round(max({CUST_Y}), 6) AS maxy
             FROM customer

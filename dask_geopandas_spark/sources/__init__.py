@@ -9,6 +9,7 @@ the driver and reads fragments on executors.
 from .feather import read_feather, to_feather
 from .file import read_file
 from .geoparquet import read_parquet, to_parquet
+from .shapefile import read_shapefile, to_shapefile
 
 __all__ = [
     "read_parquet",
@@ -16,4 +17,6 @@ __all__ = [
     "read_feather",
     "to_feather",
     "read_file",
+    "read_shapefile",
+    "to_shapefile",
 ]

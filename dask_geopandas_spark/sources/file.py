@@ -59,19 +59,27 @@ def read_file(spark: SparkSession, path: str, npartitions: int | None = None,
     """OGR scan → GeoDataFrame with WKB geometry.  ``read_info`` /
     ``read_chunk`` are injectable for testing without GDAL.
 
-    GeoJSON paths need no GDAL at all — they route to the pure-Python
-    ``read_geojson`` (sources/geojson.py) when pyogrio is absent, so the
-    most common ``read_file`` format works in this environment."""
+    GeoJSON and shapefile paths need no GDAL at all — they route to the
+    pure-Python ``read_geojson`` (sources/geojson.py) and
+    ``read_shapefile`` (sources/shapefile.py) when pyogrio is absent, so
+    the two most common ``read_file`` formats work in this
+    environment."""
     from ..core import GeoDataFrame
 
-    if (read_info is _default_read_info
-            and path.lower().endswith((".geojson", ".geojsonl", ".ndjson"))):
+    if read_info is _default_read_info:
         try:
             import pyogrio  # noqa: F401
         except ImportError:
-            from .geojson import read_geojson
+            if path.lower().endswith((".geojson", ".geojsonl", ".ndjson")):
+                from .geojson import read_geojson
 
-            return read_geojson(spark, path, columns=columns)
+                return read_geojson(spark, path, columns=columns)
+            if path.lower().endswith(".shp"):
+                from .shapefile import read_shapefile
+
+                return read_shapefile(spark, path, columns=columns,
+                                      npartitions=npartitions,
+                                      chunksize=chunksize)
 
     info = read_info(path, layer=layer)
     total = int(info["features"])

@@ -74,10 +74,12 @@ class TestReadFile:
         assert sorted(r["fid"] for r in gdf.df.select("fid").collect()) == list(range(N))
 
     def test_missing_gdal_raises(self, spark):
+        # .shp and .geojson route to the pure-Python readers; a format
+        # with no pure path still needs pyogrio/GDAL
         from dask_geopandas_spark.sources.file import read_file
 
         with pytest.raises(ImportError, match="pyogrio"):
-            read_file(spark, "/nonexistent.shp")
+            read_file(spark, "/nonexistent.gdb")
 
 
 class TestGeoParquetPartitionOn:
