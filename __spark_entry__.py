@@ -695,6 +695,37 @@ def q_shapefile_roundtrip(spark, sf_dir):
     )
 
 
+def q_geopackage_roundtrip(spark, sf_dir):
+    """GeoPackage write → read round-trip (reference reads .gpkg via
+    read_file/pyogrio, io/file.py:49-149; this path is pure stdlib
+    sqlite3 — one valid .gpkg per partition out, rowid-range chunked
+    scans back).  SQLite stores REAL as IEEE doubles, so floats are
+    bit-exact through the trip."""
+    import shutil
+
+    from dask_geopandas_spark.sources.geopackage import (read_geopackage,
+                                                         to_geopackage)
+
+    path = "/root/repo/.bench_tmp/geopackage_roundtrip"
+    shutil.rmtree(path, ignore_errors=True)
+    g = _cust_points(spark, sf_dir)
+    slim = dgs.GeoDataFrame(
+        g.df.select("c_custkey", "c_acctbal", "c_mktsegment",
+                    g.geometry_column),
+        g.geometry_column, crs="EPSG:4326")
+    to_geopackage(slim, path)
+    back = read_geopackage(spark, path)
+    return back.df.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("c_acctbal"), 4).alias("sum_bal"),
+        F.sum(F.length("c_mktsegment")).alias("seg_chars"),
+        F.round(F.min(back.x), 6).alias("minx"),
+        F.round(F.min(back.y), 6).alias("miny"),
+        F.round(F.max(back.x), 6).alias("maxx"),
+        F.round(F.max(back.y), 6).alias("maxy"),
+    )
+
+
 def q_spatial_shuffle(spark, sf_dir):
     """spatial_shuffle (reference expr.py:738-820): Hilbert
     repartitionByRange + sortWithinPartitions.  Emits per-partition
@@ -1623,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (a) NEW in round 3 (never driver-checked) --
         "shapefile_roundtrip": q_shapefile_roundtrip,
+        "geopackage_roundtrip": q_geopackage_roundtrip,
         "dissolve_union_area": q_dissolve_union_area,
         "union_all_area": q_union_all_area,
         "setops_concave_area": q_setops_concave_area,
@@ -2430,6 +2462,14 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
         """,
         "shapefile_roundtrip": f"""
+            SELECT count(*) AS n,
+                   round(sum(c_acctbal), 4) AS sum_bal,
+                   sum(length(c_mktsegment)) AS seg_chars,
+                   round(min({CUST_X}), 6) AS minx, round(min({CUST_Y}), 6) AS miny,
+                   round(max({CUST_X}), 6) AS maxx, round(max({CUST_Y}), 6) AS maxy
+            FROM customer
+        """,
+        "geopackage_roundtrip": f"""
             SELECT count(*) AS n,
                    round(sum(c_acctbal), 4) AS sum_bal,
                    sum(length(c_mktsegment)) AS seg_chars,

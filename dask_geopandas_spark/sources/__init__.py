@@ -8,6 +8,7 @@ the driver and reads fragments on executors.
 
 from .feather import read_feather, to_feather
 from .file import read_file
+from .geopackage import read_geopackage, to_geopackage
 from .geoparquet import read_parquet, to_parquet
 from .shapefile import read_shapefile, to_shapefile
 
@@ -19,4 +20,6 @@ __all__ = [
     "read_file",
     "read_shapefile",
     "to_shapefile",
+    "read_geopackage",
+    "to_geopackage",
 ]

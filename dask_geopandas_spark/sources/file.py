@@ -59,11 +59,11 @@ def read_file(spark: SparkSession, path: str, npartitions: int | None = None,
     """OGR scan → GeoDataFrame with WKB geometry.  ``read_info`` /
     ``read_chunk`` are injectable for testing without GDAL.
 
-    GeoJSON and shapefile paths need no GDAL at all — they route to the
-    pure-Python ``read_geojson`` (sources/geojson.py) and
-    ``read_shapefile`` (sources/shapefile.py) when pyogrio is absent, so
-    the two most common ``read_file`` formats work in this
-    environment."""
+    GeoJSON, shapefile, and GeoPackage paths need no GDAL at all — they
+    route to the pure-Python ``read_geojson`` (sources/geojson.py),
+    ``read_shapefile`` (sources/shapefile.py), and ``read_geopackage``
+    (sources/geopackage.py) when pyogrio is absent, so the three most
+    common ``read_file`` formats work in this environment."""
     from ..core import GeoDataFrame
 
     if read_info is _default_read_info:
@@ -80,6 +80,13 @@ def read_file(spark: SparkSession, path: str, npartitions: int | None = None,
                 return read_shapefile(spark, path, columns=columns,
                                       npartitions=npartitions,
                                       chunksize=chunksize)
+            if path.lower().endswith(".gpkg"):
+                from .geopackage import read_geopackage
+
+                return read_geopackage(spark, path, layer=layer,
+                                       columns=columns,
+                                       npartitions=npartitions,
+                                       chunksize=chunksize)
 
     info = read_info(path, layer=layer)
     total = int(info["features"])
