@@ -1005,6 +1005,52 @@ def q_to_utm(spark, sf_dir):
         F.round(u.y, 4).alias("northing"))
 
 
+def q_to_lambert(spark, sf_dir):
+    """to_crs EPSG:4326 → EPSG:2154 (Lambert-93, conformal conic 2SP;
+    reference expr.py:255-257 delegates to pyproj — the engine evaluates
+    the Snyder closed forms, geometry/projections.py).  Points filtered
+    to the projection's domain of use; oracle evaluates the identical
+    formula with constants imported from the preset."""
+    g = _cust_points(spark, sf_dir)
+    g = g[(g.x >= -5.0) & (g.x <= 10.0) & (g.y >= 41.0) & (g.y <= 52.0)]
+    u = g.to_crs("EPSG:2154")
+    return u.df.select(
+        F.col("c_custkey").alias("custkey"),
+        F.round(u.x, 4).alias("easting"),
+        F.round(u.y, 4).alias("northing"))
+
+
+def q_to_albers(spark, sf_dir):
+    """to_crs EPSG:4326 → EPSG:5070 (CONUS Albers equal-area conic;
+    Snyder ch. 14 closed forms with the authalic q)."""
+    g = _cust_points(spark, sf_dir)
+    g = g[(g.x >= -125.0) & (g.x <= -65.0) & (g.y >= 20.0) & (g.y <= 55.0)]
+    u = g.to_crs("EPSG:5070")
+    return u.df.select(
+        F.col("c_custkey").alias("custkey"),
+        F.round(u.x, 4).alias("easting"),
+        F.round(u.y, 4).alias("northing"))
+
+
+def q_crs_roundtrip(spark, sf_dir):
+    """Forward+inverse projection chains must return the original
+    lon/lat: 4326→3035→4326 (LAEA, exercises the authalic series) and
+    4326→3395→4326 (ellipsoidal Mercator, conformal series), worldwide.
+    Max recovered-coordinate error rounds to exactly 0 at 1e-6° (the
+    kernels are ~1e-8 worst-case globally), making the oracle exact."""
+    g = _cust_points(spark, sf_dir)
+    u1 = g.to_crs("EPSG:3035").to_crs("EPSG:4326")
+    u2 = g.to_crs("EPSG:3395").to_crs("EPSG:4326")
+    a = u1.df.agg(
+        F.count("*").alias("n"),
+        F.round(F.max(F.abs(u1.x - F.col("px"))), 6).alias("laea_dx"),
+        F.round(F.max(F.abs(u1.y - F.col("py"))), 6).alias("laea_dy"))
+    b = u2.df.agg(
+        F.round(F.max(F.abs(u2.x - F.col("px"))), 6).alias("merc_dx"),
+        F.round(F.max(F.abs(u2.y - F.col("py"))), 6).alias("merc_dy"))
+    return a.crossJoin(b)
+
+
 def q_convex_hull_area(spark, sf_dir):
     """convex_hull of a 3-point MULTIPOINT per row → right triangle with
     legs w,h → area w·h/2 (reference expr.py:963-972)."""
@@ -1655,6 +1701,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (a) NEW in round 3 (never driver-checked) --
         "shapefile_roundtrip": q_shapefile_roundtrip,
         "geopackage_roundtrip": q_geopackage_roundtrip,
+        "to_lambert": q_to_lambert,
+        "to_albers": q_to_albers,
+        "crs_roundtrip": q_crs_roundtrip,
         "dissolve_union_area": q_dissolve_union_area,
         "union_all_area": q_union_all_area,
         "setops_concave_area": q_setops_concave_area,
@@ -1817,6 +1866,72 @@ def _pii_oracle_sql() -> str:
     return f"""
         SELECT doc_id, {counts}, md5({redacted}) AS redacted_md5
         FROM (SELECT doc_id, {planted} AS t FROM documents)
+    """
+
+
+def _lambert_oracle_sql() -> str:
+    """DuckDB replica of the Lambert-93 forward projection: identical
+    Snyder 2SP formula with constants imported from the engine preset
+    (geometry/projections.py).  round(..., 4) absorbs ~1-ulp libm
+    differences between DuckDB and the JVM."""
+    from dask_geopandas_spark.geometry.projections import PRESETS
+
+    pr = PRESETS[2154]
+    e, n, aF, rho0 = pr.e, pr.n, pr.aF, pr.rho0
+    return f"""
+        WITH pts AS (
+            SELECT c_custkey AS custkey,
+                   CAST({CUST_X} AS DOUBLE) AS lon,
+                   CAST({CUST_Y} AS DOUBLE) AS lat
+            FROM customer
+            WHERE ({CUST_X}) >= -5.0 AND ({CUST_X}) <= 10.0
+              AND ({CUST_Y}) >= 41.0 AND ({CUST_Y}) <= 52.0
+        ),
+        s1 AS (SELECT custkey, lon, sin(radians(lat)) AS s,
+                      radians(lat) AS phi FROM pts),
+        s2 AS (SELECT custkey, lon,
+                      tan(pi() / 4.0 - phi / 2.0)
+                      / pow((1.0 - {e!r} * s) / (1.0 + {e!r} * s), {e!r} / 2.0)
+                      AS t FROM s1),
+        s3 AS (SELECT custkey, {aF!r} * pow(t, {n!r}) AS rho,
+                      {n!r} * radians(lon - {pr.lon0!r}) AS th FROM s2)
+        SELECT custkey,
+               round({pr.E0!r} + rho * sin(th), 4) AS easting,
+               round({pr.N0!r} + {rho0!r} - rho * cos(th), 4) AS northing
+        FROM s3
+    """
+
+
+def _albers_oracle_sql() -> str:
+    """DuckDB replica of the CONUS Albers forward projection (Snyder
+    ch. 14, authalic q) with engine-imported constants."""
+    from dask_geopandas_spark.geometry.projections import PRESETS
+
+    pr = PRESETS[5070]
+    e, n, C, rho0, a = pr.e, pr.n, pr.C, pr.rho0, pr.a
+    e2 = e * e
+    return f"""
+        WITH pts AS (
+            SELECT c_custkey AS custkey,
+                   CAST({CUST_X} AS DOUBLE) AS lon,
+                   CAST({CUST_Y} AS DOUBLE) AS lat
+            FROM customer
+            WHERE ({CUST_X}) >= -125.0 AND ({CUST_X}) <= -65.0
+              AND ({CUST_Y}) >= 20.0 AND ({CUST_Y}) <= 55.0
+        ),
+        s1 AS (SELECT custkey, lon, sin(radians(lat)) AS s FROM pts),
+        s2 AS (SELECT custkey, lon,
+                      {1.0 - e2!r} * (s / (1.0 - {e2!r} * s * s)
+                          - (1.0 / (2.0 * {e!r}))
+                            * ln((1.0 - {e!r} * s) / (1.0 + {e!r} * s)))
+                      AS q FROM s1),
+        s3 AS (SELECT custkey,
+                      {a!r} * sqrt({C!r} - {n!r} * q) / {n!r} AS rho,
+                      {n!r} * radians(lon - {pr.lon0!r}) AS th FROM s2)
+        SELECT custkey,
+               round({pr.E0!r} + rho * sin(th), 4) AS easting,
+               round({pr.N0!r} + {rho0!r} - rho * cos(th), 4) AS northing
+        FROM s3
     """
 
 
@@ -2512,6 +2627,14 @@ def oracle_sql() -> dict[str, str]:
             FROM customer GROUP BY c_mktsegment
         """,
         "to_utm": _utm_oracle_sql(),
+        "to_lambert": _lambert_oracle_sql(),
+        "to_albers": _albers_oracle_sql(),
+        "crs_roundtrip": """
+            SELECT count(*) AS n,
+                   0.0 AS laea_dx, 0.0 AS laea_dy,
+                   0.0 AS merc_dx, 0.0 AS merc_dy
+            FROM customer
+        """,
         "convex_hull_area": f"""
             SELECT o_orderkey AS orderkey,
                    round({OB['w']} * {OB['h']} / 2.0, 6) AS hull_area,

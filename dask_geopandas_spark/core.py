@@ -213,13 +213,17 @@ class GeoDataFrame:
 
     def to_crs(self, crs: str) -> "GeoDataFrame":
         """Reprojection.  pyproj is not available in this environment, so
-        the supported families are implemented closed-form: the
-        web-mercator pair EPSG:4326 ↔ EPSG:3857 (spherical formulas) and
-        the full UTM grid EPSG:4326 ↔ EPSG:326xx/327xx (Krüger-series
-        transverse mercator, sub-mm vs pyproj); other pairs raise.
+        the supported families are implemented closed-form (Snyder/Karney
+        public formulas, sub-mm vs pyproj): EPSG:4326 ↔ web-mercator
+        3857, world-mercator 3395, the full UTM grid 326xx/327xx
+        (Krüger series), Lambert-93 2154 (LCC), CONUS Albers 5070, and
+        LAEA Europe 3035 — plus any chain between two supported CRSs
+        (e.g. 3857 → 2154 routes through 4326).  Other pairs raise.
         Point layers with symbolic coordinates reproject as native SQL
         math inside codegen; everything else goes through one
         Arrow-batched WKB rewrite UDF."""
+        from .geometry import projections as PROJ
+
         src = (self.crs or "").upper().replace("EPSG:", "")
         dst = crs.upper().replace("EPSG:", "")
         if src == dst:
@@ -228,11 +232,25 @@ class GeoDataFrame:
         utm_inv = _parse_utm_epsg(src) if dst == "4326" else None
         if utm is not None or utm_inv is not None:
             return self._to_crs_utm(dst, utm, utm_inv)
+        if src == "4326" and dst.isdigit() and int(dst) in PROJ.PRESETS:
+            return self._to_crs_proj(PROJ.PRESETS[int(dst)], True, dst)
+        if dst == "4326" and src.isdigit() and int(src) in PROJ.PRESETS:
+            return self._to_crs_proj(PROJ.PRESETS[int(src)], False, dst)
+
+        def _supported(code: str) -> bool:
+            return (code in ("4326", "3857")
+                    or _parse_utm_epsg(code) is not None
+                    or (code.isdigit() and int(code) in PROJ.PRESETS))
+
         if (src, dst) not in (("4326", "3857"), ("3857", "4326")):
+            if _supported(src) and _supported(dst):
+                # projected → projected: chain through the geographic hub
+                # (both legs stay native for symbolic point layers)
+                return self.to_crs("EPSG:4326").to_crs(crs)
             raise NotImplementedError(
                 f"to_crs {self.crs} → {crs}: pyproj unavailable; supported "
-                "pairs are EPSG:4326↔EPSG:3857 and EPSG:4326↔UTM "
-                "(EPSG:326xx/327xx)"
+                "CRSs are EPSG:4326, 3857, 3395, 2154, 5070, 3035, and UTM "
+                "EPSG:326xx/327xx (any pair of these chains through 4326)"
             )
         if self._xy and not self._xy[3] and self._xy[4] < self._XY_MAX_DEPTH:
             # point layer with symbolic coordinates: the spherical
@@ -285,6 +303,30 @@ class GeoDataFrame:
             zone, south = utm_inv
             fn = lambda x, y: _tm_inverse_np(x, y, zone, south)  # noqa: E731
         out = self._df.withColumn(self._geometry, _reproject_udf(fn)(self._geom()))
+        m = dict(self._crs)
+        m[self._geometry] = f"EPSG:{dst}"
+        return GeoDataFrame(out, self._geometry, crs_map=m)
+
+    def _to_crs_proj(self, proj, forward: bool, dst: str) -> "GeoDataFrame":
+        """Preset-projection leg of to_crs (geometry/projections.py):
+        native column math for symbolic point layers, Arrow-batched WKB
+        rewrite otherwise."""
+        from .geometry import projections as PROJ
+
+        if self._xy and not self._xy[3] and self._xy[4] < self._XY_MAX_DEPTH:
+            xe, ye, deps, _, depth = self._xy
+            fn = proj.forward if forward else proj.inverse
+            nx, ny = fn(PROJ.FC, xe, ye)
+            geo = self._replace_geom(FX.st_point(nx, ny))
+            geo._xy = (nx, ny, deps, False, depth + 1)
+            m = dict(geo._crs)
+            m[self._geometry] = f"EPSG:{dst}"
+            geo._crs = m
+            return geo
+        fn = proj.forward if forward else proj.inverse
+        np_fn = lambda x, y: fn(PROJ.NP, x, y)  # noqa: E731
+        out = self._df.withColumn(self._geometry,
+                                  _reproject_udf(np_fn)(self._geom()))
         m = dict(self._crs)
         m[self._geometry] = f"EPSG:{dst}"
         return GeoDataFrame(out, self._geometry, crs_map=m)

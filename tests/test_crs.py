@@ -125,3 +125,151 @@ class TestToCrsUtm:
                                crs="EPSG:4326")
         with pytest.raises(NotImplementedError):
             g.to_crs("EPSG:31370")
+
+
+class TestProjectionKernels:
+    """Snyder-family presets (geometry/projections.py): anchors at each
+    projection's natural origin, published test values, roundtrips, and
+    equal-area/conformality invariants checked by independent math."""
+
+    def test_origins_map_to_false_offsets(self):
+        import numpy as np
+
+        from dask_geopandas_spark.geometry import projections as P
+
+        anchors = {2154: ((3.0, 46.5), (700000.0, 6600000.0)),
+                   5070: ((-96.0, 23.0), (0.0, 0.0)),
+                   3035: ((10.0, 52.0), (4321000.0, 3210000.0)),
+                   3395: ((0.0, 0.0), (0.0, 0.0))}
+        for code, ((lo, la), (ex, ey)) in anchors.items():
+            x, y = P.PRESETS[code].forward(P.NP, np.array([lo]), np.array([la]))
+            assert x[0] == pytest.approx(ex, abs=1e-6)
+            assert y[0] == pytest.approx(ey, abs=1e-6)
+
+    def test_published_values(self):
+        """Paris in Lambert-93 and the 3395 y(45°N) ordinate, both
+        widely published."""
+        from dask_geopandas_spark.geometry import projections as P
+
+        x, y = P.PRESETS[2154].forward(P.NP, np.array([2.3522]),
+                                       np.array([48.8566]))
+        assert x[0] == pytest.approx(652469.02, abs=0.5)
+        assert y[0] == pytest.approx(6862035.26, abs=0.5)
+        _, y = P.PRESETS[3395].forward(P.NP, np.array([0.0]),
+                                       np.array([45.0]))
+        assert y[0] == pytest.approx(5591295.9186, abs=0.01)
+
+    def test_roundtrips(self):
+        from dask_geopandas_spark.geometry import projections as P
+
+        rng = np.random.RandomState(7)
+        lon = rng.uniform(-10, 20, 500)
+        lat = rng.uniform(35, 60, 500)
+        for code in (2154, 5070, 3035, 3395):
+            pr = P.PRESETS[code]
+            x, y = pr.forward(P.NP, lon, lat)
+            lo, la = pr.inverse(P.NP, x, y)
+            assert np.abs(lo - lon).max() < 1e-7
+            assert np.abs(la - lat).max() < 1e-7
+
+    def test_albers_preserves_area(self):
+        """Equal-area check by independent math: the projected area of a
+        small cell must equal its ellipsoidal authalic area."""
+        from dask_geopandas_spark.geometry import projections as P
+
+        pr = P.PRESETS[5070]
+        d = 0.01
+        lon0, lat0 = -90.0, 40.0
+        corners_lon = np.array([lon0, lon0 + d, lon0 + d, lon0])
+        corners_lat = np.array([lat0, lat0, lat0 + d, lat0 + d])
+        x, y = pr.forward(P.NP, corners_lon, corners_lat)
+        proj_area = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+        # ellipsoidal patch area: a²(1-e²) ∫∫ cosφ/(1-e²sin²φ)² dφ dλ
+        a, e = pr.a, pr.e
+        phis = np.linspace(np.deg2rad(lat0), np.deg2rad(lat0 + d), 2001)
+        integrand = np.cos(phis) / (1 - (e * np.sin(phis)) ** 2) ** 2
+        true_area = a * a * (1 - e * e) * np.trapz(integrand, phis) * np.deg2rad(d)
+        assert proj_area == pytest.approx(true_area, rel=1e-6)
+
+    def test_lcc_scale_isotropy(self):
+        """Conformality check: at any point, east and north ground-scale
+        factors of the LCC must match (independent finite differences
+        against ellipsoid radii)."""
+        from dask_geopandas_spark.geometry import projections as P
+
+        pr = P.PRESETS[2154]
+        a, e = pr.a, pr.e
+        lon0, lat0 = 2.0, 47.3
+        d = 1e-6
+        xE, yE = pr.forward(P.NP, np.array([lon0 - d, lon0 + d]),
+                            np.array([lat0, lat0]))
+        xN, yN = pr.forward(P.NP, np.array([lon0, lon0]),
+                            np.array([lat0 - d, lat0 + d]))
+        phi = np.deg2rad(lat0)
+        W = np.sqrt(1 - (e * np.sin(phi)) ** 2)
+        nu, rho = a / W, a * (1 - e * e) / W**3          # prime-vertical / meridian radii
+        kE = np.hypot(xE[1] - xE[0], yE[1] - yE[0]) / (np.deg2rad(2 * d) * nu * np.cos(phi))
+        kN = np.hypot(xN[1] - xN[0], yN[1] - yN[0]) / (np.deg2rad(2 * d) * rho)
+        assert kE == pytest.approx(kN, rel=1e-6)
+
+
+class TestToCrsPresets:
+    def test_symbolic_native_matches_numpy(self, spark):
+        from dask_geopandas_spark.geometry import projections as P
+
+        pdf = pd.DataFrame({"id": np.arange(12, dtype="int64"),
+                            "lon": np.linspace(-5, 9, 12),
+                            "lat": np.linspace(42, 51, 12)})
+        g = dgs.points_from_xy(spark.createDataFrame(pdf), "lon", "lat",
+                               crs="EPSG:4326")
+        for code in (2154, 5070, 3035, 3395):
+            u = g.to_crs(f"EPSG:{code}")
+            assert u.crs == f"EPSG:{code}"
+            got = (u.df.withColumn("E", u.x).withColumn("N", u.y)
+                   .select("id", "E", "N").toPandas().sort_values("id"))
+            E, N = P.PRESETS[code].forward(P.NP, pdf["lon"].to_numpy(),
+                                           pdf["lat"].to_numpy())
+            np.testing.assert_allclose(got["E"].to_numpy(), E, atol=1e-6)
+            np.testing.assert_allclose(got["N"].to_numpy(), N, atol=1e-6)
+            sel = (u.df.withColumn("E", u.x).withColumn("N", u.y)
+                   .select("id", "E", "N"))
+            plan = sel._jdf.queryExecution().executedPlan().toString()
+            assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    def test_wkb_udf_inverse_roundtrip(self, spark):
+        pdf = pd.DataFrame({"id": [0, 1, 2], "lon": [2.35, -1.5, 7.0],
+                            "lat": [48.85, 43.6, 48.6]})
+        g = dgs.points_from_xy(spark.createDataFrame(pdf), "lon", "lat",
+                               crs="EPSG:4326")
+        flat = dgs.GeoDataFrame(g.df, "geometry", crs="EPSG:4326")  # drop hint
+        back = flat.to_crs("EPSG:2154").to_crs("EPSG:4326")
+        got = {r["id"]: (r["lon2"], r["lat2"]) for r in
+               back.df.withColumn("lon2", back.x).withColumn("lat2", back.y)
+               .select("id", "lon2", "lat2").collect()}
+        for i in range(3):
+            assert got[i][0] == pytest.approx(pdf["lon"][i], abs=1e-7)
+            assert got[i][1] == pytest.approx(pdf["lat"][i], abs=1e-7)
+
+    def test_projected_to_projected_chain(self, spark):
+        """3857 → 2154 routes through 4326 and stays native for
+        symbolic layers."""
+        from dask_geopandas_spark.core import _lonlat_to_mercator
+        from dask_geopandas_spark.geometry import projections as P
+
+        pdf = pd.DataFrame({"id": [0, 1], "lon": [2.35, 5.0],
+                            "lat": [48.85, 45.0]})
+        mx, my = _lonlat_to_mercator(pdf["lon"].to_numpy(),
+                                     pdf["lat"].to_numpy())
+        mdf = pd.DataFrame({"id": pdf["id"], "mx": mx, "my": my})
+        g = dgs.points_from_xy(spark.createDataFrame(mdf), "mx", "my",
+                               crs="EPSG:3857")
+        u = g.to_crs("EPSG:2154")
+        assert u.crs == "EPSG:2154"
+        got = {r["id"]: (r["E"], r["N"]) for r in
+               u.df.withColumn("E", u.x).withColumn("N", u.y)
+               .select("id", "E", "N").collect()}
+        E, N = P.PRESETS[2154].forward(P.NP, pdf["lon"].to_numpy(),
+                                       pdf["lat"].to_numpy())
+        for i in range(2):
+            assert got[i][0] == pytest.approx(E[i], abs=1e-5)
+            assert got[i][1] == pytest.approx(N[i], abs=1e-5)
