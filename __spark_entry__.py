@@ -1005,6 +1005,39 @@ def q_to_utm(spark, sf_dir):
         F.round(u.y, 4).alias("northing"))
 
 
+def q_overlay_inter(spark, sf_dir):
+    """overlay(how='intersection') — beyond-reference (dask-geopandas
+    has no overlay; geopandas.overlay parity): one piece per overlapping
+    (order, nation) box pair, geometry from the exact boolean kernel,
+    candidates from the broadcast bbox join.  Oracle: rectangle overlap
+    arithmetic."""
+    from dask_geopandas_spark.functions import core as FX
+
+    ob = _boxes(spark, sf_dir, "orders", OB)
+    nb = _boxes(spark, sf_dir, "nation", NB)
+    res = ob.overlay(nb, how="intersection", strategy="broadcast")
+    return res.df.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("n_nationkey").alias("nationkey"),
+        F.round(FX.st_area(F.col(res.geometry_column)), 6).alias("piece_area"))
+
+
+def q_overlay_diff(spark, sf_dir):
+    """overlay(how='difference') — each order box minus the UNION of
+    every overlapping nation box (overlapping subtrahends must not
+    double-subtract; fully-swallowed boxes vanish).  The oracle counts
+    uncovered integer unit cells — exact because every corner is an
+    integer."""
+    from dask_geopandas_spark.functions import core as FX
+
+    ob = _boxes(spark, sf_dir, "orders", OB)
+    nb = _boxes(spark, sf_dir, "nation", NB)
+    res = ob.overlay(nb, how="difference", strategy="broadcast")
+    return res.df.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(FX.st_area(F.col(res.geometry_column)), 6).alias("open_area"))
+
+
 def q_to_lambert(spark, sf_dir):
     """to_crs EPSG:4326 → EPSG:2154 (Lambert-93, conformal conic 2SP;
     reference expr.py:255-257 delegates to pyproj — the engine evaluates
@@ -1704,6 +1737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_lambert": q_to_lambert,
         "to_albers": q_to_albers,
         "crs_roundtrip": q_crs_roundtrip,
+        "overlay_inter": q_overlay_inter,
+        "overlay_diff": q_overlay_diff,
         "dissolve_union_area": q_dissolve_union_area,
         "union_all_area": q_union_all_area,
         "setops_concave_area": q_setops_concave_area,
@@ -2627,6 +2662,57 @@ def oracle_sql() -> dict[str, str]:
             FROM customer GROUP BY c_mktsegment
         """,
         "to_utm": _utm_oracle_sql(),
+        "overlay_inter": f"""
+            WITH ob AS (
+                SELECT o_orderkey AS orderkey,
+                       CAST({OB['minx']} AS DOUBLE) AS ox0,
+                       CAST({OB['miny']} AS DOUBLE) AS oy0,
+                       CAST({OB['minx']} + {OB['w']} AS DOUBLE) AS ox1,
+                       CAST({OB['miny']} + {OB['h']} AS DOUBLE) AS oy1
+                FROM orders
+            ),
+            nb AS (
+                SELECT n_nationkey AS nationkey,
+                       CAST({NB['minx']} AS DOUBLE) AS nx0,
+                       CAST({NB['miny']} AS DOUBLE) AS ny0,
+                       CAST({NB['minx']} + {NB['w']} AS DOUBLE) AS nx1,
+                       CAST({NB['miny']} + {NB['h']} AS DOUBLE) AS ny1
+                FROM nation
+            )
+            SELECT orderkey, nationkey,
+                   round((least(ox1, nx1) - greatest(ox0, nx0))
+                         * (least(oy1, ny1) - greatest(oy0, ny0)), 6)
+                       AS piece_area
+            FROM ob CROSS JOIN nb
+            WHERE least(ox1, nx1) > greatest(ox0, nx0)
+              AND least(oy1, ny1) > greatest(oy0, ny0)
+        """,
+        "overlay_diff": f"""
+            WITH ob AS (
+                SELECT o_orderkey AS orderkey,
+                       ({OB['minx']}) AS x0, ({OB['miny']}) AS y0,
+                       ({OB['w']}) AS w, ({OB['h']}) AS h
+                FROM orders
+            ),
+            cells AS (
+                SELECT orderkey, x0 + i.range AS cx, y0 + j.range AS cy
+                FROM ob, range(7) i, range(5) j
+                WHERE i.range < w AND j.range < h
+            ),
+            nb AS (
+                SELECT ({NB['minx']}) AS nx0, ({NB['miny']}) AS ny0,
+                       ({NB['minx']} + {NB['w']}) AS nx1,
+                       ({NB['miny']} + {NB['h']}) AS ny1
+                FROM nation
+            )
+            SELECT orderkey, round(CAST(count(*) AS DOUBLE), 6) AS open_area
+            FROM cells c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM nb
+                WHERE c.cx >= nx0 AND c.cx < nx1
+                  AND c.cy >= ny0 AND c.cy < ny1)
+            GROUP BY orderkey
+        """,
         "to_lambert": _lambert_oracle_sql(),
         "to_albers": _albers_oracle_sql(),
         "crs_roundtrip": """

@@ -840,6 +840,12 @@ class GeoDataFrame:
 
         return clip(self, mask, keep_geom_type=keep_geom_type)
 
+    def overlay(self, other: "GeoDataFrame", how: str = "intersection",
+                **kw) -> "GeoDataFrame":
+        from .operators.overlay import overlay
+
+        return overlay(self, other, how=how, **kw)
+
     # ------------------------------------------------------------------
     # extension points (reference §2.10: map_partitions / .apply are the
     # universal user hooks, expr.py:103-105, tests/test_core.py:666-691)

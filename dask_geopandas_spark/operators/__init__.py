@@ -22,6 +22,7 @@ from .similarity import (
     train_centroids,
     write_ivf_index,
 )
+from .overlay import overlay
 from .sjoin import sjoin
 from .textstats import (
     fingerprint,
@@ -36,7 +37,7 @@ from .textstats import (
 )
 
 __all__ = [
-    "clip", "dissolve", "explode_geometry", "sjoin",
+    "clip", "dissolve", "explode_geometry", "overlay", "sjoin",
     "exact_dedup", "minhash_signatures", "lsh_candidate_pairs",
     "lsh_dedup", "ngram_jaccard_pairs", "simhash",
     "embedding_neardup_pairs",

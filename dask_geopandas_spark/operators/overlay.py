@@ -1,0 +1,203 @@
+"""Distributed ``overlay`` — set-theoretic combination of two polygon
+layers (beyond-reference: dask-geopandas implements no overlay, see
+doc/source/docs/reference/geodataframe.rst; geopandas users get
+``geopandas.overlay(df1, df2, how=...)`` and this operator restores
+that surface on Spark).
+
+Semantics follow geopandas: the result contains one row per output
+*piece* —
+
+* ``intersection``          — l∩r pieces, attributes from both sides
+* ``difference``            — l minus the union of every intersecting r
+* ``symmetric_difference``  — both one-sided differences
+* ``union``                 — intersection pieces + both differences
+* ``identity``              — intersection pieces + left difference
+
+Plan shape (100-TB view): candidate pairs come from the same
+bbox-equi-join machinery as ``sjoin`` (broadcast for a small right
+side, PBSM grid cells otherwise — never a cartesian); the exact
+geometry work is the round-3 pure-numpy boolean kernel
+(geometry/booleans.py) running Arrow-batched per candidate pair.  The
+difference legs aggregate each feature's overlappers with one
+``collect_list`` groupBy (bounded by candidates-per-feature, the same
+bound any overlay algorithm carries) and subtract their union in a
+single kernel call.  Features with no candidates bypass Python
+entirely on the difference path (passthrough via a native left join).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, BinaryType
+
+from ..geometry import booleans as B
+from ..geometry import setops as SO
+from ..geometry import wkb as W
+from .sjoin import (_bbox_overlap, _grid_join, _is_small, _scan_free_bounds,
+                    _suffix_collisions, _union_bounds_job)
+
+_HOWS = ("intersection", "difference", "symmetric_difference", "union",
+         "identity")
+
+
+# ----------------------------------------------------------------------
+# kernel UDFs
+# ----------------------------------------------------------------------
+def _pair_intersection_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def _inter(lg: pd.Series, rg: pd.Series) -> pd.Series:
+        La = W.parse_wkb(list(lg))
+        Ra = W.parse_wkb(list(rg))
+        out = []
+        for i in range(La.n):
+            ra = SO.geom_rings(La, i)
+            rb = SO.geom_rings(Ra, i)
+            polys = B.overlay(ra, rb, "intersection") if ra and rb else []
+            out.append(SO.kernel_polys_wkb(polys) if polys else None)
+        return pd.Series(out, dtype=object)
+
+    return _inter
+
+
+def _diff_union_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def _diff(lg: pd.Series, others: pd.Series) -> pd.Series:
+        La = W.parse_wkb(list(lg))
+        out = []
+        for i in range(La.n):
+            ra = SO.geom_rings(La, i)
+            blobs = others.iloc[i]
+            if blobs is None or len(blobs) == 0 or not ra:
+                out.append(lg.iloc[i])
+                continue
+            Bb = W.parse_wkb([bytes(b) for b in blobs])
+            merged = B.union_polygons(
+                [SO.geom_rings(Bb, j) for j in range(Bb.n)])
+            flat = [r for p in merged for r in p]
+            polys = B.overlay(ra, flat, "difference") if flat else None
+            if polys is None:
+                out.append(lg.iloc[i])
+            else:
+                out.append(SO.kernel_polys_wkb(polys) if polys else None)
+        return pd.Series(out, dtype=object)
+
+    return _diff
+
+
+# ----------------------------------------------------------------------
+# candidate pairs
+# ----------------------------------------------------------------------
+def _candidate_pairs(lg, rg, ldf: DataFrame, rdf: DataFrame,
+                     lbbox_j: str, rbbox_j: str, strategy: str,
+                     grid_level: int, total_bounds) -> DataFrame:
+    if strategy == "auto":
+        strategy = "broadcast" if _is_small(rdf) else "grid"
+    if strategy == "broadcast":
+        return ldf.join(F.broadcast(rdf),
+                        on=_bbox_overlap(lbbox_j, rbbox_j), how="inner")
+    if strategy == "grid":
+        if total_bounds is not None:
+            tb = tuple(float(v) for v in total_bounds)
+        elif (tb := _scan_free_bounds(lg, rg)) is not None:
+            pass
+        else:
+            tb = _union_bounds_job(lg, rg)
+        return _grid_join(ldf, rdf, lbbox_j, rbbox_j, tb, grid_level,
+                          l_single=False, r_single=False)
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def _difference_leg(df: DataFrame, row_id: str, geom: str,
+                    pairs: DataFrame, other_geom: str) -> DataFrame:
+    """df minus the union of its bbox-overlapping counterparts.  Rows
+    with no candidates keep their geometry through a native left join —
+    no Python for the untouched majority."""
+    cand = (pairs.groupBy(row_id)
+            .agg(F.collect_list(other_geom).alias("_ov_others")))
+    joined = df.join(cand, on=row_id, how="left")
+    diff = _diff_union_udf()
+    out = joined.withColumn(
+        geom,
+        F.when(F.col("_ov_others").isNull(), F.col(geom))
+        .otherwise(diff(F.col(geom), F.col("_ov_others"))))
+    return out.filter(F.col(geom).isNotNull()).drop("_ov_others")
+
+
+# ----------------------------------------------------------------------
+# public operator
+# ----------------------------------------------------------------------
+def overlay(left, right, how: str = "intersection", strategy: str = "auto",
+            grid_level: int = 7, total_bounds=None,
+            lsuffix: str = "_left", rsuffix: str = "_right"):
+    """Set-theoretic overlay of two polygon GeoDataFrames (geopandas
+    ``overlay`` parity; beyond the reference's operator set).  Output
+    geometry column keeps the left layer's name; attribute columns from
+    the side a piece lacks are NULL (difference legs)."""
+    from ..core import GeoDataFrame
+
+    if how not in _HOWS:
+        raise ValueError(f"how must be one of {_HOWS}")
+
+    lg = left.with_bbox()
+    rg = right.with_bbox()
+    lgeom, rgeom = lg.geometry_column, rg.geometry_column
+    lbbox, rbbox = lg.bbox_column, rg.bbox_column
+    ldf, rdf = _suffix_collisions(lg.df, rg.df, lsuffix, rsuffix)
+
+    shared = set(lg.df.columns) & set(rg.df.columns)
+    lgeom_j = f"{lgeom}{lsuffix}" if lgeom in shared else lgeom
+    rgeom_j = f"{rgeom}{rsuffix}" if rgeom in shared else rgeom
+    lbbox_j = f"{lbbox}{lsuffix}" if lbbox in shared else lbbox
+    rbbox_j = f"{rbbox}{rsuffix}" if rbbox in shared else rbbox
+
+    lrow, rrow = "_ov_left_row", "_ov_right_row"
+    # content hashes (not mono-ids): the frames appear in several plan
+    # subtrees; hashes stay aligned across re-evaluations (same
+    # reasoning as sjoin's left/anti path)
+    ldf = ldf.withColumn(lrow, F.xxhash64(*[F.col(c) for c in ldf.columns]))
+    rdf = rdf.withColumn(rrow, F.xxhash64(*[F.col(c) for c in rdf.columns]))
+
+    pairs = _candidate_pairs(lg, rg, ldf, rdf, lbbox_j, rbbox_j,
+                             strategy, grid_level, total_bounds)
+
+    legs = []
+    lcols = [c for c in ldf.columns if c not in (lbbox_j, lrow)]
+    rcols = [c for c in rdf.columns
+             if c not in (rbbox_j, rgeom_j, rrow)]
+    if how in ("intersection", "union", "identity"):
+        inter = _pair_intersection_udf()
+        piece = pairs.withColumn(lgeom_j, inter(F.col(lgeom_j),
+                                                F.col(rgeom_j)))
+        piece = piece.filter(F.col(lgeom_j).isNotNull())
+        legs.append(piece.select(
+            *[c for c in lcols if c != lgeom_j], *rcols, lgeom_j))
+    if how in ("difference", "symmetric_difference", "union", "identity"):
+        ldiff = _difference_leg(ldf, lrow, lgeom_j, pairs, rgeom_j)
+        legs.append(ldiff.select(
+            *[c for c in lcols if c != lgeom_j], lgeom_j))
+    if how in ("symmetric_difference", "union"):
+        rdiff = _difference_leg(rdf, rrow, rgeom_j, pairs, lgeom_j)
+        # right-difference pieces adopt the left geometry column name so
+        # every leg shares one schema
+        rdiff = rdiff.withColumnRenamed(rgeom_j, lgeom_j)
+        legs.append(rdiff.select(*rcols, lgeom_j))
+
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg, allowMissingColumns=True)
+    # uniform column order: left attrs, right attrs, geometry — limited
+    # to what the chosen `how` produces (pure difference carries only
+    # left attributes, matching geopandas)
+    present = set(out.columns)
+    attrs = [c for c in ([c for c in lcols if c != lgeom_j]
+                         + [c for c in rcols if c not in lcols])
+             if c in present]
+    out = out.select(*attrs, lgeom_j)
+    return GeoDataFrame(out, lgeom_j, crs_map=getattr(left, "_crs", {}))

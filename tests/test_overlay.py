@@ -1,0 +1,134 @@
+"""Distributed overlay tests (operators/overlay.py — beyond-reference;
+geopandas.overlay parity on polygon layers).  All cases use integer
+boxes so expected areas are exact closed forms."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import dask_geopandas_spark as dgs
+from dask_geopandas_spark.functions import core as FX
+from dask_geopandas_spark.operators.overlay import overlay
+
+
+def _boxes(spark, rows, pre=""):
+    """rows: list of (id, minx, miny, maxx, maxy); ``pre`` prefixes the
+    column names so the two layers don't collide (collisions suffix like
+    sjoin's, pinned in test_suffix_collision)."""
+    cols = [f"{pre}bid", f"{pre}x0", f"{pre}y0", f"{pre}x1", f"{pre}y1"]
+    pdf = pd.DataFrame(rows, columns=cols)
+    df = spark.createDataFrame(pdf)
+    for c in cols[1:]:
+        df = df.withColumn(c, F.col(c).cast("double"))
+    return dgs.boxes_from_bounds(df, *cols[1:], crs="EPSG:4326")
+
+
+def _areas(g):
+    out = g.df.withColumn("_a", FX.st_area(F.col(g.geometry_column)))
+    return out
+
+
+class TestOverlayIntersection:
+    def test_pairwise_pieces(self, spark):
+        left = _boxes(spark, [(1, 0, 0, 10, 10), (2, 20, 0, 30, 10)])
+        right = _boxes(spark, [(100, 5, 5, 25, 15)], pre="r")
+        res = overlay(left, right, how="intersection")
+        rows = _areas(res).select("bid", "rbid", "_a").collect()
+        got = {(r["bid"], r["rbid"]): r["_a"] for r in rows}
+        assert got == {(1, 100): pytest.approx(25.0),
+                       (2, 100): pytest.approx(25.0)}
+
+    def test_disjoint_yields_nothing(self, spark):
+        left = _boxes(spark, [(1, 0, 0, 1, 1)])
+        right = _boxes(spark, [(2, 5, 5, 6, 6)], pre="r")
+        assert overlay(left, right, how="intersection").count() == 0
+
+
+class TestOverlayDifference:
+    def test_hole_punch(self, spark):
+        """10x10 minus a strictly interior 2x2 -> holed polygon, area 96."""
+        left = _boxes(spark, [(1, 0, 0, 10, 10)])
+        right = _boxes(spark, [(9, 4, 4, 6, 6)], pre="r")
+        res = overlay(left, right, how="difference")
+        rows = _areas(res).select("bid", "_a").collect()
+        assert len(rows) == 1
+        assert rows[0]["_a"] == pytest.approx(96.0)
+        # right-side attributes are absent on the difference leg
+        assert "rbid" not in [c for c in res.df.columns] or \
+            res.df.filter(F.col("rbid").isNotNull()).count() == 0
+
+    def test_union_of_overlappers_not_double_subtracted(self, spark):
+        """Two OVERLAPPING right boxes must subtract as their union:
+        10x10 minus ([2,6]x[0,10] union [4,8]x[0,10]) = area 40, not 20."""
+        left = _boxes(spark, [(1, 0, 0, 10, 10)])
+        right = _boxes(spark, [(7, 2, 0, 6, 10), (8, 4, 0, 8, 10)], pre="r")
+        res = overlay(left, right, how="difference")
+        rows = _areas(res).select("_a").collect()
+        assert sum(r["_a"] for r in rows) == pytest.approx(40.0)
+
+    def test_untouched_rows_pass_through(self, spark):
+        left = _boxes(spark, [(1, 0, 0, 2, 2), (2, 50, 50, 60, 60)])
+        right = _boxes(spark, [(9, 1, 1, 3, 3)], pre="r")
+        res = overlay(left, right, how="difference")
+        got = {r["bid"]: r["_a"] for r in _areas(res).select("bid", "_a").collect()}
+        assert got[1] == pytest.approx(3.0)    # 4 - 1 overlap
+        assert got[2] == pytest.approx(100.0)  # untouched, exact passthrough
+
+    def test_swallowed_row_disappears(self, spark):
+        left = _boxes(spark, [(1, 2, 2, 4, 4)])
+        right = _boxes(spark, [(9, 0, 0, 10, 10)], pre="r")
+        assert overlay(left, right, how="difference").count() == 0
+
+
+class TestOverlayCompound:
+    def test_union_pieces(self, spark):
+        """[0,4]² and [2,6]² union overlay: 3 pieces with areas 4,12,12."""
+        left = _boxes(spark, [(1, 0, 0, 4, 4)])
+        right = _boxes(spark, [(2, 2, 2, 6, 6)], pre="r")
+        res = overlay(left, right, how="union")
+        rows = _areas(res).select("bid", "rbid", "_a").collect()
+        pieces = {(r["bid"], r["rbid"]): r["_a"] for r in rows}
+        assert pieces[(1, 2)] == pytest.approx(4.0)      # intersection
+        assert pieces[(1, None)] == pytest.approx(12.0)  # left diff
+        assert pieces[(None, 2)] == pytest.approx(12.0)  # right diff
+        total = sum(pieces.values())
+        assert total == pytest.approx(28.0)              # area of union cover
+
+    def test_symmetric_difference(self, spark):
+        left = _boxes(spark, [(1, 0, 0, 4, 4)])
+        right = _boxes(spark, [(2, 2, 2, 6, 6)], pre="r")
+        res = overlay(left, right, how="symmetric_difference")
+        rows = _areas(res).select("_a").collect()
+        assert sorted(round(r["_a"], 9) for r in rows) == [12.0, 12.0]
+
+    def test_identity(self, spark):
+        left = _boxes(spark, [(1, 0, 0, 4, 4)])
+        right = _boxes(spark, [(2, 2, 2, 6, 6)], pre="r")
+        res = overlay(left, right, how="identity")
+        total = sum(r["_a"] for r in _areas(res).select("_a").collect())
+        assert total == pytest.approx(16.0)  # covers exactly the left layer
+
+    def test_bad_how_raises(self, spark):
+        left = _boxes(spark, [(1, 0, 0, 1, 1)])
+        with pytest.raises(ValueError, match="how must be"):
+            overlay(left, left, how="nope")
+
+
+class TestOverlayGrid:
+    def test_grid_strategy_matches_broadcast(self, spark):
+        rng = np.random.RandomState(3)
+        lrows = [(i, x, y, x + 3, y + 3) for i, (x, y) in
+                 enumerate(zip(rng.uniform(0, 40, 25), rng.uniform(0, 40, 25)))]
+        rrows = [(100 + i, x, y, x + 4, y + 4) for i, (x, y) in
+                 enumerate(zip(rng.uniform(0, 40, 10), rng.uniform(0, 40, 10)))]
+        left, right = _boxes(spark, lrows), _boxes(spark, rrows, pre="r")
+        tb = (0.0, 0.0, 45.0, 45.0)
+        a = overlay(left, right, how="intersection", strategy="broadcast")
+        b = overlay(left, right, how="intersection", strategy="grid",
+                    total_bounds=tb)
+        ka = sorted((r["bid"], r["rbid"], round(r["_a"], 6))
+                    for r in _areas(a).select("bid", "rbid", "_a").collect())
+        kb = sorted((r["bid"], r["rbid"], round(r["_a"], 6))
+                    for r in _areas(b).select("bid", "rbid", "_a").collect())
+        assert ka == kb and len(ka) > 0
