@@ -126,23 +126,51 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     )
 
 
+_AUTO_MEMORY_CONF = "spark.dask_geopandas.lsh.autoMemoryBytes"
+_AUTO_MEMORY_DEFAULT = 1 << 30  # 1 GiB of input files
+
+
+def _auto_materialize(df: DataFrame) -> str:
+    """Size-aware staging pick for ``materialize="auto"``: persist in
+    memory only when the frame's scan inputs are provably small (public
+    ``inputFiles`` metadata, same signal as the sjoin broadcast guess);
+    anything unmeasurable or large recomputes — the scale-safe side of
+    every ambiguity.  Threshold conf: ``{_AUTO_MEMORY_CONF}``."""
+    from .sjoin import _input_file_bytes
+
+    size = _input_file_bytes(df)
+    if size is None:
+        return "none"
+    try:
+        thr = int(df.sparkSession.conf.get(
+            _AUTO_MEMORY_CONF, str(_AUTO_MEMORY_DEFAULT)))
+    except Exception:
+        thr = _AUTO_MEMORY_DEFAULT
+    return "memory" if size <= thr else "none"
+
+
 def _banded(df: DataFrame, text_col: str, id_col: str, num_hashes: int,
-            bands: int, k: int, materialize: str = "none") -> DataFrame:
+            bands: int, k: int, materialize: str = "auto") -> DataFrame:
     """(id, bk=struct<band,bh>) — one row per doc per LSH band.
 
     The signature table is consumed twice by every caller (both sides
     of the band self-join), so ``materialize`` picks the re-use
-    strategy: ``"none"`` (the default — scale-safe) recomputes the
-    single-pass native expressions per consumer (zero cache, one extra
-    scan — usually the cheapest at cluster scale); ``"memory"`` opts in
-    to persisting it (right at interactive scale, but an unbounded cache
-    barrier at 100 TB — the caller owns the handle and must
-    ``unpersist`` the returned frame's lineage when done); any other
-    string is a directory path the signatures are checkpointed to as
-    parquet and re-read from (bounded memory AND single computation —
-    the right choice at 100 TB when a scratch location exists)."""
+    strategy: ``"auto"`` (default) persists in memory only when the
+    input's file metadata proves it small (< 1 GiB by default,
+    ``spark.dask_geopandas.lsh.autoMemoryBytes``) and otherwise
+    recomputes — unmeasurable inputs count as large, so the default
+    never plants an unbounded cache barrier at 100 TB; ``"none"``
+    always recomputes the single-pass native expressions per consumer
+    (zero cache, one extra scan); ``"memory"`` always persists (the
+    caller owns the handle and must ``unpersist`` the returned frame's
+    lineage when done); any other string is a directory path the
+    signatures are checkpointed to as parquet and re-read from (bounded
+    memory AND single computation — the right choice at 100 TB when a
+    scratch location exists)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
+    if materialize == "auto":
+        materialize = _auto_materialize(df)
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
     if materialize == "memory":
         sig = sig.persist()
@@ -163,7 +191,7 @@ def _banded(df: DataFrame, text_col: str, id_col: str, num_hashes: int,
 def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", num_hashes: int = 8,
                         bands: int = 4, k: int = 3,
-                        materialize: str = "none") -> DataFrame:
+                        materialize: str = "auto") -> DataFrame:
     """LSH banding: docs sharing any band of the MinHash signature become
     candidate near-dup pairs.  Output: (id_a, id_b) with id_a < id_b.
 
@@ -188,7 +216,7 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
 def lsh_dedup(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id", num_hashes: int = 8,
               bands: int = 4, k: int = 3, max_iter: int = 1,
-              materialize: str = "none") -> DataFrame:
+              materialize: str = "auto") -> DataFrame:
     """Linear-cost LSH dedup: (doc_id, rep_id) where rep_id is the min
     doc id over every band bucket the doc belongs to; keep rows with
     rep_id == doc_id to dedup.  This is the 100 TB-safe form: a bucket
@@ -249,11 +277,13 @@ def lsh_dedup(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         threshold: float = 0.0,
-                        materialize: str = "none") -> DataFrame:
+                        materialize: str = "auto") -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs: broadcast-join
     shingle sets onto the (small) candidate pair list.  ``materialize``
     stages the shingle-set table, probed twice (id_a and id_b sides):
-    memory / none / parquet-checkpoint path, as in `_banded`."""
+    auto / memory / none / parquet-checkpoint path, as in `_banded`."""
+    if materialize == "auto":
+        materialize = _auto_materialize(df)
     sh = df.select(
         F.col(id_col),
         F.array_distinct(

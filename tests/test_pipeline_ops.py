@@ -79,9 +79,11 @@ class TestDedup:
         assert (tmp_path / "sig_ckpt").exists()
 
     def test_default_plan_has_no_cache_barrier(self, docs):
-        """The DEFAULT staging is scale-safe: no InMemoryRelation in the
-        plan (an unbounded .persist() at 100 TB); ``memory`` is opt-in
-        (r2 VERDICT item #5)."""
+        """The DEFAULT ("auto") staging is scale-safe: an input whose
+        size cannot be proven small (here: no file lineage at all)
+        recomputes — no InMemoryRelation in the plan (an unbounded
+        .persist() at 100 TB); always-persist is opt-in (r2 VERDICT
+        item #5)."""
         from dask_geopandas_spark.operators.dedup import (lsh_candidate_pairs,
                                                           lsh_dedup)
 
@@ -93,6 +95,26 @@ class TestDedup:
                       lsh_candidate_pairs(docs, num_hashes=4, bands=2)):
             plan = frame._jdf.queryExecution().optimizedPlan().toString()
             assert "InMemoryRelation" not in plan
+
+    def test_auto_staging_is_size_aware(self, docs, tmp_path):
+        """"auto" persists a provably small file-backed input and falls
+        back to recompute when the size threshold conf rules it out or
+        the size is unknowable."""
+        from dask_geopandas_spark.operators.dedup import (_AUTO_MEMORY_CONF,
+                                                          _auto_materialize)
+
+        spark = docs.sparkSession
+        spark.catalog.clearCache()
+        path = str(tmp_path / "docs_pq")
+        docs.write.parquet(path)
+        stored = spark.read.parquet(path)
+        assert _auto_materialize(stored) == "memory"   # tiny parquet file
+        spark.conf.set(_AUTO_MEMORY_CONF, "1")         # 1 byte: nothing fits
+        try:
+            assert _auto_materialize(stored) == "none"
+        finally:
+            spark.conf.unset(_AUTO_MEMORY_CONF)
+        assert _auto_materialize(docs) == "none"       # no file lineage
 
     def test_lsh_dedup_linear_form(self, docs):
         from dask_geopandas_spark.operators.dedup import (lsh_candidate_pairs,
