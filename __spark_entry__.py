@@ -1005,6 +1005,23 @@ def q_to_utm(spark, sf_dir):
         F.round(u.y, 4).alias("northing"))
 
 
+def q_sjoin_dwithin(spark, sf_dir):
+    """sjoin(predicate='dwithin', distance=1.5) — supplier points within
+    1.5 units of each customer point (beyond-reference; geopandas ≥0.12
+    parity).  Candidates from the distance-dilated bbox broadcast join,
+    refinement is native bbox-gap arithmetic (both sides envelope-exact
+    points — zero Python in the join)."""
+    c = _cust_points(spark, sf_dir)
+    sup_df = (_t(spark, sf_dir, "supplier")
+              .withColumn("spx", F.expr(SUP_X)).withColumn("spy", F.expr(SUP_Y)))
+    s = dgs.points_from_xy(sup_df, "spx", "spy", crs="EPSG:4326")
+    out = c.sjoin(s, predicate="dwithin", distance=1.5,
+                  strategy="broadcast")
+    return (out.df.groupBy(F.col("c_custkey").alias("custkey"))
+            .agg(F.count("*").alias("n_near"),
+                 F.min("s_suppkey").alias("min_supp")))
+
+
 def q_overlay_inter(spark, sf_dir):
     """overlay(how='intersection') — beyond-reference (dask-geopandas
     has no overlay; geopandas.overlay parity): one piece per overlapping
@@ -1739,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crs_roundtrip": q_crs_roundtrip,
         "overlay_inter": q_overlay_inter,
         "overlay_diff": q_overlay_diff,
+        "sjoin_dwithin": q_sjoin_dwithin,
         "dissolve_union_area": q_dissolve_union_area,
         "union_all_area": q_union_all_area,
         "setops_concave_area": q_setops_concave_area,
@@ -2505,6 +2523,15 @@ def oracle_sql() -> dict[str, str]:
                      - greatest({NB['minx']}, {SB['minx']}) = 0
                 OR least({NB['miny']} + {NB['h']}, {SB['miny']} + {SB['h']})
                      - greatest({NB['miny']}, {SB['miny']}) = 0)
+        """,
+        "sjoin_dwithin": f"""
+            SELECT c.c_custkey AS custkey,
+                   count(*) AS n_near,
+                   min(s.s_suppkey) AS min_supp
+            FROM customer c CROSS JOIN supplier s
+            WHERE power(({CUST_X}) - ({SUP_X}), 2)
+                  + power(({CUST_Y}) - ({SUP_Y}), 2) <= 2.25
+            GROUP BY c.c_custkey
         """,
         "sjoin_nearest": f"""
             SELECT c.c_custkey AS custkey,

@@ -181,7 +181,8 @@ def _grid_join(ldf: DataFrame, rdf: DataFrame, lbbox: str, rbbox: str,
 def sjoin(left, right, how: str = "inner", predicate: str = "intersects",
           strategy: str = "auto", grid_level: int = 7,
           total_bounds=None,
-          lsuffix: str = "_left", rsuffix: str = "_right"):
+          lsuffix: str = "_left", rsuffix: str = "_right",
+          distance: float | None = None):
     """Spatial join of two GeoDataFrames; returns a GeoDataFrame keeping
     the left geometry (reference keeps left geometry too, sjoin.py:92-101).
 
@@ -189,14 +190,25 @@ def sjoin(left, right, how: str = "inner", predicate: str = "intersects",
     beyond-reference 'left' (unmatched left rows kept with NULL right
     columns) and 'anti' (left rows with NO spatial match) — both are one
     extra native join on a left-row id against the inner result
-    (SURVEY §2.3 'can add left/anti spatial joins cheaply')."""
+    (SURVEY §2.3 'can add left/anti spatial joins cheaply').
+
+    ``predicate='dwithin'`` (beyond-reference; geopandas ≥ 0.12 sjoin
+    parity) joins pairs whose distance is ≤ ``distance`` (same units as
+    the coordinates): candidates come from the left bbox DILATED by the
+    distance (so broadcast and grid strategies prune exactly as for
+    intersects), refinement is a native bbox-gap check when both sides
+    are envelope-exact, else st_distance."""
     from ..core import GeoDataFrame
 
     if how not in ("inner", "left", "anti"):
         raise ValueError("how must be 'inner', 'left', or 'anti'")
-    if predicate not in _PREDICATES:
+    if predicate == "dwithin":
+        if distance is None or float(distance) < 0:
+            raise ValueError("predicate='dwithin' needs distance >= 0")
+    elif predicate not in _PREDICATES:
         raise ValueError(
-            f"unsupported predicate {predicate!r}; supported: {sorted(_PREDICATES)}"
+            f"unsupported predicate {predicate!r}; supported: "
+            f"{sorted(_PREDICATES) + ['dwithin']}"
         )
 
     lg = left.with_bbox()
@@ -224,13 +236,25 @@ def sjoin(left, right, how: str = "inner", predicate: str = "intersects",
         if lbbox in set(lg.df.columns) & set(rg.df.columns):
             lbbox_j, rbbox_j = f"{lbbox}{lsuffix}", f"{rbbox}{rsuffix}"
 
+    cand_lbbox = lbbox_j
+    if predicate == "dwithin":
+        # dilate the left bbox by the search distance: candidate pruning
+        # (broadcast range condition / grid cells) then works unchanged
+        d = float(distance)
+        cand_lbbox = "_dw_bbox"
+        ldf = ldf.withColumn(cand_lbbox, F.struct(
+            (F.col(f"{lbbox_j}.minx") - F.lit(d)).alias("minx"),
+            (F.col(f"{lbbox_j}.miny") - F.lit(d)).alias("miny"),
+            (F.col(f"{lbbox_j}.maxx") + F.lit(d)).alias("maxx"),
+            (F.col(f"{lbbox_j}.maxy") + F.lit(d)).alias("maxy")))
+
     if strategy == "auto":
         # broadcast when the right side is clearly small (mirrors the
         # reference's special-case of a plain-geopandas right side)
         strategy = "broadcast" if _is_small(rdf) else "grid"
 
     if strategy == "broadcast":
-        joined = ldf.join(F.broadcast(rdf), on=_bbox_overlap(lbbox_j, rbbox_j), how="inner")
+        joined = ldf.join(F.broadcast(rdf), on=_bbox_overlap(cand_lbbox, rbbox_j), how="inner")
     elif strategy == "grid":
         if total_bounds is not None:
             # caller-supplied bounds (dataset stats, CRS extent) skip the
@@ -248,15 +272,19 @@ def sjoin(left, right, how: str = "inner", predicate: str = "intersects",
         else:
             tb = _union_bounds_job(lg, rg)
         joined = _grid_join(
-            ldf, rdf, lbbox_j, rbbox_j, tb, grid_level,
-            l_single=bool(lg._xy and not lg._xy[3]),
+            ldf, rdf, cand_lbbox, rbbox_j, tb, grid_level,
+            l_single=bool(lg._xy and not lg._xy[3]
+                          and predicate != "dwithin"),
             r_single=bool(rg._xy and not rg._xy[3]))
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
 
     refined = joined.filter(
-        _refinement(left, right, predicate, lgeom_j, rgeom_j, lbbox_j, rbbox_j)
+        _refinement(left, right, predicate, lgeom_j, rgeom_j, lbbox_j,
+                    rbbox_j, distance=distance)
     ).drop(rgeom_j, rbbox_j)
+    if cand_lbbox != lbbox_j:
+        refined = refined.drop(cand_lbbox)
 
     if how == "left":
         right_cols = [c for c in refined.columns if c not in ldf.columns]
@@ -392,7 +420,8 @@ def _bbox_within(ib: str, ob: str) -> Column:
 
 
 def _refinement(left, right, predicate: str, lgeom_j: str, rgeom_j: str,
-                lbbox_j: str, rbbox_j: str) -> Column:
+                lbbox_j: str, rbbox_j: str,
+                distance: float | None = None) -> Column:
     """Exact-predicate refinement condition for candidate pairs.
 
     When a side's geometry is known to equal its own envelope (points
@@ -409,6 +438,21 @@ def _refinement(left, right, predicate: str, lgeom_j: str, rgeom_j: str,
       candidate condition is already the exact answer."""
     l_env = getattr(left, "envelope_exact", False)
     r_env = getattr(right, "envelope_exact", False)
+    if predicate == "dwithin":
+        d = float(distance)
+        if l_env and r_env:
+            # distance between two axis-aligned rectangles: hypot of the
+            # per-axis gaps — native arithmetic, no Python stage
+            gx = F.greatest(
+                F.greatest(F.col(f"{lbbox_j}.minx"), F.col(f"{rbbox_j}.minx"))
+                - F.least(F.col(f"{lbbox_j}.maxx"), F.col(f"{rbbox_j}.maxx")),
+                F.lit(0.0))
+            gy = F.greatest(
+                F.greatest(F.col(f"{lbbox_j}.miny"), F.col(f"{rbbox_j}.miny"))
+                - F.least(F.col(f"{lbbox_j}.maxy"), F.col(f"{rbbox_j}.maxy")),
+                F.lit(0.0))
+            return (gx * gx + gy * gy) <= F.lit(d * d)
+        return FX.st_distance(F.col(lgeom_j), F.col(rgeom_j)) <= F.lit(d)
     if predicate == "intersects" and l_env and r_env:
         # candidate bbox-overlap condition was already exact
         return F.lit(True)

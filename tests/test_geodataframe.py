@@ -845,3 +845,70 @@ class TestEmptyInputs:
         assert DD.lsh_candidate_pairs(docs).count() == 0
         assert DD.lsh_dedup(docs).count() == 0
         assert DD.exact_dedup(docs).count() == 0
+
+
+def test_sjoin_dwithin_broadcast(spark):
+    """predicate='dwithin' keeps all pairs within the search distance
+    (beyond-reference; geopandas >= 0.12 sjoin parity)."""
+    import dask_geopandas_spark as dgs
+
+    left = dgs.points_from_xy(
+        spark.createDataFrame([(0, 0.0, 0.0), (1, 10.0, 0.0)],
+                              "lid int, x double, y double"), "x", "y")
+    right = dgs.points_from_xy(
+        spark.createDataFrame(
+            [(100, 1.0, 0.0), (101, 2.5, 0.0), (102, 10.0, 2.0),
+             (103, 50.0, 50.0)],
+            "rid int, x double, y double"), "x", "y")
+    out = left.sjoin(right, predicate="dwithin", distance=2.0,
+                     strategy="broadcast")
+    pairs = sorted((r["lid"], r["rid"]) for r in
+                   out.df.select("lid", "rid").collect())
+    assert pairs == [(0, 100), (1, 102)]
+    # native join for symbolic point layers: once the (Python-built) WKB
+    # geometry is pruned away, no Python stage remains in the plan
+    plan = (out.df.select("lid", "rid")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # boundary inclusion: distance exactly d qualifies
+    out_eq = left.sjoin(right, predicate="dwithin", distance=1.0,
+                        strategy="broadcast")
+    assert (0, 100) in {(r["lid"], r["rid"]) for r in
+                        out_eq.df.select("lid", "rid").collect()}
+
+
+def test_sjoin_dwithin_grid_matches_broadcast(spark):
+    import numpy as np
+
+    import dask_geopandas_spark as dgs
+
+    rng = np.random.RandomState(11)
+    import pandas as pd
+    lpdf = pd.DataFrame({"lid": np.arange(60), "x": rng.uniform(0, 30, 60),
+                         "y": rng.uniform(0, 30, 60)})
+    rpdf = pd.DataFrame({"rid": np.arange(40), "x": rng.uniform(0, 30, 40),
+                         "y": rng.uniform(0, 30, 40)})
+    left = dgs.points_from_xy(spark.createDataFrame(lpdf), "x", "y")
+    right = dgs.points_from_xy(spark.createDataFrame(rpdf), "x", "y")
+    kw = dict(predicate="dwithin", distance=3.0)
+    a = left.sjoin(right, strategy="broadcast", **kw)
+    b = left.sjoin(right, strategy="grid", total_bounds=(0, 0, 31, 31), **kw)
+    ka = sorted((r["lid"], r["rid"]) for r in a.df.select("lid", "rid").collect())
+    kb = sorted((r["lid"], r["rid"]) for r in b.df.select("lid", "rid").collect())
+    assert ka == kb and len(ka) > 0
+    # independent check against plain numpy distances
+    dx = lpdf["x"].to_numpy()[:, None] - rpdf["x"].to_numpy()[None, :]
+    dy = lpdf["y"].to_numpy()[:, None] - rpdf["y"].to_numpy()[None, :]
+    want = sorted((int(i), int(j)) for i, j in
+                  zip(*np.nonzero(dx * dx + dy * dy <= 9.0)))
+    assert ka == want
+
+
+def test_sjoin_dwithin_validation(spark):
+    import dask_geopandas_spark as dgs
+
+    pts = dgs.points_from_xy(
+        spark.createDataFrame([(0.0, 0.0)], "x double, y double"), "x", "y")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="distance"):
+        pts.sjoin(pts, predicate="dwithin")
