@@ -1358,6 +1358,41 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic hash sampling (operators/sampling.py): keep ~25% of
+    documents by md5-bucket of the id — a pure narrow filter (no
+    shuffle, no RNG state), bit-reproducible in the oracle."""
+    from dask_geopandas_spark.operators.sampling import hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_sample(d, 0.25).select("doc_id", "lang")
+
+
+def q_split_holdout(spark, sf_dir):
+    """Deterministic train/holdout split tagging: disjoint, exhaustive,
+    stable across re-runs and retries (the eval-leak guard)."""
+    from dask_geopandas_spark.operators.sampling import split_train_holdout
+
+    d = _t(spark, sf_dir, "documents")
+    out = split_train_holdout(d, holdout_fraction=0.05)
+    return (out.groupBy("split")
+            .agg(F.count("*").alias("n"), F.sum("doc_id").alias("id_sum")))
+
+
+def q_pack_docs(spark, sf_dir):
+    """Sequence packing: per-language token-budget bins by exclusive
+    running token count (one partitioned window — the distributable form
+    of greedy packing)."""
+    from dask_geopandas_spark.operators.sampling import pack_documents
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", TX.token_count(F.col("text")))
+    out = pack_documents(d, budget=4096, by="lang")
+    return (out.groupBy("lang", "pack_bin")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("sum_tokens")))
+
+
 def q_exact_dedup(spark, sf_dir):
     return DD.exact_dedup(_t(spark, sf_dir, "documents"))
 
@@ -1757,6 +1792,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_inter": q_overlay_inter,
         "overlay_diff": q_overlay_diff,
         "sjoin_dwithin": q_sjoin_dwithin,
+        "hash_sample": q_hash_sample,
+        "split_holdout": q_split_holdout,
+        "pack_docs": q_pack_docs,
         "dissolve_union_area": q_dissolve_union_area,
         "union_all_area": q_union_all_area,
         "setops_concave_area": q_setops_concave_area,
@@ -2820,6 +2858,35 @@ def oracle_sql() -> dict[str, str]:
                        '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s'']+'))
                        AS INTEGER) AS n_bpe_tokens
             FROM documents
+        """,
+        "hash_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {_PHASH("CAST(doc_id AS VARCHAR)")} % 1000000 < 250000
+        """,
+        "split_holdout": f"""
+            SELECT CASE WHEN {_PHASH("CAST(doc_id AS VARCHAR)")} % 1000000
+                             < 50000
+                        THEN 'holdout' ELSE 'train' END AS split,
+                   count(*) AS n, sum(doc_id) AS id_sum
+            FROM documents GROUP BY 1
+        """,
+        "pack_docs": """
+            WITH t AS (
+                SELECT doc_id, lang,
+                       len(regexp_split_to_array(trim(text), '\\s+')) AS nt
+                FROM documents
+            ),
+            r AS (
+                SELECT lang, nt,
+                       sum(nt) OVER (PARTITION BY lang ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) - nt AS ex
+                FROM t
+            )
+            SELECT lang, CAST(floor(ex / 4096.0) AS BIGINT) AS pack_bin,
+                   count(*) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS sum_tokens
+            FROM r GROUP BY 1, 2
         """,
         "exact_dedup": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,

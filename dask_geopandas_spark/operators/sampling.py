@@ -1,0 +1,112 @@
+"""Deterministic sampling & sequence-packing operators for LLM
+training-data pipelines.
+
+At 100 TB, `rand()`-based sampling is a liability: re-runs draw
+different rows, retried tasks can double-sample, and an oracle cannot
+reproduce the choice.  Every operator here is a pure function of the
+data — hash-based, shuffle-free where possible, and bit-reproducible
+in the DuckDB oracle:
+
+* ``hash_sample``        — keep a row iff ``portable_hash(key) mod M``
+  falls under the fraction; a narrow native filter that pushes down to
+  the scan (no shuffle, no state, stable across retries/re-runs).
+* ``stratified_hash_sample`` — per-stratum fractions (e.g. languages
+  kept at different rates), same single-pass filter via a CASE chain.
+* ``split_train_holdout`` — disjoint, exhaustive train/holdout tagging
+  by hash bucket: the classic deterministic eval-split.
+* ``pack_documents``     — assign documents to fixed token-budget bins
+  by exclusive running token count (the distributable form of greedy
+  sequence packing): one window over the pack ordering per group.
+
+The window in ``pack_documents`` is per-``by``-group: with ``by`` (the
+normal usage — pack per language/source shard) Spark evaluates it as a
+partitioned window after one hash shuffle on the group key; a global
+pack (``by=None``) serializes through a single window partition and is
+flagged for small inputs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import portable_hash
+
+_MOD = 1_000_000
+
+
+def _bucket(key: Column) -> Column:
+    """Stable bucket in [0, 1e6) from the portable 60-bit hash (same
+    value in DuckDB: ``pmod`` of the md5-prefix bigint over the key
+    cast to its string form)."""
+    return F.pmod(portable_hash(key.cast("string")), F.lit(_MOD))
+
+
+def hash_sample(df: DataFrame, fraction: float,
+                key_col: str = "doc_id") -> DataFrame:
+    """Deterministic ~``fraction`` sample: keep rows whose hash bucket
+    < fraction·1e6.  Pure narrow filter — no shuffle, no RNG state,
+    identical result on every run and every retry."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(_bucket(F.col(key_col)) < int(fraction * _MOD))
+
+
+def stratified_hash_sample(df: DataFrame, fractions: dict,
+                           strata_col: str,
+                           key_col: str = "doc_id",
+                           default: float = 0.0) -> DataFrame:
+    """Per-stratum deterministic sampling: ``fractions`` maps stratum
+    value → keep fraction; unlisted strata keep ``default``.  One CASE
+    chain over the stratum column — still a single narrow filter."""
+    thr = F.lit(int(default * _MOD))
+    for val, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {val!r} must be in [0, 1]")
+        thr = F.when(F.col(strata_col) == F.lit(val),
+                     F.lit(int(frac * _MOD))).otherwise(thr)
+    return df.filter(_bucket(F.col(key_col)) < thr)
+
+
+def split_train_holdout(df: DataFrame, holdout_fraction: float = 0.01,
+                        key_col: str = "doc_id",
+                        split_col: str = "split") -> DataFrame:
+    """Disjoint, exhaustive train/holdout tag: rows with hash bucket
+    under the holdout fraction become 'holdout', the rest 'train'.
+    Deterministic → the same document can never leak across the split
+    on a re-run or a retried task."""
+    if not 0.0 <= holdout_fraction <= 1.0:
+        raise ValueError("holdout_fraction must be in [0, 1]")
+    return df.withColumn(
+        split_col,
+        F.when(_bucket(F.col(key_col)) < int(holdout_fraction * _MOD),
+               F.lit("holdout")).otherwise(F.lit("train")))
+
+
+def pack_documents(df: DataFrame, budget: int,
+                   token_col: str = "n_tokens",
+                   order_col: str = "doc_id",
+                   by: str | None = None,
+                   bin_col: str = "pack_bin") -> DataFrame:
+    """Assign each document a fixed-budget pack bin:
+    ``bin = floor(exclusive_running_sum(tokens) / budget)`` over the
+    ``order_col`` ordering (within each ``by`` group when given).
+
+    This is the distributable form of greedy sequence packing: bins
+    fill in order and a document whose tokens straddle a boundary
+    starts the next bin's count (documents are not split — the training
+    loader truncates or pads per bin).  One window, no Python.
+
+    ``by=None`` computes a GLOBAL pack — a single window partition that
+    funnels through one task; use only for small frames (per-shard
+    packing with ``by`` is the cluster-scale form).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    w = (Window.partitionBy(by) if by else Window.partitionBy()) \
+        .orderBy(order_col) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    running_incl = F.sum(F.col(token_col)).over(w)
+    exclusive = running_incl - F.col(token_col)
+    return df.withColumn(
+        bin_col, F.floor(exclusive / F.lit(budget)).cast("long"))

@@ -1,0 +1,122 @@
+"""Deterministic sampling / packing operator tests
+(operators/sampling.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dask_geopandas_spark.operators.sampling import (hash_sample,
+                                                     pack_documents,
+                                                     split_train_holdout,
+                                                     stratified_hash_sample)
+
+
+@pytest.fixture()
+def docs(spark):
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(2000, dtype="int64"),
+        "lang": ["en", "de", "fr", "xx"] * 500,
+        "n_tokens": (np.arange(2000) * 37 % 900 + 100).astype("int64"),
+    })
+    return spark.createDataFrame(pdf)
+
+
+class TestHashSample:
+    def test_determinism_and_rate(self, docs):
+        a = sorted(r["doc_id"] for r in hash_sample(docs, 0.25).collect())
+        b = sorted(r["doc_id"] for r in hash_sample(docs, 0.25).collect())
+        assert a == b                      # re-run identical
+        assert 0.18 < len(a) / 2000 < 0.32  # ~25%
+
+    def test_nesting(self, docs):
+        """A smaller sample is a subset of a larger one (threshold
+        semantics -> monotone nesting, the property practitioners rely
+        on when upsampling later)."""
+        small = {r["doc_id"] for r in hash_sample(docs, 0.1).collect()}
+        big = {r["doc_id"] for r in hash_sample(docs, 0.3).collect()}
+        assert small <= big
+
+    def test_no_shuffle(self, docs):
+        plan = hash_sample(docs, 0.5)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_validation(self, docs):
+        with pytest.raises(ValueError):
+            hash_sample(docs, 1.5)
+
+
+class TestStratified:
+    def test_per_stratum_rates(self, docs):
+        out = stratified_hash_sample(
+            docs, {"en": 1.0, "de": 0.2}, strata_col="lang").collect()
+        by = {}
+        for r in out:
+            by.setdefault(r["lang"], 0)
+            by[r["lang"]] += 1
+        assert by["en"] == 500               # full keep
+        assert 60 < by.get("de", 0) < 160    # ~20% of 500
+        assert "fr" not in by and "xx" not in by  # default 0
+
+    def test_agrees_with_hash_sample_per_stratum(self, docs):
+        strat = {r["doc_id"] for r in stratified_hash_sample(
+            docs, {"en": 0.3}, strata_col="lang").collect()}
+        plain = {r["doc_id"] for r in
+                 hash_sample(docs.filter(F.col("lang") == "en"), 0.3).collect()}
+        assert strat == plain
+
+
+class TestSplit:
+    def test_disjoint_exhaustive(self, docs):
+        out = split_train_holdout(docs, holdout_fraction=0.1).collect()
+        assert len(out) == 2000
+        hold = {r["doc_id"] for r in out if r["split"] == "holdout"}
+        train = {r["doc_id"] for r in out if r["split"] == "train"}
+        assert hold.isdisjoint(train) and len(hold) + len(train) == 2000
+        assert 120 < len(hold) < 280
+        # stable across runs
+        again = {r["doc_id"] for r in
+                 split_train_holdout(docs, 0.1).collect()
+                 if r["split"] == "holdout"}
+        assert hold == again
+
+
+class TestPacking:
+    def test_bins_respect_budget_boundaries(self, spark):
+        pdf = pd.DataFrame({"doc_id": [0, 1, 2, 3, 4],
+                            "n_tokens": [600, 600, 600, 600, 600]})
+        out = {r["doc_id"]: r["pack_bin"] for r in
+               pack_documents(spark.createDataFrame(pdf), budget=1000)
+               .collect()}
+        # exclusive prefix sums: 0,600,1200,1800,2400 -> bins 0,0,1,1,2
+        assert out == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2}
+
+    def test_grouped_packing_independent(self, spark):
+        pdf = pd.DataFrame({"doc_id": [0, 1, 2, 3],
+                            "lang": ["en", "en", "de", "de"],
+                            "n_tokens": [900, 900, 900, 900]})
+        out = {(r["lang"], r["doc_id"]): r["pack_bin"] for r in
+               pack_documents(spark.createDataFrame(pdf), budget=1000,
+                              by="lang").collect()}
+        assert out == {("en", 0): 0, ("en", 1): 0,
+                       ("de", 2): 0, ("de", 3): 0}
+
+    def test_bin_token_totals_bounded(self, docs):
+        """Every bin's token total stays under budget + max_doc_tokens
+        (the straddling doc allowance of boundary packing)."""
+        budget = 4096
+        out = pack_documents(docs, budget=budget, by="lang")
+        totals = (out.groupBy("lang", "pack_bin")
+                  .agg(F.sum("n_tokens").alias("t")).collect())
+        assert all(r["t"] < budget + 999 for r in totals)
+        # bins are contiguous from 0 per group
+        bins = {}
+        for r in totals:
+            bins.setdefault(r["lang"], set()).add(r["pack_bin"])
+        for s in bins.values():
+            assert s == set(range(len(s)))
+
+    def test_validation(self, docs):
+        with pytest.raises(ValueError):
+            pack_documents(docs, budget=0)
