@@ -1608,6 +1608,35 @@ def q_events_hourly(spark, sf_dir):
     return windowed_event_counts(ev, window="1 hour")
 
 
+def q_asof_clicks(spark, sf_dir):
+    """As-of join (operators/asof.py, beyond-reference — SURVEY §2.3
+    notes the reference has no as-of/interval joins): each click event
+    matched to the latest preceding view by the same user.  One hash
+    shuffle on user_id + a window sort — never a range cross-join.
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from dask_geopandas_spark.operators.asof import asof_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) as a nanos BIGINT; integer-divide to micros
+        # (float division would lose precision above 2^53)
+        ev = ev.withColumn("ts_us", F.expr("ts DIV 1000"))
+    else:
+        ev = ev.withColumn(
+            "ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id", "ts_us"))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("view_id"), "user_id", "ts_us"))
+    out = asof_join(clicks, views, on="ts_us", by="user_id")
+    return out.select(
+        "click_id",
+        F.col("asof_view_id").alias("view_id"),
+        (F.col("ts_us") - F.col("asof_ts_us")).alias("lag_us"))
+
+
 EV_X = "(event_id % 340 - 170) + 0.5"
 EV_Y = "(user_id % 160 - 80) + 0.25"
 
@@ -1795,6 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "split_holdout": q_split_holdout,
         "pack_docs": q_pack_docs,
+        "asof_clicks": q_asof_clicks,
         "dissolve_union_area": q_dissolve_union_area,
         "union_all_area": q_union_all_area,
         "setops_concave_area": q_setops_concave_area,
@@ -2858,6 +2888,15 @@ def oracle_sql() -> dict[str, str]:
                        '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s'']+'))
                        AS INTEGER) AS n_bpe_tokens
             FROM documents
+        """,
+        "asof_clicks": """
+            SELECT l.event_id AS click_id,
+                   r.event_id AS view_id,
+                   epoch_us(l.ts) - epoch_us(r.ts) AS lag_us
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'view') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "hash_sample": f"""
             SELECT doc_id, lang FROM documents
