@@ -1637,6 +1637,36 @@ def q_asof_clicks(spark, sf_dir):
         (F.col("ts_us") - F.col("asof_ts_us")).alias("lag_us"))
 
 
+def q_interval_clicks(spark, sf_dir):
+    """Interval (range) join (operators/interval.py, beyond-reference):
+    clicks landing inside each view's 5-minute attribution window, per
+    user — bucketized equi-join (the 1-D PBSM), never a cross-join.
+    Oracle: DuckDB inequality join."""
+    from dask_geopandas_spark.operators.interval import interval_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts_us", F.expr("ts DIV 1000"))
+    else:
+        ev = ev.withColumn(
+            "ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("view_id"), "user_id",
+                     F.col("ts_us").alias("w_start"),
+                     (F.col("ts_us") + F.lit(300_000_000)).alias("w_end")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id",
+                      "ts_us"))
+    out = interval_join(views, clicks, ("w_start", "w_end"),
+                        ("ts_us", "ts_us"), by="user_id",
+                        bucket_width=300e6)
+    return (out.groupBy("view_id")
+            .agg(F.count("*").alias("n_clicks"),
+                 F.min("click_id").alias("first_click")))
+
+
 EV_X = "(event_id % 340 - 170) + 0.5"
 EV_Y = "(user_id % 160 - 80) + 0.25"
 
@@ -1825,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_holdout": q_split_holdout,
         "pack_docs": q_pack_docs,
         "asof_clicks": q_asof_clicks,
+        "interval_clicks": q_interval_clicks,
         "dissolve_union_area": q_dissolve_union_area,
         "union_all_area": q_union_all_area,
         "setops_concave_area": q_setops_concave_area,
@@ -2888,6 +2919,17 @@ def oracle_sql() -> dict[str, str]:
                        '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s'']+'))
                        AS INTEGER) AS n_bpe_tokens
             FROM documents
+        """,
+        "interval_clicks": """
+            SELECT v.event_id AS view_id,
+                   count(*) AS n_clicks,
+                   min(c.event_id) AS first_click
+            FROM (SELECT * FROM events WHERE event_type = 'view') v
+            JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON v.user_id = c.user_id
+             AND epoch_us(c.ts) >= epoch_us(v.ts)
+             AND epoch_us(c.ts) <= epoch_us(v.ts) + 300000000
+            GROUP BY v.event_id
         """,
         "asof_clicks": """
             SELECT l.event_id AS click_id,

@@ -1,0 +1,77 @@
+"""Interval (range) join tests (operators/interval.py —
+beyond-reference), pinned against brute-force numpy overlap."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dask_geopandas_spark.operators.interval import interval_join
+
+
+def _brute(lpdf, rpdf, by=None):
+    out = set()
+    for _, l in lpdf.iterrows():
+        for _, r in rpdf.iterrows():
+            if by and l[by] != r[by]:
+                continue
+            if max(l["s"], r["s"]) <= min(l["e"], r["e"]):
+                out.add((int(l["lid"]), int(r["rid"])))
+    return out
+
+
+@pytest.fixture()
+def frames(spark):
+    rng = np.random.RandomState(9)
+    ls = rng.uniform(0, 1000, 150)
+    rs = rng.uniform(0, 1000, 120)
+    lpdf = pd.DataFrame({"lid": np.arange(150), "k": rng.randint(0, 5, 150),
+                         "s": ls, "e": ls + rng.uniform(0, 50, 150)})
+    rpdf = pd.DataFrame({"rid": np.arange(120), "k": rng.randint(0, 5, 120),
+                         "s": rs, "e": rs + rng.uniform(0, 30, 120)})
+    return lpdf, rpdf, spark.createDataFrame(lpdf), spark.createDataFrame(rpdf)
+
+
+class TestIntervalJoin:
+    def test_matches_brute_force(self, frames):
+        lpdf, rpdf, ldf, rdf = frames
+        out = interval_join(ldf, rdf, ("s", "e"), ("s", "e"))
+        got = {(r["lid"], r["rid"]) for r in out.select("lid", "rid").collect()}
+        assert got == _brute(lpdf, rpdf)
+
+    def test_with_by_key(self, frames):
+        lpdf, rpdf, ldf, rdf = frames
+        out = interval_join(ldf, rdf, ("s", "e"), ("s", "e"), by="k")
+        got = {(r["lid"], r["rid"]) for r in out.select("lid", "rid").collect()}
+        assert got == _brute(lpdf, rpdf, by="k")
+
+    def test_no_duplicate_pairs_across_buckets(self, frames):
+        """A pair overlapping many buckets appears exactly once
+        (reference-bucket dedup) regardless of bucket width."""
+        lpdf, rpdf, ldf, rdf = frames
+        for w in (5.0, 37.0, 500.0):
+            out = interval_join(ldf, rdf, ("s", "e"), ("s", "e"),
+                                bucket_width=w)
+            rows = [(r["lid"], r["rid"]) for r in
+                    out.select("lid", "rid").collect()]
+            assert len(rows) == len(set(rows))
+            assert set(rows) == _brute(lpdf, rpdf)
+
+    def test_point_in_interval(self, spark):
+        """Points are zero-length intervals: closed-end semantics keep
+        boundary hits."""
+        ldf = spark.createDataFrame(
+            [(0, 10.0, 20.0)], "lid long, s double, e double")
+        rdf = spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 15.0), (4, 20.0000001)],
+            "rid long, p double")
+        out = interval_join(ldf, rdf, ("s", "e"), ("p", "p"))
+        assert sorted(r["rid"] for r in out.select("rid").collect()) == [1, 2, 3]
+
+    def test_no_cartesian_in_plan(self, frames):
+        _, _, ldf, rdf = frames
+        plan = interval_join(ldf, rdf, ("s", "e"), ("s", "e"), by="k",
+                             bucket_width=50.0) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
