@@ -41,6 +41,15 @@ BENCH_QUERIES = [
     "ann_topk",
     "embedding_neardup",
     "events_hourly",
+    # round-3 additions
+    "overlay_inter",
+    "sjoin_dwithin",
+    "asof_clicks",
+    "interval_clicks",
+    "hash_sample",
+    "pack_docs",
+    "to_lambert",
+    "shapefile_roundtrip",
 ]
 
 

@@ -172,10 +172,29 @@ def overlay(left, right, how: str = "intersection", strategy: str = "auto",
     rcols = [c for c in rdf.columns
              if c not in (rbbox_j, rgeom_j, rrow)]
     if how in ("intersection", "union", "identity"):
-        inter = _pair_intersection_udf()
-        piece = pairs.withColumn(lgeom_j, inter(F.col(lgeom_j),
-                                                F.col(rgeom_j)))
-        piece = piece.filter(F.col(lgeom_j).isNotNull())
+        if (getattr(left, "envelope_exact", False)
+                and getattr(right, "envelope_exact", False)):
+            # rectangle × rectangle: the piece IS the bbox overlap —
+            # clipped corners + one vectorized box-WKB construction,
+            # no per-pair kernel call (positive-area pieces only,
+            # matching the kernel's area semantics)
+            from ..functions.core import st_make_box
+
+            gx0 = F.greatest(F.col(f"{lbbox_j}.minx"),
+                             F.col(f"{rbbox_j}.minx"))
+            gy0 = F.greatest(F.col(f"{lbbox_j}.miny"),
+                             F.col(f"{rbbox_j}.miny"))
+            gx1 = F.least(F.col(f"{lbbox_j}.maxx"),
+                          F.col(f"{rbbox_j}.maxx"))
+            gy1 = F.least(F.col(f"{lbbox_j}.maxy"),
+                          F.col(f"{rbbox_j}.maxy"))
+            piece = (pairs.filter((gx0 < gx1) & (gy0 < gy1))
+                     .withColumn(lgeom_j, st_make_box(gx0, gy0, gx1, gy1)))
+        else:
+            inter = _pair_intersection_udf()
+            piece = pairs.withColumn(lgeom_j, inter(F.col(lgeom_j),
+                                                    F.col(rgeom_j)))
+            piece = piece.filter(F.col(lgeom_j).isNotNull())
         legs.append(piece.select(
             *[c for c in lcols if c != lgeom_j], *rcols, lgeom_j))
     if how in ("difference", "symmetric_difference", "union", "identity"):

@@ -132,3 +132,47 @@ class TestOverlayGrid:
         kb = sorted((r["bid"], r["rbid"], round(r["_a"], 6))
                     for r in _areas(b).select("bid", "rbid", "_a").collect())
         assert ka == kb and len(ka) > 0
+
+
+class TestOverlayKernelPath:
+    def test_concave_intersection_via_kernel(self, spark):
+        """Frames without the envelope-exact hint (WKT-built) route
+        through the boolean-kernel UDF; an L-shape x rectangle
+        intersection has exact area by decomposition."""
+        from dask_geopandas_spark.geometry import wkt as T
+
+        l_wkt = "POLYGON ((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))"  # L, area 20
+        r_wkt = "POLYGON ((1 1, 5 1, 5 5, 1 5, 1 1))"            # 4x4 square
+        ldf = spark.createDataFrame(
+            pd.DataFrame({"lid": [1], "geometry": [T.wkt_to_wkb(l_wkt)]}))
+        rdf = spark.createDataFrame(
+            pd.DataFrame({"rid": [2], "geometry": [T.wkt_to_wkb(r_wkt)]}))
+        left = dgs.GeoDataFrame(ldf, "geometry", crs="EPSG:4326")
+        right = dgs.GeoDataFrame(rdf, "geometry", crs="EPSG:4326")
+        assert not getattr(left, "envelope_exact", False)
+        res = overlay(left, right, how="intersection", strategy="broadcast")
+        rows = _areas(res).select("lid", "rid", "_a").collect()
+        # L ∩ square = [1,5]x[1,2] ∪ [1,2]x[2,5] -> 4 + 3 = 7
+        assert len(rows) == 1
+        assert rows[0]["_a"] == pytest.approx(7.0)
+
+    def test_fast_path_equals_kernel_path(self, spark):
+        """Envelope-exact frames (fast path) and the same data without
+        the hint (kernel path) produce identical pieces."""
+        rng = np.random.RandomState(4)
+        lrows = [(i, x, y, x + 3, y + 3) for i, (x, y) in
+                 enumerate(zip(rng.uniform(0, 30, 15), rng.uniform(0, 30, 15)))]
+        rrows = [(100 + i, x, y, x + 4, y + 4) for i, (x, y) in
+                 enumerate(zip(rng.uniform(0, 30, 8), rng.uniform(0, 30, 8)))]
+        lf, rf = _boxes(spark, lrows), _boxes(spark, rrows, pre="r")
+        fast = overlay(lf, rf, how="intersection", strategy="broadcast")
+        # strip the hint: rebuild plain frames over the same WKB
+        lplain = dgs.GeoDataFrame(lf.df, "geometry", crs="EPSG:4326")
+        rplain = dgs.GeoDataFrame(rf.df, "geometry", crs="EPSG:4326")
+        slow = overlay(lplain, rplain, how="intersection",
+                       strategy="broadcast")
+        kf = sorted((r["bid"], r["rbid"], round(r["_a"], 9))
+                    for r in _areas(fast).select("bid", "rbid", "_a").collect())
+        ks = sorted((r["bid"], r["rbid"], round(r["_a"], 9))
+                    for r in _areas(slow).select("bid", "rbid", "_a").collect())
+        assert kf == ks and len(kf) > 0
