@@ -72,11 +72,21 @@ def _sidecar(shp_path: str, ext: str) -> str:
     return base + ext
 
 
-def _read_shx(shp_path: str, filesystem=None) -> np.ndarray:
-    """(n, 2) int64 array of (byte_offset, content_bytes) per record."""
+def _read_shx(shp_path: str, filesystem=None, start: int = 0,
+              count: int | None = None) -> np.ndarray:
+    """(n, 2) int64 array of (byte_offset, content_bytes) per record.
+
+    ``start``/``count`` slice the fixed-width index with a RANGE read
+    (seek + 8·count bytes) — executors must never pull the whole .shx
+    (8 bytes × total records) just to serve one chunk."""
     with FS.open_input(_sidecar(shp_path, ".shx"), filesystem) as f:
-        raw = f.read()
-    idx = np.frombuffer(raw[100:], dtype=">i4").astype(np.int64).reshape(-1, 2)
+        if count is None:
+            f.seek(100)
+            raw = f.read()
+        else:
+            f.seek(100 + 8 * start)
+            raw = f.read(8 * count)
+    idx = np.frombuffer(raw, dtype=">i4").astype(np.int64).reshape(-1, 2)
     return idx * 2  # 16-bit words -> bytes
 
 
@@ -299,11 +309,13 @@ def read_shapefile(spark: SparkSession, path: str, columns=None,
     want = {f.name for f in prop_fields}
     crs = _crs_from_prj(files[0], filesystem)
 
-    # part list: (file, start_record, n_records) from the .shx index
+    # part list: (file, start_record, n_records).  The record COUNT is a
+    # pure function of the fixed-width .shx size — one stat call per
+    # file on the driver, no index read at all.
     parts = []
     for fp in files:
-        idx = _read_shx(fp, filesystem)
-        total = len(idx)
+        fsys, p = FS.resolve_fs(_sidecar(fp, ".shx"), filesystem)
+        total = (int(fsys.get_file_info(p).size) - 100) // 8
         if total == 0:
             continue
         if chunksize is None:
@@ -326,7 +338,7 @@ def read_shapefile(spark: SparkSession, path: str, columns=None,
         for pdf in batches:
             for p, s, c in zip(pdf["path"], pdf["start"], pdf["count"]):
                 s, c = int(s), int(c)
-                idx = _read_shx(p, filesystem)[s:s + c]
+                idx = _read_shx(p, filesystem, start=s, count=c)
                 data: dict = {}
                 if want:
                     with FS.open_input(_sidecar(p, ".dbf"), filesystem) as f:
