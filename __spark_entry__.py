@@ -1393,6 +1393,19 @@ def q_pack_docs(spark, sf_dir):
                  F.sum("n_tokens").alias("sum_tokens")))
 
 
+def q_length_percentiles(spark, sf_dir):
+    """Per-language exact length percentiles (native `percentile` —
+    linear interpolation, matching DuckDB quantile_cont) plus mean and
+    max: the corpus length-profile every data pipeline starts from."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("lang")
+            .agg(F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50"),
+                 F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90"),
+                 F.round(F.expr("percentile(n_chars, 0.99)"), 6).alias("p99"),
+                 F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+                 F.max("n_chars").alias("max_chars")))
+
+
 def q_exact_dedup(spark, sf_dir):
     return DD.exact_dedup(_t(spark, sf_dir, "documents"))
 
@@ -1856,6 +1869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_docs": q_pack_docs,
         "asof_clicks": q_asof_clicks,
         "interval_clicks": q_interval_clicks,
+        "length_percentiles": q_length_percentiles,
         "dissolve_union_area": q_dissolve_union_area,
         "union_all_area": q_union_all_area,
         "setops_concave_area": q_setops_concave_area,
@@ -2919,6 +2933,15 @@ def oracle_sql() -> dict[str, str]:
                        '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s'']+'))
                        AS INTEGER) AS n_bpe_tokens
             FROM documents
+        """,
+        "length_percentiles": """
+            SELECT lang,
+                   round(quantile_cont(n_chars, 0.5), 6) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 6) AS p90,
+                   round(quantile_cont(n_chars, 0.99), 6) AS p99,
+                   round(avg(n_chars), 6) AS mean_chars,
+                   max(n_chars) AS max_chars
+            FROM documents GROUP BY lang
         """,
         "interval_clicks": """
             SELECT v.event_id AS view_id,
