@@ -1101,6 +1101,22 @@ def q_crs_roundtrip(spark, sf_dir):
     return a.crossJoin(b)
 
 
+def q_to_projstring(spark, sf_dir):
+    """to_crs with a +proj= parameter STRING (geometry/projections.py
+    parse_projection — arbitrary parameterizations of the implemented
+    families, not just EPSG presets): a custom WGS84 transverse
+    mercator.  Same Krüger series as the UTM path, so the oracle is the
+    parameterized UTM SQL with these constants."""
+    g = _cust_points(spark, sf_dir)
+    g = g[(g.x >= 0.0) & (g.x <= 24.0)]
+    u = g.to_crs("+proj=tmerc +lon_0=12 +k_0=1.0 +x_0=250000 "
+                 "+y_0=1000 +ellps=WGS84")
+    return u.df.select(
+        F.col("c_custkey").alias("custkey"),
+        F.round(u.x, 4).alias("easting"),
+        F.round(u.y, 4).alias("northing"))
+
+
 def q_convex_hull_area(spark, sf_dir):
     """convex_hull of a 3-point MULTIPOINT per row → right triangle with
     legs w,h → area w·h/2 (reference expr.py:963-972)."""
@@ -1870,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_clicks": q_asof_clicks,
         "interval_clicks": q_interval_clicks,
         "length_percentiles": q_length_percentiles,
+        "to_projstring": q_to_projstring,
         "dissolve_union_area": q_dissolve_union_area,
         "union_all_area": q_union_all_area,
         "setops_concave_area": q_setops_concave_area,
@@ -2101,16 +2118,23 @@ def _albers_oracle_sql() -> str:
     """
 
 
-def _utm_oracle_sql() -> str:
-    """DuckDB replica of the engine's Krüger-series UTM forward
-    projection (zone 33N): identical constants imported from the
-    engine, hyperbolics expanded to exp/ln (DuckDB lacks them), staged
-    CTEs mirroring the column pipeline.  Trig/exp differ from the JVM
-    by ~1 ulp at most — absorbed by round(..., 4) (0.1 mm)."""
+def _utm_oracle_sql(lon0: float = 15.0, k0: float | None = None,
+                    e0: float | None = None, n0: float = 0.0,
+                    x_filter: str = "({x}) >= 3.0 AND ({x}) <= 27.0") -> str:
+    """DuckDB replica of the engine's Krüger-series transverse-mercator
+    forward projection (defaults = UTM zone 33N): identical constants
+    imported from the engine, hyperbolics expanded to exp/ln (DuckDB
+    lacks them), staged CTEs mirroring the column pipeline.  Trig/exp
+    differ from the JVM by ~1 ulp at most — absorbed by
+    round(..., 4) (0.1 mm)."""
     from dask_geopandas_spark.core import _tm_series, _UTM_E0, _UTM_K0
 
     e, A1, al, _, _ = _tm_series()
-    kA = _UTM_K0 * A1
+    if k0 is None:
+        k0 = _UTM_K0
+    if e0 is None:
+        e0 = _UTM_E0
+    kA = k0 * A1
 
     def sinh(z):
         return f"((exp({z}) - exp(-({z}))) / 2.0)"
@@ -2137,9 +2161,9 @@ def _utm_oracle_sql() -> str:
                    CAST({CUST_X} AS DOUBLE) AS lon,
                    CAST({CUST_Y} AS DOUBLE) AS lat
             FROM customer
-            WHERE ({CUST_X}) >= 3.0 AND ({CUST_X}) <= 27.0
+            WHERE {x_filter.format(x=CUST_X)}
         ),
-        s1 AS (SELECT custkey, radians(lon - 15.0) AS lam,
+        s1 AS (SELECT custkey, radians(lon - {lon0!r}) AS lam,
                       sin(radians(lat)) AS s FROM pts),
         s2 AS (SELECT custkey, lam, {sinh(psi)} AS t FROM s1),
         s3 AS (SELECT custkey, atan2(t, cos(lam)) AS xi_p,
@@ -2148,8 +2172,8 @@ def _utm_oracle_sql() -> str:
         s4 AS (SELECT custkey, (xi_p + {xi_series}) AS xi,
                       (eta_p + {eta_series}) AS eta FROM s3)
         SELECT custkey,
-               round({_UTM_E0!r} + {kA!r} * eta, 4) AS easting,
-               round({kA!r} * xi, 4) AS northing
+               round({e0!r} + {kA!r} * eta, 4) AS easting,
+               round({n0!r} + {kA!r} * xi, 4) AS northing
         FROM s4
     """
 
@@ -2802,6 +2826,9 @@ def oracle_sql() -> dict[str, str]:
             FROM customer GROUP BY c_mktsegment
         """,
         "to_utm": _utm_oracle_sql(),
+        "to_projstring": _utm_oracle_sql(
+            lon0=12.0, k0=1.0, e0=250000.0, n0=1000.0,
+            x_filter="({x}) >= 0.0 AND ({x}) <= 24.0"),
         "overlay_inter": f"""
             WITH ob AS (
                 SELECT o_orderkey AS orderkey,

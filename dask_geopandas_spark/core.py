@@ -224,33 +224,50 @@ class GeoDataFrame:
         Arrow-batched WKB rewrite UDF."""
         from .geometry import projections as PROJ
 
-        src = (self.crs or "").upper().replace("EPSG:", "")
-        dst = crs.upper().replace("EPSG:", "")
+        raw_src, raw_dst = (self.crs or ""), crs
+        if raw_src.strip() == raw_dst.strip():
+            return self
+
+        def _proj_of(raw: str, norm: str):
+            """Projection object for a proj4 string or a preset EPSG
+            code; None for the geographic hub / special-cased codes."""
+            if raw.strip().startswith("+"):
+                return PROJ.parse_projection(raw)
+            if norm.isdigit() and int(norm) in PROJ.PRESETS:
+                return PROJ.PRESETS[int(norm)]
+            return None
+
+        src = raw_src.upper().replace("EPSG:", "")
+        dst = raw_dst.upper().replace("EPSG:", "")
         if src == dst:
             return self
         utm = _parse_utm_epsg(dst) if src == "4326" else None
         utm_inv = _parse_utm_epsg(src) if dst == "4326" else None
         if utm is not None or utm_inv is not None:
             return self._to_crs_utm(dst, utm, utm_inv)
-        if src == "4326" and dst.isdigit() and int(dst) in PROJ.PRESETS:
-            return self._to_crs_proj(PROJ.PRESETS[int(dst)], True, dst)
-        if dst == "4326" and src.isdigit() and int(src) in PROJ.PRESETS:
-            return self._to_crs_proj(PROJ.PRESETS[int(src)], False, dst)
+        src_proj = _proj_of(raw_src, src)
+        dst_proj = _proj_of(raw_dst, dst)
+        if src == "4326" and dst_proj is not None:
+            return self._to_crs_proj(dst_proj, True, raw_dst)
+        if dst == "4326" and src_proj is not None:
+            return self._to_crs_proj(src_proj, False, raw_dst)
 
-        def _supported(code: str) -> bool:
-            return (code in ("4326", "3857")
-                    or _parse_utm_epsg(code) is not None
-                    or (code.isdigit() and int(code) in PROJ.PRESETS))
+        def _supported(code: str, proj) -> bool:
+            return (proj is not None
+                    or code in ("4326", "3857")
+                    or _parse_utm_epsg(code) is not None)
 
         if (src, dst) not in (("4326", "3857"), ("3857", "4326")):
-            if _supported(src) and _supported(dst):
+            if _supported(src, src_proj) and _supported(dst, dst_proj):
                 # projected → projected: chain through the geographic hub
                 # (both legs stay native for symbolic point layers)
-                return self.to_crs("EPSG:4326").to_crs(crs)
+                return self.to_crs("EPSG:4326").to_crs(raw_dst)
             raise NotImplementedError(
                 f"to_crs {self.crs} → {crs}: pyproj unavailable; supported "
-                "CRSs are EPSG:4326, 3857, 3395, 2154, 5070, 3035, and UTM "
-                "EPSG:326xx/327xx (any pair of these chains through 4326)"
+                "CRSs are EPSG:4326, 3857, 3395, 2154, 5070, 3035, UTM "
+                "EPSG:326xx/327xx, and +proj= strings of the "
+                "merc/lcc/aea/laea/tmerc/utm families (any pair chains "
+                "through 4326)"
             )
         if self._xy and not self._xy[3] and self._xy[4] < self._XY_MAX_DEPTH:
             # point layer with symbolic coordinates: the spherical
@@ -308,11 +325,14 @@ class GeoDataFrame:
         return GeoDataFrame(out, self._geometry, crs_map=m)
 
     def _to_crs_proj(self, proj, forward: bool, dst: str) -> "GeoDataFrame":
-        """Preset-projection leg of to_crs (geometry/projections.py):
-        native column math for symbolic point layers, Arrow-batched WKB
-        rewrite otherwise."""
+        """Preset-/proj-string-projection leg of to_crs
+        (geometry/projections.py): native column math for symbolic point
+        layers, Arrow-batched WKB rewrite otherwise.  ``dst`` is the
+        final CRS label (an EPSG code/string or a +proj= string)."""
         from .geometry import projections as PROJ
 
+        d = dst.strip()
+        label = d if (d.startswith("+") or ":" in d) else f"EPSG:{d}"
         if self._xy and not self._xy[3] and self._xy[4] < self._XY_MAX_DEPTH:
             xe, ye, deps, _, depth = self._xy
             fn = proj.forward if forward else proj.inverse
@@ -320,7 +340,7 @@ class GeoDataFrame:
             geo = self._replace_geom(FX.st_point(nx, ny))
             geo._xy = (nx, ny, deps, False, depth + 1)
             m = dict(geo._crs)
-            m[self._geometry] = f"EPSG:{dst}"
+            m[self._geometry] = label
             geo._crs = m
             return geo
         fn = proj.forward if forward else proj.inverse
@@ -328,7 +348,7 @@ class GeoDataFrame:
         out = self._df.withColumn(self._geometry,
                                   _reproject_udf(np_fn)(self._geom()))
         m = dict(self._crs)
-        m[self._geometry] = f"EPSG:{dst}"
+        m[self._geometry] = label
         return GeoDataFrame(out, self._geometry, crs_map=m)
 
     def estimate_utm_crs(self) -> str:

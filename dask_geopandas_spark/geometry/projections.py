@@ -47,6 +47,10 @@ class NP:
     pow = staticmethod(np.power)
     rad = staticmethod(np.deg2rad)
     deg = staticmethod(np.rad2deg)
+    sinh = staticmethod(np.sinh)
+    cosh = staticmethod(np.cosh)
+    atanh = staticmethod(np.arctanh)
+    asinh = staticmethod(np.arcsinh)
 
     @staticmethod
     def clip(v, lo, hi):
@@ -78,6 +82,10 @@ class FC:
     pow = staticmethod(lambda v, p: FC._f().pow(v, p))
     rad = staticmethod(lambda v: FC._f().radians(v))
     deg = staticmethod(lambda v: FC._f().degrees(v))
+    sinh = staticmethod(lambda v: FC._f().sinh(v))
+    cosh = staticmethod(lambda v: FC._f().cosh(v))
+    atanh = staticmethod(lambda v: FC._f().atanh(v))
+    asinh = staticmethod(lambda v: FC._f().asinh(v))
 
     @staticmethod
     def clip(v, lo, hi):
@@ -158,20 +166,25 @@ def _q_scalar(e: float, phi: float) -> float:
 # meters out and vice versa)
 # ----------------------------------------------------------------------
 class MercatorEll:
-    """Ellipsoidal Mercator (Snyder ch. 7): y = −a·ln t(φ)."""
+    """Ellipsoidal Mercator (Snyder ch. 7): y = −a·k0·ln t(φ)."""
 
-    def __init__(self, ellps=WGS84):
+    def __init__(self, ellps=WGS84, k0: float = 1.0, lon0: float = 0.0,
+                 e0: float = 0.0, n0: float = 0.0):
         self.a, f = ellps
+        self.ak = self.a * k0
+        self.lon0, self.E0, self.N0 = lon0, e0, n0
         self.e = _e_of(f)
         self.chi = _conformal_series(self.e ** 2)
 
     def forward(self, M, lon, lat):
         phi = M.rad(M.clip(lat, -89.9999, 89.9999))
-        return self.a * M.rad(lon), -self.a * M.log(_t_conf(M, self.e, phi))
+        return (self.E0 + self.ak * M.rad(lon - self.lon0),
+                self.N0 - self.ak * M.log(_t_conf(M, self.e, phi)))
 
     def inverse(self, M, x, y):
-        chi = np.pi / 2.0 - 2.0 * M.atan(M.exp(-y / self.a))
-        return M.deg(x / self.a), M.deg(_apply_series(M, chi, self.chi))
+        chi = np.pi / 2.0 - 2.0 * M.atan(M.exp(-(y - self.N0) / self.ak))
+        return (M.wrap_lon(self.lon0 + M.deg((x - self.E0) / self.ak)),
+                M.deg(_apply_series(M, chi, self.chi)))
 
 
 class LambertConformal:
@@ -185,7 +198,12 @@ class LambertConformal:
         t1, t2, t0 = (_t_conf(NP, self.e, np.asarray(p))
                       for p in (p1, p2, p0))
         m1, m2 = _m_of(self.e, p1), _m_of(self.e, p2)
-        self.n = float((np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2)))
+        if abs(phi1 - phi2) < 1e-9:
+            # 1SP limit of the 2SP cone constant: n -> sin(phi1)
+            self.n = float(np.sin(p1))
+        else:
+            self.n = float((np.log(m1) - np.log(m2))
+                           / (np.log(t1) - np.log(t2)))
         assert self.n > 0, "southern-parallel LCC not configured"
         self.aF = float(self.a * m1 / (self.n * t1 ** self.n))
         self.rho0 = float(self.aF * t0 ** self.n)
@@ -278,6 +296,165 @@ class LambertAzimuthalEqualArea:
         lon = self.lon0 + M.deg(M.atan2(
             dx * sce, rho * self.cb0 * cce - dy * self.sb0 * sce))
         return M.wrap_lon(lon), M.deg(_apply_series(M, b, self.beta))
+
+
+class TransverseMercator:
+    """Ellipsoidal transverse Mercator via the Krüger series (Karney
+    2011 public formulas — same series the engine's UTM path uses, here
+    generalized to any ellipsoid / central meridian / scale / origin)."""
+
+    def __init__(self, lat0: float = 0.0, lon0: float = 0.0,
+                 k0: float = 1.0, e0: float = 0.0, n0: float = 0.0,
+                 ellps=WGS84):
+        self.a, f = ellps
+        self.e = _e_of(f)
+        self.lon0, self.k0, self.E0 = lon0, k0, e0
+        n = f / (2.0 - f)
+        self.A1 = self.a / (1 + n) * (1 + n**2/4 + n**4/64 + n**6/256)
+        self.al = [
+            n/2 - 2*n**2/3 + 5*n**3/16 + 41*n**4/180 - 127*n**5/288
+            + 7891*n**6/37800,
+            13*n**2/48 - 3*n**3/5 + 557*n**4/1440 + 281*n**5/630
+            - 1983433*n**6/1935360,
+            61*n**3/240 - 103*n**4/140 + 15061*n**5/26880
+            + 167603*n**6/181440,
+            49561*n**4/161280 - 179*n**5/168 + 6601661*n**6/7257600,
+            34729*n**5/80640 - 3418889*n**6/1995840,
+            212378941*n**6/149504000,
+        ]
+        self.be = [
+            n/2 - 2*n**2/3 + 37*n**3/96 - n**4/360 - 81*n**5/512
+            + 96199*n**6/604800,
+            n**2/48 + n**3/15 - 437*n**4/1440 + 46*n**5/105
+            - 1118711*n**6/3870720,
+            17*n**3/480 - 37*n**4/840 - 209*n**5/4480 + 5569*n**6/90720,
+            4397*n**4/161280 - 11*n**5/504 - 830251*n**6/7257600,
+            4583*n**5/161280 - 108847*n**6/3991680,
+            20648693*n**6/638668800,
+        ]
+        self.de = [
+            2*n - 2*n**2/3 - 2*n**3 + 116*n**4/45,
+            7*n**2/3 - 8*n**3/5 - 227*n**4/45,
+            56*n**3/15 - 136*n**4/35,
+            4279*n**4/315,
+        ]
+        # false-northing origin: proj subtracts the central-meridian
+        # northing of lat_0 (0 for lat_0 = 0)
+        self.N0 = n0
+        self._M0 = 0.0
+        if lat0:
+            self._M0 = float(self._raw(NP, np.array([lon0]),
+                                       np.array([lat0]))[1][0])
+
+    def _raw(self, M, lon, lat):
+        lam = M.rad(lon - self.lon0)
+        phi = M.rad(lat)
+        s = M.sin(phi)
+        t = M.sinh(M.atanh(s) - self.e * M.atanh(self.e * s))
+        cl, sl = M.cos(lam), M.sin(lam)
+        xi_p = M.atan2(t, cl)
+        eta_p = M.asinh(sl / M.sqrt(t * t + cl * cl))
+        xi, eta = xi_p, eta_p
+        for j, a in enumerate(self.al, start=1):
+            xi = xi + a * M.sin(2.0 * j * xi_p) * M.cosh(2.0 * j * eta_p)
+            eta = eta + a * M.cos(2.0 * j * xi_p) * M.sinh(2.0 * j * eta_p)
+        return self.k0 * self.A1 * eta, self.k0 * self.A1 * xi
+
+    def forward(self, M, lon, lat):
+        x, y = self._raw(M, lon, lat)
+        return self.E0 + x, self.N0 - self._M0 + y
+
+    def inverse(self, M, x, y):
+        kA = self.k0 * self.A1
+        xi = (y - self.N0 + self._M0) / kA
+        eta = (x - self.E0) / kA
+        xi_p, eta_p = xi, eta
+        for j, b in enumerate(self.be, start=1):
+            xi_p = xi_p - b * M.sin(2.0 * j * xi) * M.cosh(2.0 * j * eta)
+            eta_p = eta_p - b * M.cos(2.0 * j * xi) * M.sinh(2.0 * j * eta)
+        chi = M.asin(M.clip(M.sin(xi_p) / M.cosh(eta_p), -1.0, 1.0))
+        phi = chi
+        for j, d in enumerate(self.de, start=1):
+            phi = phi + d * M.sin(2.0 * j * chi)
+        lon = self.lon0 + M.deg(M.atan2(M.sinh(eta_p), M.cos(xi_p)))
+        return M.wrap_lon(lon), M.deg(phi)
+
+
+# ----------------------------------------------------------------------
+# proj-string parsing — arbitrary parameterizations of the implemented
+# families (+proj=merc/lcc/aea/laea/tmerc/utm)
+# ----------------------------------------------------------------------
+_ELLPS = {"WGS84": WGS84, "GRS80": GRS80,
+          "wgs84": WGS84, "grs80": GRS80}
+
+
+def parse_projection(crs: str):
+    """Build a projection object from a proj4-style parameter string
+    (``+proj=lcc +lat_1=49 ...``).  Returns None when ``crs`` is not a
+    proj string; raises NotImplementedError for unsupported ``+proj``
+    families.  Supported: merc, lcc (1SP and 2SP), aea, laea, tmerc,
+    utm — with +lat_0/+lat_1/+lat_2/+lon_0/+k_0/+x_0/+y_0 and
+    +ellps=WGS84|GRS80 (or +a/+rf); +datum=WGS84/NAD83 maps to its
+    ellipsoid.  These families cover the vast majority of projected
+    EPSG systems in practical use."""
+    s = crs.strip()
+    if not s.startswith("+"):
+        return None
+    kv = {}
+    for tok in s.split():
+        tok = tok.lstrip("+")
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+            kv[k] = v
+        else:
+            kv[tok] = True
+
+    proj = kv.get("proj")
+    if proj is None:
+        raise ValueError("proj string lacks +proj=")
+    if kv.get("a") and kv.get("rf"):
+        ellps = (float(kv["a"]), 1.0 / float(kv["rf"]))
+    else:
+        name = kv.get("ellps") or {"WGS84": "WGS84", "NAD83": "GRS80",
+                                   "ETRS89": "GRS80"}.get(
+                                       str(kv.get("datum")), "WGS84")
+        ellps = _ELLPS.get(str(name))
+        if ellps is None:
+            raise NotImplementedError(f"unsupported ellipsoid {name!r}")
+
+    g = lambda k, d=0.0: float(kv.get(k, d))  # noqa: E731
+    if proj == "merc":
+        if float(kv.get("lat_ts", 0.0)):
+            raise NotImplementedError("merc +lat_ts not supported")
+        return MercatorEll(ellps, k0=g("k_0", g("k", 1.0)),
+                           lon0=g("lon_0"), e0=g("x_0"), n0=g("y_0"))
+    if proj == "lcc":
+        lat1 = g("lat_1", g("lat_0"))
+        return LambertConformal(phi1=lat1, phi2=g("lat_2", lat1),
+                                phi0=g("lat_0"), lon0=g("lon_0"),
+                                e0=g("x_0"), n0=g("y_0"), ellps=ellps)
+    if proj == "aea":
+        return AlbersEqualArea(phi1=g("lat_1"), phi2=g("lat_2"),
+                               phi0=g("lat_0"), lon0=g("lon_0"),
+                               e0=g("x_0"), n0=g("y_0"), ellps=ellps)
+    if proj == "laea":
+        return LambertAzimuthalEqualArea(phi0=g("lat_0"), lon0=g("lon_0"),
+                                         e0=g("x_0"), n0=g("y_0"),
+                                         ellps=ellps)
+    if proj == "tmerc":
+        return TransverseMercator(lat0=g("lat_0"), lon0=g("lon_0"),
+                                  k0=g("k_0", g("k", 1.0)),
+                                  e0=g("x_0"), n0=g("y_0"), ellps=ellps)
+    if proj == "utm":
+        zone = int(kv.get("zone", 0))
+        if not 1 <= zone <= 60:
+            raise ValueError("utm needs +zone=1..60")
+        return TransverseMercator(lon0=zone * 6.0 - 183.0, k0=0.9996,
+                                  e0=500000.0,
+                                  n0=10000000.0 if kv.get("south") else 0.0,
+                                  ellps=ellps)
+    raise NotImplementedError(
+        f"+proj={proj} not supported (merc, lcc, aea, laea, tmerc, utm are)")
 
 
 # ----------------------------------------------------------------------

@@ -273,3 +273,100 @@ class TestToCrsPresets:
         for i in range(2):
             assert got[i][0] == pytest.approx(E[i], abs=1e-5)
             assert got[i][1] == pytest.approx(N[i], abs=1e-5)
+
+
+class TestProjStrings:
+    """+proj= parameter-string support (geometry/projections.py
+    parse_projection): arbitrary parameterizations of the implemented
+    families, pinned against the EPSG presets and the engine UTM path."""
+
+    def test_lcc_string_equals_preset(self):
+        from dask_geopandas_spark.geometry import projections as P
+
+        pr = P.parse_projection(
+            "+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 "
+            "+x_0=700000 +y_0=6600000 +ellps=GRS80")
+        lon = np.array([2.3522, -1.5]); lat = np.array([48.8566, 43.6])
+        for a, b in zip(pr.forward(P.NP, lon, lat),
+                        P.PRESETS[2154].forward(P.NP, lon, lat)):
+            np.testing.assert_array_equal(a, b)
+
+    def test_utm_string_equals_engine_path(self):
+        from dask_geopandas_spark.core import _tm_forward_np
+        from dask_geopandas_spark.geometry import projections as P
+
+        tm = P.parse_projection("+proj=utm +zone=33 +ellps=WGS84")
+        lon = np.linspace(9, 21, 50); lat = np.linspace(-70, 70, 50)
+        E1, N1 = tm.forward(P.NP, lon, lat)
+        E2, N2 = _tm_forward_np(lon, lat, 33, False)
+        np.testing.assert_allclose(E1, E2, atol=1e-9)
+        np.testing.assert_allclose(N1, N2, atol=1e-9)
+        south = P.parse_projection("+proj=utm +zone=33 +south +ellps=WGS84")
+        _, Ns = south.forward(P.NP, np.array([15.0]), np.array([-30.0]))
+        _, Nn = tm.forward(P.NP, np.array([15.0]), np.array([-30.0]))
+        assert Ns[0] == pytest.approx(Nn[0] + 10000000.0, abs=1e-6)
+
+    def test_tmerc_lat0_k0_offsets(self):
+        from dask_geopandas_spark.geometry import projections as P
+
+        gk = P.parse_projection(
+            "+proj=tmerc +lat_0=40 +lon_0=10 +k_0=0.9999 "
+            "+x_0=200000 +y_0=100000 +ellps=GRS80")
+        x, y = gk.forward(P.NP, np.array([10.0]), np.array([40.0]))
+        assert (x[0], y[0]) == (200000.0, 100000.0)  # origin anchor
+        rng = np.random.RandomState(2)
+        lon = rng.uniform(5, 15, 200); lat = rng.uniform(30, 55, 200)
+        xx, yy = gk.forward(P.NP, lon, lat)
+        lo, la = gk.inverse(P.NP, xx, yy)
+        assert np.abs(lo - lon).max() < 1e-8
+        assert np.abs(la - lat).max() < 1e-7
+
+    def test_lcc_1sp_limit(self):
+        from dask_geopandas_spark.geometry import projections as P
+
+        one = P.parse_projection(
+            "+proj=lcc +lat_1=45 +lat_2=45 +lat_0=45 +lon_0=0 +ellps=WGS84")
+        assert one.n == pytest.approx(np.sin(np.deg2rad(45)), abs=1e-15)
+        x, y = one.forward(P.NP, np.array([0.0]), np.array([45.0]))
+        assert (x[0], y[0]) == (0.0, 0.0)
+
+    def test_custom_ellipsoid_and_errors(self):
+        from dask_geopandas_spark.geometry import projections as P
+
+        pr = P.parse_projection(
+            "+proj=merc +a=6378137 +rf=298.257223563")
+        assert pr.a == 6378137.0
+        assert P.parse_projection("EPSG:4326") is None
+        with pytest.raises(NotImplementedError, match="proj=ortho"):
+            P.parse_projection("+proj=ortho +lat_0=0")
+        with pytest.raises(NotImplementedError, match="ellipsoid"):
+            P.parse_projection("+proj=merc +ellps=bessel")
+
+    def test_to_crs_proj_string_native(self, spark):
+        """to_crs accepts a +proj string end-to-end; symbolic point
+        layers stay native, and the label round-trips on .crs."""
+        from dask_geopandas_spark.geometry import projections as P
+
+        s = ("+proj=tmerc +lat_0=40 +lon_0=10 +k_0=0.9999 "
+             "+x_0=200000 +y_0=100000 +ellps=GRS80")
+        pdf = pd.DataFrame({"id": [0, 1, 2], "lon": [8.0, 10.0, 12.5],
+                            "lat": [38.0, 40.0, 47.0]})
+        g = dgs.points_from_xy(spark.createDataFrame(pdf), "lon", "lat",
+                               crs="EPSG:4326")
+        u = g.to_crs(s)
+        assert u.crs == s
+        got = (u.df.withColumn("E", u.x).withColumn("N", u.y)
+               .select("id", "E", "N").toPandas().sort_values("id"))
+        E, N = P.parse_projection(s).forward(
+            P.NP, pdf["lon"].to_numpy(), pdf["lat"].to_numpy())
+        np.testing.assert_allclose(got["E"].to_numpy(), E, atol=1e-6)
+        np.testing.assert_allclose(got["N"].to_numpy(), N, atol=1e-6)
+        plan = (u.df.withColumn("E", u.x).select("id", "E")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "ArrowEvalPython" not in plan
+        # and back again
+        back = u.to_crs("EPSG:4326")
+        got2 = (back.df.withColumn("lon2", back.x).withColumn("lat2", back.y)
+                .select("id", "lon2", "lat2").toPandas().sort_values("id"))
+        np.testing.assert_allclose(got2["lon2"], pdf["lon"], atol=1e-8)
+        np.testing.assert_allclose(got2["lat2"], pdf["lat"], atol=1e-8)
