@@ -770,6 +770,43 @@ def q_interiors(spark, sf_dir):
     )
 
 
+def _pq_fixed_books(m: int = 4, k: int = 4, dsub: int = 16) -> list:
+    """Deterministic data-independent PQ codebooks (literal formula) so
+    the Spark query and the DuckDB oracle share identical constants."""
+    return [[[((s * 31 + c * 17 + d * 7) % 13 - 6) / 3.0
+              for d in range(dsub)]
+             for c in range(k)]
+            for s in range(m)]
+
+
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization encode (operators/similarity.py pq_encode,
+    Jégou et al. 2011): per-subspace nearest-centroid codes as pure
+    native SQL (m·k literal-centroid distances + array argmin — no
+    UDF).  Fixed literal codebooks make the oracle exact: both engines
+    run the identical +,·,− double arithmetic."""
+    e = _t(spark, sf_dir, "embeddings")
+    books = _pq_fixed_books()
+    out = SIM.pq_encode(e, books)
+    return out.select(
+        "vec_id",
+        *[F.element_at(F.col("pq_code"), s + 1).alias(f"c{s}")
+          for s in range(len(books))])
+
+
+def q_ann_pq(spark, sf_dir):
+    """PQ asymmetric-distance top-k (the compression scale path: the
+    corpus pass reads m-byte codes, never the vectors).  Codebook
+    training is iterative k-means → no SQL oracle; the recall contract
+    is pinned in pytest (1-NN recall@10 ≥ 0.75 on clustered data)."""
+    e = _t(spark, sf_dir, "embeddings")
+    books = SIM.train_pq(e, m=8, k=16, sample=512)
+    codes = SIM.pq_encode(e, books)
+    queries = e.filter(F.col("vec_id") < 20)
+    out = SIM.pq_topk(codes, queries, books, k=5)
+    return out.select("query_id", "neighbor_id", "adist", "rank")
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF approximate nearest neighbor — the 100 TB scale path (cell
     equi-join probing nprobe cells instead of a full corpus scan).  No
@@ -1887,6 +1924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_clicks": q_interval_clicks,
         "length_percentiles": q_length_percentiles,
         "to_projstring": q_to_projstring,
+        "pq_codes": q_pq_codes,
+        "ann_pq": q_ann_pq,
         "dissolve_union_area": q_dissolve_union_area,
         "union_all_area": q_union_all_area,
         "setops_concave_area": q_setops_concave_area,
@@ -2115,6 +2154,37 @@ def _albers_oracle_sql() -> str:
                round({pr.E0!r} + rho * sin(th), 4) AS easting,
                round({pr.N0!r} + {rho0!r} - rho * cos(th), 4) AS northing
         FROM s3
+    """
+
+
+def _pq_oracle_sql() -> str:
+    """DuckDB replica of pq_encode with the fixed literal codebooks:
+    identical left-associated (x−c)·(x−c) double sums, list_min +
+    list_position argmin — bit-exact (pure +,·,− arithmetic)."""
+    books = _pq_fixed_books()
+    dsub = len(books[0][0])
+
+    def dist(s: int, cen: list) -> str:
+        terms = " + ".join(
+            f"(e[{s * dsub + d + 1}] - {cen[d]!r})"
+            f" * (e[{s * dsub + d + 1}] - {cen[d]!r})"
+            for d in range(dsub))
+        return f"(0.0 + {terms})"
+
+    cols = []
+    for s, book in enumerate(books):
+        dl = ", ".join(dist(s, c) for c in book)
+        cols.append(
+            f"CAST(list_position([{dl}], list_min([{dl}])) - 1 AS INTEGER)"
+            f" AS c{s}")
+    sel = ", ".join(cols)
+    return f"""
+        WITH s1 AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        )
+        SELECT vec_id, {sel} FROM s1
     """
 
 
@@ -2826,6 +2896,7 @@ def oracle_sql() -> dict[str, str]:
             FROM customer GROUP BY c_mktsegment
         """,
         "to_utm": _utm_oracle_sql(),
+        "pq_codes": _pq_oracle_sql(),
         "to_projstring": _utm_oracle_sql(
             lon0=12.0, k0=1.0, e0=250000.0, n0=1000.0,
             x_filter="({x}) >= 0.0 AND ({x}) <= 24.0"),

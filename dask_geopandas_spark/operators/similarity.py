@@ -209,3 +209,111 @@ def ivf_topk_stored(spark, path: str, queries: DataFrame,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ----------------------------------------------------------------------
+# Product quantization (PQ) — the compression path for 100-TB corpora
+# ----------------------------------------------------------------------
+def train_pq(df: DataFrame, m: int = 4, k: int = 16,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             iters: int = 5, sample: int = 2048) -> list:
+    """Per-subspace PQ codebooks (Jégou et al. 2011, "Product
+    quantization for nearest neighbor search" — public formulation).
+
+    Training is deterministic and driver-bounded: the first ``sample``
+    vectors by id seed k-means per subspace (first-k init, fixed Lloyd
+    iteration count, numpy).  Returns ``m`` codebooks of shape (k, d/m)
+    as nested lists — small enough to ride into plans as literals.
+    """
+    import numpy as np
+
+    rows = df.orderBy(F.col(id_col)).limit(int(sample)) \
+        .select(vec_col).collect()
+    X = np.asarray([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"vector dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = []
+    for s in range(m):
+        sub = X[:, s * dsub:(s + 1) * dsub]
+        cents = sub[:k].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                pts = sub[assign == c]
+                if len(pts):
+                    cents[c] = pts.mean(axis=0)
+        books.append([[float(v) for v in c] for c in cents])
+    return books
+
+
+def _sub_dist2(vec: Column, cen: list, start: int) -> Column:
+    """Squared distance of vec[start:start+len(cen)] to a literal
+    centroid — native slice + zip_with/aggregate (JVM codegen)."""
+    carr = F.array(*[F.lit(float(v)) for v in cen])
+    sub = F.slice(F.transform(vec, lambda x: x.cast("double")),
+                  start + 1, len(cen))
+    return F.aggregate(F.zip_with(sub, carr, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_encode(df: DataFrame, codebooks: list,
+              vec_col: str = "embedding",
+              code_col: str = "pq_code") -> DataFrame:
+    """array<int> of per-subspace nearest-centroid codes, computed as
+    pure native SQL (m·k literal-centroid distance expressions + one
+    array_position argmin per subspace — no UDF).  A d-dim float vector
+    compresses to m bytes-ish: the on-disk story that makes a 100-TB
+    embedding corpus searchable from a fraction of the bytes."""
+    dsub = len(codebooks[0][0])
+    codes = []
+    for s, book in enumerate(codebooks):
+        dists = F.array(*[_sub_dist2(F.col(vec_col), c, s * dsub)
+                          for c in book])
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1)
+                     .cast("int"))
+    return df.withColumn(code_col, F.array(*codes))
+
+
+def pq_topk(codes_df: DataFrame, queries: DataFrame, codebooks: list,
+            k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding",
+            code_col: str = "pq_code") -> DataFrame:
+    """Approximate top-k by asymmetric distance (ADC): per query, a
+    driver-computed LUT of subspace distances to every centroid rides
+    into the broadcast query frame; each corpus row's score is m array
+    lookups summed natively — the corpus pass reads CODES ONLY (never
+    the vectors).  Returns (query_id, neighbor_id, adist, rank),
+    ascending approximate squared distance."""
+    import numpy as np
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    qrows = queries.select(id_col, vec_col).collect()
+    pairs = []
+    for r in qrows:
+        v = np.asarray(r[vec_col], dtype=np.float64)
+        lut = []
+        for s, book in enumerate(codebooks):
+            sub = v[s * dsub:(s + 1) * dsub]
+            C = np.asarray(book, dtype=np.float64)
+            lut.append([float(x) for x in ((C - sub[None, :]) ** 2).sum(axis=1)])
+        pairs.append((int(r[id_col]), lut))
+    spark = codes_df.sparkSession
+    q = spark.createDataFrame(
+        pairs, "query_id long, lut array<array<double>>")
+
+    score = F.aggregate(
+        F.zip_with(F.col(code_col), F.col("lut"),
+                   lambda c, l: F.element_at(l, c + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = (codes_df.select(F.col(id_col).alias("neighbor_id"), code_col)
+              .join(F.broadcast(q))
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(score, 9).alias("adist")))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"),
+                                               F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= k).drop(code_col)

@@ -1,6 +1,7 @@
 """IVF ANN recall vs brute force, and streaming/batch agreement for the
 windowed event rollup (beyond-reference ops, SURVEY §2.9 note)."""
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -178,3 +179,81 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert len(rows) == 2  # the normalized dup collapsed
     assert {r["text"] for r in rows} == {"same doc", "other doc"} or \
         {r["text"] for r in rows} == {"same  doc", "other doc"}
+
+
+class TestProductQuantization:
+    @pytest.fixture()
+    def vecs(self, spark):
+        rng = np.random.RandomState(13)
+        # 6 well-separated cluster centers in 16-d
+        centers = rng.uniform(-5, 5, (6, 16))
+        rows = []
+        for i in range(360):
+            c = i % 6
+            rows.append((i, [float(v) for v in
+                             centers[c] + rng.normal(0, 0.5, 16)], c))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int")
+
+    def test_encode_matches_numpy_argmin(self, spark, vecs):
+        from dask_geopandas_spark.operators.similarity import (pq_encode,
+                                                               train_pq)
+
+        books = train_pq(vecs, m=4, k=8, sample=360)
+        got = {r["vec_id"]: list(r["pq_code"]) for r in
+               pq_encode(vecs, books).select("vec_id", "pq_code").collect()}
+        rows = vecs.orderBy("vec_id").collect()
+        for r in rows:
+            v = np.asarray(r["embedding"], dtype=np.float64)
+            want = []
+            for s, book in enumerate(books):
+                sub = v[s * 4:(s + 1) * 4]
+                C = np.asarray(book)
+                want.append(int(((C - sub[None, :]) ** 2).sum(axis=1).argmin()))
+            assert got[r["vec_id"]] == want
+
+    def test_train_deterministic(self, vecs):
+        from dask_geopandas_spark.operators.similarity import train_pq
+
+        assert train_pq(vecs, m=4, k=8) == train_pq(vecs, m=4, k=8)
+
+    def test_1nn_recall_at_10(self, spark, vecs):
+        """The standard PQ metric (Jégou et al. §5, recall@R): the TRUE
+        L2 nearest neighbor must appear in the ADC top-10 for most
+        queries.  (PQ approximates squared Euclidean distance; exact-set
+        overlap would be the wrong bar — quantized ties reorder
+        freely.)"""
+        from dask_geopandas_spark.operators.similarity import (pq_encode,
+                                                               pq_topk,
+                                                               train_pq)
+
+        books = train_pq(vecs, m=8, k=16, sample=360)
+        codes = pq_encode(vecs, books)
+        queries = vecs.filter(F.col("vec_id") < 24)
+        approx = pq_topk(codes, queries, books, k=10)
+        got = {}
+        for r in approx.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        rows = vecs.orderBy("vec_id").collect()
+        X = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+        hits = 0
+        for qid in range(24):
+            d = ((X - X[qid][None, :]) ** 2).sum(axis=1)
+            d[qid] = np.inf
+            hits += int(int(d.argmin()) in got.get(qid, set()))
+        assert hits / 24 >= 0.75, hits / 24
+
+    def test_encode_plan_is_native(self, vecs):
+        from dask_geopandas_spark.operators.similarity import (pq_encode,
+                                                               train_pq)
+
+        books = train_pq(vecs, m=4, k=8)
+        plan = pq_encode(vecs, books)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    def test_dim_validation(self, vecs):
+        from dask_geopandas_spark.operators.similarity import train_pq
+
+        with pytest.raises(ValueError, match="divisible"):
+            train_pq(vecs, m=5, k=8)
