@@ -1092,6 +1092,29 @@ def q_overlay_diff(spark, sf_dir):
         F.round(FX.st_area(F.col(res.geometry_column)), 6).alias("open_area"))
 
 
+def q_overlay_lines(spark, sf_dir):
+    """overlay(how='intersection') with a LINE left layer: order
+    segments clipped by nation boxes — pieces come from the
+    split-and-classify line clipper inside the setops dispatcher.
+    Oracle: Liang–Barsky parameter intervals in SQL (segments are
+    diagonal by construction, so no zero-division arm)."""
+    from dask_geopandas_spark.functions import core as FX
+
+    x0, y0 = OB["minx"], OB["miny"]
+    x1, y1 = f"({x0} + {OB['w']})", f"({y0} + {OB['h']})"
+    d = _t(spark, sf_dir, "orders").withColumn(
+        "geometry", FX.st_geomfromtext(F.expr(_seg_wkt(x0, y0, x1, y1))))
+    left = dgs.GeoDataFrame(d, "geometry", crs="EPSG:4326")
+    right = _boxes(spark, sf_dir, "nation", NB)
+    res = left.overlay(right, how="intersection", strategy="broadcast")
+    out = res.df.withColumn(
+        "_len", F.round(FX.st_length(F.col(res.geometry_column)), 6))
+    return (out.filter(F.col("_len") > 0)
+            .select(F.col("o_orderkey").alias("orderkey"),
+                    F.col("n_nationkey").alias("nationkey"),
+                    F.col("_len").alias("clip_len")))
+
+
 def q_to_lambert(spark, sf_dir):
     """to_crs EPSG:4326 → EPSG:2154 (Lambert-93, conformal conic 2SP;
     reference expr.py:255-257 delegates to pyproj — the engine evaluates
@@ -1926,6 +1949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_projstring": q_to_projstring,
         "pq_codes": q_pq_codes,
         "ann_pq": q_ann_pq,
+        "overlay_lines": q_overlay_lines,
         "dissolve_union_area": q_dissolve_union_area,
         "union_all_area": q_union_all_area,
         "setops_concave_area": q_setops_concave_area,
@@ -2897,6 +2921,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         "to_utm": _utm_oracle_sql(),
         "pq_codes": _pq_oracle_sql(),
+        "overlay_lines": f"""
+            WITH seg AS (
+                SELECT o_orderkey AS orderkey,
+                       CAST({OB['minx']} AS DOUBLE) AS x1,
+                       CAST({OB['miny']} AS DOUBLE) AS y1,
+                       CAST({OB['minx']} + {OB['w']} AS DOUBLE) AS x2,
+                       CAST({OB['miny']} + {OB['h']} AS DOUBLE) AS y2
+                FROM orders
+            ),
+            nb AS (
+                SELECT n_nationkey AS nationkey,
+                       CAST({NB['minx']} AS DOUBLE) AS bx0,
+                       CAST({NB['miny']} AS DOUBLE) AS by0,
+                       CAST({NB['minx']} + {NB['w']} AS DOUBLE) AS bx1,
+                       CAST({NB['miny']} + {NB['h']} AS DOUBLE) AS by1
+                FROM nation
+            ),
+            lb AS (
+                SELECT orderkey, nationkey, x1, y1, x2, y2,
+                       greatest(least((bx0 - x1) / (x2 - x1),
+                                      (bx1 - x1) / (x2 - x1)),
+                                least((by0 - y1) / (y2 - y1),
+                                      (by1 - y1) / (y2 - y1)),
+                                0.0) AS tlo,
+                       least(greatest((bx0 - x1) / (x2 - x1),
+                                      (bx1 - x1) / (x2 - x1)),
+                             greatest((by0 - y1) / (y2 - y1),
+                                      (by1 - y1) / (y2 - y1)),
+                             1.0) AS thi
+                FROM seg CROSS JOIN nb
+            )
+            SELECT orderkey, nationkey,
+                   round((thi - tlo) * sqrt((x2 - x1) * (x2 - x1)
+                                            + (y2 - y1) * (y2 - y1)), 6)
+                       AS clip_len
+            FROM lb
+            WHERE thi > tlo
+              AND round((thi - tlo) * sqrt((x2 - x1) * (x2 - x1)
+                                           + (y2 - y1) * (y2 - y1)), 6) > 0
+        """,
         "to_projstring": _utm_oracle_sql(
             lon0=12.0, k0=1.0, e0=250000.0, n0=1000.0,
             x_filter="({x}) >= 0.0 AND ({x}) <= 24.0"),

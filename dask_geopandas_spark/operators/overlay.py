@@ -1,8 +1,12 @@
-"""Distributed ``overlay`` — set-theoretic combination of two polygon
-layers (beyond-reference: dask-geopandas implements no overlay, see
+"""Distributed ``overlay`` — set-theoretic combination of two layers
+(beyond-reference: dask-geopandas implements no overlay, see
 doc/source/docs/reference/geodataframe.rst; geopandas users get
 ``geopandas.overlay(df1, df2, how=...)`` and this operator restores
-that surface on Spark).
+that surface on Spark).  Any left-layer geometry type works against
+polygon right layers (polygon pieces via the boolean kernel, line
+pieces via split-and-classify clipping, point pieces via containment —
+the setops dispatcher handles each combo); line×line intersections
+reduce to crossing points, per the setops contract.
 
 Semantics follow geopandas: the result contains one row per output
 *piece* —
@@ -46,7 +50,16 @@ _HOWS = ("intersection", "difference", "symmetric_difference", "union",
 # ----------------------------------------------------------------------
 # kernel UDFs
 # ----------------------------------------------------------------------
+def _nonempty(blob) -> bool:
+    return blob is not None and blob != SO._EMPTY_GC
+
+
 def _pair_intersection_udf():
+    """Exact piece per candidate pair via the setops dispatcher
+    (geometry/setops.py intersection_one) — handles every type combo:
+    polygon×polygon through the boolean kernel, line×polygon via
+    split-and-classify clipping, point×polygon via containment, with
+    the box interval fast path intact."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(BinaryType())
@@ -55,16 +68,19 @@ def _pair_intersection_udf():
         Ra = W.parse_wkb(list(rg))
         out = []
         for i in range(La.n):
-            ra = SO.geom_rings(La, i)
-            rb = SO.geom_rings(Ra, i)
-            polys = B.overlay(ra, rb, "intersection") if ra and rb else []
-            out.append(SO.kernel_polys_wkb(polys) if polys else None)
+            piece = SO.intersection_one(La, i, Ra, i)
+            out.append(piece if _nonempty(piece) else None)
         return pd.Series(out, dtype=object)
 
     return _inter
 
 
 def _diff_union_udf():
+    """Left geometry minus the UNION of its overlappers: the right
+    polygons merge through the n-ary union kernel into ONE subtrahend
+    (so overlapping subtrahends never double-subtract), then one
+    difference_one dispatch — polygons through the boolean kernel,
+    lines via keep-outside clipping, points via containment."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(BinaryType())
@@ -72,20 +88,19 @@ def _diff_union_udf():
         La = W.parse_wkb(list(lg))
         out = []
         for i in range(La.n):
-            ra = SO.geom_rings(La, i)
             blobs = others.iloc[i]
-            if blobs is None or len(blobs) == 0 or not ra:
+            if blobs is None or len(blobs) == 0:
                 out.append(lg.iloc[i])
                 continue
             Bb = W.parse_wkb([bytes(b) for b in blobs])
             merged = B.union_polygons(
                 [SO.geom_rings(Bb, j) for j in range(Bb.n)])
-            flat = [r for p in merged for r in p]
-            polys = B.overlay(ra, flat, "difference") if flat else None
-            if polys is None:
+            if not merged:
                 out.append(lg.iloc[i])
-            else:
-                out.append(SO.kernel_polys_wkb(polys) if polys else None)
+                continue
+            Ub = W.parse_wkb([SO.kernel_polys_wkb(merged)])
+            res = SO.difference_one(La, i, Ub, 0)
+            out.append(res if _nonempty(res) else None)
         return pd.Series(out, dtype=object)
 
     return _diff

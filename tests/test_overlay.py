@@ -176,3 +176,51 @@ class TestOverlayKernelPath:
         ks = sorted((r["bid"], r["rbid"], round(r["_a"], 9))
                     for r in _areas(slow).select("bid", "rbid", "_a").collect())
         assert kf == ks and len(kf) > 0
+
+
+class TestOverlayLinesAndPoints:
+    def test_line_layer_intersection_lengths(self, spark):
+        """Roads × admin boxes: intersection pieces are the clipped
+        line segments, with exact lengths."""
+        from dask_geopandas_spark.geometry import wkt as T
+
+        lines = [(0, "LINESTRING (0 5, 20 5)"),     # horizontal through both
+                 (1, "LINESTRING (5 -10, 5 30)"),   # vertical through box A
+                 (2, "LINESTRING (100 0, 101 0)")]  # outside
+        ldf = spark.createDataFrame(
+            pd.DataFrame({"lid": [i for i, _ in lines],
+                          "geometry": [T.wkt_to_wkb(w) for _, w in lines]}))
+        left = dgs.GeoDataFrame(ldf, "geometry", crs="EPSG:4326")
+        right = _boxes(spark, [(10, 0, 0, 10, 10), (11, 12, 0, 18, 10)],
+                       pre="r")
+        res = overlay(left, right, how="intersection", strategy="broadcast")
+        out = res.df.withColumn(
+            "_len", FX.st_length(F.col(res.geometry_column)))
+        got = {(r["lid"], r["rbid"]): r["_len"]
+               for r in out.select("lid", "rbid", "_len").collect()}
+        assert got == {(0, 10): pytest.approx(10.0),
+                       (0, 11): pytest.approx(6.0),
+                       (1, 10): pytest.approx(10.0)}
+
+    def test_line_layer_difference(self, spark):
+        from dask_geopandas_spark.geometry import wkt as T
+
+        ldf = spark.createDataFrame(pd.DataFrame({
+            "lid": [0], "geometry": [T.wkt_to_wkb("LINESTRING (0 5, 30 5)")]}))
+        left = dgs.GeoDataFrame(ldf, "geometry", crs="EPSG:4326")
+        # two OVERLAPPING boxes: subtrahend must union first
+        right = _boxes(spark, [(1, 5, 0, 15, 10), (2, 10, 0, 20, 10)],
+                       pre="r")
+        res = overlay(left, right, how="difference", strategy="broadcast")
+        out = res.df.withColumn(
+            "_len", FX.st_length(F.col(res.geometry_column)))
+        lens = sorted(round(r["_len"], 9) for r in out.select("_len").collect())
+        assert lens == [pytest.approx(15.0)]  # [0,5] + [20,30] in one row
+
+    def test_point_layer_difference(self, spark):
+        pdf = pd.DataFrame({"pid": [0, 1, 2],
+                            "x": [1.0, 5.0, 50.0], "y": [1.0, 5.0, 50.0]})
+        left = dgs.points_from_xy(spark.createDataFrame(pdf), "x", "y")
+        right = _boxes(spark, [(9, 0, 0, 10, 10)], pre="r")
+        res = overlay(left, right, how="difference", strategy="broadcast")
+        assert sorted(r["pid"] for r in res.df.select("pid").collect()) == [2]
