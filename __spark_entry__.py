@@ -1781,6 +1781,27 @@ def q_spatial_hourly(spark, sf_dir):
         F.col("window_start"), F.col("cell"), F.col("n_events"))
 
 
+def q_stream_geofence(spark, sf_dir):
+    """Stream-static geofence rollup (streaming/geo.py geofence_join +
+    windowed_geofence_counts): events joined against broadcast static
+    nation-box fences, counted per (hour, fence).  Batch path of the
+    streaming operator (the same code runs under readStream; stream ==
+    batch pinned in pytest)."""
+    from dask_geopandas_spark.streaming.geo import windowed_geofence_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    ev = ev.withColumn("px", F.expr(EV_X)).withColumn("py", F.expr(EV_Y))
+    fences = _boxes(spark, sf_dir, "nation", NB)
+    out = windowed_geofence_counts(ev, fences, "px", "py", "n_nationkey")
+    return out.select("window_start",
+                      F.col("n_nationkey").alias("nationkey"), "n_events")
+
+
 def q_session_windows(spark, sf_dir):
     """Sessionization via native session_window (gap 30 min): events of a
     type closer than the gap merge into one session.  Batch/streaming
@@ -1950,6 +1971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "ann_pq": q_ann_pq,
         "overlay_lines": q_overlay_lines,
+        "stream_geofence": q_stream_geofence,
         "dissolve_union_area": q_dissolve_union_area,
         "union_all_area": q_union_all_area,
         "setops_concave_area": q_setops_concave_area,
@@ -3208,6 +3230,17 @@ def oracle_sql() -> dict[str, str]:
                   FROM c)
             SELECT CAST(rank AS INTEGER) AS rank, token, n
             FROM r WHERE rank <= 50
+        """,
+        "stream_geofence": f"""
+            SELECT date_trunc('hour', e.ts) AS window_start,
+                   n.n_nationkey AS nationkey,
+                   count(*) AS n_events
+            FROM events e JOIN nation n
+              ON (({EV_X})) >= ({NB['minx']})
+             AND (({EV_X})) <= ({NB['minx']} + {NB['w']})
+             AND (({EV_Y})) >= ({NB['miny']})
+             AND (({EV_Y})) <= ({NB['miny']} + {NB['h']})
+            GROUP BY 1, 2
         """,
         "spatial_hourly": f"""
             WITH q AS (

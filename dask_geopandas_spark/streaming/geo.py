@@ -149,3 +149,73 @@ def windowed_spatial_counts(events_with_geom: DataFrame, precision: int = 4,
         .agg(F.count("*").alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "cell", "n_events")
     )
+
+
+def geofence_join(points_df: DataFrame, fences, x: str, y: str,
+                  how: str = "inner") -> DataFrame:
+    """Stream-static spatial join: match each (streaming) point row to
+    the static fence geometries containing it.
+
+    The fence layer is a bounded static frame, so Spark broadcasts it
+    into every micro-batch (stream-static joins are natively supported
+    by Structured Streaming); the join condition is native bbox
+    containment on the fence's bbox struct, refined by the exact
+    containment UDF only when the fences aren't envelope-exact
+    rectangles.  Stateless → identical semantics on batch inputs (the
+    oracle path).  ``how='left'`` keeps unfenced points with NULLs.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    fg = fences.with_bbox()
+    b = fg.bbox_column
+    fdf = fg.df
+    # disambiguate any colliding column names fence-side
+    for c in set(fdf.columns) & set(points_df.columns):
+        fdf = fdf.withColumnRenamed(c, f"{c}_fence")
+        if c == b:
+            b = f"{c}_fence"
+    cond = ((F.col(x) >= F.col(f"{b}.minx"))
+            & (F.col(x) <= F.col(f"{b}.maxx"))
+            & (F.col(y) >= F.col(f"{b}.miny"))
+            & (F.col(y) <= F.col(f"{b}.maxy")))
+    refine = None
+    if not getattr(fg, "envelope_exact", False):
+        geom = fg.geometry_column
+        gcol = geom if geom in fdf.columns else f"{geom}_fence"
+        refine = FX.st_intersects(F.col(gcol),
+                                  FX.st_point(F.col(x), F.col(y)))
+    if how == "inner":
+        out = points_df.join(F.broadcast(fdf), on=cond, how="inner")
+        return out.filter(refine) if refine is not None else out
+    # left: a Python-UDF refinement cannot sit in a LEFT OUTER ON
+    # clause — match inner first, then rejoin on a content hash of the
+    # point row (the sjoin left-path pattern; hashes stay aligned
+    # across plan re-evaluations, unlike mono-ids)
+    pid = "_gf_row"
+    pts = points_df.withColumn(
+        pid, F.xxhash64(*[F.col(c) for c in points_df.columns]))
+    matched = pts.join(F.broadcast(fdf), on=cond, how="inner")
+    if refine is not None:
+        matched = matched.filter(refine)
+    fence_cols = [c for c in matched.columns if c not in pts.columns]
+    return (pts.join(matched.select(pid, *fence_cols), on=pid, how="left")
+            .drop(pid))
+
+
+def windowed_geofence_counts(events: DataFrame, fences, x: str, y: str,
+                             fence_key: str, window: str = "1 hour",
+                             watermark: str = "2 hours",
+                             ts_col: str = "ts") -> DataFrame:
+    """Events-per-fence-per-window: the streaming geofence rollup
+    (geofence_join + watermarked tumbling window)."""
+    df = _watermarkable_ts(events, ts_col)
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    joined = geofence_join(df, fences, x, y)
+    key = fence_key if fence_key in joined.columns else f"{fence_key}_fence"
+    return (
+        joined.groupBy(F.window(ts_col, window).alias("w"), F.col(key))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col(key).alias(fence_key), "n_events")
+    )

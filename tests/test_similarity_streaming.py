@@ -257,3 +257,70 @@ class TestProductQuantization:
 
         with pytest.raises(ValueError, match="divisible"):
             train_pq(vecs, m=5, k=8)
+
+
+def test_geofence_stream_batch_agreement(spark, sf_dir):
+    """Stream-static geofence join + windowed rollup must equal the
+    batch computation exactly (broadcast static fences into each
+    micro-batch)."""
+    import dask_geopandas_spark as dgs
+    from dask_geopandas_spark.streaming.geo import windowed_geofence_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def prep(df):
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return (df.withColumn("ex", (F.col("event_id") % 340 - 170) + F.lit(0.5))
+                .withColumn("ey", (F.col("user_id") % 160 - 80) + F.lit(0.25)))
+
+    import pandas as pd
+    fences_pdf = pd.DataFrame({
+        "fid": [0, 1, 2],
+        "fx0": [-170.0, -50.0, 100.0], "fy0": [-80.0, -20.0, 40.0],
+        "fx1": [-100.0, 50.0, 170.0], "fy1": [-30.0, 30.0, 79.0]})
+    fences = dgs.boxes_from_bounds(spark.createDataFrame(fences_pdf),
+                                   "fx0", "fy0", "fx1", "fy1",
+                                   crs="EPSG:4326")
+
+    batch = windowed_geofence_counts(prep(static), fences, "ex", "ey", "fid")
+
+    stream = (spark.readStream.schema(static.schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    agg = windowed_geofence_counts(prep(stream), fences, "ex", "ey", "fid")
+    q = (agg.writeStream.format("memory").queryName("t_geofence_sink")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("t_geofence_sink")
+
+    key = lambda r: (r["window_start"], r["fid"])
+    b = {key(r): r["n_events"] for r in batch.collect()}
+    s = {key(r): r["n_events"] for r in got.collect()}
+    assert b == s and len(b) > 0
+
+
+def test_geofence_left_join_and_refinement(spark):
+    """Non-rectangular fences refine with the exact containment UDF;
+    how='left' keeps unfenced points."""
+    import pandas as pd
+
+    import dask_geopandas_spark as dgs
+    from dask_geopandas_spark.geometry import wkt as T
+    from dask_geopandas_spark.streaming.geo import geofence_join
+
+    pts = spark.createDataFrame(pd.DataFrame(
+        {"pid": [0, 1, 2], "px": [1.0, 3.5, 50.0], "py": [1.0, 0.6, 50.0]}))
+    # triangle fence: (0,0)-(4,0)-(0,4); (1,1) inside, (3.5,0.6) inside
+    # its bbox but OUTSIDE the triangle
+    tri = spark.createDataFrame(pd.DataFrame({
+        "fid": [7],
+        "geometry": [T.wkt_to_wkb("POLYGON ((0 0, 4 0, 0 4, 0 0))")]}))
+    fences = dgs.GeoDataFrame(tri, "geometry", crs="EPSG:4326")
+    inner = geofence_join(pts, fences, "px", "py")
+    assert [r["pid"] for r in inner.select("pid").collect()] == [0]
+    left = geofence_join(pts, fences, "px", "py", how="left")
+    got = {r["pid"]: r["fid"] for r in left.select("pid", "fid").collect()}
+    assert got == {0: 7, 1: None, 2: None}
