@@ -45,6 +45,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
         raise ValueError("tolerance must be >= 0")
 
     payload_cols = [c for c in right.columns if c != by]
+    clash = [f"{right_prefix}{c}" for c in payload_cols
+             if f"{right_prefix}{c}" in left.columns]
+    clash += [c for c in ("_asof_side", "_asof_payload", "_asof_match")
+              if c in left.columns]
+    if clash:
+        raise ValueError(
+            f"asof_join output columns collide with left columns {clash}; "
+            "pass a different right_prefix")
     key_cols = ([by] if by else []) + [on]
     rp = (right.select(*key_cols,
                        F.struct(*[F.col(c) for c in payload_cols])

@@ -64,6 +64,10 @@ def interval_join(left: DataFrame, right: DataFrame,
         bucket_width = max(float(row["m"] or 1.0), 1e-9)
     w = float(bucket_width)
 
+    # malformed intervals (end < start) match nothing — and must not
+    # reach sequence(), which would generate DESCENDING bucket ranges
+    left = left.filter(F.col(lej) >= F.col(lsj))
+    right = right.filter(F.col(rej) >= F.col(rsj))
     llo, lhi = _bucket_range(F.col(lsj), F.col(lej), w)
     rlo, rhi = _bucket_range(F.col(rsj), F.col(rej), w)
     lb = left.withColumn("_iv_bucket", F.explode(F.sequence(llo, lhi)))

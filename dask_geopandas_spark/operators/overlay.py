@@ -131,18 +131,23 @@ def _candidate_pairs(lg, rg, ldf: DataFrame, rdf: DataFrame,
 
 def _difference_leg(df: DataFrame, row_id: str, geom: str,
                     pairs: DataFrame, other_geom: str) -> DataFrame:
-    """df minus the union of its bbox-overlapping counterparts.  Rows
-    with no candidates keep their geometry through a native left join —
-    no Python for the untouched majority."""
+    """df minus the union of its bbox-overlapping counterparts.
+
+    Rows with no candidates are SPLIT OFF before the kernel UDF and
+    unioned back untouched — a ``when(...).otherwise(udf)`` would not
+    achieve this (Spark extracts pandas UDFs into an unconditional
+    projection, so the UDF would still run over every row)."""
     cand = (pairs.groupBy(row_id)
             .agg(F.collect_list(other_geom).alias("_ov_others")))
     joined = df.join(cand, on=row_id, how="left")
+    untouched = joined.filter(F.col("_ov_others").isNull()) \
+        .drop("_ov_others")
     diff = _diff_union_udf()
-    out = joined.withColumn(
-        geom,
-        F.when(F.col("_ov_others").isNull(), F.col(geom))
-        .otherwise(diff(F.col(geom), F.col("_ov_others"))))
-    return out.filter(F.col(geom).isNotNull()).drop("_ov_others")
+    clipped = (joined.filter(F.col("_ov_others").isNotNull())
+               .withColumn(geom, diff(F.col(geom), F.col("_ov_others")))
+               .filter(F.col(geom).isNotNull())
+               .drop("_ov_others"))
+    return untouched.unionByName(clipped)
 
 
 # ----------------------------------------------------------------------
@@ -151,10 +156,16 @@ def _difference_leg(df: DataFrame, row_id: str, geom: str,
 def overlay(left, right, how: str = "intersection", strategy: str = "auto",
             grid_level: int = 7, total_bounds=None,
             lsuffix: str = "_left", rsuffix: str = "_right"):
-    """Set-theoretic overlay of two polygon GeoDataFrames (geopandas
+    """Set-theoretic overlay of two GeoDataFrames (geopandas
     ``overlay`` parity; beyond the reference's operator set).  Output
     geometry column keeps the left layer's name; attribute columns from
-    the side a piece lacks are NULL (difference legs)."""
+    the side a piece lacks are NULL (difference legs).
+
+    The candidate-pair join is referenced by each leg the chosen
+    ``how`` needs (up to three for 'union'), so it is re-evaluated per
+    leg — deliberate: recompute is scale-safe where a persist of the
+    full candidate set would be an unbounded cache barrier; callers
+    joining enormous inputs for 'union' can checkpoint upstream."""
     from ..core import GeoDataFrame
 
     if how not in _HOWS:

@@ -313,7 +313,18 @@ def pq_topk(codes_df: DataFrame, queries: DataFrame, codebooks: list,
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
                       F.round(score, 9).alias("adist")))
+    # two-stage rank: stage 1 ranks per (query, INPUT PARTITION) — a
+    # skew-free exchange key — and keeps k, so the final per-query
+    # window sorts n_partitions·k rows instead of the whole corpus
+    # landing on one task per query.  At true corpus scale, prune
+    # candidates first by composing with the IVF cell layout
+    # (write_ivf_index) — IVF-PQ, both halves provided here.
+    w_local = Window.partitionBy("query_id", "_pid") \
+        .orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    local = (scored.withColumn("_pid", F.spark_partition_id())
+             .withColumn("_lr", F.row_number().over(w_local))
+             .filter(F.col("_lr") <= k).drop("_pid", "_lr"))
     w = Window.partitionBy("query_id").orderBy(F.asc("adist"),
                                                F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)) \
-        .filter(F.col("rank") <= k).drop(code_col)
+    return local.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= k)
