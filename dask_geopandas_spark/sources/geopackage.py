@@ -176,7 +176,10 @@ def read_geopackage(spark: SparkSession, path: str, layer: str | None = None,
             continue
         span = hi - lo + 1
         if chunksize is None:
-            k = npartitions or max(1, min(32, int(np.ceil(n / 100_000))))
+            # default ~100k rows per chunk, uncapped: a billion-row
+            # table must fan out to thousands of tasks, not 32 (the
+            # part DataFrame itself stays tiny — 3 values per chunk)
+            k = npartitions or max(1, int(np.ceil(n / 100_000)))
             per = int(np.ceil(span / k))
         else:
             per = max(int(chunksize), 1)
