@@ -726,6 +726,23 @@ def q_geopackage_roundtrip(spark, sf_dir):
     )
 
 
+def q_sql_union_agg(spark, sf_dir):
+    """Geometry AGGREGATES on the SQL surface: st_union_agg (the
+    interior-merging dissolve combine) and st_extent_agg grouped in
+    pure spark.sql.  Oracle: coordinate-compression union area + plain
+    extent mins/maxs."""
+    dgs.register_sql_functions(spark)
+    sb = _boxes(spark, sf_dir, "supplier", SB)
+    sb.df.createOrReplaceTempView("_sup_boxes_v")
+    return spark.sql("""
+        SELECT CAST(s_nationkey AS INT) AS nationkey,
+               round(st_area(st_union_agg(geometry)), 6) AS union_area,
+               round(st_extent_agg(geometry)[0], 6) AS minx,
+               round(st_extent_agg(geometry)[3], 6) AS maxy
+        FROM _sup_boxes_v GROUP BY s_nationkey
+    """)
+
+
 def q_spatial_shuffle(spark, sf_dir):
     """spatial_shuffle (reference expr.py:738-820): Hilbert
     repartitionByRange + sortWithinPartitions.  Emits per-partition
@@ -1972,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": q_ann_pq,
         "overlay_lines": q_overlay_lines,
         "stream_geofence": q_stream_geofence,
+        "sql_union_agg": q_sql_union_agg,
         "dissolve_union_area": q_dissolve_union_area,
         "union_all_area": q_union_all_area,
         "setops_concave_area": q_setops_concave_area,
@@ -2559,6 +2577,15 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT k, count(*) AS n FROM nb GROUP BY k) cnt
         JOIN ua ON ua.k = cnt.k
     """
+    sql_union_agg = _compression_union(sup_boxes) + """
+        SELECT CAST(ext.k AS INTEGER) AS nationkey,
+               round(ua.area, 6) AS union_area,
+               round(ext.mnx, 6) AS minx,
+               round(ext.mxy, 6) AS maxy
+        FROM (SELECT k, min(x0) AS mnx, max(y1) AS mxy
+              FROM nb GROUP BY k) ext
+        JOIN ua ON ua.k = ext.k
+    """
     union_all_area = _compression_union(
         sup_boxes.replace("s_nationkey AS k", "0 AS k")) + """
         SELECT round(sum(area), 6) AS union_area FROM ua
@@ -2637,6 +2664,7 @@ def oracle_sql() -> dict[str, str]:
     """
     return {
         "dissolve_union_area": dissolve_union_area,
+        "sql_union_agg": sql_union_agg,
         "union_all_area": union_all_area,
         "setops_concave_area": setops_concave_area,
         "clip_concave_lines": clip_concave_lines,

@@ -1114,6 +1114,30 @@ _SQL_FUNCS = {
 }
 
 
+@pandas_udf(ArrayType(DoubleType()))
+def st_extent_agg(g: pd.Series) -> list:
+    """Grouped AGGREGATE: nan-safe [minx, miny, maxx, maxy] of a
+    geometry group (the SQL-surface form of total_bounds)."""
+    batch = _b(g)
+    if len(batch.xs) == 0:
+        return [None, None, None, None]
+    with np.errstate(all="ignore"):
+        vals = [np.nanmin(batch.xs), np.nanmin(batch.ys),
+                np.nanmax(batch.xs), np.nanmax(batch.ys)]
+    return [None if v != v else float(v) for v in vals]
+
+
 def register_sql_functions(spark) -> None:
+    """Register the scalar ST_* surface plus the geometry AGGREGATES
+    (``st_union_agg`` — the dissolve combine step — and
+    ``st_extent_agg``), so `spark.sql` queries can group-aggregate
+    geometry directly.  Note the Spark limitation: pandas aggregate
+    UDFs cannot mix with JVM aggregates (count/sum/...) in one
+    GROUP BY — split into two aggregations joined on the key, exactly
+    as `dissolve` does internally."""
+    from ..operators.dissolve import geom_union_agg
+
     for name, fn in _SQL_FUNCS.items():
         spark.udf.register(name, fn)
+    spark.udf.register("st_union_agg", geom_union_agg)
+    spark.udf.register("st_extent_agg", st_extent_agg)
