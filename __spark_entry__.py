@@ -743,6 +743,36 @@ def q_sql_union_agg(spark, sf_dir):
     """)
 
 
+def q_geoarrow_roundtrip(spark, sf_dir):
+    """GeoParquet with geoarrow point encoding (GeoParquet 1.1 /
+    geopandas 1.0 geometry_encoding='geoarrow'): geometry stored as a
+    native struct<x,y> — parquet stats prune on coordinates directly —
+    and read back as a SYMBOLIC point layer.  The `.cx` window below
+    therefore pushes plain x/y comparisons into the scan (no bbox CASE,
+    no Python)."""
+    import shutil
+
+    from dask_geopandas_spark.sources.geoparquet import (read_parquet,
+                                                         to_parquet)
+
+    path = "/root/repo/.bench_tmp/geoarrow_roundtrip"
+    shutil.rmtree(path, ignore_errors=True)
+    g = _cust_points(spark, sf_dir)
+    slim = dgs.GeoDataFrame(g.df.select("c_custkey", g.geometry_column),
+                            g.geometry_column, crs="EPSG:4326")
+    slim._xy = g._xy
+    to_parquet(slim, path, geometry_encoding="geoarrow")
+    back = read_parquet(spark, path)
+    win = back.cx(xmin=-60.0, ymin=-45.0, xmax=60.0, ymax=45.0)
+    return win.df.agg(
+        F.count("*").alias("n"),
+        F.min(win.x).alias("minx"),
+        F.min(win.y).alias("miny"),
+        F.max(win.x).alias("maxx"),
+        F.max(win.y).alias("maxy"),
+    )
+
+
 def q_spatial_shuffle(spark, sf_dir):
     """spatial_shuffle (reference expr.py:738-820): Hilbert
     repartitionByRange + sortWithinPartitions.  Emits per-partition
@@ -1990,6 +2020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_lines": q_overlay_lines,
         "stream_geofence": q_stream_geofence,
         "sql_union_agg": q_sql_union_agg,
+        "geoarrow_roundtrip": q_geoarrow_roundtrip,
         "dissolve_union_area": q_dissolve_union_area,
         "union_all_area": q_union_all_area,
         "setops_concave_area": q_setops_concave_area,
@@ -2912,6 +2943,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sum({CUST_X}), 6) AS sum_x,
                    round(sum({CUST_Y}), 6) AS sum_y
             FROM customer
+        """,
+        "geoarrow_roundtrip": f"""
+            SELECT count(*) AS n,
+                   min({CUST_X}) AS minx, min({CUST_Y}) AS miny,
+                   max({CUST_X}) AS maxx, max({CUST_Y}) AS maxy
+            FROM customer
+            WHERE ({CUST_X}) >= -60.0 AND ({CUST_X}) <= 60.0
+              AND ({CUST_Y}) >= -45.0 AND ({CUST_Y}) <= 45.0
         """,
         "geojson_roundtrip": f"""
             SELECT count(*) AS n,

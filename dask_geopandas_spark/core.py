@@ -702,6 +702,26 @@ class GeoDataFrame:
         side is a half-plane, where the bbox test IS exact and the
         refinement is skipped; with two or more sides a geometry's bbox
         can clip the window corner the geometry itself misses."""
+        if self._xy and not self._xy[3]:
+            # symbolic point layer: filter the coordinate EXPRESSIONS
+            # directly — plain comparisons (no null-guard CASE around a
+            # bbox struct), so the predicate pushes down to parquet
+            # row-group stats; on geoarrow-encoded datasets that means
+            # pruning on the stored x/y columns themselves
+            xe, ye = self._xy[0], self._xy[1]
+            conds = [xe.isNotNull(), ye.isNotNull()]
+            if xmax is not None:
+                conds.append(xe <= float(xmax))
+            if xmin is not None:
+                conds.append(xe >= float(xmin))
+            if ymax is not None:
+                conds.append(ye <= float(ymax))
+            if ymin is not None:
+                conds.append(ye >= float(ymin))
+            cond = conds[0]
+            for c in conds[1:]:
+                cond = cond & c
+            return self.filter(cond)  # exact: a point is its envelope
         g = self.with_bbox()
         b = g.bbox_column
         conds = []

@@ -34,14 +34,15 @@ _FOOTER_JOB_THRESHOLD = 64
 
 def _geo_meta(geometry: str, crs_map: dict, geometry_columns=None,
               bboxes: dict | None = None,
-              geometry_types: dict | None = None) -> bytes:
+              geometry_types: dict | None = None,
+              encodings: dict | None = None) -> bytes:
     """`geo` schema-metadata blob covering EVERY geometry column (the
     reference supports multiple geometry columns each with its own CRS,
     io/arrow.py:41-43; tests/io/test_parquet.py:84-103)."""
     cols = {}
     for g in (geometry_columns or [geometry]):
         cols[g] = {
-            "encoding": "WKB",
+            "encoding": (encodings or {}).get(g, "WKB"),
             "geometry_types": (geometry_types or {}).get(g, []),
             **({"crs": crs_map[g]} if g in crs_map else {}),
             **({"bbox": list(bboxes[g])} if bboxes and g in bboxes else {}),
@@ -56,6 +57,7 @@ def to_parquet(gdf, path: str, partition_on: str | None = None,
                geometry_columns: list[str] | None = None,
                spatial_sort: bool = False,
                spatial_sort_level: int = 16,
+               geometry_encoding: str = "WKB",
                filesystem=None) -> None:
     """Write a GeoDataFrame as GeoParquet: one file per Spark partition,
     each footer carrying the ``geo`` metadata for every geometry column
@@ -64,7 +66,15 @@ def to_parquet(gdf, path: str, partition_on: str | None = None,
     driver-side spatial summary (reference io/parquet.py:22-42).
 
     ``partition_on`` → hive-style subdirectories (reference
-    tests/io/test_parquet.py:188-213 via ``partitionBy``)."""
+    tests/io/test_parquet.py:188-213 via ``partitionBy``).
+
+    ``geometry_encoding="geoarrow"`` (GeoParquet 1.1 / geopandas 1.0
+    ``to_parquet(geometry_encoding='geoarrow')``): the primary column is
+    stored as a native ``struct<x,y>`` instead of WKB — parquet then
+    keeps min/max statistics on the coordinates themselves, and the
+    reader rebuilds a SYMBOLIC point layer (zero Python in downstream
+    bbox/cx/clip/sjoin plans).  Point layers only (the encoding that
+    pays at scale); other types raise."""
     import pyarrow as pa
 
     if spatial_sort:
@@ -96,7 +106,40 @@ def to_parquet(gdf, path: str, partition_on: str | None = None,
 
         bboxes = None
         gtypes = None
-        if write_bbox and geometry in table.column_names:
+        encodings = None
+        if geometry_encoding != "WKB" and geometry in table.column_names:
+            batch = W.parse_wkb(table.column(geometry).to_pylist())
+            bad = set(int(t) for t in batch.types) - {0, W.POINT}
+            if bad:
+                raise NotImplementedError(
+                    "geometry_encoding='geoarrow' supports Point layers "
+                    f"only; found type ids {sorted(bad)}")
+            xs = np.full(batch.n, np.nan)
+            ys = np.full(batch.n, np.nan)
+            nn = batch.types != 0
+            # one coordinate per non-null, non-empty point, in row order
+            starts = batch.geom_coord_starts[:-1]
+            has = nn & (np.diff(batch.geom_coord_starts) > 0)
+            xs[has] = batch.xs[starts[has]]
+            ys[has] = batch.ys[starts[has]]
+            import pyarrow as _pa
+
+            struct = _pa.StructArray.from_arrays(
+                [_pa.array(xs, type=_pa.float64()),
+                 _pa.array(ys, type=_pa.float64())],
+                ["x", "y"],
+                mask=_pa.array(~nn))
+            idx = table.column_names.index(geometry)
+            table = table.set_column(idx, geometry, struct)
+            encodings = {geometry: "point"}
+            gtypes = {geometry: ["Point"]}
+            if write_bbox:
+                with np.errstate(invalid="ignore"):
+                    fb = (np.nanmin(xs), np.nanmin(ys),
+                          np.nanmax(xs), np.nanmax(ys))
+                if np.isfinite(fb).all():
+                    bboxes = {geometry: [float(v) for v in fb]}
+        elif write_bbox and geometry in table.column_names:
             batch = W.parse_wkb(table.column(geometry).to_pylist())
             bb = A.bounds(batch)
             with np.errstate(invalid="ignore"):
@@ -110,7 +153,8 @@ def to_parquet(gdf, path: str, partition_on: str | None = None,
             seen = sorted({W.TYPE_NAMES[int(t)] for t in batch.types
                            if int(t) in W.TYPE_NAMES and int(t) != 0})
             gtypes = {geometry: seen}
-        meta = _geo_meta(geometry, crs_map, geometry_columns, bboxes, gtypes)
+        meta = _geo_meta(geometry, crs_map, geometry_columns, bboxes,
+                         gtypes, encodings)
         existing = table.schema.metadata or {}
         table = table.replace_schema_metadata({**existing, b"geo": meta})
         FS.makedirs(dirpath, filesystem)
@@ -165,8 +209,8 @@ def gather_geo_metadata(path: str, spark: SparkSession | None = None,
                         geometry: str | None = None, filesystem=None):
     """Scan the dataset's parquet footers for GeoParquet ``geo``
     metadata.  Returns (primary_column, crs_map, spatial_partitions,
-    all_point); every field is None/empty when the dataset carries no
-    geo metadata.  Listing and footer reads go through ``sources.fs``
+    all_point, primary_encoding); every field is None/empty when the
+    dataset carries no geo metadata.  Listing and footer reads go through ``sources.fs``
     so remote URIs (s3a://, gs://, any fsspec scheme) keep their CRS
     and per-file bbox instead of silently degrading (reference readers
     accept fsspec storage_options, io/arrow.py:300-301)."""
@@ -177,7 +221,7 @@ def gather_geo_metadata(path: str, spark: SparkSession | None = None,
         warnings.warn(
             f"GeoParquet metadata unavailable for {path!r} ({e}); "
             "returning a frame with no CRS/spatial summary")
-        return geometry, {}, None, False
+        return geometry, {}, None, False, "WKB"
 
     primary, crs_map = geometry, {}
 
@@ -215,6 +259,7 @@ def gather_geo_metadata(path: str, spark: SparkSession | None = None,
 
     spatial_partitions = []
     all_point = True  # every file declares only "Point" geometry
+    encoding = "WKB"
     for i, geo in enumerate(metas):
         if geo is None:
             all_point = False
@@ -225,6 +270,9 @@ def gather_geo_metadata(path: str, spark: SparkSession | None = None,
                 spatial_partitions = None
             continue
         primary = primary or geo.get("primary_column")
+        enc = geo.get("columns", {}).get(primary, {}).get("encoding")
+        if enc and enc != "WKB":
+            encoding = enc
         gt = geo.get("columns", {}).get(primary, {}).get("geometry_types")
         if gt != ["Point"]:
             all_point = False
@@ -242,7 +290,8 @@ def gather_geo_metadata(path: str, spark: SparkSession | None = None,
         if i == 0 and not gather_spatial_partitions:
             break
 
-    return primary, crs_map, spatial_partitions or None, bool(files) and all_point
+    return (primary, crs_map, spatial_partitions or None,
+            bool(files) and all_point, encoding)
 
 
 def _fragment_scan(spark: SparkSession, files: list, filesystem, columns):
@@ -301,11 +350,28 @@ def read_parquet(spark: SparkSession, path: str, columns=None,
             raise FileNotFoundError(path)
         df = _fragment_scan(spark, files, filesystem, columns)
 
-    primary, crs_map, spatial_partitions, all_point = gather_geo_metadata(
-        path, spark, gather_spatial_partitions, geometry, filesystem)
+    primary, crs_map, spatial_partitions, all_point, encoding = \
+        gather_geo_metadata(
+            path, spark, gather_spatial_partitions, geometry, filesystem)
 
     if primary is None or primary not in df.columns:
         return df
+    if encoding == "point":
+        # geoarrow point encoding: the stored column is struct<x,y>.
+        # Rebuild a SYMBOLIC point layer over the native coordinates —
+        # bbox/cx/clip/sjoin plans stay pure JVM and parquet min/max
+        # stats on x/y prune directly.
+        from ..core import points_from_xy
+
+        base = (df.withColumn("_ga_x", F.col(f"{primary}.x"))
+                .withColumn("_ga_y", F.col(f"{primary}.y"))
+                .drop(primary))
+        out = points_from_xy(base, "_ga_x", "_ga_y",
+                             crs=crs_map.get(primary), geometry=primary)
+        out._crs = {**crs_map, **out._crs}
+        out.spatial_partitions = spatial_partitions
+        out._point = True
+        return out
     out = GeoDataFrame(df, primary, crs_map=crs_map)
     out.spatial_partitions = spatial_partitions
     if all_point:

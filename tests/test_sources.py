@@ -222,9 +222,9 @@ class TestRemoteFilesystem:
         from dask_geopandas_spark.sources.geoparquet import gather_geo_metadata
 
         with pytest.warns(UserWarning, match="metadata unavailable"):
-            primary, crs_map, parts, all_point = gather_geo_metadata(
+            primary, crs_map, parts, all_point, enc = gather_geo_metadata(
                 "no-such-scheme-xyz://bucket/data")
-        assert primary is None and parts is None
+        assert primary is None and parts is None and enc == "WKB"
 
     def test_registered_scheme_resolves(self, tmp_path):
         from pyarrow import fs as pafs
@@ -336,3 +336,89 @@ class TestGeoJSON:
             "geometry": {"type": "Point", "coordinates": [1.0, 2.0]}}))
         back = read_geojson(spark, str(p), columns=["a"])
         assert back.columns == ["a"]
+
+
+class TestGeoArrowEncoding:
+    def test_point_roundtrip_and_native_read(self, spark, tmp_path):
+        """geometry_encoding='geoarrow' stores struct<x,y>; the reader
+        rebuilds a symbolic point layer — values survive, the stored
+        column is a real struct, and downstream bbox consumers stay
+        native."""
+        import pyarrow.parquet as pq
+
+        from dask_geopandas_spark.sources.geoparquet import (read_parquet,
+                                                             to_parquet)
+
+        pdf = pd.DataFrame({"id": np.arange(30, dtype="int64"),
+                            "x": np.linspace(-20, 20, 30),
+                            "y": np.linspace(5, 15, 30)})
+        g = dgs.points_from_xy(spark.createDataFrame(pdf), "x", "y",
+                               crs="EPSG:4326")
+        path = str(tmp_path / "ga")
+        to_parquet(g, path, geometry_encoding="geoarrow")
+
+        import glob as _g
+        f = _g.glob(path + "/*.parquet")[0]
+        schema = pq.read_schema(f)
+        assert schema.field("geometry").type.num_fields == 2  # struct<x,y>
+        import json as _json
+        meta = _json.loads(schema.metadata[b"geo"])
+        assert meta["columns"]["geometry"]["encoding"] == "point"
+
+        back = read_parquet(spark, path)
+        assert back.crs == "EPSG:4326"
+        got = (back.df.withColumn("bx", back.x).withColumn("by", back.y)
+               .select("id", "bx", "by").toPandas().sort_values("id"))
+        np.testing.assert_allclose(got["bx"].to_numpy(), pdf["x"], atol=0)
+        np.testing.assert_allclose(got["by"].to_numpy(), pdf["y"], atol=0)
+        # native plan: selecting coords never touches Python
+        plan = (back.df.withColumn("bx", back.x).select("id", "bx")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    def test_null_geometry_roundtrip(self, spark, tmp_path):
+        from dask_geopandas_spark.sources.geoparquet import (read_parquet,
+                                                             to_parquet)
+        from dask_geopandas_spark.geometry import wkt as T
+
+        pdf = pd.DataFrame({"id": [0, 1],
+                            "geometry": [T.wkt_to_wkb("POINT (3 4)"), None]})
+        g = dgs.GeoDataFrame(spark.createDataFrame(pdf), "geometry",
+                             crs="EPSG:4326")
+        path = str(tmp_path / "ga_null")
+        to_parquet(g, path, geometry_encoding="geoarrow")
+        back = read_parquet(spark, path)
+        rows = {r["id"]: r["geometry"] for r in back.df.collect()}
+        assert rows[1] is None and rows[0] is not None
+
+    def test_non_point_raises(self, spark, tmp_path):
+        from dask_geopandas_spark.geometry import wkt as T
+        from dask_geopandas_spark.sources.geoparquet import to_parquet
+
+        pdf = pd.DataFrame({"id": [0], "geometry": [
+            T.wkt_to_wkb("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")]})
+        g = dgs.GeoDataFrame(spark.createDataFrame(pdf), "geometry")
+        with pytest.raises(Exception, match="Point layers"):
+            to_parquet(g, str(tmp_path / "ga_bad"),
+                       geometry_encoding="geoarrow")
+
+    def test_pruning_pushes_to_coordinate_stats(self, spark, tmp_path):
+        """A .cx filter on a geoarrow dataset pushes down to the stored
+        struct's x/y fields (coordinate min/max stats prune natively)."""
+        from dask_geopandas_spark.sources.geoparquet import (read_parquet,
+                                                             to_parquet)
+
+        pdf = pd.DataFrame({"id": np.arange(100, dtype="int64"),
+                            "x": np.linspace(-100, 100, 100),
+                            "y": np.zeros(100)})
+        g = dgs.points_from_xy(spark.createDataFrame(pdf), "x", "y",
+                               crs="EPSG:4326")
+        path = str(tmp_path / "ga_prune")
+        to_parquet(g, path, geometry_encoding="geoarrow")
+        back = read_parquet(spark, path)
+        sub = back.cx(xmin=0.0, ymin=-1.0, xmax=50.0, ymax=1.0)
+        # x==0 isn't hit exactly by the linspace; 25 points land in (0, 50]
+        assert sub.count() == 25
+        plan = (sub.df.select("id")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "PushedFilters: []" not in plan
