@@ -153,8 +153,16 @@ def _difference_leg(df: DataFrame, row_id: str, geom: str,
 # ----------------------------------------------------------------------
 # public operator
 # ----------------------------------------------------------------------
+_DIM_EXPR = """CASE st_geometrytype({g})
+    WHEN 'Point' THEN 0 WHEN 'MultiPoint' THEN 0
+    WHEN 'LineString' THEN 1 WHEN 'MultiLineString' THEN 1
+    WHEN 'Polygon' THEN 2 WHEN 'MultiPolygon' THEN 2
+    ELSE -1 END"""
+
+
 def overlay(left, right, how: str = "intersection", strategy: str = "auto",
             grid_level: int = 7, total_bounds=None,
+            keep_geom_type: bool = True,
             lsuffix: str = "_left", rsuffix: str = "_right"):
     """Set-theoretic overlay of two GeoDataFrames (geopandas
     ``overlay`` parity; beyond the reference's operator set).  Output
@@ -218,9 +226,21 @@ def overlay(left, right, how: str = "intersection", strategy: str = "auto",
                      .withColumn(lgeom_j, st_make_box(gx0, gy0, gx1, gy1)))
         else:
             inter = _pair_intersection_udf()
-            piece = pairs.withColumn(lgeom_j, inter(F.col(lgeom_j),
-                                                    F.col(rgeom_j)))
-            piece = piece.filter(F.col(lgeom_j).isNotNull())
+            piece = pairs.withColumn("_ov_piece", inter(F.col(lgeom_j),
+                                                        F.col(rgeom_j)))
+            piece = piece.filter(F.col("_ov_piece").isNotNull())
+            if keep_geom_type:
+                # geopandas keep_geom_type=True: drop pieces of lower
+                # dimension than their left input (e.g. the crossing
+                # POINTS of a line×line pair)
+                from ..functions.core import register_sql_functions
+
+                register_sql_functions(left.df.sparkSession)
+                piece = piece.filter(
+                    F.expr(_DIM_EXPR.format(g="_ov_piece"))
+                    == F.expr(_DIM_EXPR.format(g=lgeom_j)))
+            piece = piece.withColumn(lgeom_j, F.col("_ov_piece")) \
+                .drop("_ov_piece")
         legs.append(piece.select(
             *[c for c in lcols if c != lgeom_j], *rcols, lgeom_j))
     if how in ("difference", "symmetric_difference", "union", "identity"):

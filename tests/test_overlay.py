@@ -224,3 +224,37 @@ class TestOverlayLinesAndPoints:
         right = _boxes(spark, [(9, 0, 0, 10, 10)], pre="r")
         res = overlay(left, right, how="difference", strategy="broadcast")
         assert sorted(r["pid"] for r in res.df.select("pid").collect()) == [2]
+
+
+class TestKeepGeomType:
+    def test_line_line_crossings_dropped_by_default(self, spark):
+        """line×line intersection reduces to crossing POINTS — dropped
+        under keep_geom_type=True (the geopandas default), kept with
+        keep_geom_type=False."""
+        from dask_geopandas_spark.geometry import wkt as T
+
+        ldf = spark.createDataFrame(pd.DataFrame({
+            "lid": [0], "geometry": [T.wkt_to_wkb("LINESTRING (0 0, 10 10)")]}))
+        rdf = spark.createDataFrame(pd.DataFrame({
+            "rid": [1], "geometry": [T.wkt_to_wkb("LINESTRING (0 10, 10 0)")]}))
+        left = dgs.GeoDataFrame(ldf, "geometry", crs="EPSG:4326")
+        right = dgs.GeoDataFrame(rdf, "geometry", crs="EPSG:4326")
+        kept = overlay(left, right, how="intersection", strategy="broadcast")
+        assert kept.count() == 0
+        raw = overlay(left, right, how="intersection", strategy="broadcast",
+                      keep_geom_type=False)
+        rows = raw.df.collect()
+        assert len(rows) == 1
+        from dask_geopandas_spark.geometry import wkb as W
+        b = W.parse_wkb([rows[0][raw.geometry_column]])
+        assert int(b.types[0]) in (W.POINT, W.MULTIPOINT)
+
+    def test_same_dim_pieces_unaffected(self, spark):
+        """Polygon×polygon pieces keep flowing under the default."""
+        left = _boxes(spark, [(1, 0, 0, 4, 4)])
+        right = _boxes(spark, [(2, 2, 2, 6, 6)], pre="r")
+        lplain = dgs.GeoDataFrame(left.df, "geometry", crs="EPSG:4326")
+        rplain = dgs.GeoDataFrame(right.df, "geometry", crs="EPSG:4326")
+        res = overlay(lplain, rplain, how="intersection",
+                      strategy="broadcast")
+        assert res.count() == 1
