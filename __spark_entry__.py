@@ -743,6 +743,30 @@ def q_sql_union_agg(spark, sf_dir):
     """)
 
 
+def q_sql_geom_fns(spark, sf_dir):
+    """Parameterized geometry functions on the SQL surface: st_buffer
+    (distance as the 2nd SQL argument) and st_simplify, composed in pure
+    spark.sql.  Oracles are closed forms: a point buffer's envelope is
+    the 2d×2d square (the 64-gon hits ±d exactly on the axes), and
+    Douglas-Peucker at tolerance 0.5 straightens the 0.1-deviation
+    3-point path to its 4-unit chord."""
+    dgs.register_sql_functions(spark)
+    (_t(spark, sf_dir, "customer")
+     .withColumn("px", F.expr(CUST_X)).withColumn("py", F.expr(CUST_Y))
+     .createOrReplaceTempView("_cust_pts_v"))
+    return spark.sql("""
+        SELECT c_custkey AS custkey,
+               round(st_area(st_envelope(st_buffer(
+                   st_point(px, py), 1.5 + c_custkey % 3))), 6)
+                   AS buf_env_area,
+               round(st_length(st_simplify(st_geomfromtext(
+                   CONCAT('LINESTRING (', px, ' ', py, ', ',
+                          px + 2, ' ', py + 0.1, ', ',
+                          px + 4, ' ', py, ')')), 0.5)), 6) AS simp_len
+        FROM _cust_pts_v
+    """)
+
+
 def q_geoarrow_roundtrip(spark, sf_dir):
     """GeoParquet with geoarrow point encoding (GeoParquet 1.1 /
     geopandas 1.0 geometry_encoding='geoarrow'): geometry stored as a
@@ -2021,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_geofence": q_stream_geofence,
         "sql_union_agg": q_sql_union_agg,
         "geoarrow_roundtrip": q_geoarrow_roundtrip,
+        "sql_geom_fns": q_sql_geom_fns,
         "dissolve_union_area": q_dissolve_union_area,
         "union_all_area": q_union_all_area,
         "setops_concave_area": q_setops_concave_area,
@@ -2942,6 +2967,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n,
                    round(sum({CUST_X}), 6) AS sum_x,
                    round(sum({CUST_Y}), 6) AS sum_y
+            FROM customer
+        """,
+        "sql_geom_fns": f"""
+            SELECT c_custkey AS custkey,
+                   round(pow(2.0 * (1.5 + c_custkey % 3), 2), 6)
+                       AS buf_env_area,
+                   4.0 AS simp_len
             FROM customer
         """,
         "geoarrow_roundtrip": f"""

@@ -710,15 +710,9 @@ def _polys_wkb(polys: list) -> bytes:
     return W.serialize_geometry(W.MULTIPOLYGON, polys)
 
 
-def buffer(distance, resolution: int = 16):
-    """Factory: buffer UDF (reference expr.py:314-322 via GEOS).  Exact
-    per-segment Minkowski rounds for every geometry type: points buffer
-    to a 4*resolution-vertex circle (GEOS quad_segs convention);
-    lines/polygons union per-segment rectangles with per-vertex discs
-    through the boolean kernel (round joins and caps — concave inputs
-    buffer correctly, unlike a convex-hull dilation).  Negative distance
-    erodes polygons (subtracts the boundary dilation); lines/points
-    collapse to empty."""
+def buffer_udf(resolution: int = 16):
+    """Two-arg (geometry, distance) buffer pandas UDF — the SQL-surface
+    form; `buffer` wraps it with a fixed distance for the method API."""
 
     @pandas_udf(BinaryType())
     def _buffer(g: pd.Series, d: pd.Series) -> pd.Series:
@@ -767,10 +761,23 @@ def buffer(distance, resolution: int = 16):
                 out.append(_polys_wkb(B.union_polygons(comps)))
         return pd.Series(out, dtype=object)
 
+    return _buffer
+
+
+def buffer(distance, resolution: int = 16):
+    """Factory: buffer UDF (reference expr.py:314-322 via GEOS).  Exact
+    per-segment Minkowski rounds for every geometry type: points buffer
+    to a 4*resolution-vertex circle (GEOS quad_segs convention);
+    lines/polygons union per-segment rectangles with per-vertex discs
+    through the boolean kernel (round joins and caps — concave inputs
+    buffer correctly, unlike a convex-hull dilation).  Negative distance
+    erodes polygons (subtracts the boundary dilation); lines/points
+    collapse to empty."""
     from pyspark.sql import Column
 
+    udf2 = buffer_udf(resolution)
     dist_col = distance if isinstance(distance, Column) else F.lit(float(distance))
-    return lambda col: _buffer(col, dist_col)
+    return lambda col: udf2(col, dist_col)
 
 
 def simplify(tolerance: float):
@@ -1127,6 +1134,32 @@ def st_extent_agg(g: pd.Series) -> list:
     return [None if v != v else float(v) for v in vals]
 
 
+@pandas_udf(BinaryType())
+def st_simplify_sql(g: pd.Series, tol: pd.Series) -> pd.Series:
+    """Two-arg SQL form of simplify: per-row tolerance (a literal in
+    practice — rows group by distinct tolerance and reuse the batch
+    Douglas-Peucker)."""
+    batch = _b(g)
+    tv = tol.to_numpy(dtype=np.float64, na_value=np.nan)
+    keep = np.ones(len(batch.xs), dtype=bool)
+    for p in range(batch.n_paths):
+        i = int(batch.path_geom[p])
+        t = tv[i]
+        if t != t:
+            continue
+        s, e = batch.path_offsets[p], batch.path_offsets[p + 1]
+        if e - s >= 3:
+            keep[s:e] = A.douglas_peucker(batch.xs[s:e], batch.ys[s:e],
+                                          float(t))
+    out = []
+    for i in range(batch.n):
+        if batch.types[i] == 0:
+            out.append(None)
+            continue
+        out.append(_rebuild_filtered(batch, i, keep))
+    return pd.Series(out, dtype=object)
+
+
 def register_sql_functions(spark) -> None:
     """Register the scalar ST_* surface plus the geometry AGGREGATES
     (``st_union_agg`` — the dissolve combine step — and
@@ -1141,3 +1174,6 @@ def register_sql_functions(spark) -> None:
         spark.udf.register(name, fn)
     spark.udf.register("st_union_agg", geom_union_agg)
     spark.udf.register("st_extent_agg", st_extent_agg)
+    # parameterized scalar fns (distance/tolerance as the 2nd SQL arg)
+    spark.udf.register("st_buffer", buffer_udf(16))
+    spark.udf.register("st_simplify", st_simplify_sql)
