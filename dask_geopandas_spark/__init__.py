@@ -43,6 +43,12 @@ __all__ = [
     "read_file",
     "read_geojson",
     "to_geojson",
+    "to_feather",
+    "read_shapefile",
+    "to_shapefile",
+    "read_geopackage",
+    "to_geopackage",
+    "overlay",
     "__version__",
 ]
 
@@ -75,3 +81,39 @@ def to_geojson(gdf_or_df, path, **kw):
     from .sources.geojson import to_geojson as _tg
 
     return _tg(gdf_or_df, path, **kw)
+
+
+def to_feather(gdf_or_df, path, **kw):
+    from .sources.feather import to_feather as _tf
+
+    return _tf(gdf_or_df, path, **kw)
+
+
+def read_shapefile(spark, path, **kw):
+    from .sources.shapefile import read_shapefile as _rs
+
+    return _rs(spark, path, **kw)
+
+
+def to_shapefile(gdf_or_df, path, **kw):
+    from .sources.shapefile import to_shapefile as _ts
+
+    return _ts(gdf_or_df, path, **kw)
+
+
+def read_geopackage(spark, path, **kw):
+    from .sources.geopackage import read_geopackage as _rg
+
+    return _rg(spark, path, **kw)
+
+
+def to_geopackage(gdf_or_df, path, **kw):
+    from .sources.geopackage import to_geopackage as _tg
+
+    return _tg(gdf_or_df, path, **kw)
+
+
+def overlay(left, right, how="intersection", **kw):
+    from .operators.overlay import overlay as _ov
+
+    return _ov(left, right, how=how, **kw)
