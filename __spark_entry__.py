@@ -496,6 +496,32 @@ def q_line_cross(spark, sf_dir):
     )
 
 
+def q_line_overlap(spark, sf_dir):
+    """Collinear line×line intersection/difference reconstruct overlap
+    RUNS (not just crossing points — the last kernel divergence, closed
+    in round 3): horizontal segment [x0, x0+4] against [x0+s, x0+s+4]
+    on the same line (s = o_orderkey % 6) → overlap length
+    max(0, 4−s), difference length 4 − overlap.  Exact closed-form
+    oracle."""
+    from dask_geopandas_spark.functions import core as FX
+
+    x0, y0 = OB["minx"], OB["miny"]
+    sx = f"({x0} + (o_orderkey % 6))"
+    d = (
+        _t(spark, sf_dir, "orders")
+        .withColumn("la", FX.st_geomfromtext(
+            F.expr(_seg_wkt(x0, y0, f"({x0} + 4)", y0))))
+        .withColumn("lb", FX.st_geomfromtext(
+            F.expr(_seg_wkt(sx, y0, f"({sx} + 4)", y0))))
+    )
+    return d.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(FX.st_length(FX.st_intersection(F.col("la"), F.col("lb"))),
+                6).alias("overlap_len"),
+        F.round(FX.st_length(FX.st_difference(F.col("la"), F.col("lb"))),
+                6).alias("remain_len"))
+
+
 def q_equals_exact(spark, sf_dir):
     """geom_equals_exact with tolerance (reference: expr.py:307-312):
     b = a shifted by (o_orderkey % 5)·0.001; equal within 0.0025 iff
@@ -2046,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_union_agg": q_sql_union_agg,
         "geoarrow_roundtrip": q_geoarrow_roundtrip,
         "sql_geom_fns": q_sql_geom_fns,
+        "line_overlap": q_line_overlap,
         "dissolve_union_area": q_dissolve_union_area,
         "union_all_area": q_union_all_area,
         "setops_concave_area": q_setops_concave_area,
@@ -2968,6 +2995,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sum({CUST_X}), 6) AS sum_x,
                    round(sum({CUST_Y}), 6) AS sum_y
             FROM customer
+        """,
+        "line_overlap": """
+            SELECT o_orderkey AS orderkey,
+                   round(CAST(greatest(0, 4 - (o_orderkey % 6)) AS DOUBLE), 6)
+                       AS overlap_len,
+                   round(CAST(4 - greatest(0, 4 - (o_orderkey % 6)) AS DOUBLE), 6)
+                       AS remain_len
+            FROM orders
         """,
         "sql_geom_fns": f"""
             SELECT c_custkey AS custkey,

@@ -759,14 +759,103 @@ def intersection_one(Ab: W.GeometryBatch, i: int, Bb: W.GeometryBatch, j: int) -
         kept = B.clip_lines_to_rings(geom_lines(Ab, i), geom_rings(Bb, j))
         return _lines_geom([(p[:, 0], p[:, 1]) for p in kept])
     if da == 1 and db == 1:
-        # collinear overlap runs not reconstructed — return crossing points
         sa = A._segments(Ab, i); sb = A._segments(Bb, j)
-        pts = _seg_crossings(sa, sb)
-        return _points_geom(*pts)
+        intervals, touches = _collinear_intervals(sa, sb)
+        pieces = _interval_pieces(sa, intervals)
+        px, py = _seg_crossings(sa, sb)
+        # degenerate collinear endpoint contacts are intersection points
+        ax1, ay1, ax2, ay2 = sa
+        tx, ty = [], []
+        for k, ts in enumerate(touches):
+            for t in ts:
+                tx.append(ax1[k] + t * (ax2[k] - ax1[k]))
+                ty.append(ay1[k] + t * (ay2[k] - ay1[k]))
+        if len(tx):
+            px = np.concatenate([px, np.asarray(tx)])
+            py = np.concatenate([py, np.asarray(ty)])
+        if pieces and len(px):
+            # mixed result (overlap runs + isolated crossings): a
+            # collection, like GEOS; points lying on a run are dropped
+            keep = []
+            for x, y in zip(px, py):
+                on_run = any(
+                    min(pc[0]) <= x <= max(pc[0])
+                    and min(pc[1]) <= y <= max(pc[1])
+                    and (pc[0][1] - pc[0][0]) * (y - pc[1][0])
+                    == (pc[1][1] - pc[1][0]) * (x - pc[0][0])
+                    for pc in pieces)
+                if not on_run:
+                    keep.append((x, y))
+            if not keep:
+                return _lines_geom(pieces)
+            members = [(W.LINESTRING, np.column_stack(pc)) for pc in pieces]
+            members += [(W.POINT, np.array(p)) for p in keep]
+            return W.serialize_geometry(W.GEOMETRYCOLLECTION, members)
+        if pieces:
+            return _lines_geom(pieces)
+        if len(px):
+            pts = np.unique(np.column_stack([px, py]), axis=0)
+            return _points_geom(pts[:, 0], pts[:, 1])
+        return _points_geom(px, py)
     # polygon × polygon: exact boolean kernel overlay (arbitrary concave /
     # holed / multi-part operands)
     return _polys_geom(B.overlay(geom_rings(Ab, i), geom_rings(Bb, j),
                                  "intersection"))
+
+
+def _collinear_intervals(sa, sb):
+    """Per a-segment merged parameter intervals where b's COLLINEAR
+    segments overlap it, plus degenerate touch parameters (endpoint
+    contact of collinear segments).  Returns (intervals, touches):
+    intervals[k] = [(tlo, thi), ...] with thi > tlo, merged and sorted;
+    touches[k] = [t, ...] where the overlap degenerates to one point."""
+    ax1, ay1, ax2, ay2 = sa
+    bx1, by1, bx2, by2 = sb
+    n = len(ax1)
+    intervals = [[] for _ in range(n)]
+    touches = [[] for _ in range(n)]
+    for k in range(n):
+        dx, dy = ax2[k] - ax1[k], ay2[k] - ay1[k]
+        L2 = dx * dx + dy * dy
+        if L2 == 0:
+            continue
+        cross_dir = dx * (by2 - by1) - dy * (bx2 - bx1)
+        cross_pos = dx * (by1 - ay1[k]) - dy * (bx1 - ax1[k])
+        col = (cross_dir == 0.0) & (cross_pos == 0.0)
+        if not col.any():
+            continue
+        t1 = ((bx1[col] - ax1[k]) * dx + (by1[col] - ay1[k]) * dy) / L2
+        t2 = ((bx2[col] - ax1[k]) * dx + (by2[col] - ay1[k]) * dy) / L2
+        lo = np.maximum(np.minimum(t1, t2), 0.0)
+        hi = np.minimum(np.maximum(t1, t2), 1.0)
+        for lv, hv in zip(lo, hi):
+            if hv > lv:
+                intervals[k].append((float(lv), float(hv)))
+            elif hv == lv and 0.0 <= lv <= 1.0:
+                touches[k].append(float(lv))
+    for k in range(n):
+        if len(intervals[k]) > 1:
+            ivs = sorted(intervals[k])
+            merged = [list(ivs[0])]
+            for lv, hv in ivs[1:]:
+                if lv <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], hv)
+                else:
+                    merged.append([lv, hv])
+            intervals[k] = [tuple(m) for m in merged]
+    return intervals, touches
+
+
+def _interval_pieces(sa, intervals) -> list:
+    """Coordinate pieces for per-segment parameter intervals."""
+    ax1, ay1, ax2, ay2 = sa
+    pieces = []
+    for k, ivs in enumerate(intervals):
+        dx, dy = ax2[k] - ax1[k], ay2[k] - ay1[k]
+        for lv, hv in ivs:
+            pieces.append((np.array([ax1[k] + lv * dx, ax1[k] + hv * dx]),
+                           np.array([ay1[k] + lv * dy, ay1[k] + hv * dy])))
+    return pieces
 
 
 def _seg_crossings(sa, sb):
@@ -915,7 +1004,30 @@ def difference_one(Ab: W.GeometryBatch, i: int, Bb: W.GeometryBatch, j: int) -> 
         # exact boolean kernel difference (concave results, splits, holes)
         return _polys_geom(B.overlay(geom_rings(Ab, i), geom_rings(Bb, j),
                                      "difference"))
-    # line − line / anything else: subtract nothing measurable
+    if da == 1 and db == 1:
+        # line − line: remove collinear overlap runs (zero-measure
+        # crossings subtract nothing)
+        sa = A._segments(Ab, i)
+        sb = A._segments(Bb, j)
+        if sa is None or sb is None:
+            return ra_raw
+        intervals, _ = _collinear_intervals(sa, sb)
+        if not any(intervals):
+            return ra_raw
+        complement = []
+        for k, ivs in enumerate(intervals):
+            kept = []
+            cur = 0.0
+            for lv, hv in ivs:
+                if lv > cur:
+                    kept.append((cur, lv))
+                cur = max(cur, hv)
+            if cur < 1.0:
+                kept.append((cur, 1.0))
+            complement.append(kept)
+        pieces = _interval_pieces(sa, complement)
+        return _lines_geom(pieces) if pieces else _EMPTY_GC
+    # point − line etc.: subtract nothing measurable
     return ra_raw
 
 

@@ -153,3 +153,63 @@ def test_null_propagation():
     # union with one null returns the other operand
     u = S.pairwise_union(a, b)
     assert u[0] is not None and u[1] is not None
+
+
+class TestCollinearOverlapRuns:
+    """line×line collinear overlaps reconstruct as LineString runs
+    (closing the last documented kernel divergence); crossings stay
+    points; difference removes the runs."""
+
+    def _pair(self, spark, a, b):
+        import pandas as pd
+
+        from dask_geopandas_spark.geometry import wkt as T
+
+        df = spark.createDataFrame(pd.DataFrame(
+            {"ga": [T.wkt_to_wkb(a)], "gb": [T.wkt_to_wkb(b)]}))
+        return df
+
+    def test_overlap_run_length(self, spark):
+        from pyspark.sql import functions as F
+
+        from dask_geopandas_spark.functions import core as FX
+
+        df = self._pair(spark, "LINESTRING (0 0, 4 0)",
+                        "LINESTRING (1 0, 6 0)")
+        row = df.select(
+            FX.st_length(FX.st_intersection(F.col("ga"), F.col("gb")))
+            .alias("il"),
+            FX.st_length(FX.st_difference(F.col("ga"), F.col("gb")))
+            .alias("dl"),
+            FX.st_astext(FX.st_intersection(F.col("ga"), F.col("gb")))
+            .alias("iw")).collect()[0]
+        assert row["il"] == 3.0 and row["dl"] == 1.0
+        assert row["iw"] == "LINESTRING (1 0, 4 0)"
+
+    def test_touch_is_point_and_mixed_is_collection(self, spark):
+        from pyspark.sql import functions as F
+
+        from dask_geopandas_spark.functions import core as FX
+
+        t = self._pair(spark, "LINESTRING (0 0, 4 0)",
+                       "LINESTRING (4 0, 8 0)")
+        assert t.select(FX.st_astext(FX.st_intersection(
+            F.col("ga"), F.col("gb"))).alias("w")).collect()[0]["w"] == \
+            "POINT (4 0)"
+        m = self._pair(spark, "LINESTRING (0 0, 4 0, 4 4)",
+                       "MULTILINESTRING ((1 0, 3 0), (0 3, 8 3))")
+        w = m.select(FX.st_astext(FX.st_intersection(
+            F.col("ga"), F.col("gb"))).alias("w")).collect()[0]["w"]
+        assert w.startswith("GEOMETRYCOLLECTION") and "LINESTRING" in w \
+            and "POINT" in w
+
+    def test_difference_splits_at_removed_run(self, spark):
+        from pyspark.sql import functions as F
+
+        from dask_geopandas_spark.functions import core as FX
+
+        df = self._pair(spark, "LINESTRING (0 0, 4 0)",
+                        "LINESTRING (1 0, 3 0)")
+        w = df.select(FX.st_astext(FX.st_difference(
+            F.col("ga"), F.col("gb"))).alias("w")).collect()[0]["w"]
+        assert w == "MULTILINESTRING ((0 0, 1 0), (3 0, 4 0))"
