@@ -904,6 +904,25 @@ def q_ann_pq(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "adist", "rank")
 
 
+def q_ann_ivf_pq(spark, sf_dir):
+    """Composed IVF-PQ index search (write_ivf_pq_index + ivf_pq_topk):
+    hive-partitioned cells storing m-byte codes only — the scan prunes
+    to nprobe cells AND never reads the vectors.  Iterative training →
+    rows-only; the pruning + code-only-scan contract and in-memory
+    agreement are pinned in pytest."""
+    import shutil
+
+    path = "/root/repo/.bench_tmp/ivfpq_index"
+    shutil.rmtree(path, ignore_errors=True)
+    e = _t(spark, sf_dir, "embeddings")
+    cents = SIM.train_centroids(e, n_cells=8, iters=2)
+    books = SIM.train_pq(e, m=8, k=16, sample=512)
+    SIM.write_ivf_pq_index(e, path, cents, books)
+    queries = e.filter(F.col("vec_id") < 20)
+    out = SIM.ivf_pq_topk(spark, path, queries, cents, books, k=5, nprobe=3)
+    return out.select("query_id", "neighbor_id", "adist", "rank")
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF approximate nearest neighbor — the 100 TB scale path (cell
     equi-join probing nprobe cells instead of a full corpus scan).  No
@@ -2073,6 +2092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoarrow_roundtrip": q_geoarrow_roundtrip,
         "sql_geom_fns": q_sql_geom_fns,
         "line_overlap": q_line_overlap,
+        "ann_ivf_pq": q_ann_ivf_pq,
         "dissolve_union_area": q_dissolve_union_area,
         "union_all_area": q_union_all_area,
         "setops_concave_area": q_setops_concave_area,

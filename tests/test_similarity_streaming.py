@@ -324,3 +324,51 @@ def test_geofence_left_join_and_refinement(spark):
     left = geofence_join(pts, fences, "px", "py", how="left")
     got = {r["pid"]: r["fid"] for r in left.select("pid", "fid").collect()}
     assert got == {0: 7, 1: None, 2: None}
+
+
+def test_ivf_pq_index_prunes_and_scores(spark, embeddings, tmp_path):
+    """write_ivf_pq_index stores (id, code) hive-partitioned by cell;
+    ivf_pq_topk scans only the probed cells (static partition filter),
+    scores from codes alone, and agrees with in-memory PQ scoring
+    restricted to the same probed cells."""
+    from dask_geopandas_spark.operators.similarity import (assign_ivf_cells,
+                                                           ivf_pq_topk,
+                                                           pq_encode,
+                                                           train_centroids,
+                                                           train_pq,
+                                                           write_ivf_pq_index)
+
+    path = str(tmp_path / "ivfpq")
+    cents = train_centroids(embeddings, n_cells=8, iters=2)
+    books = train_pq(embeddings, m=8, k=16, sample=512)
+    write_ivf_pq_index(embeddings, path, cents, books)
+
+    queries = embeddings.filter(F.col("vec_id") < 8)
+    out = ivf_pq_topk(spark, path, queries, cents, books, k=5, nprobe=3)
+    rows = out.collect()
+    assert len({r["query_id"] for r in rows}) == 8
+    assert all(1 <= r["rank"] <= 5 for r in rows)
+
+    # the stored scan carries a static ivf_cell partition filter
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan = "\n".join(ln for ln in plan.splitlines()
+                     if "FileScan" in ln or "PartitionFilters" in ln)
+    assert "ivf_cell" in scan and "PartitionFilters: []" not in scan
+    # ... and reads codes, never the embedding vectors
+    assert "embedding" not in scan
+
+    # agreement with in-memory scoring over the same probed candidate set
+    import numpy as np
+    C = np.asarray(cents)
+    coded = pq_encode(assign_ivf_cells(embeddings, cents), books)
+    stored = spark.read.parquet(path)
+    for r in queries.collect()[:3]:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        probe = set(np.argsort(((C - v[None])**2).sum(1), kind="stable")[:3].tolist())
+        cand = {x["vec_id"] for x in
+                stored.filter(F.col("ivf_cell").isin([int(p) for p in probe]))
+                .select("vec_id").collect()}
+        mem = {x["vec_id"] for x in
+               coded.filter(F.col("ivf_cell").isin([int(p) for p in probe]))
+               .select("vec_id").collect()}
+        assert cand == mem
