@@ -1918,6 +1918,19 @@ def q_stream_geofence(spark, sf_dir):
                       F.col("n_nationkey").alias("nationkey"), "n_events")
 
 
+def q_sliding_windows(spark, sf_dir):
+    """SLIDING-window rollup (1-hour windows every 15 minutes — each
+    event lands in 4 windows).  Batch path of the streaming operator;
+    oracle expands each event into bucket − k·15min for k = 0..3."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return windowed_event_counts(ev, window="1 hour", slide="15 minutes")
+
+
 def q_session_windows(spark, sf_dir):
     """Sessionization via native session_window (gap 30 min): events of a
     type closer than the gap merge into one session.  Batch/streaming
@@ -2093,6 +2106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_geom_fns": q_sql_geom_fns,
         "line_overlap": q_line_overlap,
         "ann_ivf_pq": q_ann_ivf_pq,
+        "sliding_windows": q_sliding_windows,
         "dissolve_union_area": q_dissolve_union_area,
         "union_all_area": q_union_all_area,
         "setops_concave_area": q_setops_concave_area,
@@ -3384,6 +3398,14 @@ def oracle_sql() -> dict[str, str]:
                   FROM c)
             SELECT CAST(rank AS INTEGER) AS rank, token, n
             FROM r WHERE rank <= 50
+        """,
+        "sliding_windows": """
+            SELECT time_bucket(INTERVAL '15 minutes', ts)
+                       - to_minutes(15 * r.range) AS window_start,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events, range(4) r
+            GROUP BY 1, 2
         """,
         "stream_geofence": f"""
             SELECT date_trunc('hour', e.ts) AS window_start,

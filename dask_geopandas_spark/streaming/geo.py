@@ -52,15 +52,20 @@ def attach_geometry(stream_df: DataFrame, x: str, y: str,
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
                           watermark: str = "2 hours",
-                          ts_col: str = "ts") -> DataFrame:
-    """Tumbling-window count+sum per event_type with a watermark for late
-    data.  Works identically on batch DataFrames (window() is the same
-    expression) — the driver's batch oracle uses date_trunc."""
+                          ts_col: str = "ts",
+                          slide: str | None = None) -> DataFrame:
+    """Tumbling-window (or, with ``slide``, SLIDING-window) count+sum
+    per event_type with a watermark for late data.  Works identically
+    on batch DataFrames (window() is the same expression) — the
+    driver's batch oracle uses date_trunc (tumbling) or a
+    bucket-minus-k-slides expansion (sliding)."""
     df = _watermarkable_ts(events, ts_col)
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
+    w = (F.window(ts_col, window, slide) if slide
+         else F.window(ts_col, window))
     return (
-        df.groupBy(F.window(ts_col, window).alias("w"), F.col("event_type"))
+        df.groupBy(w.alias("w"), F.col("event_type"))
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type",
                 "n_events", "sum_value")
