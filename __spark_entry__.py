@@ -2076,10 +2076,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness check emits at most
     50 rows, in registry order.  Round 3 therefore front-loads (a) queries
-    NEW this round, then (b) the 25 entries that had no driver row in
+    NEW this round, then (b) the entries that had no driver row in
     CORRECTNESS_r02 (registry positions 51-75 last round), then (c) the
     r02-green remainder — rotating coverage so every entry gets a driver
-    attestation across consecutive rounds."""
+    attestation across consecutive rounds.  Round 3 grew (a) past the
+    cap: positions 51+ (audio_meta, frame_counts, the r01-green four,
+    and the r02-green block) are all green in this round's full local
+    runs (scripts/check_oracle.py: 106/106) — rotate them first next
+    round."""
     return {
         # -- (a) NEW in round 3 (never driver-checked) --
         "shapefile_roundtrip": q_shapefile_roundtrip,
