@@ -31,14 +31,16 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     column and optionally a ``by`` key column.
 
     direction='backward': match the latest right row with
-    ``r.on <= l.on``; 'forward': the earliest with ``r.on >= l.on``.
+    ``r.on <= l.on``; 'forward': the earliest with ``r.on >= l.on``;
+    'nearest': whichever of the two is closer (backward on ties).
     ``tolerance`` (seconds for timestamp columns, plain units for
     numerics) discards matches farther than the bound.  ``how``:
     'left' keeps unmatched left rows with NULLs, 'inner' drops them.
     Right payload columns come back prefixed with ``right_prefix``.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward', 'forward', or 'nearest'")
     if how not in ("left", "inner"):
         raise ValueError("how must be 'left' or 'inner'")
     if tolerance is not None and tolerance < 0:
@@ -64,19 +66,44 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     # backward: ascending time, right rows (side 0) before left at equal
     # time so an exactly-simultaneous right row matches (tie-inclusive).
     # forward is the mirror image: descending time, same side order.
-    tcol = F.col(on) if direction == "backward" else F.col(on).desc()
-    w = ((Window.partitionBy(by) if by else Window.partitionBy())
-         .orderBy(tcol, F.col("_asof_side"))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    matched = combined.withColumn(
-        "_asof_match", F.last("_asof_payload", ignorenulls=True).over(w))
+    # nearest evaluates BOTH windows over the one partitioning (a single
+    # shuffle, two in-partition sorts) and picks the smaller gap,
+    # backward on ties.
+    part = Window.partitionBy(by) if by else Window.partitionBy()
+    w_back = part.orderBy(F.col(on), F.col("_asof_side")) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = part.orderBy(F.col(on).desc(), F.col("_asof_side")) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    if direction == "backward":
+        matched = combined.withColumn(
+            "_asof_match", F.last("_asof_payload", ignorenulls=True).over(w_back))
+    elif direction == "forward":
+        matched = combined.withColumn(
+            "_asof_match", F.last("_asof_payload", ignorenulls=True).over(w_fwd))
+    else:
+        back = F.last("_asof_payload", ignorenulls=True).over(w_back)
+        fwd = F.last("_asof_payload", ignorenulls=True).over(w_fwd)
+        lt = F.col(on).cast("double")
+        gap_b = lt - back[on].cast("double")
+        gap_f = fwd[on].cast("double") - lt
+        matched = combined.withColumn(
+            "_asof_match",
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(gap_b <= gap_f, back)
+            .otherwise(fwd))
 
     out = matched.filter(F.col("_asof_side") == 1) \
         .drop("_asof_side", "_asof_payload")
     if tolerance is not None:
         lt = F.col(on).cast("double")
         rt = F.col(f"_asof_match.{on}").cast("double")
-        gap = (lt - rt) if direction == "backward" else (rt - lt)
+        if direction == "backward":
+            gap = lt - rt
+        elif direction == "forward":
+            gap = rt - lt
+        else:
+            gap = F.abs(lt - rt)
         out = out.withColumn(
             "_asof_match",
             F.when(gap <= F.lit(float(tolerance)), F.col("_asof_match")))

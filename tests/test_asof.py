@@ -90,3 +90,42 @@ class TestAsofJoin:
             asof_join(ldf, rdf, direction="sideways")
         with pytest.raises(ValueError):
             asof_join(ldf, rdf, tolerance=-1)
+
+
+def _brute_nearest(lpdf, rpdf, tolerance=None, by="k"):
+    out = {}
+    for _, lr in lpdf.iterrows():
+        cand = rpdf[rpdf[by] == lr[by]]
+        m = None
+        if len(cand):
+            gaps = (cand["ts"] - lr["ts"]).abs()
+            best = gaps.min()
+            tied = cand[gaps == best]
+            back = tied[tied["ts"] <= lr["ts"]]
+            m = (back if len(back) else tied).sort_values("ts").iloc[-1 if len(back) else 0]
+            if tolerance is not None and abs(m["ts"] - lr["ts"]) > tolerance:
+                m = None
+        out[lr["lid"]] = None if m is None else int(m["rid"])
+    return out
+
+
+class TestAsofNearest:
+    def test_nearest_matches_brute_force(self, frames):
+        lpdf, rpdf, ldf, rdf = frames
+        out = asof_join(ldf, rdf, on="ts", by="k", direction="nearest")
+        got = {r["lid"]: r["asof_rid"] for r in out.collect()}
+        assert got == _brute_nearest(lpdf, rpdf)
+
+    def test_nearest_with_tolerance(self, frames):
+        lpdf, rpdf, ldf, rdf = frames
+        out = asof_join(ldf, rdf, on="ts", by="k", direction="nearest",
+                        tolerance=10.0)
+        got = {r["lid"]: r["asof_rid"] for r in out.collect()}
+        assert got == _brute_nearest(lpdf, rpdf, tolerance=10.0)
+
+    def test_tie_prefers_backward(self, spark):
+        ldf = spark.createDataFrame([(0, 1, 10.0)], "lid long, k long, ts double")
+        rdf = spark.createDataFrame([(7, 1, 8.0), (8, 1, 12.0)],
+                                    "rid long, k long, ts double")
+        out = asof_join(ldf, rdf, on="ts", by="k", direction="nearest")
+        assert out.collect()[0]["asof_rid"] == 7
