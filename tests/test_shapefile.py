@@ -219,3 +219,54 @@ class TestShapefileFormat:
         back = read_shapefile(spark, path)
         rows = sorted(back.df.collect(), key=lambda r: r["id"])
         assert rows[0]["v"] == 1.25 and rows[1]["v"] is None
+
+
+class TestShapefilePropertyRoundtrip:
+    def test_random_mixed_layer_roundtrips(self, spark, tmp_path):
+        """Property-style roundtrip: a randomized mixed layer of points,
+        lines, and (multi)polygons with holes survives write+read with
+        exact coordinates (compare via canonical WKT)."""
+        rng = np.random.RandomState(42)
+        from dask_geopandas_spark.geometry import wkt as T
+
+        wkts = []
+        for i in range(40):
+            kind = i % 4
+            if kind == 0:
+                x, y = rng.uniform(-100, 100, 2).round(6)
+                wkts.append(f"POINT ({x} {y})")
+            elif kind == 1:
+                n = rng.randint(2, 6)
+                pts = ", ".join(
+                    f"{a} {b}" for a, b in rng.uniform(-50, 50, (n, 2)).round(6))
+                wkts.append(f"LINESTRING ({pts})")
+            elif kind == 2:
+                cx, cy = rng.uniform(-40, 40, 2).round(3)
+                w, h = rng.uniform(1, 10, 2).round(3)
+                wkts.append(
+                    f"POLYGON (({cx} {cy}, {cx+w} {cy}, {cx+w} {cy+h}, "
+                    f"{cx} {cy+h}, {cx} {cy}))")
+            else:
+                cx, cy = rng.uniform(-40, 40, 2).round(3)
+                wkts.append(
+                    f"POLYGON (({cx} {cy}, {cx+10} {cy}, {cx+10} {cy+10}, "
+                    f"{cx} {cy+10}, {cx} {cy}), "
+                    f"({cx+2} {cy+2}, {cx+4} {cy+2}, {cx+4} {cy+4}, "
+                    f"{cx+2} {cy+4}, {cx+2} {cy+2}))")
+        g = _wkt_frame(spark, wkts)
+        path = str(tmp_path / "prop")
+        to_shapefile(g, path)
+        back = read_shapefile(spark, path)
+        got = {r["id"]: r["geometry"] for r in back.df.collect()}
+        from dask_geopandas_spark.geometry import algorithms as A
+        for i, w in enumerate(wkts):
+            orig = W.parse_wkb([T.wkt_to_wkb(w)])
+            rt = W.parse_wkb([got[i]])
+            # type preserved, coordinate multiset identical, area/length
+            # preserved (ring orientation may flip, order-insensitive)
+            assert int(rt.types[0]) == int(orig.types[0]), w
+            a = np.sort(np.column_stack([orig.xs, orig.ys]), axis=0)
+            b = np.sort(np.column_stack([rt.xs, rt.ys]), axis=0)
+            np.testing.assert_allclose(a, b, atol=0)
+            np.testing.assert_allclose(A.area(rt), A.area(orig), atol=1e-9)
+            np.testing.assert_allclose(A.length(rt), A.length(orig), atol=1e-9)
