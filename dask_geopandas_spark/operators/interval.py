@@ -31,9 +31,12 @@ def interval_join(left: DataFrame, right: DataFrame,
                   right_bounds: tuple = ("start", "end"),
                   by: str | None = None,
                   bucket_width: float | None = None,
+                  how: str = "inner",
                   lsuffix: str = "_left", rsuffix: str = "_right") -> DataFrame:
-    """Inner join on interval overlap: ``max(ls, rs) <= min(le, re)``
-    (plus ``by`` equality when given).
+    """Join on interval overlap: ``max(ls, rs) <= min(le, re)``
+    (plus ``by`` equality when given).  ``how='left'`` keeps
+    non-overlapping left rows with NULL right columns (one extra native
+    join on a content hash of the left row, as in sjoin).
 
     ``bucket_width`` controls the bucketize granularity (defaults to a
     driver-side estimate: the mean left interval length, floor-bounded;
@@ -44,6 +47,27 @@ def interval_join(left: DataFrame, right: DataFrame,
     buckets is kept only in the bucket of ``max(ls, rs)`` — a native
     filter, no distinct shuffle.
     """
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    if how == "left":
+        # match inner on a content-hashed left, then one native left
+        # join restores unmatched rows (the sjoin left-path pattern);
+        # output column naming matches the inner form
+        lrow = "_iv_left_row"
+        lh = left.withColumn(
+            lrow, F.xxhash64(*[F.col(c) for c in left.columns]))
+        matched = interval_join(lh, right, left_bounds, right_bounds,
+                                by=by, bucket_width=bucket_width,
+                                how="inner", lsuffix=lsuffix,
+                                rsuffix=rsuffix)
+        common2 = set(lh.columns) & set(right.columns)
+        left_out = {f"{c}{lsuffix}" if c in common2 else c
+                    for c in lh.columns}
+        rcols = [c for c in matched.columns if c not in left_out]
+        for c in common2:
+            lh = lh.withColumnRenamed(c, f"{c}{lsuffix}")
+        return (lh.join(matched.select(lrow, *rcols).distinct(),
+                        on=lrow, how="left").drop(lrow))
     ls, le = left_bounds
     rs, re = right_bounds
     common = set(left.columns) & set(right.columns)

@@ -75,3 +75,27 @@ class TestIntervalJoin:
             ._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoop" not in plan
+
+
+class TestIntervalLeftJoin:
+    def test_left_keeps_unmatched(self, spark):
+        ldf = spark.createDataFrame(
+            [(0, 0.0, 5.0), (1, 100.0, 110.0)], "lid long, s double, e double")
+        rdf = spark.createDataFrame(
+            [(7, 3.0, 8.0)], "rid long, s double, e double")
+        out = interval_join(ldf, rdf, ("s", "e"), ("s", "e"), how="left")
+        got = {r["lid"]: r["rid"] for r in out.select("lid", "rid").collect()}
+        assert got == {0: 7, 1: None}
+
+    def test_left_matches_equal_inner_plus_nulls(self, frames):
+        lpdf, rpdf, ldf, rdf = frames
+        inner = {(r["lid"], r["rid"]) for r in
+                 interval_join(ldf, rdf, ("s", "e"), ("s", "e"), by="k")
+                 .select("lid", "rid").collect()}
+        left = [(r["lid"], r["rid"]) for r in
+                interval_join(ldf, rdf, ("s", "e"), ("s", "e"), by="k",
+                              how="left").select("lid", "rid").collect()]
+        matched = {p for p in left if p[1] is not None}
+        assert matched == inner
+        unmatched_l = {p[0] for p in left if p[1] is None}
+        assert unmatched_l == set(lpdf["lid"]) - {a for a, _ in inner}
