@@ -372,3 +372,31 @@ def test_ivf_pq_index_prunes_and_scores(spark, embeddings, tmp_path):
                coded.filter(F.col("ivf_cell").isin([int(p) for p in probe]))
                .select("vec_id").collect()}
         assert cand == mem
+
+
+def test_sliding_windows_stream_batch_agreement(spark, sf_dir):
+    """Sliding-window (1h / 15min) streaming rollup equals the batch
+    computation exactly."""
+    from dask_geopandas_spark.streaming.geo import windowed_event_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fix = lambda df: df.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    ) if dict(df.dtypes).get("ts") == "bigint" else df
+
+    batch = windowed_event_counts(fix(static), window="1 hour",
+                                  slide="15 minutes")
+    stream = (spark.readStream.schema(static.schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    agg = windowed_event_counts(fix(stream), window="1 hour",
+                                slide="15 minutes")
+    q = (agg.writeStream.format("memory").queryName("t_slide_sink")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("t_slide_sink")
+    key = lambda r: (r["window_start"], r["event_type"])
+    b = {key(r): (r["n_events"], r["sum_value"]) for r in batch.collect()}
+    s = {key(r): (r["n_events"], r["sum_value"]) for r in got.collect()}
+    assert b == s and len(b) > 0
