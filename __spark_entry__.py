@@ -1598,6 +1598,18 @@ def q_length_percentiles(spark, sf_dir):
                  F.max("n_chars").alias("max_chars")))
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup.py
+    contamination_report): training docs sharing any 3-shingle with the
+    'benchmark' slice (doc_id % 97 == 0) — the eval-leakage guard.
+    Broadcast hash join on portable shingle hashes; oracle reproduces
+    them bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    return DD.contamination_report(train, bench)
+
+
 def q_exact_dedup(spark, sf_dir):
     return DD.exact_dedup(_t(spark, sf_dir, "documents"))
 
@@ -2111,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_overlap": q_line_overlap,
         "ann_ivf_pq": q_ann_ivf_pq,
         "sliding_windows": q_sliding_windows,
+        "contamination": q_contamination,
         "dissolve_union_area": q_dissolve_union_area,
         "union_all_area": q_union_all_area,
         "setops_concave_area": q_setops_concave_area,
@@ -3347,6 +3360,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(nt) AS BIGINT) AS sum_tokens
             FROM r GROUP BY 1, 2
+        """,
+        "contamination": f"""
+            WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           {_SHINGLES3}, sh -> {_PHASH('sh')}))) AS h
+                FROM t
+            ),
+            tr AS (SELECT doc_id, h FROM sh WHERE doc_id % 97 <> 0),
+            be AS (SELECT doc_id AS bench_id, h FROM sh
+                   WHERE doc_id % 97 = 0)
+            SELECT tr.doc_id AS train_id,
+                   count(*) AS n_shared_shingles,
+                   count(DISTINCT be.bench_id) AS n_bench_docs
+            FROM tr JOIN be ON tr.h = be.h
+            GROUP BY 1
         """,
         "exact_dedup": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,

@@ -466,3 +466,45 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
                       cosine(F.col("_va"), F.col("_vb")).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+def contamination_report(train: DataFrame, benchmark: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         bench_id_col: str = "doc_id",
+                         k: int = 3) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    k-shingle with an evaluation/benchmark set (the canonical pipeline
+    guard against eval leakage).
+
+    Plan shape at 100 TB: both sides reduce to (id, shingle_hash) pairs
+    through the single-pass native shingle expressions; the benchmark
+    side is tiny → its exploded hash set broadcasts, and the train side
+    streams through one broadcast hash join + one aggregation — the
+    full corpus is never shuffled.  Returns
+    (train_id, n_shared_shingles, n_bench_docs) per CONTAMINATED train
+    doc (clean docs absent — anti-join against this to decontaminate).
+    """
+    th = (hashed_shingle_table(train, text_col, id_col, k)
+          .select(F.col(id_col).alias("train_id"),
+                  F.explode(F.array_distinct("_shh")).alias("_h")))
+    bh = (hashed_shingle_table(benchmark, text_col, bench_id_col, k)
+          .select(F.col(bench_id_col).alias("bench_id"),
+                  F.explode(F.array_distinct("_shh")).alias("_h")))
+    hits = th.join(F.broadcast(bh), on="_h")
+    return (hits.groupBy("train_id")
+            .agg(F.count("*").alias("n_shared_shingles"),
+                 F.countDistinct("bench_id").alias("n_bench_docs")))
+
+
+def decontaminate(train: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_id_col: str = "doc_id", k: int = 3,
+                  min_shared: int = 1) -> DataFrame:
+    """Drop training documents sharing ≥ ``min_shared`` k-shingles with
+    the benchmark set: one broadcast anti-join against the
+    contamination report."""
+    bad = contamination_report(train, benchmark, text_col, id_col,
+                               bench_id_col, k) \
+        .filter(F.col("n_shared_shingles") >= min_shared) \
+        .select(F.col("train_id").alias(id_col))
+    return train.join(bad, on=id_col, how="left_anti")

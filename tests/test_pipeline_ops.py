@@ -441,3 +441,39 @@ def test_resize_and_audio_plumbing(spark):
                     for pdf in bs), schema=schema)
     with pytest.raises(Exception, match="NotImplementedError|image library"):
         MM.with_image_meta(bad).collect()
+
+
+class TestDecontamination:
+    def test_report_and_anti_join(self, spark):
+        from dask_geopandas_spark.operators.dedup import (
+            contamination_report, decontaminate)
+
+        train = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the dog"),
+             (2, "completely unrelated sentence about pasta recipes"),
+             (3, "quick brown fox appears here too somehow")],
+            "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [(100, "watch the quick brown fox run")],
+            "doc_id long, text string")
+        rep = {r["train_id"]: (r["n_shared_shingles"], r["n_bench_docs"])
+               for r in contamination_report(train, bench).collect()}
+        # docs 1 and 3 share the 'quick brown fox' 3-shingle; doc 2 clean
+        assert set(rep) == {1, 3}
+        assert all(v[0] >= 1 and v[1] == 1 for v in rep.values())
+        clean = decontaminate(train, bench)
+        assert [r["doc_id"] for r in clean.select("doc_id").collect()] == [2]
+
+    def test_broadcast_plan(self, spark):
+        """The benchmark side broadcasts — the train corpus is never
+        shuffled for the join."""
+        from dask_geopandas_spark.operators.dedup import contamination_report
+
+        train = spark.createDataFrame(
+            [(i, f"doc number {i} words here") for i in range(50)],
+            "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [(0, "doc number 7 words here")], "doc_id long, text string")
+        plan = contamination_report(train, bench) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
