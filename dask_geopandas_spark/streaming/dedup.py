@@ -44,3 +44,31 @@ def streaming_exact_dedup(stream: DataFrame, text_col: str = "text",
     else:
         out = out.dropDuplicates(["_fp"])
     return out.drop("_fp")
+
+
+def streaming_neardup_dedup(stream: DataFrame, text_col: str = "text",
+                            bits: int = 32,
+                            watermark: str | None = None,
+                            ts_col: str | None = None) -> DataFrame:
+    """Streaming NEAR-duplicate suppression at simhash-bucket
+    granularity: keep the first-seen document per simhash value.
+
+    Near-identical documents collapse onto equal simhashes with high
+    probability (the batch suite pins hamming-closeness for near-dups),
+    so bucket-exact dropDuplicates gives a streaming near-dup filter
+    with the same native state-store mechanics as the exact variant —
+    state is one entry per distinct simhash, expiring via the watermark
+    when given.  Precision/recall trade with ``bits`` (fewer bits →
+    more aggressive collapsing).  The simhash expression is pure native
+    SQL, so this is dropDuplicates-grade cheap on the stream."""
+    from ..operators.dedup import simhash
+    from .geo import _watermarkable_ts
+
+    out = stream.withColumn("_sh", simhash(F.col(text_col), bits=bits))
+    if ts_col is not None and watermark is not None:
+        out = (_watermarkable_ts(out, ts_col)
+               .withWatermark(ts_col, watermark)
+               .dropDuplicatesWithinWatermark(["_sh"]))
+    else:
+        out = out.dropDuplicates(["_sh"])
+    return out.drop("_sh")

@@ -400,3 +400,37 @@ def test_sliding_windows_stream_batch_agreement(spark, sf_dir):
     b = {key(r): (r["n_events"], r["sum_value"]) for r in batch.collect()}
     s = {key(r): (r["n_events"], r["sum_value"]) for r in got.collect()}
     assert b == s and len(b) > 0
+
+
+def test_streaming_neardup_dedup(spark, tmp_path):
+    """Simhash-bucket streaming near-dup: exact and near duplicates
+    collapse; distinct content survives; stream survivors' simhash SET
+    equals the batch distinct set."""
+    import pandas as pd
+
+    from dask_geopandas_spark.operators.dedup import simhash
+    from dask_geopandas_spark.streaming.dedup import streaming_neardup_dedup
+
+    src = tmp_path / "nd_in"
+    src.mkdir()
+    pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["the quick brown fox jumps over the lazy dog",
+                 "the quick brown fox jumps over the lazy dog",   # exact
+                 "the quick brown fox jumps over a lazy dog",     # near
+                 "completely different content about spark engines"],
+    }).to_parquet(src / "p.parquet")
+    static = spark.read.parquet(str(src))
+    stream = spark.readStream.schema(static.schema).parquet(str(src))
+    q = (streaming_neardup_dedup(stream, "text", bits=16)
+         .writeStream.format("memory").queryName("nd_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["sh"] for r in spark.table("nd_sink")
+           .select(simhash(F.col("text"), bits=16).alias("sh")).collect()}
+    want = {r["sh"] for r in
+            static.select(simhash(F.col("text"), bits=16).alias("sh"))
+            .distinct().collect()}
+    assert got == want
+    # near-dups 1/2/3 collapse to <=2 buckets; doc 4 separate
+    assert 2 <= len(got) <= 3
