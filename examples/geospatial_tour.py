@@ -1,0 +1,78 @@
+"""Geospatial tour — the reference's workflow, Spark-first.
+
+    read points → reproject → spatial join vs polygons → dissolve
+    → overlay → write Hilbert-sorted GeoParquet → windowed .cx read-back
+
+Run:  python examples/geospatial_tour.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def run_tour(spark: SparkSession, sf_dir: str):
+    import dask_geopandas_spark as dgs
+    from dask_geopandas_spark.functions import core as FX
+
+    out = {}
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = dgs.points_from_xy(
+        cust.withColumn("px", (F.col("c_custkey") % 347 - 173) + F.lit(0.25))
+            .withColumn("py", (F.col("c_custkey") % 163 - 81) + F.lit(0.5)),
+        "px", "py", crs="EPSG:4326")
+
+    # reproject (native math for point layers), then back
+    merc = pts.to_crs("EPSG:3857")
+    out["reprojected"] = merc.count()
+
+    # polygon layer from nation "territories"
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    boxes = dgs.boxes_from_bounds(
+        nat.withColumn("x0", (F.col("n_nationkey") * 13 % 300 - 150).cast("double"))
+           .withColumn("y0", (F.col("n_nationkey") * 7 % 140 - 70).cast("double"))
+           .withColumn("x1", F.col("x0") + (F.col("n_nationkey") % 11 + 8))
+           .withColumn("y1", F.col("y0") + (F.col("n_nationkey") % 7 + 6)),
+        "x0", "y0", "x1", "y1", crs="EPSG:4326")
+
+    # spatial join + dissolve
+    joined = pts.sjoin(boxes, predicate="intersects", strategy="broadcast")
+    out["sjoin_matches"] = joined.count()
+    dissolved = boxes.dissolve(by="n_regionkey")
+    out["dissolved_regions"] = dissolved.count()
+
+    # overlay: territory pieces clipped by a coarse grid
+    grid = dgs.boxes_from_bounds(
+        spark.range(4).withColumn("gx0", (F.col("id") % 2) * 150.0 - 150)
+             .withColumn("gy0", (F.col("id") / 2).cast("int") * 70.0 - 70)
+             .withColumn("gx1", F.col("gx0") + 150).withColumn("gy1", F.col("gy0") + 70),
+        "gx0", "gy0", "gx1", "gy1", crs="EPSG:4326")
+    pieces = boxes.overlay(grid, how="intersection")
+    out["overlay_pieces"] = pieces.count()
+
+    # Hilbert-sorted GeoParquet round-trip with a windowed read
+    tmp = tempfile.mkdtemp()
+    try:
+        pts.to_parquet(tmp, spatial_sort=True, spatial_sort_level=12)
+        back = dgs.read_parquet(spark, tmp)
+        window = back.cx(xmin=-60, ymin=-45, xmax=60, ymax=45)
+        out["windowed_readback"] = window.count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    for name, n in run_tour(spark, sf).items():
+        print(f"{name:>18}: {n}")
+    spark.stop()

@@ -1,0 +1,79 @@
+"""End-to-end training-data pipeline on the engine — every stage is a
+first-class operator, the whole flow is a handful of declarative calls.
+
+    corpus → language/quality filter → exact dedup → near-dup (LSH)
+           → benchmark decontamination → deterministic sampling
+           → train/holdout split → sequence packing → stats
+
+Run:  python examples/training_data_pipeline.py [sf_dir]
+(defaults to /root/testdata/sf0.001; prints per-stage counts)
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def run_pipeline(spark: SparkSession, sf_dir: str):
+    from dask_geopandas_spark.operators import dedup as DD
+    from dask_geopandas_spark.operators import sampling as SA
+    from dask_geopandas_spark.operators import textstats as TX
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stages = {"raw": docs.count()}
+
+    # 1. language + quality gate (native projections)
+    scored = docs.select(
+        "*",
+        TX.lang_id(F.col("text")).alias("lang_guess"),
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.token_count(F.col("text")).alias("n_tokens"),
+    )
+    kept = scored.filter((F.col("quality") > 0.3) & (F.col("n_tokens") >= 5))
+    stages["quality_gate"] = kept.count()
+
+    # 2. exact dedup (md5 groupBy keeper join)
+    keepers = DD.exact_dedup(kept).select(
+        F.col("keeper_id").alias("doc_id"))
+    kept = kept.join(keepers, on="doc_id", how="inner")
+    stages["exact_dedup"] = kept.count()
+
+    # 3. near-dup removal (LSH bucket-min representatives)
+    reps = DD.lsh_dedup(kept, num_hashes=8, bands=4)
+    kept = (kept.join(reps, on="doc_id")
+            .filter(F.col("rep_id") == F.col("doc_id")).drop("rep_id"))
+    stages["neardup_dedup"] = kept.count()
+
+    # 4. benchmark decontamination (broadcast shingle-hash anti-join)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    kept = DD.decontaminate(kept, benchmark)
+    stages["decontaminated"] = kept.count()
+
+    # 5. deterministic subsample + leak-proof split
+    kept = SA.hash_sample(kept, 0.9)
+    kept = SA.split_train_holdout(kept, holdout_fraction=0.02)
+    stages["sampled"] = kept.count()
+
+    # 6. sequence packing per (split, lang) shard
+    packed = SA.pack_documents(
+        kept.withColumn("_shard", F.concat_ws("/", "split", "lang")),
+        budget=4096, by="_shard")
+    bins = packed.groupBy("_shard", "pack_bin").agg(
+        F.sum("n_tokens").alias("bin_tokens"))
+    stages["pack_bins"] = bins.count()
+    return stages, packed
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    stages, _ = run_pipeline(spark, sf)
+    for name, n in stages.items():
+        print(f"{name:>16}: {n}")
+    spark.stop()

@@ -1,0 +1,29 @@
+"""The examples/ scripts must run end-to-end at the smoke scale."""
+
+
+def test_training_data_pipeline_example(spark, sf_dir):
+    import sys
+    sys.path.insert(0, "examples")
+    from training_data_pipeline import run_pipeline
+
+    stages, packed = run_pipeline(spark, sf_dir)
+    assert stages["raw"] > 0
+    # each stage only ever removes rows
+    order = ["raw", "quality_gate", "exact_dedup", "neardup_dedup",
+             "decontaminated", "sampled"]
+    for a, b in zip(order, order[1:]):
+        assert stages[b] <= stages[a]
+    assert stages["pack_bins"] >= 1
+    assert "pack_bin" in packed.columns
+
+
+def test_geospatial_tour_example(spark, sf_dir):
+    import sys
+    sys.path.insert(0, "examples")
+    from geospatial_tour import run_tour
+
+    out = run_tour(spark, sf_dir)
+    assert out["reprojected"] > 0
+    assert out["dissolved_regions"] >= 1
+    assert out["overlay_pieces"] >= 1
+    assert 0 < out["windowed_readback"] <= out["reprojected"]
