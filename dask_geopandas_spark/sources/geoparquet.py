@@ -35,7 +35,8 @@ _FOOTER_JOB_THRESHOLD = 64
 def _geo_meta(geometry: str, crs_map: dict, geometry_columns=None,
               bboxes: dict | None = None,
               geometry_types: dict | None = None,
-              encodings: dict | None = None) -> bytes:
+              encodings: dict | None = None,
+              covering_cols: dict | None = None) -> bytes:
     """`geo` schema-metadata blob covering EVERY geometry column (the
     reference supports multiple geometry columns each with its own CRS,
     io/arrow.py:41-43; tests/io/test_parquet.py:84-103)."""
@@ -47,6 +48,14 @@ def _geo_meta(geometry: str, crs_map: dict, geometry_columns=None,
             **({"crs": crs_map[g]} if g in crs_map else {}),
             **({"bbox": list(bboxes[g])} if bboxes and g in bboxes else {}),
         }
+        if (covering_cols or {}).get(g):
+            # GeoParquet 1.1 covering metadata: points external readers
+            # at the per-row bbox struct so THEIR scans can prune on its
+            # parquet statistics too
+            b = covering_cols[g]
+            cols[g]["covering"] = {"bbox": {
+                "xmin": [b, "minx"], "ymin": [b, "miny"],
+                "xmax": [b, "maxx"], "ymax": [b, "maxy"]}}
     return json.dumps(
         {"version": GEO_VERSION, "primary_column": geometry, "columns": cols}
     ).encode()
@@ -153,8 +162,10 @@ def to_parquet(gdf, path: str, partition_on: str | None = None,
             seen = sorted({W.TYPE_NAMES[int(t)] for t in batch.types
                            if int(t) in W.TYPE_NAMES and int(t) != 0})
             gtypes = {geometry: seen}
+        covering = {g: f"{g}_bbox" for g in (geometry_columns or [geometry])
+                    if f"{g}_bbox" in table.column_names}
         meta = _geo_meta(geometry, crs_map, geometry_columns, bboxes,
-                         gtypes, encodings)
+                         gtypes, encodings, covering)
         existing = table.schema.metadata or {}
         table = table.replace_schema_metadata({**existing, b"geo": meta})
         FS.makedirs(dirpath, filesystem)

@@ -422,3 +422,34 @@ class TestGeoArrowEncoding:
         plan = (sub.df.select("id")
                 ._jdf.queryExecution().executedPlan().toString())
         assert "PushedFilters: []" not in plan
+
+
+def test_geoparquet_covering_metadata(spark, tmp_path):
+    """GeoParquet 1.1 `covering` metadata points at the bbox struct
+    column when it is materialized at write time."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from dask_geopandas_spark.sources.geoparquet import to_parquet
+
+    pdf = pd.DataFrame({"id": [0, 1], "x": [1.0, 2.0], "y": [3.0, 4.0]})
+    g = dgs.points_from_xy(spark.createDataFrame(pdf), "x", "y",
+                           crs="EPSG:4326").with_bbox()
+    path = str(tmp_path / "cov")
+    to_parquet(g, path)
+    import glob as _g
+    meta = json.loads(pq.read_schema(
+        _g.glob(path + "/*.parquet")[0]).metadata[b"geo"])
+    cov = meta["columns"]["geometry"].get("covering")
+    assert cov == {"bbox": {"xmin": ["geometry_bbox", "minx"],
+                            "ymin": ["geometry_bbox", "miny"],
+                            "xmax": ["geometry_bbox", "maxx"],
+                            "ymax": ["geometry_bbox", "maxy"]}}
+    # no bbox column written -> no covering block
+    g2 = dgs.points_from_xy(spark.createDataFrame(pdf), "x", "y")
+    path2 = str(tmp_path / "nocov")
+    to_parquet(g2, path2)
+    meta2 = json.loads(pq.read_schema(
+        _g.glob(path2 + "/*.parquet")[0]).metadata[b"geo"])
+    assert "covering" not in meta2["columns"]["geometry"]
