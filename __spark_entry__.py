@@ -1771,6 +1771,18 @@ def q_jaccard_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_mh_jaccard_est(spark, sf_dir):
+    """MinHash Jaccard estimate over the LSH candidate pairs (the
+    signature-only ranking path — no second shingle join); oracle
+    reproduces the portable signatures and the component-match
+    fraction."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.lsh_candidate_pairs(d, num_hashes=4, bands=2, k=3)
+    out = DD.minhash_jaccard_estimate(d, pairs, num_hashes=4, k=3)
+    return out.select("id_a", "id_b",
+                      F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
 def q_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", DD.simhash(F.col("text"), bits=16).alias("simhash16"))
@@ -2124,6 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq": q_ann_ivf_pq,
         "sliding_windows": q_sliding_windows,
         "contamination": q_contamination,
+        "mh_jaccard_est": q_mh_jaccard_est,
         "dissolve_union_area": q_dissolve_union_area,
         "union_all_area": q_union_all_area,
         "setops_concave_area": q_setops_concave_area,
@@ -2477,6 +2490,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
         WHERE a.doc_id < b.doc_id
+    """
+    mh_jaccard_est = banded + """
+        , pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+            WHERE a.doc_id < b.doc_id
+        )
+        SELECT p.id_a, p.id_b,
+               round(((CASE WHEN x.mh0 = y.mh0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN x.mh1 = y.mh1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN x.mh2 = y.mh2 THEN 1 ELSE 0 END)
+                    + (CASE WHEN x.mh3 = y.mh3 THEN 1 ELSE 0 END)) / 4.0, 6)
+                   AS est_jaccard
+        FROM pairs p
+        JOIN sigs x ON p.id_a = x.doc_id
+        JOIN sigs y ON p.id_b = y.doc_id
     """
     lsh_dedup = banded + """
         , bmin AS (
@@ -3395,6 +3424,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_sigs": sigs,
         "lsh_pairs": lsh_pairs,
+        "mh_jaccard_est": mh_jaccard_est,
         "lsh_dedup": lsh_dedup,
         "lsh_dedup_fixpoint": lsh_fx,
         "quality_signals": quality_signals,

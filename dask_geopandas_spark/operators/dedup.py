@@ -508,3 +508,29 @@ def decontaminate(train: DataFrame, benchmark: DataFrame,
         .filter(F.col("n_shared_shingles") >= min_shared) \
         .select(F.col("train_id").alias(id_col))
     return train.join(bad, on=id_col, how="left_anti")
+
+
+def minhash_jaccard_estimate(df: DataFrame, pairs: DataFrame,
+                             text_col: str = "text", id_col: str = "doc_id",
+                             num_hashes: int = 8, k: int = 3) -> DataFrame:
+    """MinHash Jaccard ESTIMATE per candidate pair: the fraction of
+    equal signature components — the unbiased estimator that lets a
+    pipeline rank/filter near-dup candidates WITHOUT touching shingle
+    sets again (exact `ngram_jaccard_pairs` re-joins shingles; this
+    joins only the `num_hashes`-wide signatures onto the narrow pair
+    list).  Standard error ≈ sqrt(J(1−J)/num_hashes)."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    sa = sig.select(F.col(id_col).alias("id_a"),
+                    *[F.col(f"mh{i}").alias(f"_ma{i}")
+                      for i in range(num_hashes)])
+    sb = sig.select(F.col(id_col).alias("id_b"),
+                    *[F.col(f"mh{i}").alias(f"_mb{i}")
+                      for i in range(num_hashes)])
+    joined = pairs.join(sa, on="id_a").join(sb, on="id_b")
+    matches = None
+    for i in range(num_hashes):
+        term = F.when(F.col(f"_ma{i}") == F.col(f"_mb{i}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    return joined.select(
+        "id_a", "id_b",
+        (matches / F.lit(float(num_hashes))).alias("est_jaccard"))

@@ -477,3 +477,31 @@ class TestDecontamination:
         plan = contamination_report(train, bench) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestMinhashEstimate:
+    def test_estimator_properties(self, docs):
+        from dask_geopandas_spark.operators.dedup import (
+            lsh_candidate_pairs, minhash_jaccard_estimate)
+
+        pairs = lsh_candidate_pairs(docs, num_hashes=4, bands=2)
+        est = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
+               minhash_jaccard_estimate(docs, pairs, num_hashes=4).collect()}
+        # exact duplicates estimate 1.0; every estimate in [0, 1]
+        assert est[(0, 1)] == 1.0
+        assert all(0.0 <= v <= 1.0 for v in est.values())
+
+    def test_more_hashes_tighter(self, spark):
+        """With many hashes the estimate approaches the true Jaccard
+        (here two docs sharing exactly half their shingle sets)."""
+        from dask_geopandas_spark.operators.dedup import (
+            minhash_jaccard_estimate)
+
+        a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+        b = "alpha bravo charlie delta echo foxtrot kilo lima mike november"
+        docs = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        est = minhash_jaccard_estimate(docs, pairs, num_hashes=64,
+                                       k=3).collect()[0]["est_jaccard"]
+        # true 3-shingle jaccard of these texts is 4/12 = 1/3
+        assert abs(est - 1 / 3) < 0.2
