@@ -76,6 +76,10 @@ class GeoDataFrame:
     # whose geometry_types say so): clip degenerates to a row filter and
     # the bbox minx/miny ARE the coordinates
     _point: bool = False
+    # driver-side per-partition/file bounding boxes (reference
+    # `spatial_partitions`, expr.py:122-142) — populated by read_parquet
+    # and calculate_spatial_partitions
+    spatial_partitions = None
 
     def __init__(self, df: DataFrame, geometry: str = "geometry",
                  crs: str | None = None, crs_map: dict | None = None):
@@ -105,6 +109,39 @@ class GeoDataFrame:
     @property
     def crs(self) -> str | None:
         return self._crs.get(self._geometry)
+
+    @property
+    def geometry(self) -> Column:
+        """The active geometry as a Column (reference `df.geometry`
+        returns the active GeoSeries, expr.py:584-598; a GeoSeries maps
+        to a Column here — SURVEY §1.1)."""
+        return F.col(self._geometry)
+
+    @property
+    def sindex(self) -> "SpatialIndex":
+        """Driver-side spatial-partition index (reference `sindex`
+        exposes per-partition rtrees; the Spark analog answers the same
+        planning question — WHICH partitions can intersect a box —
+        from the stored per-file bbox summary)."""
+        return SpatialIndex(getattr(self, "spatial_partitions", None))
+
+    def to_dask_dataframe(self) -> DataFrame:
+        """Demote to the plain engine DataFrame (reference
+        `to_dask_dataframe`, expr.py:103-105 — kept under the familiar
+        name for drop-in migration; identical to ``.df``)."""
+        return self._df
+
+    def set_index(self, col: str, npartitions: int | None = None) -> "GeoDataFrame":
+        """Range-partition + sort by a column (the Spark expression of
+        dask's ``set_index``: ``repartitionByRange`` +
+        ``sortWithinPartitions``; no user-visible index exists in the
+        DataFrame model — SURVEY §1.1 divisions row)."""
+        df = self._df
+        if npartitions:
+            df = df.repartitionByRange(npartitions, F.col(col))
+        else:
+            df = df.repartitionByRange(F.col(col))
+        return self._wrap(df.sortWithinPartitions(col))
 
     def _wrap(self, df: DataFrame, geometry: str | None = None) -> "GeoDataFrame":
         out = GeoDataFrame(df, geometry or self._geometry, crs_map=self._crs)
@@ -939,6 +976,32 @@ class GeoDataFrame:
 # ----------------------------------------------------------------------
 # constructors (reference expr.py:852-944)
 # ----------------------------------------------------------------------
+
+class SpatialIndex:
+    """Driver-side partition-pruning index over the per-file bbox
+    summary (the planning face of the reference's `sindex`): answers
+    which stored partitions can intersect a query window.  Row-level
+    filtering stays where it belongs — in the native bbox predicates
+    Catalyst pushes to parquet stats."""
+
+    def __init__(self, partitions):
+        self.partitions = list(partitions) if partitions else None
+
+    def __len__(self) -> int:
+        return len(self.partitions or [])
+
+    @property
+    def valid(self) -> bool:
+        return self.partitions is not None
+
+    def query(self, minx: float, miny: float, maxx: float, maxy: float):
+        """Indexes of partitions whose bbox overlaps the window.  With
+        no stored summary, every partition is a candidate."""
+        if not self.partitions:
+            return None
+        return [i for i, (x0, y0, x1, y1) in enumerate(self.partitions)
+                if x0 <= maxx and x1 >= minx and y0 <= maxy and y1 >= miny]
+
 
 def points_from_xy(df: DataFrame, x: str = "x", y: str = "y", z: str | None = None,
                    crs: str | None = None, geometry: str = "geometry") -> GeoDataFrame:
