@@ -49,6 +49,8 @@ __all__ = [
     "read_geopackage",
     "to_geopackage",
     "overlay",
+    "to_parquet",
+    "GeoSeries",
     "__version__",
 ]
 
@@ -117,3 +119,16 @@ def overlay(left, right, how="intersection", **kw):
     from .operators.overlay import overlay as _ov
 
     return _ov(left, right, how=how, **kw)
+
+
+def to_parquet(gdf, path, **kw):
+    from .sources.geoparquet import to_parquet as _tp
+
+    return _tp(gdf, path, **kw)
+
+
+# The reference's GeoSeries maps to a pyspark Column in this engine's
+# data model (SURVEY §1.1): geometry accessors return Columns and
+# compose into select/filter.  Exported under the familiar name so
+# migrated imports and annotations keep working.
+from pyspark.sql import Column as GeoSeries  # noqa: E402

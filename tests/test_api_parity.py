@@ -63,3 +63,27 @@ def test_set_index_and_demote(spark):
         assert a["hi"] <= b["lo"]
     plain = g.to_dask_dataframe()
     assert plain is g.df  # the demotion contract: identical frame
+
+
+def test_top_level_namespace_parity():
+    """Every name in the reference's __all__ exists at this package's
+    top level (GeoSeries maps to Column per the data model)."""
+    ref_all = ["GeoDataFrame", "GeoSeries", "clip", "from_dask_dataframe",
+               "from_geopandas", "from_wkb", "from_wkt", "points_from_xy",
+               "read_feather", "read_file", "read_parquet", "sjoin",
+               "to_feather", "to_parquet"]
+    missing = [n for n in ref_all if not hasattr(dgs, n)]
+    assert missing == []
+    from pyspark.sql import Column
+    assert dgs.GeoSeries is Column
+
+
+def test_top_level_to_parquet_roundtrip(spark, tmp_path):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"x": [1.0, 2.0], "y": [3.0, 4.0]})
+    g = dgs.points_from_xy(spark.createDataFrame(pdf), "x", "y",
+                           crs="EPSG:4326")
+    path = str(tmp_path / "toplevel")
+    dgs.to_parquet(g, path)
+    assert dgs.read_parquet(spark, path).count() == 2
