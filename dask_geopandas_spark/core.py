@@ -156,6 +156,10 @@ class GeoDataFrame:
                 out._corner_cols = self._corner_cols
             out._rect = self._rect
             out._point = self._point
+        # the per-file bbox summary stays a valid COVER under row
+        # subsets/projections; geometry-REPLACING paths null it out
+        # explicitly after wrapping
+        out.spatial_partitions = getattr(self, "spatial_partitions", None)
         return out
 
     def _geom(self) -> Column:
@@ -185,6 +189,7 @@ class GeoDataFrame:
                 wrapped._corner_cols = None
                 wrapped._rect = False
                 wrapped._point = False
+                wrapped.spatial_partitions = None
             return wrapped
         return out
 
@@ -197,11 +202,12 @@ class GeoDataFrame:
         out = self._wrap(self._df.withColumn(name, col))
         if name == self._geometry:
             # geometry column overwritten with arbitrary content: every
-            # shape hint is invalid
+            # shape hint (and the stored bounds summary) is invalid
             out._xy = None
             out._corner_cols = None
             out._rect = False
             out._point = False
+            out.spatial_partitions = None
         if self._xy and name in self._xy[2]:
             out._xy = None  # source column overwritten; hint invalid
         if self._corner_cols and name in self._corner_cols:
@@ -482,11 +488,12 @@ class GeoDataFrame:
         if self.bbox_column in out.columns:
             out = out.drop(self.bbox_column)
         wrapped = self._wrap(out)
-        # geometry content changed; shape hints invalid
+        # geometry content changed; shape hints and stored bounds invalid
         wrapped._xy = None
         wrapped._corner_cols = None
         wrapped._rect = False
         wrapped._point = False
+        wrapped.spatial_partitions = None
         return wrapped
 
     def buffer(self, distance: float, resolution: int = 16) -> "GeoDataFrame":

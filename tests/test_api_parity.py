@@ -87,3 +87,19 @@ def test_top_level_to_parquet_roundtrip(spark, tmp_path):
     path = str(tmp_path / "toplevel")
     dgs.to_parquet(g, path)
     assert dgs.read_parquet(spark, path).count() == 2
+
+
+def test_spatial_partitions_survive_row_ops_not_geometry_ops(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame({"k": [1, 2], "x": [0.0, 50.0], "y": [0.0, 50.0]})
+    g = dgs.points_from_xy(spark.createDataFrame(pdf), "x", "y",
+                           crs="EPSG:4326")
+    g.spatial_partitions = [(0, 0, 60, 60)]
+    # row subset / projection keep the covering summary
+    assert g.filter(F.col("k") == 1).spatial_partitions == [(0, 0, 60, 60)]
+    assert g[["k", "geometry"]].spatial_partitions == [(0, 0, 60, 60)]
+    # geometry transform invalidates it
+    assert g.buffer(1.0).spatial_partitions is None
+    assert g.to_crs("EPSG:3857").spatial_partitions is None
