@@ -8,9 +8,12 @@ Run:  python examples/geospatial_tour.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import shutil
 import sys
 import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
