@@ -923,6 +923,17 @@ def q_ann_ivf_pq(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "adist", "rank")
 
 
+def q_knn_graph(spark, sf_dir):
+    """Approximate corpus kNN graph (similarity.py knn_graph): per-cell
+    self-join — the graph-dedup substrate.  Iterative centroid training
+    → rows-only; per-source exactness vs numpy same-cell kNN is pinned
+    in pytest."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = SIM.train_centroids(e, n_cells=8, iters=2)
+    out = SIM.knn_graph(e.filter(F.col("vec_id") < 300), cents, k=3)
+    return out.select("src_id", "dst_id", "cos", "rank")
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF approximate nearest neighbor — the 100 TB scale path (cell
     equi-join probing nprobe cells instead of a full corpus scan).  No
@@ -2137,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_windows": q_sliding_windows,
         "contamination": q_contamination,
         "mh_jaccard_est": q_mh_jaccard_est,
+        "knn_graph": q_knn_graph,
         "dissolve_union_area": q_dissolve_union_area,
         "union_all_area": q_union_all_area,
         "setops_concave_area": q_setops_concave_area,

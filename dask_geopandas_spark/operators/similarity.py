@@ -400,3 +400,29 @@ def ivf_pq_topk(spark, path: str, queries: DataFrame, centroids: list,
                                                F.asc("neighbor_id"))
     return local.withColumn("rank", F.row_number().over(w)) \
         .filter(F.col("rank") <= k)
+
+
+def knn_graph(corpus: DataFrame, centroids: list, k: int = 5,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate corpus-internal k-nearest-neighbor edges (the
+    substrate for graph dedup / connected-component clustering):
+    vectors meet candidates inside their IVF cell — a per-cell
+    SELF-join, so candidate volume is Σ|cell|² instead of n², bounded
+    by the coarse quantizer exactly like the near-dup bucket designs.
+    Edges are ranked per source by cosine; recall is limited to
+    same-cell neighbors (raise n_cells for smaller buckets, or probe
+    more cells by composing with ivf_topk for the query side).
+    Returns (src_id, dst_id, cos, rank)."""
+    c = assign_ivf_cells(corpus, centroids, vec_col).select(
+        F.col(id_col).alias("src_id"), F.col(vec_col).alias("sv"),
+        "ivf_cell")
+    d = c.select(F.col("src_id").alias("dst_id"),
+                 F.col("sv").alias("dv"), "ivf_cell")
+    scored = (c.join(d, on="ivf_cell")
+              .filter(F.col("src_id") != F.col("dst_id"))
+              .select("src_id", "dst_id",
+                      F.round(cosine(F.col("sv"), F.col("dv")), 9)
+                      .alias("cos")))
+    w = Window.partitionBy("src_id").orderBy(F.desc("cos"), F.asc("dst_id"))
+    return scored.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= k)

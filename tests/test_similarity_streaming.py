@@ -434,3 +434,34 @@ def test_streaming_neardup_dedup(spark, tmp_path):
     assert got == want
     # near-dups 1/2/3 collapse to <=2 buckets; doc 4 separate
     assert 2 <= len(got) <= 3
+
+
+def test_knn_graph_recall_within_cells(spark, embeddings):
+    """knn_graph edges match exact same-cell kNN computed in numpy, and
+    every source emits at most k ranked edges."""
+    import numpy as np
+
+    cents = SIM.train_centroids(embeddings, n_cells=8, iters=2)
+    out = SIM.knn_graph(embeddings, cents, k=3)
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src_id"], []).append((r["rank"], r["dst_id"]))
+    assert all(len(v) <= 3 for v in by_src.values())
+
+    # exact same-cell kNN in numpy for a few sources
+    data = embeddings.collect()
+    X = np.asarray([r["embedding"] for r in data], dtype=np.float64)
+    ids = np.asarray([r["vec_id"] for r in data])
+    C = np.asarray(cents)
+    cell = ((X[:, None, :] - C[None]) ** 2).sum(2).argmin(1)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    for src in list(by_src)[:5]:
+        i = int(np.where(ids == src)[0][0])
+        mask = (cell == cell[i]) & (ids != src)
+        cand = np.where(mask)[0]
+        sims = Xn[cand] @ Xn[i]
+        order = cand[np.lexsort((ids[cand], -np.round(sims, 9)))][:3]
+        want = [int(ids[j]) for j in order]
+        got = [d for _, d in sorted(by_src[src])]
+        assert got == want, (src, got, want)
