@@ -600,7 +600,7 @@ def q_stream_hourly(spark, sf_dir):
               .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            "ts", F.timestamp_micros(F.expr('ts DIV 1000')))
     agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
     qname = "stream_hourly_sink"
     q = (agg.writeStream.format("memory").queryName(qname)
@@ -1843,7 +1843,7 @@ def q_events_hourly(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     if dict(ev.dtypes).get("ts") == "bigint":
         ev = ev.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr('ts DIV 1000'))
         )
     return windowed_event_counts(ev, window="1 hour")
 
@@ -1923,7 +1923,7 @@ def q_spatial_hourly(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     if dict(ev.dtypes).get("ts") == "bigint":
         ev = ev.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            "ts", F.timestamp_micros(F.expr('ts DIV 1000')))
     ev = ev.withColumn("px", F.expr(EV_X)).withColumn("py", F.expr(EV_Y))
     g = dgs.points_from_xy(ev, "px", "py", crs="EPSG:4326")
     out = windowed_spatial_counts(g.df, precision=3, window="1 hour",
@@ -1945,7 +1945,7 @@ def q_stream_geofence(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     if dict(ev.dtypes).get("ts") == "bigint":
         ev = ev.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            "ts", F.timestamp_micros(F.expr('ts DIV 1000')))
     ev = ev.withColumn("px", F.expr(EV_X)).withColumn("py", F.expr(EV_Y))
     fences = _boxes(spark, sf_dir, "nation", NB)
     out = windowed_geofence_counts(ev, fences, "px", "py", "n_nationkey")
@@ -1962,7 +1962,7 @@ def q_sliding_windows(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     if dict(ev.dtypes).get("ts") == "bigint":
         ev = ev.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            "ts", F.timestamp_micros(F.expr('ts DIV 1000')))
     return windowed_event_counts(ev, window="1 hour", slide="15 minutes")
 
 
@@ -1977,7 +1977,7 @@ def q_session_windows(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     if dict(ev.dtypes).get("ts") == "bigint":
         ev = ev.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            "ts", F.timestamp_micros(F.expr('ts DIV 1000')))
     out = sessionized_counts(ev, gap="30 minutes")
     return out.select(
         F.date_trunc("minute", F.col("session_start")).alias("session_start"),
@@ -1996,7 +1996,7 @@ def q_running_totals(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     if dict(ev.dtypes).get("ts") == "bigint":
         ev = ev.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            "ts", F.timestamp_micros(F.expr('ts DIV 1000')))
     return stateful_running_totals(ev)
 
 
@@ -2110,19 +2110,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness check emits at most
-    50 rows, in registry order.  Round 3 therefore front-loads (a) queries
-    NEW this round, then (b) the entries that had no driver row in
-    CORRECTNESS_r02 (registry positions 51-75 last round), then (c) the
-    r02-green remainder — rotating coverage so every entry gets a driver
-    attestation across consecutive rounds.  Round 3 grew (a) past the
-    cap: positions 51+ (audio_meta, frame_counts, the r01-green four,
-    and the r02-green block) are all green in this round's full local
-    runs (scripts/check_oracle.py: 106/106) — rotate them first next
-    round."""
+    50 rows, in registry order.  Round 4 front-loads (a) the five entries
+    that have never had a driver row in any round, (b) the three queries
+    whose r3 hash-fails were DuckDB-HUGEINT oracle typing (now CAST to
+    BIGINT; values were verified identical), (c) the ANN/kNN queries
+    upgraded this round from rows-only to exact oracles, and (d) queries
+    NEW in round 4 — then the r1-r3-green remainder.  After this round
+    every registry entry has had a green driver attestation."""
     return {
-        # -- (a) NEW in round 3 (never driver-checked) --
+        # -- (a) never driver-checked in any round --
+        "running_totals": q_running_totals,
+        "image_meta": q_image_meta,
+        "image_resize": q_image_resize,
+        "audio_meta": q_audio_meta,
+        "frame_counts": q_frame_counts,
+        # -- (b) r3 hash-fail from oracle HUGEINT typing, now cast --
         "shapefile_roundtrip": q_shapefile_roundtrip,
         "geopackage_roundtrip": q_geopackage_roundtrip,
+        "split_holdout": q_split_holdout,
+        # -- (c) upgraded rows-only -> exact oracle in round 4 --
+        "ann_pq": q_ann_pq,
+        "ann_ivf_pq": q_ann_ivf_pq,
+        "knn_graph": q_knn_graph,
+        # -- (d) NEW in round 4 (inserted as built) --
+        # -- (e) driver-green in r3 --
         "to_lambert": q_to_lambert,
         "to_albers": q_to_albers,
         "crs_roundtrip": q_crs_roundtrip,
@@ -2130,32 +2141,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_diff": q_overlay_diff,
         "sjoin_dwithin": q_sjoin_dwithin,
         "hash_sample": q_hash_sample,
-        "split_holdout": q_split_holdout,
         "pack_docs": q_pack_docs,
         "asof_clicks": q_asof_clicks,
         "interval_clicks": q_interval_clicks,
         "length_percentiles": q_length_percentiles,
         "to_projstring": q_to_projstring,
         "pq_codes": q_pq_codes,
-        "ann_pq": q_ann_pq,
         "overlay_lines": q_overlay_lines,
         "stream_geofence": q_stream_geofence,
         "sql_union_agg": q_sql_union_agg,
         "geoarrow_roundtrip": q_geoarrow_roundtrip,
         "sql_geom_fns": q_sql_geom_fns,
         "line_overlap": q_line_overlap,
-        "ann_ivf_pq": q_ann_ivf_pq,
         "sliding_windows": q_sliding_windows,
         "contamination": q_contamination,
         "mh_jaccard_est": q_mh_jaccard_est,
-        "knn_graph": q_knn_graph,
         "dissolve_union_area": q_dissolve_union_area,
         "union_all_area": q_union_all_area,
         "setops_concave_area": q_setops_concave_area,
         "clip_concave_lines": q_clip_concave_lines,
         "clip_concave_polys": q_clip_concave_polys,
         "buffer_l_area": q_buffer_l_area,
-        # -- (b) no driver row in r02: never checked in any round first --
         "top_bigram": q_top_bigram,
         "stream_dedup": q_stream_dedup,
         "pii_redact": q_pii_redact,
@@ -2172,17 +2178,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "events_hourly": q_events_hourly,
         "session_windows": q_session_windows,
-        "running_totals": q_running_totals,
-        "image_meta": q_image_meta,
-        "image_resize": q_image_resize,
-        "audio_meta": q_audio_meta,
-        "frame_counts": q_frame_counts,
-        # -- (b cont.) no r02 row, but driver-green in r01 --
+        # -- (f) driver-green in r01 --
         "fillna_isna": q_fillna_isna,
         "region_dissolve": q_region_dissolve,
         "rollup_revenue": q_rollup_revenue,
         "concat_bounds": q_concat_bounds,
-        # -- (c) driver-green in r02 --
+        # -- (g) driver-green in r02 --
         "cx_bbox_filter": q_cx_bbox_filter,
         "total_bounds": q_total_bounds,
         "point_distance": q_point_distance,
@@ -3120,7 +3121,7 @@ def oracle_sql() -> dict[str, str]:
         "shapefile_roundtrip": f"""
             SELECT count(*) AS n,
                    round(sum(c_acctbal), 4) AS sum_bal,
-                   sum(length(c_mktsegment)) AS seg_chars,
+                   CAST(sum(length(c_mktsegment)) AS BIGINT) AS seg_chars,
                    round(min({CUST_X}), 6) AS minx, round(min({CUST_Y}), 6) AS miny,
                    round(max({CUST_X}), 6) AS maxx, round(max({CUST_Y}), 6) AS maxy
             FROM customer
@@ -3128,7 +3129,7 @@ def oracle_sql() -> dict[str, str]:
         "geopackage_roundtrip": f"""
             SELECT count(*) AS n,
                    round(sum(c_acctbal), 4) AS sum_bal,
-                   sum(length(c_mktsegment)) AS seg_chars,
+                   CAST(sum(length(c_mktsegment)) AS BIGINT) AS seg_chars,
                    round(min({CUST_X}), 6) AS minx, round(min({CUST_Y}), 6) AS miny,
                    round(max({CUST_X}), 6) AS maxx, round(max({CUST_Y}), 6) AS maxy
             FROM customer
@@ -3381,7 +3382,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CASE WHEN {_PHASH("CAST(doc_id AS VARCHAR)")} % 1000000
                              < 50000
                         THEN 'holdout' ELSE 'train' END AS split,
-                   count(*) AS n, sum(doc_id) AS id_sum
+                   count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
             FROM documents GROUP BY 1
         """,
         "pack_docs": """

@@ -11,6 +11,7 @@ from .dedup import (
     lsh_dedup,
     minhash_signatures,
     ngram_jaccard_pairs,
+    release_cached_signatures,
     simhash,
 )
 from .dissolve import dissolve
@@ -40,6 +41,7 @@ __all__ = [
     "clip", "dissolve", "explode_geometry", "overlay", "sjoin",
     "exact_dedup", "minhash_signatures", "lsh_candidate_pairs",
     "lsh_dedup", "ngram_jaccard_pairs", "simhash",
+    "release_cached_signatures",
     "embedding_neardup_pairs",
     "brute_force_topk", "train_centroids", "ivf_topk",
     "write_ivf_index", "ivf_topk_stored",

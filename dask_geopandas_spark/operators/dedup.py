@@ -129,6 +129,35 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 _AUTO_MEMORY_CONF = "spark.dask_geopandas.lsh.autoMemoryBytes"
 _AUTO_MEMORY_DEFAULT = 1 << 30  # 1 GiB of input files
 
+# Handles persisted by materialize='memory'/'auto' staging.  The caller of
+# lsh_candidate_pairs/lsh_dedup/ngram_jaccard_pairs only ever sees the
+# derived frame, so without a registry the cached signature tables would
+# live until spark.catalog.clearCache(); release_cached_signatures() frees
+# them once the consuming actions are done.
+_PERSISTED_STAGES: list = []
+
+
+def _stage_persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED_STAGES.append(df)
+    return df
+
+
+def release_cached_signatures() -> int:
+    """Unpersist every signature/shingle table cached by the dedup
+    operators' ``materialize='memory'`` (or size-triggered ``'auto'``)
+    staging in this session, returning how many were released.  Call
+    after the consuming actions complete; derived frames stay valid and
+    simply recompute if re-executed."""
+    n = 0
+    while _PERSISTED_STAGES:
+        try:
+            _PERSISTED_STAGES.pop().unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
 
 def _auto_materialize(df: DataFrame) -> str:
     """Size-aware staging pick for ``materialize="auto"``: persist in
@@ -161,9 +190,10 @@ def _banded(df: DataFrame, text_col: str, id_col: str, num_hashes: int,
     recomputes — unmeasurable inputs count as large, so the default
     never plants an unbounded cache barrier at 100 TB; ``"none"``
     always recomputes the single-pass native expressions per consumer
-    (zero cache, one extra scan); ``"memory"`` always persists (the
-    caller owns the handle and must ``unpersist`` the returned frame's
-    lineage when done); any other string is a directory path the
+    (zero cache, one extra scan); ``"memory"`` always persists (handles
+    are tracked — call :func:`release_cached_signatures` after the
+    consuming actions to free them, otherwise the cached tables live
+    for the session); any other string is a directory path the
     signatures are checkpointed to as parquet and re-read from (bounded
     memory AND single computation — the right choice at 100 TB when a
     scratch location exists)."""
@@ -173,7 +203,7 @@ def _banded(df: DataFrame, text_col: str, id_col: str, num_hashes: int,
         materialize = _auto_materialize(df)
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
     if materialize == "memory":
-        sig = sig.persist()
+        sig = _stage_persist(sig)
     elif materialize not in (None, "none"):
         sig.write.mode("overwrite").parquet(materialize)
         sig = sig.sparkSession.read.parquet(materialize)
@@ -291,7 +321,7 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                 lambda t: shingles_of_tokens(t, k))).alias("sh"),
     )
     if materialize == "memory":
-        sh = sh.persist()
+        sh = _stage_persist(sh)
     elif materialize not in (None, "none"):
         sh.write.mode("overwrite").parquet(materialize)
         sh = sh.sparkSession.read.parquet(materialize)

@@ -66,8 +66,24 @@ def interval_join(left: DataFrame, right: DataFrame,
         rcols = [c for c in matched.columns if c not in left_out]
         for c in common2:
             lh = lh.withColumnRenamed(c, f"{c}{lsuffix}")
-        return (lh.join(matched.select(lrow, *rcols).distinct(),
-                        on=lrow, how="left").drop(lrow))
+        # Duplicate rows: n identical left rows share the content hash,
+        # so `matched` holds n copies of each single-left-row match
+        # multiset (which itself may contain duplicate identical right
+        # rows).  A plain distinct() would collapse those right
+        # duplicates and break the inner-plus-nulls equivalence, so
+        # recover the exact per-left multiset instead: count each
+        # (left-hash, right-tuple) pair, divide by n, and re-expand.
+        nl = lh.groupBy(lrow).agg(F.count("*").alias("_iv_nl"))
+        matches = (matched.groupBy(lrow, *rcols)
+                   .agg(F.count("*").alias("_iv_cnt"))
+                   .join(nl, on=lrow)
+                   .select(lrow, *rcols,
+                           F.explode(F.sequence(
+                               F.lit(1),
+                               (F.col("_iv_cnt") / F.col("_iv_nl"))
+                               .cast("long"))).alias("_iv_i"))
+                   .drop("_iv_i"))
+        return (lh.join(matches, on=lrow, how="left").drop(lrow))
     ls, le = left_bounds
     rs, re = right_bounds
     common = set(left.columns) & set(right.columns)

@@ -265,4 +265,14 @@ def overlay(left, right, how: str = "intersection", strategy: str = "auto",
                          + [c for c in rcols if c not in lcols])
              if c in present]
     out = out.select(*attrs, lgeom_j)
-    return GeoDataFrame(out, lgeom_j, crs_map=getattr(left, "_crs", {}))
+    # geopandas.overlay keeps the geometry column under the LEFT layer's
+    # original name even when both sides were suffixed for the join (the
+    # common both-named-'geometry' case); restore it unless an attribute
+    # column took that name, and key the CRS map by the final name so
+    # res.crs resolves (previously it was keyed by the pre-suffix name).
+    out_geom = lgeom_j
+    if lgeom_j != lgeom and lgeom not in attrs:
+        out = out.withColumnRenamed(lgeom_j, lgeom)
+        out_geom = lgeom
+    crs_map = {out_geom: getattr(left, "_crs", {}).get(lgeom)}
+    return GeoDataFrame(out, out_geom, crs_map=crs_map)

@@ -295,6 +295,9 @@ def sjoin(left, right, how: str = "inner", predicate: str = "intersects",
     elif how == "anti":
         matched_ids = refined.select(lrow)
         refined = ldf.join(matched_ids, on=lrow, how="left_anti").drop(lrow)
+    if how in ("left", "anti") and cand_lbbox != lbbox_j:
+        # the rejoin against ldf re-introduces the dwithin helper bbox
+        refined = refined.drop(cand_lbbox)
 
     return GeoDataFrame(refined, lgeom_j, crs_map=getattr(left, "_crs", {}))
 

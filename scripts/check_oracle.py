@@ -50,6 +50,20 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> str:
                 bad = av.astype(str) != bv.astype(str)
                 i = bad.idxmax()
                 return f"VALUE MISMATCH col={c} row={i}: spark={av[i]!r} oracle={bv[i]!r}"
+    # Strict pass mirroring the driver's value hash: the driver stringifies
+    # each cell as pandas renders it and hashes, so a numerically-equal but
+    # differently-typed column (e.g. DuckDB HUGEINT sum() -> "13496.0" vs
+    # Spark bigint -> "13496") is a hash mismatch even when the tolerant
+    # compare above passes.  Surface that class of bug locally.
+    astr = a.astype(str)
+    bstr = b.astype(str)
+    if not astr.equals(bstr):
+        for c in astr.columns:
+            if not astr[c].equals(bstr[c]):
+                bad = astr[c] != bstr[c]
+                i = bad.idxmax()
+                return (f"LOOSE-ONLY (driver hash would fail) col={c} row={i}: "
+                        f"spark={astr[c][i]!r} oracle={bstr[c][i]!r}")
     return "OK"
 
 

@@ -904,6 +904,28 @@ def test_sjoin_dwithin_grid_matches_broadcast(spark):
     assert ka == want
 
 
+def test_sjoin_dwithin_left_anti_no_helper_column(spark):
+    """how='left'/'anti' with predicate='dwithin' must not leak the
+    internal dilated-bbox helper column into the output schema."""
+    import dask_geopandas_spark as dgs
+
+    left = dgs.points_from_xy(
+        spark.createDataFrame([(0, 0.0, 0.0), (1, 10.0, 0.0)],
+                              "lid int, x double, y double"), "x", "y")
+    right = dgs.points_from_xy(
+        spark.createDataFrame([(100, 1.0, 0.0)],
+                              "rid int, x double, y double"), "x", "y")
+    for how in ("left", "anti"):
+        out = left.sjoin(right, predicate="dwithin", distance=2.0,
+                         strategy="broadcast", how=how)
+        assert not [c for c in out.df.columns if c.startswith("_dw")], \
+            (how, out.df.columns)
+    lj = left.sjoin(right, predicate="dwithin", distance=2.0,
+                    strategy="broadcast", how="left")
+    got = {r["lid"]: r["rid"] for r in lj.df.select("lid", "rid").collect()}
+    assert got == {0: 100, 1: None}
+
+
 def test_sjoin_dwithin_validation(spark):
     import dask_geopandas_spark as dgs
 

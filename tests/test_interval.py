@@ -99,3 +99,26 @@ class TestIntervalLeftJoin:
         assert matched == inner
         unmatched_l = {p[0] for p in left if p[1] is None}
         assert unmatched_l == set(lpdf["lid"]) - {a for a, _ in inner}
+
+    def test_left_duplicate_rows_keep_multiplicity(self, spark):
+        """Two identical right rows that both overlap a left interval
+        yield two rows under how='left', exactly as under how='inner'
+        (inner-plus-nulls equivalence for duplicate rows); duplicate
+        identical left rows likewise each keep their full match list."""
+        ldf = spark.createDataFrame(
+            [(0, 0.0, 5.0), (0, 0.0, 5.0), (1, 100.0, 110.0)],
+            "lid long, s double, e double")
+        rdf = spark.createDataFrame(
+            [(7, 3.0, 8.0), (7, 3.0, 8.0), (8, 4.0, 4.5)],
+            "rid long, s double, e double")
+        inner = sorted(
+            (r["lid"], r["rid"]) for r in
+            interval_join(ldf, rdf, ("s", "e"), ("s", "e"))
+            .select("lid", "rid").collect())
+        assert inner == [(0, 7)] * 4 + [(0, 8)] * 2
+        left = sorted(
+            ((r["lid"], r["rid"]) for r in
+             interval_join(ldf, rdf, ("s", "e"), ("s", "e"), how="left")
+             .select("lid", "rid").collect()),
+            key=lambda p: (p[0], p[1] is None, p[1] or 0))
+        assert left == [(0, 7)] * 4 + [(0, 8)] * 2 + [(1, None)]

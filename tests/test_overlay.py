@@ -109,6 +109,18 @@ class TestOverlayCompound:
         total = sum(r["_a"] for r in _areas(res).select("_a").collect())
         assert total == pytest.approx(16.0)  # covers exactly the left layer
 
+    def test_geometry_name_and_crs_preserved(self, spark):
+        """Both layers named 'geometry' (the common case): the output
+        keeps the LEFT layer's geometry name (geopandas.overlay parity,
+        not 'geometry_left') and res.crs resolves to the left CRS."""
+        l = _boxes(spark, [(1, 0, 0, 4, 4)])
+        r = _boxes(spark, [(2, 2, 2, 6, 6)])
+        assert l.geometry_column == r.geometry_column == "geometry"
+        res = overlay(l, r, how="intersection", strategy="broadcast")
+        assert res.geometry_column == "geometry"
+        assert "geometry_left" not in res.df.columns
+        assert res.crs == l.crs
+
     def test_bad_how_raises(self, spark):
         left = _boxes(spark, [(1, 0, 0, 1, 1)])
         with pytest.raises(ValueError, match="how must be"):
