@@ -876,6 +876,15 @@ def _pq_fixed_books(m: int = 4, k: int = 4, dsub: int = 16) -> list:
             for s in range(m)]
 
 
+def _ivf_fixed_cents(n_cells: int = 8, dim: int = 64) -> list:
+    """Deterministic data-independent IVF centroids spanning the
+    embeddings' value range (±0.5), so the Spark query and the DuckDB
+    oracle share identical literal constants (the trained-centroid
+    variants stay covered by ann_ivf and the pytest recall suite)."""
+    return [[(((c * 29 + d * 13) % 19) - 9) / 30.0 for d in range(dim)]
+            for c in range(n_cells)]
+
+
 def q_pq_codes(spark, sf_dir):
     """Product-quantization encode (operators/similarity.py pq_encode,
     Jégou et al. 2011): per-subspace nearest-centroid codes as pure
@@ -893,11 +902,14 @@ def q_pq_codes(spark, sf_dir):
 
 def q_ann_pq(spark, sf_dir):
     """PQ asymmetric-distance top-k (the compression scale path: the
-    corpus pass reads m-byte codes, never the vectors).  Codebook
-    training is iterative k-means → no SQL oracle; the recall contract
-    is pinned in pytest (1-NN recall@10 ≥ 0.75 on clustered data)."""
+    corpus pass reads m-byte codes, never the vectors).  Fixed literal
+    codebooks make the oracle exact: codes, the driver-computed LUTs
+    (left-associated sums, similarity.py _d2_exact), and the native
+    LUT-lookup fold all replicate bit-for-bit in DuckDB SQL.  The
+    trained-codebook path stays covered by the pytest recall contract
+    (1-NN recall@10 ≥ 0.75 on clustered data)."""
     e = _t(spark, sf_dir, "embeddings")
-    books = SIM.train_pq(e, m=8, k=16, sample=512)
+    books = _pq_fixed_books()
     codes = SIM.pq_encode(e, books)
     queries = e.filter(F.col("vec_id") < 20)
     out = SIM.pq_topk(codes, queries, books, k=5)
@@ -907,16 +919,18 @@ def q_ann_pq(spark, sf_dir):
 def q_ann_ivf_pq(spark, sf_dir):
     """Composed IVF-PQ index search (write_ivf_pq_index + ivf_pq_topk):
     hive-partitioned cells storing m-byte codes only — the scan prunes
-    to nprobe cells AND never reads the vectors.  Iterative training →
-    rows-only; the pruning + code-only-scan contract and in-memory
-    agreement are pinned in pytest."""
+    to nprobe cells AND never reads the vectors.  Fixed literal
+    centroids + codebooks make it hash-exact against a DuckDB oracle
+    that recomputes cells, probe lists, codes, and ADC sums with the
+    identical left-associated arithmetic; the trained path's pruning +
+    code-only-scan contract stays pinned in pytest."""
     import shutil
 
     path = "/root/repo/.bench_tmp/ivfpq_index"
     shutil.rmtree(path, ignore_errors=True)
     e = _t(spark, sf_dir, "embeddings")
-    cents = SIM.train_centroids(e, n_cells=8, iters=2)
-    books = SIM.train_pq(e, m=8, k=16, sample=512)
+    cents = _ivf_fixed_cents()
+    books = _pq_fixed_books()
     SIM.write_ivf_pq_index(e, path, cents, books)
     queries = e.filter(F.col("vec_id") < 20)
     out = SIM.ivf_pq_topk(spark, path, queries, cents, books, k=5, nprobe=3)
@@ -925,12 +939,30 @@ def q_ann_ivf_pq(spark, sf_dir):
 
 def q_knn_graph(spark, sf_dir):
     """Approximate corpus kNN graph (similarity.py knn_graph): per-cell
-    self-join — the graph-dedup substrate.  Iterative centroid training
-    → rows-only; per-source exactness vs numpy same-cell kNN is pinned
-    in pytest."""
+    self-join — the graph-dedup substrate.  Fixed literal centroids
+    make it hash-exact against a same-cell cosine top-k SQL oracle;
+    cell_cap exercises the hot-cell salt split, which must not change
+    which pairs meet.  The trained-centroid variant stays pinned in
+    pytest (exactness vs numpy same-cell kNN)."""
     e = _t(spark, sf_dir, "embeddings")
-    cents = SIM.train_centroids(e, n_cells=8, iters=2)
-    out = SIM.knn_graph(e.filter(F.col("vec_id") < 300), cents, k=3)
+    cents = _ivf_fixed_cents()
+    out = SIM.knn_graph(e.filter(F.col("vec_id") < 300), cents, k=3,
+                        cell_cap=64)
+    return out.select("src_id", "dst_id", "cos", "rank")
+
+
+def q_knn_graph_pq(spark, sf_dir):
+    """kNN graph, PQ-pruned hot-cell-safe path (similarity.py knn_graph
+    with codebooks): the quadratic same-cell stage shuffles m-byte
+    codes scored by symmetric-PQ literal LUTs; only the per-source
+    shortlist rejoins real vectors for exact cosine.  Fixed literal
+    centroids + codebooks → the oracle replicates codes, SDC sums,
+    shortlist cut, and the cosine re-rank exactly."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = SIM.knn_graph(e.filter(F.col("vec_id") < 300),
+                        _ivf_fixed_cents(), k=3,
+                        codebooks=_pq_fixed_books(), shortlist=12,
+                        cell_cap=64)
     return out.select("src_id", "dst_id", "cos", "rank")
 
 
@@ -2133,6 +2165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq": q_ann_ivf_pq,
         "knn_graph": q_knn_graph,
         # -- (d) NEW in round 4 (inserted as built) --
+        "knn_graph_pq": q_knn_graph_pq,
         # -- (e) driver-green in r3 --
         "to_lambert": q_to_lambert,
         "to_albers": q_to_albers,
@@ -2409,6 +2442,246 @@ def _pq_oracle_sql() -> str:
             FROM embeddings
         )
         SELECT vec_id, {sel} FROM s1
+    """
+
+
+def _d2_terms_sql(evar: str, cen: list, offset: int = 0) -> str:
+    """Left-associated (0.0 + t0 + t1 + …) squared distance of
+    ``evar[offset+1:offset+len(cen)]`` to a literal centroid — the SQL
+    mirror of both the native ``aggregate(zip_with(...))`` fold and the
+    driver-side ``_d2_exact`` loop (similarity.py), so all three agree
+    bit-for-bit."""
+    terms = " + ".join(
+        f"({evar}[{offset + d + 1}] - {cen[d]!r})"
+        f" * ({evar}[{offset + d + 1}] - {cen[d]!r})"
+        for d in range(len(cen)))
+    return f"(0.0 + {terms})"
+
+
+def _cell_list_sql(evar: str, cents: list) -> str:
+    """[d2(e, cent0), d2(e, cent1), …] — the per-cell distance list
+    whose argmin (list_position of list_min) is the IVF cell, mirroring
+    assign_ivf_cells exactly."""
+    return "[" + ", ".join(_d2_terms_sql(evar, c) for c in cents) + "]"
+
+
+def _pq_code_cols_sql(evar: str, books: list) -> list:
+    """Per-subspace nearest-centroid code expressions (the pq_encode
+    mirror, as in _pq_oracle_sql)."""
+    dsub = len(books[0][0])
+    cols = []
+    for s, book in enumerate(books):
+        dl = ", ".join(_d2_terms_sql(evar, c, s * dsub) for c in book)
+        cols.append(
+            f"CAST(list_position([{dl}], list_min([{dl}])) - 1 AS INTEGER)")
+    return cols
+
+
+def _cos_sql(av: str, bv: str) -> str:
+    """round(cosine(av, bv), 9) — double-cast list_sum form, the same
+    shape the ann/ann_ivf_exact oracles already hash-match (round 9
+    absorbs the ≤1-ulp fold-order difference vs the native sum)."""
+    return (
+        f"round(list_sum(list_transform(range(1, len({av}) + 1), "
+        f"i -> CAST({av}[i] AS DOUBLE) * CAST({bv}[i] AS DOUBLE))) / "
+        f"(sqrt(list_sum(list_transform({av}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+        f"sqrt(list_sum(list_transform({bv}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 9)")
+
+
+def _ann_pq_oracle_sql() -> str:
+    """DuckDB replica of q_ann_pq: codes (pq_encode mirror), per-query
+    LUTs recomputed with the identical left-associated sums the driver
+    computes (_d2_exact), ADC score as the same 0.0-seeded fold, rank
+    by (adist, neighbor_id)."""
+    books = _pq_fixed_books()
+    dsub = len(books[0][0])
+    code_cols = ", ".join(
+        f"{c} AS c{s}" for s, c in enumerate(_pq_code_cols_sql("e", books)))
+    lut_cols = ", ".join(
+        "[" + ", ".join(_d2_terms_sql("e", cen, s * dsub) for cen in book)
+        + f"] AS lut{s}"
+        for s, book in enumerate(books))
+    adist = "CAST(0.0 AS DOUBLE) + " + " + ".join(
+        f"lut{s}[c{s} + 1]" for s in range(len(books)))
+    return f"""
+        WITH s1 AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        codes AS (SELECT vec_id, {code_cols} FROM s1),
+        q AS (SELECT vec_id AS query_id, {lut_cols}
+              FROM s1 WHERE vec_id < 20),
+        scored AS (
+            SELECT query_id, c.vec_id AS neighbor_id,
+                   round({adist}, 9) AS adist
+            FROM q, codes c WHERE query_id != c.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, adist,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adist ASC, neighbor_id ASC)
+                       AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, adist, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5
+    """
+
+
+def _ann_ivf_pq_oracle_sql(nprobe: int = 3) -> str:
+    """DuckDB replica of q_ann_ivf_pq: corpus cells + codes from the
+    fixed literals, per-query probe list as a (distance, index) window
+    rank — the mirror of the driver's sorted((d, i)) — then the same
+    ADC scoring as _ann_pq_oracle_sql restricted to probed cells."""
+    cents = _ivf_fixed_cents()
+    books = _pq_fixed_books()
+    dsub = len(books[0][0])
+    cd = _cell_list_sql("e", cents)
+    code_cols = ", ".join(
+        f"{c} AS c{s}" for s, c in enumerate(_pq_code_cols_sql("e", books)))
+    lut_cols = ", ".join(
+        "[" + ", ".join(_d2_terms_sql("e", cen, s * dsub) for cen in book)
+        + f"] AS lut{s}"
+        for s, book in enumerate(books))
+    adist = "CAST(0.0 AS DOUBLE) + " + " + ".join(
+        f"lut{s}[c{s} + 1]" for s in range(len(books)))
+    return f"""
+        WITH s1 AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        corp0 AS (SELECT vec_id, e, {cd} AS cd FROM s1),
+        corp AS (SELECT vec_id, {code_cols},
+                        CAST(list_position(cd, list_min(cd)) - 1 AS INTEGER)
+                            AS cell
+                 FROM corp0),
+        q0 AS (SELECT vec_id AS query_id, {cd} AS cd, {lut_cols}
+               FROM s1 WHERE vec_id < 20),
+        probe AS (
+            SELECT query_id, CAST(i - 1 AS INTEGER) AS cell
+            FROM (
+                SELECT query_id, i,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cd[i] ASC, i ASC) AS rn
+                FROM q0 CROSS JOIN
+                     (SELECT unnest(range(1, {len(cents) + 1})) AS i) t
+            ) WHERE rn <= {nprobe}
+        ),
+        scored AS (
+            SELECT q0.query_id, c.vec_id AS neighbor_id,
+                   round({adist}, 9) AS adist
+            FROM q0 JOIN probe p ON q0.query_id = p.query_id
+                    JOIN corp c ON c.cell = p.cell
+            WHERE q0.query_id != c.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, adist,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adist ASC, neighbor_id ASC)
+                       AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, adist, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5
+    """
+
+
+def _knn_graph_oracle_sql() -> str:
+    """DuckDB replica of q_knn_graph: fixed-centroid cell assignment,
+    same-cell pair cosine (round 9), per-source rank ≤ 3.  The engine's
+    cell_cap salt split must not change which pairs meet, so the oracle
+    is salt-free by construction."""
+    cd = _cell_list_sql("e", _ivf_fixed_cents())
+    return f"""
+        WITH s1 AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings WHERE vec_id < 300
+        ),
+        s2 AS (SELECT vec_id, e, {cd} AS cd FROM s1),
+        asg AS (SELECT vec_id, e,
+                       CAST(list_position(cd, list_min(cd)) - 1 AS INTEGER)
+                           AS cell
+                FROM s2),
+        scored AS (
+            SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+                   {_cos_sql('a.e', 'b.e')} AS cos
+            FROM asg a JOIN asg b
+              ON a.cell = b.cell AND a.vec_id != b.vec_id
+        ),
+        ranked AS (
+            SELECT src_id, dst_id, cos,
+                   row_number() OVER (PARTITION BY src_id
+                                      ORDER BY cos DESC, dst_id ASC) AS rank
+            FROM scored
+        )
+        SELECT src_id, dst_id, cos, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 3
+    """
+
+
+def _knn_graph_pq_oracle_sql(k: int = 3, shortlist: int = 12) -> str:
+    """DuckDB replica of q_knn_graph_pq: codes + cells from the fixed
+    literals, symmetric-PQ candidate distance as double-indexed literal
+    k×k LUTs summed in the same 0.0-seeded order, per-source shortlist
+    cut by (sd, dst_id), exact-cosine re-rank of the survivors."""
+    from dask_geopandas_spark.operators.similarity import sdc_luts
+
+    cents = _ivf_fixed_cents()
+    books = _pq_fixed_books()
+    cd = _cell_list_sql("e", cents)
+    code_cols = ", ".join(
+        f"{c} AS c{s}" for s, c in enumerate(_pq_code_cols_sql("e", books)))
+    luts = sdc_luts(books)
+    lut_lits = [
+        "[" + ", ".join(
+            "[" + ", ".join(repr(v) for v in row) + "]" for row in tab)
+        + "]" for tab in luts]
+    sd = "CAST(0.0 AS DOUBLE) + " + " + ".join(
+        f"({lit})[a.c{s} + 1][b.c{s} + 1]"
+        for s, lit in enumerate(lut_lits))
+    return f"""
+        WITH s1 AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings WHERE vec_id < 300
+        ),
+        s2 AS (SELECT vec_id, e, {cd} AS cd FROM s1),
+        asg AS (SELECT vec_id, e, {code_cols},
+                       CAST(list_position(cd, list_min(cd)) - 1 AS INTEGER)
+                           AS cell
+                FROM s2),
+        sd AS (
+            SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+                   ({sd}) AS sdv
+            FROM asg a JOIN asg b
+              ON a.cell = b.cell AND a.vec_id != b.vec_id
+        ),
+        cand AS (
+            SELECT src_id, dst_id FROM (
+                SELECT src_id, dst_id,
+                       row_number() OVER (PARTITION BY src_id
+                                          ORDER BY sdv ASC, dst_id ASC) AS rn
+                FROM sd
+            ) WHERE rn <= {shortlist}
+        ),
+        scored AS (
+            SELECT c.src_id, c.dst_id, {_cos_sql('a.e', 'b.e')} AS cos
+            FROM cand c JOIN asg a ON c.src_id = a.vec_id
+                        JOIN asg b ON c.dst_id = b.vec_id
+        ),
+        ranked AS (
+            SELECT src_id, dst_id, cos,
+                   row_number() OVER (PARTITION BY src_id
+                                      ORDER BY cos DESC, dst_id ASC) AS rank
+            FROM scored
+        )
+        SELECT src_id, dst_id, cos, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= {k}
     """
 
 
@@ -3170,6 +3443,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "to_utm": _utm_oracle_sql(),
         "pq_codes": _pq_oracle_sql(),
+        "ann_pq": _ann_pq_oracle_sql(),
+        "ann_ivf_pq": _ann_ivf_pq_oracle_sql(),
+        "knn_graph": _knn_graph_oracle_sql(),
+        "knn_graph_pq": _knn_graph_pq_oracle_sql(),
         "overlay_lines": f"""
             WITH seg AS (
                 SELECT o_orderkey AS orderkey,

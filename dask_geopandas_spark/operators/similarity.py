@@ -181,17 +181,14 @@ def ivf_topk_stored(spark, path: str, queries: DataFrame,
     scan carries a static ``ivf_cell IN (...)`` partition filter; scoring
     then reuses the in-memory probe join.  Result contract matches
     ``ivf_topk`` on the same centroids/nprobe."""
-    import numpy as np
-
     corpus = spark.read.parquet(path)
 
     qrows = queries.select(id_col, vec_col).collect()
-    C = np.asarray(centroids, dtype=np.float64)
 
     def probes(vec) -> list[int]:
-        v = np.asarray(vec, dtype=np.float64)
-        d = ((C - v[None, :]) ** 2).sum(axis=1)
-        return [int(i) for i in np.argsort(d, kind="stable")[:nprobe]]
+        v = [float(x) for x in vec]
+        d = [_d2_exact(v, cen) for cen in centroids]
+        return [i for _, i in sorted((dv, i) for i, dv in enumerate(d))][:nprobe]
 
     pairs = [(r[id_col], list(map(float, r[vec_col])), c)
              for r in qrows for c in probes(r[vec_col])]
@@ -277,6 +274,20 @@ def pq_encode(df: DataFrame, codebooks: list,
     return df.withColumn(code_col, F.array(*codes))
 
 
+def _d2_exact(v, cen) -> float:
+    """Left-associated squared distance between two small driver-side
+    vectors: ((0 + t0²) + t1²) + … — EXACTLY the fold order of the
+    native `aggregate(zip_with(...), 0.0, acc + x)` expression and of a
+    flat `(0.0 + t0 + t1 + …)` SQL sum, so driver-computed LUT/probe
+    constants agree bit-for-bit with an oracle that recomputes them in
+    SQL (numpy's pairwise summation would differ in the last ulp)."""
+    acc = 0.0
+    for x, c in zip(v, cen):
+        t = float(x) - float(c)
+        acc = acc + t * t
+    return acc
+
+
 def pq_topk(codes_df: DataFrame, queries: DataFrame, codebooks: list,
             k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding",
             code_col: str = "pq_code") -> DataFrame:
@@ -286,19 +297,16 @@ def pq_topk(codes_df: DataFrame, queries: DataFrame, codebooks: list,
     lookups summed natively — the corpus pass reads CODES ONLY (never
     the vectors).  Returns (query_id, neighbor_id, adist, rank),
     ascending approximate squared distance."""
-    import numpy as np
-
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     qrows = queries.select(id_col, vec_col).collect()
     pairs = []
     for r in qrows:
-        v = np.asarray(r[vec_col], dtype=np.float64)
+        v = [float(x) for x in r[vec_col]]
         lut = []
         for s, book in enumerate(codebooks):
             sub = v[s * dsub:(s + 1) * dsub]
-            C = np.asarray(book, dtype=np.float64)
-            lut.append([float(x) for x in ((C - sub[None, :]) ** 2).sum(axis=1)])
+            lut.append([_d2_exact(sub, c) for c in book])
         pairs.append((int(r[id_col]), lut))
     spark = codes_df.sparkSession
     q = spark.createDataFrame(
@@ -357,25 +365,20 @@ def ivf_pq_topk(spark, path: str, queries: DataFrame, centroids: list,
     ``ivf_cell IN (...)`` partition filter on the scan; ADC scoring via
     per-query LUTs over the stored codes (native array lookups); the
     same two-stage skew-free rank as ``pq_topk``."""
-    import numpy as np
-
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    C = np.asarray(centroids, dtype=np.float64)
     qrows = queries.select(id_col, vec_col).collect()
     pairs = []
     cells = set()
     for r in qrows:
-        v = np.asarray(r[vec_col], dtype=np.float64)
-        d = ((C - v[None, :]) ** 2).sum(axis=1)
-        probe = [int(i) for i in np.argsort(d, kind="stable")[:nprobe]]
+        v = [float(x) for x in r[vec_col]]
+        d = [_d2_exact(v, cen) for cen in centroids]
+        probe = [i for _, i in sorted((dv, i) for i, dv in enumerate(d))][:nprobe]
         cells.update(probe)
         lut = []
         for s, book in enumerate(codebooks):
             sub = v[s * dsub:(s + 1) * dsub]
-            B = np.asarray(book, dtype=np.float64)
-            lut.append([float(x)
-                        for x in ((B - sub[None, :]) ** 2).sum(axis=1)])
+            lut.append([_d2_exact(sub, c) for c in book])
         for c in probe:
             pairs.append((int(r[id_col]), c, lut))
     q = spark.createDataFrame(
@@ -402,8 +405,50 @@ def ivf_pq_topk(spark, path: str, queries: DataFrame, centroids: list,
         .filter(F.col("rank") <= k)
 
 
+def sdc_luts(codebooks: list) -> list:
+    """Per-subspace k×k centroid-to-centroid squared-distance tables
+    (symmetric distance computation, Jégou et al. 2011 §III.A) as
+    nested lists — m·k² doubles, small enough to ride into plans as
+    literals.  Left-associated sums (`_d2_exact`) so an SQL oracle
+    recomputing them matches bit-for-bit."""
+    return [[[_d2_exact(ca, cb) for cb in book] for ca in book]
+            for book in codebooks]
+
+
+def _salted_cell_join(a: DataFrame, b: DataFrame, salt_id: str,
+                      cell_cap: int | None) -> DataFrame:
+    """Per-cell self-join with hot-cell bounding: when ``cell_cap`` is
+    set, any cell larger than the cap is split into g = ⌈|cell|/cap⌉
+    salt groups — the b side hashes into one group, the a side
+    replicates across all g — so no single join key ever carries more
+    than ~cap rows of build input.  Candidate volume is unchanged
+    (every same-cell pair still meets exactly once); what changes is
+    the per-task bound, which is what a single over-dense cell (a
+    near-duplicate cluster — exactly what kNN-graph consumers hunt)
+    would otherwise blow through.  The per-cell counts job is one
+    narrow aggregation whose output is ≤ n_cells rows."""
+    if not cell_cap:
+        return a.join(b, on="ivf_cell")
+    rows = a.groupBy("ivf_cell").agg(F.count("*").alias("n")).collect()
+    g = {int(r["ivf_cell"]): max(1, -(-int(r["n"]) // int(cell_cap)))
+         for r in rows}
+    if all(v <= 1 for v in g.values()):
+        return a.join(b, on="ivf_cell")
+    gmap = F.create_map(*[F.lit(x) for cell in sorted(g)
+                          for x in (cell, g[cell])])
+    salted_b = b.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_id)),
+                        F.element_at(gmap, F.col("ivf_cell"))).cast("int"))
+    salted_a = a.withColumn(
+        "_salt", F.explode(F.sequence(
+            F.lit(0), F.element_at(gmap, F.col("ivf_cell")) - 1)))
+    return salted_a.join(salted_b, on=["ivf_cell", "_salt"]).drop("_salt")
+
+
 def knn_graph(corpus: DataFrame, centroids: list, k: int = 5,
-              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              codebooks: list | None = None, shortlist: int | None = None,
+              cell_cap: int | None = None) -> DataFrame:
     """Approximate corpus-internal k-nearest-neighbor edges (the
     substrate for graph dedup / connected-component clustering):
     vectors meet candidates inside their IVF cell — a per-cell
@@ -412,17 +457,66 @@ def knn_graph(corpus: DataFrame, centroids: list, k: int = 5,
     Edges are ranked per source by cosine; recall is limited to
     same-cell neighbors (raise n_cells for smaller buckets, or probe
     more cells by composing with ivf_topk for the query side).
-    Returns (src_id, dst_id, cos, rank)."""
-    c = assign_ivf_cells(corpus, centroids, vec_col).select(
-        F.col(id_col).alias("src_id"), F.col(vec_col).alias("sv"),
-        "ivf_cell")
-    d = c.select(F.col("src_id").alias("dst_id"),
-                 F.col("sv").alias("dv"), "ivf_cell")
-    scored = (c.join(d, on="ivf_cell")
-              .filter(F.col("src_id") != F.col("dst_id"))
+    Returns (src_id, dst_id, cos, rank).
+
+    Two hot-cell guards make this safe when one cell is over-dense:
+
+    - ``codebooks`` (PQ, from `train_pq`): the cell self-join carries
+      (id, m-byte pq_code) instead of the full vectors, candidates are
+      scored by symmetric PQ distance (per-subspace k×k literal LUTs,
+      native array lookups), and only the per-source top ``shortlist``
+      (default 4·k) survivors rejoin the real vectors — two uniform
+      id-keyed joins — for exact cosine and the final rank.  The
+      quadratic stage moves ~20 bytes/row instead of d·8.
+    - ``cell_cap``: cells larger than the cap split into salt groups
+      (see `_salted_cell_join`), bounding per-task build input without
+      changing which pairs meet.
+    """
+    assigned = assign_ivf_cells(corpus, centroids, vec_col)
+    w = Window.partitionBy("src_id").orderBy(F.desc("cos"), F.asc("dst_id"))
+
+    if codebooks is None:
+        c = assigned.select(F.col(id_col).alias("src_id"),
+                            F.col(vec_col).alias("sv"), "ivf_cell")
+        d = c.select(F.col("src_id").alias("dst_id"),
+                     F.col("sv").alias("dv"), "ivf_cell")
+        scored = (_salted_cell_join(c, d, "dst_id", cell_cap)
+                  .filter(F.col("src_id") != F.col("dst_id"))
+                  .select("src_id", "dst_id",
+                          F.round(cosine(F.col("sv"), F.col("dv")), 9)
+                          .alias("cos")))
+        return scored.withColumn("rank", F.row_number().over(w)) \
+            .filter(F.col("rank") <= k)
+
+    coded = pq_encode(assigned, codebooks, vec_col)
+    a = coded.select(F.col(id_col).alias("src_id"),
+                     F.col("pq_code").alias("_ca"), "ivf_cell")
+    b = a.select(F.col("src_id").alias("dst_id"),
+                 F.col("_ca").alias("_cb"), "ivf_cell")
+    luts = sdc_luts(codebooks)
+    lut_cols = [F.array(*[F.array(*[F.lit(v) for v in row])
+                          for row in tab]) for tab in luts]
+    sdist = F.lit(0.0)
+    for s, lc in enumerate(lut_cols):
+        sdist = sdist + F.element_at(
+            F.element_at(lc, F.element_at(F.col("_ca"), s + 1) + 1),
+            F.element_at(F.col("_cb"), s + 1) + 1)
+    n_short = int(shortlist) if shortlist else 4 * k
+    w_sd = Window.partitionBy("src_id").orderBy(F.asc("_sd"),
+                                                F.asc("dst_id"))
+    cand = (_salted_cell_join(a, b, "dst_id", cell_cap)
+            .filter(F.col("src_id") != F.col("dst_id"))
+            .select("src_id", "dst_id", sdist.alias("_sd"))
+            .withColumn("_sr", F.row_number().over(w_sd))
+            .filter(F.col("_sr") <= n_short)
+            .select("src_id", "dst_id"))
+    sv = corpus.select(F.col(id_col).alias("src_id"),
+                       F.col(vec_col).alias("sv"))
+    dv = corpus.select(F.col(id_col).alias("dst_id"),
+                       F.col(vec_col).alias("dv"))
+    scored = (cand.join(sv, on="src_id").join(dv, on="dst_id")
               .select("src_id", "dst_id",
                       F.round(cosine(F.col("sv"), F.col("dv")), 9)
                       .alias("cos")))
-    w = Window.partitionBy("src_id").orderBy(F.desc("cos"), F.asc("dst_id"))
     return scored.withColumn("rank", F.row_number().over(w)) \
         .filter(F.col("rank") <= k)

@@ -465,3 +465,83 @@ def test_knn_graph_recall_within_cells(spark, embeddings):
         want = [int(ids[j]) for j in order]
         got = [d for _, d in sorted(by_src[src])]
         assert got == want, (src, got, want)
+
+
+# ----------------------------------------------------------------------
+# knn_graph hot-cell guards (PQ-code pruning + cell_cap salt split)
+# ----------------------------------------------------------------------
+def _hot_cell_frame(spark):
+    """60 vectors, HALF concentrated in one IVF cell (a near-duplicate
+    cluster — the adversarial case for a per-cell self-join)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(60):
+        if i < 30:
+            base = np.zeros(8)
+        elif i < 45:
+            base = np.full(8, 5.0)
+        else:
+            base = np.full(8, 9.0)
+        rows.append(base + rng.uniform(-0.5, 0.5, 8))
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(60, dtype=np.int64),
+        "embedding": [list(map(float, v)) for v in rows],
+    })
+    cents = [[0.0] * 8, [5.0] * 8, [9.0] * 8]
+    return spark.createDataFrame(pdf), cents
+
+
+def _formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_knn_graph_pq_path_agrees_with_exact(spark):
+    """With shortlist >= the largest cell, the PQ-pruned path reranks
+    every same-cell candidate with exact cosine, so its edges equal the
+    default (full-vector) path exactly."""
+    df, cents = _hot_cell_frame(spark)
+    books = SIM.train_pq(df, m=2, k=4, sample=60)
+    exact = {(r["src_id"], r["rank"]): r["dst_id"]
+             for r in SIM.knn_graph(df, cents, k=3).collect()}
+    pq = {(r["src_id"], r["rank"]): r["dst_id"]
+          for r in SIM.knn_graph(df, cents, k=3, codebooks=books,
+                                 shortlist=40).collect()}
+    assert pq == exact
+
+
+def test_knn_graph_cell_cap_preserves_pairs(spark):
+    """The salt split bounds per-key join input without changing which
+    pairs meet: capped and uncapped runs are identical, on both the
+    full-vector and the PQ-pruned path."""
+    df, cents = _hot_cell_frame(spark)
+    books = SIM.train_pq(df, m=2, k=4, sample=60)
+    for kw in (dict(), dict(codebooks=books, shortlist=40)):
+        base = sorted((r["src_id"], r["rank"], r["dst_id"]) for r in
+                      SIM.knn_graph(df, cents, k=3, **kw).collect())
+        capped = sorted((r["src_id"], r["rank"], r["dst_id"]) for r in
+                        SIM.knn_graph(df, cents, k=3, cell_cap=5,
+                                      **kw).collect())
+        assert capped == base and len(base) > 0
+
+
+def test_knn_graph_pq_cell_join_shuffles_codes_not_vectors(spark):
+    """The quadratic stage of the PQ path must move m-byte codes, not
+    d-dimensional vectors: every Exchange keyed on the IVF cell carries
+    pq codes and no embedding column (vectors re-enter only through the
+    uniform id-keyed rejoin of the surviving shortlist)."""
+    df, cents = _hot_cell_frame(spark)
+    books = SIM.train_pq(df, m=2, k=4, sample=60)
+    out = SIM.knn_graph(df, cents, k=3, codebooks=books, cell_cap=5)
+    plan = _formatted_plan(out)
+    cell_exchanges = [
+        blk for blk in plan.split("\n\n")
+        if blk.lstrip().startswith("(") and "Exchange" in blk.splitlines()[0]
+        and "hashpartitioning(ivf_cell" in blk
+    ]
+    assert cell_exchanges, plan  # the cell join does shuffle
+    for blk in cell_exchanges:
+        assert "embedding" not in blk, blk
