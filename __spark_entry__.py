@@ -721,6 +721,43 @@ def q_shapefile_roundtrip(spark, sf_dir):
     )
 
 
+def q_fgb_roundtrip(spark, sf_dir):
+    """FlatGeobuf write → read round-trip (reference reads .fgb via
+    read_file/pyogrio, io/file.py:49-149; this path is pure Python —
+    size-prefixed FlatBuffers features behind a packed Hilbert R-tree,
+    one .fgb per partition out).  The read exercises the index both
+    ways: the chunked part list comes from the R-tree leaf level, and
+    ``bbox=`` prunes non-intersecting chunks on the driver; the exact
+    ``cx`` refinement on top makes the result window-exact, so counts,
+    bit-exact double sums, string lengths, and coordinate extrema must
+    all survive the trip AND the pruning."""
+    import shutil
+
+    from dask_geopandas_spark.sources.flatgeobuf import (read_flatgeobuf,
+                                                         to_flatgeobuf)
+
+    path = "/root/repo/.bench_tmp/fgb_roundtrip"
+    shutil.rmtree(path, ignore_errors=True)
+    g = _cust_points(spark, sf_dir)
+    slim = dgs.GeoDataFrame(
+        g.df.select("c_custkey", "c_acctbal", "c_mktsegment",
+                    g.geometry_column),
+        g.geometry_column, crs="EPSG:4326")
+    to_flatgeobuf(slim, path)
+    back = read_flatgeobuf(spark, path, chunksize=256,
+                           bbox=(-60.0, -45.0, 60.0, 45.0))
+    win = back.cx(xmin=-60.0, ymin=-45.0, xmax=60.0, ymax=45.0)
+    return win.df.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("c_acctbal"), 4).alias("sum_bal"),
+        F.sum(F.length("c_mktsegment")).cast("long").alias("seg_chars"),
+        F.round(F.min(win.x), 6).alias("minx"),
+        F.round(F.min(win.y), 6).alias("miny"),
+        F.round(F.max(win.x), 6).alias("maxx"),
+        F.round(F.max(win.y), 6).alias("maxy"),
+    )
+
+
 def q_geopackage_roundtrip(spark, sf_dir):
     """GeoPackage write → read round-trip (reference reads .gpkg via
     read_file/pyogrio, io/file.py:49-149; this path is pure stdlib
@@ -2166,6 +2203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": q_knn_graph,
         # -- (d) NEW in round 4 (inserted as built) --
         "knn_graph_pq": q_knn_graph_pq,
+        "fgb_roundtrip": q_fgb_roundtrip,
         # -- (e) driver-green in r3 --
         "to_lambert": q_to_lambert,
         "to_albers": q_to_albers,
@@ -3406,6 +3444,16 @@ def oracle_sql() -> dict[str, str]:
                    round(min({CUST_X}), 6) AS minx, round(min({CUST_Y}), 6) AS miny,
                    round(max({CUST_X}), 6) AS maxx, round(max({CUST_Y}), 6) AS maxy
             FROM customer
+        """,
+        "fgb_roundtrip": f"""
+            SELECT count(*) AS n,
+                   round(sum(c_acctbal), 4) AS sum_bal,
+                   CAST(sum(length(c_mktsegment)) AS BIGINT) AS seg_chars,
+                   round(min({CUST_X}), 6) AS minx, round(min({CUST_Y}), 6) AS miny,
+                   round(max({CUST_X}), 6) AS maxx, round(max({CUST_Y}), 6) AS maxy
+            FROM customer
+            WHERE ({CUST_X}) >= -60.0 AND ({CUST_X}) <= 60.0
+              AND ({CUST_Y}) >= -45.0 AND ({CUST_Y}) <= 45.0
         """,
         "stream_hourly": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -48,6 +48,8 @@ __all__ = [
     "to_shapefile",
     "read_geopackage",
     "to_geopackage",
+    "read_flatgeobuf",
+    "to_flatgeobuf",
     "overlay",
     "to_parquet",
     "GeoSeries",
@@ -113,6 +115,18 @@ def to_geopackage(gdf_or_df, path, **kw):
     from .sources.geopackage import to_geopackage as _tg
 
     return _tg(gdf_or_df, path, **kw)
+
+
+def read_flatgeobuf(spark, path, **kw):
+    from .sources.flatgeobuf import read_flatgeobuf as _rf
+
+    return _rf(spark, path, **kw)
+
+
+def to_flatgeobuf(gdf_or_df, path, **kw):
+    from .sources.flatgeobuf import to_flatgeobuf as _tf
+
+    return _tf(gdf_or_df, path, **kw)
 
 
 def overlay(left, right, how="intersection", **kw):

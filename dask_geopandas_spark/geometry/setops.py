@@ -30,6 +30,8 @@ Exactness contract:
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 
 from . import wkb as W
@@ -734,10 +736,148 @@ def _geom_bounds(batch: W.GeometryBatch, i: int) -> np.ndarray:
     return np.array([np.nanmin(xs), np.nanmin(ys), np.nanmax(xs), np.nanmax(ys)])
 
 
+def _wkb_end(buf: bytes, off: int) -> int:
+    """End offset of one WKB geometry starting at ``off`` (any nesting,
+    Z/M/ZM flags included)."""
+    bo = "<" if buf[off] == 1 else ">"
+    t = struct.unpack_from(bo + "I", buf, off + 1)[0]
+    base = t % 1000
+    flags = t // 1000
+    ndim = 2 + (1 if flags in (1, 3) else 0) + (1 if flags in (2, 3) else 0)
+    off += 5
+    if base == W.POINT:
+        return off + 8 * ndim
+    if base == W.LINESTRING:
+        n = struct.unpack_from(bo + "I", buf, off)[0]
+        return off + 4 + 8 * ndim * n
+    if base == W.POLYGON:
+        nr = struct.unpack_from(bo + "I", buf, off)[0]
+        off += 4
+        for _ in range(nr):
+            n = struct.unpack_from(bo + "I", buf, off)[0]
+            off += 4 + 8 * ndim * n
+        return off
+    n = struct.unpack_from(bo + "I", buf, off)[0]
+    off += 4
+    for _ in range(n):
+        off = _wkb_end(buf, off)
+    return off
+
+
+def _gc_members(raw: bytes) -> list:
+    """Top-level member WKBs of a GEOMETRYCOLLECTION blob."""
+    bo = "<" if raw[0] == 1 else ">"
+    n = struct.unpack_from(bo + "I", raw, 5)[0]
+    out, off = [], 9
+    for _ in range(n):
+        end = _wkb_end(raw, off)
+        out.append(bytes(raw[off:end]))
+        off = end
+    return out
+
+
+def _collect_pieces(pieces: list) -> bytes:
+    """Combine result WKBs into one geometry: singletons pass through,
+    collections flatten, empties drop; nothing left -> empty GC."""
+    flat = []
+    for p in pieces:
+        if p is None:
+            continue
+        t = struct.unpack_from("<I" if p[0] == 1 else ">I", p, 1)[0] % 1000
+        if t == W.GEOMETRYCOLLECTION:
+            flat.extend(_gc_members(p))
+        else:
+            b = W.parse_wkb([p])
+            if not b.is_empty()[0]:
+                flat.append(p)
+    if not flat:
+        return _EMPTY_GC
+    if len(flat) == 1:
+        return flat[0]
+    return (b"\x01" + struct.pack("<I", W.GEOMETRYCOLLECTION)
+            + struct.pack("<I", len(flat)) + b"".join(flat))
+
+
+def _fold_union(wkbs: list) -> bytes:
+    cur = W.parse_wkb([wkbs[0]])
+    for w in wkbs[1:]:
+        res = union_one(cur, 0, W.parse_wkb([w]), 0)
+        cur = W.parse_wkb([res])
+    return bytes(cur.raw[0])
+
+
+def _gc_dispatch(op: str, Ab: W.GeometryBatch, i: int,
+                 Bb: W.GeometryBatch, j: int) -> bytes:
+    """GeometryCollection operands route member-wise through the typed
+    per-dimension paths (the reference inherits GC operand support from
+    GEOS OverlayNG, which treats a collection as the union of its
+    elements; the reference's tests exercise GEOMETRYCOLLECTION columns
+    in tests/test_core.py:11):
+
+    - intersection: collect the non-empty member∩other pieces;
+    - difference with the GC on the left: collect member−other pieces;
+      on the right: fold left−member over the members;
+    - union: fold pairwise unions over all parts (polygon members merge
+      interiors through the boolean kernel as usual).
+
+    Collections our kernels emit have disjoint members by construction;
+    two documented divergences for foreign collections: intersection
+    pieces of OVERLAPPING members are collected, not re-unioned, and
+    union keeps lower-dimension members alongside higher-dimension ones
+    rather than absorbing covered points/lines into polygons."""
+    ta = int(Ab.types[i])
+    if op == "union":
+        # flatten both operands to non-empty primitive parts, union per
+        # DIMENSION group (same-dim unions never emit a collection, so
+        # the fold terminates), then collect the per-dim results
+        def flatten(w):
+            b = W.parse_wkb([w])
+            if int(b.types[0]) == W.GEOMETRYCOLLECTION:
+                out = []
+                for m in _gc_members(w):
+                    out.extend(flatten(m))
+                return out
+            return [] if b.is_empty()[0] else [w]
+
+        parts = flatten(bytes(Ab.raw[i])) + flatten(bytes(Bb.raw[j]))
+        if not parts:
+            return _EMPTY_GC
+        by_dim: dict = {}
+        for p in parts:
+            by_dim.setdefault(_dim(int(W.parse_wkb([p]).types[0])),
+                              []).append(p)
+        merged = [_fold_union(ps) for _, ps in sorted(by_dim.items())]
+        return _collect_pieces(merged)
+    if ta == W.GEOMETRYCOLLECTION:
+        fn = intersection_one if op == "intersection" else difference_one
+        pieces = [fn(W.parse_wkb([m]), 0, Bb, j)
+                  for m in _gc_members(bytes(Ab.raw[i]))]
+        return _collect_pieces(pieces)
+    members = _gc_members(bytes(Bb.raw[j]))
+    if op == "intersection":
+        pieces = [intersection_one(Ab, i, W.parse_wkb([m]), 0)
+                  for m in members]
+        return _collect_pieces(pieces)
+    # difference, GC on the right: subtract members successively
+    cur, ci = Ab, i
+    last = bytes(Ab.raw[i]) if Ab.raw else None
+    for m in members:
+        res = difference_one(cur, ci, W.parse_wkb([m]), 0)
+        if res is None:
+            return None
+        cur, ci = W.parse_wkb([res]), 0
+        last = res
+        if cur.types[0] == 0 or cur.is_empty()[0]:
+            return res
+    return last
+
+
 def intersection_one(Ab: W.GeometryBatch, i: int, Bb: W.GeometryBatch, j: int) -> bytes:
     ta, tb = int(Ab.types[i]), int(Bb.types[j])
     if ta == 0 or tb == 0:
         return None
+    if W.GEOMETRYCOLLECTION in (ta, tb):
+        return _gc_dispatch("intersection", Ab, i, Bb, j)
     da, db = _dim(ta), _dim(tb)
     if da > db:
         return intersection_one(Bb, j, Ab, i)
@@ -893,6 +1033,8 @@ def union_one(Ab: W.GeometryBatch, i: int, Bb: W.GeometryBatch, j: int) -> bytes
         return ra
     if bytes(ra) == bytes(rb):
         return bytes(ra)
+    if W.GEOMETRYCOLLECTION in (ta, tb):
+        return _gc_dispatch("union", Ab, i, Bb, j)
     da, db = _dim(ta), _dim(tb)
     if da == db == 2:
         ba = _geom_bounds(Ab, i); bb = _geom_bounds(Bb, j)
@@ -975,6 +1117,8 @@ def difference_one(Ab: W.GeometryBatch, i: int, Bb: W.GeometryBatch, j: int) -> 
     ra_raw = bytes(Ab.raw[i]) if Ab.raw else None
     if tb == 0:
         return ra_raw
+    if W.GEOMETRYCOLLECTION in (ta, tb):
+        return _gc_dispatch("difference", Ab, i, Bb, j)
     da, db = _dim(ta), _dim(tb)
     ba = _geom_bounds(Ab, i); bb = _geom_bounds(Bb, j)
     if (ba[2] < bb[0] or ba[0] > bb[2] or ba[3] < bb[1] or ba[1] > bb[3]):

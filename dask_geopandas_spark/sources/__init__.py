@@ -8,6 +8,7 @@ the driver and reads fragments on executors.
 
 from .feather import read_feather, to_feather
 from .file import read_file
+from .flatgeobuf import read_flatgeobuf, to_flatgeobuf
 from .geopackage import read_geopackage, to_geopackage
 from .geoparquet import read_parquet, to_parquet
 from .shapefile import read_shapefile, to_shapefile
@@ -22,4 +23,6 @@ __all__ = [
     "to_shapefile",
     "read_geopackage",
     "to_geopackage",
+    "read_flatgeobuf",
+    "to_flatgeobuf",
 ]

@@ -59,11 +59,13 @@ def read_file(spark: SparkSession, path: str, npartitions: int | None = None,
     """OGR scan → GeoDataFrame with WKB geometry.  ``read_info`` /
     ``read_chunk`` are injectable for testing without GDAL.
 
-    GeoJSON, shapefile, and GeoPackage paths need no GDAL at all — they
-    route to the pure-Python ``read_geojson`` (sources/geojson.py),
-    ``read_shapefile`` (sources/shapefile.py), and ``read_geopackage``
-    (sources/geopackage.py) when pyogrio is absent, so the three most
-    common ``read_file`` formats work in this environment."""
+    GeoJSON, shapefile, GeoPackage, and FlatGeobuf paths need no GDAL
+    at all — they route to the pure-Python ``read_geojson``
+    (sources/geojson.py), ``read_shapefile`` (sources/shapefile.py),
+    ``read_geopackage`` (sources/geopackage.py), and
+    ``read_flatgeobuf`` (sources/flatgeobuf.py) when pyogrio is
+    absent, so the four most common ``read_file`` formats work in this
+    environment."""
     from ..core import GeoDataFrame
 
     if read_info is _default_read_info:
@@ -86,6 +88,11 @@ def read_file(spark: SparkSession, path: str, npartitions: int | None = None,
                 return read_geopackage(spark, path, layer=layer,
                                        columns=columns,
                                        npartitions=npartitions,
+                                       chunksize=chunksize)
+            if path.lower().endswith(".fgb"):
+                from .flatgeobuf import read_flatgeobuf
+
+                return read_flatgeobuf(spark, path, columns=columns,
                                        chunksize=chunksize)
 
     info = read_info(path, layer=layer)

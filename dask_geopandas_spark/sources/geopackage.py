@@ -22,8 +22,13 @@ engine's standard sink layout; the reader accepts a single file or such
 a directory).  Each part is a fully valid GeoPackage (application_id
 ``GPKG``, registry rows, R-tree-free — readable by GDAL/QGIS).
 
-Local filesystem only: SQLite needs a real file; remote paths would
-need a download step (documented limitation).
+Remote paths: SQLite needs a real file, so non-local URIs (any scheme
+the fs layer resolves — s3a://, gs://, registered test schemes) are
+copied once to a process-local temp file before ``sqlite3`` opens
+them, cached per path for the executor-process lifetime so a task
+serving many rowid chunks of one file downloads it once.  GeoPackage
+is a small-file interchange format, so the copy is the pragmatic
+scale answer; columnar formats remain the bulk path.
 """
 
 from __future__ import annotations
@@ -39,6 +44,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.types import (BinaryType, DoubleType, LongType, StringType,
                                StructField, StructType)
 
+from . import fs as FS
 from ..geometry import wkb as W
 
 _ENV_SIZE = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}
@@ -92,13 +98,47 @@ def _srs_id_of(crs) -> int:
 # ======================================================================
 # reader
 # ======================================================================
-def _list_gpkg(path: str) -> list:
+def _list_gpkg(path: str, filesystem=None) -> list:
+    if filesystem is not None or FS.has_scheme(path):
+        if FS.is_dir(path, filesystem):
+            return FS.list_files(path, suffixes=(".gpkg",),
+                                 filesystem=filesystem)
+        return [path]
     if os.path.isdir(path):
         return sorted(glob.glob(os.path.join(path, "*.gpkg")))
     return sorted(glob.glob(path)) if any(c in path for c in "*?[") else [path]
 
 
-def _ro_connect(path: str) -> sqlite3.Connection:
+# per-process cache of downloaded remote .gpkg files (executor tasks
+# reading many rowid chunks of one file must download it once, not per
+# chunk)
+_LOCAL_COPIES: dict = {}
+
+
+def _local_copy(path: str, filesystem=None) -> str:
+    got = _LOCAL_COPIES.get(path)
+    if got and os.path.exists(got):
+        return got
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(suffix=".gpkg", prefix="dgs-gpkg-")
+    try:
+        with os.fdopen(fd, "wb") as out, FS.open_input(path, filesystem) as f:
+            while True:
+                chunk = f.read(1 << 22)
+                if not chunk:
+                    break
+                out.write(chunk)
+    except BaseException:
+        os.unlink(tmp)
+        raise
+    _LOCAL_COPIES[path] = tmp
+    return tmp
+
+
+def _ro_connect(path: str, filesystem=None) -> sqlite3.Connection:
+    if filesystem is not None or FS.has_scheme(path):
+        path = _local_copy(path, filesystem)
     return sqlite3.connect(f"file:{path}?mode=ro&immutable=1", uri=True)
 
 
@@ -135,18 +175,19 @@ def _sqlite_spark_type(decl: str):
 
 def read_geopackage(spark: SparkSession, path: str, layer: str | None = None,
                     columns=None, npartitions: int | None = None,
-                    chunksize: int | None = None):
+                    chunksize: int | None = None, filesystem=None):
     """Read GeoPackage feature layer(s) -> GeoDataFrame with WKB
     geometry.  ``path``: one ``.gpkg`` or a directory of them (the
-    sink's layout; all parts must share one schema).  Reference parity:
-    read_file on .gpkg, io/file.py:49-149."""
+    sink's layout; all parts must share one schema); non-local URIs
+    are copied to executor-local temp files first (see module doc).
+    Reference parity: read_file on .gpkg, io/file.py:49-149."""
     from ..core import GeoDataFrame
 
-    files = _list_gpkg(path)
+    files = _list_gpkg(path, filesystem)
     if not files:
         raise FileNotFoundError(path)
 
-    with _ro_connect(files[0]) as con:
+    with _ro_connect(files[0], filesystem) as con:
         table, geom_col, crs = _layer_info(con, layer)
         cols = con.execute(f'PRAGMA table_info("{table}")').fetchall()
 
@@ -168,7 +209,7 @@ def read_geopackage(spark: SparkSession, path: str, layer: str | None = None,
     # part list: rowid ranges per file
     parts = []
     for fp in files:
-        with _ro_connect(fp) as con:
+        with _ro_connect(fp, filesystem) as con:
             lo, hi, n = con.execute(
                 f'SELECT min(rowid), max(rowid), count(*) FROM "{table}"'
             ).fetchone()
@@ -202,7 +243,7 @@ def read_geopackage(spark: SparkSession, path: str, layer: str | None = None,
 
         for pdf in batches:
             for p, lo, hi in zip(pdf["path"], pdf["lo"], pdf["hi"]):
-                with _ro_connect(p) as con:
+                with _ro_connect(p, filesystem) as con:
                     rows = con.execute(
                         f'SELECT {sel} FROM "{table}" '
                         f"WHERE rowid BETWEEN ? AND ?",

@@ -213,3 +213,75 @@ class TestCollinearOverlapRuns:
         w = df.select(FX.st_astext(FX.st_difference(
             F.col("ga"), F.col("gb"))).alias("w")).collect()[0]["w"]
         assert w == "MULTILINESTRING ((0 0, 1 0), (3 0, 4 0))"
+
+
+# ----------------------------------------------------------------------
+# GeometryCollection operands (reference inherits GC operand support
+# from GEOS OverlayNG; tests/test_core.py:11 exercises GC columns)
+# ----------------------------------------------------------------------
+class TestGeometryCollectionOperands:
+    def _gc(self):
+        from dask_geopandas_spark.geometry import wkt as T
+
+        return T.wkt_to_wkb(
+            "GEOMETRYCOLLECTION (POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)), "
+            "LINESTRING (0 10, 10 10), POINT (2 2))")
+
+    def test_gc_intersection_with_polygon(self):
+        gc, sq = P([self._gc()]), P([box(1, 1, 6, 3)])
+        out = S.intersection_one(gc, 0, sq, 0)
+        b = P([out])
+        # polygon part clips to [1,4]x[1,3] (area 6); line part is
+        # disjoint; the point (2,2) lies inside -> collection(poly, pt)
+        assert float(A.area(b)[0]) == pytest.approx(6.0)
+        assert int(b.types[0]) == W.GEOMETRYCOLLECTION
+
+    def test_gc_difference_both_sides(self):
+        gc, sq = P([self._gc()]), P([box(1, 1, 6, 3)])
+        left = S.difference_one(gc, 0, sq, 0)
+        # polygon loses the 6-area overlap; line and nothing else change
+        assert float(A.area(P([left]))[0]) == pytest.approx(10.0)
+        right = S.difference_one(sq, 0, gc, 0)
+        # rect(10) minus the GC's polygon member overlap (6) -> 4
+        assert float(A.area(P([right]))[0]) == pytest.approx(4.0)
+
+    def test_gc_union_and_symdiff(self):
+        gc, sq = P([self._gc()]), P([box(1, 1, 6, 3)])
+        u = S.union_one(gc, 0, sq, 0)
+        bu = P([u])
+        # 16 + 10 - 6 overlap; line + point members survive as a GC
+        assert float(A.area(bu)[0]) == pytest.approx(20.0)
+        assert int(bu.types[0]) == W.GEOMETRYCOLLECTION
+        sd = S.symmetric_difference_one(gc, 0, sq, 0)
+        assert float(A.area(P([sd]))[0]) == pytest.approx(14.0)
+
+    def test_gc_x_gc(self):
+        from dask_geopandas_spark.geometry import wkt as T
+
+        gc = P([self._gc()])
+        gc2 = P([T.wkt_to_wkb(
+            "GEOMETRYCOLLECTION (POLYGON ((3 3, 8 3, 8 8, 3 8, 3 3)), "
+            "POINT (0 10))")])
+        inter = S.intersection_one(gc, 0, gc2, 0)
+        assert float(A.area(P([inter]))[0]) == pytest.approx(1.0)
+        u = S.union_one(gc, 0, gc2, 0)
+        assert float(A.area(P([u]))[0]) == pytest.approx(40.0)
+
+    def test_gc_empty_and_disjoint(self):
+        from dask_geopandas_spark.geometry import wkt as T
+
+        gc = P([self._gc()])
+        far = P([box(100, 100, 101, 101)])
+        inter = S.intersection_one(gc, 0, far, 0)
+        assert P([inter]).is_empty()[0]
+        # nested GC member flattens through union (WKT parser doesn't
+        # emit nested collections, so assemble the WKB by hand)
+        import struct as _st
+
+        inner = (b"\x01" + _st.pack("<I", W.GEOMETRYCOLLECTION)
+                 + _st.pack("<I", 1) + pt(1, 1))
+        nested = P([b"\x01" + _st.pack("<I", W.GEOMETRYCOLLECTION)
+                    + _st.pack("<I", 2) + inner + pt(2, 2)])
+        u = S.union_one(nested, 0, far, 0)
+        bu = P([u])
+        assert int(bu.types[0]) == W.GEOMETRYCOLLECTION

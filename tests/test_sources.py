@@ -218,6 +218,32 @@ class TestRemoteFilesystem:
         assert back.crs == "EPSG:3857"
         assert back.count() == 10
 
+    def test_geopackage_remote_copy_fallback(self, spark, tmp_path, subfs):
+        """Non-local .gpkg: SQLite needs a real file, so the reader must
+        copy the remote file to a local temp (once per process) and read
+        through it — a directory of parts over the fake scheme
+        round-trips completely."""
+        from dask_geopandas_spark.sources.geopackage import (read_geopackage,
+                                                             to_geopackage)
+
+        pdf = pd.DataFrame({"id": np.arange(9, dtype="int64"),
+                            "x": np.arange(9, dtype="float64"),
+                            "y": np.arange(9, dtype="float64") * 2})
+        g = dgs.points_from_xy(spark.createDataFrame(pdf).repartition(3),
+                               "x", "y", crs="EPSG:4326")
+        to_geopackage(g, str(tmp_path / "gpkg_out"))
+        assert len(list((tmp_path / "gpkg_out").glob("*.gpkg"))) == 3
+
+        back = read_geopackage(spark, "mockstore://gpkg_out",
+                               filesystem=subfs)
+        assert back.crs == "EPSG:4326"
+        assert sorted(r["id"] for r in back.df.select("id").collect()) \
+            == list(range(9))
+        # chunked remote read too (multiple rowid ranges per file)
+        back2 = read_geopackage(spark, "mockstore://gpkg_out",
+                                chunksize=2, filesystem=subfs)
+        assert back2.df.count() == 9
+
     def test_unreachable_scheme_warns_not_silent(self):
         from dask_geopandas_spark.sources.geoparquet import gather_geo_metadata
 
