@@ -1725,6 +1725,50 @@ def q_lsh_pairs(spark, sf_dir):
     )
 
 
+def q_stream_funnel(spark, sf_dir):
+    """Stream-stream inner join (streaming/joins.py
+    event_sequence_join): click→purchase pairs per user within 30
+    minutes, both sides watermarked readStreams — Structured
+    Streaming's stateful bounded join — then a batch rollup of the
+    sink.  Oracle: the identical inequality self-join in SQL (stream
+    and batch MUST agree under availableNow)."""
+    from dask_geopandas_spark.streaming.joins import event_sequence_join
+
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def stream():
+        s = (spark.readStream.schema(static.schema)
+             .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return s
+
+    clicks = stream().filter(F.col("event_type") == "click")
+    buys = stream().filter(F.col("event_type") == "purchase")
+    joined = event_sequence_join(clicks, buys, within="30 minutes")
+    qname = "stream_funnel_sink"
+    q = (joined.writeStream.format("memory").queryName(qname)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.table(qname)
+            .groupBy(F.pmod(F.col("user_id"), F.lit(10)).alias("bucket"))
+            .agg(F.count("*").alias("n_pairs"),
+                 F.round(F.sum("then_value"), 6).alias("sum_value")))
+
+
+def q_connected_components(spark, sf_dir):
+    """Generic min-label connected components (dedup.py
+    connected_components) over the LSH candidate-pair graph — the
+    cluster-level dedup substrate.  Spark iterates with an early stop;
+    the oracle unrolls the same label propagation a fixed 6 iterations:
+    both sides reach the fixpoint, so the iteration counts need not
+    match."""
+    edges = DD.lsh_candidate_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=4, bands=2, k=3)
+    return DD.connected_components(edges, src="id_a", dst="id_b",
+                                   max_iter=8)
+
+
 def q_fillna_isna(spark, sf_dir):
     """Missing-geometry semantics (reference 'Missing values' rows of
     geoseries.rst; SURVEY §1.3): NULL every 7th customer's geometry,
@@ -1808,6 +1852,23 @@ def q_vocab_top(spark, sf_dir):
     top-k window over the distinct-token table, lexicographic
     tie-break)."""
     return TX.vocab_topk(_t(spark, sf_dir, "documents"), top_k=50)
+
+
+def q_tfidf_top(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (textstats.tfidf_top_terms,
+    sklearn-smoothed formula): explode → two hash aggs → term join →
+    per-doc window.  Scores round to 6 decimals before ranking so a
+    1-ulp ln() difference between engines cannot flip a rank."""
+    return TX.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-20 documents for a fixed query-term bag
+    (textstats.bm25_topk, Lucene idf variant): query-filtered token
+    explode, per-doc tf agg, query-sized df table broadcast back,
+    1-row corpus stats cross join, TakeOrderedAndProject top-k."""
+    return TX.bm25_topk(_t(spark, sf_dir, "documents"),
+                        ["data", "model", "learning", "spark"], k=20)
 
 
 def q_lsh_dedup(spark, sf_dir):
@@ -2204,6 +2265,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (d) NEW in round 4 (inserted as built) --
         "knn_graph_pq": q_knn_graph_pq,
         "fgb_roundtrip": q_fgb_roundtrip,
+        "tfidf_top": q_tfidf_top,
+        "bm25_topk": q_bm25_topk,
+        "connected_components": q_connected_components,
+        "stream_funnel": q_stream_funnel,
         # -- (e) driver-green in r3 --
         "to_lambert": q_to_lambert,
         "to_albers": q_to_albers,
@@ -2723,6 +2788,80 @@ def _knn_graph_pq_oracle_sql(k: int = 3, shortlist: int = 12) -> str:
     """
 
 
+def _tfidf_oracle_sql(k: int = 3) -> str:
+    """DuckDB replica of q_tfidf_top: identical tokenization, counts,
+    and the sklearn-smoothed formula; round(…, 6) before ranking
+    absorbs ≤1-ulp ln() differences (same convention as the cosine
+    oracles)."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM toks WHERE term != '' GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6)
+                       AS tfidf
+            FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+        ),
+        ranked AS (
+            SELECT doc_id, term, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, term ASC) AS rank
+            FROM scored
+        )
+        SELECT doc_id, term, tfidf, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def _bm25_oracle_sql(terms: list, k: int = 20, k1: float = 1.2,
+                     b: float = 0.75) -> str:
+    """DuckDB replica of q_bm25_topk (Okapi BM25, Lucene idf): literal
+    constants emitted via repr so both engines hold identical doubles;
+    per-doc sums round to 6 decimals before ranking (the summation
+    order across query terms differs between engines by design)."""
+    tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   len(list_filter({_TOKENS}, t -> t != '')) AS dl,
+                   list_filter({_TOKENS},
+                               t -> list_contains([{tl}], t)) AS qtoks
+            FROM documents
+        ),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+        tf AS (
+            SELECT doc_id, dl, term, count(*) AS tf
+            FROM (SELECT doc_id, dl, unnest(qtoks) AS term FROM base)
+            GROUP BY doc_id, dl, term
+        ),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        part AS (
+            SELECT tf.doc_id,
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * tf * {k1 + 1.0!r}
+                   / (tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl)) AS s
+            FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        ),
+        scored AS (SELECT doc_id, round(sum(s), 6) AS score
+                   FROM part GROUP BY doc_id),
+        ranked AS (
+            SELECT doc_id, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                       AS rank
+            FROM scored
+        )
+        SELECT doc_id, score, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 def _utm_oracle_sql(lon0: float = 15.0, k0: float | None = None,
                     e0: float | None = None, n0: float = 0.0,
                     x_filter: str = "({x}) >= 3.0 AND ({x}) <= 27.0") -> str:
@@ -2872,6 +3011,37 @@ def oracle_sql() -> dict[str, str]:
         )
         """
     lsh_fx += "SELECT doc_id, rep_id FROM rep5"
+
+    # generic connected components over the LSH pair graph: symmetrize
+    # the pair list, then unroll min-label propagation 6 iterations
+    # (components here are unions of band-bucket cliques — diameter is
+    # far below 6, and post-convergence iterations are no-ops)
+    cc = banded + """
+        , pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+            WHERE a.doc_id < b.doc_id
+        ),
+        cedges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs
+        ),
+        cl0 AS (SELECT DISTINCT a AS node, a AS component FROM cedges)
+    """
+    for _c_ in range(1, 7):
+        cc += f"""
+        , cl{_c_} AS (
+            SELECT l.node,
+                   least(l.component, coalesce(m.nl, l.component))
+                       AS component
+            FROM cl{_c_ - 1} l LEFT JOIN (
+                SELECT e.a, min(x.component) AS nl
+                FROM cedges e JOIN cl{_c_ - 1} x ON e.b = x.node
+                GROUP BY e.a) m ON l.node = m.a
+        )
+        """
+    cc += "SELECT node, component FROM cl6"
 
     quality_signals = f"""
         WITH base AS (
@@ -3495,6 +3665,20 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_pq": _ann_ivf_pq_oracle_sql(),
         "knn_graph": _knn_graph_oracle_sql(),
         "knn_graph_pq": _knn_graph_pq_oracle_sql(),
+        "tfidf_top": _tfidf_oracle_sql(),
+        "bm25_topk": _bm25_oracle_sql(
+            ["data", "model", "learning", "spark"]),
+        "connected_components": cc,
+        "stream_funnel": """
+            SELECT a.user_id % 10 AS bucket,
+                   count(*) AS n_pairs,
+                   round(sum(b.value), 6) AS sum_value
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+            WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+            GROUP BY 1
+        """,
         "overlay_lines": f"""
             WITH seg AS (
                 SELECT o_orderkey AS orderkey,

@@ -53,6 +53,10 @@ BENCH_QUERIES = [
     # round-4 additions
     "fgb_roundtrip",
     "knn_graph_pq",
+    "tfidf_top",
+    "bm25_topk",
+    "connected_components",
+    "stream_funnel",
 ]
 
 

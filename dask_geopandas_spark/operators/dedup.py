@@ -564,3 +564,57 @@ def minhash_jaccard_estimate(df: DataFrame, pairs: DataFrame,
     return joined.select(
         "id_a", "id_b",
         (matches / F.lit(float(num_hashes))).alias("est_jaccard"))
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst",
+                         max_iter: int = 10) -> DataFrame:
+    """Min-label connected components over an undirected edge list —
+    the generic form of ``lsh_dedup``'s label propagation, for cluster-
+    level dedup over arbitrary pair sources (``knn_graph`` edges,
+    ``lsh_candidate_pairs``, ``embedding_neardup_pairs``).
+
+    Each iteration is two partial+final hash aggregations over the
+    symmetrized edge list (neighbor-min, then combine with the node's
+    own label); labels shrink monotonically, convergence needs at most
+    the graph diameter, and an any-row-changed early stop (one cheap
+    ``limit(1)`` job) exits as soon as an iteration changes nothing.
+
+    Each iterate is ``localCheckpoint``ed: the self-referential plan
+    otherwise DOUBLES per iteration (each step embeds the previous
+    plan twice) and chokes the planner long before the data does — the
+    standard Spark iterative-graph answer.  On a real cluster with
+    executor loss to survive, set ``spark.sparkContext.setCheckpointDir``
+    and swap in reliable ``checkpoint()``; local mode has no such
+    failure domain.
+
+    Returns (node, component) with component = the component's min
+    node id (for ``max_iter`` ≥ diameter)."""
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .union(edges.select(F.col(dst).alias("a"),
+                             F.col(src).alias("b"))))
+    e = e.localCheckpoint(eager=True)  # consumed every iteration
+    labels = (e.select(F.col("a").alias("node")).distinct()
+              .withColumn("component", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        nbr = (e.join(labels, on=F.col("b") == F.col("node"))
+               .groupBy("a").agg(F.min("component").alias("_nl")))
+        nxt = (labels.join(nbr, on=F.col("node") == F.col("a"),
+                           how="left")
+               .select("node",
+                       F.least(F.col("component"),
+                               F.coalesce(F.col("_nl"),
+                                          F.col("component")))
+                       .alias("component"))
+               .localCheckpoint(eager=True))
+        changed = (
+            nxt.withColumnRenamed("component", "_new")
+            .join(labels, on="node")
+            .filter(F.col("_new") != F.col("component"))
+            .limit(1).count() > 0
+        )
+        labels = nxt
+        if not changed:
+            break
+    return labels

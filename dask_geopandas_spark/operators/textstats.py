@@ -296,3 +296,94 @@ def vocab_topk(df, text_col: str = "text", top_k: int = 100):
         topk.withColumn("rank", F.row_number().over(w))
         .select("rank", "token", "n")
     )
+
+
+def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 5):
+    """Per-document top-``k`` terms by smoothed TF-IDF
+    (``tf · (ln((N+1)/(df+1)) + 1)``, the sklearn convention — a
+    published formula, keyword extraction / relevance-weighting staple).
+
+    Distributed shape: one token explode → hash-agg to (doc, term, tf)
+    (map-side combine absorbs Zipf skew) → hash-agg to (term, df) → a
+    plain shuffled join back on the term (the document-frequency table
+    is vocabulary-sized — NOT broadcast at 100 TB) → the 1-row corpus
+    count rides in via a broadcast cross join (the dissolve.py:173
+    pattern) → per-doc top-k window over the doc's distinct terms only.
+    Scores are rounded to 6 decimals BEFORE ranking so a 1-ulp ``ln``
+    difference between engines cannot flip a rank (the cosine-oracle
+    precedent); ties break lexicographically."""
+    from pyspark.sql import Window
+
+    toks = (df.select(F.col(id_col), F.explode(
+                tokens(F.col(text_col))).alias("term"))
+            .filter(F.col("term") != ""))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ndocs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn("tfidf", F.round(
+            F.col("tf") * (F.log((F.col("n_docs") + F.lit(1.0))
+                                 / (F.col("df") + F.lit(1.0)))
+                           + F.lit(1.0)), 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "term", "tfidf", "rank"))
+
+
+def bm25_topk(df, query_terms: list, k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id"):
+    """Top-``k`` documents for a bag of ``query_terms`` by Okapi BM25
+    (Robertson et al., the published ranking function) — the classic
+    lexical-retrieval scorer, e.g. for mining pretraining documents
+    related to a benchmark.
+
+    ``idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)`` (Lucene's
+    non-negative variant); ``score = Σ_t idf·tf·(k1+1)/(tf + k1·(1−b
+    + b·dl/avgdl))``.  Distributed shape: the corpus pass explodes
+    only tokens IN the query set (a narrow pre-filter), per-doc tf is
+    one hash agg, per-term df is a second agg over that (query-sized
+    output, broadcast back), and N/avgdl ride in as a broadcast 1-row
+    aggregate; the final top-k is orderBy+limit, which Spark executes
+    as TakeOrderedAndProject (per-partition partial top-k — no global
+    sort).  Scores round to 6 decimals before ranking; ties break by
+    ascending doc id."""
+    from pyspark.sql import Window
+
+    terms = sorted({str(t).lower() for t in query_terms})
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    tl = F.array(*[F.lit(t) for t in terms])
+    dl = df.select(
+        F.col(id_col),
+        F.size(F.filter(tokens(F.col(text_col)),
+                        lambda t: t != F.lit(""))).alias("dl"),
+        F.filter(tokens(F.col(text_col)),
+                 lambda t: F.array_contains(tl, t)).alias("_qtoks"))
+    stats = dl.agg(F.count("*").alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    tf = (dl.select(F.col(id_col), "dl",
+                    F.explode("_qtoks").alias("term"))
+          .groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    part = (
+        tf.join(F.broadcast(dfreq), on="term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_s", (
+            F.log((F.col("n_docs") - F.col("df") + F.lit(0.5))
+                  / (F.col("df") + F.lit(0.5)) + F.lit(1.0))
+            * F.col("tf") * F.lit(k1 + 1.0)
+            / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
+               + F.lit(b) * F.col("dl") / F.col("avgdl")))))
+    )
+    scored = (part.groupBy(id_col)
+              .agg(F.round(F.sum("_s"), 6).alias("score")))
+    topk = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))  # k rows only
+    return (topk.withColumn("rank", F.row_number().over(w))
+            .select(id_col, "score", "rank"))

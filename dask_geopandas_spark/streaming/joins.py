@@ -1,0 +1,58 @@
+"""Stream-stream joins (beyond-reference; SURVEY §2.9 streaming suite).
+
+Structured Streaming's stream-stream inner join needs watermarks on
+both inputs plus a time-range join condition so the state store can
+evict rows that can no longer match; `event_sequence_join` packages
+the classic funnel/conversion shape — "a THEN b within T, per key" —
+so the same call serves batch frames (plain inequality join) and
+streams (stateful, watermark-bounded).
+
+State bound at scale: each side retains only rows younger than
+watermark + the range width, keyed by the join key — the textbook
+bounded-state stream join, never an unbounded buffer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .geo import _watermarkable_ts
+
+
+def event_sequence_join(first: DataFrame, then: DataFrame,
+                        key: str = "user_id", within: str = "30 minutes",
+                        watermark: str = "2 hours", ts_col: str = "ts",
+                        first_cols: tuple = ("event_id",),
+                        then_cols: tuple = ("event_id", "value")) -> DataFrame:
+    """Pairs of (first-event, then-event) sharing ``key`` with the
+    'then' timestamp inside ``[first_ts, first_ts + within]`` (closed
+    bounds).  ``first``/``then`` may be two filtered views of one
+    source; each keeps ``ts_col``, ``key``, and its listed payload
+    columns.  Output columns: key, first_<c>…, then_<c>…, first_ts,
+    then_ts.
+
+    Batch inputs run the identical inequality join (the oracle form);
+    streaming inputs get per-side watermarks so the join is
+    stateful-but-bounded.  The time-range condition is REQUIRED for
+    streaming state eviction — an equality-only stream-stream join
+    would buffer forever."""
+    a = _watermarkable_ts(first, ts_col).select(
+        F.col(key).alias("_k"), F.col(ts_col).alias("first_ts"),
+        *[F.col(c).alias(f"first_{c}") for c in first_cols])
+    b = _watermarkable_ts(then, ts_col).select(
+        F.col(key).alias("_k2"), F.col(ts_col).alias("then_ts"),
+        *[F.col(c).alias(f"then_{c}") for c in then_cols])
+    if a.isStreaming:
+        a = a.withWatermark("first_ts", watermark)
+    if b.isStreaming:
+        b = b.withWatermark("then_ts", watermark)
+    cond = ((F.col("_k") == F.col("_k2"))
+            & (F.col("then_ts") >= F.col("first_ts"))
+            & (F.col("then_ts")
+               <= F.col("first_ts") + F.expr(f"INTERVAL {within}")))
+    return (a.join(b, on=cond, how="inner")
+            .select(F.col("_k").alias(key),
+                    *[f"first_{c}" for c in first_cols],
+                    *[f"then_{c}" for c in then_cols],
+                    "first_ts", "then_ts"))

@@ -505,3 +505,166 @@ class TestMinhashEstimate:
                                        k=3).collect()[0]["est_jaccard"]
         # true 3-shingle jaccard of these texts is 4/12 = 1/3
         assert abs(est - 1 / 3) < 0.2
+
+
+class TestRetrievalScoring:
+    """tfidf_top_terms / bm25_topk vs brute-force Python on small docs."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            (0, "apple banana apple cherry"),
+            (1, "banana cherry durian durian durian"),
+            (2, "apple apple apple unique"),
+            (3, "plain words only here"),
+        ]
+        return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+    @staticmethod
+    def _toks(t):
+        import re
+
+        return [w for w in re.split(r"[^a-z0-9']+", t.lower().strip()) if w]
+
+    def test_tfidf_matches_brute_force(self, corpus):
+        import math
+
+        from dask_geopandas_spark.operators.textstats import tfidf_top_terms
+
+        rows, df = corpus
+        N = len(rows)
+        tf = {}
+        dfreq = {}
+        for i, t in rows:
+            cnt = {}
+            for w in self._toks(t):
+                cnt[w] = cnt.get(w, 0) + 1
+            tf[i] = cnt
+            for w in cnt:
+                dfreq[w] = dfreq.get(w, 0) + 1
+        want = {}
+        for i, cnt in tf.items():
+            scored = sorted(
+                ((round(c * (math.log((N + 1.0) / (dfreq[w] + 1.0)) + 1.0),
+                        6), w) for w, c in cnt.items()),
+                key=lambda p: (-p[0], p[1]))[:2]
+            want[i] = [(w, s) for s, w in scored]
+        got = {}
+        for r in tfidf_top_terms(df, k=2).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["rank"], r["term"], r["tfidf"]))
+        for i in want:
+            ordered = [(t, s) for _, t, s in sorted(got[i])]
+            assert ordered == [(w, pytest.approx(s)) for w, s in want[i]], i
+
+    def test_bm25_matches_brute_force(self, corpus):
+        import math
+
+        from dask_geopandas_spark.operators.textstats import bm25_topk
+
+        rows, df = corpus
+        terms = ["apple", "durian"]
+        N = len(rows)
+        dls = {i: len(self._toks(t)) for i, t in rows}
+        avgdl = sum(dls.values()) / N
+        dfreq = {q: sum(1 for _, t in rows if q in self._toks(t))
+                 for q in terms}
+        k1, b = 1.2, 0.75
+        want = []
+        for i, t in rows:
+            s = 0.0
+            for q in terms:
+                f = self._toks(t).count(q)
+                if not f:
+                    continue
+                idf = math.log((N - dfreq[q] + 0.5) / (dfreq[q] + 0.5) + 1.0)
+                s += idf * f * (k1 + 1) / (f + k1 * (1 - b + b * dls[i] / avgdl))
+            if s:
+                want.append((round(s, 6), i))
+        want = [(i, s) for s, i in sorted(want, key=lambda p: (-p[0], p[1]))]
+        got = [(r["doc_id"], r["score"]) for r in
+               bm25_topk(df, terms, k=10).orderBy("rank").collect()]
+        assert [g[0] for g in got] == [w[0] for w in want]
+        for (gi, gs), (wi, ws) in zip(got, want):
+            assert gs == pytest.approx(ws)
+
+    def test_bm25_validates_empty_query(self, corpus):
+        from dask_geopandas_spark.operators.textstats import bm25_topk
+
+        with pytest.raises(ValueError, match="query_terms"):
+            bm25_topk(corpus[1], [])
+
+
+class TestConnectedComponents:
+    def _cc_brute(self, n_nodes, edges):
+        parent = list(range(n_nodes + 1))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        comp = {}
+        nodes = {v for e in edges for v in e}
+        for v in nodes:
+            comp.setdefault(find(v), []).append(v)
+        return {v: min(vs) for vs in comp.values() for v in vs}
+
+    def test_chain_needs_diameter_iterations(self, spark):
+        """A 10-node path graph (diameter 9) collapses to one component
+        — the case a single propagation step cannot solve."""
+        from dask_geopandas_spark.operators.dedup import connected_components
+
+        edges = [(i, i + 1) for i in range(9)] + [(20, 21), (21, 22)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["component"] for r in
+               connected_components(df, max_iter=12).collect()}
+        assert got == self._cc_brute(25, edges)
+        assert {got[i] for i in range(10)} == {0}
+        assert {got[i] for i in (20, 21, 22)} == {20}
+
+    def test_random_graph_matches_union_find(self, spark):
+        import numpy as np
+
+        from dask_geopandas_spark.operators.dedup import connected_components
+
+        rng = np.random.RandomState(5)
+        edges = [(int(a), int(b)) for a, b in
+                 zip(rng.randint(0, 60, 80), rng.randint(0, 60, 80))
+                 if a != b]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["component"] for r in
+               connected_components(df, max_iter=15).collect()}
+        assert got == self._cc_brute(60, edges)
+
+
+class TestRetrievalPlans:
+    def test_bm25_topk_is_take_ordered(self, spark):
+        """The final top-k must be TakeOrderedAndProject (partial
+        per-partition top-k), never a global sort or a one-partition
+        window over all scored docs."""
+        from dask_geopandas_spark.operators.textstats import bm25_topk
+
+        df = spark.createDataFrame(
+            [(0, "apple pie"), (1, "banana apple")],
+            "doc_id long, text string")
+        plan = bm25_topk(df, ["apple"], k=5)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
+    def test_tfidf_df_table_not_broadcast(self, spark):
+        """The document-frequency table is vocabulary-sized — it must
+        join as a shuffled join, not ship to every task; only the 1-row
+        corpus count broadcasts."""
+        from dask_geopandas_spark.operators.textstats import tfidf_top_terms
+
+        df = spark.createDataFrame(
+            [(0, "apple pie"), (1, "banana apple")],
+            "doc_id long, text string")
+        out = tfidf_top_terms(df, k=2)
+        opt = out._jdf.queryExecution().optimizedPlan().toString()
+        # exactly one broadcast hint: the 1-row n_docs aggregate
+        assert opt.count("ResolvedHint (strategy=broadcast)") <= 1

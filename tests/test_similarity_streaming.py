@@ -545,3 +545,48 @@ def test_knn_graph_pq_cell_join_shuffles_codes_not_vectors(spark):
     assert cell_exchanges, plan  # the cell join does shuffle
     for blk in cell_exchanges:
         assert "embedding" not in blk, blk
+
+
+def test_event_sequence_join_stream_equals_batch(spark, tmp_path):
+    """Stream-stream funnel join: the watermarked streaming run under
+    availableNow must produce exactly the batch inequality join, with
+    closed [t, t+T] bounds."""
+    import pandas as pd
+
+    from dask_geopandas_spark.streaming.joins import event_sequence_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = tmp_path / "ev"
+    src.mkdir()
+    rows = []
+    # user 1: click at 0min; purchases at 10min (in), 30min (boundary,
+    # in), 31min (out).  user 2: purchase before click (out).
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows += [(1, base, 1, "click", 0.0)]
+    rows += [(2, base + pd.Timedelta(minutes=10), 1, "purchase", 5.0)]
+    rows += [(3, base + pd.Timedelta(minutes=30), 1, "purchase", 7.0)]
+    rows += [(4, base + pd.Timedelta(minutes=31), 1, "purchase", 9.0)]
+    rows += [(5, base + pd.Timedelta(minutes=10), 2, "purchase", 1.0)]
+    rows += [(6, base + pd.Timedelta(minutes=20), 2, "click", 0.0)]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # Spark rejects NANOS
+    pdf.to_parquet(src / "p.parquet")
+    static = spark.read.parquet(str(src))
+
+    def split(df):
+        return (df.filter(F.col("event_type") == "click"),
+                df.filter(F.col("event_type") == "purchase"))
+
+    batch = {(r["first_event_id"], r["then_event_id"]) for r in
+             event_sequence_join(*split(static)).collect()}
+    assert batch == {(1, 2), (1, 3)}
+
+    stream = spark.readStream.schema(static.schema).parquet(str(src))
+    out = event_sequence_join(*split(stream))
+    q = (out.writeStream.format("memory").queryName("funnel_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["first_event_id"], r["then_event_id"]) for r in
+           spark.table("funnel_sink").collect()}
+    assert got == batch
