@@ -583,10 +583,12 @@ def connected_components(edges: DataFrame, src: str = "src",
     Each iterate is ``localCheckpoint``ed: the self-referential plan
     otherwise DOUBLES per iteration (each step embeds the previous
     plan twice) and chokes the planner long before the data does — the
-    standard Spark iterative-graph answer.  On a real cluster with
-    executor loss to survive, set ``spark.sparkContext.setCheckpointDir``
-    and swap in reliable ``checkpoint()``; local mode has no such
-    failure domain.
+    standard Spark iterative-graph answer.  Superseded iterates'
+    checkpoint blocks are freed by Spark's ContextCleaner once this
+    function drops their references (only the edge table and the final
+    labels stay referenced).  On a real cluster with executor loss to
+    survive, set ``spark.sparkContext.setCheckpointDir`` and swap in
+    reliable ``checkpoint()``; local mode has no such failure domain.
 
     Returns (node, component) with component = the component's min
     node id (for ``max_iter`` ≥ diameter)."""

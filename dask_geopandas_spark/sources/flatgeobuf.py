@@ -487,8 +487,11 @@ def read_flatgeobuf(spark: SparkSession, path: str, columns=None,
     want = {f.name for f in prop_fields}
     crs = hdr.crs
 
-    # part list: (file, start_byte, end_byte).  end == -1 → read to EOF.
+    # part list: (file, start_byte, end_byte); per-file envelopes from
+    # the index root feed spatial_partitions (the same per-file summary
+    # read_parquet gathers from geo metadata — scan-free sjoin bounds)
     parts = []
+    file_boxes: list | None = []
     for fp in files:
         with FS.open_input(fp, filesystem) as f:
             raw = f.read(1 << 16)
@@ -505,6 +508,11 @@ def read_flatgeobuf(spark: SparkSession, path: str, columns=None,
                                        dtype="<f8").reshape(-1, 5)
                 boxes = leaves[:, :4]
                 offs = leaves[:, 4].view("<u8").astype(np.int64)
+                if file_boxes is not None:
+                    file_boxes.append((float(boxes[:, 0].min()),
+                                       float(boxes[:, 1].min()),
+                                       float(boxes[:, 2].max()),
+                                       float(boxes[:, 3].max())))
                 per = max(int(chunksize), 1) if chunksize else max(n, 1)
                 for s in range(0, n, per):
                     e = min(s + per, n)
@@ -518,8 +526,15 @@ def read_flatgeobuf(spark: SparkSession, path: str, columns=None,
                     end_b = (data_at + int(offs[e])) if e < n else fsize
                     parts.append((fp, data_at + int(offs[s]), end_b))
             else:
-                # no index: whole data section as one sequential part
+                # No index: the whole data section reads as ONE
+                # sequential part (feature boundaries are unknowable
+                # without walking the bytes), so per-part memory is
+                # bounded by the file size — write through the sink (or
+                # any indexed writer) for chunk-parallel, bbox-prunable
+                # reads.  One summary-less file also drops the
+                # spatial_partitions cover, as in geoparquet.py.
                 parts.append((fp, h.header_end, fsize))
+                file_boxes = None
 
     if not parts:
         df = spark.createDataFrame([], schema)
@@ -547,7 +562,14 @@ def read_flatgeobuf(spark: SparkSession, path: str, columns=None,
                 yield pd.DataFrame(data, columns=fnames)
 
     df = part_df.mapInPandas(read_part, schema=schema)
-    return GeoDataFrame(df, geometry, crs=crs) if want_geom else df
+    if not want_geom:
+        return df
+    out = GeoDataFrame(df, geometry, crs=crs)
+    # per-file envelopes are valid covers even under bbox chunk pruning
+    # (a cover may over-approximate); they make downstream sjoin/grid
+    # bounds scan-free exactly like GeoParquet's bbox summaries
+    out.spatial_partitions = file_boxes or None
+    return out
 
 
 # ======================================================================

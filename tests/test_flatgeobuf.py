@@ -169,6 +169,23 @@ class TestFlatGeobufIndex:
         full = read_flatgeobuf(spark, path, chunksize=8)
         assert got.df.count() < full.df.count()
 
+    def test_spatial_partitions_from_index(self, spark, tmp_path):
+        """The reader derives per-file envelope summaries from the
+        R-tree leaves (GeoParquet-bbox-summary parity): downstream
+        sjoin/grid bounds become scan-free."""
+        g, pdf = self._grid(spark, 60)
+        g = dgs.GeoDataFrame(g.df.repartition(3), g.geometry_column,
+                             crs="EPSG:4326")
+        path = str(tmp_path / "sp")
+        to_flatgeobuf(g, path)
+        back = read_flatgeobuf(spark, path)
+        sp = back.spatial_partitions
+        assert sp and len(sp) == 3
+        minx = min(b[0] for b in sp)
+        maxy = max(b[3] for b in sp)
+        assert minx == pytest.approx(pdf.x.min())
+        assert maxy == pytest.approx(pdf.y.max())
+
     def test_multi_partition_write(self, spark, tmp_path):
         import glob
         import os
