@@ -1,0 +1,73 @@
+"""Corpus curation with the round-4 operators — retrieval scoring,
+embedding-graph clustering, and cluster-level dedup as declarative
+stages:
+
+    embeddings → IVF kNN graph (PQ-pruned, hot-cell-safe)
+               → connected components → one keeper per cluster
+    documents  → BM25 retrieval of topic-relevant docs
+               → per-doc TF-IDF keywords for the survivors
+
+Run:  python examples/corpus_curation.py [sf_dir]
+(defaults to /root/testdata/sf0.001; prints per-stage counts)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def run_curation(spark: SparkSession, sf_dir: str):
+    from dask_geopandas_spark.operators import dedup as DD
+    from dask_geopandas_spark.operators import similarity as SIM
+    from dask_geopandas_spark.operators import textstats as TX
+
+    out = {}
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out["vectors"] = emb.count()
+
+    # 1. approximate kNN graph over the corpus: per-IVF-cell self-join,
+    #    PQ codes through the quadratic stage, cell_cap salt split
+    cents = SIM.train_centroids(emb, n_cells=8, iters=1)
+    books = SIM.train_pq(emb, m=4, k=8, sample=256)
+    edges = SIM.knn_graph(emb, cents, k=3, codebooks=books,
+                          cell_cap=256)
+    strong = edges.filter(F.col("cos") >= 0.8).select("src_id", "dst_id")
+    out["strong_edges"] = strong.count()
+
+    # 2. cluster the near-duplicate graph, keep one vector per cluster
+    if out["strong_edges"]:
+        comp = DD.connected_components(strong, src="src_id", dst="dst_id")
+        keep_ids = comp.filter(F.col("node") == F.col("component"))
+        dropped = comp.count() - keep_ids.count()
+    else:
+        dropped = 0
+    out["cluster_dropped"] = dropped
+
+    # 3. BM25: pull the docs most relevant to a topic bag
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hits = TX.bm25_topk(docs, ["data", "model", "learning"], k=25)
+    out["bm25_hits"] = hits.count()
+
+    # 4. TF-IDF keywords for the retrieved docs
+    kw = TX.tfidf_top_terms(
+        docs.join(hits.select("doc_id"), on="doc_id"), k=3)
+    out["keyword_rows"] = kw.count()
+    return out, kw
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    out, _ = run_curation(spark, sf)
+    for name, n in out.items():
+        print(f"{name:>16}: {n}")
+    spark.stop()

@@ -27,3 +27,15 @@ def test_geospatial_tour_example(spark, sf_dir):
     assert out["dissolved_regions"] >= 1
     assert out["overlay_pieces"] >= 1
     assert 0 < out["windowed_readback"] <= out["reprojected"]
+
+
+def test_corpus_curation_example(spark, sf_dir):
+    import sys
+    sys.path.insert(0, "examples")
+    from corpus_curation import run_curation
+
+    out, kw = run_curation(spark, sf_dir)
+    assert out["vectors"] > 0
+    assert out["bm25_hits"] > 0
+    assert out["keyword_rows"] > 0
+    assert {"doc_id", "term", "tfidf", "rank"} <= set(kw.columns)
