@@ -274,7 +274,13 @@ class _Header:
                  "index_node_size", "crs", "header_end")
 
     def __init__(self, raw: bytes):
+        if raw[:len(MAGIC)] != MAGIC:
+            raise ValueError("not a FlatGeobuf buffer (bad magic)")
         size = struct.unpack_from("<I", raw, len(MAGIC))[0]
+        if len(raw) < len(MAGIC) + 4 + size:
+            raise ValueError(
+                f"FlatGeobuf header truncated: need {size} bytes, "
+                f"have {len(raw) - len(MAGIC) - 4} — pass a larger prefix")
         buf = raw[len(MAGIC) + 4:len(MAGIC) + 4 + size]
         t = _root(buf)
         self.geometry_type = _f_scalar(buf, t, 2, "<B", 0)
@@ -296,6 +302,20 @@ class _Header:
             elif wkt:
                 self.crs = wkt
         self.header_end = len(MAGIC) + 4 + size
+
+
+def _read_header(fp: str, filesystem=None) -> _Header:
+    """Parse a file's header, growing the prefix read if the header
+    exceeds the default 64 KiB (wide foreign column metadata)."""
+    with FS.open_input(fp, filesystem) as f:
+        raw = f.read(1 << 16)
+        if raw[:len(MAGIC)] != MAGIC:
+            raise ValueError(f"not a FlatGeobuf file: {fp}")
+        size = struct.unpack_from("<I", raw, len(MAGIC))[0]
+        need = len(MAGIC) + 4 + size
+        if len(raw) < need:
+            raw += f.read(need - len(raw))
+    return _Header(raw)
 
 
 def _rtree_num_nodes(num_items: int, node_size: int) -> int:
@@ -471,11 +491,7 @@ def read_flatgeobuf(spark: SparkSession, path: str, columns=None,
     if not files:
         raise FileNotFoundError(path)
 
-    with FS.open_input(files[0], filesystem) as f:
-        head_raw = f.read(1 << 16)
-    if head_raw[:8] != MAGIC:
-        raise ValueError(f"not a FlatGeobuf file: {files[0]}")
-    hdr = _Header(head_raw)
+    hdr = _read_header(files[0], filesystem)
 
     prop_fields = [StructField(n, _spark_type(ct)) for n, ct in hdr.columns]
     if columns:
@@ -493,9 +509,8 @@ def read_flatgeobuf(spark: SparkSession, path: str, columns=None,
     parts = []
     file_boxes: list | None = []
     for fp in files:
+        h = _read_header(fp, filesystem)
         with FS.open_input(fp, filesystem) as f:
-            raw = f.read(1 << 16)
-            h = _Header(raw)
             n, ns = h.features_count, h.index_node_size
             fsys, p = FS.resolve_fs(fp, filesystem)
             fsize = int(fsys.get_file_info(p).size)
@@ -551,8 +566,7 @@ def read_flatgeobuf(spark: SparkSession, path: str, columns=None,
             for fp, s, e in zip(pdf["path"], pdf["start"], pdf["end"]):
                 s, e = int(s), int(e)
                 if fp not in hdr_cache:
-                    with FS.open_input(fp, filesystem) as f:
-                        hdr_cache[fp] = _Header(f.read(1 << 16))
+                    hdr_cache[fp] = _read_header(fp, filesystem)
                 h = hdr_cache[fp]
                 with FS.open_input(fp, filesystem) as f:
                     f.seek(s)

@@ -285,3 +285,30 @@ class TestGeometryCollectionOperands:
         u = S.union_one(nested, 0, far, 0)
         bu = P([u])
         assert int(bu.types[0]) == W.GEOMETRYCOLLECTION
+
+    def test_gc_through_frame_level_udf_path(self, spark):
+        """GC operands must survive the Arrow-batched elementwise UDF
+        route (st_intersection over a DataFrame column), not just
+        direct kernel calls."""
+        import pandas as pd
+
+        import dask_geopandas_spark as dgs
+        from dask_geopandas_spark.functions import core as FX
+        from dask_geopandas_spark.geometry import wkt as T
+        from pyspark.sql import functions as F
+
+        pdf = pd.DataFrame({
+            "i": [0],
+            "a": [self._gc()],
+            "b": [T.wkt_to_wkb("POLYGON ((1 1, 6 1, 6 3, 1 3, 1 1))")],
+        })
+        df = spark.createDataFrame(pdf)
+        out = df.select(
+            FX.st_area(FX.st_intersection(F.col("a"), F.col("b")))
+            .alias("ia"),
+            FX.st_area(FX.st_union_pair(F.col("a"), F.col("b"))).alias("ua"),
+            FX.st_area(FX.st_difference(F.col("a"), F.col("b")))
+            .alias("da")).collect()[0]
+        assert out["ia"] == pytest.approx(6.0)
+        assert out["ua"] == pytest.approx(20.0)
+        assert out["da"] == pytest.approx(10.0)
