@@ -128,3 +128,47 @@ class TestRealWorldOps:
         assert {"France", "Germany", "Italy", "Spain",
                 "Poland"} <= names
         assert "Australia" not in names
+
+
+class TestFormatMatrix:
+    """One dataset, every source/sink: a reference user switching
+    formats must see identical geometry.  Per-country areas (and row
+    counts) must be EXACT across geoparquet, feather, geojson,
+    geopackage, flatgeobuf, and shapefile round-trips of the real
+    country polygons — every sink stores coordinates as raw doubles or
+    repr-round-trip text."""
+
+    def _areas(self, g, name_col="name"):
+        return {r[name_col]: r["a"] for r in g.df.select(
+            F.col(name_col),
+            FX.st_area(F.col(g.geometry_column)).alias("a")).collect()}
+
+    def test_every_format_preserves_real_geometry(self, spark, world,
+                                                  tmp_path):
+        slim = dgs.GeoDataFrame(
+            world.df.select("name", "geometry"), "geometry",
+            crs="EPSG:4326")
+        want = self._areas(slim)
+
+        from dask_geopandas_spark.sources.feather import (read_feather,
+                                                          to_feather)
+        from dask_geopandas_spark.sources.geojson import (read_geojson,
+                                                          to_geojson)
+        from dask_geopandas_spark.sources.geoparquet import (read_parquet,
+                                                             to_parquet)
+
+        cases = [
+            ("gpq", to_parquet, read_parquet),
+            ("fthr", to_feather, read_feather),
+            ("gj", to_geojson, read_geojson),
+            ("gpkg", dgs.to_geopackage, dgs.read_geopackage),
+            ("fgb", dgs.to_flatgeobuf, dgs.read_flatgeobuf),
+            ("shp", dgs.to_shapefile, dgs.read_shapefile),
+        ]
+        for tag, write, read in cases:
+            path = str(tmp_path / tag)
+            write(slim, path)
+            back = read(spark, path)
+            got = self._areas(back)
+            assert got == want, f"{tag}: area drift"
+            assert back.crs == "EPSG:4326", tag
