@@ -54,6 +54,9 @@ from ..geometry import wkb as W
 MAGIC = bytes([0x66, 0x67, 0x62, 0x03, 0x66, 0x67, 0x62, 0x01])
 NODE_BYTES = 40  # 4 doubles + uint64 per packed-R-tree node
 _DEFAULT_NODE_SIZE = 16
+# driver-side leaf-level scan block (~10 MB of nodes per read); module
+# constant so tests can shrink it to exercise block boundaries
+_LEAF_BLOCK_NODES = 1 << 18
 
 # fgb ColumnType enum (header.fbs)
 _CT_BYTE, _CT_UBYTE, _CT_BOOL, _CT_SHORT, _CT_USHORT = 0, 1, 2, 3, 4
@@ -518,28 +521,44 @@ def read_flatgeobuf(spark: SparkSession, path: str, columns=None,
                 num_nodes = _rtree_num_nodes(n, ns)
                 leaf_at = h.header_end + (num_nodes - n) * NODE_BYTES
                 data_at = h.header_end + num_nodes * NODE_BYTES
-                f.seek(leaf_at)
-                leaves = np.frombuffer(f.read(n * NODE_BYTES),
-                                       dtype="<f8").reshape(-1, 5)
-                boxes = leaves[:, :4]
-                offs = leaves[:, 4].view("<u8").astype(np.int64)
-                if file_boxes is not None:
-                    file_boxes.append((float(boxes[:, 0].min()),
-                                       float(boxes[:, 1].min()),
-                                       float(boxes[:, 2].max()),
-                                       float(boxes[:, 3].max())))
                 per = max(int(chunksize), 1) if chunksize else max(n, 1)
-                for s in range(0, n, per):
-                    e = min(s + per, n)
-                    if bbox is not None:
-                        bx = boxes[s:e]
-                        if not bool(np.any((bx[:, 0] <= bbox[2])
-                                           & (bx[:, 2] >= bbox[0])
-                                           & (bx[:, 1] <= bbox[3])
-                                           & (bx[:, 3] >= bbox[1]))):
-                            continue
-                    end_b = (data_at + int(offs[e])) if e < n else fsize
-                    parts.append((fp, data_at + int(offs[s]), end_b))
+                # The leaf level is scanned in BLOCKS (a multiple of the
+                # chunk size, ~10 MB per driver read) rather than one
+                # gulp: a billion-feature foreign file has a 40 GB leaf
+                # level, which must never land on the driver at once.
+                # Each block overlaps the next by one node so every
+                # chunk's end byte-offset is in hand.
+                blk = per * max(1, _LEAF_BLOCK_NODES // per)
+                fb = None
+                for bs in range(0, n, blk):
+                    be = min(bs + blk, n)
+                    cnt = be - bs + (1 if be < n else 0)
+                    f.seek(leaf_at + bs * NODE_BYTES)
+                    block = np.frombuffer(f.read(cnt * NODE_BYTES),
+                                          dtype="<f8").reshape(-1, 5)
+                    boxes = block[:, :4]
+                    offs = block[:, 4].view("<u8").astype(np.int64)
+                    own = boxes[:be - bs]  # exclude the overlap node
+                    if file_boxes is not None:
+                        cur = (float(own[:, 0].min()), float(own[:, 1].min()),
+                               float(own[:, 2].max()), float(own[:, 3].max()))
+                        fb = cur if fb is None else (
+                            min(fb[0], cur[0]), min(fb[1], cur[1]),
+                            max(fb[2], cur[2]), max(fb[3], cur[3]))
+                    for s in range(bs, be, per):
+                        e = min(s + per, n)
+                        ls, le = s - bs, e - bs
+                        if bbox is not None:
+                            bx = boxes[ls:le]
+                            if not bool(np.any((bx[:, 0] <= bbox[2])
+                                               & (bx[:, 2] >= bbox[0])
+                                               & (bx[:, 1] <= bbox[3])
+                                               & (bx[:, 3] >= bbox[1]))):
+                                continue
+                        end_b = (data_at + int(offs[le])) if e < n else fsize
+                        parts.append((fp, data_at + int(offs[ls]), end_b))
+                if file_boxes is not None and fb is not None:
+                    file_boxes.append(fb)
             else:
                 # No index: the whole data section reads as ONE
                 # sequential part (feature boundaries are unknowable

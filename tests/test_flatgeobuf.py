@@ -224,3 +224,37 @@ class TestFlatGeobufZ:
         assert b.zs is not None
         assert list(b.zs[:1]) == [3.0]
         assert list(b.zs[1:]) == [1.0, 2.0]
+
+
+def test_leaf_block_scan_boundaries(spark, tmp_path, monkeypatch):
+    """The driver scans the index leaf level in bounded blocks (a
+    billion-feature file must never land 40 GB of leaves on the
+    driver).  With the block shrunk below the file's feature count,
+    chunked/bbox reads and spatial_partitions must be unchanged."""
+    import dask_geopandas_spark.sources.flatgeobuf as FGB
+
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame({"pid": np.arange(100, dtype=np.int64),
+                        "x": rng.uniform(0, 100, 100),
+                        "y": rng.uniform(0, 100, 100)})
+    g = dgs.points_from_xy(spark.createDataFrame(pdf).coalesce(1),
+                           "x", "y", crs="EPSG:4326")
+    path = str(tmp_path / "blocks")
+    to_flatgeobuf(g, path)
+
+    whole = read_flatgeobuf(spark, path, chunksize=7)
+    want = whole.df.toPandas().sort_values("pid").reset_index(drop=True)
+    want_sp = whole.spatial_partitions
+
+    monkeypatch.setattr(FGB, "_LEAF_BLOCK_NODES", 13)  # many blocks
+    got = FGB.read_flatgeobuf(spark, path, chunksize=7)
+    gp = got.df.toPandas().sort_values("pid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(want, gp)
+    assert got.spatial_partitions == want_sp
+
+    win = (20.0, 20.0, 60.0, 60.0)
+    bb = FGB.read_flatgeobuf(spark, path, chunksize=7, bbox=win)
+    ids = {r["pid"] for r in bb.df.select("pid").collect()}
+    inwin = set(pdf[(pdf.x >= win[0]) & (pdf.x <= win[2])
+                    & (pdf.y >= win[1]) & (pdf.y <= win[3])]["pid"])
+    assert inwin <= ids
