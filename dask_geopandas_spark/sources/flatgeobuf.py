@@ -657,9 +657,23 @@ def _geom_table(fb: _FB, batch: W.GeometryBatch, i: int, lo: int, hi: int,
         pv = fb.ref_vec(offs)
         return fb.table([(7, "ref", pv), (6, "u8", t)]
                         if t != uniform_type else [(7, "ref", pv)])
-    raise NotImplementedError(
-        f"to_flatgeobuf: geometry type {t} (GeometryCollection) is not "
-        f"writable; explode collections first")
+    if t == W.GEOMETRYCOLLECTION:
+        # feature.fbs models collections as nested Geometry parts, each
+        # carrying its own type; rebuild members from the row's raw WKB
+        # (the member splitter the setops GC dispatch already uses)
+        from ..geometry.setops import _gc_members
+
+        offs = []
+        for m in _gc_members(bytes(batch.raw[i])):
+            mb = W.parse_wkb([m])
+            sub = _geom_table(fb, mb, 0, 0, len(mb.path_geom),
+                              uniform_type=0, use_z=use_z)
+            if sub is not None:
+                offs.append(sub)
+        pv = fb.ref_vec(offs)
+        return fb.table([(7, "ref", pv), (6, "u8", t)]
+                        if t != uniform_type else [(7, "ref", pv)])
+    raise NotImplementedError(f"to_flatgeobuf: geometry type {t}")
 
 
 def _props_blob(row, specs) -> bytes:

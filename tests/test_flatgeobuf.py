@@ -258,3 +258,28 @@ def test_leaf_block_scan_boundaries(spark, tmp_path, monkeypatch):
     inwin = set(pdf[(pdf.x >= win[0]) & (pdf.x <= win[2])
                     & (pdf.y >= win[1]) & (pdf.y <= win[3])]["pid"])
     assert inwin <= ids
+
+
+def test_geometrycollection_roundtrip(spark, tmp_path):
+    """GC features write as nested FlatGeobuf parts and read back
+    WKB-identical (member types, rings, and coordinates preserved;
+    the multi member is WKB-assembled — the WKT parser doesn't emit
+    nested multis)."""
+    ring = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float)
+    hole = np.array([[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]], float)
+    gc = W.serialize_geometry(W.GEOMETRYCOLLECTION, [
+        (W.POLYGON, [ring, hole]),
+        (W.LINESTRING, np.array([[0, 10], [10, 10]], float)),
+        (W.POINT, np.array([2.0, 2.0])),
+        (W.MULTIPOINT, np.array([[5, 5], [6, 6]], float)),
+    ])
+    pdf = pd.DataFrame({"id": [0, 1],
+                        "geometry": [gc, T.wkt_to_wkb("POINT (9 9)")]})
+    g = dgs.GeoDataFrame(spark.createDataFrame(pdf), "geometry",
+                         crs="EPSG:4326")
+    path = str(tmp_path / "gcfgb")
+    to_flatgeobuf(g, path)
+    got = {r["id"]: r["geometry"] for r in
+           read_flatgeobuf(spark, path).df.collect()}
+    assert got[0] == gc
+    assert got[1] == T.wkt_to_wkb("POINT (9 9)")
