@@ -1756,6 +1756,14 @@ def q_stream_funnel(spark, sf_dir):
                  F.round(F.sum("then_value"), 6).alias("sum_value")))
 
 
+def q_lm_quality(spark, sf_dir):
+    """Corpus-trained bigram LM quality signal (textstats.ngram_logprob,
+    the CCNet/Gopher perplexity-filter shape without an external LM):
+    per-doc mean smoothed bigram log-prob.  Counts, the smoothing
+    arithmetic, and the rounded mean all replicate in SQL."""
+    return TX.ngram_logprob(_t(spark, sf_dir, "documents"), alpha=0.1)
+
+
 def q_connected_components(spark, sf_dir):
     """Generic min-label connected components (dedup.py
     connected_components) over the LSH candidate-pair graph — the
@@ -2269,6 +2277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "connected_components": q_connected_components,
         "stream_funnel": q_stream_funnel,
+        "lm_quality": q_lm_quality,
         # -- (e) driver-green in r3 --
         "to_lambert": q_to_lambert,
         "to_albers": q_to_albers,
@@ -3669,6 +3678,33 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_oracle_sql(
             ["data", "model", "learning", "spark"]),
         "connected_components": cc,
+        "lm_quality": f"""
+            WITH toks AS (
+                SELECT doc_id, list_filter({_TOKENS}, t -> t != '') AS t
+                FROM documents
+            ),
+            big AS (
+                SELECT doc_id,
+                       unnest([array_to_string(t[i:i+1], ' ')
+                               for i in range(1, len(t))]) AS gram
+                FROM toks WHERE len(t) >= 2
+            ),
+            uni AS (SELECT doc_id, unnest(t) AS w FROM toks),
+            cb AS (SELECT gram, count(*) AS cb FROM big GROUP BY gram),
+            cu AS (SELECT w, count(*) AS cu FROM uni GROUP BY w),
+            vx AS (SELECT count(*) AS v FROM cu),
+            scored AS (
+                SELECT big.doc_id,
+                       ln((cb + CAST(0.1 AS DOUBLE))
+                          / (cu + CAST(0.1 AS DOUBLE) * v)) AS lp
+                FROM big JOIN cb USING (gram)
+                JOIN cu ON string_split(big.gram, ' ')[1] = cu.w
+                CROSS JOIN vx
+            )
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(avg(lp), 6) AS avg_logprob
+            FROM scored GROUP BY doc_id
+        """,
         "stream_funnel": """
             SELECT a.user_id % 10 AS bucket,
                    count(*) AS n_pairs,

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "bm25_topk",
     "connected_components",
     "stream_funnel",
+    "lm_quality",
 ]
 
 

@@ -387,3 +387,52 @@ def bm25_topk(df, query_terms: list, k: int = 10,
     w = Window.orderBy(F.desc("score"), F.asc(id_col))  # k rows only
     return (topk.withColumn("rank", F.row_number().over(w))
             .select(id_col, "score", "rank"))
+
+
+def ngram_logprob(df, text_col: str = "text", id_col: str = "doc_id",
+                  alpha: float = 0.1):
+    """Per-document mean bigram log-probability under an add-alpha
+    smoothed bigram model trained on the corpus itself — the
+    CCNet/Gopher-style LM-quality signal without an external LM:
+    documents whose word transitions are corpus-unusual (boilerplate,
+    mangled encodings, keyword stuffing) score low and become filter
+    candidates.
+
+    ``P(w2|w1) = (c(w1 w2) + α) / (c(w1) + α·V)`` with corpus bigram/
+    unigram counts and vocabulary size V; a document scores the mean
+    ``ln P`` over its bigrams (documents under two tokens drop out).
+
+    Distributed shape: ONE tokenizer pass feeds both the count tables
+    and the per-doc bigram list; bigram and unigram counts are two
+    hash aggregations; the scoring join on the bigram key is a plain
+    shuffled join (the count tables are vocabulary-sized — never
+    broadcast at corpus scale) while V and nothing else rides in as a
+    broadcast 1-row aggregate.  The mean rounds to 6 decimals (the
+    per-doc ln summation order differs between engines)."""
+    from .dedup import shingles_of_tokens
+
+    a = float(alpha)
+    toks = df.select(
+        F.col(id_col),
+        let(tokens(F.col(text_col)),
+            lambda t: F.filter(t, lambda x: x != F.lit(""))).alias("_t"))
+    big = (toks.filter(F.size("_t") >= 2)
+           .select(F.col(id_col),
+                   F.explode(shingles_of_tokens(F.col("_t"), 2))
+                   .alias("gram")))
+    uni = toks.select(F.col(id_col), F.explode("_t").alias("w"))
+    cb = big.groupBy("gram").agg(F.count("*").alias("cb"))
+    cu = uni.groupBy("w").agg(F.count("*").alias("cu"))
+    vocab = cu.agg(F.count("*").alias("v"))
+    scored = (
+        big.join(cb, on="gram")
+        .withColumn("w", F.split(F.col("gram"), " ").getItem(0))
+        .join(cu, on="w")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("_lp", F.log(
+            (F.col("cb") + F.lit(a))
+            / (F.col("cu") + F.lit(a) * F.col("v"))))
+    )
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(F.avg("_lp"), 6).alias("avg_logprob")))

@@ -668,3 +668,49 @@ class TestRetrievalPlans:
         opt = out._jdf.queryExecution().optimizedPlan().toString()
         # exactly one broadcast hint: the 1-row n_docs aggregate
         assert opt.count("ResolvedHint (strategy=broadcast)") <= 1
+
+
+class TestNgramLogprob:
+    def test_matches_brute_force(self, spark):
+        import math
+        import re
+
+        from dask_geopandas_spark.operators.textstats import ngram_logprob
+
+        rows = [
+            (0, "the cat sat on the mat"),
+            (1, "the cat ran"),
+            (2, "zebra quark flux"),
+            (3, "one"),   # under two tokens: drops out
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        def toks(t):
+            return [w for w in re.split(r"[^a-z0-9']+", t.lower().strip())
+                    if w]
+
+        cb, cu = {}, {}
+        per_doc = {}
+        for i, t in rows:
+            ws = toks(t)
+            for w in ws:
+                cu[w] = cu.get(w, 0) + 1
+            bs = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+            per_doc[i] = bs
+            for g in bs:
+                cb[g] = cb.get(g, 0) + 1
+        V = len(cu)
+        a = 0.1
+        want = {}
+        for i, bs in per_doc.items():
+            if not bs:
+                continue
+            lps = [math.log((cb[g] + a) / (cu[g.split(" ")[0]] + a * V))
+                   for g in bs]
+            want[i] = (len(bs), round(sum(lps) / len(lps), 6))
+        got = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+               for r in ngram_logprob(df, alpha=a).collect()}
+        assert set(got) == set(want)  # doc 3 dropped
+        for i in want:
+            assert got[i][0] == want[i][0]
+            assert got[i][1] == pytest.approx(want[i][1], abs=1e-6)
