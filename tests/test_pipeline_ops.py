@@ -714,3 +714,32 @@ class TestNgramLogprob:
         for i in want:
             assert got[i][0] == want[i][0]
             assert got[i][1] == pytest.approx(want[i][1], abs=1e-6)
+
+
+class TestEdgeInputs:
+    """Degenerate inputs must produce sensible empties, not crashes."""
+
+    def test_singleton_and_empty(self, spark):
+        import pandas as pd
+
+        from dask_geopandas_spark.operators import similarity as SIM
+        from dask_geopandas_spark.operators.dedup import \
+            connected_components
+        from dask_geopandas_spark.operators.textstats import (bm25_topk,
+                                                              ngram_logprob,
+                                                              tfidf_top_terms)
+
+        one = spark.createDataFrame(pd.DataFrame(
+            {"vec_id": [0], "embedding": [[1.0, 2.0, 3.0, 4.0]]}))
+        cents = [[0.0] * 4, [5.0] * 4]
+        books = [[[0.0, 0.0], [1.0, 1.0]], [[0.0, 0.0], [1.0, 1.0]]]
+        assert SIM.knn_graph(one, cents, k=3).count() == 0
+        assert SIM.knn_graph(one, cents, k=3, codebooks=books,
+                             cell_cap=2).count() == 0
+        assert connected_components(
+            spark.createDataFrame([], "src long, dst long")).count() == 0
+        docs = spark.createDataFrame([(0, ""), (1, "   ")],
+                                     "doc_id long, text string")
+        assert tfidf_top_terms(docs).count() == 0
+        assert bm25_topk(docs, ["zzz"]).count() == 0
+        assert ngram_logprob(docs).count() == 0
