@@ -1756,6 +1756,22 @@ def q_stream_funnel(spark, sf_dir):
                  F.round(F.sum("then_value"), 6).alias("sum_value")))
 
 
+_BM25_BATCH_QUERIES = [(0, "data model training"),
+                       (1, "spark distributed learning"),
+                       (2, "language quality text")]
+
+
+def q_bm25_batch(spark, sf_dir):
+    """Batch BM25 retrieval (textstats.bm25_batch_topk): top-10 docs
+    per query for a 3-query table in ONE corpus scan — the broadcast
+    query vocabulary prunes the corpus explode, per-query ranks are
+    windows over each query's candidates only."""
+    queries = spark.createDataFrame(_BM25_BATCH_QUERIES,
+                                    "query_id long, query string")
+    return TX.bm25_batch_topk(_t(spark, sf_dir, "documents"), queries,
+                              k=10)
+
+
 def q_lm_quality(spark, sf_dir):
     """Corpus-trained bigram LM quality signal (textstats.ngram_logprob,
     the CCNet/Gopher perplexity-filter shape without an external LM):
@@ -2278,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "stream_funnel": q_stream_funnel,
         "lm_quality": q_lm_quality,
+        "bm25_batch": q_bm25_batch,
         # -- (e) driver-green in r3 --
         "to_lambert": q_to_lambert,
         "to_albers": q_to_albers,
@@ -2867,6 +2884,57 @@ def _bm25_oracle_sql(terms: list, k: int = 20, k1: float = 1.2,
             FROM scored
         )
         SELECT doc_id, score, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def _bm25_batch_oracle_sql(k: int = 10, k1: float = 1.2,
+                           b: float = 0.75) -> str:
+    """DuckDB replica of q_bm25_batch: literal query VALUES, identical
+    tokenization/counts/smoothing as _bm25_oracle_sql, ranked per
+    query."""
+    vals = ", ".join(f"({i}, '{q}')" for i, q in _BM25_BATCH_QUERIES)
+    toks_q = _TOKENS.replace("trim(text)", "trim(query)")
+    return f"""
+        WITH q AS (SELECT * FROM (VALUES {vals}) AS v(query_id, query)),
+        qt AS (
+            SELECT DISTINCT query_id, term FROM (
+                SELECT query_id, unnest({toks_q}) AS term FROM q
+            ) WHERE term != ''
+        ),
+        terms AS (SELECT DISTINCT term FROM qt),
+        base AS (
+            SELECT doc_id,
+                   len(list_filter({_TOKENS}, t -> t != '')) AS dl,
+                   {_TOKENS} AS toks
+            FROM documents
+        ),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+        tf AS (
+            SELECT doc_id, dl, term, count(*) AS tf
+            FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base) u
+            JOIN terms USING (term)
+            GROUP BY doc_id, dl, term
+        ),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        part AS (
+            SELECT qt.query_id, tf.doc_id,
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * tf * {k1 + 1.0!r}
+                   / (tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl)) AS s
+            FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+            CROSS JOIN stats
+        ),
+        scored AS (SELECT query_id, doc_id, round(sum(s), 6) AS score
+                   FROM part GROUP BY query_id, doc_id),
+        ranked AS (
+            SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id ASC)
+                       AS rank
+            FROM scored
+        )
+        SELECT query_id, doc_id, score, CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= {k}
     """
 
@@ -3677,6 +3745,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top": _tfidf_oracle_sql(),
         "bm25_topk": _bm25_oracle_sql(
             ["data", "model", "learning", "spark"]),
+        "bm25_batch": _bm25_batch_oracle_sql(),
         "connected_components": cc,
         "lm_quality": f"""
             WITH toks AS (

@@ -436,3 +436,57 @@ def ngram_logprob(df, text_col: str = "text", id_col: str = "doc_id",
     return (scored.groupBy(id_col)
             .agg(F.count("*").alias("n_bigrams"),
                  F.round(F.avg("_lp"), 6).alias("avg_logprob")))
+
+
+def bm25_batch_topk(df, queries, k: int = 10, k1: float = 1.2,
+                    b: float = 0.75, text_col: str = "text",
+                    id_col: str = "doc_id", query_id_col: str = "query_id",
+                    query_col: str = "query"):
+    """Top-``k`` documents PER QUERY for a whole table of queries —
+    batch lexical retrieval (mining pretraining docs for many
+    benchmark prompts at once) with the same Okapi BM25 scoring as
+    :func:`bm25_topk`.
+
+    Distributed shape: the query table tokenizes into (query_id, term)
+    pairs and broadcasts twice — once as a DISTINCT term filter the
+    corpus explode prunes against (corpus rows ever materialize only
+    tokens some query wants), once as the scoring join fan-out; df
+    counts aggregate over the term-filtered explode (query-vocabulary-
+    sized, broadcast); corpus stats ride in as a 1-row aggregate; the
+    per-query rank is a window over each query's candidate docs only.
+    The corpus is scanned ONCE for the whole query batch."""
+    from pyspark.sql import Window
+
+    qt = (queries.select(F.col(query_id_col),
+                         F.explode(tokens(F.col(query_col))).alias("term"))
+          .filter(F.col("term") != "").distinct())
+    terms = qt.select("term").distinct()
+    dl = df.select(
+        F.col(id_col),
+        F.size(F.filter(tokens(F.col(text_col)),
+                        lambda t: t != F.lit(""))).alias("dl"),
+        tokens(F.col(text_col)).alias("_toks"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (dl.select(F.col(id_col), "dl",
+                    F.explode("_toks").alias("term"))
+          .join(F.broadcast(terms), on="term")
+          .groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    part = (
+        tf.join(F.broadcast(qt), on="term")
+        .join(F.broadcast(dfreq), on="term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_s", (
+            F.log((F.col("n_docs") - F.col("df") + F.lit(0.5))
+                  / (F.col("df") + F.lit(0.5)) + F.lit(1.0))
+            * F.col("tf") * F.lit(k1 + 1.0)
+            / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
+               + F.lit(b) * F.col("dl") / F.col("avgdl")))))
+    )
+    scored = (part.groupBy(query_id_col, id_col)
+              .agg(F.round(F.sum("_s"), 6).alias("score")))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"),
+                                                 F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, id_col, "score", "rank"))

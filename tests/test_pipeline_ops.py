@@ -743,3 +743,29 @@ class TestEdgeInputs:
         assert tfidf_top_terms(docs).count() == 0
         assert bm25_topk(docs, ["zzz"]).count() == 0
         assert ngram_logprob(docs).count() == 0
+
+
+def test_bm25_batch_matches_per_query_runs(spark):
+    """Each query's slice of the batch result equals an independent
+    bm25_topk run with the same terms (one corpus scan for the batch
+    must not change any score)."""
+    from dask_geopandas_spark.operators.textstats import (bm25_batch_topk,
+                                                          bm25_topk)
+
+    docs = spark.createDataFrame(
+        [(0, "apple banana apple cherry"),
+         (1, "banana cherry durian durian durian"),
+         (2, "apple apple apple unique"),
+         (3, "plain words only here")],
+        "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        [(0, "apple durian"), (1, "cherry plain")],
+        "query_id long, query string")
+    batch = {}
+    for r in bm25_batch_topk(docs, qdf, k=10).collect():
+        batch.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    for qid, terms in ((0, ["apple", "durian"]), (1, ["cherry", "plain"])):
+        single = [(r["rank"], r["doc_id"], r["score"]) for r in
+                  bm25_topk(docs, terms, k=10).collect()]
+        assert sorted(batch[qid]) == sorted(single), qid
