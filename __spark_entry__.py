@@ -2222,6 +2222,29 @@ def q_frame_counts(spark, sf_dir):
     return frames.groupBy("media_id").agg(F.count("*").alias("n_frames"))
 
 
+def q_media_manifest(spark, sf_dir):
+    """Native magic-byte modality triage (multimodal.media_manifest):
+    payloads built natively with real-format magic prefixes (png/jpeg/
+    gif/fake/unknown by doc_id mod) and id-derived padding, classified
+    by substring/hex CASE and aggregated — zero Python, zero decode.
+    The oracle reproduces classification and sizes arithmetically."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def mk(sig: bytes):
+        return F.concat(
+            F.lit(sig),
+            F.encode(F.repeat(F.lit("x"),
+                              (F.col("doc_id") % 97).cast("int")), "utf-8"))
+
+    pay = (F.when(F.col("doc_id") % 5 == 0, mk(b"\x89PNG\r\n\x1a\n"))
+           .when(F.col("doc_id") % 5 == 1, mk(b"\xff\xd8\xff"))
+           .when(F.col("doc_id") % 5 == 2, mk(b"GIF8"))
+           .when(F.col("doc_id") % 5 == 3, mk(b"FAKEIMG1"))
+           .otherwise(mk(b"ZZ")))
+    media = d.withColumn("media", pay)
+    return MM.media_manifest(media)
+
+
 def MM_fake_media(df, id_col: str = "doc_id"):
     """Deterministic fake media payloads: width/height derived from the id
     (oracle-reproducible arithmetic)."""
@@ -2295,6 +2318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_funnel": q_stream_funnel,
         "lm_quality": q_lm_quality,
         "bm25_batch": q_bm25_batch,
+        "media_manifest": q_media_manifest,
         # -- (e) driver-green in r3 --
         "to_lambert": q_to_lambert,
         "to_albers": q_to_albers,
@@ -3746,6 +3770,25 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_oracle_sql(
             ["data", "model", "learning", "spark"]),
         "bm25_batch": _bm25_batch_oracle_sql(),
+        "media_manifest": """
+            WITH m AS (
+                SELECT CASE CAST(doc_id % 5 AS INT)
+                         WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                         WHEN 2 THEN 'gif' WHEN 3 THEN 'fake_image'
+                         ELSE 'unknown' END AS modality,
+                       (CASE CAST(doc_id % 5 AS INT)
+                         WHEN 0 THEN 8 WHEN 1 THEN 3 WHEN 2 THEN 4
+                         WHEN 3 THEN 8 ELSE 2 END
+                        + doc_id % 97) AS nb
+                FROM documents
+            )
+            SELECT modality, count(*) AS n,
+                   CAST(sum(nb) AS BIGINT) AS total_bytes,
+                   CAST(min(nb) AS BIGINT) AS min_bytes,
+                   CAST(max(nb) AS BIGINT) AS max_bytes,
+                   round(avg(nb), 6) AS avg_bytes
+            FROM m GROUP BY modality
+        """,
         "connected_components": cc,
         "lm_quality": f"""
             WITH toks AS (

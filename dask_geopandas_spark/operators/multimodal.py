@@ -219,3 +219,46 @@ def sample_video_frames(df: DataFrame, media_col: str = "media",
                                 "frame": pd.Series(frames, dtype=object)})
 
     return df.mapInPandas(gen, schema=schema)
+
+
+# magic-byte signatures for native modality sniffing (public file-format
+# magics + the engine's own FAKE headers)
+MAGIC_SIGNATURES = [
+    ("png", b"\x89PNG\r\n\x1a\n"),
+    ("jpeg", b"\xff\xd8\xff"),
+    ("gif", b"GIF8"),
+    ("riff", b"RIFF"),          # WAV/AVI/WebP containers
+    ("fake_image", FAKE_MAGIC),
+    ("fake_audio", FAKE_AUDIO_MAGIC),
+]
+
+
+def sniff_modality(col):
+    """Native magic-byte modality classification of a binary payload —
+    a CASE over hex prefixes, NO decode, NO Python: the triage pass a
+    100-TB media lake runs before spending codec time.  NULL payloads
+    classify as 'missing', unrecognized prefixes as 'unknown'."""
+    out = F.when(col.isNull(), F.lit("missing"))
+    for name, sig in MAGIC_SIGNATURES:
+        out = out.when(
+            F.hex(F.substring(col, 1, len(sig))) == sig.hex().upper(),
+            F.lit(name))
+    return out.otherwise(F.lit("unknown"))
+
+
+def media_manifest(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Per-modality manifest of a media column: row count and payload
+    byte statistics, grouped by the sniffed modality.  Everything is
+    native substring/length arithmetic — one narrow scan, one hash
+    aggregation, zero codec work — so corrupt or mislabeled blobs are
+    quarantined BEFORE any expensive decode stage launches."""
+    m = df.select(
+        sniff_modality(F.col(media_col)).alias("modality"),
+        F.coalesce(F.length(F.col(media_col)),
+                   F.lit(0)).cast("long").alias("nb"))
+    return (m.groupBy("modality")
+            .agg(F.count("*").alias("n"),
+                 F.sum("nb").cast("long").alias("total_bytes"),
+                 F.min("nb").alias("min_bytes"),
+                 F.max("nb").alias("max_bytes"),
+                 F.round(F.avg("nb"), 6).alias("avg_bytes")))

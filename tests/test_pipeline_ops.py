@@ -769,3 +769,31 @@ def test_bm25_batch_matches_per_query_runs(spark):
         single = [(r["rank"], r["doc_id"], r["score"]) for r in
                   bm25_topk(docs, terms, k=10).collect()]
         assert sorted(batch[qid]) == sorted(single), qid
+
+
+class TestMediaManifest:
+    def test_sniff_and_stats(self, spark):
+        import pandas as pd
+
+        from dask_geopandas_spark.operators.multimodal import (
+            make_fake_audio, make_fake_image, media_manifest)
+
+        rows = [
+            (0, b"\x89PNG\r\n\x1a\n" + b"\x00" * 10),
+            (1, b"\xff\xd8\xff\xe0rest"),
+            (2, b"GIF89a-ish"),
+            (3, b"RIFF....WAVE"),
+            (4, make_fake_image(8, 8)),
+            (5, make_fake_audio(16000, 100)),
+            (6, b"not a media file"),
+            (7, None),
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["mid", "media"]))
+        out = {r["modality"]: r for r in media_manifest(df).collect()}
+        assert set(out) == {"png", "jpeg", "gif", "riff", "fake_image",
+                            "fake_audio", "unknown", "missing"}
+        assert out["png"]["total_bytes"] == 18
+        assert out["missing"]["total_bytes"] == 0
+        assert out["fake_image"]["n"] == 1
+        assert out["unknown"]["min_bytes"] == len(b"not a media file")
