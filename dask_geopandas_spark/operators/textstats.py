@@ -335,6 +335,45 @@ def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
             .select(id_col, "term", "tfidf", "rank"))
 
 
+def _bm25_doc_pass(df, text_col: str, id_col: str, term_filter=None):
+    """The BM25 corpus pass: ONE tokenizer evaluation per row.
+
+    Emits (id, ``_qs``) where ``_qs`` is an array of (dl, term)
+    structs — element 1 is a sentinel with ``term`` NULL that carries
+    the document length for the corpus-stats aggregate, the rest are
+    the tokens the scorer explodes (optionally pre-filtered by
+    ``term_filter``), each carrying ``dl`` alongside.  The whole array
+    builds inside one ``let()`` so the regex split evaluates ONCE per
+    row however many consumers the sentinel and elements have (the
+    module's let() discipline — CollapseProject would otherwise inline
+    the split into every reference)."""
+    def body(t):
+        kept = F.filter(t, term_filter) if term_filter is not None else t
+        return F.concat(
+            F.array(F.struct(F.size(t).alias("dl"),
+                             F.lit(None).cast("string").alias("term"))),
+            F.transform(kept, lambda q: F.struct(F.size(t).alias("dl"),
+                                                 q.alias("term"))))
+
+    return df.select(
+        F.col(id_col),
+        let(F.filter(tokens(F.col(text_col)), lambda x: x != F.lit("")),
+            body).alias("_qs"))
+
+
+def _bm25_stats(qs):
+    return qs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.element_at(F.col("_qs"), 1)["dl"]).alias("avgdl"))
+
+
+def _bm25_tf_base(qs, id_col: str):
+    return (qs.select(F.col(id_col), F.explode("_qs").alias("_e"))
+            .filter(F.col("_e.term").isNotNull())
+            .select(F.col(id_col), F.col("_e.dl").alias("dl"),
+                    F.col("_e.term").alias("term")))
+
+
 def bm25_topk(df, query_terms: list, k: int = 10,
               k1: float = 1.2, b: float = 0.75,
               text_col: str = "text", id_col: str = "doc_id"):
@@ -345,7 +384,9 @@ def bm25_topk(df, query_terms: list, k: int = 10,
 
     ``idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)`` (Lucene's
     non-negative variant); ``score = Σ_t idf·tf·(k1+1)/(tf + k1·(1−b
-    + b·dl/avgdl))``.  Distributed shape: the corpus pass explodes
+    + b·dl/avgdl))``.  Distributed shape: the corpus pass tokenizes
+    each row ONCE (``_bm25_doc_pass`` — one let-bound regex split
+    feeding both the document length and the explode) and explodes
     only tokens IN the query set (a narrow pre-filter), per-doc tf is
     one hash agg, per-term df is a second agg over that (query-sized
     output, broadcast back), and N/avgdl ride in as a broadcast 1-row
@@ -359,16 +400,10 @@ def bm25_topk(df, query_terms: list, k: int = 10,
     if not terms:
         raise ValueError("query_terms must be non-empty")
     tl = F.array(*[F.lit(t) for t in terms])
-    dl = df.select(
-        F.col(id_col),
-        F.size(F.filter(tokens(F.col(text_col)),
-                        lambda t: t != F.lit(""))).alias("dl"),
-        F.filter(tokens(F.col(text_col)),
-                 lambda t: F.array_contains(tl, t)).alias("_qtoks"))
-    stats = dl.agg(F.count("*").alias("n_docs"),
-                   F.avg("dl").alias("avgdl"))
-    tf = (dl.select(F.col(id_col), "dl",
-                    F.explode("_qtoks").alias("term"))
+    qs = _bm25_doc_pass(df, text_col, id_col,
+                        term_filter=lambda t: F.array_contains(tl, t))
+    stats = _bm25_stats(qs)
+    tf = (_bm25_tf_base(qs, id_col)
           .groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf")))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     part = (
@@ -454,21 +489,17 @@ def bm25_batch_topk(df, queries, k: int = 10, k1: float = 1.2,
     counts aggregate over the term-filtered explode (query-vocabulary-
     sized, broadcast); corpus stats ride in as a 1-row aggregate; the
     per-query rank is a window over each query's candidate docs only.
-    The corpus is scanned ONCE for the whole query batch."""
+    The corpus is scanned ONCE for the whole query batch, and each
+    corpus row is regex-tokenized ONCE (``_bm25_doc_pass``)."""
     from pyspark.sql import Window
 
     qt = (queries.select(F.col(query_id_col),
                          F.explode(tokens(F.col(query_col))).alias("term"))
           .filter(F.col("term") != "").distinct())
     terms = qt.select("term").distinct()
-    dl = df.select(
-        F.col(id_col),
-        F.size(F.filter(tokens(F.col(text_col)),
-                        lambda t: t != F.lit(""))).alias("dl"),
-        tokens(F.col(text_col)).alias("_toks"))
-    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
-    tf = (dl.select(F.col(id_col), "dl",
-                    F.explode("_toks").alias("term"))
+    qs = _bm25_doc_pass(df, text_col, id_col)
+    stats = _bm25_stats(qs)
+    tf = (_bm25_tf_base(qs, id_col)
           .join(F.broadcast(terms), on="term")
           .groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf")))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))

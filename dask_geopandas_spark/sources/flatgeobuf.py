@@ -11,14 +11,18 @@ DISTRIBUTABLE:
 * the packed R-tree's **leaf level** stores one 40-byte node per
   feature — ``(minx, miny, maxx, maxy, byte_offset)`` — at a fixed
   position (the last ``features_count`` nodes of the index block), so
-  the DRIVER learns the exact byte range of any run of features from
-  one range read of the leaf slice, exactly like the shapefile
-  ``.shx`` trick but with bboxes attached;
+  the exact byte range of any run of features comes from one range
+  read of the leaf slice, exactly like the shapefile ``.shx`` trick
+  but with bboxes attached; multi-file reads derive those parts
+  EXECUTOR-side (``mapInPandas`` over the file list — the distributed
+  footer gather ``read_parquet`` makes), and unchunked reads skip the
+  leaf level entirely (header + 40-byte index root per file);
 * those leaf bboxes double as a **spatial pushdown**: ``bbox=`` prunes
-  whole chunks on the driver before a single executor task launches —
-  at 100 TB the scan touches only the byte ranges whose features can
-  intersect the query window (the format stores features in Hilbert
-  order, so bbox-local features are byte-local too);
+  whole chunks before a single read task launches — at 100 TB the scan
+  touches only the byte ranges whose features can intersect the query
+  window (the format stores features in Hilbert order, so bbox-local
+  features are byte-local too) — and a per-feature envelope refinement
+  inside the parse makes the result window-EXACT (pyogrio parity);
 * files without an index degrade to one sequential part per file —
   the sink therefore always writes the index.
 
@@ -434,13 +438,34 @@ def _parse_properties(buf: bytes, f: int, columns: list, out: dict) -> None:
             out[name].append(None)
 
 
+def _feature_envelopes(geoms: list) -> np.ndarray:
+    """(n, 4) per-feature (minx, miny, maxx, maxy) from WKB blobs; NaN
+    rows for null/empty geometries (so bbox comparisons drop them)."""
+    b = W.parse_wkb(geoms)
+    first = np.searchsorted(b.path_geom, np.arange(b.n), "left")
+    last = np.searchsorted(b.path_geom, np.arange(b.n), "right")
+    env = np.full((b.n, 4), np.nan)
+    for i in range(b.n):
+        if first[i] >= last[i]:
+            continue
+        s = int(b.path_offsets[first[i]])
+        e = int(b.path_offsets[last[i]])
+        if e > s:
+            env[i] = (np.nanmin(b.xs[s:e]), np.nanmin(b.ys[s:e]),
+                      np.nanmax(b.xs[s:e]), np.nanmax(b.ys[s:e]))
+    return env
+
+
 def _parse_features(raw: bytes, start: int, end: int, hdr: _Header,
-                    want: set, geometry: str | None) -> dict:
+                    want: set, geometry: str | None, bbox=None) -> dict:
     cols = {n: [] for n, _ in hdr.columns if n in want}
     wanted_cols = [(n, c) for n, c in hdr.columns if n in want]
     # properties are positional over the FULL column list; parse all,
     # keep wanted
     full = {n: [] for n, _ in hdr.columns}
+    # bbox refinement needs each feature's envelope, so geometries are
+    # parsed even when the geometry column itself is pruned away
+    parse_geom = geometry is not None or bbox is not None
     geoms = []
     pos = start
     while pos + 4 <= end:
@@ -448,7 +473,7 @@ def _parse_features(raw: bytes, start: int, end: int, hdr: _Header,
         fbuf = raw[pos + 4:pos + 4 + size]
         pos += 4 + size
         t = _root(fbuf)
-        if geometry is not None:
+        if parse_geom:
             g = _f_indirect(fbuf, t, 0)
             geoms.append(
                 _geom_to_wkb(fbuf, g, hdr.geometry_type, hdr.has_z)
@@ -457,12 +482,151 @@ def _parse_features(raw: bytes, start: int, end: int, hdr: _Header,
     out = {n: full[n] for n, _ in wanted_cols}
     if geometry is not None:
         out[geometry] = geoms
+    if bbox is not None and geoms:
+        # per-feature envelope refinement: the index prunes CHUNKS, this
+        # makes the result window-EXACT (envelope-intersects semantics,
+        # pyogrio/OGR parity).  Null/empty geometries have NaN envelopes
+        # and NaN comparisons are False, so they drop under bbox.
+        env = _feature_envelopes(geoms)
+        keep = ((env[:, 0] <= bbox[2]) & (env[:, 2] >= bbox[0])
+                & (env[:, 1] <= bbox[3]) & (env[:, 3] >= bbox[1]))
+        out = {n: [v for v, k in zip(vals, keep) if k]
+               for n, vals in out.items()}
     return out
 
 
 # ======================================================================
 # reader
 # ======================================================================
+def _file_parts(fp: str, filesystem, chunksize: int | None,
+                bbox) -> tuple[list, tuple | None]:
+    """One file -> (``[(fp, start_byte, end_byte), ...]``, envelope).
+
+    With ``chunksize=None`` this is O(1) reads — the header plus the
+    index ROOT node (40 bytes), whose box is the file envelope and
+    answers the bbox prune; the leaf level is never touched.  Only a
+    chunked read scans the leaf level (in ~10 MB blocks) to learn
+    per-chunk byte offsets and boxes.  Pure function of the file, so it
+    runs identically driver-side (single file) and executor-side
+    (multi-file ``mapInPandas`` fan-out in :func:`_derive_parts`).
+    Envelope is ``None`` for unindexed files (no summary available)."""
+    h = _read_header(fp, filesystem)
+    fsys, p = FS.resolve_fs(fp, filesystem)
+    fsize = int(fsys.get_file_info(p).size)
+    n, ns = h.features_count, h.index_node_size
+    if not (ns > 0 and n > 0):
+        # No index: the whole data section reads as ONE sequential part
+        # (feature boundaries are unknowable without walking the bytes).
+        # bbox still applies EXACTLY via the per-feature envelope
+        # refinement in _parse_features.
+        return [(fp, h.header_end, fsize)], None
+    num_nodes = _rtree_num_nodes(n, ns)
+    leaf_at = h.header_end + (num_nodes - n) * NODE_BYTES
+    data_at = h.header_end + num_nodes * NODE_BYTES
+    with FS.open_input(fp, filesystem) as f:
+        f.seek(h.header_end)
+        root = np.frombuffer(f.read(NODE_BYTES), dtype="<f8")
+        env = (float(root[0]), float(root[1]),
+               float(root[2]), float(root[3]))
+        if chunksize is None:
+            # single part per file: the root box already answers the
+            # bbox prune and spatial_partitions — skip the leaf scan
+            # entirely (a billion-feature file has a 40 GB leaf level)
+            if bbox is not None and not (
+                    env[0] <= bbox[2] and env[2] >= bbox[0]
+                    and env[1] <= bbox[3] and env[3] >= bbox[1]):
+                return [], env
+            return [(fp, data_at, fsize)], env
+        per = max(int(chunksize), 1)
+        # The leaf level is scanned in BLOCKS (a multiple of the chunk
+        # size, ~10 MB per read) rather than one gulp.  Each block
+        # overlaps the next by one node so every chunk's end byte-offset
+        # is in hand.
+        blk = per * max(1, _LEAF_BLOCK_NODES // per)
+        parts = []
+        for bs in range(0, n, blk):
+            be = min(bs + blk, n)
+            cnt = be - bs + (1 if be < n else 0)
+            f.seek(leaf_at + bs * NODE_BYTES)
+            block = np.frombuffer(f.read(cnt * NODE_BYTES),
+                                  dtype="<f8").reshape(-1, 5)
+            boxes = block[:, :4]
+            offs = block[:, 4].view("<u8").astype(np.int64)
+            for s in range(bs, be, per):
+                e = min(s + per, n)
+                ls, le = s - bs, e - bs
+                if bbox is not None:
+                    bx = boxes[ls:le]
+                    if not bool(np.any((bx[:, 0] <= bbox[2])
+                                       & (bx[:, 2] >= bbox[0])
+                                       & (bx[:, 1] <= bbox[3])
+                                       & (bx[:, 3] >= bbox[1]))):
+                        continue
+                end_b = (data_at + int(offs[le])) if e < n else fsize
+                parts.append((fp, data_at + int(offs[ls]), end_b))
+    return parts, env
+
+
+def _derive_parts(spark: SparkSession, files: list, filesystem,
+                  chunksize: int | None, bbox,
+                  distributed: bool | None = None) -> tuple[list, list | None]:
+    """Part list + per-file envelopes for a set of .fgb files.
+
+    Single-file reads derive on the driver; multi-file reads fan the
+    per-file index reads out as a ``mapInPandas`` pass over the file
+    list (the same move ``read_parquet``'s distributed footer gather
+    makes, geoparquet.py) — the driver never performs a leaf-level
+    scan, only collects the O(parts) derived ranges.  Both paths call
+    the same pure :func:`_file_parts`, so their output is identical;
+    ``distributed`` forces a path (tests pin the parity)."""
+    if distributed is None:
+        distributed = len(files) > 1
+    if not distributed:
+        parts, file_boxes = [], []
+        for fp in files:
+            prts, env = _file_parts(fp, filesystem, chunksize, bbox)
+            parts.extend(prts)
+            file_boxes = None if env is None else (
+                file_boxes + [env] if file_boxes is not None else None)
+        return parts, file_boxes or None
+
+    file_df = spark.createDataFrame(
+        [(f,) for f in files], "path: string"
+    ).repartition(min(len(files), 512))
+    pschema = ("path string, start long, end long, minx double, "
+               "miny double, maxx double, maxy double, has_env boolean, "
+               "is_part boolean")
+
+    def derive(batches):
+        for pdf in batches:
+            recs = []
+            for fp in pdf["path"]:
+                prts, env = _file_parts(fp, filesystem, chunksize, bbox)
+                he = env is not None
+                ev = env if he else (0.0, 0.0, 0.0, 0.0)
+                # envelope-only row keeps the file's cover (and its
+                # index-less-ness) visible even when bbox pruned every
+                # chunk, matching the driver path's bookkeeping
+                recs.append((fp, -1, -1, *ev, he, False))
+                for f_, s, e in prts:
+                    recs.append((f_, int(s), int(e), *ev, he, True))
+            yield pd.DataFrame(
+                recs, columns=["path", "start", "end", "minx", "miny",
+                               "maxx", "maxy", "has_env", "is_part"])
+
+    rows = sorted(file_df.mapInPandas(derive, schema=pschema).collect(),
+                  key=lambda r: (r["path"], r["start"]))
+    parts = [(r["path"], int(r["start"]), int(r["end"]))
+             for r in rows if r["is_part"]]
+    env_rows = [r for r in rows if not r["is_part"]]
+    if any(not r["has_env"] for r in env_rows):
+        file_boxes = None  # one unindexed file drops the cover
+    else:
+        file_boxes = [(r["minx"], r["miny"], r["maxx"], r["maxy"])
+                      for r in env_rows]
+    return parts, file_boxes or None
+
+
 def _list_fgb(path: str, filesystem=None) -> list:
     if filesystem is not None or FS.has_scheme(path):
         if FS.is_dir(path, filesystem):
@@ -481,11 +645,22 @@ def read_flatgeobuf(spark: SparkSession, path: str, columns=None,
 
     ``path``: one ``.fgb``, a directory of them (the sink's layout), or
     a glob.  Schema comes exactly from the header's columns vector.
-    With an index present, the part list comes from one range read of
-    the index's leaf level per file (40 bytes/feature), each part is a
-    single contiguous byte-range read, and ``bbox=(minx, miny, maxx,
-    maxy)`` prunes non-intersecting parts on the driver — features are
-    Hilbert-ordered, so the surviving ranges are few and dense.
+    With an index present and ``chunksize`` set, per-chunk byte ranges
+    come from the index's leaf level (40 bytes/feature) — scanned
+    EXECUTOR-side for multi-file reads (a ``mapInPandas`` fan-out over
+    the file list, like ``read_parquet``'s distributed footer gather);
+    with ``chunksize=None`` only the header and the 40-byte index root
+    are read per file (no leaf scan at all).  Each part is a single
+    contiguous byte-range read.
+
+    ``bbox=(minx, miny, maxx, maxy)`` is an EXACT envelope-intersects
+    filter (pyogrio/OGR parity): the index prunes non-intersecting
+    chunks before any task launches (features are Hilbert-ordered, so
+    window-local features are byte-local), then a per-feature envelope
+    refinement inside the parse drops the chunk survivors outside the
+    window.  Unindexed files skip the pruning but still refine, so the
+    result is window-exact either way; features with null/empty
+    geometry are excluded by ``bbox=`` (they have no envelope).
     Reference parity: io/file.py:49-149 (pyogrio path).
     """
     from ..core import GeoDataFrame
@@ -507,68 +682,11 @@ def read_flatgeobuf(spark: SparkSession, path: str, columns=None,
     crs = hdr.crs
 
     # part list: (file, start_byte, end_byte); per-file envelopes from
-    # the index root feed spatial_partitions (the same per-file summary
-    # read_parquet gathers from geo metadata — scan-free sjoin bounds)
-    parts = []
-    file_boxes: list | None = []
-    for fp in files:
-        h = _read_header(fp, filesystem)
-        with FS.open_input(fp, filesystem) as f:
-            n, ns = h.features_count, h.index_node_size
-            fsys, p = FS.resolve_fs(fp, filesystem)
-            fsize = int(fsys.get_file_info(p).size)
-            if ns > 0 and n > 0:
-                num_nodes = _rtree_num_nodes(n, ns)
-                leaf_at = h.header_end + (num_nodes - n) * NODE_BYTES
-                data_at = h.header_end + num_nodes * NODE_BYTES
-                per = max(int(chunksize), 1) if chunksize else max(n, 1)
-                # The leaf level is scanned in BLOCKS (a multiple of the
-                # chunk size, ~10 MB per driver read) rather than one
-                # gulp: a billion-feature foreign file has a 40 GB leaf
-                # level, which must never land on the driver at once.
-                # Each block overlaps the next by one node so every
-                # chunk's end byte-offset is in hand.
-                blk = per * max(1, _LEAF_BLOCK_NODES // per)
-                fb = None
-                for bs in range(0, n, blk):
-                    be = min(bs + blk, n)
-                    cnt = be - bs + (1 if be < n else 0)
-                    f.seek(leaf_at + bs * NODE_BYTES)
-                    block = np.frombuffer(f.read(cnt * NODE_BYTES),
-                                          dtype="<f8").reshape(-1, 5)
-                    boxes = block[:, :4]
-                    offs = block[:, 4].view("<u8").astype(np.int64)
-                    own = boxes[:be - bs]  # exclude the overlap node
-                    if file_boxes is not None:
-                        cur = (float(own[:, 0].min()), float(own[:, 1].min()),
-                               float(own[:, 2].max()), float(own[:, 3].max()))
-                        fb = cur if fb is None else (
-                            min(fb[0], cur[0]), min(fb[1], cur[1]),
-                            max(fb[2], cur[2]), max(fb[3], cur[3]))
-                    for s in range(bs, be, per):
-                        e = min(s + per, n)
-                        ls, le = s - bs, e - bs
-                        if bbox is not None:
-                            bx = boxes[ls:le]
-                            if not bool(np.any((bx[:, 0] <= bbox[2])
-                                               & (bx[:, 2] >= bbox[0])
-                                               & (bx[:, 1] <= bbox[3])
-                                               & (bx[:, 3] >= bbox[1]))):
-                                continue
-                        end_b = (data_at + int(offs[le])) if e < n else fsize
-                        parts.append((fp, data_at + int(offs[ls]), end_b))
-                if file_boxes is not None and fb is not None:
-                    file_boxes.append(fb)
-            else:
-                # No index: the whole data section reads as ONE
-                # sequential part (feature boundaries are unknowable
-                # without walking the bytes), so per-part memory is
-                # bounded by the file size — write through the sink (or
-                # any indexed writer) for chunk-parallel, bbox-prunable
-                # reads.  One summary-less file also drops the
-                # spatial_partitions cover, as in geoparquet.py.
-                parts.append((fp, h.header_end, fsize))
-                file_boxes = None
+    # the index ROOT nodes feed spatial_partitions (the same per-file
+    # summary read_parquet gathers from geo metadata — scan-free sjoin
+    # bounds).  Multi-file derivation runs executor-side.
+    parts, file_boxes = _derive_parts(spark, files, filesystem,
+                                      chunksize, bbox)
 
     if not parts:
         df = spark.createDataFrame([], schema)
@@ -591,7 +709,8 @@ def read_flatgeobuf(spark: SparkSession, path: str, columns=None,
                     f.seek(s)
                     raw = f.read(e - s)
                 data = _parse_features(raw, 0, len(raw), h, want,
-                                       geometry if want_geom else None)
+                                       geometry if want_geom else None,
+                                       bbox=bbox)
                 yield pd.DataFrame(data, columns=fnames)
 
     df = part_df.mapInPandas(read_part, schema=schema)
@@ -784,9 +903,10 @@ def to_flatgeobuf(gdf_or_df, path: str, filesystem=None,
     written, so the files read back chunk-parallel AND bbox-prunable —
     the properties the engine's own ``read_flatgeobuf`` exploits.
     Null geometries are written as geometry-less features with a
-    (0,0,0,0) leaf bbox: attributes round-trip, but a ``bbox=`` read
-    not covering the origin may prune them — filter nulls first when
-    that matters.
+    (0,0,0,0) leaf bbox: attributes round-trip on unfiltered reads,
+    but a ``bbox=`` read excludes them (no envelope — the reader's
+    exact refinement drops them) — filter nulls first when that
+    matters.
     """
     from ..geometry import curves as C
 

@@ -33,10 +33,12 @@ scale answer; columnar formats remain the bulk path.
 
 from __future__ import annotations
 
+import atexit as _atexit
 import glob
 import os
 import sqlite3
 import struct
+import threading as _threading
 
 import numpy as np
 import pandas as pd
@@ -111,29 +113,52 @@ def _list_gpkg(path: str, filesystem=None) -> list:
 
 # per-process cache of downloaded remote .gpkg files (executor tasks
 # reading many rowid chunks of one file must download it once, not per
-# chunk)
+# chunk).  Copies are removed at process exit, and a per-path lock
+# keeps concurrent tasks from racing to duplicate (and orphan) the
+# same download — long-lived executors must not leak local disk.
 _LOCAL_COPIES: dict = {}
+_COPY_LOCKS: dict = {}
+_COPY_LOCKS_GUARD = _threading.Lock()
+
+
+@_atexit.register
+def _cleanup_local_copies() -> None:
+    for tmp in list(_LOCAL_COPIES.values()):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+    _LOCAL_COPIES.clear()
+
+
+def _path_lock(path: str):
+    with _COPY_LOCKS_GUARD:
+        if path not in _COPY_LOCKS:
+            _COPY_LOCKS[path] = _threading.Lock()
+        return _COPY_LOCKS[path]
 
 
 def _local_copy(path: str, filesystem=None) -> str:
-    got = _LOCAL_COPIES.get(path)
-    if got and os.path.exists(got):
-        return got
-    import tempfile
+    with _path_lock(path):
+        got = _LOCAL_COPIES.get(path)
+        if got and os.path.exists(got):
+            return got
+        import tempfile
 
-    fd, tmp = tempfile.mkstemp(suffix=".gpkg", prefix="dgs-gpkg-")
-    try:
-        with os.fdopen(fd, "wb") as out, FS.open_input(path, filesystem) as f:
-            while True:
-                chunk = f.read(1 << 22)
-                if not chunk:
-                    break
-                out.write(chunk)
-    except BaseException:
-        os.unlink(tmp)
-        raise
-    _LOCAL_COPIES[path] = tmp
-    return tmp
+        fd, tmp = tempfile.mkstemp(suffix=".gpkg", prefix="dgs-gpkg-")
+        try:
+            with os.fdopen(fd, "wb") as out, \
+                    FS.open_input(path, filesystem) as f:
+                while True:
+                    chunk = f.read(1 << 22)
+                    if not chunk:
+                        break
+                    out.write(chunk)
+        except BaseException:
+            os.unlink(tmp)
+            raise
+        _LOCAL_COPIES[path] = tmp
+        return tmp
 
 
 def _ro_connect(path: str, filesystem=None) -> sqlite3.Connection:

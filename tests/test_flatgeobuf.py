@@ -283,3 +283,167 @@ def test_geometrycollection_roundtrip(spark, tmp_path):
            read_flatgeobuf(spark, path).df.collect()}
     assert got[0] == gc
     assert got[1] == T.wkt_to_wkb("POINT (9 9)")
+
+
+class TestPartDerivation:
+    """r5: multi-file part lists derive executor-side (the driver never
+    leaf-scans), unchunked reads touch only header + index root, and
+    bbox= is an EXACT envelope-intersects filter (pyogrio parity) —
+    indexed or not."""
+
+    def _many(self, spark, tmp_path, nfiles=3, n=90):
+        rng = np.random.RandomState(7)
+        pdf = pd.DataFrame({"pid": np.arange(n, dtype=np.int64),
+                            "x": rng.uniform(0, 100, n),
+                            "y": rng.uniform(0, 100, n)})
+        g = dgs.points_from_xy(
+            spark.createDataFrame(pdf).repartition(nfiles), "x", "y",
+            crs="EPSG:4326")
+        path = str(tmp_path / "many")
+        to_flatgeobuf(g, path)
+        return path, pdf
+
+    @staticmethod
+    def _inwin(pdf, win):
+        return set(pdf[(pdf.x >= win[0]) & (pdf.x <= win[2])
+                       & (pdf.y >= win[1]) & (pdf.y <= win[3])]["pid"])
+
+    def test_distributed_matches_driver(self, spark, tmp_path):
+        from dask_geopandas_spark.sources.flatgeobuf import (_derive_parts,
+                                                             _list_fgb)
+
+        path, _ = self._many(spark, tmp_path)
+        files = _list_fgb(path)
+        assert len(files) == 3
+        win = (10.0, 10.0, 60.0, 60.0)
+        for cs, bb in [(None, None), (7, None), (None, win), (7, win)]:
+            dp, db = _derive_parts(spark, files, None, cs, bb,
+                                   distributed=False)
+            xp, xb = _derive_parts(spark, files, None, cs, bb,
+                                   distributed=True)
+            assert dp == xp, (cs, bb)
+            assert db == xb, (cs, bb)
+            assert dp  # every combination leaves some part
+
+    def test_multi_file_read_opens_nothing_but_schema_on_driver(
+            self, spark, tmp_path, monkeypatch):
+        """A multi-file chunked read's only driver-side file open is the
+        schema header read — the leaf scans all happen in executor
+        tasks (separate worker processes, invisible to this counter)."""
+        from dask_geopandas_spark.sources import fs as FS
+
+        path, pdf = self._many(spark, tmp_path)
+        calls = []
+        real = FS.open_input
+
+        def counting(p, filesystem=None):
+            calls.append(p)
+            return real(p, filesystem)
+
+        monkeypatch.setattr(FS, "open_input", counting)
+        got = read_flatgeobuf(spark, path, chunksize=8)
+        assert sorted(r["pid"] for r in got.df.select("pid").collect()) \
+            == list(range(len(pdf)))
+        assert len(calls) == 1
+
+    def test_unchunked_derivation_skips_leaf_level(self, spark, tmp_path,
+                                                   monkeypatch):
+        """chunksize=None part derivation reads only the header prefix
+        plus the 40-byte index root — never the 40·n-byte leaf level
+        (ADVICE r4: the old path gulped the whole leaf slice)."""
+        from dask_geopandas_spark.sources import fs as FS
+        from dask_geopandas_spark.sources.flatgeobuf import (_file_parts,
+                                                             _list_fgb)
+
+        n = 4000  # leaf level = 160 KB >> the 64 KiB header prefix
+        rng = np.random.RandomState(5)
+        pdf = pd.DataFrame({"pid": np.arange(n, dtype=np.int64),
+                            "x": rng.uniform(0, 100, n),
+                            "y": rng.uniform(0, 100, n)})
+        g = dgs.points_from_xy(spark.createDataFrame(pdf).coalesce(1),
+                               "x", "y", crs="EPSG:4326")
+        path = str(tmp_path / "big")
+        to_flatgeobuf(g, path)
+        fp = _list_fgb(path)[0]
+        counted = {"n": 0}
+        real = FS.open_input
+
+        def wrap(p, filesystem=None):
+            fobj = real(p, filesystem)
+
+            class P:
+                def read(self, nb=-1):
+                    b = fobj.read(nb)
+                    counted["n"] += len(b)
+                    return b
+
+                def seek(self, *a):
+                    return fobj.seek(*a)
+
+                def __enter__(self):
+                    return self
+
+                def __exit__(self, *a):
+                    fobj.close()
+
+            return P()
+
+        monkeypatch.setattr(FS, "open_input", wrap)
+        parts, env = _file_parts(fp, None, None, None)
+        assert len(parts) == 1 and env is not None
+        assert counted["n"] < 70_000  # header prefix + one 40-byte node
+
+    def test_bbox_exact(self, spark, tmp_path):
+        path, pdf = self._many(spark, tmp_path)
+        win = (10.0, 10.0, 60.0, 60.0)
+        inwin = self._inwin(pdf, win)
+        assert 0 < len(inwin) < len(pdf)
+        for cs in (None, 8):
+            got = read_flatgeobuf(spark, path, chunksize=cs, bbox=win)
+            assert {r["pid"] for r in got.df.select("pid").collect()} \
+                == inwin, cs
+
+    def test_bbox_exact_with_column_pruning(self, spark, tmp_path):
+        """bbox refinement works even when the geometry column itself is
+        pruned from the output (envelopes come from the parse)."""
+        path, pdf = self._many(spark, tmp_path)
+        win = (10.0, 10.0, 60.0, 60.0)
+        got = read_flatgeobuf(spark, path, bbox=win, columns=["pid"])
+        assert got.columns == ["pid"]
+        assert {r["pid"] for r in got.collect()} == self._inwin(pdf, win)
+
+    def _strip_index(self, path):
+        """Rewrite every .fgb in ``path`` without its R-tree index
+        (node_size patched to 0 in the header) — a foreign
+        unindexed-file stand-in."""
+        import glob
+        import os
+
+        from dask_geopandas_spark.sources.flatgeobuf import (_field, _root,
+                                                             _rtree_num_nodes)
+
+        for f in glob.glob(os.path.join(path, "*.fgb")):
+            with open(f, "rb") as fh:
+                raw = fh.read()
+            h = _Header(raw)
+            hdrbuf = raw[len(MAGIC) + 4:h.header_end]
+            p = _field(hdrbuf, _root(hdrbuf), 9)
+            assert p, "writer always emits node_size"
+            buf = bytearray(raw[:h.header_end])
+            struct.pack_into("<H", buf, len(MAGIC) + 4 + p, 0)
+            nn = _rtree_num_nodes(h.features_count, h.index_node_size)
+            with open(f, "wb") as fh:
+                fh.write(bytes(buf) + raw[h.header_end + nn * NODE_BYTES:])
+
+    def test_bbox_exact_unindexed(self, spark, tmp_path):
+        """ADVICE r4: bbox on an index-less file used to be a silent
+        no-op; the per-feature refinement now makes it exact."""
+        path, pdf = self._many(spark, tmp_path)
+        self._strip_index(path)
+        full = read_flatgeobuf(spark, path)
+        assert full.df.count() == len(pdf)
+        assert full.spatial_partitions is None  # no summary without index
+        win = (10.0, 10.0, 60.0, 60.0)
+        got = read_flatgeobuf(spark, path, bbox=win)
+        assert {r["pid"] for r in got.df.select("pid").collect()} \
+            == self._inwin(pdf, win)
