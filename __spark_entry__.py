@@ -1756,6 +1756,52 @@ def q_stream_funnel(spark, sf_dir):
                  F.round(F.sum("then_value"), 6).alias("sum_value")))
 
 
+def q_stream_funnel_left(spark, sf_dir):
+    """Left-outer stream-stream funnel (streaming/joins.py
+    event_sequence_join how='left'): clicks with NO purchase within 30
+    minutes — the abandonment analysis real funnels need beside the
+    conversion join.  Structured Streaming emits an unmatched row only
+    once the watermark proves no match can arrive, so the rollup keeps
+    rows below the watermark-complete cutoff max(ts) − watermark −
+    within, where stream and batch MUST agree under availableNow.
+    Oracle: NOT EXISTS anti-semantics with the same cutoff in SQL."""
+    from dask_geopandas_spark.streaming.joins import event_sequence_join
+
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def norm(s):
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return s
+
+    def stream():
+        s = (spark.readStream.schema(static.schema)
+             .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+        return norm(s)
+
+    # the global watermark is min over the JOIN INPUTS of (that input's
+    # max event time − delay) — other event types don't advance it, so
+    # the completeness cutoff derives from the click/purchase maxima
+    cutoff = norm(static).agg((F.least(
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))))
+        - F.expr("INTERVAL 151 MINUTES")).alias("c")).collect()[0]["c"]
+    clicks = stream().filter(F.col("event_type") == "click")
+    buys = stream().filter(F.col("event_type") == "purchase")
+    joined = event_sequence_join(clicks, buys, within="30 minutes",
+                                 how="left")
+    qname = "stream_funnel_left_sink"
+    q = (joined.writeStream.format("memory").queryName(qname)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.table(qname)
+            .filter(F.col("then_ts").isNull()
+                    & (F.col("first_ts") <= F.lit(cutoff)))
+            .groupBy(F.pmod(F.col("user_id"), F.lit(10)).alias("bucket"))
+            .agg(F.count("*").alias("n_abandoned"),
+                 F.sum("first_event_id").cast("long").alias("id_sum")))
+
+
 _BM25_BATCH_QUERIES = [(0, "data model training"),
                        (1, "spark distributed learning"),
                        (2, "language quality text")]
@@ -1791,6 +1837,19 @@ def q_connected_components(spark, sf_dir):
         _t(spark, sf_dir, "documents"), num_hashes=4, bands=2, k=3)
     return DD.connected_components(edges, src="id_a", dst="id_b",
                                    max_iter=8)
+
+
+def q_cluster_dedup(spark, sf_dir):
+    """End-to-end graph dedup (dedup.cluster_dedup): LSH candidate
+    pairs → connected components → keep each cluster's min-id doc,
+    pass untouched docs through — one left-anti join against the
+    dropped-node list.  Oracle: the unrolled CC fixpoint plus a NOT
+    EXISTS survivor filter (component-min is SQL-expressible)."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = DD.lsh_candidate_pairs(docs, num_hashes=4, bands=2, k=3)
+    kept = DD.cluster_dedup(docs, edges, id_col="doc_id", src="id_a",
+                            dst="id_b", max_iter=8)
+    return kept.select("doc_id", F.length("text").alias("text_len"))
 
 
 def q_fillna_isna(spark, sf_dir):
@@ -2236,12 +2295,19 @@ def q_media_manifest(spark, sf_dir):
             F.encode(F.repeat(F.lit("x"),
                               (F.col("doc_id") % 97).cast("int")), "utf-8"))
 
-    pay = (F.when(F.col("doc_id") % 5 == 0, mk(b"\x89PNG\r\n\x1a\n"))
-           .when(F.col("doc_id") % 5 == 1, mk(b"\xff\xd8\xff"))
-           .when(F.col("doc_id") % 5 == 2, mk(b"GIF8"))
-           .when(F.col("doc_id") % 5 == 3, mk(b"FAKEIMG1"))
-           .otherwise(mk(b"ZZ")))
-    media = d.withColumn("media", pay)
+    # r5: one stand-in payload per dispatch class — RIFF sub-types
+    # (WAV/AVI/WebP vs generic), ISO-BMFF ftyp, Ogg, FLAC, ID3 mp3 —
+    # exercising the offset-aware container dispatch, not just prefixes
+    sigs = [b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF8",
+            b"RIFF\x00\x00\x00\x00WAVE", b"RIFF\x00\x00\x00\x00AVI ",
+            b"RIFF\x00\x00\x00\x00WEBP", b"RIFF\x00\x00\x00\x00JUNK",
+            b"\x00\x00\x00\x18ftypmp42", b"OggS", b"fLaC", b"ID3\x03",
+            b"FAKEIMG1", b"ZZ"]
+    pay = None
+    for i, sig in enumerate(sigs[:-1]):
+        c = F.col("doc_id") % len(sigs) == i
+        pay = F.when(c, mk(sig)) if pay is None else pay.when(c, mk(sig))
+    media = d.withColumn("media", pay.otherwise(mk(sigs[-1])))
     return MM.media_manifest(media)
 
 
@@ -2315,7 +2381,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top": q_tfidf_top,
         "bm25_topk": q_bm25_topk,
         "connected_components": q_connected_components,
+        "cluster_dedup": q_cluster_dedup,
         "stream_funnel": q_stream_funnel,
+        "stream_funnel_left": q_stream_funnel_left,
         "lm_quality": q_lm_quality,
         "bm25_batch": q_bm25_batch,
         "media_manifest": q_media_manifest,
@@ -3142,6 +3210,15 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY e.a) m ON l.node = m.a
         )
         """
+    # cluster_dedup shares the unrolled fixpoint: survivors are docs
+    # that are no node at all, or their own component's min label
+    cluster_dedup = cc + """
+        SELECT d.doc_id, length(d.text) AS text_len
+        FROM documents d
+        WHERE NOT EXISTS (
+            SELECT 1 FROM cl6
+            WHERE cl6.node = d.doc_id AND cl6.node != cl6.component)
+    """
     cc += "SELECT node, component FROM cl6"
 
     quality_signals = f"""
@@ -3772,13 +3849,20 @@ def oracle_sql() -> dict[str, str]:
         "bm25_batch": _bm25_batch_oracle_sql(),
         "media_manifest": """
             WITH m AS (
-                SELECT CASE CAST(doc_id % 5 AS INT)
+                SELECT CASE CAST(doc_id % 13 AS INT)
                          WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-                         WHEN 2 THEN 'gif' WHEN 3 THEN 'fake_image'
+                         WHEN 2 THEN 'gif' WHEN 3 THEN 'wav'
+                         WHEN 4 THEN 'avi' WHEN 5 THEN 'webp'
+                         WHEN 6 THEN 'riff' WHEN 7 THEN 'mp4'
+                         WHEN 8 THEN 'ogg' WHEN 9 THEN 'flac'
+                         WHEN 10 THEN 'mp3' WHEN 11 THEN 'fake_image'
                          ELSE 'unknown' END AS modality,
-                       (CASE CAST(doc_id % 5 AS INT)
+                       (CASE CAST(doc_id % 13 AS INT)
                          WHEN 0 THEN 8 WHEN 1 THEN 3 WHEN 2 THEN 4
-                         WHEN 3 THEN 8 ELSE 2 END
+                         WHEN 3 THEN 12 WHEN 4 THEN 12 WHEN 5 THEN 12
+                         WHEN 6 THEN 12 WHEN 7 THEN 12 WHEN 8 THEN 4
+                         WHEN 9 THEN 4 WHEN 10 THEN 4 WHEN 11 THEN 8
+                         ELSE 2 END
                         + doc_id % 97) AS nb
                 FROM documents
             )
@@ -3790,6 +3874,7 @@ def oracle_sql() -> dict[str, str]:
             FROM m GROUP BY modality
         """,
         "connected_components": cc,
+        "cluster_dedup": cluster_dedup,
         "lm_quality": f"""
             WITH toks AS (
                 SELECT doc_id, list_filter({_TOKENS}, t -> t != '') AS t
@@ -3825,6 +3910,27 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id
              AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
             WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+            GROUP BY 1
+        """,
+        "stream_funnel_left": """
+            WITH cut AS (
+                SELECT least(
+                    max(CASE WHEN event_type = 'click' THEN ts END),
+                    max(CASE WHEN event_type = 'purchase' THEN ts END))
+                  - INTERVAL 151 MINUTE AS c
+                FROM events
+            )
+            SELECT a.user_id % 10 AS bucket,
+                   count(*) AS n_abandoned,
+                   CAST(sum(a.event_id) AS BIGINT) AS id_sum
+            FROM events a CROSS JOIN cut
+            WHERE a.event_type = 'click' AND a.ts <= cut.c
+              AND NOT EXISTS (
+                SELECT 1 FROM events b
+                WHERE b.user_id = a.user_id
+                  AND b.event_type = 'purchase'
+                  AND b.ts >= a.ts
+                  AND b.ts <= a.ts + INTERVAL 30 MINUTE)
             GROUP BY 1
         """,
         "overlay_lines": f"""

@@ -567,8 +567,8 @@ def minhash_jaccard_estimate(df: DataFrame, pairs: DataFrame,
 
 
 def connected_components(edges: DataFrame, src: str = "src",
-                         dst: str = "dst",
-                         max_iter: int = 10) -> DataFrame:
+                         dst: str = "dst", max_iter: int = 10,
+                         on_nonconverged: str = "warn") -> DataFrame:
     """Min-label connected components over an undirected edge list —
     the generic form of ``lsh_dedup``'s label propagation, for cluster-
     level dedup over arbitrary pair sources (``knn_graph`` edges,
@@ -591,7 +591,19 @@ def connected_components(edges: DataFrame, src: str = "src",
     reliable ``checkpoint()``; local mode has no such failure domain.
 
     Returns (node, component) with component = the component's min
-    node id (for ``max_iter`` ≥ diameter)."""
+    node id (for ``max_iter`` ≥ diameter).
+
+    Convergence is verified, not assumed: when ``max_iter`` runs out
+    with the last iteration still changing labels, the result may
+    split one true component into several (a chain-of-cliques deeper
+    than ``max_iter`` propagates its min label one hop per iteration)
+    — ``on_nonconverged`` picks the response: ``'warn'`` (default,
+    ``RuntimeWarning``), ``'raise'`` (``RuntimeError``), or
+    ``'ignore'``."""
+    if on_nonconverged not in ("warn", "raise", "ignore"):
+        raise ValueError(
+            f"on_nonconverged must be warn|raise|ignore, got "
+            f"{on_nonconverged!r}")
     e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
          .union(edges.select(F.col(dst).alias("a"),
                              F.col(src).alias("b"))))
@@ -599,6 +611,7 @@ def connected_components(edges: DataFrame, src: str = "src",
     labels = (e.select(F.col("a").alias("node")).distinct()
               .withColumn("component", F.col("node"))
               .localCheckpoint(eager=True))
+    changed = False
     for _ in range(max_iter):
         nbr = (e.join(labels, on=F.col("b") == F.col("node"))
                .groupBy("a").agg(F.min("component").alias("_nl")))
@@ -619,4 +632,40 @@ def connected_components(edges: DataFrame, src: str = "src",
         labels = nxt
         if not changed:
             break
+    if changed:
+        msg = (f"connected_components: max_iter={max_iter} exhausted with "
+               "labels still changing — components may be split; raise "
+               "max_iter above the graph diameter")
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        if on_nonconverged == "warn":
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
+
+
+def cluster_dedup(df: DataFrame, edges: DataFrame, id_col: str = "doc_id",
+                  src: str = "id_a", dst: str = "id_b",
+                  max_iter: int = 10,
+                  on_nonconverged: str = "warn") -> DataFrame:
+    """Cluster-level dedup end-to-end: connected components over a
+    near-duplicate edge list (``lsh_candidate_pairs`` / ``knn_graph`` /
+    ``embedding_neardup_pairs`` output), keep each component's
+    minimum-id row as the canonical representative, and pass through
+    every row that appears in no edge.  Returns ``df`` filtered to the
+    survivors — the one-call form of the edges→labels→keep-min
+    assembly the corpus_curation example sketches.
+
+    Distributed shape: the label table is edge-node-sized (≪ corpus
+    when duplicates are rare); the keep decision is ONE left-anti join
+    of the corpus against the dropped-node list (``node !=
+    component`` ⇔ a smaller id exists in the same cluster), so the
+    corpus shuffles once on the id and nothing corpus-sized ever sits
+    in driver memory."""
+    labels = connected_components(edges, src=src, dst=dst,
+                                  max_iter=max_iter,
+                                  on_nonconverged=on_nonconverged)
+    drop = (labels.filter(F.col("node") != F.col("component"))
+            .select(F.col("node").alias(id_col)))
+    return df.join(drop, on=id_col, how="left_anti")

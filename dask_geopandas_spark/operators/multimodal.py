@@ -221,28 +221,47 @@ def sample_video_frames(df: DataFrame, media_col: str = "media",
     return df.mapInPandas(gen, schema=schema)
 
 
-# magic-byte signatures for native modality sniffing (public file-format
-# magics + the engine's own FAKE headers)
+# magic-byte signatures for native modality sniffing: (modality,
+# [(offset_1based, fragment), ...]) — ALL fragments must match, rows
+# dispatch in order (container SUB-types before the generic container,
+# so WAV/AVI/WebP don't conflate into one 'riff' class and an ISO-BMFF
+# video never routes to an audio codec).  Public file-format magic
+# numbers + the engine's own FAKE headers.
 MAGIC_SIGNATURES = [
-    ("png", b"\x89PNG\r\n\x1a\n"),
-    ("jpeg", b"\xff\xd8\xff"),
-    ("gif", b"GIF8"),
-    ("riff", b"RIFF"),          # WAV/AVI/WebP containers
-    ("fake_image", FAKE_MAGIC),
-    ("fake_audio", FAKE_AUDIO_MAGIC),
+    ("png", [(1, b"\x89PNG\r\n\x1a\n")]),
+    ("jpeg", [(1, b"\xff\xd8\xff")]),
+    ("gif", [(1, b"GIF8")]),
+    ("wav", [(1, b"RIFF"), (9, b"WAVE")]),   # RIFF sub-type at byte 9
+    ("avi", [(1, b"RIFF"), (9, b"AVI ")]),
+    ("webp", [(1, b"RIFF"), (9, b"WEBP")]),
+    ("riff", [(1, b"RIFF")]),                # any other RIFF payload
+    ("mp4", [(5, b"ftyp")]),                 # ISO-BMFF (mp4/mov/heic)
+    ("ogg", [(1, b"OggS")]),
+    ("flac", [(1, b"fLaC")]),
+    ("mp3", [(1, b"ID3")]),                  # ID3v2-tagged stream
+    ("mp3", [(1, b"\xff\xfb")]),             # bare MPEG-1 L3 sync words
+    ("mp3", [(1, b"\xff\xf3")]),
+    ("mp3", [(1, b"\xff\xf2")]),
+    ("fake_image", [(1, FAKE_MAGIC)]),
+    ("fake_audio", [(1, FAKE_AUDIO_MAGIC)]),
 ]
 
 
 def sniff_modality(col):
     """Native magic-byte modality classification of a binary payload —
-    a CASE over hex prefixes, NO decode, NO Python: the triage pass a
-    100-TB media lake runs before spending codec time.  NULL payloads
-    classify as 'missing', unrecognized prefixes as 'unknown'."""
+    a CASE over hex substrings at published offsets, NO decode, NO
+    Python: the triage pass a 100-TB media lake runs before spending
+    codec time.  RIFF containers dispatch on their byte-9 sub-type
+    (WAV audio vs AVI video vs WebP image), ISO-BMFF on the ``ftyp``
+    box at byte 5.  NULL payloads classify as 'missing', unrecognized
+    prefixes as 'unknown'."""
     out = F.when(col.isNull(), F.lit("missing"))
-    for name, sig in MAGIC_SIGNATURES:
-        out = out.when(
-            F.hex(F.substring(col, 1, len(sig))) == sig.hex().upper(),
-            F.lit(name))
+    for name, frags in MAGIC_SIGNATURES:
+        cond = None
+        for off, sig in frags:
+            c = F.hex(F.substring(col, off, len(sig))) == sig.hex().upper()
+            cond = c if cond is None else (cond & c)
+        out = out.when(cond, F.lit(name))
     return out.otherwise(F.lit("unknown"))
 
 

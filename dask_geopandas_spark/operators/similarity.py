@@ -415,6 +415,28 @@ def sdc_luts(codebooks: list) -> list:
             for book in codebooks]
 
 
+# frames persisted by _salted_cell_join, released via
+# release_cached_salt_inputs() (the dedup.release_cached_signatures
+# pattern: caches are tracked, never leaked)
+_CACHED_SALT_INPUTS: list = []
+
+
+def release_cached_salt_inputs() -> int:
+    """Unpersist the cell-join inputs ``_salted_cell_join`` cached in
+    this session, returning how many were released (the
+    ``dedup.release_cached_signatures`` contract).  Call after the
+    consuming actions complete; derived frames stay valid and simply
+    recompute if re-executed."""
+    n = 0
+    while _CACHED_SALT_INPUTS:
+        try:
+            _CACHED_SALT_INPUTS.pop().unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
 def _salted_cell_join(a: DataFrame, b: DataFrame, salt_id: str,
                       cell_cap: int | None) -> DataFrame:
     """Per-cell self-join with hot-cell bounding: when ``cell_cap`` is
@@ -426,9 +448,19 @@ def _salted_cell_join(a: DataFrame, b: DataFrame, salt_id: str,
     the per-task bound, which is what a single over-dense cell (a
     near-duplicate cluster — exactly what kNN-graph consumers hunt)
     would otherwise blow through.  The per-cell counts job is one
-    narrow aggregation whose output is ≤ n_cells rows."""
+    narrow aggregation whose output is ≤ n_cells rows — and ``a`` is
+    persisted (spill-safe) FIRST so that job materializes the
+    assign/encode pipeline once and the join branches reuse it (both
+    sides' plans contain ``a`` as a fragment, so the cache serves b
+    too) instead of the upstream corpus scan running three times
+    (ADVICE r4).  Caches are tracked in ``_CACHED_SALT_INPUTS``;
+    release via :func:`release_cached_salt_inputs`."""
     if not cell_cap:
         return a.join(b, on="ivf_cell")
+    from pyspark import StorageLevel
+
+    a.persist(StorageLevel.MEMORY_AND_DISK)
+    _CACHED_SALT_INPUTS.append(a)
     rows = a.groupBy("ivf_cell").agg(F.count("*").alias("n")).collect()
     g = {int(r["ivf_cell"]): max(1, -(-int(r["n"]) // int(cell_cap)))
          for r in rows}

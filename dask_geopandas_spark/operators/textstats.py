@@ -298,18 +298,40 @@ def vocab_topk(df, text_col: str = "text", top_k: int = 100):
     )
 
 
+def _salted_count_join(big, counts, key: str, n_salt: int = 8):
+    """Shuffled join of a Zipf-skewed fact table against a 1-row-per-key
+    count table without a hot reduce partition: the count side
+    replicates across ``n_salt`` salt values (vocabulary-sized × n_salt
+    — still tiny next to the fact side), the fact side hashes its whole
+    row into one, so a token holding half the corpus spreads over
+    ``n_salt`` tasks instead of melting one.  Join result is identical
+    to ``big.join(counts, on=key)``; this removes the reliance on AQE's
+    runtime skew-join split (which nothing guarantees is enabled in a
+    caller's session).  ``n_salt=1`` degrades to the plain join."""
+    if n_salt <= 1:
+        return big.join(counts, on=key)
+    b = big.withColumn(
+        "_ts", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
+                      F.lit(n_salt)).cast("int"))
+    c = counts.withColumn(
+        "_ts", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+    return b.join(c, on=[key, "_ts"]).drop("_ts")
+
+
 def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
-                    k: int = 5):
+                    k: int = 5, n_salt: int = 8):
     """Per-document top-``k`` terms by smoothed TF-IDF
     (``tf · (ln((N+1)/(df+1)) + 1)``, the sklearn convention — a
     published formula, keyword extraction / relevance-weighting staple).
 
     Distributed shape: one token explode → hash-agg to (doc, term, tf)
     (map-side combine absorbs Zipf skew) → hash-agg to (term, df) → a
-    plain shuffled join back on the term (the document-frequency table
-    is vocabulary-sized — NOT broadcast at 100 TB) → the 1-row corpus
-    count rides in via a broadcast cross join (the dissolve.py:173
-    pattern) → per-doc top-k window over the doc's distinct terms only.
+    SALTED shuffled join back on the term (the document-frequency table
+    is vocabulary-sized — NOT broadcast at 100 TB; the salt bounds the
+    hot-token reduce partition, see ``_salted_count_join``) → the 1-row
+    corpus count rides in via a broadcast cross join (the
+    dissolve.py:173 pattern) → per-doc top-k window over the doc's
+    distinct terms only.
     Scores are rounded to 6 decimals BEFORE ranking so a 1-ulp ``ln``
     difference between engines cannot flip a rank (the cosine-oracle
     precedent); ties break lexicographically."""
@@ -322,7 +344,7 @@ def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     ndocs = df.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(dfreq, on="term")
+        _salted_count_join(tf, dfreq, "term", n_salt)
         .crossJoin(F.broadcast(ndocs))
         .withColumn("tfidf", F.round(
             F.col("tf") * (F.log((F.col("n_docs") + F.lit(1.0))
@@ -425,7 +447,7 @@ def bm25_topk(df, query_terms: list, k: int = 10,
 
 
 def ngram_logprob(df, text_col: str = "text", id_col: str = "doc_id",
-                  alpha: float = 0.1):
+                  alpha: float = 0.1, n_salt: int = 8):
     """Per-document mean bigram log-probability under an add-alpha
     smoothed bigram model trained on the corpus itself — the
     CCNet/Gopher-style LM-quality signal without an external LM:
@@ -439,11 +461,13 @@ def ngram_logprob(df, text_col: str = "text", id_col: str = "doc_id",
 
     Distributed shape: ONE tokenizer pass feeds both the count tables
     and the per-doc bigram list; bigram and unigram counts are two
-    hash aggregations; the scoring join on the bigram key is a plain
-    shuffled join (the count tables are vocabulary-sized — never
-    broadcast at corpus scale) while V and nothing else rides in as a
-    broadcast 1-row aggregate.  The mean rounds to 6 decimals (the
-    per-doc ln summation order differs between engines)."""
+    hash aggregations; the scoring joins on the bigram/unigram keys
+    are SALTED shuffled joins (the count tables are vocabulary-sized —
+    never broadcast at corpus scale; the salt bounds the hot-token
+    reduce partition, see ``_salted_count_join``) while V and nothing
+    else rides in as a broadcast 1-row aggregate.  The mean rounds to
+    6 decimals (the per-doc ln summation order differs between
+    engines)."""
     from .dedup import shingles_of_tokens
 
     a = float(alpha)
@@ -460,9 +484,9 @@ def ngram_logprob(df, text_col: str = "text", id_col: str = "doc_id",
     cu = uni.groupBy("w").agg(F.count("*").alias("cu"))
     vocab = cu.agg(F.count("*").alias("v"))
     scored = (
-        big.join(cb, on="gram")
+        _salted_count_join(big, cb, "gram", n_salt)
         .withColumn("w", F.split(F.col("gram"), " ").getItem(0))
-        .join(cu, on="w")
+        .transform(lambda d: _salted_count_join(d, cu, "w", n_salt))
         .crossJoin(F.broadcast(vocab))
         .withColumn("_lp", F.log(
             (F.col("cb") + F.lit(a))

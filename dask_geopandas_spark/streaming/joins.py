@@ -24,7 +24,8 @@ def event_sequence_join(first: DataFrame, then: DataFrame,
                         key: str = "user_id", within: str = "30 minutes",
                         watermark: str = "2 hours", ts_col: str = "ts",
                         first_cols: tuple = ("event_id",),
-                        then_cols: tuple = ("event_id", "value")) -> DataFrame:
+                        then_cols: tuple = ("event_id", "value"),
+                        how: str = "inner") -> DataFrame:
     """Pairs of (first-event, then-event) sharing ``key`` with the
     'then' timestamp inside ``[first_ts, first_ts + within]`` (closed
     bounds).  ``first``/``then`` may be two filtered views of one
@@ -32,11 +33,22 @@ def event_sequence_join(first: DataFrame, then: DataFrame,
     columns.  Output columns: key, first_<c>…, then_<c>…, first_ts,
     then_ts.
 
+    ``how='inner'`` is the conversion funnel; ``how='left'``
+    (left outer) additionally keeps first-events with NO match —
+    ``then_*`` columns NULL — which is the ABANDONMENT analysis
+    ("clicked but never purchased within T").  Structured Streaming
+    supports the outer form with the same bounded state: an unmatched
+    row emits exactly when the watermark passes ``first_ts + within``
+    and it provably cannot match anymore (so outer results trail the
+    watermark — under availableNow they are complete).
+
     Batch inputs run the identical inequality join (the oracle form);
     streaming inputs get per-side watermarks so the join is
     stateful-but-bounded.  The time-range condition is REQUIRED for
     streaming state eviction — an equality-only stream-stream join
     would buffer forever."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     a = _watermarkable_ts(first, ts_col).select(
         F.col(key).alias("_k"), F.col(ts_col).alias("first_ts"),
         *[F.col(c).alias(f"first_{c}") for c in first_cols])
@@ -51,8 +63,9 @@ def event_sequence_join(first: DataFrame, then: DataFrame,
             & (F.col("then_ts") >= F.col("first_ts"))
             & (F.col("then_ts")
                <= F.col("first_ts") + F.expr(f"INTERVAL {within}")))
-    return (a.join(b, on=cond, how="inner")
-            .select(F.col("_k").alias(key),
-                    *[f"first_{c}" for c in first_cols],
-                    *[f"then_{c}" for c in then_cols],
-                    "first_ts", "then_ts"))
+    joined = a.join(b, on=cond,
+                    how="left_outer" if how == "left" else "inner")
+    return joined.select(F.col("_k").alias(key),
+                         *[f"first_{c}" for c in first_cols],
+                         *[f"then_{c}" for c in then_cols],
+                         "first_ts", "then_ts")

@@ -640,6 +640,42 @@ class TestConnectedComponents:
                connected_components(df, max_iter=15).collect()}
         assert got == self._cc_brute(60, edges)
 
+    def test_nonconvergence_is_loud(self, spark):
+        """r5 (ADVICE r4): exhausting max_iter with labels still moving
+        must warn (default) or raise — never silently return split
+        components."""
+        import warnings
+
+        from dask_geopandas_spark.operators.dedup import connected_components
+
+        chain = spark.createDataFrame([(i, i + 1) for i in range(9)],
+                                      "src long, dst long")  # diameter 9
+        with pytest.warns(RuntimeWarning, match="max_iter"):
+            connected_components(chain, max_iter=3).collect()
+        with pytest.raises(RuntimeError, match="max_iter"):
+            connected_components(chain, max_iter=3,
+                                 on_nonconverged="raise").collect()
+        with pytest.raises(ValueError, match="on_nonconverged"):
+            connected_components(chain, on_nonconverged="nope")
+        with warnings.catch_warnings():
+            # converged run: no RuntimeWarning
+            warnings.simplefilter("error", RuntimeWarning)
+            got = connected_components(chain, max_iter=12).collect()
+        assert {r["component"] for r in got} == {0}
+
+    def test_cluster_dedup_keeps_component_minimum(self, spark):
+        """cluster_dedup = keep min-id per component + pass through
+        edge-free rows, as one left-anti join."""
+        from dask_geopandas_spark.operators.dedup import cluster_dedup
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(8)], "doc_id long, text string")
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long")
+        kept = sorted(r["doc_id"] for r in
+                      cluster_dedup(docs, edges).collect())
+        assert kept == [0, 3, 4, 5, 7]
+
 
 class TestRetrievalPlans:
     def test_bm25_topk_is_take_ordered(self, spark):
@@ -683,6 +719,47 @@ class TestRetrievalPlans:
             opt = _bm25_doc_pass(df, "text", "doc_id", term_filter=tf_) \
                 ._jdf.queryExecution().optimizedPlan().toString()
             assert opt.count("[^a-z0-9']+") == 1, opt
+
+
+class TestTermJoinSkew:
+    """r5 (VERDICT r4 #4): the term-keyed count joins are salted so a
+    Zipf-extreme token cannot melt one reduce partition — and salting
+    must not change a single result."""
+
+    @pytest.fixture(scope="class")
+    def zipf(self, spark):
+        # token "the" is ~half of ALL occurrences corpus-wide
+        rows = [(i, ("the " * 22) + f"w{i} x{i % 7} common words here")
+                for i in range(40)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_tfidf_salted_equals_unsalted(self, zipf):
+        from dask_geopandas_spark.operators.textstats import tfidf_top_terms
+
+        want = {(r["doc_id"], r["rank"]): (r["term"], r["tfidf"]) for r in
+                tfidf_top_terms(zipf, k=3, n_salt=1).collect()}
+        got = {(r["doc_id"], r["rank"]): (r["term"], r["tfidf"]) for r in
+               tfidf_top_terms(zipf, k=3, n_salt=8).collect()}
+        assert got == want and len(got) == 40 * 3
+
+    def test_ngram_salted_equals_unsalted(self, zipf):
+        from dask_geopandas_spark.operators.textstats import ngram_logprob
+
+        want = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"]) for r in
+                ngram_logprob(zipf, n_salt=1).collect()}
+        got = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"]) for r in
+               ngram_logprob(zipf, n_salt=8).collect()}
+        assert got == want and len(got) == 40
+
+    def test_salt_key_in_plan(self, zipf):
+        """The optimized plans join on (term, _ts) / (gram, _ts) — the
+        salt is part of the shuffle key, not an AQE hope."""
+        from dask_geopandas_spark.operators.textstats import (ngram_logprob,
+                                                              tfidf_top_terms)
+
+        for frame in (tfidf_top_terms(zipf, k=2), ngram_logprob(zipf)):
+            opt = frame._jdf.queryExecution().optimizedPlan().toString()
+            assert "_ts" in opt
 
 
 class TestNgramLogprob:
@@ -797,18 +874,29 @@ class TestMediaManifest:
             (0, b"\x89PNG\r\n\x1a\n" + b"\x00" * 10),
             (1, b"\xff\xd8\xff\xe0rest"),
             (2, b"GIF89a-ish"),
-            (3, b"RIFF....WAVE"),
-            (4, make_fake_image(8, 8)),
-            (5, make_fake_audio(16000, 100)),
-            (6, b"not a media file"),
-            (7, None),
+            (3, b"RIFF\x24\x00\x00\x00WAVEfmt "),     # audio
+            (4, b"RIFF\x00\x01\x00\x00AVI LIST"),     # video
+            (5, b"RIFF\x10\x00\x00\x00WEBPVP8 "),     # image
+            (6, b"RIFF\x08\x00\x00\x00JUNKjunk"),     # unclaimed RIFF
+            (7, b"\x00\x00\x00\x18ftypmp42moov"),     # ISO-BMFF video
+            (8, b"OggS\x00vorbis"),
+            (9, b"fLaCstream"),
+            (10, b"ID3\x03\x00tagged mp3"),
+            (11, b"\xff\xfbframe"),                   # bare mp3 sync
+            (12, make_fake_image(8, 8)),
+            (13, make_fake_audio(16000, 100)),
+            (14, b"not a media file"),
+            (15, None),
         ]
         df = spark.createDataFrame(
             pd.DataFrame(rows, columns=["mid", "media"]))
         out = {r["modality"]: r for r in media_manifest(df).collect()}
-        assert set(out) == {"png", "jpeg", "gif", "riff", "fake_image",
-                            "fake_audio", "unknown", "missing"}
+        assert set(out) == {"png", "jpeg", "gif", "wav", "avi", "webp",
+                            "riff", "mp4", "ogg", "flac", "mp3",
+                            "fake_image", "fake_audio", "unknown",
+                            "missing"}
         assert out["png"]["total_bytes"] == 18
         assert out["missing"]["total_bytes"] == 0
         assert out["fake_image"]["n"] == 1
+        assert out["mp3"]["n"] == 2  # ID3-tagged + bare sync word
         assert out["unknown"]["min_bytes"] == len(b"not a media file")
