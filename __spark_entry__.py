@@ -2352,42 +2352,113 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry order matters: the driver's correctness check emits at most
-    50 rows, in registry order.  Round 4 front-loads (a) the five entries
-    that have never had a driver row in any round, (b) the three queries
-    whose r3 hash-fails were DuckDB-HUGEINT oracle typing (now CAST to
-    BIGINT; values were verified identical), (c) the ANN/kNN queries
-    upgraded this round from rows-only to exact oracles, and (d) queries
-    NEW in round 4 — then the r1-r3-green remainder.  After this round
-    every registry entry has had a green driver attestation."""
+    """Registry order matters: the driver's correctness check emits at
+    most 50 rows, in registry order.  Round 5 rotation (the r4
+    verdict's standing order): (a) the two queries NEW this round,
+    then (b) the oldest-attested entries — driver-green in r1/r2 and
+    unchecked since, now rotated ahead of the code refactored under
+    them (booleans kernel, setops dispatcher, projections).  4 of
+    the 48 r2-era entries overflow the 50-row window and lead the r6
+    rotation, followed by the r3- and r4-green blocks."""
     return {
-        # -- (a) never driver-checked in any round --
+        # -- NEW in round 5 (first driver attestation) --
+        "cluster_dedup": q_cluster_dedup,
+        "stream_funnel_left": q_stream_funnel_left,
+        # -- oldest attestations: driver-green r1, unchecked since --
+        "fillna_isna": q_fillna_isna,
+        "region_dissolve": q_region_dissolve,
+        "rollup_revenue": q_rollup_revenue,
+        "concat_bounds": q_concat_bounds,
+        # -- oldest attestations: driver-green r2, unchecked since --
+        "cx_bbox_filter": q_cx_bbox_filter,
+        "total_bounds": q_total_bounds,
+        "point_distance": q_point_distance,
+        "box_area_by_priority": q_box_area_by_priority,
+        "sjoin_points_in_boxes": q_sjoin_points_in_boxes,
+        "sjoin_grid": q_sjoin_grid,
+        "sjoin_box_overlaps": q_sjoin_box_overlaps,
+        "sjoin_box_touches": q_sjoin_box_touches,
+        "sjoin_nearest": q_sjoin_nearest,
+        "sjoin_anti": q_sjoin_anti,
+        "dissolve_centroid": q_dissolve_centroid,
+        "clip_count": q_clip_count,
+        "clip_concave": q_clip_concave,
+        "translate_avg": q_translate_avg,
+        "buffer_envelope_area": q_buffer_envelope_area,
+        "box_relations": q_box_relations,
+        "box_setops_area": q_box_setops_area,
+        "line_cross": q_line_cross,
+        "equals_exact": q_equals_exact,
+        "geoparquet_roundtrip": q_geoparquet_roundtrip,
+        "feather_roundtrip": q_feather_roundtrip,
+        "stream_hourly": q_stream_hourly,
+        "interiors": q_interiors,
+        "union_all_bounds": q_union_all_bounds,
+        "explode_parts": q_explode_parts,
+        "to_mercator": q_to_mercator,
+        "to_utm": q_to_utm,
+        "convex_hull_area": q_convex_hull_area,
+        "line_interpolate": q_line_interpolate,
+        "rotate_scale": q_rotate_scale,
+        "simplify_lines": q_simplify_lines,
+        "points_z": q_points_z,
+        "geom_properties": q_geom_properties,
+        "skew_avg": q_skew_avg,
+        "line_project": q_line_project,
+        "sql_surface": q_sql_surface,
+        "morton_buckets": q_morton_buckets,
+        "hilbert_buckets": q_hilbert_buckets,
+        "geohash_cells": q_geohash_cells,
+        "token_stats": q_token_stats,
+        "exact_dedup": q_exact_dedup,
+        "lang_quality": q_lang_quality,
+        "fingerprint_dups": q_fingerprint_dups,
+        "minhash_sigs": q_minhash_sigs,
+        # ---- 50-row driver window ends here ----
+        # -- r2-green remainder (front of the r6 rotation) --
+        "lsh_pairs": q_lsh_pairs,
+        "lsh_dedup": q_lsh_dedup,
+        "lsh_dedup_fixpoint": q_lsh_dedup_fixpoint,
+        "quality_signals": q_quality_signals,
+        # -- driver-green r3 --
+        "pii_redact": q_pii_redact,
+        "vocab_top": q_vocab_top,
+        "geojson_roundtrip": q_geojson_roundtrip,
+        "pipeline_clean_join": q_pipeline_clean_join,
+        "topk_parts": q_topk_parts,
+        "spatial_hourly": q_spatial_hourly,
+        "sjoin_nearest_grid": q_sjoin_nearest_grid,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash": q_simhash,
+        "ann_topk": q_ann_topk,
+        "ann_ivf_exact": q_ann_ivf_exact,
+        "embedding_neardup": q_embedding_neardup,
+        "events_hourly": q_events_hourly,
+        "session_windows": q_session_windows,
+        # -- rows-only by design (no SQL oracle; pytest-pinned) --
+        "spatial_shuffle": q_spatial_shuffle,
+        "ann_ivf": q_ann_ivf,
+        # -- driver-green r4 --
         "running_totals": q_running_totals,
         "image_meta": q_image_meta,
         "image_resize": q_image_resize,
         "audio_meta": q_audio_meta,
         "frame_counts": q_frame_counts,
-        # -- (b) r3 hash-fail from oracle HUGEINT typing, now cast --
         "shapefile_roundtrip": q_shapefile_roundtrip,
         "geopackage_roundtrip": q_geopackage_roundtrip,
         "split_holdout": q_split_holdout,
-        # -- (c) upgraded rows-only -> exact oracle in round 4 --
         "ann_pq": q_ann_pq,
         "ann_ivf_pq": q_ann_ivf_pq,
         "knn_graph": q_knn_graph,
-        # -- (d) NEW in round 4 (inserted as built) --
         "knn_graph_pq": q_knn_graph_pq,
         "fgb_roundtrip": q_fgb_roundtrip,
         "tfidf_top": q_tfidf_top,
         "bm25_topk": q_bm25_topk,
         "connected_components": q_connected_components,
-        "cluster_dedup": q_cluster_dedup,
         "stream_funnel": q_stream_funnel,
-        "stream_funnel_left": q_stream_funnel_left,
         "lm_quality": q_lm_quality,
         "bm25_batch": q_bm25_batch,
         "media_manifest": q_media_manifest,
-        # -- (e) driver-green in r3 --
         "to_lambert": q_to_lambert,
         "to_albers": q_to_albers,
         "crs_roundtrip": q_crs_roundtrip,
@@ -2418,76 +2489,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buffer_l_area": q_buffer_l_area,
         "top_bigram": q_top_bigram,
         "stream_dedup": q_stream_dedup,
-        "pii_redact": q_pii_redact,
-        "vocab_top": q_vocab_top,
-        "geojson_roundtrip": q_geojson_roundtrip,
-        "pipeline_clean_join": q_pipeline_clean_join,
-        "topk_parts": q_topk_parts,
-        "spatial_hourly": q_spatial_hourly,
-        "sjoin_nearest_grid": q_sjoin_nearest_grid,
-        "jaccard_pairs": q_jaccard_pairs,
-        "simhash": q_simhash,
-        "ann_topk": q_ann_topk,
-        "ann_ivf_exact": q_ann_ivf_exact,
-        "embedding_neardup": q_embedding_neardup,
-        "events_hourly": q_events_hourly,
-        "session_windows": q_session_windows,
-        # -- (f) driver-green in r01 --
-        "fillna_isna": q_fillna_isna,
-        "region_dissolve": q_region_dissolve,
-        "rollup_revenue": q_rollup_revenue,
-        "concat_bounds": q_concat_bounds,
-        # -- (g) driver-green in r02 --
-        "cx_bbox_filter": q_cx_bbox_filter,
-        "total_bounds": q_total_bounds,
-        "point_distance": q_point_distance,
-        "box_area_by_priority": q_box_area_by_priority,
-        "sjoin_points_in_boxes": q_sjoin_points_in_boxes,
-        "sjoin_grid": q_sjoin_grid,
-        "sjoin_box_overlaps": q_sjoin_box_overlaps,
-        "sjoin_box_touches": q_sjoin_box_touches,
-        "sjoin_nearest": q_sjoin_nearest,
-        "sjoin_anti": q_sjoin_anti,
-        "dissolve_centroid": q_dissolve_centroid,
-        "clip_count": q_clip_count,
-        "clip_concave": q_clip_concave,
-        "translate_avg": q_translate_avg,
-        "buffer_envelope_area": q_buffer_envelope_area,
-        "box_relations": q_box_relations,
-        "box_setops_area": q_box_setops_area,
-        "line_cross": q_line_cross,
-        "equals_exact": q_equals_exact,
-        "geoparquet_roundtrip": q_geoparquet_roundtrip,
-        "feather_roundtrip": q_feather_roundtrip,
-        "stream_hourly": q_stream_hourly,
-        "spatial_shuffle": q_spatial_shuffle,
-        "interiors": q_interiors,
-        "ann_ivf": q_ann_ivf,
-        "union_all_bounds": q_union_all_bounds,
-        "explode_parts": q_explode_parts,
-        "to_mercator": q_to_mercator,
-        "to_utm": q_to_utm,
-        "convex_hull_area": q_convex_hull_area,
-        "line_interpolate": q_line_interpolate,
-        "rotate_scale": q_rotate_scale,
-        "simplify_lines": q_simplify_lines,
-        "points_z": q_points_z,
-        "geom_properties": q_geom_properties,
-        "skew_avg": q_skew_avg,
-        "line_project": q_line_project,
-        "sql_surface": q_sql_surface,
-        "morton_buckets": q_morton_buckets,
-        "hilbert_buckets": q_hilbert_buckets,
-        "geohash_cells": q_geohash_cells,
-        "token_stats": q_token_stats,
-        "exact_dedup": q_exact_dedup,
-        "lang_quality": q_lang_quality,
-        "fingerprint_dups": q_fingerprint_dups,
-        "minhash_sigs": q_minhash_sigs,
-        "lsh_pairs": q_lsh_pairs,
-        "lsh_dedup": q_lsh_dedup,
-        "lsh_dedup_fixpoint": q_lsh_dedup_fixpoint,
-        "quality_signals": q_quality_signals,
     }
 
 

@@ -58,6 +58,9 @@ BENCH_QUERIES = [
     "connected_components",
     "stream_funnel",
     "lm_quality",
+    # round-5 additions
+    "cluster_dedup",
+    "stream_funnel_left",
 ]
 
 

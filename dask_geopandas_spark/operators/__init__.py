@@ -5,6 +5,8 @@ by a driver query in __spark_entry__.py and the pytest suite."""
 
 from .clip import clip
 from .dedup import (
+    cluster_dedup,
+    connected_components,
     embedding_neardup_pairs,
     exact_dedup,
     lsh_candidate_pairs,
@@ -16,22 +18,30 @@ from .dedup import (
 )
 from .dissolve import dissolve
 from .explode import explode_geometry
+from .multimodal import media_manifest, sniff_modality
 from .similarity import (
     brute_force_topk,
     ivf_topk,
     ivf_topk_stored,
+    knn_graph,
+    release_cached_salt_inputs,
     train_centroids,
+    train_pq,
     write_ivf_index,
 )
 from .overlay import overlay
 from .sjoin import sjoin
 from .textstats import (
+    bm25_batch_topk,
+    bm25_topk,
     fingerprint,
     lang_id,
+    ngram_logprob,
     pii_counts,
     quality_score,
     redact_pii,
     repetition_signals,
+    tfidf_top_terms,
     token_count,
     top_ngram_fraction,
     vocab_topk,
@@ -43,9 +53,13 @@ __all__ = [
     "lsh_dedup", "ngram_jaccard_pairs", "simhash",
     "release_cached_signatures",
     "embedding_neardup_pairs",
+    "connected_components", "cluster_dedup",
     "brute_force_topk", "train_centroids", "ivf_topk",
     "write_ivf_index", "ivf_topk_stored",
+    "knn_graph", "train_pq", "release_cached_salt_inputs",
     "fingerprint", "lang_id", "quality_score", "token_count",
     "repetition_signals", "top_ngram_fraction", "redact_pii",
     "pii_counts", "vocab_topk",
+    "tfidf_top_terms", "bm25_topk", "bm25_batch_topk", "ngram_logprob",
+    "media_manifest", "sniff_modality",
 ]

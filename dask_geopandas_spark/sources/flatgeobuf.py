@@ -61,6 +61,12 @@ _DEFAULT_NODE_SIZE = 16
 # driver-side leaf-level scan block (~10 MB of nodes per read); module
 # constant so tests can shrink it to exercise block boundaries
 _LEAF_BLOCK_NODES = 1 << 18
+# when part derivation goes distributed (a Spark job costs ~0.5 s of
+# Python-worker round-trip — only worth it when the driver-side
+# alternative is real work): many files, or a leaf volume whose serial
+# driver scan would take longer than the job
+_DISTRIBUTE_MIN_FILES = 16
+_DRIVER_LEAF_BYTES = 32 << 20
 
 # fgb ColumnType enum (header.fbs)
 _CT_BYTE, _CT_UBYTE, _CT_BOOL, _CT_SHORT, _CT_USHORT = 0, 1, 2, 3, 4
@@ -440,17 +446,31 @@ def _parse_properties(buf: bytes, f: int, columns: list, out: dict) -> None:
 
 def _feature_envelopes(geoms: list) -> np.ndarray:
     """(n, 4) per-feature (minx, miny, maxx, maxy) from WKB blobs; NaN
-    rows for null/empty geometries (so bbox comparisons drop them)."""
+    rows for null/empty geometries (so bbox comparisons drop them).
+    Vectorized: features' coordinate runs are contiguous in parse
+    order, so one ``minimum.reduceat`` per bound covers every feature
+    (the rare NaN-coordinate feature falls back to a nan-aware
+    slice)."""
     b = W.parse_wkb(geoms)
+    env = np.full((b.n, 4), np.nan)
+    if b.n == 0 or len(b.xs) == 0:
+        return env
     first = np.searchsorted(b.path_geom, np.arange(b.n), "left")
     last = np.searchsorted(b.path_geom, np.arange(b.n), "right")
-    env = np.full((b.n, 4), np.nan)
-    for i in range(b.n):
-        if first[i] >= last[i]:
-            continue
-        s = int(b.path_offsets[first[i]])
-        e = int(b.path_offsets[last[i]])
-        if e > s:
+    starts = b.path_offsets[first].astype(np.int64)
+    ends = b.path_offsets[last].astype(np.int64)
+    has = ends > starts
+    if not bool(np.any(has)):
+        return env
+    seg = starts[has]
+    env[has, 0] = np.minimum.reduceat(b.xs, seg)
+    env[has, 1] = np.minimum.reduceat(b.ys, seg)
+    env[has, 2] = np.maximum.reduceat(b.xs, seg)
+    env[has, 3] = np.maximum.reduceat(b.ys, seg)
+    bad = np.where(has & np.isnan(env).any(axis=1))[0]
+    for i in bad:  # NaN coords inside a feature: ignore them, as before
+        s, e = int(starts[i]), int(ends[i])
+        with np.errstate(all="ignore"):
             env[i] = (np.nanmin(b.xs[s:e]), np.nanmin(b.ys[s:e]),
                       np.nanmax(b.xs[s:e]), np.nanmax(b.ys[s:e]))
     return env
@@ -572,15 +592,31 @@ def _derive_parts(spark: SparkSession, files: list, filesystem,
                   distributed: bool | None = None) -> tuple[list, list | None]:
     """Part list + per-file envelopes for a set of .fgb files.
 
-    Single-file reads derive on the driver; multi-file reads fan the
-    per-file index reads out as a ``mapInPandas`` pass over the file
-    list (the same move ``read_parquet``'s distributed footer gather
-    makes, geoparquet.py) — the driver never performs a leaf-level
-    scan, only collects the O(parts) derived ranges.  Both paths call
-    the same pure :func:`_file_parts`, so their output is identical;
-    ``distributed`` forces a path (tests pin the parity)."""
+    Small inputs derive on the driver; large ones fan the per-file
+    index reads out as a ``mapInPandas`` pass over the file list (the
+    same move ``read_parquet``'s distributed footer gather makes,
+    geoparquet.py) — the driver then never performs a leaf-level scan,
+    only collects the O(parts) derived ranges.  "Large" = more than
+    ``_DISTRIBUTE_MIN_FILES`` files, or a chunked read whose total
+    leaf volume (40 B/feature, from the headers' feature counts)
+    exceeds ``_DRIVER_LEAF_BYTES`` — a Spark job has a fixed
+    ~half-second cost that a few small driver range-reads should not
+    pay, while a billion-feature lake must never serialize 40 GB of
+    leaf scans through the driver.  Unchunked reads never leaf-scan at
+    all (header + root node per file), so only the file count matters
+    there.  Both paths call the same pure :func:`_file_parts`, so
+    their output is identical; ``distributed`` forces a path (tests
+    pin the parity)."""
     if distributed is None:
-        distributed = len(files) > 1
+        if len(files) > _DISTRIBUTE_MIN_FILES:
+            distributed = True
+        elif chunksize is None:
+            distributed = False
+        else:
+            leaf_bytes = sum(
+                _read_header(fp, filesystem).features_count * NODE_BYTES
+                for fp in files)
+            distributed = leaf_bytes > _DRIVER_LEAF_BYTES
     if not distributed:
         parts, file_boxes = [], []
         for fp in files:

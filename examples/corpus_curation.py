@@ -1,9 +1,9 @@
-"""Corpus curation with the round-4 operators — retrieval scoring,
+"""Corpus curation with the round-4/5 operators — retrieval scoring,
 embedding-graph clustering, and cluster-level dedup as declarative
 stages:
 
     embeddings → IVF kNN graph (PQ-pruned, hot-cell-safe)
-               → connected components → one keeper per cluster
+               → cluster_dedup (components → one keeper per cluster)
     documents  → BM25 retrieval of topic-relevant docs
                → per-doc TF-IDF keywords for the survivors
 
@@ -40,14 +40,17 @@ def run_curation(spark: SparkSession, sf_dir: str):
     strong = edges.filter(F.col("cos") >= 0.8).select("src_id", "dst_id")
     out["strong_edges"] = strong.count()
 
-    # 2. cluster the near-duplicate graph, keep one vector per cluster
+    # 2. cluster-level dedup in ONE call (r5): connected components over
+    #    the near-dup graph, keep each cluster's min-id vector, pass
+    #    edge-free vectors through — a single left-anti join
     if out["strong_edges"]:
-        comp = DD.connected_components(strong, src="src_id", dst="dst_id")
-        keep_ids = comp.filter(F.col("node") == F.col("component"))
-        dropped = comp.count() - keep_ids.count()
+        kept = DD.cluster_dedup(emb, strong, id_col="vec_id",
+                                src="src_id", dst="dst_id")
+        dropped = out["vectors"] - kept.count()
     else:
         dropped = 0
     out["cluster_dropped"] = dropped
+    SIM.release_cached_salt_inputs()  # free the cell-join cache
 
     # 3. BM25: pull the docs most relevant to a topic bag
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

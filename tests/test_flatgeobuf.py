@@ -325,14 +325,18 @@ class TestPartDerivation:
             assert db == xb, (cs, bb)
             assert dp  # every combination leaves some part
 
-    def test_multi_file_read_opens_nothing_but_schema_on_driver(
+    def test_large_read_opens_nothing_but_schema_on_driver(
             self, spark, tmp_path, monkeypatch):
-        """A multi-file chunked read's only driver-side file open is the
-        schema header read — the leaf scans all happen in executor
-        tasks (separate worker processes, invisible to this counter)."""
+        """Past the distribution threshold, a chunked read's only
+        driver-side file open is the schema header read (plus the
+        per-file header sniffs that sized the decision) — the leaf
+        scans all happen in executor tasks (separate worker processes,
+        invisible to this counter)."""
+        import dask_geopandas_spark.sources.flatgeobuf as FGB
         from dask_geopandas_spark.sources import fs as FS
 
         path, pdf = self._many(spark, tmp_path)
+        monkeypatch.setattr(FGB, "_DISTRIBUTE_MIN_FILES", 2)  # 3 files
         calls = []
         real = FS.open_input
 
@@ -345,6 +349,28 @@ class TestPartDerivation:
         assert sorted(r["pid"] for r in got.df.select("pid").collect()) \
             == list(range(len(pdf)))
         assert len(calls) == 1
+
+    def test_small_read_derives_on_driver_without_a_job(
+            self, spark, tmp_path, monkeypatch):
+        """Below the thresholds (few files, small leaf volume) the part
+        list derives driver-side — a handful of 40-byte-per-feature
+        range reads must not pay a Spark job's fixed ~half-second
+        cost."""
+        import dask_geopandas_spark.sources.flatgeobuf as FGB
+
+        path, pdf = self._many(spark, tmp_path)
+        files = FGB._list_fgb(path)
+        calls = []
+        real = FGB._file_parts
+
+        def wrapped(fp, *a, **k):
+            calls.append(fp)
+            return real(fp, *a, **k)
+
+        monkeypatch.setattr(FGB, "_file_parts", wrapped)
+        parts, _ = FGB._derive_parts(spark, files, None, 8, None)
+        assert len(parts) > len(files)  # chunked
+        assert calls == files  # every file derived in THIS process
 
     def test_unchunked_derivation_skips_leaf_level(self, spark, tmp_path,
                                                    monkeypatch):
