@@ -758,6 +758,66 @@ def q_fgb_roundtrip(spark, sf_dir):
     )
 
 
+def q_gpx_roundtrip(spark, sf_dir):
+    """GPX write → read round-trip (reference reads .gpx via
+    read_file/pyogrio, io/file.py:49-149 — OGR GPX driver's waypoints
+    layer; this path is pure stdlib ElementTree, one .gpx per
+    partition out, one read task per file back).  Floats ride as
+    shortest-round-trip repr text, so ele sums and coordinate extrema
+    are bit-exact through the XML trip."""
+    import shutil
+
+    from dask_geopandas_spark.sources.xmlvector import read_gpx, to_gpx
+
+    path = "/root/repo/.bench_tmp/gpx_roundtrip"
+    shutil.rmtree(path, ignore_errors=True)
+    g = _cust_points(spark, sf_dir)
+    slim = dgs.GeoDataFrame(
+        g.df.select(F.col("c_custkey").cast("string").alias("name"),
+                    F.col("c_acctbal").alias("ele"), g.geometry_column),
+        g.geometry_column, crs="EPSG:4326")
+    to_gpx(slim, path, name_col="name", ele_col="ele")
+    back = read_gpx(spark, path)
+    return back.df.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("ele"), 4).alias("sum_bal"),
+        F.sum(F.length("name")).cast("long").alias("name_chars"),
+        F.round(F.min(back.x), 6).alias("minx"),
+        F.round(F.min(back.y), 6).alias("miny"),
+        F.round(F.max(back.x), 6).alias("maxx"),
+        F.round(F.max(back.y), 6).alias("maxy"),
+    )
+
+
+def q_kml_roundtrip(spark, sf_dir):
+    """KML write → read round-trip over a POLYGON layer (reference
+    reads .kml via read_file/pyogrio, io/file.py:49-149 — OGR LIBKML
+    driver; this path is pure stdlib ElementTree).  Attributes ride as
+    ExtendedData (KML is untyped — exact via shortest-repr text +
+    cast), geometry as LinearRing coordinate text; ring areas after
+    the trip must match the closed-form box areas."""
+    import shutil
+
+    from dask_geopandas_spark.functions import core as FX
+    from dask_geopandas_spark.sources.xmlvector import read_kml, to_kml
+
+    path = "/root/repo/.bench_tmp/kml_roundtrip"
+    shutil.rmtree(path, ignore_errors=True)
+    g = _boxes(spark, sf_dir, "nation", NB)
+    slim = dgs.GeoDataFrame(
+        g.df.select(F.col("n_name").alias("nm"), F.col("n_regionkey"),
+                    g.geometry_column),
+        g.geometry_column, crs="EPSG:4326")
+    to_kml(slim, path, name_col="nm")
+    back = read_kml(spark, path)
+    return back.df.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("n_regionkey").cast("long")).alias("region_sum"),
+        F.sum(F.length("name")).cast("long").alias("name_chars"),
+        F.round(F.sum(FX.st_area(F.col("geometry"))), 6).alias("area_sum"),
+    )
+
+
 def q_geopackage_roundtrip(spark, sf_dir):
     """GeoPackage write → read round-trip (reference reads .gpkg via
     read_file/pyogrio, io/file.py:49-149; this path is pure stdlib
@@ -1852,6 +1912,35 @@ def q_cluster_dedup(spark, sf_dir):
     return kept.select("doc_id", F.length("text").alias("text_len"))
 
 
+def q_source_cap(spark, sf_dir):
+    """Per-group quota (sampling.cap_per_group — the C4/RefinedWeb
+    per-domain cap): at most 100 docs per language, preferring smaller
+    doc_id.  Under-cap groups bypass the sort window via a left-anti
+    join against the over-cap list; only the skewed tail ('en' here)
+    pays the partitioned sort.  Oracle: one SQL row_number window —
+    the bypass must be invisible in the result."""
+    from dask_geopandas_spark.operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = cap_per_group(docs, group_col="lang", cap=100,
+                         order_col="doc_id")
+    return kept.select("doc_id", "lang")
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style embedding dedup in one call
+    (similarity.semantic_dedup): fixed-centroid cells bound the
+    candidate space, same-cell pairs with cosine ≥ 0.25 (rounded to 9
+    before the compare) form edges, connected components keep each
+    cluster's min id.  Oracle: cell assignment + pair cosine + the
+    unrolled CC fixpoint + a NOT EXISTS survivor filter, all in SQL."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    kept = SIM.semantic_dedup(e, _ivf_fixed_cents(), threshold=0.25,
+                              cell_cap=64, max_iter=8)
+    SIM.release_cached_salt_inputs()
+    return kept.select("vec_id")
+
+
 def q_fillna_isna(spark, sf_dir):
     """Missing-geometry semantics (reference 'Missing values' rows of
     geoseries.rst; SURVEY §1.3): NULL every 7th customer's geometry,
@@ -2358,12 +2447,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     then (b) the oldest-attested entries — driver-green in r1/r2 and
     unchecked since, now rotated ahead of the code refactored under
     them (booleans kernel, setops dispatcher, projections).  4 of
-    the 48 r2-era entries overflow the 50-row window and lead the r6
+    the 48 r2-era entries overflow the 50-row window (two more after
+    the late-round GPX/KML additions joined the front) and lead the r6
     rotation, followed by the r3- and r4-green blocks."""
     return {
         # -- NEW in round 5 (first driver attestation) --
         "cluster_dedup": q_cluster_dedup,
         "stream_funnel_left": q_stream_funnel_left,
+        "gpx_roundtrip": q_gpx_roundtrip,
+        "kml_roundtrip": q_kml_roundtrip,
+        "source_cap": q_source_cap,
+        "semantic_dedup": q_semantic_dedup,
         # -- oldest attestations: driver-green r1, unchecked since --
         "fillna_isna": q_fillna_isna,
         "region_dissolve": q_region_dissolve,
@@ -2410,12 +2504,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_buckets": q_hilbert_buckets,
         "geohash_cells": q_geohash_cells,
         "token_stats": q_token_stats,
+        # ---- 50-row driver window ends here ----
+        # -- r2-green remainder (front of the r6 rotation) --
         "exact_dedup": q_exact_dedup,
         "lang_quality": q_lang_quality,
         "fingerprint_dups": q_fingerprint_dups,
         "minhash_sigs": q_minhash_sigs,
-        # ---- 50-row driver window ends here ----
-        # -- r2-green remainder (front of the r6 rotation) --
         "lsh_pairs": q_lsh_pairs,
         "lsh_dedup": q_lsh_dedup,
         "lsh_dedup_fixpoint": q_lsh_dedup_fixpoint,
@@ -2905,6 +2999,65 @@ def _knn_graph_pq_oracle_sql(k: int = 3, shortlist: int = 12) -> str:
         SELECT src_id, dst_id, cos, CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= {k}
     """
+
+
+def _semantic_dedup_oracle_sql(threshold: float = 0.25,
+                               unroll: int = 8) -> str:
+    """DuckDB replica of q_semantic_dedup: fixed-centroid cell
+    assignment, same-cell pair cosine (round 9 BEFORE the threshold
+    compare, both engines), min-label CC unrolled ``unroll``
+    iterations (≥ the engine's max_iter so both sides reach the
+    fixpoint), NOT EXISTS survivor filter.  The pair and label CTEs
+    are MATERIALIZED: DuckDB otherwise inlines every CTE reference, so
+    the doubly-self-referential label chain would re-evaluate the
+    64-dim cosine pair join 2^unroll times."""
+    cd = _cell_list_sql("e", _ivf_fixed_cents())
+    sql = f"""
+        WITH s1 AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings WHERE vec_id < 300
+        ),
+        s2 AS (SELECT vec_id, e, {cd} AS cd FROM s1),
+        asg AS (SELECT vec_id, e,
+                       CAST(list_position(cd, list_min(cd)) - 1 AS INTEGER)
+                           AS cell
+                FROM s2),
+        pairs AS MATERIALIZED (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM asg a JOIN asg b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE round({_cos_sql('a.e', 'b.e')}, 9)
+                  >= CAST({threshold} AS DOUBLE)
+        ),
+        cedges AS MATERIALIZED (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs
+        ),
+        cl0 AS MATERIALIZED (
+            SELECT DISTINCT a AS node, a AS component FROM cedges)
+    """
+    for i in range(1, unroll + 1):
+        sql += f"""
+        , cl{i} AS MATERIALIZED (
+            SELECT l.node,
+                   least(l.component, coalesce(m.nl, l.component))
+                       AS component
+            FROM cl{i - 1} l LEFT JOIN (
+                SELECT e.a, min(x.component) AS nl
+                FROM cedges e JOIN cl{i - 1} x ON e.b = x.node
+                GROUP BY e.a) m ON l.node = m.a
+        )
+        """
+    sql += f"""
+        SELECT s1.vec_id FROM s1
+        WHERE NOT EXISTS (
+            SELECT 1 FROM cl{unroll}
+            WHERE cl{unroll}.node = s1.vec_id
+              AND cl{unroll}.node != cl{unroll}.component)
+    """
+    return sql
 
 
 def _tfidf_oracle_sql(k: int = 3) -> str:
@@ -3786,6 +3939,23 @@ def oracle_sql() -> dict[str, str]:
                    round(max({CUST_X}), 6) AS maxx, round(max({CUST_Y}), 6) AS maxy
             FROM customer
         """,
+        "gpx_roundtrip": f"""
+            SELECT count(*) AS n,
+                   round(sum(c_acctbal), 4) AS sum_bal,
+                   CAST(sum(length(CAST(c_custkey AS VARCHAR))) AS BIGINT)
+                       AS name_chars,
+                   round(min({CUST_X}), 6) AS minx, round(min({CUST_Y}), 6) AS miny,
+                   round(max({CUST_X}), 6) AS maxx, round(max({CUST_Y}), 6) AS maxy
+            FROM customer
+        """,
+        "kml_roundtrip": f"""
+            SELECT count(*) AS n,
+                   CAST(sum(n_regionkey) AS BIGINT) AS region_sum,
+                   CAST(sum(length(n_name)) AS BIGINT) AS name_chars,
+                   round(sum(CAST({NB['w']} AS DOUBLE)
+                             * CAST({NB['h']} AS DOUBLE)), 6) AS area_sum
+            FROM nation
+        """,
         "geopackage_roundtrip": f"""
             SELECT count(*) AS n,
                    round(sum(c_acctbal), 4) AS sum_bal,
@@ -3876,6 +4046,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "connected_components": cc,
         "cluster_dedup": cluster_dedup,
+        "semantic_dedup": _semantic_dedup_oracle_sql(),
+        "source_cap": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 100
+        """,
         "lm_quality": f"""
             WITH toks AS (
                 SELECT doc_id, list_filter({_TOKENS}, t -> t != '') AS t

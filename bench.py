@@ -61,6 +61,10 @@ BENCH_QUERIES = [
     # round-5 additions
     "cluster_dedup",
     "stream_funnel_left",
+    "gpx_roundtrip",
+    "kml_roundtrip",
+    "source_cap",
+    "semantic_dedup",
 ]
 
 

@@ -19,12 +19,14 @@ from .dedup import (
 from .dissolve import dissolve
 from .explode import explode_geometry
 from .multimodal import media_manifest, sniff_modality
+from .sampling import cap_per_group, hash_sample, pack_documents
 from .similarity import (
     brute_force_topk,
     ivf_topk,
     ivf_topk_stored,
     knn_graph,
     release_cached_salt_inputs,
+    semantic_dedup,
     train_centroids,
     train_pq,
     write_ivf_index,
@@ -62,4 +64,5 @@ __all__ = [
     "pii_counts", "vocab_topk",
     "tfidf_top_terms", "bm25_topk", "bm25_batch_topk", "ngram_logprob",
     "media_manifest", "sniff_modality",
+    "semantic_dedup", "cap_per_group", "hash_sample", "pack_documents",
 ]

@@ -110,3 +110,30 @@ def pack_documents(df: DataFrame, budget: int,
     exclusive = running_incl - F.col(token_col)
     return df.withColumn(
         bin_col, F.floor(exclusive / F.lit(budget)).cast("long"))
+
+
+def cap_per_group(df: DataFrame, group_col: str = "source",
+                  cap: int = 100, order_col: str = "doc_id") -> DataFrame:
+    """Per-group quota (the C4/RefinedWeb-style per-domain cap): keep
+    at most ``cap`` rows per ``group_col`` value, preferring smaller
+    ``order_col`` (deterministic — no RNG, identical on every run).
+
+    Distributed shape: groups already under the cap BYPASS the sort
+    window entirely — one hash aggregation finds the over-cap groups
+    (at web scale a tiny minority of domains holds most rows), rows of
+    under-cap groups pass through via a left-anti join against that
+    list, and only the over-cap groups' rows pay the partitioned sort
+    window.  The expensive per-key sort therefore runs on exactly the
+    skewed tail the cap exists to trim, instead of re-sorting the
+    whole corpus; the two joins are plain hash shuffles on the group
+    key with the over-cap list as the build side."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    over = (df.groupBy(group_col).agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > int(cap)).select(group_col))
+    keep_small = df.join(over, on=group_col, how="left_anti")
+    w = Window.partitionBy(group_col).orderBy(F.asc(order_col))
+    capped = (df.join(over, on=group_col, how="left_semi")
+              .withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= int(cap)).drop("_rn"))
+    return keep_small.unionByName(capped)

@@ -552,3 +552,39 @@ def knn_graph(corpus: DataFrame, centroids: list, k: int = 5,
                       .alias("cos")))
     return scored.withColumn("rank", F.row_number().over(w)) \
         .filter(F.col("rank") <= k)
+
+
+def semantic_dedup(corpus: DataFrame, centroids: list, threshold: float = 0.9,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   cell_cap: int | None = None, max_iter: int = 10,
+                   on_nonconverged: str = "warn") -> DataFrame:
+    """SemDeDup-style embedding-level dedup in one call (Abbas et al.
+    2023 shape, a published pretraining-curation recipe): coarse
+    k-means cells bound the candidate space, same-cell pairs at or
+    above the cosine ``threshold`` become near-duplicate edges, and
+    connected components collapse each duplicate cluster to its
+    min-id member — corpus in, deduplicated corpus out.
+
+    Distributed shape: the edge stage is ``knn_graph``'s per-cell
+    self-join (candidate volume Σ|cell|², never n²; ``cell_cap`` salt
+    split bounds hot cells; the persisted input serves both branches);
+    the cluster stage is ``cluster_dedup``'s iterative min-label
+    propagation plus ONE left-anti join of the corpus against the
+    dropped-id list.  Cosine rounds to 9 decimals BEFORE the threshold
+    compare so a 1-ulp engine difference cannot flip an edge (the
+    oracle convention everywhere in this module)."""
+    from .dedup import cluster_dedup
+
+    assigned = assign_ivf_cells(corpus, centroids, vec_col)
+    a = assigned.select(F.col(id_col).alias("src_id"),
+                        F.col(vec_col).alias("sv"), "ivf_cell")
+    b = a.select(F.col("src_id").alias("dst_id"),
+                 F.col("sv").alias("dv"), "ivf_cell")
+    edges = (_salted_cell_join(a, b, "dst_id", cell_cap)
+             .filter(F.col("src_id") < F.col("dst_id"))
+             .filter(F.round(cosine(F.col("sv"), F.col("dv")), 9)
+                     >= F.lit(float(threshold)))
+             .select("src_id", "dst_id"))
+    return cluster_dedup(corpus, edges, id_col=id_col, src="src_id",
+                         dst="dst_id", max_iter=max_iter,
+                         on_nonconverged=on_nonconverged)

@@ -59,13 +59,14 @@ def read_file(spark: SparkSession, path: str, npartitions: int | None = None,
     """OGR scan → GeoDataFrame with WKB geometry.  ``read_info`` /
     ``read_chunk`` are injectable for testing without GDAL.
 
-    GeoJSON, shapefile, GeoPackage, and FlatGeobuf paths need no GDAL
-    at all — they route to the pure-Python ``read_geojson``
-    (sources/geojson.py), ``read_shapefile`` (sources/shapefile.py),
-    ``read_geopackage`` (sources/geopackage.py), and
-    ``read_flatgeobuf`` (sources/flatgeobuf.py) when pyogrio is
-    absent, so the four most common ``read_file`` formats work in this
-    environment."""
+    GeoJSON, shapefile, GeoPackage, FlatGeobuf, GPX, and KML paths
+    need no GDAL at all — they route to the pure-Python
+    ``read_geojson`` (sources/geojson.py), ``read_shapefile``
+    (sources/shapefile.py), ``read_geopackage``
+    (sources/geopackage.py), ``read_flatgeobuf``
+    (sources/flatgeobuf.py), and ``read_gpx``/``read_kml``
+    (sources/xmlvector.py) when pyogrio is absent, so the six most
+    common ``read_file`` formats work in this environment."""
     from ..core import GeoDataFrame
 
     if read_info is _default_read_info:
@@ -94,6 +95,15 @@ def read_file(spark: SparkSession, path: str, npartitions: int | None = None,
 
                 return read_flatgeobuf(spark, path, columns=columns,
                                        chunksize=chunksize)
+            if path.lower().endswith(".gpx"):
+                from .xmlvector import read_gpx
+
+                return read_gpx(spark, path,
+                                layer=layer or "waypoints")
+            if path.lower().endswith((".kml", ".kmz")):
+                from .xmlvector import read_kml
+
+                return read_kml(spark, path)
 
     info = read_info(path, layer=layer)
     total = int(info["features"])

@@ -2,8 +2,9 @@
 first-class operator, the whole flow is a handful of declarative calls.
 
     corpus → language/quality filter → exact dedup → near-dup (LSH)
-           → benchmark decontamination → deterministic sampling
-           → train/holdout split → sequence packing → stats
+           → benchmark decontamination → per-source quota cap (r5)
+           → deterministic sampling → train/holdout split
+           → sequence packing → stats
 
 Run:  python examples/training_data_pipeline.py [sf_dir]
 (defaults to /root/testdata/sf0.001; prints per-stage counts)
@@ -54,6 +55,11 @@ def run_pipeline(spark: SparkSession, sf_dir: str):
     benchmark = docs.filter(F.col("doc_id") % 97 == 0)
     kept = DD.decontaminate(kept, benchmark)
     stages["decontaminated"] = kept.count()
+
+    # 4b. per-source quota (C4/RefinedWeb-style domain cap, r5):
+    #     under-cap sources bypass the sort window entirely
+    kept = SA.cap_per_group(kept, group_col="source", cap=50)
+    stages["source_capped"] = kept.count()
 
     # 5. deterministic subsample + leak-proof split
     kept = SA.hash_sample(kept, 0.9)

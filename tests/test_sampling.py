@@ -120,3 +120,42 @@ class TestPacking:
     def test_validation(self, docs):
         with pytest.raises(ValueError):
             pack_documents(docs, budget=0)
+
+
+class TestCapPerGroup:
+    def test_matches_window_brute_force(self, spark):
+        """Quota semantics: at most cap rows per group, smallest
+        order_col preferred; under-cap groups pass through untouched
+        (the anti-join bypass must be invisible in the result)."""
+        import numpy as np
+
+        from dask_geopandas_spark.operators.sampling import cap_per_group
+
+        rng = np.random.RandomState(9)
+        rows = [(int(i), ["big", "mid", "s1", "s2"][min(int(g), 3)])
+                for i, g in enumerate(rng.choice(
+                    [0] * 10 + [1] * 4 + [2, 3], size=120))]
+        df = spark.createDataFrame(rows, "doc_id long, grp string")
+        cap = 20
+        got = sorted((r["grp"], r["doc_id"]) for r in
+                     cap_per_group(df, group_col="grp", cap=cap).collect())
+        want = []
+        per = {}
+        for i, g in sorted(rows):
+            per.setdefault(g, [])
+            if len(per[g]) < cap:
+                per[g].append(i)
+                want.append((g, i))
+        assert got == sorted(want)
+        # both paths ran: at least one group over cap, one under
+        sizes = {}
+        for _, g in rows:
+            sizes[g] = sizes.get(g, 0) + 1
+        assert max(sizes.values()) > cap and min(sizes.values()) <= cap
+
+    def test_validates_cap(self, spark):
+        from dask_geopandas_spark.operators.sampling import cap_per_group
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, grp string")
+        with pytest.raises(ValueError, match="cap"):
+            cap_per_group(df, group_col="grp", cap=0)

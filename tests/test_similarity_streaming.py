@@ -672,3 +672,46 @@ def test_event_sequence_left_join_stream_equals_batch(spark, tmp_path):
 
     with pytest.raises(ValueError, match="how"):
         event_sequence_join(*split(static), how="left_anti")
+
+
+def test_semantic_dedup_matches_union_find(spark):
+    """r5: semantic_dedup == brute-force (numpy cells + threshold
+    pairs + union-find keep-min + untouched pass-through), with and
+    without the hot-cell salt split."""
+    import numpy as np
+
+    df, cents = _hot_cell_frame(spark)
+    pdf = df.toPandas()
+    M = np.array([np.asarray(v, float) for v in pdf["embedding"]])
+    C = np.asarray(cents, float)
+    cells = np.argmin(((M[:, None, :] - C[None, :, :]) ** 2).sum(-1), axis=1)
+    norm = M / np.linalg.norm(M, axis=1, keepdims=True)
+    cos = norm @ norm.T
+    thr = 0.999
+    parent = list(range(len(M)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    touched = set()
+    for i in range(len(M)):
+        for j in range(i + 1, len(M)):
+            if cells[i] == cells[j] and round(cos[i, j], 9) >= thr:
+                parent[find(i)] = find(j)
+                touched |= {i, j}
+    comp = {}
+    for i in touched:
+        comp.setdefault(find(i), []).append(i)
+    drop = {i for vs in comp.values() for i in vs if i != min(vs)}
+    want = sorted(int(pdf["vec_id"][i]) for i in range(len(M))
+                  if i not in drop)
+    assert drop  # the hot cell of near-identical vectors collapses
+    for cap in (None, 5):
+        got = sorted(r["vec_id"] for r in
+                     SIM.semantic_dedup(df, cents, threshold=thr,
+                                        cell_cap=cap).collect())
+        assert got == want, cap
+    SIM.release_cached_salt_inputs()

@@ -1,0 +1,302 @@
+"""Pure-stdlib GPX/KML source & sink tests (no GDAL).
+
+The reference reads both via read_file/pyogrio (io/file.py:49-149;
+OGR GPX and LIBKML drivers).  This suite pins the repo's ElementTree
+reader / string-builder writer: exact float round-trips (shortest-repr
+coordinates and numeric attributes), the OGR layer model for GPX,
+ExtendedData attributes and Document/Folder nesting for KML, foreign
+namespaced files, escaping, multi-file parallel reads, and read_file
+routing.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import dask_geopandas_spark as dgs
+from dask_geopandas_spark.geometry import wkb as W
+from dask_geopandas_spark.geometry import wkt as T
+from dask_geopandas_spark.sources.xmlvector import (read_gpx, read_kml,
+                                                    to_gpx, to_kml)
+
+
+def _points(spark, n=20, extra=None):
+    rng = np.random.RandomState(3)
+    pdf = pd.DataFrame({
+        "pid": np.arange(n, dtype=np.int64),
+        "x": rng.uniform(-170, 170, n), "y": rng.uniform(-80, 80, n)})
+    for k, v in (extra or {}).items():
+        pdf[k] = v
+    return (dgs.points_from_xy(spark.createDataFrame(pdf), "x", "y",
+                               crs="EPSG:4326"), pdf)
+
+
+class TestGpx:
+    def test_waypoints_roundtrip_exact(self, spark, tmp_path):
+        """name/ele and coordinates survive the trip bit-exact
+        (shortest-repr float text)."""
+        g, pdf = self._frame(spark)
+        path = str(tmp_path / "wpts")
+        to_gpx(g, path, name_col="name", ele_col="bal")
+        back = read_gpx(spark, path)
+        assert back.crs == "EPSG:4326"
+        rows = {r["name"]: r for r in back.df.collect()}
+        assert len(rows) == len(pdf)
+        for _, want in pdf.iterrows():
+            got = rows[str(want["pid"])]
+            assert got["ele"] == want["bal"]  # bit-exact double
+            b = W.parse_wkb([got["geometry"]])
+            assert float(b.xs[0]) == want["x"]
+            assert float(b.ys[0]) == want["y"]
+
+    def _frame(self, spark, n=15):
+        g, pdf = _points(spark, n)
+        pdf["bal"] = np.random.RandomState(5).uniform(-1000, 1000, n)
+        pdf["name"] = pdf["pid"].astype(str)
+        df = spark.createDataFrame(pdf)
+        return dgs.points_from_xy(df, "x", "y", crs="EPSG:4326"), pdf
+
+    def test_tracks_and_routes_layers(self, spark, tmp_path):
+        """LINESTRING rows write as single-segment <trk>,
+        MULTILINESTRING as multi-segment; the tracks layer returns one
+        MultiLineString per trk (OGR layer model)."""
+        wkts = ["LINESTRING (0 0, 5 5, 10 0)",
+                "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))"]
+        pdf = pd.DataFrame({"nm": ["a", "b"],
+                            "geometry": [T.wkt_to_wkb(w) for w in wkts]})
+        g = dgs.GeoDataFrame(spark.createDataFrame(pdf), "geometry",
+                             crs="EPSG:4326")
+        path = str(tmp_path / "trks")
+        to_gpx(g, path, name_col="nm")
+        trk = {r["nm"]: r["geometry"] for r in
+               read_gpx(spark, path, layer="tracks").df
+               .withColumnRenamed("name", "nm").collect()}
+        assert trk["a"] == T.wkt_to_wkb("MULTILINESTRING ((0 0, 5 5, 10 0))")
+        assert trk["b"] == T.wkt_to_wkb(wkts[1])
+        assert read_gpx(spark, path, layer="waypoints").df.count() == 0
+        with pytest.raises(ValueError, match="layer"):
+            read_gpx(spark, path, layer="nope")
+
+    def test_foreign_namespaced_gpx(self, spark, tmp_path):
+        """A hand-written GPX with explicit namespace prefixes, routes,
+        and time stamps parses (local-name matching)."""
+        doc = """<?xml version="1.0"?>
+        <g:gpx xmlns:g="http://www.topografix.com/GPX/1/1" version="1.1">
+          <g:wpt lat="10.5" lon="-3.25"><g:name>A &amp; B</g:name>
+            <g:ele>12.5</g:ele><g:time>2024-01-01T00:00:00Z</g:time></g:wpt>
+          <g:rte><g:name>r1</g:name>
+            <g:rtept lat="0" lon="0"/><g:rtept lat="1" lon="2"/></g:rte>
+        </g:gpx>"""
+        p = tmp_path / "foreign.gpx"
+        p.write_text(doc)
+        w = read_gpx(spark, str(p)).df.collect()
+        assert len(w) == 1
+        assert w[0]["name"] == "A & B"
+        assert w[0]["ele"] == 12.5
+        assert w[0]["time"] == "2024-01-01T00:00:00Z"
+        assert w[0]["geometry"] == T.wkt_to_wkb("POINT (-3.25 10.5)")
+        r = read_gpx(spark, str(p), layer="routes").df.collect()
+        assert len(r) == 1
+        assert r[0]["geometry"] == T.wkt_to_wkb("LINESTRING (0 0, 2 1)")
+
+    def test_multi_partition_files(self, spark, tmp_path):
+        import glob
+        import os
+
+        g, pdf = self._frame(spark, 40)
+        g = dgs.GeoDataFrame(g.df.repartition(4), g.geometry_column,
+                             crs="EPSG:4326")
+        path = str(tmp_path / "multi")
+        to_gpx(g, path, name_col="name", ele_col="bal")
+        assert len(glob.glob(os.path.join(path, "*.gpx"))) == 4
+        back = read_gpx(spark, path)
+        assert back.df.count() == 40
+        assert back.df.rdd.getNumPartitions() >= 2
+
+    def test_unsupported_geometry_raises(self, spark, tmp_path):
+        pdf = pd.DataFrame({"geometry": [
+            T.wkt_to_wkb("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")]})
+        g = dgs.GeoDataFrame(spark.createDataFrame(pdf), "geometry",
+                             crs="EPSG:4326")
+        with pytest.raises(Exception, match="GPX"):
+            to_gpx(g, str(tmp_path / "bad"))
+
+
+KML_WKTS = [
+    "POINT (1.5 2.25)",
+    "LINESTRING (0 0, 5 5, 10 0)",
+    "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+    "MULTIPOINT (1 1, 2 2)",
+    "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+    ("MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), "
+     "((5 5, 7 5, 7 7, 5 7, 5 5), (5.5 5.5, 6 5.5, 6 6, 5.5 6, 5.5 5.5)))"),
+]
+
+
+class TestKml:
+    def test_every_family_wkb_identical(self, spark, tmp_path):
+        """Every KML-expressible family round-trips WKB-identical
+        (coordinates ride as shortest-repr text both ways)."""
+        pdf = pd.DataFrame({
+            "nm": [f"g{i}" for i in range(len(KML_WKTS))],
+            "geometry": [T.wkt_to_wkb(w) for w in KML_WKTS]})
+        g = dgs.GeoDataFrame(spark.createDataFrame(pdf), "geometry",
+                             crs="EPSG:4326")
+        path = str(tmp_path / "fam")
+        to_kml(g, path, name_col="nm")
+        back = read_kml(spark, path)
+        assert back.crs == "EPSG:4326"
+        got = {r["name"]: r["geometry"] for r in back.df.collect()}
+        for i, w in enumerate(KML_WKTS):
+            assert got[f"g{i}"] == T.wkt_to_wkb(w), w
+
+    def test_extended_data_attributes_exact(self, spark, tmp_path):
+        """Non-name columns ride as ExtendedData; numeric values use
+        shortest-repr so casting back is bit-exact; None/NaN omitted;
+        XML-hostile strings escape."""
+        pdf = pd.DataFrame({
+            "nm": ["a", "b"],
+            "bal": [123.456789012345678, -0.1],
+            "seg": ["x<y&z", None],
+            "k": np.array([7, 9], dtype=np.int64),
+            "geometry": [T.wkt_to_wkb("POINT (0 0)"),
+                         T.wkt_to_wkb("POINT (1 1)")]})
+        g = dgs.GeoDataFrame(spark.createDataFrame(pdf), "geometry",
+                             crs="EPSG:4326")
+        path = str(tmp_path / "ext")
+        to_kml(g, path, name_col="nm")
+        back = read_kml(spark, path)
+        assert set(back.df.columns) >= {"name", "bal", "seg", "k"}
+        rows = {r["name"]: r for r in back.df.collect()}
+        assert float(rows["a"]["bal"]) == 123.456789012345678
+        assert float(rows["b"]["bal"]) == -0.1
+        assert rows["a"]["seg"] == "x<y&z"
+        assert rows["b"]["seg"] is None
+        assert int(rows["a"]["k"]) == 7
+
+    def test_foreign_nested_document_folders(self, spark, tmp_path):
+        """Placemarks inside Document/Folder trees with the default
+        namespace and 3-D coordinates parse; altitude becomes Z."""
+        doc = """<?xml version="1.0"?>
+        <kml xmlns="http://www.opengis.net/kml/2.2"><Document>
+          <Folder><name>f1</name>
+            <Placemark><name>p1</name>
+              <description>d&lt;1&gt;</description>
+              <Point><coordinates>10,20,5</coordinates></Point>
+            </Placemark>
+            <Folder>
+              <Placemark><name>p2</name>
+                <LineString><coordinates>
+                  0,0 1.5,2.5
+                </coordinates></LineString>
+              </Placemark>
+            </Folder>
+          </Folder>
+        </Document></kml>"""
+        p = tmp_path / "nested.kml"
+        p.write_text(doc)
+        back = read_kml(spark, str(p))
+        rows = {r["name"]: r for r in back.df.collect()}
+        assert set(rows) == {"p1", "p2"}
+        assert rows["p1"]["description"] == "d<1>"
+        b = W.parse_wkb([rows["p1"]["geometry"]])
+        assert (float(b.xs[0]), float(b.ys[0])) == (10.0, 20.0)
+        assert b.zs is not None and float(b.zs[0]) == 5.0
+        assert rows["p2"]["geometry"] == \
+            T.wkt_to_wkb("LINESTRING (0 0, 1.5 2.5)")
+
+    def test_null_geometry_placemark(self, spark, tmp_path):
+        pdf = pd.DataFrame({"nm": ["has", "none"],
+                            "geometry": [T.wkt_to_wkb("POINT (3 4)"),
+                                         None]})
+        g = dgs.GeoDataFrame(spark.createDataFrame(pdf), "geometry",
+                             crs="EPSG:4326")
+        path = str(tmp_path / "nulls")
+        to_kml(g, path, name_col="nm")
+        rows = {r["name"]: r["geometry"] for r in
+                read_kml(spark, path).df.collect()}
+        assert rows["has"] == T.wkt_to_wkb("POINT (3 4)")
+        assert rows["none"] is None
+
+
+def test_read_file_routes_gpx_and_kml(spark, tmp_path):
+    from dask_geopandas_spark.sources.file import read_file
+
+    pdf = pd.DataFrame({"nm": ["w"],
+                        "geometry": [T.wkt_to_wkb("POINT (7 8)")]})
+    g = dgs.GeoDataFrame(spark.createDataFrame(pdf).coalesce(1),
+                         "geometry", crs="EPSG:4326")
+    import glob
+    import os
+
+    gdir, kdir = str(tmp_path / "g"), str(tmp_path / "k")
+    to_gpx(g, gdir, name_col="nm")
+    to_kml(g, kdir, name_col="nm")
+    gfile = glob.glob(os.path.join(gdir, "*.gpx"))[0]
+    kfile = glob.glob(os.path.join(kdir, "*.kml"))[0]
+    assert read_file(spark, gfile).df.count() == 1
+    got = read_file(spark, kfile).df.collect()
+    assert got[0]["name"] == "w"
+    assert got[0]["geometry"] == T.wkt_to_wkb("POINT (7 8)")
+
+
+def test_kmz_reads_like_kml(spark, tmp_path):
+    """.kmz = zipped KML (stdlib zipfile; doc.kml preferred): same
+    rows as the plain file, and read_file routes it."""
+    import glob
+    import os
+    import zipfile
+
+    from dask_geopandas_spark.sources.file import read_file
+
+    pdf = pd.DataFrame({"nm": ["a", "b"],
+                        "geometry": [T.wkt_to_wkb("POINT (1 2)"),
+                                     T.wkt_to_wkb("POINT (3 4)")]})
+    g = dgs.GeoDataFrame(spark.createDataFrame(pdf).coalesce(1),
+                         "geometry", crs="EPSG:4326")
+    kdir = str(tmp_path / "kml")
+    to_kml(g, kdir, name_col="nm")
+    kml_file = glob.glob(os.path.join(kdir, "*.kml"))[0]
+    kmz = str(tmp_path / "pack.kmz")
+    with zipfile.ZipFile(kmz, "w") as z:
+        z.write(kml_file, "doc.kml")
+        z.writestr("other.txt", "not kml")
+    want = sorted((r["name"], r["geometry"]) for r in
+                  read_kml(spark, kdir).df.collect())
+    got = sorted((r["name"], r["geometry"]) for r in
+                 read_kml(spark, kmz).df.collect())
+    assert got == want
+    assert read_file(spark, kmz).df.count() == 2
+
+
+class TestDegenerateInputs:
+    """Empty frames / empty partitions must produce sensible output,
+    not crashes (the r4 degenerate-input discipline)."""
+
+    def test_gpx_kml_empty_partitions(self, spark, tmp_path):
+        import glob
+        import os
+
+        pdf = pd.DataFrame({"nm": ["a"],
+                            "geometry": [T.wkt_to_wkb("POINT (1 2)")]})
+        g = dgs.GeoDataFrame(spark.createDataFrame(pdf).repartition(4),
+                             "geometry", crs="EPSG:4326")
+        gdir, kdir = str(tmp_path / "g"), str(tmp_path / "k")
+        to_gpx(g, gdir, name_col="nm")
+        to_kml(g, kdir, name_col="nm")
+        # only non-empty partitions write files; reads still work
+        assert len(glob.glob(os.path.join(gdir, "*.gpx"))) == 1
+        assert read_gpx(spark, gdir).df.count() == 1
+        assert read_kml(spark, kdir).df.count() == 1
+
+    def test_cap_and_semantic_empty(self, spark):
+        from dask_geopandas_spark.operators.sampling import cap_per_group
+        from dask_geopandas_spark.operators.similarity import semantic_dedup
+
+        empty = spark.createDataFrame([], "doc_id long, grp string")
+        assert cap_per_group(empty, group_col="grp", cap=3).count() == 0
+        one = spark.createDataFrame(
+            pd.DataFrame({"vec_id": pd.Series([0], dtype="int64"),
+                          "embedding": [[1.0, 0.0, 0.0, 0.0]]}))
+        kept = semantic_dedup(one, [[0.0] * 4, [5.0] * 4], threshold=0.5)
+        assert [r["vec_id"] for r in kept.collect()] == [0]
