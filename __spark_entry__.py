@@ -1807,9 +1807,14 @@ def q_stream_funnel(spark, sf_dir):
     buys = stream().filter(F.col("event_type") == "purchase")
     joined = event_sequence_join(clicks, buys, within="30 minutes")
     qname = "stream_funnel_sink"
-    q = (joined.writeStream.format("memory").queryName(qname)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    # state-store instances sized to this stream's keyspace (user_id
+    # buckets at bench scale) — the batch default would spend most of
+    # the wall-clock opening/committing empty stores per micro-batch
+    from dask_geopandas_spark.streaming.joins import state_partitions
+    with state_partitions(spark, 8):
+        q = (joined.writeStream.format("memory").queryName(qname)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
     return (spark.table(qname)
             .groupBy(F.pmod(F.col("user_id"), F.lit(10)).alias("bucket"))
             .agg(F.count("*").alias("n_pairs"),
@@ -1851,9 +1856,11 @@ def q_stream_funnel_left(spark, sf_dir):
     joined = event_sequence_join(clicks, buys, within="30 minutes",
                                  how="left")
     qname = "stream_funnel_left_sink"
-    q = (joined.writeStream.format("memory").queryName(qname)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    from dask_geopandas_spark.streaming.joins import state_partitions
+    with state_partitions(spark, 8):
+        q = (joined.writeStream.format("memory").queryName(qname)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
     return (spark.table(qname)
             .filter(F.col("then_ts").isNull()
                     & (F.col("first_ts") <= F.lit(cutoff)))

@@ -14,10 +14,39 @@ bounded-state stream join, never an unbounded buffer.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .geo import _watermarkable_ts
+
+
+@contextmanager
+def state_partitions(spark, n: int | None):
+    """Scope ``spark.sql.shuffle.partitions`` for starting a STATEFUL
+    streaming query.
+
+    Structured Streaming fixes its state-store instance count from the
+    shuffle-partition setting when a query FIRST starts (the count is
+    persisted in the checkpoint), and every micro-batch then pays
+    per-instance overhead (store open/commit/snapshot) on all of them.
+    Size it to the stream — keyspace × throughput — not to the
+    session's batch default: a small stream under a 200-partition
+    batch default spends most of its wall-clock on empty state stores,
+    while an under-partitioned huge stream hotspots.  The session
+    value is restored on exit so batch queries are unaffected; pass
+    ``None`` to change nothing."""
+    if n is None:
+        yield
+        return
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(int(n)))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def event_sequence_join(first: DataFrame, then: DataFrame,

@@ -715,3 +715,23 @@ def test_semantic_dedup_matches_union_find(spark):
                                         cell_cap=cap).collect())
         assert got == want, cap
     SIM.release_cached_salt_inputs()
+
+
+def test_state_partitions_scope(spark):
+    """r5: the state-sizing scope sets shuffle partitions only inside
+    the with-block, restores on exit (and on error), and None is a
+    no-op — batch queries must never inherit a streaming-sized value."""
+    from dask_geopandas_spark.streaming.joins import state_partitions
+
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    with state_partitions(spark, 3):
+        assert spark.conf.get(key) == "3"
+    assert spark.conf.get(key) == old
+    with state_partitions(spark, None):
+        assert spark.conf.get(key) == old
+    with pytest.raises(RuntimeError):
+        with state_partitions(spark, 5):
+            assert spark.conf.get(key) == "5"
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == old
