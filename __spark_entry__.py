@@ -818,6 +818,39 @@ def q_kml_roundtrip(spark, sf_dir):
     )
 
 
+def q_gml_roundtrip(spark, sf_dir):
+    """GML write → read round-trip (reference reads .gml via
+    read_file/pyogrio, io/file.py:49-149 — OGR GML driver; this path
+    is pure stdlib ElementTree, GML 3.2 FeatureCollection out, one
+    parse task per file back).  GML attributes are untyped without
+    their XSD, so numbers come back as shortest-repr strings and the
+    aggregation casts them — bit-exact by construction."""
+    import shutil
+
+    from dask_geopandas_spark.sources.gml import read_gml, to_gml
+
+    path = "/root/repo/.bench_tmp/gml_roundtrip"
+    shutil.rmtree(path, ignore_errors=True)
+    sup = (_t(spark, sf_dir, "supplier")
+           .withColumn("px", F.expr(SUP_X)).withColumn("py", F.expr(SUP_Y)))
+    g = dgs.points_from_xy(sup, "px", "py", crs="EPSG:4326")
+    slim = dgs.GeoDataFrame(
+        g.df.select(F.col("s_name").alias("nm"),
+                    F.col("s_acctbal").alias("bal"), g.geometry_column),
+        g.geometry_column, crs="EPSG:4326")
+    to_gml(slim, path)
+    back = read_gml(spark, path)
+    return back.df.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("bal").cast("double")), 4).alias("sum_bal"),
+        F.sum(F.length("nm")).cast("long").alias("name_chars"),
+        F.round(F.min(back.x), 6).alias("minx"),
+        F.round(F.min(back.y), 6).alias("miny"),
+        F.round(F.max(back.x), 6).alias("maxx"),
+        F.round(F.max(back.y), 6).alias("maxy"),
+    )
+
+
 def q_geopackage_roundtrip(spark, sf_dir):
     """GeoPackage write → read round-trip (reference reads .gpkg via
     read_file/pyogrio, io/file.py:49-149; this path is pure stdlib
@@ -2465,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kml_roundtrip": q_kml_roundtrip,
         "source_cap": q_source_cap,
         "semantic_dedup": q_semantic_dedup,
+        "gml_roundtrip": q_gml_roundtrip,
         # -- oldest attestations: driver-green r1, unchecked since --
         "fillna_isna": q_fillna_isna,
         "region_dissolve": q_region_dissolve,
@@ -2510,9 +2544,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morton_buckets": q_morton_buckets,
         "hilbert_buckets": q_hilbert_buckets,
         "geohash_cells": q_geohash_cells,
-        "token_stats": q_token_stats,
         # ---- 50-row driver window ends here ----
         # -- r2-green remainder (front of the r6 rotation) --
+        "token_stats": q_token_stats,
         "exact_dedup": q_exact_dedup,
         "lang_quality": q_lang_quality,
         "fingerprint_dups": q_fingerprint_dups,
@@ -3954,6 +3988,14 @@ def oracle_sql() -> dict[str, str]:
                    round(min({CUST_X}), 6) AS minx, round(min({CUST_Y}), 6) AS miny,
                    round(max({CUST_X}), 6) AS maxx, round(max({CUST_Y}), 6) AS maxy
             FROM customer
+        """,
+        "gml_roundtrip": f"""
+            SELECT count(*) AS n,
+                   round(sum(s_acctbal), 4) AS sum_bal,
+                   CAST(sum(length(s_name)) AS BIGINT) AS name_chars,
+                   round(min({SUP_X}), 6) AS minx, round(min({SUP_Y}), 6) AS miny,
+                   round(max({SUP_X}), 6) AS maxx, round(max({SUP_Y}), 6) AS maxy
+            FROM supplier
         """,
         "kml_roundtrip": f"""
             SELECT count(*) AS n,

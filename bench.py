@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "kml_roundtrip",
     "source_cap",
     "semantic_dedup",
+    "gml_roundtrip",
 ]
 
 

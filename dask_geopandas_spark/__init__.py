@@ -50,6 +50,12 @@ __all__ = [
     "to_geopackage",
     "read_flatgeobuf",
     "to_flatgeobuf",
+    "read_gpx",
+    "to_gpx",
+    "read_kml",
+    "to_kml",
+    "read_gml",
+    "to_gml",
     "overlay",
     "to_parquet",
     "GeoSeries",
@@ -127,6 +133,42 @@ def to_flatgeobuf(gdf_or_df, path, **kw):
     from .sources.flatgeobuf import to_flatgeobuf as _tf
 
     return _tf(gdf_or_df, path, **kw)
+
+
+def read_gpx(spark, path, **kw):
+    from .sources.xmlvector import read_gpx as _rg
+
+    return _rg(spark, path, **kw)
+
+
+def to_gpx(gdf_or_df, path, **kw):
+    from .sources.xmlvector import to_gpx as _tg
+
+    return _tg(gdf_or_df, path, **kw)
+
+
+def read_kml(spark, path, **kw):
+    from .sources.xmlvector import read_kml as _rk
+
+    return _rk(spark, path, **kw)
+
+
+def to_kml(gdf_or_df, path, **kw):
+    from .sources.xmlvector import to_kml as _tk
+
+    return _tk(gdf_or_df, path, **kw)
+
+
+def read_gml(spark, path, **kw):
+    from .sources.gml import read_gml as _rg
+
+    return _rg(spark, path, **kw)
+
+
+def to_gml(gdf_or_df, path, **kw):
+    from .sources.gml import to_gml as _tg
+
+    return _tg(gdf_or_df, path, **kw)
 
 
 def overlay(left, right, how="intersection", **kw):

@@ -104,6 +104,10 @@ def read_file(spark: SparkSession, path: str, npartitions: int | None = None,
                 from .xmlvector import read_kml
 
                 return read_kml(spark, path)
+            if path.lower().endswith(".gml"):
+                from .gml import read_gml
+
+                return read_gml(spark, path)
 
     info = read_info(path, layer=layer)
     total = int(info["features"])

@@ -300,3 +300,135 @@ class TestDegenerateInputs:
                           "embedding": [[1.0, 0.0, 0.0, 0.0]]}))
         kept = semantic_dedup(one, [[0.0] * 4, [5.0] * 4], threshold=0.5)
         assert [r["vec_id"] for r in kept.collect()] == [0]
+
+
+GML_WKTS = KML_WKTS + [
+    ("GEOMETRYCOLLECTION (POINT (2 3), LINESTRING (0 0, 1 1), "
+     "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)))"),
+]
+
+
+class TestGml:
+    def test_every_family_wkb_identical(self, spark, tmp_path):
+        """Every family incl. GEOMETRYCOLLECTION round-trips
+        WKB-identical through GML 3.2 text."""
+        from dask_geopandas_spark.sources.gml import read_gml, to_gml
+
+        pdf = pd.DataFrame({
+            "nm": [f"g{i}" for i in range(len(GML_WKTS))],
+            "geometry": [T.wkt_to_wkb(w) for w in GML_WKTS]})
+        g = dgs.GeoDataFrame(spark.createDataFrame(pdf), "geometry",
+                             crs="EPSG:4326")
+        path = str(tmp_path / "fam")
+        to_gml(g, path)
+        back = read_gml(spark, path)
+        assert back.crs == "EPSG:4326"
+        got = {r["nm"]: r["geometry"] for r in back.df.collect()}
+        for i, w in enumerate(GML_WKTS):
+            assert got[f"g{i}"] == T.wkt_to_wkb(w), w
+
+    def test_attributes_exact_and_nulls(self, spark, tmp_path):
+        from dask_geopandas_spark.sources.gml import read_gml, to_gml
+
+        pdf = pd.DataFrame({
+            "nm": ["a", "b"],
+            "bal": [123.456789012345678, -0.1],
+            "seg": ["x<y&z", None],
+            "geometry": [T.wkt_to_wkb("POINT (0 0)"), None]})
+        g = dgs.GeoDataFrame(spark.createDataFrame(pdf), "geometry",
+                             crs="EPSG:4326")
+        path = str(tmp_path / "attrs")
+        to_gml(g, path)
+        rows = {r["nm"]: r for r in read_gml(spark, path).df.collect()}
+        assert float(rows["a"]["bal"]) == 123.456789012345678
+        assert rows["a"]["seg"] == "x<y&z"
+        assert rows["b"]["seg"] is None
+        assert rows["b"]["geometry"] is None
+        assert rows["a"]["geometry"] == T.wkt_to_wkb("POINT (0 0)")
+
+    def test_foreign_gml3_urn_axis_order(self, spark, tmp_path):
+        """urn:ogc:def:crs:EPSG::4326 mandates lat/lon storage — the
+        reader swaps to lon/lat; legacy EPSG:4326 reads as-is; GML2
+        coordinates and Curve segments parse; srsDimension=3 -> Z."""
+        doc = """<?xml version="1.0"?>
+        <gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml/3.2"
+                               xmlns:x="urn:x">
+          <gml:featureMember><x:f>
+            <x:nm>urnpt</x:nm>
+            <x:geom><gml:Point srsName="urn:ogc:def:crs:EPSG::4326">
+              <gml:pos>20.5 10.25</gml:pos></gml:Point></x:geom>
+          </x:f></gml:featureMember>
+          <gml:featureMember><x:f>
+            <x:nm>legacy</x:nm>
+            <x:geom><gml:Point srsName="EPSG:4326">
+              <gml:pos>10.25 20.5</gml:pos></gml:Point></x:geom>
+          </x:f></gml:featureMember>
+          <gml:featureMember><x:f>
+            <x:nm>gml2</x:nm>
+            <x:geom><gml:LineString>
+              <gml:coordinates>0,0 1.5,2.5</gml:coordinates>
+            </gml:LineString></x:geom>
+          </x:f></gml:featureMember>
+          <gml:featureMember><x:f>
+            <x:nm>z</x:nm>
+            <x:geom><gml:Point><gml:pos srsDimension="3">1 2 3</gml:pos>
+            </gml:Point></x:geom>
+          </x:f></gml:featureMember>
+          <gml:featureMember><x:f>
+            <x:nm>curve</x:nm>
+            <x:geom><gml:Curve><gml:segments>
+              <gml:LineStringSegment><gml:posList>0 0 1 1</gml:posList>
+              </gml:LineStringSegment>
+              <gml:LineStringSegment><gml:posList>1 1 2 0</gml:posList>
+              </gml:LineStringSegment>
+            </gml:segments></gml:Curve></x:geom>
+          </x:f></gml:featureMember>
+        </gml:FeatureCollection>"""
+        from dask_geopandas_spark.sources.gml import read_gml
+
+        p = tmp_path / "foreign.gml"
+        p.write_text(doc)
+        back = read_gml(spark, str(p))
+        assert back.crs == "EPSG:4326"
+        rows = {r["nm"]: r["geometry"] for r in back.df.collect()}
+        # both spellings land on POINT (lon=10.25 lat=20.5)
+        assert rows["urnpt"] == T.wkt_to_wkb("POINT (10.25 20.5)")
+        assert rows["legacy"] == T.wkt_to_wkb("POINT (10.25 20.5)")
+        assert rows["gml2"] == T.wkt_to_wkb("LINESTRING (0 0, 1.5 2.5)")
+        b = W.parse_wkb([rows["z"]])
+        assert b.zs is not None and float(b.zs[0]) == 3.0
+        assert rows["curve"] == T.wkt_to_wkb("LINESTRING (0 0, 1 1, 2 0)")
+
+    def test_read_file_routes_gml(self, spark, tmp_path):
+        import glob
+        import os
+
+        from dask_geopandas_spark.sources.file import read_file
+        from dask_geopandas_spark.sources.gml import to_gml
+
+        pdf = pd.DataFrame({"nm": ["w"],
+                            "geometry": [T.wkt_to_wkb("POINT (7 8)")]})
+        g = dgs.GeoDataFrame(spark.createDataFrame(pdf).coalesce(1),
+                             "geometry", crs="EPSG:4326")
+        d = str(tmp_path / "gml")
+        to_gml(g, d)
+        f = glob.glob(os.path.join(d, "*.gml"))[0]
+        got = read_file(spark, f).df.collect()
+        assert got[0]["geometry"] == T.wkt_to_wkb("POINT (7 8)")
+
+
+def test_gml_z_roundtrip(spark, tmp_path):
+    """3-D geometries write with srsDimension=3 and read back with Z."""
+    from dask_geopandas_spark.sources.gml import read_gml, to_gml
+
+    pdf = pd.DataFrame({"nm": ["p", "l"], "geometry": [
+        T.wkt_to_wkb("POINT Z (1 2 3)"),
+        T.wkt_to_wkb("LINESTRING Z (0 0 1, 1 1 2)")]})
+    g = dgs.GeoDataFrame(spark.createDataFrame(pdf), "geometry",
+                         crs="EPSG:4326")
+    path = str(tmp_path / "z")
+    to_gml(g, path)
+    rows = {r["nm"]: r["geometry"] for r in
+            read_gml(spark, path).df.collect()}
+    assert rows["p"] == T.wkt_to_wkb("POINT Z (1 2 3)")
+    assert rows["l"] == T.wkt_to_wkb("LINESTRING Z (0 0 1, 1 1 2)")
