@@ -2249,6 +2249,69 @@ def q_interval_clicks(spark, sf_dir):
                  F.min("click_id").alias("first_click")))
 
 
+def q_asof_nearest(spark, sf_dir):
+    """As-of join direction='nearest' (operators/asof.py — full
+    merge_asof parity; previously pytest-only): each click matched to
+    the temporally CLOSEST view by the same user, backward preferred
+    on exact ties.  The returned lag is signed (positive = view before
+    click), so tied-gap rows hash identically whichever equal-ts view
+    an engine picks.  Oracle: per-click min-gap window over the
+    user-keyed pair list (the engine never builds that pair list — one
+    shuffle + two windows)."""
+    from dask_geopandas_spark.operators.asof import asof_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts_us", F.expr("ts DIV 1000"))
+    else:
+        ev = ev.withColumn(
+            "ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id",
+                      "ts_us"))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("view_id"), "user_id",
+                     "ts_us"))
+    out = asof_join(clicks, views, on="ts_us", by="user_id",
+                    direction="nearest")
+    return out.select(
+        "click_id", (F.col("ts_us") - F.col("asof_ts_us")).alias("lag_us"))
+
+
+def q_interval_left(spark, sf_dir):
+    """interval_join(how='left') (operators/interval.py — previously
+    pytest-only): every view keeps a row even when NO click lands in
+    its 5-minute window (n_clicks = 0, first_click NULL) — the
+    unmatched-left recovery is one extra native join on a content hash
+    of the left row, never a cross-join.  Oracle: SQL LEFT JOIN with
+    the same inequality."""
+    from dask_geopandas_spark.operators.interval import interval_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts_us", F.expr("ts DIV 1000"))
+    else:
+        ev = ev.withColumn(
+            "ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("view_id"), "user_id",
+                     F.col("ts_us").alias("w_start"),
+                     (F.col("ts_us") + F.lit(300_000_000)).alias("w_end")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id",
+                      "ts_us"))
+    out = interval_join(views, clicks, ("w_start", "w_end"),
+                        ("ts_us", "ts_us"), by="user_id",
+                        bucket_width=300e6, how="left")
+    return (out.groupBy("view_id")
+            .agg(F.count("click_id").alias("n_clicks"),
+                 F.min("click_id").alias("first_click")))
+
+
 EV_X = "(event_id % 340 - 170) + 0.5"
 EV_Y = "(user_id % 160 - 80) + 0.25"
 
@@ -2499,6 +2562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": q_source_cap,
         "semantic_dedup": q_semantic_dedup,
         "gml_roundtrip": q_gml_roundtrip,
+        "asof_nearest": q_asof_nearest,
+        "interval_left": q_interval_left,
         # -- oldest attestations: driver-green r1, unchecked since --
         "fillna_isna": q_fillna_isna,
         "region_dissolve": q_region_dissolve,
@@ -2542,10 +2607,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_project": q_line_project,
         "sql_surface": q_sql_surface,
         "morton_buckets": q_morton_buckets,
-        "hilbert_buckets": q_hilbert_buckets,
-        "geohash_cells": q_geohash_cells,
         # ---- 50-row driver window ends here ----
         # -- r2-green remainder (front of the r6 rotation) --
+        "geohash_cells": q_geohash_cells,
+        "hilbert_buckets": q_hilbert_buckets,
         "token_stats": q_token_stats,
         "exact_dedup": q_exact_dedup,
         "lang_quality": q_lang_quality,
@@ -4352,6 +4417,36 @@ def oracle_sql() -> dict[str, str]:
                    min(c.event_id) AS first_click
             FROM (SELECT * FROM events WHERE event_type = 'view') v
             JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON v.user_id = c.user_id
+             AND epoch_us(c.ts) >= epoch_us(v.ts)
+             AND epoch_us(c.ts) <= epoch_us(v.ts) + 300000000
+            GROUP BY v.event_id
+        """,
+        "asof_nearest": """
+            WITH l AS (SELECT event_id AS click_id, user_id,
+                              epoch_us(ts) AS t
+                       FROM events WHERE event_type = 'click'),
+            r AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS t
+                  FROM events WHERE event_type = 'view'),
+            cand AS (
+                SELECT l.click_id, l.t AS lt, r.t AS rt,
+                       row_number() OVER (
+                           PARTITION BY l.click_id
+                           ORDER BY abs(l.t - r.t) ASC,
+                                    CASE WHEN r.t <= l.t THEN 0 ELSE 1 END
+                                        ASC) AS rn
+                FROM l JOIN r ON l.user_id = r.user_id
+            )
+            SELECT l.click_id, c.lt - c.rt AS lag_us
+            FROM l LEFT JOIN (SELECT click_id, lt, rt FROM cand
+                              WHERE rn = 1) c USING (click_id)
+        """,
+        "interval_left": """
+            SELECT v.event_id AS view_id,
+                   count(c.event_id) AS n_clicks,
+                   min(c.event_id) AS first_click
+            FROM (SELECT * FROM events WHERE event_type = 'view') v
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
               ON v.user_id = c.user_id
              AND epoch_us(c.ts) >= epoch_us(v.ts)
              AND epoch_us(c.ts) <= epoch_us(v.ts) + 300000000
