@@ -1902,6 +1902,40 @@ def q_stream_funnel_left(spark, sf_dir):
                  F.sum("first_event_id").cast("long").alias("id_sum")))
 
 
+def q_stream_funnel3(spark, sf_dir):
+    """3-step funnel (streaming/joins.funnel_join): view → click →
+    purchase per user, each hop within 30 minutes — N−1 CHAINED
+    stateful stream-stream joins inside ONE streaming query (Spark's
+    multiple-stateful-operators path: only the sources carry explicit
+    watermarks, each later hop consumes the upstream join's PROPAGATED
+    watermark).  An inner-join chain emits on match, not on watermark
+    passage, so under availableNow the stream equals the chained
+    inequality-join SQL oracle with no completeness cutoff."""
+    from dask_geopandas_spark.streaming.joins import (funnel_join,
+                                                      state_partitions)
+
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def stream():
+        s = (spark.readStream.schema(static.schema)
+             .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return s
+
+    fun = funnel_join(stream(), ["view", "click", "purchase"],
+                      within="30 minutes")
+    qname = "stream_funnel3_sink"
+    with state_partitions(spark, 8):
+        q = (fun.writeStream.format("memory").queryName(qname)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+    return (spark.table(qname)
+            .groupBy(F.pmod(F.col("user_id"), F.lit(10)).alias("bucket"))
+            .agg(F.count("*").alias("n_funnels"),
+                 F.sum("step3_id").cast("long").alias("id_sum")))
+
+
 _BM25_BATCH_QUERIES = [(0, "data model training"),
                        (1, "spark distributed learning"),
                        (2, "language quality text")]
@@ -2564,6 +2598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gml_roundtrip": q_gml_roundtrip,
         "asof_nearest": q_asof_nearest,
         "interval_left": q_interval_left,
+        "stream_funnel3": q_stream_funnel3,
         # -- oldest attestations: driver-green r1, unchecked since --
         "fillna_isna": q_fillna_isna,
         "region_dissolve": q_region_dissolve,
@@ -2606,9 +2641,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_avg": q_skew_avg,
         "line_project": q_line_project,
         "sql_surface": q_sql_surface,
-        "morton_buckets": q_morton_buckets,
         # ---- 50-row driver window ends here ----
         # -- r2-green remainder (front of the r6 rotation) --
+        "morton_buckets": q_morton_buckets,
         "geohash_cells": q_geohash_cells,
         "hilbert_buckets": q_hilbert_buckets,
         "token_stats": q_token_stats,
@@ -4204,6 +4239,21 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id
              AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
             WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+            GROUP BY 1
+        """,
+        "stream_funnel3": """
+            SELECT a.user_id % 10 AS bucket,
+                   count(*) AS n_funnels,
+                   CAST(sum(c.event_id) AS BIGINT) AS id_sum
+            FROM events a
+            JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+            JOIN events c
+              ON b.user_id = c.user_id
+             AND c.ts >= b.ts AND c.ts <= b.ts + INTERVAL 30 MINUTE
+            WHERE a.event_type = 'view' AND b.event_type = 'click'
+              AND c.event_type = 'purchase'
             GROUP BY 1
         """,
         "stream_funnel_left": """

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "source_cap",
     "semantic_dedup",
     "gml_roundtrip",
+    "stream_funnel3",
 ]
 
 

@@ -49,6 +49,16 @@ def state_partitions(spark, n: int | None):
         spark.conf.set(key, old)
 
 
+def _has_watermark(df: DataFrame) -> bool:
+    """True when the frame's plan already contains an event-time
+    watermark (it is downstream of a watermarked stateful operator)."""
+    try:
+        return "EventTimeWatermark" in \
+            df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+
+
 def event_sequence_join(first: DataFrame, then: DataFrame,
                         key: str = "user_id", within: str = "30 minutes",
                         watermark: str = "2 hours", ts_col: str = "ts",
@@ -84,9 +94,15 @@ def event_sequence_join(first: DataFrame, then: DataFrame,
     b = _watermarkable_ts(then, ts_col).select(
         F.col(key).alias("_k2"), F.col(ts_col).alias("then_ts"),
         *[F.col(c).alias(f"then_{c}") for c in then_cols])
-    if a.isStreaming:
+    # a side that is ITSELF the output of a watermarked stateful
+    # operator (a chained multi-step funnel) already carries a
+    # propagated watermark — redefining one is disallowed when Spark
+    # runs multiple stateful operators in a query, and unnecessary
+    # (watermark propagation hands the downstream join the upstream's
+    # delayed watermark)
+    if a.isStreaming and not _has_watermark(a):
         a = a.withWatermark("first_ts", watermark)
-    if b.isStreaming:
+    if b.isStreaming and not _has_watermark(b):
         b = b.withWatermark("then_ts", watermark)
     cond = ((F.col("_k") == F.col("_k2"))
             & (F.col("then_ts") >= F.col("first_ts"))
@@ -98,3 +114,47 @@ def event_sequence_join(first: DataFrame, then: DataFrame,
                          *[f"first_{c}" for c in first_cols],
                          *[f"then_{c}" for c in then_cols],
                          "first_ts", "then_ts")
+
+
+def funnel_join(events: DataFrame, steps: list, type_col: str = "event_type",
+                key: str = "user_id", within: str = "30 minutes",
+                watermark: str = "2 hours", ts_col: str = "ts",
+                id_col: str = "event_id") -> DataFrame:
+    """N-step funnel over ONE events source: rows where the same
+    ``key`` performed ``steps[0]`` THEN ``steps[1]`` … THEN
+    ``steps[-1]``, each hop within ``within`` of the previous step
+    (closed bounds).  Output columns: key, step1_id … stepN_id,
+    step1_ts … stepN_ts.
+
+    Streaming inputs chain N−1 stateful stream-stream joins — Spark's
+    multiple-stateful-operators path: only the source sides carry
+    explicit watermarks, every later hop consumes the PROPAGATED
+    (delayed) watermark of the join before it, so per-hop state stays
+    bounded exactly like the 2-step ``event_sequence_join`` and the
+    chain is append-complete under availableNow (inner joins emit on
+    match, not on watermark passage).  Batch inputs run the identical
+    chained inequality joins — the oracle form."""
+    if len(steps) < 2:
+        raise ValueError("funnel_join needs at least two steps")
+    frames = [events.filter(F.col(type_col) == F.lit(s)) for s in steps]
+    cur = frames[0].select(F.col(key), F.col(ts_col),
+                           F.col(id_col).alias("step1_id"))
+    for n, frame in enumerate(frames[1:], start=2):
+        carry = [c for c in cur.columns if c not in (key, ts_col)]
+        j = event_sequence_join(cur, frame, key=key, within=within,
+                                watermark=watermark, ts_col=ts_col,
+                                first_cols=tuple(carry),
+                                then_cols=(id_col,))
+        sel = ([F.col(key)]
+               + [F.col(f"first_{c}").alias(c) for c in carry]
+               # the archived step timestamp must DROP its event-time
+               # tag (rebuilt through a µs round-trip — value-exact,
+               # metadata-free): a stream may carry at most ONE
+               # event-time column, and the live one for the next hop
+               # is then_ts
+               + [F.timestamp_micros(F.unix_micros(F.col("first_ts")))
+                  .alias(f"step{n - 1}_ts"),
+                  F.col(f"then_{id_col}").alias(f"step{n}_id"),
+                  F.col("then_ts").alias(ts_col)])
+        cur = j.select(*sel)
+    return cur.withColumnRenamed(ts_col, f"step{len(steps)}_ts")

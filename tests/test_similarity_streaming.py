@@ -735,3 +735,51 @@ def test_state_partitions_scope(spark):
             assert spark.conf.get(key) == "5"
             raise RuntimeError("boom")
     assert spark.conf.get(key) == old
+
+
+def test_funnel_join_three_steps_stream_equals_batch(spark, tmp_path):
+    """r5: N-step funnel = chained stream-stream joins under ONE
+    streaming query (multiple stateful operators, propagated
+    watermarks).  The inner-join chain is append-complete under
+    availableNow, so stream == batch exactly."""
+    import pandas as pd
+
+    from dask_geopandas_spark.streaming.joins import funnel_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = tmp_path / "f3"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        (1, base, 1, "view", 0.0),
+        (2, base + pd.Timedelta(minutes=5), 1, "click", 0.0),
+        (3, base + pd.Timedelta(minutes=10), 1, "purchase", 9.0),  # full
+        (4, base, 2, "view", 0.0),
+        (5, base + pd.Timedelta(minutes=5), 2, "click", 0.0),      # no buy
+        (6, base + pd.Timedelta(minutes=40), 2, "purchase", 1.0),  # late
+        (7, base + pd.Timedelta(hours=6), 3, "view", 0.0),
+        (8, base + pd.Timedelta(hours=6), 3, "click", 0.0),
+        (9, base + pd.Timedelta(hours=6), 3, "purchase", 2.0),     # full
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(src / "p.parquet")
+    static = spark.read.parquet(str(src))
+
+    steps = ["view", "click", "purchase"]
+    batch = {(r["step1_id"], r["step2_id"], r["step3_id"]) for r in
+             funnel_join(static, steps).collect()}
+    assert batch == {(1, 2, 3), (7, 8, 9)}
+
+    stream = spark.readStream.schema(static.schema).parquet(str(src))
+    out = funnel_join(stream, steps)
+    q = (out.writeStream.format("memory").queryName("f3_test_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["step1_id"], r["step2_id"], r["step3_id"]) for r in
+           spark.table("f3_test_sink").collect()}
+    assert got == batch
+
+    with pytest.raises(ValueError, match="two steps"):
+        funnel_join(static, ["view"])
