@@ -2314,6 +2314,36 @@ def q_asof_nearest(spark, sf_dir):
         "click_id", (F.col("ts_us") - F.col("asof_ts_us")).alias("lag_us"))
 
 
+def q_asof_tolerance(spark, sf_dir):
+    """As-of join with a tolerance bound (operators/asof.py —
+    merge_asof(tolerance=) parity; previously pytest-only): each click
+    matched to the latest preceding view, but only within 10 minutes —
+    farther matches become NULL while the click row survives (left
+    semantics).  Oracle: DuckDB native ASOF LEFT JOIN with the match
+    nulled out beyond the bound."""
+    from dask_geopandas_spark.operators.asof import asof_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts_us", F.expr("ts DIV 1000"))
+    else:
+        ev = ev.withColumn(
+            "ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id",
+                      "ts_us"))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("view_id"), "user_id",
+                     "ts_us"))
+    out = asof_join(clicks, views, on="ts_us", by="user_id",
+                    tolerance=600_000_000)
+    return out.select(
+        "click_id", F.col("asof_view_id").alias("view_id"),
+        (F.col("ts_us") - F.col("asof_ts_us")).alias("lag_us"))
+
+
 def q_interval_left(spark, sf_dir):
     """interval_join(how='left') (operators/interval.py — previously
     pytest-only): every view keeps a row even when NO click lands in
@@ -2599,6 +2629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "interval_left": q_interval_left,
         "stream_funnel3": q_stream_funnel3,
+        "asof_tolerance": q_asof_tolerance,
         # -- oldest attestations: driver-green r1, unchecked since --
         "fillna_isna": q_fillna_isna,
         "region_dissolve": q_region_dissolve,
@@ -2640,9 +2671,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geom_properties": q_geom_properties,
         "skew_avg": q_skew_avg,
         "line_project": q_line_project,
-        "sql_surface": q_sql_surface,
         # ---- 50-row driver window ends here ----
         # -- r2-green remainder (front of the r6 rotation) --
+        "sql_surface": q_sql_surface,
         "morton_buckets": q_morton_buckets,
         "geohash_cells": q_geohash_cells,
         "hilbert_buckets": q_hilbert_buckets,
@@ -4490,6 +4521,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.click_id, c.lt - c.rt AS lag_us
             FROM l LEFT JOIN (SELECT click_id, lt, rt FROM cand
                               WHERE rn = 1) c USING (click_id)
+        """,
+        "asof_tolerance": """
+            SELECT l.event_id AS click_id,
+                   CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 600000000
+                        THEN r.event_id END AS view_id,
+                   CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 600000000
+                        THEN epoch_us(l.ts) - epoch_us(r.ts) END AS lag_us
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'view') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "interval_left": """
             SELECT v.event_id AS view_id,
