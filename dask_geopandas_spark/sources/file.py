@@ -59,14 +59,15 @@ def read_file(spark: SparkSession, path: str, npartitions: int | None = None,
     """OGR scan → GeoDataFrame with WKB geometry.  ``read_info`` /
     ``read_chunk`` are injectable for testing without GDAL.
 
-    GeoJSON, shapefile, GeoPackage, FlatGeobuf, GPX, and KML paths
-    need no GDAL at all — they route to the pure-Python
+    GeoJSON, shapefile, GeoPackage, FlatGeobuf, GPX, KML/KMZ, and GML
+    paths need no GDAL at all — they route to the pure-Python
     ``read_geojson`` (sources/geojson.py), ``read_shapefile``
     (sources/shapefile.py), ``read_geopackage``
     (sources/geopackage.py), ``read_flatgeobuf``
-    (sources/flatgeobuf.py), and ``read_gpx``/``read_kml``
-    (sources/xmlvector.py) when pyogrio is absent, so the six most
-    common ``read_file`` formats work in this environment."""
+    (sources/flatgeobuf.py), ``read_gpx``/``read_kml``
+    (sources/xmlvector.py), and ``read_gml`` (sources/gml.py) when
+    pyogrio is absent — the seven most common ``read_file`` formats
+    work in this environment, ``columns=`` pruning included."""
     from ..core import GeoDataFrame
 
     if read_info is _default_read_info:
@@ -99,15 +100,16 @@ def read_file(spark: SparkSession, path: str, npartitions: int | None = None,
                 from .xmlvector import read_gpx
 
                 return read_gpx(spark, path,
-                                layer=layer or "waypoints")
+                                layer=layer or "waypoints",
+                                columns=columns)
             if path.lower().endswith((".kml", ".kmz")):
                 from .xmlvector import read_kml
 
-                return read_kml(spark, path)
+                return read_kml(spark, path, columns=columns)
             if path.lower().endswith(".gml"):
                 from .gml import read_gml
 
-                return read_gml(spark, path)
+                return read_gml(spark, path, columns=columns)
 
     info = read_info(path, layer=layer)
     total = int(info["features"])

@@ -223,8 +223,8 @@ def _gml_features(data: bytes) -> tuple[list, str | None]:
     return out, crs
 
 
-def read_gml(spark: SparkSession, path: str, filesystem=None,
-             geometry: str = "geometry"):
+def read_gml(spark: SparkSession, path: str, columns=None,
+             filesystem=None, geometry: str = "geometry"):
     """Read GML file(s) -> GeoDataFrame.  One string column per
     property key seen in the schema-probe prefix (first 8 files — GML
     is XSD-typed but the XSD is not fetched; cast downstream), WKB
@@ -261,8 +261,11 @@ def read_gml(spark: SparkSession, path: str, filesystem=None,
                         for p, g in feats]
                 yield pd.DataFrame(rows, columns=cols)
 
-    return GeoDataFrame(part_df.mapInPandas(read_part, schema=schema),
-                        geometry, crs=crs)
+    from .xmlvector import _select_columns
+
+    out = GeoDataFrame(part_df.mapInPandas(read_part, schema=schema),
+                       geometry, crs=crs)
+    return _select_columns(out, columns, geometry)
 
 
 # ======================================================================

@@ -70,6 +70,23 @@ def _read_bytes(fp: str, filesystem=None) -> bytes:
         return f.read()
 
 
+def _select_columns(gdf, columns, geometry):
+    """pyogrio-style ``columns=`` pruning: keep the listed attribute
+    columns; the geometry column stays unless explicitly excluded by a
+    list that names other columns only (then a plain DataFrame comes
+    back, matching the engine's other readers)."""
+    if columns is None:
+        return gdf
+    keep = list(columns)
+    if geometry in keep:
+        from ..core import GeoDataFrame
+
+        return GeoDataFrame(gdf.df.select(*keep), geometry, crs=gdf.crs)
+    if not keep:
+        raise ValueError("columns must name at least one column")
+    return gdf.df.select(*keep)
+
+
 def _read_kml_bytes(fp: str, filesystem=None) -> bytes:
     """KML file bytes; a ``.kmz`` is a zip whose first ``.kml`` member
     (conventionally ``doc.kml``) is the document — stdlib zipfile, no
@@ -152,7 +169,7 @@ def _gpx_rows(data: bytes, layer: str) -> list:
 
 
 def read_gpx(spark: SparkSession, path: str, layer: str = "waypoints",
-             filesystem=None, geometry: str = "geometry"):
+             columns=None, filesystem=None, geometry: str = "geometry"):
     """Read GPX file(s) -> GeoDataFrame (layer model above; CRS is
     always EPSG:4326 per the GPX spec).  ``path``: one ``.gpx``, a
     directory of them (the sink's layout), or a glob; one read task
@@ -185,8 +202,9 @@ def read_gpx(spark: SparkSession, path: str, layer: str = "waypoints",
                 rows = _gpx_rows(_read_bytes(fp, filesystem), layer)
                 yield pd.DataFrame(rows, columns=cols)
 
-    return GeoDataFrame(part_df.mapInPandas(read_part, schema=schema),
-                        geometry, crs="EPSG:4326")
+    out = GeoDataFrame(part_df.mapInPandas(read_part, schema=schema),
+                       geometry, crs="EPSG:4326")
+    return _select_columns(out, columns, geometry)
 
 
 # ======================================================================
@@ -394,8 +412,8 @@ def _kml_placemarks(data: bytes) -> list:
     return out
 
 
-def read_kml(spark: SparkSession, path: str, filesystem=None,
-             geometry: str = "geometry"):
+def read_kml(spark: SparkSession, path: str, columns=None,
+             filesystem=None, geometry: str = "geometry"):
     """Read KML file(s) -> GeoDataFrame.  Columns: ``name``,
     ``description`` (when the first file carries any), one string
     column per ``<ExtendedData>`` key of the first file (KML is
@@ -443,8 +461,9 @@ def read_kml(spark: SparkSession, path: str, filesystem=None,
                     rows.append(tuple(row))
                 yield pd.DataFrame(rows, columns=cols)
 
-    return GeoDataFrame(part_df.mapInPandas(read_part, schema=schema),
+    out = GeoDataFrame(part_df.mapInPandas(read_part, schema=schema),
                         geometry, crs="EPSG:4326")
+    return _select_columns(out, columns, geometry)
 
 
 # ======================================================================

@@ -432,3 +432,31 @@ def test_gml_z_roundtrip(spark, tmp_path):
             read_gml(spark, path).df.collect()}
     assert rows["p"] == T.wkt_to_wkb("POINT Z (1 2 3)")
     assert rows["l"] == T.wkt_to_wkb("LINESTRING Z (0 0 1, 1 1 2)")
+
+
+def test_columns_pruning_xml_readers(spark, tmp_path):
+    """pyogrio-style columns= on all three XML readers: listed
+    attributes only; geometry stays iff requested (plain DataFrame
+    otherwise, like the engine's other readers); read_file threads it
+    through."""
+    from dask_geopandas_spark.sources.gml import read_gml, to_gml
+
+    pdf = pd.DataFrame({"nm": ["a"], "extra": ["x"], "bal": [1.5],
+                        "geometry": [T.wkt_to_wkb("POINT (1 2)")]})
+    g = dgs.GeoDataFrame(spark.createDataFrame(pdf).coalesce(1),
+                         "geometry", crs="EPSG:4326")
+    kdir, gdir, xdir = (str(tmp_path / d) for d in ("k", "g", "x"))
+    to_kml(g, kdir, name_col="nm")
+    to_gml(g, gdir)
+    to_gpx(g, xdir, name_col="nm", ele_col="bal")
+    got = read_kml(spark, kdir, columns=["name", "extra"])
+    assert got.columns == ["name", "extra"]  # plain DataFrame
+    gk = read_kml(spark, kdir, columns=["name", "geometry"])
+    assert gk.df.columns == ["name", "geometry"] and gk.crs == "EPSG:4326"
+    gg = read_gml(spark, gdir, columns=["nm"])
+    assert gg.columns == ["nm"]
+    gx = read_gpx(spark, xdir, columns=["name", "ele"])
+    assert gx.columns == ["name", "ele"]
+    assert gx.collect()[0]["ele"] == 1.5
+    with pytest.raises(Exception):
+        read_kml(spark, kdir, columns=[])
