@@ -1936,6 +1936,51 @@ def q_stream_funnel3(spark, sf_dir):
                  F.sum("step3_id").cast("long").alias("id_sum")))
 
 
+def q_stream_funnel3_left(spark, sf_dir):
+    """3-step funnel with a LEFT-OUTER final hop
+    (funnel_join(last_how='left')): users who viewed THEN clicked but
+    never purchased within the window — deep-funnel abandonment.  An
+    unmatched row emits once the watermark provably rules a match out,
+    and a chained hop's propagated watermark trails by the upstream
+    hop's allowance, so the rollup keeps rows below max-input-ts −
+    watermark − 2·within − margin where stream == batch provably.
+    Oracle: inner view→click join + NOT EXISTS purchase + the same
+    cutoff in SQL."""
+    from dask_geopandas_spark.streaming.joins import (funnel_join,
+                                                      state_partitions)
+
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def norm(s):
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return s
+
+    def stream():
+        s = (spark.readStream.schema(static.schema)
+             .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+        return norm(s)
+
+    cutoff = norm(static).agg((F.least(
+        F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))))
+        - F.expr("INTERVAL 181 MINUTES")).alias("c")).collect()[0]["c"]
+    fun = funnel_join(stream(), ["view", "click", "purchase"],
+                      within="30 minutes", last_how="left")
+    qname = "stream_funnel3_left_sink"
+    with state_partitions(spark, 8):
+        q = (fun.writeStream.format("memory").queryName(qname)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+    return (spark.table(qname)
+            .filter(F.col("step3_id").isNull()
+                    & (F.col("step2_ts") <= F.lit(cutoff)))
+            .groupBy(F.pmod(F.col("user_id"), F.lit(10)).alias("bucket"))
+            .agg(F.count("*").alias("n_abandoned"),
+                 F.sum("step2_id").cast("long").alias("id_sum")))
+
+
 _BM25_BATCH_QUERIES = [(0, "data model training"),
                        (1, "spark distributed learning"),
                        (2, "language quality text")]
@@ -2629,6 +2674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "interval_left": q_interval_left,
         "stream_funnel3": q_stream_funnel3,
+        "stream_funnel3_left": q_stream_funnel3_left,
         "asof_tolerance": q_asof_tolerance,
         # -- oldest attestations: driver-green r1, unchecked since --
         "fillna_isna": q_fillna_isna,
@@ -2670,9 +2716,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "points_z": q_points_z,
         "geom_properties": q_geom_properties,
         "skew_avg": q_skew_avg,
-        "line_project": q_line_project,
         # ---- 50-row driver window ends here ----
         # -- r2-green remainder (front of the r6 rotation) --
+        "line_project": q_line_project,
         "sql_surface": q_sql_surface,
         "morton_buckets": q_morton_buckets,
         "geohash_cells": q_geohash_cells,
@@ -4285,6 +4331,33 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts >= b.ts AND c.ts <= b.ts + INTERVAL 30 MINUTE
             WHERE a.event_type = 'view' AND b.event_type = 'click'
               AND c.event_type = 'purchase'
+            GROUP BY 1
+        """,
+        "stream_funnel3_left": """
+            WITH cut AS (
+                SELECT least(
+                    max(CASE WHEN event_type = 'view' THEN ts END),
+                    max(CASE WHEN event_type = 'click' THEN ts END),
+                    max(CASE WHEN event_type = 'purchase' THEN ts END))
+                  - INTERVAL 181 MINUTE AS c
+                FROM events
+            )
+            SELECT a.user_id % 10 AS bucket,
+                   count(*) AS n_abandoned,
+                   CAST(sum(b.event_id) AS BIGINT) AS id_sum
+            FROM events a
+            JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+            CROSS JOIN cut
+            WHERE a.event_type = 'view' AND b.event_type = 'click'
+              AND b.ts <= cut.c
+              AND NOT EXISTS (
+                SELECT 1 FROM events c2
+                WHERE c2.user_id = b.user_id
+                  AND c2.event_type = 'purchase'
+                  AND c2.ts >= b.ts
+                  AND c2.ts <= b.ts + INTERVAL 30 MINUTE)
             GROUP BY 1
         """,
         "stream_funnel_left": """

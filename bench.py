@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "gml_roundtrip",
     "stream_funnel3",
+    "stream_funnel3_left",
 ]
 
 

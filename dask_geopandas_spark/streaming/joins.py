@@ -119,7 +119,8 @@ def event_sequence_join(first: DataFrame, then: DataFrame,
 def funnel_join(events: DataFrame, steps: list, type_col: str = "event_type",
                 key: str = "user_id", within: str = "30 minutes",
                 watermark: str = "2 hours", ts_col: str = "ts",
-                id_col: str = "event_id") -> DataFrame:
+                id_col: str = "event_id",
+                last_how: str = "inner") -> DataFrame:
     """N-step funnel over ONE events source: rows where the same
     ``key`` performed ``steps[0]`` THEN ``steps[1]`` … THEN
     ``steps[-1]``, each hop within ``within`` of the previous step
@@ -133,9 +134,23 @@ def funnel_join(events: DataFrame, steps: list, type_col: str = "event_type",
     bounded exactly like the 2-step ``event_sequence_join`` and the
     chain is append-complete under availableNow (inner joins emit on
     match, not on watermark passage).  Batch inputs run the identical
-    chained inequality joins — the oracle form."""
+    chained inequality joins — the oracle form.
+
+    ``last_how='left'`` makes the FINAL hop a left outer join — rows
+    that completed steps 1…N−1 but never step N keep NULL
+    ``stepN_id``/``stepN_ts``: the generalized abandonment analysis
+    ("carted but never purchased").  Streaming emits an unmatched
+    row only once the watermark proves no match can arrive, and a
+    chained hop consumes a PROPAGATED watermark that is further
+    delayed by each upstream hop's ``within`` allowance — so an
+    abandonment rollup is stream==batch only below a cutoff of
+    roughly max event time − watermark − (N−1)·within (margin
+    advised); matched rows need no cutoff."""
     if len(steps) < 2:
         raise ValueError("funnel_join needs at least two steps")
+    if last_how not in ("inner", "left"):
+        raise ValueError(
+            f"last_how must be 'inner' or 'left', got {last_how!r}")
     frames = [events.filter(F.col(type_col) == F.lit(s)) for s in steps]
     cur = frames[0].select(F.col(key), F.col(ts_col),
                            F.col(id_col).alias("step1_id"))
@@ -144,7 +159,9 @@ def funnel_join(events: DataFrame, steps: list, type_col: str = "event_type",
         j = event_sequence_join(cur, frame, key=key, within=within,
                                 watermark=watermark, ts_col=ts_col,
                                 first_cols=tuple(carry),
-                                then_cols=(id_col,))
+                                then_cols=(id_col,),
+                                how=last_how if n == len(steps)
+                                else "inner")
         sel = ([F.col(key)]
                + [F.col(f"first_{c}").alias(c) for c in carry]
                # the archived step timestamp must DROP its event-time

@@ -783,3 +783,49 @@ def test_funnel_join_three_steps_stream_equals_batch(spark, tmp_path):
 
     with pytest.raises(ValueError, match="two steps"):
         funnel_join(static, ["view"])
+
+
+def test_funnel_join_left_last_hop(spark, tmp_path):
+    """r5: last_how='left' keeps step-(N-1) completers with NULL final
+    step (deep-funnel abandonment); streaming emits them once the
+    watermark rules a match out — below the propagated-watermark
+    cutoff the stream equals the batch left chain exactly."""
+    import pandas as pd
+
+    from dask_geopandas_spark.streaming.joins import funnel_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = tmp_path / "f3l"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        (1, base, 1, "view", 0.0),
+        (2, base + pd.Timedelta(minutes=5), 1, "click", 0.0),
+        (3, base + pd.Timedelta(minutes=10), 1, "purchase", 9.0),
+        (4, base, 2, "view", 0.0),
+        (5, base + pd.Timedelta(minutes=5), 2, "click", 0.0),  # abandoned
+        (6, base + pd.Timedelta(hours=9), 3, "purchase", 1.0),
+        (7, base + pd.Timedelta(hours=9), 3, "view", 0.0),
+        (8, base + pd.Timedelta(hours=9), 3, "click", 0.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(src / "p.parquet")
+    static = spark.read.parquet(str(src))
+    steps = ["view", "click", "purchase"]
+    batch = {(r["step1_id"], r["step2_id"], r["step3_id"]) for r in
+             funnel_join(static, steps, last_how="left").collect()}
+    assert batch == {(1, 2, 3), (4, 5, None), (7, 8, 6)}
+
+    stream = spark.readStream.schema(static.schema).parquet(str(src))
+    out = funnel_join(stream, steps, last_how="left")
+    q = (out.writeStream.format("memory").queryName("f3l_test_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["step1_id"], r["step2_id"], r["step3_id"]) for r in
+           spark.table("f3l_test_sink").collect()}
+    assert got == batch  # the 9h watermark push flushes the abandonment
+
+    with pytest.raises(ValueError, match="last_how"):
+        funnel_join(static, steps, last_how="anti")
