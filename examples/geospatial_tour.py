@@ -67,6 +67,19 @@ def run_tour(spark: SparkSession, sf_dir: str):
         out["windowed_readback"] = window.count()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+    # interchange formats (r5): ship the territory layer as KML, read
+    # it back pure-Python (no GDAL anywhere in the tour)
+    tmp = tempfile.mkdtemp()
+    try:
+        slim = dgs.GeoDataFrame(
+            boxes.df.select(F.col("n_name").alias("nm"),
+                            boxes.geometry_column),
+            boxes.geometry_column, crs="EPSG:4326")
+        dgs.to_kml(slim, tmp, name_col="nm")
+        out["kml_readback"] = dgs.read_kml(spark, tmp).df.count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 
