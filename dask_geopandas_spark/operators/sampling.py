@@ -125,12 +125,13 @@ def cap_per_group(df: DataFrame, group_col: str = "source",
     list, and only the over-cap groups' rows pay the partitioned sort
     window.  The expensive per-key sort therefore runs on exactly the
     skewed tail the cap exists to trim, instead of re-sorting the
-    whole corpus.  The over-cap list is an aggregate output whose size
-    is known at runtime: under AQE the anti/semi joins against it turn
-    into BROADCAST joins when it is small (the common case), so the
-    bypass path never shuffles the corpus; a pathological
-    everything-over-cap input degrades to the plain-window plan plus
-    one count pass."""
+    whole corpus.  The over-cap list is tiny (distinct over-cap
+    groups), so the anti/semi joins against it plan as BROADCAST
+    joins whenever the scan has size statistics (plan-pinned on
+    parquet input) and AQE's runtime conversion covers
+    statistics-free sources — the bypass path then never shuffles the
+    corpus; a pathological everything-over-cap input degrades to the
+    plain-window plan plus one count pass."""
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
     over = (df.groupBy(group_col).agg(F.count("*").alias("_n"))

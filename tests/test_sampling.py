@@ -159,3 +159,22 @@ class TestCapPerGroup:
         df = spark.createDataFrame([(1, "a")], "doc_id long, grp string")
         with pytest.raises(ValueError, match="cap"):
             cap_per_group(df, group_col="grp", cap=0)
+
+
+def test_cap_per_group_quota_joins_broadcast(spark, tmp_path):
+    """The quota joins must plan as BROADCAST joins when the corpus
+    scan has size statistics (parquet): the over-cap list is tiny, so
+    the bypass path never shuffles the corpus.  (Statistics-free
+    sources plan sort-merge initially and rely on AQE's runtime
+    conversion — the docstring contract.)"""
+    from dask_geopandas_spark.operators.sampling import cap_per_group
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "big" if i % 3 else f"s{i % 7}") for i in range(300)],
+        "doc_id long, grp string").write.parquet(src)
+    out = cap_per_group(spark.read.parquet(src), group_col="grp", cap=20)
+    assert out.count() == 20 + 100  # capped 'big' + all small groups
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert plan.count("SortMergeJoin") == 0, plan
