@@ -473,3 +473,33 @@ class TestPartDerivation:
         got = read_flatgeobuf(spark, path, bbox=win)
         assert {r["pid"] for r in got.df.select("pid").collect()} \
             == self._inwin(pdf, win)
+
+
+def test_leaf_volume_threshold_distributes(spark, tmp_path, monkeypatch):
+    """Even below the file-count threshold, a chunked read whose total
+    leaf volume exceeds _DRIVER_LEAF_BYTES derives executor-side (the
+    few-huge-files lake shape)."""
+    import dask_geopandas_spark.sources.flatgeobuf as FGB
+
+    rng = np.random.RandomState(2)
+    pdf = pd.DataFrame({"pid": np.arange(50, dtype=np.int64),
+                        "x": rng.uniform(0, 100, 50),
+                        "y": rng.uniform(0, 100, 50)})
+    g = dgs.points_from_xy(spark.createDataFrame(pdf).repartition(2),
+                           "x", "y", crs="EPSG:4326")
+    path = str(tmp_path / "twofiles")
+    to_flatgeobuf(g, path)
+    files = FGB._list_fgb(path)
+    assert len(files) == 2  # below _DISTRIBUTE_MIN_FILES
+    monkeypatch.setattr(FGB, "_DRIVER_LEAF_BYTES", 100)  # force volume trip
+    calls = []
+    real = FGB._file_parts
+
+    def wrapped(fp, *a, **k):
+        calls.append(fp)
+        return real(fp, *a, **k)
+
+    monkeypatch.setattr(FGB, "_file_parts", wrapped)
+    parts, _ = FGB._derive_parts(spark, files, None, 7, None)
+    assert len(parts) > len(files)
+    assert calls == []  # decision read only headers; leaf scans ran remotely

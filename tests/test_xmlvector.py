@@ -460,3 +460,30 @@ def test_columns_pruning_xml_readers(spark, tmp_path):
     assert gx.collect()[0]["ele"] == 1.5
     with pytest.raises(Exception):
         read_kml(spark, kdir, columns=[])
+
+
+def test_fmt_float_roundtrip_property():
+    """Property: the shortest-repr float text used by every text sink
+    (shapefile F-fields, GPX/KML/GML coordinates and attributes)
+    parses back bit-identical for arbitrary finite doubles."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dask_geopandas_spark.geometry.wkt import _fmt
+
+    @given(st.floats(allow_nan=False, allow_infinity=False, width=64))
+    @settings(max_examples=300, deadline=None)
+    def check(v):
+        assert float(_fmt(v)) == v
+
+    check()
+
+
+def test_missing_inputs_raise(spark, tmp_path):
+    from dask_geopandas_spark.sources.gml import read_gml
+
+    empty = tmp_path / "none"
+    empty.mkdir()
+    for reader in (read_gpx, read_kml, read_gml):
+        with pytest.raises(FileNotFoundError):
+            reader(spark, str(empty))
