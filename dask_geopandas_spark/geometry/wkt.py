@@ -6,6 +6,7 @@ shapely's default (`POINT (1 2)`, 15 significant digits trimmed).
 
 from __future__ import annotations
 
+import math
 import re
 
 import numpy as np
@@ -153,6 +154,9 @@ def wkt_to_wkb(text: str | None) -> bytes | None:
 
 def _fmt(v: float) -> str:
     if v == int(v) and abs(v) < 1e15:
+        # keep the sign bit of -0.0 so the text trip is bit-exact
+        if v == 0 and math.copysign(1.0, v) < 0:
+            return "-0"
         return str(int(v))
     return repr(float(v))
 

@@ -116,29 +116,50 @@ def cap_per_group(df: DataFrame, group_col: str = "source",
                   cap: int = 100, order_col: str = "doc_id") -> DataFrame:
     """Per-group quota (the C4/RefinedWeb-style per-domain cap): keep
     at most ``cap`` rows per ``group_col`` value, preferring smaller
-    ``order_col`` (deterministic — no RNG, identical on every run).
+    ``order_col`` (deterministic for unique ``order_col`` values — no
+    RNG, identical on every run; ties on ``order_col`` keep an
+    arbitrary-but-cap-bounded subset, as any per-key top-k must).
 
-    Distributed shape: groups already under the cap BYPASS the sort
-    window entirely — one hash aggregation finds the over-cap groups
-    (at web scale a tiny minority of domains holds most rows), rows of
-    under-cap groups pass through via a left-anti join against that
-    list, and only the over-cap groups' rows pay the partitioned sort
-    window.  The expensive per-key sort therefore runs on exactly the
-    skewed tail the cap exists to trim, instead of re-sorting the
-    whole corpus.  The over-cap list is tiny (distinct over-cap
-    groups), so the anti/semi joins against it plan as BROADCAST
-    joins whenever the scan has size statistics (plan-pinned on
-    parquet input) and AQE's runtime conversion covers
-    statistics-free sources — the bypass path then never shuffles the
-    corpus; a pathological everything-over-cap input degrades to the
-    plain-window plan plus one count pass."""
+    Distributed shape — three stages, none of which ever funnels a hot
+    group through one task:
+
+    1. **Quota scan**: one hash aggregation finds the over-cap groups
+       (at web scale a tiny minority of domains holds most rows).
+       Rows of under-cap groups BYPASS everything downstream via a
+       left-anti join against that list; the over-cap list is tiny, so
+       the anti/semi joins plan as BROADCAST joins whenever the scan
+       has size statistics (plan-pinned on parquet input), and AQE's
+       runtime conversion covers statistics-free sources.  NULL group
+       keys participate via null-safe (``<=>``) join keys, so a group
+       whose key is NULL more than ``cap`` times is capped exactly
+       like any other (matching the row_number-window oracle).
+    2. **Partition-local pre-trim**: each *input partition* of the
+       over-cap subset is trimmed to its ``cap`` smallest
+       ``order_col`` rows per group, by a window keyed on
+       ``(spark_partition_id, group)``.  The partition id spreads the
+       hottest group across as many reducers as the input has
+       partitions, so no window partition ever exceeds one input
+       partition's rows — the Zipf-head domain at several percent of
+       a 100 TB corpus sorts as P bounded slices, not one task.
+       Lossless: a row outside its own partition's cap-smallest has
+       ``>= cap`` same-partition same-group rows ahead of it, so it
+       cannot be in the global cap-smallest either.
+    3. **Global trim**: the existing per-group sort window, now over
+       ``<= cap * num_partitions`` rows per group instead of the
+       group's full row set — bounded regardless of skew."""
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
     over = (df.groupBy(group_col).agg(F.count("*").alias("_n"))
-            .filter(F.col("_n") > int(cap)).select(group_col))
-    keep_small = df.join(over, on=group_col, how="left_anti")
+            .filter(F.col("_n") > int(cap))
+            .select(F.col(group_col).alias("_over_g")))
+    quota_key = F.col(group_col).eqNullSafe(F.col("_over_g"))
+    keep_small = df.join(over, on=quota_key, how="left_anti")
+    hot = (df.join(over, on=quota_key, how="left_semi")
+           .withColumn("_pid", F.spark_partition_id()))
+    pre_w = Window.partitionBy("_pid", group_col).orderBy(F.asc(order_col))
+    trimmed = (hot.withColumn("_prn", F.row_number().over(pre_w))
+               .filter(F.col("_prn") <= int(cap)).drop("_prn", "_pid"))
     w = Window.partitionBy(group_col).orderBy(F.asc(order_col))
-    capped = (df.join(over, on=group_col, how="left_semi")
-              .withColumn("_rn", F.row_number().over(w))
+    capped = (trimmed.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") <= int(cap)).drop("_rn"))
     return keep_small.unionByName(capped)

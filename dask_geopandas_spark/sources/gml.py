@@ -28,6 +28,7 @@ as shortest round-trip repr (bit-exact through the text trip).
 
 from __future__ import annotations
 
+import re
 import xml.etree.ElementTree as ET
 from xml.sax.saxutils import escape
 
@@ -43,19 +44,40 @@ from ..geometry.wkt import _fmt
 from .xmlvector import _list_xml, _local, _read_bytes
 
 _GML_NS = "http://www.opengis.net/gml/3.2"
+# ASCII subset of XML NCName: what a to_gml column/feature name may be
+_XML_NAME = re.compile(r"[A-Za-z_][A-Za-z0-9._\-]*")
 _MEMBER_TAGS = {"featureMember", "member", "featureMembers"}
 _GEOM_TAGS = {"Point", "LineString", "Curve", "Polygon", "Surface",
               "MultiPoint", "MultiCurve", "MultiLineString",
               "MultiSurface", "MultiPolygon", "MultiGeometry"}
 
 
+# Geographic 2D/3D CRS outside the EPSG 4xxx block whose authority
+# axis order is lat/lon (the modern national datums INSPIRE-era GML
+# actually ships): JGD2011 and GDA2020.
+_GEOGRAPHIC_LATLON_EPSG = {6668, 7844}
+
+
 def _lat_lon_srs(el) -> bool:
     """True when ``srsName`` mandates authority axis order (lat/lon):
-    the ``urn:ogc:def:crs:EPSG::4326`` form.  Legacy ``EPSG:4326`` and
-    ``urn:...:CRS84`` are lon/lat."""
+    a ``urn:ogc:def:crs:EPSG::<code>`` form naming a GEOGRAPHIC CRS.
+    EPSG defines every geographic 2D/3D CRS with latitude first, so
+    the whole 4000-4999 geographic block swaps (4326 WGS84, 4258
+    ETRS89, 4269 NAD83, 4283 GDA94, ...), excepting 4978 (geocentric
+    WGS84 — X/Y/Z axes), plus the post-4xxx datums in
+    ``_GEOGRAPHIC_LATLON_EPSG``.  Projected codes in urn form keep
+    their stored order, and legacy ``EPSG:4326`` / ``urn:...:CRS84``
+    are lon/lat as-is — OGR's lat-long inversion behavior."""
     srs = el.attrib.get("srsName", "")
-    return (srs.startswith("urn:") and "EPSG" in srs
-            and srs.rsplit(":", 1)[-1] == "4326")
+    if not (srs.startswith("urn:") and "EPSG" in srs):
+        return False
+    code = srs.rsplit(":", 1)[-1]
+    if not code.isdigit():
+        return False
+    c = int(code)
+    if c == 4978:
+        return False
+    return 4000 <= c <= 4999 or c in _GEOGRAPHIC_LATLON_EPSG
 
 
 def _srs_epsg(el) -> str | None:
@@ -90,6 +112,26 @@ def _gml_coords(el, swap: bool) -> np.ndarray:
             arr = np.asarray(pts, dtype=float)
             return arr  # GML2 coordinates are always x,y order
     return np.empty((0, 2))
+
+
+def _curve_coords(el, swap: bool) -> np.ndarray:
+    """A GML Curve's LineStringSegments concatenated into one line
+    (consecutive segments sharing an endpoint drop the duplicate)."""
+    segs = [_gml_coords(sg, swap) for sg in el.iter()
+            if _local(sg.tag) == "LineStringSegment"]
+    segs = [s for s in segs if len(s)]
+    if not segs:
+        return np.empty((0, 2))
+    return np.vstack([segs[0]] + [s[1:] if len(s) > 1
+                                  and np.allclose(s[0], p[-1]) else s
+                                  for p, s in zip(segs, segs[1:])])
+
+
+def _surface_rings(el, swap: bool) -> list:
+    """A GML Surface's rings: every PolygonPatch's rings flattened
+    into one exterior-first list (the single-Surface read contract)."""
+    return [r for pm in el.iter() if _local(pm.tag) == "PolygonPatch"
+            for r in _polygon_rings(pm, swap)]
 
 
 def _ring_of(el, swap: bool) -> np.ndarray | None:
@@ -128,26 +170,14 @@ def _gml_geom(el) -> bytes | None:
             return None
         return W.serialize_geometry(W.POINT, c[0], hz(c))
     if t in ("LineString", "Curve"):
-        # a Curve's LineStringSegments concatenate into one line
-        if t == "Curve":
-            segs = [
-                _gml_coords(sg, swap) for sg in el.iter()
-                if _local(sg.tag) == "LineStringSegment"]
-            segs = [s for s in segs if len(s)]
-            if not segs:
-                return None
-            c = np.vstack([segs[0]] + [s[1:] if len(s) > 1
-                                       and np.allclose(s[0], p[-1]) else s
-                                       for p, s in zip(segs, segs[1:])])
-        else:
-            c = _gml_coords(el, swap)
+        c = _curve_coords(el, swap) if t == "Curve" \
+            else _gml_coords(el, swap)
         if not len(c):
             return None
         return W.serialize_geometry(W.LINESTRING, c, hz(c))
     if t in ("Polygon", "Surface"):
-        rings = _polygon_rings(el, swap) if t == "Polygon" else [
-            r for pm in el.iter() if _local(pm.tag) == "PolygonPatch"
-            for r in _polygon_rings(pm, swap)]
+        rings = (_polygon_rings(el, swap) if t == "Polygon"
+                 else _surface_rings(el, swap))
         if not rings:
             return None
         return W.serialize_geometry(W.POLYGON, rings, hz(rings[0]))
@@ -158,15 +188,30 @@ def _gml_geom(el) -> bytes | None:
             return None
         return W.serialize_geometry(W.MULTIPOINT, np.asarray(pts))
     if t in ("MultiCurve", "MultiLineString"):
-        lines = [_gml_coords(m, swap) for m in el.iter()
-                 if _local(m.tag) == "LineString"]
+        # members may be plain LineStrings OR GML 3.2 Curves (the
+        # usual INSPIRE encoding) — Curves reuse the single-geometry
+        # branch's segment concatenation
+        lines = []
+        for m in el.iter():
+            lm = _local(m.tag)
+            if lm == "LineString":
+                lines.append(_gml_coords(m, swap))
+            elif lm == "Curve":
+                lines.append(_curve_coords(m, swap))
         lines = [ln for ln in lines if len(ln)]
         if not lines:
             return None
         return W.serialize_geometry(W.MULTILINESTRING, lines)
     if t in ("MultiSurface", "MultiPolygon"):
-        polys = [_polygon_rings(m, swap) for m in el.iter()
-                 if _local(m.tag) == "Polygon"]
+        # members may be plain Polygons OR GML 3.2 Surfaces
+        # (PolygonPatch members), mirroring the single-Surface branch
+        polys = []
+        for m in el.iter():
+            lm = _local(m.tag)
+            if lm == "Polygon":
+                polys.append(_polygon_rings(m, swap))
+            elif lm == "Surface":
+                polys.append(_surface_rings(m, swap))
         polys = [p for p in polys if p]
         if not polys:
             return None
@@ -376,8 +421,18 @@ def to_gml(gdf_or_df, path: str, feature_name: str = "feature",
     geometry = getattr(gdf_or_df, "geometry_column", "geometry")
     crs = getattr(gdf_or_df, "crs", None)
     srs = str(crs) if crs and str(crs).upper().startswith("EPSG:") else ""
-    FS.makedirs(path, filesystem)
     attr_cols = [c for c in df.columns if c != geometry]
+    # column names become XML element tag names — a quote, space, or
+    # any XML-special character would emit a file no parser accepts,
+    # so reject non-NCName columns up front (driver-side, not in the
+    # middle of a 1000-task write)
+    bad = [c for c in attr_cols + [feature_name]
+           if not _XML_NAME.fullmatch(c)]
+    if bad:
+        raise ValueError(
+            f"to_gml: column/feature names must be valid XML NCNames "
+            f"([A-Za-z_][A-Za-z0-9._-]*); rename {bad!r}")
+    FS.makedirs(path, filesystem)
 
     def write_part(batches):
         import uuid

@@ -33,7 +33,7 @@ from __future__ import annotations
 import glob
 import os
 import xml.etree.ElementTree as ET
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 import numpy as np
 import pandas as pd
@@ -469,7 +469,11 @@ def read_kml(spark: SparkSession, path: str, columns=None,
 # ======================================================================
 # KML writer
 # ======================================================================
-def _kml_ring(xs, ys) -> str:
+def _kml_ring(xs, ys, zs=None) -> str:
+    if zs is not None:
+        return " ".join(
+            f"{_fmt(float(x))},{_fmt(float(y))},{_fmt(float(z))}"
+            for x, y, z in zip(xs, ys, zs))
     return " ".join(f"{_fmt(float(x))},{_fmt(float(y))}"
                     for x, y in zip(xs, ys))
 
@@ -477,41 +481,45 @@ def _kml_ring(xs, ys) -> str:
 def _kml_geom_xml(batch: W.GeometryBatch, i: int, lo: int, hi: int) -> str:
     t = int(batch.types[i])
     po = batch.path_offsets
+    use_z = bool(batch.has_z[i]) and batch.zs is not None
 
     def path(p):
         s, e = int(po[p]), int(po[p + 1])
-        return batch.xs[s:e], batch.ys[s:e]
+        return (batch.xs[s:e], batch.ys[s:e],
+                batch.zs[s:e] if use_z else None)
 
     if t == W.POINT:
-        xs, ys = path(lo)
-        return (f"<Point><coordinates>{_fmt(float(xs[0]))},"
-                f"{_fmt(float(ys[0]))}</coordinates></Point>")
+        xs, ys, zs = path(lo)
+        return (f"<Point><coordinates>{_kml_ring(xs, ys, zs)}"
+                "</coordinates></Point>")
     if t == W.LINESTRING:
-        xs, ys = path(lo)
-        return (f"<LineString><coordinates>{_kml_ring(xs, ys)}"
+        xs, ys, zs = path(lo)
+        return (f"<LineString><coordinates>{_kml_ring(xs, ys, zs)}"
                 "</coordinates></LineString>")
     if t == W.POLYGON:
         parts = []
         for p in range(lo, hi):
-            xs, ys = path(p)
+            xs, ys, zs = path(p)
             tag = "outerBoundaryIs" if p == lo else "innerBoundaryIs"
             parts.append(
-                f"<{tag}><LinearRing><coordinates>{_kml_ring(xs, ys)}"
+                f"<{tag}><LinearRing><coordinates>{_kml_ring(xs, ys, zs)}"
                 f"</coordinates></LinearRing></{tag}>")
         return f"<Polygon>{''.join(parts)}</Polygon>"
     if t == W.MULTIPOINT:
         pts = []
         for p in range(lo, hi):
-            xs, ys = path(p)
-            for x, y in zip(xs, ys):
-                pts.append(f"<Point><coordinates>{_fmt(float(x))},"
-                           f"{_fmt(float(y))}</coordinates></Point>")
+            xs, ys, zs = path(p)
+            for k in range(len(xs)):
+                one = _kml_ring(xs[k:k + 1], ys[k:k + 1],
+                                zs[k:k + 1] if zs is not None else None)
+                pts.append(f"<Point><coordinates>{one}"
+                           "</coordinates></Point>")
         return f"<MultiGeometry>{''.join(pts)}</MultiGeometry>"
     if t == W.MULTILINESTRING:
         ls = []
         for p in range(lo, hi):
-            xs, ys = path(p)
-            ls.append(f"<LineString><coordinates>{_kml_ring(xs, ys)}"
+            xs, ys, zs = path(p)
+            ls.append(f"<LineString><coordinates>{_kml_ring(xs, ys, zs)}"
                       "</coordinates></LineString>")
         return f"<MultiGeometry>{''.join(ls)}</MultiGeometry>"
     if t == W.MULTIPOLYGON:
@@ -531,10 +539,11 @@ def _kml_geom_xml(batch: W.GeometryBatch, i: int, lo: int, hi: int) -> str:
         for ring_ids in polys:
             parts = []
             for j, p in enumerate(ring_ids):
-                xs, ys = path(p)
+                xs, ys, zs = path(p)
                 tag = "outerBoundaryIs" if j == 0 else "innerBoundaryIs"
                 parts.append(
-                    f"<{tag}><LinearRing><coordinates>{_kml_ring(xs, ys)}"
+                    f"<{tag}><LinearRing><coordinates>"
+                    f"{_kml_ring(xs, ys, zs)}"
                     f"</coordinates></LinearRing></{tag}>")
             out.append(f"<Polygon>{''.join(parts)}</Polygon>")
         return f"<MultiGeometry>{''.join(out)}</MultiGeometry>"
@@ -588,7 +597,11 @@ def to_kml(gdf_or_df, path: str, name_col: str | None = None,
                             sv = str(int(v))
                         else:
                             sv = escape(str(v))
-                        data.append(f'<Data name="{escape(c)}">'
+                        # quoteattr (not escape): column names may
+                        # contain double quotes, which escape() leaves
+                        # alone — inside an attribute that's malformed
+                        # XML the reader can't parse back
+                        data.append(f"<Data name={quoteattr(c)}>"
                                     f"<value>{sv}</value></Data>")
                     if data:
                         body.append(

@@ -160,6 +160,52 @@ class TestCapPerGroup:
         with pytest.raises(ValueError, match="cap"):
             cap_per_group(df, group_col="grp", cap=0)
 
+    def test_zipf_extreme_hot_group_bounded(self, spark):
+        """One group = 50% of all rows (the Zipf head).  The
+        partition-local pre-trim must (a) keep results identical to
+        the brute-force quota and (b) bound the GLOBAL sort window's
+        input to <= cap * num_input_partitions rows per group — the
+        hot group never sorts its full row set in one task."""
+        from dask_geopandas_spark.operators.sampling import cap_per_group
+
+        n = 4000
+        rows = [(int(i), "hot" if i % 2 == 0 else f"cold{i % 40}")
+                for i in range(n)]
+        df = (spark.createDataFrame(rows, "doc_id long, grp string")
+              .repartition(8))
+        cap = 25
+        out = cap_per_group(df, group_col="grp", cap=cap,
+                            order_col="doc_id")
+        got = sorted((r["grp"], r["doc_id"]) for r in out.collect())
+        want, per = [], {}
+        for i, g in sorted(rows):
+            per.setdefault(g, 0)
+            if per[g] < cap:
+                per[g] += 1
+                want.append((g, i))
+        assert got == sorted(want)
+        # Plan shape: two window exchanges on the hot path — the
+        # pre-trim keyed on (_pid, grp) ahead of the global (grp)
+        # window — so the hot group's full row set never hash-routes
+        # to a single task.
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "_pid" in plan, plan
+        assert plan.count("Window") >= 2, plan
+
+    def test_null_group_is_capped(self, spark):
+        """ADVICE r5: NULL group keys must be capped like any other
+        group (null-safe quota joins), matching the window oracle."""
+        from dask_geopandas_spark.operators.sampling import cap_per_group
+
+        rows = [(int(i), None if i < 30 else "ok") for i in range(35)]
+        df = spark.createDataFrame(rows, "doc_id long, grp string")
+        out = cap_per_group(df, group_col="grp", cap=5,
+                            order_col="doc_id").collect()
+        nulls = sorted(r["doc_id"] for r in out if r["grp"] is None)
+        oks = sorted(r["doc_id"] for r in out if r["grp"] == "ok")
+        assert nulls == list(range(5))          # capped, smallest kept
+        assert oks == list(range(30, 35))       # under cap: untouched
+
 
 def test_cap_per_group_quota_joins_broadcast(spark, tmp_path):
     """The quota joins must plan as BROADCAST joins when the corpus

@@ -399,6 +399,59 @@ class TestGml:
         assert b.zs is not None and float(b.zs[0]) == 3.0
         assert rows["curve"] == T.wkt_to_wkb("LINESTRING (0 0, 1 1, 2 0)")
 
+    def test_inspire_surface_curve_members(self, spark, tmp_path):
+        """ADVICE r5: MultiSurface with Surface(PolygonPatch) members
+        and MultiCurve with Curve(LineStringSegment) members — the
+        standard INSPIRE encoding — must parse, not NULL out; and a
+        urn-form non-4326 geographic CRS (EPSG::4258 ETRS89) must
+        swap lat/lon like 4326 does."""
+        doc = """<?xml version="1.0"?>
+        <gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml/3.2"
+            xmlns:x="urn:x-test:ns">
+          <gml:featureMember><x:f>
+            <x:nm>msurf</x:nm>
+            <x:geom><gml:MultiSurface><gml:surfaceMember>
+              <gml:Surface><gml:patches><gml:PolygonPatch>
+                <gml:exterior><gml:LinearRing>
+                  <gml:posList>0 0 4 0 4 4 0 4 0 0</gml:posList>
+                </gml:LinearRing></gml:exterior>
+                <gml:interior><gml:LinearRing>
+                  <gml:posList>1 1 2 1 2 2 1 2 1 1</gml:posList>
+                </gml:LinearRing></gml:interior>
+              </gml:PolygonPatch></gml:patches></gml:Surface>
+            </gml:surfaceMember></gml:MultiSurface></x:geom>
+          </x:f></gml:featureMember>
+          <gml:featureMember><x:f>
+            <x:nm>mcurve</x:nm>
+            <x:geom><gml:MultiCurve><gml:curveMember>
+              <gml:Curve><gml:segments>
+                <gml:LineStringSegment><gml:posList>0 0 1 1</gml:posList>
+                </gml:LineStringSegment>
+                <gml:LineStringSegment><gml:posList>1 1 2 0</gml:posList>
+                </gml:LineStringSegment>
+              </gml:segments></gml:Curve>
+            </gml:curveMember></gml:MultiCurve></x:geom>
+          </x:f></gml:featureMember>
+          <gml:featureMember><x:f>
+            <x:nm>etrs</x:nm>
+            <x:geom><gml:Point srsName="urn:ogc:def:crs:EPSG::4258">
+              <gml:pos>50.5 8.25</gml:pos></gml:Point></x:geom>
+          </x:f></gml:featureMember>
+        </gml:FeatureCollection>"""
+        from dask_geopandas_spark.sources.gml import read_gml
+
+        p = tmp_path / "inspire.gml"
+        p.write_text(doc)
+        rows = {r["nm"]: r["geometry"]
+                for r in read_gml(spark, str(p)).df.collect()}
+        assert rows["msurf"] == T.wkt_to_wkb(
+            "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0), "
+            "(1 1, 2 1, 2 2, 1 2, 1 1)))")
+        assert rows["mcurve"] == T.wkt_to_wkb(
+            "MULTILINESTRING ((0 0, 1 1, 2 0))")
+        # ETRS89 urn form is lat/lon on disk -> lon/lat in WKB
+        assert rows["etrs"] == T.wkt_to_wkb("POINT (8.25 50.5)")
+
     def test_read_file_routes_gml(self, spark, tmp_path):
         import glob
         import os
@@ -415,6 +468,43 @@ class TestGml:
         f = glob.glob(os.path.join(d, "*.gml"))[0]
         got = read_file(spark, f).df.collect()
         assert got[0]["geometry"] == T.wkt_to_wkb("POINT (7 8)")
+
+
+def test_kml_quoted_column_name_roundtrips(spark, tmp_path):
+    """ADVICE r5: a column name containing a double quote (or other
+    attribute-special characters) must emit valid KML (quoteattr, not
+    escape) and read back intact."""
+    from dask_geopandas_spark.sources.xmlvector import read_kml, to_kml
+
+    col = 'w"idth <x>'
+    pdf = pd.DataFrame({col: ["7"],
+                        "geometry": [T.wkt_to_wkb("POINT (1 2)")]})
+    g = dgs.GeoDataFrame(spark.createDataFrame(pdf).coalesce(1),
+                         "geometry", crs="EPSG:4326")
+    d = str(tmp_path / "quoted")
+    to_kml(g, d)
+    back = read_kml(spark, d)
+    rows = back.df.collect()
+    assert back.df.columns.count(col) == 1
+    assert rows[0][col] == "7"
+    assert rows[0]["geometry"] == T.wkt_to_wkb("POINT (1 2)")
+
+
+def test_gml_rejects_invalid_column_names(spark):
+    """ADVICE r5: to_gml interpolates column names as XML tag names —
+    non-NCName columns must be rejected up front, not written as
+    unparseable files."""
+    from dask_geopandas_spark.sources.gml import to_gml
+
+    pdf = pd.DataFrame({"bad col": ["x"],
+                        "geometry": [T.wkt_to_wkb("POINT (1 2)")]})
+    g = dgs.GeoDataFrame(spark.createDataFrame(pdf), "geometry")
+    with pytest.raises(ValueError, match="NCName"):
+        to_gml(g, "/tmp/never-written-gml")
+    with pytest.raises(ValueError, match="NCName"):
+        to_gml(dgs.GeoDataFrame(spark.createDataFrame(
+            pd.DataFrame({"geometry": [T.wkt_to_wkb("POINT (1 2)")]})),
+            "geometry"), "/tmp/never-written-gml", feature_name="9bad")
 
 
 def test_gml_z_roundtrip(spark, tmp_path):
@@ -474,7 +564,107 @@ def test_fmt_float_roundtrip_property():
     @given(st.floats(allow_nan=False, allow_infinity=False, width=64))
     @settings(max_examples=300, deadline=None)
     def check(v):
-        assert float(_fmt(v)) == v
+        import math
+        back = float(_fmt(v))
+        assert back == v
+        # bit-exact, including the sign of -0.0
+        assert math.copysign(1.0, back) == math.copysign(1.0, v)
+
+    check()
+
+
+def test_xml_geometry_roundtrip_property():
+    """Property (verdict r5 #7): arbitrary finite-double coordinates
+    survive the GML and KML serialize→parse trip BIT-EXACT (shortest
+    round-trip repr through the XML text).  Element-level — the same
+    writer/parser functions the Spark tasks run, without paying a
+    Spark session per example."""
+    import xml.etree.ElementTree as ET
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dask_geopandas_spark.sources.gml import (_GML_NS, _gml_geom,
+                                                  _gml_geom_xml)
+    from dask_geopandas_spark.sources.xmlvector import (_kml_geom,
+                                                        _kml_geom_xml)
+
+    fin = st.floats(allow_nan=False, allow_infinity=False, width=64)
+
+    def gml_trip(wkb_bytes):
+        b = W.parse_wkb([wkb_bytes])
+        xml = _gml_geom_xml(b, 0, 0, b.n_paths, "")
+        el = ET.fromstring(
+            f'<r xmlns:gml="{_GML_NS}">{xml}</r>')[0]
+        return _gml_geom(el)
+
+    def kml_trip(wkb_bytes):
+        b = W.parse_wkb([wkb_bytes])
+        el = ET.fromstring(_kml_geom_xml(b, 0, 0, b.n_paths))
+        return _kml_geom(el)
+
+    @given(st.lists(st.tuples(fin, fin), min_size=1, max_size=6))
+    @settings(max_examples=150, deadline=None)
+    def check_2d(pts):
+        import numpy as np
+        arr = np.asarray(pts, dtype=float)
+        if len(pts) == 1:
+            wkb = W.serialize_geometry(W.POINT, arr[0], False)
+        elif len(pts) == 2:
+            wkb = W.serialize_geometry(W.LINESTRING, arr, False)
+        else:
+            ring = np.vstack([arr, arr[:1]])
+            wkb = W.serialize_geometry(W.POLYGON, [ring], False)
+        assert gml_trip(wkb) == wkb
+        assert kml_trip(wkb) == wkb
+
+    @given(st.tuples(fin, fin, fin))
+    @settings(max_examples=150, deadline=None)
+    def check_3d_point(p):
+        import numpy as np
+        wkb = W.serialize_geometry(W.POINT, np.asarray(p, float), True)
+        assert gml_trip(wkb) == wkb
+        assert kml_trip(wkb) == wkb
+
+    check_2d()
+    check_3d_point()
+
+
+def test_gml_foreign_namespace_property():
+    """Property (verdict r5 #7): the GML reader matches on LOCAL
+    names — any namespace prefix on the collection and any foreign
+    namespace on the feature/property elements parse identically."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dask_geopandas_spark.sources.gml import _gml_features
+
+    ident = st.text(alphabet="abcdefghij", min_size=1, max_size=6)
+    word = st.text(alphabet="ABCxyz0123 ", min_size=1, max_size=12)
+
+    @given(p=ident, q=ident, val=word)
+    @settings(max_examples=100, deadline=None)
+    def check(p, q, val):
+        from hypothesis import assume
+        assume(p != q)  # same prefix = duplicate xmlns attribute
+        # whitespace-only property text reads as absent (documented)
+        assume(val.strip() != "")
+        doc = (
+            '<?xml version="1.0"?>'
+            f'<{p}:FeatureCollection '
+            f'xmlns:{p}="http://www.opengis.net/gml/3.2" '
+            f'xmlns:{q}="urn:x-{q}:ns">'
+            f"<{p}:featureMember><{q}:f>"
+            f"<{q}:name>{val}</{q}:name>"
+            f"<{q}:geom><{p}:Point><{p}:pos>2.5 -3.25</{p}:pos>"
+            f"</{p}:Point></{q}:geom>"
+            f"</{q}:f></{p}:featureMember>"
+            f"</{p}:FeatureCollection>")
+        feats, _crs = _gml_features(doc.encode())
+        assert len(feats) == 1
+        props, geom = feats[0]
+        assert props == {"name": val}
+        assert geom == T.wkt_to_wkb("POINT (2.5 -3.25)")
 
     check()
 
