@@ -2054,9 +2054,30 @@ def q_semantic_dedup(spark, sf_dir):
     cluster's min id.  Oracle: cell assignment + pair cosine + the
     unrolled CC fixpoint + a NOT EXISTS survivor filter, all in SQL."""
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    # semantic_dedup releases its own salt-join caches after the CC
+    # stage materializes (ADVICE r5) — no caller-side release needed
     kept = SIM.semantic_dedup(e, _ivf_fixed_cents(), threshold=0.25,
                               cell_cap=64, max_iter=8)
-    SIM.release_cached_salt_inputs()
+    return kept.select("vec_id")
+
+
+def q_semantic_dedup_pq(spark, sf_dir):
+    """SemDeDup with the PQ-coded edge stage (verdict r5 #3,
+    similarity.semantic_dedup codebooks=): the quadratic cell
+    self-join shuffles m-byte codes, a conservative symmetric-PQ
+    distance prefilter (bound = 2·(1−threshold+margin), the unit-norm
+    identity) cuts the candidate list, and only survivors rejoin real
+    vectors for the exact rounded-cosine threshold.  Fixed literal
+    centroids + codebooks → the oracle replicates codes, the SDC sum,
+    the bound compare, the cosine threshold, and the unrolled CC
+    fixpoint exactly (recall semantics are part of the contract: the
+    oracle applies the SAME prefilter, so both engines drop the same
+    overshooting pairs)."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    kept = SIM.semantic_dedup(e, _ivf_fixed_cents(), threshold=0.25,
+                              cell_cap=64, max_iter=8,
+                              codebooks=_pq_fixed_books(),
+                              sdc_margin=0.15)
     return kept.select("vec_id")
 
 
@@ -2663,6 +2684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the late-round GPX/KML additions joined the front) and lead the r6
     rotation, followed by the r3- and r4-green blocks."""
     return {
+        # -- NEW in round 6 (first driver attestation) --
+        "semantic_dedup_pq": q_semantic_dedup_pq,
         # -- NEW in round 5 (first driver attestation) --
         "cluster_dedup": q_cluster_dedup,
         "stream_funnel_left": q_stream_funnel_left,
@@ -3246,6 +3269,79 @@ def _semantic_dedup_oracle_sql(threshold: float = 0.25,
             FROM asg a JOIN asg b
               ON a.cell = b.cell AND a.vec_id < b.vec_id
             WHERE round({_cos_sql('a.e', 'b.e')}, 9)
+                  >= CAST({threshold} AS DOUBLE)
+        ),
+        cedges AS MATERIALIZED (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs
+        ),
+        cl0 AS MATERIALIZED (
+            SELECT DISTINCT a AS node, a AS component FROM cedges)
+    """
+    for i in range(1, unroll + 1):
+        sql += f"""
+        , cl{i} AS MATERIALIZED (
+            SELECT l.node,
+                   least(l.component, coalesce(m.nl, l.component))
+                       AS component
+            FROM cl{i - 1} l LEFT JOIN (
+                SELECT e.a, min(x.component) AS nl
+                FROM cedges e JOIN cl{i - 1} x ON e.b = x.node
+                GROUP BY e.a) m ON l.node = m.a
+        )
+        """
+    sql += f"""
+        SELECT s1.vec_id FROM s1
+        WHERE NOT EXISTS (
+            SELECT 1 FROM cl{unroll}
+            WHERE cl{unroll}.node = s1.vec_id
+              AND cl{unroll}.node != cl{unroll}.component)
+    """
+    return sql
+
+
+def _semantic_dedup_pq_oracle_sql(threshold: float = 0.25,
+                                  margin: float = 0.15,
+                                  unroll: int = 8) -> str:
+    """DuckDB replica of q_semantic_dedup_pq: the SDC prefilter
+    (literal k×k LUT sum, 0.0-seeded left-assoc, <= the same Python-
+    computed bound) ANDed with the exact rounded-cosine threshold on
+    same-cell pairs, then the unrolled MATERIALIZED CC fixpoint and
+    NOT EXISTS survivor filter of _semantic_dedup_oracle_sql."""
+    from dask_geopandas_spark.operators.similarity import sdc_luts
+
+    cents = _ivf_fixed_cents()
+    books = _pq_fixed_books()
+    cd = _cell_list_sql("e", cents)
+    code_cols = ", ".join(
+        f"{c} AS c{s}" for s, c in enumerate(_pq_code_cols_sql("e", books)))
+    luts = sdc_luts(books)
+    lut_lits = [
+        "[" + ", ".join(
+            "[" + ", ".join(repr(v) for v in row) + "]" for row in tab)
+        + "]" for tab in luts]
+    sd = "CAST(0.0 AS DOUBLE) + " + " + ".join(
+        f"({lit})[a.c{s} + 1][b.c{s} + 1]"
+        for s, lit in enumerate(lut_lits))
+    bound = 2.0 * (1.0 - float(threshold) + float(margin))
+    sql = f"""
+        WITH s1 AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings WHERE vec_id < 300
+        ),
+        s2 AS (SELECT vec_id, e, {cd} AS cd FROM s1),
+        asg AS (SELECT vec_id, e, {code_cols},
+                       CAST(list_position(cd, list_min(cd)) - 1 AS INTEGER)
+                           AS cell
+                FROM s2),
+        pairs AS MATERIALIZED (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM asg a JOIN asg b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE ({sd}) <= CAST({bound!r} AS DOUBLE)
+              AND round({_cos_sql('a.e', 'b.e')}, 9)
                   >= CAST({threshold} AS DOUBLE)
         ),
         cedges AS MATERIALIZED (
@@ -4273,6 +4369,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": cc,
         "cluster_dedup": cluster_dedup,
         "semantic_dedup": _semantic_dedup_oracle_sql(),
+        "semantic_dedup_pq": _semantic_dedup_pq_oracle_sql(),
         "source_cap": """
             SELECT doc_id, lang FROM (
                 SELECT doc_id, lang,

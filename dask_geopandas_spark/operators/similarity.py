@@ -477,6 +477,21 @@ def _salted_cell_join(a: DataFrame, b: DataFrame, salt_id: str,
     return salted_a.join(salted_b, on=["ivf_cell", "_salt"]).drop("_salt")
 
 
+def _sdc_expr(codebooks: list, ca: str = "_ca", cb: str = "_cb") -> Column:
+    """Symmetric-PQ squared-distance expression between two code
+    columns: per-subspace k×k literal LUTs indexed by native array
+    lookups — the whole computation stays in whole-stage codegen."""
+    luts = sdc_luts(codebooks)
+    lut_cols = [F.array(*[F.array(*[F.lit(v) for v in row])
+                          for row in tab]) for tab in luts]
+    sdist = F.lit(0.0)
+    for s, lc in enumerate(lut_cols):
+        sdist = sdist + F.element_at(
+            F.element_at(lc, F.element_at(F.col(ca), s + 1) + 1),
+            F.element_at(F.col(cb), s + 1) + 1)
+    return sdist
+
+
 def knn_graph(corpus: DataFrame, centroids: list, k: int = 5,
               id_col: str = "vec_id", vec_col: str = "embedding",
               codebooks: list | None = None, shortlist: int | None = None,
@@ -525,14 +540,7 @@ def knn_graph(corpus: DataFrame, centroids: list, k: int = 5,
                      F.col("pq_code").alias("_ca"), "ivf_cell")
     b = a.select(F.col("src_id").alias("dst_id"),
                  F.col("_ca").alias("_cb"), "ivf_cell")
-    luts = sdc_luts(codebooks)
-    lut_cols = [F.array(*[F.array(*[F.lit(v) for v in row])
-                          for row in tab]) for tab in luts]
-    sdist = F.lit(0.0)
-    for s, lc in enumerate(lut_cols):
-        sdist = sdist + F.element_at(
-            F.element_at(lc, F.element_at(F.col("_ca"), s + 1) + 1),
-            F.element_at(F.col("_cb"), s + 1) + 1)
+    sdist = _sdc_expr(codebooks)
     n_short = int(shortlist) if shortlist else 4 * k
     w_sd = Window.partitionBy("src_id").orderBy(F.asc("_sd"),
                                                 F.asc("dst_id"))
@@ -557,7 +565,9 @@ def knn_graph(corpus: DataFrame, centroids: list, k: int = 5,
 def semantic_dedup(corpus: DataFrame, centroids: list, threshold: float = 0.9,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    cell_cap: int | None = None, max_iter: int = 10,
-                   on_nonconverged: str = "warn") -> DataFrame:
+                   on_nonconverged: str = "warn",
+                   codebooks: list | None = None,
+                   sdc_margin: float = 0.15) -> DataFrame:
     """SemDeDup-style embedding-level dedup in one call (Abbas et al.
     2023 shape, a published pretraining-curation recipe): coarse
     k-means cells bound the candidate space, same-cell pairs at or
@@ -572,19 +582,88 @@ def semantic_dedup(corpus: DataFrame, centroids: list, threshold: float = 0.9,
     propagation plus ONE left-anti join of the corpus against the
     dropped-id list.  Cosine rounds to 9 decimals BEFORE the threshold
     compare so a 1-ulp engine difference cannot flip an edge (the
-    oracle convention everywhere in this module)."""
+    oracle convention everywhere in this module).
+
+    ``codebooks`` (PQ, from `train_pq` — verdict r5 #3): the quadratic
+    cell self-join carries (id, m-byte pq_code) instead of two full
+    d-dimensional vectors — the dominant shuffle shrinks from 2·d·8
+    bytes/pair-row to ~2·m.  Candidates pass a CONSERVATIVE symmetric-
+    PQ prefilter — keep when the SDC distance estimate allows
+    ``cos >= threshold - sdc_margin`` under the unit-norm identity
+    ``cos = 1 - d²/2`` — then only survivors rejoin the real vectors
+    (two uniform id-keyed joins) for the exact rounded-cosine
+    threshold.  Precision is exact (the final compare is the same as
+    the vector path); RECALL is approximate: a true >=threshold pair
+    whose SDC estimate overshoots by more than ``sdc_margin`` is
+    pruned before the exact check.  Widen ``sdc_margin`` (or train
+    finer codebooks) to trade shuffle width back for recall; the
+    published SemDeDup recipe is itself approximate via its cell
+    partition, so this adds a second, tunable approximation layer —
+    documented, not hidden.  Assumes roughly unit-normalized
+    embeddings (the SemDeDup setting)."""
     from .dedup import cluster_dedup
 
+    n_cached_before = len(_CACHED_SALT_INPUTS)
+    edges = semantic_dedup_edges(corpus, centroids, threshold,
+                                 id_col=id_col, vec_col=vec_col,
+                                 cell_cap=cell_cap, codebooks=codebooks,
+                                 sdc_margin=sdc_margin)
+    out = cluster_dedup(corpus, edges, id_col=id_col, src="src_id",
+                        dst="dst_id", max_iter=max_iter,
+                        on_nonconverged=on_nonconverged)
+    # connected_components eagerly localCheckpoints the edge list, so
+    # by now the salt-join cache THIS call created has served both
+    # consumers (counts job + edge materialization) — release our
+    # entries here (ADVICE r5: a caller-side release can neither be
+    # too early nor forgotten), leaving any caller-held caches alone.
+    # The returned frame joins the corpus against checkpointed labels
+    # only; nothing recomputes through the released cache.
+    for _ in range(len(_CACHED_SALT_INPUTS) - n_cached_before):
+        try:
+            _CACHED_SALT_INPUTS.pop().unpersist()
+        except Exception:
+            pass
+    return out
+
+
+def semantic_dedup_edges(corpus: DataFrame, centroids: list,
+                         threshold: float = 0.9,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         cell_cap: int | None = None,
+                         codebooks: list | None = None,
+                         sdc_margin: float = 0.15) -> DataFrame:
+    """The edge stage of :func:`semantic_dedup`, exposed separately:
+    (src_id, dst_id) near-duplicate pairs with src < dst.  See
+    `semantic_dedup` for the distributed shape and the ``codebooks``
+    SDC-prefilter recall semantics."""
     assigned = assign_ivf_cells(corpus, centroids, vec_col)
-    a = assigned.select(F.col(id_col).alias("src_id"),
-                        F.col(vec_col).alias("sv"), "ivf_cell")
+    if codebooks is None:
+        a = assigned.select(F.col(id_col).alias("src_id"),
+                            F.col(vec_col).alias("sv"), "ivf_cell")
+        b = a.select(F.col("src_id").alias("dst_id"),
+                     F.col("sv").alias("dv"), "ivf_cell")
+        return (_salted_cell_join(a, b, "dst_id", cell_cap)
+                .filter(F.col("src_id") < F.col("dst_id"))
+                .filter(F.round(cosine(F.col("sv"), F.col("dv")), 9)
+                        >= F.lit(float(threshold)))
+                .select("src_id", "dst_id"))
+    coded = pq_encode(assigned, codebooks, vec_col)
+    a = coded.select(F.col(id_col).alias("src_id"),
+                     F.col("pq_code").alias("_ca"), "ivf_cell")
     b = a.select(F.col("src_id").alias("dst_id"),
-                 F.col("sv").alias("dv"), "ivf_cell")
-    edges = (_salted_cell_join(a, b, "dst_id", cell_cap)
-             .filter(F.col("src_id") < F.col("dst_id"))
-             .filter(F.round(cosine(F.col("sv"), F.col("dv")), 9)
-                     >= F.lit(float(threshold)))
-             .select("src_id", "dst_id"))
-    return cluster_dedup(corpus, edges, id_col=id_col, src="src_id",
-                         dst="dst_id", max_iter=max_iter,
-                         on_nonconverged=on_nonconverged)
+                 F.col("_ca").alias("_cb"), "ivf_cell")
+    # unit-norm identity: cos >= t - margin  <=>  d² <= 2(1-t+margin)
+    bound = 2.0 * (1.0 - float(threshold) + float(sdc_margin))
+    cand = (_salted_cell_join(a, b, "dst_id", cell_cap)
+            .filter(F.col("src_id") < F.col("dst_id"))
+            .filter(_sdc_expr(codebooks) <= F.lit(bound))
+            .select("src_id", "dst_id"))
+    sv = corpus.select(F.col(id_col).alias("src_id"),
+                       F.col(vec_col).alias("sv"))
+    dv = corpus.select(F.col(id_col).alias("dst_id"),
+                       F.col(vec_col).alias("dv"))
+    return (cand.join(sv, on="src_id").join(dv, on="dst_id")
+            .filter(F.round(cosine(F.col("sv"), F.col("dv")), 9)
+                    >= F.lit(float(threshold)))
+            .select("src_id", "dst_id"))

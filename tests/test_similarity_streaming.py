@@ -717,6 +717,126 @@ def test_semantic_dedup_matches_union_find(spark):
     SIM.release_cached_salt_inputs()
 
 
+def _unit_norm_frame(spark):
+    """45 unit-normalized vectors in three tight direction clusters;
+    TWO directions share an IVF cell (A at e1 and B at (e1+e2)/√2 both
+    land in cell 0), so the cell self-join sees true near-dup pairs
+    AND far same-cell pairs — what an SDC prefilter must separate."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(11)
+    dirs = [np.eye(8)[0],
+            (np.eye(8)[0] + np.eye(8)[1]) / np.sqrt(2.0),
+            np.eye(8)[5]]
+    rows = []
+    for i in range(45):
+        v = dirs[i // 15] + rng.uniform(-0.02, 0.02, 8)
+        rows.append(v / np.linalg.norm(v))
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(45, dtype=np.int64),
+        "embedding": [list(map(float, v)) for v in rows],
+    })
+    cents = [list(map(float, dirs[0])), list(map(float, dirs[2]))]
+    return spark.createDataFrame(pdf), cents
+
+
+def test_semantic_dedup_pq_prefilter_superset(spark):
+    """r6 (verdict #3): the SDC prefilter at the default margin keeps
+    a SUPERSET of the exact-threshold pairs on the fixture corpus
+    (recall intact) while pruning far same-cell pairs (the shuffle
+    saving is real), and the end-to-end PQ path equals the exact
+    vector path."""
+    import numpy as np
+
+    df, cents = _unit_norm_frame(spark)
+    books = SIM.train_pq(df, m=2, k=4, sample=45)
+    thr, margin = 0.99, 0.15
+
+    pdf = df.toPandas()
+    M = np.array([np.asarray(v, float) for v in pdf["embedding"]])
+    C = np.asarray(cents, float)
+    cells = np.argmin(((M[:, None, :] - C[None, :, :]) ** 2).sum(-1),
+                      axis=1)
+    cos = (M / np.linalg.norm(M, axis=1, keepdims=True)) @ \
+        (M / np.linalg.norm(M, axis=1, keepdims=True)).T
+    # numpy replica of pq_encode + sdc_luts
+    B = [np.asarray(book, float) for book in books]
+    sub = M.reshape(len(M), len(B), -1)
+    codes = np.stack([
+        np.argmin(((sub[:, s, None, :] - B[s][None, :, :]) ** 2).sum(-1),
+                  axis=1) for s in range(len(B))], axis=1)
+    luts = [((B[s][:, None, :] - B[s][None, :, :]) ** 2).sum(-1)
+            for s in range(len(B))]
+    same_cell = [(i, j) for i in range(len(M)) for j in range(i + 1, len(M))
+                 if cells[i] == cells[j]]
+    true_pairs = {(i, j) for i, j in same_cell
+                  if round(cos[i, j], 9) >= thr}
+    bound = 2.0 * (1.0 - thr + margin)
+    cand_pairs = {(i, j) for i, j in same_cell
+                  if sum(luts[s][codes[i, s], codes[j, s]]
+                         for s in range(len(B))) <= bound}
+    assert true_pairs, "fixture must contain near-dup pairs"
+    assert true_pairs <= cand_pairs          # recall at this margin
+    assert len(cand_pairs) < len(same_cell)  # and real pruning
+    exact = sorted(r["vec_id"] for r in
+                   SIM.semantic_dedup(df, cents, threshold=thr).collect())
+    pq = sorted(r["vec_id"] for r in
+                SIM.semantic_dedup(df, cents, threshold=thr,
+                                   codebooks=books,
+                                   sdc_margin=margin).collect())
+    assert pq == exact
+    assert len(exact) < 45  # something deduplicated
+
+
+def test_semantic_dedup_pq_cell_join_shuffles_codes_not_vectors(spark):
+    """r6 (verdict #3): with codebooks, semantic_dedup's cell-keyed
+    Exchanges carry pq codes and no embedding column — the vectors
+    re-enter only through the uniform id-keyed rejoin of the SDC
+    survivors."""
+    df, cents = _unit_norm_frame(spark)
+    books = SIM.train_pq(df, m=2, k=4, sample=45)
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = SIM.semantic_dedup_edges(df, cents, threshold=0.99,
+                                       codebooks=books, cell_cap=5)
+        plan = _formatted_plan(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        SIM.release_cached_salt_inputs()
+    cell_exchanges = [
+        blk for blk in plan.split("\n\n")
+        if blk.lstrip().startswith("(") and "Exchange" in blk.splitlines()[0]
+        and "hashpartitioning(ivf_cell" in blk
+    ]
+    assert cell_exchanges, plan
+    for blk in cell_exchanges:
+        assert "embedding" not in blk, blk
+
+
+def test_semantic_dedup_releases_own_salt_caches(spark):
+    """r6 (ADVICE r5): semantic_dedup's eager CC stage consumes the
+    salt-join cache inside the call, so the operator itself releases
+    the entries it created — callers neither leak nor double-free,
+    and caller-held caches survive."""
+    df, cents = _hot_cell_frame(spark)
+    SIM.release_cached_salt_inputs()
+    sentinel = df.select("vec_id")
+    from pyspark import StorageLevel
+    sentinel.persist(StorageLevel.MEMORY_AND_DISK)
+    SIM._CACHED_SALT_INPUTS.append(sentinel)   # a caller-held cache
+    try:
+        out = SIM.semantic_dedup(df, cents, threshold=0.999, cell_cap=5)
+        assert out.count() > 0
+        # ours released, the caller's entry untouched
+        assert SIM._CACHED_SALT_INPUTS == [sentinel]
+        assert (sentinel.storageLevel.useMemory
+                or sentinel.storageLevel.useDisk)
+    finally:
+        SIM.release_cached_salt_inputs()
+
+
 def test_state_partitions_scope(spark):
     """r5: the state-sizing scope sets shuffle partitions only inside
     the with-block, restores on exit (and on error), and None is a
