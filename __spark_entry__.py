@@ -2081,6 +2081,31 @@ def q_semantic_dedup_pq(spark, sf_dir):
     return kept.select("vec_id")
 
 
+def q_line_dedup(spark, sf_dir):
+    """Line-level corpus dedup (dedup.line_dedup — the CCNet/
+    RefinedWeb boilerplate stage, verdict r5 #4): drop every
+    occurrence of lines repeated corpus-wide more than N times,
+    reassemble docs in original line order, count drops per doc.
+    The documents table is single-line, so the query synthesizes
+    multi-line docs natively (8-word head line, a boilerplate line on
+    even ids, a blank line, 8-word tail) — the oracle replicates the
+    construction, the explode, the count, and the ordered
+    reassembly in SQL."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    words = F.split(F.col("text"), " ")
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.array_join(F.slice(words, 1, 8), " "),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit("SUBSCRIBE to our newsletter")),
+            F.lit(""),
+            F.array_join(F.slice(words, 9, 8), " ")).alias("text"))
+    out = DD.line_dedup(synth, max_occurrences=5)
+    return out.select("doc_id", "text", "n_dropped")
+
+
 def q_fillna_isna(spark, sf_dir):
     """Missing-geometry semantics (reference 'Missing values' rows of
     geoseries.rst; SURVEY §1.3): NULL every 7th customer's geometry,
@@ -2686,6 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- NEW in round 6 (first driver attestation) --
         "semantic_dedup_pq": q_semantic_dedup_pq,
+        "line_dedup": q_line_dedup,
         # -- NEW in round 5 (first driver attestation) --
         "cluster_dedup": q_cluster_dedup,
         "stream_funnel_left": q_stream_funnel_left,
@@ -3299,6 +3325,59 @@ def _semantic_dedup_oracle_sql(threshold: float = 0.25,
               AND cl{unroll}.node != cl{unroll}.component)
     """
     return sql
+
+
+def _line_dedup_oracle_sql(max_occ: int = 5) -> str:
+    """DuckDB replica of q_line_dedup: identical synthetic multi-line
+    construction (concat_ws skips the NULL boilerplate slot in both
+    engines), generate_subscripts/unnest explode, lower(trim) keys
+    with short lines NULLed out of counting, HAVING count > N
+    over-list, left-join mark, and string_agg(... ORDER BY pos)
+    reassembly with an empty-string fallback for all-boilerplate
+    docs."""
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   concat_ws(chr(10),
+                       array_to_string(
+                           list_slice(string_split(text, ' '), 1, 8), ' '),
+                       CASE WHEN doc_id % 2 = 0
+                            THEN 'SUBSCRIBE to our newsletter' END,
+                       '',
+                       array_to_string(
+                           list_slice(string_split(text, ' '), 9, 16), ' ')
+                   ) AS t
+            FROM documents WHERE doc_id < 400
+        ),
+        arrs AS (SELECT doc_id, string_split(t, chr(10)) AS arr FROM base),
+        lines AS (
+            SELECT doc_id,
+                   generate_subscripts(arr, 1) AS pos,
+                   unnest(arr) AS line
+            FROM arrs
+        ),
+        keyed AS (
+            SELECT doc_id, pos, line,
+                   CASE WHEN len(trim(line)) >= 1
+                        THEN lower(trim(line)) END AS k
+            FROM lines
+        ),
+        over_l AS (
+            SELECT k FROM keyed WHERE k IS NOT NULL
+            GROUP BY k HAVING count(*) > {max_occ}
+        ),
+        marked AS (
+            SELECT keyed.doc_id, keyed.pos, keyed.line,
+                   (over_l.k IS NOT NULL) AS dup
+            FROM keyed LEFT JOIN over_l ON keyed.k = over_l.k
+        )
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN NOT dup THEN line END,
+                                   chr(10) ORDER BY pos), '') AS text,
+               CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped
+        FROM marked GROUP BY doc_id
+    """
 
 
 def _semantic_dedup_pq_oracle_sql(threshold: float = 0.25,
@@ -4370,6 +4449,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_dedup": cluster_dedup,
         "semantic_dedup": _semantic_dedup_oracle_sql(),
         "semantic_dedup_pq": _semantic_dedup_pq_oracle_sql(),
+        "line_dedup": _line_dedup_oracle_sql(),
         "source_cap": """
             SELECT doc_id, lang FROM (
                 SELECT doc_id, lang,

@@ -41,6 +41,7 @@ __all__ = [
     "read_parquet",
     "read_feather",
     "read_file",
+    "write_file",
     "read_geojson",
     "to_geojson",
     "to_feather",
@@ -79,6 +80,12 @@ def read_file(spark, path, **kw):
     from .sources.file import read_file as _rf
 
     return _rf(spark, path, **kw)
+
+
+def write_file(gdf, path, **kw):
+    from .sources.file import write_file as _wf
+
+    return _wf(gdf, path, **kw)
 
 
 def read_geojson(spark, path, **kw):

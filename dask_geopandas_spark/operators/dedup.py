@@ -669,3 +669,62 @@ def cluster_dedup(df: DataFrame, edges: DataFrame, id_col: str = "doc_id",
     drop = (labels.filter(F.col("node") != F.col("component"))
             .select(F.col("node").alias(id_col)))
     return df.join(drop, on=id_col, how="left_anti")
+
+
+def line_dedup(df: DataFrame, max_occurrences: int = 1,
+               text_col: str = "text", id_col: str = "doc_id",
+               normalize: bool = True, min_chars: int = 1,
+               count_col: str = "n_dropped") -> DataFrame:
+    """Line-level corpus dedup (the CCNet/RefinedWeb boilerplate
+    stage): drop every occurrence of any line whose NORMALIZED form
+    appears more than ``max_occurrences`` times across the whole
+    corpus — cookie banners, nav bars, license footers — then
+    reassemble each document in original line order.  Returns ``df``
+    with ``text_col`` rewritten and a ``count_col`` of dropped lines
+    per document (0 for untouched docs; a doc whose every line is
+    boilerplate comes back with empty text, not silently vanished).
+
+    ``normalize=True`` keys lines on ``lower(trim(line))`` (the CCNet
+    convention); lines shorter than ``min_chars`` after trimming —
+    empty lines, lone punctuation — are NEVER dropped, so paragraph
+    structure survives even though blank lines repeat corpus-wide.
+
+    Distributed shape, all native SQL: one ``posexplode`` (no data
+    ever concatenates driver-side), one partial+final hash aggregation
+    over the line key for the corpus-wide counts (map-side combine
+    absorbs the boilerplate skew — a line occurring a billion times
+    contributes one partial count per map task, never a billion-row
+    reduce key), one join against the over-limit key list (typically
+    tiny → AQE broadcasts it), and one per-document aggregation whose
+    ``array_sort`` on (pos, line) structs restores original order.
+    The only corpus-wide shuffles are the count aggregation and the
+    final doc_id regroup."""
+    if max_occurrences < 1:
+        raise ValueError(
+            f"max_occurrences must be >= 1, got {max_occurrences}")
+    other_cols = [c for c in df.columns if c != text_col]
+    lines = df.select(
+        *other_cols,
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("_pos", "_line"))
+    key = (F.lower(F.trim(F.col("_line"))) if normalize
+           else F.col("_line"))
+    # short/empty lines get a NULL key: excluded from counting AND
+    # never equal in the over-limit join below
+    lines = lines.withColumn(
+        "_k", F.when(F.length(F.trim(F.col("_line"))) >= int(min_chars),
+                     key))
+    over = (lines.filter(F.col("_k").isNotNull())
+            .groupBy("_k").agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > int(max_occurrences))
+            .select("_k", F.lit(True).alias("_dup")))
+    marked = lines.join(over, on="_k", how="left")
+    kept_struct = F.when(F.col("_dup").isNull(),
+                         F.struct(F.col("_pos"), F.col("_line")))
+    out = (marked.groupBy(*other_cols).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["_line"]), "\n").alias(text_col),
+        F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0))
+        .cast("long").alias(count_col)))
+    return out.select(*df.columns, count_col)

@@ -147,3 +147,69 @@ def read_file(spark: SparkSession, path: str, npartitions: int | None = None,
 
     df = part_df.mapInPandas(gen, schema=schema)
     return GeoDataFrame(df, "geometry", crs=str(crs) if crs else None)
+
+
+def write_file(gdf_or_df, path: str, **kwargs) -> None:
+    """Extension-routed vector sink — the write-side mirror of
+    ``read_file``'s pure-Python router (verdict r5 #6; reference
+    parity: geopandas ``to_file``, which routes through OGR by
+    driver).  ``path``'s extension picks the sink:
+
+    ========================  =====================================
+    .geojson/.geojsonl/.ndjson ``to_geojson`` (sources/geojson.py)
+    .shp                       ``to_shapefile`` (sources/shapefile.py)
+    .gpkg                      ``to_geopackage`` (sources/geopackage.py)
+    .fgb                       ``to_flatgeobuf`` (sources/flatgeobuf.py)
+    .gpx                       ``to_gpx`` (sources/xmlvector.py)
+    .kml                       ``to_kml`` (sources/xmlvector.py)
+    .gml                       ``to_gml`` (sources/gml.py)
+    .parquet                   ``to_parquet`` (sources/geoparquet.py)
+    .feather/.arrow            ``to_feather`` (sources/feather.py)
+    ========================  =====================================
+
+    Keyword arguments pass through to the routed sink (``layer=`` for
+    GeoPackage, ``name_col=`` for GPX/KML, ``feature_name=`` for GML,
+    ...).  Unknown extensions raise ``ValueError`` listing the
+    supported set — the same fail-fast contract as ``read_file``'s
+    GDAL-absent branch."""
+    low = path.lower()
+    if low.endswith((".geojson", ".geojsonl", ".ndjson")):
+        from .geojson import to_geojson
+
+        return to_geojson(gdf_or_df, path, **kwargs)
+    if low.endswith(".shp"):
+        from .shapefile import to_shapefile
+
+        return to_shapefile(gdf_or_df, path, **kwargs)
+    if low.endswith(".gpkg"):
+        from .geopackage import to_geopackage
+
+        return to_geopackage(gdf_or_df, path, **kwargs)
+    if low.endswith(".fgb"):
+        from .flatgeobuf import to_flatgeobuf
+
+        return to_flatgeobuf(gdf_or_df, path, **kwargs)
+    if low.endswith(".gpx"):
+        from .xmlvector import to_gpx
+
+        return to_gpx(gdf_or_df, path, **kwargs)
+    if low.endswith(".kml"):
+        from .xmlvector import to_kml
+
+        return to_kml(gdf_or_df, path, **kwargs)
+    if low.endswith(".gml"):
+        from .gml import to_gml
+
+        return to_gml(gdf_or_df, path, **kwargs)
+    if low.endswith(".parquet"):
+        from .geoparquet import to_parquet
+
+        return to_parquet(gdf_or_df, path, **kwargs)
+    if low.endswith((".feather", ".arrow")):
+        from .feather import to_feather
+
+        return to_feather(gdf_or_df, path, **kwargs)
+    raise ValueError(
+        f"write_file: unsupported extension on {path!r}; supported: "
+        ".geojson/.geojsonl/.ndjson .shp .gpkg .fgb .gpx .kml .gml "
+        ".parquet .feather/.arrow")

@@ -900,3 +900,65 @@ class TestMediaManifest:
         assert out["fake_image"]["n"] == 1
         assert out["mp3"]["n"] == 2  # ID3-tagged + bare sync word
         assert out["unknown"]["min_bytes"] == len(b"not a media file")
+
+
+class TestLineDedup:
+    def test_zipf_boilerplate_removed_order_kept(self, spark):
+        """r6 (verdict #4): a boilerplate line in half the corpus is
+        dropped from EVERY doc, unique lines survive in original
+        order, blank lines are never dropped (structure), and a doc
+        that is pure boilerplate comes back empty, not vanished."""
+        from dask_geopandas_spark.operators.dedup import line_dedup
+
+        boiler = "Subscribe to our newsletter!"
+        rows = []
+        for i in range(40):
+            if i == 0:
+                body = f"{boiler}\n{boiler.lower()}"      # pure boilerplate
+            elif i % 2 == 0:
+                body = f"unique head {i}\n{boiler}\n\nunique tail {i}"
+            else:
+                body = f"only content {i}\nsecond line {i}"
+            rows.append((i, body))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               line_dedup(df, max_occurrences=3).collect()}
+        assert len(out) == 40                      # nothing vanished
+        assert out[0]["text"] == "" and out[0]["n_dropped"] == 2
+        for i in range(2, 40, 2):
+            assert out[i]["text"] == f"unique head {i}\n\nunique tail {i}"
+            assert out[i]["n_dropped"] == 1
+        for i in range(1, 40, 2):
+            assert out[i]["text"] == f"only content {i}\nsecond line {i}"
+            assert out[i]["n_dropped"] == 0
+
+    def test_threshold_and_normalization(self, spark):
+        """Lines at exactly max_occurrences survive; normalization
+        folds case/whitespace; normalize=False keys raw lines."""
+        from dask_geopandas_spark.operators.dedup import line_dedup
+
+        df = spark.createDataFrame(
+            [(1, "Same Line\nkeep a"), (2, "  same line \nkeep b"),
+             (3, "SAME LINE\nkeep c")],
+            "doc_id long, text string")
+        # 3 normalized occurrences > 2 -> all dropped
+        out = {r["doc_id"]: r["text"] for r in
+               line_dedup(df, max_occurrences=2).collect()}
+        assert out == {1: "keep a", 2: "keep b", 3: "keep c"}
+        # at the threshold (3 <= 3) -> untouched
+        out3 = {r["doc_id"]: r["text"] for r in
+                line_dedup(df, max_occurrences=3).collect()}
+        assert out3[1] == "Same Line\nkeep a"
+        # raw keys: the three spellings differ -> untouched
+        raw = {r["doc_id"]: r["text"] for r in
+               line_dedup(df, max_occurrences=2,
+                          normalize=False).collect()}
+        assert raw[3] == "SAME LINE\nkeep c"
+
+    def test_validates_max_occurrences(self, spark):
+        from dask_geopandas_spark.operators.dedup import line_dedup
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="max_occurrences"):
+            line_dedup(df, max_occurrences=0)

@@ -479,3 +479,31 @@ def test_geoparquet_covering_metadata(spark, tmp_path):
     meta2 = json.loads(pq.read_schema(
         _g.glob(path2 + "/*.parquet")[0]).metadata[b"geo"])
     assert "covering" not in meta2["columns"]["geometry"]
+
+
+def test_write_file_extension_router(spark, tmp_path):
+    """r6 (verdict #6): write_file routes by extension to every
+    pure-Python sink, closing the read/write asymmetry — one roundtrip
+    per extension through the router, plus the fail-fast contract."""
+    from dask_geopandas_spark.geometry import wkt as T
+
+    wkb = T.wkt_to_wkb("POINT (1 2)")
+    pdf = pd.DataFrame({"nm": ["a"], "geometry": [wkb]})
+    g = dgs.GeoDataFrame(spark.createDataFrame(pdf).coalesce(1),
+                         "geometry", crs="EPSG:4326")
+    for ext in ("geojson", "shp", "gpkg", "fgb", "gpx", "kml", "gml"):
+        p = str(tmp_path / f"out.{ext}")
+        dgs.write_file(g, p)
+        back = dgs.read_file(spark, p)
+        got = [r["geometry"] for r in back.df.select("geometry").collect()]
+        assert got == [wkb], ext
+    p = str(tmp_path / "out.parquet")
+    dgs.write_file(g, p)
+    assert dgs.read_parquet(spark, p).df.select(
+        "geometry").collect()[0]["geometry"] == wkb
+    p = str(tmp_path / "out.feather")
+    dgs.write_file(g, p)
+    assert dgs.read_feather(spark, p).df.select(
+        "geometry").collect()[0]["geometry"] == wkb
+    with pytest.raises(ValueError, match="unsupported extension"):
+        dgs.write_file(g, str(tmp_path / "out.xyz"))
