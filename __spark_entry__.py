@@ -1818,6 +1818,22 @@ def q_lsh_pairs(spark, sf_dir):
     )
 
 
+# State-store instance counts for the STATEFUL streaming queries:
+# Structured Streaming fixes the count from shuffle partitions at
+# first query start, and every micro-batch pays per-instance store
+# open/commit overhead — so the knob is part of each query's
+# performance contract.  bench.py records this dict in the BENCH json
+# (verdict r5 #8) so a sizing regression is visible even under host
+# wall-clock noise.  At cluster scale these go UP with keyspace ×
+# throughput; 8 fits the bench stream.
+STREAM_STATE_PARTITIONS = {
+    "stream_funnel": 8,
+    "stream_funnel_left": 8,
+    "stream_funnel3": 8,
+    "stream_funnel3_left": 8,
+}
+
+
 def q_stream_funnel(spark, sf_dir):
     """Stream-stream inner join (streaming/joins.py
     event_sequence_join): click→purchase pairs per user within 30
@@ -1844,7 +1860,7 @@ def q_stream_funnel(spark, sf_dir):
     # buckets at bench scale) — the batch default would spend most of
     # the wall-clock opening/committing empty stores per micro-batch
     from dask_geopandas_spark.streaming.joins import state_partitions
-    with state_partitions(spark, 8):
+    with state_partitions(spark, STREAM_STATE_PARTITIONS["stream_funnel"]):
         q = (joined.writeStream.format("memory").queryName(qname)
              .outputMode("append").trigger(availableNow=True).start())
         q.awaitTermination(300)
@@ -1890,7 +1906,8 @@ def q_stream_funnel_left(spark, sf_dir):
                                  how="left")
     qname = "stream_funnel_left_sink"
     from dask_geopandas_spark.streaming.joins import state_partitions
-    with state_partitions(spark, 8):
+    with state_partitions(spark,
+                          STREAM_STATE_PARTITIONS["stream_funnel_left"]):
         q = (joined.writeStream.format("memory").queryName(qname)
              .outputMode("append").trigger(availableNow=True).start())
         q.awaitTermination(300)
@@ -1926,7 +1943,7 @@ def q_stream_funnel3(spark, sf_dir):
     fun = funnel_join(stream(), ["view", "click", "purchase"],
                       within="30 minutes")
     qname = "stream_funnel3_sink"
-    with state_partitions(spark, 8):
+    with state_partitions(spark, STREAM_STATE_PARTITIONS["stream_funnel3"]):
         q = (fun.writeStream.format("memory").queryName(qname)
              .outputMode("append").trigger(availableNow=True).start())
         q.awaitTermination(300)
@@ -1969,7 +1986,8 @@ def q_stream_funnel3_left(spark, sf_dir):
     fun = funnel_join(stream(), ["view", "click", "purchase"],
                       within="30 minutes", last_how="left")
     qname = "stream_funnel3_left_sink"
-    with state_partitions(spark, 8):
+    with state_partitions(spark,
+                          STREAM_STATE_PARTITIONS["stream_funnel3_left"]):
         q = (fun.writeStream.format("memory").queryName(qname)
              .outputMode("append").trigger(availableNow=True).start())
         q.awaitTermination(300)
@@ -2700,19 +2718,103 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness check emits at
-    most 50 rows, in registry order.  Round 5 rotation (the r4
-    verdict's standing order): (a) the two queries NEW this round,
-    then (b) the oldest-attested entries — driver-green in r1/r2 and
-    unchecked since, now rotated ahead of the code refactored under
-    them (booleans kernel, setops dispatcher, projections).  4 of
-    the 48 r2-era entries overflow the 50-row window (two more after
-    the late-round GPX/KML additions joined the front) and lead the r6
-    rotation, followed by the r3- and r4-green blocks."""
+    most 50 rows, in registry order.  Round 6 rotation (r5 verdict
+    order #2): (a) the two queries NEW this round, (b) ALL 14 entries
+    whose last hash-green attestation is round 2 (the curve encoders
+    and the LSH chain under them were refactored in r3-r5), (c) all
+    14 last green in round 3, (d) the 20 oldest round-4 attestations
+    — exactly filling the 50-row window.  Everything attested in
+    round 5 (the r5-new block plus the rotated r1/r2 entries) sits
+    below the window, ahead of only the two rows-only-by-design
+    entries' pytest pins."""
     return {
         # -- NEW in round 6 (first driver attestation) --
         "semantic_dedup_pq": q_semantic_dedup_pq,
         "line_dedup": q_line_dedup,
-        # -- NEW in round 5 (first driver attestation) --
+        # -- last green r2 (14: full remainder, verdict #2) --
+        "line_project": q_line_project,
+        "sql_surface": q_sql_surface,
+        "morton_buckets": q_morton_buckets,
+        "geohash_cells": q_geohash_cells,
+        "hilbert_buckets": q_hilbert_buckets,
+        "token_stats": q_token_stats,
+        "exact_dedup": q_exact_dedup,
+        "lang_quality": q_lang_quality,
+        "fingerprint_dups": q_fingerprint_dups,
+        "minhash_sigs": q_minhash_sigs,
+        "lsh_pairs": q_lsh_pairs,
+        "lsh_dedup": q_lsh_dedup,
+        "lsh_dedup_fixpoint": q_lsh_dedup_fixpoint,
+        "quality_signals": q_quality_signals,
+        # -- last green r3 (14) --
+        "pii_redact": q_pii_redact,
+        "vocab_top": q_vocab_top,
+        "geojson_roundtrip": q_geojson_roundtrip,
+        "pipeline_clean_join": q_pipeline_clean_join,
+        "topk_parts": q_topk_parts,
+        "spatial_hourly": q_spatial_hourly,
+        "sjoin_nearest_grid": q_sjoin_nearest_grid,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash": q_simhash,
+        "ann_topk": q_ann_topk,
+        "ann_ivf_exact": q_ann_ivf_exact,
+        "embedding_neardup": q_embedding_neardup,
+        "events_hourly": q_events_hourly,
+        "session_windows": q_session_windows,
+        # -- oldest r4 attestations (20, filling the window to 50) --
+        "running_totals": q_running_totals,
+        "image_meta": q_image_meta,
+        "image_resize": q_image_resize,
+        "audio_meta": q_audio_meta,
+        "frame_counts": q_frame_counts,
+        "shapefile_roundtrip": q_shapefile_roundtrip,
+        "geopackage_roundtrip": q_geopackage_roundtrip,
+        "split_holdout": q_split_holdout,
+        "ann_pq": q_ann_pq,
+        "ann_ivf_pq": q_ann_ivf_pq,
+        "knn_graph": q_knn_graph,
+        "knn_graph_pq": q_knn_graph_pq,
+        "fgb_roundtrip": q_fgb_roundtrip,
+        "tfidf_top": q_tfidf_top,
+        "bm25_topk": q_bm25_topk,
+        "connected_components": q_connected_components,
+        "stream_funnel": q_stream_funnel,
+        "lm_quality": q_lm_quality,
+        "bm25_batch": q_bm25_batch,
+        "media_manifest": q_media_manifest,
+        # ---- 50-row driver window ends here ----
+        # -- remaining r4-green --
+        "to_lambert": q_to_lambert,
+        "to_albers": q_to_albers,
+        "crs_roundtrip": q_crs_roundtrip,
+        "overlay_inter": q_overlay_inter,
+        "overlay_diff": q_overlay_diff,
+        "sjoin_dwithin": q_sjoin_dwithin,
+        "hash_sample": q_hash_sample,
+        "pack_docs": q_pack_docs,
+        "asof_clicks": q_asof_clicks,
+        "interval_clicks": q_interval_clicks,
+        "length_percentiles": q_length_percentiles,
+        "to_projstring": q_to_projstring,
+        "pq_codes": q_pq_codes,
+        "overlay_lines": q_overlay_lines,
+        "stream_geofence": q_stream_geofence,
+        "sql_union_agg": q_sql_union_agg,
+        "geoarrow_roundtrip": q_geoarrow_roundtrip,
+        "sql_geom_fns": q_sql_geom_fns,
+        "line_overlap": q_line_overlap,
+        "sliding_windows": q_sliding_windows,
+        "contamination": q_contamination,
+        "mh_jaccard_est": q_mh_jaccard_est,
+        "dissolve_union_area": q_dissolve_union_area,
+        "union_all_area": q_union_all_area,
+        "setops_concave_area": q_setops_concave_area,
+        "clip_concave_lines": q_clip_concave_lines,
+        "clip_concave_polys": q_clip_concave_polys,
+        "buffer_l_area": q_buffer_l_area,
+        "top_bigram": q_top_bigram,
+        "stream_dedup": q_stream_dedup,
+        # -- green r5 (the r5-new block) --
         "cluster_dedup": q_cluster_dedup,
         "stream_funnel_left": q_stream_funnel_left,
         "gpx_roundtrip": q_gpx_roundtrip,
@@ -2725,12 +2827,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_funnel3": q_stream_funnel3,
         "stream_funnel3_left": q_stream_funnel3_left,
         "asof_tolerance": q_asof_tolerance,
-        # -- oldest attestations: driver-green r1, unchecked since --
+        # -- green r5 (rotated r1/r2 blocks) --
         "fillna_isna": q_fillna_isna,
         "region_dissolve": q_region_dissolve,
         "rollup_revenue": q_rollup_revenue,
         "concat_bounds": q_concat_bounds,
-        # -- oldest attestations: driver-green r2, unchecked since --
         "cx_bbox_filter": q_cx_bbox_filter,
         "total_bounds": q_total_bounds,
         "point_distance": q_point_distance,
@@ -2765,91 +2866,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "points_z": q_points_z,
         "geom_properties": q_geom_properties,
         "skew_avg": q_skew_avg,
-        # ---- 50-row driver window ends here ----
-        # -- r2-green remainder (front of the r6 rotation) --
-        "line_project": q_line_project,
-        "sql_surface": q_sql_surface,
-        "morton_buckets": q_morton_buckets,
-        "geohash_cells": q_geohash_cells,
-        "hilbert_buckets": q_hilbert_buckets,
-        "token_stats": q_token_stats,
-        "exact_dedup": q_exact_dedup,
-        "lang_quality": q_lang_quality,
-        "fingerprint_dups": q_fingerprint_dups,
-        "minhash_sigs": q_minhash_sigs,
-        "lsh_pairs": q_lsh_pairs,
-        "lsh_dedup": q_lsh_dedup,
-        "lsh_dedup_fixpoint": q_lsh_dedup_fixpoint,
-        "quality_signals": q_quality_signals,
-        # -- driver-green r3 --
-        "pii_redact": q_pii_redact,
-        "vocab_top": q_vocab_top,
-        "geojson_roundtrip": q_geojson_roundtrip,
-        "pipeline_clean_join": q_pipeline_clean_join,
-        "topk_parts": q_topk_parts,
-        "spatial_hourly": q_spatial_hourly,
-        "sjoin_nearest_grid": q_sjoin_nearest_grid,
-        "jaccard_pairs": q_jaccard_pairs,
-        "simhash": q_simhash,
-        "ann_topk": q_ann_topk,
-        "ann_ivf_exact": q_ann_ivf_exact,
-        "embedding_neardup": q_embedding_neardup,
-        "events_hourly": q_events_hourly,
-        "session_windows": q_session_windows,
         # -- rows-only by design (no SQL oracle; pytest-pinned) --
         "spatial_shuffle": q_spatial_shuffle,
         "ann_ivf": q_ann_ivf,
-        # -- driver-green r4 --
-        "running_totals": q_running_totals,
-        "image_meta": q_image_meta,
-        "image_resize": q_image_resize,
-        "audio_meta": q_audio_meta,
-        "frame_counts": q_frame_counts,
-        "shapefile_roundtrip": q_shapefile_roundtrip,
-        "geopackage_roundtrip": q_geopackage_roundtrip,
-        "split_holdout": q_split_holdout,
-        "ann_pq": q_ann_pq,
-        "ann_ivf_pq": q_ann_ivf_pq,
-        "knn_graph": q_knn_graph,
-        "knn_graph_pq": q_knn_graph_pq,
-        "fgb_roundtrip": q_fgb_roundtrip,
-        "tfidf_top": q_tfidf_top,
-        "bm25_topk": q_bm25_topk,
-        "connected_components": q_connected_components,
-        "stream_funnel": q_stream_funnel,
-        "lm_quality": q_lm_quality,
-        "bm25_batch": q_bm25_batch,
-        "media_manifest": q_media_manifest,
-        "to_lambert": q_to_lambert,
-        "to_albers": q_to_albers,
-        "crs_roundtrip": q_crs_roundtrip,
-        "overlay_inter": q_overlay_inter,
-        "overlay_diff": q_overlay_diff,
-        "sjoin_dwithin": q_sjoin_dwithin,
-        "hash_sample": q_hash_sample,
-        "pack_docs": q_pack_docs,
-        "asof_clicks": q_asof_clicks,
-        "interval_clicks": q_interval_clicks,
-        "length_percentiles": q_length_percentiles,
-        "to_projstring": q_to_projstring,
-        "pq_codes": q_pq_codes,
-        "overlay_lines": q_overlay_lines,
-        "stream_geofence": q_stream_geofence,
-        "sql_union_agg": q_sql_union_agg,
-        "geoarrow_roundtrip": q_geoarrow_roundtrip,
-        "sql_geom_fns": q_sql_geom_fns,
-        "line_overlap": q_line_overlap,
-        "sliding_windows": q_sliding_windows,
-        "contamination": q_contamination,
-        "mh_jaccard_est": q_mh_jaccard_est,
-        "dissolve_union_area": q_dissolve_union_area,
-        "union_all_area": q_union_all_area,
-        "setops_concave_area": q_setops_concave_area,
-        "clip_concave_lines": q_clip_concave_lines,
-        "clip_concave_polys": q_clip_concave_polys,
-        "buffer_l_area": q_buffer_l_area,
-        "top_bigram": q_top_bigram,
-        "stream_dedup": q_stream_dedup,
     }
 
 

@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "gml_roundtrip",
     "stream_funnel3",
     "stream_funnel3_left",
+    # round-6 additions
+    "semantic_dedup_pq",
+    "line_dedup",
 ]
 
 
@@ -129,11 +132,18 @@ def main():
         spark.stop()
 
     total = round(sum(timings.values()), 3)
+    # per-streaming-query state-store instance counts (verdict r5 #8):
+    # wall time alone can hide a state_partitions sizing regression
+    # under host noise, so the knob itself is part of the record
+    state = {k: v for k, v in
+             getattr(E, "STREAM_STATE_PARTITIONS", {}).items()
+             if k in timings}
     print(json.dumps({
         "metric": "bench_total_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "state_partitions": state,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 
