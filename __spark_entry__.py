@@ -2124,6 +2124,39 @@ def q_line_dedup(spark, sf_dir):
     return out.select("doc_id", "text", "n_dropped")
 
 
+def q_doc_line_dedup(spark, sf_dir):
+    """Intra-document repeated-line removal
+    (dedup.dedup_lines_within_doc — the transform behind the Gopher
+    duplicate-line-fraction signal): keep each doc's FIRST occurrence
+    of every normalized line, never looking across docs.  Synthetic
+    multi-line docs carry an in-doc normalized repeat (the head line
+    uppercased); the oracle replicates the construction and the
+    keep-first window in SQL."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    words = F.split(F.col("text"), " ")
+    l1 = F.array_join(F.slice(words, 1, 8), " ")
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws("\n", l1, F.upper(l1), F.lit(""),
+                    F.array_join(F.slice(words, 9, 8), " "))
+        .alias("text"))
+    out = DD.dedup_lines_within_doc(synth)
+    return out.select("doc_id", "text", "n_dropped")
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Model-based quality scoring (textstats.classifier_score — the
+    DCLM/FineWeb-Edu filtering stage as a hashed-bag-of-words linear
+    model): one row-wise scan, weights as a literal array, md5-bucket
+    lookups, left-associated token-order fold.  Formula-generated
+    weights let the oracle recompute each bucket's weight
+    arithmetically and `list_reduce` replays the identical fold."""
+    weights = [((b * 37 % 101) - 50) / 100.0 for b in range(64)]
+    docs = _t(spark, sf_dir, "documents")
+    return TX.classifier_score(docs, weights, bias=0.25).select(
+        "doc_id", "quality_score")
+
+
 def q_fillna_isna(spark, sf_dir):
     """Missing-geometry semantics (reference 'Missing values' rows of
     geoseries.rst; SURVEY §1.3): NULL every 7th customer's geometry,
@@ -2719,18 +2752,20 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness check emits at
     most 50 rows, in registry order.  Round 6 rotation (r5 verdict
-    order #2): (a) the two queries NEW this round, (b) ALL 14 entries
-    whose last hash-green attestation is round 2 (the curve encoders
-    and the LSH chain under them were refactored in r3-r5), (c) all
-    14 last green in round 3, (d) the 20 oldest round-4 attestations
-    — exactly filling the 50-row window.  Everything attested in
-    round 5 (the r5-new block plus the rotated r1/r2 entries) sits
-    below the window, ahead of only the two rows-only-by-design
-    entries' pytest pins."""
+    order #2): (a) the FOUR queries NEW this round, (b) ALL 14
+    entries whose last hash-green attestation is round 2 (the curve
+    encoders and the LSH chain under them were refactored in r3-r5),
+    (c) all 14 last green in round 3, (d) the 18 oldest round-4
+    attestations — exactly filling the 50-row window (bm25_batch and
+    media_manifest, r4-green, lead the r7 rotation).  Everything
+    attested in round 5 sits below the window, ahead of only the two
+    rows-only-by-design entries' pytest pins."""
     return {
         # -- NEW in round 6 (first driver attestation) --
         "semantic_dedup_pq": q_semantic_dedup_pq,
         "line_dedup": q_line_dedup,
+        "doc_line_dedup": q_doc_line_dedup,
+        "quality_classifier": q_quality_classifier,
         # -- last green r2 (14: full remainder, verdict #2) --
         "line_project": q_line_project,
         "sql_surface": q_sql_surface,
@@ -2761,7 +2796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "events_hourly": q_events_hourly,
         "session_windows": q_session_windows,
-        # -- oldest r4 attestations (20, filling the window to 50) --
+        # -- oldest r4 attestations (18, filling the window to 50) --
         "running_totals": q_running_totals,
         "image_meta": q_image_meta,
         "image_resize": q_image_resize,
@@ -2780,9 +2815,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "stream_funnel": q_stream_funnel,
         "lm_quality": q_lm_quality,
+        # ---- 50-row driver window ends here ----
         "bm25_batch": q_bm25_batch,
         "media_manifest": q_media_manifest,
-        # ---- 50-row driver window ends here ----
         # -- remaining r4-green --
         "to_lambert": q_to_lambert,
         "to_albers": q_to_albers,
@@ -3396,6 +3431,86 @@ def _line_dedup_oracle_sql(max_occ: int = 5) -> str:
                CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_dropped
         FROM marked GROUP BY doc_id
+    """
+
+
+def _doc_line_dedup_oracle_sql() -> str:
+    """DuckDB replica of q_doc_line_dedup: the same synthetic
+    construction (head line + its uppercase + blank + tail), then a
+    keep-first row_number window per (doc, normalized key) and the
+    ordered string_agg reassembly of _line_dedup_oracle_sql."""
+    return """
+        WITH base AS (
+            SELECT doc_id,
+                   concat_ws(chr(10),
+                       array_to_string(
+                           list_slice(string_split(text, ' '), 1, 8), ' '),
+                       upper(array_to_string(
+                           list_slice(string_split(text, ' '), 1, 8), ' ')),
+                       '',
+                       array_to_string(
+                           list_slice(string_split(text, ' '), 9, 16), ' ')
+                   ) AS t
+            FROM documents WHERE doc_id < 400
+        ),
+        arrs AS (SELECT doc_id, string_split(t, chr(10)) AS arr FROM base),
+        lines AS (
+            SELECT doc_id,
+                   generate_subscripts(arr, 1) AS pos,
+                   unnest(arr) AS line
+            FROM arrs
+        ),
+        keyed AS (
+            SELECT doc_id, pos, line,
+                   CASE WHEN len(trim(line)) >= 1
+                        THEN lower(trim(line)) END AS k
+            FROM lines
+        ),
+        marked AS (
+            SELECT doc_id, pos, line,
+                   (k IS NOT NULL AND
+                    row_number() OVER (PARTITION BY doc_id, k
+                                       ORDER BY pos) > 1) AS dup
+            FROM keyed
+        )
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN NOT dup THEN line END,
+                                   chr(10) ORDER BY pos), '') AS text,
+               CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped
+        FROM marked GROUP BY doc_id
+    """
+
+
+def _quality_classifier_oracle_sql(dim: int = 64,
+                                   bias: float = 0.25) -> str:
+    """DuckDB replica of q_quality_classifier: the formula-generated
+    bucket weight recomputed arithmetically per token, summed by
+    list_reduce over a 0.0-seeded prepend — the identical
+    left-associated double fold as Spark's F.aggregate — then the
+    rounded mean plus bias."""
+    w = (f"CAST((((('0x' || substr(md5(tk), 1, 15))::BIGINT % {dim})"
+         f" * 37) % 101) - 50 AS DOUBLE) / CAST(100.0 AS DOUBLE)")
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter({_TOKENS}, x -> x != '') AS toks
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, len(toks) AS n,
+                   list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                                    list_transform(toks, tk -> {w})),
+                       (a, b) -> a + b) AS total
+            FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN n > 0
+                    THEN round(CAST({bias} AS DOUBLE) + total / n, 9)
+                    ELSE round(CAST({bias} AS DOUBLE), 9)
+               END AS quality_score
+        FROM s
     """
 
 
@@ -4469,6 +4584,8 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_oracle_sql(),
         "semantic_dedup_pq": _semantic_dedup_pq_oracle_sql(),
         "line_dedup": _line_dedup_oracle_sql(),
+        "doc_line_dedup": _doc_line_dedup_oracle_sql(),
+        "quality_classifier": _quality_classifier_oracle_sql(),
         "source_cap": """
             SELECT doc_id, lang FROM (
                 SELECT doc_id, lang,

@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     # round-6 additions
     "semantic_dedup_pq",
     "line_dedup",
+    "doc_line_dedup",
+    "quality_classifier",
 ]
 
 

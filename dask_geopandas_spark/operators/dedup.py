@@ -14,7 +14,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textstats import let, tokens
@@ -671,6 +671,38 @@ def cluster_dedup(df: DataFrame, edges: DataFrame, id_col: str = "doc_id",
     return df.join(drop, on=id_col, how="left_anti")
 
 
+def _doc_lines(df: DataFrame, text_col: str, other_cols: list,
+               normalize: bool, min_chars: int) -> DataFrame:
+    """Shared explode stage of the line-granularity dedups: one row
+    per (doc, line) with its position and a normalized key — NULL for
+    lines shorter than ``min_chars`` after trimming, which excludes
+    them from counting AND from every key-equality join/window."""
+    lines = df.select(
+        *other_cols,
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("_pos", "_line"))
+    key = (F.lower(F.trim(F.col("_line"))) if normalize
+           else F.col("_line"))
+    return lines.withColumn(
+        "_k", F.when(F.length(F.trim(F.col("_line"))) >= int(min_chars),
+                     key))
+
+
+def _reassemble(marked: DataFrame, other_cols: list, text_col: str,
+                count_col: str, out_cols: list) -> DataFrame:
+    """Shared regroup stage: original-order reassembly of the
+    non-dropped lines plus a dropped-line count, one aggregation."""
+    kept_struct = F.when(F.col("_dup").isNull(),
+                         F.struct(F.col("_pos"), F.col("_line")))
+    out = (marked.groupBy(*other_cols).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["_line"]), "\n").alias(text_col),
+        F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0))
+        .cast("long").alias(count_col)))
+    return out.select(*out_cols, count_col)
+
+
 def line_dedup(df: DataFrame, max_occurrences: int = 1,
                text_col: str = "text", id_col: str = "doc_id",
                normalize: bool = True, min_chars: int = 1,
@@ -703,28 +735,40 @@ def line_dedup(df: DataFrame, max_occurrences: int = 1,
         raise ValueError(
             f"max_occurrences must be >= 1, got {max_occurrences}")
     other_cols = [c for c in df.columns if c != text_col]
-    lines = df.select(
-        *other_cols,
-        F.posexplode(F.split(F.col(text_col), "\n"))
-        .alias("_pos", "_line"))
-    key = (F.lower(F.trim(F.col("_line"))) if normalize
-           else F.col("_line"))
-    # short/empty lines get a NULL key: excluded from counting AND
-    # never equal in the over-limit join below
-    lines = lines.withColumn(
-        "_k", F.when(F.length(F.trim(F.col("_line"))) >= int(min_chars),
-                     key))
+    lines = _doc_lines(df, text_col, other_cols, normalize, min_chars)
     over = (lines.filter(F.col("_k").isNotNull())
             .groupBy("_k").agg(F.count("*").alias("_n"))
             .filter(F.col("_n") > int(max_occurrences))
             .select("_k", F.lit(True).alias("_dup")))
     marked = lines.join(over, on="_k", how="left")
-    kept_struct = F.when(F.col("_dup").isNull(),
-                         F.struct(F.col("_pos"), F.col("_line")))
-    out = (marked.groupBy(*other_cols).agg(
-        F.array_join(
-            F.transform(F.array_sort(F.collect_list(kept_struct)),
-                        lambda s: s["_line"]), "\n").alias(text_col),
-        F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0))
-        .cast("long").alias(count_col)))
-    return out.select(*df.columns, count_col)
+    return _reassemble(marked, other_cols, text_col, count_col,
+                       list(df.columns))
+
+
+def dedup_lines_within_doc(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           normalize: bool = True, min_chars: int = 1,
+                           count_col: str = "n_dropped") -> DataFrame:
+    """Intra-document repeated-line removal — the TRANSFORM behind the
+    Gopher/MassiveText duplicate-line-fraction signal: within each
+    document keep only the FIRST occurrence of every normalized line
+    (keyword-stuffed listings, chat-log echoes, templated repeats),
+    preserving original order; short/blank lines are never dropped.
+    Corpus-wide repetition is `line_dedup`'s job — this one never
+    looks across documents.
+
+    Distributed shape, all native SQL: the first-occurrence window is
+    keyed on ``(doc, line-key)`` — bounded by a single document's
+    lines, so no corpus-level key can hotspot — and the reassembly is
+    the same ordered regroup as `line_dedup`.  Both shuffles are on
+    the document id (AQE coalesces the tiny key window into the
+    regroup's partitioning at runtime)."""
+    other_cols = [c for c in df.columns if c != text_col]
+    lines = _doc_lines(df, text_col, other_cols, normalize, min_chars)
+    w = Window.partitionBy(F.col(id_col), F.col("_k")) \
+        .orderBy(F.asc("_pos"))
+    marked = lines.withColumn(
+        "_dup", F.when(F.col("_k").isNotNull()
+                       & (F.row_number().over(w) > 1), F.lit(True)))
+    return _reassemble(marked, other_cols, text_col, count_col,
+                       list(df.columns))

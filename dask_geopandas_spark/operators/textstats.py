@@ -545,3 +545,49 @@ def bm25_batch_topk(df, queries, k: int = 10, k1: float = 1.2,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(query_id_col, id_col, "score", "rank"))
+
+
+def classifier_score(df, weights: list, text_col: str = "text",
+                     score_col: str = "quality_score",
+                     bias: float = 0.0):
+    """fastText/DCLM-style LINEAR quality classifier at corpus scale:
+    ``score = bias + mean over tokens of weights[h(token) mod dim]`` —
+    the hashed-bag-of-words form every published model-based quality
+    filter (DCLM, FineWeb-Edu) reduces to at inference time once the
+    learned embedding collapses into per-bucket weights.  Train the
+    weights elsewhere; this op is the 100-TB scoring pass.
+
+    Distributed shape: purely ROW-WISE native SQL — the weight vector
+    rides into the plan as ONE literal array, each token md5-hashes to
+    a bucket (`portable_hash`, the same 60-bit hash every sampler and
+    dedup key here uses), and a left-associated fold sums weights in
+    token order, so the DuckDB oracle's `list_reduce` reproduces the
+    double arithmetic bit-for-bit.  No shuffle, no UDF, no state:
+    scoring is exactly one scan, and the filter that usually follows
+    (`score >= t`) pushes down with it.  For models too large for a
+    plan literal (dim beyond ~64k), explode tokens and broadcast-join
+    a weights table instead — same math, one extra narrow stage.
+
+    Scores round to 9 decimals (the module's oracle convention);
+    token-less documents score ``bias``."""
+    from .dedup import portable_hash
+
+    dim = len(weights)
+    if dim < 1:
+        raise ValueError("weights must be non-empty")
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+
+    def w_of(t):
+        return F.element_at(
+            warr, (F.pmod(portable_hash(t), F.lit(dim)) + 1).cast("int"))
+
+    score = let(
+        F.filter(tokens(F.col(text_col)), lambda x: x != F.lit("")),
+        lambda ts: F.round(
+            F.when(F.size(ts) > 0,
+                   F.lit(float(bias))
+                   + F.aggregate(ts, F.lit(0.0),
+                                 lambda acc, t: acc + w_of(t))
+                   / F.size(ts))
+            .otherwise(F.lit(float(bias))), 9))
+    return df.withColumn(score_col, score)

@@ -962,3 +962,90 @@ class TestLineDedup:
         import pytest as _pytest
         with _pytest.raises(ValueError, match="max_occurrences"):
             line_dedup(df, max_occurrences=0)
+
+
+class TestDedupLinesWithinDoc:
+    def test_first_occurrence_kept_order_preserved(self, spark):
+        """r6: within-doc repeats drop (keep-first), other docs'
+        identical lines are untouched (never cross-doc), blanks
+        survive, order is original."""
+        from dask_geopandas_spark.operators.dedup import \
+            dedup_lines_within_doc
+
+        df = spark.createDataFrame(
+            [(1, "alpha\nbeta\nAlpha\n\nalpha \ngamma"),
+             (2, "alpha\ndelta"),
+             (3, "x\nx\nx\nx")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               dedup_lines_within_doc(df).collect()}
+        # doc 1: 'Alpha'/'alpha ' normalize to the earlier 'alpha'
+        assert out[1]["text"] == "alpha\nbeta\n\ngamma"
+        assert out[1]["n_dropped"] == 2
+        # doc 2 keeps its own 'alpha' — no cross-doc effect
+        assert out[2]["text"] == "alpha\ndelta"
+        assert out[2]["n_dropped"] == 0
+        assert out[3]["text"] == "x" and out[3]["n_dropped"] == 3
+
+    def test_normalize_false_and_short_protection(self, spark):
+        from dask_geopandas_spark.operators.dedup import \
+            dedup_lines_within_doc
+
+        df = spark.createDataFrame(
+            [(1, "A\na\nA\n\n\nB")], "doc_id long, text string")
+        # raw keys: only the second exact 'A' drops; blanks survive
+        out = dedup_lines_within_doc(df, normalize=False).collect()[0]
+        assert out["text"] == "A\na\n\n\nB"
+        assert out["n_dropped"] == 1
+
+
+class TestClassifierScore:
+    def test_matches_brute_force(self, spark):
+        """Score == bias + mean of md5-bucketed weights, computed
+        independently in Python over the same tokenization."""
+        import hashlib
+        import re
+
+        from dask_geopandas_spark.operators.textstats import \
+            classifier_score
+
+        weights = [((b * 37 % 101) - 50) / 100.0 for b in range(64)]
+        texts = ["The quick brown fox", "spark spark spark!", "", "  ",
+                 "a b c d e f g h", "Ünïcode — mixed 123 tokens"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r["quality_score"] for r in
+               classifier_score(df, weights, bias=0.25).collect()}
+        for i, t in enumerate(texts):
+            toks = [x for x in re.split(r"[^a-z0-9']+", t.strip().lower())
+                    if x != ""]
+            if not toks:
+                want = round(0.25, 9)
+            else:
+                s = 0.0
+                for tk in toks:
+                    h = int(hashlib.md5(tk.encode()).hexdigest()[:15], 16)
+                    s = s + weights[h % 64]
+                want = round(0.25 + s / len(toks), 9)
+            assert got[i] == want, (i, t)
+
+    def test_rowwise_no_shuffle(self, spark):
+        """The scoring pass must be one scan: no Exchange in the plan."""
+        from dask_geopandas_spark.operators.textstats import \
+            classifier_score
+
+        df = spark.createDataFrame([(1, "hello world")],
+                                   "doc_id long, text string")
+        out = classifier_score(df, [0.1, -0.2, 0.3])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+    def test_validates_weights(self, spark):
+        from dask_geopandas_spark.operators.textstats import \
+            classifier_score
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="weights"):
+            classifier_score(df, [])
