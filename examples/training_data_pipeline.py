@@ -1,10 +1,11 @@
 """End-to-end training-data pipeline on the engine — every stage is a
 first-class operator, the whole flow is a handful of declarative calls.
 
-    corpus → language/quality filter → exact dedup → near-dup (LSH)
-           → benchmark decontamination → per-source quota cap (r5)
-           → deterministic sampling → train/holdout split
-           → sequence packing → stats
+    corpus → language/quality filter → model-based quality score (r6)
+           → line-level boilerplate dedup (r6) → exact dedup
+           → near-dup (LSH) → benchmark decontamination
+           → per-source quota cap (r5) → deterministic sampling
+           → train/holdout split → sequence packing → stats
 
 Run:  python examples/training_data_pipeline.py [sf_dir]
 (defaults to /root/testdata/sf0.001; prints per-stage counts)
@@ -38,6 +39,21 @@ def run_pipeline(spark: SparkSession, sf_dir: str):
     )
     kept = scored.filter((F.col("quality") > 0.3) & (F.col("n_tokens") >= 5))
     stages["quality_gate"] = kept.count()
+
+    # 1b. model-based quality score (r6): hashed-bucket linear
+    #     classifier, one row-wise scan — weights would come from a
+    #     trained fastText-style model; here a fixed demo vector
+    weights = [((b * 37 % 101) - 50) / 100.0 for b in range(64)]
+    kept = TX.classifier_score(kept, weights).filter(
+        F.col("quality_score") > -0.05)
+    stages["classifier_gate"] = kept.count()
+
+    # 1c. line-level boilerplate dedup (r6): drop lines repeated
+    #     corpus-wide (cookie banners, footers), keep doc structure
+    kept = DD.line_dedup(kept.drop("n_tokens"), max_occurrences=5)
+    kept = kept.withColumn("n_tokens", TX.token_count(F.col("text"))) \
+        .filter(F.col("n_tokens") >= 5).drop("n_dropped")
+    stages["line_dedup"] = kept.count()
 
     # 2. exact dedup (md5 groupBy keeper join)
     keepers = DD.exact_dedup(kept).select(

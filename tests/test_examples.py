@@ -9,8 +9,9 @@ def test_training_data_pipeline_example(spark, sf_dir):
     stages, packed = run_pipeline(spark, sf_dir)
     assert stages["raw"] > 0
     # each stage only ever removes rows
-    order = ["raw", "quality_gate", "exact_dedup", "neardup_dedup",
-             "decontaminated", "sampled"]
+    order = ["raw", "quality_gate", "classifier_gate", "line_dedup",
+             "exact_dedup", "neardup_dedup", "decontaminated",
+             "sampled"]
     for a, b in zip(order, order[1:]):
         assert stages[b] <= stages[a]
     assert stages["pack_bins"] >= 1
