@@ -672,14 +672,19 @@ def cluster_dedup(df: DataFrame, edges: DataFrame, id_col: str = "doc_id",
 
 
 def _doc_lines(df: DataFrame, text_col: str, other_cols: list,
-               normalize: bool, min_chars: int) -> DataFrame:
+               normalize: bool, min_chars: int,
+               sep: str = "\n") -> DataFrame:
     """Shared explode stage of the line-granularity dedups: one row
-    per (doc, line) with its position and a normalized key — NULL for
-    lines shorter than ``min_chars`` after trimming, which excludes
-    them from counting AND from every key-equality join/window."""
+    per (doc, unit) with its position and a normalized key — NULL for
+    units shorter than ``min_chars`` after trimming, which excludes
+    them from counting AND from every key-equality join/window.
+    ``sep`` picks the granularity (line by default, paragraph with
+    a blank-line separator)."""
+    import re as _re
+
     lines = df.select(
         *other_cols,
-        F.posexplode(F.split(F.col(text_col), "\n"))
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep)))
         .alias("_pos", "_line"))
     key = (F.lower(F.trim(F.col("_line"))) if normalize
            else F.col("_line"))
@@ -689,15 +694,16 @@ def _doc_lines(df: DataFrame, text_col: str, other_cols: list,
 
 
 def _reassemble(marked: DataFrame, other_cols: list, text_col: str,
-                count_col: str, out_cols: list) -> DataFrame:
+                count_col: str, out_cols: list,
+                sep: str = "\n") -> DataFrame:
     """Shared regroup stage: original-order reassembly of the
-    non-dropped lines plus a dropped-line count, one aggregation."""
+    non-dropped units plus a dropped-unit count, one aggregation."""
     kept_struct = F.when(F.col("_dup").isNull(),
                          F.struct(F.col("_pos"), F.col("_line")))
     out = (marked.groupBy(*other_cols).agg(
         F.array_join(
             F.transform(F.array_sort(F.collect_list(kept_struct)),
-                        lambda s: s["_line"]), "\n").alias(text_col),
+                        lambda s: s["_line"]), sep).alias(text_col),
         F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0))
         .cast("long").alias(count_col)))
     return out.select(*out_cols, count_col)
@@ -706,7 +712,8 @@ def _reassemble(marked: DataFrame, other_cols: list, text_col: str,
 def line_dedup(df: DataFrame, max_occurrences: int = 1,
                text_col: str = "text", id_col: str = "doc_id",
                normalize: bool = True, min_chars: int = 1,
-               count_col: str = "n_dropped") -> DataFrame:
+               count_col: str = "n_dropped",
+               sep: str = "\n") -> DataFrame:
     """Line-level corpus dedup (the CCNet/RefinedWeb boilerplate
     stage): drop every occurrence of any line whose NORMALIZED form
     appears more than ``max_occurrences`` times across the whole
@@ -720,6 +727,9 @@ def line_dedup(df: DataFrame, max_occurrences: int = 1,
     convention); lines shorter than ``min_chars`` after trimming —
     empty lines, lone punctuation — are NEVER dropped, so paragraph
     structure survives even though blank lines repeat corpus-wide.
+    ``sep`` picks the unit: the default ``"\\n"`` dedups lines,
+    ``"\\n\\n"`` dedups PARAGRAPHS — the CCNet paper's actual
+    granularity — with the same machinery.
 
     Distributed shape, all native SQL: one ``posexplode`` (no data
     ever concatenates driver-side), one partial+final hash aggregation
@@ -735,20 +745,22 @@ def line_dedup(df: DataFrame, max_occurrences: int = 1,
         raise ValueError(
             f"max_occurrences must be >= 1, got {max_occurrences}")
     other_cols = [c for c in df.columns if c != text_col]
-    lines = _doc_lines(df, text_col, other_cols, normalize, min_chars)
+    lines = _doc_lines(df, text_col, other_cols, normalize, min_chars,
+                       sep)
     over = (lines.filter(F.col("_k").isNotNull())
             .groupBy("_k").agg(F.count("*").alias("_n"))
             .filter(F.col("_n") > int(max_occurrences))
             .select("_k", F.lit(True).alias("_dup")))
     marked = lines.join(over, on="_k", how="left")
     return _reassemble(marked, other_cols, text_col, count_col,
-                       list(df.columns))
+                       list(df.columns), sep)
 
 
 def dedup_lines_within_doc(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
                            normalize: bool = True, min_chars: int = 1,
-                           count_col: str = "n_dropped") -> DataFrame:
+                           count_col: str = "n_dropped",
+                           sep: str = "\n") -> DataFrame:
     """Intra-document repeated-line removal — the TRANSFORM behind the
     Gopher/MassiveText duplicate-line-fraction signal: within each
     document keep only the FIRST occurrence of every normalized line
@@ -764,11 +776,12 @@ def dedup_lines_within_doc(df: DataFrame, text_col: str = "text",
     the document id (AQE coalesces the tiny key window into the
     regroup's partitioning at runtime)."""
     other_cols = [c for c in df.columns if c != text_col]
-    lines = _doc_lines(df, text_col, other_cols, normalize, min_chars)
+    lines = _doc_lines(df, text_col, other_cols, normalize, min_chars,
+                       sep)
     w = Window.partitionBy(F.col(id_col), F.col("_k")) \
         .orderBy(F.asc("_pos"))
     marked = lines.withColumn(
         "_dup", F.when(F.col("_k").isNotNull()
                        & (F.row_number().over(w) > 1), F.lit(True)))
     return _reassemble(marked, other_cols, text_col, count_col,
-                       list(df.columns))
+                       list(df.columns), sep)

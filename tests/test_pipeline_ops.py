@@ -1049,3 +1049,20 @@ class TestClassifierScore:
         import pytest as _pytest
         with _pytest.raises(ValueError, match="weights"):
             classifier_score(df, [])
+
+
+def test_line_dedup_paragraph_granularity(spark):
+    """sep='\\n\\n' dedups PARAGRAPHS (the CCNet granularity): a
+    boilerplate paragraph spanning multiple lines drops as a unit,
+    and intra-paragraph newlines survive reassembly."""
+    from dask_geopandas_spark.operators.dedup import line_dedup
+
+    boiler = "All rights\nreserved."
+    rows = [(i, f"para {i} line1\npara {i} line2\n\n{boiler}")
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           line_dedup(df, max_occurrences=3, sep="\n\n").collect()}
+    for i in range(10):
+        assert out[i]["text"] == f"para {i} line1\npara {i} line2"
+        assert out[i]["n_dropped"] == 1
