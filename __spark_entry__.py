@@ -2157,6 +2157,30 @@ def q_quality_classifier(spark, sf_dir):
         "doc_id", "quality_score")
 
 
+def q_dup_spans(spark, sf_dir):
+    """Exact duplicated-span detection (dedup.duplicated_spans — the
+    substring-dedup family of Lee et al. 2022, windowed to k tokens):
+    corpus-wide 8-gram hash counts, semi-join back, per-doc island
+    merge into maximal spans.  A 12-token boilerplate tail planted on
+    even doc_ids must surface as one span per planted doc; the oracle
+    replicates the construction, the gram comprehension, the hash
+    counts, and the gaps-and-islands window in SQL."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    words = F.split(F.col("text"), " ")
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.array_join(F.slice(words, 1, 16), " "),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit("the quick brown fox jumps over the lazy dog "
+                         "every single morning")))
+        .alias("text"))
+    out = DD.duplicated_spans(synth, k=8, min_occurrences=2)
+    return out.select("doc_id", "span_start", "span_tokens",
+                      "n_dup_grams")
+
+
 def q_fillna_isna(spark, sf_dir):
     """Missing-geometry semantics (reference 'Missing values' rows of
     geoseries.rst; SURVEY §1.3): NULL every 7th customer's geometry,
@@ -2752,20 +2776,21 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness check emits at
     most 50 rows, in registry order.  Round 6 rotation (r5 verdict
-    order #2): (a) the FOUR queries NEW this round, (b) ALL 14
+    order #2): (a) the FIVE queries NEW this round, (b) ALL 14
     entries whose last hash-green attestation is round 2 (the curve
     encoders and the LSH chain under them were refactored in r3-r5),
-    (c) all 14 last green in round 3, (d) the 18 oldest round-4
-    attestations — exactly filling the 50-row window (bm25_batch and
-    media_manifest, r4-green, lead the r7 rotation).  Everything
-    attested in round 5 sits below the window, ahead of only the two
-    rows-only-by-design entries' pytest pins."""
+    (c) all 14 last green in round 3, (d) the 17 oldest round-4
+    attestations — exactly filling the 50-row window (lm_quality,
+    bm25_batch, and media_manifest, r4-green, lead the r7 rotation).
+    Everything attested in round 5 sits below the window, ahead of
+    only the two rows-only-by-design entries' pytest pins."""
     return {
         # -- NEW in round 6 (first driver attestation) --
         "semantic_dedup_pq": q_semantic_dedup_pq,
         "line_dedup": q_line_dedup,
         "doc_line_dedup": q_doc_line_dedup,
         "quality_classifier": q_quality_classifier,
+        "dup_spans": q_dup_spans,
         # -- last green r2 (14: full remainder, verdict #2) --
         "line_project": q_line_project,
         "sql_surface": q_sql_surface,
@@ -2796,7 +2821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "events_hourly": q_events_hourly,
         "session_windows": q_session_windows,
-        # -- oldest r4 attestations (18, filling the window to 50) --
+        # -- oldest r4 attestations (17, filling the window to 50) --
         "running_totals": q_running_totals,
         "image_meta": q_image_meta,
         "image_resize": q_image_resize,
@@ -2814,8 +2839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "connected_components": q_connected_components,
         "stream_funnel": q_stream_funnel,
-        "lm_quality": q_lm_quality,
         # ---- 50-row driver window ends here ----
+        "lm_quality": q_lm_quality,
         "bm25_batch": q_bm25_batch,
         "media_manifest": q_media_manifest,
         # -- remaining r4-green --
@@ -3479,6 +3504,74 @@ def _doc_line_dedup_oracle_sql() -> str:
                CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_dropped
         FROM marked GROUP BY doc_id
+    """
+
+
+def _dup_spans_oracle_sql(k: int = 8, min_occ: int = 2) -> str:
+    """DuckDB replica of q_dup_spans: same synthetic construction
+    (concat_ws skips the NULL boilerplate slot), the k-gram list
+    comprehension with 1-based positions via generate_subscripts,
+    md5-prefix gram hashes, corpus counts, an IN semi-join, and the
+    gaps-and-islands window (new island when the next duplicated
+    position starts more than k tokens later)."""
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   concat_ws(' ',
+                       array_to_string(
+                           list_slice(string_split(text, ' '), 1, 16), ' '),
+                       CASE WHEN doc_id % 2 = 0
+                            THEN 'the quick brown fox jumps over the '
+                                 || 'lazy dog every single morning' END
+                   ) AS t
+            FROM documents WHERE doc_id < 400
+        ),
+        tk AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(trim(t)),
+                                                     '[^a-z0-9'']+'),
+                               x -> x != '') AS toks
+            FROM base
+        ),
+        ga AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= {k}
+                        THEN [array_to_string(toks[i:i+{k - 1}], ' ')
+                              for i in range(1, len(toks) - {k - 2})]
+                        ELSE [] END AS grams
+            FROM tk
+        ),
+        g AS (
+            SELECT doc_id,
+                   generate_subscripts(grams, 1) AS pos,
+                   ('0x' || substr(md5(unnest(grams)), 1, 15))::BIGINT AS h
+            FROM ga
+        ),
+        dup AS (
+            SELECT h FROM g GROUP BY h HAVING count(*) >= {min_occ}
+        ),
+        hits AS (
+            SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)
+        ),
+        lagged AS (
+            SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS prev
+            FROM hits
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   sum(CASE WHEN prev IS NULL OR pos - prev > {k}
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS island
+            FROM lagged
+        )
+        SELECT doc_id,
+               CAST(min(pos) AS INTEGER) AS span_start,
+               CAST(max(pos) - min(pos) + {k} AS BIGINT) AS span_tokens,
+               CAST(count(*) AS BIGINT) AS n_dup_grams
+        FROM isl GROUP BY doc_id, island
     """
 
 
@@ -4586,6 +4679,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _line_dedup_oracle_sql(),
         "doc_line_dedup": _doc_line_dedup_oracle_sql(),
         "quality_classifier": _quality_classifier_oracle_sql(),
+        "dup_spans": _dup_spans_oracle_sql(),
         "source_cap": """
             SELECT doc_id, lang FROM (
                 SELECT doc_id, lang,

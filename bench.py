@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "line_dedup",
     "doc_line_dedup",
     "quality_classifier",
+    "dup_spans",
 ]
 
 

@@ -785,3 +785,66 @@ def dedup_lines_within_doc(df: DataFrame, text_col: str = "text",
                        & (F.row_number().over(w) > 1), F.lit(True)))
     return _reassemble(marked, other_cols, text_col, count_col,
                        list(df.columns), sep)
+
+
+def duplicated_spans(df: DataFrame, k: int = 8,
+                     min_occurrences: int = 2,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicated-SPAN detection — the substring-dedup family
+    (Lee et al. 2022's suffix-array stage) in its Spark-distributable
+    form: every ``k``-token window whose exact token sequence appears
+    ``min_occurrences``+ times corpus-wide is a duplicated gram, and
+    overlapping/adjacent duplicated grams within a document merge into
+    MAXIMAL spans.  Returns one row per span: ``(id_col, span_start,
+    span_tokens, n_dup_grams)`` with ``span_start`` the 1-based token
+    offset — feed it to a span-removal rewrite or use the span/doc
+    length ratio as a filter signal.
+
+    A true suffix array finds arbitrary-length duplicates; fixing the
+    window at ``k`` tokens finds every duplicate of length >= k (as a
+    run of >= 1 duplicated grams) with two shuffles and no global
+    sort: corpus-wide gram-hash counts (partial aggregation absorbs
+    hot boilerplate grams), a semi-join back, and a per-document
+    island window (doc-bounded).  False positives require a 60-bit
+    gram-hash collision.
+
+    All native SQL: the gram list is one ``transform`` over token
+    positions (no explode until the gram table), and span merging is
+    the classic gaps-and-islands window — new island when the next
+    duplicated position starts more than ``k`` tokens after the
+    previous (beyond overlap-or-adjacency)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if min_occurrences < 2:
+        raise ValueError(
+            f"min_occurrences must be >= 2, got {min_occurrences}")
+    toks = let(tokens(F.col(text_col)),
+               lambda t: F.filter(t, lambda x: x != F.lit("")))
+    grams = let(toks, lambda t: F.when(
+        F.size(t) >= k,
+        F.transform(F.sequence(F.lit(1), F.size(t) - (k - 1)),
+                    lambda i: F.array_join(F.slice(t, i, k), " ")))
+        .otherwise(F.array().cast("array<string>")))
+    g = (df.select(F.col(id_col),
+                   F.posexplode(grams).alias("_p0", "_gram"))
+         .select(F.col(id_col), (F.col("_p0") + 1).alias("_pos"),
+                 portable_hash(F.col("_gram")).alias("_h")))
+    dup = (g.groupBy("_h").agg(F.count("*").alias("_n"))
+           .filter(F.col("_n") >= int(min_occurrences)).select("_h"))
+    hits = g.join(dup, on="_h", how="left_semi")
+    w = Window.partitionBy(id_col).orderBy(F.asc("_pos"))
+    isl = (hits
+           .withColumn("_prev", F.lag("_pos").over(w))
+           .withColumn("_new", F.when(
+               F.col("_prev").isNull()
+               | (F.col("_pos") - F.col("_prev") > k), 1).otherwise(0))
+           .withColumn("_isl", F.sum("_new").over(
+               w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (isl.groupBy(id_col, "_isl")
+            .agg(F.min("_pos").alias("span_start"),
+                 (F.max("_pos") - F.min("_pos") + k).alias("span_tokens"),
+                 F.count("*").alias("n_dup_grams"))
+            .select(id_col, "span_start",
+                    F.col("span_tokens").cast("long"),
+                    F.col("n_dup_grams").cast("long")))

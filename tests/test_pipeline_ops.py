@@ -1066,3 +1066,56 @@ def test_line_dedup_paragraph_granularity(spark):
     for i in range(10):
         assert out[i]["text"] == f"para {i} line1\npara {i} line2"
         assert out[i]["n_dropped"] == 1
+
+
+class TestDuplicatedSpans:
+    def test_planted_span_found_and_merged(self, spark):
+        """r6: a 12-token sentence planted in several docs surfaces as
+        ONE maximal span per doc (its 5 overlapping 8-gram hits merge),
+        at the right offset and length; unique docs report nothing."""
+        from dask_geopandas_spark.operators.dedup import duplicated_spans
+
+        boiler = ("the quick brown fox jumps over the lazy dog "
+                  "every single morning")          # 12 tokens
+        rows = []
+        for i in range(6):
+            head = " ".join(f"u{i}w{j}" for j in range(5))   # 5 unique
+            if i < 4:
+                rows.append((i, f"{head} {boiler}"))
+            else:
+                rows.append((i, f"{head} only unique words here {i}"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               duplicated_spans(df, k=8, min_occurrences=2).collect()}
+        assert set(out) == {0, 1, 2, 3}
+        for i in range(4):
+            r = out[i]
+            # span = tokens 6..17 (the boiler), 5 grams of 8 merged
+            assert r["span_start"] == 6
+            assert r["span_tokens"] == 12
+            assert r["n_dup_grams"] == 5
+
+    def test_two_disjoint_spans_stay_separate(self, spark):
+        from dask_geopandas_spark.operators.dedup import duplicated_spans
+
+        a = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+        b = "one two three four five six seven eight"        # 8 tokens
+        rows = [(1, f"{a} gap1 gap2 gap3 gap4 gap5 gap6 gap7 gap8 gap9 {b}"),
+                (2, f"{a} X Y Z {b}"),
+                (3, a), (4, b)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        spans = duplicated_spans(df, k=8, min_occurrences=2).collect()
+        doc1 = sorted((r["span_start"], r["span_tokens"])
+                      for r in spans if r["doc_id"] == 1)
+        # the 9-token gap (> k) keeps the two 8-token spans separate
+        assert doc1 == [(1, 8), (18, 8)]
+
+    def test_validates_params(self, spark):
+        from dask_geopandas_spark.operators.dedup import duplicated_spans
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="k"):
+            duplicated_spans(df, k=1)
+        with _pytest.raises(ValueError, match="min_occurrences"):
+            duplicated_spans(df, min_occurrences=1)
