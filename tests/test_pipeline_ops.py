@@ -1119,3 +1119,97 @@ class TestDuplicatedSpans:
             duplicated_spans(df, k=1)
         with _pytest.raises(ValueError, match="min_occurrences"):
             duplicated_spans(df, min_occurrences=1)
+
+
+def test_line_dedup_random_corpus_brute_force(spark):
+    """Randomized agreement: line_dedup over a seeded random corpus
+    (repeated + unique + blank lines, random order) matches a direct
+    Python reimplementation, doc for doc."""
+    import numpy as np
+
+    from dask_geopandas_spark.operators.dedup import line_dedup
+
+    rng = np.random.RandomState(13)
+    pool = [f"common line {i}" for i in range(6)]
+    rows = []
+    for d in range(60):
+        n = rng.randint(1, 9)
+        lines = []
+        for _ in range(n):
+            r = rng.rand()
+            if r < 0.4:
+                lines.append(pool[rng.randint(len(pool))])
+            elif r < 0.55:
+                lines.append("")
+            else:
+                lines.append(f"unique {d} {rng.randint(10**6)}")
+        rows.append((d, "\n".join(lines)))
+    max_occ = 4
+    # Python reference
+    from collections import Counter
+    counts = Counter()
+    for _, t in rows:
+        for ln in t.split("\n"):
+            key = ln.strip().lower()
+            if len(key) >= 1:
+                counts[key] += 1
+    over = {k for k, c in counts.items() if c > max_occ}
+    want = {}
+    for d, t in rows:
+        kept, dropped = [], 0
+        for ln in t.split("\n"):
+            key = ln.strip().lower()
+            if len(key) >= 1 and key in over:
+                dropped += 1
+            else:
+                kept.append(ln)
+        want[d] = ("\n".join(kept), dropped)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_dropped"]) for r in
+           line_dedup(df, max_occurrences=max_occ).collect()}
+    assert got == want
+
+
+def test_duplicated_spans_random_corpus_brute_force(spark):
+    """Randomized agreement: duplicated_spans over a seeded random
+    corpus matches a direct Python gram-count + island-merge
+    reimplementation."""
+    import numpy as np
+
+    from dask_geopandas_spark.operators.dedup import duplicated_spans
+
+    rng = np.random.RandomState(29)
+    vocab = [f"w{i}" for i in range(6)]
+    rows = []
+    for d in range(40):
+        n = rng.randint(4, 20)
+        rows.append((d, " ".join(vocab[rng.randint(len(vocab))]
+                                 for _ in range(n))))
+    k, mo = 4, 2
+    # Python reference
+    from collections import Counter, defaultdict
+    toks = {d: t.split() for d, t in rows}
+    counts = Counter()
+    for d, tk in toks.items():
+        for i in range(len(tk) - k + 1):
+            counts[" ".join(tk[i:i + k])] += 1
+    want = set()
+    for d, tk in toks.items():
+        hits = [i + 1 for i in range(len(tk) - k + 1)
+                if counts[" ".join(tk[i:i + k])] >= mo]
+        spans = defaultdict(list)
+        isl = 0
+        prev = None
+        for p in hits:
+            if prev is None or p - prev > k:
+                isl += 1
+            spans[isl].append(p)
+            prev = p
+        for ps in spans.values():
+            want.add((d, ps[0], ps[-1] - ps[0] + k, len(ps)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["span_start"], r["span_tokens"],
+            r["n_dup_grams"])
+           for r in duplicated_spans(df, k=k,
+                                     min_occurrences=mo).collect()}
+    assert got == want and len(want) > 10
