@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "doc_line_dedup",
     "quality_classifier",
     "dup_spans",
+    "knn_graph_probe",
 ]
 
 

@@ -477,6 +477,25 @@ def _salted_cell_join(a: DataFrame, b: DataFrame, salt_id: str,
     return salted_a.join(salted_b, on=["ivf_cell", "_salt"]).drop("_salt")
 
 
+def probe_cells_expr(centroids: list, vec_col: str,
+                     nprobe: int) -> Column:
+    """Per-row list of the ``nprobe`` nearest cell ids, ordered by
+    (distance, index) — the same deterministic tiebreak as
+    ``ivf_topk``'s query probing, as a reusable expression."""
+    def dist2(vec: Column, cen: list[float]) -> Column:
+        carr = F.array(*[F.lit(float(v)) for v in cen])
+        return F.aggregate(
+            F.zip_with(vec, carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    dists = F.array(*[dist2(F.col(vec_col), c) for c in centroids])
+    order = F.array_sort(
+        F.arrays_zip(dists.alias("d"),
+                     F.array(*[F.lit(i) for i in range(len(centroids))])
+                     .alias("i")))
+    return F.slice(F.transform(order, lambda s: s["i"]), 1, int(nprobe))
+
+
 def _sdc_expr(codebooks: list, ca: str = "_ca", cb: str = "_cb") -> Column:
     """Symmetric-PQ squared-distance expression between two code
     columns: per-subspace k×k literal LUTs indexed by native array
@@ -495,16 +514,23 @@ def _sdc_expr(codebooks: list, ca: str = "_ca", cb: str = "_cb") -> Column:
 def knn_graph(corpus: DataFrame, centroids: list, k: int = 5,
               id_col: str = "vec_id", vec_col: str = "embedding",
               codebooks: list | None = None, shortlist: int | None = None,
-              cell_cap: int | None = None) -> DataFrame:
+              cell_cap: int | None = None, nprobe: int = 1) -> DataFrame:
     """Approximate corpus-internal k-nearest-neighbor edges (the
     substrate for graph dedup / connected-component clustering):
     vectors meet candidates inside their IVF cell — a per-cell
     SELF-join, so candidate volume is Σ|cell|² instead of n², bounded
     by the coarse quantizer exactly like the near-dup bucket designs.
-    Edges are ranked per source by cosine; recall is limited to
-    same-cell neighbors (raise n_cells for smaller buckets, or probe
-    more cells by composing with ivf_topk for the query side).
-    Returns (src_id, dst_id, cos, rank).
+    Edges are ranked per source by cosine.  Returns
+    (src_id, dst_id, cos, rank).
+
+    ``nprobe`` lifts the same-cell recall limit: each SOURCE vector
+    probes its ``nprobe`` nearest cells (the `ivf_topk` probe list —
+    deterministic (distance, index) order) while destinations stay in
+    their own cell, so a near neighbor just across a cell boundary is
+    found at the cost of replicating the source side ×nprobe —
+    candidate volume grows to ≤ nprobe·Σ|cell|², never n², and each
+    (src, dst) pair still meets at most once (a destination has
+    exactly one home cell).
 
     Two hot-cell guards make this safe when one cell is over-dense:
 
@@ -519,14 +545,26 @@ def knn_graph(corpus: DataFrame, centroids: list, k: int = 5,
       (see `_salted_cell_join`), bounding per-task build input without
       changing which pairs meet.
     """
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     assigned = assign_ivf_cells(corpus, centroids, vec_col)
+    probes = probe_cells_expr(centroids, vec_col, nprobe)
     w = Window.partitionBy("src_id").orderBy(F.desc("cos"), F.asc("dst_id"))
 
     if codebooks is None:
-        c = assigned.select(F.col(id_col).alias("src_id"),
-                            F.col(vec_col).alias("sv"), "ivf_cell")
-        d = c.select(F.col("src_id").alias("dst_id"),
-                     F.col("sv").alias("dv"), "ivf_cell")
+        if nprobe == 1:
+            # d derives FROM c so the cell_cap persist of c serves both
+            # join branches as a shared plan fragment (ADVICE r4)
+            c = assigned.select(F.col(id_col).alias("src_id"),
+                                F.col(vec_col).alias("sv"), "ivf_cell")
+            d = c.select(F.col("src_id").alias("dst_id"),
+                         F.col("sv").alias("dv"), "ivf_cell")
+        else:
+            c = assigned.select(F.col(id_col).alias("src_id"),
+                                F.col(vec_col).alias("sv"),
+                                F.explode(probes).alias("ivf_cell"))
+            d = assigned.select(F.col(id_col).alias("dst_id"),
+                                F.col(vec_col).alias("dv"), "ivf_cell")
         scored = (_salted_cell_join(c, d, "dst_id", cell_cap)
                   .filter(F.col("src_id") != F.col("dst_id"))
                   .select("src_id", "dst_id",
@@ -536,10 +574,17 @@ def knn_graph(corpus: DataFrame, centroids: list, k: int = 5,
             .filter(F.col("rank") <= k)
 
     coded = pq_encode(assigned, codebooks, vec_col)
-    a = coded.select(F.col(id_col).alias("src_id"),
-                     F.col("pq_code").alias("_ca"), "ivf_cell")
-    b = a.select(F.col("src_id").alias("dst_id"),
-                 F.col("_ca").alias("_cb"), "ivf_cell")
+    if nprobe == 1:
+        a = coded.select(F.col(id_col).alias("src_id"),
+                         F.col("pq_code").alias("_ca"), "ivf_cell")
+        b = a.select(F.col("src_id").alias("dst_id"),
+                     F.col("_ca").alias("_cb"), "ivf_cell")
+    else:
+        a = coded.select(F.col(id_col).alias("src_id"),
+                         F.col("pq_code").alias("_ca"),
+                         F.explode(probes).alias("ivf_cell"))
+        b = coded.select(F.col(id_col).alias("dst_id"),
+                         F.col("pq_code").alias("_cb"), "ivf_cell")
     sdist = _sdc_expr(codebooks)
     n_short = int(shortlist) if shortlist else 4 * k
     w_sd = Window.partitionBy("src_id").orderBy(F.asc("_sd"),

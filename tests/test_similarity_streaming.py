@@ -949,3 +949,39 @@ def test_funnel_join_left_last_hop(spark, tmp_path):
 
     with pytest.raises(ValueError, match="last_how"):
         funnel_join(static, steps, last_how="anti")
+
+
+def test_knn_graph_nprobe_full_probe_equals_global_knn(spark):
+    """r6: with nprobe = n_cells every source probes every cell, so
+    knn_graph must equal the GLOBAL brute-force kNN exactly — the
+    same-cell recall limit is gone; and nprobe=2's candidate set is a
+    superset of nprobe=1's (monotone recall)."""
+    import numpy as np
+
+    df, cents = _hot_cell_frame(spark)
+    pdf = df.toPandas()
+    M = np.array([np.asarray(v, float) for v in pdf["embedding"]])
+    norm = M / np.linalg.norm(M, axis=1, keepdims=True)
+    cos = norm @ norm.T
+    want = {}
+    for i in range(len(M)):
+        order = sorted(((round(cos[i, j], 9), -j) for j in range(len(M))
+                        if j != i), reverse=True)
+        for r, (c, nj) in enumerate(order[:3], start=1):
+            want[(int(pdf["vec_id"][i]), r)] = int(pdf["vec_id"][-nj])
+    got = {(r["src_id"], r["rank"]): r["dst_id"] for r in
+           SIM.knn_graph(df, cents, k=3, nprobe=len(cents)).collect()}
+    assert got == want
+    e1 = {(r["src_id"], r["dst_id"]) for r in
+          SIM.knn_graph(df, cents, k=60, nprobe=1).collect()}
+    e2 = {(r["src_id"], r["dst_id"]) for r in
+          SIM.knn_graph(df, cents, k=60, nprobe=2).collect()}
+    assert e1 < e2  # strictly more cross-boundary candidates
+    # PQ path agrees with the plain path under full probing too
+    books = SIM.train_pq(df, m=2, k=4, sample=60)
+    pq = {(r["src_id"], r["rank"]): r["dst_id"] for r in
+          SIM.knn_graph(df, cents, k=3, nprobe=len(cents),
+                        codebooks=books, shortlist=60).collect()}
+    assert pq == want
+    with pytest.raises(ValueError, match="nprobe"):
+        SIM.knn_graph(df, cents, nprobe=0)
