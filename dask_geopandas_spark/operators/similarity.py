@@ -612,7 +612,8 @@ def semantic_dedup(corpus: DataFrame, centroids: list, threshold: float = 0.9,
                    cell_cap: int | None = None, max_iter: int = 10,
                    on_nonconverged: str = "warn",
                    codebooks: list | None = None,
-                   sdc_margin: float = 0.15) -> DataFrame:
+                   sdc_margin: float = 0.15,
+                   nprobe: int = 1) -> DataFrame:
     """SemDeDup-style embedding-level dedup in one call (Abbas et al.
     2023 shape, a published pretraining-curation recipe): coarse
     k-means cells bound the candidate space, same-cell pairs at or
@@ -645,14 +646,23 @@ def semantic_dedup(corpus: DataFrame, centroids: list, threshold: float = 0.9,
     published SemDeDup recipe is itself approximate via its cell
     partition, so this adds a second, tunable approximation layer —
     documented, not hidden.  Assumes roughly unit-normalized
-    embeddings (the SemDeDup setting)."""
+    embeddings (the SemDeDup setting).
+
+    ``nprobe`` lifts the cell-boundary recall limit the same way
+    `knn_graph`'s probing does: each source probes its ``nprobe``
+    nearest cells, so a near-duplicate pair the k-means partition
+    split across a boundary still becomes an edge.  Probing is
+    asymmetric, so pairs normalize through least/greatest + distinct
+    (found in either direction → kept exactly once); candidate volume
+    stays ≤ nprobe·Σ|cell|².  Composes with ``codebooks`` and
+    ``cell_cap``."""
     from .dedup import cluster_dedup
 
     n_cached_before = len(_CACHED_SALT_INPUTS)
     edges = semantic_dedup_edges(corpus, centroids, threshold,
                                  id_col=id_col, vec_col=vec_col,
                                  cell_cap=cell_cap, codebooks=codebooks,
-                                 sdc_margin=sdc_margin)
+                                 sdc_margin=sdc_margin, nprobe=nprobe)
     out = cluster_dedup(corpus, edges, id_col=id_col, src="src_id",
                         dst="dst_id", max_iter=max_iter,
                         on_nonconverged=on_nonconverged)
@@ -677,33 +687,69 @@ def semantic_dedup_edges(corpus: DataFrame, centroids: list,
                          vec_col: str = "embedding",
                          cell_cap: int | None = None,
                          codebooks: list | None = None,
-                         sdc_margin: float = 0.15) -> DataFrame:
+                         sdc_margin: float = 0.15,
+                         nprobe: int = 1) -> DataFrame:
     """The edge stage of :func:`semantic_dedup`, exposed separately:
     (src_id, dst_id) near-duplicate pairs with src < dst.  See
     `semantic_dedup` for the distributed shape and the ``codebooks``
-    SDC-prefilter recall semantics."""
+    SDC-prefilter recall semantics.
+
+    ``nprobe`` extends candidate pairs across cell boundaries (the
+    SemDeDup cell partition otherwise misses a near-dup pair split by
+    a boundary): each source probes its ``nprobe`` nearest cells
+    (`probe_cells_expr`); because probing is asymmetric — a may probe
+    b's cell without b probing a's — pairs normalize through
+    least/greatest + distinct instead of a one-sided ``src < dst``
+    cut, so a pair found in EITHER direction survives exactly once.
+    Candidate volume stays ≤ nprobe·Σ|cell|²."""
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     assigned = assign_ivf_cells(corpus, centroids, vec_col)
+    probes = probe_cells_expr(centroids, vec_col, nprobe)
+
+    def norm_pairs(pairs: DataFrame) -> DataFrame:
+        if nprobe == 1:
+            return pairs.filter(F.col("src_id") < F.col("dst_id"))
+        return (pairs.filter(F.col("src_id") != F.col("dst_id"))
+                .select(F.least("src_id", "dst_id").alias("src_id"),
+                        F.greatest("src_id", "dst_id").alias("dst_id"))
+                .distinct())
+
     if codebooks is None:
-        a = assigned.select(F.col(id_col).alias("src_id"),
-                            F.col(vec_col).alias("sv"), "ivf_cell")
-        b = a.select(F.col("src_id").alias("dst_id"),
-                     F.col("sv").alias("dv"), "ivf_cell")
-        return (_salted_cell_join(a, b, "dst_id", cell_cap)
-                .filter(F.col("src_id") < F.col("dst_id"))
-                .filter(F.round(cosine(F.col("sv"), F.col("dv")), 9)
-                        >= F.lit(float(threshold)))
-                .select("src_id", "dst_id"))
+        if nprobe == 1:
+            a = assigned.select(F.col(id_col).alias("src_id"),
+                                F.col(vec_col).alias("sv"), "ivf_cell")
+            b = a.select(F.col("src_id").alias("dst_id"),
+                         F.col("sv").alias("dv"), "ivf_cell")
+        else:
+            a = assigned.select(F.col(id_col).alias("src_id"),
+                                F.col(vec_col).alias("sv"),
+                                F.explode(probes).alias("ivf_cell"))
+            b = assigned.select(F.col(id_col).alias("dst_id"),
+                                F.col(vec_col).alias("dv"), "ivf_cell")
+        scored = (_salted_cell_join(a, b, "dst_id", cell_cap)
+                  .filter(F.round(cosine(F.col("sv"), F.col("dv")), 9)
+                          >= F.lit(float(threshold)))
+                  .select("src_id", "dst_id"))
+        return norm_pairs(scored)
     coded = pq_encode(assigned, codebooks, vec_col)
-    a = coded.select(F.col(id_col).alias("src_id"),
-                     F.col("pq_code").alias("_ca"), "ivf_cell")
-    b = a.select(F.col("src_id").alias("dst_id"),
-                 F.col("_ca").alias("_cb"), "ivf_cell")
+    if nprobe == 1:
+        a = coded.select(F.col(id_col).alias("src_id"),
+                         F.col("pq_code").alias("_ca"), "ivf_cell")
+        b = a.select(F.col("src_id").alias("dst_id"),
+                     F.col("_ca").alias("_cb"), "ivf_cell")
+    else:
+        a = coded.select(F.col(id_col).alias("src_id"),
+                         F.col("pq_code").alias("_ca"),
+                         F.explode(probes).alias("ivf_cell"))
+        b = coded.select(F.col(id_col).alias("dst_id"),
+                         F.col("pq_code").alias("_cb"), "ivf_cell")
     # unit-norm identity: cos >= t - margin  <=>  d² <= 2(1-t+margin)
     bound = 2.0 * (1.0 - float(threshold) + float(sdc_margin))
-    cand = (_salted_cell_join(a, b, "dst_id", cell_cap)
-            .filter(F.col("src_id") < F.col("dst_id"))
-            .filter(_sdc_expr(codebooks) <= F.lit(bound))
-            .select("src_id", "dst_id"))
+    cand = norm_pairs(
+        _salted_cell_join(a, b, "dst_id", cell_cap)
+        .filter(_sdc_expr(codebooks) <= F.lit(bound))
+        .select("src_id", "dst_id"))
     sv = corpus.select(F.col(id_col).alias("src_id"),
                        F.col(vec_col).alias("sv"))
     dv = corpus.select(F.col(id_col).alias("dst_id"),

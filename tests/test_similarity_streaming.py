@@ -985,3 +985,93 @@ def test_knn_graph_nprobe_full_probe_equals_global_knn(spark):
     assert pq == want
     with pytest.raises(ValueError, match="nprobe"):
         SIM.knn_graph(df, cents, nprobe=0)
+
+
+def test_semantic_dedup_nprobe_recovers_boundary_pairs(spark):
+    """r6: a near-duplicate cluster sitting ON the k-means cell
+    boundary (each member falls to cell 0 or 1 by its noise sign) is
+    the published SemDeDup recipe's blind spot — nprobe=1 misses every
+    cross-cell pair, nprobe=n_cells must equal the GLOBAL (no cell
+    constraint) union-find dedup exactly; edges are unique with
+    src < dst whichever direction probing found them; and the PQ-coded
+    path composes with probing."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(23)
+    e = np.eye(8)
+    mid = (e[0] + e[1]) / np.sqrt(2.0)
+    rows = [mid + rng.uniform(-0.01, 0.01, 8) for _ in range(20)]
+    rows += [e[4], e[5], e[6]]  # untouched singleton directions
+    rows = [v / np.linalg.norm(v) for v in rows]
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(len(rows), dtype=np.int64),
+        "embedding": [list(map(float, v)) for v in rows],
+    })
+    df = spark.createDataFrame(pdf)
+    cents = [list(map(float, e[0])), list(map(float, e[1]))]
+
+    M = np.array(rows)
+    C = np.asarray(cents, float)
+    cells = np.argmin(((M[:, None, :] - C[None, :, :]) ** 2).sum(-1),
+                      axis=1)
+    assert len(set(cells[:20])) == 2, "cluster must straddle the boundary"
+    cos = M @ M.T  # already unit-normalized
+    thr = 0.999
+
+    def dedup_ids(pair_ok):
+        parent = list(range(len(M)))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        touched = set()
+        for i in range(len(M)):
+            for j in range(i + 1, len(M)):
+                if pair_ok(i, j) and round(cos[i, j], 9) >= thr:
+                    parent[find(i)] = find(j)
+                    touched |= {i, j}
+        comp = {}
+        for i in touched:
+            comp.setdefault(find(i), []).append(i)
+        drop = {i for vs in comp.values() for i in vs if i != min(vs)}
+        return sorted(i for i in range(len(M)) if i not in drop)
+
+    want_global = dedup_ids(lambda i, j: True)
+    want_cellbound = dedup_ids(lambda i, j: cells[i] == cells[j])
+    assert set(want_cellbound) > set(want_global)  # the gap is real
+
+    got1 = sorted(r["vec_id"] for r in
+                  SIM.semantic_dedup(df, cents, threshold=thr).collect())
+    got2 = sorted(r["vec_id"] for r in
+                  SIM.semantic_dedup(df, cents, threshold=thr,
+                                     nprobe=2).collect())
+    assert got1 == want_cellbound
+    assert got2 == want_global
+
+    # edge uniqueness under asymmetric probing: src < dst, no dups
+    edges = SIM.semantic_dedup_edges(df, cents, threshold=thr,
+                                     nprobe=2).collect()
+    pairs = [(r["src_id"], r["dst_id"]) for r in edges]
+    assert len(pairs) == len(set(pairs))
+    assert all(s < d for s, d in pairs)
+    want_edges = {(i, j) for i in range(len(M))
+                  for j in range(i + 1, len(M))
+                  if round(cos[i, j], 9) >= thr}
+    assert set(pairs) == want_edges
+
+    # PQ path + cell_cap compose with probing (generous margin)
+    books = SIM.train_pq(df, m=2, k=4, sample=len(rows))
+    got_pq = sorted(r["vec_id"] for r in
+                    SIM.semantic_dedup(df, cents, threshold=thr,
+                                       nprobe=2, codebooks=books,
+                                       sdc_margin=0.3,
+                                       cell_cap=5).collect())
+    assert got_pq == want_global
+    SIM.release_cached_salt_inputs()
+
+    with pytest.raises(ValueError, match="nprobe"):
+        SIM.semantic_dedup_edges(df, cents, nprobe=0)
