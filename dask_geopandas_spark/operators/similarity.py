@@ -105,17 +105,33 @@ def assign_ivf_cells(df: DataFrame, centroids: list[list[float]],
 
 
 def train_centroids(df: DataFrame, n_cells: int = 16,
-                    vec_col: str = "embedding", iters: int = 3) -> list[list[float]]:
-    """k-means-lite: deterministic sample seeds + a few Lloyd iterations
-    computed with native aggregations (posexplode + avg per dimension)."""
+                    vec_col: str = "embedding", iters: int = 3,
+                    round_decimals: int | None = 6) -> list[list[float]]:
+    """k-means-lite: deterministic sample seeds (first ``n_cells`` by
+    vec_id) + a fixed number of Lloyd iterations computed with native
+    aggregations (posexplode + avg per dimension).  A cell that loses
+    all members keeps its previous centroid.
+
+    Each update rounds to ``round_decimals`` (engine-side ``F.round``,
+    half-away — the same function DuckDB's ``round`` applies) so the
+    whole training run is replicable in exact SQL: the unordered
+    double ``avg`` is the ONLY cross-engine ulp source, and round-6
+    absorbs it (the repo's unordered-sum convention, cf. lm_quality);
+    every downstream distance is then a deterministic left-associated
+    fold over bit-identical centroid literals.  ``None`` disables
+    rounding.  Driver-side work is O(n_cells·dim·iters) — centroids
+    only, never the corpus."""
     seeds = [r[vec_col] for r in
              df.orderBy(F.col("vec_id")).limit(n_cells).collect()]
     cents = [list(map(float, s)) for s in seeds]
+    m = F.avg("val")
+    if round_decimals is not None:
+        m = F.round(m, int(round_decimals))
     for _ in range(iters):
         assigned = assign_ivf_cells(df, cents, vec_col)
         rows = (
             assigned.select("ivf_cell", F.posexplode(F.col(vec_col)).alias("dim", "val"))
-            .groupBy("ivf_cell", "dim").agg(F.avg("val").alias("m"))
+            .groupBy("ivf_cell", "dim").agg(m.alias("m"))
             .groupBy("ivf_cell")
             .agg(F.map_from_arrays(F.collect_list("dim"), F.collect_list("m")).alias("mm"))
             .collect()

@@ -1075,3 +1075,51 @@ def test_semantic_dedup_nprobe_recovers_boundary_pairs(spark):
 
     with pytest.raises(ValueError, match="nprobe"):
         SIM.semantic_dedup_edges(df, cents, nprobe=0)
+
+
+def test_train_centroids_rounds_and_carries_empty_cells(spark):
+    """r6: train_centroids is exactly SQL-replicable — every Lloyd
+    update rounds to round_decimals engine-side (the returned floats
+    carry no sub-1e-6 residue), a cell that loses all members keeps
+    its previous centroid, and the numpy replica of the whole run
+    (seeds → first-min argmin → round-6 means) agrees exactly."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(3)
+    # vec 1 duplicates vec 0 exactly: the two seeds are identical, so
+    # EVERY point ties and the first-min argmin sends all of them to
+    # cell 0 — cell 1 provably empties and must carry its centroid
+    M = rng.uniform(0.0, 0.05, (20, 4))
+    M[1] = M[0]
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(20, dtype=np.int64),
+        "embedding": [list(map(float, v)) for v in M],
+    })
+    df = spark.createDataFrame(pdf)
+    cents = SIM.train_centroids(df, n_cells=2, iters=2)
+    cents1 = SIM.train_centroids(df, n_cells=2, iters=1)
+
+    # numpy replica: identical seeds, argmin-first tiebreak, round-6
+    # means, emptied-cell carry
+    C = [list(M[0]), list(M[1])]
+    for _ in range(2):
+        d = ((M[:, None, :] - np.asarray(C)[None, :, :]) ** 2).sum(-1)
+        cells = np.argmin(d, axis=1)  # first min on ties, like Spark
+        for c in range(2):
+            members = M[cells == c]
+            if len(members):
+                C[c] = [float(round(v, 6)) for v in members.mean(axis=0)]
+    assert cents == C
+    # after ONE iteration cell 1 is provably empty (every tie broke to
+    # cell 0), so it carries its raw (unrounded) seed coordinates;
+    # iteration 2 then wins members back to the stale seed — a real
+    # point — which the iters=2 replica equality above covers
+    assert cents1[1] == list(map(float, M[1]))
+    assert cents1[0] != cents1[1]  # cell 0 DID move off the shared seed
+    for v in cents[0]:
+        assert v == round(v, 6)
+    # rounding off → the legacy unrounded path still trains
+    raw = SIM.train_centroids(df, n_cells=2, iters=1,
+                              round_decimals=None)
+    assert len(raw) == 2 and len(raw[0]) == 4
