@@ -2213,6 +2213,31 @@ def q_dup_spans(spark, sf_dir):
                       "n_dup_grams")
 
 
+def q_span_removal(spark, sf_dir):
+    """Substring-dedup rewrite (dedup.remove_duplicated_spans — the
+    REMOVAL stage of the Lee et al. 2022 ExactSubstr recipe, r6): cut
+    every token position covered by a duplicated span (all
+    occurrences, the deduplicate-text-datasets semantics), rejoin kept
+    tokens in order, keep span-free docs byte-for-byte.  Same planted-
+    boilerplate construction as q_dup_spans; the oracle replays the
+    detection pipeline, marks covered token positions with a
+    doc-bounded EXISTS range probe, and reassembles via
+    string_agg(... ORDER BY pos)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    words = F.split(F.col("text"), " ")
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.array_join(F.slice(words, 1, 16), " "),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit("the quick brown fox jumps over the lazy dog "
+                         "every single morning")))
+        .alias("text"))
+    out = DD.remove_duplicated_spans(synth, k=8, min_occurrences=2)
+    return out.select("doc_id", "text", "n_removed_tokens")
+
+
 def q_fillna_isna(spark, sf_dir):
     """Missing-geometry semantics (reference 'Missing values' rows of
     geoseries.rst; SURVEY §1.3): NULL every 7th customer's geometry,
@@ -2808,17 +2833,18 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness check emits at
     most 50 rows, in registry order.  Round 6 rotation (r5 verdict
-    order #2): (a) the SEVEN queries NEW this round plus ann_ivf
+    order #2): (a) the EIGHT queries NEW this round plus ann_ivf
     (whose oracle upgraded rows-only -> exact this round — upgrades
     front-load like new queries), (b) ALL 14 entries whose last
     hash-green attestation is round 2 (the curve encoders and the LSH
     chain under them were refactored in r3-r5), (c) all 14 last green
-    in round 3, (d) the 14 oldest round-4 attestations — exactly
+    in round 3, (d) the 13 oldest round-4 attestations — exactly
     filling the 50-row window, with stream_funnel kept inside it (its
-    state-sizing call site changed this round); split_holdout and
-    running_totals (r4-green, untouched — bumped when ann_ivf and
-    semantic_dedup_probe landed), connected_components, lm_quality,
-    bm25_batch, and media_manifest lead the r7 rotation.
+    state-sizing call site changed this round); shapefile_roundtrip,
+    split_holdout and running_totals (r4-green over modules untouched
+    since — bumped as the r6-new queries landed), then
+    connected_components, lm_quality, bm25_batch, and media_manifest
+    lead the r7 rotation.
     Everything attested in round 5 sits below the window, ahead of
     only the two rows-only-by-design entries' pytest pins."""
     return {
@@ -2830,6 +2856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_line_dedup": q_doc_line_dedup,
         "quality_classifier": q_quality_classifier,
         "dup_spans": q_dup_spans,
+        "span_removal": q_span_removal,
         "knn_graph_probe": q_knn_graph_probe,
         # -- last green r2 (14: full remainder, verdict #2) --
         "line_project": q_line_project,
@@ -2861,12 +2888,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "events_hourly": q_events_hourly,
         "session_windows": q_session_windows,
-        # -- oldest r4 attestations (14, filling the window to 50) --
+        # -- oldest r4 attestations (13, filling the window to 50) --
         "image_meta": q_image_meta,
         "image_resize": q_image_resize,
         "audio_meta": q_audio_meta,
         "frame_counts": q_frame_counts,
-        "shapefile_roundtrip": q_shapefile_roundtrip,
         "geopackage_roundtrip": q_geopackage_roundtrip,
         "ann_pq": q_ann_pq,
         "ann_ivf_pq": q_ann_ivf_pq,
@@ -2877,6 +2903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "stream_funnel": q_stream_funnel,
         # ---- 50-row driver window ends here ----
+        "shapefile_roundtrip": q_shapefile_roundtrip,
         "split_holdout": q_split_holdout,
         "running_totals": q_running_totals,
         "connected_components": q_connected_components,
@@ -3796,6 +3823,45 @@ def _dup_spans_oracle_sql(k: int = 8, min_occ: int = 2) -> str:
                CAST(max(pos) - min(pos) + {k} AS BIGINT) AS span_tokens,
                CAST(count(*) AS BIGINT) AS n_dup_grams
         FROM isl GROUP BY doc_id, island
+    """
+
+
+def _span_removal_oracle_sql(k: int = 8, min_occ: int = 2) -> str:
+    """DuckDB replica of q_span_removal: the full _dup_spans_oracle_sql
+    detection pipeline folded to per-doc spans, token positions marked
+    covered via a doc-bounded EXISTS range probe, spanned docs rebuilt
+    by string_agg(kept ORDER BY pos) (empty-string fallback when every
+    token fell inside a span), span-free docs returned byte-for-byte."""
+    detect = _dup_spans_oracle_sql(k=k, min_occ=min_occ)
+    head, final = detect.rsplit("SELECT doc_id,", 1)
+    return head + f""", spans AS (
+            SELECT doc_id, min(pos) AS s, max(pos) + {k - 1} AS e
+            FROM isl GROUP BY doc_id, island
+        ),
+        marked AS (
+            SELECT p.doc_id, p.pos, p.tok,
+                   EXISTS (SELECT 1 FROM spans s
+                           WHERE s.doc_id = p.doc_id
+                             AND p.pos BETWEEN s.s AND s.e) AS cov
+            FROM (SELECT doc_id,
+                         generate_subscripts(toks, 1) AS pos,
+                         unnest(toks) AS tok
+                  FROM tk) p
+            WHERE p.doc_id IN (SELECT doc_id FROM spans)
+        ),
+        rebuilt AS (
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN NOT cov THEN tok END,
+                                       ' ' ORDER BY pos), '') AS text,
+                   sum(CASE WHEN cov THEN 1 ELSE 0 END) AS n_removed
+            FROM marked GROUP BY doc_id
+        )
+        SELECT base.doc_id,
+               CASE WHEN r.doc_id IS NULL THEN base.t
+                    ELSE r.text END AS text,
+               CAST(coalesce(r.n_removed, 0) AS BIGINT)
+                   AS n_removed_tokens
+        FROM base LEFT JOIN rebuilt r ON base.doc_id = r.doc_id
     """
 
 
@@ -4905,6 +4971,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_line_dedup": _doc_line_dedup_oracle_sql(),
         "quality_classifier": _quality_classifier_oracle_sql(),
         "dup_spans": _dup_spans_oracle_sql(),
+        "span_removal": _span_removal_oracle_sql(),
         "knn_graph_probe": _knn_graph_probe_oracle_sql(),
         "source_cap": """
             SELECT doc_id, lang FROM (

@@ -7,13 +7,17 @@ from .clip import clip
 from .dedup import (
     cluster_dedup,
     connected_components,
+    dedup_lines_within_doc,
+    duplicated_spans,
     embedding_neardup_pairs,
     exact_dedup,
+    line_dedup,
     lsh_candidate_pairs,
     lsh_dedup,
     minhash_signatures,
     ngram_jaccard_pairs,
     release_cached_signatures,
+    remove_duplicated_spans,
     simhash,
 )
 from .dissolve import dissolve
@@ -56,6 +60,8 @@ __all__ = [
     "release_cached_signatures",
     "embedding_neardup_pairs",
     "connected_components", "cluster_dedup",
+    "line_dedup", "dedup_lines_within_doc",
+    "duplicated_spans", "remove_duplicated_spans",
     "brute_force_topk", "train_centroids", "ivf_topk",
     "write_ivf_index", "ivf_topk_stored",
     "knn_graph", "train_pq", "release_cached_salt_inputs",

@@ -848,3 +848,53 @@ def duplicated_spans(df: DataFrame, k: int = 8,
             .select(id_col, "span_start",
                     F.col("span_tokens").cast("long"),
                     F.col("n_dup_grams").cast("long")))
+
+
+def remove_duplicated_spans(df: DataFrame, k: int = 8,
+                            min_occurrences: int = 2,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Substring-dedup REWRITE — the removal stage of the Lee et al.
+    2022 ExactSubstr recipe on top of :func:`duplicated_spans`: every
+    token position covered by a duplicated span is cut from every
+    document (ALL occurrences go, the published
+    deduplicate-text-datasets semantics — a span duplicated N times
+    disappears N times; no global keep-first ordering exists at corpus
+    scale and the tool's authors make the same call).  Returns
+    ``(id_col, text, n_removed_tokens)``.
+
+    The rewrite happens in TOKEN space (the detector's tokenizer):
+    a doc touched by a span comes back as its kept tokens joined by
+    single spaces — lowercased, punctuation-split.  Docs with NO
+    duplicated span keep their original ``text_col`` byte-for-byte
+    (the common case pays nothing).
+
+    Distributed shape: the span list rides one doc-keyed equi-join
+    (spans are a tiny fraction of corpus rows; AQE broadcasts when
+    small), per-doc spans fold into ONE array column, and the cut is
+    a single native index-lambda ``filter`` — no explode, no window,
+    no UDF on the rewrite side; the detection cost is exactly
+    :func:`duplicated_spans`' two shuffles."""
+    spans = duplicated_spans(df, k=k, min_occurrences=min_occurrences,
+                             text_col=text_col, id_col=id_col)
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct(
+            F.col("span_start").alias("s"),
+            (F.col("span_start") + F.col("span_tokens") - 1).alias("e"))
+        ).alias("_spans"))
+    toks = let(tokens(F.col(text_col)),
+               lambda t: F.filter(t, lambda x: x != F.lit("")))
+    kept = F.filter(
+        F.col("_toks"),
+        lambda x, i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (i + 1 >= s["s"]) & (i + 1 <= s["e"])))
+    return (df.join(sp, on=id_col, how="left")
+            .withColumn("_toks", toks)
+            .select(
+                F.col(id_col),
+                F.when(F.col("_spans").isNull(), F.col(text_col))
+                .otherwise(F.array_join(kept, " ")).alias("text"),
+                F.when(F.col("_spans").isNull(), F.lit(0))
+                .otherwise(F.size("_toks") - F.size(kept))
+                .cast("long").alias("n_removed_tokens")))

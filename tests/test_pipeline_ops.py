@@ -1213,3 +1213,89 @@ def test_duplicated_spans_random_corpus_brute_force(spark):
            for r in duplicated_spans(df, k=k,
                                      min_occurrences=mo).collect()}
     assert got == want and len(want) > 10
+
+
+class TestRemoveDuplicatedSpans:
+    def test_planted_span_removed_untouched_intact(self, spark):
+        """r6: the removal stage — planted boilerplate disappears from
+        every carrier (ALL occurrences, the deduplicate-text-datasets
+        semantics), kept tokens rejoin in order, and span-free docs
+        keep their ORIGINAL text byte-for-byte (mixed case, punctuation
+        and all)."""
+        from dask_geopandas_spark.operators.dedup import (
+            remove_duplicated_spans)
+
+        boiler = ("the quick brown fox jumps over the lazy dog "
+                  "every single morning")          # 12 tokens
+        rows = []
+        for i in range(6):
+            head = " ".join(f"u{i}w{j}" for j in range(5))
+            if i < 4:
+                rows.append((i, f"{head} {boiler} tail{i}"))
+            else:
+                rows.append((i, f"Unique DOC, number {i}!"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               remove_duplicated_spans(df, k=8,
+                                       min_occurrences=2).collect()}
+        assert set(out) == set(range(6))
+        for i in range(4):
+            head = " ".join(f"u{i}w{j}" for j in range(5))
+            assert out[i]["text"] == f"{head} tail{i}"
+            assert out[i]["n_removed_tokens"] == 12
+        for i in (4, 5):
+            assert out[i]["text"] == f"Unique DOC, number {i}!"
+            assert out[i]["n_removed_tokens"] == 0
+
+    def test_whole_doc_span_leaves_empty_text(self, spark):
+        from dask_geopandas_spark.operators.dedup import (
+            remove_duplicated_spans)
+
+        t = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+        df = spark.createDataFrame([(1, t), (2, t)],
+                                   "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               remove_duplicated_spans(df, k=8,
+                                       min_occurrences=2).collect()}
+        for d in (1, 2):
+            assert out[d]["text"] == ""
+            assert out[d]["n_removed_tokens"] == 8
+
+    def test_random_corpus_brute_force(self, spark):
+        """Randomized agreement: rewrite == Python gram-count +
+        coverage-mask + token-rejoin reference on a seeded skewed
+        corpus."""
+        import numpy as np
+        from collections import Counter
+
+        from dask_geopandas_spark.operators.dedup import (
+            remove_duplicated_spans)
+
+        rng = np.random.RandomState(31)
+        vocab = [f"w{i}" for i in range(6)]
+        rows = []
+        for d in range(40):
+            n = rng.randint(4, 20)
+            rows.append((d, " ".join(vocab[rng.randint(len(vocab))]
+                                     for _ in range(n))))
+        k, mo = 4, 2
+        toks = {d: t.split() for d, t in rows}
+        counts = Counter()
+        for d, tk in toks.items():
+            for i in range(len(tk) - k + 1):
+                counts[" ".join(tk[i:i + k])] += 1
+        want = {}
+        for d, tk in toks.items():
+            cut = set()
+            for i in range(len(tk) - k + 1):
+                if counts[" ".join(tk[i:i + k])] >= mo:
+                    cut |= set(range(i, i + k))
+            kept = [t for i, t in enumerate(tk) if i not in cut]
+            want[d] = (" ".join(kept) if cut else dict(rows)[d],
+                       len(cut))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: (r["text"], r["n_removed_tokens"]) for r in
+               remove_duplicated_spans(df, k=k,
+                                       min_occurrences=mo).collect()}
+        assert got == want
+        assert sum(n for _, n in want.values()) > 20
