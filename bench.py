@@ -75,6 +75,9 @@ BENCH_QUERIES = [
     "quality_classifier",
     "dup_spans",
     "knn_graph_probe",
+    "semantic_dedup_probe",
+    "span_removal",
+    "ann_ivf",
 ]
 
 

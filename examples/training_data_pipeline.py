@@ -2,7 +2,8 @@
 first-class operator, the whole flow is a handful of declarative calls.
 
     corpus → language/quality filter → model-based quality score (r6)
-           → line-level boilerplate dedup (r6) → exact dedup
+           → line-level boilerplate dedup (r6) → substring dedup (r6)
+           → exact dedup
            → near-dup (LSH) → benchmark decontamination
            → per-source quota cap (r5) → deterministic sampling
            → train/holdout split → sequence packing → stats
@@ -54,6 +55,14 @@ def run_pipeline(spark: SparkSession, sf_dir: str):
     kept = kept.withColumn("n_tokens", TX.token_count(F.col("text"))) \
         .filter(F.col("n_tokens") >= 5).drop("n_dropped")
     stages["line_dedup"] = kept.count()
+
+    # 1d. substring dedup (r6, Lee et al. ExactSubstr): cut every
+    #     corpus-duplicated k-token span out of every doc
+    kept = DD.remove_duplicated_spans(kept.drop("n_tokens"),
+                                      k=8, min_occurrences=4)
+    kept = kept.withColumn("n_tokens", TX.token_count(F.col("text"))) \
+        .filter(F.col("n_tokens") >= 5).drop("n_removed_tokens")
+    stages["span_removal"] = kept.count()
 
     # 2. exact dedup (md5 groupBy keeper join)
     keepers = DD.exact_dedup(kept).select(

@@ -648,12 +648,14 @@ class TestConnectedComponents:
 
         from dask_geopandas_spark.operators.dedup import connected_components
 
-        chain = spark.createDataFrame([(i, i + 1) for i in range(9)],
-                                      "src long, dst long")  # diameter 9
+        # diameter 59: pointer doubling reaches ~2^(i+1) hops per
+        # iteration, so 2 iterations (~6 hops) provably cannot finish
+        chain = spark.createDataFrame([(i, i + 1) for i in range(59)],
+                                      "src long, dst long")
         with pytest.warns(RuntimeWarning, match="max_iter"):
-            connected_components(chain, max_iter=3).collect()
+            connected_components(chain, max_iter=2).collect()
         with pytest.raises(RuntimeError, match="max_iter"):
-            connected_components(chain, max_iter=3,
+            connected_components(chain, max_iter=2,
                                  on_nonconverged="raise").collect()
         with pytest.raises(ValueError, match="on_nonconverged"):
             connected_components(chain, on_nonconverged="nope")
