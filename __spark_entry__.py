@@ -2065,6 +2065,23 @@ def q_cluster_dedup(spark, sf_dir):
     return kept.select("doc_id", F.length("text").alias("text_len"))
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (sampling.chunk_documents —
+    the retrieval/embedding prep stage, r6): stride = max_tokens −
+    overlap, the no-new-tokens final window dropped, text rewritten to
+    the chunk's whitespace tokens.  One scan, zero shuffles (the
+    explode multiplies rows map-side).  Oracle: the same start-list
+    comprehension (range + filter), subscript explode, and inclusive
+    list-slice reassembly in SQL."""
+    from dask_geopandas_spark.operators.sampling import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    out = chunk_documents(docs.select("doc_id", "text"),
+                          max_tokens=32, overlap=8)
+    return out.select("doc_id", "chunk_id", "chunk_start",
+                      "n_chunk_tokens", "text")
+
+
 def q_source_cap(spark, sf_dir):
     """Per-group quota (sampling.cap_per_group — the C4/RefinedWeb
     per-domain cap): at most 100 docs per language, preferring smaller
@@ -2833,18 +2850,18 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness check emits at
     most 50 rows, in registry order.  Round 6 rotation (r5 verdict
-    order #2): (a) the EIGHT queries NEW this round plus ann_ivf
+    order #2): (a) the NINE queries NEW this round plus ann_ivf
     (whose oracle upgraded rows-only -> exact this round — upgrades
     front-load like new queries), (b) ALL 14 entries whose last
     hash-green attestation is round 2 (the curve encoders and the LSH
     chain under them were refactored in r3-r5), (c) all 14 last green
-    in round 3, (d) the 13 oldest round-4 attestations — exactly
+    in round 3, (d) the 12 oldest round-4 attestations — exactly
     filling the 50-row window, with stream_funnel kept inside it (its
-    state-sizing call site changed this round); shapefile_roundtrip,
-    split_holdout and running_totals (r4-green over modules untouched
-    since — bumped as the r6-new queries landed), then
-    connected_components, lm_quality, bm25_batch, and media_manifest
-    lead the r7 rotation.
+    state-sizing call site changed this round); ann_pq,
+    shapefile_roundtrip, split_holdout and running_totals (r4-green
+    over paths untouched since — bumped as the r6-new queries landed),
+    then connected_components, lm_quality, bm25_batch, and
+    media_manifest lead the r7 rotation.
     Everything attested in round 5 sits below the window, ahead of
     only the two rows-only-by-design entries' pytest pins."""
     return {
@@ -2857,6 +2874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "dup_spans": q_dup_spans,
         "span_removal": q_span_removal,
+        "doc_chunks": q_doc_chunks,
         "knn_graph_probe": q_knn_graph_probe,
         # -- last green r2 (14: full remainder, verdict #2) --
         "line_project": q_line_project,
@@ -2888,13 +2906,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "events_hourly": q_events_hourly,
         "session_windows": q_session_windows,
-        # -- oldest r4 attestations (13, filling the window to 50) --
+        # -- oldest r4 attestations (12, filling the window to 50) --
         "image_meta": q_image_meta,
         "image_resize": q_image_resize,
         "audio_meta": q_audio_meta,
         "frame_counts": q_frame_counts,
         "geopackage_roundtrip": q_geopackage_roundtrip,
-        "ann_pq": q_ann_pq,
         "ann_ivf_pq": q_ann_ivf_pq,
         "knn_graph": q_knn_graph,
         "knn_graph_pq": q_knn_graph_pq,
@@ -2903,6 +2920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "stream_funnel": q_stream_funnel,
         # ---- 50-row driver window ends here ----
+        "ann_pq": q_ann_pq,
         "shapefile_roundtrip": q_shapefile_roundtrip,
         "split_holdout": q_split_holdout,
         "running_totals": q_running_totals,
@@ -3823,6 +3841,43 @@ def _dup_spans_oracle_sql(k: int = 8, min_occ: int = 2) -> str:
                CAST(max(pos) - min(pos) + {k} AS BIGINT) AS span_tokens,
                CAST(count(*) AS BIGINT) AS n_dup_grams
         FROM isl GROUP BY doc_id, island
+    """
+
+
+def _doc_chunks_oracle_sql(max_tokens: int = 32, overlap: int = 8) -> str:
+    """DuckDB replica of q_doc_chunks: whitespace split, start list =
+    range(1, greatest(n,1)+1, stride) filtered to (s = 1 OR
+    s <= n − overlap), generate_subscripts explode, inclusive 1-based
+    list slice of max_tokens, array_to_string reassembly."""
+    stride = max_tokens - overlap
+    return f"""
+        WITH tk AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents WHERE doc_id < 400
+        ),
+        st AS (
+            SELECT doc_id, toks,
+                   list_filter(range(1, greatest(len(toks), 1) + 1,
+                                     {stride}),
+                               s -> s = 1 OR s <= len(toks) - {overlap})
+                       AS starts
+            FROM tk
+        ),
+        ex AS (
+            SELECT doc_id, toks,
+                   generate_subscripts(starts, 1) - 1 AS chunk_id,
+                   unnest(starts) AS s
+            FROM st
+        )
+        SELECT doc_id,
+               CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(s AS BIGINT) AS chunk_start,
+               CAST(len(toks[s:s + {max_tokens - 1}]) AS BIGINT)
+                   AS n_chunk_tokens,
+               array_to_string(toks[s:s + {max_tokens - 1}], ' ')
+                   AS text
+        FROM ex
     """
 
 
@@ -4972,6 +5027,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _quality_classifier_oracle_sql(),
         "dup_spans": _dup_spans_oracle_sql(),
         "span_removal": _span_removal_oracle_sql(),
+        "doc_chunks": _doc_chunks_oracle_sql(),
         "knn_graph_probe": _knn_graph_probe_oracle_sql(),
         "source_cap": """
             SELECT doc_id, lang FROM (

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "knn_graph_probe",
     "semantic_dedup_probe",
     "span_removal",
+    "doc_chunks",
     "ann_ivf",
 ]
 

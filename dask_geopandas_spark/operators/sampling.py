@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import portable_hash
+from .textstats import let
 
 _MOD = 1_000_000
 
@@ -163,3 +164,56 @@ def cap_per_group(df: DataFrame, group_col: str = "source",
     capped = (trimmed.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") <= int(cap)).drop("_rn"))
     return keep_small.unionByName(capped)
+
+
+def chunk_documents(df: DataFrame, max_tokens: int = 128,
+                    overlap: int = 0, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into overlapping token-window CHUNKS — the
+    retrieval/embedding prep stage (fixed-window chunking with stride
+    ``max_tokens - overlap``, the standard RAG/dense-retrieval recipe):
+    one output row per chunk with the source id, a 0-based
+    ``chunk_id``, the 1-based ``chunk_start`` token offset, the chunk's
+    token count, and ``text_col`` rewritten to the chunk's tokens
+    joined by single spaces (whitespace-normalized; tokens keep their
+    original case and punctuation — this splits on whitespace, not the
+    dedup family's lowercasing tokenizer).
+
+    Window starts step by the stride; a would-be final window that
+    adds no NEW tokens (its fresh tail lies entirely inside the
+    previous window's overlap) is dropped, so every token appears in
+    at least one and at most ⌈max_tokens/stride⌉ chunks and no chunk
+    is a suffix-duplicate of its predecessor.  Every other input
+    column is preserved (the line_dedup convention).
+
+    All native: one ``sequence``/``filter`` comprehension builds the
+    start list per row, ``posexplode`` fans out — chunking 100 TB is
+    one scan with no shuffle at all (the explode multiplies rows
+    map-side); downstream embedding UDFs see rows already sized to the
+    model's context."""
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"overlap must be in [0, max_tokens), got {overlap}")
+    stride = max_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = let(
+        F.size(toks),
+        lambda n: F.filter(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1)),
+                       F.lit(stride)),
+            lambda s: (s == 1) | (s <= n - overlap)))
+    out_cols = [F.col(c) for c in df.columns if c != text_col]
+    return (df.withColumn("_toks", toks)
+            .select("*", F.posexplode(starts).alias("chunk_id", "_s"))
+            .select(
+                *out_cols,
+                F.col("chunk_id").cast("long"),
+                F.col("_s").cast("long").alias("chunk_start"),
+                F.slice(F.col("_toks"), F.col("_s"),
+                        F.lit(max_tokens)).alias("_chunk"))
+            .select(
+                *out_cols, "chunk_id", "chunk_start",
+                F.size("_chunk").cast("long").alias("n_chunk_tokens"),
+                F.array_join("_chunk", " ").alias(text_col)))

@@ -224,3 +224,87 @@ def test_cap_per_group_quota_joins_broadcast(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert plan.count("SortMergeJoin") == 0, plan
+
+
+class TestChunkDocuments:
+    def test_chunking_shapes_and_coverage(self, spark):
+        """r6: fixed-window chunking with overlap — starts step by the
+        stride, the no-new-tokens final window is dropped, every token
+        appears in >=1 chunk, reassembly of stride-heads == original
+        (whitespace-normalized), metadata columns ride through."""
+        from dask_geopandas_spark.operators.sampling import (
+            chunk_documents)
+
+        words = [f"w{i}" for i in range(10)]
+        rows = [(1, " ".join(words), "web"),
+                (2, "a b c", "books"),
+                (3, "solo", "web")]
+        df = spark.createDataFrame(rows, "doc_id long, text string, "
+                                         "source string")
+        out = chunk_documents(df, max_tokens=8, overlap=4)
+        got = {(r["doc_id"], r["chunk_id"]):
+               (r["chunk_start"], r["n_chunk_tokens"], r["text"],
+                r["source"])
+               for r in out.collect()}
+        # doc 1: n=10, stride=4 -> starts 1, 5 (9 > 10-4 dropped)
+        assert got[(1, 0)] == (1, 8, " ".join(words[0:8]), "web")
+        assert got[(1, 1)] == (5, 6, " ".join(words[4:10]), "web")
+        # doc 2: n=3 -> one whole-doc chunk
+        assert got[(2, 0)] == (1, 3, "a b c", "books")
+        assert got[(3, 0)] == (1, 1, "solo", "web")
+        assert len(got) == 4
+
+    def test_no_overlap_partitions_exactly(self, spark):
+        from dask_geopandas_spark.operators.sampling import (
+            chunk_documents)
+
+        words = [f"t{i}" for i in range(11)]
+        df = spark.createDataFrame([(1, " ".join(words))],
+                                   "doc_id long, text string")
+        out = sorted((r["chunk_id"], r["text"]) for r in
+                     chunk_documents(df, max_tokens=4).collect())
+        assert out == [(0, " ".join(words[0:4])),
+                       (1, " ".join(words[4:8])),
+                       (2, " ".join(words[8:11]))]
+
+    def test_random_brute_force(self, spark):
+        """Randomized agreement with a direct Python reference across
+        several (max_tokens, overlap) shapes."""
+        import numpy as np
+
+        from dask_geopandas_spark.operators.sampling import (
+            chunk_documents)
+
+        rng = np.random.RandomState(17)
+        rows = [(d, " ".join(f"x{rng.randint(100)}"
+                             for _ in range(rng.randint(1, 40))))
+                for d in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for mt, ov in ((8, 0), (8, 4), (5, 4), (1, 0), (64, 16)):
+            stride = mt - ov
+            want = set()
+            for d, t in rows:
+                tk = t.split()
+                n = len(tk)
+                starts = [s for s in range(1, max(n, 1) + 1, stride)
+                          if s == 1 or s <= n - ov]
+                for ci, s in enumerate(starts):
+                    chunk = tk[s - 1:s - 1 + mt]
+                    want.add((d, ci, s, len(chunk), " ".join(chunk)))
+            got = {(r["doc_id"], r["chunk_id"], r["chunk_start"],
+                    r["n_chunk_tokens"], r["text"]) for r in
+                   chunk_documents(df, max_tokens=mt,
+                                   overlap=ov).collect()}
+            assert got == want, (mt, ov)
+
+    def test_validates_params(self, spark):
+        from dask_geopandas_spark.operators.sampling import (
+            chunk_documents)
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="max_tokens"):
+            chunk_documents(df, max_tokens=0)
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(df, max_tokens=4, overlap=4)
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(df, max_tokens=4, overlap=-1)
