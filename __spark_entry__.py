@@ -2065,6 +2065,21 @@ def q_cluster_dedup(spark, sf_dir):
     return kept.select("doc_id", F.length("text").alias("text_len"))
 
 
+def q_source_mix(spark, sf_dir):
+    """Epochs-per-source mixing (sampling.oversample — the Pile/Llama/
+    Dolma re-weighting stage, r6): src0 rides at rate 2.5 (every row
+    twice, the deterministic half hash-slice a third time), src1 at
+    0.5, src2 dropped, everything else once — expected multiplicity
+    exactly the rate, md5-bucket deterministic, no RNG.  Oracle: the
+    same CASE multiplicity + range unnest per row."""
+    from dask_geopandas_spark.operators.sampling import oversample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = oversample(docs, {"src0": 2.5, "src1": 0.5, "src2": 0.0},
+                     group_col="source", key_col="doc_id")
+    return out.select("doc_id", "source", "copy_id")
+
+
 def q_doc_chunks(spark, sf_dir):
     """Overlapping token-window chunking (sampling.chunk_documents —
     the retrieval/embedding prep stage, r6): stride = max_tokens −
@@ -2850,14 +2865,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness check emits at
     most 50 rows, in registry order.  Round 6 rotation (r5 verdict
-    order #2): (a) the NINE queries NEW this round plus ann_ivf
+    order #2): (a) the TEN queries NEW this round plus ann_ivf
     (whose oracle upgraded rows-only -> exact this round — upgrades
     front-load like new queries), (b) ALL 14 entries whose last
     hash-green attestation is round 2 (the curve encoders and the LSH
     chain under them were refactored in r3-r5), (c) all 14 last green
-    in round 3, (d) the 12 oldest round-4 attestations — exactly
+    in round 3, (d) the 11 oldest round-4 attestations — exactly
     filling the 50-row window, with stream_funnel kept inside it (its
-    state-sizing call site changed this round); ann_pq,
+    state-sizing call site changed this round); ann_ivf_pq, ann_pq,
     shapefile_roundtrip, split_holdout and running_totals (r4-green
     over paths untouched since — bumped as the r6-new queries landed),
     then connected_components, lm_quality, bm25_batch, and
@@ -2875,6 +2890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "span_removal": q_span_removal,
         "doc_chunks": q_doc_chunks,
+        "source_mix": q_source_mix,
         "knn_graph_probe": q_knn_graph_probe,
         # -- last green r2 (14: full remainder, verdict #2) --
         "line_project": q_line_project,
@@ -2906,13 +2922,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "events_hourly": q_events_hourly,
         "session_windows": q_session_windows,
-        # -- oldest r4 attestations (12, filling the window to 50) --
+        # -- oldest r4 attestations (11, filling the window to 50) --
         "image_meta": q_image_meta,
         "image_resize": q_image_resize,
         "audio_meta": q_audio_meta,
         "frame_counts": q_frame_counts,
         "geopackage_roundtrip": q_geopackage_roundtrip,
-        "ann_ivf_pq": q_ann_ivf_pq,
         "knn_graph": q_knn_graph,
         "knn_graph_pq": q_knn_graph_pq,
         "fgb_roundtrip": q_fgb_roundtrip,
@@ -2920,6 +2935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "stream_funnel": q_stream_funnel,
         # ---- 50-row driver window ends here ----
+        "ann_ivf_pq": q_ann_ivf_pq,
         "ann_pq": q_ann_pq,
         "shapefile_roundtrip": q_shapefile_roundtrip,
         "split_holdout": q_split_holdout,
@@ -3841,6 +3857,32 @@ def _dup_spans_oracle_sql(k: int = 8, min_occ: int = 2) -> str:
                CAST(max(pos) - min(pos) + {k} AS BIGINT) AS span_tokens,
                CAST(count(*) AS BIGINT) AS n_dup_grams
         FROM isl GROUP BY doc_id, island
+    """
+
+
+def _source_mix_oracle_sql() -> str:
+    """DuckDB replica of q_source_mix: the md5-bucket multiplicity
+    CASE (same 60-bit hash of the key's string form, pmod 1e6 — the
+    hash is positive so % == pmod) and a range() unnest per row (an
+    empty range emits nothing, exactly like the engine's explode)."""
+    b = ("(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+         " % 1000000)")
+    return f"""
+        WITH m AS (
+            SELECT doc_id, source,
+                   CASE
+                     WHEN source = 'src0'
+                       THEN 2 + (CASE WHEN {b} < 500000 THEN 1 ELSE 0 END)
+                     WHEN source = 'src1'
+                       THEN 0 + (CASE WHEN {b} < 500000 THEN 1 ELSE 0 END)
+                     WHEN source = 'src2' THEN 0
+                     ELSE 1
+                   END AS n
+            FROM documents
+        )
+        SELECT doc_id, source,
+               CAST(unnest(range(0, n)) AS BIGINT) AS copy_id
+        FROM m
     """
 
 
@@ -5028,6 +5070,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _dup_spans_oracle_sql(),
         "span_removal": _span_removal_oracle_sql(),
         "doc_chunks": _doc_chunks_oracle_sql(),
+        "source_mix": _source_mix_oracle_sql(),
         "knn_graph_probe": _knn_graph_probe_oracle_sql(),
         "source_cap": """
             SELECT doc_id, lang FROM (

@@ -217,3 +217,43 @@ def chunk_documents(df: DataFrame, max_tokens: int = 128,
                 *out_cols, "chunk_id", "chunk_start",
                 F.size("_chunk").cast("long").alias("n_chunk_tokens"),
                 F.array_join("_chunk", " ").alias(text_col)))
+
+
+def oversample(df: DataFrame, rates: dict, group_col: str = "source",
+               key_col: str = "doc_id", default: float = 1.0,
+               copy_col: str = "copy_id") -> DataFrame:
+    """Source MIXING with rates above (and below) 1 — the
+    epochs-per-source stage of published pretraining mixes (the Pile /
+    Llama / Dolma re-weight high-quality sources by repeating them):
+    each row is emitted ``floor(rate)`` times plus one more for the
+    deterministic ``frac(rate)`` hash-slice of its keys, so a source
+    at rate 2.5 contributes every row twice and half its rows a third
+    time — expected multiplicity exactly ``rate``, no RNG, identical
+    on every run and retry (the same md5-bucket mechanics as
+    `hash_sample`; rate ≤ 1 degrades to `stratified_hash_sample`
+    semantics with copy_id 0).
+
+    Appends ``copy_col`` (0-based repeat index) so downstream
+    shuffling/packing can salt repeated documents apart instead of
+    training on adjacent duplicates.  One CASE chain + a native
+    sequence explode — no shuffle, no UDF; rows with multiplicity 0
+    vanish in the explode (an empty sequence emits nothing)."""
+    ncopies = F.lit(int(default)) + (
+        _bucket(F.col(key_col)) <
+        F.lit(int(round((default - int(default)) * _MOD)))).cast("int")
+    for val, rate in rates.items():
+        if rate < 0:
+            raise ValueError(f"rate for {val!r} must be >= 0, got {rate}")
+        whole, frac = int(rate), rate - int(rate)
+        ncopies = F.when(
+            F.col(group_col) == F.lit(val),
+            F.lit(whole) + (_bucket(F.col(key_col)) <
+                            F.lit(int(round(frac * _MOD)))).cast("int")
+        ).otherwise(ncopies)
+    if default < 0:
+        raise ValueError(f"default must be >= 0, got {default}")
+    seq = F.when(ncopies > 0,
+                 F.sequence(F.lit(0), ncopies - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    return df.select("*", F.explode(seq).alias(copy_col)) \
+        .withColumn(copy_col, F.col(copy_col).cast("long"))

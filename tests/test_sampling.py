@@ -308,3 +308,49 @@ class TestChunkDocuments:
             chunk_documents(df, max_tokens=4, overlap=4)
         with pytest.raises(ValueError, match="overlap"):
             chunk_documents(df, max_tokens=4, overlap=-1)
+
+
+class TestOversample:
+    def test_multiplicities_and_determinism(self, spark):
+        """r6: rate 2.5 -> every row twice + the deterministic half
+        hash-slice a third time; rate 0.5 -> the same slice once;
+        rate 0 -> gone; unlisted groups keep default; two runs agree
+        row-for-row."""
+        from dask_geopandas_spark.operators.sampling import (
+            _MOD, _bucket, oversample)
+
+        rows = [(i, ["wiki", "web", "junk", "books"][i % 4])
+                for i in range(400)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        rates = {"wiki": 2.5, "web": 0.5, "junk": 0.0}
+        out = oversample(df, rates, default=1.0)
+        got = sorted((r["doc_id"], r["source"], r["copy_id"])
+                     for r in out.collect())
+        buckets = {r["doc_id"]: r["b"] for r in
+                   df.select("doc_id",
+                             _bucket(F.col("doc_id")).alias("b"))
+                   .collect()}
+        want = []
+        for i, src in rows:
+            rate = rates.get(src, 1.0)
+            n = int(rate) + (1 if buckets[i] < round(
+                (rate - int(rate)) * _MOD) else 0)
+            want += [(i, src, c) for c in range(n)]
+        assert got == sorted(want)
+        wiki = [g for g in got if g[1] == "wiki"]
+        assert {c for _, _, c in wiki} == {0, 1, 2}   # some tripled
+        assert all(g[1] != "junk" for g in got)
+        assert got == sorted((r["doc_id"], r["source"], r["copy_id"])
+                             for r in oversample(df, rates,
+                                                 default=1.0).collect())
+        # expected multiplicity ~ rate: wiki rows ~ 100*2.5
+        assert abs(len(wiki) - 250) < 40
+
+    def test_validates_rates(self, spark):
+        from dask_geopandas_spark.operators.sampling import oversample
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+        with pytest.raises(ValueError, match="rate"):
+            oversample(df, {"a": -0.1}).collect()
+        with pytest.raises(ValueError, match="default"):
+            oversample(df, {}, default=-1.0).collect()
