@@ -5,7 +5,8 @@ first-class operator, the whole flow is a handful of declarative calls.
            → line-level boilerplate dedup (r6) → substring dedup (r6)
            → exact dedup
            → near-dup (LSH) → benchmark decontamination
-           → per-source quota cap (r5) → deterministic sampling
+           → per-source quota cap (r5) → epochs-per-source mixing (r6)
+           → deterministic sampling
            → train/holdout split → sequence packing → stats
 
 Run:  python examples/training_data_pipeline.py [sf_dir]
@@ -85,6 +86,13 @@ def run_pipeline(spark: SparkSession, sf_dir: str):
     #     under-cap sources bypass the sort window entirely
     kept = SA.cap_per_group(kept, group_col="source", cap=50)
     stages["source_capped"] = kept.count()
+
+    # 4c. epochs-per-source mixing (r6): repeat the highest-quality
+    #     source, thin a noisy one — deterministic, copy_id salts
+    #     repeats apart downstream
+    kept = SA.oversample(kept, {"src0": 2.0, "src1": 0.5},
+                         group_col="source")
+    stages["source_mixed"] = kept.count()
 
     # 5. deterministic subsample + leak-proof split
     kept = SA.hash_sample(kept, 0.9)
