@@ -739,9 +739,14 @@ def q_fgb_roundtrip(spark, sf_dir):
     path = "/root/repo/.bench_tmp/fgb_roundtrip"
     shutil.rmtree(path, ignore_errors=True)
     g = _cust_points(spark, sf_dir)
+    # Size the output files like a real sink would: 8 fgb files of a
+    # few thousand features each instead of 32 shards of a few
+    # hundred — coalesce (no shuffle) cuts the per-file R-tree/write
+    # task count and keeps read-side part derivation driver-side
+    # (≤16 files), which is the cheap path at this volume.
     slim = dgs.GeoDataFrame(
         g.df.select("c_custkey", "c_acctbal", "c_mktsegment",
-                    g.geometry_column),
+                    g.geometry_column).coalesce(8),
         g.geometry_column, crs="EPSG:4326")
     to_flatgeobuf(slim, path)
     back = read_flatgeobuf(spark, path, chunksize=256,
