@@ -2377,6 +2377,24 @@ def q_bm25_topk(spark, sf_dir):
                         ["data", "model", "learning", "spark"], k=20)
 
 
+def q_bm25_stored(spark, sf_dir):
+    """BM25 over a stored inverted index (textstats.write_text_index +
+    bm25_topk_stored, r6 — the lexical twin of the IVF vector-DB
+    layout): postings hive-partitioned by term-hash bucket, the query
+    reads ONLY its terms' buckets (static partition pruning) and
+    recomputes df from the pruned read; the scoring tail is
+    bm25_topk's own, so the stored path's contract — and therefore
+    its oracle — is exactly the in-memory BM25's."""
+    import shutil
+
+    path = "/root/repo/.bench_tmp/text_index"
+    shutil.rmtree(path, ignore_errors=True)
+    TX.write_text_index(_t(spark, sf_dir, "documents"), path,
+                        n_buckets=32)
+    return TX.bm25_topk_stored(
+        spark, path, ["stream", "window", "merge", "vector"], k=20)
+
+
 def q_lsh_dedup(spark, sf_dir):
     """Linear LSH dedup (bucket-min representative propagation) — the
     scale-safe form of near-dup removal: O(docs x bands), never
@@ -2870,18 +2888,18 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness check emits at
     most 50 rows, in registry order.  Round 6 rotation (r5 verdict
-    order #2): (a) the TEN queries NEW this round plus ann_ivf
+    order #2): (a) the ELEVEN queries NEW this round plus ann_ivf
     (whose oracle upgraded rows-only -> exact this round — upgrades
     front-load like new queries), (b) ALL 14 entries whose last
     hash-green attestation is round 2 (the curve encoders and the LSH
     chain under them were refactored in r3-r5), (c) all 14 last green
-    in round 3, (d) the 11 oldest round-4 attestations — exactly
+    in round 3, (d) the 10 oldest round-4 attestations — exactly
     filling the 50-row window, with stream_funnel kept inside it (its
-    state-sizing call site changed this round); ann_ivf_pq, ann_pq,
-    shapefile_roundtrip, split_holdout and running_totals (r4-green
-    over paths untouched since — bumped as the r6-new queries landed),
-    then connected_components, lm_quality, bm25_batch, and
-    media_manifest lead the r7 rotation.
+    state-sizing call site changed this round); image_resize,
+    ann_ivf_pq, ann_pq, shapefile_roundtrip, split_holdout and
+    running_totals (r4-green over paths untouched since — bumped as
+    the r6-new queries landed), then connected_components,
+    lm_quality, bm25_batch, and media_manifest lead the r7 rotation.
     Everything attested in round 5 sits below the window, ahead of
     only the two rows-only-by-design entries' pytest pins."""
     return {
@@ -2896,6 +2914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_removal": q_span_removal,
         "doc_chunks": q_doc_chunks,
         "source_mix": q_source_mix,
+        "bm25_stored": q_bm25_stored,
         "knn_graph_probe": q_knn_graph_probe,
         # -- last green r2 (14: full remainder, verdict #2) --
         "line_project": q_line_project,
@@ -2927,9 +2946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "events_hourly": q_events_hourly,
         "session_windows": q_session_windows,
-        # -- oldest r4 attestations (11, filling the window to 50) --
+        # -- oldest r4 attestations (10, filling the window to 50) --
         "image_meta": q_image_meta,
-        "image_resize": q_image_resize,
         "audio_meta": q_audio_meta,
         "frame_counts": q_frame_counts,
         "geopackage_roundtrip": q_geopackage_roundtrip,
@@ -2940,6 +2958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "stream_funnel": q_stream_funnel,
         # ---- 50-row driver window ends here ----
+        "image_resize": q_image_resize,
         "ann_ivf_pq": q_ann_ivf_pq,
         "ann_pq": q_ann_pq,
         "shapefile_roundtrip": q_shapefile_roundtrip,
@@ -5037,6 +5056,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top": _tfidf_oracle_sql(),
         "bm25_topk": _bm25_oracle_sql(
             ["data", "model", "learning", "spark"]),
+        "bm25_stored": _bm25_oracle_sql(
+            ["stream", "window", "merge", "vector"]),
         "bm25_batch": _bm25_batch_oracle_sql(),
         "media_manifest": """
             WITH m AS (

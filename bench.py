@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "span_removal",
     "doc_chunks",
     "ann_ivf",
+    "bm25_stored",
 ]
 
 

@@ -428,6 +428,16 @@ def bm25_topk(df, query_terms: list, k: int = 10,
     tf = (_bm25_tf_base(qs, id_col)
           .groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf")))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    return _bm25_score_topk(tf, dfreq, stats, k, k1, b, id_col)
+
+
+def _bm25_score_topk(tf, dfreq, stats, k, k1, b, id_col):
+    """Shared BM25 scoring tail: (doc, dl, term, tf) × broadcast df ×
+    broadcast 1-row stats → rounded per-doc sums → TakeOrdered top-k.
+    The in-memory and stored-index paths both end here, so their
+    arithmetic is identical by construction."""
+    from pyspark.sql import Window
+
     part = (
         tf.join(F.broadcast(dfreq), on="term")
         .crossJoin(F.broadcast(stats))
@@ -444,6 +454,74 @@ def bm25_topk(df, query_terms: list, k: int = 10,
     w = Window.orderBy(F.desc("score"), F.asc(id_col))  # k rows only
     return (topk.withColumn("rank", F.row_number().over(w))
             .select(id_col, "score", "rank"))
+
+
+def write_text_index(df, path: str, n_buckets: int = 64,
+                     text_col: str = "text", id_col: str = "doc_id"):
+    """Persist an inverted BM25 index hive-partitioned by term-hash
+    bucket — the lexical twin of `write_ivf_index`'s vector-DB layout
+    on plain parquet: ``postings/`` holds one (doc, dl, term, tf) row
+    per distinct doc-term pair, partitioned by
+    ``pmod(hash(term), n_buckets)`` so a stored query reads ONLY its
+    terms' buckets (static partition pruning — 100 TB of postings,
+    n_query_terms/n_buckets of it scanned); ``stats/`` holds the
+    1-row corpus aggregate (n_docs, avgdl, n_buckets).
+
+    Per-term document frequency is NOT stored: it is recomputed at
+    query time from the pruned postings (all of a term's postings
+    live in one bucket, so the pruned read sees every one), keeping
+    the index incrementally appendable without a df-merge step.
+
+    The build runs TWO corpus passes (the stats aggregate counts
+    termless documents the postings table cannot carry) — an index
+    build is a one-time cost, and two scans beat persisting a
+    corpus-sized token table at scale."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    from .dedup import portable_hash
+
+    qs = _bm25_doc_pass(df, text_col, id_col)
+    tf = (_bm25_tf_base(qs, id_col)
+          .groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
+          .withColumn("term_bucket",
+                      F.pmod(portable_hash(F.col("term")),
+                             F.lit(int(n_buckets))).cast("int")))
+    tf.write.mode("overwrite").partitionBy("term_bucket") \
+        .parquet(path.rstrip("/") + "/postings")
+    _bm25_stats(_bm25_doc_pass(df, text_col, id_col)) \
+        .withColumn("n_buckets", F.lit(int(n_buckets))) \
+        .write.mode("overwrite").parquet(path.rstrip("/") + "/stats")
+
+
+def bm25_topk_stored(spark, path: str, query_terms: list, k: int = 10,
+                     k1: float = 1.2, b: float = 0.75,
+                     id_col: str = "doc_id"):
+    """Top-``k`` by Okapi BM25 over a `write_text_index` dataset
+    WITHOUT touching the corpus: the query's term buckets (the same
+    60-bit md5 hash, computed driver-side) become a static
+    ``term_bucket IN (...)`` partition filter on the postings scan —
+    the skipped buckets never enter the file index — and ``term IN``
+    prunes row groups inside them; df/tf come from the pruned read and
+    the scoring tail is `bm25_topk`'s own (`_bm25_score_topk`), so the
+    result contract matches the in-memory path exactly."""
+    import hashlib
+
+    terms = sorted({str(t).lower() for t in query_terms})
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    base = path.rstrip("/")
+    stats = spark.read.parquet(base + "/stats")
+    n_buckets = stats.head()["n_buckets"]
+    buckets = sorted({
+        int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+        % int(n_buckets) for t in terms})
+    tf = (spark.read.parquet(base + "/postings")
+          .filter(F.col("term_bucket").isin(buckets))
+          .filter(F.col("term").isin(terms))
+          .select(id_col, "dl", "term", "tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    return _bm25_score_topk(tf, dfreq, stats.select("n_docs", "avgdl"),
+                            k, k1, b, id_col)
 
 
 def ngram_logprob(df, text_col: str = "text", id_col: str = "doc_id",

@@ -1301,3 +1301,66 @@ class TestRemoveDuplicatedSpans:
                                        min_occurrences=mo).collect()}
         assert got == want
         assert sum(n for _, n in want.values()) > 20
+
+
+class TestStoredTextIndex:
+    def test_stored_equals_in_memory(self, spark, tmp_path):
+        """r6: bm25_topk_stored over a write_text_index dataset must
+        equal the in-memory bm25_topk row-for-row — same tokenizer,
+        same counts, the same scoring tail by construction — including
+        a corpus with termless docs (they count toward n_docs/avgdl
+        via the stats file)."""
+        import numpy as np
+
+        from dask_geopandas_spark.operators.textstats import (
+            bm25_topk, bm25_topk_stored, write_text_index)
+
+        rng = np.random.RandomState(41)
+        vocab = ["data", "model", "spark", "query", "learn", "deep",
+                 "graph", "index"]
+        rows = [(d, " ".join(vocab[rng.randint(len(vocab))]
+                             for _ in range(rng.randint(3, 30))))
+                for d in range(60)]
+        rows.append((60, ""))            # termless doc
+        rows.append((61, "...!!!"))      # punctuation-only
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        path = str(tmp_path / "tix")
+        write_text_index(df, path, n_buckets=16)
+        terms = ["data", "spark", "deep"]
+        mem = [(r["doc_id"], r["score"], r["rank"]) for r in
+               bm25_topk(df, terms, k=10).orderBy("rank").collect()]
+        stored = [(r["doc_id"], r["score"], r["rank"]) for r in
+                  bm25_topk_stored(spark, path, terms, k=10)
+                  .orderBy("rank").collect()]
+        assert stored == mem and len(mem) == 10
+
+    def test_partition_pruning_is_static(self, spark, tmp_path):
+        """The stored scan carries the term buckets as a partition
+        filter: buckets outside the query never enter the plan."""
+        from dask_geopandas_spark.operators.textstats import (
+            bm25_topk_stored, write_text_index)
+
+        rows = [(d, "alpha beta gamma delta") for d in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        path = str(tmp_path / "tix")
+        write_text_index(df, path, n_buckets=32)
+        out = bm25_topk_stored(spark, path, ["alpha"], k=5)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        assert "PartitionFilters" in plan
+        import re
+        m = re.search(r"PartitionFilters: \[([^\]]*term_bucket[^\]]*)\]",
+                      plan)
+        assert m, plan
+        assert out.count() == 5
+
+    def test_validates(self, spark, tmp_path):
+        from dask_geopandas_spark.operators.textstats import (
+            bm25_topk_stored, write_text_index)
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="n_buckets"):
+            write_text_index(df, str(tmp_path / "t"), n_buckets=0)
+        write_text_index(df, str(tmp_path / "t2"), n_buckets=4)
+        with pytest.raises(ValueError, match="query_terms"):
+            bm25_topk_stored(spark, str(tmp_path / "t2"), [])
