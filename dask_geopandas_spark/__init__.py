@@ -42,6 +42,7 @@ __all__ = [
     "read_feather",
     "read_file",
     "write_file",
+    "list_layers",
     "read_geojson",
     "to_geojson",
     "to_feather",
@@ -86,6 +87,12 @@ def write_file(gdf, path, **kw):
     from .sources.file import write_file as _wf
 
     return _wf(gdf, path, **kw)
+
+
+def list_layers(path, **kw):
+    from .sources.file import list_layers as _ll
+
+    return _ll(path, **kw)
 
 
 def read_geojson(spark, path, **kw):

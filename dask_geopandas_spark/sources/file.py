@@ -213,3 +213,54 @@ def write_file(gdf_or_df, path: str, **kwargs) -> None:
         f"write_file: unsupported extension on {path!r}; supported: "
         ".geojson/.geojsonl/.ndjson .shp .gpkg .fgb .gpx .kml .gml "
         ".parquet .feather/.arrow")
+
+
+def list_layers(path: str, filesystem=None):
+    """``pyogrio.list_layers`` analog for the pure-Python formats:
+    ``[(layer_name, geometry_kind), ...]`` for the layers the engine's
+    own readers accept as ``read_file(layer=)``.  GeoPackage lists
+    every feature table registered in ``gpkg_contents`` (with its
+    declared geometry type); GPX exposes the fixed OGR layer model
+    (waypoints/tracks/routes); the single-layer formats report one
+    layer named after the file stem.  Routes through pyogrio when it
+    is installed (full GDAL coverage); driver-side metadata only —
+    no Spark job."""
+    try:
+        import pyogrio
+
+        return [tuple(r) for r in pyogrio.list_layers(path)]
+    except ImportError:
+        pass
+    import os
+
+    low = path.lower()
+    stem = os.path.splitext(os.path.basename(path))[0]
+    if low.endswith(".gpkg") or (os.path.isdir(path) and any(
+            f.endswith(".gpkg") for f in os.listdir(path))):
+        from .geopackage import _list_gpkg, _ro_connect
+
+        files = _list_gpkg(path, filesystem)
+        if not files:
+            raise ValueError(f"no .gpkg files under {path!r}")
+        # parts of one dataset share their layer registry
+        con = _ro_connect(files[0], filesystem)
+        try:
+            rows = con.execute(
+                "SELECT c.table_name, g.geometry_type_name "
+                "FROM gpkg_contents c "
+                "JOIN gpkg_geometry_columns g "
+                "  ON g.table_name = c.table_name "
+                "WHERE c.data_type = 'features' "
+                "ORDER BY c.table_name").fetchall()
+        finally:
+            con.close()
+        return [(t, (g or "Unknown").title()) for t, g in rows]
+    if low.endswith(".gpx"):
+        return [("waypoints", "Point"), ("tracks", "MultiLineString"),
+                ("routes", "LineString")]
+    if low.endswith((".geojson", ".geojsonl", ".ndjson", ".shp",
+                     ".fgb", ".kml", ".kmz", ".gml")):
+        return [(stem, "Unknown")]
+    raise ValueError(
+        f"list_layers: unsupported extension on {path!r} "
+        "(install pyogrio for full GDAL coverage)")

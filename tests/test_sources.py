@@ -507,3 +507,25 @@ def test_write_file_extension_router(spark, tmp_path):
         "geometry").collect()[0]["geometry"] == wkb
     with pytest.raises(ValueError, match="unsupported extension"):
         dgs.write_file(g, str(tmp_path / "out.xyz"))
+
+
+def test_list_layers(spark, tmp_path):
+    """r6: pyogrio.list_layers analog — GeoPackage feature tables with
+    declared geometry kinds, GPX's fixed OGR layer model, stem-named
+    single layers elsewhere, fail-fast on unknown extensions."""
+    import pandas as pd
+
+    from dask_geopandas_spark.core import points_from_xy
+    from dask_geopandas_spark.sources.file import list_layers, write_file
+
+    pdf = pd.DataFrame({"id": [1, 2], "x": [0.0, 1.0], "y": [0.0, 1.0]})
+    g = points_from_xy(spark.createDataFrame(pdf), "x", "y",
+                       crs="EPSG:4326")
+    gp = str(tmp_path / "layers.gpkg")
+    write_file(g, gp, layer="cities")
+    assert list_layers(gp) == [("cities", "Geometry")]
+    assert list_layers("track.gpx")[1] == ("tracks", "MultiLineString")
+    assert list_layers("/a/b/parcels.geojson") == [("parcels", "Unknown")]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unsupported extension"):
+        list_layers("x.tab")
