@@ -1364,3 +1364,18 @@ class TestStoredTextIndex:
         write_text_index(df, str(tmp_path / "t2"), n_buckets=4)
         with pytest.raises(ValueError, match="query_terms"):
             bm25_topk_stored(spark, str(tmp_path / "t2"), [])
+
+
+def test_chunk_and_oversample_add_no_exchange(spark):
+    """r6 plan pins: chunk_documents and oversample are pure map
+    stages — no Exchange anywhere in their executed plans (the explode
+    multiplies rows map-side; the mixing CASE is row-wise)."""
+    from dask_geopandas_spark.operators.sampling import (chunk_documents,
+                                                         oversample)
+
+    df = spark.createDataFrame([(1, "a b c d e", "web")],
+                               "doc_id long, text string, source string")
+    for out in (chunk_documents(df, max_tokens=2, overlap=1),
+                oversample(df, {"web": 2.5})):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan

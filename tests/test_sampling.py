@@ -354,3 +354,53 @@ class TestOversample:
             oversample(df, {"a": -0.1}).collect()
         with pytest.raises(ValueError, match="default"):
             oversample(df, {}, default=-1.0).collect()
+
+
+def test_chunk_documents_property_sweep(spark):
+    """Hypothesis-style invariant sweep over random unicode-ish texts
+    and every (max_tokens, overlap) shape up to 6: (a) concatenating
+    each chunk's FRESH tokens (the part past the previous chunk's
+    overlap) reproduces the whitespace-normalized token stream
+    exactly, (b) chunk_start is strictly increasing by the stride,
+    (c) every chunk except a lone whole-doc one has > overlap tokens
+    — i.e. brings new content."""
+    import numpy as np
+
+    from dask_geopandas_spark.operators.sampling import chunk_documents
+
+    rng = np.random.RandomState(47)
+    pieces = ["wörd", "a", "x9", "—", "...", "N°5", "longish-token",
+              "émoji", "ß", "تجربة"]
+    rows = []
+    for d in range(25):
+        n = rng.randint(0, 25)
+        txt = ("  " if d % 3 == 0 else "").join(
+            [""] + [pieces[rng.randint(len(pieces))] + (" " * rng.randint(1, 3))
+                    for _ in range(n)])
+        rows.append((d, txt))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for mt in (1, 2, 3, 5, 6):
+        for ov in range(0, mt):
+            stride = mt - ov
+            out = {}
+            for r in chunk_documents(df, max_tokens=mt,
+                                     overlap=ov).collect():
+                out.setdefault(r["doc_id"], []).append(
+                    (r["chunk_id"], r["chunk_start"], r["text"],
+                     r["n_chunk_tokens"]))
+            for d, txt in rows:
+                toks = txt.strip().split()
+                if not txt.strip():
+                    toks = [""]  # split('') sentinel, same both sides
+                chunks = sorted(out[d])
+                rebuilt = []
+                for ci, (cid, cs, ctext, nct) in enumerate(chunks):
+                    assert cid == ci
+                    assert cs == 1 + ci * stride
+                    ct = ctext.split(" ") if ctext != "" or nct == 1 else []
+                    ct = ct if ctext != "" else ([""] if nct == 1 else [])
+                    assert len(ct) == nct
+                    rebuilt += ct[(ov if ci else 0):]
+                    if len(chunks) > 1:
+                        assert nct > ov  # every later chunk adds content
+                assert rebuilt == toks, (d, mt, ov)
