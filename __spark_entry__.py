@@ -2395,6 +2395,23 @@ def q_bm25_stored(spark, sf_dir):
         spark, path, ["stream", "window", "merge", "vector"], k=20)
 
 
+def q_bm25_batch_stored(spark, sf_dir):
+    """Batch BM25 against the stored inverted index
+    (textstats.bm25_batch_topk_stored, r6): the batch's distinct term
+    set becomes the static bucket partition filter, df comes from the
+    pruned postings, scoring/rank are bm25_batch_topk's own — so this
+    shares q_bm25_batch's oracle exactly."""
+    import shutil
+
+    path = "/root/repo/.bench_tmp/text_index_batch"
+    shutil.rmtree(path, ignore_errors=True)
+    TX.write_text_index(_t(spark, sf_dir, "documents"), path,
+                        n_buckets=32)
+    queries = spark.createDataFrame(_BM25_BATCH_QUERIES,
+                                    "query_id long, query string")
+    return TX.bm25_batch_topk_stored(spark, path, queries, k=10)
+
+
 def q_lsh_dedup(spark, sf_dir):
     """Linear LSH dedup (bucket-min representative propagation) — the
     scale-safe form of near-dup removal: O(docs x bands), never
@@ -2958,6 +2975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "stream_funnel": q_stream_funnel,
         # ---- 50-row driver window ends here ----
+        "bm25_batch_stored": q_bm25_batch_stored,  # r6-new, leads r7
         "image_resize": q_image_resize,
         "ann_ivf_pq": q_ann_ivf_pq,
         "ann_pq": q_ann_pq,
@@ -5059,6 +5077,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_stored": _bm25_oracle_sql(
             ["stream", "window", "merge", "vector"]),
         "bm25_batch": _bm25_batch_oracle_sql(),
+        "bm25_batch_stored": _bm25_batch_oracle_sql(),
         "media_manifest": """
             WITH m AS (
                 SELECT CASE CAST(doc_id % 13 AS INT)

@@ -40,6 +40,7 @@ from .sjoin import sjoin
 from .textstats import (
     bm25_batch_topk,
     bm25_topk,
+    bm25_batch_topk_stored,
     bm25_topk_stored,
     fingerprint,
     lang_id,
@@ -71,7 +72,7 @@ __all__ = [
     "repetition_signals", "top_ngram_fraction", "redact_pii",
     "pii_counts", "vocab_topk",
     "tfidf_top_terms", "bm25_topk", "bm25_batch_topk", "ngram_logprob",
-    "write_text_index", "bm25_topk_stored",
+    "write_text_index", "bm25_topk_stored", "bm25_batch_topk_stored",
     "media_manifest", "sniff_modality",
     "semantic_dedup", "cap_per_group", "hash_sample", "pack_documents",
 ]

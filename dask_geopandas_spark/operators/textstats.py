@@ -669,3 +669,58 @@ def classifier_score(df, weights: list, text_col: str = "text",
                    / F.size(ts))
             .otherwise(F.lit(float(bias))), 9))
     return df.withColumn(score_col, score)
+
+
+def bm25_batch_topk_stored(spark, path: str, queries, k: int = 10,
+                           k1: float = 1.2, b: float = 0.75,
+                           id_col: str = "doc_id",
+                           query_id_col: str = "query_id",
+                           query_col: str = "query"):
+    """Batch BM25 over a `write_text_index` dataset: top-``k`` docs
+    per query WITHOUT a corpus scan.  The batch's distinct term set
+    collects driver-side (query-vocabulary-sized — benchmark prompt
+    batches, not corpora) to become the static ``term_bucket IN``
+    partition filter plus the ``term IN`` row-group prune; df comes
+    from the pruned postings; scoring and the per-query rank window
+    are `bm25_batch_topk`'s own expressions, so stored == in-memory
+    row-for-row."""
+    import hashlib
+
+    from pyspark.sql import Window
+
+    qt = (queries.select(F.col(query_id_col),
+                         F.explode(tokens(F.col(query_col))).alias("term"))
+          .filter(F.col("term") != "").distinct())
+    terms = sorted({r["term"] for r in qt.select("term").distinct()
+                    .collect()})
+    if not terms:
+        raise ValueError("queries produced no terms")
+    base = path.rstrip("/")
+    stats = spark.read.parquet(base + "/stats")
+    n_buckets = stats.head()["n_buckets"]
+    buckets = sorted({
+        int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+        % int(n_buckets) for t in terms})
+    tf = (spark.read.parquet(base + "/postings")
+          .filter(F.col("term_bucket").isin(buckets))
+          .filter(F.col("term").isin(terms))
+          .select(id_col, "dl", "term", "tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    part = (
+        tf.join(F.broadcast(qt), on="term")
+        .join(F.broadcast(dfreq), on="term")
+        .crossJoin(F.broadcast(stats.select("n_docs", "avgdl")))
+        .withColumn("_s", (
+            F.log((F.col("n_docs") - F.col("df") + F.lit(0.5))
+                  / (F.col("df") + F.lit(0.5)) + F.lit(1.0))
+            * F.col("tf") * F.lit(k1 + 1.0)
+            / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
+               + F.lit(b) * F.col("dl") / F.col("avgdl")))))
+    )
+    scored = (part.groupBy(query_id_col, id_col)
+              .agg(F.round(F.sum("_s"), 6).alias("score")))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"),
+                                                 F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, id_col, "score", "rank"))

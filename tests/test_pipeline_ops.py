@@ -1379,3 +1379,36 @@ def test_chunk_and_oversample_add_no_exchange(spark):
                 oversample(df, {"web": 2.5})):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+def test_bm25_batch_stored_equals_in_memory(spark, tmp_path):
+    """r6: batch retrieval against the stored index == bm25_batch_topk
+    row-for-row (same tokenizer, same counts, same scoring
+    expressions)."""
+    import numpy as np
+
+    from dask_geopandas_spark.operators.textstats import (
+        bm25_batch_topk, bm25_batch_topk_stored, write_text_index)
+
+    rng = np.random.RandomState(43)
+    vocab = ["data", "model", "spark", "query", "learn", "deep",
+             "graph", "index", "merge", "sort"]
+    rows = [(d, " ".join(vocab[rng.randint(len(vocab))]
+                         for _ in range(rng.randint(3, 30))))
+            for d in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, "data spark"), (1, "deep graph index"), (2, "merge sort")],
+        "query_id long, query string")
+    path = str(tmp_path / "tix")
+    write_text_index(df, path, n_buckets=8)
+    mem = sorted((r["query_id"], r["rank"], r["doc_id"], r["score"])
+                 for r in bm25_batch_topk(df, queries, k=7).collect())
+    stored = sorted((r["query_id"], r["rank"], r["doc_id"], r["score"])
+                    for r in bm25_batch_topk_stored(
+                        spark, path, queries, k=7).collect())
+    assert stored == mem and len(mem) == 21
+    with pytest.raises(ValueError, match="terms"):
+        bm25_batch_topk_stored(
+            spark, path,
+            spark.createDataFrame([(0, "")], "query_id long, query string"))
