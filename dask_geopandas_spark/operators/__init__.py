@@ -39,8 +39,8 @@ from .overlay import overlay
 from .sjoin import sjoin
 from .textstats import (
     bm25_batch_topk,
-    bm25_topk,
     bm25_batch_topk_stored,
+    bm25_topk,
     bm25_topk_stored,
     fingerprint,
     lang_id,

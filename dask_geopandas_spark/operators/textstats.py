@@ -457,7 +457,8 @@ def _bm25_score_topk(tf, dfreq, stats, k, k1, b, id_col):
 
 
 def write_text_index(df, path: str, n_buckets: int = 64,
-                     text_col: str = "text", id_col: str = "doc_id"):
+                     text_col: str = "text", id_col: str = "doc_id",
+                     append: bool = False):
     """Persist an inverted BM25 index hive-partitioned by term-hash
     bucket — the lexical twin of `write_ivf_index`'s vector-DB layout
     on plain parquet: ``postings/`` holds one (doc, dl, term, tf) row
@@ -475,22 +476,43 @@ def write_text_index(df, path: str, n_buckets: int = 64,
     The build runs TWO corpus passes (the stats aggregate counts
     termless documents the postings table cannot carry) — an index
     build is a one-time cost, and two scans beat persisting a
-    corpus-sized token table at scale."""
+    corpus-sized token table at scale.
+
+    ``append=True`` adds a NEW batch of documents to an existing
+    index without touching its postings (the per-term bucketing makes
+    that sound: df recomputes at query time from the union): postings
+    append under the existing index's bucket count, and the 1-row
+    stats merge as count-weighted means.  The caller guarantees the
+    appended ``id_col`` values are disjoint from the stored ones —
+    re-appending a document double-counts it, exactly like inserting
+    it twice into any inverted index."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     from .dedup import portable_hash
 
+    base = path.rstrip("/")
+    spark = df.sparkSession
+    if append:
+        prev = spark.read.parquet(base + "/stats").head()
+        n_buckets = int(prev["n_buckets"])
     qs = _bm25_doc_pass(df, text_col, id_col)
     tf = (_bm25_tf_base(qs, id_col)
           .groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
           .withColumn("term_bucket",
                       F.pmod(portable_hash(F.col("term")),
                              F.lit(int(n_buckets))).cast("int")))
-    tf.write.mode("overwrite").partitionBy("term_bucket") \
-        .parquet(path.rstrip("/") + "/postings")
-    _bm25_stats(_bm25_doc_pass(df, text_col, id_col)) \
-        .withColumn("n_buckets", F.lit(int(n_buckets))) \
-        .write.mode("overwrite").parquet(path.rstrip("/") + "/stats")
+    tf.write.mode("append" if append else "overwrite") \
+        .partitionBy("term_bucket").parquet(base + "/postings")
+    stats = _bm25_stats(_bm25_doc_pass(df, text_col, id_col))
+    if append:
+        new_row = stats.head()
+        n0, n1 = int(prev["n_docs"]), int(new_row["n_docs"])
+        avg = ((prev["avgdl"] * n0 + new_row["avgdl"] * n1)
+               / float(n0 + n1)) if (n0 + n1) else 0.0
+        stats = spark.createDataFrame(
+            [(n0 + n1, float(avg))], "n_docs long, avgdl double")
+    stats.withColumn("n_buckets", F.lit(int(n_buckets))) \
+        .write.mode("overwrite").parquet(base + "/stats")
 
 
 def bm25_topk_stored(spark, path: str, query_terms: list, k: int = 10,

@@ -1412,3 +1412,35 @@ def test_bm25_batch_stored_equals_in_memory(spark, tmp_path):
         bm25_batch_topk_stored(
             spark, path,
             spark.createDataFrame([(0, "")], "query_id long, query string"))
+
+
+def test_text_index_append_equals_rebuild(spark, tmp_path):
+    """r6: appending a disjoint doc batch to a stored index gives the
+    same query results as rebuilding the index over the union — the
+    stats merge count-weighted, the bucket count sticks, df recomputes
+    from the unioned postings."""
+    import numpy as np
+
+    from dask_geopandas_spark.operators.textstats import (
+        bm25_topk_stored, write_text_index)
+
+    rng = np.random.RandomState(44)
+    vocab = ["data", "model", "spark", "query", "learn", "deep"]
+    rows = [(d, " ".join(vocab[rng.randint(len(vocab))]
+                         for _ in range(rng.randint(3, 25))))
+            for d in range(70)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a, b = df.filter("doc_id < 40"), df.filter("doc_id >= 40")
+    inc = str(tmp_path / "inc")
+    write_text_index(a, inc, n_buckets=8)
+    write_text_index(b, inc, append=True, n_buckets=999)  # 999 ignored
+    full = str(tmp_path / "full")
+    write_text_index(df, full, n_buckets=8)
+    terms = ["data", "deep", "query"]
+    got = [(r["doc_id"], r["score"], r["rank"]) for r in
+           bm25_topk_stored(spark, inc, terms, k=12)
+           .orderBy("rank").collect()]
+    want = [(r["doc_id"], r["score"], r["rank"]) for r in
+            bm25_topk_stored(spark, full, terms, k=12)
+            .orderBy("rank").collect()]
+    assert got == want and len(want) == 12
