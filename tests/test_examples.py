@@ -40,3 +40,19 @@ def test_corpus_curation_example(spark, sf_dir):
     assert out["bm25_hits"] > 0
     assert out["keyword_rows"] > 0
     assert {"doc_id", "term", "tfidf", "rank"} <= set(kw.columns)
+
+
+def test_retrieval_pipeline_example(spark, sf_dir):
+    import sys
+
+    sys.path.insert(0, "examples")
+    from retrieval_pipeline import run_retrieval
+
+    stages, hits = run_retrieval(spark, sf_dir)
+    assert stages["chunks"] >= stages["docs"] > 0
+    assert stages["top_hits"] == 5
+    assert stages["batch_hits"] == 15
+    assert stages["top_hits_after_append"] == 5
+    rows = hits.collect()
+    assert all(r["rank"] == i + 1 for i, r in enumerate(
+        sorted(rows, key=lambda r: r["rank"])))
