@@ -34,6 +34,9 @@ from .dedup import portable_hash
 from .textstats import let
 
 _MOD = 1_000_000
+# oversample: rate tables past this size broadcast-join instead of
+# compiling one CASE branch per key (plan size is O(keys) otherwise)
+_RATE_JOIN_THRESHOLD = 64
 
 
 def _bucket(key: Column) -> Column:
@@ -235,25 +238,53 @@ def oversample(df: DataFrame, rates: dict, group_col: str = "source",
 
     Appends ``copy_col`` (0-based repeat index) so downstream
     shuffling/packing can salt repeated documents apart instead of
-    training on adjacent duplicates.  One CASE chain + a native
-    sequence explode — no shuffle, no UDF; rows with multiplicity 0
-    vanish in the explode (an empty sequence emits nothing)."""
-    ncopies = F.lit(int(default)) + (
-        _bucket(F.col(key_col)) <
-        F.lit(int(round((default - int(default)) * _MOD)))).cast("int")
+    training on adjacent duplicates.  Rows with multiplicity 0 vanish
+    in the explode (an empty sequence emits nothing); no shuffle of
+    the corpus, no UDF, either way the rates ride in.
+
+    Plan shape scales with the rate table: a handful of sources
+    compiles to one CASE chain (pure codegen, zero joins); past
+    ``_RATE_JOIN_THRESHOLD`` entries — per-DOMAIN rate tables run to
+    hundreds of thousands of keys, where a CASE per key would explode
+    the plan — the rates become a broadcast-joined lookup table
+    instead (one hash lookup per row, same multiplicities)."""
+    if default < 0:
+        raise ValueError(f"default must be >= 0, got {default}")
     for val, rate in rates.items():
         if rate < 0:
             raise ValueError(f"rate for {val!r} must be >= 0, got {rate}")
-        whole, frac = int(rate), rate - int(rate)
-        ncopies = F.when(
-            F.col(group_col) == F.lit(val),
-            F.lit(whole) + (_bucket(F.col(key_col)) <
-                            F.lit(int(round(frac * _MOD)))).cast("int")
-        ).otherwise(ncopies)
-    if default < 0:
-        raise ValueError(f"default must be >= 0, got {default}")
+
+    def _ncopies(whole_col, frac_thr_col):
+        return whole_col.cast("int") + (
+            _bucket(F.col(key_col)) < frac_thr_col).cast("int")
+
+    if len(rates) <= _RATE_JOIN_THRESHOLD:
+        ncopies = _ncopies(
+            F.lit(int(default)),
+            F.lit(int(round((default - int(default)) * _MOD))))
+        for val, rate in rates.items():
+            whole, frac = int(rate), rate - int(rate)
+            ncopies = F.when(
+                F.col(group_col) == F.lit(val),
+                _ncopies(F.lit(whole),
+                         F.lit(int(round(frac * _MOD))))
+            ).otherwise(ncopies)
+        joined = df
+    else:
+        spark = df.sparkSession
+        rt = spark.createDataFrame(
+            [(k, int(v), int(round((v - int(v)) * _MOD)))
+             for k, v in rates.items()],
+            f"`{group_col}` string, _whole int, _fthr int")
+        joined = df.join(F.broadcast(rt), on=group_col, how="left")
+        ncopies = _ncopies(
+            F.coalesce(F.col("_whole"), F.lit(int(default))),
+            F.coalesce(F.col("_fthr"),
+                       F.lit(int(round((default - int(default))
+                                       * _MOD)))))
     seq = F.when(ncopies > 0,
                  F.sequence(F.lit(0), ncopies - 1)) \
         .otherwise(F.array().cast("array<int>"))
-    return df.select("*", F.explode(seq).alias(copy_col)) \
-        .withColumn(copy_col, F.col(copy_col).cast("long"))
+    return (joined.select("*", F.explode(seq).alias(copy_col))
+            .drop("_whole", "_fthr")
+            .withColumn(copy_col, F.col(copy_col).cast("long")))

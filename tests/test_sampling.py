@@ -404,3 +404,28 @@ def test_chunk_documents_property_sweep(spark):
                     if len(chunks) > 1:
                         assert nct > ov  # every later chunk adds content
                 assert rebuilt == toks, (d, mt, ov)
+
+
+def test_oversample_large_rate_table_joins(spark):
+    """r6: past _RATE_JOIN_THRESHOLD the rates broadcast-join instead
+    of compiling a CASE per key — identical multiplicities (pinned
+    against the CASE path on the shared keys), and the plan carries a
+    broadcast join instead of an O(keys) CASE chain."""
+    from dask_geopandas_spark.operators import sampling as SA
+
+    rows = [(i, f"dom{i % 100}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    small = {f"dom{i}": 0.5 + (i % 3) for i in range(5)}
+    big = dict(small)
+    big.update({f"dom{i}": 1.0 for i in range(5, 100)})
+    assert len(big) > SA._RATE_JOIN_THRESHOLD
+    got_case = sorted((r["doc_id"], r["copy_id"]) for r in
+                      SA.oversample(df, small).collect())
+    got_join = sorted((r["doc_id"], r["copy_id"]) for r in
+                      SA.oversample(df, big).collect())
+    assert got_case == got_join  # doms 5..99 rate 1.0 == default 1.0
+    out = SA.oversample(df, big)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # only the explode's empty-sequence guard remains — not O(keys)
+    assert plan.count("CASE WHEN") <= 2, plan.count("CASE WHEN")
