@@ -2412,6 +2412,36 @@ def q_bm25_batch_stored(spark, sf_dir):
     return TX.bm25_batch_topk_stored(spark, path, queries, k=10)
 
 
+def q_badword_filter(spark, sf_dir):
+    """C4-style blocklist stage (textstats.blocklist_hits /
+    blocklist_filter, r6): token-boundary badword occurrence counts
+    per doc plus the drop-on-any-hit survivor count folded in as a
+    marker column.  Oracle: lowercased regexp-split tokens + a
+    list membership count."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    bl = ["slow", "small", "blob"]
+    return docs.select(
+        "doc_id",
+        TX.blocklist_hits(F.col("text"), bl).cast("long").alias("hits"),
+        (TX.blocklist_hits(F.col("text"), bl) <= 0).alias("kept"))
+
+
+def q_code_quality(spark, sf_dir):
+    """Code-file quality signals (textstats.code_signals — the
+    published The Stack / SantaCoder file filters, r6): per-doc line
+    stats, alphanumeric fraction, longest token.  Oracle: the same
+    line/token arithmetic with the left-associated 0.0-seeded length
+    fold."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    s = TX.code_signals(F.col("text"))
+    return docs.select(
+        "doc_id", s["n_lines"].alias("n_lines"),
+        s["max_line_len"].alias("max_line_len"),
+        s["avg_line_len"].alias("avg_line_len"),
+        s["alnum_frac"].alias("alnum_frac"),
+        s["longest_token_len"].alias("longest_token_len"))
+
+
 def q_lsh_dedup(spark, sf_dir):
     """Linear LSH dedup (bucket-min representative propagation) — the
     scale-safe form of near-dup removal: O(docs x bands), never
@@ -2976,6 +3006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_funnel": q_stream_funnel,
         # ---- 50-row driver window ends here ----
         "bm25_batch_stored": q_bm25_batch_stored,  # r6-new, leads r7
+        "badword_filter": q_badword_filter,        # r6-new, leads r7
+        "code_quality": q_code_quality,            # r6-new, leads r7
         "image_resize": q_image_resize,
         "ann_ivf_pq": q_ann_ivf_pq,
         "ann_pq": q_ann_pq,
@@ -3899,6 +3931,55 @@ def _dup_spans_oracle_sql(k: int = 8, min_occ: int = 2) -> str:
                CAST(max(pos) - min(pos) + {k} AS BIGINT) AS span_tokens,
                CAST(count(*) AS BIGINT) AS n_dup_grams
         FROM isl GROUP BY doc_id, island
+    """
+
+
+def _badword_oracle_sql() -> str:
+    """DuckDB replica of q_badword_filter: the module tokenizer
+    (lowercased regexp split, blanks out) + a blocklist membership
+    count per doc."""
+    return f"""
+        SELECT doc_id,
+               CAST(len(list_filter(list_filter({_TOKENS}, t -> t != ''),
+                        t -> list_contains(['blob', 'slow', 'small'], t)))
+                    AS BIGINT) AS hits,
+               len(list_filter(list_filter({_TOKENS}, t -> t != ''),
+                   t -> list_contains(['blob', 'slow', 'small'], t))) <= 0
+                   AS kept
+        FROM documents WHERE doc_id < 500
+    """
+
+
+def _code_quality_oracle_sql() -> str:
+    """DuckDB replica of q_code_quality: line lengths over a chr(10)
+    split, the left-associated 0.0-seeded length fold for the mean,
+    'g'-flagged regexp_replace for the alphanumeric count, and the
+    longest whitespace token."""
+    return """
+        WITH s1 AS (
+            SELECT doc_id, text,
+                   list_transform(string_split(text, chr(10)),
+                                  l -> length(l)) AS lens,
+                   list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               t -> t != '') AS toks
+            FROM documents WHERE doc_id < 500
+        )
+        SELECT doc_id,
+               CAST(len(lens) AS BIGINT) AS n_lines,
+               CAST(list_max(lens) AS BIGINT) AS max_line_len,
+               round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list_transform(lens, x -> CAST(x AS DOUBLE))),
+                         (a, b) -> a + b)
+                     / CAST(greatest(len(lens), 1) AS DOUBLE), 6)
+                   AS avg_line_len,
+               round(CAST(length(regexp_replace(text, '[^0-9A-Za-z]',
+                                                '', 'g')) AS DOUBLE)
+                     / CAST(greatest(length(text), 1) AS DOUBLE), 6)
+                   AS alnum_frac,
+               CAST(coalesce(list_max(list_transform(toks,
+                                                     t -> length(t))), 0)
+                    AS BIGINT) AS longest_token_len
+        FROM s1
     """
 
 
@@ -5078,6 +5159,8 @@ def oracle_sql() -> dict[str, str]:
             ["stream", "window", "merge", "vector"]),
         "bm25_batch": _bm25_batch_oracle_sql(),
         "bm25_batch_stored": _bm25_batch_oracle_sql(),
+        "badword_filter": _badword_oracle_sql(),
+        "code_quality": _code_quality_oracle_sql(),
         "media_manifest": """
             WITH m AS (
                 SELECT CASE CAST(doc_id % 13 AS INT)

@@ -38,6 +38,8 @@ from .similarity import (
 from .overlay import overlay
 from .sjoin import sjoin
 from .textstats import (
+    blocklist_filter,
+    blocklist_hits,
     bm25_batch_topk,
     bm25_batch_topk_stored,
     bm25_topk,
@@ -46,6 +48,7 @@ from .textstats import (
     lang_id,
     ngram_logprob,
     pii_counts,
+    code_signals,
     quality_score,
     redact_pii,
     repetition_signals,
@@ -73,6 +76,7 @@ __all__ = [
     "pii_counts", "vocab_topk",
     "tfidf_top_terms", "bm25_topk", "bm25_batch_topk", "ngram_logprob",
     "write_text_index", "bm25_topk_stored", "bm25_batch_topk_stored",
+    "blocklist_hits", "blocklist_filter", "code_signals",
     "media_manifest", "sniff_modality",
     "semantic_dedup", "cap_per_group", "hash_sample", "pack_documents",
 ]

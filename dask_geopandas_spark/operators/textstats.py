@@ -746,3 +746,58 @@ def bm25_batch_topk_stored(spark, path: str, queries, k: int = 10,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(query_id_col, id_col, "score", "rank"))
+
+
+def blocklist_hits(text: Column, terms: list) -> Column:
+    """Count of token occurrences that appear in ``terms`` — the C4
+    badword stage's signal (the published recipe drops any page
+    containing a blocklisted word; the count form also supports
+    threshold policies).  Token-boundary exact matches on the module's
+    lowercasing tokenizer — ``class`` never matches ``classic``.
+    Pure codegen: one tokenize + a literal-array membership filter."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    bl = F.array(*[F.lit(str(t).lower()) for t in sorted(set(terms))])
+    return F.size(F.filter(
+        let(tokens(text), lambda t: F.filter(t, lambda x: x != F.lit(""))),
+        lambda tk: F.array_contains(bl, tk)))
+
+
+def blocklist_filter(df, terms: list, max_hits: int = 0,
+                     text_col: str = "text"):
+    """Drop rows with more than ``max_hits`` blocklisted-token
+    occurrences (``max_hits=0`` = the C4 policy: any hit drops the
+    page).  One narrow row-wise filter — pushes down with the scan,
+    no shuffle."""
+    return df.filter(
+        blocklist_hits(F.col(text_col), terms) <= int(max_hits))
+
+
+def code_signals(text: Column) -> Column:
+    """Code-file quality signals as one struct — the published
+    The Stack / SantaCoder file filters (drop when max line length
+    > 1000, mean line length > 100, or alphanumeric fraction < 0.25),
+    plus the longest whitespace-token length (minified-bundle /
+    data-blob tell): struct<n_lines, max_line_len, avg_line_len,
+    alnum_frac, longest_token_len>.  All native string/array
+    expressions over one pass; ratios round to 6 (the oracle
+    convention)."""
+    lines = F.split(text, "\n")
+    lens = F.transform(lines, lambda l: F.length(l))
+    n_lines = F.size(lines)
+    toks = F.filter(F.split(F.trim(text), r"\s+"),
+                    lambda x: x != F.lit(""))
+    alnum = F.length(F.regexp_replace(text, r"[^0-9A-Za-z]", ""))
+    return F.struct(
+        n_lines.cast("long").alias("n_lines"),
+        F.array_max(lens).cast("long").alias("max_line_len"),
+        F.round(F.aggregate(lens, F.lit(0.0),
+                            lambda a, x: a + x.cast("double"))
+                / F.greatest(n_lines, F.lit(1)).cast("double"), 6)
+        .alias("avg_line_len"),
+        F.round(alnum.cast("double")
+                / F.greatest(F.length(text), F.lit(1)).cast("double"), 6)
+        .alias("alnum_frac"),
+        F.coalesce(
+            F.array_max(F.transform(toks, lambda t: F.length(t))),
+            F.lit(0)).cast("long").alias("longest_token_len"))

@@ -1444,3 +1444,54 @@ def test_text_index_append_equals_rebuild(spark, tmp_path):
             bm25_topk_stored(spark, full, terms, k=12)
             .orderBy("rank").collect()]
     assert got == want and len(want) == 12
+
+
+class TestBlocklistAndCodeSignals:
+    def test_blocklist_counts_and_filter(self, spark):
+        """r6: token-boundary blocklist — 'class' never matches
+        'classic'; max_hits=0 is the C4 drop-on-any-hit policy."""
+        from dask_geopandas_spark.operators.textstats import (
+            blocklist_filter, blocklist_hits)
+
+        rows = [(0, "a clean classic sentence"),
+                (1, "one BAD word"),
+                (2, "bad Bad BAD repeated bad"),
+                (3, "")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["h"] for r in df.select(
+            "doc_id", blocklist_hits(F.col("text"),
+                                     ["bad", "worse"]).alias("h"))
+            .collect()}
+        assert got == {0: 0, 1: 1, 2: 4, 3: 0}
+        kept = {r["doc_id"] for r in
+                blocklist_filter(df, ["bad"]).collect()}
+        assert kept == {0, 3}
+        kept2 = {r["doc_id"] for r in
+                 blocklist_filter(df, ["bad"], max_hits=1).collect()}
+        assert kept2 == {0, 1, 3}
+        with pytest.raises(ValueError, match="terms"):
+            blocklist_hits(F.col("text"), [])
+
+    def test_code_signals_brute_force(self, spark):
+        from dask_geopandas_spark.operators.textstats import code_signals
+
+        src_a = "def f(x):\n    return x*2\n\n# tail"
+        src_b = "x" * 1200  # minified one-liner
+        rows = [(0, src_a), (1, src_b), (2, "")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["s"] for r in df.select(
+            "doc_id", code_signals(F.col("text")).alias("s")).collect()}
+        for d, txt in rows:
+            lines = txt.split("\n")
+            toks = [t for t in txt.strip().split() if t]
+            s = got[d]
+            assert s["n_lines"] == len(lines)
+            assert s["max_line_len"] == max(len(l) for l in lines)
+            assert s["avg_line_len"] == round(
+                sum(len(l) for l in lines) / len(lines), 6)
+            alnum = sum(c.isascii() and c.isalnum() for c in txt)
+            assert s["alnum_frac"] == round(alnum / max(len(txt), 1), 6)
+            assert s["longest_token_len"] == (
+                max((len(t) for t in toks), default=0))
+        # the SantaCoder drop rules fire on the minified blob
+        assert got[1]["max_line_len"] > 1000
