@@ -767,8 +767,10 @@ def blocklist_filter(df, terms: list, max_hits: int = 0,
                      text_col: str = "text"):
     """Drop rows with more than ``max_hits`` blocklisted-token
     occurrences (``max_hits=0`` = the C4 policy: any hit drops the
-    page).  One narrow row-wise filter — pushes down with the scan,
-    no shuffle."""
+    page).  One narrow row-wise filter evaluated inside the scan
+    stage — no shuffle, no UDF (a higher-order-function predicate
+    stays in whole-stage codegen; it is not a parquet PushedFilter,
+    which only takes simple column comparisons)."""
     return df.filter(
         blocklist_hits(F.col(text_col), terms) <= int(max_hits))
 
