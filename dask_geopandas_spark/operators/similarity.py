@@ -177,15 +177,23 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: list[list[float]]
 
 
 def write_ivf_index(df: DataFrame, path: str, centroids: list[list[float]],
-                    vec_col: str = "embedding") -> None:
+                    vec_col: str = "embedding",
+                    append: bool = False) -> None:
     """Persist the corpus hive-partitioned by IVF cell — the vector-DB
     layout on plain parquet.  A stored search probing ``nprobe`` cells
     then lists/reads ONLY those subdirectories (static partition
     pruning: the skipped cells never appear in the file index), which
     is the difference between scanning 100 TB and scanning
-    nprobe/n_cells of it."""
+    nprobe/n_cells of it.
+
+    ``append=True`` adds a new vector batch to an existing index —
+    sound as long as the caller passes the SAME centroids the index
+    was built with (cell ids must mean the same thing) and disjoint
+    ids; the stored search needs no stats merge (centroids ride in at
+    query time)."""
     assign_ivf_cells(df, centroids, vec_col) \
-        .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+        .write.mode("append" if append else "overwrite") \
+        .partitionBy("ivf_cell").parquet(path)
 
 
 def ivf_topk_stored(spark, path: str, queries: DataFrame,

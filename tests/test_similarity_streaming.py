@@ -1123,3 +1123,26 @@ def test_train_centroids_rounds_and_carries_empty_cells(spark):
     raw = SIM.train_centroids(df, n_cells=2, iters=1,
                               round_decimals=None)
     assert len(raw) == 2 and len(raw[0]) == 4
+
+
+def test_ivf_index_append_equals_rebuild(spark, embeddings, tmp_path):
+    """r6: appending a disjoint vector batch (same centroids) to a
+    stored IVF index gives identical stored-search results to
+    rebuilding over the union."""
+    cents = SIM.train_centroids(embeddings, n_cells=8, iters=1)
+    a = embeddings.filter("vec_id < 120")
+    b = embeddings.filter("vec_id >= 120")
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    SIM.write_ivf_index(a, inc, cents)
+    SIM.write_ivf_index(b, inc, cents, append=True)
+    SIM.write_ivf_index(embeddings, full, cents)
+    queries = embeddings.filter("vec_id < 10")
+    got = sorted((r["query_id"], r["rank"], r["neighbor_id"], r["cos"])
+                 for r in SIM.ivf_topk_stored(spark, inc, queries,
+                                              cents, k=5, nprobe=3)
+                 .collect())
+    want = sorted((r["query_id"], r["rank"], r["neighbor_id"], r["cos"])
+                  for r in SIM.ivf_topk_stored(spark, full, queries,
+                                               cents, k=5, nprobe=3)
+                  .collect())
+    assert got == want and len(want) == 50
