@@ -2412,6 +2412,33 @@ def q_bm25_batch_stored(spark, sf_dir):
     return TX.bm25_batch_topk_stored(spark, path, queries, k=10)
 
 
+def q_shards_roundtrip(spark, sf_dir):
+    """Training-shard materialization roundtrip
+    (sampling.write_training_shards, r6 — the pipeline's last stage):
+    seeded-deterministic shard placement + intra-shard shuffle key,
+    written hive-partitioned and read back; per-shard count, id sum,
+    and shuffle-key extrema must reproduce the formula.  Oracle: the
+    same md5 shard/key arithmetic aggregated in SQL."""
+    import shutil
+
+    from dask_geopandas_spark.operators.sampling import (
+        write_training_shards)
+
+    path = "/root/repo/.bench_tmp/train_shards"
+    shutil.rmtree(path, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500) \
+        .select("doc_id", "source")
+    write_training_shards(docs, path, n_shards=8, seed="r6")
+    back = spark.read.parquet(path)
+    return (back.groupBy("shard")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("doc_id").cast("long").alias("id_sum"),
+                 F.min("shuffle_key").alias("min_key"),
+                 F.max("shuffle_key").alias("max_key"))
+            .select(F.col("shard").cast("int").alias("shard"),
+                    "n", "id_sum", "min_key", "max_key"))
+
+
 def q_badword_filter(spark, sf_dir):
     """C4-style blocklist stage (textstats.blocklist_hits /
     blocklist_filter, r6): token-boundary badword occurrence counts
@@ -3007,6 +3034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- 50-row driver window ends here ----
         "bm25_batch_stored": q_bm25_batch_stored,  # r6-new, leads r7
         "badword_filter": q_badword_filter,        # r6-new, leads r7
+        "shards_roundtrip": q_shards_roundtrip,    # r6-new, leads r7
         "code_quality": q_code_quality,            # r6-new, leads r7
         "image_resize": q_image_resize,
         "ann_ivf_pq": q_ann_ivf_pq,
@@ -3931,6 +3959,26 @@ def _dup_spans_oracle_sql(k: int = 8, min_occ: int = 2) -> str:
                CAST(max(pos) - min(pos) + {k} AS BIGINT) AS span_tokens,
                CAST(count(*) AS BIGINT) AS n_dup_grams
         FROM isl GROUP BY doc_id, island
+    """
+
+
+def _shards_oracle_sql(n_shards: int = 8, seed: str = "r6") -> str:
+    """DuckDB replica of q_shards_roundtrip: the 60-bit md5 hash of
+    seed || doc_id mod n_shards for placement, the same md5 hex as the
+    shuffle key, aggregated per shard."""
+    h = (f"('0x' || substr(md5('{seed}' || CAST(doc_id AS VARCHAR)),"
+         f" 1, 15))::BIGINT")
+    return f"""
+        WITH s1 AS (
+            SELECT doc_id,
+                   CAST({h} % {n_shards} AS INTEGER) AS shard,
+                   md5('{seed}' || CAST(doc_id AS VARCHAR)) AS k
+            FROM documents WHERE doc_id < 500
+        )
+        SELECT shard, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum,
+               min(k) AS min_key, max(k) AS max_key
+        FROM s1 GROUP BY shard
     """
 
 
@@ -5160,6 +5208,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_batch": _bm25_batch_oracle_sql(),
         "bm25_batch_stored": _bm25_batch_oracle_sql(),
         "badword_filter": _badword_oracle_sql(),
+        "shards_roundtrip": _shards_oracle_sql(),
         "code_quality": _code_quality_oracle_sql(),
         "media_manifest": """
             WITH m AS (

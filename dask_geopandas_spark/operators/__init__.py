@@ -23,7 +23,9 @@ from .dedup import (
 from .dissolve import dissolve
 from .explode import explode_geometry
 from .multimodal import media_manifest, sniff_modality
-from .sampling import cap_per_group, hash_sample, pack_documents
+from .sampling import (cap_per_group, chunk_documents, hash_sample,
+                       oversample, pack_documents, shard_assignment,
+                       write_training_shards)
 from .similarity import (
     brute_force_topk,
     ivf_topk,
@@ -79,4 +81,6 @@ __all__ = [
     "blocklist_hits", "blocklist_filter", "code_signals",
     "media_manifest", "sniff_modality",
     "semantic_dedup", "cap_per_group", "hash_sample", "pack_documents",
+    "chunk_documents", "oversample", "shard_assignment",
+    "write_training_shards",
 ]

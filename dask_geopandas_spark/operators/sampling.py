@@ -288,3 +288,44 @@ def oversample(df: DataFrame, rates: dict, group_col: str = "source",
     return (joined.select("*", F.explode(seq).alias(copy_col))
             .drop("_whole", "_fthr")
             .withColumn(copy_col, F.col(copy_col).cast("long")))
+
+
+def shard_assignment(key: Column, n_shards: int, seed: str = "") -> Column:
+    """Deterministic shard id in [0, n_shards): the 60-bit md5 hash of
+    ``seed || key`` mod the shard count — no RNG state, identical on
+    every run/retry, uniform across shards."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    return F.pmod(
+        portable_hash(F.concat(F.lit(str(seed)), key.cast("string"))),
+        F.lit(int(n_shards))).cast("int")
+
+
+def write_training_shards(df: DataFrame, path: str, n_shards: int = 64,
+                          key_col: str = "doc_id", seed: str = "",
+                          shard_col: str = "shard",
+                          order_col: str = "shuffle_key") -> None:
+    """Materialize the final training mix as hive-partitioned shards
+    with a DETERMINISTIC global shuffle — the last stage of a data
+    pipeline (loaders consume shard directories in parallel and read
+    examples in ``order_col`` order):
+
+    - ``shard`` = md5(seed || key) mod n_shards (`shard_assignment`) —
+      reproducible placement, no RNG, uniform occupancy;
+    - ``shuffle_key`` = md5(seed || key) hex — ordering by it inside a
+      shard is a seeded permutation decorrelated from ingest order
+      (adjacent source documents land apart), and it rides as a
+      COLUMN so the order survives any file split/merge: loaders sort
+      their shard by it (or trust per-file order, which the
+      sorted-before-write parquet preserves).
+
+    One repartition on the shard id + an intra-partition sort — the
+    only shuffle moves each row once; no global sort, no window."""
+    out = (df.withColumn(shard_col,
+                         shard_assignment(F.col(key_col), n_shards, seed))
+           .withColumn(order_col,
+                       F.md5(F.concat(F.lit(str(seed)),
+                                      F.col(key_col).cast("string")))))
+    (out.repartition(F.col(shard_col))
+        .sortWithinPartitions(shard_col, order_col)
+        .write.mode("overwrite").partitionBy(shard_col).parquet(path))

@@ -429,3 +429,51 @@ def test_oversample_large_rate_table_joins(spark):
     assert "BroadcastHashJoin" in plan
     # only the explode's empty-sequence guard remains — not O(keys)
     assert plan.count("CASE WHEN") <= 2, plan.count("CASE WHEN")
+
+
+class TestTrainingShards:
+    def test_shards_deterministic_uniform_ordered(self, spark, tmp_path):
+        """r6: shard placement is seeded-deterministic and roughly
+        uniform; the shuffle key decorrelates from ingest order;
+        per-file parquet row order matches the shuffle key; two writes
+        agree byte-for-value."""
+        from dask_geopandas_spark.operators.sampling import (
+            shard_assignment, write_training_shards)
+
+        df = spark.range(0, 2000).withColumnRenamed("id", "doc_id") \
+            .withColumn("text", F.concat(F.lit("t"), F.col("doc_id")))
+        p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+        write_training_shards(df, p1, n_shards=8, seed="s")
+        write_training_shards(df, p2, n_shards=8, seed="s")
+        a = spark.read.parquet(p1)
+        b = spark.read.parquet(p2)
+        rows = sorted(map(tuple, a.collect()))
+        assert rows == sorted(map(tuple, b.collect()))
+        assert len(rows) == 2000
+        # uniform-ish occupancy
+        counts = {r["shard"]: r["n"] for r in
+                  a.groupBy("shard").agg(F.count("*").alias("n"))
+                  .collect()}
+        assert set(counts) == set(range(8))
+        assert max(counts.values()) < 2 * min(counts.values())
+        # placement matches the formula
+        want = {r["doc_id"]: r["s"] for r in df.select(
+            "doc_id", shard_assignment(F.col("doc_id"), 8, "s")
+            .alias("s")).collect()}
+        got = {r["doc_id"]: r["shard"] for r in a.collect()}
+        assert got == want
+        # a different seed is a different permutation
+        write_training_shards(df, str(tmp_path / "s3"), n_shards=8,
+                              seed="other")
+        c = spark.read.parquet(str(tmp_path / "s3"))
+        assert {r["doc_id"]: r["shard"] for r in c.collect()} != got
+        # per-file row order == shuffle_key order (loaders may trust it)
+        import glob
+
+        import pyarrow.parquet as pq
+        f = sorted(glob.glob(p1 + "/shard=0/*.parquet"))[0]
+        keys = pq.read_table(f, columns=["shuffle_key"]) \
+            .column("shuffle_key").to_pylist()
+        assert keys == sorted(keys) and len(keys) > 50
+        with pytest.raises(ValueError, match="n_shards"):
+            shard_assignment(F.col("doc_id"), 0)
