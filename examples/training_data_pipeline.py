@@ -7,7 +7,8 @@ first-class operator, the whole flow is a handful of declarative calls.
            → near-dup (LSH) → benchmark decontamination
            → per-source quota cap (r5) → epochs-per-source mixing (r6)
            → deterministic sampling
-           → train/holdout split → sequence packing → stats
+           → train/holdout split → sequence packing
+           → sharded materialization (r6) → stats
 
 Run:  python examples/training_data_pipeline.py [sf_dir]
 (defaults to /root/testdata/sf0.001; prints per-stage counts)
@@ -106,6 +107,18 @@ def run_pipeline(spark: SparkSession, sf_dir: str):
     bins = packed.groupBy("_shard", "pack_bin").agg(
         F.sum("n_tokens").alias("bin_tokens"))
     stages["pack_bins"] = bins.count()
+
+    # 7. materialize: hive-partitioned shards with a seeded
+    #    deterministic global shuffle (r6) — the loader's input
+    import tempfile
+
+    out_dir = os.path.join(tempfile.gettempdir(), "dgs_train_shards")
+    SA.write_training_shards(
+        packed.withColumn("_key", F.concat_ws("#", "doc_id", "copy_id")),
+        out_dir, n_shards=4, key_col="_key", seed="tour")
+    spark_ = packed.sparkSession
+    stages["shards"] = spark_.read.parquet(out_dir) \
+        .select("shard").distinct().count()
     return stages, packed
 
 
