@@ -272,10 +272,14 @@ def oversample(df: DataFrame, rates: dict, group_col: str = "source",
         joined = df
     else:
         spark = df.sparkSession
+        # key type inferred from the rate dict so numeric group
+        # columns join without an implicit cast
         rt = spark.createDataFrame(
             [(k, int(v), int(round((v - int(v)) * _MOD)))
              for k, v in rates.items()],
-            f"`{group_col}` string, _whole int, _fthr int")
+            [group_col, "_whole", "_fthr"])
+        rt = rt.withColumn("_whole", F.col("_whole").cast("int")) \
+            .withColumn("_fthr", F.col("_fthr").cast("int"))
         joined = df.join(F.broadcast(rt), on=group_col, how="left")
         ncopies = _ncopies(
             F.coalesce(F.col("_whole"), F.lit(int(default))),
