@@ -2412,6 +2412,33 @@ def q_bm25_batch_stored(spark, sf_dir):
     return TX.bm25_batch_topk_stored(spark, path, queries, k=10)
 
 
+def q_decontam_spans(spark, sf_dir):
+    """Span-level decontamination (dedup.decontaminate_spans — the
+    FLAN-style sequence-removal recipe, r6): cut ONLY the
+    benchmark-overlapping spans out of training docs instead of
+    dropping whole docs.  Same planted-boilerplate construction as
+    q_dup_spans with the boilerplate AS the benchmark doc — even ids
+    lose exactly their planted tail, odd ids pass byte-for-byte.
+    Oracle: benchmark gram hashes as literals, IN semi-join, islands,
+    and the shared cut/reassembly SQL."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    words = F.split(F.col("text"), " ")
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.array_join(F.slice(words, 1, 16), " "),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit("the quick brown fox jumps over the lazy dog "
+                         "every single morning")))
+        .alias("text"))
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog "
+             "every single morning")], "doc_id long, text string")
+    out = DD.decontaminate_spans(synth, bench, k=8)
+    return out.select("doc_id", "text", "n_removed_tokens")
+
+
 def q_shards_roundtrip(spark, sf_dir):
     """Training-shard materialization roundtrip
     (sampling.write_training_shards, r6 — the pipeline's last stage):
@@ -3035,6 +3062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batch_stored": q_bm25_batch_stored,  # r6-new, leads r7
         "badword_filter": q_badword_filter,        # r6-new, leads r7
         "shards_roundtrip": q_shards_roundtrip,    # r6-new, leads r7
+        "decontam_spans": q_decontam_spans,        # r6-new, leads r7
         "code_quality": q_code_quality,            # r6-new, leads r7
         "image_resize": q_image_resize,
         "ann_ivf_pq": q_ann_ivf_pq,
@@ -3979,6 +4007,57 @@ def _shards_oracle_sql(n_shards: int = 8, seed: str = "r6") -> str:
                CAST(sum(doc_id) AS BIGINT) AS id_sum,
                min(k) AS min_key, max(k) AS max_key
         FROM s1 GROUP BY shard
+    """
+
+
+def _decontam_spans_oracle_sql(k: int = 8) -> str:
+    """DuckDB replica of q_decontam_spans: the dup_spans synthetic
+    construction and gram pipeline, with the hit predicate swapped to
+    membership in the literal benchmark's gram-hash set, then the
+    span-cut/reassembly tail of _span_removal_oracle_sql."""
+    bench = ("the quick brown fox jumps over the lazy dog "
+             "every single morning").split()
+    grams = [" ".join(bench[i:i + k]) for i in range(len(bench) - k + 1)]
+    glits = ", ".join("'" + g + "'" for g in grams)
+    detect = _dup_spans_oracle_sql(k=k)
+    # reuse base/tk/ga/g; swap dup→bench-membership; keep islands
+    head = detect.split("dup AS (")[0]
+    rest = detect.split("hits AS (")[1]
+    detect2 = (head + f"""bg AS (
+            SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+            FROM (SELECT unnest([{glits}]) AS g)
+        ),
+        hits AS (""" + rest).replace("(SELECT h FROM dup)",
+                                     "(SELECT h FROM bg)")
+    head2, _ = detect2.rsplit("SELECT doc_id,", 1)
+    return head2 + f""", spans AS (
+            SELECT doc_id, min(pos) AS s, max(pos) + {k - 1} AS e
+            FROM isl GROUP BY doc_id, island
+        ),
+        marked AS (
+            SELECT p.doc_id, p.pos, p.tok,
+                   EXISTS (SELECT 1 FROM spans s
+                           WHERE s.doc_id = p.doc_id
+                             AND p.pos BETWEEN s.s AND s.e) AS cov
+            FROM (SELECT doc_id,
+                         generate_subscripts(toks, 1) AS pos,
+                         unnest(toks) AS tok
+                  FROM tk) p
+            WHERE p.doc_id IN (SELECT doc_id FROM spans)
+        ),
+        rebuilt AS (
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN NOT cov THEN tok END,
+                                       ' ' ORDER BY pos), '') AS text,
+                   sum(CASE WHEN cov THEN 1 ELSE 0 END) AS n_removed
+            FROM marked GROUP BY doc_id
+        )
+        SELECT base.doc_id,
+               CASE WHEN r.doc_id IS NULL THEN base.t
+                    ELSE r.text END AS text,
+               CAST(coalesce(r.n_removed, 0) AS BIGINT)
+                   AS n_removed_tokens
+        FROM base LEFT JOIN rebuilt r ON base.doc_id = r.doc_id
     """
 
 
@@ -5209,6 +5288,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_batch_stored": _bm25_batch_oracle_sql(),
         "badword_filter": _badword_oracle_sql(),
         "shards_roundtrip": _shards_oracle_sql(),
+        "decontam_spans": _decontam_spans_oracle_sql(),
         "code_quality": _code_quality_oracle_sql(),
         "media_manifest": """
             WITH m AS (

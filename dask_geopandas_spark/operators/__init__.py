@@ -7,6 +7,8 @@ from .clip import clip
 from .dedup import (
     cluster_dedup,
     connected_components,
+    contaminated_spans,
+    decontaminate_spans,
     dedup_lines_within_doc,
     duplicated_spans,
     embedding_neardup_pairs,
@@ -70,6 +72,7 @@ __all__ = [
     "connected_components", "cluster_dedup",
     "line_dedup", "dedup_lines_within_doc",
     "duplicated_spans", "remove_duplicated_spans",
+    "contaminated_spans", "decontaminate_spans",
     "brute_force_topk", "train_centroids", "ivf_topk",
     "write_ivf_index", "ivf_topk_stored",
     "knn_graph", "train_pq", "release_cached_salt_inputs",

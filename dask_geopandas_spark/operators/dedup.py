@@ -901,6 +901,16 @@ def remove_duplicated_spans(df: DataFrame, k: int = 8,
     :func:`duplicated_spans`' two shuffles."""
     spans = duplicated_spans(df, k=k, min_occurrences=min_occurrences,
                              text_col=text_col, id_col=id_col)
+    return _cut_spans(df, spans, text_col, id_col)
+
+
+def _cut_spans(df: DataFrame, spans: DataFrame, text_col: str,
+               id_col: str) -> DataFrame:
+    """Shared span-removal tail: fold a (id, span_start, span_tokens)
+    table into one per-doc array, cut covered token positions with a
+    native index-lambda filter, preserve every other column, pass
+    span-free docs through byte-for-byte.  `remove_duplicated_spans`
+    and `decontaminate_spans` both end here."""
     sp = spans.groupBy(id_col).agg(
         F.collect_list(F.struct(
             F.col("span_start").alias("s"),
@@ -928,3 +938,65 @@ def remove_duplicated_spans(df: DataFrame, k: int = 8,
     return (df.join(sp, on=id_col, how="left")
             .withColumn("_toks", toks)
             .select(*out_cols))
+
+
+def contaminated_spans(train: DataFrame, benchmark: DataFrame, k: int = 8,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Maximal spans of ``train`` documents whose every ``k``-token
+    window also appears in ``benchmark`` — the detection half of
+    span-level decontamination.  Same shape as `duplicated_spans`
+    except the "hit" predicate is membership in the benchmark's gram
+    set (distinct, broadcast — benchmarks are small by definition)
+    instead of a corpus-count threshold.  Returns
+    (id_col, span_start, span_tokens, n_dup_grams)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+
+    def grams_of(frame, idc):
+        toks = let(tokens(F.col(text_col)),
+                   lambda t: F.filter(t, lambda x: x != F.lit("")))
+        grams = let(toks, lambda t: F.when(
+            F.size(t) >= k,
+            F.transform(F.sequence(F.lit(1), F.size(t) - (k - 1)),
+                        lambda i: F.array_join(F.slice(t, i, k), " ")))
+            .otherwise(F.array().cast("array<string>")))
+        return (frame.select(F.col(idc),
+                             F.posexplode(grams).alias("_p0", "_gram"))
+                .select(F.col(idc), (F.col("_p0") + 1).alias("_pos"),
+                        portable_hash(F.col("_gram")).alias("_h")))
+
+    bench = grams_of(benchmark, id_col).select("_h").distinct()
+    hits = grams_of(train, id_col).join(F.broadcast(bench), on="_h",
+                                        how="left_semi")
+    w = Window.partitionBy(id_col).orderBy(F.asc("_pos"))
+    isl = (hits
+           .withColumn("_prev", F.lag("_pos").over(w))
+           .withColumn("_new", F.when(
+               F.col("_prev").isNull()
+               | (F.col("_pos") - F.col("_prev") > k), 1).otherwise(0))
+           .withColumn("_isl", F.sum("_new").over(
+               w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (isl.groupBy(id_col, "_isl")
+            .agg(F.min("_pos").alias("span_start"),
+                 (F.max("_pos") - F.min("_pos") + k).alias("span_tokens"),
+                 F.count("*").alias("n_dup_grams"))
+            .select(id_col, "span_start",
+                    F.col("span_tokens").cast("long"),
+                    F.col("n_dup_grams").cast("long")))
+
+
+def decontaminate_spans(train: DataFrame, benchmark: DataFrame,
+                        k: int = 8, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """SURGICAL decontamination: cut only the benchmark-overlapping
+    spans out of training documents instead of dropping whole docs
+    (`decontaminate`'s policy) — the FLAN-style sequence-removal
+    recipe, preserving the rest of an otherwise-good document.  Every
+    input column is preserved, ``text_col`` rewritten in token space,
+    plus ``n_removed_tokens`` (0 and byte-identical text for untouched
+    docs).  Cost: one corpus gram pass + a broadcast semi-join against
+    the benchmark gram set + the shared span-cut join."""
+    spans = contaminated_spans(train, benchmark, k=k,
+                               text_col=text_col, id_col=id_col)
+    return _cut_spans(train, spans, text_col, id_col)

@@ -1495,3 +1495,72 @@ class TestBlocklistAndCodeSignals:
                 max((len(t) for t in toks), default=0))
         # the SantaCoder drop rules fire on the minified blob
         assert got[1]["max_line_len"] > 1000
+
+
+class TestDecontaminateSpans:
+    def test_surgical_removal(self, spark):
+        """r6: only the benchmark-overlapping span is cut — the rest of
+        the document survives (vs decontaminate's whole-doc drop);
+        clean docs pass byte-for-byte; span bounds match the planted
+        overlap."""
+        from dask_geopandas_spark.operators.dedup import (
+            contaminated_spans, decontaminate_spans)
+
+        bench_text = ("what is the capital of france "
+                      "paris is the capital of france")   # 12 tokens
+        rows = [(0, f"intro words one two three {bench_text} tail{0}"),
+                (1, "a perfectly Clean document, nothing shared!"),
+                (2, bench_text)]
+        train = spark.createDataFrame(rows, "doc_id long, text string")
+        bench = spark.createDataFrame([(100, bench_text)],
+                                      "doc_id long, text string")
+        spans = {r["doc_id"]: (r["span_start"], r["span_tokens"]) for r in
+                 contaminated_spans(train, bench, k=8).collect()}
+        assert spans == {0: (6, 12), 2: (1, 12)}
+        out = {r["doc_id"]: r for r in
+               decontaminate_spans(train, bench, k=8).collect()}
+        assert out[0]["text"] == "intro words one two three tail0"
+        assert out[0]["n_removed_tokens"] == 12
+        assert out[1]["text"] == rows[1][1]
+        assert out[1]["n_removed_tokens"] == 0
+        assert out[2]["text"] == "" and out[2]["n_removed_tokens"] == 12
+        with pytest.raises(ValueError, match="k"):
+            contaminated_spans(train, bench, k=1)
+
+    def test_random_brute_force(self, spark):
+        """Randomized agreement with a Python gram-membership +
+        coverage-mask reference."""
+        import numpy as np
+
+        from dask_geopandas_spark.operators.dedup import (
+            decontaminate_spans)
+
+        rng = np.random.RandomState(53)
+        vocab = [f"w{i}" for i in range(6)]
+        mk = lambda n: " ".join(vocab[rng.randint(len(vocab))]
+                                for _ in range(n))
+        train_rows = [(d, mk(rng.randint(4, 25))) for d in range(30)]
+        bench_rows = [(d, mk(rng.randint(6, 15))) for d in range(5)]
+        k = 4
+        bgrams = set()
+        for _, t in bench_rows:
+            tk = t.split()
+            for i in range(len(tk) - k + 1):
+                bgrams.add(" ".join(tk[i:i + k]))
+        want = {}
+        for d, t in train_rows:
+            tk = t.split()
+            cut = set()
+            for i in range(len(tk) - k + 1):
+                if " ".join(tk[i:i + k]) in bgrams:
+                    cut |= set(range(i, i + k))
+            kept = [x for i, x in enumerate(tk) if i not in cut]
+            want[d] = (" ".join(kept) if cut else t, len(cut))
+        train = spark.createDataFrame(train_rows,
+                                      "doc_id long, text string")
+        bench = spark.createDataFrame(bench_rows,
+                                      "doc_id long, text string")
+        got = {r["doc_id"]: (r["text"], r["n_removed_tokens"]) for r in
+               decontaminate_spans(train, bench, k=k).collect()}
+        assert got == want
+        assert sum(n for _, n in want.values()) > 10
