@@ -958,23 +958,28 @@ def q_geoarrow_roundtrip(spark, sf_dir):
     )
 
 
-def q_spatial_shuffle(spark, sf_dir):
-    """spatial_shuffle (reference expr.py:738-820): Hilbert
-    repartitionByRange + sortWithinPartitions.  Emits per-partition
-    (rows, min_key, max_key); the driver's rows-only check pins row
-    preservation, tests pin the range-disjointness invariant."""
-    from pyspark.sql.functions import spark_partition_id
+_SHUFFLE_BOUNDS = [i * (4 ** 12) // 8 for i in range(1, 8)]
 
+
+def q_spatial_shuffle(spark, sf_dir):
+    """spatial_shuffle with EXPLICIT range boundaries (r6 oracle
+    upgrade — the last rows-only exemption closed): bucket assignment
+    is a pure function of the Hilbert key and seven literal
+    boundaries, so per-bucket contents (count, key extrema) replicate
+    exactly in SQL.  The sampled repartitionByRange path (whose
+    placement is engine-internal) keeps its pytest pins; bucket→
+    partition atomicity of THIS path is pytest-pinned too (physical
+    placement is never SQL-visible, deterministic or not)."""
     g = _cust_points(spark, sf_dir)
     tb = (-180.0, -90.0, 180.0, 90.0)
-    shuffled = g.spatial_shuffle(by="hilbert", level=12, npartitions=8,
-                                 total_bounds=tb)
+    shuffled = g.spatial_shuffle(by="hilbert", level=12,
+                                 total_bounds=tb,
+                                 boundaries=_SHUFFLE_BOUNDS)
     h = shuffled.hilbert_distance(total_bounds=tb, level=12)
     return (
         shuffled.df.withColumn("_h", h)
-        .withColumn("_pid", spark_partition_id())
-        .groupBy("_pid")
-        .agg(F.count("*").alias("n_rows"),
+        .groupBy(F.col("_spatial_bucket").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n_rows"),
              F.min("_h").alias("min_key"), F.max("_h").alias("max_key"))
     )
 
@@ -3063,6 +3068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "badword_filter": q_badword_filter,        # r6-new, leads r7
         "shards_roundtrip": q_shards_roundtrip,    # r6-new, leads r7
         "decontam_spans": q_decontam_spans,        # r6-new, leads r7
+        "spatial_shuffle": q_spatial_shuffle,      # r6 oracle upgrade
         "code_quality": q_code_quality,            # r6-new, leads r7
         "image_resize": q_image_resize,
         "ann_ivf_pq": q_ann_ivf_pq,
@@ -3157,8 +3163,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "points_z": q_points_z,
         "geom_properties": q_geom_properties,
         "skew_avg": q_skew_avg,
-        # -- rows-only by design (no SQL oracle; pytest-pinned) --
-        "spatial_shuffle": q_spatial_shuffle,
     }
 
 
@@ -4968,6 +4972,20 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY c_mktsegment
         """,
+        "spatial_shuffle": (
+            _hilbert12_cte_sql(
+                f"""SELECT CAST(floor(least(greatest((({CUST_X}) + 180.0) / 360.0, 0.0), 1.0) * 4095) AS BIGINT) AS x,
+                           CAST(floor(least(greatest((({CUST_Y}) + 90.0) / 180.0, 0.0), 1.0) * 4095) AS BIGINT) AS y
+                    FROM customer"""
+            )
+            + f"""
+            SELECT CAST(len(list_filter({_SHUFFLE_BOUNDS!r}, b -> b <= d))
+                        AS INTEGER) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   min(d) AS min_key, max(d) AS max_key
+            FROM h12 GROUP BY 1
+        """
+        ),
         "hilbert_buckets": (
             _hilbert12_cte_sql(
                 f"""SELECT CAST(floor(least(greatest((({CUST_X}) + 180.0) / 360.0, 0.0), 1.0) * 4095) AS BIGINT) AS x,

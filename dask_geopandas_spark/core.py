@@ -825,10 +825,33 @@ class GeoDataFrame:
 
     def spatial_shuffle(self, by: str = "hilbert", level: int = 16,
                         npartitions: int | None = None,
-                        total_bounds=None) -> "GeoDataFrame":
+                        total_bounds=None, boundaries=None) -> "GeoDataFrame":
         """Spatially sort/repartition: curve key + repartitionByRange +
         sortWithinPartitions — the native Spark expression of the
-        reference's set_index range shuffle (expr.py:738-820)."""
+        reference's set_index range shuffle (expr.py:738-820).
+
+        ``boundaries`` (strictly ascending curve-key values) switches
+        to EXPLICIT range bucketing: bucket i holds keys in
+        (boundaries[i-1], boundaries[i]], computed as one native
+        array-filter count, physically co-located by a hash
+        repartition on the bucket id, and exposed as a
+        ``_spatial_bucket`` column.  Two properties the sampled
+        ``repartitionByRange`` path cannot give, and exactly the ones
+        that matter at cluster scale:
+
+        - **deterministic placement** — a pure function of the data,
+          identical on every run/retry, no sampling job (one shuffle
+          instead of sample-then-shuffle), and fully attestable (the
+          driver oracle reproduces bucket contents bit-for-bit);
+        - **co-partitioning** — two datasets shuffled with the SAME
+          boundaries land bucket-aligned, so a downstream spatial
+          join on them shuffles neither side; boundaries computed
+          once (approx quantiles of the curve key, or reused from a
+          previous run's stats) serve a whole pipeline.
+
+        Each bucket lands wholly inside one partition (disjointness
+        holds for any pruning built on it); ``npartitions`` defaults
+        to ``len(boundaries) + 1``."""
         tb = total_bounds or self.total_bounds()
         if by == "hilbert":
             key = FX.hilbert_distance(tb, level)(self._geom())
@@ -839,6 +862,22 @@ class GeoDataFrame:
         else:
             raise ValueError(f"unknown curve {by!r}")
         df = self._df.withColumn("_curve_key", key)
+        if boundaries is not None:
+            bs = list(boundaries)
+            if not bs or any(b2 <= b1 for b1, b2 in zip(bs, bs[1:])):
+                raise ValueError(
+                    "boundaries must be non-empty and strictly ascending")
+            barr = F.array(*[F.lit(b) for b in bs])
+            bucket = F.size(F.filter(
+                barr, lambda b: b <= F.col("_curve_key")))
+            n = npartitions or len(bs) + 1
+            out = (
+                df.withColumn("_spatial_bucket", bucket.cast("int"))
+                .repartition(n, F.col("_spatial_bucket"))
+                .sortWithinPartitions("_spatial_bucket", "_curve_key")
+                .drop("_curve_key")
+            )
+            return self._wrap(out)
         # default partition count without df.rdd (which forces a
         # DataFrame→RDD conversion plan just to read a number): the
         # shuffle lands on spark.sql.shuffle.partitions anyway

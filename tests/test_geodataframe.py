@@ -934,3 +934,47 @@ def test_sjoin_dwithin_validation(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="distance"):
         pts.sjoin(pts, predicate="dwithin")
+
+
+def test_spatial_shuffle_explicit_boundaries(spark, pts):
+    """r6: explicit-boundary mode — bucket assignment matches the
+    searchsorted formula, every bucket lands wholly inside ONE
+    partition, two frames shuffled with the SAME boundaries are
+    co-partitioned (same bucket → same partition index), and bad
+    boundaries fail fast.  The properties the sampled
+    repartitionByRange path cannot give."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import spark_partition_id
+
+    gdf, pdf = pts
+    tb = (-180.0, -90.0, 180.0, 90.0)
+    bnds = [i * (4 ** 10) // 4 for i in range(1, 4)]
+    out = gdf.spatial_shuffle(by="hilbert", level=10, total_bounds=tb,
+                              boundaries=bnds)
+    h = out.hilbert_distance(total_bounds=tb, level=10)
+    rows = (out.df.withColumn("_h", h)
+            .withColumn("_pid", spark_partition_id())
+            .select("_spatial_bucket", "_h", "_pid").collect())
+    assert len(rows) == len(pdf)
+    import bisect
+
+    for r in rows:  # assignment == searchsorted
+        assert r["_spatial_bucket"] == bisect.bisect_right(bnds, r["_h"])
+    by_bucket = {}
+    for r in rows:  # bucket atomicity
+        by_bucket.setdefault(r["_spatial_bucket"], set()).add(r["_pid"])
+    assert all(len(p) == 1 for p in by_bucket.values())
+    # co-partitioning: a second frame, same boundaries → same mapping
+    out2 = gdf.cx(xmin=-90, ymin=-45, xmax=90, ymax=45).spatial_shuffle(
+        by="hilbert", level=10, total_bounds=tb, boundaries=bnds)
+    m2 = {r["_spatial_bucket"]: r["_pid"] for r in
+          out2.df.withColumn("_pid", spark_partition_id())
+          .select("_spatial_bucket", "_pid").distinct().collect()}
+    m1 = {b: next(iter(p)) for b, p in by_bucket.items()}
+    for b in set(m1) & set(m2):
+        assert m1[b] == m2[b]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="boundaries"):
+        gdf.spatial_shuffle(boundaries=[5, 5], total_bounds=tb)
+    with _pytest.raises(ValueError, match="boundaries"):
+        gdf.spatial_shuffle(boundaries=[], total_bounds=tb)
