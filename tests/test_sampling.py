@@ -477,3 +477,40 @@ class TestTrainingShards:
         assert keys == sorted(keys) and len(keys) > 50
         with pytest.raises(ValueError, match="n_shards"):
             shard_assignment(F.col("doc_id"), 0)
+
+
+def test_training_shards_prune_on_read(spark, tmp_path):
+    """r6: a loader reading one shard carries the shard id as a
+    partition filter — the other shards' files never enter the plan."""
+    from dask_geopandas_spark.operators.sampling import (
+        write_training_shards)
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    p = str(tmp_path / "sh")
+    write_training_shards(df, p, n_shards=8, seed="x")
+    one = spark.read.parquet(p).filter(F.col("shard") == 3)
+    plan = one._sc._jvm.PythonSQLUtils.explainString(
+        one._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan and "shard" in plan
+    import re
+    m = re.search(r"PartitionFilters: \[[^\]]*shard[^\]]*\]", plan)
+    assert m, plan
+    assert one.count() > 0
+
+
+def test_oversample_expected_multiplicity_sweep(spark):
+    """Property sweep: across fractional rates the realized corpus
+    multiplicity tracks the rate within hash-uniformity tolerance, and
+    copy ids are always dense 0..n-1 per row."""
+    from dask_geopandas_spark.operators.sampling import oversample
+
+    df = spark.createDataFrame([(i, "s") for i in range(2000)],
+                               "doc_id long, source string")
+    for rate in (0.25, 0.8, 1.5, 3.25):
+        out = oversample(df, {"s": rate}).collect()
+        assert abs(len(out) - 2000 * rate) < 150, rate
+        per = {}
+        for r in out:
+            per.setdefault(r["doc_id"], []).append(r["copy_id"])
+        for cids in per.values():
+            assert sorted(cids) == list(range(len(cids)))
