@@ -832,7 +832,12 @@ class GeoDataFrame:
 
         ``boundaries`` (strictly ascending curve-key values) switches
         to EXPLICIT range bucketing: bucket i holds keys in
-        (boundaries[i-1], boundaries[i]], computed as one native
+        [boundaries[i-1], boundaries[i]) — LEFT-closed, so a key
+        exactly equal to a boundary lands in the UPPER bucket
+        (bucket = count of boundaries <= key; boundaries typically
+        come from approx quantiles of real key values, so
+        boundary-equal keys occur and pruning/co-partitioning logic
+        must use this convention) — computed as one native
         array-filter count, physically co-located by a hash
         repartition on the bucket id, and exposed as a
         ``_spatial_bucket`` column.  Two properties the sampled

@@ -37,6 +37,10 @@ _MOD = 1_000_000
 # oversample: rate tables past this size broadcast-join instead of
 # compiling one CASE branch per key (plan size is O(keys) otherwise)
 _RATE_JOIN_THRESHOLD = 64
+# collision-resistant internal helper names for the rate-join path (a
+# caller column named like these would silently vanish otherwise)
+_RATE_WHOLE = "__dgs_oversample_whole"
+_RATE_FTHR = "__dgs_oversample_fthr"
 
 
 def _bucket(key: Column) -> Column:
@@ -274,23 +278,28 @@ def oversample(df: DataFrame, rates: dict, group_col: str = "source",
         spark = df.sparkSession
         # key type inferred from the rate dict so numeric group
         # columns join without an implicit cast
+        clash = {_RATE_WHOLE, _RATE_FTHR} & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"oversample reserves internal column names {sorted(clash)}"
+                " on the rate-join path; rename those columns first")
         rt = spark.createDataFrame(
             [(k, int(v), int(round((v - int(v)) * _MOD)))
              for k, v in rates.items()],
-            [group_col, "_whole", "_fthr"])
-        rt = rt.withColumn("_whole", F.col("_whole").cast("int")) \
-            .withColumn("_fthr", F.col("_fthr").cast("int"))
+            [group_col, _RATE_WHOLE, _RATE_FTHR])
+        rt = rt.withColumn(_RATE_WHOLE, F.col(_RATE_WHOLE).cast("int")) \
+            .withColumn(_RATE_FTHR, F.col(_RATE_FTHR).cast("int"))
         joined = df.join(F.broadcast(rt), on=group_col, how="left")
         ncopies = _ncopies(
-            F.coalesce(F.col("_whole"), F.lit(int(default))),
-            F.coalesce(F.col("_fthr"),
+            F.coalesce(F.col(_RATE_WHOLE), F.lit(int(default))),
+            F.coalesce(F.col(_RATE_FTHR),
                        F.lit(int(round((default - int(default))
                                        * _MOD)))))
     seq = F.when(ncopies > 0,
                  F.sequence(F.lit(0), ncopies - 1)) \
         .otherwise(F.array().cast("array<int>"))
     return (joined.select("*", F.explode(seq).alias(copy_col))
-            .drop("_whole", "_fthr")
+            .drop(_RATE_WHOLE, _RATE_FTHR)
             .withColumn(copy_col, F.col(copy_col).cast("long")))
 
 

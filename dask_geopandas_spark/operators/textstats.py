@@ -485,16 +485,32 @@ def write_text_index(df, path: str, n_buckets: int = 64,
     stats merge as count-weighted means.  The caller guarantees the
     appended ``id_col`` values are disjoint from the stored ones —
     re-appending a document double-counts it, exactly like inserting
-    it twice into any inverted index."""
+    it twice into any inverted index.
+
+    An append is two writes (postings, then stats) and cannot be
+    atomic on plain parquet; a ``_append_in_progress`` marker brackets
+    them so a crash mid-append is DETECTABLE instead of silently
+    skewing every later BM25 score: the stored readers refuse an index
+    whose marker is still present (rebuild, or re-run the identical
+    append — postings double-append is NOT idempotent, so the safe
+    recovery is a rebuild)."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    from ..sources.fs import resolve_fs
     from .dedup import portable_hash
 
     base = path.rstrip("/")
     spark = df.sparkSession
+    marker = None
     if append:
+        _check_index_consistent(base)
         prev = spark.read.parquet(base + "/stats").head()
         n_buckets = int(prev["n_buckets"])
+        fsys, mpath = resolve_fs(base + "/_append_in_progress")
+        with fsys.open_output_stream(mpath) as out:
+            out.write(b"append started; absence of this file means the "
+                      b"postings/stats pair is consistent\n")
+        marker = (fsys, mpath)
     qs = _bm25_doc_pass(df, text_col, id_col)
     tf = (_bm25_tf_base(qs, id_col)
           .groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
@@ -513,6 +529,29 @@ def write_text_index(df, path: str, n_buckets: int = 64,
             [(n0 + n1, float(avg))], "n_docs long, avgdl double")
     stats.withColumn("n_buckets", F.lit(int(n_buckets))) \
         .write.mode("overwrite").parquet(base + "/stats")
+    if marker is not None:
+        marker[0].delete_file(marker[1])
+
+
+def _check_index_consistent(base: str) -> None:
+    """Raise if a previous ``write_text_index(append=True)`` died
+    between its postings append and its stats rewrite (marker file
+    still present) — scoring against the half-updated pair silently
+    skews every BM25 result."""
+    from pyarrow import fs as pafs
+
+    from ..sources.fs import resolve_fs
+
+    fsys, mpath = resolve_fs(base.rstrip("/") + "/_append_in_progress")
+    try:
+        info = fsys.get_file_info(mpath)
+    except Exception:
+        return
+    if info.type != pafs.FileType.NotFound:
+        raise RuntimeError(
+            f"text index at {base!r} was left inconsistent by a failed "
+            "append (_append_in_progress marker present): its postings "
+            "and stats disagree — rebuild the index with append=False")
 
 
 def bm25_topk_stored(spark, path: str, query_terms: list, k: int = 10,
@@ -532,6 +571,7 @@ def bm25_topk_stored(spark, path: str, query_terms: list, k: int = 10,
     if not terms:
         raise ValueError("query_terms must be non-empty")
     base = path.rstrip("/")
+    _check_index_consistent(base)
     stats = spark.read.parquet(base + "/stats")
     n_buckets = stats.head()["n_buckets"]
     buckets = sorted({
@@ -718,6 +758,7 @@ def bm25_batch_topk_stored(spark, path: str, queries, k: int = 10,
     if not terms:
         raise ValueError("queries produced no terms")
     base = path.rstrip("/")
+    _check_index_consistent(base)
     stats = spark.read.parquet(base + "/stats")
     n_buckets = stats.head()["n_buckets"]
     buckets = sorted({

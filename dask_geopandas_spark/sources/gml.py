@@ -55,19 +55,27 @@ _GEOM_TAGS = {"Point", "LineString", "Curve", "Polygon", "Surface",
 # Geographic 2D/3D CRS outside the EPSG 4xxx block whose authority
 # axis order is lat/lon (the modern national datums INSPIRE-era GML
 # actually ships): JGD2011 and GDA2020.
-_GEOGRAPHIC_LATLON_EPSG = {6668, 7844}
+_GEOGRAPHIC_LATLON_EPSG = {6318, 6668, 7844}
+# projected CRSes inside the otherwise-geographic EPSG 4xxx block:
+# keep stored axis order (World Equidistant Cylindrical sphere/WGS84)
+_PROJECTED_4XXX_EPSG = {4087, 4088, 4978}
 
 
 def _lat_lon_srs(el) -> bool:
     """True when ``srsName`` mandates authority axis order (lat/lon):
     a ``urn:ogc:def:crs:EPSG::<code>`` form naming a GEOGRAPHIC CRS.
     EPSG defines every geographic 2D/3D CRS with latitude first, so
-    the whole 4000-4999 geographic block swaps (4326 WGS84, 4258
-    ETRS89, 4269 NAD83, 4283 GDA94, ...), excepting 4978 (geocentric
-    WGS84 — X/Y/Z axes), plus the post-4xxx datums in
-    ``_GEOGRAPHIC_LATLON_EPSG``.  Projected codes in urn form keep
-    their stored order, and legacy ``EPSG:4326`` / ``urn:...:CRS84``
-    are lon/lat as-is — OGR's lat-long inversion behavior."""
+    the 4000-4999 geographic block swaps (4326 WGS84, 4258 ETRS89,
+    4269 NAD83, 4283 GDA94, ...), excepting the PROJECTED/geocentric
+    codes embedded in it (``_PROJECTED_4XXX_EPSG``: 4087/4088 World
+    Equidistant Cylindrical, 4978 geocentric WGS84), plus the
+    post-4xxx geographic datums in ``_GEOGRAPHIC_LATLON_EPSG``
+    (6318 NAD83(2011), 6668 JGD2011, 7844 GDA2020).
+    Unlisted modern geographic codes outside 4xxx keep stored order
+    (extend the allowlist as needed).  Projected codes in urn form
+    keep their stored order, and legacy ``EPSG:4326`` /
+    ``urn:...:CRS84`` are lon/lat as-is — OGR's lat-long inversion
+    behavior."""
     srs = el.attrib.get("srsName", "")
     if not (srs.startswith("urn:") and "EPSG" in srs):
         return False
@@ -75,7 +83,7 @@ def _lat_lon_srs(el) -> bool:
     if not code.isdigit():
         return False
     c = int(code)
-    if c == 4978:
+    if c in _PROJECTED_4XXX_EPSG:
         return False
     return 4000 <= c <= 4999 or c in _GEOGRAPHIC_LATLON_EPSG
 

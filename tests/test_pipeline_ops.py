@@ -1564,3 +1564,42 @@ class TestDecontaminateSpans:
                decontaminate_spans(train, bench, k=k).collect()}
         assert got == want
         assert sum(n for _, n in want.values()) > 10
+
+
+def test_text_index_failed_append_detectable(spark, tmp_path):
+    """ADVICE r6: an append is two writes (postings, then stats); a
+    crash between them must be DETECTABLE — the in-progress marker
+    stays behind and both the stored readers and a follow-up append
+    refuse the half-updated index instead of silently skewing BM25."""
+    from dask_geopandas_spark.operators.textstats import (
+        bm25_topk_stored, write_text_index)
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    write_text_index(df, path, n_buckets=4)
+    df2 = spark.createDataFrame(
+        [(3, "alpha delta")], "doc_id long, text string")
+    # a COMPLETED append removes its marker: readers stay usable
+    write_text_index(df2, path, append=True)
+    assert bm25_topk_stored(spark, path, ["alpha"], k=3).count() == 2
+    # simulate a crash mid-append (marker present, writes unknown)
+    (tmp_path / "idx" / "_append_in_progress").write_text("crashed\n")
+    with pytest.raises(RuntimeError, match="inconsistent"):
+        bm25_topk_stored(spark, path, ["alpha"], k=3)
+    with pytest.raises(RuntimeError, match="inconsistent"):
+        write_text_index(df2, path, append=True)
+
+
+def test_oversample_reserved_name_guard(spark):
+    """ADVICE r6: the rate-join path reserves two internal helper
+    names; a caller column that collides must raise instead of being
+    silently dropped (and poisoning the rate coalesce)."""
+    from dask_geopandas_spark.operators import sampling as SA
+
+    df = spark.createDataFrame(
+        [(1, "a", 2)],
+        f"doc_id long, source string, {SA._RATE_WHOLE} int")
+    big = {f"d{i}": 1.0 for i in range(SA._RATE_JOIN_THRESHOLD + 1)}
+    with pytest.raises(ValueError, match="reserves internal column"):
+        SA.oversample(df, big)

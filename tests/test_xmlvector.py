@@ -677,3 +677,30 @@ def test_missing_inputs_raise(spark, tmp_path):
     for reader in (read_gpx, read_kml, read_gml):
         with pytest.raises(FileNotFoundError):
             reader(spark, str(empty))
+
+
+def test_projected_4xxx_urn_keeps_stored_order():
+    """ADVICE r6: EPSG 4087/4088 are PROJECTED CRSes embedded in the
+    otherwise-geographic 4xxx block — their urn form must NOT
+    axis-swap; post-4xxx geographic datums (6318 NAD83(2011)) must."""
+    import xml.etree.ElementTree as ET
+
+    from dask_geopandas_spark.sources.gml import _lat_lon_srs
+
+    def el(srs):
+        e = ET.Element("g")
+        e.set("srsName", srs)
+        return e
+
+    for projected in ("urn:ogc:def:crs:EPSG::4087",
+                      "urn:ogc:def:crs:EPSG::4088",
+                      "urn:ogc:def:crs:EPSG::4978"):
+        assert not _lat_lon_srs(el(projected)), projected
+    for geographic in ("urn:ogc:def:crs:EPSG::4326",
+                       "urn:ogc:def:crs:EPSG::4258",
+                       "urn:ogc:def:crs:EPSG::6318",
+                       "urn:ogc:def:crs:EPSG::6668",
+                       "urn:ogc:def:crs:EPSG::7844"):
+        assert _lat_lon_srs(el(geographic)), geographic
+    # legacy short form stays lon/lat regardless of code
+    assert not _lat_lon_srs(el("EPSG:4326"))
