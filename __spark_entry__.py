@@ -2446,21 +2446,25 @@ def q_decontam_spans(spark, sf_dir):
 
 def q_shards_roundtrip(spark, sf_dir):
     """Training-shard materialization roundtrip
-    (sampling.write_training_shards, r6 — the pipeline's last stage):
-    seeded-deterministic shard placement + intra-shard shuffle key,
-    written hive-partitioned and read back; per-shard count, id sum,
-    and shuffle-key extrema must reproduce the formula.  Oracle: the
-    same md5 shard/key arithmetic aggregated in SQL."""
+    (sampling.write_training_shards, r6; r7 upgrade per verdict #3 —
+    the shard key now auto-folds `oversample`'s copy_id so replicas
+    of one doc land in DIFFERENT shards/positions): oversample → write
+    hive-partitioned → read back; per-shard count, id sum, and
+    shuffle-key extrema must reproduce the md5(doc_id·0x1f·copy_id)
+    formula composed with the oversample multiplicity.  Oracle: the
+    multiplicity CASE + range unnest + the same md5 arithmetic."""
     import shutil
 
     from dask_geopandas_spark.operators.sampling import (
-        write_training_shards)
+        oversample, write_training_shards)
 
     path = "/root/repo/.bench_tmp/train_shards"
     shutil.rmtree(path, ignore_errors=True)
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500) \
         .select("doc_id", "source")
-    write_training_shards(docs, path, n_shards=8, seed="r6")
+    up = oversample(docs, {"src0": 2.5, "src1": 0.5, "src2": 0.0},
+                    group_col="source", key_col="doc_id")
+    write_training_shards(up, path, n_shards=8, seed="r6")
     back = spark.read.parquet(path)
     return (back.groupBy("shard")
             .agg(F.count("*").cast("long").alias("n"),
@@ -3995,17 +3999,40 @@ def _dup_spans_oracle_sql(k: int = 8, min_occ: int = 2) -> str:
 
 
 def _shards_oracle_sql(n_shards: int = 8, seed: str = "r6") -> str:
-    """DuckDB replica of q_shards_roundtrip: the 60-bit md5 hash of
-    seed || doc_id mod n_shards for placement, the same md5 hex as the
-    shuffle key, aggregated per shard."""
-    h = (f"('0x' || substr(md5('{seed}' || CAST(doc_id AS VARCHAR)),"
-         f" 1, 15))::BIGINT")
+    """DuckDB replica of q_shards_roundtrip (r7 form): the oversample
+    multiplicity CASE + range unnest (as in _source_mix_oracle_sql),
+    then the shard key = doc_id || chr(31) || copy_id (the engine's
+    automatic copy_id fold, sampling.shard_key), 60-bit md5 mod
+    n_shards for placement, md5 hex as the shuffle key, aggregated per
+    shard."""
+    b = ("(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+         " % 1000000)")
+    key = ("CAST(doc_id AS VARCHAR) || chr(31) || "
+           "CAST(copy_id AS VARCHAR)")
+    h = f"('0x' || substr(md5('{seed}' || {key}), 1, 15))::BIGINT"
     return f"""
-        WITH s1 AS (
+        WITH m AS (
+            SELECT doc_id,
+                   CASE
+                     WHEN source = 'src0'
+                       THEN 2 + (CASE WHEN {b} < 500000 THEN 1 ELSE 0 END)
+                     WHEN source = 'src1'
+                       THEN 0 + (CASE WHEN {b} < 500000 THEN 1 ELSE 0 END)
+                     WHEN source = 'src2' THEN 0
+                     ELSE 1
+                   END AS n
+            FROM documents WHERE doc_id < 500
+        ),
+        up AS (
+            SELECT doc_id,
+                   CAST(unnest(range(0, n)) AS BIGINT) AS copy_id
+            FROM m
+        ),
+        s1 AS (
             SELECT doc_id,
                    CAST({h} % {n_shards} AS INTEGER) AS shard,
-                   md5('{seed}' || CAST(doc_id AS VARCHAR)) AS k
-            FROM documents WHERE doc_id < 500
+                   md5('{seed}' || {key}) AS k
+            FROM up
         )
         SELECT shard, CAST(count(*) AS BIGINT) AS n,
                CAST(sum(doc_id) AS BIGINT) AS id_sum,

@@ -27,7 +27,7 @@ from .explode import explode_geometry
 from .multimodal import media_manifest, sniff_modality
 from .sampling import (cap_per_group, chunk_documents, hash_sample,
                        oversample, pack_documents, shard_assignment,
-                       write_training_shards)
+                       shard_key, write_training_shards)
 from .similarity import (
     brute_force_topk,
     ivf_topk,
@@ -87,5 +87,5 @@ __all__ = [
     "media_manifest", "sniff_modality",
     "semantic_dedup", "cap_per_group", "hash_sample", "pack_documents",
     "chunk_documents", "oversample", "shard_assignment",
-    "write_training_shards",
+    "shard_key", "write_training_shards",
 ]

@@ -314,10 +314,34 @@ def shard_assignment(key: Column, n_shards: int, seed: str = "") -> Column:
         F.lit(int(n_shards))).cast("int")
 
 
+def shard_key(df: DataFrame, key_col, copy_col: str | None = "copy_id"
+              ) -> Column:
+    """The string key `write_training_shards` hashes: the named key
+    column(s) joined with the 0x1f unit separator, with ``copy_col``
+    (an `oversample` replica counter) folded in automatically when the
+    frame carries it — so the two copies of an oversampled document
+    hash to DIFFERENT shards and shuffle positions instead of landing
+    adjacent in the training stream.  Pass ``copy_col=None`` to opt
+    out.  A single key column passes through unchanged (concat_ws of
+    one value is the value itself), so single-key hashes are stable
+    across versions."""
+    cols = [key_col] if isinstance(key_col, str) else list(key_col)
+    if not cols:
+        raise ValueError("key_col must name at least one column")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"key columns {missing} not in DataFrame "
+                         f"columns {df.columns}")
+    if copy_col and copy_col in df.columns and copy_col not in cols:
+        cols = cols + [copy_col]
+    return F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+
+
 def write_training_shards(df: DataFrame, path: str, n_shards: int = 64,
-                          key_col: str = "doc_id", seed: str = "",
+                          key_col="doc_id", seed: str = "",
                           shard_col: str = "shard",
-                          order_col: str = "shuffle_key") -> None:
+                          order_col: str = "shuffle_key",
+                          copy_col: str | None = "copy_id") -> None:
     """Materialize the final training mix as hive-partitioned shards
     with a DETERMINISTIC global shuffle — the last stage of a data
     pipeline (loaders consume shard directories in parallel and read
@@ -332,13 +356,21 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int = 64,
       their shard by it (or trust per-file order, which the
       sorted-before-write parquet preserves).
 
+    ``key_col`` accepts a list of columns (joined with the 0x1f unit
+    separator before hashing), and when the frame carries an
+    `oversample` ``copy_col`` it folds into the key AUTOMATICALLY —
+    otherwise every copy of an oversampled document would share one
+    md5 and land in the same shard at the same sort position, exactly
+    the adjacency ``copy_id`` exists to prevent (see `shard_key`).
+
     One repartition on the shard id + an intra-partition sort — the
     only shuffle moves each row once; no global sort, no window."""
+    key = shard_key(df, key_col, copy_col)
     out = (df.withColumn(shard_col,
-                         shard_assignment(F.col(key_col), n_shards, seed))
+                         shard_assignment(key, n_shards, seed))
            .withColumn(order_col,
                        F.md5(F.concat(F.lit(str(seed)),
-                                      F.col(key_col).cast("string")))))
+                                      key.cast("string")))))
     (out.repartition(F.col(shard_col))
         .sortWithinPartitions(shard_col, order_col)
         .write.mode("overwrite").partitionBy(shard_col).parquet(path))

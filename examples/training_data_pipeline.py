@@ -113,9 +113,10 @@ def run_pipeline(spark: SparkSession, sf_dir: str):
     import tempfile
 
     out_dir = os.path.join(tempfile.gettempdir(), "dgs_train_shards")
-    SA.write_training_shards(
-        packed.withColumn("_key", F.concat_ws("#", "doc_id", "copy_id")),
-        out_dir, n_shards=4, key_col="_key", seed="tour")
+    # copy_id (from oversample) folds into the shard key automatically,
+    # so replicas of one doc land in different shards/positions
+    SA.write_training_shards(packed, out_dir, n_shards=4,
+                             key_col="doc_id", seed="tour")
     spark_ = packed.sparkSession
     stages["shards"] = spark_.read.parquet(out_dir) \
         .select("shard").distinct().count()

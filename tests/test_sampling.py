@@ -514,3 +514,54 @@ def test_oversample_expected_multiplicity_sweep(spark):
             per.setdefault(r["doc_id"], []).append(r["copy_id"])
         for cids in per.values():
             assert sorted(cids) == list(range(len(cids)))
+
+
+class TestShardCopyFold:
+    def test_copies_land_apart(self, spark, tmp_path):
+        """r7 (verdict r6 #3): after oversample, the copy_id folds into
+        the shard key automatically, so replicas of one document get
+        DIFFERENT shards/sort positions instead of adjacent duplicates
+        in the training stream."""
+        from dask_geopandas_spark.operators.sampling import (
+            oversample, write_training_shards)
+
+        df = spark.createDataFrame([(i, "s", f"t{i}") for i in range(400)],
+                                   "doc_id long, source string, text string")
+        up = oversample(df, {"s": 3.0})  # every doc exactly 3 copies
+        p = str(tmp_path / "cf")
+        write_training_shards(up, p, n_shards=16, seed="s")
+        back = spark.read.parquet(p)
+        assert back.count() == 1200
+        per = back.groupBy("doc_id").agg(
+            F.countDistinct("shard").alias("ns"),
+            F.countDistinct("shuffle_key").alias("nk")).collect()
+        # every doc's 3 copies have 3 distinct shuffle keys (never the
+        # same sort position), and almost all spread over >1 shard
+        assert all(r["nk"] == 3 for r in per)
+        spread = sum(1 for r in per if r["ns"] > 1)
+        assert spread > 350, spread  # 16 shards: P(all 3 same) ~ 1/256
+
+    def test_key_cols_list_and_optout(self, spark, tmp_path):
+        from dask_geopandas_spark.operators.sampling import (
+            shard_key, write_training_shards)
+
+        df = spark.createDataFrame(
+            [(1, 0, "a"), (1, 1, "a"), (2, 0, "b")],
+            "doc_id long, copy_id long, text string")
+        # explicit list == auto-fold (copy_id already in the list)
+        k1 = df.select(shard_key(df, ["doc_id", "copy_id"]).alias("k"))
+        k2 = df.select(shard_key(df, "doc_id").alias("k"))
+        assert [r["k"] for r in k1.collect()] == \
+               [r["k"] for r in k2.collect()]
+        # opt-out: copies collapse to one key again
+        k3 = df.select(shard_key(df, "doc_id", copy_col=None).alias("k"))
+        assert len({r["k"] for r in k3.collect()}) == 2
+        # single col without copy_col present: plain passthrough value
+        d2 = df.drop("copy_id")
+        k4 = d2.select(shard_key(d2, "doc_id").alias("k")).collect()
+        assert {r["k"] for r in k4} == {"1", "2"}
+        import pytest as _pt
+        with _pt.raises(ValueError, match="not in DataFrame"):
+            shard_key(df, ["doc_id", "nope"])
+        with _pt.raises(ValueError, match="at least one"):
+            shard_key(df, [])
