@@ -2231,6 +2231,26 @@ def q_quality_classifier(spark, sf_dir):
         "doc_id", "quality_score")
 
 
+def q_quality_classifier_join(spark, sf_dir):
+    """Model-based quality scoring through the BROADCAST-JOIN weights
+    path (textstats.classifier_score(weights_df=), r7 — verdict r6 #4:
+    real fastText-style models hash to ~2M buckets, far past what a
+    plan literal bears): distinct texts tokenize once, the weights
+    table broadcast-joins on the md5 bucket, the per-text refold runs
+    pos-sorted (the identical left-assoc double sum as the literal
+    path), scores rejoin by text hash.  Formula weights let the oracle
+    recompute each bucket arithmetically — the same SQL as the literal
+    path's oracle, because the two paths agree bit-for-bit."""
+    dim, bias = 96, 0.1
+    wdf = spark.createDataFrame(
+        [(b, ((b * 13 % 97) - 48) / 64.0) for b in range(dim)],
+        "bucket long, weight double")
+    docs = _t(spark, sf_dir, "documents")
+    return TX.classifier_score(docs, weights_df=wdf, dim=dim,
+                               bias=bias).select(
+        "doc_id", "quality_score")
+
+
 def q_dup_spans(spark, sf_dir):
     """Exact duplicated-span detection (dedup.duplicated_spans — the
     substring-dedup family of Lee et al. 2022, windowed to k tokens):
@@ -3020,6 +3040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "doc_line_dedup": q_doc_line_dedup,
         "quality_classifier": q_quality_classifier,
+        "quality_classifier_join": q_quality_classifier_join,  # r7-new
         "dup_spans": q_dup_spans,
         "span_removal": q_span_removal,
         "doc_chunks": q_doc_chunks,
@@ -4244,14 +4265,20 @@ def _span_removal_oracle_sql(k: int = 8, min_occ: int = 2) -> str:
 
 
 def _quality_classifier_oracle_sql(dim: int = 64,
-                                   bias: float = 0.25) -> str:
-    """DuckDB replica of q_quality_classifier: the formula-generated
-    bucket weight recomputed arithmetically per token, summed by
-    list_reduce over a 0.0-seeded prepend — the identical
-    left-associated double fold as Spark's F.aggregate — then the
-    rounded mean plus bias."""
+                                   bias: float = 0.25,
+                                   mul: int = 37, mod: int = 101,
+                                   off: int = 50,
+                                   den: float = 100.0) -> str:
+    """DuckDB replica of q_quality_classifier (and, with the r7
+    parameters, q_quality_classifier_join — the broadcast-join weights
+    path folds the SAME addend sequence pos-sorted, so one oracle
+    covers both): the formula-generated bucket weight recomputed
+    arithmetically per token, summed by list_reduce over a 0.0-seeded
+    prepend — the identical left-associated double fold as Spark's
+    F.aggregate — then the rounded mean plus bias."""
     w = (f"CAST((((('0x' || substr(md5(tk), 1, 15))::BIGINT % {dim})"
-         f" * 37) % 101) - 50 AS DOUBLE) / CAST(100.0 AS DOUBLE)")
+         f" * {mul}) % {mod}) - {off} AS DOUBLE) / "
+         f"CAST({den!r} AS DOUBLE)")
     return f"""
         WITH t AS (
             SELECT doc_id,
@@ -5369,6 +5396,8 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _line_dedup_oracle_sql(),
         "doc_line_dedup": _doc_line_dedup_oracle_sql(),
         "quality_classifier": _quality_classifier_oracle_sql(),
+        "quality_classifier_join": _quality_classifier_oracle_sql(
+            dim=96, bias=0.1, mul=13, mod=97, off=48, den=64.0),
         "dup_spans": _dup_spans_oracle_sql(),
         "span_removal": _span_removal_oracle_sql(),
         "doc_chunks": _doc_chunks_oracle_sql(),

@@ -687,9 +687,12 @@ def bm25_batch_topk(df, queries, k: int = 10, k1: float = 1.2,
             .select(query_id_col, id_col, "score", "rank"))
 
 
-def classifier_score(df, weights: list, text_col: str = "text",
+def classifier_score(df, weights: list | None = None,
+                     text_col: str = "text",
                      score_col: str = "quality_score",
-                     bias: float = 0.0):
+                     bias: float = 0.0,
+                     weights_df=None, dim: int | None = None,
+                     literal_max: int = 65536):
     """fastText/DCLM-style LINEAR quality classifier at corpus scale:
     ``score = bias + mean over tokens of weights[h(token) mod dim]`` —
     the hashed-bag-of-words form every published model-based quality
@@ -697,20 +700,49 @@ def classifier_score(df, weights: list, text_col: str = "text",
     learned embedding collapses into per-bucket weights.  Train the
     weights elsewhere; this op is the 100-TB scoring pass.
 
-    Distributed shape: purely ROW-WISE native SQL — the weight vector
-    rides into the plan as ONE literal array, each token md5-hashes to
-    a bucket (`portable_hash`, the same 60-bit hash every sampler and
-    dedup key here uses), and a left-associated fold sums weights in
-    token order, so the DuckDB oracle's `list_reduce` reproduces the
-    double arithmetic bit-for-bit.  No shuffle, no UDF, no state:
-    scoring is exactly one scan, and the filter that usually follows
-    (`score >= t`) pushes down with it.  For models too large for a
-    plan literal (dim beyond ~64k), explode tokens and broadcast-join
-    a weights table instead — same math, one extra narrow stage.
+    Distributed shape, small models (dim ≤ ``literal_max``): purely
+    ROW-WISE native SQL — the weight vector rides into the plan as ONE
+    literal array, each token md5-hashes to a bucket (`portable_hash`,
+    the same 60-bit hash every sampler and dedup key here uses), and a
+    left-associated fold sums weights in token order, so the DuckDB
+    oracle's `list_reduce` reproduces the double arithmetic
+    bit-for-bit.  No shuffle, no UDF, no state: scoring is exactly one
+    scan, and the filter that usually follows (`score >= t`) pushes
+    down with it.
+
+    Large models (real fastText-style quality models hash to ~2M
+    buckets — a plan literal that size explodes Catalyst): pass
+    ``weights_df`` (columns ``bucket``, ``weight``; plus ``dim``, the
+    modulus — buckets absent from the table weigh 0.0), or pass a
+    ``weights`` list longer than ``literal_max`` and it converts
+    automatically.  This path tokenizes each DISTINCT text once
+    (posexplode), BROADCAST-joins the weights table (model tables are
+    MBs against a 100-TB corpus), refolds per text in token order —
+    the identical left-associated double sum, pos-sorted, so literal
+    and join paths agree bit-for-bit — and rejoins scores to the
+    corpus by text hash.  Two corpus-keyed shuffles (distinct +
+    rejoin) buy O(1) plan size at any model dimension; duplicate texts
+    score once.
 
     Scores round to 9 decimals (the module's oracle convention);
-    token-less documents score ``bias``."""
+    token-less and NULL documents score ``bias``."""
     from .dedup import portable_hash
+
+    if (weights is None) == (weights_df is None):
+        raise ValueError(
+            "pass exactly one of weights (list) or weights_df")
+    if weights is not None and len(weights) > int(literal_max):
+        spark = df.sparkSession
+        dim = len(weights)
+        weights_df = spark.createDataFrame(
+            [(int(b), float(w)) for b, w in enumerate(weights)],
+            "bucket long, weight double")
+        weights = None
+    if weights_df is not None:
+        if dim is None or int(dim) < 1:
+            raise ValueError("weights_df needs dim (the hash modulus)")
+        return _classifier_score_join(df, weights_df, int(dim), text_col,
+                                      score_col, float(bias))
 
     dim = len(weights)
     if dim < 1:
@@ -731,6 +763,66 @@ def classifier_score(df, weights: list, text_col: str = "text",
                    / F.size(ts))
             .otherwise(F.lit(float(bias))), 9))
     return df.withColumn(score_col, score)
+
+
+def _classifier_score_join(df, weights_df, dim: int, text_col: str,
+                           score_col: str, bias: float):
+    """Broadcast-join weights path of :func:`classifier_score` (see
+    its docstring for the shape).  Bit-exact vs the literal path: the
+    per-text fold runs over weights sorted by token POSITION — the
+    same token-order left-associated double adds — and missing buckets
+    coalesce to 0.0 (a full weights list has every bucket, so the two
+    paths see identical addend sequences)."""
+    helpers = {"_cs_key", "_cs_pos", "_cs_tok", "_cs_b", "_cs_w",
+               "_cs_sum", "_cs_n", "_cs_text"}
+    clash = helpers & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"classifier_score reserves internal column names "
+            f"{sorted(clash)} on the weights_df path; rename those "
+            "columns first")
+    bad = {"bucket", "weight"} - set(weights_df.columns)
+    if bad:
+        raise ValueError(
+            f"weights_df must have columns ('bucket', 'weight'); "
+            f"missing {sorted(bad)}")
+    from .dedup import portable_hash
+
+    if score_col in df.columns:
+        df = df.drop(score_col)
+    texts = (df.select(F.col(text_col).alias("_cs_text"))
+             .where(F.col("_cs_text").isNotNull()).distinct())
+    toks = texts.select(
+        F.md5(F.col("_cs_text")).alias("_cs_key"),
+        F.posexplode(F.filter(tokens(F.col("_cs_text")),
+                              lambda x: x != F.lit("")))
+        .alias("_cs_pos", "_cs_tok"))
+    wt = weights_df.select(
+        F.col("bucket").cast("long").alias("_cs_b"),
+        F.col("weight").cast("double").alias("_cs_w"))
+    j = (toks.withColumn(
+            "_cs_b", F.pmod(portable_hash(F.col("_cs_tok")),
+                            F.lit(int(dim))))
+         .join(F.broadcast(wt), on="_cs_b", how="left")
+         .withColumn("_cs_w", F.coalesce(F.col("_cs_w"), F.lit(0.0))))
+    per = j.groupBy("_cs_key").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("_cs_pos"), F.col("_cs_w")))),
+                lambda s: s["_cs_w"]),
+            F.lit(0.0), lambda a, x: a + x).alias("_cs_sum"),
+        F.count(F.lit(1)).alias("_cs_n"))
+    scores = per.select(
+        "_cs_key",
+        F.round(F.lit(bias) + F.col("_cs_sum") / F.col("_cs_n"), 9)
+        .alias(score_col))
+    return (df.withColumn("_cs_key", F.md5(F.col(text_col)))
+            .join(scores, on="_cs_key", how="left")
+            .withColumn(score_col,
+                        F.coalesce(F.col(score_col),
+                                   F.round(F.lit(bias), 9)))
+            .drop("_cs_key"))
 
 
 def bm25_batch_topk_stored(spark, path: str, queries, k: int = 10,

@@ -1052,6 +1052,80 @@ class TestClassifierScore:
         with _pytest.raises(ValueError, match="weights"):
             classifier_score(df, [])
 
+    def test_join_path_matches_literal(self, spark):
+        """r7 (verdict r6 #4): the weights_df broadcast-join path
+        scores bit-for-bit equal to the literal-array path — same
+        token-order left-assoc fold, same rounding — including
+        duplicate texts, token-less rows, and NULL text; missing
+        buckets weigh 0.0."""
+        from dask_geopandas_spark.operators.textstats import \
+            classifier_score
+
+        weights = [((b * 13 % 97) - 48) / 64.0 for b in range(96)]
+        texts = ["The quick brown fox", "spark spark spark!", "", "  ",
+                 "a b c d e f g h", "Ünïcode — mixed 123 tokens",
+                 "The quick brown fox", None]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+        lit = {r["doc_id"]: r["quality_score"] for r in
+               classifier_score(df, weights, bias=0.1).collect()}
+        wdf = spark.createDataFrame(
+            [(b, w) for b, w in enumerate(weights)],
+            "bucket long, weight double")
+        jn = classifier_score(df, weights_df=wdf, dim=96, bias=0.1)
+        got = {r["doc_id"]: r["quality_score"] for r in jn.collect()}
+        assert got == lit
+        assert len(got) == len(texts)  # duplicates/NULLs all present
+        # sparse table: absent buckets behave as weight 0.0
+        sparse = wdf.filter(F.col("bucket") % 2 == 0)
+        lit0 = [w if b % 2 == 0 else 0.0 for b, w in enumerate(weights)]
+        want = {r["doc_id"]: r["quality_score"] for r in
+                classifier_score(df, lit0, bias=0.1).collect()}
+        got2 = {r["doc_id"]: r["quality_score"] for r in
+                classifier_score(df, weights_df=sparse, dim=96,
+                                 bias=0.1).collect()}
+        assert got2 == want
+
+    def test_join_path_plan_and_autoswitch(self, spark):
+        """The weights table rides as a BROADCAST join (never a plan
+        literal, never a shuffled join on the model), and a weights
+        list past literal_max converts automatically."""
+        from dask_geopandas_spark.operators.textstats import \
+            classifier_score
+
+        df = spark.createDataFrame([(1, "hello world"), (2, "hello")],
+                                   "doc_id long, text string")
+        weights = [((b * 7 % 31) - 15) / 10.0 for b in range(128)]
+        auto = classifier_score(df, weights, literal_max=64)
+        plan = auto._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+        lit = {r["doc_id"]: r["quality_score"] for r in
+               classifier_score(df, weights).collect()}
+        assert {r["doc_id"]: r["quality_score"]
+                for r in auto.collect()} == lit
+
+    def test_join_path_validation(self, spark):
+        from dask_geopandas_spark.operators.textstats import \
+            classifier_score
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        wdf = spark.createDataFrame([(0, 0.5)],
+                                    "bucket long, weight double")
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="exactly one"):
+            classifier_score(df, [0.1], weights_df=wdf, dim=4)
+        with _pytest.raises(ValueError, match="exactly one"):
+            classifier_score(df)
+        with _pytest.raises(ValueError, match="dim"):
+            classifier_score(df, weights_df=wdf)
+        with _pytest.raises(ValueError, match="bucket.*weight|weight.*bucket"):
+            classifier_score(df, weights_df=wdf.withColumnRenamed(
+                "weight", "w"), dim=4)
+        with _pytest.raises(ValueError, match="reserves"):
+            classifier_score(df.withColumn("_cs_key", F.lit(1)),
+                             weights_df=wdf, dim=4)
+
 
 def test_line_dedup_paragraph_granularity(spark):
     """sep='\\n\\n' dedups PARAGRAPHS (the CCNet granularity): a
