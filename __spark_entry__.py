@@ -2173,6 +2173,24 @@ def q_semantic_dedup_probe(spark, sf_dir):
     return kept.select("vec_id")
 
 
+def q_semantic_dedup_keep(spark, sf_dir):
+    """SemDeDup with the PUBLISHED keeper rule
+    (similarity.semantic_dedup(keep='far_from_centroid'), r7 —
+    verdict r6 #5): each duplicate cluster retains the member with
+    the LOWEST cosine to its own k-means cell centroid (Abbas et al.
+    2023 keep the hardest, least prototypical example), ties to the
+    smaller id.  Deterministic given the fixed literal centroids, so
+    the oracle replicates the keeper rank: the same cell assignment,
+    pair cosine, unrolled CC fixpoint, then a per-component
+    (ccos, node) row_number — survivors are rank 1 plus every
+    untouched row."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    kept = SIM.semantic_dedup(e, _ivf_fixed_cents(), threshold=0.25,
+                              cell_cap=64, max_iter=12,
+                              keep="far_from_centroid")
+    return kept.select("vec_id")
+
+
 def q_line_dedup(spark, sf_dir):
     """Line-level corpus dedup (dedup.line_dedup — the CCNet/
     RefinedWeb boilerplate stage, verdict r5 #4): drop every
@@ -3041,6 +3059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_line_dedup": q_doc_line_dedup,
         "quality_classifier": q_quality_classifier,
         "quality_classifier_join": q_quality_classifier_join,  # r7-new
+        "semantic_dedup_keep": q_semantic_dedup_keep,  # r7-new
         "dup_spans": q_dup_spans,
         "span_removal": q_span_removal,
         "doc_chunks": q_doc_chunks,
@@ -3763,7 +3782,8 @@ def _ann_ivf_oracle_sql(n_cells: int = 8, iters: int = 2, k: int = 5,
 
 def _semantic_dedup_oracle_sql(threshold: float = 0.25,
                                unroll: int = 12,
-                               nprobe: int = 1) -> str:
+                               nprobe: int = 1,
+                               keep: str = "min_id") -> str:
     """DuckDB replica of q_semantic_dedup (and, with ``nprobe`` > 1,
     q_semantic_dedup_probe): fixed-centroid cell assignment, same-cell
     pair cosine (round 9 BEFORE the threshold compare, both engines),
@@ -3776,7 +3796,11 @@ def _semantic_dedup_oracle_sql(threshold: float = 0.25,
     asymmetric probing: sources join their nprobe nearest cells (the
     same (distance, index) window rank as _knn_graph_probe_oracle_sql)
     against destination HOME cells, pairs normalized through
-    least/greatest + DISTINCT exactly like the Spark side."""
+    least/greatest + DISTINCT exactly like the Spark side.
+    ``keep='far_from_centroid'`` (q_semantic_dedup_keep, r7) swaps the
+    survivor filter for the published keeper rank: members join their
+    cell's literal centroid cosine (round 9) and each component keeps
+    its (ccos, node)-minimum."""
     cents = _ivf_fixed_cents()
     cd = _cell_list_sql("e", cents)
     if nprobe == 1:
@@ -3840,12 +3864,35 @@ def _semantic_dedup_oracle_sql(threshold: float = 0.25,
                 GROUP BY e.a) m ON l.node = m.a
         )
         """
-    sql += f"""
+    if keep == "min_id":
+        sql += f"""
         SELECT s1.vec_id FROM s1
         WHERE NOT EXISTS (
             SELECT 1 FROM cl{unroll}
             WHERE cl{unroll}.node = s1.vec_id
               AND cl{unroll}.node != cl{unroll}.component)
+        """
+        return sql
+    ccos = "CASE a.cell " + " ".join(
+        f"WHEN {i} THEN "
+        + _cos_sql("a.e",
+                   "[" + ", ".join(repr(float(x)) for x in c) + "]")
+        for i, c in enumerate(cents)) + " END"
+    sql += f"""
+        , mem AS (
+            SELECT l.node, l.component, {ccos} AS ccos
+            FROM cl{unroll} l JOIN asg a ON a.vec_id = l.node
+        ),
+        rk AS (
+            SELECT node,
+                   row_number() OVER (PARTITION BY component
+                                      ORDER BY ccos ASC, node ASC) AS rn
+            FROM mem
+        )
+        SELECT s1.vec_id FROM s1
+        WHERE NOT EXISTS (
+            SELECT 1 FROM rk
+            WHERE rk.node = s1.vec_id AND rk.rn > 1)
     """
     return sql
 
@@ -5398,6 +5445,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _quality_classifier_oracle_sql(),
         "quality_classifier_join": _quality_classifier_oracle_sql(
             dim=96, bias=0.1, mul=13, mod=97, off=48, den=64.0),
+        "semantic_dedup_keep": _semantic_dedup_oracle_sql(
+            keep="far_from_centroid"),
         "dup_spans": _dup_spans_oracle_sql(),
         "span_removal": _span_removal_oracle_sql(),
         "doc_chunks": _doc_chunks_oracle_sql(),

@@ -637,7 +637,8 @@ def semantic_dedup(corpus: DataFrame, centroids: list, threshold: float = 0.9,
                    on_nonconverged: str = "warn",
                    codebooks: list | None = None,
                    sdc_margin: float = 0.15,
-                   nprobe: int = 1) -> DataFrame:
+                   nprobe: int = 1,
+                   keep: str = "min_id") -> DataFrame:
     """SemDeDup-style embedding-level dedup in one call (Abbas et al.
     2023 shape, a published pretraining-curation recipe): coarse
     k-means cells bound the candidate space, same-cell pairs at or
@@ -679,17 +680,58 @@ def semantic_dedup(corpus: DataFrame, centroids: list, threshold: float = 0.9,
     asymmetric, so pairs normalize through least/greatest + distinct
     (found in either direction → kept exactly once); candidate volume
     stays ≤ nprobe·Σ|cell|².  Composes with ``codebooks`` and
-    ``cell_cap``."""
-    from .dedup import cluster_dedup
+    ``cell_cap``.
 
+    ``keep`` picks each duplicate cluster's survivor (verdict r6 #5):
+
+    - ``'min_id'`` (default) — the minimum-id member; deterministic,
+      order-free, the cheapest rule (`cluster_dedup`'s one left-anti
+      join).
+    - ``'far_from_centroid'`` — the member with the LOWEST cosine to
+      its own k-means cell centroid, ties to the smaller id: the
+      published SemDeDup keeper (Abbas et al. 2023 §3 retain the
+      example farthest from the cluster centroid — the hardest, least
+      prototypical one).  Deterministic given the fixed centroids
+      (cosine rounds to 9 before ranking, the module convention), so
+      the rule is SQL-replicable.  Costs one extra edge-node-sized
+      join + a per-component rank window (components are duplicate
+      clusters — tiny), nothing corpus-scale."""
+    from .dedup import cluster_dedup, connected_components
+
+    if keep not in ("min_id", "far_from_centroid"):
+        raise ValueError(
+            f"keep must be 'min_id' or 'far_from_centroid', got {keep!r}")
     n_cached_before = len(_CACHED_SALT_INPUTS)
     edges = semantic_dedup_edges(corpus, centroids, threshold,
                                  id_col=id_col, vec_col=vec_col,
                                  cell_cap=cell_cap, codebooks=codebooks,
                                  sdc_margin=sdc_margin, nprobe=nprobe)
-    out = cluster_dedup(corpus, edges, id_col=id_col, src="src_id",
-                        dst="dst_id", max_iter=max_iter,
-                        on_nonconverged=on_nonconverged)
+    if keep == "min_id":
+        out = cluster_dedup(corpus, edges, id_col=id_col, src="src_id",
+                            dst="dst_id", max_iter=max_iter,
+                            on_nonconverged=on_nonconverged)
+    else:
+        labels = connected_components(edges, src="src_id", dst="dst_id",
+                                      max_iter=max_iter,
+                                      on_nonconverged=on_nonconverged)
+        assigned = assign_ivf_cells(corpus, centroids, vec_col)
+        cent_arr = F.array(*[
+            F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+        mem = (labels.join(
+                   assigned.select(F.col(id_col).alias("node"),
+                                   F.col(vec_col).alias("_sv"),
+                                   "ivf_cell"),
+                   on="node")
+               .withColumn("_ccos", F.round(
+                   cosine(F.col("_sv"),
+                          F.element_at(cent_arr,
+                                       F.col("ivf_cell") + 1)), 9)))
+        w = Window.partitionBy("component").orderBy(F.asc("_ccos"),
+                                                    F.asc("node"))
+        drop = (mem.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") > 1)
+                .select(F.col("node").alias(id_col)))
+        out = corpus.join(drop, on=id_col, how="left_anti")
     # connected_components eagerly localCheckpoints the edge list, so
     # by now the salt-join cache THIS call created has served both
     # consumers (counts job + edge materialization) — release our

@@ -1183,3 +1183,66 @@ def test_rowwise_quality_ops_run_on_streams(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, spark.table("rowwise_sink").collect()))
     want = sorted(map(tuple, pipe(static).collect()))
     assert got == want and len(want) > 20
+
+
+def test_semantic_dedup_keep_far_from_centroid(spark):
+    """r7 (verdict r6 #5): keep='far_from_centroid' retains each
+    duplicate cluster's member with the LOWEST cosine to its own cell
+    centroid (the published SemDeDup keeper — hard examples survive),
+    ties to the smaller id; pass-through rows untouched; min_id stays
+    the default."""
+    import numpy as np
+
+    df, cents = _hot_cell_frame(spark)
+    pdf = df.toPandas()
+    M = np.array([np.asarray(v, float) for v in pdf["embedding"]])
+    C = np.asarray(cents, float)
+    cells = np.argmin(((M[:, None, :] - C[None, :, :]) ** 2).sum(-1),
+                      axis=1)
+    norm = M / np.linalg.norm(M, axis=1, keepdims=True)
+    cos = norm @ norm.T
+    thr = 0.999
+    parent = list(range(len(M)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    touched = set()
+    for i in range(len(M)):
+        for j in range(i + 1, len(M)):
+            if cells[i] == cells[j] and round(cos[i, j], 9) >= thr:
+                parent[find(i)] = find(j)
+                touched |= {i, j}
+    comp = {}
+    for i in touched:
+        comp.setdefault(find(i), []).append(i)
+
+    def ccos(i):
+        c = C[cells[i]]
+        return round(float(M[i] @ c
+                           / (np.linalg.norm(M[i]) * np.linalg.norm(c))),
+                     9)
+
+    drop = set()
+    for vs in comp.values():
+        keeper = min(vs, key=lambda i: (ccos(i), int(pdf["vec_id"][i])))
+        drop |= {i for i in vs if i != keeper}
+    want = sorted(int(pdf["vec_id"][i]) for i in range(len(M))
+                  if i not in drop)
+    got = sorted(r["vec_id"] for r in
+                 SIM.semantic_dedup(df, cents, threshold=thr,
+                                    keep="far_from_centroid").collect())
+    assert got == want
+    # the keeper rule genuinely differs from min_id on this frame
+    got_min = sorted(r["vec_id"] for r in
+                     SIM.semantic_dedup(df, cents,
+                                        threshold=thr).collect())
+    assert got != got_min
+    assert len(got) == len(got_min)  # same cluster count either way
+    import pytest as _pt
+    with _pt.raises(ValueError, match="keep"):
+        SIM.semantic_dedup(df, cents, keep="nope")
+    SIM.release_cached_salt_inputs()
