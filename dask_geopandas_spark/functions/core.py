@@ -25,6 +25,7 @@ from pyspark.sql.types import (
     BinaryType,
     BooleanType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -1065,6 +1066,33 @@ def morton_distance(total_bounds, level: int = 16):
         return pd.Series(d.astype(np.int64))
 
     return _morton
+
+
+def curve_bucket_sets(total_bounds, boundaries, by: str = "hilbert",
+                      level: int = 16, coarse: int | None = None):
+    """Array of every `spatial_shuffle(boundaries=)` bucket a
+    geometry's bbox can meet (the replication set of the co-bucketed
+    spatial join — see curves.bucket_sets_from_bounds for the
+    superset guarantee).  ``coarse`` is the block level of the
+    interval decomposition: finer → tighter sets but more blocks per
+    wide bbox; the default min(level, 8) keeps block intervals of
+    4^(level-8) keys, far below any sane boundary spacing."""
+    if by not in ("hilbert", "morton"):
+        raise ValueError(
+            f"curve_bucket_sets needs by='hilbert'|'morton', got {by!r}")
+    lc = min(level, 8) if coarse is None else int(coarse)
+    bs = [int(b) for b in boundaries]
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _sets(g: pd.Series) -> pd.Series:
+        batch = _b(g)
+        _check_encodable(batch, "curve_bucket_sets")
+        bb = A.bounds(batch)
+        return pd.Series(C.bucket_sets_from_bounds(
+            bb[:, 0], bb[:, 1], bb[:, 2], bb[:, 3],
+            total_bounds, bs, by, level, lc))
+
+    return _sets
 
 
 def geohash(as_string: bool = True, precision: int = 12):

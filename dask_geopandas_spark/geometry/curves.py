@@ -135,3 +135,97 @@ def geohash_strings(lon: np.ndarray, lat: np.ndarray, precision: int = 12) -> np
         idx = ((vals >> shift) & np.uint64(31)).astype(np.intp)
         chars[:, c] = _BASE32[idx]
     return chars.view(f"S{precision}").reshape(n).astype(str)
+
+
+def _discretize_point(v: np.ndarray, lo: float, hi: float,
+                      level: int) -> np.ndarray:
+    """discretize_mid for already-midpointed coordinates (one array)."""
+    return discretize_mid(np.asarray(v, dtype=np.float64), lo, hi, level)
+
+
+def _ragged_expand(counts: np.ndarray):
+    """(row_index, within_row_offset) arrays that expand per-row counts
+    into one flat dimension — the vectorized replacement for a Python
+    loop over variable-length ranges."""
+    counts = counts.astype(np.int64)
+    idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    off = (np.arange(int(counts.sum()), dtype=np.int64)
+           - np.repeat(np.cumsum(counts) - counts, counts))
+    return idx, off
+
+
+def bucket_sets_from_bounds(minx, miny, maxx, maxy, total_bounds,
+                            boundaries, by: str = "hilbert",
+                            level: int = 16,
+                            coarse: int = 8) -> list:
+    """Per-row list of EVERY range bucket a bbox can meet under
+    `spatial_shuffle(boundaries=)`'s convention (bucket = count of
+    boundaries <= curve key, keys = curve index of the level-``level``
+    cell containing a point).
+
+    Exactness rests on the hierarchy property of both supported curves
+    (pinned in tests): a ``coarse``-level block (a, b) covers EXACTLY
+    the contiguous fine-key interval
+    [curve(a, b, coarse) * 4^(level-coarse), +4^(level-coarse)), so a
+    bbox's candidate buckets are the union over its covered blocks of
+    the buckets overlapping each block's interval — a SUPERSET of the
+    buckets of cells the bbox truly covers (block granularity may add
+    neighbors), never a subset.  Two overlapping bboxes always share a
+    fine cell, hence always share that cell's bucket: a co-bucketed
+    equi-join on these sets misses no intersecting pair.  Degenerate
+    (single-cell) bboxes — points — short-circuit to their exact home
+    bucket.  Fully vectorized: block fan-out and bucket-range fan-out
+    are ragged numpy expands, never per-row Python."""
+    if by not in ("hilbert", "morton"):
+        raise ValueError(f"bucket sets need hilbert or morton, got {by!r}")
+    if not 1 <= coarse <= level:
+        raise ValueError(f"coarse must be in [1, level], got {coarse}")
+    tminx, tminy, tmaxx, tmaxy = total_bounds
+    bs = np.asarray(list(boundaries), dtype=np.int64)
+    cx0 = _discretize_point(minx, tminx, tmaxx, level)
+    cx1 = _discretize_point(maxx, tminx, tmaxx, level)
+    cy0 = _discretize_point(miny, tminy, tmaxy, level)
+    cy1 = _discretize_point(maxy, tminy, tmaxy, level)
+    n = len(cx0)
+    out: list = [None] * n
+
+    def keys_of(x, y, lvl):
+        if by == "hilbert":
+            return hilbert_d(x.astype(np.uint64), y.astype(np.uint64),
+                             lvl).astype(np.int64)
+        return morton_d(x.astype(np.uint64),
+                        y.astype(np.uint64)).astype(np.int64)
+
+    single = (cx0 == cx1) & (cy0 == cy1)
+    if single.any():
+        keys = keys_of(cx0[single], cy0[single], level)
+        bkt = np.searchsorted(bs, keys, side="right")
+        for i, b in zip(np.flatnonzero(single), bkt):
+            out[i] = [int(b)]
+    multi = ~single
+    if multi.any():
+        delta = level - coarse
+        mrows = np.flatnonzero(multi)
+        ax0 = (cx0[multi].astype(np.int64) >> delta)
+        ax1 = (cx1[multi].astype(np.int64) >> delta)
+        ay0 = (cy0[multi].astype(np.int64) >> delta)
+        ay1 = (cy1[multi].astype(np.int64) >> delta)
+        nb = (ax1 - ax0 + 1) * (ay1 - ay0 + 1)
+        ny = (ay1 - ay0 + 1)
+        ridx, off = _ragged_expand(nb)
+        axx = ax0[ridx] + off // ny[ridx]
+        ayy = ay0[ridx] + off % ny[ridx]
+        pref = keys_of(axx, ayy, coarse)
+        span = np.int64(1) << np.int64(2 * delta)
+        lo = pref * span
+        hi = lo + span - 1
+        blo = np.searchsorted(bs, lo, side="right")
+        bhi = np.searchsorted(bs, hi, side="right")
+        r2, o2 = _ragged_expand(bhi - blo + 1)
+        pairs = np.stack([ridx[r2], blo[r2] + o2], axis=1)
+        pairs = np.unique(pairs, axis=0)
+        splits = np.searchsorted(pairs[:, 0], np.arange(len(nb) + 1))
+        for k in range(len(nb)):
+            out[mrows[k]] = [int(v)
+                             for v in pairs[splits[k]:splits[k + 1], 1]]
+    return out

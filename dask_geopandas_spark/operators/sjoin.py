@@ -99,6 +99,37 @@ def _with_cells(df: DataFrame, bbox: str, total_bounds, level: int,
     )
 
 
+def _cobucket_meta(g) -> dict | None:
+    """spatial_shuffle(boundaries=) metadata riding on the frame's
+    ``_spatial_bucket`` column, or None.  The sha fingerprints
+    (by, level, total_bounds, boundaries, npartitions) — everything
+    that must agree for two frames' bucket ids to mean the same
+    region AND land in the same partitions."""
+    try:
+        m = dict(g.df.schema["_spatial_bucket"].metadata or {})
+    except KeyError:
+        return None
+    return m if "dgs_cobucket_sha" in m else None
+
+
+def _cobucket_check(lm, rm) -> str | None:
+    """Why a co-bucketed join is NOT possible, or None when it is."""
+    if lm is None or rm is None:
+        side = "left" if lm is None else "right"
+        return (f"the {side} frame has no spatial_shuffle(boundaries=) "
+                "bucket metadata")
+    if lm["dgs_cobucket_sha"] != rm["dgs_cobucket_sha"]:
+        return ("the two frames were bucketed with different "
+                "(by, level, total_bounds, boundaries, npartitions)")
+    for side, m in (("left", lm), ("right", rm)):
+        if not m.get("dgs_cobucket_complete"):
+            return (f"the {side} frame is neither replicated nor a "
+                    "point layer — geometries straddling a boundary "
+                    "would miss matches; re-shuffle it with "
+                    "replicate=True")
+    return None
+
+
 _GEOGRAPHIC_CRS = {"EPSG:4326", "OGC:CRS84", "CRS84", "WGS84", "WGS 84"}
 
 
@@ -248,12 +279,69 @@ def sjoin(left, right, how: str = "inner", predicate: str = "intersects",
             (F.col(f"{lbbox_j}.maxx") + F.lit(d)).alias("maxx"),
             (F.col(f"{lbbox_j}.maxy") + F.lit(d)).alias("maxy")))
 
+    lmeta, rmeta = _cobucket_meta(left), _cobucket_meta(right)
+    cob_err = _cobucket_check(lmeta, rmeta)
+    replicated = bool((lmeta or {}).get("dgs_cobucket_replicated")
+                      or (rmeta or {}).get("dgs_cobucket_replicated"))
     if strategy == "auto":
-        # broadcast when the right side is clearly small (mirrors the
-        # reference's special-case of a plain-geopandas right side)
-        strategy = "broadcast" if _is_small(rdf) else "grid"
+        if cob_err is None and how == "inner" and predicate != "dwithin":
+            # both sides pre-bucketed with identical boundaries: the
+            # equi-join on the bucket id reuses their partitioning —
+            # NO Exchange on either side (the 100-TB fast path)
+            strategy = "cobucket"
+        else:
+            # broadcast when the right side is clearly small (mirrors
+            # the reference's special-case of a geopandas right side)
+            strategy = "broadcast" if _is_small(rdf) else "grid"
+    if replicated and strategy != "cobucket":
+        raise ValueError(
+            "a spatial_shuffle(replicate=True) frame carries one row "
+            "per overlapping bucket; only strategy='cobucket' dedups "
+            f"those replicas — got strategy={strategy!r}"
+            + (f" (cobucket unavailable: {cob_err})" if cob_err else ""))
+    if strategy == "cobucket":
+        if cob_err:
+            raise ValueError(f"strategy='cobucket': {cob_err}")
+        if how != "inner":
+            raise ValueError(
+                "strategy='cobucket' supports how='inner' (replicated "
+                "inputs have no well-defined unmatched-left set); use "
+                "strategy='grid' on the un-replicated frames for "
+                "left/anti")
+        if predicate == "dwithin":
+            raise ValueError(
+                "strategy='cobucket' cannot serve dwithin: the search "
+                "radius dilates bboxes past the bucket sets computed "
+                "at shuffle time; use strategy='grid'")
 
-    if strategy == "broadcast":
+    common0 = set(lg.df.columns) & set(rg.df.columns)
+
+    def _nm(c: str, suf: str) -> str:
+        return f"{c}{suf}" if c in common0 else c
+
+    bucket_helpers: list[str] = []
+
+    if strategy == "cobucket":
+        l_bucket = _nm("_spatial_bucket", lsuffix)
+        r_bucket = _nm("_spatial_bucket", rsuffix)
+        l_arr = (_nm("_spatial_buckets", lsuffix)
+                 if "_spatial_buckets" in lg.df.columns else None)
+        r_arr = (_nm("_spatial_buckets", rsuffix)
+                 if "_spatial_buckets" in rg.df.columns else None)
+        joined = (ldf.join(rdf, F.col(l_bucket) == F.col(r_bucket),
+                           "inner")
+                  .filter(_bbox_overlap(cand_lbbox, rbbox_j)))
+        if l_arr and r_arr:
+            # both sides replicated: a pair meets once per shared
+            # bucket — keep it only in the smallest one (native
+            # array intersect, no dedup shuffle); with a single-copy
+            # side a pair has exactly one meeting bucket already
+            joined = joined.filter(
+                F.col(l_bucket) == F.array_min(
+                    F.array_intersect(F.col(l_arr), F.col(r_arr))))
+        bucket_helpers = [c for c in (l_bucket, r_bucket, l_arr, r_arr)
+                          if c]
+    elif strategy == "broadcast":
         joined = ldf.join(F.broadcast(rdf), on=_bbox_overlap(cand_lbbox, rbbox_j), how="inner")
     elif strategy == "grid":
         if total_bounds is not None:
@@ -282,7 +370,7 @@ def sjoin(left, right, how: str = "inner", predicate: str = "intersects",
     refined = joined.filter(
         _refinement(left, right, predicate, lgeom_j, rgeom_j, lbbox_j,
                     rbbox_j, distance=distance)
-    ).drop(rgeom_j, rbbox_j)
+    ).drop(rgeom_j, rbbox_j, *bucket_helpers)
     if cand_lbbox != lbbox_j:
         refined = refined.drop(cand_lbbox)
 

@@ -978,3 +978,155 @@ def test_spatial_shuffle_explicit_boundaries(spark, pts):
         gdf.spatial_shuffle(boundaries=[5, 5], total_bounds=tb)
     with _pytest.raises(ValueError, match="boundaries"):
         gdf.spatial_shuffle(boundaries=[], total_bounds=tb)
+
+
+class TestCobucketSjoin:
+    """r7 (verdict r6 #2): sjoin consumes spatial_shuffle(boundaries=)
+    co-partitioning — the promised shuffle-free spatial join."""
+
+    TB = (-180.0, -90.0, 180.0, 90.0)
+    BOUNDS = [(4 ** 12) // 8 * i for i in range(1, 8)]
+
+    def _frames(self, spark, n_pts=800, n_boxes=150):
+        import dask_geopandas_spark as dgs
+
+        pdf = spark.createDataFrame(
+            [(i, float((i * 37) % 360 - 180) + 0.25,
+              float((i * 53) % 180 - 90) + 0.25) for i in range(n_pts)],
+            "pid long, x double, y double")
+        pts = dgs.points_from_xy(pdf, "x", "y", crs="EPSG:4326")
+        bdf = (spark.createDataFrame(
+            [(j, float((j * 71) % 340 - 175),
+              float((j * 29) % 160 - 85)) for j in range(n_boxes)],
+            "bid long, bx double, by double")
+            .withColumn("bx1", F.col("bx") + F.lit(12.0))
+            .withColumn("by1", F.col("by") + F.lit(9.0)))
+        boxes = dgs.boxes_from_bounds(bdf, "bx", "by", "bx1", "by1",
+                                      crs="EPSG:4326")
+        return pts, boxes
+
+    def _shuffled(self, pts, boxes, **kw):
+        ps = pts.spatial_shuffle(by="hilbert", level=12,
+                                 total_bounds=self.TB,
+                                 boundaries=self.BOUNDS, **kw)
+        bs = boxes.spatial_shuffle(by="hilbert", level=12,
+                                   total_bounds=self.TB,
+                                   boundaries=self.BOUNDS,
+                                   replicate=True, **kw)
+        return ps, bs
+
+    def test_matches_grid_point_box(self, spark):
+        pts, boxes = self._frames(spark)
+        ps, bs = self._shuffled(pts, boxes)
+        got = sorted((r["pid"], r["bid"]) for r in
+                     ps.sjoin(bs, predicate="within",
+                              strategy="cobucket")
+                     .df.select("pid", "bid").collect())
+        want = sorted((r["pid"], r["bid"]) for r in
+                      pts.sjoin(boxes, predicate="within",
+                                strategy="grid", grid_level=6)
+                      .df.select("pid", "bid").collect())
+        assert got == want and len(got) > 100
+        # helper columns never leak into the result
+        out = ps.sjoin(bs, predicate="within", strategy="cobucket")
+        assert not [c for c in out.df.columns if "_spatial_bucket" in c]
+
+    def test_matches_grid_box_box_both_replicated(self, spark):
+        """Straddling geometries on BOTH sides: replicas meet once per
+        shared bucket and the min-common-bucket filter keeps exactly
+        one — no dropDuplicates shuffle."""
+        pts, boxes = self._frames(spark)
+        _, b1 = self._shuffled(pts, boxes)
+        _, b2 = self._shuffled(pts, boxes)
+        got = sorted((r["bid_l"], r["bid_r"]) for r in
+                     b1.sjoin(b2, predicate="intersects",
+                              strategy="cobucket", lsuffix="_l",
+                              rsuffix="_r")
+                     .df.select("bid_l", "bid_r").collect())
+        want = sorted((r["bid_l"], r["bid_r"]) for r in
+                      boxes.sjoin(boxes, predicate="intersects",
+                                  strategy="grid", grid_level=6,
+                                  lsuffix="_l", rsuffix="_r")
+                      .df.select("bid_l", "bid_r").collect())
+        assert got == want and len(got) > len(set(b for b, _ in got))
+
+    def test_no_exchange_at_join(self, spark):
+        """THE 100-TB pin: the join reuses both sides' layout-time
+        hash partitioning — the executed plan's only Exchanges are the
+        two spatial_shuffle repartitions, none between them and the
+        join."""
+        import re
+
+        pts, boxes = self._frames(spark, n_pts=50, n_boxes=20)
+        ps, bs = self._shuffled(pts, boxes)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            out = ps.sjoin(bs, predicate="within", strategy="cobucket")
+            plan = out.df._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        assert len(re.findall(r"Exchange", plan)) == 2, plan
+        assert re.findall(r"Exchange hashpartitioning\(_spatial_bucket",
+                          plan), plan
+
+    def test_auto_detects_and_falls_back(self, spark):
+        pts, boxes = self._frames(spark, n_pts=100, n_boxes=30)
+        ps, bs = self._shuffled(pts, boxes)
+        # auto on compatible frames -> cobucket result
+        auto = ps.sjoin(bs, predicate="within")
+        cob = ps.sjoin(bs, predicate="within", strategy="cobucket")
+        assert sorted(map(tuple, auto.df.collect())) == \
+               sorted(map(tuple, cob.df.collect()))
+        # incompatible boundaries -> explicit raises, auto falls back
+        other = pts.spatial_shuffle(
+            by="hilbert", level=12, total_bounds=self.TB,
+            boundaries=[(4 ** 12) // 4 * i for i in range(1, 4)])
+        with pytest.raises(ValueError, match="different"):
+            other.sjoin(bs, strategy="cobucket")
+        # un-bucketed frames -> explicit raises
+        with pytest.raises(ValueError, match="no spatial_shuffle"):
+            pts.sjoin(boxes, strategy="cobucket")
+        # non-replicated non-point side -> not complete
+        plain = boxes.spatial_shuffle(by="hilbert", level=12,
+                                      total_bounds=self.TB,
+                                      boundaries=self.BOUNDS)
+        ps2, _ = self._shuffled(pts, boxes)
+        with pytest.raises(ValueError, match="replicate=True"):
+            ps2.sjoin(plain, strategy="cobucket")
+
+    def test_replicated_frame_guards(self, spark):
+        pts, boxes = self._frames(spark, n_pts=100, n_boxes=30)
+        ps, bs = self._shuffled(pts, boxes)
+        # replicated frames refuse every non-cobucket plan (duplicated
+        # rows would double-count pairs)
+        with pytest.raises(ValueError, match="replicate"):
+            ps.sjoin(bs, strategy="grid")
+        with pytest.raises(ValueError, match="replicate"):
+            ps.sjoin(bs, strategy="broadcast")
+        # and the cobucket-unsupported modes raise with guidance
+        with pytest.raises(ValueError, match="inner"):
+            ps.sjoin(bs, how="left", strategy="cobucket")
+        with pytest.raises(ValueError, match="dwithin"):
+            ps.sjoin(bs, predicate="dwithin", distance=1.0,
+                     strategy="cobucket")
+        # geohash has no quadrant hierarchy -> replicate refuses
+        with pytest.raises(ValueError, match="hilbert"):
+            boxes.spatial_shuffle(by="geohash", level=12,
+                                  total_bounds=self.TB,
+                                  boundaries=self.BOUNDS,
+                                  replicate=True)
+
+    def test_point_frame_replicate_stays_single(self, spark):
+        """replicate=True on a point-hint frame is metadata-only: no
+        _spatial_buckets array, no row growth — points never straddle
+        a boundary."""
+        pts, _ = self._frames(spark, n_pts=100, n_boxes=5)
+        out = pts.spatial_shuffle(by="hilbert", level=12,
+                                  total_bounds=self.TB,
+                                  boundaries=self.BOUNDS,
+                                  replicate=True)
+        assert "_spatial_buckets" not in out.df.columns
+        assert out.df.count() == 100
+        m = out.df.schema["_spatial_bucket"].metadata
+        assert m["dgs_cobucket_single"] and m["dgs_cobucket_complete"]
+        assert not m["dgs_cobucket_replicated"]

@@ -192,3 +192,102 @@ class TestCurves:
     def test_geohash_precision_range(self):
         with pytest.raises(ValueError):
             C.geohash_uint64(np.array([0.0]), np.array([0.0]), 13)
+
+
+class TestBucketSets:
+    """r7: the co-bucketed sjoin's replication sets (curves.
+    bucket_sets_from_bounds) — the quadrant-hierarchy property both
+    curves rest on, the superset guarantee, and the point
+    short-circuit."""
+
+    def test_curve_hierarchy_exhaustive(self):
+        """Every level-6 cell's key lies inside its level-3 block's
+        contiguous interval — for BOTH curves, all 4096 cells."""
+        import numpy as np
+
+        from dask_geopandas_spark.geometry import curves as C
+
+        level, coarse = 6, 3
+        delta = level - coarse
+        n = 1 << level
+        xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+        xs, ys = xs.ravel().astype(np.uint64), ys.ravel().astype(np.uint64)
+        for by in ("hilbert", "morton"):
+            if by == "hilbert":
+                keys = C.hilbert_d(xs, ys, level).astype(np.int64)
+                pref = C.hilbert_d(xs >> np.uint64(delta),
+                                   ys >> np.uint64(delta),
+                                   coarse).astype(np.int64)
+            else:
+                keys = C.morton_d(xs, ys).astype(np.int64)
+                pref = C.morton_d(xs >> np.uint64(delta),
+                                  ys >> np.uint64(delta)).astype(np.int64)
+            span = 1 << (2 * delta)
+            assert ((keys >= pref * span)
+                    & (keys < (pref + 1) * span)).all(), by
+
+    def test_superset_of_covered_cells(self):
+        """Random bboxes: the bucket set contains the bucket of EVERY
+        fine cell the bbox covers (so two overlapping bboxes always
+        share a bucket — the join misses no pair)."""
+        import numpy as np
+
+        from dask_geopandas_spark.geometry import curves as C
+
+        level, coarse = 6, 3
+        rng = np.random.RandomState(7)
+        tb = (0.0, 0.0, 1.0, 1.0)
+        bounds = sorted(rng.choice(np.arange(1, 4 ** level), 7,
+                                   replace=False).tolist())
+        for by in ("hilbert", "morton"):
+            for _ in range(100):
+                x0, y0 = rng.uniform(0, 1, 2)
+                w, h = rng.uniform(0, 0.3, 2)
+                x1, y1 = min(x0 + w, 1.0), min(y0 + h, 1.0)
+                got = set(C.bucket_sets_from_bounds(
+                    [x0], [y0], [x1], [y1], tb, bounds, by, level,
+                    coarse)[0])
+                cx0 = C.discretize_mid(np.array([x0]), 0, 1, level)[0]
+                cx1 = C.discretize_mid(np.array([x1]), 0, 1, level)[0]
+                cy0 = C.discretize_mid(np.array([y0]), 0, 1, level)[0]
+                cy1 = C.discretize_mid(np.array([y1]), 0, 1, level)[0]
+                gx, gy = np.meshgrid(np.arange(cx0, cx1 + 1),
+                                     np.arange(cy0, cy1 + 1))
+                gx = gx.ravel().astype(np.uint64)
+                gy = gy.ravel().astype(np.uint64)
+                ks = (C.hilbert_d(gx, gy, level) if by == "hilbert"
+                      else C.morton_d(gx, gy)).astype(np.int64)
+                want = set(np.searchsorted(np.array(bounds), ks,
+                                           side="right").tolist())
+                assert want <= got
+
+    def test_point_short_circuit_exact(self):
+        import numpy as np
+
+        from dask_geopandas_spark.geometry import curves as C
+
+        level = 8
+        tb = (0.0, 0.0, 1.0, 1.0)
+        bounds = [100, 5000, 30000]
+        got = C.bucket_sets_from_bounds([0.3], [0.7], [0.3], [0.7],
+                                        tb, bounds, "hilbert", level, 4)
+        k = C.hilbert_d(
+            C.discretize_mid(np.array([0.3]), 0, 1, level)
+            .astype(np.uint64),
+            C.discretize_mid(np.array([0.7]), 0, 1, level)
+            .astype(np.uint64), level).astype(np.int64)
+        assert got[0] == [int(np.searchsorted(np.array(bounds), k,
+                                              side="right")[0])]
+
+    def test_validation(self):
+        import pytest as _pt
+
+        from dask_geopandas_spark.geometry import curves as C
+
+        with _pt.raises(ValueError, match="hilbert or morton"):
+            C.bucket_sets_from_bounds([0], [0], [1], [1],
+                                      (0, 0, 1, 1), [1], "geohash")
+        with _pt.raises(ValueError, match="coarse"):
+            C.bucket_sets_from_bounds([0], [0], [1], [1],
+                                      (0, 0, 1, 1), [1], "hilbert",
+                                      8, 9)
