@@ -3063,97 +3063,46 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness check emits at
-    most 50 rows, in registry order.  Round 6 rotation (r5 verdict
-    order #2): (a) the ELEVEN queries NEW this round plus ann_ivf
-    (whose oracle upgraded rows-only -> exact this round — upgrades
-    front-load like new queries), (b) ALL 14 entries whose last
-    hash-green attestation is round 2 (the curve encoders and the LSH
-    chain under them were refactored in r3-r5), (c) all 14 last green
-    in round 3, (d) the 10 oldest round-4 attestations — exactly
-    filling the 50-row window, with stream_funnel kept inside it (its
-    state-sizing call site changed this round); image_resize,
-    ann_ivf_pq, ann_pq, shapefile_roundtrip, split_holdout and
-    running_totals (r4-green over paths untouched since — bumped as
-    the r6-new queries landed), then connected_components,
-    lm_quality, bm25_batch, and media_manifest lead the r7 rotation.
-    Everything attested in round 5 sits below the window, ahead of
-    only the two rows-only-by-design entries' pytest pins."""
+    most 50 rows, in registry order.  Round 7 rotation (r6 verdict
+    order #1, policy in SURVEY §15): (a) the SIX r6-late entries never
+    driver-attested in their current form — bm25_batch_stored,
+    badword_filter, shards_roundtrip (oracle upgraded again this
+    round: the copy_id shard-key fold), decontam_spans,
+    spatial_shuffle (exact-oracle form), code_quality — at positions
+    1-6; (b) the THREE r7-new queries (sjoin_cobucket,
+    semantic_dedup_keep, quality_classifier_join); (c) ALL 40 entries
+    whose last green attestation is round 4 — the entire staleness
+    backlog, rotation leaders connected_components / lm_quality /
+    bm25_batch / media_manifest first; (d) cluster_dedup, the oldest
+    r5 attestation, filling the window to exactly 50.  Below the
+    window: the remaining r5-green block, then everything r6-green
+    (attested last round).  After this round no attestation is older
+    than r5 and the backlog empties."""
     return {
-        # -- NEW in round 6 (first driver attestation) --
-        "semantic_dedup_pq": q_semantic_dedup_pq,
-        "semantic_dedup_probe": q_semantic_dedup_probe,
-        "ann_ivf": q_ann_ivf,  # oracle upgrade: rows-only -> exact (r6)
-        "line_dedup": q_line_dedup,
-        "doc_line_dedup": q_doc_line_dedup,
-        "quality_classifier": q_quality_classifier,
-        "quality_classifier_join": q_quality_classifier_join,  # r7-new
-        "semantic_dedup_keep": q_semantic_dedup_keep,  # r7-new
-        "sjoin_cobucket": q_sjoin_cobucket,  # r7-new
-        "dup_spans": q_dup_spans,
-        "span_removal": q_span_removal,
-        "doc_chunks": q_doc_chunks,
-        "source_mix": q_source_mix,
-        "bm25_stored": q_bm25_stored,
-        "knn_graph_probe": q_knn_graph_probe,
-        # -- last green r2 (14: full remainder, verdict #2) --
-        "line_project": q_line_project,
-        "sql_surface": q_sql_surface,
-        "morton_buckets": q_morton_buckets,
-        "geohash_cells": q_geohash_cells,
-        "hilbert_buckets": q_hilbert_buckets,
-        "token_stats": q_token_stats,
-        "exact_dedup": q_exact_dedup,
-        "lang_quality": q_lang_quality,
-        "fingerprint_dups": q_fingerprint_dups,
-        "minhash_sigs": q_minhash_sigs,
-        "lsh_pairs": q_lsh_pairs,
-        "lsh_dedup": q_lsh_dedup,
-        "lsh_dedup_fixpoint": q_lsh_dedup_fixpoint,
-        "quality_signals": q_quality_signals,
-        # -- last green r3 (14) --
-        "pii_redact": q_pii_redact,
-        "vocab_top": q_vocab_top,
-        "geojson_roundtrip": q_geojson_roundtrip,
-        "pipeline_clean_join": q_pipeline_clean_join,
-        "topk_parts": q_topk_parts,
-        "spatial_hourly": q_spatial_hourly,
-        "sjoin_nearest_grid": q_sjoin_nearest_grid,
-        "jaccard_pairs": q_jaccard_pairs,
-        "simhash": q_simhash,
-        "ann_topk": q_ann_topk,
-        "ann_ivf_exact": q_ann_ivf_exact,
-        "embedding_neardup": q_embedding_neardup,
-        "events_hourly": q_events_hourly,
-        "session_windows": q_session_windows,
-        # -- oldest r4 attestations (10, filling the window to 50) --
-        "image_meta": q_image_meta,
-        "audio_meta": q_audio_meta,
-        "frame_counts": q_frame_counts,
-        "geopackage_roundtrip": q_geopackage_roundtrip,
-        "knn_graph": q_knn_graph,
-        "knn_graph_pq": q_knn_graph_pq,
-        "fgb_roundtrip": q_fgb_roundtrip,
-        "tfidf_top": q_tfidf_top,
-        "bm25_topk": q_bm25_topk,
-        "stream_funnel": q_stream_funnel,
-        # ---- 50-row driver window ends here ----
-        "bm25_batch_stored": q_bm25_batch_stored,  # r6-new, leads r7
-        "badword_filter": q_badword_filter,        # r6-new, leads r7
-        "shards_roundtrip": q_shards_roundtrip,    # r6-new, leads r7
-        "decontam_spans": q_decontam_spans,        # r6-new, leads r7
-        "spatial_shuffle": q_spatial_shuffle,      # r6 oracle upgrade
-        "code_quality": q_code_quality,            # r6-new, leads r7
+        # -- r6-late entries never driver-attested (verdict r7 #1:
+        #    positions 1-6; shards_roundtrip oracle upgraded r7) --
+        "bm25_batch_stored": q_bm25_batch_stored,
+        "badword_filter": q_badword_filter,
+        "shards_roundtrip": q_shards_roundtrip,
+        "decontam_spans": q_decontam_spans,
+        "spatial_shuffle": q_spatial_shuffle,
+        "code_quality": q_code_quality,
+        # -- NEW in round 7 --
+        "sjoin_cobucket": q_sjoin_cobucket,
+        "semantic_dedup_keep": q_semantic_dedup_keep,
+        "quality_classifier_join": q_quality_classifier_join,
+        # -- last green r4 (all 40 — empties the staleness backlog;
+        #    rotation leaders first) --
+        "connected_components": q_connected_components,
+        "lm_quality": q_lm_quality,
+        "bm25_batch": q_bm25_batch,
+        "media_manifest": q_media_manifest,
         "image_resize": q_image_resize,
         "ann_ivf_pq": q_ann_ivf_pq,
         "ann_pq": q_ann_pq,
         "shapefile_roundtrip": q_shapefile_roundtrip,
         "split_holdout": q_split_holdout,
         "running_totals": q_running_totals,
-        "connected_components": q_connected_components,
-        "lm_quality": q_lm_quality,
-        "bm25_batch": q_bm25_batch,
-        "media_manifest": q_media_manifest,
-        # -- remaining r4-green --
         "to_lambert": q_to_lambert,
         "to_albers": q_to_albers,
         "crs_roundtrip": q_crs_roundtrip,
@@ -3184,8 +3133,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buffer_l_area": q_buffer_l_area,
         "top_bigram": q_top_bigram,
         "stream_dedup": q_stream_dedup,
-        # -- green r5 (the r5-new block) --
+        # -- oldest r5 attestation (fills the window to 50) --
         "cluster_dedup": q_cluster_dedup,
+        # ---- 50-row driver window ends here ----
+        # -- green r5 --
         "stream_funnel_left": q_stream_funnel_left,
         "gpx_roundtrip": q_gpx_roundtrip,
         "kml_roundtrip": q_kml_roundtrip,
@@ -3197,7 +3148,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_funnel3": q_stream_funnel3,
         "stream_funnel3_left": q_stream_funnel3_left,
         "asof_tolerance": q_asof_tolerance,
-        # -- green r5 (rotated r1/r2 blocks) --
         "fillna_isna": q_fillna_isna,
         "region_dissolve": q_region_dissolve,
         "rollup_revenue": q_rollup_revenue,
@@ -3236,6 +3186,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "points_z": q_points_z,
         "geom_properties": q_geom_properties,
         "skew_avg": q_skew_avg,
+        # -- green r6 --
+        "semantic_dedup_pq": q_semantic_dedup_pq,
+        "semantic_dedup_probe": q_semantic_dedup_probe,
+        "ann_ivf": q_ann_ivf,
+        "line_dedup": q_line_dedup,
+        "doc_line_dedup": q_doc_line_dedup,
+        "quality_classifier": q_quality_classifier,
+        "dup_spans": q_dup_spans,
+        "span_removal": q_span_removal,
+        "doc_chunks": q_doc_chunks,
+        "source_mix": q_source_mix,
+        "bm25_stored": q_bm25_stored,
+        "knn_graph_probe": q_knn_graph_probe,
+        "line_project": q_line_project,
+        "sql_surface": q_sql_surface,
+        "morton_buckets": q_morton_buckets,
+        "geohash_cells": q_geohash_cells,
+        "hilbert_buckets": q_hilbert_buckets,
+        "token_stats": q_token_stats,
+        "exact_dedup": q_exact_dedup,
+        "lang_quality": q_lang_quality,
+        "fingerprint_dups": q_fingerprint_dups,
+        "minhash_sigs": q_minhash_sigs,
+        "lsh_pairs": q_lsh_pairs,
+        "lsh_dedup": q_lsh_dedup,
+        "lsh_dedup_fixpoint": q_lsh_dedup_fixpoint,
+        "quality_signals": q_quality_signals,
+        "pii_redact": q_pii_redact,
+        "vocab_top": q_vocab_top,
+        "geojson_roundtrip": q_geojson_roundtrip,
+        "pipeline_clean_join": q_pipeline_clean_join,
+        "topk_parts": q_topk_parts,
+        "spatial_hourly": q_spatial_hourly,
+        "sjoin_nearest_grid": q_sjoin_nearest_grid,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash": q_simhash,
+        "ann_topk": q_ann_topk,
+        "ann_ivf_exact": q_ann_ivf_exact,
+        "embedding_neardup": q_embedding_neardup,
+        "events_hourly": q_events_hourly,
+        "session_windows": q_session_windows,
+        "image_meta": q_image_meta,
+        "audio_meta": q_audio_meta,
+        "frame_counts": q_frame_counts,
+        "geopackage_roundtrip": q_geopackage_roundtrip,
+        "knn_graph": q_knn_graph,
+        "knn_graph_pq": q_knn_graph_pq,
+        "fgb_roundtrip": q_fgb_roundtrip,
+        "tfidf_top": q_tfidf_top,
+        "bm25_topk": q_bm25_topk,
+        "stream_funnel": q_stream_funnel,
     }
 
 

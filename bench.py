@@ -80,6 +80,19 @@ BENCH_QUERIES = [
     "doc_chunks",
     "ann_ivf",
     "bm25_stored",
+    # round-7 additions (verdict r6 #6: every registered operator the
+    # bench can reach gets a baseline row) — the six r6-late entries
+    # plus source_mix, plus the three r7-new queries
+    "source_mix",
+    "bm25_batch_stored",
+    "badword_filter",
+    "code_quality",
+    "shards_roundtrip",
+    "decontam_spans",
+    "spatial_shuffle",
+    "sjoin_cobucket",
+    "semantic_dedup_keep",
+    "quality_classifier_join",
 ]
 
 
