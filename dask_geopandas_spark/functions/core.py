@@ -1069,19 +1069,25 @@ def morton_distance(total_bounds, level: int = 16):
 
 
 def curve_bucket_sets(total_bounds, boundaries, by: str = "hilbert",
-                      level: int = 16, coarse: int | None = None):
+                      level: int = 16, coarse: int | None = None,
+                      dilate: float = 0.0):
     """Array of every `spatial_shuffle(boundaries=)` bucket a
     geometry's bbox can meet (the replication set of the co-bucketed
     spatial join — see curves.bucket_sets_from_bounds for the
     superset guarantee).  ``coarse`` is the block level of the
     interval decomposition: finer → tighter sets but more blocks per
     wide bbox; the default min(level, 8) keeps block intervals of
-    4^(level-8) keys, far below any sane boundary spacing."""
+    4^(level-8) keys, far below any sane boundary spacing.
+    ``dilate`` expands every bbox by that margin first, so a
+    co-bucketed ``dwithin`` join up to the margin is exact (a pair
+    within distance d has overlapping dilated-vs-plain bboxes, which
+    always share a bucket)."""
     if by not in ("hilbert", "morton"):
         raise ValueError(
             f"curve_bucket_sets needs by='hilbert'|'morton', got {by!r}")
     lc = min(level, 8) if coarse is None else int(coarse)
     bs = [int(b) for b in boundaries]
+    d = float(dilate)
 
     @pandas_udf(ArrayType(IntegerType()))
     def _sets(g: pd.Series) -> pd.Series:
@@ -1089,7 +1095,7 @@ def curve_bucket_sets(total_bounds, boundaries, by: str = "hilbert",
         _check_encodable(batch, "curve_bucket_sets")
         bb = A.bounds(batch)
         return pd.Series(C.bucket_sets_from_bounds(
-            bb[:, 0], bb[:, 1], bb[:, 2], bb[:, 3],
+            bb[:, 0] - d, bb[:, 1] - d, bb[:, 2] + d, bb[:, 3] + d,
             total_bounds, bs, by, level, lc))
 
     return _sets

@@ -283,8 +283,17 @@ def sjoin(left, right, how: str = "inner", predicate: str = "intersects",
     cob_err = _cobucket_check(lmeta, rmeta)
     replicated = bool((lmeta or {}).get("dgs_cobucket_replicated")
                       or (rmeta or {}).get("dgs_cobucket_replicated"))
+    # dwithin is co-bucketable up to the largest shuffle-time dilation:
+    # a pair within d has overlapping dilated-vs-plain bboxes, which
+    # always share a bucket when either side's sets were computed with
+    # dilate >= d
+    cob_dil = max((lmeta or {}).get("dgs_cobucket_dilate", 0.0),
+                  (rmeta or {}).get("dgs_cobucket_dilate", 0.0))
+    dwithin_ok = (predicate != "dwithin"
+                  or (distance is not None
+                      and float(distance) <= cob_dil))
     if strategy == "auto":
-        if cob_err is None and how == "inner" and predicate != "dwithin":
+        if cob_err is None and how == "inner" and dwithin_ok:
             # both sides pre-bucketed with identical boundaries: the
             # equi-join on the bucket id reuses their partitioning —
             # NO Exchange on either side (the 100-TB fast path)
@@ -308,11 +317,13 @@ def sjoin(left, right, how: str = "inner", predicate: str = "intersects",
                 "inputs have no well-defined unmatched-left set); use "
                 "strategy='grid' on the un-replicated frames for "
                 "left/anti")
-        if predicate == "dwithin":
+        if predicate == "dwithin" and not dwithin_ok:
             raise ValueError(
-                "strategy='cobucket' cannot serve dwithin: the search "
-                "radius dilates bboxes past the bucket sets computed "
-                "at shuffle time; use strategy='grid'")
+                "strategy='cobucket' serves dwithin only up to the "
+                f"shuffle-time dilation (max dilate {cob_dil}, asked "
+                f"distance {distance}): re-shuffle one side with "
+                f"spatial_shuffle(..., replicate=True, "
+                f"dilate>={distance}) or use strategy='grid'")
 
     common0 = set(lg.df.columns) & set(rg.df.columns)
 

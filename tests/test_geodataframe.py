@@ -1130,3 +1130,76 @@ class TestCobucketSjoin:
         m = out.df.schema["_spatial_bucket"].metadata
         assert m["dgs_cobucket_single"] and m["dgs_cobucket_complete"]
         assert not m["dgs_cobucket_replicated"]
+
+    def test_reshuffle_drops_stale_replica_arrays(self, spark):
+        """Re-shuffling a replicate=True frame with DIFFERENT
+        boundaries must not leave the old _spatial_buckets arrays
+        behind (the co-bucketed join's dedup would trust them and
+        drop pairs)."""
+        _, boxes = self._frames(spark, n_pts=10, n_boxes=40)
+        b1 = boxes.spatial_shuffle(by="hilbert", level=12,
+                                   total_bounds=self.TB,
+                                   boundaries=self.BOUNDS,
+                                   replicate=True)
+        other = [(4 ** 12) // 4 * i for i in range(1, 4)]
+        # re-shuffle WITHOUT replicate: arrays must vanish
+        b2 = b1.spatial_shuffle(by="hilbert", level=12,
+                                total_bounds=self.TB, boundaries=other)
+        assert "_spatial_buckets" not in b2.df.columns
+        # re-shuffle WITH replicate: arrays must be the new ones
+        b3 = b1.spatial_shuffle(by="hilbert", level=12,
+                                total_bounds=self.TB, boundaries=other,
+                                replicate=True)
+        row = b3.df.select("_spatial_bucket", "_spatial_buckets") \
+            .collect()
+        assert all(r["_spatial_bucket"] in r["_spatial_buckets"]
+                   for r in row)
+        assert all(max(r["_spatial_buckets"]) <= len(other)
+                   for r in row)
+
+    def test_dwithin_via_shuffle_time_dilation(self, spark):
+        """r7: dilate= at shuffle time buys a co-bucketed dwithin join
+        up to the margin — exact vs the broadcast path; distances past
+        the dilation raise with guidance; dilate without replicate
+        raises; a dilated point frame is no longer single-copy."""
+        import dask_geopandas_spark as dgs
+
+        pts, _ = self._frames(spark, n_pts=400, n_boxes=5)
+        sdf = spark.createDataFrame(
+            [(j, float((j * 71) % 340 - 172) + 0.5,
+              float((j * 29) % 160 - 82) + 0.5) for j in range(200)],
+            "sid long, sx double, sy double")
+        sup = dgs.points_from_xy(sdf, "sx", "sy", crs="EPSG:4326")
+        pl = pts.spatial_shuffle(by="hilbert", level=12,
+                                 total_bounds=self.TB,
+                                 boundaries=self.BOUNDS,
+                                 replicate=True, dilate=8.0)
+        sr = sup.spatial_shuffle(by="hilbert", level=12,
+                                 total_bounds=self.TB,
+                                 boundaries=self.BOUNDS)
+        got = sorted((r["pid"], r["sid"]) for r in
+                     pl.sjoin(sr, predicate="dwithin", distance=8.0,
+                              strategy="cobucket")
+                     .df.select("pid", "sid").collect())
+        want = sorted((r["pid"], r["sid"]) for r in
+                      pts.sjoin(sup, predicate="dwithin", distance=8.0,
+                                strategy="broadcast")
+                      .df.select("pid", "sid").collect())
+        assert got == want and len(got) > 50
+        # a dilated point frame replicates (no longer single)
+        m = pl.df.schema["_spatial_bucket"].metadata
+        assert m["dgs_cobucket_replicated"] and not m["dgs_cobucket_single"]
+        assert m["dgs_cobucket_dilate"] == 8.0
+        assert "_spatial_buckets" in pl.df.columns
+        # distance past the dilation refuses
+        with pytest.raises(ValueError, match="dilation"):
+            pl.sjoin(sr, predicate="dwithin", distance=9.0,
+                     strategy="cobucket")
+        # dilate needs replicate; negative dilate refuses
+        with pytest.raises(ValueError, match="replicate"):
+            pts.spatial_shuffle(boundaries=self.BOUNDS,
+                                total_bounds=self.TB, dilate=1.0)
+        with pytest.raises(ValueError, match=">= 0"):
+            pts.spatial_shuffle(boundaries=self.BOUNDS,
+                                total_bounds=self.TB, replicate=True,
+                                dilate=-1.0)
