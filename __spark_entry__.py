@@ -2249,6 +2249,50 @@ def q_semantic_dedup_keep(spark, sf_dir):
     return kept.select("vec_id")
 
 
+_IDX_TMPL = [
+    "the quick brown fox jumps over the lazy dog near the river bank",
+    "pack my box with five dozen liquor jugs before the long journey",
+    "how vexingly quick daft zebras jump when the keeper arrives late",
+    "sphinx of black quartz judge my vow under the ancient stone arch",
+    "bright vixens jump dozy fowl quack across the frozen winter pond",
+]
+
+
+def q_index_dedup(spark, sf_dir):
+    """Incremental dedup against a STORED LSH index
+    (dedup.write_minhash_index / minhash_index_matches, r7 — the
+    daily-crawl shape: each batch dedups against everything already
+    ingested without re-scanning the stored corpus): docs < 300 build
+    a band-bucket-partitioned MinHash index, docs 300-599 query it —
+    the batch's distinct band buckets become a static partition
+    filter, candidates carry their signatures (no second corpus
+    join), the verify is the equal-components estimator.  Template
+    texts make cross-batch near-dups deterministic.  Oracle: the
+    same signature/banding arithmetic over both subsets in SQL."""
+    import shutil
+
+    from dask_geopandas_spark.operators.dedup import (
+        minhash_index_matches, write_minhash_index)
+
+    path = "/root/repo/.bench_tmp/mh_index"
+    shutil.rmtree(path, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 600) \
+        .select("doc_id")
+    tmpl = F.element_at(F.array(*[F.lit(t) for t in _IDX_TMPL]),
+                        (F.col("doc_id") % 5 + 1).cast("int"))
+    synth = docs.withColumn(
+        "text", F.concat(tmpl, F.lit(" tail"),
+                         (F.col("doc_id") % 3).cast("string")))
+    write_minhash_index(synth.filter(F.col("doc_id") < 300), path,
+                        num_hashes=4, bands=2, k=3, n_buckets=8)
+    m = minhash_index_matches(synth.filter(F.col("doc_id") >= 300),
+                              path, threshold=0.5)
+    return (m.groupBy("new_id")
+            .agg(F.count("*").cast("long").alias("n_matches"),
+                 F.round(F.max("est_jaccard"), 9).alias("max_est"),
+                 F.min("stored_id").alias("first_match")))
+
+
 def q_line_dedup(spark, sf_dir):
     """Line-level corpus dedup (dedup.line_dedup — the CCNet/
     RefinedWeb boilerplate stage, verdict r5 #4): drop every
@@ -3099,16 +3143,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     badword_filter, shards_roundtrip (oracle upgraded again this
     round: the copy_id shard-key fold), decontam_spans,
     spatial_shuffle (exact-oracle form), code_quality — at positions
-    1-6; (b) the FOUR r7-new queries (sjoin_cobucket,
+    1-6; (b) the FIVE r7-new queries (sjoin_cobucket,
     sjoin_cobucket_dwithin, semantic_dedup_keep,
-    quality_classifier_join); (c) ALL 40 entries whose last green
-    attestation is round 4 — the entire staleness backlog, rotation
-    leaders connected_components / lm_quality / bm25_batch /
-    media_manifest first — filling the window to exactly 50.  Below
-    the window: cluster_dedup (oldest r5) leads the r8 rotation, then
-    the remaining r5-green block, then everything r6-green (attested
-    last round).  After this round no attestation is older than r5
-    and the backlog empties."""
+    quality_classifier_join, index_dedup); (c) 39 of the 40 entries
+    whose last green attestation is round 4 — the staleness backlog,
+    rotation leaders connected_components / lm_quality / bm25_batch /
+    media_manifest first — filling the window to exactly 50.
+    stream_dedup (the 40th r4 entry, squeezed out when index_dedup
+    landed) and cluster_dedup (oldest r5) lead the r8 rotation just
+    below the window, ahead of the remaining r5-green block and the
+    r6-green tail.  After this round the only ≤r4 attestation left is
+    stream_dedup — front of the next window by policy."""
     return {
         # -- r6-late entries never driver-attested (verdict r7 #1:
         #    positions 1-6; shards_roundtrip oracle upgraded r7) --
@@ -3123,6 +3168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sjoin_cobucket_dwithin": q_sjoin_cobucket_dwithin,
         "semantic_dedup_keep": q_semantic_dedup_keep,
         "quality_classifier_join": q_quality_classifier_join,
+        "index_dedup": q_index_dedup,
         # -- last green r4 (all 40 — empties the staleness backlog;
         #    rotation leaders first) --
         "connected_components": q_connected_components,
@@ -4125,6 +4171,62 @@ def _dup_spans_oracle_sql(k: int = 8, min_occ: int = 2) -> str:
                CAST(max(pos) - min(pos) + {k} AS BIGINT) AS span_tokens,
                CAST(count(*) AS BIGINT) AS n_dup_grams
         FROM isl GROUP BY doc_id, island
+    """
+
+
+def _index_dedup_oracle_sql(threshold: float = 0.5) -> str:
+    """DuckDB replica of q_index_dedup: the synthetic template texts,
+    the 4-hash MinHash signatures (_mh_expr), 2-band md5 banding (the
+    engine's concat_ws('|') form), cross-subset band join restricted
+    to (new >= 300, stored < 300), DISTINCT candidate pairs, the
+    equal-components estimate over the carried signatures, threshold,
+    and the per-new aggregation — the stored layout is invisible to
+    the result, exactly like every other stored-index oracle."""
+    tl = "[" + ", ".join(f"'{t}'" for t in _IDX_TMPL) + "]"
+    synth = (f"SELECT doc_id, ({tl})[CAST(doc_id % 5 AS INTEGER) + 1]"
+             " || ' tail' || CAST(doc_id % 3 AS VARCHAR) AS text"
+             " FROM documents WHERE doc_id < 600")
+    ej = (" + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(4)))
+    return f"""
+        WITH synth AS ({synth}),
+        sg AS (
+            SELECT doc_id,
+                   {_mh_expr(0)} AS mh0, {_mh_expr(1)} AS mh1,
+                   {_mh_expr(2)} AS mh2, {_mh_expr(3)} AS mh3
+            FROM (SELECT doc_id, list_transform(sh, s -> {_PHASH('s')})
+                             AS shh
+                  FROM (SELECT doc_id, {_SHINGLES3} AS sh
+                        FROM (SELECT doc_id, {_TOKENS} AS toks
+                              FROM synth)))
+        ),
+        bd AS (
+            SELECT doc_id, 0 AS band,
+                   md5(CAST(mh0 AS VARCHAR) || '|' ||
+                       CAST(mh1 AS VARCHAR)) AS bh FROM sg
+            UNION ALL
+            SELECT doc_id, 1 AS band,
+                   md5(CAST(mh2 AS VARCHAR) || '|' ||
+                       CAST(mh3 AS VARCHAR)) AS bh FROM sg
+        ),
+        cand AS (
+            SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS stored_id
+            FROM bd n JOIN bd o ON n.band = o.band AND n.bh = o.bh
+            WHERE n.doc_id >= 300 AND o.doc_id < 300
+        ),
+        est AS (
+            SELECT c.new_id, c.stored_id,
+                   round(CAST({ej} AS DOUBLE)
+                         / CAST(4.0 AS DOUBLE), 9) AS ej
+            FROM cand c JOIN sg a ON a.doc_id = c.new_id
+                        JOIN sg b ON b.doc_id = c.stored_id
+        )
+        SELECT new_id, CAST(count(*) AS BIGINT) AS n_matches,
+               round(max(ej), 9) AS max_est,
+               min(stored_id) AS first_match
+        FROM est WHERE ej >= CAST({threshold!r} AS DOUBLE)
+        GROUP BY new_id
     """
 
 
@@ -5526,6 +5628,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _quality_classifier_oracle_sql(),
         "quality_classifier_join": _quality_classifier_oracle_sql(
             dim=96, bias=0.1, mul=13, mod=97, off=48, den=64.0),
+        "index_dedup": _index_dedup_oracle_sql(),
         "semantic_dedup_keep": _semantic_dedup_oracle_sql(
             keep="far_from_centroid"),
         "dup_spans": _dup_spans_oracle_sql(),

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "sjoin_cobucket_dwithin",
     "semantic_dedup_keep",
     "quality_classifier_join",
+    "index_dedup",
 ]
 
 

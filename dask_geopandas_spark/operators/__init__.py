@@ -9,6 +9,7 @@ from .dedup import (
     connected_components,
     contaminated_spans,
     decontaminate_spans,
+    dedup_against_index,
     dedup_lines_within_doc,
     duplicated_spans,
     embedding_neardup_pairs,
@@ -16,11 +17,13 @@ from .dedup import (
     line_dedup,
     lsh_candidate_pairs,
     lsh_dedup,
+    minhash_index_matches,
     minhash_signatures,
     ngram_jaccard_pairs,
     release_cached_signatures,
     remove_duplicated_spans,
     simhash,
+    write_minhash_index,
 )
 from .dissolve import dissolve
 from .explode import explode_geometry
@@ -74,6 +77,7 @@ __all__ = [
     "line_dedup", "dedup_lines_within_doc",
     "duplicated_spans", "remove_duplicated_spans",
     "contaminated_spans", "decontaminate_spans",
+    "write_minhash_index", "minhash_index_matches", "dedup_against_index",
     "brute_force_topk", "train_centroids", "ivf_topk",
     "write_ivf_index", "ivf_topk_stored",
     "knn_graph", "train_pq", "release_cached_salt_inputs",

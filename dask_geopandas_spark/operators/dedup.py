@@ -566,6 +566,163 @@ def minhash_jaccard_estimate(df: DataFrame, pairs: DataFrame,
         (matches / F.lit(float(num_hashes))).alias("est_jaccard"))
 
 
+def _banded_with_sig(df: DataFrame, text_col: str, id_col: str,
+                     num_hashes: int, bands: int, k: int) -> DataFrame:
+    """(id, sig array<long>, band, bh) in ONE signature pass — the
+    stored-index sibling of `_banded` that also carries the full
+    signature (the verify stage needs it; carrying it beats a second
+    corpus-sized signature join at query time)."""
+    assert num_hashes % bands == 0
+    rpb = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    sig = sig.withColumn(
+        "sig", F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]))
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{i}").cast("string")
+                 for i in range(b * rpb, (b + 1) * rpb)]
+        band_cols.append(F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *parts)).alias("bh")))
+    return (sig.select(F.col(id_col), "sig",
+                       F.explode(F.array(*band_cols)).alias("bk"))
+            .select(F.col(id_col), "sig",
+                    F.col("bk.band").alias("band"),
+                    F.col("bk.bh").alias("bh")))
+
+
+def _band_bucket(n_buckets: int) -> Column:
+    return F.pmod(
+        portable_hash(F.concat(F.col("band").cast("string"),
+                               F.lit("|"), F.col("bh"))),
+        F.lit(int(n_buckets))).cast("int")
+
+
+def write_minhash_index(df: DataFrame, path: str, text_col: str = "text",
+                        id_col: str = "doc_id", num_hashes: int = 8,
+                        bands: int = 4, k: int = 3, n_buckets: int = 64,
+                        append: bool = False) -> None:
+    """Persist an LSH near-duplicate index hive-partitioned by
+    band-hash bucket — the INCREMENTAL-crawl dedup shape (each day's
+    batch dedups against everything already ingested without ever
+    re-scanning the stored corpus): ``postings/`` holds one
+    (id, sig, band, bh) row per document per MinHash band, partitioned
+    by ``pmod(hash(band|bh), n_buckets)`` so a query batch reads ONLY
+    its own band buckets (static partition pruning, the
+    `write_text_index` layout pattern); ``meta/`` holds the 1-row
+    parameter record (num_hashes, bands, k, n_buckets) a query
+    re-derives its signatures from.
+
+    The full signature rides IN the postings (num_hashes longs,
+    duplicated per band): the verify stage then never joins a
+    corpus-sized signature table — candidates carry everything.
+
+    ``append=True`` adds a new batch under the STORED parameters
+    (validated — mixed-parameter signatures would never collide) in
+    one postings write; meta is immutable.  The caller guarantees
+    appended ids are disjoint from stored ones.  A crash mid-append
+    leaves the index consistent but the batch partially indexed —
+    re-run as a rebuild (re-appending double-inserts)."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if num_hashes % bands != 0:
+        raise ValueError("bands must divide num_hashes")
+    base = path.rstrip("/")
+    spark = df.sparkSession
+    if append:
+        meta = spark.read.parquet(base + "/meta").head()
+        stored = (int(meta["num_hashes"]), int(meta["bands"]),
+                  int(meta["k"]))
+        if stored != (num_hashes, bands, k):
+            raise ValueError(
+                f"append parameters {(num_hashes, bands, k)} != stored "
+                f"(num_hashes, bands, k) {stored}; signatures would "
+                "never collide across the mix")
+        n_buckets = int(meta["n_buckets"])
+    posts = (_banded_with_sig(df, text_col, id_col, num_hashes, bands, k)
+             .withColumn("band_bucket", _band_bucket(n_buckets)))
+    posts.write.mode("append" if append else "overwrite") \
+        .partitionBy("band_bucket").parquet(base + "/postings")
+    if not append:
+        spark.createDataFrame(
+            [(num_hashes, bands, k, n_buckets)],
+            "num_hashes int, bands int, k int, n_buckets int"
+        ).write.mode("overwrite").parquet(base + "/meta")
+
+
+def minhash_index_matches(new_df: DataFrame, path: str,
+                          threshold: float = 0.7,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Near-duplicate matches of a NEW batch against a stored
+    `write_minhash_index`: (new_id, stored_id, est_jaccard) for every
+    stored doc sharing ≥1 LSH band with a batch doc whose signature
+    agreement (the `minhash_jaccard_estimate` estimator) reaches
+    ``threshold``.  Recall is the banding's, exactly as in
+    `lsh_candidate_pairs`; the estimate is the unbiased
+    equal-components fraction, not exact Jaccard.
+
+    Distributed shape: the batch signatures compute in one pass; the
+    batch's DISTINCT band buckets (≤ n_buckets ints) collect
+    driver-side into a static partition filter, so the stored read
+    touches n_batch_buckets/n_buckets of the postings and NEVER the
+    corpus text; the band equi-join is batch-sized; the verify is a
+    native zip_with fold over the two carried signatures — no second
+    join, no corpus scan, nothing quadratic beyond band-bucket
+    collisions (the same contract as the in-memory LSH)."""
+    if not 0.0 <= float(threshold) <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    base = path.rstrip("/")
+    spark = new_df.sparkSession
+    meta = spark.read.parquet(base + "/meta").head()
+    num_hashes, bands, k = (int(meta["num_hashes"]), int(meta["bands"]),
+                            int(meta["k"]))
+    n_buckets = int(meta["n_buckets"])
+    nb = (_banded_with_sig(new_df, text_col, id_col, num_hashes, bands, k)
+          .withColumn("band_bucket", _band_bucket(n_buckets))
+          .select(F.col(id_col).alias("new_id"),
+                  F.col("sig").alias("_nsig"), "band", "bh",
+                  "band_bucket"))
+    buckets = sorted(r["band_bucket"] for r in
+                     nb.select("band_bucket").distinct().collect())
+    if not buckets:
+        return spark.createDataFrame(
+            [], "new_id long, stored_id long, est_jaccard double")
+    stored = (spark.read.parquet(base + "/postings")
+              .filter(F.col("band_bucket").isin(buckets))
+              .select(F.col(id_col).alias("stored_id"),
+                      F.col("sig").alias("_ssig"), "band", "bh"))
+    cand = (nb.drop("band_bucket")
+            .join(stored, on=["band", "bh"])
+            .dropDuplicates(["new_id", "stored_id"]))
+    matches = F.aggregate(
+        F.zip_with(F.col("_nsig"), F.col("_ssig"),
+                   lambda a, b: F.when(a == b, 1).otherwise(0)),
+        F.lit(0), lambda acc, x: acc + x)
+    return (cand.withColumn(
+                "est_jaccard",
+                F.round(matches.cast("double")
+                        / F.lit(float(num_hashes)), 9))
+            .filter(F.col("est_jaccard") >= F.lit(float(threshold)))
+            .select("new_id", "stored_id", "est_jaccard"))
+
+
+def dedup_against_index(new_df: DataFrame, path: str,
+                        threshold: float = 0.7, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """The incremental dedup filter: drop every NEW row whose text
+    near-duplicates something already in the stored
+    `write_minhash_index` (see `minhash_index_matches` for the match
+    semantics and the pruned-read shape), keep the rest — one
+    batch-keyed left-anti join.  Compose with `write_minhash_index(
+    append=True)` on the survivors to advance the index for the next
+    batch."""
+    hits = (minhash_index_matches(new_df, path, threshold, text_col,
+                                  id_col)
+            .select(F.col("new_id").alias(id_col)).distinct())
+    return new_df.join(hits, on=id_col, how="left_anti")
+
+
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst", max_iter: int = 10,
                          on_nonconverged: str = "warn") -> DataFrame:

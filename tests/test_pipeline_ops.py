@@ -1677,3 +1677,91 @@ def test_oversample_reserved_name_guard(spark):
     big = {f"d{i}": 1.0 for i in range(SA._RATE_JOIN_THRESHOLD + 1)}
     with pytest.raises(ValueError, match="reserves internal column"):
         SA.oversample(df, big)
+
+
+class TestMinhashIndex:
+    """r7: the stored LSH near-dup index — the incremental-crawl dedup
+    shape (dedup.write_minhash_index / minhash_index_matches /
+    dedup_against_index)."""
+
+    def _frames(self, spark):
+        base = ["the quick brown fox jumps over the lazy dog",
+                "pack my box with five dozen liquor jugs",
+                "how vexingly quick daft zebras jump today",
+                "sphinx of black quartz judge my vow now"]
+        df = spark.createDataFrame(
+            [(i, base[i % 4] + f" tail{i % 7}") for i in range(100)],
+            "doc_id long, text string")
+        ndf = spark.createDataFrame(
+            [(1000 + i, base[i % 4] + f" tail{(i + 1) % 7}")
+             for i in range(40)]
+            + [(2000 + i, f"totally unrelated number {i} words "
+                          f"w{i}a w{i}b w{i}c") for i in range(10)],
+            "doc_id long, text string")
+        return df, ndf
+
+    def test_matches_equal_in_memory_lsh(self, spark, tmp_path):
+        """Stored-index matches == the in-memory LSH candidate pairs +
+        jaccard estimate restricted to (new, stored) cross pairs —
+        the layout must be invisible in the result."""
+        from dask_geopandas_spark.operators.dedup import (
+            dedup_against_index, lsh_candidate_pairs,
+            minhash_index_matches, minhash_jaccard_estimate,
+            write_minhash_index)
+
+        df, ndf = self._frames(spark)
+        p = str(tmp_path / "mhidx")
+        write_minhash_index(df, p, num_hashes=8, bands=4, k=3,
+                            n_buckets=16)
+        got = sorted((r["new_id"], r["stored_id"], r["est_jaccard"])
+                     for r in minhash_index_matches(
+                         ndf, p, threshold=0.5).collect())
+        u = df.unionByName(ndf)
+        pairs = lsh_candidate_pairs(u, num_hashes=8, bands=4, k=3)
+        est = minhash_jaccard_estimate(u, pairs, num_hashes=8, k=3)
+        want = sorted(
+            (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]),
+             round(r["est_jaccard"], 9))
+            for r in est.collect()
+            if round(r["est_jaccard"], 9) >= 0.5
+            and (r["id_a"] < 1000) != (r["id_b"] < 1000))
+        assert got == want and len(got) > 100
+        # the dedup filter keeps exactly the unrelated batch docs
+        kept = dedup_against_index(ndf, p, threshold=0.5)
+        assert sorted(r["doc_id"] for r in kept.collect()) == \
+               [2000 + i for i in range(10)]
+
+    def test_partition_pruning_and_append(self, spark, tmp_path):
+        """The stored read carries the batch's band buckets as a
+        static PartitionFilter (100 TB of postings, batch-buckets/
+        n_buckets of it scanned); append validates parameters and
+        extends coverage."""
+        from dask_geopandas_spark.operators.dedup import (
+            minhash_index_matches, write_minhash_index)
+
+        df, ndf = self._frames(spark)
+        p = str(tmp_path / "mhidx2")
+        write_minhash_index(df, p, num_hashes=8, bands=4, k=3,
+                            n_buckets=16)
+        m = minhash_index_matches(ndf.limit(3), p, threshold=0.0)
+        plan = m._sc._jvm.PythonSQLUtils.explainString(
+            m._jdf.queryExecution(), "formatted")
+        assert "PartitionFilters" in plan and "band_bucket" in plan
+        import re as _re
+        assert _re.search(
+            r"PartitionFilters: \[[^\]]*band_bucket[^\]]*\]", plan), plan
+        # append: batch joins itself at est 1.0 afterwards
+        write_minhash_index(ndf, p, num_hashes=8, bands=4, k=3,
+                            append=True)
+        m2 = minhash_index_matches(ndf, p, threshold=0.999)
+        self_hits = m2.filter(F.col("new_id") == F.col("stored_id"))
+        assert self_hits.count() == 50
+        import pytest as _pt
+        with _pt.raises(ValueError, match="stored"):
+            write_minhash_index(ndf, p, num_hashes=16, bands=4,
+                                append=True)
+        with _pt.raises(ValueError, match="threshold"):
+            minhash_index_matches(ndf, p, threshold=1.5)
+        with _pt.raises(ValueError, match="bands"):
+            write_minhash_index(df, str(tmp_path / "bad"),
+                                num_hashes=8, bands=3)
