@@ -1042,6 +1042,39 @@ def q_sjoin_cobucket_dwithin(spark, sf_dir):
                  F.max("s_suppkey").alias("max_supp")))
 
 
+def q_spatial_bucketed(spark, sf_dir):
+    """Persisted spatial-bucketed layout (sources.bucketed, r7 — the
+    spatial member of the stored-layout family): customer points
+    written hive-partitioned by their explicit-boundary Hilbert
+    bucket, read back with a bbox window whose candidate buckets
+    compute DRIVER-SIDE from the sidecar (numpy interval math, no
+    Spark job) into a static PartitionFilter (plan-pinned in pytest),
+    then the exact `.cx` refinement and a per-bucket rollup.  Oracle:
+    the layout is invisible — window filter + the Hilbert CTE chain +
+    searchsorted bucket arithmetic in SQL."""
+    import shutil
+
+    from dask_geopandas_spark.sources import (read_spatial_bucketed,
+                                              write_spatial_bucketed)
+
+    path = "/root/repo/.bench_tmp/sb_cust"
+    shutil.rmtree(path, ignore_errors=True)
+    g = _cust_points(spark, sf_dir)
+    tb = (-180.0, -90.0, 180.0, 90.0)
+    write_spatial_bucketed(g, path, by="hilbert", level=12,
+                           boundaries=_SHUFFLE_BOUNDS, total_bounds=tb)
+    win = (-50.0, -40.0, 60.0, 55.0)
+    back = read_spatial_bucketed(spark, path, bbox=win)
+    filt = back.cx(xmin=win[0], ymin=win[1], xmax=win[2], ymax=win[3])
+    h = filt.hilbert_distance(total_bounds=tb, level=12)
+    return (filt.df.withColumn("_h", h)
+            .groupBy(F.col("_spatial_bucket").cast("int")
+                     .alias("bucket"))
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.min("_h").alias("min_key"),
+                 F.max("_h").alias("max_key")))
+
+
 def q_interiors(spark, sf_dir):
     """interiors accessor (reference expr.py: 'interiors' property):
     difference inserts a hole when b sits strictly inside a
@@ -3143,17 +3176,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     badword_filter, shards_roundtrip (oracle upgraded again this
     round: the copy_id shard-key fold), decontam_spans,
     spatial_shuffle (exact-oracle form), code_quality — at positions
-    1-6; (b) the FIVE r7-new queries (sjoin_cobucket,
+    1-6; (b) the SIX r7-new queries (sjoin_cobucket,
     sjoin_cobucket_dwithin, semantic_dedup_keep,
-    quality_classifier_join, index_dedup); (c) 39 of the 40 entries
-    whose last green attestation is round 4 — the staleness backlog,
-    rotation leaders connected_components / lm_quality / bm25_batch /
-    media_manifest first — filling the window to exactly 50.
-    stream_dedup (the 40th r4 entry, squeezed out when index_dedup
-    landed) and cluster_dedup (oldest r5) lead the r8 rotation just
-    below the window, ahead of the remaining r5-green block and the
-    r6-green tail.  After this round the only ≤r4 attestation left is
-    stream_dedup — front of the next window by policy."""
+    quality_classifier_join, index_dedup, spatial_bucketed); (c) 38
+    of the 40 entries whose last green attestation is round 4 — the
+    staleness backlog, rotation leaders connected_components /
+    lm_quality / bm25_batch / media_manifest first — filling the
+    window to exactly 50.  top_bigram and stream_dedup (the two r4
+    entries squeezed out as index_dedup and spatial_bucketed landed)
+    plus cluster_dedup (oldest r5) lead the r8 rotation just below
+    the window, ahead of the remaining r5-green block and the
+    r6-green tail.  After this round the only ≤r4 attestations left
+    are those two — front of the next window by policy."""
     return {
         # -- r6-late entries never driver-attested (verdict r7 #1:
         #    positions 1-6; shards_roundtrip oracle upgraded r7) --
@@ -3169,6 +3203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_keep": q_semantic_dedup_keep,
         "quality_classifier_join": q_quality_classifier_join,
         "index_dedup": q_index_dedup,
+        "spatial_bucketed": q_spatial_bucketed,
         # -- last green r4 (all 40 — empties the staleness backlog;
         #    rotation leaders first) --
         "connected_components": q_connected_components,
@@ -5261,6 +5296,22 @@ def oracle_sql() -> dict[str, str]:
                 f"""SELECT CAST(floor(least(greatest((({CUST_X}) + 180.0) / 360.0, 0.0), 1.0) * 4095) AS BIGINT) AS x,
                            CAST(floor(least(greatest((({CUST_Y}) + 90.0) / 180.0, 0.0), 1.0) * 4095) AS BIGINT) AS y
                     FROM customer"""
+            )
+            + f"""
+            SELECT CAST(len(list_filter({_SHUFFLE_BOUNDS!r}, b -> b <= d))
+                        AS INTEGER) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   min(d) AS min_key, max(d) AS max_key
+            FROM h12 GROUP BY 1
+        """
+        ),
+        "spatial_bucketed": (
+            _hilbert12_cte_sql(
+                f"""SELECT CAST(floor(least(greatest((({CUST_X}) + 180.0) / 360.0, 0.0), 1.0) * 4095) AS BIGINT) AS x,
+                           CAST(floor(least(greatest((({CUST_Y}) + 90.0) / 180.0, 0.0), 1.0) * 4095) AS BIGINT) AS y
+                    FROM customer
+                    WHERE ({CUST_X}) >= -50 AND ({CUST_X}) <= 60
+                      AND ({CUST_Y}) >= -40 AND ({CUST_Y}) <= 55"""
             )
             + f"""
             SELECT CAST(len(list_filter({_SHUFFLE_BOUNDS!r}, b -> b <= d))

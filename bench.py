@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "semantic_dedup_keep",
     "quality_classifier_join",
     "index_dedup",
+    "spatial_bucketed",
 ]
 
 

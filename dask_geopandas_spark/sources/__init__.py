@@ -6,6 +6,7 @@ mapInPandas; `read_file` builds a (path, offset, count) part list on
 the driver and reads fragments on executors.
 """
 
+from .bucketed import read_spatial_bucketed, write_spatial_bucketed
 from .feather import read_feather, to_feather
 from .file import read_file
 from .flatgeobuf import read_flatgeobuf, to_flatgeobuf
@@ -25,4 +26,6 @@ __all__ = [
     "to_geopackage",
     "read_flatgeobuf",
     "to_flatgeobuf",
+    "write_spatial_bucketed",
+    "read_spatial_bucketed",
 ]

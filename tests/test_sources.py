@@ -529,3 +529,102 @@ def test_list_layers(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unsupported extension"):
         list_layers("x.tab")
+
+
+class TestSpatialBucketed:
+    """r7: the persisted spatial-bucketed layout (sources.bucketed) —
+    bbox-pruned reads via driver-side interval math and cross-run
+    co-bucketed joins."""
+
+    TB = (-180.0, -90.0, 180.0, 90.0)
+    BOUNDS = [(4 ** 12) // 8 * i for i in range(1, 8)]
+
+    def _pts(self, spark, n=1500):
+        import dask_geopandas_spark as dgs
+
+        pdf = spark.createDataFrame(
+            [(i, float((i * 37) % 360 - 180) + 0.25,
+              float((i * 53) % 180 - 90) + 0.25) for i in range(n)],
+            "pid long, x double, y double")
+        return dgs.points_from_xy(pdf, "x", "y", crs="EPSG:4326")
+
+    def test_roundtrip_prune_and_crossrun_join(self, spark, tmp_path):
+        import re
+
+        import dask_geopandas_spark as dgs
+        from dask_geopandas_spark.sources import (read_spatial_bucketed,
+                                                  write_spatial_bucketed)
+
+        pts = self._pts(spark)
+        p = str(tmp_path / "sb")
+        write_spatial_bucketed(pts, p, by="hilbert", level=12,
+                               boundaries=self.BOUNDS,
+                               total_bounds=self.TB)
+        back = read_spatial_bucketed(spark, p)
+        assert back.df.count() == 1500 and back.crs == "EPSG:4326"
+        # bbox-pruned read + cx refine == unpruned cx (superset prune)
+        win = (-50.0, -40.0, 60.0, 55.0)
+        pruned = read_spatial_bucketed(spark, p, bbox=win)
+        got = sorted(r["pid"] for r in
+                     pruned.cx(*win).df.select("pid").collect())
+        want = sorted(r["pid"] for r in
+                      pts.cx(*win).df.select("pid").collect())
+        assert got == want and len(got) > 50
+        # the prune is a static PartitionFilter, not a row filter
+        plan = pruned.df._sc._jvm.PythonSQLUtils.explainString(
+            pruned.df._jdf.queryExecution(), "formatted")
+        assert re.search(
+            r"PartitionFilters: \[[^\]]*_spatial_bucket[^\]]*\]",
+            plan), plan
+        # cross-run co-bucketed join: replicated boxes layout
+        from pyspark.sql import functions as F
+
+        bdf = (spark.createDataFrame(
+            [(j, float((j * 71) % 340 - 175),
+              float((j * 29) % 160 - 85)) for j in range(200)],
+            "bid long, bx double, by double")
+            .withColumn("bx1", F.col("bx") + F.lit(12.0))
+            .withColumn("by1", F.col("by") + F.lit(9.0)))
+        boxes = dgs.boxes_from_bounds(bdf, "bx", "by", "bx1", "by1",
+                                      crs="EPSG:4326")
+        p2 = str(tmp_path / "sbb")
+        write_spatial_bucketed(boxes, p2, by="hilbert", level=12,
+                               boundaries=self.BOUNDS,
+                               total_bounds=self.TB, replicate=True)
+        got2 = sorted((r["pid"], r["bid"]) for r in
+                      back.sjoin(read_spatial_bucketed(spark, p2),
+                                 predicate="within",
+                                 strategy="cobucket")
+                      .df.select("pid", "bid").collect())
+        want2 = sorted((r["pid"], r["bid"]) for r in
+                       pts.sjoin(boxes, predicate="within",
+                                 strategy="grid", grid_level=6)
+                       .df.select("pid", "bid").collect())
+        assert got2 == want2 and len(got2) > 100
+
+    def test_validation(self, spark, tmp_path):
+        import dask_geopandas_spark as dgs
+        from dask_geopandas_spark.sources import (read_spatial_bucketed,
+                                                  write_spatial_bucketed)
+
+        pts = self._pts(spark, n=50)
+        with pytest.raises(ValueError, match="boundaries"):
+            write_spatial_bucketed(pts, str(tmp_path / "x"),
+                                   total_bounds=self.TB)
+        # non-complete layout (plain polygons) refuses bbox pruning
+        from pyspark.sql import functions as F
+
+        bdf = (spark.createDataFrame([(1, 0.0, 0.0)],
+                                     "bid long, bx double, by double")
+               .withColumn("bx1", F.col("bx") + F.lit(5.0))
+               .withColumn("by1", F.col("by") + F.lit(5.0)))
+        boxes = dgs.boxes_from_bounds(bdf, "bx", "by", "bx1", "by1",
+                                      crs="EPSG:4326")
+        p = str(tmp_path / "plainb")
+        write_spatial_bucketed(boxes, p, by="hilbert", level=12,
+                               boundaries=self.BOUNDS,
+                               total_bounds=self.TB)
+        with pytest.raises(ValueError, match="replicate=True"):
+            read_spatial_bucketed(spark, p, bbox=(0, 0, 1, 1))
+        # without bbox the plain layout reads fine
+        assert read_spatial_bucketed(spark, p).df.count() == 1
