@@ -266,6 +266,33 @@ def q_sjoin_nearest_grid(spark, sf_dir):
     )
 
 
+def q_sjoin_nearest_cobucket(spark, sf_dir):
+    """Co-bucketed bounded-radius nearest join (r7 — the nearest
+    member of the layout-once-join-many family): customers as a
+    single-copy point layout, nation boxes replicated with
+    dilate=60 so every true neighbor within the radius shares a
+    bucket; the bucket equi-join replaces the per-join grid shuffle,
+    scoring/reduction identical to the grid path.  Oracle: the
+    layout is invisible — sjoin_nearest_grid's min-distance SQL with
+    a different rounding column name."""
+    from dask_geopandas_spark.operators.sjoin import sjoin_nearest
+
+    pts = _cust_points(spark, sf_dir)
+    boxes = _boxes(spark, sf_dir, "nation", NB)
+    tb = (-180.0, -90.0, 180.0, 90.0)
+    pl = pts.spatial_shuffle(by="hilbert", level=12, total_bounds=tb,
+                             boundaries=_SHUFFLE_BOUNDS)
+    br = boxes.spatial_shuffle(by="hilbert", level=12, total_bounds=tb,
+                               boundaries=_SHUFFLE_BOUNDS,
+                               replicate=True, dilate=60.0)
+    out = sjoin_nearest(pl, br, k=1, max_distance=60.0,
+                        strategy="cobucket")
+    return out.df.select(
+        F.col("c_custkey").alias("custkey"),
+        F.round(F.col("dist"), 6).alias("cb_nearest_dist"),
+    )
+
+
 def q_dissolve_centroid(spark, sf_dir):
     g = _cust_points(spark, sf_dir)[["c_mktsegment", "c_custkey", "geometry"]]
     d = g.dissolve(by="c_mktsegment", aggfunc={"c_custkey": "count"})
@@ -3176,18 +3203,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     badword_filter, shards_roundtrip (oracle upgraded again this
     round: the copy_id shard-key fold), decontam_spans,
     spatial_shuffle (exact-oracle form), code_quality — at positions
-    1-6; (b) the SIX r7-new queries (sjoin_cobucket,
+    1-6; (b) the SEVEN r7-new queries (sjoin_cobucket,
     sjoin_cobucket_dwithin, semantic_dedup_keep,
-    quality_classifier_join, index_dedup, spatial_bucketed); (c) 38
-    of the 40 entries whose last green attestation is round 4 — the
-    staleness backlog, rotation leaders connected_components /
-    lm_quality / bm25_batch / media_manifest first — filling the
-    window to exactly 50.  top_bigram and stream_dedup (the two r4
-    entries squeezed out as index_dedup and spatial_bucketed landed)
-    plus cluster_dedup (oldest r5) lead the r8 rotation just below
-    the window, ahead of the remaining r5-green block and the
-    r6-green tail.  After this round the only ≤r4 attestations left
-    are those two — front of the next window by policy."""
+    quality_classifier_join, index_dedup, spatial_bucketed,
+    sjoin_nearest_cobucket); (c) 37 of the 40 entries whose last
+    green attestation is round 4 — the staleness backlog, rotation
+    leaders connected_components / lm_quality / bm25_batch /
+    media_manifest first — filling the window to exactly 50.
+    buffer_l_area, top_bigram and stream_dedup (the three r4 entries
+    squeezed out as the late r7 queries landed) plus cluster_dedup
+    (oldest r5) lead the r8 rotation just below the window, ahead of
+    the remaining r5-green block and the r6-green tail.  After this
+    round the only ≤r4 attestations left are those three — front of
+    the next window by policy."""
     return {
         # -- r6-late entries never driver-attested (verdict r7 #1:
         #    positions 1-6; shards_roundtrip oracle upgraded r7) --
@@ -3204,6 +3232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_join": q_quality_classifier_join,
         "index_dedup": q_index_dedup,
         "spatial_bucketed": q_spatial_bucketed,
+        "sjoin_nearest_cobucket": q_sjoin_nearest_cobucket,
         # -- last green r4 (all 40 — empties the staleness backlog;
         #    rotation leaders first) --
         "connected_components": q_connected_components,
@@ -5438,6 +5467,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM customer c CROSS JOIN nation n
                 GROUP BY c.c_custkey
             ) WHERE nearest_dist <= 60.0
+        """,
+        "sjoin_nearest_cobucket": f"""
+            SELECT custkey, cb_nearest_dist FROM (
+                SELECT c.c_custkey AS custkey,
+                       round(min(sqrt(
+                           power(greatest({NB['minx']} - ({CUST_X}),
+                                         ({CUST_X}) - ({NB['minx']} + {NB['w']}),
+                                         0), 2) +
+                           power(greatest({NB['miny']} - ({CUST_Y}),
+                                         ({CUST_Y}) - ({NB['miny']} + {NB['h']}),
+                                         0), 2))), 6) AS cb_nearest_dist
+                FROM customer c CROSS JOIN nation n
+                GROUP BY c.c_custkey
+            ) WHERE cb_nearest_dist <= 60.0
         """,
         "dissolve_centroid": f"""
             SELECT c_mktsegment AS segment, count(*) AS n_customers,

@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "quality_classifier_join",
     "index_dedup",
     "spatial_bucketed",
+    "sjoin_nearest_cobucket",
 ]
 
 

@@ -421,13 +421,93 @@ def sjoin_nearest(left, right, k: int = 1, max_distance: float | None = None,
     superset, scored and reduced exactly as the broadcast path.  Scales
     as a shuffled hash join on cell id; the unbounded-radius case has
     no distributed plan (an empty neighborhood would need ring
-    expansion) — pass a radius or use broadcast."""
+    expansion) — pass a radius or use broadcast.
+
+    **cobucket** (both sides `spatial_shuffle(boundaries=)` layouts):
+    the bounded-radius join as a bucket equi-join reusing the
+    layout-time partitioning — left must be a single-copy point
+    layout, right must carry ``dilate >= max_distance`` replication
+    (then a true neighbor always shares a bucket, the dwithin
+    argument); candidates score and reduce exactly as the other
+    strategies."""
     from ..core import GeoDataFrame
 
     lg, rg = left, right
     lgeom, rgeom = lg.geometry_column, rg.geometry_column
 
     lid = "_nn_left_row"
+    _lm, _rm = _cobucket_meta(lg), _cobucket_meta(rg)
+    if strategy != "cobucket" and (
+            (_lm or {}).get("dgs_cobucket_replicated")
+            or (_rm or {}).get("dgs_cobucket_replicated")):
+        raise ValueError(
+            "a spatial_shuffle(replicate=True) frame carries one row "
+            "per overlapping bucket; sjoin_nearest would count the "
+            "same neighbor once per replica — use strategy='cobucket' "
+            "or the un-replicated frames")
+    if strategy == "cobucket":
+        # the co-bucketed bounded-radius nearest join: LEFT must be a
+        # single-copy point layout (a replicated left would split each
+        # row's top-k across its replicas), RIGHT must carry the
+        # search radius as shuffle-time dilation — then dist(l, r) <=
+        # max_distance implies a shared bucket (the dwithin argument)
+        # and every true neighbor survives the bucket equi-join.
+        if max_distance is None:
+            raise ValueError(
+                "sjoin_nearest(strategy='cobucket') requires "
+                "max_distance (the radius the right side's layout "
+                "dilation covers)")
+        err = _cobucket_check(_lm, _rm)
+        if err:
+            raise ValueError(f"sjoin_nearest strategy='cobucket': {err}")
+        if not _lm.get("dgs_cobucket_single"):
+            raise ValueError(
+                "sjoin_nearest(strategy='cobucket') needs a "
+                "single-copy point layout on the LEFT (replicated "
+                "left rows would split the per-row top-k across "
+                "replicas)")
+        rdil = float(_rm.get("dgs_cobucket_dilate", 0.0))
+        if float(max_distance) > rdil:
+            raise ValueError(
+                f"the right layout's dilation ({rdil}) does not cover "
+                f"max_distance={max_distance}; re-shuffle it with "
+                f"replicate=True, dilate>={max_distance}")
+        lg2, rg2 = lg.with_bbox(), rg.with_bbox()
+        lbbox, rbbox = lg2.bbox_column, rg2.bbox_column
+        common0 = set(lg2.df.columns) & set(rg2.df.columns)
+        ldf, rdf = _suffix_collisions(lg2.df, rg2.df, lsuffix, rsuffix)
+        lgeom_j = lgeom if lgeom in ldf.columns else f"{lgeom}{lsuffix}"
+        rgeom_j = rgeom if rgeom in rdf.columns and rgeom != lgeom_j \
+            else f"{rgeom}{rsuffix}"
+        lbbox_j = lbbox if lbbox in ldf.columns else f"{lbbox}{lsuffix}"
+        rbbox_j = rbbox if rbbox in rdf.columns and rbbox != lbbox_j \
+            else f"{rbbox}{rsuffix}"
+        l_bucket = ("_spatial_bucket" + lsuffix
+                    if "_spatial_bucket" in common0 else "_spatial_bucket")
+        r_bucket = ("_spatial_bucket" + rsuffix
+                    if "_spatial_bucket" in common0 else "_spatial_bucket")
+        r_arr = (("_spatial_buckets" + rsuffix
+                  if "_spatial_buckets" in common0 else "_spatial_buckets")
+                 if "_spatial_buckets" in rg2.df.columns else None)
+        ldf = ldf.withColumn(lid, F.monotonically_increasing_id())
+        d = float(max_distance)
+        dil = "_nn_dilated_bbox"
+        ldf = ldf.withColumn(dil, F.struct(
+            (F.col(f"{lbbox_j}.minx") - d).alias("minx"),
+            (F.col(f"{lbbox_j}.miny") - d).alias("miny"),
+            (F.col(f"{lbbox_j}.maxx") + d).alias("maxx"),
+            (F.col(f"{lbbox_j}.maxy") + d).alias("maxy")))
+        helpers = [c for c in (l_bucket, r_bucket, r_arr, dil) if c]
+        scored = (
+            ldf.join(rdf, F.col(l_bucket) == F.col(r_bucket), "inner")
+            .filter(_bbox_overlap(dil, rbbox_j))
+            .withColumn(distance_col,
+                        FX.st_distance(F.col(lgeom_j), F.col(rgeom_j)))
+            .filter(F.col(distance_col) <= d)
+            .drop(*helpers)
+        )
+        return _nearest_reduce(GeoDataFrame, scored, left, lid, lgeom_j,
+                               rgeom_j, distance_col, k)
     if strategy == "grid":
         if max_distance is None:
             raise ValueError(

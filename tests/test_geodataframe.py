@@ -1203,3 +1203,42 @@ class TestCobucketSjoin:
             pts.spatial_shuffle(boundaries=self.BOUNDS,
                                 total_bounds=self.TB, replicate=True,
                                 dilate=-1.0)
+
+    def test_nearest_cobucket(self, spark):
+        """r7: bounded-radius sjoin_nearest over co-bucketed layouts —
+        left single-copy points, right dilated replication — equals
+        the grid path for k=1 and k>1; guards refuse an undersized
+        dilation, a replicated left, and replicated frames on other
+        strategies."""
+        import dask_geopandas_spark as dgs
+        from dask_geopandas_spark.operators.sjoin import sjoin_nearest
+
+        pts, boxes = self._frames(spark, n_pts=400, n_boxes=60)
+        pl = pts.spatial_shuffle(by="hilbert", level=12,
+                                 total_bounds=self.TB,
+                                 boundaries=self.BOUNDS)
+        br = boxes.spatial_shuffle(by="hilbert", level=12,
+                                   total_bounds=self.TB,
+                                   boundaries=self.BOUNDS,
+                                   replicate=True, dilate=25.0)
+        for kk in (1, 3):
+            got = sorted((r["pid"], round(r["dist"], 6)) for r in
+                         sjoin_nearest(pl, br, k=kk, max_distance=25.0,
+                                       strategy="cobucket")
+                         .df.select("pid", "dist").collect())
+            want = sorted((r["pid"], round(r["dist"], 6)) for r in
+                          sjoin_nearest(pts, boxes, k=kk,
+                                        max_distance=25.0,
+                                        strategy="grid", grid_level=5)
+                          .df.select("pid", "dist").collect())
+            assert got == want and len(got) > 100
+        with pytest.raises(ValueError, match="dilation"):
+            sjoin_nearest(pl, br, max_distance=30.0,
+                          strategy="cobucket")
+        with pytest.raises(ValueError, match="single-copy"):
+            sjoin_nearest(br, pl, max_distance=10.0,
+                          strategy="cobucket")
+        with pytest.raises(ValueError, match="replica"):
+            sjoin_nearest(pts, br, max_distance=10.0, strategy="grid")
+        with pytest.raises(ValueError, match="max_distance"):
+            sjoin_nearest(pl, br, strategy="cobucket")
