@@ -80,6 +80,36 @@ def run_tour(spark: SparkSession, sf_dir: str):
         out["kml_readback"] = dgs.read_kml(spark, tmp).df.count()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+    # layout once, join many (r7): persist both layers bucketed by the
+    # SAME explicit Hilbert boundaries — every later session gets
+    # bbox-pruned reads (static PartitionFilter from driver-side
+    # interval math) and spatial joins that equi-join on the bucket id
+    # instead of planning a fresh grid shuffle per join
+    from dask_geopandas_spark.sources import (read_spatial_bucketed,
+                                              write_spatial_bucketed)
+
+    tmp_p, tmp_b = tempfile.mkdtemp(), tempfile.mkdtemp()
+    try:
+        tb = (-180.0, -90.0, 180.0, 90.0)
+        bounds = [i * (4 ** 12) // 8 for i in range(1, 8)]
+        write_spatial_bucketed(pts, tmp_p, by="hilbert", level=12,
+                               boundaries=bounds, total_bounds=tb)
+        write_spatial_bucketed(boxes, tmp_b, by="hilbert", level=12,
+                               boundaries=bounds, total_bounds=tb,
+                               replicate=True)  # the join layout
+        pts_l = read_spatial_bucketed(spark, tmp_p)
+        boxes_l = read_spatial_bucketed(spark, tmp_b)
+        cob = pts_l.sjoin(boxes_l, predicate="intersects",
+                          strategy="cobucket")
+        out["cobucket_matches"] = cob.df.count()
+        # a window read touches only its buckets of the stored layout
+        out["pruned_readback"] = read_spatial_bucketed(
+            spark, tmp_p, bbox=(-60, -45, 60, 45)).cx(
+            xmin=-60, ymin=-45, xmax=60, ymax=45).count()
+    finally:
+        shutil.rmtree(tmp_p, ignore_errors=True)
+        shutil.rmtree(tmp_b, ignore_errors=True)
     return out
 
 

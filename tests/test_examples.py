@@ -28,6 +28,10 @@ def test_geospatial_tour_example(spark, sf_dir):
     assert out["dissolved_regions"] >= 1
     assert out["overlay_pieces"] >= 1
     assert 0 < out["windowed_readback"] <= out["reprojected"]
+    # the persisted co-bucketed join sees the same pairs as the
+    # per-join broadcast plan
+    assert out["cobucket_matches"] == out["sjoin_matches"]
+    assert 0 < out["pruned_readback"] <= out["reprojected"]
 
 
 def test_corpus_curation_example(spark, sf_dir):

@@ -291,3 +291,51 @@ class TestBucketSets:
             C.bucket_sets_from_bounds([0], [0], [1], [1],
                                       (0, 0, 1, 1), [1], "hilbert",
                                       8, 9)
+
+    def test_superset_property_hypothesis(self):
+        """Randomized sweep across levels, coarse levels, boundary
+        sets, and bbox shapes: the bucket set always contains every
+        covered fine cell's bucket, for both curves."""
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from dask_geopandas_spark.geometry import curves as C
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            st.integers(min_value=3, max_value=8),        # level
+            st.integers(min_value=1, max_value=4),        # coarse gap
+            st.lists(st.integers(min_value=1, max_value=4 ** 8 - 1),
+                     min_size=1, max_size=9, unique=True),
+            st.floats(min_value=0.0, max_value=0.95),
+            st.floats(min_value=0.0, max_value=0.95),
+            st.floats(min_value=0.0, max_value=0.4),
+            st.floats(min_value=0.0, max_value=0.4),
+            st.sampled_from(["hilbert", "morton"]),
+        )
+        def check(level, gap, raw_bounds, x0, y0, w, h, by):
+            coarse = max(1, level - gap)
+            bounds = sorted(b for b in raw_bounds if b < 4 ** level)
+            if not bounds:
+                return
+            tb = (0.0, 0.0, 1.0, 1.0)
+            x1, y1 = min(x0 + w, 1.0), min(y0 + h, 1.0)
+            got = set(C.bucket_sets_from_bounds(
+                [x0], [y0], [x1], [y1], tb, bounds, by, level,
+                coarse)[0])
+            cx0 = C.discretize_mid(np.array([x0]), 0, 1, level)[0]
+            cx1 = C.discretize_mid(np.array([x1]), 0, 1, level)[0]
+            cy0 = C.discretize_mid(np.array([y0]), 0, 1, level)[0]
+            cy1 = C.discretize_mid(np.array([y1]), 0, 1, level)[0]
+            gx, gy = np.meshgrid(np.arange(cx0, cx1 + 1),
+                                 np.arange(cy0, cy1 + 1))
+            gx = gx.ravel().astype(np.uint64)
+            gy = gy.ravel().astype(np.uint64)
+            ks = (C.hilbert_d(gx, gy, level) if by == "hilbert"
+                  else C.morton_d(gx, gy)).astype(np.int64)
+            want = set(np.searchsorted(np.array(bounds), ks,
+                                       side="right").tolist())
+            assert want <= got
+
+        check()

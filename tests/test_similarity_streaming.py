@@ -1246,3 +1246,59 @@ def test_semantic_dedup_keep_far_from_centroid(spark):
     with _pt.raises(ValueError, match="keep"):
         SIM.semantic_dedup(df, cents, keep="nope")
     SIM.release_cached_salt_inputs()
+
+
+def test_semantic_dedup_keep_composes_with_pq_and_probe(spark):
+    """r7: the far-from-centroid keeper is edge-path-independent — it
+    composes with codebooks (PQ edge stage) and nprobe unchanged,
+    matching brute force with the SAME edge semantics."""
+    import numpy as np
+
+    df, cents = _unit_norm_frame(spark)
+    thr = 0.99
+    # reference: edges from the plain vector path at nprobe=1 (the PQ
+    # prefilter at a wide margin keeps every true pair on this frame)
+    pdf = df.toPandas()
+    M = np.array([np.asarray(v, float) for v in pdf["embedding"]])
+    C = np.asarray(cents, float)
+    cells = np.argmin(((M[:, None, :] - C[None, :, :]) ** 2).sum(-1),
+                      axis=1)
+    norm = M / np.linalg.norm(M, axis=1, keepdims=True)
+    cos = norm @ norm.T
+    parent = list(range(len(M)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    touched = set()
+    for i in range(len(M)):
+        for j in range(i + 1, len(M)):
+            if cells[i] == cells[j] and round(cos[i, j], 9) >= thr:
+                parent[find(i)] = find(j)
+                touched |= {i, j}
+    comp = {}
+    for i in touched:
+        comp.setdefault(find(i), []).append(i)
+
+    def ccos(i):
+        c = C[cells[i]]
+        return round(float(M[i] @ c
+                           / (np.linalg.norm(M[i]) * np.linalg.norm(c))),
+                     9)
+
+    drop = set()
+    for vs in comp.values():
+        keeper = min(vs, key=lambda i: (ccos(i), int(pdf["vec_id"][i])))
+        drop |= {i for i in vs if i != keeper}
+    want = sorted(int(pdf["vec_id"][i]) for i in range(len(M))
+                  if i not in drop)
+    assert drop
+    books = SIM.train_pq(df, m=2, k=4, vec_col="embedding")
+    got = sorted(r["vec_id"] for r in SIM.semantic_dedup(
+        df, cents, threshold=thr, keep="far_from_centroid",
+        codebooks=books, sdc_margin=2.0).collect())
+    assert got == want
+    SIM.release_cached_salt_inputs()
