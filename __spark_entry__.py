@@ -1069,6 +1069,32 @@ def q_sjoin_cobucket_dwithin(spark, sf_dir):
                  F.max("s_suppkey").alias("max_supp")))
 
 
+def q_sjoin_cobucket_anti(spark, sf_dir):
+    """Co-bucketed ANTI spatial join (r7-late, beyond the verdict's
+    ask): how='left'/'anti' under strategy='cobucket' is sound for a
+    SINGLE-COPY left frame — each left row exists exactly once and a
+    candidate pair meets in exactly one bucket (the right replica in
+    the left row's home bucket), so the content-hash rejoin that
+    serves grid/broadcast left/anti applies unchanged.  Customer
+    points (single-copy layout) × nation boxes (replicated): customers
+    inside NO nation box, per market segment.  Oracle: the layout is
+    invisible — NOT EXISTS point-in-box SQL."""
+    pts = _cust_points(spark, sf_dir)
+    boxes = _boxes(spark, sf_dir, "nation", NB)
+    tb = (-180.0, -90.0, 180.0, 90.0)
+    ps = pts.spatial_shuffle(by="hilbert", level=12, total_bounds=tb,
+                             boundaries=_SHUFFLE_BOUNDS)
+    bs = boxes.spatial_shuffle(by="hilbert", level=12, total_bounds=tb,
+                               boundaries=_SHUFFLE_BOUNDS,
+                               replicate=True)
+    out = ps.sjoin(bs, how="anti", predicate="within",
+                   strategy="cobucket")
+    return (out.df.groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(F.count("*").cast("long").alias("n_outside"),
+                 F.min("c_custkey").alias("min_cust"),
+                 F.max("c_custkey").alias("max_cust")))
+
+
 def q_spatial_bucketed(spark, sf_dir):
     """Persisted spatial-bucketed layout (sources.bucketed, r7 — the
     spatial member of the stored-layout family): customer points
@@ -3278,6 +3304,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- oldest r5 attestation (fills the window to 50) --
         "cluster_dedup": q_cluster_dedup,
         # ---- 50-row driver window ends here ----
+        # -- r7-late (registered after the r7 window was fixed; lead
+        #    the r8 rotation per §15 policy) --
+        "sjoin_cobucket_anti": q_sjoin_cobucket_anti,
         # -- green r5 --
         "stream_funnel_left": q_stream_funnel_left,
         "gpx_roundtrip": q_gpx_roundtrip,
@@ -5307,6 +5336,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE power(({CUST_X}) - ({SUP_X}), 2)
                   + power(({CUST_Y}) - ({SUP_Y}), 2) <= 2.25
             GROUP BY c.c_custkey
+        """,
+        "sjoin_cobucket_anti": f"""
+            SELECT c_mktsegment AS segment,
+                   CAST(count(*) AS BIGINT) AS n_outside,
+                   min(c_custkey) AS min_cust,
+                   max(c_custkey) AS max_cust
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM nation n
+                WHERE ({CUST_X}) >= {NB['minx']}
+                  AND ({CUST_X}) <= {NB['minx']} + {NB['w']}
+                  AND ({CUST_Y}) >= {NB['miny']}
+                  AND ({CUST_Y}) <= {NB['miny']} + {NB['h']}
+            )
+            GROUP BY c_mktsegment
         """,
         "sjoin_anti": f"""
             SELECT c_mktsegment AS segment, count(*) AS n_outside

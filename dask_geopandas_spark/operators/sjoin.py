@@ -221,7 +221,11 @@ def sjoin(left, right, how: str = "inner", predicate: str = "intersects",
     beyond-reference 'left' (unmatched left rows kept with NULL right
     columns) and 'anti' (left rows with NO spatial match) — both are one
     extra native join on a left-row id against the inner result
-    (SURVEY §2.3 'can add left/anti spatial joins cheaply').
+    (SURVEY §2.3 'can add left/anti spatial joins cheaply').  Under
+    ``strategy='cobucket'`` left/anti require a SINGLE-COPY left frame
+    (each left row exists exactly once and meets each candidate in
+    exactly one bucket — the right replica in its home bucket — so the
+    rejoin is exact); a replicated left raises.
 
     ``predicate='dwithin'`` (beyond-reference; geopandas ≥ 0.12 sjoin
     parity) joins pairs whose distance is ≤ ``distance`` (same units as
@@ -292,8 +296,15 @@ def sjoin(left, right, how: str = "inner", predicate: str = "intersects",
     dwithin_ok = (predicate != "dwithin"
                   or (distance is not None
                       and float(distance) <= cob_dil))
+    l_replicated = bool((lmeta or {}).get("dgs_cobucket_replicated"))
+    # left/anti are co-bucketable iff the LEFT frame is single-copy:
+    # each left row then exists exactly once and a candidate pair meets
+    # in exactly one bucket (the right replica living in the left row's
+    # home bucket), so the content-hash rejoin below is sound.  A
+    # replicated left has no well-defined unmatched-left set.
+    how_ok = how == "inner" or not l_replicated
     if strategy == "auto":
-        if cob_err is None and how == "inner" and dwithin_ok:
+        if cob_err is None and how_ok and dwithin_ok:
             # both sides pre-bucketed with identical boundaries: the
             # equi-join on the bucket id reuses their partitioning —
             # NO Exchange on either side (the 100-TB fast path)
@@ -311,12 +322,13 @@ def sjoin(left, right, how: str = "inner", predicate: str = "intersects",
     if strategy == "cobucket":
         if cob_err:
             raise ValueError(f"strategy='cobucket': {cob_err}")
-        if how != "inner":
+        if not how_ok:
             raise ValueError(
-                "strategy='cobucket' supports how='inner' (replicated "
-                "inputs have no well-defined unmatched-left set); use "
-                "strategy='grid' on the un-replicated frames for "
-                "left/anti")
+                "strategy='cobucket' supports how='left'/'anti' only "
+                "for a SINGLE-COPY left frame (a replicated left has "
+                "no well-defined unmatched-left set); use the "
+                "un-replicated left layout, or strategy='grid' on "
+                "un-replicated frames")
         if predicate == "dwithin" and not dwithin_ok:
             raise ValueError(
                 "strategy='cobucket' serves dwithin only up to the "
@@ -394,9 +406,14 @@ def sjoin(left, right, how: str = "inner", predicate: str = "intersects",
     elif how == "anti":
         matched_ids = refined.select(lrow)
         refined = ldf.join(matched_ids, on=lrow, how="left_anti").drop(lrow)
-    if how in ("left", "anti") and cand_lbbox != lbbox_j:
-        # the rejoin against ldf re-introduces the dwithin helper bbox
-        refined = refined.drop(cand_lbbox)
+    if how in ("left", "anti"):
+        if cand_lbbox != lbbox_j:
+            # the rejoin against ldf re-introduces the dwithin helper bbox
+            refined = refined.drop(cand_lbbox)
+        if bucket_helpers:
+            # ... and the left side's bucket columns (drop ignores the
+            # right-side names, already absent from the rejoin)
+            refined = refined.drop(*bucket_helpers)
 
     return GeoDataFrame(refined, lgeom_j, crs_map=getattr(left, "_crs", {}))
 

@@ -1050,6 +1050,43 @@ class TestCobucketSjoin:
                       .df.select("bid_l", "bid_r").collect())
         assert got == want and len(got) > len(set(b for b, _ in got))
 
+    def test_left_anti_match_grid_single_copy_left(self, spark):
+        """how='left'/'anti' under cobucket (r7): sound for a
+        SINGLE-COPY left frame — each left row exists once and a
+        candidate pair meets in exactly one bucket, so the
+        content-hash rejoin is exact.  Pins cobucket == grid for both
+        modes, NULL-extension on unmatched left rows, and that no
+        bucket helper column leaks through the rejoin."""
+        pts, boxes = self._frames(spark, n_pts=400, n_boxes=40)
+        ps, bs = self._shuffled(pts, boxes)
+
+        def keyset(g, cols):
+            return sorted(tuple(r[c] for c in cols)
+                          for r in g.df.select(*cols).collect())
+
+        for how in ("left", "anti"):
+            got_g = ps.sjoin(bs, predicate="within", how=how,
+                             strategy="cobucket")
+            want_g = pts.sjoin(boxes, predicate="within", how=how,
+                               strategy="grid", grid_level=6)
+            cols = ["pid"] if how == "anti" else ["pid", "bid"]
+            got, want = keyset(got_g, cols), keyset(want_g, cols)
+            assert got == want and len(got) > 0, how
+            assert not [c for c in got_g.df.columns
+                        if "_spatial_bucket" in c], how
+        # left keeps unmatched rows with NULL right columns
+        left = ps.sjoin(bs, predicate="within", how="left",
+                        strategy="cobucket")
+        n_null = left.df.filter(F.col("bid").isNull()).count()
+        n_anti = ps.sjoin(bs, predicate="within", how="anti",
+                          strategy="cobucket").df.count()
+        assert n_null == n_anti > 0
+        # auto on compatible frames routes left/anti to cobucket too
+        auto = ps.sjoin(bs, predicate="within", how="anti")
+        assert keyset(auto, ["pid"]) == keyset(
+            ps.sjoin(bs, predicate="within", how="anti",
+                     strategy="cobucket"), ["pid"])
+
     def test_no_exchange_at_join(self, spark):
         """THE 100-TB pin: the join reuses both sides' layout-time
         hash partitioning — the executed plan's only Exchanges are the
@@ -1103,9 +1140,12 @@ class TestCobucketSjoin:
             ps.sjoin(bs, strategy="grid")
         with pytest.raises(ValueError, match="replicate"):
             ps.sjoin(bs, strategy="broadcast")
-        # and the cobucket-unsupported modes raise with guidance
-        with pytest.raises(ValueError, match="inner"):
-            ps.sjoin(bs, how="left", strategy="cobucket")
+        # and the cobucket-unsupported modes raise with guidance:
+        # left/anti demand a SINGLE-COPY left (bs is replicated)
+        with pytest.raises(ValueError, match="SINGLE-COPY"):
+            bs.sjoin(ps, how="left", strategy="cobucket")
+        with pytest.raises(ValueError, match="SINGLE-COPY"):
+            bs.sjoin(ps, how="anti", strategy="cobucket")
         with pytest.raises(ValueError, match="dwithin"):
             ps.sjoin(bs, predicate="dwithin", distance=1.0,
                      strategy="cobucket")
