@@ -2379,6 +2379,51 @@ def q_index_dedup(spark, sf_dir):
                  F.min("stored_id").alias("first_match")))
 
 
+def q_exact_index_dedup(spark, sf_dir):
+    """Incremental EXACT dedup against a stored hash index
+    (dedup.write_exact_index / exact_index_matches, r7-late — the
+    exact-match member of the stored-layout family): docs < 300 build
+    a hash-bucket-partitioned md5 index, docs 300-599 query it — the
+    batch's distinct hash buckets become a static partition filter,
+    the match is an equi-join on the 16-byte hash, and the dedup
+    filter is one left-anti join.  The template texts repeat every 15
+    ids, so every batch doc byte-equals 20 stored docs.  Oracle: the
+    layout is invisible — a plain md5 join across the two subsets."""
+    import shutil
+
+    from dask_geopandas_spark.operators.dedup import (
+        dedup_exact_against_index, exact_index_matches,
+        write_exact_index)
+
+    path = "/root/repo/.bench_tmp/exact_index"
+    shutil.rmtree(path, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 600) \
+        .select("doc_id")
+    tmpl = F.element_at(F.array(*[F.lit(t) for t in _IDX_TMPL]),
+                        (F.col("doc_id") % 5 + 1).cast("int"))
+    # batch docs divisible by 7 are genuinely fresh (id-salted text):
+    # they survive the dedup filter; everything else byte-equals 20
+    # stored docs
+    synth = docs.withColumn(
+        "text",
+        F.when((F.col("doc_id") >= 300) & (F.col("doc_id") % 7 == 0),
+               F.concat(F.lit("fresh "), F.col("doc_id").cast("string")))
+        .otherwise(F.concat(tmpl, F.lit(" tail"),
+                            (F.col("doc_id") % 3).cast("string"))))
+    write_exact_index(synth.filter(F.col("doc_id") < 300), path,
+                      n_buckets=8)
+    new = synth.filter(F.col("doc_id") >= 300)
+    agg = (exact_index_matches(new, path)
+           .groupBy("new_id")
+           .agg(F.count("*").cast("long").alias("n_matches"),
+                F.min("stored_id").alias("first_match")))
+    kept = dedup_exact_against_index(new, path).select(
+        F.col("doc_id").alias("new_id"),
+        F.lit(0).cast("long").alias("n_matches"),
+        F.lit(None).cast("long").alias("first_match"))
+    return agg.unionByName(kept)
+
+
 def q_line_dedup(spark, sf_dir):
     """Line-level corpus dedup (dedup.line_dedup — the CCNet/
     RefinedWeb boilerplate stage, verdict r5 #4): drop every
@@ -3307,6 +3352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r7-late (registered after the r7 window was fixed; lead
         #    the r8 rotation per §15 policy) --
         "sjoin_cobucket_anti": q_sjoin_cobucket_anti,
+        "exact_index_dedup": q_exact_index_dedup,
         # -- green r5 --
         "stream_funnel_left": q_stream_funnel_left,
         "gpx_roundtrip": q_gpx_roundtrip,
@@ -4320,6 +4366,42 @@ def _index_dedup_oracle_sql(threshold: float = 0.5) -> str:
                min(stored_id) AS first_match
         FROM est WHERE ej >= CAST({threshold!r} AS DOUBLE)
         GROUP BY new_id
+    """
+
+
+def _exact_index_oracle_sql() -> str:
+    """DuckDB replica of q_exact_index_dedup: the synthetic template
+    texts with the id-salted fresh docs, a plain text equi-join
+    restricted to (new >= 300, stored < 300), per-new aggregation,
+    unioned with the 0-match survivor rows — the stored layout is
+    invisible to the result, exactly like every other stored-index
+    oracle."""
+    tl = "[" + ", ".join(f"'{t}'" for t in _IDX_TMPL) + "]"
+    return f"""
+        WITH synth AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id >= 300 AND doc_id % 7 = 0
+                        THEN 'fresh ' || CAST(doc_id AS VARCHAR)
+                        ELSE ({tl})[CAST(doc_id % 5 AS INTEGER) + 1]
+                             || ' tail' || CAST(doc_id % 3 AS VARCHAR)
+                   END AS text
+            FROM documents WHERE doc_id < 600
+        ),
+        m AS (
+            SELECT n.doc_id AS new_id, o.doc_id AS stored_id
+            FROM synth n JOIN synth o ON n.text = o.text
+            WHERE n.doc_id >= 300 AND o.doc_id < 300
+        )
+        SELECT new_id, CAST(count(*) AS BIGINT) AS n_matches,
+               min(stored_id) AS first_match
+        FROM m GROUP BY new_id
+        UNION ALL
+        SELECT s.doc_id AS new_id, CAST(0 AS BIGINT) AS n_matches,
+               CAST(NULL AS BIGINT) AS first_match
+        FROM synth s
+        WHERE s.doc_id >= 300 AND NOT EXISTS (
+            SELECT 1 FROM synth o
+            WHERE o.doc_id < 300 AND o.text = s.text)
     """
 
 
@@ -5767,6 +5849,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier_join": _quality_classifier_oracle_sql(
             dim=96, bias=0.1, mul=13, mod=97, off=48, den=64.0),
         "index_dedup": _index_dedup_oracle_sql(),
+        "exact_index_dedup": _exact_index_oracle_sql(),
         "semantic_dedup_keep": _semantic_dedup_oracle_sql(
             keep="far_from_centroid"),
         "dup_spans": _dup_spans_oracle_sql(),

@@ -10,10 +10,12 @@ from .dedup import (
     contaminated_spans,
     decontaminate_spans,
     dedup_against_index,
+    dedup_exact_against_index,
     dedup_lines_within_doc,
     duplicated_spans,
     embedding_neardup_pairs,
     exact_dedup,
+    exact_index_matches,
     line_dedup,
     lsh_candidate_pairs,
     lsh_dedup,
@@ -23,6 +25,7 @@ from .dedup import (
     release_cached_signatures,
     remove_duplicated_spans,
     simhash,
+    write_exact_index,
     write_minhash_index,
 )
 from .dissolve import dissolve
@@ -78,6 +81,7 @@ __all__ = [
     "duplicated_spans", "remove_duplicated_spans",
     "contaminated_spans", "decontaminate_spans",
     "write_minhash_index", "minhash_index_matches", "dedup_against_index",
+    "write_exact_index", "exact_index_matches", "dedup_exact_against_index",
     "brute_force_topk", "train_centroids", "ivf_topk",
     "write_ivf_index", "ivf_topk_stored",
     "knn_graph", "train_pq", "release_cached_salt_inputs",

@@ -723,6 +723,98 @@ def dedup_against_index(new_df: DataFrame, path: str,
     return new_df.join(hits, on=id_col, how="left_anti")
 
 
+def _hash_bucket(col: Column, n_buckets: int) -> Column:
+    return F.pmod(portable_hash(col), F.lit(int(n_buckets))).cast("int")
+
+
+def write_exact_index(df: DataFrame, path: str, text_col: str = "text",
+                      id_col: str = "doc_id", n_buckets: int = 64,
+                      append: bool = False) -> None:
+    """Persist an EXACT-duplicate index hive-partitioned by text-hash
+    bucket — the exact-match member of the stored-layout family (ivf /
+    text / minhash / spatial): ``postings/`` holds one
+    (id, text_hash) row per document, partitioned by
+    ``pmod(hash(text_hash), n_buckets)`` so a query batch reads ONLY
+    the buckets its own hashes land in (static partition pruning);
+    ``meta/`` holds the 1-row n_buckets record.
+
+    Exact dedup against yesterday's corpus then never re-scans — or
+    even re-hashes — the stored text: the index carries 16-byte md5s,
+    ~1/1000th of a typical document, and the pruned read touches
+    n_batch_buckets/n_buckets of even that.
+
+    ``append=True`` adds a batch under the stored n_buckets
+    (validated); meta is immutable.  The caller guarantees appended
+    ids are disjoint from stored ones.  A crash mid-append leaves the
+    index consistent but the batch partially indexed — re-run as a
+    rebuild (re-appending double-inserts)."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    base = path.rstrip("/")
+    spark = df.sparkSession
+    if append:
+        meta = spark.read.parquet(base + "/meta").head()
+        n_buckets = int(meta["n_buckets"])
+    posts = df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("text_hash")
+    ).withColumn("hash_bucket", _hash_bucket(F.col("text_hash"),
+                                             n_buckets))
+    posts.write.mode("append" if append else "overwrite") \
+        .partitionBy("hash_bucket").parquet(base + "/postings")
+    if not append:
+        spark.createDataFrame([(n_buckets,)], "n_buckets int") \
+            .write.mode("overwrite").parquet(base + "/meta")
+
+
+def exact_index_matches(new_df: DataFrame, path: str,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate matches of a NEW batch against a stored
+    `write_exact_index`: (new_id, stored_id) for every stored doc
+    whose md5(text) equals a batch doc's.
+
+    Distributed shape: the batch hashes in one narrow pass; its
+    DISTINCT hash buckets (≤ n_buckets ints) collect driver-side into
+    a static partition filter, so the stored read touches
+    n_batch_buckets/n_buckets of the md5 postings and never any text;
+    the match is a batch-sized equi-join on the 16-byte hash."""
+    base = path.rstrip("/")
+    spark = new_df.sparkSession
+    meta = spark.read.parquet(base + "/meta").head()
+    n_buckets = int(meta["n_buckets"])
+    nb = new_df.select(
+        F.col(id_col).alias("new_id"),
+        F.md5(F.col(text_col)).alias("text_hash")
+    ).withColumn("hash_bucket", _hash_bucket(F.col("text_hash"),
+                                             n_buckets))
+    buckets = sorted(r["hash_bucket"] for r in
+                     nb.select("hash_bucket").distinct().collect())
+    if not buckets:
+        return spark.createDataFrame([], "new_id long, stored_id long")
+    stored = (spark.read.parquet(base + "/postings")
+              .filter(F.col("hash_bucket").isin(buckets))
+              .select(F.col(id_col).alias("stored_id"), "text_hash"))
+    return (nb.drop("hash_bucket")
+            .join(stored, on="text_hash")
+            .select("new_id", "stored_id"))
+
+
+def dedup_exact_against_index(new_df: DataFrame, path: str,
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """The incremental EXACT dedup filter: drop every NEW row whose
+    text byte-equals something already in the stored
+    `write_exact_index` (see `exact_index_matches` for the pruned-read
+    shape), keep the rest — one batch-keyed left-anti join.  Compose
+    with `write_exact_index(append=True)` on the survivors to advance
+    the index for the next batch; the near-duplicate analogue is
+    `dedup_against_index` over a `write_minhash_index`."""
+    hits = (exact_index_matches(new_df, path, text_col, id_col)
+            .select(F.col("new_id").alias(id_col)).distinct())
+    return new_df.join(hits, on=id_col, how="left_anti")
+
+
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst", max_iter: int = 10,
                          on_nonconverged: str = "warn") -> DataFrame:

@@ -1765,3 +1765,74 @@ class TestMinhashIndex:
         with _pt.raises(ValueError, match="bands"):
             write_minhash_index(df, str(tmp_path / "bad"),
                                 num_hashes=8, bands=3)
+
+
+class TestExactIndex:
+    """r7-late: the stored EXACT-duplicate index (dedup.
+    write_exact_index / exact_index_matches /
+    dedup_exact_against_index) — the exact-match member of the
+    stored-layout family."""
+
+    def _frames(self, spark):
+        texts = ["alpha bravo charlie", "delta echo foxtrot",
+                 "golf hotel india", "juliet kilo lima"]
+        df = spark.createDataFrame(
+            [(i, texts[i % 4]) for i in range(80)],
+            "doc_id long, text string")
+        ndf = spark.createDataFrame(
+            [(1000 + i, texts[i % 4]) for i in range(20)]
+            + [(2000 + i, f"fresh document {i}") for i in range(8)],
+            "doc_id long, text string")
+        return df, ndf
+
+    def test_matches_equal_in_memory_join(self, spark, tmp_path):
+        """Stored-index matches == a plain md5 equi-join between the
+        two batches — the layout must be invisible in the result;
+        dedup keeps exactly the fresh docs."""
+        from dask_geopandas_spark.operators.dedup import (
+            dedup_exact_against_index, exact_index_matches,
+            write_exact_index)
+
+        df, ndf = self._frames(spark)
+        p = str(tmp_path / "exidx")
+        write_exact_index(df, p, n_buckets=16)
+        got = sorted((r["new_id"], r["stored_id"]) for r in
+                     exact_index_matches(ndf, p).collect())
+        want = sorted(
+            (r["new_id"], r["stored_id"]) for r in
+            ndf.select(F.col("doc_id").alias("new_id"),
+                       F.md5("text").alias("h"))
+            .join(df.select(F.col("doc_id").alias("stored_id"),
+                            F.md5("text").alias("h")), on="h")
+            .collect())
+        assert got == want and len(got) == 20 * 20
+        kept = dedup_exact_against_index(ndf, p)
+        assert sorted(r["doc_id"] for r in kept.collect()) == \
+               [2000 + i for i in range(8)]
+
+    def test_partition_pruning_and_append(self, spark, tmp_path):
+        """The stored read carries the batch's hash buckets as a
+        static PartitionFilter; append extends coverage under the
+        stored n_buckets."""
+        import re as _re
+
+        from dask_geopandas_spark.operators.dedup import (
+            exact_index_matches, write_exact_index)
+
+        df, ndf = self._frames(spark)
+        p = str(tmp_path / "exidx2")
+        write_exact_index(df, p, n_buckets=16)
+        m = exact_index_matches(ndf.limit(3), p)
+        plan = m._sc._jvm.PythonSQLUtils.explainString(
+            m._jdf.queryExecution(), "formatted")
+        assert _re.search(
+            r"PartitionFilters: \[[^\]]*hash_bucket[^\]]*\]", plan), plan
+        # append under the stored n_buckets (the explicit value is
+        # ignored in favor of meta): batch then self-matches
+        write_exact_index(ndf, p, n_buckets=999, append=True)
+        m2 = exact_index_matches(ndf, p)
+        assert m2.filter(F.col("new_id") == F.col("stored_id")) \
+                 .count() == 28
+        import pytest as _pt
+        with _pt.raises(ValueError, match="n_buckets"):
+            write_exact_index(df, str(tmp_path / "bad"), n_buckets=0)
