@@ -2379,6 +2379,25 @@ def q_index_dedup(spark, sf_dir):
                  F.min("stored_id").alias("first_match")))
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (sampling.weighted_sample, r7-late — Efraimidis & Spirakis 2006
+    A-ES, RNG-free): top-30 documents per source by the key
+    round(ln(u)/w, 9) for the hash-derived uniform u and weight
+    w = text length — the reproducible form of quality-weighted data
+    selection.  One narrow projection + one rank window per source
+    group (the global form plans as TakeOrderedAndProject, pytest
+    plan-pinned).  Oracle: the identical formula — md5-bucket uniform,
+    ln, rounded key, QUALIFY row_number."""
+    from dask_geopandas_spark.operators.sampling import weighted_sample
+
+    docs = (_t(spark, sf_dir, "documents")
+            .withColumn("w", F.length("text").cast("double")))
+    out = weighted_sample(docs, 30, "w", by="source")
+    return out.select("doc_id", "source",
+                      F.col("w").cast("long").alias("text_len"))
+
+
 def q_exact_index_dedup(spark, sf_dir):
     """Incremental EXACT dedup against a stored hash index
     (dedup.write_exact_index / exact_index_matches, r7-late — the
@@ -3353,6 +3372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    the r8 rotation per §15 policy) --
         "sjoin_cobucket_anti": q_sjoin_cobucket_anti,
         "exact_index_dedup": q_exact_index_dedup,
+        "weighted_sample": q_weighted_sample,
         # -- green r5 --
         "stream_funnel_left": q_stream_funnel_left,
         "gpx_roundtrip": q_gpx_roundtrip,
@@ -5850,6 +5870,22 @@ def oracle_sql() -> dict[str, str]:
             dim=96, bias=0.1, mul=13, mod=97, off=48, den=64.0),
         "index_dedup": _index_dedup_oracle_sql(),
         "exact_index_dedup": _exact_index_oracle_sql(),
+        "weighted_sample": """
+            WITH es AS (
+                SELECT doc_id, source,
+                       CAST(length(text) AS BIGINT) AS text_len,
+                       round(
+                           ln(((('0x' || substr(md5(CAST(doc_id AS
+                                VARCHAR)), 1, 15))::BIGINT % 1000000)
+                               + 0.5) / 1000000.0)
+                           / CAST(length(text) AS DOUBLE), 9) AS k
+                FROM documents
+            )
+            SELECT doc_id, source, text_len
+            FROM es
+            QUALIFY row_number() OVER (
+                PARTITION BY source ORDER BY k DESC, doc_id) <= 30
+        """,
         "semantic_dedup_keep": _semantic_dedup_oracle_sql(
             keep="far_from_centroid"),
         "dup_spans": _dup_spans_oracle_sql(),

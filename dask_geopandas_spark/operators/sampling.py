@@ -91,6 +91,46 @@ def split_train_holdout(df: DataFrame, holdout_fraction: float = 0.01,
                F.lit("holdout")).otherwise(F.lit("train")))
 
 
+def weighted_sample(df: DataFrame, k: int, weight_col: str,
+                    key_col: str = "doc_id", by: str | None = None,
+                    seed: str = "") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis & Spirakis 2006 A-ES scheme, RNG-free: every row gets
+    the key ``ln(u) / w`` for a hash-derived uniform
+    ``u = (bucket(seed‖key) + 0.5) / 1e6`` and the k LARGEST keys win
+    (equivalent ordering to the published ``u^(1/w)``; higher weight →
+    key closer to 0 → more likely sampled).  Pure function of
+    (seed, key, weight): re-runs, retried tasks, and the DuckDB oracle
+    all draw the same rows.  The key rounds to 9 decimals before
+    ranking (ties then break on ``key_col``) so the rule survives
+    libm ulp differences across engines.
+
+    ``by=None`` takes the global top-k — Spark plans it as
+    TakeOrderedAndProject (no full sort, no single-partition window);
+    with ``by`` one rank window per group after a single hash shuffle.
+    Rows with NULL or non-positive weight are excluded — they have
+    zero sampling mass (the A-ES domain is w > 0).
+
+    The classic use: quality-weighted data selection — sample a
+    training subset proportional to a classifier score while keeping
+    the choice reproducible end-to-end."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = (_bucket(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+         + F.lit(0.5)) / F.lit(float(_MOD))
+    es = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    cand = df.filter(F.col(weight_col) > 0).withColumn("_es_key", es)
+    if by is None:
+        out = (cand.orderBy(F.col("_es_key").desc(), F.col(key_col))
+               .limit(k))
+    else:
+        w = Window.partitionBy(by).orderBy(F.col("_es_key").desc(),
+                                           F.col(key_col))
+        out = (cand.withColumn("_es_rn", F.row_number().over(w))
+               .filter(F.col("_es_rn") <= k).drop("_es_rn"))
+    return out.drop("_es_key")
+
+
 def pack_documents(df: DataFrame, budget: int,
                    token_col: str = "n_tokens",
                    order_col: str = "doc_id",

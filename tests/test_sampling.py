@@ -565,3 +565,84 @@ class TestShardCopyFold:
             shard_key(df, ["doc_id", "nope"])
         with _pt.raises(ValueError, match="at least one"):
             shard_key(df, [])
+
+
+class TestWeightedSample:
+    """weighted_sample (r7-late): deterministic Efraimidis-Spirakis
+    A-ES weighted sampling without replacement."""
+
+    def _brute(self, pdf, k, seed="", by=None):
+        import hashlib
+        import math
+
+        def es(row):
+            b = int(hashlib.md5(
+                (seed + str(row.doc_id)).encode()).hexdigest()[:15], 16) \
+                % 1_000_000
+            u = (b + 0.5) / 1_000_000.0
+            return round(math.log(u) / float(row.n_tokens), 9)
+
+        pdf = pdf.assign(_es=[es(r) for r in pdf.itertuples()])
+        if by is None:
+            top = pdf.sort_values(["_es", "doc_id"],
+                                  ascending=[False, True]).head(k)
+            return sorted(top.doc_id.tolist())
+        out = []
+        for _, g in pdf.groupby(by):
+            out += g.sort_values(["_es", "doc_id"],
+                                 ascending=[False, True]) \
+                    .head(k).doc_id.tolist()
+        return sorted(out)
+
+    def test_matches_brute_force_global_and_grouped(self, docs):
+        from dask_geopandas_spark.operators.sampling import \
+            weighted_sample
+
+        pdf = docs.toPandas()
+        got = sorted(r["doc_id"] for r in
+                     weighted_sample(docs, 50, "n_tokens").collect())
+        assert got == self._brute(pdf, 50)
+        got_g = sorted(r["doc_id"] for r in
+                       weighted_sample(docs, 25, "n_tokens",
+                                       by="lang").collect())
+        assert got_g == self._brute(pdf, 25, by="lang")
+        # deterministic across runs; seed changes the draw
+        again = sorted(r["doc_id"] for r in
+                       weighted_sample(docs, 50, "n_tokens").collect())
+        assert again == got
+        seeded = sorted(r["doc_id"] for r in
+                        weighted_sample(docs, 50, "n_tokens",
+                                        seed="s1").collect())
+        assert seeded != got
+
+    def test_weight_bias_and_exclusions(self, spark):
+        from dask_geopandas_spark.operators.sampling import \
+            weighted_sample
+
+        # two strata: weight 1000 vs 1 — the heavy stratum must
+        # dominate a 100-of-2000 draw overwhelmingly
+        df = spark.createDataFrame(
+            [(i, 1000.0 if i < 1000 else 1.0) for i in range(2000)],
+            "doc_id long, w double")
+        got = [r["doc_id"] for r in
+               weighted_sample(df, 100, "w").collect()]
+        assert sum(1 for d in got if d < 1000) > 90
+        # NULL / non-positive weights are excluded outright
+        df2 = spark.createDataFrame(
+            [(1, 5.0), (2, None), (3, 0.0), (4, -1.0)],
+            "doc_id long, w double")
+        assert [r["doc_id"] for r in
+                weighted_sample(df2, 10, "w").collect()] == [1]
+        import pytest as _pt
+        with _pt.raises(ValueError, match="k must be"):
+            weighted_sample(df2, 0, "w")
+
+    def test_global_plan_is_take_ordered(self, docs):
+        from dask_geopandas_spark.operators.sampling import \
+            weighted_sample
+
+        out = weighted_sample(docs, 10, "n_tokens")
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "_es_key" not in out.columns
