@@ -2379,6 +2379,38 @@ def q_index_dedup(spark, sf_dir):
                  F.min("stored_id").alias("first_match")))
 
 
+def q_leak_safe_split(spark, sf_dir):
+    """Leakage-safe train/holdout split (sampling.split_by_cluster,
+    r7-late): duplicate documents must land on the SAME side of an
+    eval split or the holdout scores memorization — the split key is
+    the doc's duplicate-cluster representative (connected components
+    over an edge list; singletons key by their own id), bucketed with
+    the same deterministic hash as split_train_holdout.  Here the
+    edges are exact-dup star edges (doc → its text group's keeper)
+    built from exact_dedup, so the component rep is SQL-visible as
+    the per-text min id: the oracle replicates rep = min(doc_id) OVER
+    (PARTITION BY text) and the md5 bucket threshold — whole clusters
+    provably move together."""
+    from dask_geopandas_spark.operators.dedup import exact_dedup
+    from dask_geopandas_spark.operators.sampling import split_by_cluster
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500) \
+        .select("doc_id")
+    tmpl = F.element_at(F.array(*[F.lit(t) for t in _IDX_TMPL]),
+                        (F.col("doc_id") % 5 + 1).cast("int"))
+    synth = docs.withColumn(
+        "text", F.concat(tmpl, F.lit(" v"),
+                         (F.col("doc_id") % 12).cast("string")))
+    keepers = exact_dedup(synth)  # (text_hash, keeper_id, dup_count)
+    edges = (synth.select("doc_id", F.md5("text").alias("text_hash"))
+             .join(keepers, on="text_hash")
+             .filter(F.col("doc_id") != F.col("keeper_id"))
+             .select(F.col("doc_id").alias("src"),
+                     F.col("keeper_id").alias("dst")))
+    out = split_by_cluster(synth, edges, holdout_fraction=0.25)
+    return out.select("doc_id", "split")
+
+
 def q_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling without replacement
     (sampling.weighted_sample, r7-late — Efraimidis & Spirakis 2006
@@ -3373,6 +3405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sjoin_cobucket_anti": q_sjoin_cobucket_anti,
         "exact_index_dedup": q_exact_index_dedup,
         "weighted_sample": q_weighted_sample,
+        "leak_safe_split": q_leak_safe_split,
         # -- green r5 --
         "stream_funnel_left": q_stream_funnel_left,
         "gpx_roundtrip": q_gpx_roundtrip,
@@ -4386,6 +4419,33 @@ def _index_dedup_oracle_sql(threshold: float = 0.5) -> str:
                min(stored_id) AS first_match
         FROM est WHERE ej >= CAST({threshold!r} AS DOUBLE)
         GROUP BY new_id
+    """
+
+
+def _leak_safe_split_oracle_sql(frac: int = 250000) -> str:
+    """DuckDB replica of q_leak_safe_split: the synthetic 12-class
+    template texts, the cluster representative as the per-text min id
+    (= the star-edge component min), and the engine's md5 bucket
+    threshold on the rep cast to VARCHAR."""
+    tl = "[" + ", ".join(f"'{t}'" for t in _IDX_TMPL) + "]"
+    b = ("(('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 15))::BIGINT"
+         " % 1000000)")
+    return f"""
+        WITH synth AS (
+            SELECT doc_id,
+                   ({tl})[CAST(doc_id % 5 AS INTEGER) + 1]
+                   || ' v' || CAST(doc_id % 12 AS VARCHAR) AS text
+            FROM documents WHERE doc_id < 500
+        ),
+        r AS (
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY text) AS rep
+            FROM synth
+        )
+        SELECT doc_id,
+               CASE WHEN {b} < {frac} THEN 'holdout' ELSE 'train' END
+                   AS split
+        FROM r
     """
 
 
@@ -5870,6 +5930,7 @@ def oracle_sql() -> dict[str, str]:
             dim=96, bias=0.1, mul=13, mod=97, off=48, den=64.0),
         "index_dedup": _index_dedup_oracle_sql(),
         "exact_index_dedup": _exact_index_oracle_sql(),
+        "leak_safe_split": _leak_safe_split_oracle_sql(),
         "weighted_sample": """
             WITH es AS (
                 SELECT doc_id, source,

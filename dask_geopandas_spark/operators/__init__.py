@@ -33,7 +33,8 @@ from .explode import explode_geometry
 from .multimodal import media_manifest, sniff_modality
 from .sampling import (cap_per_group, chunk_documents, hash_sample,
                        oversample, pack_documents, shard_assignment,
-                       shard_key, weighted_sample, write_training_shards)
+                       shard_key, split_by_cluster, weighted_sample,
+                       write_training_shards)
 from .similarity import (
     brute_force_topk,
     ivf_topk,
@@ -95,5 +96,6 @@ __all__ = [
     "media_manifest", "sniff_modality",
     "semantic_dedup", "cap_per_group", "hash_sample", "pack_documents",
     "chunk_documents", "oversample", "shard_assignment",
-    "shard_key", "weighted_sample", "write_training_shards",
+    "shard_key", "split_by_cluster", "weighted_sample",
+    "write_training_shards",
 ]

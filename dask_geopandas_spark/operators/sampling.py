@@ -91,6 +91,54 @@ def split_train_holdout(df: DataFrame, holdout_fraction: float = 0.01,
                F.lit("holdout")).otherwise(F.lit("train")))
 
 
+def split_by_cluster(df: DataFrame, edges: DataFrame,
+                     holdout_fraction: float = 0.01,
+                     id_col: str = "doc_id", split_col: str = "split",
+                     src: str = "src", dst: str = "dst",
+                     max_iter: int = 10) -> DataFrame:
+    """LEAKAGE-SAFE train/holdout split: near-duplicate documents must
+    land on the SAME side, or the holdout silently scores memorization
+    — ``split_train_holdout`` buckets each doc independently, so a
+    near-dup pair straddles the split with probability
+    2·f·(1-f) per pair.  Here the split key is the document's
+    near-dup CLUSTER representative: connected components over
+    ``edges`` (any pair source — ``lsh_candidate_pairs``,
+    ``embedding_neardup_pairs``, ``knn_graph``), each doc keyed by its
+    component's min id (docs in no edge key by their own id, exactly
+    matching ``split_train_holdout``), then the same deterministic
+    hash bucketing on the representative.  Whole clusters move
+    together by construction.
+
+    Distributed shape: the CC runs over the edge list (edge-sized, not
+    corpus-sized), and the corpus sees ONE left join against the
+    node→component table plus a narrow hash filter.  CC
+    non-convergence RAISES (not warns): a half-propagated component
+    could still straddle the split, which is the one failure mode this
+    operator exists to prevent — raise ``max_iter``.
+
+    Already have a cluster id column?  Skip the edges and use
+    ``split_train_holdout(df, f, key_col=<cluster_col>)`` directly."""
+    if not 0.0 <= holdout_fraction <= 1.0:
+        raise ValueError("holdout_fraction must be in [0, 1]")
+    from .dedup import connected_components
+
+    comp = connected_components(edges, src=src, dst=dst,
+                                max_iter=max_iter,
+                                on_nonconverged="raise")
+    rep = comp.select(F.col("node").alias(id_col),
+                      F.col("component").alias("__dgs_split_rep"))
+    out = (df.join(rep, on=id_col, how="left")
+           .withColumn(
+               "__dgs_split_key",
+               F.coalesce(F.col("__dgs_split_rep"), F.col(id_col)))
+           .withColumn(
+               split_col,
+               F.when(_bucket(F.col("__dgs_split_key"))
+                      < int(holdout_fraction * _MOD),
+                      F.lit("holdout")).otherwise(F.lit("train"))))
+    return out.drop("__dgs_split_rep", "__dgs_split_key")
+
+
 def weighted_sample(df: DataFrame, k: int, weight_col: str,
                     key_col: str = "doc_id", by: str | None = None,
                     seed: str = "") -> DataFrame:

@@ -646,3 +646,61 @@ class TestWeightedSample:
             out._jdf.queryExecution(), "formatted")
         assert "TakeOrderedAndProject" in plan, plan
         assert "_es_key" not in out.columns
+
+
+class TestSplitByCluster:
+    """split_by_cluster (r7-late): leakage-safe splitting — whole
+    near-dup clusters land on one side."""
+
+    def test_clusters_never_straddle_and_brute_force(self, spark):
+        import hashlib
+
+        from dask_geopandas_spark.operators.sampling import \
+            split_by_cluster
+
+        df = spark.createDataFrame(
+            [(i,) for i in range(400)], "doc_id long")
+        # chains 0-1-2-3, 10-11-12-13, ... every 10th block of 4
+        edges = spark.createDataFrame(
+            [(b * 10 + j, b * 10 + j + 1)
+             for b in range(40) for j in range(3)],
+            "src long, dst long")
+        out = split_by_cluster(df, edges, holdout_fraction=0.3)
+        rows = {r["doc_id"]: r["split"] for r in out.collect()}
+        assert len(rows) == 400 and set(rows.values()) == \
+               {"train", "holdout"}
+        # brute force: rep = chain min for chain members, own id else
+        def bucket(v):
+            return int(hashlib.md5(str(v).encode()).hexdigest()[:15],
+                       16) % 1_000_000
+
+        for d, s in rows.items():
+            rep = (d // 10) * 10 if d % 10 <= 3 else d
+            assert s == ("holdout" if bucket(rep) < 300000
+                         else "train"), d
+        # every chain is wholly on one side
+        for b in range(40):
+            assert len({rows[b * 10 + j] for j in range(4)}) == 1
+        # singletons agree with split_train_holdout exactly
+        from dask_geopandas_spark.operators.sampling import \
+            split_train_holdout
+        plain = {r["doc_id"]: r["split"] for r in
+                 split_train_holdout(df, 0.3).collect()}
+        for d in rows:
+            if d % 10 > 3:
+                assert rows[d] == plain[d]
+
+    def test_nonconvergence_raises(self, spark):
+        from dask_geopandas_spark.operators.sampling import \
+            split_by_cluster
+
+        df = spark.createDataFrame([(i,) for i in range(40)],
+                                   "doc_id long")
+        # one long chain: diameter 39 >> max_iter=1
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(39)], "src long, dst long")
+        import pytest as _pt
+        with _pt.raises(RuntimeError):
+            split_by_cluster(df, edges, 0.5, max_iter=1)
+        with _pt.raises(ValueError, match="holdout_fraction"):
+            split_by_cluster(df, edges, 1.5)
