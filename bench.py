@@ -97,6 +97,11 @@ BENCH_QUERIES = [
     "index_dedup",
     "spatial_bucketed",
     "sjoin_nearest_cobucket",
+    # round-7 late additions
+    "sjoin_cobucket_anti",
+    "exact_index_dedup",
+    "weighted_sample",
+    "leak_safe_split",
 ]
 
 
