@@ -61,6 +61,26 @@ def run_curation(spark: SparkSession, sf_dir: str):
     kw = TX.tfidf_top_terms(
         docs.join(hits.select("doc_id"), on="doc_id"), k=3)
     out["keyword_rows"] = kw.count()
+
+    # 5. leakage-safe eval split (r7): the near-dup graph from stage 1
+    #    keys the split by CLUSTER representative, so a memorized
+    #    near-duplicate can never sit in the holdout while its twin
+    #    trains — then a deterministic quality-weighted draw
+    #    (Efraimidis-Spirakis) picks the training subset, both
+    #    reproducible bit-for-bit on re-runs
+    from dask_geopandas_spark.operators.sampling import (split_by_cluster,
+                                                         weighted_sample)
+
+    split = split_by_cluster(
+        docs, strong, holdout_fraction=0.1, id_col="doc_id",
+        src="src_id", dst="dst_id") if out["strong_edges"] else None
+    if split is not None:
+        out["holdout_docs"] = split.filter(
+            F.col("split") == "holdout").count()
+        train = split.filter(F.col("split") == "train") \
+            .withColumn("w", F.length("text").cast("double"))
+        picked = weighted_sample(train, 50, "w")
+        out["weighted_picks"] = picked.count()
     return out, kw
 
 

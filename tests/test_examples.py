@@ -44,6 +44,9 @@ def test_corpus_curation_example(spark, sf_dir):
     assert out["bm25_hits"] > 0
     assert out["keyword_rows"] > 0
     assert {"doc_id", "term", "tfidf", "rank"} <= set(kw.columns)
+    if "holdout_docs" in out:
+        assert 0 < out["holdout_docs"] < out["vectors"]
+        assert out["weighted_picks"] == 50
 
 
 def test_retrieval_pipeline_example(spark, sf_dir):
