@@ -2379,6 +2379,31 @@ def q_index_dedup(spark, sf_dir):
                  F.min("stored_id").alias("first_match")))
 
 
+def q_clean_text(spark, sf_dir):
+    """C4/CCNet-style text normalization (textstats.clean_text,
+    r7-late): control-byte strip, URL removal, smart-punctuation →
+    ASCII, whitespace collapse, lowercase — ONE pure-codegen column
+    expression over the scan (pytest pins no Python in the plan).
+    The documents are ASCII-clean, so the query grafts the mess on
+    natively (tab, control byte, smart quotes/dash, NBSP, a
+    doc-id-salted URL) and the oracle replicates both the graft and
+    the identical regex/translate chain — explicit ASCII whitespace
+    classes keep Java-regex and RE2 semantics in lockstep."""
+    from dask_geopandas_spark.operators.textstats import clean_text
+
+    docs = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("  Visit https://ex.com/"), F.col("doc_id").cast("string"),
+        F.lit("?a=1 \t“"), F.substring("text", 1, 40),
+        F.lit("” — end "), F.lit("\x01ok"))
+    out = docs.select(
+        "doc_id",
+        clean_text(messy, lowercase=True, remove_urls=True)
+        .alias("cleaned"))
+    return out.withColumn("clen",
+                          F.length("cleaned").cast("long"))
+
+
 def q_leak_safe_split(spark, sf_dir):
     """Leakage-safe train/holdout split (sampling.split_by_cluster,
     r7-late): duplicate documents must land on the SAME side of an
@@ -3406,6 +3431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_index_dedup": q_exact_index_dedup,
         "weighted_sample": q_weighted_sample,
         "leak_safe_split": q_leak_safe_split,
+        "clean_text": q_clean_text,
         # -- green r5 --
         "stream_funnel_left": q_stream_funnel_left,
         "gpx_roundtrip": q_gpx_roundtrip,
@@ -4419,6 +4445,42 @@ def _index_dedup_oracle_sql(threshold: float = 0.5) -> str:
                min(stored_id) AS first_match
         FROM est WHERE ej >= CAST({threshold!r} AS DOUBLE)
         GROUP BY new_id
+    """
+
+
+def _clean_text_oracle_sql() -> str:
+    """DuckDB replica of q_clean_text: the same native mess graft
+    (tab, smart quotes, em dash, NBSP=chr(160), control byte=chr(1),
+    doc-id-salted URL) and the identical regex/translate chain —
+    explicit ASCII whitespace classes are Java-regex/RE2-identical,
+    so no step needs engine-specific patterns."""
+    pf = "'’‘“”–—' || chr(160)"
+    pt = "'" + "''\"\"-- ".replace("'", "''") + "'"
+    ctrl = "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]'"
+    url = "'https?://[^ \\t\\n\\x0B\\f\\r]+'"
+    ws = "'[ \\t\\n\\x0B\\f\\r]+'"
+    return f"""
+        WITH synth AS (
+            SELECT doc_id,
+                   '  Visit https://ex.com/' || CAST(doc_id AS VARCHAR)
+                   || '?a=1 ' || chr(9) || '“' || substr(text, 1, 40)
+                   || '” — end' || chr(160) || chr(1) || 'ok' AS t
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id,
+                   lower(trim(regexp_replace(
+                       translate(
+                           regexp_replace(
+                               regexp_replace(t, {ctrl}, '', 'g'),
+                               {url}, '', 'g'),
+                           {pf}, {pt}),
+                       {ws}, ' ', 'g'))) AS cleaned
+            FROM synth
+        )
+        SELECT doc_id, cleaned,
+               CAST(length(cleaned) AS BIGINT) AS clen
+        FROM c
     """
 
 
@@ -5931,6 +5993,7 @@ def oracle_sql() -> dict[str, str]:
         "index_dedup": _index_dedup_oracle_sql(),
         "exact_index_dedup": _exact_index_oracle_sql(),
         "leak_safe_split": _leak_safe_split_oracle_sql(),
+        "clean_text": _clean_text_oracle_sql(),
         "weighted_sample": """
             WITH es AS (
                 SELECT doc_id, source,

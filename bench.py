@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "exact_index_dedup",
     "weighted_sample",
     "leak_safe_split",
+    "clean_text",
 ]
 
 

@@ -56,6 +56,7 @@ from .textstats import (
     bm25_topk,
     bm25_topk_stored,
     classifier_score,
+    clean_text,
     fingerprint,
     lang_id,
     ngram_logprob,
@@ -92,7 +93,7 @@ __all__ = [
     "tfidf_top_terms", "bm25_topk", "bm25_batch_topk", "ngram_logprob",
     "write_text_index", "bm25_topk_stored", "bm25_batch_topk_stored",
     "blocklist_hits", "blocklist_filter", "code_signals",
-    "classifier_score",
+    "classifier_score", "clean_text",
     "media_manifest", "sniff_modality",
     "semantic_dedup", "cap_per_group", "hash_sample", "pack_documents",
     "chunk_documents", "oversample", "shard_assignment",

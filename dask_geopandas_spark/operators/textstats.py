@@ -65,6 +65,52 @@ def punct_ratio(text: Column) -> Column:
     )
 
 
+# explicit ASCII whitespace class instead of \s: Java regex (Spark)
+# and RE2 (the DuckDB oracle) disagree on \s's membership (\x0B), an
+# explicit class is identical in both
+_WS = "[ \\t\\n\\x0B\\f\\r]"
+_CTRL = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+# smart quotes / dashes / non-breaking space → ASCII
+_PUNCT_FROM = "’‘“”–— "
+_PUNCT_TO = "''\"\"-- "
+
+
+def clean_text(text: Column, lowercase: bool = False,
+               collapse_whitespace: bool = True,
+               strip_control: bool = True,
+               normalize_punct: bool = True,
+               remove_urls: bool = False) -> Column:
+    """C4/CCNet-style text normalization as ONE pure-codegen column
+    expression — the cleanup pass that precedes every hash-keyed
+    operator here (exact/MinHash dedup, shingles, quality signals),
+    where stray control bytes or smart quotes would otherwise split
+    hash groups that are the same text to a human:
+
+    * ``strip_control``      — drop C0/DEL control bytes (keep \\t \\n \\r
+      for the whitespace pass);
+    * ``remove_urls``        — drop ``http(s)://…`` runs (the C4 rule);
+    * ``normalize_punct``    — smart quotes / en-em dashes / NBSP → ASCII
+      (one codepoint-wise ``translate``);
+    * ``collapse_whitespace``— any whitespace run → one space + trim;
+    * ``lowercase``          — last, after all class-sensitive regexes.
+
+    Every step is a native regexp/translate/lower — no UDF, and the
+    identical regexes run in the DuckDB oracle (explicit ASCII classes
+    sidestep Java-vs-RE2 ``\\s`` differences)."""
+    c = text
+    if strip_control:
+        c = F.regexp_replace(c, _CTRL, "")
+    if remove_urls:
+        c = F.regexp_replace(c, "https?://[^ \\t\\n\\x0B\\f\\r]+", "")
+    if normalize_punct:
+        c = F.translate(c, _PUNCT_FROM, _PUNCT_TO)
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, _WS + "+", " "))
+    if lowercase:
+        c = F.lower(c)
+    return c
+
+
 def let(value: Column, body) -> Column:
     """Let-binding for SQL expressions: evaluate ``value`` ONCE and bind
     it as the lambda variable of ``body`` via a single-element

@@ -1836,3 +1836,59 @@ class TestExactIndex:
         import pytest as _pt
         with _pt.raises(ValueError, match="n_buckets"):
             write_exact_index(df, str(tmp_path / "bad"), n_buckets=0)
+
+
+class TestCleanText:
+    """clean_text (r7-late): C4/CCNet-style normalization as one
+    codegen expression."""
+
+    def test_matches_python_reference(self, spark):
+        import re
+
+        from dask_geopandas_spark.operators.textstats import (
+            _PUNCT_FROM as _PF, _PUNCT_TO as _PT, clean_text)
+
+        rows = [
+            (0, "  Hello\t\tWorld  "),
+            (1, "ctrl\x00\x01here\x7f end"),
+            (2, "smart ‘quotes’ and “double”"
+                " – dashes — plus nbsp"),
+            (3, "visit https://ex.com/a?b=1 and http://t.co now"),
+            (4, "MiXeD Case\nLines\r\nhere"),
+            (5, ""),
+            (6, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["c"] for r in df.select(
+            "doc_id", clean_text(F.col("text"), lowercase=True,
+                                 remove_urls=True).alias("c")).collect()}
+
+        def ref(t):
+            if t is None:
+                return None
+            t = re.sub("[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "", t)
+            t = re.sub(r"https?://[^ \t\n\x0B\f\r]+", "", t)
+            t = t.translate(str.maketrans(
+                _PF,
+                _PT))
+            t = re.sub("[ \t\n\x0B\f\r]+", " ", t).strip()
+            return t.lower()
+
+        for i, t in rows:
+            assert out[i] == ref(t), (i, out[i], ref(t))
+        # every switch off = identity for a plain string
+        plain = df.filter(F.col("doc_id") == 0).select(
+            clean_text(F.col("text"), collapse_whitespace=False,
+                       strip_control=False, normalize_punct=False)
+            .alias("c")).head()["c"]
+        assert plain == "  Hello\t\tWorld  "
+
+    def test_pure_codegen_no_udf(self, spark):
+        from dask_geopandas_spark.operators.textstats import clean_text
+
+        df = spark.createDataFrame([(1, "a  b")], "i long, text string")
+        out = df.select(clean_text(F.col("text")).alias("c"))
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
