@@ -662,6 +662,51 @@ def q_stream_dedup(spark, sf_dir):
     )
 
 
+def q_stream_ingest_dedup(spark, sf_dir):
+    """Continuous-ingestion exact dedup (streaming/dedup.
+    streaming_ingest_dedup over the stored exact index, r7-late):
+    two parquet files replay as two availableNow micro-batches
+    (maxFilesPerTrigger=1, mtime-ordered); each batch dedups in-batch
+    (min-id keeper), then against the index accumulated by every
+    EARLIER batch (static-partition-pruned 16-byte-hash join, no
+    corpus re-scan), appends survivors to the sink and advances the
+    index.  File 0 carries ids < 300, file 1 the rest, and every text
+    class appears in file 0 — so the first-arrival survivor equals
+    the global min-id keeper and the oracle is plain
+    min(doc_id) GROUP BY text over the synthetic corpus."""
+    import os
+    import shutil
+
+    from dask_geopandas_spark.streaming.dedup import \
+        streaming_ingest_dedup
+
+    base = "/root/repo/.bench_tmp/stream_ingest"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 600) \
+        .select("doc_id")
+    tmpl = F.element_at(F.array(*[F.lit(t) for t in _IDX_TMPL]),
+                        (F.col("doc_id") % 5 + 1).cast("int"))
+    synth = docs.withColumn(
+        "text", F.concat(tmpl, F.lit(" v"),
+                         (F.col("doc_id") % 15).cast("string")))
+    synth.filter(F.col("doc_id") < 300).coalesce(1) \
+        .write.parquet(base + "/src/f0")
+    synth.filter(F.col("doc_id") >= 300).coalesce(1) \
+        .write.parquet(base + "/src/f1")
+    now = 1_700_000_000
+    for i, d in enumerate(("f0", "f1")):
+        for fn in os.listdir(f"{base}/src/{d}"):
+            os.utime(f"{base}/src/{d}/{fn}", (now + i, now + i))
+    stream = (spark.readStream.schema(synth.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(base + "/src/f*"))
+    q = (streaming_ingest_dedup(stream, base + "/idx", base + "/out")
+         .option("checkpointLocation", base + "/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.read.parquet(base + "/out").select("doc_id", "text")
+
+
 def q_pipeline_clean_join(spark, sf_dir):
     """End-to-end training-data pipeline in one plan: language ID +
     quality scoring (native projections) → filter → exact-dedup keeper
@@ -3432,6 +3477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "leak_safe_split": q_leak_safe_split,
         "clean_text": q_clean_text,
+        "stream_ingest_dedup": q_stream_ingest_dedup,
         # -- green r5 --
         "stream_funnel_left": q_stream_funnel_left,
         "gpx_roundtrip": q_gpx_roundtrip,
@@ -5994,6 +6040,17 @@ def oracle_sql() -> dict[str, str]:
         "exact_index_dedup": _exact_index_oracle_sql(),
         "leak_safe_split": _leak_safe_split_oracle_sql(),
         "clean_text": _clean_text_oracle_sql(),
+        "stream_ingest_dedup": f"""
+            WITH synth AS (
+                SELECT doc_id,
+                       ({'[' + ', '.join(f"'{t}'" for t in _IDX_TMPL) + ']'}
+                       )[CAST(doc_id % 5 AS INTEGER) + 1]
+                       || ' v' || CAST(doc_id % 15 AS VARCHAR) AS text
+                FROM documents WHERE doc_id < 600
+            )
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text
+            FROM synth GROUP BY text
+        """,
         "weighted_sample": """
             WITH es AS (
                 SELECT doc_id, source,

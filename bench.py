@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "weighted_sample",
     "leak_safe_split",
     "clean_text",
+    "stream_ingest_dedup",
 ]
 
 

@@ -1302,3 +1302,77 @@ def test_semantic_dedup_keep_composes_with_pq_and_probe(spark):
         codebooks=books, sdc_margin=2.0).collect())
     assert got == want
     SIM.release_cached_salt_inputs()
+
+
+class TestIngestDedup:
+    """r7-late: continuous-ingestion exact dedup over the stored exact
+    index (streaming/dedup.ingest_dedup_batch /
+    streaming_ingest_dedup)."""
+
+    TEXTS = ["tx alpha", "tx bravo", "tx charlie", "tx delta",
+             "tx echo"]
+
+    def _batch(self, spark, ids):
+        return spark.createDataFrame(
+            [(i, self.TEXTS[i % 5]) for i in ids],
+            "doc_id long, text string")
+
+    def test_batch_sequence_equals_global_dedup(self, spark, tmp_path):
+        from dask_geopandas_spark.streaming.dedup import \
+            ingest_dedup_batch
+
+        idx = str(tmp_path / "idx")
+        b1 = self._batch(spark, range(0, 20))
+        b2 = self._batch(spark, range(20, 40))
+        s1 = ingest_dedup_batch(b1, idx)
+        # first batch: one keeper per text, min id (in-batch rule)
+        assert sorted((r["doc_id"], r["text"]) for r in s1.collect()) \
+            == [(i, self.TEXTS[i]) for i in range(5)]
+        # second batch: everything already ingested — no survivors
+        s2 = ingest_dedup_batch(b2, idx)
+        assert s2.count() == 0
+        # a batch with one genuinely new text keeps exactly it
+        b3 = self._batch(spark, range(40, 45)).union(
+            spark.createDataFrame([(99, "brand new")],
+                                  "doc_id long, text string"))
+        s3 = ingest_dedup_batch(b3, idx)
+        assert [(r["doc_id"], r["text"]) for r in s3.collect()] == \
+               [(99, "brand new")]
+
+    def test_streaming_matches_batch_oracle(self, spark, tmp_path):
+        import os
+
+        from dask_geopandas_spark.streaming.dedup import \
+            streaming_ingest_dedup
+
+        src = str(tmp_path / "src")
+        idx = str(tmp_path / "idx")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        # file 0 (older mtime) carries ids 0-19, file 1 ids 20-39:
+        # every text class appears in file 0 first, so the global
+        # keeper (min id per text) equals the first-arrival survivor
+        self._batch(spark, range(0, 20)).coalesce(1) \
+            .write.parquet(src + "/f0")
+        self._batch(spark, range(20, 40)).coalesce(1) \
+            .write.parquet(src + "/f1")
+        now = 1_700_000_000
+        for i, d in enumerate(("f0", "f1")):
+            for fn in os.listdir(f"{src}/{d}"):
+                os.utime(f"{src}/{d}/{fn}", (now + i, now + i))
+        schema = self._batch(spark, [0]).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(src + "/f*"))
+        q = (streaming_ingest_dedup(stream, idx, out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        got = sorted((r["doc_id"], r["text"]) for r in
+                     spark.read.parquet(out).collect())
+        assert got == [(i, self.TEXTS[i]) for i in range(5)]
+        # the advanced index now blocks a replayed batch entirely
+        from dask_geopandas_spark.streaming.dedup import \
+            ingest_dedup_batch
+        assert ingest_dedup_batch(self._batch(spark, range(0, 40)),
+                                  idx).count() == 0
