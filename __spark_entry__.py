@@ -3464,20 +3464,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setops_concave_area": q_setops_concave_area,
         "clip_concave_lines": q_clip_concave_lines,
         "clip_concave_polys": q_clip_concave_polys,
-        "buffer_l_area": q_buffer_l_area,
-        "top_bigram": q_top_bigram,
-        "stream_dedup": q_stream_dedup,
-        # -- oldest r5 attestation (fills the window to 50) --
-        "cluster_dedup": q_cluster_dedup,
         # ---- 50-row driver window ends here ----
-        # -- r7-late (registered after the r7 window was fixed; lead
-        #    the r8 rotation per §15 policy) --
+        # -- r7-late (registered after the r7 window was fixed;
+        #    never-attested, so they lead the r8 rotation per §15) --
         "sjoin_cobucket_anti": q_sjoin_cobucket_anti,
         "exact_index_dedup": q_exact_index_dedup,
         "weighted_sample": q_weighted_sample,
         "leak_safe_split": q_leak_safe_split,
         "clean_text": q_clean_text,
         "stream_ingest_dedup": q_stream_ingest_dedup,
+        # -- the three r4 entries squeezed out of the r7 window + the
+        #    oldest r5 — right behind the never-attested block --
+        "buffer_l_area": q_buffer_l_area,
+        "top_bigram": q_top_bigram,
+        "stream_dedup": q_stream_dedup,
+        "cluster_dedup": q_cluster_dedup,
         # -- green r5 --
         "stream_funnel_left": q_stream_funnel_left,
         "gpx_roundtrip": q_gpx_roundtrip,
