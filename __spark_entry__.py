@@ -707,6 +707,55 @@ def q_stream_ingest_dedup(spark, sf_dir):
     return spark.read.parquet(base + "/out").select("doc_id", "text")
 
 
+def q_stream_ingest_neardup(spark, sf_dir):
+    """Continuous-ingestion NEAR-duplicate dedup (streaming/dedup.
+    streaming_ingest_neardup over the stored MinHash index, new r8):
+    two parquet files replay as two availableNow micro-batches; each
+    batch LSH-dedups in-batch (lsh_dedup's bucket-min keeper), then
+    drops near-dups of everything an EARLIER batch ingested via the
+    band-bucket-pruned postings join (threshold 0.5 over 4-hash
+    signature agreement), writes survivors to the sink FIRST and then
+    appends their signatures (the output-first crash contract).  The
+    index_dedup synthetic corpus (template x tail texts, ids < 600;
+    file 0 = ids < 300) makes every stage SQL-replicable: the oracle
+    re-derives the signatures, the per-batch bucket-min reps, and the
+    cross-batch band-join estimate with the same md5/xor arithmetic
+    as every stored-index oracle."""
+    import os
+    import shutil
+
+    from dask_geopandas_spark.streaming.dedup import \
+        streaming_ingest_neardup
+
+    base = "/root/repo/.bench_tmp/stream_ingest_nd"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 600) \
+        .select("doc_id")
+    tmpl = F.element_at(F.array(*[F.lit(t) for t in _IDX_TMPL]),
+                        (F.col("doc_id") % 5 + 1).cast("int"))
+    synth = docs.withColumn(
+        "text", F.concat(tmpl, F.lit(" tail"),
+                         (F.col("doc_id") % 3).cast("string")))
+    synth.filter(F.col("doc_id") < 300).coalesce(1) \
+        .write.parquet(base + "/src/f0")
+    synth.filter(F.col("doc_id") >= 300).coalesce(1) \
+        .write.parquet(base + "/src/f1")
+    now = 1_700_000_000
+    for i, d in enumerate(("f0", "f1")):
+        for fn in os.listdir(f"{base}/src/{d}"):
+            os.utime(f"{base}/src/{d}/{fn}", (now + i, now + i))
+    stream = (spark.readStream.schema(synth.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(base + "/src/f*"))
+    q = (streaming_ingest_neardup(stream, base + "/idx", base + "/out",
+                                  threshold=0.5, num_hashes=4,
+                                  bands=2, k=3, n_buckets=16)
+         .option("checkpointLocation", base + "/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.read.parquet(base + "/out").select("doc_id", "text")
+
+
 def q_pipeline_clean_join(spark, sf_dir):
     """End-to-end training-data pipeline in one plan: language ID +
     quality scoring (native projections) → filter → exact-dedup keeper
@@ -3389,97 +3438,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness check emits at
-    most 50 rows, in registry order.  Round 7 rotation (r6 verdict
-    order #1, policy in SURVEY §15): (a) the SIX r6-late entries never
-    driver-attested in their current form — bm25_batch_stored,
-    badword_filter, shards_roundtrip (oracle upgraded again this
-    round: the copy_id shard-key fold), decontam_spans,
-    spatial_shuffle (exact-oracle form), code_quality — at positions
-    1-6; (b) the SEVEN r7-new queries (sjoin_cobucket,
-    sjoin_cobucket_dwithin, semantic_dedup_keep,
-    quality_classifier_join, index_dedup, spatial_bucketed,
-    sjoin_nearest_cobucket); (c) 37 of the 40 entries whose last
-    green attestation is round 4 — the staleness backlog, rotation
-    leaders connected_components / lm_quality / bm25_batch /
-    media_manifest first — filling the window to exactly 50.
-    buffer_l_area, top_bigram and stream_dedup (the three r4 entries
-    squeezed out as the late r7 queries landed) plus cluster_dedup
-    (oldest r5) lead the r8 rotation just below the window, ahead of
-    the remaining r5-green block and the r6-green tail.  After this
-    round the only ≤r4 attestations left are those three — front of
-    the next window by policy."""
+    most 50 rows, in registry order.  Round 8 rotation (r7 verdict
+    order #1, policy in SURVEY §15): (a) the SIX r7-late entries never
+    driver-attested — sjoin_cobucket_anti, exact_index_dedup,
+    weighted_sample, leak_safe_split, clean_text, stream_ingest_dedup
+    (crash-replay ordering fixed this round) — at positions 1-6;
+    (b) the THREE entries whose last green is round 4 (age 4 at r8):
+    buffer_l_area, top_bigram, stream_dedup; (c) cluster_dedup (the
+    oldest r5 attestation) and the 40 next-oldest r5-green entries in
+    their r5 window order, filling the window to exactly 50.  The nine
+    remaining r5-green entries (to_mercator .. skew_avg, age 3 at r8,
+    compliant below-window) lead the r9 rotation, ahead of the
+    r6-green block and the r7-green tail.  New r8 queries are inserted
+    at the FRONT of the window as they land, pushing the window tail
+    down into the age-compliant r5 block."""
     return {
-        # -- r6-late entries never driver-attested (verdict r7 #1:
-        #    positions 1-6; shards_roundtrip oracle upgraded r7) --
-        "bm25_batch_stored": q_bm25_batch_stored,
-        "badword_filter": q_badword_filter,
-        "shards_roundtrip": q_shards_roundtrip,
-        "decontam_spans": q_decontam_spans,
-        "spatial_shuffle": q_spatial_shuffle,
-        "code_quality": q_code_quality,
-        # -- NEW in round 7 --
-        "sjoin_cobucket": q_sjoin_cobucket,
-        "sjoin_cobucket_dwithin": q_sjoin_cobucket_dwithin,
-        "semantic_dedup_keep": q_semantic_dedup_keep,
-        "quality_classifier_join": q_quality_classifier_join,
-        "index_dedup": q_index_dedup,
-        "spatial_bucketed": q_spatial_bucketed,
-        "sjoin_nearest_cobucket": q_sjoin_nearest_cobucket,
-        # -- last green r4 (all 40 — empties the staleness backlog;
-        #    rotation leaders first) --
-        "connected_components": q_connected_components,
-        "lm_quality": q_lm_quality,
-        "bm25_batch": q_bm25_batch,
-        "media_manifest": q_media_manifest,
-        "image_resize": q_image_resize,
-        "ann_ivf_pq": q_ann_ivf_pq,
-        "ann_pq": q_ann_pq,
-        "shapefile_roundtrip": q_shapefile_roundtrip,
-        "split_holdout": q_split_holdout,
-        "running_totals": q_running_totals,
-        "to_lambert": q_to_lambert,
-        "to_albers": q_to_albers,
-        "crs_roundtrip": q_crs_roundtrip,
-        "overlay_inter": q_overlay_inter,
-        "overlay_diff": q_overlay_diff,
-        "sjoin_dwithin": q_sjoin_dwithin,
-        "hash_sample": q_hash_sample,
-        "pack_docs": q_pack_docs,
-        "asof_clicks": q_asof_clicks,
-        "interval_clicks": q_interval_clicks,
-        "length_percentiles": q_length_percentiles,
-        "to_projstring": q_to_projstring,
-        "pq_codes": q_pq_codes,
-        "overlay_lines": q_overlay_lines,
-        "stream_geofence": q_stream_geofence,
-        "sql_union_agg": q_sql_union_agg,
-        "geoarrow_roundtrip": q_geoarrow_roundtrip,
-        "sql_geom_fns": q_sql_geom_fns,
-        "line_overlap": q_line_overlap,
-        "sliding_windows": q_sliding_windows,
-        "contamination": q_contamination,
-        "mh_jaccard_est": q_mh_jaccard_est,
-        "dissolve_union_area": q_dissolve_union_area,
-        "union_all_area": q_union_all_area,
-        "setops_concave_area": q_setops_concave_area,
-        "clip_concave_lines": q_clip_concave_lines,
-        "clip_concave_polys": q_clip_concave_polys,
-        # ---- 50-row driver window ends here ----
-        # -- r7-late (registered after the r7 window was fixed;
-        #    never-attested, so they lead the r8 rotation per §15) --
+        # -- r7-late entries never driver-attested (r7 verdict #1: positions 1-6) --
+        # -- NEW in round 8 (window front, §15 policy) --
+        "stream_ingest_neardup": q_stream_ingest_neardup,
         "sjoin_cobucket_anti": q_sjoin_cobucket_anti,
         "exact_index_dedup": q_exact_index_dedup,
         "weighted_sample": q_weighted_sample,
         "leak_safe_split": q_leak_safe_split,
         "clean_text": q_clean_text,
         "stream_ingest_dedup": q_stream_ingest_dedup,
-        # -- the three r4 entries squeezed out of the r7 window + the
-        #    oldest r5 — right behind the never-attested block --
+        # -- last green r4: the staleness backlog (age 4 at r8) --
         "buffer_l_area": q_buffer_l_area,
         "top_bigram": q_top_bigram,
         "stream_dedup": q_stream_dedup,
+        # -- oldest r5 attestations, r5 window order (age 3 at r8) --
         "cluster_dedup": q_cluster_dedup,
-        # -- green r5 --
         "stream_funnel_left": q_stream_funnel_left,
         "gpx_roundtrip": q_gpx_roundtrip,
         "kml_roundtrip": q_kml_roundtrip,
@@ -3520,6 +3508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interiors": q_interiors,
         "union_all_bounds": q_union_all_bounds,
         "explode_parts": q_explode_parts,
+        # -- below the 50-row window: r9 rotation leaders (r5-green, age 3) --
         "to_mercator": q_to_mercator,
         "to_utm": q_to_utm,
         "convex_hull_area": q_convex_hull_area,
@@ -3529,7 +3518,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "points_z": q_points_z,
         "geom_properties": q_geom_properties,
         "skew_avg": q_skew_avg,
-        # -- green r6 --
+        # -- r6-green block --
+        "bm25_batch_stored": q_bm25_batch_stored,
+        "badword_filter": q_badword_filter,
+        "shards_roundtrip": q_shards_roundtrip,
+        "decontam_spans": q_decontam_spans,
+        "spatial_shuffle": q_spatial_shuffle,
+        "code_quality": q_code_quality,
+        "sjoin_cobucket": q_sjoin_cobucket,
+        "sjoin_cobucket_dwithin": q_sjoin_cobucket_dwithin,
+        "semantic_dedup_keep": q_semantic_dedup_keep,
+        "quality_classifier_join": q_quality_classifier_join,
+        "index_dedup": q_index_dedup,
+        "spatial_bucketed": q_spatial_bucketed,
+        "sjoin_nearest_cobucket": q_sjoin_nearest_cobucket,
+        "connected_components": q_connected_components,
+        "lm_quality": q_lm_quality,
+        "bm25_batch": q_bm25_batch,
+        "media_manifest": q_media_manifest,
+        "image_resize": q_image_resize,
+        "ann_ivf_pq": q_ann_ivf_pq,
+        "ann_pq": q_ann_pq,
+        "shapefile_roundtrip": q_shapefile_roundtrip,
+        "split_holdout": q_split_holdout,
+        "running_totals": q_running_totals,
+        "to_lambert": q_to_lambert,
+        "to_albers": q_to_albers,
+        "crs_roundtrip": q_crs_roundtrip,
+        "overlay_inter": q_overlay_inter,
+        "overlay_diff": q_overlay_diff,
+        "sjoin_dwithin": q_sjoin_dwithin,
+        "hash_sample": q_hash_sample,
+        "pack_docs": q_pack_docs,
+        "asof_clicks": q_asof_clicks,
+        "interval_clicks": q_interval_clicks,
+        "length_percentiles": q_length_percentiles,
+        "to_projstring": q_to_projstring,
+        "pq_codes": q_pq_codes,
+        "overlay_lines": q_overlay_lines,
+        "stream_geofence": q_stream_geofence,
+        "sql_union_agg": q_sql_union_agg,
+        "geoarrow_roundtrip": q_geoarrow_roundtrip,
+        "sql_geom_fns": q_sql_geom_fns,
+        "line_overlap": q_line_overlap,
+        "sliding_windows": q_sliding_windows,
+        "contamination": q_contamination,
+        "mh_jaccard_est": q_mh_jaccard_est,
+        "dissolve_union_area": q_dissolve_union_area,
+        "union_all_area": q_union_all_area,
+        "setops_concave_area": q_setops_concave_area,
+        "clip_concave_lines": q_clip_concave_lines,
+        # -- r7-green tail (attested in CORRECTNESS_r07) --
+        "clip_concave_polys": q_clip_concave_polys,
         "semantic_dedup_pq": q_semantic_dedup_pq,
         "semantic_dedup_probe": q_semantic_dedup_probe,
         "ann_ivf": q_ann_ivf,
@@ -4495,6 +4535,88 @@ def _index_dedup_oracle_sql(threshold: float = 0.5) -> str:
     """
 
 
+def _stream_ingest_neardup_oracle_sql(threshold: float = 0.5) -> str:
+    """DuckDB replica of q_stream_ingest_neardup: the index_dedup
+    synthetic texts, 4-hash/2-band signatures (_mh_expr / md5-'|'
+    banding), the per-batch lsh_dedup keeper (bucket-min, then
+    per-doc min over its bands, survivor iff rep = own id), and the
+    cross-batch candidate/estimate/threshold drop of batch 2 against
+    batch 1's SURVIVORS (= the stored index content when batch 2
+    runs).  The hive layout and the streaming machinery are invisible
+    to the result — this is the same stream==batch contract as
+    stream_ingest_dedup, at near-dup granularity."""
+    tl = "[" + ", ".join(f"'{t}'" for t in _IDX_TMPL) + "]"
+    synth = (f"SELECT doc_id, ({tl})[CAST(doc_id % 5 AS INTEGER) + 1]"
+             " || ' tail' || CAST(doc_id % 3 AS VARCHAR) AS text"
+             " FROM documents WHERE doc_id < 600")
+    ej = (" + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(4)))
+    return f"""
+        WITH synth AS ({synth}),
+        sg AS (
+            SELECT doc_id,
+                   {_mh_expr(0)} AS mh0, {_mh_expr(1)} AS mh1,
+                   {_mh_expr(2)} AS mh2, {_mh_expr(3)} AS mh3
+            FROM (SELECT doc_id, list_transform(sh, s -> {_PHASH('s')})
+                             AS shh
+                  FROM (SELECT doc_id, {_SHINGLES3} AS sh
+                        FROM (SELECT doc_id, {_TOKENS} AS toks
+                              FROM synth)))
+        ),
+        bd AS (
+            SELECT doc_id, 0 AS band,
+                   md5(CAST(mh0 AS VARCHAR) || '|' ||
+                       CAST(mh1 AS VARCHAR)) AS bh FROM sg
+            UNION ALL
+            SELECT doc_id, 1 AS band,
+                   md5(CAST(mh2 AS VARCHAR) || '|' ||
+                       CAST(mh3 AS VARCHAR)) AS bh FROM sg
+        ),
+        bm1 AS (
+            SELECT band, bh, min(doc_id) AS bmin
+            FROM bd WHERE doc_id < 300 GROUP BY band, bh
+        ),
+        s1 AS (
+            SELECT b.doc_id FROM bd b
+            JOIN bm1 m ON b.band = m.band AND b.bh = m.bh
+            WHERE b.doc_id < 300
+            GROUP BY b.doc_id HAVING min(m.bmin) = b.doc_id
+        ),
+        bm2 AS (
+            SELECT band, bh, min(doc_id) AS bmin
+            FROM bd WHERE doc_id >= 300 GROUP BY band, bh
+        ),
+        s2c AS (
+            SELECT b.doc_id FROM bd b
+            JOIN bm2 m ON b.band = m.band AND b.bh = m.bh
+            WHERE b.doc_id >= 300
+            GROUP BY b.doc_id HAVING min(m.bmin) = b.doc_id
+        ),
+        cand AS (
+            SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS stored_id
+            FROM bd n JOIN bd o ON n.band = o.band AND n.bh = o.bh
+            WHERE n.doc_id IN (SELECT doc_id FROM s2c)
+              AND o.doc_id IN (SELECT doc_id FROM s1)
+        ),
+        drop2 AS (
+            SELECT DISTINCT c.new_id
+            FROM cand c JOIN sg a ON a.doc_id = c.new_id
+                        JOIN sg b ON b.doc_id = c.stored_id
+            WHERE round(CAST({ej} AS DOUBLE) / 4.0, 9)
+                  >= CAST({threshold!r} AS DOUBLE)
+        ),
+        surv AS (
+            SELECT doc_id FROM s1
+            UNION ALL
+            SELECT doc_id FROM s2c
+            WHERE doc_id NOT IN (SELECT new_id FROM drop2)
+        )
+        SELECT s.doc_id, y.text
+        FROM surv s JOIN synth y ON y.doc_id = s.doc_id
+    """
+
+
 def _clean_text_oracle_sql() -> str:
     """DuckDB replica of q_clean_text: the same native mess graft
     (tab, smart quotes, em dash, NBSP=chr(160), control byte=chr(1),
@@ -4504,7 +4626,9 @@ def _clean_text_oracle_sql() -> str:
     pf = "'’‘“”–—' || chr(160)"
     pt = "'" + "''\"\"-- ".replace("'", "''") + "'"
     ctrl = "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]'"
-    url = "'https?://[^ \\t\\n\\x0B\\f\\r]+'"
+    url = ("'https?://[^ \\t\\n\\x0B\\f\\r\\x{00A0}\\x{1680}"
+           "\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}"
+           "\\x{3000}]+'")
     ws = "'[ \\t\\n\\x0B\\f\\r]+'"
     return f"""
         WITH synth AS (
@@ -6041,6 +6165,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_index_dedup": _exact_index_oracle_sql(),
         "leak_safe_split": _leak_safe_split_oracle_sql(),
         "clean_text": _clean_text_oracle_sql(),
+        "stream_ingest_neardup": _stream_ingest_neardup_oracle_sql(),
         "stream_ingest_dedup": f"""
             WITH synth AS (
                 SELECT doc_id,

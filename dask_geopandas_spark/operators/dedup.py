@@ -686,8 +686,11 @@ def minhash_index_matches(new_df: DataFrame, path: str,
     buckets = sorted(r["band_bucket"] for r in
                      nb.select("band_bucket").distinct().collect())
     if not buckets:
+        # empty result keeps the id column's REAL type (string ids
+        # would otherwise type-mismatch the non-empty path downstream)
+        idt = new_df.schema[id_col].dataType.simpleString()
         return spark.createDataFrame(
-            [], "new_id long, stored_id long, est_jaccard double")
+            [], f"new_id {idt}, stored_id {idt}, est_jaccard double")
     stored = (spark.read.parquet(base + "/postings")
               .filter(F.col("band_bucket").isin(buckets))
               .select(F.col(id_col).alias("stored_id"),
@@ -791,7 +794,10 @@ def exact_index_matches(new_df: DataFrame, path: str,
     buckets = sorted(r["hash_bucket"] for r in
                      nb.select("hash_bucket").distinct().collect())
     if not buckets:
-        return spark.createDataFrame([], "new_id long, stored_id long")
+        # keep the id column's real type, matching the non-empty path
+        idt = new_df.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"new_id {idt}, stored_id {idt}")
     stored = (spark.read.parquet(base + "/postings")
               .filter(F.col("hash_bucket").isin(buckets))
               .select(F.col(id_col).alias("stored_id"), "text_hash"))

@@ -120,6 +120,11 @@ def split_by_cluster(df: DataFrame, edges: DataFrame,
     ``split_train_holdout(df, f, key_col=<cluster_col>)`` directly."""
     if not 0.0 <= holdout_fraction <= 1.0:
         raise ValueError("holdout_fraction must be in [0, 1]")
+    clash = {"__dgs_split_rep", "__dgs_split_key"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"split_by_cluster reserves internal column names "
+            f"{sorted(clash)}; rename those columns first")
     from .dedup import connected_components
 
     comp = connected_components(edges, src=src, dst=dst,
@@ -164,6 +169,11 @@ def weighted_sample(df: DataFrame, k: int, weight_col: str,
     the choice reproducible end-to-end."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    clash = {"_es_key", "_es_rn"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"weighted_sample reserves internal column names "
+            f"{sorted(clash)}; rename those columns first")
     u = (_bucket(F.concat(F.lit(seed), F.col(key_col).cast("string")))
          + F.lit(0.5)) / F.lit(float(_MOD))
     es = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)

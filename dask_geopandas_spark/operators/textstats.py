@@ -73,6 +73,12 @@ _CTRL = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
 # smart quotes / dashes / non-breaking space → ASCII
 _PUNCT_FROM = "’‘“”–— "
 _PUNCT_TO = "''\"\"-- "
+# URL run for clean_text(remove_urls=True): stops at ASCII whitespace
+# AND Unicode spaces (NBSP, ogham, Zs block, line/para sep, narrow
+# NBSP, math space, ideographic space) — identical class in the
+# DuckDB oracle via \x{...} escapes (same codepoints, RE2 syntax)
+_URL_RUN = ("https?://[^ \\t\\n\\x0B\\f\\r\\u00A0\\u1680"
+            "\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]+")
 
 
 def clean_text(text: Column, lowercase: bool = False,
@@ -101,7 +107,11 @@ def clean_text(text: Column, lowercase: bool = False,
     if strip_control:
         c = F.regexp_replace(c, _CTRL, "")
     if remove_urls:
-        c = F.regexp_replace(c, "https?://[^ \\t\\n\\x0B\\f\\r]+", "")
+        # terminate URLs on Unicode whitespace too (NBSP, Zs runs,
+        # line/para separators) — remove_urls runs BEFORE the NBSP →
+        # space translate, so an ASCII-only class would swallow an
+        # NBSP-separated word following the URL
+        c = F.regexp_replace(c, _URL_RUN, "")
     if normalize_punct:
         c = F.translate(c, _PUNCT_FROM, _PUNCT_TO)
     if collapse_whitespace:

@@ -76,22 +76,35 @@ def streaming_neardup_dedup(stream: DataFrame, text_col: str = "text",
 
 def ingest_dedup_batch(batch_df: DataFrame, index_path: str,
                        text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       sink=None) -> DataFrame:
     """One ingestion step of the INCREMENTAL exact-dedup pipeline:
     (1) in-batch exact dedup — keep the min-id row per md5(text) (one
     rank window on the 16-byte hash, the `exact_dedup` keeper rule);
     (2) drop rows whose text is already in the stored
     `write_exact_index` at ``index_path`` (static-partition-pruned
-    hash join — see `dedup_exact_against_index`); (3) append the
+    hash join — see `dedup_exact_against_index`); (3) run ``sink``
+    (e.g. the output write) on the survivors; (4) append the
     survivors' hashes to the index so the NEXT batch sees them.
     Returns the surviving rows (batch_df's schema).
 
-    A missing index (first batch ever) initializes it.  The existence
-    probe goes through the Hadoop FS API, so it works on s3a/gs the
-    same as locally.  Crash between the output write and the index
-    append re-ingests at-least-once — downstream exact dedup is
-    idempotent by construction (the re-ingested rows hash-match and
-    drop next time)."""
+    ORDERING IS THE CRASH CONTRACT: the sink runs BEFORE the index
+    append.  A crash between the two re-delivers the batch with the
+    index NOT yet advanced, so the replay re-emits the same survivors
+    — duplicate output rows, at-least-once, never loss.  (Index-first
+    would be the losing order: a replayed batch hash-matches the
+    already-advanced index, the anti-join drops it, and the rows never
+    reach the sink.)  Downstream exact dedup absorbs the replay
+    duplicates, and duplicate index postings are harmless to the
+    left-anti.  A caller that writes output OUTSIDE ``sink`` (after
+    this returns) reintroduces the loss window — don't.
+
+    A missing index (first batch ever) initializes it; an EMPTY
+    survivor set skips the index write entirely (appending zero rows
+    is a no-op, and initializing meta over an empty postings dir would
+    break the next batch's schema inference).  The existence probe
+    goes through the Hadoop FS API, so it works on s3a/gs the same as
+    locally."""
     from pyspark.sql import Window
 
     from ..operators.dedup import (dedup_exact_against_index,
@@ -110,12 +123,15 @@ def ingest_dedup_batch(batch_df: DataFrame, index_path: str,
     survivors = (dedup_exact_against_index(firsts, base, text_col,
                                            id_col)
                  if have_index else firsts)
-    # localCheckpoint: the survivor frame is consumed twice (index
-    # append + caller's sink) and its lineage includes the index read
-    # that the append itself mutates — cut it before the write
+    # localCheckpoint: the survivor frame is consumed twice (sink +
+    # index append) and its lineage includes the index read that the
+    # append itself mutates — cut it before either write
     survivors = survivors.localCheckpoint(eager=True)
-    write_exact_index(survivors, base, text_col=text_col,
-                      id_col=id_col, append=have_index)
+    if sink is not None:
+        sink(survivors)
+    if not survivors.isEmpty():
+        write_exact_index(survivors, base, text_col=text_col,
+                          id_col=id_col, append=have_index)
     return survivors
 
 
@@ -126,9 +142,11 @@ def streaming_ingest_dedup(stream: DataFrame, index_path: str,
     """Continuous-ingestion exact dedup: each micro-batch dedups
     in-batch, then against EVERYTHING previously ingested (the stored
     exact index — never a corpus re-scan), appends its survivors to
-    ``output_path`` and advances the index — `ingest_dedup_batch`
-    under ``foreachBatch``.  Returns the DataStreamWriter; the caller
-    picks trigger/checkpoint and calls ``.start()``:
+    ``output_path`` and THEN advances the index — `ingest_dedup_batch`
+    under ``foreachBatch`` with the output write as its ``sink`` (the
+    output-first crash ordering; see `ingest_dedup_batch`).  Returns
+    the DataStreamWriter; the caller picks trigger/checkpoint and
+    calls ``.start()``:
 
         (streaming_ingest_dedup(stream, idx, out)
          .option("checkpointLocation", ckpt)
@@ -138,8 +156,90 @@ def streaming_ingest_dedup(stream: DataFrame, index_path: str,
     the state store: unlike ``streaming_exact_dedup`` this survives
     query restarts WITHOUT replay and is queryable between runs."""
     def _fb(batch_df: DataFrame, _batch_id: int) -> None:
-        surv = ingest_dedup_batch(batch_df, index_path, text_col,
-                                  id_col)
-        surv.write.mode("append").parquet(output_path)
+        ingest_dedup_batch(
+            batch_df, index_path, text_col, id_col,
+            sink=lambda s: s.write.mode("append").parquet(output_path))
+
+    return stream.writeStream.foreachBatch(_fb)
+
+
+def ingest_neardup_batch(batch_df: DataFrame, index_path: str,
+                         threshold: float = 0.7,
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         num_hashes: int = 8, bands: int = 4,
+                         k: int = 3, n_buckets: int = 64,
+                         sink=None) -> DataFrame:
+    """One ingestion step of the INCREMENTAL NEAR-dup pipeline — the
+    MinHash twin of `ingest_dedup_batch`: (1) in-batch near-dup dedup
+    (`lsh_dedup`, the linear bucket-min form — never quadratic in a
+    bucket); (2) drop rows near-duplicating anything already in the
+    stored `write_minhash_index` at ``index_path``
+    (static-partition-pruned band join, signature verify at
+    ``threshold`` — see `dedup_against_index`); (3) run ``sink`` on
+    the survivors; (4) append the survivors' signatures to the index.
+    Returns the surviving rows.
+
+    Same output-first crash contract as `ingest_dedup_batch`: a crash
+    between sink and index append replays the batch at-least-once
+    (duplicate output, never loss); duplicate index postings only
+    duplicate candidate rows, which `minhash_index_matches`
+    dropDuplicates away.  A missing index initializes under the given
+    (num_hashes, bands, k, n_buckets); append-time parameters are
+    validated against stored meta by `write_minhash_index`.  Empty
+    survivor sets skip the index write (same schema-inference guard as
+    the exact twin)."""
+    from ..operators.dedup import (dedup_against_index, lsh_dedup,
+                                   write_minhash_index)
+
+    spark = batch_df.sparkSession
+    base = index_path.rstrip("/")
+    jvm = spark._jvm
+    meta = jvm.org.apache.hadoop.fs.Path(base + "/meta")
+    fs = meta.getFileSystem(spark._jsc.hadoopConfiguration())
+    have_index = fs.exists(meta)
+
+    # lsh_dedup returns the (id, rep_id) mapping; in-batch survivors
+    # are the representatives themselves (one semi join back to rows)
+    reps = (lsh_dedup(batch_df, text_col=text_col, id_col=id_col,
+                      num_hashes=num_hashes, bands=bands, k=k)
+            .filter(F.col("rep_id") == F.col(id_col)).select(id_col))
+    firsts = batch_df.join(reps, on=id_col, how="left_semi")
+    survivors = (dedup_against_index(firsts, base, threshold,
+                                     text_col, id_col)
+                 if have_index else firsts)
+    survivors = survivors.localCheckpoint(eager=True)
+    if sink is not None:
+        sink(survivors)
+    if not survivors.isEmpty():
+        write_minhash_index(survivors, base, text_col=text_col,
+                            id_col=id_col, num_hashes=num_hashes,
+                            bands=bands, k=k, n_buckets=n_buckets,
+                            append=have_index)
+    return survivors
+
+
+def streaming_ingest_neardup(stream: DataFrame, index_path: str,
+                             output_path: str,
+                             threshold: float = 0.7,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             num_hashes: int = 8, bands: int = 4,
+                             k: int = 3, n_buckets: int = 64):
+    """Continuous-ingestion NEAR-duplicate dedup — each micro-batch
+    LSH-dedups in-batch, then against everything previously ingested
+    via the stored `write_minhash_index` postings (band-bucket-pruned
+    reads, never a corpus re-scan), writes survivors to
+    ``output_path`` and THEN appends their signatures to the index:
+    `ingest_neardup_batch` under ``foreachBatch``, output-first crash
+    ordering throughout.  This is the granularity real crawl
+    pipelines dedup at (near-dup, not byte-exact): state is the
+    hive-partitioned postings index, restart-safe without replay and
+    queryable between runs.  Returns the DataStreamWriter."""
+    def _fb(batch_df: DataFrame, _batch_id: int) -> None:
+        ingest_neardup_batch(
+            batch_df, index_path, threshold, text_col, id_col,
+            num_hashes, bands, k, n_buckets,
+            sink=lambda s: s.write.mode("append").parquet(output_path))
 
     return stream.writeStream.foreachBatch(_fb)

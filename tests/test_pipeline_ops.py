@@ -1857,6 +1857,10 @@ class TestCleanText:
             (4, "MiXeD Case\nLines\r\nhere"),
             (5, ""),
             (6, None),
+            # r8 (advisor): a URL terminated by NBSP must not swallow
+            # the NBSP and the following words
+            (7, "see https://x.io/a next words"),
+            (8, "u https://y.io/b thin　ideo end"),
         ]
         df = spark.createDataFrame(rows, "doc_id long, text string")
         out = {r["doc_id"]: r["c"] for r in df.select(
@@ -1867,7 +1871,9 @@ class TestCleanText:
             if t is None:
                 return None
             t = re.sub("[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "", t)
-            t = re.sub(r"https?://[^ \t\n\x0B\f\r]+", "", t)
+            t = re.sub(r"https?://[^ \t\n\x0B\f\r  "
+                       r" -     "
+                       r"　]+", "", t)
             t = t.translate(str.maketrans(
                 _PF,
                 _PT))
@@ -1892,3 +1898,43 @@ class TestCleanText:
             out._jdf.queryExecution(), "formatted")
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+class TestIndexEmptyBatchIdTypes:
+    """r8 (advisor): the empty-batch result of exact_index_matches /
+    minhash_index_matches must carry the id column's REAL type — a
+    hardcoded long would type-mismatch string-id corpora downstream."""
+
+    def test_exact_index_string_ids(self, spark, tmp_path):
+        from dask_geopandas_spark.operators.dedup import (
+            dedup_exact_against_index, exact_index_matches,
+            write_exact_index)
+
+        df = spark.createDataFrame(
+            [("a", "alpha text"), ("b", "bravo text")],
+            "doc_id string, text string")
+        p = str(tmp_path / "idx")
+        write_exact_index(df, p)
+        empty = df.filter("doc_id = 'zzz'")
+        m = exact_index_matches(empty, p)
+        assert m.schema["new_id"].dataType.simpleString() == "string"
+        assert m.schema["stored_id"].dataType.simpleString() == "string"
+        assert m.count() == 0
+        # the anti-join composes without a cast mismatch
+        assert dedup_exact_against_index(empty, p).count() == 0
+
+    def test_minhash_index_string_ids(self, spark, tmp_path):
+        from dask_geopandas_spark.operators.dedup import (
+            minhash_index_matches, write_minhash_index)
+
+        df = spark.createDataFrame(
+            [("a", "the quick brown fox jumps over the dog"),
+             ("b", "pack my box with five dozen liquor jugs")],
+            "doc_id string, text string")
+        p = str(tmp_path / "mhidx")
+        write_minhash_index(df, p)
+        empty = df.filter("doc_id = 'zzz'")
+        m = minhash_index_matches(empty, p)
+        assert m.schema["new_id"].dataType.simpleString() == "string"
+        assert m.schema["stored_id"].dataType.simpleString() == "string"
+        assert m.count() == 0

@@ -704,3 +704,29 @@ class TestSplitByCluster:
             split_by_cluster(df, edges, 0.5, max_iter=1)
         with _pt.raises(ValueError, match="holdout_fraction"):
             split_by_cluster(df, edges, 1.5)
+
+
+def test_weighted_sample_reserved_names_raise(spark):
+    """r8 (advisor): _es_key/_es_rn caller columns were silently
+    overwritten then dropped — now they raise like oversample's
+    guard."""
+    import pytest
+
+    from dask_geopandas_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(1, 1.0, 9.9)],
+                               "doc_id long, w double, _es_key double")
+    with pytest.raises(ValueError, match="_es_key"):
+        weighted_sample(df, 1, "w")
+
+
+def test_split_by_cluster_reserved_names_raise(spark):
+    import pytest
+
+    from dask_geopandas_spark.operators.sampling import split_by_cluster
+
+    df = spark.createDataFrame([(1, 2)],
+                               "doc_id long, __dgs_split_rep long")
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="__dgs_split_rep"):
+        split_by_cluster(df, edges)

@@ -1376,3 +1376,224 @@ class TestIngestDedup:
             ingest_dedup_batch
         assert ingest_dedup_batch(self._batch(spark, range(0, 40)),
                                   idx).count() == 0
+
+
+class TestIngestCrashOrdering:
+    """r8: the output-first crash contract of ingest_dedup_batch —
+    the sink runs BEFORE the index append, so a crash between the two
+    replays the batch at-least-once (duplicate output) instead of
+    silently losing it (the r7 ordering bug)."""
+
+    def _batch(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_crash_after_sink_loses_nothing(self, spark, tmp_path,
+                                            monkeypatch):
+        import dask_geopandas_spark.operators.dedup as D
+        from dask_geopandas_spark.streaming.dedup import \
+            ingest_dedup_batch
+
+        idx = str(tmp_path / "idx")
+        sunk = []
+
+        def sink(df):
+            sunk.append(sorted(r["doc_id"] for r in df.collect()))
+
+        ingest_dedup_batch(
+            self._batch(spark, [(0, "one"), (1, "two")]), idx,
+            sink=sink)
+        assert sunk == [[0, 1]]
+
+        # crash DURING the index append of batch 2: the sink must
+        # already have run (output-first), the index must not advance
+        real_write = D.write_exact_index
+
+        def boom(*a, **k):
+            raise RuntimeError("injected crash in index append")
+
+        monkeypatch.setattr(D, "write_exact_index", boom)
+        import pytest as _pt
+        with _pt.raises(RuntimeError, match="injected"):
+            ingest_dedup_batch(
+                self._batch(spark, [(2, "three"), (3, "one")]), idx,
+                sink=sink)
+        assert sunk == [[0, 1], [2]]  # survivor reached the sink
+
+        # replay of the uncommitted batch (index NOT advanced): the
+        # survivor is re-emitted — at-least-once, never lost
+        monkeypatch.setattr(D, "write_exact_index", real_write)
+        ingest_dedup_batch(
+            self._batch(spark, [(2, "three"), (3, "one")]), idx,
+            sink=sink)
+        assert sunk == [[0, 1], [2], [2]]
+        # committed now: a further replay emits nothing new
+        ingest_dedup_batch(
+            self._batch(spark, [(2, "three"), (3, "one")]), idx,
+            sink=sink)
+        assert sunk == [[0, 1], [2], [2], []]
+
+    def test_crash_in_sink_leaves_index_unadvanced(self, spark,
+                                                   tmp_path):
+        """If the OUTPUT write itself crashes, the index append must
+        not have happened yet — a replay still sees the rows as new."""
+        from dask_geopandas_spark.streaming.dedup import \
+            ingest_dedup_batch
+
+        idx = str(tmp_path / "idx")
+
+        def bad_sink(df):
+            raise RuntimeError("sink crash")
+
+        import pytest as _pt
+        with _pt.raises(RuntimeError, match="sink crash"):
+            ingest_dedup_batch(
+                self._batch(spark, [(0, "one")]), idx, sink=bad_sink)
+        got = []
+        ingest_dedup_batch(
+            self._batch(spark, [(0, "one")]), idx,
+            sink=lambda df: got.append(df.count()))
+        assert got == [1]
+
+    def test_empty_first_batch_does_not_brick_index(self, spark,
+                                                    tmp_path):
+        """An entirely-empty first batch must not initialize meta over
+        an empty postings dir (the next batch's schema inference would
+        fail) — the index write is skipped until rows exist."""
+        import os
+
+        from dask_geopandas_spark.streaming.dedup import \
+            ingest_dedup_batch
+
+        idx = str(tmp_path / "idx")
+        empty = self._batch(spark, [(0, "x")]).filter("doc_id < 0")
+        assert ingest_dedup_batch(empty, idx).count() == 0
+        assert not os.path.exists(idx + "/meta")
+        # the first NON-empty batch initializes normally...
+        s = ingest_dedup_batch(
+            self._batch(spark, [(1, "a"), (2, "a"), (3, "b")]), idx)
+        assert sorted(r["doc_id"] for r in s.collect()) == [1, 3]
+        # ...and a later empty batch appends nothing, breaks nothing
+        assert ingest_dedup_batch(empty, idx).count() == 0
+        s2 = ingest_dedup_batch(
+            self._batch(spark, [(4, "a"), (5, "c")]), idx)
+        assert sorted(r["doc_id"] for r in s2.collect()) == [5]
+
+
+class TestIngestNeardup:
+    """r8: continuous-ingestion NEAR-duplicate dedup — the MinHash
+    twin of TestIngestDedup (streaming/dedup.ingest_neardup_batch /
+    streaming_ingest_neardup over write_minhash_index postings)."""
+
+    BASE = ["the quick brown fox jumps over the lazy dog",
+            "pack my box with five dozen liquor jugs",
+            "how vexingly quick daft zebras jump today",
+            "sphinx of black quartz judge my vow now"]
+
+    def _batch(self, spark, ids, tail=None):
+        rows = [(i, self.BASE[i % 4]
+                 + (f" tail{(i + tail) % 7}" if tail is not None
+                    else "")) for i in ids]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_batch_sequence(self, spark, tmp_path):
+        from dask_geopandas_spark.streaming.dedup import \
+            ingest_neardup_batch
+
+        idx = str(tmp_path / "mhidx")
+        # batch 1: 20 docs in 4 exact-duplicate classes → in-batch
+        # lsh_dedup keeps the min id per class
+        s1 = ingest_neardup_batch(self._batch(spark, range(0, 20)),
+                                  idx, threshold=0.5)
+        assert sorted(r["doc_id"] for r in s1.collect()) == [0, 1, 2, 3]
+        # batch 2: exact copies of stored texts → everything drops
+        s2 = ingest_neardup_batch(self._batch(spark, range(100, 120)),
+                                  idx, threshold=0.5)
+        assert s2.count() == 0
+        # batch 3: NEAR copies (tail token differs — the
+        # TestMinhashIndex collision fixture) drop; unrelated text
+        # survives
+        near = self._batch(spark, range(200, 208), tail=1)
+        fresh = spark.createDataFrame(
+            [(900, "totally unrelated number nine hundred words "
+                   "w9a w9b w9c")], "doc_id long, text string")
+        s3 = ingest_neardup_batch(near.unionByName(fresh), idx,
+                                  threshold=0.5)
+        assert sorted(r["doc_id"] for r in s3.collect()) == [900]
+
+    def test_crash_after_sink_loses_nothing(self, spark, tmp_path,
+                                            monkeypatch):
+        import dask_geopandas_spark.operators.dedup as D
+        from dask_geopandas_spark.streaming.dedup import \
+            ingest_neardup_batch
+
+        idx = str(tmp_path / "mhidx")
+        sunk = []
+
+        def sink(df):
+            sunk.append(sorted(r["doc_id"] for r in df.collect()))
+
+        ingest_neardup_batch(self._batch(spark, range(0, 8)), idx,
+                             sink=sink)
+        assert sunk == [[0, 1, 2, 3]]
+        real = D.write_minhash_index
+
+        def boom(*a, **k):
+            raise RuntimeError("injected crash in index append")
+
+        monkeypatch.setattr(D, "write_minhash_index", boom)
+        fresh = spark.createDataFrame(
+            [(50, "totally unrelated number fifty words wfa wfb")],
+            "doc_id long, text string")
+        import pytest as _pt
+        with _pt.raises(RuntimeError, match="injected"):
+            ingest_neardup_batch(fresh, idx, sink=sink)
+        assert sunk == [[0, 1, 2, 3], [50]]
+        monkeypatch.setattr(D, "write_minhash_index", real)
+        ingest_neardup_batch(fresh, idx, sink=sink)
+        assert sunk == [[0, 1, 2, 3], [50], [50]]
+        ingest_neardup_batch(fresh, idx, sink=sink)
+        assert sunk == [[0, 1, 2, 3], [50], [50], []]
+
+    def test_empty_first_batch_does_not_brick_index(self, spark,
+                                                    tmp_path):
+        import os
+
+        from dask_geopandas_spark.streaming.dedup import \
+            ingest_neardup_batch
+
+        idx = str(tmp_path / "mhidx")
+        empty = self._batch(spark, [0]).filter("doc_id < 0")
+        assert ingest_neardup_batch(empty, idx).count() == 0
+        assert not os.path.exists(idx + "/meta")
+        s = ingest_neardup_batch(self._batch(spark, range(0, 4)), idx)
+        assert s.count() == 4
+
+    def test_streaming_matches_batch(self, spark, tmp_path):
+        import os
+
+        from dask_geopandas_spark.streaming.dedup import \
+            streaming_ingest_neardup
+
+        src = str(tmp_path / "src")
+        idx = str(tmp_path / "mhidx")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        self._batch(spark, range(0, 20)).coalesce(1) \
+            .write.parquet(src + "/f0")
+        self._batch(spark, range(100, 120)).coalesce(1) \
+            .write.parquet(src + "/f1")
+        now = 1_700_000_000
+        for i, d in enumerate(("f0", "f1")):
+            for fn in os.listdir(f"{src}/{d}"):
+                os.utime(f"{src}/{d}/{fn}", (now + i, now + i))
+        schema = self._batch(spark, [0]).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(src + "/f*"))
+        q = (streaming_ingest_neardup(stream, idx, out, threshold=0.5)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        got = sorted(r["doc_id"] for r in
+                     spark.read.parquet(out).collect())
+        assert got == [0, 1, 2, 3]
