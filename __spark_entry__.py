@@ -293,6 +293,33 @@ def q_sjoin_nearest_cobucket(spark, sf_dir):
     )
 
 
+def q_sjoin_nearest_cobucket_k3(spark, sf_dir):
+    """Co-bucketed k-NEAREST join at k=3 (r8 — verdict r7 #6: the
+    window path real users hit for "3 nearest within radius",
+    driver-attested beyond the k=1 pytest pin): same layouts as
+    sjoin_nearest_cobucket, reduction = per-left row_number window
+    over the dilated candidates.  The output aggregates per customer
+    (neighbor count + distance sum over the kept 3) so boundary-tied
+    neighbors — where row_number's pick is arbitrary — cannot affect
+    the hash: the top-k distance MULTISET is tie-invariant even when
+    the kept row set is not."""
+    from dask_geopandas_spark.operators.sjoin import sjoin_nearest
+
+    pts = _cust_points(spark, sf_dir)
+    boxes = _boxes(spark, sf_dir, "nation", NB)
+    tb = (-180.0, -90.0, 180.0, 90.0)
+    pl = pts.spatial_shuffle(by="hilbert", level=12, total_bounds=tb,
+                             boundaries=_SHUFFLE_BOUNDS)
+    br = boxes.spatial_shuffle(by="hilbert", level=12, total_bounds=tb,
+                               boundaries=_SHUFFLE_BOUNDS,
+                               replicate=True, dilate=60.0)
+    out = sjoin_nearest(pl, br, k=3, max_distance=60.0,
+                        strategy="cobucket")
+    return (out.df.groupBy(F.col("c_custkey").alias("custkey"))
+            .agg(F.count("*").cast("long").alias("n_near"),
+                 F.round(F.sum("dist"), 6).alias("sum_d")))
+
+
 def q_dissolve_centroid(spark, sf_dir):
     g = _cust_points(spark, sf_dir)[["c_mktsegment", "c_custkey", "geometry"]]
     d = g.dissolve(by="c_mktsegment", aggfunc={"c_custkey": "count"})
@@ -1666,6 +1693,35 @@ def q_overlay_lines(spark, sf_dir):
             .select(F.col("o_orderkey").alias("orderkey"),
                     F.col("n_nationkey").alias("nationkey"),
                     F.col("_len").alias("clip_len")))
+
+
+def q_overlay_cobucket(spark, sf_dir):
+    """overlay(how='union') over CO-BUCKETED layouts (r8 — verdict r7
+    #3): both box layers pre-shuffled with the same explicit Hilbert
+    boundaries and replicate=True, then overlay equi-joins candidates
+    on the bucket id reusing the layout-time partitioning — zero
+    Exchanges at the candidate join (pytest plan pin), the sjoin r7
+    path extended to overlay's three legs.  'union' exercises all of
+    them: intersection pieces (replicas deduped by the min-common-
+    bucket rule), plus both difference legs (content-hash aggregation
+    across replicas, de-replicated base frames).  Oracle: the layout
+    is invisible — rectangle-overlap arithmetic for pieces, exact
+    integer cell counting for the two difference legs."""
+    from dask_geopandas_spark.functions import core as FX
+
+    ob = _boxes(spark, sf_dir, "orders", OB)
+    nb = _boxes(spark, sf_dir, "nation", NB)
+    tb = (-180.0, -90.0, 180.0, 90.0)
+    obs = ob.spatial_shuffle(by="hilbert", level=12, total_bounds=tb,
+                             boundaries=_SHUFFLE_BOUNDS, replicate=True)
+    nbs = nb.spatial_shuffle(by="hilbert", level=12, total_bounds=tb,
+                             boundaries=_SHUFFLE_BOUNDS, replicate=True)
+    res = obs.overlay(nbs, how="union", strategy="cobucket")
+    return res.df.select(
+        F.col("o_orderkey").cast("long").alias("orderkey"),
+        F.col("n_nationkey").cast("long").alias("nationkey"),
+        F.round(FX.st_area(F.col(res.geometry_column)), 6)
+        .alias("piece_area"))
 
 
 def q_to_lambert(spark, sf_dir):
@@ -3455,6 +3511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- r7-late entries never driver-attested (r7 verdict #1: positions 1-6) --
         # -- NEW in round 8 (window front, §15 policy) --
+        "overlay_cobucket": q_overlay_cobucket,
+        "sjoin_nearest_cobucket_k3": q_sjoin_nearest_cobucket_k3,
         "stream_ingest_neardup": q_stream_ingest_neardup,
         "sjoin_cobucket_anti": q_sjoin_cobucket_anti,
         "exact_index_dedup": q_exact_index_dedup,
@@ -5921,6 +5979,31 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY c.c_custkey
             ) WHERE cb_nearest_dist <= 60.0
         """,
+        "sjoin_nearest_cobucket_k3": f"""
+            SELECT custkey, CAST(count(*) AS BIGINT) AS n_near,
+                   round(sum(d), 6) AS sum_d
+            FROM (
+                SELECT c.c_custkey AS custkey,
+                       sqrt(
+                           power(greatest({NB['minx']} - ({CUST_X}),
+                                         ({CUST_X}) - ({NB['minx']} + {NB['w']}),
+                                         0), 2) +
+                           power(greatest({NB['miny']} - ({CUST_Y}),
+                                         ({CUST_Y}) - ({NB['miny']} + {NB['h']}),
+                                         0), 2)) AS d
+                FROM customer c CROSS JOIN nation n
+                WHERE sqrt(
+                           power(greatest({NB['minx']} - ({CUST_X}),
+                                         ({CUST_X}) - ({NB['minx']} + {NB['w']}),
+                                         0), 2) +
+                           power(greatest({NB['miny']} - ({CUST_Y}),
+                                         ({CUST_Y}) - ({NB['miny']} + {NB['h']}),
+                                         0), 2)) <= 60.0
+                QUALIFY row_number() OVER (
+                    PARTITION BY c.c_custkey ORDER BY d) <= 3
+            )
+            GROUP BY custkey
+        """,
         "dissolve_centroid": f"""
             SELECT c_mktsegment AS segment, count(*) AS n_customers,
                    round(avg({CUST_X}), 6) AS cx, round(avg({CUST_Y}), 6) AS cy
@@ -6401,6 +6484,69 @@ def oracle_sql() -> dict[str, str]:
                 WHERE c.cx >= nx0 AND c.cx < nx1
                   AND c.cy >= ny0 AND c.cy < ny1)
             GROUP BY orderkey
+        """,
+        "overlay_cobucket": f"""
+            WITH ob AS (
+                SELECT o_orderkey AS orderkey,
+                       ({OB['minx']}) AS ox0, ({OB['miny']}) AS oy0,
+                       ({OB['minx']} + {OB['w']}) AS ox1,
+                       ({OB['miny']} + {OB['h']}) AS oy1,
+                       ({OB['w']}) AS ow, ({OB['h']}) AS oh
+                FROM orders
+            ),
+            nb AS (
+                SELECT n_nationkey AS nationkey,
+                       ({NB['minx']}) AS nx0, ({NB['miny']}) AS ny0,
+                       ({NB['minx']} + {NB['w']}) AS nx1,
+                       ({NB['miny']} + {NB['h']}) AS ny1,
+                       ({NB['w']}) AS nw, ({NB['h']}) AS nh
+                FROM nation
+            ),
+            inter AS (
+                SELECT CAST(orderkey AS BIGINT) AS orderkey,
+                       CAST(nationkey AS BIGINT) AS nationkey,
+                       round(CAST((least(ox1, nx1) - greatest(ox0, nx0))
+                             * (least(oy1, ny1) - greatest(oy0, ny0))
+                             AS DOUBLE), 6) AS piece_area
+                FROM ob CROSS JOIN nb
+                WHERE least(ox1, nx1) > greatest(ox0, nx0)
+                  AND least(oy1, ny1) > greatest(oy0, ny0)
+            ),
+            ocells AS (
+                SELECT orderkey, ox0 + i.range AS cx, oy0 + j.range AS cy
+                FROM ob, range(7) i, range(5) j
+                WHERE i.range < ow AND j.range < oh
+            ),
+            ldiff AS (
+                SELECT CAST(orderkey AS BIGINT) AS orderkey,
+                       CAST(NULL AS BIGINT) AS nationkey,
+                       round(CAST(count(*) AS DOUBLE), 6) AS piece_area
+                FROM ocells c
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM nb
+                    WHERE c.cx >= nx0 AND c.cx < nx1
+                      AND c.cy >= ny0 AND c.cy < ny1)
+                GROUP BY orderkey
+            ),
+            ncells AS (
+                SELECT nationkey, nx0 + i.range AS cx, ny0 + j.range AS cy
+                FROM nb, range(18) i, range(12) j
+                WHERE i.range < nw AND j.range < nh
+            ),
+            rdiff AS (
+                SELECT CAST(NULL AS BIGINT) AS orderkey,
+                       CAST(nationkey AS BIGINT) AS nationkey,
+                       round(CAST(count(*) AS DOUBLE), 6) AS piece_area
+                FROM ncells c
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM ob
+                    WHERE c.cx >= ox0 AND c.cx < ox1
+                      AND c.cy >= oy0 AND c.cy < oy1)
+                GROUP BY nationkey
+            )
+            SELECT * FROM inter
+            UNION ALL SELECT * FROM ldiff
+            UNION ALL SELECT * FROM rdiff
         """,
         "to_lambert": _lambert_oracle_sql(),
         "to_albers": _albers_oracle_sql(),

@@ -104,7 +104,26 @@ BENCH_QUERIES = [
     "leak_safe_split",
     "clean_text",
     "stream_ingest_dedup",
+    # round-8 additions
+    "overlay_cobucket",
+    "stream_ingest_neardup",
+    "sjoin_nearest_cobucket_k3",
 ]
+
+# Queries whose plan includes a multi-task Python mapInPandas WRITE
+# stage: a single fresh-session repeat never warms the Python write
+# workers (38 tasks of JIT + page-cache cold-start dominated
+# fgb_roundtrip's r7 number, 1.83x of its own code-invariant
+# baseline).  These get one UNCOUNTED warm-up run before the timed
+# best-of-2, so the recorded number measures the plan, not cold-start
+# (r7 verdict #5).
+PY_WRITE_WARMUP = {
+    "fgb_roundtrip",
+    "shapefile_roundtrip",
+    "gpx_roundtrip",
+    "kml_roundtrip",
+    "gml_roundtrip",
+}
 
 
 # Queries per Spark session: the r3→r4 audit traced a uniform ~1.2×
@@ -148,6 +167,9 @@ def main():
         for name in group:
             fn = qs[name]
             best, n = None, 0
+            if name in PY_WRITE_WARMUP:
+                fn(spark, SF_DIR).count()
+                spark.catalog.clearCache()
             # best-of-2: the host VM shows multi-second scheduling
             # noise, and one repeat removes cold-start effects (JIT,
             # page cache, python worker pool) from the recorded number

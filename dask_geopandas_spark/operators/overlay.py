@@ -40,7 +40,8 @@ from pyspark.sql.types import ArrayType, BinaryType
 from ..geometry import booleans as B
 from ..geometry import setops as SO
 from ..geometry import wkb as W
-from .sjoin import (_bbox_overlap, _grid_join, _is_small, _scan_free_bounds,
+from .sjoin import (_bbox_overlap, _cobucket_check, _cobucket_meta,
+                    _grid_join, _is_small, _scan_free_bounds,
                     _suffix_collisions, _union_bounds_job)
 
 _HOWS = ("intersection", "difference", "symmetric_difference", "union",
@@ -111,9 +112,29 @@ def _diff_union_udf():
 # ----------------------------------------------------------------------
 def _candidate_pairs(lg, rg, ldf: DataFrame, rdf: DataFrame,
                      lbbox_j: str, rbbox_j: str, strategy: str,
-                     grid_level: int, total_bounds) -> DataFrame:
+                     grid_level: int, total_bounds,
+                     cob_cols=None) -> DataFrame:
     if strategy == "auto":
+        # cobucket was already claimed by the caller when available
         strategy = "broadcast" if _is_small(rdf) else "grid"
+    if strategy == "cobucket":
+        # both sides pre-bucketed with identical boundaries
+        # (spatial_shuffle(boundaries=)): the equi-join on the bucket
+        # id reuses the layout-time hash partitioning — NO Exchange at
+        # the join, the same layout-once-join-many path sjoin gained in
+        # r7.  A candidate pair meeting in several shared buckets is
+        # kept only in the smallest one (both-replicated case), so each
+        # pair surfaces exactly once — the invariant every overlay leg
+        # (piece emission, per-row overlapper aggregation) relies on.
+        l_bucket, r_bucket, l_arr, r_arr = cob_cols
+        pairs = (ldf.join(rdf, F.col(l_bucket) == F.col(r_bucket),
+                          "inner")
+                 .filter(_bbox_overlap(lbbox_j, rbbox_j)))
+        if l_arr and r_arr:
+            pairs = pairs.filter(
+                F.col(l_bucket) == F.array_min(
+                    F.array_intersect(F.col(l_arr), F.col(r_arr))))
+        return pairs
     if strategy == "broadcast":
         return ldf.join(F.broadcast(rdf),
                         on=_bbox_overlap(lbbox_j, rbbox_j), how="inner")
@@ -191,20 +212,72 @@ def overlay(left, right, how: str = "intersection", strategy: str = "auto",
     lbbox_j = f"{lbbox}{lsuffix}" if lbbox in shared else lbbox
     rbbox_j = f"{rbbox}{rsuffix}" if rbbox in shared else rbbox
 
+    # ---- co-bucketed layouts (spatial_shuffle(boundaries=)) --------
+    # the same auto-detection sjoin gained in r7: when both sides carry
+    # compatible bucket metadata the candidate join reuses the stored
+    # layout (equi-join on the bucket id, no Exchange); replicated
+    # frames REQUIRE it (their replicas are only deduped here)
+    lmeta, rmeta = _cobucket_meta(lg), _cobucket_meta(rg)
+    cob_err = _cobucket_check(lmeta, rmeta)
+    replicated = bool((lmeta or {}).get("dgs_cobucket_replicated")
+                      or (rmeta or {}).get("dgs_cobucket_replicated"))
+    if strategy == "auto" and cob_err is None:
+        strategy = "cobucket"
+    if replicated and strategy != "cobucket":
+        raise ValueError(
+            "a spatial_shuffle(replicate=True) frame carries one row "
+            "per overlapping bucket; only strategy='cobucket' dedups "
+            f"those replicas in overlay — got strategy={strategy!r}"
+            + (f" (cobucket unavailable: {cob_err})" if cob_err else ""))
+    if strategy == "cobucket" and cob_err:
+        raise ValueError(f"strategy='cobucket': {cob_err}")
+
+    l_bucket = ("_spatial_bucket" + lsuffix
+                if "_spatial_bucket" in shared else "_spatial_bucket")
+    r_bucket = ("_spatial_bucket" + rsuffix
+                if "_spatial_bucket" in shared else "_spatial_bucket")
+    l_arr = (("_spatial_buckets" + lsuffix
+              if "_spatial_buckets" in shared else "_spatial_buckets")
+             if "_spatial_buckets" in lg.df.columns else None)
+    r_arr = (("_spatial_buckets" + rsuffix
+              if "_spatial_buckets" in shared else "_spatial_buckets")
+             if "_spatial_buckets" in rg.df.columns else None)
+    l_help = [c for c in (l_bucket, l_arr)
+              if c and c in ldf.columns] if strategy == "cobucket" else []
+    r_help = [c for c in (r_bucket, r_arr)
+              if c and c in rdf.columns] if strategy == "cobucket" else []
+
     lrow, rrow = "_ov_left_row", "_ov_right_row"
     # content hashes (not mono-ids): the frames appear in several plan
     # subtrees; hashes stay aligned across re-evaluations (same
-    # reasoning as sjoin's left/anti path)
-    ldf = ldf.withColumn(lrow, F.xxhash64(*[F.col(c) for c in ldf.columns]))
-    rdf = rdf.withColumn(rrow, F.xxhash64(*[F.col(c) for c in rdf.columns]))
+    # reasoning as sjoin's left/anti path).  Bucket helper columns are
+    # EXCLUDED — replicas of one row differ only in them and must share
+    # a hash so the difference legs aggregate across replicas.
+    ldf = ldf.withColumn(lrow, F.xxhash64(
+        *[F.col(c) for c in ldf.columns if c not in l_help]))
+    rdf = rdf.withColumn(rrow, F.xxhash64(
+        *[F.col(c) for c in rdf.columns if c not in r_help]))
 
     pairs = _candidate_pairs(lg, rg, ldf, rdf, lbbox_j, rbbox_j,
-                             strategy, grid_level, total_bounds)
+                             strategy, grid_level, total_bounds,
+                             cob_cols=(l_bucket, r_bucket, l_arr, r_arr))
+
+    # difference legs need ONE row per original feature: drop replicas
+    # (keep the copy living in its smallest bucket — every row has one)
+    ldf_base, rdf_base = ldf, rdf
+    if strategy == "cobucket":
+        if l_arr and l_arr in ldf.columns:
+            ldf_base = ldf.filter(
+                F.col(l_bucket) == F.array_min(F.col(l_arr)))
+        if r_arr and r_arr in rdf.columns:
+            rdf_base = rdf.filter(
+                F.col(r_bucket) == F.array_min(F.col(r_arr)))
 
     legs = []
-    lcols = [c for c in ldf.columns if c not in (lbbox_j, lrow)]
+    lcols = [c for c in ldf.columns
+             if c not in (lbbox_j, lrow) and c not in l_help]
     rcols = [c for c in rdf.columns
-             if c not in (rbbox_j, rgeom_j, rrow)]
+             if c not in (rbbox_j, rgeom_j, rrow) and c not in r_help]
     if how in ("intersection", "union", "identity"):
         if (getattr(left, "envelope_exact", False)
                 and getattr(right, "envelope_exact", False)):
@@ -244,11 +317,11 @@ def overlay(left, right, how: str = "intersection", strategy: str = "auto",
         legs.append(piece.select(
             *[c for c in lcols if c != lgeom_j], *rcols, lgeom_j))
     if how in ("difference", "symmetric_difference", "union", "identity"):
-        ldiff = _difference_leg(ldf, lrow, lgeom_j, pairs, rgeom_j)
+        ldiff = _difference_leg(ldf_base, lrow, lgeom_j, pairs, rgeom_j)
         legs.append(ldiff.select(
             *[c for c in lcols if c != lgeom_j], lgeom_j))
     if how in ("symmetric_difference", "union"):
-        rdiff = _difference_leg(rdf, rrow, rgeom_j, pairs, lgeom_j)
+        rdiff = _difference_leg(rdf_base, rrow, rgeom_j, pairs, lgeom_j)
         # right-difference pieces adopt the left geometry column name so
         # every leg shares one schema
         rdiff = rdiff.withColumnRenamed(rgeom_j, lgeom_j)

@@ -270,3 +270,102 @@ class TestKeepGeomType:
         res = overlay(lplain, rplain, how="intersection",
                       strategy="broadcast")
         assert res.count() == 1
+
+
+class TestOverlayCobucket:
+    """r8 (verdict r7 #3): overlay consumes spatial_shuffle(
+    boundaries=) co-partitioning — layout-once-join-many for the
+    candidate stage, the same path sjoin gained in r7.  Replicas are
+    deduped by the min-common-bucket rule for the piece leg and by
+    content-hash aggregation + base-frame de-replication for the
+    difference legs."""
+
+    TB = (-180.0, -90.0, 180.0, 90.0)
+    BOUNDS = [(4 ** 12) // 8 * i for i in range(1, 8)]
+
+    def _frames(self, spark, n_l=60, n_r=40):
+        left = _boxes(spark, [
+            (i, float((i * 71) % 340 - 175), float((i * 29) % 160 - 85),
+             float((i * 71) % 340 - 175) + 14.0,
+             float((i * 29) % 160 - 85) + 11.0) for i in range(n_l)])
+        right = _boxes(spark, [
+            (j, float((j * 37) % 330 - 170), float((j * 53) % 150 - 80),
+             float((j * 37) % 330 - 170) + 9.0,
+             float((j * 53) % 150 - 80) + 13.0) for j in range(n_r)],
+            pre="r")
+        return left, right
+
+    def _shuffled(self, g):
+        return g.spatial_shuffle(by="hilbert", level=12,
+                                 total_bounds=self.TB,
+                                 boundaries=self.BOUNDS,
+                                 replicate=True)
+
+    def _summary(self, res, how):
+        rows = _areas(res).df.collect() if hasattr(_areas(res), "df") \
+            else _areas(res).collect()
+        out = []
+        for r in rows:
+            d = r.asDict()
+            out.append((d.get("bid"), d.get("rbid"),
+                        round(d["_a"], 6)))
+        return sorted(out, key=lambda t: (str(t[0]), str(t[1]), t[2]))
+
+    def test_matches_plain_all_hows(self, spark):
+        left, right = self._frames(spark)
+        ls, rs = self._shuffled(left), self._shuffled(right)
+        for how in ("intersection", "difference",
+                    "symmetric_difference", "union", "identity"):
+            got = self._summary(overlay(ls, rs, how=how), how)
+            want = self._summary(
+                overlay(left, right, how=how, strategy="broadcast"),
+                how)
+            assert got == want and len(got) > 0, how
+            # bucket helper columns never leak into the result
+            res = overlay(ls, rs, how=how)
+            assert not [c for c in res.df.columns
+                        if "_spatial_bucket" in c], how
+
+    def test_auto_detects_cobucket(self, spark):
+        left, right = self._frames(spark, n_l=20, n_r=12)
+        ls, rs = self._shuffled(left), self._shuffled(right)
+        auto = self._summary(overlay(ls, rs, how="intersection"), "i")
+        cob = self._summary(
+            overlay(ls, rs, how="intersection", strategy="cobucket"),
+            "i")
+        assert auto == cob and len(auto) > 0
+
+    def test_no_exchange_at_candidate_join(self, spark):
+        """THE 100-TB pin: the candidate equi-join reuses both sides'
+        layout-time hash partitioning — the intersection leg's only
+        Exchanges are the two spatial_shuffle repartitions."""
+        import re
+
+        left, right = self._frames(spark, n_l=30, n_r=20)
+        ls, rs = self._shuffled(left), self._shuffled(right)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            res = overlay(ls, rs, how="intersection",
+                          strategy="cobucket")
+            plan = res.df._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        assert len(re.findall(r"Exchange", plan)) == 2, plan
+        assert re.findall(r"Exchange hashpartitioning\(_spatial_bucket",
+                          plan), plan
+
+    def test_replicated_requires_cobucket(self, spark):
+        left, right = self._frames(spark, n_l=10, n_r=6)
+        ls, rs = self._shuffled(left), self._shuffled(right)
+        with pytest.raises(ValueError, match="replicate"):
+            overlay(ls, rs, how="intersection", strategy="grid")
+
+    def test_incompatible_layouts_raise(self, spark):
+        left, right = self._frames(spark, n_l=10, n_r=6)
+        ls = self._shuffled(left)
+        other = right.spatial_shuffle(
+            by="hilbert", level=12, total_bounds=self.TB,
+            boundaries=[(4 ** 12) // 4 * i for i in range(1, 4)],
+            replicate=True)
+        with pytest.raises(ValueError, match="bucketed with different"):
+            overlay(ls, other, how="intersection", strategy="cobucket")
