@@ -2650,6 +2650,54 @@ def q_exact_index_dedup(spark, sf_dir):
     return agg.unionByName(kept)
 
 
+def q_compact_index_dedup(spark, sf_dir):
+    """Stored-index COMPACTION (dedup.compact_index, new r8 — verdict
+    r7 #7: the maintenance pass appendable layouts need at 100 TB):
+    the exact_index_dedup corpus is indexed in THREE appended slices
+    (the streaming-ingestion shape — one file set per batch per
+    bucket), compacted to one file per bucket with two renames, then
+    queried exactly like exact_index_dedup.  Contents are preserved
+    row-for-row, so the oracle IS exact_index_dedup's: a plain md5
+    join across the two subsets — the layout, before and after
+    compaction, is invisible.  The query asserts the file count
+    actually dropped (compaction did something) before returning."""
+    import shutil
+
+    from dask_geopandas_spark.operators.dedup import (
+        compact_index, dedup_exact_against_index, exact_index_matches,
+        write_exact_index)
+
+    path = "/root/repo/.bench_tmp/compact_index"
+    shutil.rmtree(path, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 600) \
+        .select("doc_id")
+    tmpl = F.element_at(F.array(*[F.lit(t) for t in _IDX_TMPL]),
+                        (F.col("doc_id") % 5 + 1).cast("int"))
+    synth = docs.withColumn(
+        "text",
+        F.when((F.col("doc_id") >= 300) & (F.col("doc_id") % 7 == 0),
+               F.concat(F.lit("fresh "), F.col("doc_id").cast("string")))
+        .otherwise(F.concat(tmpl, F.lit(" tail"),
+                            (F.col("doc_id") % 3).cast("string"))))
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        write_exact_index(
+            synth.filter((F.col("doc_id") >= lo)
+                         & (F.col("doc_id") < hi)),
+            path, n_buckets=8, append=lo > 0)
+    stats = compact_index(spark, path)
+    assert stats["files_after"] < stats["files_before"], stats
+    new = synth.filter(F.col("doc_id") >= 300)
+    agg = (exact_index_matches(new, path)
+           .groupBy("new_id")
+           .agg(F.count("*").cast("long").alias("n_matches"),
+                F.min("stored_id").alias("first_match")))
+    kept = dedup_exact_against_index(new, path).select(
+        F.col("doc_id").alias("new_id"),
+        F.lit(0).cast("long").alias("n_matches"),
+        F.lit(None).cast("long").alias("first_match"))
+    return agg.unionByName(kept)
+
+
 def q_line_dedup(spark, sf_dir):
     """Line-level corpus dedup (dedup.line_dedup — the CCNet/
     RefinedWeb boilerplate stage, verdict r5 #4): drop every
@@ -3512,6 +3560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r7-late entries never driver-attested (r7 verdict #1: positions 1-6) --
         # -- NEW in round 8 (window front, §15 policy) --
         "overlay_cobucket": q_overlay_cobucket,
+        "compact_index_dedup": q_compact_index_dedup,
         "sjoin_nearest_cobucket_k3": q_sjoin_nearest_cobucket_k3,
         "stream_ingest_neardup": q_stream_ingest_neardup,
         "sjoin_cobucket_anti": q_sjoin_cobucket_anti,
@@ -6246,6 +6295,7 @@ def oracle_sql() -> dict[str, str]:
             dim=96, bias=0.1, mul=13, mod=97, off=48, den=64.0),
         "index_dedup": _index_dedup_oracle_sql(),
         "exact_index_dedup": _exact_index_oracle_sql(),
+        "compact_index_dedup": _exact_index_oracle_sql(),
         "leak_safe_split": _leak_safe_split_oracle_sql(),
         "clean_text": _clean_text_oracle_sql(),
         "stream_ingest_neardup": _stream_ingest_neardup_oracle_sql(),

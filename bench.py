@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "overlay_cobucket",
     "stream_ingest_neardup",
     "sjoin_nearest_cobucket_k3",
+    "compact_index_dedup",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE

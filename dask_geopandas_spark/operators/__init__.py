@@ -22,6 +22,7 @@ from .dedup import (
     minhash_index_matches,
     minhash_signatures,
     ngram_jaccard_pairs,
+    compact_index,
     release_cached_signatures,
     remove_duplicated_spans,
     simhash,
@@ -84,6 +85,7 @@ __all__ = [
     "contaminated_spans", "decontaminate_spans",
     "write_minhash_index", "minhash_index_matches", "dedup_against_index",
     "write_exact_index", "exact_index_matches", "dedup_exact_against_index",
+    "compact_index",
     "brute_force_topk", "train_centroids", "ivf_topk",
     "write_ivf_index", "ivf_topk_stored",
     "knn_graph", "train_pq", "release_cached_salt_inputs",

@@ -821,6 +821,76 @@ def dedup_exact_against_index(new_df: DataFrame, path: str,
     return new_df.join(hits, on=id_col, how="left_anti")
 
 
+def compact_index(spark, path: str) -> dict:
+    """Compact an appendable stored index's ``postings/`` dataset —
+    the maintenance pass every streaming-appended layout eventually
+    needs: `write_exact_index` / `write_minhash_index` /
+    `write_text_index` (and any hive-bucketed layout of the same
+    shape) append one new file set per batch, so after thousands of
+    micro-batches each bucket directory holds thousands of small
+    files and the static-partition-pruned reads the layout exists to
+    serve drown in open() overhead.  This rewrites the postings to
+    ONE file per bucket (one shuffle on the bucket id, then
+    ``partitionBy`` — each bucket lands in exactly one task) and
+    swaps the rewrite in via two renames.
+
+    Contents are preserved row-for-row (matches before == matches
+    after, pinned in pytest); ``meta/`` / ``stats/`` are untouched —
+    compaction changes layout only.  The swap window (rename old out,
+    rename new in) is not atomic for CONCURRENT readers: run it like
+    any compaction job, between query batches.  A crash mid-swap
+    leaves either the original postings or a ``postings_old`` to roll
+    back by hand; the rewrite itself goes to a side directory, so the
+    live data is never half-written.  Returns
+    ``{"files_before": n, "files_after": m, "bucket_col": name}``."""
+    base = path.rstrip("/")
+    jvm = spark._jvm
+    HP = jvm.org.apache.hadoop.fs.Path
+    posts = HP(base + "/postings")
+    fs = posts.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(posts):
+        raise ValueError(f"no postings dataset at {base + '/postings'!r}")
+
+    bucket_col = None
+    for st in fs.listStatus(posts):
+        nm = st.getPath().getName()
+        if st.isDirectory() and "=" in nm:
+            bucket_col = nm.split("=", 1)[0]
+            break
+    if bucket_col is None:
+        raise ValueError(
+            f"{base + '/postings'!r} has no hive partition directories "
+            "— not an appendable bucketed index")
+
+    def _count_files(p) -> int:
+        n = 0
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            f = it.next().getPath().getName()
+            if not f.startswith("_") and not f.startswith("."):
+                n += 1
+        return n
+
+    files_before = _count_files(posts)
+    tmp = HP(base + "/postings_compacting")
+    fs.delete(tmp, True)
+    (spark.read.parquet(base + "/postings")
+     .repartition(F.col(bucket_col))
+     .write.mode("overwrite").partitionBy(bucket_col)
+     .parquet(base + "/postings_compacting"))
+    old = HP(base + "/postings_old")
+    fs.delete(old, True)
+    if not fs.rename(posts, old):
+        raise IOError(f"could not move live postings aside at {base!r}")
+    if not fs.rename(tmp, posts):
+        fs.rename(old, posts)  # roll back, live data intact
+        raise IOError(f"could not swap compacted postings in at {base!r}")
+    fs.delete(old, True)
+    return {"files_before": files_before,
+            "files_after": _count_files(posts),
+            "bucket_col": bucket_col}
+
+
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst", max_iter: int = 10,
                          on_nonconverged: str = "warn") -> DataFrame:

@@ -1938,3 +1938,103 @@ class TestIndexEmptyBatchIdTypes:
         assert m.schema["new_id"].dataType.simpleString() == "string"
         assert m.schema["stored_id"].dataType.simpleString() == "string"
         assert m.count() == 0
+
+
+class TestCompactIndex:
+    """r8 (verdict r7 #7): compaction for the appendable stored
+    indexes — N appended batches accumulate N file sets per bucket;
+    compact_index rewrites to one file per bucket with matches
+    preserved row-for-row."""
+
+    def test_exact_index_compaction(self, spark, tmp_path):
+        from dask_geopandas_spark.operators.dedup import (
+            compact_index, exact_index_matches, write_exact_index)
+
+        p = str(tmp_path / "idx")
+        texts = ["alpha bravo", "charlie delta", "echo foxtrot",
+                 "golf hotel"]
+        for b in range(5):
+            df = spark.createDataFrame(
+                [(b * 100 + i, texts[i % 4]) for i in range(8)],
+                "doc_id long, text string")
+            write_exact_index(df, p, n_buckets=8, append=b > 0)
+        probe = spark.createDataFrame(
+            [(999, texts[0]), (998, texts[2]), (997, "brand new")],
+            "doc_id long, text string")
+        before = sorted(map(tuple, exact_index_matches(probe, p)
+                            .collect()))
+        stats = compact_index(spark, p)
+        after = sorted(map(tuple, exact_index_matches(probe, p)
+                           .collect()))
+        # 2 matching docs per batch per probed text, 5 batches, 2 probes
+        assert after == before and len(before) == 20
+        assert stats["bucket_col"] == "hash_bucket"
+        assert stats["files_after"] < stats["files_before"]
+        # one file per bucket
+        import glob as g
+        buckets = g.glob(p + "/postings/hash_bucket=*")
+        assert buckets
+        for b in buckets:
+            files = [f for f in g.glob(b + "/*")
+                     if not f.rsplit("/", 1)[-1].startswith(("_", "."))]
+            assert len(files) == 1, b
+
+    def test_minhash_index_compaction(self, spark, tmp_path):
+        from dask_geopandas_spark.operators.dedup import (
+            compact_index, minhash_index_matches, write_minhash_index)
+
+        base = ["the quick brown fox jumps over the lazy dog",
+                "pack my box with five dozen liquor jugs"]
+        p = str(tmp_path / "mhidx")
+        for b in range(3):
+            df = spark.createDataFrame(
+                [(b * 100 + i, base[i % 2] + f" tail{i % 3}")
+                 for i in range(10)],
+                "doc_id long, text string")
+            write_minhash_index(df, p, num_hashes=8, bands=4, k=3,
+                                n_buckets=8, append=b > 0)
+        probe = spark.createDataFrame(
+            [(999, base[0] + " tail0")], "doc_id long, text string")
+        before = sorted(map(tuple, minhash_index_matches(
+            probe, p, threshold=0.5).collect()))
+        stats = compact_index(spark, p)
+        after = sorted(map(tuple, minhash_index_matches(
+            probe, p, threshold=0.5).collect()))
+        assert after == before and len(before) > 0
+        assert stats["files_after"] < stats["files_before"]
+        assert stats["bucket_col"] == "band_bucket"
+
+    def test_text_index_compaction(self, spark, tmp_path):
+        from dask_geopandas_spark.operators.textstats import (
+            bm25_topk_stored, write_text_index)
+        from dask_geopandas_spark.operators.dedup import compact_index
+
+        p = str(tmp_path / "tidx")
+        for b in range(3):
+            df = spark.createDataFrame(
+                [(b * 100 + i,
+                  f"shared term plus unique{b}_{i} words here")
+                 for i in range(10)],
+                "doc_id long, text string")
+            write_text_index(df, p, n_buckets=8, append=b > 0)
+        before = sorted(map(tuple, bm25_topk_stored(
+            spark, p, ["shared", "words"], k=5).collect()))
+        stats = compact_index(spark, p)
+        after = sorted(map(tuple, bm25_topk_stored(
+            spark, p, ["shared", "words"], k=5).collect()))
+        assert after == before and len(before) == 5
+        assert stats["files_after"] < stats["files_before"]
+        assert stats["bucket_col"] == "term_bucket"
+
+    def test_not_an_index_raises(self, spark, tmp_path):
+        import pytest
+
+        from dask_geopandas_spark.operators.dedup import compact_index
+
+        with pytest.raises(ValueError, match="postings"):
+            compact_index(spark, str(tmp_path / "nope"))
+        flat = str(tmp_path / "flat")
+        spark.createDataFrame([(1,)], "a long").write.parquet(
+            flat + "/postings")
+        with pytest.raises(ValueError, match="hive partition"):
+            compact_index(spark, flat)
