@@ -1710,6 +1710,11 @@ def q_overlay_cobucket(spark, sf_dir):
     from dask_geopandas_spark.functions import core as FX
 
     ob = _boxes(spark, sf_dir, "orders", OB)
+    # every 10th order: 'union' runs the exact boolean kernel per
+    # left feature with overlappers (the difference legs) — the full
+    # table would bench the kernel's per-call cost 10x over, not the
+    # layout (the thing this query attests)
+    ob = ob[ob.df.o_orderkey % 10 == 0]
     nb = _boxes(spark, sf_dir, "nation", NB)
     tb = (-180.0, -90.0, 180.0, 90.0)
     obs = ob.spatial_shuffle(by="hilbert", level=12, total_bounds=tb,
@@ -6542,7 +6547,7 @@ def oracle_sql() -> dict[str, str]:
                        ({OB['minx']} + {OB['w']}) AS ox1,
                        ({OB['miny']} + {OB['h']}) AS oy1,
                        ({OB['w']}) AS ow, ({OB['h']}) AS oh
-                FROM orders
+                FROM orders WHERE o_orderkey % 10 = 0
             ),
             nb AS (
                 SELECT n_nationkey AS nationkey,

@@ -886,10 +886,26 @@ class GeoDataFrame:
         so pick the largest distance the pipeline actually joins at —
         recorded in the metadata and enforced by ``sjoin``."""
         tb = total_bounds or self.total_bounds()
+        # envelope-exact layers carry native bounds: feed them to the
+        # curve encoders as double columns instead of round-tripping
+        # every row through WKB (st_point/st_make_box BUILD stage +
+        # parse stage — two Python passes a 100-TB layout shuffle
+        # shouldn't pay).  WKB-geometry frames keep the geometry path.
+        _bb = None
+        _bbox_added = None
+        if self.has_native_bbox and by in ("hilbert", "morton"):
+            g2 = self.with_bbox()
+            bcol = g2.bbox_column
+            _bbox_added = bcol if bcol not in self._df.columns else None
+            _bb = [F.col(f"{bcol}.minx"), F.col(f"{bcol}.miny"),
+                   F.col(f"{bcol}.maxx"), F.col(f"{bcol}.maxy")]
+            self = self._wrap(g2.df)
         if by == "hilbert":
-            key = FX.hilbert_distance(tb, level)(self._geom())
+            key = (FX.hilbert_distance_bounds(tb, level)(*_bb) if _bb
+                   else FX.hilbert_distance(tb, level)(self._geom()))
         elif by == "morton":
-            key = FX.morton_distance(tb, level)(self._geom())
+            key = (FX.morton_distance_bounds(tb, level)(*_bb) if _bb
+                   else FX.morton_distance(tb, level)(self._geom()))
         elif by == "geohash":
             key = FX.geohash(False, min(level, 12))(self._geom())
         else:
@@ -901,6 +917,12 @@ class GeoDataFrame:
             # mislead the co-bucketed join's pair dedup)
             self = self._wrap(self._df.drop("_spatial_buckets"))
         df = self._df.withColumn("_curve_key", key)
+        # helper columns to strip from every output path: the curve key
+        # plus the bbox struct when it was added for the encoders only
+        # (native-bbox frames recompute it for free, and the shuffled
+        # frame's schema must match the geometry-path output)
+        _drop = (["_curve_key"] if _bbox_added is None
+                 else ["_curve_key", _bbox_added])
         if boundaries is not None:
             import hashlib
 
@@ -937,18 +959,28 @@ class GeoDataFrame:
                     "dgs_cobucket_complete": bool(replicate or single),
                     "dgs_cobucket_dilate": float(dilate)}
             if replicate and not single:
-                sets = FX.curve_bucket_sets(tb, bs, by, level,
-                                            dilate=float(dilate))(
-                    self._geom())
+                sets = (FX.curve_bucket_sets_bounds(
+                            tb, bs, by, level, dilate=float(dilate))(*_bb)
+                        if _bb else
+                        FX.curve_bucket_sets(tb, bs, by, level,
+                                             dilate=float(dilate))(
+                            self._geom()))
+                # explode_outer, not explode: InferFiltersFromGenerate
+                # would derive a `size(sets) > 0` filter from a plain
+                # explode and PUSH IT BELOW upstream exchanges — the
+                # whole Python bucket-set stage then runs TWICE (once
+                # for the pushed filter, once for the projection).
+                # Bucket sets are never empty (every bbox meets >= 1
+                # bucket), so outer semantics are identical.
                 out = (
                     df.withColumn("_spatial_buckets", sets)
                     .withColumn("_spatial_bucket",
-                                F.explode("_spatial_buckets"))
+                                F.explode_outer("_spatial_buckets"))
                     .withMetadata("_spatial_bucket", meta)
                     .repartition(n, F.col("_spatial_bucket"))
                     .sortWithinPartitions("_spatial_bucket",
                                           "_curve_key")
-                    .drop("_curve_key")
+                    .drop(*_drop)
                 )
                 return self._wrap(out)
             barr = F.array(*[F.lit(b) for b in bs])
@@ -959,7 +991,7 @@ class GeoDataFrame:
                 .withMetadata("_spatial_bucket", meta)
                 .repartition(n, F.col("_spatial_bucket"))
                 .sortWithinPartitions("_spatial_bucket", "_curve_key")
-                .drop("_curve_key")
+                .drop(*_drop)
             )
             return self._wrap(out)
         # default partition count without df.rdd (which forces a
@@ -970,7 +1002,7 @@ class GeoDataFrame:
         out = (
             df.repartitionByRange(n, "_curve_key")
             .sortWithinPartitions("_curve_key")
-            .drop("_curve_key")
+            .drop(*_drop)
         )
         return self._wrap(out)
 

@@ -1068,6 +1068,72 @@ def morton_distance(total_bounds, level: int = 16):
     return _morton
 
 
+def hilbert_distance_bounds(total_bounds, level: int = 16):
+    """`hilbert_distance` over four NATIVE bbox columns instead of a
+    geometry blob: envelope-exact layers (points_from_xy /
+    boxes_from_bounds / stored bbox structs) already hold their bounds
+    as doubles, so encoding them through WKB (one Python stage to
+    BUILD the blob, another to parse it back) is pure overhead — this
+    variant is the same `hilbert_from_bounds` numpy over the columns
+    directly, one Arrow stage, no WKB anywhere."""
+    @pandas_udf(LongType())
+    def _hilbert(minx: pd.Series, miny: pd.Series, maxx: pd.Series,
+                 maxy: pd.Series) -> pd.Series:
+        d = C.hilbert_from_bounds(
+            minx.to_numpy(np.float64), miny.to_numpy(np.float64),
+            maxx.to_numpy(np.float64), maxy.to_numpy(np.float64),
+            total_bounds, level)
+        return pd.Series(d.astype(np.int64))
+
+    return _hilbert
+
+
+def morton_distance_bounds(total_bounds, level: int = 16):
+    """`morton_distance` over four native bbox columns — see
+    `hilbert_distance_bounds`."""
+    @pandas_udf(LongType())
+    def _morton(minx: pd.Series, miny: pd.Series, maxx: pd.Series,
+                maxy: pd.Series) -> pd.Series:
+        d = C.morton_from_bounds(
+            minx.to_numpy(np.float64), miny.to_numpy(np.float64),
+            maxx.to_numpy(np.float64), maxy.to_numpy(np.float64),
+            total_bounds, level)
+        return pd.Series(d.astype(np.int64))
+
+    return _morton
+
+
+def curve_bucket_sets_bounds(total_bounds, boundaries,
+                             by: str = "hilbert", level: int = 16,
+                             coarse: int | None = None,
+                             dilate: float = 0.0):
+    """`curve_bucket_sets` over four native bbox columns — see
+    `hilbert_distance_bounds` for why (the replication pass of a
+    100-TB layout shuffle should not round-trip every row through
+    WKB)."""
+    if by not in ("hilbert", "morton"):
+        raise ValueError(
+            f"curve_bucket_sets needs by='hilbert'|'morton', got {by!r}")
+    lc = min(level, 8) if coarse is None else int(coarse)
+    bs = [int(b) for b in boundaries]
+    d = float(dilate)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _sets(minx: pd.Series, miny: pd.Series, maxx: pd.Series,
+              maxy: pd.Series) -> pd.Series:
+        return pd.Series(C.bucket_sets_from_bounds(
+            minx.to_numpy(np.float64) - d, miny.to_numpy(np.float64) - d,
+            maxx.to_numpy(np.float64) + d, maxy.to_numpy(np.float64) + d,
+            total_bounds, bs, by, level, lc))
+
+    # asNondeterministic: the function IS pure, but downstream joins on
+    # the exploded bucket id derive `size(sets) > 0` filters that
+    # Catalyst would otherwise push below upstream exchanges by alias
+    # substitution — re-running this whole Arrow stage a second time.
+    # Marking it nondeterministic pins it to exactly one evaluation.
+    return _sets.asNondeterministic()
+
+
 def curve_bucket_sets(total_bounds, boundaries, by: str = "hilbert",
                       level: int = 16, coarse: int | None = None,
                       dilate: float = 0.0):
@@ -1098,7 +1164,8 @@ def curve_bucket_sets(total_bounds, boundaries, by: str = "hilbert",
             bb[:, 0] - d, bb[:, 1] - d, bb[:, 2] + d, bb[:, 3] + d,
             total_bounds, bs, by, level, lc))
 
-    return _sets
+    # see curve_bucket_sets_bounds: one-evaluation pin
+    return _sets.asNondeterministic()
 
 
 def geohash(as_string: bool = True, precision: int = 12):
