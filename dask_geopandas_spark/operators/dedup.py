@@ -821,7 +821,8 @@ def dedup_exact_against_index(new_df: DataFrame, path: str,
     return new_df.join(hits, on=id_col, how="left_anti")
 
 
-def compact_index(spark, path: str) -> dict:
+def compact_index(spark, path: str, dataset: str | None = "postings"
+                  ) -> dict:
     """Compact an appendable stored index's ``postings/`` dataset —
     the maintenance pass every streaming-appended layout eventually
     needs: `write_exact_index` / `write_minhash_index` /
@@ -842,14 +843,21 @@ def compact_index(spark, path: str) -> dict:
     leaves either the original postings or a ``postings_old`` to roll
     back by hand; the rewrite itself goes to a side directory, so the
     live data is never half-written.  Returns
-    ``{"files_before": n, "files_after": m, "bucket_col": name}``."""
+    ``{"files_before": n, "files_after": m, "bucket_col": name}``.
+
+    ``dataset`` names the hive-partitioned subdirectory (default
+    ``"postings"`` — the exact/minhash/text index layout); pass
+    ``None`` for layouts partitioned directly at ``path`` (the
+    `write_ivf_index` shape, hive dirs ``ivf_cell=...`` at the
+    root)."""
     base = path.rstrip("/")
+    dpath = base + (f"/{dataset}" if dataset else "")
     jvm = spark._jvm
     HP = jvm.org.apache.hadoop.fs.Path
-    posts = HP(base + "/postings")
+    posts = HP(dpath)
     fs = posts.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(posts):
-        raise ValueError(f"no postings dataset at {base + '/postings'!r}")
+        raise ValueError(f"no postings dataset at {dpath!r}")
 
     bucket_col = None
     for st in fs.listStatus(posts):
@@ -859,7 +867,7 @@ def compact_index(spark, path: str) -> dict:
             break
     if bucket_col is None:
         raise ValueError(
-            f"{base + '/postings'!r} has no hive partition directories "
+            f"{dpath!r} has no hive partition directories "
             "— not an appendable bucketed index")
 
     def _count_files(p) -> int:
@@ -872,19 +880,19 @@ def compact_index(spark, path: str) -> dict:
         return n
 
     files_before = _count_files(posts)
-    tmp = HP(base + "/postings_compacting")
+    tmp = HP(dpath + "_compacting")
     fs.delete(tmp, True)
-    (spark.read.parquet(base + "/postings")
+    (spark.read.parquet(dpath)
      .repartition(F.col(bucket_col))
      .write.mode("overwrite").partitionBy(bucket_col)
-     .parquet(base + "/postings_compacting"))
-    old = HP(base + "/postings_old")
+     .parquet(dpath + "_compacting"))
+    old = HP(dpath + "_old")
     fs.delete(old, True)
     if not fs.rename(posts, old):
-        raise IOError(f"could not move live postings aside at {base!r}")
+        raise IOError(f"could not move live postings aside at {dpath!r}")
     if not fs.rename(tmp, posts):
         fs.rename(old, posts)  # roll back, live data intact
-        raise IOError(f"could not swap compacted postings in at {base!r}")
+        raise IOError(f"could not swap compacted postings in at {dpath!r}")
     fs.delete(old, True)
     return {"files_before": files_before,
             "files_after": _count_files(posts),

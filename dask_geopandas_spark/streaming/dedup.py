@@ -138,7 +138,8 @@ def ingest_dedup_batch(batch_df: DataFrame, index_path: str,
 def streaming_ingest_dedup(stream: DataFrame, index_path: str,
                            output_path: str,
                            text_col: str = "text",
-                           id_col: str = "doc_id"):
+                           id_col: str = "doc_id",
+                           compact_every: int | None = None):
     """Continuous-ingestion exact dedup: each micro-batch dedups
     in-batch, then against EVERYTHING previously ingested (the stored
     exact index — never a corpus re-scan), appends its survivors to
@@ -154,11 +155,29 @@ def streaming_ingest_dedup(stream: DataFrame, index_path: str,
 
     State lives in the hive-partitioned index (16-byte hashes), not
     the state store: unlike ``streaming_exact_dedup`` this survives
-    query restarts WITHOUT replay and is queryable between runs."""
-    def _fb(batch_df: DataFrame, _batch_id: int) -> None:
+    query restarts WITHOUT replay and is queryable between runs.
+
+    ``compact_every=N`` runs `compact_index` on the exact index after
+    every Nth micro-batch (batch ids N-1, 2N-1, ...): each append
+    leaves one file set per touched bucket, so a long-running query
+    otherwise accretes thousands of small files per bucket and the
+    pruned lookups slow down over time.  Inside ``foreachBatch`` no
+    other reader of the index is active, which is exactly the
+    maintenance window compaction wants; a replayed batch id
+    re-compacts harmlessly (idempotent)."""
+    from ..operators.dedup import compact_index
+
+    if compact_every is not None and int(compact_every) < 1:
+        raise ValueError(
+            f"compact_every must be >= 1, got {compact_every}")
+
+    def _fb(batch_df: DataFrame, batch_id: int) -> None:
         ingest_dedup_batch(
             batch_df, index_path, text_col, id_col,
             sink=lambda s: s.write.mode("append").parquet(output_path))
+        if compact_every and batch_id % int(compact_every) == \
+                int(compact_every) - 1:
+            compact_index(batch_df.sparkSession, index_path)
 
     return stream.writeStream.foreachBatch(_fb)
 
@@ -225,7 +244,8 @@ def streaming_ingest_neardup(stream: DataFrame, index_path: str,
                              text_col: str = "text",
                              id_col: str = "doc_id",
                              num_hashes: int = 8, bands: int = 4,
-                             k: int = 3, n_buckets: int = 64):
+                             k: int = 3, n_buckets: int = 64,
+                             compact_every: int | None = None):
     """Continuous-ingestion NEAR-duplicate dedup — each micro-batch
     LSH-dedups in-batch, then against everything previously ingested
     via the stored `write_minhash_index` postings (band-bucket-pruned
@@ -235,11 +255,22 @@ def streaming_ingest_neardup(stream: DataFrame, index_path: str,
     ordering throughout.  This is the granularity real crawl
     pipelines dedup at (near-dup, not byte-exact): state is the
     hive-partitioned postings index, restart-safe without replay and
-    queryable between runs.  Returns the DataStreamWriter."""
-    def _fb(batch_df: DataFrame, _batch_id: int) -> None:
+    queryable between runs.  Returns the DataStreamWriter.
+    ``compact_every``: as in `streaming_ingest_dedup` — periodic
+    per-bucket coalesce of the postings inside the batch boundary."""
+    from ..operators.dedup import compact_index
+
+    if compact_every is not None and int(compact_every) < 1:
+        raise ValueError(
+            f"compact_every must be >= 1, got {compact_every}")
+
+    def _fb(batch_df: DataFrame, batch_id: int) -> None:
         ingest_neardup_batch(
             batch_df, index_path, threshold, text_col, id_col,
             num_hashes, bands, k, n_buckets,
             sink=lambda s: s.write.mode("append").parquet(output_path))
+        if compact_every and batch_id % int(compact_every) == \
+                int(compact_every) - 1:
+            compact_index(batch_df.sparkSession, index_path)
 
     return stream.writeStream.foreachBatch(_fb)

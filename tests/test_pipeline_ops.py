@@ -2038,3 +2038,93 @@ class TestCompactIndex:
             flat + "/postings")
         with pytest.raises(ValueError, match="hive partition"):
             compact_index(spark, flat)
+
+
+class TestCompactIndexIvfAndStreaming:
+    """r8: compact_index generalizes to root-partitioned layouts
+    (write_ivf_index) and runs periodically inside the streaming
+    ingestion's batch boundary (compact_every)."""
+
+    def test_ivf_layout_compaction(self, spark, tmp_path):
+        from dask_geopandas_spark.operators.dedup import compact_index
+        from dask_geopandas_spark.operators.similarity import (
+            ivf_topk_stored, write_ivf_index)
+
+        p = str(tmp_path / "ivf")
+        cents = [[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]]
+        for b in range(3):
+            df = spark.createDataFrame(
+                [(b * 100 + i,
+                  [float(i % 3) * 5.0, float((i + 1) % 3) * 5.0])
+                 for i in range(12)],
+                "vec_id long, embedding array<double>")
+            write_ivf_index(df, p, cents, append=b > 0)
+        q = spark.createDataFrame(
+            [(999, [0.5, 0.5])], "vec_id long, embedding array<double>")
+        before = sorted(map(tuple, ivf_topk_stored(
+            spark, p, q, cents, k=5, nprobe=2).collect()))
+        stats = compact_index(spark, p, dataset=None)
+        after = sorted(map(tuple, ivf_topk_stored(
+            spark, p, q, cents, k=5, nprobe=2).collect()))
+        assert after == before and len(before) == 5
+        assert stats["bucket_col"] == "ivf_cell"
+        assert stats["files_after"] < stats["files_before"]
+
+    def test_streaming_compact_every(self, spark, tmp_path):
+        import glob as g
+        import os
+
+        from dask_geopandas_spark.streaming.dedup import \
+            streaming_ingest_dedup
+
+        src = str(tmp_path / "src")
+        idx = str(tmp_path / "idx")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        # 4 files -> 4 micro-batches; distinct texts so every batch
+        # appends to the index
+        for b in range(4):
+            spark.createDataFrame(
+                [(b * 10 + i, f"text b{b} i{i}") for i in range(6)],
+                "doc_id long, text string").coalesce(1) \
+                .write.parquet(f"{src}/f{b}")
+        now = 1_700_000_000
+        for b in range(4):
+            for fn in os.listdir(f"{src}/f{b}"):
+                os.utime(f"{src}/f{b}/{fn}", (now + b, now + b))
+        schema = "doc_id long, text string"
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(src + "/f*"))
+        q = (streaming_ingest_dedup(stream, idx, out, compact_every=4)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        # all 24 rows survive (all distinct) ...
+        assert spark.read.parquet(out).count() == 24
+        # ... and the final compaction left one file per bucket
+        for b in g.glob(idx + "/postings/hash_bucket=*"):
+            files = [f for f in g.glob(b + "/*")
+                     if not f.rsplit("/", 1)[-1].startswith(("_", "."))]
+            assert len(files) == 1, b
+        # index still serves lookups after compaction
+        from dask_geopandas_spark.operators.dedup import \
+            exact_index_matches
+        probe = spark.createDataFrame([(999, "text b2 i3")], schema)
+        assert exact_index_matches(probe, idx).count() == 1
+
+    def test_compact_every_validation(self, spark, tmp_path):
+        import pytest
+
+        from dask_geopandas_spark.streaming.dedup import (
+            streaming_ingest_dedup, streaming_ingest_neardup)
+
+        src = str(tmp_path / "src")
+        spark.createDataFrame([(1, "a")], "doc_id long, text string") \
+            .write.parquet(src)
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .parquet(src))
+        with pytest.raises(ValueError, match="compact_every"):
+            streaming_ingest_dedup(stream, "i", "o", compact_every=0)
+        with pytest.raises(ValueError, match="compact_every"):
+            streaming_ingest_neardup(stream, "i", "o", compact_every=-1)
