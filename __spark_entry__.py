@@ -2967,6 +2967,49 @@ def q_bm25_batch_stored(spark, sf_dir):
     return TX.bm25_batch_topk_stored(spark, path, queries, k=10)
 
 
+def q_stream_index_bm25(spark, sf_dir):
+    """Continuous BM25 indexing (streaming/indexing.
+    streaming_index_documents, new r8): the documents table replays
+    as two availableNow micro-batches, each appending its postings to
+    the stored inverted index under a per-batch commit marker
+    (exactly-once on plain parquet: a replayed batch whose marker
+    exists is skipped; a torn append leaves the in-progress marker
+    and every stored reader refuses).  Stats merge by EXACT integer
+    sum_dl addition, so the two-batch index is bit-identical to the
+    single-shot build — which is why this query shares q_bm25_batch's
+    oracle verbatim: batch boundaries must be invisible to retrieval."""
+    import os
+    import shutil
+
+    from dask_geopandas_spark.streaming.indexing import \
+        streaming_index_documents
+
+    base = "/root/repo/.bench_tmp/stream_text_index"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    half = docs.agg(F.expr("percentile(doc_id, 0.5)")).head()[0]
+    docs.filter(F.col("doc_id") <= half).coalesce(1) \
+        .write.parquet(base + "/src/f0")
+    docs.filter(F.col("doc_id") > half).coalesce(1) \
+        .write.parquet(base + "/src/f1")
+    now = 1_700_000_000
+    for i, d in enumerate(("f0", "f1")):
+        for fn in os.listdir(f"{base}/src/{d}"):
+            os.utime(f"{base}/src/{d}/{fn}", (now + i, now + i))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(base + "/src/f*"))
+    q = (streaming_index_documents(stream, base + "/idx", n_buckets=32,
+                                   compact_every=2)
+         .option("checkpointLocation", base + "/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    queries = spark.createDataFrame(_BM25_BATCH_QUERIES,
+                                    "query_id long, query string")
+    return TX.bm25_batch_topk_stored(spark, base + "/idx", queries,
+                                     k=10)
+
+
 def q_decontam_spans(spark, sf_dir):
     """Span-level decontamination (dedup.decontaminate_spans — the
     FLAN-style sequence-removal recipe, r6): cut ONLY the
@@ -3566,6 +3609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW in round 8 (window front, §15 policy) --
         "overlay_cobucket": q_overlay_cobucket,
         "compact_index_dedup": q_compact_index_dedup,
+        "stream_index_bm25": q_stream_index_bm25,
         "sjoin_nearest_cobucket_k3": q_sjoin_nearest_cobucket_k3,
         "stream_ingest_neardup": q_stream_ingest_neardup,
         "sjoin_cobucket_anti": q_sjoin_cobucket_anti,
@@ -6301,6 +6345,7 @@ def oracle_sql() -> dict[str, str]:
         "index_dedup": _index_dedup_oracle_sql(),
         "exact_index_dedup": _exact_index_oracle_sql(),
         "compact_index_dedup": _exact_index_oracle_sql(),
+        "stream_index_bm25": _bm25_batch_oracle_sql(),
         "leak_safe_split": _leak_safe_split_oracle_sql(),
         "clean_text": _clean_text_oracle_sql(),
         "stream_ingest_neardup": _stream_ingest_neardup_oracle_sql(),

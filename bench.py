@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "stream_ingest_neardup",
     "sjoin_nearest_cobucket_k3",
     "compact_index_dedup",
+    "stream_index_bm25",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE

@@ -514,7 +514,8 @@ def _bm25_score_topk(tf, dfreq, stats, k, k1, b, id_col):
 
 def write_text_index(df, path: str, n_buckets: int = 64,
                      text_col: str = "text", id_col: str = "doc_id",
-                     append: bool = False):
+                     append: bool = False,
+                     commit_marker: str | None = None):
     """Persist an inverted BM25 index hive-partitioned by term-hash
     bucket — the lexical twin of `write_ivf_index`'s vector-DB layout
     on plain parquet: ``postings/`` holds one (doc, dl, term, tf) row
@@ -549,7 +550,20 @@ def write_text_index(df, path: str, n_buckets: int = 64,
     skewing every later BM25 score: the stored readers refuse an index
     whose marker is still present (rebuild, or re-run the identical
     append — postings double-append is NOT idempotent, so the safe
-    recovery is a rebuild)."""
+    recovery is a rebuild).
+
+    Stats carry ``sum_dl`` (the EXACT long token-count sum) alongside
+    the derived ``avgdl``: appends merge by integer addition, so an
+    index built in N appended batches has BIT-IDENTICAL stats to the
+    single-shot build (a count-weighted mean of doubles would drift by
+    ulps).  Legacy stats without ``sum_dl`` still append via the
+    weighted-mean fallback.
+
+    ``commit_marker``: path of a zero-byte file created after the
+    stats write but BEFORE the in-progress marker is removed — a
+    caller-visible commit record (the streaming indexer's per-batch
+    exactly-once token) that can never exist alongside a torn
+    append."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     from ..sources.fs import resolve_fs
@@ -575,16 +589,45 @@ def write_text_index(df, path: str, n_buckets: int = 64,
                              F.lit(int(n_buckets))).cast("int")))
     tf.write.mode("append" if append else "overwrite") \
         .partitionBy("term_bucket").parquet(base + "/postings")
-    stats = _bm25_stats(_bm25_doc_pass(df, text_col, id_col))
+    new_row = _bm25_doc_pass(df, text_col, id_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.element_at(F.col("_qs"), 1)["dl"]).alias("sum_dl")
+    ).head()
+    n1 = int(new_row["n_docs"])
+    s1 = int(new_row["sum_dl"]) if new_row["sum_dl"] is not None else 0
     if append:
-        new_row = stats.head()
-        n0, n1 = int(prev["n_docs"]), int(new_row["n_docs"])
-        avg = ((prev["avgdl"] * n0 + new_row["avgdl"] * n1)
-               / float(n0 + n1)) if (n0 + n1) else 0.0
+        n0 = int(prev["n_docs"])
+        s0 = (int(prev["sum_dl"])
+              if "sum_dl" in prev.asDict() and prev["sum_dl"] is not None
+              else None)
+        n_total = n0 + n1
+        if s0 is not None:
+            # exact integer merge: identical stats to a single-shot
+            # build over the union (avg = exact_sum / count, the same
+            # IEEE division Spark's avg performs)
+            s_total = s0 + s1
+        else:
+            # legacy index without sum_dl: count-weighted double mean
+            s_total = None
+            avg = ((float(prev["avgdl"]) * n0
+                    + (float(s1) / n1 if n1 else 0.0) * n1)
+                   / float(n_total)) if n_total else 0.0
+    else:
+        n_total, s_total = n1, s1
+    if s_total is not None:
+        avg = (float(s_total) / n_total) if n_total else 0.0
         stats = spark.createDataFrame(
-            [(n0 + n1, float(avg))], "n_docs long, avgdl double")
+            [(n_total, float(avg), s_total)],
+            "n_docs long, avgdl double, sum_dl long")
+    else:
+        stats = spark.createDataFrame(
+            [(n_total, float(avg))], "n_docs long, avgdl double")
     stats.withColumn("n_buckets", F.lit(int(n_buckets))) \
         .write.mode("overwrite").parquet(base + "/stats")
+    if commit_marker:
+        cfs, cpath = resolve_fs(commit_marker)
+        with cfs.open_output_stream(cpath) as out:
+            out.write(b"committed\n")
     if marker is not None:
         marker[0].delete_file(marker[1])
 

@@ -1,0 +1,118 @@
+"""Streaming incremental indexing for retrieval pipelines.
+
+The stored BM25 index (`operators/textstats.write_text_index`) is
+appendable by design — postings are bucketed per term, so a new batch
+never rewrites old ones, and stats merge by exact integer addition.
+This module drives those appends from Structured Streaming, one
+micro-batch per append, with a per-batch COMMIT MARKER giving the
+pipeline exactly-once semantics on plain parquet:
+
+* a replayed micro-batch whose marker exists is SKIPPED (the common
+  crash point — after the batch committed but before the streaming
+  checkpoint advanced — costs nothing);
+* a crash INSIDE the append window leaves `write_text_index`'s
+  ``_append_in_progress`` marker in place, every stored reader refuses
+  the index, and the documented recovery is a rebuild — a torn append
+  is detectable, never a silent double-count (double-appending an
+  inverted index is NOT idempotent, unlike the exact/minhash dedup
+  indexes where duplicate postings are absorbed by the join).
+
+No direct reference analog (the reference is batch-only); BASELINE.json
+north-star scope (training-data pipeline operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def index_documents_batch(batch_df: DataFrame, index_path: str,
+                          batch_id: int | None = None,
+                          n_buckets: int = 64,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> bool:
+    """One ingestion step of the INCREMENTAL BM25 index: append the
+    batch's postings/stats to the `write_text_index` layout at
+    ``index_path`` (initializing on first use), guarded by a per-batch
+    commit marker under ``<index>/batches/``.  Returns True if the
+    batch was indexed, False if it was skipped as already committed
+    (exactly-once under micro-batch replay).
+
+    The marker is created by `write_text_index(commit_marker=)` BEFORE
+    its in-progress marker is removed, so "marker exists" always means
+    "append fully committed".  Empty batches commit without touching
+    the index (appending zero rows is a no-op, and initializing stats
+    over an empty postings dir would break later schema inference).
+
+    Dedup is deliberately NOT built in: compose upstream
+    (`streaming/dedup.ingest_dedup_batch` or the batch dedup
+    operators) — indexing a row twice double-counts it, which is why
+    the commit marker exists."""
+    spark = batch_df.sparkSession
+    base = index_path.rstrip("/")
+    fs, _ = _hadoop_fs(spark, base)
+    HP = spark._jvm.org.apache.hadoop.fs.Path
+    marker = None
+    if batch_id is not None:
+        marker = f"{base}/batches/batch-{int(batch_id)}"
+        if fs.exists(HP(marker)):
+            return False
+    if batch_df.isEmpty():
+        if marker is not None:
+            fs.mkdirs(HP(base + "/batches"))
+            fs.create(HP(marker), True).close()
+        return True
+    from ..operators.textstats import write_text_index
+
+    have = fs.exists(HP(base + "/stats"))
+    if marker is not None:
+        fs.mkdirs(HP(base + "/batches"))
+    write_text_index(batch_df, base, n_buckets=n_buckets,
+                     text_col=text_col, id_col=id_col, append=have,
+                     commit_marker=marker)
+    return True
+
+
+def streaming_index_documents(stream: DataFrame, index_path: str,
+                              n_buckets: int = 64,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              compact_every: int | None = None):
+    """Continuous BM25 indexing: each micro-batch appends its postings
+    to the stored inverted index — `index_documents_batch` under
+    ``foreachBatch`` (see there for the exactly-once contract).
+    Returns the DataStreamWriter; the caller picks trigger/checkpoint
+    and calls ``.start()``:
+
+        (streaming_index_documents(stream, idx)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+
+    The index is queryable BETWEEN micro-batches with the stored BM25
+    readers (`bm25_topk_stored` / `bm25_batch_topk_stored`) — df is
+    recomputed from the pruned postings at query time, so no stats
+    merge is ever pending.  ``compact_every=N``: every Nth micro-batch
+    ends with a per-bucket coalesce of the postings
+    (`operators/dedup.compact_index`) inside the batch boundary — the
+    maintenance pass that keeps thousands of appends from drowning the
+    term-bucket-pruned reads in small files."""
+    from ..operators.dedup import compact_index
+
+    if compact_every is not None and int(compact_every) < 1:
+        raise ValueError(
+            f"compact_every must be >= 1, got {compact_every}")
+
+    def _fb(batch_df: DataFrame, batch_id: int) -> None:
+        done = index_documents_batch(batch_df, index_path, batch_id,
+                                     n_buckets, text_col, id_col)
+        if done and compact_every and batch_id % int(compact_every) \
+                == int(compact_every) - 1:
+            compact_index(batch_df.sparkSession, index_path)
+
+    return stream.writeStream.foreachBatch(_fb)

@@ -1597,3 +1597,141 @@ class TestIngestNeardup:
         got = sorted(r["doc_id"] for r in
                      spark.read.parquet(out).collect())
         assert got == [0, 1, 2, 3]
+
+
+class TestStreamingTextIndex:
+    """r8: continuous BM25 indexing (streaming/indexing.py) — per-batch
+    commit markers give exactly-once appends on plain parquet, and the
+    sum_dl stats merge makes an N-batch index bit-identical to the
+    single-shot build."""
+
+    def _docs(self, spark, ids):
+        return spark.createDataFrame(
+            [(i, f"shared term doc{i} unique{i % 7} words") for i in ids],
+            "doc_id long, text string")
+
+    def test_appended_equals_single_build(self, spark, tmp_path):
+        from dask_geopandas_spark.operators.textstats import (
+            bm25_batch_topk_stored, write_text_index)
+        from dask_geopandas_spark.streaming.indexing import \
+            index_documents_batch
+
+        inc = str(tmp_path / "inc")
+        one = str(tmp_path / "one")
+        assert index_documents_batch(self._docs(spark, range(0, 30)),
+                                     inc, batch_id=0, n_buckets=8)
+        assert index_documents_batch(self._docs(spark, range(30, 60)),
+                                     inc, batch_id=1, n_buckets=8)
+        write_text_index(self._docs(spark, range(0, 60)), one,
+                         n_buckets=8)
+        # stats identical INCLUDING the double avgdl (exact sum merge)
+        si = spark.read.parquet(inc + "/stats").head()
+        so = spark.read.parquet(one + "/stats").head()
+        assert (si["n_docs"], si["sum_dl"], si["avgdl"]) == \
+               (so["n_docs"], so["sum_dl"], so["avgdl"])
+        q = spark.createDataFrame(
+            [(1, "shared unique3"), (2, "doc5 words")],
+            "query_id long, query string")
+        got = sorted(map(tuple, bm25_batch_topk_stored(
+            spark, inc, q, k=5).collect()))
+        want = sorted(map(tuple, bm25_batch_topk_stored(
+            spark, one, q, k=5).collect()))
+        assert got == want and len(got) == 10
+
+    def test_replayed_batch_skipped(self, spark, tmp_path):
+        from dask_geopandas_spark.streaming.indexing import \
+            index_documents_batch
+
+        p = str(tmp_path / "idx")
+        b = self._docs(spark, range(0, 10))
+        assert index_documents_batch(b, p, batch_id=0) is True
+        n1 = spark.read.parquet(p + "/stats").head()["n_docs"]
+        # replay: the commit marker short-circuits the append
+        assert index_documents_batch(b, p, batch_id=0) is False
+        n2 = spark.read.parquet(p + "/stats").head()["n_docs"]
+        assert n1 == n2 == 10
+
+    def test_empty_batch_commits_without_index(self, spark, tmp_path):
+        import os
+
+        from dask_geopandas_spark.streaming.indexing import \
+            index_documents_batch
+
+        p = str(tmp_path / "idx")
+        empty = self._docs(spark, [0]).filter("doc_id < 0")
+        assert index_documents_batch(empty, p, batch_id=0) is True
+        assert not os.path.exists(p + "/stats")
+        assert os.path.exists(p + "/batches/batch-0")
+        assert index_documents_batch(empty, p, batch_id=0) is False
+
+    def test_commit_marker_inside_append_window(self, spark, tmp_path):
+        """The marker is created BEFORE _append_in_progress is removed:
+        marker-present always implies a fully-committed append, and a
+        torn append (in-progress marker still there) is refused by the
+        stored readers."""
+        import os
+
+        import pytest
+
+        from dask_geopandas_spark.operators.textstats import (
+            bm25_topk_stored, write_text_index)
+
+        p = str(tmp_path / "idx")
+        write_text_index(self._docs(spark, range(0, 5)), p, n_buckets=4)
+        cm = p + "/batches/batch-1"
+        os.makedirs(p + "/batches", exist_ok=True)
+        write_text_index(self._docs(spark, range(5, 10)), p,
+                         append=True, commit_marker=cm)
+        assert os.path.exists(cm)
+        assert not os.path.exists(p + "/_append_in_progress")
+        # simulate the torn window: in-progress marker present
+        with open(p + "/_append_in_progress", "w") as f:
+            f.write("torn")
+        with pytest.raises(RuntimeError, match="inconsistent"):
+            bm25_topk_stored(spark, p, ["shared"], k=3)
+
+    def test_streaming_end_to_end_with_compaction(self, spark,
+                                                  tmp_path):
+        import glob as g
+        import os
+
+        from dask_geopandas_spark.operators.textstats import (
+            bm25_batch_topk_stored, write_text_index)
+        from dask_geopandas_spark.streaming.indexing import \
+            streaming_index_documents
+
+        src = str(tmp_path / "src")
+        idx = str(tmp_path / "idx")
+        one = str(tmp_path / "one")
+        ckpt = str(tmp_path / "ckpt")
+        for b in range(3):
+            self._docs(spark, range(b * 20, b * 20 + 20)).coalesce(1) \
+                .write.parquet(f"{src}/f{b}")
+        now = 1_700_000_000
+        for b in range(3):
+            for fn in os.listdir(f"{src}/f{b}"):
+                os.utime(f"{src}/f{b}/{fn}", (now + b, now + b))
+        stream = (spark.readStream
+                  .schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(src + "/f*"))
+        q = (streaming_index_documents(stream, idx, n_buckets=8,
+                                       compact_every=3)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        write_text_index(self._docs(spark, range(0, 60)), one,
+                         n_buckets=8)
+        qs = spark.createDataFrame(
+            [(1, "shared unique2")], "query_id long, query string")
+        got = sorted(map(tuple, bm25_batch_topk_stored(
+            spark, idx, qs, k=8).collect()))
+        want = sorted(map(tuple, bm25_batch_topk_stored(
+            spark, one, qs, k=8).collect()))
+        assert got == want and len(got) == 8
+        # final compaction (batch id 2 == compact_every-1 mod 3) left
+        # one file per bucket
+        for b in g.glob(idx + "/postings/term_bucket=*"):
+            files = [f for f in g.glob(b + "/*")
+                     if not f.rsplit("/", 1)[-1].startswith(("_", "."))]
+            assert len(files) == 1, b
