@@ -2967,6 +2967,41 @@ def q_bm25_batch_stored(spark, sf_dir):
     return TX.bm25_batch_topk_stored(spark, path, queries, k=10)
 
 
+def q_url_dedup(spark, sf_dir):
+    """URL-level dedup (textstats.canonicalize_url / url_dedup, new
+    r8): the identity crawl pipelines dedup on BEFORE any text
+    comparison.  Messy URLs graft on natively (uppercased scheme/host,
+    www., matching default ports, rotating utm_*/ref params in
+    shuffled order, fragments); canonicalization is one codegen
+    regexp/split/sort chain and the dedup one hash aggregation.  The
+    oracle replicates both the graft and the identical chain in
+    DuckDB (RE2 == Java regex for these anchored literal classes)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sch = F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")) \
+        .otherwise(F.lit("https"))
+    www = F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")) \
+        .otherwise(F.lit(""))
+    host = F.concat(F.lit("Ex"), (F.col("doc_id") % 50).cast("string"),
+                    F.lit(".COM"))
+    port = F.when(F.col("doc_id") % 4 == 0,
+                  F.when(F.col("doc_id") % 2 == 0, F.lit(":80"))
+                  .otherwise(F.lit(":443"))).otherwise(F.lit(""))
+    path = F.concat(F.lit("/p"), (F.col("doc_id") % 20).cast("string"))
+    qry = F.element_at(
+        F.array(F.lit("?utm_source=feed&b=2&a=1"), F.lit("?a=1&b=2"),
+                F.lit("?b=2&a=1"), F.lit("?ref=hn"), F.lit("")),
+        (F.col("doc_id") % 5 + 1).cast("int"))
+    frag = F.when(F.col("doc_id") % 7 == 0, F.lit("#sec")) \
+        .otherwise(F.lit(""))
+    messy = F.concat(sch, F.lit("://"), www, host, port, path, qry,
+                     frag)
+    synth = docs.withColumn("url", messy)
+    out = TX.url_dedup(synth)
+    return out.select("canonical_url",
+                      F.col("keeper_id").cast("long"),
+                      F.col("dup_count").cast("long").alias("dup_count"))
+
+
 def q_stream_index_bm25(spark, sf_dir):
     """Continuous BM25 indexing (streaming/indexing.
     streaming_index_documents, new r8): the documents table replays
@@ -3610,6 +3645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_cobucket": q_overlay_cobucket,
         "compact_index_dedup": q_compact_index_dedup,
         "stream_index_bm25": q_stream_index_bm25,
+        "url_dedup": q_url_dedup,
         "sjoin_nearest_cobucket_k3": q_sjoin_nearest_cobucket_k3,
         "stream_ingest_neardup": q_stream_ingest_neardup,
         "sjoin_cobucket_anti": q_sjoin_cobucket_anti,
@@ -6346,6 +6382,80 @@ def oracle_sql() -> dict[str, str]:
         "exact_index_dedup": _exact_index_oracle_sql(),
         "compact_index_dedup": _exact_index_oracle_sql(),
         "stream_index_bm25": _bm25_batch_oracle_sql(),
+        "url_dedup": f"""
+            WITH raw AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 2 = 0 THEN 'HTTP'
+                             ELSE 'https' END)
+                       || '://'
+                       || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
+                                ELSE '' END)
+                       || 'Ex' || CAST(doc_id % 50 AS VARCHAR) || '.COM'
+                       || (CASE WHEN doc_id % 4 = 0 THEN
+                               (CASE WHEN doc_id % 2 = 0 THEN ':80'
+                                     ELSE ':443' END) ELSE '' END)
+                       || '/p' || CAST(doc_id % 20 AS VARCHAR)
+                       || (['?utm_source=feed&b=2&a=1', '?a=1&b=2',
+                            '?b=2&a=1', '?ref=hn', ''])
+                          [CAST(doc_id % 5 AS INTEGER) + 1]
+                       || (CASE WHEN doc_id % 7 = 0 THEN '#sec'
+                                ELSE '' END) AS u0
+                FROM documents
+            ),
+            s1 AS (
+                SELECT doc_id,
+                       regexp_replace(trim(u0), '#.*$', '', 'g') AS u
+                FROM raw
+            ),
+            parts AS (
+                SELECT doc_id, u,
+                       lower(regexp_extract(u,
+                           '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+                           AS scheme,
+                       lower(regexp_replace(regexp_extract(u,
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+                           '^[^@]*@', '', 'g')) AS hp,
+                       regexp_replace(u,
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '',
+                           'g') AS tail
+                FROM s1
+            ),
+            comp AS (
+                SELECT doc_id, u, scheme,
+                       regexp_replace(
+                           CASE WHEN scheme = 'http'
+                                THEN regexp_replace(hp, ':80$', '', 'g')
+                                WHEN scheme = 'https'
+                                THEN regexp_replace(hp, ':443$', '',
+                                                    'g')
+                                ELSE hp END,
+                           '^www\\.', '', 'g') AS host,
+                       CASE WHEN regexp_extract(tail, '^([^?]*)', 1)
+                                 = '/'
+                            THEN ''
+                            ELSE regexp_extract(tail, '^([^?]*)', 1)
+                       END AS path,
+                       COALESCE(array_to_string(list_sort(list_filter(
+                           string_split(regexp_extract(tail,
+                               '\\?(.*)$', 1), '&'),
+                           p -> p <> '' AND NOT regexp_matches(
+                               lower(p), '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)(=.*)?$'))), '&'), '') AS kept
+                FROM parts
+            ),
+            canon AS (
+                SELECT doc_id,
+                       CASE WHEN scheme IN ('http', 'https')
+                            THEN scheme || '://' || host || path
+                                 || (CASE WHEN kept = '' THEN ''
+                                          ELSE '?' || kept END)
+                            ELSE u END AS canonical_url
+                FROM comp
+            )
+            SELECT canonical_url,
+                   CAST(min(doc_id) AS BIGINT) AS keeper_id,
+                   CAST(count(*) AS BIGINT) AS dup_count
+            FROM canon GROUP BY canonical_url
+        """,
         "leak_safe_split": _leak_safe_split_oracle_sql(),
         "clean_text": _clean_text_oracle_sql(),
         "stream_ingest_neardup": _stream_ingest_neardup_oracle_sql(),

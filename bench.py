@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "sjoin_nearest_cobucket_k3",
     "compact_index_dedup",
     "stream_index_bm25",
+    "url_dedup",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE

@@ -57,7 +57,9 @@ from .textstats import (
     bm25_topk,
     bm25_topk_stored,
     classifier_score,
+    canonicalize_url,
     clean_text,
+    url_dedup,
     fingerprint,
     lang_id,
     ngram_logprob,
@@ -95,7 +97,7 @@ __all__ = [
     "tfidf_top_terms", "bm25_topk", "bm25_batch_topk", "ngram_logprob",
     "write_text_index", "bm25_topk_stored", "bm25_batch_topk_stored",
     "blocklist_hits", "blocklist_filter", "code_signals",
-    "classifier_score", "clean_text",
+    "classifier_score", "clean_text", "canonicalize_url", "url_dedup",
     "media_manifest", "sniff_modality",
     "semantic_dedup", "cap_per_group", "hash_sample", "pack_documents",
     "chunk_documents", "oversample", "shard_assignment",

@@ -121,6 +121,78 @@ def clean_text(text: Column, lowercase: bool = False,
     return c
 
 
+# tracking parameters every major canonicalizer strips (matched on the
+# LOWERCASED param; the (=.*)? arm catches valueless flags).  Identical
+# RE2/Java-regex semantics — anchored alternation of literals.
+_TRACKING_RE = ("^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid"
+                "|ref|ref_src)(=.*)?$")
+
+
+def canonicalize_url(url: Column, strip_www: bool = True) -> Column:
+    """Canonical form of an absolute http(s) URL as ONE pure-codegen
+    expression — the identity crawl pipelines dedup on BEFORE any text
+    comparison (the same page is fetched as http/https, with/without
+    www, with rotating utm_* tags, in any query-param order):
+
+    * fragment dropped (``#...`` never reaches the server);
+    * scheme and host lowercased; userinfo stripped; default ports
+      (``:80`` http, ``:443`` https) stripped; leading ``www.``
+      stripped (``strip_www=False`` keeps it);
+    * tracking parameters removed (utm_*, fbclid, gclid, msclkid,
+      mc_eid, igshid, ref, ref_src — matched case-insensitively),
+      remaining parameters SORTED so param order is canonical;
+    * a bare ``/`` path drops (``http://x.com/`` == ``http://x.com``);
+      deeper paths keep their exact form (case and trailing slashes in
+      real paths are significant).
+
+    Non-http(s) inputs (mailto:, relative paths, garbage) pass through
+    with only trim + fragment removal — canonicalizing what we can't
+    parse would merge distinct keys.  Every step is a native
+    regexp/split/filter/sort — no UDF, and the identical chain runs in
+    the DuckDB oracle."""
+    u = F.regexp_replace(F.trim(url), "#.*$", "")
+    scheme = F.lower(F.regexp_extract(
+        u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_replace(
+        F.regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1),
+        "^[^@]*@", ""))
+    host = (F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+            .when(scheme == "https",
+                  F.regexp_replace(host, ":443$", ""))
+            .otherwise(host))
+    if strip_www:
+        host = F.regexp_replace(host, "^www\\.", "")
+    tail = F.regexp_replace(
+        u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    path = F.regexp_extract(tail, "^([^?]*)", 1)
+    path = F.when(path == "/", F.lit("")).otherwise(path)
+    kept = F.array_join(F.array_sort(F.filter(
+        F.split(F.regexp_extract(tail, "\\?(.*)$", 1), "&"),
+        lambda p: (p != "") & ~F.lower(p).rlike(_TRACKING_RE))), "&")
+    canon = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(kept == "", F.lit(""))
+        .otherwise(F.concat(F.lit("?"), kept)))
+    return F.when(scheme.isin("http", "https"), canon).otherwise(u)
+
+
+def url_dedup(df, url_col: str = "url", id_col: str = "doc_id",
+              strip_www: bool = True):
+    """Keep one row per canonical URL: the minimum id (deterministic
+    keeper) — `exact_dedup`'s contract at URL granularity, the stage a
+    crawl pipeline runs before any text-level dedup (it removes refetch
+    duplicates without touching document bytes).  Returns
+    (canonical_url, keeper_id, dup_count); one hash aggregation, the
+    canonicalization runs inside the scan stage."""
+    return (df.select(
+                canonicalize_url(F.col(url_col), strip_www=strip_www)
+                .alias("canonical_url"),
+                F.col(id_col))
+            .groupBy("canonical_url")
+            .agg(F.min(id_col).alias("keeper_id"),
+                 F.count("*").alias("dup_count")))
+
+
 def let(value: Column, body) -> Column:
     """Let-binding for SQL expressions: evaluate ``value`` ONCE and bind
     it as the lambda variable of ``body`` via a single-element

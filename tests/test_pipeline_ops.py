@@ -2128,3 +2128,78 @@ class TestCompactIndexIvfAndStreaming:
             streaming_ingest_dedup(stream, "i", "o", compact_every=0)
         with pytest.raises(ValueError, match="compact_every"):
             streaming_ingest_neardup(stream, "i", "o", compact_every=-1)
+
+
+class TestCanonicalizeUrl:
+    """r8: URL canonicalization + URL-level dedup — the identity crawl
+    pipelines dedup on before any text comparison."""
+
+    CASES = [
+        # (input, canonical with strip_www=True)
+        ("HTTP://WWW.Example.COM:80/a/b?utm_source=x&b=2&a=1#frag",
+         "http://example.com/a/b?a=1&b=2"),
+        ("https://Example.com:443/", "https://example.com"),
+        ("https://example.com", "https://example.com"),
+        ("https://user:pw@example.com/x", "https://example.com/x"),
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        ("https://www.site.org/path/?fbclid=abc",
+         "https://site.org/path/?"[:-1]),
+        ("https://site.org/A/B/", "https://site.org/A/B/"),
+        ("https://site.org/?ref=hn&q=1", "https://site.org?q=1"),
+        ("https://site.org/x?UTM_MEDIUM=mail", "https://site.org/x"),
+        ("https://site.org/x?b=2&a=1&a=0", "https://site.org/x?a=0&a=1&b=2"),
+        ("mailto:a@b.com", "mailto:a@b.com"),
+        ("  ftp://Host/X#f  ", "ftp://Host/X"),
+        ("not a url #tail", "not a url "),
+    ]
+
+    def test_cases(self, spark):
+        from dask_geopandas_spark.operators.textstats import \
+            canonicalize_url
+
+        df = spark.createDataFrame(
+            [(i, u) for i, (u, _) in enumerate(self.CASES)],
+            "i long, url string")
+        got = {r["i"]: r["c"] for r in df.select(
+            "i", canonicalize_url(F.col("url")).alias("c")).collect()}
+        for i, (u, want) in enumerate(self.CASES):
+            assert got[i] == want, (u, got[i], want)
+
+    def test_keep_www(self, spark):
+        from dask_geopandas_spark.operators.textstats import \
+            canonicalize_url
+
+        df = spark.createDataFrame([(0, "https://www.x.com/a")],
+                                   "i long, url string")
+        assert df.select(canonicalize_url(
+            F.col("url"), strip_www=False).alias("c")).head()["c"] == \
+            "https://www.x.com/a"
+
+    def test_pure_codegen(self, spark):
+        from dask_geopandas_spark.operators.textstats import \
+            canonicalize_url
+
+        df = spark.createDataFrame([(0, "https://x.com/a?b=1")],
+                                   "i long, url string")
+        out = df.select(canonicalize_url(F.col("url")).alias("c"))
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        assert "EvalPython" not in plan
+
+    def test_url_dedup(self, spark):
+        from dask_geopandas_spark.operators.textstats import url_dedup
+
+        rows = [
+            (1, "http://www.a.com/p?utm_source=x"),
+            (2, "http://a.com/p"),
+            (3, "HTTP://A.COM:80/p#top"),
+            (4, "https://a.com/p"),        # different scheme: distinct
+            (5, "http://a.com/q"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        got = sorted(map(tuple, url_dedup(df).collect()))
+        assert got == [
+            ("http://a.com/p", 1, 3),
+            ("http://a.com/q", 5, 1),
+            ("https://a.com/p", 4, 1),
+        ]
