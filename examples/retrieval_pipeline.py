@@ -64,8 +64,9 @@ def run_retrieval(spark: SparkSession, sf_dir: str):
                                       id_col="chunk_key")
     out["batch_hits"] = batch.count()
 
-    # 5. a late batch appends without rebuilding (stats merge
-    #    count-weighted; df recomputes from the unioned postings)
+    # 5. a late batch appends without rebuilding (stats merge by
+    #    exact integer sum_dl addition — bit-identical to a single
+    #    build; df recomputes from the unioned postings)
     late = chunks.withColumn(
         "chunk_key", F.concat_ws("#", F.lit("late"), "chunk_key"))
     TX.write_text_index(late, path, append=True, id_col="chunk_key")
@@ -73,6 +74,39 @@ def run_retrieval(spark: SparkSession, sf_dir: str):
                                 ["stream", "window", "merge"],
                                 k=5, id_col="chunk_key")
     out["top_hits_after_append"] = hits2.count()
+
+    # 6. the same index built CONTINUOUSLY: two streamed micro-batches
+    #    under per-batch commit markers (exactly-once on replay), a
+    #    final per-bucket compaction, then the identical pruned query
+    #    — batch boundaries are invisible to retrieval
+    from dask_geopandas_spark.streaming.indexing import \
+        streaming_index_documents
+
+    sbase = os.path.join(tempfile.gettempdir(), "dgs_retrieval_stream")
+    shutil.rmtree(sbase, ignore_errors=True)
+    half = chunks.agg(F.expr("percentile(doc_id, 0.5)")).head()[0]
+    chunks.filter(F.col("doc_id") <= half).coalesce(1) \
+        .write.parquet(sbase + "/src/f0")
+    chunks.filter(F.col("doc_id") > half).coalesce(1) \
+        .write.parquet(sbase + "/src/f1")
+    now = 1_700_000_000
+    for i, d in enumerate(("f0", "f1")):
+        for fn in os.listdir(f"{sbase}/src/{d}"):
+            os.utime(f"{sbase}/src/{d}/{fn}", (now + i, now + i))
+    stream = (spark.readStream.schema(chunks.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(sbase + "/src/f*"))
+    q = (streaming_index_documents(stream, sbase + "/idx",
+                                   n_buckets=32, id_col="chunk_key",
+                                   compact_every=2)
+         .option("checkpointLocation", sbase + "/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    shits = TX.bm25_topk_stored(spark, sbase + "/idx",
+                                ["stream", "window", "merge"],
+                                k=5, id_col="chunk_key")
+    out["stream_index_hits"] = shits.count()
+
     # return the POST-append frame: the append overwrote the stats
     # file, so plans built before it (hits) must not be re-collected
     # — standard Spark overwritten-file semantics.  The index dir

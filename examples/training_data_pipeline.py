@@ -33,6 +33,23 @@ def run_pipeline(spark: SparkSession, sf_dir: str):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     stages = {"raw": docs.count()}
 
+    # 0. URL-level dedup (r8) — the cheapest dedup a crawl pipeline
+    #    runs, BEFORE any text comparison: the same page refetched as
+    #    http/https, with/without www, with rotating utm_ tags
+    #    collapses on its canonical URL (documents carry no url column
+    #    here, so graft one: source-derived with tracking noise)
+    with_url = docs.withColumn(
+        "url", F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+            F.col("source"), F.lit(".example.com/doc/"),
+            (F.col("doc_id") % 500).cast("string"),
+            F.lit("?utm_source=crawler")))
+    url_keep = TX.url_dedup(with_url).select(
+        F.col("keeper_id").alias("doc_id"))
+    docs = docs.join(url_keep, on="doc_id", how="inner")
+    stages["url_dedup"] = docs.count()
+
     # 1. language + quality gate (native projections)
     scored = docs.select(
         "*",

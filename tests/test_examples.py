@@ -9,9 +9,9 @@ def test_training_data_pipeline_example(spark, sf_dir):
     stages, packed = run_pipeline(spark, sf_dir)
     assert stages["raw"] > 0
     # each stage only ever removes rows
-    order = ["raw", "quality_gate", "classifier_gate", "line_dedup",
-             "exact_dedup", "neardup_dedup", "decontaminated",
-             "sampled"]
+    order = ["raw", "url_dedup", "quality_gate", "classifier_gate",
+             "line_dedup", "exact_dedup", "neardup_dedup",
+             "decontaminated", "sampled"]
     for a, b in zip(order, order[1:]):
         assert stages[b] <= stages[a]
     assert stages["pack_bins"] >= 1
@@ -60,6 +60,7 @@ def test_retrieval_pipeline_example(spark, sf_dir):
     assert stages["top_hits"] == 5
     assert stages["batch_hits"] == 15
     assert stages["top_hits_after_append"] == 5
+    assert stages["stream_index_hits"] == 5
     rows = hits.collect()
     assert all(r["rank"] == i + 1 for i, r in enumerate(
         sorted(rows, key=lambda r: r["rank"])))
