@@ -661,13 +661,14 @@ def write_text_index(df, path: str, n_buckets: int = 64,
                              F.lit(int(n_buckets))).cast("int")))
     tf.write.mode("append" if append else "overwrite") \
         .partitionBy("term_bucket").parquet(base + "/postings")
-    new_row = _bm25_doc_pass(df, text_col, id_col).agg(
+    stats_src = _bm25_doc_pass(df, text_col, id_col).agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.element_at(F.col("_qs"), 1)["dl"]).alias("sum_dl")
-    ).head()
-    n1 = int(new_row["n_docs"])
-    s1 = int(new_row["sum_dl"]) if new_row["sum_dl"] is not None else 0
+        F.coalesce(F.sum(F.element_at(F.col("_qs"), 1)["dl"]),
+                   F.lit(0)).cast("long").alias("sum_dl"))
     if append:
+        new_row = stats_src.head()
+        n1 = int(new_row["n_docs"])
+        s1 = int(new_row["sum_dl"])
         n0 = int(prev["n_docs"])
         s0 = (int(prev["sum_dl"])
               if "sum_dl" in prev.asDict() and prev["sum_dl"] is not None
@@ -678,22 +679,27 @@ def write_text_index(df, path: str, n_buckets: int = 64,
             # build over the union (avg = exact_sum / count, the same
             # IEEE division Spark's avg performs)
             s_total = s0 + s1
+            avg = (float(s_total) / n_total) if n_total else 0.0
+            stats = spark.createDataFrame(
+                [(n_total, float(avg), s_total)],
+                "n_docs long, avgdl double, sum_dl long")
         else:
             # legacy index without sum_dl: count-weighted double mean
-            s_total = None
             avg = ((float(prev["avgdl"]) * n0
                     + (float(s1) / n1 if n1 else 0.0) * n1)
                    / float(n_total)) if n_total else 0.0
+            stats = spark.createDataFrame(
+                [(n_total, float(avg))], "n_docs long, avgdl double")
     else:
-        n_total, s_total = n1, s1
-    if s_total is not None:
-        avg = (float(s_total) / n_total) if n_total else 0.0
-        stats = spark.createDataFrame(
-            [(n_total, float(avg), s_total)],
-            "n_docs long, avgdl double, sum_dl long")
-    else:
-        stats = spark.createDataFrame(
-            [(n_total, float(avg))], "n_docs long, avgdl double")
+        # single job: the agg result is written directly, no driver
+        # round-trip (avgdl = exact_sum / count, the same division
+        # the merge path performs)
+        stats = stats_src.select(
+            "n_docs",
+            F.when(F.col("n_docs") > 0,
+                   F.col("sum_dl").cast("double") / F.col("n_docs"))
+            .otherwise(F.lit(0.0)).alias("avgdl"),
+            "sum_dl")
     stats.withColumn("n_buckets", F.lit(int(n_buckets))) \
         .write.mode("overwrite").parquet(base + "/stats")
     if commit_marker:
