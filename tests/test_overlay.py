@@ -369,3 +369,34 @@ class TestOverlayCobucket:
             replicate=True)
         with pytest.raises(ValueError, match="bucketed with different"):
             overlay(ls, other, how="intersection", strategy="cobucket")
+
+
+def test_overlay_cobucket_point_left_difference(spark):
+    """Mixed completeness: a single-copy POINT left layout (never
+    straddles) × replicated boxes — the difference leg keeps points
+    outside every box, identical to the broadcast plan."""
+    import dask_geopandas_spark as dgs
+
+    TB = (-180.0, -90.0, 180.0, 90.0)
+    BOUNDS = [(4 ** 12) // 8 * i for i in range(1, 8)]
+    pdf = spark.createDataFrame(
+        [(i, float((i * 37) % 340 - 170) + 0.5,
+          float((i * 53) % 160 - 80) + 0.5) for i in range(300)],
+        "pid long, x double, y double")
+    pts = dgs.points_from_xy(pdf, "x", "y", crs="EPSG:4326")
+    right = _boxes(spark, [
+        (j, float((j * 71) % 320 - 165), float((j * 29) % 140 - 75),
+         float((j * 71) % 320 - 165) + 25.0,
+         float((j * 29) % 140 - 75) + 20.0) for j in range(15)],
+        pre="r")
+    ps = pts.spatial_shuffle(by="hilbert", level=12, total_bounds=TB,
+                             boundaries=BOUNDS)
+    rs = right.spatial_shuffle(by="hilbert", level=12, total_bounds=TB,
+                               boundaries=BOUNDS, replicate=True)
+    got = sorted(r["pid"] for r in overlay(
+        ps, rs, how="difference", strategy="cobucket")
+        .df.select("pid").collect())
+    want = sorted(r["pid"] for r in overlay(
+        pts, right, how="difference", strategy="broadcast")
+        .df.select("pid").collect())
+    assert got == want and 0 < len(got) < 300
