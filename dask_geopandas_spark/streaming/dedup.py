@@ -219,9 +219,16 @@ def ingest_neardup_batch(batch_df: DataFrame, index_path: str,
     have_index = fs.exists(meta)
 
     # lsh_dedup returns the (id, rep_id) mapping; in-batch survivors
-    # are the representatives themselves (one semi join back to rows)
+    # are the representatives themselves (one semi join back to rows).
+    # materialize="none": a file-backed micro-batch is measurably
+    # small, so "auto" would PERSIST its signature table — and a
+    # long-running stream would accumulate one tracked cache per
+    # batch, never released inside foreachBatch.  Recomputing a
+    # micro-batch's single-pass signatures is the cheap, leak-free
+    # side.
     reps = (lsh_dedup(batch_df, text_col=text_col, id_col=id_col,
-                      num_hashes=num_hashes, bands=bands, k=k)
+                      num_hashes=num_hashes, bands=bands, k=k,
+                      materialize="none")
             .filter(F.col("rep_id") == F.col(id_col)).select(id_col))
     firsts = batch_df.join(reps, on=id_col, how="left_semi")
     survivors = (dedup_against_index(firsts, base, threshold,

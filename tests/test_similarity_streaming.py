@@ -1735,3 +1735,22 @@ class TestStreamingTextIndex:
             files = [f for f in g.glob(b + "/*")
                      if not f.rsplit("/", 1)[-1].startswith(("_", "."))]
             assert len(files) == 1, b
+
+
+def test_ingest_neardup_leaves_no_cached_tables(spark, tmp_path):
+    """r8 self-audit: a long-running ingestion stream must not
+    accumulate persisted signature tables across micro-batches —
+    lsh_dedup's auto-persist is forced off inside the batch step."""
+    from dask_geopandas_spark.streaming.dedup import ingest_neardup_batch
+
+    src = str(tmp_path / "b0")
+    spark.createDataFrame(
+        [(i, f"totally distinct text number {i} w{i}a w{i}b")
+         for i in range(8)],
+        "doc_id long, text string").write.parquet(src)
+    batch = spark.read.parquet(src)  # file-backed => measurably small
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    ingest_neardup_batch(batch, str(tmp_path / "idx"))
+    after = jsc.getPersistentRDDs().size()
+    assert after == before, (before, after)
