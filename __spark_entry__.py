@@ -3497,6 +3497,46 @@ def q_image_meta(spark, sf_dir):
     )
 
 
+def q_media_dedup(spark, sf_dir):
+    """Media dedup by CONTENT HASH (new r8): the same image refetched
+    under different doc ids collapses on md5(payload bytes) — the
+    multimodal member of the exact-dedup family, and the form image
+    dedup takes before any perceptual hashing (exact byte dup is the
+    dominant duplicate class in crawled media).  Payload classes
+    derive from small doc-id moduli so refetches actually exist; the
+    engine groups on the binary hash, the oracle on the generating
+    class (the fake payload is a pure function of (w, h, seed), so
+    the two groupings are identical), with the byte size recomputed
+    from the documented FAKEIMG1 layout (8-byte magic + three uint32
+    + min(w*h*c, 4096) seeded bytes)."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    schema = StructType(d.schema.fields
+                        + [StructField("media", BinaryType())])
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = [MM.make_fake_image(int(i) % 7 + 16,
+                                           int(i) % 5 + 16, 3,
+                                           seed=int(i) % 3)
+                        for i in pdf["doc_id"]]
+            pdf = pdf.copy()
+            pdf["media"] = pd.Series(payloads, dtype=object)
+            yield pdf
+
+    media = d.mapInPandas(gen, schema=schema)
+    dd = DD.exact_dedup(media, text_col="media")
+    sizes = media.select(F.col("doc_id").alias("keeper_id"),
+                         F.length("media").cast("long")
+                         .alias("n_bytes"))
+    return (dd.join(sizes, on="keeper_id")
+            .select("keeper_id",
+                    F.col("dup_count").cast("long").alias("dup_count"),
+                    "n_bytes"))
+
+
 def q_image_resize(spark, sf_dir):
     """Resize plumbing: payloads rewritten to 32×24, metadata re-decoded
     from the new headers."""
@@ -3646,6 +3686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_index_dedup": q_compact_index_dedup,
         "stream_index_bm25": q_stream_index_bm25,
         "url_dedup": q_url_dedup,
+        "media_dedup": q_media_dedup,
         "sjoin_nearest_cobucket_k3": q_sjoin_nearest_cobucket_k3,
         "stream_ingest_neardup": q_stream_ingest_neardup,
         "sjoin_cobucket_anti": q_sjoin_cobucket_anti,
@@ -6382,6 +6423,20 @@ def oracle_sql() -> dict[str, str]:
         "exact_index_dedup": _exact_index_oracle_sql(),
         "compact_index_dedup": _exact_index_oracle_sql(),
         "stream_index_bm25": _bm25_batch_oracle_sql(),
+        "media_dedup": """
+            WITH cls AS (
+                SELECT doc_id,
+                       doc_id % 7 + 16 AS w,
+                       doc_id % 5 + 16 AS h,
+                       doc_id % 3 AS s
+                FROM documents
+            )
+            SELECT min(doc_id) AS keeper_id,
+                   CAST(count(*) AS BIGINT) AS dup_count,
+                   CAST(20 + least(w * h * 3, 4096) AS BIGINT)
+                       AS n_bytes
+            FROM cls GROUP BY w, h, s
+        """,
         "url_dedup": f"""
             WITH raw AS (
                 SELECT doc_id,

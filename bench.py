@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "compact_index_dedup",
     "stream_index_bm25",
     "url_dedup",
+    "media_dedup",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE
