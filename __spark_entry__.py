@@ -3665,75 +3665,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness check emits at
-    most 50 rows, in registry order.  Round 8 rotation (r7 verdict
-    order #1, policy in SURVEY §15): (a) the SIX r7-late entries never
-    driver-attested — sjoin_cobucket_anti, exact_index_dedup,
-    weighted_sample, leak_safe_split, clean_text, stream_ingest_dedup
-    (crash-replay ordering fixed this round) — at positions 1-6;
-    (b) the THREE entries whose last green is round 4 (age 4 at r8):
-    buffer_l_area, top_bigram, stream_dedup; (c) cluster_dedup (the
-    oldest r5 attestation) and the 40 next-oldest r5-green entries in
-    their r5 window order, filling the window to exactly 50.  The nine
-    remaining r5-green entries (to_mercator .. skew_avg, age 3 at r8,
-    compliant below-window) lead the r9 rotation, ahead of the
-    r6-green block and the r7-green tail.  New r8 queries are inserted
-    at the FRONT of the window as they land, pushing the window tail
-    down into the age-compliant r5 block."""
+    most 50 rows, in registry order.  Round 9 rotation (r8 verdict
+    order #1, policy in SURVEY §15): (a) the 16 r5-green entries at
+    age 4 (equals_exact .. skew_avg) lead the window; (b) the 34
+    oldest r6-green entries fill it to exactly 50.  The 16 remaining
+    r6-green entries (simhash .. stream_funnel, age 3 at r9,
+    compliant below-window) lead the r10 rotation, ahead of the
+    r7-green block and the r8-green tail.  New r9 queries are
+    inserted at the FRONT of the window as they land, pushing the
+    window tail down into the age-compliant r6 block."""
     return {
-        # -- r7-late entries never driver-attested (r7 verdict #1: positions 1-6) --
-        # -- NEW in round 8 (window front, §15 policy) --
-        "overlay_cobucket": q_overlay_cobucket,
-        "compact_index_dedup": q_compact_index_dedup,
-        "stream_index_bm25": q_stream_index_bm25,
-        "url_dedup": q_url_dedup,
-        "media_dedup": q_media_dedup,
-        "sjoin_nearest_cobucket_k3": q_sjoin_nearest_cobucket_k3,
-        "stream_ingest_neardup": q_stream_ingest_neardup,
-        "sjoin_cobucket_anti": q_sjoin_cobucket_anti,
-        "exact_index_dedup": q_exact_index_dedup,
-        "weighted_sample": q_weighted_sample,
-        "leak_safe_split": q_leak_safe_split,
-        "clean_text": q_clean_text,
-        "stream_ingest_dedup": q_stream_ingest_dedup,
-        # -- last green r4: the staleness backlog (age 4 at r8) --
-        "buffer_l_area": q_buffer_l_area,
-        "top_bigram": q_top_bigram,
-        "stream_dedup": q_stream_dedup,
-        # -- oldest r5 attestations, r5 window order (age 3 at r8) --
-        "cluster_dedup": q_cluster_dedup,
-        "stream_funnel_left": q_stream_funnel_left,
-        "gpx_roundtrip": q_gpx_roundtrip,
-        "kml_roundtrip": q_kml_roundtrip,
-        "source_cap": q_source_cap,
-        "semantic_dedup": q_semantic_dedup,
-        "gml_roundtrip": q_gml_roundtrip,
-        "asof_nearest": q_asof_nearest,
-        "interval_left": q_interval_left,
-        "stream_funnel3": q_stream_funnel3,
-        "stream_funnel3_left": q_stream_funnel3_left,
-        "asof_tolerance": q_asof_tolerance,
-        "fillna_isna": q_fillna_isna,
-        "region_dissolve": q_region_dissolve,
-        "rollup_revenue": q_rollup_revenue,
-        "concat_bounds": q_concat_bounds,
-        "cx_bbox_filter": q_cx_bbox_filter,
-        "total_bounds": q_total_bounds,
-        "point_distance": q_point_distance,
-        "box_area_by_priority": q_box_area_by_priority,
-        "sjoin_points_in_boxes": q_sjoin_points_in_boxes,
-        "sjoin_grid": q_sjoin_grid,
-        "sjoin_box_overlaps": q_sjoin_box_overlaps,
-        "sjoin_box_touches": q_sjoin_box_touches,
-        "sjoin_nearest": q_sjoin_nearest,
-        "sjoin_anti": q_sjoin_anti,
-        "dissolve_centroid": q_dissolve_centroid,
-        "clip_count": q_clip_count,
-        "clip_concave": q_clip_concave,
-        "translate_avg": q_translate_avg,
-        "buffer_envelope_area": q_buffer_envelope_area,
-        "box_relations": q_box_relations,
-        "box_setops_area": q_box_setops_area,
-        "line_cross": q_line_cross,
+        # -- r5-green at age 4: the r9 staleness backlog (window front) --
         "equals_exact": q_equals_exact,
         "geoparquet_roundtrip": q_geoparquet_roundtrip,
         "feather_roundtrip": q_feather_roundtrip,
@@ -3741,7 +3683,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interiors": q_interiors,
         "union_all_bounds": q_union_all_bounds,
         "explode_parts": q_explode_parts,
-        # -- below the 50-row window: r9 rotation leaders (r5-green, age 3) --
         "to_mercator": q_to_mercator,
         "to_utm": q_to_utm,
         "convex_hull_area": q_convex_hull_area,
@@ -3751,7 +3692,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "points_z": q_points_z,
         "geom_properties": q_geom_properties,
         "skew_avg": q_skew_avg,
-        # -- r6-green block --
+        # -- oldest r6-green, filling the window to 50 --
+        "semantic_dedup_pq": q_semantic_dedup_pq,
+        "semantic_dedup_probe": q_semantic_dedup_probe,
+        "ann_ivf": q_ann_ivf,
+        "line_dedup": q_line_dedup,
+        "doc_line_dedup": q_doc_line_dedup,
+        "quality_classifier": q_quality_classifier,
+        "dup_spans": q_dup_spans,
+        "span_removal": q_span_removal,
+        "doc_chunks": q_doc_chunks,
+        "source_mix": q_source_mix,
+        "bm25_stored": q_bm25_stored,
+        "knn_graph_probe": q_knn_graph_probe,
+        "line_project": q_line_project,
+        "sql_surface": q_sql_surface,
+        "morton_buckets": q_morton_buckets,
+        "geohash_cells": q_geohash_cells,
+        "hilbert_buckets": q_hilbert_buckets,
+        "token_stats": q_token_stats,
+        "exact_dedup": q_exact_dedup,
+        "lang_quality": q_lang_quality,
+        "fingerprint_dups": q_fingerprint_dups,
+        "minhash_sigs": q_minhash_sigs,
+        "lsh_pairs": q_lsh_pairs,
+        "lsh_dedup": q_lsh_dedup,
+        "lsh_dedup_fixpoint": q_lsh_dedup_fixpoint,
+        "quality_signals": q_quality_signals,
+        "pii_redact": q_pii_redact,
+        "vocab_top": q_vocab_top,
+        "geojson_roundtrip": q_geojson_roundtrip,
+        "pipeline_clean_join": q_pipeline_clean_join,
+        "topk_parts": q_topk_parts,
+        "spatial_hourly": q_spatial_hourly,
+        "sjoin_nearest_grid": q_sjoin_nearest_grid,
+        "jaccard_pairs": q_jaccard_pairs,
+        # -- below the 50-row window: r10 rotation leaders (r6-green, age 3) --
+        "simhash": q_simhash,
+        "ann_topk": q_ann_topk,
+        "ann_ivf_exact": q_ann_ivf_exact,
+        "embedding_neardup": q_embedding_neardup,
+        "events_hourly": q_events_hourly,
+        "session_windows": q_session_windows,
+        "image_meta": q_image_meta,
+        "audio_meta": q_audio_meta,
+        "frame_counts": q_frame_counts,
+        "geopackage_roundtrip": q_geopackage_roundtrip,
+        "knn_graph": q_knn_graph,
+        "knn_graph_pq": q_knn_graph_pq,
+        "fgb_roundtrip": q_fgb_roundtrip,
+        "tfidf_top": q_tfidf_top,
+        "bm25_topk": q_bm25_topk,
+        "stream_funnel": q_stream_funnel,
+        # -- r7-green block --
         "bm25_batch_stored": q_bm25_batch_stored,
         "badword_filter": q_badword_filter,
         "shards_roundtrip": q_shards_roundtrip,
@@ -3801,58 +3794,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_all_area": q_union_all_area,
         "setops_concave_area": q_setops_concave_area,
         "clip_concave_lines": q_clip_concave_lines,
-        # -- r7-green tail (attested in CORRECTNESS_r07) --
         "clip_concave_polys": q_clip_concave_polys,
-        "semantic_dedup_pq": q_semantic_dedup_pq,
-        "semantic_dedup_probe": q_semantic_dedup_probe,
-        "ann_ivf": q_ann_ivf,
-        "line_dedup": q_line_dedup,
-        "doc_line_dedup": q_doc_line_dedup,
-        "quality_classifier": q_quality_classifier,
-        "dup_spans": q_dup_spans,
-        "span_removal": q_span_removal,
-        "doc_chunks": q_doc_chunks,
-        "source_mix": q_source_mix,
-        "bm25_stored": q_bm25_stored,
-        "knn_graph_probe": q_knn_graph_probe,
-        "line_project": q_line_project,
-        "sql_surface": q_sql_surface,
-        "morton_buckets": q_morton_buckets,
-        "geohash_cells": q_geohash_cells,
-        "hilbert_buckets": q_hilbert_buckets,
-        "token_stats": q_token_stats,
-        "exact_dedup": q_exact_dedup,
-        "lang_quality": q_lang_quality,
-        "fingerprint_dups": q_fingerprint_dups,
-        "minhash_sigs": q_minhash_sigs,
-        "lsh_pairs": q_lsh_pairs,
-        "lsh_dedup": q_lsh_dedup,
-        "lsh_dedup_fixpoint": q_lsh_dedup_fixpoint,
-        "quality_signals": q_quality_signals,
-        "pii_redact": q_pii_redact,
-        "vocab_top": q_vocab_top,
-        "geojson_roundtrip": q_geojson_roundtrip,
-        "pipeline_clean_join": q_pipeline_clean_join,
-        "topk_parts": q_topk_parts,
-        "spatial_hourly": q_spatial_hourly,
-        "sjoin_nearest_grid": q_sjoin_nearest_grid,
-        "jaccard_pairs": q_jaccard_pairs,
-        "simhash": q_simhash,
-        "ann_topk": q_ann_topk,
-        "ann_ivf_exact": q_ann_ivf_exact,
-        "embedding_neardup": q_embedding_neardup,
-        "events_hourly": q_events_hourly,
-        "session_windows": q_session_windows,
-        "image_meta": q_image_meta,
-        "audio_meta": q_audio_meta,
-        "frame_counts": q_frame_counts,
-        "geopackage_roundtrip": q_geopackage_roundtrip,
-        "knn_graph": q_knn_graph,
-        "knn_graph_pq": q_knn_graph_pq,
-        "fgb_roundtrip": q_fgb_roundtrip,
-        "tfidf_top": q_tfidf_top,
-        "bm25_topk": q_bm25_topk,
-        "stream_funnel": q_stream_funnel,
+        # -- r8-green tail (attested in CORRECTNESS_r08) --
+        "overlay_cobucket": q_overlay_cobucket,
+        "compact_index_dedup": q_compact_index_dedup,
+        "stream_index_bm25": q_stream_index_bm25,
+        "url_dedup": q_url_dedup,
+        "media_dedup": q_media_dedup,
+        "sjoin_nearest_cobucket_k3": q_sjoin_nearest_cobucket_k3,
+        "stream_ingest_neardup": q_stream_ingest_neardup,
+        "sjoin_cobucket_anti": q_sjoin_cobucket_anti,
+        "exact_index_dedup": q_exact_index_dedup,
+        "weighted_sample": q_weighted_sample,
+        "leak_safe_split": q_leak_safe_split,
+        "clean_text": q_clean_text,
+        "stream_ingest_dedup": q_stream_ingest_dedup,
+        "buffer_l_area": q_buffer_l_area,
+        "top_bigram": q_top_bigram,
+        "stream_dedup": q_stream_dedup,
+        "cluster_dedup": q_cluster_dedup,
+        "stream_funnel_left": q_stream_funnel_left,
+        "gpx_roundtrip": q_gpx_roundtrip,
+        "kml_roundtrip": q_kml_roundtrip,
+        "source_cap": q_source_cap,
+        "semantic_dedup": q_semantic_dedup,
+        "gml_roundtrip": q_gml_roundtrip,
+        "asof_nearest": q_asof_nearest,
+        "interval_left": q_interval_left,
+        "stream_funnel3": q_stream_funnel3,
+        "stream_funnel3_left": q_stream_funnel3_left,
+        "asof_tolerance": q_asof_tolerance,
+        "fillna_isna": q_fillna_isna,
+        "region_dissolve": q_region_dissolve,
+        "rollup_revenue": q_rollup_revenue,
+        "concat_bounds": q_concat_bounds,
+        "cx_bbox_filter": q_cx_bbox_filter,
+        "total_bounds": q_total_bounds,
+        "point_distance": q_point_distance,
+        "box_area_by_priority": q_box_area_by_priority,
+        "sjoin_points_in_boxes": q_sjoin_points_in_boxes,
+        "sjoin_grid": q_sjoin_grid,
+        "sjoin_box_overlaps": q_sjoin_box_overlaps,
+        "sjoin_box_touches": q_sjoin_box_touches,
+        "sjoin_nearest": q_sjoin_nearest,
+        "sjoin_anti": q_sjoin_anti,
+        "dissolve_centroid": q_dissolve_centroid,
+        "clip_count": q_clip_count,
+        "clip_concave": q_clip_concave,
+        "translate_avg": q_translate_avg,
+        "buffer_envelope_area": q_buffer_envelope_area,
+        "box_relations": q_box_relations,
+        "box_setops_area": q_box_setops_area,
+        "line_cross": q_line_cross,
     }
 
 
