@@ -2971,8 +2971,9 @@ def q_url_dedup(spark, sf_dir):
     """URL-level dedup (textstats.canonicalize_url / url_dedup, new
     r8): the identity crawl pipelines dedup on BEFORE any text
     comparison.  Messy URLs graft on natively (uppercased scheme/host,
-    www., matching default ports, rotating utm_*/ref params in
-    shuffled order, fragments); canonicalization is one codegen
+    www., matching default ports, rotating utm_* params in
+    shuffled order, fragments, a kept content-selecting ?ref= param);
+    canonicalization is one codegen
     regexp/split/sort chain and the dedup one hash aggregation.  The
     oracle replicates both the graft and the identical chain in
     DuckDB (RE2 == Java regex for these anchored literal classes)."""
@@ -6487,7 +6488,7 @@ def oracle_sql() -> dict[str, str]:
                            string_split(regexp_extract(tail,
                                '\\?(.*)$', 1), '&'),
                            p -> p <> '' AND NOT regexp_matches(
-                               lower(p), '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)(=.*)?$'))), '&'), '') AS kept
+                               lower(p), '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid)(=.*)?$'))), '&'), '') AS kept
                 FROM parts
             ),
             canon AS (

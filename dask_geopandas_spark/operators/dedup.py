@@ -821,8 +821,9 @@ def dedup_exact_against_index(new_df: DataFrame, path: str,
     return new_df.join(hits, on=id_col, how="left_anti")
 
 
-def compact_index(spark, path: str, dataset: str | None = "postings"
-                  ) -> dict:
+def compact_index(spark, path: str, dataset: str | None = "postings",
+                  missing_ok: bool = False,
+                  max_records_per_file: int | None = None) -> dict:
     """Compact an appendable stored index's ``postings/`` dataset —
     the maintenance pass every streaming-appended layout eventually
     needs: `write_exact_index` / `write_minhash_index` /
@@ -849,7 +850,21 @@ def compact_index(spark, path: str, dataset: str | None = "postings"
     ``"postings"`` — the exact/minhash/text index layout); pass
     ``None`` for layouts partitioned directly at ``path`` (the
     `write_ivf_index` shape, hive dirs ``ivf_cell=...`` at the
-    root)."""
+    root).
+
+    ``missing_ok=True`` turns an absent dataset into a no-op
+    returning ``{"files_before": 0, "files_after": 0, "bucket_col":
+    None}`` — the streaming ingesters use it because their early
+    micro-batches legitimately skip index initialization (empty or
+    fully-deduped input), and a scheduled compaction must not kill
+    the query for an index that doesn't exist yet.
+
+    ``max_records_per_file`` bounds output file size (Spark's
+    ``maxRecordsPerFile``): without it each bucket compacts to
+    exactly ONE file, which is right for uniform buckets but turns a
+    Zipf-head bucket into one multi-GB single-task read downstream —
+    set it to keep hot buckets split into several right-sized
+    files."""
     base = path.rstrip("/")
     dpath = base + (f"/{dataset}" if dataset else "")
     jvm = spark._jvm
@@ -857,6 +872,9 @@ def compact_index(spark, path: str, dataset: str | None = "postings"
     posts = HP(dpath)
     fs = posts.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(posts):
+        if missing_ok:
+            return {"files_before": 0, "files_after": 0,
+                    "bucket_col": None}
         raise ValueError(f"no postings dataset at {dpath!r}")
 
     bucket_col = None
@@ -882,10 +900,13 @@ def compact_index(spark, path: str, dataset: str | None = "postings"
     files_before = _count_files(posts)
     tmp = HP(dpath + "_compacting")
     fs.delete(tmp, True)
-    (spark.read.parquet(dpath)
-     .repartition(F.col(bucket_col))
-     .write.mode("overwrite").partitionBy(bucket_col)
-     .parquet(dpath + "_compacting"))
+    writer = (spark.read.parquet(dpath)
+              .repartition(F.col(bucket_col))
+              .write.mode("overwrite").partitionBy(bucket_col))
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile",
+                               int(max_records_per_file))
+    writer.parquet(dpath + "_compacting")
     old = HP(dpath + "_old")
     fs.delete(old, True)
     if not fs.rename(posts, old):

@@ -121,14 +121,32 @@ def clean_text(text: Column, lowercase: bool = False,
     return c
 
 
-# tracking parameters every major canonicalizer strips (matched on the
-# LOWERCASED param; the (=.*)? arm catches valueless flags).  Identical
-# RE2/Java-regex semantics — anchored alternation of literals.
-_TRACKING_RE = ("^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid"
-                "|ref|ref_src)(=.*)?$")
+# Tracking parameters stripped by default: the UNAMBIGUOUS set — every
+# one is a pure click-attribution token no server uses to select
+# content (utm_* is matched as a prefix family).  `ref`/`ref_src` are
+# deliberately NOT here: `ref` selects different content on many real
+# sites (?ref=<branch> on forges, ?ref=<section> on news sites), so
+# stripping it would merge genuinely distinct URLs and silently drop
+# distinct documents — pass tracking_params=(..., "ref", "ref_src") to
+# opt in for corpora where it is known to be referral-only.
+DEFAULT_TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "mc_eid",
+                           "igshid")
 
 
-def canonicalize_url(url: Column, strip_www: bool = True) -> Column:
+def _tracking_re(params) -> str:
+    """Anchored alternation over the tracking-parameter list (matched
+    on the LOWERCASED param; the (=.*)? arm catches valueless flags).
+    Literal names only — escaped, so the list can't inject regex; the
+    utm_ prefix family is always included.  Identical RE2/Java-regex
+    semantics: anchored alternation of literals."""
+    import re as _re
+
+    alts = "".join("|" + _re.escape(str(p).lower()) for p in params)
+    return f"^(utm_[a-z0-9_]*{alts})(=.*)?$"
+
+
+def canonicalize_url(url: Column, strip_www: bool = True,
+                     tracking_params=DEFAULT_TRACKING_PARAMS) -> Column:
     """Canonical form of an absolute http(s) URL as ONE pure-codegen
     expression — the identity crawl pipelines dedup on BEFORE any text
     comparison (the same page is fetched as http/https, with/without
@@ -138,9 +156,11 @@ def canonicalize_url(url: Column, strip_www: bool = True) -> Column:
     * scheme and host lowercased; userinfo stripped; default ports
       (``:80`` http, ``:443`` https) stripped; leading ``www.``
       stripped (``strip_www=False`` keeps it);
-    * tracking parameters removed (utm_*, fbclid, gclid, msclkid,
-      mc_eid, igshid, ref, ref_src — matched case-insensitively),
-      remaining parameters SORTED so param order is canonical;
+    * tracking parameters removed (utm_* plus ``tracking_params``,
+      default `DEFAULT_TRACKING_PARAMS` — matched case-insensitively;
+      extend the list per-corpus, e.g. with ``ref``/``ref_src`` where
+      those are known referral-only), remaining parameters SORTED so
+      param order is canonical;
     * a bare ``/`` path drops (``http://x.com/`` == ``http://x.com``);
       deeper paths keep their exact form (case and trailing slashes in
       real paths are significant).
@@ -166,9 +186,10 @@ def canonicalize_url(url: Column, strip_www: bool = True) -> Column:
         u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
     path = F.regexp_extract(tail, "^([^?]*)", 1)
     path = F.when(path == "/", F.lit("")).otherwise(path)
+    track_re = _tracking_re(tracking_params)
     kept = F.array_join(F.array_sort(F.filter(
         F.split(F.regexp_extract(tail, "\\?(.*)$", 1), "&"),
-        lambda p: (p != "") & ~F.lower(p).rlike(_TRACKING_RE))), "&")
+        lambda p: (p != "") & ~F.lower(p).rlike(track_re))), "&")
     canon = F.concat(
         scheme, F.lit("://"), host, path,
         F.when(kept == "", F.lit(""))
@@ -177,7 +198,8 @@ def canonicalize_url(url: Column, strip_www: bool = True) -> Column:
 
 
 def url_dedup(df, url_col: str = "url", id_col: str = "doc_id",
-              strip_www: bool = True):
+              strip_www: bool = True,
+              tracking_params=DEFAULT_TRACKING_PARAMS):
     """Keep one row per canonical URL: the minimum id (deterministic
     keeper) — `exact_dedup`'s contract at URL granularity, the stage a
     crawl pipeline runs before any text-level dedup (it removes refetch
@@ -185,7 +207,8 @@ def url_dedup(df, url_col: str = "url", id_col: str = "doc_id",
     (canonical_url, keeper_id, dup_count); one hash aggregation, the
     canonicalization runs inside the scan stage."""
     return (df.select(
-                canonicalize_url(F.col(url_col), strip_www=strip_www)
+                canonicalize_url(F.col(url_col), strip_www=strip_www,
+                                 tracking_params=tracking_params)
                 .alias("canonical_url"),
                 F.col(id_col))
             .groupBy("canonical_url")

@@ -177,7 +177,8 @@ def streaming_ingest_dedup(stream: DataFrame, index_path: str,
             sink=lambda s: s.write.mode("append").parquet(output_path))
         if compact_every and batch_id % int(compact_every) == \
                 int(compact_every) - 1:
-            compact_index(batch_df.sparkSession, index_path)
+            compact_index(batch_df.sparkSession, index_path,
+                          missing_ok=True)
 
     return stream.writeStream.foreachBatch(_fb)
 
@@ -278,6 +279,7 @@ def streaming_ingest_neardup(stream: DataFrame, index_path: str,
             sink=lambda s: s.write.mode("append").parquet(output_path))
         if compact_every and batch_id % int(compact_every) == \
                 int(compact_every) - 1:
-            compact_index(batch_df.sparkSession, index_path)
+            compact_index(batch_df.sparkSession, index_path,
+                          missing_ok=True)
 
     return stream.writeStream.foreachBatch(_fb)

@@ -15,7 +15,11 @@ pipeline exactly-once semantics on plain parquet:
   the index, and the documented recovery is a rebuild — a torn append
   is detectable, never a silent double-count (double-appending an
   inverted index is NOT idempotent, unlike the exact/minhash dedup
-  indexes where duplicate postings are absorbed by the join).
+  indexes where duplicate postings are absorbed by the join);
+* a crash AFTER commit-marker creation but before in-progress removal
+  (the marker proves the append fully committed) self-heals: the
+  replayed batch sees its commit marker, clears the stale in-progress
+  flag, and skips — no rebuild.
 
 No direct reference analog (the reference is batch-only); BASELINE.json
 north-star scope (training-data pipeline operators).
@@ -62,6 +66,14 @@ def index_documents_batch(batch_df: DataFrame, index_path: str,
     if batch_id is not None:
         marker = f"{base}/batches/batch-{int(batch_id)}"
         if fs.exists(HP(marker)):
+            # The commit marker is created BEFORE _append_in_progress
+            # is removed, so a crash in that sliver leaves a
+            # fully-committed index that every stored reader refuses.
+            # The marker's existence proves the append committed —
+            # clearing a lingering in-progress flag here is safe and
+            # turns that crash window's recovery from "full rebuild"
+            # into "replay skips the batch and heals the flag".
+            fs.delete(HP(base + "/_append_in_progress"), False)
             return False
     if batch_df.isEmpty():
         if marker is not None:
@@ -113,6 +125,7 @@ def streaming_index_documents(stream: DataFrame, index_path: str,
                                      n_buckets, text_col, id_col)
         if done and compact_every and batch_id % int(compact_every) \
                 == int(compact_every) - 1:
-            compact_index(batch_df.sparkSession, index_path)
+            compact_index(batch_df.sparkSession, index_path,
+                          missing_ok=True)
 
     return stream.writeStream.foreachBatch(_fb)

@@ -2113,6 +2113,86 @@ class TestCompactIndexIvfAndStreaming:
         probe = spark.createDataFrame([(999, "text b2 i3")], schema)
         assert exact_index_matches(probe, idx).count() == 1
 
+    def test_missing_ok_noop(self, spark, tmp_path):
+        from dask_geopandas_spark.operators.dedup import compact_index
+
+        stats = compact_index(spark, str(tmp_path / "absent"),
+                              missing_ok=True)
+        assert stats == {"files_before": 0, "files_after": 0,
+                         "bucket_col": None}
+        stats = compact_index(spark, str(tmp_path / "absent"),
+                              dataset=None, missing_ok=True)
+        assert stats["bucket_col"] is None
+
+    def test_compact_every_empty_first_batch(self, spark, tmp_path):
+        """An empty first micro-batch legitimately skips index
+        initialization; a scheduled compaction (compact_every=1) must
+        be a no-op then, not a streaming-query-killing ValueError."""
+        import os
+
+        from dask_geopandas_spark.streaming.dedup import \
+            streaming_ingest_dedup
+
+        src = str(tmp_path / "src")
+        idx = str(tmp_path / "idx")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        schema = "doc_id long, text string"
+        spark.createDataFrame([], schema).coalesce(1) \
+            .write.parquet(f"{src}/f0")
+        spark.createDataFrame([(1, "alpha"), (2, "beta")], schema) \
+            .coalesce(1).write.parquet(f"{src}/f1")
+        now = 1_700_000_000
+        for b in range(2):
+            for fn in os.listdir(f"{src}/f{b}"):
+                os.utime(f"{src}/f{b}/{fn}", (now + b, now + b))
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(src + "/f*"))
+        q = (streaming_ingest_dedup(stream, idx, out, compact_every=1)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        assert q.exception() is None
+        assert spark.read.parquet(out).count() == 2
+
+    def test_max_records_per_file_splits_hot_bucket(self, spark,
+                                                    tmp_path):
+        """Size-aware compaction: a Zipf-head bucket must not compact
+        into one giant single-task file — max_records_per_file keeps
+        hot buckets split while cold ones still coalesce to one."""
+        import glob as g
+
+        from dask_geopandas_spark.operators.dedup import (
+            compact_index, exact_index_matches, write_exact_index)
+
+        p = str(tmp_path / "skew")
+        # three appends; text values engineered so one bucket is hot
+        for b in range(3):
+            df = spark.createDataFrame(
+                [(b * 1000 + i, f"doc {b} {i}") for i in range(200)],
+                "doc_id long, text string")
+            write_exact_index(df, p, n_buckets=4, append=b > 0)
+        probe = spark.createDataFrame([(9, "doc 1 7")],
+                                      "doc_id long, text string")
+        before = sorted(map(tuple, exact_index_matches(
+            probe, p).collect()))
+        stats = compact_index(spark, p, max_records_per_file=60)
+        after = sorted(map(tuple, exact_index_matches(
+            probe, p).collect()))
+        assert after == before and len(before) == 1
+        assert stats["files_after"] < stats["files_before"]
+        counts = []
+        for b in g.glob(p + "/postings/hash_bucket=*"):
+            files = [f for f in g.glob(b + "/*")
+                     if not f.rsplit("/", 1)[-1].startswith(("_", "."))]
+            n_rows = spark.read.parquet(b).count()
+            counts.append((n_rows, len(files)))
+            # every file respects the bound: rows <= files * 60
+            assert n_rows <= len(files) * 60
+        # at least one bucket was big enough to need a split
+        assert any(nf > 1 for _, nf in counts)
+
     def test_compact_every_validation(self, spark, tmp_path):
         import pytest
 
@@ -2145,7 +2225,9 @@ class TestCanonicalizeUrl:
         ("https://www.site.org/path/?fbclid=abc",
          "https://site.org/path/?"[:-1]),
         ("https://site.org/A/B/", "https://site.org/A/B/"),
-        ("https://site.org/?ref=hn&q=1", "https://site.org?q=1"),
+        # bare `ref` is content-selecting on many sites — kept by
+        # default (opt in via tracking_params to strip it)
+        ("https://site.org/?ref=hn&q=1", "https://site.org?q=1&ref=hn"),
         ("https://site.org/x?UTM_MEDIUM=mail", "https://site.org/x"),
         ("https://site.org/x?b=2&a=1&a=0", "https://site.org/x?a=0&a=1&b=2"),
         ("mailto:a@b.com", "mailto:a@b.com"),
@@ -2164,6 +2246,18 @@ class TestCanonicalizeUrl:
             "i", canonicalize_url(F.col("url")).alias("c")).collect()}
         for i, (u, want) in enumerate(self.CASES):
             assert got[i] == want, (u, got[i], want)
+
+    def test_opt_in_ref_strip(self, spark):
+        from dask_geopandas_spark.operators.textstats import (
+            DEFAULT_TRACKING_PARAMS, canonicalize_url)
+
+        df = spark.createDataFrame(
+            [(0, "https://site.org/?ref=hn&q=1")], "i long, url string")
+        got = df.select(canonicalize_url(
+            F.col("url"),
+            tracking_params=DEFAULT_TRACKING_PARAMS + ("ref", "ref_src")
+        ).alias("c")).head()["c"]
+        assert got == "https://site.org?q=1"
 
     def test_keep_www(self, spark):
         from dask_geopandas_spark.operators.textstats import \

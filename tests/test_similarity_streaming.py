@@ -1690,6 +1690,29 @@ class TestStreamingTextIndex:
         with pytest.raises(RuntimeError, match="inconsistent"):
             bm25_topk_stored(spark, p, ["shared"], k=3)
 
+    def test_stale_in_progress_heals_on_replay(self, spark, tmp_path):
+        """Crash between commit-marker creation and in-progress
+        removal: the index is fully committed but flagged torn.  The
+        replayed batch sees its commit marker, clears the stale flag,
+        and skips — readers work again without a rebuild."""
+        import os
+
+        from dask_geopandas_spark.operators.textstats import \
+            bm25_topk_stored
+        from dask_geopandas_spark.streaming.indexing import \
+            index_documents_batch
+
+        p = str(tmp_path / "idx")
+        b = self._docs(spark, range(0, 10))
+        assert index_documents_batch(b, p, batch_id=0) is True
+        # simulate the post-commit sliver crash
+        with open(p + "/_append_in_progress", "w") as f:
+            f.write("stale")
+        assert index_documents_batch(b, p, batch_id=0) is False
+        assert not os.path.exists(p + "/_append_in_progress")
+        assert len(bm25_topk_stored(
+            spark, p, ["shared"], k=3).collect()) == 3
+
     def test_streaming_end_to_end_with_compaction(self, spark,
                                                   tmp_path):
         import glob as g
