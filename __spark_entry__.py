@@ -3003,6 +3003,80 @@ def q_url_dedup(spark, sf_dir):
                       F.col("dup_count").cast("long").alias("dup_count"))
 
 
+def _html_synth(spark, sf_dir):
+    """Synthetic crawl pages grafted from the documents table — every
+    page part is a deterministic function of (doc_id, text), so the
+    EXPECTED extraction output is directly SQL-computable (the oracle
+    never re-implements the regex chain; it validates extraction
+    end-to-end against the known construction).  The page exercises
+    the whole contract: uppercase tags, a <style> and a <script>
+    containing fake markup, a comment hiding a <p>, a link-dense nav
+    and footer (boilerplate), entity-escaped body text, and an
+    even-doc-only list block."""
+    from dask_geopandas_spark.operators.html import html_escape
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n = F.col("doc_id").cast("string")
+    items = F.when(F.col("doc_id") % 2 == 0, F.concat(
+        F.lit("<ul><li>item A "), n, F.lit("</li><li>item B "), n,
+        F.lit("</li></ul>"))).otherwise(F.lit(""))
+    page = F.concat(
+        F.lit("<!DOCTYPE html><HTML><head><TITLE>Doc "), n,
+        F.lit("</TITLE><style>body{margin:0}</style>"
+              "<script type=\"text/javascript\">var x = \"<p>not text"
+              "</p>\";</script></head><Body>"
+              "<nav><a href=\"/\">Home</a> <a href=\"/about\">About"
+              "</a></nav><H1>Section "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("</H1><div class=\"main\"><p>"), html_escape(F.col("text")),
+        F.lit("</p></div>"), items,
+        F.lit("<!-- hidden <p>comment</p> -->"
+              "<footer><a href=\"/c\">Contact</a> "
+              "<a href=\"/p\">Privacy</a></footer></Body></HTML>"))
+    return docs.select("doc_id", page.alias("html"))
+
+
+def q_html_extract(spark, sf_dir):
+    """HTML -> main-text extraction (operators/html.extract_text, new
+    r9) — the crawl-ingestion front door (C4/CCNet/RefinedWeb all
+    start here).  Synthetic pages grafted from (doc_id, text); the
+    boilerplate filter (link density <= 0.2) drops the nav and footer
+    chrome while the title, heading, entity-escaped body text, and
+    list items survive.  The whole chain is native regexp/split/
+    higher-order expressions — no UDF, runs inside the scan stage.
+    Oracle: the expected text recomputed directly from the source
+    columns (escape -> extract roundtrips the body bit-exactly; the
+    collapse is the shared ASCII-class whitespace rule)."""
+    from dask_geopandas_spark.operators.html import extract_text
+
+    out = extract_text(_html_synth(spark, sf_dir), main_only=True,
+                       max_link_density=0.2, min_text_len=1)
+    return out.select("doc_id", F.col("text").alias("main_text"))
+
+
+def q_html_blocks(spark, sf_dir):
+    """Per-block boilerplate signals (operators/html.extract_blocks,
+    new r9): the jusText two-signal surface — link density and text
+    length per text block — aggregated per document into block/main
+    counts and kept/dropped character totals.  Exercises the density
+    ARITHMETIC (anchor-text extraction, per-block cleaning) as a
+    driver attestation; the oracle recomputes every count from the
+    known page construction ('Home About' nav = 9/10 link chars,
+    footer = 14/15, body blocks link-free)."""
+    from dask_geopandas_spark.operators.html import extract_blocks
+
+    b = extract_blocks(_html_synth(spark, sf_dir))
+    main = (F.col("link_len") <= 0.2 * F.col("text_len")) \
+        & (F.col("text_len") >= 1)
+    return (b.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum(main.cast("long")).alias("n_main"),
+        F.sum(F.when(main, F.col("text_len")).otherwise(0))
+        .cast("long").alias("main_chars"),
+        F.sum(F.when(~main, F.col("text_len")).otherwise(0))
+        .cast("long").alias("boiler_chars")))
+
+
 def q_stream_index_bm25(spark, sf_dir):
     """Continuous BM25 indexing (streaming/indexing.
     streaming_index_documents, new r8): the documents table replays
@@ -3676,6 +3750,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     inserted at the FRONT of the window as they land, pushing the
     window tail down into the age-compliant r6 block."""
     return {
+        # -- NEW in round 9 (window front, §15 policy) --
+        "html_extract": q_html_extract,
+        "html_blocks": q_html_blocks,
         # -- r5-green at age 4: the r9 staleness backlog (window front) --
         "equals_exact": q_equals_exact,
         "geoparquet_roundtrip": q_geoparquet_roundtrip,
@@ -5892,7 +5969,47 @@ def oracle_sql() -> dict[str, str]:
         SELECT o_orderkey AS orderkey, round(ar, 6) AS clip_area
         FROM a WHERE ar > 0
     """
+    # expected extraction output recomputed from the q_html_extract /
+    # q_html_blocks page construction (never re-implementing the regex
+    # chain): body text roundtrips escape->extract bit-exactly modulo
+    # the shared ASCII whitespace collapse; chr(30) is the engine's
+    # block sentinel, turned to a space before segmentation
+    html_ct = ("trim(regexp_replace(replace(text, chr(30), ' '), "
+               "'[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))")
+    html_extract = f"""
+        WITH c AS (SELECT doc_id, {html_ct} AS ct FROM documents)
+        SELECT doc_id,
+               'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+               'Section ' || CAST(doc_id % 7 AS VARCHAR) ||
+               CASE WHEN ct <> '' THEN chr(10) || ct ELSE '' END ||
+               CASE WHEN doc_id % 2 = 0
+                    THEN chr(10) || 'item A ' || CAST(doc_id AS VARCHAR)
+                         || chr(10) || 'item B '
+                         || CAST(doc_id AS VARCHAR)
+                    ELSE '' END AS main_text
+        FROM c
+    """
+    html_blocks = f"""
+        WITH c AS (SELECT doc_id, {html_ct} AS ct,
+                          CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+                          AS ev
+                   FROM documents)
+        SELECT doc_id,
+               CAST(4 + (ct <> '')::INT + 2 * ev AS BIGINT) AS n_blocks,
+               CAST(2 + (ct <> '')::INT + 2 * ev AS BIGINT) AS n_main,
+               CAST(length('Doc ' || CAST(doc_id AS VARCHAR))
+                    + length('Section ' || CAST(doc_id % 7 AS VARCHAR))
+                    + length(ct)
+                    + ev * (length('item A ' || CAST(doc_id AS VARCHAR))
+                            + length('item B '
+                                     || CAST(doc_id AS VARCHAR)))
+                    AS BIGINT) AS main_chars,
+               CAST(25 AS BIGINT) AS boiler_chars
+        FROM c
+    """
     return {
+        "html_extract": html_extract,
+        "html_blocks": html_blocks,
         "dissolve_union_area": dissolve_union_area,
         "sql_union_agg": sql_union_agg,
         "union_all_area": union_all_area,

@@ -112,6 +112,9 @@ BENCH_QUERIES = [
     "stream_index_bm25",
     "url_dedup",
     "media_dedup",
+    # round-9 additions
+    "html_extract",
+    "html_blocks",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE

@@ -31,6 +31,8 @@ from .dedup import (
 )
 from .dissolve import dissolve
 from .explode import explode_geometry
+from .html import (extract_blocks, extract_text, html_blocks,
+                   html_escape, html_to_text)
 from .multimodal import media_manifest, sniff_modality
 from .sampling import (cap_per_group, chunk_documents, hash_sample,
                        oversample, pack_documents, shard_assignment,
@@ -99,6 +101,8 @@ __all__ = [
     "blocklist_hits", "blocklist_filter", "code_signals",
     "classifier_score", "clean_text", "canonicalize_url", "url_dedup",
     "media_manifest", "sniff_modality",
+    "extract_text", "extract_blocks", "html_blocks", "html_to_text",
+    "html_escape",
     "semantic_dedup", "cap_per_group", "hash_sample", "pack_documents",
     "chunk_documents", "oversample", "shard_assignment",
     "shard_key", "split_by_cluster", "weighted_sample",

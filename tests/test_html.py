@@ -1,0 +1,245 @@
+"""HTML -> text extraction (operators/html.py) — the crawl-ingestion
+front door: tag stripping, script/style/comment removal, block
+segmentation, entity decoding, and the jusText-style boilerplate
+signals (link density, text density).  Includes a stdlib
+html.parser-based reference cross-check and malformed-markup
+properties."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_geopandas_spark.operators.html import (_BLOCK_TAGS,
+                                                 extract_blocks,
+                                                 extract_text,
+                                                 html_escape,
+                                                 html_to_text)
+
+
+def _one(spark, html, **kw):
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    return df.select(html_to_text(F.col("html"), **kw).alias("t")) \
+        .head()["t"]
+
+
+# ---------------------------------------------------------------------
+# stdlib reference implementation (same block/entity/whitespace
+# contract, built on html.parser instead of regexes)
+# ---------------------------------------------------------------------
+
+_BLOCK_SET = set()
+for t in _BLOCK_TAGS.split("|"):
+    if t == "h[1-6]":
+        _BLOCK_SET.update(f"h{i}" for i in range(1, 7))
+    else:
+        _BLOCK_SET.add(t)
+
+
+def _reference_text(html: str) -> str:
+    from html.parser import HTMLParser
+
+    class P(HTMLParser):
+        def __init__(self):
+            # keep &entities; verbatim so handle_data sees decoded
+            # text the same way (convert_charrefs=True decodes them)
+            super().__init__(convert_charrefs=True)
+            self.blocks = [[]]
+            self.skip = 0
+
+        def _break(self):
+            if self.blocks[-1]:
+                self.blocks.append([])
+
+        def handle_starttag(self, tag, attrs):
+            if tag in ("script", "style"):
+                self.skip += 1
+            if tag in _BLOCK_SET:
+                self._break()
+
+        def handle_startendtag(self, tag, attrs):
+            if tag in _BLOCK_SET:
+                self._break()
+
+        def handle_endtag(self, tag):
+            if tag in ("script", "style"):
+                self.skip = max(0, self.skip - 1)
+            if tag in _BLOCK_SET:
+                self._break()
+
+        def handle_data(self, d):
+            if not self.skip:
+                self.blocks[-1].append(d)
+
+    p = P()
+    p.feed(html)
+    p.close()
+    out = []
+    for b in p.blocks:
+        t = " ".join("".join(b).split())
+        if t:
+            out.append(t)
+    return "\n".join(out)
+
+
+WELL_FORMED = [
+    "<html><body><p>Hello world</p></body></html>",
+    "<div><p>a</p><p>b</p><br>c</div>",
+    "<p>one <b>two</b> three</p><p>four</p>",
+    "<ul><li>x</li><li>y</li></ul>",
+    "<h1>T</h1><section><p>body text here</p></section>",
+    "<table><tr><td>a</td><td>b</td></tr></table>",
+    "<p>2 &lt; 3 &amp;&amp; 4 &gt; 1</p>",
+    "<p>a&nbsp;b &quot;c&quot; &#39;d&#39;</p>",
+    "<p>spread\n   across\n\n lines</p>",
+    "<pre>kept   block</pre><p>after</p>",
+    "text with no tags at all",
+    "<blockquote>quoted</blockquote>tail",
+]
+
+
+class TestAgainstStdlibReference:
+    def test_well_formed_matches_html_parser(self, spark):
+        df = spark.createDataFrame(
+            [(i, h) for i, h in enumerate(WELL_FORMED)],
+            "doc_id long, html string")
+        got = {r["doc_id"]: r["t"] for r in df.select(
+            "doc_id", html_to_text(F.col("html")).alias("t")).collect()}
+        for i, h in enumerate(WELL_FORMED):
+            assert got[i] == _reference_text(h), h
+
+    def test_script_style_comment_removed(self, spark):
+        h = ("<p>keep</p><script>var a = '<p>no</p>';</script>"
+             "<style>p{}</style><!-- <p>gone</p> --><p>also</p>")
+        assert _one(spark, h) == "keep\nalso"
+
+    def test_escape_roundtrip(self, spark):
+        texts = ["a & b", "2 < 3 > 1", "&amp; predecoded", "<tag> like",
+                 "plain", "&&&", "a<b>c</b>"]
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                   "i long, t string")
+        got = {r["i"]: r["x"] for r in df.select("i", html_to_text(
+            F.concat(F.lit("<p>"), html_escape(F.col("t")),
+                     F.lit("</p>"))).alias("x")).collect()}
+        for i, t in enumerate(texts):
+            assert got[i] == " ".join(t.split()), t
+
+
+class TestMalformed:
+    def test_unclosed_tags(self, spark):
+        assert _one(spark, "<p>alpha<p>beta") == "alpha\nbeta"
+        assert _one(spark, "<div>x<b>y") == "xy"
+
+    def test_unterminated_script_swallows_tail(self, spark):
+        assert _one(spark, "<p>a</p><script>var x;<p>b</p>") == "a"
+        assert _one(spark, "<p>a</p><style>p {") == "a"
+
+    def test_stray_angle_brackets(self, spark):
+        # a lone '<' with no closing '>' is data, not a tag
+        assert _one(spark, "<p>a < b</p>") == "a < b"
+        # a quoted '>' truncates the tag early (documented contract)
+        assert _one(spark, '<p title="a>b">x</p>') == 'b">x'
+
+    def test_case_insensitive_and_attrs(self, spark):
+        h = '<P CLASS="x">a</P><BR/><DiV data-n="1">b</DiV>'
+        assert _one(spark, h) == "a\nb"
+
+    def test_sentinel_in_input_is_whitespace(self, spark):
+        assert _one(spark, "<p>a\x1Eb</p>") == "a b"
+
+    def test_empty_and_whitespace_only(self, spark):
+        assert _one(spark, "") == ""
+        assert _one(spark, "   \n\t ") == ""
+        assert _one(spark, "<p></p><div>  </div>") == ""
+
+
+class TestBoilerplate:
+    H = ("<title>T Page</title>"
+         "<nav><a href='/'>Home</a> <a href='/a'>About</a></nav>"
+         "<h1>Real Heading</h1>"
+         "<p>This paragraph is the long main body of the page "
+         "and links <a href='/r'>once</a> only.</p>"
+         "<footer><a href='/c'>Contact</a></footer>")
+
+    def test_main_only_filters_nav_and_footer(self, spark):
+        t = _one(spark, self.H, main_only=True,
+                 max_link_density=0.3, min_text_len=6)
+        assert t == ("T Page\nReal Heading\nThis paragraph is the long "
+                     "main body of the page and links once only.")
+
+    def test_block_signals(self, spark):
+        df = spark.createDataFrame([(1, self.H)],
+                                   "doc_id long, html string")
+        rows = {r["text"]: r for r in extract_blocks(df).collect()}
+        nav = rows["Home About"]
+        assert nav["link_len"] == len("Home") + len("About")
+        assert nav["link_density"] == pytest.approx(9 / 10)
+        body = [r for t, r in rows.items() if "main body" in t][0]
+        assert body["link_len"] == len("once")
+        assert 0 < body["link_density"] < 0.1
+        assert rows["Real Heading"]["link_density"] == 0.0
+        # text_density: markup-free blocks are 1.0, anchored ones lower
+        assert rows["Real Heading"]["text_density"] == pytest.approx(1.0)
+        assert nav["text_density"] < 0.5
+
+    def test_block_ids_in_document_order(self, spark):
+        df = spark.createDataFrame([(1, self.H)],
+                                   "doc_id long, html string")
+        texts = [r["text"] for r in
+                 extract_blocks(df).orderBy("block_id").collect()]
+        assert texts == ["T Page", "Home About", "Real Heading",
+                         "This paragraph is the long main body of the "
+                         "page and links once only.", "Contact"]
+
+    def test_extract_text_dataframe_form(self, spark):
+        df = spark.createDataFrame([(1, self.H), (2, "<p>tiny</p>")],
+                                   "doc_id long, html string")
+        out = extract_text(df, main_only=True, max_link_density=0.3,
+                           min_text_len=6)
+        got = {r["doc_id"]: r["text"] for r in out.collect()}
+        assert "Real Heading" in got[1]
+        assert got[2] == ""  # below min_text_len
+
+    def test_pure_codegen_no_python(self, spark):
+        df = spark.createDataFrame([(1, "<p>x</p>")],
+                                   "doc_id long, html string")
+        out = extract_text(df, main_only=True)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        assert "EvalPython" not in plan
+
+
+class TestProperties:
+    def test_hypothesis_escaped_text_roundtrip(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        texts = st.lists(st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0, max_size=40), min_size=1, max_size=6)
+
+        @settings(max_examples=15, deadline=None)
+        @given(texts)
+        def check(ts):
+            df = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(ts)], "i long, t string")
+            got = {r["i"]: r["x"] for r in df.select(
+                "i", html_to_text(F.concat(
+                    F.lit("<div><p>"), html_escape(F.col("t")),
+                    F.lit("</p></div>"))).alias("x")).collect()}
+            for i, t in enumerate(ts):
+                assert got[i] == " ".join(t.split())
+
+        check()
+
+    def test_nested_blocks_match_reference(self, spark):
+        cases = [
+            "<div><div><p>deep</p></div>tail</div>",
+            "<ul><li>a<ul><li>a1</li></ul></li><li>b</li></ul>",
+            "<table><thead><tr><th>h</th></tr></thead>"
+            "<tbody><tr><td>v</td></tr></tbody></table>",
+            "<section><article><h2>t</h2><p>p1</p><p>p2</p>"
+            "</article></section>",
+        ]
+        for h in cases:
+            assert _one(spark, h) == _reference_text(h), h
