@@ -3612,6 +3612,80 @@ def q_media_dedup(spark, sf_dir):
                     "n_bytes"))
 
 
+def _dhash_media_synth(spark, sf_dir, limit: int | None = None):
+    """Perceptual-class payloads grafted from doc_id: class k =
+    doc_id%8 fixes the header dims (w=20+k, h=10+k, c=3) and the body
+    slope; variant v = doc_id%3 perturbs every 13th byte — so the
+    body is a PURE INTEGER FUNCTION of (k, v, position) that the
+    DuckDB oracle recomputes exactly (no RNG, unlike make_fake_image).
+    Verified separation: in-class dHash Hamming <= 2, cross-class
+    >= 18 (deterministic — the hash depends only on (k, v))."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    if limit is not None:
+        d = d.filter(F.col("doc_id") < int(limit))
+    schema = StructType(d.schema.fields
+                        + [StructField("media", BinaryType())])
+
+    def gen(batches):
+        import struct
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                k, v = int(i) % 8, int(i) % 3
+                w, h, c = 20 + k, 10 + k, 3
+                idx = np.arange(w * h * c)
+                body = (k * 37 + idx * (11 + 2 * k)
+                        + np.where(idx % 13 == 0, 5 * v, 0)) % 256
+                payloads.append(MM.FAKE_MAGIC
+                                + struct.pack("<III", w, h, c)
+                                + body.astype(np.uint8).tobytes())
+            pdf = pdf.copy()
+            pdf["media"] = pd.Series(payloads, dtype=object)
+            yield pdf
+
+    return d.mapInPandas(gen, schema=schema)
+
+
+def q_media_dhash(spark, sf_dir):
+    """Perceptual media fingerprint (multimodal.media_dhash, new r9):
+    the 64-bit dHash computed NATIVELY over the payload body
+    (substring/hex/conv sampling of the 8x9 grid, adjacent-byte
+    comparisons — no UDF, the hash runs inside the scan stage).  The
+    synthetic body is a pure integer function of (class, variant,
+    position), so the oracle recomputes every hash BIT-FOR-BIT in SQL
+    — the 64-term CASE sum over the same sampled positions, signed
+    64-bit two's complement included (bit 63 is the long-min
+    literal)."""
+    synth = _dhash_media_synth(spark, sf_dir)
+    return (synth.select(
+        (F.col("doc_id") % 8).cast("long").alias("k"),
+        (F.col("doc_id") % 3).cast("long").alias("v"),
+        MM.media_dhash(F.col("media")).alias("dhash"))
+        .distinct())
+
+
+def q_media_neardup(spark, sf_dir):
+    """Perceptual media dedup (multimodal.media_dedup(method='dhash'),
+    new r9): banded Hamming LSH over DISTINCT fingerprints (a
+    duplicate group contributes one node, so the quadratic join is
+    bounded by distinct hashes, not corpus size), connected
+    components over the hash graph, keep each perceptual cluster's
+    minimum id.  In-class variants sit at Hamming <= 2 (threshold 6,
+    8 bands — pigeonhole-exact recall), cross-class >= 18, so the
+    survivors are exactly the per-class minimum doc ids — which the
+    oracle states directly from the generating classes."""
+    synth = _dhash_media_synth(spark, sf_dir)
+    surv = MM.media_dedup(synth, method="dhash", max_hamming=6,
+                          bands=8)
+    return surv.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       F.length("media").cast("long").alias("n_bytes"))
+
+
 def q_image_resize(spark, sf_dir):
     """Resize plumbing: payloads rewritten to 32×24, metadata re-decoded
     from the new headers."""
@@ -3753,6 +3827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW in round 9 (window front, §15 policy) --
         "html_extract": q_html_extract,
         "html_blocks": q_html_blocks,
+        "media_dhash": q_media_dhash,
+        "media_neardup": q_media_neardup,
         # -- r5-green at age 4: the r9 staleness backlog (window front) --
         "equals_exact": q_equals_exact,
         "geoparquet_roundtrip": q_geoparquet_roundtrip,
@@ -6007,9 +6083,49 @@ def oracle_sql() -> dict[str, str]:
                CAST(25 AS BIGINT) AS boiler_chars
         FROM c
     """
+    # dHash bit-for-bit in SQL: the synthetic body is
+    # byte(p) = (k*37 + p*(11+2k) + [p%13==0]*5v) % 256 over
+    # L = (20+k)(10+k)*3 body bytes; sampled position of grid cell g
+    # is (g*L)//72, bit b=r*8+c compares cells g=r*9+c and g+1; bit 63
+    # is the signed-long min literal (two's complement, same as the
+    # engine's term)
+    def _dh_byte(g: int) -> str:
+        p = f"(({g} * L) // 72)"
+        return (f"((k*37 + {p}*(11+2*k) + CASE WHEN {p} % 13 = 0 "
+                f"THEN 5*v ELSE 0 END) % 256)")
+
+    _dh_terms = []
+    _b = 0
+    for _r in range(8):
+        for _c in range(8):
+            _g = _r * 9 + _c
+            _lit = ("CAST(-9223372036854775807 - 1 AS BIGINT)"
+                    if _b == 63 else f"CAST({1 << _b} AS BIGINT)")
+            _dh_terms.append(f"CASE WHEN {_dh_byte(_g)} > "
+                             f"{_dh_byte(_g + 1)} THEN {_lit} "
+                             f"ELSE CAST(0 AS BIGINT) END")
+            _b += 1
+    media_dhash_sql = f"""
+        WITH cls AS (SELECT DISTINCT CAST(doc_id % 8 AS BIGINT) AS k,
+                            CAST(doc_id % 3 AS BIGINT) AS v
+                     FROM documents),
+        d AS (SELECT k, v, (20+k)*(10+k)*3 AS L FROM cls)
+        SELECT k, v, CAST({" + ".join(_dh_terms)} AS BIGINT) AS dhash
+        FROM d
+    """
+    media_neardup_sql = """
+        WITH g AS (SELECT CAST(doc_id % 8 AS BIGINT) AS k,
+                          MIN(doc_id) AS doc_id
+                   FROM documents GROUP BY 1)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(20 + (20+k)*(10+k)*3 AS BIGINT) AS n_bytes
+        FROM g
+    """
     return {
         "html_extract": html_extract,
         "html_blocks": html_blocks,
+        "media_dhash": media_dhash_sql,
+        "media_neardup": media_neardup_sql,
         "dissolve_union_area": dissolve_union_area,
         "sql_union_agg": sql_union_agg,
         "union_all_area": union_all_area,

@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     # round-9 additions
     "html_extract",
     "html_blocks",
+    "media_dhash",
+    "media_neardup",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE

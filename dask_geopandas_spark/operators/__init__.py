@@ -33,7 +33,8 @@ from .dissolve import dissolve
 from .explode import explode_geometry
 from .html import (extract_blocks, extract_text, html_blocks,
                    html_escape, html_to_text)
-from .multimodal import media_manifest, sniff_modality
+from .multimodal import (media_dedup, media_dhash, media_manifest,
+                         media_neardup_pairs, sniff_modality)
 from .sampling import (cap_per_group, chunk_documents, hash_sample,
                        oversample, pack_documents, shard_assignment,
                        shard_key, split_by_cluster, weighted_sample,
@@ -101,6 +102,7 @@ __all__ = [
     "blocklist_hits", "blocklist_filter", "code_signals",
     "classifier_score", "clean_text", "canonicalize_url", "url_dedup",
     "media_manifest", "sniff_modality",
+    "media_dhash", "media_neardup_pairs", "media_dedup",
     "extract_text", "extract_blocks", "html_blocks", "html_to_text",
     "html_escape",
     "semantic_dedup", "cap_per_group", "hash_sample", "pack_documents",

@@ -281,3 +281,197 @@ def media_manifest(df: DataFrame, media_col: str = "media") -> DataFrame:
                  F.min("nb").alias("min_bytes"),
                  F.max("nb").alias("max_bytes"),
                  F.round(F.avg("nb"), 6).alias("avg_bytes")))
+
+
+# ---------------------------------------------------------------------
+# Perceptual near-duplicate hashing (dHash + Hamming LSH)
+# ---------------------------------------------------------------------
+
+DHASH_HEADER_BYTES = len(FAKE_MAGIC) + 12  # magic + 3x uint32
+
+
+def media_dhash(col, header_bytes: int = DHASH_HEADER_BYTES,
+                grid_rows: int = 8, grid_cols: int = 9):
+    """64-bit difference hash (dHash) over a media payload's body
+    bytes — the perceptual member of the media-dedup family: exact
+    content-hash dedup (`media_dedup(method='exact')`) only catches
+    byte-identical refetches, while re-encoded / lightly-edited copies
+    need a locality-sensitive fingerprint whose Hamming distance
+    tracks visual similarity (the published image-dedup stage:
+    aHash/dHash/pHash + Hamming banding).
+
+    Honest-without-codecs contract: with no image library in the
+    container the hash is computed over the RAW BODY BYTES as a 1-D
+    signal — ``grid_rows x grid_cols`` positions sampled evenly
+    (``pos_g = g * body_len // 72``), bit ``r*8+c`` set iff
+    ``byte[r,c] > byte[r,c+1]`` (the classic 9->8 adjacent
+    comparison per row).  Plug a real decoder in front (decode ->
+    luma -> resize to 9x8) and this same comparison tail applies
+    unchanged to real pixels.
+
+    ENTIRELY native (substring/hex/conv/comparison chains — no UDF,
+    no Arrow boundary): the hash runs inside the scan stage, so a
+    100-TB media lake is fingerprinted in the same pass that sniffs
+    and manifests it.  NULL payloads hash to NULL.  Bit 63 uses the
+    signed-long min literal (two's complement; band extraction masks
+    after an arithmetic shift, identical in Spark and the DuckDB
+    oracle)."""
+    from .textstats import let
+
+    n = grid_rows * grid_cols
+    L = (F.length(col) - header_bytes).cast("long")
+
+    def byte_at(g: int):
+        # floor(g*L/n) via double divide + truncation (exact: values
+        # < 2^20, far inside double precision); substring is 1-based
+        pos = ((F.lit(g).cast("long") * L) / F.lit(n)).cast("long") \
+            + F.lit(header_bytes + 1)
+        return F.conv(F.hex(F.substring(col, pos.cast("int"), F.lit(1))),
+                      16, 10).cast("long")
+
+    def fold(arr):
+        # let-bound sample array: each of the 72 substring extractions
+        # evaluates ONCE even though interior grid columns feed two
+        # comparisons (CollapseProject would otherwise inline the
+        # extraction tree into both)
+        h = F.lit(0).cast("long")
+        b = 0
+        for r in range(grid_rows):
+            for c in range(grid_cols - 1):
+                g = r * grid_cols + c
+                bit = (F.element_at(arr, g + 1)
+                       > F.element_at(arr, g + 2))
+                term = F.lit(-(1 << 63)) if b == 63 \
+                    else F.lit(1 << b).cast("long")
+                h = h + F.when(bit, term).otherwise(
+                    F.lit(0).cast("long"))
+                b += 1
+        return h
+
+    h = let(F.array(*[byte_at(g) for g in range(n)]), fold)
+    return F.when(col.isNull(), F.lit(None).cast("long")).otherwise(h)
+
+
+def media_neardup_pairs(df: DataFrame, media_col: str = "media",
+                        id_col: str = "doc_id", max_hamming: int = 6,
+                        bands: int = 8) -> DataFrame:
+    """Perceptual near-duplicate candidate pairs: (id_a, id_b,
+    hamming) for payload pairs whose dHash Hamming distance is at
+    most ``max_hamming`` — the simhash/LSH banding recipe applied to
+    the 64-bit dHash: split into ``bands`` contiguous bit bands,
+    equi-join on (band index, band value), verify with
+    ``bit_count(xor)``.
+
+    Pigeonhole guarantee: with ``max_hamming < bands`` a qualifying
+    pair differs in fewer bits than there are bands, so at least one
+    band is IDENTICAL — the banded join has exact recall, never a
+    probabilistic miss (the reason the defaults are 6 and 8).
+
+    Distributed shape: one narrow pass computes each payload's hash
+    (the band explode replicates the 8-byte hash, never the payload),
+    the join shuffles (band, 8-bit value) keys, and the verify is
+    native bit arithmetic on the carried hashes — the corpus' media
+    bytes are read exactly once and never shuffled.  Output is
+    row-level pairs, inherently QUADRATIC per duplicate group — for
+    deduplication use `media_dedup(method='dhash')`, which runs this
+    join over distinct hashes only."""
+    if not 64 % bands == 0:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    if max_hamming >= bands:
+        import warnings
+        warnings.warn(
+            f"max_hamming={max_hamming} >= bands={bands}: the banded "
+            "join loses the pigeonhole recall guarantee (pairs at "
+            f"distance >= {bands} may share no band)")
+    h = (df.select(F.col(id_col), media_dhash(F.col(media_col))
+                   .alias("_dh"))
+         .filter(F.col("_dh").isNotNull()))
+    return _hamming_banded_pairs(h, id_col, "_dh", max_hamming, bands)
+
+
+def _hamming_banded_pairs(h: DataFrame, id_col: str, hash_col: str,
+                          max_hamming: int, bands: int) -> DataFrame:
+    """Banded Hamming join over an (id, 64-bit hash) frame — the
+    shared tail of `media_neardup_pairs` (row granularity) and
+    `media_dedup(method='dhash')` (distinct-hash granularity)."""
+    width = 64 // bands
+    mask = F.lit((1 << width) - 1).cast("long")
+    banded = h.select(
+        id_col, hash_col,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col(hash_col), i * width)
+                .bitwiseAND(mask).alias("val"))
+            for i in range(bands)])).alias("bv")
+    ).select(id_col, hash_col, F.col("bv.band").alias("_band"),
+             F.col("bv.val").alias("_val"))
+    a = banded.select(F.col(id_col).alias("id_a"),
+                      F.col(hash_col).alias("_ha"), "_band", "_val")
+    b = banded.select(F.col(id_col).alias("id_b"),
+                      F.col(hash_col).alias("_hb"), "_band", "_val")
+    return (a.join(b, on=["_band", "_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+                    .alias("hamming"))
+            .filter(F.col("hamming") <= int(max_hamming))
+            .dropDuplicates(["id_a", "id_b"]))
+
+
+def media_dedup(df: DataFrame, media_col: str = "media",
+                id_col: str = "doc_id", method: str = "exact",
+                max_hamming: int = 6, bands: int = 8,
+                max_iter: int = 10) -> DataFrame:
+    """Media deduplication, survivor-rows contract (the
+    `cluster_dedup` shape): keep one representative per duplicate
+    group, pass everything else through.
+
+    * ``method='exact'`` — byte-identical refetch removal: group on
+      ``md5(payload)``, keep the minimum id (one hash aggregation +
+      one semi join; the dominant duplicate class in crawled media);
+    * ``method='dhash'`` — PERCEPTUAL: the Hamming join and the
+      connected components run over DISTINCT hashes (each represented
+      by its minimum row id), never over rows — a duplicate group of
+      a million refetches contributes ONE node, so the quadratic
+      banded join is bounded by the number of distinct fingerprints,
+      not corpus size (`media_neardup_pairs`, which emits row-level
+      pairs, is inherently quadratic per duplicate group — use it for
+      inspection, this for dedup).  Rows then map hash -> component
+      minimum; chains of lightly-edited copies collapse to one keeper
+      even when the chain's endpoints exceed ``max_hamming``.  NULL
+      payloads pass through (no fingerprint, no duplicate claim).
+
+    Ids are assumed unique per row.  Run 'exact' first at scale: it
+    needs no pair join and typically removes most volume; 'dhash'
+    then works the smaller residue."""
+    if method == "exact":
+        keep = (df.select(F.col(id_col),
+                          F.md5(F.col(media_col)).alias("_mh"))
+                .groupBy("_mh").agg(F.min(id_col).alias(id_col))
+                .select(id_col))
+        return df.join(keep, on=id_col, how="left_semi")
+    if method == "dhash":
+        from .dedup import connected_components
+
+        hdf = (df.select(F.col(id_col),
+                         media_dhash(F.col(media_col)).alias("_dh"))
+               .filter(F.col("_dh").isNotNull()))
+        groups = hdf.groupBy("_dh").agg(F.min(id_col).alias("_hrep"))
+        reps = groups.select(F.col("_hrep").alias(id_col), "_dh")
+        pairs = _hamming_banded_pairs(reps, id_col, "_dh",
+                                      max_hamming, bands)
+        comp = connected_components(pairs, src="id_a", dst="id_b",
+                                    max_iter=max_iter)
+        # hash -> the perceptual cluster's global minimum id (the CC
+        # label is the min rep id; reps are per-hash min ids)
+        lab = (groups.join(comp, groups["_hrep"] == comp["node"],
+                           "left")
+               .select("_dh", F.coalesce("component", "_hrep")
+                       .alias("_keep")))
+        drop = (hdf.join(lab, on="_dh")
+                .filter(F.col(id_col) != F.col("_keep"))
+                .select(id_col))
+        return df.join(drop, on=id_col, how="left_anti")
+    raise ValueError(f"unknown media_dedup method {method!r} "
+                     "(expected 'exact' or 'dhash')")

@@ -2210,6 +2210,159 @@ class TestCompactIndexIvfAndStreaming:
             streaming_ingest_neardup(stream, "i", "o", compact_every=-1)
 
 
+class TestMediaDhash:
+    """r9: perceptual media near-dup — dHash over the payload body as
+    a 1-D byte signal (8x9 sampled grid, adjacent comparisons), then
+    the simhash/LSH banding recipe on the 64-bit hash with an exact
+    pigeonhole recall guarantee for max_hamming < bands."""
+
+    @staticmethod
+    def _payload(k, v):
+        import struct
+
+        import numpy as np
+
+        from dask_geopandas_spark.operators.multimodal import FAKE_MAGIC
+
+        w, h, c = 20 + k, 10 + k, 3
+        i = np.arange(w * h * c)
+        b = (k * 37 + i * (11 + 2 * k)
+             + np.where(i % 13 == 0, 5 * v, 0)) % 256
+        return (FAKE_MAGIC + struct.pack("<III", w, h, c)
+                + b.astype(np.uint8).tobytes())
+
+    @staticmethod
+    def _ref_dhash(payload):
+        import numpy as np
+
+        b = np.frombuffer(payload[20:], dtype=np.uint8)
+        p = (np.arange(72) * len(b)) // 72
+        vals = b[p].reshape(8, 9)
+        bits = (vals[:, :8] > vals[:, 1:]).flatten()
+        h = 0
+        for i, bit in enumerate(bits):
+            h |= int(bit) << i
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    def _df(self, spark):
+        rows = [(k * 3 + v, self._payload(k, v))
+                for k in range(8) for v in range(3)]
+        return spark.createDataFrame(rows, "doc_id long, media binary")
+
+    def test_hash_matches_numpy_reference(self, spark):
+        from dask_geopandas_spark.operators.multimodal import media_dhash
+
+        got = {r["doc_id"]: r["dh"] for r in self._df(spark).select(
+            "doc_id", media_dhash(F.col("media")).alias("dh")).collect()}
+        for k in range(8):
+            for v in range(3):
+                assert got[k * 3 + v] == \
+                    self._ref_dhash(self._payload(k, v))
+
+    def test_null_payload_hashes_null(self, spark):
+        from dask_geopandas_spark.operators.multimodal import media_dhash
+
+        df = spark.createDataFrame(
+            [(0, self._payload(0, 0)), (1, None)],
+            "doc_id long, media binary")
+        got = {r["doc_id"]: r["dh"] for r in df.select(
+            "doc_id", media_dhash(F.col("media")).alias("dh")).collect()}
+        assert got[1] is None and got[0] is not None
+
+    def test_pairs_exact_for_small_hamming(self, spark):
+        """Pigeonhole: max_hamming < bands means the banded join has
+        exact recall — compare against a brute-force cross check."""
+        import itertools
+
+        from dask_geopandas_spark.operators.multimodal import \
+            media_neardup_pairs
+
+        hashes = {k * 3 + v: self._ref_dhash(self._payload(k, v))
+                  for k in range(8) for v in range(3)}
+        want = sorted(
+            (a, b) for a, b in itertools.combinations(sorted(hashes), 2)
+            if bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1))
+            .count("1") <= 6)
+        got = sorted((r["id_a"], r["id_b"]) for r in
+                     media_neardup_pairs(self._df(spark)).collect())
+        assert got == want and len(got) == 24  # C(3,2) per class
+
+    def test_hamming_values_correct(self, spark):
+        from dask_geopandas_spark.operators.multimodal import \
+            media_neardup_pairs
+
+        hashes = {k * 3 + v: self._ref_dhash(self._payload(k, v))
+                  for k in range(8) for v in range(3)}
+        for r in media_neardup_pairs(self._df(spark)).collect():
+            want = bin((hashes[r["id_a"]] ^ hashes[r["id_b"]])
+                       & ((1 << 64) - 1)).count("1")
+            assert r["hamming"] == want
+
+    def test_dedup_dhash_keeps_class_min(self, spark):
+        from dask_geopandas_spark.operators.multimodal import media_dedup
+
+        surv = sorted(r["doc_id"] for r in media_dedup(
+            self._df(spark), method="dhash").collect())
+        assert surv == [k * 3 for k in range(8)]
+
+    def test_dedup_exact_vs_dhash(self, spark):
+        """Exact dedup removes nothing here (all payloads differ in
+        bytes); dhash collapses each perceptual class."""
+        from dask_geopandas_spark.operators.multimodal import media_dedup
+
+        df = self._df(spark)
+        assert media_dedup(df, method="exact").count() == 24
+        assert media_dedup(df, method="dhash").count() == 8
+
+    def test_dedup_no_pairs_and_nulls(self, spark):
+        """All distinct fingerprints (no near-dup edges) -> everything
+        survives; NULL payloads pass through untouched."""
+        from dask_geopandas_spark.operators.multimodal import media_dedup
+
+        rows = [(k, self._payload(k, 0)) for k in range(8)] \
+            + [(100, None)]
+        df = spark.createDataFrame(rows, "doc_id long, media binary")
+        surv = sorted(r["doc_id"] for r in
+                      media_dedup(df, method="dhash").collect())
+        assert surv == list(range(8)) + [100]
+
+    def test_dedup_duplicate_heavy_group_linear(self, spark):
+        """A large identical-fingerprint group contributes ONE node to
+        the banded join (distinct-hash granularity) — the survivors
+        are still exactly the class minima."""
+        from dask_geopandas_spark.operators.multimodal import media_dedup
+
+        rows = [(k * 100 + i, self._payload(k, i % 3))
+                for k in range(3) for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, media binary")
+        surv = sorted(r["doc_id"] for r in
+                      media_dedup(df, method="dhash").collect())
+        assert surv == [0, 100, 200]
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from dask_geopandas_spark.operators.multimodal import (
+            media_dedup, media_neardup_pairs)
+
+        df = self._df(spark)
+        with _pytest.raises(ValueError, match="bands"):
+            media_neardup_pairs(df, bands=7)
+        with _pytest.raises(ValueError, match="method"):
+            media_dedup(df, method="phash")
+        with _pytest.warns(UserWarning, match="pigeonhole"):
+            media_neardup_pairs(df, max_hamming=8, bands=8)
+
+    def test_pure_native_no_python(self, spark):
+        from dask_geopandas_spark.operators.multimodal import \
+            media_neardup_pairs
+
+        out = media_neardup_pairs(self._df(spark))
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        assert "EvalPython" not in plan
+
+
 class TestCanonicalizeUrl:
     """r8: URL canonicalization + URL-level dedup — the identity crawl
     pipelines dedup on before any text comparison."""
