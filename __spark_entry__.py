@@ -3120,6 +3120,55 @@ def q_stream_index_bm25(spark, sf_dir):
                                      k=10)
 
 
+def q_stream_ingest_vectors(spark, sf_dir):
+    """Continuous embedding ingestion (streaming/indexing.
+    streaming_ingest_vectors, new r9) — the vector-DB upsert shape:
+    the embeddings table replays as two availableNow micro-batches,
+    each appending its vectors to the stored IVF layout under a
+    per-batch commit marker (exactly-once: re-appending a vector
+    would duplicate it in every probe), centroids persisted in the
+    _centroids.json sidecar and validated on every append, a final
+    compaction coalescing each cell (sidecar + markers carried across
+    the swap).  The probe runs with centroids=None (sidecar-loaded).
+    Because an IVF append is pure row addition, the two-batch index
+    must equal the single-shot build EXACTLY — this query probes with
+    q_ann_ivf's centroids/queries/k/nprobe and shares its oracle
+    VERBATIM: batch boundaries must be invisible to search."""
+    import os
+    import shutil
+
+    from dask_geopandas_spark.streaming.indexing import \
+        streaming_ingest_vectors
+
+    base = "/root/repo/.bench_tmp/stream_ivf_index"
+    shutil.rmtree(base, ignore_errors=True)
+    e = _t(spark, sf_dir, "embeddings")
+    cents = SIM.train_centroids(e, n_cells=8, iters=2)
+    half = e.agg(F.expr("percentile(vec_id, 0.5)")).head()[0]
+    vecs = e.select("vec_id", "embedding")
+    vecs.filter(F.col("vec_id") <= half).coalesce(1) \
+        .write.parquet(base + "/src/f0")
+    vecs.filter(F.col("vec_id") > half).coalesce(1) \
+        .write.parquet(base + "/src/f1")
+    now = 1_700_000_000
+    for i, d in enumerate(("f0", "f1")):
+        for fn in os.listdir(f"{base}/src/{d}"):
+            os.utime(f"{base}/src/{d}/{fn}", (now + i, now + i))
+    emb_t = vecs.schema["embedding"].dataType.simpleString()
+    stream = (spark.readStream.schema(f"vec_id long, embedding {emb_t}")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(base + "/src/f*"))
+    q = (streaming_ingest_vectors(stream, base + "/idx", cents,
+                                  compact_every=2)
+         .option("checkpointLocation", base + "/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    queries = e.filter(F.col("vec_id") < 20)
+    out = SIM.ivf_topk_stored(spark, base + "/idx", queries,
+                              centroids=None, k=5, nprobe=3)
+    return out.select("query_id", "neighbor_id", "cos", "rank")
+
+
 def q_decontam_spans(spark, sf_dir):
     """Span-level decontamination (dedup.decontaminate_spans — the
     FLAN-style sequence-removal recipe, r6): cut ONLY the
@@ -3829,6 +3878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_blocks": q_html_blocks,
         "media_dhash": q_media_dhash,
         "media_neardup": q_media_neardup,
+        "stream_ingest_vectors": q_stream_ingest_vectors,
         # -- r5-green at age 4: the r9 staleness backlog (window front) --
         "equals_exact": q_equals_exact,
         "geoparquet_roundtrip": q_geoparquet_roundtrip,
@@ -6126,6 +6176,10 @@ def oracle_sql() -> dict[str, str]:
         "html_blocks": html_blocks,
         "media_dhash": media_dhash_sql,
         "media_neardup": media_neardup_sql,
+        # shares q_ann_ivf's oracle VERBATIM: an IVF append is pure row
+        # addition, so the two-batch streamed index must search
+        # identically to the single-shot build
+        "stream_ingest_vectors": _ann_ivf_oracle_sql(),
         "dissolve_union_area": dissolve_union_area,
         "sql_union_agg": sql_union_agg,
         "union_all_area": union_all_area,

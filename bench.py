@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "html_blocks",
     "media_dhash",
     "media_neardup",
+    "stream_ingest_vectors",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE

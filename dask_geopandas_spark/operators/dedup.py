@@ -914,6 +914,16 @@ def compact_index(spark, path: str, dataset: str | None = "postings",
     if not fs.rename(tmp, posts):
         fs.rename(old, posts)  # roll back, live data intact
         raise IOError(f"could not swap compacted postings in at {dpath!r}")
+    # root-partitioned layouts (dataset=None) keep sidecars next to the
+    # hive dirs (_centroids.json, _batches commit markers): carry every
+    # non-hive entry across the swap — the compacted rewrite contains
+    # only the data
+    for st in fs.listStatus(old):
+        nm = st.getPath().getName()
+        if "=" not in nm and nm != "_SUCCESS":
+            dest = HP(dpath + "/" + nm)
+            if not fs.exists(dest):
+                fs.rename(st.getPath(), dest)
     fs.delete(old, True)
     return {"files_before": files_before,
             "files_after": _count_files(posts),

@@ -176,9 +176,56 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: list[list[float]]
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def write_ivf_index(df: DataFrame, path: str, centroids: list[list[float]],
+def load_ivf_centroids(path: str) -> list[list[float]]:
+    """Centroids stored with a `write_ivf_index` layout (the
+    ``_centroids.json`` sidecar — underscore-prefixed, so Spark's
+    parquet discovery never sees it).  Raises if the index predates
+    the sidecar (pass explicit centroids once with ``append=True`` to
+    upgrade it in place)."""
+    import json
+
+    from pyarrow import fs as pafs
+
+    from ..sources.fs import resolve_fs
+
+    fsys, p = resolve_fs(path.rstrip("/") + "/_centroids.json")
+    info = fsys.get_file_info(p)
+    if info.type == pafs.FileType.NotFound:
+        raise ValueError(
+            f"no _centroids.json sidecar at {path!r} — the index "
+            "predates stored centroids; re-append once with explicit "
+            "centroids to upgrade, or pass centroids explicitly")
+    with fsys.open_input_stream(p) as f:
+        return [[float(v) for v in c]
+                for c in json.loads(f.read().decode())["centroids"]]
+
+
+def _check_ivf_consistent(path: str) -> None:
+    """Raise if a previous ``write_ivf_index(append=True)`` died
+    mid-append (marker file still present) — probing a half-appended
+    cell silently under-reports neighbors."""
+    from pyarrow import fs as pafs
+
+    from ..sources.fs import resolve_fs
+
+    fsys, mpath = resolve_fs(path.rstrip("/") + "/_append_in_progress")
+    try:
+        info = fsys.get_file_info(mpath)
+    except Exception:
+        return
+    if info.type != pafs.FileType.NotFound:
+        raise RuntimeError(
+            f"ivf index at {path!r} was left inconsistent by a failed "
+            "append (_append_in_progress marker present): rebuild, or "
+            "replay the append through ingest_vectors_batch whose "
+            "commit marker proves completion")
+
+
+def write_ivf_index(df: DataFrame, path: str,
+                    centroids: list[list[float]] | None = None,
                     vec_col: str = "embedding",
-                    append: bool = False) -> None:
+                    append: bool = False,
+                    commit_marker: str | None = None) -> None:
     """Persist the corpus hive-partitioned by IVF cell — the vector-DB
     layout on plain parquet.  A stored search probing ``nprobe`` cells
     then lists/reads ONLY those subdirectories (static partition
@@ -186,25 +233,90 @@ def write_ivf_index(df: DataFrame, path: str, centroids: list[list[float]],
     is the difference between scanning 100 TB and scanning
     nprobe/n_cells of it.
 
+    Centroids persist in a ``_centroids.json`` sidecar (underscore —
+    invisible to parquet discovery), so the layout is self-describing:
+    readers and appenders may pass ``centroids=None``.
+
     ``append=True`` adds a new vector batch to an existing index —
-    sound as long as the caller passes the SAME centroids the index
-    was built with (cell ids must mean the same thing) and disjoint
-    ids; the stored search needs no stats merge (centroids ride in at
-    query time)."""
+    the vector-DB upsert shape.  Cell ids must keep meaning the same
+    thing, so explicit centroids are VALIDATED against the sidecar
+    (exact float equality — drifted centroids corrupt every probe);
+    an index predating the sidecar is upgraded in place from the
+    explicit centroids.  The caller guarantees disjoint ids
+    (re-appending a vector duplicates it in every probe — compose
+    with `ingest_vectors_batch`'s commit markers for exactly-once).
+    A ``_append_in_progress`` marker brackets the append so a crash
+    mid-write is DETECTABLE (stored readers refuse); ``commit_marker``
+    names a zero-byte file created after the data lands but BEFORE
+    the in-progress marker is removed — marker-present always means
+    fully-committed."""
+    import json
+
+    from pyarrow import fs as pafs
+
+    from ..sources.fs import resolve_fs
+
+    base = path.rstrip("/")
+    marker = None
+    if append:
+        _check_ivf_consistent(base)
+        fsys, sp = resolve_fs(base + "/_centroids.json")
+        have_sidecar = fsys.get_file_info(sp).type != pafs.FileType.NotFound
+        if centroids is None:
+            centroids = load_ivf_centroids(base)
+        elif have_sidecar:
+            stored = load_ivf_centroids(base)
+            given = [[float(v) for v in c] for c in centroids]
+            if stored != given:
+                raise ValueError(
+                    f"centroids passed to append do not match the "
+                    f"stored index at {base!r} ({len(stored)} stored "
+                    f"vs {len(given)} given, or values differ): cell "
+                    "ids would stop meaning the same thing — rebuild "
+                    "or pass the stored centroids")
+        mfs, mpath = resolve_fs(base + "/_append_in_progress")
+        with mfs.open_output_stream(mpath) as out:
+            out.write(b"append started; absence of this file means "
+                      b"the layout is consistent\n")
+        marker = (mfs, mpath)
+    elif centroids is None:
+        raise ValueError("centroids are required for a fresh "
+                         "write_ivf_index (append=False)")
     assign_ivf_cells(df, centroids, vec_col) \
         .write.mode("append" if append else "overwrite") \
-        .partitionBy("ivf_cell").parquet(path)
+        .partitionBy("ivf_cell").parquet(base)
+    fsys, sp = resolve_fs(base + "/_centroids.json")
+    with fsys.open_output_stream(sp) as out:
+        out.write(json.dumps(
+            {"centroids": [[float(v) for v in c] for c in centroids],
+             "n_cells": len(centroids)}).encode())
+    if commit_marker:
+        cfs, cpath = resolve_fs(commit_marker)
+        if "/" in cpath:
+            # a fresh (overwrite) write just recreated the root dir —
+            # the marker's parent may not exist yet
+            cfs.create_dir(cpath.rsplit("/", 1)[0], recursive=True)
+        with cfs.open_output_stream(cpath) as out:
+            out.write(b"committed\n")
+    if marker is not None:
+        marker[0].delete_file(marker[1])
 
 
 def ivf_topk_stored(spark, path: str, queries: DataFrame,
-                    centroids: list[list[float]], k: int = 5,
+                    centroids: list[list[float]] | None = None,
+                    k: int = 5,
                     nprobe: int = 4, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k over a ``write_ivf_index`` dataset.  Probe cells
     are computed from the (small, driver-local) query set, so the corpus
     scan carries a static ``ivf_cell IN (...)`` partition filter; scoring
     then reuses the in-memory probe join.  Result contract matches
-    ``ivf_topk`` on the same centroids/nprobe."""
+    ``ivf_topk`` on the same centroids/nprobe.  ``centroids=None``
+    loads the index's ``_centroids.json`` sidecar; a torn append
+    (in-progress marker present) refuses."""
+    _check_ivf_consistent(path)
+    if centroids is None:
+        centroids = load_ivf_centroids(path)
     corpus = spark.read.parquet(path)
 
     qrows = queries.select(id_col, vec_col).collect()

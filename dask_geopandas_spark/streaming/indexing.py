@@ -129,3 +129,85 @@ def streaming_index_documents(stream: DataFrame, index_path: str,
                           missing_ok=True)
 
     return stream.writeStream.foreachBatch(_fb)
+
+
+def ingest_vectors_batch(batch_df: DataFrame, index_path: str,
+                         centroids=None, batch_id: int | None = None,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> bool:
+    """One ingestion step of the INCREMENTAL vector index — the
+    vector-DB upsert shape: append the batch's vectors to the
+    `write_ivf_index` layout at ``index_path`` (initializing on first
+    use — ``centroids`` required then; later batches validate against
+    or load the stored ``_centroids.json`` sidecar), guarded by a
+    per-batch commit marker under ``<index>/_batches/`` (underscore:
+    invisible to parquet discovery in the root-partitioned layout).
+    Returns True if the batch was indexed, False if skipped as
+    already committed.
+
+    Exactly-once contract mirrors `index_documents_batch`:
+    re-appending a vector duplicates it in every probe (NOT
+    idempotent), so the marker is created inside the append's
+    in-progress window (marker-present always means fully-committed;
+    a torn append leaves ``_append_in_progress`` and every stored
+    reader refuses; a crash in the post-commit sliver self-heals on
+    replay)."""
+    spark = batch_df.sparkSession
+    base = index_path.rstrip("/")
+    fs, _ = _hadoop_fs(spark, base)
+    HP = spark._jvm.org.apache.hadoop.fs.Path
+    marker = None
+    if batch_id is not None:
+        marker = f"{base}/_batches/batch-{int(batch_id)}"
+        if fs.exists(HP(marker)):
+            # commit marker proves the append committed — clear a
+            # stale in-progress flag from the post-commit crash sliver
+            fs.delete(HP(base + "/_append_in_progress"), False)
+            return False
+    if batch_df.isEmpty():
+        if marker is not None:
+            fs.mkdirs(HP(base + "/_batches"))
+            fs.create(HP(marker), True).close()
+        return True
+    from ..operators.similarity import write_ivf_index
+
+    have = fs.exists(HP(base + "/_centroids.json"))
+    if marker is not None:
+        fs.mkdirs(HP(base + "/_batches"))
+    write_ivf_index(batch_df, base, centroids, vec_col=vec_col,
+                    append=have, commit_marker=marker)
+    return True
+
+
+def streaming_ingest_vectors(stream: DataFrame, index_path: str,
+                             centroids=None,
+                             vec_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             compact_every: int | None = None):
+    """Continuous embedding ingestion: each micro-batch appends its
+    vectors to the stored IVF index — `ingest_vectors_batch` under
+    ``foreachBatch`` (see there for the exactly-once contract).
+    Returns the DataStreamWriter; the caller picks trigger/checkpoint
+    and calls ``.start()``.
+
+    The index is searchable BETWEEN micro-batches with
+    `ivf_topk_stored` (centroids ride in the sidecar; no stats merge
+    is ever pending).  ``compact_every=N``: every Nth micro-batch ends
+    with a per-cell coalesce (`compact_index(dataset=None)` — the
+    root-partitioned form; sidecars and commit markers are carried
+    across the swap)."""
+    from ..operators.dedup import compact_index
+
+    if compact_every is not None and int(compact_every) < 1:
+        raise ValueError(
+            f"compact_every must be >= 1, got {compact_every}")
+
+    def _fb(batch_df: DataFrame, batch_id: int) -> None:
+        done = ingest_vectors_batch(batch_df, index_path, centroids,
+                                    batch_id, vec_col, id_col)
+        if done and compact_every and batch_id % int(compact_every) \
+                == int(compact_every) - 1:
+            compact_index(batch_df.sparkSession, index_path,
+                          dataset=None, missing_ok=True)
+
+    return stream.writeStream.foreachBatch(_fb)

@@ -1781,3 +1781,153 @@ def test_ingest_neardup_leaves_no_cached_tables(spark, tmp_path):
     ingest_neardup_batch(batch, str(tmp_path / "idx"))
     after = len(D._PERSISTED_STAGES)
     assert after == before, (before, after)
+
+
+class TestStreamingVectorIndex:
+    """r9: continuous embedding ingestion (streaming_ingest_vectors) —
+    the vector-DB upsert shape: per-batch commit markers give
+    exactly-once IVF appends on plain parquet, centroids persist in a
+    _centroids.json sidecar validated on every append."""
+
+    CENTS = [[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]]
+
+    def _vecs(self, spark, ids):
+        return spark.createDataFrame(
+            [(i, [float(i % 3) * 5.0, float((i + 1) % 3) * 5.0])
+             for i in ids],
+            "vec_id long, embedding array<double>")
+
+    def _topk(self, spark, path, centroids=None):
+        from dask_geopandas_spark.operators.similarity import \
+            ivf_topk_stored
+
+        q = spark.createDataFrame(
+            [(999, [0.5, 0.5])], "vec_id long, embedding array<double>")
+        return sorted(map(tuple, ivf_topk_stored(
+            spark, path, q, centroids, k=5, nprobe=2).collect()))
+
+    def test_appended_equals_single_build(self, spark, tmp_path):
+        from dask_geopandas_spark.operators.similarity import \
+            write_ivf_index
+        from dask_geopandas_spark.streaming.indexing import \
+            ingest_vectors_batch
+
+        inc = str(tmp_path / "inc")
+        one = str(tmp_path / "one")
+        assert ingest_vectors_batch(self._vecs(spark, range(0, 12)),
+                                    inc, self.CENTS, batch_id=0)
+        assert ingest_vectors_batch(self._vecs(spark, range(12, 24)),
+                                    inc, self.CENTS, batch_id=1)
+        write_ivf_index(self._vecs(spark, range(0, 24)), one,
+                        self.CENTS)
+        # sidecar-loaded centroids on the incremental side
+        assert self._topk(spark, inc) == self._topk(spark, one,
+                                                    self.CENTS)
+
+    def test_replayed_batch_skipped(self, spark, tmp_path):
+        from dask_geopandas_spark.streaming.indexing import \
+            ingest_vectors_batch
+
+        p = str(tmp_path / "idx")
+        b = self._vecs(spark, range(0, 9))
+        assert ingest_vectors_batch(b, p, self.CENTS, batch_id=0) \
+            is True
+        n1 = spark.read.parquet(p).count()
+        assert ingest_vectors_batch(b, p, self.CENTS, batch_id=0) \
+            is False
+        assert spark.read.parquet(p).count() == n1 == 9
+
+    def test_empty_batch_commits_without_index(self, spark, tmp_path):
+        import os
+
+        from dask_geopandas_spark.streaming.indexing import \
+            ingest_vectors_batch
+
+        p = str(tmp_path / "idx")
+        empty = self._vecs(spark, [0]).filter("vec_id < 0")
+        assert ingest_vectors_batch(empty, p, self.CENTS,
+                                    batch_id=0) is True
+        assert not os.path.exists(p + "/_centroids.json")
+        assert os.path.exists(p + "/_batches/batch-0")
+        assert ingest_vectors_batch(empty, p, self.CENTS,
+                                    batch_id=0) is False
+
+    def test_torn_append_refused_and_heals(self, spark, tmp_path):
+        import os
+
+        import pytest
+
+        from dask_geopandas_spark.streaming.indexing import \
+            ingest_vectors_batch
+
+        p = str(tmp_path / "idx")
+        b = self._vecs(spark, range(0, 9))
+        assert ingest_vectors_batch(b, p, self.CENTS, batch_id=0)
+        with open(p + "/_append_in_progress", "w") as f:
+            f.write("torn")
+        with pytest.raises(RuntimeError, match="inconsistent"):
+            self._topk(spark, p)
+        # post-commit sliver: replay sees the marker, heals the flag
+        assert ingest_vectors_batch(b, p, self.CENTS,
+                                    batch_id=0) is False
+        assert not os.path.exists(p + "/_append_in_progress")
+        assert len(self._topk(spark, p)) == 5
+
+    def test_centroid_validation_on_append(self, spark, tmp_path):
+        import pytest
+
+        from dask_geopandas_spark.operators.similarity import \
+            write_ivf_index
+
+        p = str(tmp_path / "idx")
+        write_ivf_index(self._vecs(spark, range(0, 9)), p, self.CENTS)
+        drifted = [[0.0, 0.1], [10.0, 0.0], [0.0, 10.0]]
+        with pytest.raises(ValueError, match="centroids"):
+            write_ivf_index(self._vecs(spark, range(9, 12)), p,
+                            drifted, append=True)
+        # centroids=None on append loads the sidecar
+        write_ivf_index(self._vecs(spark, range(9, 12)), p,
+                        append=True)
+        assert spark.read.parquet(p).count() == 12
+        # fresh write requires centroids
+        with pytest.raises(ValueError, match="required"):
+            write_ivf_index(self._vecs(spark, range(3)),
+                            str(tmp_path / "fresh"))
+
+    def test_streaming_end_to_end_with_compaction(self, spark,
+                                                  tmp_path):
+        import glob as g
+        import os
+
+        from dask_geopandas_spark.streaming.indexing import \
+            streaming_ingest_vectors
+
+        src = str(tmp_path / "src")
+        idx = str(tmp_path / "idx")
+        ckpt = str(tmp_path / "ckpt")
+        for b in range(3):
+            self._vecs(spark, range(b * 8, b * 8 + 8)).coalesce(1) \
+                .write.parquet(f"{src}/f{b}")
+        now = 1_700_000_000
+        for b in range(3):
+            for fn in os.listdir(f"{src}/f{b}"):
+                os.utime(f"{src}/f{b}/{fn}", (now + b, now + b))
+        stream = (spark.readStream
+                  .schema("vec_id long, embedding array<double>")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(src + "/f*"))
+        q = (streaming_ingest_vectors(stream, idx, self.CENTS,
+                                      compact_every=3)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        assert q.exception() is None
+        # compaction left one file per cell AND kept the sidecar +
+        # commit markers across the swap
+        assert os.path.exists(idx + "/_centroids.json")
+        assert os.path.exists(idx + "/_batches/batch-2")
+        for cell in g.glob(idx + "/ivf_cell=*"):
+            files = [f for f in g.glob(cell + "/*")
+                     if not f.rsplit("/", 1)[-1].startswith(("_", "."))]
+            assert len(files) == 1, cell
+        assert len(self._topk(spark, idx)) == 5
