@@ -1729,6 +1729,78 @@ def q_overlay_cobucket(spark, sf_dir):
         .alias("piece_area"))
 
 
+def q_spatial_bucketed_append(spark, sf_dir):
+    """Growable spatial layout (write_spatial_bucketed(append=True),
+    new r9) — the daily tile-ingest shape: customer points land in the
+    stored layout in TWO appended batches (layout parameters validated
+    against the sidecar — a drifted layout would mis-bucket the batch
+    and corrupt every pruned read), then the same bbox-pruned read +
+    `.cx` refinement + per-bucket rollup as q_spatial_bucketed.  The
+    append must be invisible: shares q_spatial_bucketed's oracle
+    VERBATIM."""
+    import shutil
+
+    from dask_geopandas_spark.sources import (read_spatial_bucketed,
+                                              write_spatial_bucketed)
+
+    path = "/root/repo/.bench_tmp/sb_cust_append"
+    shutil.rmtree(path, ignore_errors=True)
+    g = _cust_points(spark, sf_dir)
+    tb = (-180.0, -90.0, 180.0, 90.0)
+    half = g.df.agg(F.expr("percentile(c_custkey, 0.5)")).head()[0]
+    kw = dict(by="hilbert", level=12, boundaries=_SHUFFLE_BOUNDS,
+              total_bounds=tb)
+    write_spatial_bucketed(g[g.df.c_custkey <= half], path, **kw)
+    write_spatial_bucketed(g[g.df.c_custkey > half], path,
+                           append=True, **kw)
+    win = (-50.0, -40.0, 60.0, 55.0)
+    back = read_spatial_bucketed(spark, path, bbox=win)
+    filt = back.cx(xmin=win[0], ymin=win[1], xmax=win[2], ymax=win[3])
+    h = filt.hilbert_distance(total_bounds=tb, level=12)
+    return (filt.df.withColumn("_h", h)
+            .groupBy(F.col("_spatial_bucket").cast("int")
+                     .alias("bucket"))
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.min("_h").alias("min_key"),
+                 F.max("_h").alias("max_key")))
+
+
+def q_overlay_cobucket_stored(spark, sf_dir):
+    """Cross-run co-bucketed overlay (new r9 — r8 verdict #7's gap):
+    BOTH box layers persisted as replicated spatial layouts
+    (write_spatial_bucketed(replicate=True)), read back in a fresh
+    lineage, and overlaid with strategy='cobucket' — the reader
+    re-attaches the boundary-hash metadata, so the candidate join
+    reuses the stored bucketing with one re-hash Exchange per side
+    after the scan (pytest plan pin) and ZERO layout work at overlay
+    time.  Same inputs as q_overlay_cobucket; persistence must be
+    invisible: shares its oracle VERBATIM."""
+    import shutil
+
+    from dask_geopandas_spark.functions import core as FX
+    from dask_geopandas_spark.sources import (read_spatial_bucketed,
+                                              write_spatial_bucketed)
+
+    base = "/root/repo/.bench_tmp/ov_stored"
+    shutil.rmtree(base, ignore_errors=True)
+    ob = _boxes(spark, sf_dir, "orders", OB)
+    ob = ob[ob.df.o_orderkey % 10 == 0]
+    nb = _boxes(spark, sf_dir, "nation", NB)
+    tb = (-180.0, -90.0, 180.0, 90.0)
+    kw = dict(by="hilbert", level=12, boundaries=_SHUFFLE_BOUNDS,
+              total_bounds=tb, replicate=True)
+    write_spatial_bucketed(ob, base + "/ob", **kw)
+    write_spatial_bucketed(nb, base + "/nb", **kw)
+    obs = read_spatial_bucketed(spark, base + "/ob")
+    nbs = read_spatial_bucketed(spark, base + "/nb")
+    res = obs.overlay(nbs, how="union", strategy="cobucket")
+    return res.df.select(
+        F.col("o_orderkey").cast("long").alias("orderkey"),
+        F.col("n_nationkey").cast("long").alias("nationkey"),
+        F.round(FX.st_area(F.col(res.geometry_column)), 6)
+        .alias("piece_area"))
+
+
 def q_to_lambert(spark, sf_dir):
     """to_crs EPSG:4326 → EPSG:2154 (Lambert-93, conformal conic 2SP;
     reference expr.py:255-257 delegates to pyproj — the engine evaluates
@@ -3879,6 +3951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dhash": q_media_dhash,
         "media_neardup": q_media_neardup,
         "stream_ingest_vectors": q_stream_ingest_vectors,
+        "spatial_bucketed_append": q_spatial_bucketed_append,
+        "overlay_cobucket_stored": q_overlay_cobucket_stored,
         # -- r5-green at age 4: the r9 staleness backlog (window front) --
         "equals_exact": q_equals_exact,
         "geoparquet_roundtrip": q_geoparquet_roundtrip,
@@ -5696,6 +5770,16 @@ _COS = ("round(list_sum(list_transform(range(1, len(qa.v) + 1), "
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_base()
+    # stored/appended layouts must be INVISIBLE to results: the
+    # two-batch spatial layout and the cross-run stored overlay share
+    # their same-session twins' oracles verbatim
+    d["spatial_bucketed_append"] = d["spatial_bucketed"]
+    d["overlay_cobucket_stored"] = d["overlay_cobucket"]
+    return d
+
+
+def _oracle_sql_base() -> dict[str, str]:
     sigs = f"""
         SELECT doc_id,
                {_mh_expr(0)} AS mh0, {_mh_expr(1)} AS mh1,

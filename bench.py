@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "media_dhash",
     "media_neardup",
     "stream_ingest_vectors",
+    "spatial_bucketed_append",
+    "overlay_cobucket_stored",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE

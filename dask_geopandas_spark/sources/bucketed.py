@@ -36,7 +36,8 @@ def write_spatial_bucketed(gdf, path: str, by: str = "hilbert",
                            total_bounds=None,
                            npartitions: int | None = None,
                            replicate: bool = False,
-                           dilate: float = 0.0) -> None:
+                           dilate: float = 0.0,
+                           append: bool = False) -> None:
     """Shuffle ``gdf`` with explicit curve-key ``boundaries`` and
     persist it hive-partitioned by ``_spatial_bucket`` plus a JSON
     layout sidecar (curve, level, total_bounds, boundaries,
@@ -53,7 +54,19 @@ def write_spatial_bucketed(gdf, path: str, by: str = "hilbert",
     joins), exactly `spatial_shuffle(replicate=True)`'s frame, rows
     DUPLICATED on disk.  Read back, it feeds `sjoin`'s co-bucketed
     path directly; it is not a general-purpose dataset (aggregates
-    would double-count straddlers)."""
+    would double-count straddlers).
+
+    ``append=True`` adds a new batch of rows to an existing layout —
+    the daily tile-ingest shape: a batch shuffled with the SAME layout
+    parameters lands in the same hive buckets, so the grown dataset
+    still bbox-prunes and co-bucket-joins exactly like the original.
+    Every layout parameter (curve, level, bounds, boundaries,
+    replication flags, geometry column) is VALIDATED against the
+    stored sidecar — a drifted layout would silently mis-bucket the
+    batch, corrupting every pruned read.  Row disjointness is the
+    caller's contract (re-appending a row duplicates it, like any
+    parquet append); periodic small-files maintenance is
+    ``compact_index(spark, path, dataset='data')``."""
     if boundaries is None or total_bounds is None:
         raise ValueError(
             "write_spatial_bucketed needs explicit boundaries= and "
@@ -66,8 +79,6 @@ def write_spatial_bucketed(gdf, path: str, by: str = "hilbert",
                                    boundaries=boundaries,
                                    replicate=replicate, dilate=dilate)
     meta = dict(shuffled.df.schema["_spatial_bucket"].metadata or {})
-    (shuffled.df.write.mode("overwrite")
-        .partitionBy("_spatial_bucket").parquet(base + "/data"))
     sidecar = {
         "by": by, "level": int(level),
         "total_bounds": [float(v) for v in total_bounds],
@@ -79,9 +90,34 @@ def write_spatial_bucketed(gdf, path: str, by: str = "hilbert",
     }
     from .fs import resolve_fs
 
-    fsys, mpath = resolve_fs(base + "/" + _META_FILE)
-    with fsys.open_output_stream(mpath) as out:
-        out.write(json.dumps(sidecar).encode())
+    if append:
+        from pyarrow import fs as pafs
+
+        fsys, mpath = resolve_fs(base + "/" + _META_FILE)
+        if fsys.get_file_info(mpath).type == pafs.FileType.NotFound:
+            raise ValueError(
+                f"append=True but no spatial layout exists at "
+                f"{base!r} — write it first (append cannot define a "
+                "layout)")
+        with fsys.open_input_stream(mpath) as f:
+            stored = json.loads(f.read().decode())
+        drift = [k for k in ("by", "level", "total_bounds",
+                             "boundaries", "geometry", "crs",
+                             "column_meta")
+                 if stored.get(k) != sidecar[k]]
+        if drift:
+            raise ValueError(
+                f"appended batch's layout differs from the stored one "
+                f"at {base!r} in {drift}: a drifted layout would "
+                "mis-bucket the batch and corrupt every pruned "
+                "read/co-bucketed join — use the stored parameters "
+                "or rewrite the layout")
+    (shuffled.df.write.mode("append" if append else "overwrite")
+        .partitionBy("_spatial_bucket").parquet(base + "/data"))
+    if not append:
+        fsys, mpath = resolve_fs(base + "/" + _META_FILE)
+        with fsys.open_output_stream(mpath) as out:
+            out.write(json.dumps(sidecar).encode())
 
 
 def read_spatial_bucketed(spark: SparkSession, path: str, bbox=None,

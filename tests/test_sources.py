@@ -628,3 +628,91 @@ class TestSpatialBucketed:
             read_spatial_bucketed(spark, p, bbox=(0, 0, 1, 1))
         # without bbox the plain layout reads fine
         assert read_spatial_bucketed(spark, p).df.count() == 1
+
+    def test_append_grows_layout(self, spark, tmp_path):
+        """r9: append=True — the daily tile-ingest shape: a second
+        batch shuffled with the same layout lands in the same hive
+        buckets; pruned reads and cross-run co-bucketed joins see the
+        union exactly as if written single-shot."""
+        import dask_geopandas_spark as dgs
+        from dask_geopandas_spark.sources import (read_spatial_bucketed,
+                                                  write_spatial_bucketed)
+
+        pts = self._pts(spark, n=800)
+        a = pts[pts.df.pid < 400]
+        b = pts[pts.df.pid >= 400]
+        inc = str(tmp_path / "inc")
+        one = str(tmp_path / "one")
+        kw = dict(by="hilbert", level=12, boundaries=self.BOUNDS,
+                  total_bounds=self.TB)
+        write_spatial_bucketed(a, inc, **kw)
+        write_spatial_bucketed(b, inc, append=True, **kw)
+        write_spatial_bucketed(pts, one, **kw)
+        win = (-50.0, -40.0, 60.0, 55.0)
+        got = sorted(r["pid"] for r in read_spatial_bucketed(
+            spark, inc, bbox=win).cx(*win).df.select("pid").collect())
+        want = sorted(r["pid"] for r in read_spatial_bucketed(
+            spark, one, bbox=win).cx(*win).df.select("pid").collect())
+        assert got == want and len(got) > 20
+
+    def test_append_validates_layout(self, spark, tmp_path):
+        import dask_geopandas_spark as dgs
+        from dask_geopandas_spark.sources import write_spatial_bucketed
+
+        pts = self._pts(spark, n=60)
+        p = str(tmp_path / "sb")
+        write_spatial_bucketed(pts, p, by="hilbert", level=12,
+                               boundaries=self.BOUNDS,
+                               total_bounds=self.TB)
+        # drifted level
+        with pytest.raises(ValueError, match="differs"):
+            write_spatial_bucketed(pts, p, by="hilbert", level=10,
+                                   boundaries=[(4 ** 10) // 8 * i
+                                               for i in range(1, 8)],
+                                   total_bounds=self.TB, append=True)
+        # drifted bounds
+        with pytest.raises(ValueError, match="differs"):
+            write_spatial_bucketed(pts, p, by="hilbert", level=12,
+                                   boundaries=self.BOUNDS,
+                                   total_bounds=(-180.0, -90.0,
+                                                 180.0, 91.0),
+                                   append=True)
+        # append into nothing
+        with pytest.raises(ValueError, match="no spatial layout"):
+            write_spatial_bucketed(pts, str(tmp_path / "nope"),
+                                   by="hilbert", level=12,
+                                   boundaries=self.BOUNDS,
+                                   total_bounds=self.TB, append=True)
+
+    def test_append_then_compact(self, spark, tmp_path):
+        """The spatial layout reuses the generic index compaction
+        (dataset='data'); matches and metadata survive."""
+        import glob as g
+
+        from dask_geopandas_spark.operators.dedup import compact_index
+        from dask_geopandas_spark.sources import (read_spatial_bucketed,
+                                                  write_spatial_bucketed)
+
+        pts = self._pts(spark, n=600)
+        p = str(tmp_path / "sb")
+        kw = dict(by="hilbert", level=12, boundaries=self.BOUNDS,
+                  total_bounds=self.TB)
+        write_spatial_bucketed(pts[pts.df.pid < 200], p, **kw)
+        write_spatial_bucketed(pts[(pts.df.pid >= 200)
+                                   & (pts.df.pid < 400)], p,
+                               append=True, **kw)
+        write_spatial_bucketed(pts[pts.df.pid >= 400], p, append=True,
+                               **kw)
+        win = (-50.0, -40.0, 60.0, 55.0)
+        before = sorted(r["pid"] for r in read_spatial_bucketed(
+            spark, p, bbox=win).cx(*win).df.select("pid").collect())
+        stats = compact_index(spark, p, dataset="data")
+        assert stats["bucket_col"] == "_spatial_bucket"
+        assert stats["files_after"] < stats["files_before"]
+        after = sorted(r["pid"] for r in read_spatial_bucketed(
+            spark, p, bbox=win).cx(*win).df.select("pid").collect())
+        assert after == before and len(before) > 10
+        for b in g.glob(p + "/data/_spatial_bucket=*"):
+            files = [f for f in g.glob(b + "/*")
+                     if not f.rsplit("/", 1)[-1].startswith(("_", "."))]
+            assert len(files) == 1, b
