@@ -363,16 +363,22 @@ def media_neardup_pairs(df: DataFrame, media_col: str = "media",
     ``bit_count(xor)``.
 
     Pigeonhole guarantee: with ``max_hamming < bands`` a qualifying
-    pair differs in fewer bits than there are bands, so at least one
-    band is IDENTICAL — the banded join has exact recall, never a
-    probabilistic miss (the reason the defaults are 6 and 8).
+    pair differs in fewer blocks than there are blocks, so at least
+    ``bands - max_hamming`` blocks are IDENTICAL — the join keys on
+    CONCATENATIONS of that many blocks (Manku et al., WWW 2007 block
+    combinations) and still has exact recall, never a probabilistic
+    miss (the reason the defaults are 6 and 8).
 
     Distributed shape: one narrow pass computes each payload's hash
-    (the band explode replicates the 8-byte hash, never the payload),
-    the join shuffles (band, 8-bit value) keys, and the verify is
-    native bit arithmetic on the carried hashes — the corpus' media
-    bytes are read exactly once and never shuffled.  Output is
-    row-level pairs, inherently QUADRATIC per duplicate group — for
+    (the table explode replicates the 8-byte hash, never the
+    payload), the join shuffles (table, concatenated-block) keys —
+    C(bands, bands-max_hamming) tables whose key space is
+    ``2^(64*(bands-max_hamming)/bands)`` per table (the defaults give
+    28 tables of 16-bit keys: 1.8M distinct join keys, vs the 2048 a
+    single-band key space would allow) — and the verify is native
+    bit arithmetic on the carried hashes — the corpus' media bytes
+    are read exactly once and never shuffled.  Output is row-level
+    pairs, inherently QUADRATIC per duplicate group — for
     deduplication use `media_dedup(method='dhash')`, which runs this
     join over distinct hashes only."""
     if not 64 % bands == 0:
@@ -389,21 +395,50 @@ def media_neardup_pairs(df: DataFrame, media_col: str = "media",
     return _hamming_banded_pairs(h, id_col, "_dh", max_hamming, bands)
 
 
-def _hamming_banded_pairs(h: DataFrame, id_col: str, hash_col: str,
-                          max_hamming: int, bands: int) -> DataFrame:
-    """Banded Hamming join over an (id, 64-bit hash) frame — the
-    shared tail of `media_neardup_pairs` (row granularity) and
-    `media_dedup(method='dhash')` (distinct-hash granularity)."""
+def _hamming_candidates(h: DataFrame, id_col: str, hash_col: str,
+                        bands: int, key_blocks: int) -> DataFrame:
+    """Block-combination candidate join (Manku et al., WWW 2007) over
+    an (id, 64-bit hash) frame: the hash splits into ``bands``
+    contiguous blocks of ``64/bands`` bits, and each row replicates
+    into ``C(bands, key_blocks)`` tables, each keyed on the
+    CONCATENATION of a distinct ``key_blocks``-subset of blocks.  A
+    pair sharing any ``key_blocks`` identical blocks collides in the
+    table keyed on that subset, so recall is exact for Hamming
+    distance ``<= bands - key_blocks`` (pigeonhole: at most that many
+    differing bits can spoil at most that many blocks).
+
+    The point of ``key_blocks > 1`` is JOIN-KEY CARDINALITY: a
+    single-block key space is ``bands * 2^(64/bands)`` distinct
+    values (2048 at the default 8 bands — a structural collision
+    floor that goes quadratic at web-scale distinct-hash counts),
+    while each extra block in the key multiplies it by
+    ``2^(64/bands)`` at the price of ``C(bands, key_blocks)``-fold
+    replication of the 16-byte (id, hash) rows — never the payloads.
+
+    Returns candidate pairs (id_a, id_b, _ha, _hb), id_a < id_b, NOT
+    yet distance-verified and possibly multi-table duplicated —
+    `_hamming_banded_pairs` is the verified public tail; this split
+    exists so tests can pin the candidate-count reduction."""
+    from itertools import combinations
+
     width = 64 // bands
     mask = F.lit((1 << width) - 1).cast("long")
+
+    def block(i: int):
+        return F.shiftright(F.col(hash_col), i * width).bitwiseAND(mask)
+
+    entries = []
+    for t, combo in enumerate(combinations(range(bands), key_blocks)):
+        # disjoint shifted ranges, so bitwise OR == concatenation (and
+        # never overflows — ANSI-safe, unlike `+` at the 64-bit edge)
+        key = F.lit(0).cast("long")
+        for j, c in enumerate(combo):
+            key = key.bitwiseOR(F.shiftleft(block(c), j * width))
+        entries.append(F.struct(F.lit(t).alias("band"),
+                                key.alias("val")))
     banded = h.select(
         id_col, hash_col,
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftright(F.col(hash_col), i * width)
-                .bitwiseAND(mask).alias("val"))
-            for i in range(bands)])).alias("bv")
+        F.explode(F.array(*entries)).alias("bv")
     ).select(id_col, hash_col, F.col("bv.band").alias("_band"),
              F.col("bv.val").alias("_val"))
     a = banded.select(F.col(id_col).alias("id_a"),
@@ -412,6 +447,21 @@ def _hamming_banded_pairs(h: DataFrame, id_col: str, hash_col: str,
                       F.col(hash_col).alias("_hb"), "_band", "_val")
     return (a.join(b, on=["_band", "_val"])
             .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "_ha", "_hb"))
+
+
+def _hamming_banded_pairs(h: DataFrame, id_col: str, hash_col: str,
+                          max_hamming: int, bands: int) -> DataFrame:
+    """Verified Hamming join over an (id, 64-bit hash) frame — the
+    shared tail of `media_neardup_pairs` (row granularity) and
+    `media_dedup(method='dhash')` (distinct-hash granularity).
+    Candidates come from `_hamming_candidates` with the widest key
+    that preserves exact recall (``key_blocks = bands -
+    max_hamming``, floor 1 — the floor is the degraded
+    probabilistic regime `media_neardup_pairs` already warns about
+    when ``max_hamming >= bands``)."""
+    key_blocks = max(1, bands - int(max_hamming))
+    return (_hamming_candidates(h, id_col, hash_col, bands, key_blocks)
             .select("id_a", "id_b",
                     F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
                     .alias("hamming"))
@@ -429,7 +479,10 @@ def media_dedup(df: DataFrame, media_col: str = "media",
 
     * ``method='exact'`` — byte-identical refetch removal: group on
       ``md5(payload)``, keep the minimum id (one hash aggregation +
-      one semi join; the dominant duplicate class in crawled media);
+      one anti join; the dominant duplicate class in crawled media).
+      NULL payloads pass through (md5(NULL) is NULL — without the
+      isNotNull guard every media-less row would collapse into one
+      phantom duplicate group);
     * ``method='dhash'`` — PERCEPTUAL: the Hamming join and the
       connected components run over DISTINCT hashes (each represented
       by its minimum row id), never over rows — a duplicate group of
@@ -446,11 +499,14 @@ def media_dedup(df: DataFrame, media_col: str = "media",
     needs no pair join and typically removes most volume; 'dhash'
     then works the smaller residue."""
     if method == "exact":
-        keep = (df.select(F.col(id_col),
-                          F.md5(F.col(media_col)).alias("_mh"))
-                .groupBy("_mh").agg(F.min(id_col).alias(id_col))
+        nn = (df.filter(F.col(media_col).isNotNull())
+              .select(F.col(id_col), F.md5(F.col(media_col))
+                      .alias("_mh")))
+        keep = nn.groupBy("_mh").agg(F.min(id_col).alias("_keep"))
+        drop = (nn.join(keep, on="_mh")
+                .filter(F.col(id_col) != F.col("_keep"))
                 .select(id_col))
-        return df.join(keep, on=id_col, how="left_semi")
+        return df.join(drop, on=id_col, how="left_anti")
     if method == "dhash":
         from .dedup import connected_components
 
