@@ -3083,8 +3083,10 @@ def _html_synth(spark, sf_dir):
     end-to-end against the known construction).  The page exercises
     the whole contract: uppercase tags, a <style> and a <script>
     containing fake markup, a comment hiding a <p>, a link-dense nav
-    and footer (boilerplate), entity-escaped body text, and an
-    even-doc-only list block."""
+    and footer (boilerplate), entity-escaped body text, a
+    numeric-character-reference paragraph (decimal refs on even docs,
+    hex on odd — both decode to the same typographic text, r10), and
+    an even-doc-only list block."""
     from dask_geopandas_spark.operators.html import html_escape
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -3092,6 +3094,10 @@ def _html_synth(spark, sf_dir):
     items = F.when(F.col("doc_id") % 2 == 0, F.concat(
         F.lit("<ul><li>item A "), n, F.lit("</li><li>item B "), n,
         F.lit("</li></ul>"))).otherwise(F.lit(""))
+    numpara = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.lit("<p>It&#8217;s &#8211; &#8220;q&#8221;</p>")).otherwise(
+        F.lit("<p>It&#x2019;s &#x2013; &#x201C;q&#x201D;</p>"))
     page = F.concat(
         F.lit("<!DOCTYPE html><HTML><head><TITLE>Doc "), n,
         F.lit("</TITLE><style>body{margin:0}</style>"
@@ -3101,7 +3107,7 @@ def _html_synth(spark, sf_dir):
               "</a></nav><H1>Section "),
         (F.col("doc_id") % 7).cast("string"),
         F.lit("</H1><div class=\"main\"><p>"), html_escape(F.col("text")),
-        F.lit("</p></div>"), items,
+        F.lit("</p></div>"), numpara, items,
         F.lit("<!-- hidden <p>comment</p> -->"
               "<footer><a href=\"/c\">Contact</a> "
               "<a href=\"/p\">Privacy</a></footer></Body></HTML>"))
@@ -6192,6 +6198,7 @@ def _oracle_sql_base() -> dict[str, str]:
                'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
                'Section ' || CAST(doc_id % 7 AS VARCHAR) ||
                CASE WHEN ct <> '' THEN chr(10) || ct ELSE '' END ||
+               chr(10) || 'It’s – “q”' ||
                CASE WHEN doc_id % 2 = 0
                     THEN chr(10) || 'item A ' || CAST(doc_id AS VARCHAR)
                          || chr(10) || 'item B '
@@ -6205,11 +6212,11 @@ def _oracle_sql_base() -> dict[str, str]:
                           AS ev
                    FROM documents)
         SELECT doc_id,
-               CAST(4 + (ct <> '')::INT + 2 * ev AS BIGINT) AS n_blocks,
-               CAST(2 + (ct <> '')::INT + 2 * ev AS BIGINT) AS n_main,
+               CAST(5 + (ct <> '')::INT + 2 * ev AS BIGINT) AS n_blocks,
+               CAST(3 + (ct <> '')::INT + 2 * ev AS BIGINT) AS n_main,
                CAST(length('Doc ' || CAST(doc_id AS VARCHAR))
                     + length('Section ' || CAST(doc_id % 7 AS VARCHAR))
-                    + length(ct)
+                    + length(ct) + length('It’s – “q”')
                     + ev * (length('item A ' || CAST(doc_id AS VARCHAR))
                             + length('item B '
                                      || CAST(doc_id AS VARCHAR)))

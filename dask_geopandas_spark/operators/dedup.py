@@ -821,6 +821,33 @@ def dedup_exact_against_index(new_df: DataFrame, path: str,
     return new_df.join(hits, on=id_col, how="left_anti")
 
 
+def _compaction_frame(df: DataFrame, bucket_col: str,
+                      max_records_per_file: int | None) -> DataFrame:
+    """The compaction rewrite's shuffle shape (split out so tests can
+    plan-pin it): one hash shuffle on the bucket id alone when every
+    bucket compacts to one file, or on ``(bucket, pmod(hash(row),
+    ceil(bucket_rows / max)))`` when ``max_records_per_file`` is set —
+    the two-column key lets a Zipf-head bucket's several right-sized
+    output files write from several tasks instead of serially from
+    one.  The split key hashes the DATA columns (deterministic — a
+    task retry re-lands every row in the same partition, unlike a
+    rand() salt), and per-bucket split counts come from a count-only
+    aggregation broadcast back onto the frame (n_buckets rows)."""
+    if max_records_per_file is None:
+        return df.repartition(F.col(bucket_col))
+    counts = (df.groupBy(bucket_col)
+              .agg(F.greatest(
+                  F.ceil(F.count("*") / F.lit(int(max_records_per_file))),
+                  F.lit(1)).cast("int").alias("_nsplit")))
+    data_cols = [c for c in df.columns if c != bucket_col]
+    return (df.join(F.broadcast(counts), on=bucket_col)
+            .withColumn("_split", F.pmod(
+                F.hash(*[F.col(c) for c in data_cols]),
+                F.col("_nsplit")))
+            .repartition(F.col(bucket_col), F.col("_split"))
+            .drop("_nsplit", "_split"))
+
+
 def compact_index(spark, path: str, dataset: str | None = "postings",
                   missing_ok: bool = False,
                   max_records_per_file: int | None = None) -> dict:
@@ -863,8 +890,14 @@ def compact_index(spark, path: str, dataset: str | None = "postings",
     ``maxRecordsPerFile``): without it each bucket compacts to
     exactly ONE file, which is right for uniform buckets but turns a
     Zipf-head bucket into one multi-GB single-task read downstream —
-    set it to keep hot buckets split into several right-sized
-    files."""
+    set it to keep hot buckets split into several right-sized files.
+    When set, the rewrite also shuffles on ``(bucket,
+    pmod(hash(row), ceil(bucket_rows / max)))`` instead of the bucket
+    id alone, so a hot bucket's several output files WRITE from
+    several tasks in parallel — otherwise the Zipf-head bucket's
+    compaction is a single-task straggler by exactly the skew factor
+    the option exists to absorb (per-bucket split counts come from
+    one count-only scan, broadcast back)."""
     base = path.rstrip("/")
     dpath = base + (f"/{dataset}" if dataset else "")
     jvm = spark._jvm
@@ -900,13 +933,28 @@ def compact_index(spark, path: str, dataset: str | None = "postings",
     files_before = _count_files(posts)
     tmp = HP(dpath + "_compacting")
     fs.delete(tmp, True)
-    writer = (spark.read.parquet(dpath)
-              .repartition(F.col(bucket_col))
+    writer = (_compaction_frame(spark.read.parquet(dpath), bucket_col,
+                                max_records_per_file)
               .write.mode("overwrite").partitionBy(bucket_col))
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile",
                                int(max_records_per_file))
     writer.parquet(dpath + "_compacting")
+    # root-partitioned layouts (dataset=None) keep sidecars next to the
+    # hive dirs (_centroids.json, _batches commit markers): COPY every
+    # non-hive entry into the compacted rewrite BEFORE the swap, so
+    # the live path is never without its sidecars — a crash between
+    # the swap and a post-swap carry would strand them in _old
+    # (ivf_topk_stored would raise 'no sidecar' and the exactly-once
+    # commit markers would be lost to a checkpoint-less replay)
+    FU = jvm.org.apache.hadoop.fs.FileUtil
+    conf = spark._jsc.hadoopConfiguration()
+    for st in fs.listStatus(posts):
+        nm = st.getPath().getName()
+        if "=" not in nm and nm != "_SUCCESS":
+            dest = HP(dpath + "_compacting/" + nm)
+            if not fs.exists(dest):
+                FU.copy(fs, st.getPath(), fs, dest, False, conf)
     old = HP(dpath + "_old")
     fs.delete(old, True)
     if not fs.rename(posts, old):
@@ -914,16 +962,6 @@ def compact_index(spark, path: str, dataset: str | None = "postings",
     if not fs.rename(tmp, posts):
         fs.rename(old, posts)  # roll back, live data intact
         raise IOError(f"could not swap compacted postings in at {dpath!r}")
-    # root-partitioned layouts (dataset=None) keep sidecars next to the
-    # hive dirs (_centroids.json, _batches commit markers): carry every
-    # non-hive entry across the swap — the compacted rewrite contains
-    # only the data
-    for st in fs.listStatus(old):
-        nm = st.getPath().getName()
-        if "=" not in nm and nm != "_SUCCESS":
-            dest = HP(dpath + "/" + nm)
-            if not fs.exists(dest):
-                fs.rename(st.getPath(), dest)
     fs.delete(old, True)
     return {"files_before": files_before,
             "files_after": _count_files(posts),

@@ -20,8 +20,11 @@ Deliberate scope (the regexp-subset contract):
   QUOTED attribute value truncates that tag early (rare in real
   markup; a conforming parser escapes it);
 * entities: the named set every generator emits (``&lt; &gt; &quot;
-  &#39; &apos; &nbsp; &amp;``) decodes; other numeric refs pass
-  through as text;
+  &#39; &apos; &nbsp; &amp;``) decodes, and so do NUMERIC character
+  references — ``&#8217;`` / ``&#x2019;`` style, ubiquitous in real
+  crawl HTML — via a native codepoint→UTF-8 rebuild (other NAMED
+  entities, the long ``&eacute;``-style tail, pass through as text;
+  a reference without its closing ``;`` passes through);
 * an unterminated ``<script>``/``<style>`` swallows the rest of the
   document (what a browser does).
 
@@ -50,13 +53,21 @@ _BLOCK_RE = f"(?is)</?({_BLOCK_TAGS})\\b[^>]*>"
 # \x1E (record separator) as the block sentinel: source newlines are
 # plain whitespace in HTML, so splitting on them would invent blocks
 _SENT = "\x1E"
-_ANCHOR_RE = "(?is)<a\\b[^>]*>(.*?)</a[^>]*>"
+# \b after the closing 'a' too: '</a[^>]*>' would also match the
+# closing tag of any element whose NAME starts with 'a' (</abbr>,
+# </address>) and truncate anchor text early, undercounting link_len
+_ANCHOR_RE = "(?is)<a\\b[^>]*>(.*?)</a\\b[^>]*>"
 # entity decode pairs, applied in order AFTER tag stripping; &amp;
 # LAST so double-escaped text (&amp;lt;) decodes one level, and so a
-# decoded '<' can never be re-read as markup
+# decoded '<' can never be re-read as markup.  Numeric character
+# references (&#NNN; / &#xHH;) decode BETWEEN the named set and
+# &amp; — after the named set so '&lt;' produced by '&#38;lt;' stays
+# literal text, before '&amp;' so '&amp;#8217;' yields the literal
+# bytes '&#8217;' (one decode level each, the sequential-replace
+# analogue of a single spec-conforming pass)
 _ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-             ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
-             ("&amp;", "&"))
+             ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "))
+_NUM_REF = "&#([0-9]{1,7}|[Xx][0-9A-Fa-f]{1,6});"
 
 
 def strip_noise(html: Column) -> Column:
@@ -81,12 +92,66 @@ def _strip_inline(c: Column) -> Column:
     return F.regexp_replace(c, "<[^>]*>", "")
 
 
+def _codepoint_char(body: Column) -> Column:
+    """One numeric character reference body ('8217' or 'x2019') ->
+    the character, built NATIVELY: parse the codepoint (``conv`` for
+    hex), emit its UTF-8 byte sequence as a hex string (the standard
+    1-4 byte arithmetic — shifts and remainders, all codegen), then
+    ``decode(unhex(...), 'UTF-8')``.  Spark's own ``chr()`` is
+    mod-256 Latin-1, useless for the typographic range (&#8217; et
+    al.) real crawl HTML is full of.  Out-of-range codepoints (0,
+    surrogates, > U+10FFFF) fall back to the raw reference text —
+    the pass-through the named-entity chain already applies to
+    anything it doesn't know."""
+    cp = F.when(body.rlike("^[Xx]"),
+                F.conv(F.substring(body, 2, 7), 16, 10).cast("long")) \
+        .otherwise(body.cast("long"))
+
+    def bh(b: Column) -> Column:  # one byte -> two hex digits
+        return F.lpad(F.hex(b), 2, "0")
+
+    def tail(shift: int) -> Column:  # 10xxxxxx continuation byte
+        return bh(F.lit(128) + F.shiftright(cp, shift) % F.lit(64))
+
+    hexs = (F.when(cp < 0x80, bh(cp))
+            .when(cp < 0x800, F.concat(
+                bh(F.lit(192) + F.shiftright(cp, 6)), tail(0)))
+            .when(cp < 0x10000, F.concat(
+                bh(F.lit(224) + F.shiftright(cp, 12)), tail(6), tail(0)))
+            .otherwise(F.concat(
+                bh(F.lit(240) + F.shiftright(cp, 18)), tail(12),
+                tail(6), tail(0))))
+    valid = (cp.isNotNull() & (cp > 0) & (cp <= 0x10FFFF)
+             & ~((cp >= 0xD800) & (cp <= 0xDFFF)))
+    return F.when(valid, F.decode(F.unhex(hexs), "UTF-8")) \
+        .otherwise(F.concat(F.lit("&#"), body, F.lit(";")))
+
+
+def _decode_numeric_refs(c: Column) -> Column:
+    """Decode every ``&#NNN;`` / ``&#xHH;`` in a string natively:
+    split on the reference pattern (the literal segments), extract
+    the reference bodies in order, and interleave segment + decoded
+    char back together with ``zip_with`` — no UDF, no per-row
+    Python."""
+    segs = F.split(c, _NUM_REF)
+    refs = F.regexp_extract_all(c, F.lit(_NUM_REF), 1)
+    return F.concat(
+        F.element_at(segs, 1),
+        F.array_join(
+            F.zip_with(F.transform(refs, _codepoint_char),
+                       F.slice(segs, 2, F.size(refs)),
+                       lambda d, s: F.concat(d, s)), ""))
+
+
 def _clean_fragment(c: Column) -> Column:
-    """Inline-tag strip + entity decode + whitespace collapse + trim —
-    the per-block text normalization."""
+    """Inline-tag strip + entity decode (named, then numeric refs,
+    then ``&amp;``) + whitespace collapse + trim — the per-block text
+    normalization."""
     c = _strip_inline(c)
     for a, b in _ENTITIES:
         c = F.replace(c, F.lit(a), F.lit(b))
+    c = _decode_numeric_refs(c)
+    c = F.replace(c, F.lit("&amp;"), F.lit("&"))
     return F.trim(F.regexp_replace(c, _WS + "+", " "))
 
 

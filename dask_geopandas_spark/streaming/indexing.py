@@ -133,8 +133,7 @@ def streaming_index_documents(stream: DataFrame, index_path: str,
 
 def ingest_vectors_batch(batch_df: DataFrame, index_path: str,
                          centroids=None, batch_id: int | None = None,
-                         vec_col: str = "embedding",
-                         id_col: str = "vec_id") -> bool:
+                         vec_col: str = "embedding") -> bool:
     """One ingestion step of the INCREMENTAL vector index — the
     vector-DB upsert shape: append the batch's vectors to the
     `write_ivf_index` layout at ``index_path`` (initializing on first
@@ -151,7 +150,13 @@ def ingest_vectors_batch(batch_df: DataFrame, index_path: str,
     in-progress window (marker-present always means fully-committed;
     a torn append leaves ``_append_in_progress`` and every stored
     reader refuses; a crash in the post-commit sliver self-heals on
-    replay)."""
+    replay).
+
+    The batch's NON-vector columns (ids, payloads) ride along into
+    the stored layout untouched; there is deliberately no id-based
+    dedup of re-appended vectors here — dedup the stream upstream
+    (`streaming_ingest_dedup`) if re-sends are possible, exactly as
+    the docs ingester's contract states."""
     spark = batch_df.sparkSession
     base = index_path.rstrip("/")
     fs, _ = _hadoop_fs(spark, base)
@@ -182,7 +187,6 @@ def ingest_vectors_batch(batch_df: DataFrame, index_path: str,
 def streaming_ingest_vectors(stream: DataFrame, index_path: str,
                              centroids=None,
                              vec_col: str = "embedding",
-                             id_col: str = "vec_id",
                              compact_every: int | None = None):
     """Continuous embedding ingestion: each micro-batch appends its
     vectors to the stored IVF index — `ingest_vectors_batch` under
@@ -204,7 +208,7 @@ def streaming_ingest_vectors(stream: DataFrame, index_path: str,
 
     def _fb(batch_df: DataFrame, batch_id: int) -> None:
         done = ingest_vectors_batch(batch_df, index_path, centroids,
-                                    batch_id, vec_col, id_col)
+                                    batch_id, vec_col)
         if done and compact_every and batch_id % int(compact_every) \
                 == int(compact_every) - 1:
             compact_index(batch_df.sparkSession, index_path,

@@ -95,6 +95,13 @@ WELL_FORMED = [
     "<pre>kept   block</pre><p>after</p>",
     "text with no tags at all",
     "<blockquote>quoted</blockquote>tail",
+    # numeric character references (r10): decimal, hex, 2/3/4-byte
+    # UTF-8 codepoints — convert_charrefs=True decodes them in the
+    # stdlib reference exactly like the native rebuild does
+    "<p>It&#8217;s a test&#8212;dash</p>",
+    "<p>hex &#x2019; and &#X201C;quote&#x201d;</p>",
+    "<p>two-byte &#233; three-byte &#8364; four-byte &#128512;</p>",
+    "<p>ascii &#65;&#x41; digits &#48;&#57;</p>",
 ]
 
 
@@ -112,6 +119,29 @@ class TestAgainstStdlibReference:
         h = ("<p>keep</p><script>var a = '<p>no</p>';</script>"
              "<style>p{}</style><!-- <p>gone</p> --><p>also</p>")
         assert _one(spark, h) == "keep\nalso"
+
+    def test_numeric_refs_decode_levels(self, spark):
+        """One decode level each, like the named chain: '&amp;#8217;'
+        is LITERAL '&#8217;' text, '&#38;lt;' is LITERAL '&lt;' text;
+        out-of-range codepoints pass through as raw reference
+        text."""
+        assert _one(spark, "<p>It&#8217;s &#x2019;</p>") \
+            == "It’s ’"
+        assert _one(spark, "<p>&amp;#8217; stays</p>") \
+            == "&#8217; stays"
+        assert _one(spark, "<p>&#38;lt; stays</p>") == "&lt; stays"
+        assert _one(spark, "<p>&#0; &#x110000; &#xD800; &#8217</p>") \
+            == "&#0; &#x110000; &#xD800; &#8217"
+
+    def test_anchor_close_not_confused_with_abbr(self, spark):
+        """'</a[^>]*>' used to match </abbr> and truncate anchor text
+        (the r9 advice): link_len must count the full anchor text when
+        an <abbr> sits inside the <a>."""
+        h = ('<p><a href="x">start <abbr>A.B.</abbr> end</a></p>')
+        df = spark.createDataFrame([(1, h)], "doc_id long, html string")
+        r = extract_blocks(df).head()
+        assert r["text"] == "start A.B. end"
+        assert r["link_len"] == len("start A.B. end")
 
     def test_escape_roundtrip(self, spark):
         texts = ["a & b", "2 < 3 > 1", "&amp; predecoded", "<tag> like",
@@ -229,6 +259,32 @@ class TestProperties:
                     F.lit("</p></div>"))).alias("x")).collect()}
             for i, t in enumerate(ts):
                 assert got[i] == " ".join(t.split())
+
+        check()
+
+    def test_hypothesis_numeric_ref_roundtrip(self, spark):
+        """Every non-control codepoint, escaped as &#N; or &#xH;,
+        decodes back to itself (surrogates excluded — not encodable
+        in the source string to begin with; ASCII whitespace excluded
+        — it collapses by contract)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        cps = st.lists(st.integers(min_value=33, max_value=0x10FFFF)
+                       .filter(lambda c: not 0xD800 <= c <= 0xDFFF),
+                       min_size=1, max_size=20)
+
+        @settings(max_examples=15, deadline=None)
+        @given(cps, st.booleans())
+        def check(cs, use_hex):
+            want = "".join(chr(c) for c in cs)
+            refs = "".join(f"&#x{c:x};" if use_hex else f"&#{c};"
+                           for c in cs)
+            df = spark.createDataFrame([(1, f"<p>{refs}</p>")],
+                                       "i long, html string")
+            got = df.select(html_to_text(F.col("html"))
+                            .alias("x")).head()["x"]
+            assert got == want
 
         check()
 
