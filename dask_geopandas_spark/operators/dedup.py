@@ -832,14 +832,25 @@ def _compaction_frame(df: DataFrame, bucket_col: str,
     one.  The split key hashes the DATA columns (deterministic — a
     task retry re-lands every row in the same partition, unlike a
     rand() salt), and per-bucket split counts come from a count-only
-    aggregation broadcast back onto the frame (n_buckets rows)."""
+    aggregation broadcast back onto the frame (n_buckets rows).
+
+    Known limit of the deterministic key: BYTE-IDENTICAL duplicate
+    rows all hash to the same split, so a bucket made of one row
+    repeated N times still writes from one task — acceptable because
+    every layout this serves (exact/minhash/text/ivf postings) keys
+    on unique ids, so true full-row duplicates don't arise there.  A
+    frame with NO data columns beside the bucket id can't split at
+    all (``F.hash()`` with zero args is an error): it falls back to
+    the one-file-per-bucket shuffle."""
     if max_records_per_file is None:
+        return df.repartition(F.col(bucket_col))
+    data_cols = [c for c in df.columns if c != bucket_col]
+    if not data_cols:
         return df.repartition(F.col(bucket_col))
     counts = (df.groupBy(bucket_col)
               .agg(F.greatest(
                   F.ceil(F.count("*") / F.lit(int(max_records_per_file))),
                   F.lit(1)).cast("int").alias("_nsplit")))
-    data_cols = [c for c in df.columns if c != bucket_col]
     return (df.join(F.broadcast(counts), on=bucket_col)
             .withColumn("_split", F.pmod(
                 F.hash(*[F.col(c) for c in data_cols]),
@@ -949,12 +960,23 @@ def compact_index(spark, path: str, dataset: str | None = "postings",
     # commit markers would be lost to a checkpoint-less replay)
     FU = jvm.org.apache.hadoop.fs.FileUtil
     conf = spark._jsc.hadoopConfiguration()
+    # sidecars are written by NON-Hadoop writers (pyarrow / plain
+    # Python), so copy through the RAW local filesystem where one
+    # exists: a checksummed copy would plant .crc files that go stale
+    # the moment the engine rewrites the sidecar bytes directly, and
+    # every later compaction copy would then die on ChecksumException.
+    # HDFS/S3A have no Checksum wrapper — getRawFileSystem is absent
+    # and the checksum-free fs is the fs itself.
+    try:
+        cfs = fs.getRawFileSystem()
+    except Exception:
+        cfs = fs
     for st in fs.listStatus(posts):
         nm = st.getPath().getName()
         if "=" not in nm and nm != "_SUCCESS":
             dest = HP(dpath + "_compacting/" + nm)
             if not fs.exists(dest):
-                FU.copy(fs, st.getPath(), fs, dest, False, conf)
+                FU.copy(cfs, st.getPath(), cfs, dest, False, conf)
     old = HP(dpath + "_old")
     fs.delete(old, True)
     if not fs.rename(posts, old):
@@ -962,6 +984,24 @@ def compact_index(spark, path: str, dataset: str | None = "postings",
     if not fs.rename(tmp, posts):
         fs.rename(old, posts)  # roll back, live data intact
         raise IOError(f"could not swap compacted postings in at {dpath!r}")
+    # re-sync sidecars from _old before discarding it: a sidecar
+    # update landing between the pre-swap copy and the rename (a
+    # concurrent append's new _batches marker, a refreshed
+    # _centroids.json) would otherwise lose to the stale copy.
+    # Compaction is still documented as a between-batches job — the
+    # swap window itself is not atomic for readers — but the
+    # copy-if-newer keeps both crash-safety (sidecars present before
+    # the swap) and freshness (latest version wins after it).
+    for st in fs.listStatus(old):
+        nm = st.getPath().getName()
+        if "=" in nm or nm == "_SUCCESS":
+            continue
+        dest = HP(dpath + "/" + nm)
+        if not fs.exists(dest) or (st.getModificationTime()
+                                   > fs.getFileStatus(dest)
+                                   .getModificationTime()):
+            fs.delete(dest, True)
+            FU.copy(cfs, st.getPath(), cfs, dest, False, conf)
     fs.delete(old, True)
     return {"files_before": files_before,
             "files_after": _count_files(posts),

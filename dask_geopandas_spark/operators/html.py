@@ -146,11 +146,24 @@ def _decode_numeric_refs(c: Column) -> Column:
 def _clean_fragment(c: Column) -> Column:
     """Inline-tag strip + entity decode (named, then numeric refs,
     then ``&amp;``) + whitespace collapse + trim — the per-block text
-    normalization."""
+    normalization.
+
+    The numeric-ref decode runs behind a ``contains('&#')`` guard:
+    ref-free blocks — the overwhelming majority in real crawl HTML —
+    skip the split/regexp_extract_all/zip_with chain entirely.  The
+    guard is output-invariant (on a ref-free string the chain is the
+    identity: one segment, zero refs — pytest-pinned guard-on ==
+    guard-off), purely a constant-factor cost fix: the unguarded
+    chain cost every block ~3x at r10.  Known accepted edge:
+    ``&#38;amp;`` numeric-decodes to the literal text ``&amp;`` and
+    the final ``&amp;`` replace then yields ``&`` — one decode level
+    deeper than a spec-conforming single pass.  Only ``&#38;`` /
+    ``&#x26;`` immediately followed by ``amp;`` is affected
+    (``&#38;lt;`` et al. are safe: named entities run first)."""
     c = _strip_inline(c)
     for a, b in _ENTITIES:
         c = F.replace(c, F.lit(a), F.lit(b))
-    c = _decode_numeric_refs(c)
+    c = F.when(c.contains("&#"), _decode_numeric_refs(c)).otherwise(c)
     c = F.replace(c, F.lit("&amp;"), F.lit("&"))
     return F.trim(F.regexp_replace(c, _WS + "+", " "))
 

@@ -395,6 +395,30 @@ def media_neardup_pairs(df: DataFrame, media_col: str = "media",
     return _hamming_banded_pairs(h, id_col, "_dh", max_hamming, bands)
 
 
+_MAX_KEY_TABLES = 256  # C(bands, key_blocks) replication bound
+
+
+def _capped_key_blocks(bands: int, max_hamming: int) -> int:
+    """The widest exact-recall key subject to the replication bound:
+    start at ``bands - max_hamming`` (floor 1) and walk DOWN until
+    ``C(bands, key_blocks) <= _MAX_KEY_TABLES``.  Any ``key_blocks <=
+    bands - max_hamming`` keeps pigeonhole recall exact (fewer blocks
+    per key = fewer key bits = more candidates to verify, never a
+    missed pair), and ``key_blocks=1`` gives ``C = bands`` tables, so
+    the walk always terminates under the bound.  The cap exists
+    because mid-range combos explode (bands=16 / max_hamming=4 would
+    otherwise build C(16,12)=1820 tables — 1820x replication and a
+    driver loop over millions of Column structs; bands=32 worse);
+    the defaults (bands=8, max_hamming=2 -> key_blocks=6, C(8,6)=28)
+    are untouched."""
+    from math import comb
+
+    key_blocks = max(1, bands - max_hamming)
+    while key_blocks > 1 and comb(bands, key_blocks) > _MAX_KEY_TABLES:
+        key_blocks -= 1
+    return key_blocks
+
+
 def _hamming_candidates(h: DataFrame, id_col: str, hash_col: str,
                         bands: int, key_blocks: int) -> DataFrame:
     """Block-combination candidate join (Manku et al., WWW 2007) over
@@ -459,8 +483,20 @@ def _hamming_banded_pairs(h: DataFrame, id_col: str, hash_col: str,
     that preserves exact recall (``key_blocks = bands -
     max_hamming``, floor 1 — the floor is the degraded
     probabilistic regime `media_neardup_pairs` already warns about
-    when ``max_hamming >= bands``)."""
-    key_blocks = max(1, bands - int(max_hamming))
+    when ``max_hamming >= bands``), SUBJECT to a replication bound:
+    ``C(bands, key_blocks)`` tables is unbounded for mid-range
+    ``key_blocks`` (bands=16 / max_hamming=4 would mean
+    C(16,12)=1820x row replication, and bands=32 combos build
+    millions of Column structs in the driver loop), so ``key_blocks``
+    walks DOWN until the table count is at most 256 — any
+    ``key_blocks <= bands - max_hamming`` keeps recall exact
+    (pigeonhole still holds with room to spare); fewer blocks per
+    key means fewer key bits and more candidates to verify, never a
+    missed pair.  ``key_blocks=1`` (``C = bands`` tables) always
+    satisfies the bound, so the walk terminates; the defaults
+    (bands=8, max_hamming=2 -> key_blocks=6, C(8,6)=28 tables) are
+    untouched."""
+    key_blocks = _capped_key_blocks(bands, int(max_hamming))
     return (_hamming_candidates(h, id_col, hash_col, bands, key_blocks)
             .select("id_a", "id_b",
                     F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))

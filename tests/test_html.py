@@ -133,6 +133,40 @@ class TestAgainstStdlibReference:
         assert _one(spark, "<p>&#0; &#x110000; &#xD800; &#8217</p>") \
             == "&#0; &#x110000; &#xD800; &#8217"
 
+    def test_numeric_ref_guard_is_output_invariant(self, spark):
+        """r10 verdict #4: the decode chain now runs behind a
+        contains('&#') guard so ref-free blocks skip it.  The guard
+        must be invisible: on mixed pages (ref-free, decimal, hex,
+        malformed, pre-escaped) the guarded pipeline equals an
+        unguarded direct call of the decode chain composed the old
+        way."""
+        from dask_geopandas_spark.operators.html import (
+            _ENTITIES, _decode_numeric_refs, _strip_inline)
+        from dask_geopandas_spark.operators.textstats import _WS
+
+        def unguarded_clean(c):
+            c = _strip_inline(c)
+            for a, b in _ENTITIES:
+                c = F.replace(c, F.lit(a), F.lit(b))
+            c = _decode_numeric_refs(c)  # unconditional (r10 form)
+            c = F.replace(c, F.lit("&amp;"), F.lit("&"))
+            return F.trim(F.regexp_replace(c, _WS + "+", " "))
+
+        frags = ["no refs at all, just prose",
+                 "It&#8217;s &#8211; &#8220;q&#8221;",
+                 "hex &#x2019; mixed with plain text",
+                 "&# malformed &#x; &#8217 unclosed",
+                 "&amp;#8217; pre-escaped", "", "   ",
+                 "a <b>bold</b> &lt;tag&gt; &#38;lt; tail"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(frags)], "i long, t string")
+        from dask_geopandas_spark.operators.html import _clean_fragment
+        rows = df.select("i", _clean_fragment(F.col("t")).alias("g"),
+                         unguarded_clean(F.col("t")).alias("u")) \
+            .collect()
+        for r in rows:
+            assert r["g"] == r["u"], frags[r["i"]]
+
     def test_anchor_close_not_confused_with_abbr(self, spark):
         """'</a[^>]*>' used to match </abbr> and truncate anchor text
         (the r9 advice): link_len must count the full anchor text when
