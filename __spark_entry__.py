@@ -3114,6 +3114,110 @@ def _html_synth(spark, sf_dir):
     return docs.select("doc_id", page.alias("html"))
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC/WET container source & sink (sources/warc.py, new r11) —
+    the step AHEAD of the HTML extractor in every published crawl
+    pipeline: Common Crawl ships .warc.gz / .wet.gz with ONE GZIP
+    MEMBER PER RECORD, and `read_warc`'s part list range-owns member
+    boundaries so a single huge file reads in parallel without an
+    index pass.  WET conversion records graft from (doc_id, lang,
+    text); `to_warc` writes member-per-record gz, `read_warc` reads
+    back with chunk_bytes forcing multi-part range-owned scans, and
+    `payload_text` is the one native decode.  The oracle recomputes
+    every column from the construction: the payload must round-trip
+    byte-exactly (content_length = UTF-8 byte length)."""
+    import shutil
+
+    from dask_geopandas_spark.sources.warc import (payload_text,
+                                                   read_warc, to_warc)
+
+    base = "/root/repo/.bench_tmp/warc_roundtrip"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text") \
+        .filter(F.col("text").isNotNull())
+    url = F.concat(F.lit("https://crawl.test/doc-"),
+                   F.col("doc_id").cast("string"))
+    to_warc(docs.select(url.alias("url"),
+                        F.col("text").alias("payload")),
+            base, rec_type="conversion", content_type="text/plain")
+    out = read_warc(spark, base, chunk_bytes=64 << 10)
+    return out.select("url", "rec_type", "content_type",
+                      "content_length",
+                      payload_text(F.col("payload")).alias("text_out"))
+
+
+def q_warc_pipeline(spark, sf_dir):
+    """The crawl-ingestion pipeline END-TO-END from its real input
+    format (r9 verdict B2 / r10 verdict #8): synthetic ``response``
+    records carry HTTP headers + an HTML page whose body is the text
+    of the doc's GROUP LEADER (doc_id - doc_id%4 — exact duplicates
+    by construction), under a messy URL (cased host, default :80
+    port, utm param, fragment).  The chain — read_warc ->
+    http_response_body -> payload_text -> extract_text ->
+    canonicalize_url -> exact-dedup groupBy — is zero-Python past the
+    container parse: the HTTP split is a native latin-1
+    decode/instr/substring chain, extraction is the html module's
+    codegen chain, canonicalization a regexp/split/sort chain.  The
+    oracle recomputes groups from the leader construction (escape ->
+    extract roundtrips the body modulo the shared whitespace
+    collapse; canonical url is a pure function of the leader)."""
+    import shutil
+
+    from dask_geopandas_spark.operators.html import (extract_text,
+                                                     html_escape)
+    from dask_geopandas_spark.sources.warc import (http_response_body,
+                                                   payload_text,
+                                                   read_warc, to_warc)
+
+    base = "/root/repo/.bench_tmp/warc_pipeline"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text") \
+        .filter(F.col("text").isNotNull())
+    d = docs.select("doc_id",
+                    (F.col("doc_id") - F.col("doc_id") % 4)
+                    .alias("leader"))
+    lead = docs.select(F.col("doc_id").alias("leader"),
+                       F.col("text").alias("ltext"))
+    j = d.join(lead, on="leader")
+    host = F.when(F.col("doc_id") % 2 == 0, F.lit("Crawl.TEST")) \
+        .otherwise(F.lit("crawl.test"))
+    port = F.when(F.col("doc_id") % 3 == 0, F.lit(":80")) \
+        .otherwise(F.lit(""))
+    qry = F.when(F.col("doc_id") % 2 == 0, F.lit("?utm_source=wet")) \
+        .otherwise(F.lit(""))
+    frag = F.when(F.col("doc_id") % 5 == 0, F.lit("#top")) \
+        .otherwise(F.lit(""))
+    url = F.concat(F.lit("http://"), host, port, F.lit("/doc-"),
+                   F.col("leader").cast("string"), qry, frag)
+    page = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+              "<html><body><p>"), html_escape(F.col("ltext")),
+        F.lit("</p></body></html>"))
+    to_warc(j.select(url.alias("url"), page.alias("payload")),
+            base, rec_type="response",
+            content_type="application/http; msgtype=response")
+    recs = read_warc(spark, base, records="response",
+                     chunk_bytes=64 << 10)
+    pages = recs.select(
+        TX.canonicalize_url(F.col("url")).alias("curl"),
+        payload_text(http_response_body(F.col("payload")))
+        .alias("html"))
+    ext = extract_text(pages, html_col="html", out_col="text")
+    # exact_dedup's (hash, keeper, count) contract at extracted-text
+    # granularity, plus the URL-side evidence that canonicalization
+    # collapsed every messy variant of a leader to ONE url
+    return (ext.select(
+        F.md5(F.col("text")).alias("text_hash"), "curl",
+        F.regexp_extract(F.col("curl"), "doc-([0-9]+)", 1)
+        .cast("long").alias("rid"))
+        .groupBy("text_hash")
+        .agg(F.min("rid").alias("keeper_id"),
+             F.count("*").cast("long").alias("dup_count"),
+             F.count_distinct(F.col("curl")).cast("long")
+             .alias("n_urls"),
+             F.min("curl").alias("first_url")))
+
+
 def q_html_extract(spark, sf_dir):
     """HTML -> main-text extraction (operators/html.extract_text, new
     r9) — the crawl-ingestion front door (C4/CCNet/RefinedWeb all
@@ -3951,185 +4055,196 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     inserted at the FRONT of the window as they land, pushing the
     window tail down into the age-compliant r6 block."""
     return {
-        # -- NEW in round 9 (window front, §15 policy) --
+        # ---- r11 WINDOW (the driver attests positions 1-50) ----
+        # 1-2: never-attested r11-new (policy 1b)
+        "warc_roundtrip": q_warc_roundtrip,
+        "warc_pipeline": q_warc_pipeline,
+        # 3-12: operator-changed since last attestation (policy 1a):
+        #   r10 changes (media exact-NULL fix, compaction shuffle +
+        #   sidecar carry, streaming compact hooks) and r11 changes
+        #   (html decode guard, Hamming key cap, compaction re-sync)
+        "media_dedup": q_media_dedup,
+        "compact_index_dedup": q_compact_index_dedup,
+        "stream_index_bm25": q_stream_index_bm25,
+        "stream_ingest_dedup": q_stream_ingest_dedup,
+        "stream_ingest_neardup": q_stream_ingest_neardup,
+        "stream_ingest_vectors": q_stream_ingest_vectors,
         "html_extract": q_html_extract,
         "html_blocks": q_html_blocks,
         "media_dhash": q_media_dhash,
         "media_neardup": q_media_neardup,
-        "stream_ingest_vectors": q_stream_ingest_vectors,
-        "spatial_bucketed_append": q_spatial_bucketed_append,
-        "overlay_cobucket_stored": q_overlay_cobucket_stored,
-        # -- r5-green at age 4: the r9 staleness backlog (window front) --
-        "equals_exact": q_equals_exact,
-        "geoparquet_roundtrip": q_geoparquet_roundtrip,
-        "feather_roundtrip": q_feather_roundtrip,
-        "stream_hourly": q_stream_hourly,
-        "interiors": q_interiors,
-        "union_all_bounds": q_union_all_bounds,
-        "explode_parts": q_explode_parts,
-        "to_mercator": q_to_mercator,
-        "to_utm": q_to_utm,
-        "convex_hull_area": q_convex_hull_area,
-        "line_interpolate": q_line_interpolate,
-        "rotate_scale": q_rotate_scale,
-        "simplify_lines": q_simplify_lines,
-        "points_z": q_points_z,
-        "geom_properties": q_geom_properties,
-        "skew_avg": q_skew_avg,
-        # -- oldest r6-green, filling the window to 50 --
-        "semantic_dedup_pq": q_semantic_dedup_pq,
-        "semantic_dedup_probe": q_semantic_dedup_probe,
-        "ann_ivf": q_ann_ivf,
-        "line_dedup": q_line_dedup,
-        "doc_line_dedup": q_doc_line_dedup,
-        "quality_classifier": q_quality_classifier,
-        "dup_spans": q_dup_spans,
-        "span_removal": q_span_removal,
-        "doc_chunks": q_doc_chunks,
-        "source_mix": q_source_mix,
-        "bm25_stored": q_bm25_stored,
-        "knn_graph_probe": q_knn_graph_probe,
-        "line_project": q_line_project,
-        "sql_surface": q_sql_surface,
-        "morton_buckets": q_morton_buckets,
-        "geohash_cells": q_geohash_cells,
-        "hilbert_buckets": q_hilbert_buckets,
-        "token_stats": q_token_stats,
-        "exact_dedup": q_exact_dedup,
-        "lang_quality": q_lang_quality,
-        "fingerprint_dups": q_fingerprint_dups,
-        "minhash_sigs": q_minhash_sigs,
-        "lsh_pairs": q_lsh_pairs,
-        "lsh_dedup": q_lsh_dedup,
-        "lsh_dedup_fixpoint": q_lsh_dedup_fixpoint,
-        "quality_signals": q_quality_signals,
-        "pii_redact": q_pii_redact,
-        "vocab_top": q_vocab_top,
-        "geojson_roundtrip": q_geojson_roundtrip,
-        "pipeline_clean_join": q_pipeline_clean_join,
-        "topk_parts": q_topk_parts,
-        "spatial_hourly": q_spatial_hourly,
-        "sjoin_nearest_grid": q_sjoin_nearest_grid,
-        "jaccard_pairs": q_jaccard_pairs,
-        # -- below the 50-row window: r10 rotation leaders (r6-green, age 3) --
-        "simhash": q_simhash,
-        "ann_topk": q_ann_topk,
+        # 13-35: the r6-green staleness backlog (age 5 — the r10
+        #   rotation skip; oldest first per policy 1c)
         "ann_ivf_exact": q_ann_ivf_exact,
+        "ann_topk": q_ann_topk,
+        "audio_meta": q_audio_meta,
+        "bm25_topk": q_bm25_topk,
         "embedding_neardup": q_embedding_neardup,
         "events_hourly": q_events_hourly,
-        "session_windows": q_session_windows,
-        "image_meta": q_image_meta,
-        "audio_meta": q_audio_meta,
+        "fgb_roundtrip": q_fgb_roundtrip,
         "frame_counts": q_frame_counts,
+        "geojson_roundtrip": q_geojson_roundtrip,
         "geopackage_roundtrip": q_geopackage_roundtrip,
+        "image_meta": q_image_meta,
+        "jaccard_pairs": q_jaccard_pairs,
         "knn_graph": q_knn_graph,
         "knn_graph_pq": q_knn_graph_pq,
-        "fgb_roundtrip": q_fgb_roundtrip,
-        "tfidf_top": q_tfidf_top,
-        "bm25_topk": q_bm25_topk,
+        "pipeline_clean_join": q_pipeline_clean_join,
+        "session_windows": q_session_windows,
+        "simhash": q_simhash,
+        "sjoin_nearest_grid": q_sjoin_nearest_grid,
+        "spatial_hourly": q_spatial_hourly,
         "stream_funnel": q_stream_funnel,
-        # -- r7-green block --
-        "bm25_batch_stored": q_bm25_batch_stored,
-        "badword_filter": q_badword_filter,
-        "shards_roundtrip": q_shards_roundtrip,
-        "decontam_spans": q_decontam_spans,
-        "spatial_shuffle": q_spatial_shuffle,
-        "code_quality": q_code_quality,
-        "sjoin_cobucket": q_sjoin_cobucket,
-        "sjoin_cobucket_dwithin": q_sjoin_cobucket_dwithin,
-        "semantic_dedup_keep": q_semantic_dedup_keep,
-        "quality_classifier_join": q_quality_classifier_join,
-        "index_dedup": q_index_dedup,
-        "spatial_bucketed": q_spatial_bucketed,
-        "sjoin_nearest_cobucket": q_sjoin_nearest_cobucket,
-        "connected_components": q_connected_components,
-        "lm_quality": q_lm_quality,
-        "bm25_batch": q_bm25_batch,
-        "media_manifest": q_media_manifest,
-        "image_resize": q_image_resize,
+        "tfidf_top": q_tfidf_top,
+        "topk_parts": q_topk_parts,
+        "vocab_top": q_vocab_top,
+        # 36-50: oldest r7-green block, alphabetical (policy 1c).
+        #   NOTE: the r10 skip left 73 stale entries + 10 changed
+        #   for 50 slots — the 35 r7 entries below the window stay
+        #   age-4 this round (recorded, un-clearable backlog) and
+        #   lead the r12 window; see scripts/make_window.py
         "ann_ivf_pq": q_ann_ivf_pq,
         "ann_pq": q_ann_pq,
-        "shapefile_roundtrip": q_shapefile_roundtrip,
-        "split_holdout": q_split_holdout,
-        "running_totals": q_running_totals,
-        "to_lambert": q_to_lambert,
-        "to_albers": q_to_albers,
-        "crs_roundtrip": q_crs_roundtrip,
-        "overlay_inter": q_overlay_inter,
-        "overlay_diff": q_overlay_diff,
-        "sjoin_dwithin": q_sjoin_dwithin,
-        "hash_sample": q_hash_sample,
-        "pack_docs": q_pack_docs,
         "asof_clicks": q_asof_clicks,
-        "interval_clicks": q_interval_clicks,
-        "length_percentiles": q_length_percentiles,
-        "to_projstring": q_to_projstring,
-        "pq_codes": q_pq_codes,
-        "overlay_lines": q_overlay_lines,
-        "stream_geofence": q_stream_geofence,
-        "sql_union_agg": q_sql_union_agg,
-        "geoarrow_roundtrip": q_geoarrow_roundtrip,
-        "sql_geom_fns": q_sql_geom_fns,
-        "line_overlap": q_line_overlap,
-        "sliding_windows": q_sliding_windows,
-        "contamination": q_contamination,
-        "mh_jaccard_est": q_mh_jaccard_est,
-        "dissolve_union_area": q_dissolve_union_area,
-        "union_all_area": q_union_all_area,
-        "setops_concave_area": q_setops_concave_area,
+        "badword_filter": q_badword_filter,
+        "bm25_batch": q_bm25_batch,
+        "bm25_batch_stored": q_bm25_batch_stored,
         "clip_concave_lines": q_clip_concave_lines,
         "clip_concave_polys": q_clip_concave_polys,
-        # -- r8-green tail (attested in CORRECTNESS_r08) --
-        "overlay_cobucket": q_overlay_cobucket,
-        "compact_index_dedup": q_compact_index_dedup,
-        "stream_index_bm25": q_stream_index_bm25,
-        "url_dedup": q_url_dedup,
-        "media_dedup": q_media_dedup,
-        "sjoin_nearest_cobucket_k3": q_sjoin_nearest_cobucket_k3,
-        "stream_ingest_neardup": q_stream_ingest_neardup,
-        "sjoin_cobucket_anti": q_sjoin_cobucket_anti,
-        "exact_index_dedup": q_exact_index_dedup,
-        "weighted_sample": q_weighted_sample,
-        "leak_safe_split": q_leak_safe_split,
-        "clean_text": q_clean_text,
-        "stream_ingest_dedup": q_stream_ingest_dedup,
-        "buffer_l_area": q_buffer_l_area,
-        "top_bigram": q_top_bigram,
-        "stream_dedup": q_stream_dedup,
-        "cluster_dedup": q_cluster_dedup,
-        "stream_funnel_left": q_stream_funnel_left,
-        "gpx_roundtrip": q_gpx_roundtrip,
-        "kml_roundtrip": q_kml_roundtrip,
-        "source_cap": q_source_cap,
-        "semantic_dedup": q_semantic_dedup,
-        "gml_roundtrip": q_gml_roundtrip,
+        "code_quality": q_code_quality,
+        "connected_components": q_connected_components,
+        "contamination": q_contamination,
+        "crs_roundtrip": q_crs_roundtrip,
+        "decontam_spans": q_decontam_spans,
+        "dissolve_union_area": q_dissolve_union_area,
+        "geoarrow_roundtrip": q_geoarrow_roundtrip,
+        # ---- below the window: (last-green asc, name) — the r12
+        #   rotation order is the head of this list ----
+        "hash_sample": q_hash_sample,
+        "image_resize": q_image_resize,
+        "index_dedup": q_index_dedup,
+        "interval_clicks": q_interval_clicks,
+        "length_percentiles": q_length_percentiles,
+        "line_overlap": q_line_overlap,
+        "lm_quality": q_lm_quality,
+        "media_manifest": q_media_manifest,
+        "mh_jaccard_est": q_mh_jaccard_est,
+        "overlay_diff": q_overlay_diff,
+        "overlay_inter": q_overlay_inter,
+        "overlay_lines": q_overlay_lines,
+        "pack_docs": q_pack_docs,
+        "pq_codes": q_pq_codes,
+        "quality_classifier_join": q_quality_classifier_join,
+        "running_totals": q_running_totals,
+        "semantic_dedup_keep": q_semantic_dedup_keep,
+        "setops_concave_area": q_setops_concave_area,
+        "shapefile_roundtrip": q_shapefile_roundtrip,
+        "shards_roundtrip": q_shards_roundtrip,
+        "sjoin_cobucket": q_sjoin_cobucket,
+        "sjoin_cobucket_dwithin": q_sjoin_cobucket_dwithin,
+        "sjoin_dwithin": q_sjoin_dwithin,
+        "sjoin_nearest_cobucket": q_sjoin_nearest_cobucket,
+        "sliding_windows": q_sliding_windows,
+        "spatial_bucketed": q_spatial_bucketed,
+        "spatial_shuffle": q_spatial_shuffle,
+        "split_holdout": q_split_holdout,
+        "sql_geom_fns": q_sql_geom_fns,
+        "sql_union_agg": q_sql_union_agg,
+        "stream_geofence": q_stream_geofence,
+        "to_albers": q_to_albers,
+        "to_lambert": q_to_lambert,
+        "to_projstring": q_to_projstring,
+        "union_all_area": q_union_all_area,
         "asof_nearest": q_asof_nearest,
-        "interval_left": q_interval_left,
-        "stream_funnel3": q_stream_funnel3,
-        "stream_funnel3_left": q_stream_funnel3_left,
         "asof_tolerance": q_asof_tolerance,
-        "fillna_isna": q_fillna_isna,
-        "region_dissolve": q_region_dissolve,
-        "rollup_revenue": q_rollup_revenue,
-        "concat_bounds": q_concat_bounds,
-        "cx_bbox_filter": q_cx_bbox_filter,
-        "total_bounds": q_total_bounds,
-        "point_distance": q_point_distance,
         "box_area_by_priority": q_box_area_by_priority,
-        "sjoin_points_in_boxes": q_sjoin_points_in_boxes,
-        "sjoin_grid": q_sjoin_grid,
-        "sjoin_box_overlaps": q_sjoin_box_overlaps,
-        "sjoin_box_touches": q_sjoin_box_touches,
-        "sjoin_nearest": q_sjoin_nearest,
-        "sjoin_anti": q_sjoin_anti,
-        "dissolve_centroid": q_dissolve_centroid,
-        "clip_count": q_clip_count,
-        "clip_concave": q_clip_concave,
-        "translate_avg": q_translate_avg,
-        "buffer_envelope_area": q_buffer_envelope_area,
         "box_relations": q_box_relations,
         "box_setops_area": q_box_setops_area,
+        "buffer_envelope_area": q_buffer_envelope_area,
+        "buffer_l_area": q_buffer_l_area,
+        "clean_text": q_clean_text,
+        "clip_concave": q_clip_concave,
+        "clip_count": q_clip_count,
+        "cluster_dedup": q_cluster_dedup,
+        "concat_bounds": q_concat_bounds,
+        "cx_bbox_filter": q_cx_bbox_filter,
+        "dissolve_centroid": q_dissolve_centroid,
+        "exact_index_dedup": q_exact_index_dedup,
+        "fillna_isna": q_fillna_isna,
+        "gml_roundtrip": q_gml_roundtrip,
+        "gpx_roundtrip": q_gpx_roundtrip,
+        "interval_left": q_interval_left,
+        "kml_roundtrip": q_kml_roundtrip,
+        "leak_safe_split": q_leak_safe_split,
         "line_cross": q_line_cross,
+        "overlay_cobucket": q_overlay_cobucket,
+        "point_distance": q_point_distance,
+        "region_dissolve": q_region_dissolve,
+        "rollup_revenue": q_rollup_revenue,
+        "semantic_dedup": q_semantic_dedup,
+        "sjoin_anti": q_sjoin_anti,
+        "sjoin_box_overlaps": q_sjoin_box_overlaps,
+        "sjoin_box_touches": q_sjoin_box_touches,
+        "sjoin_cobucket_anti": q_sjoin_cobucket_anti,
+        "sjoin_grid": q_sjoin_grid,
+        "sjoin_nearest": q_sjoin_nearest,
+        "sjoin_nearest_cobucket_k3": q_sjoin_nearest_cobucket_k3,
+        "sjoin_points_in_boxes": q_sjoin_points_in_boxes,
+        "source_cap": q_source_cap,
+        "stream_dedup": q_stream_dedup,
+        "stream_funnel3": q_stream_funnel3,
+        "stream_funnel3_left": q_stream_funnel3_left,
+        "stream_funnel_left": q_stream_funnel_left,
+        "top_bigram": q_top_bigram,
+        "total_bounds": q_total_bounds,
+        "translate_avg": q_translate_avg,
+        "url_dedup": q_url_dedup,
+        "weighted_sample": q_weighted_sample,
+        "ann_ivf": q_ann_ivf,
+        "bm25_stored": q_bm25_stored,
+        "convex_hull_area": q_convex_hull_area,
+        "doc_chunks": q_doc_chunks,
+        "doc_line_dedup": q_doc_line_dedup,
+        "dup_spans": q_dup_spans,
+        "equals_exact": q_equals_exact,
+        "exact_dedup": q_exact_dedup,
+        "explode_parts": q_explode_parts,
+        "feather_roundtrip": q_feather_roundtrip,
+        "fingerprint_dups": q_fingerprint_dups,
+        "geohash_cells": q_geohash_cells,
+        "geom_properties": q_geom_properties,
+        "geoparquet_roundtrip": q_geoparquet_roundtrip,
+        "hilbert_buckets": q_hilbert_buckets,
+        "interiors": q_interiors,
+        "knn_graph_probe": q_knn_graph_probe,
+        "lang_quality": q_lang_quality,
+        "line_dedup": q_line_dedup,
+        "line_interpolate": q_line_interpolate,
+        "line_project": q_line_project,
+        "lsh_dedup": q_lsh_dedup,
+        "lsh_dedup_fixpoint": q_lsh_dedup_fixpoint,
+        "lsh_pairs": q_lsh_pairs,
+        "minhash_sigs": q_minhash_sigs,
+        "morton_buckets": q_morton_buckets,
+        "overlay_cobucket_stored": q_overlay_cobucket_stored,
+        "pii_redact": q_pii_redact,
+        "points_z": q_points_z,
+        "quality_classifier": q_quality_classifier,
+        "quality_signals": q_quality_signals,
+        "rotate_scale": q_rotate_scale,
+        "semantic_dedup_pq": q_semantic_dedup_pq,
+        "semantic_dedup_probe": q_semantic_dedup_probe,
+        "simplify_lines": q_simplify_lines,
+        "skew_avg": q_skew_avg,
+        "source_mix": q_source_mix,
+        "span_removal": q_span_removal,
+        "spatial_bucketed_append": q_spatial_bucketed_append,
+        "sql_surface": q_sql_surface,
+        "stream_hourly": q_stream_hourly,
+        "to_mercator": q_to_mercator,
+        "to_utm": q_to_utm,
+        "token_stats": q_token_stats,
+        "union_all_bounds": q_union_all_bounds,
     }
 
 
@@ -6262,7 +6377,43 @@ def _oracle_sql_base() -> dict[str, str]:
                CAST(20 + (20+k)*(10+k)*3 AS BIGINT) AS n_bytes
         FROM g
     """
+    # WARC round-trip: every column recomputed from the construction;
+    # the payload must round-trip byte-exactly through the container
+    # (content_length = UTF-8 byte length of the text)
+    warc_roundtrip = """
+        SELECT 'https://crawl.test/doc-' || CAST(doc_id AS VARCHAR)
+                   AS url,
+               'conversion' AS rec_type,
+               'text/plain' AS content_type,
+               CAST(octet_length(encode(text)) AS BIGINT)
+                   AS content_length,
+               text AS text_out
+        FROM documents WHERE text IS NOT NULL
+    """
+    # WARC pipeline: exact-dup groups recomputed from the leader
+    # construction — escape -> extract roundtrips the body modulo the
+    # shared whitespace collapse (html_ct), and the canonical url is a
+    # pure function of the leader (case, :80, utm, fragment all wash)
+    warc_pipeline = f"""
+        WITH d AS (SELECT doc_id, text FROM documents
+                   WHERE text IS NOT NULL),
+        j AS (SELECT d.doc_id, l.doc_id AS leader, l.text AS ltext
+              FROM d JOIN d l ON l.doc_id = d.doc_id - d.doc_id % 4),
+        x AS (SELECT leader,
+                     'http://crawl.test/doc-'
+                         || CAST(leader AS VARCHAR) AS curl,
+                     {html_ct.replace('text', 'ltext')} AS ct
+              FROM j)
+        SELECT md5(ct) AS text_hash,
+               CAST(min(leader) AS BIGINT) AS keeper_id,
+               count(*) AS dup_count,
+               count(DISTINCT curl) AS n_urls,
+               min(curl) AS first_url
+        FROM x GROUP BY md5(ct)
+    """
     return {
+        "warc_roundtrip": warc_roundtrip,
+        "warc_pipeline": warc_pipeline,
         "html_extract": html_extract,
         "html_blocks": html_blocks,
         "media_dhash": media_dhash_sql,

@@ -13,6 +13,7 @@ from .flatgeobuf import read_flatgeobuf, to_flatgeobuf
 from .geopackage import read_geopackage, to_geopackage
 from .geoparquet import read_parquet, to_parquet
 from .shapefile import read_shapefile, to_shapefile
+from .warc import http_response_body, payload_text, read_warc, to_warc
 
 __all__ = [
     "read_parquet",
@@ -28,4 +29,8 @@ __all__ = [
     "to_flatgeobuf",
     "write_spatial_bucketed",
     "read_spatial_bucketed",
+    "read_warc",
+    "to_warc",
+    "http_response_body",
+    "payload_text",
 ]

@@ -70,6 +70,13 @@ def read_file(spark: SparkSession, path: str, npartitions: int | None = None,
     work in this environment, ``columns=`` pruning included."""
     from ..core import GeoDataFrame
 
+    # WARC/WET crawl containers are not OGR formats at all — route
+    # unconditionally (GDAL has no driver for them either)
+    if path.lower().endswith((".warc", ".wet", ".warc.gz", ".wet.gz")):
+        from .warc import read_warc
+
+        return read_warc(spark, path)
+
     if read_info is _default_read_info:
         try:
             import pyogrio  # noqa: F401

@@ -1,0 +1,220 @@
+"""WARC / WET container source & sink (sources/warc.py) — the crawl
+front door: range-owned parallel reads of plain and member-per-record
+gzip files, the `to_warc` sink, and the two native payload helpers.
+
+The load-bearing properties pinned here:
+* chunked == whole: every record is owned by exactly ONE task for any
+  chunk_bytes, including boundaries landing mid-record / mid-member;
+* gz == plain: the two container forms parse to identical rows;
+* hand-written spec-shaped bytes (multi-record members, stray bytes,
+  extra headers) parse the same as the sink's output.
+"""
+
+import glob
+import gzip
+import os
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_geopandas_spark.sources.warc import (http_response_body,
+                                               payload_text, read_warc,
+                                               to_warc)
+
+
+def _record(rec_type, url, payload: bytes, extra=()):
+    hdr = [b"WARC/1.0", b"WARC-Type: " + rec_type.encode()]
+    if url:
+        hdr.append(b"WARC-Target-URI: " + url.encode())
+    hdr.append(b"WARC-Date: 2026-01-01T00:00:00Z")
+    for k, v in extra:
+        hdr.append(k.encode() + b": " + v.encode())
+    hdr.append(b"Content-Length: " + str(len(payload)).encode())
+    return b"\r\n".join(hdr) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def _gz_member(rec: bytes) -> bytes:
+    c = zlib.compressobj(6, zlib.DEFLATED, 31)
+    return c.compress(rec) + c.flush()
+
+
+def _rows(df):
+    return sorted(
+        (r["rec_type"], r["url"], r["content_length"],
+         None if r["payload"] is None else bytes(r["payload"]))
+        for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """50 conversion records with size-skewed payloads, written as
+    plain .warc and member-per-record .warc.gz by hand (NOT via the
+    sink — the reader must parse spec bytes, not its own dialect)."""
+    base = tmp_path_factory.mktemp("warc")
+    recs = [
+        _record("conversion", f"https://ex{i}.com/p",
+                (f"text {i} " * (1 + (i * 37) % 40)).encode())
+        for i in range(50)
+    ]
+    with open(base / "a.warc", "wb") as f:
+        f.write(b"".join(recs))
+    with open(base / "a.warc.gz", "wb") as f:
+        f.write(b"".join(_gz_member(r) for r in recs))
+    return str(base), recs
+
+
+class TestRoundtrip:
+    def test_gz_equals_plain_equals_chunked(self, spark, corpus):
+        base, recs = corpus
+        whole = _rows(read_warc(spark, base + "/a.warc",
+                                chunk_bytes=None))
+        assert len(whole) == 50
+        assert whole[0][0] == "conversion"
+        # every payload byte-exact
+        got = {u: p for _, u, _, p in whole}
+        assert got["https://ex7.com/p"] == \
+            ("text 7 " * (1 + (7 * 37) % 40)).encode()
+        for df in (read_warc(spark, base + "/a.warc"),
+                   read_warc(spark, base + "/a.warc", chunk_bytes=211),
+                   read_warc(spark, base + "/a.warc.gz"),
+                   read_warc(spark, base + "/a.warc.gz",
+                             chunk_bytes=173)):
+            assert _rows(df) == whole
+
+    def test_boundary_straddling_records_owned_once(self, spark,
+                                                    tmp_path):
+        """chunk_bytes far smaller than one record: every boundary
+        lands mid-record/mid-member, so each task must chain into its
+        neighbour's range for the tail of ITS records and emit
+        nothing for heads it does not own."""
+        recs = [_record("conversion", f"https://big{i}.com",
+                        bytes([65 + i]) * 5000) for i in range(8)]
+        with open(tmp_path / "b.warc", "wb") as f:
+            f.write(b"".join(recs))
+        with open(tmp_path / "b.warc.gz", "wb") as f:
+            f.write(b"".join(_gz_member(r) for r in recs))
+        for fn in ("b.warc", "b.warc.gz"):
+            rows = _rows(read_warc(spark, str(tmp_path / fn),
+                                   chunk_bytes=900))
+            assert [u for _, u, _, _ in rows] == \
+                sorted(f"https://big{i}.com" for i in range(8)), fn
+            assert all(cl == 5000 for _, _, cl, _ in rows)
+
+    def test_solid_single_member_gz_degrades_to_one_owner(
+            self, spark, tmp_path):
+        """A .gz compressed as ONE member (gzip of the whole file):
+        only the task owning offset 0 finds a boundary; the rest must
+        emit nothing — records appear exactly once."""
+        recs = [_record("conversion", f"https://s{i}.com",
+                        (f"solid {i} " * 30).encode()) for i in range(12)]
+        with open(tmp_path / "solid.warc.gz", "wb") as f:
+            f.write(gzip.compress(b"".join(recs), mtime=0))
+        rows = _rows(read_warc(spark, str(tmp_path / "solid.warc.gz"),
+                               chunk_bytes=300))
+        assert [u for _, u, _, _ in rows] == \
+            sorted(f"https://s{i}.com" for i in range(12))
+
+    def test_multi_record_member_and_stray_bytes(self, spark,
+                                                 tmp_path):
+        """One member holding THREE records (non-CC but spec-legal)
+        plus stray padding between members: parse-through +
+        re-alignment."""
+        tri = _gz_member(b"".join(
+            _record("metadata", f"https://m{i}.com", b"x" * 10)
+            for i in range(3)))
+        single = _gz_member(_record("conversion", "https://one.com",
+                                    b"payload!"))
+        with open(tmp_path / "m.warc.gz", "wb") as f:
+            f.write(tri + b"\x00\x00junk" + single)
+        rows = _rows(read_warc(spark, str(tmp_path / "m.warc.gz")))
+        assert [u for _, u, _, _ in rows] == \
+            ["https://one.com", "https://m0.com", "https://m1.com",
+             "https://m2.com"]  # _rows sorts by rec_type first
+
+    def test_sink_roundtrip_and_read_file_routing(self, spark,
+                                                  tmp_path):
+        from dask_geopandas_spark.sources.file import read_file
+
+        rows = [(i, f"https://w{i}.com/p", f"body {i}") for i in
+                range(20)]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, url string, payload string")
+        to_warc(df, str(tmp_path / "wet"), rec_type="conversion",
+                content_type="text/plain")
+        files = glob.glob(str(tmp_path / "wet" / "*.warc.gz"))
+        assert files  # member-per-record gz is the default form
+        # raw bytes really are member-per-record (N member magics)
+        raw = open(files[0], "rb").read()
+        assert not raw.startswith(b"WARC/")  # compressed
+        out = read_warc(spark, str(tmp_path / "wet"))
+        got = sorted((r["url"], bytes(r["payload"]).decode(),
+                      r["content_type"]) for r in out.collect())
+        assert got == sorted((u, p, "text/plain") for _, u, p in rows)
+        # read_file routes *.wet.gz / *.warc.gz to read_warc
+        os.rename(files[0], files[0].replace(".warc.gz", ".wet.gz"))
+        for f in glob.glob(str(tmp_path / "wet" / "*.warc.gz")):
+            os.rename(f, f.replace(".warc.gz", ".wet.gz"))
+        routed = read_file(spark, str(tmp_path / "wet") + "/*.wet.gz")
+        assert routed.count() == 20
+        assert "payload" in routed.columns
+
+
+class TestOptions:
+    def test_records_filter_and_payload_off(self, spark, tmp_path):
+        recs = [_record("warcinfo", None, b"software: test"),
+                _record("request", "https://q.com", b"GET / HTTP/1.1"),
+                _record("response", "https://q.com",
+                        b"HTTP/1.1 200 OK\r\nX: y\r\n\r\n<html>Q</html>"),
+                _record("conversion", "https://q.com", b"Q text")]
+        with open(tmp_path / "mix.warc.gz", "wb") as f:
+            f.write(b"".join(_gz_member(r) for r in recs))
+        p = str(tmp_path / "mix.warc.gz")
+        assert read_warc(spark, p).count() == 4
+        resp = read_warc(spark, p, records="response").collect()
+        assert len(resp) == 1 and resp[0]["rec_type"] == "response"
+        two = read_warc(spark, p, records=("response", "conversion"))
+        assert two.count() == 2
+        # payload=False: headers only; content_length still real
+        meta = read_warc(spark, p, payload=False,
+                         records="response").head()
+        assert meta["payload"] is None
+        assert meta["content_length"] == len(recs[2].split(
+            b"\r\n\r\n", 1)[1]) - 4  # minus the record separator
+
+    def test_http_response_body_and_payload_text(self, spark):
+        # non-UTF8 body bytes must round-trip (latin-1 1:1 map)
+        body = bytes(range(256))
+        pay = b"HTTP/1.1 200 OK\r\nContent-Type: a\r\n\r\n" + body
+        df = spark.createDataFrame([(1, pay), (2, b"no separator"),
+                                    (3, None)],
+                                   "id long, payload binary")
+        got = {r["id"]: r["b"] for r in df.select(
+            "id", http_response_body(F.col("payload")).alias("b"))
+            .collect()}
+        assert bytes(got[1]) == body
+        assert bytes(got[2]) == b"no separator"
+        assert got[3] is None
+        tdf = spark.createDataFrame([(1, "héllo".encode("utf-8"))],
+                                    "id long, payload binary")
+        assert tdf.select(payload_text(F.col("payload")).alias("t")) \
+            .head()["t"] == "héllo"
+
+    def test_offsets_are_random_access_keys(self, spark, corpus):
+        """record_offset in the .gz form = the member's compressed
+        start: gzip-decompressing the file from that offset must
+        yield exactly that record."""
+        base, recs = corpus
+        rows = read_warc(spark, base + "/a.warc.gz").collect()
+        raw = open(base + "/a.warc.gz", "rb").read()
+        r = next(x for x in rows if x["url"] == "https://ex3.com/p")
+        d = zlib.decompressobj(31)
+        member = d.decompress(raw[r["record_offset"]:])
+        assert member == _record("conversion", "https://ex3.com/p",
+                                 bytes(r["payload"]))
+
+    def test_empty_and_missing(self, spark, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            read_warc(spark, str(tmp_path / "nope") + "/*.warc")
+        (tmp_path / "z.warc").write_bytes(b"")
+        assert read_warc(spark, str(tmp_path / "z.warc")).count() == 0
