@@ -120,6 +120,9 @@ BENCH_QUERIES = [
     "stream_ingest_vectors",
     "spatial_bucketed_append",
     "overlay_cobucket_stored",
+    # round-11 additions
+    "warc_roundtrip",
+    "warc_pipeline",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE
@@ -205,14 +208,34 @@ def main():
     state = {k: v for k, v in
              getattr(E, "STREAM_STATE_PARTITIONS", {}).items()
              if k in timings}
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # The driver records only the LAST 2000 chars of stdout; a
+    # 97-query map cannot fit that window even at 1 decimal (names +
+    # JSON syntax alone exceed it), so the COMPLETE record — full
+    # 3-decimal timings + state_partitions — goes to BENCH_FULL.json
+    # in the repo (the durable per-round record; r9/r10 verdicts'
+    # tail-truncation finding).  The stdout line keeps the driver
+    # contract with 2-decimal values, compact separators, and
+    # "queries" LAST so the tail's front-cut eats the wrapper keys,
+    # not query rows (r10 lost the first ~8 queries).
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+        json.dump({
+            "metric": "bench_total_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "state_partitions": state,
+            "sf": sf_val,
+        }, f, indent=1)
     print(json.dumps({
         "metric": "bench_total_wall_sec",
-        "value": total,
+        "value": round(total, 2),
         "unit": "sec",
-        "queries": timings,
-        "state_partitions": state,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+        "sf": sf_val,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "full": "BENCH_FULL.json",  # last key: survives any tail cut
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -148,24 +148,37 @@ def _clean_fragment(c: Column) -> Column:
     then ``&amp;``) + whitespace collapse + trim — the per-block text
     normalization.
 
-    The numeric-ref decode runs behind a ``contains('&#')`` guard:
-    ref-free blocks — the overwhelming majority in real crawl HTML —
-    skip the split/regexp_extract_all/zip_with chain entirely.  The
-    guard is output-invariant (on a ref-free string the chain is the
-    identity: one segment, zero refs — pytest-pinned guard-on ==
-    guard-off), purely a constant-factor cost fix: the unguarded
-    chain cost every block ~3x at r10.  Known accepted edge:
-    ``&#38;amp;`` numeric-decodes to the literal text ``&amp;`` and
-    the final ``&amp;`` replace then yields ``&`` — one decode level
-    deeper than a spec-conforming single pass.  Only ``&#38;`` /
-    ``&#x26;`` immediately followed by ``amp;`` is affected
-    (``&#38;lt;`` et al. are safe: named entities run first)."""
-    c = _strip_inline(c)
-    for a, b in _ENTITIES:
-        c = F.replace(c, F.lit(a), F.lit(b))
-    c = F.when(c.contains("&#"), _decode_numeric_refs(c)).otherwise(c)
-    c = F.replace(c, F.lit("&amp;"), F.lit("&"))
-    return F.trim(F.regexp_replace(c, _WS + "+", " "))
+    The numeric-ref decode runs behind a ``contains('&#')`` guard on
+    the RAW fragment: ref-free blocks — the overwhelming majority in
+    real crawl HTML — take a branch with no decode chain at all (the
+    r9-shape chain).  Testing the raw bytes is sound because no
+    ``_ENTITIES`` replacement output ends in ``&``, so the replaces
+    can never CREATE a ``&#`` that was not in the raw fragment; a
+    false positive (``&#`` inside a tag attribute, or not followed by
+    a valid reference) just takes the decode branch, where the chain
+    is the identity on ref-less text.  Hoisting the guard OUTSIDE the
+    whole chain matters: a mid-chain ``when(contains(...))`` re-runs
+    the replace chain for the condition AND the taken branch (HOF
+    expressions are interpreted, no common-subexpression reuse) —
+    measured barely better than unconditional decode; the hoisted
+    form is output-invariant (pytest-pinned guard-on == guard-off).
+    Known accepted edge: ``&#38;amp;`` numeric-decodes to the literal
+    text ``&amp;`` and the final ``&amp;`` replace then yields ``&``
+    — one decode level deeper than a spec-conforming single pass.
+    Only ``&#38;`` / ``&#x26;`` immediately followed by ``amp;`` is
+    affected (``&#38;lt;`` et al. are safe: named entities run
+    first)."""
+    def chain(x: Column, decode: bool) -> Column:
+        x = _strip_inline(x)
+        for a, b in _ENTITIES:
+            x = F.replace(x, F.lit(a), F.lit(b))
+        if decode:
+            x = _decode_numeric_refs(x)
+        x = F.replace(x, F.lit("&amp;"), F.lit("&"))
+        return F.trim(F.regexp_replace(x, _WS + "+", " "))
+
+    return F.when(c.contains("&#"), chain(c, True)) \
+        .otherwise(chain(c, False))
 
 
 def html_blocks(html: Column) -> Column:
