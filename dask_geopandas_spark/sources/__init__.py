@@ -13,7 +13,8 @@ from .flatgeobuf import read_flatgeobuf, to_flatgeobuf
 from .geopackage import read_geopackage, to_geopackage
 from .geoparquet import read_parquet, to_parquet
 from .shapefile import read_shapefile, to_shapefile
-from .warc import http_response_body, payload_text, read_warc, to_warc
+from .warc import (http_response_body, payload_text, read_warc,
+                   read_warc_records, to_warc)
 
 __all__ = [
     "read_parquet",
@@ -30,6 +31,7 @@ __all__ = [
     "write_spatial_bucketed",
     "read_spatial_bucketed",
     "read_warc",
+    "read_warc_records",
     "to_warc",
     "http_response_body",
     "payload_text",

@@ -130,6 +130,25 @@ def list_files(path: str, suffixes: tuple = (".parquet",),
     return sorted(_with_scheme(path, f) for f in out)
 
 
+def list_files_with_sizes(path: str, suffixes: tuple = (),
+                          filesystem=None) -> list[tuple[str, int]]:
+    """Like `list_files` but returns (uri, size) pairs from the SAME
+    single LIST call — part-list builders over many-file datasets
+    (a Common Crawl segment is ~80k files) must not follow a listing
+    with one stat call per file."""
+    from pyarrow import fs as pafs
+
+    fs, p = resolve_fs(path, filesystem)
+    info = fs.get_file_info(p)
+    if info.type == pafs.FileType.File:
+        return [(path, int(info.size))]
+    sel = pafs.FileSelector(p, recursive=True, allow_not_found=True)
+    out = [(i.path, int(i.size)) for i in fs.get_file_info(sel)
+           if i.type == pafs.FileType.File
+           and (not suffixes or i.path.endswith(suffixes))]
+    return sorted((_with_scheme(path, f), s) for f, s in out)
+
+
 def read_parquet_footer_schema(fpath: str, filesystem=None):
     """Arrow schema (with metadata) from one parquet footer — a ranged
     read of the footer bytes only, never the data pages."""

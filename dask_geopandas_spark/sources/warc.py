@@ -329,18 +329,18 @@ def _iter_gz(win: _Window, start: int, end: int | None, file_name: str,
 
 
 def _list_warc(path: str, filesystem=None) -> list:
+    """(uri, size) pairs — sizes come from the SAME listing call, one
+    LIST for a whole directory (a CC segment is ~80k files; a listing
+    followed by one stat per file would cost minutes of serial
+    driver-side round-trips before the first task launches)."""
     suf = (".warc", ".wet", ".warc.gz", ".wet.gz")
-    if filesystem is not None or FS.has_scheme(path):
-        if FS.is_dir(path, filesystem):
-            return FS.list_files(path, suffixes=suf,
-                                 filesystem=filesystem)
-        return [path]
-    if os.path.isdir(path):
-        return sorted(f for s in suf
-                      for f in glob.glob(os.path.join(path, "*" + s)))
+    if filesystem is not None or FS.has_scheme(path) \
+            or os.path.isdir(path):
+        return FS.list_files_with_sizes(path, suffixes=suf,
+                                        filesystem=filesystem)
     if any(c in path for c in "*?["):
-        return sorted(glob.glob(path))
-    return [path]
+        return [(f, os.path.getsize(f)) for f in sorted(glob.glob(path))]
+    return [(path, os.path.getsize(path))]
 
 
 def read_warc(spark: SparkSession, path: str,
@@ -379,9 +379,7 @@ def read_warc(spark: SparkSession, path: str,
         rec_filter = set(records)
 
     parts = []
-    for fp in files:
-        fsys, p = FS.resolve_fs(fp, filesystem)
-        size = int(fsys.get_file_info(p).size)
+    for fp, size in files:
         if size == 0:
             continue
         gz = fp.lower().endswith(".gz")
@@ -418,6 +416,71 @@ def read_warc(spark: SparkSession, path: str,
                     yield pd.DataFrame(rows, columns=fnames)
 
     return part_df.mapInPandas(read_part, schema=_SCHEMA)
+
+
+def read_warc_records(locations: DataFrame, payload: bool = True,
+                      filesystem=None) -> DataFrame:
+    """Random-access fetch of SPECIFIC records — the selective-refetch
+    shape a CDX-style index enables at 100 TB: build the index once
+    with ``read_warc(path, payload=False)`` (headers + offsets only),
+    store it as parquet keyed however the lookups come (url host,
+    digest, ...), join the wanted keys against it, and feed the
+    resulting (warc_file, record_offset) frame here — only the
+    matched members are ever decompressed, not the crawl.
+
+    ``locations`` needs (warc_file, record_offset) columns —
+    `read_warc`'s own output qualifies.  Offsets are the values
+    `read_warc` reported: a gzip member's compressed start (.gz — the
+    member's records are returned) or a record head (plain).  Rows
+    whose offset does not validate as a record/member are DROPPED
+    (fetch what the index promised; validate the index, not the
+    fetch).  Partitioning is the caller's (an index join's output is
+    already spread); rows are sorted per partition so same-file
+    fetches share one open handle and read roughly forward."""
+    want_payload = bool(payload)
+    locs = locations.select("warc_file", "record_offset") \
+        .sortWithinPartitions("warc_file", "record_offset")
+    fnames = [fld.name for fld in _SCHEMA.fields]
+
+    def fetch(batches):
+        for pdf in batches:
+            rows = []
+            cur, fh = None, None
+            try:
+                for fp, off in zip(pdf["warc_file"],
+                                   pdf["record_offset"]):
+                    off = int(off)
+                    if fp != cur:
+                        if fh is not None:
+                            fh.close()
+                        fh = FS.open_input(fp, filesystem)
+                        cur = fp
+                    win = _Window(fh, off)
+                    if fp.lower().endswith(".gz"):
+                        m = _inflate_gz_member(win, 0)
+                        if m is None:
+                            continue
+                        rows.extend(_iter_records_in(
+                            m[0], fp, off, want_payload))
+                    else:
+                        win.ensure(_MAX_HEADER)
+                        h = _parse_header(win.buf, 0)
+                        if h is None:
+                            continue
+                        headers, pstart, clen = h
+                        win.ensure(pstart + clen)
+                        pay = win.buf[pstart:pstart + clen]
+                        if len(pay) < clen:
+                            continue
+                        rows.append(_record_row(headers, pay, fp, off,
+                                                want_payload))
+            finally:
+                if fh is not None:
+                    fh.close()
+            if rows:
+                yield pd.DataFrame(rows, columns=fnames)
+
+    return locs.mapInPandas(fetch, schema=_SCHEMA)
 
 
 def to_warc(df: DataFrame, path: str, payload_col: str = "payload",

@@ -213,6 +213,35 @@ class TestOptions:
         assert member == _record("conversion", "https://ex3.com/p",
                                  bytes(r["payload"]))
 
+    def test_read_warc_records_random_access(self, spark, corpus):
+        """The CDX-fetch shape: index the corpus payload-free, pick a
+        subset of (warc_file, record_offset) rows, fetch ONLY those —
+        payloads byte-exact, in both container forms, invalid offsets
+        dropped."""
+        from dask_geopandas_spark.sources.warc import read_warc_records
+
+        base, recs = corpus
+        for fn in ("a.warc", "a.warc.gz"):
+            idx = read_warc(spark, f"{base}/{fn}", payload=False)
+            want = idx.filter(
+                F.col("url").isin("https://ex3.com/p",
+                                  "https://ex31.com/p",
+                                  "https://ex44.com/p"))
+            got = sorted(
+                (r["url"], bytes(r["payload"]).decode())
+                for r in read_warc_records(
+                    want.select("warc_file", "record_offset"))
+                .collect())
+            assert [u for u, _ in got] == ["https://ex3.com/p",
+                                           "https://ex31.com/p",
+                                           "https://ex44.com/p"], fn
+            assert got[0][1] == "text 3 " * (1 + (3 * 37) % 40)
+            # a bogus offset is dropped, not fatal
+            bogus = spark.createDataFrame(
+                [(f"{base}/{fn}", 7)],
+                "warc_file string, record_offset long")
+            assert read_warc_records(bogus).count() == 0
+
     def test_empty_and_missing(self, spark, tmp_path):
         with pytest.raises(FileNotFoundError):
             read_warc(spark, str(tmp_path / "nope") + "/*.warc")
