@@ -3114,6 +3114,22 @@ def _html_synth(spark, sf_dir):
     return docs.select("doc_id", page.alias("html"))
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance weights (textstats.dsir_logweights, new r11 —
+    Xie et al. NeurIPS 2023): hashed-ngram log-likelihood ratio of a
+    TARGET bag model (the English documents — the classic
+    shift-the-crawl-toward-English/quality shape) vs the raw corpus's
+    own model.  Both models are fixed n_buckets-row tables that ride
+    in as broadcasts; the corpus never shuffles except the final
+    per-doc aggregation (plan-pinned in pytest).  The oracle
+    replicates the whole construction — portable md5 bucket hash,
+    add-alpha smoothing, smoothing floor for unseen buckets —
+    bit-for-bit modulo the documented sum rounding."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en").select("text")
+    return TX.dsir_logweights(docs, target, n_buckets=1024, alpha=1.0)
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC/WET container source & sink (sources/warc.py, new r11) —
     the step AHEAD of the HTML extractor in every published crawl
@@ -4055,14 +4071,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     inserted at the FRONT of the window as they land, pushing the
     window tail down into the age-compliant r6 block."""
     return {
-        # ---- r11 WINDOW (the driver attests positions 1-50) ----
-        # 1-2: never-attested r11-new (policy 1b)
+        # ---- r11 WINDOW (the driver attests positions 1-50;
+        #   order generated by scripts/make_window.py — see
+        #   tests/test_rotation.py) ----
         "warc_roundtrip": q_warc_roundtrip,
         "warc_pipeline": q_warc_pipeline,
-        # 3-12: operator-changed since last attestation (policy 1a):
-        #   r10 changes (media exact-NULL fix, compaction shuffle +
-        #   sidecar carry, streaming compact hooks) and r11 changes
-        #   (html decode guard, Hamming key cap, compaction re-sync)
+        "dsir_select": q_dsir_select,
         "media_dedup": q_media_dedup,
         "compact_index_dedup": q_compact_index_dedup,
         "stream_index_bm25": q_stream_index_bm25,
@@ -4073,8 +4087,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_blocks": q_html_blocks,
         "media_dhash": q_media_dhash,
         "media_neardup": q_media_neardup,
-        # 13-35: the r6-green staleness backlog (age 5 — the r10
-        #   rotation skip; oldest first per policy 1c)
         "ann_ivf_exact": q_ann_ivf_exact,
         "ann_topk": q_ann_topk,
         "audio_meta": q_audio_meta,
@@ -4098,11 +4110,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top": q_tfidf_top,
         "topk_parts": q_topk_parts,
         "vocab_top": q_vocab_top,
-        # 36-50: oldest r7-green block, alphabetical (policy 1c).
-        #   NOTE: the r10 skip left 73 stale entries + 10 changed
-        #   for 50 slots — the 35 r7 entries below the window stay
-        #   age-4 this round (recorded, un-clearable backlog) and
-        #   lead the r12 window; see scripts/make_window.py
         "ann_ivf_pq": q_ann_ivf_pq,
         "ann_pq": q_ann_pq,
         "asof_clicks": q_asof_clicks,
@@ -4117,9 +4124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crs_roundtrip": q_crs_roundtrip,
         "decontam_spans": q_decontam_spans,
         "dissolve_union_area": q_dissolve_union_area,
+        # ---- below the window: (last-green asc, name) — the
+        #   r12 rotation order is the head of this list ----
         "geoarrow_roundtrip": q_geoarrow_roundtrip,
-        # ---- below the window: (last-green asc, name) — the r12
-        #   rotation order is the head of this list ----
         "hash_sample": q_hash_sample,
         "image_resize": q_image_resize,
         "index_dedup": q_index_dedup,
@@ -6411,7 +6418,42 @@ def _oracle_sql_base() -> dict[str, str]:
                min(curl) AS first_url
         FROM x GROUP BY md5(ct)
     """
+    # DSIR: the whole construction replicated — portable md5 bucket,
+    # add-alpha smoothing, unseen-bucket floor == (0 + alpha) form
+    dsir_select = f"""
+        WITH toks AS (SELECT doc_id, lang,
+                             list_filter({_TOKENS}, t -> t != '') AS t
+                      FROM documents),
+        g AS (SELECT doc_id, lang,
+                     unnest(t || CASE WHEN len(t) >= 2
+                            THEN [array_to_string(t[i:i+1], ' ')
+                                  for i in range(1, len(t))]
+                            ELSE [] END) AS gram
+              FROM toks),
+        b AS (SELECT doc_id, lang,
+                     ('0x' || substr(md5(gram), 1, 15))::BIGINT % 1024
+                         AS bucket
+              FROM g),
+        cp AS (SELECT bucket, count(*) AS c FROM b WHERE lang = 'en'
+               GROUP BY bucket),
+        tp AS (SELECT count(*) AS n FROM b WHERE lang = 'en'),
+        cq AS (SELECT bucket, count(*) AS c FROM b GROUP BY bucket),
+        tq AS (SELECT count(*) AS n FROM b),
+        scored AS (
+            SELECT b.doc_id,
+                   ln((COALESCE(cp.c, 0) + 1.0) / (tp.n + 1.0 * 1024))
+                 - ln((COALESCE(cq.c, 0) + 1.0) / (tq.n + 1.0 * 1024))
+                       AS lr
+            FROM b LEFT JOIN cp USING (bucket)
+                   LEFT JOIN cq USING (bucket)
+            CROSS JOIN tp CROSS JOIN tq)
+        SELECT doc_id, count(*) AS n_grams,
+               round(sum(lr), 5) AS logweight,
+               round(avg(lr), 6) AS avg_logratio
+        FROM scored GROUP BY doc_id
+    """
     return {
+        "dsir_select": dsir_select,
         "warc_roundtrip": warc_roundtrip,
         "warc_pipeline": warc_pipeline,
         "html_extract": html_extract,

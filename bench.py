@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     # round-11 additions
     "warc_roundtrip",
     "warc_pipeline",
+    "dsir_select",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE

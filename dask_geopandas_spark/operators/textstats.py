@@ -786,6 +786,109 @@ def bm25_topk_stored(spark, path: str, query_terms: list, k: int = 10,
                             k, k1, b, id_col)
 
 
+def _dsir_grams(df, text_col: str, id_col=None):
+    """(id?, gram) rows: lowercased word unigrams + space-joined word
+    bigrams — the hashed-ngram feature set of DSIR (Xie et al. 2023).
+    One tokenizer pass; sub-2-token docs contribute unigrams only."""
+    from .dedup import shingles_of_tokens
+
+    toks = let(tokens(F.col(text_col)),
+               lambda t: F.filter(t, lambda x: x != F.lit("")))
+    grams = let(toks, lambda t: F.concat(
+        t, F.when(F.size(t) >= 2,
+                  shingles_of_tokens(t, 2)).otherwise(
+            F.array().cast("array<string>"))))
+    cols = ([F.col(id_col)] if id_col else []) \
+        + [F.explode(grams).alias("gram")]
+    return df.select(*cols)
+
+
+def _dsir_bucket_logprobs(grams, n_buckets: int, alpha: float,
+                          name: str):
+    """Hashed-ngram bag model as ONE bounded table: (bucket,
+    ln((c_b + alpha) / (N + alpha * n_buckets))) over n_buckets rows —
+    fixed size regardless of corpus size, which is DSIR's engineering
+    point: the model broadcasts, the corpus never shuffles."""
+    from .dedup import portable_hash
+
+    counts = (grams
+              .select(F.pmod(portable_hash(F.col("gram")),
+                             F.lit(int(n_buckets))).alias("bucket"))
+              .groupBy("bucket").agg(F.count("*").alias("c")))
+    total = counts.agg(F.sum("c").alias("n"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select("bucket", F.log(
+                (F.col("c") + F.lit(float(alpha)))
+                / (F.col("n") + F.lit(float(alpha) * n_buckets)))
+                .alias(name)),
+            total)
+
+
+def dsir_logweights(df, target, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    target_text_col: str | None = None,
+                    n_buckets: int = 10000, alpha: float = 1.0):
+    """DSIR importance weights (Xie et al., NeurIPS 2023 — Data
+    Selection via Importance Resampling): score each RAW document by
+    the log-likelihood ratio of its hashed n-gram features under a
+    bag-of-ngrams model of the TARGET corpus vs one of the raw corpus
+    itself — the published recipe for shifting a crawl toward a
+    high-quality target distribution (Wikipedia, books, benchmark
+    domains) without training a model.  Compose with
+    `operators/sampling.weighted_sample(weight_col=exp(logweight))`
+    or a top-fraction filter for the selection step.
+
+    Features: unigrams + word bigrams hashed into ``n_buckets`` via
+    the module's portable 60-bit md5 hash.  Models:
+    ``p_b = (c_target(b) + alpha) / (N_target + alpha * n_buckets)``
+    and ``q_b`` likewise over the raw corpus; a document scores
+    ``sum over gram occurrences of ln(p_b) - ln(q_b)``.
+
+    Distributed shape — the reason hashed DSIR works at 100 TB: both
+    models are FIXED-SIZE tables (``n_buckets`` rows) no matter the
+    corpus size, built by one map-side-combined count each, and ride
+    into the scoring pass as BROADCASTS; the corpus itself is
+    tokenized twice (count pass + scoring pass, the price of q being
+    corpus-trained) but NEVER shuffles — the only corpus-keyed
+    exchange is the per-doc aggregation of the scoring pass.  Buckets
+    unseen in a model take the smoothing floor (their ln rides in via
+    the broadcast join's COALESCE against the floor literal).
+
+    Returns (id, n_grams, logweight, avg_logratio): ``logweight``
+    rounds to 5 and ``avg_logratio`` to 6 decimals (cross-engine
+    summation order); token-less docs drop out (no features — no
+    weight)."""
+    tgt_col = target_text_col or text_col
+    p_tbl, p_tot = _dsir_bucket_logprobs(
+        _dsir_grams(target, tgt_col), n_buckets, alpha, "_lp")
+    q_tbl, q_tot = _dsir_bucket_logprobs(
+        _dsir_grams(df, text_col), n_buckets, alpha, "_lq")
+    from .dedup import portable_hash
+
+    scored = (_dsir_grams(df, text_col, id_col=id_col)
+              .select(F.col(id_col),
+                      F.pmod(portable_hash(F.col("gram")),
+                             F.lit(int(n_buckets))).alias("bucket")))
+    # smoothing floors for buckets absent from a model's count table:
+    # ln(alpha / (N + alpha * n_buckets)) — N rides in as a 1-row
+    # broadcast on each side
+    floor_p = F.log(F.lit(float(alpha))
+                    / (F.col("_np") + F.lit(float(alpha) * n_buckets)))
+    floor_q = F.log(F.lit(float(alpha))
+                    / (F.col("_nq") + F.lit(float(alpha) * n_buckets)))
+    out = (scored
+           .join(F.broadcast(p_tbl), on="bucket", how="left")
+           .join(F.broadcast(q_tbl), on="bucket", how="left")
+           .crossJoin(F.broadcast(p_tot.select(F.col("n").alias("_np"))))
+           .crossJoin(F.broadcast(q_tot.select(F.col("n").alias("_nq"))))
+           .withColumn("_lr", F.coalesce(F.col("_lp"), floor_p)
+                       - F.coalesce(F.col("_lq"), floor_q)))
+    return (out.groupBy(id_col)
+            .agg(F.count("*").alias("n_grams"),
+                 F.round(F.sum("_lr"), 5).alias("logweight"),
+                 F.round(F.avg("_lr"), 6).alias("avg_logratio")))
+
+
 def ngram_logprob(df, text_col: str = "text", id_col: str = "doc_id",
                   alpha: float = 0.1, n_salt: int = 8):
     """Per-document mean bigram log-probability under an add-alpha

@@ -1001,6 +1001,104 @@ class TestDedupLinesWithinDoc:
         assert out["n_dropped"] == 1
 
 
+class TestDsirLogweights:
+    """DSIR importance weights (Xie et al. 2023): hashed-ngram
+    log-likelihood ratio of target vs raw bag models — the published
+    model-free recipe for shifting a crawl toward a target
+    distribution."""
+
+    RAW = [(1, "the cat sat on the mat"),
+           (2, "quantum flux capacitors reverse entropy"),
+           (3, "the dog sat on the log"),
+           (4, "x"), (5, ""), (6, None)]
+    TGT = [(1, "the cat sat quietly"), (2, "the dog sat on a mat")]
+
+    @staticmethod
+    def _brute(raw, tgt, n_buckets, alpha):
+        import hashlib
+        import math
+        import re
+
+        def grams(s):
+            tk = [w for w in re.split(r"[^a-z0-9']+", s.lower().strip())
+                  if w]
+            return tk + ([" ".join(tk[i:i + 2])
+                          for i in range(len(tk) - 1)]
+                         if len(tk) >= 2 else [])
+
+        def bucket(g):
+            return int(hashlib.md5(g.encode()).hexdigest()[:15],
+                       16) % n_buckets
+
+        def model(docs):
+            c, n = {}, 0
+            for _, s in docs:
+                if not s:
+                    continue
+                for g in grams(s):
+                    c[bucket(g)] = c.get(bucket(g), 0) + 1
+                    n += 1
+            return c, n
+
+        cp, npp = model(tgt)
+        cq, nqq = model(raw)
+        out = {}
+        for i, s in raw:
+            if not s:
+                continue
+            lr, k = 0.0, 0
+            for g in grams(s):
+                b = bucket(g)
+                lr += math.log((cp.get(b, 0) + alpha)
+                               / (npp + alpha * n_buckets)) \
+                    - math.log((cq.get(b, 0) + alpha)
+                               / (nqq + alpha * n_buckets))
+                k += 1
+            out[i] = (k, round(lr, 5), round(lr / k, 6))
+        return out
+
+    def test_matches_brute_force(self, spark):
+        from dask_geopandas_spark.operators.textstats import \
+            dsir_logweights
+
+        df = spark.createDataFrame(self.RAW, "doc_id long, text string")
+        t = spark.createDataFrame(self.TGT, "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_grams"], r["logweight"],
+                             r["avg_logratio"])
+               for r in dsir_logweights(df, t, n_buckets=64,
+                                        alpha=1.0).collect()}
+        assert got == self._brute(self.RAW, self.TGT, 64, 1.0)
+        # token-less / empty / NULL docs drop out (no features)
+        assert 4 in got and 5 not in got and 6 not in got
+
+    def test_target_like_docs_score_higher(self, spark):
+        from dask_geopandas_spark.operators.textstats import \
+            dsir_logweights
+
+        df = spark.createDataFrame(self.RAW, "doc_id long, text string")
+        t = spark.createDataFrame(self.TGT, "doc_id long, text string")
+        got = {r["doc_id"]: r["avg_logratio"] for r in
+               dsir_logweights(df, t, n_buckets=4096).collect()}
+        # docs sharing target vocabulary beat the off-target doc
+        assert got[1] > got[2] and got[3] > got[2]
+
+    def test_models_broadcast_corpus_never_shuffles(self, spark):
+        """The 100-TB shape: both bucket models join as BROADCASTs;
+        the only corpus-keyed exchange is the final per-doc
+        aggregation — no SortMergeJoin anywhere."""
+        from dask_geopandas_spark.operators.textstats import \
+            dsir_logweights
+
+        df = spark.createDataFrame(self.RAW, "doc_id long, text string")
+        t = spark.createDataFrame(self.TGT, "doc_id long, text string")
+        out = dsir_logweights(df, t, n_buckets=64)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "EvalPython" not in plan  # pure native
+
+
 class TestClassifierScore:
     def test_matches_brute_force(self, spark):
         """Score == bias + mean of md5-bucketed weights, computed
