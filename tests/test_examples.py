@@ -64,3 +64,21 @@ def test_retrieval_pipeline_example(spark, sf_dir):
     rows = hits.collect()
     assert all(r["rank"] == i + 1 for i, r in enumerate(
         sorted(rows, key=lambda r: r["rank"])))
+
+
+def test_crawl_ingest_pipeline_example(spark, sf_dir):
+    import shutil
+    import sys
+    sys.path.insert(0, "examples")
+    from crawl_ingest_pipeline import run_crawl_pipeline
+
+    out, base = run_crawl_pipeline(spark, sf_dir)
+    try:
+        assert out["records"] > 0
+        # the leader construction makes every 4-group collapse
+        assert out["after_exact_dedup"] <= out["records"] / 2
+        assert out["distinct_urls"] == out["after_exact_dedup"]
+        assert 0 < out["selected"] <= out["after_exact_dedup"]
+        assert out["shards"] >= 1
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
