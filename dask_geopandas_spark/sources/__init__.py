@@ -14,7 +14,7 @@ from .geopackage import read_geopackage, to_geopackage
 from .geoparquet import read_parquet, to_parquet
 from .shapefile import read_shapefile, to_shapefile
 from .warc import (http_response_body, payload_text, read_warc,
-                   read_warc_records, to_warc)
+                   read_warc_records, streaming_read_warc, to_warc)
 
 __all__ = [
     "read_parquet",
@@ -32,6 +32,7 @@ __all__ = [
     "read_spatial_bucketed",
     "read_warc",
     "read_warc_records",
+    "streaming_read_warc",
     "to_warc",
     "http_response_body",
     "payload_text",

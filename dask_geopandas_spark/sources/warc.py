@@ -590,3 +590,67 @@ def payload_text(payload: Column, charset: str = "UTF-8") -> Column:
     door, feeding `clean_text` / dedup with zero Python past the
     container parse."""
     return F.decode(payload, charset)
+
+
+def streaming_read_warc(spark: SparkSession, path: str,
+                        payload: bool = True, records=None,
+                        max_files_per_trigger: int | None = None) -> DataFrame:
+    """STREAMING WARC source — the continuous form of `read_warc`:
+    watch a directory (or glob) for newly landed ``.warc/.wet(.gz)``
+    files via Spark's ``binaryFile`` stream source and parse each
+    file's records inside the stream, so the crash-safe ingestion
+    family (`streaming_ingest_dedup` / `streaming_ingest_neardup` /
+    `streaming_index_documents`) can start from the crawl's REAL
+    input format instead of pre-parsed rows.  Same schema and
+    ``records=`` / ``payload=`` contract as `read_warc`.
+
+    Distribution model: the binaryFile source delivers WHOLE files
+    (one row per file), so each file parses within one task and
+    parallelism comes from many files per trigger — the natural CC
+    shape (a segment is ~80k ~1 GB files).  Size executor memory for
+    one file's bytes + its largest record; for single huge files use
+    batch `read_warc`, whose chunked part list splits within a file.
+    Exactly-once bookkeeping (which FILES are new) is the stream
+    checkpoint's; record-level idempotence stays with the downstream
+    ingesters' commit markers."""
+    if records is None:
+        rec_filter = None
+    elif isinstance(records, str):
+        rec_filter = {records}
+    else:
+        rec_filter = set(records)
+    want_payload = bool(payload)
+    fnames = [fld.name for fld in _SCHEMA.fields]
+
+    reader = (spark.readStream.format("binaryFile")
+              .option("pathGlobFilter", "*.w[ae][rt]*")
+              .schema("path string, modificationTime timestamp, "
+                      "length long, content binary"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(int(max_files_per_trigger)))
+    src = reader.load(path).select("path", "content")
+
+    def parse(batches):
+        import io
+
+        for pdf in batches:
+            for pth, content in zip(pdf["path"], pdf["content"]):
+                content = bytes(content)
+                win = _Window(io.BytesIO(content), 0)
+                it = (_iter_gz if pth.lower().endswith(".gz")
+                      else _iter_plain)(win, 0, len(content), pth,
+                                        want_payload)
+                rows = []
+                for r in it:
+                    if rec_filter is not None \
+                            and r["rec_type"] not in rec_filter:
+                        continue
+                    rows.append(r)
+                    if len(rows) >= 2048:
+                        yield pd.DataFrame(rows, columns=fnames)
+                        rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=fnames)
+
+    return src.mapInPandas(parse, schema=_SCHEMA)

@@ -242,6 +242,41 @@ class TestOptions:
                 "warc_file string, record_offset long")
             assert read_warc_records(bogus).count() == 0
 
+    def test_streaming_read_warc_equals_batch(self, spark, tmp_path):
+        """The streaming source (binaryFile watch + in-stream parse)
+        must deliver exactly what batch read_warc reads — two files
+        landed, availableNow, records= honored."""
+        from dask_geopandas_spark.sources.warc import \
+            streaming_read_warc
+
+        src = tmp_path / "watch"
+        src.mkdir()
+        recs_a = [_record("conversion", f"https://sa{i}.com",
+                          (f"wet {i} " * 5).encode()) for i in range(6)]
+        recs_b = [_record("response", "https://sb.com",
+                          b"HTTP/1.1 200 OK\r\n\r\nbody"),
+                  _record("conversion", "https://sb2.com", b"more")]
+        with open(src / "f0.wet.gz", "wb") as f:
+            f.write(b"".join(_gz_member(r) for r in recs_a))
+        with open(src / "f1.warc", "wb") as f:
+            f.write(b"".join(recs_b))
+        stream = streaming_read_warc(spark, str(src),
+                                     records="conversion")
+        out = str(tmp_path / "out")
+        q = (stream.writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = sorted(
+            (r["url"], bytes(r["payload"]))
+            for r in spark.read.parquet(out).collect())
+        batch = sorted(
+            (r["url"], bytes(r["payload"]))
+            for r in read_warc(spark, str(src),
+                               records="conversion").collect())
+        assert got == batch and len(got) == 7
+
     def test_empty_and_missing(self, spark, tmp_path):
         with pytest.raises(FileNotFoundError):
             read_warc(spark, str(tmp_path / "nope") + "/*.warc")
