@@ -282,3 +282,86 @@ class TestOptions:
             read_warc(spark, str(tmp_path / "nope") + "/*.warc")
         (tmp_path / "z.warc").write_bytes(b"")
         assert read_warc(spark, str(tmp_path / "z.warc")).count() == 0
+
+
+class TestPipelinePlan:
+    def test_single_python_stage_past_the_parse(self, spark, tmp_path):
+        """The crawl chain's 100-TB contract: the container parse is
+        the ONLY Python in the plan — HTTP split, extraction and URL
+        canonicalization all ride the same native projection."""
+        from dask_geopandas_spark.operators.html import extract_text
+        from dask_geopandas_spark.operators.textstats import \
+            canonicalize_url
+
+        df = spark.createDataFrame(
+            [(1, "https://EX.com/p?utm_source=x",
+              "HTTP/1.1 200 OK\r\n\r\n<html><p>hi</p></html>")],
+            "i long, url string, payload string")
+        to_warc(df, str(tmp_path / "w"), rec_type="response")
+        recs = read_warc(spark, str(tmp_path / "w"))
+        out = extract_text(
+            recs.select(canonicalize_url(F.col("url")).alias("curl"),
+                        payload_text(http_response_body(
+                            F.col("payload"))).alias("html")),
+            html_col="html", out_col="text")
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+        assert plan.count(") MapInPandas") == 1  # the parse, only
+
+
+class TestOwnershipProperty:
+    """Hypothesis: for arbitrary record sets and ANY chunk size, the
+    union of per-range reads equals the whole-file read with every
+    record owned exactly once — the core invariant the part list
+    banks on, in both container forms.  Pure-Python (the iterators
+    directly), so hundreds of examples cost no Spark jobs.  Payloads
+    include WARC-lookalike decoys (version line + unparseable
+    header) to stress the plain-form head validator; a payload
+    embedding a full VALID chained record is the documented
+    warc-in-warc exclusion (use chunk_bytes=None or .gz)."""
+
+    def test_hypothesis_chunked_union_equals_whole(self):
+        import io
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from dask_geopandas_spark.sources.warc import (_iter_gz,
+                                                       _iter_plain,
+                                                       _Window)
+
+        decoy = (b"xxWARC/1.0\r\nWARC-Type: t\r\n"
+                 b"Content-Length: nope\r\n\r\nyy")
+        payload = st.one_of(
+            st.binary(min_size=0, max_size=300),
+            st.just(decoy),
+            st.just(b"WARC/9.9\r\n\r\n"),
+            st.just(b"\x1f\x8b\x08 fake gzip magic"))
+        payloads = st.lists(payload, min_size=1, max_size=10)
+
+        @settings(max_examples=60, deadline=None)
+        @given(payloads, st.integers(min_value=1, max_value=2500),
+               st.booleans())
+        def check(ps, cb, gz):
+            recs = [_record("conversion", f"https://h{i}.com", p)
+                    for i, p in enumerate(ps)]
+            blob = (b"".join(_gz_member(r) for r in recs) if gz
+                    else b"".join(recs))
+            it = _iter_gz if gz else _iter_plain
+
+            def rows(s, e):
+                win = _Window(io.BytesIO(blob), s)
+                return [(r["record_offset"], r["url"],
+                         r["payload"])
+                        for r in it(win, s, e, "f", True)]
+
+            whole = sorted(rows(0, len(blob)))
+            assert len(whole) == len(ps)  # nothing lost, ever
+            chunked = []
+            for s in range(0, len(blob), cb):
+                chunked.extend(rows(s, min(s + cb, len(blob))))
+            assert sorted(chunked) == whole
+
+        check()
