@@ -39,15 +39,20 @@ from check_rotation import WINDOW, last_green, registry_order  # noqa: E402
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def changed_list() -> list[str]:
+def changed_list() -> list[tuple[str, int | None]]:
+    """(name, round-the-change-landed) pairs; round None = never
+    auto-retire (lead until the line is pruned by hand)."""
     path = os.path.join(_HERE, "CHANGED_QUERIES")
     if not os.path.exists(path):
         return []
     out = []
     for ln in open(path):
         ln = ln.strip()
-        if ln and not ln.startswith("#"):
-            out.append(ln)
+        if not ln or ln.startswith("#"):
+            continue
+        parts = ln.split()
+        out.append((parts[0],
+                    int(parts[1]) if len(parts) > 1 else None))
     return out
 
 
@@ -57,8 +62,15 @@ def make_window(order: list[str] | None = None,
     green = last_green() if green is None else green
     window: list[str] = []
     known = set(order)
-    for q in changed_list():
-        if q in known and q not in window:
+    # a changed entry leads the window only UNTIL the driver attests
+    # the changed form: each CHANGED_QUERIES line carries the round
+    # its change landed, and that round's CORRECTNESS file is written
+    # at the round's END — so green >= changed_round means the changed
+    # form was attested and the entry rotates normally.  A stale file
+    # therefore cannot pin last round's entries to the front forever.
+    for q, rnd in changed_list():
+        if q in known and q not in window \
+                and (rnd is None or green.get(q, 0) < rnd):
             window.append(q)
     for q in order:  # 1b: never-attested
         if q not in green and q not in window:
