@@ -623,7 +623,8 @@ def streaming_read_warc(spark: SparkSession, path: str,
     fnames = [fld.name for fld in _SCHEMA.fields]
 
     reader = (spark.readStream.format("binaryFile")
-              .option("pathGlobFilter", "*.w[ae][rt]*")
+              .option("pathGlobFilter",
+                      "*.{warc,wet,warc.gz,wet.gz}")
               .schema("path string, modificationTime timestamp, "
                       "length long, content binary"))
     if max_files_per_trigger:
