@@ -72,7 +72,11 @@ _MAX_HEADER = 64 * 1024  # a WARC header block larger than this is junk
 class _Window:
     """Growable forward view over a file from a fixed start offset —
     each part task reads its own byte range plus whatever tail its
-    LAST record needs, never the whole file."""
+    LAST record needs, never the whole file.  Iterators TRIM consumed
+    bytes as they go (``del buf[:n]`` after each record/member), so
+    peak buffer memory is one record/member plus the read-ahead
+    granularity — a ``chunk_bytes=None`` pass over a 1 GB file never
+    holds the gigabyte."""
 
     def __init__(self, f, start: int, grow: int = 8 << 20):
         f.seek(start)
@@ -181,7 +185,8 @@ def _iter_plain(win: _Window, start: int, end: int | None, file_name,
                 pos = cand
                 break
             pos = cand + 5
-    while end is None or start + pos < end:
+    shift = 0  # bytes trimmed off the window front (memory bound)
+    while end is None or start + shift + pos < end:
         win.ensure(pos + _MAX_HEADER)
         if pos >= len(win.buf):
             return
@@ -193,16 +198,19 @@ def _iter_plain(win: _Window, start: int, end: int | None, file_name,
         h = _parse_header(win.buf, head)
         if h is None:
             return
-        if end is not None and start + head >= end:
+        if end is not None and start + shift + head >= end:
             return
         headers, pstart, clen = h
         win.ensure(pstart + clen + 4)
         payload = win.buf[pstart:pstart + clen]
         if len(payload) < clen:
             return  # truncated tail
-        yield _record_row(headers, payload, file_name, start + head,
-                          want_payload)
-        pos = pstart + clen
+        yield _record_row(headers, payload, file_name,
+                          start + shift + head, want_payload)
+        cut = pstart + clen
+        del win.buf[:cut]
+        shift += cut
+        pos = 0
 
 
 def _find_forward(win: _Window, needle: bytes, pos: int) -> int:
@@ -309,15 +317,20 @@ def _iter_gz(win: _Window, start: int, end: int | None, file_name: str,
             pos = cand
             break
         pos = cand + 1
-    while end is None or start + pos < end:
+    shift = 0  # bytes trimmed off the window front (memory bound)
+    while end is None or start + shift + pos < end:
         m = _inflate_gz_member(win, pos)
         if m is None:
             return  # truncated member at the file tail
         data, consumed = m
         if data[:5] == b"WARC/":
-            yield from _iter_records_in(data, file_name, start + pos,
+            yield from _iter_records_in(data, file_name,
+                                        start + shift + pos,
                                         want_payload)
-        pos += consumed
+        cut = pos + consumed
+        del win.buf[:cut]
+        shift += cut
+        pos = 0
         # members are back-to-back in a well-formed file; tolerate
         # stray bytes between them by re-aligning on the magic
         win.ensure(pos + 3)
@@ -388,9 +401,17 @@ def read_warc(spark: SparkSession, path: str,
             parts.append((fp, s, min(s + cb, size), gz))
     if not parts:
         return spark.createDataFrame([], _SCHEMA)
-    part_df = spark.createDataFrame(
-        parts, "path string, start long, end long, gz boolean"
-    ).repartition(min(len(parts), 2048))
+    # range-partition the part list on (path, start): each task owns a
+    # CONTIGUOUS run of ranges — per-file sequential forward reads
+    # instead of random seeks across the crawl — and the partition
+    # count scales with the cluster (a 100-TB crawl at 64 MB chunks is
+    # ~1.6M parts; a fixed cap would starve a large cluster)
+    npart = min(len(parts),
+                max(spark.sparkContext.defaultParallelism * 4, 64))
+    part_df = (spark.createDataFrame(
+        parts, "path string, start long, end long, gz boolean")
+        .repartitionByRange(npart, "path", "start")
+        .sortWithinPartitions("path", "start"))
     fnames = [fld.name for fld in _SCHEMA.fields]
     want_payload = bool(payload)
 
