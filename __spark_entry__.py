@@ -3130,6 +3130,33 @@ def q_dsir_select(spark, sf_dir):
     return TX.dsir_logweights(docs, target, n_buckets=1024, alpha=1.0)
 
 
+def q_corpus_stats(spark, sf_dir):
+    """One-pass data-card statistics (textstats.corpus_stats, new
+    r11): per-source docs / bytes / tokens / EXACT dup rate / length
+    mix in a single hash aggregation over one scan — no sort, no
+    window, no exact-percentile buffering (the 100-TB-safe subset of
+    a data card).  Oracle recomputes every aggregate in SQL."""
+    return TX.corpus_stats(_t(spark, sf_dir, "documents"),
+                           group_col="source")
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-flattened source mixing (sampling.temperature_mix,
+    new r11 — the mT5/XLM-R multilingual recipe): groups sampled
+    proportional to p_s**alpha via deterministic oversample rates
+    r_s = p_s**(alpha-1) / sum p_t**alpha (expected corpus size
+    preserved).  alpha=0.5 so every float op in the rate derivation
+    is IEEE-correctly-rounded (sqrt/div) and the sorted-order Z fold
+    plus the 6-decimal rate quantization make the md5-slice
+    thresholds engine-exact.  Oracle recomputes rates from the
+    source counts and replays oversample's multiplicity arithmetic."""
+    from dask_geopandas_spark.operators.sampling import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_mix(docs, alpha=0.5, group_col="source")
+    return out.select("doc_id", "source", "copy_id")
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC/WET container source & sink (sources/warc.py, new r11) —
     the step AHEAD of the HTML extractor in every published crawl
@@ -4071,7 +4098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     inserted at the FRONT of the window as they land, pushing the
     window tail down into the age-compliant r6 block."""
     return {
-        # ---- r11 WINDOW (the driver attests positions 1-50;
+        # ---- r11 WINDOW (driver attests positions 1-50;
         #   order generated by scripts/make_window.py — see
         #   tests/test_rotation.py) ----
         "warc_roundtrip": q_warc_roundtrip,
@@ -4087,6 +4114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_blocks": q_html_blocks,
         "media_dhash": q_media_dhash,
         "media_neardup": q_media_neardup,
+        "corpus_stats": q_corpus_stats,
+        "temperature_mix": q_temperature_mix,
         "ann_ivf_exact": q_ann_ivf_exact,
         "ann_topk": q_ann_topk,
         "audio_meta": q_audio_meta,
@@ -4122,10 +4151,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "contamination": q_contamination,
         "crs_roundtrip": q_crs_roundtrip,
-        "decontam_spans": q_decontam_spans,
-        "dissolve_union_area": q_dissolve_union_area,
         # ---- below the window: (last-green asc, name) — the
         #   r12 rotation order is the head of this list ----
+        "decontam_spans": q_decontam_spans,
+        "dissolve_union_area": q_dissolve_union_area,
         "geoarrow_roundtrip": q_geoarrow_roundtrip,
         "hash_sample": q_hash_sample,
         "image_resize": q_image_resize,
@@ -6452,7 +6481,66 @@ def _oracle_sql_base() -> dict[str, str]:
                round(avg(lr), 6) AS avg_logratio
         FROM scored GROUP BY doc_id
     """
+    # corpus_stats: each aggregate recomputed; tk is NULL for NULL
+    # text so the avg/max skip exactly like the engine's when-guard
+    corpus_stats_sql = """
+        WITH t AS (SELECT source, text,
+                          CASE WHEN text IS NOT NULL THEN
+                              len(regexp_split_to_array(trim(text),
+                                                        '\\s+'))
+                          END AS tk
+                   FROM documents)
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(count(*) - count(text) AS BIGINT) AS n_null_text,
+               CAST(COALESCE(sum(length(text)), 0) AS BIGINT)
+                   AS n_chars,
+               CAST(COALESCE(sum(tk), 0) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT md5(text)) AS BIGINT)
+                   AS distinct_texts,
+               round(CASE WHEN count(text) > 0 THEN
+                     1.0 - count(DISTINCT md5(text)) / count(text)
+                     ELSE 0.0 END, 6) AS dup_frac,
+               round(COALESCE(avg(tk), 0.0), 4) AS avg_tokens,
+               CAST(COALESCE(max(tk), 0) AS BIGINT) AS max_tokens,
+               round(COALESCE(avg(CASE WHEN tk < 20 THEN 1.0
+                                       WHEN tk IS NOT NULL THEN 0.0
+                                  END), 0.0), 6) AS short_frac,
+               round(COALESCE(avg(CASE WHEN tk > 1000 THEN 1.0
+                                       WHEN tk IS NOT NULL THEN 0.0
+                                  END), 0.0), 6) AS long_frac
+        FROM t GROUP BY source
+    """
+    # temperature_mix: rates re-derived from the source counts (sorted
+    # Z fold, 6-decimal quantization), then oversample's multiplicity
+    # arithmetic verbatim (_source_mix_oracle_sql's md5 bucket)
+    _tm_bucket = ("(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, "
+                  "15))::BIGINT % 1000000)")
+    temperature_mix_sql = f"""
+        WITH c AS (SELECT source, count(*) AS cs FROM documents
+                   GROUP BY source),
+        t AS (SELECT sum(cs) AS nn FROM c),
+        p0 AS (SELECT source, cs / nn AS p FROM c CROSS JOIN t),
+        z AS (SELECT list_aggregate(list(pow(p, 0.5) ORDER BY source),
+                                    'sum') AS zz FROM p0),
+        r AS (SELECT source,
+                     round((pow(p, 0.5) / zz) / p, 6) AS rate
+              FROM p0 CROSS JOIN z),
+        m AS (SELECT d.doc_id, d.source,
+                     CAST(floor(rate) AS INT)
+                     + (CASE WHEN {_tm_bucket} <
+                             CAST(round((rate - floor(rate)) * 1000000)
+                                  AS BIGINT)
+                        THEN 1 ELSE 0 END) AS n
+              FROM documents d JOIN r USING (source)),
+        up AS (SELECT doc_id, source,
+                      CAST(unnest(range(0, n)) AS BIGINT) AS copy_id
+               FROM m)
+        SELECT doc_id, source, copy_id FROM up
+    """
     return {
+        "corpus_stats": corpus_stats_sql,
+        "temperature_mix": temperature_mix_sql,
         "dsir_select": dsir_select,
         "warc_roundtrip": warc_roundtrip,
         "warc_pipeline": warc_pipeline,

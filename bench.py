@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "warc_roundtrip",
     "warc_pipeline",
     "dsir_select",
+    "corpus_stats",
+    "temperature_mix",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE

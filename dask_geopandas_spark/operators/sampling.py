@@ -401,6 +401,55 @@ def oversample(df: DataFrame, rates: dict, group_col: str = "source",
             .withColumn(copy_col, F.col(copy_col).cast("long")))
 
 
+def temperature_mix(df: DataFrame, alpha: float = 0.3,
+                    group_col: str = "source", key_col: str = "doc_id",
+                    copy_col: str = "copy_id",
+                    round_rates: int | None = 6) -> DataFrame:
+    """Temperature-flattened group mixing — the multilingual-
+    pretraining recipe (mT5, Xue et al. 2021; also the
+    low-resource-language upsampling of XLM-R and the Pile's source
+    balancing): re-weight each group so it is sampled with probability
+    proportional to ``p_s ** alpha`` instead of its natural share
+    ``p_s``.  ``alpha=1`` is a no-op, ``alpha=0`` equalizes groups,
+    the published sweet spots sit around 0.2-0.7 (mT5 ships 0.3).
+
+    Realized as deterministic `oversample` rates
+    ``r_s = p_s**(alpha-1) / Z`` with ``Z = sum_t p_t**alpha``, which
+    preserves the EXPECTED corpus size (``sum n_s * r_s = N``) while
+    shifting its composition to the flattened distribution — no RNG,
+    md5-slice multiplicities, identical on every run and retry, and
+    the ``copy_col`` replica counter feeds `write_training_shards`'
+    automatic copy fold exactly like a hand-written rate table.
+
+    Group sizes come from ONE count aggregation collected driver-side
+    — bounded by GROUP cardinality (languages / sources / domains:
+    dozens to thousands of rows), never corpus rows; for
+    domain-grained tables past `oversample`'s literal threshold the
+    rates ride in as a broadcast join automatically.  Rates round to
+    ``round_rates`` decimals (default 6 — exactly `oversample`'s
+    md5-bucket granularity) so the derivation is replicable across
+    engines; groups are folded into ``Z`` in sorted order for the
+    same reason."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = {r[0]: r[1] for r in
+              df.groupBy(group_col).count().collect()}
+    n = sum(counts.values())
+    if n == 0:
+        return oversample(df, {}, group_col=group_col,
+                          key_col=key_col, copy_col=copy_col)
+    ordered = sorted(counts.items(), key=lambda kv: str(kv[0]))
+    ps = [(s, c / n) for s, c in ordered]
+    z = 0.0
+    for _, p in ps:
+        z += p ** alpha
+    rates = {s: (p ** alpha / z) / p for s, p in ps}
+    if round_rates is not None:
+        rates = {s: round(r, round_rates) for s, r in rates.items()}
+    return oversample(df, rates, group_col=group_col, key_col=key_col,
+                      default=0.0, copy_col=copy_col)
+
+
 def shard_assignment(key: Column, n_shards: int, seed: str = "") -> Column:
     """Deterministic shard id in [0, n_shards): the 60-bit md5 hash of
     ``seed || key`` mod the shard count — no RNG state, identical on

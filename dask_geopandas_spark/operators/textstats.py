@@ -786,6 +786,57 @@ def bm25_topk_stored(spark, path: str, query_terms: list, k: int = 10,
                             k, k1, b, id_col)
 
 
+def corpus_stats(df, text_col: str = "text", group_col=None,
+                 short_tokens: int = 20, long_tokens: int = 1000):
+    """One-pass data-card statistics — the summary table every corpus
+    release publishes (docs, bytes, tokens, exact-dup rate, length
+    mix), per ``group_col`` (source, lang, shard, ...) or corpus-wide.
+
+    Every statistic is a SINGLE hash-aggregation over one scan — no
+    sort, no window, no exact percentile (which would buffer a
+    group's values in memory; at 100 TB length DISTRIBUTION comes
+    from the short/long fractions and the histogram the caller can
+    build by grouping on ``floor(log2(tokens))`` instead).  The
+    distinct-text count is exact (``count_distinct`` over the md5 —
+    one expand, the price of an exact dup rate; swap in
+    ``approx_count_distinct`` for a one-pass sketch when 2% error is
+    acceptable — not used here because the driver oracle demands
+    exactness).
+
+    Returns one row per group: n_docs, n_null_text, n_chars,
+    n_tokens, distinct_texts, dup_frac (round 6), avg_tokens
+    (round 4), max_tokens, short_frac / long_frac (round 6)."""
+    toks = F.when(F.col(text_col).isNotNull(),
+                  token_count(F.col(text_col)))
+    nonnull = F.count(F.col(text_col))
+    distinct = F.count_distinct(F.md5(F.col(text_col)))
+    aggs = [
+        F.count("*").alias("n_docs"),
+        (F.count("*") - nonnull).cast("long").alias("n_null_text"),
+        F.coalesce(F.sum(F.length(F.col(text_col))), F.lit(0))
+        .cast("long").alias("n_chars"),
+        F.coalesce(F.sum(toks), F.lit(0)).cast("long")
+        .alias("n_tokens"),
+        distinct.cast("long").alias("distinct_texts"),
+        F.round(F.when(nonnull > 0,
+                       1.0 - distinct / nonnull).otherwise(0.0), 6)
+        .alias("dup_frac"),
+        F.round(F.coalesce(F.avg(toks), F.lit(0.0)), 4)
+        .alias("avg_tokens"),
+        F.coalesce(F.max(toks), F.lit(0)).cast("long")
+        .alias("max_tokens"),
+        F.round(F.coalesce(
+            F.avg((toks < int(short_tokens)).cast("double")),
+            F.lit(0.0)), 6).alias("short_frac"),
+        F.round(F.coalesce(
+            F.avg((toks > int(long_tokens)).cast("double")),
+            F.lit(0.0)), 6).alias("long_frac"),
+    ]
+    if group_col is None:
+        return df.agg(*aggs)
+    return df.groupBy(group_col).agg(*aggs)
+
+
 def _dsir_grams(df, text_col: str, id_col=None):
     """(id?, gram) rows: lowercased word unigrams + space-joined word
     bigrams — the hashed-ngram feature set of DSIR (Xie et al. 2023).

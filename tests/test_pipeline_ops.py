@@ -2733,3 +2733,59 @@ class TestCanonicalizeUrl:
             ("http://a.com/q", 5, 1),
             ("https://a.com/p", 4, 1),
         ]
+
+
+class TestCorpusStats:
+    """One-pass data-card statistics: exact aggregates, scale-safe
+    plan (no sort/window/exact-percentile buffering)."""
+
+    ROWS = [(1, "a", "one two three"), (2, "a", "one two three"),
+            (3, "a", None), (4, "b", ""), (5, "b", "x " * 1500),
+            (6, "b", "short doc here")]
+
+    def test_values_match_brute_force(self, spark):
+        from dask_geopandas_spark.operators.textstats import \
+            corpus_stats
+
+        df = spark.createDataFrame(
+            self.ROWS, "doc_id long, source string, text string")
+        got = {r["source"]: r.asDict() for r in
+               corpus_stats(df, group_col="source").collect()}
+        a, b = got["a"], got["b"]
+        assert (a["n_docs"], a["n_null_text"]) == (3, 1)
+        assert a["n_chars"] == 26 and a["n_tokens"] == 6
+        assert a["distinct_texts"] == 1 and a["dup_frac"] == 0.5
+        assert (a["avg_tokens"], a["max_tokens"]) == (3.0, 3)
+        assert b["n_null_text"] == 0 and b["distinct_texts"] == 3
+        assert b["max_tokens"] == 1500 and b["long_frac"] == 0.333333
+        whole = corpus_stats(df).head()
+        assert whole["n_docs"] == 6 and whole["dup_frac"] == 0.2
+
+    def test_plan_is_one_scan_no_sort(self, spark):
+        from dask_geopandas_spark.operators.textstats import \
+            corpus_stats
+
+        df = spark.createDataFrame(
+            self.ROWS, "doc_id long, source string, text string")
+        out = corpus_stats(df, group_col="source")
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        assert "Sort" not in plan and "Window" not in plan
+        assert "EvalPython" not in plan
+        # ONE scan feeds everything (formatted explain names each node
+        # twice: once in the tree, once in the details section)
+        assert plan.count("Scan ExistingRDD") <= 2
+
+    def test_empty_and_all_null(self, spark):
+        from dask_geopandas_spark.operators.textstats import \
+            corpus_stats
+
+        df = spark.createDataFrame([(1, None), (2, None)],
+                                   "doc_id long, text string")
+        r = corpus_stats(df).head()
+        assert r["n_docs"] == 2 and r["n_null_text"] == 2
+        assert r["n_tokens"] == 0 and r["dup_frac"] == 0.0
+        assert r["avg_tokens"] == 0.0 and r["max_tokens"] == 0
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        r0 = corpus_stats(empty).head()
+        assert r0["n_docs"] == 0 and r0["n_chars"] == 0

@@ -730,3 +730,81 @@ def test_split_by_cluster_reserved_names_raise(spark):
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="__dgs_split_rep"):
         split_by_cluster(df, edges)
+
+
+class TestTemperatureMix:
+    """mT5-style temperature flattening realized as deterministic
+    oversample rates: r_s = p_s**(alpha-1) / sum p_t**alpha."""
+
+    @staticmethod
+    def _brute(rows, alpha, round_rates=6):
+        import hashlib
+
+        counts = {}
+        for _, s in rows:
+            counts[s] = counts.get(s, 0) + 1
+        n = sum(counts.values())
+        ps = [(s, c / n) for s, c in
+              sorted(counts.items(), key=lambda kv: str(kv[0]))]
+        z = 0.0
+        for _, p in ps:
+            z += p ** alpha
+        rates = {s: round((p ** alpha / z) / p, round_rates)
+                 for s, p in ps}
+        out = {}
+        for i, s in rows:
+            r = rates[s]
+            b = int(hashlib.md5(str(i).encode()).hexdigest()[:15],
+                    16) % 1_000_000
+            out[i] = int(r) + (1 if b < round((r - int(r)) * 1_000_000)
+                               else 0)
+        return out
+
+    def test_matches_formula_multiplicities(self, spark):
+        from dask_geopandas_spark.operators.sampling import \
+            temperature_mix
+
+        rows = [(i, "big" if i < 180 else ("mid" if i < 230 else "sm"))
+                for i in range(240)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        for alpha in (0.0, 0.3, 0.5, 1.0, 2.0):
+            got = {r["doc_id"]: r["n"] for r in
+                   temperature_mix(df, alpha=alpha).groupBy("doc_id")
+                   .agg((F.max("copy_id") + 1).alias("n")).collect()}
+            want = self._brute(rows, alpha)
+            want = {i: m for i, m in want.items() if m > 0}
+            assert got == want, alpha
+
+    def test_alpha_one_is_identity(self, spark):
+        from dask_geopandas_spark.operators.sampling import \
+            temperature_mix
+
+        rows = [(i, f"s{i % 7}") for i in range(140)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = temperature_mix(df, alpha=1.0)
+        assert out.count() == 140
+        assert out.agg(F.max("copy_id")).head()[0] == 0
+
+    def test_alpha_zero_equalizes(self, spark):
+        from dask_geopandas_spark.operators.sampling import \
+            temperature_mix
+
+        rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        got = {r["source"]: r["count"] for r in
+               temperature_mix(df, alpha=0.0).groupBy("source")
+               .count().collect()}
+        # expected 500/500; md5-slice variance is a few percent
+        assert abs(got["big"] - got["small"]) < 80
+        assert abs(got["big"] + got["small"] - 1000) < 80
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from dask_geopandas_spark.operators.sampling import \
+            temperature_mix
+
+        df = spark.createDataFrame([(1, "a")],
+                                   "doc_id long, source string")
+        with _pytest.raises(ValueError, match="alpha"):
+            temperature_mix(df, alpha=-0.1)
