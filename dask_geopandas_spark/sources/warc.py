@@ -408,10 +408,15 @@ def read_warc(spark: SparkSession, path: str,
     # ~1.6M parts; a fixed cap would starve a large cluster)
     npart = min(len(parts),
                 max(spark.sparkContext.defaultParallelism * 4, 64))
-    part_df = (spark.createDataFrame(
+    part_df = spark.createDataFrame(
         parts, "path string, start long, end long, gz boolean")
-        .repartitionByRange(npart, "path", "start")
-        .sortWithinPartitions("path", "start"))
+    if len(parts) <= npart:
+        # one part per task: locality is moot, skip the range-sampling
+        # pass (a measurable fixed cost on toy inputs)
+        part_df = part_df.repartition(npart)
+    else:
+        part_df = (part_df.repartitionByRange(npart, "path", "start")
+                   .sortWithinPartitions("path", "start"))
     fnames = [fld.name for fld in _SCHEMA.fields]
     want_payload = bool(payload)
 
