@@ -13,8 +13,9 @@ from .flatgeobuf import read_flatgeobuf, to_flatgeobuf
 from .geopackage import read_geopackage, to_geopackage
 from .geoparquet import read_parquet, to_parquet
 from .shapefile import read_shapefile, to_shapefile
-from .warc import (http_response_body, payload_text, read_warc,
-                   read_warc_records, streaming_read_warc, to_warc)
+from .warc import (http_response_body, http_status, payload_text,
+                   read_warc, read_warc_records, streaming_read_warc,
+                   to_warc)
 
 __all__ = [
     "read_parquet",
@@ -35,5 +36,6 @@ __all__ = [
     "streaming_read_warc",
     "to_warc",
     "http_response_body",
+    "http_status",
     "payload_text",
 ]

@@ -182,6 +182,45 @@ class TestOptions:
         assert meta["content_length"] == len(recs[2].split(
             b"\r\n\r\n", 1)[1]) - 4  # minus the record separator
 
+    def test_url_prefix_and_payload_cap_pushdowns(self, spark,
+                                                  tmp_path):
+        """In-task pushdowns: url_prefix drops rows before the Arrow
+        transfer; max_payload_bytes NULLs oversized payloads but keeps
+        the row and its true content_length."""
+        recs = [_record("conversion", f"https://keep{i}.com/x",
+                        b"k" * (10 + i)) for i in range(3)]
+        recs += [_record("conversion", f"https://drop{i}.com/x",
+                         b"d" * 10) for i in range(3)]
+        recs += [_record("conversion", "https://keep9.com/big",
+                         b"B" * 5000), _record("metadata", None, b"m")]
+        with open(tmp_path / "p.warc.gz", "wb") as f:
+            f.write(b"".join(_gz_member(r) for r in recs))
+        p = str(tmp_path / "p.warc.gz")
+        kept = read_warc(spark, p, url_prefix="https://keep").collect()
+        assert sorted(r["url"] for r in kept) == \
+            ["https://keep0.com/x", "https://keep1.com/x",
+             "https://keep2.com/x", "https://keep9.com/big"]
+        multi = read_warc(spark, p, url_prefix=("https://keep0",
+                                                "https://drop1"))
+        assert multi.count() == 2
+        capped = {r["url"]: (r["content_length"], r["payload"])
+                  for r in read_warc(spark, p, url_prefix="https://keep",
+                                     max_payload_bytes=100).collect()}
+        assert capped["https://keep9.com/big"][0] == 5000
+        assert capped["https://keep9.com/big"][1] is None
+        assert bytes(capped["https://keep0.com/x"][1]) == b"k" * 10
+
+    def test_http_status(self, spark):
+        from dask_geopandas_spark.sources.warc import http_status
+
+        rows = [(1, b"HTTP/1.1 200 OK\r\nX: y\r\n\r\nbody"),
+                (2, b"HTTP/1.0 404 Not Found\r\n\r\n"),
+                (3, b"not http at all"), (4, None)]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        got = {r["id"]: r["s"] for r in df.select(
+            "id", http_status(F.col("payload")).alias("s")).collect()}
+        assert got == {1: 200, 2: 404, 3: None, 4: None}
+
     def test_http_response_body_and_payload_text(self, spark):
         # non-UTF8 body bytes must round-trip (latin-1 1:1 map)
         body = bytes(range(256))
