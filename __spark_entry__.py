@@ -4087,16 +4087,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry order matters: the driver's correctness check emits at
-    most 50 rows, in registry order.  Round 9 rotation (r8 verdict
-    order #1, policy in SURVEY §15): (a) the 16 r5-green entries at
-    age 4 (equals_exact .. skew_avg) lead the window; (b) the 34
-    oldest r6-green entries fill it to exactly 50.  The 16 remaining
-    r6-green entries (simhash .. stream_funnel, age 3 at r9,
-    compliant below-window) lead the r10 rotation, ahead of the
-    r7-green block and the r8-green tail.  New r9 queries are
-    inserted at the FRONT of the window as they land, pushing the
-    window tail down into the age-compliant r6 block."""
+    """Registry order matters: the driver's correctness check attests
+    only the FIRST 50 entries, in registry order.  Since r11 the
+    window is GENERATED — scripts/make_window.py derives the policy
+    order (SURVEY §15: changed/new entries first from
+    scripts/CHANGED_QUERIES, never-attested next, then oldest-green)
+    from the merged CORRECTNESS files, and tests/test_rotation.py
+    fails the suite if this dict's head diverges from it.  To rotate:
+    update CHANGED_QUERIES, run make_window.py, reorder this dict to
+    its output."""
     return {
         # ---- r11 WINDOW (driver attests positions 1-50;
         #   order generated by scripts/make_window.py — see
