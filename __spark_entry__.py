@@ -3157,6 +3157,41 @@ def q_temperature_mix(spark, sf_dir):
     return out.select("doc_id", "source", "copy_id")
 
 
+def q_warc_fetch(spark, sf_dir):
+    """Random-access WARC record fetch (sources/warc.
+    read_warc_records, new r11) — the CDX-index shape: the crawl
+    written once (member-per-record gz), indexed PAYLOAD-FREE
+    (headers + member offsets only — no payload bytes cross the Arrow
+    boundary), then ONLY the wanted subset (every 7th doc) fetched by
+    (file, offset) and decoded.  At 100 TB this is the difference
+    between decompressing the crawl and decompressing the matches.
+    Oracle: the fetched subset recomputed from the construction —
+    byte-exact payload round-trip for exactly the selected docs."""
+    import shutil
+
+    from dask_geopandas_spark.sources.warc import (payload_text,
+                                                   read_warc,
+                                                   read_warc_records,
+                                                   to_warc)
+
+    base = "/root/repo/.bench_tmp/warc_fetch"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text") \
+        .filter(F.col("text").isNotNull())
+    url = F.concat(F.lit("https://crawl.test/doc-"),
+                   F.col("doc_id").cast("string"))
+    to_warc(docs.select(url.alias("url"),
+                        F.col("text").alias("payload")),
+            base, rec_type="conversion", content_type="text/plain")
+    idx = read_warc(spark, base, payload=False)
+    want = idx.filter(
+        F.regexp_extract(F.col("url"), "doc-([0-9]+)", 1)
+        .cast("long") % 7 == 0)
+    out = read_warc_records(want.select("warc_file", "record_offset"))
+    return out.select("url", "rec_type", "content_length",
+                      payload_text(F.col("payload")).alias("text_out"))
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC/WET container source & sink (sources/warc.py, new r11) —
     the step AHEAD of the HTML extractor in every published crawl
@@ -4115,6 +4150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_neardup": q_media_neardup,
         "corpus_stats": q_corpus_stats,
         "temperature_mix": q_temperature_mix,
+        "warc_fetch": q_warc_fetch,
         "ann_ivf_exact": q_ann_ivf_exact,
         "ann_topk": q_ann_topk,
         "audio_meta": q_audio_meta,
@@ -4149,9 +4185,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_quality": q_code_quality,
         "connected_components": q_connected_components,
         "contamination": q_contamination,
-        "crs_roundtrip": q_crs_roundtrip,
         # ---- below the window: (last-green asc, name) — the
         #   r12 rotation order is the head of this list ----
+        "crs_roundtrip": q_crs_roundtrip,
         "decontam_spans": q_decontam_spans,
         "dissolve_union_area": q_dissolve_union_area,
         "geoarrow_roundtrip": q_geoarrow_roundtrip,
@@ -6537,7 +6573,17 @@ def _oracle_sql_base() -> dict[str, str]:
                FROM m)
         SELECT doc_id, source, copy_id FROM up
     """
+    warc_fetch = """
+        SELECT 'https://crawl.test/doc-' || CAST(doc_id AS VARCHAR)
+                   AS url,
+               'conversion' AS rec_type,
+               CAST(octet_length(encode(text)) AS BIGINT)
+                   AS content_length,
+               text AS text_out
+        FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 0
+    """
     return {
+        "warc_fetch": warc_fetch,
         "corpus_stats": corpus_stats_sql,
         "temperature_mix": temperature_mix_sql,
         "dsir_select": dsir_select,

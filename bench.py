@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "dsir_select",
     "corpus_stats",
     "temperature_mix",
+    "warc_fetch",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE
