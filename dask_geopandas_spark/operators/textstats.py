@@ -866,7 +866,10 @@ def _dsir_bucket_logprobs(grams, n_buckets: int, alpha: float,
               .select(F.pmod(portable_hash(F.col("gram")),
                              F.lit(int(n_buckets))).alias("bucket"))
               .groupBy("bucket").agg(F.count("*").alias("c")))
-    total = counts.agg(F.sum("c").alias("n"))
+    # COALESCE: an EMPTY corpus (no grams at all) must degrade to the
+    # uniform smoothing model p_b = 1/n_buckets, not NULL-poison every
+    # downstream log (sum over zero rows is NULL, not 0)
+    total = counts.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n"))
     return (counts.crossJoin(F.broadcast(total))
             .select("bucket", F.log(
                 (F.col("c") + F.lit(float(alpha)))

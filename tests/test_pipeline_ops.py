@@ -1071,6 +1071,27 @@ class TestDsirLogweights:
         # token-less / empty / NULL docs drop out (no features)
         assert 4 in got and 5 not in got and 6 not in got
 
+    def test_empty_target_degrades_to_uniform_model(self, spark):
+        """An empty target corpus must yield the uniform smoothing
+        model (p_b = 1/n_buckets), not NULL-poisoned weights (sum
+        over zero rows is NULL — the r11 probe)."""
+        import math
+
+        from dask_geopandas_spark.operators.textstats import \
+            dsir_logweights
+
+        df = spark.createDataFrame([(1, "a b"), (2, "c d")],
+                                   "doc_id long, text string")
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        got = {r["doc_id"]: r for r in
+               dsir_logweights(df, empty, n_buckets=16).collect()}
+        assert all(r["logweight"] is not None for r in got.values())
+        # p uniform = 1/16; q from the 6-gram corpus ('a b' gives
+        # grams a, b, 'a b'): every ratio is ln(1/16) - ln(q_b)
+        assert got[1]["n_grams"] == 3
+        # and the symmetric case (empty CORPUS) returns no rows
+        assert dsir_logweights(empty, df, n_buckets=16).count() == 0
+
     def test_target_like_docs_score_higher(self, spark):
         from dask_geopandas_spark.operators.textstats import \
             dsir_logweights
