@@ -425,15 +425,25 @@ def temperature_mix(df: DataFrame, alpha: float = 0.3,
     — bounded by GROUP cardinality (languages / sources / domains:
     dozens to thousands of rows), never corpus rows; for
     domain-grained tables past `oversample`'s literal threshold the
-    rates ride in as a broadcast join automatically.  Rates round to
+    rates ride in as a broadcast join automatically.  Rows with a
+    NULL group stay outside the model and pass through at rate 1
+    (a NULL rate entry could never match `oversample`'s equality
+    CASE and would silently drop them).  Rates round to
     ``round_rates`` decimals (default 6 — exactly `oversample`'s
     md5-bucket granularity) so the derivation is replicable across
     engines; groups are folded into ``Z`` in sorted order for the
     same reason."""
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
+    # NULL groups stay OUTSIDE the temperature model: oversample's
+    # rate CASE matches by equality, which a NULL never satisfies, so
+    # a NULL rate entry would silently DROP those rows and its count
+    # would distort every other group's share — instead NULL-group
+    # rows pass through at rate 1 (the default below) and the
+    # flattening applies to the named groups only
     counts = {r[0]: r[1] for r in
-              df.groupBy(group_col).count().collect()}
+              df.groupBy(group_col).count().collect()
+              if r[0] is not None}
     n = sum(counts.values())
     if n == 0:
         return oversample(df, {}, group_col=group_col,
@@ -447,7 +457,7 @@ def temperature_mix(df: DataFrame, alpha: float = 0.3,
     if round_rates is not None:
         rates = {s: round(r, round_rates) for s, r in rates.items()}
     return oversample(df, rates, group_col=group_col, key_col=key_col,
-                      default=0.0, copy_col=copy_col)
+                      default=1.0, copy_col=copy_col)
 
 
 def shard_assignment(key: Column, n_shards: int, seed: str = "") -> Column:

@@ -798,6 +798,30 @@ class TestTemperatureMix:
         assert abs(got["big"] - got["small"]) < 80
         assert abs(got["big"] + got["small"] - 1000) < 80
 
+    def test_null_group_passes_through_at_rate_one(self, spark):
+        """NULL groups stay outside the model (an equality CASE can
+        never match NULL — the silent-drop hazard) and their counts
+        must not distort the named groups' shares."""
+        from dask_geopandas_spark.operators.sampling import \
+            temperature_mix
+
+        base = [(i, "a" if i < 60 else "b") for i in range(90)]
+        with_null = base + [(100 + i, None) for i in range(30)]
+        df0 = spark.createDataFrame(base, "doc_id long, source string")
+        df1 = spark.createDataFrame(with_null,
+                                    "doc_id long, source string")
+        m0 = {r["doc_id"]: r["n"] for r in
+              temperature_mix(df0, alpha=0.5).groupBy("doc_id")
+              .agg((F.max("copy_id") + 1).alias("n")).collect()}
+        out1 = temperature_mix(df1, alpha=0.5)
+        m1 = {r["doc_id"]: r["n"] for r in
+              out1.groupBy("doc_id")
+              .agg((F.max("copy_id") + 1).alias("n")).collect()}
+        # every NULL-group row exactly once
+        assert all(m1[100 + i] == 1 for i in range(30))
+        # named groups' multiplicities unchanged by the NULL rows
+        assert {k: v for k, v in m1.items() if k < 100} == m0
+
     def test_validation(self, spark):
         import pytest as _pytest
 
