@@ -356,6 +356,36 @@ def _list_warc(path: str, filesystem=None) -> list:
     return [(path, os.path.getsize(path))]
 
 
+def _row_filter(records, url_prefix, max_payload_bytes):
+    """In-task record filter shared by the batch and streaming
+    readers: WARC-Type set, URL prefix(es), payload-size cap (NULLs
+    the payload, keeps the row) — all applied BEFORE the Arrow
+    transfer.  Returns row -> row | None."""
+    if records is None:
+        rec_filter = None
+    elif isinstance(records, str):
+        rec_filter = {records}
+    else:
+        rec_filter = set(records)
+    prefixes = None if url_prefix is None else (
+        (url_prefix,) if isinstance(url_prefix, str)
+        else tuple(url_prefix))
+    cap = None if max_payload_bytes is None else int(max_payload_bytes)
+
+    def keep(r):
+        if rec_filter is not None and r["rec_type"] not in rec_filter:
+            return None
+        if prefixes is not None and (
+                r["url"] is None
+                or not r["url"].startswith(prefixes)):
+            return None
+        if cap is not None and r["content_length"] > cap:
+            r["payload"] = None
+        return r
+
+    return keep
+
+
 def read_warc(spark: SparkSession, path: str,
               chunk_bytes: int | None = 64 << 20, payload: bool = True,
               records=None, url_prefix=None,
@@ -396,12 +426,7 @@ def read_warc(spark: SparkSession, path: str,
     files = _list_warc(path, filesystem)
     if not files:
         raise FileNotFoundError(path)
-    if records is None:
-        rec_filter = None
-    elif isinstance(records, str):
-        rec_filter = {records}
-    else:
-        rec_filter = set(records)
+    keep = _row_filter(records, url_prefix, max_payload_bytes)
 
     parts = []
     for fp, size in files:
@@ -431,10 +456,6 @@ def read_warc(spark: SparkSession, path: str,
                    .sortWithinPartitions("path", "start"))
     fnames = [fld.name for fld in _SCHEMA.fields]
     want_payload = bool(payload)
-    prefixes = None if url_prefix is None else (
-        (url_prefix,) if isinstance(url_prefix, str)
-        else tuple(url_prefix))
-    cap = None if max_payload_bytes is None else int(max_payload_bytes)
 
     def read_part(batches):
         for pdf in batches:
@@ -447,16 +468,8 @@ def read_warc(spark: SparkSession, path: str,
                     it = (_iter_gz if gz else _iter_plain)(
                         win, s, e, pth, want_payload)
                     for r in it:
-                        if rec_filter is not None \
-                                and r["rec_type"] not in rec_filter:
+                        if keep(r) is None:
                             continue
-                        if prefixes is not None and (
-                                r["url"] is None
-                                or not r["url"].startswith(prefixes)):
-                            continue
-                        if cap is not None \
-                                and r["content_length"] > cap:
-                            r["payload"] = None
                         rows.append(r)
                         if len(rows) >= 2048:
                             yield pd.DataFrame(rows, columns=fnames)
@@ -655,6 +668,8 @@ def payload_text(payload: Column, charset: str = "UTF-8") -> Column:
 
 def streaming_read_warc(spark: SparkSession, path: str,
                         payload: bool = True, records=None,
+                        url_prefix=None,
+                        max_payload_bytes: int | None = None,
                         max_files_per_trigger: int | None = None) -> DataFrame:
     """STREAMING WARC source — the continuous form of `read_warc`:
     watch a directory (or glob) for newly landed ``.warc/.wet(.gz)``
@@ -663,7 +678,9 @@ def streaming_read_warc(spark: SparkSession, path: str,
     family (`streaming_ingest_dedup` / `streaming_ingest_neardup` /
     `streaming_index_documents`) can start from the crawl's REAL
     input format instead of pre-parsed rows.  Same schema and
-    ``records=`` / ``payload=`` contract as `read_warc`.
+    ``records=`` / ``payload=`` / ``url_prefix=`` /
+    ``max_payload_bytes=`` contract as `read_warc` (all in-task,
+    ahead of the Arrow transfer).
 
     Distribution model: the binaryFile source delivers WHOLE files
     (one row per file), so each file parses within one task and
@@ -674,12 +691,7 @@ def streaming_read_warc(spark: SparkSession, path: str,
     Exactly-once bookkeeping (which FILES are new) is the stream
     checkpoint's; record-level idempotence stays with the downstream
     ingesters' commit markers."""
-    if records is None:
-        rec_filter = None
-    elif isinstance(records, str):
-        rec_filter = {records}
-    else:
-        rec_filter = set(records)
+    keep = _row_filter(records, url_prefix, max_payload_bytes)
     want_payload = bool(payload)
     fnames = [fld.name for fld in _SCHEMA.fields]
 
@@ -705,8 +717,7 @@ def streaming_read_warc(spark: SparkSession, path: str,
                                         want_payload)
                 rows = []
                 for r in it:
-                    if rec_filter is not None \
-                            and r["rec_type"] not in rec_filter:
+                    if keep(r) is None:
                         continue
                     rows.append(r)
                     if len(rows) >= 2048:
