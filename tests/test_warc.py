@@ -160,6 +160,42 @@ class TestRoundtrip:
         assert "payload" in routed.columns
 
 
+class TestSinkOptions:
+    def test_per_row_columns_and_null_payload_skip(self, spark,
+                                                   tmp_path):
+        """rec_type / content_type / warc_date are COLUMN names when
+        present in the frame, literals otherwise; NULL payloads write
+        no record (there is nothing to store)."""
+        rows = [(1, "https://a.com", "resp body", "response",
+                 "application/http", "2025-01-02T03:04:05Z"),
+                (2, "https://b.com", "wet text", "conversion",
+                 "text/plain", "2025-06-07T08:09:10Z"),
+                (3, "https://c.com", None, "conversion",
+                 "text/plain", "2025-01-01T00:00:00Z")]
+        df = spark.createDataFrame(
+            rows, "id long, url string, payload string, rt string, "
+                  "ct string, wd string")
+        to_warc(df, str(tmp_path / "w"), rec_type="rt",
+                content_type="ct", warc_date="wd")
+        got = {r["url"]: r for r in
+               read_warc(spark, str(tmp_path / "w")).collect()}
+        assert set(got) == {"https://a.com", "https://b.com"}  # 3 skipped
+        assert got["https://a.com"]["rec_type"] == "response"
+        assert got["https://a.com"]["content_type"] == "application/http"
+        assert got["https://a.com"]["warc_date"] == "2025-01-02T03:04:05Z"
+        assert got["https://b.com"]["rec_type"] == "conversion"
+        assert bytes(got["https://b.com"]["payload"]) == b"wet text"
+
+    def test_binary_payload_and_plain_form(self, spark, tmp_path):
+        body = bytes(range(256)) * 3
+        df = spark.createDataFrame([(1, "https://bin.com", body)],
+                                   "id long, url string, payload binary")
+        to_warc(df, str(tmp_path / "p"), gzip_members=False)
+        r = read_warc(spark, str(tmp_path / "p")).head()
+        assert bytes(r["payload"]) == body
+        assert r["content_length"] == len(body)
+
+
 class TestOptions:
     def test_records_filter_and_payload_off(self, spark, tmp_path):
         recs = [_record("warcinfo", None, b"software: test"),
