@@ -3192,6 +3192,46 @@ def q_warc_fetch(spark, sf_dir):
                       payload_text(F.col("payload")).alias("text_out"))
 
 
+def q_cdx_fetch(spark, sf_dir):
+    """CDX-indexed domain lookup (sources/warc.surt_key / write_cdx /
+    read_cdx + read_warc_records, new r11) — the Common Crawl index
+    format end-to-end: crawl written member-per-record, indexed
+    PAYLOAD-FREE into CDXJ lines (surt key + timestamp + JSON — one
+    native projection + a gzip text write), read back natively (text
+    scan + split + from_json), ONE DOMAIN selected by surt-prefix
+    filter, and only those members fetched and decoded.  The oracle
+    recomputes the domain subset (docs with doc_id%20==7) and the
+    surt keys from the construction."""
+    import shutil
+
+    from dask_geopandas_spark.sources.warc import (payload_text,
+                                                   read_cdx, read_warc,
+                                                   read_warc_records,
+                                                   to_warc, write_cdx)
+
+    base = "/root/repo/.bench_tmp/cdx_fetch"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text") \
+        .filter(F.col("text").isNotNull())
+    url = F.concat(F.lit("https://d"),
+                   (F.col("doc_id") % 20).cast("string"),
+                   F.lit(".crawl.test/doc-"),
+                   F.col("doc_id").cast("string"))
+    to_warc(docs.select(url.alias("url"),
+                        F.col("text").alias("payload")),
+            base + "/crawl", rec_type="conversion",
+            content_type="text/plain",
+            warc_date="2026-02-03T04:05:06Z")
+    write_cdx(read_warc(spark, base + "/crawl", payload=False),
+              base + "/cdx")
+    idx = read_cdx(spark, base + "/cdx")
+    want = idx.filter(F.col("urlkey").startswith("test,crawl,d7)"))
+    out = read_warc_records(want.select("warc_file", "record_offset"))
+    return out.select(
+        "url", "content_length",
+        payload_text(F.col("payload")).alias("text_out"))
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC/WET container source & sink (sources/warc.py, new r11) —
     the step AHEAD of the HTML extractor in every published crawl
@@ -4151,6 +4191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "temperature_mix": q_temperature_mix,
         "warc_fetch": q_warc_fetch,
+        "cdx_fetch": q_cdx_fetch,
         "ann_ivf_exact": q_ann_ivf_exact,
         "ann_topk": q_ann_topk,
         "audio_meta": q_audio_meta,
@@ -4184,9 +4225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_concave_polys": q_clip_concave_polys,
         "code_quality": q_code_quality,
         "connected_components": q_connected_components,
-        "contamination": q_contamination,
         # ---- below the window: (last-green asc, name) — the
         #   r12 rotation order is the head of this list ----
+        "contamination": q_contamination,
         "crs_roundtrip": q_crs_roundtrip,
         "decontam_spans": q_decontam_spans,
         "dissolve_union_area": q_dissolve_union_area,
@@ -6582,7 +6623,18 @@ def _oracle_sql_base() -> dict[str, str]:
                text AS text_out
         FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 0
     """
+    cdx_fetch = """
+        SELECT 'https://d' || CAST(doc_id % 20 AS VARCHAR)
+                   || '.crawl.test/doc-' || CAST(doc_id AS VARCHAR)
+                   AS url,
+               CAST(octet_length(encode(text)) AS BIGINT)
+                   AS content_length,
+               text AS text_out
+        FROM documents
+        WHERE text IS NOT NULL AND doc_id % 20 = 7
+    """
     return {
+        "cdx_fetch": cdx_fetch,
         "warc_fetch": warc_fetch,
         "corpus_stats": corpus_stats_sql,
         "temperature_mix": temperature_mix_sql,

@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "corpus_stats",
     "temperature_mix",
     "warc_fetch",
+    "cdx_fetch",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE

@@ -14,8 +14,8 @@ from .geopackage import read_geopackage, to_geopackage
 from .geoparquet import read_parquet, to_parquet
 from .shapefile import read_shapefile, to_shapefile
 from .warc import (http_response_body, http_status, payload_text,
-                   read_warc, read_warc_records, streaming_read_warc,
-                   to_warc)
+                   read_cdx, read_warc, read_warc_records,
+                   streaming_read_warc, surt_key, to_warc, write_cdx)
 
 __all__ = [
     "read_parquet",
@@ -38,4 +38,7 @@ __all__ = [
     "http_response_body",
     "http_status",
     "payload_text",
+    "surt_key",
+    "write_cdx",
+    "read_cdx",
 ]

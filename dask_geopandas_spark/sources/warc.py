@@ -727,3 +727,95 @@ def streaming_read_warc(spark: SparkSession, path: str,
                     yield pd.DataFrame(rows, columns=fnames)
 
     return src.mapInPandas(parse, schema=_SCHEMA)
+
+
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key of a URL,
+    native — the sort/prefix key every CDX index uses so one DOMAIN's
+    records are contiguous: host lowercased and reversed on dots
+    (``com,example``), default ports and a leading ``www.`` dropped,
+    then ``)`` + the path/query lowercased.  Subset of the published
+    SURT spec (no scheme-relative or userinfo forms — the shapes CC
+    index lines actually carry); non-URL inputs yield NULL."""
+    host = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://"
+                                         r"(?:[^/?#@]*@)?([^/?#:]+)",
+                                    1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    tail = F.lower(F.regexp_extract(url,
+                                    r"^[A-Za-z][A-Za-z0-9+.-]*://"
+                                    r"[^/?#]*([/?#].*)?$", 1))
+    tail = F.when(tail == "", F.lit("/")).otherwise(tail)
+    return F.when(host != "", F.concat(rev, F.lit(")"), tail))
+
+
+def write_cdx(df: DataFrame, path: str, digest_col: str | None = None,
+              compression: str | None = "gzip") -> None:
+    """Write a CDXJ index — the Common Crawl index line format
+    (``<surt> <timestamp> <json>``) — from `read_warc(payload=False)`
+    output (or any frame with url / warc_date / warc_file /
+    record_offset / content_length / rec_type / content_type
+    columns).  One native projection + a text write (gzip by
+    default): the whole index pass over a crawl is
+    ``read_warc(payload=False)`` -> ``write_cdx`` with zero Python
+    past the container parse.  Records without a URL (warcinfo) are
+    skipped — they cannot be looked up by key.  Lines are sorted
+    within partitions by the SURT key so per-file runs serve prefix
+    scans; sort globally (``df.orderBy``) before calling for a
+    fully-sorted single index."""
+    ts = F.date_format(
+        F.to_timestamp(F.col("warc_date"),
+                       "yyyy-MM-dd'T'HH:mm:ss'Z'"), "yyyyMMddHHmmss")
+    payload = {
+        "url": F.col("url"),
+        "mime": F.col("content_type"),
+        "rec_type": F.col("rec_type"),
+        "length": F.col("content_length").cast("string"),
+        "offset": F.col("record_offset").cast("string"),
+        "filename": F.col("warc_file"),
+    }
+    if digest_col is not None:
+        payload["digest"] = F.col(digest_col)
+    js = F.to_json(F.struct(*[v.alias(k) for k, v in
+                              sorted(payload.items())]))
+    line = F.concat_ws(" ", surt_key(F.col("url")),
+                       F.coalesce(ts, F.lit("00000000000000")), js)
+    out = (df.filter(F.col("url").isNotNull())
+           .select(line.alias("value"))
+           .sortWithinPartitions("value"))
+    w = out.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.text(path)
+
+
+def read_cdx(spark: SparkSession, path: str,
+             base_path: str | None = None) -> DataFrame:
+    """Read CDXJ index lines (``<surt> <timestamp> <json>`` — the
+    Common Crawl index format, which `write_cdx` emits) into
+    (urlkey, cdx_ts, url, mime, rec_type, digest, warc_file,
+    record_offset, record_length) — ``warc_file`` + ``record_offset``
+    feed `read_warc_records` DIRECTLY, so a domain lookup is:
+    ``read_cdx(...).filter(col('urlkey').startswith('com,example'))``
+    -> fetch.  Entirely native (one text scan + split + from_json);
+    gzip index files decompress in the scan.  CC ships RELATIVE
+    filenames (``crawl-data/...``) — pass ``base_path`` to resolve
+    them against your mirror root."""
+    parts = F.split(F.col("value"), " ", 3)
+    m = F.from_json(F.element_at(parts, 3), "map<string,string>")
+    warc_file = m["filename"]
+    if base_path is not None:
+        warc_file = F.concat(F.lit(base_path.rstrip("/") + "/"),
+                             warc_file)
+    return (spark.read.text(path)
+            .filter(F.length(F.trim(F.col("value"))) > 0)
+            .select(
+                F.element_at(parts, 1).alias("urlkey"),
+                F.element_at(parts, 2).alias("cdx_ts"),
+                m["url"].alias("url"),
+                m["mime"].alias("mime"),
+                m["rec_type"].alias("rec_type"),
+                m["digest"].alias("digest"),
+                warc_file.alias("warc_file"),
+                m["offset"].cast("long").alias("record_offset"),
+                m["length"].cast("long").alias("record_length")))

@@ -386,6 +386,67 @@ class TestPipelinePlan:
         assert plan.count(") MapInPandas") == 1  # the parse, only
 
 
+class TestCdxIndex:
+    """CDXJ index (the Common Crawl index format): surt keys, the
+    write_cdx/read_cdx roundtrip, and the domain-lookup join into
+    read_warc_records."""
+
+    def test_surt_key_cases(self, spark):
+        from dask_geopandas_spark.sources.warc import surt_key
+
+        cases = [
+            ("https://www.Example.COM/Path?Q=1",
+             "com,example)/path?q=1"),
+            ("http://sub.site.org:8080/a", "org,site,sub)/a"),
+            ("https://example.com", "com,example)/"),
+            ("https://user:pw@host.net/x", "net,host)/x"),
+            ("not a url", None),
+            (None, None),
+        ]
+        df = spark.createDataFrame(
+            [(i, u) for i, (u, _) in enumerate(cases)],
+            "i long, url string")
+        got = {r["i"]: r["k"] for r in df.select(
+            "i", surt_key(F.col("url")).alias("k")).collect()}
+        for i, (_, want) in enumerate(cases):
+            assert got[i] == want, cases[i]
+
+    def test_roundtrip_and_domain_fetch(self, spark, tmp_path):
+        from dask_geopandas_spark.sources.warc import (read_cdx,
+                                                       read_warc_records,
+                                                       write_cdx)
+
+        rows = [(i, f"https://d{i % 3}.com/p{i}", f"text {i}")
+                for i in range(12)]
+        df = spark.createDataFrame(rows,
+                                   "id long, url string, payload string")
+        to_warc(df, str(tmp_path / "crawl"), rec_type="conversion",
+                content_type="text/plain",
+                warc_date="2026-02-03T04:05:06Z")
+        idx_src = read_warc(spark, str(tmp_path / "crawl"),
+                            payload=False)
+        write_cdx(idx_src, str(tmp_path / "cdx"))
+        import glob as _g
+        files = _g.glob(str(tmp_path / "cdx" / "*.txt.gz"))
+        assert files  # gzip text by default
+        idx = read_cdx(spark, str(tmp_path / "cdx"))
+        assert idx.count() == 12
+        r = idx.filter(F.col("url") == "https://d1.com/p1").head()
+        assert r["urlkey"] == "com,d1)/p1"
+        assert r["cdx_ts"] == "20260203040506"
+        assert r["mime"] == "text/plain"
+        assert r["record_length"] == len("text 1")
+        # THE point of surt: one domain's records via a prefix filter,
+        # then only those members fetched
+        want = idx.filter(F.col("urlkey").startswith("com,d2)"))
+        got = sorted(
+            (x["url"], bytes(x["payload"]).decode()) for x in
+            read_warc_records(want.select("warc_file",
+                                          "record_offset")).collect())
+        assert got == sorted((f"https://d2.com/p{i}", f"text {i}")
+                             for i in range(12) if i % 3 == 2)
+
+
 class TestOwnershipProperty:
     """Hypothesis: for arbitrary record sets and ANY chunk size, the
     union of per-range reads equals the whole-file read with every
