@@ -3130,6 +3130,24 @@ def q_dsir_select(spark, sf_dir):
     return TX.dsir_logweights(docs, target, n_buckets=1024, alpha=1.0)
 
 
+def q_lang_id_model(spark, sf_dir):
+    """Model-based many-language ID (textstats.train_lang_model +
+    lang_id_model, new r12): a hashed char-ngram naive-Bayes — the
+    published-pipeline langid stage (CCNet's fastText lid) rebuilt
+    native.  Trains a 25-language model from the built-in seed
+    corpus (dense 65536-bucket log-prob table + priors — fixed-size,
+    always broadcast, the DSIR engineering trick applied to
+    classification), then scores every document with one gram pass,
+    one broadcast join, and one per-doc aggregation: the corpus never
+    shuffles except that final agg.  The oracle replicates the WHOLE
+    construction — normalization, mixed 1/2/3-gram extraction,
+    portable md5 bucket hash, add-alpha dense model, priors, rounded
+    argmax with alphabetical tie-break — in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    model = TX.train_lang_model(TX.seed_lang_corpus(spark))
+    return TX.lang_id_model(docs, model)
+
+
 def q_corpus_stats(spark, sf_dir):
     """One-pass data-card statistics (textstats.corpus_stats, new
     r11): per-source docs / bytes / tokens / EXACT dup rate / length
@@ -4175,6 +4193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- r12 WINDOW (driver attests positions 1-50;
         #   order generated by scripts/make_window.py — see
         #   tests/test_rotation.py) ----
+        "lang_id_model": q_lang_id_model,
         "contamination": q_contamination,
         "crs_roundtrip": q_crs_roundtrip,
         "decontam_spans": q_decontam_spans,
@@ -4224,9 +4243,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buffer_l_area": q_buffer_l_area,
         "clean_text": q_clean_text,
         "clip_concave": q_clip_concave,
-        "clip_count": q_clip_count,
         # ---- below the window: (last-green asc, name) — the
         #   r13 rotation order is the head of this list ----
+        "clip_count": q_clip_count,
         "cluster_dedup": q_cluster_dedup,
         "concat_bounds": q_concat_bounds,
         "cx_bbox_filter": q_cx_bbox_filter,
@@ -6002,6 +6021,92 @@ _COS = ("round(list_sum(list_transform(range(1, len(qa.v) + 1), "
         "sqrt(list_sum(list_transform(qb.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 9)")
 
 
+def _lang_id_model_oracle() -> str:
+    """DuckDB replica of q_lang_id_model: rebuilds the dense hashed
+    char-ngram naive-Bayes model from the SAME seed sentences
+    (LANG_SEED is the single source of truth — embedded as VALUES)
+    and replays normalization, mixed-order gram extraction, portable
+    md5 bucketing, smoothing, priors, and the rounded argmax with
+    alphabetical tie-break.  Generated programmatically because the
+    25 per-language score columns are mechanical."""
+    from dask_geopandas_spark.operators.textstats import LANG_SEED
+
+    langs = sorted(LANG_SEED)
+    B, A = 65536, 0.5
+    values = ",\n              ".join(
+        f"('{lg}', '{s}')" for lg in langs for s in LANG_SEED[lg])
+    grams = ("[t[i:i] for i in range(1, len(t)+1)] "
+             "|| [t[i:i+1] for i in range(1, len(t))] "
+             "|| [t[i:i+2] for i in range(1, len(t)-1)]")
+    lp_cols = ",\n                      ".join(
+        f"sum(CASE WHEN lang = '{lg}' THEN logp END) AS lp_{lg}"
+        for lg in langs)
+    pr_cols = ",\n                      ".join(
+        f"sum(CASE WHEN lang = '{lg}' THEN pr END) AS pr_{lg}"
+        for lg in langs)
+    s_cols = ",\n                      ".join(
+        f"sum(lp_{lg}) AS s_{lg}" for lg in langs)
+    r_cols = ",\n                      ".join(
+        f"round(s_{lg} + pr_{lg}, 6) AS r_{lg}" for lg in langs)
+    r_list = ", ".join(f"r_{lg}" for lg in langs)
+    case = "\n                    ".join(
+        f"WHEN r_{lg} = score THEN '{lg}'" for lg in langs)
+    return f"""
+        WITH seed(lang, txt) AS (VALUES {values}),
+        sn AS (SELECT lang, ' ' || nullif(trim(regexp_replace(
+                   lower(txt), '\\s+', ' ', 'g')), '') || ' ' AS t
+               FROM seed),
+        sg AS (SELECT lang, unnest({grams}) AS gram
+               FROM sn WHERE t IS NOT NULL),
+        sb AS (SELECT lang, ('0x' || substr(md5(gram), 1, 15))::BIGINT
+                   % {B} AS bucket FROM sg),
+        sc_ AS (SELECT lang, bucket, count(*) AS c FROM sb
+                GROUP BY lang, bucket),
+        sl AS (SELECT lang, count(*) AS nn FROM sb GROUP BY lang),
+        grid AS (SELECT l.lang, b.bucket
+                 FROM (SELECT DISTINCT lang FROM seed) l
+                 CROSS JOIN (SELECT unnest(range(0, {B})) AS bucket) b),
+        model AS (SELECT g.lang, g.bucket,
+                         ln((COALESCE(c.c, 0) + {A})
+                            / (COALESCE(sl.nn, 0) + {A} * {B})) AS logp
+                  FROM grid g
+                  LEFT JOIN sc_ c ON g.lang = c.lang
+                                 AND g.bucket = c.bucket
+                  LEFT JOIN sl ON g.lang = sl.lang),
+        mp AS (SELECT bucket,
+                      {lp_cols}
+               FROM model GROUP BY bucket),
+        pr AS (SELECT lang,
+                      ln(count(*) / (SELECT count(*) FROM seed)) AS pr
+               FROM seed GROUP BY lang),
+        pp AS (SELECT {pr_cols}
+               FROM pr),
+        dn AS (SELECT doc_id, ' ' || nullif(trim(regexp_replace(
+                   lower(text), '\\s+', ' ', 'g')), '') || ' ' AS t
+               FROM documents),
+        dg AS (SELECT doc_id, unnest({grams}) AS gram
+               FROM dn WHERE t IS NOT NULL),
+        db AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT
+                   % {B} AS bucket FROM dg),
+        j AS (SELECT d.doc_id, mp.* FROM db d JOIN mp USING (bucket)),
+        ss AS (SELECT doc_id, count(*) AS n_grams,
+                      {s_cols}
+               FROM j GROUP BY doc_id),
+        sc2 AS (SELECT doc_id, n_grams,
+                      {r_cols}
+                FROM ss CROSS JOIN pp),
+        fin AS (SELECT *, greatest({r_list}) AS score,
+                       list_sort([{r_list}], 'DESC')[2] AS second
+                FROM sc2)
+        SELECT doc_id,
+               CASE {case}
+               END AS pred_lang,
+               n_grams, score,
+               round(score - second, 6) AS margin
+        FROM fin
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
     # stored/appended layouts must be INVISIBLE to results: the
@@ -6639,6 +6744,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "corpus_stats": corpus_stats_sql,
         "temperature_mix": temperature_mix_sql,
         "dsir_select": dsir_select,
+        "lang_id_model": _lang_id_model_oracle(),
         "warc_roundtrip": warc_roundtrip,
         "warc_pipeline": warc_pipeline,
         "html_extract": html_extract,

@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "warc_roundtrip",
     "warc_pipeline",
     "dsir_select",
+    "lang_id_model",
     "corpus_stats",
     "temperature_mix",
     "warc_fetch",

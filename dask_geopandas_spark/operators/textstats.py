@@ -1293,3 +1293,328 @@ def code_signals(text: Column) -> Column:
         F.coalesce(
             F.array_max(F.transform(toks, lambda t: F.length(t))),
             F.lit(0)).cast("long").alias("longest_token_len"))
+
+
+# ---------------------------------------------------------------------------
+# Many-language identification: hashed char-ngram naive Bayes
+# ---------------------------------------------------------------------------
+# The published-pipeline langid stage (CCNet / fastText lid.176) is a
+# linear model over hashed character n-grams.  `train_lang_model`
+# builds the same family of model natively — per-language add-alpha
+# bucket log-probabilities over hashed char n-grams, a FIXED-SIZE
+# table (n_langs x n_buckets rows) no matter the corpus size, the
+# DSIR engineering trick (see dsir_logweights) applied to
+# classification — and `lang_id_model` scores documents with one
+# tokenizer pass, one broadcast join against the pivoted model, and
+# one per-doc aggregation: the corpus never shuffles except that
+# final agg, and nothing is a Python UDF.
+#
+# `LANG_SEED` ships a small built-in 25-language training corpus
+# (original sentences written for this module; apostrophe-free so SQL
+# replicas can embed them verbatim) so the identifier works out of
+# the box:  `lang_id_model(docs, train_lang_model(seed_lang_corpus(
+# spark)))`.  For production quality, train on a real labeled corpus
+# (Wikipedia per-language dumps) with n_buckets ~ 2**16 — the model
+# stays broadcast-sized (100 langs x 65536 buckets ~ 100 MB of
+# (lang, bucket, logp) rows, prunable by keeping only buckets whose
+# logp differs from the smoothing floor).
+
+LANG_SEED: dict[str, tuple[str, ...]] = {
+    "ar": ("الثعلب البني السريع يقفز فوق الكلب الكسول",
+           "تستخدم هذه الجمل لتدريب نموذج اللغة",
+           "في الصباح نشرب القهوة ونقرأ الاخبار في البيت",
+           "الماء والخبز على الطاولة في المطبخ"),
+    "cs": ("rychlá hnědá liška skáče přes líného psa",
+           "tyto věty slouží k trénování jazykového modelu",
+           "ráno pijeme kávu a čteme noviny doma u stolu",
+           "voda a chléb jsou na stole v kuchyni"),
+    "da": ("den hurtige brune ræv springer over den dovne hund",
+           "disse sætninger bruges til at træne sprogmodellen",
+           "om morgenen drikker vi kaffe og læser avisen derhjemme",
+           "vandet og brødet står på bordet i køkkenet"),
+    "de": ("der schnelle braune fuchs springt über den faulen hund",
+           "diese sätze sind für das training der sprachen gedacht",
+           "am morgen trinken wir kaffee und lesen die zeitung zu hause",
+           "das wasser und das brot stehen auf dem tisch in der küche"),
+    "en": ("the quick brown fox jumps over the lazy dog",
+           "these sentences are used to train the language model",
+           "in the morning we drink coffee and read the newspaper at home",
+           "the water and the bread are on the table in the kitchen"),
+    "es": ("el rápido zorro marrón salta sobre el perro perezoso",
+           "estas frases sirven para entrenar el modelo de idiomas",
+           "por la mañana bebemos café y leemos el periódico en casa",
+           "el agua y el pan están sobre la mesa de la cocina"),
+    "fi": ("nopea ruskea kettu hyppää laiskan koiran yli",
+           "näitä lauseita käytetään kielimallin opettamiseen",
+           "aamulla juomme kahvia ja luemme sanomalehteä kotona",
+           "vesi ja leipä ovat pöydällä keittiössä"),
+    "fr": ("le renard brun rapide saute par dessus le chien paresseux",
+           "ces phrases servent à entraîner le modèle de langues",
+           "le matin nous buvons du café et lisons le journal à la maison",
+           "le pain et le fromage sont sur la table de la cuisine"),
+    "hi": ("तेज भूरी लोमड़ी आलसी कुत्ते के ऊपर कूदती है",
+           "इन वाक्यों का उपयोग भाषा मॉडल को सिखाने के लिए होता है",
+           "सुबह हम घर पर चाय पीते हैं और अखबार पढ़ते हैं",
+           "पानी और रोटी रसोई की मेज पर रखी है"),
+    "hu": ("a gyors barna róka átugrik a lusta kutya felett",
+           "ezeket a mondatokat a nyelvi modell tanítására használjuk",
+           "reggel kávét iszunk és újságot olvasunk otthon",
+           "a víz és a kenyér az asztalon van a konyhában"),
+    "id": ("rubah coklat yang cepat melompati anjing yang malas",
+           "kalimat ini digunakan untuk melatih model bahasa",
+           "di pagi hari kami minum kopi dan membaca koran di rumah",
+           "air dan roti ada di atas meja di dapur"),
+    "it": ("la veloce volpe marrone salta sopra il cane pigro",
+           "queste frasi servono per addestrare il modello delle lingue",
+           "la mattina beviamo il caffè e leggiamo il giornale a casa",
+           "il pane e il formaggio sono sul tavolo della cucina"),
+    "ja": ("素早い茶色の狐はのろまな犬を飛び越える",
+           "これらの文は言語モデルの学習に使われます",
+           "朝は家でコーヒーを飲みながら新聞を読みます",
+           "水とパンは台所のテーブルの上にあります",
+           "彼らは学校で数学と歴史を勉強します",
+           "駅はここから遠くないので歩いて行きましょう"),
+    "ko": ("빠른 갈색 여우가 게으른 개를 뛰어넘는다",
+           "이 문장들은 언어 모델을 학습시키는 데 사용된다",
+           "아침에는 집에서 커피를 마시며 신문을 읽는다",
+           "물과 빵은 부엌 식탁 위에 있다",
+           "그들은 학교에서 수학과 역사를 공부한다",
+           "역은 여기서 멀지 않으니 걸어서 가자"),
+    "nl": ("de snelle bruine vos springt over de luie hond",
+           "deze zinnen zijn bedoeld om het taalmodel te trainen",
+           "in de ochtend drinken we koffie en lezen we de krant thuis",
+           "het water en het brood staan op de tafel in de keuken"),
+    "no": ("den raske brune reven hopper over den late hunden",
+           "disse setningene brukes til å trene språkmodellen",
+           "om morgenen drikker vi kaffe og leser avisen hjemme",
+           "vannet og brødet står på bordet på kjøkkenet"),
+    "pl": ("szybki brązowy lis przeskakuje nad leniwym psem",
+           "te zdania służą do trenowania modelu językowego",
+           "rano pijemy kawę i czytamy gazetę w domu",
+           "woda i chleb leżą na stole w kuchni",
+           "oni uczą się matematyki i historii w szkole",
+           "dworzec kolejowy jest niedaleko stąd więc idziemy pieszo"),
+    "pt": ("a rápida raposa marrom salta sobre o cão preguiçoso",
+           "estas frases servem para treinar o modelo de línguas",
+           "de manhã bebemos café e lemos o jornal em casa",
+           "a água e o pão estão sobre a mesa da cozinha"),
+    "ro": ("vulpea maro rapidă sare peste câinele leneș",
+           "aceste propoziții sunt folosite pentru antrenarea modelului",
+           "dimineața bem cafea și citim ziarul acasă",
+           "apa și pâinea sunt pe masa din bucătărie"),
+    "ru": ("быстрая коричневая лиса прыгает через ленивую собаку",
+           "эти предложения используются для обучения языковой модели",
+           "утром мы пьем кофе и читаем газету дома",
+           "вода и хлеб лежат на столе в кухне"),
+    "sv": ("den snabba bruna räven hoppar över den lata hunden",
+           "dessa meningar används för att träna språkmodellen",
+           "på morgonen dricker vi kaffe och läser tidningen hemma",
+           "vattnet och brödet står på bordet i köket"),
+    "tr": ("hızlı kahverengi tilki tembel köpeğin üzerinden atlar",
+           "bu cümleler dil modelini eğitmek için kullanılır",
+           "sabahları evde kahve içer ve gazete okuruz",
+           "su ve ekmek mutfaktaki masanın üzerinde duruyor"),
+    "uk": ("швидка коричнева лисиця стрибає через ледачого собаку",
+           "ці речення використовуються для навчання мовної моделі",
+           "вранці ми готуємо каву і читаємо газету вдома",
+           "вода і хліб лежать на столі в кухні"),
+    "vi": ("con cáo nâu nhanh nhẹn nhảy qua con chó lười biếng",
+           "những câu này được dùng để huấn luyện mô hình ngôn ngữ",
+           "buổi sáng chúng tôi uống cà phê và đọc báo ở nhà",
+           "nước và bánh mì ở trên bàn trong bếp"),
+    "zh": ("敏捷的棕色狐狸跳过了懒惰的狗",
+           "这些句子用于训练语言模型",
+           "早上我们在家里喝咖啡和看报纸",
+           "水和面包放在厨房的桌子上",
+           "他们在学校学习数学和历史",
+           "火车站离这里不远我们走路去"),
+}
+
+
+def seed_lang_corpus(spark):
+    """The built-in 25-language labeled corpus as a (lang, text)
+    DataFrame — two original sentences per language (see LANG_SEED).
+    Deterministic row order (lang asc, sentence index)."""
+    rows = [(lang, s) for lang in sorted(LANG_SEED)
+            for s in LANG_SEED[lang]]
+    return spark.createDataFrame(rows, "lang string, text string")
+
+
+def char_ngrams(text: Column, n=(1, 2, 3)) -> Column:
+    """Character n-grams of space-padded, lowercased,
+    whitespace-collapsed text as a native array column — the fastText
+    langid feature set.  ``n`` is an order or tuple of orders; mixed
+    orders (the default) let single characters carry script identity
+    (CJK / Cyrillic / Arabic) while trigrams carry morphology.  One
+    let-bound normalization pass feeds every order; NULL and
+    effectively-empty texts yield NULL (and so drop out of downstream
+    explodes).  Pure codegen."""
+    orders = (n,) if isinstance(n, int) else tuple(n)
+    norm = F.concat(
+        F.lit(" "),
+        F.nullif(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")),
+                 F.lit("")),
+        F.lit(" "))
+
+    def _gram_at(c: Column, k: int):
+        # single-arg lambda factory: a `lambda i, k=k` would have
+        # arity 2 and Spark would bind the second param to the array
+        # INDEX, silently corrupting every gram.  Grams concatenate
+        # O(1) element_at lookups on the char array — a substr(i, k)
+        # on the string would re-seek from offset 0 every position
+        # (UTF8String positions are byte-scans), turning a document
+        # into O(len^2) work
+        return lambda i: F.concat(
+            *[F.element_at(c, i + j) if j else F.element_at(c, i)
+              for j in range(k)])
+
+    def _build(c: Column) -> Column:
+        parts = []
+        for k in orders:
+            if k == 1:
+                parts.append(c)
+                continue
+            parts.append(F.when(
+                F.size(c) >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(c) - (k - 1)),
+                    _gram_at(c, k))
+            ).otherwise(F.array().cast("array<string>")))
+        return F.concat(*parts) if len(parts) > 1 else parts[0]
+
+    # split to a char array ONCE (native StringSplit), then build all
+    # orders from it
+    return let(norm, lambda t: let(F.split(t, ""), _build))
+
+
+def train_lang_model(df, text_col: str = "text",
+                     lang_col: str = "lang", n_buckets: int = 65536,
+                     n=(1, 2, 3), alpha: float = 0.5):
+    """Train a hashed char-ngram naive-Bayes language model from a
+    labeled (text, lang) corpus.  Returns ONE storable DataFrame of
+    (lang, bucket, logp), SPARSE — only buckets actually observed for
+    a language carry a row (the fixed-size trick that keeps a
+    100-language 2**16-bucket model broadcastable without a dense
+    n_langs x n_buckets grid):
+
+    - bucket >= 0 rows: ``ln((c_b + alpha) / (N_lang + alpha *
+      n_buckets))`` for OBSERVED (lang, bucket) pairs;
+    - bucket == -1 rows: class log-priors
+      ``ln(n_docs_lang / n_docs_total)``;
+    - bucket == -2 rows: each language's smoothing FLOOR
+      ``ln(alpha / (N_lang + alpha * n_buckets))`` — what scoring
+      substitutes for absent buckets;
+    - one bucket == -3 row (lang '*'): ``n_buckets`` itself, so a
+      stored model is self-describing.
+
+    Distributed shape: char n-grams hash into ``n_buckets`` via the
+    module's portable 60-bit md5 hash (``portable_hash`` — DuckDB/
+    Spark replicable); the count aggregation is map-side combined and
+    its output is bounded by n_langs x n_buckets regardless of corpus
+    size, so the model always broadcasts.  Persist the result with
+    plain ``write.parquet`` to reuse across jobs."""
+    from .dedup import portable_hash
+
+    B = int(n_buckets)
+    a = float(alpha)
+    buck = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(char_ngrams(F.col(text_col), n)).alias("gram")
+    ).select("lang", F.pmod(portable_hash(F.col("gram")),
+                            F.lit(B)).alias("bucket"))
+    totals = buck.groupBy("lang").agg(F.count("*").alias("_n"))
+    langs = df.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count("*").alias("_d"))
+    ndocs = langs.agg(F.coalesce(F.sum("_d"), F.lit(0)).alias("_nd"))
+    # totals is n_langs rows — always broadcast; a language whose
+    # texts are all empty still gets floor/prior rows (N coalesces
+    # to 0 -> the uniform ln(alpha / (alpha * n_buckets)) model)
+    denom = (F.coalesce(F.col("_n"), F.lit(0)) + F.lit(a * B))
+    model = (buck.groupBy("lang", "bucket")
+             .agg(F.count("*").alias("_c"))
+             .join(F.broadcast(totals), "lang", "left")
+             .select("lang", "bucket",
+                     F.log((F.col("_c") + F.lit(a)) / denom)
+                     .alias("logp")))
+    floors = (langs.join(F.broadcast(totals), "lang", "left")
+              .select("lang", F.lit(-2).cast("long").alias("bucket"),
+                      F.log(F.lit(a) / denom).alias("logp")))
+    priors = (langs.crossJoin(F.broadcast(ndocs))
+              .select("lang", F.lit(-1).cast("long").alias("bucket"),
+                      F.log(F.col("_d") / F.col("_nd")).alias("logp")))
+    meta = df.sparkSession.createDataFrame(
+        [("*", -3, float(B))], "lang string, bucket long, logp double")
+    return model.unionByName(floors).unionByName(priors) \
+        .unionByName(meta)
+
+
+def lang_id_model(df, model, text_col: str = "text",
+                  id_col: str = "doc_id", n=(1, 2, 3)):
+    """Model-based language ID: score every document against a
+    `train_lang_model` table and return
+    (id, pred_lang, n_grams, score, margin) — argmax language, its
+    rounded log-score (prior + sum of bucket log-likelihoods over
+    gram OCCURRENCES), and the gap to the runner-up.  Ties break to
+    the alphabetically-first language; documents with no char n-grams
+    (NULL / effectively-empty text) drop out.
+
+    Distributed shape — the corpus NEVER shuffles except the final
+    per-doc aggregation: the sparse model pivots to one (bucket,
+    lp_<lang>...) row per OBSERVED bucket (<= n_buckets rows — always
+    broadcast), gram rows LEFT-broadcast-join it (absent buckets take
+    each language's stored smoothing floor via COALESCE), and one
+    map-side-combined groupBy computes every language's sum in a
+    single pass.  Scores round to 6 decimals BEFORE the argmax so
+    the decision is reproducible across engines (SQL-oracle
+    replicable end to end).  The model scan is driver-collected only
+    for its fixed-size negative-bucket rows: priors, floors, and
+    n_buckets."""
+    from .dedup import portable_hash
+
+    # ONE pass over the model for all driver-side metadata: priors
+    # (bucket -1), per-lang floors (-2), n_buckets (-3); collect_list
+    # skips the NULLs the when() leaves on observed-bucket rows
+    neg = model.agg(
+        F.collect_list(F.when(F.col("bucket") < 0,
+                              F.struct("lang", "bucket", "logp")))
+        .alias("_m")).first()["_m"]
+    priors = {r["lang"]: float(r["logp"]) for r in neg
+              if r["bucket"] == -1}
+    floors = {r["lang"]: float(r["logp"]) for r in neg
+              if r["bucket"] == -2}
+    brow = [r for r in neg if r["bucket"] == -3]
+    if not priors or not floors or not brow:
+        raise ValueError("model lacks prior/floor/n_buckets rows — "
+                         "was it built by train_lang_model?")
+    langs = sorted(priors)
+    B = int(brow[0]["logp"])
+    piv = (model.filter(F.col("bucket") >= 0)
+           .groupBy("bucket").pivot("lang", langs)
+           .agg(F.first("logp")))
+    bucketed = df.select(
+        F.col(id_col),
+        F.explode(char_ngrams(F.col(text_col), n)).alias("gram")
+    ).select(id_col, F.pmod(portable_hash(F.col("gram")),
+                            F.lit(B)).alias("bucket"))
+    sums = (bucketed.join(F.broadcast(piv), "bucket", "left")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_grams"),
+                 *[F.sum(F.coalesce(F.col(lang),
+                                    F.lit(floors[lang])))
+                   .alias(f"_s_{lang}") for lang in langs]))
+    scores = {lang: F.round(F.col(f"_s_{lang}")
+                            + F.lit(priors[lang]), 6)
+              for lang in langs}
+    arr = F.array(*[scores[lang] for lang in langs])
+    best = F.array_max(arr)
+    pred = F.when(scores[langs[0]] == best, F.lit(langs[0]))
+    for lang in langs[1:]:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    if len(langs) > 1:
+        margin = F.round(
+            best - F.element_at(F.sort_array(arr, asc=False), 2), 6)
+    else:
+        margin = F.lit(0.0)
+    return sums.select(
+        F.col(id_col), pred.alias("pred_lang"), F.col("n_grams"),
+        best.alias("score"), margin.alias("margin"))

@@ -2810,3 +2810,220 @@ class TestCorpusStats:
         empty = spark.createDataFrame([], "doc_id long, text string")
         r0 = corpus_stats(empty).head()
         assert r0["n_docs"] == 0 and r0["n_chars"] == 0
+
+
+class TestLangIdModel:
+    """Hashed char-ngram naive-Bayes language ID (textstats.
+    train_lang_model / lang_id_model) — the CCNet/fastText langid
+    stage rebuilt native.  Covers the 25-language built-in seed
+    corpus, a full Python brute-force replica, edge inputs, and the
+    broadcast-only plan shape."""
+
+    HELD_OUT = {
+        "ar": "اليوم الطقس جميل جدا للمشي في الحديقة",
+        "cs": "dnes je krásné počasí na procházku v parku",
+        "da": "i dag er vejret godt til en lang gåtur i parken",
+        "de": "das wetter ist heute wirklich sehr schön und warm",
+        "en": "the weather today is quite nice and the sea is calm",
+        "es": "el tiempo de hoy es muy bueno para caminar por la playa",
+        "fi": "tänään on todella kaunis ilma kävelylle puistossa",
+        "fr": "le temps est très agréable pour se promener au bord "
+              "de la mer",
+        "hi": "आज मौसम टहलने के लिए बहुत अच्छा है",
+        "hu": "ma nagyon szép az idő egy sétához a parkban",
+        "id": "hari ini cuacanya sangat bagus untuk berjalan kaki",
+        "it": "il tempo oggi è molto bello per passeggiare",
+        "ja": "今日はとても良い天気なので散歩に行きます",
+        "ko": "오늘은 날씨가 좋아서 공원에 간다",
+        "nl": "vandaag is het weer erg mooi om te wandelen in het park",
+        "no": "i dag er været fint til en tur i parken",
+        "pl": "dzisiaj jest bardzo ładna pogoda na spacer po parku",
+        "pt": "hoje o tempo está muito bom para passear na praia",
+        "ro": "astăzi vremea este foarte frumoasă pentru o plimbare",
+        "ru": "сегодня очень хорошая погода для прогулки",
+        "sv": "idag är vädret mycket fint för en promenad i parken",
+        "tr": "bugün hava yürüyüş yapmak için çok güzel",
+        "uk": "сьогодні дуже гарна погода для прогулянки в парку",
+        "vi": "hôm nay thời tiết rất đẹp để đi dạo trong công viên",
+        "zh": "天气很好我们去公园散步吧",
+    }
+    # the only acceptable held-out confusions: genuinely adjacent
+    # languages on a 4-6-sentence training corpus
+    CONFUSABLE = {"cs": {"pl", "sk"}, "pl": {"cs"}, "no": {"da", "sv"},
+                  "da": {"no", "sv"}, "sv": {"da", "no"},
+                  "uk": {"ru"}, "ru": {"uk"}, "pt": {"es"},
+                  "es": {"pt"}}
+
+    @pytest.fixture(scope="class")
+    def model(self, spark):
+        from dask_geopandas_spark.operators.textstats import (
+            seed_lang_corpus, train_lang_model)
+
+        return train_lang_model(seed_lang_corpus(spark)).cache()
+
+    def test_seed_corpus_shape(self, spark):
+        from dask_geopandas_spark.operators.textstats import (
+            LANG_SEED, seed_lang_corpus)
+
+        assert len(LANG_SEED) == 25
+        assert all(len(v) >= 4 for v in LANG_SEED.values())
+        # apostrophe/quote-free so SQL oracles can embed them verbatim
+        assert not any("'" in s or '"' in s
+                       for v in LANG_SEED.values() for s in v)
+        df = seed_lang_corpus(spark)
+        assert df.select("lang").distinct().count() == 25
+
+    def test_char_ngrams_exact(self, spark):
+        from dask_geopandas_spark.operators.textstats import char_ngrams
+
+        df = spark.createDataFrame([("ab",)], "t string")
+        got = df.select(char_ngrams(F.col("t")).alias("g")).head()["g"]
+        assert got == [" ", "a", "b", " ",
+                       " a", "ab", "b ",
+                       " ab", "ab "]
+        one = df.select(char_ngrams(F.col("t"), 3).alias("g")) \
+            .head()["g"]
+        assert one == [" ab", "ab "]
+
+    def test_training_sentences_classify_perfectly(self, spark, model):
+        from dask_geopandas_spark.operators.textstats import (
+            LANG_SEED, lang_id_model)
+
+        rows = [(i, s, lang) for i, (lang, ss) in
+                enumerate(sorted(LANG_SEED.items())) for s in ss]
+        df = spark.createDataFrame(
+            [(j, t, w) for j, (_, t, w) in enumerate(rows)],
+            "doc_id long, text string, want string")
+        out = lang_id_model(df, model).join(
+            df.select("doc_id", "want"), "doc_id").collect()
+        assert len(out) == sum(len(v) for v in LANG_SEED.values())
+        assert all(r["pred_lang"] == r["want"] for r in out)
+
+    def test_held_out_sentences(self, spark, model):
+        """>= 20/25 held-out accuracy; every miss must be a known
+        adjacent-language confusion and every non-Latin script must
+        be exact (script identity is carried by char unigrams)."""
+        from dask_geopandas_spark.operators.textstats import \
+            lang_id_model
+
+        df = spark.createDataFrame(
+            [(i, t, lang) for i, (lang, t) in
+             enumerate(sorted(self.HELD_OUT.items()))],
+            "doc_id long, text string, want string")
+        out = lang_id_model(df, model).join(
+            df.select("doc_id", "want"), "doc_id").collect()
+        assert len(out) == 25
+        hits = sum(r["pred_lang"] == r["want"] for r in out)
+        assert hits >= 20, [(r["want"], r["pred_lang"]) for r in out]
+        for r in out:
+            if r["pred_lang"] != r["want"]:
+                assert r["pred_lang"] in \
+                    self.CONFUSABLE.get(r["want"], set()), \
+                    (r["want"], r["pred_lang"])
+        for script_lang in ("ar", "hi", "ja", "ko", "ru", "zh"):
+            got = [r["pred_lang"] for r in out
+                   if r["want"] == script_lang]
+            # uk/ru share a script; ru itself must still be exact
+            assert got == [script_lang]
+
+    @staticmethod
+    def _brute_scores(seed, text, n_buckets, alpha):
+        import hashlib
+        import math
+        import re
+
+        def grams(s):
+            t = re.sub(r"[ \t\n\r\f\v]+", " ", s.lower()).strip()
+            if not t:
+                return []
+            t = f" {t} "
+            return [t[i:i + k] for k in (1, 2, 3)
+                    for i in range(len(t) - k + 1)]
+
+        def bucket(g):
+            return int(hashlib.md5(g.encode()).hexdigest()[:15],
+                       16) % n_buckets
+
+        counts, totals, ndocs = {}, {}, {}
+        for lang, sents in seed.items():
+            for s in sents:
+                ndocs[lang] = ndocs.get(lang, 0) + 1
+                for g in grams(s):
+                    b = bucket(g)
+                    counts[(lang, b)] = counts.get((lang, b), 0) + 1
+                    totals[lang] = totals.get(lang, 0) + 1
+        total_docs = sum(ndocs.values())
+        out = {}
+        for lang in seed:
+            sc = math.log(ndocs[lang] / total_docs)
+            for g in grams(text):
+                b = bucket(g)
+                sc += math.log(
+                    (counts.get((lang, b), 0) + alpha)
+                    / (totals.get(lang, 0) + alpha * n_buckets))
+            out[lang] = sc
+        return out
+
+    def test_matches_brute_force(self, spark):
+        from dask_geopandas_spark.operators.textstats import (
+            lang_id_model, train_lang_model)
+
+        seed = {"en": ("the cat sat on the mat",
+                       "dogs and cats are friends"),
+                "fr": ("le chat dort sur la table",
+                       "les chiens et les chats sont amis"),
+                "de": ("die katze schläft auf dem tisch",
+                       "hunde und katzen sind freunde")}
+        sdf = spark.createDataFrame(
+            [(lang, s) for lang, ss in seed.items() for s in ss],
+            "lang string, text string")
+        model = train_lang_model(sdf, n_buckets=512, alpha=0.5)
+        texts = ["the cat and the dog sat together",
+                 "le chien dort avec le chat",
+                 "die hunde schlafen auf dem tisch"]
+        df = spark.createDataFrame(list(enumerate(texts)),
+                                   "doc_id long, text string")
+        got = {r["doc_id"]: r for r in
+               lang_id_model(df, model).collect()}
+        for i, t in enumerate(texts):
+            brute = self._brute_scores(seed, t, 512, 0.5)
+            rounded = {lang: round(v, 6) for lang, v in brute.items()}
+            best = max(rounded.values())
+            want_lang = min(lg for lg, v in rounded.items()
+                            if v == best)
+            ordered = sorted(rounded.values(), reverse=True)
+            assert got[i]["pred_lang"] == want_lang
+            assert got[i]["score"] == pytest.approx(best, abs=2e-6)
+            assert got[i]["margin"] == pytest.approx(
+                ordered[0] - ordered[1], abs=2e-6)
+            assert got[i]["n_grams"] == len(
+                [g for k in (1, 2, 3)
+                 for g in range(len(f" {t} ") - k + 1)])
+
+    def test_null_empty_whitespace_drop(self, spark, model):
+        from dask_geopandas_spark.operators.textstats import \
+            lang_id_model
+
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, None), (3, ""),
+             (4, " \t ")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r["pred_lang"] for r in
+               lang_id_model(df, model).collect()}
+        assert set(got) == {1} and got[1] == "en"
+
+    def test_model_broadcasts_corpus_never_shuffles(self, spark, model):
+        """The 100-TB shape: the pivoted model joins as a BROADCAST;
+        the only corpus-keyed exchange is the final per-doc
+        aggregation — no SortMergeJoin, no Python."""
+        from dask_geopandas_spark.operators.textstats import \
+            lang_id_model
+
+        df = spark.createDataFrame([(1, "hello world")],
+                                   "doc_id long, text string")
+        out = lang_id_model(df, model)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "EvalPython" not in plan
