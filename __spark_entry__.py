@@ -4194,6 +4194,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   order generated by scripts/make_window.py — see
         #   tests/test_rotation.py) ----
         "lang_id_model": q_lang_id_model,
+        "warc_roundtrip": q_warc_roundtrip,
+        "warc_pipeline": q_warc_pipeline,
+        "warc_fetch": q_warc_fetch,
+        "cdx_fetch": q_cdx_fetch,
         "contamination": q_contamination,
         "crs_roundtrip": q_crs_roundtrip,
         "decontam_spans": q_decontam_spans,
@@ -4239,12 +4243,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "box_area_by_priority": q_box_area_by_priority,
         "box_relations": q_box_relations,
         "box_setops_area": q_box_setops_area,
+        # ---- below the window: (last-green asc, name) — the
+        #   r13 rotation order is the head of this list ----
         "buffer_envelope_area": q_buffer_envelope_area,
         "buffer_l_area": q_buffer_l_area,
         "clean_text": q_clean_text,
         "clip_concave": q_clip_concave,
-        # ---- below the window: (last-green asc, name) — the
-        #   r13 rotation order is the head of this list ----
         "clip_count": q_clip_count,
         "cluster_dedup": q_cluster_dedup,
         "concat_bounds": q_concat_bounds,
@@ -4336,7 +4340,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batch": q_bm25_batch,
         "bm25_batch_stored": q_bm25_batch_stored,
         "bm25_topk": q_bm25_topk,
-        "cdx_fetch": q_cdx_fetch,
         "clip_concave_lines": q_clip_concave_lines,
         "clip_concave_polys": q_clip_concave_polys,
         "code_quality": q_code_quality,
@@ -4373,9 +4376,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top": q_tfidf_top,
         "topk_parts": q_topk_parts,
         "vocab_top": q_vocab_top,
-        "warc_fetch": q_warc_fetch,
-        "warc_pipeline": q_warc_pipeline,
-        "warc_roundtrip": q_warc_roundtrip,
     }
 
 

@@ -57,6 +57,7 @@ from . import fs as FS
 _SCHEMA = StructType([
     StructField("warc_file", StringType()),
     StructField("record_offset", LongType()),
+    StructField("record_length", LongType()),
     StructField("rec_type", StringType()),
     StructField("url", StringType()),
     StructField("warc_date", StringType()),
@@ -130,7 +131,8 @@ def _parse_header(buf, pos: int):
     return headers, end + 4, int(cl)
 
 
-def _record_row(headers, payload, file_name, offset, want_payload):
+def _record_row(headers, payload, file_name, offset, want_payload,
+                rec_len):
     def s(k):
         v = headers.get(k)
         return v.decode("utf-8", "replace") if v is not None else None
@@ -138,6 +140,7 @@ def _record_row(headers, payload, file_name, offset, want_payload):
     return {
         "warc_file": file_name,
         "record_offset": offset,
+        "record_length": rec_len,
         "rec_type": s("warc-type"),
         "url": s("warc-target-uri"),
         "warc_date": s("warc-date"),
@@ -206,7 +209,8 @@ def _iter_plain(win: _Window, start: int, end: int | None, file_name,
         if len(payload) < clen:
             return  # truncated tail
         yield _record_row(headers, payload, file_name,
-                          start + shift + head, want_payload)
+                          start + shift + head, want_payload,
+                          pstart + clen + 4 - head)
         cut = pstart + clen
         del win.buf[:cut]
         shift += cut
@@ -276,7 +280,7 @@ def _inflate_gz_member(win: _Window, pos: int):
 
 
 def _iter_records_in(data: bytes, file_name: str, offset: int,
-                     want_payload: bool):
+                     want_payload: bool, rec_len: int):
     """Yield record rows from fully-inflated member bytes.  CC ships
     one record per member; a multi-record member (or a whole solid
     file inflated as one member) parses through sequentially —
@@ -297,7 +301,7 @@ def _iter_records_in(data: bytes, file_name: str, offset: int,
         if len(payload) < clen:
             return  # truncated tail
         yield _record_row(headers, payload, file_name, offset,
-                          want_payload)
+                          want_payload, rec_len)
         pos = pstart + clen
 
 
@@ -326,7 +330,7 @@ def _iter_gz(win: _Window, start: int, end: int | None, file_name: str,
         if data[:5] == b"WARC/":
             yield from _iter_records_in(data, file_name,
                                         start + shift + pos,
-                                        want_payload)
+                                        want_payload, consumed)
         cut = pos + consumed
         del win.buf[:cut]
         shift += cut
@@ -517,10 +521,10 @@ def read_warc_records(locations: DataFrame, payload: bool = True,
     fnames = [fld.name for fld in _SCHEMA.fields]
 
     def fetch(batches):
-        for pdf in batches:
-            rows = []
-            cur, fh = None, None
-            try:
+        rows = []
+        cur, fh = None, None
+        try:
+            for pdf in batches:
                 for fp, off in zip(pdf["warc_file"],
                                    pdf["record_offset"]):
                     off = int(off)
@@ -535,7 +539,7 @@ def read_warc_records(locations: DataFrame, payload: bool = True,
                         if m is None:
                             continue
                         rows.extend(_iter_records_in(
-                            m[0], fp, off, want_payload))
+                            m[0], fp, off, want_payload, m[1]))
                     else:
                         win.ensure(_MAX_HEADER)
                         h = _parse_header(win.buf, 0)
@@ -546,13 +550,19 @@ def read_warc_records(locations: DataFrame, payload: bool = True,
                         pay = win.buf[pstart:pstart + clen]
                         if len(pay) < clen:
                             continue
-                        rows.append(_record_row(headers, pay, fp, off,
-                                                want_payload))
-            finally:
-                if fh is not None:
-                    fh.close()
-            if rows:
-                yield pd.DataFrame(rows, columns=fnames)
+                        rows.append(_record_row(
+                            headers, pay, fp, off, want_payload,
+                            pstart + clen + 4))
+                    # flush like read_warc's read_part: a big batch
+                    # of big payloads must not accumulate unbounded
+                    if len(rows) >= 2048:
+                        yield pd.DataFrame(rows, columns=fnames)
+                        rows = []
+        finally:
+            if fh is not None:
+                fh.close()
+        if rows:
+            yield pd.DataFrame(rows, columns=fnames)
 
     return locs.mapInPandas(fetch, schema=_SCHEMA)
 
@@ -561,7 +571,8 @@ def to_warc(df: DataFrame, path: str, payload_col: str = "payload",
             url_col: str = "url", rec_type: str = "conversion",
             content_type: str | None = None,
             warc_date: str = "2026-01-01T00:00:00Z",
-            gzip_members: bool = True, filesystem=None) -> None:
+            gzip_members: bool = True, filesystem=None,
+            flush_bytes: int = 4 << 20) -> None:
     """Write a DataFrame as WARC file(s): one ``part-*.warc(.gz)``
     per Spark partition under ``path``, gzip form ONE MEMBER PER
     RECORD (the CC layout `read_warc`'s part list banks on).
@@ -595,7 +606,8 @@ def to_warc(df: DataFrame, path: str, payload_col: str = "payload",
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        chunks = []
+        out = None
+        buf, buflen = [], 0
         n = 0
         for pdf in batches:
             for i in range(len(pdf)):
@@ -626,18 +638,26 @@ def to_warc(df: DataFrame, path: str, payload_col: str = "payload",
                 if gzip_members:
                     c = zlib.compressobj(6, zlib.DEFLATED, 31)
                     rec = c.compress(rec) + c.flush()
-                chunks.append(rec)
+                if out is None:
+                    fpath = FS.join(path, f"part-{pid:05d}{suffix}")
+                    # compression=None: pyarrow's open_output_stream
+                    # would otherwise auto-gzip the WHOLE file by its
+                    # .gz extension — on top of the per-record
+                    # members, breaking the member-per-record
+                    # random-access layout
+                    fsys, p = FS.resolve_fs(fpath, filesystem)
+                    out = fsys.open_output_stream(p, compression=None)
+                buf.append(rec)
+                buflen += len(rec)
+                if buflen >= flush_bytes:
+                    out.write(b"".join(buf))
+                    buf, buflen = [], 0
                 n += 1
-        if chunks:
-            fpath = FS.join(path, f"part-{pid:05d}{suffix}")
-            # compression=None: pyarrow's open_output_stream would
-            # otherwise auto-gzip the WHOLE file by its .gz extension
-            # — on top of the per-record members, breaking the
-            # member-per-record random-access layout
-            fsys, p = FS.resolve_fs(fpath, filesystem)
-            with fsys.open_output_stream(p, compression=None) as out:
-                out.write(b"".join(chunks))
-        yield pd.DataFrame({"files": [1 if chunks else 0]})
+        if out is not None:
+            if buf:
+                out.write(b"".join(buf))
+            out.close()
+        yield pd.DataFrame({"files": [1 if n else 0]})
 
     src.mapInPandas(write_part, schema="files long").collect()
 
@@ -734,14 +754,23 @@ def surt_key(url: Column) -> Column:
     native — the sort/prefix key every CDX index uses so one DOMAIN's
     records are contiguous: host lowercased and reversed on dots
     (``com,example``), default ports and a leading ``www.`` dropped,
-    then ``)`` + the path/query lowercased.  Subset of the published
-    SURT spec (no scheme-relative or userinfo forms — the shapes CC
-    index lines actually carry); non-URL inputs yield NULL."""
-    host = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://"
-                                         r"(?:[^/?#@]*@)?([^/?#:]+)",
-                                    1))
+    then ``)`` + the path/query lowercased.  Non-default ports are
+    KEPT (``com,example:8080)`` — the real CC urlkey form): :80 drops
+    for http, :443 for https.  Subset of the published SURT spec (no
+    scheme-relative or userinfo forms — the shapes CC index lines
+    actually carry); non-URL inputs yield NULL."""
+    scheme = F.lower(F.regexp_extract(
+        url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)", 1))
+    host = F.regexp_extract(hostport, r"^([^:]+)", 1)
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    default = ((scheme == "http") & (port == "80")) | \
+        ((scheme == "https") & (port == "443"))
     host = F.regexp_replace(host, r"^www\.", "")
     rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    rev = F.when((port != "") & ~default,
+                 F.concat(rev, F.lit(":"), port)).otherwise(rev)
     tail = F.lower(F.regexp_extract(url,
                                     r"^[A-Za-z][A-Za-z0-9+.-]*://"
                                     r"[^/?#]*([/?#].*)?$", 1))
@@ -758,7 +787,14 @@ def write_cdx(df: DataFrame, path: str, digest_col: str | None = None,
     columns).  One native projection + a text write (gzip by
     default): the whole index pass over a crawl is
     ``read_warc(payload=False)`` -> ``write_cdx`` with zero Python
-    past the container parse.  Records without a URL (warcinfo) are
+    past the container parse.  The ``length`` field is the COMPRESSED
+    record length (the gzip member span `read_warc` reports as
+    ``record_length``) — what standard CDX consumers (warcio,
+    cdx-toolkit) use for HTTP range fetches; frames without a
+    ``record_length`` column fall back to the uncompressed
+    ``content_length`` (a documented divergence — fine for the
+    internal read_cdx -> read_warc_records path, which fetches by
+    offset alone).  Records without a URL (warcinfo) are
     skipped — they cannot be looked up by key.  Lines are sorted
     within partitions by the SURT key so per-file runs serve prefix
     scans; sort globally (``df.orderBy``) before calling for a
@@ -766,11 +802,13 @@ def write_cdx(df: DataFrame, path: str, digest_col: str | None = None,
     ts = F.date_format(
         F.to_timestamp(F.col("warc_date"),
                        "yyyy-MM-dd'T'HH:mm:ss'Z'"), "yyyyMMddHHmmss")
+    length_col = ("record_length" if "record_length" in df.columns
+                  else "content_length")
     payload = {
         "url": F.col("url"),
         "mime": F.col("content_type"),
         "rec_type": F.col("rec_type"),
-        "length": F.col("content_length").cast("string"),
+        "length": F.col(length_col).cast("string"),
         "offset": F.col("record_offset").cast("string"),
         "filename": F.col("warc_file"),
     }

@@ -186,6 +186,27 @@ class TestSinkOptions:
         assert got["https://b.com"]["rec_type"] == "conversion"
         assert bytes(got["https://b.com"]["payload"]) == b"wet text"
 
+    def test_incremental_flush_is_byte_identical(self, spark,
+                                                 tmp_path):
+        """to_warc streams records to the part file, flushing every
+        flush_bytes — a single-partition many-record write must NOT
+        buffer the whole output (r11 advice).  A tiny flush_bytes
+        (many flushes) and a huge one (single final flush) must
+        produce byte-identical files."""
+        import glob as _g
+
+        rows = [(i, f"https://f.com/{i}", f"payload {i} " * 20)
+                for i in range(200)]
+        df = spark.createDataFrame(
+            rows, "id long, url string, payload string").coalesce(1)
+        to_warc(df, str(tmp_path / "small"), flush_bytes=64)
+        to_warc(df, str(tmp_path / "big"), flush_bytes=1 << 30)
+        small = sorted(_g.glob(str(tmp_path / "small" / "part-*")))
+        big = sorted(_g.glob(str(tmp_path / "big" / "part-*")))
+        assert len(small) == len(big) == 1
+        assert open(small[0], "rb").read() == open(big[0], "rb").read()
+        assert read_warc(spark, str(tmp_path / "small")).count() == 200
+
     def test_binary_payload_and_plain_form(self, spark, tmp_path):
         body = bytes(range(256)) * 3
         df = spark.createDataFrame([(1, "https://bin.com", body)],
@@ -397,7 +418,13 @@ class TestCdxIndex:
         cases = [
             ("https://www.Example.COM/Path?Q=1",
              "com,example)/path?q=1"),
-            ("http://sub.site.org:8080/a", "org,site,sub)/a"),
+            # non-default port KEPT (real CC urlkey form)
+            ("http://sub.site.org:8080/a", "org,site,sub:8080)/a"),
+            # scheme-default ports dropped
+            ("http://site.org:80/a", "org,site)/a"),
+            ("https://site.org:443/a", "org,site)/a"),
+            # :443 on http is NOT that scheme's default — kept
+            ("http://site.org:443/a", "org,site:443)/a"),
             ("https://example.com", "com,example)/"),
             ("https://user:pw@host.net/x", "net,host)/x"),
             ("not a url", None),
@@ -435,7 +462,17 @@ class TestCdxIndex:
         assert r["urlkey"] == "com,d1)/p1"
         assert r["cdx_ts"] == "20260203040506"
         assert r["mime"] == "text/plain"
-        assert r["record_length"] == len("text 1")
+        # CC-conformant length: the COMPRESSED record length — the
+        # byte slice [offset, offset+length) is exactly one gzip
+        # member that inflates to the record (the HTTP range-fetch
+        # contract standard CDX consumers rely on)
+        import zlib as _z
+        raw = open(r["warc_file"], "rb").read()
+        member = raw[r["record_offset"]:
+                     r["record_offset"] + r["record_length"]]
+        blob = _z.decompress(member, 31)
+        assert blob.startswith(b"WARC/1.0")
+        assert b"text 1" in blob
         # THE point of surt: one domain's records via a prefix filter,
         # then only those members fetched
         want = idx.filter(F.col("urlkey").startswith("com,d2)"))
