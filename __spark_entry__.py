@@ -3175,6 +3175,62 @@ def q_temperature_mix(spark, sf_dir):
     return out.select("doc_id", "source", "copy_id")
 
 
+def q_warc_enrich(spark, sf_dir):
+    """Response <-> metadata record pairing (sources/warc.
+    concurrent_join, new r12) — the remaining CC container shape: a
+    capture's language / charset / timings live in a paired
+    ``metadata`` record chained by WARC-Concurrent-To.  Synthetic
+    responses (HTTP message with a per-doc Content-Location header —
+    unique payloads, so the deterministic md5 record ids are unique)
+    plus metadata records for docs with doc_id % 3 != 0 pointing at
+    the response id (computed NATIVELY as
+    concat('<urn:md5:', md5(payload), '>')), one `read_warc` pass,
+    `concurrent_join(how='left')`, native language extraction from
+    the paired payload.  Oracle: the pairing recomputed from the
+    construction (metadata exists iff doc_id % 3 != 0; byte lengths
+    from the HTTP message shape)."""
+    import shutil
+
+    from dask_geopandas_spark.sources.warc import (concurrent_join,
+                                                   http_status,
+                                                   payload_text,
+                                                   read_warc, to_warc)
+
+    base = "/root/repo/.bench_tmp/warc_enrich"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "text") \
+        .filter(F.col("text").isNotNull())
+    url = F.concat(F.lit("https://crawl.test/doc-"),
+                   F.col("doc_id").cast("string"))
+    body = F.concat(F.lit("HTTP/1.1 200 OK\r\nContent-Location: "),
+                    url, F.lit("\r\nContent-Type: text/plain\r\n\r\n"),
+                    F.col("text"))
+    responses = docs.select(
+        url.alias("url"), body.alias("payload"),
+        F.lit("response").alias("rt"),
+        F.lit(None).cast("string").alias("ct"))
+    metas = (docs.filter((F.col("doc_id") % 3 != 0)
+                         & F.col("lang").isNotNull())
+             .select(url.alias("url"),
+                     F.concat(F.lit("languages: "), F.col("lang"))
+                     .alias("payload"),
+                     F.lit("metadata").alias("rt"),
+                     F.concat(F.lit("<urn:md5:"), F.md5(body),
+                              F.lit(">")).alias("ct")))
+    to_warc(responses.unionByName(metas), base, rec_type="rt",
+            concurrent_to_col="ct")
+    recs = read_warc(spark, base)
+    joined = concurrent_join(recs, how="left")
+    return joined.select(
+        "url",
+        http_status(F.col("payload")).alias("status"),
+        F.col("content_length").alias("resp_len"),
+        F.regexp_extract(
+            F.coalesce(payload_text(F.col("meta_payload")), F.lit("")),
+            r"languages: ([a-z]+)", 1).alias("meta_lang"))
+
+
 def q_warc_fetch(spark, sf_dir):
     """Random-access WARC record fetch (sources/warc.
     read_warc_records, new r11) — the CDX-index shape: the crawl
@@ -4198,6 +4254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_pipeline": q_warc_pipeline,
         "warc_fetch": q_warc_fetch,
         "cdx_fetch": q_cdx_fetch,
+        "warc_enrich": q_warc_enrich,
         "contamination": q_contamination,
         "crs_roundtrip": q_crs_roundtrip,
         "decontam_spans": q_decontam_spans,
@@ -4242,9 +4299,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tolerance": q_asof_tolerance,
         "box_area_by_priority": q_box_area_by_priority,
         "box_relations": q_box_relations,
-        "box_setops_area": q_box_setops_area,
         # ---- below the window: (last-green asc, name) — the
         #   r13 rotation order is the head of this list ----
+        "box_setops_area": q_box_setops_area,
         "buffer_envelope_area": q_buffer_envelope_area,
         "buffer_l_area": q_buffer_l_area,
         "clean_text": q_clean_text,
@@ -6719,6 +6776,20 @@ def _oracle_sql_base() -> dict[str, str]:
                FROM m)
         SELECT doc_id, source, copy_id FROM up
     """
+    warc_enrich = """
+        SELECT 'https://crawl.test/doc-' || CAST(doc_id AS VARCHAR)
+                   AS url,
+               200 AS status,
+               CAST(octet_length(encode(
+                   'HTTP/1.1 200 OK' || e'\r\n' ||
+                   'Content-Location: https://crawl.test/doc-'
+                   || CAST(doc_id AS VARCHAR) || e'\r\n' ||
+                   'Content-Type: text/plain' || e'\r\n\r\n'
+                   || text)) AS BIGINT) AS resp_len,
+               CASE WHEN doc_id % 3 != 0 AND lang IS NOT NULL
+                    THEN lang ELSE '' END AS meta_lang
+        FROM documents WHERE text IS NOT NULL
+    """
     warc_fetch = """
         SELECT 'https://crawl.test/doc-' || CAST(doc_id AS VARCHAR)
                    AS url,
@@ -6740,6 +6811,7 @@ def _oracle_sql_base() -> dict[str, str]:
     """
     return {
         "cdx_fetch": cdx_fetch,
+        "warc_enrich": warc_enrich,
         "warc_fetch": warc_fetch,
         "corpus_stats": corpus_stats_sql,
         "temperature_mix": temperature_mix_sql,

@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "corpus_stats",
     "temperature_mix",
     "warc_fetch",
+    "warc_enrich",
     "cdx_fetch",
 ]
 

@@ -64,6 +64,8 @@ _SCHEMA = StructType([
     StructField("content_type", StringType()),
     StructField("content_length", LongType()),
     StructField("payload", BinaryType()),
+    StructField("record_id", StringType()),
+    StructField("concurrent_to", StringType()),
 ])
 
 _GZ_MAGIC = b"\x1f\x8b\x08"
@@ -147,6 +149,8 @@ def _record_row(headers, payload, file_name, offset, want_payload,
         "content_type": s("content-type"),
         "content_length": len(payload),
         "payload": bytes(payload) if want_payload else None,
+        "record_id": s("warc-record-id"),
+        "concurrent_to": s("warc-concurrent-to"),
     }
 
 
@@ -572,7 +576,8 @@ def to_warc(df: DataFrame, path: str, payload_col: str = "payload",
             content_type: str | None = None,
             warc_date: str = "2026-01-01T00:00:00Z",
             gzip_members: bool = True, filesystem=None,
-            flush_bytes: int = 4 << 20) -> None:
+            flush_bytes: int = 4 << 20,
+            concurrent_to_col: str | None = None) -> None:
     """Write a DataFrame as WARC file(s): one ``part-*.warc(.gz)``
     per Spark partition under ``path``, gzip form ONE MEMBER PER
     RECORD (the CC layout `read_warc`'s part list banks on).
@@ -592,8 +597,9 @@ def to_warc(df: DataFrame, path: str, payload_col: str = "payload",
     FS.makedirs(path, filesystem)
     suffix = ".warc.gz" if gzip_members else ".warc"
     use_cols = [payload_col] + [c for c in (url_col, rec_type,
-                                            content_type, warc_date)
-                                if c in cols]
+                                            content_type, warc_date,
+                                            concurrent_to_col)
+                                if c is not None and c in cols]
     src = df.select(*dict.fromkeys(use_cols))
 
     def field(pdf, name, i):
@@ -629,6 +635,11 @@ def to_warc(df: DataFrame, path: str, payload_col: str = "payload",
                            + (field(pdf, warc_date, i) or "").encode())
                 hdr.append(b"WARC-Record-ID: <urn:md5:"
                            + hashlib.md5(pay).hexdigest().encode() + b">")
+                if concurrent_to_col is not None \
+                        and concurrent_to_col in pdf.columns:
+                    ct = field(pdf, concurrent_to_col, i)
+                    if ct is not None:
+                        hdr.append(b"WARC-Concurrent-To: " + ct.encode())
                 ctype = field(pdf, content_type, i)
                 if ctype is not None:
                     hdr.append(b"Content-Type: " + ctype.encode())
@@ -684,6 +695,42 @@ def payload_text(payload: Column, charset: str = "UTF-8") -> Column:
     door, feeding `clean_text` / dedup with zero Python past the
     container parse."""
     return F.decode(payload, charset)
+
+
+def concurrent_join(records: DataFrame, primary: str = "response",
+                    secondary: str = "metadata", how: str = "left",
+                    prefix: str = "meta_") -> DataFrame:
+    """Pair each PRIMARY record with the SECONDARY records that point
+    at it via ``WARC-Concurrent-To`` — the Common Crawl container
+    shape where a response's language / detected charset / fetch
+    timings live in a paired ``metadata`` record (and the original
+    HTTP request in a paired ``request`` record) of the same capture.
+    One `read_warc` pass feeds both sides: filter twice, equi-join
+    ``secondary.concurrent_to == primary.record_id``.
+
+    Returns the primary rows plus the secondary's payload /
+    content_type / content_length under ``prefix`` (default
+    ``meta_``); ``how='left'`` keeps responses with no paired record
+    (NULL meta columns), ``'inner'`` drops them.  A primary with
+    SEVERAL paired secondaries yields one row per pair.
+
+    Distributed shape: both sides are projections of the SAME scan —
+    the join is a hash equi-join on the record id (unique,
+    skew-free); the secondary side carries only its payload columns.
+    At crawl scale the paired records sit adjacent in the same gzip
+    members, so co-partitioning by file would make this shuffle-free
+    — kept as a plain equi-join until a stored-layout variant is
+    needed (cf. sources/bucketed.py for the pattern)."""
+    prim = records.filter(F.col("rec_type") == primary)
+    sec = (records.filter((F.col("rec_type") == secondary)
+                          & F.col("concurrent_to").isNotNull())
+           .select(F.col("concurrent_to").alias("_ct"),
+                   F.col("payload").alias(f"{prefix}payload"),
+                   F.col("content_type").alias(f"{prefix}content_type"),
+                   F.col("content_length")
+                   .alias(f"{prefix}content_length")))
+    return (prim.join(sec, prim["record_id"] == sec["_ct"], how)
+            .drop("_ct"))
 
 
 def streaming_read_warc(spark: SparkSession, path: str,

@@ -538,3 +538,80 @@ class TestOwnershipProperty:
             assert sorted(chunked) == whole
 
         check()
+
+
+class TestConcurrentJoin:
+    """Response <-> metadata/request pairing via WARC-Concurrent-To —
+    the CC container shape where a capture's language / charset /
+    request live in paired records (one read pass, filter twice,
+    equi-join on the record id)."""
+
+    def _crawl(self, spark, tmp_path):
+        from dask_geopandas_spark.sources.warc import to_warc
+
+        resp = [(i, f"https://c.com/p{i}",
+                 f"HTTP/1.1 200 OK\r\nX-Url: p{i}\r\n\r\nbody {i}")
+                for i in range(6)]
+        df = spark.createDataFrame(resp,
+                                   "i long, url string, body string")
+        rid = F.concat(F.lit("<urn:md5:"), F.md5(F.col("body")),
+                       F.lit(">"))
+        responses = df.select(
+            "url", F.col("body").alias("payload"),
+            F.lit("response").alias("rt"),
+            F.lit(None).cast("string").alias("ct"))
+        metas = (df.filter(F.col("i") % 2 == 0)
+                 .select("url",
+                         F.concat(F.lit("languages: l"),
+                                  F.col("i").cast("string"))
+                         .alias("payload"),
+                         F.lit("metadata").alias("rt"),
+                         rid.alias("ct")))
+        reqs = (df.filter(F.col("i") == 0)
+                .select("url", F.lit("GET /p0 HTTP/1.1").alias("payload"),
+                        F.lit("request").alias("rt"), rid.alias("ct")))
+        to_warc(responses.unionByName(metas).unionByName(reqs),
+                str(tmp_path / "crawl"), rec_type="rt",
+                concurrent_to_col="ct")
+
+    def test_left_and_inner_pairing(self, spark, tmp_path):
+        from dask_geopandas_spark.sources.warc import (concurrent_join,
+                                                       read_warc)
+
+        self._crawl(spark, tmp_path)
+        recs = read_warc(spark, str(tmp_path / "crawl"))
+        left = concurrent_join(recs).collect()
+        assert len(left) == 6
+        got = {r["url"]: r["meta_payload"] for r in left}
+        assert bytes(got["https://c.com/p2"]) == b"languages: l2"
+        assert got["https://c.com/p1"] is None
+        inner = concurrent_join(recs, how="inner")
+        assert inner.count() == 3
+        # request records pair through the same mechanism
+        req = concurrent_join(recs, secondary="request", how="inner",
+                              prefix="req_").collect()
+        assert len(req) == 1
+        assert bytes(req[0]["req_payload"]) == b"GET /p0 HTTP/1.1"
+        assert req[0]["url"] == "https://c.com/p0"
+
+    def test_ids_roundtrip(self, spark, tmp_path):
+        """to_warc's deterministic record ids and the concurrent_to
+        header survive the container roundtrip."""
+        import hashlib
+
+        from dask_geopandas_spark.sources.warc import read_warc
+
+        self._crawl(spark, tmp_path)
+        recs = read_warc(spark, str(tmp_path / "crawl")).collect()
+        by_type = {}
+        for r in recs:
+            by_type.setdefault(r["rec_type"], []).append(r)
+        assert len(by_type["response"]) == 6
+        assert len(by_type["metadata"]) == 3
+        for r in recs:
+            want = "<urn:md5:" + hashlib.md5(
+                bytes(r["payload"])).hexdigest() + ">"
+            assert r["record_id"] == want
+        resp_ids = {r["record_id"] for r in by_type["response"]}
+        for m in by_type["metadata"]:
+            assert m["concurrent_to"] in resp_ids
