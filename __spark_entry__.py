@@ -3130,6 +3130,42 @@ def q_dsir_select(spark, sf_dir):
     return TX.dsir_logweights(docs, target, n_buckets=1024, alpha=1.0)
 
 
+def q_robots_scope(spark, sf_dir):
+    """robots.txt URL-scope filtering (textstats.parse_robots +
+    robots_filter, new r12) — the C4 crawl-curation gate: pages
+    disallowed by their host's robots.txt never enter the corpus.
+    Synthetic per-host robots files exercise the full rule grammar
+    (deny-all prefix, longest-match Allow override, foreign-agent
+    group, absent robots); parse_robots runs RFC 9309 group
+    resolution as one host-keyed window chain, robots_filter is one
+    broadcast join + per-row longest-match.  Oracle: the decision
+    table recomputed from the construction."""
+    from dask_geopandas_spark.operators.textstats import (
+        parse_robots, robots_filter)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    h = (F.col("doc_id") % 20).cast("string")
+    url = F.concat(F.lit("https://d"), h, F.lit(".crawl.test/doc-"),
+                   F.col("doc_id").cast("string"))
+    urls = docs.select("doc_id", url.alias("url"))
+    hosts = spark.range(20).select(
+        F.concat(F.lit("d"), F.col("id").cast("string"),
+                 F.lit(".crawl.test")).alias("host"),
+        (F.col("id") % 4).alias("_m"))
+    robots_txt = (
+        F.when(F.col("_m") == 0,
+               F.lit("User-agent: *\nDisallow: /doc-\n"))
+        .when(F.col("_m") == 1,
+              F.lit("User-agent: *\nDisallow: /doc-\n"
+                    "Allow: /doc-1\n"))
+        .when(F.col("_m") == 2,
+              F.lit("User-agent: otherbot\nDisallow: /\n")))
+    robots = hosts.filter(F.col("_m") != 3) \
+        .select("host", robots_txt.alias("robots_txt"))
+    rules = parse_robots(robots)
+    return robots_filter(urls, rules).select("doc_id", "url")
+
+
 def q_lang_id_model(spark, sf_dir):
     """Model-based many-language ID (textstats.train_lang_model +
     lang_id_model, new r12): a hashed char-ngram naive-Bayes — the
@@ -4255,6 +4291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_fetch": q_warc_fetch,
         "cdx_fetch": q_cdx_fetch,
         "warc_enrich": q_warc_enrich,
+        "robots_scope": q_robots_scope,
         "contamination": q_contamination,
         "crs_roundtrip": q_crs_roundtrip,
         "decontam_spans": q_decontam_spans,
@@ -4298,9 +4335,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "asof_tolerance": q_asof_tolerance,
         "box_area_by_priority": q_box_area_by_priority,
-        "box_relations": q_box_relations,
         # ---- below the window: (last-green asc, name) — the
         #   r13 rotation order is the head of this list ----
+        "box_relations": q_box_relations,
         "box_setops_area": q_box_setops_area,
         "buffer_envelope_area": q_buffer_envelope_area,
         "buffer_l_area": q_buffer_l_area,
@@ -6817,6 +6854,21 @@ def _oracle_sql_base() -> dict[str, str]:
         "temperature_mix": temperature_mix_sql,
         "dsir_select": dsir_select,
         "lang_id_model": _lang_id_model_oracle(),
+        # robots_scope: the decision table from the construction —
+        # h%4==0 deny-all; h%4==1 deny-all with Allow /doc-1 (longest
+        # match -> ids whose decimal starts with '1' survive); h%4==2
+        # foreign-agent group (no '*' group -> allowed); h%4==3 no
+        # robots row (allowed)
+        "robots_scope": """
+            SELECT doc_id,
+                   'https://d' || CAST(doc_id % 20 AS VARCHAR)
+                       || '.crawl.test/doc-'
+                       || CAST(doc_id AS VARCHAR) AS url
+            FROM documents
+            WHERE (doc_id % 20) % 4 IN (2, 3)
+               OR ((doc_id % 20) % 4 = 1
+                   AND CAST(doc_id AS VARCHAR) LIKE '1%')
+        """,
         "warc_roundtrip": warc_roundtrip,
         "warc_pipeline": warc_pipeline,
         "html_extract": html_extract,

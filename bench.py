@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "warc_pipeline",
     "dsir_select",
     "lang_id_model",
+    "robots_scope",
     "corpus_stats",
     "temperature_mix",
     "warc_fetch",

@@ -1618,3 +1618,141 @@ def lang_id_model(df, model, text_col: str = "text",
     return sums.select(
         F.col(id_col), pred.alias("pred_lang"), F.col("n_grams"),
         best.alias("score"), margin.alias("margin"))
+
+
+# ---------------------------------------------------------------------------
+# URL scope / robots.txt filtering — the crawl-curation gate C4 applies
+# before any text processing (robots-disallowed pages never enter the
+# corpus)
+# ---------------------------------------------------------------------------
+
+def url_in_scope(url: Column, allow_prefixes=None,
+                 deny_patterns=None) -> Column:
+    """Boolean scope predicate over a URL column, pure codegen: when
+    ``allow_prefixes`` is given the URL must start with one of them;
+    any ``deny_patterns`` regex match (Java syntax, unanchored — the
+    caller anchors) excludes.  Compose with `canonicalize_url` first
+    so prefix checks see the canonical form.  A NULL url is never in
+    scope."""
+    cond = url.isNotNull()
+    if allow_prefixes:
+        cond = cond & F.exists(
+            F.array(*[F.lit(p) for p in allow_prefixes]),
+            lambda p: url.startswith(p))
+    if deny_patterns:
+        cond = cond & ~url.rlike("|".join(
+            f"(?:{p})" for p in deny_patterns))
+    return cond
+
+
+def parse_robots(df, host_col: str = "host",
+                 robots_col: str = "robots_txt",
+                 user_agent: str = "*"):
+    """Parse robots.txt documents into per-host path rules:
+    (host, prefix, allow) — the input to `robots_filter`.
+
+    RFC 9309 group semantics: a group is one-or-more consecutive
+    ``User-agent`` lines followed by rule lines (until the next
+    group); of the groups matching ``user_agent`` (exact match,
+    case-insensitive) or ``*``, the MOST SPECIFIC class wins per host
+    (an exact-agent group makes the host's ``*`` groups inert).
+    Comments (#) strip; an empty ``Disallow:`` contributes no rule
+    (its spec meaning — allow everything — is the default); rules
+    whose path carries the extended wildcards ``*``/``$`` are DROPPED
+    (this is the original-spec literal-prefix subset, what published
+    crawl pipelines implement; a dropped wildcard rule fails open —
+    lines never misparse as literal prefixes).
+
+    Distributed shape: one posexplode over lines, two host-keyed
+    windows (group-start flag -> running group id), one group
+    aggregation for agent sets, one broadcast-sized join back — every
+    stage keys on host, nothing is quadratic in file count."""
+    from pyspark.sql import Window
+
+    ln = F.trim(F.regexp_replace(F.regexp_replace(
+        F.col("_ln"), "\r", ""), "#.*$", ""))
+    lines = (df.select(F.col(host_col).alias("host"),
+                       F.posexplode(F.split(F.col(robots_col), "\n"))
+                       .alias("_i", "_ln"))
+             .select("host", "_i", ln.alias("_t")))
+    kind = (F.when(F.col("_t").rlike(r"(?i)^user-agent\s*:"),
+                   F.lit("ua"))
+            .when(F.col("_t").rlike(r"(?i)^disallow\s*:"),
+                  F.lit("deny"))
+            .when(F.col("_t").rlike(r"(?i)^allow\s*:"), F.lit("allow")))
+    value = F.trim(F.regexp_extract(F.col("_t"), r":(.*)$", 1))
+    typed = lines.select("host", "_i", kind.alias("_k"),
+                         value.alias("_v")).filter(
+        F.col("_k").isNotNull())
+    w = Window.partitionBy("host").orderBy("_i")
+    is_ua = (F.col("_k") == "ua").cast("int")
+    gstart = ((F.col("_k") == "ua")
+              & (F.coalesce(F.lag(is_ua).over(w), F.lit(0)) == 0))
+    grouped = typed.withColumn(
+        "_g", F.sum(gstart.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding,
+                          Window.currentRow)))
+    # each row learns its group's agent set through a window (host
+    # partitioning already clusters (host, _g) — no extra Exchange,
+    # and no join back), then the host's best matching rank through a
+    # second host window: one shuffle for the whole parse
+    agents = F.collect_set(
+        F.when(F.col("_k") == "ua", F.lower(F.col("_v")))).over(
+        Window.partitionBy("host", "_g"))
+    rank = (F.when(F.array_contains(F.col("_as"),
+                                    user_agent.lower()), 2)
+            .when(F.array_contains(F.col("_as"), "*"), 1))
+    ranked = (grouped.withColumn("_as", agents)
+              .withColumn("_r", rank)
+              .withColumn("_best",
+                          F.max("_r").over(Window.partitionBy("host"))))
+    return (ranked.filter(
+        F.col("_k").isin("deny", "allow") & (F.col("_v") != "")
+        & ~F.col("_v").rlike(r"[*$]")
+        & F.col("_r").isNotNull() & (F.col("_r") == F.col("_best")))
+        .select("host", F.col("_v").alias("prefix"),
+                (F.col("_k") == "allow").alias("allow")))
+
+
+def robots_filter(df, rules, url_col: str = "url",
+                  keep_unmatched: bool = True):
+    """Drop rows whose URL a `parse_robots` rule set disallows — the
+    C4 robots gate.  Longest-match decides per URL (RFC 9309): among
+    the host's rules whose prefix starts the URL's path+query, the
+    longest wins; on a length tie ``Allow`` wins; no matching rule
+    (or ``keep_unmatched`` hosts with no robots at all) keeps the
+    row.  ``keep_unmatched=False`` drops URLs whose host has NO ROW
+    in ``rules`` — note a robots.txt whose matched group yields zero
+    literal rules (e.g. just ``Disallow:``) is indistinguishable
+    there from a missing robots.txt; join your fetched-hosts list
+    separately if crawl discipline needs that distinction.
+
+    Distributed shape: rules aggregate to ONE array row per host
+    (bounded by robots-file size) and broadcast; the corpus takes a
+    single broadcast hash join on the url's host plus a per-row
+    higher-order-function match — no row multiplication, no second
+    shuffle."""
+    rtab = rules.groupBy(F.col("host").alias("_rh")).agg(
+        F.collect_list(F.struct(F.col("prefix"), F.col("allow")))
+        .alias("_rules"))
+    u = F.col(url_col)
+    host = F.lower(F.regexp_extract(
+        u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)", 1))
+    pathq = F.regexp_replace(
+        F.regexp_replace(u, "#.*$", ""),
+        r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    pathq = F.when(pathq == "", F.lit("/")).otherwise(pathq)
+    out = (df.withColumn("_pathq", pathq)
+           .join(F.broadcast(rtab), host == F.col("_rh"), "left"))
+    hits = F.filter(F.col("_rules"),
+                    lambda r: F.col("_pathq").startswith(r["prefix"]))
+    # struct max: longest prefix first, Allow beating Disallow on a
+    # length tie (1 > 0)
+    verdict = F.array_max(F.transform(
+        hits, lambda r: F.struct(F.length(r["prefix"]).alias("l"),
+                                 r["allow"].cast("int").alias("a"))))
+    keep = (F.col("_rules").isNull() | verdict.isNull()
+            | (verdict["a"] == 1))
+    if not keep_unmatched:
+        keep = keep & F.col("_rules").isNotNull()
+    return out.filter(keep).drop("_pathq", "_rh", "_rules")

@@ -3027,3 +3027,110 @@ class TestLangIdModel:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
         assert "EvalPython" not in plan
+
+
+class TestRobotsScope:
+    """robots.txt scope filtering (textstats.parse_robots /
+    robots_filter / url_in_scope) — the C4 crawl-curation gate."""
+
+    ROBOTS = [
+        ("a.com", "User-agent: *\nDisallow: /private\n"
+                  "Allow: /private/ok\n"),
+        ("b.com", "# all bots\nUser-agent: googlebot\nUser-agent: *\n"
+                  "Disallow: /tmp\n\nUser-agent: badbot\nDisallow: /\n"),
+        ("c.com", "User-agent: mybot\nDisallow: /only-mybot\n"
+                  "User-agent: *\nDisallow: /star\n"),
+        ("d.com", "User-agent: *\nDisallow:\n"),
+        ("e.com", "User-agent: *\nDisallow: /x*y\nDisallow: /lit\n"),
+    ]
+    URLS = [
+        (1, "https://a.com/private/doc", False),
+        (2, "https://a.com/private/ok/doc", True),  # longer Allow wins
+        (3, "https://a.com/pub", True),
+        (4, "https://b.com/tmp/x", False),
+        (5, "https://b.com/home", True),
+        (6, "https://c.com/star/z", False),
+        (7, "https://c.com/only-mybot", True),  # mybot group not ours
+        (8, "https://d.com/anything", True),    # empty Disallow
+        (9, "https://e.com/lit/x", False),
+        (10, "https://e.com/xAAy", True),       # wildcard rule dropped
+        (11, "https://nobots.com/x", True),     # no robots at all
+    ]
+
+    @pytest.fixture(scope="class")
+    def rules(self, spark):
+        from dask_geopandas_spark.operators.textstats import \
+            parse_robots
+
+        robots = spark.createDataFrame(self.ROBOTS,
+                                       "host string, robots_txt string")
+        return parse_robots(robots).cache()
+
+    def test_rule_extraction(self, rules):
+        got = sorted((r["host"], r["prefix"], r["allow"])
+                     for r in rules.collect())
+        assert got == [("a.com", "/private", False),
+                       ("a.com", "/private/ok", True),
+                       ("b.com", "/tmp", False),
+                       ("c.com", "/star", False),
+                       ("e.com", "/lit", False)]
+
+    def test_exact_agent_group_wins(self, spark):
+        from dask_geopandas_spark.operators.textstats import \
+            parse_robots
+
+        robots = spark.createDataFrame(self.ROBOTS,
+                                       "host string, robots_txt string")
+        got = parse_robots(robots, user_agent="MyBot") \
+            .filter(F.col("host") == "c.com").collect()
+        # exact-agent group makes the host's * group inert;
+        # case-insensitive agent match
+        assert [(r["prefix"], r["allow"]) for r in got] == \
+            [("/only-mybot", False)]
+
+    def test_filter_decisions(self, spark, rules):
+        from dask_geopandas_spark.operators.textstats import \
+            robots_filter
+
+        urls = spark.createDataFrame(
+            [(i, u) for i, u, _ in self.URLS],
+            "doc_id long, url string")
+        kept = {r["doc_id"] for r in
+                robots_filter(urls, rules).collect()}
+        assert kept == {i for i, _, keep in self.URLS if keep}
+        # keep_unmatched=False additionally drops hosts with no row
+        # in the rules frame: nobots.com (no robots) AND d.com (its
+        # robots yields zero literal rules — documented equivalence)
+        strict = {r["doc_id"] for r in
+                  robots_filter(urls, rules,
+                                keep_unmatched=False).collect()}
+        assert strict == kept - {8, 11}
+
+    def test_filter_is_broadcast_no_udf(self, spark, rules):
+        from dask_geopandas_spark.operators.textstats import \
+            robots_filter
+
+        urls = spark.createDataFrame([(1, "https://a.com/x")],
+                                     "doc_id long, url string")
+        out = robots_filter(urls, rules)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "EvalPython" not in plan
+
+    def test_url_in_scope(self, spark):
+        from dask_geopandas_spark.operators.textstats import \
+            url_in_scope
+
+        df = spark.createDataFrame(
+            [(1, "https://a.com/x"), (2, "https://b.com/tmp/z"),
+             (3, "https://z.com/x"), (4, None)],
+            "doc_id long, url string")
+        got = {r["doc_id"] for r in df.filter(url_in_scope(
+            F.col("url"),
+            allow_prefixes=["https://a.com/", "https://b.com/"],
+            deny_patterns=[r"/tmp"])).collect()}
+        assert got == {1}
+        # no constraints: everything non-NULL is in scope
+        assert df.filter(url_in_scope(F.col("url"))).count() == 3
