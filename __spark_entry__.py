@@ -3130,6 +3130,30 @@ def q_dsir_select(spark, sf_dir):
     return TX.dsir_logweights(docs, target, n_buckets=1024, alpha=1.0)
 
 
+def q_quality_trainer(spark, sf_dir):
+    """Native quality-classifier TRAINING (textstats.
+    train_text_classifier, new r12) — the GPT-3/LLaMA/DCLM
+    reference-vs-crawl logistic regression, trained as DataFrame
+    aggregations and scored through the existing classifier_score
+    join path: label = (lang == 'en'), one full-batch gradient step
+    from the zero model (closed-form: p = 0.5), 12-decimal weight
+    quantization, then the learned model broadcast into the scoring
+    pass.  The oracle replicates training (per-doc mean features,
+    portable md5 buckets, the gradient aggregate) AND scoring (the
+    pos-ordered left-associated fold) end to end."""
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0)
+        .alias("label"), "text")
+    model = TX.train_text_classifier(labeled, n_buckets=512,
+                                     iters=1, lr=2.0)
+    bias = model.filter(F.col("bucket") == -1).head()["weight"]
+    scored = TX.classifier_score(
+        docs, weights_df=model.filter(F.col("bucket") >= 0),
+        dim=512, bias=float(bias))
+    return scored.select("doc_id", "quality_score")
+
+
 def q_robots_scope(spark, sf_dir):
     """robots.txt URL-scope filtering (textstats.parse_robots +
     robots_filter, new r12) — the C4 crawl-curation gate: pages
@@ -4292,6 +4316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_fetch": q_cdx_fetch,
         "warc_enrich": q_warc_enrich,
         "robots_scope": q_robots_scope,
+        "quality_trainer": q_quality_trainer,
         "contamination": q_contamination,
         "crs_roundtrip": q_crs_roundtrip,
         "decontam_spans": q_decontam_spans,
@@ -4334,9 +4359,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_all_area": q_union_all_area,
         "asof_nearest": q_asof_nearest,
         "asof_tolerance": q_asof_tolerance,
-        "box_area_by_priority": q_box_area_by_priority,
         # ---- below the window: (last-green asc, name) — the
         #   r13 rotation order is the head of this list ----
+        "box_area_by_priority": q_box_area_by_priority,
         "box_relations": q_box_relations,
         "box_setops_area": q_box_setops_area,
         "buffer_envelope_area": q_buffer_envelope_area,
@@ -6854,6 +6879,50 @@ def _oracle_sql_base() -> dict[str, str]:
         "temperature_mix": temperature_mix_sql,
         "dsir_select": dsir_select,
         "lang_id_model": _lang_id_model_oracle(),
+        # quality_trainer: one closed-form gradient step from the
+        # zero model (p = 0.5 -> r = 0.5 - y), 12-decimal weight
+        # quantization, then classifier_score's pos-ordered
+        # left-associated fold with map-lookup weights
+        "quality_trainer": f"""
+            WITH t AS (SELECT doc_id, lang, text,
+                              list_filter({_TOKENS}, x -> x != '')
+                                  AS toks
+                       FROM documents),
+            d AS (SELECT doc_id,
+                         CASE WHEN lang = 'en' THEN 1.0
+                              ELSE 0.0 END AS y, toks
+                  FROM t WHERE text IS NOT NULL AND len(toks) > 0),
+            tk AS (SELECT doc_id, y, len(toks) AS n,
+                          unnest(toks) AS tok FROM d),
+            f AS (SELECT doc_id, y,
+                         ('0x' || substr(md5(tok), 1, 15))::BIGINT
+                             % 512 AS bucket,
+                         count(*) / min(n) AS frac
+                  FROM tk GROUP BY doc_id, y, bucket),
+            nn AS (SELECT count(*) AS nd FROM d),
+            w AS (SELECT bucket,
+                         round(-2.0 * sum((0.5 - y) * frac) / nd, 12)
+                             AS weight
+                  FROM f CROSS JOIN nn GROUP BY bucket, nd),
+            b AS (SELECT round(-2.0 * avg(0.5 - y), 12) AS bias
+                  FROM d),
+            m AS (SELECT map(list(bucket), list(weight)) AS mp FROM w),
+            s AS (SELECT doc_id, len(toks) AS n,
+                         list_reduce(
+                             list_prepend(CAST(0.0 AS DOUBLE),
+                                 list_transform(toks, tok ->
+                                     CAST(COALESCE(
+                                         (mp[('0x' || substr(md5(tok),
+                                          1, 15))::BIGINT % 512])[1],
+                                         0.0) AS DOUBLE))),
+                             (a, c) -> a + c) AS total
+                  FROM t CROSS JOIN m)
+            SELECT t.doc_id,
+                   CASE WHEN s.n > 0
+                        THEN round(b.bias + s.total / s.n, 9)
+                        ELSE round(b.bias, 9) END AS quality_score
+            FROM t JOIN s USING (doc_id) CROSS JOIN b
+        """,
         # robots_scope: the decision table from the construction —
         # h%4==0 deny-all; h%4==1 deny-all with Allow /doc-1 (longest
         # match -> ids whose decimal starts with '1' survive); h%4==2

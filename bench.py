@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "dsir_select",
     "lang_id_model",
     "robots_scope",
+    "quality_trainer",
     "corpus_stats",
     "temperature_mix",
     "warc_fetch",

@@ -1756,3 +1756,118 @@ def robots_filter(df, rules, url_col: str = "url",
     if not keep_unmatched:
         keep = keep & F.col("_rules").isNotNull()
     return out.filter(keep).drop("_pathq", "_rh", "_rules")
+
+
+def train_text_classifier(df, label_col: str = "label",
+                          text_col: str = "text",
+                          n_buckets: int = 4096, iters: int = 1,
+                          lr: float = 1.0, l2: float = 0.0,
+                          cache: bool = True):
+    """Train the hashed bag-of-words LOGISTIC-REGRESSION quality
+    classifier — the published model-based filter training stage
+    (GPT-3 / LLaMA "reference-vs-crawl", DCLM, FineWeb-Edu all train
+    this family) — natively, by full-batch gradient descent expressed
+    as DataFrame aggregations.  The feature map is EXACTLY
+    `classifier_score`'s (module `tokens` -> portable md5 bucket mod
+    ``n_buckets``, per-doc MEAN), so the result feeds straight into
+    the 100-TB scoring pass:
+
+        model = train_text_classifier(labeled, n_buckets=B)
+        bias = model.filter("bucket = -1").head()["weight"]
+        scored = classifier_score(corpus,
+                                  weights_df=model.filter("bucket >= 0"),
+                                  dim=B, bias=bias)
+
+    Returns ONE storable frame (bucket, weight): bucket >= 0 rows are
+    the learned sparse weights, bucket == -1 the bias, bucket == -2
+    ``n_buckets`` (self-describing, cf. `train_lang_model`).
+
+    Math: ``p_d = sigmoid(bias + sum_b w_b * c_db / n_d)``,
+    full-batch update ``w -= lr * (mean_d (p_d - y_d) * frac_db
+    + l2 * w)``, ``bias -= lr * mean_d (p_d - y_d)``.  Weights and
+    bias QUANTIZE to 12 decimals after every update so the whole
+    trajectory is reproducible across engines (an iters=1 run from
+    the zero model is a single closed-form aggregate — p_d = 0.5 —
+    which is what the SQL oracle replicates).  NULL-text and
+    token-less docs carry no features and drop from the batch.
+
+    Distributed shape: the feature frame (doc, bucket, frac) builds
+    once (cached by default — persist externally for many iterations
+    at corpus scale) and each iteration is two map-side-combined
+    aggregations (per-doc dot product, per-bucket gradient) around a
+    BROADCAST of the current fixed-size model — the corpus never
+    joins anything bigger than n_buckets rows, and iteration depth
+    only chains bounded-size plans."""
+    from pyspark.sql import Window
+
+    from .dedup import portable_hash
+
+    B = int(n_buckets)
+    step = float(lr)
+    lam = float(l2)
+    spark = df.sparkSession
+    base = (df.select(F.col(label_col).cast("double").alias("_y"),
+                      F.col(text_col).alias("_t"))
+            .where(F.col("_t").isNotNull())
+            .withColumn("_id", F.monotonically_increasing_id()))
+    feats = (base.select(
+        "_id", "_y",
+        F.explode(F.filter(tokens(F.col("_t")),
+                           lambda x: x != F.lit(""))).alias("_tok"))
+        .select("_id", "_y",
+                F.pmod(portable_hash(F.col("_tok")), F.lit(B))
+                .alias("bucket"))
+        .groupBy("_id", "_y", "bucket").agg(F.count("*").alias("_c"))
+        .withColumn("_frac",
+                    F.col("_c") / F.sum("_c").over(
+                        Window.partitionBy("_id")))
+        .select("_id", "_y", "bucket", "_frac"))
+    if cache:
+        feats = feats.cache()
+    nd = feats.agg(F.count_distinct("_id").alias("_n"))
+    weights = spark.createDataFrame([], "bucket long, weight double")
+    bias_df = spark.createDataFrame([(0.0,)], "_bias double")
+    for _ in range(int(iters)):
+        scored = (feats.join(F.broadcast(weights), "bucket", "left")
+                  .groupBy("_id", "_y")
+                  .agg(F.sum(F.col("_frac")
+                             * F.coalesce(F.col("weight"), F.lit(0.0)))
+                       .alias("_dot"))
+                  .crossJoin(F.broadcast(bias_df)))
+        resid = scored.select(
+            "_id",
+            (F.lit(1.0) / (F.lit(1.0)
+                           + F.exp(-(F.col("_dot") + F.col("_bias"))))
+             - F.col("_y")).alias("_r"))
+        grads = (feats.join(resid, "_id")
+                 .groupBy("bucket")
+                 .agg(F.sum(F.col("_r") * F.col("_frac")).alias("_g"))
+                 .crossJoin(F.broadcast(nd)))
+        weights = (grads.join(F.broadcast(weights), "bucket", "left")
+                   .select(
+                       "bucket",
+                       F.round(
+                           F.coalesce(F.col("weight"), F.lit(0.0))
+                           - F.lit(step)
+                           * (F.col("_g") / F.col("_n")
+                              + F.lit(lam)
+                              * F.coalesce(F.col("weight"),
+                                           F.lit(0.0))), 12)
+                       .alias("weight")))
+        bias_df = (resid.crossJoin(F.broadcast(bias_df))
+                   .agg(F.round(F.first("_bias")
+                                - F.lit(step) * F.avg("_r"), 12)
+                        .alias("_bias")))
+        # truncate the per-iteration lineage: weights_k feeds TWO
+        # places in iteration k+1, so an un-checkpointed chain
+        # doubles the plan every step (the connected-components
+        # localCheckpoint pattern, dedup.py) — both frames are
+        # n_buckets-row small
+        weights = weights.localCheckpoint()
+        bias_df = bias_df.localCheckpoint()
+    meta = spark.createDataFrame([(-2, float(B))],
+                                 "bucket long, weight double")
+    return (weights.unionByName(
+        bias_df.select(F.lit(-1).cast("long").alias("bucket"),
+                       F.col("_bias").alias("weight")))
+        .unionByName(meta))

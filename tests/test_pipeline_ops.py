@@ -3134,3 +3134,117 @@ class TestRobotsScope:
         assert got == {1}
         # no constraints: everything non-NULL is in scope
         assert df.filter(url_in_scope(F.col("url"))).count() == 3
+
+
+class TestTrainTextClassifier:
+    """Native logistic-regression trainer for the hashed
+    bag-of-words quality classifier (textstats.train_text_classifier)
+    — the GPT-3/LLaMA/DCLM 'reference-vs-crawl' training stage."""
+
+    TRAIN = [
+        (1.0, "the encyclopedia article describes the history"),
+        (1.0, "the paper presents results and cites prior work"),
+        (1.0, "this article explains the theory with references"),
+        (0.0, "click here buy now free offer best price deal"),
+        (0.0, "spam casino win money click subscribe now now"),
+        (0.0, "buy cheap pills online free shipping best offer"),
+        (0.0, None), (1.0, "   "),
+    ]
+
+    @staticmethod
+    def _brute(rows, n_buckets, iters, lr, l2):
+        import hashlib
+        import math
+        import re
+
+        def toks(s):
+            return [w for w in re.split(r"[^a-z0-9']+",
+                                        s.lower().strip()) if w]
+
+        def bucket(t):
+            return int(hashlib.md5(t.encode()).hexdigest()[:15],
+                       16) % n_buckets
+
+        docs = []
+        for y, s in rows:
+            if s is None:
+                continue
+            tk = toks(s)
+            if not tk:
+                continue
+            frac = {}
+            for t in tk:
+                b = bucket(t)
+                frac[b] = frac.get(b, 0) + 1.0 / len(tk)
+            docs.append((y, frac))
+        w, bias = {}, 0.0
+        for _ in range(iters):
+            grads, gb = {}, 0.0
+            for y, frac in docs:
+                dot = sum(w.get(b, 0.0) * f for b, f in frac.items())
+                r = 1.0 / (1.0 + math.exp(-(dot + bias))) - y
+                gb += r
+                for b, f in frac.items():
+                    grads[b] = grads.get(b, 0.0) + r * f
+            n = len(docs)
+            w = {b: round(w.get(b, 0.0)
+                          - lr * (g / n + l2 * w.get(b, 0.0)), 12)
+                 for b, g in grads.items()}
+            bias = round(bias - lr * (gb / n), 12)
+        return w, bias
+
+    def test_matches_brute_force(self, spark):
+        from dask_geopandas_spark.operators.textstats import \
+            train_text_classifier
+
+        df = spark.createDataFrame(self.TRAIN,
+                                   "label double, text string")
+        for iters, lr, l2 in ((1, 1.0, 0.0), (3, 2.0, 0.01)):
+            model = {r["bucket"]: r["weight"] for r in
+                     train_text_classifier(
+                         df, n_buckets=128, iters=iters, lr=lr,
+                         l2=l2).collect()}
+            bw, bb = self._brute(self.TRAIN, 128, iters, lr, l2)
+            assert model.pop(-2) == 128.0
+            got_bias = model.pop(-1)
+            assert got_bias == pytest.approx(bb, abs=1e-9)
+            assert set(model) == set(bw)
+            for b, wv in bw.items():
+                assert model[b] == pytest.approx(wv, abs=1e-9), b
+            # the 12-decimal quantization makes iters=1 exact: from
+            # the zero model p_d = 0.5 and the update is closed-form
+            if iters == 1:
+                assert got_bias == bb and model == bw
+
+    def test_learns_and_composes_with_classifier_score(self, spark):
+        from dask_geopandas_spark.operators.textstats import (
+            classifier_score, train_text_classifier)
+
+        df = spark.createDataFrame(self.TRAIN,
+                                   "label double, text string")
+        model = train_text_classifier(df, n_buckets=256, iters=8,
+                                      lr=4.0)
+        bias = model.filter(F.col("bucket") == -1).head()["weight"]
+        wdf = model.filter(F.col("bucket") >= 0)
+        test = spark.createDataFrame(
+            [(1, "the article cites the history and the theory"),
+             (2, "click now buy the best free casino offer")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r["quality_score"] for r in
+               classifier_score(test, weights_df=wdf, dim=256,
+                                bias=bias).collect()}
+        assert got[1] > got[2]
+
+    def test_no_python_in_iteration_plan(self, spark):
+        from dask_geopandas_spark.operators.textstats import \
+            train_text_classifier
+
+        df = spark.createDataFrame(self.TRAIN,
+                                   "label double, text string")
+        out = train_text_classifier(df, n_buckets=64, iters=1,
+                                    cache=False)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        assert "EvalPython" not in plan
+        assert "BroadcastNestedLoopJoin" in plan or \
+            "BroadcastHashJoin" in plan or "Join" not in plan
