@@ -3130,6 +3130,24 @@ def q_dsir_select(spark, sf_dir):
     return TX.dsir_logweights(docs, target, n_buckets=1024, alpha=1.0)
 
 
+def q_pagerank_hosts(spark, sf_dir):
+    """Link-graph centrality (operators/graph.pagerank, new r12) —
+    the crawl-curation quality prior CC publishes as host ranks:
+    PageRank power iteration with uniform teleport and dangling-mass
+    redistribution, each superstep two aggregations around the cached
+    edge frame, ranks quantized to 12 decimals so the oracle can
+    unroll the identical updates.  Synthetic 50-host graph from
+    doc_ids (deduped edges, includes sinks); 2 iterations; the oracle
+    unrolls both in SQL."""
+    from dask_geopandas_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 50).alias("dst"))
+    return pagerank(edges, iters=2)
+
+
 def q_quality_trainer(spark, sf_dir):
     """Native quality-classifier TRAINING (textstats.
     train_text_classifier, new r12) — the GPT-3/LLaMA/DCLM
@@ -4317,6 +4335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_enrich": q_warc_enrich,
         "robots_scope": q_robots_scope,
         "quality_trainer": q_quality_trainer,
+        "pagerank_hosts": q_pagerank_hosts,
         "contamination": q_contamination,
         "crs_roundtrip": q_crs_roundtrip,
         "decontam_spans": q_decontam_spans,
@@ -4358,9 +4377,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_projstring": q_to_projstring,
         "union_all_area": q_union_all_area,
         "asof_nearest": q_asof_nearest,
-        "asof_tolerance": q_asof_tolerance,
         # ---- below the window: (last-green asc, name) — the
         #   r13 rotation order is the head of this list ----
+        "asof_tolerance": q_asof_tolerance,
         "box_area_by_priority": q_box_area_by_priority,
         "box_relations": q_box_relations,
         "box_setops_area": q_box_setops_area,
@@ -6879,6 +6898,51 @@ def _oracle_sql_base() -> dict[str, str]:
         "temperature_mix": temperature_mix_sql,
         "dsir_select": dsir_select,
         "lang_id_model": _lang_id_model_oracle(),
+        # pagerank_hosts: two unrolled power iterations — every
+        # arithmetic step in forced-DOUBLE form ((1.0 - 0.85) etc.;
+        # bare DuckDB decimals would compute 1 - 0.85 exactly and
+        # diverge from IEEE) with the same 12-decimal quantization
+        "pagerank_hosts": """
+            WITH e AS (SELECT DISTINCT doc_id % 50 AS src,
+                              (doc_id * 7 + 3) % 50 AS dst
+                       FROM documents),
+            nodes AS (SELECT DISTINCT v FROM
+                      (SELECT src AS v FROM e
+                       UNION ALL SELECT dst FROM e)),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            outd AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+            pr0 AS (SELECT v, round(1.0::DOUBLE / n, 12) AS pr
+                    FROM nodes CROSS JOIN nn),
+            d1 AS (SELECT COALESCE(sum(pr), 0.0) AS dm
+                   FROM pr0 LEFT JOIN outd ON pr0.v = outd.src
+                   WHERE outd.src IS NULL),
+            c1 AS (SELECT e.dst AS v, sum(p.pr / o.od) AS c
+                   FROM e JOIN pr0 p ON e.src = p.v
+                          JOIN outd o ON e.src = o.src
+                   GROUP BY e.dst),
+            pr1 AS (SELECT nodes.v,
+                           round((1.0::DOUBLE - 0.85::DOUBLE) / n
+                                 + 0.85::DOUBLE
+                                 * (COALESCE(c1.c, 0.0) + dm / n), 12)
+                               AS pr
+                    FROM nodes CROSS JOIN nn CROSS JOIN d1
+                    LEFT JOIN c1 ON nodes.v = c1.v),
+            d2 AS (SELECT COALESCE(sum(pr), 0.0) AS dm
+                   FROM pr1 LEFT JOIN outd ON pr1.v = outd.src
+                   WHERE outd.src IS NULL),
+            c2 AS (SELECT e.dst AS v, sum(p.pr / o.od) AS c
+                   FROM e JOIN pr1 p ON e.src = p.v
+                          JOIN outd o ON e.src = o.src
+                   GROUP BY e.dst),
+            pr2 AS (SELECT nodes.v,
+                           round((1.0::DOUBLE - 0.85::DOUBLE) / n
+                                 + 0.85::DOUBLE
+                                 * (COALESCE(c2.c, 0.0) + dm / n), 12)
+                               AS pr
+                    FROM nodes CROSS JOIN nn CROSS JOIN d2
+                    LEFT JOIN c2 ON nodes.v = c2.v)
+            SELECT v AS node, pr AS pagerank FROM pr2
+        """,
         # quality_trainer: one closed-form gradient step from the
         # zero model (p = 0.5 -> r = 0.5 - y), 12-decimal weight
         # quantization, then classifier_score's pos-ordered

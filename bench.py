@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "lang_id_model",
     "robots_scope",
     "quality_trainer",
+    "pagerank_hosts",
     "corpus_stats",
     "temperature_mix",
     "warc_fetch",

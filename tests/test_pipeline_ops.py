@@ -3248,3 +3248,65 @@ class TestTrainTextClassifier:
         assert "EvalPython" not in plan
         assert "BroadcastNestedLoopJoin" in plan or \
             "BroadcastHashJoin" in plan or "Join" not in plan
+
+
+class TestGraph:
+    """Link-graph operators (operators/graph.py): degrees + PageRank
+    power iteration with dangling-mass redistribution — the crawl
+    link-centrality stage (CC host ranks)."""
+
+    EDGES = [(1, 2), (1, 3), (2, 3), (3, 1), (2, 4)]  # 4 is a sink
+
+    @staticmethod
+    def _brute_pr(edges, iters, d=0.85):
+        nodes = sorted({v for e in edges for v in e})
+        n = len(nodes)
+        out = {}
+        for s, _ in edges:
+            out[s] = out.get(s, 0) + 1
+        p = {v: round(1.0 / n, 12) for v in nodes}
+        for _ in range(iters):
+            dm = sum(p[v] for v in nodes if v not in out)
+            c = {v: 0.0 for v in nodes}
+            for s, t in edges:
+                c[t] += p[s] / out[s]
+            p = {v: round((1.0 - d) / n + d * (c[v] + dm / n), 12)
+                 for v in nodes}
+        return p
+
+    def test_matches_brute_force_and_conserves_mass(self, spark):
+        from dask_geopandas_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame(self.EDGES, "src long, dst long")
+        for iters in (1, 2, 30):
+            got = {r["node"]: r["pagerank"] for r in
+                   pagerank(edges, iters=iters).collect()}
+            want = self._brute_pr(self.EDGES, iters)
+            assert got == want, iters
+            assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+    def test_duplicate_edges_and_multigraph(self, spark):
+        from dask_geopandas_spark.operators.graph import pagerank
+
+        dup = spark.createDataFrame(self.EDGES + [(1, 2)],
+                                    "src long, dst long")
+        base = {r["node"]: r["pagerank"] for r in
+                pagerank(dup, iters=5).collect()}
+        assert base == self._brute_pr(self.EDGES, 5)  # deduped
+        multi = {r["node"]: r["pagerank"] for r in
+                 pagerank(dup, iters=5, dedup_edges=False).collect()}
+        assert multi == self._brute_pr(self.EDGES + [(1, 2)], 5)
+
+    def test_degrees(self, spark):
+        from dask_geopandas_spark.operators.graph import degrees
+
+        edges = spark.createDataFrame(self.EDGES, "src long, dst long")
+        got = {r["node"]: (r["out_degree"], r["in_degree"]) for r in
+               degrees(edges).collect()}
+        assert got == {1: (2, 1), 2: (2, 1), 3: (1, 2), 4: (0, 1)}
+
+    def test_empty_graph(self, spark):
+        from dask_geopandas_spark.operators.graph import pagerank
+
+        empty = spark.createDataFrame([], "src long, dst long")
+        assert pagerank(empty, iters=3).count() == 0
