@@ -3130,6 +3130,55 @@ def q_dsir_select(spark, sf_dir):
     return TX.dsir_logweights(docs, target, n_buckets=1024, alpha=1.0)
 
 
+def q_wat_links(spark, sf_dir):
+    """WAT metadata source (sources/wat.py, new r12) — the third CC
+    container format: JSON envelopes in WARC metadata records carry
+    each capture's OUTLINKS, the raw material of the crawl link
+    graph.  Synthetic WAT records (native to_json envelopes) written
+    with `to_warc`, read back with `read_wat` (one pruned from_json
+    — title + links only), `wat_link_edges` explodes to host-level
+    edges (self-loops and non-URLs dropped), then one count
+    aggregation.  Oracle: the edge construction replayed directly
+    from doc_ids."""
+    import shutil
+
+    from dask_geopandas_spark.sources.warc import to_warc
+    from dask_geopandas_spark.sources.wat import (read_wat,
+                                                  wat_link_edges)
+
+    base = "/root/repo/.bench_tmp/wat_links"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def host(expr):
+        return F.concat(F.lit("https://d"), expr.cast("string"),
+                        F.lit(".crawl.test"))
+
+    links = F.array(
+        F.concat(host((F.col("doc_id") * 7 + 3) % 20), F.lit("/p")),
+        F.concat(host((F.col("doc_id") * 13 + 1) % 20), F.lit("/q")))
+    head = F.struct(F.concat(F.lit("Doc "),
+                             F.col("doc_id").cast("string"))
+                    .alias("Title")).alias("Head")
+    lnk = F.transform(
+        links, lambda u: F.struct(u.alias("url"),
+                                  F.lit("t").alias("text"))
+    ).alias("Links")
+    env = F.to_json(F.struct(F.struct(F.struct(F.struct(
+        F.struct(head, lnk).alias("HTML-Metadata")
+    ).alias("HTTP-Response-Metadata")).alias("Payload-Metadata"))
+        .alias("Envelope")))
+    src = docs.select(
+        F.concat(host(F.col("doc_id") % 20), F.lit("/doc-"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        env.alias("payload"))
+    to_warc(src, base, rec_type="metadata",
+            content_type="application/json")
+    edges = wat_link_edges(read_wat(spark, base))
+    return (edges.groupBy("src", "dst")
+            .agg(F.count("*").alias("n_links")))
+
+
 def q_pagerank_hosts(spark, sf_dir):
     """Link-graph centrality (operators/graph.pagerank, new r12) —
     the crawl-curation quality prior CC publishes as host ranks:
@@ -4336,6 +4385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_scope": q_robots_scope,
         "quality_trainer": q_quality_trainer,
         "pagerank_hosts": q_pagerank_hosts,
+        "wat_links": q_wat_links,
         "contamination": q_contamination,
         "crs_roundtrip": q_crs_roundtrip,
         "decontam_spans": q_decontam_spans,
@@ -4376,9 +4426,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_lambert": q_to_lambert,
         "to_projstring": q_to_projstring,
         "union_all_area": q_union_all_area,
-        "asof_nearest": q_asof_nearest,
         # ---- below the window: (last-green asc, name) — the
         #   r13 rotation order is the head of this list ----
+        "asof_nearest": q_asof_nearest,
         "asof_tolerance": q_asof_tolerance,
         "box_area_by_priority": q_box_area_by_priority,
         "box_relations": q_box_relations,
@@ -6898,6 +6948,25 @@ def _oracle_sql_base() -> dict[str, str]:
         "temperature_mix": temperature_mix_sql,
         "dsir_select": dsir_select,
         "lang_id_model": _lang_id_model_oracle(),
+        # wat_links: the link-edge construction replayed from doc_ids
+        # (hosts carry the port-free lowercase form url_host extracts;
+        # self-loops dropped like wat_link_edges)
+        "wat_links": """
+            WITH l AS (
+                SELECT 'd' || CAST(doc_id % 20 AS VARCHAR)
+                           || '.crawl.test' AS src,
+                       'd' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+                           || '.crawl.test' AS dst
+                FROM documents
+                UNION ALL
+                SELECT 'd' || CAST(doc_id % 20 AS VARCHAR)
+                           || '.crawl.test',
+                       'd' || CAST((doc_id * 13 + 1) % 20 AS VARCHAR)
+                           || '.crawl.test'
+                FROM documents)
+            SELECT src, dst, count(*) AS n_links
+            FROM l WHERE src != dst GROUP BY src, dst
+        """,
         # pagerank_hosts: two unrolled power iterations — every
         # arithmetic step in forced-DOUBLE form ((1.0 - 0.85) etc.;
         # bare DuckDB decimals would compute 1 - 0.85 exactly and

@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "temperature_mix",
     "warc_fetch",
     "warc_enrich",
+    "wat_links",
     "cdx_fetch",
 ]
 

@@ -615,3 +615,92 @@ class TestConcurrentJoin:
         resp_ids = {r["record_id"] for r in by_type["response"]}
         for m in by_type["metadata"]:
             assert m["concurrent_to"] in resp_ids
+
+
+class TestWat:
+    """WAT metadata source (sources/wat.py) — the CC link-graph
+    format: JSON envelopes in WARC metadata records, parsed with one
+    pruned from_json."""
+
+    def _crawl(self, spark, tmp_path):
+        from dask_geopandas_spark.sources.warc import to_warc
+
+        docs = spark.range(10)
+        links = F.array(
+            F.concat(F.lit("https://h"),
+                     ((F.col("id") * 7 + 3) % 5).cast("string"),
+                     F.lit(".com/p")),
+            F.concat(F.lit("https://h"),
+                     ((F.col("id") * 13 + 1) % 5).cast("string"),
+                     F.lit(".com/q#frag")),
+            F.lit("not a url"))
+        head = F.struct(F.concat(F.lit("Doc "),
+                                 F.col("id").cast("string"))
+                        .alias("Title")).alias("Head")
+        lnk = F.transform(
+            links, lambda u: F.struct(u.alias("url"),
+                                      F.lit("t").alias("text"))
+        ).alias("Links")
+        env = F.to_json(F.struct(F.struct(F.struct(F.struct(
+            F.struct(head, lnk).alias("HTML-Metadata")
+        ).alias("HTTP-Response-Metadata")).alias("Payload-Metadata"))
+            .alias("Envelope")))
+        src = docs.select(
+            F.concat(F.lit("https://h"),
+                     (F.col("id") % 5).cast("string"),
+                     F.lit(".com/doc-"), F.col("id").cast("string"))
+            .alias("url"),
+            env.alias("payload"))
+        to_warc(src, str(tmp_path / "wat"), rec_type="metadata",
+                content_type="application/json")
+
+    def test_roundtrip_title_links_json(self, spark, tmp_path):
+        from dask_geopandas_spark.sources.wat import read_wat
+
+        self._crawl(spark, tmp_path)
+        wat = read_wat(spark, str(tmp_path / "wat"), keep_json=True)
+        rows = {r["url"]: r for r in wat.collect()}
+        assert len(rows) == 10
+        r = rows["https://h1.com/doc-1"]
+        assert r["title"] == "Doc 1"
+        assert r["links"] == ["https://h0.com/p",
+                              "https://h4.com/q#frag", "not a url"]
+        assert '"Envelope"' in r["wat_json"]
+        # default: no raw json column
+        assert "wat_json" not in read_wat(
+            spark, str(tmp_path / "wat")).columns
+
+    def test_host_and_url_edges(self, spark, tmp_path):
+        from dask_geopandas_spark.sources.wat import (read_wat,
+                                                      wat_link_edges)
+
+        self._crawl(spark, tmp_path)
+        wat = read_wat(spark, str(tmp_path / "wat"))
+        hosts = wat_link_edges(wat)  # host level
+        got = {(r["src"], r["dst"]) for r in hosts.collect()}
+        # non-URL links and self-loops dropped
+        assert all(s.startswith("h") and d.startswith("h")
+                   for s, d in got)
+        assert not any(s == d for s, d in got)
+        urls = wat_link_edges(wat, level="url").collect()
+        # url level keeps everything, fragment-stripped
+        assert any(r["dst"] == "https://h4.com/q" for r in urls)
+        assert any(r["dst"] == "not a url" for r in urls)
+        with pytest.raises(ValueError):
+            wat_link_edges(wat, level="domain")
+
+    def test_feeds_pagerank(self, spark, tmp_path):
+        from dask_geopandas_spark.operators.graph import pagerank
+        from dask_geopandas_spark.sources.wat import (read_wat,
+                                                      wat_link_edges)
+
+        self._crawl(spark, tmp_path)
+        edges = wat_link_edges(read_wat(spark, str(tmp_path / "wat")))
+        pr = pagerank(edges, iters=3)
+        rows = pr.collect()
+        # h2 participates only in self-loops by construction (ids
+        # 2 and 7 link to their own host), which drop — 4 nodes
+        assert sorted(r["node"] for r in rows) == \
+            ["h0.com", "h1.com", "h3.com", "h4.com"]
+        assert sum(r["pagerank"] for r in rows) == pytest.approx(
+            1.0, abs=1e-9)
