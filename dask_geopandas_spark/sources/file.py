@@ -70,8 +70,13 @@ def read_file(spark: SparkSession, path: str, npartitions: int | None = None,
     work in this environment, ``columns=`` pruning included."""
     from ..core import GeoDataFrame
 
-    # WARC/WET crawl containers are not OGR formats at all — route
-    # unconditionally (GDAL has no driver for them either)
+    # WARC/WET/WAT crawl containers are not OGR formats at all —
+    # route unconditionally (GDAL has no driver for them either);
+    # .wat parses its JSON envelopes (title + links columns)
+    if path.lower().endswith((".wat", ".wat.gz")):
+        from .wat import read_wat
+
+        return read_wat(spark, path)
     if path.lower().endswith((".warc", ".wet", ".warc.gz", ".wet.gz")):
         from .warc import read_warc
 

@@ -354,7 +354,8 @@ def _list_warc(path: str, filesystem=None) -> list:
     LIST for a whole directory (a CC segment is ~80k files; a listing
     followed by one stat per file would cost minutes of serial
     driver-side round-trips before the first task launches)."""
-    suf = (".warc", ".wet", ".warc.gz", ".wet.gz")
+    suf = (".warc", ".wet", ".wat",
+           ".warc.gz", ".wet.gz", ".wat.gz")
     if filesystem is not None or FS.has_scheme(path) \
             or os.path.isdir(path):
         return FS.list_files_with_sizes(path, suffixes=suf,

@@ -2,8 +2,11 @@
 C4/RefinedWeb replication path, every stage a declarative operator:
 
     (synthesize a .warc.gz crawl: response records, messy URLs)
-    read_warc → http_response_body → extract_text (boilerplate off)
+    read_warc → robots_filter (the C4 robots gate)
+              → http_response_body → extract_text (boilerplate off)
               → canonicalize_url → url_dedup → exact_dedup
+              → lang_id_model (25-language hashed char-ngram NB)
+              → train_text_classifier + classifier_score (quality)
               → dsir_logweights vs an English target → weighted_sample
               → write_training_shards
 
@@ -74,6 +77,20 @@ def run_crawl_pipeline(spark: SparkSession, sf_dir: str,
     recs = read_warc(spark, f"{base}/crawl", records="response")
     out["records"] = recs.count()
 
+    # 1.5 robots gate (C4): the host disallows /doc-1* — those
+    #     captures never enter the pipeline
+    from dask_geopandas_spark.operators.textstats import (
+        parse_robots, robots_filter)
+
+    # rules are per ORIGIN — the crawl fetches both crawl.test and
+    # crawl.test:80 forms, so both carry the policy
+    robots = spark.createDataFrame(
+        [("crawl.test", "User-agent: *\nDisallow: /doc-1\n"),
+         ("crawl.test:80", "User-agent: *\nDisallow: /doc-1\n")],
+        "host string, robots_txt string")
+    recs = robots_filter(recs, parse_robots(robots))
+    out["robots_kept"] = recs.count()
+
     # 2. HTTP split + boilerplate-filtered extraction + canonical URL
     pages = recs.select(
         canonicalize_url(F.col("url")).alias("curl"),
@@ -91,9 +108,48 @@ def run_crawl_pipeline(spark: SparkSession, sf_dir: str,
         .cast("long"))
     keep = exact_dedup(ided)
     out["after_exact_dedup"] = keep.count()
+    # materialize the dedup output before the model stages: the
+    # extraction chain's codegen would otherwise re-inline into every
+    # downstream scoring expression (a real pipeline checkpoints
+    # between major stages for exactly this reason)
     survivors = ided.join(
         keep.select(F.col("keeper_id").alias("doc_id")).distinct(),
+        on="doc_id").dropDuplicates(["doc_id"]).localCheckpoint()
+
+    # 3.5 language gate: the 25-language hashed char-ngram NB, seed
+    #     model — keep documents identified as English
+    from dask_geopandas_spark.operators.textstats import (
+        lang_id_model, seed_lang_corpus, train_lang_model)
+
+    lm = train_lang_model(seed_lang_corpus(spark))
+    pred = lang_id_model(survivors, lm)
+    survivors = survivors.join(
+        pred.filter(F.col("pred_lang") == "en").select("doc_id"),
         on="doc_id")
+    out["lang_en"] = survivors.count()
+
+    # 3.6 model-based quality: train the reference-vs-crawl logistic
+    #     regression on the labeled documents table, score survivors,
+    #     drop the below-bias half (score < bias ~ crawl-likelier)
+    from dask_geopandas_spark.operators.textstats import (
+        classifier_score, train_text_classifier)
+
+    labeled = docs.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0)
+        .alias("label"), "text")
+    qmodel = train_text_classifier(labeled, n_buckets=1024, iters=3,
+                                   lr=2.0)
+    qbias = qmodel.filter(F.col("bucket") == -1).head()["weight"]
+    qscored = classifier_score(
+        survivors, weights_df=qmodel.filter(F.col("bucket") >= 0),
+        dim=1024, bias=float(qbias))
+    # keep the above-batch-mean half (a relative cut — absolute
+    # thresholds are corpus-specific)
+    qmean = qscored.agg(F.avg("quality_score").alias("_m"))
+    survivors = (qscored.crossJoin(F.broadcast(qmean))
+                 .filter(F.col("quality_score") >= F.col("_m"))
+                 .drop("_m"))
+    out["quality_kept"] = survivors.count()
 
     # 4. DSIR: weight survivors toward the English documents
     target = docs.filter(F.col("lang") == "en").select("text")

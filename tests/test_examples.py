@@ -75,10 +75,15 @@ def test_crawl_ingest_pipeline_example(spark, sf_dir):
     out, base = run_crawl_pipeline(spark, sf_dir)
     try:
         assert out["records"] > 0
+        # the robots gate drops the /doc-1* captures, nothing else
+        assert 0 < out["robots_kept"] < out["records"]
         # the leader construction makes every 4-group collapse
         assert out["after_exact_dedup"] <= out["records"] / 2
         assert out["distinct_urls"] == out["after_exact_dedup"]
-        assert 0 < out["selected"] <= out["after_exact_dedup"]
+        # each gate only narrows
+        assert 0 < out["lang_en"] <= out["after_exact_dedup"]
+        assert 0 < out["quality_kept"] <= out["lang_en"]
+        assert 0 < out["selected"] <= out["quality_kept"]
         assert out["shards"] >= 1
     finally:
         shutil.rmtree(base, ignore_errors=True)

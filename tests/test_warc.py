@@ -689,6 +689,19 @@ class TestWat:
         with pytest.raises(ValueError):
             wat_link_edges(wat, level="domain")
 
+    def test_read_file_routes_wat(self, spark, tmp_path):
+        import glob as _g
+        import os as _os
+
+        from dask_geopandas_spark.sources.file import read_file
+
+        self._crawl(spark, tmp_path)
+        for f in _g.glob(str(tmp_path / "wat" / "*.warc.gz")):
+            _os.rename(f, f.replace(".warc.gz", ".wat.gz"))
+        routed = read_file(spark, str(tmp_path / "wat") + "/*.wat.gz")
+        assert "links" in routed.columns and "title" in routed.columns
+        assert routed.count() == 10
+
     def test_feeds_pagerank(self, spark, tmp_path):
         from dask_geopandas_spark.operators.graph import pagerank
         from dask_geopandas_spark.sources.wat import (read_wat,
