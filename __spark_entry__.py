@@ -3197,6 +3197,49 @@ def q_pagerank_hosts(spark, sf_dir):
     return pagerank(edges, iters=2)
 
 
+def q_hits_hosts(spark, sf_dir):
+    """HITS hubs & authorities (operators/graph.hits, new r12) — the
+    complement of PageRank for crawl-seed curation: a high-hub page
+    links to many high-authority pages.  Mutual-reinforcement updates
+    (new authorities feed the hub update — the textbook ordering),
+    each vector L2-normalized and quantized to 12 decimals per step so
+    the oracle unrolls the identical arithmetic.  Synthetic 40-host
+    multigraph from doc_ids (includes pure-authority sinks); 2
+    iterations, both unrolled in SQL."""
+    from dask_geopandas_spark.operators.graph import hits
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        (F.col("doc_id") % 40).alias("src"),
+        ((F.col("doc_id") * 11 + 5) % 40).alias("dst"))
+    return hits(edges, iters=2)
+
+
+def q_bloom_dedup(spark, sf_dir):
+    """Bloom-filter seen-set (dedup.build_bloom/bloom_contains, new
+    r12) — the crawl-frontier membership gate (Heritrix already-seen
+    set; dedup this crawl against last month's without re-scanning
+    it): the filter is a SPARSE position set (one row per distinct
+    set bit, portable md5 positions) built with one explode+distinct,
+    the probe is num_hashes broadcast LEFT joins — the corpus never
+    shuffles.  Seen = every doc_id % 3 == 0 URL; probe = all URLs;
+    false positives at the sized rate, zero false negatives.  Oracle:
+    the identical position arithmetic joined in SQL."""
+    from dask_geopandas_spark.operators.dedup import (bloom_contains,
+                                                      build_bloom)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(F.lit("https://d"),
+                   (F.col("doc_id") % 20).cast("string"),
+                   F.lit(".crawl.test/doc-"),
+                   F.col("doc_id").cast("string"))
+    with_url = docs.select("doc_id", url.alias("url"))
+    seen = with_url.filter(F.col("doc_id") % 3 == 0)
+    bloom = build_bloom(seen, "url", num_bits=16384, num_hashes=4)
+    return bloom_contains(with_url, "url", bloom,
+                          num_bits=16384, num_hashes=4)
+
+
 def q_quality_trainer(spark, sf_dir):
     """Native quality-classifier TRAINING (textstats.
     train_text_classifier, new r12) — the GPT-3/LLaMA/DCLM
@@ -4385,6 +4428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_scope": q_robots_scope,
         "quality_trainer": q_quality_trainer,
         "pagerank_hosts": q_pagerank_hosts,
+        "hits_hosts": q_hits_hosts,
+        "bloom_dedup": q_bloom_dedup,
         "wat_links": q_wat_links,
         "contamination": q_contamination,
         "crs_roundtrip": q_crs_roundtrip,
@@ -7011,6 +7056,92 @@ def _oracle_sql_base() -> dict[str, str]:
                     FROM nodes CROSS JOIN nn CROSS JOIN d2
                     LEFT JOIN c2 ON nodes.v = c2.v)
             SELECT v AS node, pr AS pagerank FROM pr2
+        """,
+        # hits_hosts: both mutual-reinforcement iterations unrolled —
+        # auth sums over hubs, L2-normalize, then hub sums over the
+        # NEW auths, L2-normalize; every sum and quotient rounds to 12
+        # decimals exactly as operators/graph.hits does
+        "hits_hosts": """
+            WITH e AS (SELECT DISTINCT doc_id % 40 AS src,
+                              (doc_id * 11 + 5) % 40 AS dst
+                       FROM documents),
+            nodes AS (SELECT DISTINCT v FROM
+                      (SELECT src AS v FROM e
+                       UNION ALL SELECT dst FROM e)),
+            h0 AS (SELECT v, 1.0::DOUBLE AS h FROM nodes),
+            ar1 AS (SELECT e.dst AS v, round(sum(h0.h), 12) AS a
+                    FROM e JOIN h0 ON e.src = h0.v GROUP BY e.dst),
+            an1 AS (SELECT round(sqrt(sum(a * a)), 12) AS n FROM ar1),
+            a1 AS (SELECT nodes.v,
+                          round(CASE WHEN n > 0
+                                THEN COALESCE(ar1.a, 0.0) / n
+                                ELSE 0.0 END, 12) AS a
+                   FROM nodes CROSS JOIN an1
+                   LEFT JOIN ar1 ON nodes.v = ar1.v),
+            hr1 AS (SELECT e.src AS v, round(sum(a1.a), 12) AS h
+                    FROM e JOIN a1 ON e.dst = a1.v GROUP BY e.src),
+            hn1 AS (SELECT round(sqrt(sum(h * h)), 12) AS n FROM hr1),
+            h1 AS (SELECT nodes.v,
+                          round(CASE WHEN n > 0
+                                THEN COALESCE(hr1.h, 0.0) / n
+                                ELSE 0.0 END, 12) AS h
+                   FROM nodes CROSS JOIN hn1
+                   LEFT JOIN hr1 ON nodes.v = hr1.v),
+            ar2 AS (SELECT e.dst AS v, round(sum(h1.h), 12) AS a
+                    FROM e JOIN h1 ON e.src = h1.v GROUP BY e.dst),
+            an2 AS (SELECT round(sqrt(sum(a * a)), 12) AS n FROM ar2),
+            a2 AS (SELECT nodes.v,
+                          round(CASE WHEN n > 0
+                                THEN COALESCE(ar2.a, 0.0) / n
+                                ELSE 0.0 END, 12) AS a
+                   FROM nodes CROSS JOIN an2
+                   LEFT JOIN ar2 ON nodes.v = ar2.v),
+            hr2 AS (SELECT e.src AS v, round(sum(a2.a), 12) AS h
+                    FROM e JOIN a2 ON e.dst = a2.v GROUP BY e.src),
+            hn2 AS (SELECT round(sqrt(sum(h * h)), 12) AS n FROM hr2),
+            h2 AS (SELECT nodes.v,
+                          round(CASE WHEN n > 0
+                                THEN COALESCE(hr2.h, 0.0) / n
+                                ELSE 0.0 END, 12) AS h
+                   FROM nodes CROSS JOIN hn2
+                   LEFT JOIN hr2 ON nodes.v = hr2.v)
+            SELECT a2.v AS node, a2.a AS authority, h2.h AS hub
+            FROM a2 JOIN h2 ON a2.v = h2.v
+        """,
+        # bloom_dedup: the sparse-position-set Bloom replayed — 4
+        # seeded md5 positions per URL, distinct set bits from the
+        # doc_id%3==0 partition, membership = all 4 positions present
+        "bloom_dedup": """
+            WITH d AS (SELECT doc_id,
+                              'https://d' || CAST(doc_id % 20 AS VARCHAR)
+                              || '.crawl.test/doc-'
+                              || CAST(doc_id AS VARCHAR) AS url
+                       FROM documents),
+            seen AS (SELECT DISTINCT
+                            ('0x' || substr(md5(CAST(i AS VARCHAR)
+                             || ':' || url), 1, 15))::BIGINT % 16384
+                                AS pos
+                     FROM d CROSS JOIN
+                          (SELECT unnest([0, 1, 2, 3]) AS i)
+                     WHERE doc_id % 3 = 0),
+            p AS (SELECT doc_id, url,
+                         ('0x' || substr(md5('0:' || url), 1, 15))
+                             ::BIGINT % 16384 AS h0,
+                         ('0x' || substr(md5('1:' || url), 1, 15))
+                             ::BIGINT % 16384 AS h1,
+                         ('0x' || substr(md5('2:' || url), 1, 15))
+                             ::BIGINT % 16384 AS h2,
+                         ('0x' || substr(md5('3:' || url), 1, 15))
+                             ::BIGINT % 16384 AS h3
+                  FROM d)
+            SELECT p.doc_id, p.url,
+                   (s0.pos IS NOT NULL AND s1.pos IS NOT NULL
+                    AND s2.pos IS NOT NULL AND s3.pos IS NOT NULL)
+                       AS maybe_seen
+            FROM p LEFT JOIN seen s0 ON p.h0 = s0.pos
+                   LEFT JOIN seen s1 ON p.h1 = s1.pos
+                   LEFT JOIN seen s2 ON p.h2 = s2.pos
+                   LEFT JOIN seen s3 ON p.h3 = s3.pos
         """,
         # quality_trainer: one closed-form gradient step from the
         # zero model (p = 0.5 -> r = 0.5 - y), 12-decimal weight

@@ -1442,3 +1442,112 @@ def decontaminate_spans(train: DataFrame, benchmark: DataFrame,
     spans = contaminated_spans(train, benchmark, k=k,
                                text_col=text_col, id_col=id_col)
     return _cut_spans(train, spans, text_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter seen-sets: the crawl-frontier / cross-crawl membership
+# structure (Heritrix's already-seen URL set; CCNet-style "dedup this
+# month's crawl against last month's" without re-scanning it).
+# ---------------------------------------------------------------------------
+
+def bloom_positions(col: Column, num_bits: int = 1 << 20,
+                    num_hashes: int = 4) -> Column:
+    """The ``num_hashes`` Bloom bit positions of a value, as an array
+    column: position i = ``portable_hash(concat(i, ':', value)) mod
+    num_bits`` — the module's 60-bit md5 trick with the hash index as
+    a seed prefix, so every position is independently uniform and the
+    DuckDB oracle reproduces it bit-for-bit.  Shared by build and
+    probe; a build/probe parameter mismatch silently probes a
+    different filter, so callers pass the same (num_bits, num_hashes)
+    to both (write_bloom persists them for the stored form)."""
+    return F.array(*[
+        F.pmod(portable_hash(
+            F.concat(F.lit(f"{i}:"), col.cast("string"))),
+            F.lit(int(num_bits))).cast("long")
+        for i in range(int(num_hashes))])
+
+
+def build_bloom(df: DataFrame, col: str = "url",
+                num_bits: int = 1 << 20,
+                num_hashes: int = 4) -> DataFrame:
+    """Build a Bloom filter over a column as a SPARSE position set:
+    one ``pos`` row per DISTINCT set bit (≤ min(num_hashes·n,
+    num_bits) rows regardless of input size — the fixed-capacity
+    model shape every broadcast path here relies on).  NULLs are
+    skipped (a NULL key is never "seen").
+
+    Sparse rows instead of packed words keep the probe side pure
+    equi-join arithmetic (no bigint bit twiddling to keep portable
+    across engines) and cost 8 bytes per SET bit: at the classic 1%
+    false-positive sizing (~9.6 bits/key, ~44% of them set) that is
+    ~4.2 bytes/key after distinct — a 100M-key filter broadcasts at
+    ~420 MB worth of longs, and beyond that scale the probe flips to
+    a shuffled equi-join on ``pos`` (pass ``broadcast=False`` to
+    :func:`bloom_contains`) with the SAME stored filter.
+
+    Distributed shape: one projection + explode + DISTINCT — a single
+    map-side-combined shuffle on the position key; the input is never
+    collected."""
+    return (df.filter(F.col(col).isNotNull())
+            .select(F.explode(bloom_positions(
+                F.col(col), num_bits, num_hashes)).alias("pos"))
+            .distinct())
+
+
+def bloom_contains(df: DataFrame, col: str, bloom: DataFrame,
+                   num_bits: int = 1 << 20, num_hashes: int = 4,
+                   flag_col: str = "maybe_seen",
+                   broadcast: bool = True) -> DataFrame:
+    """Probe a Bloom filter built by :func:`build_bloom`: adds boolean
+    ``flag_col`` — True iff ALL ``num_hashes`` positions of the value
+    are present (the standard Bloom contract: false positives at the
+    sized rate, NEVER false negatives; NULL keys probe False).
+
+    Broadcast path (default): ``num_hashes`` broadcast LEFT joins, one
+    per position column — the corpus side never shuffles and never
+    explodes, so the probe composes with scan-stage pushdowns.  For
+    filters past broadcast size, ``broadcast=False`` explodes the
+    probe keys and equi-joins on ``pos`` (one corpus-keyed shuffle,
+    arbitrarily large filters)."""
+    k = int(num_hashes)
+    pos = bloom_positions(F.col(col), num_bits, k)
+    if broadcast:
+        out = df.withColumn("_bp", pos)
+        flag = F.col(col).isNotNull()
+        for i in range(k):
+            b = F.broadcast(bloom.select(
+                F.col("pos").alias(f"_seen{i}")))
+            out = out.join(
+                b, F.element_at(F.col("_bp"), i + 1) == F.col(f"_seen{i}"),
+                "left")
+            flag = flag & F.col(f"_seen{i}").isNotNull()
+        return (out.withColumn(flag_col, flag)
+                .drop("_bp", *[f"_seen{i}" for i in range(k)]))
+    probe = (df.select(F.col(col).alias("_k")).distinct()
+             .select("_k", F.posexplode(
+                 bloom_positions(F.col("_k"), num_bits, k))
+                 .alias("_i", "pos")))
+    hits = (probe.join(bloom, "pos", "left_semi")
+            .groupBy("_k").agg(F.count("*").alias("_nhit"))
+            .filter(F.col("_nhit") == k)
+            .select("_k", F.lit(True).alias(flag_col)))
+    return (df.join(hits, df[col] == hits["_k"], "left")
+            .withColumn(flag_col,
+                        F.coalesce(F.col(flag_col), F.lit(False)))
+            .drop("_k"))
+
+
+def dedup_against_bloom(df: DataFrame, col: str, bloom: DataFrame,
+                        num_bits: int = 1 << 20,
+                        num_hashes: int = 4,
+                        broadcast: bool = True) -> DataFrame:
+    """Drop rows whose key is (probably) already in the filter — the
+    cross-crawl gate: keeps exactly the rows :func:`bloom_contains`
+    flags False.  False positives drop NEW keys at the sized rate
+    (the accepted Bloom trade: at 10 bits/key that is ~1% of novel
+    URLs skipped, zero duplicates re-ingested); exact incremental
+    dedup with no loss is `write_exact_index`/`dedup_exact_against_index`."""
+    flagged = bloom_contains(df, col, bloom, num_bits, num_hashes,
+                             flag_col="_bloom_seen",
+                             broadcast=broadcast)
+    return flagged.filter(~F.col("_bloom_seen")).drop("_bloom_seen")

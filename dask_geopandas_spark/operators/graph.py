@@ -105,3 +105,68 @@ def pagerank(edges: DataFrame, src_col: str = "src",
                       12).alias("pagerank"))
               .localCheckpoint())
     return pr
+
+
+def hits(edges: DataFrame, src_col: str = "src",
+         dst_col: str = "dst", iters: int = 10,
+         dedup_edges: bool = True) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999): returns
+    (node, authority, hub) over every node appearing as a source or
+    destination — the complement of :func:`pagerank` for crawl-seed
+    and directory-page discovery (a high-hub page links to many
+    high-authority pages; CC-style seed curation ranks both).
+
+    Per iteration, the standard mutual-reinforcement updates:
+    ``auth'(v) = Σ over in-edges u→v of hub(u)`` then ``hub'(v) =
+    Σ over out-edges v→w of auth'(w)`` (the NEW authorities — the
+    textbook Gauss-Seidel-style ordering), each vector L2-normalized
+    after its update.  Scores QUANTIZE to 12 decimals after every
+    sum and normalization, so the trajectory reproduces across
+    engines and the SQL oracle can unroll the identical updates
+    (the :func:`pagerank` convention).  ``dedup_edges`` as in
+    :func:`pagerank`.
+
+    Distributed shape: two aggregations per iteration (contributions
+    shuffle on the receiving node; each L2 norm is a 1-row broadcast),
+    auth/hub frames are node-sized and ``localCheckpoint``-materialized
+    per superstep so the plan does not deepen with ``iters``; the edge
+    frame is cached once.  No matrices, no driver-side graph — only a
+    0-row emptiness probe at call time."""
+    e = edges.select(F.col(src_col).alias("_s"),
+                     F.col(dst_col).alias("_t"))
+    if dedup_edges:
+        e = e.distinct()
+    e = e.cache()
+    nodes = (e.select(F.col("_s").alias("node"))
+             .union(e.select(F.col("_t").alias("node")))
+             .distinct().cache())
+    if nodes.isEmpty():
+        return nodes.select("node", F.lit(0.0).alias("authority"),
+                            F.lit(0.0).alias("hub"))
+    auth = nodes.select("node", F.lit(1.0).alias("authority"))
+    hub = nodes.select("node", F.lit(1.0).alias("hub")).localCheckpoint()
+
+    def _normalized(raw, col):
+        """nodes left-join raw sums, L2-normalize, quantize."""
+        norm = raw.agg(F.round(
+            F.sqrt(F.sum(F.col(col) * F.col(col))), 12).alias("_n"))
+        return (nodes.join(raw, "node", "left")
+                .crossJoin(F.broadcast(norm))
+                .select("node",
+                        F.round(
+                            F.when(F.col("_n") > 0,
+                                   F.coalesce(F.col(col), F.lit(0.0))
+                                   / F.col("_n"))
+                            .otherwise(F.lit(0.0)), 12).alias(col))
+                .localCheckpoint())
+
+    for _ in range(int(iters)):
+        araw = (e.join(hub, e["_s"] == hub["node"])
+                .groupBy(F.col("_t").alias("node"))
+                .agg(F.round(F.sum("hub"), 12).alias("authority")))
+        auth = _normalized(araw, "authority")
+        hraw = (e.join(auth, e["_t"] == auth["node"])
+                .groupBy(F.col("_s").alias("node"))
+                .agg(F.round(F.sum("authority"), 12).alias("hub")))
+        hub = _normalized(hraw, "hub")
+    return auth.join(hub, "node")

@@ -3310,3 +3310,146 @@ class TestGraph:
 
         empty = spark.createDataFrame([], "src long, dst long")
         assert pagerank(empty, iters=3).count() == 0
+
+    @staticmethod
+    def _brute_hits(edges, iters):
+        nodes = sorted({v for e in edges for v in e})
+        a = {v: 1.0 for v in nodes}
+        h = {v: 1.0 for v in nodes}
+
+        def norm_step(raw):
+            n = round(sum(x * x for x in raw.values()) ** 0.5, 12)
+            return {v: round(raw.get(v, 0.0) / n, 12) if n > 0
+                    else 0.0 for v in nodes}
+
+        for _ in range(iters):
+            araw = {}
+            for s, t in edges:
+                araw[t] = round(araw.get(t, 0.0) + h[s], 12)
+            a = norm_step(araw)
+            hraw = {}
+            for s, t in edges:
+                hraw[s] = round(hraw.get(s, 0.0) + a[t], 12)
+            h = norm_step(hraw)
+        return {v: (a[v], h[v]) for v in nodes}
+
+    def test_hits_matches_brute_force(self, spark):
+        from dask_geopandas_spark.operators.graph import hits
+
+        edges = spark.createDataFrame(self.EDGES, "src long, dst long")
+        for iters in (1, 2, 20):
+            got = {r["node"]: (r["authority"], r["hub"]) for r in
+                   hits(edges, iters=iters).collect()}
+            assert got == self._brute_hits(self.EDGES, iters), iters
+        # sink node 4 is pure authority; node 1 never receives from
+        # a hub-heavy node yet hubs strongly
+        a, h = got[4]
+        assert a > 0 and h == 0.0
+
+    def test_hits_l2_normalized_and_multigraph(self, spark):
+        from dask_geopandas_spark.operators.graph import hits
+
+        dup = spark.createDataFrame(self.EDGES + [(1, 2)],
+                                    "src long, dst long")
+        rows = hits(dup, iters=5).collect()
+        assert {r["node"]: (r["authority"], r["hub"]) for r in rows} \
+            == self._brute_hits(self.EDGES, 5)  # deduped by default
+        assert sum(r["authority"] ** 2 for r in rows) == \
+            pytest.approx(1.0, abs=1e-9)
+        assert sum(r["hub"] ** 2 for r in rows) == \
+            pytest.approx(1.0, abs=1e-9)
+        multi = {r["node"]: (r["authority"], r["hub"]) for r in
+                 hits(dup, iters=3, dedup_edges=False).collect()}
+        assert multi == self._brute_hits(self.EDGES + [(1, 2)], 3)
+
+    def test_hits_empty(self, spark):
+        from dask_geopandas_spark.operators.graph import hits
+
+        empty = spark.createDataFrame([], "src long, dst long")
+        assert hits(empty, iters=2).count() == 0
+
+
+class TestBloom:
+    """Bloom-filter seen-sets (operators/dedup.py): sparse position-set
+    representation, portable md5 positions, broadcast and shuffled
+    probe paths — the crawl-frontier / cross-crawl membership gate."""
+
+    BITS, K = 4096, 4
+
+    @staticmethod
+    def _brute_positions(v, num_bits, k):
+        import hashlib
+        return [int(hashlib.md5(f"{i}:{v}".encode()).hexdigest()[:15],
+                    16) % num_bits for i in range(k)]
+
+    def _frames(self, spark):
+        seen = spark.createDataFrame(
+            [(f"https://h{i}.test/p{i}",) for i in range(200)],
+            "url string")
+        probe = spark.createDataFrame(
+            [(i, f"https://h{i}.test/p{i}" if i % 2 == 0
+              else f"https://novel{i}.test/x") for i in range(100)]
+            + [(1000, None)],
+            "doc_id long, url string")
+        return seen, probe
+
+    def test_no_false_negatives_and_brute_force_replica(self, spark):
+        from dask_geopandas_spark.operators.dedup import (
+            bloom_contains, build_bloom)
+
+        seen, probe = self._frames(spark)
+        bloom = build_bloom(seen, "url", self.BITS, self.K)
+        got = {r["doc_id"]: r["maybe_seen"] for r in
+               bloom_contains(probe, "url", bloom, self.BITS,
+                              self.K).collect()}
+        # replica: position-set membership computed in Python
+        pos = set()
+        for i in range(200):
+            pos.update(self._brute_positions(
+                f"https://h{i}.test/p{i}", self.BITS, self.K))
+        for r in probe.collect():
+            want = (r["url"] is not None and all(
+                p in pos for p in self._brute_positions(
+                    r["url"], self.BITS, self.K)))
+            assert got[r["doc_id"]] == want, r
+        # every inserted key MUST flag (no false negatives)
+        assert all(got[i] for i in range(0, 100, 2))
+        assert got[1000] is False  # NULL probes False
+
+    def test_shuffled_path_agrees_and_dedup_drops(self, spark):
+        from dask_geopandas_spark.operators.dedup import (
+            bloom_contains, build_bloom, dedup_against_bloom)
+
+        seen, probe = self._frames(spark)
+        bloom = build_bloom(seen, "url", self.BITS, self.K)
+        bc = {r["doc_id"]: r["maybe_seen"] for r in
+              bloom_contains(probe, "url", bloom, self.BITS,
+                             self.K, broadcast=True).collect()}
+        sh = {r["doc_id"]: r["maybe_seen"] for r in
+              bloom_contains(probe, "url", bloom, self.BITS,
+                             self.K, broadcast=False).collect()}
+        assert bc == sh
+        kept = dedup_against_bloom(probe, "url", bloom, self.BITS,
+                                   self.K)
+        assert {r["doc_id"] for r in kept.collect()} == \
+            {d for d, s in bc.items() if not s}
+        # schema preserved, flag column not leaked
+        assert kept.columns == probe.columns
+
+    def test_broadcast_probe_plan(self, spark):
+        """The default probe path must be broadcast joins only — the
+        corpus side never shuffles, never sort-merges, no Python."""
+        from dask_geopandas_spark.operators.dedup import (
+            bloom_contains, build_bloom)
+
+        seen, probe = self._frames(spark)
+        bloom = build_bloom(seen, "url", self.BITS, self.K).cache()
+        bloom.count()
+        out = bloom_contains(probe, "url", bloom, self.BITS, self.K)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        assert "SortMergeJoin" not in plan
+        assert "EvalPython" not in plan
+        # formatted plans list each node in the tree AND the detail
+        # section — K joins appear 2K times
+        assert plan.count("BroadcastHashJoin") == 2 * self.K
