@@ -3240,6 +3240,38 @@ def q_bloom_dedup(spark, sf_dir):
                           num_bits=16384, num_hashes=4)
 
 
+def q_bpe_train(spark, sf_dir):
+    """BPE tokenizer TRAINING (operators/bpe.train_bpe, new r12) —
+    the Sennrich et al. 2016 trajectory as DataFrame iterations: one
+    corpus pass builds the distinct-word count table, then each merge
+    is a pair-count aggregation + 1-row TakeOrdered + broadcast
+    replace over the VOCABULARY frame (the corpus is never touched
+    again).  The double-space symbol encoding makes string replace's
+    non-overlapping scan equal greedy BPE in both engines, and pair
+    counts are integers, so the oracle unrolls all 10 merges exactly
+    — no quantization needed."""
+    from dask_geopandas_spark.operators.bpe import train_bpe
+
+    return train_bpe(_t(spark, sf_dir, "documents"), num_merges=10)
+
+
+def q_bpe_tokens(spark, sf_dir):
+    """BPE ENCODING (operators/bpe.bpe_token_count, new r12): real
+    subword token counts per document — the number that drives shard
+    packing and mixture budgets (`token_count` is the whitespace
+    estimate).  The 8-merge model collects into a chain of native
+    replace calls (fixed-size-model convention): encoding is pure
+    codegen, zero shuffle.  Oracle: the training chain + the same
+    nested replaces per word."""
+    from dask_geopandas_spark.operators.bpe import (bpe_token_count,
+                                                    train_bpe)
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=8)
+    return (bpe_token_count(docs.select("doc_id", "text"), merges)
+            .select("doc_id", "n_bpe_tokens"))
+
+
 def q_quality_trainer(spark, sf_dir):
     """Native quality-classifier TRAINING (textstats.
     train_text_classifier, new r12) — the GPT-3/LLaMA/DCLM
@@ -4430,6 +4462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": q_pagerank_hosts,
         "hits_hosts": q_hits_hosts,
         "bloom_dedup": q_bloom_dedup,
+        "bpe_train": q_bpe_train,
+        "bpe_tokens": q_bpe_tokens,
         "wat_links": q_wat_links,
         "contamination": q_contamination,
         "crs_roundtrip": q_crs_roundtrip,
@@ -4623,6 +4657,54 @@ _SHINGLES3 = (
     "[array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)] "
     "ELSE [array_to_string(toks, ' ')] END"
 )
+
+
+def _bpe_ctes(k: int) -> str:
+    """Unrolled BPE training chain (operators/bpe.py): CTEs
+    ``w0..w{k}`` (the vocabulary's symbol strings after each merge)
+    and ``b1..b{k}`` (the winning pair of each step).  The
+    double-space symbol encoding makes DuckDB's replace() reproduce
+    the greedy non-overlapping merge exactly as Spark's does; counts
+    are integers, so the whole trajectory is exact."""
+    parts = [f"""
+            bw AS MATERIALIZED (SELECT unnest(list_filter({_TOKENS}, x -> x != ''))
+                       AS word
+                   FROM documents WHERE text IS NOT NULL),
+            wc AS MATERIALIZED (SELECT word, count(*) AS cnt FROM bw GROUP BY word),
+            w0 AS MATERIALIZED (SELECT ' ' || array_to_string(
+                       list_transform(range(1, length(word) + 1),
+                                      i -> substr(word, CAST(i AS INT),
+                                                  1)),
+                       '  ') || '  </w> ' AS s, cnt FROM wc)"""]
+    for i in range(1, k + 1):
+        parts.append(f"""
+            px{i} AS MATERIALIZED (SELECT cnt, syms,
+                             unnest(range(1, len(syms))) AS j
+                      FROM (SELECT cnt, str_split(trim(s), '  ')
+                                   AS syms FROM w{i - 1})),
+            b{i} AS MATERIALIZED (SELECT syms[j] AS l, syms[j + 1] AS r,
+                            syms[j] || syms[j + 1] AS m,
+                            CAST(sum(cnt) AS BIGINT) AS c
+                     FROM px{i} GROUP BY 1, 2, 3
+                     ORDER BY c DESC, l, r LIMIT 1),
+            w{i} AS MATERIALIZED (SELECT replace(s,
+                                ' ' || (SELECT l FROM b{i}) || '  '
+                                    || (SELECT r FROM b{i}) || ' ',
+                                ' ' || (SELECT m FROM b{i}) || ' ')
+                                AS s,
+                            cnt FROM w{i - 1})""")
+    return ",".join(parts)
+
+
+def _bpe_encode_expr(s0: str, k: int) -> str:
+    """The k trained merges applied to a symbol string as nested
+    replaces (scalar subqueries against the b{i} CTEs)."""
+    expr = s0
+    for i in range(1, k + 1):
+        expr = (f"replace({expr}, ' ' || (SELECT l FROM b{i}) || '  ' "
+                f"|| (SELECT r FROM b{i}) || ' ', "
+                f"' ' || (SELECT m FROM b{i}) || ' ')")
+    return expr
 
 
 def _mh_expr(seed: int) -> str:
@@ -7107,6 +7189,40 @@ def _oracle_sql_base() -> dict[str, str]:
                    LEFT JOIN hr2 ON nodes.v = hr2.v)
             SELECT a2.v AS node, a2.a AS authority, h2.h AS hub
             FROM a2 JOIN h2 ON a2.v = h2.v
+        """,
+        # bpe_train: all 10 merge steps unrolled (word counts once,
+        # then pair-count -> argmax -> greedy replace per step);
+        # integer counts make the trajectory exact
+        "bpe_train": "WITH " + _bpe_ctes(10) + "\n" + "\n".join(
+            f"            {'UNION ALL ' if i > 1 else ''}SELECT "
+            f"{i} AS \"rank\", l AS \"left\", r AS \"right\", "
+            f"m AS merged, c AS pair_count FROM b{i}"
+            for i in range(1, 11)),
+        # bpe_tokens: the 8-merge training chain + per-word nested
+        # replaces, token counts summed per doc (token-less docs 0)
+        "bpe_tokens": "WITH " + _bpe_ctes(8) + f""",
+            etok AS (SELECT doc_id,
+                            list_filter({_TOKENS}, x -> x != '')
+                                AS toks
+                     FROM documents),
+            ew AS (SELECT doc_id, unnest(toks) AS word FROM etok),
+            es AS (SELECT doc_id,
+                          ' ' || array_to_string(
+                              list_transform(range(1, length(word) + 1),
+                                             i -> substr(word,
+                                                  CAST(i AS INT), 1)),
+                              '  ') || '  </w> ' AS s0
+                   FROM ew),
+            ee AS (SELECT doc_id,
+                          len(str_split(trim(
+                              {_bpe_encode_expr('s0', 8)}), '  '))
+                              AS nt
+                   FROM es),
+            pd AS (SELECT doc_id, CAST(sum(nt) AS BIGINT) AS n
+                   FROM ee GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(pd.n, 0) AS BIGINT) AS n_bpe_tokens
+            FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
         """,
         # bloom_dedup: the sparse-position-set Bloom replayed — 4
         # seeded md5 positions per URL, distinct set bits from the

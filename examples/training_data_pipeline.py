@@ -100,6 +100,13 @@ def run_pipeline(spark: SparkSession, sf_dir: str):
     kept = DD.decontaminate(kept, benchmark)
     stages["decontaminated"] = kept.count()
 
+    # Lineage barrier: a dozen chained operators deepen the plan until
+    # AQE's per-stage plan stringification alone costs real heap (the
+    # crawl example hit the sibling failure mode, codegen re-inlining
+    # past the JVM's 64 KB method limit).  The survivor frame is tiny
+    # by now — materialize it and truncate.
+    kept = kept.localCheckpoint()
+
     # 4b. per-source quota (C4/RefinedWeb-style domain cap, r5):
     #     under-cap sources bypass the sort window entirely
     kept = SA.cap_per_group(kept, group_col="source", cap=50)

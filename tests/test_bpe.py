@@ -1,0 +1,166 @@
+"""BPE tokenizer training/encoding (operators/bpe.py): the trainer's
+trajectory must equal classic greedy BPE (Sennrich et al. 2016) run in
+Python, including the repeated-symbol edge where naive string-replace
+encodings diverge from greedy merge semantics."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+
+
+def _words(texts):
+    out = []
+    for t in texts:
+        if t is None:
+            continue
+        out += [w for w in re.split(r"[^a-z0-9']+", t.strip().lower())
+                if w != ""]
+    return out
+
+
+def _apply(syms, left, right):
+    """Greedy left-to-right non-overlapping merge of one pair."""
+    out, i = [], 0
+    while i < len(syms):
+        if (i < len(syms) - 1 and syms[i] == left
+                and syms[i + 1] == right):
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _brute_train(texts, num_merges):
+    wc = Counter(_words(texts))
+    vocab = {w: list(w) + ["</w>"] for w in wc}
+    merges = []
+    for rank in range(1, num_merges + 1):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wc[w]
+        if not pc:
+            break
+        (left, right), cnt = sorted(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        merges.append((rank, left, right, left + right, cnt))
+        vocab = {w: _apply(s, left, right) for w, s in vocab.items()}
+    return merges
+
+
+def _brute_encode(text, merges):
+    toks = []
+    for w in _words([text]):
+        syms = list(w) + ["</w>"]
+        for _, left, right, _, _ in merges:
+            syms = _apply(syms, left, right)
+        toks += syms
+    return toks
+
+
+CORPUS = [
+    "low lower lowest low low",
+    "new newer newest new",
+    "wide wider widest",
+    "aaaa aaa aa baa aab",   # repeated-symbol greedy edge
+    "it's all widest new low",
+    None,
+    "   ",
+]
+
+
+class TestTrainBpe:
+    def _df(self, spark, texts=CORPUS):
+        return spark.createDataFrame([(t,) for t in texts],
+                                     "text string")
+
+    def test_matches_brute_force_trajectory(self, spark):
+        from dask_geopandas_spark.operators.bpe import train_bpe
+
+        for k in (1, 4, 10):
+            got = [(r["rank"], r["left"], r["right"], r["merged"],
+                    r["pair_count"]) for r in
+                   train_bpe(self._df(spark), num_merges=k)
+                   .orderBy("rank").collect()]
+            assert got == _brute_train(CORPUS, k), k
+
+    def test_repeated_symbol_greedy(self, spark):
+        """'aaaa' under merge (a,a) must become (aa, aa) — TWO merges
+        in one pass, the case a shared-separator replace encoding
+        gets wrong (it would yield aa a a)."""
+        from dask_geopandas_spark.operators.bpe import (bpe_encode,
+                                                        train_bpe)
+
+        df = self._df(spark, ["aaaa aaaa aa"])
+        merges = train_bpe(df, num_merges=1)
+        rows = merges.collect()
+        assert [(r["left"], r["right"]) for r in rows] == [("a", "a")]
+        enc = bpe_encode(df, merges).head()["bpe_tokens"]
+        assert enc == ["aa", "aa", "</w>", "aa", "aa", "</w>",
+                       "aa", "</w>"]
+
+    def test_exhaustion_returns_fewer_rows(self, spark):
+        from dask_geopandas_spark.operators.bpe import train_bpe
+
+        df = self._df(spark, ["ab"])
+        got = [(r["left"], r["right"]) for r in
+               train_bpe(df, num_merges=10).orderBy("rank").collect()]
+        # 'ab' collapses in two merges; the other eight yield nothing
+        assert got == [("a", "b"), ("ab", "</w>")]
+
+    def test_empty_corpus(self, spark):
+        from dask_geopandas_spark.operators.bpe import train_bpe
+
+        df = self._df(spark, [None, "   "])
+        assert train_bpe(df, num_merges=3).count() == 0
+
+
+class TestBpeEncode:
+    def test_matches_brute_force(self, spark):
+        from dask_geopandas_spark.operators.bpe import (bpe_encode,
+                                                        train_bpe)
+
+        df = spark.createDataFrame([(t,) for t in CORPUS],
+                                   "text string")
+        merges = train_bpe(df, num_merges=6)
+        brute = _brute_train(CORPUS, 6)
+        got = {r["text"]: r["bpe_tokens"] for r in
+               bpe_encode(df, merges).collect() if r["text"]}
+        for t in CORPUS:
+            if t:
+                assert got[t] == _brute_encode(t, brute), t
+
+    def test_null_and_counts(self, spark):
+        from dask_geopandas_spark.operators.bpe import (bpe_token_count,
+                                                        train_bpe)
+
+        df = spark.createDataFrame(
+            [(1, "low lower"), (2, None), (3, "  ")],
+            "doc_id long, text string")
+        merges = train_bpe(df, num_merges=3)
+        got = {r["doc_id"]: r["n_bpe_tokens"] for r in
+               bpe_token_count(df, merges).collect()}
+        brute = _brute_train(["low lower"], 3)
+        assert got[1] == len(_brute_encode("low lower", brute))
+        assert got[2] == 0 and got[3] == 0
+
+    def test_encode_is_pure_codegen(self, spark):
+        """Encoding with a trained model is a projection: no Python,
+        no joins, no shuffle — it composes with scan pushdowns."""
+        from dask_geopandas_spark.operators.bpe import (bpe_encode,
+                                                        train_bpe)
+
+        df = spark.createDataFrame([(t,) for t in CORPUS if t],
+                                   "text string")
+        merges = train_bpe(df, num_merges=4)
+        out = bpe_encode(df, merges)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        assert "EvalPython" not in plan
+        assert "Exchange" not in plan
+        assert "Join" not in plan
