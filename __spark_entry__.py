@@ -3240,6 +3240,40 @@ def q_bloom_dedup(spark, sf_dir):
                           num_bits=16384, num_hashes=4)
 
 
+def q_cdx_diff(spark, sf_dir):
+    """Cross-crawl CDX diff (sources/warc.cdx_diff, new r12) — the
+    monthly-crawl comparison deciding what gets refetched: latest
+    capture per urlkey on each side (ts desc, digest desc), one
+    full-outer equi-join, null-safe digest compare.  Synthetic
+    January/February crawls from doc_ids: %5==0 keys vanish (gone),
+    %5==4 appear (new), %3==0 change digests, the rest are unchanged;
+    a stale duplicate capture per old key exercises the
+    latest-capture window.  Oracle: the same windows + full join."""
+    from dask_geopandas_spark.sources.warc import cdx_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    key = F.concat(F.lit("test,d"), (F.col("doc_id") % 20)
+                   .cast("string"), F.lit(")/doc-"),
+                   F.col("doc_id").cast("string"))
+    old = docs.filter(F.col("doc_id") % 5 != 4).select(
+        key.alias("urlkey"),
+        F.lit("20260101000000").alias("cdx_ts"),
+        F.md5(F.concat(F.lit("v"), (F.col("doc_id") % 7)
+                       .cast("string"))).alias("digest"))
+    stale = old.select("urlkey",
+                       F.lit("20251201000000").alias("cdx_ts"),
+                       F.lit("stale").alias("digest"))
+    new = docs.filter(F.col("doc_id") % 5 != 0).select(
+        key.alias("urlkey"),
+        F.lit("20260201000000").alias("cdx_ts"),
+        F.md5(F.concat(
+            F.lit("v"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("x"))
+            .otherwise((F.col("doc_id") % 7).cast("string"))))
+        .alias("digest"))
+    return cdx_diff(old.unionAll(stale), new)
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer TRAINING (operators/bpe.train_bpe, new r12) —
     the Sennrich et al. 2016 trajectory as DataFrame iterations: one
@@ -4464,6 +4498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup": q_bloom_dedup,
         "bpe_train": q_bpe_train,
         "bpe_tokens": q_bpe_tokens,
+        "cdx_diff": q_cdx_diff,
         "wat_links": q_wat_links,
         "contamination": q_contamination,
         "crs_roundtrip": q_crs_roundtrip,
@@ -7189,6 +7224,48 @@ def _oracle_sql_base() -> dict[str, str]:
                    LEFT JOIN hr2 ON nodes.v = hr2.v)
             SELECT a2.v AS node, a2.a AS authority, h2.h AS hub
             FROM a2 JOIN h2 ON a2.v = h2.v
+        """,
+        # cdx_diff: latest capture per urlkey on each side (ts desc,
+        # digest desc), full-outer join, null-safe digest compare
+        "cdx_diff": """
+            WITH d AS (SELECT doc_id,
+                              'test,d' || CAST(doc_id % 20 AS VARCHAR)
+                              || ')/doc-' || CAST(doc_id AS VARCHAR)
+                                  AS urlkey
+                       FROM documents),
+            oldc AS (SELECT urlkey, '20260101000000' AS cdx_ts,
+                            md5('v' || CAST(doc_id % 7 AS VARCHAR))
+                                AS digest
+                     FROM d WHERE doc_id % 5 != 4
+                     UNION ALL
+                     SELECT urlkey, '20251201000000', 'stale'
+                     FROM d WHERE doc_id % 5 != 4),
+            newc AS (SELECT urlkey, '20260201000000' AS cdx_ts,
+                            md5('v' || CASE WHEN doc_id % 3 = 0
+                                       THEN 'x'
+                                       ELSE CAST(doc_id % 7 AS VARCHAR)
+                                       END) AS digest
+                     FROM d WHERE doc_id % 5 != 0),
+            ol AS (SELECT urlkey, cdx_ts AS old_ts,
+                          digest AS old_digest
+                   FROM (SELECT *, row_number() OVER (
+                             PARTITION BY urlkey
+                             ORDER BY cdx_ts DESC, digest DESC) AS rn
+                         FROM oldc) WHERE rn = 1),
+            nl AS (SELECT urlkey, cdx_ts AS new_ts,
+                          digest AS new_digest
+                   FROM (SELECT *, row_number() OVER (
+                             PARTITION BY urlkey
+                             ORDER BY cdx_ts DESC, digest DESC) AS rn
+                         FROM newc) WHERE rn = 1)
+            SELECT COALESCE(ol.urlkey, nl.urlkey) AS urlkey,
+                   CASE WHEN ol.old_ts IS NULL THEN 'new'
+                        WHEN nl.new_ts IS NULL THEN 'gone'
+                        WHEN ol.old_digest IS NOT DISTINCT FROM
+                             nl.new_digest THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   ol.old_ts, ol.old_digest, nl.new_ts, nl.new_digest
+            FROM ol FULL JOIN nl ON ol.urlkey = nl.urlkey
         """,
         # bpe_train: all 10 merge steps unrolled (word counts once,
         # then pair-count -> argmax -> greedy replace per step);

@@ -905,3 +905,47 @@ def read_cdx(spark: SparkSession, path: str,
                 warc_file.alias("warc_file"),
                 m["offset"].cast("long").alias("record_offset"),
                 m["length"].cast("long").alias("record_length")))
+
+
+def cdx_diff(old: DataFrame, new: DataFrame, key_col: str = "urlkey",
+             ts_col: str = "cdx_ts",
+             digest_col: str = "digest") -> DataFrame:
+    """Diff two crawls by their CDX indexes — the monthly-crawl
+    comparison workflow (what changed since the last crawl decides
+    what gets refetched, re-extracted, re-deduped): returns one row
+    per urlkey seen in EITHER crawl with ``status`` in
+    ``new`` (only in the new crawl) / ``gone`` (only in the old) /
+    ``changed`` (both, content digest differs) / ``unchanged``,
+    plus (old_ts, old_digest, new_ts, new_digest).
+
+    Each side first reduces to its LATEST capture per urlkey
+    (``ts`` desc, digest desc tie-break — a pure function of the
+    index, so re-runs and the SQL oracle agree); presence is judged
+    on the timestamp (never NULL in CDX), digests compare
+    null-safely, so an absent-digest capture diffs as itself rather
+    than masquerading as a missing row.
+
+    Distributed shape: one urlkey-keyed window per side + one
+    full-outer equi-join on urlkey — three shuffles on the same key,
+    no row multiplication; at 100 TB both sides are index files
+    (~1/1000 the crawl), and a domain-scoped diff pushes its
+    ``urlkey`` prefix filter into both scans."""
+    from pyspark.sql import Window
+
+    def latest(df, prefix):
+        w = (Window.partitionBy(key_col)
+             .orderBy(F.col(ts_col).desc(), F.col(digest_col).desc()))
+        return (df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select(F.col(key_col).alias("urlkey"),
+                        F.col(ts_col).alias(f"{prefix}_ts"),
+                        F.col(digest_col).alias(f"{prefix}_digest")))
+
+    j = latest(old, "old").join(latest(new, "new"), "urlkey", "full")
+    status = (F.when(F.col("old_ts").isNull(), F.lit("new"))
+              .when(F.col("new_ts").isNull(), F.lit("gone"))
+              .when(F.col("old_digest").eqNullSafe(F.col("new_digest")),
+                    F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return j.select("urlkey", status.alias("status"), "old_ts",
+                    "old_digest", "new_ts", "new_digest")

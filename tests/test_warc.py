@@ -717,3 +717,58 @@ class TestWat:
             ["h0.com", "h1.com", "h3.com", "h4.com"]
         assert sum(r["pagerank"] for r in rows) == pytest.approx(
             1.0, abs=1e-9)
+
+
+class TestCdxDiff:
+    """Cross-crawl CDX diff (sources/warc.cdx_diff): latest-capture
+    reduction, the four statuses, null-safe digest compare."""
+
+    def _cdx(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "urlkey string, cdx_ts string, digest string")
+
+    def test_four_statuses_and_latest_capture(self, spark):
+        from dask_geopandas_spark.sources.warc import cdx_diff
+
+        old = self._cdx(spark, [
+            ("com,a)/", "20260101", "d1"),
+            ("com,a)/", "20251201", "stale"),   # older capture loses
+            ("com,b)/", "20260101", "d2"),
+            ("com,gone)/", "20260101", "d3"),
+        ])
+        new = self._cdx(spark, [
+            ("com,a)/", "20260201", "d1"),      # unchanged
+            ("com,b)/", "20260201", "d2x"),     # changed
+            ("com,new)/", "20260201", "d4"),    # new
+        ])
+        got = {r["urlkey"]: r.asDict() for r in
+               cdx_diff(old, new).collect()}
+        assert got["com,a)/"]["status"] == "unchanged"
+        assert got["com,a)/"]["old_digest"] == "d1"   # not 'stale'
+        assert got["com,b)/"]["status"] == "changed"
+        assert got["com,gone)/"]["status"] == "gone"
+        assert got["com,gone)/"]["new_ts"] is None
+        assert got["com,new)/"]["status"] == "new"
+        assert got["com,new)/"]["old_digest"] is None
+        assert len(got) == 4
+
+    def test_null_digest_is_presence_not_absence(self, spark):
+        from dask_geopandas_spark.sources.warc import cdx_diff
+
+        old = self._cdx(spark, [("com,x)/", "20260101", None)])
+        new = self._cdx(spark, [("com,x)/", "20260201", None),
+                                ("com,y)/", "20260201", None)])
+        got = {r["urlkey"]: r["status"] for r in
+               cdx_diff(old, new).collect()}
+        # both digests NULL -> null-safe equal -> unchanged, not new
+        assert got == {"com,x)/": "unchanged", "com,y)/": "new"}
+
+    def test_same_ts_tiebreak_deterministic(self, spark):
+        from dask_geopandas_spark.sources.warc import cdx_diff
+
+        old = self._cdx(spark, [("com,t)/", "20260101", "a"),
+                                ("com,t)/", "20260101", "b")])
+        new = self._cdx(spark, [("com,t)/", "20260201", "b")])
+        row = cdx_diff(old, new).head()
+        assert row["old_digest"] == "b"  # digest desc tie-break
+        assert row["status"] == "unchanged"
