@@ -3240,6 +3240,27 @@ def q_bloom_dedup(spark, sf_dir):
                           num_bits=16384, num_hashes=4)
 
 
+def q_ann_sq(spark, sf_dir):
+    """Scalar quantization ANN (similarity.train_sq/sq_encode/
+    sq_topk, new r12) — the compression tier below PQ (FAISS SQ8):
+    training is ONE exact min/max aggregation (2·d floats, no
+    codebooks), codes are clamped linear ints, search dequantizes
+    against the literal ranges — the corpus pass reads 4× fewer
+    bytes and the query frame broadcasts whole (no LUT collect).
+    Top-10 over the %50==0 query vectors.  Oracle: per-dim min/max
+    via zipped unnest, the same round/clamp arithmetic, the same
+    left-associated distance fold."""
+    from dask_geopandas_spark.operators.similarity import (sq_encode,
+                                                           sq_topk,
+                                                           train_sq)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    lo, hi = train_sq(emb)
+    codes = sq_encode(emb, lo, hi)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return sq_topk(codes, queries, lo, hi, k=10)
+
+
 def q_cdx_diff(spark, sf_dir):
     """Cross-crawl CDX diff (sources/warc.cdx_diff, new r12) — the
     monthly-crawl comparison deciding what gets refetched: latest
@@ -4499,6 +4520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_tokens": q_bpe_tokens,
         "cdx_diff": q_cdx_diff,
+        "ann_sq": q_ann_sq,
         "wat_links": q_wat_links,
         "contamination": q_contamination,
         "crs_roundtrip": q_crs_roundtrip,
@@ -7224,6 +7246,63 @@ def _oracle_sql_base() -> dict[str, str]:
                    LEFT JOIN hr2 ON nodes.v = hr2.v)
             SELECT a2.v AS node, a2.a AS authority, h2.h AS hub
             FROM a2 JOIN h2 ON a2.v = h2.v
+        """,
+        # ann_sq: per-dim exact min/max (zipped unnest), clamped
+        # linear codes, dequantized ADC with the left-associated fold
+        "ann_sq": """
+            WITH el AS MATERIALIZED (
+                SELECT unnest(range(1, len(embedding) + 1)) AS i,
+                       unnest(list_transform(embedding,
+                              x -> CAST(x AS DOUBLE))) AS x
+                FROM embeddings),
+            mm AS MATERIALIZED (
+                SELECT i, min(x) AS lo, max(x) AS hi
+                FROM el GROUP BY i),
+            lohi AS MATERIALIZED (
+                SELECT list(lo ORDER BY i) AS lo,
+                       list(hi ORDER BY i) AS hi,
+                       list(CASE WHEN hi > lo
+                            THEN CAST(255 AS DOUBLE) / (hi - lo)
+                            ELSE CAST(0 AS DOUBLE) END ORDER BY i)
+                           AS sc,
+                       list(CASE WHEN hi > lo
+                            THEN (hi - lo) / CAST(255 AS DOUBLE)
+                            ELSE CAST(0 AS DOUBLE) END ORDER BY i)
+                           AS st
+                FROM mm),
+            codes AS MATERIALIZED (
+                SELECT vec_id,
+                       list_transform(range(1, len(embedding) + 1),
+                           i -> CAST(least(CAST(255 AS DOUBLE),
+                                greatest(CAST(0 AS DOUBLE),
+                                round((CAST(embedding[i] AS DOUBLE)
+                                       - lo[i]) * sc[i]))) AS INT))
+                           AS code
+                FROM embeddings CROSS JOIN lohi),
+            sc2 AS (SELECT q.vec_id AS query_id,
+                           c.vec_id AS neighbor_id,
+                           round(list_reduce(
+                               list_prepend(CAST(0 AS DOUBLE),
+                                   list_transform(
+                                       range(1, len(q.embedding) + 1),
+                                       i -> (CAST(q.embedding[i]
+                                                  AS DOUBLE)
+                                             - (lo[i] + c.code[i]
+                                                * st[i]))
+                                          * (CAST(q.embedding[i]
+                                                  AS DOUBLE)
+                                             - (lo[i] + c.code[i]
+                                                * st[i])))),
+                               (a, b) -> a + b), 9) AS adist
+                    FROM codes c CROSS JOIN lohi
+                    JOIN embeddings q ON q.vec_id % 50 = 0
+                    WHERE q.vec_id != c.vec_id)
+            SELECT query_id, neighbor_id, adist,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY adist, neighbor_id) AS INT) AS "rank"
+            FROM sc2
+            QUALIFY "rank" <= 10
         """,
         # cdx_diff: latest capture per urlkey on each side (ts desc,
         # digest desc), full-outer join, null-safe digest compare

@@ -475,6 +475,102 @@ def pq_topk(codes_df: DataFrame, queries: DataFrame, codebooks: list,
 
 
 # ----------------------------------------------------------------------
+# Scalar quantization (SQ8) — per-dimension linear int codes, the
+# cheap-and-cheerful compression tier below PQ (FAISS's SQ8: 4× over
+# float32 with near-exact recall, no codebook training)
+# ----------------------------------------------------------------------
+def train_sq(df: DataFrame, vec_col: str = "embedding"
+             ) -> tuple[list, list]:
+    """Per-dimension (lo, hi) ranges as EXACT corpus min/max — ONE
+    map-side-combined aggregation over the full corpus (no sampling,
+    no iteration: SQ has nothing else to learn).  Returns two d-length
+    lists, the 2·d-float fixed-size model that rides into encode/search
+    plans as literals."""
+    d = int(df.select(F.size(F.col(vec_col)).alias("d")).head()["d"])
+    aggs = []
+    for i in range(d):
+        e = F.element_at(F.col(vec_col), i + 1).cast("double")
+        aggs += [F.min(e).alias(f"lo{i}"), F.max(e).alias(f"hi{i}")]
+    row = df.agg(*aggs).head()
+    return ([float(row[f"lo{i}"]) for i in range(d)],
+            [float(row[f"hi{i}"]) for i in range(d)])
+
+
+def sq_encode(df: DataFrame, lo: list, hi: list,
+              vec_col: str = "embedding", code_col: str = "sq_code",
+              levels: int = 256) -> DataFrame:
+    """array<int> of per-dimension linear codes:
+    ``round((x - lo) · (levels-1)/(hi - lo))`` clamped to
+    [0, levels-1] (out-of-range values — possible when encoding data
+    the ranges weren't trained on — saturate; degenerate dims code 0).
+    Pure native zip_with arithmetic against the literal ranges: the
+    corpus pass is one scan, no UDF, no shuffle."""
+    top = int(levels) - 1
+    lo_a = F.array(*[F.lit(float(v)) for v in lo])
+    sc_a = F.array(*[
+        F.lit(float(top) / (h - l) if h > l else 0.0)
+        for l, h in zip(lo, hi)])
+    t = F.zip_with(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        lo_a, lambda x, m: x - m)
+    code = F.zip_with(
+        t, sc_a,
+        lambda x, s: F.least(
+            F.lit(float(top)),
+            F.greatest(F.lit(0.0), F.round(x * s))).cast("int"))
+    return df.withColumn(code_col, code)
+
+
+def sq_topk(codes_df: DataFrame, queries: DataFrame, lo: list,
+            hi: list, k: int = 5, id_col: str = "vec_id",
+            vec_col: str = "embedding", code_col: str = "sq_code",
+            levels: int = 256) -> DataFrame:
+    """Approximate top-k by asymmetric distance against DEQUANTIZED
+    codes (``lo + code · step``): the corpus pass reads codes only —
+    4× fewer bytes than the embeddings — and the query frame
+    broadcasts whole (no LUT collect; SQ's dequant is plain
+    arithmetic, unlike PQ's per-query tables).  Returns (query_id,
+    neighbor_id, adist, rank) ascending approximate squared distance;
+    `pq_topk`'s two-stage skew-free ranking."""
+    top = int(levels) - 1
+    d = len(lo)
+    lo_a = F.array(*[F.lit(float(v)) for v in lo])
+    st_a = F.array(*[
+        F.lit((h - l) / float(top) if h > l else 0.0)
+        for l, h in zip(lo, hi)])
+    q = F.broadcast(queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        .alias("_qv")))
+    from .textstats import let
+
+    dim_terms = F.transform(
+        F.sequence(F.lit(1), F.lit(d)),
+        lambda i: let(
+            F.element_at(F.col("_qv"), i)
+            - (F.element_at(lo_a, i)
+               + F.element_at(F.col(code_col), i)
+               * F.element_at(st_a, i)),
+            lambda diff: diff * diff))
+    score = F.aggregate(dim_terms, F.lit(0.0), lambda acc, x: acc + x)
+    scored = (codes_df.select(F.col(id_col).alias("neighbor_id"),
+                              code_col)
+              .join(q)
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(score, 9).alias("adist")))
+    w_local = Window.partitionBy("query_id", "_pid") \
+        .orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    local = (scored.withColumn("_pid", F.spark_partition_id())
+             .withColumn("_lr", F.row_number().over(w_local))
+             .filter(F.col("_lr") <= k).drop("_pid", "_lr"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"),
+                                               F.asc("neighbor_id"))
+    return local.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= k)
+
+
+# ----------------------------------------------------------------------
 # IVF-PQ — the composed vector-database layout
 # ----------------------------------------------------------------------
 def write_ivf_pq_index(df: DataFrame, path: str, centroids: list,

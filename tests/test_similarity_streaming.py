@@ -1931,3 +1931,92 @@ class TestStreamingVectorIndex:
                      if not f.rsplit("/", 1)[-1].startswith(("_", "."))]
             assert len(files) == 1, cell
         assert len(self._topk(spark, idx)) == 5
+
+
+class TestScalarQuantization:
+    """SQ8 (similarity.train_sq/sq_encode/sq_topk): exact-range
+    training, clamped linear codes, dequantized ADC search."""
+
+    @pytest.fixture()
+    def vecs(self, spark):
+        rng = np.random.RandomState(29)
+        rows = [(i, [float(v) for v in rng.uniform(-3, 3, 12)])
+                for i in range(240)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+
+    def test_train_is_exact_minmax(self, spark, vecs):
+        from dask_geopandas_spark.operators.similarity import train_sq
+
+        lo, hi = train_sq(vecs)
+        X = np.asarray([r["embedding"] for r in
+                        vecs.orderBy("vec_id").collect()],
+                       dtype=np.float64)
+        assert lo == [float(v) for v in X.min(axis=0)]
+        assert hi == [float(v) for v in X.max(axis=0)]
+
+    def test_encode_matches_numpy_and_clamps(self, spark, vecs):
+        from dask_geopandas_spark.operators.similarity import (sq_encode,
+                                                               train_sq)
+
+        lo, hi = train_sq(vecs)
+        got = {r["vec_id"]: list(r["sq_code"]) for r in
+               sq_encode(vecs, lo, hi).collect()}
+        import decimal
+        for r in vecs.collect():
+            want = []
+            for x, l, h in zip(r["embedding"], lo, hi):
+                s = 255.0 / (h - l) if h > l else 0.0
+                t = (float(np.float32(x)) - l) * s
+                # Spark round() is HALF_UP on the decimal value
+                want.append(int(min(255, max(0, int(
+                    decimal.Decimal(t).quantize(
+                        0, rounding=decimal.ROUND_HALF_UP))))))
+            assert got[r["vec_id"]] == want, r["vec_id"]
+        # out-of-range data saturates instead of overflowing
+        wild = spark.createDataFrame(
+            [(999, [1e6] * 12), (998, [-1e6] * 12)],
+            "vec_id long, embedding array<float>")
+        codes = {r["vec_id"]: set(r["sq_code"]) for r in
+                 sq_encode(wild, lo, hi).collect()}
+        assert codes[999] == {255} and codes[998] == {0}
+
+    def test_1nn_recall_at_10(self, spark, vecs):
+        """SQ8 quantization error is tiny next to PQ — the true L2
+        nearest neighbor should appear in the top-10 essentially
+        always on smooth data."""
+        from dask_geopandas_spark.operators.similarity import (sq_encode,
+                                                               sq_topk,
+                                                               train_sq)
+
+        lo, hi = train_sq(vecs)
+        codes = sq_encode(vecs, lo, hi)
+        queries = vecs.filter(F.col("vec_id") < 20)
+        got = {}
+        for r in sq_topk(codes, queries, lo, hi, k=10).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        X = np.asarray([r["embedding"] for r in
+                        vecs.orderBy("vec_id").collect()],
+                       dtype=np.float64)
+        hits = 0
+        for qid in range(20):
+            d = ((X - X[qid][None, :]) ** 2).sum(axis=1)
+            d[qid] = np.inf
+            hits += int(int(d.argmin()) in got.get(qid, set()))
+        assert hits / 20 >= 0.95, hits / 20
+
+    def test_plans_native_and_broadcast(self, spark, vecs):
+        from dask_geopandas_spark.operators.similarity import (sq_encode,
+                                                               sq_topk,
+                                                               train_sq)
+
+        lo, hi = train_sq(vecs)
+        codes = sq_encode(vecs, lo, hi)
+        plan = codes._sc._jvm.PythonSQLUtils.explainString(
+            codes._jdf.queryExecution(), "formatted")
+        assert "EvalPython" not in plan and "Exchange" not in plan
+        out = sq_topk(codes, vecs.limit(3), lo, hi, k=5)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        assert "EvalPython" not in plan
+        assert "SortMergeJoin" not in plan
