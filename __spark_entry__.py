@@ -4515,13 +4515,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_scope": q_robots_scope,
         "quality_trainer": q_quality_trainer,
         "pagerank_hosts": q_pagerank_hosts,
+        "wat_links": q_wat_links,
         "hits_hosts": q_hits_hosts,
         "bloom_dedup": q_bloom_dedup,
         "bpe_train": q_bpe_train,
         "bpe_tokens": q_bpe_tokens,
         "cdx_diff": q_cdx_diff,
         "ann_sq": q_ann_sq,
-        "wat_links": q_wat_links,
         "contamination": q_contamination,
         "crs_roundtrip": q_crs_roundtrip,
         "decontam_spans": q_decontam_spans,
@@ -4556,14 +4556,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_shuffle": q_spatial_shuffle,
         "split_holdout": q_split_holdout,
         "sql_geom_fns": q_sql_geom_fns,
+        # ---- below the window: (last-green asc, name) — the
+        #   r13 rotation order is the head of this list ----
         "sql_union_agg": q_sql_union_agg,
         "stream_geofence": q_stream_geofence,
         "to_albers": q_to_albers,
         "to_lambert": q_to_lambert,
         "to_projstring": q_to_projstring,
         "union_all_area": q_union_all_area,
-        # ---- below the window: (last-green asc, name) — the
-        #   r13 rotation order is the head of this list ----
         "asof_nearest": q_asof_nearest,
         "asof_tolerance": q_asof_tolerance,
         "box_area_by_priority": q_box_area_by_priority,

@@ -134,6 +134,13 @@ BENCH_QUERIES = [
     "warc_enrich",
     "wat_links",
     "cdx_fetch",
+    # round-12 additions
+    "hits_hosts",
+    "bloom_dedup",
+    "bpe_train",
+    "bpe_tokens",
+    "cdx_diff",
+    "ann_sq",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE
