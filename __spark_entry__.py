@@ -3240,6 +3240,20 @@ def q_bloom_dedup(spark, sf_dir):
                           num_bits=16384, num_hashes=4)
 
 
+def q_hll_sources(spark, sf_dir):
+    """HyperLogLog distinct counting (operators/sketches.py, new r12)
+    — the mergeable "how many unique documents per source" sketch:
+    registers from the portable 60-bit hash (top-12-bit index,
+    leading-zero rank), harmonic sum accumulated as EXACT integer
+    units of 2^-49 so partition order can never flip a bit, classic
+    alpha·m²/Z estimator with the small-range ln correction.  Oracle:
+    the identical register construction and estimator in SQL."""
+    from dask_geopandas_spark.operators.sketches import hll_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return hll_count(docs, "text", p=12, by=["source"])
+
+
 def q_ann_sq(spark, sf_dir):
     """Scalar quantization ANN (similarity.train_sq/sq_encode/
     sq_topk, new r12) — the compression tier below PQ (FAISS SQ8):
@@ -4522,6 +4536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "cdx_diff": q_cdx_diff,
         "ann_sq": q_ann_sq,
+        "hll_sources": q_hll_sources,
         "contamination": q_contamination,
         "crs_roundtrip": q_crs_roundtrip,
         "decontam_spans": q_decontam_spans,
@@ -4714,6 +4729,14 @@ _SHINGLES3 = (
     "[array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)] "
     "ELSE [array_to_string(toks, ' ')] END"
 )
+
+
+# HLL estimator constant at p=12: alpha_m * m^2 — the SAME Python
+# double the Spark literal embeds (sketches._alpha), repr'd into the
+# oracle so both engines divide by Z from the identical numerator
+from dask_geopandas_spark.operators.sketches import _alpha as _hll_alpha
+
+_alpha_m2_4096 = _hll_alpha(4096) * 4096 * 4096
 
 
 def _bpe_ctes(k: int) -> str:
@@ -7246,6 +7269,44 @@ def _oracle_sql_base() -> dict[str, str]:
                    LEFT JOIN hr2 ON nodes.v = hr2.v)
             SELECT a2.v AS node, a2.a AS authority, h2.h AS hub
             FROM a2 JOIN h2 ON a2.v = h2.v
+        """,
+        # hll_sources: the HLL construction replayed — top-12-bit
+        # register index, leading-zero rank via bin() length, integer
+        # harmonic units, alpha·m²/Z with the ln small-range branch
+        "hll_sources": f"""
+            WITH h AS (SELECT source,
+                              ('0x' || substr(md5(text), 1, 15))
+                                  ::BIGINT AS h
+                       FROM documents WHERE text IS NOT NULL),
+            r AS (SELECT source, h >> 48 AS idx,
+                         max(CASE WHEN (h & 281474976710655) = 0
+                             THEN 49
+                             ELSE 49 - length(bin(
+                                      h & 281474976710655)) END)
+                             AS rho
+                  FROM h GROUP BY source, idx),
+            a AS (SELECT source,
+                         sum(CAST(pow(CAST(2 AS DOUBLE), 49 - rho)
+                             AS BIGINT)) AS zs,
+                         count(*) AS np
+                  FROM r GROUP BY source),
+            b AS (SELECT source, 4096 - np AS v,
+                         CAST(zs + (4096 - np) * 562949953421312
+                              AS DOUBLE)
+                         / CAST(562949953421312 AS DOUBLE) AS z
+                  FROM a),
+            c AS (SELECT source, v,
+                         {_alpha_m2_4096!r} / z AS e_raw
+                  FROM b)
+            SELECT source,
+                   CAST(round(CASE WHEN e_raw <= CAST(10240 AS DOUBLE)
+                              AND v > 0
+                              THEN CAST(4096 AS DOUBLE)
+                                   * ln(CAST(4096 AS DOUBLE)
+                                        / CAST(v AS DOUBLE))
+                              ELSE e_raw END, 0) AS BIGINT)
+                       AS approx_distinct
+            FROM c
         """,
         # ann_sq: per-dim exact min/max (zipped unnest), clamped
         # linear codes, dequantized ADC with the left-associated fold
