@@ -3240,6 +3240,27 @@ def q_bloom_dedup(spark, sf_dir):
                           num_bits=16384, num_hashes=4)
 
 
+def q_cms_tokens(spark, sf_dir):
+    """Count-Min frequency sketch (operators/sketches.py, new r12) —
+    the bounded-size token/URL frequency counter: one explode + one
+    map-side-combined aggregation builds the depth×width cell frame,
+    lookups broadcast it and take the min over rows (one-sided error:
+    never undercounts).  Token occurrences of the whole corpus
+    sketched at width 256, every distinct token probed back.
+    Oracle: identical seeded-hash cells and min-lookup in SQL."""
+    from dask_geopandas_spark.operators.sketches import (cms_lookup,
+                                                         cms_sketch)
+    from dask_geopandas_spark.operators.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(
+        F.filter(tokens(F.col("text")),
+                 lambda x: x != F.lit(""))).alias("token"))
+    sk = cms_sketch(toks, "token", width=256, depth=4)
+    return cms_lookup(toks.distinct(), "token", sk,
+                      width=256, depth=4)
+
+
 def q_hll_sources(spark, sf_dir):
     """HyperLogLog distinct counting (operators/sketches.py, new r12)
     — the mergeable "how many unique documents per source" sketch:
@@ -4537,6 +4558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_diff": q_cdx_diff,
         "ann_sq": q_ann_sq,
         "hll_sources": q_hll_sources,
+        "cms_tokens": q_cms_tokens,
         "contamination": q_contamination,
         "crs_roundtrip": q_crs_roundtrip,
         "decontam_spans": q_decontam_spans,
@@ -7269,6 +7291,29 @@ def _oracle_sql_base() -> dict[str, str]:
                    LEFT JOIN hr2 ON nodes.v = hr2.v)
             SELECT a2.v AS node, a2.a AS authority, h2.h AS hub
             FROM a2 JOIN h2 ON a2.v = h2.v
+        """,
+        # cms_tokens: the Count-Min cells replayed — 4 seeded md5
+        # buckets per token occurrence, min over rows at lookup
+        "cms_tokens": f"""
+            WITH tk AS (SELECT unnest(list_filter({_TOKENS},
+                                      x -> x != '')) AS token
+                        FROM documents WHERE text IS NOT NULL),
+            sd AS (SELECT unnest([0, 1, 2, 3]) AS r),
+            cells AS (SELECT r,
+                             ('0x' || substr(md5(CAST(r AS VARCHAR)
+                              || ':' || token), 1, 15))::BIGINT % 256
+                                 AS b,
+                             count(*) AS c
+                      FROM tk CROSS JOIN sd GROUP BY r, b),
+            probes AS (SELECT DISTINCT token FROM tk),
+            pb AS (SELECT token, r,
+                          ('0x' || substr(md5(CAST(r AS VARCHAR)
+                           || ':' || token), 1, 15))::BIGINT % 256
+                              AS b
+                   FROM probes CROSS JOIN sd)
+            SELECT token,
+                   CAST(min(COALESCE(c, 0)) AS BIGINT) AS est_count
+            FROM pb LEFT JOIN cells USING (r, b) GROUP BY token
         """,
         # hll_sources: the HLL construction replayed — top-12-bit
         # register index, leading-zero rank via bin() length, integer

@@ -125,3 +125,86 @@ def hll_count(df: DataFrame, col: str, p: int = 12,
     of the non-null rows)."""
     return hll_estimate(hll_registers(df, col, p, by), p, by,
                         count_col)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): mergeable frequency
+# estimates with a one-sided error guarantee — the "how often does this
+# URL/token/ngram occur" counter whose size is depth·width no matter how
+# many billions of occurrences fed it.
+# ---------------------------------------------------------------------------
+
+def _cms_bucket(col: Column, row: int, width: int) -> Column:
+    """Row ``row``'s bucket for a value: the portable seeded md5 hash
+    mod width (the Bloom position construction with the row index as
+    the seed prefix)."""
+    return F.pmod(
+        portable_hash(F.concat(F.lit(f"{row}:"), col.cast("string"))),
+        F.lit(int(width))).cast("int")
+
+
+def cms_sketch(df: DataFrame, col: str, width: int = 1024,
+               depth: int = 4, weight_col: str | None = None,
+               by: list[str] | None = None) -> DataFrame:
+    """Build a Count-Min sketch: (``by``..., ``cms_row``,
+    ``cms_bucket``, ``cms_count``) — at most ``depth·width`` rows per
+    group.  Estimates overcount by at most ``e·N/width`` with
+    probability ``1 - e^-depth`` (N = total weight); never
+    undercount.  ``weight_col`` counts each row with a weight
+    (token counts, byte sizes); default 1 per row.  NULL values are
+    skipped.
+
+    Distributed shape: one explode (depth rows per input) + one
+    map-side-combined aggregation on (group, row, bucket) — the
+    sketch is a fixed-size frame, broadcastable into lookups, and
+    :func:`cms_merge` (sum per cell) composes daily sketches
+    losslessly."""
+    keys = list(by or [])
+    wgt = (F.col(weight_col).cast("long") if weight_col
+           else F.lit(1).cast("long"))
+    rows = F.array(*[
+        F.struct(F.lit(r).alias("cms_row"),
+                 _cms_bucket(F.col(col), r, width).alias("cms_bucket"))
+        for r in range(int(depth))])
+    return (df.filter(F.col(col).isNotNull())
+            .select(*keys, wgt.alias("_w"), F.explode(rows).alias("_c"))
+            .groupBy(*keys, F.col("_c.cms_row").alias("cms_row"),
+                     F.col("_c.cms_bucket").alias("cms_bucket"))
+            .agg(F.sum("_w").alias("cms_count")))
+
+
+def cms_merge(*sketches: DataFrame,
+              by: list[str] | None = None) -> DataFrame:
+    """Sum per cell — CMS merge is lossless: the merged sketch equals
+    the sketch of the concatenated inputs."""
+    keys = list(by or [])
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionAll(s)
+    return (out.groupBy(*keys, "cms_row", "cms_bucket")
+            .agg(F.sum("cms_count").alias("cms_count")))
+
+
+def cms_lookup(df: DataFrame, col: str, sketch: DataFrame,
+               width: int = 1024, depth: int = 4,
+               est_col: str = "est_count") -> DataFrame:
+    """Point-query a sketch: adds ``est_col`` = min over the depth
+    rows (0 when any cell is empty — a value the sketch never saw).
+    The sketch side BROADCASTS (it is depth·width rows by
+    construction); the probe frame takes one explode + one
+    re-aggregation on its own key, never a corpus-sized shuffle.
+    (``width``/``depth`` must match the build — a mismatch probes a
+    different sketch, same contract as `bloom_contains`.)"""
+    probes = df.select(F.col(col).alias("_k")).distinct()
+    ex = probes.select("_k", F.explode(F.array(*[
+        F.struct(F.lit(r).alias("cms_row"),
+                 _cms_bucket(F.col("_k"), r, width)
+                 .alias("cms_bucket"))
+        for r in range(int(depth))])).alias("_c")) \
+        .select("_k", "_c.cms_row", "_c.cms_bucket")
+    est = (ex.join(F.broadcast(sketch), ["cms_row", "cms_bucket"],
+                   "left")
+           .groupBy("_k")
+           .agg(F.min(F.coalesce(F.col("cms_count"), F.lit(0)))
+                .alias(est_col)))
+    return (df.join(est, df[col] == est["_k"], "left").drop("_k"))

@@ -105,3 +105,76 @@ class TestHll:
             hll_count(df, "s", p=6)
         with pytest.raises(ValueError):
             hll_count(df, "s", p=17)
+
+
+def _cms_bucket_py(v, r, width):
+    return _h60(f"{r}:{v}") % width
+
+
+def _brute_cms(pairs, width, depth):
+    """pairs: (value, weight) -> {(row, bucket): count}"""
+    cells = {}
+    for v, w in pairs:
+        if v is None:
+            continue
+        for r in range(depth):
+            key = (r, _cms_bucket_py(v, r, width))
+            cells[key] = cells.get(key, 0) + w
+    return cells
+
+
+class TestCms:
+    def test_sketch_matches_brute_force(self, spark):
+        from dask_geopandas_spark.operators.sketches import cms_sketch
+
+        vals = [f"t{i % 37}" for i in range(500)] + [None]
+        df = spark.createDataFrame([(v,) for v in vals], "t string")
+        got = {(r["cms_row"], r["cms_bucket"]): r["cms_count"]
+               for r in cms_sketch(df, "t", width=64, depth=3).collect()}
+        assert got == _brute_cms([(v, 1) for v in vals], 64, 3)
+
+    def test_never_undercounts_and_exact_when_wide(self, spark):
+        from dask_geopandas_spark.operators.sketches import (cms_lookup,
+                                                             cms_sketch)
+        from collections import Counter
+
+        vals = [f"w{i % 25}" for i in range(400)]
+        true = Counter(vals)
+        df = spark.createDataFrame([(v,) for v in vals], "w string")
+        # narrow sketch: one-sided error
+        narrow = cms_sketch(df, "w", width=16, depth=4)
+        got = {r["w"]: r["est_count"] for r in
+               cms_lookup(df.distinct(), "w", narrow, width=16,
+                          depth=4).collect()}
+        assert all(got[v] >= c for v, c in true.items())
+        # wide sketch: 25 keys in 4096 buckets x 4 rows -> exact
+        wide = cms_sketch(df, "w", width=4096, depth=4)
+        got = {r["w"]: r["est_count"] for r in
+               cms_lookup(df.distinct(), "w", wide, width=4096,
+                          depth=4).collect()}
+        assert got == dict(true)
+
+    def test_unseen_value_estimates_zero_on_wide(self, spark):
+        from dask_geopandas_spark.operators.sketches import (cms_lookup,
+                                                             cms_sketch)
+
+        df = spark.createDataFrame([("a",), ("b",)], "v string")
+        sk = cms_sketch(df, "v", width=4096, depth=4)
+        probe = spark.createDataFrame([("zebra",)], "v string")
+        got = cms_lookup(probe, "v", sk, width=4096,
+                         depth=4).head()["est_count"]
+        assert got == 0
+
+    def test_weighted_and_merge_lossless(self, spark):
+        from dask_geopandas_spark.operators.sketches import (cms_merge,
+                                                             cms_sketch)
+
+        d1 = spark.createDataFrame([("x", 3), ("y", 2)],
+                                   "v string, n long")
+        d2 = spark.createDataFrame([("x", 5), ("z", 1)],
+                                   "v string, n long")
+        merged = cms_merge(cms_sketch(d1, "v", 128, 3, "n"),
+                           cms_sketch(d2, "v", 128, 3, "n"))
+        direct = cms_sketch(d1.unionAll(d2), "v", 128, 3, "n")
+        assert sorted(map(tuple, merged.collect())) == \
+            sorted(map(tuple, direct.collect()))
