@@ -4591,10 +4591,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_windows": q_sliding_windows,
         "spatial_bucketed": q_spatial_bucketed,
         "spatial_shuffle": q_spatial_shuffle,
-        "split_holdout": q_split_holdout,
-        "sql_geom_fns": q_sql_geom_fns,
         # ---- below the window: (last-green asc, name) — the
         #   r13 rotation order is the head of this list ----
+        "split_holdout": q_split_holdout,
+        "sql_geom_fns": q_sql_geom_fns,
         "sql_union_agg": q_sql_union_agg,
         "stream_geofence": q_stream_geofence,
         "to_albers": q_to_albers,

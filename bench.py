@@ -141,6 +141,8 @@ BENCH_QUERIES = [
     "bpe_tokens",
     "cdx_diff",
     "ann_sq",
+    "hll_sources",
+    "cms_tokens",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE
