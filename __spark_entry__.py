@@ -3240,6 +3240,49 @@ def q_bloom_dedup(spark, sf_dir):
                           num_bits=16384, num_hashes=4)
 
 
+def q_stream_ingest_hll(spark, sf_dir):
+    """Streaming distinct counter (streaming/indexing.
+    streaming_ingest_hll, new r12): the documents table replays as
+    two availableNow micro-batches, each appending its HLL register
+    frame; a mid-stream algebraic compaction (append-the-merge, then
+    delete old files — every crash point reads correctly because
+    max-merge absorbs duplicates, no exactly-once machinery needed).
+    Because merge is lossless, the stored counter must equal the
+    single-shot `hll_count` EXACTLY — this query shares
+    q_hll_sources's oracle VERBATIM: batch boundaries are
+    invisible."""
+    import os
+    import shutil
+
+    from dask_geopandas_spark.streaming.indexing import (
+        hll_count_stored, streaming_ingest_hll)
+
+    base = "/root/repo/.bench_tmp/stream_hll"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    half = docs.count() // 2
+    ids = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                                "text")
+    ids.filter(F.col("doc_id") < half).coalesce(1) \
+        .write.parquet(base + "/src/f0")
+    ids.filter(F.col("doc_id") >= half).coalesce(1) \
+        .write.parquet(base + "/src/f1")
+    now = 1_700_000_000
+    for i, d in enumerate(("f0", "f1")):
+        for fn in os.listdir(f"{base}/src/{d}"):
+            os.utime(f"{base}/src/{d}/{fn}", (now + i, now + i))
+    stream = (spark.readStream
+              .schema("doc_id long, source string, text string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(base + "/src/f*"))
+    q = (streaming_ingest_hll(stream, base + "/sk", "text", p=12,
+                              by=["source"], compact_every=2)
+         .option("checkpointLocation", base + "/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return hll_count_stored(spark, base + "/sk", p=12, by=["source"])
+
+
 def q_cms_tokens(spark, sf_dir):
     """Count-Min frequency sketch (operators/sketches.py, new r12) —
     the bounded-size token/URL frequency counter: one explode + one
@@ -4559,6 +4602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq": q_ann_sq,
         "hll_sources": q_hll_sources,
         "cms_tokens": q_cms_tokens,
+        "stream_ingest_hll": q_stream_ingest_hll,
         "contamination": q_contamination,
         "crs_roundtrip": q_crs_roundtrip,
         "decontam_spans": q_decontam_spans,
@@ -4759,6 +4803,44 @@ _SHINGLES3 = (
 from dask_geopandas_spark.operators.sketches import _alpha as _hll_alpha
 
 _alpha_m2_4096 = _hll_alpha(4096) * 4096 * 4096
+
+# shared by hll_sources and stream_ingest_hll (the stored counter
+# must equal the single-shot sketch exactly — lossless merge)
+_HLL_SOURCES_ORACLE = f'''
+            WITH h AS (SELECT source,
+                              ('0x' || substr(md5(text), 1, 15))
+                                  ::BIGINT AS h
+                       FROM documents WHERE text IS NOT NULL),
+            r AS (SELECT source, h >> 48 AS idx,
+                         max(CASE WHEN (h & 281474976710655) = 0
+                             THEN 49
+                             ELSE 49 - length(bin(
+                                      h & 281474976710655)) END)
+                             AS rho
+                  FROM h GROUP BY source, idx),
+            a AS (SELECT source,
+                         sum(CAST(pow(CAST(2 AS DOUBLE), 49 - rho)
+                             AS BIGINT)) AS zs,
+                         count(*) AS np
+                  FROM r GROUP BY source),
+            b AS (SELECT source, 4096 - np AS v,
+                         CAST(zs + (4096 - np) * 562949953421312
+                              AS DOUBLE)
+                         / CAST(562949953421312 AS DOUBLE) AS z
+                  FROM a),
+            c AS (SELECT source, v,
+                         {_alpha_m2_4096!r} / z AS e_raw
+                  FROM b)
+            SELECT source,
+                   CAST(round(CASE WHEN e_raw <= CAST(10240 AS DOUBLE)
+                              AND v > 0
+                              THEN CAST(4096 AS DOUBLE)
+                                   * ln(CAST(4096 AS DOUBLE)
+                                        / CAST(v AS DOUBLE))
+                              ELSE e_raw END, 0) AS BIGINT)
+                       AS approx_distinct
+            FROM c
+        '''
 
 
 def _bpe_ctes(k: int) -> str:
@@ -7318,41 +7400,10 @@ def _oracle_sql_base() -> dict[str, str]:
         # hll_sources: the HLL construction replayed — top-12-bit
         # register index, leading-zero rank via bin() length, integer
         # harmonic units, alpha·m²/Z with the ln small-range branch
-        "hll_sources": f"""
-            WITH h AS (SELECT source,
-                              ('0x' || substr(md5(text), 1, 15))
-                                  ::BIGINT AS h
-                       FROM documents WHERE text IS NOT NULL),
-            r AS (SELECT source, h >> 48 AS idx,
-                         max(CASE WHEN (h & 281474976710655) = 0
-                             THEN 49
-                             ELSE 49 - length(bin(
-                                      h & 281474976710655)) END)
-                             AS rho
-                  FROM h GROUP BY source, idx),
-            a AS (SELECT source,
-                         sum(CAST(pow(CAST(2 AS DOUBLE), 49 - rho)
-                             AS BIGINT)) AS zs,
-                         count(*) AS np
-                  FROM r GROUP BY source),
-            b AS (SELECT source, 4096 - np AS v,
-                         CAST(zs + (4096 - np) * 562949953421312
-                              AS DOUBLE)
-                         / CAST(562949953421312 AS DOUBLE) AS z
-                  FROM a),
-            c AS (SELECT source, v,
-                         {_alpha_m2_4096!r} / z AS e_raw
-                  FROM b)
-            SELECT source,
-                   CAST(round(CASE WHEN e_raw <= CAST(10240 AS DOUBLE)
-                              AND v > 0
-                              THEN CAST(4096 AS DOUBLE)
-                                   * ln(CAST(4096 AS DOUBLE)
-                                        / CAST(v AS DOUBLE))
-                              ELSE e_raw END, 0) AS BIGINT)
-                       AS approx_distinct
-            FROM c
-        """,
+        "hll_sources": _HLL_SOURCES_ORACLE,
+        # stream_ingest_hll: same oracle VERBATIM — batch
+        # boundaries must be invisible to the stored counter
+        "stream_ingest_hll": _HLL_SOURCES_ORACLE,
         # ann_sq: per-dim exact min/max (zipped unnest), clamped
         # linear codes, dequantized ADC with the left-associated fold
         "ann_sq": """

@@ -215,3 +215,101 @@ def streaming_ingest_vectors(stream: DataFrame, index_path: str,
                           dataset=None, missing_ok=True)
 
     return stream.writeStream.foreachBatch(_fb)
+
+
+def ingest_hll_batch(batch_df: DataFrame, sketch_path: str,
+                     col: str, p: int = 12,
+                     by: list[str] | None = None,
+                     batch_id: int | None = None) -> bool:
+    """One ingestion step of the INCREMENTAL distinct counter: append
+    the batch's HLL register frame (≤ 2^p rows per group) under
+    ``<sketch>/registers``.  Returns False if the batch's commit
+    marker already exists (replay skipped).
+
+    Unlike the BM25/vector ingesters, correctness here does NOT
+    depend on the marker: register merge is MAX, and max is
+    idempotent — a replayed or torn append adds duplicate register
+    rows that the read-time merge absorbs exactly.  The marker is a
+    pure cost optimization (skip re-scanning a replayed batch), and
+    there is no in-progress flag and no rebuild scenario: every
+    crash point leaves a readable, correct sketch.  That crash-safety
+    -by-algebra is the reason to count distincts with a sketch
+    instead of an exact groupBy in a stream."""
+    spark = batch_df.sparkSession
+    base = sketch_path.rstrip("/")
+    fs, _ = _hadoop_fs(spark, base)
+    HP = spark._jvm.org.apache.hadoop.fs.Path
+    marker = None
+    if batch_id is not None:
+        marker = f"{base}/_batches/batch-{int(batch_id)}"
+        if fs.exists(HP(marker)):
+            return False
+    from ..operators.sketches import hll_registers
+
+    (hll_registers(batch_df, col, p, by)
+     .write.mode("append").parquet(base + "/registers"))
+    if marker is not None:
+        fs.mkdirs(HP(base + "/_batches"))
+        fs.create(HP(marker), True).close()
+    return True
+
+
+def hll_count_stored(spark, sketch_path: str, p: int = 12,
+                     by: list[str] | None = None,
+                     count_col: str = "approx_distinct") -> DataFrame:
+    """Finish the stored register frames into per-group estimates:
+    read-time max-merge + the HLL estimator.  Because merge is
+    lossless, the result is IDENTICAL to `operators.sketches.
+    hll_count` over the concatenated batches — batch boundaries are
+    invisible."""
+    from ..operators.sketches import hll_estimate, hll_merge
+
+    regs = spark.read.parquet(sketch_path.rstrip("/") + "/registers")
+    return hll_estimate(hll_merge(regs, by=by), p, by, count_col)
+
+
+def compact_hll_stored(spark, sketch_path: str,
+                       by: list[str] | None = None) -> None:
+    """Algebraic compaction: materialize the merged register frame,
+    APPEND it, then delete the pre-existing part files.  Every
+    intermediate state reads correctly — before the deletes the
+    duplicates are absorbed by max-merge, after them the appended
+    merge is complete — so no atomic swap, no in-progress marker,
+    no rebuild path."""
+    from ..operators.sketches import hll_merge
+
+    base = sketch_path.rstrip("/") + "/registers"
+    fs, _ = _hadoop_fs(spark, base)
+    HP = spark._jvm.org.apache.hadoop.fs.Path
+    old = [f.getPath() for f in fs.listStatus(HP(base))
+           if f.getPath().getName().startswith("part-")]
+    merged = hll_merge(spark.read.parquet(base), by=by) \
+        .localCheckpoint()
+    merged.write.mode("append").parquet(base)
+    for pth in old:
+        fs.delete(pth, False)
+
+
+def streaming_ingest_hll(stream: DataFrame, sketch_path: str,
+                         col: str, p: int = 12,
+                         by: list[str] | None = None,
+                         compact_every: int | None = None):
+    """Continuous distinct counting: each micro-batch appends its
+    register frame (`ingest_hll_batch` under ``foreachBatch``; see
+    there for why this is crash-safe WITHOUT exactly-once machinery).
+    The counter is readable between batches with `hll_count_stored`.
+    ``compact_every=N`` runs the algebraic compaction every Nth
+    batch.  Returns the DataStreamWriter; caller picks
+    trigger/checkpoint and ``.start()``."""
+    if compact_every is not None and int(compact_every) < 1:
+        raise ValueError(
+            f"compact_every must be >= 1, got {compact_every}")
+
+    def _fb(batch_df: DataFrame, batch_id: int) -> None:
+        done = ingest_hll_batch(batch_df, sketch_path, col, p, by,
+                                batch_id)
+        if done and compact_every and batch_id % int(compact_every) \
+                == int(compact_every) - 1:
+            compact_hll_stored(batch_df.sparkSession, sketch_path, by)
+
+    return stream.writeStream.foreachBatch(_fb)

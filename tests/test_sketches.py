@@ -178,3 +178,101 @@ class TestCms:
         direct = cms_sketch(d1.unionAll(d2), "v", 128, 3, "n")
         assert sorted(map(tuple, merged.collect())) == \
             sorted(map(tuple, direct.collect()))
+
+
+class TestStreamingHll:
+    """Incremental HLL counter (streaming/indexing.py): batch-boundary
+    invisibility, marker replay skip, idempotence under unguarded
+    re-append, algebraic compaction."""
+
+    def _day(self, spark, lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "concat('u', id % 800) AS u",
+            "concat('s', id % 3) AS g")
+
+    def test_batches_equal_direct_and_replay_skips(self, spark,
+                                                   tmp_path):
+        from dask_geopandas_spark.operators.sketches import hll_count
+        from dask_geopandas_spark.streaming.indexing import (
+            hll_count_stored, ingest_hll_batch)
+
+        base = str(tmp_path / "hll")
+        d1, d2 = self._day(spark, 0, 600), self._day(spark, 400, 1000)
+        assert ingest_hll_batch(d1, base, "u", p=11, by=["g"],
+                                batch_id=0)
+        assert ingest_hll_batch(d2, base, "u", p=11, by=["g"],
+                                batch_id=1)
+        got = {r["g"]: r["approx_distinct"] for r in
+               hll_count_stored(spark, base, p=11, by=["g"]).collect()}
+        want = {r["g"]: r["approx_distinct"] for r in
+                hll_count(d1.unionAll(d2), "u", p=11,
+                          by=["g"]).collect()}
+        assert got == want
+        # replay with the same batch_id is skipped
+        assert not ingest_hll_batch(d1, base, "u", p=11, by=["g"],
+                                    batch_id=0)
+        assert {r["g"]: r["approx_distinct"] for r in
+                hll_count_stored(spark, base, p=11,
+                                 by=["g"]).collect()} == want
+
+    def test_unguarded_reappend_is_absorbed(self, spark, tmp_path):
+        """The algebra claim: a torn/replayed append WITHOUT a marker
+        changes nothing — max-merge absorbs duplicate registers."""
+        from dask_geopandas_spark.streaming.indexing import (
+            hll_count_stored, ingest_hll_batch)
+
+        base = str(tmp_path / "hll2")
+        d = self._day(spark, 0, 500)
+        ingest_hll_batch(d, base, "u", p=10)
+        before = hll_count_stored(spark, base, p=10).head()
+        ingest_hll_batch(d, base, "u", p=10)      # no batch_id: re-runs
+        after = hll_count_stored(spark, base, p=10).head()
+        assert before["approx_distinct"] == after["approx_distinct"]
+
+    def test_compaction_shrinks_and_preserves(self, spark, tmp_path):
+        from dask_geopandas_spark.streaming.indexing import (
+            compact_hll_stored, hll_count_stored, ingest_hll_batch)
+
+        base = str(tmp_path / "hll3")
+        for i in range(4):
+            ingest_hll_batch(self._day(spark, i * 200, (i + 1) * 300),
+                             base, "u", p=10, batch_id=i)
+        before_rows = spark.read.parquet(base + "/registers").count()
+        want = hll_count_stored(spark, base, p=10).head()
+        compact_hll_stored(spark, base)
+        after_rows = spark.read.parquet(base + "/registers").count()
+        assert after_rows < before_rows
+        got = hll_count_stored(spark, base, p=10).head()
+        assert got["approx_distinct"] == want["approx_distinct"]
+
+    def test_streaming_availablenow(self, spark, tmp_path):
+        from dask_geopandas_spark.operators.sketches import hll_count
+        from dask_geopandas_spark.streaming.indexing import (
+            hll_count_stored, streaming_ingest_hll)
+        import os
+        import time as _t
+
+        base = str(tmp_path / "hll4")
+        d1, d2 = self._day(spark, 0, 400), self._day(spark, 300, 900)
+        d1.coalesce(1).write.parquet(base + "/src/f0")
+        d2.coalesce(1).write.parquet(base + "/src/f1")
+        now = 1_700_000_000
+        for i, dname in enumerate(("f0", "f1")):
+            for fn in os.listdir(f"{base}/src/{dname}"):
+                os.utime(f"{base}/src/{dname}/{fn}",
+                         (now + i, now + i))
+        stream = (spark.readStream.schema("u string, g string")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(base + "/src/f*"))
+        q = (streaming_ingest_hll(stream, base + "/sk", "u", p=11,
+                                  by=["g"], compact_every=2)
+             .option("checkpointLocation", base + "/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {r["g"]: r["approx_distinct"] for r in
+               hll_count_stored(spark, base + "/sk", p=11,
+                                by=["g"]).collect()}
+        want = {r["g"]: r["approx_distinct"] for r in
+                hll_count(d1.unionAll(d2), "u", p=11,
+                          by=["g"]).collect()}
+        assert got == want
