@@ -4634,9 +4634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sjoin_nearest_cobucket": q_sjoin_nearest_cobucket,
         "sliding_windows": q_sliding_windows,
         "spatial_bucketed": q_spatial_bucketed,
-        "spatial_shuffle": q_spatial_shuffle,
         # ---- below the window: (last-green asc, name) — the
         #   r13 rotation order is the head of this list ----
+        "spatial_shuffle": q_spatial_shuffle,
         "split_holdout": q_split_holdout,
         "sql_geom_fns": q_sql_geom_fns,
         "sql_union_agg": q_sql_union_agg,

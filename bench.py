@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "ann_sq",
     "hll_sources",
     "cms_tokens",
+    "stream_ingest_hll",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE
