@@ -3240,6 +3240,28 @@ def q_bloom_dedup(spark, sf_dir):
                           num_bits=16384, num_hashes=4)
 
 
+def q_bm25_deleted(spark, sf_dir):
+    """Stored-index DELETION (textstats.delete_documents, new r12) —
+    the right-to-be-forgotten path: tombstone %7==3 of the corpus
+    under <index>/deletes (one postings scan recovers each doc's dl
+    so the stats correction is exact-integer), then query the stored
+    index — tombstoned docs drop out and df/n_docs/avgdl re-derive
+    as if never indexed.  Oracle: the plain BM25 oracle over
+    documents WHERE doc_id % 7 != 3 — the deleted index must equal
+    an index that never contained them."""
+    import shutil
+
+    path = "/root/repo/.bench_tmp/text_index_del"
+    shutil.rmtree(path, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents")
+    TX.write_text_index(docs, path, n_buckets=32)
+    TX.delete_documents(
+        spark, path,
+        docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"))
+    return TX.bm25_topk_stored(
+        spark, path, ["stream", "window", "merge", "vector"], k=20)
+
+
 def q_stream_ingest_hll(spark, sf_dir):
     """Streaming distinct counter (streaming/indexing.
     streaming_ingest_hll, new r12): the documents table replays as
@@ -4594,6 +4616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_trainer": q_quality_trainer,
         "pagerank_hosts": q_pagerank_hosts,
         "wat_links": q_wat_links,
+        "bm25_stored": q_bm25_stored,
+        "bm25_batch_stored": q_bm25_batch_stored,
         "hits_hosts": q_hits_hosts,
         "bloom_dedup": q_bloom_dedup,
         "bpe_train": q_bpe_train,
@@ -4603,6 +4627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_sources": q_hll_sources,
         "cms_tokens": q_cms_tokens,
         "stream_ingest_hll": q_stream_ingest_hll,
+        "bm25_deleted": q_bm25_deleted,
         "contamination": q_contamination,
         "crs_roundtrip": q_crs_roundtrip,
         "decontam_spans": q_decontam_spans,
@@ -4631,11 +4656,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sjoin_cobucket": q_sjoin_cobucket,
         "sjoin_cobucket_dwithin": q_sjoin_cobucket_dwithin,
         "sjoin_dwithin": q_sjoin_dwithin,
+        # ---- below the window: (last-green asc, name) — the
+        #   r13 rotation order is the head of this list ----
         "sjoin_nearest_cobucket": q_sjoin_nearest_cobucket,
         "sliding_windows": q_sliding_windows,
         "spatial_bucketed": q_spatial_bucketed,
-        # ---- below the window: (last-green asc, name) — the
-        #   r13 rotation order is the head of this list ----
         "spatial_shuffle": q_spatial_shuffle,
         "split_holdout": q_split_holdout,
         "sql_geom_fns": q_sql_geom_fns,
@@ -4691,7 +4716,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "weighted_sample": q_weighted_sample,
         "ann_ivf": q_ann_ivf,
-        "bm25_stored": q_bm25_stored,
         "convex_hull_area": q_convex_hull_area,
         "doc_chunks": q_doc_chunks,
         "doc_line_dedup": q_doc_line_dedup,
@@ -4743,7 +4767,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_meta": q_audio_meta,
         "badword_filter": q_badword_filter,
         "bm25_batch": q_bm25_batch,
-        "bm25_batch_stored": q_bm25_batch_stored,
         "bm25_topk": q_bm25_topk,
         "clip_concave_lines": q_clip_concave_lines,
         "clip_concave_polys": q_clip_concave_polys,
@@ -6362,19 +6385,20 @@ def _tfidf_oracle_sql(k: int = 3) -> str:
 
 
 def _bm25_oracle_sql(terms: list, k: int = 20, k1: float = 1.2,
-                     b: float = 0.75) -> str:
+                     b: float = 0.75, doc_filter: str = "") -> str:
     """DuckDB replica of q_bm25_topk (Okapi BM25, Lucene idf): literal
     constants emitted via repr so both engines hold identical doubles;
     per-doc sums round to 6 decimals before ranking (the summation
     order across query terms differs between engines by design)."""
     tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    where = f" WHERE {doc_filter}" if doc_filter else ""
     return f"""
         WITH base AS (
             SELECT doc_id,
                    len(list_filter({_TOKENS}, t -> t != '')) AS dl,
                    list_filter({_TOKENS},
                                t -> list_contains([{tl}], t)) AS qtoks
-            FROM documents
+            FROM documents{where}
         ),
         stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
         tf AS (
@@ -7404,6 +7428,12 @@ def _oracle_sql_base() -> dict[str, str]:
         # stream_ingest_hll: same oracle VERBATIM — batch
         # boundaries must be invisible to the stored counter
         "stream_ingest_hll": _HLL_SOURCES_ORACLE,
+        # bm25_deleted: the deleted index must equal one that never
+        # contained the tombstoned docs — plain BM25 oracle over the
+        # filtered corpus
+        "bm25_deleted": _bm25_oracle_sql(
+            ["stream", "window", "merge", "vector"], k=20,
+            doc_filter="doc_id % 7 != 3"),
         # ann_sq: per-dim exact min/max (zipped unnest), clamped
         # linear codes, dequantized ADC with the left-associated fold
         "ann_sq": """

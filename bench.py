@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "hll_sources",
     "cms_tokens",
     "stream_ingest_hll",
+    "bm25_deleted",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE

@@ -754,6 +754,153 @@ def _check_index_consistent(base: str) -> None:
             "and stats disagree — rebuild the index with append=False")
 
 
+def _text_deletes(spark, base: str, id_col: str):
+    """The tombstone frame of a stored text index — one (id, dl) row
+    per deleted document, deduped — or None when nothing was ever
+    deleted."""
+    from pyarrow import fs as pafs
+
+    from ..sources.fs import resolve_fs
+
+    fsys, mpath = resolve_fs(base.rstrip("/") + "/deletes")
+    try:
+        info = fsys.get_file_info(mpath)
+    except Exception:
+        return None
+    if info.type == pafs.FileType.NotFound:
+        return None
+    return (spark.read.parquet(base.rstrip("/") + "/deletes")
+            .groupBy(id_col).agg(F.min("dl").alias("dl")))
+
+
+def _stored_sum_dl(stats):
+    """The index's exact integer token total: ``sum_dl`` where the
+    index stores it, else reconstructed as round(avgdl·n_docs) —
+    exact while the true sum stays under ~10^15 (double error < 0.5;
+    legacy pre-sum_dl indexes only)."""
+    return (F.col("sum_dl") if "sum_dl" in stats.columns
+            else F.round(F.col("avgdl") * F.col("n_docs"), 0)
+            .cast("long"))
+
+
+def _apply_text_deletes(spark, base: str, tf, stats, id_col: str):
+    """Fold tombstones into a stored-index query: anti-join the
+    pruned postings (broadcast — a tombstone set is tiny next to an
+    index) and correct (n_docs, avgdl) EXACTLY: the tombstones'
+    integer dl-sum subtracts from the stored integer token total,
+    and the quotient over the surviving count is bit-identical to an
+    avg computed over the surviving corpus — which is what the
+    oracle computes.  Returns (tf, stats) unchanged when no deletes
+    exist."""
+    tomb = _text_deletes(spark, base, id_col)
+    st = stats.select("n_docs", "avgdl")
+    if tomb is None:
+        return tf, st
+    tf = tf.join(F.broadcast(tomb.select(id_col)), id_col,
+                 "left_anti")
+    d = tomb.agg(F.count("*").alias("_nd"),
+                 F.coalesce(F.sum("dl"), F.lit(0)).alias("_dls"))
+    st = (stats.crossJoin(F.broadcast(d))
+          .select(
+              (F.col("n_docs") - F.col("_nd")).alias("n_docs"),
+              ((_stored_sum_dl(stats) - F.col("_dls"))
+               .cast("double")
+               / (F.col("n_docs") - F.col("_nd"))).alias("avgdl")))
+    return tf, st
+
+
+def delete_documents(spark, path: str, ids,
+                     id_col: str = "doc_id") -> int:
+    """LOGICAL deletion from a stored text index — the
+    right-to-be-forgotten path every long-lived training-data index
+    eventually needs: tombstone the ids under ``<index>/deletes``
+    (one (id, dl) row each; dl recovered from the doc's own postings
+    so the stats correction is exact) and every stored query
+    (`bm25_topk_stored` / `bm25_batch_topk_stored`) anti-joins them
+    and re-derives df/n_docs/avgdl as if the docs were never
+    indexed.  ``ids`` is a DataFrame with ``id_col`` or a plain
+    id list.  Already-tombstoned ids are skipped (idempotent);
+    returns the number of NEWLY tombstoned ids.
+
+    Cost: one postings scan per delete BATCH (to recover dl) — batch
+    deletes, don't loop.  Contract: pass ids that are actually in
+    the index; a never-indexed id would still decrement the
+    document count (only token-bearing docs are verifiable).
+    `apply_deletes` folds tombstones in physically."""
+    base = path.rstrip("/")
+    _check_index_consistent(base)
+    if isinstance(ids, (list, tuple, set)):
+        ids_df = spark.createDataFrame(
+            [(int(i),) for i in sorted(ids)], f"{id_col} long")
+    else:
+        ids_df = ids.select(F.col(id_col).cast("long").alias(id_col))
+    ids_df = ids_df.distinct()
+    prior = _text_deletes(spark, base, id_col)
+    if prior is not None:
+        ids_df = ids_df.join(prior.select(id_col), id_col,
+                             "left_anti")
+    dl = (spark.read.parquet(base + "/postings")
+          .select(id_col, "dl")
+          .join(F.broadcast(ids_df), id_col, "left_semi")
+          .groupBy(id_col).agg(F.min("dl").alias("dl")))
+    tomb = (ids_df.join(dl, id_col, "left")
+            .select(id_col,
+                    F.coalesce("dl", F.lit(0)).cast("long")
+                    .alias("dl"))
+            .localCheckpoint())
+    n = tomb.count()
+    if n:
+        tomb.write.mode("append").parquet(base + "/deletes")
+    return n
+
+
+def apply_deletes(spark, path: str, id_col: str = "doc_id") -> int:
+    """PHYSICAL deletion: rewrite postings minus the tombstoned docs
+    (preserving the term-bucket hive layout), fold the correction
+    into ``stats``, drop the tombstone dir.  Guarded by the same
+    ``_append_in_progress`` marker as appends — a crash mid-rewrite
+    leaves the marker and every stored reader refuses (rebuild),
+    never a silently half-deleted index.  Run between query batches
+    (the swap is two renames, not atomic for concurrent readers).
+    Returns the number of tombstones applied (0 = no-op)."""
+    base = path.rstrip("/")
+    _check_index_consistent(base)
+    tomb = _text_deletes(spark, base, id_col)
+    if tomb is None:
+        return 0
+    tomb = tomb.localCheckpoint()
+    n = tomb.count()
+    jvm = spark._jvm
+    HP = jvm.org.apache.hadoop.fs.Path
+    fs = HP(base).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.create(HP(base + "/_append_in_progress"), True).close()
+    (spark.read.parquet(base + "/postings")
+     .join(F.broadcast(tomb.select(id_col)), id_col, "left_anti")
+     .write.partitionBy("term_bucket").mode("overwrite")
+     .parquet(base + "/postings_new"))
+    stats = spark.read.parquet(base + "/stats").localCheckpoint()
+    d = tomb.agg(F.count("*").alias("_nd"),
+                 F.coalesce(F.sum("dl"), F.lit(0)).alias("_dls"))
+    new_sum = (_stored_sum_dl(stats) - F.col("_dls")).cast("long")
+    cols = [(F.col("n_docs") - F.col("_nd")).cast("long")
+            .alias("n_docs"),
+            (new_sum.cast("double")
+             / (F.col("n_docs") - F.col("_nd"))).alias("avgdl")]
+    if "sum_dl" in stats.columns:
+        cols.append(new_sum.alias("sum_dl"))
+    cols.append(F.col("n_buckets"))
+    (stats.crossJoin(F.broadcast(d)).select(*cols)
+     .coalesce(1).write.mode("overwrite")
+     .parquet(base + "/stats_new"))
+    fs.delete(HP(base + "/postings"), True)
+    fs.rename(HP(base + "/postings_new"), HP(base + "/postings"))
+    fs.delete(HP(base + "/stats"), True)
+    fs.rename(HP(base + "/stats_new"), HP(base + "/stats"))
+    fs.delete(HP(base + "/deletes"), True)
+    fs.delete(HP(base + "/_append_in_progress"), False)
+    return n
+
+
 def bm25_topk_stored(spark, path: str, query_terms: list, k: int = 10,
                      k1: float = 1.2, b: float = 0.75,
                      id_col: str = "doc_id"):
@@ -781,9 +928,11 @@ def bm25_topk_stored(spark, path: str, query_terms: list, k: int = 10,
           .filter(F.col("term_bucket").isin(buckets))
           .filter(F.col("term").isin(terms))
           .select(id_col, "dl", "term", "tf"))
+    # tombstoned docs (delete_documents) drop out and df/stats
+    # re-derive as if they were never indexed
+    tf, st = _apply_text_deletes(spark, base, tf, stats, id_col)
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    return _bm25_score_topk(tf, dfreq, stats.select("n_docs", "avgdl"),
-                            k, k1, b, id_col)
+    return _bm25_score_topk(tf, dfreq, st, k, k1, b, id_col)
 
 
 def corpus_stats(df, text_col: str = "text", group_col=None,
@@ -1217,11 +1366,14 @@ def bm25_batch_topk_stored(spark, path: str, queries, k: int = 10,
           .filter(F.col("term_bucket").isin(buckets))
           .filter(F.col("term").isin(terms))
           .select(id_col, "dl", "term", "tf"))
+    # tombstoned docs (delete_documents) drop out and df/stats
+    # re-derive as if they were never indexed
+    tf, st = _apply_text_deletes(spark, base, tf, stats, id_col)
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     part = (
         tf.join(F.broadcast(qt), on="term")
         .join(F.broadcast(dfreq), on="term")
-        .crossJoin(F.broadcast(stats.select("n_docs", "avgdl")))
+        .crossJoin(F.broadcast(st))
         .withColumn("_s", (
             F.log((F.col("n_docs") - F.col("df") + F.lit(0.5))
                   / (F.col("df") + F.lit(0.5)) + F.lit(1.0))

@@ -3453,3 +3453,105 @@ class TestBloom:
         # formatted plans list each node in the tree AND the detail
         # section — K joins appear 2K times
         assert plan.count("BroadcastHashJoin") == 2 * self.K
+
+
+class TestTextIndexDeletes:
+    """Right-to-be-forgotten path of the stored BM25 index
+    (textstats.delete_documents / apply_deletes): logical tombstones
+    must make stored queries equal an index that never contained the
+    docs, and the physical apply must preserve that exactly."""
+
+    TERMS = ["stream", "window", "merge", "vector"]
+
+    def _docs(self, spark):
+        rows = [(i, f"stream window doc {i} merge "
+                    + ("vector " * (i % 4))) for i in range(60)]
+        rows.append((60, None))          # token-less doc
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _gold(self, spark, docs, deleted, tmp_path, name):
+        from dask_geopandas_spark.operators.textstats import (
+            bm25_topk_stored, write_text_index)
+
+        path = str(tmp_path / name)
+        write_text_index(
+            docs.filter(~F.col("doc_id").isin(deleted)), path,
+            n_buckets=8)
+        return sorted(map(tuple,
+                          bm25_topk_stored(spark, path, self.TERMS,
+                                           k=15).collect()))
+
+    def test_logical_delete_equals_fresh_index(self, spark, tmp_path):
+        from dask_geopandas_spark.operators.textstats import (
+            bm25_topk_stored, delete_documents, write_text_index)
+
+        docs = self._docs(spark)
+        path = str(tmp_path / "idx")
+        write_text_index(docs, path, n_buckets=8)
+        deleted = [3, 7, 11, 60]          # incl. the token-less doc
+        n = delete_documents(spark, path, deleted)
+        assert n == 4
+        got = sorted(map(tuple,
+                         bm25_topk_stored(spark, path, self.TERMS,
+                                          k=15).collect()))
+        assert got == self._gold(spark, docs, deleted, tmp_path,
+                                 "gold")
+        # idempotent: re-deleting the same ids is a no-op
+        assert delete_documents(spark, path, deleted) == 0
+        again = sorted(map(tuple,
+                           bm25_topk_stored(spark, path, self.TERMS,
+                                            k=15).collect()))
+        assert again == got
+
+    def test_batch_stored_sees_deletes(self, spark, tmp_path):
+        from dask_geopandas_spark.operators.textstats import (
+            bm25_batch_topk_stored, delete_documents,
+            write_text_index)
+
+        docs = self._docs(spark)
+        path = str(tmp_path / "idxb")
+        gold_path = str(tmp_path / "idxb_gold")
+        write_text_index(docs, path, n_buckets=8)
+        delete_documents(spark, path, [1, 2, 3])
+        write_text_index(docs.filter(~F.col("doc_id").isin([1, 2, 3])),
+                         gold_path, n_buckets=8)
+        q = spark.createDataFrame([(0, "stream vector"),
+                                   (1, "merge window")],
+                                  "query_id long, query string")
+        got = sorted(map(tuple, bm25_batch_topk_stored(
+            spark, path, q, k=10).collect()))
+        want = sorted(map(tuple, bm25_batch_topk_stored(
+            spark, gold_path, q, k=10).collect()))
+        assert got == want
+
+    def test_apply_deletes_physical(self, spark, tmp_path):
+        import os
+
+        from dask_geopandas_spark.operators.textstats import (
+            apply_deletes, bm25_topk_stored, delete_documents,
+            write_text_index)
+
+        docs = self._docs(spark)
+        path = str(tmp_path / "idxp")
+        write_text_index(docs, path, n_buckets=8)
+        delete_documents(spark, path, [5, 10])
+        want = sorted(map(tuple,
+                          bm25_topk_stored(spark, path, self.TERMS,
+                                           k=15).collect()))
+        assert apply_deletes(spark, path) == 2
+        assert not os.path.exists(path + "/deletes")
+        assert not os.path.exists(path + "/_append_in_progress")
+        got = sorted(map(tuple,
+                         bm25_topk_stored(spark, path, self.TERMS,
+                                          k=15).collect()))
+        assert got == want
+        # stats folded exactly: a fresh delete-free query path
+        stats = spark.read.parquet(path + "/stats").head()
+        assert stats["n_docs"] == 59
+        # postings physically gone
+        ids = {r["doc_id"] for r in
+               spark.read.parquet(path + "/postings")
+               .select("doc_id").distinct().collect()}
+        assert 5 not in ids and 10 not in ids
+        # apply with no tombstones is a no-op
+        assert apply_deletes(spark, path) == 0
