@@ -3240,6 +3240,31 @@ def q_bloom_dedup(spark, sf_dir):
                           num_bits=16384, num_hashes=4)
 
 
+def q_ann_ivf_deleted(spark, sf_dir):
+    """Vector-index DELETION (similarity.delete_vectors, new r12) —
+    the vector-DB right-to-be-forgotten path: %9==0 of the corpus
+    tombstones under <index>/_deletes (underscore: invisible to the
+    root-partitioned discovery), the stored probe anti-joins the
+    broadcast tombstones so deleted vectors never surface as
+    neighbors.  Centroids train on the FULL corpus (deletion is a
+    search-time fact, not a retrain).  Oracle: the ann_ivf replica
+    with the deleted ids excluded from the neighbor side only."""
+    import shutil
+
+    path = "/root/repo/.bench_tmp/ivf_del"
+    shutil.rmtree(path, ignore_errors=True)
+    e = _t(spark, sf_dir, "embeddings")
+    cents = SIM.train_centroids(e, n_cells=8, iters=2)
+    SIM.write_ivf_index(e, path, cents)
+    SIM.delete_vectors(
+        spark, path, e.filter(F.col("vec_id") % 9 == 0)
+        .select("vec_id"))
+    queries = e.filter(F.col("vec_id") < 20)
+    out = SIM.ivf_topk_stored(spark, path, queries, cents, k=5,
+                              nprobe=3)
+    return out.select("query_id", "neighbor_id", "cos", "rank")
+
+
 def q_bm25_deleted(spark, sf_dir):
     """Stored-index DELETION (textstats.delete_documents, new r12) —
     the right-to-be-forgotten path: tombstone %7==3 of the corpus
@@ -4618,6 +4643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_links": q_wat_links,
         "bm25_stored": q_bm25_stored,
         "bm25_batch_stored": q_bm25_batch_stored,
+        "stream_ingest_vectors": q_stream_ingest_vectors,
         "hits_hosts": q_hits_hosts,
         "bloom_dedup": q_bloom_dedup,
         "bpe_train": q_bpe_train,
@@ -4628,6 +4654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_tokens": q_cms_tokens,
         "stream_ingest_hll": q_stream_ingest_hll,
         "bm25_deleted": q_bm25_deleted,
+        "ann_ivf_deleted": q_ann_ivf_deleted,
         "contamination": q_contamination,
         "crs_roundtrip": q_crs_roundtrip,
         "decontam_spans": q_decontam_spans,
@@ -4654,10 +4681,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shapefile_roundtrip": q_shapefile_roundtrip,
         "shards_roundtrip": q_shards_roundtrip,
         "sjoin_cobucket": q_sjoin_cobucket,
-        "sjoin_cobucket_dwithin": q_sjoin_cobucket_dwithin,
-        "sjoin_dwithin": q_sjoin_dwithin,
         # ---- below the window: (last-green asc, name) — the
         #   r13 rotation order is the head of this list ----
+        "sjoin_cobucket_dwithin": q_sjoin_cobucket_dwithin,
+        "sjoin_dwithin": q_sjoin_dwithin,
         "sjoin_nearest_cobucket": q_sjoin_nearest_cobucket,
         "sliding_windows": q_sliding_windows,
         "spatial_bucketed": q_spatial_bucketed,
@@ -4799,7 +4826,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_index_bm25": q_stream_index_bm25,
         "stream_ingest_dedup": q_stream_ingest_dedup,
         "stream_ingest_neardup": q_stream_ingest_neardup,
-        "stream_ingest_vectors": q_stream_ingest_vectors,
         "temperature_mix": q_temperature_mix,
         "tfidf_top": q_tfidf_top,
         "topk_parts": q_topk_parts,
@@ -5376,7 +5402,8 @@ def _d2_list_sql(av: str, bv: str) -> str:
 
 
 def _ann_ivf_oracle_sql(n_cells: int = 8, iters: int = 2, k: int = 5,
-                        nprobe: int = 3) -> str:
+                        nprobe: int = 3,
+                        neighbor_filter: str = "") -> str:
     """DuckDB replica of q_ann_ivf INCLUDING the k-means training
     (train_centroids is now exactly SQL-replicable — r6): seeds are the
     first ``n_cells`` vectors by vec_id; each unrolled Lloyd iteration
@@ -5429,6 +5456,7 @@ def _ann_ivf_oracle_sql(n_cells: int = 8, iters: int = 2, k: int = 5,
             FROM c{i - 1} p LEFT JOIN u{i} u ON p.cell = u.cell
         )
         """
+    nf = f" AND {neighbor_filter}" if neighbor_filter else ""
     sql += f"""
         , asg AS MATERIALIZED (
             SELECT vec_id, cell FROM (
@@ -5456,7 +5484,7 @@ def _ann_ivf_oracle_sql(n_cells: int = 8, iters: int = 2, k: int = 5,
             JOIN s1 q ON q.vec_id = p.query_id
             JOIN asg a ON a.cell = p.cell
             JOIN s1 n ON n.vec_id = a.vec_id
-            WHERE n.vec_id != p.query_id
+            WHERE n.vec_id != p.query_id{nf}
         ),
         ranked AS (
             SELECT query_id, neighbor_id, cos,
@@ -7431,6 +7459,10 @@ def _oracle_sql_base() -> dict[str, str]:
         # bm25_deleted: the deleted index must equal one that never
         # contained the tombstoned docs — plain BM25 oracle over the
         # filtered corpus
+        # ann_ivf_deleted: ann_ivf's replica minus the tombstoned
+        # neighbors (training unchanged — deletion is search-time)
+        "ann_ivf_deleted": _ann_ivf_oracle_sql(
+            neighbor_filter="n.vec_id % 9 != 0"),
         "bm25_deleted": _bm25_oracle_sql(
             ["stream", "window", "merge", "vector"], k=20,
             doc_filter="doc_id % 7 != 3"),

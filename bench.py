@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "cms_tokens",
     "stream_ingest_hll",
     "bm25_deleted",
+    "ann_ivf_deleted",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE

@@ -302,6 +302,54 @@ def write_ivf_index(df: DataFrame, path: str,
         marker[0].delete_file(marker[1])
 
 
+def delete_vectors(spark, path: str, ids,
+                   id_col: str = "vec_id") -> int:
+    """LOGICAL deletion from a ``write_ivf_index`` dataset — the
+    vector-DB right-to-be-forgotten path (the text index's
+    `textstats.delete_documents`, minus the stats correction: IVF
+    search has no corpus statistics to adjust).  Tombstones the ids
+    under ``<index>/_deletes`` (underscore — invisible to the
+    root-partitioned parquet discovery); `ivf_topk_stored` anti-joins
+    them so deleted vectors never appear as neighbors.  ``ids`` is a
+    DataFrame with ``id_col`` or a plain id list; already-tombstoned
+    ids skip (idempotent); returns the number newly tombstoned.
+    Physical reclamation: `dedup.compact_index(dataset=None)` after
+    filtering is a rewrite anyway — or simply rebuild the cells that
+    matter; tombstones keep working either way until removed."""
+    base = path.rstrip("/")
+    _check_ivf_consistent(base)
+    if isinstance(ids, (list, tuple, set)):
+        ids_df = spark.createDataFrame(
+            [(int(i),) for i in sorted(ids)], f"{id_col} long")
+    else:
+        ids_df = ids.select(F.col(id_col).cast("long").alias(id_col))
+    ids_df = ids_df.distinct()
+    prior = _vector_deletes(spark, base, id_col)
+    if prior is not None:
+        ids_df = ids_df.join(prior, id_col, "left_anti")
+    ids_df = ids_df.localCheckpoint()
+    n = ids_df.count()
+    if n:
+        ids_df.write.mode("append").parquet(base + "/_deletes")
+    return n
+
+
+def _dir_exists(spark, path: str) -> bool:
+    """Filesystem-agnostic existence probe (hadoop fs — works for the
+    same schemes the index writers do)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
+
+
+def _vector_deletes(spark, base: str, id_col: str):
+    """Tombstoned id frame of a stored vector index, or None."""
+    if not _dir_exists(spark, base + "/_deletes"):
+        return None
+    return (spark.read.parquet(base + "/_deletes")
+            .select(id_col).distinct())
+
+
 def ivf_topk_stored(spark, path: str, queries: DataFrame,
                     centroids: list[list[float]] | None = None,
                     k: int = 5,
@@ -313,11 +361,15 @@ def ivf_topk_stored(spark, path: str, queries: DataFrame,
     then reuses the in-memory probe join.  Result contract matches
     ``ivf_topk`` on the same centroids/nprobe.  ``centroids=None``
     loads the index's ``_centroids.json`` sidecar; a torn append
-    (in-progress marker present) refuses."""
+    (in-progress marker present) refuses.  Tombstoned vectors
+    (`delete_vectors`) are anti-joined out."""
     _check_ivf_consistent(path)
     if centroids is None:
         centroids = load_ivf_centroids(path)
     corpus = spark.read.parquet(path)
+    tomb = _vector_deletes(spark, path.rstrip("/"), id_col)
+    if tomb is not None:
+        corpus = corpus.join(F.broadcast(tomb), id_col, "left_anti")
 
     qrows = queries.select(id_col, vec_col).collect()
 

@@ -2020,3 +2020,57 @@ class TestScalarQuantization:
             out._jdf.queryExecution(), "formatted")
         assert "EvalPython" not in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestVectorDeletes:
+    """delete_vectors tombstones on the stored IVF index: deleted
+    vectors never surface as neighbors, idempotent re-delete,
+    equality with an index that never contained them."""
+
+    def test_delete_equals_fresh_and_idempotent(self, spark, tmp_path):
+        from dask_geopandas_spark.operators.similarity import (
+            delete_vectors, ivf_topk_stored, train_centroids,
+            write_ivf_index)
+
+        rng = np.random.RandomState(41)
+        rows = [(i, [float(v) for v in rng.uniform(-2, 2, 8)])
+                for i in range(150)]
+        vecs = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        cents = train_centroids(vecs, n_cells=4, iters=2)
+        path = str(tmp_path / "ivf")
+        gold = str(tmp_path / "ivf_gold")
+        write_ivf_index(vecs, path, cents)
+        deleted = [5, 6, 7, 8, 9]
+        assert delete_vectors(spark, path, deleted) == 5
+        assert delete_vectors(spark, path, deleted) == 0  # idempotent
+        write_ivf_index(
+            vecs.filter(~F.col("vec_id").isin(deleted)), gold, cents)
+        queries = vecs.filter(F.col("vec_id") < 5)
+        got = sorted(map(tuple, ivf_topk_stored(
+            spark, path, queries, cents, k=5, nprobe=3).collect()))
+        want = sorted(map(tuple, ivf_topk_stored(
+            spark, gold, queries, cents, k=5, nprobe=3).collect()))
+        assert got == want
+        assert all(r[1] not in deleted for r in got)
+
+    def test_sidecar_centroids_path_sees_deletes(self, spark,
+                                                 tmp_path):
+        from dask_geopandas_spark.operators.similarity import (
+            delete_vectors, ivf_topk_stored, train_centroids,
+            write_ivf_index)
+
+        rng = np.random.RandomState(43)
+        vecs = spark.createDataFrame(
+            [(i, [float(v) for v in rng.uniform(-1, 1, 8)])
+             for i in range(80)],
+            "vec_id long, embedding array<float>")
+        cents = train_centroids(vecs, n_cells=4, iters=2)
+        path = str(tmp_path / "ivf2")
+        write_ivf_index(vecs, path, cents)
+        delete_vectors(spark, path, [70, 71])
+        out = ivf_topk_stored(spark, path,
+                              vecs.filter(F.col("vec_id") < 3),
+                              centroids=None, k=60, nprobe=4)
+        ids = {r["neighbor_id"] for r in out.collect()}
+        assert 70 not in ids and 71 not in ids
