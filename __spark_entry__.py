@@ -3240,6 +3240,29 @@ def q_bloom_dedup(spark, sf_dir):
                           num_bits=16384, num_hashes=4)
 
 
+def q_kmv_overlap(spark, sf_dir):
+    """KMV theta-sketch set operations (operators/sketches.py, new
+    r12) — what HLL cannot do: estimate two corpora's OVERLAP from
+    two k-row sketches, never joining the corpora (cross-crawl
+    audience/URL overlap).  A = %3!=0 urls, B = %2!=0 urls (true
+    Jaccard 1/3 of the union); union estimate by the unbiased
+    (k-1)/theta, Jaccard from the union sketch's membership in both
+    sides.  Oracle: identical k-smallest-hash windows and estimator
+    arithmetic."""
+    from dask_geopandas_spark.operators.sketches import (kmv_overlap,
+                                                         kmv_sketch)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(F.lit("https://d"),
+                   (F.col("doc_id") % 20).cast("string"),
+                   F.lit(".crawl.test/doc-"),
+                   F.col("doc_id").cast("string"))
+    w = docs.select("doc_id", url.alias("url"))
+    a = kmv_sketch(w.filter(F.col("doc_id") % 3 != 0), "url", k=128)
+    b = kmv_sketch(w.filter(F.col("doc_id") % 2 != 0), "url", k=128)
+    return kmv_overlap(a, b, k=128)
+
+
 def q_ann_ivf_deleted(spark, sf_dir):
     """Vector-index DELETION (similarity.delete_vectors, new r12) —
     the vector-DB right-to-be-forgotten path: %9==0 of the corpus
@@ -4655,6 +4678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ingest_hll": q_stream_ingest_hll,
         "bm25_deleted": q_bm25_deleted,
         "ann_ivf_deleted": q_ann_ivf_deleted,
+        "kmv_overlap": q_kmv_overlap,
         "contamination": q_contamination,
         "crs_roundtrip": q_crs_roundtrip,
         "decontam_spans": q_decontam_spans,
@@ -4680,9 +4704,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setops_concave_area": q_setops_concave_area,
         "shapefile_roundtrip": q_shapefile_roundtrip,
         "shards_roundtrip": q_shards_roundtrip,
-        "sjoin_cobucket": q_sjoin_cobucket,
         # ---- below the window: (last-green asc, name) — the
         #   r13 rotation order is the head of this list ----
+        "sjoin_cobucket": q_sjoin_cobucket,
         "sjoin_cobucket_dwithin": q_sjoin_cobucket_dwithin,
         "sjoin_dwithin": q_sjoin_dwithin,
         "sjoin_nearest_cobucket": q_sjoin_nearest_cobucket,
@@ -7459,6 +7483,51 @@ def _oracle_sql_base() -> dict[str, str]:
         # bm25_deleted: the deleted index must equal one that never
         # contained the tombstoned docs — plain BM25 oracle over the
         # filtered corpus
+        # kmv_overlap: k-smallest-hash windows per side, union
+        # sketch, membership-in-both Jaccard, (k-1)/theta estimator
+        "kmv_overlap": """
+            WITH d AS (SELECT doc_id,
+                              'https://d' || CAST(doc_id % 20 AS VARCHAR)
+                              || '.crawl.test/doc-'
+                              || CAST(doc_id AS VARCHAR) AS url
+                       FROM documents),
+            ha AS (SELECT DISTINCT ('0x' || substr(md5(url), 1, 15))
+                       ::BIGINT AS h
+                   FROM d WHERE doc_id % 3 != 0),
+            sa AS (SELECT h FROM (SELECT h, row_number()
+                       OVER (ORDER BY h) AS rn FROM ha)
+                   WHERE rn <= 128),
+            hb AS (SELECT DISTINCT ('0x' || substr(md5(url), 1, 15))
+                       ::BIGINT AS h
+                   FROM d WHERE doc_id % 2 != 0),
+            sb AS (SELECT h FROM (SELECT h, row_number()
+                       OVER (ORDER BY h) AS rn FROM hb)
+                   WHERE rn <= 128),
+            un AS (SELECT h FROM (SELECT h, row_number()
+                       OVER (ORDER BY h) AS rn
+                       FROM (SELECT DISTINCT h FROM
+                             (SELECT h FROM sa
+                              UNION ALL SELECT h FROM sb)))
+                   WHERE rn <= 128),
+            ua AS (SELECT count(*) AS nu, max(h) AS hk FROM un),
+            ib AS (SELECT count(*) AS nb FROM un
+                   WHERE h IN (SELECT h FROM sa)
+                     AND h IN (SELECT h FROM sb)),
+            ue AS (SELECT nu, nb,
+                          CAST(round(CASE WHEN nu < 128
+                               THEN CAST(nu AS DOUBLE)
+                               ELSE CAST(127 AS DOUBLE)
+                                    * CAST(1152921504606846976
+                                           AS DOUBLE)
+                                    / CAST(hk AS DOUBLE) END, 0)
+                              AS BIGINT) AS union_est
+                   FROM ua CROSS JOIN ib)
+            SELECT union_est,
+                   round(CAST(nb AS DOUBLE) / nu, 6) AS jaccard,
+                   CAST(round(CAST(nb AS DOUBLE) / nu * union_est,
+                              0) AS BIGINT) AS intersection_est
+            FROM ue
+        """,
         # ann_ivf_deleted: ann_ivf's replica minus the tombstoned
         # neighbors (training unchanged — deletion is search-time)
         "ann_ivf_deleted": _ann_ivf_oracle_sql(

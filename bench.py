@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "stream_ingest_hll",
     "bm25_deleted",
     "ann_ivf_deleted",
+    "kmv_overlap",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE

@@ -208,3 +208,98 @@ def cms_lookup(df: DataFrame, col: str, sketch: DataFrame,
            .agg(F.min(F.coalesce(F.col("cms_count"), F.lit(0)))
                 .alias(est_col)))
     return (df.join(est, df[col] == est["_k"], "left").drop("_k"))
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum values) theta sketch (Bar-Yossef et al. 2002; the
+# Datasketches theta family): distinct counting like HLL, but with SET
+# OPERATIONS — two corpora's overlap estimated from two k-row sketches,
+# no join of the corpora.
+# ---------------------------------------------------------------------------
+
+KMV_SPACE = float(1 << HASH_BITS)  # hash universe size (2^60)
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 256,
+               by: list[str] | None = None) -> DataFrame:
+    """The ``k`` smallest DISTINCT hash values per group, as
+    (``by``..., ``kmv_h``) rows — ≤ k rows per group regardless of
+    input size.  Deterministic (portable md5, no RNG), mergeable
+    (:func:`kmv_merge`), and the sample is UNIFORM over the distinct
+    values — which is what makes intersection estimates
+    (:func:`kmv_overlap`) work where HLL cannot."""
+    if int(k) < 2:
+        raise ValueError("k must be >= 2")
+    keys = list(by or [])
+    from pyspark.sql import Window
+
+    hashes = (df.filter(F.col(col).isNotNull())
+              .select(*keys, portable_hash(F.col(col).cast("string"))
+                      .alias("kmv_h"))
+              .distinct())
+    w = Window.partitionBy(*keys).orderBy(F.asc("kmv_h"))
+    return (hashes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= int(k)).drop("_rn"))
+
+
+def kmv_merge(*sketches: DataFrame, k: int = 256,
+              by: list[str] | None = None) -> DataFrame:
+    """Union sketches: distinct hashes, keep the k smallest — the
+    merged sketch equals the sketch of the concatenated inputs
+    (lossless in the same sense as HLL's max-merge)."""
+    keys = list(by or [])
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionAll(s)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.asc("kmv_h"))
+    return (out.distinct()
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= int(k)).drop("_rn"))
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 256,
+                 by: list[str] | None = None,
+                 count_col: str = "approx_distinct") -> DataFrame:
+    """Per-group distinct estimates: EXACT when the group holds fewer
+    than k distinct values (the sketch kept them all), else the
+    unbiased ``(k-1)/theta_k`` with ``theta_k = h_k / 2^60``
+    (standard error ~1/sqrt(k-2)).  Rounds to BIGINT."""
+    keys = list(by or [])
+    agg = (sketch.groupBy(*keys)
+           .agg(F.count("*").alias("_n"),
+                F.max("kmv_h").alias("_hk")))
+    est = (F.when(F.col("_n") < int(k), F.col("_n").cast("double"))
+           .otherwise(F.lit(float(int(k) - 1)) * F.lit(KMV_SPACE)
+                      / F.col("_hk").cast("double")))
+    return agg.select(*keys,
+                      F.round(est, 0).cast("long").alias(count_col))
+
+
+def kmv_overlap(a: DataFrame, b: DataFrame, k: int = 256,
+                by: list[str] | None = None) -> DataFrame:
+    """Set-operation estimates between two sketches (per group when
+    ``by``): returns (``by``..., ``union_est``, ``jaccard``,
+    ``intersection_est``) — the theta-sketch recipe: merge to the
+    union's k smallest, count how many of those appear in BOTH
+    inputs (an unbiased Jaccard estimate, round 6), scale by the
+    union estimate (round to BIGINT).  The corpora never join — two
+    k-row frames do."""
+    keys = list(by or [])
+    u = kmv_merge(a, b, k=k, by=by)
+    ue = kmv_estimate(u, k=k, by=by, count_col="union_est")
+    inter = (u.join(a, [*keys, "kmv_h"], "left_semi")
+             .join(b, [*keys, "kmv_h"], "left_semi"))
+    both = (u.groupBy(*keys).agg(F.count("*").alias("_nu"))
+            .join(inter.groupBy(*keys).agg(F.count("*").alias("_nb")),
+                  keys, "left") if keys else
+            u.agg(F.count("*").alias("_nu")).crossJoin(
+                inter.agg(F.count("*").alias("_nb"))))
+    jac = (F.coalesce(F.col("_nb"), F.lit(0)).cast("double")
+           / F.col("_nu"))
+    out = (ue.join(both, keys) if keys else ue.crossJoin(both))
+    return out.select(
+        *keys, "union_est", F.round(jac, 6).alias("jaccard"),
+        F.round(jac * F.col("union_est"), 0).cast("long")
+        .alias("intersection_est"))

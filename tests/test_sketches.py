@@ -276,3 +276,70 @@ class TestStreamingHll:
                 hll_count(d1.unionAll(d2), "u", p=11,
                           by=["g"]).collect()}
         assert got == want
+
+
+class TestKmv:
+    """KMV theta sketch: exact below k, unbiased (k-1)/theta above,
+    lossless merge, set-operation estimates."""
+
+    def test_sketch_matches_brute_and_exact_below_k(self, spark):
+        from dask_geopandas_spark.operators.sketches import (
+            kmv_estimate, kmv_sketch)
+
+        vals = [f"v{i % 100}" for i in range(500)]
+        df = spark.createDataFrame([(v,) for v in vals], "v string")
+        sk = kmv_sketch(df, "v", k=64)
+        want = sorted({_h60(f"v{i}") for i in range(100)})[:64]
+        assert sorted(r["kmv_h"] for r in sk.collect()) == want
+        # below k -> exact
+        small = spark.createDataFrame([(f"x{i}",) for i in range(30)],
+                                      "v string")
+        est = kmv_estimate(kmv_sketch(small, "v", k=64),
+                           k=64).head()["approx_distinct"]
+        assert est == 30
+
+    def test_estimate_accuracy_and_merge(self, spark):
+        from dask_geopandas_spark.operators.sketches import (
+            kmv_estimate, kmv_merge, kmv_sketch)
+        import math
+
+        n = 20000
+        df = spark.range(n).selectExpr("concat('u', id) AS v")
+        k = 256
+        est = kmv_estimate(kmv_sketch(df, "v", k=k),
+                           k=k).head()["approx_distinct"]
+        assert abs(est - n) <= 5 * n / math.sqrt(k - 2)
+        # merge == direct
+        d1 = spark.range(0, 12000).selectExpr("concat('u', id) AS v")
+        d2 = spark.range(8000, 20000).selectExpr("concat('u', id) AS v")
+        merged = kmv_merge(kmv_sketch(d1, "v", k=k),
+                           kmv_sketch(d2, "v", k=k), k=k)
+        direct = kmv_sketch(df, "v", k=k)
+        assert sorted(r["kmv_h"] for r in merged.collect()) == \
+            sorted(r["kmv_h"] for r in direct.collect())
+
+    def test_overlap_estimates(self, spark):
+        from dask_geopandas_spark.operators.sketches import (
+            kmv_overlap, kmv_sketch)
+
+        # |A|=6000, |B|=6000, |A∩B|=2000, |A∪B|=10000, J=0.2
+        a = spark.range(0, 6000).selectExpr("concat('u', id) AS v")
+        b = spark.range(4000, 10000).selectExpr("concat('u', id) AS v")
+        k = 512
+        row = kmv_overlap(kmv_sketch(a, "v", k=k),
+                          kmv_sketch(b, "v", k=k), k=k).head()
+        assert abs(row["union_est"] - 10000) <= 1500
+        assert abs(row["jaccard"] - 0.2) <= 0.07
+        assert abs(row["intersection_est"] - 2000) <= 700
+
+    def test_grouped(self, spark):
+        from dask_geopandas_spark.operators.sketches import (
+            kmv_estimate, kmv_sketch)
+
+        rows = [("g1", f"a{i}") for i in range(40)] \
+            + [("g2", f"b{i}") for i in range(7)]
+        df = spark.createDataFrame(rows, "g string, v string")
+        got = {r["g"]: r["approx_distinct"] for r in
+               kmv_estimate(kmv_sketch(df, "v", k=64, by=["g"]),
+                            k=64, by=["g"]).collect()}
+        assert got == {"g1": 40, "g2": 7}
