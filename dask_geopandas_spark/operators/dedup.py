@@ -26,6 +26,17 @@ def portable_hash(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def seeded_bucket(col: Column, seed: int, modulus: int) -> Column:
+    """``portable_hash(concat(seed, ':', value)) mod modulus`` — the
+    shared seeded-bucket construction (Bloom positions, Count-Min
+    rows): the seed prefix makes each hash independently uniform
+    while staying replicable as the same concat+md5 in SQL."""
+    return F.pmod(
+        portable_hash(F.concat(F.lit(f"{int(seed)}:"),
+                               col.cast("string"))),
+        F.lit(int(modulus))).cast("long")
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one row per distinct text: the minimum id (deterministic
     keeper).  Returns (hash, keeper_id, dup_count)."""
@@ -1453,18 +1464,14 @@ def decontaminate_spans(train: DataFrame, benchmark: DataFrame,
 def bloom_positions(col: Column, num_bits: int = 1 << 20,
                     num_hashes: int = 4) -> Column:
     """The ``num_hashes`` Bloom bit positions of a value, as an array
-    column: position i = ``portable_hash(concat(i, ':', value)) mod
-    num_bits`` — the module's 60-bit md5 trick with the hash index as
-    a seed prefix, so every position is independently uniform and the
-    DuckDB oracle reproduces it bit-for-bit.  Shared by build and
-    probe; a build/probe parameter mismatch silently probes a
-    different filter, so callers pass the same (num_bits, num_hashes)
-    to both (write_bloom persists them for the stored form)."""
-    return F.array(*[
-        F.pmod(portable_hash(
-            F.concat(F.lit(f"{i}:"), col.cast("string"))),
-            F.lit(int(num_bits))).cast("long")
-        for i in range(int(num_hashes))])
+    column: position i = `seeded_bucket`(col, i, num_bits), so every
+    position is independently uniform and the DuckDB oracle
+    reproduces it bit-for-bit.  Shared by build and probe; a
+    build/probe parameter mismatch silently probes a different
+    filter, so callers pass the same (num_bits, num_hashes) to
+    both."""
+    return F.array(*[seeded_bucket(col, i, num_bits)
+                     for i in range(int(num_hashes))])
 
 
 def build_bloom(df: DataFrame, col: str = "url",

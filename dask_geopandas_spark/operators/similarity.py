@@ -334,17 +334,20 @@ def delete_vectors(spark, path: str, ids,
     return n
 
 
-def _dir_exists(spark, path: str) -> bool:
-    """Filesystem-agnostic existence probe (hadoop fs — works for the
-    same schemes the index writers do)."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
-
-
 def _vector_deletes(spark, base: str, id_col: str):
-    """Tombstoned id frame of a stored vector index, or None."""
-    if not _dir_exists(spark, base + "/_deletes"):
+    """Tombstoned id frame of a stored vector index, or None —
+    existence probed through the module's `resolve_fs` convention
+    (same schemes as the sidecar/marker reads above)."""
+    from pyarrow import fs as pafs
+
+    from ..sources.fs import resolve_fs
+
+    fsys, p = resolve_fs(base + "/_deletes")
+    try:
+        info = fsys.get_file_info(p)
+    except Exception:
+        return None
+    if info.type == pafs.FileType.NotFound:
         return None
     return (spark.read.parquet(base + "/_deletes")
             .select(id_col).distinct())

@@ -28,10 +28,10 @@ round-to-long absorbs it).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import portable_hash
+from .dedup import portable_hash, seeded_bucket
 
 HASH_BITS = 60  # portable_hash: first 15 md5 hex chars
 
@@ -135,12 +135,9 @@ def hll_count(df: DataFrame, col: str, p: int = 12,
 # ---------------------------------------------------------------------------
 
 def _cms_bucket(col: Column, row: int, width: int) -> Column:
-    """Row ``row``'s bucket for a value: the portable seeded md5 hash
-    mod width (the Bloom position construction with the row index as
-    the seed prefix)."""
-    return F.pmod(
-        portable_hash(F.concat(F.lit(f"{row}:"), col.cast("string"))),
-        F.lit(int(width))).cast("int")
+    """Row ``row``'s bucket for a value — `dedup.seeded_bucket` with
+    the row index as the seed."""
+    return seeded_bucket(col, row, width).cast("int")
 
 
 def cms_sketch(df: DataFrame, col: str, width: int = 1024,
@@ -231,8 +228,6 @@ def kmv_sketch(df: DataFrame, col: str, k: int = 256,
     if int(k) < 2:
         raise ValueError("k must be >= 2")
     keys = list(by or [])
-    from pyspark.sql import Window
-
     hashes = (df.filter(F.col(col).isNotNull())
               .select(*keys, portable_hash(F.col(col).cast("string"))
                       .alias("kmv_h"))
@@ -251,8 +246,6 @@ def kmv_merge(*sketches: DataFrame, k: int = 256,
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionAll(s)
-    from pyspark.sql import Window
-
     w = Window.partitionBy(*keys).orderBy(F.asc("kmv_h"))
     return (out.distinct()
             .withColumn("_rn", F.row_number().over(w))
