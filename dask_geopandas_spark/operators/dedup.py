@@ -1558,3 +1558,72 @@ def dedup_against_bloom(df: DataFrame, col: str, bloom: DataFrame,
                              flag_col="_bloom_seen",
                              broadcast=broadcast)
     return flagged.filter(~F.col("_bloom_seen")).drop("_bloom_seen")
+
+
+def write_bloom(df: DataFrame, path: str, col: str = "url",
+                num_bits: int = 1 << 20, num_hashes: int = 4,
+                append: bool = False) -> None:
+    """Persist a Bloom filter: the sparse position set as parquet
+    plus a ``_bloom.json`` sidecar pinning (num_bits, num_hashes) —
+    the parameters ARE the filter's identity, so the stored form
+    carries them instead of trusting call sites to repeat them
+    (`load_ivf_centroids`'s sidecar convention).  ``append=True``
+    adds new keys' positions to an existing filter (position-set
+    union IS Bloom insertion — duplicates are absorbed by the probe's
+    equi-join, so appends are idempotent and crash-safe the same way
+    the HLL register appends are); the stored parameters are
+    validated and cannot change."""
+    import json
+
+    from ..sources.fs import resolve_fs
+
+    base = path.rstrip("/")
+    if append:
+        stored_bits, stored_hashes = _bloom_params(base)
+        if (stored_bits, stored_hashes) != (int(num_bits),
+                                            int(num_hashes)):
+            raise ValueError(
+                f"stored bloom at {base!r} has (num_bits, num_hashes)"
+                f"=({stored_bits}, {stored_hashes}); append requested "
+                f"({num_bits}, {num_hashes}) — parameters are the "
+                "filter's identity and cannot change")
+    build_bloom(df, col, num_bits, num_hashes).write \
+        .mode("append" if append else "overwrite") \
+        .parquet(base + "/positions")
+    if not append:
+        fsys, p = resolve_fs(base + "/_bloom.json")
+        with fsys.open_output_stream(p) as out:
+            out.write(json.dumps({
+                "num_bits": int(num_bits),
+                "num_hashes": int(num_hashes)}).encode())
+
+
+def _bloom_params(base: str) -> tuple[int, int]:
+    import json
+
+    from pyarrow import fs as pafs
+
+    from ..sources.fs import resolve_fs
+
+    fsys, p = resolve_fs(base.rstrip("/") + "/_bloom.json")
+    info = fsys.get_file_info(p)
+    if info.type == pafs.FileType.NotFound:
+        raise ValueError(f"no _bloom.json sidecar at {base!r} — not "
+                         "a write_bloom dataset")
+    with fsys.open_input_stream(p) as f:
+        meta = json.loads(f.read().decode())
+    return int(meta["num_bits"]), int(meta["num_hashes"])
+
+
+def bloom_contains_stored(df: DataFrame, col: str, path: str,
+                          flag_col: str = "maybe_seen",
+                          broadcast: bool = True) -> DataFrame:
+    """Probe a `write_bloom` dataset: parameters load from the
+    sidecar (no way to probe with mismatched sizing), positions read
+    from parquet, then `bloom_contains`."""
+    spark = df.sparkSession
+    base = path.rstrip("/")
+    num_bits, num_hashes = _bloom_params(base)
+    bloom = spark.read.parquet(base + "/positions")
+    return bloom_contains(df, col, bloom, num_bits, num_hashes,
+                          flag_col, broadcast)

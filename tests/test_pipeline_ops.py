@@ -3555,3 +3555,57 @@ class TestTextIndexDeletes:
         assert 5 not in ids and 10 not in ids
         # apply with no tombstones is a no-op
         assert apply_deletes(spark, path) == 0
+
+
+class TestStoredBloom:
+    """write_bloom / bloom_contains_stored: sidecar-pinned params,
+    idempotent append, cross-session probe equality."""
+
+    def test_roundtrip_and_append(self, spark, tmp_path):
+        from dask_geopandas_spark.operators.dedup import (
+            bloom_contains, bloom_contains_stored, build_bloom,
+            write_bloom)
+
+        path = str(tmp_path / "bloom")
+        day1 = spark.createDataFrame(
+            [(f"u{i}",) for i in range(100)], "url string")
+        day2 = spark.createDataFrame(
+            [(f"v{i}",) for i in range(50)], "url string")
+        write_bloom(day1, path, "url", num_bits=4096, num_hashes=4)
+        probe = spark.createDataFrame(
+            [(i, f"u{i}" if i % 2 == 0 else f"v{i // 2}")
+             for i in range(60)], "doc_id long, url string")
+        got = {r["doc_id"]: r["maybe_seen"] for r in
+               bloom_contains_stored(probe, "url", path).collect()}
+        want = {r["doc_id"]: r["maybe_seen"] for r in
+                bloom_contains(probe, "url",
+                               build_bloom(day1, "url", 4096, 4),
+                               4096, 4).collect()}
+        assert got == want
+        # append day2: previously-unseen v keys now flag
+        write_bloom(day2, path, "url", num_bits=4096, num_hashes=4,
+                    append=True)
+        got2 = {r["doc_id"]: r["maybe_seen"] for r in
+                bloom_contains_stored(probe, "url", path).collect()}
+        assert all(got2[i] for i in range(60) if i % 2 == 1)
+        assert all(got2[i] for i in range(60) if i % 2 == 0)
+        # re-append is absorbed (idempotent)
+        write_bloom(day2, path, "url", num_bits=4096, num_hashes=4,
+                    append=True)
+        assert {r["doc_id"]: r["maybe_seen"] for r in
+                bloom_contains_stored(probe, "url",
+                                      path).collect()} == got2
+
+    def test_param_mismatch_refused(self, spark, tmp_path):
+        from dask_geopandas_spark.operators.dedup import write_bloom
+
+        path = str(tmp_path / "bloom2")
+        df = spark.createDataFrame([("a",)], "url string")
+        write_bloom(df, path, "url", num_bits=4096, num_hashes=4)
+        with pytest.raises(ValueError, match="identity"):
+            write_bloom(df, path, "url", num_bits=8192, num_hashes=4,
+                        append=True)
+        with pytest.raises(ValueError, match="sidecar"):
+            from dask_geopandas_spark.operators.dedup import \
+                bloom_contains_stored
+            bloom_contains_stored(df, "url", str(tmp_path / "nope"))
