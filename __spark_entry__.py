@@ -3240,6 +3240,27 @@ def q_bloom_dedup(spark, sf_dir):
                           num_bits=16384, num_hashes=4)
 
 
+def q_heavy_tokens(spark, sf_dir):
+    """Exact heavy hitters via sketch-pruned counting
+    (sketches.heavy_hitters, new r12) — the batch CMS recipe:
+    sketch pass, map-side broadcast estimate filter (CMS never
+    undercounts, so no true heavy hitter is dropped), exact
+    aggregation over the surviving sliver.  Approximate machinery,
+    EXACT answer — so the oracle is the plain GROUP BY ... HAVING.
+    Threshold = total tokens // 50 (integer division, identical in
+    both engines)."""
+    from dask_geopandas_spark.operators.sketches import heavy_hitters
+    from dask_geopandas_spark.operators.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(
+        F.filter(tokens(F.col("text")),
+                 lambda x: x != F.lit(""))).alias("token"))
+    total = toks.count()
+    return heavy_hitters(toks, "token", total // 50,
+                         width=256, depth=4)
+
+
 def q_kmv_overlap(spark, sf_dir):
     """KMV theta-sketch set operations (operators/sketches.py, new
     r12) — what HLL cannot do: estimate two corpora's OVERLAP from
@@ -4679,6 +4700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_deleted": q_bm25_deleted,
         "ann_ivf_deleted": q_ann_ivf_deleted,
         "kmv_overlap": q_kmv_overlap,
+        "heavy_tokens": q_heavy_tokens,
         "contamination": q_contamination,
         "crs_roundtrip": q_crs_roundtrip,
         "decontam_spans": q_decontam_spans,
@@ -4703,9 +4725,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_keep": q_semantic_dedup_keep,
         "setops_concave_area": q_setops_concave_area,
         "shapefile_roundtrip": q_shapefile_roundtrip,
-        "shards_roundtrip": q_shards_roundtrip,
         # ---- below the window: (last-green asc, name) — the
         #   r13 rotation order is the head of this list ----
+        "shards_roundtrip": q_shards_roundtrip,
         "sjoin_cobucket": q_sjoin_cobucket,
         "sjoin_cobucket_dwithin": q_sjoin_cobucket_dwithin,
         "sjoin_dwithin": q_sjoin_dwithin,
@@ -7483,6 +7505,17 @@ def _oracle_sql_base() -> dict[str, str]:
         # bm25_deleted: the deleted index must equal one that never
         # contained the tombstoned docs — plain BM25 oracle over the
         # filtered corpus
+        # heavy_tokens: exact answer -> plain GROUP BY/HAVING with
+        # the same integer-division threshold
+        "heavy_tokens": f"""
+            WITH tk AS (SELECT unnest(list_filter({_TOKENS},
+                                      x -> x != '')) AS token
+                        FROM documents WHERE text IS NOT NULL),
+            tot AS (SELECT count(*) // 50 AS th FROM tk)
+            SELECT token, count(*) AS n_count
+            FROM tk CROSS JOIN tot
+            GROUP BY token, th HAVING count(*) >= th
+        """,
         # kmv_overlap: k-smallest-hash windows per side, union
         # sketch, membership-in-both Jaccard, (k-1)/theta estimator
         "kmv_overlap": """

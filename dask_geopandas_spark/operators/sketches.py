@@ -296,3 +296,57 @@ def kmv_overlap(a: DataFrame, b: DataFrame, k: int = 256,
         *keys, "union_est", F.round(jac, 6).alias("jaccard"),
         F.round(jac * F.col("union_est"), 0).cast("long")
         .alias("intersection_est"))
+
+
+def cms_estimate_col(col: Column, sketch: DataFrame, width: int,
+                     depth: int, df: DataFrame) -> DataFrame:
+    """Attach the sketch's min-over-rows estimate to EVERY row of
+    ``df`` as ``_cms_est`` — ``depth`` broadcast LEFT joins (the
+    `bloom_contains` shape): a pure map-side annotation, no shuffle
+    of ``df``."""
+    out = df
+    est = None
+    for r in range(int(depth)):
+        part = F.broadcast(
+            sketch.filter(F.col("cms_row") == r)
+            .select(F.col("cms_bucket").alias(f"_b{r}"),
+                    F.col("cms_count").alias(f"_c{r}")))
+        out = out.join(part,
+                       _cms_bucket(col, r, width) == F.col(f"_b{r}"),
+                       "left")
+        c = F.coalesce(F.col(f"_c{r}"), F.lit(0))
+        est = c if est is None else F.least(est, c)
+    return (out.withColumn("_cms_est", est)
+            .drop(*[f"_b{r}" for r in range(int(depth))],
+                  *[f"_c{r}" for r in range(int(depth))]))
+
+
+def heavy_hitters(df: DataFrame, col: str, min_count: int,
+                  width: int = 2048, depth: int = 4,
+                  weight_col: str | None = None,
+                  count_col: str = "n_count") -> DataFrame:
+    """EXACT heavy hitters (values with total weight >= min_count)
+    found without ever shuffling the full key cardinality — the
+    batch form of the classic CMS recipe:
+
+    1. one pass builds the sketch (fixed depth×width frame);
+    2. a map-side broadcast annotation keeps only rows whose
+       estimate clears the threshold — CMS NEVER undercounts, so no
+       true heavy hitter is dropped here, and at a selective
+       threshold the survivors are a sliver of the corpus;
+    3. an exact aggregation over the survivors discards the sketch's
+       false candidates.
+
+    Returns (col, count_col) with EXACT counts — approximate
+    machinery, exact answer.  At 100 TB this is the "tokens/URLs
+    occurring over N times" query without a 10-billion-key shuffle:
+    only candidate-valued rows reach the exchange."""
+    sketch = cms_sketch(df, col, width, depth, weight_col)
+    wgt = (F.col(weight_col).cast("long") if weight_col
+           else F.lit(1).cast("long"))
+    cand = (cms_estimate_col(F.col(col), sketch, width, depth,
+                             df.filter(F.col(col).isNotNull()))
+            .filter(F.col("_cms_est") >= int(min_count)))
+    return (cand.groupBy(col)
+            .agg(F.sum(wgt).alias(count_col))
+            .filter(F.col(count_col) >= int(min_count)))

@@ -343,3 +343,45 @@ class TestKmv:
                kmv_estimate(kmv_sketch(df, "v", k=64, by=["g"]),
                             k=64, by=["g"]).collect()}
         assert got == {"g1": 40, "g2": 7}
+
+
+class TestHeavyHitters:
+    def test_equals_exact_and_prunes(self, spark):
+        from dask_geopandas_spark.operators.sketches import heavy_hitters
+        from collections import Counter
+
+        # Zipf-ish: value i appears ~600/i times
+        vals = [f"t{i}" for i in range(1, 60) for _ in range(600 // i)]
+        true = Counter(vals)
+        df = spark.createDataFrame([(v,) for v in vals] + [(None,)],
+                                   "t string")
+        for thresh in (50, 150, 400):
+            got = {r["t"]: r["n_count"] for r in
+                   heavy_hitters(df, "t", thresh, width=256,
+                                 depth=4).collect()}
+            want = {v: c for v, c in true.items() if c >= thresh}
+            assert got == want, thresh
+
+    def test_weighted(self, spark):
+        from dask_geopandas_spark.operators.sketches import heavy_hitters
+
+        df = spark.createDataFrame(
+            [("a", 90), ("a", 20), ("b", 30), ("c", 99)],
+            "v string, w long")
+        got = {r["v"]: r["n_count"] for r in
+               heavy_hitters(df, "v", 100, width=64, depth=3,
+                             weight_col="w").collect()}
+        assert got == {"a": 110}
+
+    def test_narrow_sketch_still_exact(self, spark):
+        """Collision-heavy sketch admits extra candidates; the exact
+        pass must discard every one of them."""
+        from dask_geopandas_spark.operators.sketches import heavy_hitters
+
+        vals = [f"x{i % 200}" for i in range(2000)]  # each exactly 10
+        df = spark.createDataFrame([(v,) for v in vals], "v string")
+        assert heavy_hitters(df, "v", 11, width=8, depth=2) \
+            .count() == 0
+        got = {r["v"]: r["n_count"] for r in
+               heavy_hitters(df, "v", 10, width=8, depth=2).collect()}
+        assert len(got) == 200 and set(got.values()) == {10}
