@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "bm25_deleted",
     "ann_ivf_deleted",
     "kmv_overlap",
+    "heavy_tokens",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE
