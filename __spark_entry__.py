@@ -3240,6 +3240,31 @@ def q_bloom_dedup(spark, sf_dir):
                           num_bits=16384, num_hashes=4)
 
 
+def q_bloom_stored(spark, sf_dir):
+    """Stored Bloom filter (dedup.write_bloom/bloom_contains_stored,
+    new r12): same construction as q_bloom_dedup but the filter
+    persists to parquet + a _bloom.json sidecar pinning its
+    parameters, and the probe loads both — the stored roundtrip must
+    be invisible, so this query shares q_bloom_dedup's oracle
+    VERBATIM."""
+    import shutil
+
+    from dask_geopandas_spark.operators.dedup import (
+        bloom_contains_stored, write_bloom)
+
+    path = "/root/repo/.bench_tmp/bloom_store"
+    shutil.rmtree(path, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(F.lit("https://d"),
+                   (F.col("doc_id") % 20).cast("string"),
+                   F.lit(".crawl.test/doc-"),
+                   F.col("doc_id").cast("string"))
+    with_url = docs.select("doc_id", url.alias("url"))
+    write_bloom(with_url.filter(F.col("doc_id") % 3 == 0), path,
+                "url", num_bits=16384, num_hashes=4)
+    return bloom_contains_stored(with_url, "url", path)
+
+
 def q_heavy_tokens(spark, sf_dir):
     """Exact heavy hitters via sketch-pruned counting
     (sketches.heavy_hitters, new r12) — the batch CMS recipe:
@@ -4701,6 +4726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_deleted": q_ann_ivf_deleted,
         "kmv_overlap": q_kmv_overlap,
         "heavy_tokens": q_heavy_tokens,
+        "bloom_stored": q_bloom_stored,
         "contamination": q_contamination,
         "crs_roundtrip": q_crs_roundtrip,
         "decontam_spans": q_decontam_spans,
@@ -4724,9 +4750,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_totals": q_running_totals,
         "semantic_dedup_keep": q_semantic_dedup_keep,
         "setops_concave_area": q_setops_concave_area,
-        "shapefile_roundtrip": q_shapefile_roundtrip,
         # ---- below the window: (last-green asc, name) — the
         #   r13 rotation order is the head of this list ----
+        "shapefile_roundtrip": q_shapefile_roundtrip,
         "shards_roundtrip": q_shards_roundtrip,
         "sjoin_cobucket": q_sjoin_cobucket,
         "sjoin_cobucket_dwithin": q_sjoin_cobucket_dwithin,
@@ -4936,6 +4962,40 @@ _HLL_SOURCES_ORACLE = f'''
                        AS approx_distinct
             FROM c
         '''
+
+
+_BLOOM_DEDUP_ORACLE = """
+            WITH d AS (SELECT doc_id,
+                              'https://d' || CAST(doc_id % 20 AS VARCHAR)
+                              || '.crawl.test/doc-'
+                              || CAST(doc_id AS VARCHAR) AS url
+                       FROM documents),
+            seen AS (SELECT DISTINCT
+                            ('0x' || substr(md5(CAST(i AS VARCHAR)
+                             || ':' || url), 1, 15))::BIGINT % 16384
+                                AS pos
+                     FROM d CROSS JOIN
+                          (SELECT unnest([0, 1, 2, 3]) AS i)
+                     WHERE doc_id % 3 = 0),
+            p AS (SELECT doc_id, url,
+                         ('0x' || substr(md5('0:' || url), 1, 15))
+                             ::BIGINT % 16384 AS h0,
+                         ('0x' || substr(md5('1:' || url), 1, 15))
+                             ::BIGINT % 16384 AS h1,
+                         ('0x' || substr(md5('2:' || url), 1, 15))
+                             ::BIGINT % 16384 AS h2,
+                         ('0x' || substr(md5('3:' || url), 1, 15))
+                             ::BIGINT % 16384 AS h3
+                  FROM d)
+            SELECT p.doc_id, p.url,
+                   (s0.pos IS NOT NULL AND s1.pos IS NOT NULL
+                    AND s2.pos IS NOT NULL AND s3.pos IS NOT NULL)
+                       AS maybe_seen
+            FROM p LEFT JOIN seen s0 ON p.h0 = s0.pos
+                   LEFT JOIN seen s1 ON p.h1 = s1.pos
+                   LEFT JOIN seen s2 ON p.h2 = s2.pos
+                   LEFT JOIN seen s3 ON p.h3 = s3.pos
+        """
 
 
 def _bpe_ctes(k: int) -> str:
@@ -7704,38 +7764,10 @@ def _oracle_sql_base() -> dict[str, str]:
         # bloom_dedup: the sparse-position-set Bloom replayed — 4
         # seeded md5 positions per URL, distinct set bits from the
         # doc_id%3==0 partition, membership = all 4 positions present
-        "bloom_dedup": """
-            WITH d AS (SELECT doc_id,
-                              'https://d' || CAST(doc_id % 20 AS VARCHAR)
-                              || '.crawl.test/doc-'
-                              || CAST(doc_id AS VARCHAR) AS url
-                       FROM documents),
-            seen AS (SELECT DISTINCT
-                            ('0x' || substr(md5(CAST(i AS VARCHAR)
-                             || ':' || url), 1, 15))::BIGINT % 16384
-                                AS pos
-                     FROM d CROSS JOIN
-                          (SELECT unnest([0, 1, 2, 3]) AS i)
-                     WHERE doc_id % 3 = 0),
-            p AS (SELECT doc_id, url,
-                         ('0x' || substr(md5('0:' || url), 1, 15))
-                             ::BIGINT % 16384 AS h0,
-                         ('0x' || substr(md5('1:' || url), 1, 15))
-                             ::BIGINT % 16384 AS h1,
-                         ('0x' || substr(md5('2:' || url), 1, 15))
-                             ::BIGINT % 16384 AS h2,
-                         ('0x' || substr(md5('3:' || url), 1, 15))
-                             ::BIGINT % 16384 AS h3
-                  FROM d)
-            SELECT p.doc_id, p.url,
-                   (s0.pos IS NOT NULL AND s1.pos IS NOT NULL
-                    AND s2.pos IS NOT NULL AND s3.pos IS NOT NULL)
-                       AS maybe_seen
-            FROM p LEFT JOIN seen s0 ON p.h0 = s0.pos
-                   LEFT JOIN seen s1 ON p.h1 = s1.pos
-                   LEFT JOIN seen s2 ON p.h2 = s2.pos
-                   LEFT JOIN seen s3 ON p.h3 = s3.pos
-        """,
+        "bloom_dedup": _BLOOM_DEDUP_ORACLE,
+        # bloom_stored: same oracle VERBATIM — the stored
+        # roundtrip (positions parquet + sidecar) is invisible
+        "bloom_stored": _BLOOM_DEDUP_ORACLE,
         # quality_trainer: one closed-form gradient step from the
         # zero model (p = 0.5 -> r = 0.5 - y), 12-decimal weight
         # quantization, then classifier_score's pos-ordered

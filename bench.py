@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "ann_ivf_deleted",
     "kmv_overlap",
     "heavy_tokens",
+    "bloom_stored",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE
