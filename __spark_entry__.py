@@ -3399,6 +3399,52 @@ def q_stream_ingest_hll(spark, sf_dir):
     return hll_count_stored(spark, base + "/sk", p=12, by=["source"])
 
 
+def q_stream_ingest_cms(spark, sf_dir):
+    """Streaming frequency counter (streaming/indexing.
+    streaming_ingest_cms, new r12): the documents table replays as
+    two availableNow micro-batches, each appending its Count-Min cell
+    frame under the exactly-once contract (sum-merge DOUBLE-COUNTS a
+    replay, so unlike the HLL counter this one needs the commit
+    marker + in-progress flag machinery — the BM25/vector ingester
+    contract).  Because cell merge is a lossless sum, the stored
+    counter must equal the single-shot sketch EXACTLY — shares
+    q_cms_tokens's oracle VERBATIM."""
+    import os
+    import shutil
+
+    from dask_geopandas_spark.operators.textstats import tokens
+    from dask_geopandas_spark.streaming.indexing import (
+        cms_lookup_stored, streaming_ingest_cms)
+
+    base = "/root/repo/.bench_tmp/stream_cms"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    half = docs.count() // 2
+    docs.filter(F.col("doc_id") < half).coalesce(1) \
+        .write.parquet(base + "/src/f0")
+    docs.filter(F.col("doc_id") >= half).coalesce(1) \
+        .write.parquet(base + "/src/f1")
+    now = 1_700_000_000
+    for i, d in enumerate(("f0", "f1")):
+        for fn in os.listdir(f"{base}/src/{d}"):
+            os.utime(f"{base}/src/{d}/{fn}", (now + i, now + i))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(base + "/src/f*"))
+    tok_stream = stream.select(F.explode(
+        F.filter(tokens(F.col("text")),
+                 lambda x: x != F.lit(""))).alias("token"))
+    q = (streaming_ingest_cms(tok_stream, base + "/sk", "token",
+                              width=256, depth=4)
+         .option("checkpointLocation", base + "/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    probes = docs.select(F.explode(
+        F.filter(tokens(F.col("text")),
+                 lambda x: x != F.lit(""))).alias("token")).distinct()
+    return cms_lookup_stored(probes, "token", base + "/sk")
+
+
 def q_cms_tokens(spark, sf_dir):
     """Count-Min frequency sketch (operators/sketches.py, new r12) —
     the bounded-size token/URL frequency counter: one explode + one
@@ -4721,6 +4767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq": q_ann_sq,
         "hll_sources": q_hll_sources,
         "cms_tokens": q_cms_tokens,
+        "stream_ingest_cms": q_stream_ingest_cms,
         "stream_ingest_hll": q_stream_ingest_hll,
         "bm25_deleted": q_bm25_deleted,
         "ann_ivf_deleted": q_ann_ivf_deleted,
@@ -4749,9 +4796,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_join": q_quality_classifier_join,
         "running_totals": q_running_totals,
         "semantic_dedup_keep": q_semantic_dedup_keep,
-        "setops_concave_area": q_setops_concave_area,
         # ---- below the window: (last-green asc, name) — the
         #   r13 rotation order is the head of this list ----
+        "setops_concave_area": q_setops_concave_area,
         "shapefile_roundtrip": q_shapefile_roundtrip,
         "shards_roundtrip": q_shards_roundtrip,
         "sjoin_cobucket": q_sjoin_cobucket,
@@ -4963,6 +5010,28 @@ _HLL_SOURCES_ORACLE = f'''
             FROM c
         '''
 
+
+_CMS_TOKENS_ORACLE = f"""
+            WITH tk AS (SELECT unnest(list_filter({_TOKENS},
+                                      x -> x != '')) AS token
+                        FROM documents WHERE text IS NOT NULL),
+            sd AS (SELECT unnest([0, 1, 2, 3]) AS r),
+            cells AS (SELECT r,
+                             ('0x' || substr(md5(CAST(r AS VARCHAR)
+                              || ':' || token), 1, 15))::BIGINT % 256
+                                 AS b,
+                             count(*) AS c
+                      FROM tk CROSS JOIN sd GROUP BY r, b),
+            probes AS (SELECT DISTINCT token FROM tk),
+            pb AS (SELECT token, r,
+                          ('0x' || substr(md5(CAST(r AS VARCHAR)
+                           || ':' || token), 1, 15))::BIGINT % 256
+                              AS b
+                   FROM probes CROSS JOIN sd)
+            SELECT token,
+                   CAST(min(COALESCE(c, 0)) AS BIGINT) AS est_count
+            FROM pb LEFT JOIN cells USING (r, b) GROUP BY token
+        """
 
 _BLOOM_DEDUP_ORACLE = """
             WITH d AS (SELECT doc_id,
@@ -7534,27 +7603,10 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         # cms_tokens: the Count-Min cells replayed — 4 seeded md5
         # buckets per token occurrence, min over rows at lookup
-        "cms_tokens": f"""
-            WITH tk AS (SELECT unnest(list_filter({_TOKENS},
-                                      x -> x != '')) AS token
-                        FROM documents WHERE text IS NOT NULL),
-            sd AS (SELECT unnest([0, 1, 2, 3]) AS r),
-            cells AS (SELECT r,
-                             ('0x' || substr(md5(CAST(r AS VARCHAR)
-                              || ':' || token), 1, 15))::BIGINT % 256
-                                 AS b,
-                             count(*) AS c
-                      FROM tk CROSS JOIN sd GROUP BY r, b),
-            probes AS (SELECT DISTINCT token FROM tk),
-            pb AS (SELECT token, r,
-                          ('0x' || substr(md5(CAST(r AS VARCHAR)
-                           || ':' || token), 1, 15))::BIGINT % 256
-                              AS b
-                   FROM probes CROSS JOIN sd)
-            SELECT token,
-                   CAST(min(COALESCE(c, 0)) AS BIGINT) AS est_count
-            FROM pb LEFT JOIN cells USING (r, b) GROUP BY token
-        """,
+        "cms_tokens": _CMS_TOKENS_ORACLE,
+        # stream_ingest_cms: same oracle VERBATIM — lossless
+        # sum-merge makes batch boundaries invisible
+        "stream_ingest_cms": _CMS_TOKENS_ORACLE,
         # hll_sources: the HLL construction replayed — top-12-bit
         # register index, leading-zero rank via bin() length, integer
         # harmonic units, alpha·m²/Z with the ln small-range branch

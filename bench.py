@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "kmv_overlap",
     "heavy_tokens",
     "bloom_stored",
+    "stream_ingest_cms",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE

@@ -313,3 +313,135 @@ def streaming_ingest_hll(stream: DataFrame, sketch_path: str,
             compact_hll_stored(batch_df.sparkSession, sketch_path, by)
 
     return stream.writeStream.foreachBatch(_fb)
+
+
+def _cms_params(base: str) -> tuple[int, int]:
+    import json
+
+    from pyarrow import fs as pafs
+
+    from ..sources.fs import resolve_fs
+
+    fsys, p = resolve_fs(base.rstrip("/") + "/_cms.json")
+    info = fsys.get_file_info(p)
+    if info.type == pafs.FileType.NotFound:
+        raise ValueError(f"no _cms.json sidecar at {base!r} — not a "
+                         "stored Count-Min sketch")
+    with fsys.open_input_stream(p) as f:
+        meta = json.loads(f.read().decode())
+    return int(meta["width"]), int(meta["depth"])
+
+
+def _check_cms_consistent(spark, base: str) -> None:
+    fs, _ = _hadoop_fs(spark, base)
+    HP = spark._jvm.org.apache.hadoop.fs.Path
+    if fs.exists(HP(base + "/_append_in_progress")):
+        raise RuntimeError(
+            f"stored CMS at {base!r} was left inconsistent by a "
+            "failed append (_append_in_progress marker present): a "
+            "replayed batch would double-count — rebuild the sketch "
+            "(it is derived data)")
+
+
+def ingest_cms_batch(batch_df: DataFrame, sketch_path: str, col: str,
+                     width: int = 1024, depth: int = 4,
+                     weight_col: str | None = None,
+                     by: list[str] | None = None,
+                     batch_id: int | None = None) -> bool:
+    """One ingestion step of the INCREMENTAL frequency counter:
+    append the batch's Count-Min cell frame under
+    ``<sketch>/cells``; (width, depth) pin in a ``_cms.json``
+    sidecar on first use and cannot change.  Returns False if the
+    batch's commit marker exists (replay skipped).
+
+    Unlike the HLL ingester, CMS NEEDS the exactly-once machinery:
+    cell merge is SUM, and summing a replayed batch double-counts —
+    so this follows the BM25/vector ingester contract exactly: an
+    ``_append_in_progress`` flag wraps the write, the commit marker
+    is created before the flag clears (marker-present always means
+    fully-committed; replay then heals a lingering flag), and a torn
+    append leaves the flag so every stored reader refuses."""
+    import json
+
+    spark = batch_df.sparkSession
+    base = sketch_path.rstrip("/")
+    fs, _ = _hadoop_fs(spark, base)
+    HP = spark._jvm.org.apache.hadoop.fs.Path
+    marker = None
+    if batch_id is not None:
+        marker = f"{base}/_batches/batch-{int(batch_id)}"
+        if fs.exists(HP(marker)):
+            fs.delete(HP(base + "/_append_in_progress"), False)
+            return False
+    _check_cms_consistent(spark, base)
+    if fs.exists(HP(base + "/_cms.json")):
+        sw, sd = _cms_params(base)
+        if (sw, sd) != (int(width), int(depth)):
+            raise ValueError(
+                f"stored CMS at {base!r} has (width, depth)="
+                f"({sw}, {sd}); ingest requested ({width}, {depth}) "
+                "— parameters are the sketch's identity")
+    else:
+        from ..sources.fs import resolve_fs
+
+        fs.mkdirs(HP(base))
+        fsys, p = resolve_fs(base + "/_cms.json")
+        with fsys.open_output_stream(p) as out:
+            out.write(json.dumps({"width": int(width),
+                                  "depth": int(depth)}).encode())
+    from ..operators.sketches import cms_sketch
+
+    if marker is not None:
+        fs.mkdirs(HP(base + "/_batches"))
+    fs.create(HP(base + "/_append_in_progress"), True).close()
+    (cms_sketch(batch_df, col, width, depth, weight_col, by)
+     .write.mode("append").parquet(base + "/cells"))
+    if marker is not None:
+        fs.create(HP(marker), True).close()
+    fs.delete(HP(base + "/_append_in_progress"), False)
+    return True
+
+
+def cms_stored(spark, sketch_path: str,
+               by: list[str] | None = None):
+    """(merged cell frame, width, depth) of a stored sketch — the
+    read-time per-cell sum is the lossless CMS merge, so the result
+    equals a single-shot `cms_sketch` over all ingested batches.  A
+    torn append refuses (see `ingest_cms_batch`)."""
+    from ..operators.sketches import cms_merge
+
+    base = sketch_path.rstrip("/")
+    _check_cms_consistent(spark, base)
+    width, depth = _cms_params(base)
+    cells = cms_merge(spark.read.parquet(base + "/cells"), by=by)
+    return cells, width, depth
+
+
+def cms_lookup_stored(df: DataFrame, col: str, sketch_path: str,
+                      est_col: str = "est_count",
+                      by: list[str] | None = None) -> DataFrame:
+    """Point-query a stored sketch: parameters load from the sidecar
+    (no way to probe with mismatched sizing), cells merge at read,
+    then `cms_lookup`."""
+    from ..operators.sketches import cms_lookup
+
+    cells, width, depth = cms_stored(df.sparkSession, sketch_path, by)
+    return cms_lookup(df, col, cells, width, depth, est_col)
+
+
+def streaming_ingest_cms(stream: DataFrame, sketch_path: str,
+                         col: str, width: int = 1024,
+                         depth: int = 4,
+                         weight_col: str | None = None,
+                         by: list[str] | None = None):
+    """Continuous frequency counting: each micro-batch appends its
+    cell frame under the exactly-once contract (`ingest_cms_batch`).
+    The counter is readable between batches with
+    `cms_lookup_stored`.  Returns the DataStreamWriter; caller picks
+    trigger/checkpoint and ``.start()``."""
+
+    def _fb(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_cms_batch(batch_df, sketch_path, col, width, depth,
+                         weight_col, by, batch_id)
+
+    return stream.writeStream.foreachBatch(_fb)

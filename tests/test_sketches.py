@@ -385,3 +385,92 @@ class TestHeavyHitters:
         got = {r["v"]: r["n_count"] for r in
                heavy_hitters(df, "v", 10, width=8, depth=2).collect()}
         assert len(got) == 200 and set(got.values()) == {10}
+
+
+class TestStreamingCms:
+    """Incremental CMS (streaming/indexing.py): exactly-once appends
+    (sum-merge double-counts — the machinery matters here), stored
+    lookup equality, torn-append refusal."""
+
+    def test_batches_equal_direct_and_replay_skips(self, spark,
+                                                   tmp_path):
+        from dask_geopandas_spark.operators.sketches import (cms_lookup,
+                                                             cms_sketch)
+        from dask_geopandas_spark.streaming.indexing import (
+            cms_lookup_stored, ingest_cms_batch)
+
+        base = str(tmp_path / "cms")
+        d1 = spark.createDataFrame([(f"t{i % 20}",)
+                                    for i in range(300)], "t string")
+        d2 = spark.createDataFrame([(f"t{i % 30}",)
+                                    for i in range(300)], "t string")
+        assert ingest_cms_batch(d1, base, "t", 128, 3, batch_id=0)
+        assert ingest_cms_batch(d2, base, "t", 128, 3, batch_id=1)
+        probe = d1.unionAll(d2).distinct()
+        got = {r["t"]: r["est_count"] for r in
+               cms_lookup_stored(probe, "t", base).collect()}
+        direct = cms_sketch(d1.unionAll(d2), "t", 128, 3)
+        want = {r["t"]: r["est_count"] for r in
+                cms_lookup(probe, "t", direct, 128, 3).collect()}
+        assert got == want
+        # replay: skipped, counts unchanged (sum would double!)
+        assert not ingest_cms_batch(d1, base, "t", 128, 3, batch_id=0)
+        assert {r["t"]: r["est_count"] for r in
+                cms_lookup_stored(probe, "t", base).collect()} == want
+
+    def test_param_mismatch_and_torn_append_refused(self, spark,
+                                                    tmp_path):
+        import os
+
+        from dask_geopandas_spark.streaming.indexing import (
+            cms_stored, ingest_cms_batch)
+
+        base = str(tmp_path / "cms2")
+        df = spark.createDataFrame([("a",)], "t string")
+        ingest_cms_batch(df, base, "t", 128, 3, batch_id=0)
+        with pytest.raises(ValueError, match="identity"):
+            ingest_cms_batch(df, base, "t", 256, 3, batch_id=1)
+        # simulate a torn append: flag present, no commit marker
+        open(base + "/_append_in_progress", "w").close()
+        with pytest.raises(RuntimeError, match="inconsistent"):
+            cms_stored(spark, base)
+        # a replayed COMMITTED batch heals the flag
+        assert not ingest_cms_batch(df, base, "t", 128, 3, batch_id=0)
+        assert not os.path.exists(base + "/_append_in_progress")
+        cms_stored(spark, base)  # reads again
+
+    def test_streaming_availablenow(self, spark, tmp_path):
+        import os
+
+        from dask_geopandas_spark.operators.sketches import (cms_lookup,
+                                                             cms_sketch)
+        from dask_geopandas_spark.streaming.indexing import (
+            cms_lookup_stored, streaming_ingest_cms)
+
+        base = str(tmp_path / "cms3")
+        d1 = spark.createDataFrame([(f"x{i % 9}",)
+                                    for i in range(200)], "t string")
+        d2 = spark.createDataFrame([(f"x{i % 13}",)
+                                    for i in range(200)], "t string")
+        d1.coalesce(1).write.parquet(base + "/src/f0")
+        d2.coalesce(1).write.parquet(base + "/src/f1")
+        now = 1_700_000_000
+        for i, dn in enumerate(("f0", "f1")):
+            for fn in os.listdir(f"{base}/src/{dn}"):
+                os.utime(f"{base}/src/{dn}/{fn}", (now + i, now + i))
+        stream = (spark.readStream.schema("t string")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(base + "/src/f*"))
+        q = (streaming_ingest_cms(stream, base + "/sk", "t",
+                                  width=64, depth=3)
+             .option("checkpointLocation", base + "/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        probe = d1.unionAll(d2).distinct()
+        got = {r["t"]: r["est_count"] for r in
+               cms_lookup_stored(probe, "t", base + "/sk").collect()}
+        want = {r["t"]: r["est_count"] for r in
+                cms_lookup(probe, "t",
+                           cms_sketch(d1.unionAll(d2), "t", 64, 3),
+                           64, 3).collect()}
+        assert got == want
