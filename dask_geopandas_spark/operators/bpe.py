@@ -123,6 +123,10 @@ def train_bpe(df: DataFrame, text_col: str = "text",
                                       F.col("_rep")))
                      .otherwise(F.col("s")).alias("s"), "cnt")
              .localCheckpoint())
+    if not bests:  # num_merges=0: an empty merge table, not a crash
+        return df.sparkSession.createDataFrame(
+            [], "rank int, left string, right string, merged string, "
+                "pair_count long")
     out = bests[0]
     for b in bests[1:]:
         out = out.unionAll(b)

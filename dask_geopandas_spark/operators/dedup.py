@@ -1518,6 +1518,10 @@ def bloom_contains(df: DataFrame, col: str, bloom: DataFrame,
     arbitrarily large filters)."""
     k = int(num_hashes)
     pos = bloom_positions(F.col(col), num_bits, k)
+    # a filter frame can carry duplicate positions (write_bloom
+    # appends don't dedup across batches); the broadcast equi-joins
+    # would then MULTIPLY matching probe rows — dedup here
+    bloom = bloom.select("pos").distinct()
     if broadcast:
         out = df.withColumn("_bp", pos)
         flag = F.col(col).isNotNull()

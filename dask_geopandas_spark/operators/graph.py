@@ -143,7 +143,8 @@ def hits(edges: DataFrame, src_col: str = "src",
     if nodes.isEmpty():
         return nodes.select("node", F.lit(0.0).alias("authority"),
                             F.lit(0.0).alias("hub"))
-    auth = nodes.select("node", F.lit(1.0).alias("authority"))
+    # only hub needs initialization: iteration 1's authority update
+    # reads hubs alone (the Gauss-Seidel ordering above)
     hub = nodes.select("node", F.lit(1.0).alias("hub")).localCheckpoint()
 
     def _normalized(raw, col):

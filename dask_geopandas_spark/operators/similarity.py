@@ -342,12 +342,10 @@ def _vector_deletes(spark, base: str, id_col: str):
 
     from ..sources.fs import resolve_fs
 
+    # an fs error here must PROPAGATE: answering "no tombstones" on a
+    # transient failure would resurface deleted vectors silently
     fsys, p = resolve_fs(base + "/_deletes")
-    try:
-        info = fsys.get_file_info(p)
-    except Exception:
-        return None
-    if info.type == pafs.FileType.NotFound:
+    if fsys.get_file_info(p).type == pafs.FileType.NotFound:
         return None
     return (spark.read.parquet(base + "/_deletes")
             .select(id_col).distinct())

@@ -184,27 +184,38 @@ def cms_merge(*sketches: DataFrame,
 
 def cms_lookup(df: DataFrame, col: str, sketch: DataFrame,
                width: int = 1024, depth: int = 4,
-               est_col: str = "est_count") -> DataFrame:
+               est_col: str = "est_count",
+               by: list[str] | None = None) -> DataFrame:
     """Point-query a sketch: adds ``est_col`` = min over the depth
     rows (0 when any cell is empty — a value the sketch never saw).
-    The sketch side BROADCASTS (it is depth·width rows by
+    The sketch side BROADCASTS (it is depth·width rows per group by
     construction); the probe frame takes one explode + one
     re-aggregation on its own key, never a corpus-sized shuffle.
     (``width``/``depth`` must match the build — a mismatch probes a
-    different sketch, same contract as `bloom_contains`.)"""
-    probes = df.select(F.col(col).alias("_k")).distinct()
-    ex = probes.select("_k", F.explode(F.array(*[
+    different sketch, same contract as `bloom_contains`.)
+
+    ``by`` must match the build's grouping: a grouped sketch probed
+    without its keys would min across every group's cells — neither
+    a per-group nor a global answer."""
+    keys = list(by or [])
+    probes = (df.select(*keys, F.col(col).alias("_k"))
+              .dropna(subset=["_k"]).distinct())
+    ex = probes.select(*keys, "_k", F.explode(F.array(*[
         F.struct(F.lit(r).alias("cms_row"),
                  _cms_bucket(F.col("_k"), r, width)
                  .alias("cms_bucket"))
         for r in range(int(depth))])).alias("_c")) \
-        .select("_k", "_c.cms_row", "_c.cms_bucket")
-    est = (ex.join(F.broadcast(sketch), ["cms_row", "cms_bucket"],
-                   "left")
-           .groupBy("_k")
+        .select(*keys, "_k", "_c.cms_row", "_c.cms_bucket")
+    est = (ex.join(F.broadcast(sketch),
+                   [*keys, "cms_row", "cms_bucket"], "left")
+           .groupBy(*keys, "_k")
            .agg(F.min(F.coalesce(F.col("cms_count"), F.lit(0)))
                 .alias(est_col)))
-    return (df.join(est, df[col] == est["_k"], "left").drop("_k"))
+    cond = df[col] == est["_k"]
+    for kcol in keys:
+        cond = cond & (df[kcol] == est[kcol])
+    return (df.join(est, cond, "left")
+            .drop(est["_k"], *[est[kcol] for kcol in keys]))
 
 
 # ---------------------------------------------------------------------------
@@ -232,9 +243,7 @@ def kmv_sketch(df: DataFrame, col: str, k: int = 256,
               .select(*keys, portable_hash(F.col(col).cast("string"))
                       .alias("kmv_h"))
               .distinct())
-    w = Window.partitionBy(*keys).orderBy(F.asc("kmv_h"))
-    return (hashes.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= int(k)).drop("_rn"))
+    return _k_smallest(hashes, k, keys)
 
 
 def kmv_merge(*sketches: DataFrame, k: int = 256,
@@ -246,9 +255,22 @@ def kmv_merge(*sketches: DataFrame, k: int = 256,
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionAll(s)
+    return _k_smallest(out.distinct(), k, keys)
+
+
+def _k_smallest(hashes: DataFrame, k: int, keys: list) -> DataFrame:
+    """k smallest kmv_h per group in TWO stages: a per-input-partition
+    pre-prune bounds the final window's input at n_partitions·k rows —
+    a single global-window pass with no partition keys would funnel
+    EVERY distinct hash through one task (the pq_topk/sq_topk
+    skew-free-rank pattern)."""
+    w_local = (Window.partitionBy(*keys, "_pid")
+               .orderBy(F.asc("kmv_h")))
+    pruned = (hashes.withColumn("_pid", F.spark_partition_id())
+              .withColumn("_rn", F.row_number().over(w_local))
+              .filter(F.col("_rn") <= int(k)).drop("_pid", "_rn"))
     w = Window.partitionBy(*keys).orderBy(F.asc("kmv_h"))
-    return (out.distinct()
-            .withColumn("_rn", F.row_number().over(w))
+    return (pruned.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= int(k)).drop("_rn"))
 
 
@@ -341,7 +363,11 @@ def heavy_hitters(df: DataFrame, col: str, min_count: int,
     machinery, exact answer.  At 100 TB this is the "tokens/URLs
     occurring over N times" query without a 10-billion-key shuffle:
     only candidate-valued rows reach the exchange."""
-    sketch = cms_sketch(df, col, width, depth, weight_col)
+    # materialize: cms_estimate_col slices the sketch once per depth
+    # row, and an unmaterialized plan would rebuild the corpus-wide
+    # aggregation depth times
+    sketch = cms_sketch(df, col, width, depth,
+                        weight_col).localCheckpoint()
     wgt = (F.col(weight_col).cast("long") if weight_col
            else F.lit(1).cast("long"))
     cand = (cms_estimate_col(F.col(col), sketch, width, depth,

@@ -762,12 +762,12 @@ def _text_deletes(spark, base: str, id_col: str):
 
     from ..sources.fs import resolve_fs
 
+    # an fs error here must PROPAGATE: answering "no tombstones" on a
+    # transient failure would resurface deleted documents silently
+    # (contrast _check_index_consistent, where a failed probe only
+    # skips a guard)
     fsys, mpath = resolve_fs(base.rstrip("/") + "/deletes")
-    try:
-        info = fsys.get_file_info(mpath)
-    except Exception:
-        return None
-    if info.type == pafs.FileType.NotFound:
+    if fsys.get_file_info(mpath).type == pafs.FileType.NotFound:
         return None
     return (spark.read.parquet(base.rstrip("/") + "/deletes")
             .groupBy(id_col).agg(F.min("dl").alias("dl")))
@@ -870,6 +870,14 @@ def apply_deletes(spark, path: str, id_col: str = "doc_id") -> int:
         return 0
     tomb = tomb.localCheckpoint()
     n = tomb.count()
+    if n >= spark.read.parquet(base + "/stats").head()["n_docs"]:
+        # an emptied index cannot be rewritten in place (an empty
+        # partitioned postings dir has no inferable schema) — and
+        # "delete everything" is a rebuild, not a maintenance pass
+        raise ValueError(
+            f"apply_deletes would empty the index at {base!r} "
+            f"({n} tombstones >= every stored doc) — drop and "
+            "rebuild it instead")
     jvm = spark._jvm
     HP = jvm.org.apache.hadoop.fs.Path
     fs = HP(base).getFileSystem(spark._jsc.hadoopConfiguration())

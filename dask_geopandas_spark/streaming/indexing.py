@@ -422,11 +422,12 @@ def cms_lookup_stored(df: DataFrame, col: str, sketch_path: str,
                       by: list[str] | None = None) -> DataFrame:
     """Point-query a stored sketch: parameters load from the sidecar
     (no way to probe with mismatched sizing), cells merge at read,
-    then `cms_lookup`."""
+    then `cms_lookup` — ``by`` must match the ingest's grouping and
+    threads through to the per-group lookup."""
     from ..operators.sketches import cms_lookup
 
     cells, width, depth = cms_stored(df.sparkSession, sketch_path, by)
-    return cms_lookup(df, col, cells, width, depth, est_col)
+    return cms_lookup(df, col, cells, width, depth, est_col, by)
 
 
 def streaming_ingest_cms(stream: DataFrame, sketch_path: str,

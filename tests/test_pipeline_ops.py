@@ -3609,3 +3609,27 @@ class TestStoredBloom:
             from dask_geopandas_spark.operators.dedup import \
                 bloom_contains_stored
             bloom_contains_stored(df, "url", str(tmp_path / "nope"))
+
+
+class TestBloomAppendNoRowMultiplication:
+    def test_duplicate_positions_do_not_multiply_probe_rows(
+            self, spark, tmp_path):
+        """write_bloom appends store duplicate positions; the
+        broadcast probe must not multiply matching probe rows
+        (review finding: up to 2^k copies per row)."""
+        from dask_geopandas_spark.operators.dedup import (
+            bloom_contains_stored, write_bloom)
+
+        path = str(tmp_path / "bdup")
+        day = spark.createDataFrame([(f"u{i}",) for i in range(50)],
+                                    "url string")
+        write_bloom(day, path, "url", num_bits=2048, num_hashes=4)
+        # append the SAME keys: every position now stored twice
+        write_bloom(day, path, "url", num_bits=2048, num_hashes=4,
+                    append=True)
+        probe = spark.createDataFrame(
+            [(i, f"u{i}") for i in range(50)],
+            "doc_id long, url string")
+        out = bloom_contains_stored(probe, "url", path)
+        assert out.count() == 50          # not multiplied
+        assert all(r["maybe_seen"] for r in out.collect())

@@ -474,3 +474,46 @@ class TestStreamingCms:
                            cms_sketch(d1.unionAll(d2), "t", 64, 3),
                            64, 3).collect()}
         assert got == want
+
+
+class TestReviewRegressions:
+    """Pins for the r12 review findings."""
+
+    def test_grouped_cms_lookup(self, spark):
+        """A grouped sketch probed WITH its keys yields per-group
+        estimates (the ungrouped probe would min across groups)."""
+        from dask_geopandas_spark.operators.sketches import (cms_lookup,
+                                                             cms_sketch)
+
+        rows = [("A", "x")] * 10 + [("B", "x")] * 5 + [("B", "y")] * 3
+        df = spark.createDataFrame(rows, "g string, v string")
+        sk = cms_sketch(df, "v", width=512, depth=3, by=["g"])
+        got = {(r["g"], r["v"]): r["est_count"] for r in
+               cms_lookup(df.distinct(), "v", sk, 512, 3,
+                          by=["g"]).collect()}
+        assert got == {("A", "x"): 10, ("B", "x"): 5, ("B", "y"): 3}
+
+    def test_grouped_cms_lookup_stored(self, spark, tmp_path):
+        from dask_geopandas_spark.streaming.indexing import (
+            cms_lookup_stored, ingest_cms_batch)
+
+        base = str(tmp_path / "gcms")
+        rows = [("A", "x")] * 8 + [("B", "x")] * 2
+        df = spark.createDataFrame(rows, "g string, v string")
+        ingest_cms_batch(df, base, "v", 256, 3, by=["g"], batch_id=0)
+        got = {(r["g"], r["v"]): r["est_count"] for r in
+               cms_lookup_stored(df.distinct(), "v", base,
+                                 by=["g"]).collect()}
+        assert got == {("A", "x"): 8, ("B", "x"): 2}
+
+    def test_kmv_two_stage_equals_single(self, spark):
+        """The per-partition pre-prune must not change the k smallest
+        (multi-partition input exercises the prune)."""
+        from dask_geopandas_spark.operators.sketches import kmv_sketch
+
+        df = spark.range(5000).repartition(16).selectExpr(
+            "concat('u', id) AS v")
+        got = sorted(r["kmv_h"] for r in
+                     kmv_sketch(df, "v", k=100).collect())
+        want = sorted(_h60(f"u{i}") for i in range(5000))[:100]
+        assert got == want
