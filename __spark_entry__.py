@@ -4743,61 +4743,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     update CHANGED_QUERIES, run make_window.py, reorder this dict to
     its output."""
     return {
-        # ---- r12 WINDOW (driver attests positions 1-50;
+        # ---- r13 WINDOW (driver attests positions 1-50;
         #   order generated by scripts/make_window.py — see
         #   tests/test_rotation.py) ----
-        "lang_id_model": q_lang_id_model,
-        "warc_roundtrip": q_warc_roundtrip,
-        "warc_pipeline": q_warc_pipeline,
-        "warc_fetch": q_warc_fetch,
-        "cdx_fetch": q_cdx_fetch,
-        "warc_enrich": q_warc_enrich,
-        "robots_scope": q_robots_scope,
-        "quality_trainer": q_quality_trainer,
-        "pagerank_hosts": q_pagerank_hosts,
-        "wat_links": q_wat_links,
-        "bm25_stored": q_bm25_stored,
-        "bm25_batch_stored": q_bm25_batch_stored,
-        "stream_ingest_vectors": q_stream_ingest_vectors,
-        "hits_hosts": q_hits_hosts,
-        "bloom_dedup": q_bloom_dedup,
         "bpe_train": q_bpe_train,
         "bpe_tokens": q_bpe_tokens,
-        "cdx_diff": q_cdx_diff,
-        "ann_sq": q_ann_sq,
-        "hll_sources": q_hll_sources,
         "cms_tokens": q_cms_tokens,
         "stream_ingest_cms": q_stream_ingest_cms,
+        "hll_sources": q_hll_sources,
         "stream_ingest_hll": q_stream_ingest_hll,
-        "bm25_deleted": q_bm25_deleted,
-        "ann_ivf_deleted": q_ann_ivf_deleted,
         "kmv_overlap": q_kmv_overlap,
-        "heavy_tokens": q_heavy_tokens,
-        "bloom_stored": q_bloom_stored,
-        "contamination": q_contamination,
-        "crs_roundtrip": q_crs_roundtrip,
-        "decontam_spans": q_decontam_spans,
-        "dissolve_union_area": q_dissolve_union_area,
-        "geoarrow_roundtrip": q_geoarrow_roundtrip,
-        "hash_sample": q_hash_sample,
-        "image_resize": q_image_resize,
-        "index_dedup": q_index_dedup,
-        "interval_clicks": q_interval_clicks,
-        "length_percentiles": q_length_percentiles,
-        "line_overlap": q_line_overlap,
-        "lm_quality": q_lm_quality,
-        "media_manifest": q_media_manifest,
-        "mh_jaccard_est": q_mh_jaccard_est,
-        "overlay_diff": q_overlay_diff,
-        "overlay_inter": q_overlay_inter,
-        "overlay_lines": q_overlay_lines,
-        "pack_docs": q_pack_docs,
-        "pq_codes": q_pq_codes,
-        "quality_classifier_join": q_quality_classifier_join,
-        "running_totals": q_running_totals,
-        "semantic_dedup_keep": q_semantic_dedup_keep,
-        # ---- below the window: (last-green asc, name) — the
-        #   r13 rotation order is the head of this list ----
+        "hits_hosts": q_hits_hosts,
         "setops_concave_area": q_setops_concave_area,
         "shapefile_roundtrip": q_shapefile_roundtrip,
         "shards_roundtrip": q_shards_roundtrip,
@@ -4840,6 +4796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_cross": q_line_cross,
         "overlay_cobucket": q_overlay_cobucket,
         "point_distance": q_point_distance,
+        # ---- below the window: (last-green asc, name) — the
+        #   r14 rotation order is the head of this list ----
         "region_dissolve": q_region_dissolve,
         "rollup_revenue": q_rollup_revenue,
         "semantic_dedup": q_semantic_dedup,
@@ -4949,6 +4907,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top": q_tfidf_top,
         "topk_parts": q_topk_parts,
         "vocab_top": q_vocab_top,
+        "ann_ivf_deleted": q_ann_ivf_deleted,
+        "ann_sq": q_ann_sq,
+        "bloom_dedup": q_bloom_dedup,
+        "bloom_stored": q_bloom_stored,
+        "bm25_batch_stored": q_bm25_batch_stored,
+        "bm25_deleted": q_bm25_deleted,
+        "bm25_stored": q_bm25_stored,
+        "cdx_diff": q_cdx_diff,
+        "cdx_fetch": q_cdx_fetch,
+        "contamination": q_contamination,
+        "crs_roundtrip": q_crs_roundtrip,
+        "decontam_spans": q_decontam_spans,
+        "dissolve_union_area": q_dissolve_union_area,
+        "geoarrow_roundtrip": q_geoarrow_roundtrip,
+        "hash_sample": q_hash_sample,
+        "heavy_tokens": q_heavy_tokens,
+        "image_resize": q_image_resize,
+        "index_dedup": q_index_dedup,
+        "interval_clicks": q_interval_clicks,
+        "lang_id_model": q_lang_id_model,
+        "length_percentiles": q_length_percentiles,
+        "line_overlap": q_line_overlap,
+        "lm_quality": q_lm_quality,
+        "media_manifest": q_media_manifest,
+        "mh_jaccard_est": q_mh_jaccard_est,
+        "overlay_diff": q_overlay_diff,
+        "overlay_inter": q_overlay_inter,
+        "overlay_lines": q_overlay_lines,
+        "pack_docs": q_pack_docs,
+        "pagerank_hosts": q_pagerank_hosts,
+        "pq_codes": q_pq_codes,
+        "quality_classifier_join": q_quality_classifier_join,
+        "quality_trainer": q_quality_trainer,
+        "robots_scope": q_robots_scope,
+        "running_totals": q_running_totals,
+        "semantic_dedup_keep": q_semantic_dedup_keep,
+        "stream_ingest_vectors": q_stream_ingest_vectors,
+        "warc_enrich": q_warc_enrich,
+        "warc_fetch": q_warc_fetch,
+        "warc_pipeline": q_warc_pipeline,
+        "warc_roundtrip": q_warc_roundtrip,
+        "wat_links": q_wat_links,
     }
 
 
@@ -5096,9 +5096,12 @@ def _bpe_ctes(k: int) -> str:
                      FROM px{i} GROUP BY 1, 2, 3
                      ORDER BY c DESC, l, r LIMIT 1),
             w{i} AS MATERIALIZED (SELECT replace(s,
-                                ' ' || (SELECT l FROM b{i}) || '  '
-                                    || (SELECT r FROM b{i}) || ' ',
-                                ' ' || (SELECT m FROM b{i}) || ' ')
+                                ' ' || COALESCE((SELECT l FROM b{i}),
+                                                chr(1)) || '  '
+                                    || COALESCE((SELECT r FROM b{i}),
+                                                chr(1)) || ' ',
+                                ' ' || COALESCE((SELECT m FROM b{i}),
+                                                chr(1)) || ' ')
                                 AS s,
                             cnt FROM w{i - 1})""")
     return ",".join(parts)
@@ -5106,12 +5109,18 @@ def _bpe_ctes(k: int) -> str:
 
 def _bpe_encode_expr(s0: str, k: int) -> str:
     """The k trained merges applied to a symbol string as nested
-    replaces (scalar subqueries against the b{i} CTEs)."""
+    replaces (scalar subqueries against the b{i} CTEs).  Each
+    subquery COALESCEs to chr(1) — a byte no symbol string contains —
+    so an EXHAUSTED step (empty b{i}) is a no-op replace instead of a
+    NULL pattern that would NULL every word (the pattern side must
+    stay never-NULL; a COALESCE around the whole replace would have
+    to repeat the nested expression and double it per level)."""
     expr = s0
     for i in range(1, k + 1):
-        expr = (f"replace({expr}, ' ' || (SELECT l FROM b{i}) || '  ' "
-                f"|| (SELECT r FROM b{i}) || ' ', "
-                f"' ' || (SELECT m FROM b{i}) || ' ')")
+        expr = (f"replace({expr}, "
+                f"' ' || COALESCE((SELECT l FROM b{i}), chr(1)) || '  ' "
+                f"|| COALESCE((SELECT r FROM b{i}), chr(1)) || ' ', "
+                f"' ' || COALESCE((SELECT m FROM b{i}), chr(1)) || ' ')")
     return expr
 
 

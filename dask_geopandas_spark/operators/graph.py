@@ -143,9 +143,12 @@ def hits(edges: DataFrame, src_col: str = "src",
     if nodes.isEmpty():
         return nodes.select("node", F.lit(0.0).alias("authority"),
                             F.lit(0.0).alias("hub"))
-    # only hub needs initialization: iteration 1's authority update
-    # reads hubs alone (the Gauss-Seidel ordering above)
+    # iteration 1's authority update reads hubs alone (the
+    # Gauss-Seidel ordering above); auth still needs a frame so
+    # iters=0 returns the initial (1.0, 1.0) vectors like pagerank
+    # returns its initialized ranks
     hub = nodes.select("node", F.lit(1.0).alias("hub")).localCheckpoint()
+    auth = nodes.select("node", F.lit(1.0).alias("authority"))
 
     def _normalized(raw, col):
         """nodes left-join raw sums, L2-normalize, quantize."""

@@ -100,8 +100,11 @@ def hll_estimate(registers: DataFrame, p: int = 12,
     keys = list(by or [])
     unit = (F.pow(F.lit(2.0), F.lit(scale) - F.col("hll_rho"))
             .cast("long"))
+    # coalesce: a keyless groupBy over an EMPTY register frame yields
+    # one row with a NULL sum; 0 reduces it to the all-zero-register
+    # case, whose small-range branch (v = m > 0) estimates 0
     agg = (registers.groupBy(*keys)
-           .agg(F.sum(unit).alias("_zs"),
+           .agg(F.coalesce(F.sum(unit), F.lit(0)).alias("_zs"),
                 F.count("*").alias("_np")))
     v = F.lit(m) - F.col("_np")
     z = ((F.col("_zs") + v * F.lit(1 << scale)).cast("double")
@@ -214,8 +217,14 @@ def cms_lookup(df: DataFrame, col: str, sketch: DataFrame,
     cond = df[col] == est["_k"]
     for kcol in keys:
         cond = cond & (df[kcol] == est[kcol])
+    # NULL keys never enter the probe frame; coalesce their join-back
+    # miss to 0 per the docstring's "0 for a value the sketch never
+    # saw" (NULLs are skipped at build time, so the sketch never saw
+    # them) — the bloom_contains NULL-probes-False convention
     return (df.join(est, cond, "left")
-            .drop(est["_k"], *[est[kcol] for kcol in keys]))
+            .drop(est["_k"], *[est[kcol] for kcol in keys])
+            .withColumn(est_col, F.coalesce(F.col(est_col),
+                                            F.lit(0).cast("long"))))
 
 
 # ---------------------------------------------------------------------------
@@ -246,11 +255,17 @@ def kmv_sketch(df: DataFrame, col: str, k: int = 256,
     return _k_smallest(hashes, k, keys)
 
 
-def kmv_merge(*sketches: DataFrame, k: int = 256,
+def kmv_merge(*sketches: DataFrame, k: int,
               by: list[str] | None = None) -> DataFrame:
     """Union sketches: distinct hashes, keep the k smallest — the
     merged sketch equals the sketch of the concatenated inputs
-    (lossless in the same sense as HLL's max-merge)."""
+    (lossless in the same sense as HLL's max-merge).
+
+    ``k`` is REQUIRED and must equal the k the inputs were built
+    with: merging k=128 sketches while keeping 256 values produces a
+    sketch whose (k-1)/theta estimator is biased (the parameter is
+    the sketch's identity — same contract as the Bloom/CMS sidecars).
+    """
     keys = list(by or [])
     out = sketches[0]
     for s in sketches[1:]:

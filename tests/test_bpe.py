@@ -164,3 +164,52 @@ class TestBpeEncode:
         assert "EvalPython" not in plan
         assert "Exchange" not in plan
         assert "Join" not in plan
+
+
+class TestOracleExhaustion:
+    """The DuckDB oracle replica must match train_bpe's documented
+    fewer-rows behavior when the vocabulary exhausts before
+    num_merges: an empty b{i} CTE used to make the replace pattern
+    NULL and NULL every later word CTE (r12 advisor finding); the
+    chr(1)-sentinel COALESCE makes exhausted steps a no-op."""
+
+    def test_exhausted_oracle_matches_engine(self, spark):
+        import duckdb
+
+        import __spark_entry__ as entry
+
+        texts = [(1, "ab"), (2, "ab ab")]
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM (VALUES "
+                    + ", ".join(f"({i}, '{t}')" for i, t in texts)
+                    + ") AS t(doc_id, text)")
+        # 'ab' collapses in 2 merges; steps 3..10 are exhausted
+        merge_sql = ("WITH " + entry._bpe_ctes(10) + "\n" + "\n".join(
+            f"{'UNION ALL ' if i > 1 else ''}SELECT {i} AS rnk, "
+            f"l, r, m, c FROM b{i}" for i in range(1, 11)))
+        rows = con.execute(merge_sql).fetchall()
+        assert sorted(rows) == [(1, "a", "b", "ab", 3),
+                                (2, "ab", "</w>", "ab</w>", 3)]
+        # the encode chain through 10 (mostly exhausted) steps must
+        # not NULL out: every word still encodes to its merged form
+        enc_sql = ("WITH " + entry._bpe_ctes(10) + """,
+            es AS (SELECT ' ' || array_to_string(
+                       list_transform(range(1, length(word) + 1),
+                                      i -> substr(word, CAST(i AS INT),
+                                                  1)),
+                       '  ') || '  </w> ' AS s0
+                   FROM (SELECT 'ab' AS word))
+            SELECT str_split(trim(""" +
+                   entry._bpe_encode_expr("s0", 10) + "), '  ') FROM es")
+        assert con.execute(enc_sql).fetchone()[0] == ["ab</w>"]
+        con.close()
+
+        # engine side agrees (fewer rows, same table)
+        from dask_geopandas_spark.operators.bpe import train_bpe
+
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = [(r["rank"], r["left"], r["right"], r["merged"],
+                r["pair_count"]) for r in
+               train_bpe(df, num_merges=10).orderBy("rank").collect()]
+        assert got == [(1, "a", "b", "ab", 3),
+                       (2, "ab", "</w>", "ab</w>", 3)]

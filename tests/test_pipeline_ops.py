@@ -3368,6 +3368,17 @@ class TestGraph:
         empty = spark.createDataFrame([], "src long, dst long")
         assert hits(empty, iters=2).count() == 0
 
+    def test_hits_iters_zero_returns_initial_vectors(self, spark):
+        """iters=0 returns the initialized (1.0, 1.0) vectors — the
+        pagerank convention — instead of UnboundLocalError (r12
+        advisor finding)."""
+        from dask_geopandas_spark.operators.graph import hits
+
+        edges = spark.createDataFrame(self.EDGES, "src long, dst long")
+        got = {r["node"]: (r["authority"], r["hub"]) for r in
+               hits(edges, iters=0).collect()}
+        assert got == {v: (1.0, 1.0) for v in (1, 2, 3, 4)}
+
 
 class TestBloom:
     """Bloom-filter seen-sets (operators/dedup.py): sparse position-set

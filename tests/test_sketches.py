@@ -82,6 +82,17 @@ class TestHll:
         assert set(got) == {"a", "b"}          # all-NULL group absent
         assert abs(got["a"] - 40) <= 5 and abs(got["b"] - 10) <= 2
 
+    def test_global_empty_input_estimates_zero(self, spark):
+        """by=None over an empty / all-NULL input: the keyless
+        groupBy's single row must estimate 0, not NULL (r12 advisor
+        finding — the NULL harmonic sum used to propagate)."""
+        from dask_geopandas_spark.operators.sketches import hll_count
+
+        for rows in ([], [(None,)]):
+            df = spark.createDataFrame(rows, "v string")
+            got = hll_count(df, "v", p=12).collect()
+            assert [r["approx_distinct"] for r in got] == [0]
+
     def test_merge_is_lossless(self, spark):
         from dask_geopandas_spark.operators.sketches import (
             hll_estimate, hll_merge, hll_registers)
@@ -164,6 +175,22 @@ class TestCms:
         got = cms_lookup(probe, "v", sk, width=4096,
                          depth=4).head()["est_count"]
         assert got == 0
+
+    def test_null_key_estimates_zero(self, spark):
+        """NULL keys are skipped at build time, so a NULL probe row
+        gets est 0 — not NULL from the join-back miss (r12 advisor
+        finding; the bloom_contains NULL-probes-False convention)."""
+        from dask_geopandas_spark.operators.sketches import (cms_lookup,
+                                                             cms_sketch)
+
+        df = spark.createDataFrame([("a",), ("a",), ("b",)], "v string")
+        sk = cms_sketch(df, "v", width=1024, depth=4)
+        probe = spark.createDataFrame([(1, "a"), (2, None)],
+                                      "doc_id long, v string")
+        got = {r["doc_id"]: r["est_count"] for r in
+               cms_lookup(probe, "v", sk, width=1024,
+                          depth=4).collect()}
+        assert got == {1: 2, 2: 0}
 
     def test_weighted_and_merge_lossless(self, spark):
         from dask_geopandas_spark.operators.sketches import (cms_merge,
@@ -331,6 +358,18 @@ class TestKmv:
         assert abs(row["union_est"] - 10000) <= 1500
         assert abs(row["jaccard"] - 0.2) <= 0.07
         assert abs(row["intersection_est"] - 2000) <= 700
+
+    def test_merge_requires_k(self, spark):
+        """k is the sketch's identity: kmv_merge with no k must fail
+        loudly instead of silently keeping a different count than the
+        build k and biasing (k-1)/theta (r12 advisor finding)."""
+        from dask_geopandas_spark.operators.sketches import (kmv_merge,
+                                                             kmv_sketch)
+
+        s = kmv_sketch(spark.range(50).selectExpr(
+            "concat('u', id) AS v"), "v", k=16)
+        with pytest.raises(TypeError):
+            kmv_merge(s, s)  # noqa: missing required keyword k
 
     def test_grouped(self, spark):
         from dask_geopandas_spark.operators.sketches import (
