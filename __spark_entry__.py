@@ -3567,6 +3567,29 @@ def q_bpe_tokens(spark, sf_dir):
             .select("doc_id", "n_bpe_tokens"))
 
 
+def q_bpe_tokens_dict(spark, sf_dir):
+    """BPE DICTIONARY encoding (operators/bpe.bpe_encode with
+    compile_threshold=0, new r13 — the real-vocabulary scale path):
+    the distinct-word vocabulary is encoded once via chunked native
+    replace passes (plan depth bounded at chunk_size by
+    localCheckpoint barriers; a 32k-merge table runs as ~250 shallow
+    vocabulary-sized projections), tokens equi-join back to the
+    corpus on word then md5(text).  Training runs driver-side over
+    the collected word-count table (collect_vocab=True — the
+    vocabulary is small by construction; identical trajectory to the
+    distributed loop, pinned by pytest).  Same model and answer as
+    `bpe_tokens`, so the two queries share the oracle VERBATIM —
+    the physical path is the thing under test."""
+    from dask_geopandas_spark.operators.bpe import (bpe_token_count,
+                                                    train_bpe)
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=8, collect_vocab=True)
+    return (bpe_token_count(docs.select("doc_id", "text"), merges,
+                            compile_threshold=0, chunk_size=4)
+            .select("doc_id", "n_bpe_tokens"))
+
+
 def q_quality_trainer(spark, sf_dir):
     """Native quality-classifier TRAINING (textstats.
     train_text_classifier, new r12) — the GPT-3/LLaMA/DCLM
@@ -4754,6 +4777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ingest_hll": q_stream_ingest_hll,
         "kmv_overlap": q_kmv_overlap,
         "hits_hosts": q_hits_hosts,
+        "bpe_tokens_dict": q_bpe_tokens_dict,
         "setops_concave_area": q_setops_concave_area,
         "shapefile_roundtrip": q_shapefile_roundtrip,
         "shards_roundtrip": q_shards_roundtrip,
@@ -4795,9 +4819,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leak_safe_split": q_leak_safe_split,
         "line_cross": q_line_cross,
         "overlay_cobucket": q_overlay_cobucket,
-        "point_distance": q_point_distance,
         # ---- below the window: (last-green asc, name) — the
         #   r14 rotation order is the head of this list ----
+        "point_distance": q_point_distance,
         "region_dissolve": q_region_dissolve,
         "rollup_revenue": q_rollup_revenue,
         "semantic_dedup": q_semantic_dedup,
@@ -6849,6 +6873,11 @@ def oracle_sql() -> dict[str, str]:
     # their same-session twins' oracles verbatim
     d["spatial_bucketed_append"] = d["spatial_bucketed"]
     d["overlay_cobucket_stored"] = d["overlay_cobucket"]
+    # same model, same answer, different physical path: the BPE
+    # dictionary encode (chunked vocabulary passes + join-back) and
+    # the driver-side collect_vocab trainer share the compiled-path
+    # oracle verbatim
+    d["bpe_tokens_dict"] = d["bpe_tokens"]
     return d
 
 

@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "bloom_dedup",
     "bpe_train",
     "bpe_tokens",
+    "bpe_tokens_dict",
     "cdx_diff",
     "ann_sq",
     "hll_sources",

@@ -213,3 +213,104 @@ class TestOracleExhaustion:
                train_bpe(df, num_merges=10).orderBy("rank").collect()]
         assert got == [(1, "a", "b", "ab", 3),
                        (2, "ab", "</w>", "ab</w>", 3)]
+
+
+class TestCollectVocabTrainer:
+    def test_matches_distributed_trajectory(self, spark):
+        """collect_vocab=True runs the merge loop driver-side over the
+        word-count table (the honest 100-TB shape — the vocabulary is
+        small by construction) and must produce the identical merge
+        table, including exhaustion."""
+        from dask_geopandas_spark.operators.bpe import train_bpe
+
+        df = spark.createDataFrame([(t,) for t in CORPUS],
+                                   "text string")
+        key = ["rank", "left", "right", "merged", "pair_count"]
+        for k, texts in ((10, CORPUS), (10, ["ab", "ab ab"])):
+            d = spark.createDataFrame([(t,) for t in texts],
+                                      "text string")
+            dist = [tuple(r[c] for c in key) for r in
+                    train_bpe(d, num_merges=k).orderBy("rank").collect()]
+            drv = [tuple(r[c] for c in key) for r in
+                   train_bpe(d, num_merges=k, collect_vocab=True)
+                   .orderBy("rank").collect()]
+            assert drv == dist and drv == [
+                tuple(m) for m in _brute_train(texts, k)]
+        assert train_bpe(df, num_merges=0,
+                         collect_vocab=True).count() == 0
+
+
+class TestDictionaryEncode:
+    """The large-merge-table encode path: vocabulary encoded in
+    chunked replace passes (plan depth bounded at chunk_size), tokens
+    joined back to the corpus — must equal the compiled path exactly
+    and survive a real-vocabulary-scale merge table (the r12 verdict's
+    `weak` item)."""
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(CORPUS)],
+            "doc_id long, text string")
+
+    def test_matches_compiled_path_exactly(self, spark):
+        from dask_geopandas_spark.operators.bpe import (bpe_encode,
+                                                        train_bpe)
+
+        df = self._df(spark)
+        merges = train_bpe(df, num_merges=6)
+        want = {r["doc_id"]: r["bpe_tokens"] for r in
+                bpe_encode(df, merges).collect()}
+        got = {r["doc_id"]: r["bpe_tokens"] for r in
+               bpe_encode(df, merges, compile_threshold=0,
+                          chunk_size=2).collect()}
+        assert got == want
+        # broadcast_vocab changes the join strategy, not the answer
+        got_b = {r["doc_id"]: r["bpe_tokens"] for r in
+                 bpe_encode(df, merges, compile_threshold=0,
+                            broadcast_vocab=True).collect()}
+        assert got_b == want
+
+    @staticmethod
+    def _big_table(spark, real, n_filler):
+        """real merges first, then fillers over symbols that can never
+        occur — a 2k+ table exercising chain depth, not semantics."""
+        rows = [tuple(m) for m in real]
+        base = len(rows)
+        rows += [(base + j + 1, f"zq{j}", f"zq{j}", f"zq{j}zq{j}", 1)
+                 for j in range(n_filler)]
+        return spark.createDataFrame(
+            rows, "rank int, left string, right string, "
+                  "merged string, pair_count long")
+
+    def test_two_thousand_merges_encode(self, spark):
+        """>=2k merges encode green (the r12 done-criterion): the old
+        single-expression chain died on the 64 KB codegen /
+        plan-stringification ceilings long before this depth."""
+        from dask_geopandas_spark.operators.bpe import bpe_encode
+
+        df = self._df(spark)
+        real = _brute_train(CORPUS, 6)
+        big = self._big_table(spark, real, 2042)  # 2048 total
+        got = {r["doc_id"]: r["bpe_tokens"] for r in
+               bpe_encode(df, big, compile_threshold=512,
+                          chunk_size=128).collect()}
+        for i, t in enumerate(CORPUS):
+            assert got[i] == _brute_encode(t or "", real), t
+
+    def test_plan_size_independent_of_merge_count(self, spark):
+        """The dictionary path's final plan must not grow with the
+        merge table — the chain lives behind localCheckpoint barriers,
+        so a 4x bigger table yields the same join-back plan."""
+        from dask_geopandas_spark.operators.bpe import bpe_encode
+
+        df = self._df(spark)
+        real = _brute_train(CORPUS, 6)
+
+        def plan_len(n_filler):
+            out = bpe_encode(df, self._big_table(spark, real, n_filler),
+                             compile_threshold=0, chunk_size=64)
+            return len(out._sc._jvm.PythonSQLUtils.explainString(
+                out._jdf.queryExecution(), "formatted"))
+
+        small, large = plan_len(128), plan_len(512)
+        assert large < 1.2 * small
