@@ -3480,6 +3480,79 @@ def q_hll_sources(spark, sf_dir):
     return hll_count(docs, "text", p=12, by=["source"])
 
 
+def q_quantile_sketch(spark, sf_dir):
+    """q-digest quantile sketch (operators/sketches.qd_sketch /
+    qd_quantiles, new r13) — the mergeable rank-error-bounded
+    percentile the data-card pass needs at 100 TB, where exact
+    percentile() buffers a group's values in one task.  Chosen over
+    KLL/GK because the digest is a PURE FUNCTION of the value
+    histogram (no RNG to derandomize, no arrival order): bottom-up
+    level-synchronous compression over the heap-numbered binary tree
+    of value ranges, all-integer arithmetic, so the construction
+    replays bit-exactly in SQL.  Per-source p50/p90/p99 of token
+    counts at k=32, bits=9 (threshold floor(n/32) compresses the
+    tail pairs at sf0.01's per-source counts).  Oracle: histogram +
+    all 9 compression levels unrolled as materialized CTEs + the
+    cumulative-rank selection."""
+    from dask_geopandas_spark.operators.sketches import (qd_quantiles,
+                                                         qd_sketch)
+    from dask_geopandas_spark.operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    vals = (docs.filter(F.col("text").isNotNull())
+            .select("source", token_count(F.col("text")).alias("nt")))
+    sk = qd_sketch(vals, "nt", k=32, bits=9, by=["source"])
+    return (qd_quantiles(sk, [0.5, 0.9, 0.99], bits=9, by=["source"])
+            .select("source", "q", "quantile"))
+
+
+def q_stream_ingest_qd(spark, sf_dir):
+    """STREAMING quantile store (streaming/indexing.py, new r13):
+    two availableNow micro-batches, each appending its exact LEAF
+    HISTOGRAM (compression deferred to read time, so read-time sum +
+    one compress equals the single-shot sketch EXACTLY and batch
+    boundaries are invisible).  Leaf merge is a SUM, so like the CMS
+    counter this runs the full exactly-once contract (commit marker
+    inside the _append_in_progress window, torn-append refusal);
+    bits pins in a _qd.json sidecar.  Shares q_quantile_sketch's
+    oracle VERBATIM."""
+    import os
+    import shutil
+
+    from dask_geopandas_spark.operators.textstats import token_count
+    from dask_geopandas_spark.streaming.indexing import (
+        qd_quantiles_stored, streaming_ingest_qd)
+
+    base = "/root/repo/.bench_tmp/stream_qd"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                                 "text")
+    half = docs.count() // 2
+    docs.filter(F.col("doc_id") < half).coalesce(1) \
+        .write.parquet(base + "/src/f0")
+    docs.filter(F.col("doc_id") >= half).coalesce(1) \
+        .write.parquet(base + "/src/f1")
+    now = 1_700_000_000
+    for i, d in enumerate(("f0", "f1")):
+        for fn in os.listdir(f"{base}/src/{d}"):
+            os.utime(f"{base}/src/{d}/{fn}", (now + i, now + i))
+    stream = (spark.readStream
+              .schema("doc_id long, source string, text string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(base + "/src/f*"))
+    vals = (stream.filter(F.col("text").isNotNull())
+            .select("source", token_count(F.col("text")).alias("nt")))
+    q = (streaming_ingest_qd(vals, base + "/sk", "nt", bits=9,
+                             by=["source"])
+         .option("checkpointLocation", base + "/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (qd_quantiles_stored(spark, base + "/sk",
+                                [0.5, 0.9, 0.99], k=32,
+                                by=["source"])
+            .select("source", "q", "quantile"))
+
+
 def q_ann_sq(spark, sf_dir):
     """Scalar quantization ANN (similarity.train_sq/sq_encode/
     sq_topk, new r12) — the compression tier below PQ (FAISS SQ8):
@@ -4778,6 +4851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": q_kmv_overlap,
         "hits_hosts": q_hits_hosts,
         "bpe_tokens_dict": q_bpe_tokens_dict,
+        "quantile_sketch": q_quantile_sketch,
+        "stream_ingest_qd": q_stream_ingest_qd,
         "setops_concave_area": q_setops_concave_area,
         "shapefile_roundtrip": q_shapefile_roundtrip,
         "shards_roundtrip": q_shards_roundtrip,
@@ -4817,10 +4892,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_left": q_interval_left,
         "kml_roundtrip": q_kml_roundtrip,
         "leak_safe_split": q_leak_safe_split,
-        "line_cross": q_line_cross,
-        "overlay_cobucket": q_overlay_cobucket,
         # ---- below the window: (last-green asc, name) — the
         #   r14 rotation order is the head of this list ----
+        "line_cross": q_line_cross,
+        "overlay_cobucket": q_overlay_cobucket,
         "point_distance": q_point_distance,
         "region_dissolve": q_region_dissolve,
         "rollup_revenue": q_rollup_revenue,
@@ -5129,6 +5204,74 @@ def _bpe_ctes(k: int) -> str:
                                 AS s,
                             cnt FROM w{i - 1})""")
     return ",".join(parts)
+
+
+def _qd_oracle(k: int, bits: int, qs: list[float]) -> str:
+    """q-digest construction + query replayed in SQL (operators/
+    sketches.py): per-source token-count histogram as heap-numbered
+    leaves, all ``bits`` bottom-up compression levels unrolled as
+    MATERIALIZED CTEs (children sharing a parent merge into it when
+    their sum <= floor(n/k) — the build path never meets a
+    pre-existing parent), then the cumulative-rank quantile
+    selection.  All-integer arithmetic; the only double is the
+    ceil(q*n) rank, identical IEEE in both engines."""
+    lim = 1 << bits
+    parts = [f"""
+            vals AS MATERIALIZED (SELECT source,
+                       len(list_filter({_TOKENS}, x -> x != '')) AS v
+                   FROM documents WHERE text IS NOT NULL),
+            f{bits} AS MATERIALIZED (SELECT source, {lim} + v AS id,
+                       CAST(count(*) AS BIGINT) AS cnt
+                   FROM vals GROUP BY 1, 2),
+            tot AS MATERIALIZED (SELECT source,
+                       CAST(sum(cnt) AS BIGINT) // {k} AS t
+                   FROM f{bits} GROUP BY 1)"""]
+    for lv in range(bits, 0, -1):
+        lo, hi = 1 << lv, 1 << (lv + 1)
+        parts.append(f"""
+            c{lv} AS (SELECT source, id, cnt FROM f{lv}
+                     WHERE id >= {lo} AND id < {hi}),
+            r{lv} AS (SELECT source, id, cnt FROM f{lv}
+                     WHERE id < {lo} OR id >= {hi}),
+            g{lv} AS MATERIALIZED (SELECT source, id // 2 AS p,
+                       CAST(sum(cnt) AS BIGINT) AS s
+                   FROM c{lv} GROUP BY 1, 2),
+            f{lv - 1} AS MATERIALIZED (
+                SELECT * FROM r{lv}
+                UNION ALL
+                SELECT g.source, g.p AS id, g.s AS cnt
+                FROM g{lv} g JOIN tot USING (source)
+                WHERE g.s <= tot.t
+                UNION ALL
+                SELECT c.source, c.id, c.cnt
+                FROM c{lv} c
+                JOIN g{lv} g ON c.source = g.source
+                    AND c.id // 2 = g.p
+                JOIN tot ON tot.source = c.source
+                WHERE g.s > tot.t)""")
+    qlist = ", ".join(str(q) for q in qs)
+    parts.append(f"""
+            qn AS (SELECT source,
+                          (id - CAST(power(2, length(bin(id)) - 1)
+                                     AS BIGINT) + 1)
+                          * CAST(power(2, {bits}
+                                  - (length(bin(id)) - 1))
+                                 AS BIGINT) - 1 AS ub,
+                          length(bin(id)) - 1 AS lvl, cnt
+                   FROM f0),
+            qq AS (SELECT source, ub,
+                          sum(cnt) OVER (PARTITION BY source
+                              ORDER BY ub, lvl DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum,
+                          sum(cnt) OVER (PARTITION BY source) AS nn
+                   FROM qn)""")
+    return "WITH " + ",".join(parts) + f"""
+            SELECT source, q, CAST(min(ub) AS BIGINT) AS quantile
+            FROM qq CROSS JOIN (SELECT unnest([{qlist}]) AS q) qsl
+            WHERE cum >= greatest(1, CAST(ceiling(q * nn) AS BIGINT))
+            GROUP BY 1, 2
+        """
 
 
 def _bpe_encode_expr(s0: str, k: int) -> str:
@@ -6878,6 +7021,9 @@ def oracle_sql() -> dict[str, str]:
     # the driver-side collect_vocab trainer share the compiled-path
     # oracle verbatim
     d["bpe_tokens_dict"] = d["bpe_tokens"]
+    # leaf merge is a lossless sum and compression runs at read time,
+    # so the streamed quantile store equals the single-shot digest
+    d["stream_ingest_qd"] = d["quantile_sketch"]
     return d
 
 
@@ -7858,6 +8004,8 @@ def _oracle_sql_base() -> dict[str, str]:
         # bloom_stored: same oracle VERBATIM — the stored
         # roundtrip (positions parquet + sidecar) is invisible
         "bloom_stored": _BLOOM_DEDUP_ORACLE,
+        # quantile_sketch: q-digest build + query fully unrolled
+        "quantile_sketch": _qd_oracle(32, 9, [0.5, 0.9, 0.99]),
         # quality_trainer: one closed-form gradient step from the
         # zero model (p = 0.5 -> r = 0.5 - y), 12-decimal weight
         # quantization, then classifier_score's pos-ordered

@@ -151,6 +151,8 @@ BENCH_QUERIES = [
     "heavy_tokens",
     "bloom_stored",
     "stream_ingest_cms",
+    "quantile_sketch",
+    "stream_ingest_qd",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE

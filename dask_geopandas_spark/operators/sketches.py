@@ -391,3 +391,221 @@ def heavy_hitters(df: DataFrame, col: str, min_count: int,
     return (cand.groupBy(col)
             .agg(F.sum(wgt).alias(count_col))
             .filter(F.col(count_col) >= int(min_count)))
+
+
+# ---------------------------------------------------------------------------
+# q-digest quantile sketch (Shrivastava et al. 2004): rank-error-bounded
+# per-group quantiles over a bounded integer universe [0, 2^bits) —
+# the mergeable percentile the data-card pass needs at 100 TB, where
+# exact percentile() would buffer a group's values in one task.
+#
+# Why q-digest and not KLL/GK: the digest is a PURE FUNCTION of the
+# value histogram — no randomness to derandomize, no arrival order —
+# so the whole construction (bottom-up level-synchronous compression
+# over the binary tree of value ranges) replays bit-exactly in any
+# SQL engine, the same property that makes the HLL/CMS/KMV sketches
+# oracle-checkable.  Rank error after compression is <= bits/k of the
+# group's count (size <= ~3k nodes); merge = per-node count sum +
+# recompress.  All arithmetic is integer.
+#
+# Node ids are heap numbers over the universe tree: root 1, the leaf
+# for value v is 2^bits + v, parent(i) = i >> 1; a node at level l
+# (= bit_length(id) - 1) covers 2^(bits-l) consecutive values.
+# ---------------------------------------------------------------------------
+
+
+def _qd_level(idc: Column) -> Column:
+    """Tree level of a heap node id: bit_length - 1, computed as the
+    binary-string length — exact integer arithmetic, and bin() emits
+    no leading zeros in Spark or DuckDB (verified both), so the same
+    expression replays in the oracle."""
+    return (F.length(F.bin(idc)) - 1).cast("int")
+
+
+def _qd_attach_n(nodes: DataFrame, keys: list) -> DataFrame:
+    """Attach the group total ``_n`` (sum of counts — conserved by
+    compression, so computable from any node frame).  Grouped: one
+    window over the histogram-sized frame (NULL group keys partition
+    natively).  Global: a 1-row broadcast cross join."""
+    if keys:
+        return nodes.withColumn(
+            "_n", F.sum("qd_count").over(Window.partitionBy(*keys)))
+    tot = nodes.agg(F.sum("qd_count").alias("_n"))
+    return nodes.crossJoin(F.broadcast(tot))
+
+
+def _qd_compress(nodes: DataFrame, k: int, bits: int, keys: list,
+                 fresh: bool, checkpoint_every: int = 1) -> DataFrame:
+    """Bottom-up level-synchronous q-digest compression: for each
+    level L from the leaves up, children sharing a parent merge into
+    it when their combined count (plus the parent's own, when one
+    exists) is <= floor(n / k).  ``fresh=True`` skips the parent
+    lookup — a frame that is all leaves (a new histogram, or summed
+    stored leaf frames) can never meet a pre-existing parent, which
+    keeps the build path join-free.  Each pass is a histogram-sized
+    aggregation and references the running frame several times, so
+    the frame MUST ``localCheckpoint`` every pass: un-materialized,
+    each reference duplicates the subtree and the plan grows ~9x per
+    level (reproduced as an analyzer OutOfMemoryError at 8 levels —
+    the pagerank superstep lesson, sharpened)."""
+    cur = _qd_attach_n(nodes, keys)
+    t = F.expr(f"_n div {int(k)}")
+    cols = [*keys, "qd_id", "qd_count", "_n"]
+    for i, lvl in enumerate(range(int(bits), 0, -1)):
+        lo = 1 << lvl
+        is_child = (F.col("qd_id") >= lo) & (F.col("qd_id") < 2 * lo)
+        ch = (cur.filter(is_child)
+              .select(*keys, "_n",
+                      F.shiftright(F.col("qd_id"), 1).alias("_p"),
+                      F.struct("qd_id", "qd_count").alias("_c")))
+        g = (ch.groupBy(*keys, "_p")
+             .agg(F.min("_n").alias("_n"),
+                  F.sum("_c.qd_count").alias("_s"),
+                  F.collect_list("_c").alias("_ch")))
+        if fresh:
+            rest = cur.filter(~is_child).select(*cols)
+            merged = (g.filter(F.col("_s") <= t)
+                      .select(*keys, F.col("_p").alias("qd_id"),
+                              F.col("_s").alias("qd_count"), "_n"))
+            kept = (g.filter(F.col("_s") > t)
+                    .select(*keys, "_n", F.explode("_ch").alias("_c"))
+                    .select(*keys, F.col("_c.qd_id").alias("qd_id"),
+                            F.col("_c.qd_count").alias("qd_count"),
+                            "_n"))
+            cur = rest.unionByName(merged).unionByName(kept)
+        else:
+            is_par = ((F.col("qd_id") >= lo >> 1)
+                      & (F.col("qd_id") < lo))
+            rest = cur.filter(~is_child & ~is_par).select(*cols)
+            par = cur.filter(is_par).select(
+                *keys, F.col("qd_id").alias("_p"),
+                F.col("qd_count").alias("_cp"),
+                F.col("_n").alias("_pn"))
+            j = g.join(par, [*keys, "_p"], "full_outer")
+            nn = F.coalesce(F.col("_n"), F.col("_pn"))
+            tot = (F.coalesce(F.col("_s"), F.lit(0))
+                   + F.coalesce(F.col("_cp"), F.lit(0)))
+            tj = F.expr(f"coalesce(_n, _pn) div {int(k)}")
+            merged = (j.filter(tot <= tj)
+                      .select(*keys, F.col("_p").alias("qd_id"),
+                              tot.alias("qd_count"), nn.alias("_n")))
+            keptc = (j.filter((tot > tj) & F.col("_s").isNotNull())
+                     .select(*keys, nn.alias("_n"),
+                             F.explode("_ch").alias("_c"))
+                     .select(*keys, F.col("_c.qd_id").alias("qd_id"),
+                             F.col("_c.qd_count").alias("qd_count"),
+                             "_n"))
+            keptp = (j.filter((tot > tj)
+                              & (F.coalesce(F.col("_cp"), F.lit(0))
+                                 > 0))
+                     .select(*keys, F.col("_p").alias("qd_id"),
+                             F.col("_cp").alias("qd_count"),
+                             nn.alias("_n")))
+            cur = (rest.unionByName(merged).unionByName(keptc)
+                   .unionByName(keptp))
+        if (i + 1) % int(checkpoint_every) == 0:
+            cur = cur.localCheckpoint()
+    return cur.select(*keys, "qd_id",
+                      F.col("qd_count").cast("long").alias("qd_count")
+                      ).localCheckpoint()
+
+
+def qd_sketch(df: DataFrame, col: str, k: int = 512, bits: int = 20,
+              weight_col: str | None = None,
+              by: list[str] | None = None) -> DataFrame:
+    """Build a q-digest over an integer column: rows (``by``...,
+    ``qd_id``, ``qd_count``), at most ~3k nodes per group.  Values
+    must lie in [0, 2^bits) — out-of-universe values raise (scale the
+    column first; clamping would silently corrupt tails).  NULLs are
+    skipped; ``weight_col`` counts each row with an integer weight.
+
+    Distributed shape: ONE corpus pass (the map-side-combined value
+    histogram — the only corpus-sized work), then ``bits``
+    histogram-sized compression passes.  When floor(n/k) = 0 the
+    digest IS the exact histogram and quantiles are exact."""
+    if int(k) < 1:
+        raise ValueError("k must be >= 1")
+    keys = list(by or [])
+    hist = _qd_leaves(df, col, bits, weight_col, keys)
+    return _qd_compress(hist, k, bits, keys, fresh=True)
+
+
+def _qd_leaves(df: DataFrame, col: str, bits: int,
+               weight_col: str | None, keys: list) -> DataFrame:
+    """The exact leaf histogram as q-digest leaf nodes — one
+    map-side-combined aggregation, the only corpus-sized work of a
+    digest build and the LOSSLESS persistable form the streaming
+    ingester appends (sum-mergeable; compress at read)."""
+    if int(bits) < 1 or int(bits) > 40:
+        raise ValueError("bits must be in [1, 40]")
+    v = F.col(col).cast("long")
+    lim = 1 << int(bits)
+    wgt = (F.col(weight_col).cast("long") if weight_col
+           else F.lit(1).cast("long"))
+    # the assert rides INSIDE the id expression so column pruning
+    # cannot drop it: on valid input it contributes coalesce(NULL, 0)
+    guard = F.coalesce(
+        F.assert_true((v >= 0) & (v < F.lit(lim)),
+                      f"qd_sketch: {col} outside [0, 2^{bits})")
+        .cast("long"), F.lit(0))
+    return (df.filter(v.isNotNull())
+            .select(*keys, (v + F.lit(lim) + guard).alias("qd_id"),
+                    wgt.alias("_w"))
+            .groupBy(*keys, "qd_id")
+            .agg(F.sum("_w").alias("qd_count")))
+
+
+def qd_merge(*sketches: DataFrame, k: int, bits: int,
+             by: list[str] | None = None) -> DataFrame:
+    """Merge digests: per-node count sum, then recompress.  ``k`` and
+    ``bits`` are REQUIRED and must equal the build parameters (the
+    `kmv_merge` lesson — they are the sketch's identity).  Counts are
+    conserved, so totals and therefore thresholds are those of the
+    combined data; rank error stays <= bits/k of the combined count.
+    NULL ``by`` group keys are unsupported here (the recompression
+    parent join is NULL-strict; the build path has no such limit)."""
+    keys = list(by or [])
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionAll(s)
+    summed = (out.groupBy(*keys, "qd_id")
+              .agg(F.sum("qd_count").alias("qd_count")))
+    return _qd_compress(summed, k, bits, keys, fresh=False)
+
+
+def qd_quantiles(sketch: DataFrame, qs: list[float], bits: int,
+                 by: list[str] | None = None, q_col: str = "q",
+                 value_col: str = "quantile") -> DataFrame:
+    """Query a digest for quantiles: one row per (group, q) with the
+    classic q-digest rank selection — nodes sorted by (upper bound
+    asc, deeper first), cumulative counts, the answer is the smallest
+    upper bound whose cumulative count reaches ceil(q*n) (floored at
+    rank 1).  On an uncompressed digest this is the exact quantile.
+    The rank arithmetic (IEEE double q*n then ceil) is identical in
+    Spark and DuckDB, so results replicate bit-for-bit."""
+    keys = list(by or [])
+    lvl = _qd_level(F.col("qd_id"))
+    span = F.pow(F.lit(2.0), F.lit(int(bits)) - lvl).cast("long")
+    ub = ((F.col("qd_id")
+           - F.pow(F.lit(2.0), lvl.cast("double")).cast("long")
+           + 1) * span - 1)
+    base = sketch.select(*keys, ub.alias("_ub"), lvl.alias("_lvl"),
+                         "qd_count")
+    w = (Window.partitionBy(*keys)
+         .orderBy(F.col("_ub").asc(), F.col("_lvl").desc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wn = Window.partitionBy(*keys)
+    c = base.select(*keys, "_ub",
+                    F.sum("qd_count").over(w).alias("_cum"),
+                    F.sum("qd_count").over(wn).alias("_nn"))
+    spark = sketch.sparkSession
+    qf = spark.createDataFrame([(float(q),) for q in qs],
+                               f"{q_col} double")
+    return (c.crossJoin(F.broadcast(qf))
+            .withColumn("_rank",
+                        F.greatest(F.lit(1).cast("long"),
+                                   F.ceil(F.col(q_col)
+                                          * F.col("_nn"))))
+            .filter(F.col("_cum") >= F.col("_rank"))
+            .groupBy(*keys, q_col)
+            .agg(F.min("_ub").cast("long").alias(value_col)))

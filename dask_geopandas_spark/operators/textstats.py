@@ -944,25 +944,32 @@ def bm25_topk_stored(spark, path: str, query_terms: list, k: int = 10,
 
 
 def corpus_stats(df, text_col: str = "text", group_col=None,
-                 short_tokens: int = 20, long_tokens: int = 1000):
+                 short_tokens: int = 20, long_tokens: int = 1000,
+                 percentiles: list[float] | None = None,
+                 percentile_k: int = 2048, percentile_bits: int = 20):
     """One-pass data-card statistics — the summary table every corpus
     release publishes (docs, bytes, tokens, exact-dup rate, length
     mix), per ``group_col`` (source, lang, shard, ...) or corpus-wide.
 
     Every statistic is a SINGLE hash-aggregation over one scan — no
     sort, no window, no exact percentile (which would buffer a
-    group's values in memory; at 100 TB length DISTRIBUTION comes
-    from the short/long fractions and the histogram the caller can
-    build by grouping on ``floor(log2(tokens))`` instead).  The
-    distinct-text count is exact (``count_distinct`` over the md5 —
-    one expand, the price of an exact dup rate; swap in
+    group's values in memory).  Length PERCENTILES come from the
+    mergeable q-digest instead: ``percentiles=[0.5, 0.9, 0.99]`` adds
+    ``p50_tokens``/``p90_tokens``/``p99_tokens`` columns computed by
+    `sketches.qd_sketch` over the token counts — one extra histogram
+    pass, rank error <= percentile_bits/percentile_k of a group's
+    docs, and the digest machinery is the same that scales to 100 TB
+    (the default path stays byte-identical when ``percentiles`` is
+    None).  The distinct-text count is exact (``count_distinct`` over
+    the md5 — one expand, the price of an exact dup rate; swap in
     ``approx_count_distinct`` for a one-pass sketch when 2% error is
     acceptable — not used here because the driver oracle demands
     exactness).
 
     Returns one row per group: n_docs, n_null_text, n_chars,
     n_tokens, distinct_texts, dup_frac (round 6), avg_tokens
-    (round 4), max_tokens, short_frac / long_frac (round 6)."""
+    (round 4), max_tokens, short_frac / long_frac (round 6)
+    [+ p{N}_tokens per requested percentile]."""
     toks = F.when(F.col(text_col).isNotNull(),
                   token_count(F.col(text_col)))
     nonnull = F.count(F.col(text_col))
@@ -989,9 +996,27 @@ def corpus_stats(df, text_col: str = "text", group_col=None,
             F.avg((toks > int(long_tokens)).cast("double")),
             F.lit(0.0)), 6).alias("long_frac"),
     ]
-    if group_col is None:
-        return df.agg(*aggs)
-    return df.groupBy(group_col).agg(*aggs)
+    stats = (df.agg(*aggs) if group_col is None
+             else df.groupBy(group_col).agg(*aggs))
+    if not percentiles:
+        return stats
+    from .sketches import qd_quantiles, qd_sketch
+
+    keys = [group_col] if group_col is not None else []
+    vals = (df.filter(F.col(text_col).isNotNull())
+            .select(*keys, token_count(F.col(text_col)).alias("_nt")))
+    sk = qd_sketch(vals, "_nt", k=percentile_k, bits=percentile_bits,
+                   by=keys or None)
+    qd = qd_quantiles(sk, list(percentiles), bits=percentile_bits,
+                      by=keys or None)
+    piv = qd.groupBy(*keys).agg(*[
+        F.max(F.when(F.col("q") == F.lit(float(q)),
+                     F.col("quantile")))
+        .alias(f"p{str(float(q) * 100).rstrip('0').rstrip('.').replace('.', '_')}_tokens")
+        for q in percentiles])
+    if keys:
+        return stats.join(piv, keys, "left")
+    return stats.crossJoin(F.broadcast(piv))
 
 
 def _dsir_grams(df, text_col: str, id_col=None):

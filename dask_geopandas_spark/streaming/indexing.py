@@ -446,3 +446,146 @@ def streaming_ingest_cms(stream: DataFrame, sketch_path: str,
                          weight_col, by, batch_id)
 
     return stream.writeStream.foreachBatch(_fb)
+
+
+def _qd_params(base: str) -> int:
+    import json
+
+    from pyarrow import fs as pafs
+
+    from ..sources.fs import resolve_fs
+
+    fsys, p = resolve_fs(base.rstrip("/") + "/_qd.json")
+    info = fsys.get_file_info(p)
+    if info.type == pafs.FileType.NotFound:
+        raise ValueError(f"no _qd.json sidecar at {base!r} — not a "
+                         "stored q-digest leaf store")
+    with fsys.open_input_stream(p) as f:
+        meta = json.loads(f.read().decode())
+    return int(meta["bits"])
+
+
+def _check_qd_consistent(spark, base: str) -> None:
+    fs, _ = _hadoop_fs(spark, base)
+    HP = spark._jvm.org.apache.hadoop.fs.Path
+    if fs.exists(HP(base + "/_append_in_progress")):
+        raise RuntimeError(
+            f"stored q-digest at {base!r} was left inconsistent by a "
+            "failed append (_append_in_progress marker present): a "
+            "replayed batch would double-count — rebuild the store "
+            "(it is derived data)")
+
+
+def ingest_qd_batch(batch_df: DataFrame, sketch_path: str, col: str,
+                    bits: int = 20,
+                    weight_col: str | None = None,
+                    by: list[str] | None = None,
+                    batch_id: int | None = None) -> bool:
+    """One ingestion step of the INCREMENTAL quantile store: append
+    the batch's LEAF HISTOGRAM (exact per-value counts as q-digest
+    leaf nodes — compression deliberately deferred to read time, so
+    the read-time sum + one compress equals a single-shot
+    `sketches.qd_sketch` over all batches EXACTLY and batch
+    boundaries are invisible to the oracle).  ``bits`` pins in a
+    ``_qd.json`` sidecar — the universe is the store's identity;
+    ``k`` is a read-time choice.  The per-batch frame is bounded by
+    the batch's distinct values (and the store by 2^bits rows per
+    group), the right size for the integer METRICS this is for
+    (lengths, token counts, scores) — not for raw high-cardinality
+    payloads.
+
+    Leaf merge is SUM, so like the CMS ingester this needs the full
+    exactly-once contract: ``_append_in_progress`` wraps the write,
+    the commit marker is created before the flag clears, replay
+    heals a lingering flag, and a torn append leaves the flag so
+    every stored reader refuses."""
+    import json
+
+    spark = batch_df.sparkSession
+    base = sketch_path.rstrip("/")
+    fs, _ = _hadoop_fs(spark, base)
+    HP = spark._jvm.org.apache.hadoop.fs.Path
+    marker = None
+    if batch_id is not None:
+        marker = f"{base}/_batches/batch-{int(batch_id)}"
+        if fs.exists(HP(marker)):
+            fs.delete(HP(base + "/_append_in_progress"), False)
+            return False
+    _check_qd_consistent(spark, base)
+    if fs.exists(HP(base + "/_qd.json")):
+        sb = _qd_params(base)
+        if sb != int(bits):
+            raise ValueError(
+                f"stored q-digest at {base!r} has bits={sb}; ingest "
+                f"requested {bits} — the universe is the store's "
+                "identity")
+    else:
+        from ..sources.fs import resolve_fs
+
+        fs.mkdirs(HP(base))
+        fsys, p = resolve_fs(base + "/_qd.json")
+        with fsys.open_output_stream(p) as out:
+            out.write(json.dumps({"bits": int(bits)}).encode())
+    from ..operators.sketches import _qd_leaves
+
+    leaves = _qd_leaves(batch_df, col, bits, weight_col,
+                        list(by or []))
+    if marker is not None:
+        fs.mkdirs(HP(base + "/_batches"))
+    fs.create(HP(base + "/_append_in_progress"), True).close()
+    leaves.write.mode("append").parquet(base + "/leaves")
+    if marker is not None:
+        fs.create(HP(marker), True).close()
+    fs.delete(HP(base + "/_append_in_progress"), False)
+    return True
+
+
+def qd_stored(spark, sketch_path: str, k: int = 512,
+              by: list[str] | None = None):
+    """(compressed digest, bits) of a stored leaf store: per-node sum
+    (the lossless leaf merge) + ONE fresh compression at the caller's
+    ``k`` — identical to a single-shot `qd_sketch` over all ingested
+    batches.  A torn append refuses (see `ingest_qd_batch`)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import _qd_compress
+
+    base = sketch_path.rstrip("/")
+    _check_qd_consistent(spark, base)
+    bits = _qd_params(base)
+    keys = list(by or [])
+    leaves = (spark.read.parquet(base + "/leaves")
+              .groupBy(*keys, "qd_id")
+              .agg(F.sum("qd_count").alias("qd_count")))
+    return _qd_compress(leaves, k, bits, keys, fresh=True), bits
+
+
+def qd_quantiles_stored(spark, sketch_path: str, qs: list[float],
+                        k: int = 512,
+                        by: list[str] | None = None,
+                        q_col: str = "q",
+                        value_col: str = "quantile") -> DataFrame:
+    """Quantiles of a stored leaf store: sidecar-pinned universe,
+    read-time merge + compress, then `sketches.qd_quantiles` —
+    equal to quantiles of a single-shot sketch over all batches."""
+    from ..operators.sketches import qd_quantiles
+
+    sk, bits = qd_stored(spark, sketch_path, k, by)
+    return qd_quantiles(sk, qs, bits, by, q_col, value_col)
+
+
+def streaming_ingest_qd(stream: DataFrame, sketch_path: str,
+                        col: str, bits: int = 20,
+                        weight_col: str | None = None,
+                        by: list[str] | None = None):
+    """Continuous quantile tracking: each micro-batch appends its
+    leaf histogram under the exactly-once contract
+    (`ingest_qd_batch`).  Readable between batches with
+    `qd_quantiles_stored`.  Returns the DataStreamWriter; caller
+    picks trigger/checkpoint and ``.start()``."""
+
+    def _fb(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_qd_batch(batch_df, sketch_path, col, bits, weight_col,
+                        by, batch_id)
+
+    return stream.writeStream.foreachBatch(_fb)

@@ -2797,6 +2797,34 @@ class TestCorpusStats:
         # twice: once in the tree, once in the details section)
         assert plan.count("Scan ExistingRDD") <= 2
 
+    def test_percentiles_via_qdigest(self, spark):
+        """percentiles= adds q-digest length quantiles (r13): exact
+        at this scale (threshold 0), grouped and corpus-wide, and the
+        default path stays percentile-free."""
+        from dask_geopandas_spark.operators.textstats import \
+            corpus_stats
+
+        rows = [(i, "a" if i < 60 else "b", "tok " * (i + 1))
+                for i in range(100)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, text string")
+        got = {r["source"]: r.asDict() for r in
+               corpus_stats(df, group_col="source",
+                            percentiles=[0.5, 0.9],
+                            percentile_k=10_000,
+                            percentile_bits=8).collect()}
+        # group a: token counts 1..60 -> exact p50 = 30, p90 = 54
+        assert (got["a"]["p50_tokens"], got["a"]["p90_tokens"]) \
+            == (30, 54)
+        # group b: 61..100 -> p50 = 80, p90 = 96
+        assert (got["b"]["p50_tokens"], got["b"]["p90_tokens"]) \
+            == (80, 96)
+        whole = corpus_stats(df, percentiles=[0.5],
+                             percentile_k=10_000,
+                             percentile_bits=8).head()
+        assert whole["p50_tokens"] == 50 and whole["n_docs"] == 100
+        assert "p50_tokens" not in corpus_stats(df).columns
+
     def test_empty_and_all_null(self, spark):
         from dask_geopandas_spark.operators.textstats import \
             corpus_stats

@@ -556,3 +556,270 @@ class TestReviewRegressions:
                      kmv_sketch(df, "v", k=100).collect())
         want = sorted(_h60(f"u{i}") for i in range(5000))[:100]
         assert got == want
+
+
+def _brute_qd(values, k, bits, weights=None):
+    """Level-synchronous q-digest replica (the module's documented
+    spec): merge sibling groups (plus any pre-existing parent) into
+    the parent while the combined count <= n // k."""
+    nodes = {}
+    for i, v in enumerate(values):
+        if v is None:
+            continue
+        leaf = (1 << bits) + v
+        nodes[leaf] = nodes.get(leaf, 0) + (
+            weights[i] if weights else 1)
+    return _brute_qd_compress(nodes, k, bits)
+
+
+def _brute_qd_compress(nodes, k, bits):
+    nodes = dict(nodes)
+    n = sum(nodes.values())
+    t = n // k
+    for lvl in range(bits, 0, -1):
+        lo = 1 << lvl
+        bypar = {}
+        for i in [i for i in nodes if lo <= i < 2 * lo]:
+            bypar.setdefault(i >> 1, []).append(i)
+        for p, ch in bypar.items():
+            s = sum(nodes[i] for i in ch) + nodes.get(p, 0)
+            if s <= t:
+                for i in ch:
+                    del nodes[i]
+                nodes[p] = s
+    return nodes
+
+
+def _brute_qd_quantile(nodes, q, bits):
+    items = []
+    for i, c in nodes.items():
+        lvl = i.bit_length() - 1
+        span = 1 << (bits - lvl)
+        ub = (i - (1 << lvl) + 1) * span - 1
+        items.append((ub, -lvl, c))
+    items.sort()
+    n = sum(c for _, _, c in items)
+    rank = max(1, math.ceil(q * n))
+    cum = 0
+    for ub, _, c in items:
+        cum += c
+        if cum >= rank:
+            return ub
+    raise AssertionError("unreachable")
+
+
+class TestQDigest:
+    """q-digest quantile sketch: node-exact brute replica, rank-error
+    bound at three scales, merge-recompress, exactness when
+    uncompressed, universe guard."""
+
+    def test_nodes_match_brute_force(self, spark):
+        from dask_geopandas_spark.operators.sketches import qd_sketch
+
+        vals = ([3] * 40 + [5] * 25 + [6] * 10 + [9] * 5
+                + list(range(16)) + [None])
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        for k, bits in ((4, 4), (8, 5), (2, 4)):
+            got = {r["qd_id"]: r["qd_count"] for r in
+                   qd_sketch(df, "v", k=k, bits=bits).collect()}
+            assert got == _brute_qd(vals, k, bits), (k, bits)
+
+    def test_exact_when_uncompressed(self, spark):
+        """n < k makes the threshold 0: the digest IS the histogram
+        and every quantile is the exact order statistic."""
+        from dask_geopandas_spark.operators.sketches import (
+            qd_quantiles, qd_sketch)
+
+        vals = [7, 1, 3, 3, 9, 200, 42, 42, 42, 0]
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        sk = qd_sketch(df, "v", k=1000, bits=9)
+        assert {r["qd_id"]: r["qd_count"] for r in sk.collect()} == {
+            (1 << 9) + v: vals.count(v) for v in set(vals)}
+        got = {r["q"]: r["quantile"] for r in
+               qd_quantiles(sk, [0.0, 0.5, 1.0], bits=9).collect()}
+        sv = sorted(vals)
+        assert got == {0.0: sv[0], 0.5: sv[4], 1.0: sv[-1]}
+
+    def test_rank_error_bound_three_scales(self, spark):
+        """|true_rank(est) - q*n| <= (bits/k)*n + 1 (the paper's
+        log(universe)/k bound) at n = 100 / 5k / 50k."""
+        from dask_geopandas_spark.operators.sketches import (
+            qd_quantiles, qd_sketch)
+
+        k, bits = 2048, 16
+        for n in (100, 5000, 50000):
+            # zipf-ish: value = i % (i // 37 + 1), deterministic
+            vals = [(i * i + 7 * i) % min(60000, max(10, i + 1))
+                    for i in range(n)]
+            df = spark.createDataFrame([(v,) for v in vals], "v long")
+            sk = qd_sketch(df, "v", k=k, bits=bits)
+            got = {r["q"]: r["quantile"] for r in
+                   qd_quantiles(sk, [0.1, 0.5, 0.9, 0.99],
+                                bits=bits).collect()}
+            sv = sorted(vals)
+            eps = bits / k * n + 1
+            for q, est in got.items():
+                # with ties the guarantee is on RANKS: the returned
+                # value's rank interval [#{v<est}+1, #{v<=est}] must
+                # intersect [q*n - eps, q*n + eps]
+                lo = sum(1 for v in sv if v < est) + 1
+                hi = sum(1 for v in sv if v <= est)
+                assert lo <= q * n + eps and hi >= q * n - eps, \
+                    (n, q, est, lo, hi)
+            # and the engine equals the brute replica exactly
+            brute = _brute_qd(vals, k, bits)
+            for q in (0.1, 0.5, 0.9, 0.99):
+                assert got[q] == _brute_qd_quantile(brute, q, bits), q
+
+    def test_merge_recompress_matches_brute(self, spark):
+        from dask_geopandas_spark.operators.sketches import (
+            qd_merge, qd_quantiles, qd_sketch)
+
+        k, bits = 16, 8
+        v1 = [i % 40 for i in range(300)]
+        v2 = [(i * 3) % 200 for i in range(500)]
+        d1 = spark.createDataFrame([(v,) for v in v1], "v long")
+        d2 = spark.createDataFrame([(v,) for v in v2], "v long")
+        merged = qd_merge(qd_sketch(d1, "v", k=k, bits=bits),
+                          qd_sketch(d2, "v", k=k, bits=bits),
+                          k=k, bits=bits)
+        b = _brute_qd_compress(
+            _merge_counts(_brute_qd(v1, k, bits),
+                          _brute_qd(v2, k, bits)), k, bits)
+        assert {r["qd_id"]: r["qd_count"]
+                for r in merged.collect()} == b
+        # rank error of the merged digest stays bounded
+        n = len(v1) + len(v2)
+        sv = sorted(v1 + v2)
+        got = {r["q"]: r["quantile"] for r in
+               qd_quantiles(merged, [0.5, 0.9], bits=bits).collect()}
+        eps = 2 * (bits / k) * n + 1
+        for q, est in got.items():
+            lo = sum(1 for v in sv if v < est) + 1
+            hi = sum(1 for v in sv if v <= est)
+            assert lo <= q * n + eps and hi >= q * n - eps, (q, est)
+
+    def test_grouped_weights_and_nulls(self, spark):
+        from dask_geopandas_spark.operators.sketches import (
+            qd_quantiles, qd_sketch)
+
+        rows = ([("a", i % 30, 2) for i in range(200)]
+                + [("b", 5, 1), ("b", 100, 3)]
+                + [("a", None, 9)])
+        df = spark.createDataFrame(rows, "g string, v long, w long")
+        sk = qd_sketch(df, "v", k=8, bits=7, weight_col="w",
+                       by=["g"])
+        ga = {r["qd_id"]: r["qd_count"] for r in
+              sk.filter("g = 'a'").collect()}
+        va = [v for _, v, _ in rows[:200]]
+        assert ga == _brute_qd(va, 8, 7, weights=[2] * 200)
+        got = {(r["g"], r["q"]): r["quantile"] for r in
+               qd_quantiles(sk, [1.0], bits=7, by=["g"]).collect()}
+        assert got[("b", 1.0)] == 100
+
+    def test_out_of_universe_raises(self, spark):
+        from dask_geopandas_spark.operators.sketches import qd_sketch
+
+        df = spark.createDataFrame([(300,)], "v long")
+        with pytest.raises(Exception, match="outside"):
+            qd_sketch(df, "v", k=4, bits=8).collect()
+        with pytest.raises(Exception, match="outside"):
+            qd_sketch(spark.createDataFrame([(-1,)], "v long"),
+                      "v", k=4, bits=8).collect()
+
+
+def _merge_counts(a, b):
+    out = dict(a)
+    for i, c in b.items():
+        out[i] = out.get(i, 0) + c
+    return out
+
+
+class TestStreamingQd:
+    """Incremental q-digest leaf store (streaming/indexing.py):
+    batch-boundary invisibility (read-time sum + one compress ==
+    single-shot sketch), exactly-once appends (leaf merge is SUM),
+    sidecar-pinned universe, torn-append refusal."""
+
+    def _batch(self, spark, vals):
+        return spark.createDataFrame([(v,) for v in vals], "v long")
+
+    def test_batches_equal_direct_and_replay_skips(self, spark,
+                                                   tmp_path):
+        from dask_geopandas_spark.operators.sketches import (
+            qd_quantiles, qd_sketch)
+        from dask_geopandas_spark.streaming.indexing import (
+            ingest_qd_batch, qd_quantiles_stored)
+
+        base = str(tmp_path / "qd")
+        v1 = [i % 50 for i in range(400)]
+        v2 = [(i * 7) % 120 for i in range(300)]
+        d1, d2 = self._batch(spark, v1), self._batch(spark, v2)
+        assert ingest_qd_batch(d1, base, "v", bits=7, batch_id=0)
+        assert ingest_qd_batch(d2, base, "v", bits=7, batch_id=1)
+        qs = [0.5, 0.9, 0.99]
+        got = {r["q"]: r["quantile"] for r in
+               qd_quantiles_stored(spark, base, qs, k=16).collect()}
+        direct = qd_sketch(d1.unionAll(d2), "v", k=16, bits=7)
+        want = {r["q"]: r["quantile"] for r in
+                qd_quantiles(direct, qs, bits=7).collect()}
+        assert got == want
+        # replay: skipped (sum-merge would double-count)
+        assert not ingest_qd_batch(d1, base, "v", bits=7, batch_id=0)
+        assert {r["q"]: r["quantile"] for r in
+                qd_quantiles_stored(spark, base, qs,
+                                    k=16).collect()} == want
+
+    def test_universe_mismatch_and_torn_append_refused(self, spark,
+                                                       tmp_path):
+        import os
+
+        from dask_geopandas_spark.streaming.indexing import (
+            ingest_qd_batch, qd_stored)
+
+        base = str(tmp_path / "qd2")
+        df = self._batch(spark, [3, 5])
+        ingest_qd_batch(df, base, "v", bits=7, batch_id=0)
+        with pytest.raises(ValueError, match="identity"):
+            ingest_qd_batch(df, base, "v", bits=8, batch_id=1)
+        open(base + "/_append_in_progress", "w").close()
+        with pytest.raises(RuntimeError, match="inconsistent"):
+            qd_stored(spark, base, k=8)
+        # a replayed COMMITTED batch heals the flag
+        assert not ingest_qd_batch(df, base, "v", bits=7, batch_id=0)
+        assert not os.path.exists(base + "/_append_in_progress")
+        qd_stored(spark, base, k=8)
+
+    def test_streaming_availablenow(self, spark, tmp_path):
+        import os
+
+        from dask_geopandas_spark.operators.sketches import (
+            qd_quantiles, qd_sketch)
+        from dask_geopandas_spark.streaming.indexing import (
+            qd_quantiles_stored, streaming_ingest_qd)
+
+        base = str(tmp_path / "qd3")
+        v1 = [i % 30 for i in range(200)]
+        v2 = [(i * 3) % 90 for i in range(200)]
+        d1, d2 = self._batch(spark, v1), self._batch(spark, v2)
+        d1.coalesce(1).write.parquet(base + "/src/f0")
+        d2.coalesce(1).write.parquet(base + "/src/f1")
+        now = 1_700_000_000
+        for i, dn in enumerate(("f0", "f1")):
+            for fn in os.listdir(f"{base}/src/{dn}"):
+                os.utime(f"{base}/src/{dn}/{fn}", (now + i, now + i))
+        stream = (spark.readStream.schema("v long")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(base + "/src/f*"))
+        q = (streaming_ingest_qd(stream, base + "/sk", "v", bits=7)
+             .option("checkpointLocation", base + "/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {r["q"]: r["quantile"] for r in
+               qd_quantiles_stored(spark, base + "/sk", [0.5, 0.95],
+                                   k=16).collect()}
+        want = {r["q"]: r["quantile"] for r in
+                qd_quantiles(qd_sketch(d1.unionAll(d2), "v", k=16,
+                                       bits=7),
+                             [0.5, 0.95], bits=7).collect()}
+        assert got == want
