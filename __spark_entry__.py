@@ -3197,6 +3197,28 @@ def q_pagerank_hosts(spark, sf_dir):
     return pagerank(edges, iters=2)
 
 
+def q_harmonic_hosts(spark, sf_dir):
+    """Harmonic centrality via HyperBall (operators/graph.
+    harmonic_centrality, new r13) — the OTHER host rank Common Crawl
+    publishes alongside PageRank: H(v) = Σ 1/d(u,v) over nodes that
+    can reach v.  Exact computation is all-pairs shortest paths;
+    HyperBall is the published web-scale algorithm and composes with
+    the module's portable HLL machinery — the distance-t ball is an
+    HLL register frame, one superstep = one edge equi-join + one
+    max-merge, counts round to integers through hll_estimate, and
+    the per-step round(h + Δ/t, 12) accumulation replays bit-exactly
+    in SQL.  Synthetic 40-host graph from doc_ids, radius 3, p=10;
+    the oracle unrolls all three supersteps + four estimator passes."""
+    from dask_geopandas_spark.operators.graph import \
+        harmonic_centrality
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        (F.col("doc_id") % 40).alias("src"),
+        ((F.col("doc_id") * 11 + 5) % 40).alias("dst"))
+    return harmonic_centrality(edges, max_dist=3, p=10)
+
+
 def q_hits_hosts(spark, sf_dir):
     """HITS hubs & authorities (operators/graph.hits, new r12) — the
     complement of PageRank for crawl-seed curation: a high-hub page
@@ -4852,6 +4874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_hosts": q_hits_hosts,
         "bpe_tokens_dict": q_bpe_tokens_dict,
         "quantile_sketch": q_quantile_sketch,
+        "harmonic_hosts": q_harmonic_hosts,
         "stream_ingest_qd": q_stream_ingest_qd,
         "setops_concave_area": q_setops_concave_area,
         "shapefile_roundtrip": q_shapefile_roundtrip,
@@ -4891,9 +4914,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gpx_roundtrip": q_gpx_roundtrip,
         "interval_left": q_interval_left,
         "kml_roundtrip": q_kml_roundtrip,
-        "leak_safe_split": q_leak_safe_split,
         # ---- below the window: (last-green asc, name) — the
         #   r14 rotation order is the head of this list ----
+        "leak_safe_split": q_leak_safe_split,
         "line_cross": q_line_cross,
         "overlay_cobucket": q_overlay_cobucket,
         "point_distance": q_point_distance,
@@ -5204,6 +5227,82 @@ def _bpe_ctes(k: int) -> str:
                                 AS s,
                             cnt FROM w{i - 1})""")
     return ",".join(parts)
+
+
+def _harmonic_oracle(max_dist: int, p: int) -> str:
+    """HyperBall harmonic centrality replayed in SQL (operators/
+    graph.harmonic_centrality): the 40-host synthetic graph, per-node
+    self-registers from the portable 60-bit hash, ``max_dist``
+    ball-growth supersteps (edge join + max-merge) each followed by
+    the HLL estimator (the hll_sources replica with GROUP BY node),
+    then the left-associated round(h + Δ/t, 12) accumulation."""
+    from dask_geopandas_spark.operators.sketches import _alpha
+
+    m = 1 << p
+    wbits = 60 - p
+    scale = wbits + 1
+    mask = (1 << wbits) - 1
+    unit = 1 << scale
+    am2 = _alpha(m) * m * m
+
+    def est(rname: str, cname: str) -> str:
+        return f"""
+            {cname} AS MATERIALIZED (
+                SELECT node,
+                       CAST(round(CASE WHEN e_raw <=
+                                       CAST({int(2.5 * m)} AS DOUBLE)
+                                  AND v > 0
+                                  THEN CAST({m} AS DOUBLE)
+                                       * ln(CAST({m} AS DOUBLE)
+                                            / CAST(v AS DOUBLE))
+                                  ELSE e_raw END, 0) AS BIGINT)
+                           AS {cname}
+                FROM (SELECT node, {m} - np AS v,
+                             {am2!r} / (CAST(zs + ({m} - np)
+                                             * {unit} AS DOUBLE)
+                                        / CAST({unit} AS DOUBLE))
+                                 AS e_raw
+                      FROM (SELECT node,
+                                   sum(CAST(pow(CAST(2 AS DOUBLE),
+                                                {scale} - rho)
+                                       AS BIGINT)) AS zs,
+                                   count(*) AS np
+                            FROM {rname} GROUP BY node)))"""
+
+    parts = [f"""
+            e AS MATERIALIZED (SELECT DISTINCT doc_id % 40 AS s,
+                       (doc_id * 11 + 5) % 40 AS t
+                   FROM documents),
+            n AS MATERIALIZED (SELECT s AS node FROM e
+                   UNION SELECT t FROM e),
+            r0 AS MATERIALIZED (SELECT node, h >> {wbits} AS idx,
+                       CASE WHEN (h & {mask}) = 0 THEN {scale}
+                            ELSE {scale} - length(bin(h & {mask}))
+                            END AS rho
+                   FROM (SELECT node,
+                                ('0x' || substr(md5(CAST(node
+                                 AS VARCHAR)), 1, 15))::BIGINT AS h
+                         FROM n))""",
+             est("r0", "c0")]
+    for d in range(1, max_dist + 1):
+        parts.append(f"""
+            r{d} AS MATERIALIZED (SELECT node, idx, max(rho) AS rho
+                   FROM (SELECT node, idx, rho FROM r{d - 1}
+                         UNION ALL
+                         SELECT e.t AS node, r.idx, r.rho
+                         FROM e JOIN r{d - 1} r ON r.node = e.s)
+                   GROUP BY 1, 2)""")
+        parts.append(est(f"r{d}", f"c{d}"))
+    expr = "0.0"
+    for d in range(1, max_dist + 1):
+        expr = (f"round({expr} + CAST(c{d} - c{d - 1} AS DOUBLE) "
+                f"/ {float(d)!r}, 12)")
+    joins = " ".join(f"JOIN c{d} USING (node)"
+                     for d in range(1, max_dist + 1))
+    return ("WITH " + ",".join(parts) + f"""
+            SELECT node, {expr} AS harmonic
+            FROM c0 {joins}
+        """)
 
 
 def _qd_oracle(k: int, bits: int, qs: list[float]) -> str:
@@ -8006,6 +8105,8 @@ def _oracle_sql_base() -> dict[str, str]:
         "bloom_stored": _BLOOM_DEDUP_ORACLE,
         # quantile_sketch: q-digest build + query fully unrolled
         "quantile_sketch": _qd_oracle(32, 9, [0.5, 0.9, 0.99]),
+        # harmonic_hosts: 3 HyperBall supersteps + 4 estimator passes
+        "harmonic_hosts": _harmonic_oracle(3, 10),
         # quality_trainer: one closed-form gradient step from the
         # zero model (p = 0.5 -> r = 0.5 - y), 12-decimal weight
         # quantization, then classifier_score's pos-ordered

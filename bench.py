@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "stream_ingest_cms",
     "quantile_sketch",
     "stream_ingest_qd",
+    "harmonic_hosts",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE

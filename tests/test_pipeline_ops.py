@@ -3407,6 +3407,125 @@ class TestGraph:
                hits(edges, iters=0).collect()}
         assert got == {v: (1.0, 1.0) for v in (1, 2, 3, 4)}
 
+    # ---- harmonic centrality (HyperBall, r13) ----
+
+    @staticmethod
+    def _hb_regs(ball, p):
+        import hashlib
+
+        wbits = 60 - p
+        regs = {}
+        for u in ball:
+            h = int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+            idx = h >> wbits
+            rest = h & ((1 << wbits) - 1)
+            rho = (wbits + 1 if rest == 0
+                   else wbits + 1 - rest.bit_length())
+            regs[idx] = max(regs.get(idx, 0), rho)
+        return regs
+
+    @staticmethod
+    def _hb_est(regs, p):
+        import math
+
+        m = 1 << p
+        scale = 60 - p + 1
+        zs = sum(1 << (scale - r) for r in regs.values())
+        v = m - len(regs)
+        z = float(zs + v * (1 << scale)) / float(1 << scale)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        e = alpha * m * m / z
+        if e <= 2.5 * m and v > 0:
+            e = m * math.log(m / float(v))
+        return round(e)
+
+    @classmethod
+    def _brute_harmonic(cls, edges, max_dist, p):
+        """HyperBall replica: in-mode balls grown over in-edges, HLL
+        estimates per radius, round(h + (c_t - c_{t-1})/t, 12)."""
+        nodes = sorted({v for e in edges for v in e})
+        inn = {}
+        for s, t in set(edges):
+            inn.setdefault(t, []).append(s)
+        balls = {v: {v} for v in nodes}
+        prev = {v: cls._hb_est(cls._hb_regs(balls[v], p), p)
+                for v in nodes}
+        harm = {v: 0.0 for v in nodes}
+        for d in range(1, max_dist + 1):
+            balls = {v: balls[v].union(
+                *[balls[u] for u in inn.get(v, [])])
+                for v in nodes}
+            ct = {v: cls._hb_est(cls._hb_regs(balls[v], p), p)
+                  for v in nodes}
+            harm = {v: round(harm[v] + (ct[v] - prev[v]) / d, 12)
+                    for v in nodes}
+            prev = ct
+        return harm
+
+    def test_harmonic_matches_brute_force(self, spark):
+        from dask_geopandas_spark.operators.graph import \
+            harmonic_centrality
+
+        edges = spark.createDataFrame(self.EDGES, "src long, dst long")
+        for md in (1, 2, 6):
+            got = {r["node"]: r["harmonic"] for r in
+                   harmonic_centrality(edges, max_dist=md,
+                                       p=10).collect()}
+            assert got == self._brute_harmonic(self.EDGES, md, 10), md
+
+    def test_harmonic_equals_exact_on_small_graph(self, spark):
+        """Small balls never collide at p=10, so the estimates are
+        exact and HyperBall equals the exact-BFS harmonic."""
+        from dask_geopandas_spark.operators.graph import \
+            harmonic_centrality
+
+        edges = spark.createDataFrame(self.EDGES, "src long, dst long")
+        nodes = sorted({v for e in self.EDGES for v in e})
+        # exact in-distances via BFS from every source
+        import collections
+        dist = {}
+        adj = {}
+        for s, t in self.EDGES:
+            adj.setdefault(s, []).append(t)
+        for s in nodes:
+            seen = {s: 0}
+            dq = collections.deque([s])
+            while dq:
+                u = dq.popleft()
+                for w in adj.get(u, []):
+                    if w not in seen:
+                        seen[w] = seen[u] + 1
+                        dq.append(w)
+            for v, d in seen.items():
+                if d > 0:
+                    dist[(s, v)] = d
+        want = {v: round(sum(1.0 / d for (s, t), d in dist.items()
+                             if t == v), 12) for v in nodes}
+        got = {r["node"]: r["harmonic"] for r in
+               harmonic_centrality(edges, max_dist=6, p=10).collect()}
+        assert got == want
+        # mode='out' equals in-mode over the reversed edge list
+        rev = [(t, s) for s, t in self.EDGES]
+        out_got = {r["node"]: r["harmonic"] for r in
+                   harmonic_centrality(edges, max_dist=6, p=10,
+                                       mode="out").collect()}
+        assert out_got == self._brute_harmonic(rev, 6, 10)
+
+    def test_harmonic_empty_and_early_stop(self, spark):
+        from dask_geopandas_spark.operators.graph import \
+            harmonic_centrality
+
+        empty = spark.createDataFrame([], "src long, dst long")
+        assert harmonic_centrality(empty).count() == 0
+        # diameter 1: a huge max_dist stops after two supersteps and
+        # still equals the brute trajectory of the full unroll
+        e2 = [(1, 2)]
+        df = spark.createDataFrame(e2, "src long, dst long")
+        got = {r["node"]: r["harmonic"] for r in
+               harmonic_centrality(df, max_dist=50, p=10).collect()}
+        assert got == self._brute_harmonic(e2, 50, 10) == \
+            {1: 0.0, 2: 1.0}
+
 
 class TestBloom:
     """Bloom-filter seen-sets (operators/dedup.py): sparse position-set
