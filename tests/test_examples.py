@@ -87,3 +87,41 @@ def test_crawl_ingest_pipeline_example(spark, sf_dir):
         assert out["shards"] >= 1
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_incremental_crawl_refresh_example(spark, sf_dir, tmp_path):
+    """The monthly refresh loop (r13): diff is index-sized, refetch
+    is selective (exactly the changed+new members), the near-dup gate
+    passes every genuinely-new page and drops trivially-edited ones,
+    and compaction folds the appended postings."""
+    import sys
+    sys.path.insert(0, "examples")
+    from incremental_crawl_refresh import run_incremental_refresh
+
+    out = run_incremental_refresh(spark, sf_dir,
+                                  workdir=str(tmp_path / "refresh"))
+    st = out["diff_status"]
+    # the synthetic world: every status class is populated and the
+    # classes partition the union of both crawls
+    assert all(st.get(s, 0) > 0
+               for s in ("gone", "changed", "new", "unchanged"))
+    assert st["new"] == 8
+    # refetch monotonicity: exactly the changed+new members were
+    # fetched — never the unchanged majority, never the whole crawl
+    assert out["refetch_members"] == st["changed"] + st["new"]
+    assert out["refetched_records"] == out["refetch_members"]
+    assert out["refetch_members"] < out["jan_records"]
+    # gate monotonicity: survivors <= refetched; every genuinely new
+    # page survives; at least some trivially-edited page was dropped
+    # as a near-dup of last month's content
+    assert out["feb_new_survivors"] == 8
+    assert (out["feb_new_survivors"] <= out["feb_survivors"]
+            <= out["refetched_records"])
+    assert out["feb_survivors"] - out["feb_new_survivors"] \
+        < st["changed"]
+    # the pool accumulates exactly the two survivor waves
+    assert out["pool_docs"] == out["jan_survivors"] \
+        + out["feb_survivors"]
+    # compaction folded the appended postings
+    cf = out["compacted_files"]
+    assert cf["files_after"] <= cf["files_before"]
