@@ -3197,6 +3197,27 @@ def q_pagerank_hosts(spark, sf_dir):
     return pagerank(edges, iters=2)
 
 
+def q_trustrank_hosts(spark, sf_dir):
+    """TrustRank (operators/graph.trustrank, new r13) — the
+    spam-demotion rank: personalized PageRank whose teleport and
+    dangling-mass redistribution are restricted to a trusted seed
+    set, so trust flows outward from vetted hosts and link farms
+    unreachable from any seed score exactly 0.  Synthetic 45-host
+    graph from doc_ids, seeds = hosts %9==0, 2 iterations; ranks
+    quantize to 12 decimals per superstep and the oracle unrolls
+    both updates (the pagerank oracle pattern with the seed vector
+    replacing uniform teleport)."""
+    from dask_geopandas_spark.operators.graph import trustrank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        (F.col("doc_id") % 45).alias("src"),
+        ((F.col("doc_id") * 13 + 7) % 45).alias("dst"))
+    seeds = edges.select(F.col("src").alias("node")) \
+        .filter(F.col("node") % 9 == 0)
+    return trustrank(edges, seeds, iters=2)
+
+
 def q_harmonic_hosts(spark, sf_dir):
     """Harmonic centrality via HyperBall (operators/graph.
     harmonic_centrality, new r13) — the OTHER host rank Common Crawl
@@ -4875,6 +4896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens_dict": q_bpe_tokens_dict,
         "quantile_sketch": q_quantile_sketch,
         "harmonic_hosts": q_harmonic_hosts,
+        "trustrank_hosts": q_trustrank_hosts,
         "stream_ingest_qd": q_stream_ingest_qd,
         "setops_concave_area": q_setops_concave_area,
         "shapefile_roundtrip": q_shapefile_roundtrip,
@@ -4913,9 +4935,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gml_roundtrip": q_gml_roundtrip,
         "gpx_roundtrip": q_gpx_roundtrip,
         "interval_left": q_interval_left,
-        "kml_roundtrip": q_kml_roundtrip,
         # ---- below the window: (last-green asc, name) — the
         #   r14 rotation order is the head of this list ----
+        "kml_roundtrip": q_kml_roundtrip,
         "leak_safe_split": q_leak_safe_split,
         "line_cross": q_line_cross,
         "overlay_cobucket": q_overlay_cobucket,
@@ -8107,6 +8129,56 @@ def _oracle_sql_base() -> dict[str, str]:
         "quantile_sketch": _qd_oracle(32, 9, [0.5, 0.9, 0.99]),
         # harmonic_hosts: 3 HyperBall supersteps + 4 estimator passes
         "harmonic_hosts": _harmonic_oracle(3, 10),
+        # trustrank_hosts: both seed-teleport supersteps unrolled —
+        # the pagerank oracle with s(v) replacing uniform 1/n in the
+        # teleport AND the dangling redistribution
+        "trustrank_hosts": """
+            WITH e AS (SELECT DISTINCT doc_id % 45 AS src,
+                              (doc_id * 13 + 7) % 45 AS dst
+                       FROM documents),
+            nodes AS (SELECT DISTINCT v FROM
+                      (SELECT src AS v FROM e
+                       UNION ALL SELECT dst FROM e)),
+            sn AS (SELECT DISTINCT src AS v FROM e WHERE src % 9 = 0),
+            ns AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM sn),
+            sv AS (SELECT nodes.v,
+                          round((CASE WHEN sn.v IS NULL
+                                 THEN 0.0::DOUBLE
+                                 ELSE 1.0::DOUBLE END) / m, 12) AS s
+                   FROM nodes CROSS JOIN ns
+                   LEFT JOIN sn ON nodes.v = sn.v),
+            outd AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+            tr0 AS (SELECT v, s AS tr FROM sv),
+            d1 AS (SELECT COALESCE(sum(tr), 0.0) AS dm
+                   FROM tr0 LEFT JOIN outd ON tr0.v = outd.src
+                   WHERE outd.src IS NULL),
+            c1 AS (SELECT e.dst AS v, sum(t.tr / o.od) AS c
+                   FROM e JOIN tr0 t ON e.src = t.v
+                          JOIN outd o ON e.src = o.src
+                   GROUP BY e.dst),
+            tr1 AS (SELECT sv.v,
+                           round((1.0::DOUBLE - 0.85::DOUBLE) * sv.s
+                                 + 0.85::DOUBLE
+                                 * (COALESCE(c1.c, 0.0)
+                                    + d1.dm * sv.s), 12) AS tr
+                    FROM sv CROSS JOIN d1
+                    LEFT JOIN c1 ON sv.v = c1.v),
+            d2 AS (SELECT COALESCE(sum(tr), 0.0) AS dm
+                   FROM tr1 LEFT JOIN outd ON tr1.v = outd.src
+                   WHERE outd.src IS NULL),
+            c2 AS (SELECT e.dst AS v, sum(t.tr / o.od) AS c
+                   FROM e JOIN tr1 t ON e.src = t.v
+                          JOIN outd o ON e.src = o.src
+                   GROUP BY e.dst),
+            tr2 AS (SELECT sv.v,
+                           round((1.0::DOUBLE - 0.85::DOUBLE) * sv.s
+                                 + 0.85::DOUBLE
+                                 * (COALESCE(c2.c, 0.0)
+                                    + d2.dm * sv.s), 12) AS tr
+                    FROM sv CROSS JOIN d2
+                    LEFT JOIN c2 ON sv.v = c2.v)
+            SELECT v AS node, tr AS trustrank FROM tr2
+        """,
         # quality_trainer: one closed-form gradient step from the
         # zero model (p = 0.5 -> r = 0.5 - y), 12-decimal weight
         # quantization, then classifier_score's pos-ordered

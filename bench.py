@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "quantile_sketch",
     "stream_ingest_qd",
     "harmonic_hosts",
+    "trustrank_hosts",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE

@@ -251,3 +251,77 @@ def harmonic_centrality(edges: DataFrame, src_col: str = "src",
             break
         total = grown
     return harm
+
+
+def trustrank(edges: DataFrame, seeds: DataFrame,
+              src_col: str = "src", dst_col: str = "dst",
+              seed_col: str = "node", iters: int = 10,
+              damping: float = 0.85,
+              dedup_edges: bool = True) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004) — the
+    spam-demotion rank of crawl curation: personalized PageRank whose
+    teleport AND dangling-mass redistribution are restricted to a
+    trusted seed set, so trust flows outward from vetted hosts and
+    pages unreachable from any seed score exactly 0 (a link farm
+    cannot bootstrap itself the way it can under uniform teleport).
+
+    With ``s(v) = 1/|seeds∩nodes|`` for seeds (0 otherwise):
+    ``tr0 = s``; ``tr'(v) = (1-d)·s(v) + d·(Σ over in-edges u→v of
+    tr(u)/out(u) + dangling_mass·s(v))`` — mass-conserving like
+    `pagerank`, quantized to 12 decimals per superstep so the SQL
+    oracle unrolls the identical updates.  Seeds not present in the
+    graph are ignored; an empty effective seed set raises (a uniform
+    fallback would silently compute plain PageRank).
+
+    Distributed shape: identical to `pagerank` — two aggregations per
+    superstep around the cached edge/out-degree frames, the seed
+    vector materialized once, rank frames node-sized and
+    ``localCheckpoint``-materialized."""
+    d = float(damping)
+    e = edges.select(F.col(src_col).alias("_u"),
+                     F.col(dst_col).alias("_v"))
+    if dedup_edges:
+        e = e.distinct()
+    e = e.cache()
+    nodes = (e.select(F.col("_u").alias("node"))
+             .union(e.select(F.col("_v").alias("node")))
+             .distinct().cache())
+    if nodes.isEmpty():
+        return nodes.select("node", F.lit(0.0).alias("trustrank"))
+    sn = (nodes.join(seeds.select(F.col(seed_col).alias("node"))
+                     .distinct(), "node", "left_semi").cache())
+    ns = sn.count()
+    if ns == 0:
+        raise ValueError("trustrank: no seed is a node of the graph "
+                         "— a uniform fallback would silently be "
+                         "plain pagerank")
+    svec = (nodes.join(sn.withColumn("_is", F.lit(1.0)), "node",
+                       "left")
+            .select("node",
+                    F.round(F.coalesce(F.col("_is"), F.lit(0.0))
+                            / F.lit(float(ns)), 12).alias("_s"))
+            .localCheckpoint())
+    outd = e.groupBy("_u").agg(F.count("*").alias("_od")).cache()
+    tr = svec.select("node", F.col("_s").alias("trustrank"))
+    for _ in range(int(iters)):
+        ranked = tr.join(outd, tr["node"] == outd["_u"], "left")
+        dangling = (ranked.filter(F.col("_od").isNull())
+                    .agg(F.coalesce(F.sum("trustrank"), F.lit(0.0))
+                         .alias("_dm")))
+        contrib = (e.join(tr, e["_u"] == tr["node"])
+                   .join(outd, "_u")
+                   .groupBy(F.col("_v").alias("node"))
+                   .agg(F.sum(F.col("trustrank") / F.col("_od"))
+                        .alias("_c")))
+        tr = (svec.join(contrib, "node", "left")
+              .crossJoin(F.broadcast(dangling))
+              .select(
+                  "node",
+                  F.round(
+                      F.lit(1.0 - d) * F.col("_s")
+                      + F.lit(d) * (F.coalesce(F.col("_c"),
+                                               F.lit(0.0))
+                                    + F.col("_dm") * F.col("_s")),
+                      12).alias("trustrank"))
+              .localCheckpoint())
+    return tr

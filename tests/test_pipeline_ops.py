@@ -3407,6 +3407,56 @@ class TestGraph:
                hits(edges, iters=0).collect()}
         assert got == {v: (1.0, 1.0) for v in (1, 2, 3, 4)}
 
+    # ---- trustrank (seed-teleport PageRank, r13) ----
+
+    @staticmethod
+    def _brute_trustrank(edges, seed_nodes, iters, d=0.85):
+        nodes = sorted({v for e in edges for v in e})
+        sset = [v for v in sorted(set(seed_nodes)) if v in nodes]
+        s = {v: round((1.0 if v in sset else 0.0) / len(sset), 12)
+             for v in nodes}
+        out = {}
+        for u, _ in edges:
+            out[u] = out.get(u, 0) + 1
+        tr = dict(s)
+        for _ in range(iters):
+            dm = sum(tr[v] for v in nodes if v not in out)
+            c = {v: 0.0 for v in nodes}
+            for u, v in edges:
+                c[v] += tr[u] / out[u]
+            tr = {v: round((1.0 - d) * s[v]
+                           + d * (c[v] + dm * s[v]), 12)
+                  for v in nodes}
+        return tr
+
+    def test_trustrank_matches_brute_and_conserves_mass(self, spark):
+        from dask_geopandas_spark.operators.graph import trustrank
+
+        edges = spark.createDataFrame(self.EDGES, "src long, dst long")
+        seeds = spark.createDataFrame([(1,), (3,), (99,)],
+                                      "node long")  # 99 not a node
+        for iters in (1, 2, 20):
+            got = {r["node"]: r["trustrank"] for r in
+                   trustrank(edges, seeds, iters=iters).collect()}
+            want = self._brute_trustrank(self.EDGES, [1, 3], iters)
+            assert got == want, iters
+            assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+    def test_trustrank_unreachable_is_zero_and_guards(self, spark):
+        from dask_geopandas_spark.operators.graph import trustrank
+
+        # 1 -> 2; 3 -> 4 disconnected from the seed component
+        e = [(1, 2), (3, 4)]
+        edges = spark.createDataFrame(e, "src long, dst long")
+        seeds = spark.createDataFrame([(1,)], "node long")
+        got = {r["node"]: r["trustrank"] for r in
+               trustrank(edges, seeds, iters=10).collect()}
+        assert got[3] == 0.0 and got[4] == 0.0
+        assert got[1] > 0 and got[2] > 0
+        with pytest.raises(ValueError, match="no seed"):
+            trustrank(edges, spark.createDataFrame([(77,)],
+                                                   "node long"))
+
     # ---- harmonic centrality (HyperBall, r13) ----
 
     @staticmethod
