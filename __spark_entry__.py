@@ -3596,6 +3596,31 @@ def q_stream_ingest_qd(spark, sf_dir):
             .select("source", "q", "quantile"))
 
 
+def q_ann_bq(spark, sf_dir):
+    """Binary quantization ANN (similarity.train_bq/bq_encode/
+    bq_topk, new r13) — the 1-bit tier completing the compression
+    family (PQ → SQ8 → BQ): per-dimension sign bits against exact
+    (min+max)/2 midpoints (midpoints, not means — min/max are
+    order-independent, so the model replays bit-exactly), packed 63
+    bits per long word (bit 63 would need negative literals DuckDB
+    parses differently), searched by SYMMETRIC Hamming via
+    bit_count(xor) — integer arithmetic, no FP fold to replicate,
+    32× fewer corpus bytes.  Top-10 over the %50==0 queries.
+    Oracle: min/max midpoints via unnest, identical bit packing with
+    power-of-2 weights, bit_count(xor) Hamming, same (hamming, id)
+    tie-broken rank."""
+    from dask_geopandas_spark.operators.similarity import (bq_encode,
+                                                           bq_topk,
+                                                           train_bq)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    thr = train_bq(emb)
+    codes = bq_encode(emb, thr)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return (bq_topk(codes, queries, thr, k=10)
+            .select("query_id", "neighbor_id", "hamming", "rank"))
+
+
 def q_ann_sq(spark, sf_dir):
     """Scalar quantization ANN (similarity.train_sq/sq_encode/
     sq_topk, new r12) — the compression tier below PQ (FAISS SQ8):
@@ -4897,6 +4922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": q_quantile_sketch,
         "harmonic_hosts": q_harmonic_hosts,
         "trustrank_hosts": q_trustrank_hosts,
+        "ann_bq": q_ann_bq,
         "stream_ingest_qd": q_stream_ingest_qd,
         "setops_concave_area": q_setops_concave_area,
         "shapefile_roundtrip": q_shapefile_roundtrip,
@@ -4934,9 +4960,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fillna_isna": q_fillna_isna,
         "gml_roundtrip": q_gml_roundtrip,
         "gpx_roundtrip": q_gpx_roundtrip,
-        "interval_left": q_interval_left,
         # ---- below the window: (last-green asc, name) — the
         #   r14 rotation order is the head of this list ----
+        "interval_left": q_interval_left,
         "kml_roundtrip": q_kml_roundtrip,
         "leak_safe_split": q_leak_safe_split,
         "line_cross": q_line_cross,
@@ -8125,6 +8151,51 @@ def _oracle_sql_base() -> dict[str, str]:
         # bloom_stored: same oracle VERBATIM — the stored
         # roundtrip (positions parquet + sidecar) is invisible
         "bloom_stored": _BLOOM_DEDUP_ORACLE,
+        # ann_bq: midpoint thresholds, 63-bit sign packing with
+        # power-of-2 weights, bit_count(xor) Hamming, (ham, id) rank
+        "ann_bq": """
+            WITH el AS MATERIALIZED (
+                SELECT unnest(range(1, len(embedding) + 1)) AS i,
+                       unnest(list_transform(embedding,
+                              x -> CAST(x AS DOUBLE))) AS x
+                FROM embeddings),
+            mm AS MATERIALIZED (
+                SELECT i, (min(x) + max(x)) / 2.0 AS t
+                FROM el GROUP BY i),
+            thr AS MATERIALIZED (SELECT list(t ORDER BY i) AS t
+                                 FROM mm),
+            codes AS MATERIALIZED (
+                SELECT vec_id, list_transform(range(0, 2),
+                    w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(range(1, 64),
+                            j -> CASE WHEN 63 * w + j <= 64
+                                 AND CAST(embedding[63 * w + j]
+                                          AS DOUBLE)
+                                     > t[63 * w + j]
+                                 THEN CAST(power(2, j - 1) AS BIGINT)
+                                 ELSE CAST(0 AS BIGINT) END)),
+                        (a, b) -> a + b)) AS code
+                FROM embeddings CROSS JOIN thr),
+            q AS (SELECT vec_id, code FROM codes
+                  WHERE vec_id % 50 = 0),
+            sc AS (SELECT q.vec_id AS query_id,
+                          c.vec_id AS neighbor_id,
+                          CAST(list_reduce(list_prepend(0,
+                              list_transform(range(1, 3),
+                                  w -> bit_count(xor(c.code[w],
+                                                     q.code[w])))),
+                              (a, b) -> a + b) AS INT) AS hamming
+                   FROM codes c CROSS JOIN q
+                   WHERE q.vec_id != c.vec_id)
+            SELECT query_id, neighbor_id, hamming,
+                   CAST("rank" AS INT) AS "rank"
+            FROM (SELECT query_id, neighbor_id, hamming,
+                         row_number() OVER (PARTITION BY query_id
+                             ORDER BY hamming, neighbor_id)
+                             AS "rank"
+                  FROM sc)
+            WHERE "rank" <= 10
+        """,
         # quantile_sketch: q-digest build + query fully unrolled
         "quantile_sketch": _qd_oracle(32, 9, [0.5, 0.9, 0.99]),
         # harmonic_hosts: 3 HyperBall supersteps + 4 estimator passes

@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "bpe_tokens_dict",
     "cdx_diff",
     "ann_sq",
+    "ann_bq",
     "hll_sources",
     "cms_tokens",
     "stream_ingest_hll",

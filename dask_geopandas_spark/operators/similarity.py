@@ -1085,3 +1085,87 @@ def semantic_dedup_edges(corpus: DataFrame, centroids: list,
             .filter(F.round(cosine(F.col("sv"), F.col("dv")), 9)
                     >= F.lit(float(threshold)))
             .select("src_id", "dst_id"))
+
+
+# ----------------------------------------------------------------------
+# Binary quantization (BQ) — the 1-bit tier below SQ8/PQ
+# ----------------------------------------------------------------------
+def train_bq(df: DataFrame, vec_col: str = "embedding") -> list:
+    """Per-dimension sign thresholds as the EXACT corpus (min+max)/2
+    midpoints — derived from `train_sq`'s one min/max aggregation.
+    Midpoints (not means) because min/max are ORDER-INDEPENDENT: the
+    model replays bit-exactly in any engine regardless of partition
+    order, the property every trained model in this module keeps (a
+    mean would expose double-summation order).  A d-float fixed-size
+    model; callers with centered embeddings can pass ``[0.0]*d``
+    instead."""
+    lo, hi = train_sq(df, vec_col)
+    return [(l + h) / 2.0 for l, h in zip(lo, hi)]
+
+
+BQ_BITS_PER_WORD = 63  # bits 0..62 only: weights stay positive longs
+# in BOTH engines (bit 63 would need two's-complement negative
+# literals, which DuckDB parses differently than Spark)
+
+
+def bq_encode(df: DataFrame, thresholds: list,
+              vec_col: str = "embedding",
+              code_col: str = "bq_code") -> DataFrame:
+    """array<bigint> sign-bit code: bit j of word w is set when
+    ``x[63w+j] > threshold[63w+j]`` (LSB-first, 63 bits per word —
+    see `BQ_BITS_PER_WORD`).  A d-dim float vector becomes
+    ceil(d/63)·8 bytes — 32× fewer corpus bytes than the embeddings.
+    Pure native arithmetic against the literal thresholds: one scan,
+    no UDF, no shuffle."""
+    d = len(thresholds)
+    nwords = (d + BQ_BITS_PER_WORD - 1) // BQ_BITS_PER_WORD
+    words = []
+    for w in range(nwords):
+        expr = F.lit(0).cast("long")
+        for j in range(BQ_BITS_PER_WORD):
+            dim = w * BQ_BITS_PER_WORD + j
+            if dim >= d:
+                break
+            bit = (F.element_at(F.col(vec_col), dim + 1)
+                   .cast("double") > F.lit(float(thresholds[dim])))
+            expr = expr + F.when(bit, F.lit(1 << j).cast("long")) \
+                .otherwise(F.lit(0).cast("long"))
+        words.append(expr)
+    return df.withColumn(code_col, F.array(*words))
+
+
+def bq_topk(codes_df: DataFrame, queries: DataFrame,
+            thresholds: list, k: int = 5, id_col: str = "vec_id",
+            vec_col: str = "embedding",
+            code_col: str = "bq_code") -> DataFrame:
+    """Approximate top-k by SYMMETRIC Hamming distance over sign-bit
+    codes: queries encode with the same thresholds and broadcast
+    whole; the corpus pass reads ceil(d/63) longs per vector and
+    scores with ``bit_count(xor)`` — integer arithmetic, so ranks are
+    EXACT for the quantization (no FP fold to replicate).  Returns
+    (query_id, neighbor_id, hamming, rank) with `pq_topk`'s two-stage
+    skew-free ranking; ties break on neighbor_id.  The standard
+    recipe re-ranks the top-k' exactly by re-joining the original
+    vectors by id (`brute_force_topk` over the shortlist)."""
+    q = F.broadcast(
+        bq_encode(queries, thresholds, vec_col, "_qc")
+        .select(F.col(id_col).alias("query_id"), "_qc"))
+    ham = F.aggregate(
+        F.zip_with(F.col(code_col), F.col("_qc"),
+                   lambda a, b: F.bit_count(a.bitwiseXOR(b))),
+        F.lit(0), lambda acc, x: acc + x)
+    scored = (codes_df.select(F.col(id_col).alias("neighbor_id"),
+                              code_col)
+              .join(q)
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      ham.cast("int").alias("hamming")))
+    w_local = Window.partitionBy("query_id", "_pid") \
+        .orderBy(F.asc("hamming"), F.asc("neighbor_id"))
+    local = (scored.withColumn("_pid", F.spark_partition_id())
+             .withColumn("_lr", F.row_number().over(w_local))
+             .filter(F.col("_lr") <= k).drop("_pid", "_lr"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("hamming"),
+                                               F.asc("neighbor_id"))
+    return local.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= k)
