@@ -2412,6 +2412,34 @@ def q_bm25_batch(spark, sf_dir):
                               k=10)
 
 
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval via reciprocal rank fusion (textstats.
+    rrf_fuse, new r13) — the production combiner for lexical + dense
+    search: BM25 top-10 for the 3-query batch fused with exact-cosine
+    top-10 for 3 query vectors, score = Σ 1/(60 + rank) over the
+    rankings each (query, doc) appears in (rank-only — no score
+    calibration between systems), left-associated and rounded to 12
+    decimals, ties on doc_id.  The fusion inputs are top-k frames —
+    queries × k rows at ANY corpus size — so the merge is two tiny
+    full-outer joins + one window; the corpus-scale work lives in the
+    rankings.  Oracle: the full bm25_batch replica and the full
+    brute-force-cosine replica as CTEs + the identical fusion
+    arithmetic."""
+    from dask_geopandas_spark.operators.similarity import \
+        brute_force_topk
+    from dask_geopandas_spark.operators.textstats import rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_BM25_BATCH_QUERIES,
+                                    "query_id long, query string")
+    lex = TX.bm25_batch_topk(docs, queries, k=10)
+    emb = _t(spark, sf_dir, "embeddings")
+    den = (brute_force_topk(emb, emb.filter(F.col("vec_id") < 3),
+                            k=10)
+           .withColumnRenamed("neighbor_id", "doc_id"))
+    return rrf_fuse([lex, den], k=10)
+
+
 def q_lm_quality(spark, sf_dir):
     """Corpus-trained bigram LM quality signal (textstats.ngram_logprob,
     the CCNet/Gopher perplexity-filter shape without an external LM):
@@ -4923,6 +4951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_hosts": q_harmonic_hosts,
         "trustrank_hosts": q_trustrank_hosts,
         "ann_bq": q_ann_bq,
+        "hybrid_search": q_hybrid_search,
         "stream_ingest_qd": q_stream_ingest_qd,
         "setops_concave_area": q_setops_concave_area,
         "shapefile_roundtrip": q_shapefile_roundtrip,
@@ -4959,9 +4988,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_index_dedup": q_exact_index_dedup,
         "fillna_isna": q_fillna_isna,
         "gml_roundtrip": q_gml_roundtrip,
-        "gpx_roundtrip": q_gpx_roundtrip,
         # ---- below the window: (last-green asc, name) — the
         #   r14 rotation order is the head of this list ----
+        "gpx_roundtrip": q_gpx_roundtrip,
         "interval_left": q_interval_left,
         "kml_roundtrip": q_kml_roundtrip,
         "leak_safe_split": q_leak_safe_split,
@@ -9574,6 +9603,44 @@ def _oracle_sql_base() -> dict[str, str]:
         "ann_topk": ann,
         # exhaustive IVF == brute force: same oracle, by design
         "ann_ivf_exact": ann,
+        # hybrid_search: the full bm25_batch and brute-force-cosine
+        # replicas as CTEs + the identical left-associated RRF sum
+        "hybrid_search": f"""
+            WITH lex AS ({_bm25_batch_oracle_sql()}),
+            dq AS (SELECT vec_id AS query_id, embedding AS v
+                   FROM embeddings WHERE vec_id < 3),
+            dc AS (SELECT vec_id AS neighbor_id, embedding AS v
+                   FROM embeddings),
+            dsc AS (SELECT qa.query_id, qb.neighbor_id, {_COS} AS cos
+                    FROM dq qa, dc qb
+                    WHERE qa.query_id != qb.neighbor_id),
+            den AS (SELECT query_id, neighbor_id AS doc_id, "rank"
+                    FROM (SELECT query_id, neighbor_id, cos,
+                                 row_number() OVER (
+                                     PARTITION BY query_id
+                                     ORDER BY cos DESC,
+                                              neighbor_id ASC)
+                                     AS "rank"
+                          FROM dsc) WHERE "rank" <= 10),
+            f AS (SELECT COALESCE(l.query_id, d.query_id)
+                             AS query_id,
+                         COALESCE(l.doc_id, d.doc_id) AS doc_id,
+                         round(0.0
+                               + COALESCE(1.0 / (60.0 + l."rank"),
+                                          0.0)
+                               + COALESCE(1.0 / (60.0 + d."rank"),
+                                          0.0), 12) AS rrf_score
+                  FROM lex l FULL JOIN den d
+                       ON l.query_id = d.query_id
+                          AND l.doc_id = d.doc_id)
+            SELECT query_id, doc_id, rrf_score,
+                   CAST(rn AS INT) AS "rank"
+            FROM (SELECT query_id, doc_id, rrf_score,
+                         row_number() OVER (PARTITION BY query_id
+                             ORDER BY rrf_score DESC, doc_id) AS rn
+                  FROM f)
+            WHERE rn <= 10
+        """,
         "ann_ivf": _ann_ivf_oracle_sql(),
         "embedding_neardup": neardup,
         "events_hourly": """

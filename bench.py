@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "stream_ingest_qd",
     "harmonic_hosts",
     "trustrank_hosts",
+    "hybrid_search",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE

@@ -2056,3 +2056,47 @@ def train_text_classifier(df, label_col: str = "label",
         bias_df.select(F.lit(-1).cast("long").alias("bucket"),
                        F.col("_bias").alias("weight")))
         .unionByName(meta))
+
+
+def rrf_fuse(rankings: list, k: int = 10, c: int = 60,
+             query_col: str = "query_id", doc_col: str = "doc_id",
+             rank_col: str = "rank",
+             score_col: str = "rrf_score"):
+    """Reciprocal rank fusion (Cormack, Clarke & Büttcher, SIGIR
+    2009) — the standard hybrid-retrieval combiner: given N ranked
+    result frames (lexical BM25, dense ANN, ...), score every
+    (query, doc) as ``Σ over rankings where it appears of
+    1/(c + rank)`` and re-rank.  RRF needs no score calibration
+    between systems (it reads only RANKS), which is why it is the
+    default fusion in production hybrid search.
+
+    Engine-portable by construction: ranks are integers, the sum is a
+    fixed left-associated chain over the rankings IN THE ORDER GIVEN
+    (coalesce 0 for absent entries), rounded to 12 decimals; final
+    ties break on ``doc_col`` ascending.
+
+    Distributed shape: inputs are top-k frames (queries × k rows —
+    tiny by construction at any corpus size), merged by N-1
+    full-outer equi-joins on (query, doc) and one window; the
+    corpus-scale work happened inside the rankings."""
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    base = None
+    for i, r in enumerate(rankings):
+        ri = r.select(F.col(query_col), F.col(doc_col),
+                      F.col(rank_col).cast("long").alias(f"_r{i}"))
+        base = ri if base is None else base.join(
+            ri, [query_col, doc_col], "full_outer")
+    score = F.lit(0.0)
+    for i in range(len(rankings)):
+        score = score + F.coalesce(
+            F.lit(1.0) / (F.lit(float(c)) + F.col(f"_r{i}")),
+            F.lit(0.0))
+    w = Window.partitionBy(query_col).orderBy(F.desc(score_col),
+                                              F.asc(doc_col))
+    return (base.select(query_col, doc_col,
+                        F.round(score, 12).alias(score_col))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(k)))

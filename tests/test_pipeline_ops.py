@@ -3841,3 +3841,62 @@ class TestBloomAppendNoRowMultiplication:
         out = bloom_contains_stored(probe, "url", path)
         assert out.count() == 50          # not multiplied
         assert all(r["maybe_seen"] for r in out.collect())
+
+
+class TestRrfFuse:
+    """Reciprocal rank fusion (textstats.rrf_fuse, r13): brute
+    replica, absent-entry coalesce, deterministic tie-break."""
+
+    def test_matches_brute_force(self, spark):
+        from dask_geopandas_spark.operators.textstats import rrf_fuse
+
+        lex = spark.createDataFrame(
+            [(0, 10, 1), (0, 11, 2), (0, 12, 3),
+             (1, 20, 1), (1, 21, 2)],
+            "query_id long, doc_id long, rank int")
+        den = spark.createDataFrame(
+            [(0, 12, 1), (0, 13, 2), (1, 21, 1), (1, 20, 2)],
+            "query_id long, doc_id long, rank int")
+        got = {(r["query_id"], r["rank"]):
+               (r["doc_id"], r["rrf_score"]) for r in
+               rrf_fuse([lex, den], k=10, c=60).collect()}
+
+        def brute(q):
+            l = {d: rk for qq, d, rk in
+                 [(0, 10, 1), (0, 11, 2), (0, 12, 3),
+                  (1, 20, 1), (1, 21, 2)] if qq == q}
+            d2 = {d: rk for qq, d, rk in
+                  [(0, 12, 1), (0, 13, 2), (1, 21, 1), (1, 20, 2)]
+                  if qq == q}
+            docs = set(l) | set(d2)
+            sc = {d: round((0.0 + (1.0 / (60.0 + l[d])
+                                   if d in l else 0.0))
+                           + (1.0 / (60.0 + d2[d])
+                              if d in d2 else 0.0), 12)
+                  for d in docs}
+            return sorted(sc.items(), key=lambda kv: (-kv[1], kv[0]))
+
+        for q in (0, 1):
+            want = brute(q)
+            for i, (d, s) in enumerate(want):
+                assert got[(q, i + 1)] == (d, s), (q, i)
+        # doc appearing in both rankings outranks single-list docs of
+        # comparable rank
+        assert got[(0, 1)][0] == 12
+        with pytest.raises(ValueError):
+            rrf_fuse([])
+
+    def test_tie_breaks_on_doc_id(self, spark):
+        from dask_geopandas_spark.operators.textstats import rrf_fuse
+
+        r1 = spark.createDataFrame([(0, 7, 1), (0, 3, 2)],
+                                   "query_id long, doc_id long, "
+                                   "rank int")
+        r2 = spark.createDataFrame([(0, 3, 1), (0, 7, 2)],
+                                   "query_id long, doc_id long, "
+                                   "rank int")
+        rows = rrf_fuse([r1, r2], k=5).collect()
+        # symmetric ranks -> equal scores -> doc 3 first
+        assert [(r["rank"], r["doc_id"]) for r in
+                sorted(rows, key=lambda r: r["rank"])] == \
+            [(1, 3), (2, 7)]
