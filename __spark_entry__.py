@@ -4403,6 +4403,39 @@ def _neardup_input(spark, sf_dir):
     return base.unionByName(pert)
 
 
+def q_semantic_contam(spark, sf_dir):
+    """SEMANTIC decontamination (dedup.semantic_contamination, new
+    r13) — the embedding complement of the k-shingle contamination
+    report: paraphrased benchmark leakage has no exact n-gram to
+    match, so training vectors within cosine 0.95 of any benchmark
+    vector flag via CROSS-FRAME sign-LSH (both sides banded with the
+    SAME deterministic hyperplanes — 2 bands × 16 bits, the
+    embedding_neardup tuning).  100-TB shape: the benchmark's band
+    frame, vectors, and candidate list all BROADCAST — the corpus is
+    never shuffled (candidates via broadcast hash join, exact cosine
+    riding the corpus scan).  Benchmark = perturbed copies of the
+    %25==0 vectors (cos≈0.9988 plants).  Oracle: identical planes,
+    banding, candidate join, and cosine fold in SQL."""
+    from dask_geopandas_spark.operators.dedup import \
+        semantic_contamination
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>")
+        .alias("embedding"))
+    bench = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("bench_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x + F.when(i == F.lit(0), F.lit(0.05))
+            .otherwise(F.lit(0.0))).alias("embedding"))
+    out = semantic_contamination(
+        corpus, bench, id_col="vec_id", bench_id_col="bench_id",
+        threshold=0.95, n_bits=32, bands=2, nnz=8, seed=42, dim=64)
+    return out.select("vec_id", "bench_id",
+                      F.round("cos", 6).alias("cos"))
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Banded sign-LSH near-dup at threshold 0.95.  Band width is tuned
     to the threshold: 2 bands x 16 bits keeps planted-pair recall ~1
@@ -4952,6 +4985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank_hosts": q_trustrank_hosts,
         "ann_bq": q_ann_bq,
         "hybrid_search": q_hybrid_search,
+        "semantic_contam": q_semantic_contam,
         "stream_ingest_qd": q_stream_ingest_qd,
         "setops_concave_area": q_setops_concave_area,
         "shapefile_roundtrip": q_shapefile_roundtrip,
@@ -4987,9 +5021,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_centroid": q_dissolve_centroid,
         "exact_index_dedup": q_exact_index_dedup,
         "fillna_isna": q_fillna_isna,
-        "gml_roundtrip": q_gml_roundtrip,
         # ---- below the window: (last-green asc, name) — the
         #   r14 rotation order is the head of this list ----
+        "gml_roundtrip": q_gml_roundtrip,
         "gpx_roundtrip": q_gpx_roundtrip,
         "interval_left": q_interval_left,
         "kml_roundtrip": q_kml_roundtrip,
@@ -7437,6 +7471,51 @@ def _oracle_sql_base() -> dict[str, str]:
                "i -> qa.v[i] * qb.v[i])) / "
                "(sqrt(list_sum(list_transform(qa.v, x -> x * x))) * "
                "sqrt(list_sum(list_transform(qb.v, x -> x * x))))")
+    # semantic_contam: the SAME planes/bands applied CROSS-FRAME —
+    # corpus vs a perturbed benchmark; candidates from the band join,
+    # exact cosine (corpus-side norm first, the engine's argument
+    # order), filter on the RAW cosine, round 6 in the output
+    _sc_cb = "\n            UNION ALL\n".join(
+        f"            SELECT vec_id, {b} AS band, ({s}) AS bsig "
+        f"FROM scorpus" for b, s in enumerate(_nd_bsigs))
+    _sc_bb = "\n            UNION ALL\n".join(
+        f"            SELECT bench_id, {b} AS band, ({s}) AS bsig "
+        f"FROM sbench" for b, s in enumerate(_nd_bsigs))
+    semantic_contam = f"""
+        WITH scorpus AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE))
+                       AS v
+            FROM embeddings),
+        sbench AS (
+            SELECT vec_id AS bench_id,
+                   list_transform(range(1, len(embedding) + 1),
+                       i -> CAST(embedding[i] AS DOUBLE)
+                            + CASE WHEN i = 1 THEN 0.05
+                              ELSE 0.0 END) AS v
+            FROM embeddings WHERE vec_id % 25 = 0),
+        cb AS (
+{_sc_cb}
+        ),
+        bb AS (
+{_sc_bb}
+        ),
+        cand AS (SELECT DISTINCT cb.vec_id, bb.bench_id
+                 FROM cb JOIN bb USING (band, bsig)),
+        j AS (SELECT cand.vec_id, cand.bench_id,
+                     list_sum(list_transform(
+                         range(1, len(co.v) + 1),
+                         i -> co.v[i] * be.v[i]))
+                     / (sqrt(list_sum(list_transform(co.v,
+                             x -> x * x)))
+                        * sqrt(list_sum(list_transform(be.v,
+                               x -> x * x)))) AS cos
+              FROM cand
+              JOIN scorpus co ON co.vec_id = cand.vec_id
+              JOIN sbench be ON be.bench_id = cand.bench_id)
+        SELECT vec_id, bench_id, round(cos, 6) AS cos
+        FROM j WHERE cos >= 0.95
+    """
     neardup = f"""
         WITH base AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -9643,6 +9722,7 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "ann_ivf": _ann_ivf_oracle_sql(),
         "embedding_neardup": neardup,
+        "semantic_contam": semantic_contam,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events, round(sum(value), 6) AS sum_value

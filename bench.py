@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "harmonic_hosts",
     "trustrank_hosts",
     "hybrid_search",
+    "semantic_contam",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE

@@ -1631,3 +1631,80 @@ def bloom_contains_stored(df: DataFrame, col: str, path: str,
     bloom = spark.read.parquet(base + "/positions")
     return bloom_contains(df, col, bloom, num_bits, num_hashes,
                           flag_col, broadcast)
+
+
+def semantic_contamination(corpus: DataFrame, benchmark: DataFrame,
+                           id_col: str = "vec_id",
+                           bench_id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           bench_vec_col: str | None = None,
+                           threshold: float = 0.9, n_bits: int = 32,
+                           bands: int = 4, nnz: int = 8,
+                           seed: int = 42, dim: int | None = None,
+                           broadcast: bool = True) -> DataFrame:
+    """SEMANTIC decontamination — the embedding complement of
+    `contamination_report`: exact k-shingle matching misses
+    PARAPHRASED benchmark leakage, so this flags training vectors
+    within cosine ``threshold`` of any benchmark vector, via the
+    module's seeded sign-LSH applied CROSS-FRAME (both sides banded
+    with the SAME deterministic hyperplanes, so agreeing bands mean
+    likely-high cosine).  Returns (``id_col``, ``bench_id``, cos)
+    for every candidate pair at cos >= threshold.
+
+    100-TB shape (``broadcast=True``, the benchmark-sized default):
+    the benchmark's band frame AND its vectors broadcast, so the
+    corpus is never shuffled — candidates come from a broadcast hash
+    join on (band, signature), and the exact-cosine rejoin
+    broadcasts the (candidate × benchmark-vector) frame back onto
+    the corpus scan.  ``broadcast=False`` falls back to shuffled
+    equi-joins for benchmark sets past broadcast size.  Recall is
+    the standard LSH tradeoff (see `embedding_neardup_pairs`);
+    misses need more/narrower bands."""
+    bvec = bench_vec_col or vec_col
+    if dim is None:
+        dim = corpus.select(F.size(F.col(vec_col))).first()[0]
+    planes = signlsh_planes(dim, n_bits, nnz, seed)
+    width = n_bits // bands
+
+    def banded(df, idc, vc, out_id):
+        bits = [F.expr(signlsh_bit_sql(
+            p, lambda i: f"element_at({vc}, {i})")) for p in planes]
+        keys = [F.struct(F.lit(b).alias("band"),
+                         F.concat(*bits[b * width:(b + 1) * width])
+                         .alias("bsig"))
+                for b in range(bands)]
+        return df.select(F.col(idc).alias(out_id),
+                         F.explode(F.array(*keys)).alias("bk"))
+
+    bb = banded(benchmark, bench_id_col, bvec, "bench_id")
+    if broadcast:
+        bb = F.broadcast(bb)
+    cand = (banded(corpus, id_col, vec_col, "_cid")
+            .join(bb, "bk")
+            .select("_cid", "bench_id").distinct())
+    bv = benchmark.select(F.col(bench_id_col).alias("bench_id"),
+                          F.col(bvec).alias("_bv"))
+    if broadcast:
+        bv = F.broadcast(bv)
+    candv = cand.join(bv, "bench_id")
+    if broadcast:
+        candv = F.broadcast(candv)
+    cv = corpus.select(F.col(id_col).alias("_cid"),
+                       F.col(vec_col).alias("_cv"))
+    from .similarity import cosine
+
+    return (cv.join(candv, "_cid")
+            .select(F.col("_cid").alias(id_col), "bench_id",
+                    cosine(F.col("_cv"), F.col("_bv")).alias("cos"))
+            .filter(F.col("cos") >= threshold))
+
+
+def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                           **kwargs) -> DataFrame:
+    """Drop corpus rows semantically contaminated by the benchmark:
+    `semantic_contamination` then one broadcast left-anti join on the
+    flagged ids.  Keyword arguments pass through."""
+    id_col = kwargs.get("id_col", "vec_id")
+    flagged = (semantic_contamination(corpus, benchmark, **kwargs)
+               .select(F.col(id_col)).distinct())
+    return corpus.join(F.broadcast(flagged), id_col, "left_anti")

@@ -2160,3 +2160,92 @@ class TestBinaryQuantization:
             out._jdf.queryExecution(), "formatted")
         assert "EvalPython" not in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestSemanticContamination:
+    """Cross-frame embedding decontamination (dedup.
+    semantic_contamination, r13): planted paraphrase recall, numpy
+    cosine exactness, broadcast/shuffled agreement, anti-join drop."""
+
+    def _frames(self, spark):
+        rng = np.random.RandomState(37)
+        rows = [(i, [float(v) for v in rng.normal(0, 1, 32)])
+                for i in range(150)]
+        corpus = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        # benchmark = slightly perturbed copies of ids %10==0 plus
+        # two genuinely novel vectors
+        bench_rows = [(i, [v + (0.03 if j == 0 else 0.0)
+                           for j, v in enumerate(vec)])
+                      for i, vec in rows if i % 10 == 0]
+        bench_rows += [(900 + j,
+                        [float(v) for v in rng.normal(5, 1, 32)])
+                       for j in range(2)]
+        bench = spark.createDataFrame(
+            bench_rows, "bench_id long, embedding array<double>")
+        return corpus, bench, rows
+
+    def test_planted_recall_and_exact_cosine(self, spark):
+        from dask_geopandas_spark.operators.dedup import \
+            semantic_contamination
+
+        corpus, bench, rows = self._frames(spark)
+        got = semantic_contamination(
+            corpus, bench, id_col="vec_id", bench_id_col="bench_id",
+            threshold=0.95, n_bits=32, bands=4, dim=32).collect()
+        pairs = {(r["vec_id"], r["bench_id"]): r["cos"] for r in got}
+        X = {i: np.asarray(v, dtype=np.float64) for i, v in rows}
+        # every planted (i, i) pair found
+        for i in range(0, 150, 10):
+            assert (i, i) in pairs, i
+        # every reported cosine equals numpy (and clears threshold)
+        bvecs = {i: X[i].copy() for i in range(0, 150, 10)}
+        for i in bvecs:
+            bvecs[i][0] += 0.03
+        for (cid, bid), c in pairs.items():
+            assert bid in bvecs  # the novel far vectors never match
+            a, b = X[cid], bvecs[bid]
+            want = float(a @ b / (np.linalg.norm(a)
+                                  * np.linalg.norm(b)))
+            assert c == pytest.approx(want, abs=1e-12)
+            assert c >= 0.95
+
+    def test_broadcast_and_shuffled_agree(self, spark):
+        from dask_geopandas_spark.operators.dedup import \
+            semantic_contamination
+
+        corpus, bench, _ = self._frames(spark)
+        kw = dict(id_col="vec_id", bench_id_col="bench_id",
+                  threshold=0.9, n_bits=32, bands=4, dim=32)
+        a = sorted(map(tuple, semantic_contamination(
+            corpus, bench, broadcast=True, **kw).collect()))
+        b = sorted(map(tuple, semantic_contamination(
+            corpus, bench, broadcast=False, **kw).collect()))
+        assert a == b and len(a) >= 15
+
+    def test_decontaminate_drops_flagged_only(self, spark):
+        from dask_geopandas_spark.operators.dedup import (
+            semantic_contamination, semantic_decontaminate)
+
+        corpus, bench, _ = self._frames(spark)
+        kw = dict(id_col="vec_id", bench_id_col="bench_id",
+                  threshold=0.95, n_bits=32, bands=4, dim=32)
+        flagged = {r["vec_id"] for r in semantic_contamination(
+            corpus, bench, **kw).collect()}
+        kept = {r["vec_id"] for r in semantic_decontaminate(
+            corpus, bench, **kw).collect()}
+        assert kept == set(range(150)) - flagged
+        assert flagged  # non-vacuous
+
+    def test_corpus_never_shuffles_under_broadcast(self, spark):
+        from dask_geopandas_spark.operators.dedup import \
+            semantic_contamination
+
+        corpus, bench, _ = self._frames(spark)
+        out = semantic_contamination(
+            corpus, bench, id_col="vec_id", bench_id_col="bench_id",
+            threshold=0.95, n_bits=32, bands=4, dim=32)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        assert "EvalPython" not in plan
+        assert "SortMergeJoin" not in plan
