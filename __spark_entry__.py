@@ -4320,6 +4320,51 @@ def q_code_quality(spark, sf_dir):
         s["longest_token_len"].alias("longest_token_len"))
 
 
+def q_soft_dedup(spark, sf_dir):
+    """SoftDeDup, exact mode (dedup.soft_dedup_weights, new r13):
+    duplicates down-WEIGHTED instead of dropped — a cluster of n
+    identical texts gets weight 1/n per copy, so the samplers see
+    the deduplicated distribution while rare variants survive.  One
+    md5-keyed group count + one equi-join back (spill-safe; a window
+    count would buffer a mega-cluster in one task); NULL texts weigh
+    1.0.  Oracle: the same hash count + left join in SQL."""
+    from dask_geopandas_spark.operators.dedup import \
+        soft_dedup_weights
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (soft_dedup_weights(docs, mode="exact")
+            .select("doc_id", "dedup_weight"))
+
+
+def q_soft_neardup(spark, sf_dir):
+    """SoftDeDup, near mode (new r13): cluster sizes come from
+    lsh_dedup's (doc_id, rep_id) mapping under the attested
+    (4 hashes, 2 bands, k=3) pipeline; weight = 1/|cluster|.
+    Oracle: the full lsh_dedup replica as a CTE + the cluster count
+    and join-back."""
+    from dask_geopandas_spark.operators.dedup import \
+        soft_dedup_weights
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (soft_dedup_weights(docs, mode="near", num_hashes=4,
+                               bands=2, k=3)
+            .select("doc_id", "dedup_weight"))
+
+
+def q_ngram_diversity(spark, sf_dir):
+    """Distinct-n diversity (textstats.ngram_diversity, new r13) —
+    the data-card repetitiveness metric: distinct bigrams / total
+    bigram occurrences per source.  One let-bound tokenizer pass +
+    one explode + one aggregation; the distinct count is exact (the
+    corpus_stats dup-rate convention).  Oracle: identical bigram
+    construction and ratio in SQL."""
+    from dask_geopandas_spark.operators.textstats import \
+        ngram_diversity
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_diversity(docs, n=2, by=["source"])
+
+
 def q_lsh_dedup(spark, sf_dir):
     """Linear LSH dedup (bucket-min representative propagation) — the
     scale-safe form of near-dup removal: O(docs x bands), never
@@ -4986,6 +5031,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bq": q_ann_bq,
         "hybrid_search": q_hybrid_search,
         "semantic_contam": q_semantic_contam,
+        "soft_dedup": q_soft_dedup,
+        "soft_neardup": q_soft_neardup,
+        "ngram_diversity": q_ngram_diversity,
         "stream_ingest_qd": q_stream_ingest_qd,
         "setops_concave_area": q_setops_concave_area,
         "shapefile_roundtrip": q_shapefile_roundtrip,
@@ -5018,11 +5066,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_dedup": q_cluster_dedup,
         "concat_bounds": q_concat_bounds,
         "cx_bbox_filter": q_cx_bbox_filter,
+        # ---- below the window: (last-green asc, name) — the
+        #   r14 rotation order is the head of this list ----
         "dissolve_centroid": q_dissolve_centroid,
         "exact_index_dedup": q_exact_index_dedup,
         "fillna_isna": q_fillna_isna,
-        # ---- below the window: (last-green asc, name) — the
-        #   r14 rotation order is the head of this list ----
         "gml_roundtrip": q_gml_roundtrip,
         "gpx_roundtrip": q_gpx_roundtrip,
         "interval_left": q_interval_left,
@@ -7234,6 +7282,16 @@ def oracle_sql() -> dict[str, str]:
     # leaf merge is a lossless sum and compression runs at read time,
     # so the streamed quantile store equals the single-shot digest
     d["stream_ingest_qd"] = d["quantile_sketch"]
+    # soft_neardup: the full lsh_dedup replica as a CTE + the cluster
+    # count and 1/n weight join-back
+    d["soft_neardup"] = (
+        "WITH m AS (" + d["lsh_dedup"] + """),
+            cs AS (SELECT rep_id, count(*) AS n FROM m
+                   GROUP BY rep_id)
+            SELECT m.doc_id,
+                   round(1.0::DOUBLE / cs.n, 12) AS dedup_weight
+            FROM m JOIN cs USING (rep_id)
+        """)
     return d
 
 
@@ -8259,6 +8317,42 @@ def _oracle_sql_base() -> dict[str, str]:
         # bloom_stored: same oracle VERBATIM — the stored
         # roundtrip (positions parquet + sidecar) is invisible
         "bloom_stored": _BLOOM_DEDUP_ORACLE,
+        # soft_dedup: exact-duplicate cluster sizes by text hash,
+        # weight = 1/n, NULL texts weigh 1.0 (the NULL key never
+        # joins back)
+        "soft_dedup": """
+            WITH c AS (SELECT md5(text) AS h, count(*) AS n
+                       FROM documents WHERE text IS NOT NULL
+                       GROUP BY 1)
+            SELECT d.doc_id,
+                   round(CASE WHEN c.h IS NULL THEN 1.0::DOUBLE
+                         ELSE 1.0::DOUBLE / c.n END, 12)
+                       AS dedup_weight
+            FROM documents d LEFT JOIN c ON md5(d.text) = c.h
+        """,
+        # ngram_diversity: identical bigram construction + exact
+        # distinct ratio
+        "ngram_diversity": f"""
+            WITH tk AS (SELECT source,
+                               list_filter({_TOKENS}, x -> x != '')
+                                   AS toks
+                        FROM documents WHERE text IS NOT NULL),
+            g AS (SELECT source,
+                         unnest(CASE WHEN len(toks) >= 2
+                                THEN list_transform(
+                                    range(1, len(toks)),
+                                    i -> toks[i] || ' '
+                                         || toks[i + 1])
+                                ELSE CAST([] AS VARCHAR[]) END)
+                             AS gr
+                  FROM tk)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_ngrams,
+                   CAST(count(DISTINCT gr) AS BIGINT)
+                       AS distinct_ngrams,
+                   round(CAST(count(DISTINCT gr) AS DOUBLE)
+                         / count(*), 12) AS distinct_frac
+            FROM g GROUP BY source
+        """,
         # ann_bq: midpoint thresholds, 63-bit sign packing with
         # power-of-2 weights, bit_count(xor) Hamming, (ham, id) rank
         "ann_bq": """

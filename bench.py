@@ -158,6 +158,9 @@ BENCH_QUERIES = [
     "trustrank_hosts",
     "hybrid_search",
     "semantic_contam",
+    "soft_dedup",
+    "soft_neardup",
+    "ngram_diversity",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE

@@ -1708,3 +1708,50 @@ def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
     flagged = (semantic_contamination(corpus, benchmark, **kwargs)
                .select(F.col(id_col)).distinct())
     return corpus.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+def soft_dedup_weights(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", mode: str = "exact",
+                       weight_col: str = "dedup_weight",
+                       num_hashes: int = 8, bands: int = 4,
+                       k: int = 3,
+                       materialize: str = "none") -> DataFrame:
+    """SoftDeDup — down-WEIGHT duplicates instead of dropping them
+    (the published alternative to hard dedup: keep every copy but
+    give a cluster of n near-identical documents total sampling mass
+    1, so `sampling.weighted_sample` / `temperature_mix` see the
+    deduplicated distribution while rare formatting variants survive).
+    Adds ``weight_col`` = round(1/|cluster|, 12).
+
+    ``mode='exact'``: clusters are identical texts (md5 key) — one
+    group count + one equi-join back, both on the text hash (spill-
+    safe; a window count would buffer a mega-cluster's rows in one
+    task).  NULL texts weigh 1.0 (each NULL is its own document).
+    ``mode='near'``: clusters come from `lsh_dedup`'s (id, rep_id)
+    mapping under the given MinHash parameters; weight = 1/|rep
+    cluster|, rows the mapping misses (NULL/empty texts) weigh 1.0."""
+    if mode == "exact":
+        key = F.md5(F.col(text_col))
+        counts = (df.groupBy(key.alias("_h"))
+                  .agg(F.count("*").alias("_n")))
+        out = df.join(counts, key == counts["_h"], "left")
+        return (out.withColumn(
+            weight_col,
+            F.round(F.when(F.col("_h").isNotNull(),
+                           F.lit(1.0) / F.col("_n"))
+                    .otherwise(F.lit(1.0)), 12))
+            .drop("_h", "_n"))
+    if mode != "near":
+        raise ValueError(f"mode must be 'exact' or 'near', got "
+                         f"{mode!r}")
+    m = lsh_dedup(df, text_col=text_col, id_col=id_col,
+                  num_hashes=num_hashes, bands=bands, k=k,
+                  materialize=materialize)
+    cs = m.groupBy("rep_id").agg(F.count("*").alias("_n"))
+    w = (m.join(cs, "rep_id")
+         .select(F.col(id_col),
+                 F.round(F.lit(1.0) / F.col("_n"), 12)
+                 .alias(weight_col)))
+    return (df.join(w, id_col, "left")
+            .withColumn(weight_col,
+                        F.coalesce(F.col(weight_col), F.lit(1.0))))

@@ -2100,3 +2100,45 @@ def rrf_fuse(rankings: list, k: int = 10, c: int = 60,
                         F.round(score, 12).alias(score_col))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= int(k)))
+
+
+def ngram_diversity(df, n: int = 2, text_col: str = "text",
+                    by=None, ratio_col: str = "distinct_frac"):
+    """Distinct-n diversity (Li et al. 2016's distinct-n, a standard
+    generated-data and data-card metric): distinct n-grams over total
+    n-gram occurrences, per ``by`` group or corpus-wide — near-0
+    means templated/repetitive text, near-1 means every n-gram
+    appears once.  Returns (``by``..., n_ngrams, distinct_ngrams,
+    ``ratio_col`` rounded to 12).
+
+    One tokenizer pass (`let`-bound — inlined token access would be
+    O(len²)), one explode, one aggregation; the exact distinct count
+    is one expand, the same price `corpus_stats` pays for an exact
+    dup rate.  Docs with fewer than ``n`` tokens contribute nothing;
+    groups with zero n-grams are absent."""
+    n = int(n)
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    keys = list(by or [])
+
+    def grams_of(tf):
+        return F.when(
+            F.size(tf) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tf) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(tf, i + j + 1)
+                           for j in range(n)])),
+        ).otherwise(F.array().cast("array<string>"))
+
+    grams = let(F.filter(tokens(F.col(text_col)),
+                         lambda x: x != F.lit("")), grams_of)
+    ex = (df.filter(F.col(text_col).isNotNull())
+          .select(*keys, F.explode(grams).alias("_g")))
+    return (ex.groupBy(*keys)
+            .agg(F.count("*").alias("n_ngrams"),
+                 F.count_distinct(F.col("_g"))
+                 .alias("distinct_ngrams"))
+            .withColumn(ratio_col,
+                        F.round(F.col("distinct_ngrams")
+                                / F.col("n_ngrams"), 12)))

@@ -3900,3 +3900,82 @@ class TestRrfFuse:
         assert [(r["rank"], r["doc_id"]) for r in
                 sorted(rows, key=lambda r: r["rank"])] == \
             [(1, 3), (2, 7)]
+
+
+class TestSoftDedup:
+    """SoftDeDup weights (dedup.soft_dedup_weights, r13): 1/n per
+    exact or near cluster, mass = one per cluster, NULL texts 1.0."""
+
+    def test_exact_weights_match_brute(self, spark):
+        from dask_geopandas_spark.operators.dedup import \
+            soft_dedup_weights
+
+        rows = [(1, "a b c"), (2, "a b c"), (3, "a b c"),
+                (4, "x y"), (5, "x y"), (6, "unique one"),
+                (7, None), (8, None)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["dedup_weight"] for r in
+               soft_dedup_weights(df, mode="exact").collect()}
+        third = round(1.0 / 3, 12)
+        assert got == {1: third, 2: third, 3: third,
+                       4: 0.5, 5: 0.5, 6: 1.0, 7: 1.0, 8: 1.0}
+        # total sampling mass == distinct texts + one per NULL row
+        assert sum(got.values()) == pytest.approx(3 + 2, abs=1e-9)
+
+    def test_near_weights_follow_lsh_clusters(self, spark):
+        from dask_geopandas_spark.operators.dedup import (
+            lsh_dedup, soft_dedup_weights)
+
+        rows = [(i, f"the quick brown fox {i % 4} jumps over it")
+                for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        m = {r["doc_id"]: r["rep_id"] for r in
+             lsh_dedup(df, num_hashes=4, bands=2, k=3,
+                       materialize="none").collect()}
+        sizes = {}
+        for rep in m.values():
+            sizes[rep] = sizes.get(rep, 0) + 1
+        got = {r["doc_id"]: r["dedup_weight"] for r in
+               soft_dedup_weights(df, mode="near", num_hashes=4,
+                                  bands=2, k=3).collect()}
+        assert got == {i: round(1.0 / sizes[m[i]], 12)
+                       for i in range(40)}
+        with pytest.raises(ValueError, match="mode"):
+            soft_dedup_weights(df, mode="fuzzy")
+
+
+class TestNgramDiversity:
+    def test_matches_brute_force(self, spark):
+        import re
+
+        from dask_geopandas_spark.operators.textstats import \
+            ngram_diversity
+
+        rows = [(1, "g1", "a b a b a b"), (2, "g1", "a b c d"),
+                (3, "g2", "x"), (4, "g2", "x y x y"),
+                (5, "g2", None), (6, "g2", "one")]
+        df = spark.createDataFrame(
+            rows, "doc_id long, g string, text string")
+        got = {r["g"]: (r["n_ngrams"], r["distinct_ngrams"],
+                        r["distinct_frac"]) for r in
+               ngram_diversity(df, n=2, by=["g"]).collect()}
+
+        def brute(texts):
+            grams = []
+            for t in texts:
+                if t is None:
+                    continue
+                toks = [w for w in re.split(r"[^a-z0-9']+",
+                                            t.strip().lower()) if w]
+                grams += [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            return (len(grams), len(set(grams)),
+                    round(len(set(grams)) / len(grams), 12))
+
+        assert got["g1"] == brute(["a b a b a b", "a b c d"])
+        # g2: 'x' and 'one' are sub-bigram docs, contribute nothing
+        assert got["g2"] == brute(["x y x y"])
+        # corpus-wide, trigrams
+        whole = ngram_diversity(df, n=3).head()
+        assert whole["n_ngrams"] == 4 + 2 + 2  # per-doc len-2 counts
+        with pytest.raises(ValueError):
+            ngram_diversity(df, n=0)
