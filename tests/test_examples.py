@@ -125,3 +125,47 @@ def test_incremental_crawl_refresh_example(spark, sf_dir, tmp_path):
     # compaction folded the appended postings
     cf = out["compacted_files"]
     assert cf["files_after"] <= cf["files_before"]
+
+
+def test_data_card_example(spark, sf_dir):
+    """The data-card pass (r13): the sketch-family tables agree with
+    each other and with exact ground truth at this scale."""
+    import sys
+    sys.path.insert(0, "examples")
+    from data_card import build_data_card
+    from pyspark.sql import functions as F
+
+    card = build_data_card(spark, sf_dir)
+    stats = {r["source"]: r.asDict() for r in
+             card["stats"].collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    assert sum(s["n_docs"] for s in stats.values()) == n_docs
+    for s in stats.values():
+        # percentile ordering and bounds against the exact aggregates
+        assert (s["p50_tokens"] <= s["p90_tokens"]
+                <= s["p99_tokens"] <= s["max_tokens"])
+    div = {r["source"]: r["distinct_frac"] for r in
+           card["diversity"].collect()}
+    assert all(0.0 < v <= 1.0 for v in div.values())
+    hll = {r["source"]: r["approx_distinct"] for r in
+           card["distinct_texts"].collect()}
+    for src, s in stats.items():
+        # HLL distinct within 10% of the exact distinct count
+        assert abs(hll[src] - s["distinct_texts"]) \
+            <= max(2, 0.1 * s["distinct_texts"]), src
+    heavy = card["heavy_tokens"].collect()
+    assert heavy  # some token clears total//50 at every sf
+    # exactness: every reported heavy count matches a plain groupBy
+    from dask_geopandas_spark.operators.textstats import tokens
+    toks = docs.select(F.explode(
+        F.filter(tokens(F.col("text")),
+                 lambda x: x != F.lit(""))).alias("token"))
+    exact = {r["token"]: r["n"] for r in
+             toks.groupBy("token").agg(F.count("*").alias("n"))
+             .collect()}
+    for r in heavy:
+        assert exact[r["token"]] == r["n_count"], r["token"]
+    if "overlap" in card:
+        row = card["overlap"].head()
+        assert 0.0 <= row["jaccard"] <= 1.0
