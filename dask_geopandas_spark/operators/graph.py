@@ -208,9 +208,13 @@ def harmonic_centrality(edges: DataFrame, src_col: str = "src",
     the edge list + one map-side-combined max-merge + one estimate
     aggregation, every frame node-sized × ≤2^p rows and
     ``localCheckpoint``-materialized; a 1-row growth probe stops
-    early when no ball grew (a fixed point of the monotone merge —
-    every later increment is exactly 0, so early exit can never
-    change the result)."""
+    early at the REGISTER fixed point: register rows and total rho
+    are each strictly monotone under max-merge, so an unchanged
+    (count, Σrho) pair proves no register changed — then every later
+    superstep is the identity and every later increment is exactly 0,
+    so early exit can never change the result.  (Probing the estimate
+    sum instead would be unsound: it is not strictly monotone at the
+    estimator's branch boundary.)"""
     from .sketches import hll_estimate, hll_registers
 
     if mode not in ("in", "out"):
@@ -227,7 +231,13 @@ def harmonic_centrality(edges: DataFrame, src_col: str = "src",
             .localCheckpoint())
     prev = hll_estimate(regs, p, ["node"], "_c").localCheckpoint()
     harm = nodes.select("node", F.lit(0.0).alias("harmonic"))
-    total = prev.agg(F.sum("_c")).head()[0]
+
+    def _state(r):
+        row = r.agg(F.count("*").alias("_k"),
+                    F.sum("hll_rho").alias("_r")).head()
+        return (row["_k"], row["_r"])
+
+    state = _state(regs)
     for d in range(1, int(max_dist) + 1):
         contrib = (e.join(regs, e["_s"] == regs["node"])
                    .select(F.col("_t").alias("node"), "hll_idx",
@@ -246,10 +256,10 @@ def harmonic_centrality(edges: DataFrame, src_col: str = "src",
                                 12).alias("harmonic"))
                 .localCheckpoint())
         prev = ct.withColumnRenamed("_ct", "_c")
-        grown = ct.agg(F.sum("_ct")).head()[0]
-        if grown == total:
+        nstate = _state(regs)
+        if nstate == state:
             break
-        total = grown
+        state = nstate
     return harm
 
 
