@@ -3427,6 +3427,35 @@ def q_bm25_deleted(spark, sf_dir):
         spark, path, ["stream", "window", "merge", "vector"], k=20)
 
 
+def _two_batch_stream(spark, df, base, schema, id_col="doc_id"):
+    """The streaming-ingest fixture shared by the ingest queries:
+    write ``df`` as two mtime-staggered single-file parquet batches
+    under ``base/src`` (the fixed epoch keeps file ordering
+    deterministic across runs) and return the maxFilesPerTrigger=1
+    readStream over them — one helper instead of per-query copies of
+    the split/utime/readStream scaffolding (the r13 review's dedup
+    order; q_stream_ingest_dedup/neardup, q_stream_index_bm25 and
+    q_stream_ingest_vectors still carry the inline form — migrate
+    each when its operator next changes and re-attests, a fixture
+    rewrite alone is not worth burning re-attestation slots)."""
+    import os
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    half = df.count() // 2
+    df.filter(F.col(id_col) < half).coalesce(1) \
+        .write.parquet(base + "/src/f0")
+    df.filter(F.col(id_col) >= half).coalesce(1) \
+        .write.parquet(base + "/src/f1")
+    now = 1_700_000_000
+    for i, d in enumerate(("f0", "f1")):
+        for fn in os.listdir(f"{base}/src/{d}"):
+            os.utime(f"{base}/src/{d}/{fn}", (now + i, now + i))
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(base + "/src/f*"))
+
+
 def q_stream_ingest_hll(spark, sf_dir):
     """Streaming distinct counter (streaming/indexing.
     streaming_ingest_hll, new r12): the documents table replays as
@@ -3438,30 +3467,14 @@ def q_stream_ingest_hll(spark, sf_dir):
     single-shot `hll_count` EXACTLY — this query shares
     q_hll_sources's oracle VERBATIM: batch boundaries are
     invisible."""
-    import os
-    import shutil
-
     from dask_geopandas_spark.streaming.indexing import (
         hll_count_stored, streaming_ingest_hll)
 
     base = "/root/repo/.bench_tmp/stream_hll"
-    shutil.rmtree(base, ignore_errors=True)
-    docs = _t(spark, sf_dir, "documents").select("source", "text")
-    half = docs.count() // 2
     ids = _t(spark, sf_dir, "documents").select("doc_id", "source",
                                                 "text")
-    ids.filter(F.col("doc_id") < half).coalesce(1) \
-        .write.parquet(base + "/src/f0")
-    ids.filter(F.col("doc_id") >= half).coalesce(1) \
-        .write.parquet(base + "/src/f1")
-    now = 1_700_000_000
-    for i, d in enumerate(("f0", "f1")):
-        for fn in os.listdir(f"{base}/src/{d}"):
-            os.utime(f"{base}/src/{d}/{fn}", (now + i, now + i))
-    stream = (spark.readStream
-              .schema("doc_id long, source string, text string")
-              .option("maxFilesPerTrigger", "1")
-              .parquet(base + "/src/f*"))
+    stream = _two_batch_stream(
+        spark, ids, base, "doc_id long, source string, text string")
     q = (streaming_ingest_hll(stream, base + "/sk", "text", p=12,
                               by=["source"], compact_every=2)
          .option("checkpointLocation", base + "/ckpt")
@@ -3480,28 +3493,14 @@ def q_stream_ingest_cms(spark, sf_dir):
     contract).  Because cell merge is a lossless sum, the stored
     counter must equal the single-shot sketch EXACTLY — shares
     q_cms_tokens's oracle VERBATIM."""
-    import os
-    import shutil
-
     from dask_geopandas_spark.operators.textstats import tokens
     from dask_geopandas_spark.streaming.indexing import (
         cms_lookup_stored, streaming_ingest_cms)
 
     base = "/root/repo/.bench_tmp/stream_cms"
-    shutil.rmtree(base, ignore_errors=True)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    half = docs.count() // 2
-    docs.filter(F.col("doc_id") < half).coalesce(1) \
-        .write.parquet(base + "/src/f0")
-    docs.filter(F.col("doc_id") >= half).coalesce(1) \
-        .write.parquet(base + "/src/f1")
-    now = 1_700_000_000
-    for i, d in enumerate(("f0", "f1")):
-        for fn in os.listdir(f"{base}/src/{d}"):
-            os.utime(f"{base}/src/{d}/{fn}", (now + i, now + i))
-    stream = (spark.readStream.schema("doc_id long, text string")
-              .option("maxFilesPerTrigger", "1")
-              .parquet(base + "/src/f*"))
+    stream = _two_batch_stream(spark, docs, base,
+                               "doc_id long, text string")
     tok_stream = stream.select(F.explode(
         F.filter(tokens(F.col("text")),
                  lambda x: x != F.lit(""))).alias("token"))
@@ -3587,30 +3586,15 @@ def q_stream_ingest_qd(spark, sf_dir):
     inside the _append_in_progress window, torn-append refusal);
     bits pins in a _qd.json sidecar.  Shares q_quantile_sketch's
     oracle VERBATIM."""
-    import os
-    import shutil
-
     from dask_geopandas_spark.operators.textstats import token_count
     from dask_geopandas_spark.streaming.indexing import (
         qd_quantiles_stored, streaming_ingest_qd)
 
     base = "/root/repo/.bench_tmp/stream_qd"
-    shutil.rmtree(base, ignore_errors=True)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source",
                                                  "text")
-    half = docs.count() // 2
-    docs.filter(F.col("doc_id") < half).coalesce(1) \
-        .write.parquet(base + "/src/f0")
-    docs.filter(F.col("doc_id") >= half).coalesce(1) \
-        .write.parquet(base + "/src/f1")
-    now = 1_700_000_000
-    for i, d in enumerate(("f0", "f1")):
-        for fn in os.listdir(f"{base}/src/{d}"):
-            os.utime(f"{base}/src/{d}/{fn}", (now + i, now + i))
-    stream = (spark.readStream
-              .schema("doc_id long, source string, text string")
-              .option("maxFilesPerTrigger", "1")
-              .parquet(base + "/src/f*"))
+    stream = _two_batch_stream(
+        spark, docs, base, "doc_id long, source string, text string")
     vals = (stream.filter(F.col("text").isNotNull())
             .select("source", token_count(F.col("text")).alias("nt")))
     q = (streaming_ingest_qd(vals, base + "/sk", "nt", bits=9,

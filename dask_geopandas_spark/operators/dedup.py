@@ -1662,7 +1662,14 @@ def semantic_contamination(corpus: DataFrame, benchmark: DataFrame,
     misses need more/narrower bands."""
     bvec = bench_vec_col or vec_col
     if dim is None:
-        dim = corpus.select(F.size(F.col(vec_col))).first()[0]
+        row = corpus.select(F.size(F.col(vec_col))).first()
+        if row is None:  # empty corpus: nothing can be contaminated
+            return (corpus.select(F.col(id_col)).limit(0)
+                    .crossJoin(benchmark.select(
+                        F.col(bench_id_col).alias("bench_id"))
+                        .limit(0))
+                    .withColumn("cos", F.lit(0.0)))
+        dim = row[0]
     planes = signlsh_planes(dim, n_bits, nnz, seed)
     width = n_bits // bands
 
@@ -1686,6 +1693,10 @@ def semantic_contamination(corpus: DataFrame, benchmark: DataFrame,
                           F.col(bvec).alias("_bv"))
     if broadcast:
         bv = F.broadcast(bv)
+    # candv is bounded by the CANDIDATE count, not the benchmark: on
+    # a heavily contaminated corpus it can grow corpus-like — pass
+    # broadcast=False there (every broadcast below then degrades to a
+    # shuffled equi-join)
     candv = cand.join(bv, "bench_id")
     if broadcast:
         candv = F.broadcast(candv)
@@ -1702,12 +1713,19 @@ def semantic_contamination(corpus: DataFrame, benchmark: DataFrame,
 def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
                            **kwargs) -> DataFrame:
     """Drop corpus rows semantically contaminated by the benchmark:
-    `semantic_contamination` then one broadcast left-anti join on the
-    flagged ids.  Keyword arguments pass through."""
+    `semantic_contamination` then a left-anti join on the flagged
+    ids.  Keyword arguments pass through.  The flagged set is bounded
+    by the CORPUS (every contaminated row contributes an id), so it
+    only broadcasts under the same ``broadcast=True`` assumption as
+    the rest of the pipeline — contamination is benchmark-scale rare;
+    pass ``broadcast=False`` for heavily contaminated corpora and the
+    anti-join shuffles instead."""
     id_col = kwargs.get("id_col", "vec_id")
     flagged = (semantic_contamination(corpus, benchmark, **kwargs)
                .select(F.col(id_col)).distinct())
-    return corpus.join(F.broadcast(flagged), id_col, "left_anti")
+    if kwargs.get("broadcast", True):
+        flagged = F.broadcast(flagged)
+    return corpus.join(flagged, id_col, "left_anti")
 
 
 def soft_dedup_weights(df: DataFrame, text_col: str = "text",

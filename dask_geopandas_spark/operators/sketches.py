@@ -435,7 +435,7 @@ def _qd_attach_n(nodes: DataFrame, keys: list) -> DataFrame:
 
 
 def _qd_compress(nodes: DataFrame, k: int, bits: int, keys: list,
-                 fresh: bool, checkpoint_every: int = 1) -> DataFrame:
+                 fresh: bool) -> DataFrame:
     """Bottom-up level-synchronous q-digest compression: for each
     level L from the leaves up, children sharing a parent merge into
     it when their combined count (plus the parent's own, when one
@@ -451,7 +451,7 @@ def _qd_compress(nodes: DataFrame, k: int, bits: int, keys: list,
     cur = _qd_attach_n(nodes, keys)
     t = F.expr(f"_n div {int(k)}")
     cols = [*keys, "qd_id", "qd_count", "_n"]
-    for i, lvl in enumerate(range(int(bits), 0, -1)):
+    for lvl in range(int(bits), 0, -1):
         lo = 1 << lvl
         is_child = (F.col("qd_id") >= lo) & (F.col("qd_id") < 2 * lo)
         ch = (cur.filter(is_child)
@@ -503,8 +503,7 @@ def _qd_compress(nodes: DataFrame, k: int, bits: int, keys: list,
                              nn.alias("_n")))
             cur = (rest.unionByName(merged).unionByName(keptc)
                    .unionByName(keptp))
-        if (i + 1) % int(checkpoint_every) == 0:
-            cur = cur.localCheckpoint()
+        cur = cur.localCheckpoint()
     return cur.select(*keys, "qd_id",
                       F.col("qd_count").cast("long").alias("qd_count")
                       ).localCheckpoint()

@@ -1009,10 +1009,13 @@ def corpus_stats(df, text_col: str = "text", group_col=None,
                    by=keys or None)
     qd = qd_quantiles(sk, list(percentiles), bits=percentile_bits,
                       by=keys or None)
+    # name via a rounded :g repr: str(0.29 * 100) is
+    # '28.999999999999996' in IEEE754 — p29_tokens, not FP noise
     piv = qd.groupBy(*keys).agg(*[
         F.max(F.when(F.col("q") == F.lit(float(q)),
                      F.col("quantile")))
-        .alias(f"p{str(float(q) * 100).rstrip('0').rstrip('.').replace('.', '_')}_tokens")
+        .alias(f"p{round(float(q) * 100, 6):g}_tokens"
+               .replace(".", "_"))
         for q in percentiles])
     if keys:
         return stats.join(piv, keys, "left")

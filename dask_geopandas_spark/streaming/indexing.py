@@ -315,32 +315,92 @@ def streaming_ingest_hll(stream: DataFrame, sketch_path: str,
     return stream.writeStream.foreachBatch(_fb)
 
 
-def _cms_params(base: str) -> tuple[int, int]:
+def _sidecar_read(base: str, name: str) -> dict | None:
     import json
 
     from pyarrow import fs as pafs
 
     from ..sources.fs import resolve_fs
 
-    fsys, p = resolve_fs(base.rstrip("/") + "/_cms.json")
+    fsys, p = resolve_fs(base.rstrip("/") + "/" + name)
     info = fsys.get_file_info(p)
     if info.type == pafs.FileType.NotFound:
-        raise ValueError(f"no _cms.json sidecar at {base!r} — not a "
-                         "stored Count-Min sketch")
+        return None
     with fsys.open_input_stream(p) as f:
-        meta = json.loads(f.read().decode())
-    return int(meta["width"]), int(meta["depth"])
+        return json.loads(f.read().decode())
 
 
-def _check_cms_consistent(spark, base: str) -> None:
+def _check_no_torn(spark, base: str, kind: str) -> None:
     fs, _ = _hadoop_fs(spark, base)
     HP = spark._jvm.org.apache.hadoop.fs.Path
     if fs.exists(HP(base + "/_append_in_progress")):
         raise RuntimeError(
-            f"stored CMS at {base!r} was left inconsistent by a "
+            f"stored {kind} at {base!r} was left inconsistent by a "
             "failed append (_append_in_progress marker present): a "
-            "replayed batch would double-count — rebuild the sketch "
+            "replayed batch would double-count — rebuild the store "
             "(it is derived data)")
+
+
+def _exactly_once_append(spark, base: str, sidecar: str,
+                         params: dict, kind: str, dataset: str,
+                         frame: DataFrame,
+                         batch_id: int | None) -> bool:
+    """THE exactly-once append contract shared by every SUM-merge
+    store (CMS cells, q-digest leaves — where a replayed append
+    double-counts, unlike HLL's idempotent max): the batch's commit
+    marker skips replays (and heals a lingering in-progress flag);
+    the ``sidecar`` pins ``params`` as the store's identity on first
+    use and refuses mismatches; ``_append_in_progress`` wraps the
+    write with the marker created BEFORE the flag clears
+    (marker-present always means fully-committed), so a torn append
+    leaves the flag and every stored reader refuses.  One
+    implementation — a fix to any crash-consistency path propagates
+    to every store (the r13 review's dedup order)."""
+    import json
+
+    fs, _ = _hadoop_fs(spark, base)
+    HP = spark._jvm.org.apache.hadoop.fs.Path
+    marker = None
+    if batch_id is not None:
+        marker = f"{base}/_batches/batch-{int(batch_id)}"
+        if fs.exists(HP(marker)):
+            fs.delete(HP(base + "/_append_in_progress"), False)
+            return False
+    _check_no_torn(spark, base, kind)
+    stored = _sidecar_read(base, sidecar)
+    if stored is not None:
+        if {k: int(v) for k, v in stored.items()} != params:
+            raise ValueError(
+                f"stored {kind} at {base!r} has {stored}; ingest "
+                f"requested {params} — parameters are the store's "
+                "identity")
+    else:
+        from ..sources.fs import resolve_fs
+
+        fs.mkdirs(HP(base))
+        fsys, p = resolve_fs(base + "/" + sidecar)
+        with fsys.open_output_stream(p) as out:
+            out.write(json.dumps(params).encode())
+    if marker is not None:
+        fs.mkdirs(HP(base + "/_batches"))
+    fs.create(HP(base + "/_append_in_progress"), True).close()
+    frame.write.mode("append").parquet(base + "/" + dataset)
+    if marker is not None:
+        fs.create(HP(marker), True).close()
+    fs.delete(HP(base + "/_append_in_progress"), False)
+    return True
+
+
+def _cms_params(base: str) -> tuple[int, int]:
+    meta = _sidecar_read(base, "_cms.json")
+    if meta is None:
+        raise ValueError(f"no _cms.json sidecar at {base!r} — not a "
+                         "stored Count-Min sketch")
+    return int(meta["width"]), int(meta["depth"])
+
+
+def _check_cms_consistent(spark, base: str) -> None:
+    _check_no_torn(spark, base, "CMS")
 
 
 def ingest_cms_batch(batch_df: DataFrame, sketch_path: str, col: str,
@@ -356,50 +416,15 @@ def ingest_cms_batch(batch_df: DataFrame, sketch_path: str, col: str,
 
     Unlike the HLL ingester, CMS NEEDS the exactly-once machinery:
     cell merge is SUM, and summing a replayed batch double-counts —
-    so this follows the BM25/vector ingester contract exactly: an
-    ``_append_in_progress`` flag wraps the write, the commit marker
-    is created before the flag clears (marker-present always means
-    fully-committed; replay then heals a lingering flag), and a torn
-    append leaves the flag so every stored reader refuses."""
-    import json
-
-    spark = batch_df.sparkSession
-    base = sketch_path.rstrip("/")
-    fs, _ = _hadoop_fs(spark, base)
-    HP = spark._jvm.org.apache.hadoop.fs.Path
-    marker = None
-    if batch_id is not None:
-        marker = f"{base}/_batches/batch-{int(batch_id)}"
-        if fs.exists(HP(marker)):
-            fs.delete(HP(base + "/_append_in_progress"), False)
-            return False
-    _check_cms_consistent(spark, base)
-    if fs.exists(HP(base + "/_cms.json")):
-        sw, sd = _cms_params(base)
-        if (sw, sd) != (int(width), int(depth)):
-            raise ValueError(
-                f"stored CMS at {base!r} has (width, depth)="
-                f"({sw}, {sd}); ingest requested ({width}, {depth}) "
-                "— parameters are the sketch's identity")
-    else:
-        from ..sources.fs import resolve_fs
-
-        fs.mkdirs(HP(base))
-        fsys, p = resolve_fs(base + "/_cms.json")
-        with fsys.open_output_stream(p) as out:
-            out.write(json.dumps({"width": int(width),
-                                  "depth": int(depth)}).encode())
+    the shared `_exactly_once_append` contract (flag + commit marker
+    + ``_cms.json`` identity pin)."""
     from ..operators.sketches import cms_sketch
 
-    if marker is not None:
-        fs.mkdirs(HP(base + "/_batches"))
-    fs.create(HP(base + "/_append_in_progress"), True).close()
-    (cms_sketch(batch_df, col, width, depth, weight_col, by)
-     .write.mode("append").parquet(base + "/cells"))
-    if marker is not None:
-        fs.create(HP(marker), True).close()
-    fs.delete(HP(base + "/_append_in_progress"), False)
-    return True
+    return _exactly_once_append(
+        batch_df.sparkSession, sketch_path.rstrip("/"), "_cms.json",
+        {"width": int(width), "depth": int(depth)}, "CMS", "cells",
+        cms_sketch(batch_df, col, width, depth, weight_col, by),
+        batch_id)
 
 
 def cms_stored(spark, sketch_path: str,
@@ -449,31 +474,15 @@ def streaming_ingest_cms(stream: DataFrame, sketch_path: str,
 
 
 def _qd_params(base: str) -> int:
-    import json
-
-    from pyarrow import fs as pafs
-
-    from ..sources.fs import resolve_fs
-
-    fsys, p = resolve_fs(base.rstrip("/") + "/_qd.json")
-    info = fsys.get_file_info(p)
-    if info.type == pafs.FileType.NotFound:
+    meta = _sidecar_read(base, "_qd.json")
+    if meta is None:
         raise ValueError(f"no _qd.json sidecar at {base!r} — not a "
                          "stored q-digest leaf store")
-    with fsys.open_input_stream(p) as f:
-        meta = json.loads(f.read().decode())
     return int(meta["bits"])
 
 
 def _check_qd_consistent(spark, base: str) -> None:
-    fs, _ = _hadoop_fs(spark, base)
-    HP = spark._jvm.org.apache.hadoop.fs.Path
-    if fs.exists(HP(base + "/_append_in_progress")):
-        raise RuntimeError(
-            f"stored q-digest at {base!r} was left inconsistent by a "
-            "failed append (_append_in_progress marker present): a "
-            "replayed batch would double-count — rebuild the store "
-            "(it is derived data)")
+    _check_no_torn(spark, base, "q-digest")
 
 
 def ingest_qd_batch(batch_df: DataFrame, sketch_path: str, col: str,
@@ -495,49 +504,15 @@ def ingest_qd_batch(batch_df: DataFrame, sketch_path: str, col: str,
     payloads.
 
     Leaf merge is SUM, so like the CMS ingester this needs the full
-    exactly-once contract: ``_append_in_progress`` wraps the write,
-    the commit marker is created before the flag clears, replay
-    heals a lingering flag, and a torn append leaves the flag so
-    every stored reader refuses."""
-    import json
-
-    spark = batch_df.sparkSession
-    base = sketch_path.rstrip("/")
-    fs, _ = _hadoop_fs(spark, base)
-    HP = spark._jvm.org.apache.hadoop.fs.Path
-    marker = None
-    if batch_id is not None:
-        marker = f"{base}/_batches/batch-{int(batch_id)}"
-        if fs.exists(HP(marker)):
-            fs.delete(HP(base + "/_append_in_progress"), False)
-            return False
-    _check_qd_consistent(spark, base)
-    if fs.exists(HP(base + "/_qd.json")):
-        sb = _qd_params(base)
-        if sb != int(bits):
-            raise ValueError(
-                f"stored q-digest at {base!r} has bits={sb}; ingest "
-                f"requested {bits} — the universe is the store's "
-                "identity")
-    else:
-        from ..sources.fs import resolve_fs
-
-        fs.mkdirs(HP(base))
-        fsys, p = resolve_fs(base + "/_qd.json")
-        with fsys.open_output_stream(p) as out:
-            out.write(json.dumps({"bits": int(bits)}).encode())
+    exactly-once machinery — the shared `_exactly_once_append`
+    contract (flag + commit marker + ``_qd.json`` identity pin)."""
     from ..operators.sketches import _qd_leaves
 
-    leaves = _qd_leaves(batch_df, col, bits, weight_col,
-                        list(by or []))
-    if marker is not None:
-        fs.mkdirs(HP(base + "/_batches"))
-    fs.create(HP(base + "/_append_in_progress"), True).close()
-    leaves.write.mode("append").parquet(base + "/leaves")
-    if marker is not None:
-        fs.create(HP(marker), True).close()
-    fs.delete(HP(base + "/_append_in_progress"), False)
-    return True
+    return _exactly_once_append(
+        batch_df.sparkSession, sketch_path.rstrip("/"), "_qd.json",
+        {"bits": int(bits)}, "q-digest", "leaves",
+        _qd_leaves(batch_df, col, bits, weight_col, list(by or [])),
+        batch_id)
 
 
 def qd_stored(spark, sketch_path: str, k: int = 512,

@@ -3979,3 +3979,18 @@ class TestNgramDiversity:
         assert whole["n_ngrams"] == 4 + 2 + 2  # per-doc len-2 counts
         with pytest.raises(ValueError):
             ngram_diversity(df, n=0)
+
+
+def test_corpus_stats_percentile_names_no_fp_noise(spark):
+    """0.29 * 100 is 28.999999999999996 in IEEE754: the percentile
+    column must still be named p29_tokens (r13 review finding)."""
+    from dask_geopandas_spark.operators.textstats import corpus_stats
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "tok " * (i + 1)) for i in range(10)],
+        "doc_id long, text string")
+    cols = corpus_stats(df, percentiles=[0.29, 0.07, 0.995],
+                        percentile_k=1000, percentile_bits=6).columns
+    assert "p29_tokens" in cols and "p7_tokens" in cols
+    assert "p99_5_tokens" in cols

@@ -2249,3 +2249,22 @@ class TestSemanticContamination:
             out._jdf.queryExecution(), "formatted")
         assert "EvalPython" not in plan
         assert "SortMergeJoin" not in plan
+
+
+def test_semantic_contamination_empty_corpus(spark):
+    """Empty corpus with dim unset returns an empty frame with the
+    output schema instead of TypeError on the dim probe (r13 review
+    finding); decontaminate stays empty too."""
+    from dask_geopandas_spark.operators.dedup import (
+        semantic_contamination, semantic_decontaminate)
+
+    corpus = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>")
+    bench = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "bench_id long, embedding array<double>")
+    out = semantic_contamination(corpus, bench,
+                                 bench_id_col="bench_id")
+    assert out.columns == ["vec_id", "bench_id", "cos"]
+    assert out.count() == 0
+    assert semantic_decontaminate(corpus, bench,
+                                  bench_id_col="bench_id").count() == 0
