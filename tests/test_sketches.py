@@ -823,3 +823,45 @@ class TestStreamingQd:
                                        bits=7),
                              [0.5, 0.95], bits=7).collect()}
         assert got == want
+
+
+def test_qdigest_property_random_multisets(spark):
+    """Property sweep (r13): for randomized value multisets the
+    engine's grouped q-digest node set AND every quantile equal the
+    level-synchronous brute replica exactly.  Each hypothesis example
+    bundles many groups into ONE grouped sketch call so the sweep
+    costs a handful of Spark jobs, not one per example."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dask_geopandas_spark.operators.sketches import (qd_quantiles,
+                                                         qd_sketch)
+
+    @given(st.lists(st.lists(st.integers(0, 63), min_size=1,
+                             max_size=120),
+                    min_size=4, max_size=16),
+           st.sampled_from([(2, 6), (4, 6), (16, 6)]))
+    @settings(max_examples=4, deadline=None)
+    def check(groups, kb):
+        k, bits = kb
+        rows = [(f"g{gi}", v) for gi, vals in enumerate(groups)
+                for v in vals]
+        df = spark.createDataFrame(rows, "g string, v long")
+        got = {}
+        for r in qd_sketch(df, "v", k=k, bits=bits,
+                           by=["g"]).collect():
+            got.setdefault(r["g"], {})[r["qd_id"]] = r["qd_count"]
+        qs = {}
+        for r in qd_quantiles(qd_sketch(df, "v", k=k, bits=bits,
+                                        by=["g"]),
+                              [0.25, 0.5, 0.9], bits=bits,
+                              by=["g"]).collect():
+            qs[(r["g"], r["q"])] = r["quantile"]
+        for gi, vals in enumerate(groups):
+            brute = _brute_qd(vals, k, bits)
+            assert got[f"g{gi}"] == brute, (gi, k, bits)
+            for q in (0.25, 0.5, 0.9):
+                assert qs[(f"g{gi}", q)] == \
+                    _brute_qd_quantile(brute, q, bits), (gi, q)
+
+    check()
