@@ -3225,6 +3225,26 @@ def q_pagerank_hosts(spark, sf_dir):
     return pagerank(edges, iters=2)
 
 
+def q_lpa_hosts(spark, sf_dir):
+    """Label-propagation communities (operators/graph.
+    label_propagation, new r13) — the host-clustering complement of
+    connected_components: a node adopts the label most frequent among
+    its neighbors (plus its own — the damping that stops synchronous
+    LPA's bipartite oscillation), ties to the smallest label, so
+    DENSER groups (mirror clusters, site families) separate where CC
+    merges anything touching.  Synthetic 36-host graph, 2 supersteps;
+    the oracle unrolls both (vote union + count + the identical
+    (count desc, label asc) rank-1 selection)."""
+    from dask_geopandas_spark.operators.graph import \
+        label_propagation
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        (F.col("doc_id") % 36).alias("src"),
+        ((F.col("doc_id") * 5 + 2) % 36).alias("dst"))
+    return label_propagation(edges, iters=2)
+
+
 def q_trustrank_hosts(spark, sf_dir):
     """TrustRank (operators/graph.trustrank, new r13) — the
     spam-demotion rank: personalized PageRank whose teleport and
@@ -5012,6 +5032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": q_quantile_sketch,
         "harmonic_hosts": q_harmonic_hosts,
         "trustrank_hosts": q_trustrank_hosts,
+        "lpa_hosts": q_lpa_hosts,
         "ann_bq": q_ann_bq,
         "hybrid_search": q_hybrid_search,
         "semantic_contam": q_semantic_contam,
@@ -5049,9 +5070,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_count": q_clip_count,
         "cluster_dedup": q_cluster_dedup,
         "concat_bounds": q_concat_bounds,
-        "cx_bbox_filter": q_cx_bbox_filter,
         # ---- below the window: (last-green asc, name) — the
         #   r14 rotation order is the head of this list ----
+        "cx_bbox_filter": q_cx_bbox_filter,
         "dissolve_centroid": q_dissolve_centroid,
         "exact_index_dedup": q_exact_index_dedup,
         "fillna_isna": q_fillna_isna,
@@ -8386,6 +8407,40 @@ def _oracle_sql_base() -> dict[str, str]:
         "quantile_sketch": _qd_oracle(32, 9, [0.5, 0.9, 0.99]),
         # harmonic_hosts: 3 HyperBall supersteps + 4 estimator passes
         "harmonic_hosts": _harmonic_oracle(3, 10),
+        # lpa_hosts: both label-propagation supersteps unrolled —
+        # undirected dedup'd votes + self vote, count, rank-1 by
+        # (count desc, label asc)
+        "lpa_hosts": """
+            WITH e0 AS (SELECT DISTINCT doc_id % 36 AS a,
+                               (doc_id * 5 + 2) % 36 AS b
+                        FROM documents),
+            und AS (SELECT DISTINCT a, b FROM
+                    (SELECT a, b FROM e0
+                     UNION ALL SELECT b AS a, a AS b FROM e0)
+                    WHERE a != b),
+            l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+            v1 AS (SELECT u.a AS node, l.label
+                   FROM und u JOIN l0 l ON u.b = l.node
+                   UNION ALL SELECT node, label FROM l0),
+            c1 AS (SELECT node, label, count(*) AS c
+                   FROM v1 GROUP BY 1, 2),
+            l1 AS (SELECT node, label FROM
+                   (SELECT node, label,
+                           row_number() OVER (PARTITION BY node
+                               ORDER BY c DESC, label) AS r
+                    FROM c1) WHERE r = 1),
+            v2 AS (SELECT u.a AS node, l.label
+                   FROM und u JOIN l1 l ON u.b = l.node
+                   UNION ALL SELECT node, label FROM l1),
+            c2 AS (SELECT node, label, count(*) AS c
+                   FROM v2 GROUP BY 1, 2),
+            l2 AS (SELECT node, label FROM
+                   (SELECT node, label,
+                           row_number() OVER (PARTITION BY node
+                               ORDER BY c DESC, label) AS r
+                    FROM c2) WHERE r = 1)
+            SELECT node, label FROM l2
+        """,
         # trustrank_hosts: both seed-teleport supersteps unrolled —
         # the pagerank oracle with s(v) replacing uniform 1/n in the
         # teleport AND the dangling redistribution

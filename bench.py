@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "stream_ingest_qd",
     "harmonic_hosts",
     "trustrank_hosts",
+    "lpa_hosts",
     "hybrid_search",
     "semantic_contam",
     "soft_dedup",

@@ -21,7 +21,7 @@ uniform teleport and dangling-mass redistribution).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -335,3 +335,56 @@ def trustrank(edges: DataFrame, seeds: DataFrame,
                       12).alias("trustrank"))
               .localCheckpoint())
     return tr
+
+
+def label_propagation(edges: DataFrame, src_col: str = "src",
+                      dst_col: str = "dst", iters: int = 5,
+                      include_self: bool = True) -> DataFrame:
+    """Community detection by synchronous label propagation
+    (Raghavan et al. 2007) — the host-clustering complement of
+    `dedup.connected_components`: CC merges anything touching, LPA
+    finds DENSER groups (mirror clusters, site families, link rings)
+    because a node adopts the label most frequent among its
+    neighbors, not any label it can reach.  Returns (node, label)
+    after ``iters`` supersteps over the UNDIRECTED view of the edge
+    list; labels start as node ids.
+
+    Deterministic spec (the oracle unrolls it): per superstep every
+    node's new label is the most frequent among its neighbors'
+    current labels (plus its own when ``include_self`` — the damping
+    that prevents the classic two-coloring oscillation of synchronous
+    LPA on bipartite structures), ties broken by SMALLEST label.
+    Isolated behavior cannot occur (every node of an edge list has a
+    neighbor); duplicate edges dedup (multiplicity is not a vote).
+
+    Distributed shape: per superstep one label join + one
+    (node, label) vote count + the two-stage skew-free rank-1
+    selection (`pq_topk`'s pattern — a hub's votes never funnel
+    through one task), label frames node-sized and
+    ``localCheckpoint``-materialized.  No driver-side graph."""
+    und = (edges.select(F.col(src_col).alias("_a"),
+                        F.col(dst_col).alias("_b"))
+           .unionAll(edges.select(F.col(dst_col).alias("_a"),
+                                  F.col(src_col).alias("_b")))
+           .distinct().filter(F.col("_a") != F.col("_b")).cache())
+    nodes = und.select(F.col("_a").alias("node")).distinct().cache()
+    labels = nodes.select("node", F.col("node").alias("label")) \
+        .localCheckpoint()
+    for _ in range(int(iters)):
+        votes = (und.join(labels, und["_b"] == labels["node"])
+                 .select(F.col("_a").alias("node"), "label"))
+        if include_self:
+            votes = votes.unionAll(labels.select("node", "label"))
+        counts = (votes.groupBy("node", "label")
+                  .agg(F.count("*").alias("_c")))
+        w_local = Window.partitionBy("node", "_pid") \
+            .orderBy(F.desc("_c"), F.asc("label"))
+        local = (counts.withColumn("_pid", F.spark_partition_id())
+                 .withColumn("_lr", F.row_number().over(w_local))
+                 .filter(F.col("_lr") == 1).drop("_pid", "_lr"))
+        w = Window.partitionBy("node").orderBy(F.desc("_c"),
+                                               F.asc("label"))
+        labels = (local.withColumn("_r", F.row_number().over(w))
+                  .filter(F.col("_r") == 1)
+                  .select("node", "label").localCheckpoint())
+    return labels

@@ -3994,3 +3994,91 @@ def test_corpus_stats_percentile_names_no_fp_noise(spark):
                         percentile_k=1000, percentile_bits=6).columns
     assert "p29_tokens" in cols and "p7_tokens" in cols
     assert "p99_5_tokens" in cols
+
+
+class TestLabelPropagation:
+    """Synchronous LPA (graph.label_propagation, r13): brute replica
+    under the documented spec (neighbor majority + self vote, smallest
+    label ties), community recovery on planted clusters, include_self
+    damping vs the classic bipartite oscillation."""
+
+    @staticmethod
+    def _brute_lpa(edges, iters, include_self=True):
+        und = set()
+        for s, t in edges:
+            if s != t:
+                und.add((s, t))
+                und.add((t, s))
+        nodes = sorted({v for e in und for v in e})
+        nbrs = {}
+        for a, b in und:
+            nbrs.setdefault(a, []).append(b)
+        lab = {v: v for v in nodes}
+        for _ in range(iters):
+            new = {}
+            for v in nodes:
+                votes = {}
+                for u in nbrs[v]:
+                    votes[lab[u]] = votes.get(lab[u], 0) + 1
+                if include_self:
+                    votes[lab[v]] = votes.get(lab[v], 0) + 1
+                new[v] = min(votes,
+                             key=lambda c: (-votes[c], c))
+            lab = new
+        return lab
+
+    def _planted(self):
+        # two 5-cliques joined by one bridge edge
+        a = [(i, j) for i in range(5) for j in range(5) if i < j]
+        b = [(i, j) for i in range(10, 15) for j in range(10, 15)
+             if i < j]
+        return a + b + [(4, 10)]
+
+    def test_matches_brute_and_recovers_communities(self, spark):
+        from dask_geopandas_spark.operators.graph import \
+            label_propagation
+
+        edges = spark.createDataFrame(self._planted(),
+                                      "src long, dst long")
+        for iters in (1, 2, 5):
+            got = {r["node"]: r["label"] for r in
+                   label_propagation(edges, iters=iters).collect()}
+            assert got == self._brute_lpa(self._planted(), iters), \
+                iters
+        # 5 supersteps: each clique converges to one label, and the
+        # two cliques keep DIFFERENT labels (CC would merge them
+        # through the bridge — the point of LPA)
+        labs = {r["node"]: r["label"] for r in
+                label_propagation(edges, iters=5).collect()}
+        ca = {labs[i] for i in range(5)}
+        cb = {labs[i] for i in range(10, 15)}
+        assert len(ca) == 1 and len(cb) == 1 and ca != cb
+
+    def test_self_vote_damps_bipartite_oscillation(self, spark):
+        from dask_geopandas_spark.operators.graph import \
+            label_propagation
+
+        # a 4-cycle is bipartite: without the self vote synchronous
+        # LPA two-colors and oscillates; with it, labels stabilize
+        cyc = [(0, 1), (1, 2), (2, 3), (3, 0)]
+        edges = spark.createDataFrame(cyc, "src long, dst long")
+        l4 = {r["node"]: r["label"] for r in
+              label_propagation(edges, iters=4).collect()}
+        l5 = {r["node"]: r["label"] for r in
+              label_propagation(edges, iters=5).collect()}
+        assert l4 == l5 == self._brute_lpa(cyc, 4)
+        # and the undamped form matches ITS brute trajectory too
+        u4 = {r["node"]: r["label"] for r in
+              label_propagation(edges, iters=4,
+                                include_self=False).collect()}
+        assert u4 == self._brute_lpa(cyc, 4, include_self=False)
+
+    def test_duplicate_edges_are_one_vote(self, spark):
+        from dask_geopandas_spark.operators.graph import \
+            label_propagation
+
+        e = [(1, 2), (1, 2), (2, 1), (1, 3)]
+        edges = spark.createDataFrame(e, "src long, dst long")
+        got = {r["node"]: r["label"] for r in
+               label_propagation(edges, iters=1).collect()}
+        assert got == self._brute_lpa(e, 1)
