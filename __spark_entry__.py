@@ -5017,61 +5017,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     update CHANGED_QUERIES, run make_window.py, reorder this dict to
     its output."""
     return {
-        # ---- r13 WINDOW (driver attests positions 1-50;
+        # ---- r14 WINDOW (driver attests positions 1-50;
         #   order generated by scripts/make_window.py — see
         #   tests/test_rotation.py) ----
-        "bpe_train": q_bpe_train,
-        "bpe_tokens": q_bpe_tokens,
-        "cms_tokens": q_cms_tokens,
-        "stream_ingest_cms": q_stream_ingest_cms,
-        "hll_sources": q_hll_sources,
-        "stream_ingest_hll": q_stream_ingest_hll,
-        "kmv_overlap": q_kmv_overlap,
-        "hits_hosts": q_hits_hosts,
-        "bpe_tokens_dict": q_bpe_tokens_dict,
-        "quantile_sketch": q_quantile_sketch,
-        "harmonic_hosts": q_harmonic_hosts,
-        "trustrank_hosts": q_trustrank_hosts,
-        "lpa_hosts": q_lpa_hosts,
-        "ann_bq": q_ann_bq,
-        "hybrid_search": q_hybrid_search,
-        "semantic_contam": q_semantic_contam,
-        "soft_dedup": q_soft_dedup,
-        "soft_neardup": q_soft_neardup,
-        "ngram_diversity": q_ngram_diversity,
-        "stream_ingest_qd": q_stream_ingest_qd,
-        "setops_concave_area": q_setops_concave_area,
-        "shapefile_roundtrip": q_shapefile_roundtrip,
-        "shards_roundtrip": q_shards_roundtrip,
-        "sjoin_cobucket": q_sjoin_cobucket,
-        "sjoin_cobucket_dwithin": q_sjoin_cobucket_dwithin,
-        "sjoin_dwithin": q_sjoin_dwithin,
-        "sjoin_nearest_cobucket": q_sjoin_nearest_cobucket,
-        "sliding_windows": q_sliding_windows,
-        "spatial_bucketed": q_spatial_bucketed,
-        "spatial_shuffle": q_spatial_shuffle,
-        "split_holdout": q_split_holdout,
-        "sql_geom_fns": q_sql_geom_fns,
-        "sql_union_agg": q_sql_union_agg,
-        "stream_geofence": q_stream_geofence,
-        "to_albers": q_to_albers,
-        "to_lambert": q_to_lambert,
-        "to_projstring": q_to_projstring,
-        "union_all_area": q_union_all_area,
-        "asof_nearest": q_asof_nearest,
-        "asof_tolerance": q_asof_tolerance,
-        "box_area_by_priority": q_box_area_by_priority,
-        "box_relations": q_box_relations,
-        "box_setops_area": q_box_setops_area,
-        "buffer_envelope_area": q_buffer_envelope_area,
-        "buffer_l_area": q_buffer_l_area,
-        "clean_text": q_clean_text,
-        "clip_concave": q_clip_concave,
-        "clip_count": q_clip_count,
-        "cluster_dedup": q_cluster_dedup,
-        "concat_bounds": q_concat_bounds,
-        # ---- below the window: (last-green asc, name) — the
-        #   r14 rotation order is the head of this list ----
         "cx_bbox_filter": q_cx_bbox_filter,
         "dissolve_centroid": q_dissolve_centroid,
         "exact_index_dedup": q_exact_index_dedup,
@@ -5122,6 +5070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interiors": q_interiors,
         "knn_graph_probe": q_knn_graph_probe,
         "lang_quality": q_lang_quality,
+        # ---- below the window: (last-green asc, name) — the
+        #   r15 rotation order is the head of this list ----
         "line_dedup": q_line_dedup,
         "line_interpolate": q_line_interpolate,
         "line_project": q_line_project,
@@ -5235,6 +5185,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_pipeline": q_warc_pipeline,
         "warc_roundtrip": q_warc_roundtrip,
         "wat_links": q_wat_links,
+        "ann_bq": q_ann_bq,
+        "asof_nearest": q_asof_nearest,
+        "asof_tolerance": q_asof_tolerance,
+        "box_area_by_priority": q_box_area_by_priority,
+        "box_relations": q_box_relations,
+        "box_setops_area": q_box_setops_area,
+        "bpe_tokens": q_bpe_tokens,
+        "bpe_tokens_dict": q_bpe_tokens_dict,
+        "bpe_train": q_bpe_train,
+        "buffer_envelope_area": q_buffer_envelope_area,
+        "buffer_l_area": q_buffer_l_area,
+        "clean_text": q_clean_text,
+        "clip_concave": q_clip_concave,
+        "clip_count": q_clip_count,
+        "cluster_dedup": q_cluster_dedup,
+        "cms_tokens": q_cms_tokens,
+        "concat_bounds": q_concat_bounds,
+        "harmonic_hosts": q_harmonic_hosts,
+        "hits_hosts": q_hits_hosts,
+        "hll_sources": q_hll_sources,
+        "hybrid_search": q_hybrid_search,
+        "kmv_overlap": q_kmv_overlap,
+        "lpa_hosts": q_lpa_hosts,
+        "ngram_diversity": q_ngram_diversity,
+        "quantile_sketch": q_quantile_sketch,
+        "semantic_contam": q_semantic_contam,
+        "setops_concave_area": q_setops_concave_area,
+        "shapefile_roundtrip": q_shapefile_roundtrip,
+        "shards_roundtrip": q_shards_roundtrip,
+        "sjoin_cobucket": q_sjoin_cobucket,
+        "sjoin_cobucket_dwithin": q_sjoin_cobucket_dwithin,
+        "sjoin_dwithin": q_sjoin_dwithin,
+        "sjoin_nearest_cobucket": q_sjoin_nearest_cobucket,
+        "sliding_windows": q_sliding_windows,
+        "soft_dedup": q_soft_dedup,
+        "soft_neardup": q_soft_neardup,
+        "spatial_bucketed": q_spatial_bucketed,
+        "spatial_shuffle": q_spatial_shuffle,
+        "split_holdout": q_split_holdout,
+        "sql_geom_fns": q_sql_geom_fns,
+        "sql_union_agg": q_sql_union_agg,
+        "stream_geofence": q_stream_geofence,
+        "stream_ingest_cms": q_stream_ingest_cms,
+        "stream_ingest_hll": q_stream_ingest_hll,
+        "stream_ingest_qd": q_stream_ingest_qd,
+        "to_albers": q_to_albers,
+        "to_lambert": q_to_lambert,
+        "to_projstring": q_to_projstring,
+        "trustrank_hosts": q_trustrank_hosts,
+        "union_all_area": q_union_all_area,
     }
 
 
