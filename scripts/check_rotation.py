@@ -37,16 +37,32 @@ WINDOW = 50
 MAX_AGE = 3
 
 
-def last_green() -> dict[str, int]:
+def last_green(exclude_round: int | None = None) -> dict[str, int]:
     seen: dict[str, int] = {}
     for f in sorted(glob.glob(os.path.join(
             os.path.dirname(__file__), "..", "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
+        if rnd == exclude_round:
+            continue
         for k, v in json.load(open(f)).items():
             if v.get("hash_match") and v.get("rows_match") \
                     and v.get("schema_match"):
                 seen[k] = max(seen.get(k, 0), rnd)
     return seen
+
+
+def latest_attestation() -> tuple[int | None, set[str]]:
+    """(round, attested-query-names) of the newest CORRECTNESS file —
+    green or red, since "the driver ran exactly this window" is what
+    the close-tolerant tripwire branch needs to verify."""
+    files = glob.glob(os.path.join(
+        os.path.dirname(__file__), "..", "CORRECTNESS_r*.json"))
+    if not files:
+        return None, set()
+    latest = max(files, key=lambda f: int(
+        re.search(r"_r(\d+)\.json$", f).group(1)))
+    rnd = int(re.search(r"_r(\d+)\.json$", latest).group(1))
+    return rnd, set(json.load(open(latest)))
 
 
 def registry_order() -> list[str]:
