@@ -3291,6 +3291,33 @@ def q_harmonic_hosts(spark, sf_dir):
     return harmonic_centrality(edges, max_dist=3, p=10)
 
 
+def q_graph_diameter(spark, sf_dir):
+    """HyperANF distance distribution + interpolated 90% effective
+    diameter (operators/graph.neighbourhood_function /
+    effective_diameter, new r14 — r13 verdict #5): N(t) = reachable
+    pairs within distance t, estimated as Σ_v |B_t(v)| over the same
+    HLL ball frames as harmonic_hosts, then the HyperANF §5
+    interpolation t-1 + (0.9·N(∞) - N(t-1)) / (N(t) - N(t-1)).
+    Synthetic 40-host graph from doc_ids — x → (11x+5) mod 40 is ten
+    disjoint 4-cycles (121 ≡ 1 mod 40, f²(x) = x+20), so the exact
+    distribution is N = [40, 80, 120, 160] and the 90% diameter
+    interpolates inside the last radius.  max_dist=3 caps exactly at
+    the fixed point; the oracle unrolls all three supersteps + four
+    estimator passes (the harmonic_hosts pattern) and replays the
+    same capped-N(∞) convention."""
+    from dask_geopandas_spark.operators.graph import (
+        effective_diameter, neighbourhood_function)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        (F.col("doc_id") % 40).alias("src"),
+        ((F.col("doc_id") * 11 + 5) % 40).alias("dst"))
+    nf = neighbourhood_function(edges, max_dist=3, p=10)
+    diam = effective_diameter(nf=nf, alpha=0.9)
+    return nf.crossJoin(F.broadcast(diam)).select(
+        "t", "n_pairs", "effective_diameter", "reachable_pairs")
+
+
 def q_hits_hosts(spark, sf_dir):
     """HITS hubs & authorities (operators/graph.hits, new r12) — the
     complement of PageRank for crawl-seed curation: a high-hub page
@@ -5024,6 +5051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   order generated by scripts/make_window.py — see
         #   tests/test_rotation.py) ----
         "spatial_bucketed_append": q_spatial_bucketed_append,
+        "graph_diameter": q_graph_diameter,
         "cx_bbox_filter": q_cx_bbox_filter,
         "dissolve_centroid": q_dissolve_centroid,
         "exact_index_dedup": q_exact_index_dedup,
@@ -5072,9 +5100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoparquet_roundtrip": q_geoparquet_roundtrip,
         "hilbert_buckets": q_hilbert_buckets,
         "interiors": q_interiors,
-        "knn_graph_probe": q_knn_graph_probe,
         # ---- below the window: (last-green asc, name) — the
         #   r15 rotation order is the head of this list ----
+        "knn_graph_probe": q_knn_graph_probe,
         "lang_quality": q_lang_quality,
         "line_dedup": q_line_dedup,
         "line_interpolate": q_line_interpolate,
@@ -5469,6 +5497,101 @@ def _harmonic_oracle(max_dist: int, p: int) -> str:
     return ("WITH " + ",".join(parts) + f"""
             SELECT node, {expr} AS harmonic
             FROM c0 {joins}
+        """)
+
+
+def _hyperanf_oracle(max_dist: int, p: int, alpha: float) -> str:
+    """HyperANF neighbourhood function + interpolated effective
+    diameter replayed in SQL (operators/graph.neighbourhood_function
+    / effective_diameter): the 40-host synthetic graph, OUT-mode ball
+    growth (node s absorbs ball of t for edge s→t — the reverse join
+    of _harmonic_oracle's in-mode), per-radius Σ of per-node HLL
+    estimates, then the 90% interpolation over the lag window."""
+    from dask_geopandas_spark.operators.sketches import _alpha
+
+    m = 1 << p
+    wbits = 60 - p
+    scale = wbits + 1
+    mask = (1 << wbits) - 1
+    unit = 1 << scale
+    am2 = _alpha(m) * m * m
+
+    def est(rname: str, cname: str) -> str:
+        return f"""
+            {cname} AS MATERIALIZED (
+                SELECT node,
+                       CAST(round(CASE WHEN e_raw <=
+                                       CAST({int(2.5 * m)} AS DOUBLE)
+                                  AND v > 0
+                                  THEN CAST({m} AS DOUBLE)
+                                       * ln(CAST({m} AS DOUBLE)
+                                            / CAST(v AS DOUBLE))
+                                  ELSE e_raw END, 0) AS BIGINT)
+                           AS {cname}
+                FROM (SELECT node, {m} - np AS v,
+                             {am2!r} / (CAST(zs + ({m} - np)
+                                             * {unit} AS DOUBLE)
+                                        / CAST({unit} AS DOUBLE))
+                                 AS e_raw
+                      FROM (SELECT node,
+                                   sum(CAST(pow(CAST(2 AS DOUBLE),
+                                                {scale} - rho)
+                                       AS BIGINT)) AS zs,
+                                   count(*) AS np
+                            FROM {rname} GROUP BY node)))"""
+
+    parts = [f"""
+            e AS MATERIALIZED (SELECT DISTINCT doc_id % 40 AS s,
+                       (doc_id * 11 + 5) % 40 AS t
+                   FROM documents),
+            n AS MATERIALIZED (SELECT s AS node FROM e
+                   UNION SELECT t FROM e),
+            r0 AS MATERIALIZED (SELECT node, h >> {wbits} AS idx,
+                       CASE WHEN (h & {mask}) = 0 THEN {scale}
+                            ELSE {scale} - length(bin(h & {mask}))
+                            END AS rho
+                   FROM (SELECT node,
+                                ('0x' || substr(md5(CAST(node
+                                 AS VARCHAR)), 1, 15))::BIGINT AS h
+                         FROM n))""",
+             est("r0", "c0")]
+    for d in range(1, max_dist + 1):
+        parts.append(f"""
+            r{d} AS MATERIALIZED (SELECT node, idx, max(rho) AS rho
+                   FROM (SELECT node, idx, rho FROM r{d - 1}
+                         UNION ALL
+                         SELECT e.s AS node, r.idx, r.rho
+                         FROM e JOIN r{d - 1} r ON r.node = e.t)
+                   GROUP BY 1, 2)""")
+        parts.append(est(f"r{d}", f"c{d}"))
+    nf_rows = " UNION ALL ".join(
+        f"SELECT CAST({d} AS INTEGER) AS t, "
+        f"(SELECT CAST(sum(c{d}) AS BIGINT) FROM c{d}) AS n_pairs"
+        for d in range(max_dist + 1))
+    parts.append(f"nf AS MATERIALIZED ({nf_rows})")
+    parts.append("mx AS (SELECT CAST(max(n_pairs) AS BIGINT) "
+                 "AS nmax FROM nf)")
+    parts.append(f"""
+            hit AS (SELECT t, n_pairs, prev, target FROM
+                    (SELECT t, n_pairs,
+                            lag(n_pairs) OVER (ORDER BY t) AS prev,
+                            round({alpha!r}::DOUBLE
+                                  * CAST((SELECT nmax FROM mx)
+                                         AS DOUBLE), 12) AS target
+                     FROM nf)
+                    WHERE CAST(n_pairs AS DOUBLE) >= target
+                    ORDER BY t LIMIT 1)""")
+    return ("WITH " + ",".join(parts) + """
+            SELECT nf.t, nf.n_pairs,
+                   CASE WHEN hit.t = 0 THEN 0.0::DOUBLE
+                        ELSE round(CAST(hit.t - 1 AS DOUBLE)
+                                   + (hit.target
+                                      - CAST(hit.prev AS DOUBLE))
+                                   / CAST(hit.n_pairs - hit.prev
+                                          AS DOUBLE), 12)
+                   END AS effective_diameter,
+                   (SELECT nmax FROM mx) AS reachable_pairs
+            FROM nf CROSS JOIN hit
         """)
 
 
@@ -8410,6 +8533,9 @@ def _oracle_sql_base() -> dict[str, str]:
         "quantile_sketch": _qd_oracle(32, 9, [0.5, 0.9, 0.99]),
         # harmonic_hosts: 3 HyperBall supersteps + 4 estimator passes
         "harmonic_hosts": _harmonic_oracle(3, 10),
+        # graph_diameter: 3 HyperANF supersteps + 4 estimator
+        # passes + the 90% interpolation window
+        "graph_diameter": _hyperanf_oracle(3, 10, 0.9),
         # lpa_hosts: both label-propagation supersteps unrolled —
         # undirected dedup'd votes + self vote, count, rank-1 by
         # (count desc, label asc)

@@ -162,6 +162,8 @@ BENCH_QUERIES = [
     "soft_dedup",
     "soft_neardup",
     "ngram_diversity",
+    # round-14 additions
+    "graph_diameter",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE

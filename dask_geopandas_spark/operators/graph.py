@@ -263,6 +263,132 @@ def harmonic_centrality(edges: DataFrame, src_col: str = "src",
     return harm
 
 
+def neighbourhood_function(edges: DataFrame, src_col: str = "src",
+                           dst_col: str = "dst", max_dist: int = 16,
+                           p: int = 10,
+                           mode: str = "out") -> DataFrame:
+    """HyperANF neighbourhood function (Boldi, Rosa & Vigna, WWW
+    2011) — the distance-distribution summary Common Crawl-scale
+    graph studies report: ``N(t) = |{(u, v) : d(u, v) <= t}|``,
+    estimated as ``Σ_v |B_t(v)|`` with the same HLL ball frames as
+    :func:`harmonic_centrality` (N(0) = node count, N(∞) = reachable
+    pairs).  Returns one row per radius, ``(t, n_pairs)``, for
+    t = 0..T where T is the ball fixed point (or ``max_dist``, the
+    cap CC-style studies use; if the cap hits first the tail of the
+    distribution is truncated, not extrapolated).
+
+    ``mode='out'`` (default — the paper's form) grows balls of nodes
+    REACHABLE FROM v; ``'in'`` grows who-can-reach-me balls.  Both
+    count the same pairs (Σ_v |{u: d(v,u)<=t}| = Σ_v |{u: d(u,v)<=t}|),
+    so N(t) and the effective diameter are mode-invariant up to
+    per-node sketch error; the knob matters only if a caller reuses
+    the per-node balls.
+
+    Engine-portable by the `harmonic_centrality` construction:
+    registers from the 60-bit md5 hash, integer ball counts through
+    `sketches.hll_estimate`, so the SQL oracle replays the trajectory
+    bit-exactly.
+
+    Distributed shape: identical to `harmonic_centrality` — per
+    superstep one edge equi-join + one map-side-combined max-merge +
+    one estimate aggregation over node-sized × ≤2^p register frames,
+    ``localCheckpoint``-materialized, with the same sound register
+    fixed-point early stop; the per-radius output is ONE aggregate row
+    per superstep (Σ of per-node counts), so the result frame is at
+    most ``max_dist + 1`` rows regardless of graph size."""
+    from .sketches import hll_estimate, hll_registers
+
+    if mode not in ("in", "out"):
+        raise ValueError(f"mode must be 'in' or 'out', got {mode!r}")
+    a, b = (src_col, dst_col) if mode == "in" else (dst_col, src_col)
+    e = (edges.select(F.col(a).alias("_s"), F.col(b).alias("_t"))
+         .distinct().cache())
+    nodes = (e.select(F.col("_s").alias("node"))
+             .union(e.select(F.col("_t").alias("node")))
+             .distinct().cache())
+    spark = edges.sparkSession
+    if nodes.isEmpty():
+        return spark.createDataFrame([], "t int, n_pairs long")
+    regs = (hll_registers(nodes, "node", p, by=["node"])
+            .localCheckpoint())
+
+    def _n(ball_counts, t):
+        return (ball_counts.agg(F.sum("_ct").cast("long")
+                                .alias("n_pairs"))
+                .select(F.lit(int(t)).cast("int").alias("t"),
+                        "n_pairs"))
+
+    ct = hll_estimate(regs, p, ["node"], "_ct").localCheckpoint()
+    nf = _n(ct, 0)
+
+    def _state(r):
+        row = r.agg(F.count("*").alias("_k"),
+                    F.sum("hll_rho").alias("_r")).head()
+        return (row["_k"], row["_r"])
+
+    state = _state(regs)
+    for d in range(1, int(max_dist) + 1):
+        contrib = (e.join(regs, e["_s"] == regs["node"])
+                   .select(F.col("_t").alias("node"), "hll_idx",
+                           "hll_rho"))
+        regs = (regs.select("node", "hll_idx", "hll_rho")
+                .unionByName(contrib)
+                .groupBy("node", "hll_idx")
+                .agg(F.max("hll_rho").alias("hll_rho"))
+                .localCheckpoint())
+        ct = hll_estimate(regs, p, ["node"], "_ct").localCheckpoint()
+        nf = nf.unionByName(_n(ct, d))
+        nstate = _state(regs)
+        if nstate == state:
+            break
+        state = nstate
+    return nf
+
+
+def effective_diameter(edges: DataFrame | None = None,
+                       src_col: str = "src", dst_col: str = "dst",
+                       alpha: float = 0.9, max_dist: int = 16,
+                       p: int = 10, mode: str = "out",
+                       nf: DataFrame | None = None) -> DataFrame:
+    """Interpolated effective diameter at fraction ``alpha`` (HyperANF
+    §5): the smallest ``t`` such that ``N(t) >= alpha · N(∞)``, with
+    the standard linear interpolation between the bracketing radii —
+    ``t-1 + (alpha·N(∞) - N(t-1)) / (N(t) - N(t-1))`` — so the value
+    moves continuously as the distribution shifts.  ``N(∞)`` is the
+    last computed radius: exact when the neighbourhood function
+    reached its fixed point, the capped CC convention otherwise.
+
+    Pass ``nf=`` to reuse a :func:`neighbourhood_function` frame (it
+    is at most ``max_dist + 1`` rows); otherwise ``edges`` is
+    required and the function is computed here.  Returns one row
+    ``(effective_diameter, reachable_pairs)``; the empty graph
+    returns zero rows.  All-double arithmetic quantized to 12
+    decimals, replayable in SQL (the `pagerank` convention)."""
+    if nf is None:
+        if edges is None:
+            raise ValueError("effective_diameter needs edges= or nf=")
+        nf = neighbourhood_function(edges, src_col, dst_col,
+                                    max_dist=max_dist, p=p, mode=mode)
+    tot = nf.agg(F.max("n_pairs").alias("_nmax"))
+    w = Window.orderBy("t")
+    staged = (nf.crossJoin(F.broadcast(tot))
+              .withColumn("_target",
+                          F.round(F.lit(float(alpha))
+                                  * F.col("_nmax").cast("double"), 12))
+              .withColumn("_prev", F.lag("n_pairs").over(w)))
+    hit = (staged.filter(F.col("n_pairs").cast("double")
+                         >= F.col("_target"))
+           .orderBy("t").limit(1))
+    return hit.select(
+        F.when(F.col("t") == 0, F.lit(0.0))
+        .otherwise(F.round(
+            (F.col("t") - F.lit(1)).cast("double")
+            + (F.col("_target") - F.col("_prev").cast("double"))
+            / (F.col("n_pairs") - F.col("_prev")).cast("double"),
+            12)).alias("effective_diameter"),
+        F.col("_nmax").alias("reachable_pairs"))
+
+
 def trustrank(edges: DataFrame, seeds: DataFrame,
               src_col: str = "src", dst_col: str = "dst",
               seed_col: str = "node", iters: int = 10,

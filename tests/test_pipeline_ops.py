@@ -3576,6 +3576,110 @@ class TestGraph:
         assert got == self._brute_harmonic(e2, 50, 10) == \
             {1: 0.0, 2: 1.0}
 
+    # ---- HyperANF neighbourhood function / effective diameter (r14) ----
+
+    @classmethod
+    def _brute_nf(cls, edges, max_dist, p):
+        """HyperANF replica: out-mode balls grown over out-edges, HLL
+        estimates summed per radius, register fixed-point early stop
+        (the operator's exact trajectory)."""
+        nodes = sorted({v for e in edges for v in e})
+        out = {}
+        for s, t in set(edges):
+            out.setdefault(s, []).append(t)
+        balls = {v: {v} for v in nodes}
+        nf = [sum(cls._hb_est(cls._hb_regs(balls[v], p), p)
+                  for v in nodes)]
+        for _ in range(1, max_dist + 1):
+            nxt = {v: balls[v].union(*[balls[u] for u in
+                                       out.get(v, [])])
+                   for v in nodes}
+            stopped = nxt == balls
+            balls = nxt
+            nf.append(sum(cls._hb_est(cls._hb_regs(balls[v], p), p)
+                          for v in nodes))
+            if stopped:
+                break
+        return nf
+
+    def test_neighbourhood_function_matches_brute(self, spark):
+        from dask_geopandas_spark.operators.graph import \
+            neighbourhood_function
+
+        edges = spark.createDataFrame(self.EDGES, "src long, dst long")
+        for md in (1, 2, 16):
+            got = {r["t"]: r["n_pairs"] for r in
+                   neighbourhood_function(edges, max_dist=md,
+                                          p=10).collect()}
+            want = self._brute_nf(self.EDGES, md, 10)
+            assert got == dict(enumerate(want)), md
+
+    def test_neighbourhood_function_equals_exact_bfs(self, spark):
+        """Small balls never collide at p=10, so N(t) equals the
+        exact pair count within distance t (brute BFS)."""
+        import collections
+
+        from dask_geopandas_spark.operators.graph import \
+            effective_diameter, neighbourhood_function
+
+        edges = spark.createDataFrame(self.EDGES, "src long, dst long")
+        nodes = sorted({v for e in self.EDGES for v in e})
+        adj = {}
+        for s, t in self.EDGES:
+            adj.setdefault(s, []).append(t)
+        dist = {}
+        for s in nodes:
+            seen = {s: 0}
+            dq = collections.deque([s])
+            while dq:
+                u = dq.popleft()
+                for w in adj.get(u, []):
+                    if w not in seen:
+                        seen[w] = seen[u] + 1
+                        dq.append(w)
+            for v, d in seen.items():
+                dist[(s, v)] = d
+        nf = neighbourhood_function(edges, max_dist=16, p=10)
+        got = {r["t"]: r["n_pairs"] for r in nf.collect()}
+        tmax = max(got)
+        for t in range(tmax + 1):
+            assert got[t] == sum(1 for d in dist.values() if d <= t), t
+        # fixed point reached before the cap; last radius = N(inf)
+        assert got[tmax] == len(dist) and tmax < 16
+        # interpolated effective diameter against the exact formula
+        n_inf = len(dist)
+        row = effective_diameter(edges, alpha=0.9, p=10).head()
+        target = round(0.9 * float(n_inf), 12)
+        t_hit = min(t for t in got if got[t] >= target)
+        want = (0.0 if t_hit == 0 else round(
+            float(t_hit - 1) + (target - float(got[t_hit - 1]))
+            / float(got[t_hit] - got[t_hit - 1]), 12))
+        assert row["effective_diameter"] == want
+        assert row["reachable_pairs"] == n_inf
+        # nf= reuse path returns the same row
+        row2 = effective_diameter(nf=nf, alpha=0.9).head()
+        assert row2["effective_diameter"] == want
+
+    def test_effective_diameter_edge_cases(self, spark):
+        from dask_geopandas_spark.operators.graph import \
+            effective_diameter, neighbourhood_function
+
+        empty = spark.createDataFrame([], "src long, dst long")
+        assert neighbourhood_function(empty).count() == 0
+        assert effective_diameter(empty).count() == 0
+        # alpha tiny: N(0) already covers it -> diameter 0.0
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        row = effective_diameter(df, alpha=0.1).head()
+        assert row["effective_diameter"] == 0.0
+        # a 1->2 edge: N(0)=2, N(1)=3; alpha=1.0 interpolates to 1.0
+        row = effective_diameter(df, alpha=1.0).head()
+        assert row["effective_diameter"] == 1.0
+        assert row["reachable_pairs"] == 3
+        with pytest.raises(ValueError, match="edges= or nf="):
+            effective_diameter()
+        with pytest.raises(ValueError, match="mode"):
+            neighbourhood_function(df, mode="both")
+
 
 class TestBloom:
     """Bloom-filter seen-sets (operators/dedup.py): sparse position-set
