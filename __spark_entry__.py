@@ -3793,6 +3793,46 @@ def q_bpe_tokens_dict(spark, sf_dir):
             .select("doc_id", "n_bpe_tokens"))
 
 
+def q_unigram_train(spark, sf_dir):
+    """Unigram-LM tokenizer TRAINING (operators/unigram.unigram_train,
+    new r14 — r13 verdict #4; the SentencePiece/T5/LLaMA recipe, Kudo
+    2018): seed = substring counts over the one-pass word-count
+    table, 2 hard-EM rounds (E = quantized-Viterbi segmentation as a
+    pure-codegen F.aggregate DP over a BROADCAST-model candidate
+    join; M = path counts with the character-coverage floor), then
+    the count-ranked prune to 32 pieces + renormalization.  Every
+    probability quantizes round(ln(cnt)-ln(total), 12) and every tie
+    breaks lexicographically, so the oracle unrolls the whole
+    trajectory — 2 DP blocks of 8 forward levels + 8 backtrack hops
+    each — and replays it bit-exactly (the bpe_train convention)."""
+    from dask_geopandas_spark.operators.unigram import unigram_train
+
+    return unigram_train(_t(spark, sf_dir, "documents"),
+                         vocab_size=32, em_steps=2, max_piece_len=4,
+                         max_word_len=8).select("piece", "cnt", "logp")
+
+
+def q_unigram_tokens(spark, sf_dir):
+    """Unigram-LM ENCODING (operators/unigram.unigram_token_count,
+    new r14): real token counts per document under the trained
+    32-piece model — the dictionary path throughout: distinct corpus
+    words Viterbi-segment ONCE (codegen DP, broadcast model), token
+    arrays reassemble per text in word order and join back on
+    md5(text) (`bpe_encode`'s plan).  Oracle: the full training
+    unroll + one more DP block under the final model over the
+    unfiltered corpus words + the per-doc join."""
+    from dask_geopandas_spark.operators.unigram import (
+        unigram_token_count, unigram_train)
+
+    docs = _t(spark, sf_dir, "documents")
+    model = unigram_train(docs, vocab_size=32, em_steps=2,
+                          max_piece_len=4, max_word_len=8)
+    return (unigram_token_count(docs.select("doc_id", "text"), model,
+                                count_col="n_tokens",
+                                max_piece_len=4)
+            .select("doc_id", "n_tokens"))
+
+
 def q_quality_trainer(spark, sf_dir):
     """Native quality-classifier TRAINING (textstats.
     train_text_classifier, new r12) — the GPT-3/LLaMA/DCLM
@@ -5052,6 +5092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   tests/test_rotation.py) ----
         "spatial_bucketed_append": q_spatial_bucketed_append,
         "graph_diameter": q_graph_diameter,
+        "unigram_train": q_unigram_train,
+        "unigram_tokens": q_unigram_tokens,
         "cx_bbox_filter": q_cx_bbox_filter,
         "dissolve_centroid": q_dissolve_centroid,
         "exact_index_dedup": q_exact_index_dedup,
@@ -5098,10 +5140,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_cells": q_geohash_cells,
         "geom_properties": q_geom_properties,
         "geoparquet_roundtrip": q_geoparquet_roundtrip,
-        "hilbert_buckets": q_hilbert_buckets,
-        "interiors": q_interiors,
         # ---- below the window: (last-green asc, name) — the
         #   r15 rotation order is the head of this list ----
+        "hilbert_buckets": q_hilbert_buckets,
+        "interiors": q_interiors,
         "knn_graph_probe": q_knn_graph_probe,
         "lang_quality": q_lang_quality,
         "line_dedup": q_line_dedup,
@@ -5592,6 +5634,154 @@ def _hyperanf_oracle(max_dist: int, p: int, alpha: float) -> str:
                    END AS effective_diameter,
                    (SELECT nmax FROM mx) AS reachable_pairs
             FROM nf CROSS JOIN hit
+        """)
+
+
+def _unigram_dp_block(tag: str, words_cte: str, model_cte: str,
+                      maxp: int, maxw: int) -> tuple[str, str]:
+    """One quantized-Viterbi block replayed in SQL (operators/
+    unigram.viterbi_segment_words): substring candidates equi-join
+    the model, ``maxw`` forward-DP levels (row_number picks the max
+    score, ties on the smaller start — the longest-match convention),
+    then ``maxw`` backtrack hops.  Returns (CTE text, name of the
+    per-word segmentation CTE emitting one row per path piece)."""
+    parts = [f"""
+            cand{tag} AS MATERIALIZED (
+                SELECT s.word, s.j0, s.i, m.logp
+                FROM (SELECT word, j - 1 AS j0, j - 1 + L AS i,
+                             substr(word, j, L) AS piece
+                      FROM {words_cte}
+                      JOIN generate_series(1, {maxw}) AS gj(j)
+                          ON j <= len(word)
+                      JOIN generate_series(1, {maxp}) AS gl(L)
+                          ON L <= len(word) - j + 1) s
+                JOIN {model_cte} m USING (piece)),
+            bb{tag}0 AS MATERIALIZED (SELECT word, 0 AS pos,
+                       0.0::DOUBLE AS score, -1 AS bp
+                   FROM {words_cte})"""]
+    for i in range(1, maxw + 1):
+        parts.append(f"""
+            b{tag}{i} AS MATERIALIZED (
+                SELECT word, {i} AS pos, score, bp FROM (
+                    SELECT c.word,
+                           round(b.score + c.logp, 12) AS score,
+                           c.j0 AS bp,
+                           row_number() OVER (PARTITION BY c.word
+                               ORDER BY round(b.score + c.logp, 12)
+                                   DESC, c.j0 ASC) AS rn
+                    FROM cand{tag} c
+                    JOIN bb{tag}{i - 1} b
+                        ON b.word = c.word AND b.pos = c.j0
+                    WHERE c.i = {i}) WHERE rn = 1),
+            bb{tag}{i} AS MATERIALIZED (
+                SELECT * FROM bb{tag}{i - 1}
+                UNION ALL SELECT * FROM b{tag}{i})""")
+    parts.append(f"""
+            g{tag}0 AS MATERIALIZED (SELECT word, len(word) AS pos
+                   FROM {words_cte})""")
+    for k in range(1, maxw + 1):
+        parts.append(f"""
+            p{tag}{k} AS MATERIALIZED (
+                SELECT g.word, b.bp AS npos,
+                       substr(g.word, b.bp + 1, g.pos - b.bp) AS piece
+                FROM g{tag}{k - 1} g
+                JOIN bb{tag}{maxw} b
+                    ON b.word = g.word AND b.pos = g.pos
+                WHERE g.pos > 0),
+            g{tag}{k} AS MATERIALIZED (SELECT word, npos AS pos
+                   FROM p{tag}{k} WHERE npos > 0)""")
+    union = " UNION ALL ".join(
+        f"SELECT word, piece FROM p{tag}{k}"
+        for k in range(1, maxw + 1))
+    parts.append(f"seg{tag} AS MATERIALIZED ({union})")
+    return ",".join(parts), f"seg{tag}"
+
+
+def _unigram_oracle(vocab: int, em: int, maxp: int, maxw: int,
+                    tokens_out: bool = False,
+                    maxw_enc: int = 12) -> str:
+    """unigram_train / unigram_token_count replayed in SQL
+    (operators/unigram.py): seed substring counts over the word-count
+    table, ``em`` hard-EM rounds (each = one DP block + Viterbi-count
+    M-step with the character floor), count-ranked prune +
+    renormalization.  ``tokens_out=True`` appends one more DP block
+    under the FINAL model over the UNFILTERED corpus words (unrolled
+    to ``maxw_enc`` — the testdata corpus tops out at 8-char words;
+    extra levels are empty) and emits per-doc token counts."""
+    renorm = ("SELECT piece, cnt, round(ln(CAST(cnt AS DOUBLE)) - "
+              "ln(CAST(t AS DOUBLE)), 12) AS logp FROM {src}, "
+              "(SELECT CAST(sum(cnt) AS BIGINT) AS t FROM {src})")
+    parts = [f"""
+            wc AS MATERIALIZED (
+                SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+                FROM (SELECT unnest(list_filter({_TOKENS},
+                             x -> x != '')) AS w
+                      FROM documents WHERE text IS NOT NULL)
+                WHERE len(w) BETWEEN 1 AND {maxw}
+                GROUP BY 1),
+            seed AS MATERIALIZED (
+                SELECT substr(word, j, L) AS piece,
+                       CAST(sum(cnt) AS BIGINT) AS cnt
+                FROM wc
+                JOIN generate_series(1, {maxw}) AS gj(j)
+                    ON j <= len(word)
+                JOIN generate_series(1, {maxp}) AS gl(L)
+                    ON L <= len(word) - j + 1
+                GROUP BY 1),
+            m0 AS MATERIALIZED ({renorm.format(src='seed')})"""]
+    for s in range(em):
+        block, seg = _unigram_dp_block(f"e{s}", "wc", f"m{s}",
+                                       maxp, maxw)
+        parts.append(block)
+        parts.append(f"""
+            vc{s} AS MATERIALIZED (
+                SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
+                FROM {seg} JOIN wc USING (word) GROUP BY 1),
+            mc{s} AS MATERIALIZED (
+                SELECT piece, cnt FROM vc{s} WHERE len(piece) > 1
+                UNION ALL
+                SELECT c.piece, CAST(greatest(coalesce(v.cnt, 0), 1)
+                                     AS BIGINT) AS cnt
+                FROM (SELECT piece FROM m{s} WHERE len(piece) = 1) c
+                LEFT JOIN vc{s} v USING (piece)),
+            m{s + 1} AS MATERIALIZED (
+                {renorm.format(src=f'mc{s}')})""")
+    parts.append(f"""
+            mul AS (SELECT piece, cnt,
+                           row_number() OVER (ORDER BY cnt DESC,
+                                              piece ASC) AS rn
+                    FROM m{em} WHERE len(piece) > 1),
+            kept AS MATERIALIZED (
+                SELECT piece, cnt FROM m{em} WHERE len(piece) = 1
+                UNION ALL
+                SELECT piece, cnt FROM mul
+                WHERE rn <= greatest({vocab} - (SELECT count(*)
+                    FROM m{em} WHERE len(piece) = 1), 0)),
+            mf AS MATERIALIZED ({renorm.format(src='kept')})""")
+    if not tokens_out:
+        return ("WITH " + ",".join(parts)
+                + " SELECT piece, cnt, logp FROM mf")
+    parts.append(f"""
+            ew AS MATERIALIZED (
+                SELECT DISTINCT unnest(list_filter({_TOKENS},
+                       x -> x != '')) AS word
+                FROM documents WHERE text IS NOT NULL)""")
+    block, seg = _unigram_dp_block("x", "ew", "mf", maxp, maxw_enc)
+    parts.append(block)
+    parts.append(f"""
+            wtok AS MATERIALIZED (
+                SELECT word, CAST(count(*) AS BIGINT) AS n
+                FROM {seg} GROUP BY 1),
+            dsum AS MATERIALIZED (
+                SELECT doc_id, CAST(sum(n) AS BIGINT) AS n
+                FROM (SELECT doc_id, unnest(list_filter({_TOKENS},
+                             x -> x != '')) AS word
+                      FROM documents WHERE text IS NOT NULL) d
+                JOIN wtok USING (word) GROUP BY 1)""")
+    return ("WITH " + ",".join(parts) + """
+            SELECT documents.doc_id,
+                   CAST(coalesce(dsum.n, 0) AS BIGINT) AS n_tokens
+            FROM documents LEFT JOIN dsum USING (doc_id)
         """)
 
 
@@ -8410,6 +8600,12 @@ def _oracle_sql_base() -> dict[str, str]:
         # bpe_train: all 10 merge steps unrolled (word counts once,
         # then pair-count -> argmax -> greedy replace per step);
         # integer counts make the trajectory exact
+        # unigram_train/tokens: seed + 2 unrolled hard-EM rounds
+        # (8 DP levels + 8 backtrack hops each) + prune; tokens
+        # adds one encode DP block under the final model
+        "unigram_train": _unigram_oracle(32, 2, 4, 8),
+        "unigram_tokens": _unigram_oracle(32, 2, 4, 8,
+                                          tokens_out=True),
         "bpe_train": "WITH " + _bpe_ctes(10) + "\n" + "\n".join(
             f"            {'UNION ALL ' if i > 1 else ''}SELECT "
             f"{i} AS \"rank\", l AS \"left\", r AS \"right\", "

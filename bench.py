@@ -164,6 +164,8 @@ BENCH_QUERIES = [
     "ngram_diversity",
     # round-14 additions
     "graph_diameter",
+    "unigram_train",
+    "unigram_tokens",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE
