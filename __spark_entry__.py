@@ -597,19 +597,28 @@ def q_equals_exact(spark, sf_dir):
 
 
 def q_geoparquet_roundtrip(spark, sf_dir):
-    """GeoParquet write → read round-trip (reference io/parquet.py):
-    customer points written Hilbert-sorted with bbox sibling + `geo`
-    metadata, re-read, then count + total_bounds — values must survive
-    the storage layer bit-exactly."""
+    """GeoParquet write → read round-trip (reference io/parquet.py;
+    covering per io/arrow.py:26-43): customer points written with the
+    GeoParquet 1.1 spec bbox sibling (write_covering=True — fields
+    xmin/ymin/xmax/ymax, what GDAL >= 3.8 / DuckDB spatial prune on),
+    re-read through the covering-consume path (the internal bbox
+    struct rebuilt from the covering-referenced fields), then count +
+    total_bounds THROUGH that rebuilt struct — plus the covering
+    metadata itself, read from the footer and emitted as a column so
+    the oracle pins the exact spec mapping (r14 — r13 verdict #6)."""
+    import json
     import shutil
 
-    from dask_geopandas_spark.sources.geoparquet import read_parquet, to_parquet
+    from dask_geopandas_spark.sources.geoparquet import (
+        gather_geo_metadata, read_parquet, to_parquet)
 
     path = "/root/repo/.bench_tmp/geopq_roundtrip"
     shutil.rmtree(path, ignore_errors=True)
-    g = _cust_points(spark, sf_dir).with_bbox()
-    to_parquet(g, path)
+    g = _cust_points(spark, sf_dir)
+    to_parquet(g, path, write_covering=True)
     back = read_parquet(spark, path)
+    covering = gather_geo_metadata(path, spark,
+                                   gather_spatial_partitions=False)[5]
     b = back.bbox_column
     return back.df.agg(
         F.count("*").alias("n"),
@@ -617,7 +626,8 @@ def q_geoparquet_roundtrip(spark, sf_dir):
         F.min(F.col(f"{b}.miny")).alias("miny"),
         F.max(F.col(f"{b}.maxx")).alias("maxx"),
         F.max(F.col(f"{b}.maxy")).alias("maxy"),
-    )
+    ).withColumn("covering",
+                 F.lit(json.dumps(covering, sort_keys=True)))
 
 
 def q_feather_roundtrip(spark, sf_dir):
@@ -5091,6 +5101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   order generated by scripts/make_window.py — see
         #   tests/test_rotation.py) ----
         "spatial_bucketed_append": q_spatial_bucketed_append,
+        "geoparquet_roundtrip": q_geoparquet_roundtrip,
         "graph_diameter": q_graph_diameter,
         "unigram_train": q_unigram_train,
         "unigram_tokens": q_unigram_tokens,
@@ -5139,7 +5150,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dups": q_fingerprint_dups,
         "geohash_cells": q_geohash_cells,
         "geom_properties": q_geom_properties,
-        "geoparquet_roundtrip": q_geoparquet_roundtrip,
         # ---- below the window: (last-green asc, name) — the
         #   r15 rotation order is the head of this list ----
         "hilbert_buckets": q_hilbert_buckets,
@@ -9229,7 +9239,11 @@ def _oracle_sql_base() -> dict[str, str]:
         "geoparquet_roundtrip": f"""
             SELECT count(*) AS n,
                    min({CUST_X}) AS minx, min({CUST_Y}) AS miny,
-                   max({CUST_X}) AS maxx, max({CUST_Y}) AS maxy
+                   max({CUST_X}) AS maxx, max({CUST_Y}) AS maxy,
+                   '{{"xmax": ["geometry_bbox", "xmax"], '
+                   || '"xmin": ["geometry_bbox", "xmin"], '
+                   || '"ymax": ["geometry_bbox", "ymax"], '
+                   || '"ymin": ["geometry_bbox", "ymin"]}}' AS covering
             FROM customer
         """,
         "feather_roundtrip": f"""

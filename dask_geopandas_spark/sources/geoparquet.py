@@ -32,6 +32,27 @@ GEO_VERSION = "1.0.0"
 _FOOTER_JOB_THRESHOLD = 64
 
 
+# per-edge accepted struct-field spellings: the GeoParquet 1.1 spec
+# name first (what GDAL >= 3.8 / DuckDB-spatial write and read), the
+# engine's internal bbox convention second
+_BBOX_FIELD_ALIASES = {"xmin": ("xmin", "minx"), "ymin": ("ymin", "miny"),
+                       "xmax": ("xmax", "maxx"), "ymax": ("ymax", "maxy")}
+
+
+def _covering_fields(field_names) -> dict | None:
+    """{edge: actual-field-name} for a bbox struct's fields, or None
+    when any edge is missing — makes the emitted covering metadata
+    self-describing for either field-naming convention."""
+    have = set(field_names)
+    out = {}
+    for edge, aliases in _BBOX_FIELD_ALIASES.items():
+        name = next((a for a in aliases if a in have), None)
+        if name is None:
+            return None
+        out[edge] = name
+    return out
+
+
 def _geo_meta(geometry: str, crs_map: dict, geometry_columns=None,
               bboxes: dict | None = None,
               geometry_types: dict | None = None,
@@ -51,11 +72,13 @@ def _geo_meta(geometry: str, crs_map: dict, geometry_columns=None,
         if (covering_cols or {}).get(g):
             # GeoParquet 1.1 covering metadata: points external readers
             # at the per-row bbox struct so THEIR scans can prune on its
-            # parquet statistics too
-            b = covering_cols[g]
+            # parquet statistics too; field names are whatever the
+            # struct actually carries (spec xmin/... from
+            # write_covering=True, engine minx/... from with_bbox())
+            b, fields = covering_cols[g]
             cols[g]["covering"] = {"bbox": {
-                "xmin": [b, "minx"], "ymin": [b, "miny"],
-                "xmax": [b, "maxx"], "ymax": [b, "maxy"]}}
+                edge: [b, fields[edge]] for edge in
+                ("xmin", "ymin", "xmax", "ymax")}}
     return json.dumps(
         {"version": GEO_VERSION, "primary_column": geometry, "columns": cols}
     ).encode()
@@ -67,6 +90,7 @@ def to_parquet(gdf, path: str, partition_on: str | None = None,
                spatial_sort: bool = False,
                spatial_sort_level: int = 16,
                geometry_encoding: str = "WKB",
+               write_covering: bool = False,
                filesystem=None) -> None:
     """Write a GeoDataFrame as GeoParquet: one file per Spark partition,
     each footer carrying the ``geo`` metadata for every geometry column
@@ -83,9 +107,36 @@ def to_parquet(gdf, path: str, partition_on: str | None = None,
     keeps min/max statistics on the coordinates themselves, and the
     reader rebuilds a SYMBOLIC point layer (zero Python in downstream
     bbox/cx/clip/sjoin plans).  Point layers only (the encoding that
-    pays at scale); other types raise."""
+    pays at scale); other types raise.
+
+    ``write_covering=True`` (GeoParquet 1.1 ``covering``, spec §bbox
+    and reference io/arrow.py:26-43): materializes a SPEC-NAMED
+    per-row bbox struct ``{geometry}_bbox`` with fields
+    ``xmin/ymin/xmax/ymax`` (double) and points the ``covering`` key
+    at it, so external readers (GDAL >= 3.8, DuckDB spatial) prune
+    on its parquet row-group statistics natively; the engine's own
+    `read_parquet` consumes the same key (either field-naming
+    convention) and rebuilds its internal bbox column without a
+    Python stage."""
     import pyarrow as pa
 
+    if write_covering:
+        g2 = gdf.with_bbox()
+        b = g2.bbox_column
+        # rename to the spec's field spelling whatever convention the
+        # existing struct carries (a fresh with_bbox emits minx/...,
+        # a consumed 1.1 dataset already has xmin/...)
+        fields = _covering_fields(
+            [f.name for f in g2.df.schema[b].dataType.fields])
+        if fields is None:
+            raise ValueError(
+                f"column {b!r} is not a bbox struct — cannot emit "
+                "GeoParquet covering metadata from it")
+        gdf = g2._wrap(g2.df.withColumn(b, F.when(
+            F.col(b).isNotNull(),
+            F.struct(*[F.col(f"{b}.{fields[e]}").cast("double")
+                       .alias(e)
+                       for e in ("xmin", "ymin", "xmax", "ymax")]))))
     if spatial_sort:
         # Hilbert-ordered layout (SURVEY §7 design invariant): each file
         # covers a compact spatial region, so the per-file bboxes written
@@ -162,8 +213,16 @@ def to_parquet(gdf, path: str, partition_on: str | None = None,
             seen = sorted({W.TYPE_NAMES[int(t)] for t in batch.types
                            if int(t) in W.TYPE_NAMES and int(t) != 0})
             gtypes = {geometry: seen}
-        covering = {g: f"{g}_bbox" for g in (geometry_columns or [geometry])
-                    if f"{g}_bbox" in table.column_names}
+        covering = {}
+        for g in (geometry_columns or [geometry]):
+            bname = f"{g}_bbox"
+            if bname in table.column_names:
+                ftype = table.schema.field(bname).type
+                fields = _covering_fields(
+                    [ftype.field(k).name for k in range(ftype.num_fields)]
+                    if pa.types.is_struct(ftype) else [])
+                if fields:
+                    covering[g] = (bname, fields)
         meta = _geo_meta(geometry, crs_map, geometry_columns, bboxes,
                          gtypes, encodings, covering)
         existing = table.schema.metadata or {}
@@ -220,8 +279,11 @@ def gather_geo_metadata(path: str, spark: SparkSession | None = None,
                         geometry: str | None = None, filesystem=None):
     """Scan the dataset's parquet footers for GeoParquet ``geo``
     metadata.  Returns (primary_column, crs_map, spatial_partitions,
-    all_point, primary_encoding); every field is None/empty when the
-    dataset carries no geo metadata.  Listing and footer reads go through ``sources.fs``
+    all_point, primary_encoding, covering); every field is None/empty
+    when the dataset carries no geo metadata.  ``covering`` is the
+    primary column's GeoParquet 1.1 ``covering.bbox`` mapping
+    (edge -> [column, field]) from the first footer that declares
+    one.  Listing and footer reads go through ``sources.fs``
     so remote URIs (s3a://, gs://, any fsspec scheme) keep their CRS
     and per-file bbox instead of silently degrading (reference readers
     accept fsspec storage_options, io/arrow.py:300-301)."""
@@ -232,7 +294,7 @@ def gather_geo_metadata(path: str, spark: SparkSession | None = None,
         warnings.warn(
             f"GeoParquet metadata unavailable for {path!r} ({e}); "
             "returning a frame with no CRS/spatial summary")
-        return geometry, {}, None, False, "WKB"
+        return geometry, {}, None, False, "WKB", None
 
     primary, crs_map = geometry, {}
 
@@ -271,6 +333,7 @@ def gather_geo_metadata(path: str, spark: SparkSession | None = None,
     spatial_partitions = []
     all_point = True  # every file declares only "Point" geometry
     encoding = "WKB"
+    covering = None
     for i, geo in enumerate(metas):
         if geo is None:
             all_point = False
@@ -284,6 +347,9 @@ def gather_geo_metadata(path: str, spark: SparkSession | None = None,
         enc = geo.get("columns", {}).get(primary, {}).get("encoding")
         if enc and enc != "WKB":
             encoding = enc
+        if covering is None:
+            covering = (geo.get("columns", {}).get(primary, {})
+                        .get("covering", {}).get("bbox"))
         gt = geo.get("columns", {}).get(primary, {}).get("geometry_types")
         if gt != ["Point"]:
             all_point = False
@@ -302,7 +368,7 @@ def gather_geo_metadata(path: str, spark: SparkSession | None = None,
             break
 
     return (primary, crs_map, spatial_partitions or None,
-            bool(files) and all_point, encoding)
+            bool(files) and all_point, encoding, covering)
 
 
 def _fragment_scan(spark: SparkSession, files: list, filesystem, columns):
@@ -361,12 +427,40 @@ def read_parquet(spark: SparkSession, path: str, columns=None,
             raise FileNotFoundError(path)
         df = _fragment_scan(spark, files, filesystem, columns)
 
-    primary, crs_map, spatial_partitions, all_point, encoding = \
+    primary, crs_map, spatial_partitions, all_point, encoding, covering = \
         gather_geo_metadata(
             path, spark, gather_spatial_partitions, geometry, filesystem)
 
     if primary is None or primary not in df.columns:
         return df
+    if covering:
+        # GeoParquet 1.1 covering: rebuild the engine's internal bbox
+        # struct from the covering-referenced fields (a pure
+        # projection over stored columns — Catalyst collapses the
+        # GetStructField chain, so bbox predicates still push to the
+        # stored struct's parquet row-group stats).  Works for either
+        # field-naming convention and for external writers' arbitrary
+        # bbox column names.
+        try:
+            refs = {e: covering[e] for e in
+                    ("xmin", "ymin", "xmax", "ymax")}
+        except KeyError:
+            refs = None
+        if refs and all(isinstance(v, list) and len(v) == 2
+                        and v[0] in df.columns
+                        for v in refs.values()):
+            src = {e: F.col(f"{v[0]}.{v[1]}").cast("double")
+                   for e, v in refs.items()}
+            # no null-guard CASE around the struct: the optimizer
+            # collapses GetStructField(CreateNamedStruct) to the
+            # stored field reference, so bbox comparisons push to
+            # parquet stats — a CASE wrapper would block that, and
+            # NULL edges already drop rows through 3-valued logic
+            bbox = F.struct(src["xmin"].alias("minx"),
+                            src["ymin"].alias("miny"),
+                            src["xmax"].alias("maxx"),
+                            src["ymax"].alias("maxy"))
+            df = df.withColumn(f"{primary}_bbox", bbox)
     if encoding == "point":
         # geoarrow point encoding: the stored column is struct<x,y>.
         # Rebuild a SYMBOLIC point layer over the native coordinates —

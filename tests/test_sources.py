@@ -248,8 +248,8 @@ class TestRemoteFilesystem:
         from dask_geopandas_spark.sources.geoparquet import gather_geo_metadata
 
         with pytest.warns(UserWarning, match="metadata unavailable"):
-            primary, crs_map, parts, all_point, enc = gather_geo_metadata(
-                "no-such-scheme-xyz://bucket/data")
+            primary, crs_map, parts, all_point, enc, _cov = \
+                gather_geo_metadata("no-such-scheme-xyz://bucket/data")
         assert primary is None and parts is None and enc == "WKB"
 
     def test_registered_scheme_resolves(self, tmp_path):
@@ -479,6 +479,90 @@ def test_geoparquet_covering_metadata(spark, tmp_path):
     meta2 = json.loads(pq.read_schema(
         _g.glob(path2 + "/*.parquet")[0]).metadata[b"geo"])
     assert "covering" not in meta2["columns"]["geometry"]
+
+
+def test_geoparquet_covering_spec_interop(spark, tmp_path):
+    """GeoParquet 1.1 interop (r14 — r13 verdict #6): write_covering
+    emits the SPEC field spelling (xmin/ymin/xmax/ymax double — what
+    GDAL >= 3.8 / DuckDB spatial expect), read_parquet consumes the
+    covering key from either convention and rebuilds the internal
+    bbox natively, and external-writer datasets (arbitrary bbox
+    column name, spec fields) prune through .cx with pushed filters."""
+    import glob as _g
+    import json
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dask_geopandas_spark.sources.geoparquet import (read_parquet,
+                                                         to_parquet)
+
+    pdf = pd.DataFrame({"id": range(40),
+                        "x": [float(i) for i in range(40)],
+                        "y": [float(i % 7) for i in range(40)]})
+    g = dgs.points_from_xy(spark.createDataFrame(pdf), "x", "y",
+                           crs="EPSG:4326")
+    path = str(tmp_path / "cov11")
+    to_parquet(g, path, write_covering=True)
+    f0 = _g.glob(path + "/*.parquet")[0]
+    schema = pq.read_schema(f0)
+    meta = json.loads(schema.metadata[b"geo"])
+    cov = meta["columns"]["geometry"]["covering"]["bbox"]
+    assert cov == {"xmin": ["geometry_bbox", "xmin"],
+                   "ymin": ["geometry_bbox", "ymin"],
+                   "xmax": ["geometry_bbox", "xmax"],
+                   "ymax": ["geometry_bbox", "ymax"]}
+    bt = schema.field("geometry_bbox").type
+    # field ORDER is conversion-dependent (from_pandas sorts dict
+    # keys); the spec addresses fields by NAME via the covering key
+    assert {bt.field(i).name for i in range(bt.num_fields)} == \
+        {"xmin", "ymin", "xmax", "ymax"}
+    assert all(bt.field(i).type == pa.float64() for i in range(4))
+
+    # consume: internal bbox rebuilt, .cx native with pushed filters
+    back = read_parquet(spark, path)
+    assert back.has_native_bbox
+    sub = back.cx(xmin=10.0, ymin=0.0, xmax=20.0, ymax=3.0)
+    want = [i for i in range(40) if 10 <= i <= 20 and i % 7 <= 3]
+    assert sorted(r["id"] for r in sub.df.select("id").collect()) \
+        == want
+    plan = (sub.df.select("id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert not re.search(r"PushedFilters: \[\]", plan), plan
+
+    # external-writer shape: bbox column named 'bbox', spec fields —
+    # only the covering metadata links it to the geometry column
+    ext = str(tmp_path / "ext")
+    import os
+    import struct
+    os.makedirs(ext)
+    wkb = pa.array(
+        [struct.pack("<BIdd", 1, 1, float(x), float(y))
+         for x, y in zip(pdf["x"], pdf["y"])], pa.binary())
+    tbl = pa.table({
+        "id": pa.array(range(40), pa.int64()),
+        "geometry": wkb,
+        "bbox": pa.StructArray.from_arrays(
+            [pa.array(pdf["x"]), pa.array(pdf["y"]),
+             pa.array(pdf["x"]), pa.array(pdf["y"])],
+            ["xmin", "ymin", "xmax", "ymax"]),
+    })
+    emeta = {"version": "1.1.0", "primary_column": "geometry",
+             "columns": {"geometry": {
+                 "encoding": "WKB", "geometry_types": ["Point"],
+                 "covering": {"bbox": {
+                     "xmin": ["bbox", "xmin"], "ymin": ["bbox", "ymin"],
+                     "xmax": ["bbox", "xmax"],
+                     "ymax": ["bbox", "ymax"]}}}}}
+    tbl = tbl.replace_schema_metadata(
+        {b"geo": json.dumps(emeta).encode()})
+    pq.write_table(tbl, ext + "/part-0.parquet")
+    eback = read_parquet(spark, ext)
+    assert eback.has_native_bbox
+    esub = eback.cx(xmin=10.0, ymin=0.0, xmax=20.0, ymax=3.0)
+    assert sorted(r["id"] for r in esub.df.select("id").collect()) \
+        == want
 
 
 def test_write_file_extension_router(spark, tmp_path):
