@@ -3301,6 +3301,32 @@ def q_harmonic_hosts(spark, sf_dir):
     return harmonic_centrality(edges, max_dist=3, p=10)
 
 
+def q_triangles_hosts(spark, sf_dir):
+    """Exact triangle counts + local clustering coefficient
+    (operators/graph.triangles / clustering_coefficient, new r14) —
+    the link-farm/community-density signal webgraph studies report:
+    degree-ordered edge orientation (Cohen 2009 / Suri &
+    Vassilvitskii 2011) bounds the wedge self-join at O(m^1.5), every
+    triangle closes at exactly one wedge.  Synthetic 20-host graph
+    from doc_ids: ring + 2-chords (a guaranteed triangle per node)
+    plus x→7x+2 chords.  Counts are exact integers, the coefficient
+    one quantized IEEE division — the oracle recomputes both with a
+    method-free 3-way self-join."""
+    from dask_geopandas_spark.operators.graph import \
+        clustering_coefficient
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    e = (docs.select((F.col("doc_id") % 20).alias("src"),
+                     ((F.col("doc_id") + 1) % 20).alias("dst"))
+         .unionAll(docs.select(
+             (F.col("doc_id") % 20).alias("src"),
+             ((F.col("doc_id") + 2) % 20).alias("dst")))
+         .unionAll(docs.select(
+             (F.col("doc_id") % 20).alias("src"),
+             ((F.col("doc_id") * 7 + 2) % 20).alias("dst"))))
+    return clustering_coefficient(e)
+
+
 def q_graph_diameter(spark, sf_dir):
     """HyperANF distance distribution + interpolated 90% effective
     diameter (operators/graph.neighbourhood_function /
@@ -5103,6 +5129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_bucketed_append": q_spatial_bucketed_append,
         "geoparquet_roundtrip": q_geoparquet_roundtrip,
         "graph_diameter": q_graph_diameter,
+        "triangles_hosts": q_triangles_hosts,
         "unigram_train": q_unigram_train,
         "unigram_tokens": q_unigram_tokens,
         "cx_bbox_filter": q_cx_bbox_filter,
@@ -5149,9 +5176,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feather_roundtrip": q_feather_roundtrip,
         "fingerprint_dups": q_fingerprint_dups,
         "geohash_cells": q_geohash_cells,
-        "geom_properties": q_geom_properties,
         # ---- below the window: (last-green asc, name) — the
         #   r15 rotation order is the head of this list ----
+        "geom_properties": q_geom_properties,
         "hilbert_buckets": q_hilbert_buckets,
         "interiors": q_interiors,
         "knn_graph_probe": q_knn_graph_probe,
@@ -8742,6 +8769,47 @@ def _oracle_sql_base() -> dict[str, str]:
         # graph_diameter: 3 HyperANF supersteps + 4 estimator
         # passes + the 90% interpolation window
         "graph_diameter": _hyperanf_oracle(3, 10, 0.9),
+        # triangles_hosts: method-free exact recount — canonical edge
+        # set, 3-way self-join, per-node unnest, quantized coefficient
+        "triangles_hosts": """
+            WITH raw AS MATERIALIZED (
+                SELECT doc_id % 20 AS s, (doc_id + 1) % 20 AS t
+                FROM documents
+                UNION ALL
+                SELECT doc_id % 20, (doc_id + 2) % 20 FROM documents
+                UNION ALL
+                SELECT doc_id % 20, (doc_id * 7 + 2) % 20
+                FROM documents),
+            e AS MATERIALIZED (
+                SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+                FROM raw WHERE s != t),
+            deg AS MATERIALIZED (
+                SELECT node, CAST(count(*) AS BIGINT) AS degree
+                FROM (SELECT a AS node FROM e
+                      UNION ALL SELECT b FROM e)
+                GROUP BY 1),
+            tr AS MATERIALIZED (
+                SELECT x.a AS n1, x.b AS n2, y.b AS n3
+                FROM e x
+                JOIN e y ON y.a = x.b
+                JOIN e z ON z.a = x.a AND z.b = y.b),
+            tc AS MATERIALIZED (
+                SELECT node, CAST(count(*) AS BIGINT) AS triangles
+                FROM (SELECT unnest(list_value(n1, n2, n3)) AS node
+                      FROM tr)
+                GROUP BY 1)
+            SELECT deg.node, deg.degree,
+                   CAST(coalesce(tc.triangles, 0) AS BIGINT)
+                       AS triangles,
+                   CASE WHEN deg.degree < 2 THEN 0.0::DOUBLE
+                        ELSE round(2.0::DOUBLE
+                            * CAST(coalesce(tc.triangles, 0) AS DOUBLE)
+                            / (CAST(deg.degree AS DOUBLE)
+                               * (CAST(deg.degree AS DOUBLE)
+                                  - 1.0::DOUBLE)), 12)
+                   END AS clustering
+            FROM deg LEFT JOIN tc USING (node)
+        """,
         # lpa_hosts: both label-propagation supersteps unrolled —
         # undirected dedup'd votes + self vote, count, rank-1 by
         # (count desc, label asc)

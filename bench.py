@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "graph_diameter",
     "unigram_train",
     "unigram_tokens",
+    "triangles_hosts",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE

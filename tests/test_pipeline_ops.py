@@ -3660,6 +3660,75 @@ class TestGraph:
         row2 = effective_diameter(nf=nf, alpha=0.9).head()
         assert row2["effective_diameter"] == want
 
+    # ---- triangles / clustering coefficient (r14) ----
+
+    @staticmethod
+    def _brute_triangles(edges):
+        adj = {}
+        for s, t in edges:
+            if s == t:
+                continue
+            adj.setdefault(s, set()).add(t)
+            adj.setdefault(t, set()).add(s)
+        tris = {frozenset((a, b, c))
+                for a in adj for b in adj[a] for c in
+                (adj[a] & adj[b])}
+        cnt = {v: 0 for v in adj}
+        for t in tris:
+            for v in t:
+                cnt[v] += 1
+        return {v: (len(adj[v]), cnt[v]) for v in adj}
+
+    def test_triangles_match_brute(self, spark):
+        from dask_geopandas_spark.operators.graph import triangles
+
+        e = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2),
+             (5, 6), (6, 7),  # a path: no triangles
+             (1, 0), (0, 1), (3, 3)]  # reverse dup, dup, self-loop
+        got = {r["node"]: (r["degree"], r["triangles"]) for r in
+               triangles(spark.createDataFrame(
+                   e, "src long, dst long")).collect()}
+        assert got == self._brute_triangles(e)
+        assert got[2] == (4, 2) and got[5] == (1, 0)
+
+    def test_triangles_complete_graph_and_clustering(self, spark):
+        from dask_geopandas_spark.operators.graph import \
+            clustering_coefficient
+
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        rows = {r["node"]: r for r in clustering_coefficient(
+            spark.createDataFrame(k4, "src long, dst long")).collect()}
+        for v in range(4):
+            assert rows[v]["degree"] == 3
+            assert rows[v]["triangles"] == 3
+            assert rows[v]["clustering"] == 1.0
+        # ring of 6: no triangles, clustering 0.0 everywhere
+        ring = [(i, (i + 1) % 6) for i in range(6)]
+        rows = {r["node"]: r for r in clustering_coefficient(
+            spark.createDataFrame(ring,
+                                  "src long, dst long")).collect()}
+        assert all(r["triangles"] == 0 and r["clustering"] == 0.0
+                   for r in rows.values())
+        # degree-1 node scores 0.0 (guarded, not NaN)
+        path = [(1, 2), (2, 3), (3, 1), (3, 4)]
+        rows = {r["node"]: r for r in clustering_coefficient(
+            spark.createDataFrame(path,
+                                  "src long, dst long")).collect()}
+        assert rows[4]["clustering"] == 0.0
+        assert rows[3]["clustering"] == round(2 * 1 / (3 * 2), 12)
+
+    def test_triangles_random_matches_brute(self, spark):
+        from dask_geopandas_spark.operators.graph import triangles
+
+        # deterministic pseudo-random multigraph with hubs and ties
+        e = [((i * 13 + 3) % 23, (i * 7 + 1) % 23) for i in range(90)]
+        e += [(i % 23, (i + 1) % 23) for i in range(23)]
+        got = {r["node"]: (r["degree"], r["triangles"]) for r in
+               triangles(spark.createDataFrame(
+                   e, "src long, dst long")).collect()}
+        assert got == self._brute_triangles(e)
+        assert sum(t for _, t in got.values()) > 0
+
     def test_effective_diameter_edge_cases(self, spark):
         from dask_geopandas_spark.operators.graph import \
             effective_diameter, neighbourhood_function
