@@ -3327,6 +3327,31 @@ def q_triangles_hosts(spark, sf_dir):
     return clustering_coefficient(e)
 
 
+def q_kcore_hosts(spark, sf_dir):
+    """k-core decomposition via the h-index iteration (operators/
+    graph.core_numbers, new r14; Lü et al., PNAS 2016) — coreness is
+    the spam-robust density rank (degree is gameable by one hub;
+    coreness needs a mutually-dense neighborhood).  c(v) <- H(neighbor
+    values) from degree init is pointwise non-increasing and exact at
+    the fixed point; the h-index computes from the (node, value)
+    HISTOGRAM so hubs stay skew-free.  Same 20-host graph as
+    triangles_hosts, 4 supersteps — the oracle unrolls all four;
+    early stop is result-invariant (identity steps), so the replay
+    agrees whether or not the fixed point lands first."""
+    from dask_geopandas_spark.operators.graph import core_numbers
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    e = (docs.select((F.col("doc_id") % 20).alias("src"),
+                     ((F.col("doc_id") + 1) % 20).alias("dst"))
+         .unionAll(docs.select(
+             (F.col("doc_id") % 20).alias("src"),
+             ((F.col("doc_id") + 2) % 20).alias("dst")))
+         .unionAll(docs.select(
+             (F.col("doc_id") % 20).alias("src"),
+             ((F.col("doc_id") * 7 + 2) % 20).alias("dst"))))
+    return core_numbers(e, iters=4)
+
+
 def q_graph_diameter(spark, sf_dir):
     """HyperANF distance distribution + interpolated 90% effective
     diameter (operators/graph.neighbourhood_function /
@@ -5130,6 +5155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoparquet_roundtrip": q_geoparquet_roundtrip,
         "graph_diameter": q_graph_diameter,
         "triangles_hosts": q_triangles_hosts,
+        "kcore_hosts": q_kcore_hosts,
         "unigram_train": q_unigram_train,
         "unigram_tokens": q_unigram_tokens,
         "cx_bbox_filter": q_cx_bbox_filter,
@@ -5175,9 +5201,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_parts": q_explode_parts,
         "feather_roundtrip": q_feather_roundtrip,
         "fingerprint_dups": q_fingerprint_dups,
-        "geohash_cells": q_geohash_cells,
         # ---- below the window: (last-green asc, name) — the
         #   r15 rotation order is the head of this list ----
+        "geohash_cells": q_geohash_cells,
         "geom_properties": q_geom_properties,
         "hilbert_buckets": q_hilbert_buckets,
         "interiors": q_interiors,
@@ -8769,6 +8795,9 @@ def _oracle_sql_base() -> dict[str, str]:
         # graph_diameter: 3 HyperANF supersteps + 4 estimator
         # passes + the 90% interpolation window
         "graph_diameter": _hyperanf_oracle(3, 10, 0.9),
+        # kcore_hosts: 4 h-index supersteps unrolled (histogram
+        # h-index: h = max over v of min(v, #neighbors >= v))
+        "kcore_hosts": 'WITH \n            raw AS MATERIALIZED (\n                SELECT doc_id % 20 AS s, (doc_id + 1) % 20 AS t\n                FROM documents\n                UNION ALL\n                SELECT doc_id % 20, (doc_id + 2) % 20 FROM documents\n                UNION ALL\n                SELECT doc_id % 20, (doc_id * 7 + 2) % 20\n                FROM documents),\n            und AS MATERIALIZED (\n                SELECT DISTINCT a, b FROM (\n                    SELECT s AS a, t AS b FROM raw WHERE s != t\n                    UNION ALL\n                    SELECT t AS a, s AS b FROM raw WHERE s != t)),\n            c0 AS MATERIALIZED (\n                SELECT a AS node, CAST(count(*) AS BIGINT) AS core\n                FROM und GROUP BY 1),\n            h1 AS MATERIALIZED (\n                SELECT u.a AS node, c.core AS v,\n                       CAST(count(*) AS BIGINT) AS cnt\n                FROM und u JOIN c0 c ON c.node = u.b\n                GROUP BY 1, 2),\n            c1 AS MATERIALIZED (\n                SELECT node,\n                       CAST(max(least(v, ge)) AS BIGINT) AS core\n                FROM (SELECT node, v,\n                             sum(cnt) OVER (PARTITION BY node\n                                 ORDER BY v DESC\n                                 ROWS BETWEEN UNBOUNDED PRECEDING\n                                 AND CURRENT ROW) AS ge\n                      FROM h1) GROUP BY 1),\n            h2 AS MATERIALIZED (\n                SELECT u.a AS node, c.core AS v,\n                       CAST(count(*) AS BIGINT) AS cnt\n                FROM und u JOIN c1 c ON c.node = u.b\n                GROUP BY 1, 2),\n            c2 AS MATERIALIZED (\n                SELECT node,\n                       CAST(max(least(v, ge)) AS BIGINT) AS core\n                FROM (SELECT node, v,\n                             sum(cnt) OVER (PARTITION BY node\n                                 ORDER BY v DESC\n                                 ROWS BETWEEN UNBOUNDED PRECEDING\n                                 AND CURRENT ROW) AS ge\n                      FROM h2) GROUP BY 1),\n            h3 AS MATERIALIZED (\n                SELECT u.a AS node, c.core AS v,\n                       CAST(count(*) AS BIGINT) AS cnt\n                FROM und u JOIN c2 c ON c.node = u.b\n                GROUP BY 1, 2),\n            c3 AS MATERIALIZED (\n                SELECT node,\n                       CAST(max(least(v, ge)) AS BIGINT) AS core\n                FROM (SELECT node, v,\n                             sum(cnt) OVER (PARTITION BY node\n                                 ORDER BY v DESC\n                                 ROWS BETWEEN UNBOUNDED PRECEDING\n                                 AND CURRENT ROW) AS ge\n                      FROM h3) GROUP BY 1),\n            h4 AS MATERIALIZED (\n                SELECT u.a AS node, c.core AS v,\n                       CAST(count(*) AS BIGINT) AS cnt\n                FROM und u JOIN c3 c ON c.node = u.b\n                GROUP BY 1, 2),\n            c4 AS MATERIALIZED (\n                SELECT node,\n                       CAST(max(least(v, ge)) AS BIGINT) AS core\n                FROM (SELECT node, v,\n                             sum(cnt) OVER (PARTITION BY node\n                                 ORDER BY v DESC\n                                 ROWS BETWEEN UNBOUNDED PRECEDING\n                                 AND CURRENT ROW) AS ge\n                      FROM h4) GROUP BY 1) SELECT node, core FROM c4',
         # triangles_hosts: method-free exact recount — canonical edge
         # set, 3-way self-join, per-node unnest, quantized coefficient
         "triangles_hosts": """

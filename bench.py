@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "unigram_train",
     "unigram_tokens",
     "triangles_hosts",
+    "kcore_hosts",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE

@@ -342,6 +342,68 @@ def clustering_coefficient(edges: DataFrame, src_col: str = "src",
         .alias("clustering"))
 
 
+def core_numbers(edges: DataFrame, src_col: str = "src",
+                 dst_col: str = "dst", iters: int = 10) -> DataFrame:
+    """k-core decomposition by the h-index iteration (Lü, Chen, Ren,
+    Zhang, Zhang & Zhou, PNAS 2016): coreness — the largest k such
+    that a node belongs to a subgraph where every member has >= k
+    neighbors inside it — is THE robust density rank of webgraph
+    curation (degree is gameable by one spam hub; coreness requires a
+    mutually-dense neighborhood).  Returns (node, core) over the
+    undirected simple view after ``iters`` supersteps of
+    ``c(v) <- H({c(u) : u ~ v})`` initialized at degree, where H is
+    the h-index; the sequence is pointwise non-increasing and reaches
+    the exact coreness at the fixed point (the paper's theorem), so
+    finite ``iters`` gives a deterministic upper bound that pytest
+    pins to the exact peeling on converged graphs.  A 1-row probe
+    stops early at the fixed point — sound because the sequence is
+    monotone, so an unchanged Σc + count means every later superstep
+    is the identity.
+
+    Distributed shape: per superstep one edge equi-join + TWO
+    map-side-combined aggregations and one window over the
+    (node, value) HISTOGRAM — the h-index computes from value counts
+    (``h = max over v of min(v, #neighbors with c >= v)``), so a
+    10M-degree hub contributes at most |distinct values| rows to its
+    window partition instead of 10M (the skew-free two-stage shape);
+    core frames are node-sized and localCheckpoint-materialized."""
+    e = (edges.select(F.col(src_col).alias("_a"),
+                      F.col(dst_col).alias("_b"))
+         .filter(F.col("_a") != F.col("_b")))
+    und = (e.unionAll(e.select(F.col("_b").alias("_a"),
+                               F.col("_a").alias("_b")))
+           .distinct().cache())
+    core = (und.groupBy(F.col("_a").alias("node"))
+            .agg(F.count("*").cast("long").alias("core"))
+            .localCheckpoint())
+
+    def _state(c):
+        row = c.agg(F.count("*").alias("_n"),
+                    F.sum("core").alias("_s")).head()
+        return (row["_n"], row["_s"])
+
+    state = _state(core)
+    for _ in range(int(iters)):
+        hist = (und.join(core, und["_b"] == core["node"])
+                .groupBy(F.col("_a").alias("node"),
+                         F.col("core").alias("_v"))
+                .agg(F.count("*").alias("_c")))
+        w = (Window.partitionBy("node")
+             .orderBy(F.col("_v").desc())
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.currentRow))
+        core = (hist.withColumn("_ge", F.sum("_c").over(w))
+                .groupBy("node")
+                .agg(F.max(F.least(F.col("_v"), F.col("_ge")))
+                     .cast("long").alias("core"))
+                .localCheckpoint())
+        nstate = _state(core)
+        if nstate == state:
+            break
+        state = nstate
+    return core
+
+
 def neighbourhood_function(edges: DataFrame, src_col: str = "src",
                            dst_col: str = "dst", max_dist: int = 16,
                            p: int = 10,

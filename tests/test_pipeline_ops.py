@@ -3729,6 +3729,85 @@ class TestGraph:
         assert got == self._brute_triangles(e)
         assert sum(t for _, t in got.values()) > 0
 
+    # ---- core numbers (h-index iteration, r14) ----
+
+    @staticmethod
+    def _brute_core_iter(edges, iters):
+        """h-index iteration replica: init degree, c <- H(neighbor
+        values), early stop at the fixed point."""
+        adj = {}
+        for s, t in edges:
+            if s == t:
+                continue
+            adj.setdefault(s, set()).add(t)
+            adj.setdefault(t, set()).add(s)
+        c = {v: len(adj[v]) for v in adj}
+        for _ in range(iters):
+            nxt = {}
+            for v in adj:
+                vals = sorted((c[u] for u in adj[v]), reverse=True)
+                nxt[v] = max((min(val, i + 1)
+                              for i, val in enumerate(vals)),
+                             default=0)
+            if nxt == c:
+                break
+            c = nxt
+        return c
+
+    @staticmethod
+    def _brute_peel(edges):
+        """Exact coreness by the classic peeling."""
+        adj = {}
+        for s, t in edges:
+            if s == t:
+                continue
+            adj.setdefault(s, set()).add(t)
+            adj.setdefault(t, set()).add(s)
+        deg = {v: len(adj[v]) for v in adj}
+        core, alive = {}, set(adj)
+        k = 0
+        while alive:
+            k = max(k, min(deg[v] for v in alive))
+            peel = [v for v in alive if deg[v] <= k]
+            while peel:
+                v = peel.pop()
+                if v not in alive:
+                    continue
+                core[v] = k
+                alive.discard(v)
+                for u in adj[v]:
+                    if u in alive:
+                        deg[u] -= 1
+                        if deg[u] <= k:
+                            peel.append(u)
+        return core
+
+    def test_core_numbers_match_brute_and_converge(self, spark):
+        from dask_geopandas_spark.operators.graph import core_numbers
+
+        e = ([(a, b) for a in range(4) for b in range(4) if a < b]
+             + [(3, 4), (4, 5), (5, 6), (6, 4),  # K4 + tail triangle
+                (6, 7), (7, 8), (2, 2), (0, 1)])  # path, loop, dup
+        df = spark.createDataFrame(e, "src long, dst long")
+        for iters in (1, 2):
+            got = {r["node"]: r["core"] for r in
+                   core_numbers(df, iters=iters).collect()}
+            assert got == self._brute_core_iter(e, iters), iters
+        # converged: equals the exact peeling coreness
+        got = {r["node"]: r["core"] for r in
+               core_numbers(df, iters=50).collect()}
+        assert got == self._brute_peel(e)
+        assert got[0] == 3 and got[4] == 2 and got[8] == 1
+
+    def test_core_numbers_pseudorandom_converges(self, spark):
+        from dask_geopandas_spark.operators.graph import core_numbers
+
+        e = [((i * 13 + 3) % 31, (i * 7 + 1) % 31) for i in range(120)]
+        df = spark.createDataFrame(e, "src long, dst long")
+        got = {r["node"]: r["core"] for r in
+               core_numbers(df, iters=60).collect()}
+        assert got == self._brute_peel(e)
+
     def test_effective_diameter_edge_cases(self, spark):
         from dask_geopandas_spark.operators.graph import \
             effective_diameter, neighbourhood_function
