@@ -3894,6 +3894,43 @@ def q_unigram_tokens(spark, sf_dir):
             .select("doc_id", "n_tokens"))
 
 
+def q_wordpiece_train(spark, sf_dir):
+    """WordPiece tokenizer TRAINING (operators/wordpiece.
+    train_wordpiece, new r14) — the BERT recipe completing the
+    tokenizer family (BPE: count-scored; unigram: EM-fitted;
+    WordPiece: likelihood-scored): same one-corpus-pass +
+    vocabulary-sized merge steps as train_bpe, but each step picks
+    the pair maximizing round(cp/(cl·cr), 12) — units that co-occur
+    more than their parts predict — with an extra symbol-count
+    aggregation per step and no </w> terminal.  The oracle unrolls
+    all 6 merges with the same selection."""
+    from dask_geopandas_spark.operators.wordpiece import \
+        train_wordpiece
+
+    return train_wordpiece(_t(spark, sf_dir, "documents"),
+                           num_merges=6)
+
+
+def q_wordpiece_tokens(spark, sf_dir):
+    """WordPiece ENCODING (operators/wordpiece.wordpiece_token_count,
+    new r14): greedy LONGEST-MATCH against the trained ##-vocabulary
+    — the BERT runtime algorithm, deliberately different from
+    replaying merges (pinned by pytest); un-coverable words count 1
+    ([UNK] whole-word).  Dictionary path: distinct words greedy-scan
+    once (pure-codegen F.aggregate, broadcast vocab), token arrays
+    join back on md5(text).  Oracle: training unroll + induced
+    vocabulary + the greedy scan unrolled to 12 hops + per-doc sum."""
+    from dask_geopandas_spark.operators.wordpiece import (
+        train_wordpiece, wordpiece_token_count, wordpiece_vocab)
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_wordpiece(docs, num_merges=6)
+    vocab = wordpiece_vocab(docs, merges)
+    return (wordpiece_token_count(docs.select("doc_id", "text"),
+                                  vocab, count_col="n_tokens")
+            .select("doc_id", "n_tokens"))
+
+
 def q_quality_trainer(spark, sf_dir):
     """Native quality-classifier TRAINING (textstats.
     train_text_classifier, new r12) — the GPT-3/LLaMA/DCLM
@@ -5158,6 +5195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_hosts": q_kcore_hosts,
         "unigram_train": q_unigram_train,
         "unigram_tokens": q_unigram_tokens,
+        "wordpiece_train": q_wordpiece_train,
+        "wordpiece_tokens": q_wordpiece_tokens,
         "cx_bbox_filter": q_cx_bbox_filter,
         "dissolve_centroid": q_dissolve_centroid,
         "exact_index_dedup": q_exact_index_dedup,
@@ -5199,10 +5238,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equals_exact": q_equals_exact,
         "exact_dedup": q_exact_dedup,
         "explode_parts": q_explode_parts,
-        "feather_roundtrip": q_feather_roundtrip,
-        "fingerprint_dups": q_fingerprint_dups,
         # ---- below the window: (last-green asc, name) — the
         #   r15 rotation order is the head of this list ----
+        "feather_roundtrip": q_feather_roundtrip,
+        "fingerprint_dups": q_fingerprint_dups,
         "geohash_cells": q_geohash_cells,
         "geom_properties": q_geom_properties,
         "hilbert_buckets": q_hilbert_buckets,
@@ -5527,6 +5566,126 @@ def _bpe_ctes(k: int) -> str:
                                 AS s,
                             cnt FROM w{i - 1})""")
     return ",".join(parts)
+
+
+def _wordpiece_ctes(k: int) -> str:
+    """Unrolled WordPiece training chain (operators/wordpiece.py):
+    the `_bpe_ctes` machinery without the ``</w>`` terminal, with a
+    per-step symbol-count CTE and the likelihood selection
+    ``round(cp/(cl·cr), 12)`` max, ties (left, right) ascending."""
+    parts = [f"""
+            bw AS MATERIALIZED (SELECT unnest(list_filter({_TOKENS},
+                       x -> x != '')) AS word
+                   FROM documents WHERE text IS NOT NULL),
+            wc AS MATERIALIZED (SELECT word, count(*) AS cnt
+                   FROM bw GROUP BY word),
+            w0 AS MATERIALIZED (SELECT ' ' || array_to_string(
+                       list_transform(range(1, length(word) + 1),
+                                      i -> substr(word, CAST(i AS INT),
+                                                  1)),
+                       '  ') || ' ' AS s, cnt FROM wc)"""]
+    for i in range(1, k + 1):
+        parts.append(f"""
+            px{i} AS MATERIALIZED (SELECT cnt, syms,
+                             unnest(range(1, len(syms))) AS j
+                      FROM (SELECT cnt, str_split(trim(s), '  ')
+                                   AS syms FROM w{i - 1})),
+            sc{i} AS MATERIALIZED (SELECT sym,
+                             CAST(sum(cnt) AS BIGINT) AS scnt
+                      FROM (SELECT cnt, unnest(syms) AS sym
+                            FROM (SELECT cnt, str_split(trim(s), '  ')
+                                         AS syms FROM w{i - 1}))
+                      GROUP BY 1),
+            b{i} AS MATERIALIZED (
+                SELECT p.l, p.r, p.m, p.c,
+                       round(CAST(p.c AS DOUBLE)
+                             / (CAST(s1.scnt AS DOUBLE)
+                                * CAST(s2.scnt AS DOUBLE)), 12)
+                           AS score
+                FROM (SELECT syms[j] AS l, syms[j + 1] AS r,
+                             syms[j] || syms[j + 1] AS m,
+                             CAST(sum(cnt) AS BIGINT) AS c
+                      FROM px{i} GROUP BY 1, 2, 3) p
+                JOIN sc{i} s1 ON s1.sym = p.l
+                JOIN sc{i} s2 ON s2.sym = p.r
+                ORDER BY score DESC, p.l, p.r LIMIT 1),
+            w{i} AS MATERIALIZED (SELECT replace(s,
+                                ' ' || COALESCE((SELECT l FROM b{i}),
+                                                chr(1)) || '  '
+                                    || COALESCE((SELECT r FROM b{i}),
+                                                chr(1)) || ' ',
+                                ' ' || COALESCE((SELECT m FROM b{i}),
+                                                chr(1)) || ' ')
+                                AS s,
+                            cnt FROM w{i - 1})""")
+    return ",".join(parts)
+
+
+def _wordpiece_tokens_oracle(k: int, maxw: int = 12) -> str:
+    """wordpiece_token_count replayed in SQL: the training unroll,
+    the induced ##-vocabulary, then the greedy longest-match scan
+    unrolled to ``maxw`` hops (per step: max matching end per word;
+    a word that never reaches its end counts 1 — the whole-word
+    [UNK] convention), summed per doc."""
+    parts = [_wordpiece_ctes(k), f"""
+            vv AS MATERIALIZED (
+                SELECT DISTINCT CASE WHEN j = 1 THEN syms[j]
+                            ELSE '##' || syms[j] END AS piece
+                FROM (SELECT syms,
+                             unnest(range(1, len(syms) + 1)) AS j
+                      FROM (SELECT str_split(trim(s), '  ') AS syms
+                            FROM w{k}))),
+            ew2 AS MATERIALIZED (
+                SELECT DISTINCT unnest(list_filter({_TOKENS},
+                       x -> x != '')) AS word
+                FROM documents WHERE text IS NOT NULL),
+            wpc AS MATERIALIZED (
+                SELECT s.word, s.j0, s.i FROM (
+                    SELECT word, j - 1 AS j0, j - 1 + L AS i,
+                           CASE WHEN j = 1 THEN substr(word, j, L)
+                                ELSE '##' || substr(word, j, L)
+                                END AS piece
+                    FROM ew2
+                    JOIN generate_series(1, {maxw}) AS gj(j)
+                        ON j <= len(word)
+                    JOIN generate_series(1, {maxw}) AS gl(L)
+                        ON L <= len(word) - j + 1) s
+                JOIN vv USING (piece)),
+            gs0 AS MATERIALIZED (SELECT word, 0 AS pos FROM ew2)"""]
+    for t in range(1, maxw + 1):
+        parts.append(f"""
+            gn{t} AS MATERIALIZED (
+                SELECT s.word, max(c.i) AS npos
+                FROM gs{t - 1} s
+                JOIN wpc c ON c.word = s.word AND c.j0 = s.pos
+                GROUP BY 1),
+            gs{t} AS MATERIALIZED (
+                SELECT g.word, g.npos AS pos FROM gn{t} g
+                WHERE g.npos < len(g.word))""")
+    alln = " UNION ALL ".join(
+        f"SELECT word, npos FROM gn{t}" for t in range(1, maxw + 1))
+    parts.append(f"""
+            steps AS MATERIALIZED ({alln}),
+            done AS MATERIALIZED (SELECT DISTINCT word FROM steps
+                   WHERE npos = len(word)),
+            wtok AS MATERIALIZED (
+                SELECT ew2.word,
+                       CASE WHEN done.word IS NOT NULL
+                            THEN (SELECT count(*) FROM steps
+                                  WHERE steps.word = ew2.word)
+                            ELSE 1 END AS n
+                FROM ew2 LEFT JOIN done USING (word)),
+            dsum AS MATERIALIZED (
+                SELECT doc_id, CAST(sum(n) AS BIGINT) AS n
+                FROM (SELECT doc_id, unnest(list_filter({_TOKENS},
+                             x -> x != '')) AS word
+                      FROM documents WHERE text IS NOT NULL) d
+                JOIN wtok USING (word) GROUP BY 1)""")
+    return ("WITH " + ",".join(parts) + """
+            SELECT documents.doc_id,
+                   CAST(coalesce(dsum.n, 0) AS BIGINT) AS n_tokens
+            FROM documents LEFT JOIN dsum USING (doc_id)
+        """)
 
 
 def _harmonic_oracle(max_dist: int, p: int) -> str:
@@ -8669,6 +8828,15 @@ def _oracle_sql_base() -> dict[str, str]:
         "unigram_train": _unigram_oracle(32, 2, 4, 8),
         "unigram_tokens": _unigram_oracle(32, 2, 4, 8,
                                           tokens_out=True),
+        # wordpiece_train/tokens: 6 likelihood-scored merges
+        # unrolled; tokens adds the ##-vocab + 12-hop greedy scan
+        "wordpiece_train": "WITH " + _wordpiece_ctes(6) + "\n"
+        + "\n".join(
+            f"            {'UNION ALL ' if i > 1 else ''}SELECT "
+            f"{i} AS \"rank\", l AS \"left\", r AS \"right\", "
+            f"m AS merged, c AS pair_count, score FROM b{i}"
+            for i in range(1, 7)),
+        "wordpiece_tokens": _wordpiece_tokens_oracle(6),
         "bpe_train": "WITH " + _bpe_ctes(10) + "\n" + "\n".join(
             f"            {'UNION ALL ' if i > 1 else ''}SELECT "
             f"{i} AS \"rank\", l AS \"left\", r AS \"right\", "

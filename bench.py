@@ -168,6 +168,8 @@ BENCH_QUERIES = [
     "unigram_tokens",
     "triangles_hosts",
     "kcore_hosts",
+    "wordpiece_train",
+    "wordpiece_tokens",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE
