@@ -3594,6 +3594,33 @@ def q_stream_ingest_hll(spark, sf_dir):
     return hll_count_stored(spark, base + "/sk", p=12, by=["source"])
 
 
+def q_stream_ingest_kmv(spark, sf_dir):
+    """Streaming KMV distinct-sample store (streaming/indexing.
+    streaming_ingest_kmv, new r14 — the last sketch of the four
+    without a streaming store): two availableNow micro-batches each
+    append their k-smallest-hash frame; crash-safe BY ALGEBRA like
+    the HLL store (distinct-then-k-smallest absorbs replays) but
+    with k pinned as the store's identity in a _kmv.json sidecar
+    (the CMS contract); a mid-stream algebraic compaction runs
+    between batches.  Merge is lossless, so the stored estimate must
+    equal the single-shot kmv_estimate(kmv_sketch(...)) EXACTLY —
+    the oracle recomputes it per source from scratch."""
+    from dask_geopandas_spark.streaming.indexing import (
+        kmv_estimate_stored, streaming_ingest_kmv)
+
+    base = "/root/repo/.bench_tmp/stream_kmv"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                                 "text")
+    stream = _two_batch_stream(
+        spark, docs, base, "doc_id long, source string, text string")
+    q = (streaming_ingest_kmv(stream, base + "/sk", "text", k=128,
+                              by=["source"], compact_every=2)
+         .option("checkpointLocation", base + "/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return kmv_estimate_stored(spark, base + "/sk", by=["source"])
+
+
 def q_stream_ingest_cms(spark, sf_dir):
     """Streaming frequency counter (streaming/indexing.
     streaming_ingest_cms, new r12): the documents table replays as
@@ -5197,6 +5224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_tokens": q_unigram_tokens,
         "wordpiece_train": q_wordpiece_train,
         "wordpiece_tokens": q_wordpiece_tokens,
+        "stream_ingest_kmv": q_stream_ingest_kmv,
         "cx_bbox_filter": q_cx_bbox_filter,
         "dissolve_centroid": q_dissolve_centroid,
         "exact_index_dedup": q_exact_index_dedup,
@@ -5237,9 +5265,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "equals_exact": q_equals_exact,
         "exact_dedup": q_exact_dedup,
-        "explode_parts": q_explode_parts,
         # ---- below the window: (last-green asc, name) — the
         #   r15 rotation order is the head of this list ----
+        "explode_parts": q_explode_parts,
         "feather_roundtrip": q_feather_roundtrip,
         "fingerprint_dups": q_fingerprint_dups,
         "geohash_cells": q_geohash_cells,
@@ -8654,6 +8682,27 @@ def _oracle_sql_base() -> dict[str, str]:
         # stream_ingest_hll: same oracle VERBATIM — batch
         # boundaries must be invisible to the stored counter
         "stream_ingest_hll": _HLL_SOURCES_ORACLE,
+        # stream_ingest_kmv: exact single-shot KMV replica per source
+        # (k=128; merge is lossless so batches are invisible)
+        "stream_ingest_kmv": """
+            WITH h AS MATERIALIZED (
+                SELECT DISTINCT source,
+                       ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+                FROM documents WHERE text IS NOT NULL),
+            s AS MATERIALIZED (
+                SELECT source, h FROM (
+                    SELECT source, h, row_number() OVER (
+                        PARTITION BY source ORDER BY h) AS rn
+                    FROM h) WHERE rn <= 128)
+            SELECT source,
+                   CAST(round(CASE WHEN n < 128 THEN CAST(n AS DOUBLE)
+                        ELSE CAST(127 AS DOUBLE)
+                             * CAST(1152921504606846976 AS DOUBLE)
+                             / CAST(hk AS DOUBLE) END, 0) AS BIGINT)
+                       AS approx_distinct
+            FROM (SELECT source, count(*) AS n, max(h) AS hk
+                  FROM s GROUP BY 1)
+        """,
         # bm25_deleted: the deleted index must equal one that never
         # contained the tombstoned docs — plain BM25 oracle over the
         # filtered corpus

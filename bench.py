@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "kcore_hosts",
     "wordpiece_train",
     "wordpiece_tokens",
+    "stream_ingest_kmv",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE

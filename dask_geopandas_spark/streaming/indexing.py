@@ -290,6 +290,141 @@ def compact_hll_stored(spark, sketch_path: str,
         fs.delete(pth, False)
 
 
+def _kmv_k(base: str) -> int:
+    meta = _sidecar_read(base, "_kmv.json")
+    if meta is None:
+        raise ValueError(f"no _kmv.json sidecar at {base!r} — not a "
+                         "stored KMV sketch")
+    return int(meta["k"])
+
+
+def ingest_kmv_batch(batch_df: DataFrame, sketch_path: str, col: str,
+                     k: int = 256, by: list[str] | None = None,
+                     batch_id: int | None = None) -> bool:
+    """One ingestion step of the INCREMENTAL distinct-sample store
+    (the uniform-sample counter `kmv_overlap` needs where HLL cannot
+    serve): append the batch's k-smallest-hash frame (≤ k rows per
+    group) under ``<sketch>/hashes``.  Returns False when the
+    batch's commit marker exists (replay skipped).
+
+    Crash-safe BY ALGEBRA like the HLL ingester: merge is
+    distinct-then-k-smallest, so a replayed or torn append only adds
+    duplicate hash rows the read-time distinct absorbs exactly — the
+    marker is a pure cost optimization, no in-progress flag, no
+    rebuild path.  Unlike HLL, ``k`` is the store's IDENTITY (a
+    k=128 store read as k=256 has a biased (k-1)/theta estimator),
+    so it pins in a ``_kmv.json`` sidecar on first use and
+    mismatches refuse — the CMS/Bloom sidecar contract."""
+    import json
+
+    spark = batch_df.sparkSession
+    base = sketch_path.rstrip("/")
+    fs, _ = _hadoop_fs(spark, base)
+    HP = spark._jvm.org.apache.hadoop.fs.Path
+    marker = None
+    if batch_id is not None:
+        marker = f"{base}/_batches/batch-{int(batch_id)}"
+        if fs.exists(HP(marker)):
+            return False
+    stored = _sidecar_read(base, "_kmv.json")
+    if stored is not None:
+        if int(stored["k"]) != int(k):
+            raise ValueError(
+                f"stored KMV at {base!r} has k={stored['k']}; ingest "
+                f"requested k={k} — k is the sketch's identity")
+    else:
+        from ..sources.fs import resolve_fs
+
+        fs.mkdirs(HP(base))
+        fsys, p = resolve_fs(base + "/_kmv.json")
+        with fsys.open_output_stream(p) as out:
+            out.write(json.dumps({"k": int(k)}).encode())
+    from ..operators.sketches import kmv_sketch
+
+    (kmv_sketch(batch_df, col, k, by)
+     .write.mode("append").parquet(base + "/hashes"))
+    if marker is not None:
+        fs.mkdirs(HP(base + "/_batches"))
+        fs.create(HP(marker), True).close()
+    return True
+
+
+def kmv_estimate_stored(spark, sketch_path: str,
+                        by: list[str] | None = None,
+                        count_col: str = "approx_distinct") \
+        -> DataFrame:
+    """Finish the stored hash frames into per-group estimates:
+    read-time distinct + k-smallest (the lossless merge) + the
+    (k-1)/theta estimator, with k from the sidecar.  Equals the
+    single-shot `kmv_estimate(kmv_sketch(...))` over the
+    concatenated batches — batch boundaries are invisible."""
+    from ..operators.sketches import kmv_estimate, kmv_merge
+
+    base = sketch_path.rstrip("/")
+    k = _kmv_k(base)
+    hashes = spark.read.parquet(base + "/hashes")
+    return kmv_estimate(kmv_merge(hashes, k=k, by=by), k, by,
+                        count_col)
+
+
+def kmv_sketch_stored(spark, sketch_path: str,
+                      by: list[str] | None = None) -> DataFrame:
+    """The stored store merged back to a plain sketch frame — feeds
+    `operators.sketches.kmv_overlap` against another sketch (stored
+    or single-shot) for cross-crawl overlap estimates."""
+    from ..operators.sketches import kmv_merge
+
+    base = sketch_path.rstrip("/")
+    return kmv_merge(spark.read.parquet(base + "/hashes"),
+                     k=_kmv_k(base), by=by)
+
+
+def compact_kmv_stored(spark, sketch_path: str,
+                       by: list[str] | None = None) -> None:
+    """Algebraic compaction (the HLL shape): append the merged
+    k-smallest frame, then delete the pre-existing part files —
+    every intermediate state reads correctly because the read-time
+    distinct + k-smallest absorbs duplicates."""
+    from ..operators.sketches import kmv_merge
+
+    base = sketch_path.rstrip("/")
+    k = _kmv_k(base)
+    hbase = base + "/hashes"
+    fs, _ = _hadoop_fs(spark, hbase)
+    HP = spark._jvm.org.apache.hadoop.fs.Path
+    old = [f.getPath() for f in fs.listStatus(HP(hbase))
+           if f.getPath().getName().startswith("part-")]
+    merged = kmv_merge(spark.read.parquet(hbase), k=k, by=by) \
+        .localCheckpoint()
+    merged.write.mode("append").parquet(hbase)
+    for pth in old:
+        fs.delete(pth, False)
+
+
+def streaming_ingest_kmv(stream: DataFrame, sketch_path: str,
+                         col: str, k: int = 256,
+                         by: list[str] | None = None,
+                         compact_every: int | None = None):
+    """Continuous distinct-sample maintenance: each micro-batch
+    appends its k-smallest-hash frame (`ingest_kmv_batch` under
+    ``foreachBatch``; crash-safe by algebra, see there), readable
+    between batches with `kmv_estimate_stored` /
+    `kmv_sketch_stored`.  ``compact_every=N`` runs the algebraic
+    compaction every Nth batch.  Returns the DataStreamWriter."""
+    if compact_every is not None and int(compact_every) < 1:
+        raise ValueError(
+            f"compact_every must be >= 1, got {compact_every}")
+
+    def _fb(batch_df: DataFrame, batch_id: int) -> None:
+        done = ingest_kmv_batch(batch_df, sketch_path, col, k, by,
+                                batch_id)
+        if done and compact_every and batch_id % int(compact_every) \
+                == int(compact_every) - 1:
+            compact_kmv_stored(batch_df.sparkSession, sketch_path, by)
+
+    return stream.writeStream.foreachBatch(_fb)
+
+
 def streaming_ingest_hll(stream: DataFrame, sketch_path: str,
                          col: str, p: int = 12,
                          by: list[str] | None = None,

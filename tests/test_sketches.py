@@ -305,6 +305,134 @@ class TestStreamingHll:
         assert got == want
 
 
+class TestStreamingKmv:
+    """Incremental KMV store (streaming/indexing.py, r14 — the last
+    sketch without one): batch-boundary invisibility, k-identity
+    sidecar pin, idempotence under unguarded re-append, algebraic
+    compaction, availableNow end-to-end."""
+
+    def _day(self, spark, lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "concat('u', id % 700) AS u",
+            "concat('s', id % 3) AS g")
+
+    def test_batches_equal_direct_and_replay_skips(self, spark,
+                                                   tmp_path):
+        from dask_geopandas_spark.operators.sketches import (
+            kmv_estimate, kmv_sketch)
+        from dask_geopandas_spark.streaming.indexing import (
+            ingest_kmv_batch, kmv_estimate_stored)
+
+        base = str(tmp_path / "kmv")
+        d1, d2 = self._day(spark, 0, 500), self._day(spark, 350, 900)
+        assert ingest_kmv_batch(d1, base, "u", k=64, by=["g"],
+                                batch_id=0)
+        assert ingest_kmv_batch(d2, base, "u", k=64, by=["g"],
+                                batch_id=1)
+        got = {r["g"]: r["approx_distinct"] for r in
+               kmv_estimate_stored(spark, base, by=["g"]).collect()}
+        want = {r["g"]: r["approx_distinct"] for r in
+                kmv_estimate(kmv_sketch(d1.unionAll(d2), "u", 64,
+                                        by=["g"]),
+                             64, by=["g"]).collect()}
+        assert got == want
+        assert not ingest_kmv_batch(d1, base, "u", k=64, by=["g"],
+                                    batch_id=0)  # replay skipped
+        assert {r["g"]: r["approx_distinct"] for r in
+                kmv_estimate_stored(spark, base,
+                                    by=["g"]).collect()} == want
+
+    def test_k_is_identity(self, spark, tmp_path):
+        from dask_geopandas_spark.streaming.indexing import (
+            ingest_kmv_batch, kmv_estimate_stored)
+
+        base = str(tmp_path / "kmv2")
+        d = self._day(spark, 0, 300)
+        ingest_kmv_batch(d, base, "u", k=64)
+        with pytest.raises(ValueError, match="identity"):
+            ingest_kmv_batch(d, base, "u", k=128)
+        # reader takes k from the sidecar, no k argument to drift
+        assert kmv_estimate_stored(spark, base).head() is not None
+
+    def test_unguarded_reappend_is_absorbed(self, spark, tmp_path):
+        from dask_geopandas_spark.streaming.indexing import (
+            ingest_kmv_batch, kmv_estimate_stored)
+
+        base = str(tmp_path / "kmv3")
+        d = self._day(spark, 0, 400)
+        ingest_kmv_batch(d, base, "u", k=64)
+        before = kmv_estimate_stored(spark, base).head()
+        ingest_kmv_batch(d, base, "u", k=64)  # no batch_id: re-runs
+        after = kmv_estimate_stored(spark, base).head()
+        assert before["approx_distinct"] == after["approx_distinct"]
+
+    def test_compaction_shrinks_and_preserves(self, spark, tmp_path):
+        from dask_geopandas_spark.streaming.indexing import (
+            compact_kmv_stored, ingest_kmv_batch, kmv_estimate_stored)
+
+        base = str(tmp_path / "kmv4")
+        for i in range(4):
+            ingest_kmv_batch(self._day(spark, i * 150, (i + 1) * 250),
+                             base, "u", k=64, batch_id=i)
+        before_rows = spark.read.parquet(base + "/hashes").count()
+        want = kmv_estimate_stored(spark, base).head()
+        compact_kmv_stored(spark, base)
+        after_rows = spark.read.parquet(base + "/hashes").count()
+        assert after_rows < before_rows
+        got = kmv_estimate_stored(spark, base).head()
+        assert got["approx_distinct"] == want["approx_distinct"]
+
+    def test_stored_sketch_feeds_overlap(self, spark, tmp_path):
+        from dask_geopandas_spark.operators.sketches import (
+            kmv_overlap, kmv_sketch)
+        from dask_geopandas_spark.streaming.indexing import (
+            ingest_kmv_batch, kmv_sketch_stored)
+
+        base = str(tmp_path / "kmv5")
+        d1 = self._day(spark, 0, 500)
+        ingest_kmv_batch(d1, base, "u", k=64, batch_id=0)
+        other = kmv_sketch(self._day(spark, 250, 700), "u", 64)
+        via_store = kmv_overlap(kmv_sketch_stored(spark, base),
+                                other, k=64).head()
+        direct = kmv_overlap(kmv_sketch(d1, "u", 64), other,
+                             k=64).head()
+        assert tuple(via_store) == tuple(direct)
+
+    def test_streaming_availablenow(self, spark, tmp_path):
+        import os
+
+        from dask_geopandas_spark.operators.sketches import (
+            kmv_estimate, kmv_sketch)
+        from dask_geopandas_spark.streaming.indexing import (
+            kmv_estimate_stored, streaming_ingest_kmv)
+
+        base = str(tmp_path / "kmv6")
+        d1, d2 = self._day(spark, 0, 400), self._day(spark, 300, 800)
+        d1.coalesce(1).write.parquet(base + "/src/f0")
+        d2.coalesce(1).write.parquet(base + "/src/f1")
+        now = 1_700_000_000
+        for i, dname in enumerate(("f0", "f1")):
+            for fn in os.listdir(f"{base}/src/{dname}"):
+                os.utime(f"{base}/src/{dname}/{fn}",
+                         (now + i, now + i))
+        stream = (spark.readStream.schema("u string, g string")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(base + "/src/f*"))
+        q = (streaming_ingest_kmv(stream, base + "/sk", "u", k=64,
+                                  by=["g"], compact_every=2)
+             .option("checkpointLocation", base + "/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {r["g"]: r["approx_distinct"] for r in
+               kmv_estimate_stored(spark, base + "/sk",
+                                   by=["g"]).collect()}
+        want = {r["g"]: r["approx_distinct"] for r in
+                kmv_estimate(kmv_sketch(d1.unionAll(d2), "u", 64,
+                                        by=["g"]),
+                             64, by=["g"]).collect()}
+        assert got == want
+
+
 class TestKmv:
     """KMV theta sketch: exact below k, unbiased (k-1)/theta above,
     lossless merge, set-operation estimates."""
