@@ -3352,6 +3352,41 @@ def q_kcore_hosts(spark, sf_dir):
     return core_numbers(e, iters=4)
 
 
+def q_assortativity_hosts(spark, sf_dir):
+    """Degree assortativity (operators/graph.degree_assortativity,
+    new r14; Newman 2002) — the mixing summary webgraph studies
+    report (the web is disassortative; link-farm cliques push r up):
+    Pearson over symmetrized end-point degrees, every sum an exact
+    long, one quantized division.  Same 20-host graph as
+    triangles_hosts."""
+    from dask_geopandas_spark.operators.graph import \
+        degree_assortativity
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    e = (docs.select((F.col("doc_id") % 20).alias("src"),
+                     ((F.col("doc_id") + 1) % 20).alias("dst"))
+         .unionAll(docs.select(
+             (F.col("doc_id") % 20).alias("src"),
+             ((F.col("doc_id") + 2) % 20).alias("dst")))
+         .unionAll(docs.select(
+             (F.col("doc_id") % 20).alias("src"),
+             ((F.col("doc_id") * 7 + 2) % 20).alias("dst"))))
+    return degree_assortativity(e)
+
+
+def q_collocations(spark, sf_dir):
+    """PMI collocation mining (textstats.collocations, new r14;
+    Church & Hanks 1990) — the "which word pairs belong together"
+    data-card pass: adjacent-token bigrams scored
+    round(ln(c_ab·N_u²/(N_b·c_a·c_b)), 12), min_count 5, top 15 by
+    (pmi desc, w1, w2) — exact integer counts, one quantized ln, a
+    TakeOrdered instead of a global sort."""
+    from dask_geopandas_spark.operators.textstats import collocations
+
+    return collocations(_t(spark, sf_dir, "documents"),
+                        top_k=15, min_count=5)
+
+
 def q_graph_diameter(spark, sf_dir):
     """HyperANF distance distribution + interpolated 90% effective
     diameter (operators/graph.neighbourhood_function /
@@ -5220,6 +5255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_diameter": q_graph_diameter,
         "triangles_hosts": q_triangles_hosts,
         "kcore_hosts": q_kcore_hosts,
+        "assortativity_hosts": q_assortativity_hosts,
+        "collocations_top": q_collocations,
         "unigram_train": q_unigram_train,
         "unigram_tokens": q_unigram_tokens,
         "wordpiece_train": q_wordpiece_train,
@@ -5263,10 +5300,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "doc_line_dedup": q_doc_line_dedup,
         "dup_spans": q_dup_spans,
-        "equals_exact": q_equals_exact,
-        "exact_dedup": q_exact_dedup,
         # ---- below the window: (last-green asc, name) — the
         #   r15 rotation order is the head of this list ----
+        "equals_exact": q_equals_exact,
+        "exact_dedup": q_exact_dedup,
         "explode_parts": q_explode_parts,
         "feather_roundtrip": q_feather_roundtrip,
         "fingerprint_dups": q_fingerprint_dups,
@@ -9012,6 +9049,75 @@ def _oracle_sql_base() -> dict[str, str]:
         # graph_diameter: 3 HyperANF supersteps + 4 estimator
         # passes + the 90% interpolation window
         "graph_diameter": _hyperanf_oracle(3, 10, 0.9),
+        # assortativity_hosts: exact integer Pearson sums over the
+        # symmetrized canonical edge set
+        "assortativity_hosts": """
+            WITH raw AS MATERIALIZED (
+                SELECT doc_id % 20 AS s, (doc_id + 1) % 20 AS t
+                FROM documents
+                UNION ALL
+                SELECT doc_id % 20, (doc_id + 2) % 20 FROM documents
+                UNION ALL
+                SELECT doc_id % 20, (doc_id * 7 + 2) % 20
+                FROM documents),
+            e AS MATERIALIZED (
+                SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+                FROM raw WHERE s != t),
+            sym AS MATERIALIZED (
+                SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b
+                FROM e),
+            deg AS MATERIALIZED (
+                SELECT a AS node, CAST(count(*) AS BIGINT) AS d
+                FROM sym GROUP BY 1),
+            agg AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                           CAST(sum(dx.d * dy.d) AS BIGINT) AS sxy,
+                           CAST(sum(dx.d) AS BIGINT) AS sx,
+                           CAST(sum(dx.d * dx.d) AS BIGINT) AS sxx
+                    FROM sym
+                    JOIN deg dx ON dx.node = sym.a
+                    JOIN deg dy ON dy.node = sym.b)
+            SELECT CAST(m // 2 AS BIGINT) AS m_edges,
+                   CASE WHEN m * sxx - sx * sx = 0
+                        THEN CAST(NULL AS DOUBLE)
+                        ELSE round(CAST(m * sxy - sx * sx AS DOUBLE)
+                                   / CAST(m * sxx - sx * sx
+                                          AS DOUBLE), 12)
+                   END AS assortativity
+            FROM agg
+        """,
+        # collocations_top: exact bigram/unigram counts + quantized
+        # single-ln PMI, deterministic (pmi desc, w1, w2) top-15
+        "collocations_top": f"""
+            WITH tf AS MATERIALIZED (
+                SELECT list_filter({_TOKENS}, x -> x != '') AS tf
+                FROM documents WHERE text IS NOT NULL),
+            uni AS MATERIALIZED (
+                SELECT w, CAST(count(*) AS BIGINT) AS cu
+                FROM (SELECT unnest(tf) AS w FROM tf) GROUP BY 1),
+            bi AS MATERIALIZED (
+                SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count
+                FROM (SELECT tf[j] AS w1, tf[j + 1] AS w2
+                      FROM (SELECT tf, unnest(range(1, len(tf)))
+                                   AS j
+                            FROM tf))
+                GROUP BY 1, 2 HAVING count(*) >= 5),
+            nu AS (SELECT CAST(sum(cu) AS BIGINT) AS nu FROM uni),
+            nb AS (SELECT CAST(coalesce(sum(pair_count), 0)
+                               AS BIGINT) AS nb FROM bi)
+            SELECT w1, w2, pair_count,
+                   round(ln((CAST(pair_count AS DOUBLE)
+                             * CAST(nu AS DOUBLE)
+                             * CAST(nu AS DOUBLE))
+                            / (CAST(nb AS DOUBLE)
+                               * CAST(c1 AS DOUBLE)
+                               * CAST(c2 AS DOUBLE))), 12) AS pmi
+            FROM (SELECT bi.w1, bi.w2, bi.pair_count,
+                         u1.cu AS c1, u2.cu AS c2
+                  FROM bi
+                  JOIN uni u1 ON u1.w = bi.w1
+                  JOIN uni u2 ON u2.w = bi.w2), nu, nb
+            ORDER BY pmi DESC, w1, w2 LIMIT 15
+        """,
         # kcore_hosts: 4 h-index supersteps unrolled (histogram
         # h-index: h = max over v of min(v, #neighbors >= v))
         "kcore_hosts": 'WITH \n            raw AS MATERIALIZED (\n                SELECT doc_id % 20 AS s, (doc_id + 1) % 20 AS t\n                FROM documents\n                UNION ALL\n                SELECT doc_id % 20, (doc_id + 2) % 20 FROM documents\n                UNION ALL\n                SELECT doc_id % 20, (doc_id * 7 + 2) % 20\n                FROM documents),\n            und AS MATERIALIZED (\n                SELECT DISTINCT a, b FROM (\n                    SELECT s AS a, t AS b FROM raw WHERE s != t\n                    UNION ALL\n                    SELECT t AS a, s AS b FROM raw WHERE s != t)),\n            c0 AS MATERIALIZED (\n                SELECT a AS node, CAST(count(*) AS BIGINT) AS core\n                FROM und GROUP BY 1),\n            h1 AS MATERIALIZED (\n                SELECT u.a AS node, c.core AS v,\n                       CAST(count(*) AS BIGINT) AS cnt\n                FROM und u JOIN c0 c ON c.node = u.b\n                GROUP BY 1, 2),\n            c1 AS MATERIALIZED (\n                SELECT node,\n                       CAST(max(least(v, ge)) AS BIGINT) AS core\n                FROM (SELECT node, v,\n                             sum(cnt) OVER (PARTITION BY node\n                                 ORDER BY v DESC\n                                 ROWS BETWEEN UNBOUNDED PRECEDING\n                                 AND CURRENT ROW) AS ge\n                      FROM h1) GROUP BY 1),\n            h2 AS MATERIALIZED (\n                SELECT u.a AS node, c.core AS v,\n                       CAST(count(*) AS BIGINT) AS cnt\n                FROM und u JOIN c1 c ON c.node = u.b\n                GROUP BY 1, 2),\n            c2 AS MATERIALIZED (\n                SELECT node,\n                       CAST(max(least(v, ge)) AS BIGINT) AS core\n                FROM (SELECT node, v,\n                             sum(cnt) OVER (PARTITION BY node\n                                 ORDER BY v DESC\n                                 ROWS BETWEEN UNBOUNDED PRECEDING\n                                 AND CURRENT ROW) AS ge\n                      FROM h2) GROUP BY 1),\n            h3 AS MATERIALIZED (\n                SELECT u.a AS node, c.core AS v,\n                       CAST(count(*) AS BIGINT) AS cnt\n                FROM und u JOIN c2 c ON c.node = u.b\n                GROUP BY 1, 2),\n            c3 AS MATERIALIZED (\n                SELECT node,\n                       CAST(max(least(v, ge)) AS BIGINT) AS core\n                FROM (SELECT node, v,\n                             sum(cnt) OVER (PARTITION BY node\n                                 ORDER BY v DESC\n                                 ROWS BETWEEN UNBOUNDED PRECEDING\n                                 AND CURRENT ROW) AS ge\n                      FROM h3) GROUP BY 1),\n            h4 AS MATERIALIZED (\n                SELECT u.a AS node, c.core AS v,\n                       CAST(count(*) AS BIGINT) AS cnt\n                FROM und u JOIN c3 c ON c.node = u.b\n                GROUP BY 1, 2),\n            c4 AS MATERIALIZED (\n                SELECT node,\n                       CAST(max(least(v, ge)) AS BIGINT) AS core\n                FROM (SELECT node, v,\n                             sum(cnt) OVER (PARTITION BY node\n                                 ORDER BY v DESC\n                                 ROWS BETWEEN UNBOUNDED PRECEDING\n                                 AND CURRENT ROW) AS ge\n                      FROM h4) GROUP BY 1) SELECT node, core FROM c4',

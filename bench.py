@@ -171,6 +171,8 @@ BENCH_QUERIES = [
     "wordpiece_train",
     "wordpiece_tokens",
     "stream_ingest_kmv",
+    "assortativity_hosts",
+    "collocations_top",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE

@@ -342,6 +342,55 @@ def clustering_coefficient(edges: DataFrame, src_col: str = "src",
         .alias("clustering"))
 
 
+def degree_assortativity(edges: DataFrame, src_col: str = "src",
+                         dst_col: str = "dst") -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of the
+    undirected simple graph — the one-number mixing summary webgraph
+    studies report (the web is famously DISassortative: hubs link to
+    leaves, r < 0; a link farm's clique pushes r up).  Pearson
+    correlation of end-point degrees over the SYMMETRIZED edge list;
+    with identical marginals the formula reduces to
+    ``r = (M·Σxy − Σx·Σy) / (M·Σx² − (Σx)²)`` — every sum an exact
+    integer, so the only float is one quantized division and the SQL
+    oracle replays it bit-exactly.  Returns one row
+    (m_edges, assortativity); degenerate graphs (all degrees equal —
+    zero variance) return NULL assortativity, the convention for an
+    undefined correlation.
+
+    Distributed shape: one canonical-pair dedup + one degree
+    aggregation + two broadcast-degree joins + ONE map-side-combined
+    sum pass.  Sums are exact longs — correct while
+    ``Σ_v deg(v)³ < 2^63`` (any host-level graph; a graph past that
+    overflows to NULL rather than silently drifting)."""
+    e = (edges.select(F.col(src_col).alias("_s"),
+                      F.col(dst_col).alias("_t"))
+         .filter(F.col("_s") != F.col("_t")))
+    pairs = (e.select(F.least("_s", "_t").alias("_a"),
+                      F.greatest("_s", "_t").alias("_b"))
+             .distinct())
+    both = (pairs.unionAll(pairs.select(F.col("_b").alias("_a"),
+                                        F.col("_a").alias("_b")))
+            .cache())
+    deg = (both.groupBy(F.col("_a").alias("node"))
+           .agg(F.count("*").cast("long").alias("_d")))
+    da = F.broadcast(deg.select(F.col("node").alias("_a"),
+                                F.col("_d").alias("_x")))
+    db = F.broadcast(deg.select(F.col("node").alias("_b"),
+                                F.col("_d").alias("_y")))
+    s = (both.join(da, "_a").join(db, "_b")
+         .agg(F.count("*").alias("_m"),
+              F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+              F.sum("_x").alias("_sx"),
+              F.sum(F.col("_x") * F.col("_x")).alias("_sxx")))
+    num = F.col("_m") * F.col("_sxy") - F.col("_sx") * F.col("_sx")
+    den = F.col("_m") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    return s.select(
+        (F.col("_m") / F.lit(2)).cast("long").alias("m_edges"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(num.cast("double") / den.cast("double"),
+                           12)).alias("assortativity"))
+
+
 def core_numbers(edges: DataFrame, src_col: str = "src",
                  dst_col: str = "dst", iters: int = 10) -> DataFrame:
     """k-core decomposition by the h-index iteration (Lü, Chen, Ren,

@@ -2105,6 +2105,70 @@ def rrf_fuse(rankings: list, k: int = 10, c: int = 60,
             .filter(F.col("rank") <= int(k)))
 
 
+def collocations(df, text_col: str = "text", top_k: int = 20,
+                 min_count: int = 2):
+    """PMI collocation mining (Church & Hanks 1990) — the classic
+    "which word pairs belong together" pass data cards and tokenizer
+    diagnostics report (a corpus whose top collocations are
+    boilerplate fragments is templated): adjacent-token bigrams
+    scored by pointwise mutual information over the corpus unigram /
+    bigram distributions,
+    ``pmi = round(ln(c_ab·N_u² / (N_b·c_a·c_b)), 12)``, returned as
+    the (pmi desc, w1, w2) top-``top_k`` rows with counts.
+    ``min_count`` drops hapax bigrams (raw PMI famously promotes
+    them).  All counts are exact integers and the score one quantized
+    ln, so the SQL oracle replays it bit-exactly.
+
+    Distributed shape: one tokenizer pass feeding BOTH count
+    aggregations (map-side combined), unigram counts join the bigram
+    frame keyed on each word (broadcast-sized after min_count at any
+    top_k that matters — but implemented as plain equi-joins so no
+    size assumption), totals are two 1-row broadcasts, and the final
+    top-k is a TakeOrdered, never a global sort."""
+    if int(top_k) < 1:
+        raise ValueError("top_k must be >= 1")
+    base = (df.filter(F.col(text_col).isNotNull())
+            .select(F.filter(tokens(F.col(text_col)),
+                             lambda x: x != F.lit(""))
+                    .alias("_tf")).cache())
+    uni = (base.select(F.explode("_tf").alias("_w"))
+           .groupBy("_w").agg(F.count("*").alias("_cu")))
+    bi = (base.select(F.explode(F.when(
+              F.size("_tf") >= 2,
+              F.transform(
+                  F.sequence(F.lit(0), F.size("_tf") - 2),
+                  lambda i: F.struct(
+                      F.element_at("_tf", i + 1).alias("w1"),
+                      F.element_at("_tf", (i + F.lit(2)).cast("int"))
+                      .alias("w2"))))
+              .otherwise(F.array().cast(
+                  "array<struct<w1:string,w2:string>>"))).alias("_b"))
+          .groupBy(F.col("_b.w1").alias("w1"),
+                   F.col("_b.w2").alias("w2"))
+          .agg(F.count("*").alias("pair_count"))
+          .filter(F.col("pair_count") >= int(min_count)))
+    nu = uni.agg(F.sum("_cu").alias("_nu"))
+    nb = bi.agg(F.coalesce(F.sum("pair_count"), F.lit(0))
+                .alias("_nb"))
+    u1 = uni.select(F.col("_w").alias("w1"), F.col("_cu").alias("_c1"))
+    u2 = uni.select(F.col("_w").alias("w2"), F.col("_cu").alias("_c2"))
+    scored = (bi.join(u1, "w1").join(u2, "w2")
+              .crossJoin(F.broadcast(nu)).crossJoin(F.broadcast(nb))
+              .select("w1", "w2",
+                      F.col("pair_count").cast("long")
+                      .alias("pair_count"),
+                      F.round(F.log(
+                          (F.col("pair_count").cast("double")
+                           * F.col("_nu").cast("double")
+                           * F.col("_nu").cast("double"))
+                          / (F.col("_nb").cast("double")
+                             * F.col("_c1").cast("double")
+                             * F.col("_c2").cast("double"))), 12)
+                      .alias("pmi")))
+    return (scored.orderBy(F.col("pmi").desc(), "w1", "w2")
+            .limit(int(top_k)))
+
+
 def ngram_diversity(df, n: int = 2, text_col: str = "text",
                     by=None, ratio_col: str = "distinct_frac"):
     """Distinct-n diversity (Li et al. 2016's distinct-n, a standard

@@ -4196,6 +4196,112 @@ class TestSoftDedup:
             soft_dedup_weights(df, mode="fuzzy")
 
 
+class TestAssortativity:
+    @staticmethod
+    def _brute(edges):
+        pairs = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        both = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+        deg = {}
+        for a, _ in both:
+            deg[a] = deg.get(a, 0) + 1
+        xs = [deg[a] for a, _ in both]
+        ys = [deg[b] for _, b in both]
+        m = len(both)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sx = sum(xs)
+        sxx = sum(x * x for x in xs)
+        den = m * sxx - sx * sx
+        if den == 0:
+            return (m // 2, None)
+        return (m // 2, round((m * sxy - sx * sx) / den, 12))
+
+    def test_matches_brute_and_signs(self, spark):
+        from dask_geopandas_spark.operators.graph import \
+            degree_assortativity
+
+        star = [(0, i) for i in range(1, 8)] + [(1, 2)]
+        chain = [((i * 13 + 3) % 17, (i * 7 + 1) % 17)
+                 for i in range(50)]
+        for e in (star, chain):
+            row = degree_assortativity(spark.createDataFrame(
+                e, "src long, dst long")).head()
+            want = self._brute(e)
+            assert (row["m_edges"], row["assortativity"]) == want, e
+        # a star is maximally disassortative
+        srow = degree_assortativity(spark.createDataFrame(
+            star, "src long, dst long")).head()
+        assert srow["assortativity"] < 0
+
+    def test_degenerate_is_null(self, spark):
+        from dask_geopandas_spark.operators.graph import \
+            degree_assortativity
+
+        ring = [(i, (i + 1) % 5) for i in range(5)]  # all degree 2
+        row = degree_assortativity(spark.createDataFrame(
+            ring, "src long, dst long")).head()
+        assert row["m_edges"] == 5 and row["assortativity"] is None
+
+
+class TestCollocations:
+    CORPUS = ["new york is not old york", "new york new york",
+              "the new deal and the old deal", "york is new",
+              None, ""]
+
+    @staticmethod
+    def _brute(texts, top_k, min_count):
+        import math
+        import re
+        uni, bi = {}, {}
+        for t in texts:
+            if not t:
+                continue
+            ws = [w for w in re.split(r"[^a-z0-9']+",
+                                      t.lower().strip()) if w]
+            for w in ws:
+                uni[w] = uni.get(w, 0) + 1
+            for a, b in zip(ws, ws[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+        nu = sum(uni.values())
+        bi = {k: v for k, v in bi.items() if v >= min_count}
+        nb = sum(bi.values())
+        rows = [(w1, w2, c,
+                 round(math.log((c * float(nu) * float(nu))
+                                / (float(nb) * uni[w1] * uni[w2])),
+                       12))
+                for (w1, w2), c in bi.items()]
+        rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+        return rows[:top_k]
+
+    def test_matches_brute(self, spark):
+        from dask_geopandas_spark.operators.textstats import \
+            collocations
+
+        df = spark.createDataFrame([(t,) for t in self.CORPUS],
+                                   "text string")
+        got = [(r["w1"], r["w2"], r["pair_count"], r["pmi"]) for r in
+               collocations(df, top_k=5, min_count=2).collect()]
+        assert got == self._brute(self.CORPUS, 5, 2)
+        # 'new york' is a genuine collocation and must rank above
+        # the function-word pair
+        assert ("new", "york") in {(a, b) for a, b, _, _ in got}
+
+    def test_min_count_gates_hapax(self, spark):
+        from dask_geopandas_spark.operators.textstats import \
+            collocations
+
+        df = spark.createDataFrame([(t,) for t in self.CORPUS],
+                                   "text string")
+        got1 = [(r["w1"], r["w2"]) for r in
+                collocations(df, top_k=50, min_count=1).collect()]
+        got2 = [(r["w1"], r["w2"]) for r in
+                collocations(df, top_k=50, min_count=2).collect()]
+        assert set(got2) < set(got1)
+        assert [(a, b, c, p) for a, b, c, p in
+                self._brute(self.CORPUS, 50, 1)] == \
+            [(r["w1"], r["w2"], r["pair_count"], r["pmi"]) for r in
+             collocations(df, top_k=50, min_count=1).collect()]
+
+
 class TestNgramDiversity:
     def test_matches_brute_force(self, spark):
         import re
