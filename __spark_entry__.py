@@ -3352,6 +3352,21 @@ def q_kcore_hosts(spark, sf_dir):
     return core_numbers(e, iters=4)
 
 
+def q_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction (textstats.textrank_keywords, new
+    r14; Mihalcea & Tarau 2004): PageRank over the word
+    co-occurrence graph (window 2), composing graph.pagerank
+    unchanged — the oracle is the pagerank unroll (2 supersteps with
+    dangling terms, all quantized to 12 decimals) over the derived
+    vocabulary-sized graph, then the deterministic
+    (textrank desc, word) top-12."""
+    from dask_geopandas_spark.operators.textstats import \
+        textrank_keywords
+
+    return textrank_keywords(_t(spark, sf_dir, "documents"),
+                             window=2, top_k=12, iters=2)
+
+
 def q_assortativity_hosts(spark, sf_dir):
     """Degree assortativity (operators/graph.degree_assortativity,
     new r14; Newman 2002) — the mixing summary webgraph studies
@@ -5257,6 +5272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_hosts": q_kcore_hosts,
         "assortativity_hosts": q_assortativity_hosts,
         "collocations_top": q_collocations,
+        "textrank_keywords": q_textrank_keywords,
         "unigram_train": q_unigram_train,
         "unigram_tokens": q_unigram_tokens,
         "wordpiece_train": q_wordpiece_train,
@@ -5299,9 +5315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convex_hull_area": q_convex_hull_area,
         "doc_chunks": q_doc_chunks,
         "doc_line_dedup": q_doc_line_dedup,
-        "dup_spans": q_dup_spans,
         # ---- below the window: (last-green asc, name) — the
         #   r15 rotation order is the head of this list ----
+        "dup_spans": q_dup_spans,
         "equals_exact": q_equals_exact,
         "exact_dedup": q_exact_dedup,
         "explode_parts": q_explode_parts,
@@ -8614,6 +8630,9 @@ def _oracle_sql_base() -> dict[str, str]:
         # arithmetic step in forced-DOUBLE form ((1.0 - 0.85) etc.;
         # bare DuckDB decimals would compute 1 - 0.85 exactly and
         # diverge from IEEE) with the same 12-decimal quantization
+        # textrank_keywords: pagerank unroll over the derived
+        # window-2 word co-occurrence graph + deterministic top-12
+        "textrank_keywords": f"WITH \n            tfx AS MATERIALIZED (\n                SELECT list_filter({_TOKENS}, x -> x != '') AS tf\n                FROM documents WHERE text IS NOT NULL),\n            co AS MATERIALIZED (\n                SELECT x.tf[x.j] AS a, x.tf[x.j + d.d] AS b\n                FROM (SELECT tf, unnest(range(1, len(tf))) AS j\n                      FROM tfx) x\n                JOIN generate_series(1, 2) AS d(d)\n                    ON x.j + d.d <= len(x.tf)\n                WHERE x.tf[x.j] != x.tf[x.j + d.d]),\n            e AS MATERIALIZED (\n                SELECT DISTINCT src, dst FROM (\n                    SELECT a AS src, b AS dst FROM co\n                    UNION ALL SELECT b AS src, a AS dst FROM co)),\n            nodes AS MATERIALIZED (SELECT DISTINCT v FROM\n                      (SELECT src AS v FROM e\n                       UNION ALL SELECT dst FROM e)),\n            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),\n            outd AS MATERIALIZED (SELECT src, count(*) AS od\n                   FROM e GROUP BY src),\n            pr0 AS MATERIALIZED (SELECT v, round(1.0::DOUBLE / n, 12)\n                       AS pr\n                   FROM nodes CROSS JOIN nn),\n            d1 AS (SELECT COALESCE(sum(pr), 0.0) AS dm\n                   FROM pr0 LEFT JOIN outd\n                       ON pr0.v = outd.src\n                   WHERE outd.src IS NULL),\n            c1 AS MATERIALIZED (SELECT e.dst AS v,\n                           sum(p.pr / o.od) AS c\n                   FROM e JOIN pr0 p ON e.src = p.v\n                          JOIN outd o ON e.src = o.src\n                   GROUP BY e.dst),\n            pr1 AS MATERIALIZED (SELECT nodes.v,\n                           round((1.0::DOUBLE - 0.85::DOUBLE) / n\n                                 + 0.85::DOUBLE\n                                 * (COALESCE(c1.c, 0.0) + dm / n),\n                                 12) AS pr\n                    FROM nodes CROSS JOIN nn CROSS JOIN d1\n                    LEFT JOIN c1 ON nodes.v = c1.v),\n            d2 AS (SELECT COALESCE(sum(pr), 0.0) AS dm\n                   FROM pr1 LEFT JOIN outd\n                       ON pr1.v = outd.src\n                   WHERE outd.src IS NULL),\n            c2 AS MATERIALIZED (SELECT e.dst AS v,\n                           sum(p.pr / o.od) AS c\n                   FROM e JOIN pr1 p ON e.src = p.v\n                          JOIN outd o ON e.src = o.src\n                   GROUP BY e.dst),\n            pr2 AS MATERIALIZED (SELECT nodes.v,\n                           round((1.0::DOUBLE - 0.85::DOUBLE) / n\n                                 + 0.85::DOUBLE\n                                 * (COALESCE(c2.c, 0.0) + dm / n),\n                                 12) AS pr\n                    FROM nodes CROSS JOIN nn CROSS JOIN d2\n                    LEFT JOIN c2 ON nodes.v = c2.v)\n            SELECT v AS word, pr AS textrank FROM pr2\n            ORDER BY pr DESC, v LIMIT 12\n        ",
         "pagerank_hosts": """
             WITH e AS (SELECT DISTINCT doc_id % 50 AS src,
                               (doc_id * 7 + 3) % 50 AS dst

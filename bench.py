@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "stream_ingest_kmv",
     "assortativity_hosts",
     "collocations_top",
+    "textrank_keywords",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE

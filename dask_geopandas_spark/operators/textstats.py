@@ -2169,6 +2169,55 @@ def collocations(df, text_col: str = "text", top_k: int = 20,
             .limit(int(top_k)))
 
 
+def textrank_keywords(df, text_col: str = "text", window: int = 2,
+                      top_k: int = 20, iters: int = 10,
+                      damping: float = 0.85):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) — corpus
+    keywords as PageRank over the word CO-OCCURRENCE graph (an
+    undirected edge between tokens within ``window`` positions),
+    composing `graph.pagerank` unchanged: the whole trajectory is
+    that operator's quantized supersteps, so the SQL oracle is the
+    pagerank unroll over the derived graph.  Returns the
+    (textrank desc, word asc) top-``top_k`` rows.
+
+    Distributed shape: one tokenizer pass + a position×offset
+    explode (bounded by ``window``·tokens), one symmetrize+distinct,
+    then pagerank's node-sized supersteps; the final top-k is a
+    TakeOrdered.  The graph is VOCABULARY-sized (distinct word
+    pairs), not corpus-sized."""
+    from .graph import pagerank
+
+    if int(window) < 1:
+        raise ValueError("window must be >= 1")
+    tf = F.filter(tokens(F.col(text_col)), lambda x: x != F.lit(""))
+    base = (df.filter(F.col(text_col).isNotNull())
+            .select(tf.alias("_tf")))
+    pairs = F.when(
+        F.size("_tf") >= 2,
+        F.flatten(F.transform(
+            F.sequence(F.lit(1), F.size("_tf") - 1),
+            lambda j: F.transform(
+                F.sequence(F.lit(1),
+                           F.least(F.lit(int(window)),
+                                   F.size("_tf") - j)),
+                lambda d: F.struct(
+                    F.element_at("_tf", j.cast("int")).alias("a"),
+                    F.element_at("_tf", (j + d).cast("int"))
+                    .alias("b"))))),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    co = (base.select(F.explode(pairs).alias("_p"))
+          .filter(F.col("_p.a") != F.col("_p.b")))
+    e = (co.select(F.col("_p.a").alias("src"),
+                   F.col("_p.b").alias("dst"))
+         .unionAll(co.select(F.col("_p.b").alias("src"),
+                             F.col("_p.a").alias("dst"))))
+    pr = pagerank(e, iters=iters, damping=damping, dedup_edges=True)
+    return (pr.orderBy(F.col("pagerank").desc(), "node")
+            .limit(int(top_k))
+            .select(F.col("node").alias("word"),
+                    F.col("pagerank").alias("textrank")))
+
+
 def ngram_diversity(df, n: int = 2, text_col: str = "text",
                     by=None, ratio_col: str = "distinct_frac"):
     """Distinct-n diversity (Li et al. 2016's distinct-n, a standard

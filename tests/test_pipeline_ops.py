@@ -4302,6 +4302,67 @@ class TestCollocations:
              collocations(df, top_k=50, min_count=1).collect()]
 
 
+class TestTextrank:
+    CORPUS = ["graph ranking for text processing",
+              "keyword extraction with graph ranking",
+              "text ranking beats counting", None, "", "one"]
+
+    @staticmethod
+    def _brute(texts, window, iters, top_k, damping=0.85):
+        import re
+        edges = set()
+        for t in texts:
+            if not t:
+                continue
+            ws = [w for w in re.split(r"[^a-z0-9']+",
+                                      t.lower().strip()) if w]
+            for j, a in enumerate(ws):
+                for d in range(1, window + 1):
+                    if j + d < len(ws) and a != ws[j + d]:
+                        edges.add((a, ws[j + d]))
+                        edges.add((ws[j + d], a))
+        nodes = sorted({v for e in edges for v in e})
+        n = len(nodes)
+        out = {}
+        for s, t in edges:
+            out[s] = out.get(s, 0) + 1
+        pr = {v: round(1.0 / n, 12) for v in nodes}
+        for _ in range(iters):
+            contrib = {}
+            for s, t in edges:
+                contrib[t] = contrib.get(t, 0.0) + pr[s] / out[s]
+            pr = {v: round((1 - damping) / n
+                           + damping * contrib.get(v, 0.0), 12)
+                  for v in nodes}
+        rows = sorted(pr.items(), key=lambda kv: (-kv[1], kv[0]))
+        return rows[:top_k]
+
+    def test_matches_brute_pagerank_on_cooccurrence(self, spark):
+        from dask_geopandas_spark.operators.textstats import \
+            textrank_keywords
+
+        df = spark.createDataFrame([(t,) for t in self.CORPUS],
+                                   "text string")
+        for window, iters in ((1, 2), (2, 3)):
+            got = [(r["word"], r["textrank"]) for r in
+                   textrank_keywords(df, window=window, top_k=6,
+                                     iters=iters).collect()]
+            assert got == self._brute(self.CORPUS, window, iters, 6), \
+                (window, iters)
+        # 'ranking' co-occurs most broadly: it must rank first
+        got = textrank_keywords(df, window=2, top_k=1,
+                                iters=10).head()
+        assert got["word"] == "ranking"
+
+    def test_window_guard(self, spark):
+        from dask_geopandas_spark.operators.textstats import \
+            textrank_keywords
+
+        df = spark.createDataFrame([("a b",)], "text string")
+        with pytest.raises(ValueError, match="window"):
+            textrank_keywords(df, window=0)
+
+
 class TestNgramDiversity:
     def test_matches_brute_force(self, spark):
         import re
