@@ -130,6 +130,28 @@ class TestUnigramTrain:
         assert unigram_train(df, vocab_size=8).count() == 0
 
 
+class TestUnigramPlans:
+    def test_viterbi_is_pure_codegen_with_broadcast_model(self, spark):
+        """The E-step/encode plan contract: NO Python stages anywhere
+        (the DP is an F.aggregate projection) and the model side of
+        the candidate join BROADCASTS (fixed-size-model convention)."""
+        from dask_geopandas_spark.operators.unigram import (
+            unigram_train, viterbi_segment_words)
+
+        df = spark.createDataFrame([(t,) for t in CORPUS],
+                                   "text string")
+        model = unigram_train(df, vocab_size=16, em_steps=0,
+                              max_piece_len=3)
+        words = spark.createDataFrame([("cat",), ("mat",)],
+                                      "word string")
+        seg = viterbi_segment_words(words, model, max_piece_len=3)
+        plan = seg._jdf.queryExecution().executedPlan().toString()
+        for bad in ("BatchEvalPython", "ArrowEvalPython",
+                    "MapInPandas", "FlatMapGroupsInPandas"):
+            assert bad not in plan, bad
+        assert "BroadcastHashJoin" in plan, plan
+
+
 class TestUnigramEncode:
     def test_encode_matches_brute_viterbi(self, spark):
         from dask_geopandas_spark.operators.unigram import (

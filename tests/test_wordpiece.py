@@ -96,6 +96,24 @@ class TestWordpieceTrain:
         assert len(got) == 1  # one merge collapses every word
 
 
+class TestWordpiecePlans:
+    def test_greedy_scan_is_pure_codegen_with_broadcast_vocab(
+            self, spark):
+        """Plan contract: the greedy scan has NO Python stages (an
+        F.aggregate projection) and the vocabulary side of the
+        candidate join BROADCASTS."""
+        vocab = spark.createDataFrame(
+            [("ab",), ("a",), ("b",), ("##b",)], "piece string")
+        words = spark.createDataFrame([("ab",), ("ba",)],
+                                      "word string")
+        seg = greedy_match_words(words, vocab)
+        plan = seg._jdf.queryExecution().executedPlan().toString()
+        for bad in ("BatchEvalPython", "ArrowEvalPython",
+                    "MapInPandas", "FlatMapGroupsInPandas"):
+            assert bad not in plan, bad
+        assert "BroadcastHashJoin" in plan, plan
+
+
 class TestWordpieceEncode:
     def _fixture(self, spark):
         df = spark.createDataFrame([(t,) for t in CORPUS],
