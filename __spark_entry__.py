@@ -3352,6 +3352,28 @@ def q_kcore_hosts(spark, sf_dir):
     return core_numbers(e, iters=4)
 
 
+def q_graph_summary(spark, sf_dir):
+    """One-row webgraph data card (operators/graph.graph_summary,
+    new r14): nodes, edges, reciprocity (mutual-link density — a
+    link-scheme signal), density, max degree, global transitivity
+    6·T/Σd(d-1) — every statistic a ratio of exact integers with one
+    quantized division.  Same 20-host graph as triangles_hosts
+    (reciprocal pairs exist via the 7x+2 chord at i ≡ 3 mod 5);
+    method-free recount oracle."""
+    from dask_geopandas_spark.operators.graph import graph_summary
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    e = (docs.select((F.col("doc_id") % 20).alias("src"),
+                     ((F.col("doc_id") + 1) % 20).alias("dst"))
+         .unionAll(docs.select(
+             (F.col("doc_id") % 20).alias("src"),
+             ((F.col("doc_id") + 2) % 20).alias("dst")))
+         .unionAll(docs.select(
+             (F.col("doc_id") % 20).alias("src"),
+             ((F.col("doc_id") * 7 + 2) % 20).alias("dst"))))
+    return graph_summary(e)
+
+
 def q_textrank_keywords(spark, sf_dir):
     """TextRank keyword extraction (textstats.textrank_keywords, new
     r14; Mihalcea & Tarau 2004): PageRank over the word
@@ -5273,6 +5295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity_hosts": q_assortativity_hosts,
         "collocations_top": q_collocations,
         "textrank_keywords": q_textrank_keywords,
+        "graph_summary": q_graph_summary,
         "unigram_train": q_unigram_train,
         "unigram_tokens": q_unigram_tokens,
         "wordpiece_train": q_wordpiece_train,
@@ -5314,9 +5337,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "convex_hull_area": q_convex_hull_area,
         "doc_chunks": q_doc_chunks,
-        "doc_line_dedup": q_doc_line_dedup,
         # ---- below the window: (last-green asc, name) — the
         #   r15 rotation order is the head of this list ----
+        "doc_line_dedup": q_doc_line_dedup,
         "dup_spans": q_dup_spans,
         "equals_exact": q_equals_exact,
         "exact_dedup": q_exact_dedup,
@@ -9068,6 +9091,56 @@ def _oracle_sql_base() -> dict[str, str]:
         # graph_diameter: 3 HyperANF supersteps + 4 estimator
         # passes + the 90% interpolation window
         "graph_diameter": _hyperanf_oracle(3, 10, 0.9),
+        # graph_summary: method-free recount — directed dedup +
+        # reverse semi-join, canonical triangles, integer ratios
+        "graph_summary": """
+            WITH raw AS MATERIALIZED (
+                SELECT doc_id % 20 AS s, (doc_id + 1) % 20 AS t
+                FROM documents
+                UNION ALL
+                SELECT doc_id % 20, (doc_id + 2) % 20 FROM documents
+                UNION ALL
+                SELECT doc_id % 20, (doc_id * 7 + 2) % 20
+                FROM documents),
+            dd AS MATERIALIZED (
+                SELECT DISTINCT s, t FROM raw WHERE s != t),
+            rcp AS (SELECT CAST(count(*) AS BIGINT) AS r
+                    FROM dd WHERE EXISTS (SELECT 1 FROM dd d2
+                        WHERE d2.s = dd.t AND d2.t = dd.s)),
+            md AS (SELECT CAST(count(*) AS BIGINT) AS m_dir FROM dd),
+            e AS MATERIALIZED (
+                SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+                FROM dd),
+            deg AS MATERIALIZED (
+                SELECT node, CAST(count(*) AS BIGINT) AS d
+                FROM (SELECT a AS node FROM e
+                      UNION ALL SELECT b FROM e) GROUP BY 1),
+            tr AS (SELECT CAST(count(*) AS BIGINT) AS t3
+                   FROM e x
+                   JOIN e y ON y.a = x.b
+                   JOIN e z ON z.a = x.a AND z.b = y.b),
+            ds AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(d) AS BIGINT) AS sd,
+                          CAST(sum(d * (d - 1)) AS BIGINT) AS w2,
+                          CAST(max(d) AS BIGINT) AS mx
+                   FROM deg)
+            SELECT n AS n_nodes,
+                   CAST(sd // 2 AS BIGINT) AS m_edges,
+                   m_dir AS m_directed,
+                   t3 AS n_triangles,
+                   mx AS max_degree,
+                   round(CAST(r AS DOUBLE) / CAST(m_dir AS DOUBLE),
+                         12) AS reciprocity,
+                   round(2.0::DOUBLE * CAST(sd // 2 AS DOUBLE)
+                         / (CAST(n AS DOUBLE)
+                            * (CAST(n AS DOUBLE) - 1.0::DOUBLE)),
+                         12) AS density,
+                   CASE WHEN w2 = 0 THEN 0.0::DOUBLE
+                        ELSE round(6.0::DOUBLE * CAST(t3 AS DOUBLE)
+                                   / CAST(w2 AS DOUBLE), 12)
+                   END AS transitivity
+            FROM ds CROSS JOIN tr CROSS JOIN md CROSS JOIN rcp
+        """,
         # assortativity_hosts: exact integer Pearson sums over the
         # symmetrized canonical edge set
         "assortativity_hosts": """

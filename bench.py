@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "assortativity_hosts",
     "collocations_top",
     "textrank_keywords",
+    "graph_summary",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE

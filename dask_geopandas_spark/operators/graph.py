@@ -342,6 +342,56 @@ def clustering_coefficient(edges: DataFrame, src_col: str = "src",
         .alias("clustering"))
 
 
+def graph_summary(edges: DataFrame, src_col: str = "src",
+                  dst_col: str = "dst") -> DataFrame:
+    """One-row webgraph data card — the headline numbers crawl-graph
+    releases publish: node/edge counts, RECIPROCITY (fraction of
+    directed edges whose reverse also exists — mutual-link density,
+    a link-scheme signal), density, degree extremes, and global
+    TRANSITIVITY ``3·triangles / open-or-closed wedges`` (how
+    clustered the graph is overall — the complement of the per-node
+    `clustering_coefficient`).  Every statistic is a ratio of exact
+    integers with one quantized division, so the SQL oracle recounts
+    them method-free.
+
+    Distributed shape: the directed dedup + a self-join on the
+    reversed pair (reciprocity), the `triangles` pipeline (wedge
+    bound O(m^1.5)), and two aggregations — nothing driver-side."""
+    d = (edges.select(F.col(src_col).alias("_s"),
+                      F.col(dst_col).alias("_t"))
+         .filter(F.col("_s") != F.col("_t")).distinct().cache())
+    rev = d.select(F.col("_t").alias("_s"), F.col("_s").alias("_t"))
+    recip = d.join(rev, ["_s", "_t"], "left_semi") \
+        .agg(F.count("*").alias("_r"))
+    dstats = (d.agg(F.count("*").alias("_m_dir"))
+              .crossJoin(F.broadcast(recip)))
+    t = triangles(d, "_s", "_t")
+    tstats = t.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        (F.sum("degree") / F.lit(2)).cast("long").alias("m_edges"),
+        (F.sum("triangles") / F.lit(3)).cast("long")
+        .alias("n_triangles"),
+        F.sum(F.col("degree") * (F.col("degree") - F.lit(1)))
+        .cast("long").alias("_wedges2"),
+        F.max("degree").cast("long").alias("max_degree"))
+    return (tstats.crossJoin(F.broadcast(dstats)).select(
+        "n_nodes", "m_edges",
+        F.col("_m_dir").cast("long").alias("m_directed"),
+        "n_triangles", "max_degree",
+        F.round(F.col("_r").cast("double")
+                / F.col("_m_dir").cast("double"), 12)
+        .alias("reciprocity"),
+        F.round(F.lit(2.0) * F.col("m_edges").cast("double")
+                / (F.col("n_nodes").cast("double")
+                   * (F.col("n_nodes").cast("double") - F.lit(1.0))),
+                12).alias("density"),
+        F.when(F.col("_wedges2") == 0, F.lit(0.0))
+        .otherwise(F.round(
+            F.lit(6.0) * F.col("n_triangles").cast("double")
+            / F.col("_wedges2").cast("double"), 12))
+        .alias("transitivity")))
+
+
 def degree_assortativity(edges: DataFrame, src_col: str = "src",
                          dst_col: str = "dst") -> DataFrame:
     """Degree assortativity coefficient (Newman 2002) of the

@@ -3729,6 +3729,28 @@ class TestGraph:
         assert got == self._brute_triangles(e)
         assert sum(t for _, t in got.values()) > 0
 
+    def test_graph_summary_matches_brute(self, spark):
+        from dask_geopandas_spark.operators.graph import graph_summary
+
+        e = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 2), (2, 3), (3, 3),
+             (0, 1)]  # mutual pair, triangle, self-loop, dup
+        row = graph_summary(spark.createDataFrame(
+            e, "src long, dst long")).head()
+        # directed simple edges: (0,1)(1,0)(1,2)(2,0)(0,2)(2,3) -> 6
+        assert row["m_directed"] == 6
+        # reciprocal: (0,1),(1,0) and (2,0),(0,2) -> 4 of 6
+        assert row["reciprocity"] == round(4 / 6, 12)
+        bt = self._brute_triangles(e)
+        n = len(bt)
+        m = sum(d for d, _ in bt.values()) // 2
+        tri = sum(t for _, t in bt.values()) // 3
+        wed2 = sum(d * (d - 1) for d, _ in bt.values())
+        assert row["n_nodes"] == n and row["m_edges"] == m
+        assert row["n_triangles"] == tri
+        assert row["max_degree"] == max(d for d, _ in bt.values())
+        assert row["density"] == round(2.0 * m / (n * (n - 1.0)), 12)
+        assert row["transitivity"] == round(6.0 * tri / wed2, 12)
+
     # ---- core numbers (h-index iteration, r14) ----
 
     @staticmethod
