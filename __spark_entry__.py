@@ -3374,6 +3374,32 @@ def q_graph_summary(spark, sf_dir):
     return graph_summary(e)
 
 
+def q_link_prediction(spark, sf_dir):
+    """Candidate-pair link prediction (operators/graph.
+    link_prediction_scores, new r14; Liben-Nowell & Kleinberg 2003):
+    common neighbors + Jaccard + Adamic-Adar for an explicit
+    candidate frame — candidates REQUIRED by design (all-2-hop-pairs
+    is a Σdeg² hub explosion; recall stages bring the pairs).  Same
+    20-host graph; candidates (i, i+5 mod 20).  Counts exact, one
+    quantized division, AA terms quantized before the quantized sum;
+    method-free recount oracle."""
+    from dask_geopandas_spark.operators.graph import \
+        link_prediction_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    e = (docs.select((F.col("doc_id") % 20).alias("src"),
+                     ((F.col("doc_id") + 1) % 20).alias("dst"))
+         .unionAll(docs.select(
+             (F.col("doc_id") % 20).alias("src"),
+             ((F.col("doc_id") + 2) % 20).alias("dst")))
+         .unionAll(docs.select(
+             (F.col("doc_id") % 20).alias("src"),
+             ((F.col("doc_id") * 7 + 2) % 20).alias("dst"))))
+    cand = docs.select((F.col("doc_id") % 20).alias("u"),
+                       ((F.col("doc_id") + 5) % 20).alias("v"))
+    return link_prediction_scores(e, cand)
+
+
 def q_textrank_keywords(spark, sf_dir):
     """TextRank keyword extraction (textstats.textrank_keywords, new
     r14; Mihalcea & Tarau 2004): PageRank over the word
@@ -5296,6 +5322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations_top": q_collocations,
         "textrank_keywords": q_textrank_keywords,
         "graph_summary": q_graph_summary,
+        "link_prediction": q_link_prediction,
         "unigram_train": q_unigram_train,
         "unigram_tokens": q_unigram_tokens,
         "wordpiece_train": q_wordpiece_train,
@@ -5336,9 +5363,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "ann_ivf": q_ann_ivf,
         "convex_hull_area": q_convex_hull_area,
-        "doc_chunks": q_doc_chunks,
         # ---- below the window: (last-green asc, name) — the
         #   r15 rotation order is the head of this list ----
+        "doc_chunks": q_doc_chunks,
         "doc_line_dedup": q_doc_line_dedup,
         "dup_spans": q_dup_spans,
         "equals_exact": q_equals_exact,
@@ -9091,6 +9118,58 @@ def _oracle_sql_base() -> dict[str, str]:
         # graph_diameter: 3 HyperANF supersteps + 4 estimator
         # passes + the 90% interpolation window
         "graph_diameter": _hyperanf_oracle(3, 10, 0.9),
+        # link_prediction: method-free recount over the candidate
+        # frame — midpoint join + degree joins, quantized AA/Jaccard
+        "link_prediction": """
+            WITH raw AS MATERIALIZED (
+                SELECT doc_id % 20 AS s, (doc_id + 1) % 20 AS t
+                FROM documents
+                UNION ALL
+                SELECT doc_id % 20, (doc_id + 2) % 20 FROM documents
+                UNION ALL
+                SELECT doc_id % 20, (doc_id * 7 + 2) % 20
+                FROM documents),
+            dd AS MATERIALIZED (
+                SELECT DISTINCT s, t FROM raw WHERE s != t),
+            und AS MATERIALIZED (
+                SELECT DISTINCT s, t FROM (
+                    SELECT s, t FROM dd
+                    UNION ALL SELECT t AS s, s AS t FROM dd)),
+            cand AS MATERIALIZED (
+                SELECT DISTINCT doc_id % 20 AS u,
+                       (doc_id + 5) % 20 AS v
+                FROM documents),
+            deg AS MATERIALIZED (
+                SELECT s AS node, CAST(count(*) AS BIGINT) AS d
+                FROM und GROUP BY 1),
+            com AS MATERIALIZED (
+                SELECT c.u, c.v, CAST(count(*) AS BIGINT) AS cn,
+                       round(sum(round(1.0::DOUBLE
+                                       / ln(CAST(dw.d AS DOUBLE)),
+                                       12)), 12) AS aa
+                FROM cand c
+                JOIN und nu ON nu.s = c.u
+                JOIN und nv ON nv.s = c.v AND nv.t = nu.t
+                JOIN deg dw ON dw.node = nu.t
+                GROUP BY 1, 2)
+            SELECT c.u, c.v,
+                   CAST(coalesce(com.cn, 0) AS BIGINT)
+                       AS common_neighbors,
+                   CASE WHEN coalesce(du.d, 0) + coalesce(dv.d, 0)
+                             - coalesce(com.cn, 0) = 0
+                        THEN 0.0::DOUBLE
+                        ELSE round(CAST(coalesce(com.cn, 0) AS DOUBLE)
+                             / CAST(coalesce(du.d, 0)
+                                    + coalesce(dv.d, 0)
+                                    - coalesce(com.cn, 0) AS DOUBLE),
+                             12)
+                   END AS jaccard,
+                   coalesce(com.aa, 0.0::DOUBLE) AS adamic_adar
+            FROM cand c
+            LEFT JOIN deg du ON du.node = c.u
+            LEFT JOIN deg dv ON dv.node = c.v
+            LEFT JOIN com ON com.u = c.u AND com.v = c.v
+        """,
         # graph_summary: method-free recount — directed dedup +
         # reverse semi-join, canonical triangles, integer ratios
         "graph_summary": """

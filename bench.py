@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "collocations_top",
     "textrank_keywords",
     "graph_summary",
+    "link_prediction",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE

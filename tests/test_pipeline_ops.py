@@ -3751,6 +3751,46 @@ class TestGraph:
         assert row["density"] == round(2.0 * m / (n * (n - 1.0)), 12)
         assert row["transitivity"] == round(6.0 * tri / wed2, 12)
 
+    def test_link_prediction_matches_brute(self, spark):
+        import math
+
+        from dask_geopandas_spark.operators.graph import \
+            link_prediction_scores
+
+        e = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (5, 0),
+             (1, 0), (3, 3)]
+        adj = {}
+        for s, t in e:
+            if s == t:
+                continue
+            adj.setdefault(s, set()).add(t)
+            adj.setdefault(t, set()).add(s)
+        cand = [(0, 3), (1, 4), (5, 1), (5, 4), (0, 4)]
+        got = {(r["u"], r["v"]):
+               (r["common_neighbors"], r["jaccard"], r["adamic_adar"])
+               for r in link_prediction_scores(
+                   spark.createDataFrame(e, "src long, dst long"),
+                   spark.createDataFrame(cand, "u long, v long"))
+               .collect()}
+        for u, v in cand:
+            cn = adj[u] & adj[v]
+            un = len(adj[u] | adj[v])
+            aa = round(sum(round(1.0 / math.log(len(adj[w])), 12)
+                           for w in cn), 12)
+            jac = 0.0 if un == 0 else round(len(cn) / un, 12)
+            assert got[(u, v)] == (len(cn), jac, aa), (u, v)
+        # disconnected candidate endpoint -> all-zero scores
+        got2 = link_prediction_scores(
+            spark.createDataFrame(e, "src long, dst long"),
+            spark.createDataFrame([(0, 99)], "u long, v long")).head()
+        assert (got2["common_neighbors"], got2["jaccard"],
+                got2["adamic_adar"]) == (0, 0.0, 0.0)
+        with pytest.raises(ValueError, match="self-pairs"):
+            link_prediction_scores(
+                spark.createDataFrame(e, "src long, dst long"),
+                spark.createDataFrame([(1, 1)], "u long, v long")
+            ).collect()
+
     # ---- core numbers (h-index iteration, r14) ----
 
     @staticmethod
