@@ -219,9 +219,12 @@ def adjudicate(timings, baseline, rerun,
         if not b or timings[name] / b <= threshold:
             continue
         solo = rerun(name)
+        ok = solo != float("inf")  # rerun failed: group time stands
         adjudicated[name] = {"group": timings[name],
-                             "solo": round(solo, 3), "anchor": b}
-        timings[name] = round(min(timings[name], solo), 3)
+                             "solo": round(solo, 3) if ok else None,
+                             "anchor": b}
+        if ok:
+            timings[name] = round(min(timings[name], solo), 3)
     return adjudicated
 
 
@@ -289,7 +292,9 @@ def _time_query(spark, qs, name, repeats=2):
 
 def _solo_rerun(E, name):
     """One query in its own fresh session — the judge's manual
-    host-noise adjudication, automated."""
+    host-noise adjudication, automated.  A rerun failure must not
+    void the whole 18-minute record: the group number stands (it was
+    a real measurement) and the failure is noted on stderr."""
     spark = _new_session()
     try:
         qs = E.queries()
@@ -297,6 +302,10 @@ def _solo_rerun(E, name):
         best, _ = _time_query(spark, qs, name,
                               repeats=ADJUDICATE_REPEATS)
         return best
+    except Exception as e:  # keep the group time; note the failure
+        print(f"  adjudication rerun of {name} failed ({e}); "
+              "keeping the group-session number", file=sys.stderr)
+        return float("inf")
     finally:
         spark.stop()
 

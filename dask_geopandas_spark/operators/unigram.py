@@ -74,11 +74,16 @@ def viterbi_segment_words(words: DataFrame, model: DataFrame,
                           word_col: str = "word",
                           piece_col: str = "unigram_pieces",
                           max_piece_len: int | None = None,
-                          unk_token: str = UNK) -> DataFrame:
+                          unk_token: str = UNK,
+                          max_dp_len: int = 256) -> DataFrame:
     """Segment a WORD frame (one distinct word per row) under a
     unigram model (piece, logp): adds ``piece_col``
     (array<string>).  Words the model cannot cover (a character never
-    seen in training) segment to ``[unk_token]``.
+    seen in training) segment to ``[unk_token]``, as do words longer
+    than ``max_dp_len`` — the DP accumulator grows O(len²) per row,
+    so an unbounded no-separator mega-token (binary junk in web text)
+    must not drive a quadratic codegen loop; SentencePiece caps its
+    input length the same way.
 
     The DP: ``best[0] = 0``; ``best[i] = max over candidate pieces
     w[j:i] of round(best[j] + logp, 12)``, ties preferring the
@@ -89,8 +94,11 @@ def viterbi_segment_words(words: DataFrame, model: DataFrame,
     if max_piece_len is None:
         max_piece_len = int(model.agg(
             F.max(F.length("piece"))).head()[0] or 1)
-    w = (words.filter(F.col(word_col).isNotNull()
-                      & (F.length(word_col) >= 1)))
+    full = (words.filter(F.col(word_col).isNotNull()
+                         & (F.length(word_col) >= 1)))
+    over = full.filter(F.length(word_col) > int(max_dp_len)) \
+        .withColumn(piece_col, F.array(F.lit(unk_token)))
+    w = full.filter(F.length(word_col) <= int(max_dp_len))
     mdl = F.broadcast(model.select(F.col("piece").alias("_mp"),
                                    F.col("logp").alias("_logp")))
     cands = (w.select(word_col,
@@ -150,7 +158,8 @@ def viterbi_segment_words(words: DataFrame, model: DataFrame,
     return (out.withColumn(
         piece_col,
         F.when(reachable, parts)
-        .otherwise(F.array(F.lit(unk_token)))).drop("_cands"))
+        .otherwise(F.array(F.lit(unk_token)))).drop("_cands")
+        .unionByName(over))
 
 
 def _renormalized(counted: DataFrame) -> DataFrame:

@@ -202,16 +202,25 @@ def wordpiece_vocab(df: DataFrame, merges: DataFrame,
 def greedy_match_words(words: DataFrame, vocab: DataFrame,
                        word_col: str = "word",
                        piece_col: str = "wp_tokens",
-                       unk_token: str = UNK) -> DataFrame:
+                       unk_token: str = UNK,
+                       max_scan_len: int = 256) -> DataFrame:
     """Greedy longest-match WordPiece segmentation of a WORD frame
     (the BERT runtime algorithm): at each position take the LONGEST
     vocabulary piece (continuations matched with their ``##`` form);
     any position with no match turns the WHOLE word into
-    ``[unk_token]``.  One pure-codegen `F.aggregate` scan per row;
-    candidates from one equi-join against the BROADCAST vocabulary."""
+    ``[unk_token]``, as does a word longer than ``max_scan_len`` —
+    the scan state grows O(len²) per row, so a no-separator
+    mega-token must not drive a quadratic codegen loop (BERT's
+    tokenizer has the same ``max_input_chars_per_word`` cap, default
+    100, mapping long words to [UNK]).  One pure-codegen
+    `F.aggregate` scan per row; candidates from one equi-join
+    against the BROADCAST vocabulary."""
     maxlen = int(vocab.agg(F.max(F.length("piece"))).head()[0] or 1)
-    w = (words.filter(F.col(word_col).isNotNull()
-                      & (F.length(word_col) >= 1)))
+    full = (words.filter(F.col(word_col).isNotNull()
+                         & (F.length(word_col) >= 1)))
+    over = full.filter(F.length(word_col) > int(max_scan_len)) \
+        .withColumn(piece_col, F.array(F.lit(unk_token)))
+    w = full.filter(F.length(word_col) <= int(max_scan_len))
     word = F.col(word_col)
     n = F.length(word)
     subs = F.flatten(F.transform(
@@ -259,7 +268,8 @@ def greedy_match_words(words: DataFrame, vocab: DataFrame,
     return (out.withColumn(
         piece_col,
         F.when(ok, scanned["parts"])
-        .otherwise(F.array(F.lit(unk_token)))).drop("_cands"))
+        .otherwise(F.array(F.lit(unk_token)))).drop("_cands")
+        .unionByName(over))
 
 
 def wordpiece_encode(df: DataFrame, vocab: DataFrame,

@@ -56,6 +56,17 @@ def test_unanchored_queries_are_left_alone():
     assert timings["q_new"] == 9.9
 
 
+def test_failed_rerun_keeps_group_time_and_json_safe_record():
+    import json
+
+    timings = {"q": 5.0}
+    adj = adjudicate(timings, {"q": 2.0}, lambda n: float("inf"),
+                     threshold=2.0)
+    assert timings["q"] == 5.0  # group measurement stands
+    assert adj["q"]["solo"] is None  # json.dumps-safe (no Infinity)
+    json.dumps(adj)
+
+
 def test_threshold_boundary_is_exclusive():
     timings = {"q": 4.0}
     assert adjudicate(timings, {"q": 2.0}, lambda n: 0.1,

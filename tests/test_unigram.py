@@ -187,6 +187,30 @@ class TestUnigramEncode:
         # 'xx' and 'axa' contain the never-seen 'x' -> one <unk> each
         assert row["toks"] == ["ab", "<unk>", "<unk>", "ba"]
 
+    def test_mega_token_caps_to_unk(self, spark):
+        """A no-separator mega-token must not drive the O(len²) DP —
+        over max_dp_len it maps to [<unk>] (the SentencePiece input
+        cap), under it it segments normally."""
+        from dask_geopandas_spark.operators.unigram import (
+            unigram_train, viterbi_segment_words)
+
+        train = spark.createDataFrame([("aa ab ba",)], "text string")
+        model = unigram_train(train, vocab_size=6, em_steps=1,
+                              max_piece_len=2)
+        words = spark.createDataFrame(
+            [("a" * 300,), ("abab",)], "word string")
+        got = {r["word"]: r["p"] for r in viterbi_segment_words(
+            words, model, piece_col="p",
+            max_piece_len=2).collect()}
+        assert got["a" * 300] == ["<unk>"]
+        assert got["abab"] and got["abab"] != ["<unk>"]
+        # a higher cap segments the long word normally
+        got2 = viterbi_segment_words(
+            spark.createDataFrame([("a" * 300,)], "word string"),
+            model, piece_col="p", max_piece_len=2,
+            max_dp_len=400).head()["p"]
+        assert "".join(got2) == "a" * 300
+
     def test_broadcast_vocab_path_identical(self, spark):
         from dask_geopandas_spark.operators.unigram import (
             unigram_encode, unigram_train)

@@ -167,6 +167,22 @@ class TestWordpieceEncode:
         assert got["abc"] == ["ab", "##c"]
         assert got["bbc"] == ["b", "##bc"]
 
+    def test_mega_token_caps_to_unk(self, spark):
+        """Over max_scan_len a word maps to [UNK] without entering
+        the O(len²) scan — BERT's max_input_chars_per_word."""
+        vocab = spark.createDataFrame([("a",), ("##a",)],
+                                      "piece string")
+        words = spark.createDataFrame([("a" * 300,), ("aa",)],
+                                      "word string")
+        got = {r["word"]: r["wp_tokens"] for r in
+               greedy_match_words(words, vocab).collect()}
+        assert got["a" * 300] == [UNK]
+        assert got["aa"] == ["a", "##a"]
+        high = greedy_match_words(
+            spark.createDataFrame([("a" * 300,)], "word string"),
+            vocab, max_scan_len=400).head()["wp_tokens"]
+        assert high == ["a"] + ["##a"] * 299
+
     def test_broadcast_path_identical(self, spark):
         df, vocab, _ = self._fixture(spark)
         a = {r["text"]: r["wp_tokens"] for r in
