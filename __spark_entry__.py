@@ -3352,6 +3352,31 @@ def q_kcore_hosts(spark, sf_dir):
     return core_numbers(e, iters=4)
 
 
+def q_ktruss_hosts(spark, sf_dir):
+    """k-truss edge peeling (operators/graph.k_truss, new r14; Cohen
+    2008) — the EDGE-density decomposition next to kcore_hosts' node
+    one: surviving edges of the 4-truss (every edge in >= 2
+    triangles within the subgraph) of the 20-host graph, 3 peeling
+    rounds.  Each round recounts support via the degree-ordered
+    wedge pipeline and drops all under-supported edges
+    simultaneously; peeling is idempotent at the fixed point, so the
+    oracle's unconditional 4-support-block unroll returns the
+    identical frame whether Spark broke early or not (the
+    kcore_hosts convention)."""
+    from dask_geopandas_spark.operators.graph import k_truss
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    e = (docs.select((F.col("doc_id") % 20).alias("src"),
+                     ((F.col("doc_id") + 1) % 20).alias("dst"))
+         .unionAll(docs.select(
+             (F.col("doc_id") % 20).alias("src"),
+             ((F.col("doc_id") + 2) % 20).alias("dst")))
+         .unionAll(docs.select(
+             (F.col("doc_id") % 20).alias("src"),
+             ((F.col("doc_id") * 7 + 2) % 20).alias("dst"))))
+    return k_truss(e, k=3, max_iters=3)
+
+
 def q_graph_summary(spark, sf_dir):
     """One-row webgraph data card (operators/graph.graph_summary,
     new r14): nodes, edges, reciprocity (mutual-link density — a
@@ -5322,6 +5347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations_top": q_collocations,
         "textrank_keywords": q_textrank_keywords,
         "graph_summary": q_graph_summary,
+        "ktruss_hosts": q_ktruss_hosts,
         "link_prediction": q_link_prediction,
         "unigram_train": q_unigram_train,
         "unigram_tokens": q_unigram_tokens,
@@ -5362,9 +5388,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "weighted_sample": q_weighted_sample,
         "ann_ivf": q_ann_ivf,
-        "convex_hull_area": q_convex_hull_area,
         # ---- below the window: (last-green asc, name) — the
         #   r15 rotation order is the head of this list ----
+        "convex_hull_area": q_convex_hull_area,
         "doc_chunks": q_doc_chunks,
         "doc_line_dedup": q_doc_line_dedup,
         "dup_spans": q_dup_spans,
@@ -9170,6 +9196,10 @@ def _oracle_sql_base() -> dict[str, str]:
             LEFT JOIN deg dv ON dv.node = c.v
             LEFT JOIN com ON com.u = c.u AND com.v = c.v
         """,
+        # ktruss_hosts: 3 peeling rounds + the final support
+        # recompute unrolled (4 support blocks); idempotent at the
+        # fixed point so early Spark breaks replay identically
+        "ktruss_hosts": 'WITH \n            raw AS MATERIALIZED (\n                SELECT doc_id % 20 AS s, (doc_id + 1) % 20 AS t\n                FROM documents\n                UNION ALL\n                SELECT doc_id % 20, (doc_id + 2) % 20 FROM documents\n                UNION ALL\n                SELECT doc_id % 20, (doc_id * 7 + 2) % 20\n                FROM documents),\n            e0 AS MATERIALIZED (\n                SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b\n                FROM raw WHERE s != t),\n            deg0 AS MATERIALIZED (\n                SELECT node, CAST(count(*) AS BIGINT) AS d\n                FROM (SELECT a AS node FROM e0\n                      UNION ALL SELECT b FROM e0) GROUP BY 1),\n            o0 AS MATERIALIZED (\n                SELECT CASE WHEN lw THEN a ELSE b END AS u,\n                       CASE WHEN lw THEN b ELSE a END AS v,\n                       CASE WHEN lw THEN db ELSE da END AS dv\n                FROM (SELECT e.a, e.b, dx.d AS da, dy.d AS db,\n                             (dx.d < dy.d OR (dx.d = dy.d\n                                              AND e.a < e.b)) AS lw\n                      FROM e0 e\n                      JOIN deg0 dx ON dx.node = e.a\n                      JOIN deg0 dy ON dy.node = e.b)),\n            t0 AS MATERIALIZED (\n                SELECT w.u, w.v1, w.v2\n                FROM (SELECT o1.u, o1.v AS v1, o2.v AS v2\n                      FROM o0 o1 JOIN o0 o2 ON o1.u = o2.u\n                      WHERE o1.dv < o2.dv\n                         OR (o1.dv = o2.dv AND o1.v < o2.v)) w\n                JOIN o0 c ON c.u = w.v1 AND c.v = w.v2),\n            sp0 AS MATERIALIZED (\n                SELECT a, b, CAST(count(*) AS BIGINT) AS c\n                FROM (SELECT least(u, v1) AS a, greatest(u, v1) AS b\n                      FROM t0\n                      UNION ALL\n                      SELECT least(u, v2), greatest(u, v2) FROM t0\n                      UNION ALL\n                      SELECT least(v1, v2), greatest(v1, v2)\n                      FROM t0)\n                GROUP BY 1, 2),\n            s0 AS MATERIALIZED (\n                SELECT e.a, e.b,\n                       CAST(coalesce(sp0.c, 0) AS BIGINT)\n                           AS support\n                FROM e0 e LEFT JOIN sp0 USING (a, b)),\n            e1 AS MATERIALIZED (\n                SELECT a, b FROM s0 WHERE support >= 1),\n            deg1 AS MATERIALIZED (\n                SELECT node, CAST(count(*) AS BIGINT) AS d\n                FROM (SELECT a AS node FROM e1\n                      UNION ALL SELECT b FROM e1) GROUP BY 1),\n            o1 AS MATERIALIZED (\n                SELECT CASE WHEN lw THEN a ELSE b END AS u,\n                       CASE WHEN lw THEN b ELSE a END AS v,\n                       CASE WHEN lw THEN db ELSE da END AS dv\n                FROM (SELECT e.a, e.b, dx.d AS da, dy.d AS db,\n                             (dx.d < dy.d OR (dx.d = dy.d\n                                              AND e.a < e.b)) AS lw\n                      FROM e1 e\n                      JOIN deg1 dx ON dx.node = e.a\n                      JOIN deg1 dy ON dy.node = e.b)),\n            t1 AS MATERIALIZED (\n                SELECT w.u, w.v1, w.v2\n                FROM (SELECT o1.u, o1.v AS v1, o2.v AS v2\n                      FROM o1 o1 JOIN o1 o2 ON o1.u = o2.u\n                      WHERE o1.dv < o2.dv\n                         OR (o1.dv = o2.dv AND o1.v < o2.v)) w\n                JOIN o1 c ON c.u = w.v1 AND c.v = w.v2),\n            sp1 AS MATERIALIZED (\n                SELECT a, b, CAST(count(*) AS BIGINT) AS c\n                FROM (SELECT least(u, v1) AS a, greatest(u, v1) AS b\n                      FROM t1\n                      UNION ALL\n                      SELECT least(u, v2), greatest(u, v2) FROM t1\n                      UNION ALL\n                      SELECT least(v1, v2), greatest(v1, v2)\n                      FROM t1)\n                GROUP BY 1, 2),\n            s1 AS MATERIALIZED (\n                SELECT e.a, e.b,\n                       CAST(coalesce(sp1.c, 0) AS BIGINT)\n                           AS support\n                FROM e1 e LEFT JOIN sp1 USING (a, b)),\n            e2 AS MATERIALIZED (\n                SELECT a, b FROM s1 WHERE support >= 1),\n            deg2 AS MATERIALIZED (\n                SELECT node, CAST(count(*) AS BIGINT) AS d\n                FROM (SELECT a AS node FROM e2\n                      UNION ALL SELECT b FROM e2) GROUP BY 1),\n            o2 AS MATERIALIZED (\n                SELECT CASE WHEN lw THEN a ELSE b END AS u,\n                       CASE WHEN lw THEN b ELSE a END AS v,\n                       CASE WHEN lw THEN db ELSE da END AS dv\n                FROM (SELECT e.a, e.b, dx.d AS da, dy.d AS db,\n                             (dx.d < dy.d OR (dx.d = dy.d\n                                              AND e.a < e.b)) AS lw\n                      FROM e2 e\n                      JOIN deg2 dx ON dx.node = e.a\n                      JOIN deg2 dy ON dy.node = e.b)),\n            t2 AS MATERIALIZED (\n                SELECT w.u, w.v1, w.v2\n                FROM (SELECT o1.u, o1.v AS v1, o2.v AS v2\n                      FROM o2 o1 JOIN o2 o2 ON o1.u = o2.u\n                      WHERE o1.dv < o2.dv\n                         OR (o1.dv = o2.dv AND o1.v < o2.v)) w\n                JOIN o2 c ON c.u = w.v1 AND c.v = w.v2),\n            sp2 AS MATERIALIZED (\n                SELECT a, b, CAST(count(*) AS BIGINT) AS c\n                FROM (SELECT least(u, v1) AS a, greatest(u, v1) AS b\n                      FROM t2\n                      UNION ALL\n                      SELECT least(u, v2), greatest(u, v2) FROM t2\n                      UNION ALL\n                      SELECT least(v1, v2), greatest(v1, v2)\n                      FROM t2)\n                GROUP BY 1, 2),\n            s2 AS MATERIALIZED (\n                SELECT e.a, e.b,\n                       CAST(coalesce(sp2.c, 0) AS BIGINT)\n                           AS support\n                FROM e2 e LEFT JOIN sp2 USING (a, b)),\n            e3 AS MATERIALIZED (\n                SELECT a, b FROM s2 WHERE support >= 1),\n            deg3 AS MATERIALIZED (\n                SELECT node, CAST(count(*) AS BIGINT) AS d\n                FROM (SELECT a AS node FROM e3\n                      UNION ALL SELECT b FROM e3) GROUP BY 1),\n            o3 AS MATERIALIZED (\n                SELECT CASE WHEN lw THEN a ELSE b END AS u,\n                       CASE WHEN lw THEN b ELSE a END AS v,\n                       CASE WHEN lw THEN db ELSE da END AS dv\n                FROM (SELECT e.a, e.b, dx.d AS da, dy.d AS db,\n                             (dx.d < dy.d OR (dx.d = dy.d\n                                              AND e.a < e.b)) AS lw\n                      FROM e3 e\n                      JOIN deg3 dx ON dx.node = e.a\n                      JOIN deg3 dy ON dy.node = e.b)),\n            t3 AS MATERIALIZED (\n                SELECT w.u, w.v1, w.v2\n                FROM (SELECT o1.u, o1.v AS v1, o2.v AS v2\n                      FROM o3 o1 JOIN o3 o2 ON o1.u = o2.u\n                      WHERE o1.dv < o2.dv\n                         OR (o1.dv = o2.dv AND o1.v < o2.v)) w\n                JOIN o3 c ON c.u = w.v1 AND c.v = w.v2),\n            sp3 AS MATERIALIZED (\n                SELECT a, b, CAST(count(*) AS BIGINT) AS c\n                FROM (SELECT least(u, v1) AS a, greatest(u, v1) AS b\n                      FROM t3\n                      UNION ALL\n                      SELECT least(u, v2), greatest(u, v2) FROM t3\n                      UNION ALL\n                      SELECT least(v1, v2), greatest(v1, v2)\n                      FROM t3)\n                GROUP BY 1, 2),\n            s3 AS MATERIALIZED (\n                SELECT e.a, e.b,\n                       CAST(coalesce(sp3.c, 0) AS BIGINT)\n                           AS support\n                FROM e3 e LEFT JOIN sp3 USING (a, b)) SELECT a, b, support FROM s3',
         # graph_summary: method-free recount — directed dedup +
         # reverse semi-join, canonical triangles, integer ratios
         "graph_summary": """

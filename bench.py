@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "textrank_keywords",
     "graph_summary",
     "link_prediction",
+    "ktruss_hosts",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE

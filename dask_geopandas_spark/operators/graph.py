@@ -288,6 +288,22 @@ def triangles(edges: DataFrame, src_col: str = "src",
     pairs = (e.select(F.least("_s", "_t").alias("_a"),
                       F.greatest("_s", "_t").alias("_b"))
              .distinct().cache())
+    deg, triples = _triangle_triples(pairs)
+    tri = (triples
+           .select(F.explode(F.array("u", "v1", "v2")).alias("node"))
+           .groupBy("node").agg(F.count("*").alias("triangles")))
+    return (deg.join(tri, "node", "left")
+            .select("node", F.col("degree").cast("long").alias("degree"),
+                    F.coalesce("triangles", F.lit(0)).cast("long")
+                    .alias("triangles")))
+
+
+def _triangle_triples(pairs: DataFrame) \
+        -> tuple[DataFrame, DataFrame]:
+    """(degree frame, triangle triples (u, v1, v2)) over a CANONICAL
+    (_a < _b) distinct pair frame — the degree-ordered-orientation
+    core shared by `triangles` and `k_truss`: every triangle closes
+    at exactly one wedge, per-source out-degrees O(√m)-bounded."""
     deg = (pairs.select(F.col("_a").alias("node"))
            .unionAll(pairs.select(F.col("_b").alias("node")))
            .groupBy("node").agg(F.count("*").alias("degree"))
@@ -315,13 +331,64 @@ def triangles(edges: DataFrame, src_col: str = "src",
                          & (F.col("v1") < F.col("v2")))))
     closing = o.select(F.col("v").alias("v2"),
                        F.col("u").alias("v1"))
-    tri = (wedges.join(closing, ["v1", "v2"])
-           .select(F.explode(F.array("u", "v1", "v2")).alias("node"))
-           .groupBy("node").agg(F.count("*").alias("triangles")))
-    return (deg.join(tri, "node", "left")
-            .select("node", F.col("degree").cast("long").alias("degree"),
-                    F.coalesce("triangles", F.lit(0)).cast("long")
-                    .alias("triangles")))
+    return deg, wedges.join(closing, ["v1", "v2"]) \
+        .select("u", "v1", "v2")
+
+
+def k_truss(edges: DataFrame, k: int = 3, src_col: str = "src",
+            dst_col: str = "dst", max_iters: int = 20) -> DataFrame:
+    """k-truss edge peeling (Cohen 2008) — the EDGE-density
+    decomposition next to `core_numbers`' node one: the k-truss is
+    the maximal subgraph where every edge sits in >= k-2 triangles
+    WITHIN the subgraph (k=3 keeps any triangle edge; a link ring's
+    mutually-citing clique survives large k while organic links
+    peel away).  Per round: recount per-edge triangle support over
+    the surviving canonical edge set (the `triangles` wedge pipeline,
+    O(m^1.5)), drop every under-supported edge SIMULTANEOUSLY (the
+    standard parallel peeling — same fixed point as sequential),
+    stop at the fixed point or after ``max_iters`` rounds (the
+    intermediate state is then a deterministic superset of the
+    truss).  Returns surviving (a, b, support) with support
+    self-consistent in the final state.  Peeling is idempotent at
+    the fixed point, so a replay that unrolls MORE rounds returns
+    the identical frame — the oracle convention shared with
+    `core_numbers`."""
+    if int(k) < 3:
+        raise ValueError("k must be >= 3 (k-2 triangles per edge)")
+    need = int(k) - 2
+    e = (edges.select(F.col(src_col).alias("_s"),
+                      F.col(dst_col).alias("_t"))
+         .filter(F.col("_s") != F.col("_t")))
+    cur = (e.select(F.least("_s", "_t").alias("_a"),
+                    F.greatest("_s", "_t").alias("_b"))
+           .distinct().localCheckpoint())
+
+    def _support(pairs):
+        _, triples = _triangle_triples(pairs)
+        sup = (triples.select(
+                   F.least("u", "v1").alias("_a"),
+                   F.greatest("u", "v1").alias("_b"))
+               .unionAll(triples.select(
+                   F.least("u", "v2").alias("_a"),
+                   F.greatest("u", "v2").alias("_b")))
+               .unionAll(triples.select(
+                   F.least("v1", "v2").alias("_a"),
+                   F.greatest("v1", "v2").alias("_b")))
+               .groupBy("_a", "_b").agg(F.count("*").alias("_c")))
+        return (pairs.join(sup, ["_a", "_b"], "left")
+                .select(F.col("_a").alias("a"),
+                        F.col("_b").alias("b"),
+                        F.coalesce("_c", F.lit(0)).cast("long")
+                        .alias("support")))
+
+    for _ in range(int(max_iters)):
+        sup = _support(cur).localCheckpoint()
+        if sup.filter(F.col("support") < need).isEmpty():
+            return sup
+        cur = (sup.filter(F.col("support") >= need)
+               .select(F.col("a").alias("_a"), F.col("b").alias("_b"))
+               .localCheckpoint())
+    return _support(cur)
 
 
 def clustering_coefficient(edges: DataFrame, src_col: str = "src",

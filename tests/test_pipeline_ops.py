@@ -3791,6 +3791,74 @@ class TestGraph:
                 spark.createDataFrame([(1, 1)], "u long, v long")
             ).collect()
 
+    # ---- k-truss (edge peeling, r14) ----
+
+    @classmethod
+    def _brute_truss(cls, edges, k, max_iters=50):
+        """Parallel edge peeling replica: recount per-edge support,
+        drop all under-supported edges simultaneously."""
+        cur = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        for _ in range(max_iters):
+            adj = {}
+            for a, b in cur:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            sup = {(a, b): len(adj[a] & adj[b]) for a, b in cur}
+            drop = {e for e, s in sup.items() if s < k - 2}
+            if not drop:
+                return sup
+            cur -= drop
+        adj = {}
+        for a, b in cur:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        return {(a, b): len(adj[a] & adj[b]) for a, b in cur}
+
+    def test_k_truss_matches_brute_peeling(self, spark):
+        from dask_geopandas_spark.operators.graph import k_truss
+
+        # K4 + a pendant triangle chain + a tail: 4-truss == the K4
+        e = [(a, b) for a in range(4) for b in range(4) if a < b]
+        e += [(3, 4), (4, 5), (5, 3), (5, 6), (6, 7), (2, 2), (1, 0)]
+        df = spark.createDataFrame(e, "src long, dst long")
+        for k in (3, 4, 5):
+            got = {(r["a"], r["b"]): r["support"] for r in
+                   k_truss(df, k=k).collect()}
+            assert got == self._brute_truss(e, k), k
+        k4 = {(r["a"], r["b"]) for r in k_truss(df, k=4).collect()}
+        assert k4 == {(a, b) for a in range(4) for b in range(4)
+                      if a < b}
+        assert k_truss(df, k=5).count() == 0
+        with pytest.raises(ValueError, match="k must be >= 3"):
+            k_truss(df, k=2)
+
+    def test_k_truss_iterative_peel_cascades(self, spark):
+        """Removing one edge's support must cascade (the reason
+        peeling iterates): a triangle strip where the end loses
+        support only after its neighbor is peeled."""
+        from dask_geopandas_spark.operators.graph import k_truss
+
+        e = ([(i, i + 1) for i in range(6)]
+             + [(i, i + 2) for i in range(5)])  # strip of triangles
+        df = spark.createDataFrame(e, "src long, dst long")
+        got = {(r["a"], r["b"]): r["support"] for r in
+               k_truss(df, k=4).collect()}
+        assert got == self._brute_truss(e, 4)
+        # max_iters=1 is the one-round superset, not the fixed point
+        one = {(r["a"], r["b"]) for r in
+               k_truss(df, k=4, max_iters=1).collect()}
+        assert one > set(got)
+
+    def test_k_truss_pseudorandom(self, spark):
+        from dask_geopandas_spark.operators.graph import k_truss
+
+        e = [((i * 13 + 3) % 19, (i * 7 + 1) % 19) for i in range(80)]
+        df = spark.createDataFrame(e, "src long, dst long")
+        for k in (3, 4):
+            got = {(r["a"], r["b"]): r["support"] for r in
+                   k_truss(df, k=k).collect()}
+            assert got == self._brute_truss(e, k), k
+
     # ---- core numbers (h-index iteration, r14) ----
 
     @staticmethod
