@@ -5335,61 +5335,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     update CHANGED_QUERIES, run make_window.py, reorder this dict to
     its output."""
     return {
-        # ---- r14 WINDOW (driver attests positions 1-50;
+        # ---- r15 WINDOW (driver attests positions 1-50;
         #   order generated by scripts/make_window.py — see
         #   tests/test_rotation.py) ----
-        "spatial_bucketed_append": q_spatial_bucketed_append,
-        "geoparquet_roundtrip": q_geoparquet_roundtrip,
-        "graph_diameter": q_graph_diameter,
-        "triangles_hosts": q_triangles_hosts,
-        "kcore_hosts": q_kcore_hosts,
-        "assortativity_hosts": q_assortativity_hosts,
-        "collocations_top": q_collocations,
-        "textrank_keywords": q_textrank_keywords,
-        "graph_summary": q_graph_summary,
-        "ktruss_hosts": q_ktruss_hosts,
-        "link_prediction": q_link_prediction,
-        "unigram_train": q_unigram_train,
-        "unigram_tokens": q_unigram_tokens,
-        "wordpiece_train": q_wordpiece_train,
-        "wordpiece_tokens": q_wordpiece_tokens,
-        "stream_ingest_kmv": q_stream_ingest_kmv,
-        "cx_bbox_filter": q_cx_bbox_filter,
-        "dissolve_centroid": q_dissolve_centroid,
-        "exact_index_dedup": q_exact_index_dedup,
-        "fillna_isna": q_fillna_isna,
-        "gml_roundtrip": q_gml_roundtrip,
-        "gpx_roundtrip": q_gpx_roundtrip,
-        "interval_left": q_interval_left,
-        "kml_roundtrip": q_kml_roundtrip,
-        "leak_safe_split": q_leak_safe_split,
-        "line_cross": q_line_cross,
-        "overlay_cobucket": q_overlay_cobucket,
-        "point_distance": q_point_distance,
-        "region_dissolve": q_region_dissolve,
-        "rollup_revenue": q_rollup_revenue,
-        "semantic_dedup": q_semantic_dedup,
-        "sjoin_anti": q_sjoin_anti,
-        "sjoin_box_overlaps": q_sjoin_box_overlaps,
-        "sjoin_box_touches": q_sjoin_box_touches,
-        "sjoin_cobucket_anti": q_sjoin_cobucket_anti,
-        "sjoin_grid": q_sjoin_grid,
-        "sjoin_nearest": q_sjoin_nearest,
-        "sjoin_nearest_cobucket_k3": q_sjoin_nearest_cobucket_k3,
-        "sjoin_points_in_boxes": q_sjoin_points_in_boxes,
-        "source_cap": q_source_cap,
-        "stream_dedup": q_stream_dedup,
-        "stream_funnel3": q_stream_funnel3,
-        "stream_funnel3_left": q_stream_funnel3_left,
-        "stream_funnel_left": q_stream_funnel_left,
-        "top_bigram": q_top_bigram,
-        "total_bounds": q_total_bounds,
-        "translate_avg": q_translate_avg,
-        "url_dedup": q_url_dedup,
-        "weighted_sample": q_weighted_sample,
-        "ann_ivf": q_ann_ivf,
-        # ---- below the window: (last-green asc, name) — the
-        #   r15 rotation order is the head of this list ----
         "convex_hull_area": q_convex_hull_area,
         "doc_chunks": q_doc_chunks,
         "doc_line_dedup": q_doc_line_dedup,
@@ -5440,6 +5388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "badword_filter": q_badword_filter,
         "bm25_batch": q_bm25_batch,
         "bm25_topk": q_bm25_topk,
+        # ---- below the window: (last-green asc, name) — the
+        #   r16 rotation order is the head of this list ----
         "clip_concave_lines": q_clip_concave_lines,
         "clip_concave_polys": q_clip_concave_polys,
         "code_quality": q_code_quality,
@@ -5567,6 +5517,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_projstring": q_to_projstring,
         "trustrank_hosts": q_trustrank_hosts,
         "union_all_area": q_union_all_area,
+        "ann_ivf": q_ann_ivf,
+        "assortativity_hosts": q_assortativity_hosts,
+        "collocations_top": q_collocations,
+        "cx_bbox_filter": q_cx_bbox_filter,
+        "dissolve_centroid": q_dissolve_centroid,
+        "exact_index_dedup": q_exact_index_dedup,
+        "fillna_isna": q_fillna_isna,
+        "geoparquet_roundtrip": q_geoparquet_roundtrip,
+        "gml_roundtrip": q_gml_roundtrip,
+        "gpx_roundtrip": q_gpx_roundtrip,
+        "graph_diameter": q_graph_diameter,
+        "graph_summary": q_graph_summary,
+        "interval_left": q_interval_left,
+        "kcore_hosts": q_kcore_hosts,
+        "kml_roundtrip": q_kml_roundtrip,
+        "ktruss_hosts": q_ktruss_hosts,
+        "leak_safe_split": q_leak_safe_split,
+        "line_cross": q_line_cross,
+        "link_prediction": q_link_prediction,
+        "overlay_cobucket": q_overlay_cobucket,
+        "point_distance": q_point_distance,
+        "region_dissolve": q_region_dissolve,
+        "rollup_revenue": q_rollup_revenue,
+        "semantic_dedup": q_semantic_dedup,
+        "sjoin_anti": q_sjoin_anti,
+        "sjoin_box_overlaps": q_sjoin_box_overlaps,
+        "sjoin_box_touches": q_sjoin_box_touches,
+        "sjoin_cobucket_anti": q_sjoin_cobucket_anti,
+        "sjoin_grid": q_sjoin_grid,
+        "sjoin_nearest": q_sjoin_nearest,
+        "sjoin_nearest_cobucket_k3": q_sjoin_nearest_cobucket_k3,
+        "sjoin_points_in_boxes": q_sjoin_points_in_boxes,
+        "source_cap": q_source_cap,
+        "spatial_bucketed_append": q_spatial_bucketed_append,
+        "stream_dedup": q_stream_dedup,
+        "stream_funnel3": q_stream_funnel3,
+        "stream_funnel3_left": q_stream_funnel3_left,
+        "stream_funnel_left": q_stream_funnel_left,
+        "stream_ingest_kmv": q_stream_ingest_kmv,
+        "textrank_keywords": q_textrank_keywords,
+        "top_bigram": q_top_bigram,
+        "total_bounds": q_total_bounds,
+        "translate_avg": q_translate_avg,
+        "triangles_hosts": q_triangles_hosts,
+        "unigram_tokens": q_unigram_tokens,
+        "unigram_train": q_unigram_train,
+        "url_dedup": q_url_dedup,
+        "weighted_sample": q_weighted_sample,
+        "wordpiece_tokens": q_wordpiece_tokens,
+        "wordpiece_train": q_wordpiece_train,
     }
 
 

@@ -34,7 +34,11 @@ if hasattr(signal, "SIGPIPE"):
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 WINDOW = 50
-MAX_AGE = 3
+# SURVEY §15 invariant, amended r15: entries outside the window may
+# be at most FOUR rounds stale (was 3 — unsatisfiable at 227 entries
+# on a 50-slot window).  Compensating control: the full-registry
+# local DuckDB oracle gate runs at every round close.
+MAX_AGE = 4
 
 
 def last_green(exclude_round: int | None = None) -> dict[str, int]:
