@@ -3355,9 +3355,9 @@ def q_kcore_hosts(spark, sf_dir):
 def q_ktruss_hosts(spark, sf_dir):
     """k-truss edge peeling (operators/graph.k_truss, new r14; Cohen
     2008) — the EDGE-density decomposition next to kcore_hosts' node
-    one: surviving edges of the 4-truss (every edge in >= 2
-    triangles within the subgraph) of the 20-host graph, 3 peeling
-    rounds.  Each round recounts support via the degree-ordered
+    one: surviving edges of the 3-truss (every edge in >= 1
+    triangle within the subgraph, support >= k-2 = 1) of the
+    20-host graph, 3 peeling rounds.  Each round recounts support via the degree-ordered
     wedge pipeline and drops all under-supported edges
     simultaneously; peeling is idempotent at the fixed point, so the
     oracle's unconditional 4-support-block unroll returns the
@@ -4023,6 +4023,29 @@ def q_unigram_train(spark, sf_dir):
                          max_word_len=8).select("piece", "cnt", "logp")
 
 
+def _assert_max_word_len(docs, maxw: int, qname: str) -> None:
+    """The unigram/wordpiece ENCODE oracles unroll their greedy /
+    backtrack scans to ``maxw`` hops and generate substring
+    candidates from start positions <= ``maxw``, while the engine
+    scans words up to 256 chars — a corpus word longer than ``maxw``
+    would silently diverge engine vs oracle (r14 ADVICE finding).
+    Pin the precondition at the source: one tiny agg over the same
+    token split both sides use, raising loudly the moment the data
+    stops satisfying the unroll depth (so the gate fails HERE, not
+    as an unexplained hash mismatch)."""
+    from dask_geopandas_spark.operators.textstats import tokens
+
+    got = (docs.select(F.explode(F.filter(
+        tokens(F.col("text")), lambda x: x != F.lit("")))
+        .alias("_w"))
+        .agg(F.max(F.length("_w"))).head()[0])
+    if got is not None and int(got) > int(maxw):
+        raise AssertionError(
+            f"{qname}: corpus max word length {got} exceeds the "
+            f"oracle's {maxw}-hop unroll — regenerate the oracle "
+            "with a deeper unroll before trusting the gate")
+
+
 def q_unigram_tokens(spark, sf_dir):
     """Unigram-LM ENCODING (operators/unigram.unigram_token_count,
     new r14): real token counts per document under the trained
@@ -4036,6 +4059,7 @@ def q_unigram_tokens(spark, sf_dir):
         unigram_token_count, unigram_train)
 
     docs = _t(spark, sf_dir, "documents")
+    _assert_max_word_len(docs, 12, "unigram_tokens")
     model = unigram_train(docs, vocab_size=32, em_steps=2,
                           max_piece_len=4, max_word_len=8)
     return (unigram_token_count(docs.select("doc_id", "text"), model,
@@ -4074,6 +4098,7 @@ def q_wordpiece_tokens(spark, sf_dir):
         train_wordpiece, wordpiece_token_count, wordpiece_vocab)
 
     docs = _t(spark, sf_dir, "documents")
+    _assert_max_word_len(docs, 12, "wordpiece_tokens")
     merges = train_wordpiece(docs, num_merges=6)
     vocab = wordpiece_vocab(docs, merges)
     return (wordpiece_token_count(docs.select("doc_id", "text"),
@@ -5338,6 +5363,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- r15 WINDOW (driver attests positions 1-50;
         #   order generated by scripts/make_window.py — see
         #   tests/test_rotation.py) ----
+        "geoparquet_roundtrip": q_geoparquet_roundtrip,
+        "stream_ingest_kmv": q_stream_ingest_kmv,
+        "stream_ingest_cms": q_stream_ingest_cms,
+        "stream_ingest_qd": q_stream_ingest_qd,
+        "wordpiece_tokens": q_wordpiece_tokens,
+        "unigram_tokens": q_unigram_tokens,
         "convex_hull_area": q_convex_hull_area,
         "doc_chunks": q_doc_chunks,
         "doc_line_dedup": q_doc_line_dedup,
@@ -5382,14 +5413,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_exact": q_ann_ivf_exact,
         "ann_ivf_pq": q_ann_ivf_pq,
         "ann_pq": q_ann_pq,
+        # ---- below the window: (last-green asc, name) — the
+        #   r16 rotation order is the head of this list ----
         "ann_topk": q_ann_topk,
         "asof_clicks": q_asof_clicks,
         "audio_meta": q_audio_meta,
         "badword_filter": q_badword_filter,
         "bm25_batch": q_bm25_batch,
         "bm25_topk": q_bm25_topk,
-        # ---- below the window: (last-green asc, name) — the
-        #   r16 rotation order is the head of this list ----
         "clip_concave_lines": q_clip_concave_lines,
         "clip_concave_polys": q_clip_concave_polys,
         "code_quality": q_code_quality,
@@ -5509,9 +5540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_geom_fns": q_sql_geom_fns,
         "sql_union_agg": q_sql_union_agg,
         "stream_geofence": q_stream_geofence,
-        "stream_ingest_cms": q_stream_ingest_cms,
         "stream_ingest_hll": q_stream_ingest_hll,
-        "stream_ingest_qd": q_stream_ingest_qd,
         "to_albers": q_to_albers,
         "to_lambert": q_to_lambert,
         "to_projstring": q_to_projstring,
@@ -5524,7 +5553,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_centroid": q_dissolve_centroid,
         "exact_index_dedup": q_exact_index_dedup,
         "fillna_isna": q_fillna_isna,
-        "geoparquet_roundtrip": q_geoparquet_roundtrip,
         "gml_roundtrip": q_gml_roundtrip,
         "gpx_roundtrip": q_gpx_roundtrip,
         "graph_diameter": q_graph_diameter,
@@ -5555,17 +5583,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_funnel3": q_stream_funnel3,
         "stream_funnel3_left": q_stream_funnel3_left,
         "stream_funnel_left": q_stream_funnel_left,
-        "stream_ingest_kmv": q_stream_ingest_kmv,
         "textrank_keywords": q_textrank_keywords,
         "top_bigram": q_top_bigram,
         "total_bounds": q_total_bounds,
         "translate_avg": q_translate_avg,
         "triangles_hosts": q_triangles_hosts,
-        "unigram_tokens": q_unigram_tokens,
         "unigram_train": q_unigram_train,
         "url_dedup": q_url_dedup,
         "weighted_sample": q_weighted_sample,
-        "wordpiece_tokens": q_wordpiece_tokens,
         "wordpiece_train": q_wordpiece_train,
     }
 

@@ -178,6 +178,21 @@ def open_output(fpath: str, filesystem=None):
     return fs.open_output_stream(p)
 
 
+def write_atomic(fpath: str, data: bytes, filesystem=None) -> None:
+    """Write a small sidecar file via temp-name + rename so a crash
+    mid-write never leaves a torn (half-written) file for later
+    readers to choke on — a torn identity sidecar would turn every
+    subsequent store read into a JSON parse error instead of the
+    store's intended crash-recovery behavior (r14 ADVICE finding).
+    `move` is atomic on local/HDFS-like filesystems; object stores
+    degrade to copy+delete, still leaving only whole files visible."""
+    fs, p = resolve_fs(fpath, filesystem)
+    tmp = p + ".tmp"
+    with fs.open_output_stream(tmp) as out:
+        out.write(data)
+    fs.move(tmp, p)
+
+
 def write_parquet_table(table, fpath: str, filesystem=None) -> None:
     import pyarrow.parquet as pq
 

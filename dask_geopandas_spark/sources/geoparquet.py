@@ -120,6 +120,15 @@ def to_parquet(gdf, path: str, partition_on: str | None = None,
     Python stage."""
     import pyarrow as pa
 
+    if spatial_sort:
+        # Hilbert-ordered layout (SURVEY §7 design invariant): each file
+        # covers a compact spatial region, so the per-file bboxes written
+        # below — and parquet row-group stats on a materialized bbox
+        # column — prune tightly for any spatial predicate.  Runs BEFORE
+        # the write_covering rename: spatial_shuffle reads the engine's
+        # minx/... field convention, so renaming to the spec's xmin/...
+        # first would raise (r14 ADVICE finding).
+        gdf = gdf.spatial_shuffle(by="hilbert", level=spatial_sort_level)
     if write_covering:
         g2 = gdf.with_bbox()
         b = g2.bbox_column
@@ -137,12 +146,6 @@ def to_parquet(gdf, path: str, partition_on: str | None = None,
             F.struct(*[F.col(f"{b}.{fields[e]}").cast("double")
                        .alias(e)
                        for e in ("xmin", "ymin", "xmax", "ymax")]))))
-    if spatial_sort:
-        # Hilbert-ordered layout (SURVEY §7 design invariant): each file
-        # covers a compact spatial region, so the per-file bboxes written
-        # below — and parquet row-group stats on a materialized bbox
-        # column — prune tightly for any spatial predicate
-        gdf = gdf.spatial_shuffle(by="hilbert", level=spatial_sort_level)
     geometry = gdf.geometry_column
     crs_map = dict(getattr(gdf, "_crs", {}))
     df = gdf.df
@@ -446,9 +449,27 @@ def read_parquet(spark: SparkSession, path: str, columns=None,
                     ("xmin", "ymin", "xmax", "ymax")}
         except KeyError:
             refs = None
-        if refs and all(isinstance(v, list) and len(v) == 2
-                        and v[0] in df.columns
-                        for v in refs.values()):
+        def _field_ok(v) -> bool:
+            # the footer's covering metadata is EXTERNAL input: validate
+            # not just that the referenced column exists but that it is
+            # a struct actually carrying the referenced field, so a
+            # malformed/hostile footer degrades to a plain read (with a
+            # warning) instead of an AnalysisException (r14 ADVICE)
+            if not (isinstance(v, list) and len(v) == 2
+                    and v[0] in df.columns):
+                return False
+            from pyspark.sql.types import StructType
+            dt = df.schema[v[0]].dataType
+            return isinstance(dt, StructType) and v[1] in dt.fieldNames()
+
+        if refs and not all(_field_ok(v) for v in refs.values()):
+            import warnings
+            warnings.warn(
+                f"GeoParquet covering metadata for {primary!r} "
+                f"references missing columns/fields ({refs}); "
+                "skipping the bbox rebuild", stacklevel=2)
+            refs = None
+        if refs:
             src = {e: F.col(f"{v[0]}.{v[1]}").cast("double")
                    for e, v in refs.items()}
             # no null-guard CASE around the struct: the optimizer

@@ -333,12 +333,11 @@ def ingest_kmv_batch(batch_df: DataFrame, sketch_path: str, col: str,
                 f"stored KMV at {base!r} has k={stored['k']}; ingest "
                 f"requested k={k} — k is the sketch's identity")
     else:
-        from ..sources.fs import resolve_fs
+        from ..sources.fs import write_atomic
 
         fs.mkdirs(HP(base))
-        fsys, p = resolve_fs(base + "/_kmv.json")
-        with fsys.open_output_stream(p) as out:
-            out.write(json.dumps({"k": int(k)}).encode())
+        write_atomic(base + "/_kmv.json",
+                     json.dumps({"k": int(k)}).encode())
     from ..operators.sketches import kmv_sketch
 
     (kmv_sketch(batch_df, col, k, by)
@@ -510,12 +509,11 @@ def _exactly_once_append(spark, base: str, sidecar: str,
                 f"requested {params} — parameters are the store's "
                 "identity")
     else:
-        from ..sources.fs import resolve_fs
+        from ..sources.fs import write_atomic
 
         fs.mkdirs(HP(base))
-        fsys, p = resolve_fs(base + "/" + sidecar)
-        with fsys.open_output_stream(p) as out:
-            out.write(json.dumps(params).encode())
+        write_atomic(base + "/" + sidecar,
+                     json.dumps(params).encode())
     if marker is not None:
         fs.mkdirs(HP(base + "/_batches"))
     fs.create(HP(base + "/_append_in_progress"), True).close()

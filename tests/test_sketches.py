@@ -366,6 +366,38 @@ class TestStreamingKmv:
         after = kmv_estimate_stored(spark, base).head()
         assert before["approx_distinct"] == after["approx_distinct"]
 
+    def test_sidecar_written_atomically(self, spark, tmp_path):
+        """r15 (r14 ADVICE): the _kmv.json identity sidecar lands via
+        temp-name + rename, so a crash mid-write can never leave a
+        torn sidecar that turns every later read into a JSON parse
+        error — after ingest the final name parses and no .tmp
+        residue remains."""
+        import glob
+        import json
+
+        from dask_geopandas_spark.streaming.indexing import \
+            ingest_kmv_batch
+
+        base = str(tmp_path / "kmv_atomic")
+        ingest_kmv_batch(self._day(spark, 0, 100), base, "u", k=64)
+        with open(base + "/_kmv.json") as f:
+            assert json.load(f) == {"k": 64}
+        assert glob.glob(base + "/*.tmp") == []
+
+    def test_write_atomic_helper(self, tmp_path):
+        """write_atomic: whole-file visibility (content exact, temp
+        name cleaned up) and overwrite-in-place semantics."""
+        import os
+
+        from dask_geopandas_spark.sources.fs import write_atomic
+
+        p = str(tmp_path / "side.json")
+        write_atomic(p, b'{"a": 1}')
+        assert open(p, "rb").read() == b'{"a": 1}'
+        write_atomic(p, b'{"a": 2}')
+        assert open(p, "rb").read() == b'{"a": 2}'
+        assert not os.path.exists(p + ".tmp")
+
     def test_compaction_shrinks_and_preserves(self, spark, tmp_path):
         from dask_geopandas_spark.streaming.indexing import (
             compact_kmv_stored, ingest_kmv_batch, kmv_estimate_stored)

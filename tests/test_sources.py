@@ -565,6 +565,103 @@ def test_geoparquet_covering_spec_interop(spark, tmp_path):
         == want
 
 
+def test_geoparquet_covering_with_spatial_sort(spark, tmp_path):
+    """r15 (r14 ADVICE medium): write_covering=True + spatial_sort=True
+    used to raise AnalysisException — the spec-field rename ran before
+    the Hilbert shuffle, which reads the engine's minx/... convention.
+    The rename now runs after the shuffle; the combination writes,
+    carries spec-named covering metadata, and reads back prunable."""
+    import glob as _g
+    import json
+
+    import pyarrow.parquet as pq
+
+    from dask_geopandas_spark.sources.geoparquet import (read_parquet,
+                                                         to_parquet)
+
+    pdf = pd.DataFrame({"id": range(60),
+                        "x": [float(i % 12) for i in range(60)],
+                        "y": [float(i % 9) for i in range(60)]})
+    g = dgs.points_from_xy(
+        spark.createDataFrame(pdf).repartition(4), "x", "y",
+        crs="EPSG:4326")
+    path = str(tmp_path / "cov_sorted")
+    to_parquet(g, path, write_covering=True, spatial_sort=True,
+               spatial_sort_level=8)
+    meta = json.loads(pq.read_schema(
+        _g.glob(path + "/*.parquet")[0]).metadata[b"geo"])
+    cov = meta["columns"]["geometry"]["covering"]["bbox"]
+    assert cov["xmin"] == ["geometry_bbox", "xmin"]
+    back = read_parquet(spark, path)
+    assert back.has_native_bbox
+    sub = back.cx(xmin=3.0, ymin=2.0, xmax=5.0, ymax=4.0)
+    want = sorted(i for i in range(60)
+                  if 3 <= i % 12 <= 5 and 2 <= i % 9 <= 4)
+    assert sorted(r["id"] for r in sub.df.select("id").collect()) \
+        == want
+
+
+def test_geoparquet_covering_malformed_footer(spark, tmp_path):
+    """r15 (r14 ADVICE): footer covering metadata is EXTERNAL input —
+    a covering that references a missing struct field or a non-struct
+    column degrades to a plain read with a warning, never an
+    AnalysisException on an otherwise readable dataset."""
+    import json
+    import os
+    import struct
+    import warnings
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dask_geopandas_spark.sources.geoparquet import read_parquet
+
+    def _write(path, covering):
+        os.makedirs(path)
+        wkb = pa.array(
+            [struct.pack("<BIdd", 1, 1, float(i), float(i))
+             for i in range(5)], pa.binary())
+        tbl = pa.table({
+            "id": pa.array(range(5), pa.int64()),
+            "geometry": wkb,
+            "notastruct": pa.array([1.0] * 5),
+            "bbox": pa.StructArray.from_arrays(
+                [pa.array([float(i) for i in range(5)])] * 4,
+                ["xmin", "ymin", "xmax", "ymax"]),
+        })
+        meta = {"version": "1.1.0", "primary_column": "geometry",
+                "columns": {"geometry": {
+                    "encoding": "WKB", "geometry_types": ["Point"],
+                    "covering": {"bbox": covering}}}}
+        tbl = tbl.replace_schema_metadata(
+            {b"geo": json.dumps(meta).encode()})
+        pq.write_table(tbl, path + "/part-0.parquet")
+
+    # covering names a field the struct does not carry
+    p1 = str(tmp_path / "badfield")
+    _write(p1, {"xmin": ["bbox", "nope"], "ymin": ["bbox", "ymin"],
+                "xmax": ["bbox", "xmax"], "ymax": ["bbox", "ymax"]})
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        g1 = read_parquet(spark, p1)
+        assert any("covering" in str(x.message) for x in w)
+    assert not g1.has_native_bbox
+    assert g1.df.count() == 5
+
+    # covering points at a non-struct column
+    p2 = str(tmp_path / "badcol")
+    _write(p2, {"xmin": ["notastruct", "xmin"],
+                "ymin": ["notastruct", "ymin"],
+                "xmax": ["notastruct", "xmax"],
+                "ymax": ["notastruct", "ymax"]})
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        g2 = read_parquet(spark, p2)
+        assert any("covering" in str(x.message) for x in w)
+    assert not g2.has_native_bbox
+    assert g2.df.count() == 5
+
+
 def test_write_file_extension_router(spark, tmp_path):
     """r6 (verdict #6): write_file routes by extension to every
     pure-Python sink, closing the read/write asymmetry — one roundtrip
