@@ -3377,6 +3377,102 @@ def q_ktruss_hosts(spark, sf_dir):
     return k_truss(e, k=3, max_iters=3)
 
 
+def q_scc_hosts(spark, sf_dir):
+    """Strongly connected components (operators/graph.
+    strongly_connected_components, new r15 — r14 verdict #3): the
+    coloring / FW-BW peeling decomposition (Orzan 2004) of a 20-host
+    DIRECTED graph built as five 4-cycles chained DOWNWARD by
+    higher→lower cross links (4→0, 8→4, 12→8, 16→12), so every
+    cycle's smallest node roots its own color class and all five
+    SCCs peel in ROUND ONE — round two runs on empty frames, making
+    the oracle's unconditional 2-round unroll idempotent whether the
+    engine early-stopped or not (the kcore_hosts convention).
+    Returns (node, scc) with scc = the component's smallest node."""
+    from dask_geopandas_spark.operators.graph import \
+        strongly_connected_components
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    h = F.col("doc_id") % 20
+    ring = docs.select(h.alias("src"),
+                       (h - (h % 4) + (h + 1) % 4).alias("dst"))
+    cross = (docs.select(h.alias("src"), (h - 4).alias("dst"))
+             .filter((h % 4 == 0) & (h > 0)))
+    return strongly_connected_components(
+        ring.unionAll(cross), rounds=2, prop_iters=6)
+
+
+def _scc_hosts_oracle(rounds: int = 2, fw: int = 6,
+                      bw: int = 6) -> str:
+    """q_scc_hosts replayed in SQL: the same peeling rounds unrolled
+    unconditionally — per round a ``fw``-step min-color forward
+    propagation, root pick (color == node), a ``bw``-step backward
+    membership propagation inside the color class, then the peel;
+    leftover nodes (none at the fixed point) report themselves.
+    Every block is idempotent at its fixed point, so the unroll
+    equals the engine whether it early-stopped or not."""
+    parts = ["""
+            raw AS MATERIALIZED (
+                SELECT doc_id % 20 AS s,
+                       (doc_id % 20) - ((doc_id % 20) % 4)
+                           + ((doc_id % 20 + 1) % 4) AS t
+                FROM documents
+                UNION ALL
+                SELECT doc_id % 20, (doc_id % 20) - 4
+                FROM documents
+                WHERE (doc_id % 20) % 4 = 0 AND doc_id % 20 > 0),
+            e_1 AS MATERIALIZED (
+                SELECT DISTINCT s AS a, t AS b FROM raw
+                WHERE s != t),
+            n_1 AS MATERIALIZED (
+                SELECT DISTINCT node FROM (
+                    SELECT a AS node FROM e_1
+                    UNION ALL SELECT b FROM e_1))"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+            c_{r}_0 AS MATERIALIZED (
+                SELECT node, node AS color FROM n_{r})""")
+        for i in range(1, fw + 1):
+            parts.append(f"""
+            c_{r}_{i} AS MATERIALIZED (
+                SELECT node, min(color) AS color FROM (
+                    SELECT node, color FROM c_{r}_{i - 1}
+                    UNION ALL
+                    SELECT e.b AS node, c.color
+                    FROM e_{r} e
+                    JOIN c_{r}_{i - 1} c ON c.node = e.a)
+                GROUP BY 1)""")
+        parts.append(f"""
+            m_{r}_0 AS MATERIALIZED (
+                SELECT node, color AS scc FROM c_{r}_{fw}
+                WHERE node = color)""")
+        for i in range(1, bw + 1):
+            parts.append(f"""
+            m_{r}_{i} AS MATERIALIZED (
+                SELECT DISTINCT node, scc FROM (
+                    SELECT node, scc FROM m_{r}_{i - 1}
+                    UNION ALL
+                    SELECT e.a AS node, m.scc
+                    FROM e_{r} e
+                    JOIN m_{r}_{i - 1} m ON m.node = e.b
+                    JOIN c_{r}_{fw} cv ON cv.node = e.a
+                                      AND cv.color = m.scc))""")
+        parts.append(f"""
+            n_{r + 1} AS MATERIALIZED (
+                SELECT node FROM n_{r}
+                WHERE node NOT IN (SELECT node FROM m_{r}_{bw}))""")
+        parts.append(f"""
+            e_{r + 1} AS MATERIALIZED (
+                SELECT a, b FROM e_{r}
+                WHERE a IN (SELECT node FROM n_{r + 1})
+                  AND b IN (SELECT node FROM n_{r + 1}))""")
+    final = " UNION ALL ".join(
+        [f"SELECT node, scc FROM m_{r}_{bw}"
+         for r in range(1, rounds + 1)]
+        + [f"SELECT node, node AS scc FROM n_{rounds + 1}"])
+    return ("WITH " + ",".join(parts)
+            + f" SELECT node, scc FROM ({final})")
+
+
 def q_graph_summary(spark, sf_dir):
     """One-row webgraph data card (operators/graph.graph_summary,
     new r14): nodes, edges, reciprocity (mutual-link density — a
@@ -5369,6 +5465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ingest_qd": q_stream_ingest_qd,
         "wordpiece_tokens": q_wordpiece_tokens,
         "unigram_tokens": q_unigram_tokens,
+        "scc_hosts": q_scc_hosts,
         "convex_hull_area": q_convex_hull_area,
         "doc_chunks": q_doc_chunks,
         "doc_line_dedup": q_doc_line_dedup,
@@ -5412,9 +5509,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_all_bounds": q_union_all_bounds,
         "ann_ivf_exact": q_ann_ivf_exact,
         "ann_ivf_pq": q_ann_ivf_pq,
-        "ann_pq": q_ann_pq,
         # ---- below the window: (last-green asc, name) — the
         #   r16 rotation order is the head of this list ----
+        "ann_pq": q_ann_pq,
         "ann_topk": q_ann_topk,
         "asof_clicks": q_asof_clicks,
         "audio_meta": q_audio_meta,
@@ -9225,6 +9322,11 @@ def _oracle_sql_base() -> dict[str, str]:
         # recompute unrolled (4 support blocks); idempotent at the
         # fixed point so early Spark breaks replay identically
         "ktruss_hosts": 'WITH \n            raw AS MATERIALIZED (\n                SELECT doc_id % 20 AS s, (doc_id + 1) % 20 AS t\n                FROM documents\n                UNION ALL\n                SELECT doc_id % 20, (doc_id + 2) % 20 FROM documents\n                UNION ALL\n                SELECT doc_id % 20, (doc_id * 7 + 2) % 20\n                FROM documents),\n            e0 AS MATERIALIZED (\n                SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b\n                FROM raw WHERE s != t),\n            deg0 AS MATERIALIZED (\n                SELECT node, CAST(count(*) AS BIGINT) AS d\n                FROM (SELECT a AS node FROM e0\n                      UNION ALL SELECT b FROM e0) GROUP BY 1),\n            o0 AS MATERIALIZED (\n                SELECT CASE WHEN lw THEN a ELSE b END AS u,\n                       CASE WHEN lw THEN b ELSE a END AS v,\n                       CASE WHEN lw THEN db ELSE da END AS dv\n                FROM (SELECT e.a, e.b, dx.d AS da, dy.d AS db,\n                             (dx.d < dy.d OR (dx.d = dy.d\n                                              AND e.a < e.b)) AS lw\n                      FROM e0 e\n                      JOIN deg0 dx ON dx.node = e.a\n                      JOIN deg0 dy ON dy.node = e.b)),\n            t0 AS MATERIALIZED (\n                SELECT w.u, w.v1, w.v2\n                FROM (SELECT o1.u, o1.v AS v1, o2.v AS v2\n                      FROM o0 o1 JOIN o0 o2 ON o1.u = o2.u\n                      WHERE o1.dv < o2.dv\n                         OR (o1.dv = o2.dv AND o1.v < o2.v)) w\n                JOIN o0 c ON c.u = w.v1 AND c.v = w.v2),\n            sp0 AS MATERIALIZED (\n                SELECT a, b, CAST(count(*) AS BIGINT) AS c\n                FROM (SELECT least(u, v1) AS a, greatest(u, v1) AS b\n                      FROM t0\n                      UNION ALL\n                      SELECT least(u, v2), greatest(u, v2) FROM t0\n                      UNION ALL\n                      SELECT least(v1, v2), greatest(v1, v2)\n                      FROM t0)\n                GROUP BY 1, 2),\n            s0 AS MATERIALIZED (\n                SELECT e.a, e.b,\n                       CAST(coalesce(sp0.c, 0) AS BIGINT)\n                           AS support\n                FROM e0 e LEFT JOIN sp0 USING (a, b)),\n            e1 AS MATERIALIZED (\n                SELECT a, b FROM s0 WHERE support >= 1),\n            deg1 AS MATERIALIZED (\n                SELECT node, CAST(count(*) AS BIGINT) AS d\n                FROM (SELECT a AS node FROM e1\n                      UNION ALL SELECT b FROM e1) GROUP BY 1),\n            o1 AS MATERIALIZED (\n                SELECT CASE WHEN lw THEN a ELSE b END AS u,\n                       CASE WHEN lw THEN b ELSE a END AS v,\n                       CASE WHEN lw THEN db ELSE da END AS dv\n                FROM (SELECT e.a, e.b, dx.d AS da, dy.d AS db,\n                             (dx.d < dy.d OR (dx.d = dy.d\n                                              AND e.a < e.b)) AS lw\n                      FROM e1 e\n                      JOIN deg1 dx ON dx.node = e.a\n                      JOIN deg1 dy ON dy.node = e.b)),\n            t1 AS MATERIALIZED (\n                SELECT w.u, w.v1, w.v2\n                FROM (SELECT o1.u, o1.v AS v1, o2.v AS v2\n                      FROM o1 o1 JOIN o1 o2 ON o1.u = o2.u\n                      WHERE o1.dv < o2.dv\n                         OR (o1.dv = o2.dv AND o1.v < o2.v)) w\n                JOIN o1 c ON c.u = w.v1 AND c.v = w.v2),\n            sp1 AS MATERIALIZED (\n                SELECT a, b, CAST(count(*) AS BIGINT) AS c\n                FROM (SELECT least(u, v1) AS a, greatest(u, v1) AS b\n                      FROM t1\n                      UNION ALL\n                      SELECT least(u, v2), greatest(u, v2) FROM t1\n                      UNION ALL\n                      SELECT least(v1, v2), greatest(v1, v2)\n                      FROM t1)\n                GROUP BY 1, 2),\n            s1 AS MATERIALIZED (\n                SELECT e.a, e.b,\n                       CAST(coalesce(sp1.c, 0) AS BIGINT)\n                           AS support\n                FROM e1 e LEFT JOIN sp1 USING (a, b)),\n            e2 AS MATERIALIZED (\n                SELECT a, b FROM s1 WHERE support >= 1),\n            deg2 AS MATERIALIZED (\n                SELECT node, CAST(count(*) AS BIGINT) AS d\n                FROM (SELECT a AS node FROM e2\n                      UNION ALL SELECT b FROM e2) GROUP BY 1),\n            o2 AS MATERIALIZED (\n                SELECT CASE WHEN lw THEN a ELSE b END AS u,\n                       CASE WHEN lw THEN b ELSE a END AS v,\n                       CASE WHEN lw THEN db ELSE da END AS dv\n                FROM (SELECT e.a, e.b, dx.d AS da, dy.d AS db,\n                             (dx.d < dy.d OR (dx.d = dy.d\n                                              AND e.a < e.b)) AS lw\n                      FROM e2 e\n                      JOIN deg2 dx ON dx.node = e.a\n                      JOIN deg2 dy ON dy.node = e.b)),\n            t2 AS MATERIALIZED (\n                SELECT w.u, w.v1, w.v2\n                FROM (SELECT o1.u, o1.v AS v1, o2.v AS v2\n                      FROM o2 o1 JOIN o2 o2 ON o1.u = o2.u\n                      WHERE o1.dv < o2.dv\n                         OR (o1.dv = o2.dv AND o1.v < o2.v)) w\n                JOIN o2 c ON c.u = w.v1 AND c.v = w.v2),\n            sp2 AS MATERIALIZED (\n                SELECT a, b, CAST(count(*) AS BIGINT) AS c\n                FROM (SELECT least(u, v1) AS a, greatest(u, v1) AS b\n                      FROM t2\n                      UNION ALL\n                      SELECT least(u, v2), greatest(u, v2) FROM t2\n                      UNION ALL\n                      SELECT least(v1, v2), greatest(v1, v2)\n                      FROM t2)\n                GROUP BY 1, 2),\n            s2 AS MATERIALIZED (\n                SELECT e.a, e.b,\n                       CAST(coalesce(sp2.c, 0) AS BIGINT)\n                           AS support\n                FROM e2 e LEFT JOIN sp2 USING (a, b)),\n            e3 AS MATERIALIZED (\n                SELECT a, b FROM s2 WHERE support >= 1),\n            deg3 AS MATERIALIZED (\n                SELECT node, CAST(count(*) AS BIGINT) AS d\n                FROM (SELECT a AS node FROM e3\n                      UNION ALL SELECT b FROM e3) GROUP BY 1),\n            o3 AS MATERIALIZED (\n                SELECT CASE WHEN lw THEN a ELSE b END AS u,\n                       CASE WHEN lw THEN b ELSE a END AS v,\n                       CASE WHEN lw THEN db ELSE da END AS dv\n                FROM (SELECT e.a, e.b, dx.d AS da, dy.d AS db,\n                             (dx.d < dy.d OR (dx.d = dy.d\n                                              AND e.a < e.b)) AS lw\n                      FROM e3 e\n                      JOIN deg3 dx ON dx.node = e.a\n                      JOIN deg3 dy ON dy.node = e.b)),\n            t3 AS MATERIALIZED (\n                SELECT w.u, w.v1, w.v2\n                FROM (SELECT o1.u, o1.v AS v1, o2.v AS v2\n                      FROM o3 o1 JOIN o3 o2 ON o1.u = o2.u\n                      WHERE o1.dv < o2.dv\n                         OR (o1.dv = o2.dv AND o1.v < o2.v)) w\n                JOIN o3 c ON c.u = w.v1 AND c.v = w.v2),\n            sp3 AS MATERIALIZED (\n                SELECT a, b, CAST(count(*) AS BIGINT) AS c\n                FROM (SELECT least(u, v1) AS a, greatest(u, v1) AS b\n                      FROM t3\n                      UNION ALL\n                      SELECT least(u, v2), greatest(u, v2) FROM t3\n                      UNION ALL\n                      SELECT least(v1, v2), greatest(v1, v2)\n                      FROM t3)\n                GROUP BY 1, 2),\n            s3 AS MATERIALIZED (\n                SELECT e.a, e.b,\n                       CAST(coalesce(sp3.c, 0) AS BIGINT)\n                           AS support\n                FROM e3 e LEFT JOIN sp3 USING (a, b)) SELECT a, b, support FROM s3',
+        # scc_hosts: 2 peeling rounds unrolled (6 forward min-color
+        # steps + root pick + 6 backward membership steps + peel per
+        # round); idempotent at the fixed point so early Spark
+        # breaks replay identically (the kcore_hosts convention)
+        "scc_hosts": _scc_hosts_oracle(rounds=2, fw=6, bw=6),
         # graph_summary: method-free recount — directed dedup +
         # reverse semi-join, canonical triangles, integer ratios
         "graph_summary": """

@@ -897,3 +897,202 @@ def label_propagation(edges: DataFrame, src_col: str = "src",
                   .filter(F.col("_r") == 1)
                   .select("node", "label").localCheckpoint())
     return labels
+
+
+def _simple_directed(edges: DataFrame, src_col: str,
+                     dst_col: str) -> DataFrame:
+    """Deduped self-loop-free directed view as (_a, _b)."""
+    return (edges.select(F.col(src_col).alias("_a"),
+                         F.col(dst_col).alias("_b"))
+            .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull()
+                    & (F.col("_a") != F.col("_b")))
+            .distinct())
+
+
+def _propagate_min(nodes: DataFrame, e: DataFrame,
+                   iters: int) -> DataFrame:
+    """Forward min-label fixpoint: color(v) = min node id over
+    {v} ∪ {u : u reaches v} along edge direction, computed by
+    synchronous supersteps of ``color(v) <- min(color(v), min over
+    in-neighbors' color)``.  Monotone non-increasing and idempotent
+    at the fixed point, so a fixed unroll past convergence equals
+    the fixpoint (the `core_numbers` convention) and the early-stop
+    probe below (an xxhash64 state sum — type-agnostic, so string
+    node ids work) is sound.  Per superstep: one edge equi-join +
+    one map-side-combined min aggregation; the color frame is
+    node-sized and localCheckpoint-materialized every step."""
+    color = nodes.select("node", F.col("node").alias("_color")) \
+        .localCheckpoint()
+
+    def _state(c):
+        return c.agg(F.count("*").alias("_n"),
+                     # decimal sum: exact and overflow-free under
+                     # ANSI mode (a raw long sum of 64-bit hashes
+                     # overflows)
+                     F.sum(F.xxhash64("node", "_color")
+                           .cast("decimal(20,0)")).alias("_h")).head()
+
+    st = _state(color)
+    for _ in range(int(iters)):
+        prop = (e.join(color, e["_a"] == color["node"])
+                .select(F.col("_b").alias("node"), "_color"))
+        color = (color.unionAll(prop)
+                 .groupBy("node").agg(F.min("_color").alias("_color"))
+                 .localCheckpoint())
+        nst = _state(color)
+        if (nst["_n"], nst["_h"]) == (st["_n"], st["_h"]):
+            break
+        st = nst
+    return color
+
+
+def _propagate_flag(seed: DataFrame, e: DataFrame, iters: int,
+                    forward: bool) -> DataFrame:
+    """Reachability closure of ``seed`` (a (node) frame) along edge
+    direction (``forward=True``: nodes reachable FROM the seed) or
+    against it (nodes that REACH the seed).  Monotone growing set,
+    idempotent at the fixed point; early-stops on an unchanged
+    count.  Per superstep one equi-join + distinct; frames stay
+    node-sized and localCheckpoint-materialized."""
+    frm, to = ("_a", "_b") if forward else ("_b", "_a")
+    reach = seed.select("node").distinct().localCheckpoint()
+    n = reach.count()
+    for _ in range(int(iters)):
+        step = (e.join(reach, e[frm] == reach["node"])
+                .select(F.col(to).alias("node")))
+        reach = reach.unionAll(step).distinct().localCheckpoint()
+        nn = reach.count()
+        if nn == n:
+            break
+        n = nn
+    return reach
+
+
+def strongly_connected_components(edges: DataFrame,
+                                  src_col: str = "src",
+                                  dst_col: str = "dst",
+                                  rounds: int = 3,
+                                  prop_iters: int = 8) -> DataFrame:
+    """Strongly connected components of a DIRECTED edge list by the
+    coloring / forward-backward peeling algorithm (Orzan 2004; the
+    FW-BW-Trim family of Slota et al.) — the directed counterpart of
+    `dedup.connected_components`, and the prerequisite of the Broder
+    et al. (2000) bowtie crawl-graph card (`bowtie_summary`).
+    Returns (node, scc) where ``scc`` is the smallest node id in the
+    component.
+
+    Per peeling round: (1) forward min-label propagation to the
+    fixpoint — color(v) = min id over nodes reaching v; (2) every
+    node whose color IS its own id roots a component, and membership
+    propagates BACKWARD within the color class (v joins component c
+    when some out-neighbor in color class c is already a member —
+    exactly the nodes that reach the root inside its color class,
+    i.e. the root's SCC); (3) found components peel off and the
+    remainder repeats.  Every propagation is monotone and idempotent
+    at its fixed point, so an oracle that unrolls the same block
+    structure unconditionally returns the identical frame whether
+    the engine early-stopped or not (the `core_numbers` convention).
+    Each round removes at least the component of the smallest
+    remaining node; ``rounds`` must reach the global fixed point for
+    exact SCCs (pytest pins exactness against brute-force Tarjan on
+    converged graphs) — leftover nodes after an insufficient unroll
+    report themselves (``scc = node``; deterministic, replicable).
+
+    Distributed shape (100 TB): supersteps are single equi-joins +
+    map-side-combined min aggregations on node-sized frames,
+    localCheckpoint-materialized every step; edges peel via
+    left_anti joins and re-materialize per round.  No driver-side
+    graph, no all-pairs anywhere."""
+    e = _simple_directed(edges, src_col, dst_col).localCheckpoint()
+    rem_nodes = (e.select(F.col("_a").alias("node"))
+                 .unionAll(e.select(F.col("_b").alias("node")))
+                 .distinct().localCheckpoint())
+    spark = edges.sparkSession
+    assigned = spark.createDataFrame(
+        [], rem_nodes.select(
+            "node", F.col("node").alias("scc")).schema)
+    for _ in range(int(rounds)):
+        if rem_nodes.isEmpty():
+            break
+        color = _propagate_min(rem_nodes, e, prop_iters)
+        member = (color.filter(F.col("node") == F.col("_color"))
+                  .select("node", F.col("_color").alias("scc"))
+                  .localCheckpoint())
+        m = member.count()
+        for _ in range(int(prop_iters)):
+            # v joins component c when an out-neighbor already in c
+            # shares v's color class
+            step = (e.join(member, e["_b"] == member["node"])
+                    .select(F.col("_a").alias("node"), "scc")
+                    .join(color, "node")
+                    .filter(F.col("_color") == F.col("scc"))
+                    .select("node", "scc"))
+            member = member.unionAll(step).distinct() \
+                .localCheckpoint()
+            nm = member.count()
+            if nm == m:
+                break
+            m = nm
+        assigned = assigned.unionAll(member)
+        rem_nodes = rem_nodes.join(member, "node", "left_anti") \
+            .localCheckpoint()
+        e = (e.join(member, e["_a"] == member["node"], "left_anti")
+             .join(member, e["_b"] == member["node"], "left_anti")
+             .localCheckpoint())
+    return assigned.unionAll(
+        rem_nodes.select("node", F.col("node").alias("scc")))
+
+
+def bowtie_summary(edges: DataFrame, src_col: str = "src",
+                   dst_col: str = "dst", rounds: int = 3,
+                   prop_iters: int = 8) -> DataFrame:
+    """The Broder et al. (2000) bowtie decomposition of a directed
+    graph — THE standard crawl-graph summary card: node counts per
+    region relative to the LARGEST strongly connected component
+    (ties on size broken by smallest component id).  Returns
+    (region, n_nodes) with regions ``CORE`` (the largest SCC),
+    ``IN`` (reaches the core, not in it), ``OUT`` (reachable from
+    the core, not in it), ``TUBE`` (on an IN→OUT path that avoids
+    the core), ``TENDRIL`` (hangs off IN or leads into OUT without
+    crossing), ``DISCONNECTED`` (everything else).
+
+    Built entirely from monotone reachability closures around
+    `strongly_connected_components`: forward/backward closures of
+    the core give OUT/IN; the forward closure of IN and the backward
+    closure of OUT classify tubes and tendrils.  All propagation is
+    idempotent at the fixed point (unroll-replicable oracle, the
+    `core_numbers` convention); every frame is node-sized,
+    localCheckpoint-materialized, joined on node ids only."""
+    e = _simple_directed(edges, src_col, dst_col).localCheckpoint()
+    scc = strongly_connected_components(
+        edges, src_col, dst_col, rounds=rounds,
+        prop_iters=prop_iters).localCheckpoint()
+    top = (scc.groupBy("scc").agg(F.count("*").alias("_n"))
+           .orderBy(F.desc("_n"), F.asc("scc")).limit(1))
+    core = scc.join(F.broadcast(top), "scc").select("node") \
+        .localCheckpoint()
+    fwd = _propagate_flag(core, e, prop_iters, forward=True)
+    bwd = _propagate_flag(core, e, prop_iters, forward=False)
+    in_ = bwd.join(core, "node", "left_anti").localCheckpoint()
+    out = fwd.join(core, "node", "left_anti").localCheckpoint()
+    f_in = _propagate_flag(in_, e, prop_iters, forward=True)
+    b_out = _propagate_flag(out, e, prop_iters, forward=False)
+    nodes = scc.select("node")
+    flags = (nodes
+             .join(core.withColumn("_core", F.lit(1)), "node", "left")
+             .join(in_.withColumn("_in", F.lit(1)), "node", "left")
+             .join(out.withColumn("_out", F.lit(1)), "node", "left")
+             .join(f_in.withColumn("_fin", F.lit(1)), "node", "left")
+             .join(b_out.withColumn("_bout", F.lit(1)), "node",
+                   "left"))
+    region = (F.when(F.col("_core") == 1, F.lit("CORE"))
+              .when(F.col("_in") == 1, F.lit("IN"))
+              .when(F.col("_out") == 1, F.lit("OUT"))
+              .when((F.col("_fin") == 1) & (F.col("_bout") == 1),
+                    F.lit("TUBE"))
+              .when((F.col("_fin") == 1) | (F.col("_bout") == 1),
+                    F.lit("TENDRIL"))
+              .otherwise(F.lit("DISCONNECTED")))
+    return (flags.select(region.alias("region"))
+            .groupBy("region")
+            .agg(F.count("*").cast("long").alias("n_nodes")))
