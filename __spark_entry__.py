@@ -3377,6 +3377,22 @@ def q_ktruss_hosts(spark, sf_dir):
     return k_truss(e, k=3, max_iters=3)
 
 
+def q_kn_perplexity(spark, sf_dir):
+    """Interpolated Kneser-Ney trigram perplexity (textstats.
+    kn_perplexity, new r15 — r14 verdict #4): the CCNet/KenLM-class
+    LM quality gate, upgrading add-alpha `lm_quality` with
+    continuation counts.  Self-trained on the documents corpus; the
+    oracle recomputes the full count-table construction (trigram
+    types, continuation counts, the three global denominators) and
+    the identical nested fixed-discount expression, quantized
+    round-12 before ln, per-doc mean round-6, perplexity from the
+    ROUNDED mean."""
+    from dask_geopandas_spark.operators.textstats import kn_perplexity
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return kn_perplexity(docs)
+
+
 def q_scc_hosts(spark, sf_dir):
     """Strongly connected components (operators/graph.
     strongly_connected_components, new r15 — r14 verdict #3): the
@@ -5466,6 +5482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_tokens": q_wordpiece_tokens,
         "unigram_tokens": q_unigram_tokens,
         "scc_hosts": q_scc_hosts,
+        "kn_perplexity": q_kn_perplexity,
         "convex_hull_area": q_convex_hull_area,
         "doc_chunks": q_doc_chunks,
         "doc_line_dedup": q_doc_line_dedup,
@@ -5508,9 +5525,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "union_all_bounds": q_union_all_bounds,
         "ann_ivf_exact": q_ann_ivf_exact,
-        "ann_ivf_pq": q_ann_ivf_pq,
         # ---- below the window: (last-green asc, name) — the
         #   r16 rotation order is the head of this list ----
+        "ann_ivf_pq": q_ann_ivf_pq,
         "ann_pq": q_ann_pq,
         "ann_topk": q_ann_topk,
         "asof_clicks": q_asof_clicks,
@@ -9322,6 +9339,74 @@ def _oracle_sql_base() -> dict[str, str]:
         # recompute unrolled (4 support blocks); idempotent at the
         # fixed point so early Spark breaks replay identically
         "ktruss_hosts": 'WITH \n            raw AS MATERIALIZED (\n                SELECT doc_id % 20 AS s, (doc_id + 1) % 20 AS t\n                FROM documents\n                UNION ALL\n                SELECT doc_id % 20, (doc_id + 2) % 20 FROM documents\n                UNION ALL\n                SELECT doc_id % 20, (doc_id * 7 + 2) % 20\n                FROM documents),\n            e0 AS MATERIALIZED (\n                SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b\n                FROM raw WHERE s != t),\n            deg0 AS MATERIALIZED (\n                SELECT node, CAST(count(*) AS BIGINT) AS d\n                FROM (SELECT a AS node FROM e0\n                      UNION ALL SELECT b FROM e0) GROUP BY 1),\n            o0 AS MATERIALIZED (\n                SELECT CASE WHEN lw THEN a ELSE b END AS u,\n                       CASE WHEN lw THEN b ELSE a END AS v,\n                       CASE WHEN lw THEN db ELSE da END AS dv\n                FROM (SELECT e.a, e.b, dx.d AS da, dy.d AS db,\n                             (dx.d < dy.d OR (dx.d = dy.d\n                                              AND e.a < e.b)) AS lw\n                      FROM e0 e\n                      JOIN deg0 dx ON dx.node = e.a\n                      JOIN deg0 dy ON dy.node = e.b)),\n            t0 AS MATERIALIZED (\n                SELECT w.u, w.v1, w.v2\n                FROM (SELECT o1.u, o1.v AS v1, o2.v AS v2\n                      FROM o0 o1 JOIN o0 o2 ON o1.u = o2.u\n                      WHERE o1.dv < o2.dv\n                         OR (o1.dv = o2.dv AND o1.v < o2.v)) w\n                JOIN o0 c ON c.u = w.v1 AND c.v = w.v2),\n            sp0 AS MATERIALIZED (\n                SELECT a, b, CAST(count(*) AS BIGINT) AS c\n                FROM (SELECT least(u, v1) AS a, greatest(u, v1) AS b\n                      FROM t0\n                      UNION ALL\n                      SELECT least(u, v2), greatest(u, v2) FROM t0\n                      UNION ALL\n                      SELECT least(v1, v2), greatest(v1, v2)\n                      FROM t0)\n                GROUP BY 1, 2),\n            s0 AS MATERIALIZED (\n                SELECT e.a, e.b,\n                       CAST(coalesce(sp0.c, 0) AS BIGINT)\n                           AS support\n                FROM e0 e LEFT JOIN sp0 USING (a, b)),\n            e1 AS MATERIALIZED (\n                SELECT a, b FROM s0 WHERE support >= 1),\n            deg1 AS MATERIALIZED (\n                SELECT node, CAST(count(*) AS BIGINT) AS d\n                FROM (SELECT a AS node FROM e1\n                      UNION ALL SELECT b FROM e1) GROUP BY 1),\n            o1 AS MATERIALIZED (\n                SELECT CASE WHEN lw THEN a ELSE b END AS u,\n                       CASE WHEN lw THEN b ELSE a END AS v,\n                       CASE WHEN lw THEN db ELSE da END AS dv\n                FROM (SELECT e.a, e.b, dx.d AS da, dy.d AS db,\n                             (dx.d < dy.d OR (dx.d = dy.d\n                                              AND e.a < e.b)) AS lw\n                      FROM e1 e\n                      JOIN deg1 dx ON dx.node = e.a\n                      JOIN deg1 dy ON dy.node = e.b)),\n            t1 AS MATERIALIZED (\n                SELECT w.u, w.v1, w.v2\n                FROM (SELECT o1.u, o1.v AS v1, o2.v AS v2\n                      FROM o1 o1 JOIN o1 o2 ON o1.u = o2.u\n                      WHERE o1.dv < o2.dv\n                         OR (o1.dv = o2.dv AND o1.v < o2.v)) w\n                JOIN o1 c ON c.u = w.v1 AND c.v = w.v2),\n            sp1 AS MATERIALIZED (\n                SELECT a, b, CAST(count(*) AS BIGINT) AS c\n                FROM (SELECT least(u, v1) AS a, greatest(u, v1) AS b\n                      FROM t1\n                      UNION ALL\n                      SELECT least(u, v2), greatest(u, v2) FROM t1\n                      UNION ALL\n                      SELECT least(v1, v2), greatest(v1, v2)\n                      FROM t1)\n                GROUP BY 1, 2),\n            s1 AS MATERIALIZED (\n                SELECT e.a, e.b,\n                       CAST(coalesce(sp1.c, 0) AS BIGINT)\n                           AS support\n                FROM e1 e LEFT JOIN sp1 USING (a, b)),\n            e2 AS MATERIALIZED (\n                SELECT a, b FROM s1 WHERE support >= 1),\n            deg2 AS MATERIALIZED (\n                SELECT node, CAST(count(*) AS BIGINT) AS d\n                FROM (SELECT a AS node FROM e2\n                      UNION ALL SELECT b FROM e2) GROUP BY 1),\n            o2 AS MATERIALIZED (\n                SELECT CASE WHEN lw THEN a ELSE b END AS u,\n                       CASE WHEN lw THEN b ELSE a END AS v,\n                       CASE WHEN lw THEN db ELSE da END AS dv\n                FROM (SELECT e.a, e.b, dx.d AS da, dy.d AS db,\n                             (dx.d < dy.d OR (dx.d = dy.d\n                                              AND e.a < e.b)) AS lw\n                      FROM e2 e\n                      JOIN deg2 dx ON dx.node = e.a\n                      JOIN deg2 dy ON dy.node = e.b)),\n            t2 AS MATERIALIZED (\n                SELECT w.u, w.v1, w.v2\n                FROM (SELECT o1.u, o1.v AS v1, o2.v AS v2\n                      FROM o2 o1 JOIN o2 o2 ON o1.u = o2.u\n                      WHERE o1.dv < o2.dv\n                         OR (o1.dv = o2.dv AND o1.v < o2.v)) w\n                JOIN o2 c ON c.u = w.v1 AND c.v = w.v2),\n            sp2 AS MATERIALIZED (\n                SELECT a, b, CAST(count(*) AS BIGINT) AS c\n                FROM (SELECT least(u, v1) AS a, greatest(u, v1) AS b\n                      FROM t2\n                      UNION ALL\n                      SELECT least(u, v2), greatest(u, v2) FROM t2\n                      UNION ALL\n                      SELECT least(v1, v2), greatest(v1, v2)\n                      FROM t2)\n                GROUP BY 1, 2),\n            s2 AS MATERIALIZED (\n                SELECT e.a, e.b,\n                       CAST(coalesce(sp2.c, 0) AS BIGINT)\n                           AS support\n                FROM e2 e LEFT JOIN sp2 USING (a, b)),\n            e3 AS MATERIALIZED (\n                SELECT a, b FROM s2 WHERE support >= 1),\n            deg3 AS MATERIALIZED (\n                SELECT node, CAST(count(*) AS BIGINT) AS d\n                FROM (SELECT a AS node FROM e3\n                      UNION ALL SELECT b FROM e3) GROUP BY 1),\n            o3 AS MATERIALIZED (\n                SELECT CASE WHEN lw THEN a ELSE b END AS u,\n                       CASE WHEN lw THEN b ELSE a END AS v,\n                       CASE WHEN lw THEN db ELSE da END AS dv\n                FROM (SELECT e.a, e.b, dx.d AS da, dy.d AS db,\n                             (dx.d < dy.d OR (dx.d = dy.d\n                                              AND e.a < e.b)) AS lw\n                      FROM e3 e\n                      JOIN deg3 dx ON dx.node = e.a\n                      JOIN deg3 dy ON dy.node = e.b)),\n            t3 AS MATERIALIZED (\n                SELECT w.u, w.v1, w.v2\n                FROM (SELECT o1.u, o1.v AS v1, o2.v AS v2\n                      FROM o3 o1 JOIN o3 o2 ON o1.u = o2.u\n                      WHERE o1.dv < o2.dv\n                         OR (o1.dv = o2.dv AND o1.v < o2.v)) w\n                JOIN o3 c ON c.u = w.v1 AND c.v = w.v2),\n            sp3 AS MATERIALIZED (\n                SELECT a, b, CAST(count(*) AS BIGINT) AS c\n                FROM (SELECT least(u, v1) AS a, greatest(u, v1) AS b\n                      FROM t3\n                      UNION ALL\n                      SELECT least(u, v2), greatest(u, v2) FROM t3\n                      UNION ALL\n                      SELECT least(v1, v2), greatest(v1, v2)\n                      FROM t3)\n                GROUP BY 1, 2),\n            s3 AS MATERIALIZED (\n                SELECT e.a, e.b,\n                       CAST(coalesce(sp3.c, 0) AS BIGINT)\n                           AS support\n                FROM e3 e LEFT JOIN sp3 USING (a, b)) SELECT a, b, support FROM s3',
+        # kn_perplexity: full construction replica — trigram type
+        # counts, trigram-derived continuation counts, the identical
+        # nested fixed-discount expression (every literal ::DOUBLE),
+        # round-12 before ln, per-doc mean round-6, perplexity from
+        # the rounded mean
+        "kn_perplexity": """
+            WITH toks AS MATERIALIZED (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           lower(trim(text)), '[^a-z0-9'']+'),
+                           x -> x != '') AS t
+                FROM documents WHERE text IS NOT NULL),
+            tri AS MATERIALIZED (
+                SELECT doc_id,
+                       t[j] || ' ' || t[j + 1] || ' ' || t[j + 2]
+                           AS gram
+                FROM (SELECT doc_id, t,
+                             unnest(range(1, len(t) - 1)) AS j
+                      FROM toks WHERE len(t) >= 3)),
+            t3 AS MATERIALIZED (
+                SELECT gram, CAST(count(*) AS BIGINT) AS c3,
+                       str_split(gram, ' ')[1] AS w1,
+                       str_split(gram, ' ')[2] AS w2,
+                       str_split(gram, ' ')[3] AS w3
+                FROM tri GROUP BY 1),
+            ctx2 AS MATERIALIZED (
+                SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c2,
+                       CAST(count(*) AS BIGINT) AS n1fw
+                FROM t3 GROUP BY 1, 2),
+            cont2 AS MATERIALIZED (
+                SELECT w2, w3, CAST(count(*) AS BIGINT) AS cc2
+                FROM t3 GROUP BY 1, 2),
+            ctx1 AS MATERIALIZED (
+                SELECT w2, CAST(count(*) AS BIGINT) AS m2,
+                       CAST(count(DISTINCT w3) AS BIGINT) AS n1mid
+                FROM t3 GROUP BY 1),
+            cont1 AS MATERIALIZED (
+                SELECT w3, CAST(count(*) AS BIGINT) AS cc1
+                FROM cont2 GROUP BY 1),
+            g1 AS MATERIALIZED (
+                SELECT CAST(count(*) AS BIGINT) AS n1pp FROM cont2),
+            g2 AS MATERIALIZED (
+                SELECT CAST(count(*) AS BIGINT) AS nuni FROM cont1),
+            g3 AS MATERIALIZED (
+                SELECT CAST(count(*) AS BIGINT) AS v
+                FROM (SELECT DISTINCT unnest(t) FROM toks)),
+            model AS MATERIALIZED (
+                SELECT t3.gram, ln(round(
+                    (greatest(c3 - 0.75::DOUBLE, 0.0::DOUBLE) / c2)
+                    + (((0.75::DOUBLE * n1fw) / c2) *
+                       ((greatest(cc2 - 0.75::DOUBLE, 0.0::DOUBLE)
+                         / m2)
+                        + (((0.75::DOUBLE * n1mid) / m2) *
+                           ((greatest(cc1 - 0.75::DOUBLE,
+                                      0.0::DOUBLE) / n1pp)
+                            + (((0.75::DOUBLE * nuni) / n1pp)
+                               * (1.0::DOUBLE / v)))))), 12)) AS lp
+                FROM t3
+                JOIN ctx2 USING (w1, w2)
+                JOIN cont2 USING (w2, w3)
+                JOIN ctx1 USING (w2)
+                JOIN cont1 USING (w3), g1, g2, g3)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+                   round(avg(lp), 6) AS avg_logprob,
+                   round(exp(-round(avg(lp), 6)), 6) AS perplexity
+            FROM tri JOIN model USING (gram)
+            GROUP BY 1
+        """,
         # scc_hosts: 2 peeling rounds unrolled (6 forward min-color
         # steps + root pick + 6 backward membership steps + peel per
         # round); idempotent at the fixed point so early Spark

@@ -1179,6 +1179,110 @@ def ngram_logprob(df, text_col: str = "text", id_col: str = "doc_id",
                  F.round(F.avg("_lp"), 6).alias("avg_logprob")))
 
 
+def kn_perplexity(df, text_col: str = "text", id_col: str = "doc_id",
+                  discount: float = 0.75, n_salt: int = 8):
+    """Per-document perplexity under an interpolated Kneser-Ney
+    trigram LM trained on the corpus itself (Kneser & Ney 1995; Chen
+    & Goodman 1999) — the CCNet/KenLM-class quality gate that every
+    published crawl pipeline ships, upgrading the add-alpha bigram
+    `ngram_logprob`: KN's lower orders use CONTINUATION counts (in
+    how many distinct contexts does a word appear), so boilerplate
+    that repeats one context a million times no longer looks fluent.
+
+    Fixed-discount interpolated KN with lower-order counts derived
+    from the trigram type table (the standard implementation
+    convention):
+
+      P(w3|w1w2) = max(c3-D,0)/c2 + (D·N1+(w1w2·)/c2) · P(w3|w2)
+      P(w3|w2)   = max(N1+(·w2w3)-D,0)/N1+(·w2·)
+                   + (D·N1+(w2·)/N1+(·w2·)) · P(w3)
+      P(w3)      = max(N1+(·w3)-D,0)/N1+(··)
+                   + (D·|{w:N1+(·w)>0}|/N1+(··)) · (1/V)
+
+    Self-trained scoring means every scored trigram occurs in the
+    corpus, so no zero-count context branch exists (c2 ≥ 1,
+    N1+(·w2·) ≥ 1 always).  P quantizes to 12 decimals before ln
+    (the pagerank convention); a document scores the mean ln P over
+    its trigrams rounded to 6 (cross-engine summation order), and
+    ``perplexity = round(exp(-avg_logprob), 6)`` derives from the
+    ROUNDED mean so both engines exponentiate the identical double.
+    Documents under three tokens drop out.
+
+    Distributed shape (100 TB): one tokenizer pass; every model
+    table is a hash aggregation over TRIGRAM TYPES (bounded by
+    distinct trigrams, never corpus occurrences — map-side combine
+    absorbs the Zipf mass); the model-internal joins are
+    type-table-sized; the only corpus-scale join is the scoring
+    join, SALTED like `ngram_logprob`'s (the probability table is
+    type-sized — never broadcast at scale); V and the three global
+    denominators ride in as 1-row broadcasts.  No Python stages
+    anywhere — the whole model is codegen aggregation arithmetic.
+
+    Returns (id, n_trigrams, avg_logprob, perplexity)."""
+    from .dedup import shingles_of_tokens
+
+    d = float(discount)
+    toks = df.select(
+        F.col(id_col),
+        let(tokens(F.col(text_col)),
+            lambda t: F.filter(t, lambda x: x != F.lit(""))).alias("_t"))
+    tri = (toks.filter(F.size("_t") >= 3)
+           .select(F.col(id_col),
+                   F.explode(shingles_of_tokens(F.col("_t"), 3))
+                   .alias("gram")))
+    t3 = (tri.groupBy("gram").agg(F.count("*").alias("c3"))
+          .withColumn("w1", F.split("gram", " ").getItem(0))
+          .withColumn("w2", F.split("gram", " ").getItem(1))
+          .withColumn("w3", F.split("gram", " ").getItem(2)))
+    # trigram-context table: c2 = Σ c3, N1+(w1w2·) = type rows
+    ctx2 = t3.groupBy("w1", "w2").agg(
+        F.sum("c3").alias("c2"), F.count("*").alias("n1fw"))
+    # middle order: N1+(·w2w3) = distinct w1 per (w2,w3) type row
+    cont2 = t3.groupBy("w2", "w3").agg(F.count("*").alias("cc2"))
+    # N1+(·w2·) = distinct (w1,w3) per w2; N1+(w2·) = distinct w3
+    ctx1 = (t3.groupBy("w2")
+            .agg(F.count("*").alias("m2"),
+                 F.count_distinct("w3").alias("n1mid")))
+    # unigram continuation: N1+(·w3) = distinct w2 preceding w3
+    cont1 = cont2.groupBy("w3").agg(F.count("*").alias("cc1"))
+    n1pp = cont2.agg(F.count("*").alias("_n1pp"))   # N1+(··)
+    nuni = cont1.agg(F.count("*").alias("_nuni"))   # |{w: N1+(·w)>0}|
+    vocab = (toks.select(F.explode("_t").alias("w")).distinct()
+             .agg(F.count("*").alias("_v")))
+    dd = F.lit(d)
+    model = (t3
+             .join(ctx2, ["w1", "w2"])
+             .join(cont2, ["w2", "w3"])
+             .join(ctx1, "w2")
+             .join(cont1, "w3")
+             .crossJoin(F.broadcast(n1pp))
+             .crossJoin(F.broadcast(nuni))
+             .crossJoin(F.broadcast(vocab))
+             .withColumn("_p1", (F.greatest(F.col("cc1") - dd,
+                                            F.lit(0.0))
+                                 / F.col("_n1pp"))
+                         + (((dd * F.col("_nuni")) / F.col("_n1pp"))
+                            * (F.lit(1.0) / F.col("_v"))))
+             .withColumn("_p2", (F.greatest(F.col("cc2") - dd,
+                                            F.lit(0.0))
+                                 / F.col("m2"))
+                         + (((dd * F.col("n1mid")) / F.col("m2"))
+                            * F.col("_p1")))
+             .withColumn("_p3", (F.greatest(F.col("c3") - dd,
+                                            F.lit(0.0))
+                                 / F.col("c2"))
+                         + (((dd * F.col("n1fw")) / F.col("c2"))
+                            * F.col("_p2")))
+             .select("gram",
+                     F.log(F.round(F.col("_p3"), 12)).alias("_lp")))
+    scored = _salted_count_join(tri, model, "gram", n_salt)
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").alias("n_trigrams"),
+                 F.round(F.avg("_lp"), 6).alias("avg_logprob"))
+            .withColumn("perplexity",
+                        F.round(F.exp(-F.col("avg_logprob")), 6)))
+
+
 def bm25_batch_topk(df, queries, k: int = 10, k1: float = 1.2,
                     b: float = 0.75, text_col: str = "text",
                     id_col: str = "doc_id", query_id_col: str = "query_id",

@@ -4831,3 +4831,122 @@ class TestScc:
                    bowtie_summary(df, rounds=15,
                                   prop_iters=15).collect()}
             assert got == self._brute_bowtie(edges), seed
+
+
+class TestKnPerplexity:
+    """kn_perplexity (r15 — r14 verdict #4): interpolated Kneser-Ney
+    trigram LM vs a plain-Python replica, plus the structural KN
+    property (continuation counts devalue one-context repetition)."""
+
+    DOCS = [(1, "the cat sat on the mat"),
+            (2, "the cat sat on the hat"),
+            (3, "a dog sat on a log near the cat"),
+            (4, "too short"),
+            (5, None)]
+
+    @staticmethod
+    def _brute(docs, d=0.75):
+        import math
+        import re
+
+        def tok(s):
+            return [w for w in
+                    re.split(r"[^a-z0-9']+", s.lower().strip()) if w]
+
+        per_doc = {i: tok(t) for i, t in docs if t is not None}
+        tris = {i: [" ".join(ws[j:j + 3])
+                    for j in range(len(ws) - 2)]
+                for i, ws in per_doc.items() if len(ws) >= 3}
+        c3 = {}
+        for ts in tris.values():
+            for g in ts:
+                c3[g] = c3.get(g, 0) + 1
+        ctx2, n1fw, cont2 = {}, {}, set()
+        for g, c in c3.items():
+            w1, w2, w3 = g.split(" ")
+            ctx2[(w1, w2)] = ctx2.get((w1, w2), 0) + c
+            n1fw[(w1, w2)] = n1fw.get((w1, w2), 0) + 1
+            cont2.add((w2, w3))
+        cc2 = {}
+        for g in c3:
+            w1, w2, w3 = g.split(" ")
+            cc2[(w2, w3)] = cc2.get((w2, w3), 0) + 1
+        m2, n1mid, cc1 = {}, {}, {}
+        for (w2, w3) in cc2:
+            n1mid[w2] = n1mid.get(w2, 0) + 1
+        for g in c3:
+            w1, w2, w3 = g.split(" ")
+            m2[w2] = m2.get(w2, 0) + 1
+        for (w2, w3) in cc2:
+            cc1[w3] = cc1.get(w3, 0) + 1
+        n1pp = len(cc2)
+        nuni = len(cc1)
+        vocab = len({w for ws in per_doc.values() for w in ws})
+        lp = {}
+        for g in c3:
+            w1, w2, w3 = g.split(" ")
+            p1 = (max(cc1[w3] - d, 0.0) / n1pp) \
+                + (((d * nuni) / n1pp) * (1.0 / vocab))
+            p2 = (max(cc2[(w2, w3)] - d, 0.0) / m2[w2]) \
+                + (((d * n1mid[w2]) / m2[w2]) * p1)
+            p3 = (max(c3[g] - d, 0.0) / ctx2[(w1, w2)]) \
+                + (((d * n1fw[(w1, w2)]) / ctx2[(w1, w2)]) * p2)
+            lp[g] = math.log(round(p3, 12))
+        out = {}
+        for i, ts in tris.items():
+            avg = round(sum(lp[g] for g in ts) / len(ts), 6)
+            out[i] = (len(ts), avg, round(math.exp(-avg), 6))
+        return out
+
+    def test_matches_brute_force(self, spark):
+        from dask_geopandas_spark.operators.textstats import \
+            kn_perplexity
+
+        df = spark.createDataFrame(self.DOCS,
+                                   "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_trigrams"], r["avg_logprob"],
+                             r["perplexity"]) for r in
+               kn_perplexity(df, n_salt=1).collect()}
+        want = self._brute(self.DOCS)
+        assert got == want
+        assert 4 not in got and 5 not in got  # <3 tokens drop out
+
+    def test_salted_equals_unsalted(self, spark):
+        from dask_geopandas_spark.operators.textstats import \
+            kn_perplexity
+
+        rows = [(i, ("the " * 20) + f"w{i} x{i % 5} common words go")
+                for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        want = {r["doc_id"]: (r["n_trigrams"], r["avg_logprob"]) for r
+                in kn_perplexity(df, n_salt=1).collect()}
+        got = {r["doc_id"]: (r["n_trigrams"], r["avg_logprob"]) for r
+               in kn_perplexity(df, n_salt=8).collect()}
+        assert got == want and len(got) == 30
+        assert got == {k: v[:2] for k, v in self._brute(rows).items()}
+
+    def test_continuation_counts_devalue_boilerplate(self, spark):
+        """THE Kneser-Ney property: a word that repeats inside one
+        context gets a LOWER unigram continuation weight than under a
+        raw-frequency model — boilerplate 'zqx' repeated in a single
+        context scores below words of equal frequency spread over
+        many contexts.  Structural check: probabilities are finite,
+        negative logs, and higher total likelihood for the document
+        whose trigrams the corpus repeats."""
+        from dask_geopandas_spark.operators.textstats import \
+            kn_perplexity
+
+        rows = [(i, "alpha beta gamma delta") for i in range(9)] \
+            + [(100, "weird zqx zqx zqx zqx ending")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["perplexity"] for r in
+               kn_perplexity(df).collect()}
+        assert got[0] < got[100]  # the repeated doc is more fluent
+        assert all(p > 0 for p in got.values())
+
+    def test_empty_corpus(self, spark):
+        from dask_geopandas_spark.operators.textstats import \
+            kn_perplexity
+
+        df = spark.createDataFrame([], "doc_id long, text string")
+        assert kn_perplexity(df).count() == 0
