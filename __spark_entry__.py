@@ -4061,6 +4061,21 @@ def q_cdx_diff(spark, sf_dir):
     return cdx_diff(old.unionAll(stale), new)
 
 
+def q_bpe_bytes(spark, sf_dir):
+    """Byte-level BPE training (operators/bpe.train_bpe_bytes, new
+    r15 — r14 verdict #5): the GPT-2/tiktoken variant — 256-byte
+    bytes_to_unicode bijection, full-coverage regex pre-split with
+    the leading space attached, NO </w> terminal — feeding the
+    existing merge machinery unchanged.  The oracle rebuilds the
+    byte-word table (regexp_extract_all → hex-pair byte map →
+    chunk cap) and unrolls all 10 merges exactly; counts are
+    integers, no quantization anywhere."""
+    from dask_geopandas_spark.operators.bpe import train_bpe_bytes
+
+    return train_bpe_bytes(_t(spark, sf_dir, "documents"),
+                           num_merges=10)
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer TRAINING (operators/bpe.train_bpe, new r12) —
     the Sennrich et al. 2016 trajectory as DataFrame iterations: one
@@ -5483,6 +5498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_tokens": q_unigram_tokens,
         "scc_hosts": q_scc_hosts,
         "kn_perplexity": q_kn_perplexity,
+        "bpe_bytes": q_bpe_bytes,
         "convex_hull_area": q_convex_hull_area,
         "doc_chunks": q_doc_chunks,
         "doc_line_dedup": q_doc_line_dedup,
@@ -5524,9 +5540,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_utm": q_to_utm,
         "token_stats": q_token_stats,
         "union_all_bounds": q_union_all_bounds,
-        "ann_ivf_exact": q_ann_ivf_exact,
         # ---- below the window: (last-green asc, name) — the
         #   r16 rotation order is the head of this list ----
+        "ann_ivf_exact": q_ann_ivf_exact,
         "ann_ivf_pq": q_ann_ivf_pq,
         "ann_pq": q_ann_pq,
         "ann_topk": q_ann_topk,
@@ -5841,8 +5857,15 @@ def _bpe_ctes(k: int) -> str:
                                       i -> substr(word, CAST(i AS INT),
                                                   1)),
                        '  ') || '  </w> ' AS s, cnt FROM wc)"""]
-    for i in range(1, k + 1):
-        parts.append(f"""
+    parts.extend(_bpe_merge_block(i) for i in range(1, k + 1))
+    return ",".join(parts)
+
+
+def _bpe_merge_block(i: int) -> str:
+    """One unrolled greedy BPE merge step (pair counts → 1-row winner
+    → non-overlapping replace) — shared by the classic (`_bpe_ctes`)
+    and byte-level (`_bpe_bytes_ctes`) training oracles."""
+    return f"""
             px{i} AS MATERIALIZED (SELECT cnt, syms,
                              unnest(range(1, len(syms))) AS j
                       FROM (SELECT cnt, str_split(trim(s), '  ')
@@ -5860,7 +5883,67 @@ def _bpe_ctes(k: int) -> str:
                                 ' ' || COALESCE((SELECT m FROM b{i}),
                                                 chr(1)) || ' ')
                                 AS s,
-                            cnt FROM w{i - 1})""")
+                            cnt FROM w{i - 1})"""
+
+
+def _gpt2_byte_map_sql() -> str:
+    """The GPT-2 ``bytes_to_unicode`` bijection as a 256-element
+    DuckDB list literal (index = byte value + 1) — regenerated here
+    from the published recipe, independently of the engine's
+    `gpt2_byte_map`, so the oracle stays a construction replica."""
+    bs = list(range(ord("!"), ord("~") + 1)) + \
+        list(range(0xA1, 0xAC + 1)) + list(range(0xAE, 0xFF + 1))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    by_byte = [""] * 256
+    for b, c in zip(bs, cs):
+        by_byte[b] = chr(c)
+    return "[" + ",".join(
+        "'" + c.replace("'", "''") + "'" for c in by_byte) + "]"
+
+
+def _bpe_bytes_ctes(k: int, cap: int = 256) -> str:
+    """Unrolled BYTE-LEVEL BPE training chain (operators/bpe.
+    train_bpe_bytes): GPT-2-style pre-split (full byte coverage, the
+    apostrophe-inclusive symbol class), per-byte map through the
+    `bytes_to_unicode` bijection via hex pairs, mega-run chunking at
+    ``cap`` bytes, then the same `_bpe_merge_block` steps over a
+    TERMINAL-FREE w0."""
+    # the pre-split pattern with the SQL quote escaped
+    pat = ("''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+           "| ?[^A-Za-z0-9\\s]+|\\s+")
+    parts = [f"""
+            bmap AS MATERIALIZED (SELECT {_gpt2_byte_map_sql()} AS m),
+            bpieces AS MATERIALIZED (
+                SELECT unnest(regexp_extract_all(text, '{pat}'))
+                    AS piece
+                FROM documents WHERE text IS NOT NULL),
+            bmapped AS MATERIALIZED (
+                SELECT array_to_string(list_transform(
+                    range(1, length(h) // 2 + 1),
+                    j -> m[(('0x' || substr(h, CAST(2 * j - 1 AS INT),
+                                            2))::INT) + 1]), '') AS w
+                FROM (SELECT hex(encode(piece)) AS h FROM bpieces),
+                     bmap),
+            bw AS MATERIALIZED (
+                SELECT unnest(list_transform(
+                    range(0, (length(w) - 1) // {cap} + 1),
+                    i -> substr(w, CAST(i * {cap} + 1 AS INT),
+                                {cap}))) AS word
+                FROM bmapped),
+            wc AS MATERIALIZED (SELECT word, count(*) AS cnt
+                   FROM bw GROUP BY word),
+            w0 AS MATERIALIZED (SELECT ' ' || array_to_string(
+                       list_transform(range(1, length(word) + 1),
+                                      i -> substr(word, CAST(i AS INT),
+                                                  1)),
+                       '  ') || ' ' AS s, cnt FROM wc)"""]
+    parts.extend(_bpe_merge_block(i) for i in range(1, k + 1))
     return ",".join(parts)
 
 
@@ -9157,6 +9240,13 @@ def _oracle_sql_base() -> dict[str, str]:
             f"m AS merged, c AS pair_count, score FROM b{i}"
             for i in range(1, 7)),
         "wordpiece_tokens": _wordpiece_tokens_oracle(6),
+        # bpe_bytes: byte pre-token word table + 10 terminal-free
+        # merge blocks, trajectory exact (integer counts)
+        "bpe_bytes": "WITH " + _bpe_bytes_ctes(10) + "\n" + "\n".join(
+            f"            {'UNION ALL ' if i > 1 else ''}SELECT "
+            f"{i} AS \"rank\", l AS \"left\", r AS \"right\", "
+            f"m AS merged, c AS pair_count FROM b{i}"
+            for i in range(1, 11)),
         "bpe_train": "WITH " + _bpe_ctes(10) + "\n" + "\n".join(
             f"            {'UNION ALL ' if i > 1 else ''}SELECT "
             f"{i} AS \"rank\", l AS \"left\", r AS \"right\", "

@@ -40,18 +40,21 @@ from .textstats import tokens
 END_OF_WORD = "</w>"
 
 
-def sym_string(word: Column) -> Column:
+def sym_string(word: Column,
+               terminal: str | None = END_OF_WORD) -> Column:
     """A word as its initial BPE symbol string: every character plus
     the ``</w>`` terminal, each wrapped in its own spaces —
-    ``'ab' -> ' a  b  </w> '``.  Char split is a ``substr`` per
+    ``'ab' -> ' a  b  </w> '``.  ``terminal=None`` (the byte-level
+    GPT-2 convention — no end-of-word marker, spaces live inside the
+    pre-tokens) emits ``' a  b '``.  Char split is a ``substr`` per
     position inside ``transform`` — O(len²) byte seeks, fine for
     WORDS (this is never applied to document-length strings; the
     `lang_id_model` lesson)."""
     chars = F.transform(
         F.sequence(F.lit(1), F.length(word)),
         lambda i: word.substr(i, F.lit(1)))
-    return F.concat(F.lit(" "), F.array_join(chars, "  "),
-                    F.lit(f"  {END_OF_WORD} "))
+    tail = F.lit(f"  {terminal} ") if terminal else F.lit(" ")
+    return F.concat(F.lit(" "), F.array_join(chars, "  "), tail)
 
 
 def _symbols(s: Column) -> Column:
@@ -65,12 +68,16 @@ MERGE_SCHEMA = ("rank int, left string, right string, merged string, "
 
 
 def _classic_bpe(word_counts: list[tuple[str, int]],
-                 num_merges: int) -> list[tuple]:
+                 num_merges: int,
+                 terminal: str | None = END_OF_WORD) -> list[tuple]:
     """Classic greedy BPE over a (word, count) table in plain Python —
     the driver-side trainer behind ``train_bpe(collect_vocab=True)``.
     Same trajectory as the distributed loop: pair counts are exact
-    integers, ties break on (left, right) ascending."""
-    vocab = [(list(w) + [END_OF_WORD], c) for w, c in word_counts]
+    integers, ties break on (left, right) ascending.
+    ``terminal=None``: the byte-level (GPT-2) convention, no
+    end-of-word symbol."""
+    vocab = [(list(w) + ([terminal] if terminal else []), c)
+             for w, c in word_counts]
     merges = []
     for rank in range(1, int(num_merges) + 1):
         pc: dict = {}
@@ -139,6 +146,15 @@ def train_bpe(df: DataFrame, text_col: str = "text",
             _classic_bpe(counts, num_merges), MERGE_SCHEMA)
     w = (wc.select(sym_string(F.col("word")).alias("s"), "cnt")
          .localCheckpoint())
+    return _distributed_merges(df.sparkSession, w, num_merges)
+
+
+def _distributed_merges(spark, w: DataFrame,
+                        num_merges: int) -> DataFrame:
+    """The distributed greedy merge loop over an initialized
+    (s, cnt) symbol-string frame — shared by the classic (</w>) and
+    byte-level (no terminal) trainers; see `train_bpe` for the
+    per-step shape."""
     bests = []
     for rank in range(1, int(num_merges) + 1):
         syms = _symbols(F.col("s"))
@@ -181,7 +197,7 @@ def train_bpe(df: DataFrame, text_col: str = "text",
                      .otherwise(F.col("s")).alias("s"), "cnt")
              .localCheckpoint())
     if not bests:  # num_merges=0: an empty merge table, not a crash
-        return df.sparkSession.createDataFrame([], MERGE_SCHEMA)
+        return spark.createDataFrame([], MERGE_SCHEMA)
     out = bests[0]
     for b in bests[1:]:
         out = out.unionAll(b)
@@ -191,7 +207,8 @@ def train_bpe(df: DataFrame, text_col: str = "text",
 def bpe_encode_words(words: DataFrame, merges: DataFrame,
                      word_col: str = "word",
                      token_col: str = "bpe_tokens",
-                     chunk_size: int = 128) -> DataFrame:
+                     chunk_size: int = 128,
+                     terminal: str | None = END_OF_WORD) -> DataFrame:
     """Encode a WORD frame (one word per row) with a trained merge
     table of ANY size: adds ``token_col`` (array<string> of subword
     symbols).  The replace chain is applied in chunks of
@@ -209,7 +226,7 @@ def bpe_encode_words(words: DataFrame, merges: DataFrame,
     (:func:`bpe_encode`'s dictionary path does exactly that)."""
     rows = sorted(merges.select("rank", "left", "right", "merged")
                   .collect(), key=lambda r: r["rank"])
-    w = words.withColumn("_s", sym_string(F.col(word_col)))
+    w = words.withColumn("_s", sym_string(F.col(word_col), terminal))
     step = max(1, int(chunk_size))
     for lo in range(0, len(rows), step):
         s = F.col("_s")
@@ -309,6 +326,175 @@ def bpe_token_count(df: DataFrame, merges: DataFrame,
     to :func:`bpe_encode` for real-vocabulary models."""
     enc = bpe_encode(df, merges, text_col=text_col, token_col="_bpe",
                      **encode_opts)
+    return (enc.withColumn(count_col,
+                           F.size(F.col("_bpe")).cast("long"))
+            .drop("_bpe"))
+
+
+# ---------------------------------------------------------------------------
+# Byte-level (GPT-2 / tiktoken-style) pre-tokenization — r15
+# ---------------------------------------------------------------------------
+
+#: GPT-2-style pre-split with the LEADING SPACE attached to each
+#: letter/digit/symbol run (no lookarounds — portable between Java
+#: regex and RE2/DuckDB; the published GPT-2 pattern's trailing
+#: `\s+(?!\S)` branch needs a lookahead, so trailing whitespace runs
+#: here match the plain `\s+` branch instead — a documented, portable
+#: deviation that changes nothing on single-space text).  Unlike
+#: `BPE_ISH_PATTERN`, the symbol class does NOT exclude the
+#: apostrophe: an apostrophe that is not a contraction suffix joins
+#: the symbol run, so EVERY byte of the input is covered (the
+#: byte-level contract — no [UNK], nothing dropped).
+BYTE_PRESPLIT_PATTERN = \
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def gpt2_byte_map() -> list[str]:
+    """The GPT-2 ``bytes_to_unicode`` bijection as a 256-entry list
+    (index = byte value): printable/latin-1 bytes map to themselves,
+    the rest to codepoints 256+n in discovery order — every byte gets
+    a VISIBLE single character, so byte-level symbol strings survive
+    the space-separated merge machinery unchanged (no raw control
+    bytes or spaces inside symbols).  Published recipe (GPT-2
+    encoder.py / tiktoken)."""
+    bs = list(range(ord("!"), ord("~") + 1)) + \
+        list(range(0xA1, 0xAC + 1)) + list(range(0xAE, 0xFF + 1))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    out = [""] * 256
+    for b, c in zip(bs, cs):
+        out[b] = chr(c)
+    return out
+
+
+def byte_pretokens(text: Column,
+                   max_piece_len: int = 256) -> Column:
+    """GPT-2-style byte-level pre-tokens of a text column:
+    ``array<string>`` where each element is one regex pre-split piece
+    (leading space attached) with its UTF-8 bytes mapped through the
+    `gpt2_byte_map` bijection — the exact "words" a byte-level BPE
+    trains on and encodes over.  Every byte of the input is covered
+    (byte-level never needs [UNK]).
+
+    Pieces longer than ``max_piece_len`` BYTES split into fixed-size
+    chunks — the mega-run cap (a no-separator megabyte line would
+    otherwise drive the O(len²) `sym_string` scan; the
+    unigram/wordpiece `max_dp_len` convention, except splitting
+    preserves full coverage where [UNK] would lose it).
+
+    Pure codegen, zero Python: regexp_extract_all → hex(encode(.)) →
+    per-byte array lookup against the 256-literal map → chunk.  The
+    identical expression exists in DuckDB (hex / ('0x'||..)::INT /
+    list literal), so oracles replay it verbatim."""
+    m = gpt2_byte_map()
+    amap = F.array(*[F.lit(c) for c in m])
+    cap = int(max_piece_len)
+
+    def _map_piece(p):
+        h = F.hex(F.encode(p, "UTF-8"))
+        mapped = F.array_join(F.transform(
+            F.sequence(F.lit(1), (F.length(h) / 2).cast("int")),
+            lambda j: F.element_at(
+                amap,
+                (F.conv(h.substr(j * 2 - 1, F.lit(2)), 16, 10)
+                 .cast("int") + 1))), "")
+        return F.transform(
+            F.sequence(F.lit(0),
+                       F.floor((F.length(mapped) - 1) / cap)
+                       .cast("int")),
+            lambda i: mapped.substr(i * cap + 1, F.lit(cap)))
+
+    pieces = F.regexp_extract_all(text, F.lit(BYTE_PRESPLIT_PATTERN),
+                                  F.lit(0))
+    return F.flatten(F.transform(pieces, _map_piece))
+
+
+def train_bpe_bytes(df: DataFrame, text_col: str = "text",
+                    num_merges: int = 16,
+                    collect_vocab: bool = False,
+                    max_piece_len: int = 256) -> DataFrame:
+    """Byte-level BPE training — the GPT-2/tiktoken variant modern
+    LLMs actually ship, completing the tokenizer family: "words" are
+    `byte_pretokens` pieces (leading space inside the token, every
+    byte representable), there is NO ``</w>`` terminal, and the merge
+    loop is `train_bpe`'s machinery unchanged (one corpus pass for
+    the word-count table; each merge one vocabulary-sized
+    aggregation — or the collected `_classic_bpe` trajectory for
+    real vocab sizes).  Same merge table schema; ties break on
+    (left, right) ascending so the oracle replays the trajectory."""
+    wc = (df.select(F.explode(
+              byte_pretokens(F.col(text_col), max_piece_len))
+              .alias("word"))
+          .groupBy("word").agg(F.count("*").alias("cnt")))
+    if collect_vocab:
+        counts = [(r["word"], r["cnt"]) for r in wc.collect()]
+        return df.sparkSession.createDataFrame(
+            _classic_bpe(counts, num_merges, terminal=None),
+            MERGE_SCHEMA)
+    w = (wc.select(sym_string(F.col("word"), None).alias("s"), "cnt")
+         .localCheckpoint())
+    return _distributed_merges(df.sparkSession, w, num_merges)
+
+
+def bpe_encode_bytes(df: DataFrame, merges: DataFrame,
+                     text_col: str = "text",
+                     token_col: str = "bpe_tokens",
+                     chunk_size: int = 128,
+                     broadcast_vocab: bool = False,
+                     max_piece_len: int = 256) -> DataFrame:
+    """Byte-level BPE encoding: adds ``token_col`` (array<string> of
+    byte-mapped subword tokens; NULL texts to an empty array).
+    Dictionary path throughout (`bpe_encode`'s plan): distinct
+    byte-pre-tokens encode once through the terminal-free replace
+    chain, token arrays reassemble per text in piece order and join
+    back on md5(text) — duplicate texts encode once, corpus cost is
+    two text-keyed shuffles + one word-keyed join."""
+    rows = [(r["rank"], r["left"], r["right"], r["merged"], 0)
+            for r in sorted(
+                merges.select("rank", "left", "right",
+                              "merged").collect(),
+                key=lambda r: r["rank"])]
+    mtab = df.sparkSession.createDataFrame(rows, MERGE_SCHEMA)
+    texts = (df.select(F.col(text_col).alias("_t"))
+             .filter(F.col("_t").isNotNull()).distinct()
+             .select(F.md5(F.col("_t")).alias("_h"),
+                     byte_pretokens(F.col("_t"), max_piece_len)
+                     .alias("_ws")))
+    vocab = bpe_encode_words(
+        texts.select(F.explode("_ws").alias("word")).distinct(),
+        mtab, word_col="word", token_col="_wt",
+        chunk_size=chunk_size, terminal=None)
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    per_text = (texts.select("_h", F.posexplode("_ws")
+                             .alias("_pos", "word"))
+                .join(vocab, "word")
+                .groupBy("_h")
+                .agg(F.flatten(F.array_sort(F.collect_list(
+                    F.struct("_pos", "_wt"))).getField("_wt"))
+                    .alias("_tt")))
+    out = (df.join(per_text,
+                   F.md5(F.col(text_col)) == per_text["_h"], "left")
+           .drop("_h"))
+    return out.withColumn(
+        token_col, F.coalesce(F.col("_tt"),
+                              F.array().cast("array<string>"))) \
+        .drop("_tt")
+
+
+def bpe_byte_token_count(df: DataFrame, merges: DataFrame,
+                         text_col: str = "text",
+                         count_col: str = "n_bpe_tokens",
+                         **encode_opts) -> DataFrame:
+    """Per-document byte-level BPE token counts
+    (`bpe_token_count`'s byte-level counterpart)."""
+    enc = bpe_encode_bytes(df, merges, text_col=text_col,
+                           token_col="_bpe", **encode_opts)
     return (enc.withColumn(count_col,
                            F.size(F.col("_bpe")).cast("long"))
             .drop("_bpe"))

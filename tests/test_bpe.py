@@ -9,6 +9,7 @@ import re
 from collections import Counter
 
 import pytest
+from pyspark.sql import functions as F
 
 
 def _words(texts):
@@ -314,3 +315,166 @@ class TestDictionaryEncode:
 
         small, large = plan_len(128), plan_len(512)
         assert large < 1.2 * small
+
+
+class TestByteLevelBpe:
+    """Byte-level (GPT-2-style) BPE (r15 — r14 verdict #5): the
+    256-byte-to-unicode bijection, full-coverage pre-split, and
+    train/encode equality with a plain-Python GPT-2-style replica on
+    mixed ASCII / UTF-8 / emoji text."""
+
+    # independent replica of the published bytes_to_unicode recipe
+    @staticmethod
+    def _byte_map():
+        bs = list(range(ord("!"), ord("~") + 1)) + \
+            list(range(0xA1, 0xAC + 1)) + list(range(0xAE, 0xFF + 1))
+        cs = bs[:]
+        n = 0
+        for b in range(256):
+            if b not in bs:
+                bs.append(b)
+                cs.append(256 + n)
+                n += 1
+        return {b: chr(c) for b, c in zip(bs, cs)}
+
+    @classmethod
+    def _pretokens(cls, text, cap=256):
+        import re
+
+        from dask_geopandas_spark.operators.bpe import \
+            BYTE_PRESPLIT_PATTERN
+
+        m = cls._byte_map()
+        out = []
+        # re.ASCII: \s matches ASCII whitespace only, like Java/RE2
+        for piece in re.findall(BYTE_PRESPLIT_PATTERN, text,
+                                re.ASCII):
+            w = "".join(m[b] for b in piece.encode("utf-8"))
+            out.extend(w[i:i + cap] for i in range(0, len(w), cap))
+        return out
+
+    @classmethod
+    def _brute_train(cls, texts, num_merges):
+        from dask_geopandas_spark.operators.bpe import _classic_bpe
+
+        wc = {}
+        for t in texts:
+            if t is None:
+                continue
+            for w in cls._pretokens(t):
+                wc[w] = wc.get(w, 0) + 1
+        return _classic_bpe(sorted(wc.items()), num_merges,
+                            terminal=None)
+
+    @classmethod
+    def _brute_encode(cls, text, merges, cap=256):
+        toks = []
+        for w in cls._pretokens(text, cap):
+            syms = list(w)
+            for _, left, right, merged, _c in merges:
+                out, i = [], 0
+                while i < len(syms):
+                    if (i < len(syms) - 1 and syms[i] == left
+                            and syms[i + 1] == right):
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            toks.extend(syms)
+        return toks
+
+    TEXTS = [(1, "Hello world, hello World!"),
+             (2, "don't stop — it's 42°C außen 🦆🦆"),
+             (3, "l' isolated ' apostrophe"),
+             (4, "  spaces   and\ttabs\nnewlines  "),
+             (5, None),
+             (6, "hello hello hello world world don't")]
+
+    def test_byte_map_bijective(self):
+        from dask_geopandas_spark.operators.bpe import gpt2_byte_map
+
+        m = gpt2_byte_map()
+        assert len(m) == 256
+        assert all(len(c) == 1 for c in m)
+        assert len(set(m)) == 256  # injective
+        want = self._byte_map()
+        assert m == [want[b] for b in range(256)]
+        # the published fixed points: '!' and 'A' map to themselves,
+        # space and control bytes move to 256+n
+        assert m[ord("!")] == "!" and m[ord("A")] == "A"
+        assert ord(m[0x20]) >= 256 and ord(m[0x00]) >= 256
+
+    def test_pretokens_cover_every_byte(self, spark):
+        from dask_geopandas_spark.operators.bpe import byte_pretokens
+
+        rows = [(i, t) for i, t in self.TEXTS if t is not None]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["p"] for r in df.select(
+            "doc_id", byte_pretokens(F.col("text")).alias("p"))
+            .collect()}
+        inv = {c: b for b, c in self._byte_map().items()}
+        for i, t in rows:
+            assert got[i] == self._pretokens(t), i
+            # lossless: concatenated mapped bytes invert to the text
+            raw = bytes(inv[c] for w in got[i] for c in w)
+            assert raw.decode("utf-8") == t, i
+
+    def test_train_matches_replica(self, spark):
+        from dask_geopandas_spark.operators.bpe import train_bpe_bytes
+
+        df = spark.createDataFrame(self.TEXTS,
+                                   "doc_id long, text string")
+        want = self._brute_train([t for _, t in self.TEXTS], 8)
+        got = [(r["rank"], r["left"], r["right"], r["merged"],
+                r["pair_count"]) for r in
+               train_bpe_bytes(df, num_merges=8)
+               .orderBy("rank").collect()]
+        assert got == want
+        coll = [(r["rank"], r["left"], r["right"], r["merged"],
+                 r["pair_count"]) for r in
+                train_bpe_bytes(df, num_merges=8, collect_vocab=True)
+                .orderBy("rank").collect()]
+        assert coll == want
+
+    def test_encode_matches_replica(self, spark):
+        from dask_geopandas_spark.operators.bpe import (
+            bpe_byte_token_count, bpe_encode_bytes, train_bpe_bytes)
+
+        df = spark.createDataFrame(self.TEXTS,
+                                   "doc_id long, text string")
+        merges = train_bpe_bytes(df, num_merges=8)
+        mrows = self._brute_train([t for _, t in self.TEXTS], 8)
+        got = {r["doc_id"]: r["bpe_tokens"] for r in
+               bpe_encode_bytes(df, merges).collect()}
+        for i, t in self.TEXTS:
+            want = [] if t is None else self._brute_encode(t, mrows)
+            assert got[i] == want, i
+        counts = {r["doc_id"]: r["n_bpe_tokens"] for r in
+                  bpe_byte_token_count(df, merges).collect()}
+        assert counts == {i: len(v) for i, v in got.items()}
+
+    def test_mega_run_chunk_cap(self, spark):
+        from dask_geopandas_spark.operators.bpe import byte_pretokens
+
+        text = "x" * 700  # one letter run, 700 bytes
+        df = spark.createDataFrame([(1, text)],
+                                   "doc_id long, text string")
+        got = df.select(byte_pretokens(F.col("text"), 256)
+                        .alias("p")).head()["p"]
+        assert [len(w) for w in got] == [256, 256, 188]
+        assert got == self._pretokens(text)
+
+    def test_classic_trainer_unchanged(self, spark):
+        """The terminal refactor must not move the classic </w>
+        trajectory by a hair."""
+        from dask_geopandas_spark.operators.bpe import train_bpe
+
+        df = spark.createDataFrame(
+            [(1, "low lower lowest low low")],
+            "doc_id long, text string")
+        got = [(r["rank"], r["left"], r["right"]) for r in
+               train_bpe(df, num_merges=3).orderBy("rank").collect()]
+        assert got == [(1, "l", "o"), (2, "lo", "w"),
+                       (3, "low", "</w>")]
