@@ -202,7 +202,7 @@ PY_WRITE_WARMUP = {
 # all adjudicated to noise by hand — this automates that adjudication
 # (r13 verdict "what's wrong" #1).
 ADJUDICATE_THRESHOLD = float(
-    os.environ.get("SPARK_GRAFT_ADJ_THRESHOLD", "2.0"))
+    os.environ.get("SPARK_GRAFT_ADJ_THRESHOLD", "1.6"))
 ADJUDICATE_REPEATS = int(os.environ.get("SPARK_GRAFT_ADJ_REPEATS", "3"))
 
 
