@@ -1230,10 +1230,15 @@ def kn_perplexity(df, text_col: str = "text", id_col: str = "doc_id",
            .select(F.col(id_col),
                    F.explode(shingles_of_tokens(F.col("_t"), 3))
                    .alias("gram")))
+    # localCheckpoint: FIVE downstream aggregations/joins derive from
+    # the trigram type table — materializing it keeps the corpus
+    # tokenize+count pass at ONE (plus the scoring pass), instead of
+    # re-deriving the corpus scan per consumer
     t3 = (tri.groupBy("gram").agg(F.count("*").alias("c3"))
           .withColumn("w1", F.split("gram", " ").getItem(0))
           .withColumn("w2", F.split("gram", " ").getItem(1))
-          .withColumn("w3", F.split("gram", " ").getItem(2)))
+          .withColumn("w3", F.split("gram", " ").getItem(2))
+          .localCheckpoint())
     # trigram-context table: c2 = Σ c3, N1+(w1w2·) = type rows
     ctx2 = t3.groupBy("w1", "w2").agg(
         F.sum("c3").alias("c2"), F.count("*").alias("n1fw"))
