@@ -3357,8 +3357,9 @@ def q_ktruss_hosts(spark, sf_dir):
     2008) — the EDGE-density decomposition next to kcore_hosts' node
     one: surviving edges of the 3-truss (every edge in >= 1
     triangle within the subgraph, support >= k-2 = 1) of the
-    20-host graph, 3 peeling rounds.  Each round recounts support via the degree-ordered
-    wedge pipeline and drops all under-supported edges
+    20-host graph, 3 peeling rounds.  Each round recounts support
+    via the degree-ordered wedge pipeline and drops all
+    under-supported edges
     simultaneously; peeling is idempotent at the fixed point, so the
     oracle's unconditional 4-support-block unroll returns the
     identical frame whether Spark broke early or not (the
