@@ -1288,6 +1288,65 @@ def kn_perplexity(df, text_col: str = "text", id_col: str = "doc_id",
                         F.round(F.exp(-F.col("avg_logprob")), 6)))
 
 
+def ccnet_buckets(df, text_col: str = "text", id_col: str = "doc_id",
+                  lang_col: str = "lang",
+                  cuts: tuple = ((1, 3), (2, 3)),
+                  discount: float = 0.75, n_salt: int = 8):
+    """CCNet's head/middle/tail quality split (Wenzek et al. 2020):
+    rank documents by LM perplexity WITHIN EACH LANGUAGE and cut at
+    fractional ranks — the published crawl-curation stage that feeds
+    "head" (cleanest third) into pretraining mixes.  Perplexity comes
+    from the corpus-self-trained `kn_perplexity` (CCNet uses a
+    Wikipedia-trained KenLM; self-training keeps the operator
+    dependency-free — swap the scored frame in via composition when
+    an external LM exists).
+
+    Bucket math is INTEGER-exact (engine-portable by construction):
+    with per-(lang, perplexity) counts, a document's strict rank is
+    the cumulative count of smaller perplexities; the bucket test
+    ``rank / (n-1) < a/b`` evaluates as ``rank * b < a * (n-1)`` —
+    no float division anywhere.  Ties share a rank and therefore a
+    bucket; a single-document language is ``head``; documents under
+    three tokens have no perplexity and drop out (the
+    `kn_perplexity` contract).
+
+    Distributed shape (100 TB): the rank window runs over the
+    (lang, perplexity) COUNT table — a hub language contributes its
+    |distinct perplexity values| to one window partition, never its
+    document count (the `core_numbers` histogram convention) — and
+    buckets join back on (lang, perplexity).  Returns
+    (id, lang, perplexity, bucket)."""
+    from pyspark.sql import Window
+
+    (a1, b1), (a2, b2) = (tuple(map(int, cuts[0])),
+                          tuple(map(int, cuts[1])))
+    scored = (kn_perplexity(df.select(F.col(id_col),
+                                      F.col(text_col)),
+                            text_col=text_col, id_col=id_col,
+                            discount=discount, n_salt=n_salt)
+              .select(id_col, "perplexity")
+              .join(df.select(F.col(id_col),
+                              F.col(lang_col).alias("lang")), id_col))
+    cnt = (scored.groupBy("lang", "perplexity")
+           .agg(F.count("*").alias("_c")))
+    w = (Window.partitionBy("lang").orderBy(F.asc("perplexity"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wn = Window.partitionBy("lang")
+    ranked = (cnt.withColumn("_cum", F.sum("_c").over(w))
+              .withColumn("_n", F.sum("_c").over(wn))
+              .withColumn("_rank", F.col("_cum") - F.col("_c")))
+    bucket = (F.when(F.col("_n") <= 1, F.lit("head"))
+              .when(F.col("_rank") * b1 < a1 * (F.col("_n") - 1),
+                    F.lit("head"))
+              .when(F.col("_rank") * b2 < a2 * (F.col("_n") - 1),
+                    F.lit("middle"))
+              .otherwise(F.lit("tail")))
+    btab = ranked.select("lang", "perplexity",
+                         bucket.alias("bucket"))
+    return scored.join(btab, ["lang", "perplexity"]) \
+        .select(id_col, "lang", "perplexity", "bucket")
+
+
 def bm25_batch_topk(df, queries, k: int = 10, k1: float = 1.2,
                     b: float = 0.75, text_col: str = "text",
                     id_col: str = "doc_id", query_id_col: str = "query_id",

@@ -4950,3 +4950,74 @@ class TestKnPerplexity:
 
         df = spark.createDataFrame([], "doc_id long, text string")
         assert kn_perplexity(df).count() == 0
+
+
+class TestCcnetBuckets:
+    """ccnet_buckets (r15): CCNet head/middle/tail perplexity split —
+    integer-exact rank arithmetic vs a brute replica over
+    kn_perplexity's scores."""
+
+    @staticmethod
+    def _brute(scored, cuts=((1, 3), (2, 3))):
+        """scored: {id: (lang, perplexity)} → {id: bucket}."""
+        (a1, b1), (a2, b2) = cuts
+        by_lang = {}
+        for i, (lang, p) in scored.items():
+            by_lang.setdefault(lang, []).append((p, i))
+        out = {}
+        for lang, rows in by_lang.items():
+            n = len(rows)
+            for p, i in rows:
+                rank = sum(1 for q, _ in rows if q < p)
+                if n <= 1 or rank * b1 < a1 * (n - 1):
+                    out[i] = "head"
+                elif rank * b2 < a2 * (n - 1):
+                    out[i] = "middle"
+                else:
+                    out[i] = "tail"
+        return out
+
+    def test_matches_brute_and_partitions_by_lang(self, spark):
+        from dask_geopandas_spark.operators.textstats import (
+            ccnet_buckets, kn_perplexity)
+
+        rows = []
+        for i in range(12):
+            rows.append((i, "en",
+                         f"the cat w{i} sat on the mat " * (i + 1)))
+        for i in range(12, 17):
+            rows.append((i, "de",
+                         f"der hund w{i} lief im park " * (i - 10)))
+        rows.append((17, "fr", "seul document assez long ici oui"))
+        rows.append((18, "en", "xy"))     # <3 tokens: drops out
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, lang string, "
+                                   "text string")
+        got = {r["doc_id"]: r["bucket"] for r in
+               ccnet_buckets(df).collect()}
+        pp = {r["doc_id"]: r["perplexity"] for r in
+              kn_perplexity(df.select("doc_id", "text")).collect()}
+        langs = {i: lg for i, lg, _ in rows}
+        want = self._brute({i: (langs[i], p) for i, p in pp.items()})
+        assert got == want
+        assert 18 not in got            # token-less drops out
+        assert got[17] == "head"        # singleton language
+        # terciles: 12 en docs -> 4/4/4 per bucket unless ties merge
+        en = [got[i] for i in range(12)]
+        assert sorted(set(en)) == ["head", "middle", "tail"]
+
+    def test_tie_documents_share_bucket(self, spark):
+        from dask_geopandas_spark.operators.textstats import \
+            ccnet_buckets
+
+        # identical texts -> identical perplexity -> one bucket
+        rows = [(i, "en", "same text for everyone here now")
+                for i in range(6)]
+        rows += [(10, "en", "a rather different text w10 q10 z10 "
+                            "with unusual words")]
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, lang string, "
+                                   "text string")
+        got = {r["doc_id"]: r["bucket"] for r in
+               ccnet_buckets(df).collect()}
+        assert len({got[i] for i in range(6)}) == 1
