@@ -4951,6 +4951,21 @@ class TestKnPerplexity:
         df = spark.createDataFrame([], "doc_id long, text string")
         assert kn_perplexity(df).count() == 0
 
+    def test_plan_pins(self, spark):
+        """No Python stages anywhere (the whole model is codegen
+        aggregation arithmetic) and the corpus scoring join carries
+        the salt in its shuffle key — not an AQE hope."""
+        from dask_geopandas_spark.operators.textstats import \
+            kn_perplexity
+
+        df = spark.createDataFrame(
+            [(0, "apple pie is nice"), (1, "banana apple pie")],
+            "doc_id long, text string")
+        plan = kn_perplexity(df, n_salt=8)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "EvalPython" not in plan and "InPandas" not in plan
+        assert "_ts" in plan
+
 
 class TestCcnetBuckets:
     """ccnet_buckets (r15): CCNet head/middle/tail perplexity split —
