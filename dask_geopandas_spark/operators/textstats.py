@@ -1320,13 +1320,17 @@ def ccnet_buckets(df, text_col: str = "text", id_col: str = "doc_id",
 
     (a1, b1), (a2, b2) = (tuple(map(int, cuts[0])),
                           tuple(map(int, cuts[1])))
+    # localCheckpoint: the scored frame feeds BOTH the rank count
+    # table and the final bucket join — materializing it runs the KN
+    # model + scoring pipeline once instead of twice
     scored = (kn_perplexity(df.select(F.col(id_col),
                                       F.col(text_col)),
                             text_col=text_col, id_col=id_col,
                             discount=discount, n_salt=n_salt)
               .select(id_col, "perplexity")
               .join(df.select(F.col(id_col),
-                              F.col(lang_col).alias("lang")), id_col))
+                              F.col(lang_col).alias("lang")), id_col)
+              .localCheckpoint())
     cnt = (scored.groupBy("lang", "perplexity")
            .agg(F.count("*").alias("_c")))
     w = (Window.partitionBy("lang").orderBy(F.asc("perplexity"))
