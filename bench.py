@@ -177,6 +177,10 @@ BENCH_QUERIES = [
     "graph_summary",
     "link_prediction",
     "ktruss_hosts",
+    # round-15 additions
+    "scc_hosts",
+    "kn_perplexity",
+    "bpe_bytes",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE
