@@ -1288,6 +1288,61 @@ def kn_perplexity(df, text_col: str = "text", id_col: str = "doc_id",
                         F.round(F.exp(-F.col("avg_logprob")), 6)))
 
 
+def c4_clean(df, text_col: str = "text", id_col: str = "doc_id",
+             min_words: int = 5, min_lines: int = 3,
+             clean_col: str = "text_clean"):
+    """The C4 line-level cleaning stage (Raffel et al. 2020, §2.2 —
+    the published rules behind the Colossal Clean Crawled Corpus),
+    SURGICAL like `span_removal`: lines survive only if they end in a
+    terminal punctuation mark (period / exclamation / question mark /
+    end quotation), carry at least ``min_words`` words, and do not
+    mention "javascript"; the page-level ``keep`` flag additionally
+    requires no "lorem ipsum", no curly brace (the code heuristic),
+    and at least ``min_lines`` surviving lines (the paper's
+    three-sentence floor, applied at line granularity).  Compose with
+    `badword_hits` for the paper's blocklist rule — already a
+    separate operator.
+
+    Returns (id, clean_col, n_lines_kept, n_lines_dropped, keep).
+
+    One pure-codegen projection over the corpus scan — lines are
+    let-bound so the split happens once per row; no shuffle, no
+    Python, trivially 100-TB (the `repetition_signals` shape)."""
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+
+    def _keep_line(li):
+        toks = F.filter(F.split(F.trim(li), r"\s+"),
+                        lambda x: x != F.lit(""))
+        # \z, not $: Java's $ matches before a trailing newline
+        # (the byte-BPE fast-path lesson)
+        return (F.rtrim(li).rlike('[.!?"”]\\z')
+                & (F.size(toks) >= int(min_words))
+                & ~F.lower(li).contains("javascript"))
+
+    def _build(ls):
+        kept = F.filter(ls, _keep_line)
+        n_kept = F.size(kept)
+        page_ok = (~F.lower(text).contains("lorem ipsum")
+                   & ~text.contains("{")
+                   & (n_kept >= int(min_lines)))
+        return F.struct(
+            F.array_join(kept, "\n").alias("_clean"),
+            n_kept.cast("long").alias("_nk"),
+            (F.size(ls) - n_kept).cast("long").alias("_nd"),
+            page_ok.alias("_keep"))
+
+    out = df.select(F.col(id_col),
+                    let(F.when(text.isNotNull(), lines)
+                        .otherwise(F.array().cast("array<string>")),
+                        _build).alias("_c4"))
+    return out.select(id_col,
+                      F.col("_c4._clean").alias(clean_col),
+                      F.col("_c4._nk").alias("n_lines_kept"),
+                      F.col("_c4._nd").alias("n_lines_dropped"),
+                      F.col("_c4._keep").alias("keep"))
+
+
 def ccnet_buckets(df, text_col: str = "text", id_col: str = "doc_id",
                   lang_col: str = "lang",
                   cuts: tuple = ((1, 3), (2, 3)),

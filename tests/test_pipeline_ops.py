@@ -5036,3 +5036,89 @@ class TestCcnetBuckets:
         got = {r["doc_id"]: r["bucket"] for r in
                ccnet_buckets(df).collect()}
         assert len({got[i] for i in range(6)}) == 1
+
+
+class TestC4Clean:
+    """c4_clean (r15): the published C4 line-cleaning rules vs a
+    brute replica — terminal punctuation, min words, javascript
+    lines, lorem-ipsum / curly-brace / min-lines page gates."""
+
+    @staticmethod
+    def _brute(text, min_words=5, min_lines=3):
+        import re
+        if text is None:
+            return ("", 0, 0, False)
+        lines = text.split("\n")
+        kept = [ln for ln in lines
+                if re.search(r'[.!?"”]\Z', ln.rstrip())
+                and len([w for w in re.split(r"\s+", ln.strip())
+                         if w]) >= min_words
+                and "javascript" not in ln.lower()]
+        keep = ("lorem ipsum" not in text.lower()
+                and "{" not in text
+                and len(kept) >= min_lines)
+        return ("\n".join(kept), len(kept),
+                len(lines) - len(kept), keep)
+
+    DOCS = [
+        (1, "This is a perfectly fine sentence with many words.\n"
+            "short line.\n"
+            "No terminal punctuation here at all you see\n"
+            "Enable JavaScript to view this page today okay.\n"
+            "Another good long sentence that survives the filter!\n"
+            'A quoted ending with enough words inside it, "indeed."\n'
+            "Does this question have enough words in it?"),
+        (2, "Good sentence number one with plenty of words here.\n"
+            "Good sentence number two with plenty of words here.\n"
+            "function() { return 1; } is code.\n"
+            "Good sentence number three with plenty of words here."),
+        (3, "Only one good line with enough words ends properly.\n"
+            "too few.\nnope\nnada."),
+        (4, "Lorem ipsum dolor sit amet consectetur adipiscing elit.\n"
+            "Second real sentence with enough words to survive here.\n"
+            "Third real sentence with enough words to survive here."),
+        (5, None),
+    ]
+
+    def test_matches_brute(self, spark):
+        from dask_geopandas_spark.operators.textstats import c4_clean
+
+        df = spark.createDataFrame(self.DOCS,
+                                   "doc_id long, text string")
+        got = {r["doc_id"]: (r["text_clean"], r["n_lines_kept"],
+                             r["n_lines_dropped"], r["keep"])
+               for r in c4_clean(df).collect()}
+        for i, t in self.DOCS:
+            assert got[i] == self._brute(t), i
+        # doc 1: 4 surviving lines, page kept
+        assert got[1][1] == 4 and got[1][3] is True
+        # doc 2: curly brace kills the PAGE; the code line itself
+        # survives line-level (ends in '.', 7 words) — the paper's
+        # brace rule is page-granular, which is why the page gate
+        # exists
+        assert got[2][3] is False and got[2][1] == 4
+        # doc 3: under min_lines
+        assert got[3][3] is False
+        # doc 4: lorem ipsum kills the page
+        assert got[4][3] is False
+        # doc 5: NULL text -> empty, not kept
+        assert got[5] == ("", 0, 0, False)
+
+    def test_thresholds(self, spark):
+        from dask_geopandas_spark.operators.textstats import c4_clean
+
+        df = spark.createDataFrame(self.DOCS[:1],
+                                   "doc_id long, text string")
+        relaxed = c4_clean(df, min_words=2, min_lines=1).head()
+        assert relaxed["n_lines_kept"] == 5  # 'short line.' now in
+        assert relaxed["keep"] is True
+
+    def test_pure_projection_plan(self, spark):
+        from dask_geopandas_spark.operators.textstats import c4_clean
+
+        df = spark.createDataFrame(self.DOCS[:2],
+                                   "doc_id long, text string")
+        plan = c4_clean(df)._jdf.queryExecution().executedPlan() \
+            .toString()
+        assert "Exchange" not in plan          # no shuffle
+        assert "EvalPython" not in plan and "InPandas" not in plan
