@@ -1096,3 +1096,95 @@ def bowtie_summary(edges: DataFrame, src_col: str = "src",
     return (flags.select(region.alias("region"))
             .groupBy("region")
             .agg(F.count("*").cast("long").alias("n_nodes")))
+
+
+def random_walks(edges: DataFrame, src_col: str = "src",
+                 dst_col: str = "dst", walk_len: int = 4,
+                 walks_per_node: int = 2, seed: int = 0,
+                 independent: bool = False) -> DataFrame:
+    """Deterministic pseudorandom walks over a directed edge list —
+    the corpus-generation stage of DeepWalk/node2vec-style graph
+    embeddings (Perozzi et al. 2014): every node starts
+    ``walks_per_node`` walks of up to ``walk_len`` steps; a walk
+    that reaches a sink terminates early.  Returns
+    (start, copy, path array<node>) with ``path[0] = start``.
+    "Random" choices come from the module's portable 60-bit md5
+    hash, so the walks are a pure function of (graph, seed) and an
+    engine replica reproduces them exactly (argmin via a total-order
+    (hash, dst) struct min — even a hash collision breaks ties
+    deterministically on the smaller destination).
+
+    Two transition modes — the 100-TB design choice:
+
+    - default (``independent=False``, hub-safe): the step-``t``
+      transition of copy ``c`` at node ``v`` is
+      ``argmin over out(v) of hash(seed,c,t,v,dst)`` — a TRANSITION
+      TABLE computed as one map-side-combined min-aggregation over
+      the EDGE frame per step, then one node-keyed equi-join.  A
+      10M-degree hub costs one partial-agg pass, never a per-walk
+      scan.  Walks sharing (copy, step, node) then share their next
+      hop — the documented bias of table-driven walks (suffixes
+      merge); ``walks_per_node`` copies restore diversity.
+    - ``independent=True`` (exact per-walk choices): the hash salts
+      on the walk's OWN identity (start, copy), so co-located walks
+      diverge like true independent walks; cost is a per-step join
+      that fans each walk out by deg(cur) before its min-combine —
+      Σ deg along the walk, the price every exact sampler pays
+      without per-node alias tables.  Use for modest graphs or
+      analysis; the default for web-scale corpus generation.
+
+    Per step: one aggregation + one join; the walk frame is
+    (nodes × walks_per_node)-sized and localCheckpoint-materialized
+    (the `pagerank` superstep convention)."""
+    from .dedup import portable_hash
+
+    e = _simple_directed(edges, src_col, dst_col).cache()
+    nodes = (e.select(F.col("_a").alias("node"))
+             .unionAll(e.select(F.col("_b").alias("node")))
+             .distinct())
+    copies = F.explode(
+        F.sequence(F.lit(0), F.lit(int(walks_per_node) - 1)))
+    walks = (nodes.select(F.col("node").alias("start"),
+                          copies.alias("copy"))
+             .select("start", "copy",
+                     F.array("start").alias("path"),
+                     F.col("start").alias("_cur"),
+                     F.lit(True).alias("_alive"))
+             .localCheckpoint())
+    for t in range(1, int(walk_len) + 1):
+        if independent:
+            key = F.concat_ws(":", F.lit(int(seed)), F.col("start"),
+                              F.col("copy"), F.lit(t), F.col("_b"))
+            step = (walks.filter("_alive")
+                    .join(e, walks["_cur"] == e["_a"])
+                    .withColumn("_h", portable_hash(key))
+                    .groupBy("start", "copy")
+                    .agg(F.min(F.struct("_h", "_b"))["_b"]
+                         .alias("_next")))
+            nxt = walks.join(step, ["start", "copy"], "left")
+        else:
+            trans = (e.select(
+                "_a", "_b",
+                F.explode(F.sequence(
+                    F.lit(0), F.lit(int(walks_per_node) - 1)))
+                .alias("copy"))
+                .withColumn("_h", portable_hash(F.concat_ws(
+                    ":", F.lit(int(seed)), F.col("copy"), F.lit(t),
+                    F.col("_a"), F.col("_b"))))
+                .groupBy("_a", "copy")
+                .agg(F.min(F.struct("_h", "_b"))["_b"]
+                     .alias("_next")))
+            nxt = walks.join(
+                trans, (walks["_cur"] == trans["_a"])
+                & (walks["copy"] == trans["copy"]), "left") \
+                .drop(trans["copy"]).drop("_a")
+        walks = (nxt.select(
+            "start", "copy",
+            F.when(F.col("_alive") & F.col("_next").isNotNull(),
+                   F.concat("path", F.array("_next")))
+            .otherwise(F.col("path")).alias("path"),
+            F.coalesce("_next", "_cur").alias("_cur"),
+            (F.col("_alive") & F.col("_next").isNotNull())
+            .alias("_alive"))
+            .localCheckpoint())
+    return walks.select("start", "copy", "path")

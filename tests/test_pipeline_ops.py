@@ -5122,3 +5122,86 @@ class TestC4Clean:
             .toString()
         assert "Exchange" not in plan          # no shuffle
         assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+class TestRandomWalks:
+    """random_walks (r15): deterministic DeepWalk-style walks vs a
+    brute replica of the portable-hash transition rule, both modes."""
+
+    EDGES = [(1, 2), (1, 3), (2, 3), (3, 1), (2, 4), (5, 1)]
+
+    @staticmethod
+    def _hash(s):
+        import hashlib
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    @classmethod
+    def _brute(cls, edges, walk_len, wpn, seed, independent):
+        adj = {}
+        nodes = set()
+        for s, t in edges:
+            if s != t:
+                adj.setdefault(s, set()).add(t)
+            nodes.update((s, t))
+        out = {}
+        for start in nodes:
+            for copy in range(wpn):
+                path, cur = [start], start
+                for t in range(1, walk_len + 1):
+                    nbrs = adj.get(cur)
+                    if not nbrs:
+                        break
+                    if independent:
+                        key = lambda d: (cls._hash(
+                            f"{seed}:{start}:{copy}:{t}:{d}"), d)
+                    else:
+                        key = lambda d: (cls._hash(
+                            f"{seed}:{copy}:{t}:{cur}:{d}"), d)
+                    cur = min(nbrs, key=key)
+                    path.append(cur)
+                out[(start, copy)] = path
+        return out
+
+    @pytest.mark.parametrize("independent", [False, True])
+    def test_matches_brute(self, spark, independent):
+        from dask_geopandas_spark.operators.graph import random_walks
+
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        got = {(r["start"], r["copy"]): r["path"] for r in
+               random_walks(e, walk_len=5, walks_per_node=2, seed=7,
+                            independent=independent).collect()}
+        want = self._brute(self.EDGES, 5, 2, 7, independent)
+        assert got == want
+        # every node starts 2 walks; sinks terminate immediately
+        assert len(got) == 2 * 5
+        assert got[(4, 0)] == [4] and got[(4, 1)] == [4]
+
+    def test_walks_follow_edges(self, spark):
+        import random
+
+        from dask_geopandas_spark.operators.graph import random_walks
+
+        rng = random.Random(11)
+        edges = sorted({(rng.randrange(12), rng.randrange(12))
+                        for _ in range(25)})
+        edges = [x for x in edges if x[0] != x[1]]
+        adj = {}
+        for s, t in edges:
+            adj.setdefault(s, set()).add(t)
+        e = spark.createDataFrame(edges, "src long, dst long")
+        for r in random_walks(e, walk_len=4,
+                              walks_per_node=3).collect():
+            p = r["path"]
+            assert p[0] == r["start"]
+            for a, b in zip(p, p[1:]):
+                assert b in adj[a], (a, b)
+
+    def test_seed_changes_walks(self, spark):
+        from dask_geopandas_spark.operators.graph import random_walks
+
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        a = {(r["start"], r["copy"]): r["path"] for r in
+             random_walks(e, walk_len=6, seed=0).collect()}
+        b = {(r["start"], r["copy"]): r["path"] for r in
+             random_walks(e, walk_len=6, seed=1).collect()}
+        assert a != b  # seeds steer the trajectories
