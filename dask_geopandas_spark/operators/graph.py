@@ -1188,3 +1188,38 @@ def random_walks(edges: DataFrame, src_col: str = "src",
             .alias("_alive"))
             .localCheckpoint())
     return walks.select("start", "copy", "path")
+
+
+def walk_cooccurrence(walks: DataFrame, window: int = 2,
+                      path_col: str = "path") -> DataFrame:
+    """Skip-gram co-occurrence counts from a walk frame — the step
+    between `random_walks` and an embedding trainer (DeepWalk's
+    corpus IS these windowed pairs; they also feed `collocations`-
+    style PMI directly).  Returns (a, b, n_cooccur) with a < b
+    (canonical undirected pairs), counting each ordered
+    within-``window`` pair occurrence once.
+
+    Pure explode + aggregation: each path of length L emits at most
+    L·window pairs map-side, the count is one map-side-combined
+    aggregation keyed on the pair — no joins, no driver state."""
+    p = F.col(path_col)
+    n = F.size(p)
+    # i stops at n-1: Spark's sequence(a, b) DESCENDS when a > b
+    # (the train_bpe pair guard), so the inner start i+1 must never
+    # exceed its end
+    pairs = F.flatten(F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.transform(
+            F.sequence(i + 1, F.least(i + F.lit(int(window)), n)),
+            lambda j: F.struct(
+                F.least(F.element_at(p, i.cast("int")),
+                        F.element_at(p, j.cast("int"))).alias("a"),
+                F.greatest(F.element_at(p, i.cast("int")),
+                           F.element_at(p, j.cast("int")))
+                .alias("b")))))
+    return (walks.filter(n >= 2)
+            .select(F.explode(pairs).alias("_p"))
+            .select("_p.a", "_p.b")
+            .filter(F.col("a") != F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").cast("long").alias("n_cooccur")))

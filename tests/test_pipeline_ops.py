@@ -5205,3 +5205,46 @@ class TestRandomWalks:
         b = {(r["start"], r["copy"]): r["path"] for r in
              random_walks(e, walk_len=6, seed=1).collect()}
         assert a != b  # seeds steer the trajectories
+
+
+class TestWalkCooccurrence:
+    """walk_cooccurrence (r15): windowed skip-gram pairs from walk
+    paths vs a brute replica."""
+
+    @staticmethod
+    def _brute(paths, window):
+        out = {}
+        for p in paths:
+            for i in range(len(p)):
+                for j in range(i + 1, min(i + window, len(p) - 1) + 1):
+                    if p[i] == p[j]:
+                        continue
+                    k = (min(p[i], p[j]), max(p[i], p[j]))
+                    out[k] = out.get(k, 0) + 1
+        return out
+
+    def test_matches_brute(self, spark):
+        from dask_geopandas_spark.operators.graph import \
+            walk_cooccurrence
+
+        paths = [[1, 2, 3, 1], [2, 4], [5], [3, 3, 2]]
+        df = spark.createDataFrame(
+            [(i, 0, p) for i, p in enumerate(paths)],
+            "start long, copy int, path array<long>")
+        for w in (1, 2, 3):
+            got = {(r["a"], r["b"]): r["n_cooccur"] for r in
+                   walk_cooccurrence(df, window=w).collect()}
+            assert got == self._brute(paths, w), w
+
+    def test_composes_with_random_walks(self, spark):
+        from dask_geopandas_spark.operators.graph import (
+            random_walks, walk_cooccurrence)
+
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (2, 4)], "src long, dst long")
+        walks = random_walks(e, walk_len=4, walks_per_node=2)
+        got = {(r["a"], r["b"]): r["n_cooccur"] for r in
+               walk_cooccurrence(walks, window=2).collect()}
+        paths = [r["path"] for r in walks.collect()]
+        assert got == self._brute(paths, 2)
+        assert all(v >= 1 for v in got.values()) and got
