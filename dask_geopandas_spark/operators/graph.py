@@ -1202,6 +1202,10 @@ def walk_cooccurrence(walks: DataFrame, window: int = 2,
     Pure explode + aggregation: each path of length L emits at most
     L·window pairs map-side, the count is one map-side-combined
     aggregation keyed on the pair — no joins, no driver state."""
+    if int(window) < 1:
+        raise ValueError(f"window must be >= 1, got {window} — a "
+                         "0-window inner sequence would DESCEND "
+                         "(Spark sequence(a, b) with a > b)")
     p = F.col(path_col)
     n = F.size(p)
     # i stops at n-1: Spark's sequence(a, b) DESCENDS when a > b
