@@ -1343,18 +1343,147 @@ def c4_clean(df, text_col: str = "text", id_col: str = "doc_id",
                       F.col("_c4._keep").alias("keep"))
 
 
+def stupid_backoff_perplexity(df, target=None, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              target_text_col: str | None = None,
+                              alpha: float = 0.4, n_salt: int = 8):
+    """Per-document perplexity under a STUPID BACKOFF trigram model
+    (Brants et al., EMNLP 2007 "Large Language Models in Machine
+    Translation" — the scheme Google built precisely for serving
+    n-gram scores from a DISTRIBUTED count store, which is why it
+    fits this engine): relative frequencies with a fixed ``alpha``
+    multiplier per backoff level, no discounting, no normalization —
+    and therefore OOV-SAFE, so unlike the self-trained
+    `kn_perplexity` it supports an external ``target`` corpus (the
+    CCNet shape: score the crawl under a clean-corpus model):
+
+      S(w3|w1w2) = c3/c2                 when the trigram is seen
+                 = α · S(w3|w2)          otherwise
+      S(w3|w2)   = c2(w2w3)/c1(w2)       when the bigram is seen
+                 = α · S(w3)             otherwise
+      S(w3)      = c1(w3)/N              when the word is seen
+                 = α/V                   otherwise (uniform OOV floor
+                                         over the model vocabulary)
+
+    Counts are raw occurrence counts from the model corpus
+    (``target``; defaults to ``df`` itself).  S quantizes to 12
+    decimals before ln; per-doc mean ln rounds to 6; perplexity
+    derives from the ROUNDED mean (`kn_perplexity`'s conventions).
+    Documents under three tokens drop out.
+
+    Distributed shape: the model is three count aggregations over
+    the model corpus (trigram-, bigram-, unigram-TYPE-sized, map-
+    side combined) + two 1-row globals; scoring LEFT-joins the doc
+    trigram stream against the three tables — all SALTED
+    (`_salted_count_join`) — and folds the coalesce cascade in pure
+    codegen.  Nothing broadcasts but the 1-row globals; no Python
+    anywhere.
+
+    Returns (id, n_trigrams, avg_logprob, perplexity)."""
+    from .dedup import shingles_of_tokens
+
+    a = float(alpha)
+    model_df = target if target is not None else df
+    mcol = target_text_col or text_col
+
+    def _toks(frame, col):
+        return frame.select(
+            let(tokens(F.col(col)),
+                lambda t: F.filter(t, lambda x: x != F.lit("")))
+            .alias("_t"))
+
+    mt = _toks(model_df, mcol)
+    uni = mt.select(F.explode("_t").alias("w"))
+    c1 = uni.groupBy("w").agg(F.count("*").alias("c1"))
+    c2 = (mt.filter(F.size("_t") >= 2)
+          .select(F.explode(shingles_of_tokens(F.col("_t"), 2))
+                  .alias("g2"))
+          .groupBy("g2").agg(F.count("*").alias("c2")))
+    c3 = (mt.filter(F.size("_t") >= 3)
+          .select(F.explode(shingles_of_tokens(F.col("_t"), 3))
+                  .alias("g3"))
+          .groupBy("g3").agg(F.count("*").alias("c3")))
+    # greatest(.., 1): an EMPTY model corpus must degrade to the
+    # uniform floor, not an ANSI divide-by-zero
+    nv = uni.agg(F.greatest(F.count("*"), F.lit(1)).alias("_n"),
+                 F.greatest(F.count_distinct("w"), F.lit(1))
+                 .alias("_v"))
+
+    tri = (df.select(
+        F.col(id_col),
+        let(tokens(F.col(text_col)),
+            lambda t: F.filter(t, lambda x: x != F.lit("")))
+        .alias("_t"))
+        .filter(F.size("_t") >= 3)
+        .select(F.col(id_col),
+                F.explode(shingles_of_tokens(F.col("_t"), 3))
+                .alias("g3")))
+    parts = F.split("g3", " ")
+    scored = (tri
+              .withColumn("g2", F.concat_ws(
+                  " ", parts.getItem(1), parts.getItem(2)))
+              .withColumn("ctx2", F.concat_ws(
+                  " ", parts.getItem(0), parts.getItem(1)))
+              .withColumn("w", parts.getItem(2)))
+    # five salted LEFT joins against the count tables (the context
+    # denominators reuse c2/c1 under renamed keys); left-variant of
+    # `_salted_count_join` — misses must survive as NULLs for the
+    # backoff cascade
+    def _lj(frame, tbl, key):
+        if int(n_salt) <= 1:
+            return frame.join(tbl, key, "left")
+        b = frame.withColumn(
+            "_ts", F.pmod(F.xxhash64(*[F.col(c) for c in
+                                       frame.columns]),
+                          F.lit(int(n_salt))).cast("int"))
+        c = tbl.withColumn("_ts", F.explode(
+            F.sequence(F.lit(0), F.lit(int(n_salt) - 1))))
+        return b.join(c, [key, "_ts"], "left").drop("_ts")
+
+    scored = scored.withColumn("w2mid", parts.getItem(1))
+    scored = _lj(scored, c3, "g3")
+    scored = _lj(scored, c2.select(F.col("g2"),
+                                   F.col("c2").alias("c2n")), "g2")
+    scored = _lj(scored, c2.select(F.col("g2").alias("ctx2"),
+                                   F.col("c2").alias("c2d")), "ctx2")
+    scored = _lj(scored, c1.select(F.col("w"),
+                                   F.col("c1").alias("c1n")), "w")
+    # unigram count of the MIDDLE word (bigram context denominator)
+    scored = _lj(scored, c1.select(F.col("w").alias("w2mid"),
+                                   F.col("c1").alias("c1d")),
+                 "w2mid")
+    scored = scored.crossJoin(F.broadcast(nv))
+    s1 = (F.when(F.col("c1n").isNotNull(),
+                 F.col("c1n") / F.col("_n"))
+          .otherwise(F.lit(a) / F.col("_v")))
+    s2 = (F.when(F.col("c2n").isNotNull() & F.col("c1d").isNotNull(),
+                 F.col("c2n") / F.col("c1d"))
+          .otherwise(F.lit(a) * s1))
+    s3 = (F.when(F.col("c3").isNotNull() & F.col("c2d").isNotNull(),
+                 F.col("c3") / F.col("c2d"))
+          .otherwise(F.lit(a) * s2))
+    out = scored.withColumn("_lp", F.log(F.round(s3, 12)))
+    return (out.groupBy(id_col)
+            .agg(F.count("*").alias("n_trigrams"),
+                 F.round(F.avg("_lp"), 6).alias("avg_logprob"))
+            .withColumn("perplexity",
+                        F.round(F.exp(-F.col("avg_logprob")), 6)))
+
+
 def ccnet_buckets(df, text_col: str = "text", id_col: str = "doc_id",
                   lang_col: str = "lang",
                   cuts: tuple = ((1, 3), (2, 3)),
-                  discount: float = 0.75, n_salt: int = 8):
+                  discount: float = 0.75, n_salt: int = 8,
+                  scored=None):
     """CCNet's head/middle/tail quality split (Wenzek et al. 2020):
     rank documents by LM perplexity WITHIN EACH LANGUAGE and cut at
     fractional ranks — the published crawl-curation stage that feeds
     "head" (cleanest third) into pretraining mixes.  Perplexity comes
-    from the corpus-self-trained `kn_perplexity` (CCNet uses a
-    Wikipedia-trained KenLM; self-training keeps the operator
-    dependency-free — swap the scored frame in via composition when
-    an external LM exists).
+    from the corpus-self-trained `kn_perplexity` by default (CCNet
+    uses a Wikipedia-trained KenLM); pass ``scored`` — any
+    (id, perplexity) frame, e.g. `stupid_backoff_perplexity(df,
+    target=wiki)` — to bucket under an EXTERNAL target model, the
+    paper's actual shape.
 
     Bucket math is INTEGER-exact (engine-portable by construction):
     with per-(lang, perplexity) counts, a document's strict rank is
@@ -1378,11 +1507,12 @@ def ccnet_buckets(df, text_col: str = "text", id_col: str = "doc_id",
     # localCheckpoint: the scored frame feeds BOTH the rank count
     # table and the final bucket join — materializing it runs the KN
     # model + scoring pipeline once instead of twice
-    scored = (kn_perplexity(df.select(F.col(id_col),
-                                      F.col(text_col)),
-                            text_col=text_col, id_col=id_col,
-                            discount=discount, n_salt=n_salt)
-              .select(id_col, "perplexity")
+    if scored is None:
+        scored = kn_perplexity(df.select(F.col(id_col),
+                                         F.col(text_col)),
+                               text_col=text_col, id_col=id_col,
+                               discount=discount, n_salt=n_salt)
+    scored = (scored.select(id_col, "perplexity")
               .join(df.select(F.col(id_col),
                               F.col(lang_col).alias("lang")), id_col)
               .localCheckpoint())

@@ -5248,3 +5248,127 @@ class TestWalkCooccurrence:
         paths = [r["path"] for r in walks.collect()]
         assert got == self._brute(paths, 2)
         assert all(v >= 1 for v in got.values()) and got
+
+
+class TestStupidBackoff:
+    """stupid_backoff_perplexity (r15): Brants et al. 2007 trigram
+    scoring vs a brute replica — self-trained AND external-target
+    (OOV) paths, salt equivalence, and the ccnet_buckets
+    composition."""
+
+    @staticmethod
+    def _brute(docs, model_texts, a=0.4):
+        import math
+        import re
+
+        def tok(s):
+            return [w for w in
+                    re.split(r"[^a-z0-9']+", s.lower().strip()) if w]
+
+        c1, c2, c3 = {}, {}, {}
+        n = 0
+        vocab = set()
+        for t in model_texts:
+            if t is None:
+                continue
+            ws = tok(t)
+            n += len(ws)
+            vocab.update(ws)
+            for w in ws:
+                c1[w] = c1.get(w, 0) + 1
+            for i in range(len(ws) - 1):
+                g = " ".join(ws[i:i + 2])
+                c2[g] = c2.get(g, 0) + 1
+            for i in range(len(ws) - 2):
+                g = " ".join(ws[i:i + 3])
+                c3[g] = c3.get(g, 0) + 1
+        n = max(n, 1)
+        v = max(len(vocab), 1)
+        out = {}
+        for i, t in docs:
+            if t is None:
+                continue
+            ws = tok(t)
+            if len(ws) < 3:
+                continue
+            lps = []
+            for j in range(len(ws) - 2):
+                w1, w2, w3 = ws[j:j + 3]
+                s1 = c1[w3] / n if w3 in c1 else a / v
+                g2 = f"{w2} {w3}"
+                s2 = c2[g2] / c1[w2] if g2 in c2 and w2 in c1 \
+                    else a * s1
+                g3 = f"{w1} {w2} {w3}"
+                ctx = f"{w1} {w2}"
+                s3 = c3[g3] / c2[ctx] if g3 in c3 and ctx in c2 \
+                    else a * s2
+                lps.append(math.log(round(s3, 12)))
+            avg = round(sum(lps) / len(lps), 6)
+            out[i] = (len(lps), avg, round(math.exp(-avg), 6))
+        return out
+
+    DOCS = [(1, "the cat sat on the mat"),
+            (2, "a dog sat on a log near the cat"),
+            (3, "completely unseen zebra words qux here now"),
+            (4, "xy"),
+            (5, None)]
+    TARGET = ["the cat sat on the mat again and again",
+              "a dog sat on a log by the river"]
+
+    def test_self_trained_matches_brute(self, spark):
+        from dask_geopandas_spark.operators.textstats import \
+            stupid_backoff_perplexity
+
+        df = spark.createDataFrame(self.DOCS,
+                                   "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_trigrams"], r["avg_logprob"],
+                             r["perplexity"]) for r in
+               stupid_backoff_perplexity(df, n_salt=1).collect()}
+        want = self._brute(self.DOCS, [t for _, t in self.DOCS])
+        assert got == want and 4 not in got and 5 not in got
+
+    def test_external_target_with_oov(self, spark):
+        from dask_geopandas_spark.operators.textstats import \
+            stupid_backoff_perplexity
+
+        df = spark.createDataFrame(self.DOCS,
+                                   "doc_id long, text string")
+        tgt = spark.createDataFrame([(t,) for t in self.TARGET],
+                                    "text string")
+        got = {r["doc_id"]: (r["n_trigrams"], r["avg_logprob"],
+                             r["perplexity"]) for r in
+               stupid_backoff_perplexity(df, target=tgt,
+                                         n_salt=1).collect()}
+        want = self._brute(self.DOCS, self.TARGET)
+        assert got == want
+        # the all-OOV doc lands on the uniform floor, finite score
+        assert got[3][2] > got[1][2]  # unseen text = higher perplexity
+
+    def test_salted_equals_unsalted(self, spark):
+        from dask_geopandas_spark.operators.textstats import \
+            stupid_backoff_perplexity
+
+        rows = [(i, ("the " * 15) + f"w{i} common words here again")
+                for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = {r["doc_id"]: (r["n_trigrams"], r["avg_logprob"]) for r
+             in stupid_backoff_perplexity(df, n_salt=1).collect()}
+        b = {r["doc_id"]: (r["n_trigrams"], r["avg_logprob"]) for r
+             in stupid_backoff_perplexity(df, n_salt=8).collect()}
+        assert a == b and len(a) == 20
+
+    def test_feeds_ccnet_buckets(self, spark):
+        from dask_geopandas_spark.operators.textstats import (
+            ccnet_buckets, stupid_backoff_perplexity)
+
+        rows = [(i, "en", f"the cat w{i} sat on the mat " * (i + 1))
+                for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string,"
+                                         " text string")
+        tgt = spark.createDataFrame([(t,) for t in self.TARGET],
+                                    "text string")
+        sc = stupid_backoff_perplexity(df, target=tgt)
+        got = {r["doc_id"]: r["bucket"] for r in
+               ccnet_buckets(df, scored=sc).collect()}
+        assert len(got) == 6
+        assert set(got.values()) <= {"head", "middle", "tail"}
