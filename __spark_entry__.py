@@ -5488,61 +5488,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     update CHANGED_QUERIES, run make_window.py, reorder this dict to
     its output."""
     return {
-        # ---- r15 WINDOW (driver attests positions 1-50;
+        # ---- r16 WINDOW (driver attests positions 1-50;
         #   order generated by scripts/make_window.py — see
         #   tests/test_rotation.py) ----
-        "geoparquet_roundtrip": q_geoparquet_roundtrip,
-        "stream_ingest_kmv": q_stream_ingest_kmv,
-        "stream_ingest_cms": q_stream_ingest_cms,
-        "stream_ingest_qd": q_stream_ingest_qd,
-        "wordpiece_tokens": q_wordpiece_tokens,
-        "unigram_tokens": q_unigram_tokens,
-        "scc_hosts": q_scc_hosts,
-        "kn_perplexity": q_kn_perplexity,
-        "bpe_bytes": q_bpe_bytes,
-        "convex_hull_area": q_convex_hull_area,
-        "doc_chunks": q_doc_chunks,
-        "doc_line_dedup": q_doc_line_dedup,
-        "dup_spans": q_dup_spans,
-        "equals_exact": q_equals_exact,
-        "exact_dedup": q_exact_dedup,
-        "explode_parts": q_explode_parts,
-        "feather_roundtrip": q_feather_roundtrip,
-        "fingerprint_dups": q_fingerprint_dups,
-        "geohash_cells": q_geohash_cells,
-        "geom_properties": q_geom_properties,
-        "hilbert_buckets": q_hilbert_buckets,
-        "interiors": q_interiors,
-        "knn_graph_probe": q_knn_graph_probe,
-        "lang_quality": q_lang_quality,
-        "line_dedup": q_line_dedup,
-        "line_interpolate": q_line_interpolate,
-        "line_project": q_line_project,
-        "lsh_dedup": q_lsh_dedup,
-        "lsh_dedup_fixpoint": q_lsh_dedup_fixpoint,
-        "lsh_pairs": q_lsh_pairs,
-        "minhash_sigs": q_minhash_sigs,
-        "morton_buckets": q_morton_buckets,
-        "overlay_cobucket_stored": q_overlay_cobucket_stored,
-        "pii_redact": q_pii_redact,
-        "points_z": q_points_z,
-        "quality_classifier": q_quality_classifier,
-        "quality_signals": q_quality_signals,
-        "rotate_scale": q_rotate_scale,
-        "semantic_dedup_pq": q_semantic_dedup_pq,
-        "semantic_dedup_probe": q_semantic_dedup_probe,
-        "simplify_lines": q_simplify_lines,
-        "skew_avg": q_skew_avg,
-        "source_mix": q_source_mix,
-        "span_removal": q_span_removal,
-        "sql_surface": q_sql_surface,
-        "stream_hourly": q_stream_hourly,
-        "to_mercator": q_to_mercator,
-        "to_utm": q_to_utm,
-        "token_stats": q_token_stats,
-        "union_all_bounds": q_union_all_bounds,
-        # ---- below the window: (last-green asc, name) — the
-        #   r16 rotation order is the head of this list ----
         "ann_ivf_exact": q_ann_ivf_exact,
         "ann_ivf_pq": q_ann_ivf_pq,
         "ann_pq": q_ann_pq,
@@ -5593,6 +5541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_stored": q_bloom_stored,
         "bm25_batch_stored": q_bm25_batch_stored,
         "bm25_deleted": q_bm25_deleted,
+        # ---- below the window: (last-green asc, name) — the
+        #   r17 rotation order is the head of this list ----
         "bm25_stored": q_bm25_stored,
         "cdx_diff": q_cdx_diff,
         "cdx_fetch": q_cdx_fetch,
@@ -5723,6 +5673,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "weighted_sample": q_weighted_sample,
         "wordpiece_train": q_wordpiece_train,
+        "bpe_bytes": q_bpe_bytes,
+        "convex_hull_area": q_convex_hull_area,
+        "doc_chunks": q_doc_chunks,
+        "doc_line_dedup": q_doc_line_dedup,
+        "dup_spans": q_dup_spans,
+        "equals_exact": q_equals_exact,
+        "exact_dedup": q_exact_dedup,
+        "explode_parts": q_explode_parts,
+        "feather_roundtrip": q_feather_roundtrip,
+        "fingerprint_dups": q_fingerprint_dups,
+        "geohash_cells": q_geohash_cells,
+        "geom_properties": q_geom_properties,
+        "geoparquet_roundtrip": q_geoparquet_roundtrip,
+        "hilbert_buckets": q_hilbert_buckets,
+        "interiors": q_interiors,
+        "kn_perplexity": q_kn_perplexity,
+        "knn_graph_probe": q_knn_graph_probe,
+        "lang_quality": q_lang_quality,
+        "line_dedup": q_line_dedup,
+        "line_interpolate": q_line_interpolate,
+        "line_project": q_line_project,
+        "lsh_dedup": q_lsh_dedup,
+        "lsh_dedup_fixpoint": q_lsh_dedup_fixpoint,
+        "lsh_pairs": q_lsh_pairs,
+        "minhash_sigs": q_minhash_sigs,
+        "morton_buckets": q_morton_buckets,
+        "overlay_cobucket_stored": q_overlay_cobucket_stored,
+        "pii_redact": q_pii_redact,
+        "points_z": q_points_z,
+        "quality_classifier": q_quality_classifier,
+        "quality_signals": q_quality_signals,
+        "rotate_scale": q_rotate_scale,
+        "scc_hosts": q_scc_hosts,
+        "semantic_dedup_pq": q_semantic_dedup_pq,
+        "semantic_dedup_probe": q_semantic_dedup_probe,
+        "simplify_lines": q_simplify_lines,
+        "skew_avg": q_skew_avg,
+        "source_mix": q_source_mix,
+        "span_removal": q_span_removal,
+        "sql_surface": q_sql_surface,
+        "stream_hourly": q_stream_hourly,
+        "stream_ingest_cms": q_stream_ingest_cms,
+        "stream_ingest_kmv": q_stream_ingest_kmv,
+        "stream_ingest_qd": q_stream_ingest_qd,
+        "to_mercator": q_to_mercator,
+        "to_utm": q_to_utm,
+        "token_stats": q_token_stats,
+        "unigram_tokens": q_unigram_tokens,
+        "union_all_bounds": q_union_all_bounds,
+        "wordpiece_tokens": q_wordpiece_tokens,
     }
 
 
