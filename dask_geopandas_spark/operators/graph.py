@@ -909,6 +909,19 @@ def _simple_directed(edges: DataFrame, src_col: str,
             .distinct())
 
 
+def _warn_cap(helper: str, iters: int) -> None:
+    """A propagation loop exhausted its safety cap without observing
+    convergence — the result may be a truncated fixpoint.  Warn
+    loudly (r15 verdict: silent under-peeling is the failure mode;
+    the caps exist for runaway protection, not as unroll counts)."""
+    import warnings
+    warnings.warn(
+        f"{helper} hit its iteration safety cap ({iters}) before "
+        "convergence; the returned frame may be short of the "
+        "fixpoint.  Raise the cap — converged runs break early, so "
+        "a higher cap costs nothing.", UserWarning, stacklevel=3)
+
+
 def _propagate_min(nodes: DataFrame, e: DataFrame,
                    iters: int) -> DataFrame:
     """Forward min-label fixpoint: color(v) = min node id over
@@ -916,9 +929,16 @@ def _propagate_min(nodes: DataFrame, e: DataFrame,
     synchronous supersteps of ``color(v) <- min(color(v), min over
     in-neighbors' color)``.  Monotone non-increasing and idempotent
     at the fixed point, so a fixed unroll past convergence equals
-    the fixpoint (the `core_numbers` convention) and the early-stop
+    the fixpoint (the `core_numbers` convention).  The early-stop
     probe below (an xxhash64 state sum — type-agnostic, so string
-    node ids work) is sound.  Per superstep: one edge equi-join +
+    node ids work) is PROBABILISTIC, not sound in the strict sense:
+    a sum collision between two distinct color states would stop
+    propagation one superstep early (r15 advice).  With 64-bit
+    per-row hashes summed exactly in decimal the collision odds per
+    probe are ~2^-64 — negligible against cluster-hardware error
+    rates, and the (count, sum) pair must collide simultaneously —
+    but callers needing a certificate should set ``iters`` to a
+    proven bound instead.  Per superstep: one edge equi-join +
     one map-side-combined min aggregation; the color frame is
     node-sized and localCheckpoint-materialized every step."""
     color = nodes.select("node", F.col("node").alias("_color")) \
@@ -933,6 +953,7 @@ def _propagate_min(nodes: DataFrame, e: DataFrame,
                            .cast("decimal(20,0)")).alias("_h")).head()
 
     st = _state(color)
+    converged = False
     for _ in range(int(iters)):
         prop = (e.join(color, e["_a"] == color["node"])
                 .select(F.col("_b").alias("node"), "_color"))
@@ -941,8 +962,11 @@ def _propagate_min(nodes: DataFrame, e: DataFrame,
                  .localCheckpoint())
         nst = _state(color)
         if (nst["_n"], nst["_h"]) == (st["_n"], st["_h"]):
+            converged = True
             break
         st = nst
+    if not converged:
+        _warn_cap("_propagate_min", iters)
     return color
 
 
@@ -957,22 +981,26 @@ def _propagate_flag(seed: DataFrame, e: DataFrame, iters: int,
     frm, to = ("_a", "_b") if forward else ("_b", "_a")
     reach = seed.select("node").distinct().localCheckpoint()
     n = reach.count()
+    converged = False
     for _ in range(int(iters)):
         step = (e.join(reach, e[frm] == reach["node"])
                 .select(F.col(to).alias("node")))
         reach = reach.unionAll(step).distinct().localCheckpoint()
         nn = reach.count()
         if nn == n:
+            converged = True
             break
         n = nn
+    if not converged:
+        _warn_cap("_propagate_flag", iters)
     return reach
 
 
 def strongly_connected_components(edges: DataFrame,
                                   src_col: str = "src",
                                   dst_col: str = "dst",
-                                  rounds: int = 3,
-                                  prop_iters: int = 8) -> DataFrame:
+                                  rounds: int = 20,
+                                  prop_iters: int = 40) -> DataFrame:
     """Strongly connected components of a DIRECTED edge list by the
     coloring / forward-backward peeling algorithm (Orzan 2004; the
     FW-BW-Trim family of Slota et al.) — the directed counterpart of
@@ -993,10 +1021,16 @@ def strongly_connected_components(edges: DataFrame,
     structure unconditionally returns the identical frame whether
     the engine early-stopped or not (the `core_numbers` convention).
     Each round removes at least the component of the smallest
-    remaining node; ``rounds`` must reach the global fixed point for
-    exact SCCs (pytest pins exactness against brute-force Tarjan on
-    converged graphs) — leftover nodes after an insufficient unroll
-    report themselves (``scc = node``; deterministic, replicable).
+    remaining node, and the loop runs UNTIL NO NODES REMAIN —
+    ``rounds`` is a SAFETY CAP, not an unroll count (r15 verdict #1:
+    the former ``rounds=3`` default silently under-peeled graphs
+    whose condensation has more than 3 peel levels).  Converged
+    graphs pay nothing extra (the empty-remainder break fires);
+    if the cap IS hit with nodes left over, those nodes report
+    themselves (``scc = node``; deterministic, replicable) and a
+    ``UserWarning`` names the leftover count so the truncation is
+    never silent.  Pytest pins DEFAULT-argument exactness against
+    brute-force Tarjan on a 6-peel-level chained-cycle graph.
 
     Distributed shape (100 TB): supersteps are single equi-joins +
     map-side-combined min aggregations on node-sized frames,
@@ -1019,6 +1053,7 @@ def strongly_connected_components(edges: DataFrame,
                   .select("node", F.col("_color").alias("scc"))
                   .localCheckpoint())
         m = member.count()
+        converged = False
         for _ in range(int(prop_iters)):
             # v joins component c when an out-neighbor already in c
             # shares v's color class
@@ -1031,21 +1066,32 @@ def strongly_connected_components(edges: DataFrame,
                 .localCheckpoint()
             nm = member.count()
             if nm == m:
+                converged = True
                 break
             m = nm
+        if not converged:
+            _warn_cap("scc backward membership", prop_iters)
         assigned = assigned.unionAll(member)
         rem_nodes = rem_nodes.join(member, "node", "left_anti") \
             .localCheckpoint()
         e = (e.join(member, e["_a"] == member["node"], "left_anti")
              .join(member, e["_b"] == member["node"], "left_anti")
              .localCheckpoint())
+    if not rem_nodes.isEmpty():
+        import warnings
+        warnings.warn(
+            f"strongly_connected_components hit the rounds={rounds} "
+            f"safety cap with {rem_nodes.count()} nodes unpeeled; "
+            "they report scc = node.  Raise `rounds` (converged "
+            "graphs break early, so a higher cap is free).",
+            UserWarning, stacklevel=2)
     return assigned.unionAll(
         rem_nodes.select("node", F.col("node").alias("scc")))
 
 
 def bowtie_summary(edges: DataFrame, src_col: str = "src",
-                   dst_col: str = "dst", rounds: int = 3,
-                   prop_iters: int = 8) -> DataFrame:
+                   dst_col: str = "dst", rounds: int = 20,
+                   prop_iters: int = 40) -> DataFrame:
     """The Broder et al. (2000) bowtie decomposition of a directed
     graph — THE standard crawl-graph summary card: node counts per
     region relative to the LARGEST strongly connected component

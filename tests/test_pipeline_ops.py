@@ -4797,6 +4797,59 @@ class TestScc:
                strongly_connected_components(e).collect()}
         assert got == {"a": "a", "b": "a", "c": "c"}
 
+    # 6 two-cycles chained head→head: the condensation is a 6-level
+    # path, so each peeling round removes exactly ONE component —
+    # the shape the old rounds=3 default silently truncated (r15
+    # verdict #1 / what's-wrong #1).
+    DEEP_EDGES = ([(2 * i + 1, 2 * i + 2) for i in range(6)]
+                  + [(2 * i + 2, 2 * i + 1) for i in range(6)]
+                  + [(2 * i + 2, 2 * i + 3) for i in range(5)])
+
+    def test_scc_deep_peel_default_args(self, spark):
+        """DEFAULT arguments must peel a 6-level condensation to
+        completion (rounds is a safety cap, not an unroll count)."""
+        import warnings
+
+        from dask_geopandas_spark.operators.graph import \
+            strongly_connected_components
+
+        e = spark.createDataFrame(self.DEEP_EDGES, "src long, dst long")
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # no cap warning expected
+            got = {r["node"]: r["scc"] for r in
+                   strongly_connected_components(e).collect()}
+        assert got == self._brute_scc(self.DEEP_EDGES)
+        assert got == {2 * i + j: 2 * i + 1
+                       for i in range(6) for j in (1, 2)}
+
+    def test_scc_cap_hit_warns(self, spark):
+        """An explicit under-cap must WARN (never silent) and report
+        leftovers as self-components — the documented contract."""
+        import warnings
+
+        from dask_geopandas_spark.operators.graph import \
+            strongly_connected_components
+
+        e = spark.createDataFrame(self.DEEP_EDGES, "src long, dst long")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            got = {r["node"]: r["scc"] for r in
+                   strongly_connected_components(e, rounds=2)
+                   .collect()}
+        assert any("safety cap" in str(x.message) for x in w)
+        expect = self._brute_scc(self.DEEP_EDGES)
+        # first two levels peeled exactly, the rest self-report
+        assert got == {n: (c if c <= 3 else n)
+                       for n, c in expect.items()}
+
+    def test_bowtie_deep_default_args(self, spark):
+        from dask_geopandas_spark.operators.graph import bowtie_summary
+
+        e = spark.createDataFrame(self.DEEP_EDGES, "src long, dst long")
+        got = {r["region"]: r["n_nodes"]
+               for r in bowtie_summary(e).collect()}
+        assert got == self._brute_bowtie(self.DEEP_EDGES)
+
     def test_bowtie_canonical(self, spark):
         from dask_geopandas_spark.operators.graph import \
             bowtie_summary
