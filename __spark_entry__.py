@@ -5915,9 +5915,12 @@ def _bpe_bytes_ctes(k: int, cap: int = 256) -> str:
     `bytes_to_unicode` bijection via hex pairs, mega-run chunking at
     ``cap`` bytes, then the same `_bpe_merge_block` steps over a
     TERMINAL-FREE w0."""
-    # the pre-split pattern with the SQL quote escaped
+    # the pre-split pattern with the SQL quote escaped; whitespace
+    # class spelled explicitly — Java \s includes \x0B, RE2 \s does
+    # not (r15 advice; must stay in lockstep with
+    # bpe.BYTE_PRESPLIT_PATTERN)
     pat = ("''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
-           "| ?[^A-Za-z0-9\\s]+|\\s+")
+           "| ?[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+")
     parts = [f"""
             bmap AS MATERIALIZED (SELECT {_gpt2_byte_map_sql()} AS m),
             bpieces AS MATERIALIZED (

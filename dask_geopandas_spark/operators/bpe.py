@@ -339,14 +339,19 @@ def bpe_token_count(df: DataFrame, merges: DataFrame,
 #: letter/digit/symbol run (no lookarounds — portable between Java
 #: regex and RE2/DuckDB; the published GPT-2 pattern's trailing
 #: `\s+(?!\S)` branch needs a lookahead, so trailing whitespace runs
-#: here match the plain `\s+` branch instead — a documented, portable
-#: deviation that changes nothing on single-space text).  Unlike
-#: `BPE_ISH_PATTERN`, the symbol class does NOT exclude the
+#: here match the plain whitespace-run branch instead — a documented,
+#: portable deviation that changes nothing on single-space text).
+#: Unlike `BPE_ISH_PATTERN`, the symbol class does NOT exclude the
 #: apostrophe: an apostrophe that is not a contraction suffix joins
 #: the symbol run, so EVERY byte of the input is covered (the
-#: byte-level contract — no [UNK], nothing dropped).
-BYTE_PRESPLIT_PATTERN = \
-    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+#: byte-level contract — no [UNK], nothing dropped).  The whitespace
+#: class is spelled EXPLICITLY ([ \t\n\x0B\f\r]) rather than as \s:
+#: Java regex counts \x0B as \s but RE2/DuckDB does not, so a bare \s
+#: would segment \x0B-adjacent text differently engine-vs-oracle
+#: (r15 advice; the textstats `_WS` convention).
+BYTE_PRESPLIT_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+    r"| ?[^A-Za-z0-9 \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+")
 
 
 def gpt2_byte_map() -> list[str]:

@@ -346,7 +346,10 @@ class TestByteLevelBpe:
 
         m = cls._byte_map()
         out = []
-        # re.ASCII: \s matches ASCII whitespace only, like Java/RE2
+        # the pattern spells its whitespace class explicitly (r15
+        # advice: Java \s includes \x0B, RE2 does not), so the Python
+        # replica needs no flag gymnastics; re.ASCII kept so the
+        # letter/digit classes stay ASCII like Java/RE2
         for piece in re.findall(BYTE_PRESPLIT_PATTERN, text,
                                 re.ASCII):
             w = "".join(m[b] for b in piece.encode("utf-8"))
@@ -390,7 +393,11 @@ class TestByteLevelBpe:
              (3, "l' isolated ' apostrophe"),
              (4, "  spaces   and\ttabs\nnewlines  "),
              (5, None),
-             (6, "hello hello hello world world don't")]
+             (6, "hello hello hello world world don't"),
+             # \x0B adjacent to symbols: Java \s includes \x0B but
+             # RE2/DuckDB \s does not — the explicit whitespace class
+             # (r15 advice) must segment this identically everywhere
+             (7, "a\x0b§;b !\x0b? \x0b\x0b end\x0b")]
 
     def test_byte_map_bijective(self):
         from dask_geopandas_spark.operators.bpe import gpt2_byte_map
