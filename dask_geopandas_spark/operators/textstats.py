@@ -449,24 +449,30 @@ def vocab_topk(df, text_col: str = "text", top_k: int = 100):
     )
 
 
-def _salted_count_join(big, counts, key: str, n_salt: int = 8):
+def _salted_count_join(big, counts, key: str, n_salt: int = 8,
+                       how: str = "inner"):
     """Shuffled join of a Zipf-skewed fact table against a 1-row-per-key
     count table without a hot reduce partition: the count side
     replicates across ``n_salt`` salt values (vocabulary-sized × n_salt
     — still tiny next to the fact side), the fact side hashes its whole
     row into one, so a token holding half the corpus spreads over
     ``n_salt`` tasks instead of melting one.  Join result is identical
-    to ``big.join(counts, on=key)``; this removes the reliance on AQE's
-    runtime skew-join split (which nothing guarantees is enabled in a
-    caller's session).  ``n_salt=1`` degrades to the plain join."""
+    to ``big.join(counts, on=key, how=how)``; this removes the reliance
+    on AQE's runtime skew-join split (which nothing guarantees is
+    enabled in a caller's session).  ``n_salt=1`` degrades to the plain
+    join.  ``how='left'`` keeps misses as NULLs (valid because the salt
+    replicates EVERY count row into every salt bucket, so a fact row's
+    single bucket sees the full key set — a miss there is a true miss;
+    backoff cascades rely on this, r15 advice dedupe of the former
+    private ``_lj`` copy)."""
     if n_salt <= 1:
-        return big.join(counts, on=key)
+        return big.join(counts, on=key, how=how)
     b = big.withColumn(
         "_ts", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
                       F.lit(n_salt)).cast("int"))
     c = counts.withColumn(
         "_ts", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
-    return b.join(c, on=[key, "_ts"]).drop("_ts")
+    return b.join(c, on=[key, "_ts"], how=how).drop("_ts")
 
 
 def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
@@ -1426,19 +1432,12 @@ def stupid_backoff_perplexity(df, target=None, text_col: str = "text",
                   " ", parts.getItem(0), parts.getItem(1)))
               .withColumn("w", parts.getItem(2)))
     # five salted LEFT joins against the count tables (the context
-    # denominators reuse c2/c1 under renamed keys); left-variant of
-    # `_salted_count_join` — misses must survive as NULLs for the
-    # backoff cascade
+    # denominators reuse c2/c1 under renamed keys) — misses must
+    # survive as NULLs for the backoff cascade, hence how='left'
+    # (r15 advice: one skew-join implementation, not two)
     def _lj(frame, tbl, key):
-        if int(n_salt) <= 1:
-            return frame.join(tbl, key, "left")
-        b = frame.withColumn(
-            "_ts", F.pmod(F.xxhash64(*[F.col(c) for c in
-                                       frame.columns]),
-                          F.lit(int(n_salt))).cast("int"))
-        c = tbl.withColumn("_ts", F.explode(
-            F.sequence(F.lit(0), F.lit(int(n_salt) - 1))))
-        return b.join(c, [key, "_ts"], "left").drop("_ts")
+        return _salted_count_join(frame, tbl, key,
+                                  n_salt=int(n_salt), how="left")
 
     scored = scored.withColumn("w2mid", parts.getItem(1))
     scored = _lj(scored, c3, "g3")

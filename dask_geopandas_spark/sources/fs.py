@@ -185,9 +185,16 @@ def write_atomic(fpath: str, data: bytes, filesystem=None) -> None:
     subsequent store read into a JSON parse error instead of the
     store's intended crash-recovery behavior (r14 ADVICE finding).
     `move` is atomic on local/HDFS-like filesystems; object stores
-    degrade to copy+delete, still leaving only whole files visible."""
+    degrade to copy+delete, still leaving only whole files visible.
+    The temp name carries a uuid so CONCURRENT first-time
+    initializers never interleave on a shared `.tmp` (writer B
+    truncating the file writer A is mid-writing, then A renaming a
+    torn file — r15 advice); each writer renames only bytes it wrote
+    itself, and the last rename wins whole."""
+    import uuid
+
     fs, p = resolve_fs(fpath, filesystem)
-    tmp = p + ".tmp"
+    tmp = f"{p}.{uuid.uuid4().hex}.tmp"
     with fs.open_output_stream(tmp) as out:
         out.write(data)
     fs.move(tmp, p)
