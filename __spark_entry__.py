@@ -3394,6 +3394,41 @@ def q_kn_perplexity(spark, sf_dir):
     return kn_perplexity(docs)
 
 
+def q_c4_clean(spark, sf_dir):
+    """C4 line-level cleaning (operators/textstats.c4_clean, new r15
+    post-close — registered r16): the Raffel et al. 2020 §2.2 rules —
+    lines survive only with terminal punctuation, >= 5 words, and no
+    "javascript"; the page keeps only without "lorem ipsum", without
+    a curly brace, and with >= 3 surviving lines.  One pure-codegen
+    projection, zero shuffle (plan-pinned by pytest).  The oracle
+    replays the identical rules as a DuckDB list_filter lambda; the
+    word split uses the explicit ASCII whitespace class (textstats
+    `_WS`) in both engines."""
+    from dask_geopandas_spark.operators.textstats import c4_clean
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return c4_clean(docs)
+
+
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail quality buckets (operators/textstats.
+    ccnet_buckets, new r15 post-close — registered r16): the Wenzek
+    et al. 2020 crawl-curation split — documents ranked by
+    `kn_perplexity` WITHIN EACH LANGUAGE, cut at fractional ranks
+    1/3 and 2/3 with INTEGER-exact bucket tests
+    (``rank·b < a·(n-1)`` — no float division anywhere).  The rank
+    window runs over the (lang, perplexity) COUNT table, so a hub
+    language contributes its distinct perplexity values to the
+    window, never its document count.  Oracle: the kn_perplexity
+    construction replica + the same count-table window + integer
+    bucket cases."""
+    from dask_geopandas_spark.operators.textstats import ccnet_buckets
+
+    docs = _t(spark, sf_dir, "documents") \
+        .select("doc_id", "text", "lang")
+    return ccnet_buckets(docs)
+
+
 def q_scc_hosts(spark, sf_dir):
     """Strongly connected components (operators/graph.
     strongly_connected_components, new r15 — r14 verdict #3): the
@@ -3416,6 +3451,33 @@ def q_scc_hosts(spark, sf_dir):
              .filter((h % 4 == 0) & (h > 0)))
     return strongly_connected_components(
         ring.unionAll(cross), rounds=2, prop_iters=6)
+
+
+def q_walks_cooccur(spark, sf_dir):
+    """DeepWalk corpus prep end-to-end (operators/graph.random_walks
+    → walk_cooccurrence, new r15 post-close — registered r16 as ONE
+    composed query covering both): deterministic pseudorandom walks
+    (default hub-safe TRANSITION-TABLE mode — per step one
+    map-side-combined argmin over the edge frame, so a 10M-degree
+    hub costs one partial-agg pass) over a 24-host graph built from
+    documents arithmetic (out-degree 3: +1, +5, and 3h+1 mod 24),
+    then windowed skip-gram co-occurrence pairs (window=2, canonical
+    a<b, one map-side-combined count — DeepWalk's actual training
+    corpus).  Every "random" choice is the portable 60-bit md5 hash
+    with a (hash, dst) total-order tie break, so the oracle unrolls
+    the 4 per-step transition tables and the walk joins verbatim."""
+    from dask_geopandas_spark.operators.graph import (
+        random_walks, walk_cooccurrence)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    h = F.col("doc_id") % 24
+    e = (docs.select(h.alias("src"), ((h + 1) % 24).alias("dst"))
+         .unionAll(docs.select(h.alias("src"),
+                               ((h + 5) % 24).alias("dst")))
+         .unionAll(docs.select(h.alias("src"),
+                               ((h * 3 + 1) % 24).alias("dst"))))
+    walks = random_walks(e, walk_len=4, walks_per_node=2, seed=0)
+    return walk_cooccurrence(walks, window=2)
 
 
 def _scc_hosts_oracle(rounds: int = 2, fw: int = 6,
@@ -4075,6 +4137,33 @@ def q_bpe_bytes(spark, sf_dir):
 
     return train_bpe_bytes(_t(spark, sf_dir, "documents"),
                            num_merges=10)
+
+
+def q_bpe_encode_bytes(spark, sf_dir):
+    """Byte-level BPE ENCODING (operators/bpe.bpe_encode_bytes +
+    bpe_byte_token_count, new r15 post-close — registered r16,
+    folding both encode-path operators into one query): train the
+    10-merge byte-level model (same trajectory as `bpe_bytes`), then
+    encode every document through the dictionary path — distinct
+    byte-pre-tokens encode once via the terminal-free replace chain,
+    token arrays reassemble in piece order and join back on
+    md5(text).  Returns per-doc token COUNT (the
+    `bpe_byte_token_count` value) plus an md5 over the chr(31)-joined
+    token sequence, so the gate attests the exact token IDENTITY and
+    ORDER, not just the count.  Oracle: the `bpe_bytes` training
+    CTEs + per-(piece, chunk) nested replaces, reassembled with
+    list(... ORDER BY piece, chunk)."""
+    from dask_geopandas_spark.operators.bpe import (bpe_encode_bytes,
+                                                    train_bpe_bytes)
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe_bytes(docs, num_merges=10)
+    enc = bpe_encode_bytes(docs.select("doc_id", "text"), merges)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.md5(F.concat_ws("\x1f", F.col("bpe_tokens")))
+        .alias("tok_hash"))
 
 
 def q_bpe_train(spark, sf_dir):
@@ -5491,6 +5580,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- r16 WINDOW (driver attests positions 1-50;
         #   order generated by scripts/make_window.py — see
         #   tests/test_rotation.py) ----
+        "scc_hosts": q_scc_hosts,
+        "bpe_bytes": q_bpe_bytes,
+        "bpe_encode_bytes": q_bpe_encode_bytes,
+        "c4_clean": q_c4_clean,
+        "ccnet_buckets": q_ccnet_buckets,
+        "walks_cooccur": q_walks_cooccur,
         "ann_ivf_exact": q_ann_ivf_exact,
         "ann_ivf_pq": q_ann_ivf_pq,
         "ann_pq": q_ann_pq,
@@ -5535,14 +5630,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top": q_tfidf_top,
         "topk_parts": q_topk_parts,
         "vocab_top": q_vocab_top,
+        # ---- below the window: (last-green asc, name) — the
+        #   r17 rotation order is the head of this list ----
         "ann_ivf_deleted": q_ann_ivf_deleted,
         "ann_sq": q_ann_sq,
         "bloom_dedup": q_bloom_dedup,
         "bloom_stored": q_bloom_stored,
         "bm25_batch_stored": q_bm25_batch_stored,
         "bm25_deleted": q_bm25_deleted,
-        # ---- below the window: (last-green asc, name) — the
-        #   r17 rotation order is the head of this list ----
         "bm25_stored": q_bm25_stored,
         "cdx_diff": q_cdx_diff,
         "cdx_fetch": q_cdx_fetch,
@@ -5673,7 +5768,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "weighted_sample": q_weighted_sample,
         "wordpiece_train": q_wordpiece_train,
-        "bpe_bytes": q_bpe_bytes,
         "convex_hull_area": q_convex_hull_area,
         "doc_chunks": q_doc_chunks,
         "doc_line_dedup": q_doc_line_dedup,
@@ -5705,7 +5799,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "quality_signals": q_quality_signals,
         "rotate_scale": q_rotate_scale,
-        "scc_hosts": q_scc_hosts,
         "semantic_dedup_pq": q_semantic_dedup_pq,
         "semantic_dedup_probe": q_semantic_dedup_probe,
         "simplify_lines": q_simplify_lines,
@@ -5908,6 +6001,79 @@ def _gpt2_byte_map_sql() -> str:
         "'" + c.replace("'", "''") + "'" for c in by_byte) + "]"
 
 
+#: the kn_perplexity construction CTE chain (trigram type
+#: counts, continuation counts, the nested fixed-discount
+#: expression) — shared verbatim by the `kn_perplexity` and
+#: `ccnet_buckets` oracles so the two can never drift
+_KN_CTES = """\
+            WITH toks AS MATERIALIZED (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           lower(trim(text)), '[^a-z0-9'']+'),
+                           x -> x != '') AS t
+                FROM documents WHERE text IS NOT NULL),
+            tri AS MATERIALIZED (
+                SELECT doc_id,
+                       t[j] || ' ' || t[j + 1] || ' ' || t[j + 2]
+                           AS gram
+                FROM (SELECT doc_id, t,
+                             unnest(range(1, len(t) - 1)) AS j
+                      FROM toks WHERE len(t) >= 3)),
+            t3 AS MATERIALIZED (
+                SELECT gram, CAST(count(*) AS BIGINT) AS c3,
+                       str_split(gram, ' ')[1] AS w1,
+                       str_split(gram, ' ')[2] AS w2,
+                       str_split(gram, ' ')[3] AS w3
+                FROM tri GROUP BY 1),
+            ctx2 AS MATERIALIZED (
+                SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c2,
+                       CAST(count(*) AS BIGINT) AS n1fw
+                FROM t3 GROUP BY 1, 2),
+            cont2 AS MATERIALIZED (
+                SELECT w2, w3, CAST(count(*) AS BIGINT) AS cc2
+                FROM t3 GROUP BY 1, 2),
+            ctx1 AS MATERIALIZED (
+                SELECT w2, CAST(count(*) AS BIGINT) AS m2,
+                       CAST(count(DISTINCT w3) AS BIGINT) AS n1mid
+                FROM t3 GROUP BY 1),
+            cont1 AS MATERIALIZED (
+                SELECT w3, CAST(count(*) AS BIGINT) AS cc1
+                FROM cont2 GROUP BY 1),
+            g1 AS MATERIALIZED (
+                SELECT CAST(count(*) AS BIGINT) AS n1pp FROM cont2),
+            g2 AS MATERIALIZED (
+                SELECT CAST(count(*) AS BIGINT) AS nuni FROM cont1),
+            g3 AS MATERIALIZED (
+                SELECT CAST(count(*) AS BIGINT) AS v
+                FROM (SELECT DISTINCT unnest(t) FROM toks)),
+            model AS MATERIALIZED (
+                SELECT t3.gram, ln(round(
+                    (greatest(c3 - 0.75::DOUBLE, 0.0::DOUBLE) / c2)
+                    + (((0.75::DOUBLE * n1fw) / c2) *
+                       ((greatest(cc2 - 0.75::DOUBLE, 0.0::DOUBLE)
+                         / m2)
+                        + (((0.75::DOUBLE * n1mid) / m2) *
+                           ((greatest(cc1 - 0.75::DOUBLE,
+                                      0.0::DOUBLE) / n1pp)
+                            + (((0.75::DOUBLE * nuni) / n1pp)
+                               * (1.0::DOUBLE / v)))))), 12)) AS lp
+                FROM t3
+                JOIN ctx2 USING (w1, w2)
+                JOIN cont2 USING (w2, w3)
+                JOIN ctx1 USING (w2)
+                JOIN cont1 USING (w3), g1, g2, g3)"""
+
+
+#: the byte-level pre-split pattern with the SQL quote escaped;
+#: whitespace class spelled explicitly — Java \s includes \x0B, RE2
+#: \s does not (r15 advice; must stay in lockstep with
+#: bpe.BYTE_PRESPLIT_PATTERN).  Shared by the training
+#: (`_bpe_bytes_ctes`) and encoding (`bpe_encode_bytes`) oracles.
+_BYTE_PAT_SQL = ("''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+                 "| ?[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]+"
+                 "|[ \\t\\n\\x0B\\f\\r]+")
+
+
 def _bpe_bytes_ctes(k: int, cap: int = 256) -> str:
     """Unrolled BYTE-LEVEL BPE training chain (operators/bpe.
     train_bpe_bytes): GPT-2-style pre-split (full byte coverage, the
@@ -5915,12 +6081,7 @@ def _bpe_bytes_ctes(k: int, cap: int = 256) -> str:
     `bytes_to_unicode` bijection via hex pairs, mega-run chunking at
     ``cap`` bytes, then the same `_bpe_merge_block` steps over a
     TERMINAL-FREE w0."""
-    # the pre-split pattern with the SQL quote escaped; whitespace
-    # class spelled explicitly — Java \s includes \x0B, RE2 \s does
-    # not (r15 advice; must stay in lockstep with
-    # bpe.BYTE_PRESPLIT_PATTERN)
-    pat = ("''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
-           "| ?[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+")
+    pat = _BYTE_PAT_SQL
     parts = [f"""
             bmap AS MATERIALIZED (SELECT {_gpt2_byte_map_sql()} AS m),
             bpieces AS MATERIALIZED (
@@ -5949,6 +6110,140 @@ def _bpe_bytes_ctes(k: int, cap: int = 256) -> str:
                        '  ') || ' ' AS s, cnt FROM wc)"""]
     parts.extend(_bpe_merge_block(i) for i in range(1, k + 1))
     return ",".join(parts)
+
+
+def _bpe_encode_bytes_oracle(k: int, cap: int = 256) -> str:
+    """q_bpe_encode_bytes replayed in SQL: the `_bpe_bytes_ctes`
+    training unroll, then the dictionary ENCODE path — per-document
+    pre-split pieces in order, byte-mapped and chunked at ``cap``
+    with their (piece, chunk) positions kept, each DISTINCT chunk
+    word run through the terminal-free `_bpe_encode_expr` replace
+    chain once, token arrays reassembled with
+    ``list(... ORDER BY pj, cj)`` and flattened — the exact order
+    `bpe_encode_bytes`'s posexplode/array_sort reassembly produces.
+    NULL/empty texts LEFT-join to an empty sequence: count 0, hash
+    md5('')."""
+    return "WITH " + _bpe_bytes_ctes(k, cap) + f""",
+            edoc AS MATERIALIZED (
+                SELECT doc_id,
+                       regexp_extract_all(text, '{_BYTE_PAT_SQL}')
+                           AS ps
+                FROM documents WHERE text IS NOT NULL),
+            epc AS MATERIALIZED (
+                SELECT doc_id, j AS pj, ps[j] AS piece
+                FROM (SELECT doc_id, ps,
+                             unnest(range(1, len(ps) + 1)) AS j
+                      FROM edoc)),
+            emp AS MATERIALIZED (
+                SELECT doc_id, pj, array_to_string(list_transform(
+                    range(1, length(h) // 2 + 1),
+                    j -> m[(('0x' || substr(h, CAST(2 * j - 1 AS INT),
+                                            2))::INT) + 1]), '') AS w
+                FROM (SELECT doc_id, pj, hex(encode(piece)) AS h
+                      FROM epc),
+                     bmap),
+            ech AS MATERIALIZED (
+                SELECT doc_id, pj, i AS cj,
+                       substr(w, CAST(i * {cap} + 1 AS INT), {cap})
+                           AS word
+                FROM (SELECT doc_id, pj, w,
+                             unnest(range(0, (length(w) - 1)
+                                             // {cap} + 1)) AS i
+                      FROM emp)),
+            evw AS MATERIALIZED (
+                SELECT word,
+                       str_split(trim({_bpe_encode_expr('s0', k)}),
+                                 '  ') AS toks
+                FROM (SELECT word, ' ' || array_to_string(
+                          list_transform(range(1, length(word) + 1),
+                                         i -> substr(word,
+                                              CAST(i AS INT), 1)),
+                          '  ') || ' ' AS s0
+                      FROM (SELECT DISTINCT word FROM ech))),
+            eag AS MATERIALIZED (
+                SELECT doc_id, flatten(list(toks ORDER BY pj, cj))
+                           AS tt
+                FROM ech JOIN evw USING (word)
+                GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(len(tt), 0) AS BIGINT)
+                       AS n_bpe_tokens,
+                   md5(COALESCE(array_to_string(tt, chr(31)), ''))
+                       AS tok_hash
+            FROM documents d LEFT JOIN eag USING (doc_id)"""
+
+
+def _walks_cooccur_oracle(walk_len: int = 4, copies: int = 2,
+                          seed: int = 0, window: int = 2) -> str:
+    """q_walks_cooccur replayed in SQL: the 24-host arithmetic graph
+    (deduped, self-loop-free — `_simple_directed`), then
+    `random_walks`' default TRANSITION-TABLE mode unrolled per step —
+    for each (node, copy) the argmin over out-edges of the portable
+    60-bit md5 hash of '{seed}:copy:t:src:dst' with the (hash, dst)
+    total-order tie break (``row_number() ORDER BY hash, dst``
+    replays Spark's ``min(struct(_h, _b))``) — walk frames extended
+    by LEFT join (a sink keeps its path), then `walk_cooccurrence`'s
+    windowed skip-gram pairs: i in [1, len), j in (i, min(i+window,
+    len)], canonical least/greatest, self-pairs dropped, one count."""
+    parts = [f"""
+            wh AS MATERIALIZED (
+                SELECT DISTINCT doc_id % 24 AS h FROM documents),
+            we AS MATERIALIZED (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT h AS src, (h + 1) % 24 AS dst FROM wh
+                    UNION ALL
+                    SELECT h, (h + 5) % 24 FROM wh
+                    UNION ALL
+                    SELECT h, (h * 3 + 1) % 24 FROM wh)
+                WHERE src IS NOT NULL AND dst IS NOT NULL
+                      AND src != dst),
+            wn AS MATERIALIZED (
+                SELECT DISTINCT node FROM (
+                    SELECT src AS node FROM we
+                    UNION ALL SELECT dst FROM we)),
+            ww0 AS MATERIALIZED (
+                SELECT node AS start, c AS copy, [node] AS path,
+                       node AS cur
+                FROM wn, (SELECT unnest(range(0, {copies})) AS c))"""]
+    for t in range(1, walk_len + 1):
+        parts.append(f"""
+            wt{t} AS MATERIALIZED (
+                SELECT src, c, dst FROM (
+                    SELECT we.src, cp.c, we.dst,
+                           row_number() OVER (
+                               PARTITION BY we.src, cp.c
+                               ORDER BY ('0x' || substr(md5(
+                                   '{seed}:' || CAST(cp.c AS VARCHAR)
+                                   || ':{t}:'
+                                   || CAST(we.src AS VARCHAR) || ':'
+                                   || CAST(we.dst AS VARCHAR)),
+                                   1, 15))::BIGINT, we.dst) AS rn
+                    FROM we, (SELECT unnest(range(0, {copies}))
+                              AS c) cp)
+                WHERE rn = 1),
+            ww{t} AS MATERIALIZED (
+                SELECT start, copy,
+                       CASE WHEN dst IS NOT NULL
+                            THEN list_append(path, dst)
+                            ELSE path END AS path,
+                       COALESCE(dst, cur) AS cur
+                FROM ww{t - 1}
+                LEFT JOIN wt{t} ON cur = src AND copy = c)""")
+    parts.append(f"""
+            wpr AS MATERIALIZED (
+                SELECT least(path[i], path[j]) AS a,
+                       greatest(path[i], path[j]) AS b
+                FROM (SELECT path, i,
+                             unnest(range(i + 1,
+                                          least(i + {window},
+                                                len(path)) + 1)) AS j
+                      FROM (SELECT path,
+                                   unnest(range(1, len(path))) AS i
+                            FROM ww{walk_len}
+                            WHERE len(path) >= 2)))""")
+    return ("WITH " + ",".join(parts) + """
+            SELECT a, b, CAST(count(*) AS BIGINT) AS n_cooccur
+            FROM wpr WHERE a != b GROUP BY a, b""")
 
 
 def _wordpiece_ctes(k: int) -> str:
@@ -9251,6 +9546,10 @@ def _oracle_sql_base() -> dict[str, str]:
             f"{i} AS \"rank\", l AS \"left\", r AS \"right\", "
             f"m AS merged, c AS pair_count FROM b{i}"
             for i in range(1, 11)),
+        # bpe_encode_bytes: the 10-merge byte training unroll + the
+        # dictionary encode path, token IDENTITY and ORDER attested
+        # via the chr(31)-joined md5
+        "bpe_encode_bytes": _bpe_encode_bytes_oracle(10),
         "bpe_train": "WITH " + _bpe_ctes(10) + "\n" + "\n".join(
             f"            {'UNION ALL ' if i > 1 else ''}SELECT "
             f"{i} AS \"rank\", l AS \"left\", r AS \"right\", "
@@ -9438,74 +9737,94 @@ def _oracle_sql_base() -> dict[str, str]:
         # nested fixed-discount expression (every literal ::DOUBLE),
         # round-12 before ln, per-doc mean round-6, perplexity from
         # the rounded mean
-        "kn_perplexity": """
-            WITH toks AS MATERIALIZED (
-                SELECT doc_id,
-                       list_filter(regexp_split_to_array(
-                           lower(trim(text)), '[^a-z0-9'']+'),
-                           x -> x != '') AS t
-                FROM documents WHERE text IS NOT NULL),
-            tri AS MATERIALIZED (
-                SELECT doc_id,
-                       t[j] || ' ' || t[j + 1] || ' ' || t[j + 2]
-                           AS gram
-                FROM (SELECT doc_id, t,
-                             unnest(range(1, len(t) - 1)) AS j
-                      FROM toks WHERE len(t) >= 3)),
-            t3 AS MATERIALIZED (
-                SELECT gram, CAST(count(*) AS BIGINT) AS c3,
-                       str_split(gram, ' ')[1] AS w1,
-                       str_split(gram, ' ')[2] AS w2,
-                       str_split(gram, ' ')[3] AS w3
-                FROM tri GROUP BY 1),
-            ctx2 AS MATERIALIZED (
-                SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c2,
-                       CAST(count(*) AS BIGINT) AS n1fw
-                FROM t3 GROUP BY 1, 2),
-            cont2 AS MATERIALIZED (
-                SELECT w2, w3, CAST(count(*) AS BIGINT) AS cc2
-                FROM t3 GROUP BY 1, 2),
-            ctx1 AS MATERIALIZED (
-                SELECT w2, CAST(count(*) AS BIGINT) AS m2,
-                       CAST(count(DISTINCT w3) AS BIGINT) AS n1mid
-                FROM t3 GROUP BY 1),
-            cont1 AS MATERIALIZED (
-                SELECT w3, CAST(count(*) AS BIGINT) AS cc1
-                FROM cont2 GROUP BY 1),
-            g1 AS MATERIALIZED (
-                SELECT CAST(count(*) AS BIGINT) AS n1pp FROM cont2),
-            g2 AS MATERIALIZED (
-                SELECT CAST(count(*) AS BIGINT) AS nuni FROM cont1),
-            g3 AS MATERIALIZED (
-                SELECT CAST(count(*) AS BIGINT) AS v
-                FROM (SELECT DISTINCT unnest(t) FROM toks)),
-            model AS MATERIALIZED (
-                SELECT t3.gram, ln(round(
-                    (greatest(c3 - 0.75::DOUBLE, 0.0::DOUBLE) / c2)
-                    + (((0.75::DOUBLE * n1fw) / c2) *
-                       ((greatest(cc2 - 0.75::DOUBLE, 0.0::DOUBLE)
-                         / m2)
-                        + (((0.75::DOUBLE * n1mid) / m2) *
-                           ((greatest(cc1 - 0.75::DOUBLE,
-                                      0.0::DOUBLE) / n1pp)
-                            + (((0.75::DOUBLE * nuni) / n1pp)
-                               * (1.0::DOUBLE / v)))))), 12)) AS lp
-                FROM t3
-                JOIN ctx2 USING (w1, w2)
-                JOIN cont2 USING (w2, w3)
-                JOIN ctx1 USING (w2)
-                JOIN cont1 USING (w3), g1, g2, g3)
+        "kn_perplexity": "\n" + _KN_CTES + """
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
                    round(avg(lp), 6) AS avg_logprob,
                    round(exp(-round(avg(lp), 6)), 6) AS perplexity
             FROM tri JOIN model USING (gram)
             GROUP BY 1
         """,
+        # ccnet_buckets: the SAME _KN_CTES model (shared verbatim so
+        # the two oracles can never drift) scored per doc, then the
+        # (lang, perplexity) COUNT-table window — strict rank = cum
+        # minus own count — and the INTEGER bucket tests
+        # rank*b < a*(n-1) (cuts 1/3, 2/3); ROWS frame spelled out
+        # (the count table has no ORDER-key ties, but RANGE is
+        # DuckDB's default and the engine used rowsBetween)
+        "ccnet_buckets": "\n" + _KN_CTES + """,
+            ckp AS MATERIALIZED (
+                SELECT doc_id,
+                       round(exp(-round(avg(lp), 6)), 6)
+                           AS perplexity
+                FROM tri JOIN model USING (gram)
+                GROUP BY 1),
+            csc AS MATERIALIZED (
+                SELECT ckp.doc_id, d.lang, ckp.perplexity
+                FROM ckp JOIN documents d USING (doc_id)),
+            cct AS MATERIALIZED (
+                SELECT lang, perplexity,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM csc GROUP BY 1, 2),
+            crk AS MATERIALIZED (
+                SELECT lang, perplexity,
+                       sum(c) OVER (PARTITION BY lang
+                                    ORDER BY perplexity
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) - c AS rk,
+                       sum(c) OVER (PARTITION BY lang) AS n
+                FROM cct)
+            SELECT csc.doc_id, csc.lang, csc.perplexity,
+                   CASE WHEN n <= 1 THEN 'head'
+                        WHEN rk * 3 < 1 * (n - 1) THEN 'head'
+                        WHEN rk * 3 < 2 * (n - 1) THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM csc JOIN crk USING (lang, perplexity)
+        """,
         # scc_hosts: 2 peeling rounds unrolled (6 forward min-color
         # steps + root pick + 6 backward membership steps + peel per
         # round); idempotent at the fixed point so early Spark
         # breaks replay identically (the kcore_hosts convention)
         "scc_hosts": _scc_hosts_oracle(rounds=2, fw=6, bw=6),
+        # walks_cooccur: 4 transition-table steps unrolled + the
+        # windowed pair explode (DeepWalk corpus prep end-to-end)
+        "walks_cooccur": _walks_cooccur_oracle(walk_len=4, copies=2,
+                                               seed=0, window=2),
+        # c4_clean: the Raffel et al. line rules as one projection —
+        # list_filter lambda mirrors the engine's _keep_line (\z
+        # anchors, explicit ASCII whitespace class, space-only
+        # trim/rtrim in both engines); page keep via 3-valued AND
+        # (NULL text -> false, same as Spark)
+        "c4_clean": r"""
+            WITH c4s AS MATERIALIZED (
+                SELECT doc_id, text,
+                       CASE WHEN text IS NOT NULL
+                            THEN str_split(text, chr(10))
+                            ELSE [] END AS ls
+                FROM documents),
+            c4k AS MATERIALIZED (
+                SELECT doc_id, text, ls,
+                       list_filter(ls, li ->
+                           regexp_matches(rtrim(li), '[.!?"”]\z')
+                           AND len(list_filter(
+                               regexp_split_to_array(trim(li),
+                                   '[ \t\n\x0B\f\r]+'),
+                               x -> x != '')) >= 5
+                           AND NOT contains(lower(li), 'javascript'))
+                           AS kept
+                FROM c4s)
+            SELECT doc_id,
+                   -- COALESCE: DuckDB array_to_string([]) is NULL,
+                   -- Spark array_join([]) is ''
+                   COALESCE(array_to_string(kept, chr(10)), '')
+                       AS text_clean,
+                   CAST(len(kept) AS BIGINT) AS n_lines_kept,
+                   CAST(len(ls) - len(kept) AS BIGINT)
+                       AS n_lines_dropped,
+                   (NOT contains(lower(text), 'lorem ipsum')
+                    AND NOT contains(text, '{')
+                    AND len(kept) >= 3) AS keep
+            FROM c4k
+        """,
         # graph_summary: method-free recount — directed dedup +
         # reverse semi-join, canonical triangles, integer ratios
         "graph_summary": """

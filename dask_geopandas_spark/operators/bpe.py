@@ -514,3 +514,63 @@ def bpe_byte_token_count(df: DataFrame, merges: DataFrame,
     return (enc.withColumn(count_col,
                            F.size(F.col("_bpe")).cast("long"))
             .drop("_bpe"))
+
+
+def tokenizer_datacard(df: DataFrame, counts: DataFrame,
+                       group_cols=("source", "lang"),
+                       text_col: str = "text",
+                       id_col: str = "doc_id",
+                       count_col: str = "n_bpe_tokens") -> DataFrame:
+    """Tokenizer data-card metrics per corpus slice — the published
+    numbers tokenizer reports compare (XLM-R's per-language fertility
+    table, the GPT-4 report's bytes-per-token compression): given ANY
+    per-document token-count frame ``counts`` (`bpe_token_count`,
+    `bpe_byte_token_count`, `unigram_token_count`,
+    `wordpiece_token_count` — the operator is tokenizer-agnostic),
+    aggregate per ``group_cols``:
+
+    - ``n_docs``, ``total_bytes`` (UTF-8 octets), ``total_tokens``,
+      ``total_words`` (whitespace words, the fertility denominator)
+    - ``bytes_per_token`` = total_bytes / total_tokens (compression;
+      higher = cheaper corpus in tokens)
+    - ``fertility`` = total_tokens / total_words (subword splits per
+      word; 1.0 = every word one token)
+
+    All sums are exact integers; the two ratios divide once at the
+    end and round to 6 (engine-portable — the `corpus_stats`
+    convention).  Zero-token / zero-word groups return NULL ratios
+    rather than dividing by zero.  Distributed shape: one inner join
+    on ``id_col`` (both sides corpus-keyed — co-partitioned by the
+    join) + one map-side-combined aggregation keyed on the group
+    columns; no corpus-sized state past the join."""
+    from .textstats import _WS
+
+    gcols = list(group_cols)
+    t = F.col(text_col)
+    words = F.when(
+        t.isNotNull(),
+        F.size(F.filter(F.split(t, _WS + "+"),
+                        lambda x: x != F.lit("")))).otherwise(F.lit(0))
+    joined = (df.select(id_col, *gcols,
+                        F.coalesce(F.octet_length(t), F.lit(0))
+                        .cast("long").alias("_bytes"),
+                        words.cast("long").alias("_words"))
+              .join(counts.select(id_col,
+                                  F.col(count_col).alias("_toks")),
+                    id_col))
+    agg = (joined.groupBy(*gcols)
+           .agg(F.count("*").cast("long").alias("n_docs"),
+                F.sum("_bytes").cast("long").alias("total_bytes"),
+                F.sum("_toks").cast("long").alias("total_tokens"),
+                F.sum("_words").cast("long").alias("total_words")))
+    return (agg
+            .withColumn(
+                "bytes_per_token",
+                F.when(F.col("total_tokens") > 0,
+                       F.round(F.col("total_bytes")
+                               / F.col("total_tokens"), 6)))
+            .withColumn(
+                "fertility",
+                F.when(F.col("total_words") > 0,
+                       F.round(F.col("total_tokens")
+                               / F.col("total_words"), 6))))

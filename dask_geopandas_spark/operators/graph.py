@@ -1273,3 +1273,155 @@ def walk_cooccurrence(walks: DataFrame, window: int = 2,
             .filter(F.col("a") != F.col("b"))
             .groupBy("a", "b")
             .agg(F.count("*").cast("long").alias("n_cooccur")))
+
+
+def _n2v_multiplicities(p, q, max_multiplicity: int):
+    """node2vec (1/p, 1, 1/q) bias weights as INTEGER multiplicities
+    (m_return, m_near, m_far) — the smallest integer scaling of the
+    three rationals.  ``p``/``q`` parse through ``Fraction(str(.))``
+    so decimal literals are exact (0.5 is 1/2, not the binary float);
+    irreducible scalings past ``max_multiplicity`` raise rather than
+    silently approximate."""
+    from fractions import Fraction
+    from math import lcm
+
+    try:
+        fp, fq = Fraction(str(p)), Fraction(str(q))
+    except (ValueError, ZeroDivisionError) as ex:
+        raise ValueError(f"p/q must be positive rationals, got "
+                         f"p={p!r} q={q!r}") from ex
+    if fp <= 0 or fq <= 0:
+        raise ValueError(f"p/q must be positive, got p={p} q={q}")
+    ws = [1 / fp, Fraction(1), 1 / fq]
+    scale = lcm(*(w.denominator for w in ws))
+    ms = [int(w * scale) for w in ws]
+    if max(ms) > int(max_multiplicity):
+        raise ValueError(
+            f"p={p} q={q} need candidate multiplicities {ms} > "
+            f"max_multiplicity={max_multiplicity}; use simpler "
+            "rationals (the race fan-out is linear in the "
+            "multiplicity)")
+    return ms
+
+
+def node2vec_walks(edges: DataFrame, src_col: str = "src",
+                   dst_col: str = "dst", p=1, q=1,
+                   walk_len: int = 4, walks_per_node: int = 2,
+                   seed: int = 0,
+                   max_multiplicity: int = 64) -> DataFrame:
+    """(p, q)-biased second-order walks (node2vec, Grover & Leskovec
+    KDD 2016) — the standard upgrade of `random_walks`' uniform
+    transitions: stepping from ``prev`` through ``cur``, a candidate
+    ``x`` weighs ``1/p`` if ``x == prev`` (return), ``1`` if the edge
+    ``prev -> x`` exists (the directed reading of d(prev, x) = 1),
+    else ``1/q`` (explore).  Low ``q`` pushes outward (DFS-like
+    structural equivalence), low ``p`` keeps walks local (BFS-like
+    homophily).  Step 1 has no ``prev`` and is uniform over out-edges
+    with `random_walks`' EXACT table-mode hash key, so a (p=1, q=1)
+    step 1 reproduces the DeepWalk table's first hop.  Returns
+    (start, copy, path) like `random_walks`; feed `walk_cooccurrence`
+    for the training corpus.
+
+    Weighted sampling WITHOUT doubles — the integer-multiplicity
+    race: weights scale to the smallest integer multiplicities
+    (`_n2v_multiplicities`); each candidate enters the hash argmin
+    once per multiplicity unit (replica index salted into the key),
+    and P(argmin lands in x's replicas) = m(x)/Σm EXACTLY (iid
+    symmetry).  Every choice stays a pure function of (graph, seed) —
+    portable-md5 + (hash, dst) total order, engine-replicable with no
+    transcendentals and no rounding anywhere.
+
+    Distributed shape (100 TB): the step-``t`` table aggregates the
+    WEDGE frame (prev -> cur -> cand, built by two edge self-joins +
+    one left-join near-classification) — Σ indeg·outdeg rows × Σm
+    fan-out, node2vec's own published preprocessing cost (its alias
+    tables are per-edge-pair too); the aggregation is a map-side-
+    combined min keyed on (prev, cur, copy), so no single key
+    explodes (a d-degree hub contributes d² wedge rows but spread
+    over d² distinct keys).  Walk frames stay (nodes ×
+    walks_per_node)-sized, localCheckpoint'd per superstep; walks
+    sharing (copy, step, prev, cur) share their hop — the same
+    documented table-mode bias as `random_walks`, second order."""
+    from .dedup import portable_hash
+
+    mr, mn, mf = _n2v_multiplicities(p, q, max_multiplicity)
+    e = _simple_directed(edges, src_col, dst_col).cache()
+    nodes = (e.select(F.col("_a").alias("node"))
+             .unionAll(e.select(F.col("_b").alias("node")))
+             .distinct())
+    copies = F.explode(
+        F.sequence(F.lit(0), F.lit(int(walks_per_node) - 1)))
+    walks = (nodes.select(F.col("node").alias("start"),
+                          copies.alias("copy"))
+             .select("start", "copy",
+                     F.array("start").alias("path"),
+                     F.col("start").alias("_prev"),
+                     F.col("start").alias("_cur"),
+                     F.lit(True).alias("_alive"))
+             .localCheckpoint())
+    # wedge frame prev -> cur -> cand with the near-flag (is there a
+    # prev -> cand edge?), reused by every step >= 2
+    wedge = (e.select(F.col("_a").alias("_p"),
+                      F.col("_b").alias("_a"))
+             .join(e, "_a")
+             .join(e.select(F.col("_a").alias("_p"),
+                            F.col("_b").alias("_b"),
+                            F.lit(1).alias("_n1")),
+                   ["_p", "_b"], "left")
+             .withColumn("_m", F.when(F.col("_b") == F.col("_p"),
+                                      F.lit(mr))
+                         .when(F.col("_n1").isNotNull(), F.lit(mn))
+                         .otherwise(F.lit(mf)))
+             .drop("_n1").cache())
+    for t in range(1, int(walk_len) + 1):
+        if t == 1:
+            # uniform first hop — random_walks' table key verbatim
+            trans = (e.select(
+                "_a", "_b",
+                F.explode(F.sequence(
+                    F.lit(0), F.lit(int(walks_per_node) - 1)))
+                .alias("copy"))
+                .withColumn("_h", portable_hash(F.concat_ws(
+                    ":", F.lit(int(seed)), F.col("copy"), F.lit(t),
+                    F.col("_a"), F.col("_b"))))
+                .groupBy("_a", "copy")
+                .agg(F.min(F.struct("_h", "_b"))["_b"]
+                     .alias("_next")))
+            nxt = walks.join(
+                trans, (walks["_cur"] == trans["_a"])
+                & (walks["copy"] == trans["copy"]), "left") \
+                .drop(trans["copy"]).drop("_a")
+        else:
+            trans = (wedge.select(
+                "_p", "_a", "_b",
+                F.explode(F.sequence(
+                    F.lit(0), F.lit(int(walks_per_node) - 1)))
+                .alias("copy"), "_m")
+                .select("_p", "_a", "_b", "copy",
+                        F.explode(F.sequence(F.lit(1), F.col("_m")))
+                        .alias("_r"))
+                .withColumn("_h", portable_hash(F.concat_ws(
+                    ":", F.lit(int(seed)), F.col("copy"), F.lit(t),
+                    F.col("_p"), F.col("_a"), F.col("_b"),
+                    F.col("_r"))))
+                .groupBy("_p", "_a", "copy")
+                .agg(F.min(F.struct("_h", "_b"))["_b"]
+                     .alias("_next")))
+            nxt = walks.join(
+                trans, (walks["_prev"] == trans["_p"])
+                & (walks["_cur"] == trans["_a"])
+                & (walks["copy"] == trans["copy"]), "left") \
+                .drop(trans["copy"]).drop("_p").drop("_a")
+        walks = (nxt.select(
+            "start", "copy",
+            F.when(F.col("_alive") & F.col("_next").isNotNull(),
+                   F.concat("path", F.array("_next")))
+            .otherwise(F.col("path")).alias("path"),
+            F.when(F.col("_alive") & F.col("_next").isNotNull(),
+                   F.col("_cur")).otherwise(F.col("_prev"))
+            .alias("_prev"),
+            F.coalesce("_next", "_cur").alias("_cur"),
+            (F.col("_alive") & F.col("_next").isNotNull())
+            .alias("_alive"))
+            .localCheckpoint())
+    return walks.select("start", "copy", "path")

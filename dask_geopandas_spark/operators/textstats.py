@@ -1318,7 +1318,8 @@ def c4_clean(df, text_col: str = "text", id_col: str = "doc_id",
     lines = F.split(text, "\n")
 
     def _keep_line(li):
-        toks = F.filter(F.split(F.trim(li), r"\s+"),
+        # _WS, not \s: Java counts \x0B as \s, RE2/DuckDB does not
+        toks = F.filter(F.split(F.trim(li), _WS + "+"),
                         lambda x: x != F.lit(""))
         # \z, not $: Java's $ matches before a trailing newline
         # (the byte-BPE fast-path lesson)

@@ -485,3 +485,86 @@ class TestByteLevelBpe:
                train_bpe(df, num_merges=3).orderBy("rank").collect()]
         assert got == [(1, "l", "o"), (2, "lo", "w"),
                        (3, "low", "</w>")]
+
+
+class TestTokenizerDatacard:
+    """tokenizer_datacard (r16): per-slice bytes-per-token /
+    fertility vs hand-computed sums; NULL-text and zero-token
+    degradation; composition with a real byte-level tokenizer."""
+
+    DOCS = [
+        (1, "hello world", "web", "en"),
+        (2, "a b c d", "web", "en"),
+        (3, "bonjour tout le monde entier", "web", "fr"),
+        (4, None, "books", "en"),
+        (5, "one\x0btwo three", "books", "en"),
+    ]
+    COUNTS = [(1, 4), (2, 4), (3, 9), (4, 0), (5, 5)]
+
+    def _run(self, spark):
+        from dask_geopandas_spark.operators.bpe import \
+            tokenizer_datacard
+
+        df = spark.createDataFrame(
+            self.DOCS, "doc_id long, text string, source string, "
+            "lang string")
+        counts = spark.createDataFrame(
+            self.COUNTS, "doc_id long, n_bpe_tokens long")
+        return {(r["source"], r["lang"]): r for r in
+                tokenizer_datacard(df, counts).collect()}
+
+    def test_matches_brute(self, spark):
+        got = self._run(spark)
+        assert set(got) == {("web", "en"), ("web", "fr"),
+                            ("books", "en")}
+        we = got[("web", "en")]
+        # bytes: len('hello world')=11 + len('a b c d')=7 = 18;
+        # words 2 + 4 = 6; tokens 4 + 4 = 8
+        assert (we["n_docs"], we["total_bytes"], we["total_tokens"],
+                we["total_words"]) == (2, 18, 8, 6)
+        assert we["bytes_per_token"] == round(18 / 8, 6)
+        assert we["fertility"] == round(8 / 6, 6)
+        fr = got[("web", "fr")]
+        assert (fr["total_bytes"], fr["total_words"],
+                fr["total_tokens"]) == (28, 5, 9)
+        # books/en: NULL text contributes 0 bytes / 0 words but
+        # still counts as a doc; \x0B splits words (the _WS class)
+        bk = got[("books", "en")]
+        assert (bk["n_docs"], bk["total_bytes"], bk["total_words"],
+                bk["total_tokens"]) == (2, 13, 3, 5)
+
+    def test_zero_token_group_null_ratios(self, spark):
+        from dask_geopandas_spark.operators.bpe import \
+            tokenizer_datacard
+
+        df = spark.createDataFrame(
+            [(1, None, "s", "en")],
+            "doc_id long, text string, source string, lang string")
+        counts = spark.createDataFrame([(1, 0)],
+                                       "doc_id long, n_bpe_tokens long")
+        r = tokenizer_datacard(df, counts).collect()[0]
+        assert r["bytes_per_token"] is None
+        assert r["fertility"] is None
+
+    def test_composes_with_byte_tokenizer(self, spark):
+        from dask_geopandas_spark.operators.bpe import (
+            bpe_byte_token_count, tokenizer_datacard,
+            train_bpe_bytes)
+
+        df = spark.createDataFrame(
+            [(1, "low low lower", "web", "en"),
+             (2, "lowest low", "web", "en"),
+             (3, "newer newest", "news", "en")],
+            "doc_id long, text string, source string, lang string")
+        merges = train_bpe_bytes(df, num_merges=4)
+        counts = bpe_byte_token_count(df, merges)
+        got = {(r["source"], r["lang"]): r for r in
+               tokenizer_datacard(df, counts).collect()}
+        per_doc = {r["doc_id"]: r["n_bpe_tokens"]
+                   for r in counts.collect()}
+        assert got[("web", "en")]["total_tokens"] == \
+            per_doc[1] + per_doc[2]
+        assert got[("news", "en")]["total_tokens"] == per_doc[3]
+        # byte-level covers every byte: tokens >= 1 per non-empty doc
+        assert all(v >= 1 for v in per_doc.values())
+        assert got[("web", "en")]["bytes_per_token"] is not None

@@ -5104,7 +5104,11 @@ class TestC4Clean:
         lines = text.split("\n")
         kept = [ln for ln in lines
                 if re.search(r'[.!?"”]\Z', ln.rstrip())
-                and len([w for w in re.split(r"\s+", ln.strip())
+                # explicit ASCII class, the engine's _WS (\x0B IS a
+                # separator — Java \s convention, spelled out so
+                # RE2/DuckDB agrees)
+                and len([w for w in re.split("[ \t\n\x0B\f\r]+",
+                                             ln.strip())
                          if w]) >= min_words
                 and "javascript" not in ln.lower()]
         keep = ("lorem ipsum" not in text.lower()
@@ -5131,6 +5135,13 @@ class TestC4Clean:
             "Second real sentence with enough words to survive here.\n"
             "Third real sentence with enough words to survive here."),
         (5, None),
+        # \x0B inside a line: the explicit whitespace class counts
+        # one\x0Btwo as TWO words (Java-\s semantics, engine and
+        # replica in lockstep)
+        (6, "one\x0btwo three four five ends well enough here.\n"
+            "one\x0btwo three four.\n"
+            "a third good sentence with plenty of words survives.\n"
+            "a fourth good sentence with plenty of words survives."),
     ]
 
     def test_matches_brute(self, spark):
@@ -5301,6 +5312,137 @@ class TestWalkCooccurrence:
         paths = [r["path"] for r in walks.collect()]
         assert got == self._brute(paths, 2)
         assert all(v >= 1 for v in got.values()) and got
+
+
+class TestNode2VecWalks:
+    """node2vec_walks (r16): (p, q)-biased second-order walks vs a
+    brute replica of the integer-multiplicity hash race, several
+    (p, q) points; multiplicity arithmetic; bias sanity."""
+
+    EDGES = [(1, 2), (2, 1), (1, 3), (2, 3), (3, 1), (2, 4), (5, 1),
+             (4, 2), (3, 4)]
+
+    @staticmethod
+    def _hash(s):
+        import hashlib
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    @classmethod
+    def _brute(cls, edges, p, q, walk_len, wpn, seed):
+        from dask_geopandas_spark.operators.graph import \
+            _n2v_multiplicities
+
+        mr, mn, mf = _n2v_multiplicities(p, q, 64)
+        adj, nodes = {}, set()
+        for s, t in edges:
+            if s != t:
+                adj.setdefault(s, set()).add(t)
+            nodes.update((s, t))
+        out = {}
+        for start in nodes:
+            for copy in range(wpn):
+                path, prev, cur = [start], start, start
+                for t in range(1, walk_len + 1):
+                    nbrs = adj.get(cur)
+                    if not nbrs:
+                        break
+                    if t == 1:
+                        nxt = min(nbrs, key=lambda d: (cls._hash(
+                            f"{seed}:{copy}:{t}:{cur}:{d}"), d))
+                    else:
+                        race = []
+                        for d in nbrs:
+                            m = (mr if d == prev
+                                 else mn if d in adj.get(prev, ())
+                                 else mf)
+                            race += [(cls._hash(
+                                f"{seed}:{copy}:{t}:{prev}:{cur}"
+                                f":{d}:{r}"), d)
+                                for r in range(1, m + 1)]
+                        nxt = min(race)[1]
+                    prev, cur = cur, nxt
+                    path.append(cur)
+                out[(start, copy)] = path
+        return out
+
+    @pytest.mark.parametrize("p,q", [(1, 1), (4, 1), (1, 4),
+                                     (0.5, 2), (2, 0.5)])
+    def test_matches_brute(self, spark, p, q):
+        from dask_geopandas_spark.operators.graph import \
+            node2vec_walks
+
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        got = {(r["start"], r["copy"]): r["path"] for r in
+               node2vec_walks(e, p=p, q=q, walk_len=5,
+                              walks_per_node=2, seed=7).collect()}
+        assert got == self._brute(self.EDGES, p, q, 5, 2, 7), (p, q)
+        # every path follows real edges and starts at its start node
+        adj = {(s, t) for s, t in self.EDGES}
+        for (start, _), path in got.items():
+            assert path[0] == start
+            assert all((a, b) in adj
+                       for a, b in zip(path, path[1:]))
+
+    def test_matches_brute_random_graph(self, spark):
+        import random
+
+        from dask_geopandas_spark.operators.graph import \
+            node2vec_walks
+
+        rng = random.Random(23)
+        edges = sorted({(rng.randrange(10), rng.randrange(10))
+                        for _ in range(30)})
+        edges = [x for x in edges if x[0] != x[1]]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        got = {(r["start"], r["copy"]): r["path"] for r in
+               node2vec_walks(e, p=3, q=0.25, walk_len=4,
+                              walks_per_node=2, seed=1).collect()}
+        assert got == self._brute(edges, 3, 0.25, 4, 2, 1)
+
+    def test_multiplicities(self):
+        from dask_geopandas_spark.operators.graph import \
+            _n2v_multiplicities
+
+        assert _n2v_multiplicities(1, 1, 64) == [1, 1, 1]
+        assert _n2v_multiplicities(2, 1, 64) == [1, 2, 2]
+        assert _n2v_multiplicities(0.5, 2, 64) == [4, 2, 1]
+        assert _n2v_multiplicities(0.25, 0.25, 64) == [4, 1, 4]
+        with pytest.raises(ValueError):
+            _n2v_multiplicities(0, 1, 64)
+        with pytest.raises(ValueError):
+            _n2v_multiplicities(-1, 1, 64)
+        with pytest.raises(ValueError):  # 1/3 weight needs m > cap
+            _n2v_multiplicities(3, 1, 2)
+
+    def test_return_bias(self, spark):
+        """Low p must return to prev more often than high p (the
+        published homophily knob) — counted over a graph where every
+        step has a genuine return choice."""
+        import random
+
+        from dask_geopandas_spark.operators.graph import \
+            node2vec_walks
+
+        rng = random.Random(5)
+        edges = set()
+        for _ in range(40):
+            a, b = rng.randrange(12), rng.randrange(12)
+            if a != b:
+                edges.update([(a, b), (b, a)])  # symmetric
+        edges = sorted(edges)
+        e = spark.createDataFrame(edges, "src long, dst long")
+
+        def returns(p, q):
+            n = 0
+            for r in node2vec_walks(e, p=p, q=q, walk_len=6,
+                                    walks_per_node=4,
+                                    seed=3).collect():
+                path = r["path"]
+                n += sum(1 for i in range(2, len(path))
+                         if path[i] == path[i - 2])
+            return n
+
+        assert returns(0.25, 1) > returns(8, 1)
 
 
 class TestStupidBackoff:
