@@ -218,6 +218,62 @@ def pack_documents(df: DataFrame, budget: int,
         bin_col, F.floor(exclusive / F.lit(budget)).cast("long"))
 
 
+def pack_chunks(df: DataFrame, budget: int,
+                token_col: str = "n_tokens",
+                order_col: str = "doc_id",
+                by: str | None = None,
+                bin_col: str = "pack_bin") -> DataFrame:
+    """Concat-then-chunk sequence packing — the GPT-2/3 pretraining
+    shape `pack_documents` deliberately is NOT: documents concatenate
+    in ``order_col`` order into one token stream (per ``by`` group),
+    which is cut into exact ``budget``-token bins; a document
+    straddling a boundary is SPLIT across bins, so every bin except
+    the stream's last is exactly full (zero padding waste, the
+    published trade-off against `pack_documents`' no-split form which
+    never cuts a document but underfills bins).
+
+    Emits one row per (document, bin) SPAN with the input columns
+    plus ``bin_col``, ``tok_start``/``tok_end`` (doc-LOCAL token
+    offsets of the span, end-exclusive — the loader slices
+    ``tokens[tok_start:tok_end]``) and ``bin_offset`` (where the span
+    begins inside its bin).  Rows with ``token_col <= 0`` contribute
+    nothing to the stream and emit no span (they drop).
+
+    Pure integer arithmetic over one running-sum window + one
+    sequence explode (a doc of n tokens spans
+    ``floor(off/budget) .. floor((off+n-1)/budget)``) — no Python,
+    engine-portable exactly.  ``by=None`` packs globally through a
+    single window partition (small frames only); per-shard ``by`` is
+    the cluster-scale form, as in `pack_documents`."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    b = F.lit(int(budget))
+    w = (Window.partitionBy(by) if by else Window.partitionBy()) \
+        .orderBy(order_col) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    n = F.col(token_col)
+    off = (F.sum(n).over(w) - n).alias("_off")
+    spans = (df.filter(n > 0)
+             .withColumn("_off", off)
+             .withColumn(bin_col, F.explode(F.sequence(
+                 F.floor(F.col("_off") / b),
+                 F.floor((F.col("_off") + n - 1) / b))))
+             .withColumn("_gs", F.greatest(
+                 F.col("_off"), F.col(bin_col) * b))
+             .withColumn("_ge", F.least(
+                 F.col("_off") + n, (F.col(bin_col) + 1) * b)))
+    return (spans
+            .withColumn("tok_start",
+                        (F.col("_gs") - F.col("_off")).cast("long"))
+            .withColumn("tok_end",
+                        (F.col("_ge") - F.col("_off")).cast("long"))
+            .withColumn("bin_offset",
+                        (F.col("_gs") - F.col(bin_col) * b)
+                        .cast("long"))
+            .withColumn(bin_col, F.col(bin_col).cast("long"))
+            .drop("_off", "_gs", "_ge"))
+
+
 def cap_per_group(df: DataFrame, group_col: str = "source",
                   cap: int = 100, order_col: str = "doc_id") -> DataFrame:
     """Per-group quota (the C4/RefinedWeb-style per-domain cap): keep

@@ -832,3 +832,100 @@ class TestTemperatureMix:
                                    "doc_id long, source string")
         with _pytest.raises(ValueError, match="alpha"):
             temperature_mix(df, alpha=-0.1)
+
+
+class TestPackChunks:
+    """pack_chunks (r16): concat-then-chunk spans vs a brute token-
+    stream replica; exact-full-bin invariant; per-group packing;
+    zero-token drop; boundary-straddling docs."""
+
+    @staticmethod
+    def _brute(rows, budget, by=None):
+        """rows: (doc_id, n_tokens[, group]) -> {(doc, bin):
+        (tok_start, tok_end, bin_offset)} by simulating the stream."""
+        out = {}
+        groups = {}
+        for r in rows:
+            g = r[2] if by else None
+            groups.setdefault(g, []).append(r)
+        for g, rs in groups.items():
+            off = 0
+            for r in sorted(rs, key=lambda x: x[0]):
+                n = r[1]
+                if n <= 0:
+                    continue
+                for tok in range(n):
+                    gpos = off + tok
+                    key = (r[0], gpos // budget)
+                    s, e, bo = out.get(
+                        key, (tok, tok, gpos % budget))
+                    out[key] = (min(s, tok), max(e, tok + 1),
+                                min(bo, gpos % budget))
+                off += n
+        return out
+
+    DOCS = [(1, 3), (2, 5), (3, 1), (4, 0), (5, 9), (6, 2)]
+
+    def test_matches_brute(self, spark):
+        from dask_geopandas_spark.operators.sampling import \
+            pack_chunks
+
+        df = spark.createDataFrame(self.DOCS,
+                                   "doc_id long, n_tokens long")
+        for budget in (4, 7, 100):
+            got = {(r["doc_id"], r["pack_bin"]):
+                   (r["tok_start"], r["tok_end"], r["bin_offset"])
+                   for r in pack_chunks(df, budget).collect()}
+            assert got == self._brute(self.DOCS, budget), budget
+
+    def test_bins_exactly_full(self, spark):
+        from dask_geopandas_spark.operators.sampling import \
+            pack_chunks
+
+        df = spark.createDataFrame(self.DOCS,
+                                   "doc_id long, n_tokens long")
+        budget = 6
+        rows = pack_chunks(df, budget).collect()
+        per_bin = {}
+        for r in rows:
+            per_bin[r["pack_bin"]] = per_bin.get(r["pack_bin"], 0) \
+                + (r["tok_end"] - r["tok_start"])
+        total = sum(n for _, n in self.DOCS if n > 0)
+        last = max(per_bin)
+        for b, filled in per_bin.items():
+            assert filled == (budget if b < last
+                              else total - budget * last), b
+        # per-doc spans reassemble the document exactly
+        per_doc = {}
+        for r in rows:
+            per_doc.setdefault(r["doc_id"], []).append(
+                (r["tok_start"], r["tok_end"]))
+        for d, n in self.DOCS:
+            if n <= 0:
+                assert d not in per_doc
+                continue
+            spans = sorted(per_doc[d])
+            assert spans[0][0] == 0 and spans[-1][1] == n
+            assert all(a[1] == b[0]
+                       for a, b in zip(spans, spans[1:]))
+
+    def test_grouped(self, spark):
+        from dask_geopandas_spark.operators.sampling import \
+            pack_chunks
+
+        rows = [(1, 3, "a"), (2, 5, "a"), (3, 4, "b"), (4, 2, "b")]
+        df = spark.createDataFrame(
+            rows, "doc_id long, n_tokens long, src string")
+        got = {(r["doc_id"], r["pack_bin"]):
+               (r["tok_start"], r["tok_end"], r["bin_offset"])
+               for r in pack_chunks(df, 4, by="src").collect()}
+        assert got == self._brute(rows, 4, by="src")
+
+    def test_validation(self, spark):
+        from dask_geopandas_spark.operators.sampling import \
+            pack_chunks
+
+        df = spark.createDataFrame([(1, 1)],
+                                   "doc_id long, n_tokens long")
+        with pytest.raises(ValueError, match="budget"):
+            pack_chunks(df, 0)
