@@ -5444,6 +5444,21 @@ class TestNode2VecWalks:
 
         assert returns(0.25, 1) > returns(8, 1)
 
+    def test_zero_python_plan(self, spark):
+        """The whole walk pipeline stays JVM-side: no Python UDF
+        stages anywhere in the final frame's plan (the graph.py
+        convention the r15 verdict audited)."""
+        from dask_geopandas_spark.operators.graph import \
+            node2vec_walks
+
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        out = node2vec_walks(e, p=2, q=0.5, walk_len=2,
+                             walks_per_node=1)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
 
 class TestStupidBackoff:
     """stupid_backoff_perplexity (r15): Brants et al. 2007 trigram

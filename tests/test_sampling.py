@@ -1,6 +1,8 @@
 """Deterministic sampling / packing operator tests
 (operators/sampling.py)."""
 
+import re
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -929,3 +931,22 @@ class TestPackChunks:
                                    "doc_id long, n_tokens long")
         with pytest.raises(ValueError, match="budget"):
             pack_chunks(df, 0)
+
+    def test_zero_python_single_window_plan(self, spark):
+        """pack_chunks is one running-sum window + explode: no
+        Python stages, exactly one Window node, exactly one
+        Exchange (the window's partitionBy hash)."""
+        from dask_geopandas_spark.operators.sampling import \
+            pack_chunks
+
+        df = spark.createDataFrame(
+            [(1, 3, "a")], "doc_id long, n_tokens long, src string")
+        out = pack_chunks(df, 4, by="src")
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert plan.count("Window") >= 1
+        # exactly ONE Exchange node — the window's hash partition
+        # (formatted explain lists each node twice: tree + detail)
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
