@@ -181,6 +181,11 @@ BENCH_QUERIES = [
     "scc_hosts",
     "kn_perplexity",
     "bpe_bytes",
+    # round-16 additions
+    "bpe_encode_bytes",
+    "c4_clean",
+    "ccnet_buckets",
+    "walks_cooccur",
 ]
 
 # Queries whose plan includes a multi-task Python mapInPandas WRITE

@@ -460,21 +460,49 @@ def train_bpe_bytes(df: DataFrame, text_col: str = "text",
 def bpe_encode_bytes(df: DataFrame, merges: DataFrame,
                      text_col: str = "text",
                      token_col: str = "bpe_tokens",
+                     compile_threshold: int = 512,
                      chunk_size: int = 128,
                      broadcast_vocab: bool = False,
                      max_piece_len: int = 256) -> DataFrame:
     """Byte-level BPE encoding: adds ``token_col`` (array<string> of
     byte-mapped subword tokens; NULL texts to an empty array).
-    Dictionary path throughout (`bpe_encode`'s plan): distinct
-    byte-pre-tokens encode once through the terminal-free replace
-    chain, token arrays reassemble per text in piece order and join
-    back on md5(text) — duplicate texts encode once, corpus cost is
-    two text-keyed shuffles + one word-keyed join."""
+    `bpe_encode`'s two physical paths, byte-level:
+
+    - ``<= compile_threshold`` merges: the terminal-free replace
+      chain compiles inline over each `byte_pretokens` piece — pure
+      codegen in the scan stage, NO join, NO shuffle (the right
+      shape for small models, and what the registered query runs).
+    - larger tables: the DICTIONARY path — distinct byte-pre-tokens
+      encode once through the chunked replace chain, token arrays
+      reassemble per text in piece order and join back on
+      md5(text); duplicate texts encode once, corpus cost is two
+      text-keyed shuffles + one word-keyed join.
+
+    Both paths produce IDENTICAL output; the threshold only picks
+    the plan."""
+    srows = sorted(merges.select("rank", "left", "right",
+                                 "merged").collect(),
+                   key=lambda r: r["rank"])
+
+    if len(srows) <= int(compile_threshold):
+        def encode_piece(p):
+            s = sym_string(p, None)
+            for r in srows:
+                s = F.replace(
+                    s, F.lit(f" {r['left']}  {r['right']} "),
+                    F.lit(f" {r['merged']} "))
+            return _symbols(s)
+
+        return df.withColumn(
+            token_col,
+            F.coalesce(
+                F.flatten(F.transform(
+                    byte_pretokens(F.col(text_col), max_piece_len),
+                    encode_piece)),
+                F.array().cast("array<string>")))
+
     rows = [(r["rank"], r["left"], r["right"], r["merged"], 0)
-            for r in sorted(
-                merges.select("rank", "left", "right",
-                              "merged").collect(),
-                key=lambda r: r["rank"])]
+            for r in srows]
     mtab = df.sparkSession.createDataFrame(rows, MERGE_SCHEMA)
     texts = (df.select(F.col(text_col).alias("_t"))
              .filter(F.col("_t").isNotNull()).distinct()

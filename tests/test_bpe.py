@@ -462,6 +462,28 @@ class TestByteLevelBpe:
                   bpe_byte_token_count(df, merges).collect()}
         assert counts == {i: len(v) for i, v in got.items()}
 
+    def test_compiled_and_dictionary_paths_identical(self, spark):
+        """Byte-level compiled inline chain (r16, the registered
+        query's plan) vs the dictionary join path: identical token
+        arrays on mixed ASCII/UTF-8/NULL input; compiled path plans
+        with no join and no shuffle."""
+        from dask_geopandas_spark.operators.bpe import (
+            bpe_encode_bytes, train_bpe_bytes)
+
+        df = spark.createDataFrame(self.TEXTS,
+                                   "doc_id long, text string")
+        merges = train_bpe_bytes(df, num_merges=8)
+        compiled = bpe_encode_bytes(df, merges)
+        via_dict = bpe_encode_bytes(df, merges, compile_threshold=0)
+        a = {r["doc_id"]: r["bpe_tokens"] for r in compiled.collect()}
+        b = {r["doc_id"]: r["bpe_tokens"] for r in via_dict.collect()}
+        assert a == b
+        plan = compiled._sc._jvm.PythonSQLUtils.explainString(
+            compiled._jdf.queryExecution(), "formatted")
+        assert "Exchange" not in plan and "Join" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
     def test_mega_run_chunk_cap(self, spark):
         from dask_geopandas_spark.operators.bpe import byte_pretokens
 
