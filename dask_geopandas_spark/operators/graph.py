@@ -1307,7 +1307,7 @@ def _n2v_multiplicities(p, q, max_multiplicity: int):
 def node2vec_walks(edges: DataFrame, src_col: str = "src",
                    dst_col: str = "dst", p=1, q=1,
                    walk_len: int = 4, walks_per_node: int = 2,
-                   seed: int = 0,
+                   seed: int = 0, independent: bool = False,
                    max_multiplicity: int = 64) -> DataFrame:
     """(p, q)-biased second-order walks (node2vec, Grover & Leskovec
     KDD 2016) — the standard upgrade of `random_walks`' uniform
@@ -1341,7 +1341,13 @@ def node2vec_walks(edges: DataFrame, src_col: str = "src",
     over d² distinct keys).  Walk frames stay (nodes ×
     walks_per_node)-sized, localCheckpoint'd per superstep; walks
     sharing (copy, step, prev, cur) share their hop — the same
-    documented table-mode bias as `random_walks`, second order."""
+    documented table-mode bias as `random_walks`, second order.
+
+    ``independent=True`` restores exact per-walk independence (the
+    paper's own sampler): the race salts on the walk's (start, copy)
+    identity, so co-located walks diverge; cost is the per-step walk
+    × out-edge fan-out (Σ deg along the walk × Σm) instead of the
+    shared tables — `random_walks`' documented trade, biased."""
     from .dedup import portable_hash
 
     mr, mn, mf = _n2v_multiplicities(p, q, max_multiplicity)
@@ -1360,8 +1366,10 @@ def node2vec_walks(edges: DataFrame, src_col: str = "src",
                      F.lit(True).alias("_alive"))
              .localCheckpoint())
     # wedge frame prev -> cur -> cand with the near-flag (is there a
-    # prev -> cand edge?), reused by every step >= 2
-    wedge = (e.select(F.col("_a").alias("_p"),
+    # prev -> cand edge?), reused by every step >= 2 (table mode
+    # only — independent mode fans candidates per walk instead)
+    wedge = None if independent else (
+        e.select(F.col("_a").alias("_p"),
                       F.col("_b").alias("_a"))
              .join(e, "_a")
              .join(e.select(F.col("_a").alias("_p"),
@@ -1374,7 +1382,45 @@ def node2vec_walks(edges: DataFrame, src_col: str = "src",
                          .otherwise(F.lit(mf)))
              .drop("_n1").cache())
     for t in range(1, int(walk_len) + 1):
-        if t == 1:
+        if independent and t == 1:
+            # uniform first hop, walk-identity salt —
+            # random_walks' independent key verbatim
+            key = F.concat_ws(":", F.lit(int(seed)), F.col("start"),
+                              F.col("copy"), F.lit(t), F.col("_b"))
+            step = (walks.filter("_alive")
+                    .join(e, walks["_cur"] == e["_a"])
+                    .withColumn("_h", portable_hash(key))
+                    .groupBy("start", "copy")
+                    .agg(F.min(F.struct("_h", "_b"))["_b"]
+                         .alias("_next")))
+            nxt = walks.join(step, ["start", "copy"], "left")
+        elif independent:
+            # per-walk (p, q) race: candidates fan out of the walk's
+            # own (prev, cur) and the multiplicity replicas salt on
+            # (start, copy) — exact second-order independence
+            nearf = e.select(F.col("_a").alias("_np"),
+                             F.col("_b").alias("_nb"),
+                             F.lit(1).alias("_n1"))
+            cand = (walks.filter("_alive")
+                    .join(e, walks["_cur"] == e["_a"])
+                    .join(nearf, (F.col("_prev") == F.col("_np"))
+                          & (F.col("_b") == F.col("_nb")), "left")
+                    .withColumn("_m", F.when(
+                        F.col("_b") == F.col("_prev"), F.lit(mr))
+                        .when(F.col("_n1").isNotNull(), F.lit(mn))
+                        .otherwise(F.lit(mf)))
+                    .select("start", "copy", "_b",
+                            F.explode(F.sequence(F.lit(1),
+                                                 F.col("_m")))
+                            .alias("_r")))
+            step = (cand.withColumn("_h", portable_hash(F.concat_ws(
+                ":", F.lit(int(seed)), F.col("start"), F.col("copy"),
+                F.lit(t), F.col("_b"), F.col("_r"))))
+                .groupBy("start", "copy")
+                .agg(F.min(F.struct("_h", "_b"))["_b"]
+                     .alias("_next")))
+            nxt = walks.join(step, ["start", "copy"], "left")
+        elif t == 1:
             # uniform first hop — random_walks' table key verbatim
             trans = (e.select(
                 "_a", "_b",

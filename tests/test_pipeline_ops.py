@@ -5328,7 +5328,8 @@ class TestNode2VecWalks:
         return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
     @classmethod
-    def _brute(cls, edges, p, q, walk_len, wpn, seed):
+    def _brute(cls, edges, p, q, walk_len, wpn, seed,
+               independent=False):
         from dask_geopandas_spark.operators.graph import \
             _n2v_multiplicities
 
@@ -5346,7 +5347,10 @@ class TestNode2VecWalks:
                     nbrs = adj.get(cur)
                     if not nbrs:
                         break
-                    if t == 1:
+                    if t == 1 and independent:
+                        nxt = min(nbrs, key=lambda d: (cls._hash(
+                            f"{seed}:{start}:{copy}:{t}:{d}"), d))
+                    elif t == 1:
                         nxt = min(nbrs, key=lambda d: (cls._hash(
                             f"{seed}:{copy}:{t}:{cur}:{d}"), d))
                     else:
@@ -5355,10 +5359,11 @@ class TestNode2VecWalks:
                             m = (mr if d == prev
                                  else mn if d in adj.get(prev, ())
                                  else mf)
-                            race += [(cls._hash(
-                                f"{seed}:{copy}:{t}:{prev}:{cur}"
-                                f":{d}:{r}"), d)
-                                for r in range(1, m + 1)]
+                            pfx = (f"{seed}:{start}:{copy}:{t}"
+                                   if independent else
+                                   f"{seed}:{copy}:{t}:{prev}:{cur}")
+                            race += [(cls._hash(f"{pfx}:{d}:{r}"), d)
+                                     for r in range(1, m + 1)]
                         nxt = min(race)[1]
                     prev, cur = cur, nxt
                     path.append(cur)
@@ -5398,6 +5403,21 @@ class TestNode2VecWalks:
                node2vec_walks(e, p=3, q=0.25, walk_len=4,
                               walks_per_node=2, seed=1).collect()}
         assert got == self._brute(edges, 3, 0.25, 4, 2, 1)
+
+    @pytest.mark.parametrize("p,q", [(1, 1), (0.5, 2)])
+    def test_independent_mode_matches_brute(self, spark, p, q):
+        """independent=True: exact per-walk second-order sampling —
+        the race salts on (start, copy), co-located walks diverge."""
+        from dask_geopandas_spark.operators.graph import \
+            node2vec_walks
+
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        got = {(r["start"], r["copy"]): r["path"] for r in
+               node2vec_walks(e, p=p, q=q, walk_len=5,
+                              walks_per_node=2, seed=7,
+                              independent=True).collect()}
+        assert got == self._brute(self.EDGES, p, q, 5, 2, 7,
+                                  independent=True), (p, q)
 
     def test_multiplicities(self):
         from dask_geopandas_spark.operators.graph import \
