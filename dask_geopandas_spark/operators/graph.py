@@ -1347,7 +1347,8 @@ def node2vec_walks(edges: DataFrame, src_col: str = "src",
     paper's own sampler): the race salts on the walk's (start, copy)
     identity, so co-located walks diverge; cost is the per-step walk
     × out-edge fan-out (Σ deg along the walk × Σm) instead of the
-    shared tables — `random_walks`' documented trade, biased."""
+    shared tables — the same exactness-vs-cost trade `random_walks`
+    documents."""
     from .dedup import portable_hash
 
     mr, mn, mf = _n2v_multiplicities(p, q, max_multiplicity)

@@ -241,7 +241,8 @@ def pack_chunks(df: DataFrame, budget: int,
 
     Pure integer arithmetic over one running-sum window + one
     sequence explode (a doc of n tokens spans
-    ``floor(off/budget) .. floor((off+n-1)/budget)``) — no Python,
+    ``off div budget .. (off+n-1) div budget``; LONG ``div``, not a
+    double-floor — exact past 2^53 stream offsets) — no Python,
     engine-portable exactly.  ``by=None`` packs globally through a
     single window partition (small frames only); per-shard ``by`` is
     the cluster-scale form, as in `pack_documents`."""
@@ -256,8 +257,9 @@ def pack_chunks(df: DataFrame, budget: int,
     spans = (df.filter(n > 0)
              .withColumn("_off", off)
              .withColumn(bin_col, F.explode(F.sequence(
-                 F.floor(F.col("_off") / b),
-                 F.floor((F.col("_off") + n - 1) / b))))
+                 F.expr(f"`_off` div {int(budget)}"),
+                 F.expr(f"(`_off` + `{token_col}` - 1) "
+                        f"div {int(budget)}"))))
              .withColumn("_gs", F.greatest(
                  F.col("_off"), F.col(bin_col) * b))
              .withColumn("_ge", F.least(
