@@ -62,6 +62,14 @@ def build_data_card(spark: SparkSession, sf_dir: str) -> dict:
         b = kmv_sketch(docs.filter(F.col("source") == srcs[1]),
                        "text", k=128)
         card["overlap"] = kmv_overlap(a, b, k=128)
+    # tokenizer metrics per (source, lang): train a small byte-level
+    # BPE on the corpus itself, then the published bytes-per-token /
+    # fertility table (r16)
+    from dask_geopandas_spark.operators.bpe import (
+        bpe_byte_token_count, tokenizer_datacard, train_bpe_bytes)
+    merges = train_bpe_bytes(docs, num_merges=8)
+    counts = bpe_byte_token_count(docs, merges)
+    card["tokenizer"] = tokenizer_datacard(docs, counts)
     return card
 
 
