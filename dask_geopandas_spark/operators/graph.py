@@ -1275,6 +1275,118 @@ def walk_cooccurrence(walks: DataFrame, window: int = 2,
             .agg(F.count("*").cast("long").alias("n_cooccur")))
 
 
+def modularity(edges: DataFrame, communities: DataFrame,
+               src_col: str = "src", dst_col: str = "dst",
+               node_col: str = "node",
+               label_col: str = "label") -> DataFrame:
+    """Newman modularity of a node partition (Newman & Girvan 2004)
+    — THE published quality number for a community assignment, the
+    natural audit of `label_propagation` / `connected_components`
+    output: per community c, ``q_contrib = m_c/m - (D_c/(2m))²``
+    (intra-edge fraction minus the random-graph expectation); the
+    partition's Q is the sum over communities (between -1/2 and 1).
+    Computed over the UNDIRECTED simple view (duplicate/reverse
+    edges collapse, self-loops drop — `label_propagation`'s own
+    graph).  Nodes missing from ``communities`` default to their own
+    singleton label (coalesce — robust to partial labelings).
+
+    Returns one row per community:
+    (label, n_nodes, intra_edges, degree_sum, q_contrib) with
+    ``q_contrib`` rounded to 12 (every input an exact integer, the
+    two divisions single IEEE ops — engine-portable).
+
+    Distributed shape: one canonical-pair distinct + a node-degree
+    aggregation + two label joins on the edge frame + one
+    community-keyed aggregation — all node/edge-sized, the only
+    broadcast the 1-row edge count."""
+    und = (edges.select(F.least(F.col(src_col), F.col(dst_col))
+                        .alias("_a"),
+                        F.greatest(F.col(src_col), F.col(dst_col))
+                        .alias("_b"))
+           .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull()
+                   & (F.col("_a") != F.col("_b")))
+           .distinct().cache())
+    lab = communities.select(F.col(node_col).alias("_n"),
+                             F.col(label_col).alias("_l"))
+    deg = (und.select(F.col("_a").alias("_n"))
+           .unionAll(und.select(F.col("_b").alias("_n")))
+           .groupBy("_n").agg(F.count("*").alias("_deg")))
+    node_lab = (deg.join(lab, "_n", "left")
+                .select("_n", "_deg",
+                        F.coalesce("_l", F.col("_n")).alias("_l")))
+    m1 = und.agg(F.count("*").alias("_m"))
+    la = node_lab.select(F.col("_n").alias("_a"),
+                         F.col("_l").alias("_la"))
+    lb = node_lab.select(F.col("_n").alias("_b"),
+                         F.col("_l").alias("_lb"))
+    intra = (und.join(la, "_a").join(lb, "_b")
+             .filter(F.col("_la") == F.col("_lb"))
+             .groupBy(F.col("_la").alias("_l"))
+             .agg(F.count("*").alias("_mc")))
+    per = (node_lab.groupBy("_l")
+           .agg(F.count("*").alias("n_nodes"),
+                F.sum("_deg").alias("degree_sum"))
+           .join(intra, "_l", "left")
+           .withColumn("_mc", F.coalesce("_mc", F.lit(0)))
+           .crossJoin(F.broadcast(m1)))
+    # x*x, not pow(x, 2): pow routes through libm in some engines
+    # (1-ulp divergence risk); multiplication is IEEE-exact-rounded
+    # identically everywhere
+    dfrac = F.col("degree_sum") / (F.lit(2) * F.col("_m"))
+    q = (F.col("_mc") / F.col("_m")) - (dfrac * dfrac)
+    return per.select(
+        F.col("_l").alias("label"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("_mc").cast("long").alias("intra_edges"),
+        F.col("degree_sum").cast("long").alias("degree_sum"),
+        F.round(q, 12).alias("q_contrib"))
+
+
+def ppmi_scores(pairs: DataFrame, a_col: str = "a",
+                b_col: str = "b",
+                count_col: str = "n_cooccur") -> DataFrame:
+    """Positive pointwise mutual information over a co-occurrence
+    pair frame — the bridge from `walk_cooccurrence` to embeddings
+    (Levy & Goldberg 2014: SGNS implicitly factorizes the
+    PMI-shifted matrix; PPMI is the count-only stand-in every
+    count-based embedding pipeline publishes):
+    ``ppmi = max(0, ln(c_ab · T / (c_a · c_b)))`` with T the total
+    pair mass and the node marginals summed over the pairs
+    containing the node.  Works on ANY (a, b, count) frame —
+    directed skip-gram pairs or `walk_cooccurrence`'s canonical
+    undirected ones.
+
+    Quantized ``round(ln(...), 12)`` AFTER the single division of
+    exact integer products (the pagerank convention), so an oracle
+    replays it bit-exactly.  Returns (a, b, count, ppmi).
+
+    Distributed shape: one explode + map-side-combined marginal
+    aggregation (node-sized), two marginal equi-joins back onto the
+    pair frame, the 1-row total broadcast — no corpus-sized state,
+    no Python."""
+    c = F.col(count_col)
+    p = pairs.select(F.col(a_col).alias("a"),
+                     F.col(b_col).alias("b"), c.alias("_c"))
+    marg = (p.select(F.col("a").alias("_n"), "_c")
+            .unionAll(p.select(F.col("b").alias("_n"), "_c"))
+            .groupBy("_n").agg(F.sum("_c").alias("_cm")))
+    tot = p.agg(F.sum("_c").alias("_t"))
+    ma = marg.select(F.col("_n").alias("a"), F.col("_cm").alias("_ca"))
+    mb = marg.select(F.col("_n").alias("b"), F.col("_cm").alias("_cb"))
+    out = (p.join(ma, "a").join(mb, "b")
+           .crossJoin(F.broadcast(tot)))
+    # cast BEFORE multiplying: c·T as BIGINT overflows under ANSI at
+    # corpus scale (T ~ 1e12); double products round identically in
+    # every IEEE engine, so the oracle replays bit-exact
+    ratio = ((F.col("_c").cast("double") * F.col("_t").cast("double"))
+             / (F.col("_ca").cast("double")
+                * F.col("_cb").cast("double")))
+    return out.select(
+        "a", "b", F.col("_c").cast("long").alias(count_col),
+        F.greatest(F.lit(0.0), F.round(F.log(ratio), 12))
+        .alias("ppmi"))
+
+
 def _n2v_multiplicities(p, q, max_multiplicity: int):
     """node2vec (1/p, 1, 1/q) bias weights as INTEGER multiplicities
     (m_return, m_near, m_far) — the smallest integer scaling of the

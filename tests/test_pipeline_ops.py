@@ -5480,6 +5480,131 @@ class TestNode2VecWalks:
         assert "ArrowEvalPython" not in plan
 
 
+class TestModularity:
+    """modularity (r16 post-close): Newman partition quality vs a
+    hand-computed replica; singleton default for unlabeled nodes;
+    composition with label_propagation."""
+
+    EDGES = [(1, 2), (2, 3), (3, 1),          # triangle = community A
+             (4, 5), (5, 6), (6, 4),          # triangle = community B
+             (3, 4),                          # one bridge
+             (2, 1), (1, 3)]                  # dups/reverses collapse
+
+    @staticmethod
+    def _brute(edges, labels):
+        und = set()
+        for s, t in edges:
+            if s != t:
+                und.add((min(s, t), max(s, t)))
+        deg, nodes = {}, set()
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+            nodes.update((a, b))
+        lab = {n: labels.get(n, n) for n in nodes}
+        m = len(und)
+        per = {}
+        for n in nodes:
+            c = lab[n]
+            st = per.setdefault(c, [0, 0, 0])  # n_nodes, mc, Dc
+            st[0] += 1
+            st[2] += deg[n]
+        for a, b in und:
+            if lab[a] == lab[b]:
+                per[lab[a]][1] += 1
+        return {c: (nn, mc, dc,
+                    round(mc / m - (dc / (2 * m)) ** 2, 12))
+                for c, (nn, mc, dc) in per.items()}
+
+    def test_matches_brute(self, spark):
+        from dask_geopandas_spark.operators.graph import modularity
+
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        labels = {1: 100, 2: 100, 3: 100, 4: 200, 5: 200, 6: 200}
+        comm = spark.createDataFrame(list(labels.items()),
+                                     "node long, label long")
+        got = {r["label"]: (r["n_nodes"], r["intra_edges"],
+                            r["degree_sum"], r["q_contrib"])
+               for r in modularity(e, comm).collect()}
+        assert got == self._brute(self.EDGES, labels)
+        # two dense triangles + one bridge: strongly positive Q
+        assert sum(v[3] for v in got.values()) > 0.3
+
+    def test_unlabeled_nodes_singleton_default(self, spark):
+        from dask_geopandas_spark.operators.graph import modularity
+
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        labels = {1: 100, 2: 100, 3: 100}      # 4, 5, 6 unlabeled
+        comm = spark.createDataFrame(list(labels.items()),
+                                     "node long, label long")
+        got = {r["label"]: (r["n_nodes"], r["intra_edges"],
+                            r["degree_sum"], r["q_contrib"])
+               for r in modularity(e, comm).collect()}
+        assert got == self._brute(self.EDGES, labels)
+        assert got[4][0] == got[5][0] == got[6][0] == 1
+
+    def test_composes_with_lpa(self, spark):
+        from dask_geopandas_spark.operators.graph import (
+            label_propagation, modularity)
+
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        comm = label_propagation(e, iters=4)
+        rows = modularity(e, comm).collect()
+        labels = {r["node"]: r["label"] for r in comm.collect()}
+        assert {r["label"]: (r["n_nodes"], r["intra_edges"],
+                             r["degree_sum"], r["q_contrib"])
+                for r in rows} == self._brute(self.EDGES, labels)
+
+
+class TestPpmiScores:
+    """ppmi_scores (r16 post-close): Levy-Goldberg PPMI over a pair
+    frame vs a hand replica; zero clamp; walk composition."""
+
+    @staticmethod
+    def _brute(pairs):
+        import math
+        t = sum(c for _, _, c in pairs)
+        marg = {}
+        for a, b, c in pairs:
+            marg[a] = marg.get(a, 0) + c
+            marg[b] = marg.get(b, 0) + c
+        return {(a, b): (c, max(0.0, round(math.log(
+            (float(c) * float(t)) / (float(marg[a]) * float(marg[b]))
+        ), 12)))
+            for a, b, c in pairs}
+
+    PAIRS = [(1, 2, 10), (1, 3, 1), (2, 3, 1), (3, 4, 5),
+             (4, 5, 1), (2, 5, 2)]
+
+    def test_matches_brute(self, spark):
+        from dask_geopandas_spark.operators.graph import ppmi_scores
+
+        df = spark.createDataFrame(self.PAIRS,
+                                   "a long, b long, n_cooccur long")
+        got = {(r["a"], r["b"]): (r["n_cooccur"], r["ppmi"]) for r in
+               ppmi_scores(df).collect()}
+        assert got == self._brute(self.PAIRS)
+        # the frequent exclusive pair scores high, the incidental
+        # pair between two hubs clamps to 0
+        assert got[(1, 2)][1] > 0
+        assert any(v[1] == 0.0 for v in got.values())
+
+    def test_composes_with_walks(self, spark):
+        from dask_geopandas_spark.operators.graph import (
+            ppmi_scores, random_walks, walk_cooccurrence)
+
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (2, 4), (4, 1)],
+            "src long, dst long")
+        co = walk_cooccurrence(
+            random_walks(e, walk_len=4, walks_per_node=2), window=2)
+        pairs = [(r["a"], r["b"], r["n_cooccur"])
+                 for r in co.collect()]
+        got = {(r["a"], r["b"]): (r["n_cooccur"], r["ppmi"]) for r in
+               ppmi_scores(co).collect()}
+        assert got == self._brute(pairs)
+
+
 class TestStupidBackoff:
     """stupid_backoff_perplexity (r15): Brants et al. 2007 trigram
     scoring vs a brute replica — self-trained AND external-target
