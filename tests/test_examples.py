@@ -169,3 +169,28 @@ def test_data_card_example(spark, sf_dir):
     if "overlap" in card:
         row = card["overlap"].head()
         assert 0.0 <= row["jaccard"] <= 1.0
+
+
+def test_webgraph_pipeline_example(spark, sf_dir):
+    import sys
+    sys.path.insert(0, "examples")
+    from webgraph_pipeline import run_webgraph
+
+    out = run_webgraph(spark, sf_dir)
+    assert out["n_hosts"] == 40
+    # every host sits in some SCC; the dense arithmetic graph is one
+    # strongly connected blob or a few
+    assert 1 <= out["n_sccs"] <= out["n_hosts"]
+    regions = {r["region"]: r["n_nodes"]
+               for r in out["bowtie"].collect()}
+    assert sum(regions.values()) == out["n_hosts"]
+    assert regions.get("CORE", 0) >= 1
+    # modularity of a real partition is a finite number in [-0.5, 1]
+    assert -0.5 <= out["modularity_q"] <= 1.0
+    assert out["n_walks"] == 2 * out["n_hosts"]
+    assert out["n_pairs"] > 0
+    ppmi = out["ppmi"].collect()
+    assert all(r["ppmi"] >= 0.0 for r in ppmi)
+    # pagerank mass sums to ~1 (the operator's own invariant)
+    pr = sum(r["pagerank"] for r in out["pagerank"].collect())
+    assert abs(pr - 1.0) < 1e-6
