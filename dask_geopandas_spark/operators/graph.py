@@ -1306,8 +1306,12 @@ def modularity(edges: DataFrame, communities: DataFrame,
            .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull()
                    & (F.col("_a") != F.col("_b")))
            .distinct().cache())
-    lab = communities.select(F.col(node_col).alias("_n"),
-                             F.col(label_col).alias("_l"))
+    # min-label per node: a duplicate-node communities frame (e.g. a
+    # unioned labeling) must not fan the degree join out — smallest
+    # label wins, deterministically
+    lab = (communities.select(F.col(node_col).alias("_n"),
+                              F.col(label_col).alias("_l"))
+           .groupBy("_n").agg(F.min("_l").alias("_l")))
     deg = (und.select(F.col("_a").alias("_n"))
            .unionAll(und.select(F.col("_b").alias("_n")))
            .groupBy("_n").agg(F.count("*").alias("_deg")))

@@ -5543,6 +5543,20 @@ class TestModularity:
         assert got == self._brute(self.EDGES, labels)
         assert got[4][0] == got[5][0] == got[6][0] == 1
 
+    def test_duplicate_node_rows_min_label(self, spark):
+        """A duplicate-node communities frame (unioned labelings)
+        must not fan the degree join out — smallest label wins."""
+        from dask_geopandas_spark.operators.graph import modularity
+
+        e = spark.createDataFrame(self.EDGES, "src long, dst long")
+        labels = {1: 100, 2: 100, 3: 100, 4: 200, 5: 200, 6: 200}
+        dup = [(n, l) for n, l in labels.items()] + [(1, 999), (4, 200)]
+        comm = spark.createDataFrame(dup, "node long, label long")
+        got = {r["label"]: (r["n_nodes"], r["intra_edges"],
+                            r["degree_sum"], r["q_contrib"])
+               for r in modularity(e, comm).collect()}
+        assert got == self._brute(self.EDGES, labels)  # min(100,999)
+
     def test_composes_with_lpa(self, spark):
         from dask_geopandas_spark.operators.graph import (
             label_propagation, modularity)
