@@ -5103,7 +5103,10 @@ class TestC4Clean:
             return ("", 0, 0, False)
         lines = text.split("\n")
         kept = [ln for ln in lines
-                if re.search(r'[.!?"”]\Z', ln.rstrip())
+                # rstrip(" "): Spark/DuckDB rtrim strips SPACES
+                # only — a tab-trailing line keeps its tab and fails
+                # the terminal-punct test in both engines
+                if re.search(r'[.!?"”]\Z', ln.rstrip(" "))
                 # explicit ASCII class, the engine's _WS (\x0B IS a
                 # separator — Java \s convention, spelled out so
                 # RE2/DuckDB agrees)
@@ -5142,6 +5145,13 @@ class TestC4Clean:
             "one\x0btwo three four.\n"
             "a third good sentence with plenty of words survives.\n"
             "a fourth good sentence with plenty of words survives."),
+        # trailing TAB after the period: rtrim is space-only in both
+        # engines, so the line FAILS the terminal-punct test (the
+        # replica's plain rstrip() used to disagree here)
+        (7, "this line ends with a tab after the period.\t\n"
+            "a good second sentence with plenty of words survives.\n"
+            "a good third sentence with plenty of words survives.\n"
+            "a good fourth sentence with plenty of words survives."),
     ]
 
     def test_matches_brute(self, spark):
