@@ -5429,6 +5429,25 @@ class TestNode2VecWalks:
         assert got == self._brute(self.EDGES, p, q, 5, 2, 7,
                                   independent=True), (p, q)
 
+    @pytest.mark.parametrize("independent", [False, True])
+    def test_sink_terminates_walks(self, spark, independent):
+        """A sink node ends walks early in both modes (the
+        random_walks contract): its own walks stay length 1."""
+        from dask_geopandas_spark.operators.graph import \
+            node2vec_walks
+
+        edges = [(1, 2), (2, 3), (3, 9)]  # 9 is a sink
+        e = spark.createDataFrame(edges, "src long, dst long")
+        got = {(r["start"], r["copy"]): r["path"] for r in
+               node2vec_walks(e, p=0.5, q=2, walk_len=5,
+                              walks_per_node=2, seed=7,
+                              independent=independent).collect()}
+        assert got == self._brute(edges, 0.5, 2, 5, 2, 7,
+                                  independent=independent)
+        assert got[(9, 0)] == [9] and got[(9, 1)] == [9]
+        # the chain 1->2->3->9 always dead-ends at the sink
+        assert got[(1, 0)] == [1, 2, 3, 9]
+
     def test_multiplicities(self):
         from dask_geopandas_spark.operators.graph import \
             _n2v_multiplicities
