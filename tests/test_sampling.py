@@ -950,3 +950,117 @@ class TestPackChunks:
         # exactly ONE Exchange node — the window's hash partition
         # (formatted explain lists each node twice: tree + detail)
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+class TestPackBestFit:
+    """pack_best_fit (r16 post-close): best-fit-decreasing packing
+    vs a naive-spec brute replica; budget respected; fewer bins than
+    in-order boundary packing on adversarial input; per-group
+    independence; long-doc overflow bins; determinism."""
+
+    @staticmethod
+    def _brute(rows, budget, by=None):
+        """Naive O(n·bins) statement of the spec: docs by (tokens
+        DESC, order ASC); smallest sufficient remaining, ties lowest
+        bin id; no fit -> new bin."""
+        out = {}
+        groups = {}
+        for r in rows:
+            g = r[2] if by else None
+            groups.setdefault(g, []).append(r)
+        for g, rs in groups.items():
+            bins = []
+            for oid, n, *_ in sorted(rs, key=lambda x: (-x[1], x[0])):
+                if n >= budget:
+                    bins.append(budget - n)
+                    out[oid] = len(bins) - 1
+                    continue
+                fits = [(rem, i) for i, rem in enumerate(bins)
+                        if rem >= n]
+                if fits:
+                    _, i = min(fits)
+                else:
+                    bins.append(budget)
+                    i = len(bins) - 1
+                bins[i] -= n
+                out[oid] = i
+        return out
+
+    DOCS = [(1, 6), (2, 5), (3, 4), (4, 4), (5, 3), (6, 2), (7, 2),
+            (8, 1), (9, 1), (10, 12), (11, 10), (12, 7), (13, 3)]
+
+    def test_matches_brute(self, spark):
+        from dask_geopandas_spark.operators.sampling import \
+            pack_best_fit
+
+        df = spark.createDataFrame(self.DOCS,
+                                   "doc_id long, n_tokens long")
+        for budget in (10, 7, 16):
+            got = {r["doc_id"]: r["pack_bin"] for r in
+                   pack_best_fit(df, budget).collect()}
+            assert got == self._brute(self.DOCS, budget), budget
+            # budget respected for every non-overflow bin
+            fill = {}
+            for d, n in self.DOCS:
+                fill[got[d]] = fill.get(got[d], 0) + n
+            for bn, tot in fill.items():
+                members = [n for d, n in self.DOCS if got[d] == bn]
+                assert tot <= budget or (len(members) == 1
+                                         and members[0] >= budget)
+
+    def test_beats_inorder_packing(self, spark):
+        """BFD's raison d'etre: adversarial in-order input wastes
+        bins under boundary packing, BFD repacks tight."""
+        from dask_geopandas_spark.operators.sampling import (
+            pack_best_fit, pack_documents)
+
+        rows = [(i, 6 if i % 2 == 0 else 4) for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        bfd = pack_best_fit(df, 10)
+        inorder = pack_documents(df, 10)
+        n_bfd = bfd.select("pack_bin").distinct().count()
+        n_ord = inorder.select("pack_bin").distinct().count()
+        assert n_bfd == 10          # perfect 6+4 pairing
+        assert n_bfd <= n_ord
+        # per-bin totals exactly full
+        tot = {r["pack_bin"]: 0 for r in bfd.collect()}
+        for r in bfd.collect():
+            tot[r["pack_bin"]] += r["n_tokens"]
+        assert all(v == 10 for v in tot.values())
+
+    def test_grouped_and_deterministic(self, spark):
+        from dask_geopandas_spark.operators.sampling import \
+            pack_best_fit
+
+        rows = [(i, (i * 7) % 9 + 1, "a" if i % 3 else "b")
+                for i in range(40)]
+        df = (spark.createDataFrame(
+            rows, "doc_id long, n_tokens long, src string")
+            .repartition(8))
+        got = {r["doc_id"]: r["pack_bin"] for r in
+               pack_best_fit(df, 11, by="src").collect()}
+        assert got == self._brute(rows, 11, by="src")
+        again = {r["doc_id"]: r["pack_bin"] for r in
+                 pack_best_fit(df, 11, by="src").collect()}
+        assert got == again
+
+    def test_overflow_doc_own_bin(self, spark):
+        from dask_geopandas_spark.operators.sampling import \
+            pack_best_fit
+
+        rows = [(1, 25), (2, 3), (3, 3)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        got = {r["doc_id"]: r["pack_bin"] for r in
+               pack_best_fit(df, 10).collect()}
+        assert got == self._brute(rows, 10)
+        assert got[1] not in (got[2], got[3])
+        assert got[2] == got[3]
+
+    def test_validation(self, spark):
+        from dask_geopandas_spark.operators.sampling import \
+            pack_best_fit
+
+        df = spark.createDataFrame([(1, 1)],
+                                   "doc_id long, n_tokens long")
+        with pytest.raises(ValueError, match="budget"):
+            pack_best_fit(df, 0)
