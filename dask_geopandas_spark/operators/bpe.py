@@ -9,10 +9,12 @@ Design for 100 TB — the published BPE-at-scale shape:
   combined aggregation); every training iteration thereafter touches
   only that vocabulary-sized frame, never the corpus again.
 - Each merge step is one pair-count aggregation (shuffle keyed on the
-  pair, bounded by Σ word lengths over the VOCABULARY) + a 1-row
-  TakeOrdered + a broadcast join applying the merge; the word frame is
-  ``localCheckpoint``-materialized per step so the plan does not
-  deepen with ``num_merges``.
+  pair, bounded by Σ word lengths over the VOCABULARY) whose 1-row
+  TakeOrdered winner comes back to the driver and applies as a
+  LITERAL string replace (r16 optimization round — one job per step,
+  no broadcast join); the word frame is lazily
+  ``localCheckpoint``-truncated per step so the plan does not deepen
+  with ``num_merges``.
 - No Python in the loop: the merge APPLY is a native string
   ``replace``.  Symbol strings wrap every symbol in its own spaces
   (double-space separators): ``'low' -> ' l  o  w  </w> '``.  A merge
@@ -145,7 +147,7 @@ def train_bpe(df: DataFrame, text_col: str = "text",
         return df.sparkSession.createDataFrame(
             _classic_bpe(counts, num_merges), MERGE_SCHEMA)
     w = (wc.select(sym_string(F.col("word")).alias("s"), "cnt")
-         .localCheckpoint())
+         .localCheckpoint(eager=False))
     return _distributed_merges(df.sparkSession, w, num_merges)
 
 
@@ -154,8 +156,20 @@ def _distributed_merges(spark, w: DataFrame,
     """The distributed greedy merge loop over an initialized
     (s, cnt) symbol-string frame — shared by the classic (</w>) and
     byte-level (no terminal) trainers; see `train_bpe` for the
-    per-step shape."""
-    bests = []
+    per-step shape.
+
+    r16 optimization-round shape: each step is ONE job — the
+    pair-count aggregation's winning row comes back via ``head()``
+    (1 row, the `train_centroids` driver-scalar convention) and the
+    merge applies as a LITERAL string replace, so the former
+    per-step broadcast-join + its dedicated checkpoint job are gone;
+    the vocabulary frame stays lazily checkpointed (plan truncated,
+    materialization rides the next step's aggregation job).  The
+    merge table itself is driver-built (num_merges rows) — a local
+    relation, so downstream ``merges.collect()`` in the encode paths
+    costs no job at all.  Trajectory identical: same aggregation,
+    same (pair_count desc, left, right) tie-break."""
+    rows = []
     for rank in range(1, int(num_merges) + 1):
         syms = _symbols(F.col("s"))
         # guard: a fully-collapsed word (one symbol) has no pairs —
@@ -179,29 +193,22 @@ def _distributed_merges(spark, w: DataFrame,
                 .select(F.lit(rank).alias("rank"), "left", "right",
                         F.concat("left", "right").alias("merged"),
                         "pair_count")
-                .localCheckpoint())
-        bests.append(best)
-        # apply the merge: left join on a dummy key so an EXHAUSTED
-        # pair frame (empty best) leaves words untouched instead of
-        # annihilating them through a cross join
-        b = F.broadcast(best.select(
-            F.lit(1).alias("_one"),
-            F.concat(F.lit(" "), "left", F.lit("  "), "right",
-                     F.lit(" ")).alias("_pat"),
-            F.concat(F.lit(" "), "merged", F.lit(" ")).alias("_rep")))
-        w = (w.withColumn("_one", F.lit(1))
-             .join(b, "_one", "left")
-             .select(F.when(F.col("_pat").isNotNull(),
-                            F.replace(F.col("s"), F.col("_pat"),
-                                      F.col("_rep")))
-                     .otherwise(F.col("s")).alias("s"), "cnt")
-             .localCheckpoint())
-    if not bests:  # num_merges=0: an empty merge table, not a crash
-        return spark.createDataFrame([], MERGE_SCHEMA)
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionAll(b)
-    return out
+                .head())
+        if best is None:
+            # pairs exhausted (every word one symbol): w can never
+            # change again, so every later step is empty too — the
+            # same FEWER-rows table the join-based loop produced
+            break
+        rows.append((rank, best["left"], best["right"],
+                     best["merged"], best["pair_count"]))
+        # apply the merge as a literal replace (the winning pair is
+        # a driver scalar now — no broadcast join needed)
+        pat = f" {best['left']}  {best['right']} "
+        rep = f" {best['merged']} "
+        w = (w.select(F.replace(F.col("s"), F.lit(pat),
+                                F.lit(rep)).alias("s"), "cnt")
+             .localCheckpoint(eager=False))
+    return spark.createDataFrame(rows, MERGE_SCHEMA)
 
 
 def bpe_encode_words(words: DataFrame, merges: DataFrame,
@@ -234,7 +241,7 @@ def bpe_encode_words(words: DataFrame, merges: DataFrame,
             s = F.replace(
                 s, F.lit(f" {r['left']}  {r['right']} "),
                 F.lit(f" {r['merged']} "))
-        w = w.withColumn("_s", s).localCheckpoint()
+        w = w.withColumn("_s", s).localCheckpoint(eager=False)
     return w.withColumn(token_col, _symbols(F.col("_s"))).drop("_s")
 
 
@@ -453,7 +460,7 @@ def train_bpe_bytes(df: DataFrame, text_col: str = "text",
             _classic_bpe(counts, num_merges, terminal=None),
             MERGE_SCHEMA)
     w = (wc.select(sym_string(F.col("word"), None).alias("s"), "cnt")
-         .localCheckpoint())
+         .localCheckpoint(eager=False))
     return _distributed_merges(df.sparkSession, w, num_merges)
 
 

@@ -109,7 +109,8 @@ def train_centroids(df: DataFrame, n_cells: int = 16,
                     round_decimals: int | None = 6) -> list[list[float]]:
     """k-means-lite: deterministic sample seeds (first ``n_cells`` by
     vec_id) + a fixed number of Lloyd iterations computed with native
-    aggregations (posexplode + avg per dimension).  A cell that loses
+    aggregations (one per-dimension avg column in a single
+    map-side-combined pass — no explode).  A cell that loses
     all members keeps its previous centroid.
 
     Each update rounds to ``round_decimals`` (engine-side ``F.round``,
@@ -124,21 +125,32 @@ def train_centroids(df: DataFrame, n_cells: int = 16,
     seeds = [r[vec_col] for r in
              df.orderBy(F.col("vec_id")).limit(n_cells).collect()]
     cents = [list(map(float, s)) for s in seeds]
-    m = F.avg("val")
-    if round_decimals is not None:
-        m = F.round(m, int(round_decimals))
+    if not cents:
+        return cents
+    dim = len(cents[0])
+
+    def m(d):
+        a = F.avg(F.col(vec_col)[d])
+        if round_decimals is not None:
+            a = F.round(a, int(round_decimals))
+        return a.alias(f"_m{d}")
+
     for _ in range(iters):
+        # one map-side-combined aggregation with a per-dimension avg
+        # column (r16 optimization round): the r15 tree posexploded
+        # every vector into n·dim rows and paid TWO shuffles per
+        # Lloyd iteration (by (cell, dim), then by cell) plus a
+        # map_from_arrays reassembly — the per-dim column form
+        # computes the identical unordered avg (same round-6
+        # quantization, same cross-engine contract) with one
+        # n_cells-row shuffle and no explode
         assigned = assign_ivf_cells(df, cents, vec_col)
-        rows = (
-            assigned.select("ivf_cell", F.posexplode(F.col(vec_col)).alias("dim", "val"))
-            .groupBy("ivf_cell", "dim").agg(m.alias("m"))
-            .groupBy("ivf_cell")
-            .agg(F.map_from_arrays(F.collect_list("dim"), F.collect_list("m")).alias("mm"))
-            .collect()
-        )
-        dim = len(cents[0])
+        rows = (assigned.groupBy("ivf_cell")
+                .agg(*[m(d) for d in range(dim)])
+                .collect())
         for r in rows:
-            cents[r["ivf_cell"]] = [float(r["mm"][d]) for d in range(dim)]
+            cents[r["ivf_cell"]] = [float(r[f"_m{d}"])
+                                    for d in range(dim)]
     return cents
 
 

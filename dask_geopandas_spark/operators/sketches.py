@@ -447,7 +447,10 @@ def _qd_compress(nodes: DataFrame, k: int, bits: int, keys: list,
     the frame MUST ``localCheckpoint`` every pass: un-materialized,
     each reference duplicates the subtree and the plan grows ~9x per
     level (reproduced as an analyzer OutOfMemoryError at 8 levels —
-    the pagerank superstep lesson, sharpened)."""
+    the pagerank superstep lesson, sharpened).  ``eager=False`` (r16
+    optimization round) keeps the same plan truncation but defers
+    materialization into the consuming job — the ``bits`` dedicated
+    per-level jobs collapse into the caller's one action."""
     cur = _qd_attach_n(nodes, keys)
     t = F.expr(f"_n div {int(k)}")
     cols = [*keys, "qd_id", "qd_count", "_n"]
@@ -503,10 +506,10 @@ def _qd_compress(nodes: DataFrame, k: int, bits: int, keys: list,
                              nn.alias("_n")))
             cur = (rest.unionByName(merged).unionByName(keptc)
                    .unionByName(keptp))
-        cur = cur.localCheckpoint()
+        cur = cur.localCheckpoint(eager=False)
     return cur.select(*keys, "qd_id",
                       F.col("qd_count").cast("long").alias("qd_count")
-                      ).localCheckpoint()
+                      ).localCheckpoint(eager=False)
 
 
 def qd_sketch(df: DataFrame, col: str, k: int = 512, bits: int = 20,

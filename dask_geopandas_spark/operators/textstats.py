@@ -1244,7 +1244,7 @@ def kn_perplexity(df, text_col: str = "text", id_col: str = "doc_id",
           .withColumn("w1", F.split("gram", " ").getItem(0))
           .withColumn("w2", F.split("gram", " ").getItem(1))
           .withColumn("w3", F.split("gram", " ").getItem(2))
-          .localCheckpoint())
+          .localCheckpoint(eager=False))
     # trigram-context table: c2 = Σ c3, N1+(w1w2·) = type rows
     ctx2 = t3.groupBy("w1", "w2").agg(
         F.sum("c3").alias("c2"), F.count("*").alias("n1fw"))
@@ -1515,7 +1515,7 @@ def ccnet_buckets(df, text_col: str = "text", id_col: str = "doc_id",
     scored = (scored.select(id_col, "perplexity")
               .join(df.select(F.col(id_col),
                               F.col(lang_col).alias("lang")), id_col)
-              .localCheckpoint())
+              .localCheckpoint(eager=False))
     cnt = (scored.groupBy("lang", "perplexity")
            .agg(F.count("*").alias("_c")))
     w = (Window.partitionBy("lang").orderBy(F.asc("perplexity"))
@@ -2408,8 +2408,8 @@ def train_text_classifier(df, label_col: str = "label",
         # doubles the plan every step (the connected-components
         # localCheckpoint pattern, dedup.py) — both frames are
         # n_buckets-row small
-        weights = weights.localCheckpoint()
-        bias_df = bias_df.localCheckpoint()
+        weights = weights.localCheckpoint(eager=False)
+        bias_df = bias_df.localCheckpoint(eager=False)
     meta = spark.createDataFrame([(-2, float(B))],
                                  "bucket long, weight double")
     return (weights.unionByName(

@@ -199,12 +199,12 @@ def unigram_train(df: DataFrame, text_col: str = "text",
     every probability quantizes to 12 decimals and every tie breaks
     lexicographically — so the DuckDB oracle replays it bit-exactly
     (the `bpe.train_bpe` convention)."""
-    wc = _word_counts(df, text_col, max_word_len).localCheckpoint()
+    wc = _word_counts(df, text_col, max_word_len).localCheckpoint(eager=False)
     seed = (wc.select(F.explode(_substring_candidates(
                 F.col("word"), max_piece_len)).alias("_c"), "cnt")
             .groupBy(F.col("_c.piece").alias("piece"))
             .agg(F.sum("cnt").alias("cnt")))
-    model = _renormalized(seed).localCheckpoint()
+    model = _renormalized(seed).localCheckpoint(eager=False)
     for _ in range(int(em_steps)):
         seg = viterbi_segment_words(
             wc, model, word_col="word", piece_col="_pieces",
@@ -222,7 +222,7 @@ def unigram_train(df: DataFrame, text_col: str = "text",
                                                      F.lit(0)),
                                           F.lit(1)).cast("long")
                                .alias("cnt"))))
-        model = _renormalized(counted).localCheckpoint()
+        model = _renormalized(counted).localCheckpoint(eager=False)
     # count-ranked prune to vocab_size (chars always kept), renorm
     n_chars = model.filter(F.length("piece") == 1).count()
     keep_multi = max(0, int(vocab_size) - n_chars)

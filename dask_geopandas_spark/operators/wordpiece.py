@@ -16,9 +16,10 @@ the longest vocabulary piece at each position.  No ``</w>`` terminal
 — WordPiece marks continuations, not ends.
 
 Design for 100 TB — the `bpe.train_bpe` shape: ONE corpus pass builds
-the word-count table; each merge step is two vocabulary-sized
-aggregations (pair counts + symbol counts) + a 1-row TakeOrdered + a
-native-replace broadcast apply, `localCheckpoint`-materialized.
+the word-count table; each merge step is ONE job — two
+vocabulary-sized aggregations (pair counts + symbol counts) + a 1-row
+TakeOrdered whose winner applies as a literal native replace (r16
+optimization round), the word frame lazily `localCheckpoint`-truncated.
 Encoding uses the dictionary path: distinct words greedy-scan ONCE
 (a pure-codegen `F.aggregate`, candidates from one BROADCAST-vocab
 join), token arrays join back on md5(text).
@@ -109,8 +110,8 @@ def train_wordpiece(df: DataFrame, text_col: str = "text",
         return df.sparkSession.createDataFrame(
             _classic_wordpiece(counts, num_merges), WP_MERGE_SCHEMA)
     w = (wc.select(_sym_plain(F.col("word")).alias("s"), "cnt")
-         .localCheckpoint())
-    bests = []
+         .localCheckpoint(eager=False))
+    rows = []
     syms_of = lambda c: F.split(F.trim(c), "  ")  # noqa: E731
     for rank in range(1, int(num_merges) + 1):
         syms = syms_of(F.col("s"))
@@ -145,26 +146,21 @@ def train_wordpiece(df: DataFrame, text_col: str = "text",
                 .select(F.lit(rank).alias("rank"), "left", "right",
                         F.concat("left", "right").alias("merged"),
                         "pair_count", "score")
-                .localCheckpoint())
-        bests.append(best)
-        b = F.broadcast(best.select(
-            F.lit(1).alias("_one"),
-            F.concat(F.lit(" "), "left", F.lit("  "), "right",
-                     F.lit(" ")).alias("_pat"),
-            F.concat(F.lit(" "), "merged", F.lit(" ")).alias("_rep")))
-        w = (w.withColumn("_one", F.lit(1))
-             .join(b, "_one", "left")
-             .select(F.when(F.col("_pat").isNotNull(),
-                            F.replace(F.col("s"), F.col("_pat"),
-                                      F.col("_rep")))
-                     .otherwise(F.col("s")).alias("s"), "cnt")
-             .localCheckpoint())
-    if not bests:
-        return df.sparkSession.createDataFrame([], WP_MERGE_SCHEMA)
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionAll(b)
-    return out
+                .head())
+        if best is None:
+            # pairs exhausted: w can never change again, so every
+            # later step is empty too (the `bpe._distributed_merges`
+            # r16 shape — fewer rows, identical trajectory)
+            break
+        rows.append((rank, best["left"], best["right"],
+                     best["merged"], best["pair_count"],
+                     best["score"]))
+        pat = f" {best['left']}  {best['right']} "
+        rep = f" {best['merged']} "
+        w = (w.select(F.replace(F.col("s"), F.lit(pat),
+                                F.lit(rep)).alias("s"), "cnt")
+             .localCheckpoint(eager=False))
+    return df.sparkSession.createDataFrame(rows, WP_MERGE_SCHEMA)
 
 
 def wordpiece_vocab(df: DataFrame, merges: DataFrame,
@@ -190,7 +186,7 @@ def wordpiece_vocab(df: DataFrame, merges: DataFrame,
             s = F.replace(
                 s, F.lit(f" {r['left']}  {r['right']} "),
                 F.lit(f" {r['merged']} "))
-        words = words.withColumn("_s", s).localCheckpoint()
+        words = words.withColumn("_s", s).localCheckpoint(eager=False)
     syms = F.split(F.trim(F.col("_s")), "  ")
     return (words.select(F.posexplode(syms).alias("_i", "_sym"))
             .select(F.when(F.col("_i") == 0, F.col("_sym"))
