@@ -3851,10 +3851,14 @@ def _two_batch_stream(spark, df, base, schema, id_col="doc_id"):
     import shutil
 
     shutil.rmtree(base, ignore_errors=True)
-    half = df.count() // 2
-    df.filter(F.col(id_col) < half).coalesce(1) \
+    # deterministic modular split (r16 optimization round): the r15
+    # form paid a count() pre-scan job to find a median id on every
+    # run; every consumer of this fixture stores a batch-boundary-
+    # INVISIBLE structure (algebraic or exactly-once merge), so the
+    # split key is free to be id parity — zero pre-scan jobs
+    df.filter(F.col(id_col) % 2 == 0).coalesce(1) \
         .write.parquet(base + "/src/f0")
-    df.filter(F.col(id_col) >= half).coalesce(1) \
+    df.filter(F.col(id_col) % 2 == 1).coalesce(1) \
         .write.parquet(base + "/src/f1")
     now = 1_700_000_000
     for i, d in enumerate(("f0", "f1")):
@@ -4724,10 +4728,12 @@ def q_stream_index_bm25(spark, sf_dir):
     base = "/root/repo/.bench_tmp/stream_text_index"
     shutil.rmtree(base, ignore_errors=True)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    half = docs.agg(F.expr("percentile(doc_id, 0.5)")).head()[0]
-    docs.filter(F.col("doc_id") <= half).coalesce(1) \
+    # id-parity split (no percentile pre-scan job — the r16
+    # `_two_batch_stream` rationale: stats merge by exact integer
+    # sum, so batch composition is invisible to the stored index)
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1) \
         .write.parquet(base + "/src/f0")
-    docs.filter(F.col("doc_id") > half).coalesce(1) \
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1) \
         .write.parquet(base + "/src/f1")
     now = 1_700_000_000
     for i, d in enumerate(("f0", "f1")):
@@ -4771,11 +4777,13 @@ def q_stream_ingest_vectors(spark, sf_dir):
     shutil.rmtree(base, ignore_errors=True)
     e = _t(spark, sf_dir, "embeddings")
     cents = SIM.train_centroids(e, n_cells=8, iters=2)
-    half = e.agg(F.expr("percentile(vec_id, 0.5)")).head()[0]
+    # id-parity split (no percentile pre-scan job — the r16
+    # `_two_batch_stream` rationale: an IVF append is pure row
+    # addition, so batch composition is invisible to every probe)
     vecs = e.select("vec_id", "embedding")
-    vecs.filter(F.col("vec_id") <= half).coalesce(1) \
+    vecs.filter(F.col("vec_id") % 2 == 0).coalesce(1) \
         .write.parquet(base + "/src/f0")
-    vecs.filter(F.col("vec_id") > half).coalesce(1) \
+    vecs.filter(F.col("vec_id") % 2 == 1).coalesce(1) \
         .write.parquet(base + "/src/f1")
     now = 1_700_000_000
     for i, d in enumerate(("f0", "f1")):
@@ -5387,19 +5395,29 @@ def _dhash_media_synth(spark, sf_dir, limit: int | None = None):
     def gen(batches):
         import struct
 
-        for pdf in batches:
-            payloads = []
-            for i in pdf["doc_id"]:
-                k, v = int(i) % 8, int(i) % 3
+        # the body is a pure function of (k, v) ∈ 8×3 — build each of
+        # the 24 distinct payloads once per task and index per row
+        # (guide §4.5 heavyweight-work-once; the r15 form re-derived
+        # the same numpy body for every corpus row, ~200× redundant)
+        cache: dict = {}
+
+        def payload(k: int, v: int) -> bytes:
+            got = cache.get((k, v))
+            if got is None:
                 w, h, c = 20 + k, 10 + k, 3
                 idx = np.arange(w * h * c)
                 body = (k * 37 + idx * (11 + 2 * k)
                         + np.where(idx % 13 == 0, 5 * v, 0)) % 256
-                payloads.append(MM.FAKE_MAGIC
-                                + struct.pack("<III", w, h, c)
-                                + body.astype(np.uint8).tobytes())
+                got = (MM.FAKE_MAGIC + struct.pack("<III", w, h, c)
+                       + body.astype(np.uint8).tobytes())
+                cache[(k, v)] = got
+            return got
+
+        for pdf in batches:
             pdf = pdf.copy()
-            pdf["media"] = pd.Series(payloads, dtype=object)
+            pdf["media"] = pd.Series(
+                [payload(int(i) % 8, int(i) % 3)
+                 for i in pdf["doc_id"]], dtype=object)
             yield pdf
 
     return d.mapInPandas(gen, schema=schema)

@@ -548,7 +548,15 @@ def media_dedup(df: DataFrame, media_col: str = "media",
 
         hdf = (df.select(F.col(id_col),
                          media_dhash(F.col(media_col)).alias("_dh"))
-               .filter(F.col("_dh").isNotNull()))
+               .filter(F.col("_dh").isNotNull())
+               # decode-once (guide §8): the (id, 64-bit hash) proxy
+               # is ~16 bytes/row; without this barrier the frame is
+               # re-derived — payload scan included — by the groups
+               # branch, the CC edge build AND the drop join (the
+               # media payload source is opaque to Spark's subtree
+               # reuse).  Lazy: materializes in the first consuming
+               # job, plan already truncated.
+               .localCheckpoint(eager=False))
         groups = hdf.groupBy("_dh").agg(F.min(id_col).alias("_hrep"))
         reps = groups.select(F.col("_hrep").alias(id_col), "_dh")
         pairs = _hamming_banded_pairs(reps, id_col, "_dh",

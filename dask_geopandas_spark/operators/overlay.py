@@ -191,10 +191,15 @@ def overlay(left, right, how: str = "intersection", strategy: str = "auto",
     the side a piece lacks are NULL (difference legs).
 
     The candidate-pair join is referenced by each leg the chosen
-    ``how`` needs (up to three for 'union'), so it is re-evaluated per
-    leg — deliberate: recompute is scale-safe where a persist of the
-    full candidate set would be an unbounded cache barrier; callers
-    joining enormous inputs for 'union' can checkpoint upstream."""
+    ``how`` needs (up to three for 'union').  Multi-leg hows lazily
+    ``localCheckpoint`` the decorated inputs and the candidate set
+    (r16 optimization round): the bbox/geometry decoration is an
+    opaque Python stage Spark cannot dedupe across legs, so the r15
+    recompute-per-leg shape re-scanned and re-decoded both layers up
+    to ~14× for 'union' — guide §8's decode-once rule; the persist
+    is bounded by input + candidate size (disk-spilling), strictly
+    cheaper than the repeated full decodes at any scale.
+    Single-leg hows keep the straight-line plan."""
     from ..core import GeoDataFrame
 
     if how not in _HOWS:
@@ -258,9 +263,27 @@ def overlay(left, right, how: str = "intersection", strategy: str = "auto",
     rdf = rdf.withColumn(rrow, F.xxhash64(
         *[F.col(c) for c in rdf.columns if c not in r_help]))
 
+    # Multi-leg hows reference the decorated inputs and the candidate
+    # join from several plan subtrees; the bbox decoration and (for
+    # WKB layers) the geometry parse are OPAQUE Python stages Spark
+    # cannot dedupe across subtrees, so each leg re-scanned and
+    # re-decoded both layers (the r16-before 'union' plan held 28
+    # parquet scans and 64 ArrowEvalPython nodes for TWO inputs).
+    # Guide §8: decode once, decide on the proxy — lazily
+    # localCheckpoint the decorated frames (and, when more than one
+    # leg consumes it, the candidate set), which bounds the persist
+    # by input + candidate size and cuts every repeat decode.  The
+    # single-leg hows keep the straight-line plan (no barrier).
+    multi_leg = how != "intersection"
+    if multi_leg:
+        ldf = ldf.localCheckpoint(eager=False)
+        rdf = rdf.localCheckpoint(eager=False)
+
     pairs = _candidate_pairs(lg, rg, ldf, rdf, lbbox_j, rbbox_j,
                              strategy, grid_level, total_bounds,
                              cob_cols=(l_bucket, r_bucket, l_arr, r_arr))
+    if how in ("union", "identity", "symmetric_difference"):
+        pairs = pairs.localCheckpoint(eager=False)
 
     # difference legs need ONE row per original feature: drop replicas
     # (keep the copy living in its smallest bucket — every row has one)
