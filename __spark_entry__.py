@@ -4244,7 +4244,22 @@ def q_unigram_train(spark, sf_dir):
                          max_word_len=8).select("piece", "cnt", "logp")
 
 
-def _assert_max_word_len(docs, maxw: int, qname: str) -> None:
+def _word_count_table(docs):
+    """The (word, cnt) distinct-word count table over the shared
+    token split — the ONE corpus pass the tokenizer-encode queries
+    now share between the max-word-length guard and the trainer (r16
+    optimization round: the guard was a second full corpus tokenize
+    pass; riding the trainer's word table it costs one word-sized
+    aggregation on a pass the query pays anyway)."""
+    from dask_geopandas_spark.operators.textstats import tokens
+
+    return (docs.select(F.explode(F.filter(
+                tokens(F.col("text")), lambda x: x != F.lit("")))
+                .alias("word"))
+            .groupBy("word").agg(F.count("*").alias("cnt")))
+
+
+def _assert_max_word_len(docs, maxw: int, qname: str, wc=None) -> None:
     """The unigram/wordpiece ENCODE oracles unroll their greedy /
     backtrack scans to ``maxw`` hops and generate substring
     candidates from start positions <= ``maxw``, while the engine
@@ -4253,13 +4268,19 @@ def _assert_max_word_len(docs, maxw: int, qname: str) -> None:
     Pin the precondition at the source: one tiny agg over the same
     token split both sides use, raising loudly the moment the data
     stops satisfying the unroll depth (so the gate fails HERE, not
-    as an unexplained hash mismatch)."""
-    from dask_geopandas_spark.operators.textstats import tokens
+    as an unexplained hash mismatch).  ``wc``: a `_word_count_table`
+    frame to check instead (same word set as the corpus split, so
+    the same precondition) — lets the guard share the trainer's
+    corpus pass instead of paying its own."""
+    if wc is not None:
+        src = wc.select(F.col("word").alias("_w"))
+    else:
+        from dask_geopandas_spark.operators.textstats import tokens
 
-    got = (docs.select(F.explode(F.filter(
-        tokens(F.col("text")), lambda x: x != F.lit("")))
-        .alias("_w"))
-        .agg(F.max(F.length("_w"))).head()[0])
+        src = docs.select(F.explode(F.filter(
+            tokens(F.col("text")), lambda x: x != F.lit("")))
+            .alias("_w"))
+    got = src.agg(F.max(F.length("_w"))).head()[0]
     if got is not None and int(got) > int(maxw):
         raise AssertionError(
             f"{qname}: corpus max word length {got} exceeds the "
@@ -4280,9 +4301,14 @@ def q_unigram_tokens(spark, sf_dir):
         unigram_token_count, unigram_train)
 
     docs = _t(spark, sf_dir, "documents")
-    _assert_max_word_len(docs, 12, "unigram_tokens")
+    # guard + trainer share ONE corpus tokenize pass (r16 opt round):
+    # the word-count table is lazily checkpointed, the guard's
+    # word-sized agg materializes it, the trainer reuses it
+    wc = _word_count_table(docs).localCheckpoint(eager=False)
+    _assert_max_word_len(docs, 12, "unigram_tokens", wc=wc)
     model = unigram_train(docs, vocab_size=32, em_steps=2,
-                          max_piece_len=4, max_word_len=8)
+                          max_piece_len=4, max_word_len=8,
+                          word_counts=wc)
     return (unigram_token_count(docs.select("doc_id", "text"), model,
                                 count_col="n_tokens",
                                 max_piece_len=4)
@@ -4315,15 +4341,23 @@ def q_wordpiece_tokens(spark, sf_dir):
     once (pure-codegen F.aggregate, broadcast vocab), token arrays
     join back on md5(text).  Oracle: training unroll + induced
     vocabulary + the greedy scan unrolled to 12 hops + per-doc sum."""
-    from dask_geopandas_spark.operators.wordpiece import (
-        train_wordpiece, wordpiece_token_count, wordpiece_vocab)
+    from dask_geopandas_spark.operators.wordpiece import \
+        train_wordpiece_and_vocab, wordpiece_token_count
 
     docs = _t(spark, sf_dir, "documents")
-    _assert_max_word_len(docs, 12, "wordpiece_tokens")
-    merges = train_wordpiece(docs, num_merges=6)
-    vocab = wordpiece_vocab(docs, merges)
+    # one corpus pass for guard + trainer + vocab induction (r16 opt
+    # round): the trainer's final symbol frame IS wordpiece_vocab's
+    # replay result, and the greedy scan's piece-length cap comes
+    # free from the driver-side merge table instead of a vocab agg
+    wc = _word_count_table(docs).localCheckpoint(eager=False)
+    _assert_max_word_len(docs, 12, "wordpiece_tokens", wc=wc)
+    merges, vocab = train_wordpiece_and_vocab(docs, num_merges=6,
+                                              word_counts=wc)
+    maxp = max([3] + [len(r["merged"]) + 2
+                      for r in merges.collect()])
     return (wordpiece_token_count(docs.select("doc_id", "text"),
-                                  vocab, count_col="n_tokens")
+                                  vocab, count_col="n_tokens",
+                                  max_piece_len=maxp)
             .select("doc_id", "n_tokens"))
 
 

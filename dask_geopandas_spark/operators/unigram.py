@@ -189,7 +189,8 @@ def _word_counts(df: DataFrame, text_col: str,
 def unigram_train(df: DataFrame, text_col: str = "text",
                   vocab_size: int = 64, em_steps: int = 2,
                   max_piece_len: int = 4,
-                  max_word_len: int = 16) -> DataFrame:
+                  max_word_len: int = 16,
+                  word_counts: DataFrame | None = None) -> DataFrame:
     """Train a unigram-LM tokenizer: returns the model frame
     (piece, cnt, logp) — at most ``vocab_size`` pieces unless the
     corpus charset alone exceeds it (characters are never pruned:
@@ -198,8 +199,20 @@ def unigram_train(df: DataFrame, text_col: str = "text",
     seed model.  The trajectory is a pure function of the corpus —
     every probability quantizes to 12 decimals and every tie breaks
     lexicographically — so the DuckDB oracle replays it bit-exactly
-    (the `bpe.train_bpe` convention)."""
-    wc = _word_counts(df, text_col, max_word_len).localCheckpoint(eager=False)
+    (the `bpe.train_bpe` convention).
+
+    ``word_counts``: optional precomputed (word, cnt) table over the
+    SAME token split (``_word_counts`` minus its length filter) — the
+    caller's chance to share the one corpus pass with other consumers
+    (a max-word-length guard, a sibling trainer); the ``max_word_len``
+    filter applies on top, so the trajectory is identical (the filter
+    commutes with the per-word grouping)."""
+    if word_counts is not None:
+        wc = word_counts.filter(
+            F.length("word") <= int(max_word_len))
+    else:
+        wc = _word_counts(df, text_col, max_word_len)
+    wc = wc.localCheckpoint(eager=False)
     seed = (wc.select(F.explode(_substring_candidates(
                 F.col("word"), max_piece_len)).alias("_c"), "cnt")
             .groupBy(F.col("_c.piece").alias("piece"))

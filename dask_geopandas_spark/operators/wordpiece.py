@@ -93,22 +93,44 @@ def _classic_wordpiece(word_counts: list[tuple[str, int]],
 
 def train_wordpiece(df: DataFrame, text_col: str = "text",
                     num_merges: int = 16,
-                    collect_vocab: bool = False) -> DataFrame:
+                    collect_vocab: bool = False,
+                    word_counts: DataFrame | None = None) -> DataFrame:
     """Learn ``num_merges`` WordPiece merges: the ordered table
     (rank, left, right, merged, pair_count, score).  Mechanics are
     `bpe.train_bpe`'s (one corpus pass, vocabulary-sized steps,
     native-replace apply, ``collect_vocab=True`` for the driver-side
     loop over the collected word-count table) — only the SELECTION
     differs: ``score = round(cp/(cl·cr), 12)`` max, ties (left, right)
-    ascending."""
-    wc = (df.select(F.explode(
-              F.filter(tokens(F.col(text_col)),
-                       lambda x: x != F.lit(""))).alias("word"))
-          .groupBy("word").agg(F.count("*").alias("cnt")))
+    ascending.
+
+    ``word_counts``: optional precomputed (word, cnt) table over the
+    same token split — shares the one corpus pass with other
+    consumers (a max-word-length guard); trajectory identical."""
+    merges, _ = _train_wordpiece_steps(df, text_col, num_merges,
+                                       collect_vocab, word_counts)
+    return merges
+
+
+def _train_wordpiece_steps(df: DataFrame, text_col: str,
+                           num_merges: int, collect_vocab: bool,
+                           word_counts: DataFrame | None
+                           ) -> tuple[DataFrame, DataFrame | None]:
+    """`train_wordpiece`'s body, additionally returning the FINAL
+    merged symbol frame (s, cnt) — the state `wordpiece_vocab` would
+    otherwise recompute by replaying the merge chain over a second
+    distinct-word pass (``None`` on the ``collect_vocab`` path, which
+    never builds a distributed symbol frame)."""
+    if word_counts is not None:
+        wc = word_counts
+    else:
+        wc = (df.select(F.explode(
+                  F.filter(tokens(F.col(text_col)),
+                           lambda x: x != F.lit(""))).alias("word"))
+              .groupBy("word").agg(F.count("*").alias("cnt")))
     if collect_vocab:
         counts = [(r["word"], r["cnt"]) for r in wc.collect()]
         return df.sparkSession.createDataFrame(
-            _classic_wordpiece(counts, num_merges), WP_MERGE_SCHEMA)
+            _classic_wordpiece(counts, num_merges), WP_MERGE_SCHEMA), None
     w = (wc.select(_sym_plain(F.col("word")).alias("s"), "cnt")
          .localCheckpoint(eager=False))
     rows = []
@@ -160,7 +182,39 @@ def train_wordpiece(df: DataFrame, text_col: str = "text",
         w = (w.select(F.replace(F.col("s"), F.lit(pat),
                                 F.lit(rep)).alias("s"), "cnt")
              .localCheckpoint(eager=False))
-    return df.sparkSession.createDataFrame(rows, WP_MERGE_SCHEMA)
+    return df.sparkSession.createDataFrame(rows, WP_MERGE_SCHEMA), w
+
+
+def _vocab_from_symbols(words: DataFrame) -> DataFrame:
+    """The induced-vocabulary projection shared by `wordpiece_vocab`
+    and `train_wordpiece_and_vocab`: word-initial symbols enter
+    as-is, word-internal ones with the ``##`` continuation prefix."""
+    syms = F.split(F.trim(F.col("_s")), "  ")
+    return (words.select(F.posexplode(syms).alias("_i", "_sym"))
+            .select(F.when(F.col("_i") == 0, F.col("_sym"))
+                    .otherwise(F.concat(F.lit("##"), F.col("_sym")))
+                    .alias("piece"))
+            .distinct())
+
+
+def train_wordpiece_and_vocab(df: DataFrame, text_col: str = "text",
+                              num_merges: int = 16,
+                              word_counts: DataFrame | None = None
+                              ) -> tuple[DataFrame, DataFrame]:
+    """`train_wordpiece` + the runtime vocabulary its merge table
+    induces on the SAME corpus, sharing one corpus pass and one
+    merge-application chain (r16 optimization round): the trainer's
+    final symbol frame IS the state `wordpiece_vocab` reconstructs by
+    replaying the merges over a second distinct-word pass — same
+    distinct words (the word-count grouping), same ordered replaces —
+    so vocab induction here costs one posexplode + distinct over the
+    already-checkpointed frame instead of a second corpus pass + the
+    full replay chain.  Returns ``(merges, vocab)``; both equal their
+    separately-computed counterparts row-for-row (pinned by pytest
+    and the wordpiece_tokens oracle)."""
+    merges, w = _train_wordpiece_steps(df, text_col, num_merges,
+                                       False, word_counts)
+    return merges, _vocab_from_symbols(w.select(F.col("s").alias("_s")))
 
 
 def wordpiece_vocab(df: DataFrame, merges: DataFrame,
@@ -187,19 +241,15 @@ def wordpiece_vocab(df: DataFrame, merges: DataFrame,
                 s, F.lit(f" {r['left']}  {r['right']} "),
                 F.lit(f" {r['merged']} "))
         words = words.withColumn("_s", s).localCheckpoint(eager=False)
-    syms = F.split(F.trim(F.col("_s")), "  ")
-    return (words.select(F.posexplode(syms).alias("_i", "_sym"))
-            .select(F.when(F.col("_i") == 0, F.col("_sym"))
-                    .otherwise(F.concat(F.lit("##"), F.col("_sym")))
-                    .alias("piece"))
-            .distinct())
+    return _vocab_from_symbols(words)
 
 
 def greedy_match_words(words: DataFrame, vocab: DataFrame,
                        word_col: str = "word",
                        piece_col: str = "wp_tokens",
                        unk_token: str = UNK,
-                       max_scan_len: int = 256) -> DataFrame:
+                       max_scan_len: int = 256,
+                       max_piece_len: int | None = None) -> DataFrame:
     """Greedy longest-match WordPiece segmentation of a WORD frame
     (the BERT runtime algorithm): at each position take the LONGEST
     vocabulary piece (continuations matched with their ``##`` form);
@@ -210,8 +260,18 @@ def greedy_match_words(words: DataFrame, vocab: DataFrame,
     tokenizer has the same ``max_input_chars_per_word`` cap, default
     100, mapping long words to [UNK]).  One pure-codegen
     `F.aggregate` scan per row; candidates from one equi-join
-    against the BROADCAST vocabulary."""
-    maxlen = int(vocab.agg(F.max(F.length("piece"))).head()[0] or 1)
+    against the BROADCAST vocabulary.
+
+    ``max_piece_len``: any UPPER BOUND on the longest vocabulary
+    piece (``##`` form included) skips the ``max(length(piece))``
+    aggregation job — over-length substring candidates simply never
+    match the vocabulary join, so the segmentation is identical for
+    any bound >= the true maximum (a caller holding the driver-side
+    merge table knows ``max(3, len(merged)+2)`` for free)."""
+    if max_piece_len is not None:
+        maxlen = int(max_piece_len)
+    else:
+        maxlen = int(vocab.agg(F.max(F.length("piece"))).head()[0] or 1)
     full = (words.filter(F.col(word_col).isNotNull()
                          & (F.length(word_col) >= 1)))
     over = full.filter(F.length(word_col) > int(max_scan_len)) \
@@ -272,7 +332,8 @@ def wordpiece_encode(df: DataFrame, vocab: DataFrame,
                      text_col: str = "text",
                      token_col: str = "wp_tokens",
                      unk_token: str = UNK,
-                     broadcast_vocab: bool = False) -> DataFrame:
+                     broadcast_vocab: bool = False,
+                     max_piece_len: int | None = None) -> DataFrame:
     """Tokenize a corpus against a WordPiece vocabulary: adds
     ``token_col`` (array<string>, ``##``-prefixed continuations,
     un-coverable words as ``[UNK]``; NULL / token-less texts to an
@@ -286,7 +347,8 @@ def wordpiece_encode(df: DataFrame, vocab: DataFrame,
                               lambda x: x != F.lit("")).alias("_ws")))
     wdict = greedy_match_words(
         texts.select(F.explode("_ws").alias("word")).distinct(),
-        vocab, word_col="word", piece_col="_wt", unk_token=unk_token)
+        vocab, word_col="word", piece_col="_wt", unk_token=unk_token,
+        max_piece_len=max_piece_len)
     if broadcast_vocab:
         wdict = F.broadcast(wdict)
     per_text = (texts.select("_h", F.posexplode("_ws")

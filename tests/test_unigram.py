@@ -245,3 +245,33 @@ class TestUnigramEncode:
         want = (_viterbi("catconcatnatcon", logp, 3)
                 + _viterbi("cat", logp, 3))
         assert row["toks"] == want and len(want) > 4
+
+
+class TestUnigramSharedPass:
+    """r16 optimization round: ``word_counts=`` (the shared corpus
+    pass — the entry guard rides the trainer's word table) must give
+    the identical model: the max_word_len filter commutes with the
+    per-word grouping."""
+
+    def test_word_counts_param_identical(self, spark):
+        from pyspark.sql import functions as F
+
+        from dask_geopandas_spark.operators.textstats import tokens
+        from dask_geopandas_spark.operators.unigram import \
+            unigram_train
+
+        df = spark.createDataFrame([(t,) for t in CORPUS],
+                                   "text string")
+        wc = (df.select(F.explode(F.filter(
+                  tokens(F.col("text")), lambda x: x != F.lit("")))
+                  .alias("word"))
+              .groupBy("word").agg(F.count("*").alias("cnt")))
+        a = sorted(map(tuple,
+                       unigram_train(df, vocab_size=16, em_steps=2,
+                                     max_piece_len=3,
+                                     max_word_len=4).collect()))
+        b = sorted(map(tuple,
+                       unigram_train(df, vocab_size=16, em_steps=2,
+                                     max_piece_len=3, max_word_len=4,
+                                     word_counts=wc).collect()))
+        assert a == b and len(a) > 0

@@ -191,3 +191,60 @@ class TestWordpieceEncode:
              wordpiece_encode(df, vocab,
                               broadcast_vocab=True).collect()}
         assert a == b
+
+
+class TestWordpieceSharedPass:
+    """r16 optimization round: the shared word-count pass
+    (``word_counts=``), the fused trainer+vocab
+    (`train_wordpiece_and_vocab`), and the driver-side
+    ``max_piece_len`` bound must each be row-identical to the
+    separate-pass paths they replace."""
+
+    def _df(self, spark):
+        return spark.createDataFrame([(t,) for t in CORPUS],
+                                     "text string")
+
+    def _wc(self, df):
+        from pyspark.sql import functions as F
+
+        from dask_geopandas_spark.operators.textstats import tokens
+
+        return (df.select(F.explode(F.filter(
+                    tokens(F.col("text")), lambda x: x != F.lit("")))
+                    .alias("word"))
+                .groupBy("word").agg(F.count("*").alias("cnt")))
+
+    def test_word_counts_param_identical(self, spark):
+        df = self._df(spark)
+        a = sorted(map(tuple,
+                       train_wordpiece(df, num_merges=6).collect()))
+        b = sorted(map(tuple,
+                       train_wordpiece(df, num_merges=6,
+                                       word_counts=self._wc(df))
+                       .collect()))
+        assert a == b and len(a) == 6
+
+    def test_train_and_vocab_matches_replay(self, spark):
+        from dask_geopandas_spark.operators.wordpiece import \
+            train_wordpiece_and_vocab
+
+        df = self._df(spark)
+        merges, vocab = train_wordpiece_and_vocab(df, num_merges=6)
+        assert sorted(map(tuple, merges.collect())) == sorted(
+            map(tuple, train_wordpiece(df, num_merges=6).collect()))
+        replay = wordpiece_vocab(df, merges)
+        assert (sorted(r["piece"] for r in vocab.collect())
+                == sorted(r["piece"] for r in replay.collect()))
+
+    def test_max_piece_len_bound_identical(self, spark):
+        df = self._df(spark)
+        merges = train_wordpiece(df, num_merges=6)
+        vocab = wordpiece_vocab(df, merges)
+        maxp = max([3] + [len(r["merged"]) + 2
+                          for r in merges.collect()])
+        a = {r["text"]: r["wp_tokens"]
+             for r in wordpiece_encode(df, vocab).collect()}
+        b = {r["text"]: r["wp_tokens"]
+             for r in wordpiece_encode(df, vocab,
+                                       max_piece_len=maxp).collect()}
+        assert a == b
