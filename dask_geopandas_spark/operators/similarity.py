@@ -90,16 +90,40 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def _lit_vec(values) -> Column:
+    """One array<double> literal as a SINGLE Literal node.  The
+    per-element form ``F.array(*[F.lit(v) for v in values])`` builds a
+    CreateArray over len(values) Literal children, and every analyzer/
+    optimizer rule walks all of them on every query — measured this
+    repo's Lloyd-style actions at ~0.3 s extra per analysis for an
+    8×64 centroid set (r16 optimization round).  Same values, same
+    evaluation, ~N× less expression tree."""
+    return F.lit([float(v) for v in values])
+
+
+def _lit_mat(rows) -> Column:
+    """One array<array<double>> literal as a single Literal node (see
+    `_lit_vec`)."""
+    return F.lit([[float(v) for v in r] for r in rows])
+
+
+def _dists_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<double> of left-associated squared distances of ``vec``
+    to every centroid, in centroid order — one `_lit_mat` literal +
+    ``transform``, replacing the unrolled per-centroid expression
+    forest (identical fold arithmetic, identical ordering)."""
+    return F.transform(
+        _lit_mat(centroids),
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x))
+
+
 def assign_ivf_cells(df: DataFrame, centroids: list[list[float]],
                      vec_col: str = "embedding") -> DataFrame:
     """Assign each vector to its nearest centroid (cell id).  Centroids
     are a small driver-side list (broadcast as literals into the plan)."""
-    def dist2(vec: Column, cen: list[float]) -> Column:
-        carr = F.array(*[F.lit(float(v)) for v in cen])
-        return F.aggregate(F.zip_with(vec, carr, lambda x, y: (x - y) * (x - y)),
-                           F.lit(0.0), lambda acc, x: acc + x)
-
-    dists = F.array(*[dist2(F.col(vec_col), c) for c in centroids])
+    dists = _dists_expr(F.col(vec_col), centroids)
     cell = F.array_position(dists, F.array_min(dists)) - 1
     return df.withColumn("ivf_cell", cell.cast("int"))
 
@@ -163,17 +187,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: list[list[float]]
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "ivf_cell"
     )
 
-    def dist2(vec: Column, cen: list[float]) -> Column:
-        carr = F.array(*[F.lit(float(v)) for v in cen])
-        return F.aggregate(F.zip_with(vec, carr, lambda x, y: (x - y) * (x - y)),
-                           F.lit(0.0), lambda acc, x: acc + x)
-
-    dists = F.array(*[dist2(F.col(vec_col), cen) for cen in centroids])
-    order = F.array_sort(
-        F.arrays_zip(dists.alias("d"),
-                     F.array(*[F.lit(i) for i in range(len(centroids))]).alias("i"))
-    )
-    probe_cells = F.slice(F.transform(order, lambda s: s["i"]), 1, nprobe)
+    probe_cells = probe_cells_expr(centroids, vec_col, nprobe)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         F.explode(probe_cells).alias("ivf_cell"),
@@ -447,29 +461,21 @@ def train_pq(df: DataFrame, m: int = 4, k: int = 16,
     return books
 
 
-def _sub_dist2(vec: Column, cen: list, start: int) -> Column:
-    """Squared distance of vec[start:start+len(cen)] to a literal
-    centroid — native slice + zip_with/aggregate (JVM codegen)."""
-    carr = F.array(*[F.lit(float(v)) for v in cen])
-    sub = F.slice(F.transform(vec, lambda x: x.cast("double")),
-                  start + 1, len(cen))
-    return F.aggregate(F.zip_with(sub, carr, lambda x, y: (x - y) * (x - y)),
-                       F.lit(0.0), lambda acc, x: acc + x)
-
-
 def pq_encode(df: DataFrame, codebooks: list,
               vec_col: str = "embedding",
               code_col: str = "pq_code") -> DataFrame:
     """array<int> of per-subspace nearest-centroid codes, computed as
-    pure native SQL (m·k literal-centroid distance expressions + one
-    array_position argmin per subspace — no UDF).  A d-dim float vector
-    compresses to m bytes-ish: the on-disk story that makes a 100-TB
-    embedding corpus searchable from a fraction of the bytes."""
+    pure native SQL (per subspace one `_lit_mat` codebook literal +
+    a transform'd distance fold + one array_position argmin — no UDF).
+    A d-dim float vector compresses to m bytes-ish: the on-disk story
+    that makes a 100-TB embedding corpus searchable from a fraction
+    of the bytes."""
     dsub = len(codebooks[0][0])
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     codes = []
     for s, book in enumerate(codebooks):
-        dists = F.array(*[_sub_dist2(F.col(vec_col), c, s * dsub)
-                          for c in book])
+        sub = F.slice(vec_d, s * dsub + 1, dsub)
+        dists = _dists_expr(sub, book)
         codes.append((F.array_position(dists, F.array_min(dists)) - 1)
                      .cast("int"))
     return df.withColumn(code_col, F.array(*codes))
@@ -571,10 +577,9 @@ def sq_encode(df: DataFrame, lo: list, hi: list,
     Pure native zip_with arithmetic against the literal ranges: the
     corpus pass is one scan, no UDF, no shuffle."""
     top = int(levels) - 1
-    lo_a = F.array(*[F.lit(float(v)) for v in lo])
-    sc_a = F.array(*[
-        F.lit(float(top) / (h - l) if h > l else 0.0)
-        for l, h in zip(lo, hi)])
+    lo_a = _lit_vec(lo)
+    sc_a = _lit_vec([float(top) / (h - l) if h > l else 0.0
+                     for l, h in zip(lo, hi)])
     t = F.zip_with(
         F.transform(F.col(vec_col), lambda x: x.cast("double")),
         lo_a, lambda x, m: x - m)
@@ -599,10 +604,9 @@ def sq_topk(codes_df: DataFrame, queries: DataFrame, lo: list,
     `pq_topk`'s two-stage skew-free ranking."""
     top = int(levels) - 1
     d = len(lo)
-    lo_a = F.array(*[F.lit(float(v)) for v in lo])
-    st_a = F.array(*[
-        F.lit((h - l) / float(top) if h > l else 0.0)
-        for l, h in zip(lo, hi)])
+    lo_a = _lit_vec(lo)
+    st_a = _lit_vec([(h - l) / float(top) if h > l else 0.0
+                     for l, h in zip(lo, hi)])
     q = F.broadcast(queries.select(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -779,16 +783,10 @@ def probe_cells_expr(centroids: list, vec_col: str,
     """Per-row list of the ``nprobe`` nearest cell ids, ordered by
     (distance, index) — the same deterministic tiebreak as
     ``ivf_topk``'s query probing, as a reusable expression."""
-    def dist2(vec: Column, cen: list[float]) -> Column:
-        carr = F.array(*[F.lit(float(v)) for v in cen])
-        return F.aggregate(
-            F.zip_with(vec, carr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0), lambda acc, x: acc + x)
-
-    dists = F.array(*[dist2(F.col(vec_col), c) for c in centroids])
+    dists = _dists_expr(F.col(vec_col), centroids)
     order = F.array_sort(
         F.arrays_zip(dists.alias("d"),
-                     F.array(*[F.lit(i) for i in range(len(centroids))])
+                     F.sequence(F.lit(0), F.lit(len(centroids) - 1))
                      .alias("i")))
     return F.slice(F.transform(order, lambda s: s["i"]), 1, int(nprobe))
 
@@ -798,8 +796,7 @@ def _sdc_expr(codebooks: list, ca: str = "_ca", cb: str = "_cb") -> Column:
     columns: per-subspace k×k literal LUTs indexed by native array
     lookups — the whole computation stays in whole-stage codegen."""
     luts = sdc_luts(codebooks)
-    lut_cols = [F.array(*[F.array(*[F.lit(v) for v in row])
-                          for row in tab]) for tab in luts]
+    lut_cols = [_lit_mat(tab) for tab in luts]
     sdist = F.lit(0.0)
     for s, lc in enumerate(lut_cols):
         sdist = sdist + F.element_at(
@@ -988,8 +985,7 @@ def semantic_dedup(corpus: DataFrame, centroids: list, threshold: float = 0.9,
                                       max_iter=max_iter,
                                       on_nonconverged=on_nonconverged)
         assigned = assign_ivf_cells(corpus, centroids, vec_col)
-        cent_arr = F.array(*[
-            F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+        cent_arr = _lit_mat(centroids)
         mem = (labels.join(
                    assigned.select(F.col(id_col).alias("node"),
                                    F.col(vec_col).alias("_sv"),
