@@ -3753,17 +3753,26 @@ def q_heavy_tokens(spark, sf_dir):
     aggregation over the surviving sliver.  Approximate machinery,
     EXACT answer — so the oracle is the plain GROUP BY ... HAVING.
     Threshold = total tokens // 50 (integer division, identical in
-    both engines)."""
-    from dask_geopandas_spark.operators.sketches import heavy_hitters
+    both engines).  The total is read off the sketch itself
+    (`cms_total` — row-0 counters sum to the exact token count; the
+    token stream is null-free, so it equals count()), so the
+    threshold costs a depth·width-frame aggregate instead of a
+    second full corpus tokenize pass (r16 optimization round)."""
+    from dask_geopandas_spark.operators.sketches import (cms_sketch,
+                                                         cms_total,
+                                                         heavy_hitters)
     from dask_geopandas_spark.operators.textstats import tokens
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(F.explode(
         F.filter(tokens(F.col("text")),
                  lambda x: x != F.lit(""))).alias("token"))
-    total = toks.count()
+    sketch = cms_sketch(toks, "token", 256, 4) \
+        .localCheckpoint(eager=False)
+    total = int(sketch.agg(cms_total(sketch).alias("_t"))
+                .head()["_t"])
     return heavy_hitters(toks, "token", total // 50,
-                         width=256, depth=4)
+                         width=256, depth=4, sketch=sketch)
 
 
 def q_kmv_overlap(spark, sf_dir):

@@ -358,10 +358,23 @@ def cms_estimate_col(col: Column, sketch: DataFrame, width: int,
                   *[f"_c{r}" for r in range(int(depth))]))
 
 
+def cms_total(sketch: DataFrame) -> Column:
+    """Aggregate expression for the sketch's total weight: every
+    non-NULL input row adds its weight to exactly one counter per
+    depth row, so the sum over any single depth row equals the total
+    — use row 0.  Reading the total off an already-built sketch
+    (depth·width rows) replaces a dedicated corpus COUNT pass when a
+    threshold derives from the total (e.g. ``heavy_hitters`` at
+    ``total // k``)."""
+    return F.sum(F.when(F.col("cms_row") == 0, F.col("cms_count"))
+                 .otherwise(F.lit(0).cast("long")))
+
+
 def heavy_hitters(df: DataFrame, col: str, min_count: int,
                   width: int = 2048, depth: int = 4,
                   weight_col: str | None = None,
-                  count_col: str = "n_count") -> DataFrame:
+                  count_col: str = "n_count",
+                  sketch: DataFrame | None = None) -> DataFrame:
     """EXACT heavy hitters (values with total weight >= min_count)
     found without ever shuffling the full key cardinality — the
     batch form of the classic CMS recipe:
@@ -377,12 +390,20 @@ def heavy_hitters(df: DataFrame, col: str, min_count: int,
     Returns (col, count_col) with EXACT counts — approximate
     machinery, exact answer.  At 100 TB this is the "tokens/URLs
     occurring over N times" query without a 10-billion-key shuffle:
-    only candidate-valued rows reach the exchange."""
-    # materialize: cms_estimate_col slices the sketch once per depth
-    # row, and an unmaterialized plan would rebuild the corpus-wide
-    # aggregation depth times
-    sketch = cms_sketch(df, col, width, depth,
-                        weight_col).localCheckpoint()
+    only candidate-valued rows reach the exchange.
+
+    ``sketch``: a prebuilt ``cms_sketch(df, col, width, depth,
+    weight_col)`` frame — pass it when the caller already built (and
+    materialized) the sketch, e.g. to derive the threshold from
+    :func:`cms_total` without a separate corpus pass.  It must match
+    ``width``/``depth``/``weight_col`` or the estimates probe a
+    different sketch."""
+    if sketch is None:
+        # materialize: cms_estimate_col slices the sketch once per
+        # depth row, and an unmaterialized plan would rebuild the
+        # corpus-wide aggregation depth times
+        sketch = cms_sketch(df, col, width, depth,
+                            weight_col).localCheckpoint()
     wgt = (F.col(weight_col).cast("long") if weight_col
            else F.lit(1).cast("long"))
     cand = (cms_estimate_col(F.col(col), sketch, width, depth,

@@ -631,10 +631,17 @@ def write_text_index(df, path: str, n_buckets: int = 64,
     live in one bucket, so the pruned read sees every one), keeping
     the index incrementally appendable without a df-merge step.
 
-    The build runs TWO corpus passes (the stats aggregate counts
-    termless documents the postings table cannot carry) — an index
-    build is a one-time cost, and two scans beat persisting a
-    corpus-sized token table at scale.
+    The build tokenizes the corpus ONCE (the postings pass).  The
+    stats row needs no second tokenize pass: ``n_docs`` is a
+    column-pruned COUNT of ``df`` (every row emits exactly one
+    postings-pass row, termless or not), and ``sum_dl`` — Σ_doc dl —
+    equals Σ tf over the postings (dl = Σ_term tf(doc, term) for any
+    doc with ≥ 1 token; termless and NULL-text docs contribute 0 to
+    both sides).  A single-shot build reads Σ tf back off the
+    just-written postings (an index-sized, tf-column-pruned scan, no
+    cache cost); an append takes it from the BATCH-sized lazily
+    checkpointed tf frame instead (a read-back would rescan the whole
+    accumulated index every batch).
 
     ``append=True`` adds a NEW batch of documents to an existing
     index without touching its postings (the per-term bucketing makes
@@ -688,16 +695,20 @@ def write_text_index(df, path: str, n_buckets: int = 64,
           .withColumn("term_bucket",
                       F.pmod(portable_hash(F.col("term")),
                              F.lit(int(n_buckets))).cast("int")))
+    if append:
+        # batch-sized (the postings being appended); the write job
+        # below materializes it, the sum_dl aggregate reuses it —
+        # the one-tokenize-pass stats derivation (see docstring)
+        tf = tf.localCheckpoint(eager=False)
     tf.write.mode("append" if append else "overwrite") \
         .partitionBy("term_bucket").parquet(base + "/postings")
-    stats_src = _bm25_doc_pass(df, text_col, id_col).agg(
-        F.count("*").alias("n_docs"),
-        F.coalesce(F.sum(F.element_at(F.col("_qs"), 1)["dl"]),
-                   F.lit(0)).cast("long").alias("sum_dl"))
+    # stats WITHOUT a second corpus tokenize pass: n_docs = plain
+    # count (exact — the doc pass is a select, it drops no rows);
+    # sum_dl = Σ tf (exact — see docstring equivalence)
     if append:
-        new_row = stats_src.head()
-        n1 = int(new_row["n_docs"])
-        s1 = int(new_row["sum_dl"])
+        n1 = int(df.count())
+        s1 = int(tf.agg(F.coalesce(F.sum("tf"), F.lit(0))
+                        .cast("long").alias("_s")).head()["_s"])
         n0 = int(prev["n_docs"])
         s0 = (int(prev["sum_dl"])
               if "sum_dl" in prev.asDict() and prev["sum_dl"] is not None
@@ -720,15 +731,25 @@ def write_text_index(df, path: str, n_buckets: int = 64,
             stats = spark.createDataFrame(
                 [(n_total, float(avg))], "n_docs long, avgdl double")
     else:
-        # single job: the agg result is written directly, no driver
-        # round-trip (avgdl = exact_sum / count, the same division
-        # the merge path performs)
-        stats = stats_src.select(
-            "n_docs",
-            F.when(F.col("n_docs") > 0,
-                   F.col("sum_dl").cast("double") / F.col("n_docs"))
-            .otherwise(F.lit(0.0)).alias("avgdl"),
-            "sum_dl")
+        # sum_dl read back off the just-written postings (tf-column-
+        # pruned, index-sized); avgdl = exact_sum / count, the same
+        # long->double IEEE division the merge path performs
+        n_docs = int(df.count())
+        nd = F.lit(n_docs).cast("long")
+        # explicit subset schema: no footer-inference job, and a
+        # fully termless corpus (zero postings part files) reads as
+        # an empty relation instead of failing inference
+        sums = (spark.read.schema("tf long")
+                .parquet(base + "/postings")
+                .agg(F.coalesce(F.sum("tf"), F.lit(0)).cast("long")
+                     .alias("sum_dl")))
+        stats = (sums
+                 .select(
+                     nd.alias("n_docs"),
+                     F.when(nd > 0,
+                            F.col("sum_dl").cast("double") / nd)
+                     .otherwise(F.lit(0.0)).alias("avgdl"),
+                     "sum_dl"))
     stats.withColumn("n_buckets", F.lit(int(n_buckets))) \
         .write.mode("overwrite").parquet(base + "/stats")
     if commit_marker:

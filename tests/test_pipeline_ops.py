@@ -1607,6 +1607,40 @@ def test_bm25_batch_stored_equals_in_memory(spark, tmp_path):
             spark.createDataFrame([(0, "")], "query_id long, query string"))
 
 
+def test_text_index_stats_without_second_tokenize(spark, tmp_path):
+    """r16 optimization: the stats row derives from a plain count +
+    the postings' Σ tf (single-shot: read-back; append: the
+    checkpointed batch tf frame) — bit-identical to the old second
+    tokenize pass, including termless and NULL-text documents which
+    contribute 0 to sum_dl but count into n_docs."""
+    from dask_geopandas_spark.operators.textstats import (
+        tokens, write_text_index)
+
+    rows = [(1, "a b c a"), (2, "xx yy"), (3, ""), (4, "...!!!"),
+            (5, None), (6, "z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "tix")
+    write_text_index(df, path, n_buckets=4)
+    st = spark.read.parquet(path + "/stats").head()
+    # old derivation, replicated inline: one dl per doc via the same
+    # tokenizer, NULLs skipped by sum
+    dls = df.select(F.size(F.filter(tokens(F.col("text")),
+                                    lambda x: x != F.lit("")))
+                    .alias("dl")).collect()
+    want_sum = sum(r["dl"] for r in dls if r["dl"] is not None
+                   and r["dl"] > 0)
+    assert st["n_docs"] == 6
+    assert st["sum_dl"] == want_sum == 7
+    assert st["avgdl"] == float(want_sum) / 6
+    # append path: same derivation from the batch tf frame
+    more = spark.createDataFrame([(7, "a a"), (8, None)],
+                                 "doc_id long, text string")
+    write_text_index(more, path, append=True)
+    st2 = spark.read.parquet(path + "/stats").head()
+    assert (st2["n_docs"], st2["sum_dl"]) == (8, want_sum + 2)
+    assert st2["avgdl"] == float(want_sum + 2) / 8
+
+
 def test_text_index_append_equals_rebuild(spark, tmp_path):
     """r6: appending a disjoint doc batch to a stored index gives the
     same query results as rebuilding the index over the union — the

@@ -585,6 +585,28 @@ class TestHeavyHitters:
                heavy_hitters(df, "v", 10, width=8, depth=2).collect()}
         assert len(got) == 200 and set(got.values()) == {10}
 
+    def test_prebuilt_sketch_and_cms_total(self, spark):
+        """cms_total reads the exact row count off the sketch (row-0
+        counters sum to N for a null-free column), and heavy_hitters
+        with a prebuilt sketch returns exactly what the self-built
+        path returns — the r16 fuse that drops the dedicated corpus
+        COUNT pass from threshold derivation."""
+        from dask_geopandas_spark.operators.sketches import (
+            cms_sketch, cms_total, heavy_hitters)
+
+        vals = [f"t{i}" for i in range(1, 40) for _ in range(400 // i)]
+        df = spark.createDataFrame([(v,) for v in vals], "t string")
+        sk = cms_sketch(df, "t", 128, 4).localCheckpoint(eager=False)
+        total = int(sk.agg(cms_total(sk).alias("_t")).head()["_t"])
+        assert total == len(vals) == df.count()
+        a = sorted((r["t"], r["n_count"]) for r in
+                   heavy_hitters(df, "t", total // 20, width=128,
+                                 depth=4, sketch=sk).collect())
+        b = sorted((r["t"], r["n_count"]) for r in
+                   heavy_hitters(df, "t", total // 20, width=128,
+                                 depth=4).collect())
+        assert a == b and a
+
 
 class TestStreamingCms:
     """Incremental CMS (streaming/indexing.py): exactly-once appends
