@@ -94,17 +94,22 @@ def _lit_vec(values) -> Column:
     """One array<double> literal as a SINGLE Literal node.  The
     per-element form ``F.array(*[F.lit(v) for v in values])`` builds a
     CreateArray over len(values) Literal children, and every analyzer/
-    optimizer rule walks all of them on every query — measured this
-    repo's Lloyd-style actions at ~0.3 s extra per analysis for an
-    8×64 centroid set (r16 optimization round).  Same values, same
-    evaluation, ~N× less expression tree."""
-    return F.lit([float(v) for v in values])
+    optimizer rule walks all of them on every query.  NOTE
+    ``F.lit(list)`` is NOT this — classic PySpark desugars a Python
+    list right back to the per-element CreateArray; only the 1-D
+    numpy path reaches the JVM as one typed Literal (r16 optimization
+    round).  Same values, same evaluation, ~N× less expression
+    tree."""
+    import numpy as np
+
+    return F.lit(np.array([float(v) for v in values], dtype="float64"))
 
 
 def _lit_mat(rows) -> Column:
-    """One array<array<double>> literal as a single Literal node (see
-    `_lit_vec`)."""
-    return F.lit([[float(v) for v in r] for r in rows])
+    """One array<array<double>> as len(rows)+1 nodes — a CreateArray
+    of single-Literal rows (`_lit_vec`; 2-D ndarrays have no lit()
+    path), versus rows×cols Literal leaves unrolled."""
+    return F.array(*[_lit_vec(r) for r in rows])
 
 
 def _dists_expr(vec: Column, centroids: list[list[float]]) -> Column:
