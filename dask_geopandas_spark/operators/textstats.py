@@ -1667,7 +1667,12 @@ def classifier_score(df, weights: list | None = None,
     dim = len(weights)
     if dim < 1:
         raise ValueError("weights must be non-empty")
-    warr = F.array(*[F.lit(float(w)) for w in weights])
+    # one typed Literal (numpy path), not len(weights) Literal leaves
+    # — F.lit(<python list>) would desugar back to per-element form
+    import numpy as np
+
+    warr = F.lit(np.array([float(w) for w in weights],
+                          dtype="float64"))
 
     def w_of(t):
         return F.element_at(
