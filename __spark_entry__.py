@@ -4444,7 +4444,12 @@ def q_lang_id_model(spark, sf_dir):
     portable md5 bucket hash, add-alpha dense model, priors, rounded
     argmax with alphabetical tie-break — in SQL."""
     docs = _t(spark, sf_dir, "documents")
-    model = TX.train_lang_model(TX.seed_lang_corpus(spark))
+    # driver-local model build (r17 optimization): the seed corpus is
+    # constant code data — gram counting runs in Python, the log-prob
+    # arithmetic through the same Spark expressions, so the model is
+    # bit-identical to train_lang_model(seed_lang_corpus(spark))
+    # (pinned by pytest) with zero distributed model-build jobs
+    model = TX.train_lang_model_local(spark, TX.LANG_SEED)
     return TX.lang_id_model(docs, model)
 
 

@@ -1027,126 +1027,151 @@ def connected_components(edges: DataFrame, src: str = "src",
     level dedup over arbitrary pair sources (``knn_graph`` edges,
     ``lsh_candidate_pairs``, ``embedding_neardup_pairs``).
 
-    Each iteration is a neighbor-min hash aggregation over the
-    symmetrized edge list combined with the node's own label, followed
-    by one POINTER-DOUBLING join (``component ← component's
-    component``, the path-halving step of parallel union-find): labels
-    shrink monotonically, every label value is itself a node id so the
-    shortcut join always lands, and the propagation frontier roughly
-    doubles per iteration — convergence needs O(log diameter)
-    iterations instead of the plain propagation's O(diameter), which
-    is the difference between ~6 and ~50 shuffle rounds on a
-    100 TB-scale near-dup graph with chain-shaped clusters.  An
-    early stop exits as soon as an iteration changes nothing: labels
-    are monotone, so one narrow aggregate probe per iteration (exact
-    decimal sum for numeric ids — sound; xxhash64 state sum for
-    other id types — the `_propagate_min` probabilistic convention)
-    detects the fixpoint without the join-shaped change check the
-    r15 tree paid for (3 jobs + 1 shuffle per iteration → 1 job).
+    Each iteration is one ALTERNATING-STAR round pair (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond" — the two-phase
+    algorithm, r17 rewrite of the r15/r16 label-propagation loop):
 
-    Each iterate is ``localCheckpoint``ed: the self-referential plan
-    otherwise DOUBLES per iteration (each step embeds the previous
-    plan twice) and chokes the planner long before the data does — the
-    standard Spark iterative-graph answer.  Superseded iterates'
-    checkpoint blocks are freed by Spark's ContextCleaner once this
-    function drops their references (only the edge table and the final
-    labels stay referenced).  On a real cluster with executor loss to
-    survive, set ``spark.sparkContext.setCheckpointDir`` and swap in
-    reliable ``checkpoint()``; local mode has no such failure domain.
+    * **large-star**: every node connects its strictly-LARGER
+      neighbors to the minimum of its closed neighborhood;
+    * **small-star**: every node connects its smaller-or-equal
+      neighbors (and itself) to that minimum.
+
+    Both halves are one window-min over the edge set partitioned by
+    node plus a projection — no joins.  The loop's state is the EDGE
+    SET itself, which CONTRACTS toward the star forest (every
+    non-minimum node holding exactly one edge to its component's
+    minimum): duplicate-heavy near-dup graphs (cliques from LSH /
+    embedding pair sources) collapse from O(k²) edges to O(k) after
+    the first pair, so per-round shuffle volume SHRINKS — where the
+    r16 loop re-shuffled the full original edge list plus the label
+    table every iteration, forever (guide §2.3: shuffle fewer bytes).
+    Convergence still takes O(log diameter) round pairs on chains
+    (each pair roughly halves the depth).
+
+    An early stop exits as soon as a round pair changes nothing.  The
+    probe is exact for numeric ids: each node's current label
+    ``L(u) = min(u, min out-neighbors)`` is non-increasing under both
+    star operations, and one full pair on a non-converged graph
+    strictly decreases at least one label (the boundary-edge
+    argument: a mislabeled node adjacent to the correctly-labeled
+    region gains the region's minimum via large-star when it is the
+    larger endpoint, via small-star when it is the smaller one) — so
+    the exact decimal sum of ``L(u) − u`` over the per-node-min table
+    is unchanged iff the pair was a fixpoint.  Non-numeric ids fall
+    back to a two-aggregate probabilistic probe (xxhash64 state sum
+    PLUS row count — two independent observables, the `_propagate_min`
+    convention hardened per the r16 ADVICE).  Either probe is one
+    narrow map-side-combined aggregation that doubles as the job
+    materializing the round's lazily-checkpointed state — 1 job per
+    round pair.
+
+    Every half-round's edge set is ``localCheckpoint``ed (lazily): the
+    self-referential plan otherwise DOUBLES per iteration and chokes
+    the planner long before the data does — the standard Spark
+    iterative-graph answer.  Superseded states' checkpoint blocks are
+    freed by Spark's ContextCleaner once this function drops their
+    references.  On a real cluster with executor loss to survive, set
+    ``spark.sparkContext.setCheckpointDir`` and swap in reliable
+    ``checkpoint()``; local mode has no such failure domain.
 
     Returns (node, component) with component = the component's min
-    node id (for ``max_iter`` ≥ diameter).
+    node id (for ``max_iter`` ≥ the pair count the graph needs —
+    O(log diameter)).
 
     Convergence is verified, not assumed: when ``max_iter`` runs out
-    with the last iteration still changing labels, the result may
-    split one true component into several (a chain-of-cliques deeper
-    than ``max_iter`` propagates its min label one hop per iteration)
-    — ``on_nonconverged`` picks the response: ``'warn'`` (default,
-    ``RuntimeWarning``), ``'raise'`` (``RuntimeError``), or
-    ``'ignore'``."""
+    with the last round pair still changing labels, the result may
+    split one true component into several — ``on_nonconverged`` picks
+    the response: ``'warn'`` (default, ``RuntimeWarning``),
+    ``'raise'`` (``RuntimeError``), or ``'ignore'``."""
     if on_nonconverged not in ("warn", "raise", "ignore"):
         raise ValueError(
             f"on_nonconverged must be warn|raise|ignore, got "
             f"{on_nonconverged!r}")
-    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-         .union(edges.select(F.col(dst).alias("a"),
-                             F.col(src).alias("b"))))
-    # eager=False: the logical plan is truncated to a LogicalRDD
-    # immediately (same planner protection as eager), but
-    # materialization rides the next consuming job instead of costing
-    # a dedicated job per call — the r16 optimization-round change
-    # that cut this loop from 3 jobs/iteration to 1 (the probe).
-    e = e.localCheckpoint(eager=False)  # consumed every iteration
-    labels = (e.select(F.col("a").alias("node")).distinct()
-              .withColumn("component", F.col("node"))
-              .localCheckpoint(eager=False))
-    # Early-stop probe: labels shrink MONOTONICALLY (least/min only),
-    # and the node set is fixed after init — so "no label changed" ⇔
-    # "the exact sum over a strictly-monotone per-row function of the
-    # labels is unchanged".  For numeric node ids the decimal sum of
-    # the components themselves is exact and SOUND (it strictly
-    # decreases whenever any label decreases); non-numeric ids fall
-    # back to the xxhash64 state sum (the graph.py `_propagate_min`
-    # convention — probabilistic with ~2^-64 per-probe odds, see
-    # there).  Either probe is one narrow map-side-combined
-    # aggregation over the checkpointed iterate — no join, no extra
-    # shuffle — and it doubles as the job that materializes the
-    # lazily-checkpointed iterate.
-    numeric = dict(labels.dtypes)["component"] in (
+    from pyspark.sql import Window
+
+    sym0 = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .union(edges.select(F.col(dst).alias("a"),
+                                F.col(src).alias("b"))))
+    # the node universe is FIXED at init (self-loop-only nodes appear
+    # here and nowhere in the star state); consumed once at the end
+    nodes = (sym0.select(F.col("a").alias("node")).distinct()
+             .localCheckpoint(eager=False))
+    # initial state: deduped self-loop-free edges, any orientation
+    # (the first large-star symmetrizes); eager=False — the plan is
+    # truncated to a LogicalRDD immediately, materialization rides
+    # the first probe job (the r16 lazy-checkpoint convention)
+    e = (sym0.filter(F.col("a") != F.col("b")).distinct()
+         .localCheckpoint(eager=False))
+
+    numeric = dict(e.dtypes)["a"] in (
         "tinyint", "smallint", "int", "bigint")
 
-    def _state(lab):
-        s = (F.sum(F.col("component").cast("decimal(38,0)"))
-             if numeric else
-             F.sum(F.xxhash64("node", "component")
-                   .cast("decimal(30,0)")))
-        return lab.agg(s.alias("_s")).head()["_s"]
+    def _labels(ed):
+        """Per-node current label table: (src, min out-neighbor) —
+        the probe's observable, and at star convergence the answer."""
+        return ed.groupBy(F.col("a").alias("src")).agg(
+            F.min("b").alias("component"))
 
-    st = _state(labels)
+    def _state(lt):
+        if numeric:
+            aggs = [F.sum(F.col("component").cast("decimal(38,0)")
+                          - F.col("src").cast("decimal(38,0)"))
+                    .alias("_s")]
+        else:
+            # two independent observables (hash sum + row count)
+            # shrink the non-numeric false-fixpoint surface
+            aggs = [F.sum(F.xxhash64("src", "component")
+                          .cast("decimal(30,0)")).alias("_s"),
+                    F.count("*").alias("_n")]
+        r = lt.agg(*aggs).head()
+        return tuple(r)
+
+    lab = _labels(e).localCheckpoint(eager=False)
+    st = _state(lab)
     changed = False
+    wa = Window.partitionBy("a")
     for _ in range(max_iter):
-        nbr = (e.join(labels, on=F.col("b") == F.col("node"))
-               .groupBy("a").agg(F.min("component").alias("_nl")))
-        nxt = (labels.join(nbr, on=F.col("node") == F.col("a"),
-                           how="left")
-               .select("node",
-                       F.least(F.col("component"),
-                               F.coalesce(F.col("_nl"),
-                                          F.col("component")))
-                       .alias("component"))
-               .localCheckpoint(eager=False))
-        # path halving: component <- its component's component.  Every
-        # label is a node id present in the table, so the lookup lands
-        # (left + coalesce is belt-and-braces for the root, whose own
-        # row it finds anyway); checkpointed input keeps the self-join
-        # from recomputing the propagation subtree twice.
-        lk = nxt.select(F.col("node").alias("_ln"),
-                        F.col("component").alias("_lc"))
-        nxt = (nxt.join(lk, on=F.col("component") == F.col("_ln"),
-                        how="left")
-               .select("node",
-                       F.least(F.col("component"),
-                               F.coalesce(F.col("_lc"),
-                                          F.col("component")))
-                       .alias("component"))
-               .localCheckpoint(eager=False))
-        nst = _state(nxt)
+        # large-star over the symmetric adjacency: m = min of the
+        # closed neighborhood; larger neighbors re-attach to m
+        t = (e.union(e.select(F.col("b").alias("a"),
+                              F.col("a").alias("b")))
+             .withColumn("_m", F.least(F.col("a"),
+                                       F.min("b").over(wa))))
+        e = (t.filter(F.col("b") > F.col("a"))
+             .select(F.col("b").alias("a"), F.col("_m").alias("b"))
+             .distinct()
+             .localCheckpoint(eager=False))
+        # small-star: edges now point strictly big->small; each node's
+        # smaller neighbors (and the node) re-attach to the minimum
+        t = e.withColumn("_m", F.min("b").over(wa))
+        e = (t.filter(F.col("b") != F.col("_m"))
+             .select(F.col("b").alias("a"), F.col("_m").alias("b"))
+             .union(t.select("a", F.col("_m").alias("b")))
+             .distinct()
+             .localCheckpoint(eager=False))
+        lab = _labels(e).localCheckpoint(eager=False)
+        nst = _state(lab)
         changed = nst != st
         st = nst
-        labels = nxt
         if not changed:
             break
     if changed:
         msg = (f"connected_components: max_iter={max_iter} exhausted with "
                "labels still changing — components may be split; raise "
-               "max_iter above the graph diameter")
+               "max_iter above log2(graph diameter) with headroom")
         if on_nonconverged == "raise":
             raise RuntimeError(msg)
         if on_nonconverged == "warn":
             import warnings
 
             warnings.warn(msg, RuntimeWarning, stacklevel=2)
-    return labels
+    # nodes without an out-edge in the converged star forest are the
+    # component minima (and self-loop-only / isolated-by-dedup nodes):
+    # they label themselves
+    return (nodes.join(lab, nodes["node"] == lab["src"], "left")
+            .select("node",
+                    F.coalesce(F.col("component"), F.col("node"))
+                    .alias("component")))
 
 
 def cluster_dedup(df: DataFrame, edges: DataFrame, id_col: str = "doc_id",

@@ -55,12 +55,32 @@ def _nonempty(blob) -> bool:
     return blob is not None and blob != SO._EMPTY_GC
 
 
-def _pair_intersection_udf():
+#: base WKB type id -> topological dimension (Point/MultiPoint 0,
+#: Line* 1, Polygon* 2, else -1 — GeometryCollection and the null
+#: sentinel both map to -1), the geopandas keep_geom_type classing
+_TYPE_DIM = {W.POINT: 0, W.MULTIPOINT: 0,
+             W.LINESTRING: 1, W.MULTILINESTRING: 1,
+             W.POLYGON: 2, W.MULTIPOLYGON: 2}
+
+
+def _pair_intersection_udf(keep_geom_type: bool = False):
     """Exact piece per candidate pair via the setops dispatcher
     (geometry/setops.py intersection_one) — handles every type combo:
     polygon×polygon through the boolean kernel, line×polygon via
     split-and-classify clipping, point×polygon via containment, with
-    the box interval fast path intact."""
+    the box interval fast path intact.
+
+    ``keep_geom_type=True`` folds geopandas' dimension filter INTO the
+    kernel call (pieces of lower dimension than their left input
+    return NULL): the r16 plan evaluated the piece once for the
+    SQL-side dim filter and then RE-RAN the whole kernel for every
+    downstream projection over the piece (guide §4.4's
+    filter-duplicates-the-UDF shape) plus two st_geometrytype UDF
+    passes just to classify it.  One batched parse of the (small)
+    output pieces replaces all of that.  The UDF is marked
+    non-deterministic (it is pure — the marker only STOPS the
+    optimizer from duplicating the expression across the filter and
+    the projection, guide §4.4)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(BinaryType())
@@ -71,9 +91,17 @@ def _pair_intersection_udf():
         for i in range(La.n):
             piece = SO.intersection_one(La, i, Ra, i)
             out.append(piece if _nonempty(piece) else None)
+        if keep_geom_type:
+            Pa = W.parse_wkb(out)
+            for i in range(La.n):
+                if out[i] is None:
+                    continue
+                if (_TYPE_DIM.get(int(Pa.types[i]), -1)
+                        != _TYPE_DIM.get(int(La.types[i]), -1)):
+                    out[i] = None
         return pd.Series(out, dtype=object)
 
-    return _inter
+    return _inter.asNondeterministic()
 
 
 def _diff_union_udf():
@@ -104,7 +132,10 @@ def _diff_union_udf():
             out.append(res if _nonempty(res) else None)
         return pd.Series(out, dtype=object)
 
-    return _diff
+    # non-deterministic: pure function, but the marker stops the
+    # optimizer from RE-EVALUATING the kernel above the isNotNull
+    # filter for every downstream projection (guide §4.4)
+    return _diff.asNondeterministic()
 
 
 # ----------------------------------------------------------------------
@@ -174,13 +205,6 @@ def _difference_leg(df: DataFrame, row_id: str, geom: str,
 # ----------------------------------------------------------------------
 # public operator
 # ----------------------------------------------------------------------
-_DIM_EXPR = """CASE st_geometrytype({g})
-    WHEN 'Point' THEN 0 WHEN 'MultiPoint' THEN 0
-    WHEN 'LineString' THEN 1 WHEN 'MultiLineString' THEN 1
-    WHEN 'Polygon' THEN 2 WHEN 'MultiPolygon' THEN 2
-    ELSE -1 END"""
-
-
 def overlay(left, right, how: str = "intersection", strategy: str = "auto",
             grid_level: int = 7, total_bounds=None,
             keep_geom_type: bool = True,
@@ -321,20 +345,17 @@ def overlay(left, right, how: str = "intersection", strategy: str = "auto",
             piece = (pairs.filter((gx0 < gx1) & (gy0 < gy1))
                      .withColumn(lgeom_j, st_make_box(gx0, gy0, gx1, gy1)))
         else:
-            inter = _pair_intersection_udf()
+            # keep_geom_type=True (geopandas default: drop pieces of
+            # lower dimension than their left input, e.g. the crossing
+            # POINTS of a line×line pair) runs INSIDE the kernel UDF —
+            # the r15/r16 SQL-side dim filter made the optimizer
+            # re-evaluate the kernel above the filter for every
+            # downstream projection (guide §4.4) and paid two extra
+            # st_geometrytype Python passes
+            inter = _pair_intersection_udf(keep_geom_type=keep_geom_type)
             piece = pairs.withColumn("_ov_piece", inter(F.col(lgeom_j),
                                                         F.col(rgeom_j)))
             piece = piece.filter(F.col("_ov_piece").isNotNull())
-            if keep_geom_type:
-                # geopandas keep_geom_type=True: drop pieces of lower
-                # dimension than their left input (e.g. the crossing
-                # POINTS of a line×line pair)
-                from ..functions.core import register_sql_functions
-
-                register_sql_functions(left.df.sparkSession)
-                piece = piece.filter(
-                    F.expr(_DIM_EXPR.format(g="_ov_piece"))
-                    == F.expr(_DIM_EXPR.format(g=lgeom_j)))
             piece = piece.withColumn(lgeom_j, F.col("_ov_piece")) \
                 .drop("_ov_piece")
         legs.append(piece.select(

@@ -2119,6 +2119,85 @@ def train_lang_model(df, text_col: str = "text",
         .unionByName(meta)
 
 
+def _py_char_ngrams(text: str | None, n=(1, 2, 3)) -> list:
+    """Driver-side replica of `char_ngrams` for an in-memory corpus
+    (`train_lang_model_local`): same normalization (lowercase,
+    whitespace-collapse, trim, space-pad), same per-order gram
+    construction over the code-point array.  Equality with the Spark
+    expression is pinned by a pytest (test_pipeline_ops)."""
+    import re
+
+    orders = (n,) if isinstance(n, int) else tuple(n)
+    t = re.sub(r"\s+", " ", (text or "").lower()).strip()
+    if not t:
+        return []  # the nullif -> NULL path: no grams
+    c = list(" " + t + " ")
+    out: list = []
+    for k in orders:
+        if k == 1:
+            out.extend(c)
+        elif len(c) >= k:
+            out.extend("".join(c[i:i + k])
+                       for i in range(len(c) - k + 1))
+    return out
+
+
+def train_lang_model_local(spark, corpus: dict, n_buckets: int = 65536,
+                           n=(1, 2, 3), alpha: float = 0.5):
+    """`train_lang_model` for a DRIVER-RESIDENT corpus (e.g. the
+    built-in `LANG_SEED`): gram extraction and counting run in plain
+    Python — the corpus is constant code data, so spending distributed
+    jobs (explode + two groupBys + three unions, re-evaluated by every
+    consumer of the returned plan) on it is pure scheduling overhead
+    (guide §5: the driver should do no *data* work; a few hundred
+    fixed sentences are not data).  The log-probability arithmetic
+    still runs through the IDENTICAL Spark expressions over the
+    exact integer counts, so the returned frame is bit-identical to
+    ``train_lang_model(seed_lang_corpus(spark))`` — pinned by a
+    pytest.  Returns the same (lang, bucket, logp) model contract."""
+    import hashlib
+    from collections import Counter
+
+    B = int(n_buckets)
+    a = float(alpha)
+    bucket_counts: Counter = Counter()
+    totals: Counter = Counter()
+    docs: Counter = Counter()
+    for lang in corpus:
+        for text in corpus[lang]:
+            docs[lang] += 1
+            for g in _py_char_ngrams(text, n):
+                # portable_hash: first 15 hex chars of md5 as bigint
+                b = int(hashlib.md5(g.encode("utf-8"))
+                        .hexdigest()[:15], 16) % B
+                bucket_counts[(lang, b)] += 1
+                totals[lang] += 1
+    nd = sum(docs.values())
+    counted = spark.createDataFrame(
+        [(lang, b, c, totals[lang])
+         for (lang, b), c in sorted(bucket_counts.items())],
+        "lang string, bucket long, _c long, _n long")
+    langrows = spark.createDataFrame(
+        [(lang, docs[lang], nd, totals[lang]) for lang in sorted(docs)],
+        "lang string, _d long, _nd long, _n long")
+    # the same expressions as train_lang_model over the same integer
+    # inputs -> bit-identical doubles
+    denom = (F.coalesce(F.col("_n"), F.lit(0)) + F.lit(a * B))
+    model = counted.select(
+        "lang", "bucket",
+        F.log((F.col("_c") + F.lit(a)) / denom).alias("logp"))
+    floors = langrows.select(
+        "lang", F.lit(-2).cast("long").alias("bucket"),
+        F.log(F.lit(a) / denom).alias("logp"))
+    priors = langrows.select(
+        "lang", F.lit(-1).cast("long").alias("bucket"),
+        F.log(F.col("_d") / F.col("_nd")).alias("logp"))
+    meta = spark.createDataFrame(
+        [("*", -3, float(B))], "lang string, bucket long, logp double")
+    return model.unionByName(floors).unionByName(priors) \
+        .unionByName(meta)
+
+
 def lang_id_model(df, model, text_col: str = "text",
                   id_col: str = "doc_id", n=(1, 2, 3)):
     """Model-based language ID: score every document against a

@@ -89,8 +89,14 @@ def viterbi_segment_words(words: DataFrame, model: DataFrame,
     w[j:i] of round(best[j] + logp, 12)``, ties preferring the
     smaller ``j`` (longest match).  Runs as one `F.aggregate`
     projection per row — whole-stage codegen, no UDF; candidates come
-    from one equi-join against the BROADCAST model (model-sized by
-    the fixed-size-model convention)."""
+    from one LEFT equi-join against the BROADCAST model (model-sized
+    by the fixed-size-model convention) straight into the per-word
+    ``collect_list`` aggregation: non-word columns ride through the
+    group as ``first(...)`` (sound — one distinct word per row is the
+    input contract), so the r16 shape's second word-keyed shuffle
+    (joining the candidate lists back onto ``words``) is gone
+    entirely (guide §2.4: two operations keyed the same way share one
+    exchange)."""
     if max_piece_len is None:
         max_piece_len = int(model.agg(
             F.max(F.length("piece"))).head()[0] or 1)
@@ -99,18 +105,27 @@ def viterbi_segment_words(words: DataFrame, model: DataFrame,
     over = full.filter(F.length(word_col) > int(max_dp_len)) \
         .withColumn(piece_col, F.array(F.lit(unk_token)))
     w = full.filter(F.length(word_col) <= int(max_dp_len))
+    others = [c for c in w.columns if c != word_col]
     mdl = F.broadcast(model.select(F.col("piece").alias("_mp"),
                                    F.col("logp").alias("_logp")))
-    cands = (w.select(word_col,
-                      F.explode(_substring_candidates(
-                          F.col(word_col), max_piece_len)).alias("_c"))
-             .join(mdl, F.col("_c.piece") == F.col("_mp"))
-             .groupBy(word_col)
-             .agg(F.collect_list(F.struct(
-                 F.col("_c.j0").alias("j0"),
-                 F.col("_c.i").alias("i"),
-                 F.col("_logp").alias("logp"))).alias("_cands")))
-    out = w.join(cands, word_col, "left")
+    # every length>=1 word has >=1 substring candidate, so the explode
+    # drops no words; the LEFT model join keeps never-seen grams as
+    # NULL rows the when() below excludes from the candidate list (an
+    # all-unmatched word collects an EMPTY list -> the DP is
+    # unreachable -> [unk], exactly the r16 missing-row path)
+    out = (w.select(word_col, *others,
+                    F.explode(_substring_candidates(
+                        F.col(word_col), max_piece_len)).alias("_c"))
+           .join(mdl, F.col("_c.piece") == F.col("_mp"), "left")
+           .groupBy(word_col)
+           .agg(*[F.first(c).alias(c) for c in others],
+                F.collect_list(
+                    F.when(F.col("_mp").isNotNull(), F.struct(
+                        F.col("_c.j0").alias("j0"),
+                        F.col("_c.i").alias("i"),
+                        F.col("_logp").alias("logp"))))
+                .alias("_cands"))
+           .select(*w.columns, "_cands"))
 
     word = F.col(word_col)
     n = F.length(word)

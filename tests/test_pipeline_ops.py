@@ -665,6 +665,48 @@ class TestConnectedComponents:
             got = connected_components(chain, max_iter=12).collect()
         assert {r["component"] for r in got} == {0}
 
+    def test_two_phase_star_edge_cases(self, spark):
+        """r17 rewrite pin (alternating large-star/small-star): the
+        edge cases the star state machine must survive — self-loops,
+        duplicate/reversed edges, cliques, a deep chain converging in
+        O(log d) round pairs, and the non-numeric-id probe path."""
+        from dask_geopandas_spark.operators.dedup import connected_components
+
+        # self-loops + duplicates + both orientations of one edge
+        edges = [(5, 5), (1, 2), (2, 1), (1, 2), (7, 7), (3, 4)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["component"] for r in
+               connected_components(df, max_iter=5).collect()}
+        assert got == {5: 5, 7: 7, 1: 1, 2: 1, 3: 3, 4: 3}
+
+        # a 12-clique (the near-dup LSH shape) collapses in one pair
+        clique = spark.createDataFrame(
+            [(i, j) for i in range(12) for j in range(i + 1, 12)],
+            "src long, dst long")
+        got = {r["node"]: r["component"] for r in
+               connected_components(clique, max_iter=2).collect()}
+        assert got == {i: 0 for i in range(12)}
+
+        # deep chain: diameter 59 needs only O(log d) pairs — 8 is
+        # plenty (the r16 propagation loop's budget), 2 is not
+        import warnings
+
+        chain = spark.createDataFrame([(i, i + 1) for i in range(59)],
+                                      "src long, dst long")
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            got = {r["node"]: r["component"] for r in
+                   connected_components(chain, max_iter=8).collect()}
+        assert set(got.values()) == {0}
+
+        # non-numeric ids exercise the two-aggregate hash+count probe
+        sdf = spark.createDataFrame(
+            [("b", "c"), ("c", "d"), ("x", "y")],
+            "src string, dst string")
+        got = {r["node"]: r["component"] for r in
+               connected_components(sdf, max_iter=6).collect()}
+        assert got == {"b": "b", "c": "b", "d": "b", "x": "x", "y": "x"}
+
     def test_cluster_dedup_keeps_component_minimum(self, spark):
         """cluster_dedup = keep min-id per component + pass through
         edge-free rows, as one left-anti join."""
@@ -2922,6 +2964,43 @@ class TestLangIdModel:
             seed_lang_corpus, train_lang_model)
 
         return train_lang_model(seed_lang_corpus(spark)).cache()
+
+    def test_local_trainer_bit_identical(self, spark, model):
+        """r17 optimization pin: the driver-local seed-model build
+        (train_lang_model_local — Python gram counting, Spark log-prob
+        expressions) returns a frame BIT-IDENTICAL to the distributed
+        train_lang_model(seed_lang_corpus(spark)) — every (lang,
+        bucket) and every logp double exactly equal."""
+        from dask_geopandas_spark.operators.textstats import (
+            LANG_SEED, train_lang_model_local)
+
+        local = train_lang_model_local(spark, LANG_SEED)
+        a = {(r["lang"], r["bucket"]): r["logp"]
+             for r in model.collect()}
+        b = {(r["lang"], r["bucket"]): r["logp"]
+             for r in local.collect()}
+        assert set(a) == set(b)
+        exact = [k for k in a if a[k] == b[k]]
+        assert len(exact) == len(a), (
+            f"{len(a) - len(exact)} logp values differ, e.g. "
+            f"{[(k, a[k], b[k]) for k in a if a[k] != b[k]][:3]}")
+
+    def test_py_char_ngrams_matches_spark(self, spark):
+        """The driver-side gram replica must equal the Spark
+        char_ngrams expression gram-for-gram on every seed sentence
+        (and on edge inputs)."""
+        from dask_geopandas_spark.operators.textstats import (
+            LANG_SEED, _py_char_ngrams, char_ngrams)
+
+        sents = [s for v in LANG_SEED.values() for s in v]
+        sents += ["", "   ", "a", "Mixed  CASE\ttext", None]
+        df = spark.createDataFrame([(s,) for s in sents], "t string")
+        got = [r["g"] for r in
+               df.select(char_ngrams(F.col("t")).alias("g")).collect()]
+        want = [_py_char_ngrams(s) or None for s in sents]
+        # Spark returns NULL (None) for empty/NULL text; the replica
+        # returns [] — normalized above
+        assert got == want
 
     def test_seed_corpus_shape(self, spark):
         from dask_geopandas_spark.operators.textstats import (
