@@ -19,6 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from dask_geopandas_spark.barrier import plan_barrier
 
 import dask_geopandas_spark as dgs
 from dask_geopandas_spark.operators import dedup as DD
@@ -3768,7 +3769,7 @@ def q_heavy_tokens(spark, sf_dir):
         F.filter(tokens(F.col("text")),
                  lambda x: x != F.lit(""))).alias("token"))
     sketch = cms_sketch(toks, "token", 256, 4) \
-        .localCheckpoint(eager=False)
+        .transform(plan_barrier)
     total = int(sketch.agg(cms_total(sketch).alias("_t"))
                 .head()["_t"])
     return heavy_hitters(toks, "token", total // 50,
@@ -3864,10 +3865,12 @@ def _two_batch_stream(spark, df, base, schema, id_col="doc_id"):
     # form paid a count() pre-scan job to find a median id on every
     # run; every consumer of this fixture stores a batch-boundary-
     # INVISIBLE structure (algebraic or exactly-once merge), so the
-    # split key is free to be id parity — zero pre-scan jobs
-    df.filter(F.col(id_col) % 2 == 0).coalesce(1) \
+    # split key is free to be id parity — zero pre-scan jobs.  pmod
+    # (not %): Spark's % is sign-preserving, so a negative odd id
+    # would match neither branch and silently drop (r16 ADVICE)
+    df.filter(F.pmod(F.col(id_col), F.lit(2)) == 0).coalesce(1) \
         .write.parquet(base + "/src/f0")
-    df.filter(F.col(id_col) % 2 == 1).coalesce(1) \
+    df.filter(F.pmod(F.col(id_col), F.lit(2)) == 1).coalesce(1) \
         .write.parquet(base + "/src/f1")
     now = 1_700_000_000
     for i, d in enumerate(("f0", "f1")):
@@ -4313,7 +4316,7 @@ def q_unigram_tokens(spark, sf_dir):
     # guard + trainer share ONE corpus tokenize pass (r16 opt round):
     # the word-count table is lazily checkpointed, the guard's
     # word-sized agg materializes it, the trainer reuses it
-    wc = _word_count_table(docs).localCheckpoint(eager=False)
+    wc = _word_count_table(docs).transform(plan_barrier)
     _assert_max_word_len(docs, 12, "unigram_tokens", wc=wc)
     model = unigram_train(docs, vocab_size=32, em_steps=2,
                           max_piece_len=4, max_word_len=8,
@@ -4358,7 +4361,7 @@ def q_wordpiece_tokens(spark, sf_dir):
     # round): the trainer's final symbol frame IS wordpiece_vocab's
     # replay result, and the greedy scan's piece-length cap comes
     # free from the driver-side merge table instead of a vocab agg
-    wc = _word_count_table(docs).localCheckpoint(eager=False)
+    wc = _word_count_table(docs).transform(plan_barrier)
     _assert_max_word_len(docs, 12, "wordpiece_tokens", wc=wc)
     merges, vocab = train_wordpiece_and_vocab(docs, num_merges=6,
                                               word_counts=wc)
@@ -4779,9 +4782,9 @@ def q_stream_index_bm25(spark, sf_dir):
     # id-parity split (no percentile pre-scan job — the r16
     # `_two_batch_stream` rationale: stats merge by exact integer
     # sum, so batch composition is invisible to the stored index)
-    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1) \
+    docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0).coalesce(1) \
         .write.parquet(base + "/src/f0")
-    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1) \
+    docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1).coalesce(1) \
         .write.parquet(base + "/src/f1")
     now = 1_700_000_000
     for i, d in enumerate(("f0", "f1")):
@@ -4829,9 +4832,9 @@ def q_stream_ingest_vectors(spark, sf_dir):
     # `_two_batch_stream` rationale: an IVF append is pure row
     # addition, so batch composition is invisible to every probe)
     vecs = e.select("vec_id", "embedding")
-    vecs.filter(F.col("vec_id") % 2 == 0).coalesce(1) \
+    vecs.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0).coalesce(1) \
         .write.parquet(base + "/src/f0")
-    vecs.filter(F.col("vec_id") % 2 == 1).coalesce(1) \
+    vecs.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1).coalesce(1) \
         .write.parquet(base + "/src/f1")
     now = 1_700_000_000
     for i, d in enumerate(("f0", "f1")):

@@ -320,9 +320,26 @@ def _solo_rerun(E, name):
         spark.stop()
 
 
+def _host_probe():
+    """Host-speed calibration reading (scripts/host_speed_probe.py) —
+    recorded before and after the run so the documented ±15-25%
+    wall-clock drift of this virtualized host across hour-scale
+    windows is ATTRIBUTABLE in every bench record (r16 verdict #2).
+    Additions-only: the timing methodology and the JSON contract keys
+    are unchanged; a probe failure must never void a bench run."""
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        sys.path.insert(0, os.path.join(here, "scripts"))
+        from host_speed_probe import probe
+        return probe()
+    except Exception:
+        return None
+
+
 def main():
     import __spark_entry__ as E
 
+    probe_before = _host_probe()
     timings = {}
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     groups = [BENCH_QUERIES[i:i + GROUP_SIZE]
@@ -361,22 +378,31 @@ def main():
     # contract with 2-decimal values, compact separators, and
     # "queries" LAST so the tail's front-cut eats the wrapper keys,
     # not query rows (r10 lost the first ~8 queries).
+    probe_after = _host_probe()
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
         json.dump({
             "metric": "bench_total_wall_sec",
             "value": total,
             "unit": "sec",
+            "probe_before": probe_before,
+            "probe_after": probe_after,
             "queries": timings,
             "state_partitions": state,
             "adjudicated": adjudicated,
             "sf": sf_val,
         }, f, indent=1)
+    # probe_sec in the one-line record: single-core seconds before/
+    # after the run (None -> null when the probe failed).  Placed
+    # BEFORE "queries" so a driver tail front-cut eats wrapper keys,
+    # never query rows.
     print(json.dumps({
         "metric": "bench_total_wall_sec",
         "value": round(total, 2),
         "unit": "sec",
         "sf": sf_val,
+        "probe_sec": [p and p["single_sec"] for p in
+                      (probe_before, probe_after)],
         "adjudicated": sorted(adjudicated),
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "full": "BENCH_FULL.json",  # last key: survives any tail cut

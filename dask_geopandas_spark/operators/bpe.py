@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..barrier import plan_barrier
 
 from .textstats import tokens
 
@@ -147,7 +148,7 @@ def train_bpe(df: DataFrame, text_col: str = "text",
         return df.sparkSession.createDataFrame(
             _classic_bpe(counts, num_merges), MERGE_SCHEMA)
     w = (wc.select(sym_string(F.col("word")).alias("s"), "cnt")
-         .localCheckpoint(eager=False))
+         .transform(plan_barrier))
     return _distributed_merges(df.sparkSession, w, num_merges)
 
 
@@ -207,7 +208,7 @@ def _distributed_merges(spark, w: DataFrame,
         rep = f" {best['merged']} "
         w = (w.select(F.replace(F.col("s"), F.lit(pat),
                                 F.lit(rep)).alias("s"), "cnt")
-             .localCheckpoint(eager=False))
+             .transform(plan_barrier))
     return spark.createDataFrame(rows, MERGE_SCHEMA)
 
 
@@ -241,7 +242,7 @@ def bpe_encode_words(words: DataFrame, merges: DataFrame,
             s = F.replace(
                 s, F.lit(f" {r['left']}  {r['right']} "),
                 F.lit(f" {r['merged']} "))
-        w = w.withColumn("_s", s).localCheckpoint(eager=False)
+        w = w.withColumn("_s", s).transform(plan_barrier)
     return w.withColumn(token_col, _symbols(F.col("_s"))).drop("_s")
 
 
@@ -460,7 +461,7 @@ def train_bpe_bytes(df: DataFrame, text_col: str = "text",
             _classic_bpe(counts, num_merges, terminal=None),
             MERGE_SCHEMA)
     w = (wc.select(sym_string(F.col("word"), None).alias("s"), "cnt")
-         .localCheckpoint(eager=False))
+         .transform(plan_barrier))
     return _distributed_merges(df.sparkSession, w, num_merges)
 
 

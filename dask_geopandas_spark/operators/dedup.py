@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..barrier import plan_barrier
 
 from .textstats import let, tokens
 
@@ -1095,13 +1096,13 @@ def connected_components(edges: DataFrame, src: str = "src",
     # the node universe is FIXED at init (self-loop-only nodes appear
     # here and nowhere in the star state); consumed once at the end
     nodes = (sym0.select(F.col("a").alias("node")).distinct()
-             .localCheckpoint(eager=False))
+             .transform(plan_barrier))
     # initial state: deduped self-loop-free edges, any orientation
     # (the first large-star symmetrizes); eager=False — the plan is
     # truncated to a LogicalRDD immediately, materialization rides
     # the first probe job (the r16 lazy-checkpoint convention)
     e = (sym0.filter(F.col("a") != F.col("b")).distinct()
-         .localCheckpoint(eager=False))
+         .transform(plan_barrier))
 
     numeric = dict(e.dtypes)["a"] in (
         "tinyint", "smallint", "int", "bigint")
@@ -1126,7 +1127,7 @@ def connected_components(edges: DataFrame, src: str = "src",
         r = lt.agg(*aggs).head()
         return tuple(r)
 
-    lab = _labels(e).localCheckpoint(eager=False)
+    lab = _labels(e).transform(plan_barrier)
     st = _state(lab)
     changed = False
     wa = Window.partitionBy("a")
@@ -1140,7 +1141,7 @@ def connected_components(edges: DataFrame, src: str = "src",
         e = (t.filter(F.col("b") > F.col("a"))
              .select(F.col("b").alias("a"), F.col("_m").alias("b"))
              .distinct()
-             .localCheckpoint(eager=False))
+             .transform(plan_barrier))
         # small-star: edges now point strictly big->small; each node's
         # smaller neighbors (and the node) re-attach to the minimum
         t = e.withColumn("_m", F.min("b").over(wa))
@@ -1148,8 +1149,8 @@ def connected_components(edges: DataFrame, src: str = "src",
              .select(F.col("b").alias("a"), F.col("_m").alias("b"))
              .union(t.select("a", F.col("_m").alias("b")))
              .distinct()
-             .localCheckpoint(eager=False))
-        lab = _labels(e).localCheckpoint(eager=False)
+             .transform(plan_barrier))
+        lab = _labels(e).transform(plan_barrier)
         nst = _state(lab)
         changed = nst != st
         st = nst

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..barrier import plan_barrier
 
 
 def degrees(edges: DataFrame, src_col: str = "src",
@@ -83,7 +84,7 @@ def pagerank(edges: DataFrame, src_col: str = "src",
     outd = e.groupBy("_s").agg(F.count("*").alias("_od")).cache()
     pr = nodes.select(
         "node", F.round(F.lit(1.0) / F.lit(float(n)), 12)
-        .alias("pagerank")).localCheckpoint(eager=False)
+        .alias("pagerank")).transform(plan_barrier)
     for _ in range(int(iters)):
         ranked = pr.join(outd, pr["node"] == outd["_s"], "left")
         dangling = (ranked.filter(F.col("_od").isNull())
@@ -103,7 +104,7 @@ def pagerank(edges: DataFrame, src_col: str = "src",
                       + F.lit(d) * (F.coalesce(F.col("_c"), F.lit(0.0))
                                     + F.col("_dm") / F.lit(float(n))),
                       12).alias("pagerank"))
-              .localCheckpoint(eager=False))
+              .transform(plan_barrier))
     return pr
 
 
@@ -147,7 +148,7 @@ def hits(edges: DataFrame, src_col: str = "src",
     # Gauss-Seidel ordering above); auth still needs a frame so
     # iters=0 returns the initial (1.0, 1.0) vectors like pagerank
     # returns its initialized ranks
-    hub = nodes.select("node", F.lit(1.0).alias("hub")).localCheckpoint(eager=False)
+    hub = nodes.select("node", F.lit(1.0).alias("hub")).transform(plan_barrier)
     auth = nodes.select("node", F.lit(1.0).alias("authority"))
 
     def _normalized(raw, col):
@@ -162,7 +163,7 @@ def hits(edges: DataFrame, src_col: str = "src",
                                    F.coalesce(F.col(col), F.lit(0.0))
                                    / F.col("_n"))
                             .otherwise(F.lit(0.0)), 12).alias(col))
-                .localCheckpoint(eager=False))
+                .transform(plan_barrier))
 
     for _ in range(int(iters)):
         araw = (e.join(hub, e["_s"] == hub["node"])
@@ -228,8 +229,8 @@ def harmonic_centrality(edges: DataFrame, src_col: str = "src",
     if nodes.isEmpty():
         return nodes.select("node", F.lit(0.0).alias("harmonic"))
     regs = (hll_registers(nodes, "node", p, by=["node"])
-            .localCheckpoint(eager=False))
-    prev = hll_estimate(regs, p, ["node"], "_c").localCheckpoint(eager=False)
+            .transform(plan_barrier))
+    prev = hll_estimate(regs, p, ["node"], "_c").transform(plan_barrier)
     harm = nodes.select("node", F.lit(0.0).alias("harmonic"))
 
     def _state(r):
@@ -246,15 +247,15 @@ def harmonic_centrality(edges: DataFrame, src_col: str = "src",
                 .unionByName(contrib)
                 .groupBy("node", "hll_idx")
                 .agg(F.max("hll_rho").alias("hll_rho"))
-                .localCheckpoint(eager=False))
-        ct = hll_estimate(regs, p, ["node"], "_ct").localCheckpoint(eager=False)
+                .transform(plan_barrier))
+        ct = hll_estimate(regs, p, ["node"], "_ct").transform(plan_barrier)
         harm = (harm.join(prev, "node").join(ct, "node")
                 .select("node",
                         F.round(F.col("harmonic")
                                 + (F.col("_ct") - F.col("_c"))
                                 .cast("double") / F.lit(float(d)),
                                 12).alias("harmonic"))
-                .localCheckpoint(eager=False))
+                .transform(plan_barrier))
         prev = ct.withColumnRenamed("_ct", "_c")
         nstate = _state(regs)
         if nstate == state:
@@ -361,7 +362,7 @@ def k_truss(edges: DataFrame, k: int = 3, src_col: str = "src",
          .filter(F.col("_s") != F.col("_t")))
     cur = (e.select(F.least("_s", "_t").alias("_a"),
                     F.greatest("_s", "_t").alias("_b"))
-           .distinct().localCheckpoint(eager=False))
+           .distinct().transform(plan_barrier))
 
     def _support(pairs):
         _, triples = _triangle_triples(pairs)
@@ -382,12 +383,12 @@ def k_truss(edges: DataFrame, k: int = 3, src_col: str = "src",
                         .alias("support")))
 
     for _ in range(int(max_iters)):
-        sup = _support(cur).localCheckpoint(eager=False)
+        sup = _support(cur).transform(plan_barrier)
         if sup.filter(F.col("support") < need).isEmpty():
             return sup
         cur = (sup.filter(F.col("support") >= need)
                .select(F.col("a").alias("_a"), F.col("b").alias("_b"))
-               .localCheckpoint(eager=False))
+               .transform(plan_barrier))
     return _support(cur)
 
 
@@ -617,7 +618,7 @@ def core_numbers(edges: DataFrame, src_col: str = "src",
            .distinct().cache())
     core = (und.groupBy(F.col("_a").alias("node"))
             .agg(F.count("*").cast("long").alias("core"))
-            .localCheckpoint(eager=False))
+            .transform(plan_barrier))
 
     def _state(c):
         row = c.agg(F.count("*").alias("_n"),
@@ -638,7 +639,7 @@ def core_numbers(edges: DataFrame, src_col: str = "src",
                 .groupBy("node")
                 .agg(F.max(F.least(F.col("_v"), F.col("_ge")))
                      .cast("long").alias("core"))
-                .localCheckpoint(eager=False))
+                .transform(plan_barrier))
         nstate = _state(core)
         if nstate == state:
             break
@@ -693,7 +694,7 @@ def neighbourhood_function(edges: DataFrame, src_col: str = "src",
     if nodes.isEmpty():
         return spark.createDataFrame([], "t int, n_pairs long")
     regs = (hll_registers(nodes, "node", p, by=["node"])
-            .localCheckpoint(eager=False))
+            .transform(plan_barrier))
 
     def _n(ball_counts, t):
         return (ball_counts.agg(F.sum("_ct").cast("long")
@@ -701,7 +702,7 @@ def neighbourhood_function(edges: DataFrame, src_col: str = "src",
                 .select(F.lit(int(t)).cast("int").alias("t"),
                         "n_pairs"))
 
-    ct = hll_estimate(regs, p, ["node"], "_ct").localCheckpoint(eager=False)
+    ct = hll_estimate(regs, p, ["node"], "_ct").transform(plan_barrier)
     nf = _n(ct, 0)
 
     def _state(r):
@@ -718,8 +719,8 @@ def neighbourhood_function(edges: DataFrame, src_col: str = "src",
                 .unionByName(contrib)
                 .groupBy("node", "hll_idx")
                 .agg(F.max("hll_rho").alias("hll_rho"))
-                .localCheckpoint(eager=False))
-        ct = hll_estimate(regs, p, ["node"], "_ct").localCheckpoint(eager=False)
+                .transform(plan_barrier))
+        ct = hll_estimate(regs, p, ["node"], "_ct").transform(plan_barrier)
         nf = nf.unionByName(_n(ct, d))
         nstate = _state(regs)
         if nstate == state:
@@ -819,7 +820,7 @@ def trustrank(edges: DataFrame, seeds: DataFrame,
             .select("node",
                     F.round(F.coalesce(F.col("_is"), F.lit(0.0))
                             / F.lit(float(ns)), 12).alias("_s"))
-            .localCheckpoint(eager=False))
+            .transform(plan_barrier))
     outd = e.groupBy("_u").agg(F.count("*").alias("_od")).cache()
     tr = svec.select("node", F.col("_s").alias("trustrank"))
     for _ in range(int(iters)):
@@ -842,7 +843,7 @@ def trustrank(edges: DataFrame, seeds: DataFrame,
                                                F.lit(0.0))
                                     + F.col("_dm") * F.col("_s")),
                       12).alias("trustrank"))
-              .localCheckpoint(eager=False))
+              .transform(plan_barrier))
     return tr
 
 
@@ -878,7 +879,7 @@ def label_propagation(edges: DataFrame, src_col: str = "src",
            .distinct().filter(F.col("_a") != F.col("_b")).cache())
     nodes = und.select(F.col("_a").alias("node")).distinct().cache()
     labels = nodes.select("node", F.col("node").alias("label")) \
-        .localCheckpoint(eager=False)
+        .transform(plan_barrier)
     for _ in range(int(iters)):
         votes = (und.join(labels, und["_b"] == labels["node"])
                  .select(F.col("_a").alias("node"), "label"))
@@ -895,7 +896,7 @@ def label_propagation(edges: DataFrame, src_col: str = "src",
                                                F.asc("label"))
         labels = (local.withColumn("_r", F.row_number().over(w))
                   .filter(F.col("_r") == 1)
-                  .select("node", "label").localCheckpoint(eager=False))
+                  .select("node", "label").transform(plan_barrier))
     return labels
 
 
@@ -942,7 +943,7 @@ def _propagate_min(nodes: DataFrame, e: DataFrame,
     one map-side-combined min aggregation; the color frame is
     node-sized and localCheckpoint-materialized every step."""
     color = nodes.select("node", F.col("node").alias("_color")) \
-        .localCheckpoint(eager=False)
+        .transform(plan_barrier)
 
     def _state(c):
         return c.agg(F.count("*").alias("_n"),
@@ -959,7 +960,7 @@ def _propagate_min(nodes: DataFrame, e: DataFrame,
                 .select(F.col("_b").alias("node"), "_color"))
         color = (color.unionAll(prop)
                  .groupBy("node").agg(F.min("_color").alias("_color"))
-                 .localCheckpoint(eager=False))
+                 .transform(plan_barrier))
         nst = _state(color)
         if (nst["_n"], nst["_h"]) == (st["_n"], st["_h"]):
             converged = True
@@ -979,13 +980,13 @@ def _propagate_flag(seed: DataFrame, e: DataFrame, iters: int,
     count.  Per superstep one equi-join + distinct; frames stay
     node-sized and localCheckpoint-materialized."""
     frm, to = ("_a", "_b") if forward else ("_b", "_a")
-    reach = seed.select("node").distinct().localCheckpoint(eager=False)
+    reach = seed.select("node").distinct().transform(plan_barrier)
     n = reach.count()
     converged = False
     for _ in range(int(iters)):
         step = (e.join(reach, e[frm] == reach["node"])
                 .select(F.col(to).alias("node")))
-        reach = reach.unionAll(step).distinct().localCheckpoint(eager=False)
+        reach = reach.unionAll(step).distinct().transform(plan_barrier)
         nn = reach.count()
         if nn == n:
             converged = True
@@ -1037,10 +1038,10 @@ def strongly_connected_components(edges: DataFrame,
     localCheckpoint-materialized every step; edges peel via
     left_anti joins and re-materialize per round.  No driver-side
     graph, no all-pairs anywhere."""
-    e = _simple_directed(edges, src_col, dst_col).localCheckpoint(eager=False)
+    e = _simple_directed(edges, src_col, dst_col).transform(plan_barrier)
     rem_nodes = (e.select(F.col("_a").alias("node"))
                  .unionAll(e.select(F.col("_b").alias("node")))
-                 .distinct().localCheckpoint(eager=False))
+                 .distinct().transform(plan_barrier))
     spark = edges.sparkSession
     assigned = spark.createDataFrame(
         [], rem_nodes.select(
@@ -1051,7 +1052,7 @@ def strongly_connected_components(edges: DataFrame,
         color = _propagate_min(rem_nodes, e, prop_iters)
         member = (color.filter(F.col("node") == F.col("_color"))
                   .select("node", F.col("_color").alias("scc"))
-                  .localCheckpoint(eager=False))
+                  .transform(plan_barrier))
         m = member.count()
         converged = False
         for _ in range(int(prop_iters)):
@@ -1063,7 +1064,7 @@ def strongly_connected_components(edges: DataFrame,
                     .filter(F.col("_color") == F.col("scc"))
                     .select("node", "scc"))
             member = member.unionAll(step).distinct() \
-                .localCheckpoint(eager=False)
+                .transform(plan_barrier)
             nm = member.count()
             if nm == m:
                 converged = True
@@ -1073,10 +1074,10 @@ def strongly_connected_components(edges: DataFrame,
             _warn_cap("scc backward membership", prop_iters)
         assigned = assigned.unionAll(member)
         rem_nodes = rem_nodes.join(member, "node", "left_anti") \
-            .localCheckpoint(eager=False)
+            .transform(plan_barrier)
         e = (e.join(member, e["_a"] == member["node"], "left_anti")
              .join(member, e["_b"] == member["node"], "left_anti")
-             .localCheckpoint(eager=False))
+             .transform(plan_barrier))
     if not rem_nodes.isEmpty():
         import warnings
         warnings.warn(
@@ -1109,18 +1110,18 @@ def bowtie_summary(edges: DataFrame, src_col: str = "src",
     idempotent at the fixed point (unroll-replicable oracle, the
     `core_numbers` convention); every frame is node-sized,
     localCheckpoint-materialized, joined on node ids only."""
-    e = _simple_directed(edges, src_col, dst_col).localCheckpoint(eager=False)
+    e = _simple_directed(edges, src_col, dst_col).transform(plan_barrier)
     scc = strongly_connected_components(
         edges, src_col, dst_col, rounds=rounds,
-        prop_iters=prop_iters).localCheckpoint(eager=False)
+        prop_iters=prop_iters).transform(plan_barrier)
     top = (scc.groupBy("scc").agg(F.count("*").alias("_n"))
            .orderBy(F.desc("_n"), F.asc("scc")).limit(1))
     core = scc.join(F.broadcast(top), "scc").select("node") \
-        .localCheckpoint(eager=False)
+        .transform(plan_barrier)
     fwd = _propagate_flag(core, e, prop_iters, forward=True)
     bwd = _propagate_flag(core, e, prop_iters, forward=False)
-    in_ = bwd.join(core, "node", "left_anti").localCheckpoint(eager=False)
-    out = fwd.join(core, "node", "left_anti").localCheckpoint(eager=False)
+    in_ = bwd.join(core, "node", "left_anti").transform(plan_barrier)
+    out = fwd.join(core, "node", "left_anti").transform(plan_barrier)
     f_in = _propagate_flag(in_, e, prop_iters, forward=True)
     b_out = _propagate_flag(out, e, prop_iters, forward=False)
     nodes = scc.select("node")
@@ -1196,7 +1197,7 @@ def random_walks(edges: DataFrame, src_col: str = "src",
                      F.array("start").alias("path"),
                      F.col("start").alias("_cur"),
                      F.lit(True).alias("_alive"))
-             .localCheckpoint(eager=False))
+             .transform(plan_barrier))
     for t in range(1, int(walk_len) + 1):
         if independent:
             key = F.concat_ws(":", F.lit(int(seed)), F.col("start"),
@@ -1232,7 +1233,7 @@ def random_walks(edges: DataFrame, src_col: str = "src",
             F.coalesce("_next", "_cur").alias("_cur"),
             (F.col("_alive") & F.col("_next").isNotNull())
             .alias("_alive"))
-            .localCheckpoint(eager=False))
+            .transform(plan_barrier))
     return walks.select("start", "copy", "path")
 
 
@@ -1481,7 +1482,7 @@ def node2vec_walks(edges: DataFrame, src_col: str = "src",
                      F.col("start").alias("_prev"),
                      F.col("start").alias("_cur"),
                      F.lit(True).alias("_alive"))
-             .localCheckpoint(eager=False))
+             .transform(plan_barrier))
     # wedge frame prev -> cur -> cand with the near-flag (is there a
     # prev -> cand edge?), reused by every step >= 2 (table mode
     # only — independent mode fans candidates per walk instead)
@@ -1586,5 +1587,5 @@ def node2vec_walks(edges: DataFrame, src_col: str = "src",
             F.coalesce("_next", "_cur").alias("_cur"),
             (F.col("_alive") & F.col("_next").isNotNull())
             .alias("_alive"))
-            .localCheckpoint(eager=False))
+            .transform(plan_barrier))
     return walks.select("start", "copy", "path")

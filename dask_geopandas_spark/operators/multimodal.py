@@ -31,6 +31,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..barrier import plan_barrier
+
 FAKE_MAGIC = b"FAKEIMG1"
 
 IMAGE_META_SCHEMA = StructType([
@@ -556,7 +558,7 @@ def media_dedup(df: DataFrame, media_col: str = "media",
                # media payload source is opaque to Spark's subtree
                # reuse).  Lazy: materializes in the first consuming
                # job, plan already truncated.
-               .localCheckpoint(eager=False))
+               .transform(plan_barrier))
         groups = hdf.groupBy("_dh").agg(F.min(id_col).alias("_hrep"))
         reps = groups.select(F.col("_hrep").alias(id_col), "_dh")
         pairs = _hamming_banded_pairs(reps, id_col, "_dh",

@@ -36,6 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, BinaryType
+from ..barrier import plan_barrier
 
 from ..geometry import booleans as B
 from ..geometry import setops as SO
@@ -300,14 +301,14 @@ def overlay(left, right, how: str = "intersection", strategy: str = "auto",
     # single-leg hows keep the straight-line plan (no barrier).
     multi_leg = how != "intersection"
     if multi_leg:
-        ldf = ldf.localCheckpoint(eager=False)
-        rdf = rdf.localCheckpoint(eager=False)
+        ldf = ldf.transform(plan_barrier)
+        rdf = rdf.transform(plan_barrier)
 
     pairs = _candidate_pairs(lg, rg, ldf, rdf, lbbox_j, rbbox_j,
                              strategy, grid_level, total_bounds,
                              cob_cols=(l_bucket, r_bucket, l_arr, r_arr))
     if how in ("union", "identity", "symmetric_difference"):
-        pairs = pairs.localCheckpoint(eager=False)
+        pairs = pairs.transform(plan_barrier)
 
     # difference legs need ONE row per original feature: drop replicas
     # (keep the copy living in its smallest bucket — every row has one)

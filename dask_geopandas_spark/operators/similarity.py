@@ -788,6 +788,10 @@ def probe_cells_expr(centroids: list, vec_col: str,
     """Per-row list of the ``nprobe`` nearest cell ids, ordered by
     (distance, index) — the same deterministic tiebreak as
     ``ivf_topk``'s query probing, as a reusable expression."""
+    if not centroids:
+        # guard (r16 ADVICE): sequence(0, -1) would infer step -1 and
+        # emit the bogus cell ids [0, -1] for an empty centroid list
+        raise ValueError("probe_cells_expr: empty centroid list")
     dists = _dists_expr(F.col(vec_col), centroids)
     order = F.array_sort(
         F.arrays_zip(dists.alias("d"),

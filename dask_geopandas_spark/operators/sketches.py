@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..barrier import plan_barrier
 
 from .dedup import portable_hash, seeded_bucket
 
@@ -527,10 +528,10 @@ def _qd_compress(nodes: DataFrame, k: int, bits: int, keys: list,
                              nn.alias("_n")))
             cur = (rest.unionByName(merged).unionByName(keptc)
                    .unionByName(keptp))
-        cur = cur.localCheckpoint(eager=False)
+        cur = cur.transform(plan_barrier)
     return cur.select(*keys, "qd_id",
                       F.col("qd_count").cast("long").alias("qd_count")
-                      ).localCheckpoint(eager=False)
+                      ).transform(plan_barrier)
 
 
 def qd_sketch(df: DataFrame, col: str, k: int = 512, bits: int = 20,

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from ..barrier import plan_barrier
 
 # small deterministic stopword sets per language for the lang-id heuristic
 STOPWORDS = {
@@ -699,7 +700,21 @@ def write_text_index(df, path: str, n_buckets: int = 64,
         # batch-sized (the postings being appended); the write job
         # below materializes it, the sum_dl aggregate reuses it —
         # the one-tokenize-pass stats derivation (see docstring)
-        tf = tf.localCheckpoint(eager=False)
+        tf = tf.transform(plan_barrier)
+    else:
+        # drop the whole postings tree first (r16 ADVICE): under
+        # spark.sql.sources.partitionOverwriteMode=dynamic an
+        # overwrite leaves stale term_bucket partitions from a
+        # previous larger index, and the sum_dl read-back below would
+        # silently count them
+        from pyarrow import fs as pafs
+
+        fsys, ppath = resolve_fs(base + "/postings")
+        try:
+            if fsys.get_file_info(ppath).type != pafs.FileType.NotFound:
+                fsys.delete_dir(ppath)
+        except FileNotFoundError:
+            pass
     tf.write.mode("append" if append else "overwrite") \
         .partitionBy("term_bucket").parquet(base + "/postings")
     # stats WITHOUT a second corpus tokenize pass: n_docs = plain
@@ -1265,7 +1280,7 @@ def kn_perplexity(df, text_col: str = "text", id_col: str = "doc_id",
           .withColumn("w1", F.split("gram", " ").getItem(0))
           .withColumn("w2", F.split("gram", " ").getItem(1))
           .withColumn("w3", F.split("gram", " ").getItem(2))
-          .localCheckpoint(eager=False))
+          .transform(plan_barrier))
     # trigram-context table: c2 = Σ c3, N1+(w1w2·) = type rows
     ctx2 = t3.groupBy("w1", "w2").agg(
         F.sum("c3").alias("c2"), F.count("*").alias("n1fw"))
@@ -1536,7 +1551,7 @@ def ccnet_buckets(df, text_col: str = "text", id_col: str = "doc_id",
     scored = (scored.select(id_col, "perplexity")
               .join(df.select(F.col(id_col),
                               F.col(lang_col).alias("lang")), id_col)
-              .localCheckpoint(eager=False))
+              .transform(plan_barrier))
     cnt = (scored.groupBy("lang", "perplexity")
            .agg(F.count("*").alias("_c")))
     w = (Window.partitionBy("lang").orderBy(F.asc("perplexity"))
@@ -2513,8 +2528,8 @@ def train_text_classifier(df, label_col: str = "label",
         # doubles the plan every step (the connected-components
         # localCheckpoint pattern, dedup.py) — both frames are
         # n_buckets-row small
-        weights = weights.localCheckpoint(eager=False)
-        bias_df = bias_df.localCheckpoint(eager=False)
+        weights = weights.transform(plan_barrier)
+        bias_df = bias_df.transform(plan_barrier)
     meta = spark.createDataFrame([(-2, float(B))],
                                  "bucket long, weight double")
     return (weights.unionByName(

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..barrier import plan_barrier
 
 from .textstats import tokens
 
@@ -227,12 +228,12 @@ def unigram_train(df: DataFrame, text_col: str = "text",
             F.length("word") <= int(max_word_len))
     else:
         wc = _word_counts(df, text_col, max_word_len)
-    wc = wc.localCheckpoint(eager=False)
+    wc = wc.transform(plan_barrier)
     seed = (wc.select(F.explode(_substring_candidates(
                 F.col("word"), max_piece_len)).alias("_c"), "cnt")
             .groupBy(F.col("_c.piece").alias("piece"))
             .agg(F.sum("cnt").alias("cnt")))
-    model = _renormalized(seed).localCheckpoint(eager=False)
+    model = _renormalized(seed).transform(plan_barrier)
     for _ in range(int(em_steps)):
         seg = viterbi_segment_words(
             wc, model, word_col="word", piece_col="_pieces",
@@ -250,7 +251,7 @@ def unigram_train(df: DataFrame, text_col: str = "text",
                                                      F.lit(0)),
                                           F.lit(1)).cast("long")
                                .alias("cnt"))))
-        model = _renormalized(counted).localCheckpoint(eager=False)
+        model = _renormalized(counted).transform(plan_barrier)
     # count-ranked prune to vocab_size (chars always kept), renorm
     n_chars = model.filter(F.length("piece") == 1).count()
     keep_multi = max(0, int(vocab_size) - n_chars)

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..barrier import plan_barrier
 
 from .textstats import tokens
 
@@ -132,7 +133,7 @@ def _train_wordpiece_steps(df: DataFrame, text_col: str,
         return df.sparkSession.createDataFrame(
             _classic_wordpiece(counts, num_merges), WP_MERGE_SCHEMA), None
     w = (wc.select(_sym_plain(F.col("word")).alias("s"), "cnt")
-         .localCheckpoint(eager=False))
+         .transform(plan_barrier))
     rows = []
     syms_of = lambda c: F.split(F.trim(c), "  ")  # noqa: E731
     for rank in range(1, int(num_merges) + 1):
@@ -181,7 +182,7 @@ def _train_wordpiece_steps(df: DataFrame, text_col: str,
         rep = f" {best['merged']} "
         w = (w.select(F.replace(F.col("s"), F.lit(pat),
                                 F.lit(rep)).alias("s"), "cnt")
-             .localCheckpoint(eager=False))
+             .transform(plan_barrier))
     return df.sparkSession.createDataFrame(rows, WP_MERGE_SCHEMA), w
 
 
@@ -240,7 +241,7 @@ def wordpiece_vocab(df: DataFrame, merges: DataFrame,
             s = F.replace(
                 s, F.lit(f" {r['left']}  {r['right']} "),
                 F.lit(f" {r['merged']} "))
-        words = words.withColumn("_s", s).localCheckpoint(eager=False)
+        words = words.withColumn("_s", s).transform(plan_barrier)
     return _vocab_from_symbols(words)
 
 

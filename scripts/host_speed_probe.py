@@ -18,7 +18,11 @@ def _spin(n: int) -> int:
     return acc
 
 
-def main() -> None:
+def probe() -> dict:
+    """One probe reading as a dict — importable by bench.py so every
+    bench record carries its own host-speed calibration (the r16
+    verdict's ask: wall-clock across host windows is only comparable
+    when each record says how fast its window was)."""
     N = 20_000_000
     t0 = time.time()
     _spin(N)
@@ -30,9 +34,13 @@ def main() -> None:
     with ThreadPoolExecutor(max_workers=8) as ex:
         list(ex.map(_spin, [N // 8] * 8))
     threaded = time.time() - t0
-    print(json.dumps({"single_sec": round(single, 3),
-                      "threaded8_sec": round(threaded, 3),
-                      "mops": round(N / single / 1e6, 1)}))
+    return {"single_sec": round(single, 3),
+            "threaded8_sec": round(threaded, 3),
+            "mops": round(N / single / 1e6, 1)}
+
+
+def main() -> None:
+    print(json.dumps(probe()))
 
 
 if __name__ == "__main__":

@@ -707,6 +707,33 @@ class TestConnectedComponents:
                connected_components(sdf, max_iter=6).collect()}
         assert got == {"b": "b", "c": "b", "d": "b", "x": "x", "y": "x"}
 
+    def test_reliable_checkpoint_conf(self, spark, tmp_path):
+        """r17 (verdict #3/#8): with
+        spark.dask_geopandas_spark.reliableCheckpoint=true and a
+        checkpoint dir set, every plan barrier persists to the
+        RELIABLE checkpoint directory (executor-loss-safe at scale)
+        instead of executor-local storage — same results."""
+        from dask_geopandas_spark.barrier import RELIABLE_CONF
+        from dask_geopandas_spark.operators.dedup import connected_components
+
+        ckdir = str(tmp_path / "ck")
+        spark.sparkContext.setCheckpointDir(ckdir)
+        spark.conf.set(RELIABLE_CONF, "true")
+        try:
+            edges = spark.createDataFrame(
+                [(i, i + 1) for i in range(9)] + [(20, 21)],
+                "src long, dst long")
+            got = {r["node"]: r["component"] for r in
+                   connected_components(edges, max_iter=8).collect()}
+            assert got == {**{i: 0 for i in range(10)}, 20: 20, 21: 20}
+            import os
+
+            found = [os.path.join(dp, f) for dp, _, fs in os.walk(ckdir)
+                     for f in fs]
+            assert found, "reliable checkpoint wrote nothing"
+        finally:
+            spark.conf.set(RELIABLE_CONF, "false")
+
     def test_cluster_dedup_keeps_component_minimum(self, spark):
         """cluster_dedup = keep min-id per component + pass through
         edge-free rows, as one left-anti join."""
