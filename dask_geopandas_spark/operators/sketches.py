@@ -456,12 +456,122 @@ def _qd_attach_n(nodes: DataFrame, keys: list) -> DataFrame:
     return nodes.crossJoin(F.broadcast(tot))
 
 
+#: universe cap for the one-pass grouped compressor: 2^20 leaf slots
+#: bound a group's node frame to ~1M (id, count) rows = ~16 MB in one
+#: task, comfortably vectorizable; wider universes keep the
+#: distributed level loop (a 2^40 universe can carry more distinct
+#: leaves than one task should hold)
+_QD_NP_MAX_BITS = 20
+
+
+def _qd_compress_arrays(ids, counts, k: int, bits: int):
+    """The exact bottom-up merge rule over one group's (id, count)
+    arrays, vectorized: per level, children sharing a parent merge
+    into it when their sum plus the parent's own count is
+    <= floor(n / k).  Bit-identical to the distributed level loop
+    (pure integer arithmetic, same rule) — pinned by the qdigest
+    property pytests against the brute-force reference."""
+    import numpy as np
+
+    ids = np.asarray(ids, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    if len(ids) == 0:
+        return ids, counts
+    # canonicalize duplicate ids (never produced by the callers, all
+    # of which pre-aggregate; sum keeps the math identical if one
+    # ever slips through)
+    order = np.argsort(ids, kind="stable")
+    ids, counts = ids[order], counts[order]
+    uq, starts = np.unique(ids, return_index=True)
+    if len(uq) != len(ids):
+        counts = np.add.reduceat(counts, starts)
+        ids = uq
+    t = int(counts.sum()) // int(k)
+    for lvl in range(int(bits), 0, -1):
+        lo = np.int64(1) << lvl
+        m = (ids >= lo) & (ids < 2 * lo)
+        if not m.any():
+            continue
+        ch_ids, ch_cnt = ids[m], counts[m]
+        ot_ids, ot_cnt = ids[~m], counts[~m]
+        p = ch_ids >> 1
+        po = np.argsort(p, kind="stable")
+        ps, cs, cids = p[po], ch_cnt[po], ch_ids[po]
+        uqp, st = np.unique(ps, return_index=True)
+        s = np.add.reduceat(cs, st)
+        # the parent's own count, when that node already exists
+        pm = (ot_ids >= (lo >> 1)) & (ot_ids < lo)
+        par_ids, par_cnt = ot_ids[pm], ot_cnt[pm]
+        if len(par_ids):
+            so = np.argsort(par_ids)
+            spar, sparc = par_ids[so], par_cnt[so]
+            pos = np.searchsorted(spar, uqp)
+            safe = np.minimum(pos, len(spar) - 1)
+            has = spar[safe] == uqp
+            cp = np.where(has, sparc[safe], 0)
+        else:
+            cp = np.zeros(len(uqp), dtype=np.int64)
+        tot = s + cp
+        merge = tot <= t
+        if not merge.any():
+            continue
+        # children of merged parents disappear; merged parents'
+        # existing rows are replaced by (parent, tot)
+        child_merged = merge[np.searchsorted(uqp, ps)]
+        keep_ot = ~(pm & np.isin(ot_ids, uqp[merge]))
+        ids = np.concatenate([ot_ids[keep_ot], uqp[merge],
+                              cids[~child_merged]])
+        counts = np.concatenate([ot_cnt[keep_ot], tot[merge],
+                                 cs[~child_merged]])
+    return ids, counts
+
+
+def _qd_compress_np(nodes: DataFrame, k: int, bits: int,
+                    keys: list) -> DataFrame:
+    """One-pass grouped compression: ONE shuffle on the group keys,
+    then `_qd_compress_arrays` per group inside applyInPandas.  The
+    r16 level loop chained ``bits`` histogram-sized aggregations (a
+    groupBy + three-branch union + plan barrier per level — 20-40
+    dependent stages of a tiny frame whose cost is pure scheduling
+    latency, ~2 s per digest read at any data size).  The group frame
+    is bounded by min(distinct values, 2^bits) rows, so the Python
+    boundary carries histogram-sized data only (guide §1.2 step 1 /
+    §4.2); `_QD_NP_MAX_BITS` caps the universe this path accepts."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [nodes.schema[kk] for kk in keys]
+        + [StructField("qd_id", LongType()),
+           StructField("qd_count", LongType())])
+    kk_names = list(keys)
+    ki, bi = int(k), int(bits)
+
+    def _fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        rids, rcnt = _qd_compress_arrays(
+            pdf["qd_id"].to_numpy(), pdf["qd_count"].to_numpy(),
+            ki, bi)
+        out = pd.DataFrame({"qd_id": rids, "qd_count": rcnt})
+        for kk in kk_names:
+            out.insert(len(out.columns) - 2, kk,
+                       pdf[kk].iloc[0] if len(pdf) else None)
+        return out[kk_names + ["qd_id", "qd_count"]]
+
+    grouped = nodes.groupBy(*kk_names) if kk_names else nodes.groupBy()
+    return grouped.applyInPandas(_fn, schema=out_schema)
+
+
 def _qd_compress(nodes: DataFrame, k: int, bits: int, keys: list,
                  fresh: bool) -> DataFrame:
     """Bottom-up level-synchronous q-digest compression: for each
     level L from the leaves up, children sharing a parent merge into
     it when their combined count (plus the parent's own, when one
-    exists) is <= floor(n / k).  ``fresh=True`` skips the parent
+    exists) is <= floor(n / k).
+
+    Universes up to 2^`_QD_NP_MAX_BITS` take the ONE-PASS grouped
+    path (`_qd_compress_np` — one shuffle + a vectorized per-group
+    merge; the r17 optimization).  Wider universes keep the
+    distributed level loop below: ``fresh=True`` skips the parent
     lookup — a frame that is all leaves (a new histogram, or summed
     stored leaf frames) can never meet a pre-existing parent, which
     keeps the build path join-free.  Each pass is a histogram-sized
@@ -473,6 +583,8 @@ def _qd_compress(nodes: DataFrame, k: int, bits: int, keys: list,
     optimization round) keeps the same plan truncation but defers
     materialization into the consuming job — the ``bits`` dedicated
     per-level jobs collapse into the caller's one action."""
+    if int(bits) <= _QD_NP_MAX_BITS:
+        return _qd_compress_np(nodes, k, bits, keys)
     cur = _qd_attach_n(nodes, keys)
     t = F.expr(f"_n div {int(k)}")
     cols = [*keys, "qd_id", "qd_count", "_n"]

@@ -1047,3 +1047,51 @@ def test_qdigest_property_random_multisets(spark):
                     _brute_qd_quantile(brute, q, bits), (gi, q)
 
     check()
+
+
+def test_qd_compress_np_matches_level_loop_and_brute(spark):
+    """r17 pin: the one-pass vectorized compressor (bits <=
+    _QD_NP_MAX_BITS) and the distributed level loop (wider universes)
+    implement the SAME merge rule — both equal the brute reference on
+    random multisets, including the fresh and non-fresh (merge)
+    entries and grouped frames."""
+    import random
+
+    from dask_geopandas_spark.operators import sketches as SK
+
+    rng = random.Random(11)
+    for trial in range(4):
+        bits = rng.choice([4, 6, 8])
+        k = rng.choice([1, 3, 8])
+        vals = [rng.randrange(0, 1 << bits) for _ in range(200)]
+        leaves = {}
+        for v in vals:
+            leaves[v + (1 << bits)] = leaves.get(v + (1 << bits), 0) + 1
+        nodes = spark.createDataFrame(
+            [(i, c) for i, c in leaves.items()],
+            "qd_id long, qd_count long")
+        want = _brute_qd_compress(dict(leaves), k, bits)
+        got_np = {r["qd_id"]: r["qd_count"]
+                  for r in SK._qd_compress_np(nodes, k, bits, []).collect()}
+        assert got_np == want, (trial, bits, k)
+        # the level loop (what the >_QD_NP_MAX_BITS path runs),
+        # forced by lowering the gate temporarily
+        old = SK._QD_NP_MAX_BITS
+        SK._QD_NP_MAX_BITS = 0
+        try:
+            got_loop = {r["qd_id"]: r["qd_count"]
+                        for r in SK._qd_compress(
+                            nodes, k, bits, [], fresh=True).collect()}
+        finally:
+            SK._QD_NP_MAX_BITS = old
+        assert got_loop == want, (trial, bits, k)
+
+    # grouped: two groups with different totals compress independently
+    rows = ([("a", i, c) for i, c in leaves.items()]
+            + [("b", (1 << bits) + 1, 50)])
+    g = spark.createDataFrame(rows, "g string, qd_id long, qd_count long")
+    got = SK._qd_compress_np(g, 3, bits, ["g"]).collect()
+    wa = _brute_qd_compress(dict(leaves), 3, bits)
+    wb = _brute_qd_compress({(1 << bits) + 1: 50}, 3, bits)
+    assert {r["qd_id"]: r["qd_count"] for r in got if r["g"] == "a"} == wa
+    assert {r["qd_id"]: r["qd_count"] for r in got if r["g"] == "b"} == wb
