@@ -614,6 +614,41 @@ def _bm25_score_topk(tf, dfreq, stats, k, k1, b, id_col):
             .select(id_col, "score", "rank"))
 
 
+#: stored stats schema (sum_dl NULL on legacy pre-sum_dl indexes);
+#: used for explicit-schema reads that skip footer inference
+_STATS_SCHEMA = "n_docs long, avgdl double, sum_dl long, n_buckets int"
+
+
+def _write_stats_file(stats_dir: str, n_docs: int, avgdl: float,
+                      sum_dl, n_buckets: int) -> None:
+    """Write the 1-row stats dataset driver-side (pyarrow — no Spark
+    job): same schema and values as the r16 Spark write (n_docs long,
+    avgdl double, [sum_dl long,] n_buckets int; ``sum_dl=None``
+    reproduces the legacy no-sum_dl layout).  The directory is
+    replaced wholesale, matching overwrite-mode semantics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    from ..sources.fs import resolve_fs
+
+    fsys, dpath = resolve_fs(stats_dir.rstrip("/"))
+    try:
+        if fsys.get_file_info(dpath).type != pafs.FileType.NotFound:
+            fsys.delete_dir(dpath)
+    except FileNotFoundError:
+        pass
+    fsys.create_dir(dpath, recursive=True)
+    cols = {"n_docs": pa.array([int(n_docs)], pa.int64()),
+            "avgdl": pa.array([float(avgdl)], pa.float64())}
+    if sum_dl is not None:
+        cols["sum_dl"] = pa.array([int(sum_dl)], pa.int64())
+    cols["n_buckets"] = pa.array([int(n_buckets)], pa.int32())
+    with fsys.open_output_stream(dpath + "/part-00000-stats.parquet") \
+            as out:
+        pq.write_table(pa.table(cols), out)
+
+
 def write_text_index(df, path: str, n_buckets: int = 64,
                      text_col: str = "text", id_col: str = "doc_id",
                      append: bool = False,
@@ -683,7 +718,12 @@ def write_text_index(df, path: str, n_buckets: int = 64,
     marker = None
     if append:
         _check_index_consistent(base)
-        prev = spark.read.parquet(base + "/stats").head()
+        # explicit schema (r17): no footer-inference job — ~0.5 s of
+        # pure action floor per append at any scale; a legacy
+        # pre-sum_dl index reads sum_dl as NULL, which the merge
+        # branch below already treats as "absent"
+        prev = spark.read.schema(_STATS_SCHEMA) \
+            .parquet(base + "/stats").head()
         n_buckets = int(prev["n_buckets"])
         fsys, mpath = resolve_fs(base + "/_append_in_progress")
         with fsys.open_output_stream(mpath) as out:
@@ -735,38 +775,32 @@ def write_text_index(df, path: str, n_buckets: int = 64,
             # IEEE division Spark's avg performs)
             s_total = s0 + s1
             avg = (float(s_total) / n_total) if n_total else 0.0
-            stats = spark.createDataFrame(
-                [(n_total, float(avg), s_total)],
-                "n_docs long, avgdl double, sum_dl long")
         else:
             # legacy index without sum_dl: count-weighted double mean
+            s_total = None
             avg = ((float(prev["avgdl"]) * n0
                     + (float(s1) / n1 if n1 else 0.0) * n1)
                    / float(n_total)) if n_total else 0.0
-            stats = spark.createDataFrame(
-                [(n_total, float(avg))], "n_docs long, avgdl double")
+        n_docs = n_total
     else:
         # sum_dl read back off the just-written postings (tf-column-
         # pruned, index-sized); avgdl = exact_sum / count, the same
-        # long->double IEEE division the merge path performs
-        n_docs = int(df.count())
-        nd = F.lit(n_docs).cast("long")
-        # explicit subset schema: no footer-inference job, and a
+        # long->double IEEE division the merge path performs.
+        # Explicit subset schema: no footer-inference job, and a
         # fully termless corpus (zero postings part files) reads as
         # an empty relation instead of failing inference
-        sums = (spark.read.schema("tf long")
-                .parquet(base + "/postings")
-                .agg(F.coalesce(F.sum("tf"), F.lit(0)).cast("long")
-                     .alias("sum_dl")))
-        stats = (sums
-                 .select(
-                     nd.alias("n_docs"),
-                     F.when(nd > 0,
-                            F.col("sum_dl").cast("double") / nd)
-                     .otherwise(F.lit(0.0)).alias("avgdl"),
-                     "sum_dl"))
-    stats.withColumn("n_buckets", F.lit(int(n_buckets))) \
-        .write.mode("overwrite").parquet(base + "/stats")
+        n_docs = int(df.count())
+        s_total = int(spark.read.schema("tf long")
+                      .parquet(base + "/postings")
+                      .agg(F.coalesce(F.sum("tf"), F.lit(0))
+                           .cast("long").alias("_s")).head()["_s"])
+        avg = (float(s_total) / n_docs) if n_docs > 0 else 0.0
+    # the 1-row stats file is written DRIVER-SIDE (r17): a Spark
+    # parquet write of a 1-row local relation is a full job + commit
+    # (~0.5-1.5 s of pure action floor per build/append, at any data
+    # size); the values are already driver scalars
+    _write_stats_file(base + "/stats", n_docs, avg, s_total,
+                      int(n_buckets))
     if commit_marker:
         cfs, cpath = resolve_fs(commit_marker)
         with cfs.open_output_stream(cpath) as out:
@@ -912,7 +946,9 @@ def apply_deletes(spark, path: str, id_col: str = "doc_id") -> int:
         return 0
     tomb = tomb.localCheckpoint()
     n = tomb.count()
-    if n >= spark.read.parquet(base + "/stats").head()["n_docs"]:
+    prev = spark.read.schema(_STATS_SCHEMA) \
+        .parquet(base + "/stats").head()
+    if n >= int(prev["n_docs"]):
         # an emptied index cannot be rewritten in place (an empty
         # partitioned postings dir has no inferable schema) — and
         # "delete everything" is a rebuild, not a maintenance pass
@@ -928,20 +964,31 @@ def apply_deletes(spark, path: str, id_col: str = "doc_id") -> int:
      .join(F.broadcast(tomb.select(id_col)), id_col, "left_anti")
      .write.partitionBy("term_bucket").mode("overwrite")
      .parquet(base + "/postings_new"))
-    stats = spark.read.parquet(base + "/stats").localCheckpoint()
-    d = tomb.agg(F.count("*").alias("_nd"),
-                 F.coalesce(F.sum("dl"), F.lit(0)).alias("_dls"))
-    new_sum = (_stored_sum_dl(stats) - F.col("_dls")).cast("long")
-    cols = [(F.col("n_docs") - F.col("_nd")).cast("long")
-            .alias("n_docs"),
-            (new_sum.cast("double")
-             / (F.col("n_docs") - F.col("_nd"))).alias("avgdl")]
-    if "sum_dl" in stats.columns:
-        cols.append(new_sum.alias("sum_dl"))
-    cols.append(F.col("n_buckets"))
-    (stats.crossJoin(F.broadcast(d)).select(*cols)
-     .coalesce(1).write.mode("overwrite")
-     .parquet(base + "/stats_new"))
+    # stats correction computed driver-side (r17): one narrow agg
+    # over the checkpointed tombstones replaces the r16 crossJoin +
+    # 1-row Spark write (a broadcast job plus a write job of pure
+    # action floor); arithmetic replicates the r16 expressions
+    # exactly (HALF_UP legacy reconstruction, double division)
+    drow = tomb.agg(F.count("*").alias("_nd"),
+                    F.coalesce(F.sum("dl"), F.lit(0)).alias("_dls")) \
+        .head()
+    nd_, dls = int(drow["_nd"]), int(drow["_dls"])
+    legacy = prev["sum_dl"] is None
+    if legacy:
+        # _stored_sum_dl's reconstruction: round(avgdl*n_docs, 0)
+        # HALF_UP on the exact double product, as Spark's round does
+        from decimal import ROUND_HALF_UP, Decimal
+
+        sum0 = int(Decimal(float(prev["avgdl"]) * int(prev["n_docs"]))
+                   .quantize(Decimal(1), rounding=ROUND_HALF_UP))
+    else:
+        sum0 = int(prev["sum_dl"])
+    new_n = int(prev["n_docs"]) - nd_
+    new_sum = sum0 - dls
+    _write_stats_file(base + "/stats_new", new_n,
+                      float(new_sum) / new_n,
+                      None if legacy else new_sum,
+                      int(prev["n_buckets"]))
     fs.delete(HP(base + "/postings"), True)
     fs.rename(HP(base + "/postings_new"), HP(base + "/postings"))
     fs.delete(HP(base + "/stats"), True)
