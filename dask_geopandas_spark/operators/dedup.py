@@ -610,6 +610,32 @@ def _band_bucket(n_buckets: int) -> Column:
         F.lit(int(n_buckets))).cast("int")
 
 
+
+def _write_meta_file(meta_dir: str, names: list, values: list) -> None:
+    """Write a 1-row int32 meta dataset driver-side (pyarrow — no
+    Spark job; a 1-row Spark parquet write costs a full job + commit
+    of pure action floor).  Same schema as the r16 Spark write
+    (every meta field is an int)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    from ..sources.fs import resolve_fs
+
+    fsys, dpath = resolve_fs(meta_dir.rstrip("/"))
+    try:
+        if fsys.get_file_info(dpath).type != pafs.FileType.NotFound:
+            fsys.delete_dir(dpath)
+    except FileNotFoundError:
+        pass
+    fsys.create_dir(dpath, recursive=True)
+    table = pa.table({n: pa.array([int(v)], pa.int32())
+                      for n, v in zip(names, values)})
+    with fsys.open_output_stream(dpath + "/part-00000-meta.parquet") \
+            as out:
+        pq.write_table(table, out)
+
+
 def write_minhash_index(df: DataFrame, path: str, text_col: str = "text",
                         id_col: str = "doc_id", num_hashes: int = 8,
                         bands: int = 4, k: int = 3, n_buckets: int = 64,
@@ -642,7 +668,8 @@ def write_minhash_index(df: DataFrame, path: str, text_col: str = "text",
     base = path.rstrip("/")
     spark = df.sparkSession
     if append:
-        meta = spark.read.parquet(base + "/meta").head()
+        meta = spark.read.schema("num_hashes int, bands int, k int, n_buckets int") \
+            .parquet(base + "/meta").head()
         stored = (int(meta["num_hashes"]), int(meta["bands"]),
                   int(meta["k"]))
         if stored != (num_hashes, bands, k):
@@ -656,10 +683,9 @@ def write_minhash_index(df: DataFrame, path: str, text_col: str = "text",
     posts.write.mode("append" if append else "overwrite") \
         .partitionBy("band_bucket").parquet(base + "/postings")
     if not append:
-        spark.createDataFrame(
-            [(num_hashes, bands, k, n_buckets)],
-            "num_hashes int, bands int, k int, n_buckets int"
-        ).write.mode("overwrite").parquet(base + "/meta")
+        _write_meta_file(base + "/meta",
+                         ["num_hashes", "bands", "k", "n_buckets"],
+                         [num_hashes, bands, k, n_buckets])
 
 
 def minhash_index_matches(new_df: DataFrame, path: str,
@@ -686,7 +712,8 @@ def minhash_index_matches(new_df: DataFrame, path: str,
         raise ValueError(f"threshold must be in [0, 1], got {threshold}")
     base = path.rstrip("/")
     spark = new_df.sparkSession
-    meta = spark.read.parquet(base + "/meta").head()
+    meta = spark.read.schema("num_hashes int, bands int, k int, n_buckets int") \
+        .parquet(base + "/meta").head()
     num_hashes, bands, k = (int(meta["num_hashes"]), int(meta["bands"]),
                             int(meta["k"]))
     n_buckets = int(meta["n_buckets"])
@@ -768,7 +795,8 @@ def write_exact_index(df: DataFrame, path: str, text_col: str = "text",
     base = path.rstrip("/")
     spark = df.sparkSession
     if append:
-        meta = spark.read.parquet(base + "/meta").head()
+        meta = spark.read.schema("n_buckets int") \
+            .parquet(base + "/meta").head()
         n_buckets = int(meta["n_buckets"])
     posts = df.select(
         F.col(id_col),
@@ -778,8 +806,7 @@ def write_exact_index(df: DataFrame, path: str, text_col: str = "text",
     posts.write.mode("append" if append else "overwrite") \
         .partitionBy("hash_bucket").parquet(base + "/postings")
     if not append:
-        spark.createDataFrame([(n_buckets,)], "n_buckets int") \
-            .write.mode("overwrite").parquet(base + "/meta")
+        _write_meta_file(base + "/meta", ["n_buckets"], [n_buckets])
 
 
 def exact_index_matches(new_df: DataFrame, path: str,
@@ -796,7 +823,8 @@ def exact_index_matches(new_df: DataFrame, path: str,
     the match is a batch-sized equi-join on the 16-byte hash."""
     base = path.rstrip("/")
     spark = new_df.sparkSession
-    meta = spark.read.parquet(base + "/meta").head()
+    meta = spark.read.schema("n_buckets int") \
+        .parquet(base + "/meta").head()
     n_buckets = int(meta["n_buckets"])
     nb = new_df.select(
         F.col(id_col).alias("new_id"),
