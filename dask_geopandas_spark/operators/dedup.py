@@ -1056,59 +1056,61 @@ def connected_components(edges: DataFrame, src: str = "src",
     level dedup over arbitrary pair sources (``knn_graph`` edges,
     ``lsh_candidate_pairs``, ``embedding_neardup_pairs``).
 
-    Each iteration is one ALTERNATING-STAR round pair (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond" — the two-phase
-    algorithm, r17 rewrite of the r15/r16 label-propagation loop):
+    The execution strategy is SCALE-ADAPTIVE (r17; conf
+    ``spark.dask_geopandas_spark.cc.starNodeThreshold``, default
+    5,000,000 nodes — the node count is read off the init probe job,
+    so the dispatch costs nothing):
 
-    * **large-star**: every node connects its strictly-LARGER
-      neighbors to the minimum of its closed neighborhood;
-    * **small-star**: every node connects its smaller-or-equal
-      neighbors (and itself) to that minimum.
+    * **At or below the threshold** (every bench-scale graph): the
+      r15/r16 label-propagation loop — neighbor-min aggregation over
+      the fixed edge list plus one path-halving shortcut join per
+      iteration.  Its per-iteration joins are against NODE-sized
+      label tables, which broadcast precisely while the node count is
+      small — the condition the threshold encodes; O(log diameter)
+      iterations (the frontier roughly doubles via halving).
+    * **Above it**: one ALTERNATING-STAR round pair per iteration
+      (Kiveris et al., "Connected Components in MapReduce and
+      Beyond").  Large-star connects each node's strictly-larger
+      neighbors to the minimum of its closed neighborhood; small-star
+      connects the smaller neighbors (and the node) to that minimum.
+      The loop state is the EDGE SET itself, which CONTRACTS toward
+      the star forest — duplicate-heavy near-dup graphs (LSH /
+      embedding cliques) collapse from O(k²) to O(k) edges after the
+      first pair — so per-round shuffle volume SHRINKS where the
+      propagation loop re-shuffles the full original edge list every
+      iteration once the label table outgrows a broadcast (guide
+      §2.3).  O(log diameter) pairs on chains.
 
-    Both halves are one window-min over the edge set partitioned by
-    node plus a projection — no joins.  The loop's state is the EDGE
-    SET itself, which CONTRACTS toward the star forest (every
-    non-minimum node holding exactly one edge to its component's
-    minimum): duplicate-heavy near-dup graphs (cliques from LSH /
-    embedding pair sources) collapse from O(k²) edges to O(k) after
-    the first pair, so per-round shuffle volume SHRINKS — where the
-    r16 loop re-shuffled the full original edge list plus the label
-    table every iteration, forever (guide §2.3: shuffle fewer bytes).
-    Convergence still takes O(log diameter) round pairs on chains
-    (each pair roughly halves the depth).
+    Both strategies converge to the identical min-label fixpoint
+    (strategy-equivalence pytest); the threshold only picks the
+    cheaper execution.  ``max_iter`` bounds iterations (propagation)
+    or round pairs (star) — both O(log diameter) budgets.
 
-    An early stop exits as soon as a round pair changes nothing.  The
-    probe is exact for numeric ids: each node's current label
-    ``L(u) = min(u, min out-neighbors)`` is non-increasing under both
-    star operations, and one full pair on a non-converged graph
-    strictly decreases at least one label (the boundary-edge
-    argument: a mislabeled node adjacent to the correctly-labeled
-    region gains the region's minimum via large-star when it is the
-    larger endpoint, via small-star when it is the smaller one) — so
-    the exact decimal sum of ``L(u) − u`` over the per-node-min table
-    is unchanged iff the pair was a fixpoint.  Non-numeric ids fall
-    back to a two-aggregate probabilistic probe (xxhash64 state sum
-    PLUS row count — two independent observables, the `_propagate_min`
-    convention hardened per the r16 ADVICE).  Either probe is one
-    narrow map-side-combined aggregation that doubles as the job
-    materializing the round's lazily-checkpointed state — 1 job per
-    round pair.
+    An early stop exits as soon as an iteration changes nothing, via
+    one narrow aggregate probe that doubles as the job materializing
+    the iterate: labels are monotone non-increasing under both
+    strategies (for the star rounds, L(u) = min(u, min out-nbrs)
+    strictly decreases somewhere per pair while unconverged — the
+    boundary-edge argument in both orientations), so for numeric ids
+    an exact decimal sum is a SOUND fixpoint witness; non-numeric ids
+    fall back to a two-aggregate probabilistic probe (xxhash64 state
+    sum PLUS row count — two independent observables, the
+    `_propagate_min` convention hardened per the r16 ADVICE).
 
-    Every half-round's edge set is ``localCheckpoint``ed (lazily): the
+    Every iterate is plan-barriered (lazy localCheckpoint): the
     self-referential plan otherwise DOUBLES per iteration and chokes
-    the planner long before the data does — the standard Spark
-    iterative-graph answer.  Superseded states' checkpoint blocks are
-    freed by Spark's ContextCleaner once this function drops their
-    references.  On a real cluster with executor loss to survive, set
-    ``spark.sparkContext.setCheckpointDir`` and swap in reliable
-    ``checkpoint()``; local mode has no such failure domain.
+    the planner long before the data does.  Superseded iterates'
+    checkpoint blocks are freed by Spark's ContextCleaner once this
+    function drops their references.  On a real cluster with executor
+    loss to survive, set a checkpoint dir and
+    ``spark.dask_geopandas_spark.reliableCheckpoint=true`` (see
+    barrier.py).
 
     Returns (node, component) with component = the component's min
-    node id (for ``max_iter`` ≥ the pair count the graph needs —
-    O(log diameter)).
+    node id (for a sufficient ``max_iter``).
 
     Convergence is verified, not assumed: when ``max_iter`` runs out
-    with the last round pair still changing labels, the result may
+    with the last iteration still changing labels, the result may
     split one true component into several — ``on_nonconverged`` picks
     the response: ``'warn'`` (default, ``RuntimeWarning``),
     ``'raise'`` (``RuntimeError``), or ``'ignore'``."""
@@ -1116,74 +1118,131 @@ def connected_components(edges: DataFrame, src: str = "src",
         raise ValueError(
             f"on_nonconverged must be warn|raise|ignore, got "
             f"{on_nonconverged!r}")
-    from pyspark.sql import Window
 
+    spark = edges.sparkSession
     sym0 = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
             .union(edges.select(F.col(dst).alias("a"),
                                 F.col(src).alias("b"))))
-    # the node universe is FIXED at init (self-loop-only nodes appear
-    # here and nowhere in the star state); consumed once at the end
-    nodes = (sym0.select(F.col("a").alias("node")).distinct()
-             .transform(plan_barrier))
-    # initial state: deduped self-loop-free edges, any orientation
-    # (the first large-star symmetrizes); eager=False — the plan is
-    # truncated to a LogicalRDD immediately, materialization rides
-    # the first probe job (the r16 lazy-checkpoint convention)
-    e = (sym0.filter(F.col("a") != F.col("b")).distinct()
-         .transform(plan_barrier))
+    e = sym0.transform(plan_barrier)  # consumed every iteration
 
     numeric = dict(e.dtypes)["a"] in (
         "tinyint", "smallint", "int", "bigint")
 
-    def _labels(ed):
-        """Per-node current label table: (src, min out-neighbor) —
-        the probe's observable, and at star convergence the answer."""
-        return ed.groupBy(F.col("a").alias("src")).agg(
-            F.min("b").alias("component"))
-
-    def _state(lt):
+    def _state_of(lt, node_col, comp_col):
+        """(monotone label state, row count) in ONE narrow
+        map-side-combined aggregation — the count is a free second
+        observable (and the init call's count is the node count the
+        strategy dispatch reads)."""
         if numeric:
-            aggs = [F.sum(F.col("component").cast("decimal(38,0)")
-                          - F.col("src").cast("decimal(38,0)"))
-                    .alias("_s")]
+            s = F.sum(F.col(comp_col).cast("decimal(38,0)")
+                      - F.col(node_col).cast("decimal(38,0)"))
         else:
-            # two independent observables (hash sum + row count)
-            # shrink the non-numeric false-fixpoint surface
-            aggs = [F.sum(F.xxhash64("src", "component")
-                          .cast("decimal(30,0)")).alias("_s"),
-                    F.count("*").alias("_n")]
-        r = lt.agg(*aggs).head()
-        return tuple(r)
+            # hash sum + count: two independent observables shrink
+            # the non-numeric false-fixpoint surface (r16 ADVICE)
+            s = F.sum(F.xxhash64(node_col, comp_col)
+                      .cast("decimal(30,0)"))
+        return tuple(lt.agg(s.alias("_s"),
+                            F.count("*").alias("_n")).head())
 
-    lab = _labels(e).transform(plan_barrier)
-    st = _state(lab)
+    # init: labels = identity over the FIXED node universe
+    # (self-loop-only nodes included); this probe job materializes
+    # the checkpoints AND returns the node count for the dispatch
+    labels = (e.select(F.col("a").alias("node")).distinct()
+              .withColumn("component", F.col("node"))
+              .transform(plan_barrier))
+    st = _state_of(labels, "node", "component")
+    n_nodes = int(st[1] or 0)
+    threshold = int(spark.conf.get(
+        "spark.dask_geopandas_spark.cc.starNodeThreshold", "5000000"))
+
     changed = False
-    wa = Window.partitionBy("a")
-    for _ in range(max_iter):
-        # large-star over the symmetric adjacency: m = min of the
-        # closed neighborhood; larger neighbors re-attach to m
-        t = (e.union(e.select(F.col("b").alias("a"),
-                              F.col("a").alias("b")))
-             .withColumn("_m", F.least(F.col("a"),
-                                       F.min("b").over(wa))))
-        e = (t.filter(F.col("b") > F.col("a"))
-             .select(F.col("b").alias("a"), F.col("_m").alias("b"))
-             .distinct()
-             .transform(plan_barrier))
-        # small-star: edges now point strictly big->small; each node's
-        # smaller neighbors (and the node) re-attach to the minimum
-        t = e.withColumn("_m", F.min("b").over(wa))
-        e = (t.filter(F.col("b") != F.col("_m"))
-             .select(F.col("b").alias("a"), F.col("_m").alias("b"))
-             .union(t.select("a", F.col("_m").alias("b")))
-             .distinct()
+    if n_nodes <= threshold:
+        # ---- propagation + path halving (broadcast regime) --------
+        for _ in range(max_iter):
+            nbr = (e.join(labels, on=F.col("b") == F.col("node"))
+                   .groupBy("a").agg(F.min("component").alias("_nl")))
+            nxt = (labels.join(nbr, on=F.col("node") == F.col("a"),
+                               how="left")
+                   .select("node",
+                           F.least(F.col("component"),
+                                   F.coalesce(F.col("_nl"),
+                                              F.col("component")))
+                           .alias("component"))
+                   .transform(plan_barrier))
+            # path halving: component <- its component's component;
+            # every label is a node id present in the table, so the
+            # shortcut lookup always lands
+            lk = nxt.select(F.col("node").alias("_ln"),
+                            F.col("component").alias("_lc"))
+            nxt = (nxt.join(lk, on=F.col("component") == F.col("_ln"),
+                            how="left")
+                   .select("node",
+                           F.least(F.col("component"),
+                                   F.coalesce(F.col("_lc"),
+                                              F.col("component")))
+                           .alias("component"))
+                   .transform(plan_barrier))
+            nst = _state_of(nxt, "node", "component")
+            changed = nst != st
+            st = nst
+            labels = nxt
+            if not changed:
+                break
+        out = labels
+    else:
+        # ---- alternating large-star / small-star (contracting
+        # edge-set regime) ------------------------------------------
+        def _labels(ed):
+            """(src, min out-neighbor): the probe's observable, and
+            at star convergence the answer."""
+            return ed.groupBy(F.col("a").alias("src")).agg(
+                F.min("b").alias("component"))
+
+        # the node universe rides the already-checkpointed labels
+        # frame; the star state is the deduped self-loop-free edges
+        nodes = labels.select("node")
+        e = (e.filter(F.col("a") != F.col("b")).distinct()
              .transform(plan_barrier))
         lab = _labels(e).transform(plan_barrier)
-        nst = _state(lab)
-        changed = nst != st
-        st = nst
-        if not changed:
-            break
+        st = _state_of(lab, "src", "component")
+        for _ in range(max_iter):
+            # large-star: m = min of the closed symmetric
+            # neighborhood; larger neighbors re-attach to m.  The min
+            # table is node-sized (joins broadcast while small, key-
+            # shuffle the CONTRACTING edge set otherwise).
+            sym = e.union(e.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b")))
+            mins = (sym.groupBy("a")
+                    .agg(F.least(F.col("a"), F.min("b")).alias("_m")))
+            e = (sym.join(mins, "a")
+                 .filter(F.col("b") > F.col("a"))
+                 .select(F.col("b").alias("a"), F.col("_m").alias("b"))
+                 .distinct()
+                 .transform(plan_barrier))
+            # small-star: edges now point strictly big->small; each
+            # node's smaller neighbors re-attach to its minimum, and
+            # the node keeps exactly its minimum edge (= the min
+            # table itself)
+            mins = e.groupBy("a").agg(F.min("b").alias("_m"))
+            e = (e.join(mins, "a")
+                 .filter(F.col("b") != F.col("_m"))
+                 .select(F.col("b").alias("a"), F.col("_m").alias("b"))
+                 .union(mins.select("a", F.col("_m").alias("b")))
+                 .distinct()
+                 .transform(plan_barrier))
+            lab = _labels(e).transform(plan_barrier)
+            nst = _state_of(lab, "src", "component")
+            changed = nst != st
+            st = nst
+            if not changed:
+                break
+        # nodes without an out-edge in the star forest are the
+        # component minima (and self-loop-only nodes): they label
+        # themselves
+        out = (nodes.join(lab, nodes["node"] == lab["src"], "left")
+               .select("node",
+                       F.coalesce(F.col("component"), F.col("node"))
+                       .alias("component")))
     if changed:
         msg = (f"connected_components: max_iter={max_iter} exhausted with "
                "labels still changing — components may be split; raise "
@@ -1194,13 +1253,7 @@ def connected_components(edges: DataFrame, src: str = "src",
             import warnings
 
             warnings.warn(msg, RuntimeWarning, stacklevel=2)
-    # nodes without an out-edge in the converged star forest are the
-    # component minima (and self-loop-only / isolated-by-dedup nodes):
-    # they label themselves
-    return (nodes.join(lab, nodes["node"] == lab["src"], "left")
-            .select("node",
-                    F.coalesce(F.col("component"), F.col("node"))
-                    .alias("component")))
+    return out
 
 
 def cluster_dedup(df: DataFrame, edges: DataFrame, id_col: str = "doc_id",

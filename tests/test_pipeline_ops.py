@@ -666,46 +666,64 @@ class TestConnectedComponents:
         assert {r["component"] for r in got} == {0}
 
     def test_two_phase_star_edge_cases(self, spark):
-        """r17 rewrite pin (alternating large-star/small-star): the
-        edge cases the star state machine must survive — self-loops,
+        """r17 pin for the above-threshold ALTERNATING-STAR strategy
+        (forced via the starEdgeThreshold conf): the edge cases the
+        star state machine must survive — self-loops,
         duplicate/reversed edges, cliques, a deep chain converging in
-        O(log d) round pairs, and the non-numeric-id probe path."""
+        O(log d) round pairs, the non-numeric-id probe path — and
+        strategy equivalence against the default propagation path."""
         from dask_geopandas_spark.operators.dedup import connected_components
 
-        # self-loops + duplicates + both orientations of one edge
-        edges = [(5, 5), (1, 2), (2, 1), (1, 2), (7, 7), (3, 4)]
-        df = spark.createDataFrame(edges, "src long, dst long")
-        got = {r["node"]: r["component"] for r in
-               connected_components(df, max_iter=5).collect()}
-        assert got == {5: 5, 7: 7, 1: 1, 2: 1, 3: 3, 4: 3}
-
-        # a 12-clique (the near-dup LSH shape) collapses in one pair
-        clique = spark.createDataFrame(
-            [(i, j) for i in range(12) for j in range(i + 1, 12)],
-            "src long, dst long")
-        got = {r["node"]: r["component"] for r in
-               connected_components(clique, max_iter=2).collect()}
-        assert got == {i: 0 for i in range(12)}
-
-        # deep chain: diameter 59 needs only O(log d) pairs — 8 is
-        # plenty (the r16 propagation loop's budget), 2 is not
-        import warnings
-
-        chain = spark.createDataFrame([(i, i + 1) for i in range(59)],
-                                      "src long, dst long")
-        with warnings.catch_warnings():
-            warnings.simplefilter("error", RuntimeWarning)
+        conf = "spark.dask_geopandas_spark.cc.starEdgeThreshold"
+        spark.conf.set(conf, "0")  # force the star strategy
+        try:
+            # self-loops + duplicates + both orientations of one edge
+            edges = [(5, 5), (1, 2), (2, 1), (1, 2), (7, 7), (3, 4)]
+            df = spark.createDataFrame(edges, "src long, dst long")
             got = {r["node"]: r["component"] for r in
-                   connected_components(chain, max_iter=8).collect()}
-        assert set(got.values()) == {0}
+                   connected_components(df, max_iter=5).collect()}
+            assert got == {5: 5, 7: 7, 1: 1, 2: 1, 3: 3, 4: 3}
 
-        # non-numeric ids exercise the two-aggregate hash+count probe
-        sdf = spark.createDataFrame(
-            [("b", "c"), ("c", "d"), ("x", "y")],
-            "src string, dst string")
-        got = {r["node"]: r["component"] for r in
-               connected_components(sdf, max_iter=6).collect()}
-        assert got == {"b": "b", "c": "b", "d": "b", "x": "x", "y": "x"}
+            # a 12-clique (the near-dup LSH shape) collapses in one
+            # pair: O(k^2) -> O(k) edges
+            clique = spark.createDataFrame(
+                [(i, j) for i in range(12) for j in range(i + 1, 12)],
+                "src long, dst long")
+            got = {r["node"]: r["component"] for r in
+                   connected_components(clique, max_iter=2).collect()}
+            assert got == {i: 0 for i in range(12)}
+
+            # deep chain: diameter 59 needs only O(log d) pairs — 8
+            # is plenty, 2 is not (the warn still fires)
+            import warnings
+
+            chain = spark.createDataFrame(
+                [(i, i + 1) for i in range(59)], "src long, dst long")
+            with warnings.catch_warnings():
+                warnings.simplefilter("error", RuntimeWarning)
+                got = {r["node"]: r["component"] for r in
+                       connected_components(chain, max_iter=8).collect()}
+            assert set(got.values()) == {0}
+            with pytest.warns(RuntimeWarning, match="max_iter"):
+                connected_components(chain, max_iter=2).collect()
+
+            # non-numeric ids exercise the hash+count double probe
+            sdf = spark.createDataFrame(
+                [("b", "c"), ("c", "d"), ("x", "y")],
+                "src string, dst string")
+            got = {r["node"]: r["component"] for r in
+                   connected_components(sdf, max_iter=6).collect()}
+            assert got == {"b": "b", "c": "b", "d": "b",
+                           "x": "x", "y": "x"}
+            star = {(r["node"], r["component"]) for r in
+                    connected_components(df, max_iter=6).collect()}
+        finally:
+            spark.conf.set(conf, "5000000")
+        # strategy equivalence: the default (propagation) path gives
+        # the identical labeling
+        prop = {(r["node"], r["component"]) for r in
+                connected_components(df, max_iter=6).collect()}
+        assert star == prop
 
     def test_reliable_checkpoint_conf(self, spark, tmp_path):
         """r17 (verdict #3/#8): with
