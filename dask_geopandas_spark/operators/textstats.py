@@ -2190,7 +2190,11 @@ def _py_char_ngrams(text: str | None, n=(1, 2, 3)) -> list:
     import re
 
     orders = (n,) if isinstance(n, int) else tuple(n)
-    t = re.sub(r"\s+", " ", (text or "").lower()).strip()
+    # mirror the Spark expression EXACTLY: Java regex \s is the ASCII
+    # class (Python's is Unicode-wide), and Spark trim strips spaces
+    # only — a NO-BREAK SPACE must survive both, as it does there
+    t = re.sub(r"[ \t\n\x0B\f\r]+", " ",
+               (text or "").lower()).strip(" ")
     if not t:
         return []  # the nullif -> NULL path: no grams
     c = list(" " + t + " ")

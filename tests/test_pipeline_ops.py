@@ -3038,7 +3038,10 @@ class TestLangIdModel:
             LANG_SEED, _py_char_ngrams, char_ngrams)
 
         sents = [s for v in LANG_SEED.values() for s in v]
-        sents += ["", "   ", "a", "Mixed  CASE\ttext", None]
+        # edge inputs incl. a NO-BREAK SPACE (Java \s is ASCII-only
+        # and Spark trim strips 0x20 only — the replica must agree)
+        sents += ["", "   ", "a", "Mixed  CASE\ttext", None,
+                  "a b", " x "]
         df = spark.createDataFrame([(s,) for s in sents], "t string")
         got = [r["g"] for r in
                df.select(char_ngrams(F.col("t")).alias("g")).collect()]
