@@ -612,28 +612,21 @@ def _band_bucket(n_buckets: int) -> Column:
 
 
 def _write_meta_file(meta_dir: str, names: list, values: list) -> None:
-    """Write a 1-row int32 meta dataset driver-side (pyarrow — no
-    Spark job; a 1-row Spark parquet write costs a full job + commit
-    of pure action floor).  Same schema as the r16 Spark write
-    (every meta field is an int)."""
+    """Write a 1-row int32 meta dataset driver-side (no Spark job; a
+    1-row Spark parquet write costs a full job + commit of pure action
+    floor).  Same schema as the r16 Spark write (every meta field is
+    an int).  Uses the shared writer (`sources.fs.
+    write_one_row_parquet`) — see there for the scheme-less-path
+    filesystem caveat."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
-    from pyarrow import fs as pafs
 
-    from ..sources.fs import resolve_fs
+    from ..sources.fs import write_one_row_parquet
 
-    fsys, dpath = resolve_fs(meta_dir.rstrip("/"))
-    try:
-        if fsys.get_file_info(dpath).type != pafs.FileType.NotFound:
-            fsys.delete_dir(dpath)
-    except FileNotFoundError:
-        pass
-    fsys.create_dir(dpath, recursive=True)
-    table = pa.table({n: pa.array([int(v)], pa.int32())
-                      for n, v in zip(names, values)})
-    with fsys.open_output_stream(dpath + "/part-00000-meta.parquet") \
-            as out:
-        pq.write_table(table, out)
+    write_one_row_parquet(
+        meta_dir,
+        {n: pa.array([int(v)], pa.int32())
+         for n, v in zip(names, values)},
+        filename="part-00000-meta.parquet")
 
 
 def write_minhash_index(df: DataFrame, path: str, text_col: str = "text",
@@ -1205,13 +1198,16 @@ def connected_components(edges: DataFrame, src: str = "src",
              .transform(plan_barrier))
         lab = _labels(e).transform(plan_barrier)
         st = _state_of(lab, "src", "component")
-        for _ in range(max_iter):
+        for it in range(max_iter):
             # large-star: m = min of the closed symmetric
             # neighborhood; larger neighbors re-attach to m.  The min
             # table is node-sized (joins broadcast while small, key-
-            # shuffle the CONTRACTING edge set otherwise).
-            sym = e.union(e.select(F.col("b").alias("a"),
-                                   F.col("a").alias("b")))
+            # shuffle the CONTRACTING edge set otherwise).  The
+            # INITIAL state is already symmetric by construction, so
+            # only later rounds (edges oriented big->small by
+            # small-star) re-add the reverse orientation.
+            sym = e if it == 0 else e.union(
+                e.select(F.col("b").alias("a"), F.col("a").alias("b")))
             mins = (sym.groupBy("a")
                     .agg(F.least(F.col("a"), F.min("b")).alias("_m")))
             e = (sym.join(mins, "a")
@@ -1238,11 +1234,17 @@ def connected_components(edges: DataFrame, src: str = "src",
                 break
         # nodes without an out-edge in the star forest are the
         # component minima (and self-loop-only nodes): they label
-        # themselves
-        out = (nodes.join(lab, nodes["node"] == lab["src"], "left")
-               .select("node",
-                       F.coalesce(F.col("component"), F.col("node"))
-                       .alias("component")))
+        # themselves.  max_iter=0 never entered the loop: return the
+        # IDENTITY labels (the propagation branch's max_iter=0
+        # behavior), not the raw min-neighbor table
+        if max_iter <= 0:
+            out = labels
+        else:
+            out = (nodes.join(lab, nodes["node"] == lab["src"], "left")
+                   .select("node",
+                           F.coalesce(F.col("component"),
+                                      F.col("node"))
+                           .alias("component")))
     if changed:
         msg = (f"connected_components: max_iter={max_iter} exhausted with "
                "labels still changing — components may be split; raise "

@@ -558,7 +558,10 @@ def _qd_compress_np(nodes: DataFrame, k: int, bits: int,
         return out[kk_names + ["qd_id", "qd_count"]]
 
     grouped = nodes.groupBy(*kk_names) if kk_names else nodes.groupBy()
-    return grouped.applyInPandas(_fn, schema=out_schema)
+    # plan barrier on the result, like the level loop's trailing one:
+    # multi-action consumers must not re-run the per-group compression
+    return grouped.applyInPandas(_fn, schema=out_schema) \
+        .transform(plan_barrier)
 
 
 def _qd_compress(nodes: DataFrame, k: int, bits: int, keys: list,

@@ -625,28 +625,20 @@ def _write_stats_file(stats_dir: str, n_docs: int, avgdl: float,
     job): same schema and values as the r16 Spark write (n_docs long,
     avgdl double, [sum_dl long,] n_buckets int; ``sum_dl=None``
     reproduces the legacy no-sum_dl layout).  The directory is
-    replaced wholesale, matching overwrite-mode semantics."""
+    replaced wholesale, matching overwrite-mode semantics.  Uses the
+    shared driver-side writer (`sources.fs.write_one_row_parquet`) —
+    see there for the scheme-less-path filesystem caveat."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
-    from pyarrow import fs as pafs
 
-    from ..sources.fs import resolve_fs
+    from ..sources.fs import write_one_row_parquet
 
-    fsys, dpath = resolve_fs(stats_dir.rstrip("/"))
-    try:
-        if fsys.get_file_info(dpath).type != pafs.FileType.NotFound:
-            fsys.delete_dir(dpath)
-    except FileNotFoundError:
-        pass
-    fsys.create_dir(dpath, recursive=True)
     cols = {"n_docs": pa.array([int(n_docs)], pa.int64()),
             "avgdl": pa.array([float(avgdl)], pa.float64())}
     if sum_dl is not None:
         cols["sum_dl"] = pa.array([int(sum_dl)], pa.int64())
     cols["n_buckets"] = pa.array([int(n_buckets)], pa.int32())
-    with fsys.open_output_stream(dpath + "/part-00000-stats.parquet") \
-            as out:
-        pq.write_table(pa.table(cols), out)
+    write_one_row_parquet(stats_dir, cols,
+                          filename="part-00000-stats.parquet")
 
 
 def write_text_index(df, path: str, n_buckets: int = 64,

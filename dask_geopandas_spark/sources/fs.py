@@ -94,6 +94,38 @@ def resolve_fs(path: str, filesystem=None):
         return PyFileSystem(FSSpecHandler(fs)), type(fs)._strip_protocol(path)
 
 
+def write_one_row_parquet(dir_path: str, cols: dict,
+                          filename: str = "part-00000.parquet") -> None:
+    """Replace ``dir_path`` with a single-file parquet dataset holding
+    one row — the driver-side writer for the 1-row stats/meta datasets
+    of the stored indexes (a Spark parquet write of a 1-row local
+    relation costs a full job + commit of pure action floor).
+
+    ``cols`` maps column name -> 1-element ``pyarrow.Array`` (insertion
+    order = column order).  The directory is deleted and recreated,
+    matching overwrite-mode semantics.
+
+    Filesystem resolution follows this module's convention (see the
+    module docstring): a SCHEME-LESS path resolves to the local
+    filesystem — on a cluster whose ``fs.defaultFS`` is remote, pass
+    explicit-scheme paths (``hdfs://…``, ``s3a://…``) so these sidecar
+    datasets land on the same filesystem as the Spark-written data
+    files, exactly as for every marker/sidecar in this package."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    fsys, dpath = resolve_fs(dir_path.rstrip("/"))
+    try:
+        if fsys.get_file_info(dpath).type != pafs.FileType.NotFound:
+            fsys.delete_dir(dpath)
+    except FileNotFoundError:
+        pass
+    fsys.create_dir(dpath, recursive=True)
+    with fsys.open_output_stream(dpath + "/" + filename) as out:
+        pq.write_table(pa.table(cols), out)
+
+
 def _with_scheme(path: str, inner: str) -> str:
     """Re-attach ``path``'s scheme to an fs-internal listing result so
     the file reference stays resolvable from another process."""

@@ -674,7 +674,7 @@ class TestConnectedComponents:
         strategy equivalence against the default propagation path."""
         from dask_geopandas_spark.operators.dedup import connected_components
 
-        conf = "spark.dask_geopandas_spark.cc.starEdgeThreshold"
+        conf = "spark.dask_geopandas_spark.cc.starNodeThreshold"
         spark.conf.set(conf, "0")  # force the star strategy
         try:
             # self-loops + duplicates + both orientations of one edge
